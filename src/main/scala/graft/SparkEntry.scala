@@ -1,13 +1,194 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.{Listings, ListingSql, Load, Transform}
+import graft.ops.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (plus the scale extensions) is
+  * registered here as a named query over `/root/testdata/sf*`, with an
+  * equivalent DuckDB SQL oracle where SQL can express it. Column names
+  * are aligned between both sides (the driver sorts columns by name
+  * before hashing). All float aggregation is decimal-exact then cast to
+  * double so both engines emit bit-identical values.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  // ---- reference-parity ETL pipeline (SURVEY.md §2.1-2.5) ----
+
+  private def transformed(s: SparkSession, d: String): DataFrame =
+    Transform.transform(Listings.raw(s, d))
+
+  private def mergeMain(s: SparkSession, d: String): DataFrame =
+    transformed(s, d).filter(col("ingest_order") % 2 === 0)
+
+  private def mergeStaging(s: SparkSession, d: String): DataFrame =
+    transformed(s, d).filter(col("ingest_order") % 3 === 0)
+      .withColumn("price_rp", col("price_rp") + 1000000L)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- ETL parity --
+    "q_raw_listings" -> ((s, d) => Listings.raw(s, d).orderBy("ingest_order")),
+    "q_filter_nullkey" -> ((s, d) =>
+      Transform.dropNullKeys(Listings.raw(s, d))
+        .select(col("ingest_order"), col("link")).orderBy("ingest_order")),
+    "q_dedup_first" -> ((s, d) =>
+      Transform.dedupKeepFirst(Transform.dropNullKeys(Listings.raw(s, d)))
+        .select(col("link"), col("ingest_order")).orderBy("ingest_order")),
+    "q_transform_listings" -> ((s, d) => transformed(s, d).orderBy("ingest_order")),
+    "q_price_parse" -> ((s, d) =>
+      transformed(s, d).select(col("ingest_order"), col("link"), col("price_rp"))
+        .orderBy("ingest_order")),
+    "q_badge_tokenize" -> ((s, d) =>
+      transformed(s, d).select(col("ingest_order"), col("additional_features"))
+        .orderBy("ingest_order")),
+    "q_merge_upsert" -> ((s, d) =>
+      Load.merge(mergeMain(s, d), mergeStaging(s, d), "link").orderBy("link")),
+    "q_merge_inserted_count" -> ((s, d) =>
+      Load.insertedCount(mergeMain(s, d), mergeStaging(s, d), "link")),
+
+    // -- relational / analytic extensions (SURVEY.md §2.6-2.7) --
+    "q_pricing_summary" -> Relational.pricingSummary _,
+    "q_revenue_by_brand" -> Relational.revenueByBrand _,
+    "q_revenue_by_nation" -> Relational.revenueByNation _,
+    "q_semi_join" -> Relational.customersWithOrders _,
+    "q_anti_join" -> Relational.customersWithoutOrders _,
+    "q_window_rank" -> Relational.orderRankPerCustomer _,
+    "q_window_running" -> Relational.runningCustomerSpend _,
+    "q_topk_per_group" -> Relational.top3OrdersPerCustomer _,
+    "q_topk_global" -> Relational.top10Orders _,
+    "q_distinct_agg" -> Relational.distinctCustomersByStatus _,
+    "q_approx_distinct" -> Relational.approxDistinctParts _,
+    "q_rollup" -> Relational.rollupRevenue _,
+    "q_pivot" -> Relational.pivotStatusByPriority _,
+    "q_set_ops" -> Relational.nationSetOps _,
+    "q_union_slices" -> Relational.unionSlices _,
+    "q_above_avg" -> Relational.aboveAvgOrders _,
+  )
+
+  // ---- DuckDB oracles ----
+
+  private val T = ListingSql.TRANSFORMED_CTE
+  private val MERGE_CTES: String =
+    s"""WITH $T,
+       |main AS (SELECT * FROM transformed WHERE ingest_order % 2 = 0),
+       |staging AS (
+       |  SELECT ingest_order, link, name, price_rp + 1000000 AS price_rp, location,
+       |         lot_size, building_size, n_bedroom, n_bathroom, n_carport,
+       |         additional_features, ads_type, property_type
+       |  FROM transformed WHERE ingest_order % 3 = 0
+       |)""".stripMargin
+
+  private val mergeCols = Seq("ingest_order", "link", "name", "price_rp",
+    "location", "lot_size", "building_size", "n_bedroom", "n_bathroom",
+    "n_carport", "additional_features", "ads_type", "property_type")
+
+  def oracleSql: Map[String, String] = Map(
+    "q_raw_listings" ->
+      s"WITH ${ListingSql.RAW_CTE} SELECT * FROM raw",
+    "q_filter_nullkey" ->
+      s"WITH ${ListingSql.RAW_CTE} SELECT ingest_order, link FROM raw WHERE link IS NOT NULL",
+    "q_dedup_first" ->
+      s"""WITH $T SELECT link, ingest_order FROM transformed""",
+    "q_transform_listings" ->
+      s"WITH $T SELECT * FROM transformed",
+    "q_price_parse" ->
+      s"WITH $T SELECT ingest_order, link, price_rp FROM transformed",
+    "q_badge_tokenize" ->
+      s"WITH $T SELECT ingest_order, additional_features FROM transformed",
+    "q_merge_upsert" ->
+      s"""$MERGE_CTES
+         |SELECT ${mergeCols.map(c => s"CASE WHEN s.link IS NOT NULL THEN s.$c ELSE m.$c END AS $c").mkString(", ")}
+         |FROM main m FULL JOIN staging s ON m.link = s.link""".stripMargin,
+    "q_merge_inserted_count" ->
+      s"""$MERGE_CTES
+         |SELECT COUNT(*) AS n_inserted FROM staging s
+         |WHERE NOT EXISTS (SELECT 1 FROM main m WHERE m.link = s.link)""".stripMargin,
+
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_revenue_by_brand" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "q_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+        |FROM orders""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+        |FROM orders""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+    "q_topk_global" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q_distinct_agg" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, COUNT(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_set_ops" ->
+      """SELECT nationkey, 'both' AS tag FROM
+        |  (SELECT s_nationkey AS nationkey FROM supplier INTERSECT SELECT c_nationkey FROM customer)
+        |UNION ALL
+        |SELECT nationkey, 'customer_only' AS tag FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)""".stripMargin,
+    "q_union_slices" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000.0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice <= 300000.0 AND o_orderstatus = 'F'""".stripMargin,
+    "q_above_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o JOIN (
+        |  SELECT o_custkey AS k,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |  FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.k
+        |WHERE o.o_totalprice > a.avg_price""".stripMargin,
+  )
 }

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loader for the driver-generated star schema
+  * (`/root/testdata/sf*`; see TESTDATA.md). All operators read through
+  * here so scan options stay in one place.
+  *
+  * Scale note: at 100 TB these would be partitioned/bucketed tables
+  * behind a catalog; the reads stay identical (`spark.read.parquet` →
+  * columnar scan with predicate pushdown + partition pruning). Nothing
+  * here materializes or collects.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}

@@ -1,0 +1,83 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink layer: the reference's load stage (reference src/load.py:46-96)
+  * — truncate staging, batched insert, atomic `INSERT … ON CONFLICT
+  * (link) DO UPDATE` merge (src/load.py:30-43) — re-expressed two ways:
+  *
+  *  1. [[merge]]: the upsert as a distributed DataFrame operation
+  *     (full-outer join + per-column coalesce, staging wins). This is
+  *     the lake-native semantics (what Delta `MERGE INTO` plans) and is
+  *     what the DuckDB oracle checks.
+  *  2. [[jdbcUpsert]]: the reference's exact staging+merge wire pattern
+  *     for a live Postgres, compile-ready but unused in this offline
+  *     environment (no JDBC endpoint to test against).
+  *
+  * Scale note: the merge join shuffles both sides on the key once; with
+  * a bucketed/partitioned main table the staging side (daily delta,
+  * small) would broadcast instead — at 100 TB the main table is never
+  * rewritten wholesale, only co-partitioned merge output partitions.
+  */
+object Load {
+
+  /** Upsert `staging` into `main` keyed on `key`: matched keys take the
+    * staging row wholesale (last-writer-wins full-row update, reference
+    * src/load.py:37 — NULLs in staging overwrite too, so this switches
+    * on key presence, not per-column coalesce), unmatched staging rows
+    * insert, unmatched main rows persist. Inputs must share a schema. */
+  def merge(main: DataFrame, staging: DataFrame, key: String): DataFrame = {
+    val cols = main.columns.toSeq
+    require(staging.columns.toSeq == cols, "merge requires identical schemas")
+    val m = main.as("m")
+    val s = staging.as("s")
+    val picked: Seq[Column] = cols.map(c =>
+      when(col(s"s.$key").isNotNull, col(s"s.$c")).otherwise(col(s"m.$c")).as(c))
+    m.join(s, col(s"m.$key") === col(s"s.$key"), "full_outer").select(picked: _*)
+  }
+
+  /** The reference's inserted-count metric (src/load.py:41-43, Postgres
+    * `RETURNING xmax = 0`): staging keys not present in main. */
+  def insertedCount(main: DataFrame, staging: DataFrame, key: String): DataFrame =
+    staging.join(main, Seq(key), "left_anti")
+      .agg(count(lit(1)).as("n_inserted"))
+
+  /** Empty-input guard (reference src/load.py:72-74). */
+  def loadGuarded(main: DataFrame, staging: DataFrame, key: String): DataFrame =
+    if (staging.isEmpty) main else merge(main, staging, key)
+
+  /** Reference wire pattern for a live RDBMS: overwrite-truncate the
+    * staging table via JDBC (batched per partition, reference
+    * src/load.py:13-27 batches 500 rows — Spark's JDBC writer batches
+    * with `batchsize` per partition, in parallel), then issue the
+    * server-side atomic merge statement from the driver. */
+  def jdbcUpsert(df: DataFrame, url: String, stagingTable: String,
+                 mainTable: String, key: String, batchSize: Int = 500,
+                 props: java.util.Properties = new java.util.Properties): Unit = {
+    df.write.mode(SaveMode.Overwrite)
+      .option("truncate", "true")
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, stagingTable, props)
+    val cols = df.columns.toSeq
+    val colList = cols.mkString(", ")
+    val updates = cols.filterNot(_ == key)
+      .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    val mergeSql =
+      s"""INSERT INTO $mainTable ($colList)
+         |SELECT $colList FROM $stagingTable
+         |ON CONFLICT ($key) DO UPDATE SET $updates""".stripMargin
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try { val st = conn.createStatement(); try st.execute(mergeSql) finally st.close() }
+    finally conn.close()
+  }
+
+  /** Dated CSV sink (reference utils/helper.py:42-63): header row, date
+    * suffix computed at the driver. */
+  def datedCsv(df: DataFrame, name: String, dirPath: String, date: java.time.LocalDate): String = {
+    val stamp = date.format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+    val path = s"$dirPath/${name}_$stamp"
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    path
+  }
+}

@@ -1,0 +1,209 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator surface: aggregations, joins, windows, sorts,
+  * top-k, set ops. The reference pipeline itself has no joins/group-bys
+  * (SURVEY.md §2.6-2.7); these are the scale-out analytic operators the
+  * engine adds over the star schema.
+  *
+  * Determinism-for-oracle notes (driver hash-compares vs DuckDB):
+  *  - Money arithmetic is done in DECIMAL so sums are exact and
+  *    order-independent, then cast to double for output — both engines
+  *    produce bit-identical doubles.
+  *  - Every query's output is a deterministic *set* (no LIMIT without a
+  *    total order).
+  *
+  * Scale notes: group-bys here are partial-aggregated map-side by Spark
+  * automatically; dimension joins (region/nation/supplier/part) are
+  * explicitly `broadcast` — at 100 TB lineitem those stay shuffle-free;
+  * only fact-fact joins (lineitem⋈orders) shuffle, on their join key.
+  */
+object Relational {
+
+  /** Exact decimal view of a money double, for order-independent sums. */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** TPC-H Q1-shaped pricing summary: the canonical wide aggregation.
+    * Whole-stage-codegen'd hash aggregate with map-side partial agg. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Broadcast dimension join: revenue by part brand.
+    * `part` is tiny relative to lineitem → broadcast hash join, no
+    * shuffle of the fact side beyond the final aggregation. */
+  def revenueByBrand(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Multi-way star join (TPC-H Q5 shape): customer→nation→region dims
+    * broadcast; orders⋈lineitem is the only shuffled join. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Left semi join: customers that have at least one order (EXISTS). */
+  def customersWithOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left anti join: customers with no large order (NOT EXISTS with a
+    * pushed-down predicate on the probe side). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 450000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Window ranking: order sequence number per customer by date.
+    * One shuffle on the partition key; rank ties broken by orderkey so
+    * the result is deterministic. */
+  def orderRankPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("order_seq", row_number().over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("order_seq"))
+      .orderBy(col("o_custkey"), col("order_seq"))
+  }
+
+  /** Running aggregation window frame: cumulative spend per customer. */
+  def runningCustomerSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("cum_spend", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("cum_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Top-k per group via window rank: 3 most expensive orders per
+    * customer. At scale this beats a global sort: the shuffle is on
+    * o_custkey and each partition keeps only k rows. */
+  def top3OrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Global top-k with a total order (sort + limit → Spark TakeOrdered,
+    * which is O(k) memory per partition, no full sort at scale). */
+  def top10Orders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** Distinct aggregation: exact distinct counts per order status. */
+  def distinctCustomersByStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Approximate distinct (HLL++): the 100 TB-scale path for
+    * cardinality — constant memory vs exact distinct's shuffle of all
+    * keys. Not SQL-oracle-comparable (sketch-dependent), registered with
+    * a rows-only check. */
+  def approxDistinctParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** Rollup (hierarchical subtotal) aggregation. */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("total"),
+           count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Pivot expressed as conditional aggregation (SQL-portable form of
+    * groupBy().pivot()): order counts per priority, pivoted by status. */
+  def pivotStatusByPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Set ops: suppliers' nations INTERSECT customers' nations, minus
+    * nations only customers live in (EXCEPT) — union-compatible sets. */
+  def nationSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+    val cus = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+    val both    = sup.intersect(cus).withColumn("tag", lit("both"))
+    val custOnly = cus.except(sup).withColumn("tag", lit("customer_only"))
+    both.unionByName(custOnly).orderBy(col("tag"), col("nationkey"))
+  }
+
+  /** Union-all of two disjoint slices (the reference's per-page append,
+    * SURVEY.md §2.7) followed by a stable order. */
+  def unionSlices(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val hi = o.filter(col("o_totalprice") > 300000.0)
+    val lo = o.filter(col("o_totalprice") <= 300000.0 && col("o_orderstatus") === "F")
+    hi.unionByName(lo).select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Correlated-style aggregate filter (orders above their customer's
+    * average order value) — join against a pre-aggregated side. */
+  def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val avgByCust = o.groupBy(col("o_custkey").as("k"))
+      .agg((sum(dec(col("o_totalprice"))).cast("double") / count(lit(1))).as("avg_price"))
+    o.join(avgByCust, o("o_custkey") === avgByCust("k"))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+}
