@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.etl.{Listings, ListingSql, Load, Transform}
-import graft.ops.Relational
+import graft.ops.{Dialect, DuckDialect, Relational, SparkDialect, SqlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,6 +31,15 @@ object SparkEntry {
   private def mergeStaging(s: SparkSession, d: String): DataFrame =
     transformed(s, d).filter(col("ingest_order") % 3 === 0)
       .withColumn("price_rp", col("price_rp") + 1000000L)
+
+  /** Dual-dialect op: register the needed tables as temp views, run the
+    * Spark rendering of the shared SQL (spark.sql → same Catalyst
+    * pipeline as the DataFrame API). */
+  private def sqlq(views: Seq[String], build: Dialect => String): (SparkSession, String) => DataFrame =
+    (s, d) => {
+      views.foreach(v => graft.Tables(s, d, v).createOrReplaceTempView(v))
+      s.sql(build(SparkDialect))
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- ETL parity --
@@ -70,6 +79,32 @@ object SparkEntry {
     "q_set_ops" -> Relational.nationSetOps _,
     "q_union_slices" -> Relational.unionSlices _,
     "q_above_avg" -> Relational.aboveAvgOrders _,
+
+    // -- dedup family (documents) --
+    "q_dedup_exact" -> sqlq(Seq("documents"), SqlOps.dedupExact),
+    "q_dedup_minhash" -> sqlq(Seq("documents"), SqlOps.dedupMinhash),
+    "q_dedup_ngram_jaccard" -> sqlq(Seq("documents"), SqlOps.dedupNgramJaccard),
+    "q_dedup_simhash" -> sqlq(Seq("documents"), SqlOps.dedupSimhash),
+    "q_dedup_simhash_pairs" -> sqlq(Seq("documents"), SqlOps.dedupSimhashPairs),
+    "q_dedup_fingerprint" -> sqlq(Seq("documents"), SqlOps.dedupFingerprint),
+    "q_dedup_embedding_cosine" -> sqlq(Seq("embeddings"), SqlOps.dedupEmbeddingCosine),
+
+    // -- similarity search (embeddings) --
+    "q_knn_bruteforce" -> sqlq(Seq("embeddings"), SqlOps.knnBruteForce),
+    "q_ann_sign_lsh" -> sqlq(Seq("embeddings"), SqlOps.annSignLsh),
+
+    // -- text analysis (documents) --
+    "q_text_tokens" -> sqlq(Seq("documents"), SqlOps.textTokens),
+    "q_text_langid" -> sqlq(Seq("documents"), SqlOps.textLangId),
+    "q_text_quality" -> sqlq(Seq("documents"), SqlOps.textQuality),
+    "q_text_fingerprint" -> sqlq(Seq("documents"), SqlOps.textFingerprint),
+
+    // -- event-time analytics --
+    "q_events_tumbling" -> sqlq(Seq("events"), SqlOps.eventsTumbling),
+    "q_events_sessionize" -> sqlq(Seq("events"), SqlOps.eventsSessionize),
+
+    // -- multimodal columns --
+    "q_multimodal_meta" -> sqlq(Seq("documents"), SqlOps.multimodalMeta),
   )
 
   // ---- DuckDB oracles ----
@@ -190,5 +225,22 @@ object SparkEntry {
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
         |  FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.k
         |WHERE o.o_totalprice > a.avg_price""".stripMargin,
+
+    "q_dedup_exact" -> SqlOps.dedupExact(DuckDialect),
+    "q_dedup_minhash" -> SqlOps.dedupMinhash(DuckDialect),
+    "q_dedup_ngram_jaccard" -> SqlOps.dedupNgramJaccard(DuckDialect),
+    "q_dedup_simhash" -> SqlOps.dedupSimhash(DuckDialect),
+    "q_dedup_simhash_pairs" -> SqlOps.dedupSimhashPairs(DuckDialect),
+    "q_dedup_fingerprint" -> SqlOps.dedupFingerprint(DuckDialect),
+    "q_dedup_embedding_cosine" -> SqlOps.dedupEmbeddingCosine(DuckDialect),
+    "q_knn_bruteforce" -> SqlOps.knnBruteForce(DuckDialect),
+    "q_ann_sign_lsh" -> SqlOps.annSignLsh(DuckDialect),
+    "q_text_tokens" -> SqlOps.textTokens(DuckDialect),
+    "q_text_langid" -> SqlOps.textLangId(DuckDialect),
+    "q_text_quality" -> SqlOps.textQuality(DuckDialect),
+    "q_text_fingerprint" -> SqlOps.textFingerprint(DuckDialect),
+    "q_events_tumbling" -> SqlOps.eventsTumbling(DuckDialect),
+    "q_events_sessionize" -> SqlOps.eventsSessionize(DuckDialect),
+    "q_multimodal_meta" -> SqlOps.multimodalMeta(DuckDialect),
   )
 }

@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
@@ -22,7 +23,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = apply(s, d, "events")
+  /** events.ts is TIMESTAMP(NANOS) in the parquet footer, which Spark's
+    * vectorized reader rejects. Read nanos as long and rebuild a
+    * microsecond TimestampType (the same truncation DuckDB applies), so
+    * event-time operators see a plain timestamp column. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$d/events.parquet")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -1,0 +1,106 @@
+package graft.ops
+
+/** Dual-dialect SQL fragment generation.
+  *
+  * The dedup / similarity / text-analysis operators are verified by the
+  * driver against DuckDB (BASELINE.json). Their logic (minhash
+  * signatures, simhash bit-majorities, jaccard over shingles, cosine)
+  * is identical on both sides but the engines name their collection
+  * functions differently (`split` vs `string_split`, `aggregate` vs
+  * `list_sum`, …) and differ in regex/string-literal escaping. Rather
+  * than maintaining two hand-written copies that drift, each operator
+  * is written ONCE against this tiny dialect trait and rendered to
+  * both Spark SQL (executed through `spark.sql` → Catalyst, identical
+  * plans to the DataFrame API) and DuckDB SQL (the oracle).
+  *
+  * Only functions whose spelling differs are abstracted; everything
+  * portable (md5, substr, instr, floor, round, least, CASE, TRY_CAST,
+  * ||, window functions) is written inline.
+  */
+trait Dialect {
+  def name: String
+  /** String literal containing regex backslashes: Spark SQL literals
+    * process backslash escapes, DuckDB's do not. */
+  def relit(raw: String): String
+  def split(x: String, sep: String): String
+  def size(l: String): String
+  /** 1-based array element access. */
+  def elem(l: String, i: String): String
+  /** Inclusive integer sequence [a, b]; empty when b < a. */
+  def seqIncl(a: String, b: String): String
+  def transform(l: String, lambda: String): String
+  def filter(l: String, lambda: String): String
+  def arrayMin(l: String): String
+  def arrayDistinct(l: String): String
+  def arraySort(l: String): String
+  def arrayJoin(l: String, sep: String): String
+  /** Sum of a double array, in element order. */
+  def sumDouble(l: String): String
+  def arrayContains(l: String, x: String): String
+  /** Array literal of string elements. */
+  def arrayLit(items: Seq[String]): String
+  /** Count of regex matches (whole-match, group 0). */
+  def reCount(x: String, rawRegex: String): String
+  def bitXor(a: String, b: String): String
+  /** Explode `arrCol` of `fromSql` into one row per element. */
+  def explode(fromSql: String, keyCol: String, arrCol: String, alias: String): String
+  def epochSeconds(ts: String): String
+  def epochMicros(ts: String): String
+  def toBinary(x: String): String
+}
+
+object SparkDialect extends Dialect {
+  val name = "spark"
+  def relit(raw: String): String = "'" + raw.replace("\\", "\\\\") + "'"
+  def split(x: String, sep: String): String = s"split($x, '$sep')"
+  def size(l: String): String = s"size($l)"
+  def elem(l: String, i: String): String = s"element_at($l, $i)"
+  def seqIncl(a: String, b: String): String =
+    s"CASE WHEN ($b) >= ($a) THEN sequence($a, $b) ELSE array() END"
+  def transform(l: String, lambda: String): String = s"transform($l, $lambda)"
+  def filter(l: String, lambda: String): String = s"filter($l, $lambda)"
+  def arrayMin(l: String): String = s"array_min($l)"
+  def arrayDistinct(l: String): String = s"array_distinct($l)"
+  def arraySort(l: String): String = s"array_sort($l)"
+  def arrayJoin(l: String, sep: String): String = s"array_join($l, '$sep')"
+  def sumDouble(l: String): String =
+    s"aggregate($l, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+  def arrayContains(l: String, x: String): String = s"array_contains($l, $x)"
+  def arrayLit(items: Seq[String]): String =
+    items.map(i => s"'$i'").mkString("array(", ", ", ")")
+  def reCount(x: String, rawRegex: String): String =
+    s"size(regexp_extract_all($x, ${relit(rawRegex)}, 0))"
+  def bitXor(a: String, b: String): String = s"($a ^ $b)"
+  def explode(fromSql: String, keyCol: String, arrCol: String, alias: String): String =
+    s"SELECT $keyCol, $alias FROM ($fromSql) LATERAL VIEW explode($arrCol) _t AS $alias"
+  def epochSeconds(ts: String): String = s"unix_seconds($ts)"
+  def epochMicros(ts: String): String = s"unix_micros($ts)"
+  def toBinary(x: String): String = s"CAST($x AS BINARY)"
+}
+
+object DuckDialect extends Dialect {
+  val name = "duckdb"
+  def relit(raw: String): String = "'" + raw + "'"
+  def split(x: String, sep: String): String = s"string_split($x, '$sep')"
+  def size(l: String): String = s"len($l)"
+  def elem(l: String, i: String): String = s"($l)[$i]"
+  def seqIncl(a: String, b: String): String = s"range($a, ($b) + 1)"
+  def transform(l: String, lambda: String): String = s"list_transform($l, $lambda)"
+  def filter(l: String, lambda: String): String = s"list_filter($l, $lambda)"
+  def arrayMin(l: String): String = s"list_min($l)"
+  def arrayDistinct(l: String): String = s"list_distinct($l)"
+  def arraySort(l: String): String = s"list_sort($l)"
+  def arrayJoin(l: String, sep: String): String = s"array_to_string($l, '$sep')"
+  def sumDouble(l: String): String = s"coalesce(list_sum($l), 0.0)"
+  def arrayContains(l: String, x: String): String = s"list_contains($l, $x)"
+  def arrayLit(items: Seq[String]): String =
+    items.map(i => s"'$i'").mkString("[", ", ", "]")
+  def reCount(x: String, rawRegex: String): String =
+    s"len(regexp_extract_all($x, ${relit(rawRegex)}, 0))"
+  def bitXor(a: String, b: String): String = s"xor($a, $b)"
+  def explode(fromSql: String, keyCol: String, arrCol: String, alias: String): String =
+    s"SELECT $keyCol, unnest($arrCol) AS $alias FROM ($fromSql)"
+  def epochSeconds(ts: String): String = s"CAST(FLOOR(epoch($ts)) AS BIGINT)"
+  def epochMicros(ts: String): String = s"epoch_us($ts)"
+  def toBinary(x: String): String = s"encode($x)"
+}

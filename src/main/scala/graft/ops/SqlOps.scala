@@ -1,0 +1,318 @@
+package graft.ops
+
+/** LLM-training-data pipeline operators (dedup, similarity search,
+  * text analysis, event-time analytics, multimodal plumbing), written
+  * once against [[Dialect]] and rendered to both Spark SQL and the
+  * DuckDB oracle.
+  *
+  * Scale design notes (these run on ~100 TB in production):
+  *  - Exact dedup = hash-groupBy on a content digest: one shuffle on
+  *    md5(text), map-side partial agg.
+  *  - MinHash LSH = per-doc signature (narrow, codegen'd) → band keys →
+  *    self-join on (band, key). Candidate pairs are bounded by band
+  *    collisions, never O(n²); this is the scale path for near-dup.
+  *  - N-gram jaccard = inverted-index join on shingles, exact verify.
+  *    Quadratic in the worst case — used for verification at small
+  *    scale, while minhash bands gate candidates at full scale.
+  *  - SimHash = 16-bit bit-majority digest; near-dup candidates via
+  *    nibble bands (hamming ≤ 3 verify) — constant state per doc.
+  *  - ANN = sign-LSH buckets over the first 8 dims (2^8 buckets),
+  *    cosine only within bucket; brute-force top-k is the correctness
+  *    baseline, restricted to a bounded query set.
+  *
+  * The "two crawl snapshots" corpus (documents ∪ shifted copy) gives
+  * every dedup operator guaranteed true-positive duplicates in the
+  * synthetic word-soup fixture.
+  */
+object SqlOps {
+
+  private val STOP_EN = Seq("the", "and", "of", "to", "in", "is", "a")
+  private val STOP_ID = Seq("yang", "dan", "di", "ke", "itu", "untuk")
+
+  private def toks(d: Dialect): String = d.split("text", " ")
+
+  /** Word 3-gram shingles of an array column `toks`. */
+  private def shingles(d: Dialect): String =
+    d.transform(
+      d.seqIncl("1", s"${d.size("toks")} - 2"),
+      s"i -> concat(${d.elem("toks", "i")}, ' ', ${d.elem("toks", "i + 1")}, ' ', ${d.elem("toks", "i + 2")})")
+
+  /** Two "crawl snapshots": every doc appears twice under different ids
+    * → guaranteed duplicate pairs for the dedup operators. */
+  private def corpusCte(d: Dialect): String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |)""".stripMargin
+
+  private def shingleCtes(d: Dialect): String =
+    s"""${corpusCte(d)},
+       |ctoks AS (SELECT doc_id, ${toks(d)} AS toks FROM corpus),
+       |shing AS (SELECT doc_id, ${shingles(d)} AS shl FROM ctoks)""".stripMargin
+
+  // ---- deduplication ----
+
+  /** Exact dedup: content-hash groupBy, survivor = min doc_id. */
+  def dedupExact(d: Dialect): String =
+    s"""WITH ${corpusCte(d)}
+       |SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+       |FROM corpus GROUP BY md5(text)""".stripMargin
+
+  /** MinHash LSH candidate pairs: 8 hashes (lexicographic min of keyed
+    * md5 over shingles), 4 bands of 2 → join on band key. */
+  def dedupMinhash(d: Dialect): String = {
+    val sigCols = (0 until 8).map { j =>
+      d.arrayMin(d.transform("shl", s"s -> md5(concat('$j:', s))")) + s" AS h$j"
+    }.mkString(",\n    ")
+    val bands = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, md5(concat(h${2 * b}, h${2 * b + 1})) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${shingleCtes(d)},
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM shing),
+       |bands AS (
+       |  $bands
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  /** N-gram jaccard near-dup: inverted-index join on distinct shingles,
+    * exact jaccard ≥ 0.6. */
+  def dedupNgramJaccard(d: Dialect): String =
+    s"""WITH ${shingleCtes(d)},
+       |dsh AS (SELECT DISTINCT doc_id, s FROM (
+       |  ${d.explode("SELECT doc_id, shl FROM shing", "doc_id", "shl", "s")}
+       |)),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+       |FROM cand
+       |JOIN sz sa ON cand.doc_a = sa.doc_id
+       |JOIN sz sb ON cand.doc_b = sb.doc_id
+       |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.6""".stripMargin
+
+  /** 16-bit SimHash CTEs over the corpus: md5-derived per-token 16-bit
+    * values, per-bit signed majority, reassembled digest. */
+  private def simhashCtes(d: Dialect): String = {
+    val hexv = (1 to 4).map { i =>
+      s"(instr('0123456789abcdef', substr(md5(t), $i, 1)) - 1) * ${1 << (4 * (4 - i))}"
+    }.mkString(" + ")
+    val bitSums = (0 until 16).map { j =>
+      s"SUM(CASE WHEN CAST(FLOOR(v / ${1 << (15 - j)}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n    ")
+    val assemble = (0 until 16).map { j =>
+      s"(CASE WHEN b$j >= 0 THEN ${1 << (15 - j)} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""${corpusCte(d)},
+       |ctoks AS (SELECT doc_id, ${toks(d)} AS toks FROM corpus),
+       |tok AS (${d.explode("SELECT doc_id, toks FROM ctoks", "doc_id", "toks", "t")}),
+       |tv AS (SELECT doc_id, $hexv AS v FROM tok),
+       |bits AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM tv GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits)""".stripMargin
+  }
+
+  /** SimHash digests per doc. */
+  def dedupSimhash(d: Dialect): String =
+    s"WITH ${simhashCtes(d)} SELECT doc_id, simhash FROM sim"
+
+  /** SimHash near-dup pairs: nibble-band candidates, hamming ≤ 3. */
+  def dedupSimhashPairs(d: Dialect): String = {
+    val bands = (0 until 4).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, CAST(FLOOR(simhash / ${1 << (4 * b)}) AS BIGINT) % 16 AS bkey FROM sim"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${simhashCtes(d)},
+       |sbands AS (
+       |  $bands
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(${d.bitXor("a.simhash", "b.simhash")}) AS hamming
+       |FROM sbands a JOIN sbands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |WHERE bit_count(${d.bitXor("a.simhash", "b.simhash")}) <= 3""".stripMargin
+  }
+
+  /** Canonical-token-set fingerprint (sorted distinct tokens → md5). */
+  def textFingerprint(d: Dialect): String =
+    s"""WITH ftoks AS (SELECT doc_id, ${toks(d)} AS toks FROM documents)
+       |SELECT doc_id,
+       |  md5(${d.arrayJoin(d.arraySort(d.arrayDistinct("toks")), " ")}) AS fingerprint
+       |FROM ftoks""".stripMargin
+
+  /** Dedup groups by fingerprint over the two-snapshot corpus. */
+  def dedupFingerprint(d: Dialect): String =
+    s"""WITH ${corpusCte(d)},
+       |ftoks AS (SELECT doc_id, ${toks(d)} AS toks FROM corpus),
+       |fp AS (SELECT doc_id,
+       |  md5(${d.arrayJoin(d.arraySort(d.arrayDistinct("toks")), " ")}) AS fingerprint
+       |FROM ftoks)
+       |SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+       |FROM fp GROUP BY fingerprint""".stripMargin
+
+  // ---- similarity search over embeddings ----
+
+  private def normExpr(d: Dialect, e: String): String =
+    s"sqrt(${d.sumDouble(d.transform(e, "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"))})"
+
+  private def dotExpr(d: Dialect, a: String, b: String): String =
+    d.sumDouble(d.transform(
+      d.seqIncl("1", "64"),
+      s"i -> CAST(${d.elem(a, "i")} AS DOUBLE) * CAST(${d.elem(b, "i")} AS DOUBLE)"))
+
+  /** Brute-force cosine top-10 for a bounded query set (vec_id < 5).
+    * The correctness baseline: exact, O(|Q|·N). */
+  def knnBruteForce(d: Dialect): String =
+    s"""WITH nv AS (
+       |  SELECT vec_id, embedding, ${normExpr(d, "embedding")} AS nrm FROM embeddings
+       |),
+       |qs AS (SELECT * FROM nv WHERE vec_id < 5),
+       |pairs AS (
+       |  SELECT qs.vec_id AS query_id, t.vec_id AS neighbor_id,
+       |    ROUND(${dotExpr(d, "qs.embedding", "t.embedding")} / (qs.nrm * t.nrm), 6) AS cosine
+       |  FROM qs JOIN nv t ON t.vec_id <> qs.vec_id
+       |)
+       |SELECT query_id, neighbor_id, cosine, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+       |  FROM pairs
+       |) WHERE rk <= 10""".stripMargin
+
+  /** Sign-LSH ANN: bucket by sign pattern of dims 1-8 (256 buckets),
+    * top-3 within bucket for every vector. The scale path: candidates
+    * per query drop from N to N/256 with a plain equi-join shuffle. */
+  def annSignLsh(d: Dialect): String = {
+    val bkt = (1 to 8).map { i =>
+      s"(CASE WHEN ${d.elem("embedding", i.toString)} > 0 THEN '1' ELSE '0' END)"
+    }.mkString("concat(", ", ", ")")
+    s"""WITH nv AS (
+       |  SELECT vec_id, embedding, ${normExpr(d, "embedding")} AS nrm, $bkt AS bkt
+       |  FROM embeddings
+       |),
+       |pairs AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ROUND(${dotExpr(d, "a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine
+       |  FROM nv a JOIN nv b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
+       |)
+       |SELECT query_id, neighbor_id, cosine, rk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+       |  FROM pairs
+       |) WHERE rk <= 3""".stripMargin
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold, LSH-gated. */
+  def dedupEmbeddingCosine(d: Dialect): String = {
+    val bkt = (1 to 4).map { i =>
+      s"(CASE WHEN ${d.elem("embedding", i.toString)} > 0 THEN '1' ELSE '0' END)"
+    }.mkString("concat(", ", ", ")")
+    s"""WITH nv AS (
+       |  SELECT vec_id, embedding, ${normExpr(d, "embedding")} AS nrm, $bkt AS bkt
+       |  FROM embeddings
+       |)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ROUND(${dotExpr(d, "a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine
+       |FROM nv a JOIN nv b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+       |WHERE ROUND(${dotExpr(d, "a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= 0.35""".stripMargin
+  }
+
+  // ---- text analysis ----
+
+  /** Token counting: whitespace tokens, regex words, BPE-ish subtokens. */
+  def textTokens(d: Dialect): String =
+    s"""SELECT doc_id,
+       |  ${d.size(toks(d))} AS n_ws_tokens,
+       |  ${d.reCount("text", "\\S+")} AS n_words,
+       |  ${d.reCount("text", "[a-z]+|[0-9]+|[^a-z0-9\\s]")} AS n_subtokens
+       |FROM documents""".stripMargin
+
+  /** N-gram/stopword language id heuristic (en vs id markers). */
+  def textLangId(d: Dialect): String = {
+    val en = d.size(d.filter("toks", s"t -> ${d.arrayContains(d.arrayLit(STOP_EN), "t")}"))
+    val id = d.size(d.filter("toks", s"t -> ${d.arrayContains(d.arrayLit(STOP_ID), "t")}"))
+    s"""WITH ltoks AS (SELECT doc_id, lang, ${toks(d)} AS toks FROM documents)
+       |SELECT doc_id, lang, en_hits, id_hits,
+       |  CASE WHEN en_hits > id_hits THEN 'en'
+       |       WHEN id_hits > en_hits THEN 'id'
+       |       ELSE 'und' END AS lang_guess
+       |FROM (SELECT doc_id, lang, $en AS en_hits, $id AS id_hits FROM ltoks)""".stripMargin
+  }
+
+  /** Quality scoring: length, stopword ratio, mean word length. */
+  def textQuality(d: Dialect): String = {
+    val stopHits = d.size(d.filter("toks", s"t -> ${d.arrayContains(d.arrayLit(STOP_EN ++ STOP_ID), "t")}"))
+    s"""WITH qtoks AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    ${d.size("toks")} AS n_words,
+       |    $stopHits * 1.0 / ${d.size("toks")} AS stop_ratio,
+       |    (length(replace(text, ' ', '')) * 1.0) / ${d.size("toks")} AS avg_wlen
+       |  FROM qtoks
+       |)
+       |SELECT doc_id, n_words,
+       |  ROUND(stop_ratio, 6) AS stop_ratio,
+       |  ROUND(avg_wlen, 6) AS avg_wlen,
+       |  ROUND(LEAST(n_words / 100.0, 1.0) * 0.5
+       |      + (1.0 - stop_ratio) * 0.3
+       |      + LEAST(avg_wlen / 8.0, 1.0) * 0.2, 6) AS quality
+       |FROM m""".stripMargin
+  }
+
+  // ---- event-time analytics ----
+
+  /** Tumbling 5-minute window aggregation (batch form; the streaming
+    * form with watermarks lives in graft.streaming). */
+  def eventsTumbling(d: Dialect): String =
+    s"""WITH e AS (SELECT ${d.epochSeconds("ts")} AS es, event_type, value FROM events)
+       |SELECT es - es % 300 AS window_start, event_type,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM e GROUP BY es - es % 300, event_type""".stripMargin
+
+  /** Sessionization: 30-minute inactivity gap via lag + running sum. */
+  def eventsSessionize(d: Dialect): String =
+    s"""WITH e AS (SELECT user_id, event_id, ${d.epochMicros("ts")} AS us FROM events),
+       |lagd AS (
+       |  SELECT user_id, event_id, us,
+       |    LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+       |  FROM e
+       |),
+       |flags AS (
+       |  SELECT user_id, event_id, us,
+       |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+       |  FROM lagd
+       |),
+       |sess AS (
+       |  SELECT user_id, us,
+       |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+       |  FROM flags
+       |)
+       |SELECT user_id, session_no, COUNT(*) AS n_events,
+       |  MIN(us) AS start_us, MAX(us) AS end_us
+       |FROM sess GROUP BY user_id, session_no""".stripMargin
+
+  // ---- multimodal column plumbing ----
+
+  /** Binary-column metadata extraction: documents.text treated as an
+    * opaque binary payload (this container has no image/audio codecs —
+    * the "decode" is a deterministic fake; the schema/partition/batch
+    * plumbing is the real part, see graft.ops.Multimodal). */
+  def multimodalMeta(d: Dialect): String =
+    s"""WITH b AS (SELECT doc_id, ${d.toBinary("text")} AS bin FROM documents)
+       |SELECT doc_id,
+       |  octet_length(bin) AS n_bytes,
+       |  CAST(octet_length(bin) % 317 + 16 AS INT) AS fake_width,
+       |  CAST(octet_length(bin) % 211 + 16 AS INT) AS fake_height,
+       |  CAST(octet_length(bin) % 3 + 1 AS INT) AS fake_channels
+       |FROM b""".stripMargin
+}
