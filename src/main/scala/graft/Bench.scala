@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JVM/codegen/shuffle-infra startup otherwise lands
+    // on whichever query happens to run first and distorts its number.
+    try SparkEntry.queries("q_pricing_summary")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

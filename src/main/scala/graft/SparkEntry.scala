@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.etl.{Listings, ListingSql, Load, Transform}
-import graft.ops.{Dialect, DuckDialect, Relational, SparkDialect, SqlOps}
+import graft.ops.{Dialect, DuckDialect, Relational, SparkDialect, SqlOps, StagedOp}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,6 +39,23 @@ object SparkEntry {
     (s, d) => {
       views.foreach(v => graft.Tables(s, d, v).createOrReplaceTempView(v))
       s.sql(build(SparkDialect))
+    }
+
+  /** Staged dual-dialect op: materialize each stage to parquet before
+    * the body. Spark inlines CTEs, so a self-joined CTE would recompute
+    * its whole subtree per reference (DuckDB materializes CTEs
+    * natively); writing the index once and scanning the (tiny,
+    * columnar) result from every reference is also exactly what a
+    * production pipeline does with a signature/shingle index at scale. */
+  private def sqlStaged(views: Seq[String], op: StagedOp): (SparkSession, String) => DataFrame =
+    (s, d) => {
+      views.foreach(v => graft.Tables(s, d, v).createOrReplaceTempView(v))
+      op.stages.foreach { case (name, build) =>
+        val path = s"${sys.props("java.io.tmpdir")}/graft_stage/${d.hashCode.toHexString}/$name"
+        s.sql(build(SparkDialect)).write.mode("overwrite").parquet(path)
+        s.read.parquet(path).createOrReplaceTempView(name)
+      }
+      s.sql(op.body(SparkDialect))
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -82,16 +99,16 @@ object SparkEntry {
 
     // -- dedup family (documents) --
     "q_dedup_exact" -> sqlq(Seq("documents"), SqlOps.dedupExact),
-    "q_dedup_minhash" -> sqlq(Seq("documents"), SqlOps.dedupMinhash),
-    "q_dedup_ngram_jaccard" -> sqlq(Seq("documents"), SqlOps.dedupNgramJaccard),
+    "q_dedup_minhash" -> sqlStaged(Seq("documents"), SqlOps.dedupMinhash),
+    "q_dedup_ngram_jaccard" -> sqlStaged(Seq("documents"), SqlOps.dedupNgramJaccard),
     "q_dedup_simhash" -> sqlq(Seq("documents"), SqlOps.dedupSimhash),
-    "q_dedup_simhash_pairs" -> sqlq(Seq("documents"), SqlOps.dedupSimhashPairs),
+    "q_dedup_simhash_pairs" -> sqlStaged(Seq("documents"), SqlOps.dedupSimhashPairs),
     "q_dedup_fingerprint" -> sqlq(Seq("documents"), SqlOps.dedupFingerprint),
-    "q_dedup_embedding_cosine" -> sqlq(Seq("embeddings"), SqlOps.dedupEmbeddingCosine),
+    "q_dedup_embedding_cosine" -> sqlStaged(Seq("embeddings"), SqlOps.dedupEmbeddingCosine),
 
     // -- similarity search (embeddings) --
-    "q_knn_bruteforce" -> sqlq(Seq("embeddings"), SqlOps.knnBruteForce),
-    "q_ann_sign_lsh" -> sqlq(Seq("embeddings"), SqlOps.annSignLsh),
+    "q_knn_bruteforce" -> sqlStaged(Seq("embeddings"), SqlOps.knnBruteForce),
+    "q_ann_sign_lsh" -> sqlStaged(Seq("embeddings"), SqlOps.annSignLsh),
 
     // -- text analysis (documents) --
     "q_text_tokens" -> sqlq(Seq("documents"), SqlOps.textTokens),
@@ -227,14 +244,14 @@ object SparkEntry {
         |WHERE o.o_totalprice > a.avg_price""".stripMargin,
 
     "q_dedup_exact" -> SqlOps.dedupExact(DuckDialect),
-    "q_dedup_minhash" -> SqlOps.dedupMinhash(DuckDialect),
-    "q_dedup_ngram_jaccard" -> SqlOps.dedupNgramJaccard(DuckDialect),
+    "q_dedup_minhash" -> SqlOps.dedupMinhash.single(DuckDialect),
+    "q_dedup_ngram_jaccard" -> SqlOps.dedupNgramJaccard.single(DuckDialect),
     "q_dedup_simhash" -> SqlOps.dedupSimhash(DuckDialect),
-    "q_dedup_simhash_pairs" -> SqlOps.dedupSimhashPairs(DuckDialect),
+    "q_dedup_simhash_pairs" -> SqlOps.dedupSimhashPairs.single(DuckDialect),
     "q_dedup_fingerprint" -> SqlOps.dedupFingerprint(DuckDialect),
-    "q_dedup_embedding_cosine" -> SqlOps.dedupEmbeddingCosine(DuckDialect),
-    "q_knn_bruteforce" -> SqlOps.knnBruteForce(DuckDialect),
-    "q_ann_sign_lsh" -> SqlOps.annSignLsh(DuckDialect),
+    "q_dedup_embedding_cosine" -> SqlOps.dedupEmbeddingCosine.single(DuckDialect),
+    "q_knn_bruteforce" -> SqlOps.knnBruteForce.single(DuckDialect),
+    "q_ann_sign_lsh" -> SqlOps.annSignLsh.single(DuckDialect),
     "q_text_tokens" -> SqlOps.textTokens(DuckDialect),
     "q_text_langid" -> SqlOps.textLangId(DuckDialect),
     "q_text_quality" -> SqlOps.textQuality(DuckDialect),

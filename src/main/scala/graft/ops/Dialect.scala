@@ -44,6 +44,9 @@ trait Dialect {
   def bitXor(a: String, b: String): String
   /** Explode `arrCol` of `fromSql` into one row per element. */
   def explode(fromSql: String, keyCol: String, arrCol: String, alias: String): String
+  /** Explode with 0-based element position. */
+  def explodeWithPos(fromSql: String, keyCol: String, arrCol: String,
+                     posAlias: String, elemAlias: String): String
   def epochSeconds(ts: String): String
   def epochMicros(ts: String): String
   def toBinary(x: String): String
@@ -73,6 +76,10 @@ object SparkDialect extends Dialect {
   def bitXor(a: String, b: String): String = s"($a ^ $b)"
   def explode(fromSql: String, keyCol: String, arrCol: String, alias: String): String =
     s"SELECT $keyCol, $alias FROM ($fromSql) LATERAL VIEW explode($arrCol) _t AS $alias"
+  def explodeWithPos(fromSql: String, keyCol: String, arrCol: String,
+                     posAlias: String, elemAlias: String): String =
+    s"SELECT $keyCol, $posAlias, $elemAlias FROM ($fromSql) " +
+      s"LATERAL VIEW posexplode($arrCol) _t AS $posAlias, $elemAlias"
   def epochSeconds(ts: String): String = s"unix_seconds($ts)"
   def epochMicros(ts: String): String = s"unix_micros($ts)"
   def toBinary(x: String): String = s"CAST($x AS BINARY)"
@@ -100,6 +107,10 @@ object DuckDialect extends Dialect {
   def bitXor(a: String, b: String): String = s"xor($a, $b)"
   def explode(fromSql: String, keyCol: String, arrCol: String, alias: String): String =
     s"SELECT $keyCol, unnest($arrCol) AS $alias FROM ($fromSql)"
+  def explodeWithPos(fromSql: String, keyCol: String, arrCol: String,
+                     posAlias: String, elemAlias: String): String =
+    s"SELECT $keyCol, generate_subscripts($arrCol, 1) - 1 AS $posAlias, " +
+      s"unnest($arrCol) AS $elemAlias FROM ($fromSql)"
   def epochSeconds(ts: String): String = s"CAST(FLOOR(epoch($ts)) AS BIGINT)"
   def epochMicros(ts: String): String = s"epoch_us($ts)"
   def toBinary(x: String): String = s"encode($x)"

@@ -24,18 +24,30 @@ package graft.ops
   * every dedup operator guaranteed true-positive duplicates in the
   * synthetic word-soup fixture.
   */
+/** An operator whose expensive intermediate is materialized once.
+  *
+  * Spark inlines SQL CTEs, so a self-joined CTE re-computes its whole
+  * subtree per reference (the n-gram index was being rebuilt 6× in one
+  * plan). Each stage here becomes a persisted temp view on the Spark
+  * side (exactly what a production pipeline does with a shingle index
+  * before a self-join — materialize, then join) and stays a plain CTE
+  * on the DuckDB side (which materializes CTEs natively).
+  */
+case class StagedOp(stages: Seq[(String, Dialect => String)], body: Dialect => String) {
+  /** Single-statement rendering (the oracle): stages as outer CTEs, the
+    * body (which may open its own WITH) nested as a derived table. */
+  def single(d: Dialect): String = {
+    val withs = stages.map { case (n, b) => s"$n AS (\n${b(d)}\n)" }.mkString(",\n")
+    s"WITH $withs\nSELECT * FROM (\n${body(d)}\n)"
+  }
+}
+
 object SqlOps {
 
   private val STOP_EN = Seq("the", "and", "of", "to", "in", "is", "a")
   private val STOP_ID = Seq("yang", "dan", "di", "ke", "itu", "untuk")
 
   private def toks(d: Dialect): String = d.split("text", " ")
-
-  /** Word 3-gram shingles of an array column `toks`. */
-  private def shingles(d: Dialect): String =
-    d.transform(
-      d.seqIncl("1", s"${d.size("toks")} - 2"),
-      s"i -> concat(${d.elem("toks", "i")}, ' ', ${d.elem("toks", "i + 1")}, ' ', ${d.elem("toks", "i + 2")})")
 
   /** Two "crawl snapshots": every doc appears twice under different ids
     * → guaranteed duplicate pairs for the dedup operators. */
@@ -46,11 +58,6 @@ object SqlOps {
       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
       |)""".stripMargin
 
-  private def shingleCtes(d: Dialect): String =
-    s"""${corpusCte(d)},
-       |ctoks AS (SELECT doc_id, ${toks(d)} AS toks FROM corpus),
-       |shing AS (SELECT doc_id, ${shingles(d)} AS shl FROM ctoks)""".stripMargin
-
   // ---- deduplication ----
 
   /** Exact dedup: content-hash groupBy, survivor = min doc_id. */
@@ -59,58 +66,93 @@ object SqlOps {
        |SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
        |FROM corpus GROUP BY md5(text)""".stripMargin
 
-  /** MinHash LSH candidate pairs: 8 hashes (lexicographic min of keyed
-    * md5 over shingles), 4 bands of 2 → join on band key. */
-  def dedupMinhash(d: Dialect): String = {
+  /** Distinct (doc, shingle) word-3-gram pairs — shared by minhash and
+    * jaccard. Relational shingle generation (posexplode + LEAD window),
+    * not array lambdas: whole-stage-codegen'd, splits each text exactly
+    * once, and the per-doc window shuffle is the same partitioning the
+    * downstream groupBys need. */
+  private def distinctShinglesCtes(d: Dialect): String =
+    s"""${corpusCte(d)},
+       |ctoks AS (SELECT doc_id, ${toks(d)} AS toks FROM corpus),
+       |tokp AS (${d.explodeWithPos("SELECT doc_id, toks FROM ctoks", "doc_id", "toks", "pos", "tkn")}),
+       |sh3 AS (
+       |  SELECT doc_id,
+       |    concat(tkn, ' ',
+       |      LEAD(tkn, 1) OVER (PARTITION BY doc_id ORDER BY pos), ' ',
+       |      LEAD(tkn, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS s,
+       |    LEAD(tkn, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+       |  FROM tokp
+       |),
+       |dsh AS (SELECT DISTINCT doc_id, s FROM sh3 WHERE t2 IS NOT NULL)""".stripMargin
+
+  /** MinHash LSH candidate pairs: ONE md5 per shingle sliced into 8
+    * 16-bit hash functions (min over each slice), 4 bands of 2 → join
+    * on band key. One hash pass + a map-side-combinable groupBy, not 8
+    * lambda passes over shingle arrays. The signature table (1 row/doc)
+    * is staged so the band self-join doesn't rebuild the index. */
+  val dedupMinhash: StagedOp = {
     val sigCols = (0 until 8).map { j =>
-      d.arrayMin(d.transform("shl", s"s -> md5(concat('$j:', s))")) + s" AS h$j"
+      s"MIN(substr(md5(s), ${4 * j + 1}, 4)) AS h$j"
     }.mkString(",\n    ")
     val bands = (0 until 4).map { b =>
-      s"SELECT doc_id, $b AS band, md5(concat(h${2 * b}, h${2 * b + 1})) AS bkey FROM sig"
+      s"SELECT doc_id, $b AS band, concat(h${2 * b}, h${2 * b + 1}) AS bkey FROM mh_sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH ${shingleCtes(d)},
-       |sig AS (SELECT doc_id,
-       |    $sigCols
-       |  FROM shing),
-       |bands AS (
-       |  $bands
-       |)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+    StagedOp(
+      stages = Seq("mh_sig" -> { d =>
+        s"""WITH ${distinctShinglesCtes(d)}
+           |SELECT doc_id,
+           |    $sigCols
+           |FROM dsh GROUP BY doc_id""".stripMargin
+      }),
+      body = { _ =>
+        s"""WITH bands AS (
+           |  $bands
+           |)
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |FROM bands a JOIN bands b
+           |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+      })
   }
 
   /** N-gram jaccard near-dup: inverted-index join on distinct shingles,
-    * exact jaccard ≥ 0.6. */
-  def dedupNgramJaccard(d: Dialect): String =
-    s"""WITH ${shingleCtes(d)},
-       |dsh AS (SELECT DISTINCT doc_id, s FROM (
-       |  ${d.explode("SELECT doc_id, shl FROM shing", "doc_id", "shl", "s")}
-       |)),
-       |sz AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
-       |cand AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-       |  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id
-       |)
-       |SELECT doc_a, doc_b,
-       |  ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
-       |FROM cand
-       |JOIN sz sa ON cand.doc_a = sa.doc_id
-       |JOIN sz sb ON cand.doc_b = sb.doc_id
-       |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.6""".stripMargin
+    * exact jaccard ≥ 0.6. Shingles appearing in > 20 docs are dropped
+    * from the index AND the sizes (so identical docs still score 1.0):
+    * ubiquitous shingles carry no near-dup signal and are exactly the
+    * hot keys that skew the self-join at scale. */
+  val dedupNgramJaccard: StagedOp = StagedOp(
+    stages = Seq("nj_dshf" -> { d =>
+      s"""WITH ${distinctShinglesCtes(d)},
+         |rare AS (SELECT s FROM dsh GROUP BY s HAVING COUNT(*) <= 20)
+         |SELECT dsh.doc_id, dsh.s FROM dsh JOIN rare ON dsh.s = rare.s""".stripMargin
+    }),
+    body = { _ =>
+      s"""WITH sz AS (SELECT doc_id, COUNT(*) AS n FROM nj_dshf GROUP BY doc_id),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM nj_dshf a JOIN nj_dshf b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |)
+         |SELECT doc_a, doc_b,
+         |  ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+         |FROM cand
+         |JOIN sz sa ON cand.doc_a = sa.doc_id
+         |JOIN sz sb ON cand.doc_b = sb.doc_id
+         |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.6""".stripMargin
+    })
 
-  /** 16-bit SimHash CTEs over the corpus: md5-derived per-token 16-bit
-    * values, per-bit signed majority, reassembled digest. */
+  /** 32-bit SimHash CTEs over the corpus: md5-derived per-token 32-bit
+    * values, per-bit signed majority, reassembled digest. 32 bits keeps
+    * the random-collision rate of the band join negligible (16 bits
+    * produced tens of thousands of false candidates on random text). */
   private def simhashCtes(d: Dialect): String = {
-    val hexv = (1 to 4).map { i =>
-      s"(instr('0123456789abcdef', substr(md5(t), $i, 1)) - 1) * ${1 << (4 * (4 - i))}"
+    val hexv = (1 to 8).map { i =>
+      s"CAST(instr('0123456789abcdef', substr(md5(t), $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}"
     }.mkString(" + ")
-    val bitSums = (0 until 16).map { j =>
-      s"SUM(CASE WHEN CAST(FLOOR(v / ${1 << (15 - j)}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
+    val bitSums = (0 until 32).map { j =>
+      s"SUM(CASE WHEN CAST(FLOOR(v / ${1L << (31 - j)}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
     }.mkString(",\n    ")
-    val assemble = (0 until 16).map { j =>
-      s"(CASE WHEN b$j >= 0 THEN ${1 << (15 - j)} ELSE 0 END)"
+    val assemble = (0 until 32).map { j =>
+      s"(CASE WHEN b$j >= 0 THEN ${1L << (31 - j)} ELSE 0 END)"
     }.mkString(" + ")
     s"""${corpusCte(d)},
        |ctoks AS (SELECT doc_id, ${toks(d)} AS toks FROM corpus),
@@ -126,20 +168,26 @@ object SqlOps {
   def dedupSimhash(d: Dialect): String =
     s"WITH ${simhashCtes(d)} SELECT doc_id, simhash FROM sim"
 
-  /** SimHash near-dup pairs: nibble-band candidates, hamming ≤ 3. */
-  def dedupSimhashPairs(d: Dialect): String = {
+  /** SimHash near-dup pairs: byte-band candidates, hamming ≤ 3. The
+    * digest table (1 row/doc) is staged; only the band join re-reads it. */
+  val dedupSimhashPairs: StagedOp = {
     val bands = (0 until 4).map { b =>
-      s"SELECT doc_id, simhash, $b AS band, CAST(FLOOR(simhash / ${1 << (4 * b)}) AS BIGINT) % 16 AS bkey FROM sim"
+      s"SELECT doc_id, simhash, $b AS band, CAST(FLOOR(simhash / ${1L << (8 * b)}) AS BIGINT) % 256 AS bkey FROM sh_sim"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH ${simhashCtes(d)},
-       |sbands AS (
-       |  $bands
-       |)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  bit_count(${d.bitXor("a.simhash", "b.simhash")}) AS hamming
-       |FROM sbands a JOIN sbands b
-       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-       |WHERE bit_count(${d.bitXor("a.simhash", "b.simhash")}) <= 3""".stripMargin
+    StagedOp(
+      stages = Seq("sh_sim" -> { d =>
+        s"WITH ${simhashCtes(d)} SELECT doc_id, simhash FROM sim"
+      }),
+      body = { d =>
+        s"""WITH sbands AS (
+           |  $bands
+           |)
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  bit_count(${d.bitXor("a.simhash", "b.simhash")}) AS hamming
+           |FROM sbands a JOIN sbands b
+           |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |WHERE bit_count(${d.bitXor("a.simhash", "b.simhash")}) <= 3""".stripMargin
+      })
   }
 
   /** Canonical-token-set fingerprint (sorted distinct tokens → md5). */
@@ -169,61 +217,64 @@ object SqlOps {
       d.seqIncl("1", "64"),
       s"i -> CAST(${d.elem(a, "i")} AS DOUBLE) * CAST(${d.elem(b, "i")} AS DOUBLE)"))
 
+  /** Normalized-vector stage shared by the similarity ops: L2 norm plus
+    * sign-LSH bucket keys over the leading 4 and 8 dims. One pass over
+    * the embeddings, materialized before any self-join. */
+  private def nvStage(d: Dialect): String = {
+    def bkt(dims: Int) = (1 to dims).map { i =>
+      s"(CASE WHEN ${d.elem("embedding", i.toString)} > 0 THEN '1' ELSE '0' END)"
+    }.mkString("concat(", ", ", ")")
+    s"""SELECT vec_id, embedding, ${normExpr(d, "embedding")} AS nrm,
+       |  ${bkt(4)} AS bkt4, ${bkt(8)} AS bkt8
+       |FROM embeddings""".stripMargin
+  }
+
   /** Brute-force cosine top-10 for a bounded query set (vec_id < 5).
     * The correctness baseline: exact, O(|Q|·N). */
-  def knnBruteForce(d: Dialect): String =
-    s"""WITH nv AS (
-       |  SELECT vec_id, embedding, ${normExpr(d, "embedding")} AS nrm FROM embeddings
-       |),
-       |qs AS (SELECT * FROM nv WHERE vec_id < 5),
-       |pairs AS (
-       |  SELECT qs.vec_id AS query_id, t.vec_id AS neighbor_id,
-       |    ROUND(${dotExpr(d, "qs.embedding", "t.embedding")} / (qs.nrm * t.nrm), 6) AS cosine
-       |  FROM qs JOIN nv t ON t.vec_id <> qs.vec_id
-       |)
-       |SELECT query_id, neighbor_id, cosine, rk FROM (
-       |  SELECT *, ROW_NUMBER() OVER (
-       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
-       |  FROM pairs
-       |) WHERE rk <= 10""".stripMargin
+  val knnBruteForce: StagedOp = StagedOp(
+    stages = Seq("emb_nv" -> nvStage),
+    body = { d =>
+      s"""WITH qs AS (SELECT * FROM emb_nv WHERE vec_id < 5),
+         |pairs AS (
+         |  SELECT qs.vec_id AS query_id, t.vec_id AS neighbor_id,
+         |    ROUND(${dotExpr(d, "qs.embedding", "t.embedding")} / (qs.nrm * t.nrm), 6) AS cosine
+         |  FROM qs JOIN emb_nv t ON t.vec_id <> qs.vec_id
+         |)
+         |SELECT query_id, neighbor_id, cosine, rk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         |  FROM pairs
+         |) WHERE rk <= 10""".stripMargin
+    })
 
   /** Sign-LSH ANN: bucket by sign pattern of dims 1-8 (256 buckets),
     * top-3 within bucket for every vector. The scale path: candidates
     * per query drop from N to N/256 with a plain equi-join shuffle. */
-  def annSignLsh(d: Dialect): String = {
-    val bkt = (1 to 8).map { i =>
-      s"(CASE WHEN ${d.elem("embedding", i.toString)} > 0 THEN '1' ELSE '0' END)"
-    }.mkString("concat(", ", ", ")")
-    s"""WITH nv AS (
-       |  SELECT vec_id, embedding, ${normExpr(d, "embedding")} AS nrm, $bkt AS bkt
-       |  FROM embeddings
-       |),
-       |pairs AS (
-       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |    ROUND(${dotExpr(d, "a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine
-       |  FROM nv a JOIN nv b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
-       |)
-       |SELECT query_id, neighbor_id, cosine, rk FROM (
-       |  SELECT *, ROW_NUMBER() OVER (
-       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
-       |  FROM pairs
-       |) WHERE rk <= 3""".stripMargin
-  }
+  val annSignLsh: StagedOp = StagedOp(
+    stages = Seq("emb_nv" -> nvStage),
+    body = { d =>
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ROUND(${dotExpr(d, "a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine
+         |  FROM emb_nv a JOIN emb_nv b ON a.bkt8 = b.bkt8 AND a.vec_id <> b.vec_id
+         |)
+         |SELECT query_id, neighbor_id, cosine, rk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         |  FROM pairs
+         |) WHERE rk <= 3""".stripMargin
+    })
 
   /** Embedding near-dup pairs above a cosine threshold, LSH-gated. */
-  def dedupEmbeddingCosine(d: Dialect): String = {
-    val bkt = (1 to 4).map { i =>
-      s"(CASE WHEN ${d.elem("embedding", i.toString)} > 0 THEN '1' ELSE '0' END)"
-    }.mkString("concat(", ", ", ")")
-    s"""WITH nv AS (
-       |  SELECT vec_id, embedding, ${normExpr(d, "embedding")} AS nrm, $bkt AS bkt
-       |  FROM embeddings
-       |)
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  ROUND(${dotExpr(d, "a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine
-       |FROM nv a JOIN nv b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
-       |WHERE ROUND(${dotExpr(d, "a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= 0.35""".stripMargin
-  }
+  val dedupEmbeddingCosine: StagedOp = StagedOp(
+    stages = Seq("emb_nv" -> nvStage),
+    body = { d =>
+      s"""SELECT vec_a, vec_b, cosine FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ROUND(${dotExpr(d, "a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine
+         |  FROM emb_nv a JOIN emb_nv b ON a.bkt4 = b.bkt4 AND a.vec_id < b.vec_id
+         |) WHERE cosine >= 0.35""".stripMargin
+    })
 
   // ---- text analysis ----
 
