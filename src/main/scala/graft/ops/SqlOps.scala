@@ -133,11 +133,11 @@ object SqlOps {
          |  GROUP BY a.doc_id, b.doc_id
          |)
          |SELECT doc_a, doc_b,
-         |  ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+         |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
          |FROM cand
          |JOIN sz sa ON cand.doc_a = sa.doc_id
          |JOIN sz sb ON cand.doc_b = sb.doc_id
-         |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.6""".stripMargin
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6""".stripMargin
     })
 
   /** 32-bit SimHash CTEs over the corpus: md5-derived per-token 32-bit
@@ -305,16 +305,14 @@ object SqlOps {
        |m AS (
        |  SELECT doc_id,
        |    ${d.size("toks")} AS n_words,
-       |    $stopHits * 1.0 / ${d.size("toks")} AS stop_ratio,
-       |    (length(replace(text, ' ', '')) * 1.0) / ${d.size("toks")} AS avg_wlen
+       |    CAST($stopHits AS DOUBLE) / ${d.size("toks")} AS stop_ratio,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / ${d.size("toks")} AS avg_wlen
        |  FROM qtoks
        |)
-       |SELECT doc_id, n_words,
-       |  ROUND(stop_ratio, 6) AS stop_ratio,
-       |  ROUND(avg_wlen, 6) AS avg_wlen,
-       |  ROUND(LEAST(n_words / 100.0, 1.0) * 0.5
-       |      + (1.0 - stop_ratio) * 0.3
-       |      + LEAST(avg_wlen / 8.0, 1.0) * 0.2, 6) AS quality
+       |SELECT doc_id, n_words, stop_ratio, avg_wlen,
+       |  LEAST(CAST(n_words AS DOUBLE) / 1.0e2, 1.0e0) * 5.0e-1
+       |      + (1.0e0 - stop_ratio) * 3.0e-1
+       |      + LEAST(avg_wlen / 8.0e0, 1.0e0) * 2.0e-1 AS quality
        |FROM m""".stripMargin
   }
 

@@ -1,0 +1,49 @@
+package graft.etl
+
+import graft.SparkSpec
+
+/** Merge/upsert semantics (reference src/load.py:30-43; FIXTURES.md A4). */
+class LoadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val main = Seq(
+    ("a", Some(100L), "old-a"),
+    ("b", Some(200L), "old-b")).toDF("link", "price_rp", "name")
+  private val staging = Seq(
+    ("b", Some(999L), "new-b"),   // matched: full-row overwrite
+    ("c", None, "new-c")          // unmatched: insert (with NULL price)
+  ).toDF("link", "price_rp", "name")
+
+  test("merge: matched keys take staging row wholesale, unmatched persist/insert") {
+    val out = Load.merge(main, staging, "link")
+      .collect().map(r => (r.getString(0), Option(r.get(1)), r.getString(2))).toSet
+    assert(out === Set(
+      ("a", Some(100L), "old-a"),
+      ("b", Some(999L), "new-b"),
+      ("c", None, "new-c")))
+  }
+
+  test("merge: staging NULL overwrites main value (last-writer-wins)") {
+    val s2 = Seq(("a", Option.empty[Long], "null-a")).toDF("link", "price_rp", "name")
+    val out = Load.merge(main, s2, "link").where("link = 'a'").collect()(0)
+    assert(Option(out.get(1)) === None)
+    assert(out.getString(2) === "null-a")
+  }
+
+  test("merge is idempotent: applying the same staging twice == once") {
+    val once  = Load.merge(main, staging, "link")
+    val twice = Load.merge(once, staging, "link")
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+  }
+
+  test("insertedCount counts only new keys") {
+    val n = Load.insertedCount(main, staging, "link").collect()(0).getLong(0)
+    assert(n === 1L)
+  }
+
+  test("empty-input guard returns main unchanged") {
+    val empty = staging.limit(0)
+    val out = Load.loadGuarded(main, empty, "link")
+    assert(out.exceptAll(main).isEmpty && main.exceptAll(out).isEmpty)
+  }
+}
