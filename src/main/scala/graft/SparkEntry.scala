@@ -122,6 +122,14 @@ object SparkEntry {
 
     // -- multimodal columns --
     "q_multimodal_meta" -> sqlq(Seq("documents"), SqlOps.multimodalMeta),
+    // batched mapPartitions decode; dims are SQL-checkable, features not
+    "q_multimodal_decode" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Multimodal
+        .decodeBatched(graft.ops.Multimodal.asMedia(graft.Tables.documents(s, d)))
+        .toDF().drop("features")
+        .orderBy("doc_id")
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -259,5 +267,12 @@ object SparkEntry {
     "q_events_tumbling" -> SqlOps.eventsTumbling(DuckDialect),
     "q_events_sessionize" -> SqlOps.eventsSessionize(DuckDialect),
     "q_multimodal_meta" -> SqlOps.multimodalMeta(DuckDialect),
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) % 317 + 16 AS INT) AS width,
+        |  CAST(octet_length(encode(text)) % 211 + 16 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 3 + 1 AS INT) AS channels,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes
+        |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,168 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Source layer: the reference's paginated HTML scrape re-expressed as
+  * a distributed generator over page documents.
+  *
+  * The reference (src/extract.py:119-201) loops pages sequentially on
+  * one thread: GET page → select listing-card divs → parse each card
+  * into a dict. Spark shape: a `Dataset` of (page, html) — in
+  * production fetched per-partition by a DataSourceV2/`mapPartitions`
+  * fetcher with the rate limiter below; offline, supplied as fixtures —
+  * `flatMap`ped card-per-row (the S2 Generator) then parsed
+  * field-per-column (P7). Card parsing uses regexes matching the
+  * reference's CSS selectors (src/extract.py:91-116); a real crawler
+  * would use an HTML parser library (not present in this container).
+  */
+object Extract {
+
+  case class RawListing(
+      ingest_order: Long, link: String, name: String, price_rp: String,
+      location: String, lot_size: String, building_size: String,
+      n_bedroom: String, n_bathroom: String, n_carport: String,
+      badge: String, ads_type: String, property_type: String)
+
+  val VALID_ADS_TYPES = Set("jual", "sewa")
+  val VALID_PROPERTY_TYPES = Set("rumah", "apartemen", "kost", "villa", "hotel")
+
+  /** Input-domain validation (reference src/extract.py:62-72). */
+  def validate(adsType: String, propertyType: String, numPages: Int): Unit = {
+    require(VALID_ADS_TYPES(adsType), s"Invalid ads type: $adsType")
+    require(VALID_PROPERTY_TYPES(propertyType), s"Invalid property type: $propertyType")
+    require(numPages > 0, "num_pages must be a positive integer")
+  }
+
+  /** The reference's listing URL scheme (src/extract.py:143). */
+  def pageUrl(adsType: String, region: String, propertyType: String, page: Int): String =
+    s"https://www.rumah123.com/$adsType/$region/$propertyType/?sort=posted-desc&page=$page"
+
+  private val CardRe = "(?s)<div class=\"card-featured__middle-section\".*?</div>\\s*</div>".r
+  private def first(re: scala.util.matching.Regex, s: String): Option[String] =
+    re.findFirstMatchIn(s).map(_.group(1).trim)
+  private val LinkRe = "(?s)<a (?![^>]*class=\"[^\"]*quick-label-badge)[^>]*href=\"([^\"]*)\"".r
+  private val NameRe = "(?s)<h2[^>]*>(.*?)</h2>".r
+  private val PriceRe = "(?s)class=\"card-featured__middle-section__price\"[^>]*>.*?<strong[^>]*>(.*?)</strong>".r
+  private val SpanRe = "(?s)<span[^>]*>(.*?)</span>".r
+  private val AttrRe = "(?s)<span class=\"attribute-text\"[^>]*>(.*?)</span>".r
+  private val SizeRe = "(?s)<div class=\"attribute-info\"[^>]*>(.*?)</div>".r
+  private val BadgeRe = "(?s)class=\"card-featured__middle-section__header-badge\"[^>]*>(.*?)</div>".r
+  private val TagStrip = "<[^>]*>".r
+
+  private def text(html: String): String = TagStrip.replaceAllIn(html, "").trim
+
+  /** One listing card → one raw row (reference parse_listing_card,
+    * src/extract.py:91-116): null-safe field extraction, positional
+    * pick of sizes/attributes, admin-list location match. */
+  def parseCard(card: String, adminList: Seq[String]): RawListing = {
+    val link = first(LinkRe, card).map("rumah123.com" + _).orNull
+    val name = first(NameRe, card).map(text).orNull
+    val price = first(PriceRe, card).map(text).orNull
+    val spans = SpanRe.findAllMatchIn(card).map(m => text(m.group(1))).toSeq
+    val location = spans.find(s => adminList.exists(a => s.toLowerCase.contains(a.toLowerCase))).getOrElse("")
+    val attrs = AttrRe.findAllMatchIn(card).map(m => text(m.group(1))).toSeq
+    val sizes = SizeRe.findAllMatchIn(card).map(m => text(m.group(1))).toSeq
+    val badge = first(BadgeRe, card).map(text).getOrElse("")
+    RawListing(0L, link, name, price, location,
+      sizes.lift(0).orNull, sizes.lift(1).orNull,
+      attrs.lift(0).orNull, attrs.lift(1).orNull, attrs.lift(2).orNull,
+      badge, null, null)
+  }
+
+  /** Pages → raw listing rows: the S2 generator (one page → N cards) as
+    * a flatMap, constants attached per run (P8). `ingest_order`
+    * preserves scrape order (page × 1000 + card index) so keep-first
+    * dedup stays deterministic. */
+  def fromPages(pages: Dataset[(Int, String)], adsType: String,
+                propertyType: String, adminList: Seq[String]): DataFrame = {
+    import pages.sparkSession.implicits._
+    val admins = adminList
+    pages.flatMap { case (pageNo, html) =>
+      CardRe.findAllIn(html).zipWithIndex.map { case (card, i) =>
+        parseCard(card, admins).copy(
+          ingest_order = pageNo.toLong * 1000 + i,
+          ads_type = adsType, property_type = propertyType)
+      }
+    }.toDF()
+  }
+}
+
+/** The reference's adaptive politeness limiter (src/extract.py:12-59)
+  * as a pure state machine — testable without a network: base 1.0 s
+  * (×0.8-1.2 jitter), ×1.5 exponential backoff on HTTP 429 capped at
+  * 600 s, decay ×0.5/×0.7/×0.9 after ≥5/≥3/<3 consecutive successes,
+  * floor 1.0 s. */
+case class RateLimiter(baseSleep: Double = 1.0, minSleep: Double = 1.0,
+                       maxSleep: Double = 600.0, currentSleep: Double = 1.0,
+                       consecutiveSuccesses: Int = 0) {
+  def onSuccess: RateLimiter = {
+    val n = consecutiveSuccesses + 1
+    val decay = if (n >= 5) 0.5 else if (n >= 3) 0.7 else 0.9
+    copy(currentSleep = math.max(minSleep, currentSleep * decay),
+         consecutiveSuccesses = n)
+  }
+  def onRateLimited: RateLimiter =
+    copy(currentSleep = math.min(maxSleep, currentSleep * 1.5),
+         consecutiveSuccesses = 0)
+  /** Deterministic jitter bounds (the reference draws uniform(0.8, 1.2)). */
+  def jitterBounds: (Double, Double) = (currentSleep * 0.8, currentSleep * 1.2)
+}
+
+/** Region/run configuration (reference configs/extract.yaml +
+  * configs/load.yaml), plus a dependency-free reader for the YAML
+  * subset those files use (scalars + one list-of-structs + string
+  * lists). No YAML library exists in this offline environment. */
+case class RegionConfig(name: String, id: Int, admins: Seq[String], schedule: String)
+case class ExtractConfig(regions: Seq[RegionConfig], adsType: String,
+                         propertyType: String, numPages: Int)
+case class LoadConfig(stagingTable: String, mainTable: String,
+                      uniqueKey: String, batchSize: Int)
+
+object MiniYaml {
+  /** Parse `key: value` scalars and `key:` + `- item` string lists at
+    * one nesting level. Covers the reference's config shapes. */
+  def parse(src: String): Map[String, Any] = {
+    val root = scala.collection.mutable.LinkedHashMap[String, Any]()
+    var curList: Option[(String, scala.collection.mutable.ListBuffer[Any])] = None
+    src.linesIterator.map(_.replaceAll("#.*$", "")).filter(_.trim.nonEmpty).foreach { line =>
+      val t = line.trim
+      if (t.startsWith("- ")) {
+        val item = t.drop(2).trim
+        curList.foreach(_._2 += unquote(item))
+      } else {
+        val idx = t.indexOf(':')
+        if (idx > 0) {
+          val (k, v) = (t.take(idx).trim, t.drop(idx + 1).trim)
+          if (v.isEmpty) {
+            val buf = scala.collection.mutable.ListBuffer[Any]()
+            curList = Some(k -> buf)
+            root(k) = buf
+          } else root(k) = unquote(v)
+        }
+      }
+    }
+    root.map { case (k, v) =>
+      k -> (v match { case b: scala.collection.mutable.ListBuffer[_] => b.toList; case x => x })
+    }.toMap
+  }
+  private def unquote(s: String): Any = {
+    val u = s.stripPrefix("'").stripSuffix("'").stripPrefix("\"").stripSuffix("\"")
+    if (u.matches("-?\\d+")) u.toInt else u
+  }
+}
+
+/** Per-region pipeline wiring: the reference DAG E1 (extract →
+  * transform → load) without Airflow (SURVEY.md §3). */
+object Pipeline {
+  def run(spark: SparkSession, pages: Dataset[(Int, String)],
+          adsType: String, propertyType: String, admins: Seq[String],
+          existing: Option[DataFrame], key: String = "link"): DataFrame = {
+    Extract.validate(adsType, propertyType, numPages = 1)
+    val raw = Extract.fromPages(pages, adsType, propertyType, admins)
+    val staged = Transform.transform(raw)
+    existing match {
+      case Some(main) => Load.loadGuarded(main, staged.drop("ingest_order"), key)
+      case None => staged
+    }
+  }
+}

@@ -1,0 +1,115 @@
+package graft.etl
+
+import graft.SparkSpec
+
+class ExtractSpec extends SparkSpec {
+
+  private def card(href: String, name: String, price: String,
+                   sizes: Seq[String] = Seq("90 m²", "75 m²"),
+                   attrs: Seq[String] = Seq("3", "2", "1"),
+                   badge: String = "RumahCarportGarasi",
+                   location: String = "Kebon Jeruk, Jakarta Barat"): String =
+    s"""<div class="card-featured__middle-section">
+       |  <div class="card-featured__middle-section__header-badge">$badge</div>
+       |  <a class="quick-label-badge" href="/promo/x">promo</a>
+       |  <a href="$href">listing</a>
+       |  <h2>$name</h2>
+       |  <div class="card-featured__middle-section__price"><strong>$price</strong></div>
+       |  <span>$location</span>
+       |  <span class="attribute-text">${attrs.lift(0).getOrElse("")}</span>
+       |  <span class="attribute-text">${attrs.lift(1).getOrElse("")}</span>
+       |  <span class="attribute-text">${attrs.lift(2).getOrElse("")}</span>
+       |  <div class="attribute-info">${sizes.lift(0).getOrElse("")}</div>
+       |  <div class="attribute-info">${sizes.lift(1).getOrElse("")}</div>
+       |</div>
+       |</div>""".stripMargin
+
+  private val admins = Seq("Jakarta Barat", "Jakarta Selatan")
+
+  test("parseCard extracts all fields; skips quick-label-badge anchor") {
+    val r = Extract.parseCard(card("/properti/jkt/hos1", "Rumah Mewah", "Rp 1,5 Miliar"), admins)
+    assert(r.link === "rumah123.com/properti/jkt/hos1")
+    assert(r.name === "Rumah Mewah")
+    assert(r.price_rp === "Rp 1,5 Miliar")
+    assert(r.location === "Kebon Jeruk, Jakarta Barat")
+    assert(r.lot_size === "90 m²")
+    assert(r.building_size === "75 m²")
+    assert((r.n_bedroom, r.n_bathroom, r.n_carport) === ("3", "2", "1"))
+    assert(r.badge === "RumahCarportGarasi")
+  }
+
+  test("parseCard: empty location when no admin matches") {
+    val r = Extract.parseCard(
+      card("/p/1", "X", "Rp 1 Juta", location = "Bandung"), admins)
+    assert(r.location === "")
+  }
+
+  test("fromPages explodes cards and attaches constants in scrape order") {
+    import spark.implicits._
+    val page1 = card("/p/a", "A", "Rp 1 Juta") + "\n" + card("/p/b", "B", "Rp 2 Juta")
+    val page2 = card("/p/c", "C", "Rp 3 Juta")
+    val df = Extract.fromPages(Seq((1, page1), (2, page2)).toDS(), "jual", "rumah", admins)
+    val rows = df.orderBy("ingest_order").collect()
+    assert(rows.map(_.getAs[String]("link")).toSeq ===
+      Seq("rumah123.com/p/a", "rumah123.com/p/b", "rumah123.com/p/c"))
+    assert(rows.forall(_.getAs[String]("ads_type") == "jual"))
+    assert(rows.forall(_.getAs[String]("property_type") == "rumah"))
+  }
+
+  test("pipeline end-to-end: pages -> transform -> merge into existing") {
+    import spark.implicits._
+    val page = card("/p/a", "A", "Rp 1,5 Miliar") + "\n" + card("/p/b", "B", "Rp 2 Juta")
+    val fresh = Pipeline.run(spark, Seq((1, page)).toDS(), "jual", "rumah", admins, None)
+    assert(fresh.count() === 2)
+    val priced = fresh.where("link = 'rumah123.com/p/a'").collect()(0)
+    assert(priced.getAs[Long]("price_rp") === 1_500_000_000L)
+
+    val main = fresh.drop("ingest_order")
+    val page2 = card("/p/b", "B2", "Rp 3 Juta") + "\n" + card("/p/d", "D", "Rp 4 Juta")
+    val merged = Pipeline.run(spark, Seq((1, page2)).toDS(), "jual", "rumah", admins, Some(main))
+    val byLink = merged.collect().map(r => r.getAs[String]("link") -> r.getAs[String]("name")).toMap
+    assert(byLink.keySet === Set("rumah123.com/p/a", "rumah123.com/p/b", "rumah123.com/p/d"))
+    assert(byLink("rumah123.com/p/b") === "B2") // re-scrape overwrote
+  }
+
+  test("validate rejects bad domains") {
+    intercept[IllegalArgumentException](Extract.validate("buy", "rumah", 1))
+    intercept[IllegalArgumentException](Extract.validate("jual", "castle", 1))
+    intercept[IllegalArgumentException](Extract.validate("jual", "rumah", 0))
+  }
+
+  test("rate limiter: backoff, cap, decay tiers, floor") {
+    var rl = RateLimiter()
+    rl = rl.onRateLimited
+    assert(rl.currentSleep === 1.5)
+    (1 to 50).foreach(_ => rl = rl.onRateLimited)
+    assert(rl.currentSleep === 600.0)
+    rl = rl.onSuccess // 1 consecutive → ×0.9
+    assert(rl.currentSleep === 540.0)
+    rl = rl.onSuccess; rl = rl.onSuccess // 3rd → ×0.7
+    assert(math.abs(rl.currentSleep - 540.0 * 0.9 * 0.7) < 1e-9)
+    rl = rl.onSuccess; rl = rl.onSuccess // 5th → ×0.5
+    (1 to 30).foreach(_ => rl = rl.onSuccess)
+    assert(rl.currentSleep === 1.0) // floor
+    val (lo, hi) = rl.jitterBounds
+    assert(lo === 0.8 && hi === 1.2)
+  }
+
+  test("mini-yaml parses the reference config shapes") {
+    val cfg = MiniYaml.parse(
+      """# extract config
+        |ads_type: jual
+        |property_type: 'rumah'
+        |num_pages: 20
+        |admins:
+        |  - Jakarta Barat
+        |  - Jakarta Selatan
+        |batch_size: 500
+        |""".stripMargin)
+    assert(cfg("ads_type") === "jual")
+    assert(cfg("property_type") === "rumah")
+    assert(cfg("num_pages") === 20)
+    assert(cfg("admins") === List("Jakarta Barat", "Jakarta Selatan"))
+    assert(cfg("batch_size") === 500)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming operators driven synchronously through MemoryStream +
+  * memory sink (processAllAvailable). */
+class StreamingSpec extends SparkSpec {
+  import StreamingOps._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("tumbling window counts with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = tumblingCounts(df).writeStream
+      .outputMode("complete").format("memory").queryName("tumb").start()
+    in.addData((ts(0), "click", 1.0), (ts(2), "click", 2.0), (ts(7), "view", 3.0))
+    q.processAllAvailable()
+    val rows = spark.table("tumb").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString, r.getAs[String]("event_type"), r.getAs[Long]("n_events")))
+      .toSet
+    q.stop()
+    assert(rows === Set(
+      ("2024-01-01 00:00:00.0", "click", 2L),
+      ("2024-01-01 00:05:00.0", "view", 1L)))
+  }
+
+  test("session windows merge events within the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "user_id")
+    val q = sessionWindows(df).writeStream
+      .outputMode("complete").format("memory").queryName("sess").start()
+    // user 1: events at 0 and 20min (same session), then 60min (new session)
+    in.addData((ts(0), 1L), (ts(20), 1L), (ts(60), 1L), (ts(5), 2L))
+    q.processAllAvailable()
+    val rows = spark.table("sess").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toList
+    q.stop()
+    assert(rows.count(_._1 == 1L) === 2)
+    assert(rows.filter(_._1 == 1L).map(_._2).sorted === List(1L, 2L))
+    assert(rows.count(_._1 == 2L) === 1)
+  }
+
+  test("stateful sessionize emits closed sessions after watermark advances") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = sessionize(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("fmgs").start()
+    in.addData(Ev(1L, ts(0), 1.0), Ev(1L, ts(10), 1.0))
+    q.processAllAvailable()
+    // Advance event time far enough (> gap + watermark) to close user 1's session
+    in.addData(Ev(2L, ts(300), 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(2L, ts(600), 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("fmgs").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSet
+    q.stop()
+    assert(rows.contains((1L, 2L)))
+  }
+
+  test("streaming dedup collapses re-scraped keys within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val df = in.toDF().toDF("ts", "link", "price")
+    val q = dedupByKey(df, "link", "ts", "1 hour").writeStream
+      .outputMode("append").format("memory").queryName("dedup").start()
+    in.addData((ts(0), "a", 1L), (ts(1), "a", 2L), (ts(2), "b", 3L))
+    q.processAllAvailable()
+    val rows = spark.table("dedup").collect().map(_.getAs[String]("link")).toList
+    q.stop()
+    assert(rows.sorted === List("a", "b"))
+  }
+
+  test("foreachBatch upsert maintains merge semantics across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val target = s"$dir/target"
+    val in = MemoryStream[(String, Long)]
+    val df = in.toDF().toDF("link", "price")
+    val q = StreamingOps.upsertEachBatch(spark, df, "link", target, s"$dir/ckpt").start()
+    in.addData(("a", 1L), ("b", 2L))
+    q.processAllAvailable()
+    in.addData(("b", 99L), ("c", 3L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(target).collect()
+      .map(r => (r.getAs[String]("link"), r.getAs[Long]("price"))).toSet
+    assert(out === Set(("a", 1L), ("b", 99L), ("c", 3L)))
+  }
+}
