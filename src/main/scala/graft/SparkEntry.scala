@@ -92,6 +92,8 @@ object SparkEntry {
     "q_distinct_agg" -> Relational.distinctCustomersByStatus _,
     "q_approx_distinct" -> Relational.approxDistinctParts _,
     "q_rollup" -> Relational.rollupRevenue _,
+    "q_cube" -> Relational.cubeRevenue _,
+    "q_window_lag" -> Relational.orderGapDays _,
     "q_pivot" -> Relational.pivotStatusByPriority _,
     "q_set_ops" -> Relational.nationSetOps _,
     "q_union_slices" -> Relational.unionSlices _,
@@ -115,6 +117,11 @@ object SparkEntry {
     "q_text_langid" -> sqlq(Seq("documents"), SqlOps.textLangId),
     "q_text_quality" -> sqlq(Seq("documents"), SqlOps.textQuality),
     "q_text_fingerprint" -> sqlq(Seq("documents"), SqlOps.textFingerprint),
+    "q_text_rolling_hash" -> ((s, d) => {
+      graft.functions.RollingHash.register(s)
+      graft.Tables(s, d, "documents").createOrReplaceTempView("documents")
+      s.sql("SELECT doc_id, rolling_hash(text) AS rhash FROM documents")
+    }),
 
     // -- event-time analytics --
     "q_events_tumbling" -> sqlq(Seq("events"), SqlOps.eventsTumbling),
@@ -226,6 +233,16 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, COUNT(*) AS n
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day',
+        |    LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |    o_orderdate) AS INT) AS gap_days
+        |FROM orders""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
@@ -264,6 +281,13 @@ object SparkEntry {
     "q_text_langid" -> SqlOps.textLangId(DuckDialect),
     "q_text_quality" -> SqlOps.textQuality(DuckDialect),
     "q_text_fingerprint" -> SqlOps.textFingerprint(DuckDialect),
+    "q_text_rolling_hash" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rhash
+        |FROM documents""".stripMargin,
     "q_events_tumbling" -> SqlOps.eventsTumbling(DuckDialect),
     "q_events_sessionize" -> SqlOps.eventsSessionize(DuckDialect),
     "q_multimodal_meta" -> SqlOps.multimodalMeta(DuckDialect),

@@ -156,6 +156,26 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** Cube aggregation (all grouping-set combinations). */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("total"),
+           count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Lag/lead window: gap in days between a customer's consecutive
+    * orders (NULL for the first order). */
+  def orderGapDays(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), col("prev_date")).as("gap_days"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Rollup (hierarchical subtotal) aggregation. */
   def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

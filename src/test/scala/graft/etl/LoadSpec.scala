@@ -41,6 +41,23 @@ class LoadSpec extends SparkSpec {
     assert(n === 1L)
   }
 
+  test("dated CSV sink + explicit-schema scan round-trip (stringly-typed stage)") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val path = Load.datedCsv(main, "raw_listing", dir, java.time.LocalDate.of(2026, 8, 12))
+    assert(path.endsWith("raw_listing_20260812"))
+    // the reference re-reads interchange CSVs with erased types
+    // (SURVEY.md §1): all-string schema, never inferSchema
+    val schema = StructType(Seq(
+      StructField("link", StringType), StructField("price_rp", StringType),
+      StructField("name", StringType)))
+    val back = spark.read.schema(schema).option("header", "true").csv(path)
+    assert(back.count() === main.count())
+    assert(back.schema.fields.forall(_.dataType == StringType))
+    val row = back.where("link = 'a'").collect()(0)
+    assert(row.getString(1) === "100")
+  }
+
   test("empty-input guard returns main unchanged") {
     val empty = staging.limit(0)
     val out = Load.loadGuarded(main, empty, "link")
