@@ -88,6 +88,7 @@ object SparkEntry {
     "q_window_rank" -> Relational.orderRankPerCustomer _,
     "q_window_running" -> Relational.runningCustomerSpend _,
     "q_topk_per_group" -> Relational.top3OrdersPerCustomer _,
+    "q_topk_aggregator" -> Relational.top3ViaAggregator _,
     "q_topk_global" -> Relational.top10Orders _,
     "q_distinct_agg" -> Relational.distinctCustomersByStatus _,
     "q_approx_distinct" -> Relational.approxDistinctParts _,
@@ -111,6 +112,7 @@ object SparkEntry {
     // -- similarity search (embeddings) --
     "q_knn_bruteforce" -> sqlStaged(Seq("embeddings"), SqlOps.knnBruteForce),
     "q_ann_sign_lsh" -> sqlStaged(Seq("embeddings"), SqlOps.annSignLsh),
+    "q_ann_ivf" -> sqlStaged(Seq("embeddings"), SqlOps.annIvf),
 
     // -- text analysis (documents) --
     "q_text_tokens" -> sqlq(Seq("documents"), SqlOps.textTokens),
@@ -224,6 +226,11 @@ object SparkEntry {
         |  SELECT o_custkey, o_orderkey,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) WHERE rk <= 3""".stripMargin,
+    "q_topk_aggregator" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
     "q_topk_global" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     "q_distinct_agg" ->
@@ -277,6 +284,7 @@ object SparkEntry {
     "q_dedup_embedding_cosine" -> SqlOps.dedupEmbeddingCosine.single(DuckDialect),
     "q_knn_bruteforce" -> SqlOps.knnBruteForce.single(DuckDialect),
     "q_ann_sign_lsh" -> SqlOps.annSignLsh.single(DuckDialect),
+    "q_ann_ivf" -> SqlOps.annIvf.single(DuckDialect),
     "q_text_tokens" -> SqlOps.textTokens(DuckDialect),
     "q_text_langid" -> SqlOps.textLangId(DuckDialect),
     "q_text_quality" -> SqlOps.textQuality(DuckDialect),

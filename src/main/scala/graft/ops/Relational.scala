@@ -130,6 +130,27 @@ object Relational {
       .orderBy(col("o_custkey"), col("rk"))
   }
 
+  /** Top-3 orders per customer via the typed [[graft.functions.TopK]]
+    * Aggregator — same semantics as [[top3OrdersPerCustomer]] but with
+    * a bounded per-group buffer: partial aggregation ships ≤ k rows per
+    * group per map task instead of shuffling the whole table to window
+    * partitions. */
+  def top3ViaAggregator(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val topk = new graft.functions.TopK(3)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(topk.toColumn.name("top"))
+      .flatMap { case (cust, top) =>
+        top.zipWithIndex.map { case ((okey, _), i) => (cust, okey, i + 1) }
+      }
+      .toDF("o_custkey", "o_orderkey", "rk")
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
   /** Global top-k with a total order (sort + limit → Spark TakeOrdered,
     * which is O(k) memory per partition, no full sort at scale). */
   def top10Orders(spark: SparkSession, dir: String): DataFrame =

@@ -265,6 +265,62 @@ object SqlOps {
          |) WHERE rk <= 3""".stripMargin
     })
 
+  /** IVF ANN: coarse quantizer = per-label centroids (computed, not
+    * assumed — positional explode + decimal-exact averaging so both
+    * engines derive identical centroids), assignment = nearest centroid
+    * by L2 (exact decimal distance sums), probe = cosine top-3 within
+    * the assigned cell. The IVF structure at scale: the centroid table
+    * is broadcast-sized, assignment is one pass over the vectors, and
+    * search fans out only within cells. */
+  val annIvf: StagedOp = {
+    StagedOp(
+      stages = Seq(
+        "emb_nv" -> nvStage,
+        "ivf_cent" -> { d =>
+          val exploded = d.explodeWithPos(
+            "SELECT vec_id, label, embedding FROM embeddings",
+            "vec_id, label", "embedding", "pos", "v")
+          s"""WITH ev AS ($exploded)
+             |SELECT label, pos,
+             |  CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cval
+             |FROM ev GROUP BY label, pos""".stripMargin
+        },
+        "ivf_asgn" -> { d =>
+          val exploded = d.explodeWithPos(
+            "SELECT vec_id, embedding FROM embeddings",
+            "vec_id", "embedding", "pos", "v")
+          s"""WITH ev AS ($exploded),
+             |dist AS (
+             |  SELECT ev.vec_id, c.label AS cl,
+             |    SUM(CAST(ROUND((CAST(ev.v AS DOUBLE) - c.cval) * (CAST(ev.v AS DOUBLE) - c.cval), 10) AS DECIMAL(28,10))) AS d2
+             |  FROM ev JOIN ivf_cent c ON ev.pos = c.pos
+             |  GROUP BY ev.vec_id, c.label
+             |)
+             |SELECT vec_id, cl AS cell FROM (
+             |  SELECT vec_id, cl, ROW_NUMBER() OVER (
+             |    PARTITION BY vec_id ORDER BY d2, cl) AS rn
+             |  FROM dist
+             |) WHERE rn = 1""".stripMargin
+        }),
+      body = { d =>
+        s"""WITH nvc AS (
+           |  SELECT a.vec_id, a.embedding, a.nrm, s.cell
+           |  FROM emb_nv a JOIN ivf_asgn s ON a.vec_id = s.vec_id
+           |),
+           |qs AS (SELECT * FROM nvc WHERE vec_id % 50 = 0),
+           |pairs AS (
+           |  SELECT qs.vec_id AS query_id, b.vec_id AS neighbor_id, qs.cell,
+           |    ROUND(${dotExpr(d, "qs.embedding", "b.embedding")} / (qs.nrm * b.nrm), 6) AS cosine
+           |  FROM qs JOIN nvc b ON qs.cell = b.cell AND qs.vec_id <> b.vec_id
+           |)
+           |SELECT query_id, neighbor_id, cell, cosine, rk FROM (
+           |  SELECT *, ROW_NUMBER() OVER (
+           |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+           |  FROM pairs
+           |) WHERE rk <= 3""".stripMargin
+      })
+  }
+
   /** Embedding near-dup pairs above a cosine threshold, LSH-gated. */
   val dedupEmbeddingCosine: StagedOp = StagedOp(
     stages = Seq("emb_nv" -> nvStage),
