@@ -99,6 +99,7 @@ object SparkEntry {
     "q_set_ops" -> Relational.nationSetOps _,
     "q_union_slices" -> Relational.unionSlices _,
     "q_above_avg" -> Relational.aboveAvgOrders _,
+    "q_agg_salted" -> ((s, d) => Relational.saltedRevenueByFlag(s, d)),
 
     // -- dedup family (documents) --
     "q_dedup_exact" -> sqlq(Seq("documents"), SqlOps.dedupExact),
@@ -274,6 +275,12 @@ object SparkEntry {
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
         |  FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.k
         |WHERE o.o_totalprice > a.avg_price""".stripMargin,
+
+    "q_agg_salted" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_dedup_exact" -> SqlOps.dedupExact(DuckDialect),
     "q_dedup_minhash" -> SqlOps.dedupMinhash.single(DuckDialect),

@@ -236,6 +236,25 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Salted two-phase aggregation: revenue per returnflag computed as
+    * partial agg on (key, salt) then final agg on key. With a skewed
+    * key distribution this splits each hot key across `salts` reducers
+    * in phase 1; the result is provably identical to the direct groupBy
+    * (the oracle checks it against the plain SQL). Decimal sums keep
+    * the two-phase reassociation exact. */
+  def saltedRevenueByFlag(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val partial = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(salts)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(dec(col("l_extendedprice"))).as("rev_part"),
+           count(lit(1)).as("n_part"))
+    partial
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("rev_part")).cast("double").as("revenue"),
+           sum(col("n_part")).as("n_items"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Correlated-style aggregate filter (orders above their customer's
     * average order value) — join against a pre-aggregated side. */
   def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
