@@ -37,6 +37,7 @@ object SparkEntry {
     * pipeline as the DataFrame API). */
   private def sqlq(views: Seq[String], build: Dialect => String): (SparkSession, String) => DataFrame =
     (s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       views.foreach(v => graft.Tables(s, d, v).createOrReplaceTempView(v))
       s.sql(build(SparkDialect))
     }
@@ -49,6 +50,7 @@ object SparkEntry {
     * production pipeline does with a signature/shingle index at scale. */
   private def sqlStaged(views: Seq[String], op: StagedOp): (SparkSession, String) => DataFrame =
     (s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
       views.foreach(v => graft.Tables(s, d, v).createOrReplaceTempView(v))
       op.stages.foreach { case (name, build) =>
         val path = s"${sys.props("java.io.tmpdir")}/graft_stage/${d.hashCode.toHexString}/$name"

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Float-vector dot product as a native Catalyst expression.
+  *
+  * Semantically identical to the higher-order-function form
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)` —
+  * each float is widened to double, products summed in element order,
+  * so oracle values are bit-identical — but HOF lambdas evaluate
+  * interpreted per element with boxing; this compiles to a tight
+  * primitive loop over the columnar ArrayData (`getFloat(i)`), inlined
+  * into whole-stage codegen via a static call. The similarity-search
+  * family (knn, sign-LSH, IVF, cosine near-dup) runs millions of these
+  * per query at scale.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot needs two array<float> arguments, got (${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotProduct.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+object DotProduct {
+  /** Static so generated code calls it directly. Sums in element order
+    * (parity with the fold the oracle computes). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0d
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+}
+
+/** Session registration for all graft custom functions. */
+object GraftFunctions {
+  def registerAll(spark: SparkSession): Unit = {
+    RollingHash.register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+  }
+}

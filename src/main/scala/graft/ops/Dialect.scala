@@ -50,6 +50,9 @@ trait Dialect {
   def epochSeconds(ts: String): String
   def epochMicros(ts: String): String
   def toBinary(x: String): String
+  /** Float-vector dot product, widened to double, summed in element
+    * order (both renderings produce bit-identical IEEE doubles). */
+  def dot(a: String, b: String): String
 }
 
 object SparkDialect extends Dialect {
@@ -83,6 +86,9 @@ object SparkDialect extends Dialect {
   def epochSeconds(ts: String): String = s"unix_seconds($ts)"
   def epochMicros(ts: String): String = s"unix_micros($ts)"
   def toBinary(x: String): String = s"CAST($x AS BINARY)"
+  /** Native codegen'd expression (graft.functions.DotProduct); the
+    * HOF form evaluates interpreted per element. */
+  def dot(a: String, b: String): String = s"graft_dot($a, $b)"
 }
 
 object DuckDialect extends Dialect {
@@ -114,4 +120,7 @@ object DuckDialect extends Dialect {
   def epochSeconds(ts: String): String = s"CAST(FLOOR(epoch($ts)) AS BIGINT)"
   def epochMicros(ts: String): String = s"epoch_us($ts)"
   def toBinary(x: String): String = s"encode($x)"
+  def dot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE)))"
 }

@@ -210,12 +210,9 @@ object SqlOps {
   // ---- similarity search over embeddings ----
 
   private def normExpr(d: Dialect, e: String): String =
-    s"sqrt(${d.sumDouble(d.transform(e, "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)"))})"
+    s"sqrt(${d.dot(e, e)})"
 
-  private def dotExpr(d: Dialect, a: String, b: String): String =
-    d.sumDouble(d.transform(
-      d.seqIncl("1", "64"),
-      s"i -> CAST(${d.elem(a, "i")} AS DOUBLE) * CAST(${d.elem(b, "i")} AS DOUBLE)"))
+  private def dotExpr(d: Dialect, a: String, b: String): String = d.dot(a, b)
 
   /** Normalized-vector stage shared by the similarity ops: L2 norm plus
     * sign-LSH bucket keys over the leading 4 and 8 dims. One pass over
