@@ -102,6 +102,11 @@ object SparkEntry {
     "q_union_slices" -> Relational.unionSlices _,
     "q_above_avg" -> Relational.aboveAvgOrders _,
     "q_agg_salted" -> ((s, d) => Relational.saltedRevenueByFlag(s, d)),
+    "q_events_json" -> Relational.eventsJsonAgg _,
+    "q_orders_by_month" -> Relational.ordersByMonth _,
+    "q_asof_join" -> Relational.asofLastPurchase _,
+    "q_grouping_sets" -> sqlq(Seq("orders"), SqlOps.groupingSets),
+    "q_percentiles" -> sqlq(Seq("events"), SqlOps.eventPercentiles),
 
     // -- dedup family (documents) --
     "q_dedup_exact" -> sqlq(Seq("documents"), SqlOps.dedupExact),
@@ -283,6 +288,25 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_events_json" ->
+      """SELECT event_type,
+        |  CAST(SUM(TRY_CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  COUNT(TRY_CAST(json_extract(props, '$.k') AS INT)) AS n_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_orders_by_month" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS pus FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.us, p.pus AS last_purchase_us
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us >= p.pus""".stripMargin,
+    "q_grouping_sets" -> SqlOps.groupingSets(DuckDialect),
+    "q_percentiles" -> SqlOps.eventPercentiles(DuckDialect),
 
     "q_dedup_exact" -> SqlOps.dedupExact(DuckDialect),
     "q_dedup_minhash" -> SqlOps.dedupMinhash.single(DuckDialect),

@@ -53,6 +53,8 @@ trait Dialect {
   /** Float-vector dot product, widened to double, summed in element
     * order (both renderings produce bit-identical IEEE doubles). */
   def dot(a: String, b: String): String
+  /** Exact interpolated percentile of a numeric column. */
+  def percentileCont(x: String, p: String): String
 }
 
 object SparkDialect extends Dialect {
@@ -89,6 +91,7 @@ object SparkDialect extends Dialect {
   /** Native codegen'd expression (graft.functions.DotProduct); the
     * HOF form evaluates interpreted per element. */
   def dot(a: String, b: String): String = s"graft_dot($a, $b)"
+  def percentileCont(x: String, p: String): String = s"percentile($x, $p)"
 }
 
 object DuckDialect extends Dialect {
@@ -123,4 +126,5 @@ object DuckDialect extends Dialect {
   def dot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE)))"
+  def percentileCont(x: String, p: String): String = s"quantile_cont($x, $p)"
 }

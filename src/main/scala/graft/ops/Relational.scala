@@ -236,6 +236,47 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** JSON column extraction: events.props is a JSON string; pull the
+    * numeric field and aggregate per event type. Codegen'd path
+    * (get_json_object), no UDF. */
+  def eventsJsonAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS INT)"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).cast("bigint").as("sum_k"),
+           count(col("k")).as("n_k"))
+      .orderBy(col("event_type"))
+
+  /** Calendar bucketing: order count + exact revenue by (year, month). */
+  def ordersByMonth(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("y"), col("m"))
+
+  /** As-of join composed from built-ins (Spark has no native ASOF):
+    * each click event gets the most recent purchase timestamp of the
+    * same user at-or-before it. Tag both streams, union, and take the
+    * running max of purchase times per user — one shuffle on user_id,
+    * no range-join explosion. The oracle uses DuckDB's native ASOF
+    * JOIN, so two independent formulations check each other. */
+  def asofLastPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      // purchases sort before clicks at the same instant (ASOF is >=)
+      .orderBy(col("us"), when(col("event_type") === "purchase", 0).otherwise(1),
+        col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("pus", when(col("event_type") === "purchase", col("us")))
+      .withColumn("last_purchase_us", max(col("pus")).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("us"), col("last_purchase_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Salted two-phase aggregation: revenue per returnflag computed as
     * partial agg on (key, salt) then final agg on key. With a skewed
     * key distribution this splits each hot key across `salts` reducers

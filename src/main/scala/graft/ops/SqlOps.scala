@@ -369,6 +369,27 @@ object SqlOps {
        |FROM m""".stripMargin
   }
 
+  /** Explicit grouping sets (beyond rollup/cube): status-only,
+    * priority-only, and grand-total groups in one pass. Identical
+    * syntax in both dialects. */
+  def groupingSets(d: Dialect): String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+
+  /** Exact percentiles per event type. Interpolation is done over
+    * integer cents so the midpoint arithmetic is exact in both engines
+    * (double interpolation formulas differ in the last ulp). */
+  def eventPercentiles(d: Dialect): String = {
+    val cents = "CAST(ROUND(value * 100, 0) AS BIGINT)"
+    s"""SELECT event_type,
+       |  ${d.percentileCont(cents, "5.0e-1")} / 1.0e2 AS p50,
+       |  ${d.percentileCont(cents, "9.0e-1")} / 1.0e2 AS p90,
+       |  COUNT(*) AS n
+       |FROM events GROUP BY event_type""".stripMargin
+  }
+
   // ---- event-time analytics ----
 
   /** Tumbling 5-minute window aggregation (batch form; the streaming
