@@ -80,6 +80,15 @@ object SparkEntry {
       Load.merge(mergeMain(s, d), mergeStaging(s, d), "link").orderBy("link")),
     "q_merge_inserted_count" -> ((s, d) =>
       Load.insertedCount(mergeMain(s, d), mergeStaging(s, d), "link")),
+    "q_merge_scd2" -> ((s, d) => {
+      val main = mergeMain(s, d)
+        .select(col("link"), col("name"), col("price_rp"))
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("bigint"))
+      val staging = mergeStaging(s, d).select(col("link"), col("name"), col("price_rp"))
+      Load.scd2Merge(main, staging, "link", batchTs = 100L)
+        .orderBy(col("link"), col("valid_from"))
+    }),
 
     // -- relational / analytic extensions (SURVEY.md §2.6-2.7) --
     "q_pricing_summary" -> Relational.pricingSummary _,
@@ -187,6 +196,27 @@ object SparkEntry {
       s"""$MERGE_CTES
          |SELECT COUNT(*) AS n_inserted FROM staging s
          |WHERE NOT EXISTS (SELECT 1 FROM main m WHERE m.link = s.link)""".stripMargin,
+    "q_merge_scd2" ->
+      s"""$MERGE_CTES,
+         |m AS (SELECT link, name, price_rp, CAST(0 AS BIGINT) AS valid_from FROM main),
+         |st AS (SELECT link, name, price_rp FROM staging),
+         |j AS (
+         |  SELECT m.link AS olink, m.name AS oname, m.price_rp AS oprice, m.valid_from,
+         |         st.link AS slink, st.name AS sname, st.price_rp AS sprice
+         |  FROM m FULL JOIN st ON m.link = st.link
+         |),
+         |same AS (
+         |  SELECT *, (oname IS NOT DISTINCT FROM sname) AND (oprice IS NOT DISTINCT FROM sprice) AS unchanged
+         |  FROM j
+         |)
+         |SELECT olink AS link, oname AS name, oprice AS price_rp, valid_from, CAST(NULL AS BIGINT) AS valid_to
+         |FROM same WHERE slink IS NULL OR (olink IS NOT NULL AND unchanged)
+         |UNION ALL
+         |SELECT olink, oname, oprice, valid_from, CAST(100 AS BIGINT)
+         |FROM same WHERE olink IS NOT NULL AND slink IS NOT NULL AND NOT unchanged
+         |UNION ALL
+         |SELECT slink, sname, sprice, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
+         |FROM same WHERE olink IS NULL OR (slink IS NOT NULL AND NOT unchanged)""".stripMargin,
 
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

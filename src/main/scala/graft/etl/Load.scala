@@ -47,6 +47,43 @@ object Load {
   def loadGuarded(main: DataFrame, staging: DataFrame, key: String): DataFrame =
     if (staging.isEmpty) main else merge(main, staging, key)
 
+  /** SCD2 (history-keeping) merge: the warehouse-grade extension of the
+    * reference's last-writer-wins upsert. `current` carries validity
+    * columns (`valid_from`, `valid_to` with NULL = open); `staging`
+    * carries bare attribute rows. Changed keys close their open version
+    * at `batchTs` and append a new open one; unchanged keys pass
+    * through; new keys open at `batchTs`; closed history is untouched.
+    * Change detection is null-safe per-column equality. One full-outer
+    * join on the key — same shuffle profile as [[merge]]. */
+  def scd2Merge(current: DataFrame, staging: DataFrame, key: String, batchTs: Long): DataFrame = {
+    val attrCols = staging.columns.filterNot(_ == key).toSeq
+    val outCols = (key +: attrCols) ++ Seq("valid_from", "valid_to")
+    val hist = current.filter(col("valid_to").isNotNull).select(outCols.map(col): _*)
+    val open = current.filter(col("valid_to").isNull)
+    val o = open.as("o")
+    val s = staging.as("s")
+    val j = o.join(s, col(s"o.$key") === col(s"s.$key"), "full_outer")
+    val matched = col(s"o.$key").isNotNull && col(s"s.$key").isNotNull
+    val changed = attrCols.map(c => !(col(s"o.$c") <=> col(s"s.$c"))).reduce(_ || _)
+
+    // Single pass: each joined row emits 1-2 output rows via an array
+    // explode — three filtered unions over `j` would recompute the
+    // join (and everything under it) three times.
+    def rowStruct(side: String, from: Column, to: Column): Column =
+      struct((col(s"$side.$key").as(key) +: attrCols.map(c => col(s"$side.$c").as(c))) ++
+        Seq(from.as("valid_from"), to.cast("bigint").as("valid_to")): _*)
+    val keepS   = rowStruct("o", col("o.valid_from"), col("o.valid_to"))
+    val closedS = rowStruct("o", col("o.valid_from"), lit(batchTs))
+    val openS   = rowStruct("s", lit(batchTs), lit(null))
+    val emitted = j.select(explode(
+      when(col(s"s.$key").isNull, array(keepS))
+        .when(col(s"o.$key").isNull, array(openS))
+        .when(changed, array(closedS, openS))
+        .otherwise(array(keepS))).as("r"))
+      .select(col("r.*"))
+    hist.unionByName(emitted)
+  }
+
   /** Reference wire pattern for a live RDBMS: overwrite-truncate the
     * staging table via JDBC (batched per partition, reference
     * src/load.py:13-27 batches 500 rows — Spark's JDBC writer batches

@@ -120,11 +120,17 @@ object SqlOps {
     * ubiquitous shingles carry no near-dup signal and are exactly the
     * hot keys that skew the self-join at scale. */
   val dedupNgramJaccard: StagedOp = StagedOp(
-    stages = Seq("nj_dshf" -> { d =>
-      s"""WITH ${distinctShinglesCtes(d)},
-         |rare AS (SELECT s FROM dsh GROUP BY s HAVING COUNT(*) <= 20)
-         |SELECT dsh.doc_id, dsh.s FROM dsh JOIN rare ON dsh.s = rare.s""".stripMargin
-    }),
+    stages = Seq(
+      // the raw index first — `rare` below derives from it AND joins
+      // back to it; without materialization the whole explode+distinct
+      // chain would run twice (CTE inlining)
+      "nj_dsh" -> { d =>
+        s"WITH ${distinctShinglesCtes(d)} SELECT doc_id, s FROM dsh"
+      },
+      "nj_dshf" -> { _ =>
+        s"""WITH rare AS (SELECT s FROM nj_dsh GROUP BY s HAVING COUNT(*) <= 20)
+           |SELECT nj_dsh.doc_id, nj_dsh.s FROM nj_dsh JOIN rare ON nj_dsh.s = rare.s""".stripMargin
+      }),
     body = { _ =>
       s"""WITH sz AS (SELECT doc_id, COUNT(*) AS n FROM nj_dshf GROUP BY doc_id),
          |cand AS (

@@ -41,6 +41,36 @@ class LoadSpec extends SparkSpec {
     assert(n === 1L)
   }
 
+  test("scd2 merge: closes changed versions, keeps history, opens new keys") {
+    import org.apache.spark.sql.functions._
+    val current = Seq(
+      ("a", Some(100L), 0L, Option.empty[Long]),   // open, will change
+      ("a", Some(50L), -10L, Some(0L)),            // closed history, untouched
+      ("b", Some(200L), 0L, Option.empty[Long]),   // open, unchanged
+      ("x", Some(7L), 0L, Option.empty[Long])      // open, absent from staging
+    ).toDF("link", "price_rp", "valid_from", "valid_to")
+    val staging = Seq(
+      ("a", Some(999L)),  // changed
+      ("b", Some(200L)),  // identical -> no new version
+      ("c", Some(300L))   // brand new
+    ).toDF("link", "price_rp")
+    val out = Load.scd2Merge(current, staging, "link", batchTs = 42L)
+      .collect()
+      .map(r => (r.getString(0), Option(r.get(1)), r.getLong(2), Option(r.get(3))))
+      .toSet
+    assert(out === Set(
+      ("a", Some(50L), -10L, Some(0L)),    // history preserved
+      ("a", Some(100L), 0L, Some(42L)),    // old version closed at batch ts
+      ("a", Some(999L), 42L, None),        // new version open
+      ("b", Some(200L), 0L, None),         // unchanged stays open, unmodified
+      ("x", Some(7L), 0L, None),           // untouched key stays open
+      ("c", Some(300L), 42L, None)))       // new key opens
+    // idempotence: re-applying the same staging changes nothing
+    val again = Load.scd2Merge(
+      Load.scd2Merge(current, staging, "link", 42L), staging, "link", 43L)
+    assert(again.count() === 6)
+  }
+
   test("dated CSV sink + explicit-schema scan round-trip (stringly-typed stage)") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString

@@ -108,6 +108,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("asof join: matched purchase is at or before the click") {
+    val rows = run("q_asof_join").collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getAs[Long]("last_purchase_us") <= r.getAs[Long]("us"))
+    }
+  }
+
+  test("percentiles: p50 <= p90 and within observed value range") {
+    run("q_percentiles").collect().foreach { r =>
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p90"))
+    }
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    import org.apache.spark.sql.functions._
+    val direct = graft.Tables.lineitem(spark, sf001)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = run("q_agg_salted")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted === direct)
+  }
+
   test("quality score stays in [0, 1]") {
     run("q_text_quality").collect().foreach { r =>
       val q = r.getAs[Double]("quality")
