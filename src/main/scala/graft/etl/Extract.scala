@@ -69,6 +69,21 @@ object Extract {
       badge, null, null)
   }
 
+  /** Early-exit pagination (reference src/extract.py:171-173: stop at
+    * the first page with zero cards). Pagination control is inherently
+    * driver-side in the reference; here the page→cardcount map is tiny
+    * (≤ num_pages rows) so the collect is bounded by config, then the
+    * page set is pruned before the distributed parse. */
+  def fromPagesWithEarlyExit(pages: Dataset[(Int, String)], adsType: String,
+                             propertyType: String, adminList: Seq[String]): DataFrame = {
+    import pages.sparkSession.implicits._
+    val emptyPages = pages
+      .map { case (p, html) => (p, CardRe.findAllIn(html).size) }
+      .filter(_._2 == 0).map(_._1).collect()
+    val cutoff = if (emptyPages.isEmpty) Int.MaxValue else emptyPages.min
+    fromPages(pages.filter(_._1 < cutoff), adsType, propertyType, adminList)
+  }
+
   /** Pages → raw listing rows: the S2 generator (one page → N cards) as
     * a flatMap, constants attached per run (P8). `ingest_order`
     * preserves scrape order (page × 1000 + card index) so keep-first
@@ -148,6 +163,23 @@ object MiniYaml {
   private def unquote(s: String): Any = {
     val u = s.stripPrefix("'").stripSuffix("'").stripPrefix("\"").stripSuffix("\"")
     if (u.matches("-?\\d+")) u.toInt else u
+  }
+}
+
+/** Driver-side retry policy (reference dags/dags.py:22-23: 1 retry,
+  * 5-minute delay) as a reusable helper. */
+object Orchestration {
+  def withRetry[T](retries: Int, delayMs: Long = 0L)(f: () => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f() catch {
+        case e: Throwable =>
+          if (attempt >= retries) throw e
+          attempt += 1
+          if (delayMs > 0) Thread.sleep(delayMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }
 

@@ -72,6 +72,31 @@ class ExtractSpec extends SparkSpec {
     assert(byLink("rumah123.com/p/b") === "B2") // re-scrape overwrote
   }
 
+  test("early-exit: pages after the first empty page are skipped") {
+    import spark.implicits._
+    val pages = Seq(
+      (1, card("/p/a", "A", "Rp 1 Juta")),
+      (2, "<html>no cards here</html>"),
+      (3, card("/p/c", "C", "Rp 3 Juta")))
+    val df = Extract.fromPagesWithEarlyExit(pages.toDS(), "jual", "rumah", admins)
+    assert(df.collect().map(_.getAs[String]("link")).toSeq === Seq("rumah123.com/p/a"))
+  }
+
+  test("withRetry retries the configured number of times then succeeds/throws") {
+    var calls = 0
+    val got = Orchestration.withRetry(2) { () =>
+      calls += 1
+      if (calls < 3) throw new RuntimeException("flaky")
+      "ok"
+    }
+    assert(got === "ok" && calls === 3)
+    var calls2 = 0
+    intercept[RuntimeException] {
+      Orchestration.withRetry(1) { () => calls2 += 1; throw new RuntimeException("always") }
+    }
+    assert(calls2 === 2)
+  }
+
   test("validate rejects bad domains") {
     intercept[IllegalArgumentException](Extract.validate("buy", "rumah", 1))
     intercept[IllegalArgumentException](Extract.validate("jual", "castle", 1))
