@@ -82,6 +82,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows.sorted === List("a", "b"))
   }
 
+  test("Trigger.AvailableNow over a landing dir: the reference's daily-batch upsert") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_landing").toString
+    val landing = s"$dir/landing"
+    val target = s"$dir/target"
+
+    // day 1 lands, stream drains it, merge applies
+    Seq(("a", 1L), ("b", 2L)).toDF("link", "price")
+      .write.mode("append").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    def drain(ckpt: String): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(landing)
+      val q = StreamingOps.upsertEachBatch(spark, stream, "link", target, s"$dir/$ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain("ckpt")
+    assert(spark.read.parquet(target).count() === 2)
+
+    // day 2 lands (re-scrape of b + new c); same checkpoint → only the
+    // new file is processed, upsert is idempotent across runs
+    Seq(("b", 99L), ("c", 3L)).toDF("link", "price")
+      .write.mode("append").parquet(landing)
+    drain("ckpt")
+    val out = spark.read.parquet(target).collect()
+      .map(r => (r.getAs[String]("link"), r.getAs[Long]("price"))).toSet
+    assert(out === Set(("a", 1L), ("b", 99L), ("c", 3L)))
+  }
+
   test("foreachBatch upsert maintains merge semantics across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
