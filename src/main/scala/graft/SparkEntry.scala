@@ -136,6 +136,7 @@ object SparkEntry {
     "q_text_langid" -> sqlq(Seq("documents"), SqlOps.textLangId),
     "q_text_quality" -> sqlq(Seq("documents"), SqlOps.textQuality),
     "q_text_fingerprint" -> sqlq(Seq("documents"), SqlOps.textFingerprint),
+    "q_text_tfidf" -> sqlq(Seq("documents"), SqlOps.textTfIdf),
     "q_text_rolling_hash" -> ((s, d) => {
       graft.functions.RollingHash.register(s)
       graft.Tables(s, d, "documents").createOrReplaceTempView("documents")
@@ -352,6 +353,7 @@ object SparkEntry {
     "q_text_langid" -> SqlOps.textLangId(DuckDialect),
     "q_text_quality" -> SqlOps.textQuality(DuckDialect),
     "q_text_fingerprint" -> SqlOps.textFingerprint(DuckDialect),
+    "q_text_tfidf" -> SqlOps.textTfIdf(DuckDialect),
     "q_text_rolling_hash" ->
       """SELECT doc_id,
         |  list_reduce(

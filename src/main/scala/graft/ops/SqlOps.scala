@@ -196,6 +196,30 @@ object SqlOps {
       })
   }
 
+  /** Most-characteristic term per document by tf·idf ranking. The idf
+    * factor is the *linear* rarity ratio n_docs/df rather than its log:
+    * ln() is not correctly-rounded and differs across engines in the
+    * last ulp, which would flip near-tie rankings — the linear form is
+    * exact integer arithmetic and ranks identically (log is monotone in
+    * n_docs/df, so for a fixed tf the order matches; cross-tf trade-offs
+    * differ from textbook tf-idf and are documented as such). */
+  def textTfIdf(d: Dialect): String =
+    s"""WITH ttoks AS (SELECT doc_id, ${toks(d)} AS toks FROM documents),
+       |tok AS (${d.explode("SELECT doc_id, toks FROM ttoks", "doc_id", "toks", "t")}),
+       |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+       |df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.t, tf.tf, df.df,
+       |    CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+       |  FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
+       |)
+       |SELECT doc_id, t AS top_term, tf, df, score FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, t) AS rn
+       |  FROM scored
+       |) WHERE rn = 1""".stripMargin
+
   /** Canonical-token-set fingerprint (sorted distinct tokens → md5). */
   def textFingerprint(d: Dialect): String =
     s"""WITH ftoks AS (SELECT doc_id, ${toks(d)} AS toks FROM documents)
