@@ -124,6 +124,8 @@ object SparkEntry {
     "q_dedup_simhash" -> sqlq(Seq("documents"), SqlOps.dedupSimhash),
     "q_dedup_simhash_pairs" -> sqlStaged(Seq("documents"), SqlOps.dedupSimhashPairs),
     "q_dedup_fingerprint" -> sqlq(Seq("documents"), SqlOps.dedupFingerprint),
+    "q_dedup_levenshtein" -> sqlq(Seq("documents"), SqlOps.dedupLevenshtein),
+    "q_ntile" -> sqlq(Seq("orders"), SqlOps.orderDeciles),
     "q_dedup_embedding_cosine" -> sqlStaged(Seq("embeddings"), SqlOps.dedupEmbeddingCosine),
 
     // -- similarity search (embeddings) --
@@ -345,6 +347,8 @@ object SparkEntry {
     "q_dedup_simhash" -> SqlOps.dedupSimhash(DuckDialect),
     "q_dedup_simhash_pairs" -> SqlOps.dedupSimhashPairs.single(DuckDialect),
     "q_dedup_fingerprint" -> SqlOps.dedupFingerprint(DuckDialect),
+    "q_dedup_levenshtein" -> SqlOps.dedupLevenshtein(DuckDialect),
+    "q_ntile" -> SqlOps.orderDeciles(DuckDialect),
     "q_dedup_embedding_cosine" -> SqlOps.dedupEmbeddingCosine.single(DuckDialect),
     "q_knn_bruteforce" -> SqlOps.knnBruteForce.single(DuckDialect),
     "q_ann_sign_lsh" -> SqlOps.annSignLsh.single(DuckDialect),

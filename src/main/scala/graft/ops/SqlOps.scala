@@ -220,6 +220,37 @@ object SqlOps {
        |  FROM scored
        |) WHERE rn = 1""".stripMargin
 
+  /** Edit-distance near-dup: Levenshtein over 40-char prefixes for
+    * candidate pairs sharing a (source, length-bucket) — the blocking
+    * keys bound the quadratic edit-distance work, the standard shape
+    * for fuzzy dedup at scale. Both engines implement the same classic
+    * edit distance. Run over the two-snapshot corpus so planted dups
+    * surface at distance 0. */
+  def dedupLevenshtein(d: Dialect): String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text, source FROM documents
+       |),
+       |keyed AS (
+       |  SELECT doc_id, substr(text, 1, 40) AS prefix,
+       |    concat(source, ':', CAST(CAST(FLOOR(length(text) / 50) AS BIGINT) AS STRING),
+       |           ':', substr(text, 1, 3)) AS blk
+       |  FROM corpus
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  levenshtein(a.prefix, b.prefix) AS edit_dist
+       |FROM keyed a JOIN keyed b
+       |  ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |WHERE levenshtein(a.prefix, b.prefix) <= 5""".stripMargin
+
+  /** Decile assignment (NTILE) of order value within each status. */
+  def orderDeciles(d: Dialect): String =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CAST(NTILE(10) OVER (PARTITION BY o_orderstatus
+      |    ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
+      |FROM orders""".stripMargin
+
   /** Canonical-token-set fingerprint (sorted distinct tokens → md5). */
   def textFingerprint(d: Dialect): String =
     s"""WITH ftoks AS (SELECT doc_id, ${toks(d)} AS toks FROM documents)
