@@ -129,6 +129,7 @@ object SparkEntry {
     "q_dedup_embedding_cosine" -> sqlStaged(Seq("embeddings"), SqlOps.dedupEmbeddingCosine),
 
     // -- similarity search (embeddings) --
+    "q_embedding_stats" -> sqlq(Seq("embeddings"), SqlOps.embeddingStats),
     "q_knn_bruteforce" -> sqlStaged(Seq("embeddings"), SqlOps.knnBruteForce),
     "q_ann_sign_lsh" -> sqlStaged(Seq("embeddings"), SqlOps.annSignLsh),
     "q_ann_ivf" -> sqlStaged(Seq("embeddings"), SqlOps.annIvf),
@@ -159,6 +160,13 @@ object SparkEntry {
         .toDF().drop("features")
         .orderBy("doc_id")
     }),
+    // frame sampling of video payloads (frame bytes dropped: chunk
+    // geometry is SQL-checkable, the binary itself is not)
+    "q_multimodal_frames" -> ((s, d) =>
+      graft.ops.Multimodal
+        .sampleFrames(graft.ops.Multimodal.asMedia(graft.Tables.documents(s, d)))
+        .drop("frame")
+        .orderBy("doc_id", "frame_no")),
   )
 
   // ---- DuckDB oracles ----
@@ -350,6 +358,7 @@ object SparkEntry {
     "q_dedup_levenshtein" -> SqlOps.dedupLevenshtein(DuckDialect),
     "q_ntile" -> SqlOps.orderDeciles(DuckDialect),
     "q_dedup_embedding_cosine" -> SqlOps.dedupEmbeddingCosine.single(DuckDialect),
+    "q_embedding_stats" -> SqlOps.embeddingStats(DuckDialect),
     "q_knn_bruteforce" -> SqlOps.knnBruteForce.single(DuckDialect),
     "q_ann_sign_lsh" -> SqlOps.annSignLsh.single(DuckDialect),
     "q_ann_ivf" -> SqlOps.annIvf.single(DuckDialect),
@@ -368,6 +377,11 @@ object SparkEntry {
     "q_events_tumbling" -> SqlOps.eventsTumbling(DuckDialect),
     "q_events_sessionize" -> SqlOps.eventsSessionize(DuckDialect),
     "q_multimodal_meta" -> SqlOps.multimodalMeta(DuckDialect),
+    "q_multimodal_frames" ->
+      """SELECT doc_id,
+        |  CAST(unnest(range(0,
+        |    CAST(CEIL(CAST(octet_length(encode(text)) AS DOUBLE) / 64) AS BIGINT), 4)) AS INT) AS frame_no
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
     "q_multimodal_decode" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) % 317 + 16 AS INT) AS width,

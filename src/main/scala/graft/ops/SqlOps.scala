@@ -220,6 +220,15 @@ object SqlOps {
        |  FROM scored
        |) WHERE rn = 1""".stripMargin
 
+  /** Per-label embedding statistics: count and mean L2 norm. Norms are
+    * bit-identical doubles per row (fixed fold); rounding to 6dp and
+    * summing in DECIMAL makes the group aggregate order-independent. */
+  def embeddingStats(d: Dialect): String =
+    s"""WITH nv AS (SELECT label, sqrt(${d.dot("embedding", "embedding")}) AS nrm FROM embeddings)
+       |SELECT label, COUNT(*) AS n,
+       |  CAST(SUM(CAST(ROUND(nrm, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+       |FROM nv GROUP BY label""".stripMargin
+
   /** Edit-distance near-dup: Levenshtein over 40-char prefixes for
     * candidate pairs sharing a (source, length-bucket) — the blocking
     * keys bound the quadratic edit-distance work, the standard shape
