@@ -69,8 +69,8 @@ object SqlOps {
   /** Distinct (doc, shingle) word-3-gram pairs — shared by minhash and
     * jaccard. Relational shingle generation (posexplode + LEAD window),
     * not array lambdas: whole-stage-codegen'd, splits each text exactly
-    * once, and the per-doc window shuffle is the same partitioning the
-    * downstream groupBys need. */
+    * once. (An array-lambda variant over materialized token arrays was
+    * benchmarked 4-5× slower — interpreted HOF evaluation dominates.) */
   private def distinctShinglesCtes(d: Dialect): String =
     s"""${corpusCte(d)},
        |ctoks AS (SELECT doc_id, ${toks(d)} AS toks FROM corpus),
