@@ -134,36 +134,79 @@ case class LoadConfig(stagingTable: String, mainTable: String,
                       uniqueKey: String, batchSize: Int)
 
 object MiniYaml {
-  /** Parse `key: value` scalars and `key:` + `- item` string lists at
-    * one nesting level. Covers the reference's config shapes. */
+  /** Indentation-aware parser for the YAML subset the reference configs
+    * use: scalar mappings, string lists, and lists of structs with
+    * nested string lists (the `regions:` shape in configs/extract.yaml —
+    * `- name: x` / `  id: 1` / `  admins:` / `    - Jakarta Barat`).
+    * Struct list items parse as `Map[String, Any]`. */
   def parse(src: String): Map[String, Any] = {
-    val root = scala.collection.mutable.LinkedHashMap[String, Any]()
-    var curList: Option[(String, scala.collection.mutable.ListBuffer[Any])] = None
-    src.linesIterator.map(_.replaceAll("#.*$", "")).filter(_.trim.nonEmpty).foreach { line =>
-      val t = line.trim
-      if (t.startsWith("- ")) {
-        val item = t.drop(2).trim
-        curList.foreach(_._2 += unquote(item))
-      } else {
-        val idx = t.indexOf(':')
-        if (idx > 0) {
-          val (k, v) = (t.take(idx).trim, t.drop(idx + 1).trim)
-          if (v.isEmpty) {
-            val buf = scala.collection.mutable.ListBuffer[Any]()
-            curList = Some(k -> buf)
-            root(k) = buf
-          } else root(k) = unquote(v)
-        }
+    val lines = src.linesIterator
+      .map(_.replaceAll("#.*$", ""))
+      .filter(_.trim.nonEmpty)
+      .map(l => (l.takeWhile(_ == ' ').length, l.trim))
+      .toVector
+    if (lines.isEmpty) Map.empty
+    else parseMap(lines, 0, lines.head._1)._1
+  }
+
+  /** Mapping block with keys at `indent`; returns (map, next line index). */
+  private def parseMap(lines: Vector[(Int, String)], start: Int, indent: Int): (Map[String, Any], Int) = {
+    val out = scala.collection.mutable.LinkedHashMap[String, Any]()
+    var i = start
+    while (i < lines.length && lines(i)._1 == indent && !lines(i)._2.startsWith("- ")) {
+      val t = lines(i)._2
+      val idx = t.indexOf(':')
+      if (idx <= 0) i += 1
+      else {
+        val k = t.take(idx).trim
+        val v = t.drop(idx + 1).trim
+        if (v.nonEmpty) { out(k) = unquote(v); i += 1 }
+        else if (i + 1 < lines.length && lines(i + 1)._1 > indent) {
+          val childIndent = lines(i + 1)._1
+          if (lines(i + 1)._2.startsWith("- ")) {
+            val (lst, ni) = parseList(lines, i + 1, childIndent); out(k) = lst; i = ni
+          } else {
+            val (m, ni) = parseMap(lines, i + 1, childIndent); out(k) = m; i = ni
+          }
+        } else { out(k) = Nil; i += 1 }
       }
     }
-    root.map { case (k, v) =>
-      k -> (v match { case b: scala.collection.mutable.ListBuffer[_] => b.toList; case x => x })
-    }.toMap
+    (out.toMap, i)
   }
+
+  /** List block with `- ` items at `indent`. A `- k: v` item opens a
+    * struct whose remaining keys sit at `indent + 2` (the column where
+    * `k` starts after the dash). */
+  private def parseList(lines: Vector[(Int, String)], start: Int, indent: Int): (List[Any], Int) = {
+    val out = scala.collection.mutable.ListBuffer[Any]()
+    var i = start
+    while (i < lines.length && lines(i)._1 == indent && lines(i)._2.startsWith("- ")) {
+      val item = lines(i)._2.drop(2).trim
+      val cidx = item.indexOf(": ")
+      val bare = item.endsWith(":")
+      if (cidx > 0 || bare) {
+        val (m, ni) = parseMap(lines.updated(i, (indent + 2, item)), i, indent + 2)
+        out += m; i = ni
+      } else { out += unquote(item); i += 1 }
+    }
+    (out.toList, i)
+  }
+
   private def unquote(s: String): Any = {
     val u = s.stripPrefix("'").stripSuffix("'").stripPrefix("\"").stripSuffix("\"")
     if (u.matches("-?\\d+")) u.toInt else u
   }
+
+  /** Typed view of the reference's extract.yaml regions block. */
+  def regions(cfg: Map[String, Any]): Seq[RegionConfig] =
+    cfg.getOrElse("regions", Nil).asInstanceOf[List[Any]].map { r =>
+      val m = r.asInstanceOf[Map[String, Any]]
+      RegionConfig(
+        name = m("name").toString,
+        id = m("id").asInstanceOf[Int],
+        admins = m.getOrElse("admins", Nil).asInstanceOf[List[Any]].map(_.toString),
+        schedule = m.getOrElse("schedule", "").toString)
+    }
 }
 
 /** Driver-side retry policy (reference dags/dags.py:22-23: 1 retry,

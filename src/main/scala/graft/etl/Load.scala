@@ -26,7 +26,13 @@ object Load {
     * staging row wholesale (last-writer-wins full-row update, reference
     * src/load.py:37 — NULLs in staging overwrite too, so this switches
     * on key presence, not per-column coalesce), unmatched staging rows
-    * insert, unmatched main rows persist. Inputs must share a schema. */
+    * insert, unmatched main rows persist. Inputs must share a schema.
+    *
+    * Precondition: `staging` must have at most one row per `key` (the
+    * full-outer join duplicates the main row otherwise, diverging from
+    * the reference's sequential last-writer-wins). Callers with raw
+    * multi-occurrence batches dedup first — see
+    * [[graft.streaming.StreamingOps.upsertEachBatch]]. */
   def merge(main: DataFrame, staging: DataFrame, key: String): DataFrame = {
     val cols = main.columns.toSeq
     require(staging.columns.toSeq == cols, "merge requires identical schemas")

@@ -95,25 +95,56 @@ object StreamingOps {
   /** Micro-batch upsert: the reference's staging+merge load applied per
     * micro-batch (`Trigger.AvailableNow` over a landing directory gives
     * exactly the reference's idempotent daily-batch semantics). The
-    * target is maintained as a parquet dir swapped atomically via
-    * temp-dir rename. */
+    * target is maintained as a parquet dir swapped via checked renames
+    * with a `.old` recovery dir: a crash between the two moves leaves
+    * `.old` in place, and the next batch (or a restart) recovers the
+    * previous state from it instead of silently rebuilding from the
+    * batch alone.
+    *
+    * Each batch is deduplicated on the key first (keep-last by
+    * `orderCol`): a single landing-dir drain can contain the same key
+    * twice (re-scrape within one day), and [[graft.etl.Load.merge]]
+    * requires unique staging keys to reproduce the reference's
+    * sequential ON CONFLICT last-writer-wins semantics. */
   def upsertEachBatch(spark: SparkSession, stream: DataFrame, key: String,
-                      targetDir: String, checkpointDir: String) = {
+                      targetDir: String, checkpointDir: String,
+                      orderCol: Option[String] = None) = {
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val target = new java.io.File(targetDir)
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val target = Paths.get(targetDir)
+        val old = Paths.get(targetDir + ".old")
+        // crash recovery: a previous batch moved target -> .old and died
+        // before publishing its replacement
+        if (!Files.exists(target) && Files.exists(old))
+          Files.move(old, target, StandardCopyOption.ATOMIC_MOVE)
+        // keep-last within the batch = the reference's sequential upsert;
+        // without an explicit order column, arrival order (file/partition
+        // order of the landing-dir drain) is the best available proxy
+        val ordered = orderCol.map(batch.col)
+          .getOrElse(monotonically_increasing_id())
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key))
+          .orderBy(col("__ord").desc)
+        val deduped = batch
+          .withColumn("__ord", ordered)
+          .withColumn("__rn", row_number().over(win))
+          .filter(col("__rn") === 1).drop("__rn", "__ord")
         val merged =
-          if (target.exists()) graft.etl.Load.merge(spark.read.parquet(targetDir), batch, key)
-          else batch
+          if (Files.exists(target)) graft.etl.Load.merge(spark.read.parquet(targetDir), deduped, key)
+          else deduped
         val tmp = targetDir + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        val old = new java.io.File(targetDir + ".old")
-        org.apache.commons.io.FileUtils.deleteQuietly(old)
-        if (target.exists()) target.renameTo(old)
-        new java.io.File(tmp).renameTo(target)
-        org.apache.commons.io.FileUtils.deleteQuietly(old)
+        // checked swap; ATOMIC_MOVE throws instead of silently failing
+        // (e.g. cross-filesystem), failing the batch so the checkpoint
+        // does not advance past a lost target
+        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+        if (Files.exists(target))
+          Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
         ()
       }
   }

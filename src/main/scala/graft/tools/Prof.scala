@@ -52,10 +52,16 @@ object Prof {
     }
     val stage = spark.sql(stageSql)
     timed("full stage (distinct)")(stage.count())
-    val path = "/tmp/prof_stage"
-    timed("stage write parquet")(
-      { stage.write.mode("overwrite").parquet(path); 0L })
-    spark.read.parquet(path).createOrReplaceTempView("nj_dshf")
+    // materialize BOTH stages exactly as SparkEntry.sqlStaged does (the
+    // raw index nj_dsh, then the df<=20 rare-shingle cap nj_dshf) so the
+    // body timings below profile the real q_dedup_ngram_jaccard pipeline
+    op.stages.foreach { case (name, build) =>
+      val path = s"/tmp/prof_stage/$name"
+      timed(s"stage $name write") {
+        spark.sql(build(SparkDialect)).write.mode("overwrite").parquet(path); 0L
+      }
+      spark.read.parquet(path).createOrReplaceTempView(name)
+    }
     timed("cand groupby") {
       spark.sql(
         """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter

@@ -137,4 +137,27 @@ class ExtractSpec extends SparkSpec {
     assert(cfg("admins") === List("Jakarta Barat", "Jakarta Selatan"))
     assert(cfg("batch_size") === 500)
   }
+
+  test("mini-yaml parses the regions list-of-structs shape") {
+    val cfg = MiniYaml.parse(
+      """regions:
+        |  - name: jakarta
+        |    id: 1
+        |    admins:
+        |      - Jakarta Barat
+        |      - Jakarta Selatan
+        |    schedule: '0 0 * * *'
+        |  - name: bogor
+        |    id: 2
+        |    admins:
+        |      - Bogor
+        |    schedule: '30 0 * * *'
+        |num_pages: 20
+        |""".stripMargin)
+    val rs = MiniYaml.regions(cfg)
+    assert(rs === Seq(
+      RegionConfig("jakarta", 1, Seq("Jakarta Barat", "Jakarta Selatan"), "0 0 * * *"),
+      RegionConfig("bogor", 2, Seq("Bogor"), "30 0 * * *")))
+    assert(cfg("num_pages") === 20)
+  }
 }

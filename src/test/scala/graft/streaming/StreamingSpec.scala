@@ -129,4 +129,23 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getAs[String]("link"), r.getAs[Long]("price"))).toSet
     assert(out === Set(("a", 1L), ("b", 99L), ("c", 3L)))
   }
+
+  test("foreachBatch upsert dedups repeated keys within one micro-batch (keep-last)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_dup").toString
+    val target = s"$dir/target"
+    val in = MemoryStream[(String, Long, Long)]
+    val df = in.toDF().toDF("link", "price", "ord")
+    val q = StreamingOps.upsertEachBatch(spark, df, "link", target, s"$dir/ckpt",
+      orderCol = Some("ord")).start()
+    // same key twice within one drain (re-scrape within one day): the
+    // reference's sequential ON CONFLICT applies the later row
+    in.addData(("a", 1L, 0L), ("a", 7L, 1L), ("b", 2L, 2L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(target).collect()
+      .map(r => (r.getAs[String]("link"), r.getAs[Long]("price"))).toSet
+    assert(out === Set(("a", 7L), ("b", 2L)))
+  }
 }

@@ -22,7 +22,7 @@ def cell(v):
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NULL"
+            return "NaN"  # distinct from NULL: a Spark NaN must not match an oracle NULL
         return repr(v)
     return str(v)
 
