@@ -66,30 +66,49 @@ object SqlOps {
        |SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
        |FROM corpus GROUP BY md5(text)""".stripMargin
 
-  /** Distinct (doc, shingle) word-3-gram pairs — shared by minhash and
-    * jaccard. Relational shingle generation (posexplode + LEAD window),
-    * not array lambdas: whole-stage-codegen'd, splits each text exactly
-    * once. (An array-lambda variant over materialized token arrays was
-    * benchmarked 4-5× slower — interpreted HOF evaluation dominates.) */
-  private def distinctShinglesCtes(d: Dialect): String =
-    s"""${corpusCte(d)},
-       |ctoks AS (SELECT doc_id, ${toks(d)} AS toks FROM corpus),
-       |tokp AS (${d.explodeWithPos("SELECT doc_id, toks FROM ctoks", "doc_id", "toks", "pos", "tkn")}),
-       |sh3 AS (
-       |  SELECT doc_id,
-       |    concat(tkn, ' ',
-       |      LEAD(tkn, 1) OVER (PARTITION BY doc_id ORDER BY pos), ' ',
-       |      LEAD(tkn, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS s,
-       |    LEAD(tkn, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
-       |  FROM tokp
-       |),
-       |dsh AS (SELECT DISTINCT doc_id, s FROM sh3 WHERE t2 IS NOT NULL)""".stripMargin
+  /** Raw (doc, shingle) word-3-gram rows (duplicates kept) — the shared
+    * base of minhash and jaccard.
+    *
+    * Spark rendering: the native codegen'd [[graft.functions.WordShingles]]
+    * expression exploded — a narrow projection with no window, so
+    * shingling is an embarrassingly parallel scan→explode. The
+    * relational form (posexplode + LEAD window) costs a shuffle+sort on
+    * (doc_id, pos) just to see adjacent tokens, and the array-lambda
+    * form evaluates interpreted per element (4-5× slower, commit
+    * 1487599).
+    *
+    * DuckDB rendering keeps the relational posexplode+LEAD form — the
+    * oracle gate is exactly what proves the two renderings identical. */
+  private def shinglesCtes(d: Dialect): String =
+    if (d.name == "spark")
+      s"""${corpusCte(d)},
+         |sh AS (
+         |  SELECT doc_id, s FROM corpus
+         |  LATERAL VIEW explode(word_shingles(text, 3)) _t AS s
+         |)""".stripMargin
+    else
+      s"""${corpusCte(d)},
+         |ctoks AS (SELECT doc_id, ${toks(d)} AS toks FROM corpus),
+         |tokp AS (${d.explodeWithPos("SELECT doc_id, toks FROM ctoks", "doc_id", "toks", "pos", "tkn")}),
+         |sh3 AS (
+         |  SELECT doc_id,
+         |    concat(tkn, ' ',
+         |      LEAD(tkn, 1) OVER (PARTITION BY doc_id ORDER BY pos), ' ',
+         |      LEAD(tkn, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS s,
+         |    LEAD(tkn, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+         |  FROM tokp
+         |),
+         |sh AS (SELECT doc_id, s FROM sh3 WHERE t2 IS NOT NULL)""".stripMargin
 
   /** MinHash LSH candidate pairs: ONE md5 per shingle sliced into 8
     * 16-bit hash functions (min over each slice), 4 bands of 2 → join
     * on band key. One hash pass + a map-side-combinable groupBy, not 8
-    * lambda passes over shingle arrays. The signature table (1 row/doc)
-    * is staged so the band self-join doesn't rebuild the index. */
+    * lambda passes over shingle arrays. No DISTINCT on the shingle rows:
+    * MIN over a multiset equals MIN over its support, so the signature
+    * aggregation dedups for free (map-side partial MIN — the shuffle
+    * carries one partial signature per doc per partition, not the
+    * shingle index). The signature table (1 row/doc) is staged so the
+    * band self-join doesn't rebuild it. */
   val dedupMinhash: StagedOp = {
     val sigCols = (0 until 8).map { j =>
       s"MIN(substr(md5(s), ${4 * j + 1}, 4)) AS h$j"
@@ -99,10 +118,10 @@ object SqlOps {
     }.mkString("\n  UNION ALL\n  ")
     StagedOp(
       stages = Seq("mh_sig" -> { d =>
-        s"""WITH ${distinctShinglesCtes(d)}
+        s"""WITH ${shinglesCtes(d)}
            |SELECT doc_id,
            |    $sigCols
-           |FROM dsh GROUP BY doc_id""".stripMargin
+           |FROM sh GROUP BY doc_id""".stripMargin
       }),
       body = { _ =>
         s"""WITH bands AS (
@@ -118,18 +137,31 @@ object SqlOps {
     * exact jaccard ≥ 0.6. Shingles appearing in > 20 docs are dropped
     * from the index AND the sizes (so identical docs still score 1.0):
     * ubiquitous shingles carry no near-dup signal and are exactly the
-    * hot keys that skew the self-join at scale. */
+    * hot keys that skew the self-join at scale.
+    *
+    * One materialized stage: distinct (doc, shingle) pairs with the
+    * document-frequency cap applied in the same pass via a count window
+    * (df = COUNT OVER (PARTITION BY shingle) on distinct rows ≡ the
+    * GROUP BY … HAVING + join-back form, minus one parquet round-trip
+    * and the join).
+    *
+    * Spark-side the shingle identity is `xxhash64(shingle)` — Broder-
+    * style shingle fingerprinting: every downstream op (df cap,
+    * inverted-index self-join, intersection counts) uses only shingle
+    * identity, so a 64-bit fingerprint gives identical counts unless
+    * two distinct shingles in one corpus collide (P ≈ n²/2⁶⁵ ≈ 1e-8 at
+    * half a million shingles), and shrinks the shuffle/index ~4× while
+    * making the hot self-join key a fixed-width long. The oracle keeps
+    * the string form — the hash gate itself proves count-equivalence on
+    * every run. */
   val dedupNgramJaccard: StagedOp = StagedOp(
     stages = Seq(
-      // the raw index first — `rare` below derives from it AND joins
-      // back to it; without materialization the whole explode+distinct
-      // chain would run twice (CTE inlining)
-      "nj_dsh" -> { d =>
-        s"WITH ${distinctShinglesCtes(d)} SELECT doc_id, s FROM dsh"
-      },
-      "nj_dshf" -> { _ =>
-        s"""WITH rare AS (SELECT s FROM nj_dsh GROUP BY s HAVING COUNT(*) <= 20)
-           |SELECT nj_dsh.doc_id, nj_dsh.s FROM nj_dsh JOIN rare ON nj_dsh.s = rare.s""".stripMargin
+      "nj_dshf" -> { d =>
+        val sid = if (d.name == "spark") "xxhash64(s)" else "s"
+        s"""WITH ${shinglesCtes(d)},
+           |dsh AS (SELECT DISTINCT doc_id, $sid AS s FROM sh),
+           |w AS (SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM dsh)
+           |SELECT doc_id, s FROM w WHERE df <= 20""".stripMargin
       }),
     body = { _ =>
       s"""WITH sz AS (SELECT doc_id, COUNT(*) AS n FROM nj_dshf GROUP BY doc_id),
@@ -151,11 +183,19 @@ object SqlOps {
     * the random-collision rate of the band join negligible (16 bits
     * produced tens of thousands of false candidates on random text). */
   private def simhashCtes(d: Dialect): String = {
-    val hexv = (1 to 8).map { i =>
-      s"CAST(instr('0123456789abcdef', substr(md5(t), $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}"
-    }.mkString(" + ")
+    // Spark: one codegen'd digest call on the raw bytes + integer shift
+    // bit tests. DuckDB keeps the hex-parse + floor-div arithmetic form
+    // (identical values: v < 2^32 so floor(v/2^k) ≡ v >> k exactly).
+    val hexv =
+      if (d.name == "spark") "md5_prefix32(t)"
+      else (1 to 8).map { i =>
+        s"CAST(instr('0123456789abcdef', substr(md5(t), $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}"
+      }.mkString(" + ")
     val bitSums = (0 until 32).map { j =>
-      s"SUM(CASE WHEN CAST(FLOOR(v / ${1L << (31 - j)}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
+      if (d.name == "spark")
+        s"SUM(CASE WHEN (shiftright(v, ${31 - j}) & 1) = 1 THEN 1 ELSE -1 END) AS b$j"
+      else
+        s"SUM(CASE WHEN CAST(FLOOR(v / ${1L << (31 - j)}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
     }.mkString(",\n    ")
     val assemble = (0 until 32).map { j =>
       s"(CASE WHEN b$j >= 0 THEN ${1L << (31 - j)} ELSE 0 END)"
@@ -333,52 +373,68 @@ object SqlOps {
     })
 
   /** IVF ANN: coarse quantizer = per-label centroids (computed, not
-    * assumed — positional explode + decimal-exact averaging so both
-    * engines derive identical centroids), assignment = nearest centroid
-    * by L2 (exact decimal distance sums), probe = cosine top-3 within
-    * the assigned cell. The IVF structure at scale: the centroid table
-    * is broadcast-sized, assignment is one pass over the vectors, and
-    * search fans out only within cells. */
+    * assumed), assignment = nearest centroid by L2 over µ-quantized
+    * components, probe = cosine top-3 within the assigned cell.
+    *
+    * All assignment arithmetic is int64: components quantize to
+    * micro-units (⌊v·1e6 + ½⌋ — FLOOR, not SQL ROUND, so both engines
+    * run the same cheap IEEE ops with no BigDecimal in the hot path;
+    * the earlier DECIMAL(28,10) distance sums were the slowest part of
+    * the whole similarity family), centroids to the quantized integer
+    * mean, distances to Σ(qv−qc)² — exact, order-independent, identical
+    * across engines. Max magnitude: diff² ≤ ~1.6e15 × 64 dims ≈ 1e17
+    * < 2⁶³.
+    *
+    * The IVF structure at scale: the centroid table is broadcast-sized,
+    * assignment is one pass over the vectors, and search fans out only
+    * within cells. */
   val annIvf: StagedOp = {
     StagedOp(
       stages = Seq(
         "emb_nv" -> nvStage,
-        "ivf_cent" -> { d =>
-          val exploded = d.explodeWithPos(
+        // centroids (broadcast-sized: labels × dims), nearest-centroid
+        // assignment, and the (vector, cell) working set in ONE staged
+        // pass: each inner CTE is referenced exactly once so Spark's
+        // CTE inlining computes it once; only the working set — which
+        // the body self-joins — hits parquet. (Previously 3 stages = 3
+        // parquet round-trips per run.)
+        "ivf_nvc" -> { d =>
+          val expC = d.explodeWithPos(
             "SELECT vec_id, label, embedding FROM embeddings",
             "vec_id, label", "embedding", "pos", "v")
-          s"""WITH ev AS ($exploded)
-             |SELECT label, pos,
-             |  CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cval
-             |FROM ev GROUP BY label, pos""".stripMargin
-        },
-        "ivf_asgn" -> { d =>
-          val exploded = d.explodeWithPos(
+          val expA = d.explodeWithPos(
             "SELECT vec_id, embedding FROM embeddings",
             "vec_id", "embedding", "pos", "v")
-          s"""WITH ev AS ($exploded),
+          s"""WITH evc AS ($expC),
+             |cent AS (
+             |  SELECT label, pos,
+             |    CAST(FLOOR(CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
+             |  FROM evc GROUP BY label, pos
+             |),
+             |eva AS ($expA),
              |dist AS (
-             |  SELECT ev.vec_id, c.label AS cl,
-             |    SUM(CAST(ROUND((CAST(ev.v AS DOUBLE) - c.cval) * (CAST(ev.v AS DOUBLE) - c.cval), 10) AS DECIMAL(28,10))) AS d2
-             |  FROM ev JOIN ivf_cent c ON ev.pos = c.pos
-             |  GROUP BY ev.vec_id, c.label
+             |  SELECT eva.vec_id, c.label AS cl,
+             |    SUM((CAST(FLOOR(CAST(eva.v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT) - c.qc)
+             |      * (CAST(FLOOR(CAST(eva.v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT) - c.qc)) AS d2
+             |  FROM eva JOIN cent c ON eva.pos = c.pos
+             |  GROUP BY eva.vec_id, c.label
+             |),
+             |asgn AS (
+             |  SELECT vec_id, cl AS cell FROM (
+             |    SELECT vec_id, cl, ROW_NUMBER() OVER (
+             |      PARTITION BY vec_id ORDER BY d2, cl) AS rn
+             |    FROM dist
+             |  ) WHERE rn = 1
              |)
-             |SELECT vec_id, cl AS cell FROM (
-             |  SELECT vec_id, cl, ROW_NUMBER() OVER (
-             |    PARTITION BY vec_id ORDER BY d2, cl) AS rn
-             |  FROM dist
-             |) WHERE rn = 1""".stripMargin
+             |SELECT a.vec_id, a.embedding, a.nrm, s.cell
+             |FROM emb_nv a JOIN asgn s ON a.vec_id = s.vec_id""".stripMargin
         }),
       body = { d =>
-        s"""WITH nvc AS (
-           |  SELECT a.vec_id, a.embedding, a.nrm, s.cell
-           |  FROM emb_nv a JOIN ivf_asgn s ON a.vec_id = s.vec_id
-           |),
-           |qs AS (SELECT * FROM nvc WHERE vec_id % 50 = 0),
+        s"""WITH qs AS (SELECT * FROM ivf_nvc WHERE vec_id % 50 = 0),
            |pairs AS (
            |  SELECT qs.vec_id AS query_id, b.vec_id AS neighbor_id, qs.cell,
            |    ROUND(${dotExpr(d, "qs.embedding", "b.embedding")} / (qs.nrm * b.nrm), 6) AS cosine
-           |  FROM qs JOIN nvc b ON qs.cell = b.cell AND qs.vec_id <> b.vec_id
+           |  FROM qs JOIN ivf_nvc b ON qs.cell = b.cell AND qs.vec_id <> b.vec_id
            |)
            |SELECT query_id, neighbor_id, cell, cosine, rk FROM (
            |  SELECT *, ROW_NUMBER() OVER (
