@@ -148,6 +148,16 @@ object SparkEntry {
     "q_dedup_levenshtein" -> sqlq(Seq("documents"), SqlOps.dedupLevenshtein),
     "q_ntile" -> sqlq(Seq("orders"), SqlOps.orderDeciles),
     "q_dedup_embedding_cosine" -> sqlStaged(Seq("embeddings"), SqlOps.dedupEmbeddingCosine),
+    "q_dedup_canonical" -> sqlq(Seq("documents"), SqlOps.dedupCanonical),
+    // pairs → clusters: transitive closure of the minhash candidate
+    // pairs via iterative min-label propagation (graft.ops.Cluster)
+    "q_dedup_cluster" -> ((s, d) => {
+      val pairs = sqlStaged(Seq("documents"), SqlOps.dedupMinhash)(s, d)
+      graft.ops.Cluster.connectedComponents(
+        pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+    }),
+    "q_sample_hash" -> sqlq(Seq("documents"), SqlOps.sampleHash),
+    "q_sample_stratified" -> sqlq(Seq("documents"), SqlOps.sampleStratified),
 
     // -- similarity search (embeddings) --
     "q_embedding_stats" -> sqlq(Seq("embeddings"), SqlOps.embeddingStats),
@@ -161,6 +171,7 @@ object SparkEntry {
     "q_text_quality" -> sqlq(Seq("documents"), SqlOps.textQuality),
     "q_text_fingerprint" -> sqlq(Seq("documents"), SqlOps.textFingerprint),
     "q_text_tfidf" -> sqlq(Seq("documents"), SqlOps.textTfIdf),
+    "q_text_bigrams" -> sqlq(Seq("documents"), SqlOps.textBigrams),
     "q_text_rolling_hash" -> ((s, d) => {
       graft.functions.RollingHash.register(s)
       graft.Tables(s, d, "documents").createOrReplaceTempView("documents")
@@ -170,6 +181,8 @@ object SparkEntry {
     // -- event-time analytics --
     "q_events_tumbling" -> sqlq(Seq("events"), SqlOps.eventsTumbling),
     "q_events_sessionize" -> sqlq(Seq("events"), SqlOps.eventsSessionize),
+    "q_value_outliers" -> sqlq(Seq("events"), SqlOps.valueOutliers),
+    "q_range_join" -> sqlq(Seq("events"), SqlOps.rangeJoinBands),
 
     // -- multimodal columns --
     "q_multimodal_meta" -> sqlq(Seq("documents"), SqlOps.multimodalMeta),
@@ -379,6 +392,26 @@ object SparkEntry {
     "q_dedup_levenshtein" -> SqlOps.dedupLevenshtein(DuckDialect),
     "q_ntile" -> SqlOps.orderDeciles(DuckDialect),
     "q_dedup_embedding_cosine" -> SqlOps.dedupEmbeddingCosine.single(DuckDialect),
+    "q_dedup_canonical" -> SqlOps.dedupCanonical(DuckDialect),
+    // transitive closure of the same candidate pairs as a recursive CTE;
+    // MIN over all reachable labels = the component minimum
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${SqlOps.dedupMinhash.single(DuckDialect)}
+         |),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs
+         |),
+         |reach AS (
+         |  SELECT a AS doc_id, a AS lbl FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT e.a AS doc_id, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.b
+         |)
+         |SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin,
+    "q_sample_hash" -> SqlOps.sampleHash(DuckDialect),
+    "q_sample_stratified" -> SqlOps.sampleStratified(DuckDialect),
     "q_embedding_stats" -> SqlOps.embeddingStats(DuckDialect),
     "q_knn_bruteforce" -> SqlOps.knnBruteForce.single(DuckDialect),
     "q_ann_sign_lsh" -> SqlOps.annSignLsh.single(DuckDialect),
@@ -388,6 +421,7 @@ object SparkEntry {
     "q_text_quality" -> SqlOps.textQuality(DuckDialect),
     "q_text_fingerprint" -> SqlOps.textFingerprint(DuckDialect),
     "q_text_tfidf" -> SqlOps.textTfIdf(DuckDialect),
+    "q_text_bigrams" -> SqlOps.textBigrams(DuckDialect),
     "q_text_rolling_hash" ->
       """SELECT doc_id,
         |  list_reduce(
@@ -397,6 +431,8 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_events_tumbling" -> SqlOps.eventsTumbling(DuckDialect),
     "q_events_sessionize" -> SqlOps.eventsSessionize(DuckDialect),
+    "q_value_outliers" -> SqlOps.valueOutliers(DuckDialect),
+    "q_range_join" -> SqlOps.rangeJoinBands(DuckDialect),
     "q_multimodal_meta" -> SqlOps.multimodalMeta(DuckDialect),
     "q_multimodal_frames" ->
       """SELECT doc_id,

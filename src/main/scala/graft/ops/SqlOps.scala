@@ -79,26 +79,26 @@ object SqlOps {
     *
     * DuckDB rendering keeps the relational posexplode+LEAD form — the
     * oracle gate is exactly what proves the two renderings identical. */
-  private def shinglesCtes(d: Dialect): String =
+  private def shinglesCtes(d: Dialect, n: Int = 3, from: String = "corpus"): String = {
+    val leads = (1 until n).map(k =>
+      s"LEAD(tkn, $k) OVER (PARTITION BY doc_id ORDER BY pos)")
+    val concatArgs = (s"tkn" +: leads).mkString(", ' ', ")
     if (d.name == "spark")
-      s"""${corpusCte(d)},
-         |sh AS (
-         |  SELECT doc_id, s FROM corpus
-         |  LATERAL VIEW explode(word_shingles(text, 3)) _t AS s
+      s"""sh AS (
+         |  SELECT doc_id, s FROM $from
+         |  LATERAL VIEW explode(word_shingles(text, $n)) _t AS s
          |)""".stripMargin
     else
-      s"""${corpusCte(d)},
-         |ctoks AS (SELECT doc_id, ${toks(d)} AS toks FROM corpus),
+      s"""ctoks AS (SELECT doc_id, ${toks(d)} AS toks FROM $from),
          |tokp AS (${d.explodeWithPos("SELECT doc_id, toks FROM ctoks", "doc_id", "toks", "pos", "tkn")}),
-         |sh3 AS (
+         |shn AS (
          |  SELECT doc_id,
-         |    concat(tkn, ' ',
-         |      LEAD(tkn, 1) OVER (PARTITION BY doc_id ORDER BY pos), ' ',
-         |      LEAD(tkn, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS s,
-         |    LEAD(tkn, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+         |    concat($concatArgs) AS s,
+         |    ${leads.last} AS tlast
          |  FROM tokp
          |),
-         |sh AS (SELECT doc_id, s FROM sh3 WHERE t2 IS NOT NULL)""".stripMargin
+         |sh AS (SELECT doc_id, s FROM shn WHERE tlast IS NOT NULL)""".stripMargin
+  }
 
   /** MinHash LSH candidate pairs: ONE md5 per shingle sliced into 8
     * 16-bit hash functions (min over each slice), 4 bands of 2 → join
@@ -118,7 +118,8 @@ object SqlOps {
     }.mkString("\n  UNION ALL\n  ")
     StagedOp(
       stages = Seq("mh_sig" -> { d =>
-        s"""WITH ${shinglesCtes(d)}
+        s"""WITH ${corpusCte(d)},
+           |${shinglesCtes(d)}
            |SELECT doc_id,
            |    $sigCols
            |FROM sh GROUP BY doc_id""".stripMargin
@@ -158,7 +159,8 @@ object SqlOps {
     stages = Seq(
       "nj_dshf" -> { d =>
         val sid = if (d.name == "spark") "xxhash64(s)" else "s"
-        s"""WITH ${shinglesCtes(d)},
+        s"""WITH ${corpusCte(d)},
+           |${shinglesCtes(d)},
            |dsh AS (SELECT DISTINCT doc_id, $sid AS s FROM sh),
            |w AS (SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM dsh)
            |SELECT doc_id, s FROM w WHERE df <= 20""".stripMargin
@@ -551,6 +553,88 @@ object SqlOps {
        |FROM sess GROUP BY user_id, session_no""".stripMargin
 
   // ---- multimodal column plumbing ----
+
+  // ---- sampling / canonical selection / corpus statistics ----
+
+  /** Deterministic content-hash sampling: bucket = first byte of
+    * md5(text) (0-255), keep buckets < 32 → a reproducible ~12.5%
+    * sample. The scale pattern for training-data subsetting: no RNG
+    * state, independent of partitioning and row order, re-runnable on
+    * any engine. */
+  def sampleHash(d: Dialect): String =
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       |WHERE (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+       |    + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) < 32""".stripMargin
+
+  /** Stratified sampling: exactly 50 docs per language, chosen by
+    * content-hash order (deterministic, unbiased w.r.t. position).
+    * One window shuffle on the stratum key; at 100 TB strata are
+    * processed independently per partition group. */
+  def sampleStratified(d: Dialect): String =
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+       |  FROM documents
+       |) WHERE rn <= 50""".stripMargin
+
+  /** Canonical-survivor selection: within each exact-duplicate group
+    * (content hash over the two-snapshot corpus), keep the best
+    * representative — longest text first, ties to the smallest id (the
+    * quality-aware flavor of dedup survivor choice; here length is the
+    * quality proxy). */
+  def dedupCanonical(d: Dialect): String =
+    s"""WITH ${corpusCte(d)},
+       |h AS (SELECT doc_id, text, md5(text) AS ch FROM corpus)
+       |SELECT ch AS content_hash, doc_id AS survivor_id, n_members FROM (
+       |  SELECT ch, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY ch ORDER BY length(text) DESC, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY ch) AS n_members
+       |  FROM h
+       |) WHERE rn = 1""".stripMargin
+
+  /** Global top-20 word bigrams over the documents table — corpus
+    * n-gram statistics (the LM-data profiling primitive). Spark side
+    * reuses the codegen'd word_shingles expression with n=2; ordering
+    * ties break on the bigram string. */
+  def textBigrams(d: Dialect): String =
+    s"""WITH ${shinglesCtes(d, n = 2, from = "documents")}
+       |SELECT s AS bigram, COUNT(*) AS n
+       |FROM sh GROUP BY s
+       |ORDER BY n DESC, s LIMIT 20""".stripMargin
+
+  /** Per-type p99 outlier events: exact integer-cent percentile per
+    * event type (same cross-engine-exact interpolation as
+    * [[eventPercentiles]]) joined back against the stream — the
+    * analytic-join shape of quality filtering (compute per-group
+    * thresholds once, broadcast them against the fact table). */
+  def valueOutliers(d: Dialect): String = {
+    val cents = "CAST(ROUND(value * 100, 0) AS BIGINT)"
+    s"""WITH p AS (
+       |  SELECT event_type, ${d.percentileCont(cents, "9.9e-1")} / 1.0e2 AS p99
+       |  FROM events GROUP BY event_type
+       |)
+       |SELECT e.event_id, e.event_type, e.value, p.p99
+       |FROM events e JOIN p ON e.event_type = p.event_type
+       |WHERE e.value > p.p99""".stripMargin
+  }
+
+  /** Range join: events classified into 50-unit value bands via an
+    * interval condition (value >= lo AND value < hi). The band table is
+    * literal/broadcast-sized, so the join is a broadcast nested-loop
+    * over 10 intervals — the right plan for small interval tables; at
+    * scale with large interval sets this becomes bucketize-then-equi-join. */
+  def rangeJoinBands(d: Dialect): String = {
+    val bands = (0 until 10).map { i =>
+      s"SELECT $i AS band, ${i * 50}.0e0 AS lo, ${(i + 1) * 50}.0e0 AS hi"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH bands AS (
+       |  $bands
+       |)
+       |SELECT b.band, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+       |GROUP BY b.band""".stripMargin
+  }
 
   /** Binary-column metadata extraction: documents.text treated as an
     * opaque binary payload (this container has no image/audio codecs —

@@ -140,4 +140,35 @@ class OpsSpec extends SparkSpec {
       assert(q >= 0.0 && q <= 1.0)
     }
   }
+
+  test("connected components labels every node with its component minimum") {
+    import spark.implicits._
+    // two chains (1-2-3-4, 10-11) and a triangle (20,21,22): propagation
+    // must cross multi-hop chains, not just direct neighbors
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L)).toDF("a", "b")
+    val got = Cluster.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("cluster ids are closed under the pair set (members agree with their pairs)") {
+    import org.apache.spark.sql.functions._
+    val clusters = run("q_dedup_cluster")
+    val pairs = run("q_dedup_minhash")
+    // every pair must land in the same cluster
+    val disagree = pairs
+      .join(clusters.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("cluster_id", "ca"), "doc_a")
+      .join(clusters.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster_id", "cb"), "doc_b")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(disagree === 0L)
+  }
+
+  test("stratified sample takes at most 50 per language, deterministically") {
+    val a = run("q_sample_stratified").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = run("q_sample_stratified").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a === b)
+    a.groupBy(_._2).foreach { case (_, docs) => assert(docs.size <= 50) }
+  }
 }
