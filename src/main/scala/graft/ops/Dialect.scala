@@ -55,6 +55,8 @@ trait Dialect {
   def dot(a: String, b: String): String
   /** Exact interpolated percentile of a numeric column. */
   def percentileCont(x: String, p: String): String
+  /** Aggregate values into a SORTED array (deterministic list value). */
+  def arrayAggSorted(x: String): String
 }
 
 object SparkDialect extends Dialect {
@@ -92,6 +94,7 @@ object SparkDialect extends Dialect {
     * HOF form evaluates interpreted per element. */
   def dot(a: String, b: String): String = s"graft_dot($a, $b)"
   def percentileCont(x: String, p: String): String = s"percentile($x, $p)"
+  def arrayAggSorted(x: String): String = s"sort_array(collect_list($x))"
 }
 
 object DuckDialect extends Dialect {
@@ -127,4 +130,5 @@ object DuckDialect extends Dialect {
     s"list_sum(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE)))"
   def percentileCont(x: String, p: String): String = s"quantile_cont($x, $p)"
+  def arrayAggSorted(x: String): String = s"list_sort(list($x))"
 }

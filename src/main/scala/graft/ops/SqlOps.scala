@@ -295,6 +295,60 @@ object SqlOps {
        |  ON a.blk = b.blk AND a.doc_id < b.doc_id
        |WHERE levenshtein(a.prefix, b.prefix) <= 5""".stripMargin
 
+  /** Interval RANGE window frame: 30-day trailing spend per customer —
+    * the frame is defined by the ORDER BY value (event time), not row
+    * position, so peers and calendar gaps are handled by the engine.
+    * Exact decimal sum keeps the frame aggregate order-independent. */
+  def windowRangeSpend(d: Dialect): String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+      |FROM orders""".stripMargin
+
+  /** Per-group mode (most frequent value) with deterministic tie-break
+    * — mode is not a portable built-in, but count + row_number is. */
+  def modePriority(d: Dialect): String =
+    """SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+      |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+      |  FROM orders GROUP BY o_orderstatus, o_orderpriority
+      |) WHERE rn = 1""".stripMargin
+
+  /** Array aggregation: per-customer sorted list of order keys (sorted
+    * so the array value is set-deterministic regardless of arrival
+    * order — the only portable way to hash-compare a collected list). */
+  def collectOrders(d: Dialect): String =
+    s"""SELECT o_custkey, ${d.arrayAggSorted("o_orderkey")} AS order_keys,
+       |  COUNT(*) AS n_orders
+       |FROM orders GROUP BY o_custkey""".stripMargin
+
+  /** Pearson correlation from exact components: the five sufficient
+    * statistics are decimal-exact sums cast to double at the end, and
+    * the correlation is one fixed IEEE expression over them — so the
+    * result is bit-identical across engines and partitionings, unlike
+    * a native corr() whose streaming accumulation is order-dependent.
+    * This is how distributed exact statistics should be built: exact
+    * sufficient statistics + deterministic finalizer. */
+  def corrQtyPrice(d: Dialect): String = {
+    val q = "CAST(l_quantity AS DECIMAL(18,2))"
+    val p = "CAST(l_extendedprice AS DECIMAL(18,2))"
+    s"""WITH m AS (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    CAST(SUM($q) AS DOUBLE) AS sx,
+       |    CAST(SUM($p) AS DOUBLE) AS sy,
+       |    CAST(SUM($q * $q) AS DOUBLE) AS sxx,
+       |    CAST(SUM($p * $p) AS DOUBLE) AS syy,
+       |    CAST(SUM($q * $p) AS DOUBLE) AS sxy
+       |  FROM lineitem GROUP BY l_returnflag
+       |)
+       |SELECT l_returnflag, n,
+       |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+       |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price
+       |FROM m""".stripMargin
+  }
+
   /** Decile assignment (NTILE) of order value within each status. */
   def orderDeciles(d: Dialect): String =
     """SELECT o_orderkey, o_orderstatus,
@@ -553,6 +607,45 @@ object SqlOps {
        |FROM sess GROUP BY user_id, session_no""".stripMargin
 
   // ---- multimodal column plumbing ----
+
+  /** The canonical near-dup pipeline end-to-end: minhash LSH bands for
+    * candidate RECALL, exact jaccard on the df-capped shingle index for
+    * PRECISION (≥ 0.6), in one query. Both indexes are the same staged
+    * tables the standalone queries use (memoized per JVM), so this
+    * composes rather than recomputes. At 100 TB this is the shape that
+    * ships: bands bound the candidate set, exact verification touches
+    * only candidate pairs. */
+  val dedupVerified: StagedOp = {
+    val bands = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, concat(h${2 * b}, h${2 * b + 1}) AS bkey FROM mh_sig"
+    }.mkString("\n  UNION ALL\n  ")
+    StagedOp(
+      stages = dedupMinhash.stages ++ dedupNgramJaccard.stages,
+      body = { _ =>
+        s"""WITH bands AS (
+           |  $bands
+           |),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM nj_dshf GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+           |  FROM cand c
+           |  JOIN nj_dshf a ON a.doc_id = c.doc_a
+           |  JOIN nj_dshf b ON b.doc_id = c.doc_b AND b.s = a.s
+           |  GROUP BY c.doc_a, c.doc_b
+           |)
+           |SELECT i.doc_a, i.doc_b,
+           |  ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) AS jaccard
+           |FROM inter i
+           |JOIN sz sa ON i.doc_a = sa.doc_id
+           |JOIN sz sb ON i.doc_b = sb.doc_id
+           |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.6""".stripMargin
+      })
+  }
 
   // ---- sampling / canonical selection / corpus statistics ----
 

@@ -87,6 +87,21 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream interval join: each click paired with the same
+    * user's purchases from the preceding 30 minutes. Watermarks on both
+    * sides plus the interval condition let the engine expire join state
+    * — state size is O(events in the interval horizon), the streaming
+    * analogue of the batch as-of join. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes").alias("c")
+    val p = purchases.withWatermark("ts", "40 minutes").alias("p")
+    c.join(p, expr(
+        "c.user_id = p.user_id AND " +
+        "p.ts BETWEEN c.ts - INTERVAL 30 MINUTES AND c.ts"))
+      .select(col("c.user_id").as("user_id"),
+              col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"))
+  }
+
   /** Streaming cross-run dedup on a key (the reference's re-scrape
     * collapse, SURVEY.md §2.4 D2) with watermark-bounded state. */
   def dedupByKey(df: DataFrame, key: String, tsCol: String, watermark: String): DataFrame =

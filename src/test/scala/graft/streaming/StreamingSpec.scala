@@ -130,6 +130,28 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set(("a", 1L), ("b", 99L), ("c", 3L)))
   }
 
+  test("stream-stream interval join pairs clicks with recent purchases only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long)]
+    val q = clickPurchaseJoin(
+        clicks.toDF().toDF("ts", "user_id"),
+        purchases.toDF().toDF("ts", "user_id"))
+      .writeStream.outputMode("append").format("memory").queryName("cpj").start()
+    // user 1: purchase 10 min before click (in window) and 50 min
+    // before (outside); user 2: purchase AFTER the click (excluded)
+    purchases.addData((ts(0), 1L), (ts(40), 1L), (ts(70), 2L))
+    clicks.addData((ts(50), 1L), (ts(60), 2L))
+    q.processAllAvailable()
+    val rows = spark.table("cpj").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("click_ts").toString, r.getAs[Timestamp]("purchase_ts").toString))
+      .toSet
+    q.stop()
+    assert(rows === Set((1L, "2024-01-01 00:50:00.0", "2024-01-01 00:40:00.0")))
+  }
+
   test("foreachBatch upsert dedups repeated keys within one micro-batch (keep-last)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
