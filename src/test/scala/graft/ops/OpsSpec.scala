@@ -165,6 +165,31 @@ class OpsSpec extends SparkSpec {
     assert(disagree === 0L)
   }
 
+  test("connected components agrees with brute-force union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val n = 30
+      val edges = (1 to 40).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: classic union-find over the same edges
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> {
+          // min id in the component = root after full path compression
+          var r = id.toInt; while (parent(r) != r) r = parent(r); r.toLong
+        }).toMap
+      val got = Cluster.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === expected)
+    }
+  }
+
   test("stratified sample takes at most 50 per language, deterministically") {
     val a = run("q_sample_stratified").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val b = run("q_sample_stratified").collect().map(r => (r.getLong(0), r.getString(1))).toSet
