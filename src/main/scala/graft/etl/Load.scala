@@ -90,26 +90,51 @@ object Load {
     hist.unionByName(emitted)
   }
 
+  /** Server-side upsert statement renderings. The reference speaks
+    * Postgres `ON CONFLICT` (src/load.py:33-39); `AnsiMerge` is the
+    * standard `MERGE INTO` equivalent (Derby, DB2, SQL Server, modern
+    * warehouses) — same semantics, which lets the wire path be
+    * exercised against the embedded Derby shipped with Spark. */
+  sealed trait MergeDialect {
+    def mergeSql(main: String, staging: String, cols: Seq[String], key: String): String
+  }
+  object PostgresOnConflict extends MergeDialect {
+    def mergeSql(main: String, staging: String, cols: Seq[String], key: String): String = {
+      val colList = cols.mkString(", ")
+      val updates = cols.filterNot(_ == key)
+        .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+      s"""INSERT INTO $main ($colList)
+         |SELECT $colList FROM $staging
+         |ON CONFLICT ($key) DO UPDATE SET $updates""".stripMargin
+    }
+  }
+  object AnsiMerge extends MergeDialect {
+    def mergeSql(main: String, staging: String, cols: Seq[String], key: String): String = {
+      val updates = cols.filterNot(_ == key).map(c => s"$c = s.$c").mkString(", ")
+      s"""MERGE INTO $main m USING $staging s ON m.$key = s.$key
+         |WHEN MATCHED THEN UPDATE SET $updates
+         |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+         |  VALUES (${cols.map(c => s"s.$c").mkString(", ")})""".stripMargin
+    }
+  }
+
   /** Reference wire pattern for a live RDBMS: overwrite-truncate the
     * staging table via JDBC (batched per partition, reference
     * src/load.py:13-27 batches 500 rows — Spark's JDBC writer batches
     * with `batchsize` per partition, in parallel), then issue the
-    * server-side atomic merge statement from the driver. */
+    * server-side atomic merge statement from the driver. Tested
+    * end-to-end against embedded Derby (LoadSpec) with the ANSI MERGE
+    * rendering; the Postgres rendering is byte-for-byte the reference's
+    * statement shape. */
   def jdbcUpsert(df: DataFrame, url: String, stagingTable: String,
                  mainTable: String, key: String, batchSize: Int = 500,
-                 props: java.util.Properties = new java.util.Properties): Unit = {
+                 props: java.util.Properties = new java.util.Properties,
+                 dialect: MergeDialect = PostgresOnConflict): Unit = {
     df.write.mode(SaveMode.Overwrite)
       .option("truncate", "true")
       .option("batchsize", batchSize.toString)
       .jdbc(url, stagingTable, props)
-    val cols = df.columns.toSeq
-    val colList = cols.mkString(", ")
-    val updates = cols.filterNot(_ == key)
-      .map(c => s"$c = EXCLUDED.$c").mkString(", ")
-    val mergeSql =
-      s"""INSERT INTO $mainTable ($colList)
-         |SELECT $colList FROM $stagingTable
-         |ON CONFLICT ($key) DO UPDATE SET $updates""".stripMargin
+    val mergeSql = dialect.mergeSql(mainTable, stagingTable, df.columns.toSeq, key)
     val conn = java.sql.DriverManager.getConnection(url, props)
     try { val st = conn.createStatement(); try st.execute(mergeSql) finally st.close() }
     finally conn.close()

@@ -93,4 +93,38 @@ class LoadSpec extends SparkSpec {
     val out = Load.loadGuarded(main, empty, "link")
     assert(out.exceptAll(main).isEmpty && main.exceptAll(out).isEmpty)
   }
+
+  test("jdbcUpsert drives a real JDBC database end-to-end (embedded Derby)") {
+    // K2/K3/K6 wire path (SURVEY.md §2.2): truncate-overwrite staging
+    // via Spark's batched JDBC writer, then one server-side atomic
+    // merge. Derby ships with Spark; its ANSI MERGE has the same
+    // semantics as the reference's Postgres ON CONFLICT.
+    val url = "jdbc:derby:memory:graftload;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE main_t (link VARCHAR(64) PRIMARY KEY, price_rp BIGINT, name VARCHAR(64))")
+      st.execute("CREATE TABLE stg_t (link VARCHAR(64), price_rp BIGINT, name VARCHAR(64))")
+      st.execute("INSERT INTO main_t VALUES ('a', 100, 'old-a'), ('b', 200, 'old-b')")
+      st.close()
+    } finally conn.close()
+
+    val day1 = Seq(("b", 999L, "new-b"), ("c", 300L, "new-c"))
+      .toDF("link", "price_rp", "name")
+    Load.jdbcUpsert(day1, url, "stg_t", "main_t", "link",
+      batchSize = 1, dialect = Load.AnsiMerge)
+    // idempotence across re-runs: same staging applied twice = once
+    Load.jdbcUpsert(day1, url, "stg_t", "main_t", "link",
+      batchSize = 500, dialect = Load.AnsiMerge)
+
+    val got = spark.read.jdbc(url, "main_t", new java.util.Properties)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === Set(("a", 100L, "old-a"), ("b", 999L, "new-b"), ("c", 300L, "new-c")))
+
+    // the Postgres rendering stays the reference's exact statement shape
+    val pg = Load.PostgresOnConflict.mergeSql("main_t", "stg_t",
+      Seq("link", "price_rp", "name"), "link")
+    assert(pg.contains("ON CONFLICT (link) DO UPDATE SET"))
+    assert(pg.contains("price_rp = EXCLUDED.price_rp"))
+  }
 }
