@@ -183,6 +183,9 @@ object SparkEntry {
     "q_text_fingerprint" -> sqlq(Seq("documents"), SqlOps.textFingerprint),
     "q_text_tfidf" -> sqlq(Seq("documents"), SqlOps.textTfIdf),
     "q_text_bigrams" -> sqlq(Seq("documents"), SqlOps.textBigrams),
+    "q_text_repetition" -> sqlq(Seq("documents"), SqlOps.textRepetition),
+    "q_corpus_filter" -> sqlq(Seq("documents"), SqlOps.corpusFilter),
+    "q_contamination" -> sqlq(Seq("documents"), SqlOps.contamination),
     "q_text_rolling_hash" -> ((s, d) => {
       graft.functions.RollingHash.register(s)
       graft.Tables(s, d, "documents").createOrReplaceTempView("documents")
@@ -197,6 +200,7 @@ object SparkEntry {
 
     // -- multimodal columns --
     "q_multimodal_meta" -> sqlq(Seq("documents"), SqlOps.multimodalMeta),
+    "q_multimodal_resize" -> sqlq(Seq("documents"), SqlOps.multimodalResize),
     // batched mapPartitions decode; dims are SQL-checkable, features not
     "q_multimodal_decode" -> ((s, d) => {
       import s.implicits._
@@ -438,6 +442,9 @@ object SparkEntry {
     "q_text_fingerprint" -> SqlOps.textFingerprint(DuckDialect),
     "q_text_tfidf" -> SqlOps.textTfIdf(DuckDialect),
     "q_text_bigrams" -> SqlOps.textBigrams(DuckDialect),
+    "q_text_repetition" -> SqlOps.textRepetition(DuckDialect),
+    "q_corpus_filter" -> SqlOps.corpusFilter(DuckDialect),
+    "q_contamination" -> SqlOps.contamination(DuckDialect),
     "q_text_rolling_hash" ->
       """SELECT doc_id,
         |  list_reduce(
@@ -450,6 +457,7 @@ object SparkEntry {
     "q_value_outliers" -> SqlOps.valueOutliers(DuckDialect),
     "q_range_join" -> SqlOps.rangeJoinBands(DuckDialect),
     "q_multimodal_meta" -> SqlOps.multimodalMeta(DuckDialect),
+    "q_multimodal_resize" -> SqlOps.multimodalResize(DuckDialect),
     "q_multimodal_frames" ->
       """SELECT doc_id,
         |  CAST(unnest(range(0,

@@ -551,6 +551,72 @@ object SqlOps {
        |FROM m""".stripMargin
   }
 
+  /** Repetition quality rule (Gopher-style): the frequency share of the
+    * most repeated token per document. The ratio is one exact IEEE
+    * division of two ints — bit-identical across engines. */
+  def textRepetition(d: Dialect): String =
+    s"""WITH rtoks AS (SELECT doc_id, ${toks(d)} AS toks FROM documents),
+       |tok AS (${d.explode("SELECT doc_id, toks FROM rtoks", "doc_id", "toks", "t")}),
+       |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+       |agg AS (SELECT doc_id, MAX(tf) AS top_tf,
+       |  CAST(SUM(tf) AS BIGINT) AS n_toks FROM tf GROUP BY doc_id)
+       |SELECT doc_id, top_tf, n_toks,
+       |  CAST(top_tf AS DOUBLE) / n_toks AS rep_ratio
+       |FROM agg""".stripMargin
+
+  /** The composed cleaning pipeline as ONE query: language-ID gate +
+    * quality gate + exact-dedup survivor selection — the "clean corpus
+    * manifest" a training-data pipeline actually emits. Each stage is
+    * the same logic as its standalone query; composing them keeps all
+    * three in a single distributed pass (scan → narrow scoring →
+    * two window/group shuffles). */
+  def corpusFilter(d: Dialect): String = {
+    val en = d.size(d.filter("toks", s"t -> ${d.arrayContains(d.arrayLit(STOP_EN), "t")}"))
+    val id = d.size(d.filter("toks", s"t -> ${d.arrayContains(d.arrayLit(STOP_ID), "t")}"))
+    val stopHits = d.size(d.filter("toks", s"t -> ${d.arrayContains(d.arrayLit(STOP_EN ++ STOP_ID), "t")}"))
+    s"""WITH ftoks AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
+       |scored AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN $en > $id THEN 'en'
+       |         WHEN $id > $en THEN 'id'
+       |         ELSE 'und' END AS lang_guess,
+       |    LEAST(CAST(${d.size("toks")} AS DOUBLE) / 1.0e2, 1.0e0) * 5.0e-1
+       |      + (1.0e0 - CAST($stopHits AS DOUBLE) / ${d.size("toks")}) * 3.0e-1
+       |      + LEAST(CAST(length(replace(text, ' ', '')) AS DOUBLE) / ${d.size("toks")} / 8.0e0, 1.0e0) * 2.0e-1 AS quality
+       |  FROM ftoks
+       |),
+       |survivors AS (
+       |  SELECT doc_id, lang_guess, quality,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM scored
+       |)
+       |SELECT doc_id, lang_guess, quality FROM survivors
+       |WHERE rn = 1 AND lang_guess <> 'und' AND quality >= 4.0e-1""".stripMargin
+  }
+
+  /** Benchmark decontamination: 3-gram overlap of each corpus document
+    * against a held-out "benchmark" slice (sources src0-src4), via the
+    * same inverted-index shape as the jaccard dedup — the benchmark
+    * shingle set is DISTINCT'd (broadcast-sized at any realistic
+    * benchmark size) and the corpus only ever joins against it. */
+  def contamination(d: Dialect): String = {
+    val bench = "('src0', 'src1', 'src2', 'src3', 'src4')"
+    s"""WITH ${shinglesCtes(d, n = 3, from = "documents")},
+       |srcd AS (SELECT sh.doc_id, documents.source, sh.s
+       |         FROM sh JOIN documents ON sh.doc_id = documents.doc_id),
+       |bsh AS (SELECT DISTINCT s FROM srcd WHERE source IN $bench),
+       |csh AS (SELECT DISTINCT doc_id, s FROM srcd WHERE source NOT IN $bench),
+       |hits AS (
+       |  SELECT c.doc_id, COUNT(*) AS shared
+       |  FROM csh c JOIN bsh b ON c.s = b.s
+       |  GROUP BY c.doc_id
+       |)
+       |SELECT d.doc_id, COALESCE(h.shared, 0) AS shared_ngrams,
+       |  COALESCE(h.shared, 0) >= 10 AS contaminated
+       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |WHERE d.source NOT IN $bench""".stripMargin
+  }
+
   /** Explicit grouping sets (beyond rollup/cube): status-only,
     * priority-only, and grand-total groups in one pass. Identical
     * syntax in both dialects. */
@@ -741,4 +807,21 @@ object SqlOps {
        |  CAST(octet_length(bin) % 211 + 16 AS INT) AS fake_height,
        |  CAST(octet_length(bin) % 3 + 1 AS INT) AS fake_channels
        |FROM b""".stripMargin
+
+  /** Aspect-preserving resize planning over the (fake) decoded
+    * dimensions: fit into a 64×64 box. The geometry arithmetic is the
+    * real pipeline stage (pure integer math, exact in both engines);
+    * the pixel resampling itself would live in the batched
+    * mapPartitions decoder (graft.ops.Multimodal), stubbed in this
+    * codec-free container. */
+  def multimodalResize(d: Dialect): String =
+    s"""WITH b AS (SELECT doc_id, octet_length(${d.toBinary("text")}) AS nb FROM documents),
+       |dims AS (SELECT doc_id,
+       |    CAST(nb % 317 + 16 AS INT) AS w,
+       |    CAST(nb % 211 + 16 AS INT) AS h
+       |  FROM b)
+       |SELECT doc_id, w, h,
+       |  CAST(FLOOR(CAST(w * 64 AS DOUBLE) / GREATEST(w, h)) AS INT) AS new_w,
+       |  CAST(FLOOR(CAST(h * 64 AS DOUBLE) / GREATEST(w, h)) AS INT) AS new_h
+       |FROM dims""".stripMargin
 }
