@@ -185,31 +185,36 @@ object SqlOps {
     * the random-collision rate of the band join negligible (16 bits
     * produced tens of thousands of false candidates on random text). */
   private def simhashCtes(d: Dialect): String = {
-    // Spark: one codegen'd digest call on the raw bytes + integer shift
-    // bit tests. DuckDB keeps the hex-parse + floor-div arithmetic form
-    // (identical values: v < 2^32 so floor(v/2^k) ≡ v >> k exactly).
-    val hexv =
-      if (d.name == "spark") "md5_prefix32(t)"
-      else (1 to 8).map { i =>
+    // Spark: the whole digest is ONE custom imperative aggregate
+    // (graft.functions.SimHashAgg — md5-prefix hash + 32-counter
+    // majority buffer). DuckDB keeps the relational rendering: hex-parse
+    // the token hash, 32 SUM(CASE) bit votes, reassemble (identical
+    // values: v < 2^32 so floor(v/2^k) ≡ v >> k exactly; ties set the
+    // bit in both forms).
+    if (d.name == "spark")
+      s"""${corpusCte(d)},
+         |ctoks AS (SELECT doc_id, ${toks(d)} AS toks FROM corpus),
+         |tok AS (${d.explode("SELECT doc_id, toks FROM ctoks", "doc_id", "toks", "t")}),
+         |sim AS (SELECT doc_id, simhash_agg(t) AS simhash FROM tok GROUP BY doc_id)""".stripMargin
+    else {
+      val hexv = (1 to 8).map { i =>
         s"CAST(instr('0123456789abcdef', substr(md5(t), $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}"
       }.mkString(" + ")
-    val bitSums = (0 until 32).map { j =>
-      if (d.name == "spark")
-        s"SUM(CASE WHEN (shiftright(v, ${31 - j}) & 1) = 1 THEN 1 ELSE -1 END) AS b$j"
-      else
+      val bitSums = (0 until 32).map { j =>
         s"SUM(CASE WHEN CAST(FLOOR(v / ${1L << (31 - j)}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
-    }.mkString(",\n    ")
-    val assemble = (0 until 32).map { j =>
-      s"(CASE WHEN b$j >= 0 THEN ${1L << (31 - j)} ELSE 0 END)"
-    }.mkString(" + ")
-    s"""${corpusCte(d)},
-       |ctoks AS (SELECT doc_id, ${toks(d)} AS toks FROM corpus),
-       |tok AS (${d.explode("SELECT doc_id, toks FROM ctoks", "doc_id", "toks", "t")}),
-       |tv AS (SELECT doc_id, $hexv AS v FROM tok),
-       |bits AS (SELECT doc_id,
-       |    $bitSums
-       |  FROM tv GROUP BY doc_id),
-       |sim AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits)""".stripMargin
+      }.mkString(",\n    ")
+      val assemble = (0 until 32).map { j =>
+        s"(CASE WHEN b$j >= 0 THEN ${1L << (31 - j)} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""${corpusCte(d)},
+         |ctoks AS (SELECT doc_id, ${toks(d)} AS toks FROM corpus),
+         |tok AS (${d.explode("SELECT doc_id, toks FROM ctoks", "doc_id", "toks", "t")}),
+         |tv AS (SELECT doc_id, $hexv AS v FROM tok),
+         |bits AS (SELECT doc_id,
+         |    $bitSums
+         |  FROM tv GROUP BY doc_id),
+         |sim AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits)""".stripMargin
+    }
   }
 
   /** SimHash digests per doc. */
