@@ -27,6 +27,19 @@ object Relational {
   /** Exact decimal view of a money double, for order-independent sums. */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Discounted revenue term with COMPACT precision: (12,2) × (5,2) →
+    * DECIMAL(18,4), which Spark stores as an unscaled Long — the
+    * multiply and the partial sums stay on the primitive fast path.
+    * The (18,2)×(18,2) form produces DECIMAL(37,4), forcing Java
+    * BigDecimal per row across the whole fact table. Bounds: TPC-H
+    * extendedprice < 1e6 (fits (12,2) with 4 digits spare at any SF);
+    * discount ∈ [0,1) fits (4,2). The exact rational value — and so
+    * the final double — is identical either way, which is why the
+    * oracle SQL can keep its wider types. */
+  private def discounted(price: Column, discount: Column): Column =
+    price.cast("decimal(12,2)") *
+      (lit(1).cast("decimal(4,2)") - discount.cast("decimal(4,2)"))
+
   /** TPC-H Q1-shaped pricing summary: the canonical wide aggregation.
     * Whole-stage-codegen'd hash aggregate with map-side partial agg. */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
@@ -36,7 +49,7 @@ object Relational {
       .agg(
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        sum(discounted(col("l_extendedprice"), col("l_discount")))
           .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -51,7 +64,7 @@ object Relational {
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
-        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        sum(discounted(col("l_extendedprice"), col("l_discount")))
           .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("p_brand"))
@@ -70,7 +83,7 @@ object Relational {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
         .cast("double").as("revenue"))
       .orderBy(col("r_name"), col("n_name"))
   }
