@@ -164,6 +164,10 @@ object SparkEntry {
     // pairs via iterative min-label propagation (graft.ops.Cluster)
     "q_dedup_cluster" -> ((s, d) => {
       val pairs = sqlStaged(Seq("documents"), SqlOps.dedupMinhash)(s, d)
+      // plain propagation: near-dup components have tiny diameters, so
+      // O(diameter) rounds beat the star alternation's extra joins here;
+      // connectedComponentsStar is the equivalence-tested O(log n) path
+      // for adversarial (long-chain) graphs at full scale
       graft.ops.Cluster.connectedComponents(
         pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
     }),

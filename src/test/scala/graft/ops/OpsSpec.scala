@@ -187,6 +187,10 @@ class OpsSpec extends SparkSpec {
       val got = Cluster.connectedComponents(edges.toDF("a", "b"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(got === expected)
+      // the O(log n) large-star/small-star variant must agree exactly
+      val star = Cluster.connectedComponentsStar(edges.toDF("a", "b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(star === expected)
     }
   }
 
