@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{DotProduct, Md5Prefix32, RollingHash, SimHashAgg, WordShingles}
+
+/** Session-extensions entry point: the production way to ship the
+  * engine's custom expressions with a cluster instead of per-session
+  * `createOrReplaceTempFunction` calls —
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * registers every graft function (`graft_dot`, `rolling_hash`,
+  * `word_shingles`, `md5_prefix32`, `simhash_agg`) at session build
+  * time, on every session of the cluster, including pure-SQL users.
+  * (`GraftFunctions.registerAll` remains for programmatic use on an
+  * already-built session — both paths bind the same expressions.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - float-vector dot product, codegen'd"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(s) - polynomial rolling hash mod 1e9+7"),
+      (es: Seq[Expression]) => RollingHash(es.head)))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, n) - word n-gram array"),
+      (es: Seq[Expression]) => WordShingles(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("md5_prefix32"),
+      info("md5_prefix32", "md5_prefix32(s) - first 32 bits of md5 as unsigned long"),
+      (es: Seq[Expression]) => Md5Prefix32(es.head)))
+    ext.injectFunction((FunctionIdentifier("simhash_agg"),
+      info("simhash_agg", "simhash_agg(token) - 32-bit SimHash digest aggregate"),
+      (es: Seq[Expression]) => SimHashAgg(es.head).toAggregateExpression()))
+  }
+}

@@ -148,4 +148,16 @@ object Load {
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
     path
   }
+
+  /** Dated JSON-lines sink: the lossless stage-boundary interchange.
+    * The reference's CSV hop stringifies its one array column
+    * (SURVEY.md §1 — `additional_features` becomes `"['a', 'b']"`);
+    * JSONL round-trips arrays and nulls intact while keeping the same
+    * splittable line-per-record layout. */
+  def datedJsonl(df: DataFrame, name: String, dirPath: String, date: java.time.LocalDate): String = {
+    val stamp = date.format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+    val path = s"$dirPath/${name}_$stamp"
+    df.write.mode(SaveMode.Overwrite).json(path)
+    path
+  }
 }

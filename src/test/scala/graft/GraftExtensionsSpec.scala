@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The spark.sql.extensions registration path: a session built with
+  * GraftExtensions resolves every graft function from plain SQL with
+  * no programmatic registration call. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("a session built with GraftExtensions resolves graft functions from SQL") {
+    // getOrCreate returns any existing default session (and skips
+    // extension injection), so detach the shared test session first and
+    // restore it after — the new session reuses the same SparkContext.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val r = spark.sql(
+        """SELECT rolling_hash('abc') AS rh,
+          |  graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |            array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dp,
+          |  size(word_shingles('a b c d', 3)) AS ns,
+          |  md5_prefix32('x') AS mp""".stripMargin).head
+      assert(r.getAs[Long]("rh") === graft.functions.RollingHash.hash("abc"))
+      assert(r.getAs[Double]("dp") === 11.0)
+      assert(r.getAs[Int]("ns") === 2)
+      assert(r.getAs[Long]("mp") ===
+        graft.functions.Md5Prefix32.hash(org.apache.spark.unsafe.types.UTF8String.fromString("x")))
+      val agg = spark.sql(
+        "SELECT simhash_agg(t) AS sh FROM (SELECT explode(split('a b a', ' ')) AS t)").head
+      assert(agg.getAs[Long]("sh") >= 0L)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}

@@ -94,6 +94,22 @@ class LoadSpec extends SparkSpec {
     assert(out.exceptAll(main).isEmpty && main.exceptAll(out).isEmpty)
   }
 
+  test("jsonl interchange round-trips the array column the CSV hop stringifies") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val df = Seq(
+      ("a", Seq("Carport", "Garasi"), Some(100L)),
+      ("b", Seq.empty[String], None)).toDF("link", "additional_features", "price_rp")
+    val path = Load.datedJsonl(df, "listings", dir, java.time.LocalDate.of(2024, 1, 2))
+    assert(path.endsWith("listings_20240102"))
+    val back = spark.read.schema(df.schema).json(path)
+    val rows = back.collect().map(r => (r.getString(0),
+      Option(r.getSeq[String](1)).getOrElse(Seq()), Option(r.get(2)))).toSet
+    assert(rows.map(_._1) === Set("a", "b"))
+    assert(rows.find(_._1 == "a").get._2 === Seq("Carport", "Garasi"))
+    // the array survives as a real array, not a stringified literal
+    assert(back.schema("additional_features").dataType.typeName === "array")
+  }
+
   test("jdbcUpsert drives a real JDBC database end-to-end (embedded Derby)") {
     // K2/K3/K6 wire path (SURVEY.md §2.2): truncate-overwrite staging
     // via Spark's batched JDBC writer, then one server-side atomic
