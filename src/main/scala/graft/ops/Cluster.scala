@@ -92,8 +92,10 @@ object Cluster {
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
+    def labelSum(l: DataFrame): Long =
+      l.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
     var prevSum = Long.MinValue
-    var curSum = labels.agg(sum("lbl")).head.getLong(0)
+    var curSum = labelSum(labels)
     while (curSum != prevSum) {
       prevSum = curSum
       val viaNeighbor = sym.join(labels, sym("b") === labels("id"))
@@ -101,7 +103,7 @@ object Cluster {
       labels = viaNeighbor.union(labels)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint()
-      curSum = labels.agg(sum("lbl")).head.getLong(0)
+      curSum = labelSum(labels)
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }

@@ -165,6 +165,13 @@ class OpsSpec extends SparkSpec {
     assert(disagree === 0L)
   }
 
+  test("connected components of an empty edge list is empty (no NPE on empty sum)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Cluster.connectedComponents(empty).count() === 0L)
+    assert(Cluster.connectedComponentsStar(empty).count() === 0L)
+  }
+
   test("connected components agrees with brute-force union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
