@@ -153,6 +153,7 @@ object SparkEntry {
     "q_dedup_minhash" -> sqlStaged(Seq("documents"), SqlOps.dedupMinhash),
     "q_dedup_ngram_jaccard" -> sqlStaged(Seq("documents"), SqlOps.dedupNgramJaccard),
     "q_dedup_verified" -> sqlStaged(Seq("documents"), SqlOps.dedupVerified),
+    "q_dedup_lsh_eval" -> sqlStaged(Seq("documents"), SqlOps.dedupLshEval),
     "q_dedup_simhash" -> sqlq(Seq("documents"), SqlOps.dedupSimhash),
     "q_dedup_simhash_pairs" -> sqlStaged(Seq("documents"), SqlOps.dedupSimhashPairs),
     "q_dedup_fingerprint" -> sqlq(Seq("documents"), SqlOps.dedupFingerprint),
@@ -406,6 +407,7 @@ object SparkEntry {
     "q_agg_collect" -> SqlOps.collectOrders(DuckDialect),
     "q_corr_exact" -> SqlOps.corrQtyPrice(DuckDialect),
     "q_dedup_verified" -> SqlOps.dedupVerified.single(DuckDialect),
+    "q_dedup_lsh_eval" -> SqlOps.dedupLshEval.single(DuckDialect),
 
     "q_dedup_exact" -> SqlOps.dedupExact(DuckDialect),
     "q_dedup_minhash" -> SqlOps.dedupMinhash.single(DuckDialect),

@@ -718,6 +718,52 @@ object SqlOps {
       })
   }
 
+  /** LSH quality evaluation: recall/precision of the minhash band
+    * candidates against exact-jaccard (≥ 0.6) ground truth — the
+    * metrics row a pipeline publishes when tuning band/row counts.
+    * Composes the two staged indexes; counts are exact, the ratios are
+    * single IEEE divisions of those counts. */
+  val dedupLshEval: StagedOp = {
+    val bands = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, concat(h${2 * b}, h${2 * b + 1}) AS bkey FROM mh_sig"
+    }.mkString("\n  UNION ALL\n  ")
+    StagedOp(
+      stages = dedupMinhash.stages ++ dedupNgramJaccard.stages,
+      body = { _ =>
+        s"""WITH bands AS (
+           |  $bands
+           |),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM nj_dshf GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           |  FROM nj_dshf a JOIN nj_dshf b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id
+           |),
+           |truth AS (
+           |  SELECT i.doc_a, i.doc_b FROM inter i
+           |  JOIN sz sa ON i.doc_a = sa.doc_id
+           |  JOIN sz sb ON i.doc_b = sb.doc_id
+           |  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.6
+           |),
+           |m AS (
+           |  SELECT
+           |    (SELECT COUNT(*) FROM truth) AS n_true,
+           |    (SELECT COUNT(*) FROM cand) AS n_cand,
+           |    (SELECT COUNT(*) FROM truth t JOIN cand c
+           |       ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit
+           |)
+           |SELECT n_true, n_cand, n_hit,
+           |  CAST(n_hit AS DOUBLE) / n_true AS recall,
+           |  CAST(n_hit AS DOUBLE) / n_cand AS precision_
+           |FROM m""".stripMargin
+      })
+  }
+
   // ---- sampling / canonical selection / corpus statistics ----
 
   /** Deterministic content-hash sampling: bucket = first byte of
