@@ -138,6 +138,7 @@ object SparkEntry {
     "q_union_slices" -> Relational.unionSlices _,
     "q_above_avg" -> Relational.aboveAvgOrders _,
     "q_agg_salted" -> ((s, d) => Relational.saltedRevenueByFlag(s, d)),
+    "q_join_salted" -> ((s, d) => Relational.saltedJoinRevenue(s, d)),
     "q_events_json" -> Relational.eventsJsonAgg _,
     "q_orders_by_month" -> Relational.ordersByMonth _,
     "q_asof_join" -> Relational.asofLastPurchase _,
@@ -383,6 +384,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // the oracle is the PLAIN join: salting must be result-invisible
+    "q_join_salted" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q_events_json" ->
       """SELECT event_type,

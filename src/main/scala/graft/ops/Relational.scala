@@ -309,6 +309,28 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Salted skew join: the fact-fact join shuffle key is widened with a
+    * salt — each probe-side row picks one salt bucket, the build side
+    * replicates once per salt — so a hot key's rows spread across
+    * `salts` reducers instead of stalling one. Result is provably
+    * identical to the plain join (the oracle checks the plain SQL).
+    * At 100 TB this (or AQE's skew-join split, which automates the same
+    * idea) is what keeps a power-law key distribution from serializing
+    * the stage. */
+  def saltedJoinRevenue(spark: SparkSession, dir: String, salts: Int = 4): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(salts)))
+    val o = Tables.orders(spark, dir)
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    li.join(o,
+        li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Correlated-style aggregate filter (orders above their customer's
     * average order value) — join against a pre-aggregated side. */
   def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
