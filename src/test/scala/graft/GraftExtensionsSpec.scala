@@ -17,10 +17,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
     try {
+      // withExtensions = the programmatic form of
+      // spark.sql.extensions=graft.GraftExtensions; the string conf is
+      // static and only read when the SparkContext itself is built, so
+      // it can't be exercised over the suite's shared context
       val spark = SparkSession.builder()
         .master("local[2]")
         .appName("graft-ext-test")
-        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .withExtensions(new GraftExtensions)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
