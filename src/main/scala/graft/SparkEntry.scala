@@ -145,6 +145,9 @@ object SparkEntry {
     "q_grouping_sets" -> sqlq(Seq("orders"), SqlOps.groupingSets),
     "q_percentiles" -> sqlq(Seq("events"), SqlOps.eventPercentiles),
     "q_window_range" -> sqlq(Seq("orders"), SqlOps.windowRangeSpend),
+    "q_window_moving_avg" -> sqlq(Seq("orders"), SqlOps.windowMovingAvg),
+    "q_percent_rank" -> sqlq(Seq("orders"), SqlOps.percentRankOrders),
+    "q_bucketize" -> sqlq(Seq("events"), SqlOps.bucketizeValues),
     "q_mode_priority" -> sqlq(Seq("orders"), SqlOps.modePriority),
     "q_agg_collect" -> sqlq(Seq("orders"), SqlOps.collectOrders),
     "q_corr_exact" -> sqlq(Seq("lineitem"), SqlOps.corrQtyPrice),
@@ -411,6 +414,9 @@ object SparkEntry {
     "q_grouping_sets" -> SqlOps.groupingSets(DuckDialect),
     "q_percentiles" -> SqlOps.eventPercentiles(DuckDialect),
     "q_window_range" -> SqlOps.windowRangeSpend(DuckDialect),
+    "q_window_moving_avg" -> SqlOps.windowMovingAvg(DuckDialect),
+    "q_percent_rank" -> SqlOps.percentRankOrders(DuckDialect),
+    "q_bucketize" -> SqlOps.bucketizeValues(DuckDialect),
     "q_mode_priority" -> SqlOps.modePriority(DuckDialect),
     "q_agg_collect" -> SqlOps.collectOrders(DuckDialect),
     "q_corr_exact" -> SqlOps.corrQtyPrice(DuckDialect),

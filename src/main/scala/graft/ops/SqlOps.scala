@@ -354,6 +354,38 @@ object SqlOps {
        |FROM m""".stripMargin
   }
 
+  /** Moving average over a row frame (7-order trailing window), exact:
+    * frame SUM in decimal and frame COUNT output separately, the mean
+    * as one IEEE division — window aggregates stay order-independent. */
+  def windowMovingAvg(d: Dialect): String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    / COUNT(*) OVER w AS DOUBLE) AS avg_7,
+      |  COUNT(*) OVER w AS n_in_frame
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Relative standing: PERCENT_RANK over a deterministic total order —
+    * (rank−1)/(n−1) is exact integer arithmetic finished by one IEEE
+    * division, identical in both engines. */
+  def percentRankOrders(d: Dialect): String =
+    """SELECT o_orderkey,
+      |  PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey) AS pr
+      |FROM orders""".stripMargin
+
+  /** Arithmetic bucketization: the same value bands as [[rangeJoinBands]]
+    * computed by FLOOR division instead of an interval join — at scale
+    * this is the winning plan for fixed-width bands (a narrow projection
+    * plus one aggregation; no join at all), while the interval join
+    * covers irregular band tables. Identical outputs, both oracle-checked. */
+  def bucketizeValues(d: Dialect): String =
+    """SELECT CAST(LEAST(FLOOR(value / 50.0e0), 9.0e0) AS INT) AS band,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY CAST(LEAST(FLOOR(value / 50.0e0), 9.0e0) AS INT)""".stripMargin
+
   /** Decile assignment (NTILE) of order value within each status. */
   def orderDeciles(d: Dialect): String =
     """SELECT o_orderkey, o_orderstatus,
