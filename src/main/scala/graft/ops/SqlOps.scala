@@ -339,13 +339,21 @@ object SqlOps {
   def corrQtyPrice(d: Dialect): String = {
     val q = "CAST(l_quantity AS DECIMAL(18,2))"
     val p = "CAST(l_extendedprice AS DECIMAL(18,2))"
+    // decimal→double conversion is NOT identical across engines in the
+    // last ulp (Java converts the exact decimal correctly-rounded;
+    // DuckDB divides the scaled integer — two roundings). Route both
+    // through the same sequence: exact integer (×10⁴, DECIMAL(38,0))
+    // → double (integer conversion, correctly rounded everywhere)
+    // → one IEEE division.
+    def toDbl(sum: String) =
+      s"CAST(CAST(($sum) * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 1.0e4"
     s"""WITH m AS (
        |  SELECT l_returnflag, COUNT(*) AS n,
-       |    CAST(SUM($q) AS DOUBLE) AS sx,
-       |    CAST(SUM($p) AS DOUBLE) AS sy,
-       |    CAST(SUM($q * $q) AS DOUBLE) AS sxx,
-       |    CAST(SUM($p * $p) AS DOUBLE) AS syy,
-       |    CAST(SUM($q * $p) AS DOUBLE) AS sxy
+       |    ${toDbl(s"SUM($q)")} AS sx,
+       |    ${toDbl(s"SUM($p)")} AS sy,
+       |    ${toDbl(s"SUM($q * $q)")} AS sxx,
+       |    ${toDbl(s"SUM($p * $p)")} AS syy,
+       |    ${toDbl(s"SUM($q * $p)")} AS sxy
        |  FROM lineitem GROUP BY l_returnflag
        |)
        |SELECT l_returnflag, n,
