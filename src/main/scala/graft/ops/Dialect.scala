@@ -26,16 +26,10 @@ trait Dialect {
   def size(l: String): String
   /** 1-based array element access. */
   def elem(l: String, i: String): String
-  /** Inclusive integer sequence [a, b]; empty when b < a. */
-  def seqIncl(a: String, b: String): String
-  def transform(l: String, lambda: String): String
   def filter(l: String, lambda: String): String
-  def arrayMin(l: String): String
   def arrayDistinct(l: String): String
   def arraySort(l: String): String
   def arrayJoin(l: String, sep: String): String
-  /** Sum of a double array, in element order. */
-  def sumDouble(l: String): String
   def arrayContains(l: String, x: String): String
   /** Array literal of string elements. */
   def arrayLit(items: Seq[String]): String
@@ -65,16 +59,10 @@ object SparkDialect extends Dialect {
   def split(x: String, sep: String): String = s"split($x, '$sep')"
   def size(l: String): String = s"size($l)"
   def elem(l: String, i: String): String = s"element_at($l, $i)"
-  def seqIncl(a: String, b: String): String =
-    s"CASE WHEN ($b) >= ($a) THEN sequence($a, $b) ELSE array() END"
-  def transform(l: String, lambda: String): String = s"transform($l, $lambda)"
   def filter(l: String, lambda: String): String = s"filter($l, $lambda)"
-  def arrayMin(l: String): String = s"array_min($l)"
   def arrayDistinct(l: String): String = s"array_distinct($l)"
   def arraySort(l: String): String = s"array_sort($l)"
   def arrayJoin(l: String, sep: String): String = s"array_join($l, '$sep')"
-  def sumDouble(l: String): String =
-    s"aggregate($l, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
   def arrayContains(l: String, x: String): String = s"array_contains($l, $x)"
   def arrayLit(items: Seq[String]): String =
     items.map(i => s"'$i'").mkString("array(", ", ", ")")
@@ -103,14 +91,10 @@ object DuckDialect extends Dialect {
   def split(x: String, sep: String): String = s"string_split($x, '$sep')"
   def size(l: String): String = s"len($l)"
   def elem(l: String, i: String): String = s"($l)[$i]"
-  def seqIncl(a: String, b: String): String = s"range($a, ($b) + 1)"
-  def transform(l: String, lambda: String): String = s"list_transform($l, $lambda)"
   def filter(l: String, lambda: String): String = s"list_filter($l, $lambda)"
-  def arrayMin(l: String): String = s"list_min($l)"
   def arrayDistinct(l: String): String = s"list_distinct($l)"
   def arraySort(l: String): String = s"list_sort($l)"
   def arrayJoin(l: String, sep: String): String = s"array_to_string($l, '$sep')"
-  def sumDouble(l: String): String = s"coalesce(list_sum($l), 0.0)"
   def arrayContains(l: String, x: String): String = s"list_contains($l, $x)"
   def arrayLit(items: Seq[String]): String =
     items.map(i => s"'$i'").mkString("[", ", ", "]")
