@@ -1,0 +1,58 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.etl.Extract
+
+/** DataSourceV2 page source: schema, partition-per-page, and LIMIT
+  * pushdown (the reference's num_pages bound reaching the source). */
+class PageSourceSpec extends SparkSpec {
+
+  private def card(link: String, name: String, price: String): String =
+    s"""<div class="card-featured__middle-section">
+       |<a href="$link"><h2>$name</h2></a>
+       |<div class="card-featured__middle-section__price"><strong>$price</strong></div>
+       |</div></div>""".stripMargin
+
+  private def writePages(n: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pages").toString
+    (1 to n).foreach { p =>
+      val html = card(s"/properti/p$p-a", s"Rumah $p-A", s"Rp $p,5 Miliar") +
+        card(s"/properti/p$p-b", s"Rumah $p-B", s"Rp ${p}00 Juta")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/page-$p.html"),
+        html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    dir
+  }
+
+  private def read(dir: String) =
+    spark.read.format("graft.sources.PageSource").option("path", dir).load()
+
+  test("reads one row per page file with the declared schema") {
+    val dir = writePages(5)
+    val df = read(dir)
+    assert(df.schema.fieldNames.toSeq === Seq("page", "html"))
+    assert(df.count() === 5)
+    assert(df.rdd.getNumPartitions === 5) // one partition per page fetch
+  }
+
+  test("LIMIT is pushed to the source: only k page partitions planned") {
+    val dir = writePages(6)
+    PageSource.lastPlannedPages = -1
+    val rows = read(dir).limit(2).collect()
+    assert(rows.length === 2)
+    assert(PageSource.lastPlannedPages === 2,
+      "limit must reach planInputPartitions (2 fetches, not 6)")
+    assert(read(dir).queryExecution.executedPlan.toString.contains("PageScan"))
+  }
+
+  test("feeds the extract pipeline: pages -> cards -> raw rows") {
+    import spark.implicits._
+    val dir = writePages(3)
+    val pages = read(dir).as[(Int, String)]
+    val raw = Extract.fromPages(pages, "jual", "rumah", Seq("Jakarta"))
+    assert(raw.count() === 6) // 3 pages x 2 cards
+    val links = raw.select("link").collect().map(_.getString(0)).toSet
+    assert(links.contains("rumah123.com/properti/p1-a"))
+  }
+}
