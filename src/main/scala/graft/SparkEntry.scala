@@ -36,10 +36,21 @@ object SparkEntry {
     val path = s"${sys.props("java.io.tmpdir")}/graft_stage/${d.hashCode.toHexString}/transformed"
     // written once per JVM per dataset: the derivation is deterministic,
     // so the three merge queries share one interchange materialization
-    if (stagedOnce.add(path))
-      transformed(s, d).write.mode("overwrite").parquet(path)
+    writeStageOnce(path)(transformed(s, d).write.mode("overwrite").parquet(path))
     s.read.parquet(path)
   }
+
+  /** Mark `path` materialized only AFTER the write succeeds — a failed
+    * write must not poison the per-JVM stage cache (later queries would
+    * read a missing/partial directory for the rest of the JVM). */
+  private def writeStageOnce(path: String)(write: => Unit): Unit =
+    stagedOnce.synchronized {
+      if (!stagedOnce.contains(path)) {
+        write
+        stagedOnce.add(path)
+        ()
+      }
+    }
 
   private def mergeMain(t: DataFrame): DataFrame =
     t.filter(col("ingest_order") % 2 === 0)
@@ -75,8 +86,8 @@ object SparkEntry {
         // queries, mh_sig by minhash and clustering) is materialized
         // once per JVM and reused — exactly how a production pipeline
         // treats a signature/shingle index
-        if (stagedOnce.add(path))
-          s.sql(build(SparkDialect)).write.mode("overwrite").parquet(path)
+        writeStageOnce(path)(
+          s.sql(build(SparkDialect)).write.mode("overwrite").parquet(path))
         s.read.parquet(path).createOrReplaceTempView(name)
       }
       s.sql(op.body(SparkDialect))

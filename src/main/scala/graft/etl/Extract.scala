@@ -182,8 +182,11 @@ object MiniYaml {
     var i = start
     while (i < lines.length && lines(i)._1 == indent && lines(i)._2.startsWith("- ")) {
       val item = lines(i)._2.drop(2).trim
-      val cidx = item.indexOf(": ")
-      val bare = item.endsWith(":")
+      // a quoted item is always a scalar, even when it contains ": "
+      // (e.g. `- 'note: temp'`)
+      val quoted = item.startsWith("'") || item.startsWith("\"")
+      val cidx = if (quoted) -1 else item.indexOf(": ")
+      val bare = !quoted && item.endsWith(":")
       if (cidx > 0 || bare) {
         val (m, ni) = parseMap(lines.updated(i, (indent + 2, item)), i, indent + 2)
         out += m; i = ni

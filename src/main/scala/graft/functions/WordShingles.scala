@@ -23,10 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class WordShingles(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == IntegerType && right.foldable)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"word_shingles needs (string, literal int), got (${left.dataType}, ${right.dataType})")
+    if (left.dataType != StringType || right.dataType != IntegerType || !right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"word_shingles needs (string, literal int), got (${left.dataType}, ${right.dataType})")
+    else right.eval() match {
+      case n: Integer if n >= 1 => TypeCheckResult.TypeCheckSuccess
+      case n => TypeCheckResult.TypeCheckFailure(
+        s"word_shingles needs n >= 1, got $n")
+    }
 
   override def nullSafeEval(text: Any, n: Any): Any =
     WordShingles.shingles(text.asInstanceOf[UTF8String], n.asInstanceOf[Int])

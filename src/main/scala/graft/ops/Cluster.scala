@@ -77,10 +77,17 @@ object Cluster {
       e = small.localCheckpoint()
       cur = sig(e)
     }
-    // converged: stars rooted at component minima
+    // converged: stars rooted at component minima; nodes whose only
+    // edges were self-loops (dropped by canon) come back as singleton
+    // components so the result matches connectedComponents node-for-node
     val members = e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
     val roots = e.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct()
-    members.union(roots).distinct()
+    val labeled = members.union(roots).distinct()
+    val allNodes = edges.select(col("a").as("doc_id"))
+      .union(edges.select(col("b").as("doc_id"))).distinct()
+    val singletons = allNodes.join(labeled, Seq("doc_id"), "left_anti")
+      .withColumn("cluster_id", col("doc_id"))
+    labeled.union(singletons)
   }
 
   /** Edge list (cols `a`, `b`) → (doc_id, cluster_id = min reachable id).

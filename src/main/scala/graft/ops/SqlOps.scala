@@ -109,13 +109,55 @@ object SqlOps {
     * carries one partial signature per doc per partition, not the
     * shingle index). The signature table (1 row/doc) is staged so the
     * band self-join doesn't rebuild it. */
+  /** 4×2 LSH band projection of the staged signature table, and the
+    * distinct candidate pairs it yields — shared verbatim by
+    * [[dedupMinhash]], [[dedupVerified]], [[dedupLshEval]], and the
+    * clustering oracle, so band geometry changes in exactly one place. */
+  private val mhBandsCte: String = {
+    val rows = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, concat(h${2 * b}, h${2 * b + 1}) AS bkey FROM mh_sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"bands AS (\n  $rows\n)"
+  }
+  private val mhCandCte: String =
+    """cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |)""".stripMargin
+
+  /** Jaccard verification fragments over the staged df-capped index —
+    * doc sizes, pairwise intersections (full, or gated to `cand`), and
+    * the ≥ 0.6 score expression — shared by [[dedupNgramJaccard]],
+    * [[dedupVerified]], [[dedupLshEval]]. */
+  private val szCte = "sz AS (SELECT doc_id, COUNT(*) AS n FROM nj_dshf GROUP BY doc_id)"
+  private val interFullCte =
+    """inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM nj_dshf a JOIN nj_dshf b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |)""".stripMargin
+  private val interGatedCte =
+    """inter AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      |  FROM cand c
+      |  JOIN nj_dshf a ON a.doc_id = c.doc_a
+      |  JOIN nj_dshf b ON b.doc_id = c.doc_b AND b.s = a.s
+      |  GROUP BY c.doc_a, c.doc_b
+      |)""".stripMargin
+  private val jaccardExpr = "CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter)"
+  private val jaccardSelect =
+    s"""SELECT i.doc_a, i.doc_b,
+       |  ROUND($jaccardExpr, 6) AS jaccard
+       |FROM inter i
+       |JOIN sz sa ON i.doc_a = sa.doc_id
+       |JOIN sz sb ON i.doc_b = sb.doc_id
+       |WHERE $jaccardExpr >= 0.6""".stripMargin
+
   val dedupMinhash: StagedOp = {
     val sigCols = (0 until 8).map { j =>
       s"MIN(substr(md5(s), ${4 * j + 1}, 4)) AS h$j"
     }.mkString(",\n    ")
-    val bands = (0 until 4).map { b =>
-      s"SELECT doc_id, $b AS band, concat(h${2 * b}, h${2 * b + 1}) AS bkey FROM mh_sig"
-    }.mkString("\n  UNION ALL\n  ")
     StagedOp(
       stages = Seq("mh_sig" -> { d =>
         s"""WITH ${corpusCte(d)},
@@ -125,12 +167,9 @@ object SqlOps {
            |FROM sh GROUP BY doc_id""".stripMargin
       }),
       body = { _ =>
-        s"""WITH bands AS (
-           |  $bands
-           |)
-           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |FROM bands a JOIN bands b
-           |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+        s"""WITH $mhBandsCte,
+           |$mhCandCte
+           |SELECT doc_a, doc_b FROM cand""".stripMargin
       })
   }
 
@@ -166,18 +205,9 @@ object SqlOps {
            |SELECT doc_id, s FROM w WHERE df <= 20""".stripMargin
       }),
     body = { _ =>
-      s"""WITH sz AS (SELECT doc_id, COUNT(*) AS n FROM nj_dshf GROUP BY doc_id),
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-         |  FROM nj_dshf a JOIN nj_dshf b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id
-         |)
-         |SELECT doc_a, doc_b,
-         |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
-         |FROM cand
-         |JOIN sz sa ON cand.doc_a = sa.doc_id
-         |JOIN sz sb ON cand.doc_b = sb.doc_id
-         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6""".stripMargin
+      s"""WITH $szCte,
+         |$interFullCte
+         |$jaccardSelect""".stripMargin
     })
 
   /** 32-bit SimHash CTEs over the corpus: md5-derived per-token 32-bit
@@ -386,13 +416,18 @@ object SqlOps {
     * computed by FLOOR division instead of an interval join — at scale
     * this is the winning plan for fixed-width bands (a narrow projection
     * plus one aggregation; no join at all), while the interval join
-    * covers irregular band tables. Identical outputs, both oracle-checked. */
+    * covers irregular band tables. The WHERE restricts to the bands'
+    * covered domain [0, 500) so the two forms are identical on ANY
+    * input, not just the fixture's value range (the interval join drops
+    * out-of-range rows; unguarded FLOOR would clamp them into edge
+    * bands). Both oracle-checked. */
   def bucketizeValues(d: Dialect): String =
-    """SELECT CAST(LEAST(FLOOR(value / 50.0e0), 9.0e0) AS INT) AS band,
+    """SELECT CAST(FLOOR(value / 50.0e0) AS INT) AS band,
       |  COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events
-      |GROUP BY CAST(LEAST(FLOOR(value / 50.0e0), 9.0e0) AS INT)""".stripMargin
+      |WHERE value >= 0.0e0 AND value < 500.0e0
+      |GROUP BY CAST(FLOOR(value / 50.0e0) AS INT)""".stripMargin
 
   /** Decile assignment (NTILE) of order value within each status. */
   def orderDeciles(d: Dialect): String =
@@ -726,83 +761,46 @@ object SqlOps {
     * composes rather than recomputes. At 100 TB this is the shape that
     * ships: bands bound the candidate set, exact verification touches
     * only candidate pairs. */
-  val dedupVerified: StagedOp = {
-    val bands = (0 until 4).map { b =>
-      s"SELECT doc_id, $b AS band, concat(h${2 * b}, h${2 * b + 1}) AS bkey FROM mh_sig"
-    }.mkString("\n  UNION ALL\n  ")
-    StagedOp(
-      stages = dedupMinhash.stages ++ dedupNgramJaccard.stages,
-      body = { _ =>
-        s"""WITH bands AS (
-           |  $bands
-           |),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-           |),
-           |sz AS (SELECT doc_id, COUNT(*) AS n FROM nj_dshf GROUP BY doc_id),
-           |inter AS (
-           |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
-           |  FROM cand c
-           |  JOIN nj_dshf a ON a.doc_id = c.doc_a
-           |  JOIN nj_dshf b ON b.doc_id = c.doc_b AND b.s = a.s
-           |  GROUP BY c.doc_a, c.doc_b
-           |)
-           |SELECT i.doc_a, i.doc_b,
-           |  ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) AS jaccard
-           |FROM inter i
-           |JOIN sz sa ON i.doc_a = sa.doc_id
-           |JOIN sz sb ON i.doc_b = sb.doc_id
-           |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.6""".stripMargin
-      })
-  }
+  val dedupVerified: StagedOp = StagedOp(
+    stages = dedupMinhash.stages ++ dedupNgramJaccard.stages,
+    body = { _ =>
+      s"""WITH $mhBandsCte,
+         |$mhCandCte,
+         |$szCte,
+         |$interGatedCte
+         |$jaccardSelect""".stripMargin
+    })
 
   /** LSH quality evaluation: recall/precision of the minhash band
     * candidates against exact-jaccard (≥ 0.6) ground truth — the
     * metrics row a pipeline publishes when tuning band/row counts.
     * Composes the two staged indexes; counts are exact, the ratios are
     * single IEEE divisions of those counts. */
-  val dedupLshEval: StagedOp = {
-    val bands = (0 until 4).map { b =>
-      s"SELECT doc_id, $b AS band, concat(h${2 * b}, h${2 * b + 1}) AS bkey FROM mh_sig"
-    }.mkString("\n  UNION ALL\n  ")
-    StagedOp(
-      stages = dedupMinhash.stages ++ dedupNgramJaccard.stages,
-      body = { _ =>
-        s"""WITH bands AS (
-           |  $bands
-           |),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-           |),
-           |sz AS (SELECT doc_id, COUNT(*) AS n FROM nj_dshf GROUP BY doc_id),
-           |inter AS (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-           |  FROM nj_dshf a JOIN nj_dshf b ON a.s = b.s AND a.doc_id < b.doc_id
-           |  GROUP BY a.doc_id, b.doc_id
-           |),
-           |truth AS (
-           |  SELECT i.doc_a, i.doc_b FROM inter i
-           |  JOIN sz sa ON i.doc_a = sa.doc_id
-           |  JOIN sz sb ON i.doc_b = sb.doc_id
-           |  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.6
-           |),
-           |m AS (
-           |  SELECT
-           |    (SELECT COUNT(*) FROM truth) AS n_true,
-           |    (SELECT COUNT(*) FROM cand) AS n_cand,
-           |    (SELECT COUNT(*) FROM truth t JOIN cand c
-           |       ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit
-           |)
-           |SELECT n_true, n_cand, n_hit,
-           |  CAST(n_hit AS DOUBLE) / n_true AS recall,
-           |  CAST(n_hit AS DOUBLE) / n_cand AS precision_
-           |FROM m""".stripMargin
-      })
-  }
+  val dedupLshEval: StagedOp = StagedOp(
+    stages = dedupMinhash.stages ++ dedupNgramJaccard.stages,
+    body = { _ =>
+      s"""WITH $mhBandsCte,
+         |$mhCandCte,
+         |$szCte,
+         |$interFullCte,
+         |truth AS (
+         |  SELECT i.doc_a, i.doc_b FROM inter i
+         |  JOIN sz sa ON i.doc_a = sa.doc_id
+         |  JOIN sz sb ON i.doc_b = sb.doc_id
+         |  WHERE $jaccardExpr >= 0.6
+         |),
+         |m AS (
+         |  SELECT
+         |    (SELECT COUNT(*) FROM truth) AS n_true,
+         |    (SELECT COUNT(*) FROM cand) AS n_cand,
+         |    (SELECT COUNT(*) FROM truth t JOIN cand c
+         |       ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit
+         |)
+         |SELECT n_true, n_cand, n_hit,
+         |  CAST(n_hit AS DOUBLE) / n_true AS recall,
+         |  CAST(n_hit AS DOUBLE) / n_cand AS precision_
+         |FROM m""".stripMargin
+    })
 
   // ---- sampling / canonical selection / corpus statistics ----
 

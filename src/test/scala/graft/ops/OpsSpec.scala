@@ -172,6 +172,18 @@ class OpsSpec extends SparkSpec {
     assert(Cluster.connectedComponentsStar(empty).count() === 0L)
   }
 
+  test("both CC variants keep self-loop-only nodes as singleton components") {
+    import spark.implicits._
+    val edges = Seq((5L, 5L), (1L, 2L)).toDF("a", "b")
+    val expected = Map(5L -> 5L, 1L -> 1L, 2L -> 1L)
+    val plain = Cluster.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val star = Cluster.connectedComponentsStar(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(plain === expected)
+    assert(star === expected)
+  }
+
   test("connected components agrees with brute-force union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

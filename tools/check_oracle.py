@@ -22,7 +22,12 @@ def cell(v):
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"  # distinct from NULL: a Spark NaN must not match an oracle NULL
+            # Rendered distinct from "NULL". Caveat: pandas has already
+            # coerced SQL NULL to NaN in float64 columns on BOTH sides,
+            # so this only distinguishes NULL from NaN in object-dtype
+            # columns; float columns collapse the two before cell()
+            # runs (mirroring the driver's own pandas-based compare).
+            return "NaN"
         return repr(v)
     return str(v)
 
