@@ -187,6 +187,13 @@ object SparkEntry {
       graft.ops.Cluster.connectedComponents(
         pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
     }),
+    // the O(log n) large-star/small-star variant against the SAME
+    // transitive-closure oracle — both implementations gate-checked
+    "q_dedup_cluster_star" -> ((s, d) => {
+      val pairs = sqlStaged(Seq("documents"), SqlOps.dedupMinhash)(s, d)
+      graft.ops.Cluster.connectedComponentsStar(
+        pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+    }),
     "q_sample_hash" -> sqlq(Seq("documents"), SqlOps.sampleHash),
     "q_sample_stratified" -> sqlq(Seq("documents"), SqlOps.sampleStratified),
 
@@ -254,6 +261,22 @@ object SparkEntry {
   private val mergeCols = Seq("ingest_order", "link", "name", "price_rp",
     "location", "lot_size", "building_size", "n_bedroom", "n_bathroom",
     "n_carport", "additional_features", "ads_type", "property_type")
+
+  private val CLUSTER_ORACLE: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${SqlOps.dedupMinhash.single(DuckDialect)}
+       |),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs
+       |),
+       |reach AS (
+       |  SELECT a AS doc_id, a AS lbl FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT e.a AS doc_id, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.b
+       |)
+       |SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_raw_listings" ->
@@ -450,22 +473,10 @@ object SparkEntry {
     "q_dedup_embedding_cosine" -> SqlOps.dedupEmbeddingCosine.single(DuckDialect),
     "q_dedup_canonical" -> SqlOps.dedupCanonical(DuckDialect),
     // transitive closure of the same candidate pairs as a recursive CTE;
-    // MIN over all reachable labels = the component minimum
-    "q_dedup_cluster" ->
-      s"""WITH RECURSIVE pairs AS (
-         |${SqlOps.dedupMinhash.single(DuckDialect)}
-         |),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b AS a, doc_a AS b FROM pairs
-         |),
-         |reach AS (
-         |  SELECT a AS doc_id, a AS lbl FROM (SELECT DISTINCT a FROM edges)
-         |  UNION
-         |  SELECT e.a AS doc_id, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.b
-         |)
-         |SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin,
+    // MIN over all reachable labels = the component minimum (shared by
+    // both CC implementations)
+    "q_dedup_cluster" -> CLUSTER_ORACLE,
+    "q_dedup_cluster_star" -> CLUSTER_ORACLE,
     "q_sample_hash" -> SqlOps.sampleHash(DuckDialect),
     "q_sample_stratified" -> SqlOps.sampleStratified(DuckDialect),
     "q_embedding_stats" -> SqlOps.embeddingStats(DuckDialect),
