@@ -194,6 +194,20 @@ object SparkEntry {
       graft.ops.Cluster.connectedComponentsStar(
         pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
     }),
+    // the final dedup step: the cleaned corpus = one representative per
+    // duplicate cluster (its minimum id) plus every unclustered doc
+    "q_dedup_survivors" -> ((s, d) => {
+      val pairs = sqlStaged(Seq("documents"), SqlOps.dedupMinhash)(s, d)
+      val clusters = graft.ops.Cluster.connectedComponents(
+        pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      val corpus = s.sql(
+        """SELECT doc_id FROM documents
+          |UNION ALL
+          |SELECT doc_id + 1000000 AS doc_id FROM documents""".stripMargin)
+      corpus.join(clusters, Seq("doc_id"), "left_outer")
+        .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+        .select(col("doc_id"))
+    }),
     "q_sample_hash" -> sqlq(Seq("documents"), SqlOps.sampleHash),
     "q_sample_stratified" -> sqlq(Seq("documents"), SqlOps.sampleStratified),
 
@@ -262,7 +276,7 @@ object SparkEntry {
     "location", "lot_size", "building_size", "n_bedroom", "n_bathroom",
     "n_carport", "additional_features", "ads_type", "property_type")
 
-  private val CLUSTER_ORACLE: String =
+  private val CLUSTER_CTES: String =
     s"""WITH RECURSIVE pairs AS (
        |${SqlOps.dedupMinhash.single(DuckDialect)}
        |),
@@ -275,8 +289,23 @@ object SparkEntry {
        |  SELECT a AS doc_id, a AS lbl FROM (SELECT DISTINCT a FROM edges)
        |  UNION
        |  SELECT e.a AS doc_id, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.b
+       |),
+       |clusters AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id)""".stripMargin
+
+  private val CLUSTER_ORACLE: String =
+    s"""$CLUSTER_CTES
+       |SELECT doc_id, cluster_id FROM clusters""".stripMargin
+
+  /** Cleaned-corpus manifest: cluster representatives + unclustered. */
+  private val SURVIVORS_ORACLE: String =
+    s"""$CLUSTER_CTES,
+       |corpus AS (
+       |  SELECT doc_id FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id FROM documents
        |)
-       |SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id""".stripMargin
+       |SELECT c.doc_id FROM corpus c LEFT JOIN clusters k ON c.doc_id = k.doc_id
+       |WHERE k.doc_id IS NULL OR k.cluster_id = c.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_raw_listings" ->
@@ -477,6 +506,7 @@ object SparkEntry {
     // both CC implementations)
     "q_dedup_cluster" -> CLUSTER_ORACLE,
     "q_dedup_cluster_star" -> CLUSTER_ORACLE,
+    "q_dedup_survivors" -> SURVIVORS_ORACLE,
     "q_sample_hash" -> SqlOps.sampleHash(DuckDialect),
     "q_sample_stratified" -> SqlOps.sampleStratified(DuckDialect),
     "q_embedding_stats" -> SqlOps.embeddingStats(DuckDialect),
