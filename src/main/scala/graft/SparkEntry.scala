@@ -52,6 +52,26 @@ object SparkEntry {
       }
     }
 
+  /** Duplicate-cluster map (pairs → components), staged once per JVM
+    * like the other shared derived artifacts: the iterative
+    * min-label-propagation loop (multiple shuffle rounds + driver
+    * convergence actions) runs once, then q_dedup_cluster and
+    * q_dedup_survivors read the parquet result. Plain propagation:
+    * near-dup components have tiny diameters, so O(diameter) rounds
+    * beat the star alternation's extra joins here;
+    * connectedComponentsStar is the equivalence-tested O(log n) path
+    * for adversarial (long-chain) graphs, gate-checked separately. */
+  private def clustersStaged(s: SparkSession, d: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_stage/${d.hashCode.toHexString}/mh_clusters"
+    writeStageOnce(path) {
+      val pairs = sqlStaged(Seq("documents"), SqlOps.dedupMinhash)(s, d)
+      graft.ops.Cluster.connectedComponents(
+          pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   private def mergeMain(t: DataFrame): DataFrame =
     t.filter(col("ingest_order") % 2 === 0)
 
@@ -178,15 +198,7 @@ object SparkEntry {
     "q_dedup_canonical" -> sqlq(Seq("documents"), SqlOps.dedupCanonical),
     // pairs → clusters: transitive closure of the minhash candidate
     // pairs via iterative min-label propagation (graft.ops.Cluster)
-    "q_dedup_cluster" -> ((s, d) => {
-      val pairs = sqlStaged(Seq("documents"), SqlOps.dedupMinhash)(s, d)
-      // plain propagation: near-dup components have tiny diameters, so
-      // O(diameter) rounds beat the star alternation's extra joins here;
-      // connectedComponentsStar is the equivalence-tested O(log n) path
-      // for adversarial (long-chain) graphs at full scale
-      graft.ops.Cluster.connectedComponents(
-        pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
-    }),
+    "q_dedup_cluster" -> (clustersStaged _),
     // the O(log n) large-star/small-star variant against the SAME
     // transitive-closure oracle — both implementations gate-checked
     "q_dedup_cluster_star" -> ((s, d) => {
@@ -195,15 +207,13 @@ object SparkEntry {
         pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
     }),
     // the final dedup step: the cleaned corpus = one representative per
-    // duplicate cluster (its minimum id) plus every unclustered doc
+    // duplicate cluster (its minimum id) plus every unclustered doc;
+    // the corpus definition is single-sourced from SqlOps.corpusCte
+    // (the same corpus the minhash pairs are built over)
     "q_dedup_survivors" -> ((s, d) => {
-      val pairs = sqlStaged(Seq("documents"), SqlOps.dedupMinhash)(s, d)
-      val clusters = graft.ops.Cluster.connectedComponents(
-        pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      val clusters = clustersStaged(s, d)
       val corpus = s.sql(
-        """SELECT doc_id FROM documents
-          |UNION ALL
-          |SELECT doc_id + 1000000 AS doc_id FROM documents""".stripMargin)
+        s"WITH ${SqlOps.corpusCte(SparkDialect)} SELECT doc_id FROM corpus")
       corpus.join(clusters, Seq("doc_id"), "left_outer")
         .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
         .select(col("doc_id"))
@@ -296,14 +306,11 @@ object SparkEntry {
     s"""$CLUSTER_CTES
        |SELECT doc_id, cluster_id FROM clusters""".stripMargin
 
-  /** Cleaned-corpus manifest: cluster representatives + unclustered. */
+  /** Cleaned-corpus manifest: cluster representatives + unclustered.
+    * Corpus single-sourced from [[SqlOps.corpusCte]]. */
   private val SURVIVORS_ORACLE: String =
     s"""$CLUSTER_CTES,
-       |corpus AS (
-       |  SELECT doc_id FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 1000000 AS doc_id FROM documents
-       |)
+       |${SqlOps.corpusCte(DuckDialect)}
        |SELECT c.doc_id FROM corpus c LEFT JOIN clusters k ON c.doc_id = k.doc_id
        |WHERE k.doc_id IS NULL OR k.cluster_id = c.doc_id""".stripMargin
 

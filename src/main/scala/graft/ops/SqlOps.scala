@@ -51,7 +51,7 @@ object SqlOps {
 
   /** Two "crawl snapshots": every doc appears twice under different ids
     * → guaranteed duplicate pairs for the dedup operators. */
-  private def corpusCte(d: Dialect): String =
+  def corpusCte(d: Dialect): String =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
