@@ -130,6 +130,31 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set(("a", 1L), ("b", 99L), ("c", 3L)))
   }
 
+  test("streaming tumbling aggregation equals the batch form on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      (ts(0), "click", 1.5), (ts(2), "click", 2.25), (ts(4), "view", 0.75),
+      (ts(7), "view", 3.0), (ts(11), "click", 1.0))
+    // streaming path
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = tumblingCounts(in.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.outputMode("complete").format("memory").queryName("eqv").start()
+    in.addData(events: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("eqv").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    q.stop()
+    // batch path: the oracle-checked SqlOps.eventsTumbling over the same rows
+    events.toDF("ts", "event_type", "value").createOrReplaceTempView("events")
+    val batch = spark.sql(graft.ops.SqlOps.eventsTumbling(graft.ops.SparkDialect))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed === batch)
+  }
+
   test("stream-stream interval join pairs clicks with recent purchases only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
