@@ -77,29 +77,38 @@ object Extract {
   def fromPagesWithEarlyExit(pages: Dataset[(Int, String)], adsType: String,
                              propertyType: String, adminList: Seq[String]): DataFrame = {
     import pages.sparkSession.implicits._
-    val emptyPages = pages
+    // cache: the dataset is evaluated twice (cutoff scan + parse), and
+    // for a fetcher-backed dataset an uncached double evaluation would
+    // re-fetch every page. True fetch-side early exit lives in
+    // graft.sources.PageSource (LIMIT pushdown plans only k pages).
+    val cached = pages.cache()
+    val emptyPages = cached
       .map { case (p, html) => (p, CardRe.findAllIn(html).size) }
       .filter(_._2 == 0).map(_._1).collect()
     val cutoff = if (emptyPages.isEmpty) Int.MaxValue else emptyPages.min
-    fromPages(pages.filter(_._1 < cutoff), adsType, propertyType, adminList)
+    fromPages(cached.filter(_._1 < cutoff), adsType, propertyType, adminList)
   }
 
   /** Pages → raw listing rows: the S2 generator (one page → N cards) as
     * a flatMap, constants attached per run (P8). `ingest_order`
-    * preserves scrape order (page × 1000 + card index) so keep-first
-    * dedup stays deterministic. */
+    * preserves scrape order (page × 1e6 + card index, with the card
+    * count validated against the stride) so keep-first dedup stays
+    * deterministic — a colliding/interleaving order key would make the
+    * dedup survivor run-dependent. */
   def fromPages(pages: Dataset[(Int, String)], adsType: String,
                 propertyType: String, adminList: Seq[String]): DataFrame = {
     import pages.sparkSession.implicits._
     val admins = adminList
     pages.flatMap { case (pageNo, html) =>
       CardRe.findAllIn(html).zipWithIndex.map { case (card, i) =>
+        require(i < OrderStride, s"page $pageNo has >= $OrderStride cards; ingest_order would collide")
         parseCard(card, admins).copy(
-          ingest_order = pageNo.toLong * 1000 + i,
+          ingest_order = pageNo.toLong * OrderStride + i,
           ads_type = adsType, property_type = propertyType)
       }
     }.toDF()
   }
+  private val OrderStride = 1000000L
 }
 
 /** The reference's adaptive politeness limiter (src/extract.py:12-59)
@@ -110,6 +119,11 @@ object Extract {
 case class RateLimiter(baseSleep: Double = 1.0, minSleep: Double = 1.0,
                        maxSleep: Double = 600.0, currentSleep: Double = 1.0,
                        consecutiveSuccesses: Int = 0) {
+  /** Seed the adaptive state from the configured base (the reference
+    * starts sleeping at base_sleep, src/extract.py:14-21) — without
+    * this, a non-default `baseSleep` would be configuration that
+    * nothing reads. */
+  def seeded: RateLimiter = copy(currentSleep = math.max(baseSleep, minSleep))
   def onSuccess: RateLimiter = {
     val n = consecutiveSuccesses + 1
     val decay = if (n >= 5) 0.5 else if (n >= 3) 0.7 else 0.9
@@ -141,12 +155,27 @@ object MiniYaml {
     * Struct list items parse as `Map[String, Any]`. */
   def parse(src: String): Map[String, Any] = {
     val lines = src.linesIterator
-      .map(_.replaceAll("#.*$", ""))
+      .map(stripComment)
       .filter(_.trim.nonEmpty)
       .map(l => (l.takeWhile(_ == ' ').length, l.trim))
       .toVector
     if (lines.isEmpty) Map.empty
     else parseMap(lines, 0, lines.head._1)._1
+  }
+
+  /** Cut a trailing `# comment`, but only when the `#` sits outside
+    * quotes (`name: 'region #2'` keeps its value intact). */
+  private def stripComment(line: String): String = {
+    var quote: Char = 0
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') quote = c
+      else if (c == '#') return line.take(i)
+      i += 1
+    }
+    line
   }
 
   /** Mapping block with keys at `indent`; returns (map, next line index). */
@@ -197,7 +226,11 @@ object MiniYaml {
 
   private def unquote(s: String): Any = {
     val u = s.stripPrefix("'").stripSuffix("'").stripPrefix("\"").stripSuffix("\"")
-    if (u.matches("-?\\d+")) u.toInt else u
+    if (u.matches("-?\\d+"))
+      // Int first (the config shapes use Int ids/counts), Long for
+      // bigger literals, string when even Long overflows
+      u.toIntOption.orElse(u.toLongOption).getOrElse(u)
+    else u
   }
 
   /** Typed view of the reference's extract.yaml regions block. */
@@ -218,8 +251,10 @@ object Orchestration {
   def withRetry[T](retries: Int, delayMs: Long = 0L)(f: () => T): T = {
     var attempt = 0
     while (true) {
+      // NonFatal only: OOM/interrupt/linkage errors must propagate
+      // immediately, not be swallowed into a sleep-and-retry
       try return f() catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           if (attempt >= retries) throw e
           attempt += 1
           if (delayMs > 0) Thread.sleep(delayMs)
@@ -237,9 +272,13 @@ object Pipeline {
           existing: Option[DataFrame], key: String = "link"): DataFrame = {
     Extract.validate(adsType, propertyType, numPages = 1)
     val raw = Extract.fromPages(pages, adsType, propertyType, admins)
-    val staged = Transform.transform(raw)
+    // ingest_order is internal scrape-order state for keep-first dedup;
+    // the pipeline product drops it in BOTH branches so a first run's
+    // output can feed back as `existing` (the loaded table, like the
+    // reference's DB table, has no such column)
+    val staged = Transform.transform(raw).drop("ingest_order")
     existing match {
-      case Some(main) => Load.loadGuarded(main, staged.drop("ingest_order"), key)
+      case Some(main) => Load.loadGuarded(main, staged, key)
       case None => staged
     }
   }

@@ -153,13 +153,13 @@ object ListingSql {
       |transformed AS (
       |  SELECT
       |    ingest_order, link, name,
-      |    CAST(ROUND(CASE
+      |    CAST(FLOOR((CASE
       |      WHEN price_s IS NULL THEN NULL
       |      WHEN contains(price_s, 'triliun') THEN TRY_CAST(REPLACE(price_s, ' triliun', '') AS DOUBLE) * 1000000000000
       |      WHEN contains(price_s, 'miliar') THEN TRY_CAST(REPLACE(price_s, ' miliar', '') AS DOUBLE) * 1000000000
       |      WHEN contains(price_s, 'juta') THEN TRY_CAST(REPLACE(price_s, ' juta', '') AS DOUBLE) * 1000000
       |      WHEN contains(price_s, 'ribu') THEN TRY_CAST(REPLACE(price_s, ' ribu', '') AS DOUBLE) * 1000
-      |      ELSE TRY_CAST(price_s AS DOUBLE) END, 0) AS BIGINT) AS price_rp,
+      |      ELSE TRY_CAST(price_s AS DOUBLE) END) + 0.5e0) AS BIGINT) AS price_rp,
       |    location,
       |    TRY_CAST(regexp_extract(lot_size, '(\d+)', 1) AS INT) AS lot_size,
       |    TRY_CAST(regexp_extract(building_size, '(\d+)', 1) AS INT) AS building_size,

@@ -37,7 +37,11 @@ object Load {
     val cols = main.columns.toSeq
     require(staging.columns.toSeq == cols, "merge requires identical schemas")
     val m = main.as("m")
-    val s = staging.as("s")
+    // NULL-key staging rows can never match (and the reference's link
+    // PRIMARY KEY would reject them); unfiltered they'd emit phantom
+    // all-NULL rows through the key-presence switch below. The F1
+    // null-key filter runs upstream in the pipeline; enforce here too.
+    val s = staging.filter(col(key).isNotNull).as("s")
     val picked: Seq[Column] = cols.map(c =>
       when(col(s"s.$key").isNotNull, col(s"s.$c")).otherwise(col(s"m.$c")).as(c))
     m.join(s, col(s"m.$key") === col(s"s.$key"), "full_outer").select(picked: _*)
@@ -46,7 +50,7 @@ object Load {
   /** The reference's inserted-count metric (src/load.py:41-43, Postgres
     * `RETURNING xmax = 0`): staging keys not present in main. */
   def insertedCount(main: DataFrame, staging: DataFrame, key: String): DataFrame =
-    staging.join(main, Seq(key), "left_anti")
+    staging.filter(col(key).isNotNull).join(main, Seq(key), "left_anti")
       .agg(count(lit(1)).as("n_inserted"))
 
   /** Empty-input guard (reference src/load.py:72-74). */
@@ -67,10 +71,12 @@ object Load {
     val hist = current.filter(col("valid_to").isNotNull).select(outCols.map(col): _*)
     val open = current.filter(col("valid_to").isNull)
     val o = open.as("o")
-    val s = staging.as("s")
+    val s = staging.filter(col(key).isNotNull).as("s")
     val j = o.join(s, col(s"o.$key") === col(s"s.$key"), "full_outer")
-    val matched = col(s"o.$key").isNotNull && col(s"s.$key").isNotNull
-    val changed = attrCols.map(c => !(col(s"o.$c") <=> col(s"s.$c"))).reduce(_ || _)
+    // foldLeft, not reduce: a key-only staging schema (no attribute
+    // columns) means nothing can change
+    val changed = attrCols.map(c => !(col(s"o.$c") <=> col(s"s.$c")))
+      .foldLeft(lit(false))(_ || _)
 
     // Single pass: each joined row emits 1-2 output rows via an array
     // explode — three filtered unions over `j` would recompute the

@@ -49,7 +49,11 @@ object Transform {
           |  WHEN contains(price_s, 'juta') THEN try_cast(replace(price_s, ' juta', '') AS DOUBLE) * 1000000
           |  WHEN contains(price_s, 'ribu') THEN try_cast(replace(price_s, ' ribu', '') AS DOUBLE) * 1000
           |  ELSE try_cast(price_s AS DOUBLE) END""".stripMargin))
-      .withColumn("price_rp", expr("cast(round(price_d, 0) AS BIGINT)"))
+      // FLOOR(x+0.5), not ROUND: same half-up result for these
+      // non-negative prices, but pure IEEE ops (Spark's ROUND on
+      // doubles allocates a BigDecimal per row and can disagree with
+      // other engines on boundary-adjacent doubles)
+      .withColumn("price_rp", expr("cast(floor(price_d + 0.5e0) AS BIGINT)"))
       .drop("price_s", "price_d")
 
   /** Badge tokenizer (P6, reference src/extract.py:75-88): 4-regex
