@@ -138,6 +138,20 @@ class ExtractSpec extends SparkSpec {
     assert(cfg("batch_size") === 500)
   }
 
+  test("mini-yaml keeps quoted '#' values, degrades big ints, treats quoted items as scalars") {
+    val cfg = MiniYaml.parse(
+      """name: 'region #2'   # trailing comment still stripped
+        |big_id: 9999999999
+        |huge: 99999999999999999999999999
+        |items:
+        |  - 'note: temp'
+        |""".stripMargin)
+    assert(cfg("name") === "region #2")
+    assert(cfg("big_id") === 9999999999L)
+    assert(cfg("huge") === "99999999999999999999999999")
+    assert(cfg("items") === List("note: temp"))
+  }
+
   test("mini-yaml parses the regions list-of-structs shape") {
     val cfg = MiniYaml.parse(
       """regions:
