@@ -472,8 +472,8 @@ object SparkEntry {
 
     "q_events_json" ->
       """SELECT event_type,
-        |  CAST(SUM(TRY_CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-        |  COUNT(TRY_CAST(json_extract(props, '$.k') AS INT)) AS n_k
+        |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS n_k
         |FROM events GROUP BY event_type""".stripMargin,
     "q_orders_by_month" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,

@@ -67,6 +67,7 @@ object Cluster {
       val large = canon(
         sym.join(m, "x").filter(col("y") > col("x"))
           .select(col("y").as("a"), col("m").as("b")))
+        .localCheckpoint() // referenced 3x below (m2 + both union arms)
       // small-star over canonical edges (u > v): all of u's smaller
       // neighbors, and u itself, link to m(u) = min neighbor
       val m2 = large.groupBy("u").agg(fmin(col("v")).as("m"))

@@ -55,17 +55,21 @@ trait Dialect {
 
 object SparkDialect extends Dialect {
   val name = "spark"
-  def relit(raw: String): String = "'" + raw.replace("\\", "\\\\") + "'"
-  def split(x: String, sep: String): String = s"split($x, '$sep')"
+  // '' is the portable in-literal escape for a single quote (both
+  // engines accept it) — without it a quoted input like "don't"
+  // renders broken SQL
+  private def q(s: String): String = s.replace("'", "''")
+  def relit(raw: String): String = "'" + q(raw.replace("\\", "\\\\")) + "'"
+  def split(x: String, sep: String): String = s"split($x, '${q(sep)}')"
   def size(l: String): String = s"size($l)"
   def elem(l: String, i: String): String = s"element_at($l, $i)"
   def filter(l: String, lambda: String): String = s"filter($l, $lambda)"
   def arrayDistinct(l: String): String = s"array_distinct($l)"
   def arraySort(l: String): String = s"array_sort($l)"
-  def arrayJoin(l: String, sep: String): String = s"array_join($l, '$sep')"
+  def arrayJoin(l: String, sep: String): String = s"array_join($l, '${q(sep)}')"
   def arrayContains(l: String, x: String): String = s"array_contains($l, $x)"
   def arrayLit(items: Seq[String]): String =
-    items.map(i => s"'$i'").mkString("array(", ", ", ")")
+    items.map(i => s"'${q(i)}'").mkString("array(", ", ", ")")
   def reCount(x: String, rawRegex: String): String =
     s"size(regexp_extract_all($x, ${relit(rawRegex)}, 0))"
   def bitXor(a: String, b: String): String = s"($a ^ $b)"
@@ -87,17 +91,18 @@ object SparkDialect extends Dialect {
 
 object DuckDialect extends Dialect {
   val name = "duckdb"
-  def relit(raw: String): String = "'" + raw + "'"
-  def split(x: String, sep: String): String = s"string_split($x, '$sep')"
+  private def q(s: String): String = s.replace("'", "''")
+  def relit(raw: String): String = "'" + q(raw) + "'"
+  def split(x: String, sep: String): String = s"string_split($x, '${q(sep)}')"
   def size(l: String): String = s"len($l)"
   def elem(l: String, i: String): String = s"($l)[$i]"
   def filter(l: String, lambda: String): String = s"list_filter($l, $lambda)"
   def arrayDistinct(l: String): String = s"list_distinct($l)"
   def arraySort(l: String): String = s"list_sort($l)"
-  def arrayJoin(l: String, sep: String): String = s"array_to_string($l, '$sep')"
+  def arrayJoin(l: String, sep: String): String = s"array_to_string($l, '${q(sep)}')"
   def arrayContains(l: String, x: String): String = s"list_contains($l, $x)"
   def arrayLit(items: Seq[String]): String =
-    items.map(i => s"'$i'").mkString("[", ", ", "]")
+    items.map(i => s"'${q(i)}'").mkString("[", ", ", "]")
   def reCount(x: String, rawRegex: String): String =
     s"len(regexp_extract_all($x, ${relit(rawRegex)}, 0))"
   def bitXor(a: String, b: String): String = s"xor($a, $b)"

@@ -39,21 +39,29 @@ object Multimodal {
     * results are reproducible and schema/batching are exercised for
     * real. A production build swaps only this function's body. */
   private def decodeStub(b: MediaRow): Decoded = {
-    val n = b.payload.length
+    // NULL payload (e.g. a null source column cast to binary) decodes
+    // as an empty payload rather than NPE-ing the executor
+    val payload = if (b.payload == null) Array.emptyByteArray else b.payload
+    val n = payload.length
     val w = n % 317 + 16
     val h = n % 211 + 16
     val c = (n % 3) + 1
-    // 8 "features": mean byte value over 8 payload stripes
+    // 8 "features": mean byte value over 8 payload stripes (the last
+    // stripe absorbs the residual bytes, so each mean divides by the
+    // stripe's ACTUAL byte count)
     val feats = new Array[Float](8)
     if (n > 0) {
+      val counts = new Array[Int](8)
       var i = 0
       val stripe = math.max(n / 8, 1)
       while (i < n) {
-        feats(math.min(i / stripe, 7)) += (b.payload(i) & 0xff).toFloat
+        val j = math.min(i / stripe, 7)
+        feats(j) += (payload(i) & 0xff).toFloat
+        counts(j) += 1
         i += 1
       }
       var j = 0
-      while (j < 8) { feats(j) = feats(j) / stripe; j += 1 }
+      while (j < 8) { if (counts(j) > 0) feats(j) = feats(j) / counts(j); j += 1 }
     }
     Decoded(b.doc_id, w, h, c, n, feats)
   }
@@ -75,7 +83,7 @@ object Multimodal {
     * chunk becomes a frame row (doc_id, frame_no, frame binary). */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 4): DataFrame = {
     import media.sparkSession.implicits._
-    media.filter(_.mime == "video/mp4").flatMap { m =>
+    media.filter(m => m.mime == "video/mp4" && m.payload != null).flatMap { m =>
       m.payload.grouped(64).zipWithIndex.collect {
         case (chunk, i) if i % stride == 0 => (m.doc_id, i, chunk)
       }

@@ -327,8 +327,12 @@ object Relational {
     * idea) is what keeps a power-law key distribution from serializing
     * the stage. */
   def saltedJoinRevenue(spark: SparkSession, dir: String, salts: Int = 4): DataFrame = {
+    // the salt MUST be independent of the join key — a salt derived
+    // from l_orderkey would be constant per key and spread nothing;
+    // l_linenumber varies within an order, is deterministic, and keeps
+    // results identical to the plain join
     val li = Tables.lineitem(spark, dir)
-      .withColumn("salt", pmod(col("l_orderkey"), lit(salts)))
+      .withColumn("salt", pmod(col("l_linenumber"), lit(salts)))
     val o = Tables.orders(spark, dir)
       .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
     li.join(o,

@@ -47,6 +47,13 @@ object SqlOps {
   private val STOP_EN = Seq("the", "and", "of", "to", "in", "is", "a")
   private val STOP_ID = Seq("yang", "dan", "di", "ke", "itu", "untuk")
 
+  /** Half-up rounding to 6dp as pure IEEE ops (⌊x·1e6+½⌋/1e6): the
+    * cross-engine-stable comparator quantizer. SQL ROUND on doubles
+    * goes through BigDecimal in Spark (slow on hot self-join paths)
+    * and can disagree with other engines on boundary-adjacent doubles
+    * — the parity rule learned on the corr sums. */
+  private def r6(x: String): String = s"FLOOR(($x) * 1.0e6 + 5.0e-1) / 1.0e6"
+
   private def toks(d: Dialect): String = d.split("text", " ")
 
   /** Two "crawl snapshots": every doc appears twice under different ids
@@ -80,15 +87,20 @@ object SqlOps {
     * DuckDB rendering keeps the relational posexplode+LEAD form — the
     * oracle gate is exactly what proves the two renderings identical. */
   private def shinglesCtes(d: Dialect, n: Int = 3, from: String = "corpus"): String = {
-    val leads = (1 until n).map(k =>
-      s"LEAD(tkn, $k) OVER (PARTITION BY doc_id ORDER BY pos)")
-    val concatArgs = (s"tkn" +: leads).mkString(", ' ', ")
+    require(n >= 1, s"shingle size must be >= 1, got $n")
     if (d.name == "spark")
       s"""sh AS (
          |  SELECT doc_id, s FROM $from
          |  LATERAL VIEW explode(word_shingles(text, $n)) _t AS s
          |)""".stripMargin
-    else
+    else if (n == 1)
+      // 1-grams are just the tokens — no LEAD window needed
+      s"""ctoks AS (SELECT doc_id, ${toks(d)} AS toks FROM $from),
+         |sh AS (${d.explode("SELECT doc_id, toks FROM ctoks", "doc_id", "toks", "s")})""".stripMargin
+    else {
+      val leads = (1 until n).map(k =>
+        s"LEAD(tkn, $k) OVER (PARTITION BY doc_id ORDER BY pos)")
+      val concatArgs = (s"tkn" +: leads).mkString(", ' ', ")
       s"""ctoks AS (SELECT doc_id, ${toks(d)} AS toks FROM $from),
          |tokp AS (${d.explodeWithPos("SELECT doc_id, toks FROM ctoks", "doc_id", "toks", "pos", "tkn")}),
          |shn AS (
@@ -98,6 +110,7 @@ object SqlOps {
          |  FROM tokp
          |),
          |sh AS (SELECT doc_id, s FROM shn WHERE tlast IS NOT NULL)""".stripMargin
+    }
   }
 
   /** MinHash LSH candidate pairs: ONE md5 per shingle sliced into 8
@@ -148,7 +161,7 @@ object SqlOps {
   private val jaccardExpr = "CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter)"
   private val jaccardSelect =
     s"""SELECT i.doc_a, i.doc_b,
-       |  ROUND($jaccardExpr, 6) AS jaccard
+       |  ${r6(jaccardExpr)} AS jaccard
        |FROM inter i
        |JOIN sz sa ON i.doc_a = sa.doc_id
        |JOIN sz sb ON i.doc_b = sb.doc_id
@@ -303,7 +316,7 @@ object SqlOps {
   def embeddingStats(d: Dialect): String =
     s"""WITH nv AS (SELECT label, sqrt(${d.dot("embedding", "embedding")}) AS nrm FROM embeddings)
        |SELECT label, COUNT(*) AS n,
-       |  CAST(SUM(CAST(ROUND(nrm, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+       |  CAST(SUM(CAST(FLOOR(nrm * 1.0e6 + 5.0e-1) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1.0e6 AS avg_norm
        |FROM nv GROUP BY label""".stripMargin
 
   /** Edit-distance near-dup: Levenshtein over 40-char prefixes for
@@ -480,7 +493,7 @@ object SqlOps {
       s"""WITH qs AS (SELECT * FROM emb_nv WHERE vec_id < 5),
          |pairs AS (
          |  SELECT qs.vec_id AS query_id, t.vec_id AS neighbor_id,
-         |    ROUND(${dotExpr(d, "qs.embedding", "t.embedding")} / (qs.nrm * t.nrm), 6) AS cosine
+         |    ${r6(dotExpr(d, "qs.embedding", "t.embedding") + " / (qs.nrm * t.nrm)")} AS cosine
          |  FROM qs JOIN emb_nv t ON t.vec_id <> qs.vec_id
          |)
          |SELECT query_id, neighbor_id, cosine, rk FROM (
@@ -498,7 +511,7 @@ object SqlOps {
     body = { d =>
       s"""WITH pairs AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |    ROUND(${dotExpr(d, "a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine
+         |    ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine
          |  FROM emb_nv a JOIN emb_nv b ON a.bkt8 = b.bkt8 AND a.vec_id <> b.vec_id
          |)
          |SELECT query_id, neighbor_id, cosine, rk FROM (
@@ -569,7 +582,7 @@ object SqlOps {
         s"""WITH qs AS (SELECT * FROM ivf_nvc WHERE vec_id % 50 = 0),
            |pairs AS (
            |  SELECT qs.vec_id AS query_id, b.vec_id AS neighbor_id, qs.cell,
-           |    ROUND(${dotExpr(d, "qs.embedding", "b.embedding")} / (qs.nrm * b.nrm), 6) AS cosine
+           |    ${r6(dotExpr(d, "qs.embedding", "b.embedding") + " / (qs.nrm * b.nrm)")} AS cosine
            |  FROM qs JOIN ivf_nvc b ON qs.cell = b.cell AND qs.vec_id <> b.vec_id
            |)
            |SELECT query_id, neighbor_id, cell, cosine, rk FROM (
@@ -586,7 +599,7 @@ object SqlOps {
     body = { d =>
       s"""SELECT vec_a, vec_b, cosine FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    ROUND(${dotExpr(d, "a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine
+         |    ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine
          |  FROM emb_nv a JOIN emb_nv b ON a.bkt4 = b.bkt4 AND a.vec_id < b.vec_id
          |) WHERE cosine >= 0.35""".stripMargin
     })
@@ -710,7 +723,7 @@ object SqlOps {
     * integer cents so the midpoint arithmetic is exact in both engines
     * (double interpolation formulas differ in the last ulp). */
   def eventPercentiles(d: Dialect): String = {
-    val cents = "CAST(ROUND(value * 100, 0) AS BIGINT)"
+    val cents = "CAST(FLOOR(value * 100 + 5.0e-1) AS BIGINT)"
     s"""SELECT event_type,
        |  ${d.percentileCont(cents, "5.0e-1")} / 1.0e2 AS p50,
        |  ${d.percentileCont(cents, "9.0e-1")} / 1.0e2 AS p90,
@@ -856,7 +869,7 @@ object SqlOps {
     * analytic-join shape of quality filtering (compute per-group
     * thresholds once, broadcast them against the fact table). */
   def valueOutliers(d: Dialect): String = {
-    val cents = "CAST(ROUND(value * 100, 0) AS BIGINT)"
+    val cents = "CAST(FLOOR(value * 100 + 5.0e-1) AS BIGINT)"
     s"""WITH p AS (
        |  SELECT event_type, ${d.percentileCont(cents, "9.9e-1")} / 1.0e2 AS p99
        |  FROM events GROUP BY event_type
