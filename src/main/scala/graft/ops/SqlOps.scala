@@ -614,35 +614,48 @@ object SqlOps {
        |  ${d.reCount("text", "[a-z]+|[0-9]+|[^a-z0-9\\s]")} AS n_subtokens
        |FROM documents""".stripMargin
 
+  /** Stopword-hit counts over a `toks` column and the lang-guess rule —
+    * single-sourced so [[textLangId]] and [[corpusFilter]] cannot
+    * drift (the per-query oracle gate is structurally blind to drift
+    * between two queries that each stay self-consistent). */
+  private def langHitExprs(d: Dialect): (String, String) = (
+    d.size(d.filter("toks", s"t -> ${d.arrayContains(d.arrayLit(STOP_EN), "t")}")),
+    d.size(d.filter("toks", s"t -> ${d.arrayContains(d.arrayLit(STOP_ID), "t")}")))
+  private def langGuessCase(en: String, id: String): String =
+    s"""CASE WHEN $en > $id THEN 'en'
+       |       WHEN $id > $en THEN 'id'
+       |       ELSE 'und' END""".stripMargin
+  /** The quality score over its three components (weights/caps live
+    * here, once) — shared by [[textQuality]] and [[corpusFilter]]. */
+  private def qualityFormula(nWords: String, stopRatio: String, avgWlen: String): String =
+    s"""LEAST(CAST($nWords AS DOUBLE) / 1.0e2, 1.0e0) * 5.0e-1
+       |      + (1.0e0 - $stopRatio) * 3.0e-1
+       |      + LEAST(($avgWlen) / 8.0e0, 1.0e0) * 2.0e-1""".stripMargin
+  private def stopHitsExpr(d: Dialect): String =
+    d.size(d.filter("toks", s"t -> ${d.arrayContains(d.arrayLit(STOP_EN ++ STOP_ID), "t")}"))
+
   /** N-gram/stopword language id heuristic (en vs id markers). */
   def textLangId(d: Dialect): String = {
-    val en = d.size(d.filter("toks", s"t -> ${d.arrayContains(d.arrayLit(STOP_EN), "t")}"))
-    val id = d.size(d.filter("toks", s"t -> ${d.arrayContains(d.arrayLit(STOP_ID), "t")}"))
+    val (en, id) = langHitExprs(d)
     s"""WITH ltoks AS (SELECT doc_id, lang, ${toks(d)} AS toks FROM documents)
        |SELECT doc_id, lang, en_hits, id_hits,
-       |  CASE WHEN en_hits > id_hits THEN 'en'
-       |       WHEN id_hits > en_hits THEN 'id'
-       |       ELSE 'und' END AS lang_guess
+       |  ${langGuessCase("en_hits", "id_hits")} AS lang_guess
        |FROM (SELECT doc_id, lang, $en AS en_hits, $id AS id_hits FROM ltoks)""".stripMargin
   }
 
   /** Quality scoring: length, stopword ratio, mean word length. */
-  def textQuality(d: Dialect): String = {
-    val stopHits = d.size(d.filter("toks", s"t -> ${d.arrayContains(d.arrayLit(STOP_EN ++ STOP_ID), "t")}"))
+  def textQuality(d: Dialect): String =
     s"""WITH qtoks AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
        |m AS (
        |  SELECT doc_id,
        |    ${d.size("toks")} AS n_words,
-       |    CAST($stopHits AS DOUBLE) / ${d.size("toks")} AS stop_ratio,
+       |    CAST(${stopHitsExpr(d)} AS DOUBLE) / ${d.size("toks")} AS stop_ratio,
        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / ${d.size("toks")} AS avg_wlen
        |  FROM qtoks
        |)
        |SELECT doc_id, n_words, stop_ratio, avg_wlen,
-       |  LEAST(CAST(n_words AS DOUBLE) / 1.0e2, 1.0e0) * 5.0e-1
-       |      + (1.0e0 - stop_ratio) * 3.0e-1
-       |      + LEAST(avg_wlen / 8.0e0, 1.0e0) * 2.0e-1 AS quality
+       |  ${qualityFormula("n_words", "stop_ratio", "avg_wlen")} AS quality
        |FROM m""".stripMargin
-  }
 
   /** Repetition quality rule (Gopher-style): the frequency share of the
     * most repeated token per document. The ratio is one exact IEEE
@@ -664,18 +677,16 @@ object SqlOps {
     * three in a single distributed pass (scan → narrow scoring →
     * two window/group shuffles). */
   def corpusFilter(d: Dialect): String = {
-    val en = d.size(d.filter("toks", s"t -> ${d.arrayContains(d.arrayLit(STOP_EN), "t")}"))
-    val id = d.size(d.filter("toks", s"t -> ${d.arrayContains(d.arrayLit(STOP_ID), "t")}"))
-    val stopHits = d.size(d.filter("toks", s"t -> ${d.arrayContains(d.arrayLit(STOP_EN ++ STOP_ID), "t")}"))
+    val (en, id) = langHitExprs(d)
+    val quality = qualityFormula(
+      nWords = d.size("toks"),
+      stopRatio = s"CAST(${stopHitsExpr(d)} AS DOUBLE) / ${d.size("toks")}",
+      avgWlen = s"CAST(length(replace(text, ' ', '')) AS DOUBLE) / ${d.size("toks")}")
     s"""WITH ftoks AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
        |scored AS (
        |  SELECT doc_id, text,
-       |    CASE WHEN $en > $id THEN 'en'
-       |         WHEN $id > $en THEN 'id'
-       |         ELSE 'und' END AS lang_guess,
-       |    LEAST(CAST(${d.size("toks")} AS DOUBLE) / 1.0e2, 1.0e0) * 5.0e-1
-       |      + (1.0e0 - CAST($stopHits AS DOUBLE) / ${d.size("toks")}) * 3.0e-1
-       |      + LEAST(CAST(length(replace(text, ' ', '')) AS DOUBLE) / ${d.size("toks")} / 8.0e0, 1.0e0) * 2.0e-1 AS quality
+       |    ${langGuessCase(en, id)} AS lang_guess,
+       |    $quality AS quality
        |  FROM ftoks
        |),
        |survivors AS (
