@@ -51,6 +51,25 @@ trait Dialect {
   def percentileCont(x: String, p: String): String
   /** Aggregate values into a SORTED array (deterministic list value). */
   def arrayAggSorted(x: String): String
+  /** CTE body producing (doc_id, s) word n-gram rows from `from`
+    * (which has doc_id + text). Each engine declares its fast path:
+    * Spark explodes the native codegen'd word_shingles expression;
+    * DuckDB uses the relational posexplode + LEAD-window form. The
+    * oracle gate is what proves the two renderings identical. */
+  def shingleRows(from: String, n: Int): String
+  /** Identity used for a shingle downstream (joins/df caps/counts).
+    * Spark fingerprints to a 64-bit hash (Broder-style: identical
+    * counts w.h.p., ~4× smaller index and a fixed-width join key);
+    * DuckDB keeps the string, proving count-equivalence every run. */
+  def shingleId(s: String): String
+  /** CTE chain ending in `sim(doc_id, simhash)`: the 32-bit SimHash
+    * digest over token rows CTE `tok(doc_id, t)`. Spark folds the
+    * whole digest into one custom imperative aggregate
+    * (graft.functions.SimHashAgg); DuckDB renders the relational form
+    * (hex-parse token hash, 32 SUM(CASE) bit votes, reassemble) —
+    * identical values: v < 2³² so floor(v/2^k) ≡ v >> k exactly, and
+    * ties set the bit in both forms. */
+  def simhashDigestCtes: String
 }
 
 object SparkDialect extends Dialect {
@@ -87,6 +106,14 @@ object SparkDialect extends Dialect {
   def dot(a: String, b: String): String = s"graft_dot($a, $b)"
   def percentileCont(x: String, p: String): String = s"percentile($x, $p)"
   def arrayAggSorted(x: String): String = s"sort_array(collect_list($x))"
+  def shingleRows(from: String, n: Int): String =
+    s"""sh AS (
+       |  SELECT doc_id, s FROM $from
+       |  LATERAL VIEW explode(word_shingles(text, $n)) _t AS s
+       |)""".stripMargin
+  def shingleId(s: String): String = s"xxhash64($s)"
+  def simhashDigestCtes: String =
+    "sim AS (SELECT doc_id, simhash_agg(t) AS simhash FROM tok GROUP BY doc_id)"
 }
 
 object DuckDialect extends Dialect {
@@ -120,4 +147,42 @@ object DuckDialect extends Dialect {
       s"i -> CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE)))"
   def percentileCont(x: String, p: String): String = s"quantile_cont($x, $p)"
   def arrayAggSorted(x: String): String = s"list_sort(list($x))"
+  def shingleRows(from: String, n: Int): String = {
+    val toksCol = split("text", " ")
+    if (n == 1)
+      // 1-grams are just the tokens — no LEAD window needed
+      s"""ctoks AS (SELECT doc_id, $toksCol AS toks FROM $from),
+         |sh AS (${explode("SELECT doc_id, toks FROM ctoks", "doc_id", "toks", "s")})""".stripMargin
+    else {
+      val leads = (1 until n).map(k =>
+        s"LEAD(tkn, $k) OVER (PARTITION BY doc_id ORDER BY pos)")
+      val concatArgs = (s"tkn" +: leads).mkString(", ' ', ")
+      s"""ctoks AS (SELECT doc_id, $toksCol AS toks FROM $from),
+         |tokp AS (${explodeWithPos("SELECT doc_id, toks FROM ctoks", "doc_id", "toks", "pos", "tkn")}),
+         |shn AS (
+         |  SELECT doc_id,
+         |    concat($concatArgs) AS s,
+         |    ${leads.last} AS tlast
+         |  FROM tokp
+         |),
+         |sh AS (SELECT doc_id, s FROM shn WHERE tlast IS NOT NULL)""".stripMargin
+    }
+  }
+  def shingleId(s: String): String = s
+  def simhashDigestCtes: String = {
+    val hexv = (1 to 8).map { i =>
+      s"CAST(instr('0123456789abcdef', substr(md5(t), $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}"
+    }.mkString(" + ")
+    val bitSums = (0 until 32).map { j =>
+      s"SUM(CASE WHEN CAST(FLOOR(v / ${1L << (31 - j)}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n    ")
+    val assemble = (0 until 32).map { j =>
+      s"(CASE WHEN b$j >= 0 THEN ${1L << (31 - j)} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""tv AS (SELECT doc_id, $hexv AS v FROM tok),
+       |bits AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM tv GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits)""".stripMargin
+  }
 }

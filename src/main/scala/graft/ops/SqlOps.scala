@@ -88,30 +88,9 @@ object SqlOps {
     * oracle gate is exactly what proves the two renderings identical. */
   private def shinglesCtes(d: Dialect, n: Int = 3, from: String = "corpus"): String = {
     require(n >= 1, s"shingle size must be >= 1, got $n")
-    if (d.name == "spark")
-      s"""sh AS (
-         |  SELECT doc_id, s FROM $from
-         |  LATERAL VIEW explode(word_shingles(text, $n)) _t AS s
-         |)""".stripMargin
-    else if (n == 1)
-      // 1-grams are just the tokens — no LEAD window needed
-      s"""ctoks AS (SELECT doc_id, ${toks(d)} AS toks FROM $from),
-         |sh AS (${d.explode("SELECT doc_id, toks FROM ctoks", "doc_id", "toks", "s")})""".stripMargin
-    else {
-      val leads = (1 until n).map(k =>
-        s"LEAD(tkn, $k) OVER (PARTITION BY doc_id ORDER BY pos)")
-      val concatArgs = (s"tkn" +: leads).mkString(", ' ', ")
-      s"""ctoks AS (SELECT doc_id, ${toks(d)} AS toks FROM $from),
-         |tokp AS (${d.explodeWithPos("SELECT doc_id, toks FROM ctoks", "doc_id", "toks", "pos", "tkn")}),
-         |shn AS (
-         |  SELECT doc_id,
-         |    concat($concatArgs) AS s,
-         |    ${leads.last} AS tlast
-         |  FROM tokp
-         |),
-         |sh AS (SELECT doc_id, s FROM shn WHERE tlast IS NOT NULL)""".stripMargin
-    }
+    d.shingleRows(from, n)
   }
+
 
   /** MinHash LSH candidate pairs: ONE md5 per shingle sliced into 8
     * 16-bit hash functions (min over each slice), 4 bands of 2 → join
@@ -210,7 +189,7 @@ object SqlOps {
   val dedupNgramJaccard: StagedOp = StagedOp(
     stages = Seq(
       "nj_dshf" -> { d =>
-        val sid = if (d.name == "spark") "xxhash64(s)" else "s"
+        val sid = d.shingleId("s")
         s"""WITH ${corpusCte(d)},
            |${shinglesCtes(d)},
            |dsh AS (SELECT DISTINCT doc_id, $sid AS s FROM sh),
@@ -227,38 +206,12 @@ object SqlOps {
     * values, per-bit signed majority, reassembled digest. 32 bits keeps
     * the random-collision rate of the band join negligible (16 bits
     * produced tens of thousands of false candidates on random text). */
-  private def simhashCtes(d: Dialect): String = {
-    // Spark: the whole digest is ONE custom imperative aggregate
-    // (graft.functions.SimHashAgg — md5-prefix hash + 32-counter
-    // majority buffer). DuckDB keeps the relational rendering: hex-parse
-    // the token hash, 32 SUM(CASE) bit votes, reassemble (identical
-    // values: v < 2^32 so floor(v/2^k) ≡ v >> k exactly; ties set the
-    // bit in both forms).
-    if (d.name == "spark")
-      s"""${corpusCte(d)},
-         |ctoks AS (SELECT doc_id, ${toks(d)} AS toks FROM corpus),
-         |tok AS (${d.explode("SELECT doc_id, toks FROM ctoks", "doc_id", "toks", "t")}),
-         |sim AS (SELECT doc_id, simhash_agg(t) AS simhash FROM tok GROUP BY doc_id)""".stripMargin
-    else {
-      val hexv = (1 to 8).map { i =>
-        s"CAST(instr('0123456789abcdef', substr(md5(t), $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}"
-      }.mkString(" + ")
-      val bitSums = (0 until 32).map { j =>
-        s"SUM(CASE WHEN CAST(FLOOR(v / ${1L << (31 - j)}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
-      }.mkString(",\n    ")
-      val assemble = (0 until 32).map { j =>
-        s"(CASE WHEN b$j >= 0 THEN ${1L << (31 - j)} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""${corpusCte(d)},
-         |ctoks AS (SELECT doc_id, ${toks(d)} AS toks FROM corpus),
-         |tok AS (${d.explode("SELECT doc_id, toks FROM ctoks", "doc_id", "toks", "t")}),
-         |tv AS (SELECT doc_id, $hexv AS v FROM tok),
-         |bits AS (SELECT doc_id,
-         |    $bitSums
-         |  FROM tv GROUP BY doc_id),
-         |sim AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits)""".stripMargin
-    }
-  }
+  private def simhashCtes(d: Dialect): String =
+    s"""${corpusCte(d)},
+       |ctoks AS (SELECT doc_id, ${toks(d)} AS toks FROM corpus),
+       |tok AS (${d.explode("SELECT doc_id, toks FROM ctoks", "doc_id", "toks", "t")}),
+       |${d.simhashDigestCtes}""".stripMargin
+
 
   /** SimHash digests per doc. */
   def dedupSimhash(d: Dialect): String =
