@@ -63,6 +63,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nearest_centroid", exprs => NearestCentroid(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_prefix32", exprs => Md5Prefix32(exprs.head), "scala_udf")

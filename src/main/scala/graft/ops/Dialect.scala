@@ -49,8 +49,11 @@ trait Dialect {
   def dot(a: String, b: String): String
   /** Exact interpolated percentile of a numeric column. */
   def percentileCont(x: String, p: String): String
-  /** Aggregate values into a SORTED array (deterministic list value). */
-  def arrayAggSorted(x: String): String
+  /** Aggregate values into a sorted, comma-joined STRING — the
+    * hash-comparable rendering of a collected list (scalar output so
+    * downstream comparators never see an array cell). Sorting happens
+    * on the native type, joining after, so numeric order is kept. */
+  def arrayAggSortedStr(x: String): String
   /** CTE body producing (doc_id, s) word n-gram rows from `from`
     * (which has doc_id + text). Each engine declares its fast path:
     * Spark explodes the native codegen'd word_shingles expression;
@@ -62,6 +65,19 @@ trait Dialect {
     * counts w.h.p., ~4× smaller index and a fixed-width join key);
     * DuckDB keeps the string, proving count-equivalence every run. */
   def shingleId(s: String): String
+  /** Full IVF-assignment stage SQL: given `centCtes` (CTEs ending in
+    * `cent(label, pos, qc)`, the µ-quantized centroid components) and
+    * the `emb_nv`/`embeddings` views, produce
+    * `(vec_id, embedding, nrm, cell)` — each vector tagged with its
+    * nearest centroid by exact int64 L2 over quantized components,
+    * ties to the smallest label. Spark's fast path packs the
+    * broadcast-sized centroid table into one array value (1-row cross
+    * join = broadcast nested-loop) and runs the codegen'd
+    * graft_nearest_centroid argmin — assignment is a narrow projection
+    * with ZERO shuffle of the vectors. DuckDB keeps the relational
+    * posexplode + per-(vector,label) distance groupBy form; the oracle
+    * gate proves the two identical. */
+  def ivfAssign(centCtes: String): String
   /** CTE chain ending in `sim(doc_id, simhash)`: the 32-bit SimHash
     * digest over token rows CTE `tok(doc_id, t)`. Spark folds the
     * whole digest into one custom imperative aggregate
@@ -105,13 +121,25 @@ object SparkDialect extends Dialect {
     * HOF form evaluates interpreted per element. */
   def dot(a: String, b: String): String = s"graft_dot($a, $b)"
   def percentileCont(x: String, p: String): String = s"percentile($x, $p)"
-  def arrayAggSorted(x: String): String = s"sort_array(collect_list($x))"
+  def arrayAggSortedStr(x: String): String =
+    s"array_join(transform(sort_array(collect_list($x)), v -> CAST(v AS STRING)), ',')"
   def shingleRows(from: String, n: Int): String =
     s"""sh AS (
        |  SELECT doc_id, s FROM $from
        |  LATERAL VIEW explode(word_shingles(text, $n)) _t AS s
        |)""".stripMargin
   def shingleId(s: String): String = s"xxhash64($s)"
+  def ivfAssign(centCtes: String): String =
+    s"""WITH $centCtes,
+       |cent_arr AS (
+       |  SELECT label,
+       |    transform(array_sort(collect_list(struct(pos, qc))), s -> s.qc) AS qcs
+       |  FROM cent GROUP BY label
+       |),
+       |packed AS (SELECT collect_list(struct(label, qcs)) AS cents FROM cent_arr)
+       |SELECT a.vec_id, a.embedding, a.nrm,
+       |  graft_nearest_centroid(a.embedding, p.cents) AS cell
+       |FROM emb_nv a CROSS JOIN packed p""".stripMargin
   def simhashDigestCtes: String =
     "sim AS (SELECT doc_id, simhash_agg(t) AS simhash FROM tok GROUP BY doc_id)"
 }
@@ -146,7 +174,8 @@ object DuckDialect extends Dialect {
     s"list_sum(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE)))"
   def percentileCont(x: String, p: String): String = s"quantile_cont($x, $p)"
-  def arrayAggSorted(x: String): String = s"list_sort(list($x))"
+  def arrayAggSortedStr(x: String): String =
+    s"array_to_string(list_sort(list($x)), ',')"
   def shingleRows(from: String, n: Int): String = {
     val toksCol = split("text", " ")
     if (n == 1)
@@ -169,6 +198,28 @@ object DuckDialect extends Dialect {
     }
   }
   def shingleId(s: String): String = s
+  def ivfAssign(centCtes: String): String = {
+    val expA = explodeWithPos(
+      "SELECT vec_id, embedding FROM embeddings", "vec_id", "embedding", "pos", "v")
+    def qv(v: String) = s"CAST(FLOOR(CAST($v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)"
+    s"""WITH $centCtes,
+       |eva AS ($expA),
+       |dist AS (
+       |  SELECT eva.vec_id, c.label AS cl,
+       |    SUM((${qv("eva.v")} - c.qc) * (${qv("eva.v")} - c.qc)) AS d2
+       |  FROM eva JOIN cent c ON eva.pos = c.pos
+       |  GROUP BY eva.vec_id, c.label
+       |),
+       |asgn AS (
+       |  SELECT vec_id, cl AS cell FROM (
+       |    SELECT vec_id, cl, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, cl) AS rn
+       |    FROM dist
+       |  ) WHERE rn = 1
+       |)
+       |SELECT a.vec_id, a.embedding, a.nrm, s.cell
+       |FROM emb_nv a JOIN asgn s ON a.vec_id = s.vec_id""".stripMargin
+  }
   def simhashDigestCtes: String = {
     val hexv = (1 to 8).map { i =>
       s"CAST(instr('0123456789abcdef', substr(md5(t), $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}"

@@ -54,6 +54,14 @@ object SqlOps {
     * — the parity rule learned on the corr sums. */
   private def r6(x: String): String = s"FLOOR(($x) * 1.0e6 + 5.0e-1) / 1.0e6"
 
+  /** First byte of md5(col) as an integer 0-255 — the deterministic,
+    * engine-portable bucket key behind [[sampleHash]] and the sampled
+    * LSH-eval truth side (hex-digit arithmetic; no engine-specific
+    * hash or RNG involved). */
+  private def md5Bucket(col: String): String =
+    s"""(instr('0123456789abcdef', substr(md5($col), 1, 1)) - 1) * 16
+       |    + (instr('0123456789abcdef', substr(md5($col), 2, 1)) - 1)""".stripMargin
+
   private def toks(d: Dialect): String = d.split("text", " ")
 
   /** Two "crawl snapshots": every doc appears twice under different ids
@@ -317,11 +325,12 @@ object SqlOps {
       |  FROM orders GROUP BY o_orderstatus, o_orderpriority
       |) WHERE rn = 1""".stripMargin
 
-  /** Array aggregation: per-customer sorted list of order keys (sorted
-    * so the array value is set-deterministic regardless of arrival
-    * order — the only portable way to hash-compare a collected list). */
+  /** Array aggregation: per-customer sorted list of order keys,
+    * emitted as a comma-joined string (sorted so the value is
+    * set-deterministic regardless of arrival order; a scalar so the
+    * result is hash-comparable — array cells are not). */
   def collectOrders(d: Dialect): String =
-    s"""SELECT o_custkey, ${d.arrayAggSorted("o_orderkey")} AS order_keys,
+    s"""SELECT o_custkey, ${d.arrayAggSortedStr("o_orderkey")} AS order_keys,
        |  COUNT(*) AS n_orders
        |FROM orders GROUP BY o_custkey""".stripMargin
 
@@ -427,14 +436,19 @@ object SqlOps {
   private def dotExpr(d: Dialect, a: String, b: String): String = d.dot(a, b)
 
   /** Normalized-vector stage shared by the similarity ops: L2 norm plus
-    * sign-LSH bucket keys over the leading 4 and 8 dims. One pass over
-    * the embeddings, materialized before any self-join. */
+    * four 8-bit sign-LSH band keys (signs of dims 1-8, 9-16, 17-24,
+    * 25-32 — 256 cells each). One pass over the embeddings,
+    * materialized before any self-join. Band 1 doubles as the single
+    * sign-LSH ANN bucket; the cosine near-dup gate ORs all four
+    * (minhash-style banding: small per-band candidate sets, recall
+    * recovered by the union). */
   private def nvStage(d: Dialect): String = {
-    def bkt(dims: Int) = (1 to dims).map { i =>
+    def bkt(lo: Int, hi: Int) = (lo to hi).map { i =>
       s"(CASE WHEN ${d.elem("embedding", i.toString)} > 0 THEN '1' ELSE '0' END)"
     }.mkString("concat(", ", ", ")")
     s"""SELECT vec_id, embedding, ${normExpr(d, "embedding")} AS nrm,
-       |  ${bkt(4)} AS bkt4, ${bkt(8)} AS bkt8
+       |  ${bkt(1, 8)} AS sb1, ${bkt(9, 16)} AS sb2,
+       |  ${bkt(17, 24)} AS sb3, ${bkt(25, 32)} AS sb4
        |FROM embeddings""".stripMargin
   }
 
@@ -465,7 +479,7 @@ object SqlOps {
       s"""WITH pairs AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |    ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine
-         |  FROM emb_nv a JOIN emb_nv b ON a.bkt8 = b.bkt8 AND a.vec_id <> b.vec_id
+         |  FROM emb_nv a JOIN emb_nv b ON a.sb1 = b.sb1 AND a.vec_id <> b.vec_id
          |)
          |SELECT query_id, neighbor_id, cosine, rk FROM (
          |  SELECT *, ROW_NUMBER() OVER (
@@ -494,42 +508,25 @@ object SqlOps {
     StagedOp(
       stages = Seq(
         "emb_nv" -> nvStage,
-        // centroids (broadcast-sized: labels × dims), nearest-centroid
-        // assignment, and the (vector, cell) working set in ONE staged
-        // pass: each inner CTE is referenced exactly once so Spark's
-        // CTE inlining computes it once; only the working set — which
-        // the body self-joins — hits parquet. (Previously 3 stages = 3
-        // parquet round-trips per run.)
+        // centroids (broadcast-sized: labels × dims) and the
+        // (vector, cell) working set in one staged pass; how the
+        // assignment itself runs is per-dialect ([[Dialect.ivfAssign]]):
+        // Spark packs the centroids into one broadcast array value and
+        // argmins with the codegen'd graft_nearest_centroid — a narrow
+        // projection over the staged emb_nv, zero shuffle of the
+        // vectors; DuckDB keeps the relational explode + distance
+        // groupBy, and the oracle gate proves them identical.
         "ivf_nvc" -> { d =>
           val expC = d.explodeWithPos(
             "SELECT vec_id, label, embedding FROM embeddings",
             "vec_id, label", "embedding", "pos", "v")
-          val expA = d.explodeWithPos(
-            "SELECT vec_id, embedding FROM embeddings",
-            "vec_id", "embedding", "pos", "v")
-          s"""WITH evc AS ($expC),
-             |cent AS (
-             |  SELECT label, pos,
-             |    CAST(FLOOR(CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
-             |  FROM evc GROUP BY label, pos
-             |),
-             |eva AS ($expA),
-             |dist AS (
-             |  SELECT eva.vec_id, c.label AS cl,
-             |    SUM((CAST(FLOOR(CAST(eva.v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT) - c.qc)
-             |      * (CAST(FLOOR(CAST(eva.v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT) - c.qc)) AS d2
-             |  FROM eva JOIN cent c ON eva.pos = c.pos
-             |  GROUP BY eva.vec_id, c.label
-             |),
-             |asgn AS (
-             |  SELECT vec_id, cl AS cell FROM (
-             |    SELECT vec_id, cl, ROW_NUMBER() OVER (
-             |      PARTITION BY vec_id ORDER BY d2, cl) AS rn
-             |    FROM dist
-             |  ) WHERE rn = 1
-             |)
-             |SELECT a.vec_id, a.embedding, a.nrm, s.cell
-             |FROM emb_nv a JOIN asgn s ON a.vec_id = s.vec_id""".stripMargin
+          d.ivfAssign(
+            s"""evc AS ($expC),
+               |cent AS (
+               |  SELECT label, pos,
+               |    CAST(FLOOR(CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
+               |  FROM evc GROUP BY label, pos
+               |)""".stripMargin)
         }),
       body = { d =>
         s"""WITH qs AS (SELECT * FROM ivf_nvc WHERE vec_id % 50 = 0),
@@ -546,14 +543,33 @@ object SqlOps {
       })
   }
 
-  /** Embedding near-dup pairs above a cosine threshold, LSH-gated. */
+  /** Embedding near-dup pairs above a cosine threshold, LSH-gated with
+    * 4 OR'd 8-bit sign bands (the minhash 4×2 pattern applied to sign
+    * LSH): a pair is a candidate iff ALL 8 signs of SOME band agree.
+    * Per-band candidates are ~N²/256 (vs N²/16 for the old single
+    * 4-bit gate) and the 4-band union recovers recall for genuinely
+    * close vectors, so the self-join stays bounded at 100× the data.
+    * Cosine is computed once per distinct candidate pair. */
   val dedupEmbeddingCosine: StagedOp = StagedOp(
     stages = Seq("emb_nv" -> nvStage),
     body = { d =>
-      s"""SELECT vec_a, vec_b, cosine FROM (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      val bandRows = (1 to 4).map { b =>
+        s"SELECT vec_id, $b AS band, sb$b AS bkey FROM emb_nv"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH sbands AS (
+         |  $bandRows
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM sbands x JOIN sbands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+         |)
+         |SELECT vec_a, vec_b, cosine FROM (
+         |  SELECT c.vec_a, c.vec_b,
          |    ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine
-         |  FROM emb_nv a JOIN emb_nv b ON a.bkt4 = b.bkt4 AND a.vec_id < b.vec_id
+         |  FROM cand c
+         |  JOIN emb_nv a ON a.vec_id = c.vec_a
+         |  JOIN emb_nv b ON b.vec_id = c.vec_b
          |) WHERE cosine >= 0.35""".stripMargin
     })
 
@@ -751,15 +767,40 @@ object SqlOps {
   /** LSH quality evaluation: recall/precision of the minhash band
     * candidates against exact-jaccard (≥ 0.6) ground truth — the
     * metrics row a pipeline publishes when tuning band/row counts.
-    * Composes the two staged indexes; counts are exact, the ratios are
-    * single IEEE divisions of those counts. */
+    *
+    * The truth side is all-pairs exact jaccard, which no 100 TB corpus
+    * can afford — so BOTH sides of the estimator are restricted to the
+    * deterministic ~12.5% content-hash sample ([[sampleHash]]'s bucket
+    * predicate): truth = exact pairs with both endpoints sampled,
+    * candidates likewise, recall = hits/truth and precision =
+    * hits/candidates over that subset. Content-hash sampling keeps or
+    * drops both members of an exact-duplicate pair together and is
+    * independent of near-dup structure, so the sampled ratios are
+    * consistent estimators of the full-corpus ones while the exact
+    * self-join shrinks by the sample rate squared (~64×). Counts are
+    * exact on the sample; the ratios are single IEEE divisions. */
   val dedupLshEval: StagedOp = StagedOp(
     stages = dedupMinhash.stages ++ dedupNgramJaccard.stages,
-    body = { _ =>
-      s"""WITH $mhBandsCte,
-         |$mhCandCte,
+    body = { d =>
+      s"""WITH ${corpusCte(d)},
+         |samp AS (SELECT doc_id FROM corpus WHERE ${md5Bucket("text")} < 32),
+         |$mhBandsCte,
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  JOIN samp pa ON a.doc_id = pa.doc_id
+         |  JOIN samp pb ON b.doc_id = pb.doc_id
+         |),
          |$szCte,
-         |$interFullCte,
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM nj_dshf a
+         |  JOIN samp pa ON a.doc_id = pa.doc_id
+         |  JOIN nj_dshf b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  JOIN samp pb ON b.doc_id = pb.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |),
          |truth AS (
          |  SELECT i.doc_a, i.doc_b FROM inter i
          |  JOIN sz sa ON i.doc_a = sa.doc_id
@@ -769,8 +810,8 @@ object SqlOps {
          |m AS (
          |  SELECT
          |    (SELECT COUNT(*) FROM truth) AS n_true,
-         |    (SELECT COUNT(*) FROM cand) AS n_cand,
-         |    (SELECT COUNT(*) FROM truth t JOIN cand c
+         |    (SELECT COUNT(*) FROM cands) AS n_cand,
+         |    (SELECT COUNT(*) FROM truth t JOIN cands c
          |       ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit
          |)
          |SELECT n_true, n_cand, n_hit,
@@ -788,8 +829,7 @@ object SqlOps {
     * any engine. */
   def sampleHash(d: Dialect): String =
     s"""SELECT doc_id, lang, n_chars FROM documents
-       |WHERE (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
-       |    + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) < 32""".stripMargin
+       |WHERE ${md5Bucket("text")} < 32""".stripMargin
 
   /** Stratified sampling: exactly 50 docs per language, chosen by
     * content-hash order (deterministic, unbiased w.r.t. position).
