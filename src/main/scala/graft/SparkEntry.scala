@@ -52,6 +52,20 @@ object SparkEntry {
       }
     }
 
+  /** Always-run stage-cache cleanup (the reference's ALL_DONE
+    * cleanup_files_task, dags/dags.py:121-134, applied to this
+    * engine's interchange artifacts): delete the whole per-tmpdir
+    * stage root — including dirs left behind by PREVIOUS JVMs, which
+    * no memo tracks — and clear this JVM's memo. Delete failures are
+    * skip-and-continue, like the reference's. Safe to call between
+    * query batches: the next staged query transparently rebuilds. */
+  def cleanupStages(): Unit = stagedOnce.synchronized {
+    try org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_stage"))
+    catch { case scala.util.control.NonFatal(_) => () }
+    stagedOnce.clear()
+  }
+
   /** Duplicate-cluster map (pairs → components), staged once per JVM
     * like the other shared derived artifacts: the iterative
     * min-label-propagation loop (multiple shuffle rounds + driver
@@ -97,6 +111,14 @@ object SparkEntry {
     * production pipeline does with a signature/shingle index at scale. */
   private def sqlStaged(views: Seq[String], op: StagedOp): (SparkSession, String) => DataFrame =
     (s, d) => {
+      buildStages(views, op)(s, d)
+      s.sql(op.body(SparkDialect))
+    }
+
+  /** Materialize (or re-register, when already cached this JVM) every
+    * stage of `op` as a parquet-backed temp view. */
+  private def buildStages(views: Seq[String], op: StagedOp): (SparkSession, String) => Unit =
+    (s, d) => {
       graft.functions.GraftFunctions.registerAll(s)
       views.foreach(v => graft.Tables(s, d, v).createOrReplaceTempView(v))
       op.stages.foreach { case (name, build) =>
@@ -110,8 +132,27 @@ object SparkEntry {
           s.sql(build(SparkDialect)).write.mode("overwrite").parquet(path))
         s.read.parquet(path).createOrReplaceTempView(name)
       }
-      s.sql(op.body(SparkDialect))
     }
+
+  /** Build every per-JVM staged artifact (interchange transform, shared
+    * similarity/shingle indexes, duplicate-cluster map) without running
+    * any query body. Bench calls this from its untimed warmup so the
+    * once-per-JVM stage-build cost stops landing on whichever timed
+    * query happens to hit each cold stage first (it used to distort the
+    * merge family and the first similarity query alphabetically). */
+  def prewarmStages(s: SparkSession, d: String): Unit = {
+    transformedStaged(s, d)
+    // indexes only — the cluster map (clustersStaged) is deliberately
+    // NOT prewarmed: its build IS q_dedup_cluster's computation (the
+    // iterative label propagation), so prewarming it would turn that
+    // query's number into a parquet read
+    Seq(
+      Seq("documents")  -> SqlOps.dedupMinhash, // mh_sig
+      Seq("documents")  -> SqlOps.dedupNgramJaccard,
+      Seq("documents")  -> SqlOps.dedupSimhashPairs,
+      Seq("embeddings") -> SqlOps.annIvf // builds emb_nv + ivf_nvc
+    ).foreach { case (views, op) => buildStages(views, op)(s, d) }
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- ETL parity --
@@ -212,6 +253,10 @@ object SparkEntry {
     // (the same corpus the minhash pairs are built over)
     "q_dedup_survivors" -> ((s, d) => {
       val clusters = clustersStaged(s, d)
+      // registered here, not only inside clustersStaged's cache-miss
+      // path: with a warm per-JVM stage cache a fresh SparkSession
+      // would otherwise have no `documents` view for the corpus CTE
+      graft.Tables(s, d, "documents").createOrReplaceTempView("documents")
       val corpus = s.sql(
         s"WITH ${SqlOps.corpusCte(SparkDialect)} SELECT doc_id FROM corpus")
       corpus.join(clusters, Seq("doc_id"), "left_outer")

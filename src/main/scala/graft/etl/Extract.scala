@@ -77,16 +77,26 @@ object Extract {
   def fromPagesWithEarlyExit(pages: Dataset[(Int, String)], adsType: String,
                              propertyType: String, adminList: Seq[String]): DataFrame = {
     import pages.sparkSession.implicits._
-    // cache: the dataset is evaluated twice (cutoff scan + parse), and
+    // cache: the dataset is evaluated twice (cutoff scan + prune), and
     // for a fetcher-backed dataset an uncached double evaluation would
     // re-fetch every page. True fetch-side early exit lives in
     // graft.sources.PageSource (LIMIT pushdown plans only k pages).
     val cached = pages.cache()
-    val emptyPages = cached
-      .map { case (p, html) => (p, CardRe.findAllIn(html).size) }
-      .filter(_._2 == 0).map(_._1).collect()
-    val cutoff = if (emptyPages.isEmpty) Int.MaxValue else emptyPages.min
-    fromPages(cached.filter(_._1 < cutoff), adsType, propertyType, adminList)
+    try {
+      val emptyPages = cached
+        .map { case (p, html) => (p, CardRe.findAllIn(html).size) }
+        .filter(_._2 == 0).map(_._1).collect()
+      val cutoff = if (emptyPages.isEmpty) Int.MaxValue else emptyPages.min
+      // pin only the KEPT pages (localCheckpoint is eager), then release
+      // the full-fetch cache — otherwise every fetched page's HTML stays
+      // in executor storage for the application lifetime; the kept
+      // blocks are freed by the ContextCleaner when unreferenced
+      val kept = cached.filter(_._1 < cutoff).localCheckpoint()
+      fromPages(kept, adsType, propertyType, adminList)
+    } finally {
+      cached.unpersist()
+      ()
+    }
   }
 
   /** Pages → raw listing rows: the S2 generator (one page → N cards) as
@@ -133,8 +143,68 @@ case class RateLimiter(baseSleep: Double = 1.0, minSleep: Double = 1.0,
   def onRateLimited: RateLimiter =
     copy(currentSleep = math.min(maxSleep, currentSleep * 1.5),
          consecutiveSuccesses = 0)
+  /** Non-429 failure (reference handle_other_error): reset the success
+    * streak, back off once at 1.5× WITHOUT compounding the base. */
+  def onOtherError: RateLimiter = copy(consecutiveSuccesses = 0)
+  def otherErrorSleep: Double = currentSleep * 1.5
   /** Deterministic jitter bounds (the reference draws uniform(0.8, 1.2)). */
   def jitterBounds: (Double, Double) = (currentSleep * 0.8, currentSleep * 1.2)
+}
+
+/** One fetch attempt for a page: HTTP-ish (status, body). Implementations
+  * must be serializable (instantiated inside DSv2 partition readers) and
+  * have a no-arg constructor when named via the `fetcher` read option. */
+trait PageFetcher extends Serializable {
+  def fetch(page: Int, file: String): (Int, String)
+}
+
+/** Default fixture-backed fetcher: the page file always "responds 200"
+  * (offline environment; a live build would issue the HTTP GET here). */
+class FilePageFetcher extends PageFetcher {
+  def fetch(page: Int, file: String): (Int, String) =
+    (200, new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)),
+      java.nio.charset.StandardCharsets.UTF_8))
+}
+
+/** The reference's per-page fetch loop (src/extract.py:158-195) around
+  * a pluggable [[PageFetcher]]: politeness-sleep before every attempt,
+  * 200 → decay and return the body, 429 → exponential backoff then
+  * RETRY THE SAME PAGE (reference page_num -= 1, :180-184), any other
+  * status → one plain backoff and give the page up (the reference moves
+  * on and the page contributes no rows). Sleeping is injected so tests
+  * assert the exact backoff schedule without wall-clock sleeps; the
+  * durations are the deterministic centers of the reference's jittered
+  * draws. A retry cap bounds the 429 loop (the reference relies on
+  * max_sleep alone; unbounded retry inside a task would hang the
+  * partition). */
+object FetchLoop {
+  def fetchPage(fetcher: PageFetcher, page: Int, file: String,
+                limiter0: RateLimiter, sleep: Double => Unit,
+                max429Retries: Int = 20): (Option[String], RateLimiter) = {
+    var limiter = limiter0
+    var tries429 = 0
+    while (true) {
+      sleep(limiter.currentSleep) // politeness delay, every attempt
+      val (status, body) =
+        try fetcher.fetch(page, file)
+        catch { case scala.util.control.NonFatal(_) => (-1, "") }
+      status match {
+        case 200 =>
+          return (Some(body), limiter.onSuccess)
+        case 429 =>
+          if (tries429 >= max429Retries) return (None, limiter)
+          tries429 += 1
+          limiter = limiter.onRateLimited
+          sleep(limiter.currentSleep) // backoff, then same page again
+        case _ =>
+          limiter = limiter.onOtherError
+          sleep(limiter.otherErrorSleep)
+          return (None, limiter)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }
 
 /** Region/run configuration (reference configs/extract.yaml +
@@ -262,6 +332,20 @@ object Orchestration {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** The reference's always-run cleanup task (dags/dags.py:121-134,
+    * `TriggerRule.ALL_DONE`): run `body`, then delete every listed
+    * path — on success AND on failure. Per-path problems are
+    * skip-and-continue (the reference logs a warning for a missing
+    * file and an error for a failed delete; neither may mask the
+    * body's own outcome). */
+  def withCleanup[T](paths: Seq[String])(body: => T): T =
+    try body finally paths.foreach { p =>
+      try {
+        val f = new java.io.File(p)
+        if (f.exists()) { org.apache.commons.io.FileUtils.forceDelete(f); () }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
 }
 
 /** Per-region pipeline wiring: the reference DAG E1 (extract →
@@ -282,4 +366,17 @@ object Pipeline {
       case None => staged
     }
   }
+
+  /** E1 with the reference's ALL_DONE cleanup attached: `tempPaths`
+    * (interchange files, landing dirs) are removed whether the run
+    * succeeds or throws — the DAG's cleanup_files_task fused onto the
+    * pipeline instead of scheduled beside it. The result is eagerly
+    * materialized (localCheckpoint) BEFORE cleanup fires, since a lazy
+    * plan could still need the very files being deleted. */
+  def runWithCleanup(spark: SparkSession, pages: Dataset[(Int, String)],
+                     adsType: String, propertyType: String, admins: Seq[String],
+                     existing: Option[DataFrame], key: String = "link",
+                     tempPaths: Seq[String] = Nil): DataFrame =
+    Orchestration.withCleanup(tempPaths)(
+      run(spark, pages, adsType, propertyType, admins, existing, key).localCheckpoint())
 }

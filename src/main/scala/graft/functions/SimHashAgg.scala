@@ -13,13 +13,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * (per-token md5-prefix hash → per-bit ±1 majority vote → reassembled
   * digest), but as ONE aggregate with a fixed 32-counter buffer instead
   * of 32 separate SUM(CASE…) aggregate columns: the partial state per
-  * (partition, doc) is 128 bytes, map-side combined, and the generated
+  * (partition, doc) is 132 bytes, map-side combined, and the generated
   * aggregation code stays small (the 32-column form dominated the
   * digest stage's codegen).
   *
   * TypedImperativeAggregate is the right extension point for fixed-size
   * imperative state: update/merge are plain array ops, the buffer
-  * serializes to 128 bytes for shuffle, and the final digest assembly
+  * serializes to 132 bytes for shuffle, and the final digest assembly
   * is branch-free.
   */
 case class SimHashAgg(
@@ -28,7 +28,10 @@ case class SimHashAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Int]] with UnaryLike[Expression] {
 
-  override def createAggregationBuffer(): Array[Int] = new Array[Int](32)
+  // slots 0-31: per-bit vote counters; slot 32: count of non-null
+  // inputs (distinguishes the empty/all-NULL group from a genuinely
+  // all-bits-tied one)
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](33)
 
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)
@@ -39,19 +42,24 @@ case class SimHashAgg(
         buf(j) += (if (((h >> (31 - j)) & 1L) == 1L) 1 else -1)
         j += 1
       }
+      buf(32) += 1
     }
     buf
   }
 
   override def merge(b1: Array[Int], b2: Array[Int]): Array[Int] = {
     var j = 0
-    while (j < 32) { b1(j) += b2(j); j += 1 }
+    while (j < 33) { b1(j) += b2(j); j += 1 }
     b1
   }
 
   /** Majority vote per bit: counter ≥ 0 → bit set (ties set the bit,
-    * matching the SQL `CASE WHEN b_j >= 0` rendering). */
+    * matching the SQL `CASE WHEN b_j >= 0` rendering). A group with no
+    * non-null input returns 0 — the same value the SQL rendering
+    * produces there (its NULL bit-vote SUMs fail every `>= 0` CASE),
+    * so the renderings agree even on a fully-NULL column. */
   override def eval(buf: Array[Int]): Any = {
+    if (buf(32) == 0) return 0L
     var out = 0L
     var j = 0
     while (j < 32) {
@@ -62,14 +70,14 @@ case class SimHashAgg(
   }
 
   override def serialize(buf: Array[Int]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(128)
+    val bb = java.nio.ByteBuffer.allocate(132)
     buf.foreach(bb.putInt)
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Int] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    Array.fill(32)(bb.getInt())
+    Array.fill(33)(bb.getInt())
   }
 
   override def dataType: DataType = LongType

@@ -345,12 +345,20 @@ object Relational {
   }
 
   /** Correlated-style aggregate filter (orders above their customer's
-    * average order value) — join against a pre-aggregated side. */
+    * average order value), planned as a window over the grouping key
+    * rather than a join against a pre-aggregated side: the per-customer
+    * aggregate has CUSTOMER cardinality, so at scale it can neither
+    * broadcast nor avoid a second shuffle for the join-back — the
+    * whole-partition window computes the average and filters in ONE
+    * shuffle on o_custkey with no join at all (the oracle keeps the
+    * relational join form, proving the two equivalent every run).
+    * Decimal-exact sum / count, cast to double at the end, for
+    * cross-engine bit-identical averages. */
   def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    val avgByCust = o.groupBy(col("o_custkey").as("k"))
-      .agg((sum(dec(col("o_totalprice"))).cast("double") / count(lit(1))).as("avg_price"))
-    o.join(avgByCust, o("o_custkey") === avgByCust("k"))
+    val w = Window.partitionBy(col("o_custkey"))
+    o.withColumn("avg_price",
+        sum(dec(col("o_totalprice"))).over(w).cast("double") / count(lit(1)).over(w))
       .filter(col("o_totalprice") > col("avg_price"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))

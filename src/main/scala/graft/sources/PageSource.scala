@@ -60,19 +60,38 @@ class PageTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PageScanBuilder(path)
+    new PageScanBuilder(path, PageFetchConf(options))
 }
 
-class PageScanBuilder(path: String) extends ScanBuilder with SupportsPushDownLimit {
+/** Fetch-side read options: `fetcher` names a [[graft.etl.PageFetcher]]
+  * class (no-arg constructor) to run each page attempt through the
+  * reference's 429-retry loop ([[graft.etl.FetchLoop]]); the sleep knobs
+  * seed the per-task [[graft.etl.RateLimiter]]. The file-backed default
+  * sleeps 0 s (no server to be polite to offline); a live fetcher wants
+  * the reference's 1 s base. */
+case class PageFetchConf(fetcherClass: Option[String], baseSleep: Double,
+                         minSleep: Double, maxSleep: Double) extends Serializable
+
+object PageFetchConf {
+  def apply(options: CaseInsensitiveStringMap): PageFetchConf =
+    PageFetchConf(
+      Option(options.get("fetcher")),
+      options.getDouble("baseSleepSec", 0.0),
+      options.getDouble("minSleepSec", 0.0),
+      options.getDouble("maxSleepSec", 600.0))
+}
+
+class PageScanBuilder(path: String, conf: PageFetchConf)
+  extends ScanBuilder with SupportsPushDownLimit {
   private var limit: Int = Int.MaxValue
   /** Fully pushed: each page partition emits exactly one row, so
     * taking `limit` pages IS the limit — no residual needed. */
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def isPartiallyPushed: Boolean = false
-  override def build(): Scan = new PageScan(path, limit)
+  override def build(): Scan = new PageScan(path, limit, conf)
 }
 
-class PageScan(path: String, limit: Int) extends Scan with Batch {
+class PageScan(path: String, limit: Int, conf: PageFetchConf) extends Scan with Batch {
   override def readSchema(): StructType = PageSource.SCHEMA
   override def toBatch: Batch = this
   override def description(): String = s"PageScan(path=$path, pageLimit=$limit)"
@@ -82,23 +101,40 @@ class PageScan(path: String, limit: Int) extends Scan with Batch {
     PageSource.lastPlannedPages = planned.length
     planned
   }
-  override def createReaderFactory(): PartitionReaderFactory = PageReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = PageReaderFactory(conf)
 }
 
 case class PagePartition(page: Int, file: String) extends InputPartition
 
-object PageReaderFactory extends PartitionReaderFactory {
+/** Each partition reader drives the reference's per-page fetch loop
+  * (politeness sleep → attempt → 429-backoff-retry-same-page → give up
+  * on other errors) with task-local limiter state — per-partition fetch
+  * parallelism, exactly what the driver-side reference loop becomes
+  * when distributed. A page whose fetch ultimately fails emits NO row
+  * (the reference appends nothing for it). */
+case class PageReaderFactory(conf: PageFetchConf) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val pp = p.asInstanceOf[PagePartition]
     new PartitionReader[InternalRow] {
-      private var emitted = false
-      override def next(): Boolean = if (emitted) false else { emitted = true; true }
-      override def get(): InternalRow = {
-        val html = new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pp.file)),
-          java.nio.charset.StandardCharsets.UTF_8)
-        InternalRow(pp.page, UTF8String.fromString(html))
+      private val fetcher: graft.etl.PageFetcher = conf.fetcherClass
+        .map(c => Class.forName(c).getDeclaredConstructor().newInstance()
+          .asInstanceOf[graft.etl.PageFetcher])
+        .getOrElse(new graft.etl.FilePageFetcher)
+      private var fetched: Option[String] = None
+      private var done = false
+      override def next(): Boolean = {
+        if (done) return false
+        done = true
+        val limiter = graft.etl.RateLimiter(
+          baseSleep = conf.baseSleep, minSleep = conf.minSleep,
+          maxSleep = conf.maxSleep).seeded
+        fetched = graft.etl.FetchLoop.fetchPage(
+          fetcher, pp.page, pp.file, limiter,
+          s => if (s > 0) Thread.sleep((s * 1000).toLong))._1
+        fetched.isDefined
       }
+      override def get(): InternalRow =
+        InternalRow(pp.page, UTF8String.fromString(fetched.get))
       override def close(): Unit = ()
     }
   }

@@ -135,18 +135,23 @@ object StreamingOps {
         // before publishing its replacement
         if (!Files.exists(target) && Files.exists(old))
           Files.move(old, target, StandardCopyOption.ATOMIC_MOVE)
-        // keep-last within the batch = the reference's sequential upsert;
-        // without an explicit order column, arrival order (file/partition
-        // order of the landing-dir drain) is the best available proxy
+        // keep-last within the batch = the reference's sequential upsert.
+        // Callers needing reference-faithful last-writer-wins MUST pass
+        // orderCol: without one, monotonically_increasing_id encodes
+        // partition index (not arrival order), so "last" is only a
+        // best-effort proxy. Either way a content-hash tie-breaker
+        // makes the survivor deterministic across reruns and
+        // repartitionings when __ord ties (e.g. equal timestamps).
         val ordered = orderCol.map(batch.col)
           .getOrElse(monotonically_increasing_id())
         val win = org.apache.spark.sql.expressions.Window
           .partitionBy(col(key))
-          .orderBy(col("__ord").desc)
+          .orderBy(col("__ord").desc, col("__tie").desc)
         val deduped = batch
           .withColumn("__ord", ordered)
+          .withColumn("__tie", xxhash64(struct(batch.columns.map(col): _*)))
           .withColumn("__rn", row_number().over(win))
-          .filter(col("__rn") === 1).drop("__rn", "__ord")
+          .filter(col("__rn") === 1).drop("__rn", "__ord", "__tie")
         val merged =
           if (Files.exists(target)) graft.etl.Load.merge(spark.read.parquet(targetDir), deduped, key)
           else deduped

@@ -97,6 +97,64 @@ class ExtractSpec extends SparkSpec {
     assert(calls2 === 2)
   }
 
+  test("fetch loop: 429 backs off exponentially and retries the SAME page") {
+    val script = Iterator((429, ""), (429, ""), (200, "<html>ok</html>"))
+    val asked = scala.collection.mutable.ArrayBuffer[Int]()
+    val fetcher = new PageFetcher {
+      def fetch(page: Int, file: String): (Int, String) = { asked += page; script.next() }
+    }
+    val sleeps = scala.collection.mutable.ArrayBuffer[Double]()
+    val (html, limiter) = FetchLoop.fetchPage(
+      fetcher, page = 7, file = "", RateLimiter().seeded, sleeps += _)
+    assert(html === Some("<html>ok</html>"))
+    assert(asked.toSeq === Seq(7, 7, 7), "429 must retry the same page")
+    // politeness 1.0 → backoff 1.5 → politeness 1.5 → backoff 2.25 →
+    // politeness 2.25 → 200 (reference politeness-sleep each attempt,
+    // handle_rate_limit's exponential backoff between)
+    assert(sleeps.toSeq === Seq(1.0, 1.5, 1.5, 2.25, 2.25))
+    // success decays the (backed-off) sleep: max(1.0, 2.25 × 0.9)
+    assert(math.abs(limiter.currentSleep - 2.025) < 1e-9)
+  }
+
+  test("fetch loop: non-429 error gives the page up after one plain backoff") {
+    val fetcher = new PageFetcher {
+      def fetch(page: Int, file: String): (Int, String) = (503, "")
+    }
+    val sleeps = scala.collection.mutable.ArrayBuffer[Double]()
+    val (html, limiter) = FetchLoop.fetchPage(
+      fetcher, 1, "", RateLimiter().seeded, sleeps += _)
+    assert(html === None)
+    assert(sleeps.toSeq === Seq(1.0, 1.5)) // politeness, then 1.5× once
+    assert(limiter.currentSleep === 1.0, "other errors must not compound the base")
+    assert(limiter.consecutiveSuccesses === 0)
+  }
+
+  test("fetch loop: the 429 retry cap bounds a permanently-limited page") {
+    var attempts = 0
+    val fetcher = new PageFetcher {
+      def fetch(page: Int, file: String): (Int, String) = { attempts += 1; (429, "") }
+    }
+    val (html, _) = FetchLoop.fetchPage(
+      fetcher, 1, "", RateLimiter().seeded, _ => (), max429Retries = 3)
+    assert(html === None)
+    assert(attempts === 4) // initial + 3 retries
+  }
+
+  test("withCleanup removes paths on success AND on failure, skipping missing ones") {
+    def mk(): java.io.File = {
+      val f = java.io.File.createTempFile("graft_clean", ".tmp")
+      f.deleteOnExit(); f
+    }
+    val a = mk()
+    val got = Orchestration.withCleanup(Seq(a.getPath, "/nonexistent/graft_x"))("done")
+    assert(got === "done" && !a.exists())
+    val b = mk()
+    intercept[RuntimeException] {
+      Orchestration.withCleanup(Seq(b.getPath))(throw new RuntimeException("boom"))
+    }
+    assert(!b.exists(), "cleanup must run on the failure path too (ALL_DONE)")
+  }
+
   test("validate rejects bad domains") {
     intercept[IllegalArgumentException](Extract.validate("buy", "rumah", 1))
     intercept[IllegalArgumentException](Extract.validate("jual", "castle", 1))

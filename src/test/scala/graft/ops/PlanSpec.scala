@@ -48,6 +48,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("above-average filter plans as one window, never a join against the agg side") {
+    // the per-customer average is customer-cardinality: at scale it can
+    // neither broadcast nor join back without a second shuffle — the
+    // whole-partition window form is the pinned plan
+    val plan = planOf("q_above_avg")
+    assert(plan.contains("Window"), s"expected a window operator:\n$plan")
+    assert(!plan.contains("Join"), s"no join should appear:\n$plan")
+  }
+
   test("aggregations are partial (map-side combine) before the shuffle") {
     val plan = planOf("q_pricing_summary")
     assert(plan.contains("partial_sum"),

@@ -3,6 +3,25 @@ package graft.sources
 import graft.SparkSpec
 import graft.etl.Extract
 
+/** Scripted fake-HTTP fetcher for the 429-retry integration test:
+  * page 2 rate-limits twice then serves, page 3 fails hard (503),
+  * everything else serves the fixture file. Static state is fine —
+  * tests run local-mode, executors share the JVM. */
+class FlakyFetcher extends graft.etl.PageFetcher {
+  def fetch(page: Int, file: String): (Int, String) = {
+    val n = FlakyFetcher.attempts.merge(page, 1, Integer.sum)
+    page match {
+      case 2 if n <= 2 => (429, "")
+      case 3 => (503, "")
+      case _ => new graft.etl.FilePageFetcher().fetch(page, file)
+    }
+  }
+}
+object FlakyFetcher {
+  val attempts = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+  def reset(): Unit = attempts.clear()
+}
+
 /** DataSourceV2 page source: schema, partition-per-page, and LIMIT
   * pushdown (the reference's num_pages bound reaching the source). */
 class PageSourceSpec extends SparkSpec {
@@ -44,6 +63,22 @@ class PageSourceSpec extends SparkSpec {
     assert(PageSource.lastPlannedPages === 2,
       "limit must reach planInputPartitions (2 fetches, not 6)")
     assert(read(dir).queryExecution.executedPlan.toString.contains("PageScan"))
+  }
+
+  test("a named fetcher runs each partition through the 429-retry loop") {
+    val dir = writePages(3)
+    FlakyFetcher.reset()
+    val rows = spark.read.format("graft.sources.PageSource")
+      .option("path", dir)
+      .option("fetcher", "graft.sources.FlakyFetcher")
+      .load().collect()
+    // page 2 succeeds on its third attempt (two 429s first), page 3's
+    // 503 drops it: the loop retried the SAME page, then gave up only
+    // on the non-429 failure
+    assert(rows.map(_.getInt(0)).sorted.toSeq === Seq(1, 2))
+    assert(FlakyFetcher.attempts.get(2) === 3, "429 page must be retried in place")
+    assert(FlakyFetcher.attempts.get(3) === 1, "non-429 page is given up after one attempt")
+    assert(rows.find(_.getInt(0) == 2).get.getString(1).contains("card-featured"))
   }
 
   test("feeds the extract pipeline: pages -> cards -> raw rows") {
