@@ -100,9 +100,14 @@ object Cluster {
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
-    def labelSum(l: DataFrame): Long =
-      l.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
-    var prevSum = Long.MinValue
+    // convergence test: labels only ever decrease (min propagation),
+    // so the label sum strictly decreases until fixpoint — summed in
+    // DECIMAL(38,0) so extreme node counts cannot wrap a signed long
+    // and alias two different rounds to the same value
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum: java.math.BigDecimal = null
     var curSum = labelSum(labels)
     while (curSum != prevSum) {
       prevSum = curSum

@@ -8,7 +8,7 @@ import graft.ops.{SparkDialect, SqlOps, StagedOp}
   * the body timing profiles the real query.
   *
   * Usage: runMain graft.tools.Prof [sfDir] [opName]
-  * where opName ∈ jaccard | minhash | simhash_pairs | ivf | knn | lsh
+  * where opName ∈ jaccard | minhash | simhash_pairs | ivf | cosine | knn | lsh
   */
 object Prof {
   val ops: Map[String, (String, StagedOp)] = Map(
@@ -16,6 +16,7 @@ object Prof {
     "minhash" -> ("documents" -> SqlOps.dedupMinhash),
     "simhash_pairs" -> ("documents" -> SqlOps.dedupSimhashPairs),
     "ivf" -> ("embeddings" -> SqlOps.annIvf),
+    "cosine" -> ("embeddings" -> SqlOps.dedupEmbeddingCosine),
     "knn" -> ("embeddings" -> SqlOps.knnBruteForce),
     "lsh" -> ("embeddings" -> SqlOps.annSignLsh))
 
