@@ -58,7 +58,12 @@ object SparkEntry {
     * stage root — including dirs left behind by PREVIOUS JVMs, which
     * no memo tracks — and clear this JVM's memo. Delete failures are
     * skip-and-continue, like the reference's. Safe to call between
-    * query batches: the next staged query transparently rebuilds. */
+    * query batches IN THIS JVM: the next staged query transparently
+    * rebuilds. NOT safe while another JVM sharing the tmpdir is
+    * mid-run — its own memo would still mark the deleted paths as
+    * built (concurrent JVMs already stomp each other's stage dirs via
+    * overwrite-on-first-use; this cleanup is an end-of-run task, like
+    * the reference's). */
   def cleanupStages(): Unit = stagedOnce.synchronized {
     try org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_stage"))

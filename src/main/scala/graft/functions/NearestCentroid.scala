@@ -46,11 +46,20 @@ case class NearestCentroid(left: Expression, right: Expression) extends BinaryEx
         s"got (${left.dataType}, ${right.dataType})")
   }
 
+  // nullable beyond the children: an EMPTY embedding assigns to no
+  // cell (null), mirroring the relational form where zero exploded
+  // component rows produce no distance row and the vector drops out
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any =
     NearestCentroid.nearest(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NearestCentroid.nearest($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""java.lang.Integer ${ev.value}_r = graft.functions.NearestCentroid.nearest($a, $b);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.intValue(); }
+         |""".stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCentroid =
     copy(left = l, right = r)
@@ -59,9 +68,12 @@ case class NearestCentroid(left: Expression, right: Expression) extends BinaryEx
 object NearestCentroid {
   /** Static so generated code calls it directly. Quantizes the vector
     * once, then a tight primitive loop per centroid; argmin with
-    * smallest-label tie-break (order-independent). */
-  def nearest(emb: ArrayData, cents: ArrayData): Int = {
+    * smallest-label tie-break (order-independent). Returns null (no
+    * cell) for an empty vector — parity with the relational rendering,
+    * which drops such vectors in its explode. */
+  def nearest(emb: ArrayData, cents: ArrayData): java.lang.Integer = {
     val n = emb.numElements()
+    if (n == 0) return null
     val q = new Array[Long](n)
     var i = 0
     while (i < n) {

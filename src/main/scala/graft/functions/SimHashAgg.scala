@@ -55,9 +55,11 @@ case class SimHashAgg(
 
   /** Majority vote per bit: counter ≥ 0 → bit set (ties set the bit,
     * matching the SQL `CASE WHEN b_j >= 0` rendering). A group with no
-    * non-null input returns 0 — the same value the SQL rendering
-    * produces there (its NULL bit-vote SUMs fail every `>= 0` CASE),
-    * so the renderings agree even on a fully-NULL column. */
+    * non-null input has a DEFINED value, 0 (not 0xFFFFFFFF, which the
+    * all-ties rule would otherwise produce). Both dialect renderings
+    * filter NULL tokens before the digest (Dialect.simhashDigestCtes),
+    * so in the gated pipelines an all-NULL group simply has no row;
+    * the 0 covers direct standalone use on a nullable column. */
   override def eval(buf: Array[Int]): Any = {
     if (buf(32) == 0) return 0L
     var out = 0L

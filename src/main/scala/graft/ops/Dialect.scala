@@ -137,11 +137,18 @@ object SparkDialect extends Dialect {
        |  FROM cent GROUP BY label
        |),
        |packed AS (SELECT collect_list(struct(label, qcs)) AS cents FROM cent_arr)
-       |SELECT a.vec_id, a.embedding, a.nrm,
-       |  graft_nearest_centroid(a.embedding, p.cents) AS cell
-       |FROM emb_nv a CROSS JOIN packed p""".stripMargin
+       |SELECT vec_id, embedding, nrm, cell FROM (
+       |  SELECT a.vec_id, a.embedding, a.nrm,
+       |    graft_nearest_centroid(a.embedding, p.cents) AS cell
+       |  FROM emb_nv a CROSS JOIN packed p
+       |) WHERE cell IS NOT NULL""".stripMargin
+  // NULL tokens are filtered in BOTH renderings (not just skipped by
+  // the aggregate): without the filter a NULL token votes -1 per bit
+  // in the relational form (its CASE test is NULL → ELSE) while the
+  // aggregate ignores it — a silent cross-engine divergence on
+  // nullable token columns
   def simhashDigestCtes: String =
-    "sim AS (SELECT doc_id, simhash_agg(t) AS simhash FROM tok GROUP BY doc_id)"
+    "sim AS (SELECT doc_id, simhash_agg(t) AS simhash FROM tok WHERE t IS NOT NULL GROUP BY doc_id)"
 }
 
 object DuckDialect extends Dialect {
@@ -230,7 +237,7 @@ object DuckDialect extends Dialect {
     val assemble = (0 until 32).map { j =>
       s"(CASE WHEN b$j >= 0 THEN ${1L << (31 - j)} ELSE 0 END)"
     }.mkString(" + ")
-    s"""tv AS (SELECT doc_id, $hexv AS v FROM tok),
+    s"""tv AS (SELECT doc_id, $hexv AS v FROM tok WHERE t IS NOT NULL),
        |bits AS (SELECT doc_id,
        |    $bitSums
        |  FROM tv GROUP BY doc_id),

@@ -66,19 +66,25 @@ class PageTable(path: String) extends Table with SupportsRead {
 /** Fetch-side read options: `fetcher` names a [[graft.etl.PageFetcher]]
   * class (no-arg constructor) to run each page attempt through the
   * reference's 429-retry loop ([[graft.etl.FetchLoop]]); the sleep knobs
-  * seed the per-task [[graft.etl.RateLimiter]]. The file-backed default
-  * sleeps 0 s (no server to be polite to offline); a live fetcher wants
-  * the reference's 1 s base. */
+  * seed the per-task [[graft.etl.RateLimiter]]. Defaults depend on the
+  * fetcher: the file-backed default sleeps 0 s (no server to be polite
+  * to offline), but a NAMED fetcher defaults to the reference's 1 s
+  * base/floor — otherwise a live source would inherit a zero-sleep
+  * limiter whose 429 backoff stays 0 forever (0 × 1.5 = 0) and hammer
+  * the rate-limited server with back-to-back retries. */
 case class PageFetchConf(fetcherClass: Option[String], baseSleep: Double,
                          minSleep: Double, maxSleep: Double) extends Serializable
 
 object PageFetchConf {
-  def apply(options: CaseInsensitiveStringMap): PageFetchConf =
+  def apply(options: CaseInsensitiveStringMap): PageFetchConf = {
+    val fetcher = Option(options.get("fetcher"))
+    val dflt = if (fetcher.isDefined) 1.0 else 0.0
     PageFetchConf(
-      Option(options.get("fetcher")),
-      options.getDouble("baseSleepSec", 0.0),
-      options.getDouble("minSleepSec", 0.0),
+      fetcher,
+      options.getDouble("baseSleepSec", dflt),
+      options.getDouble("minSleepSec", dflt),
       options.getDouble("maxSleepSec", 600.0))
+  }
 }
 
 class PageScanBuilder(path: String, conf: PageFetchConf)

@@ -147,9 +147,21 @@ object StreamingOps {
         val win = org.apache.spark.sql.expressions.Window
           .partitionBy(col(key))
           .orderBy(col("__ord").desc, col("__tie").desc)
+        // hash only hashable columns: xxhash64 rejects MapType, and a
+        // map-typed payload column must not break the whole upsert
+        import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+        def hasMap(dt: DataType): Boolean = dt match {
+          case _: MapType => true
+          case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+          case a: ArrayType => hasMap(a.elementType)
+          case _ => false
+        }
+        val tieCols = batch.schema.fields
+          .filter(f => !hasMap(f.dataType)).map(f => col(f.name))
         val deduped = batch
           .withColumn("__ord", ordered)
-          .withColumn("__tie", xxhash64(struct(batch.columns.map(col): _*)))
+          .withColumn("__tie",
+            if (tieCols.nonEmpty) xxhash64(struct(tieCols.toSeq: _*)) else lit(0L))
           .withColumn("__rn", row_number().over(win))
           .filter(col("__rn") === 1).drop("__rn", "__ord", "__tie")
         val merged =

@@ -71,6 +71,9 @@ class PageSourceSpec extends SparkSpec {
     val rows = spark.read.format("graft.sources.PageSource")
       .option("path", dir)
       .option("fetcher", "graft.sources.FlakyFetcher")
+      // a named fetcher defaults to the reference's 1 s politeness
+      // floor; zero it explicitly so the scripted 429s don't wall-sleep
+      .option("baseSleepSec", "0").option("minSleepSec", "0")
       .load().collect()
     // page 2 succeeds on its third attempt (two 429s first), page 3's
     // 503 drops it: the loop retried the SAME page, then gave up only
