@@ -42,10 +42,14 @@ object SparkEntry {
 
   /** Mark `path` materialized only AFTER the write succeeds — a failed
     * write must not poison the per-JVM stage cache (later queries would
-    * read a missing/partial directory for the rest of the JVM). */
+    * read a missing/partial directory for the rest of the JVM). The
+    * memo is also re-checked against the filesystem: if another process
+    * (or a cleanupStages call) removed the dir, the stage transparently
+    * rebuilds instead of failing on a missing path for the JVM's
+    * lifetime. */
   private def writeStageOnce(path: String)(write: => Unit): Unit =
     stagedOnce.synchronized {
-      if (!stagedOnce.contains(path)) {
+      if (!stagedOnce.contains(path) || !new java.io.File(path).exists()) {
         write
         stagedOnce.add(path)
         ()
@@ -207,6 +211,7 @@ object SparkEntry {
     "q_topk_global" -> Relational.top10Orders _,
     "q_distinct_agg" -> Relational.distinctCustomersByStatus _,
     "q_approx_distinct" -> Relational.approxDistinctParts _,
+    "q_approx_quantiles" -> Relational.approxQuantilesOrders _,
     "q_rollup" -> Relational.rollupRevenue _,
     "q_cube" -> Relational.cubeRevenue _,
     "q_window_lag" -> Relational.orderGapDays _,
@@ -512,6 +517,13 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |  TRUE AS approx_within_5pct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // exact integer-cent percentiles, plus the sketch contract flag
+    "q_approx_quantiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(CAST(FLOOR(o_totalprice * 100 + 5.0e-1) AS BIGINT), 0.5) / 1.0e2 AS p50,
+        |  quantile_cont(CAST(FLOOR(o_totalprice * 100 + 5.0e-1) AS BIGINT), 0.99) / 1.0e2 AS p99,
+        |  TRUE AS sketch_within_1pct
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     // the oracle is the PLAIN join: salting must be result-invisible
     "q_join_salted" ->
       """SELECT o_orderpriority,

@@ -199,6 +199,32 @@ object Relational {
           .as("approx_within_5pct"))
       .orderBy(col("l_returnflag"))
 
+  /** Approximate quantiles (GK-style sketch): the constant-memory
+    * scale path for distribution profiling — the exact form shuffles
+    * and sorts every value per group, the sketch is bounded mergeable
+    * map-side state. The estimate is engine-specific, so the query
+    * outputs the EXACT integer-cent percentiles (cross-engine-stable
+    * interpolation, the q_percentiles recipe) plus an in-query
+    * assertion that the sketch landed within 1% relative value error
+    * (accuracy 10000 → rank error ≤ 1e-4; exact below 10k rows/group)
+    * — the sketch's accuracy contract itself is oracle-checked, like
+    * q_approx_distinct. */
+  def approxQuantilesOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cents = "CAST(FLOOR(o_totalprice * 100 + 5.0e-1) AS BIGINT)"
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr(s"percentile($cents, array(0.5D, 0.99D))").as("ex"),
+        expr(s"approx_percentile($cents, array(0.5D, 0.99D), 10000)").as("ap"))
+      .select(col("o_orderstatus"),
+        (element_at(col("ex"), 1) / lit(1.0e2)).as("p50"),
+        (element_at(col("ex"), 2) / lit(1.0e2)).as("p99"),
+        ((abs(element_at(col("ap"), 1) - element_at(col("ex"), 1)) / element_at(col("ex"), 1) <= 0.01) &&
+         (abs(element_at(col("ap"), 2) - element_at(col("ex"), 2)) / element_at(col("ex"), 2) <= 0.01))
+          .as("sketch_within_1pct"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Cube aggregation (all grouping-set combinations). */
   def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
