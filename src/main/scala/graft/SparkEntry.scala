@@ -275,6 +275,16 @@ object SparkEntry {
     }),
     "q_sample_hash" -> sqlq(Seq("documents"), SqlOps.sampleHash),
     "q_sample_stratified" -> sqlq(Seq("documents"), SqlOps.sampleStratified),
+    // the embedding-side pairs → clusters composition: cosine near-dup
+    // candidates (8-band sign-LSH gate) closed into components by the
+    // same CC operator the text side uses, against the same
+    // recursive-CTE closure oracle
+    "q_dedup_embedding_clusters" -> ((s, d) => {
+      val pairs = sqlStaged(Seq("embeddings"), SqlOps.dedupEmbeddingCosine)(s, d)
+      graft.ops.Cluster.connectedComponents(
+          pairs.select(col("vec_a").as("a"), col("vec_b").as("b")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    }),
 
     // -- similarity search (embeddings) --
     "q_embedding_stats" -> sqlq(Seq("embeddings"), SqlOps.embeddingStats),
@@ -341,21 +351,28 @@ object SparkEntry {
     "location", "lot_size", "building_size", "n_bedroom", "n_bathroom",
     "n_carport", "additional_features", "ads_type", "property_type")
 
-  private val CLUSTER_CTES: String =
+  /** Transitive-closure oracle over an arbitrary pair query: DuckDB's
+    * recursive CTE computes min-reachable-id components, the ground
+    * truth both Spark CC implementations are gate-checked against. */
+  private def closureCtes(pairsSql: String, aCol: String, bCol: String,
+                          idCol: String): String =
     s"""WITH RECURSIVE pairs AS (
-       |${SqlOps.dedupMinhash.single(DuckDialect)}
+       |$pairsSql
        |),
        |edges AS (
-       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  SELECT $aCol AS a, $bCol AS b FROM pairs
        |  UNION ALL
-       |  SELECT doc_b AS a, doc_a AS b FROM pairs
+       |  SELECT $bCol AS a, $aCol AS b FROM pairs
        |),
        |reach AS (
-       |  SELECT a AS doc_id, a AS lbl FROM (SELECT DISTINCT a FROM edges)
+       |  SELECT a AS $idCol, a AS lbl FROM (SELECT DISTINCT a FROM edges)
        |  UNION
-       |  SELECT e.a AS doc_id, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.b
+       |  SELECT e.a AS $idCol, r.lbl FROM edges e JOIN reach r ON r.$idCol = e.b
        |),
-       |clusters AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id)""".stripMargin
+       |clusters AS (SELECT $idCol, MIN(lbl) AS cluster_id FROM reach GROUP BY $idCol)""".stripMargin
+
+  private val CLUSTER_CTES: String =
+    closureCtes(SqlOps.dedupMinhash.single(DuckDialect), "doc_a", "doc_b", "doc_id")
 
   private val CLUSTER_ORACLE: String =
     s"""$CLUSTER_CTES
@@ -578,6 +595,9 @@ object SparkEntry {
     "q_dedup_survivors" -> SURVIVORS_ORACLE,
     "q_sample_hash" -> SqlOps.sampleHash(DuckDialect),
     "q_sample_stratified" -> SqlOps.sampleStratified(DuckDialect),
+    "q_dedup_embedding_clusters" ->
+      s"""${closureCtes(SqlOps.dedupEmbeddingCosine.single(DuckDialect), "vec_a", "vec_b", "vec_id")}
+         |SELECT vec_id, cluster_id FROM clusters""".stripMargin,
     "q_embedding_stats" -> SqlOps.embeddingStats(DuckDialect),
     "q_knn_bruteforce" -> SqlOps.knnBruteForce.single(DuckDialect),
     "q_ann_sign_lsh" -> SqlOps.annSignLsh.single(DuckDialect),
