@@ -24,9 +24,13 @@ object TimeQ {
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
       (1 to 2).foreach { run =>
+        graft.ops.Cluster.lastRounds = -1
         val t0 = System.nanoTime()
         val rows = fn(spark, sfDir).count()
-        println(f"[timeq] $n%-28s run$run ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$rows")
+        val rounds =
+          if (graft.ops.Cluster.lastRounds >= 0) s" rounds=${graft.ops.Cluster.lastRounds}"
+          else ""
+        println(f"[timeq] $n%-28s run$run ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$rows$rounds")
       }
     }
     spark.stop()
