@@ -165,6 +165,20 @@ class OpsSpec extends SparkSpec {
     assert(disagree === 0L)
   }
 
+  test("star variant converges in O(log n) rounds on a long chain") {
+    import spark.implicits._
+    // a 200-node path has diameter 199: plain propagation would need
+    // ~200 rounds (why it is NOT run here); large-star/small-star must
+    // collapse it in logarithmic rounds — the scale claim, asserted
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Cluster.connectedComponentsStar(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length === 200 && labels.forall(_._2 == 0L),
+      "every chain node must label to the minimum id")
+    assert(Cluster.lastRounds <= 12,
+      s"expected O(log 200) ~ 8 rounds, got ${Cluster.lastRounds}")
+  }
+
   test("connected components of an empty edge list is empty (no NPE on empty sum)") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
