@@ -26,10 +26,16 @@ object Extract {
   val VALID_ADS_TYPES = Set("jual", "sewa")
   val VALID_PROPERTY_TYPES = Set("rumah", "apartemen", "kost", "villa", "hotel")
 
-  /** Input-domain validation (reference src/extract.py:62-72). */
-  def validate(adsType: String, propertyType: String, numPages: Int): Unit = {
+  /** Input-domain validation (reference src/extract.py:62-72), split so
+    * callers validate only what they actually have: the pipeline has no
+    * page count (its page set is the input Dataset). */
+  def validateDomains(adsType: String, propertyType: String): Unit = {
     require(VALID_ADS_TYPES(adsType), s"Invalid ads type: $adsType")
     require(VALID_PROPERTY_TYPES(propertyType), s"Invalid property type: $propertyType")
+  }
+
+  def validate(adsType: String, propertyType: String, numPages: Int): Unit = {
+    validateDomains(adsType, propertyType)
     require(numPages > 0, "num_pages must be a positive integer")
   }
 
@@ -83,9 +89,12 @@ object Extract {
     // graft.sources.PageSource (LIMIT pushdown plans only k pages).
     val cached = pages.cache()
     try {
+      // only emptiness matters: findFirstIn stops at the first card
+      // instead of running the backtracking card regex over the whole
+      // page just to count matches nobody reads
       val emptyPages = cached
-        .map { case (p, html) => (p, CardRe.findAllIn(html).size) }
-        .filter(_._2 == 0).map(_._1).collect()
+        .filter { case (_, html) => CardRe.findFirstIn(html).isEmpty }
+        .map(_._1).collect()
       val cutoff = if (emptyPages.isEmpty) Int.MaxValue else emptyPages.min
       // pin only the KEPT pages (localCheckpoint is eager), then release
       // the full-fetch cache — otherwise every fetched page's HTML stays
@@ -295,8 +304,14 @@ object MiniYaml {
   }
 
   private def unquote(s: String): Any = {
+    val quoted = (s.length >= 2) &&
+      ((s.startsWith("'") && s.endsWith("'")) ||
+       (s.startsWith("\"") && s.endsWith("\"")))
     val u = s.stripPrefix("'").stripSuffix("'").stripPrefix("\"").stripSuffix("\"")
-    if (u.matches("-?\\d+"))
+    // numeric detection only for UNQUOTED scalars: YAML quoting forces
+    // string ('007' must stay "007", not become Int 7) — the same
+    // contract the list parser honors for quoted items
+    if (!quoted && u.matches("-?\\d+"))
       // Int first (the config shapes use Int ids/counts), Long for
       // bigger literals, string when even Long overflows
       u.toIntOption.orElse(u.toLongOption).getOrElse(u)
@@ -354,7 +369,7 @@ object Pipeline {
   def run(spark: SparkSession, pages: Dataset[(Int, String)],
           adsType: String, propertyType: String, admins: Seq[String],
           existing: Option[DataFrame], key: String = "link"): DataFrame = {
-    Extract.validate(adsType, propertyType, numPages = 1)
+    Extract.validateDomains(adsType, propertyType)
     val raw = Extract.fromPages(pages, adsType, propertyType, admins)
     // ingest_order is internal scrape-order state for keep-first dedup;
     // the pipeline product drops it in BOTH branches so a first run's

@@ -70,7 +70,13 @@ object StreamingOps {
             sorted.foreach { case (us, _) =>
               cur match {
                 case Some(s) if us - s.end_us <= gapUs =>
-                  cur = Some(s.copy(end_us = us, n = s.n + 1))
+                  // min/max, not assignment: an out-of-order event from
+                  // a later micro-batch (us < s.end_us, still within
+                  // the watermark) must widen the session, never move
+                  // its end backwards — an inverted session would also
+                  // split the next on-time event off spuriously
+                  cur = Some(s.copy(start_us = math.min(s.start_us, us),
+                                    end_us = math.max(s.end_us, us), n = s.n + 1))
                 case Some(s) =>
                   closed += Session(user, s.start_us, s.end_us, s.n)
                   cur = Some(SessionState(us, us, 1))
@@ -164,9 +170,14 @@ object StreamingOps {
             if (tieCols.nonEmpty) xxhash64(struct(tieCols.toSeq: _*)) else lit(0L))
           .withColumn("__rn", row_number().over(win))
           .filter(col("__rn") === 1).drop("__rn", "__ord", "__tie")
+        // both branches must agree on key semantics: merge drops
+        // NULL-key staging rows (the reference's PRIMARY KEY table
+        // can't hold one), so the first-batch branch filters them too
+        // — otherwise the target's content would depend on which batch
+        // a null-key row happened to arrive in
         val merged =
           if (Files.exists(target)) graft.etl.Load.merge(spark.read.parquet(targetDir), deduped, key)
-          else deduped
+          else deduped.filter(col(key).isNotNull)
         val tmp = targetDir + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
         // checked swap; ATOMIC_MOVE throws instead of silently failing

@@ -210,6 +210,17 @@ class ExtractSpec extends SparkSpec {
     assert(cfg("items") === List("note: temp"))
   }
 
+  test("mini-yaml: quoted numerics stay strings, unquoted become numbers") {
+    val cfg = MiniYaml.parse(
+      """code: '007'
+        |n: 7
+        |neg: "-12"
+        |""".stripMargin)
+    assert(cfg("code") === "007", "YAML quoting forces string")
+    assert(cfg("n") === 7)
+    assert(cfg("neg") === "-12")
+  }
+
   test("mini-yaml parses the regions list-of-structs shape") {
     val cfg = MiniYaml.parse(
       """regions:

@@ -68,6 +68,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((1L, 2L)))
   }
 
+  test("stateful sessionize widens, never inverts, on an out-of-order later batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = sessionize(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("fmgs_ooo").start()
+    // batch 1: event at t=10min; batch 2: OUT-OF-ORDER event at t=6min
+    // (within watermark). The session must widen to [6,10], not move
+    // its end back to 6 — an inverted session would also wrongly split
+    // the next on-time event at t=27min (27-6=21min < gap, same session)
+    in.addData(Ev(1L, ts(10), 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(1L, ts(6), 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(1L, ts(27), 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(2L, ts(300), 1.0)) // advance watermark past the gap
+    q.processAllAvailable()
+    in.addData(Ev(2L, ts(600), 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("fmgs_ooo").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
+      .filter(_._1 == 1L).toList
+    q.stop()
+    assert(rows === List((1L, ts(6).getTime * 1000L, ts(27).getTime * 1000L, 3L)),
+      s"expected one widened session [6,27]min x3 events, got $rows")
+  }
+
   test("streaming dedup collapses re-scraped keys within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
