@@ -611,12 +611,15 @@ object SparkEntry {
     "q_text_repetition" -> SqlOps.textRepetition(DuckDialect),
     "q_corpus_filter" -> SqlOps.corpusFilter(DuckDialect),
     "q_contamination" -> SqlOps.contamination(DuckDialect),
+    // empty-text guard: list_reduce on an empty list ERRORS in DuckDB,
+    // while the Spark expression returns 0 — the CASE keeps the oracle
+    // total on datasets containing an empty document
     "q_text_rolling_hash" ->
       """SELECT doc_id,
-        |  list_reduce(
+        |  CASE WHEN length(text) = 0 THEN 0 ELSE list_reduce(
         |    list_transform(range(1, length(text) + 1),
         |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
-        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rhash
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) END AS rhash
         |FROM documents""".stripMargin,
     "q_events_tumbling" -> SqlOps.eventsTumbling(DuckDialect),
     "q_events_sessionize" -> SqlOps.eventsSessionize(DuckDialect),

@@ -22,8 +22,17 @@ class TopK(k: Int) extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(
     buf.sortBy { case (id, v) => (-v, id) }.take(k)
 
   override def zero: Seq[(Long, Double)] = Seq.empty
+  // `keep` maintains the buffer sorted (value desc, id asc), so
+  // buf.last is the weakest kept entry: a full buffer rejects a losing
+  // row in O(1) instead of re-sorting the whole buffer per input row —
+  // on a high-cardinality fact table almost every row loses, so the
+  // partial-aggregate pass stays scan-bound
   override def reduce(buf: Seq[(Long, Double)], in: (Long, Double)): Seq[(Long, Double)] =
-    keep(buf :+ in)
+    if (buf.size >= k && {
+      val (lastId, lastV) = buf.last
+      in._2 < lastV || (in._2 == lastV && in._1 > lastId)
+    }) buf
+    else keep(buf :+ in)
   override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
     keep(a ++ b)
   override def finish(buf: Seq[(Long, Double)]): Seq[(Long, Double)] = keep(buf)

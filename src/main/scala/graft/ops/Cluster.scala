@@ -58,7 +58,13 @@ object Cluster {
       (r.getLong(0), r.getLong(1))
     }
 
-    var e = canon(edges.select(col("a"), col("b"))).localCheckpoint()
+    // the input plan is materialized ONCE: both the canonical edge set
+    // and the post-convergence singleton recovery read this checkpoint
+    // — deriving allNodes from the raw `edges` plan would re-run the
+    // whole upstream candidate-pair query (band self-join + DISTINCT)
+    // a second time after the loop
+    val base = edges.select(col("a"), col("b")).localCheckpoint()
+    var e = canon(base).localCheckpoint()
     var prev = (-1L, -1L)
     var cur = sig(e)
     lastRounds = 0
@@ -97,8 +103,8 @@ object Cluster {
     val members = e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
     val roots = e.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct()
     val labeled = members.union(roots).distinct()
-    val allNodes = edges.select(col("a").as("doc_id"))
-      .union(edges.select(col("b").as("doc_id"))).distinct()
+    val allNodes = base.select(col("a").as("doc_id"))
+      .union(base.select(col("b").as("doc_id"))).distinct()
     val singletons = allNodes.join(labeled, Seq("doc_id"), "left_anti")
       .withColumn("cluster_id", col("doc_id"))
     labeled.union(singletons)

@@ -65,13 +65,22 @@ object SqlOps {
   private def toks(d: Dialect): String = d.split("text", " ")
 
   /** Two "crawl snapshots": every doc appears twice under different ids
-    * → guaranteed duplicate pairs for the dedup operators. */
-  def corpusCte(d: Dialect): String =
-    """corpus AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
-      |)""".stripMargin
+    * → guaranteed duplicate pairs for the dedup operators. Snapshot ids
+    * are doc_id·2 / doc_id·2+1 — disjoint BY CONSTRUCTION for any
+    * corpus size (an additive shift like +1e6 silently aliases distinct
+    * documents once the table reaches the shift, corrupting every
+    * cluster built on the corpus while the shared-CTE oracle stays
+    * green). `extraCols` carries additional projected columns (e.g.
+    * `source` for the blocked edit-distance op) so no caller forks its
+    * own copy of the snapshot definition. */
+  def corpusCte(d: Dialect, extraCols: String = ""): String = {
+    val extra = if (extraCols.isEmpty) "" else s", $extraCols"
+    s"""corpus AS (
+       |  SELECT doc_id * 2 AS doc_id, text$extra FROM documents
+       |  UNION ALL
+       |  SELECT doc_id * 2 + 1 AS doc_id, text$extra FROM documents
+       |)""".stripMargin
+  }
 
   // ---- deduplication ----
 
@@ -287,22 +296,19 @@ object SqlOps {
     * edit distance. Run over the two-snapshot corpus so planted dups
     * surface at distance 0. */
   def dedupLevenshtein(d: Dialect): String =
-    s"""WITH corpus AS (
-       |  SELECT doc_id, text, source FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 1000000 AS doc_id, text, source FROM documents
-       |),
+    s"""WITH ${corpusCte(d, "source")},
        |keyed AS (
        |  SELECT doc_id, substr(text, 1, 40) AS prefix,
        |    concat(source, ':', CAST(CAST(FLOOR(length(text) / 50) AS BIGINT) AS STRING),
        |           ':', substr(text, 1, 3)) AS blk
        |  FROM corpus
        |)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  levenshtein(a.prefix, b.prefix) AS edit_dist
-       |FROM keyed a JOIN keyed b
-       |  ON a.blk = b.blk AND a.doc_id < b.doc_id
-       |WHERE levenshtein(a.prefix, b.prefix) <= 5""".stripMargin
+       |SELECT doc_a, doc_b, edit_dist FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    levenshtein(a.prefix, b.prefix) AS edit_dist
+       |  FROM keyed a JOIN keyed b
+       |    ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |) WHERE edit_dist <= 5""".stripMargin
 
   /** Interval RANGE window frame: 30-day trailing spend per customer —
     * the frame is defined by the ORDER BY value (event time), not row
@@ -455,9 +461,14 @@ object SqlOps {
     }.mkString("concat(", ", ", ")")
     val bandCols = (0 until SignBands)
       .map(b => s"${bkt(8 * b + 1, 8 * b + 8)} AS sb${b + 1}").mkString(",\n  ")
-    s"""SELECT vec_id, embedding, ${normExpr(d, "embedding")} AS nrm,
+    // zero-norm vectors are excluded at the stage: cosine against them
+    // is 0/0, where the engines diverge (Spark NULL vs DuckDB NaN, with
+    // different sort positions) — a vector with no direction has no
+    // meaningful neighbors in any of the downstream ops
+    s"""SELECT vec_id, embedding, nrm,
        |  $bandCols
-       |FROM embeddings""".stripMargin
+       |FROM (SELECT vec_id, embedding, ${normExpr(d, "embedding")} AS nrm FROM embeddings)
+       |WHERE nrm > 0""".stripMargin
   }
 
   /** Brute-force cosine top-10 for a bounded query set (vec_id < 5).
@@ -825,8 +836,10 @@ object SqlOps {
          |       ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit
          |)
          |SELECT n_true, n_cand, n_hit,
-         |  CAST(n_hit AS DOUBLE) / n_true AS recall,
-         |  CAST(n_hit AS DOUBLE) / n_cand AS precision_
+         |  CASE WHEN n_true = 0 THEN NULL
+         |       ELSE CAST(n_hit AS DOUBLE) / n_true END AS recall,
+         |  CASE WHEN n_cand = 0 THEN NULL
+         |       ELSE CAST(n_hit AS DOUBLE) / n_cand END AS precision_
          |FROM m""".stripMargin
     })
 

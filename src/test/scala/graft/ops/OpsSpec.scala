@@ -27,33 +27,41 @@ class OpsSpec extends SparkSpec {
   }
 
   test("exact dedup finds every planted duplicate") {
-    // corpus = documents twice (ids shifted by 1e6) → every content
-    // hash has exactly 2 copies and the survivor is the original id
+    // corpus = documents twice (snapshot ids 2d / 2d+1) → every content
+    // hash has exactly 2 copies and the survivor is the first-snapshot
+    // (even) id
     val rows = run("q_dedup_exact").collect()
     assert(rows.forall(_.getAs[Long]("n_copies") == 2L))
-    assert(rows.forall(_.getAs[Long]("keep_id") < 1000000L))
+    assert(rows.forall(_.getAs[Long]("keep_id") % 2 == 0L))
   }
 
   test("minhash LSH recalls all identical-doc pairs") {
     val pairs = run("q_dedup_minhash").collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     val nDocs = graft.Tables.documents(spark, sf001).count()
-    // identical docs share all shingles → all bands collide
+    // identical docs share all shingles → all bands collide; the two
+    // snapshot copies of doc d carry ids 2d and 2d+1
     (0L until nDocs).foreach { id =>
-      assert(pairs.contains((id, id + 1000000L)), s"missing planted pair for doc $id")
+      assert(pairs.contains((2 * id, 2 * id + 1L)), s"missing planted pair for doc $id")
     }
   }
 
   test("ngram jaccard scores planted duplicates at 1.0") {
     val rows = run("q_dedup_ngram_jaccard").collect()
-    val planted = rows.filter(r => r.getAs[Long]("doc_b") - r.getAs[Long]("doc_a") == 1000000L)
+    val planted = rows.filter { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      b - a == 1L && a % 2 == 0 // snapshot copies: (2d, 2d+1)
+    }
     assert(planted.nonEmpty)
     assert(planted.forall(_.getAs[Double]("jaccard") == 1.0))
   }
 
   test("simhash pairs include planted duplicates at hamming 0") {
     val rows = run("q_dedup_simhash_pairs").collect()
-    val planted = rows.filter(r => r.getAs[Long]("doc_b") - r.getAs[Long]("doc_a") == 1000000L)
+    val planted = rows.filter { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      b - a == 1L && a % 2 == 0 // snapshot copies: (2d, 2d+1)
+    }
     assert(planted.nonEmpty)
     assert(planted.forall(_.getAs[Int]("hamming") == 0))
   }
