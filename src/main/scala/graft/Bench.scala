@@ -4,12 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(cpus)
     // Untimed warmup: JVM/codegen/shuffle-infra startup otherwise lands
     // on whichever query happens to run first and distorts its number.
     try SparkEntry.queries("q_pricing_summary")(spark, sfDir).count()
@@ -22,15 +17,22 @@ object Bench {
     catch { case _: Throwable => () }
     // sorted order: stable cross-round per-query comparison (Map
     // iteration order shifts whenever a query is added)
+    // a failed query must NOT read as a fast success: it reports -1
+    // (excluded from the total) and lands in the errors map, so a
+    // regression that breaks a query can't masquerade as a speed-up
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None }
+                catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, err) =>
+      s"\"" + k + "\":" + (if (err.isDefined) "-1" else v)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, Md5Prefix32, RollingHash, SimHashAgg, WordShingles}
+import graft.functions.{DotProduct, Md5Prefix32, NearestCentroid, RollingHash, SimHashAgg, WordShingles}
 
 /** Session-extensions entry point: the production way to ship the
   * engine's custom expressions with a cluster instead of per-session
@@ -13,8 +13,9 @@ import graft.functions.{DotProduct, Md5Prefix32, RollingHash, SimHashAgg, WordSh
   * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
   * }}}
   *
-  * registers every graft function (`graft_dot`, `rolling_hash`,
-  * `word_shingles`, `md5_prefix32`, `simhash_agg`) at session build
+  * registers every graft function (`graft_dot`,
+  * `graft_nearest_centroid`, `rolling_hash`, `word_shingles`,
+  * `md5_prefix32`, `simhash_agg`) at session build
   * time, on every session of the cluster, including pure-SQL users.
   * (`GraftFunctions.registerAll` remains for programmatic use on an
   * already-built session — both paths bind the same expressions.)
@@ -27,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - float-vector dot product, codegen'd"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_nearest_centroid"),
+      info("graft_nearest_centroid",
+        "graft_nearest_centroid(embedding, cents) - IVF cell argmin over packed centroids"),
+      (es: Seq[Expression]) => NearestCentroid(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(s) - polynomial rolling hash mod 1e9+7"),
       (es: Seq[Expression]) => RollingHash(es.head)))
@@ -36,8 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("md5_prefix32"),
       info("md5_prefix32", "md5_prefix32(s) - first 32 bits of md5 as unsigned long"),
       (es: Seq[Expression]) => Md5Prefix32(es.head)))
+    // the RAW AggregateFunction, not a pre-wrapped AggregateExpression:
+    // the analyzer wraps it itself, which is what makes DISTINCT and
+    // FILTER clauses resolve (a pre-wrapped expression rejects them)
     ext.injectFunction((FunctionIdentifier("simhash_agg"),
       info("simhash_agg", "simhash_agg(token) - 32-bit SimHash digest aggregate"),
-      (es: Seq[Expression]) => SimHashAgg(es.head).toAggregateExpression()))
+      (es: Seq[Expression]) => SimHashAgg(es.head)))
   }
 }

@@ -26,7 +26,14 @@ object Tables {
   /** events.ts is TIMESTAMP(NANOS) in the parquet footer, which Spark's
     * vectorized reader rejects. Read nanos as long and rebuild a
     * microsecond TimestampType (the same truncation DuckDB applies), so
-    * event-time operators see a plain timestamp column. */
+    * event-time operators see a plain timestamp column.
+    *
+    * The nanosAsLong flag is normally pinned at session build
+    * ([[GraftSession.local]]) so behavior doesn't depend on read order;
+    * the set here is a defensive fallback for externally-built
+    * sessions. It is session-wide by necessity — the scan re-reads it
+    * at execution time, so a set-and-restore around this call would
+    * break the returned (lazy) DataFrame. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$d/events.parquet")

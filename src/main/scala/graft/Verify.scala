@@ -10,17 +10,18 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // stale-output guard: an analysis-time failure throws BEFORE the
+      // overwrite deletes anything, so a reused outDir would otherwise
+      // keep the previous run's parquet and the compare would silently
+      // pass on stale results — delete the target first
+      try org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$outDir/$name"))
+      catch { case scala.util.control.NonFatal(_) => () }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -68,7 +68,9 @@ object GraftFunctions {
       "word_shingles", exprs => WordShingles(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_prefix32", exprs => Md5Prefix32(exprs.head), "scala_udf")
+    // raw AggregateFunction: the analyzer wraps it, so DISTINCT/FILTER
+    // clauses resolve instead of failing on a pre-wrapped expression
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_agg", exprs => SimHashAgg(exprs.head).toAggregateExpression(), "scala_udf")
+      "simhash_agg", exprs => SimHashAgg(exprs.head), "scala_udf")
   }
 }

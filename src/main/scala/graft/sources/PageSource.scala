@@ -30,8 +30,12 @@ import org.apache.spark.unsafe.types.UTF8String
 class PageSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = PageSource.SCHEMA
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new PageTable(properties.get("path"))
+                        properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null,
+      "graft.sources.PageSource requires the 'path' option (directory of page-N.html files)")
+    new PageTable(path)
+  }
 }
 
 object PageSource {
@@ -90,9 +94,15 @@ object PageFetchConf {
 class PageScanBuilder(path: String, conf: PageFetchConf)
   extends ScanBuilder with SupportsPushDownLimit {
   private var limit: Int = Int.MaxValue
-  /** Fully pushed: each page partition emits exactly one row, so
-    * taking `limit` pages IS the limit — no residual needed. */
-  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  /** Fully pushed ONLY for the file-backed default, where every planned
+    * page emits exactly one row, so taking `limit` pages IS the limit.
+    * With a named (live) fetcher a page can fail its fetch and emit NO
+    * row — claiming full pushdown there would let Spark drop its
+    * residual Limit and return fewer rows than the table can supply;
+    * the pushdown is declined so every page is scanned and Spark's own
+    * Limit takes what it needs. */
+  override def pushLimit(l: Int): Boolean =
+    if (conf.fetcherClass.isEmpty) { limit = l; true } else false
   override def isPartiallyPushed: Boolean = false
   override def build(): Scan = new PageScan(path, limit, conf)
 }

@@ -9,13 +9,7 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val out = args(0)
     val names = args.drop(1)
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.GraftSession.local("8")
     val sb = new StringBuilder
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")

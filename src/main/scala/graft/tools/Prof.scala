@@ -24,13 +24,7 @@ object Prof {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val (view, op) = ops(if (args.length > 1) args(1) else "jaccard")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local(cpus)
     graft.functions.GraftFunctions.registerAll(spark)
     graft.Tables(spark, sfDir, view).createOrReplaceTempView(view)
 

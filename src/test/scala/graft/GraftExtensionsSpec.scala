@@ -42,6 +42,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val agg = spark.sql(
         "SELECT simhash_agg(t) AS sh FROM (SELECT explode(split('a b a', ' ')) AS t)").head
       assert(agg.getAs[Long]("sh") >= 0L)
+      // the full registry: the IVF argmin must resolve from SQL too
+      // (it is what Dialect's Spark-side IVF assignment SQL calls)
+      val nc = spark.sql(
+        """SELECT graft_nearest_centroid(
+          |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+          |  array(struct(7, array(CAST(1000000 AS BIGINT), CAST(0 AS BIGINT))),
+          |        struct(9, array(CAST(-1000000 AS BIGINT), CAST(0 AS BIGINT))))) AS cell""".stripMargin).head
+      assert(nc.getAs[Int]("cell") === 7)
+      // DISTINCT resolves because the builder returns the RAW aggregate
+      // function (the analyzer wraps it with the isDistinct flag)
+      val dist = spark.sql(
+        "SELECT simhash_agg(DISTINCT t) AS sh FROM (SELECT explode(split('a b a', ' ')) AS t)").head
+      assert(dist.getAs[Long]("sh") >= 0L)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
