@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{DotProduct, Md5Prefix32, NearestCentroid, RollingHash, SimHashAgg, WordShingles}
 
@@ -47,5 +48,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash_agg"),
       info("simhash_agg", "simhash_agg(token) - 32-bit SimHash digest aggregate"),
       (es: Seq[Expression]) => SimHashAgg(es.head)))
+    // Catalyst's runtime-filter bloom sketch exposed to SQL (paired
+    // with GraftFunctions.registerAll — both paths bind the same
+    // expressions)
+    ext.injectFunction((FunctionIdentifier("bloom_filter_agg"),
+      info("bloom_filter_agg",
+        "bloom_filter_agg(xxhash64(x)[, est_items[, num_bits]]) - bloom filter over a group"),
+      (es: Seq[Expression]) => es match {
+        case Seq(c)       => new expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, n)    => new expressions.aggregate.BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new expressions.aggregate.BloomFilterAggregate(c, n, b)
+        case _ => throw new IllegalArgumentException(
+          s"bloom_filter_agg takes 1-3 arguments, got ${es.size}")
+      }))
+    ext.injectFunction((FunctionIdentifier("might_contain"),
+      info("might_contain", "might_contain(bloom, xxhash64(x)) - bloom membership probe"),
+      (es: Seq[Expression]) => expressions.BloomFilterMightContain(es(0), es(1))))
   }
 }

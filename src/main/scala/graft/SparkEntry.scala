@@ -159,7 +159,8 @@ object SparkEntry {
       Seq("documents")  -> SqlOps.dedupMinhash, // mh_sig
       Seq("documents")  -> SqlOps.dedupNgramJaccard,
       Seq("documents")  -> SqlOps.dedupSimhashPairs,
-      Seq("embeddings") -> SqlOps.annIvf // builds emb_nv + ivf_nvc
+      Seq("documents")  -> SqlOps.contaminationBloom, // ctm_bsh + ctm_csh
+      Seq("embeddings") -> SqlOps.annIvf // builds emb_nv + ivf_nvc (kmeansStep shares them)
     ).foreach { case (views, op) => buildStages(views, op)(s, d) }
   }
 
@@ -275,6 +276,10 @@ object SparkEntry {
     }),
     "q_sample_hash" -> sqlq(Seq("documents"), SqlOps.sampleHash),
     "q_sample_stratified" -> sqlq(Seq("documents"), SqlOps.sampleStratified),
+    "q_sample_weighted" -> sqlq(Seq("documents"), SqlOps.sampleWeighted),
+    // content-addressed anti-join of a fresh snapshot against the
+    // already-ingested corpus (the daily-ingest dedup gate)
+    "q_dedup_incremental" -> sqlq(Seq("documents"), SqlOps.dedupIncremental),
     // the embedding-side pairs → clusters composition: cosine near-dup
     // candidates (8-band sign-LSH gate) closed into components by the
     // same CC operator the text side uses, against the same
@@ -291,6 +296,9 @@ object SparkEntry {
     "q_knn_bruteforce" -> sqlStaged(Seq("embeddings"), SqlOps.knnBruteForce),
     "q_ann_sign_lsh" -> sqlStaged(Seq("embeddings"), SqlOps.annSignLsh),
     "q_ann_ivf" -> sqlStaged(Seq("embeddings"), SqlOps.annIvf),
+    // one Lloyd iteration: broadcast-argmin assignment (the staged IVF
+    // working set) + the per-cell centroid update groupBy
+    "q_kmeans_step" -> sqlStaged(Seq("embeddings"), SqlOps.kmeansStep),
 
     // -- text analysis (documents) --
     "q_text_tokens" -> sqlq(Seq("documents"), SqlOps.textTokens),
@@ -302,6 +310,10 @@ object SparkEntry {
     "q_text_repetition" -> sqlq(Seq("documents"), SqlOps.textRepetition),
     "q_corpus_filter" -> sqlq(Seq("documents"), SqlOps.corpusFilter),
     "q_contamination" -> sqlq(Seq("documents"), SqlOps.contamination),
+    // the bloom-gated variant: identical rows (the oracle runs the
+    // ungated exact form — the bloom prefilter must be result-invisible)
+    "q_contamination_bloom" -> sqlStaged(Seq("documents"), SqlOps.contaminationBloom),
+    "q_text_ttr" -> sqlq(Seq("documents"), SqlOps.textTtr),
     "q_text_rolling_hash" -> ((s, d) => {
       graft.functions.RollingHash.register(s)
       graft.Tables(s, d, "documents").createOrReplaceTempView("documents")
@@ -595,6 +607,11 @@ object SparkEntry {
     "q_dedup_survivors" -> SURVIVORS_ORACLE,
     "q_sample_hash" -> SqlOps.sampleHash(DuckDialect),
     "q_sample_stratified" -> SqlOps.sampleStratified(DuckDialect),
+    "q_sample_weighted" -> SqlOps.sampleWeighted(DuckDialect),
+    "q_dedup_incremental" -> SqlOps.dedupIncremental(DuckDialect),
+    "q_kmeans_step" -> SqlOps.kmeansStep.single(DuckDialect),
+    "q_contamination_bloom" -> SqlOps.contaminationBloom.single(DuckDialect),
+    "q_text_ttr" -> SqlOps.textTtr(DuckDialect),
     "q_dedup_embedding_clusters" ->
       s"""${closureCtes(SqlOps.dedupEmbeddingCosine.single(DuckDialect), "vec_a", "vec_b", "vec_id")}
          |SELECT vec_id, cluster_id FROM clusters""".stripMargin,

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{aggregate, BinaryExpression, BloomFilterMightContain, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -72,5 +72,18 @@ object GraftFunctions {
     // clauses resolve instead of failing on a pre-wrapped expression
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_agg", exprs => SimHashAgg(exprs.head), "scala_udf")
+    // Spark's runtime-filter bloom sketch, exposed as SQL for the
+    // bloom-gated decontamination op (Catalyst ships the expressions
+    // but registers no SQL names for them)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_filter_agg", {
+        case Seq(c)       => new aggregate.BloomFilterAggregate(c)
+        case Seq(c, n)    => new aggregate.BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new aggregate.BloomFilterAggregate(c, n, b)
+        case exprs => throw new IllegalArgumentException(
+          s"bloom_filter_agg takes 1-3 arguments, got ${exprs.size}")
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "might_contain", exprs => BloomFilterMightContain(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -78,6 +78,15 @@ trait Dialect {
     * posexplode + per-(vector,label) distance groupBy form; the oracle
     * gate proves the two identical. */
   def ivfAssign(centCtes: String): String
+  /** CTE(s) defining `out` = the rows of `items` whose `col` MIGHT be
+    * in `set`'s `col` values. Spark's fast path folds `set` into one
+    * bloom-filter value (bloom_filter_agg — the runtime-filter sketch)
+    * and prefilters with might_contain, so a following exact join
+    * shuffles only probable hits; false positives must be removed by
+    * that exact join (the gate is result-invisible). DuckDB renders
+    * the identity (no prefilter) — the oracle gate is what proves
+    * result-invisibility. */
+  def bloomPrefilter(out: String, items: String, set: String, col: String): String
   /** CTE chain ending in `sim(doc_id, simhash)`: the 32-bit SimHash
     * digest over token rows CTE `tok(doc_id, t)`. Spark folds the
     * whole digest into one custom imperative aggregate
@@ -142,6 +151,17 @@ object SparkDialect extends Dialect {
        |    graft_nearest_centroid(a.embedding, p.cents) AS cell
        |  FROM emb_nv a CROSS JOIN packed p
        |) WHERE cell IS NOT NULL""".stripMargin
+  // might_contain requires the bloom side to be a constant or scalar
+  // subquery (it is broadcast as one value, the runtime-filter shape),
+  // hence the (SELECT f FROM bf) form rather than a join. The 1e6
+  // estimated-items sizing keeps fpp ~3% up to a million benchmark
+  // shingles (~1 MB of bits); production sizes this to |set|.
+  def bloomPrefilter(out: String, items: String, set: String, col: String): String =
+    s"""bf AS (SELECT bloom_filter_agg(xxhash64($col), 1000000L) AS f FROM $set),
+       |$out AS (
+       |  SELECT i.* FROM $items i
+       |  WHERE might_contain((SELECT f FROM bf), xxhash64(i.$col))
+       |)""".stripMargin
   // NULL tokens are filtered in BOTH renderings (not just skipped by
   // the aggregate): without the filter a NULL token votes -1 per bit
   // in the relational form (its CASE test is NULL → ELSE) while the
@@ -227,6 +247,11 @@ object DuckDialect extends Dialect {
        |SELECT a.vec_id, a.embedding, a.nrm, s.cell
        |FROM emb_nv a JOIN asgn s ON a.vec_id = s.vec_id""".stripMargin
   }
+  // no prefilter: DuckDB is the exact oracle side, so `out` is just
+  // the items unchanged — identical final rows prove the Spark bloom
+  // gate result-invisible
+  def bloomPrefilter(out: String, items: String, set: String, col: String): String =
+    s"$out AS (SELECT * FROM $items)"
   def simhashDigestCtes: String = {
     val hexv = (1 to 8).map { i =>
       s"CAST(instr('0123456789abcdef', substr(md5(t), $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (8 - i))}"

@@ -256,6 +256,70 @@ object SqlOps {
       })
   }
 
+  /** Incremental-ingest dedup: content-addressed anti-join of an
+    * incoming crawl snapshot against the already-ingested corpus — the
+    * daily-ingestion shape (the reference's cross-run ON CONFLICT
+    * merge, generalized from key identity to content identity). Base
+    * corpus = the even-id half of the table (yesterday's ingest);
+    * incoming = the full fresh snapshot; survivors = incoming docs
+    * whose content hash is unseen. NOT EXISTS plans as a hash
+    * anti-join: one shuffle on the 128-bit digest (or a broadcast when
+    * the base's hash set fits), never a scan-per-row — at 100 TB the
+    * base side is the full historical corpus and the digest anti-join
+    * is the standard content-addressed ingest gate. */
+  def dedupIncremental(d: Dialect): String =
+    s"""WITH base AS (
+       |  SELECT md5(text) AS ch FROM documents WHERE doc_id % 2 = 0
+       |),
+       |incoming AS (SELECT doc_id, lang, md5(text) AS ch FROM documents)
+       |SELECT i.doc_id, i.lang FROM incoming i
+       |WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.ch = i.ch)""".stripMargin
+
+  /** Type-token ratio (lexical diversity): distinct tokens over total
+    * tokens per document — the complement of [[textRepetition]]'s
+    * top-token share in a quality-filter stack. The ratio is one exact
+    * IEEE division of two ints, bit-identical across engines. */
+  def textTtr(d: Dialect): String =
+    s"""WITH dtoks AS (SELECT doc_id, ${toks(d)} AS toks FROM documents),
+       |tok AS (${d.explode("SELECT doc_id, toks FROM dtoks", "doc_id", "toks", "t")})
+       |SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT t) AS n_types,
+       |  CAST(COUNT(DISTINCT t) AS DOUBLE) / COUNT(*) AS ttr
+       |FROM tok GROUP BY doc_id""".stripMargin
+
+  /** 48-bit uniform integer from the leading 12 hex digits of an
+    * md5 column — exactly representable in both BIGINT and DOUBLE,
+    * so arithmetic on it is engine-exact (same hex-digit arithmetic
+    * as [[md5Bucket]], widened). */
+  private def md5U48(hexCol: String): String =
+    (1 to 12).map { i =>
+      s"CAST(instr('0123456789abcdef', substr($hexCol, $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (12 - i))}"
+    }.mkString("(", "\n      + ", ")")
+
+  /** Deterministic weighted sampling: 100 docs chosen by hash priority
+    * u/w, where u is a 48-bit content-hash uniform and w = n_chars —
+    * keeping the k SMALLEST priorities makes longer documents
+    * proportionally more likely to be drawn, with zero RNG state
+    * (re-runnable on any engine/partitioning, like [[sampleHash]]).
+    * This is priority sampling in the Efraimidis–Spirakis style with a
+    * u/w key (a deterministic weighted draw, not their exact u^(1/w)
+    * distribution — documented as such). u ≤ 2^48 is exact in DOUBLE
+    * and w is an int, so the priority is ONE correctly-rounded IEEE
+    * division — bit-identical across engines. The Spark plan is a
+    * global top-k (TakeOrderedAndProject), not a single-partition
+    * window. */
+  def sampleWeighted(d: Dialect): String =
+    s"""WITH h AS (
+       |  SELECT doc_id, lang, n_chars, md5(text) AS mh
+       |  FROM documents WHERE n_chars > 0
+       |),
+       |pri AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    CAST(${md5U48("mh")} AS DOUBLE) / n_chars AS priority
+       |  FROM h
+       |)
+       |SELECT doc_id, lang, n_chars, priority FROM pri
+       |ORDER BY priority, doc_id LIMIT 100""".stripMargin
+
   /** Most-characteristic term per document by tf·idf ranking. The idf
     * factor is the *linear* rarity ratio n_docs/df rather than its log:
     * ln() is not correctly-rounded and differs across engines in the
@@ -562,6 +626,28 @@ object SqlOps {
       })
   }
 
+  /** One k-means (Lloyd) iteration over the embeddings: assignment to
+    * the nearest current centroid (the staged IVF working set — on the
+    * Spark side a broadcast-packed codegen'd argmin, zero vector
+    * shuffle), then the centroid UPDATE step: per-cell quantized
+    * component means plus member counts. The update is one map-side-
+    * combinable groupBy over (cell, pos) — the canonical distributed
+    * k-means step. All arithmetic is the same µ-quantized int64 path
+    * as the assignment ([[annIvf]]), so the new centroids are exact
+    * and engine-identical; iterating = feeding qc_new back as the next
+    * round's cent table. */
+  val kmeansStep: StagedOp = StagedOp(
+    stages = annIvf.stages,
+    body = { d =>
+      val exp = d.explodeWithPos(
+        "SELECT cell, embedding FROM ivf_nvc", "cell", "embedding", "pos", "v")
+      s"""WITH easg AS ($exp)
+         |SELECT cell, pos,
+         |  CAST(FLOOR(CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc_new,
+         |  COUNT(*) AS n_members
+         |FROM easg GROUP BY cell, pos""".stripMargin
+    })
+
   /** Embedding near-dup pairs above a cosine threshold, LSH-gated with
     * [[SignBands]] OR'd 8-bit sign bands (the minhash banding pattern
     * applied to sign LSH): a pair is a candidate iff ALL 8 signs of
@@ -688,28 +774,62 @@ object SqlOps {
        |WHERE rn = 1 AND lang_guess <> 'und' AND quality >= 4.0e-1""".stripMargin
   }
 
-  /** Benchmark decontamination: 3-gram overlap of each corpus document
-    * against a held-out "benchmark" slice (sources src0-src4), via the
-    * same inverted-index shape as the jaccard dedup — the benchmark
-    * shingle set is DISTINCT'd (broadcast-sized at any realistic
-    * benchmark size) and the corpus only ever joins against it. */
-  def contamination(d: Dialect): String = {
-    val bench = "('src0', 'src1', 'src2', 'src3', 'src4')"
-    s"""WITH ${shinglesCtes(d, n = 3, from = "documents")},
+  /** The held-out "benchmark" slice of the documents table (by source)
+    * and the shared decontamination fragments — single-sourced by
+    * [[contamination]] and [[contaminationBloom]] so the two gates
+    * cannot drift. */
+  private val BenchSrcs = "('src0', 'src1', 'src2', 'src3', 'src4')"
+  private def contaminationShingleCtes(d: Dialect): String =
+    s"""${shinglesCtes(d, n = 3, from = "documents")},
        |srcd AS (SELECT sh.doc_id, documents.source, sh.s
-       |         FROM sh JOIN documents ON sh.doc_id = documents.doc_id),
-       |bsh AS (SELECT DISTINCT s FROM srcd WHERE source IN $bench),
-       |csh AS (SELECT DISTINCT doc_id, s FROM srcd WHERE source NOT IN $bench),
-       |hits AS (
+       |         FROM sh JOIN documents ON sh.doc_id = documents.doc_id)""".stripMargin
+  private def contaminationTail(cshView: String, bshView: String): String =
+    s"""hits AS (
        |  SELECT c.doc_id, COUNT(*) AS shared
-       |  FROM csh c JOIN bsh b ON c.s = b.s
+       |  FROM $cshView c JOIN $bshView b ON c.s = b.s
        |  GROUP BY c.doc_id
        |)
        |SELECT d.doc_id, COALESCE(h.shared, 0) AS shared_ngrams,
        |  COALESCE(h.shared, 0) >= 10 AS contaminated
        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-       |WHERE d.source NOT IN $bench""".stripMargin
-  }
+       |WHERE d.source NOT IN $BenchSrcs""".stripMargin
+
+  /** Benchmark decontamination: 3-gram overlap of each corpus document
+    * against a held-out "benchmark" slice (sources src0-src4), via the
+    * same inverted-index shape as the jaccard dedup — the benchmark
+    * shingle set is DISTINCT'd (broadcast-sized at any realistic
+    * benchmark size) and the corpus only ever joins against it. */
+  def contamination(d: Dialect): String =
+    s"""WITH ${contaminationShingleCtes(d)},
+       |bsh AS (SELECT DISTINCT s FROM srcd WHERE source IN $BenchSrcs),
+       |csh AS (SELECT DISTINCT doc_id, s FROM srcd WHERE source NOT IN $BenchSrcs),
+       |${contaminationTail("csh", "bsh")}""".stripMargin
+
+  /** Bloom-gated decontamination — the 100 TB shape of
+    * [[contamination]]: the benchmark shingle set is folded into ONE
+    * bloom-filter value (bloom_filter_agg, Spark's runtime-filter
+    * sketch) and the corpus shingle index is prefiltered with
+    * might_contain BEFORE the exact equi-join, so the shuffle carries
+    * only probable hits (~fpp of the corpus index instead of all of
+    * it). Bloom false positives are eliminated by the exact join that
+    * follows — the gate is result-invisible, which is exactly what the
+    * oracle asserts (DuckDB renders the ungated exact form; identical
+    * rows prove it). Both index stages are materialized once, like the
+    * other shared indexes. */
+  val contaminationBloom: StagedOp = StagedOp(
+    stages = Seq(
+      "ctm_bsh" -> { d =>
+        s"""WITH ${contaminationShingleCtes(d)}
+           |SELECT DISTINCT s FROM srcd WHERE source IN $BenchSrcs""".stripMargin
+      },
+      "ctm_csh" -> { d =>
+        s"""WITH ${contaminationShingleCtes(d)}
+           |SELECT DISTINCT doc_id, s FROM srcd WHERE source NOT IN $BenchSrcs""".stripMargin
+      }),
+    body = { d =>
+      s"""WITH ${d.bloomPrefilter("cshb", "ctm_csh", "ctm_bsh", "s")},
+         |${contaminationTail("cshb", "ctm_bsh")}""".stripMargin
+    })
 
   /** Explicit grouping sets (beyond rollup/cube): status-only,
     * priority-only, and grand-total groups in one pass. Identical

@@ -63,6 +63,22 @@ class PlanSpec extends SparkSpec {
       s"expected a partial (map-side) aggregate:\n$plan")
   }
 
+  test("weighted sample plans as TakeOrderedAndProject, not a global sort or window") {
+    val plan = planOf("q_sample_weighted")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
+    assert(!plan.contains("Window"), s"no single-partition window for top-k:\n$plan")
+  }
+
+  test("bloom-gated decontamination actually plans the might_contain prefilter") {
+    val plan = planOf("q_contamination_bloom")
+    assert(plan.contains("might_contain"), s"bloom prefilter missing from plan:\n$plan")
+  }
+
+  test("incremental-ingest dedup plans as a hash anti-join on the content digest") {
+    val plan = planOf("q_dedup_incremental")
+    assert(plan.contains("LeftAnti"), s"expected an anti-join:\n$plan")
+  }
+
   test("no accidental cartesian products outside the literal-band range join") {
     SparkEntry.queries.keys.filterNot(_ == "q_range_join").foreach { q =>
       val plan =
