@@ -277,6 +277,13 @@ object SparkEntry {
     "q_sample_hash" -> sqlq(Seq("documents"), SqlOps.sampleHash),
     "q_sample_stratified" -> sqlq(Seq("documents"), SqlOps.sampleStratified),
     "q_sample_weighted" -> sqlq(Seq("documents"), SqlOps.sampleWeighted),
+    // shard-parallel token-budget packing (per-shard windows, no
+    // single-partition exchange) and weight-proportional corpus mixing
+    "q_pack_sequences" -> sqlq(Seq("documents"), SqlOps.packSequences),
+    "q_mix_epochs" -> sqlq(Seq("documents"), SqlOps.mixEpochs),
+    // which sources copy from which: rollup of the staged minhash
+    // band candidates into a source×source matrix
+    "q_dedup_source_overlap" -> sqlStaged(Seq("documents"), SqlOps.dedupSourceOverlap),
     // content-addressed anti-join of a fresh snapshot against the
     // already-ingested corpus (the daily-ingest dedup gate)
     "q_dedup_incremental" -> sqlq(Seq("documents"), SqlOps.dedupIncremental),
@@ -314,6 +321,7 @@ object SparkEntry {
     // ungated exact form — the bloom prefilter must be result-invisible)
     "q_contamination_bloom" -> sqlStaged(Seq("documents"), SqlOps.contaminationBloom),
     "q_text_ttr" -> sqlq(Seq("documents"), SqlOps.textTtr),
+    "q_vocab_coverage" -> sqlq(Seq("documents"), SqlOps.vocabCoverage),
     "q_text_rolling_hash" -> ((s, d) => {
       graft.functions.RollingHash.register(s)
       graft.Tables(s, d, "documents").createOrReplaceTempView("documents")
@@ -608,6 +616,10 @@ object SparkEntry {
     "q_sample_hash" -> SqlOps.sampleHash(DuckDialect),
     "q_sample_stratified" -> SqlOps.sampleStratified(DuckDialect),
     "q_sample_weighted" -> SqlOps.sampleWeighted(DuckDialect),
+    "q_pack_sequences" -> SqlOps.packSequences(DuckDialect),
+    "q_mix_epochs" -> SqlOps.mixEpochs(DuckDialect),
+    "q_vocab_coverage" -> SqlOps.vocabCoverage(DuckDialect),
+    "q_dedup_source_overlap" -> SqlOps.dedupSourceOverlap.single(DuckDialect),
     "q_dedup_incremental" -> SqlOps.dedupIncremental(DuckDialect),
     "q_kmeans_step" -> SqlOps.kmeansStep.single(DuckDialect),
     "q_contamination_bloom" -> SqlOps.contaminationBloom.single(DuckDialect),

@@ -36,6 +36,9 @@ trait Dialect {
   /** Count of regex matches (whole-match, group 0). */
   def reCount(x: String, rawRegex: String): String
   def bitXor(a: String, b: String): String
+  /** Inclusive integer sequence [lo..hi] as an array value (hi < lo →
+    * empty array in both engines). */
+  def seqArray(lo: String, hi: String): String
   /** Explode `arrCol` of `fromSql` into one row per element. */
   def explode(fromSql: String, keyCol: String, arrCol: String, alias: String): String
   /** Explode with 0-based element position. */
@@ -117,6 +120,7 @@ object SparkDialect extends Dialect {
   def reCount(x: String, rawRegex: String): String =
     s"size(regexp_extract_all($x, ${relit(rawRegex)}, 0))"
   def bitXor(a: String, b: String): String = s"($a ^ $b)"
+  def seqArray(lo: String, hi: String): String = s"sequence($lo, $hi)"
   def explode(fromSql: String, keyCol: String, arrCol: String, alias: String): String =
     s"SELECT $keyCol, $alias FROM ($fromSql) LATERAL VIEW explode($arrCol) _t AS $alias"
   def explodeWithPos(fromSql: String, keyCol: String, arrCol: String,
@@ -188,6 +192,8 @@ object DuckDialect extends Dialect {
   def reCount(x: String, rawRegex: String): String =
     s"len(regexp_extract_all($x, ${relit(rawRegex)}, 0))"
   def bitXor(a: String, b: String): String = s"xor($a, $b)"
+  // expression-context generate_series returns a LIST, inclusive of hi
+  def seqArray(lo: String, hi: String): String = s"generate_series($lo, $hi)"
   def explode(fromSql: String, keyCol: String, arrCol: String, alias: String): String =
     s"SELECT $keyCol, unnest($arrCol) AS $alias FROM ($fromSql)"
   def explodeWithPos(fromSql: String, keyCol: String, arrCol: String,

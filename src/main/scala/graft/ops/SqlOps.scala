@@ -985,6 +985,114 @@ object SqlOps {
        |  FROM documents
        |) WHERE rn <= 50""".stripMargin
 
+  /** Shard-parallel sequence packing: assign documents to fixed
+    * token-budget training sequences. Global greedy packing is
+    * inherently sequential, so the scale shape is the one real
+    * pipelines use — pack WITHIN deterministic shards: shard = content
+    * hash (8 here; one per output worker in production), order within
+    * the shard by content hash (the reproducible shuffle), running
+    * token total via a shard-partitioned window, and
+    * seq = ⌊(cum − n_tokens)/budget⌋ (first-fit in hash order; a
+    * sequence may overflow the budget by at most one document — the
+    * drop-or-split of the overhang is a downstream choice). The window
+    * partitions on shard, so there is NO single-partition exchange:
+    * shards pack independently, exactly like per-worker packing at
+    * 100 TB. All sums are integer; the only division is exact. */
+  def packSequences(d: Dialect): String = {
+    val budget = 512
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    ${md5Bucket("text")} % 8 AS shard,
+       |    CAST(${d.size(toks(d))} AS BIGINT) AS n_tokens,
+       |    md5(text) AS mh
+       |  FROM documents
+       |),
+       |cumt AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY mh, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM t
+       |)
+       |SELECT doc_id, shard, n_tokens, cum_tokens,
+       |  CAST(FLOOR(CAST(cum_tokens - n_tokens AS DOUBLE) / $budget.0e0) AS BIGINT) AS seq_id
+       |FROM cumt""".stripMargin
+  }
+
+  /** Source-weighted corpus mixing: replicate each document
+    * epochs(source) times — the "data mixing weights" op that turns
+    * per-source sampling ratios into a physical training corpus.
+    * Epochs here derive deterministically from the source id (1-3);
+    * production feeds a weights table. The replication is
+    * explode(sequence(1, epochs)) — a NARROW per-row generator, no
+    * join, no shuffle; output volume is Σ epochs by construction,
+    * which is the budgeted size of the training mix. */
+  def mixEpochs(d: Dialect): String = {
+    val base =
+      s"""SELECT doc_id, source,
+         |    1 + (CAST(substr(source, 4) AS INT) % 3) AS epochs,
+         |    ${d.seqArray("1", "1 + (CAST(substr(source, 4) AS INT) % 3)")} AS eps
+         |  FROM documents""".stripMargin
+    s"""WITH reps AS (
+       |  ${d.explode(s"$base", "doc_id, source, epochs", "eps", "ep")}
+       |)
+       |SELECT doc_id, source, CAST(epochs AS BIGINT) AS epochs,
+       |  CAST(ep AS BIGINT) AS copy_idx
+       |FROM reps""".stripMargin
+  }
+
+  /** Vocabulary cumulative-coverage cutoff — the tokenizer-building
+    * profile: global token counts ordered by frequency, cumulative
+    * corpus share, and the 95%-coverage vocabulary flag. The groupBy
+    * shuffle is bounded by VOCAB cardinality (map-side partial
+    * counts), and the ordered-cumsum window runs over the vocab-sized
+    * aggregate — at 100 TB the token scan is the only full pass; the
+    * window input is ~1M rows regardless of corpus size (the one
+    * place a global window is the right plan). The coverage test is
+    * all-integer ((cum−n)·100 < 95·total — no FP boundary); the
+    * reported share is one exact IEEE division. */
+  def vocabCoverage(d: Dialect): String =
+    s"""WITH dtoks AS (SELECT doc_id, ${toks(d)} AS toks FROM documents),
+       |tok AS (${d.explode("SELECT doc_id, toks FROM dtoks", "doc_id", "toks", "t")}),
+       |vc AS (SELECT t AS token, COUNT(*) AS n FROM tok GROUP BY t),
+       |cum AS (
+       |  SELECT token, n,
+       |    CAST(SUM(n) OVER (ORDER BY n DESC, token
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+       |    CAST(SUM(n) OVER () AS BIGINT) AS total_n
+       |  FROM vc
+       |)
+       |SELECT token, n, cum_n,
+       |  CAST(cum_n AS DOUBLE) / total_n AS cum_share,
+       |  (cum_n - n) * 100 < 95 * total_n AS in_vocab95
+       |FROM cum""".stripMargin
+
+  /** Source×source near-duplicate overlap matrix: which sources copy
+    * from which — the provenance view of dedup, aggregated from the
+    * SAME staged minhash band candidates the dedup family uses (no new
+    * pairwise work; the matrix is a rollup of an index that already
+    * exists). Pair sources are normalized LEAST/GREATEST so the matrix
+    * is upper-triangular regardless of id order. Output is
+    * |sources|² at most — driver-sized at any corpus scale. */
+  val dedupSourceOverlap: StagedOp = StagedOp(
+    stages = dedupMinhash.stages,
+    body = { _ =>
+      s"""WITH $mhBandsCte,
+         |$mhCandCte,
+         |srcmap AS (
+         |  SELECT doc_id * 2 AS cid, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1 AS cid, source FROM documents
+         |)
+         |SELECT LEAST(sa.source, sb.source) AS source_a,
+         |  GREATEST(sa.source, sb.source) AS source_b,
+         |  COUNT(*) AS n_pairs
+         |FROM cand c
+         |JOIN srcmap sa ON c.doc_a = sa.cid
+         |JOIN srcmap sb ON c.doc_b = sb.cid
+         |GROUP BY LEAST(sa.source, sb.source), GREATEST(sa.source, sb.source)""".stripMargin
+    })
+
   /** Canonical-survivor selection: within each exact-duplicate group
     * (content hash over the two-snapshot corpus), keep the best
     * representative — longest text first, ties to the smallest id (the

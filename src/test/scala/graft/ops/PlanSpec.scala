@@ -79,6 +79,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"expected an anti-join:\n$plan")
   }
 
+  test("sequence packing windows partition on shard — no single-partition exchange") {
+    val plan = planOf("q_pack_sequences")
+    assert(plan.contains("Window"), s"expected a shard-partitioned window:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"packing must not collapse to one partition:\n$plan")
+  }
+
+  test("epoch mixing is a narrow generator — no join anywhere in the plan") {
+    val plan = planOf("q_mix_epochs")
+    assert(plan.contains("Generate"), s"expected an explode generator:\n$plan")
+    assert(!plan.contains("Join"), s"replication must not plan a join:\n$plan")
+  }
+
   test("no accidental cartesian products outside the literal-band range join") {
     SparkEntry.queries.keys.filterNot(_ == "q_range_join").foreach { q =>
       val plan =
