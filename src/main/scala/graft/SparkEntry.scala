@@ -159,7 +159,7 @@ object SparkEntry {
       Seq("documents")  -> SqlOps.dedupMinhash, // mh_sig
       Seq("documents")  -> SqlOps.dedupNgramJaccard,
       Seq("documents")  -> SqlOps.dedupSimhashPairs,
-      Seq("documents")  -> SqlOps.contaminationBloom, // ctm_bsh + ctm_csh
+      Seq("documents")  -> SqlOps.contaminationBloom, // ctm_srcd → ctm_bsh + ctm_csh
       Seq("embeddings") -> SqlOps.annIvf // builds emb_nv + ivf_nvc (kmeansStep shares them)
     ).foreach { case (views, op) => buildStages(views, op)(s, d) }
   }

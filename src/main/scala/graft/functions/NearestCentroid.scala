@@ -69,8 +69,13 @@ object NearestCentroid {
   /** Static so generated code calls it directly. Quantizes the vector
     * once, then a tight primitive loop per centroid; argmin with
     * smallest-label tie-break (order-independent). Returns null (no
-    * cell) for an empty vector — parity with the relational rendering,
-    * which drops such vectors in its explode. */
+    * cell) for an empty vector, an empty centroid table, or a centroid
+    * whose dimensionality differs from the vector's — parity with the
+    * relational rendering, where each of those produces no complete
+    * distance row and the vector drops out (the expression is
+    * registered session-wide, so a pure-SQL caller can hit all three;
+    * before the guards, an empty table returned Int.MaxValue as a
+    * "cell" and a short centroid silently scored a prefix distance). */
   def nearest(emb: ArrayData, cents: ArrayData): java.lang.Integer = {
     val n = emb.numElements()
     if (n == 0) return null
@@ -82,26 +87,29 @@ object NearestCentroid {
     }
     var bestD = Long.MaxValue
     var bestL = Int.MaxValue
+    var found = false
     var c = 0
     val m = cents.numElements()
     while (c < m) {
       val row = cents.getStruct(c, 2)
       val label = row.getInt(0)
       val qcs = row.getArray(1)
-      val k = math.min(n, qcs.numElements())
-      var d = 0L
-      var j = 0
-      while (j < k) {
-        val diff = q(j) - qcs.getLong(j)
-        d += diff * diff
-        j += 1
-      }
-      if (d < bestD || (d == bestD && label < bestL)) {
-        bestD = d
-        bestL = label
+      if (qcs.numElements() == n) {
+        found = true
+        var d = 0L
+        var j = 0
+        while (j < n) {
+          val diff = q(j) - qcs.getLong(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD || (d == bestD && label < bestL)) {
+          bestD = d
+          bestL = label
+        }
       }
       c += 1
     }
-    bestL
+    if (found) bestL else null
   }
 }

@@ -120,7 +120,13 @@ object SparkDialect extends Dialect {
   def reCount(x: String, rawRegex: String): String =
     s"size(regexp_extract_all($x, ${relit(rawRegex)}, 0))"
   def bitXor(a: String, b: String): String = s"($a ^ $b)"
-  def seqArray(lo: String, hi: String): String = s"sequence($lo, $hi)"
+  // bare sequence(lo, hi) with hi < lo defaults to step -1 and returns
+  // a DESCENDING array where DuckDB's generate_series returns [] — the
+  // CASE guard makes the trait's empty-on-inverted contract actually
+  // hold (a zero-weight source in mixEpochs would otherwise emit
+  // phantom copies on the Spark side only)
+  def seqArray(lo: String, hi: String): String =
+    s"CASE WHEN ($hi) >= ($lo) THEN sequence($lo, $hi) ELSE array() END"
   def explode(fromSql: String, keyCol: String, arrCol: String, alias: String): String =
     s"SELECT $keyCol, $alias FROM ($fromSql) LATERAL VIEW explode($arrCol) _t AS $alias"
   def explodeWithPos(fromSql: String, keyCol: String, arrCol: String,

@@ -59,8 +59,12 @@ object SqlOps {
     * LSH-eval truth side (hex-digit arithmetic; no engine-specific
     * hash or RNG involved). */
   private def md5Bucket(col: String): String =
-    s"""(instr('0123456789abcdef', substr(md5($col), 1, 1)) - 1) * 16
-       |    + (instr('0123456789abcdef', substr(md5($col), 2, 1)) - 1)""".stripMargin
+    // self-parenthesized: callers compose this with tighter-binding
+    // operators (`% 8` in packSequences bound only the second addend
+    // before the outer parens, silently yielding ~128 shard values —
+    // identically in both dialects, so the oracle gate can't see it)
+    s"""((instr('0123456789abcdef', substr(md5($col), 1, 1)) - 1) * 16
+       |    + (instr('0123456789abcdef', substr(md5($col), 2, 1)) - 1))""".stripMargin
 
   private def toks(d: Dialect): String = d.split("text", " ")
 
@@ -817,14 +821,19 @@ object SqlOps {
     * rows prove it). Both index stages are materialized once, like the
     * other shared indexes. */
   val contaminationBloom: StagedOp = StagedOp(
+    // the (doc, source, shingle) index is built ONCE and both slices
+    // derive from the materialized stage — the 3-gram explode is the
+    // expensive pass, and the old two-stage shape re-ran it per slice
     stages = Seq(
-      "ctm_bsh" -> { d =>
+      "ctm_srcd" -> { d =>
         s"""WITH ${contaminationShingleCtes(d)}
-           |SELECT DISTINCT s FROM srcd WHERE source IN $BenchSrcs""".stripMargin
+           |SELECT doc_id, source, s FROM srcd""".stripMargin
       },
-      "ctm_csh" -> { d =>
-        s"""WITH ${contaminationShingleCtes(d)}
-           |SELECT DISTINCT doc_id, s FROM srcd WHERE source NOT IN $BenchSrcs""".stripMargin
+      "ctm_bsh" -> { _ =>
+        s"SELECT DISTINCT s FROM ctm_srcd WHERE source IN $BenchSrcs"
+      },
+      "ctm_csh" -> { _ =>
+        s"SELECT DISTINCT doc_id, s FROM ctm_srcd WHERE source NOT IN $BenchSrcs"
       }),
     body = { d =>
       s"""WITH ${d.bloomPrefilter("cshb", "ctm_csh", "ctm_bsh", "s")},
@@ -1076,20 +1085,20 @@ object SqlOps {
     * |sources|² at most — driver-sized at any corpus scale. */
   val dedupSourceOverlap: StagedOp = StagedOp(
     stages = dedupMinhash.stages,
-    body = { _ =>
+    body = { d =>
+      // the snapshot-id → source map comes from the SHARED corpusCte
+      // (projecting source), never a hand-forked copy of the id scheme
+      // — a desynced fork would silently empty the join while the
+      // oracle (sharing the same SQL) stayed green
       s"""WITH $mhBandsCte,
          |$mhCandCte,
-         |srcmap AS (
-         |  SELECT doc_id * 2 AS cid, source FROM documents
-         |  UNION ALL
-         |  SELECT doc_id * 2 + 1 AS cid, source FROM documents
-         |)
+         |${corpusCte(d, "source")}
          |SELECT LEAST(sa.source, sb.source) AS source_a,
          |  GREATEST(sa.source, sb.source) AS source_b,
          |  COUNT(*) AS n_pairs
          |FROM cand c
-         |JOIN srcmap sa ON c.doc_a = sa.cid
-         |JOIN srcmap sb ON c.doc_b = sb.cid
+         |JOIN corpus sa ON c.doc_a = sa.doc_id
+         |JOIN corpus sb ON c.doc_b = sb.doc_id
          |GROUP BY LEAST(sa.source, sb.source), GREATEST(sa.source, sb.source)""".stripMargin
     })
 

@@ -24,6 +24,7 @@ object StreamingOps {
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
   case class SessionState(start_us: Long, end_us: Long, n: Long)
+  case class SessionsState(sessions: Seq[SessionState])
 
   /** Watermarked tumbling 5-minute counts per event type. */
   def tumblingCounts(events: DataFrame): DataFrame =
@@ -49,47 +50,58 @@ object StreamingOps {
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * escape hatch for session logic the built-in window can't express
     * (here: emit count + exact first/last event time per session).
-    * Event-time timeout keyed on the watermark closes idle sessions. */
+    *
+    * State is a LIST of open sessions per key, not a single current
+    * session: an out-of-order event (late but inside the watermark) may
+    * precede the open session by more than the gap, in which case it is
+    * its own session — a single-session state could only absorb it
+    * (widening across a silence longer than the gap) or corrupt the
+    * open one. Each event enters as a singleton and the sorted list is
+    * coalesced by gap-overlap, so a late event that BRIDGES two open
+    * sessions also merges them (the session_window merge semantics). A
+    * session is emitted only once the watermark has passed end+gap —
+    * before that a late event could still extend it; after it no event
+    * can (later-arriving ones are watermark-dropped upstream). */
   def sessionize(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
     events
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionsState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(Session(user, s.start_us, s.end_us, s.n))
-          } else {
-            val sorted = evs.map(e => (e.ts.getTime * 1000L, e)).toSeq.sortBy(_._1)
-            var cur = state.getOption
-            val closed = Seq.newBuilder[Session]
-            sorted.foreach { case (us, _) =>
-              cur match {
-                case Some(s) if us - s.end_us <= gapUs =>
-                  // min/max, not assignment: an out-of-order event from
-                  // a later micro-batch (us < s.end_us, still within
-                  // the watermark) must widen the session, never move
-                  // its end backwards — an inverted session would also
-                  // split the next on-time event off spuriously
-                  cur = Some(s.copy(start_us = math.min(s.start_us, us),
-                                    end_us = math.max(s.end_us, us), n = s.n + 1))
-                case Some(s) =>
-                  closed += Session(user, s.start_us, s.end_us, s.n)
-                  cur = Some(SessionState(us, us, 1))
-                case None =>
-                  cur = Some(SessionState(us, us, 1))
-              }
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionsState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val merged =
+            if (state.hasTimedOut) prior
+            else {
+              val withNew = prior ++
+                evs.map(e => e.ts.getTime * 1000L).map(us => SessionState(us, us, 1))
+              withNew.sortBy(s => (s.start_us, s.end_us))
+                .foldLeft(List.empty[SessionState]) { (acc, s) =>
+                  acc match {
+                    case h :: t if s.start_us - h.end_us <= gapUs =>
+                      SessionState(h.start_us, math.max(h.end_us, s.end_us), h.n + s.n) :: t
+                    case _ => s :: acc
+                  }
+                }.reverse
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end_us / 1000L + gapMinutes * 60L * 1000L)
-            }
-            closed.result().iterator
+          // closed = no future event can extend it (end+gap behind the
+          // watermark). Emitted here whether we got here via timeout or
+          // via new events — a timeout timestamp in the past cannot be
+          // re-armed, so closed sessions must never stay in state.
+          val (closed, open) = merged.partition(s => s.end_us + gapUs <= wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(open))
+            // earliest possible close among open sessions; strictly
+            // above the current watermark because `closed` took <= —
+            // ceil the µs→ms conversion so truncation can't land ON
+            // the watermark (setTimeoutTimestamp rejects that)
+            state.setTimeoutTimestamp((open.map(_.end_us).min + gapUs + 999L) / 1000L)
           }
+          closed.iterator.map(s => Session(user, s.start_us, s.end_us, s.n))
       }
   }
 

@@ -97,6 +97,61 @@ class StreamingSpec extends SparkSpec {
       s"expected one widened session [6,27]min x3 events, got $rows")
   }
 
+  test("stateful sessionize: a late event more than a gap BEFORE the open session is its own session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // gap (5 min) < watermark delay (10 min): an out-of-order event can
+    // arrive more than a gap before the open session's start. It must
+    // form its OWN session, not be absorbed across a silence longer
+    // than the gap (the single-session state could only absorb it).
+    val q = sessionize(in.toDS(), gapMinutes = 5).writeStream
+      .outputMode("append").format("memory").queryName("fmgs_late").start()
+    in.addData(Ev(1L, ts(100), 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(1L, ts(94), 1.0)) // watermark is 90min: late but admissible
+    q.processAllAvailable()
+    in.addData(Ev(2L, ts(300), 1.0)) // advance watermark past both
+    q.processAllAvailable()
+    in.addData(Ev(2L, ts(600), 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("fmgs_late").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
+      .filter(_._1 == 1L).toList.sortBy(_._2)
+    q.stop()
+    assert(rows === List(
+      (1L, ts(94).getTime * 1000L, ts(94).getTime * 1000L, 1L),
+      (1L, ts(100).getTime * 1000L, ts(100).getTime * 1000L, 1L)),
+      s"expected two separate 1-event sessions at 94min and 100min, got $rows")
+  }
+
+  test("stateful sessionize: a late event bridging two open sessions merges them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = sessionize(in.toDS(), gapMinutes = 5).writeStream
+      .outputMode("append").format("memory").queryName("fmgs_bridge").start()
+    // two open sessions 9 minutes apart (> gap), then a late event
+    // between them within gap of both — session_window merge semantics
+    // say all three coalesce into ONE session
+    in.addData(Ev(1L, ts(91), 1.0), Ev(1L, ts(100), 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(1L, ts(95), 1.0)) // bridges [91,91] and [100,100]
+    q.processAllAvailable()
+    in.addData(Ev(2L, ts(300), 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(2L, ts(600), 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("fmgs_bridge").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
+      .filter(_._1 == 1L).toList
+    q.stop()
+    assert(rows === List((1L, ts(91).getTime * 1000L, ts(100).getTime * 1000L, 3L)),
+      s"expected one bridged session [91,100]min x3, got $rows")
+  }
+
   test("streaming dedup collapses re-scraped keys within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
