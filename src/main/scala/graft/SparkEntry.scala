@@ -321,6 +321,7 @@ object SparkEntry {
     // ungated exact form — the bloom prefilter must be result-invisible)
     "q_contamination_bloom" -> sqlStaged(Seq("documents"), SqlOps.contaminationBloom),
     "q_text_ttr" -> sqlq(Seq("documents"), SqlOps.textTtr),
+    "q_text_dup_ngrams" -> sqlq(Seq("documents"), SqlOps.textDupNgrams),
     "q_vocab_coverage" -> sqlq(Seq("documents"), SqlOps.vocabCoverage),
     "q_text_rolling_hash" -> ((s, d) => {
       graft.functions.RollingHash.register(s)
@@ -624,6 +625,7 @@ object SparkEntry {
     "q_kmeans_step" -> SqlOps.kmeansStep.single(DuckDialect),
     "q_contamination_bloom" -> SqlOps.contaminationBloom.single(DuckDialect),
     "q_text_ttr" -> SqlOps.textTtr(DuckDialect),
+    "q_text_dup_ngrams" -> SqlOps.textDupNgrams(DuckDialect),
     "q_dedup_embedding_clusters" ->
       s"""${closureCtes(SqlOps.dedupEmbeddingCosine.single(DuckDialect), "vec_a", "vec_b", "vec_id")}
          |SELECT vec_id, cluster_id FROM clusters""".stripMargin,

@@ -290,6 +290,22 @@ object SqlOps {
        |  CAST(COUNT(DISTINCT t) AS DOUBLE) / COUNT(*) AS ttr
        |FROM tok GROUP BY doc_id""".stripMargin
 
+  /** Duplicate 3-gram fraction (Gopher's n-gram repetition filter,
+    * complementing [[textRepetition]]'s top-token share and
+    * [[textTtr]]'s type-token ratio): the fraction of a document's
+    * 3-gram occurrences that are repeats of an earlier one —
+    * 1 − distinct/total. High values flag boilerplate/looping text.
+    * One narrow shingle pass + a per-doc aggregate; the division is
+    * one exact IEEE op (both counts < 2^53). Docs shorter than 3
+    * tokens have no 3-grams and drop out (same rows both renderings:
+    * the explode yields nothing). */
+  def textDupNgrams(d: Dialect): String =
+    s"""WITH ${shinglesCtes(d, n = 3, from = "documents")}
+       |SELECT doc_id, COUNT(*) AS n_ngrams,
+       |  COUNT(DISTINCT s) AS n_distinct,
+       |  1.0e0 - CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*) AS dup_frac
+       |FROM sh GROUP BY doc_id""".stripMargin
+
   /** 48-bit uniform integer from the leading 12 hex digits of an
     * md5 column — exactly representable in both BIGINT and DOUBLE,
     * so arithmetic on it is engine-exact (same hex-digit arithmetic
