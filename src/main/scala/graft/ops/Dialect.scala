@@ -241,19 +241,31 @@ object DuckDialect extends Dialect {
     val expA = explodeWithPos(
       "SELECT vec_id, embedding FROM embeddings", "vec_id", "embedding", "pos", "v")
     def qv(v: String) = s"CAST(FLOOR(CAST($v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)"
+    // a centroid is a candidate only on a FULL dimension match
+    // (matched positions = vector dims = centroid dims) — the pos
+    // equi-join alone would score a PREFIX distance for a shorter/
+    // longer centroid, which is systematically smaller and would win
+    // the argmin where the Spark expression (qcs.numElements() == n)
+    // skips that centroid entirely
     s"""WITH $centCtes,
        |eva AS ($expA),
+       |vdim AS (SELECT vec_id, COUNT(*) AS nd FROM eva GROUP BY vec_id),
+       |cdim AS (SELECT label, COUNT(*) AS cd FROM cent GROUP BY label),
        |dist AS (
        |  SELECT eva.vec_id, c.label AS cl,
-       |    SUM((${qv("eva.v")} - c.qc) * (${qv("eva.v")} - c.qc)) AS d2
+       |    SUM((${qv("eva.v")} - c.qc) * (${qv("eva.v")} - c.qc)) AS d2,
+       |    COUNT(*) AS npos
        |  FROM eva JOIN cent c ON eva.pos = c.pos
        |  GROUP BY eva.vec_id, c.label
        |),
        |asgn AS (
        |  SELECT vec_id, cl AS cell FROM (
-       |    SELECT vec_id, cl, ROW_NUMBER() OVER (
-       |      PARTITION BY vec_id ORDER BY d2, cl) AS rn
-       |    FROM dist
+       |    SELECT d.vec_id, d.cl, ROW_NUMBER() OVER (
+       |      PARTITION BY d.vec_id ORDER BY d.d2, d.cl) AS rn
+       |    FROM dist d
+       |    JOIN vdim ON d.vec_id = vdim.vec_id
+       |    JOIN cdim ON d.cl = cdim.label
+       |    WHERE d.npos = vdim.nd AND d.npos = cdim.cd
        |  ) WHERE rn = 1
        |)
        |SELECT a.vec_id, a.embedding, a.nrm, s.cell

@@ -87,19 +87,27 @@ object StreamingOps {
                   }
                 }.reverse
             }
-          // closed = no future event can extend it (end+gap behind the
-          // watermark). Emitted here whether we got here via timeout or
-          // via new events — a timeout timestamp in the past cannot be
-          // re-armed, so closed sessions must never stay in state.
-          val (closed, open) = merged.partition(s => s.end_us + gapUs <= wmUs)
+          // closed = no future event can extend it: STRICTLY behind
+          // the watermark, because an event with ts exactly == the
+          // watermark is still admissible (the late filter drops only
+          // ts < watermark) and by the merge rule above would join a
+          // session whose end+gap == its ts — closing at <= would emit
+          // that session one event early, making output depend on
+          // micro-batch boundary timing. Emitted here whether we got
+          // here via timeout or via new events — a timeout timestamp
+          // in the past cannot be re-armed, so closed sessions must
+          // never stay in state.
+          val (closed, open) = merged.partition(s => s.end_us + gapUs < wmUs)
           if (open.isEmpty) state.remove()
           else {
             state.update(SessionsState(open))
-            // earliest possible close among open sessions; strictly
-            // above the current watermark because `closed` took <= —
-            // ceil the µs→ms conversion so truncation can't land ON
-            // the watermark (setTimeoutTimestamp rejects that)
-            state.setTimeoutTimestamp((open.map(_.end_us).min + gapUs + 999L) / 1000L)
+            // earliest possible close among open sessions, ceil'd to
+            // ms; clamp strictly above the current watermark (an open
+            // session may sit exactly ON it, and setTimeoutTimestamp
+            // rejects the past)
+            state.setTimeoutTimestamp(math.max(
+              (open.map(_.end_us).min + gapUs + 999L) / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
           }
           closed.iterator.map(s => Session(user, s.start_us, s.end_us, s.n))
       }
