@@ -55,6 +55,29 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val dist = spark.sql(
         "SELECT simhash_agg(DISTINCT t) AS sh FROM (SELECT explode(split('a b a', ' ')) AS t)").head
       assert(dist.getAs[Long]("sh") >= 0L)
+      // defined null contracts of the argmin: empty centroid table and
+      // dimensionality mismatch assign no cell (never Int.MaxValue or a
+      // prefix distance) — the session-wide SQL surface can hit both
+      val ncNull = spark.sql(
+        """SELECT
+          |  graft_nearest_centroid(array(CAST(1.0 AS FLOAT)),
+          |    CAST(array() AS array<struct<label:int, qcs:array<bigint>>>)) AS empty_cents,
+          |  graft_nearest_centroid(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |    array(struct(3, array(CAST(1000000 AS BIGINT))))) AS dim_mismatch""".stripMargin).head
+      assert(ncNull.isNullAt(0), "empty centroid table must assign null")
+      assert(ncNull.isNullAt(1), "dimension mismatch must assign null")
+      // the bloom runtime-filter pair injected this round, exercised in
+      // the production shape (COLUMN probe against the scalar-subquery
+      // bloom — an all-constant probe hits a Janino codegen edge in
+      // Spark's might_contain and falls back to interpreter; the
+      // column form stays codegen'd): every inserted key must probe
+      // true (no false negatives)
+      val bloom = spark.sql(
+        """WITH s AS (SELECT explode(array('a','b','c')) AS v),
+          |bf AS (SELECT bloom_filter_agg(xxhash64(v), 10L) AS f FROM s)
+          |SELECT count(*) AS hits FROM s
+          |WHERE might_contain((SELECT f FROM bf), xxhash64(v))""".stripMargin).head
+      assert(bloom.getAs[Long]("hits") === 3L, "every inserted key must probe true")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
