@@ -241,4 +241,44 @@ class OpsSpec extends SparkSpec {
     assert(a === b)
     a.groupBy(_._2).foreach { case (_, docs) => assert(docs.size <= 50) }
   }
+
+  test("sequence packing matches an independent Scala reimplementation") {
+    // the dual-dialect oracle CANNOT catch a bug whose SQL renders
+    // identically in both engines (the `% 8` precedence slip produced
+    // ~128 shards, green at every SF) — this reimplements the whole
+    // packing computation in plain Scala from the raw table and
+    // compares row-for-row
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = graft.Tables.documents(spark, sf001)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val expected = docs.map { case (id, text) =>
+      val mh = md5hex(text)
+      val shard = (Character.digit(mh(0), 16) * 16 + Character.digit(mh(1), 16)) % 8
+      // Spark split keeps trailing empty strings; mirror with limit -1
+      (id, shard, text.split(" ", -1).length.toLong, mh)
+    }.groupBy(_._2).iterator.flatMap { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy(d => (d._4, d._1)).map { case (id, shard, nt, _) =>
+        val before = cum
+        cum += nt
+        (id, (shard.toLong, nt, cum, before / 512L))
+      }
+    }.toMap
+    val actual = run("q_pack_sequences").collect().map { r =>
+      (r.getAs[Long]("doc_id"),
+        (r.getAs[Number]("shard").longValue, r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("cum_tokens"), r.getAs[Long]("seq_id")))
+    }.toMap
+    assert(actual.size === expected.size)
+    expected.foreach { case (id, exp) =>
+      assert(actual(id) === exp, s"doc $id: expected $exp got ${actual(id)}")
+    }
+    // structural invariant: exactly 8 shards and every sequence starts
+    // under the budget boundary (a doc may overflow it by construction)
+    assert(actual.values.map(_._1).toSet.subsetOf((0L until 8L).toSet))
+  }
 }
