@@ -281,4 +281,43 @@ class OpsSpec extends SparkSpec {
     // under the budget boundary (a doc may overflow it by construction)
     assert(actual.values.map(_._1).toSet.subsetOf((0L until 8L).toSet))
   }
+
+  test("weighted sample matches an independent Scala reimplementation") {
+    // same oracle-blindness class as packing: the 48-bit hex-digit
+    // uniform and the u/w priority render identically in both dialects
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = graft.Tables.documents(spark, sf001)
+      .selectExpr("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"), r.getAs[Long]("n_chars")))
+    val expected = docs.filter(_._3 > 0).map { case (id, text, nc) =>
+      val mh = md5hex(text)
+      val u48 = mh.take(12).foldLeft(0L)((acc, c) => acc * 16 + Character.digit(c, 16))
+      (id, u48.toDouble / nc)
+    }.sortBy { case (id, p) => (p, id) }.take(100)
+    val actual = run("q_sample_weighted").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("priority")))
+    assert(actual.toList === expected.toList)
+  }
+
+  test("vocab coverage matches an independent Scala reimplementation") {
+    val docs = graft.Tables.documents(spark, sf001)
+      .selectExpr("text").collect().map(_.getString(0))
+    val counts = docs.flatMap(_.split(" ", -1)).groupBy(identity)
+      .map { case (t, occ) => (t, occ.length.toLong) }
+    val total = counts.values.sum
+    var cum = 0L
+    val expected = counts.toSeq.sortBy { case (t, n) => (-n, t) }.map { case (t, n) =>
+      cum += n
+      (t, (n, cum, cum.toDouble / total, (cum - n) * 100 < 95 * total))
+    }.toMap
+    val actual = run("q_vocab_coverage").collect().map { r =>
+      (r.getAs[String]("token"),
+        (r.getAs[Long]("n"), r.getAs[Long]("cum_n"),
+          r.getAs[Double]("cum_share"), r.getAs[Boolean]("in_vocab95")))
+    }.toMap
+    assert(actual === expected)
+  }
 }
