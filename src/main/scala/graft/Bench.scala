@@ -12,9 +12,13 @@ object Bench {
     // Shared staged artifacts (interchange transform, similarity and
     // shingle indexes, cluster map) are built once per JVM — pay that
     // here, untimed, so per-query numbers measure the query, not
-    // whichever cold stage it was first to touch.
-    try SparkEntry.prewarmStages(spark, sfDir)
-    catch { case _: Throwable => () }
+    // whichever cold stage it was first to touch. A prewarm failure is
+    // survivable (each query rebuilds its cold stages) but shifts that
+    // stage-build cost back onto timed queries — record it in the
+    // output so a distorted run is identifiable instead of silent.
+    val prewarmFailed: Option[String] =
+      try { SparkEntry.prewarmStages(spark, sfDir); None }
+      catch { case e: Throwable => Some(e.getClass.getSimpleName) }
     // sorted order: stable cross-round per-query comparison (Map
     // iteration order shifts whenever a query is added)
     // a failed query must NOT read as a fast success: it reports -1
@@ -32,7 +36,8 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val prewarm = prewarmFailed.map(c => s"\"$c\"").getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"prewarm_failed":$prewarm,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,13 +43,17 @@ object SparkEntry {
   /** Mark `path` materialized only AFTER the write succeeds — a failed
     * write must not poison the per-JVM stage cache (later queries would
     * read a missing/partial directory for the rest of the JVM). The
-    * memo is also re-checked against the filesystem: if another process
-    * (or a cleanupStages call) removed the dir, the stage transparently
-    * rebuilds instead of failing on a missing path for the JVM's
-    * lifetime. */
+    * memo is also re-checked against the filesystem, and not for bare
+    * directory existence but for the parquet `_SUCCESS` marker (written
+    * by the commit protocol only when the job completed): if another
+    * process (or a cleanupStages call) removed the dir, OR left it
+    * truncated mid-overwrite, the stage transparently rebuilds instead
+    * of serving a missing/partial directory for the JVM's lifetime. */
+  private def stageComplete(path: String): Boolean =
+    new java.io.File(path, "_SUCCESS").exists()
   private def writeStageOnce(path: String)(write: => Unit): Unit =
     stagedOnce.synchronized {
-      if (!stagedOnce.contains(path) || !new java.io.File(path).exists()) {
+      if (!stagedOnce.contains(path) || !stageComplete(path)) {
         write
         stagedOnce.add(path)
         ()

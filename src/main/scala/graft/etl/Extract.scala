@@ -216,6 +216,44 @@ object FetchLoop {
   }
 }
 
+/** Executor-JVM-level adaptive limiter state, shared by every partition
+  * reader that fetches through the same named fetcher with the same
+  * sleep configuration (one fetcher class targets one host, so the key
+  * is the politeness domain). The reference's limiter is one sequential
+  * object (reference src/extract.py:14-21); task-local copies under
+  * per-partition fetch parallelism would never carry 429 backoff or
+  * politeness decay across pages, and N concurrent readers would
+  * multiply the aggregate request rate N-fold. The lock is held across
+  * the whole sleep+fetch loop, so page fetches against one key are
+  * SERIALIZED within the JVM — reproducing the reference's sequential
+  * politeness per executor. Across a real cluster the aggregate rate is
+  * (number of executors) × (per-JVM rate): cap executor count or raise
+  * `minSleepSec` when a host needs stricter politeness than that. */
+object SharedLimiters {
+  private val states = new java.util.concurrent.ConcurrentHashMap[String, RateLimiter]()
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Run `body` against the current shared state for `key` (seeded on
+    * first use), storing the updated state it returns. */
+  def withShared[T](key: String, seed: => RateLimiter)(
+      body: RateLimiter => (T, RateLimiter)): T = {
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val st = states.computeIfAbsent(key, _ => seed)
+      val (result, updated) = body(st)
+      states.put(key, updated)
+      result
+    }
+  }
+
+  /** Current shared state for `key`, if any (tests/diagnostics). */
+  def peek(key: String): Option[RateLimiter] = Option(states.get(key))
+
+  /** Drop all shared state (tests; a long-lived service would call this
+    * between unrelated crawl campaigns). */
+  def reset(): Unit = { states.clear(); locks.clear() }
+}
+
 /** Region/run configuration (reference configs/extract.yaml +
   * configs/load.yaml), plus a dependency-free reader for the YAML
   * subset those files use (scalars + one list-of-structs + string

@@ -27,10 +27,18 @@ import org.apache.spark.sql.functions._
   */
 object Cluster {
 
-  /** Observability hook (tests/profiling): rounds the last CC call ran
-    * — the O(log n) claim for the star variant is checkable, and a
-    * profile can split per-round cost from round count. */
-  @volatile var lastRounds: Int = -1
+  /** Observability hook (tests/profiling): rounds the CALLING THREAD's
+    * last CC call ran (-1 before any) — the O(log n) claim for the star
+    * variant is checkable, and a profile can split per-round cost from
+    * round count. Thread-local so concurrent queries in one JVM (or
+    * interleaved staged builds) cannot misattribute each other's round
+    * counts; the CC loops drive all their actions from the calling
+    * thread, so the count lands where the call was made. */
+  private val rounds = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = -1
+  }
+  def lastRounds: Int = rounds.get()
+  def resetRounds(): Unit = rounds.set(-1)
 
   /** Large-star/small-star alternation (Kiveris et al.): O(log n)
     * rounds instead of O(diameter), the variant that ships at 100 TB
@@ -67,10 +75,12 @@ object Cluster {
     var e = canon(base).localCheckpoint()
     var prev = (-1L, -1L)
     var cur = sig(e)
-    lastRounds = 0
+    var nRounds = 0
+    rounds.set(nRounds)
     while (cur != prev) {
       prev = cur
-      lastRounds += 1
+      nRounds += 1
+      rounds.set(nRounds)
       // large-star over the symmetric view: m(x) = min of closed
       // neighborhood; larger neighbors y of x re-link to m(x)
       val sym = e.select(col("u").as("x"), col("v").as("y"))
@@ -128,10 +138,12 @@ object Cluster {
         lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum: java.math.BigDecimal = null
     var curSum = labelSum(labels)
-    lastRounds = 0
+    var nRounds = 0
+    rounds.set(nRounds)
     while (curSum != prevSum) {
       prevSum = curSum
-      lastRounds += 1
+      nRounds += 1
+      rounds.set(nRounds)
       val viaNeighbor = sym.join(labels, sym("b") === labels("id"))
         .select(sym("a").as("id"), col("lbl"))
       // lazy: the labelSum action below materializes the checkpoint —

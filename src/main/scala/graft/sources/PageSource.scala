@@ -124,10 +124,16 @@ case class PagePartition(page: Int, file: String) extends InputPartition
 
 /** Each partition reader drives the reference's per-page fetch loop
   * (politeness sleep → attempt → 429-backoff-retry-same-page → give up
-  * on other errors) with task-local limiter state — per-partition fetch
-  * parallelism, exactly what the driver-side reference loop becomes
-  * when distributed. A page whose fetch ultimately fails emits NO row
-  * (the reference appends nothing for it). */
+  * on other errors). A page whose fetch ultimately fails emits NO row
+  * (the reference appends nothing for it).
+  *
+  * Limiter scope: a NAMED (live) fetcher shares one adaptive limiter
+  * per (fetcher, sleep-config) across every reader in the executor JVM
+  * ([[graft.etl.SharedLimiters]]) — 429 backoff and politeness decay
+  * observed on any page carry into every subsequent fetch, and fetches
+  * against that host are serialized per JVM like the reference's
+  * sequential loop. The file-backed default keeps task-local state (no
+  * server to be polite to offline; full per-partition parallelism). */
 case class PageReaderFactory(conf: PageFetchConf) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val pp = p.asInstanceOf[PagePartition]
@@ -138,15 +144,22 @@ case class PageReaderFactory(conf: PageFetchConf) extends PartitionReaderFactory
         .getOrElse(new graft.etl.FilePageFetcher)
       private var fetched: Option[String] = None
       private var done = false
+      private def seed = graft.etl.RateLimiter(
+        baseSleep = conf.baseSleep, minSleep = conf.minSleep,
+        maxSleep = conf.maxSleep).seeded
+      private def runFetch(limiter: graft.etl.RateLimiter) =
+        graft.etl.FetchLoop.fetchPage(
+          fetcher, pp.page, pp.file, limiter,
+          s => if (s > 0) Thread.sleep((s * 1000).toLong))
       override def next(): Boolean = {
         if (done) return false
         done = true
-        val limiter = graft.etl.RateLimiter(
-          baseSleep = conf.baseSleep, minSleep = conf.minSleep,
-          maxSleep = conf.maxSleep).seeded
-        fetched = graft.etl.FetchLoop.fetchPage(
-          fetcher, pp.page, pp.file, limiter,
-          s => if (s > 0) Thread.sleep((s * 1000).toLong))._1
+        fetched = conf.fetcherClass match {
+          case Some(cls) =>
+            val key = s"$cls:${conf.baseSleep}:${conf.minSleep}:${conf.maxSleep}"
+            graft.etl.SharedLimiters.withShared(key, seed)(l => runFetch(l))
+          case None => runFetch(seed)._1
+        }
         fetched.isDefined
       }
       override def get(): InternalRow =

@@ -19,7 +19,7 @@ object TimeQ {
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
       (1 to 2).foreach { run =>
-        graft.ops.Cluster.lastRounds = -1
+        graft.ops.Cluster.resetRounds()
         val t0 = System.nanoTime()
         val rows = fn(spark, sfDir).count()
         val rounds =

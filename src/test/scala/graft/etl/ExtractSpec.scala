@@ -161,6 +161,24 @@ class ExtractSpec extends SparkSpec {
     intercept[IllegalArgumentException](Extract.validate("jual", "rumah", 0))
   }
 
+  test("shared limiter: state carries across sequential fetches on one key") {
+    SharedLimiters.reset()
+    val seed = RateLimiter(baseSleep = 2.0, minSleep = 1.0).seeded
+    // first fetch backs off (429 observed somewhere in the loop)
+    SharedLimiters.withShared("hostA", seed)(l => ((), l.onRateLimited))
+    // the SECOND fetch on the same key must see the backed-off sleep —
+    // task-local copies would restart from the 2.0 seed here
+    val seen = SharedLimiters.withShared("hostA", seed)(l => (l.currentSleep, l.onSuccess))
+    assert(seen === 3.0, "429 backoff must carry into the next page's fetch")
+    // and the success decay is visible to a third caller
+    assert(SharedLimiters.peek("hostA").get.currentSleep === math.max(1.0, 3.0 * 0.9))
+    // different key = different politeness domain, untouched seed
+    val other = SharedLimiters.withShared("hostB", seed)(l => (l.currentSleep, l))
+    assert(other === 2.0)
+    SharedLimiters.reset()
+    assert(SharedLimiters.peek("hostA").isEmpty)
+  }
+
   test("rate limiter: backoff, cap, decay tiers, floor") {
     var rl = RateLimiter()
     rl = rl.onRateLimited

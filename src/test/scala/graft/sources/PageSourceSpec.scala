@@ -68,6 +68,7 @@ class PageSourceSpec extends SparkSpec {
   test("a named fetcher runs each partition through the 429-retry loop") {
     val dir = writePages(3)
     FlakyFetcher.reset()
+    graft.etl.SharedLimiters.reset()
     val rows = spark.read.format("graft.sources.PageSource")
       .option("path", dir)
       .option("fetcher", "graft.sources.FlakyFetcher")
@@ -82,6 +83,13 @@ class PageSourceSpec extends SparkSpec {
     assert(FlakyFetcher.attempts.get(2) === 3, "429 page must be retried in place")
     assert(FlakyFetcher.attempts.get(3) === 1, "non-429 page is given up after one attempt")
     assert(rows.find(_.getInt(0) == 2).get.getString(1).contains("card-featured"))
+    // the named-fetcher path must route through the JVM-shared limiter
+    // (politeness domain = fetcher + sleep config): backoff/decay from
+    // any page carries into every later fetch instead of restarting
+    // from the seed per partition
+    val key = "graft.sources.FlakyFetcher:0.0:0.0:600.0"
+    val shared = graft.etl.SharedLimiters.peek(key)
+    assert(shared.isDefined, "named fetcher must use the shared per-JVM limiter")
   }
 
   test("feeds the extract pipeline: pages -> cards -> raw rows") {
