@@ -294,7 +294,10 @@ object SparkEntry {
     // the embedding-side pairs → clusters composition: cosine near-dup
     // candidates (8-band sign-LSH gate) closed into components by the
     // same CC operator the text side uses, against the same
-    // recursive-CTE closure oracle
+    // recursive-CTE closure oracle. Embedding near-dup chains give this
+    // graph a much larger diameter than text minhash clusters (measured
+    // 10 plain-propagation rounds at sf0.1) — the regime the CC loop's
+    // pointer-doubling hop exists for (rounds ~ log diameter).
     "q_dedup_embedding_clusters" -> ((s, d) => {
       val pairs = sqlStaged(Seq("embeddings"), SqlOps.dedupEmbeddingCosine)(s, d)
       graft.ops.Cluster.connectedComponents(

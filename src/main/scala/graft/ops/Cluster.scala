@@ -123,8 +123,22 @@ object Cluster {
   /** Edge list (cols `a`, `b`) → (doc_id, cluster_id = min reachable id).
     * Nodes are the ids appearing in at least one edge. */
   def connectedComponents(edges: DataFrame): DataFrame = {
+    // hash-distribute the (checkpointed, loop-invariant) edge list on
+    // the join key before materializing it: the union of the two edge
+    // directions otherwise inherits the upstream file/shuffle layout,
+    // which can be few and skewed partitions — every round's join would
+    // re-read that imbalance. (localCheckpoint erases planner-visible
+    // partitioning — Scan ExistingRDD reports UnknownPartitioning — so
+    // this is a data-layout/balance win, not an exchange-elimination
+    // one; the per-round join itself stays shuffle-free on the edge
+    // side because the label side is node-cardinality and broadcasts
+    // under AQE. At 100 TB, where labels outgrow broadcast, the
+    // edge side of the resulting sort-merge join is exchanged per
+    // round — that regime is what connectedComponentsStar's bounded
+    // round count is for.)
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b"))
       .localCheckpoint()
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
