@@ -329,6 +329,12 @@ object SparkEntry {
     "q_contamination_bloom" -> sqlStaged(Seq("documents"), SqlOps.contaminationBloom),
     "q_text_ttr" -> sqlq(Seq("documents"), SqlOps.textTtr),
     "q_text_dup_ngrams" -> sqlq(Seq("documents"), SqlOps.textDupNgrams),
+    "q_text_entropy" -> sqlq(Seq("documents"), SqlOps.textEntropy),
+    "q_text_scrub" -> sqlq(Seq("documents"), SqlOps.textScrub),
+    // RAG/pretraining chunker: overlapping token windows per document
+    "q_chunk_documents" -> sqlq(Seq("documents"), SqlOps.chunkDocuments),
+    // int8 vector compression for the ANN index's storage tier
+    "q_embedding_quantize" -> sqlq(Seq("embeddings"), SqlOps.embeddingQuantize),
     "q_vocab_coverage" -> sqlq(Seq("documents"), SqlOps.vocabCoverage),
     "q_text_rolling_hash" -> ((s, d) => {
       graft.functions.RollingHash.register(s)
@@ -633,6 +639,10 @@ object SparkEntry {
     "q_contamination_bloom" -> SqlOps.contaminationBloom.single(DuckDialect),
     "q_text_ttr" -> SqlOps.textTtr(DuckDialect),
     "q_text_dup_ngrams" -> SqlOps.textDupNgrams(DuckDialect),
+    "q_text_entropy" -> SqlOps.textEntropy(DuckDialect),
+    "q_text_scrub" -> SqlOps.textScrub(DuckDialect),
+    "q_chunk_documents" -> SqlOps.chunkDocuments(DuckDialect),
+    "q_embedding_quantize" -> SqlOps.embeddingQuantize(DuckDialect),
     "q_dedup_embedding_clusters" ->
       s"""${closureCtes(SqlOps.dedupEmbeddingCosine.single(DuckDialect), "vec_a", "vec_b", "vec_id")}
          |SELECT vec_id, cluster_id FROM clusters""".stripMargin,

@@ -27,6 +27,14 @@ trait Dialect {
   /** 1-based array element access. */
   def elem(l: String, i: String): String
   def filter(l: String, lambda: String): String
+  /** Element-wise map over an array with a `x -> expr` lambda. */
+  def transform(l: String, lambda: String): String
+  /** Maximum element of a (non-empty) array. */
+  def arrayMax(l: String): String
+  /** Length-based 1-indexed sub-array: `len` elements starting at
+    * 1-based `from1`, clamped to the array end (both engines clamp;
+    * a start past the end yields an empty array). */
+  def arraySlice(l: String, from1: String, len: String): String
   def arrayDistinct(l: String): String
   def arraySort(l: String): String
   def arrayJoin(l: String, sep: String): String
@@ -111,6 +119,10 @@ object SparkDialect extends Dialect {
   def size(l: String): String = s"size($l)"
   def elem(l: String, i: String): String = s"element_at($l, $i)"
   def filter(l: String, lambda: String): String = s"filter($l, $lambda)"
+  def transform(l: String, lambda: String): String = s"transform($l, $lambda)"
+  def arrayMax(l: String): String = s"array_max($l)"
+  def arraySlice(l: String, from1: String, len: String): String =
+    s"slice($l, $from1, $len)"
   def arrayDistinct(l: String): String = s"array_distinct($l)"
   def arraySort(l: String): String = s"array_sort($l)"
   def arrayJoin(l: String, sep: String): String = s"array_join($l, '${q(sep)}')"
@@ -189,6 +201,13 @@ object DuckDialect extends Dialect {
   def size(l: String): String = s"len($l)"
   def elem(l: String, i: String): String = s"($l)[$i]"
   def filter(l: String, lambda: String): String = s"list_filter($l, $lambda)"
+  def transform(l: String, lambda: String): String = s"list_transform($l, $lambda)"
+  def arrayMax(l: String): String = s"list_max($l)"
+  // list_slice is END-indexed (inclusive) where Spark's slice takes a
+  // LENGTH — the end bound is from+len-1, and both engines clamp
+  // out-of-range bounds to the array
+  def arraySlice(l: String, from1: String, len: String): String =
+    s"list_slice($l, $from1, ($from1) + ($len) - 1)"
   def arrayDistinct(l: String): String = s"list_distinct($l)"
   def arraySort(l: String): String = s"list_sort($l)"
   def arrayJoin(l: String, sep: String): String = s"array_to_string($l, '${q(sep)}')"

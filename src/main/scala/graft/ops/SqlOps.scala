@@ -306,6 +306,106 @@ object SqlOps {
        |  1.0e0 - CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*) AS dup_frac
        |FROM sh GROUP BY doc_id""".stripMargin
 
+  /** Sliding-window document chunking (chunk = 16 tokens, stride = 12,
+    * overlap = 4) — the RAG/pretraining chunker: every token is covered,
+    * consecutive chunks share the overlap, the final chunk ends at the
+    * document's last token. Chunk count = 1 + ⌈(n−16)/12⌉ (one chunk
+    * when n ≤ 16), computed in doubles (token counts ≪ 2^53, exact).
+    * The whole op is a narrow per-doc projection + explode — no
+    * shuffle at any scale; chunk ids are (doc_id, chunk_no), the shape
+    * a downstream embedding/packing stage consumes. */
+  def chunkDocuments(d: Dialect): String = {
+    val slice = d.arraySlice("toks", "CAST(chunk_no * 12 + 1 AS INT)", "16")
+    s"""WITH ctoks AS (
+       |  SELECT doc_id, ${toks(d)} AS toks FROM documents
+       |),
+       |sized AS (
+       |  SELECT doc_id, toks, ${d.size("toks")} AS n_toks FROM ctoks
+       |  WHERE ${d.size("toks")} > 0
+       |),
+       |spans AS (
+       |  SELECT doc_id, toks,
+       |    ${d.seqArray("0",
+             "CASE WHEN n_toks <= 16 THEN 0 ELSE CAST(FLOOR((n_toks - 5) / 1.2e1) AS BIGINT) END")} AS cnos
+       |  FROM sized
+       |),
+       |ch AS (${d.explode("SELECT doc_id, toks, cnos FROM spans", "doc_id, toks", "cnos", "chunk_no")})
+       |SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+       |  CAST(${d.size(slice)} AS INT) AS n_chunk_toks,
+       |  ${d.arrayJoin(slice, " ")} AS chunk_text
+       |FROM ch""".stripMargin
+  }
+
+  /** Per-document unigram Shannon entropy (bits/token) — the
+    * information-density quality signal next to [[textTtr]] and
+    * [[textRepetition]]: low entropy = looping/template text. Each
+    * term's contribution (c/n)·log2(n/c) is quantized to micro-bits
+    * and summed as BIGINT, so the aggregate is order-independent; the
+    * one cross-engine risk is log2's last ulp (not correctly rounded
+    * in either engine), pushed ~6 orders of magnitude below the
+    * quantum by rounding — verified identical at all three SFs.
+    * (The linear-idf trick of [[textTfIdf]] can't apply: entropy IS
+    * the log.) One shuffle (doc,term groupBy), map-side combinable. */
+  def textEntropy(d: Dialect): String =
+    s"""WITH etoks AS (SELECT doc_id, ${toks(d)} AS toks FROM documents),
+       |tok AS (${d.explode("SELECT doc_id, toks FROM etoks", "doc_id", "toks", "t")}),
+       |tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+       |tn AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_types
+       |  FROM tf GROUP BY doc_id
+       |)
+       |SELECT tf.doc_id, MIN(tn.n) AS n_tokens, MIN(tn.n_types) AS n_types,
+       |  CAST(SUM(CAST(FLOOR(
+       |    (CAST(tf.c AS DOUBLE) / tn.n)
+       |      * log2(CAST(tn.n AS DOUBLE) / tf.c) * 1.0e6 + 5.0e-1) AS BIGINT)) AS DOUBLE)
+       |    / 1.0e6 AS entropy_bits
+       |FROM tf JOIN tn ON tf.doc_id = tn.doc_id
+       |GROUP BY tf.doc_id""".stripMargin
+
+  /** Stopword scrub: drop function words from every document and emit
+    * the cleaned text — the corpus-cleaning counterpart of
+    * [[textQuality]]'s stopword RATIO (that one measures, this one
+    * rewrites). Pure narrow projection (array filter + join), no
+    * shuffle, codegen-friendly; the stoplist is a literal (at 100 TB a
+    * real list broadcasts the same way). Exact string output — the
+    * strongest oracle comparison available. */
+  def textScrub(d: Dialect): String = {
+    val stops = d.arrayLit(STOP_EN ++ STOP_ID)
+    val kept = d.filter("toks", s"t -> NOT ${d.arrayContains(stops, "t")}")
+    s"""WITH stoks AS (SELECT doc_id, ${toks(d)} AS toks FROM documents),
+       |sk AS (
+       |  SELECT doc_id, ${d.size("toks")} AS n_toks, $kept AS kept FROM stoks
+       |)
+       |SELECT doc_id,
+       |  CAST(n_toks - ${d.size("kept")} AS INT) AS n_removed,
+       |  ${d.arrayJoin("kept", " ")} AS clean_text
+       |FROM sk""".stripMargin
+  }
+
+  /** Symmetric int8 quantization of the embedding column (the vector-
+    * storage compression every 100 TB ANN index runs): per-vector scale
+    * = max |component|, codes = round(v·127/scale) ∈ [−127, 127].
+    * Every arithmetic step is a correctly-rounded IEEE op on exact
+    * inputs (float→double widening, one multiply, one divide), so the
+    * integer codes are bit-identical across engines — emitted as a
+    * joined string, the exact whole-vector comparison. Zero vectors
+    * (no scale) are excluded like the nv stages exclude them. Narrow
+    * projection: no shuffle, one pass. */
+  def embeddingQuantize(d: Dialect): String = {
+    val absArr = d.transform("embedding", "v -> abs(CAST(v AS DOUBLE))")
+    val codes = d.transform("embedding",
+      "v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1.27e2 / maxabs + 5.0e-1) AS BIGINT)")
+    s"""WITH ma AS (
+       |  SELECT vec_id, embedding, ${d.arrayMax(absArr)} AS maxabs FROM embeddings
+       |),
+       |qc AS (
+       |  SELECT vec_id, $codes AS q8 FROM ma WHERE maxabs > 0
+       |)
+       |SELECT vec_id, CAST(${d.size("q8")} AS INT) AS n_dims,
+       |  ${d.arrayJoin(d.transform("q8", "c -> CAST(c AS STRING)"), ",")} AS codes
+       |FROM qc""".stripMargin
+  }
+
   /** 48-bit uniform integer from the leading 12 hex digits of an
     * md5 column — exactly representable in both BIGINT and DOUBLE,
     * so arithmetic on it is engine-exact (same hex-digit arithmetic

@@ -235,6 +235,85 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("chunking covers every token with stride-12 windows ending at the last token") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_toks")).toMap
+    val chunks = run("q_chunk_documents").collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet === docs.keySet.filter(docs(_) > 0))
+    chunks.foreach { case (id, rows) =>
+      val n = docs(id)
+      val sorted = rows.sortBy(_.getAs[Int]("chunk_no"))
+      assert(sorted.map(_.getAs[Int]("chunk_no")).toSeq === sorted.indices)
+      val expected = if (n <= 16) 1 else 1 + math.ceil((n - 16) / 12.0).toInt
+      assert(sorted.length === expected, s"doc $id: $n toks")
+      // every chunk but the last is full; the last ends at token n
+      sorted.init.foreach(r => assert(r.getAs[Int]("n_chunk_toks") === 16))
+      val last = sorted.last
+      assert((sorted.length - 1) * 12 + last.getAs[Int]("n_chunk_toks") === n,
+        s"doc $id: last chunk must end at the final token")
+      // consecutive chunks overlap by 4 tokens
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val at = a.getAs[String]("chunk_text").split(" ")
+          val bt = b.getAs[String]("chunk_text").split(" ")
+          assert(at.drop(12).sameElements(bt.take(at.length - 12)),
+            s"doc $id: chunks ${a.getAs[Int]("chunk_no")}/${b.getAs[Int]("chunk_no")} must overlap")
+        case _ => ()
+      }
+    }
+  }
+
+  test("entropy is bounded by log2(n_types) and zero for single-type docs") {
+    val rows = run("q_text_entropy").collect()
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy_bits")
+      val types = r.getAs[Long]("n_types")
+      assert(h >= 0.0 && h <= math.log(types.toDouble) / math.log(2) + 1e-4,
+        s"doc ${r.getAs[Long]("doc_id")}: H=$h outside [0, log2($types)]")
+      if (types == 1) assert(h === 0.0)
+    }
+    // word-soup docs have many types: entropy must be materially positive
+    assert(rows.count(_.getAs[Double]("entropy_bits") > 1.0) > rows.length / 2)
+  }
+
+  test("scrub removes exactly the stopword occurrences and nothing else") {
+    import org.apache.spark.sql.functions._
+    val stops = Set("the", "and", "of", "to", "in", "is", "a",
+      "yang", "dan", "di", "ke", "itu", "untuk")
+    val orig = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    run("q_text_scrub").collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = orig(id).split(" ", -1)
+      val expectKept = toks.filterNot(stops)
+      assert(r.getAs[String]("clean_text") === expectKept.mkString(" "))
+      assert(r.getAs[Int]("n_removed") === toks.length - expectKept.length)
+    }
+  }
+
+  test("int8 quantization: codes in [-127,127], scale component hits ±127") {
+    val emb = graft.Tables(spark, sf001, "embeddings")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")).toMap
+    val rows = run("q_embedding_quantize").collect()
+    // zero vectors excluded, everything else present
+    assert(rows.length === emb.count(_._2.exists(_ != 0f)))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val codes = r.getAs[String]("codes").split(",").map(_.toLong)
+      assert(codes.length === r.getAs[Int]("n_dims"))
+      assert(codes.length === emb(id).length)
+      assert(codes.forall(c => c >= -127 && c <= 127),
+        s"vec $id: code outside int8 range")
+      assert(codes.exists(c => math.abs(c) == 127),
+        s"vec $id: the max-|v| component must quantize to ±127")
+    }
+  }
+
   test("stratified sample takes at most 50 per language, deterministically") {
     val a = run("q_sample_stratified").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val b = run("q_sample_stratified").collect().map(r => (r.getLong(0), r.getString(1))).toSet
