@@ -338,29 +338,30 @@ object SqlOps {
 
   /** Per-document unigram Shannon entropy (bits/token) — the
     * information-density quality signal next to [[textTtr]] and
-    * [[textRepetition]]: low entropy = looping/template text. Each
-    * term's contribution (c/n)·log2(n/c) is quantized to micro-bits
-    * and summed as BIGINT, so the aggregate is order-independent; the
-    * one cross-engine risk is log2's last ulp (not correctly rounded
-    * in either engine), pushed ~6 orders of magnitude below the
-    * quantum by rounding — verified identical at all three SFs.
-    * (The linear-idf trick of [[textTfIdf]] can't apply: entropy IS
-    * the log.) One shuffle (doc,term groupBy), map-side combinable. */
+    * [[textRepetition]]: low entropy = looping/template text.
+    * Computed as H = log2(n) − (Σ c·log2 c)/n, which needs only
+    * per-(doc,term) counts rolled straight into a per-doc aggregate —
+    * one scan, no tf⋈totals self-join (Spark inlines CTEs, so the
+    * naive H = Σ (c/n)·log2(n/c) form plans the token pipeline twice
+    * plus a join; PlanSpec pins the single-scan shape). Each c·log2 c
+    * term is quantized to micro-bits and summed as BIGINT (order-
+    * independent), and the final value is floor-rounded to 6dp; log2's
+    * last ulp (not correctly rounded in either engine) sits ~6 orders
+    * below both quanta — verified identical at all three SFs. (The
+    * linear-idf trick of [[textTfIdf]] can't apply: entropy IS the
+    * log.) Map-side combinable at every level. */
   def textEntropy(d: Dialect): String =
     s"""WITH etoks AS (SELECT doc_id, ${toks(d)} AS toks FROM documents),
        |tok AS (${d.explode("SELECT doc_id, toks FROM etoks", "doc_id", "toks", "t")}),
        |tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
-       |tn AS (
-       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_types
+       |agg AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_types,
+       |    SUM(CAST(FLOOR(c * log2(CAST(c AS DOUBLE)) * 1.0e6 + 5.0e-1) AS BIGINT)) AS sq
        |  FROM tf GROUP BY doc_id
        |)
-       |SELECT tf.doc_id, MIN(tn.n) AS n_tokens, MIN(tn.n_types) AS n_types,
-       |  CAST(SUM(CAST(FLOOR(
-       |    (CAST(tf.c AS DOUBLE) / tn.n)
-       |      * log2(CAST(tn.n AS DOUBLE) / tf.c) * 1.0e6 + 5.0e-1) AS BIGINT)) AS DOUBLE)
-       |    / 1.0e6 AS entropy_bits
-       |FROM tf JOIN tn ON tf.doc_id = tn.doc_id
-       |GROUP BY tf.doc_id""".stripMargin
+       |SELECT doc_id, n AS n_tokens, n_types,
+       |  ${r6("log2(CAST(n AS DOUBLE)) - CAST(sq AS DOUBLE) / 1.0e6 / n")} AS entropy_bits
+       |FROM agg""".stripMargin
 
   /** Stopword scrub: drop function words from every document and emit
     * the cleaned text — the corpus-cleaning counterpart of

@@ -92,6 +92,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"replication must not plan a join:\n$plan")
   }
 
+  test("chunking, scrub, and quantization plan as narrow projections — zero exchanges") {
+    Seq("q_chunk_documents", "q_text_scrub", "q_embedding_quantize").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("Exchange"),
+        s"$q must be shuffle-free (narrow per-row op):\n$plan")
+      assert(!plan.contains("Join"), s"$q must not plan a join:\n$plan")
+    }
+  }
+
+  test("entropy is one scan and one aggregate tree — no self-join, no double token pipeline") {
+    val plan = planOf("q_text_entropy")
+    // the H = log2(n) − Σc·log2(c)/n form needs no tf⋈totals join; the
+    // naive form plans the whole token pipeline twice plus a join
+    assert(!plan.contains("Join"), s"entropy must not self-join:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      s"entropy must scan documents once:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2,
+      s"(doc,term) then (doc) grouping = at most two exchanges:\n$plan")
+    assert(plan.contains("partial_count"), s"expected map-side partial agg:\n$plan")
+  }
+
   test("no accidental cartesian products outside the literal-band range join") {
     SparkEntry.queries.keys.filterNot(_ == "q_range_join").foreach { q =>
       val plan =
