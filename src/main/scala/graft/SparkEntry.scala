@@ -242,6 +242,8 @@ object SparkEntry {
     // -- dedup family (documents) --
     "q_dedup_exact" -> sqlq(Seq("documents"), SqlOps.dedupExact),
     "q_dedup_minhash" -> sqlStaged(Seq("documents"), SqlOps.dedupMinhash),
+    // sketch-read similarity scoring off the same staged signatures
+    "q_dedup_minhash_est" -> sqlStaged(Seq("documents"), SqlOps.dedupMinhashEst),
     "q_dedup_ngram_jaccard" -> sqlStaged(Seq("documents"), SqlOps.dedupNgramJaccard),
     "q_dedup_verified" -> sqlStaged(Seq("documents"), SqlOps.dedupVerified),
     "q_dedup_lsh_eval" -> sqlStaged(Seq("documents"), SqlOps.dedupLshEval),
@@ -323,6 +325,7 @@ object SparkEntry {
     "q_text_bigrams" -> sqlq(Seq("documents"), SqlOps.textBigrams),
     "q_text_repetition" -> sqlq(Seq("documents"), SqlOps.textRepetition),
     "q_corpus_filter" -> sqlq(Seq("documents"), SqlOps.corpusFilter),
+    "q_corpus_report" -> sqlq(Seq("documents"), SqlOps.corpusReport),
     "q_contamination" -> sqlq(Seq("documents"), SqlOps.contamination),
     // the bloom-gated variant: identical rows (the oracle runs the
     // ungated exact form — the bloom prefilter must be result-invisible)
@@ -351,6 +354,7 @@ object SparkEntry {
     // -- multimodal columns --
     "q_multimodal_meta" -> sqlq(Seq("documents"), SqlOps.multimodalMeta),
     "q_multimodal_resize" -> sqlq(Seq("documents"), SqlOps.multimodalResize),
+    "q_multimodal_audio" -> sqlq(Seq("documents"), SqlOps.multimodalAudioWindows),
     // batched mapPartitions decode; dims are SQL-checkable, features not
     "q_multimodal_decode" -> ((s, d) => {
       import s.implicits._
@@ -613,6 +617,7 @@ object SparkEntry {
 
     "q_dedup_exact" -> SqlOps.dedupExact(DuckDialect),
     "q_dedup_minhash" -> SqlOps.dedupMinhash.single(DuckDialect),
+    "q_dedup_minhash_est" -> SqlOps.dedupMinhashEst.single(DuckDialect),
     "q_dedup_ngram_jaccard" -> SqlOps.dedupNgramJaccard.single(DuckDialect),
     "q_dedup_simhash" -> SqlOps.dedupSimhash(DuckDialect),
     "q_dedup_simhash_pairs" -> SqlOps.dedupSimhashPairs.single(DuckDialect),
@@ -658,6 +663,7 @@ object SparkEntry {
     "q_text_bigrams" -> SqlOps.textBigrams(DuckDialect),
     "q_text_repetition" -> SqlOps.textRepetition(DuckDialect),
     "q_corpus_filter" -> SqlOps.corpusFilter(DuckDialect),
+    "q_corpus_report" -> SqlOps.corpusReport(DuckDialect),
     "q_contamination" -> SqlOps.contamination(DuckDialect),
     // empty-text guard: list_reduce on an empty list ERRORS in DuckDB,
     // while the Spark expression returns 0 — the CASE keeps the oracle
@@ -675,6 +681,7 @@ object SparkEntry {
     "q_range_join" -> SqlOps.rangeJoinBands(DuckDialect),
     "q_multimodal_meta" -> SqlOps.multimodalMeta(DuckDialect),
     "q_multimodal_resize" -> SqlOps.multimodalResize(DuckDialect),
+    "q_multimodal_audio" -> SqlOps.multimodalAudioWindows(DuckDialect),
     "q_multimodal_frames" ->
       """SELECT doc_id,
         |  CAST(unnest(range(0,

@@ -306,6 +306,31 @@ object SqlOps {
        |  1.0e0 - CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*) AS dup_frac
        |FROM sh GROUP BY doc_id""".stripMargin
 
+  /** MinHash similarity ESTIMATION (the sketch's second job beyond
+    * candidate generation): for every band-candidate pair, the fraction
+    * of the 8 signature slots that agree — an unbiased estimate of
+    * Jaccard similarity read straight off the staged signatures,
+    * without touching the shingle sets. At 100 TB this is how pair
+    * similarity is scored: the signature table is ~100 bytes/doc while
+    * the shingle index is ~the corpus, so est-then-verify gates the
+    * expensive exact comparison ([[dedupVerified]]) behind a sketch
+    * read. Planted snapshot duplicates estimate at exactly 1.0. */
+  val dedupMinhashEst: StagedOp = {
+    val agree = (0 until 8).map(j =>
+      s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END").mkString("(", "\n      + ", ")")
+    StagedOp(
+      stages = dedupMinhash.stages, // same mh_sig artifact, shared per JVM
+      body = { _ =>
+        s"""WITH $mhBandsCte,
+           |$mhCandCte
+           |SELECT c.doc_a, c.doc_b,
+           |  CAST($agree AS DOUBLE) / 8 AS est_jaccard
+           |FROM cand c
+           |JOIN mh_sig a ON c.doc_a = a.doc_id
+           |JOIN mh_sig b ON c.doc_b = b.doc_id""".stripMargin
+      })
+  }
+
   /** Sliding-window document chunking (chunk = 16 tokens, stride = 12,
     * overlap = 4) — the RAG/pretraining chunker: every token is covered,
     * consecutive chunks share the overlap, the final chunk ends at the
@@ -854,6 +879,38 @@ object SqlOps {
        |  ${qualityFormula("n_words", "stop_ratio", "avg_wlen")} AS quality
        |FROM m""".stripMargin
 
+  /** Per-source corpus health report — the one-page rollup a corpus
+    * owner reads before a training run: volume, exact-dup rate,
+    * language mix, mean quality, per source. Reuses the single-sourced
+    * language-guess and quality formulas (drift between the report and
+    * the filters it summarizes would be invisible to per-query
+    * oracles). Mean quality is micro-quantized per doc and summed as
+    * integers (order-independent); the dup/lang fractions are single
+    * exact IEEE divisions. One scan, narrow scoring, one groupBy
+    * shuffle on source (20 groups here; a skewed source at 100 TB
+    * rides the same partial-agg path as every count). */
+  def corpusReport(d: Dialect): String = {
+    val (en, id) = langHitExprs(d)
+    val quality = qualityFormula(
+      nWords = d.size("toks"),
+      stopRatio = s"CAST(${stopHitsExpr(d)} AS DOUBLE) / ${d.size("toks")}",
+      avgWlen = s"CAST(length(replace(text, ' ', '')) AS DOUBLE) / ${d.size("toks")}")
+    s"""WITH ptoks AS (SELECT doc_id, source, text, ${toks(d)} AS toks FROM documents),
+       |scored AS (
+       |  SELECT source, md5(text) AS ch,
+       |    ${langGuessCase(en, id)} AS lang_guess,
+       |    $quality AS quality
+       |  FROM ptoks
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT ch) AS n_unique,
+       |  CAST(COUNT(*) - COUNT(DISTINCT ch) AS DOUBLE) / COUNT(*) AS dup_frac,
+       |  CAST(SUM(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       |  CAST(SUM(CAST(FLOOR(quality * 1.0e6 + 5.0e-1) AS BIGINT)) AS DOUBLE)
+       |    / COUNT(*) / 1.0e6 AS avg_quality
+       |FROM scored GROUP BY source""".stripMargin
+  }
+
   /** Repetition quality rule (Gopher-style): the frequency share of the
     * most repeated token per document. The ratio is one exact IEEE
     * division of two ints — bit-identical across engines. */
@@ -1290,6 +1347,31 @@ object SqlOps {
        |  CAST(octet_length(bin) % 211 + 16 AS INT) AS fake_height,
        |  CAST(octet_length(bin) % 3 + 1 AS INT) AS fake_channels
        |FROM b""".stripMargin
+
+  /** Overlapping audio analysis windows over the opaque payload bytes
+    * (the doc_id%3==1 slice plays the audio modality, as %3==2 plays
+    * video in [[SparkEntry]]'s frame query): window = 256 bytes,
+    * hop = 192 (25% overlap), last window ends at the payload's final
+    * byte — the STFT/feature-extraction geometry. Pure integer window
+    * math + one explode, no shuffle; the sample decode itself would
+    * live in the batched mapPartitions decoder (codec-free container,
+    * like the image path). */
+  def multimodalAudioWindows(d: Dialect): String =
+    s"""WITH a AS (
+       |  SELECT doc_id, octet_length(${d.toBinary("text")}) AS nb FROM documents
+       |  WHERE doc_id % 3 = 1
+       |),
+       |spans AS (
+       |  SELECT doc_id, nb,
+       |    ${d.seqArray("0",
+           "CASE WHEN nb <= 256 THEN 0 ELSE CAST(FLOOR((nb - 65) / 1.92e2) AS BIGINT) END")} AS wins
+       |  FROM a
+       |),
+       |w AS (${d.explode("SELECT doc_id, nb, wins FROM spans", "doc_id, nb", "wins", "win_no")})
+       |SELECT doc_id, CAST(win_no AS INT) AS win_no,
+       |  CAST(win_no * 192 AS INT) AS start_byte,
+       |  CAST(LEAST(nb - win_no * 192, 256) AS INT) AS win_len
+       |FROM w""".stripMargin
 
   /** Aspect-preserving resize planning over the (fake) decoded
     * dimensions: fit into a 64×64 box. The geometry arithmetic is the

@@ -314,6 +314,62 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("minhash estimate scores planted duplicates at exactly 1.0") {
+    val rows = run("q_dedup_minhash_est").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getAs[Double]("est_jaccard")
+      assert(e >= 0.0 && e <= 1.0)
+    }
+    val planted = rows.filter { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      b - a == 1L && a % 2 == 0 // snapshot copies (2d, 2d+1): identical signatures
+    }
+    assert(planted.nonEmpty)
+    assert(planted.forall(_.getAs[Double]("est_jaccard") == 1.0))
+  }
+
+  test("corpus report partitions all docs by source with sane fractions") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val total = docs.count()
+    val rows = run("q_corpus_report").collect()
+    assert(rows.map(_.getAs[String]("source")).distinct.length === rows.length)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_unique") <= r.getAs[Long]("n_docs"))
+      val d = r.getAs[Double]("dup_frac")
+      assert(d >= 0.0 && d < 1.0)
+      val q = r.getAs[Double]("avg_quality")
+      assert(q >= 0.0 && q <= 1.0, s"${r.getAs[String]("source")}: avg_quality=$q")
+      assert(r.getAs[Long]("n_en") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("audio windows tile each payload with hop 192 and end at the last byte") {
+    import org.apache.spark.sql.functions._
+    val sizes = graft.Tables.documents(spark, sf001)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), octet_length(col("text").cast("binary")).as("nb"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("nb")).toMap
+    val wins = run("q_multimodal_audio").collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(wins.keySet === sizes.keySet)
+    wins.foreach { case (id, rows) =>
+      val nb = sizes(id)
+      val sorted = rows.sortBy(_.getAs[Int]("win_no"))
+      assert(sorted.map(_.getAs[Int]("win_no")).toSeq === sorted.indices)
+      sorted.foreach { w =>
+        assert(w.getAs[Int]("start_byte") === w.getAs[Int]("win_no") * 192)
+        assert(w.getAs[Int]("win_len") ===
+          math.min(nb - w.getAs[Int]("start_byte"), 256))
+      }
+      val last = sorted.last
+      assert(last.getAs[Int]("start_byte") + last.getAs[Int]("win_len") === nb,
+        s"doc $id: windows must reach the final byte")
+      if (sorted.length > 1)
+        sorted.init.foreach(w => assert(w.getAs[Int]("win_len") === 256))
+    }
+  }
+
   test("stratified sample takes at most 50 per language, deterministically") {
     val a = run("q_sample_stratified").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val b = run("q_sample_stratified").collect().map(r => (r.getLong(0), r.getString(1))).toSet
