@@ -312,6 +312,9 @@ object SparkEntry {
     "q_knn_bruteforce" -> sqlStaged(Seq("embeddings"), SqlOps.knnBruteForce),
     "q_ann_sign_lsh" -> sqlStaged(Seq("embeddings"), SqlOps.annSignLsh),
     "q_ann_ivf" -> sqlStaged(Seq("embeddings"), SqlOps.annIvf),
+    // IVF-PQ's storage half: 4 codebook ids per vector off the shared
+    // per-label component means
+    "q_ann_pq" -> sqlStaged(Seq("embeddings"), SqlOps.annPq),
     // one Lloyd iteration: broadcast-argmin assignment (the staged IVF
     // working set) + the per-cell centroid update groupBy
     "q_kmeans_step" -> sqlStaged(Seq("embeddings"), SqlOps.kmeansStep),
@@ -655,6 +658,7 @@ object SparkEntry {
     "q_knn_bruteforce" -> SqlOps.knnBruteForce.single(DuckDialect),
     "q_ann_sign_lsh" -> SqlOps.annSignLsh.single(DuckDialect),
     "q_ann_ivf" -> SqlOps.annIvf.single(DuckDialect),
+    "q_ann_pq" -> SqlOps.annPq.single(DuckDialect),
     "q_text_tokens" -> SqlOps.textTokens(DuckDialect),
     "q_text_langid" -> SqlOps.textLangId(DuckDialect),
     "q_text_quality" -> SqlOps.textQuality(DuckDialect),

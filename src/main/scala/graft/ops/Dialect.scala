@@ -89,6 +89,20 @@ trait Dialect {
     * posexplode + per-(vector,label) distance groupBy form; the oracle
     * gate proves the two identical. */
   def ivfAssign(centCtes: String): String
+  /** Product-quantization code assignment: given a view/CTE
+    * `pq_cent(label, pos, qc)` (µ-quantized per-label component means —
+    * the shared codebook source) and the `embeddings` view, produce
+    * `(vec_id, code0..code{m-1})` where code_b is the label whose
+    * block-b slice is nearest (exact int64 L2 over µ-quantized
+    * components, ties to the smallest label) to the vector's block-b
+    * slice. `m` blocks of `bs` dims; vectors of any other
+    * dimensionality are excluded in BOTH renderings. Spark packs the
+    * codebook once (1-row cross join = broadcast) and evaluates m
+    * codegen'd graft_nearest_centroid argmins over array slices — a
+    * narrow projection, zero shuffle of the vectors; DuckDB renders
+    * the relational explode + per-(vector, block, label) distance
+    * groupBy. The oracle gate proves the two identical. */
+  def pqAssign(m: Int, bs: Int): String
   /** CTE(s) defining `out` = the rows of `items` whose `col` MIGHT be
     * in `set`'s `col` values. Spark's fast path folds `set` into one
     * bloom-filter value (bloom_filter_agg — the runtime-filter sketch)
@@ -173,6 +187,24 @@ object SparkDialect extends Dialect {
        |    graft_nearest_centroid(a.embedding, p.cents) AS cell
        |  FROM emb_nv a CROSS JOIN packed p
        |) WHERE cell IS NOT NULL""".stripMargin
+  def pqAssign(m: Int, bs: Int): String = {
+    val dims = m * bs
+    val codeCols = (0 until m).map { b =>
+      val centsB = s"transform(p.cents, s -> named_struct(" +
+        s"'label', s.label, 'qcs', slice(s.qcs, ${b * bs + 1}, $bs)))"
+      s"graft_nearest_centroid(slice(embedding, ${b * bs + 1}, $bs), $centsB) AS code$b"
+    }.mkString(",\n  ")
+    s"""WITH cent_arr AS (
+       |  SELECT label,
+       |    transform(array_sort(collect_list(struct(pos, qc))), s -> s.qc) AS qcs
+       |  FROM pq_cent GROUP BY label
+       |),
+       |packed AS (SELECT collect_list(struct(label, qcs)) AS cents FROM cent_arr)
+       |SELECT vec_id,
+       |  $codeCols
+       |FROM embeddings CROSS JOIN packed p
+       |WHERE size(embedding) = $dims""".stripMargin
+  }
   // might_contain requires the bloom side to be a constant or scalar
   // subquery (it is broadcast as one value, the runtime-filter shape),
   // hence the (SELECT f FROM bf) form rather than a join. The 1e6
@@ -289,6 +321,40 @@ object DuckDialect extends Dialect {
        |)
        |SELECT a.vec_id, a.embedding, a.nrm, s.cell
        |FROM emb_nv a JOIN asgn s ON a.vec_id = s.vec_id""".stripMargin
+  }
+  def pqAssign(m: Int, bs: Int): String = {
+    val dims = m * bs
+    val expV = explodeWithPos(
+      s"SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = $dims",
+      "vec_id", "embedding", "pos", "v")
+    val codeCols = (0 until m).map(b =>
+      s"CAST(MAX(CASE WHEN block = $b THEN label END) AS INT) AS code$b").mkString(",\n  ")
+    s"""WITH ev AS ($expV),
+       |evb AS (
+       |  SELECT vec_id, CAST(FLOOR(pos / $bs) AS INT) AS block, pos % $bs AS bpos,
+       |    CAST(FLOOR(CAST(v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT) AS qv
+       |  FROM ev
+       |),
+       |cb AS (
+       |  SELECT label, CAST(FLOOR(pos / $bs) AS INT) AS block, pos % $bs AS bpos, qc
+       |  FROM pq_cent
+       |),
+       |dist AS (
+       |  SELECT e.vec_id, e.block, c.label,
+       |    SUM((e.qv - c.qc) * (e.qv - c.qc)) AS d2, COUNT(*) AS npos
+       |  FROM evb e JOIN cb c ON e.block = c.block AND e.bpos = c.bpos
+       |  GROUP BY e.vec_id, e.block, c.label
+       |),
+       |asgn AS (
+       |  SELECT vec_id, block, label FROM (
+       |    SELECT vec_id, block, label, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id, block ORDER BY d2, label) AS rn
+       |    FROM dist WHERE npos = $bs
+       |  ) WHERE rn = 1
+       |)
+       |SELECT vec_id,
+       |  $codeCols
+       |FROM asgn GROUP BY vec_id""".stripMargin
   }
   // no prefilter: DuckDB is the exact oracle side, so `out` is just
   // the items unchanged — identical final rows prove the Spark bloom

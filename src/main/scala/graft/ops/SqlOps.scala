@@ -826,6 +826,28 @@ object SqlOps {
          |) WHERE cosine >= 0.35""".stripMargin
     })
 
+  /** Product-quantization codes (the compressed representation behind
+    * [[embeddingQuantize]]'s scalar codes in a real ANN index): each
+    * 64-dim vector becomes 4 codebook ids, one per 16-dim block, where
+    * block b's codebook is the per-label component means restricted to
+    * that block (the [[annIvf]] centroid table sliced — PQ and IVF
+    * share their training statistics, as in a production IVF-PQ
+    * index). Assignment arithmetic is the IVF argmin per block: exact
+    * int64 L2 over µ-quantized components, ties to the smallest label.
+    * The codebook is broadcast-sized (labels × dims); at 100 TB the
+    * Spark path is a narrow zero-shuffle projection per vector. */
+  val annPq: StagedOp = StagedOp(
+    stages = Seq("pq_cent" -> { d =>
+      val expC = d.explodeWithPos(
+        "SELECT vec_id, label, embedding FROM embeddings",
+        "vec_id, label", "embedding", "pos", "v")
+      s"""WITH evc AS ($expC)
+         |SELECT label, pos,
+         |  CAST(FLOOR(CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
+         |FROM evc GROUP BY label, pos""".stripMargin
+    }),
+    body = d => d.pqAssign(m = 4, bs = 16))
+
   // ---- text analysis ----
 
   /** Token counting: whitespace tokens, regex words, BPE-ish subtokens. */

@@ -370,6 +370,43 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("PQ codes match an independent Scala reimplementation") {
+    val rows = graft.Tables(spark, sf001, "embeddings").collect().map { r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    }
+    def qv(v: Float): Long = math.floor(v.toDouble * 1e6 + 0.5).toLong
+    // codebook: per-label µ-quantized component means (shared with IVF)
+    val byLabel = rows.groupBy(_._2)
+    val cent: Map[Int, Array[Long]] = byLabel.map { case (lbl, vs) =>
+      val dims = vs.head._3.length
+      lbl -> Array.tabulate(dims) { p =>
+        val qs = vs.map(v => qv(v._3(p)))
+        math.floor(qs.sum.toDouble / qs.length + 0.5).toLong
+      }
+    }
+    val expected = rows.filter(_._3.length == 64).map { case (id, _, emb) =>
+      val q = emb.map(qv)
+      val codes = (0 until 4).map { b =>
+        cent.toSeq.map { case (lbl, c) =>
+          val d2 = (0 until 16).map { i =>
+            val d = q(b * 16 + i) - c(b * 16 + i); d * d
+          }.sum
+          (d2, lbl)
+        }.min._2
+      }
+      id -> codes
+    }.toMap
+    val got = run("q_ann_pq").collect().map { r =>
+      r.getAs[Long]("vec_id") ->
+        (0 until 4).map(b => r.getAs[Int](s"code$b"))
+    }.toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, codes) =>
+      assert(codes === expected(id), s"vec $id: PQ codes diverge")
+    }
+  }
+
   test("stratified sample takes at most 50 per language, deterministically") {
     val a = run("q_sample_stratified").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val b = run("q_sample_stratified").collect().map(r => (r.getLong(0), r.getString(1))).toSet
