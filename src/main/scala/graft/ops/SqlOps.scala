@@ -472,23 +472,33 @@ object SqlOps {
     * last ulp, which would flip near-tie rankings — the linear form is
     * exact integer arithmetic and ranks identically (log is monotone in
     * n_docs/df, so for a fixed tf the order matches; cross-tf trade-offs
-    * differ from textbook tf-idf and are documented as such). */
+    * differ from textbook tf-idf and are documented as such).
+    *
+    * Plan shape: df is a COUNT window over the tf rows, not a
+    * separate GROUP BY t CTE joined back — Spark inlines CTEs, so the
+    * join form re-ran the whole token pipeline (scan + explode +
+    * (doc,term) aggregate) a second time just to count df. The window
+    * form runs the heavy pipeline ONCE; the rank orders by tf/df,
+    * which is score order (n_docs is a constant factor, attached from
+    * a count-only scan at the end). PlanSpec pins single-heavy-scan. */
   def textTfIdf(d: Dialect): String =
     s"""WITH ttoks AS (SELECT doc_id, ${toks(d)} AS toks FROM documents),
        |tok AS (${d.explode("SELECT doc_id, toks FROM ttoks", "doc_id", "toks", "t")}),
        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
-       |df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
        |scored AS (
-       |  SELECT tf.doc_id, tf.t, tf.tf, df.df,
-       |    CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
-       |  FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
-       |)
-       |SELECT doc_id, t AS top_term, tf, df, score FROM (
+       |  SELECT doc_id, t, tf,
+       |    COUNT(*) OVER (PARTITION BY t) AS df
+       |  FROM tf
+       |),
+       |ranked AS (
        |  SELECT *, ROW_NUMBER() OVER (
-       |    PARTITION BY doc_id ORDER BY score DESC, t) AS rn
+       |    PARTITION BY doc_id ORDER BY CAST(tf AS DOUBLE) / df DESC, t) AS rn
        |  FROM scored
-       |) WHERE rn = 1""".stripMargin
+       |)
+       |SELECT doc_id, t AS top_term, tf, df,
+       |  CAST(tf * n.n_docs AS DOUBLE) / df AS score
+       |FROM ranked CROSS JOIN n WHERE rn = 1""".stripMargin
 
   /** Per-label embedding statistics: count and mean L2 norm. Norms are
     * bit-identical doubles per row (fixed fold); rounding to 6dp and

@@ -113,6 +113,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count"), s"expected map-side partial agg:\n$plan")
   }
 
+  test("tfidf runs the token pipeline once — df is a window, not a re-derived join side") {
+    val plan = planOf("q_text_tfidf")
+    assert("Generate".r.findAllIn(plan).length == 1,
+      s"tfidf must explode tokens once (df join re-ran the pipeline):\n$plan")
+    assert(plan.contains("Window"), s"df should come from a window over tf:\n$plan")
+  }
+
   test("no accidental cartesian products outside the literal-band range join") {
     SparkEntry.queries.keys.filterNot(_ == "q_range_join").foreach { q =>
       val plan =
