@@ -888,6 +888,22 @@ object SqlOps {
   private def stopHitsExpr(d: Dialect): String =
     d.size(d.filter("toks", s"t -> ${d.arrayContains(d.arrayLit(STOP_EN ++ STOP_ID), "t")}"))
 
+  /** The Spark renderings of the language-guess and quality formulas,
+    * as expressions over `text` + `toks` columns — the streaming
+    * corpus gate ([[graft.streaming.StreamingOps.corpusGate]]) scores
+    * arriving documents with the SAME single-sourced formulas the
+    * batch queries use, so batch and stream cannot drift (a parity
+    * test asserts identical survivor sets). */
+  def sparkScoreExprs: (String, String) = {
+    val d: Dialect = SparkDialect
+    val (en, id) = langHitExprs(d)
+    val quality = qualityFormula(
+      nWords = d.size("toks"),
+      stopRatio = s"CAST(${stopHitsExpr(d)} AS DOUBLE) / ${d.size("toks")}",
+      avgWlen = s"CAST(length(replace(text, ' ', '')) AS DOUBLE) / ${d.size("toks")}")
+    (langGuessCase(en, id), quality)
+  }
+
   /** N-gram/stopword language id heuristic (en vs id markers). */
   def textLangId(d: Dialect): String = {
     val (en, id) = langHitExprs(d)

@@ -133,6 +133,32 @@ object StreamingOps {
   def dedupByKey(df: DataFrame, key: String, tsCol: String, watermark: String): DataFrame =
     df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(key)
 
+  /** Streaming corpus-cleaning gate: score every arriving document
+    * with the SAME single-sourced language-guess + quality formulas
+    * the batch filter uses ([[graft.ops.SqlOps.sparkScoreExprs]] —
+    * shared text, so batch and stream cannot drift), keep passing
+    * docs, and drop content-hash duplicates within the watermark.
+    * Scoring is a narrow stateless projection (streams trivially);
+    * the only state is the md5 dedup map, bounded by the watermark
+    * horizon — the streaming twin of the batch `q_corpus_filter`
+    * (whose keep-smallest-doc_id survivor rule this reproduces when
+    * events arrive in id order; under arbitrary arrival the survivor
+    * is the first seen, the only causal choice a stream can make). */
+  def corpusGate(docs: DataFrame, tsCol: String = "ts",
+                 watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (langExpr, qualExpr) = graft.ops.SqlOps.sparkScoreExprs
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("lang_guess", expr(langExpr))
+      .withColumn("quality", expr(qualExpr))
+      .filter(col("lang_guess") =!= "und" && col("quality") >= 0.4)
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("doc_id"), col("content_hash"), col("lang_guess"), col("quality"))
+  }
+
   /** Micro-batch upsert: the reference's staging+merge load applied per
     * micro-batch (`Trigger.AvailableNow` over a landing directory gives
     * exactly the reference's idempotent daily-batch semantics). The

@@ -239,6 +239,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming corpus gate equals the batch corpus filter on in-order arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real fixture docs, streamed in doc_id order with synthetic
+    // arrival times (the batch filter's keep-smallest-id survivor rule
+    // coincides with streaming first-seen under in-order arrival)
+    val docs = graft.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .sortBy(_.getAs[Long]("doc_id"))
+      .map(r => (ts(r.getAs[Long]("doc_id").toInt / 60), r.getAs[Long]("doc_id"),
+        r.getAs[String]("text")))
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingOps.corpusGate(in.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("cgate").start()
+    in.addData(docs.toIndexedSeq: _*)
+    q.processAllAvailable()
+    // compare at CONTENT level: which member of an exact-dup group
+    // survives differs legitimately (batch keeps smallest id, a stream
+    // keeps first seen, and partition order can break the tie either
+    // way) — the surviving content, score, and guess must not
+    val streamed = spark.table("cgate").collect()
+      .map(r => (r.getAs[String]("content_hash"), r.getAs[String]("lang_guess"),
+        r.getAs[Double]("quality"))).toSet
+    val nStreamed = spark.table("cgate").count()
+    q.stop()
+    // batch path: the oracle-checked corpusFilter over the same table
+    graft.Tables.documents(spark, sf001).createOrReplaceTempView("documents")
+    graft.functions.GraftFunctions.registerAll(spark)
+    val batch = spark.sql(
+      s"""WITH f AS (${graft.ops.SqlOps.corpusFilter(graft.ops.SparkDialect)})
+         |SELECT md5(d.text) AS content_hash, f.lang_guess, f.quality
+         |FROM f JOIN documents d ON f.doc_id = d.doc_id""".stripMargin)
+      .collect()
+      .map(r => (r.getAs[String]("content_hash"), r.getAs[String]("lang_guess"),
+        r.getAs[Double]("quality"))).toSet
+    assert(nStreamed === batch.size, "one survivor per content group")
+    assert(streamed === batch,
+      s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+  }
+
   test("stream-stream interval join pairs clicks with recent purchases only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
