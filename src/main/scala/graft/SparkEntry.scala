@@ -353,6 +353,8 @@ object SparkEntry {
     "q_events_sessionize" -> sqlq(Seq("events"), SqlOps.eventsSessionize),
     "q_value_outliers" -> sqlq(Seq("events"), SqlOps.valueOutliers),
     "q_range_join" -> sqlq(Seq("events"), SqlOps.rangeJoinBands),
+    "q_events_funnel" -> sqlq(Seq("events"), SqlOps.eventsFunnel),
+    "q_orders_retention" -> sqlq(Seq("orders"), SqlOps.ordersRetention),
 
     // -- multimodal columns --
     "q_multimodal_meta" -> sqlq(Seq("documents"), SqlOps.multimodalMeta),
@@ -683,6 +685,8 @@ object SparkEntry {
     "q_events_sessionize" -> SqlOps.eventsSessionize(DuckDialect),
     "q_value_outliers" -> SqlOps.valueOutliers(DuckDialect),
     "q_range_join" -> SqlOps.rangeJoinBands(DuckDialect),
+    "q_events_funnel" -> SqlOps.eventsFunnel(DuckDialect),
+    "q_orders_retention" -> SqlOps.ordersRetention(DuckDialect),
     "q_multimodal_meta" -> SqlOps.multimodalMeta(DuckDialect),
     "q_multimodal_resize" -> SqlOps.multimodalResize(DuckDialect),
     "q_multimodal_audio" -> SqlOps.multimodalAudioWindows(DuckDialect),

@@ -927,6 +927,58 @@ object SqlOps {
        |  ${qualityFormula("n_words", "stop_ratio", "avg_wlen")} AS quality
        |FROM m""".stripMargin
 
+  /** Ordered funnel analysis (view → click → purchase): per user, the
+    * first view, the first click strictly after it, the first purchase
+    * strictly after that — then one row per stage with how many users
+    * got there. Each stage is a groupBy-min over an equi-join against
+    * the (user-cardinality) previous stage: three shuffles on user_id,
+    * each candidate set smaller than the last, broadcast-joinable
+    * whenever a stage's survivors fit. Timestamps are compared as
+    * microsecond epochs (exact integers in both engines). */
+  def eventsFunnel(d: Dialect): String =
+    s"""WITH s1 AS (
+       |  SELECT user_id, MIN(${d.epochMicros("ts")}) AS t1
+       |  FROM events WHERE event_type = 'view' GROUP BY user_id
+       |),
+       |s2 AS (
+       |  SELECT e.user_id, MIN(${d.epochMicros("ts")}) AS t2
+       |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+       |  WHERE e.event_type = 'click' AND ${d.epochMicros("ts")} > s1.t1
+       |  GROUP BY e.user_id
+       |),
+       |s3 AS (
+       |  SELECT e.user_id, MIN(${d.epochMicros("ts")}) AS t3
+       |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+       |  WHERE e.event_type = 'purchase' AND ${d.epochMicros("ts")} > s2.t2
+       |  GROUP BY e.user_id
+       |)
+       |SELECT 1 AS stage, 'view' AS name, COUNT(*) AS n_users FROM s1
+       |UNION ALL
+       |SELECT 2 AS stage, 'click' AS name, COUNT(*) AS n_users FROM s2
+       |UNION ALL
+       |SELECT 3 AS stage, 'purchase' AS name, COUNT(*) AS n_users FROM s3""".stripMargin
+
+  /** Cohort retention matrix: customers grouped by first-order month,
+    * counted again in each later month they order in. All-integer
+    * month keys (y·12+m) make the offsets engine-exact — no interval /
+    * months_between semantics to disagree on. Two shuffles: the
+    * per-customer first-order aggregate, then the (cohort, offset)
+    * count; the join is customer-cardinality and broadcastable when
+    * the cohort map fits, else a co-partitioned shuffle on the key
+    * both sides already grouped by. */
+  def ordersRetention(d: Dialect): String = {
+    val mkey = "CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) * 12 + " +
+      "CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) - 1"
+    s"""WITH om AS (SELECT o_custkey, $mkey AS mk FROM orders),
+       |cohort AS (SELECT o_custkey, MIN(mk) AS c0 FROM om GROUP BY o_custkey)
+       |SELECT CAST(FLOOR(c.c0 / 12) AS INT) AS cohort_year,
+       |  CAST(c.c0 % 12 + 1 AS INT) AS cohort_month,
+       |  CAST(o.mk - c.c0 AS INT) AS months_later,
+       |  COUNT(DISTINCT o.o_custkey) AS n_customers
+       |FROM om o JOIN cohort c ON o.o_custkey = c.o_custkey
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
   /** Per-source corpus health report — the one-page rollup a corpus
     * owner reads before a training run: volume, exact-dup rate,
     * language mix, mean quality, per source. Reuses the single-sourced

@@ -407,6 +407,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("funnel stages are monotonically narrowing") {
+    val rows = run("q_events_funnel").collect()
+      .map(r => r.getAs[Int]("stage") -> r.getAs[Long]("n_users")).toMap
+    assert(rows.keySet === Set(1, 2, 3))
+    assert(rows(1) >= rows(2) && rows(2) >= rows(3),
+      s"funnel must narrow: $rows")
+    assert(rows(1) > 0)
+  }
+
+  test("retention: offset-0 equals cohort size and later offsets never exceed it") {
+    val rows = run("q_orders_retention").collect().map(r =>
+      ((r.getAs[Int]("cohort_year"), r.getAs[Int]("cohort_month")),
+        r.getAs[Int]("months_later"), r.getAs[Long]("n_customers")))
+    assert(rows.forall(_._2 >= 0), "no activity before a customer's first month")
+    val cohortSize = rows.collect { case (c, 0, n) => c -> n }.toMap
+    assert(cohortSize.nonEmpty, "every cohort has an offset-0 row")
+    rows.foreach { case (c, _, n) =>
+      assert(n <= cohortSize(c), s"cohort $c: retained > cohort size")
+    }
+    val nCust = graft.Tables(spark, sf001, "orders")
+      .select("o_custkey").distinct().count()
+    assert(cohortSize.values.sum === nCust,
+      "cohorts at offset 0 partition all ordering customers")
+  }
+
   test("stratified sample takes at most 50 per language, deterministically") {
     val a = run("q_sample_stratified").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val b = run("q_sample_stratified").collect().map(r => (r.getLong(0), r.getString(1))).toSet
