@@ -140,8 +140,13 @@ object Cluster {
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .repartition(col("b"))
       .localCheckpoint()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // seed labels with round 1 fused in: lbl₀ = min(self, direct
+    // neighbors) — computable in the same groupBy that enumerates the
+    // nodes, so the loop starts one propagation ahead (one fewer
+    // join+aggregate round; diameter-2 components converge in a
+    // single loop iteration plus the fixpoint check)
+    var labels = sym.groupBy(col("a").as("id"))
+      .agg(least(min(col("b")), col("a")).as("lbl"))
       .localCheckpoint()
     // convergence test: labels only ever decrease (min propagation),
     // so the label sum strictly decreases until fixpoint — summed in
