@@ -234,6 +234,7 @@ object SparkEntry {
     "q_window_range" -> sqlq(Seq("orders"), SqlOps.windowRangeSpend),
     "q_window_moving_avg" -> sqlq(Seq("orders"), SqlOps.windowMovingAvg),
     "q_percent_rank" -> sqlq(Seq("orders"), SqlOps.percentRankOrders),
+    "q_window_first_last" -> sqlq(Seq("orders"), SqlOps.windowFirstLast),
     "q_bucketize" -> sqlq(Seq("events"), SqlOps.bucketizeValues),
     "q_mode_priority" -> sqlq(Seq("orders"), SqlOps.modePriority),
     "q_agg_collect" -> sqlq(Seq("orders"), SqlOps.collectOrders),
@@ -322,6 +323,7 @@ object SparkEntry {
     // -- text analysis (documents) --
     "q_text_tokens" -> sqlq(Seq("documents"), SqlOps.textTokens),
     "q_text_langid" -> sqlq(Seq("documents"), SqlOps.textLangId),
+    "q_text_langid_eval" -> sqlq(Seq("documents"), SqlOps.textLangIdEval),
     "q_text_quality" -> sqlq(Seq("documents"), SqlOps.textQuality),
     "q_text_fingerprint" -> sqlq(Seq("documents"), SqlOps.textFingerprint),
     "q_text_tfidf" -> sqlq(Seq("documents"), SqlOps.textTfIdf),
@@ -613,6 +615,7 @@ object SparkEntry {
     "q_window_range" -> SqlOps.windowRangeSpend(DuckDialect),
     "q_window_moving_avg" -> SqlOps.windowMovingAvg(DuckDialect),
     "q_percent_rank" -> SqlOps.percentRankOrders(DuckDialect),
+    "q_window_first_last" -> SqlOps.windowFirstLast(DuckDialect),
     "q_bucketize" -> SqlOps.bucketizeValues(DuckDialect),
     "q_mode_priority" -> SqlOps.modePriority(DuckDialect),
     "q_agg_collect" -> SqlOps.collectOrders(DuckDialect),
@@ -663,6 +666,7 @@ object SparkEntry {
     "q_ann_pq" -> SqlOps.annPq.single(DuckDialect),
     "q_text_tokens" -> SqlOps.textTokens(DuckDialect),
     "q_text_langid" -> SqlOps.textLangId(DuckDialect),
+    "q_text_langid_eval" -> SqlOps.textLangIdEval(DuckDialect),
     "q_text_quality" -> SqlOps.textQuality(DuckDialect),
     "q_text_fingerprint" -> SqlOps.textFingerprint(DuckDialect),
     "q_text_tfidf" -> SqlOps.textTfIdf(DuckDialect),

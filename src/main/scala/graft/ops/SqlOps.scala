@@ -541,6 +541,38 @@ object SqlOps {
       |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
       |FROM orders""".stripMargin
 
+  /** FIRST_VALUE / LAST_VALUE over the full partition frame: each
+    * customer's first and last order (by date, key-tiebroken) plus
+    * their order count — the frame must be explicitly UNBOUNDED BOTH
+    * (the default frame stops at CURRENT ROW, where LAST_VALUE is just
+    * the current row — the classic window-frame trap, identical in
+    * both engines only when spelled out). One row per customer via
+    * DISTINCT over the constant-per-partition window values. */
+  def windowFirstLast(d: Dialect): String =
+    """SELECT DISTINCT o_custkey,
+      |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+      |  LAST_VALUE(o_orderkey) OVER w AS last_order,
+      |  COUNT(*) OVER w AS n_orders
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
+  /** Language-ID confusion matrix: the stopword heuristic's guess
+    * against the table's ground-truth lang label — the evaluation rows
+    * a model-quality dashboard reads (the same eval shape as
+    * [[dedupLshEval]] for the LSH gate). The corpus is majority non-en
+    * non-id, so most mass lands in the 'und' row; the interesting
+    * cells are en→en recall and the false-en rate. */
+  def textLangIdEval(d: Dialect): String = {
+    val (en, id) = langHitExprs(d)
+    s"""WITH ltoks AS (SELECT doc_id, lang, ${toks(d)} AS toks FROM documents),
+       |guessed AS (
+       |  SELECT lang, ${langGuessCase(en, id)} AS lang_guess FROM ltoks
+       |)
+       |SELECT lang, lang_guess, COUNT(*) AS n
+       |FROM guessed GROUP BY lang, lang_guess""".stripMargin
+  }
+
   /** Per-group mode (most frequent value) with deterministic tie-break
     * — mode is not a portable built-in, but count + row_number is. */
   def modePriority(d: Dialect): String =

@@ -432,6 +432,31 @@ class OpsSpec extends SparkSpec {
       "cohorts at offset 0 partition all ordering customers")
   }
 
+  test("first/last window frame: one row per customer, first <= last by date order") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q_window_first_last").collect()
+    val nCust = graft.Tables(spark, sf001, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.length.toLong === nCust, "exactly one row per ordering customer")
+    rows.filter(_.getAs[Long]("n_orders") == 1L).foreach { r =>
+      assert(r.getAs[Long]("first_order") === r.getAs[Long]("last_order"))
+    }
+    assert(rows.exists(r =>
+      r.getAs[Long]("n_orders") > 1L &&
+        r.getAs[Long]("first_order") != r.getAs[Long]("last_order")),
+      "multi-order customers must show distinct endpoints (LAST_VALUE frame trap)")
+  }
+
+  test("langid eval matrix accounts for every document") {
+    val rows = run("q_text_langid_eval").collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === graft.Tables.documents(spark, sf001).count())
+    // en recall: docs labeled en and guessed en must exist (the corpus
+    // plants English stopwords in en docs)
+    assert(rows.exists(r => r.getAs[String]("lang") == "en" &&
+      r.getAs[String]("lang_guess") == "en" && r.getAs[Long]("n") > 0))
+  }
+
   test("stratified sample takes at most 50 per language, deterministically") {
     val a = run("q_sample_stratified").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val b = run("q_sample_stratified").collect().map(r => (r.getLong(0), r.getString(1))).toSet
