@@ -229,6 +229,13 @@ object SparkEntry {
     "q_events_json" -> Relational.eventsJsonAgg _,
     "q_orders_by_month" -> Relational.ordersByMonth _,
     "q_asof_join" -> Relational.asofLastPurchase _,
+    // TPC-H classic shapes (Q3/Q10/Q14/Q15): segment-gated top-k
+    // revenue, returned-items ranking, promo share, max-revenue
+    // supplier — the deep multi-join + top-k analytic surface
+    "q_shipping_priority" -> Relational.shippingPriority _,
+    "q_returned_items" -> Relational.returnedItems _,
+    "q_promo_revenue" -> Relational.promoRevenue _,
+    "q_top_supplier" -> Relational.topSupplier _,
     "q_grouping_sets" -> sqlq(Seq("orders"), SqlOps.groupingSets),
     "q_percentiles" -> sqlq(Seq("events"), SqlOps.eventPercentiles),
     "q_window_range" -> sqlq(Seq("orders"), SqlOps.windowRangeSpend),
@@ -294,6 +301,19 @@ object SparkEntry {
     // content-addressed anti-join of a fresh snapshot against the
     // already-ingested corpus (the daily-ingest dedup gate)
     "q_dedup_incremental" -> sqlq(Seq("documents"), SqlOps.dedupIncremental),
+    // corpus-common (boilerplate) 3-gram fraction off the uncapped
+    // distinct shingle index — the C4/CCNet line-dedup analogue
+    "q_dedup_common_ngrams" -> sqlStaged(Seq("documents"), SqlOps.dedupCommonNgrams),
+    // one integer-exact PageRank power step over the minhash candidate
+    // graph (hub detection on the duplicate graph)
+    "q_pagerank_step" -> sqlStaged(Seq("documents"), SqlOps.pagerankStep),
+    // duplicate-cluster size histogram off the staged cluster map —
+    // the dedup diagnostic read after every clustering run
+    "q_dedup_cluster_sizes" -> ((s, d) => {
+      val cl = clustersStaged(s, d)
+      cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    }),
     // the embedding-side pairs → clusters composition: cosine near-dup
     // candidates (8-band sign-LSH gate) closed into components by the
     // same CC operator the text side uses, against the same
@@ -312,6 +332,9 @@ object SparkEntry {
     "q_embedding_stats" -> sqlq(Seq("embeddings"), SqlOps.embeddingStats),
     "q_knn_bruteforce" -> sqlStaged(Seq("embeddings"), SqlOps.knnBruteForce),
     "q_ann_sign_lsh" -> sqlStaged(Seq("embeddings"), SqlOps.annSignLsh),
+    // recall@3 of the sign-LSH index vs exact brute force on the
+    // bounded query set — the nightly index-drift check
+    "q_ann_eval" -> sqlStaged(Seq("embeddings"), SqlOps.annEval),
     "q_ann_ivf" -> sqlStaged(Seq("embeddings"), SqlOps.annIvf),
     // IVF-PQ's storage half: 4 codebook ids per vector off the shared
     // per-label component means
@@ -336,6 +359,9 @@ object SparkEntry {
     // ungated exact form — the bloom prefilter must be result-invisible)
     "q_contamination_bloom" -> sqlStaged(Seq("documents"), SqlOps.contaminationBloom),
     "q_text_ttr" -> sqlq(Seq("documents"), SqlOps.textTtr),
+    // corpus length profile (log2 buckets) and key-skew diagnostic
+    "q_length_histogram" -> sqlq(Seq("documents"), SqlOps.lengthHistogram),
+    "q_skew_profile" -> sqlq(Seq("orders"), SqlOps.skewProfile),
     "q_text_dup_ngrams" -> sqlq(Seq("documents"), SqlOps.textDupNgrams),
     "q_text_entropy" -> sqlq(Seq("documents"), SqlOps.textEntropy),
     "q_text_scrub" -> sqlq(Seq("documents"), SqlOps.textScrub),
@@ -610,6 +636,54 @@ object SparkEntry {
         |c AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click')
         |SELECT c.event_id, c.user_id, c.us, p.pus AS last_purchase_us
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us >= p.pus""".stripMargin,
+    "q_shipping_priority" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_orderdate,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND l_shipdate > TIMESTAMP '1998-01-01'
+        |    AND EXISTS (SELECT 1 FROM customer
+        |                WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+        |  GROUP BY o_orderkey, o_orderdate
+        |)
+        |SELECT o_orderkey, CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS order_epoch, revenue
+        |FROM r ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS lost_revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_promo_revenue" ->
+      """WITH m AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE) AS promo_revenue,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-02-01'
+        |)
+        |SELECT promo_revenue, total_revenue,
+        |  100.0 * promo_revenue / total_revenue AS promo_pct
+        |FROM m""".stripMargin,
+    "q_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin,
     "q_grouping_sets" -> SqlOps.groupingSets(DuckDialect),
     "q_percentiles" -> SqlOps.eventPercentiles(DuckDialect),
     "q_window_range" -> SqlOps.windowRangeSpend(DuckDialect),
@@ -648,6 +722,15 @@ object SparkEntry {
     "q_vocab_coverage" -> SqlOps.vocabCoverage(DuckDialect),
     "q_dedup_source_overlap" -> SqlOps.dedupSourceOverlap.single(DuckDialect),
     "q_dedup_incremental" -> SqlOps.dedupIncremental(DuckDialect),
+    "q_dedup_common_ngrams" -> SqlOps.dedupCommonNgrams.single(DuckDialect),
+    "q_pagerank_step" -> SqlOps.pagerankStep.single(DuckDialect),
+    "q_dedup_cluster_sizes" ->
+      s"""$CLUSTER_CTES,
+         |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY cluster_id)
+         |SELECT cluster_size, COUNT(*) AS n_clusters FROM cs GROUP BY cluster_size""".stripMargin,
+    "q_ann_eval" -> SqlOps.annEval.single(DuckDialect),
+    "q_length_histogram" -> SqlOps.lengthHistogram(DuckDialect),
+    "q_skew_profile" -> SqlOps.skewProfile(DuckDialect),
     "q_kmeans_step" -> SqlOps.kmeansStep.single(DuckDialect),
     "q_contamination_bloom" -> SqlOps.contaminationBloom.single(DuckDialect),
     "q_text_ttr" -> SqlOps.textTtr(DuckDialect),

@@ -389,4 +389,95 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** TPC-H Q3 shape (shipping priority): top-10 unshipped orders by
+    * revenue for one market segment. The segment restriction is a
+    * LEFT SEMI join of orders against the (filtered, broadcast)
+    * customer side — order rows are reduced ~5× before the fact-fact
+    * shuffle with lineitem, and both date filters push into the
+    * parquet scans. Top-10 over (revenue DESC, orderkey) plans as
+    * TakeOrderedAndProject: per-partition heaps, no global sort. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-01-01").cast("timestamp")
+    val c  = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o  = Tables.orders(spark, dir).filter(col("o_orderdate") < cut)
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cut)
+    val oSeg = o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+    li.join(oSeg, li("l_orderkey") === oSeg("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"),
+        // o_orderdate is TIMESTAMP_NTZ; the session timezone is pinned
+        // UTC, so the cast to TIMESTAMP is identity and the epoch is
+        // engine-exact
+        unix_seconds(col("o_orderdate").cast("timestamp")).as("order_epoch"),
+        col("revenue"))
+  }
+
+  /** TPC-H Q10 shape (returned items): top-20 customers by revenue
+    * lost to returns. The returnflag filter pushes to the lineitem
+    * scan; customer and nation broadcast; the only shuffles are
+    * lineitem⋈orders on orderkey and the customer-keyed aggregate.
+    * Ties broken by custkey for a deterministic top-20. */
+  def returnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+             .cast("double").as("lost_revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(desc("lost_revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14 shape (promo revenue share): one month of lineitem
+    * joined to the broadcast part dimension, promo share of revenue as
+    * a single global aggregate. Both revenue sums are decimal-exact
+    * (order-independent) and cast to double only at the end; the final
+    * percentage is two IEEE ops evaluated in the same order by both
+    * engines. The promo sum is CASE-NULL (sum skips non-promo rows) —
+    * the same rendering in both dialects. */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-02-01").cast("timestamp"))
+    val p = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          discounted(col("l_extendedprice"), col("l_discount"))))
+          .cast("double").as("promo_revenue"),
+        sum(discounted(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (lit(100.0) * col("promo_revenue") / col("total_revenue")).as("promo_pct"))
+  }
+
+  /** TPC-H Q15 shape (top supplier): revenue per supplier over one
+    * quarter, keep the max (with ties). The per-supplier aggregate is
+    * supplier-cardinality, so the unpartitioned MAX window over it is
+    * bounded at any corpus scale (same argument as the vocab-coverage
+    * window) — one shuffle for the aggregate, no join against a
+    * re-derived max side. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-04-01").cast("timestamp"))
+    val sup = Tables.supplier(spark, dir)
+    val rev = li.groupBy(col("l_suppkey"))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("total_revenue"))
+    rev.withColumn("mx", max(col("total_revenue")).over(Window.partitionBy()))
+      .filter(col("total_revenue") === col("mx"))
+      .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
 }

@@ -223,6 +223,35 @@ object SqlOps {
          |$jaccardSelect""".stripMargin
     })
 
+  /** Corpus-common n-gram fraction (the C4/CCNet line-dedup analogue at
+    * shingle granularity): for every corpus doc, the fraction of its
+    * DISTINCT 3-grams whose document frequency is ≥ 4 — i.e. shared
+    * boilerplate, since the two-snapshot corpus gives every shingle
+    * df ≥ 2 for free and df ≥ 4 means "appears in at least two distinct
+    * source documents". The staged stage is the UNCAPPED distinct
+    * (doc, shingle) index ([[dedupNgramJaccard]]'s index drops df > 20
+    * rows, which is exactly the signal here). The df aggregate is
+    * shingle-cardinality with map-side partial counts; the join back is
+    * one shuffle on the fixed-width shingle id; the per-doc aggregate
+    * closes it — three bounded shuffles at any corpus size, never a
+    * pairwise comparison. */
+  val dedupCommonNgrams: StagedOp = StagedOp(
+    stages = Seq(
+      "cng_dsh" -> { d =>
+        val sid = d.shingleId("s")
+        s"""WITH ${corpusCte(d)},
+           |${shinglesCtes(d)}
+           |SELECT DISTINCT doc_id, $sid AS s FROM sh""".stripMargin
+      }),
+    body = { _ =>
+      s"""WITH df AS (SELECT s, COUNT(*) AS df FROM cng_dsh GROUP BY s)
+         |SELECT c.doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN f.df >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+         |  CAST(SUM(CASE WHEN f.df >= 4 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS common_frac
+         |FROM cng_dsh c JOIN df f ON c.s = f.s
+         |GROUP BY c.doc_id""".stripMargin
+    })
+
   /** 32-bit SimHash CTEs over the corpus: md5-derived per-token 32-bit
     * values, per-bit signed majority, reassembled digest. 32 bits keeps
     * the random-collision rate of the band join negligible (16 bits
@@ -279,6 +308,40 @@ object SqlOps {
        |SELECT i.doc_id, i.lang FROM incoming i
        |WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.ch = i.ch)""".stripMargin
 
+  /** Document-length histogram in log2 buckets (bucket k = lengths in
+    * [2^k, 2^(k+1))) — the corpus length profile read before choosing
+    * chunk/pack sizes. The bucket index is ⌊log2 n⌋ computed EXACTLY as
+    * string-length-of-binary (both engines render n in base 2 without
+    * leading zeros) — no floating log to disagree at powers of two.
+    * One narrow scan + a bucket-cardinality groupBy (≤ 64 groups at
+    * any corpus size); the fraction is one exact int division. */
+  def lengthHistogram(d: Dialect): String =
+    s"""WITH lt AS (SELECT doc_id, ${d.size(toks(d))} AS n FROM documents),
+       |b AS (
+       |  SELECT doc_id, n, CAST(length(bin(n)) - 1 AS INT) AS bucket
+       |  FROM lt WHERE n > 0
+       |)
+       |SELECT bucket, COUNT(*) AS n_docs,
+       |  MIN(n) AS min_tokens, MAX(n) AS max_tokens,
+       |  CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM b) AS frac_docs
+       |FROM b GROUP BY bucket""".stripMargin
+
+  /** Key-skew profile of orders per customer: how many keys carry how
+    * many rows — the diagnostic that decides whether a join/agg needs
+    * salting ([[graft.ops.Relational.saltedJoinRevenue]]) or AQE skew
+    * splitting. Two groupBys, both map-side combinable; the second's
+    * cardinality is the distinct-count-per-key range (tiny). The
+    * row-fraction per bucket is n_orders·n_customers / total — exact
+    * int64 products ≪ 2^53, one exact division. */
+  def skewProfile(d: Dialect): String =
+    s"""WITH pc AS (
+       |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+       |)
+       |SELECT n_orders, COUNT(*) AS n_customers,
+       |  CAST(n_orders * COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(n_orders * COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM orders) AS frac_rows
+       |FROM pc GROUP BY n_orders""".stripMargin
+
   /** Type-token ratio (lexical diversity): distinct tokens over total
     * tokens per document — the complement of [[textRepetition]]'s
     * top-token share in a quality-filter stack. The ratio is one exact
@@ -330,6 +393,41 @@ object SqlOps {
            |JOIN mh_sig b ON c.doc_b = b.doc_id""".stripMargin
       })
   }
+
+  /** One PageRank power-iteration step over the minhash candidate-pair
+    * graph (undirected; damping 0.85, uniform init rank 1) — the
+    * canonical "which duplicates are HUBS" signal on the dedup graph,
+    * and the shape of every iterative graph analytic here: edges ⋈ deg
+    * (shuffle on src), contribution aggregate (shuffle on dst). Ranks
+    * are parts-per-million integers: contributions ⌊1e6/deg⌋, damped
+    * sum ⌊85·Σ/100⌋ — all sums exact int64, and each FLOOR sits on a
+    * division whose true value is ≥ 1/deg (resp. 1/20) away from the
+    * next integer when fractional, so the one rounded IEEE op per
+    * division cannot cross an integer boundary: bit-identical across
+    * engines with no decimal in the hot path. At 100 TB each step is
+    * two bounded shuffles; the iteration driver is the same
+    * re-plan-per-round loop the CC operator uses. */
+  val pagerankStep: StagedOp = StagedOp(
+    stages = dedupMinhash.stages, // same mh_sig artifact, shared per JVM
+    body = { _ =>
+      s"""WITH $mhBandsCte,
+         |$mhCandCte,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM cand
+         |),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |contrib AS (
+         |  SELECT e.dst,
+         |    CAST(FLOOR(1.0e6 / d.deg) AS BIGINT) AS c
+         |  FROM edges e JOIN deg d ON e.src = d.src
+         |),
+         |agg AS (SELECT dst AS doc_id, SUM(c) AS s FROM contrib GROUP BY dst)
+         |SELECT a.doc_id, g.deg AS degree,
+         |  150000 + CAST(FLOOR(CAST(85 * a.s AS DOUBLE) / 1.0e2) AS BIGINT) AS rank_ppm
+         |FROM agg a JOIN deg g ON a.doc_id = g.src""".stripMargin
+    })
 
   /** Sliding-window document chunking (chunk = 16 tokens, stride = 12,
     * overlap = 4) — the RAG/pretraining chunker: every token is covered,
@@ -757,6 +855,46 @@ object SqlOps {
          |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
          |  FROM pairs
          |) WHERE rk <= 3""".stripMargin
+    })
+
+  /** ANN quality eval: recall@3 of the sign-LSH index against exact
+    * brute-force cosine, per query, over the bounded query set
+    * (vec_id < 5 — the same evaluation-scoping rule as the sampled LSH
+    * eval: ground truth is O(|Q|·N), so |Q| must be bounded; the
+    * INDEX side stays the production bucket join). A missing bucket
+    * neighbor counts as a miss via the LEFT JOIN — recall is exactly
+    * |lsh∩exact|/3. This is the operator a 100 TB deployment runs
+    * nightly to catch index drift: both rankings read the one staged
+    * emb_nv artifact, nothing rebuilds. */
+  val annEval: StagedOp = StagedOp(
+    stages = Seq("emb_nv" -> nvStage),
+    body = { d =>
+      def top3(pairs: String, out: String) =
+        s"""$out AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, ROW_NUMBER() OVER (
+           |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+           |    FROM $pairs
+           |  ) WHERE rk <= 3
+           |)""".stripMargin
+      s"""WITH qs AS (SELECT * FROM emb_nv WHERE vec_id < 5),
+         |ep AS (
+         |  SELECT qs.vec_id AS query_id, t.vec_id AS neighbor_id,
+         |    ${r6(dotExpr(d, "qs.embedding", "t.embedding") + " / (qs.nrm * t.nrm)")} AS cosine
+         |  FROM qs JOIN emb_nv t ON t.vec_id <> qs.vec_id
+         |),
+         |${top3("ep", "ex")},
+         |lp AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine
+         |  FROM qs a JOIN emb_nv b ON a.sb1 = b.sb1 AND a.vec_id <> b.vec_id
+         |),
+         |${top3("lp", "ls")}
+         |SELECT e.query_id, COUNT(l.neighbor_id) AS n_hit,
+         |  CAST(COUNT(l.neighbor_id) AS DOUBLE) / 3 AS recall_at_3
+         |FROM ex e LEFT JOIN ls l
+         |  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+         |GROUP BY e.query_id""".stripMargin
     })
 
   /** IVF ANN: coarse quantizer = per-label centroids (computed, not

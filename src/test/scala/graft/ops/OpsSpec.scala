@@ -542,4 +542,102 @@ class OpsSpec extends SparkSpec {
     }.toMap
     assert(actual === expected)
   }
+
+  test("pagerank step matches an independent Scala reimplementation") {
+    // rebuild the one damped power step from the SAME candidate pairs
+    // (q_dedup_minhash) with plain Scala integer arithmetic
+    val cand = run("q_dedup_minhash").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val edges = cand.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (n, es) => (n, es.length.toLong) }
+    val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+      (dst, es.map { case (src, _) => math.floor(1.0e6 / deg(src)).toLong }.sum)
+    }
+    val expected = contrib.map { case (id, s) =>
+      (id, (deg(id), 150000L + math.floor((85L * s).toDouble / 1.0e2).toLong))
+    }
+    val actual = run("q_pagerank_step").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("degree"), r.getAs[Long]("rank_ppm")))).toMap
+    assert(actual === expected)
+  }
+
+  test("common-ngram fraction is identical for the two snapshot copies of a doc") {
+    // snapshot copies (2d, 2d+1) carry the same text → same shingle
+    // set → identical df profile; fractions live in [0,1]
+    val rows = run("q_dedup_common_ngrams").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_common"),
+          r.getAs[Double]("common_frac")))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, (n, c, f)) =>
+      assert(c >= 0 && c <= n && f >= 0.0 && f <= 1.0)
+    }
+    rows.keys.filter(_ % 2 == 0).foreach { even =>
+      assert(rows.get(even + 1).contains(rows(even)),
+        s"snapshot copies of doc ${even / 2} disagree")
+    }
+  }
+
+  test("ann recall eval agrees with a cross-check of the two ranking queries") {
+    val exact = run("q_knn_bruteforce").collect()
+      .filter(_.getAs[Int]("rk") <= 3)
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => (q, rs.map(_.getAs[Long]("neighbor_id")).toSet) }
+    val lsh = run("q_ann_sign_lsh").collect()
+      .filter(r => r.getAs[Long]("query_id") < 5 && r.getAs[Int]("rk") <= 3)
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => (q, rs.map(_.getAs[Long]("neighbor_id")).toSet) }
+    val actual = run("q_ann_eval").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_hit"))).toMap
+    assert(actual.keySet === exact.keySet)
+    actual.foreach { case (q, nHit) =>
+      val expected = exact(q).intersect(lsh.getOrElse(q, Set.empty)).size.toLong
+      assert(nHit === expected, s"query $q: eval says $nHit, cross-check says $expected")
+    }
+  }
+
+  test("cluster size histogram accounts for every clustered doc") {
+    val hist = run("q_dedup_cluster_sizes").collect()
+      .map(r => (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_clusters")))
+    val clustered = run("q_dedup_cluster").count()
+    assert(hist.map { case (sz, n) => sz * n }.sum === clustered)
+    // a cluster is born from at least one pair
+    assert(hist.forall(_._1 >= 2))
+  }
+
+  test("length histogram partitions the corpus with exact power-of-two bounds") {
+    val rows = run("q_length_histogram").collect()
+    val total = graft.Tables.documents(spark, sf001)
+      .selectExpr("size(split(text, ' ')) AS n").where("n > 0").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(r.getAs[Int]("min_tokens") >= (1L << b))
+      assert(r.getAs[Int]("max_tokens") < (1L << (b + 1)))
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("frac_docs")).sum - 1.0) < 1e-9)
+  }
+
+  test("skew profile accounts for every order row") {
+    val rows = run("q_skew_profile").collect()
+    val total = graft.Tables.orders(spark, sf001).count()
+    assert(rows.map(r => r.getAs[Long]("n_rows")).sum === total)
+    assert(math.abs(rows.map(_.getAs[Double]("frac_rows")).sum - 1.0) < 1e-9)
+  }
+
+  test("promo revenue: promo share consistent with its components") {
+    val r = run("q_promo_revenue").collect().head
+    val (promo, total, pct) = (r.getAs[Double]("promo_revenue"),
+      r.getAs[Double]("total_revenue"), r.getAs[Double]("promo_pct"))
+    assert(promo > 0 && promo < total)
+    assert(pct === 100.0 * promo / total)
+  }
+
+  test("top supplier holds the maximum quarterly revenue") {
+    val winners = run("q_top_supplier").collect()
+    assert(winners.nonEmpty)
+    val top = winners.map(_.getAs[Double]("total_revenue")).distinct
+    assert(top.length === 1) // all tied winners report the same max
+  }
 }

@@ -120,6 +120,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), s"df should come from a window over tf:\n$plan")
   }
 
+  test("shipping priority: pushed date filters, broadcast semi segment gate, TakeOrdered top-k") {
+    val plan = planOf("q_shipping_priority")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"lineitem date filter not pushed:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"),
+      s"orders date filter not pushed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"segment gate should be a broadcast semi join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-10 must not globally sort:\n$plan")
+  }
+
+  test("returned items: returnflag pushed to the scan, both dimensions broadcast") {
+    val plan = planOf("q_returned_items")
+    assert(plan.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"customer and nation should broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-20 must not globally sort:\n$plan")
+  }
+
+  test("top supplier: supplier dimension broadcasts; the max is a window over the agg") {
+    val plan = planOf("q_top_supplier")
+    assert(plan.contains("BroadcastHashJoin"), s"supplier should broadcast:\n$plan")
+    assert(plan.contains("Window"), s"max should be a window over the supplier agg:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"nothing should sort-merge here:\n$plan")
+  }
+
   test("no accidental cartesian products outside the literal-band range join") {
     SparkEntry.queries.keys.filterNot(_ == "q_range_join").foreach { q =>
       val plan =
