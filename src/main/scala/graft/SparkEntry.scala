@@ -236,12 +236,15 @@ object SparkEntry {
     "q_returned_items" -> Relational.returnedItems _,
     "q_promo_revenue" -> Relational.promoRevenue _,
     "q_top_supplier" -> Relational.topSupplier _,
+    "q_order_priority_late" -> Relational.orderPriorityLateShip _,
+    "q_large_volume_customer" -> Relational.largeVolumeCustomers _,
     "q_grouping_sets" -> sqlq(Seq("orders"), SqlOps.groupingSets),
     "q_percentiles" -> sqlq(Seq("events"), SqlOps.eventPercentiles),
     "q_window_range" -> sqlq(Seq("orders"), SqlOps.windowRangeSpend),
     "q_window_moving_avg" -> sqlq(Seq("orders"), SqlOps.windowMovingAvg),
     "q_percent_rank" -> sqlq(Seq("orders"), SqlOps.percentRankOrders),
     "q_window_first_last" -> sqlq(Seq("orders"), SqlOps.windowFirstLast),
+    "q_window_dense_cume" -> sqlq(Seq("orders"), SqlOps.windowDenseCume),
     "q_bucketize" -> sqlq(Seq("events"), SqlOps.bucketizeValues),
     "q_mode_priority" -> sqlq(Seq("orders"), SqlOps.modePriority),
     "q_agg_collect" -> sqlq(Seq("orders"), SqlOps.collectOrders),
@@ -362,6 +365,10 @@ object SparkEntry {
     // corpus length profile (log2 buckets) and key-skew diagnostic
     "q_length_histogram" -> sqlq(Seq("documents"), SqlOps.lengthHistogram),
     "q_skew_profile" -> sqlq(Seq("orders"), SqlOps.skewProfile),
+    // per-language median quality cutoff and per-dimension embedding
+    // normalization stats
+    "q_quality_adaptive" -> sqlq(Seq("documents"), SqlOps.qualityAdaptiveFilter),
+    "q_embedding_dim_stats" -> sqlq(Seq("embeddings"), SqlOps.embeddingDimStats),
     "q_text_dup_ngrams" -> sqlq(Seq("documents"), SqlOps.textDupNgrams),
     "q_text_entropy" -> sqlq(Seq("documents"), SqlOps.textEntropy),
     "q_text_scrub" -> sqlq(Seq("documents"), SqlOps.textScrub),
@@ -731,6 +738,29 @@ object SparkEntry {
     "q_ann_eval" -> SqlOps.annEval.single(DuckDialect),
     "q_length_histogram" -> SqlOps.lengthHistogram(DuckDialect),
     "q_skew_profile" -> SqlOps.skewProfile(DuckDialect),
+    "q_window_dense_cume" -> SqlOps.windowDenseCume(DuckDialect),
+    "q_quality_adaptive" -> SqlOps.qualityAdaptiveFilter(DuckDialect),
+    "q_embedding_dim_stats" -> SqlOps.embeddingDimStats(DuckDialect),
+    "q_order_priority_late" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_late_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_large_volume_customer" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250.0
+        |)
+        |SELECT c_custkey, c_name, o_orderkey, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q_kmeans_step" -> SqlOps.kmeansStep.single(DuckDialect),
     "q_contamination_bloom" -> SqlOps.contaminationBloom.single(DuckDialect),
     "q_text_ttr" -> SqlOps.textTtr(DuckDialect),

@@ -461,6 +461,44 @@ object Relational {
         (lit(100.0) * col("promo_revenue") / col("total_revenue")).as("promo_pct"))
   }
 
+  /** TPC-H Q4 shape (order priority check): orders in one quarter with
+    * at least one line item shipped more than 90 days after the order
+    * date, counted per priority. The EXISTS is a LEFT SEMI join on
+    * orderkey with the lateness predicate in the join condition —
+    * lineitem is never aggregated, and the 5-group count is map-side
+    * combinable. */
+  def orderPriorityLateShip(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-04-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    o.join(li, o("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAY"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q18 shape (large-volume customers): orders whose total line
+    * quantity exceeds 250 (above the p95 of ~207), with their customer.
+    * The quantity aggregate runs FIRST (one shuffle on orderkey, heavy
+    * reduction), the filter keeps a sliver, and orders + customer
+    * attach to that sliver — orders via an orderkey join that AQE can
+    * broadcast (the survivor side is tiny), customer as an explicit
+    * broadcast. Decimal-exact quantity sums. */
+  def largeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    big.join(o, big("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("total_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** TPC-H Q15 shape (top supplier): revenue per supplier over one
     * quarter, keep the max (with ties). The per-supplier aggregate is
     * supplier-cardinality, so the unpartitioned MAX window over it is

@@ -308,6 +308,70 @@ object SqlOps {
        |SELECT i.doc_id, i.lang FROM incoming i
        |WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.ch = i.ch)""".stripMargin
 
+  /** dense_rank + cume_dist per customer over order value — the two
+    * rank functions the window family didn't cover yet. Both are pure
+    * functions of the (key, value) multiset (ties collapse in
+    * dense_rank and share one cume_dist), so output is deterministic
+    * without a tiebreaker; the single shuffle is on o_custkey. */
+  def windowDenseCume(d: Dialect): String =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice,
+       |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS dr,
+       |  cume_dist()  OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS cd
+       |FROM orders""".stripMargin
+
+  /** Adaptive quality filter: keep documents at or above their
+    * DECLARED language's median quality — the per-slice threshold form
+    * every mixed-language corpus needs (a single global cutoff
+    * over-prunes low-resource languages). Quality is micro-quantized
+    * before the percentile so the interpolated median is arithmetic on
+    * exact integers (halves at worst) — engine-identical; the
+    * comparison runs on the quantized values too. The median table is
+    * language-cardinality (broadcast join); one narrow scoring pass +
+    * one lang-keyed aggregate. */
+  def qualityAdaptiveFilter(d: Dialect): String =
+    s"""WITH qtoks AS (SELECT doc_id, lang, text, ${toks(d)} AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id, lang,
+       |    CAST(FLOOR((${qualityFormula(
+                d.size("toks"),
+                s"CAST(${stopHitsExpr(d)} AS DOUBLE) / ${d.size("toks")}",
+                s"CAST(length(replace(text, ' ', '')) AS DOUBLE) / ${d.size("toks")}")}
+       |    ) * 1.0e6 + 5.0e-1) AS BIGINT) AS qmicro
+       |  FROM qtoks
+       |),
+       |med AS (
+       |  SELECT lang, ${d.percentileCont("qmicro", "0.5")} AS med_micro
+       |  FROM m GROUP BY lang
+       |)
+       |SELECT m.doc_id, m.lang, m.qmicro / 1.0e6 AS quality,
+       |  med.med_micro / 1.0e6 AS lang_median
+       |FROM m JOIN med ON m.lang = med.lang
+       |WHERE CAST(m.qmicro AS DOUBLE) >= med.med_micro""".stripMargin
+
+  /** Per-dimension embedding statistics (the normalization table a
+    * whitening / feature-scaling stage consumes): n, mean, variance,
+    * min, max per position. Components are micro-quantized to int64 —
+    * sums and sums of squares are exact integers (|q| ≤ ~1.6e6 →
+    * Σq² ≤ ~2.6e12·n, within int64 up to ~3.5e6 vectors per partial;
+    * production re-blocks the sum tree before that), and every
+    * double op after the casts is the same expression in both
+    * engines. One explode + one 64-group aggregate — map-side
+    * combinable, no joins. */
+  def embeddingDimStats(d: Dialect): String = {
+    val qv = "CAST(FLOOR(CAST(v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)"
+    val expV = d.explodeWithPos(
+      "SELECT vec_id, embedding FROM embeddings", "vec_id", "embedding", "pos", "v")
+    s"""WITH ev AS ($expV),
+       |q AS (SELECT vec_id, pos, $qv AS qv FROM ev)
+       |SELECT pos, COUNT(*) AS n,
+       |  CAST(SUM(qv) AS DOUBLE) / COUNT(*) AS mean_micro,
+       |  (CAST(SUM(qv * qv) AS DOUBLE)
+       |     - CAST(SUM(qv) AS DOUBLE) * CAST(SUM(qv) AS DOUBLE) / COUNT(*)
+       |  ) / COUNT(*) AS var_micro,
+       |  MIN(qv) AS min_micro, MAX(qv) AS max_micro
+       |FROM q GROUP BY pos""".stripMargin
+  }
+
   /** Document-length histogram in log2 buckets (bucket k = lengths in
     * [2^k, 2^(k+1))) — the corpus length profile read before choosing
     * chunk/pack sizes. The bucket index is ⌊log2 n⌋ computed EXACTLY as

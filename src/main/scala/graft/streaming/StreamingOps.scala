@@ -113,6 +113,72 @@ object StreamingOps {
       }
   }
 
+  case class FEv(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class FunnelUser(user_id: Long, stage: Int)
+  case class FunnelSt(minViewUs: Long, clickUs: List[Long],
+                      purchaseUs: List[Long], lastUs: Long)
+
+  /** Streaming ordered-funnel tracker (view → click-after-view →
+    * purchase-after-click), the incremental twin of the batch
+    * [[graft.ops.SqlOps.eventsFunnel]]: per user, the furthest stage
+    * reached within one activity episode, emitted once the watermark
+    * passes the user's last event + a quiet gap.
+    *
+    * The stage function is NOT incrementally collapsible under
+    * out-of-order arrival: a late view can lower t1, which can lower
+    * the first-click-after-view t2, which re-qualifies previously
+    * ineligible purchases. So state keeps the minimal sufficient set —
+    * min view time (only the min can ever matter), ALL click times,
+    * ALL purchase times — and the stage is computed once, at close.
+    * Like the sessionize list state, this is bounded by the watermark
+    * horizon per key, not by stream length. Stage-0 users (no view)
+    * emit nothing. */
+  def funnelStages(events: Dataset[FEv], quietMinutes: Int = 60): Dataset[FunnelUser] = {
+    import events.sparkSession.implicits._
+    val quietUs = quietMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelSt, FunnelUser](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[FEv], state: GroupState[FunnelSt]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prior = state.getOption
+            .getOrElse(FunnelSt(Long.MaxValue, Nil, Nil, Long.MinValue))
+          val st =
+            if (state.hasTimedOut) prior
+            else evs.foldLeft(prior) { (s, e) =>
+              val us = e.ts.getTime * 1000L
+              val s2 = e.event_type match {
+                case "view"     => s.copy(minViewUs = math.min(s.minViewUs, us))
+                case "click"    => s.copy(clickUs = us :: s.clickUs)
+                case "purchase" => s.copy(purchaseUs = us :: s.purchaseUs)
+                case _          => s // other event types only mark activity
+              }
+              s2.copy(lastUs = math.max(s2.lastUs, us))
+            }
+          // same strictly-behind close rule as sessionize: an event AT
+          // the watermark is still admissible
+          if (st.lastUs + quietUs < wmUs) {
+            state.remove()
+            val t1 = Option.when(st.minViewUs != Long.MaxValue)(st.minViewUs)
+            val t2 = t1.flatMap(t => st.clickUs.filter(_ > t).minOption)
+            val t3 = t2.flatMap(t => st.purchaseUs.filter(_ > t).minOption)
+            val stage =
+              if (t3.isDefined) 3 else if (t2.isDefined) 2
+              else if (t1.isDefined) 1 else 0
+            if (stage == 0) Iterator.empty
+            else Iterator.single(FunnelUser(user, stage))
+          } else {
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(
+              (st.lastUs + quietUs + 999L) / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Stream-stream interval join: each click paired with the same
     * user's purchases from the preceding 30 minutes. Watermarks on both
     * sides plus the interval condition let the engine expire join state

@@ -319,4 +319,55 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getAs[String]("link"), r.getAs[Long]("price"))).toSet
     assert(out === Set(("a", 7L), ("b", 2L)))
   }
+
+  test("streaming funnel matches the batch funnel stage counts on the events table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real events, fed in timestamp order (nothing late => the
+    // watermark drops nothing and parity with batch is exact)
+    val evs = graft.Tables.events(spark, sf001)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => StreamingOps.FEv(r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("ts"), r.getAs[String]("event_type")))
+      .sortBy(_.ts.getTime)
+    // quiet gap > the whole span: every user has ONE episode covering
+    // all their events — the batch funnel's frame — closed only by the
+    // far-future sentinels
+    val spanMin = ((evs.last.ts.getTime - evs.head.ts.getTime) / 60000L + 120L).toInt
+    val in = MemoryStream[StreamingOps.FEv]
+    val q = StreamingOps.funnelStages(in.toDS(), quietMinutes = spanMin)
+      .writeStream.outputMode("append").format("memory").queryName("funl").start()
+    in.addData(evs.toIndexedSeq: _*)
+    q.processAllAvailable()
+    // two sentinel advances: watermark updates at batch END, timeouts
+    // fire in the NEXT batch
+    def late(plusMin: Long) =
+      new Timestamp(evs.last.ts.getTime + (spanMin + plusMin) * 60000L)
+    in.addData(StreamingOps.FEv(-1L, late(60), "view"))
+    q.processAllAvailable()
+    in.addData(StreamingOps.FEv(-1L, late(10000), "view"))
+    q.processAllAvailable()
+    val streamed = spark.table("funl").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage")))
+      .filter(_._1 >= 0).toMap
+    q.stop()
+    // independent Scala reimplementation of the batch stage rules
+    val byUser = evs.groupBy(_.user_id)
+    val expected = byUser.flatMap { case (u, es) =>
+      def us(e: StreamingOps.FEv) = e.ts.getTime
+      val t1 = es.filter(_.event_type == "view").map(us).minOption
+      val t2 = t1.flatMap(t => es.filter(e => e.event_type == "click" && us(e) > t).map(us).minOption)
+      val t3 = t2.flatMap(t => es.filter(e => e.event_type == "purchase" && us(e) > t).map(us).minOption)
+      val stage = if (t3.isDefined) 3 else if (t2.isDefined) 2 else if (t1.isDefined) 1 else 0
+      Option.when(stage > 0)((u, stage))
+    }
+    assert(streamed === expected)
+    // and the oracle-checked batch query agrees on the aggregate counts
+    val batch = graft.SparkEntry.queries("q_events_funnel")(spark, sf001).collect()
+      .map(r => (r.getAs[Int]("stage"), r.getAs[Long]("n_users"))).toMap
+    assert(batch(1) === streamed.count(_._2 >= 1))
+    assert(batch(2) === streamed.count(_._2 >= 2))
+    assert(batch(3) === streamed.count(_._2 >= 3))
+  }
 }
