@@ -160,8 +160,9 @@ object SparkEntry {
     // iterative label propagation), so prewarming it would turn that
     // query's number into a parquet read
     Seq(
-      Seq("documents")  -> SqlOps.dedupMinhash, // mh_sig
+      Seq("documents")  -> SqlOps.dedupMinhash, // mh_sig + mh_cand
       Seq("documents")  -> SqlOps.dedupNgramJaccard,
+      Seq("documents")  -> SqlOps.dedupCommonNgrams, // cng_dsh
       Seq("documents")  -> SqlOps.dedupSimhashPairs,
       Seq("documents")  -> SqlOps.contaminationBloom, // ctm_srcd → ctm_bsh + ctm_csh
       Seq("embeddings") -> SqlOps.annIvf // builds emb_nv + ivf_nvc (kmeansStep shares them)

@@ -172,18 +172,27 @@ object SqlOps {
       s"MIN(substr(md5(s), ${4 * j + 1}, 4)) AS h$j"
     }.mkString(",\n    ")
     StagedOp(
-      stages = Seq("mh_sig" -> { d =>
-        s"""WITH ${corpusCte(d)},
-           |${shinglesCtes(d)}
-           |SELECT doc_id,
-           |    $sigCols
-           |FROM sh GROUP BY doc_id""".stripMargin
-      }),
-      body = { _ =>
-        s"""WITH $mhBandsCte,
-           |$mhCandCte
-           |SELECT doc_a, doc_b FROM cand""".stripMargin
-      })
+      stages = Seq(
+        "mh_sig" -> { d =>
+          s"""WITH ${corpusCte(d)},
+             |${shinglesCtes(d)}
+             |SELECT doc_id,
+             |    $sigCols
+             |FROM sh GROUP BY doc_id""".stripMargin
+        },
+        // the candidate-pair set is its OWN staged artifact: five
+        // consumers (minhash, est, verified, source-overlap, pagerank)
+        // and the cluster map all read these pairs, and Spark's CTE
+        // inlining would otherwise re-run the band self-join + DISTINCT
+        // once per reference (q_pagerank_step planned 48 scans of
+        // mh_sig before this stage existed). Exactly how a production
+        // pipeline treats candidate pairs: generate once, consume many.
+        "mh_cand" -> { _ =>
+          s"""WITH $mhBandsCte,
+             |$mhCandCte
+             |SELECT doc_a, doc_b FROM cand""".stripMargin
+        }),
+      body = { _ => "SELECT doc_a, doc_b FROM mh_cand" })
   }
 
   /** N-gram jaccard near-dup: inverted-index join on distinct shingles,
@@ -446,13 +455,11 @@ object SqlOps {
     val agree = (0 until 8).map(j =>
       s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END").mkString("(", "\n      + ", ")")
     StagedOp(
-      stages = dedupMinhash.stages, // same mh_sig artifact, shared per JVM
+      stages = dedupMinhash.stages, // same mh_sig/mh_cand artifacts, shared per JVM
       body = { _ =>
-        s"""WITH $mhBandsCte,
-           |$mhCandCte
-           |SELECT c.doc_a, c.doc_b,
+        s"""SELECT c.doc_a, c.doc_b,
            |  CAST($agree AS DOUBLE) / 8 AS est_jaccard
-           |FROM cand c
+           |FROM mh_cand c
            |JOIN mh_sig a ON c.doc_a = a.doc_id
            |JOIN mh_sig b ON c.doc_b = b.doc_id""".stripMargin
       })
@@ -472,14 +479,12 @@ object SqlOps {
     * two bounded shuffles; the iteration driver is the same
     * re-plan-per-round loop the CC operator uses. */
   val pagerankStep: StagedOp = StagedOp(
-    stages = dedupMinhash.stages, // same mh_sig artifact, shared per JVM
+    stages = dedupMinhash.stages, // same mh_sig/mh_cand artifacts, shared per JVM
     body = { _ =>
-      s"""WITH $mhBandsCte,
-         |$mhCandCte,
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM cand
+      s"""WITH edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM mh_cand
          |  UNION ALL
-         |  SELECT doc_b AS src, doc_a AS dst FROM cand
+         |  SELECT doc_b AS src, doc_a AS dst FROM mh_cand
          |),
          |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
          |contrib AS (
@@ -1415,8 +1420,7 @@ object SqlOps {
   val dedupVerified: StagedOp = StagedOp(
     stages = dedupMinhash.stages ++ dedupNgramJaccard.stages,
     body = { _ =>
-      s"""WITH $mhBandsCte,
-         |$mhCandCte,
+      s"""WITH cand AS (SELECT doc_a, doc_b FROM mh_cand),
          |$szCte,
          |$interGatedCte
          |$jaccardSelect""".stripMargin
@@ -1442,13 +1446,11 @@ object SqlOps {
     body = { d =>
       s"""WITH ${corpusCte(d)},
          |samp AS (SELECT doc_id FROM corpus WHERE ${md5Bucket("text")} < 32),
-         |$mhBandsCte,
          |cands AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |  JOIN samp pa ON a.doc_id = pa.doc_id
-         |  JOIN samp pb ON b.doc_id = pb.doc_id
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM mh_cand c
+         |  JOIN samp pa ON c.doc_a = pa.doc_id
+         |  JOIN samp pb ON c.doc_b = pb.doc_id
          |),
          |$szCte,
          |inter AS (
@@ -1598,13 +1600,11 @@ object SqlOps {
       // (projecting source), never a hand-forked copy of the id scheme
       // — a desynced fork would silently empty the join while the
       // oracle (sharing the same SQL) stayed green
-      s"""WITH $mhBandsCte,
-         |$mhCandCte,
-         |${corpusCte(d, "source")}
+      s"""WITH ${corpusCte(d, "source")}
          |SELECT LEAST(sa.source, sb.source) AS source_a,
          |  GREATEST(sa.source, sb.source) AS source_b,
          |  COUNT(*) AS n_pairs
-         |FROM cand c
+         |FROM mh_cand c
          |JOIN corpus sa ON c.doc_a = sa.doc_id
          |JOIN corpus sb ON c.doc_b = sb.doc_id
          |GROUP BY LEAST(sa.source, sb.source), GREATEST(sa.source, sb.source)""".stripMargin
