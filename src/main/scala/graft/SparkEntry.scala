@@ -163,6 +163,7 @@ object SparkEntry {
       Seq("documents")  -> SqlOps.dedupMinhash, // mh_sig + mh_cand
       Seq("documents")  -> SqlOps.dedupNgramJaccard,
       Seq("documents")  -> SqlOps.dedupCommonNgrams, // cng_dsh
+      Seq("documents")  -> SqlOps.dedupPrefix, // pfx_dsh
       Seq("documents")  -> SqlOps.dedupSimhashPairs,
       Seq("documents")  -> SqlOps.contaminationBloom, // ctm_srcd → ctm_bsh + ctm_csh
       Seq("embeddings") -> SqlOps.annIvf // builds emb_nv + ivf_nvc (kmeansStep shares them)
@@ -309,8 +310,13 @@ object SparkEntry {
     // distinct shingle index — the C4/CCNet line-dedup analogue
     "q_dedup_common_ngrams" -> sqlStaged(Seq("documents"), SqlOps.dedupCommonNgrams),
     // one integer-exact PageRank power step over the minhash candidate
-    // graph (hub detection on the duplicate graph)
+    // graph (hub detection on the duplicate graph), and the 3-step
+    // unrolled iteration
     "q_pagerank_step" -> sqlStaged(Seq("documents"), SqlOps.pagerankStep),
+    "q_pagerank_iter" -> sqlStaged(Seq("documents"), SqlOps.pagerankIter),
+    // PPJoin-style prefix-filtered similarity self-join off the
+    // uncapped shingle index (the signature-free bounded-candidate path)
+    "q_dedup_prefix" -> sqlStaged(Seq("documents"), SqlOps.dedupPrefix),
     // duplicate-cluster size histogram off the staged cluster map —
     // the dedup diagnostic read after every clustering run
     "q_dedup_cluster_sizes" -> ((s, d) => {
@@ -370,6 +376,7 @@ object SparkEntry {
     // normalization stats
     "q_quality_adaptive" -> sqlq(Seq("documents"), SqlOps.qualityAdaptiveFilter),
     "q_embedding_dim_stats" -> sqlq(Seq("embeddings"), SqlOps.embeddingDimStats),
+    "q_embedding_whiten" -> sqlq(Seq("embeddings"), SqlOps.embeddingWhiten),
     "q_text_dup_ngrams" -> sqlq(Seq("documents"), SqlOps.textDupNgrams),
     "q_text_entropy" -> sqlq(Seq("documents"), SqlOps.textEntropy),
     "q_text_scrub" -> sqlq(Seq("documents"), SqlOps.textScrub),
@@ -732,6 +739,9 @@ object SparkEntry {
     "q_dedup_incremental" -> SqlOps.dedupIncremental(DuckDialect),
     "q_dedup_common_ngrams" -> SqlOps.dedupCommonNgrams.single(DuckDialect),
     "q_pagerank_step" -> SqlOps.pagerankStep.single(DuckDialect),
+    "q_pagerank_iter" -> SqlOps.pagerankIter.single(DuckDialect),
+    "q_dedup_prefix" -> SqlOps.dedupPrefix.single(DuckDialect),
+    "q_embedding_whiten" -> SqlOps.embeddingWhiten(DuckDialect),
     "q_dedup_cluster_sizes" ->
       s"""$CLUSTER_CTES,
          |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY cluster_id)

@@ -381,6 +381,42 @@ object SqlOps {
        |FROM q GROUP BY pos""".stripMargin
   }
 
+  /** Whitened (per-dimension standardized) embeddings: z = (v − µ)/σ
+    * per position — [[embeddingDimStats]] applied back to the vectors,
+    * the feature-scaling step in front of distance-based ops. The
+    * stats side is a 64-row aggregate (broadcast join back); the
+    * z computation is the same expression tree in both engines over
+    * micro-quantized exact integers, so the 1e-6-quantized z codes are
+    * bit-identical. Output is one row per vector with the codes as a
+    * position-tagged sorted string (scalar, hash-comparable; lpad
+    * makes lexicographic order = position order). Constant dimensions
+    * (σ = 0) are excluded — z is undefined there. */
+  def embeddingWhiten(d: Dialect): String = {
+    val qv = "CAST(FLOOR(CAST(v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)"
+    val expV = d.explodeWithPos(
+      "SELECT vec_id, embedding FROM embeddings", "vec_id", "embedding", "pos", "v")
+    s"""WITH ev AS ($expV),
+       |q AS (SELECT vec_id, pos, $qv AS qv FROM ev),
+       |st AS (
+       |  SELECT pos,
+       |    CAST(SUM(qv) AS DOUBLE) / COUNT(*) AS mean_m,
+       |    (CAST(SUM(qv * qv) AS DOUBLE)
+       |       - CAST(SUM(qv) AS DOUBLE) * CAST(SUM(qv) AS DOUBLE) / COUNT(*)
+       |    ) / COUNT(*) AS var_m
+       |  FROM q GROUP BY pos
+       |),
+       |z AS (
+       |  SELECT q.vec_id, q.pos,
+       |    CAST(FLOOR((CAST(q.qv AS DOUBLE) - s.mean_m) / sqrt(s.var_m) * 1.0e6 + 5.0e-1) AS BIGINT) AS zq
+       |  FROM q JOIN st s ON q.pos = s.pos
+       |  WHERE s.var_m > 0
+       |)
+       |SELECT vec_id, COUNT(*) AS n_dims,
+       |  ${d.arrayAggSortedStr(
+              "concat(lpad(CAST(pos AS STRING), 2, '0'), ':', CAST(zq AS STRING))")} AS whitened
+       |FROM z GROUP BY vec_id""".stripMargin
+  }
+
   /** Document-length histogram in log2 buckets (bucket k = lengths in
     * [2^k, 2^(k+1))) — the corpus length profile read before choosing
     * chunk/pack sizes. The bucket index is ⌊log2 n⌋ computed EXACTLY as
@@ -465,6 +501,17 @@ object SqlOps {
       })
   }
 
+  /** Shared graph CTEs over the staged candidate pairs: undirected
+    * edge list + degrees — the base of [[pagerankStep]] and
+    * [[pagerankIter]]. */
+  private val graphCtes: String =
+    s"""edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM mh_cand
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM mh_cand
+       |),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)""".stripMargin
+
   /** One PageRank power-iteration step over the minhash candidate-pair
     * graph (undirected; damping 0.85, uniform init rank 1) — the
     * canonical "which duplicates are HUBS" signal on the dedup graph,
@@ -481,12 +528,7 @@ object SqlOps {
   val pagerankStep: StagedOp = StagedOp(
     stages = dedupMinhash.stages, // same mh_sig/mh_cand artifacts, shared per JVM
     body = { _ =>
-      s"""WITH edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM mh_cand
-         |  UNION ALL
-         |  SELECT doc_b AS src, doc_a AS dst FROM mh_cand
-         |),
-         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+      s"""WITH $graphCtes,
          |contrib AS (
          |  SELECT e.dst,
          |    CAST(FLOOR(1.0e6 / d.deg) AS BIGINT) AS c
@@ -496,6 +538,110 @@ object SqlOps {
          |SELECT a.doc_id, g.deg AS degree,
          |  150000 + CAST(FLOOR(CAST(85 * a.s AS DOUBLE) / 1.0e2) AS BIGINT) AS rank_ppm
          |FROM agg a JOIN deg g ON a.doc_id = g.src""".stripMargin
+    })
+
+  /** Three unrolled PageRank power iterations in one SQL tree (ranks in
+    * micro-units, damping 0.85) — the fixed-depth form an engine
+    * without driver loops can run, and the oracle-checkable twin of an
+    * iterate-to-convergence driver loop (same per-step shape as
+    * [[pagerankStep]]). All arithmetic keeps the integer-exact
+    * discipline of the single step: per-edge contributions
+    * ⌊r/deg⌋, damped sums ⌊85·Σ/100⌋ — each FLOOR'd division sits
+    * ≥ 1/deg (resp. 1/20) from the next integer when fractional,
+    * magnitudes stay ≪ 2^53, so both engines produce bit-identical
+    * int64 ranks at every depth. */
+  val pagerankIter: StagedOp = {
+    val nSteps = 3
+    val steps = (1 to nSteps).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS id,
+         |    SUM(CAST(FLOOR(CAST(r.r AS DOUBLE) / d.deg) AS BIGINT)) AS s
+         |  FROM edges e
+         |  JOIN r${k - 1} r ON e.src = r.id
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst
+         |),
+         |r$k AS (
+         |  SELECT id,
+         |    150000 + CAST(FLOOR(CAST(85 * s AS DOUBLE) / 1.0e2) AS BIGINT) AS r
+         |  FROM c$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    StagedOp(
+      stages = dedupMinhash.stages,
+      body = { _ =>
+        s"""WITH $graphCtes,
+           |r0 AS (SELECT src AS id, 1000000 AS r FROM deg),
+           |$steps
+           |SELECT id AS doc_id, r AS rank_ppm FROM r$nSteps""".stripMargin
+      })
+  }
+
+  /** Prefix-filtering set-similarity self-join (the PPJoin candidate
+    * rule): order each document's distinct 5-grams by ascending global
+    * document frequency (rarest first), index only the PREFIX of
+    * length n − ⌈0.6·n⌉ + 1, and generate candidates from prefix
+    * collisions — for Jaccard ≥ t, two qualifying sets MUST share a
+    * prefix token under ANY consistent global order, so the gate is
+    * recall-lossless while the indexed rows shrink to ~the prefix
+    * fraction. The candidate join also applies the PPJoin LENGTH
+    * filter — J ≤ min/max, so 5·min(n) ≥ 3·max(n) is a lossless
+    * integer-exact prune. The two renderings order ties differently
+    * (Spark sorts 64-bit shingle fingerprints, DuckDB strings),
+    * giving different CANDIDATE sets — but losslessness holds for
+    * each order, so the verified output (exact Jaccard ≥ 0.6 on the
+    * uncapped index) is identical, and the oracle gate proves exactly
+    * that every run. ⌈0.6n⌉ is computed as ⌊(3n+4)/5⌋ — pure integer
+    * arithmetic, no float boundary.
+    *
+    * 5-gram shingles, not 3: prefix filtering's candidate bound is
+    * Σ df², so it needs shingle identities rare enough that "rarest
+    * 40% of a doc" means df ≈ 1-2 — on this corpus's flat ~30-word
+    * vocabulary, 3-gram space (27e3) saturates (median df 18 at
+    * sf0.1, verify join 14s) while 5-gram space (24e6) keeps median
+    * df at 2 — the Zipf-tail regime the technique is designed for.
+    * This is the third bounded-candidate near-dup path (minhash
+    * bands ∪ simhash bands ∪ prefix filter), the one that needs no
+    * signatures — just the df table the index already implies. */
+  val dedupPrefix: StagedOp = StagedOp(
+    stages = Seq(
+      "pfx_dsh" -> { d =>
+        val sid = d.shingleId("s")
+        s"""WITH ${corpusCte(d)},
+           |${shinglesCtes(d, n = 5)}
+           |SELECT DISTINCT doc_id, $sid AS s FROM sh""".stripMargin
+      }),
+    body = { _ =>
+      s"""WITH df AS (SELECT s, COUNT(*) AS df FROM pfx_dsh GROUP BY s),
+         |r AS (
+         |  SELECT c.doc_id, c.s,
+         |    ROW_NUMBER() OVER (PARTITION BY c.doc_id ORDER BY f.df, c.s) AS rk,
+         |    COUNT(*) OVER (PARTITION BY c.doc_id) AS n
+         |  FROM pfx_dsh c JOIN df f ON c.s = f.s
+         |),
+         |pre AS (
+         |  SELECT doc_id, s, n FROM r
+         |  WHERE rk <= n - CAST(FLOOR(CAST(3 * n + 4 AS DOUBLE) / 5.0e0) AS BIGINT) + 1
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
+         |    AND 5 * LEAST(a.n, b.n) >= 3 * GREATEST(a.n, b.n)
+         |),
+         |psz AS (SELECT doc_id, COUNT(*) AS n FROM pfx_dsh GROUP BY doc_id),
+         |pinter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN pfx_dsh a ON a.doc_id = c.doc_a
+         |  JOIN pfx_dsh b ON b.doc_id = c.doc_b AND b.s = a.s
+         |  GROUP BY c.doc_a, c.doc_b
+         |)
+         |SELECT i.doc_a, i.doc_b,
+         |  ${r6("CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter)")} AS jaccard
+         |FROM pinter i
+         |JOIN psz sa ON i.doc_a = sa.doc_id
+         |JOIN psz sb ON i.doc_b = sb.doc_id
+         |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.6""".stripMargin
     })
 
   /** Sliding-window document chunking (chunk = 16 tokens, stride = 12,

@@ -562,6 +562,79 @@ class OpsSpec extends SparkSpec {
     assert(actual === expected)
   }
 
+  test("prefix-filtered similarity join equals brute-force jaccard over all pairs") {
+    // ground truth: ALL-pairs exact jaccard >= 0.6 over the same
+    // uncapped distinct 5-gram sets, in plain Scala — proves the
+    // prefix gate (and its length filter) recall-lossless end to end
+    // (2k docs -> 2M pairs is affordable at sf0.001)
+    val docs = graft.Tables.documents(spark, sf001)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val corpus = docs.map { case (id, t) => (2 * id, t) } ++
+      docs.map { case (id, t) => (2 * id + 1, t) }
+    val sets = corpus.map { case (id, t) =>
+      (id, t.split(" ", -1).sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet)
+    }
+    def q6(x: Double) = math.floor(x * 1.0e6 + 0.5) / 1.0e6
+    val expected = (for {
+      i <- sets.indices.iterator
+      j <- (i + 1) until sets.length
+      (ia, sa) = sets(i); (ib, sb) = sets(j)
+      inter = sa.intersect(sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter)
+      if jac >= 0.6
+    } yield {
+      val (a, b) = if (ia < ib) (ia, ib) else (ib, ia)
+      ((a, b), q6(jac))
+    }).toMap
+    val actual = run("q_dedup_prefix").collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(actual === expected)
+  }
+
+  test("pagerank 3-step iteration matches an independent Scala power iteration") {
+    val cand = run("q_dedup_minhash").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val edges = cand.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (n, es) => (n, es.length.toLong) }
+    var rank: Map[Long, Long] = deg.map { case (n, _) => (n, 1000000L) }
+    (1 to 3).foreach { _ =>
+      val s = edges.groupBy(_._2).map { case (dst, es) =>
+        (dst, es.map { case (src, _) =>
+          math.floor(rank(src).toDouble / deg(src)).toLong }.sum)
+      }
+      rank = s.map { case (id, sum) =>
+        (id, 150000L + math.floor((85L * sum).toDouble / 1.0e2).toLong)
+      }
+    }
+    val actual = run("q_pagerank_iter").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank_ppm"))).toMap
+    assert(actual === rank)
+  }
+
+  test("whitened embeddings: 64 tagged codes per vector, near-zero per-dim mean") {
+    val rows = run("q_embedding_whiten").collect()
+    assert(rows.nonEmpty)
+    val parsed = rows.map { r =>
+      val codes = r.getAs[String]("whitened").split(",", -1).map { tok =>
+        val Array(pos, z) = tok.split(":", 2)
+        (pos.toInt, z.toLong)
+      }
+      assert(codes.length === r.getAs[Long]("n_dims"))
+      assert(codes.map(_._1).toSeq === codes.map(_._1).sorted.toSeq, "position-ordered")
+      codes
+    }
+    // standardization: per-dimension mean of z is 0 up to quantization
+    // noise (each code is within 0.5e-6 of the true z, true mean is 0
+    // up to the integer-mean rounding — allow a loose 1e-2 bound)
+    val byPos = parsed.flatten.groupBy(_._1)
+    byPos.values.foreach { zs =>
+      val mean = zs.map(_._2).sum.toDouble / zs.length / 1.0e6
+      assert(math.abs(mean) < 1e-2, s"per-dim z mean $mean not ~0")
+    }
+  }
+
   test("common-ngram fraction is identical for the two snapshot copies of a doc") {
     // snapshot copies (2d, 2d+1) carry the same text → same shingle
     // set → identical df profile; fractions live in [0,1]
