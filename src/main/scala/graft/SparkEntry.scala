@@ -314,6 +314,13 @@ object SparkEntry {
     // unrolled iteration
     "q_pagerank_step" -> sqlStaged(Seq("documents"), SqlOps.pagerankStep),
     "q_pagerank_iter" -> sqlStaged(Seq("documents"), SqlOps.pagerankIter),
+    // the driver-loop form of the same 3 iterations, gated against the
+    // SAME oracle as the SQL-unrolled tree (like CC vs CC-star)
+    "q_pagerank_loop" -> ((s, d) => {
+      val pairs = sqlStaged(Seq("documents"), SqlOps.dedupMinhash)(s, d)
+      graft.ops.Graph.pagerank(
+        pairs.select(col("doc_a").as("a"), col("doc_b").as("b")), iters = 3)
+    }),
     // PPJoin-style prefix-filtered similarity self-join off the
     // uncapped shingle index (the signature-free bounded-candidate path)
     "q_dedup_prefix" -> sqlStaged(Seq("documents"), SqlOps.dedupPrefix),
@@ -361,6 +368,7 @@ object SparkEntry {
     "q_text_fingerprint" -> sqlq(Seq("documents"), SqlOps.textFingerprint),
     "q_text_tfidf" -> sqlq(Seq("documents"), SqlOps.textTfIdf),
     "q_text_bigrams" -> sqlq(Seq("documents"), SqlOps.textBigrams),
+    "q_text_bigrams_source" -> sqlq(Seq("documents"), SqlOps.topBigramsPerSource),
     "q_text_repetition" -> sqlq(Seq("documents"), SqlOps.textRepetition),
     "q_corpus_filter" -> sqlq(Seq("documents"), SqlOps.corpusFilter),
     "q_corpus_report" -> sqlq(Seq("documents"), SqlOps.corpusReport),
@@ -740,6 +748,7 @@ object SparkEntry {
     "q_dedup_common_ngrams" -> SqlOps.dedupCommonNgrams.single(DuckDialect),
     "q_pagerank_step" -> SqlOps.pagerankStep.single(DuckDialect),
     "q_pagerank_iter" -> SqlOps.pagerankIter.single(DuckDialect),
+    "q_pagerank_loop" -> SqlOps.pagerankIter.single(DuckDialect),
     "q_dedup_prefix" -> SqlOps.dedupPrefix.single(DuckDialect),
     "q_embedding_whiten" -> SqlOps.embeddingWhiten(DuckDialect),
     "q_dedup_cluster_sizes" ->
@@ -795,6 +804,7 @@ object SparkEntry {
     "q_text_fingerprint" -> SqlOps.textFingerprint(DuckDialect),
     "q_text_tfidf" -> SqlOps.textTfIdf(DuckDialect),
     "q_text_bigrams" -> SqlOps.textBigrams(DuckDialect),
+    "q_text_bigrams_source" -> SqlOps.topBigramsPerSource(DuckDialect),
     "q_text_repetition" -> SqlOps.textRepetition(DuckDialect),
     "q_corpus_filter" -> SqlOps.corpusFilter(DuckDialect),
     "q_corpus_report" -> SqlOps.corpusReport(DuckDialect),

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over pair lists (the driver-loop pattern
+  * shared with [[Cluster]]: re-plan per round, cut lineage with
+  * localCheckpoint so round N's plan doesn't embed rounds 1..N-1).
+  *
+  * [[pagerank]] is the iterate-N-times twin of the SQL-unrolled
+  * [[SqlOps.pagerankIter]] — same integer-exact step semantics (ranks
+  * in micro-units, ⌊r/deg⌋ contributions, ⌊85·Σ/100⌋ damped sums), so
+  * the two are equivalence-gated against the same oracle. At scale
+  * each round is two bounded shuffles (edges⋈rank on src, contribution
+  * aggregate on dst); the edge list is read from its staged artifact,
+  * never recomputed per round.
+  */
+object Graph {
+
+  /** Damped (0.85) PageRank power iteration over an undirected pair
+    * list with columns `a`, `b`; ranks start at 1.0 (1e6 micro-units).
+    * Every arithmetic step mirrors [[SqlOps.pagerankIter]] bit for
+    * bit: per-element FLOOR'd divisions whose true values sit ≥ 1/deg
+    * (resp. 1/20) from the next integer when fractional, per-element
+    * casts to long BEFORE the sum so partial aggregation is exact
+    * integer addition. */
+  def pagerank(pairs: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint() // materialize once; every round re-reads it
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "src") // src, dst, deg — stable per run
+      .localCheckpoint()
+    var rank = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+    (1 to iters).foreach { _ =>
+      rank = withDeg.join(rank, withDeg("src") === rank("id"))
+        .groupBy(col("dst"))
+        .agg(sum(floor(col("r").cast("double") / col("deg")).cast("long")).as("s"))
+        .select(col("dst").as("id"),
+          (lit(150000L) +
+            floor((lit(85L) * col("s")).cast("double") / lit(1.0e2)).cast("long")).as("r"))
+        .localCheckpoint()
+    }
+    rank.select(col("id").as("doc_id"), col("r").as("rank_ppm"))
+  }
+}

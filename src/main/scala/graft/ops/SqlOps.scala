@@ -1781,6 +1781,24 @@ object SqlOps {
        |FROM sh GROUP BY s
        |ORDER BY n DESC, s LIMIT 20""".stripMargin
 
+  /** Per-source top-3 bigrams: the grouped flavor of [[textBigrams]]
+    * (which corpus slice says what) — a per-group top-k over text
+    * aggregates: bigram counts shuffle once on (source, bigram) with
+    * map-side partials, then the rank window runs per source. Ties
+    * break on the bigram string, so the top-3 set is deterministic. */
+  def topBigramsPerSource(d: Dialect): String =
+    s"""WITH ${shinglesCtes(d, n = 2, from = "documents")},
+       |bs AS (
+       |  SELECT doc.source, sh.s, COUNT(*) AS n
+       |  FROM sh JOIN documents doc ON sh.doc_id = doc.doc_id
+       |  GROUP BY doc.source, sh.s
+       |)
+       |SELECT source, s AS bigram, n, rk FROM (
+       |  SELECT source, s, n,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, s) AS rk
+       |  FROM bs
+       |) WHERE rk <= 3""".stripMargin
+
   /** Per-type p99 outlier events: exact integer-cent percentile per
     * event type (same cross-engine-exact interpolation as
     * [[eventPercentiles]]) joined back against the stream — the

@@ -225,6 +225,76 @@ object StreamingOps {
       .select(col("doc_id"), col("content_hash"), col("lang_guess"), col("quality"))
   }
 
+  case class BandRow(doc_id: Long, ts: java.sql.Timestamp, band: Int, bkey: String)
+  case class BandState(ids: List[Long])
+  case class CandPair(doc_a: Long, doc_b: Long, band: Int)
+
+  /** Streaming near-duplicate candidate detection — the incremental
+    * twin of the batch minhash LSH ([[graft.ops.SqlOps.dedupMinhash]]):
+    * each arriving document is signed with the SAME 8×16-bit md5-slice
+    * minhash (computed as a narrow per-row expression over the
+    * codegen'd word_shingles array — no pre-shuffle), exploded into
+    * the same 4 bands of 2, and matched against the per-(band, key)
+    * membership state; every collision emits a candidate pair
+    * normalized (small id, large id).
+    *
+    * Emission is at-least-once ACROSS bands (two docs agreeing on two
+    * bands emit the pair twice, once per band) — exactly like the
+    * batch band join before its DISTINCT; the downstream exact
+    * verifier (or any set-consumer) dedups naturally. State per
+    * (band, key) is the member-id list, dropped wholesale once the
+    * watermark passes the bucket's last arrival + the horizon — the
+    * production bound: a doc only pairs with others inside the
+    * watermark window, which is the streaming contract (cross-horizon
+    * dedup belongs to the batch/incremental ops). */
+  def minhashCandidates(docs: DataFrame, watermark: String = "10 minutes",
+                        horizonMinutes: Int = 60): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    val horizonUs = horizonMinutes * 60L * 1000000L
+    val sigCols = (0 until 8).map { j =>
+      s"array_min(transform(word_shingles(text, 3), s -> substr(md5(s), ${4 * j + 1}, 4))) AS h$j"
+    }
+    val bandStructs = (0 until 4).map { b =>
+      s"named_struct('band', $b, 'bkey', concat(h${2 * b}, h${2 * b + 1}))"
+    }.mkString("array(", ", ", ")")
+    docs
+      .selectExpr(Seq("doc_id", "ts") ++ sigCols: _*)
+      // docs with no 3-grams have no signature (same rule as the batch
+      // GROUP BY over shingle rows, where such docs simply have no rows)
+      .filter(col("h0").isNotNull)
+      .selectExpr("doc_id", "ts", s"explode($bandStructs) AS bk")
+      .select(col("doc_id"), col("ts"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .withWatermark("ts", watermark)
+      .as[BandRow]
+      .groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState[BandState, CandPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, String), rows: Iterator[BandRow], state: GroupState[BandState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prior = state.getOption.map(_.ids).getOrElse(Nil)
+            // deterministic intra-batch order so reruns emit the same
+            // pair stream regardless of partition-internal ordering
+            val batch = rows.toList.sortBy(r => (r.ts.getTime, r.doc_id))
+            val maxUs = batch.map(_.ts.getTime * 1000L).max
+            var members = prior
+            val pairs = batch.flatMap { r =>
+              val ps = members.filter(_ != r.doc_id).map { m =>
+                CandPair(math.min(m, r.doc_id), math.max(m, r.doc_id), key._1)
+              }
+              members = r.doc_id :: members
+              ps
+            }
+            state.update(BandState(members))
+            state.setTimeoutTimestamp(math.max(
+              (maxUs + horizonUs + 999L) / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            pairs.iterator
+          }
+      }
+  }
+
   /** Micro-batch upsert: the reference's staging+merge load applied per
     * micro-batch (`Trigger.AvailableNow` over a landing directory gives
     * exactly the reference's idempotent daily-batch semantics). The

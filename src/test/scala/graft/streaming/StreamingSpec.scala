@@ -320,6 +320,34 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set(("a", 7L), ("b", 2L)))
   }
 
+  test("streaming minhash candidates equal the batch LSH pair set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.registerAll(spark)
+    // the SAME two-snapshot corpus the batch op dedups (ids 2d / 2d+1)
+    val docs = graft.Tables.documents(spark, sf001)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val corpus = docs.map { case (id, t) => (2 * id, t) } ++
+      docs.map { case (id, t) => (2 * id + 1, t) }
+    val base = ts(0).getTime
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.minhashCandidates(df)
+      .writeStream.outputMode("append").format("memory").queryName("mhc").start()
+    in.addData(corpus.zipWithIndex.map { case ((id, t), i) =>
+      (id, new Timestamp(base + i * 10L), t) }.toIndexedSeq: _*)
+    q.processAllAvailable()
+    // at-least-once per band -> set-compare the normalized pairs
+    val streamed = spark.table("mhc").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    q.stop()
+    val batch = graft.SparkEntry.queries("q_dedup_minhash")(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(streamed === batch,
+      s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+  }
+
   test("streaming funnel matches the batch funnel stage counts on the events table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
