@@ -240,6 +240,28 @@ object SparkEntry {
     "q_top_supplier" -> Relational.topSupplier _,
     "q_order_priority_late" -> Relational.orderPriorityLateShip _,
     "q_large_volume_customer" -> Relational.largeVolumeCustomers _,
+    // TPC-H classic shapes (Q5/Q6/Q7/Q8): region-local supplier
+    // volume, scan-pruning filter-sum, bilateral trade by year,
+    // national market share
+    "q_local_supplier_volume" -> Relational.localSupplierVolume _,
+    "q_forecast_revenue" -> Relational.forecastRevenue _,
+    "q_volume_shipping" -> Relational.volumeShipping _,
+    "q_market_share" -> Relational.marketShare _,
+    // TPC-H classic shapes (Q9/Q13/Q17/Q19): product profit,
+    // customer order-count distribution, small-quantity revenue,
+    // disjunctive-predicate revenue
+    "q_product_profit" -> Relational.productProfit _,
+    "q_customer_distribution" -> Relational.customerDistribution _,
+    "q_small_qty_revenue" -> Relational.smallQtyRevenue _,
+    "q_disjunctive_revenue" -> Relational.disjunctiveRevenue _,
+    // TPC-H classic shapes (Q21/Q22/Q2/Q11/Q16): correlated-exists
+    // lateness, anti-join dormancy, groupwise-min offers, fraction-of-
+    // total importance, distinct-count relationship matrix
+    "q_waiting_orders" -> Relational.waitingOrders _,
+    "q_dormant_customers" -> Relational.dormantCustomers _,
+    "q_min_cost_supplier" -> Relational.minCostSupplier _,
+    "q_important_parts" -> Relational.importantParts _,
+    "q_parts_supplier_count" -> Relational.partsSupplierCount _,
     "q_grouping_sets" -> sqlq(Seq("orders"), SqlOps.groupingSets),
     "q_percentiles" -> sqlq(Seq("events"), SqlOps.eventPercentiles),
     "q_window_range" -> sqlq(Seq("orders"), SqlOps.windowRangeSpend),
@@ -707,6 +729,157 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, total_revenue
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin,
+    "q_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue_delta,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year, CAST(SUM(vol) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS vol
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders   ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+        |) GROUP BY 1, 2, 3""".stripMargin,
+    "q_market_share" ->
+      """WITH all_orders AS (
+        |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS vol,
+        |    n1.n_name AS supp_nation
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region  ON n2.n_regionkey = r_regionkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        |)
+        |SELECT o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol END) AS DOUBLE) /
+        |    CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+        |  COUNT(*) AS n_items
+        |FROM all_orders GROUP BY o_year""".stripMargin,
+    "q_product_profit" ->
+      """SELECT n_name AS nation, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |     - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.5 AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2""".stripMargin,
+    "q_customer_distribution" ->
+      """WITH co AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey
+        |)
+        |SELECT c_count, COUNT(*) AS custdist FROM co GROUP BY c_count""".stripMargin,
+    "q_small_qty_revenue" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS pk,
+        |    0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS qty_cut
+        |  FROM lineitem GROUP BY l_partkey
+        |)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey JOIN pa ON pk = l_partkey
+        |WHERE p_brand = 'Brand#3' AND l_quantity < qty_cut""".stripMargin,
+    "q_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_waiting_orders" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+        |              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_dormant_customers" ->
+      """WITH avgbal AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
+        |  FROM customer WHERE c_acctbal > 0.0 AND c_nationkey IN (1,2,3,4,5,6,7)
+        |)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, avgbal
+        |WHERE c_nationkey IN (1,2,3,4,5,6,7) AND c_acctbal > a
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-02-01')
+        |GROUP BY c_nationkey""".stripMargin,
+    "q_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    MIN(CAST(FLOOR(l_extendedprice * 1.0e2 + 5.0e-1) AS BIGINT) / CAST(l_quantity AS BIGINT)) AS unit_cents
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT p_partkey, p_name, s_name, n_name, unit_cents
+        |FROM offers
+        |JOIN part ON p_partkey = pk
+        |JOIN supplier ON s_suppkey = sk
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE' AND p_size = 10
+        |  AND unit_cents = (SELECT MIN(o2.unit_cents) FROM offers o2
+        |                    JOIN supplier s2 ON s2.s_suppkey = o2.sk
+        |                    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |                    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |                    WHERE o2.pk = p_partkey AND r2.r_name = 'EUROPE')""".stripMargin,
+    "q_important_parts" ->
+      """WITH vals AS (
+        |  SELECT l_partkey AS pk,
+        |    SUM(CAST(FLOOR(l_extendedprice * 1.0e2 + 5.0e-1) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS val
+        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |  WHERE s_nationkey IN (1, 2, 3)
+        |  GROUP BY 1
+        |)
+        |SELECT pk AS p_partkey, CAST(val AS BIGINT) AS part_value
+        |FROM vals WHERE val > (SELECT SUM(val) * 0.002 FROM vals)""".stripMargin,
+    "q_parts_supplier_count" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q_grouping_sets" -> SqlOps.groupingSets(DuckDialect),
     "q_percentiles" -> SqlOps.eventPercentiles(DuckDialect),
     "q_window_range" -> SqlOps.windowRangeSpend(DuckDialect),

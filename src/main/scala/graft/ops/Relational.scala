@@ -518,4 +518,342 @@ object Relational {
       .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
   }
+
+  /** TPC-H Q5 shape (local supplier volume): revenue per nation for
+    * one region-year where the supplier and the customer share a
+    * nation. The date filter pushes into the orders scan; region +
+    * nation + supplier broadcast (region prunes nation to a fifth
+    * before the fact tables see it). customer⋈orders and
+    * lineitem⋈orders are the only shuffles — both on their natural
+    * keys. The co-location predicate (c_nationkey = s_nationkey)
+    * rides the supplier broadcast join, not a separate shuffle. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val s  = Tables.supplier(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val asiaNations = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s),
+        li("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(asiaNations), c("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(desc("revenue"))
+  }
+
+  /** TPC-H Q6 shape (forecast revenue change): pure filter-and-sum
+    * over lineitem. All three predicates push into the parquet scan
+    * (shipdate range prunes row groups by min/max stats); the global
+    * aggregate is one partial-agg tree, zero joins. The canonical
+    * "is the scan actually pruning" benchmark query. */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+             .cast("double").as("revenue_delta"),
+           count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q7 shape (volume shipping): bilateral trade between two
+    * nations by ship year. Both nation filters are applied BEFORE the
+    * fact joins: the two-nation slice of supplier (resp. customer)
+    * broadcasts, so lineitem is cut to ~2/25 of its rows by a
+    * broadcast join before the lineitem⋈orders shuffle. The OR'd
+    * nation-pair predicate lands on the joined row where both sides
+    * are already attached. */
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val two = Seq("NATION_18", "NATION_19")
+    val n   = Tables.nation(spark, dir).filter(col("n_name").isin(two: _*))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    li.join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+              (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape (national market share): one nation's share of a
+    * region's market for one part type, by order year. The part-type
+    * filter broadcasts (1/6 of part), the customer side is pruned to
+    * the region via broadcast nation/region, and the supplier nation
+    * arrives as a broadcast dimension column. Share = conditional
+    * decimal sum / total decimal sum, divided once in double — both
+    * engines evaluate the identical two operands. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_type") === "STANDARD")
+      .select(col("p_partkey"))
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val custNations = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(custNations), col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3",
+          discounted(col("l_extendedprice"), col("l_discount"))))
+          .cast("double").as("nat_rev"),
+        sum(discounted(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("tot_rev"),
+        count(lit(1)).as("n_items"))
+      .select(col("o_year"), (col("nat_rev") / col("tot_rev")).as("mkt_share"),
+        col("n_items"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9 shape (product-type profit): profit per supplier nation
+    * and order year for one part family. The schema has no partsupp /
+    * ps_supplycost, so cost is proxied as half the part's retail price
+    * per unit — the shape (multi-fact join, name LIKE filter,
+    * nation×year rollup) is the point. All money terms stay DECIMAL
+    * through the subtraction (scales align exactly in both engines);
+    * the part-name filter broadcasts, supplier/nation broadcast, and
+    * lineitem⋈orders is the only fact-fact shuffle. */
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_name").contains("gear"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val s  = Tables.supplier(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val cost = col("p_retailprice").cast("decimal(12,2)") *
+      lit(0.5).cast("decimal(2,1)") * col("l_quantity").cast("decimal(12,2)")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount")) - cost)
+        .cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  /** TPC-H Q13 shape (customer distribution): histogram of per-customer
+    * order counts, one order class excluded. Orders are aggregated
+    * FIRST (map-side combinable count per custkey — the heavy
+    * reduction), then LEFT-joined to customer so zero-order customers
+    * survive with count 0; the final histogram groupBy is
+    * count-cardinality. The declarative left-join-then-count form the
+    * oracle uses would shuffle every (customer × order) row; the
+    * pre-aggregate is the same result one order of magnitude lighter. */
+  def customerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    val c = Tables.customer(spark, dir)
+    c.join(perCust, c("c_custkey") === perCust("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** TPC-H Q17 shape (small-quantity revenue): revenue from orders of
+    * less than 20% of a part's average order quantity, for one brand.
+    * Because brand is a function of partkey, the per-part average over
+    * the brand-filtered rows equals the average over all rows of those
+    * parts — so the brand broadcast-semi-join runs FIRST and the
+    * average is a window over the filtered slice (one shuffle on
+    * partkey) instead of a self-join against a full-table aggregate.
+    * The cutoff is 0.2 × (exact decimal sum / count) evaluated in
+    * double — identical operand order in both engines. */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val pB = Tables.part(spark, dir).filter(col("p_brand") === "Brand#3")
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(spark, dir)
+    val w  = Window.partitionBy(col("l_partkey"))
+    li.join(broadcast(pB), li("l_partkey") === pB("p_partkey"), "left_semi")
+      .withColumn("qty_cut",
+        lit(0.2) * (sum(dec(col("l_quantity"))).over(w).cast("double") /
+          count(lit(1)).over(w)))
+      .filter(col("l_quantity") < col("qty_cut"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0))
+             .as("avg_yearly"),
+           count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    * three OR'd (brand, size-range, quantity-range) clauses. The part
+    * side is pre-filtered to the union of the three brand/size boxes
+    * before broadcasting, and the residual OR lands on the joined row
+    * — the join itself stays a plain equi-join on partkey, which is
+    * what lets it broadcast. */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val box1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 10)
+    val box2 = col("p_brand") === "Brand#2" && col("p_size").between(11, 25)
+    val box3 = col("p_brand") === "Brand#3" && col("p_size").between(26, 50)
+    val p = Tables.part(spark, dir).filter(box1 || box2 || box3)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .filter((box1 && col("l_quantity").between(1, 11)) ||
+              (box2 && col("l_quantity").between(10, 20)) ||
+              (box3 && col("l_quantity").between(20, 30)))
+      .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): lineitems
+    * shipped more than 60 days after the order date, on finished
+    * multi-supplier orders where this supplier was the ONLY late one.
+    * The correlated EXISTS / NOT EXISTS pair is re-expressed as one
+    * per-order aggregate — distinct suppliers and distinct LATE
+    * suppliers — joined back to the late rows: two shuffles on
+    * orderkey (same key, AQE reuses the partitioning) instead of two
+    * correlated scans of lineitem. Top-20 ties broken by name. */
+  def waitingOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === o("o_orderkey"))
+      .withColumn("is_late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+    val stats = l.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+           countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
+    val sup = Tables.supplier(spark, dir)
+    l.filter(col("is_late"))
+      .join(stats, col("l_orderkey") === col("ok"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(20)
+      .select(col("s_name"), col("numwait"))
+  }
+
+  /** TPC-H Q22 shape (dormant customers): customers in a nation set
+    * whose balance is above the average positive balance and who have
+    * placed no order in the final 18 months. The scalar average rides
+    * a broadcast cross join; the "no recent order" NOT EXISTS is a
+    * LEFT ANTI join against the pre-distinct'd recent-customer set
+    * (the distinct is map-side combinable, and the date filter pushes
+    * into the orders scan). */
+  def dormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val nats = Seq(1, 2, 3, 4, 5, 6, 7)
+    val cN = Tables.customer(spark, dir).filter(col("c_nationkey").isin(nats: _*))
+    val avgbal = cN.filter(col("c_acctbal") > 0.0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("a"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-02-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    cN.crossJoin(broadcast(avgbal))
+      .filter(col("c_acctbal") > col("a"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+           sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** TPC-H Q2 shape (minimum-cost supplier): for each part of one
+    * size, the European supplier(s) observed offering it at the lowest
+    * unit price. No partsupp table exists, so the offer book is
+    * derived from lineitem — min unit price (integer cents / integer
+    * quantity, one IEEE division) per (part, supplier). The correlated
+    * min subquery is a window MIN over the region-filtered offers
+    * partitioned by part (one shuffle on partkey); region prunes via
+    * broadcast nation⋈region before anything wide happens. */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val unitCents =
+      floor(col("l_extendedprice") * lit(1.0e2) + lit(5.0e-1)).cast("long") /
+        col("l_quantity").cast("long")
+    val offers = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(unitCents).as("unit_cents"))
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "EUROPE")
+    val euSup = Tables.supplier(spark, dir)
+      .join(broadcast(n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val w = Window.partitionBy(col("l_partkey"))
+    val p = Tables.part(spark, dir).filter(col("p_size") === 10)
+      .select(col("p_partkey"), col("p_name"))
+    offers.join(broadcast(euSup), col("l_suppkey") === euSup("s_suppkey"))
+      .withColumn("mn", min(col("unit_cents")).over(w))
+      .filter(col("unit_cents") === col("mn"))
+      .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+        col("unit_cents"))
+      .orderBy(col("p_partkey"), col("s_name"))
+  }
+
+  /** TPC-H Q11 shape (important parts): parts whose shipped value from
+    * one nation group's suppliers exceeds a fraction of the total.
+    * Value is integer cents × integer quantity — the per-part sums and
+    * the grand total are exact Longs, so the only double op is the
+    * final fraction threshold (same two operands in both engines).
+    * The supplier filter broadcasts; one shuffle on partkey; the
+    * scalar total rides a broadcast cross join. */
+  def importantParts(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey").isin(1, 2, 3)).select(col("s_suppkey"))
+    val cents = floor(col("l_extendedprice") * lit(1.0e2) + lit(5.0e-1)).cast("long")
+    val vals = Tables.lineitem(spark, dir)
+      .join(broadcast(s), col("l_suppkey") === s("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents * col("l_quantity").cast("long")).as("part_value"))
+    val total = vals.agg((sum(col("part_value")).cast("double") * lit(0.002)).as("cut"))
+    vals.crossJoin(broadcast(total))
+      .filter(col("part_value") > col("cut"))
+      .select(col("l_partkey").as("p_partkey"), col("part_value"))
+      .orderBy(desc("part_value"))
+  }
+
+  /** TPC-H Q16 shape (part-supplier relationship count): distinct
+    * suppliers per (brand, type, size) over the lineitem link, with a
+    * NOT-IN supplier exclusion re-expressed as a broadcast LEFT ANTI
+    * join (the excluded set is supplier-cardinality and null-free, so
+    * the semantics coincide). The part attribute filter broadcasts;
+    * the distinct-count aggregate is the only shuffle. */
+  def partsSupplierCount(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(1, 5, 9, 13, 17, 21, 25)
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val bad = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === bad("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+  }
 }
