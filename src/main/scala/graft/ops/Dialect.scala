@@ -71,6 +71,13 @@ trait Dialect {
     * DuckDB uses the relational posexplode + LEAD-window form. The
     * oracle gate is what proves the two renderings identical. */
   def shingleRows(from: String, n: Int): String
+  /** Like [[shingleRows]] but position-aware: CTE chain ending in
+    * `shp(doc_id, pos, s)` where `pos` is the 0-based token position
+    * of the window start. Spark posexplodes the codegen'd
+    * word_shingles array (array index = start position); DuckDB keeps
+    * the LEAD-window form's own token position — the oracle gate
+    * proves the two identical. */
+  def shingleRowsPos(from: String, n: Int): String
   /** Identity used for a shingle downstream (joins/df caps/counts).
     * Spark fingerprints to a 64-bit hash (Broder-style: identical
     * counts w.h.p., ~4× smaller index and a fixed-width join key);
@@ -172,6 +179,11 @@ object SparkDialect extends Dialect {
     s"""sh AS (
        |  SELECT doc_id, s FROM $from
        |  LATERAL VIEW explode(word_shingles(text, $n)) _t AS s
+       |)""".stripMargin
+  def shingleRowsPos(from: String, n: Int): String =
+    s"""shp AS (
+       |  SELECT doc_id, pos, s FROM $from
+       |  LATERAL VIEW posexplode(word_shingles(text, $n)) _t AS pos, s
        |)""".stripMargin
   def shingleId(s: String): String = s"xxhash64($s)"
   def ivfAssign(centCtes: String): String =
@@ -285,6 +297,26 @@ object DuckDialect extends Dialect {
          |  FROM tokp
          |),
          |sh AS (SELECT doc_id, s FROM shn WHERE tlast IS NOT NULL)""".stripMargin
+    }
+  }
+  def shingleRowsPos(from: String, n: Int): String = {
+    val toksCol = split("text", " ")
+    if (n == 1)
+      s"""ctoks AS (SELECT doc_id, $toksCol AS toks FROM $from),
+         |shp AS (${explodeWithPos("SELECT doc_id, toks FROM ctoks", "doc_id", "toks", "pos", "s")})""".stripMargin
+    else {
+      val leads = (1 until n).map(k =>
+        s"LEAD(tkn, $k) OVER (PARTITION BY doc_id ORDER BY pos)")
+      val concatArgs = ("tkn" +: leads).mkString(", ' ', ")
+      s"""ctoks AS (SELECT doc_id, $toksCol AS toks FROM $from),
+         |tokp AS (${explodeWithPos("SELECT doc_id, toks FROM ctoks", "doc_id", "toks", "pos", "tkn")}),
+         |shnp AS (
+         |  SELECT doc_id, pos,
+         |    concat($concatArgs) AS s,
+         |    ${leads.last} AS tlast
+         |  FROM tokp
+         |),
+         |shp AS (SELECT doc_id, pos, s FROM shnp WHERE tlast IS NOT NULL)""".stripMargin
     }
   }
   def shingleId(s: String): String = s

@@ -261,6 +261,63 @@ object SqlOps {
          |GROUP BY c.doc_id""".stripMargin
     })
 
+  /** Cross-document duplicated-span profile — the ExactSubstr dedup
+    * signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better") at 8-token window granularity: for each
+    * doc, how many of its token windows also appear verbatim in
+    * another document, and the longest consecutive duplicated run.
+    * Windows are position-aware shingles; a window is duplicated iff
+    * its shingle occurs in ≥ 2 distinct docs; runs are
+    * gaps-and-islands over the duplicated positions (pos − ROW_NUMBER,
+    * all-integer). flag_substr marks docs whose longest run spans ≥ 8
+    * windows (a ≥ 15-token verbatim overlap) — the remove-this-span
+    * decision input. Scale shape: window df is shingle-cardinality
+    * with map-side partial counts; the join back is one shuffle on the
+    * fixed-width shingle id; runs are a per-doc window — never a
+    * pairwise doc join, unlike true suffix-array ExactSubstr. */
+  def dedupSubstring(d: Dialect): String =
+    s"""WITH docs AS (SELECT doc_id, text FROM documents),
+       |${d.shingleRowsPos("docs", 8)},
+       |win AS (SELECT doc_id, pos, ${d.shingleId("s")} AS sid FROM shp),
+       |df AS (SELECT sid, COUNT(DISTINCT doc_id) AS ndocs FROM win GROUP BY sid),
+       |dup AS (SELECT w.doc_id, w.pos FROM win w JOIN df ON w.sid = df.sid
+       |        WHERE df.ndocs >= 2),
+       |runs AS (SELECT doc_id,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM dup),
+       |runlen AS (SELECT doc_id, grp, COUNT(*) AS run FROM runs GROUP BY doc_id, grp),
+       |da AS (SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_dup,
+       |    CAST(MAX(run) AS BIGINT) AS max_run
+       |  FROM runlen GROUP BY doc_id),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM win GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_windows,
+       |  COALESCE(a.n_dup, 0) AS n_dup_windows,
+       |  COALESCE(a.max_run, 0) AS max_dup_run,
+       |  CASE WHEN COALESCE(a.max_run, 0) >= 8 THEN 1 ELSE 0 END AS flag_substr
+       |FROM tot t LEFT JOIN da a ON t.doc_id = a.doc_id""".stripMargin
+
+  /** Unigram language-model surprisal score (the CCNet/KenLM
+    * quality-filter analogue, integer-exact): a token's surprisal is
+    * its floor-log2 code length ⌊log2 N⌋ − ⌊log2 c⌋ bits, computed
+    * EXACTLY in both engines as length(bin(N)) − length(bin(c)); a
+    * doc's score is the total and mean bits per token. Rare-token-
+    * heavy docs score high, boilerplate scores low — the standard
+    * perplexity-bucket signal, denominated in integers so the only
+    * float op is the final mean (one division of two exact values).
+    * One vocab-cardinality count (map-side combinable), a token→vocab
+    * join on the token, one per-doc aggregate; the corpus total rides
+    * a broadcastable 1-row cross join. */
+  def textUnigramLm(d: Dialect): String =
+    s"""WITH docs AS (SELECT doc_id, text FROM documents),
+       |${d.shingleRows("docs", 1)},
+       |gc AS (SELECT s, COUNT(*) AS c FROM sh GROUP BY s),
+       |n AS (SELECT COUNT(*) AS nn FROM sh)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(length(bin(nn)) - length(bin(c))) AS BIGINT) AS total_bits,
+       |  CAST(SUM(length(bin(nn)) - length(bin(c))) AS DOUBLE) / COUNT(*) AS mean_bits
+       |FROM sh JOIN gc ON sh.s = gc.s CROSS JOIN n
+       |GROUP BY doc_id""".stripMargin
+
   /** 32-bit SimHash CTEs over the corpus: md5-derived per-token 32-bit
     * values, per-bit signed majority, reassembled digest. 32 bits keeps
     * the random-collision rate of the band join negligible (16 bits
