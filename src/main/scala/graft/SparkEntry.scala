@@ -384,8 +384,8 @@ object SparkEntry {
 
     // -- text analysis (documents) --
     "q_text_tokens" -> sqlq(Seq("documents"), SqlOps.textTokens),
-    "q_dedup_substring" -> sqlq(Seq("documents"), SqlOps.dedupSubstring),
-    "q_text_unigram_lm" -> sqlq(Seq("documents"), SqlOps.textUnigramLm),
+    "q_dedup_substring" -> sqlStaged(Seq("documents"), SqlOps.dedupSubstring),
+    "q_text_unigram_lm" -> sqlStaged(Seq("documents"), SqlOps.textUnigramLm),
     "q_text_langid" -> sqlq(Seq("documents"), SqlOps.textLangId),
     "q_text_langid_eval" -> sqlq(Seq("documents"), SqlOps.textLangIdEval),
     "q_text_quality" -> sqlq(Seq("documents"), SqlOps.textQuality),
@@ -973,8 +973,8 @@ object SparkEntry {
     "q_ann_ivf" -> SqlOps.annIvf.single(DuckDialect),
     "q_ann_pq" -> SqlOps.annPq.single(DuckDialect),
     "q_text_tokens" -> SqlOps.textTokens(DuckDialect),
-    "q_dedup_substring" -> SqlOps.dedupSubstring(DuckDialect),
-    "q_text_unigram_lm" -> SqlOps.textUnigramLm(DuckDialect),
+    "q_dedup_substring" -> SqlOps.dedupSubstring.single(DuckDialect),
+    "q_text_unigram_lm" -> SqlOps.textUnigramLm.single(DuckDialect),
     "q_text_langid" -> SqlOps.textLangId(DuckDialect),
     "q_text_langid_eval" -> SqlOps.textLangIdEval(DuckDialect),
     "q_text_quality" -> SqlOps.textQuality(DuckDialect),

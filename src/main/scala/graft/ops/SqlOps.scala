@@ -275,26 +275,37 @@ object SqlOps {
     * with map-side partial counts; the join back is one shuffle on the
     * fixed-width shingle id; runs are a per-doc window — never a
     * pairwise doc join, unlike true suffix-array ExactSubstr. */
-  def dedupSubstring(d: Dialect): String =
-    s"""WITH docs AS (SELECT doc_id, text FROM documents),
-       |${d.shingleRowsPos("docs", 8)},
-       |win AS (SELECT doc_id, pos, ${d.shingleId("s")} AS sid FROM shp),
-       |df AS (SELECT sid, COUNT(DISTINCT doc_id) AS ndocs FROM win GROUP BY sid),
-       |dup AS (SELECT w.doc_id, w.pos FROM win w JOIN df ON w.sid = df.sid
-       |        WHERE df.ndocs >= 2),
-       |runs AS (SELECT doc_id,
-       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-       |  FROM dup),
-       |runlen AS (SELECT doc_id, grp, COUNT(*) AS run FROM runs GROUP BY doc_id, grp),
-       |da AS (SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_dup,
-       |    CAST(MAX(run) AS BIGINT) AS max_run
-       |  FROM runlen GROUP BY doc_id),
-       |tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM win GROUP BY doc_id)
-       |SELECT t.doc_id, t.n_windows,
-       |  COALESCE(a.n_dup, 0) AS n_dup_windows,
-       |  COALESCE(a.max_run, 0) AS max_dup_run,
-       |  CASE WHEN COALESCE(a.max_run, 0) >= 8 THEN 1 ELSE 0 END AS flag_substr
-       |FROM tot t LEFT JOIN da a ON t.doc_id = a.doc_id""".stripMargin
+  val dedupSubstring: StagedOp = StagedOp(
+    stages = Seq(
+      // the position-aware window index (doc, start-pos, window id) —
+      // the heavy token pipeline runs ONCE here; the body's three
+      // references (df, dup join, totals) scan the columnar artifact.
+      // Spark would otherwise inline this CTE per reference and run
+      // the 8-LEAD shingle explode three times (ScanAudit caught it)
+      "ss_win" -> { d =>
+        s"""WITH docs AS (SELECT doc_id, text FROM documents),
+           |${d.shingleRowsPos("docs", 8)}
+           |SELECT doc_id, pos, ${d.shingleId("s")} AS sid FROM shp""".stripMargin
+      }),
+    body = { _ =>
+      s"""WITH df AS (SELECT sid, COUNT(DISTINCT doc_id) AS ndocs
+         |  FROM ss_win GROUP BY sid),
+         |dup AS (SELECT w.doc_id, w.pos FROM ss_win w JOIN df ON w.sid = df.sid
+         |        WHERE df.ndocs >= 2),
+         |runs AS (SELECT doc_id,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM dup),
+         |runlen AS (SELECT doc_id, grp, COUNT(*) AS run FROM runs GROUP BY doc_id, grp),
+         |da AS (SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_dup,
+         |    CAST(MAX(run) AS BIGINT) AS max_run
+         |  FROM runlen GROUP BY doc_id),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM ss_win GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_windows,
+         |  COALESCE(a.n_dup, 0) AS n_dup_windows,
+         |  COALESCE(a.max_run, 0) AS max_dup_run,
+         |  CASE WHEN COALESCE(a.max_run, 0) >= 8 THEN 1 ELSE 0 END AS flag_substr
+         |FROM tot t LEFT JOIN da a ON t.doc_id = a.doc_id""".stripMargin
+    })
 
   /** Unigram language-model surprisal score (the CCNet/KenLM
     * quality-filter analogue, integer-exact): a token's surprisal is
@@ -307,16 +318,29 @@ object SqlOps {
     * One vocab-cardinality count (map-side combinable), a token→vocab
     * join on the token, one per-doc aggregate; the corpus total rides
     * a broadcastable 1-row cross join. */
-  def textUnigramLm(d: Dialect): String =
-    s"""WITH docs AS (SELECT doc_id, text FROM documents),
-       |${d.shingleRows("docs", 1)},
-       |gc AS (SELECT s, COUNT(*) AS c FROM sh GROUP BY s),
-       |n AS (SELECT COUNT(*) AS nn FROM sh)
-       |SELECT doc_id, COUNT(*) AS n_tokens,
-       |  CAST(SUM(length(bin(nn)) - length(bin(c))) AS BIGINT) AS total_bits,
-       |  CAST(SUM(length(bin(nn)) - length(bin(c))) AS DOUBLE) / COUNT(*) AS mean_bits
-       |FROM sh JOIN gc ON sh.s = gc.s CROSS JOIN n
-       |GROUP BY doc_id""".stripMargin
+  val textUnigramLm: StagedOp = StagedOp(
+    stages = Seq(
+      // per-(doc, token) term frequencies — the token explode runs
+      // ONCE; the body's two references (vocab window + corpus total)
+      // scan the columnar artifact. Global count per token is then a
+      // token-partitioned window over tf (the tfidf df trick), not a
+      // separate vocab join
+      "ulm_tf" -> { d =>
+        s"""WITH docs AS (SELECT doc_id, text FROM documents),
+           |${d.shingleRows("docs", 1)}
+           |SELECT doc_id, s, COUNT(*) AS tf FROM sh GROUP BY doc_id, s""".stripMargin
+      }),
+    body = { _ =>
+      s"""WITH c AS (SELECT doc_id, tf,
+         |    CAST(SUM(tf) OVER (PARTITION BY s) AS BIGINT) AS c FROM ulm_tf),
+         |n AS (SELECT CAST(SUM(tf) AS BIGINT) AS nn FROM ulm_tf)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(tf * (length(bin(nn)) - length(bin(c)))) AS BIGINT) AS total_bits,
+         |  CAST(SUM(tf * (length(bin(nn)) - length(bin(c)))) AS DOUBLE) /
+         |    CAST(SUM(tf) AS BIGINT) AS mean_bits
+         |FROM c CROSS JOIN n
+         |GROUP BY doc_id""".stripMargin
+    })
 
   /** 32-bit SimHash CTEs over the corpus: md5-derived per-token 32-bit
     * values, per-bit signed majority, reassembled digest. 32 bits keeps
