@@ -543,6 +543,56 @@ class OpsSpec extends SparkSpec {
     assert(actual === expected)
   }
 
+  test("duplicated-span profile matches an independent Scala reimplementation") {
+    // the body SQL is dialect-shared (same string in both engines), so
+    // the oracle gate is structurally blind to a bug in the run-length
+    // logic — rebuild windows, cross-doc df, and gaps-and-islands runs
+    // in plain Scala from the raw table
+    val docs = graft.Tables.documents(spark, sf001)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val winByDoc = docs.map { case (id, t) =>
+      (id, t.split(" ", -1).sliding(8).filter(_.length == 8).map(_.mkString(" ")).toArray)
+    }
+    val docsPerWin = winByDoc
+      .flatMap { case (id, ws) => ws.distinct.map(w => (w, id)) }
+      .groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).distinct.length) }
+    val expected = winByDoc.filter(_._2.nonEmpty).map { case (id, ws) =>
+      val dup = ws.map(w => docsPerWin(w) >= 2)
+      var run = 0; var maxRun = 0
+      dup.foreach { d => if (d) { run += 1; maxRun = math.max(maxRun, run) } else run = 0 }
+      (id, (ws.length.toLong, dup.count(identity).toLong, maxRun.toLong,
+        if (maxRun >= 8) 1 else 0))
+    }.toMap
+    val actual = run("q_dedup_substring").collect().map { r =>
+      (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"),
+          r.getAs[Long]("max_dup_run"), r.getAs[Int]("flag_substr")))
+    }.toMap
+    assert(actual === expected)
+  }
+
+  test("unigram surprisal matches an independent Scala reimplementation") {
+    // same oracle-blindness class: the floor-log2 bit arithmetic is a
+    // shared SQL string — recompute ⌊log2⌋ code lengths from scratch
+    def bits(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val docs = graft.Tables.documents(spark, sf001)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text").split(" ", -1)))
+    val counts = docs.flatMap(_._2).groupBy(identity).map { case (t, o) => (t, o.length.toLong) }
+    val n = counts.values.sum
+    val expected = docs.map { case (id, toks) =>
+      val total = toks.map(t => (bits(n) - bits(counts(t))).toLong).sum
+      (id, (toks.length.toLong, total, total.toDouble / toks.length))
+    }.toMap
+    val actual = run("q_text_unigram_lm").collect().map { r =>
+      (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("total_bits"),
+          r.getAs[Double]("mean_bits")))
+    }.toMap
+    assert(actual === expected)
+  }
+
   test("pagerank step matches an independent Scala reimplementation") {
     // rebuild the one damped power step from the SAME candidate pairs
     // (q_dedup_minhash) with plain Scala integer arithmetic
