@@ -146,6 +146,42 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"nothing should sort-merge here:\n$plan")
   }
 
+  test("forecast revenue: all three predicates push into the lineitem scan, no joins") {
+    val plan = planOf("q_forecast_revenue")
+    // the PushedFilters list is elided ("...") in toString — assert the
+    // visible prefix covers all three columns, plus the shipdate bound
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual(l_shipda"), s"filters not pushed:\n$plan")
+    assert(!plan.contains("Join"), s"Q6 must be join-free:\n$plan")
+  }
+
+  test("market share and local supplier volume broadcast every dimension side") {
+    Seq("q_market_share", "q_local_supplier_volume").foreach { q =>
+      val plan = planOf(q)
+      assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+        s"$q should broadcast its dimension joins:\n$plan")
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).length <= 2,
+        s"$q should shuffle only fact-fact joins:\n$plan")
+    }
+  }
+
+  test("waiting orders: top-20 is TakeOrdered; the EXISTS pair is one aggregate, not correlated scans") {
+    val plan = planOf("q_waiting_orders")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-20 must not globally sort:\n$plan")
+    // the per-order stats side re-reads (lineitem ⋈ orders) once — a
+    // correlated-subquery translation would plan lineitem 3×
+    assert("FileScan parquet.*lineitem|Location.*lineitem".r.findAllIn(plan).length <= 2,
+      s"lineitem scanned more than twice:\n$plan")
+  }
+
+  test("staged text ops never re-run the token pipeline in the body") {
+    Seq("q_dedup_substring", "q_text_unigram_lm").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("word_shingles") && !plan.contains("Generate"),
+        s"$q body should scan the staged artifact, not re-explode:\n$plan")
+    }
+  }
+
   test("no accidental cartesian products outside the literal-band range join") {
     SparkEntry.queries.keys.filterNot(_ == "q_range_join").foreach { q =>
       val plan =
