@@ -166,6 +166,8 @@ object SparkEntry {
       Seq("documents")  -> SqlOps.dedupPrefix, // pfx_dsh
       Seq("documents")  -> SqlOps.dedupSimhashPairs,
       Seq("documents")  -> SqlOps.contaminationBloom, // ctm_srcd → ctm_bsh + ctm_csh
+      Seq("documents")  -> SqlOps.dedupSubstring, // ss_win
+      Seq("documents")  -> SqlOps.textUnigramLm, // ulm_tf
       Seq("embeddings") -> SqlOps.annIvf // builds emb_nv + ivf_nvc (kmeansStep shares them)
     ).foreach { case (views, op) => buildStages(views, op)(s, d) }
   }

@@ -793,19 +793,27 @@ object Relational {
     val unitCents =
       floor(col("l_extendedprice") * lit(1.0e2) + lit(5.0e-1)).cast("long") /
         col("l_quantity").cast("long")
-    val offers = Tables.lineitem(spark, dir)
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(unitCents).as("unit_cents"))
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir).filter(col("r_name") === "EUROPE")
     val euSup = Tables.supplier(spark, dir)
       .join(broadcast(n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
-    val w = Window.partitionBy(col("l_partkey"))
     val p = Tables.part(spark, dir).filter(col("p_size") === 10)
       .select(col("p_partkey"), col("p_name"))
-    offers.join(broadcast(euSup), col("l_suppkey") === euSup("s_suppkey"))
+    // both restrictions commute below the offer aggregate: the output
+    // is filtered to size-10 parts, and the per-part min ranges over
+    // EUROPE offers only — so lineitem is cut by two broadcast
+    // (semi-)joins to ~2% BEFORE the (partkey, suppkey) shuffle,
+    // instead of aggregating the full offer book and discarding 98%
+    val offers = Tables.lineitem(spark, dir)
+      .join(broadcast(p.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(euSup), col("l_suppkey") === euSup("s_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"), col("s_name"), col("n_name"))
+      .agg(min(unitCents).as("unit_cents"))
+    val w = Window.partitionBy(col("l_partkey"))
+    offers
       .withColumn("mn", min(col("unit_cents")).over(w))
       .filter(col("unit_cents") === col("mn"))
       .join(broadcast(p), col("l_partkey") === p("p_partkey"))
