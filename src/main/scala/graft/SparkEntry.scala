@@ -387,6 +387,7 @@ object SparkEntry {
     // -- text analysis (documents) --
     "q_text_tokens" -> sqlq(Seq("documents"), SqlOps.textTokens),
     "q_dedup_substring" -> sqlStaged(Seq("documents"), SqlOps.dedupSubstring),
+    "q_mix_temperature" -> sqlq(Seq("documents"), SqlOps.mixTemperature),
     "q_text_unigram_lm" -> sqlStaged(Seq("documents"), SqlOps.textUnigramLm),
     "q_text_langid" -> sqlq(Seq("documents"), SqlOps.textLangId),
     "q_text_langid_eval" -> sqlq(Seq("documents"), SqlOps.textLangIdEval),
@@ -976,6 +977,7 @@ object SparkEntry {
     "q_ann_pq" -> SqlOps.annPq.single(DuckDialect),
     "q_text_tokens" -> SqlOps.textTokens(DuckDialect),
     "q_dedup_substring" -> SqlOps.dedupSubstring.single(DuckDialect),
+    "q_mix_temperature" -> SqlOps.mixTemperature(DuckDialect),
     "q_text_unigram_lm" -> SqlOps.textUnigramLm.single(DuckDialect),
     "q_text_langid" -> SqlOps.textLangId(DuckDialect),
     "q_text_langid_eval" -> SqlOps.textLangIdEval(DuckDialect),

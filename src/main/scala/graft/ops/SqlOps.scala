@@ -342,6 +342,38 @@ object SqlOps {
          |GROUP BY doc_id""".stripMargin
     })
 
+  /** Temperature-weighted source-mixture allocation (the data-mixing
+    * step of multi-source training pipelines): each source's sampling
+    * mass is its char volume tempered by τ=0.5 (√mass — flattens the
+    * head like the multilingual-sampling exponent), and a budget of
+    * 1000 samples is split by the largest-remainder method so the
+    * allocation is integer-exact and sums to the budget exactly.
+    * ⌊√mass⌋ is safe cross-engine (IEEE sqrt is correctly rounded;
+    * exact squares stay exact); ⌊1000·wt/tw⌋ is the documented
+    * FLOOR-on-division case (quotient gaps ≥ 1/tw dwarf one ulp).
+    * Everything after the one map-side-combinable groupBy is
+    * source-cardinality — the unpartitioned windows are bounded by the
+    * source count at any corpus size. */
+  def mixTemperature(d: Dialect): String =
+    s"""WITH sc AS (SELECT source, COUNT(*) AS cnt,
+       |    CAST(SUM(n_chars) AS BIGINT) AS mass
+       |  FROM documents GROUP BY source),
+       |w AS (SELECT source, cnt, mass,
+       |    CAST(FLOOR(SQRT(CAST(mass AS DOUBLE))) AS BIGINT) AS wt FROM sc),
+       |t AS (SELECT source, cnt, mass, wt,
+       |    CAST(SUM(wt) OVER () AS BIGINT) AS tw FROM w),
+       |alloc AS (SELECT source, cnt, mass, wt,
+       |    CAST(FLOOR((1000.0 * wt) / tw) AS BIGINT) AS base,
+       |    (1000 * wt) % tw AS rem
+       |  FROM t),
+       |ranked AS (SELECT source, cnt, mass, wt, base,
+       |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+       |    CAST(1000 - SUM(base) OVER () AS BIGINT) AS leftover
+       |  FROM alloc)
+       |SELECT source, cnt, mass, wt,
+       |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+       |FROM ranked""".stripMargin
+
   /** 32-bit SimHash CTEs over the corpus: md5-derived per-token 32-bit
     * values, per-bit signed majority, reassembled digest. 32 bits keeps
     * the random-collision rate of the band join negligible (16 bits

@@ -593,6 +593,16 @@ class OpsSpec extends SparkSpec {
     assert(actual === expected)
   }
 
+  test("temperature mixture allocates exactly the budget, flatter than raw mass") {
+    val rows = run("q_mix_temperature").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("mass"), r.getAs[Long]("n_alloc")))
+    assert(rows.map(_._3).sum === 1000L, "largest-remainder must hit the budget exactly")
+    // tempering: the max/min allocation ratio must not exceed the
+    // max/min mass ratio (√ flattens the head)
+    val (mx, mn) = (rows.maxBy(_._2), rows.minBy(_._2))
+    assert(mx._3.toDouble / mn._3 <= mx._2.toDouble / mn._2 + 1e-9)
+  }
+
   test("pagerank step matches an independent Scala reimplementation") {
     // rebuild the one damped power step from the SAME candidate pairs
     // (q_dedup_minhash) with plain Scala integer arithmetic
