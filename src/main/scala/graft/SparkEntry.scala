@@ -225,6 +225,7 @@ object SparkEntry {
     "q_cube" -> Relational.cubeRevenue _,
     "q_window_lag" -> Relational.orderGapDays _,
     "q_pivot" -> Relational.pivotStatusByPriority _,
+    "q_unpivot" -> Relational.unpivotStatusMetrics _,
     "q_set_ops" -> Relational.nationSetOps _,
     "q_union_slices" -> Relational.unionSlices _,
     "q_above_avg" -> Relational.aboveAvgOrders _,
@@ -524,6 +525,19 @@ object SparkEntry {
       s"""$MERGE_CTES
          |SELECT ${mergeCols.map(c => s"CASE WHEN s.link IS NOT NULL THEN s.$c ELSE m.$c END AS $c").mkString(", ")}
          |FROM main m FULL JOIN staging s ON m.link = s.link""".stripMargin,
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderstatus,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |    CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+        |  FROM orders GROUP BY o_orderstatus
+        |)
+        |SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM wide
+        |UNION ALL
+        |SELECT o_orderstatus, 'revenue' AS metric, revenue AS value FROM wide
+        |UNION ALL
+        |SELECT o_orderstatus, 'max_price' AS metric, max_price AS value FROM wide""".stripMargin,
     "q_merge_inserted_count" ->
       s"""$MERGE_CTES
          |SELECT COUNT(*) AS n_inserted FROM staging s

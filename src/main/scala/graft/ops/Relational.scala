@@ -264,6 +264,24 @@ object Relational {
         count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
       .orderBy(col("o_orderpriority"))
 
+  /** Unpivot (melt): the wide per-status aggregate re-shaped to long
+    * (status, metric, value) rows via the native Dataset.unpivot — a
+    * narrow Expand over the one aggregated row per status, no extra
+    * shuffle. All measures cast to double for a union-compatible value
+    * column. */
+  def unpivotStatusMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+           sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+           max(col("o_totalprice")).cast("double").as("max_price"))
+    wide.unpivot(
+        Array(col("o_orderstatus")),
+        Array(col("n_orders"), col("revenue"), col("max_price")),
+        "metric", "value")
+      .orderBy(col("o_orderstatus"), col("metric"))
+  }
+
   /** Set ops: suppliers' nations INTERSECT customers' nations, minus
     * nations only customers live in (EXCEPT) — union-compatible sets. */
   def nationSetOps(spark: SparkSession, dir: String): DataFrame = {
