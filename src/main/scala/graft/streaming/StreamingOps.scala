@@ -295,6 +295,58 @@ object StreamingOps {
       }
   }
 
+  case class WinRow(doc_id: Long, ts: java.sql.Timestamp, sid: Long)
+  case class WinState(ids: List[Long])
+  case class SpanPair(doc_a: Long, doc_b: Long, sid: Long)
+
+  /** Streaming counterpart of the batch duplicated-span profile
+    * (q_dedup_substring): each arriving doc's 8-token windows are
+    * keyed by window hash; when a key has already been carried by
+    * another doc, the (earlier, later) pair is emitted as span-
+    * duplication evidence — the same (doc_a, doc_b, window) triples
+    * the batch window index yields by self-join, discovered
+    * incrementally. State per window key is the distinct member doc
+    * list, expired past the event-time horizon. Intra-doc window
+    * repeats are deduplicated by the membership check, so a doc pairs
+    * with each prior carrier at most once per window key. */
+  def substringCandidates(docs: DataFrame, watermark: String = "10 minutes",
+                          horizonMinutes: Int = 60): Dataset[SpanPair] = {
+    import docs.sparkSession.implicits._
+    val horizonUs = horizonMinutes * 60L * 1000000L
+    docs
+      .selectExpr("doc_id", "ts", "explode(word_shingles(text, 8)) AS s")
+      .selectExpr("doc_id", "ts", "xxhash64(s) AS sid")
+      .withWatermark("ts", watermark)
+      .as[WinRow]
+      .groupByKey(_.sid)
+      .flatMapGroupsWithState[WinState, SpanPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (sid: Long, rows: Iterator[WinRow], state: GroupState[WinState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.map(_.ids).getOrElse(Nil)
+            // deterministic intra-batch order so reruns emit the same
+            // pair stream regardless of partition-internal ordering
+            val batch = rows.toList.sortBy(r => (r.ts.getTime, r.doc_id))
+            val maxUs = batch.map(_.ts.getTime * 1000L).max
+            val pairs = batch.flatMap { r =>
+              if (members.contains(r.doc_id)) Nil
+              else {
+                val ps = members.map(m =>
+                  SpanPair(math.min(m, r.doc_id), math.max(m, r.doc_id), sid))
+                members = r.doc_id :: members
+                ps
+              }
+            }
+            state.update(WinState(members))
+            state.setTimeoutTimestamp(math.max(
+              (maxUs + horizonUs + 999L) / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            pairs.iterator
+          }
+      }
+  }
+
   /** Micro-batch upsert: the reference's staging+merge load applied per
     * micro-batch (`Trigger.AvailableNow` over a landing directory gives
     * exactly the reference's idempotent daily-batch semantics). The

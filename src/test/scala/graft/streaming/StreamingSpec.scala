@@ -348,6 +348,44 @@ class StreamingSpec extends SparkSpec {
       s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
   }
 
+  test("streaming substring candidates equal the batch window-index pair set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.registerAll(spark)
+    // plain documents (no snapshot doubling): the batch op's dup rule
+    // is "window carried by >= 2 distinct docs"
+    val docs = graft.Tables.documents(spark, sf001)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val base = ts(0).getTime
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.substringCandidates(df)
+      .writeStream.outputMode("append").format("memory").queryName("ssc").start()
+    in.addData(docs.zipWithIndex.map { case ((id, t), i) =>
+      (id, new Timestamp(base + i * 10L), t) }.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("ssc").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("sid")))
+      .toSet
+    q.stop()
+    // batch truth: the distinct (doc, window-hash) index self-joined
+    val win = graft.Tables.documents(spark, sf001)
+      .selectExpr("doc_id", "explode(word_shingles(text, 8)) AS s")
+      .selectExpr("doc_id", "xxhash64(s) AS sid").distinct()
+    val expected = win.as("a").join(win.as("b"), "sid")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"), col("sid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === expected,
+      s"stream-only=${(streamed -- expected).take(3)} batch-only=${(expected -- streamed).take(3)}")
+    // link to the batch query: exactly the docs in some pair have
+    // duplicated windows in q_dedup_substring
+    val flagged = graft.SparkEntry.queries("q_dedup_substring")(spark, sf001)
+      .filter(col("n_dup_windows") > 0).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(streamed.flatMap(p => Set(p._1, p._2)) === flagged)
+  }
+
   test("streaming funnel matches the batch funnel stage counts on the events table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
