@@ -278,27 +278,12 @@ object DuckDialect extends Dialect {
   def percentileCont(x: String, p: String): String = s"quantile_cont($x, $p)"
   def arrayAggSortedStr(x: String): String =
     s"array_to_string(list_sort(list($x)), ',')"
-  def shingleRows(from: String, n: Int): String = {
-    val toksCol = split("text", " ")
-    if (n == 1)
-      // 1-grams are just the tokens — no LEAD window needed
-      s"""ctoks AS (SELECT doc_id, $toksCol AS toks FROM $from),
-         |sh AS (${explode("SELECT doc_id, toks FROM ctoks", "doc_id", "toks", "s")})""".stripMargin
-    else {
-      val leads = (1 until n).map(k =>
-        s"LEAD(tkn, $k) OVER (PARTITION BY doc_id ORDER BY pos)")
-      val concatArgs = (s"tkn" +: leads).mkString(", ' ', ")
-      s"""ctoks AS (SELECT doc_id, $toksCol AS toks FROM $from),
-         |tokp AS (${explodeWithPos("SELECT doc_id, toks FROM ctoks", "doc_id", "toks", "pos", "tkn")}),
-         |shn AS (
-         |  SELECT doc_id,
-         |    concat($concatArgs) AS s,
-         |    ${leads.last} AS tlast
-         |  FROM tokp
-         |),
-         |sh AS (SELECT doc_id, s FROM shn WHERE tlast IS NOT NULL)""".stripMargin
-    }
-  }
+  // positionless form = the position-aware pipeline + a pos-dropping
+  // projection, so the tricky LEAD/concat window SQL lives in exactly
+  // one builder and cannot drift between the two
+  def shingleRows(from: String, n: Int): String =
+    s"""${shingleRowsPos(from, n)},
+       |sh AS (SELECT doc_id, s FROM shp)""".stripMargin
   def shingleRowsPos(from: String, n: Int): String = {
     val toksCol = split("text", " ")
     if (n == 1)

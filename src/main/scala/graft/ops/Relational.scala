@@ -40,6 +40,12 @@ object Relational {
     price.cast("decimal(12,2)") *
       (lit(1).cast("decimal(4,2)") - discount.cast("decimal(4,2)"))
 
+  /** Round-half-up integer-cents view of a money double
+    * (⌊x·100 + ½⌋) — the single-sourced rule the offer-book and
+    * part-value queries share with their oracles. */
+  private def cents(c: Column): Column =
+    floor(c * lit(1.0e2) + lit(5.0e-1)).cast("long")
+
   /** TPC-H Q1-shaped pricing summary: the canonical wide aggregation.
     * Whole-stage-codegen'd hash aggregate with map-side partial agg. */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
@@ -603,7 +609,7 @@ object Relational {
     val o  = Tables.orders(spark, dir)
     li.join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
       .join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
               (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
       .groupBy(col("supp_nation"), col("cust_nation"),
@@ -639,7 +645,7 @@ object Relational {
     li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
       .join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
         sum(when(col("supp_nation") === "NATION_3",
@@ -808,9 +814,7 @@ object Relational {
     * partitioned by part (one shuffle on partkey); region prunes via
     * broadcast nation⋈region before anything wide happens. */
   def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val unitCents =
-      floor(col("l_extendedprice") * lit(1.0e2) + lit(5.0e-1)).cast("long") /
-        col("l_quantity").cast("long")
+    val unitCents = cents(col("l_extendedprice")) / col("l_quantity").cast("long")
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir).filter(col("r_name") === "EUROPE")
     val euSup = Tables.supplier(spark, dir)
@@ -850,11 +854,11 @@ object Relational {
   def importantParts(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.supplier(spark, dir)
       .filter(col("s_nationkey").isin(1, 2, 3)).select(col("s_suppkey"))
-    val cents = floor(col("l_extendedprice") * lit(1.0e2) + lit(5.0e-1)).cast("long")
     val vals = Tables.lineitem(spark, dir)
       .join(broadcast(s), col("l_suppkey") === s("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"))
-      .agg(sum(cents * col("l_quantity").cast("long")).as("part_value"))
+      .agg(sum(cents(col("l_extendedprice")) * col("l_quantity").cast("long"))
+        .as("part_value"))
     val total = vals.agg((sum(col("part_value")).cast("double") * lit(0.002)).as("cut"))
     vals.crossJoin(broadcast(total))
       .filter(col("part_value") > col("cut"))

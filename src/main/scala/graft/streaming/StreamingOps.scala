@@ -226,8 +226,32 @@ object StreamingOps {
   }
 
   case class BandRow(doc_id: Long, ts: java.sql.Timestamp, band: Int, bkey: String)
-  case class BandState(ids: List[Long])
+  case class BandState(ids: List[Long], maxUs: Long = 0L)
   case class CandPair(doc_a: Long, doc_b: Long, band: Int)
+
+  /** Shared keyed-state step for the candidate emitters
+    * ([[minhashCandidates]], [[substringCandidates]]): deterministic
+    * (ts, id) batch order, membership-deduplicated member list,
+    * normalized (min, max) pair emission against prior members, and a
+    * MONOTONE max event time — a late-but-valid row must never shrink
+    * an already-armed expiry, so the timeout is re-derived from the
+    * max ever seen, not from this batch alone.
+    * Returns (members, maxSeenUs, pairs). */
+  private[streaming] def pairStep(members0: List[Long], maxSeen0: Long,
+                       batch: List[(Long, Long)]): (List[Long], Long, List[(Long, Long)]) = {
+    val sorted = batch.sortBy(identity)
+    val maxUs = math.max(maxSeen0, sorted.map(_._1 * 1000L).max)
+    var members = members0
+    val pairs = sorted.flatMap { case (_, id) =>
+      if (members.contains(id)) Nil
+      else {
+        val ps = members.map(m => (math.min(m, id), math.max(m, id)))
+        members = id :: members
+        ps
+      }
+    }
+    (members, maxUs, pairs)
+  }
 
   /** Streaming near-duplicate candidate detection — the incremental
     * twin of the batch minhash LSH ([[graft.ops.SqlOps.dedupMinhash]]):
@@ -273,30 +297,21 @@ object StreamingOps {
         (key: (Int, String), rows: Iterator[BandRow], state: GroupState[BandState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val prior = state.getOption.map(_.ids).getOrElse(Nil)
-            // deterministic intra-batch order so reruns emit the same
-            // pair stream regardless of partition-internal ordering
-            val batch = rows.toList.sortBy(r => (r.ts.getTime, r.doc_id))
-            val maxUs = batch.map(_.ts.getTime * 1000L).max
-            var members = prior
-            val pairs = batch.flatMap { r =>
-              val ps = members.filter(_ != r.doc_id).map { m =>
-                CandPair(math.min(m, r.doc_id), math.max(m, r.doc_id), key._1)
-              }
-              members = r.doc_id :: members
-              ps
-            }
-            state.update(BandState(members))
+            val st = state.getOption
+            val (members, maxUs, ps) = pairStep(
+              st.map(_.ids).getOrElse(Nil), st.map(_.maxUs).getOrElse(0L),
+              rows.toList.map(r => (r.ts.getTime, r.doc_id)))
+            state.update(BandState(members, maxUs))
             state.setTimeoutTimestamp(math.max(
               (maxUs + horizonUs + 999L) / 1000L,
               state.getCurrentWatermarkMs() + 1L))
-            pairs.iterator
+            ps.iterator.map { case (a, b) => CandPair(a, b, key._1) }
           }
       }
   }
 
   case class WinRow(doc_id: Long, ts: java.sql.Timestamp, sid: Long)
-  case class WinState(ids: List[Long])
+  case class WinState(ids: List[Long], maxUs: Long = 0L)
   case class SpanPair(doc_a: Long, doc_b: Long, sid: Long)
 
   /** Streaming counterpart of the batch duplicated-span profile
@@ -324,25 +339,15 @@ object StreamingOps {
         (sid: Long, rows: Iterator[WinRow], state: GroupState[WinState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var members = state.getOption.map(_.ids).getOrElse(Nil)
-            // deterministic intra-batch order so reruns emit the same
-            // pair stream regardless of partition-internal ordering
-            val batch = rows.toList.sortBy(r => (r.ts.getTime, r.doc_id))
-            val maxUs = batch.map(_.ts.getTime * 1000L).max
-            val pairs = batch.flatMap { r =>
-              if (members.contains(r.doc_id)) Nil
-              else {
-                val ps = members.map(m =>
-                  SpanPair(math.min(m, r.doc_id), math.max(m, r.doc_id), sid))
-                members = r.doc_id :: members
-                ps
-              }
-            }
-            state.update(WinState(members))
+            val st = state.getOption
+            val (members, maxUs, ps) = pairStep(
+              st.map(_.ids).getOrElse(Nil), st.map(_.maxUs).getOrElse(0L),
+              rows.toList.map(r => (r.ts.getTime, r.doc_id)))
+            state.update(WinState(members, maxUs))
             state.setTimeoutTimestamp(math.max(
               (maxUs + horizonUs + 999L) / 1000L,
               state.getCurrentWatermarkMs() + 1L))
-            pairs.iterator
+            ps.iterator.map { case (a, b) => SpanPair(a, b, sid) }
           }
       }
   }

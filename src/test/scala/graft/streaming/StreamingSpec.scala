@@ -386,6 +386,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.flatMap(p => Set(p._1, p._2)) === flagged)
   }
 
+  test("pairStep: late rows never shrink the seen horizon; members dedup; pairs normalized") {
+    // monotone max: a late-but-valid row (earlier ts) must not move
+    // the expiry backwards — the timeout is re-armed from maxUs
+    val (m1, max1, p1) = StreamingOps.pairStep(Nil, 0L, List((1000L, 7L)))
+    assert(max1 === 1000L * 1000L && p1.isEmpty && m1 === List(7L))
+    val (m2, max2, p2) = StreamingOps.pairStep(m1, max1, List((900L, 3L)))
+    assert(max2 === max1, "late row shrank the seen horizon")
+    assert(p2 === List((3L, 7L)), "pair not normalized (min, max)")
+    // intra-key repeat of the same doc adds no member and no self-pair
+    val (m3, _, p3) = StreamingOps.pairStep(m2, max2, List((950L, 7L)))
+    assert(m3.toSet === Set(3L, 7L) && p3.isEmpty)
+    // deterministic order: two new docs in one batch emit pairs in
+    // (ts, id) order regardless of input order
+    val (_, _, p4) = StreamingOps.pairStep(Nil, 0L, List((20L, 2L), (10L, 9L)))
+    assert(p4 === List((2L, 9L)), "batch not processed in (ts, id) order")
+  }
+
   test("streaming funnel matches the batch funnel stage counts on the events table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
