@@ -168,6 +168,7 @@ object SparkEntry {
       Seq("documents")  -> SqlOps.contaminationBloom, // ctm_srcd → ctm_bsh + ctm_csh
       Seq("documents")  -> SqlOps.dedupSubstring, // ss_win
       Seq("documents")  -> SqlOps.textUnigramLm, // ulm_tf
+      Seq("documents")  -> SqlOps.heavyHitters, // hh_bg
       Seq("embeddings") -> SqlOps.annIvf // builds emb_nv + ivf_nvc (kmeansStep shares them)
     ).foreach { case (views, op) => buildStages(views, op)(s, d) }
   }
@@ -389,6 +390,7 @@ object SparkEntry {
     "q_text_tokens" -> sqlq(Seq("documents"), SqlOps.textTokens),
     "q_dedup_substring" -> sqlStaged(Seq("documents"), SqlOps.dedupSubstring),
     "q_mix_temperature" -> sqlq(Seq("documents"), SqlOps.mixTemperature),
+    "q_heavy_hitters" -> sqlStaged(Seq("documents"), SqlOps.heavyHitters),
     "q_text_unigram_lm" -> sqlStaged(Seq("documents"), SqlOps.textUnigramLm),
     "q_text_langid" -> sqlq(Seq("documents"), SqlOps.textLangId),
     "q_text_langid_eval" -> sqlq(Seq("documents"), SqlOps.textLangIdEval),
@@ -992,6 +994,7 @@ object SparkEntry {
     "q_text_tokens" -> SqlOps.textTokens(DuckDialect),
     "q_dedup_substring" -> SqlOps.dedupSubstring.single(DuckDialect),
     "q_mix_temperature" -> SqlOps.mixTemperature(DuckDialect),
+    "q_heavy_hitters" -> SqlOps.heavyHitters.single(DuckDialect),
     "q_text_unigram_lm" -> SqlOps.textUnigramLm.single(DuckDialect),
     "q_text_langid" -> SqlOps.textLangId(DuckDialect),
     "q_text_langid_eval" -> SqlOps.textLangIdEval(DuckDialect),

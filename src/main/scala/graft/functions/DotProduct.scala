@@ -72,6 +72,10 @@ object GraftFunctions {
     // clauses resolve instead of failing on a pre-wrapped expression
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_agg", exprs => SimHashAgg(exprs.head), "scala_udf")
+    // mergeable Misra-Gries heavy-hitter summary (gate-only — see the
+    // class doc for why its raw output must never be a query result)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mg_topk", exprs => MisraGriesAgg(exprs(0), exprs(1)), "scala_udf")
     // Spark's runtime-filter bloom sketch, exposed as SQL for the
     // bloom-gated decontamination op (Catalyst ships the expressions
     // but registers no SQL names for them)

@@ -119,6 +119,13 @@ trait Dialect {
     * the identity (no prefilter) — the oracle gate is what proves
     * result-invisibility. */
   def bloomPrefilter(out: String, items: String, set: String, col: String): String
+  /** Heavy-hitter candidate gate: CTE `out` = the rows of `items`
+    * whose int64 `col` is in the Misra-Gries k-slot summary of
+    * `items` itself. Any key with share > 1/(k+1) is guaranteed
+    * retained, so with a query threshold above that the gate is
+    * result-invisible; DuckDB renders the ungated pass-through and the
+    * oracle equality is the proof (the bloom-prefilter pattern). */
+  def heavyHitterGate(out: String, items: String, col: String, k: Int): String
   /** CTE chain ending in `sim(doc_id, simhash)`: the 32-bit SimHash
     * digest over token rows CTE `tok(doc_id, t)`. Spark folds the
     * whole digest into one custom imperative aggregate
@@ -228,6 +235,11 @@ object SparkDialect extends Dialect {
        |  SELECT i.* FROM $items i
        |  WHERE might_contain((SELECT f FROM bf), xxhash64(i.$col))
        |)""".stripMargin
+  def heavyHitterGate(out: String, items: String, col: String, k: Int): String =
+    s"""mgc AS (SELECT explode(mg_topk($col, $k)) AS hh FROM $items),
+       |cand AS (SELECT hh.key AS $col FROM mgc),
+       |$out AS (SELECT i.* FROM $items i
+       |         WHERE i.$col IN (SELECT $col FROM cand))""".stripMargin
   // NULL tokens are filtered in BOTH renderings (not just skipped by
   // the aggregate): without the filter a NULL token votes -1 per bit
   // in the relational form (its CASE test is NULL → ELSE) while the
@@ -377,6 +389,8 @@ object DuckDialect extends Dialect {
   // the items unchanged — identical final rows prove the Spark bloom
   // gate result-invisible
   def bloomPrefilter(out: String, items: String, set: String, col: String): String =
+    s"$out AS (SELECT * FROM $items)"
+  def heavyHitterGate(out: String, items: String, col: String, k: Int): String =
     s"$out AS (SELECT * FROM $items)"
   def simhashDigestCtes: String = {
     val hexv = (1 to 8).map { i =>

@@ -342,6 +342,36 @@ object SqlOps {
          |GROUP BY doc_id""".stripMargin
     })
 
+  /** Heavy-hitter bigrams via a Misra-Gries candidate gate: the
+    * frequent-n-gram profile (boilerplate phrases, template markers) a
+    * corpus pipeline tracks, computed at 100 TB shape — a mergeable
+    * k-slot sketch (graft.functions.MisraGriesAgg, O(k) memory
+    * regardless of key cardinality) proposes candidates, an exact
+    * count over the gated slice verifies, and the 0.1% threshold is
+    * integer-exact (cnt·1000 ≥ N). The MG guarantee (any key with
+    * share > 1/(k+1) survives the summary; k=1024 ≫ 1000) makes the
+    * gate result-invisible, which the oracle proves by running the
+    * ungated exact form — the bloom-decontamination pattern applied
+    * to frequency. On THIS corpus the bigram vocabulary is smaller
+    * than k, so eviction never fires in the query (the sketch
+    * degenerates to exact counting); the eviction and merge-reduction
+    * paths are exercised adversarially in ExpressionSpec instead —
+    * the gate earns its keep on unbounded key spaces (urls, ids,
+    * higher-order n-grams). */
+  val heavyHitters: StagedOp = StagedOp(
+    stages = Seq(
+      "hh_bg" -> { d =>
+        s"""WITH docs AS (SELECT doc_id, text FROM documents),
+           |${d.shingleRows("docs", 2)}
+           |SELECT ${d.shingleId("s")} AS sid, s FROM sh""".stripMargin
+      }),
+    body = { d =>
+      s"""WITH ${d.heavyHitterGate("hh_gated", "hh_bg", "sid", 1024)},
+         |ex AS (SELECT s AS ngram, COUNT(*) AS cnt FROM hh_gated GROUP BY s),
+         |n AS (SELECT COUNT(*) AS nn FROM hh_bg)
+         |SELECT ngram, cnt FROM ex CROSS JOIN n WHERE cnt * 1000 >= nn""".stripMargin
+    })
+
   /** Temperature-weighted source-mixture allocation (the data-mixing
     * step of multi-source training pipelines): each source's sampling
     * mass is its char volume tempered by τ=0.5 (√mass — flattens the
