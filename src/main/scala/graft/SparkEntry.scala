@@ -169,7 +169,8 @@ object SparkEntry {
       Seq("documents")  -> SqlOps.dedupSubstring, // ss_win
       Seq("documents")  -> SqlOps.textUnigramLm, // ulm_tf
       Seq("documents")  -> SqlOps.heavyHitters, // hh_bg
-      Seq("embeddings") -> SqlOps.annIvf // builds emb_nv + ivf_nvc (kmeansStep shares them)
+      Seq("embeddings") -> SqlOps.annIvf, // builds emb_nv + ivf_nvc (kmeansStep shares them)
+      Seq("embeddings") -> SqlOps.annIvfProbe2 // adds ivf_cent
     ).foreach { case (views, op) => buildStages(views, op)(s, d) }
   }
 
@@ -391,6 +392,7 @@ object SparkEntry {
     "q_dedup_substring" -> sqlStaged(Seq("documents"), SqlOps.dedupSubstring),
     "q_mix_temperature" -> sqlq(Seq("documents"), SqlOps.mixTemperature),
     "q_heavy_hitters" -> sqlStaged(Seq("documents"), SqlOps.heavyHitters),
+    "q_ann_ivf_probe2" -> sqlStaged(Seq("embeddings"), SqlOps.annIvfProbe2),
     "q_text_unigram_lm" -> sqlStaged(Seq("documents"), SqlOps.textUnigramLm),
     "q_text_langid" -> sqlq(Seq("documents"), SqlOps.textLangId),
     "q_text_langid_eval" -> sqlq(Seq("documents"), SqlOps.textLangIdEval),
@@ -995,6 +997,7 @@ object SparkEntry {
     "q_dedup_substring" -> SqlOps.dedupSubstring.single(DuckDialect),
     "q_mix_temperature" -> SqlOps.mixTemperature(DuckDialect),
     "q_heavy_hitters" -> SqlOps.heavyHitters.single(DuckDialect),
+    "q_ann_ivf_probe2" -> SqlOps.annIvfProbe2.single(DuckDialect),
     "q_text_unigram_lm" -> SqlOps.textUnigramLm.single(DuckDialect),
     "q_text_langid" -> SqlOps.textLangId(DuckDialect),
     "q_text_langid_eval" -> SqlOps.textLangIdEval(DuckDialect),

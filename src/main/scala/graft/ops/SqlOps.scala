@@ -1271,6 +1271,21 @@ object SqlOps {
     * The IVF structure at scale: the centroid table is broadcast-sized,
     * assignment is one pass over the vectors, and search fans out only
     * within cells. */
+  /** µ-quantized per-(label, pos) centroid CTE chain (ends in
+    * `cent(label, pos, qc)`) — shared by the IVF assignment stage and
+    * the staged centroid table the multi-probe search reads. */
+  private def ivfCentCtes(d: Dialect): String = {
+    val expC = d.explodeWithPos(
+      "SELECT vec_id, label, embedding FROM embeddings",
+      "vec_id, label", "embedding", "pos", "v")
+    s"""evc AS ($expC),
+       |cent AS (
+       |  SELECT label, pos,
+       |    CAST(FLOOR(CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
+       |  FROM evc GROUP BY label, pos
+       |)""".stripMargin
+  }
+
   val annIvf: StagedOp = {
     StagedOp(
       stages = Seq(
@@ -1283,18 +1298,7 @@ object SqlOps {
         // projection over the staged emb_nv, zero shuffle of the
         // vectors; DuckDB keeps the relational explode + distance
         // groupBy, and the oracle gate proves them identical.
-        "ivf_nvc" -> { d =>
-          val expC = d.explodeWithPos(
-            "SELECT vec_id, label, embedding FROM embeddings",
-            "vec_id, label", "embedding", "pos", "v")
-          d.ivfAssign(
-            s"""evc AS ($expC),
-               |cent AS (
-               |  SELECT label, pos,
-               |    CAST(FLOOR(CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
-               |  FROM evc GROUP BY label, pos
-               |)""".stripMargin)
-        }),
+        "ivf_nvc" -> { d => d.ivfAssign(ivfCentCtes(d)) }),
       body = { d =>
         s"""WITH qs AS (SELECT * FROM ivf_nvc WHERE vec_id % 50 = 0),
            |pairs AS (
@@ -1309,6 +1313,58 @@ object SqlOps {
            |) WHERE rk <= 3""".stripMargin
       })
   }
+
+  /** IVF multi-probe search: same index as [[annIvf]], but each query
+    * probes its TWO nearest cells — the standard recall lever when the
+    * true neighbor falls just across a Voronoi boundary. The probe
+    * ranking is relational (query-embedding posexplode ⋈ the staged
+    * centroid table on pos, exact int64 L2, ROW_NUMBER ≤ 2) in BOTH
+    * engines: the query set is a 2% slice, so queries × labels × dims
+    * is tiny and needs no codegen'd argmin; the candidate fan-out is
+    * still bounded by cell sizes (2 cells per query instead of 1).
+    * Every query vector already carries a cell (so its dimensionality
+    * matched the centroids at assignment) — the probe join needs no
+    * dimension guard. */
+  val annIvfProbe2: StagedOp = StagedOp(
+    stages = Seq(
+      "emb_nv" -> nvStage,
+      "ivf_nvc" -> { d => d.ivfAssign(ivfCentCtes(d)) },
+      // the centroid table itself (labels × dims, broadcast-sized),
+      // staged so the probe ranking reads it as a plain relation
+      "ivf_cent" -> { d =>
+        s"WITH ${ivfCentCtes(d)} SELECT label, pos, qc FROM cent"
+      }),
+    body = { d =>
+      val expQ = d.explodeWithPos(
+        "SELECT vec_id, embedding FROM qs", "vec_id", "embedding", "pos", "v")
+      val qv = "CAST(FLOOR(CAST(e.v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)"
+      s"""WITH qs AS (SELECT * FROM ivf_nvc WHERE vec_id % 50 = 0),
+         |qd AS (
+         |  SELECT e.vec_id, c.label,
+         |    SUM(($qv - c.qc) * ($qv - c.qc)) AS dist
+         |  FROM ($expQ) e JOIN ivf_cent c ON e.pos = c.pos
+         |  GROUP BY e.vec_id, c.label
+         |),
+         |probes AS (
+         |  SELECT vec_id, label FROM (
+         |    SELECT vec_id, label,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, label) AS prk
+         |    FROM qd) p
+         |  WHERE prk <= 2
+         |),
+         |pairs AS (
+         |  SELECT qs.vec_id AS query_id, b.vec_id AS neighbor_id, b.cell,
+         |    ${r6(dotExpr(d, "qs.embedding", "b.embedding") + " / (qs.nrm * b.nrm)")} AS cosine
+         |  FROM qs
+         |  JOIN probes p ON qs.vec_id = p.vec_id
+         |  JOIN ivf_nvc b ON b.cell = p.label AND qs.vec_id <> b.vec_id
+         |)
+         |SELECT query_id, neighbor_id, cell, cosine, rk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         |  FROM pairs
+         |) WHERE rk <= 3""".stripMargin
+    })
 
   /** One k-means (Lloyd) iteration over the embeddings: assignment to
     * the nearest current centroid (the staged IVF working set — on the

@@ -593,6 +593,21 @@ class OpsSpec extends SparkSpec {
     assert(actual === expected)
   }
 
+  test("IVF multi-probe never returns a worse neighbor than single-probe") {
+    def byRank(q: String) = run(q).collect()
+      .map(r => ((r.getAs[Long]("query_id"), r.getAs[Number]("rk").longValue),
+        r.getAs[Double]("cosine"))).toMap
+    val p1 = byRank("q_ann_ivf")
+    val p2 = byRank("q_ann_ivf_probe2")
+    // probing a superset of cells can only improve (or tie) the
+    // candidate pool, so at every (query, rank) the probe-2 cosine
+    // must be >= the single-probe cosine
+    p1.foreach { case (key, c1) =>
+      val c2 = p2.getOrElse(key, Double.MinValue)
+      assert(c2 >= c1, s"probe2 worse at $key: $c2 < $c1")
+    }
+  }
+
   test("temperature mixture allocates exactly the budget, flatter than raw mass") {
     val rows = run("q_mix_temperature").collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("mass"), r.getAs[Long]("n_alloc")))
