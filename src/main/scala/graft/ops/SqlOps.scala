@@ -372,6 +372,47 @@ object SqlOps {
          |SELECT ngram, cnt FROM ex CROSS JOIN n WHERE cnt * 1000 >= nn""".stripMargin
     })
 
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic mart rollup, shaped for scale: per-customer metrics are
+    * one map-side-combinable aggregate; the quintile boundaries are 12
+    * SCALARS (exact interpolated percentiles) that ride a broadcast
+    * cross join; scoring is a narrow CASE projection. The naive
+    * ntile-over-all-customers form would single-partition the whole
+    * customer set — boundaries-then-bucket is the same segmentation
+    * without the global sort. Integer-exact: recency in whole days
+    * (order dates are midnight UTC, so the /86400 quotient is an
+    * integer and one IEEE division is exact), monetary in cents. */
+  def ordersRfm(d: Dialect): String = {
+    val es = (x: String) => d.epochSeconds(s"CAST($x AS TIMESTAMP)")
+    s"""WITH mx AS (SELECT ${es("MAX(o_orderdate)")} AS gmx FROM orders),
+       |per AS (
+       |  SELECT o_custkey AS custkey,
+       |    CAST((mx.gmx - ${es("MAX(o_orderdate)")}) / 86400 AS BIGINT) AS recency_days,
+       |    COUNT(*) AS frequency,
+       |    CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT) AS monetary_cents
+       |  FROM orders CROSS JOIN mx
+       |  GROUP BY o_custkey, mx.gmx
+       |),
+       |b AS (
+       |  SELECT
+       |    ${d.percentileCont("recency_days", "0.2")} AS r20, ${d.percentileCont("recency_days", "0.4")} AS r40,
+       |    ${d.percentileCont("recency_days", "0.6")} AS r60, ${d.percentileCont("recency_days", "0.8")} AS r80,
+       |    ${d.percentileCont("frequency", "0.2")} AS f20, ${d.percentileCont("frequency", "0.4")} AS f40,
+       |    ${d.percentileCont("frequency", "0.6")} AS f60, ${d.percentileCont("frequency", "0.8")} AS f80,
+       |    ${d.percentileCont("monetary_cents", "0.2")} AS m20, ${d.percentileCont("monetary_cents", "0.4")} AS m40,
+       |    ${d.percentileCont("monetary_cents", "0.6")} AS m60, ${d.percentileCont("monetary_cents", "0.8")} AS m80
+       |  FROM per
+       |)
+       |SELECT custkey, recency_days, frequency, monetary_cents,
+       |  CASE WHEN recency_days <= r20 THEN 5 WHEN recency_days <= r40 THEN 4
+       |       WHEN recency_days <= r60 THEN 3 WHEN recency_days <= r80 THEN 2 ELSE 1 END AS r_score,
+       |  CASE WHEN frequency >= f80 THEN 5 WHEN frequency >= f60 THEN 4
+       |       WHEN frequency >= f40 THEN 3 WHEN frequency >= f20 THEN 2 ELSE 1 END AS f_score,
+       |  CASE WHEN monetary_cents >= m80 THEN 5 WHEN monetary_cents >= m60 THEN 4
+       |       WHEN monetary_cents >= m40 THEN 3 WHEN monetary_cents >= m20 THEN 2 ELSE 1 END AS m_score
+       |FROM per CROSS JOIN b""".stripMargin
+  }
+
   /** Temperature-weighted source-mixture allocation (the data-mixing
     * step of multi-source training pipelines): each source's sampling
     * mass is its char volume tempered by τ=0.5 (√mass — flattens the
