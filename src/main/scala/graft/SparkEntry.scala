@@ -391,7 +391,7 @@ object SparkEntry {
     "q_text_tokens" -> sqlq(Seq("documents"), SqlOps.textTokens),
     "q_dedup_substring" -> sqlStaged(Seq("documents"), SqlOps.dedupSubstring),
     "q_mix_temperature" -> sqlq(Seq("documents"), SqlOps.mixTemperature),
-    "q_orders_rfm" -> sqlq(Seq("orders"), SqlOps.ordersRfm),
+    "q_orders_rfm" -> sqlStaged(Seq("orders"), SqlOps.ordersRfm),
     "q_heavy_hitters" -> sqlStaged(Seq("documents"), SqlOps.heavyHitters),
     "q_ann_ivf_probe2" -> sqlStaged(Seq("embeddings"), SqlOps.annIvfProbe2),
     "q_text_unigram_lm" -> sqlStaged(Seq("documents"), SqlOps.textUnigramLm),
@@ -997,7 +997,7 @@ object SparkEntry {
     "q_text_tokens" -> SqlOps.textTokens(DuckDialect),
     "q_dedup_substring" -> SqlOps.dedupSubstring.single(DuckDialect),
     "q_mix_temperature" -> SqlOps.mixTemperature(DuckDialect),
-    "q_orders_rfm" -> SqlOps.ordersRfm(DuckDialect),
+    "q_orders_rfm" -> SqlOps.ordersRfm.single(DuckDialect),
     "q_heavy_hitters" -> SqlOps.heavyHitters.single(DuckDialect),
     "q_ann_ivf_probe2" -> SqlOps.annIvfProbe2.single(DuckDialect),
     "q_text_unigram_lm" -> SqlOps.textUnigramLm.single(DuckDialect),

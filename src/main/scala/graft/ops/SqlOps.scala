@@ -382,17 +382,22 @@ object SqlOps {
     * without the global sort. Integer-exact: recency in whole days
     * (order dates are midnight UTC, so the /86400 quotient is an
     * integer and one IEEE division is exact), monetary in cents. */
-  def ordersRfm(d: Dialect): String = {
-    val es = (x: String) => d.epochSeconds(s"CAST($x AS TIMESTAMP)")
-    s"""WITH mx AS (SELECT ${es("MAX(o_orderdate)")} AS gmx FROM orders),
-       |per AS (
-       |  SELECT o_custkey AS custkey,
-       |    CAST((mx.gmx - ${es("MAX(o_orderdate)")}) / 86400 AS BIGINT) AS recency_days,
-       |    COUNT(*) AS frequency,
-       |    CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT) AS monetary_cents
-       |  FROM orders CROSS JOIN mx
-       |  GROUP BY o_custkey, mx.gmx
-       |),
+  val ordersRfm: StagedOp = StagedOp(
+    stages = Seq(
+      // the per-customer metric table is read twice (boundary scalars +
+      // scoring) — staged so the orders aggregate runs once, not per
+      // CTE reference
+      "rfm_per" -> { d =>
+        val es = (x: String) => d.epochSeconds(s"CAST($x AS TIMESTAMP)")
+        s"""WITH mx AS (SELECT ${es("MAX(o_orderdate)")} AS gmx FROM orders)
+           |SELECT o_custkey AS custkey,
+           |  CAST((mx.gmx - ${es("MAX(o_orderdate)")}) / 86400 AS BIGINT) AS recency_days,
+           |  COUNT(*) AS frequency,
+           |  CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT) AS monetary_cents
+           |FROM orders CROSS JOIN mx
+           |GROUP BY o_custkey, mx.gmx""".stripMargin
+      }),
+    body = { d => s"""WITH per AS (SELECT * FROM rfm_per),
        |b AS (
        |  SELECT
        |    ${d.percentileCont("recency_days", "0.2")} AS r20, ${d.percentileCont("recency_days", "0.4")} AS r40,
@@ -411,7 +416,7 @@ object SqlOps {
        |  CASE WHEN monetary_cents >= m80 THEN 5 WHEN monetary_cents >= m60 THEN 4
        |       WHEN monetary_cents >= m40 THEN 3 WHEN monetary_cents >= m20 THEN 2 ELSE 1 END AS m_score
        |FROM per CROSS JOIN b""".stripMargin
-  }
+    })
 
   /** Temperature-weighted source-mixture allocation (the data-mixing
     * step of multi-source training pipelines): each source's sampling
