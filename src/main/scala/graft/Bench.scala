@@ -1,6 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Headline subset for the final (compact) metric line: one per
+    * operator family plus the historically slowest queries. The full
+    * per-query map is still printed (earlier line) and written to
+    * bench_full.json — this subset only bounds the FINAL line's length
+    * so it survives a bounded log-tail capture (the per-round driver
+    * keeps ~2000 chars; a 145-query map alone is larger than that, and
+    * three rounds of BENCH_r{N}.json came back `parsed: null`). */
+  private val headline = Seq(
+    "q_pricing_summary", "q_revenue_by_nation", "q_shipping_priority",
+    "q_market_share", "q_product_profit", "q_merge_scd2", "q_merge_upsert",
+    "q_dedup_minhash", "q_dedup_cluster", "q_dedup_prefix",
+    "q_dedup_substring", "q_dedup_simhash_pairs", "q_dedup_embedding_cosine",
+    "q_knn_bruteforce", "q_ann_ivf", "q_ann_sign_lsh", "q_kmeans_step",
+    "q_pagerank_loop", "q_text_tfidf", "q_heavy_hitters", "q_corpus_filter",
+    "q_contamination_bloom", "q_events_sessionize", "q_pack_sequences",
+    "q_sample_weighted")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,14 +47,28 @@ object Bench {
                 catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v, err) =>
-      s"\"" + k + "\":" + (if (err.isDefined) "-1" else v)
-    }.mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, Double, Option[String])]): String =
+      rs.map { case (k, v, err) =>
+        "\"" + k + "\":" + (if (err.isDefined) "-1" else f"$v%.3f")
+      }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val prewarm = prewarmFailed.map(c => s"\"$c\"").getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"prewarm_failed":$prewarm,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)},"errors":$errs,"prewarm_failed":$prewarm,"sf":"$sfDir"}"""
+    // full per-query map: first as a log line (for a reader of the whole
+    // log), then as a file next to the repo (survives log truncation)
+    println(full)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), full)
+    catch { case scala.util.control.NonFatal(_) => () }
+    // FINAL line, emitted last so a tail-bounded log capture ends with a
+    // complete, parseable record: headline queries only, plus every
+    // errored query (a failure must stay visible even off-headline)
+    val compact = results.filter { case (k, _, err) =>
+      headline.contains(k) || err.isDefined }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(compact)},"errors":$errs,"prewarm_failed":$prewarm,"detail":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
