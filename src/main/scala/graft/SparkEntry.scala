@@ -439,6 +439,14 @@ object SparkEntry {
     "q_range_join" -> sqlq(Seq("events"), SqlOps.rangeJoinBands),
     "q_events_funnel" -> sqlq(Seq("events"), SqlOps.eventsFunnel),
     "q_orders_retention" -> sqlq(Seq("orders"), SqlOps.ordersRetention),
+    // hopping (overlapping) windows, interval union, CDC apply,
+    // snapshot diff, and per-column profiling — the data-engineering
+    // maintenance surface around the analytic core
+    "q_events_hopping" -> sqlq(Seq("events"), SqlOps.eventsHopping),
+    "q_intervals_coverage" -> sqlq(Seq("events"), SqlOps.intervalCoverage),
+    "q_cdc_apply" -> sqlq(Seq("orders"), SqlOps.cdcApply),
+    "q_snapshot_diff" -> sqlq(Seq("documents"), SqlOps.snapshotDiff),
+    "q_profile_orders" -> sqlq(Seq("orders"), SqlOps.profileOrders),
 
     // -- multimodal columns --
     "q_multimodal_meta" -> sqlq(Seq("documents"), SqlOps.multimodalMeta),
@@ -1028,6 +1036,11 @@ object SparkEntry {
     "q_range_join" -> SqlOps.rangeJoinBands(DuckDialect),
     "q_events_funnel" -> SqlOps.eventsFunnel(DuckDialect),
     "q_orders_retention" -> SqlOps.ordersRetention(DuckDialect),
+    "q_events_hopping" -> SqlOps.eventsHopping(DuckDialect),
+    "q_intervals_coverage" -> SqlOps.intervalCoverage(DuckDialect),
+    "q_cdc_apply" -> SqlOps.cdcApply(DuckDialect),
+    "q_snapshot_diff" -> SqlOps.snapshotDiff(DuckDialect),
+    "q_profile_orders" -> SqlOps.profileOrders(DuckDialect),
     "q_multimodal_meta" -> SqlOps.multimodalMeta(DuckDialect),
     "q_multimodal_resize" -> SqlOps.multimodalResize(DuckDialect),
     "q_multimodal_audio" -> SqlOps.multimodalAudioWindows(DuckDialect),

@@ -1799,6 +1799,137 @@ object SqlOps {
        |  MIN(us) AS start_us, MAX(us) AS end_us
        |FROM sess GROUP BY user_id, session_no""".stripMargin
 
+  /** Hopping (sliding) window counts: 10-minute windows every 5
+    * minutes. Each event lands in exactly size/hop = 2 windows, emitted
+    * by a 2-way self-union on shifted aligned grids — a narrow
+    * projection (no range join, no explode of per-second rows), then
+    * ONE map-side-combinable groupBy. At 100 TB the union doubles the
+    * scan's row count before the partial aggregate, which is the
+    * textbook cost of hopping windows (Flink/Structured Streaming pay
+    * exactly the same per-window row duplication); the streaming twin
+    * is [[graft.streaming.StreamingOps.hoppingCounts]]. */
+  def eventsHopping(d: Dialect): String =
+    s"""WITH e AS (SELECT ${d.epochSeconds("ts")} AS es, event_type FROM events),
+       |w AS (
+       |  SELECT es - es % 300 AS window_start, event_type FROM e
+       |  UNION ALL
+       |  SELECT es - es % 300 - 300 AS window_start, event_type FROM e
+       |)
+       |SELECT window_start, event_type, COUNT(*) AS n_events
+       |FROM w GROUP BY window_start, event_type""".stripMargin
+
+  /** CDC apply: collapse an insert/update/delete change stream to the
+    * final table state — the Debezium/change-data-feed materialization
+    * step. The change stream is derived deterministically from orders
+    * (every key gets an I; every 3rd an U; every 5th a D), the apply is
+    * keep-latest-by-sequence then drop-deletes: ONE window over the
+    * change stream partitioned by key (the SCD2/keep-first shape — at
+    * 100 TB this is a single shuffle on the key, no iteration). Values
+    * stay exact (DECIMAL arithmetic only). */
+  def cdcApply(d: Dialect): String =
+    s"""WITH changes AS (
+       |  SELECT o_orderkey AS key, 1 AS seq, 'I' AS op, CAST(o_totalprice AS DECIMAL(18,2)) AS val FROM orders
+       |  UNION ALL
+       |  SELECT o_orderkey, 2, 'U', CAST(o_totalprice AS DECIMAL(18,2)) * 2 FROM orders WHERE o_orderkey % 3 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey, 3, 'D', CAST(NULL AS DECIMAL(18,2)) FROM orders WHERE o_orderkey % 5 = 0
+       |),
+       |latest AS (
+       |  SELECT key, seq, op, val,
+       |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+       |  FROM changes
+       |)
+       |SELECT key, CAST(val AS DOUBLE) AS val, seq AS last_seq
+       |FROM latest WHERE rn = 1 AND op <> 'D'""".stripMargin
+
+  /** Per-user union of overlapping time intervals (total covered
+    * seconds + merged-interval count) — the classic gaps-and-islands
+    * reduction, the watch-time/dwell-time operator. Interval length is
+    * a deterministic function of the event value (no RNG). One window
+    * pass per user (running MAX of interval end over strictly preceding
+    * rows marks island starts; a running SUM numbers islands), then two
+    * grouped aggregates. At scale this is one shuffle on user_id and
+    * in-partition sorts — no self-join, no per-second explode. The
+    * window ORDER BY carries a full tiebreak (start, end, event_id) so
+    * the result is deterministic under equal timestamps. */
+  def intervalCoverage(d: Dialect): String =
+    s"""WITH iv AS (
+       |  SELECT user_id, event_id, ${d.epochSeconds("ts")} AS s,
+       |    ${d.epochSeconds("ts")} + abs(CAST(FLOOR(value) AS BIGINT)) % 120 + 60 AS e
+       |  FROM events
+       |),
+       |m AS (
+       |  SELECT user_id, event_id, s, e,
+       |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |  FROM iv
+       |),
+       |isl AS (
+       |  SELECT user_id, s, e,
+       |    CAST(SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY s, e, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+       |  FROM m
+       |),
+       |g AS (SELECT user_id, island, MIN(s) AS st, MAX(e) AS en
+       |      FROM isl GROUP BY user_id, island)
+       |SELECT user_id, CAST(SUM(en - st) AS BIGINT) AS covered_seconds,
+       |  COUNT(*) AS n_intervals
+       |FROM g GROUP BY user_id""".stripMargin
+
+  /** Snapshot diff: classify every doc across two corpus snapshots as
+    * added / removed / changed / unchanged — the ingest-audit step
+    * between crawl generations. Old = docs surviving `% 7`, new = docs
+    * surviving `% 5` with every 3rd's text perturbed (all
+    * deterministic). ONE full outer join on the key comparing content
+    * hashes — at 100 TB a single co-partitioned shuffle join; the md5
+    * comparison means text never crosses the wire twice. */
+  def snapshotDiff(d: Dialect): String =
+    s"""WITH old_s AS (
+       |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0
+       |),
+       |new_s AS (
+       |  SELECT doc_id, md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS h
+       |  FROM documents WHERE doc_id % 5 <> 0
+       |),
+       |cl AS (
+       |  SELECT CASE
+       |    WHEN o.doc_id IS NULL THEN 'added'
+       |    WHEN n.doc_id IS NULL THEN 'removed'
+       |    WHEN o.h <> n.h THEN 'changed'
+       |    ELSE 'unchanged' END AS status
+       |  FROM old_s o FULL JOIN new_s n ON o.doc_id = n.doc_id
+       |)
+       |SELECT status, COUNT(*) AS n_docs FROM cl GROUP BY status""".stripMargin
+
+  /** Per-column data-quality profile of orders (row count, null count,
+    * distinct count, min/max) — the Deequ/dbt-test profiling operator a
+    * pipeline runs before trusting an ingest. One aggregate per column,
+    * unioned: each is a map-side-combinable global aggregate (the
+    * distinct counts are the only shuffles, one per column — at 100 TB
+    * swap COUNT(DISTINCT) for approx_count_distinct per column when
+    * exactness isn't required; [[Relational.approxDistinctParts]] is
+    * that operator). Min/max are rendered to strings through
+    * type-stable casts (DECIMAL for doubles, epoch seconds for
+    * timestamps) so one schema fits every column. */
+  def profileOrders(d: Dialect): String = {
+    def row(col: String, minMax: String => String): String =
+      s"""SELECT '$col' AS col, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($col) AS n_null,
+         |  COUNT(DISTINCT $col) AS n_distinct,
+         |  ${minMax(s"MIN($col)")} AS min_val, ${minMax(s"MAX($col)")} AS max_val
+         |FROM orders""".stripMargin
+    val asStr = (x: String) => s"CAST($x AS STRING)"
+    val decStr = (x: String) => s"CAST(CAST($x AS DECIMAL(18,2)) AS STRING)"
+    val tsStr = (x: String) =>
+      s"CAST(${d.epochSeconds(s"CAST($x AS TIMESTAMP)")} AS STRING)"
+    Seq(
+      row("o_orderkey", asStr), row("o_custkey", asStr),
+      row("o_orderstatus", asStr), row("o_totalprice", decStr),
+      row("o_orderdate", tsStr), row("o_orderpriority", asStr)
+    ).mkString("\nUNION ALL\n")
+  }
+
   // ---- multimodal column plumbing ----
 
   /** The canonical near-dup pipeline end-to-end: minhash LSH bands for

@@ -788,4 +788,83 @@ class OpsSpec extends SparkSpec {
     val top = winners.map(_.getAs[Double]("total_revenue")).distinct
     assert(top.length === 1) // all tied winners report the same max
   }
+
+  test("hopping windows count every event exactly size/hop times") {
+    val rows = run("q_events_hopping").collect()
+    val total = graft.Tables.events(spark, sf001).count()
+    // 10-minute windows every 5 minutes → each event in exactly 2
+    assert(rows.map(_.getAs[Long]("n_events")).sum === 2 * total)
+    assert(rows.forall(_.getAs[Long]("window_start") % 300 === 0))
+  }
+
+  test("interval coverage matches an independent Scala interval-union") {
+    val got = run("q_intervals_coverage").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("covered_seconds"), r.getAs[Long]("n_intervals"))).toMap
+    // independent reimplementation: sort per user, sweep, merge overlaps
+    val evs = graft.Tables.events(spark, sf001)
+      .selectExpr("user_id", "unix_seconds(ts) AS s",
+        "unix_seconds(ts) + abs(CAST(FLOOR(value) AS BIGINT)) % 120 + 60 AS e")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("s"), r.getAs[Long]("e")))
+    val want = evs.groupBy(_._1).map { case (u, ivs) =>
+      val sorted = ivs.map(t => (t._2, t._3)).sortBy(identity)
+      val merged = sorted.foldLeft(List.empty[(Long, Long)]) {
+        case (Nil, iv) => List(iv)
+        case ((cs, ce) :: rest, (s, e)) =>
+          if (s <= ce) (cs, math.max(ce, e)) :: rest else (s, e) :: (cs, ce) :: rest
+      }
+      u -> (merged.map { case (s, e) => e - s }.sum, merged.size.toLong)
+    }
+    assert(got === want)
+  }
+
+  test("cdc apply: deletes gone, updates doubled, inserts untouched") {
+    val rows = run("q_cdc_apply").collect()
+    val orders = graft.Tables.orders(spark, sf001)
+      .selectExpr("o_orderkey", "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS p")
+      .collect().map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Double]("p")).toMap
+    assert(rows.length === orders.keys.count(_ % 5 != 0))
+    rows.foreach { r =>
+      val k = r.getAs[Long]("key")
+      assert(k % 5 !== 0) // deleted keys must not survive
+      if (k % 3 == 0) {
+        assert(r.getAs[Int]("last_seq") === 2)
+        assert(r.getAs[Double]("val") === orders(k) * 2)
+      } else {
+        assert(r.getAs[Int]("last_seq") === 1)
+        assert(r.getAs[Double]("val") === orders(k))
+      }
+    }
+  }
+
+  test("snapshot diff classes partition the union of both snapshots") {
+    val byStatus = run("q_snapshot_diff").collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n_docs")).toMap
+    val ids = graft.Tables.documents(spark, sf001)
+      .select("doc_id").collect().map(_.getLong(0))
+    val inOld = ids.filter(_ % 7 != 0).toSet
+    val inNew = ids.filter(_ % 5 != 0).toSet
+    assert(byStatus("added") === (inNew -- inOld).size)
+    assert(byStatus("removed") === (inOld -- inNew).size)
+    // changed = in both with perturbed text (doc_id % 3 == 0)
+    assert(byStatus("changed") === (inOld & inNew).count(_ % 3 == 0))
+    assert(byStatus.values.sum === (inOld | inNew).size)
+  }
+
+  test("orders profile: one row per column, counts consistent") {
+    val rows = run("q_profile_orders").collect()
+    assert(rows.length === 6)
+    val total = graft.Tables.orders(spark, sf001).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === total)
+      assert(r.getAs[Long]("n_null") >= 0)
+      assert(r.getAs[Long]("n_distinct") <= total)
+      assert(r.getAs[String]("min_val") <= r.getAs[String]("max_val")
+        || r.getAs[Long]("n_distinct") <= 1
+        // numeric min/max compared as strings may invert lexically
+        || Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+             .contains(r.getAs[String]("col")))
+    }
+  }
 }
