@@ -447,6 +447,11 @@ object SparkEntry {
     "q_cdc_apply" -> sqlq(Seq("orders"), SqlOps.cdcApply),
     "q_snapshot_diff" -> sqlq(Seq("documents"), SqlOps.snapshotDiff),
     "q_profile_orders" -> sqlq(Seq("orders"), SqlOps.profileOrders),
+    "q_anomaly_mad" -> sqlStaged(Seq("events"), SqlOps.anomalyMad),
+    // containment near-dup off the same staged shingle index, and the
+    // candidate-graph triangle diagnostic off the staged band pairs
+    "q_dedup_containment" -> sqlStaged(Seq("documents"), SqlOps.dedupContainment),
+    "q_graph_triangles" -> sqlStaged(Seq("documents"), SqlOps.graphTriangles),
 
     // -- multimodal columns --
     "q_multimodal_meta" -> sqlq(Seq("documents"), SqlOps.multimodalMeta),
@@ -1041,6 +1046,9 @@ object SparkEntry {
     "q_cdc_apply" -> SqlOps.cdcApply(DuckDialect),
     "q_snapshot_diff" -> SqlOps.snapshotDiff(DuckDialect),
     "q_profile_orders" -> SqlOps.profileOrders(DuckDialect),
+    "q_anomaly_mad" -> SqlOps.anomalyMad.single(DuckDialect),
+    "q_dedup_containment" -> SqlOps.dedupContainment.single(DuckDialect),
+    "q_graph_triangles" -> SqlOps.graphTriangles.single(DuckDialect),
     "q_multimodal_meta" -> SqlOps.multimodalMeta(DuckDialect),
     "q_multimodal_resize" -> SqlOps.multimodalResize(DuckDialect),
     "q_multimodal_audio" -> SqlOps.multimodalAudioWindows(DuckDialect),

@@ -232,6 +232,90 @@ object SqlOps {
          |$jaccardSelect""".stripMargin
     })
 
+  /** Asymmetric containment near-dup (|A∩B| / min(|A|,|B|) ≥ 0.9): the
+    * quote/boilerplate-inclusion signal Jaccard misses — a short doc
+    * fully embedded in a long one has tiny Jaccard but containment 1.
+    * Runs over the SAME staged df-capped shingle index as the Jaccard
+    * ops (no extra pipeline); the df cap bounds the self-join exactly
+    * as there, so candidates stay bounded at any corpus size. At 100 TB
+    * the gated form (candidates from minhash bands) composes the same
+    * way [[dedupVerified]] gates Jaccard. */
+  val dedupContainment: StagedOp = StagedOp(
+    stages = dedupNgramJaccard.stages,
+    body = { _ =>
+      val cont = "CAST(i.inter AS DOUBLE) / LEAST(sa.n, sb.n)"
+      s"""WITH $szCte,
+         |$interFullCte
+         |SELECT i.doc_a, i.doc_b,
+         |  ${r6(cont)} AS containment
+         |FROM inter i
+         |JOIN sz sa ON i.doc_a = sa.doc_id
+         |JOIN sz sb ON i.doc_b = sb.doc_id
+         |WHERE $cont >= 0.9""".stripMargin
+    })
+
+  /** Triangle count of the near-dup candidate graph — the
+    * graph-cohesion diagnostic (triangle-dense regions = tight
+    * duplicate families, triangle-free stars = hub/template pages).
+    * Edges are already oriented doc_a < doc_b, so the two-hop path join
+    * (a<b<c) plus the closing-edge join counts each triangle exactly
+    * once — the standard oriented-edge algorithm (at 100 TB orient by
+    * DEGREE instead of id so high-degree hubs don't own both join
+    * sides; candidate edges here are band-bounded so id order
+    * suffices). Both joins shuffle on an edge endpoint — no all-pairs
+    * step anywhere. */
+  val graphTriangles: StagedOp = StagedOp(
+    stages = dedupMinhash.stages,
+    body = { _ =>
+      s"""WITH ec AS (SELECT COUNT(*) AS n_edges FROM mh_cand),
+         |tri AS (
+         |  SELECT COUNT(*) AS n_triangles
+         |  FROM mh_cand e1
+         |  JOIN mh_cand e2 ON e2.doc_a = e1.doc_b
+         |  JOIN mh_cand e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+         |)
+         |SELECT ec.n_edges, tri.n_triangles FROM ec CROSS JOIN tri""".stripMargin
+    })
+
+  /** Robust per-type outlier detection: median + MAD (median absolute
+    * deviation), flagging |x − med| > 5·MAD — the data-quality monitor
+    * that survives the heavy tails a mean/stddev z-score drowns in.
+    * Values are µ-quantized to integer cents first (the
+    * [[eventPercentiles]] parity rule), so both percentile passes
+    * interpolate over exactly-representable values (halves at worst) —
+    * bit-identical across engines. Two grouped exact percentiles = two
+    * shuffles on event_type; at 100 TB swap in approx_percentile for
+    * the same two-pass shape. */
+  val anomalyMad: StagedOp = {
+    val cents = "CAST(FLOOR(value * 100 + 5.0e-1) AS BIGINT)"
+    StagedOp(
+      stages = Seq(
+        // per-type median (tiny: one row per event type) — staged so the
+        // deviation pass and the final pass don't re-run it under CTE
+        // inlining (a stats table this hot is exactly what production
+        // materializes)
+        "madm" -> { d =>
+          s"""SELECT event_type, ${d.percentileCont(cents, "5.0e-1")} AS medc
+             |FROM events GROUP BY event_type""".stripMargin
+        },
+        // per-type MAD off the staged medians (same shape, one more pass)
+        "mads" -> { d =>
+          s"""SELECT e.event_type, m.medc,
+             |  ${d.percentileCont(s"abs($cents - m.medc)", "5.0e-1")} AS madc
+             |FROM events e JOIN madm m ON e.event_type = m.event_type
+             |GROUP BY e.event_type, m.medc""".stripMargin
+        }),
+      body = { _ =>
+        s"""SELECT e.event_type,
+           |  ${r6("s.medc / 1.0e2")} AS median_value,
+           |  ${r6("s.madc / 1.0e2")} AS mad_value,
+           |  CAST(SUM(CASE WHEN abs($cents - s.medc) > 5 * s.madc THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           |  COUNT(*) AS n
+           |FROM events e JOIN mads s ON e.event_type = s.event_type
+           |GROUP BY e.event_type, s.medc, s.madc""".stripMargin
+      })
+  }
+
   /** Corpus-common n-gram fraction (the C4/CCNet line-dedup analogue at
     * shingle granularity): for every corpus doc, the fraction of its
     * DISTINCT 3-grams whose document frequency is ≥ 4 — i.e. shared

@@ -789,6 +789,39 @@ class OpsSpec extends SparkSpec {
     assert(top.length === 1) // all tied winners report the same max
   }
 
+  test("containment scores planted duplicates at 1.0") {
+    val rows = run("q_dedup_containment").collect()
+    val planted = rows.filter { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      b - a == 1L && a % 2 == 0 // snapshot copies: (2d, 2d+1)
+    }
+    assert(planted.nonEmpty)
+    assert(planted.forall(_.getAs[Double]("containment") == 1.0))
+  }
+
+  test("triangle count matches an independent Scala enumeration") {
+    val r = run("q_graph_triangles").collect().head
+    val edges = run("q_dedup_minhash").collect()
+      .map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b"))).toSet
+    assert(r.getAs[Long]("n_edges") === edges.size)
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val want = edges.toSeq.map { case (a, b) =>
+      adj.getOrElse(b, Set.empty).count(c => edges.contains((a, c)))
+    }.sum
+    assert(r.getAs[Long]("n_triangles") === want)
+  }
+
+  test("MAD outliers: medians inside range, outliers a strict minority") {
+    val rows = run("q_anomaly_mad").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mad_value") >= 0.0)
+      val (out, n) = (r.getAs[Long]("n_outliers"), r.getAs[Long]("n"))
+      // by definition of the median, > half the points sit within 5 MAD
+      assert(out < n / 2)
+    }
+  }
+
   test("hopping windows count every event exactly size/hop times") {
     val rows = run("q_events_hopping").collect()
     val total = graft.Tables.events(spark, sf001).count()
