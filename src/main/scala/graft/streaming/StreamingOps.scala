@@ -36,6 +36,21 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n_events"), col("sum_value"))
 
+  /** Watermarked hopping counts (10-minute windows every 5 minutes) —
+    * the streaming twin of the batch [[graft.ops.SqlOps.eventsHopping]].
+    * Spark's sliding `window(ts, size, slide)` expands each row into
+    * its size/slide = 2 containing windows before the watermarked
+    * aggregation — the same 2× row duplication the batch op pays with
+    * its shifted-grid union; state is one count per (window, type)
+    * inside the watermark horizon. */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n_events"))
+
   /** Native session windows (30-minute gap): the built-in streaming
     * equivalent of the batch lag/cumsum sessionization. */
   def sessionWindows(events: DataFrame): DataFrame =

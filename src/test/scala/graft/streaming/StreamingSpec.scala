@@ -239,6 +239,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming hopping aggregation equals the batch form on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      (ts(0), "click", 1.5), (ts(2), "click", 2.25), (ts(4), "view", 0.75),
+      (ts(7), "view", 3.0), (ts(11), "click", 1.0), (ts(13), "view", 2.0))
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = hoppingCounts(in.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.outputMode("complete").format("memory").queryName("hopeqv").start()
+    in.addData(events: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("hopeqv").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2)))
+      .toSet
+    q.stop()
+    // batch path: the oracle-checked SqlOps.eventsHopping over the same rows
+    events.toDF("ts", "event_type", "value").createOrReplaceTempView("events")
+    val batch = spark.sql(graft.ops.SqlOps.eventsHopping(graft.ops.SparkDialect))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(streamed === batch)
+    // each event lands in exactly 2 windows
+    assert(streamed.toSeq.map(_._3).sum === 2L * events.size)
+  }
+
   test("streaming corpus gate equals the batch corpus filter on in-order arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
