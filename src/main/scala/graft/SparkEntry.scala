@@ -446,7 +446,7 @@ object SparkEntry {
     "q_intervals_coverage" -> sqlq(Seq("events"), SqlOps.intervalCoverage),
     "q_cdc_apply" -> sqlq(Seq("orders"), SqlOps.cdcApply),
     "q_snapshot_diff" -> sqlq(Seq("documents"), SqlOps.snapshotDiff),
-    "q_profile_orders" -> sqlq(Seq("orders"), SqlOps.profileOrders),
+    "q_profile_orders" -> sqlStaged(Seq("orders"), SqlOps.profileOrders),
     "q_anomaly_mad" -> sqlStaged(Seq("events"), SqlOps.anomalyMad),
     // containment near-dup off the same staged shingle index, and the
     // candidate-graph triangle diagnostic off the staged band pairs
@@ -1045,7 +1045,7 @@ object SparkEntry {
     "q_intervals_coverage" -> SqlOps.intervalCoverage(DuckDialect),
     "q_cdc_apply" -> SqlOps.cdcApply(DuckDialect),
     "q_snapshot_diff" -> SqlOps.snapshotDiff(DuckDialect),
-    "q_profile_orders" -> SqlOps.profileOrders(DuckDialect),
+    "q_profile_orders" -> SqlOps.profileOrders.single(DuckDialect),
     "q_anomaly_mad" -> SqlOps.anomalyMad.single(DuckDialect),
     "q_dedup_containment" -> SqlOps.dedupContainment.single(DuckDialect),
     "q_graph_triangles" -> SqlOps.graphTriangles.single(DuckDialect),

@@ -1996,22 +1996,35 @@ object SqlOps {
     * that operator). Min/max are rendered to strings through
     * type-stable casts (DECIMAL for doubles, epoch seconds for
     * timestamps) so one schema fits every column. */
-  def profileOrders(d: Dialect): String = {
-    def row(col: String, minMax: String => String): String =
-      s"""SELECT '$col' AS col, COUNT(*) AS n_rows,
-         |  COUNT(*) - COUNT($col) AS n_null,
-         |  COUNT(DISTINCT $col) AS n_distinct,
-         |  ${minMax(s"MIN($col)")} AS min_val, ${minMax(s"MAX($col)")} AS max_val
-         |FROM orders""".stripMargin
+  val profileOrders: StagedOp = {
     val asStr = (x: String) => s"CAST($x AS STRING)"
     val decStr = (x: String) => s"CAST(CAST($x AS DECIMAL(18,2)) AS STRING)"
-    val tsStr = (x: String) =>
-      s"CAST(${d.epochSeconds(s"CAST($x AS TIMESTAMP)")} AS STRING)"
-    Seq(
-      row("o_orderkey", asStr), row("o_custkey", asStr),
-      row("o_orderstatus", asStr), row("o_totalprice", decStr),
-      row("o_orderdate", tsStr), row("o_orderpriority", asStr)
-    ).mkString("\nUNION ALL\n")
+    val cols: Seq[(String, Dialect => String => String)] = Seq(
+      "o_orderkey" -> (_ => asStr), "o_custkey" -> (_ => asStr),
+      "o_orderstatus" -> (_ => asStr), "o_totalprice" -> (_ => decStr),
+      "o_orderdate" -> ((d: Dialect) => (x: String) =>
+        s"CAST(${d.epochSeconds(s"CAST($x AS TIMESTAMP)")} AS STRING)"),
+      "o_orderpriority" -> (_ => asStr))
+    StagedOp(
+      stages = Seq(
+        // ONE scan computing every column's metrics as one wide row
+        // (Spark plans the multi-DISTINCT via Expand — rows × columns
+        // through the shuffle, the standard profile shape); the naive
+        // per-column UNION re-scanned the fact table once per column
+        "prof_agg" -> { d =>
+          val metrics = cols.map { case (c, mm) =>
+            s"""  COUNT(*) - COUNT($c) AS nn_$c,
+               |  COUNT(DISTINCT $c) AS nd_$c,
+               |  ${mm(d)(s"MIN($c)")} AS mn_$c, ${mm(d)(s"MAX($c)")} AS mx_$c""".stripMargin
+          }.mkString(",\n")
+          s"SELECT COUNT(*) AS n_rows,\n$metrics\nFROM orders"
+        }),
+      body = { _ =>
+        cols.map { case (c, _) =>
+          s"""SELECT '$c' AS col, n_rows, nn_$c AS n_null, nd_$c AS n_distinct,
+             |  mn_$c AS min_val, mx_$c AS max_val FROM prof_agg""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      })
   }
 
   // ---- multimodal column plumbing ----
