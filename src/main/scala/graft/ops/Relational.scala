@@ -754,27 +754,31 @@ object Relational {
   /** TPC-H Q21 shape (suppliers who kept orders waiting): lineitems
     * shipped more than 60 days after the order date, on finished
     * multi-supplier orders where this supplier was the ONLY late one.
-    * The correlated EXISTS / NOT EXISTS pair is re-expressed as one
-    * per-order aggregate — distinct suppliers and distinct LATE
-    * suppliers — joined back to the late rows: two shuffles on
-    * orderkey (same key, AQE reuses the partitioning) instead of two
-    * correlated scans of lineitem. Top-20 ties broken by name. */
+    * The correlated EXISTS / NOT EXISTS pair collapses into ONE pass
+    * over the lineitem⋈orders join: pre-aggregate late-row counts per
+    * (order, supplier) — map-side combinable, shrinks line rows to
+    * order×supplier rows — then a window over orderkey derives
+    * suppliers-per-order and late-suppliers-per-order on the reduced
+    * rows. The previous form consumed the join twice (per-order stats
+    * + late rows) and re-scanned both tables for each side; this one
+    * scans each table once and never joins back. Top-20 ties broken
+    * by name. */
   def waitingOrders(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_orderdate"))
-    val l = Tables.lineitem(spark, dir)
+    val perOS = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(o, col("l_orderkey") === o("o_orderkey"))
-      .withColumn("is_late",
-        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
-    val stats = l.groupBy(col("l_orderkey").as("ok"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-           countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"), 1)
+        .otherwise(0)).as("late_rows"))
+    val w = Window.partitionBy(col("l_orderkey"))
     val sup = Tables.supplier(spark, dir)
-    l.filter(col("is_late"))
-      .join(stats, col("l_orderkey") === col("ok"))
-      .filter(col("n_supp") >= 2 && col("n_late") === 1)
-      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+    perOS
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum((col("late_rows") > 0).cast("int")).over(w))
+      .filter(col("late_rows") > 0 && col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("l_suppkey")).agg(sum(col("late_rows")).as("numwait"))
       .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
       .orderBy(desc("numwait"), col("s_name"))
       .limit(20)
