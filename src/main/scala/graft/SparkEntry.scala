@@ -448,6 +448,13 @@ object SparkEntry {
     "q_snapshot_diff" -> sqlq(Seq("documents"), SqlOps.snapshotDiff),
     "q_profile_orders" -> sqlStaged(Seq("orders"), SqlOps.profileOrders),
     "q_anomaly_mad" -> sqlStaged(Seq("events"), SqlOps.anomalyMad),
+    "q_attribution" -> sqlq(Seq("events"), SqlOps.attributionLastTouch),
+    "q_zipf_fit" -> sqlStaged(Seq("documents"), SqlOps.zipfFit),
+    "q_pareto_customers" -> sqlStaged(Seq("orders"), SqlOps.paretoCustomers),
+    "q_text_readability" -> sqlq(Seq("documents"), SqlOps.textReadability),
+    // merge-of-partials vs a direct-aggregation oracle: the equality
+    // proves the incremental-maintenance decomposition lossless
+    "q_agg_incremental" -> sqlq(Seq("orders"), SqlOps.aggIncremental),
     // containment near-dup off the same staged shingle index, and the
     // candidate-graph triangle diagnostic off the staged band pairs
     "q_dedup_containment" -> sqlStaged(Seq("documents"), SqlOps.dedupContainment),
@@ -1047,6 +1054,18 @@ object SparkEntry {
     "q_snapshot_diff" -> SqlOps.snapshotDiff(DuckDialect),
     "q_profile_orders" -> SqlOps.profileOrders.single(DuckDialect),
     "q_anomaly_mad" -> SqlOps.anomalyMad.single(DuckDialect),
+    "q_attribution" -> SqlOps.attributionLastTouch(DuckDialect),
+    "q_zipf_fit" -> SqlOps.zipfFit.single(DuckDialect),
+    "q_pareto_customers" -> SqlOps.paretoCustomers.single(DuckDialect),
+    "q_text_readability" -> SqlOps.textReadability(DuckDialect),
+    // deliberately NOT the merge rendering: the direct aggregate over
+    // all orders is the independent ground truth the partial-state
+    // merge must reproduce
+    "q_agg_incremental" ->
+      """SELECT year(o_orderdate) * 100 + month(o_orderdate) AS month_key,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY year(o_orderdate) * 100 + month(o_orderdate)""".stripMargin,
     "q_dedup_containment" -> SqlOps.dedupContainment.single(DuckDialect),
     "q_graph_triangles" -> SqlOps.graphTriangles.single(DuckDialect),
     "q_multimodal_meta" -> SqlOps.multimodalMeta(DuckDialect),

@@ -426,6 +426,170 @@ object SqlOps {
          |GROUP BY doc_id""".stripMargin
     })
 
+  /** Last-touch attribution: each purchase credited to the same user's
+    * most recent preceding view/click within the hour — the marketing
+    * analytics staple, expressed as one window pass (running MAX of
+    * touch time over strictly preceding rows; MAX skips the NULLs
+    * non-touch events produce, so no IGNORE NULLS dialect divergence).
+    * One shuffle on user_id; the ORDER BY carries event_id so ties at
+    * equal timestamps resolve identically everywhere. */
+  def attributionLastTouch(d: Dialect): String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, ${d.epochSeconds("ts")} AS us
+       |  FROM events
+       |),
+       |u AS (
+       |  SELECT user_id, event_id, event_type, us,
+       |    MAX(CASE WHEN event_type IN ('view', 'click') THEN us END) OVER (
+       |      PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_us
+       |  FROM e
+       |)
+       |SELECT user_id, event_id AS purchase_id, touch_us,
+       |  us - touch_us AS delay_s
+       |FROM u
+       |WHERE event_type = 'purchase' AND touch_us IS NOT NULL
+       |  AND us - touch_us <= 3600""".stripMargin
+
+  /** Zipf slope of the corpus unigram distribution: OLS fit of
+    * log2(count) against log2(rank) over the top-64 tokens — the
+    * corpus-health diagnostic (natural text ≈ −1; template/generated
+    * text flattens). Reuses the staged [[textUnigramLm]] term
+    * frequencies; ranking is a window over the VOCAB-sized aggregate
+    * (the vocabCoverage bound), and the regression sums are
+    * µ-quantized log2 values in int64 so both engines sum exactly —
+    * the only unquantized float op is the final slope division. */
+  val zipfFit: StagedOp = StagedOp(
+    stages = textUnigramLm.stages,
+    body = { _ =>
+      val qlog = (x: String) =>
+        s"CAST(FLOOR(log2(CAST($x AS DOUBLE)) * 1.0e6 + 5.0e-1) AS BIGINT)"
+      s"""WITH vc AS (SELECT s, CAST(SUM(tf) AS BIGINT) AS c FROM ulm_tf GROUP BY s),
+         |rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, s) AS r FROM vc),
+         |q AS (
+         |  SELECT ${qlog("r")} AS qx, ${qlog("c")} AS qy
+         |  FROM rk WHERE r <= 64
+         |),
+         |m AS (
+         |  SELECT COUNT(*) AS n, CAST(SUM(qx) AS BIGINT) AS sx,
+         |    CAST(SUM(qy) AS BIGINT) AS sy, CAST(SUM(qx * qy) AS BIGINT) AS sxy,
+         |    CAST(SUM(qx * qx) AS BIGINT) AS sxx
+         |  FROM q
+         |)
+         |SELECT n AS n_terms,
+         |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+         |       ELSE ${r6("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)")}
+         |  END AS zipf_slope
+         |FROM m""".stripMargin
+    })
+
+  /** Pareto concentration cutoff: how many customers carry 80% of
+    * revenue — computed at 100 TB shape. A global
+    * rank-and-cumulative-sum over all customers would single-partition
+    * the whole dimension; instead the per-customer totals collapse
+    * into a ≤64-row log2-bucket histogram (buckets strictly order by
+    * value range, so cross-bucket rank is free), the boundary bucket
+    * is found on the histogram's cumulative sums, and the EXACT
+    * rank-and-cumsum window runs over that one bucket's customers
+    * only — the boundaries-then-bucket philosophy ([[ordersRfm]])
+    * applied to a global top-share query, bit-exact (integer cents,
+    * DECIMAL(38) sums). The per-customer table is staged (three
+    * consumers; CTE inlining would re-run the orders aggregate per
+    * reference). */
+  val paretoCustomers: StagedOp = StagedOp(
+    stages = Seq(
+      "par_pc" -> { _ =>
+        s"""SELECT o_custkey AS ck,
+           |  CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS DECIMAL(38,0)) AS c
+           |FROM orders GROUP BY o_custkey""".stripMargin
+      }),
+    body = { _ =>
+      s"""WITH t AS (
+         |  SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS total, COUNT(*) AS ncust FROM par_pc
+         |),
+         |h AS (
+         |  SELECT length(bin(CAST(c AS BIGINT))) - 1 AS b, COUNT(*) AS nc,
+         |    CAST(SUM(c) AS DECIMAL(38,0)) AS sc
+         |  FROM par_pc GROUP BY length(bin(CAST(c AS BIGINT))) - 1
+         |),
+         |hc AS (
+         |  SELECT b, nc, sc,
+         |    CAST(SUM(sc) OVER (ORDER BY b DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS cum_sc,
+         |    CAST(SUM(nc) OVER (ORDER BY b DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_nc
+         |  FROM h
+         |),
+         |bb AS (
+         |  SELECT b, cum_sc - sc AS above_sc, cum_nc - nc AS above_nc
+         |  FROM hc CROSS JOIN t
+         |  WHERE (cum_sc - sc) * 5 < total * 4 AND cum_sc * 5 >= total * 4
+         |),
+         |w AS (
+         |  SELECT bb.above_sc, ROW_NUMBER() OVER (ORDER BY p.c DESC, p.ck) AS rk,
+         |    CAST(SUM(p.c) OVER (ORDER BY p.c DESC, p.ck
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS cum
+         |  FROM par_pc p CROSS JOIN bb
+         |  WHERE length(bin(CAST(p.c AS BIGINT))) - 1 = bb.b
+         |),
+         |k AS (
+         |  SELECT MIN(w.rk) AS in_bucket FROM w CROSS JOIN t
+         |  WHERE (w.above_sc + w.cum) * 5 >= t.total * 4
+         |)
+         |SELECT t.ncust AS n_customers,
+         |  CAST(bb.above_nc + k.in_bucket AS BIGINT) AS n_top80,
+         |  ${r6("CAST(bb.above_nc + k.in_bucket AS DOUBLE) / t.ncust")} AS frac_top80
+         |FROM t CROSS JOIN bb CROSS JOIN k""".stripMargin
+    })
+
+  /** Flesch-style readability score per document: sentence count
+    * (terminal punctuation), word count, and a vowel-group syllable
+    * proxy, combined by the classic 206.835 − 1.015·(w/s) −
+    * 84.6·(syll/w) formula. The counts are exact integers (regex
+    * match counts); the formula is a fixed chain of correctly-rounded
+    * IEEE ops on those exact inputs, identical in both engines. A
+    * narrow stateless projection — streams and scales trivially. */
+  def textReadability(d: Dialect): String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    ${d.size(d.split("text", " "))} AS n_words,
+       |    GREATEST(${d.reCount("text", "[.!?]")}, 1) AS n_sentences,
+       |    ${d.reCount("lower(text)", "[aeiouy]+")} AS n_syllables
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  ${r6("206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences) - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)")} AS flesch
+       |FROM f WHERE n_words > 0""".stripMargin
+
+  /** Incremental aggregate maintenance: merge a stored monthly-revenue
+    * aggregate with a delta batch's partial aggregate — the
+    * materialized-view refresh every warehouse pipeline runs nightly.
+    * The even-orderkey half stands in for the stored state, the odd
+    * half for the delta; the merge is a full outer join of the two
+    * partial states with additive combination (sums and counts are
+    * mergeable; integer cents keep it exact). The ORACLE aggregates
+    * the union directly — equality proves the partial-state merge
+    * lossless, the property incremental maintenance rests on. At
+    * 100 TB the stored side is a parquet read of aggregate
+    * cardinality, never a fact-table rescan. */
+  def aggIncremental(d: Dialect): String = {
+    def part(pred: String): String =
+      s"""SELECT year(o_orderdate) * 100 + month(o_orderdate) AS month_key,
+         |    CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT) AS cents,
+         |    COUNT(*) AS n
+         |  FROM orders WHERE $pred GROUP BY year(o_orderdate) * 100 + month(o_orderdate)""".stripMargin
+    s"""WITH base AS (
+       |  ${part("o_orderkey % 2 = 0")}
+       |),
+       |delta AS (
+       |  ${part("o_orderkey % 2 = 1")}
+       |)
+       |SELECT COALESCE(b.month_key, d.month_key) AS month_key,
+       |  CAST(COALESCE(b.cents, 0) + COALESCE(d.cents, 0) AS BIGINT) AS revenue_cents,
+       |  CAST(COALESCE(b.n, 0) + COALESCE(d.n, 0) AS BIGINT) AS n_orders
+       |FROM base b FULL JOIN delta d ON b.month_key = d.month_key""".stripMargin
+  }
+
   /** Heavy-hitter bigrams via a Misra-Gries candidate gate: the
     * frequent-n-gram profile (boilerplate phrases, template markers) a
     * corpus pipeline tracks, computed at 100 TB shape — a mergeable

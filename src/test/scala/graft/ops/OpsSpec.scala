@@ -789,6 +789,71 @@ class OpsSpec extends SparkSpec {
     assert(top.length === 1) // all tied winners report the same max
   }
 
+  test("pareto cutoff matches an independent full-sort reimplementation") {
+    val r = run("q_pareto_customers").collect().head
+    // independent path: global sort + cumsum, no histogram shortcut
+    val cents = graft.Tables.orders(spark, sf001)
+      .groupBy(org.apache.spark.sql.functions.col("o_custkey"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT)").as("c"))
+      .collect().map(x => (x.getAs[Long]("o_custkey"), x.getAs[Long]("c")))
+    val sorted = cents.sortBy { case (ck, c) => (-c, ck) }
+    val total = sorted.map(_._2).sum
+    var cum = 0L
+    val nTop = sorted.segmentLength { case (_, c) =>
+      val before = cum; cum += c; before * 5 < total * 4
+    }
+    assert(r.getAs[Long]("n_customers") === sorted.length)
+    assert(r.getAs[Long]("n_top80") === nTop)
+  }
+
+  test("attribution matches an independent per-user sweep") {
+    val got = run("q_attribution").collect()
+      .map(r => (r.getAs[Long]("purchase_id"),
+        (r.getAs[Long]("touch_us"), r.getAs[Long]("delay_s")))).toMap
+    val evs = graft.Tables.events(spark, sf001)
+      .selectExpr("event_id", "user_id", "event_type", "unix_seconds(ts) AS us")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val want = evs.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      sorted.zipWithIndex.flatMap { case ((_, us, id, typ), i) =>
+        if (typ != "purchase") Nil
+        else sorted.take(i).filter(e => e._4 == "view" || e._4 == "click")
+          .map(_._2).maxOption.filter(t => us - t <= 3600)
+          .map(t => id -> (t, us - t)).toList
+      }
+    }.toMap
+    assert(got === want)
+  }
+
+  test("zipf slope is negative over the expected term count") {
+    val r = run("q_zipf_fit").collect().head
+    val vocab = graft.Tables.documents(spark, sf001)
+      .selectExpr("explode(split(text, ' ')) AS t").distinct().count()
+    assert(r.getAs[Long]("n_terms") === math.min(64L, vocab))
+    assert(r.getAs[Double]("zipf_slope") < 0.0)
+  }
+
+  test("readability reproduces the Flesch formula on exact counts") {
+    val rows = run("q_text_readability").collect()
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { r =>
+      val (w, s, sy) = (r.getAs[Int]("n_words"), r.getAs[Int]("n_sentences"),
+        r.getAs[Int]("n_syllables"))
+      assert(s >= 1)
+      val expect = 206.835 - 1.015 * (w.toDouble / s) - 84.6 * (sy.toDouble / w)
+      assert(math.abs(r.getAs[Double]("flesch") - expect) < 1e-5)
+    }
+  }
+
+  test("incremental aggregate merge covers every order exactly once") {
+    val rows = run("q_agg_incremental").collect()
+    val total = graft.Tables.orders(spark, sf001).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum === total)
+  }
+
   test("containment scores planted duplicates at 1.0") {
     val rows = run("q_dedup_containment").collect()
     val planted = rows.filter { r =>
