@@ -449,6 +449,7 @@ object SparkEntry {
     "q_profile_orders" -> sqlStaged(Seq("orders"), SqlOps.profileOrders),
     "q_anomaly_mad" -> sqlStaged(Seq("events"), SqlOps.anomalyMad),
     "q_attribution" -> sqlq(Seq("events"), SqlOps.attributionLastTouch),
+    "q_user_growth" -> sqlq(Seq("events"), SqlOps.userGrowth),
     "q_zipf_fit" -> sqlStaged(Seq("documents"), SqlOps.zipfFit),
     "q_pareto_customers" -> sqlStaged(Seq("orders"), SqlOps.paretoCustomers),
     "q_text_readability" -> sqlq(Seq("documents"), SqlOps.textReadability),
@@ -1055,6 +1056,7 @@ object SparkEntry {
     "q_profile_orders" -> SqlOps.profileOrders.single(DuckDialect),
     "q_anomaly_mad" -> SqlOps.anomalyMad.single(DuckDialect),
     "q_attribution" -> SqlOps.attributionLastTouch(DuckDialect),
+    "q_user_growth" -> SqlOps.userGrowth(DuckDialect),
     "q_zipf_fit" -> SqlOps.zipfFit.single(DuckDialect),
     "q_pareto_customers" -> SqlOps.paretoCustomers.single(DuckDialect),
     "q_text_readability" -> SqlOps.textReadability(DuckDialect),

@@ -2125,6 +2125,25 @@ object SqlOps {
        |  COUNT(*) AS n_intervals
        |FROM g GROUP BY user_id""".stripMargin
 
+  /** User growth curve: first-seen day per user → daily new users →
+    * running cumulative — the cumulative-distinct-over-time query,
+    * computed without any distinct-over-window: one shuffle on user_id
+    * (map-side-combinable MIN), one tiny day-cardinality aggregate,
+    * and a running sum over the day table (window input is bounded by
+    * the calendar, not the event volume). */
+  def userGrowth(d: Dialect): String =
+    s"""WITH e AS (
+       |  SELECT user_id,
+       |    CAST(FLOOR(${d.epochSeconds("ts")} / 86400.0) AS BIGINT) AS day
+       |  FROM events
+       |),
+       |fs AS (SELECT user_id, MIN(day) AS first_day FROM e GROUP BY user_id),
+       |dd AS (SELECT first_day AS day, COUNT(*) AS new_users FROM fs GROUP BY first_day)
+       |SELECT day, new_users,
+       |  CAST(SUM(new_users) OVER (ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+       |FROM dd""".stripMargin
+
   /** Snapshot diff: classify every doc across two corpus snapshots as
     * added / removed / changed / unchanged — the ingest-audit step
     * between crawl generations. Old = docs surviving `% 7`, new = docs

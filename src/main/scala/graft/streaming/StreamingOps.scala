@@ -209,6 +209,24 @@ object StreamingOps {
               col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"))
   }
 
+  /** Streaming anomaly gate — a stream-STATIC join: arriving events
+    * are joined to a precomputed per-type robust-stats table (the
+    * batch [[graft.ops.SqlOps.anomalyMad]] stages) and only rows with
+    * |value − median| > 5·MAD pass. The static side is re-read per
+    * micro-batch by Spark (picks up stats refreshes) and broadcasts
+    * when small; no streaming state at all — the gate is a stateless
+    * projection + join, the standard "score against last night's
+    * model" shape. `stats` must carry (event_type, medc, madc) in
+    * integer cents, as the staged tables do. */
+  def anomalyGate(events: DataFrame, stats: DataFrame): DataFrame =
+    events
+      .withColumn("cents",
+        expr("CAST(FLOOR(value * 100 + 5.0e-1) AS BIGINT)"))
+      .join(broadcast(stats), Seq("event_type"))
+      .filter(abs(col("cents") - col("medc")) > lit(5) * col("madc"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("cents"), col("medc"), col("madc"))
+
   /** Streaming cross-run dedup on a key (the reference's re-scrape
     * collapse, SURVEY.md §2.4 D2) with watermark-bounded state. */
   def dedupByKey(df: DataFrame, key: String, tsCol: String, watermark: String): DataFrame =

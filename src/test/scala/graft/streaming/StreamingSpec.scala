@@ -265,6 +265,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq.map(_._3).sum === 2L * events.size)
   }
 
+  test("streaming anomaly gate matches the batch MAD outlier counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch truth: per-type outlier counts from the oracle-gated query
+    val batch = graft.SparkEntry.queries("q_anomaly_mad")(spark, sf001).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_outliers")).toMap
+    // static stats side = the same staged median/MAD tables
+    graft.Tables.events(spark, sf001).createOrReplaceTempView("events")
+    spark.sql(graft.ops.SqlOps.anomalyMad.stages(0)._2(graft.ops.SparkDialect))
+      .createOrReplaceTempView("madm")
+    val stats = spark.sql(graft.ops.SqlOps.anomalyMad.stages(1)._2(graft.ops.SparkDialect))
+    val evs = graft.Tables.events(spark, sf001)
+      .selectExpr("event_id", "user_id", "event_type", "value").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Double]("value")))
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val q = StreamingOps.anomalyGate(
+        in.toDF().toDF("event_id", "user_id", "event_type", "value"), stats)
+      .writeStream.outputMode("append").format("memory").queryName("anom").start()
+    in.addData(evs.toSeq: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("anom").collect()
+      .groupBy(_.getAs[String]("event_type")).view.mapValues(_.length.toLong).toMap
+    q.stop()
+    assert(streamed === batch.filter(_._2 > 0))
+  }
+
   test("streaming corpus gate equals the batch corpus filter on in-order arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
