@@ -168,10 +168,38 @@ class PlanSpec extends SparkSpec {
   test("waiting orders: top-20 is TakeOrdered; the EXISTS pair is one aggregate, not correlated scans") {
     val plan = planOf("q_waiting_orders")
     assert(plan.contains("TakeOrderedAndProject"), s"top-20 must not globally sort:\n$plan")
-    // the per-order stats side re-reads (lineitem ⋈ orders) once — a
-    // correlated-subquery translation would plan lineitem 3×
-    assert("FileScan parquet.*lineitem|Location.*lineitem".r.findAllIn(plan).length <= 2,
-      s"lineitem scanned more than twice:\n$plan")
+    // single-pass form: the per-order stats are a window over the
+    // (order, supplier) pre-aggregate — lineitem is scanned exactly
+    // once (a correlated-subquery translation would plan it 3×)
+    assert("FileScan parquet.*lineitem|Location.*lineitem".r.findAllIn(plan).length <= 1,
+      s"lineitem scanned more than once:\n$plan")
+  }
+
+  test("hopping windows and user growth plan join-free") {
+    Seq("q_events_hopping", "q_user_growth").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("Join"), s"$q should not join:\n$plan")
+    }
+  }
+
+  test("attribution is one window pass: a single shuffle on user_id, no join") {
+    val plan = planOf("q_attribution")
+    assert(!plan.contains("Join"), s"attribution should not join:\n$plan")
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(ex === 1, s"expected exactly one shuffle, got $ex:\n$plan")
+  }
+
+  test("snapshot diff plans one full outer join on the key") {
+    val plan = planOf("q_snapshot_diff")
+    assert(plan.contains("FullOuter"), s"expected a full outer join:\n$plan")
+    assert("Join".r.findAllIn(plan).length <= 2, // one join, ≤2 mentions
+      s"expected a single join:\n$plan")
+  }
+
+  test("profile body reads the staged wide row, never the fact table") {
+    val plan = planOf("q_profile_orders")
+    assert(!plan.contains("orders.parquet"),
+      s"profile body must scan prof_agg, not orders:\n$plan")
   }
 
   test("staged text ops never re-run the token pipeline in the body") {
