@@ -451,6 +451,7 @@ object SparkEntry {
     "q_attribution" -> sqlq(Seq("events"), SqlOps.attributionLastTouch),
     "q_user_growth" -> sqlq(Seq("events"), SqlOps.userGrowth),
     "q_zipf_fit" -> sqlStaged(Seq("documents"), SqlOps.zipfFit),
+    "q_text_bigram_lm" -> sqlStaged(Seq("documents"), SqlOps.textBigramLm),
     "q_pareto_customers" -> sqlStaged(Seq("orders"), SqlOps.paretoCustomers),
     "q_text_readability" -> sqlq(Seq("documents"), SqlOps.textReadability),
     // merge-of-partials vs a direct-aggregation oracle: the equality
@@ -1058,6 +1059,7 @@ object SparkEntry {
     "q_attribution" -> SqlOps.attributionLastTouch(DuckDialect),
     "q_user_growth" -> SqlOps.userGrowth(DuckDialect),
     "q_zipf_fit" -> SqlOps.zipfFit.single(DuckDialect),
+    "q_text_bigram_lm" -> SqlOps.textBigramLm.single(DuckDialect),
     "q_pareto_customers" -> SqlOps.paretoCustomers.single(DuckDialect),
     "q_text_readability" -> SqlOps.textReadability(DuckDialect),
     // deliberately NOT the merge rendering: the direct aggregate over

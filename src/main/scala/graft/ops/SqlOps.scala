@@ -590,6 +590,43 @@ object SqlOps {
        |FROM base b FULL JOIN delta d ON b.month_key = d.month_key""".stripMargin
   }
 
+  /** Bigram conditional surprisal (the KenLM-bucket analogue one order
+    * up from [[textUnigramLm]]): a bigram w1w2's code length is
+    * ⌊log2 c(w1)⌋ − ⌊log2 c(w1w2)⌋ bits — the integer-exact floor-log2
+    * rendering of −log2 P(w2|w1) — and a doc scores the total and mean
+    * over its bigrams. c(w1w2) ≤ c(w1) always, so the difference is
+    * non-negative. Both count tables are token/bigram-cardinality
+    * windows over the staged tf artifacts (one explode each, no
+    * re-derived joins); the bigram→first-token join is on the token
+    * string, one bounded shuffle. High mean bits = rare continuations
+    * (fresh text); low = templated text. */
+  val textBigramLm: StagedOp = StagedOp(
+    stages = textUnigramLm.stages ++ Seq(
+      "blm_tf" -> { d =>
+        s"""WITH docs AS (SELECT doc_id, text FROM documents),
+           |${d.shingleRows("docs", 2)}
+           |SELECT doc_id, s, COUNT(*) AS tf FROM sh GROUP BY doc_id, s""".stripMargin
+      }),
+    body = { d =>
+      s"""WITH bc AS (
+         |  SELECT doc_id, s, tf,
+         |    CAST(SUM(tf) OVER (PARTITION BY s) AS BIGINT) AS c12,
+         |    ${d.elem(d.split("s", " "), "1")} AS w1
+         |  FROM blm_tf
+         |),
+         |uc AS (SELECT s AS w1, CAST(SUM(tf) AS BIGINT) AS c1 FROM ulm_tf GROUP BY s),
+         |j AS (
+         |  SELECT bc.doc_id, bc.tf,
+         |    length(bin(uc.c1)) - length(bin(bc.c12)) AS bits
+         |  FROM bc JOIN uc ON bc.w1 = uc.w1
+         |)
+         |SELECT doc_id,
+         |  CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(tf * bits) AS BIGINT) AS total_bits,
+         |  CAST(SUM(tf * bits) AS DOUBLE) / CAST(SUM(tf) AS BIGINT) AS mean_bits
+         |FROM j GROUP BY doc_id""".stripMargin
+    })
+
   /** Heavy-hitter bigrams via a Misra-Gries candidate gate: the
     * frequent-n-gram profile (boilerplate phrases, template markers) a
     * corpus pipeline tracks, computed at 100 TB shape — a mergeable

@@ -789,6 +789,30 @@ class OpsSpec extends SparkSpec {
     assert(top.length === 1) // all tied winners report the same max
   }
 
+  test("bigram surprisal matches an independent Scala reimplementation") {
+    def bits(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val docs = graft.Tables.documents(spark, sf001)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text").split(" ", -1)))
+    val uniCounts = docs.flatMap(_._2).groupBy(identity)
+      .map { case (t, o) => (t, o.length.toLong) }
+    val allBigrams = docs.flatMap(_._2.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq)
+    val biCounts = allBigrams.groupBy(identity).map { case (b, o) => (b, o.length.toLong) }
+    val expected = docs.collect { case (id, toks) if toks.length >= 2 =>
+      val bgs = toks.sliding(2).map(_.toSeq).toSeq
+      val total = bgs.map { bg =>
+        (bits(uniCounts(bg.head)) - bits(biCounts(bg.mkString(" ")))).toLong
+      }.sum
+      (id, (bgs.length.toLong, total, total.toDouble / bgs.length))
+    }.toMap
+    val actual = run("q_text_bigram_lm").collect().map { r =>
+      (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("total_bits"),
+          r.getAs[Double]("mean_bits")))
+    }.toMap
+    assert(actual === expected)
+  }
+
   test("pareto cutoff matches an independent full-sort reimplementation") {
     val r = run("q_pareto_customers").collect().head
     // independent path: global sort + cumsum, no histogram shortcut
