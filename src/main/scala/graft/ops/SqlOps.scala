@@ -502,27 +502,31 @@ object SqlOps {
         s"""SELECT o_custkey AS ck,
            |  CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS DECIMAL(38,0)) AS c
            |FROM orders GROUP BY o_custkey""".stripMargin
+      },
+      // grand total + customer count (1 row) and the ≤64-row log2
+      // histogram with its descending cumulative sums — staged so the
+      // body's multiple references re-read tiny parquet instead of
+      // re-running the per-customer aggregate per reference
+      "par_t" -> { _ =>
+        "SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS total, COUNT(*) AS ncust FROM par_pc"
+      },
+      "par_hc" -> { _ =>
+        s"""WITH h AS (
+           |  SELECT length(bin(CAST(c AS BIGINT))) - 1 AS b, COUNT(*) AS nc,
+           |    CAST(SUM(c) AS DECIMAL(38,0)) AS sc
+           |  FROM par_pc GROUP BY length(bin(CAST(c AS BIGINT))) - 1
+           |)
+           |SELECT b, nc, sc,
+           |  CAST(SUM(sc) OVER (ORDER BY b DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS cum_sc,
+           |  CAST(SUM(nc) OVER (ORDER BY b DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_nc
+           |FROM h""".stripMargin
       }),
     body = { _ =>
-      s"""WITH t AS (
-         |  SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS total, COUNT(*) AS ncust FROM par_pc
-         |),
-         |h AS (
-         |  SELECT length(bin(CAST(c AS BIGINT))) - 1 AS b, COUNT(*) AS nc,
-         |    CAST(SUM(c) AS DECIMAL(38,0)) AS sc
-         |  FROM par_pc GROUP BY length(bin(CAST(c AS BIGINT))) - 1
-         |),
-         |hc AS (
-         |  SELECT b, nc, sc,
-         |    CAST(SUM(sc) OVER (ORDER BY b DESC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS cum_sc,
-         |    CAST(SUM(nc) OVER (ORDER BY b DESC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_nc
-         |  FROM h
-         |),
-         |bb AS (
+      s"""WITH bb AS (
          |  SELECT b, cum_sc - sc AS above_sc, cum_nc - nc AS above_nc
-         |  FROM hc CROSS JOIN t
+         |  FROM par_hc CROSS JOIN par_t
          |  WHERE (cum_sc - sc) * 5 < total * 4 AND cum_sc * 5 >= total * 4
          |),
          |w AS (
@@ -533,13 +537,13 @@ object SqlOps {
          |  WHERE length(bin(CAST(p.c AS BIGINT))) - 1 = bb.b
          |),
          |k AS (
-         |  SELECT MIN(w.rk) AS in_bucket FROM w CROSS JOIN t
-         |  WHERE (w.above_sc + w.cum) * 5 >= t.total * 4
+         |  SELECT MIN(w.rk) AS in_bucket FROM w CROSS JOIN par_t
+         |  WHERE (w.above_sc + w.cum) * 5 >= par_t.total * 4
          |)
          |SELECT t.ncust AS n_customers,
          |  CAST(bb.above_nc + k.in_bucket AS BIGINT) AS n_top80,
          |  ${r6("CAST(bb.above_nc + k.in_bucket AS DOUBLE) / t.ncust")} AS frac_top80
-         |FROM t CROSS JOIN bb CROSS JOIN k""".stripMargin
+         |FROM par_t t CROSS JOIN bb CROSS JOIN k""".stripMargin
     })
 
   /** Flesch-style readability score per document: sentence count
@@ -2085,23 +2089,21 @@ object SqlOps {
        |FROM sess GROUP BY user_id, session_no""".stripMargin
 
   /** Hopping (sliding) window counts: 10-minute windows every 5
-    * minutes. Each event lands in exactly size/hop = 2 windows, emitted
-    * by a 2-way self-union on shifted aligned grids — a narrow
-    * projection (no range join, no explode of per-second rows), then
-    * ONE map-side-combinable groupBy. At 100 TB the union doubles the
-    * scan's row count before the partial aggregate, which is the
-    * textbook cost of hopping windows (Flink/Structured Streaming pay
-    * exactly the same per-window row duplication); the streaming twin
-    * is [[graft.streaming.StreamingOps.hoppingCounts]]. */
-  def eventsHopping(d: Dialect): String =
-    s"""WITH e AS (SELECT ${d.epochSeconds("ts")} AS es, event_type FROM events),
-       |w AS (
-       |  SELECT es - es % 300 AS window_start, event_type FROM e
-       |  UNION ALL
-       |  SELECT es - es % 300 - 300 AS window_start, event_type FROM e
-       |)
-       |SELECT window_start, event_type, COUNT(*) AS n_events
-       |FROM w GROUP BY window_start, event_type""".stripMargin
+    * minutes. Each event lands in exactly size/hop = 2 windows,
+    * emitted by ONE scan + a 2-element explode (the union-of-shifted-
+    * grids form scanned the fact table twice), then one
+    * map-side-combinable groupBy. The 2× row duplication before the
+    * partial aggregate is the textbook cost of hopping windows
+    * (Flink/Structured Streaming pay exactly the same); the streaming
+    * twin is [[graft.streaming.StreamingOps.hoppingCounts]]. */
+  def eventsHopping(d: Dialect): String = {
+    val e = s"SELECT ${d.epochSeconds("ts")} AS es, event_type, " +
+      s"${d.seqArray("0", "1")} AS ks FROM events"
+    s"""WITH w AS (${d.explode(e, "es, event_type", "ks", "k")})
+       |SELECT es - es % 300 - k * 300 AS window_start, event_type,
+       |  COUNT(*) AS n_events
+       |FROM w GROUP BY es - es % 300 - k * 300, event_type""".stripMargin
+  }
 
   /** CDC apply: collapse an insert/update/delete change stream to the
     * final table state — the Debezium/change-data-feed materialization
