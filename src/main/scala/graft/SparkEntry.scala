@@ -222,6 +222,7 @@ object SparkEntry {
     "q_topk_global" -> Relational.top10Orders _,
     "q_distinct_agg" -> Relational.distinctCustomersByStatus _,
     "q_approx_distinct" -> Relational.approxDistinctParts _,
+    "q_hll_merge" -> Relational.hllMergeUsers _,
     "q_approx_quantiles" -> Relational.approxQuantilesOrders _,
     "q_rollup" -> Relational.rollupRevenue _,
     "q_cube" -> Relational.cubeRevenue _,
@@ -1058,6 +1059,13 @@ object SparkEntry {
     "q_anomaly_mad" -> SqlOps.anomalyMad.single(DuckDialect),
     "q_attribution" -> SqlOps.attributionLastTouch(DuckDialect),
     "q_user_growth" -> SqlOps.userGrowth(DuckDialect),
+    // exact weekly distincts; the sketch contracts are asserted
+    // in-query (engine-specific estimates never cross the comparator)
+    "q_hll_merge" ->
+      """SELECT CAST(FLOOR(epoch(ts) / 604800.0) AS BIGINT) AS week,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS merge_equals_direct, TRUE AS est_within_5pct
+        |FROM events GROUP BY CAST(FLOOR(epoch(ts) / 604800.0) AS BIGINT)""".stripMargin,
     "q_zipf_fit" -> SqlOps.zipfFit.single(DuckDialect),
     "q_text_bigram_lm" -> SqlOps.textBigramLm.single(DuckDialect),
     "q_pareto_customers" -> SqlOps.paretoCustomers.single(DuckDialect),

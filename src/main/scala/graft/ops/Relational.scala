@@ -231,6 +231,35 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Mergeable-sketch distinct over time: per-day HLL sketches of
+    * user ids union-merged into a weekly estimate — the reaggregation
+    * property (merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B)) that lets
+    * a 100 TB pipeline maintain daily sketches and answer
+    * weekly/monthly distincts without rescanning raw events. The
+    * estimates are engine-specific, so the output carries the EXACT
+    * weekly distinct plus two in-query contracts: the merged estimate
+    * EQUALS the directly-built weekly sketch's estimate (the merge
+    * identity — HLL registers merge by max, so this is exact, not
+    * approximate) and lands within 5% of truth. */
+  def hllMergeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("day", expr("CAST(FLOOR(unix_seconds(ts) / 86400.0) AS BIGINT)"))
+      .withColumn("week", expr("CAST(FLOOR(unix_seconds(ts) / 604800.0) AS BIGINT)"))
+    val daily = e.groupBy(col("week"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val merged = daily.groupBy(col("week"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_merged"))
+    val direct = e.groupBy(col("week"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+           expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("est_direct"))
+    direct.join(merged, Seq("week"))
+      .select(col("week"), col("exact_users"),
+        (col("est_merged") === col("est_direct")).as("merge_equals_direct"),
+        (abs(col("est_merged") - col("exact_users")) / col("exact_users") <= 0.05)
+          .as("est_within_5pct"))
+      .orderBy(col("week"))
+  }
+
   /** Cube aggregation (all grouping-set combinations). */
   def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
