@@ -462,6 +462,8 @@ object SparkEntry {
     // candidate-graph triangle diagnostic off the staged band pairs
     "q_dedup_containment" -> sqlStaged(Seq("documents"), SqlOps.dedupContainment),
     "q_graph_triangles" -> sqlStaged(Seq("documents"), SqlOps.graphTriangles),
+    "q_fuzzy_join" -> sqlStaged(Seq("documents"), SqlOps.fuzzyJoin),
+    "q_chi_square" -> sqlq(Seq("events"), SqlOps.chiSquare),
 
     // -- multimodal columns --
     "q_multimodal_meta" -> sqlq(Seq("documents"), SqlOps.multimodalMeta),
@@ -1080,6 +1082,8 @@ object SparkEntry {
         |FROM orders GROUP BY year(o_orderdate) * 100 + month(o_orderdate)""".stripMargin,
     "q_dedup_containment" -> SqlOps.dedupContainment.single(DuckDialect),
     "q_graph_triangles" -> SqlOps.graphTriangles.single(DuckDialect),
+    "q_fuzzy_join" -> SqlOps.fuzzyJoin.single(DuckDialect),
+    "q_chi_square" -> SqlOps.chiSquare(DuckDialect),
     "q_multimodal_meta" -> SqlOps.multimodalMeta(DuckDialect),
     "q_multimodal_resize" -> SqlOps.multimodalResize(DuckDialect),
     "q_multimodal_audio" -> SqlOps.multimodalAudioWindows(DuckDialect),

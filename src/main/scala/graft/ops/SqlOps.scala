@@ -232,6 +232,62 @@ object SqlOps {
          |$jaccardSelect""".stripMargin
     })
 
+  /** Fuzzy-match (record-linkage) join: incoming documents (the odd
+    * snapshot) matched to canonical corpus documents (the even
+    * snapshot) through the SAME staged minhash band candidates the
+    * dedup family uses, restricted to cross-snapshot pairs — the
+    * bipartite entity-resolution shape ("link each new record to an
+    * existing master record by similarity, not by key"). Survivor =
+    * smallest canonical id; n_candidates reports match ambiguity. At
+    * 100 TB the band join IS the fuzzy join — candidates stay
+    * LSH-bounded, never a cross join of the two sides. */
+  val fuzzyJoin: StagedOp = StagedOp(
+    stages = dedupMinhash.stages,
+    body = { _ =>
+      s"""WITH bip AS (
+         |  SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS incoming_id,
+         |         CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS canonical_id
+         |  FROM mh_cand
+         |  WHERE doc_a % 2 <> doc_b % 2
+         |)
+         |SELECT incoming_id, MIN(canonical_id) AS matched_id,
+         |  COUNT(*) AS n_candidates
+         |FROM bip GROUP BY incoming_id""".stripMargin
+    })
+
+  /** Chi-square independence test between event type and (epoch) day
+    * of week — the drift/seasonality monitor a data-quality suite
+    * runs per ingest. Observed counts are one map-side-combinable
+    * aggregate; row/column/grand totals are windows over the
+    * TYPE×7-row contingency table (single reference — no re-scan per
+    * marginal); each cell's (o−e)²/e term is an IEEE chain on exact
+    * integer inputs, µ-quantized before the final sum so both engines
+    * add identical int64 values. */
+  def chiSquare(d: Dialect): String = {
+    val term = "(obs - rt * ct / n) * (obs - rt * ct / n) / (rt * ct / n)"
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    CAST(FLOOR(${d.epochSeconds("ts")} / 86400.0) AS BIGINT) % 7 AS dow
+       |  FROM events
+       |),
+       |o AS (SELECT event_type, dow, COUNT(*) AS obs FROM e GROUP BY event_type, dow),
+       |x AS (
+       |  SELECT event_type, dow, CAST(obs AS DOUBLE) AS obs,
+       |    CAST(SUM(obs) OVER (PARTITION BY event_type) AS DOUBLE) AS rt,
+       |    CAST(SUM(obs) OVER (PARTITION BY dow) AS DOUBLE) AS ct,
+       |    CAST(SUM(obs) OVER () AS DOUBLE) AS n
+       |  FROM o
+       |),
+       |q AS (
+       |  SELECT CAST(FLOOR($term * 1.0e6 + 5.0e-1) AS BIGINT) AS qt,
+       |    event_type, dow
+       |  FROM x
+       |)
+       |SELECT COUNT(DISTINCT event_type) AS n_types, COUNT(DISTINCT dow) AS n_dows,
+       |  ${r6("CAST(SUM(qt) AS DOUBLE) / 1.0e6")} AS chi2
+       |FROM q""".stripMargin
+  }
+
   /** Asymmetric containment near-dup (|A∩B| / min(|A|,|B|) ≥ 0.9): the
     * quote/boilerplate-inclusion signal Jaccard misses — a short doc
     * fully embedded in a long one has tiny Jaccard but containment 1.

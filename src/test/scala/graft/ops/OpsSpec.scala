@@ -878,6 +878,40 @@ class OpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_orders")).sum === total)
   }
 
+  test("fuzzy join links every incoming doc to its canonical twin") {
+    val rows = run("q_fuzzy_join").collect()
+    val nDocs = graft.Tables.documents(spark, sf001).count()
+    val byIncoming = rows.map(r => r.getAs[Long]("incoming_id") ->
+      r.getAs[Long]("matched_id")).toMap
+    // snapshot copies: incoming 2d+1 must link to canonical 2d (all
+    // bands collide on identical text; MIN picks the true twin unless
+    // an even-smaller identical doc exists, which still has equal text)
+    (0L until nDocs).foreach { d =>
+      val m = byIncoming.get(2 * d + 1)
+      assert(m.isDefined, s"incoming ${2 * d + 1} unmatched")
+      assert(m.get % 2 === 0 && m.get <= 2 * d, s"bad canonical for ${2 * d + 1}")
+    }
+    rows.foreach(r => assert(r.getAs[Long]("n_candidates") >= 1))
+  }
+
+  test("chi-square statistic matches an independent Scala contingency computation") {
+    val r = run("q_chi_square").collect().head
+    val evs = graft.Tables.events(spark, sf001)
+      .selectExpr("event_type", "CAST(FLOOR(unix_seconds(ts) / 86400.0) AS BIGINT) % 7 AS dow")
+      .collect().map(x => (x.getAs[String]("event_type"), x.getAs[Long]("dow")))
+    val obs = evs.groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    val rt = evs.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val ct = evs.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val n = evs.length.toDouble
+    val chi2 = obs.map { case ((t, d), o) =>
+      val e = rt(t) * ct(d) / n
+      math.floor((o - e) * (o - e) / e * 1e6 + 0.5)
+    }.sum / 1e6
+    assert(r.getAs[Long]("n_types") === rt.size)
+    assert(r.getAs[Long]("n_dows") === ct.size)
+    assert(math.abs(r.getAs[Double]("chi2") - math.floor(chi2 * 1e6 + 0.5) / 1e6) < 1e-6)
+  }
+
   test("containment scores planted duplicates at 1.0") {
     val rows = run("q_dedup_containment").collect()
     val planted = rows.filter { r =>
