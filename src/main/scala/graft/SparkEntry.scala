@@ -464,6 +464,7 @@ object SparkEntry {
     "q_graph_triangles" -> sqlStaged(Seq("documents"), SqlOps.graphTriangles),
     "q_fuzzy_join" -> sqlStaged(Seq("documents"), SqlOps.fuzzyJoin),
     "q_chi_square" -> sqlq(Seq("events"), SqlOps.chiSquare),
+    "q_corpus_split" -> sqlq(Seq("documents"), SqlOps.corpusSplit),
 
     // -- multimodal columns --
     "q_multimodal_meta" -> sqlq(Seq("documents"), SqlOps.multimodalMeta),
@@ -1084,6 +1085,7 @@ object SparkEntry {
     "q_graph_triangles" -> SqlOps.graphTriangles.single(DuckDialect),
     "q_fuzzy_join" -> SqlOps.fuzzyJoin.single(DuckDialect),
     "q_chi_square" -> SqlOps.chiSquare(DuckDialect),
+    "q_corpus_split" -> SqlOps.corpusSplit(DuckDialect),
     "q_multimodal_meta" -> SqlOps.multimodalMeta(DuckDialect),
     "q_multimodal_resize" -> SqlOps.multimodalResize(DuckDialect),
     "q_multimodal_audio" -> SqlOps.multimodalAudioWindows(DuckDialect),

@@ -232,6 +232,25 @@ object SqlOps {
          |$jaccardSelect""".stripMargin
     })
 
+  /** Deterministic train/val/test corpus split (80/10/10 by content
+    * hash): the dataset-assembly step every training pipeline runs.
+    * Assignment is the md5 first-byte bucket (0-255: <205 train,
+    * <230 val, else test) of the document id — RNG-free, so the split
+    * is reproducible at any scale, stable under re-runs and
+    * partitioning, and a doc never migrates between splits when the
+    * corpus grows. Output is the per-(language, split) manifest; the
+    * assignment itself is the narrow projection inside. */
+  def corpusSplit(d: Dialect): String =
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN ${md5Bucket("CAST(doc_id AS STRING)")} < 205 THEN 'train'
+       |         WHEN ${md5Bucket("CAST(doc_id AS STRING)")} < 230 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |)
+       |SELECT lang, split, COUNT(*) AS n_docs
+       |FROM s GROUP BY lang, split""".stripMargin
+
   /** Fuzzy-match (record-linkage) join: incoming documents (the odd
     * snapshot) matched to canonical corpus documents (the even
     * snapshot) through the SAME staged minhash band candidates the

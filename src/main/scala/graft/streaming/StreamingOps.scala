@@ -209,6 +209,52 @@ object StreamingOps {
               col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"))
   }
 
+  case class Chg(key: Long, ts: java.sql.Timestamp, seq: Int, op: String, value: Double)
+  case class ChgState(seq: Int, op: String, value: Double, maxUs: Long)
+  case class CdcRow(key: Long, value: Double, last_seq: Int)
+
+  /** Streaming CDC apply — the incremental twin of the batch
+    * [[graft.ops.SqlOps.cdcApply]]: per key, keep the
+    * highest-sequence change seen (late rows within the watermark may
+    * arrive in any order; only seq order matters), and once the
+    * watermark passes the key's quiet horizon emit the final state —
+    * unless the winning op is a delete, which emits nothing. State is
+    * ONE row per active key (the winning change), dropped at
+    * emission; the timeout re-arms from the max event time ever seen
+    * (the pairStep monotonicity rule). */
+  def cdcLatest(changes: Dataset[Chg], horizonMinutes: Int = 60): Dataset[CdcRow] = {
+    import changes.sparkSession.implicits._
+    val horizonUs = horizonMinutes * 60L * 1000000L
+    changes
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[ChgState, CdcRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[Chg], state: GroupState[ChgState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            if (st.op == "D") Iterator.empty
+            else Iterator.single(CdcRow(key, st.value, st.seq))
+          } else {
+            val prior = state.getOption
+            val st = rows.foldLeft(prior.orNull) { (acc, c) =>
+              val us = c.ts.getTime * 1000L
+              val accMax = if (acc == null) 0L else acc.maxUs
+              val winner =
+                if (acc == null || c.seq > acc.seq) ChgState(c.seq, c.op, c.value, 0L)
+                else ChgState(acc.seq, acc.op, acc.value, 0L)
+              winner.copy(maxUs = math.max(accMax, us))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(
+              (st.maxUs + horizonUs + 999L) / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming anomaly gate — a stream-STATIC join: arriving events
     * are joined to a precomputed per-type robust-stats table (the
     * batch [[graft.ops.SqlOps.anomalyMad]] stages) and only rows with

@@ -878,6 +878,18 @@ class OpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_orders")).sum === total)
   }
 
+  test("corpus split partitions every doc with roughly 80/10/10 mass") {
+    val rows = run("q_corpus_split").collect()
+    val total = graft.Tables.documents(spark, sf001).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    // generous bounds at tiny sf: the hash is uniform, not exact
+    assert(bySplit("train") > total / 2)
+    assert(bySplit("train") + bySplit("val") + bySplit("test") === total)
+  }
+
   test("fuzzy join links every incoming doc to its canonical twin") {
     val rows = run("q_fuzzy_join").collect()
     val nDocs = graft.Tables.documents(spark, sf001).count()

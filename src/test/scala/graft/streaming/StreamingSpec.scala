@@ -265,6 +265,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq.map(_._3).sum === 2L * events.size)
   }
 
+  test("streaming CDC apply equals the batch keep-latest result, even out of order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the batch op's change stream, with event times derived from seq
+    graft.Tables.orders(spark, sf001).createOrReplaceTempView("orders")
+    val changes = spark.sql(
+      """SELECT o_orderkey AS key, 1 AS seq, 'I' AS op,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS value FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 2, 'U',
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 3, 'D', CAST(NULL AS DOUBLE) FROM orders WHERE o_orderkey % 5 = 0""".stripMargin)
+      .collect()
+      .map(r => StreamingOps.Chg(r.getAs[Long]("key"), ts(r.getAs[Int]("seq")),
+        r.getAs[Int]("seq"), r.getAs[String]("op"),
+        Option(r.get(3)).map(_.asInstanceOf[Double]).getOrElse(Double.NaN)))
+    val in = MemoryStream[StreamingOps.Chg]
+    val q = StreamingOps.cdcLatest(in.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("cdcs").start()
+    // deliver REVERSED (deletes and updates before inserts) — within
+    // the watermark, arrival order must not matter
+    in.addData(changes.reverse.toIndexedSeq: _*)
+    q.processAllAvailable()
+    // two sentinel advances: watermark updates at batch end, timeouts
+    // fire the batch after
+    in.addData(StreamingOps.Chg(-1L, ts(600), 0, "I", 0.0))
+    q.processAllAvailable()
+    in.addData(StreamingOps.Chg(-2L, ts(1200), 0, "I", 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("cdcs").collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Double]("value"), r.getAs[Int]("last_seq")))
+      .filter(_._1 >= 0).toSet
+    q.stop()
+    val batch = graft.SparkEntry.queries("q_cdc_apply")(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Double]("val"), r.getAs[Int]("last_seq")))
+      .toSet
+    assert(streamed === batch)
+  }
+
   test("streaming anomaly gate matches the batch MAD outlier counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
