@@ -465,6 +465,7 @@ object SparkEntry {
     "q_fuzzy_join" -> sqlStaged(Seq("documents"), SqlOps.fuzzyJoin),
     "q_chi_square" -> sqlq(Seq("events"), SqlOps.chiSquare),
     "q_corpus_split" -> sqlq(Seq("documents"), SqlOps.corpusSplit),
+    "q_distinct_two_phase" -> sqlq(Seq("events"), SqlOps.distinctTwoPhase),
 
     // -- multimodal columns --
     "q_multimodal_meta" -> sqlq(Seq("documents"), SqlOps.multimodalMeta),
@@ -1086,6 +1087,7 @@ object SparkEntry {
     "q_fuzzy_join" -> SqlOps.fuzzyJoin.single(DuckDialect),
     "q_chi_square" -> SqlOps.chiSquare(DuckDialect),
     "q_corpus_split" -> SqlOps.corpusSplit(DuckDialect),
+    "q_distinct_two_phase" -> SqlOps.distinctTwoPhase(DuckDialect),
     "q_multimodal_meta" -> SqlOps.multimodalMeta(DuckDialect),
     "q_multimodal_resize" -> SqlOps.multimodalResize(DuckDialect),
     "q_multimodal_audio" -> SqlOps.multimodalAudioWindows(DuckDialect),

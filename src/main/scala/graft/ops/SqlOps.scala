@@ -274,6 +274,29 @@ object SqlOps {
          |FROM bip GROUP BY incoming_id""".stripMargin
     })
 
+  /** Two-phase distinct count: COUNT(DISTINCT user) per event type as
+    * dedup-then-count — phase 1 collapses to the (type, user) support
+    * (map-side combinable, spreads the reduction over all partitions),
+    * phase 2 counts rows per type. The classic rewrite that replaces
+    * the planner's Expand-based distinct with two plain aggregates —
+    * at 100 TB the difference between one skew-prone distinct
+    * aggregation and two well-distributed ones. The DuckDB oracle runs
+    * the direct COUNT(DISTINCT …) form: equality proves the rewrite
+    * result-invisible (the bloom/heavy-hitter gate pattern applied to
+    * aggregation strategy). */
+  def distinctTwoPhase(d: Dialect): String =
+    if (d.name == "duckdb")
+      s"""SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+         |FROM events GROUP BY event_type""".stripMargin
+    else
+      s"""WITH su AS (
+         |  SELECT event_type, user_id, COUNT(*) AS c
+         |  FROM events GROUP BY event_type, user_id
+         |)
+         |SELECT event_type, COUNT(*) AS n_users,
+         |  CAST(SUM(c) AS BIGINT) AS n_events
+         |FROM su GROUP BY event_type""".stripMargin
+
   /** Chi-square independence test between event type and (epoch) day
     * of week — the drift/seasonality monitor a data-quality suite
     * runs per ingest. Observed counts are one map-side-combinable
