@@ -2315,7 +2315,17 @@ object SqlOps {
     * exactness isn't required; [[Relational.approxDistinctParts]] is
     * that operator). Min/max are rendered to strings through
     * type-stable casts (DECIMAL for doubles, epoch seconds for
-    * timestamps) so one schema fits every column. */
+    * timestamps) so one schema fits every column.
+    *
+    * Two stages over one scan each, NOT one mixed aggregate: a string
+    * MIN/MAX makes the aggregation buffer immutable, which knocks the
+    * whole operator down from HashAggregate to SortAggregate — and in a
+    * mixed plan that sorts the Expand-multiplied multi-distinct input
+    * (rows × (columns+1), by a 7-column key, twice) instead of the raw
+    * rows. Splitting keeps the distinct-count pass (long buffers) in
+    * HashAggregate over the Expand, and the min/max pass (no Expand,
+    * no grouping key → nothing to sort) over plain rows. Measured at
+    * sf0.1: 4.7 s mixed → ~0.6 s split. */
   val profileOrders: StagedOp = {
     val asStr = (x: String) => s"CAST($x AS STRING)"
     val decStr = (x: String) => s"CAST(CAST($x AS DECIMAL(18,2)) AS STRING)"
@@ -2327,22 +2337,27 @@ object SqlOps {
       "o_orderpriority" -> (_ => asStr))
     StagedOp(
       stages = Seq(
-        // ONE scan computing every column's metrics as one wide row
-        // (Spark plans the multi-DISTINCT via Expand — rows × columns
-        // through the shuffle, the standard profile shape); the naive
-        // per-column UNION re-scanned the fact table once per column
-        "prof_agg" -> { d =>
+        // scan 1: row count, null counts, min/max — global aggregate,
+        // no distinct → no Expand, no grouping key → no sort
+        "prof_mm" -> { d =>
           val metrics = cols.map { case (c, mm) =>
             s"""  COUNT(*) - COUNT($c) AS nn_$c,
-               |  COUNT(DISTINCT $c) AS nd_$c,
                |  ${mm(d)(s"MIN($c)")} AS mn_$c, ${mm(d)(s"MAX($c)")} AS mx_$c""".stripMargin
           }.mkString(",\n")
           s"SELECT COUNT(*) AS n_rows,\n$metrics\nFROM orders"
+        },
+        // scan 2: the distinct counts alone — Expand ×columns, but the
+        // dedup level has an empty buffer and the count level a long
+        // buffer, so both stay HashAggregate
+        "prof_nd" -> { _ =>
+          val metrics = cols.map { case (c, _) =>
+            s"  COUNT(DISTINCT $c) AS nd_$c" }.mkString(",\n")
+          s"SELECT\n$metrics\nFROM orders"
         }),
       body = { _ =>
         cols.map { case (c, _) =>
           s"""SELECT '$c' AS col, n_rows, nn_$c AS n_null, nd_$c AS n_distinct,
-             |  mn_$c AS min_val, mx_$c AS max_val FROM prof_agg""".stripMargin
+             |  mn_$c AS min_val, mx_$c AS max_val FROM prof_mm CROSS JOIN prof_nd""".stripMargin
         }.mkString("\nUNION ALL\n")
       })
   }
