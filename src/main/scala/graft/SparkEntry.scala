@@ -466,6 +466,7 @@ object SparkEntry {
     "q_chi_square" -> sqlq(Seq("events"), SqlOps.chiSquare),
     "q_corpus_split" -> sqlq(Seq("documents"), SqlOps.corpusSplit),
     "q_distinct_two_phase" -> sqlq(Seq("events"), SqlOps.distinctTwoPhase),
+    "q_zorder_layout" -> sqlq(Seq("orders"), SqlOps.zorderLayout),
 
     // -- multimodal columns --
     "q_multimodal_meta" -> sqlq(Seq("documents"), SqlOps.multimodalMeta),
@@ -1088,6 +1089,7 @@ object SparkEntry {
     "q_chi_square" -> SqlOps.chiSquare(DuckDialect),
     "q_corpus_split" -> SqlOps.corpusSplit(DuckDialect),
     "q_distinct_two_phase" -> SqlOps.distinctTwoPhase(DuckDialect),
+    "q_zorder_layout" -> SqlOps.zorderLayout(DuckDialect),
     "q_multimodal_meta" -> SqlOps.multimodalMeta(DuckDialect),
     "q_multimodal_resize" -> SqlOps.multimodalResize(DuckDialect),
     "q_multimodal_audio" -> SqlOps.multimodalAudioWindows(DuckDialect),

@@ -44,6 +44,9 @@ trait Dialect {
   /** Count of regex matches (whole-match, group 0). */
   def reCount(x: String, rawRegex: String): String
   def bitXor(a: String, b: String): String
+  /** Integer (floor) division — for the NONNEGATIVE operands the
+    * callers use, where Spark `DIV` and DuckDB `//` agree. */
+  def idiv(a: String, b: String): String
   /** Inclusive integer sequence [lo..hi] as an array value (hi < lo →
     * empty array in both engines). */
   def seqArray(lo: String, hi: String): String
@@ -160,6 +163,7 @@ object SparkDialect extends Dialect {
   def reCount(x: String, rawRegex: String): String =
     s"size(regexp_extract_all($x, ${relit(rawRegex)}, 0))"
   def bitXor(a: String, b: String): String = s"($a ^ $b)"
+  def idiv(a: String, b: String): String = s"(($a) DIV ($b))"
   // bare sequence(lo, hi) with hi < lo defaults to step -1 and returns
   // a DESCENDING array where DuckDB's generate_series returns [] — the
   // CASE guard makes the trait's empty-on-inverted contract actually
@@ -273,6 +277,7 @@ object DuckDialect extends Dialect {
   def reCount(x: String, rawRegex: String): String =
     s"len(regexp_extract_all($x, ${relit(rawRegex)}, 0))"
   def bitXor(a: String, b: String): String = s"xor($a, $b)"
+  def idiv(a: String, b: String): String = s"(($a) // ($b))"
   // expression-context generate_series returns a LIST, inclusive of hi
   def seqArray(lo: String, hi: String): String = s"generate_series($lo, $hi)"
   def explode(fromSql: String, keyCol: String, arrCol: String, alias: String): String =

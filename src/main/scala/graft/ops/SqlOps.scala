@@ -297,6 +297,48 @@ object SqlOps {
          |  CAST(SUM(c) AS BIGINT) AS n_events
          |FROM su GROUP BY event_type""".stripMargin
 
+  /** Z-order (Morton-curve) layout audit: bucketize two query
+    * dimensions of orders (price, order date) to 8 bits each,
+    * interleave the bits into a 16-bit z-value, group rows into
+    * 256-z-value "files", and report each file's per-dimension
+    * min/max span. This is the table-layout operator behind
+    * OPTIMIZE/ZORDER in lakehouse engines: at 100 TB you
+    * `repartitionByRange(zval)` + sort-within-partitions before the
+    * parquet write so every file's min/max footer stats cover a tight
+    * rectangle in BOTH dimensions and either predicate prunes files —
+    * a single-dimension sort gives perfect pruning on one column and
+    * none on the other. The query emits exactly that audit (span per
+    * z-file); its own plan is one scan + one 256-group aggregate.
+    *
+    * All integer arithmetic: buckets are floor-divisions of exact
+    * values (price floored to whole units first — DuckDB CAST rounds
+    * where Spark truncates), the interleave is Σ bit·4^i via
+    * idiv/modulo (no engine bit operators needed), so both engines
+    * produce identical rows. Date bucket anchors at epoch day 8035
+    * (1992-01-01, the TPC-H date floor) over ~10-day cells; price
+    * cells are 2500 units capped at bucket 255. */
+  def zorderLayout(d: Dialect): String = {
+    def bit(x: String, i: Int): String =
+      s"(${d.idiv(x, (1L << i).toString)} % 2)"
+    val z = (0 until 8).map { i =>
+      s"${bit("pb", i)} * ${1L << (2 * i)} + ${bit("db", i)} * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT
+       |    LEAST(${d.idiv("CAST(FLOOR(o_totalprice) AS BIGINT)", "2500")}, 255) AS pb,
+       |    LEAST(GREATEST(${d.idiv(
+             s"${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} - ${8035L * 86400}",
+             "864000")}, 0), 255) AS db
+       |  FROM orders
+       |),
+       |z AS (SELECT pb, db, $z AS zval FROM b)
+       |SELECT ${d.idiv("zval", "256")} AS zfile, COUNT(*) AS n_rows,
+       |  MIN(pb) AS pb_min, MAX(pb) AS pb_max,
+       |  MIN(db) AS db_min, MAX(db) AS db_max,
+       |  CAST((MAX(pb) - MIN(pb) + 1) * (MAX(db) - MIN(db) + 1) AS BIGINT) AS span_area
+       |FROM z GROUP BY ${d.idiv("zval", "256")}""".stripMargin
+  }
+
   /** Chi-square independence test between event type and (epoch) day
     * of week — the drift/seasonality monitor a data-quality suite
     * runs per ingest. Observed counts are one map-side-combinable
