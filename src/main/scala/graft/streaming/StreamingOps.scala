@@ -278,6 +278,27 @@ object StreamingOps {
   def dedupByKey(df: DataFrame, key: String, tsCol: String, watermark: String): DataFrame =
     df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(key)
 
+  /** Streaming Misra-Gries heavy-hitter sketch: the same mergeable
+    * k-slot aggregate the batch gate uses
+    * ([[graft.functions.MisraGriesAgg]], `mg_topk`), maintained as a
+    * streaming global aggregate — each micro-batch's rows are
+    * map-side combined into partial sketches and merged into the one
+    * O(k) buffer the state store persists, so state size is
+    * independent of both stream length and key cardinality (the
+    * property that lets a 100 TB/day stream track frequent keys in a
+    * few KB of state). Emits the current sketch each batch
+    * (update/complete mode); the MG undercount bound (≤ N/(k+1))
+    * means every key with running share > 1/(k+1) is guaranteed
+    * present, so a consumer gates an exact count on the candidates
+    * exactly like the batch heavy-hitters query. The sketch CONTENT
+    * (marginal keys, estimates) depends on arrival and merge order —
+    * consumers must treat it as a candidate set, never as final
+    * counts. */
+  def heavyHitterSketch(items: DataFrame, keyCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(items.sparkSession)
+    items.groupBy().agg(expr(s"mg_topk($keyCol, $k)").as("sketch"))
+  }
+
   /** Streaming corpus-cleaning gate: score every arriving document
     * with the SAME single-sourced language-guess + quality formulas
     * the batch filter uses ([[graft.ops.SqlOps.sparkScoreExprs]] —

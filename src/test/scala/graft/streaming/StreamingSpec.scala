@@ -546,4 +546,38 @@ class StreamingSpec extends SparkSpec {
     assert(batch(2) === streamed.count(_._2 >= 2))
     assert(batch(3) === streamed.count(_._2 >= 3))
   }
+
+  test("streaming heavy-hitter sketch keeps every key above the MG share bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Zipf-ish skew over 12 distinct keys with only k=4 slots: slot
+    // pressure forces the eviction path in the streaming update AND the
+    // state-store merge across micro-batches (the corpus-vocab batch
+    // query never evicts — this is the adversarial coverage)
+    val keys: Seq[Long] =
+      (1 to 60).map(_ => 1L) ++ (1 to 30).map(_ => 2L) ++ (1 to 12).map(_ => 3L) ++
+        (3 to 12).flatMap(i => (1 to 3).map(_ => i.toLong))
+    val k = 4
+    val in = MemoryStream[Long]
+    val q = StreamingOps.heavyHitterSketch(in.toDF().toDF("key"), "key", k)
+      .writeStream.outputMode("complete").format("memory").queryName("mgsk").start()
+    // three micro-batches, deliberately uneven
+    keys.grouped(45).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    val sketch = spark.table("mgsk").collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getAs[Long]("key") -> r.getAs[Long]("est")).toMap
+    q.stop()
+    val n = keys.size
+    val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // guarantee: any key with true share > 1/(k+1) survives the sketch
+    truth.filter { case (_, c) => c * (k + 1) > n }.foreach { case (key, _) =>
+      assert(sketch.contains(key), s"heavy key $key evicted: $sketch")
+    }
+    // estimates never overcount and undercount by at most n/(k+1)
+    sketch.foreach { case (key, est) =>
+      assert(est <= truth(key), s"key $key overcounted: $est > ${truth(key)}")
+      assert(est >= truth(key) - n / (k + 1), s"key $key undercounted past the bound")
+    }
+    assert(sketch.size <= k)
+  }
 }
