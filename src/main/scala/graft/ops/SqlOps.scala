@@ -771,6 +771,57 @@ object SqlOps {
          |FROM j GROUP BY doc_id""".stripMargin
     })
 
+  /** BM25 ranked retrieval over the corpus for a fixed 3-term query —
+    * the text-search operator (Robertson/Spärck Jones probabilistic
+    * weighting, the Lucene default) a corpus pipeline uses to pull
+    * topical slices. Reuses the staged [[textUnigramLm]] term
+    * frequencies as the inverted index: the term filter is a pushed
+    * predicate on the columnar artifact (at 100 TB the index is
+    * partitioned by term and the scan touches only the query's terms),
+    * doc length is one aggregate over the same artifact, and the
+    * final ranking is a TakeOrdered top-10.
+    *
+    * Cross-engine exactness, following the zipfFit/tfidf precedent:
+    * ln() is banned, so the IDF is the µ-quantized log2 of the exact
+    * integer odds ratio — (N−df+½)/(df+½)+1 simplifies to
+    * (2N+2)/(2df+1), one correctly-rounded division into log2. Every
+    * other factor is exact int64 rational arithmetic: with k1 = 6/5
+    * and b = 3/4, scaling the per-term fraction by 20·total_tokens
+    * gives score_t = qidf·(44·tf·T) / (20·tf·T + 6·T + 18·dl·N),
+    * floor-divided to an integer per term and summed exactly. */
+  val searchBm25: StagedOp = StagedOp(
+    stages = textUnigramLm.stages,
+    body = { d =>
+      val terms = Seq("join", "merge", "window")
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val qidf =
+        s"""CAST(FLOOR(log2(CAST(2 * t.n_docs + 2 AS DOUBLE) / (2 * df.df + 1))
+           |    * 1.0e6 + 5.0e-1) AS BIGINT)""".stripMargin
+      s"""WITH dl AS (
+         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM ulm_tf GROUP BY doc_id
+         |),
+         |t AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS td
+         |  FROM dl
+         |),
+         |tq AS (SELECT doc_id, s AS term, CAST(tf AS BIGINT) AS tf
+         |       FROM ulm_tf WHERE s IN ($inList)),
+         |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tq GROUP BY term),
+         |sc AS (
+         |  SELECT tq.doc_id,
+         |    ${d.idiv(
+               s"$qidf * (44 * tq.tf * t.td)",
+               "20 * tq.tf * t.td + 6 * t.td + 18 * dl.dl * t.n_docs")} AS s_term
+         |  FROM tq
+         |  JOIN df ON tq.term = df.term
+         |  JOIN dl ON tq.doc_id = dl.doc_id
+         |  CROSS JOIN t
+         |)
+         |SELECT doc_id, CAST(SUM(s_term) AS BIGINT) AS bm25_micro
+         |FROM sc GROUP BY doc_id
+         |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin
+    })
+
   /** Heavy-hitter bigrams via a Misra-Gries candidate gate: the
     * frequent-n-gram profile (boilerplate phrases, template markers) a
     * corpus pipeline tracks, computed at 100 TB shape — a mergeable
