@@ -465,6 +465,7 @@ object SparkEntry {
     "q_graph_triangles" -> sqlStaged(Seq("documents"), SqlOps.graphTriangles),
     "q_fuzzy_join" -> sqlStaged(Seq("documents"), SqlOps.fuzzyJoin),
     "q_chi_square" -> sqlq(Seq("events"), SqlOps.chiSquare),
+    "q_cusum_drift" -> sqlq(Seq("events"), SqlOps.cusumDrift),
     "q_corpus_split" -> sqlq(Seq("documents"), SqlOps.corpusSplit),
     "q_distinct_two_phase" -> sqlq(Seq("events"), SqlOps.distinctTwoPhase),
     "q_zorder_layout" -> sqlq(Seq("orders"), SqlOps.zorderLayout),
@@ -1089,6 +1090,7 @@ object SparkEntry {
     "q_graph_triangles" -> SqlOps.graphTriangles.single(DuckDialect),
     "q_fuzzy_join" -> SqlOps.fuzzyJoin.single(DuckDialect),
     "q_chi_square" -> SqlOps.chiSquare(DuckDialect),
+    "q_cusum_drift" -> SqlOps.cusumDrift(DuckDialect),
     "q_corpus_split" -> SqlOps.corpusSplit(DuckDialect),
     "q_distinct_two_phase" -> SqlOps.distinctTwoPhase(DuckDialect),
     "q_zorder_layout" -> SqlOps.zorderLayout(DuckDialect),

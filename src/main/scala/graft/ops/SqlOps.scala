@@ -372,6 +372,51 @@ object SqlOps {
        |FROM q""".stripMargin
   }
 
+  /** One-sided CUSUM drift detector over daily event volumes per type
+    * — the sequential change-point monitor (Page 1954) that completes
+    * the data-quality family next to the chi-square seasonality test
+    * and the MAD outlier gate: chi-square asks "is the composition
+    * off?", MAD asks "is this row off?", CUSUM asks "did the LEVEL
+    * shift and stay shifted?". Slack κ = μ/4, alarm when the
+    * statistic exceeds 2μ.
+    *
+    * The textbook recursion S_d = max(0, S_{d−1} + (c_d − μ − κ)) is
+    * not a window function, but its closed form is: S_d = P_d −
+    * min(0, min_{j≤d} P_j) over the running sum P of deviations — so
+    * the whole detector is ONE daily pre-aggregation (the only big
+    * shuffle; map-side combinable) plus two cumulative windows over
+    * the tiny (type × day) series. Deviations are scaled by 4·n_days
+    * so μ and κ stay exact integers (4·c·D − 5·T); the single
+    * unscaled float op is the final peak division. */
+  def cusumDrift(d: Dialect): String =
+    s"""WITH dc AS (
+       |  SELECT event_type,
+       |    ${d.idiv(d.epochSeconds("ts"), "86400")} AS day, COUNT(*) AS c
+       |  FROM events GROUP BY event_type, ${d.idiv(d.epochSeconds("ts"), "86400")}
+       |),
+       |tt AS (
+       |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS t, COUNT(*) AS nd
+       |  FROM dc GROUP BY event_type
+       |),
+       |p AS (
+       |  SELECT dc.event_type, dc.day, tt.nd, tt.t,
+       |    CAST(SUM(4 * dc.c * tt.nd - 5 * tt.t) OVER (
+       |      PARTITION BY dc.event_type ORDER BY dc.day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pre
+       |  FROM dc JOIN tt ON dc.event_type = tt.event_type
+       |),
+       |s AS (
+       |  SELECT event_type, day, nd, t,
+       |    pre - LEAST(CAST(MIN(pre) OVER (
+       |      PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS cus
+       |  FROM p
+       |)
+       |SELECT event_type, CAST(MAX(nd) AS BIGINT) AS n_days,
+       |  CAST(SUM(CASE WHEN cus > 8 * t THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days,
+       |  ${r6("CAST(MAX(cus) AS DOUBLE) / (4.0 * MAX(nd))")} AS peak_dev
+       |FROM s GROUP BY event_type""".stripMargin
+
   /** Asymmetric containment near-dup (|A∩B| / min(|A|,|B|) ≥ 0.9): the
     * quote/boilerplate-inclusion signal Jaccard misses — a short doc
     * fully embedded in a long one has tiny Jaccard but containment 1.

@@ -524,6 +524,48 @@ class OpsSpec extends SparkSpec {
     assert(actual.toList === expected.toList)
   }
 
+  test("cusum drift matches the textbook recursion on a level-shifted series") {
+    // the real events table is volume-stable, so the oracle rows are
+    // all-zero and never exercise the positive-excursion or alarm
+    // paths — this drives the SAME SQL over a synthetic series with a
+    // planted level shift and checks it against the literal
+    // S_d = max(0, S_{d-1} + x_d) recursion computed in plain Scala
+    import java.sql.Timestamp
+    val series: Map[String, Seq[Long]] = Map(
+      "shifted" -> ((1 to 20).map(_ => 10L) ++ (1 to 10).map(_ => 20L)),
+      "stable" -> (1 to 30).map(i => 10L + (i % 3)) // jitter, no shift
+    )
+    val rows = for {
+      (tp, counts) <- series.toSeq
+      (c, day) <- counts.zipWithIndex
+      i <- 0L until c
+    } yield (new Timestamp((day * 86400L + i) * 1000L), tp)
+    import spark.implicits._
+    rows.toDF("ts", "event_type").createOrReplaceTempView("events")
+    val actual = spark.sql(SqlOps.cusumDrift(SparkDialect)).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("n_alarm_days"),
+          r.getAs[Double]("peak_dev")))).toMap
+    val expected = series.map { case (tp, counts) =>
+      val dd = counts.size
+      val t = counts.sum
+      var s = 0L
+      var alarms = 0L
+      var peak = 0L
+      counts.foreach { c =>
+        s = math.max(0L, s + (4 * c * dd - 5 * t))
+        if (s > 8 * t) alarms += 1
+        peak = math.max(peak, s)
+      }
+      tp -> ((dd.toLong, alarms,
+        math.floor(peak / (4.0 * dd) * 1e6 + 0.5) / 1e6))
+    }
+    assert(actual === expected)
+    // the shift must actually fire the detector, and the stable series must not
+    assert(expected("shifted")._2 > 0)
+    assert(expected("stable")._2 === 0L)
+  }
+
   test("vocab coverage matches an independent Scala reimplementation") {
     val docs = graft.Tables.documents(spark, sf001)
       .selectExpr("text").collect().map(_.getString(0))
