@@ -307,8 +307,11 @@ object SqlOps {
     * parquet write so every file's min/max footer stats cover a tight
     * rectangle in BOTH dimensions and either predicate prunes files —
     * a single-dimension sort gives perfect pruning on one column and
-    * none on the other. The query emits exactly that audit (span per
-    * z-file); its own plan is one scan + one 256-group aggregate.
+    * none on the other (the honest win is the WORST dimension's span,
+    * not the rectangle area — BucketingSpec proves it against a
+    * date-sorted layout on real written files). The query emits
+    * exactly that audit (span per z-file); its own plan is one scan +
+    * one 256-group aggregate.
     *
     * All integer arithmetic: buckets are floor-divisions of exact
     * values (price floored to whole units first — DuckDB CAST rounds
@@ -384,26 +387,33 @@ object SqlOps {
     * not a window function, but its closed form is: S_d = P_d −
     * min(0, min_{j≤d} P_j) over the running sum P of deviations — so
     * the whole detector is ONE daily pre-aggregation (the only big
-    * shuffle; map-side combinable) plus two cumulative windows over
-    * the tiny (type × day) series. Deviations are scaled by 4·n_days
-    * so μ and κ stay exact integers (4·c·D − 5·T); the single
-    * unscaled float op is the final peak division. */
+    * shuffle; map-side combinable) plus windows over the tiny
+    * (type × day) series. The per-type totals are WINDOWS over the
+    * daily counts, not a GROUP BY joined back — Spark inlines CTEs,
+    * so the join form re-ran the daily aggregation (and the fact
+    * scan) twice; the window form shares the one event_type exchange
+    * with the cumulative sums (PlanSpec pins single-scan). Deviations
+    * are scaled by 4·n_days so μ and κ stay exact integers
+    * (4·c·D − 5·T); the single unscaled float op is the final peak
+    * division. */
   def cusumDrift(d: Dialect): String =
     s"""WITH dc AS (
        |  SELECT event_type,
        |    ${d.idiv(d.epochSeconds("ts"), "86400")} AS day, COUNT(*) AS c
        |  FROM events GROUP BY event_type, ${d.idiv(d.epochSeconds("ts"), "86400")}
        |),
-       |tt AS (
-       |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS t, COUNT(*) AS nd
-       |  FROM dc GROUP BY event_type
+       |w AS (
+       |  SELECT event_type, day, c,
+       |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS t,
+       |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+       |  FROM dc
        |),
        |p AS (
-       |  SELECT dc.event_type, dc.day, tt.nd, tt.t,
-       |    CAST(SUM(4 * dc.c * tt.nd - 5 * tt.t) OVER (
-       |      PARTITION BY dc.event_type ORDER BY dc.day
+       |  SELECT event_type, day, nd, t,
+       |    CAST(SUM(4 * c * nd - 5 * t) OVER (
+       |      PARTITION BY event_type ORDER BY day
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pre
-       |  FROM dc JOIN tt ON dc.event_type = tt.event_type
+       |  FROM w
        |),
        |s AS (
        |  SELECT event_type, day, nd, t,

@@ -59,4 +59,51 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
+
+  test("z-order write bounds BOTH dimensions per file where a single sort leaves one unbounded") {
+    // the layout claim behind q_zorder_layout, driven end-to-end: write
+    // the same rows (a) range-partitioned + sorted by the interleaved
+    // z-value and (b) by date alone, then audit every written file's
+    // (price, date) bucket spans — the min/max rectangle IS what
+    // footer stats prune on. The honest metric is the WORST dimension
+    // span fraction, not the rectangle area: a 1/F z-range's bounding
+    // box area can exceed the single-sort file's (tight date × full
+    // price), but the single sort leaves price UNBOUNDED — a
+    // price-only predicate prunes nothing — while z-order pays
+    // ~sqrt on each axis and prunes on either.
+    val interleave = (0 until 8).map { i =>
+      s"((pb DIV ${1L << i}) % 2) * ${1L << (2 * i)} + ((db DIV ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    val df = graft.Tables.orders(spark, sf001).selectExpr(
+        "LEAST(CAST(FLOOR(o_totalprice) AS BIGINT) DIV 2500, 255) AS pb",
+        s"LEAST(GREATEST((unix_seconds(CAST(o_orderdate AS TIMESTAMP)) - ${8035L * 86400}) DIV 864000, 0), 255) AS db")
+      .withColumn("zval", expr(interleave))
+    val base = java.nio.file.Files.createTempDirectory("zorder_spec").toString
+    df.repartitionByRange(16, col("zval")).sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(s"$base/z")
+    df.repartitionByRange(16, col("db")).sortWithinPartitions("db")
+      .write.mode("overwrite").parquet(s"$base/lin")
+    // global extents normalize the span fractions
+    val ext = df.agg(
+      (max("pb") - min("pb") + 1).as("pbe"), (max("db") - min("db") + 1).as("dbe")).head()
+    val (pbe, dbe) = (ext.getAs[Long]("pbe").toDouble, ext.getAs[Long]("dbe").toDouble)
+    def worstDimFraction(path: String): Double = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("pb") - min("pb") + 1).as("pbs"), (max("db") - min("db") + 1).as("dbs"))
+        .collect()
+      assert(spans.length >= 8, s"expected several files under $path")
+      def avg(xs: Seq[Double]) = xs.sum / xs.length
+      math.max(avg(spans.map(_.getAs[Long]("pbs").toDouble)) / pbe,
+               avg(spans.map(_.getAs[Long]("dbs").toDouble)) / dbe)
+    }
+    val (zWorst, linWorst) = (worstDimFraction(s"$base/z"), worstDimFraction(s"$base/lin"))
+    // date-sorted files span ~the full price axis (worst ≈ 1); z files
+    // must bound both axes well below that
+    assert(linWorst > 0.8, s"fixture surprise: date-sort should leave price unbounded, got $linWorst")
+    assert(zWorst < 0.6, s"z-order worst-dimension span $zWorst not bounded")
+    assert(zWorst < linWorst,
+      s"z-order worst-dim $zWorst not tighter than single-sort $linWorst")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }

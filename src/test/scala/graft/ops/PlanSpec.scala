@@ -202,6 +202,25 @@ class PlanSpec extends SparkSpec {
       s"profile body must scan prof_agg, not orders:\n$plan")
   }
 
+  test("bm25 ranks via TakeOrderedAndProject with the term filter pushed to the index scan") {
+    val plan = planOf("q_search_bm25")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered top-10:\n$plan")
+    assert(plan.contains("In(s, ["), s"term predicate not pushed to the ulm_tf scan:\n$plan")
+  }
+
+  test("cusum is one events scan plus windows, no join back to the fact table") {
+    val plan = planOf("q_cusum_drift")
+    assert("FileScan".r.findAllIn(plan).length === 1, s"expected a single scan:\n$plan")
+    assert("Window".r.findAllIn(plan).length >= 2, s"expected the two cumulative windows:\n$plan")
+  }
+
+  test("zorder layout audit is one scan and one aggregate shuffle") {
+    val plan = planOf("q_zorder_layout")
+    assert("FileScan".r.findAllIn(plan).length === 1, s"expected a single scan:\n$plan")
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(ex === 1, s"expected exactly one shuffle, got $ex:\n$plan")
+  }
+
   test("staged text ops never re-run the token pipeline in the body") {
     Seq("q_dedup_substring", "q_text_unigram_lm").foreach { q =>
       val plan = planOf(q)
