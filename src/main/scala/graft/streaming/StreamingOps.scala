@@ -255,6 +255,56 @@ object StreamingOps {
       }
   }
 
+  case class DayCount(event_type: String, day: Long, c: Long)
+  case class CusumState(s20: Long, peak20: Long, alarms: Long, lastDay: Long)
+  case class CusumRow(event_type: String, day: Long, cusum20: Long,
+                      alarm: Boolean, n_alarms: Long)
+
+  /** Streaming one-sided CUSUM level-shift monitor — the streaming
+    * twin of the batch [[graft.ops.SqlOps.cusumDrift]]. CUSUM is
+    * inherently sequential (S_d = max(0, S_{d−1} + x_d)), which batch
+    * SQL has to re-derive through prefix-sum windows; a keyed stream
+    * is its NATURAL home — one O(1) state row per key, updated per
+    * completed-day count as it arrives. Input is the (event_type,
+    * day, c) daily-count stream an upstream tumbling window emits, in
+    * day order per type (the session/window stage already guarantees
+    * that); `baseline` maps each type to its reference day-volume
+    * quantized by the PRODUCER to exact integers — slacked25 = ⌊25·μ⌉
+    * (mean + μ/4 slack, ×20) and alarm40 = ⌊40·μ⌉ (2μ threshold,
+    * ×20) — so the update is pure int64 arithmetic: S20 = max(0,
+    * S20 + 20·c − slacked25), alarm while S20 > alarm40. Emits one
+    * row per consumed day (append mode) carrying the running
+    * statistic and alarm count; unknown types are dropped (no
+    * baseline = no model to drift from). */
+  def cusumMonitor(days: Dataset[DayCount],
+                   baseline: Map[String, (Long, Long)]): Dataset[CusumRow] = {
+    import days.sparkSession.implicits._
+    val base = days.sparkSession.sparkContext.broadcast(baseline)
+    days
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tp: String, rows: Iterator[DayCount], state: GroupState[CusumState]) =>
+          base.value.get(tp) match {
+            case None => Iterator.empty
+            case Some((slacked25, alarm40)) =>
+              var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, Long.MinValue))
+              val out = rows.toSeq.sortBy(_.day).iterator.collect {
+                // a replayed or out-of-order day must not advance the
+                // statistic twice — at-least-once sources re-deliver
+                case DayCount(_, day, c) if day > st.lastDay =>
+                  val s = math.max(0L, st.s20 + 20L * c - slacked25)
+                  val alarm = s > alarm40
+                  st = CusumState(s, math.max(st.peak20, s),
+                    st.alarms + (if (alarm) 1L else 0L), day)
+                  CusumRow(tp, day, s, alarm, st.alarms)
+              }.toList
+              state.update(st)
+              out.iterator
+          }
+      }
+  }
+
   /** Streaming anomaly gate — a stream-STATIC join: arriving events
     * are joined to a precomputed per-type robust-stats table (the
     * batch [[graft.ops.SqlOps.anomalyMad]] stages) and only rows with

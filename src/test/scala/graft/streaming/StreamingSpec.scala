@@ -547,6 +547,41 @@ class StreamingSpec extends SparkSpec {
     assert(batch(3) === streamed.count(_._2 >= 3))
   }
 
+  test("streaming cusum monitor matches the textbook recursion and ignores replayed days") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same planted level shift as the batch OpsSpec test, with integer
+    // mean so the producer quantization is exact: mu = 12 over the
+    // stable prefix (slacked25 = 300, alarm40 = 480)
+    val counts = (1 to 20).map(_ => 12L) ++ (1 to 10).map(_ => 24L)
+    val in = MemoryStream[StreamingOps.DayCount]
+    val q = StreamingOps.cusumMonitor(in.toDS(),
+        Map("shifted" -> ((300L, 480L)), "unknown_type" -> ((1L, 1L))))
+      .writeStream.outputMode("append").format("memory").queryName("cus").start()
+    val days = counts.zipWithIndex.map { case (c, d) =>
+      StreamingOps.DayCount("shifted", d.toLong, c) }
+    // uneven micro-batches, with the first batch REPLAYED in the middle
+    // (at-least-once redelivery must not advance the statistic twice)
+    val batches = days.grouped(11).toSeq
+    in.addData(batches.head); q.processAllAvailable()
+    in.addData(batches.head); q.processAllAvailable()
+    batches.tail.foreach { b => in.addData(b); q.processAllAvailable() }
+    val rows = spark.table("cus").as[StreamingOps.CusumRow].collect()
+    q.stop()
+    assert(rows.map(_.day).sorted.toSeq === days.map(_.day),
+      "exactly one emitted row per day despite the replay")
+    // independent recursion (x20 scale): S = max(0, S + 20c - 300)
+    var s = 0L; var alarms = 0L
+    val expected = counts.zipWithIndex.map { case (c, d) =>
+      s = math.max(0L, s + 20L * c - 300L)
+      val alarm = s > 480L
+      if (alarm) alarms += 1
+      StreamingOps.CusumRow("shifted", d.toLong, s, alarm, alarms)
+    }
+    assert(rows.sortBy(_.day).toSeq === expected)
+    assert(alarms > 0, "the planted shift must fire the monitor")
+  }
+
   test("streaming heavy-hitter sketch keeps every key above the MG share bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
