@@ -469,6 +469,8 @@ object SparkEntry {
     "q_corpus_split" -> sqlq(Seq("documents"), SqlOps.corpusSplit),
     "q_distinct_two_phase" -> sqlq(Seq("events"), SqlOps.distinctTwoPhase),
     "q_zorder_layout" -> sqlq(Seq("orders"), SqlOps.zorderLayout),
+    "q_trend_by_brand" -> sqlq(Seq("lineitem", "part"), SqlOps.trendByBrand),
+    "q_graph_degrees" -> sqlStaged(Seq("documents"), SqlOps.graphDegrees),
 
     // -- multimodal columns --
     "q_multimodal_meta" -> sqlq(Seq("documents"), SqlOps.multimodalMeta),
@@ -1094,6 +1096,8 @@ object SparkEntry {
     "q_corpus_split" -> SqlOps.corpusSplit(DuckDialect),
     "q_distinct_two_phase" -> SqlOps.distinctTwoPhase(DuckDialect),
     "q_zorder_layout" -> SqlOps.zorderLayout(DuckDialect),
+    "q_trend_by_brand" -> SqlOps.trendByBrand(DuckDialect),
+    "q_graph_degrees" -> SqlOps.graphDegrees.single(DuckDialect),
     "q_multimodal_meta" -> SqlOps.multimodalMeta(DuckDialect),
     "q_multimodal_resize" -> SqlOps.multimodalResize(DuckDialect),
     "q_multimodal_audio" -> SqlOps.multimodalAudioWindows(DuckDialect),

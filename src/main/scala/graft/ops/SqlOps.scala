@@ -297,6 +297,57 @@ object SqlOps {
          |  CAST(SUM(c) AS BIGINT) AS n_events
          |FROM su GROUP BY event_type""".stripMargin
 
+  /** Per-brand monthly revenue trend by closed-form OLS — regression
+    * at scale done the distributed way: each group's slope comes from
+    * five sufficient statistics (n, Σx, Σy, Σxy, Σx²) that are plain
+    * map-side-combinable SUMs over the (brand, month) pre-aggregate,
+    * so the whole fit is two hash aggregations and zero windows/sorts
+    * — the pattern that fits a million per-key models in one pass at
+    * 100 TB (with DECIMAL(38) partials there; int64 bounds hold at
+    * bench scale). Exact integers end-to-end: x = months since
+    * 1992-01, y = revenue in cents×100 (price cents × (100 −
+    * discount hundredths)); slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is
+    * the only float, two correctly-rounded divisions r6'd. */
+  def trendByBrand(d: Dialect): String =
+    s"""WITH m AS (
+       |  SELECT p_brand AS brand,
+       |    CAST(year(l_shipdate) * 12 + month(l_shipdate) - 23904 AS BIGINT) AS x,
+       |    CAST(SUM(
+       |      CAST(FLOOR(l_extendedprice * 1.0e2 + 5.0e-1) AS BIGINT)
+       |      * (100 - CAST(FLOOR(l_discount * 1.0e2 + 5.0e-1) AS BIGINT))
+       |    ) AS BIGINT) AS y
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY p_brand, year(l_shipdate) * 12 + month(l_shipdate) - 23904
+       |),
+       |s AS (
+       |  SELECT brand, COUNT(*) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+       |  FROM m GROUP BY brand
+       |)
+       |SELECT brand, CAST(n AS BIGINT) AS n_months,
+       |  ${r6("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / 1.0e4")}
+       |    AS slope_dollars_per_month
+       |FROM s""".stripMargin
+
+  /** Degree distribution of the near-dup candidate graph — the
+    * structural diagnostic read next to the triangle count (a heavy
+    * tail = hub/template pages about to quadratic-blow a downstream
+    * verify join; the df-cap/band design keeps it bounded). Rolls up
+    * the SAME staged band-candidate edges every other graph op uses:
+    * two tiny aggregates over the materialized pair table. */
+  val graphDegrees: StagedOp = StagedOp(
+    stages = dedupMinhash.stages,
+    body = { _ =>
+      s"""WITH e AS (
+         |  SELECT doc_a AS v FROM mh_cand
+         |  UNION ALL
+         |  SELECT doc_b AS v FROM mh_cand
+         |),
+         |deg AS (SELECT v, COUNT(*) AS deg FROM e GROUP BY v)
+         |SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY deg""".stripMargin
+    })
+
   /** Z-order (Morton-curve) layout audit: bucketize two query
     * dimensions of orders (price, order date) to 8 bits each,
     * interleave the bits into a 16-bit z-value, group rows into
