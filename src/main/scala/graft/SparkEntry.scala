@@ -397,6 +397,7 @@ object SparkEntry {
     "q_ann_ivf_probe2" -> sqlStaged(Seq("embeddings"), SqlOps.annIvfProbe2),
     "q_text_unigram_lm" -> sqlStaged(Seq("documents"), SqlOps.textUnigramLm),
     "q_search_bm25" -> sqlStaged(Seq("documents"), SqlOps.searchBm25),
+    "q_bpe_pairs" -> sqlStaged(Seq("documents"), SqlOps.bpePairs),
     "q_text_langid" -> sqlq(Seq("documents"), SqlOps.textLangId),
     "q_text_langid_eval" -> sqlq(Seq("documents"), SqlOps.textLangIdEval),
     "q_text_quality" -> sqlq(Seq("documents"), SqlOps.textQuality),
@@ -1034,6 +1035,7 @@ object SparkEntry {
     "q_ann_ivf_probe2" -> SqlOps.annIvfProbe2.single(DuckDialect),
     "q_text_unigram_lm" -> SqlOps.textUnigramLm.single(DuckDialect),
     "q_search_bm25" -> SqlOps.searchBm25.single(DuckDialect),
+    "q_bpe_pairs" -> SqlOps.bpePairs.single(DuckDialect),
     "q_text_langid" -> SqlOps.textLangId(DuckDialect),
     "q_text_langid_eval" -> SqlOps.textLangIdEval(DuckDialect),
     "q_text_quality" -> SqlOps.textQuality(DuckDialect),

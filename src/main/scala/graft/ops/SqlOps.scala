@@ -928,6 +928,29 @@ object SqlOps {
          |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin
     })
 
+  /** One BPE-training iteration: count adjacent character pairs
+    * weighted by word frequency and propose the top merge candidates
+    * — the tokenizer-fitting step of an LLM data pipeline, computed
+    * the way real BPE trainers do it at scale: the corpus collapses
+    * ONCE to the word-frequency table (the only corpus-sized shuffle,
+    * shared with the staged [[textUnigramLm]] index), and pair
+    * counting then runs over the VOCABULARY (unique words × word
+    * length — orders of magnitude smaller than the corpus), as a
+    * narrow position-explode + one tiny aggregate. Counts are exact
+    * integers; the top-20 is deterministically tie-broken by pair. */
+  val bpePairs: StagedOp = StagedOp(
+    stages = textUnigramLm.stages,
+    body = { d =>
+      s"""WITH vocab AS (
+         |  SELECT s AS w, CAST(SUM(tf) AS BIGINT) AS c FROM ulm_tf GROUP BY s
+         |),
+         |wi AS (SELECT w, c, ${d.seqArray("1", "length(w) - 1")} AS ii FROM vocab),
+         |pe AS (${d.explode("SELECT w, c, ii FROM wi", "w, c", "ii", "i")})
+         |SELECT substr(w, i, 2) AS pair, CAST(SUM(c) AS BIGINT) AS cnt
+         |FROM pe GROUP BY substr(w, i, 2)
+         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+    })
+
   /** Heavy-hitter bigrams via a Misra-Gries candidate gate: the
     * frequent-n-gram profile (boilerplate phrases, template markers) a
     * corpus pipeline tracks, computed at 100 TB shape — a mergeable
