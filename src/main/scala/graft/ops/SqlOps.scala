@@ -380,9 +380,12 @@ object SqlOps {
     s"""WITH b AS (
        |  SELECT
        |    LEAST(${d.idiv("CAST(FLOOR(o_totalprice) AS BIGINT)", "2500")}, 255) AS pb,
-       |    LEAST(GREATEST(${d.idiv(
-             s"${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} - ${8035L * 86400}",
-             "864000")}, 0), 255) AS db
+       |    LEAST(${d.idiv(
+             // clamp BEFORE dividing: idiv's nonnegative contract (Spark
+             // DIV truncates toward zero, DuckDB // floors — they only
+             // agree at ≥ 0, and a pre-anchor date would diverge silently)
+             s"GREATEST(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} - ${8035L * 86400}, 0)",
+             "864000")}, 255) AS db
        |  FROM orders
        |),
        |z AS (SELECT pb, db, $z AS zval FROM b)
@@ -894,7 +897,10 @@ object SqlOps {
     * other factor is exact int64 rational arithmetic: with k1 = 6/5
     * and b = 3/4, scaling the per-term fraction by 20·total_tokens
     * gives score_t = qidf·(44·tf·T) / (20·tf·T + 6·T + 18·dl·N),
-    * floor-divided to an integer per term and summed exactly. */
+    * floor-divided to an integer per term and summed exactly.
+    * Headroom: qidf·44·tf·T stays under 2⁶³ up to ~10⁸ total corpus
+    * tokens at tf ≤ 50; past that, drop the IDF quantization to ×10³
+    * or move the product to DECIMAL(38,0). */
   val searchBm25: StagedOp = StagedOp(
     stages = textUnigramLm.stages,
     body = { d =>
