@@ -471,6 +471,7 @@ object SparkEntry {
     "q_distinct_two_phase" -> sqlq(Seq("events"), SqlOps.distinctTwoPhase),
     "q_zorder_layout" -> sqlq(Seq("orders"), SqlOps.zorderLayout),
     "q_trend_by_brand" -> sqlq(Seq("lineitem", "part"), SqlOps.trendByBrand),
+    "q_skyline_orders" -> sqlStaged(Seq("orders"), SqlOps.skylineOrders),
     "q_graph_degrees" -> sqlStaged(Seq("documents"), SqlOps.graphDegrees),
 
     // -- multimodal columns --
@@ -1099,6 +1100,7 @@ object SparkEntry {
     "q_distinct_two_phase" -> SqlOps.distinctTwoPhase(DuckDialect),
     "q_zorder_layout" -> SqlOps.zorderLayout(DuckDialect),
     "q_trend_by_brand" -> SqlOps.trendByBrand(DuckDialect),
+    "q_skyline_orders" -> SqlOps.skylineOrders.single(DuckDialect),
     "q_graph_degrees" -> SqlOps.graphDegrees.single(DuckDialect),
     "q_multimodal_meta" -> SqlOps.multimodalMeta(DuckDialect),
     "q_multimodal_resize" -> SqlOps.multimodalResize(DuckDialect),

@@ -297,6 +297,60 @@ object SqlOps {
          |  CAST(SUM(c) AS BIGINT) AS n_events
          |FROM su GROUP BY event_type""".stripMargin
 
+  /** Skyline (Pareto frontier) of orders over (price ↓, recency ↑) —
+    * the multi-objective dominance operator: a point survives iff no
+    * other point is cheaper-or-equal AND newer-or-equal with at least
+    * one strict. The naive formulations are an O(n²) self-join or a
+    * single global window (one partition holding the whole fact
+    * table). This runs the boundary-bucket pattern instead: stage the
+    * per-price-bucket max recency with its running cross-bucket max
+    * (a ≤256-row table — the only ordered window over "everything"
+    * runs there), broadcast it back, and keep only rows newer than
+    * every strictly-cheaper bucket's best — the skyline is provably a
+    * subset, and the exact dominance window then runs over that tiny
+    * survivor set. Skyline is also mergeable (skyline(A∪B) =
+    * skyline(skyline(A)∪skyline(B))), which is what makes the
+    * prune-then-exact composition correct at any partition count.
+    * All integer: price cents, epoch days, distinct-pair dedup before
+    * the strict-dominance test. */
+  val skylineOrders: StagedOp = StagedOp(
+    stages = Seq(
+      "sky_b" -> { d =>
+        s"""WITH o AS (
+           |  SELECT CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT) AS pc,
+           |    ${d.idiv(d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)"), "86400")} AS ed
+           |  FROM orders
+           |),
+           |b AS (
+           |  SELECT ${d.idiv("pc", "262144")} AS pb, MAX(ed) AS bmax
+           |  FROM o GROUP BY ${d.idiv("pc", "262144")}
+           |)
+           |SELECT pb, bmax,
+           |  MAX(bmax) OVER (ORDER BY pb
+           |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS premax
+           |FROM b""".stripMargin
+      }),
+    body = { d =>
+      s"""WITH o AS (
+         |  SELECT CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT) AS pc,
+         |    ${d.idiv(d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)"), "86400")} AS ed
+         |  FROM orders
+         |),
+         |surv AS (
+         |  SELECT DISTINCT o.pc, o.ed
+         |  FROM o JOIN sky_b sb ON ${d.idiv("o.pc", "262144")} = sb.pb
+         |  WHERE sb.premax IS NULL OR o.ed > sb.premax
+         |),
+         |w AS (
+         |  SELECT pc, ed, MAX(ed) OVER (ORDER BY pc ASC, ed DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM surv
+         |)
+         |SELECT pc AS price_cents, ed AS epoch_day
+         |FROM w WHERE pm IS NULL OR ed > pm
+         |ORDER BY pc""".stripMargin
+    })
+
   /** Per-brand monthly revenue trend by closed-form OLS — regression
     * at scale done the distributed way: each group's slope comes from
     * five sufficient statistics (n, Σx, Σy, Σxy, Σx²) that are plain

@@ -524,6 +524,25 @@ class OpsSpec extends SparkSpec {
     assert(actual.toList === expected.toList)
   }
 
+  test("skyline matches brute-force O(n²) dominance") {
+    // the bucket-prune + survivor-window composition is shared SQL —
+    // blind spot for the dual-dialect oracle — so check the frontier
+    // against the literal dominance definition over all pairs
+    val pts = graft.Tables.orders(spark, sf001)
+      .selectExpr(
+        "CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT) AS pc",
+        "unix_seconds(CAST(o_orderdate AS TIMESTAMP)) DIV 86400 AS ed")
+      .collect().map(r => (r.getAs[Long]("pc"), r.getAs[Long]("ed"))).toSet
+    val expected = pts.filter { case (p, d) =>
+      !pts.exists { case (p2, d2) =>
+        p2 <= p && d2 >= d && (p2 < p || d2 > d) }
+    }
+    val actual = run("q_skyline_orders").collect()
+      .map(r => (r.getAs[Long]("price_cents"), r.getAs[Long]("epoch_day"))).toSet
+    assert(actual === expected)
+    assert(actual.nonEmpty)
+  }
+
   test("cusum drift matches the textbook recursion on a level-shifted series") {
     // the real events table is volume-stable, so the oracle rows are
     // all-zero and never exercise the positive-excursion or alarm
