@@ -467,6 +467,7 @@ object SparkEntry {
     "q_fuzzy_join" -> sqlStaged(Seq("documents"), SqlOps.fuzzyJoin),
     "q_chi_square" -> sqlq(Seq("events"), SqlOps.chiSquare),
     "q_cusum_drift" -> sqlq(Seq("events"), SqlOps.cusumDrift),
+    "q_event_transitions" -> sqlq(Seq("events"), SqlOps.eventTransitions),
     "q_corpus_split" -> sqlq(Seq("documents"), SqlOps.corpusSplit),
     "q_distinct_two_phase" -> sqlq(Seq("events"), SqlOps.distinctTwoPhase),
     "q_zorder_layout" -> sqlq(Seq("orders"), SqlOps.zorderLayout),
@@ -1096,6 +1097,7 @@ object SparkEntry {
     "q_fuzzy_join" -> SqlOps.fuzzyJoin.single(DuckDialect),
     "q_chi_square" -> SqlOps.chiSquare(DuckDialect),
     "q_cusum_drift" -> SqlOps.cusumDrift(DuckDialect),
+    "q_event_transitions" -> SqlOps.eventTransitions(DuckDialect),
     "q_corpus_split" -> SqlOps.corpusSplit(DuckDialect),
     "q_distinct_two_phase" -> SqlOps.distinctTwoPhase(DuckDialect),
     "q_zorder_layout" -> SqlOps.zorderLayout(DuckDialect),

@@ -297,6 +297,29 @@ object SqlOps {
          |  CAST(SUM(c) AS BIGINT) AS n_events
          |FROM su GROUP BY event_type""".stripMargin
 
+  /** First-order event-transition matrix (Markov behavior profile):
+    * per-user previous→next event-type pair counts and row-normalized
+    * transition probabilities — the session-behavior model a product
+    * pipeline fits nightly. One shuffle on user_id for the LAG window
+    * (arbitrarily parallel — no global ordering), one pair aggregate,
+    * and the row normalizer is a window over the TYPE×TYPE matrix
+    * (≤ |types|² rows). LAG order is (ts, event_id) so simultaneous
+    * events break ties identically in both engines; the probability
+    * is the single float division, r6'd. */
+  def eventTransitions(d: Dialect): String =
+    s"""WITH s AS (
+       |  SELECT user_id, event_type,
+       |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events
+       |),
+       |m AS (
+       |  SELECT prev, event_type AS next, COUNT(*) AS n
+       |  FROM s WHERE prev IS NOT NULL GROUP BY prev, event_type
+       |)
+       |SELECT prev, next, CAST(n AS BIGINT) AS n_transitions,
+       |  ${r6("CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev) AS DOUBLE)")} AS p
+       |FROM m""".stripMargin
+
   /** Skyline (Pareto frontier) of orders over (price ↓, recency ↑) —
     * the multi-objective dominance operator: a point survives iff no
     * other point is cheaper-or-equal AND newer-or-equal with at least
