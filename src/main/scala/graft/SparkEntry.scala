@@ -290,6 +290,7 @@ object SparkEntry {
     "q_dedup_lsh_eval" -> sqlStaged(Seq("documents"), SqlOps.dedupLshEval),
     "q_dedup_simhash" -> sqlq(Seq("documents"), SqlOps.dedupSimhash),
     "q_dedup_simhash_pairs" -> sqlStaged(Seq("documents"), SqlOps.dedupSimhashPairs),
+    "q_dedup_sorted_neighborhood" -> sqlStaged(Seq("documents"), SqlOps.dedupSortedNeighborhood),
     "q_dedup_fingerprint" -> sqlq(Seq("documents"), SqlOps.dedupFingerprint),
     "q_dedup_levenshtein" -> sqlq(Seq("documents"), SqlOps.dedupLevenshtein),
     "q_ntile" -> sqlq(Seq("orders"), SqlOps.orderDeciles),
@@ -958,6 +959,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> SqlOps.dedupNgramJaccard.single(DuckDialect),
     "q_dedup_simhash" -> SqlOps.dedupSimhash(DuckDialect),
     "q_dedup_simhash_pairs" -> SqlOps.dedupSimhashPairs.single(DuckDialect),
+    "q_dedup_sorted_neighborhood" -> SqlOps.dedupSortedNeighborhood.single(DuckDialect),
     "q_dedup_fingerprint" -> SqlOps.dedupFingerprint(DuckDialect),
     "q_dedup_levenshtein" -> SqlOps.dedupLevenshtein(DuckDialect),
     "q_ntile" -> SqlOps.orderDeciles(DuckDialect),

@@ -1179,6 +1179,51 @@ object SqlOps {
       })
   }
 
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo's
+    * record-linkage method): sort by the simhash digest and compare
+    * each doc only to its 3 predecessors in sort order — the
+    * complementary blocking strategy to band EQUALITY (bands catch
+    * equal-key collisions; sort adjacency catches near keys that
+    * straddle a band boundary). Sharded the way the method actually
+    * scales: the sort runs WITHIN 256 top-byte blocks (at 100 TB:
+    * repartitionByRange on the digest + sortWithinPartitions — the
+    * window never spans executors; cross-block misses at the 255
+    * boundaries are the method's documented recall trade-off). The
+    * lag table is a STAGE so the three per-offset projections read
+    * the materialized artifact instead of re-running the window (CTE
+    * inlining), and the six LAG calls share one window spec → one
+    * Window node. Pairs are LEAST/GREATEST-normalized, hamming ≤ 3
+    * like the band verify. */
+  val dedupSortedNeighborhood: StagedOp = {
+    val w = "(PARTITION BY blk ORDER BY simhash, doc_id)"
+    val lags = (1 to 3).flatMap { k =>
+      Seq(s"LAG(doc_id, $k) OVER $w AS p$k", s"LAG(simhash, $k) OVER $w AS s$k")
+    }.mkString(",\n    ")
+    StagedOp(
+      stages = dedupSimhashPairs.stages ++ Seq(
+        "sn_lag" -> { d =>
+          s"""WITH b AS (
+             |  SELECT doc_id, simhash, ${d.idiv("simhash", "16777216")} AS blk
+             |  FROM sh_sim
+             |)
+             |SELECT doc_id, simhash,
+             |    $lags
+             |FROM b""".stripMargin
+        }),
+      body = { d =>
+        val arms = (1 to 3).map { k =>
+          s"""SELECT doc_a, doc_b, hamming FROM (
+             |  SELECT LEAST(p$k, doc_id) AS doc_a, GREATEST(p$k, doc_id) AS doc_b,
+             |    bit_count(${d.bitXor(s"s$k", "simhash")}) AS hamming
+             |  FROM sn_lag WHERE p$k IS NOT NULL
+             |) t$k WHERE hamming <= 3""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""SELECT DISTINCT doc_a, doc_b, hamming FROM (
+           |$arms
+           |) u""".stripMargin
+      })
+  }
+
   /** Incremental-ingest dedup: content-addressed anti-join of an
     * incoming crawl snapshot against the already-ingested corpus — the
     * daily-ingestion shape (the reference's cross-run ON CONFLICT

@@ -524,6 +524,32 @@ class OpsSpec extends SparkSpec {
     assert(actual.toList === expected.toList)
   }
 
+  test("sorted-neighborhood pairs match an independent Scala sweep over the digests") {
+    // neighbor selection + hamming verify are shared SQL; reimplement
+    // block → sort → 3-predecessor compare in plain Scala from the
+    // staged digests (simhash itself is covered by ExpressionSpec)
+    run("q_dedup_simhash_pairs").count() // ensures sh_sim is staged
+    val digests = spark.table("sh_sim").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("simhash")))
+    val expected = digests.groupBy(_._2 / 16777216).iterator.flatMap { case (_, ds) =>
+      val sorted = ds.sortBy(x => (x._2, x._1))
+      for {
+        i <- sorted.indices
+        k <- 1 to 3
+        if i - k >= 0
+        (idA, shA) = sorted(i - k)
+        (idB, shB) = sorted(i)
+        h = java.lang.Long.bitCount(shA ^ shB)
+        if h <= 3
+      } yield (math.min(idA, idB), math.max(idA, idB), h.toLong)
+    }.toSet
+    val actual = run("q_dedup_sorted_neighborhood").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))).toSet
+    assert(actual === expected)
+    assert(actual.nonEmpty, "planted duplicates must produce adjacent digests")
+  }
+
   test("skyline matches brute-force O(n²) dominance") {
     // the bucket-prune + survivor-window composition is shared SQL —
     // blind spot for the dual-dialect oracle — so check the frontier
