@@ -469,6 +469,7 @@ object SparkEntry {
     "q_chi_square" -> sqlq(Seq("events"), SqlOps.chiSquare),
     "q_cusum_drift" -> sqlq(Seq("events"), SqlOps.cusumDrift),
     "q_event_transitions" -> sqlq(Seq("events"), SqlOps.eventTransitions),
+    "q_mutual_info" -> sqlq(Seq("documents"), SqlOps.mutualInfo),
     "q_corpus_split" -> sqlq(Seq("documents"), SqlOps.corpusSplit),
     "q_distinct_two_phase" -> sqlq(Seq("events"), SqlOps.distinctTwoPhase),
     "q_zorder_layout" -> sqlq(Seq("orders"), SqlOps.zorderLayout),
@@ -1100,6 +1101,7 @@ object SparkEntry {
     "q_chi_square" -> SqlOps.chiSquare(DuckDialect),
     "q_cusum_drift" -> SqlOps.cusumDrift(DuckDialect),
     "q_event_transitions" -> SqlOps.eventTransitions(DuckDialect),
+    "q_mutual_info" -> SqlOps.mutualInfo(DuckDialect),
     "q_corpus_split" -> SqlOps.corpusSplit(DuckDialect),
     "q_distinct_two_phase" -> SqlOps.distinctTwoPhase(DuckDialect),
     "q_zorder_layout" -> SqlOps.zorderLayout(DuckDialect),

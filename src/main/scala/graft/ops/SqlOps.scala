@@ -297,6 +297,39 @@ object SqlOps {
          |  CAST(SUM(c) AS BIGINT) AS n_events
          |FROM su GROUP BY event_type""".stripMargin
 
+  /** Mutual information I(source; lang) over the corpus — the
+    * information-theoretic association measure next to the chi-square
+    * test (chi-square answers "is there dependence?", MI answers "how
+    * many bits does knowing the source tell you about the
+    * language?" — the corpus-mix diagnostic for sampling stratification
+    * decisions). One scan → contingency table; marginals are windows
+    * over that tiny table (the chi-square pattern, no re-aggregation);
+    * each cell's n_ij·log2(n_ij·N/(n_i·n_j)) term is a fixed chain of
+    * correctly-rounded IEEE ops on exact integers, µ-quantized before
+    * the int64 sum (round-half-up via FLOOR(x+½) is sign-correct for
+    * the negative terms). Marginal products stay in int64 at bench
+    * scale; at 100 TB move n_i·n_j to DECIMAL(38). */
+  def mutualInfo(d: Dialect): String =
+    s"""WITH o AS (
+       |  SELECT source, lang, COUNT(*) AS nij FROM documents GROUP BY source, lang
+       |),
+       |x AS (
+       |  SELECT source, lang, nij,
+       |    CAST(SUM(nij) OVER (PARTITION BY source) AS BIGINT) AS ni,
+       |    CAST(SUM(nij) OVER (PARTITION BY lang) AS BIGINT) AS nj,
+       |    CAST(SUM(nij) OVER () AS BIGINT) AS n
+       |  FROM o
+       |),
+       |q AS (
+       |  SELECT source, lang, n,
+       |    CAST(FLOOR(nij * log2(CAST(nij AS DOUBLE) * n / (ni * nj))
+       |      * 1.0e6 + 5.0e-1) AS BIGINT) AS qt
+       |  FROM x
+       |)
+       |SELECT COUNT(DISTINCT source) AS n_sources, COUNT(DISTINCT lang) AS n_langs,
+       |  ${r6("CAST(SUM(qt) AS DOUBLE) / 1.0e6 / MAX(n)")} AS mi_bits
+       |FROM q""".stripMargin
+
   /** First-order event-transition matrix (Markov behavior profile):
     * per-user previous→next event-type pair counts and row-normalized
     * transition probabilities — the session-behavior model a product
