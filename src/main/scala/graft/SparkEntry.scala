@@ -450,6 +450,7 @@ object SparkEntry {
     "q_intervals_coverage" -> sqlq(Seq("events"), SqlOps.intervalCoverage),
     "q_cdc_apply" -> sqlq(Seq("orders"), SqlOps.cdcApply),
     "q_snapshot_diff" -> sqlq(Seq("documents"), SqlOps.snapshotDiff),
+    "q_merkle_ranges" -> sqlq(Seq("documents"), SqlOps.merkleRanges),
     "q_profile_orders" -> sqlStaged(Seq("orders"), SqlOps.profileOrders),
     "q_anomaly_mad" -> sqlStaged(Seq("events"), SqlOps.anomalyMad),
     "q_attribution" -> sqlq(Seq("events"), SqlOps.attributionLastTouch),
@@ -1072,6 +1073,7 @@ object SparkEntry {
     "q_intervals_coverage" -> SqlOps.intervalCoverage(DuckDialect),
     "q_cdc_apply" -> SqlOps.cdcApply(DuckDialect),
     "q_snapshot_diff" -> SqlOps.snapshotDiff(DuckDialect),
+    "q_merkle_ranges" -> SqlOps.merkleRanges(DuckDialect),
     "q_profile_orders" -> SqlOps.profileOrders.single(DuckDialect),
     "q_anomaly_mad" -> SqlOps.anomalyMad.single(DuckDialect),
     "q_attribution" -> SqlOps.attributionLastTouch(DuckDialect),

@@ -2689,6 +2689,47 @@ object SqlOps {
        |)
        |SELECT status, COUNT(*) AS n_docs FROM cl GROUP BY status""".stripMargin
 
+  /** Merkle-style range reconciliation between two corpus snapshots —
+    * the anti-entropy shape (rsync, Cassandra repair, lakehouse
+    * snapshot diff at fleet scale): each side collapses to 64 range
+    * summaries (row count + order-independent content digest), and
+    * only ranges whose summaries disagree are reported for descent /
+    * re-sync. At 100 TB the exchange is 2×64 tiny rows instead of two
+    * table scans' worth of hashes — the full-outer content compare
+    * ([[snapshotDiff]]) then runs ONLY inside dirty ranges. The
+    * digest is BIT_XOR of the 48-bit md5 prefix: commutative,
+    * map-side combinable, no overflow at any cardinality. Snapshot B
+    * deletes every 191st doc and perturbs every 193rd (~1% — sparse,
+    * so clean ranges actually occur and the dirty set discriminates).
+    * A count collision with differing content is caught by the
+    * digest; a digest collision needs an adversarial 2⁻⁴⁸ xor
+    * cancellation. */
+  def merkleRanges(d: Dialect): String =
+    s"""WITH a AS (
+       |  SELECT doc_id, md5(text) AS h FROM documents
+       |),
+       |b AS (
+       |  SELECT doc_id,
+       |    md5(CASE WHEN doc_id % 193 = 0 THEN text || ' v2' ELSE text END) AS h
+       |  FROM documents WHERE doc_id % 191 <> 0
+       |),
+       |da AS (
+       |  SELECT doc_id % 64 AS rng, COUNT(*) AS c,
+       |    BIT_XOR(${md5U48("h")}) AS dg
+       |  FROM a GROUP BY doc_id % 64
+       |),
+       |db AS (
+       |  SELECT doc_id % 64 AS rng, COUNT(*) AS c,
+       |    BIT_XOR(${md5U48("h")}) AS dg
+       |  FROM b GROUP BY doc_id % 64
+       |)
+       |SELECT COALESCE(da.rng, db.rng) AS rng,
+       |  CAST(COALESCE(da.c, 0) AS BIGINT) AS n_old,
+       |  CAST(COALESCE(db.c, 0) AS BIGINT) AS n_new
+       |FROM da FULL JOIN db ON da.rng = db.rng
+       |WHERE da.rng IS NULL OR db.rng IS NULL
+       |   OR da.c <> db.c OR da.dg <> db.dg""".stripMargin
+
   /** Per-column data-quality profile of orders (row count, null count,
     * distinct count, min/max) — the Deequ/dbt-test profiling operator a
     * pipeline runs before trusting an ingest. One aggregate per column,
