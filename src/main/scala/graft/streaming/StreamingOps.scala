@@ -255,6 +255,44 @@ object StreamingOps {
       }
   }
 
+  case class TEv(user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)
+  case class Transition(user_id: Long, prev: String, next: String)
+
+  /** Streaming first-order transition extractor — the streaming twin
+    * of batch [[graft.ops.SqlOps.eventTransitions]]: one (ts,
+    * event_id, type) triple of state per user (the minimal sufficient
+    * state — the next transition needs only the latest event), each
+    * arriving event emits its (prev → next) edge immediately.
+    * Within a batch events are applied in (ts, event_id) order — the
+    * same total order the batch LAG uses — and an event at or before
+    * the retained latest is dropped (at-least-once redelivery and
+    * cross-batch stragglers must not emit duplicate or backward
+    * edges; the in-order arrival contract matches cusumMonitor's). */
+  def transitionStream(events: Dataset[TEv]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TEv, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TEv], state: GroupState[TEv]) =>
+          var last = state.getOption.orNull
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).iterator.flatMap { e =>
+            val newer = last == null ||
+              e.ts.getTime > last.ts.getTime ||
+              (e.ts.getTime == last.ts.getTime && e.event_id > last.event_id)
+            if (!newer) Iterator.empty
+            else {
+              val edge = if (last == null) Iterator.empty
+                         else Iterator.single(Transition(uid, last.event_type, e.event_type))
+              last = e
+              edge
+            }
+          }.toList
+          if (last != null) state.update(last)
+          out.iterator
+      }
+  }
+
   case class DayCount(event_type: String, day: Long, c: Long)
   case class CusumState(s20: Long, peak20: Long, alarms: Long, lastDay: Long)
   case class CusumRow(event_type: String, day: Long, cusum20: Long,

@@ -547,6 +547,31 @@ class StreamingSpec extends SparkSpec {
     assert(batch(3) === streamed.count(_._2 >= 3))
   }
 
+  test("streaming transitions equal the batch transition counts on the events table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.Tables.events(spark, sf001)
+      .selectExpr("user_id", "ts", "event_id", "event_type")
+      .as[StreamingOps.TEv].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val in = MemoryStream[StreamingOps.TEv]
+    val q = StreamingOps.transitionStream(in.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("trans").start()
+    // in-order batches with the middle batch replayed (dup-drop path)
+    val batches = evs.grouped(evs.length / 3 + 1).toSeq
+    in.addData(batches(0)); q.processAllAvailable()
+    in.addData(batches(1)); q.processAllAvailable()
+    in.addData(batches(1)); q.processAllAvailable()
+    batches.drop(2).foreach { b => in.addData(b); q.processAllAvailable() }
+    val streamed = spark.table("trans").collect()
+      .map(r => (r.getAs[String]("prev"), r.getAs[String]("next")))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    q.stop()
+    val batch = graft.SparkEntry.queries("q_event_transitions")(spark, sf001).collect()
+      .map(r => (r.getAs[String]("prev"), r.getAs[String]("next")) ->
+        r.getAs[Long]("n_transitions")).toMap
+    assert(streamed === batch)
+  }
+
   test("streaming cusum monitor matches the textbook recursion and ignores replayed days") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
