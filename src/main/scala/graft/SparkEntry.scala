@@ -422,6 +422,7 @@ object SparkEntry {
     "q_quality_adaptive" -> sqlq(Seq("documents"), SqlOps.qualityAdaptiveFilter),
     "q_embedding_dim_stats" -> sqlq(Seq("embeddings"), SqlOps.embeddingDimStats),
     "q_embedding_whiten" -> sqlq(Seq("embeddings"), SqlOps.embeddingWhiten),
+    "q_pca_power_step" -> sqlq(Seq("embeddings"), SqlOps.pcaPowerStep),
     "q_text_dup_ngrams" -> sqlq(Seq("documents"), SqlOps.textDupNgrams),
     "q_text_entropy" -> sqlq(Seq("documents"), SqlOps.textEntropy),
     "q_text_scrub" -> sqlq(Seq("documents"), SqlOps.textScrub),
@@ -987,6 +988,7 @@ object SparkEntry {
     "q_pagerank_loop" -> SqlOps.pagerankIter.single(DuckDialect),
     "q_dedup_prefix" -> SqlOps.dedupPrefix.single(DuckDialect),
     "q_embedding_whiten" -> SqlOps.embeddingWhiten(DuckDialect),
+    "q_pca_power_step" -> SqlOps.pcaPowerStep(DuckDialect),
     "q_dedup_cluster_sizes" ->
       s"""$CLUSTER_CTES,
          |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY cluster_id)

@@ -1704,6 +1704,36 @@ object SqlOps {
        |FROM qc""".stripMargin
   }
 
+  /** One power-iteration step toward the top principal direction:
+    * y = Aᵀ(A·v₀) over the embedding matrix with v₀ = 1 — the
+    * distributed linear-algebra kernel (uncentered PCA / spectral
+    * initialization) done the way a 100 TB matrix does it: A·v is a
+    * per-ROW reduction (here a window sum per vec_id — sharded by
+    * vector, no global state), Aᵀ(Av) is a per-DIMENSION aggregate
+    * (64 groups), and v broadcasts. One explode pipeline, one keyed
+    * window, one tiny groupBy — no matrix shuffle. Exact arithmetic:
+    * entries are µ-quantized to integers (×1024, round-half-up, which
+    * is sign-correct), so every product and sum is int64-exact and
+    * the unnormalized iterate is bit-identical across engines
+    * (normalization — one float division per dim — is the consumer's
+    * step; deferring it keeps the op exact). */
+  def pcaPowerStep(d: Dialect): String =
+    s"""WITH e AS (
+       |  ${d.explodeWithPos("SELECT vec_id, embedding FROM embeddings",
+            "vec_id", "embedding", "p", "v")}
+       |),
+       |q AS (
+       |  SELECT vec_id, p,
+       |    CAST(FLOOR(CAST(v AS DOUBLE) * 1.024e3 + 5.0e-1) AS BIGINT) AS qv
+       |  FROM e
+       |),
+       |w AS (
+       |  SELECT p, qv, CAST(SUM(qv) OVER (PARTITION BY vec_id) AS BIGINT) AS dot
+       |  FROM q
+       |)
+       |SELECT p AS dim, CAST(SUM(qv * dot) AS BIGINT) AS y
+       |FROM w GROUP BY p""".stripMargin
+
   /** 48-bit uniform integer from the leading 12 hex digits of an
     * md5 column — exactly representable in both BIGINT and DOUBLE,
     * so arithmetic on it is engine-exact (same hex-digit arithmetic

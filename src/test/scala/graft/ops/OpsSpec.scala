@@ -524,6 +524,20 @@ class OpsSpec extends SparkSpec {
     assert(actual.toList === expected.toList)
   }
 
+  test("pca power step matches an independent Scala matmul") {
+    val rows = graft.Tables.embeddings(spark, sf001)
+      .selectExpr("embedding").collect()
+      .map(_.getSeq[Float](0).map(v => math.floor(v.toDouble * 1024.0 + 0.5).toLong))
+    val dims = rows.head.length
+    val expected = (0 until dims).map { d =>
+      d.toLong -> rows.map(r => r(d) * r.sum).sum
+    }.toMap
+    val actual = run("q_pca_power_step").collect()
+      .map(r => r.getAs[Long]("dim") -> r.getAs[Long]("y")).toMap
+    assert(actual === expected)
+    assert(actual.values.exists(_ != 0L))
+  }
+
   test("sorted-neighborhood pairs match an independent Scala sweep over the digests") {
     // neighbor selection + hamming verify are shared SQL; reimplement
     // block → sort → 3-predecessor compare in plain Scala from the
