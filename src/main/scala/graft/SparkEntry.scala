@@ -253,6 +253,12 @@ object SparkEntry {
     "q_forecast_revenue" -> Relational.forecastRevenue _,
     "q_volume_shipping" -> Relational.volumeShipping _,
     "q_market_share" -> Relational.marketShare _,
+    // market-basket association rules (apriori-gated brand
+    // co-occurrence within orders, support/confidence/lift)
+    "q_assoc_rules" -> sqlStaged(Seq("lineitem", "part"), SqlOps.assocRules),
+    // item-item collaborative-filtering neighborhoods (top-5 cosine
+    // neighbors per brand off the shared basket/pair stages)
+    "q_item_similarity" -> sqlStaged(Seq("lineitem", "part"), SqlOps.itemSimilarity),
     // TPC-H classic shapes (Q9/Q13/Q17/Q19): product profit,
     // customer order-count distribution, small-quantity revenue,
     // disjunctive-predicate revenue
@@ -983,6 +989,8 @@ object SparkEntry {
     "q_dedup_source_overlap" -> SqlOps.dedupSourceOverlap.single(DuckDialect),
     "q_dedup_incremental" -> SqlOps.dedupIncremental(DuckDialect),
     "q_dedup_common_ngrams" -> SqlOps.dedupCommonNgrams.single(DuckDialect),
+    "q_assoc_rules" -> SqlOps.assocRules.single(DuckDialect),
+    "q_item_similarity" -> SqlOps.itemSimilarity.single(DuckDialect),
     "q_pagerank_step" -> SqlOps.pagerankStep.single(DuckDialect),
     "q_pagerank_iter" -> SqlOps.pagerankIter.single(DuckDialect),
     "q_pagerank_loop" -> SqlOps.pagerankIter.single(DuckDialect),

@@ -3149,4 +3149,103 @@ object SqlOps {
        |  CAST(FLOOR(CAST(w * 64 AS DOUBLE) / GREATEST(w, h)) AS INT) AS new_w,
        |  CAST(FLOOR(CAST(h * 64 AS DOUBLE) / GREATEST(w, h)) AS INT) AS new_h
        |FROM dims""".stripMargin
+
+  /** Shared market-basket stages: distinct (order, brand) incidence,
+    * per-item basket supports, and apriori-gated pair supports —
+    * consumed by [[assocRules]] and [[itemSimilarity]], built once per
+    * JVM. `ar_isup` is a stage (not a CTE) because every consumer
+    * references it 2-3 times and Spark CTE inlining would recompute
+    * the groupBy per reference. The self-join inside `ar_pairs` is
+    * the one pairwise step, gated by the minsup-40 frequent-item
+    * filter (apriori monotonicity: an infrequent item cannot appear
+    * in a frequent pair, so the prune is lossless for the HAVING-10
+    * pair floor). */
+  private val basketStages: Seq[(String, Dialect => String)] = Seq(
+    // distinct (basket, item): an order may hold a brand many times —
+    // support counts baskets, not line items
+    "ar_baskets" -> { _ =>
+      s"""SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+    },
+    "ar_isup" -> { _ =>
+      "SELECT item, COUNT(*) AS supp FROM ar_baskets GROUP BY item"
+    },
+    "ar_pairs" -> { _ =>
+      s"""WITH fb AS (
+         |  SELECT b.basket, b.item FROM ar_baskets b
+         |  JOIN ar_isup s ON b.item = s.item AND s.supp >= 40
+         |)
+         |SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS supp_ab
+         |FROM fb a JOIN fb b ON a.basket = b.basket AND a.item < b.item
+         |GROUP BY a.item, b.item
+         |HAVING COUNT(*) >= 10""".stripMargin
+    })
+
+  /** Market-basket association rules (Agrawal & Srikant, "Fast
+    * Algorithms for Mining Association Rules", VLDB 1994): baskets are
+    * orders, items are part brands, rules are brand→brand with
+    * support / confidence / lift. The apriori monotonicity gate is the
+    * scale design: only items whose own basket support clears minsup
+    * enter the pairwise self-join, so the join fan-out per basket is
+    * bounded by the frequent-item count, never the raw item count — at
+    * 100 TB the freq gate is what keeps the candidate space from
+    * exploding on long-tail items. Shapes: the staged basket table is
+    * one broadcast dim join off lineitem; item support is a map-side-
+    * combined groupBy; the pair join shuffles both (pre-filtered) sides
+    * on basket id; the rule join back to item supports broadcasts the
+    * tiny support table. All stats are integer counts; confidence and
+    * lift divide exact-integer doubles and quantize to 6dp, so both
+    * engines run identical IEEE ops. */
+  val assocRules: StagedOp = StagedOp(
+    stages = basketStages,
+    body = { _ =>
+      s"""WITH n AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM ar_baskets),
+         |rules AS (
+         |  SELECT item_a AS antecedent, item_b AS consequent, supp_ab FROM ar_pairs
+         |  UNION ALL
+         |  SELECT item_b AS antecedent, item_a AS consequent, supp_ab FROM ar_pairs
+         |)
+         |SELECT r.antecedent, r.consequent, r.supp_ab,
+         |  ${r6("CAST(r.supp_ab AS DOUBLE) / sa.supp")} AS confidence,
+         |  ${r6("CAST(r.supp_ab AS DOUBLE) * n.n_baskets / (CAST(sa.supp AS DOUBLE) * sc.supp)")} AS lift
+         |FROM rules r
+         |JOIN ar_isup sa ON r.antecedent = sa.item
+         |JOIN ar_isup sc ON r.consequent = sc.item
+         |CROSS JOIN n""".stripMargin
+    })
+
+  /** Item-item collaborative-filtering neighborhoods (Sarwar et al.,
+    * "Item-Based Collaborative Filtering Recommendation Algorithms",
+    * WWW 2001) over the same basket incidence: similarity between two
+    * brands is the cosine of their basket-membership indicator
+    * vectors, supp_ab / √(supp_a·supp_b), and the output is each
+    * item's top-5 most-similar neighbors. Reuses the staged apriori
+    * pair table — the similarity join touches only frequent-gated
+    * pairs, which is exactly the neighborhood-model prune used at
+    * scale (rare items have no stable neighborhood). All inputs are
+    * exact int64 counts; cosine is the same 3-op IEEE sequence
+    * (multiply, √, divide) in both engines, then 6dp-quantized, and
+    * the top-5 window breaks cosine ties on the neighbor name, so
+    * ranking is cross-engine deterministic. */
+  val itemSimilarity: StagedOp = StagedOp(
+    stages = basketStages,
+    body = { _ =>
+      s"""WITH sym AS (
+         |  SELECT item_a AS item, item_b AS neighbor, supp_ab FROM ar_pairs
+         |  UNION ALL
+         |  SELECT item_b AS item, item_a AS neighbor, supp_ab FROM ar_pairs
+         |),
+         |scored AS (
+         |  SELECT s.item, s.neighbor, s.supp_ab,
+         |    ${r6("CAST(s.supp_ab AS DOUBLE) / SQRT(CAST(sa.supp * sb.supp AS DOUBLE))")} AS cosine
+         |  FROM sym s
+         |  JOIN ar_isup sa ON s.item = sa.item
+         |  JOIN ar_isup sb ON s.neighbor = sb.item
+         |)
+         |SELECT item, neighbor, supp_ab, cosine, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY item ORDER BY cosine DESC, neighbor) AS rk
+         |  FROM scored
+         |) WHERE rk <= 5""".stripMargin
+    })
 }

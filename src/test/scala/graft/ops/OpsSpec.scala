@@ -1121,6 +1121,76 @@ class OpsSpec extends SparkSpec {
     assert(byStatus.values.sum === (inOld | inNew).size)
   }
 
+  test("association rules match an independent Scala basket sweep") {
+    // rebuild supports with plain Scala collections from the raw
+    // tables — independent of the shared-SQL rendering on both engines
+    val part = graft.Tables.part(spark, sf001)
+      .selectExpr("p_partkey", "p_brand").collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[String]("p_brand")).toMap
+    val baskets = graft.Tables.lineitem(spark, sf001)
+      .selectExpr("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), part(r.getAs[Long]("l_partkey"))))
+      .distinct
+    val nBaskets = baskets.map(_._1).distinct.length
+    val isup = baskets.groupBy(_._2).map { case (i, bs) => (i, bs.length.toLong) }
+    val frequent = isup.filter(_._2 >= 40).keySet
+    val byBasket = baskets.filter(b => frequent(b._2)).groupBy(_._1)
+    val pairSup = byBasket.values.flatMap { items =>
+      val is = items.map(_._2).sorted
+      for (i <- is.indices; j <- (i + 1) until is.length) yield (is(i), is(j))
+    }.groupBy(identity).map { case (p, os) => (p, os.size.toLong) }
+      .filter(_._2 >= 10)
+    def q6(x: Double) = math.floor(x * 1.0e6 + 0.5) / 1.0e6
+    val expected = pairSup.flatMap { case ((a, b), sab) =>
+      Seq((a, b, sab), (b, a, sab)).map { case (x, y, s) =>
+        ((x, y), (s, q6(s.toDouble / isup(x)),
+          q6(s.toDouble * nBaskets / (isup(x).toDouble * isup(y)))))
+      }
+    }
+    val actual = run("q_assoc_rules").collect()
+      .map(r => ((r.getAs[String]("antecedent"), r.getAs[String]("consequent")),
+        (r.getAs[Long]("supp_ab"), r.getAs[Double]("confidence"),
+          r.getAs[Double]("lift")))).toMap
+    assert(actual === expected)
+    // lift symmetry: rule a→b and b→a carry the same lift
+    actual.foreach { case ((a, b), (_, _, l)) => assert(actual((b, a))._3 === l) }
+  }
+
+  test("item-item cosine neighborhoods match an independent Scala sweep") {
+    val part = graft.Tables.part(spark, sf001)
+      .selectExpr("p_partkey", "p_brand").collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[String]("p_brand")).toMap
+    val baskets = graft.Tables.lineitem(spark, sf001)
+      .selectExpr("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), part(r.getAs[Long]("l_partkey"))))
+      .distinct
+    val isup = baskets.groupBy(_._2).map { case (i, bs) => (i, bs.length.toLong) }
+    val frequent = isup.filter(_._2 >= 40).keySet
+    val pairSup = baskets.filter(b => frequent(b._2)).groupBy(_._1).values.flatMap { items =>
+      val is = items.map(_._2).sorted
+      for (i <- is.indices; j <- (i + 1) until is.length) yield (is(i), is(j))
+    }.groupBy(identity).map { case (p, os) => (p, os.size.toLong) }
+      .filter(_._2 >= 10)
+    def q6(x: Double) = math.floor(x * 1.0e6 + 0.5) / 1.0e6
+    val sym = pairSup.toSeq.flatMap { case ((a, b), s) => Seq((a, b, s), (b, a, s)) }
+    val expected = sym.map { case (a, b, s) =>
+      (a, b, s, q6(s.toDouble / math.sqrt((isup(a) * isup(b)).toDouble)))
+    }.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._4, r._2)).take(5).zipWithIndex.map { case (r, i) =>
+        (r._1, r._2, r._3, r._4, (i + 1).toLong)
+      }
+    }.toSet
+    val actual = run("q_item_similarity").collect().map(r =>
+      (r.getAs[String]("item"), r.getAs[String]("neighbor"),
+        r.getAs[Long]("supp_ab"), r.getAs[Double]("cosine"),
+        r.getAs[Long]("rk"))).toSet
+    assert(actual === expected)
+    // a neighborhood never exceeds 5 and ranks are 1..n without gaps
+    actual.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._5).toSeq.sorted === (1L to rows.size.toLong))
+    }
+  }
+
   test("orders profile: one row per column, counts consistent") {
     val rows = run("q_profile_orders").collect()
     assert(rows.length === 6)
