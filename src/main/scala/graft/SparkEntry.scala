@@ -276,6 +276,9 @@ object SparkEntry {
     "q_parts_supplier_count" -> Relational.partsSupplierCount _,
     "q_grouping_sets" -> sqlq(Seq("orders"), SqlOps.groupingSets),
     "q_percentiles" -> sqlq(Seq("events"), SqlOps.eventPercentiles),
+    // integer-exact quantity-weighted median price per return flag
+    // (compressed-histogram window, no raw-row sort)
+    "q_weighted_median" -> sqlq(Seq("lineitem"), SqlOps.weightedMedian),
     "q_window_range" -> sqlq(Seq("orders"), SqlOps.windowRangeSpend),
     "q_window_moving_avg" -> sqlq(Seq("orders"), SqlOps.windowMovingAvg),
     "q_percent_rank" -> sqlq(Seq("orders"), SqlOps.percentRankOrders),
@@ -355,6 +358,15 @@ object SparkEntry {
       val pairs = sqlStaged(Seq("documents"), SqlOps.dedupMinhash)(s, d)
       graft.ops.Graph.pagerank(
         pairs.select(col("doc_a").as("a"), col("doc_b").as("b")), iters = 3)
+    }),
+    // 2-core of the candidate graph by staged peeling rounds (dense
+    // duplicate clusters vs incidental collisions), and the
+    // loop-until-fixpoint driver form gated against the same oracle
+    "q_kcore" -> sqlStaged(Seq("documents"), SqlOps.kcoreIter),
+    "q_kcore_loop" -> ((s, d) => {
+      val pairs = sqlStaged(Seq("documents"), SqlOps.dedupMinhash)(s, d)
+      graft.ops.Graph.kcore(
+        pairs.select(col("doc_a").as("a"), col("doc_b").as("b")), k = 2)
     }),
     // PPJoin-style prefix-filtered similarity self-join off the
     // uncapped shingle index (the signature-free bounded-candidate path)
@@ -951,6 +963,7 @@ object SparkEntry {
         |GROUP BY 1, 2, 3""".stripMargin,
     "q_grouping_sets" -> SqlOps.groupingSets(DuckDialect),
     "q_percentiles" -> SqlOps.eventPercentiles(DuckDialect),
+    "q_weighted_median" -> SqlOps.weightedMedian(DuckDialect),
     "q_window_range" -> SqlOps.windowRangeSpend(DuckDialect),
     "q_window_moving_avg" -> SqlOps.windowMovingAvg(DuckDialect),
     "q_percent_rank" -> SqlOps.percentRankOrders(DuckDialect),
@@ -994,6 +1007,8 @@ object SparkEntry {
     "q_pagerank_step" -> SqlOps.pagerankStep.single(DuckDialect),
     "q_pagerank_iter" -> SqlOps.pagerankIter.single(DuckDialect),
     "q_pagerank_loop" -> SqlOps.pagerankIter.single(DuckDialect),
+    "q_kcore" -> SqlOps.kcoreIter.single(DuckDialect),
+    "q_kcore_loop" -> SqlOps.kcoreIter.single(DuckDialect),
     "q_dedup_prefix" -> SqlOps.dedupPrefix.single(DuckDialect),
     "q_embedding_whiten" -> SqlOps.embeddingWhiten(DuckDialect),
     "q_pca_power_step" -> SqlOps.pcaPowerStep(DuckDialect),

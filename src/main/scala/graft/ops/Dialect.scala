@@ -19,6 +19,15 @@ package graft.ops
   */
 trait Dialect {
   def name: String
+  /** CTE materialization hint for [[graft.ops.StagedOp]] stage
+    * renderings ("MATERIALIZED " in DuckDB, unsupported → "" in Spark
+    * SQL). Staged subtrees are consumed multiple times by design;
+    * without the hint DuckDB INLINES each reference, and a stage chain
+    * whose rounds reference their predecessor 3× expands ~3^depth
+    * copies of the whole prefix (the k-core oracle never finished).
+    * Materialization also mirrors what the Spark side actually does
+    * with stages (parquet artifacts). */
+  def cteMaterialize: String = ""
   /** String literal containing regex backslashes: Spark SQL literals
     * process backslash escapes, DuckDB's do not. */
   def relit(raw: String): String
@@ -255,6 +264,7 @@ object SparkDialect extends Dialect {
 
 object DuckDialect extends Dialect {
   val name = "duckdb"
+  override val cteMaterialize: String = "MATERIALIZED "
   private def q(s: String): String = s.replace("'", "''")
   def relit(raw: String): String = "'" + q(raw) + "'"
   def split(x: String, sep: String): String = s"string_split($x, '${q(sep)}')"

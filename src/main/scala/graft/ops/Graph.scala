@@ -44,4 +44,42 @@ object Graph {
     }
     rank.select(col("id").as("doc_id"), col("r").as("rank_ppm"))
   }
+
+  /** k-core peeling over an undirected pair list with columns `a`,
+    * `b`: repeatedly delete nodes of degree < k (with their edges)
+    * until the edge set stops shrinking, then report each survivor's
+    * degree inside the core. The loop-until-fixpoint twin of the
+    * depth-bounded [[SqlOps.kcoreIter]] — once the peel converges,
+    * further rounds are no-ops, so both produce identical rows
+    * whenever the unrolled depth covers the fixpoint (gated against
+    * the same oracle). Per round: one groupBy for degrees and two
+    * LEFT SEMI joins to keep edges whose endpoints both survive —
+    * bounded shuffles on a monotonically shrinking edge list, the same
+    * re-plan-per-round shape as [[Cluster]]; the convergence probe is
+    * an O(1)-row driver action on checkpointed data. */
+  def kcore(pairs: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var nEdges = edges.count()
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < maxRounds) {
+      val alive = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("id"))
+        .localCheckpoint() // consumed by BOTH semi joins — build once
+      val pruned = edges
+        .join(alive, edges("src") === alive("id"), "left_semi")
+        .join(alive, edges("dst") === alive("id"), "left_semi")
+        .localCheckpoint()
+      val n = pruned.count()
+      changed = n != nEdges
+      edges = pruned
+      nEdges = n
+      rounds += 1
+    }
+    edges.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("doc_id"), col("core_deg"))
+  }
 }

@@ -37,7 +37,9 @@ case class StagedOp(stages: Seq[(String, Dialect => String)], body: Dialect => S
   /** Single-statement rendering (the oracle): stages as outer CTEs, the
     * body (which may open its own WITH) nested as a derived table. */
   def single(d: Dialect): String = {
-    val withs = stages.map { case (n, b) => s"$n AS (\n${b(d)}\n)" }.mkString(",\n")
+    val withs = stages
+      .map { case (n, b) => s"$n AS ${d.cteMaterialize}(\n${b(d)}\n)" }
+      .mkString(",\n")
     s"WITH $withs\nSELECT * FROM (\n${body(d)}\n)"
   }
 }
@@ -3213,6 +3215,80 @@ object SqlOps {
          |JOIN ar_isup sc ON r.consequent = sc.item
          |CROSS JOIN n""".stripMargin
     })
+
+  /** Quantity-weighted median line price per return flag: the smallest
+    * price whose cumulative weight reaches half the group's total
+    * (2·cum ≥ tot — the integer form of cum ≥ tot/2, no division).
+    * Prices are exact integer cents and weights exact integer
+    * quantities, so every comparison is int64 — no percentile
+    * interpolation, no float boundary. The scale design is the
+    * compressed-histogram window: rows are first aggregated to one row
+    * per (group, price point) — a map-side-combined groupBy that
+    * bounds the window input to the price DOMAIN, not the row count —
+    * and the running-sum window then scans only that histogram (the
+    * same boundary-bucket idea as the Pareto cutoff). A raw-row window
+    * here would sort the whole fact table inside 3 partitions. */
+  def weightedMedian(d: Dialect): String =
+    s"""WITH x AS (
+       |  SELECT l_returnflag AS grp,
+       |    CAST(FLOOR(l_extendedprice * 1.0e2 + 5.0e-1) AS BIGINT) AS cents,
+       |    CAST(l_quantity AS BIGINT) AS w
+       |  FROM lineitem
+       |),
+       |hist AS (SELECT grp, cents, SUM(w) AS w FROM x GROUP BY grp, cents),
+       |c AS (
+       |  SELECT grp, cents, w,
+       |    SUM(w) OVER (PARTITION BY grp ORDER BY cents) AS cum,
+       |    SUM(w) OVER (PARTITION BY grp) AS tot
+       |  FROM hist
+       |)
+       |SELECT grp AS l_returnflag,
+       |  CAST(MIN(cents) AS BIGINT) AS wmedian_cents,
+       |  CAST(MIN(tot) AS BIGINT) AS total_qty
+       |FROM c WHERE 2 * cum >= tot GROUP BY grp""".stripMargin
+
+  /** 2-core of the minhash candidate-pair graph by depth-bounded
+    * peeling (Seidman, "Network structure and minimum degree", Social
+    * Networks 1983): delete degree-<2 nodes and their edges, four
+    * rounds, then report each survivor's in-core degree — on the dedup
+    * graph the 2-core separates densely duplicated clusters from
+    * incidental pairwise collisions (chain ends peel away). Each round
+    * is its OWN materialized stage, not a CTE: a round references the
+    * previous round's edge set three times (degree count + both
+    * endpoint filters), so CTE inlining would re-expand the whole
+    * prefix chain ~3^depth times — the staged form re-reads one small
+    * parquet instead, and the edge set only shrinks. That is also the
+    * production shape: at 100 TB each peel round is one map-side-
+    * combined degree aggregate plus two semi-join filters on a
+    * monotonically shrinking edge list. Depth 4 covers this corpus's
+    * fixpoint (asserted in the spec); the loop-until-convergence form
+    * is [[graft.ops.Graph.kcore]], gated against this same oracle. */
+  val kcoreIter: StagedOp = {
+    val k = 2
+    val nRounds = 4
+    val roundStages = (1 to nRounds).map { i =>
+      s"kc_e$i" -> { (_: Dialect) =>
+        s"""WITH d AS (SELECT src, COUNT(*) AS deg FROM kc_e${i - 1} GROUP BY src),
+           |a AS (SELECT src AS id FROM d WHERE deg >= $k)
+           |SELECT e.src, e.dst FROM kc_e${i - 1} e
+           |JOIN a x ON e.src = x.id
+           |JOIN a y ON e.dst = y.id""".stripMargin
+      }
+    }
+    StagedOp(
+      stages = dedupMinhash.stages ++ Seq(
+        "kc_e0" -> { (_: Dialect) =>
+          s"""WITH $graphCtes,
+             |alive AS (SELECT src AS id FROM deg WHERE deg >= $k)
+             |SELECT e.src, e.dst FROM edges e
+             |JOIN alive x ON e.src = x.id
+             |JOIN alive y ON e.dst = y.id""".stripMargin
+        }) ++ roundStages,
+      body = { _ =>
+        s"""SELECT src AS doc_id, COUNT(*) AS core_deg
+           |FROM kc_e$nRounds GROUP BY src""".stripMargin
+      })
+  }
 
   /** Item-item collaborative-filtering neighborhoods (Sarwar et al.,
     * "Item-Based Collaborative Filtering Recommendation Algorithms",

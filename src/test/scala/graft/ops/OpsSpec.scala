@@ -1156,6 +1156,56 @@ class OpsSpec extends SparkSpec {
     actual.foreach { case ((a, b), (_, _, l)) => assert(actual((b, a))._3 === l) }
   }
 
+  test("weighted median matches an independent Scala cumulative sweep") {
+    val rows = graft.Tables.lineitem(spark, sf001)
+      .selectExpr("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getAs[String]("l_returnflag"),
+        math.floor(r.getAs[Double]("l_extendedprice") * 100 + 0.5).toLong,
+        r.getAs[Double]("l_quantity").toLong))
+    val expected = rows.groupBy(_._1).map { case (flag, rs) =>
+      val tot = rs.map(_._3).sum
+      val sorted = rs.map(r => (r._2, r._3)).groupBy(_._1).toSeq
+        .map { case (c, ws) => (c, ws.map(_._2).sum) }.sortBy(_._1)
+      var cum = 0L
+      val med = sorted.collectFirst {
+        case (c, w) if { cum += w; 2 * cum >= tot } => c
+      }.get
+      (flag, (med, tot))
+    }
+    val actual = run("q_weighted_median").collect().map(r =>
+      (r.getAs[String]("l_returnflag"),
+        (r.getAs[Long]("wmedian_cents"), r.getAs[Long]("total_qty")))).toMap
+    assert(actual === expected)
+  }
+
+  test("2-core peel matches an independent Scala fixpoint and the driver loop") {
+    // independent peel: adjacency maps in plain Scala, iterate to the
+    // true fixpoint — then require the depth-4 SQL unroll to have
+    // reached it (depth covers this corpus) and the driver loop to agree
+    val pairs = run("q_dedup_minhash").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    var adj = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .groupBy(_._1).map { case (n, es) => (n, es.map(_._2).toSet) }
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val alive = adj.filter(_._2.size >= 2).keySet
+      val next = adj.collect {
+        case (n, ns) if alive(n) => (n, ns.intersect(alive))
+      }.filter(_._2.nonEmpty)
+      changed = next.map { case (n, ns) => (n, ns.size) } !=
+        adj.map { case (n, ns) => (n, ns.size) }
+      if (changed) rounds += 1
+      adj = next
+    }
+    assert(rounds <= 4, s"fixture needs $rounds peel rounds; raise kcoreIter depth")
+    val expected = adj.map { case (n, ns) => (n, ns.size.toLong) }.toMap
+    def collect(q: String) = run(q).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("core_deg"))).toMap
+    assert(collect("q_kcore") === expected)
+    assert(collect("q_kcore_loop") === expected)
+  }
+
   test("item-item cosine neighborhoods match an independent Scala sweep") {
     val part = graft.Tables.part(spark, sf001)
       .selectExpr("p_partkey", "p_brand").collect()
