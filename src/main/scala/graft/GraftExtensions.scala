@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, Md5Prefix32, NearestCentroid, RollingHash, SimHashAgg, WordShingles}
+import graft.functions.{CmsEst, CountMinAgg, DotProduct, Md5Prefix32, MisraGriesAgg, NearestCentroid, RollingHash, SimHashAgg, WordShingles}
 
 /** Session-extensions entry point: the production way to ship the
   * engine's custom expressions with a cluster instead of per-session
@@ -64,5 +64,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("might_contain"),
       info("might_contain", "might_contain(bloom, xxhash64(x)) - bloom membership probe"),
       (es: Seq[Expression]) => expressions.BloomFilterMightContain(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("mg_topk"),
+      info("mg_topk", "mg_topk(key, k) - Misra-Gries k-slot heavy-hitter summary"),
+      (es: Seq[Expression]) => MisraGriesAgg(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("cms_sketch"),
+      info("cms_sketch", "cms_sketch(key, w, d) - count-min sketch ([d, w, counters...])"),
+      (es: Seq[Expression]) => CountMinAgg(es(0), es(1), es(2))))
+    ext.injectFunction((FunctionIdentifier("cms_est"),
+      info("cms_est", "cms_est(sketch, key) - count-min point-frequency estimate"),
+      (es: Seq[Expression]) => CmsEst(es(0), es(1))))
   }
 }

@@ -279,6 +279,12 @@ object SparkEntry {
     // integer-exact quantity-weighted median price per return flag
     // (compressed-histogram window, no raw-row sort)
     "q_weighted_median" -> sqlq(Seq("lineitem"), SqlOps.weightedMedian),
+    // Benford leading-digit audit of order totals (per-digit observed
+    // vs expected + chi-square contribution)
+    "q_benford" -> sqlq(Seq("orders"), SqlOps.benfordProfile),
+    // count-min-gated top talkers (≥2% of events per user; exact
+    // verify over the gated slice, oracle runs ungated)
+    "q_cms_topusers" -> sqlq(Seq("events"), SqlOps.cmsTopUsers),
     "q_window_range" -> sqlq(Seq("orders"), SqlOps.windowRangeSpend),
     "q_window_moving_avg" -> sqlq(Seq("orders"), SqlOps.windowMovingAvg),
     "q_percent_rank" -> sqlq(Seq("orders"), SqlOps.percentRankOrders),
@@ -964,6 +970,8 @@ object SparkEntry {
     "q_grouping_sets" -> SqlOps.groupingSets(DuckDialect),
     "q_percentiles" -> SqlOps.eventPercentiles(DuckDialect),
     "q_weighted_median" -> SqlOps.weightedMedian(DuckDialect),
+    "q_benford" -> SqlOps.benfordProfile(DuckDialect),
+    "q_cms_topusers" -> SqlOps.cmsTopUsers(DuckDialect),
     "q_window_range" -> SqlOps.windowRangeSpend(DuckDialect),
     "q_window_moving_avg" -> SqlOps.windowMovingAvg(DuckDialect),
     "q_percent_rank" -> SqlOps.percentRankOrders(DuckDialect),

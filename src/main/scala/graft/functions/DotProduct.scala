@@ -76,6 +76,13 @@ object GraftFunctions {
     // class doc for why its raw output must never be a query result)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mg_topk", exprs => MisraGriesAgg(exprs(0), exprs(1)), "scala_udf")
+    // mergeable count-min sketch + its point-frequency estimator
+    // (deterministic content — safe as a gate; estimates still
+    // overcount, so exact verify remains the output path)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_sketch", exprs => CountMinAgg(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_est", exprs => CmsEst(exprs(0), exprs(1)), "scala_udf")
     // Spark's runtime-filter bloom sketch, exposed as SQL for the
     // bloom-gated decontamination op (Catalyst ships the expressions
     // but registers no SQL names for them)

@@ -138,6 +138,12 @@ trait Dialect {
     * result-invisible; DuckDB renders the ungated pass-through and the
     * oracle equality is the proof (the bloom-prefilter pattern). */
   def heavyHitterGate(out: String, items: String, col: String, k: Int): String
+  /** Count-min-sketch share gate: keep rows of `items` whose int64
+    * `col` has estimated frequency · share ≥ total rows. est ≥ exact
+    * always (CMS only overcounts), so the gated set is a superset of
+    * the truly-≥-1/share keys — result-invisible before an exact
+    * count+HAVING, which the DuckDB side proves by running ungated. */
+  def cmsGate(out: String, items: String, col: String, share: Int): String
   /** CTE chain ending in `sim(doc_id, simhash)`: the 32-bit SimHash
     * digest over token rows CTE `tok(doc_id, t)`. Spark folds the
     * whole digest into one custom imperative aggregate
@@ -253,6 +259,15 @@ object SparkDialect extends Dialect {
        |cand AS (SELECT hh.key AS $col FROM mgc),
        |$out AS (SELECT i.* FROM $items i
        |         WHERE i.$col IN (SELECT $col FROM cand))""".stripMargin
+  def cmsGate(out: String, items: String, col: String, share: Int): String =
+    s"""cms_sk AS (SELECT cms_sketch($col, 2048, 4) AS s, COUNT(*) AS nn FROM $items),
+       |cms_keep AS (
+       |  SELECT c.$col FROM (SELECT DISTINCT $col FROM $items) c
+       |  CROSS JOIN cms_sk k
+       |  WHERE cms_est(k.s, c.$col) * $share >= k.nn
+       |),
+       |$out AS (SELECT i.* FROM $items i
+       |         WHERE i.$col IN (SELECT $col FROM cms_keep))""".stripMargin
   // NULL tokens are filtered in BOTH renderings (not just skipped by
   // the aggregate): without the filter a NULL token votes -1 per bit
   // in the relational form (its CASE test is NULL → ELSE) while the
@@ -406,6 +421,9 @@ object DuckDialect extends Dialect {
   def bloomPrefilter(out: String, items: String, set: String, col: String): String =
     s"$out AS (SELECT * FROM $items)"
   def heavyHitterGate(out: String, items: String, col: String, k: Int): String =
+    s"$out AS (SELECT * FROM $items)"
+  // ungated: DuckDB is the exact oracle side (see heavyHitterGate)
+  def cmsGate(out: String, items: String, col: String, share: Int): String =
     s"$out AS (SELECT * FROM $items)"
   def simhashDigestCtes: String = {
     val hexv = (1 to 8).map { i =>

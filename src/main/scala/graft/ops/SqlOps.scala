@@ -3216,6 +3216,64 @@ object SqlOps {
          |CROSS JOIN n""".stripMargin
     })
 
+  /** Top talkers via a count-min-sketch candidate gate: users
+    * contributing ≥ 2% of the event stream, the canonical CMS use
+    * (frequent-flow detection over an unbounded key space). Shape at
+    * 100 TB: the sketch is one O(d·w)-state mergeable aggregate over
+    * the stream (map-side combined, 64 KiB regardless of user
+    * cardinality), the estimate runs once per DISTINCT key, and only
+    * the gated slice pays the exact count. CMS never undercounts, so
+    * the gate is a lossless superset of the truly-frequent keys and
+    * the integer-exact cnt·50 ≥ N verify makes it result-invisible —
+    * proved by the oracle running the ungated exact form (the
+    * bloom-decontamination pattern, third sketch class after bloom
+    * membership and Misra-Gries top-k). On this fixture user
+    * cardinality is far below the 2048-bucket width, so collision
+    * paths are exercised adversarially in ExpressionSpec with w=2. */
+  def cmsTopUsers(d: Dialect): String =
+    s"""WITH ev AS (SELECT user_id FROM events),
+       |${d.cmsGate("cms_gated", "ev", "user_id", 50)},
+       |ex AS (SELECT user_id, COUNT(*) AS cnt FROM cms_gated GROUP BY user_id),
+       |n AS (SELECT COUNT(*) AS nn FROM ev)
+       |SELECT user_id, cnt FROM ex CROSS JOIN n WHERE cnt * 50 >= nn""".stripMargin
+
+  /** Benford first-digit audit of order totals (Newcomb 1881 / Benford
+    * 1938; the classic fraud/corruption screen for financial columns):
+    * observed leading-digit counts against the Benford expectation
+    * P(d) = log10(1 + 1/d), with the per-digit chi-square contribution
+    * (obs − exp)²/exp. The leading digit comes from the exact integer
+    * cents value via one string head — scale-invariant (×100 never
+    * changes the leading digit) and engine-portable, no float log on
+    * data. The expectations are baked parts-per-million integer
+    * constants (math, not data), so the only floating-point the data
+    * touches is the final 3-op chi-square contribution, 6dp-quantized
+    * — identical IEEE sequences in both engines. One scan, one
+    * 9-group aggregate: trivially scale-safe. */
+  def benfordProfile(d: Dialect): String =
+    s"""WITH t AS (
+       |  SELECT SUBSTRING(CAST(
+       |    CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT) AS STRING),
+       |    1, 1) AS digit
+       |  FROM orders
+       |),
+       |obs AS (
+       |  SELECT digit, COUNT(*) AS n_obs,
+       |    CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n,
+       |    CASE digit
+       |      WHEN '1' THEN 301030 WHEN '2' THEN 176091 WHEN '3' THEN 124939
+       |      WHEN '4' THEN 96910 WHEN '5' THEN 79181 WHEN '6' THEN 66947
+       |      WHEN '7' THEN 57992 WHEN '8' THEN 51153 ELSE 45757
+       |    END AS p_ppm
+       |  FROM t GROUP BY digit
+       |)
+       |SELECT digit, n_obs, p_ppm,
+       |  ${r6("CAST(n AS DOUBLE) * p_ppm / 1.0e6")} AS n_exp,
+       |  ${r6(
+             "(n_obs - CAST(n AS DOUBLE) * p_ppm / 1.0e6) " +
+             "* (n_obs - CAST(n AS DOUBLE) * p_ppm / 1.0e6) " +
+             "/ (CAST(n AS DOUBLE) * p_ppm / 1.0e6)")} AS chi2_part
+       |FROM obs""".stripMargin
+
   /** Quantity-weighted median line price per return flag: the smallest
     * price whose cumulative weight reaches half the group's total
     * (2·cum ≥ tot — the integer form of cum ≥ tot/2, no division).

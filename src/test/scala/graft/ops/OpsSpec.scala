@@ -1156,6 +1156,29 @@ class OpsSpec extends SparkSpec {
     actual.foreach { case ((a, b), (_, _, l)) => assert(actual((b, a))._3 === l) }
   }
 
+  test("benford profile matches an independent Scala digit count") {
+    val cents = graft.Tables.orders(spark, sf001)
+      .selectExpr("o_totalprice").collect()
+      .map(r => math.floor(r.getAs[Double]("o_totalprice") * 100 + 0.5).toLong)
+    val n = cents.length.toLong
+    val ppm = Map('1' -> 301030L, '2' -> 176091L, '3' -> 124939L,
+      '4' -> 96910L, '5' -> 79181L, '6' -> 66947L, '7' -> 57992L,
+      '8' -> 51153L, '9' -> 45757L)
+    def q6(x: Double) = math.floor(x * 1.0e6 + 0.5) / 1.0e6
+    val expected = cents.groupBy(c => c.toString.head).map { case (dig, cs) =>
+      val exp = n.toDouble * ppm(dig) / 1.0e6
+      val obs = cs.length.toLong
+      (dig.toString, (obs, ppm(dig), q6(exp), q6((obs - exp) * (obs - exp) / exp)))
+    }
+    val actual = run("q_benford").collect().map(r =>
+      (r.getAs[String]("digit"), (r.getAs[Long]("n_obs"),
+        r.getAs[Number]("p_ppm").longValue,
+        r.getAs[Double]("n_exp"), r.getAs[Double]("chi2_part")))).toMap
+    assert(actual === expected)
+    // digit coverage: every leading digit of this fixture appears once
+    assert(actual.keySet === cents.map(_.toString.take(1)).toSet)
+  }
+
   test("weighted median matches an independent Scala cumulative sweep") {
     val rows = graft.Tables.lineitem(spark, sf001)
       .selectExpr("l_returnflag", "l_extendedprice", "l_quantity").collect()
