@@ -170,7 +170,11 @@ object SparkEntry {
       Seq("documents")  -> SqlOps.textUnigramLm, // ulm_tf
       Seq("documents")  -> SqlOps.heavyHitters, // hh_bg
       Seq("embeddings") -> SqlOps.annIvf, // builds emb_nv + ivf_nvc (kmeansStep shares them)
-      Seq("embeddings") -> SqlOps.annIvfProbe2 // adds ivf_cent
+      Seq("embeddings") -> SqlOps.annIvfProbe2, // adds ivf_cent
+      // ar_baskets/ar_isup/ar_pairs feed both basket queries; the
+      // k-core rounds (kcoreIter) are deliberately NOT here — the
+      // peel IS q_kcore's computation, like the cluster map
+      Seq("lineitem", "part") -> SqlOps.assocRules
     ).foreach { case (views, op) => buildStages(views, op)(s, d) }
   }
 
@@ -285,6 +289,9 @@ object SparkEntry {
     // count-min-gated top talkers (≥2% of events per user; exact
     // verify over the gated slice, oracle runs ungated)
     "q_cms_topusers" -> sqlq(Seq("events"), SqlOps.cmsTopUsers),
+    // global top-20 3-step event paths ((ts, event_id)-ordered
+    // per-user sequences — the sequential-pattern profile)
+    "q_event_paths" -> sqlq(Seq("events"), SqlOps.eventPaths),
     "q_window_range" -> sqlq(Seq("orders"), SqlOps.windowRangeSpend),
     "q_window_moving_avg" -> sqlq(Seq("orders"), SqlOps.windowMovingAvg),
     "q_percent_rank" -> sqlq(Seq("orders"), SqlOps.percentRankOrders),
@@ -365,6 +372,9 @@ object SparkEntry {
       graft.ops.Graph.pagerank(
         pairs.select(col("doc_a").as("a"), col("doc_b").as("b")), iters = 3)
     }),
+    // deterministic synchronous label-propagation communities over the
+    // candidate graph (3 staged rounds, majority label, min tie-break)
+    "q_label_prop" -> sqlStaged(Seq("documents"), SqlOps.labelProp),
     // 2-core of the candidate graph by staged peeling rounds (dense
     // duplicate clusters vs incidental collisions), and the
     // loop-until-fixpoint driver form gated against the same oracle
@@ -972,6 +982,7 @@ object SparkEntry {
     "q_weighted_median" -> SqlOps.weightedMedian(DuckDialect),
     "q_benford" -> SqlOps.benfordProfile(DuckDialect),
     "q_cms_topusers" -> SqlOps.cmsTopUsers(DuckDialect),
+    "q_event_paths" -> SqlOps.eventPaths(DuckDialect),
     "q_window_range" -> SqlOps.windowRangeSpend(DuckDialect),
     "q_window_moving_avg" -> SqlOps.windowMovingAvg(DuckDialect),
     "q_percent_rank" -> SqlOps.percentRankOrders(DuckDialect),
@@ -1017,6 +1028,7 @@ object SparkEntry {
     "q_pagerank_loop" -> SqlOps.pagerankIter.single(DuckDialect),
     "q_kcore" -> SqlOps.kcoreIter.single(DuckDialect),
     "q_kcore_loop" -> SqlOps.kcoreIter.single(DuckDialect),
+    "q_label_prop" -> SqlOps.labelProp.single(DuckDialect),
     "q_dedup_prefix" -> SqlOps.dedupPrefix.single(DuckDialect),
     "q_embedding_whiten" -> SqlOps.embeddingWhiten(DuckDialect),
     "q_pca_power_step" -> SqlOps.pcaPowerStep(DuckDialect),

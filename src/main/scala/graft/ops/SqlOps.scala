@@ -3216,6 +3216,78 @@ object SqlOps {
          |CROSS JOIN n""".stripMargin
     })
 
+  /** Synchronous label-propagation communities (Raghavan et al., "Near
+    * linear time algorithm to detect community structures in
+    * large-scale networks", Phys. Rev. E 2007) on the minhash
+    * candidate graph, three rounds: every node adopts the most
+    * frequent label among its neighbors, ties to the smallest label —
+    * the deterministic sync variant (the async/random classic is not
+    * reproducible across engines or runs). Labels start as node ids;
+    * communities after a fixed depth separate template families the
+    * pairwise candidate view can't show. Each round is one stage (a
+    * round reads its predecessor once, but materialization keeps the
+    * plan depth flat and matches the re-plan-per-round driver shape);
+    * per round: edges ⋈ labels (shuffle on src), a (node, label)
+    * count aggregate, and a per-node argmax window over the few
+    * distinct neighbor labels — all integer-exact with total
+    * tie-break, so both engines land identical fixpoints. */
+  val labelProp: StagedOp = {
+    val nRounds = 3
+    val roundStages = (1 to nRounds).map { i =>
+      s"lp_l$i" -> { (_: Dialect) =>
+        s"""WITH cnt AS (
+           |  SELECT e.dst AS id, l.lbl, COUNT(*) AS c
+           |  FROM lp_edges e JOIN lp_l${i - 1} l ON e.src = l.id
+           |  GROUP BY e.dst, l.lbl
+           |)
+           |SELECT id, lbl FROM (
+           |  SELECT id, lbl,
+           |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+           |  FROM cnt
+           |) WHERE rn = 1""".stripMargin
+      }
+    }
+    StagedOp(
+      stages = dedupMinhash.stages ++ Seq(
+        "lp_edges" -> { (_: Dialect) =>
+          s"""SELECT doc_a AS src, doc_b AS dst FROM mh_cand
+             |UNION ALL
+             |SELECT doc_b AS src, doc_a AS dst FROM mh_cand""".stripMargin
+        },
+        "lp_l0" -> { (_: Dialect) =>
+          "SELECT DISTINCT src AS id, src AS lbl FROM lp_edges"
+        }) ++ roundStages,
+      body = { _ =>
+        s"""SELECT lbl AS community, COUNT(*) AS n_members,
+           |  MIN(id) AS min_member
+           |FROM lp_l$nRounds GROUP BY lbl""".stripMargin
+      })
+  }
+
+  /** Per-user ordered event paths (3-step click-stream sequences) with
+    * a global top-20: the sequential-pattern profile of an event
+    * stream. The path is built by two LEADs inside each user's
+    * timeline — ordered by (ts, event_id) because a bare timestamp
+    * order is non-deterministic under ties (the cross-engine
+    * determinism rule every window here follows). One scan, one
+    * user-partitioned window, one count aggregate, one bounded top-k:
+    * at 100 TB the window shuffles on user_id (no global sort), and
+    * the final TOP 20 is a TakeOrdered, not a full ordering. */
+  def eventPaths(d: Dialect): String =
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type AS e0,
+       |    LEAD(event_type, 1) OVER w AS e1,
+       |    LEAD(event_type, 2) OVER w AS e2
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |),
+       |paths AS (
+       |  SELECT e0 || '>' || e1 || '>' || e2 AS path
+       |  FROM seq WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+       |)
+       |SELECT path, COUNT(*) AS cnt FROM paths GROUP BY path
+       |ORDER BY cnt DESC, path LIMIT 20""".stripMargin
+
   /** Top talkers via a count-min-sketch candidate gate: users
     * contributing ≥ 2% of the event stream, the canonical CMS use
     * (frequent-flow detection over an unbounded key space). Shape at

@@ -1156,6 +1156,46 @@ class OpsSpec extends SparkSpec {
     actual.foreach { case ((a, b), (_, _, l)) => assert(actual((b, a))._3 === l) }
   }
 
+  test("label propagation matches an independent Scala sync simulation") {
+    val pairs = run("q_dedup_minhash").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val inbound = edges.groupBy(_._2).map { case (n, es) => (n, es.map(_._1)) }
+    var lbl: Map[Long, Long] = edges.map(_._1).distinct.map(n => (n, n)).toMap
+    (1 to 3).foreach { _ =>
+      lbl = inbound.map { case (n, srcs) =>
+        val counts = srcs.map(lbl).groupBy(identity)
+          .map { case (l, os) => (l, os.size) }
+        (n, counts.toSeq.minBy { case (l, c) => (-c, l) }._1)
+      }
+    }
+    val expected = lbl.groupBy(_._2).map { case (community, ms) =>
+      (community, (ms.size.toLong, ms.keys.min))
+    }
+    val actual = run("q_label_prop").collect().map(r =>
+      (r.getAs[Long]("community"),
+        (r.getAs[Long]("n_members"), r.getAs[Long]("min_member")))).toMap
+    assert(actual === expected)
+    // conservation: members across communities = node count
+    assert(actual.values.map(_._1).sum === lbl.size.toLong)
+  }
+
+  test("event paths match an independent Scala sequence count") {
+    val ev = graft.Tables.events(spark, sf001)
+      .selectExpr("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id")))
+    val paths = ev.groupBy(_._1).values.flatMap { rows =>
+      val ordered = rows.sortBy(r => (r._3.getTime, r._4)).map(_._2)
+      ordered.sliding(3).filter(_.size == 3).map(_.mkString(">"))
+    }
+    val top = paths.groupBy(identity).map { case (p, os) => (p, os.size.toLong) }
+      .toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    val actual = run("q_event_paths").collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("cnt"))).toSeq
+    assert(actual === top)
+  }
+
   test("benford profile matches an independent Scala digit count") {
     val cents = graft.Tables.orders(spark, sf001)
       .selectExpr("o_totalprice").collect()
