@@ -292,6 +292,15 @@ object SparkEntry {
     // global top-20 3-step event paths ((ts, event_id)-ordered
     // per-user sequences — the sequential-pattern profile)
     "q_event_paths" -> sqlq(Seq("events"), SqlOps.eventPaths),
+    // calendar-spine gap fill of the daily order series with
+    // zero-fill + forward-carried last active day (freshness monitor)
+    "q_gap_fill" -> sqlq(Seq("orders"), SqlOps.gapFill),
+    // first-signup → first-purchase latency for the clean-converter
+    // cohort (single conditional aggregate, integer seconds)
+    "q_time_to_convert" -> sqlq(Seq("events"), SqlOps.timeToConvert),
+    // declarative data-quality expectations (range/null/referential)
+    // as a (rule, violations, checked) contract report
+    "q_dq_audit" -> sqlStaged(Seq("lineitem", "orders", "customer"), SqlOps.dqAudit),
     "q_window_range" -> sqlq(Seq("orders"), SqlOps.windowRangeSpend),
     "q_window_moving_avg" -> sqlq(Seq("orders"), SqlOps.windowMovingAvg),
     "q_percent_rank" -> sqlq(Seq("orders"), SqlOps.percentRankOrders),
@@ -983,6 +992,9 @@ object SparkEntry {
     "q_benford" -> SqlOps.benfordProfile(DuckDialect),
     "q_cms_topusers" -> SqlOps.cmsTopUsers(DuckDialect),
     "q_event_paths" -> SqlOps.eventPaths(DuckDialect),
+    "q_gap_fill" -> SqlOps.gapFill(DuckDialect),
+    "q_time_to_convert" -> SqlOps.timeToConvert(DuckDialect),
+    "q_dq_audit" -> SqlOps.dqAudit.single(DuckDialect),
     "q_window_range" -> SqlOps.windowRangeSpend(DuckDialect),
     "q_window_moving_avg" -> SqlOps.windowMovingAvg(DuckDialect),
     "q_percent_rank" -> SqlOps.percentRankOrders(DuckDialect),

@@ -3216,6 +3216,110 @@ object SqlOps {
          |CROSS JOIN n""".stripMargin
     })
 
+  /** Calendar gap-fill of the daily order series: a generated day
+    * spine (min..max epoch day) LEFT-joined to the per-day aggregate,
+    * zero-filling silent days and carrying the last active day
+    * forward — days_since_activity is the gap-age monitor a freshness
+    * SLA reads. The forward fill is a running MAX over a CASE-nulled
+    * monotone day key, which skips NULLs portably in both engines (the
+    * IGNORE NULLS dialect split the attribution op also avoids). All
+    * keys are integer epoch days (dates are midnight UTC so /86400 is
+    * exact). Scale shape: the per-day aggregate is map-side combined
+    * to date-domain cardinality, the spine is date-domain too (a few
+    * thousand rows from one generate), so the join and the ordered
+    * window both run on day-grain data — never on raw facts. */
+  def gapFill(d: Dialect): String = {
+    val es = (x: String) => d.epochSeconds(s"CAST($x AS TIMESTAMP)")
+    s"""WITH daily AS (
+       |  SELECT CAST(${es("o_orderdate")} / 86400 AS BIGINT) AS day,
+       |    COUNT(*) AS n_orders,
+       |    CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1
+       |),
+       |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+       |spine AS (
+       |  ${d.explode("SELECT lo, " + d.seqArray("lo", "hi") + " AS ds FROM bounds",
+                      "lo", "ds", "day")}
+       |),
+       |joined AS (
+       |  SELECT s.day, COALESCE(dl.n_orders, 0) AS n_orders,
+       |    COALESCE(dl.cents, 0) AS cents,
+       |    CASE WHEN dl.day IS NOT NULL THEN s.day END AS active_day
+       |  FROM spine s LEFT JOIN daily dl ON s.day = dl.day
+       |)
+       |SELECT day, n_orders, cents,
+       |  day - MAX(active_day) OVER (ORDER BY day) AS days_since_activity
+       |FROM joined""".stripMargin
+  }
+
+  /** Conversion latency: per user, seconds from first signup to first
+    * purchase, for the clean-converter cohort (users whose first-ever
+    * purchase comes at or after their first signup — a
+    * purchase-before-signup history disqualifies, by definition, not
+    * as an approximation). One map-side-combinable conditional
+    * aggregate per user (no self-join, no window): MIN(ts) over each
+    * event class, then an integer-seconds difference on int64 epochs. */
+  def timeToConvert(d: Dialect): String = {
+    val es = (x: String) => d.epochSeconds(s"CAST($x AS TIMESTAMP)")
+    s"""WITH per AS (
+       |  SELECT user_id,
+       |    MIN(CASE WHEN event_type = 'signup' THEN ${es("ts")} END) AS s0,
+       |    MIN(CASE WHEN event_type = 'purchase' THEN ${es("ts")} END) AS p0
+       |  FROM events GROUP BY user_id
+       |)
+       |SELECT user_id, p0 - s0 AS latency_s
+       |FROM per WHERE s0 IS NOT NULL AND p0 IS NOT NULL AND p0 >= s0""".stripMargin
+  }
+
+  /** Data-quality audit: declarative expectations over the fact tables
+    * — range rules, null rules, and referential integrity — emitted as
+    * one (rule, n_violations, n_checked) row each, the contract report
+    * a pipeline gate reads before publishing a snapshot. The fixture
+    * makes some rules fire (quantity > 45, discount > 5%) and others
+    * hold (negative totals, orphan keys), so the report exercises both
+    * outcomes. Shape: ONE wide counting aggregate per table (each a
+    * 1-row staged artifact — the naive per-rule form scans the table
+    * once per rule), plus one LEFT-JOIN-null count per foreign key;
+    * every counter is COUNT (int64), never SUM(int), so the DuckDB
+    * side stays out of hugeint. */
+  val dqAudit: StagedOp = StagedOp(
+    stages = Seq(
+      "dq_li" -> { _ =>
+        s"""SELECT COUNT(*) AS n,
+           |  COUNT(CASE WHEN l_quantity > 45 THEN 1 END) AS qty_gt_45,
+           |  COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS disc_gt_5pct,
+           |  COUNT(CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1 END) AS tax_out_of_range,
+           |  COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS null_orderkey
+           |FROM lineitem""".stripMargin
+      },
+      "dq_ord" -> { _ =>
+        s"""SELECT COUNT(*) AS n,
+           |  COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS nonpositive_total,
+           |  COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_custkey
+           |FROM orders""".stripMargin
+      },
+      "dq_ref" -> { _ =>
+        s"""SELECT
+           |  (SELECT COUNT(*) FROM orders o
+           |   LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+           |   WHERE c.c_custkey IS NULL) AS orphan_orders,
+           |  (SELECT COUNT(*) FROM orders) AS n_orders,
+           |  (SELECT COUNT(*) FROM lineitem l
+           |   LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |   WHERE o.o_orderkey IS NULL) AS orphan_lineitems,
+           |  (SELECT COUNT(*) FROM lineitem) AS n_lineitems""".stripMargin
+      }),
+    body = { _ =>
+      s"""SELECT 'lineitem_qty_gt_45' AS rule, qty_gt_45 AS n_violations, n AS n_checked FROM dq_li
+         |UNION ALL SELECT 'lineitem_discount_gt_5pct', disc_gt_5pct, n FROM dq_li
+         |UNION ALL SELECT 'lineitem_tax_out_of_range', tax_out_of_range, n FROM dq_li
+         |UNION ALL SELECT 'lineitem_null_orderkey', null_orderkey, n FROM dq_li
+         |UNION ALL SELECT 'orders_nonpositive_total', nonpositive_total, n FROM dq_ord
+         |UNION ALL SELECT 'orders_null_custkey', null_custkey, n FROM dq_ord
+         |UNION ALL SELECT 'orders_orphan_custkey', orphan_orders, n_orders FROM dq_ref
+         |UNION ALL SELECT 'lineitem_orphan_orderkey', orphan_lineitems, n_lineitems FROM dq_ref""".stripMargin
+    })
+
   /** Synchronous label-propagation communities (Raghavan et al., "Near
     * linear time algorithm to detect community structures in
     * large-scale networks", Phys. Rev. E 2007) on the minhash

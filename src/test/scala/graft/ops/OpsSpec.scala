@@ -1156,6 +1156,63 @@ class OpsSpec extends SparkSpec {
     actual.foreach { case ((a, b), (_, _, l)) => assert(actual((b, a))._3 === l) }
   }
 
+  test("gap fill covers the full day spine with correct gap ages") {
+    val rows = run("q_gap_fill").collect().map(r =>
+      (r.getAs[Long]("day"), r.getAs[Long]("n_orders"), r.getAs[Long]("cents"),
+        r.getAs[Long]("days_since_activity"))).sortBy(_._1)
+    // spine is contiguous min..max
+    assert(rows.map(_._1).toSeq === (rows.head._1 to rows.last._1))
+    // zero-filled days carry no revenue; active days carry some
+    rows.foreach { case (_, n, cents, _) =>
+      if (n == 0L) assert(cents === 0L) else assert(cents > 0L)
+    }
+    // gap age: 0 on active days, previous age + 1 on silent days
+    rows.sliding(2).foreach {
+      case Array((_, _, _, a0), (_, n1, _, a1)) =>
+        if (n1 > 0L) assert(a1 === 0L) else assert(a1 === a0 + 1)
+      case _ =>
+    }
+    assert(rows.exists(_._2 == 0L), "fixture should contain silent days")
+  }
+
+  test("time-to-convert matches an independent Scala event scan") {
+    val ev = graft.Tables.events(spark, sf001)
+      .selectExpr("user_id", "event_type", "unix_seconds(CAST(ts AS TIMESTAMP)) AS s")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("s")))
+    val expected = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val s0 = rows.filter(_._2 == "signup").map(_._3).minOption
+      val p0 = rows.filter(_._2 == "purchase").map(_._3).minOption
+      (s0, p0) match {
+        case (Some(s), Some(p)) if p >= s => Some((u, p - s))
+        case _ => None
+      }
+    }
+    val actual = run("q_time_to_convert").collect().map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("latency_s"))).toMap
+    assert(actual === expected)
+  }
+
+  test("dq audit fires the planted rules and clears the integrity rules") {
+    val rows = run("q_dq_audit").collect().map(r =>
+      (r.getAs[String]("rule"), (r.getAs[Long]("n_violations"),
+        r.getAs[Long]("n_checked")))).toMap
+    assert(rows.size === 8)
+    // TPC-H-ish generators guarantee integrity holds...
+    Seq("orders_orphan_custkey", "lineitem_orphan_orderkey",
+      "orders_nonpositive_total", "orders_null_custkey",
+      "lineitem_null_orderkey", "lineitem_tax_out_of_range")
+      .foreach(rule => assert(rows(rule)._1 === 0L, rule))
+    // ...while the range rules genuinely fire on this data
+    assert(rows("lineitem_qty_gt_45")._1 > 0L)
+    assert(rows("lineitem_discount_gt_5pct")._1 > 0L)
+    // every rule checked the full table
+    val nLi = graft.Tables.lineitem(spark, sf001).count()
+    assert(rows("lineitem_qty_gt_45")._2 === nLi)
+    assert(rows("lineitem_orphan_orderkey")._2 === nLi)
+  }
+
   test("label propagation matches an independent Scala sync simulation") {
     val pairs = run("q_dedup_minhash").collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
