@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   * standard 64-bit finalizer; one odd-constant offset per depth gives
   * the d independent-enough hash rows CMS needs). Deterministic and
   * data-independent, so sketch and estimator agree by construction. */
-private[functions] object CmsHash {
+private[graft] object CmsHash {
   final val PHI = 0x9E3779B97F4A7C15L
   def mix(z0: Long): Long = {
     var z = z0 + PHI

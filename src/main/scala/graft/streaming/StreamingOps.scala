@@ -387,6 +387,22 @@ object StreamingOps {
     items.groupBy().agg(expr(s"mg_topk($keyCol, $k)").as("sketch"))
   }
 
+  /** Streaming count-min sketch: the same mergeable d×w counter matrix
+    * the batch gate uses ([[graft.functions.CountMinAgg]]), run as a
+    * streaming global aggregate — O(d·w) state regardless of key
+    * cardinality, element-wise-additive merges across micro-batches.
+    * Because CMS content is commutative-associative integer addition
+    * (unlike the Misra-Gries summary, whose content is merge-order-
+    * dependent), the streamed sketch is BIT-IDENTICAL to the batch
+    * sketch over the same rows under any batching — asserted exactly
+    * in StreamingSpec, the strongest batch≡stream parity any sketch
+    * here can offer. */
+  def cmsSketchStream(items: DataFrame, keyCol: String,
+                      w: Int, d: Int): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(items.sparkSession)
+    items.groupBy().agg(expr(s"cms_sketch($keyCol, $w, $d)").as("sketch"))
+  }
+
   /** Streaming corpus-cleaning gate: score every arriving document
     * with the SAME single-sourced language-guess + quality formulas
     * the batch filter uses ([[graft.ops.SqlOps.sparkScoreExprs]] —

@@ -640,4 +640,32 @@ class StreamingSpec extends SparkSpec {
     }
     assert(sketch.size <= k)
   }
+
+  test("streaming count-min sketch is bit-identical to the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // skewed keys with forced collisions (w=8 < 40 distinct keys) so
+    // the parity claim covers colliding buckets, not just clean ones
+    val keys: Seq[Long] = (1L to 40L).flatMap(k => Seq.fill((k % 5).toInt + 1)(k))
+    val in = MemoryStream[Long]
+    val q = StreamingOps.cmsSketchStream(in.toDF().toDF("key"), "key", w = 8, d = 3)
+      .writeStream.outputMode("complete").format("memory").queryName("cmssk").start()
+    // uneven micro-batches exercise state-store merges
+    keys.grouped(17).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    val streamed = spark.table("cmssk").collect().head.getSeq[Long](0)
+    q.stop()
+    graft.functions.GraftFunctions.registerAll(spark)
+    keys.toDF("key").createOrReplaceTempView("cms_batch_in")
+    val batch = spark.sql("SELECT cms_sketch(key, 8, 3) FROM cms_batch_in")
+      .collect().head.getSeq[Long](0)
+    assert(streamed === batch,
+      "CMS merges are commutative-associative adds; batching must not matter")
+    // and the streamed sketch still carries the one-sided guarantee
+    val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    truth.foreach { case (k0, c) =>
+      val est = (0 until 3).map(r => streamed(
+        2 + r * 8 + graft.functions.CmsHash.bucket(k0, r, 8))).min
+      assert(est >= c, s"key $k0 undercounted")
+    }
+  }
 }
