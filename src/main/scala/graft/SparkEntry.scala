@@ -212,6 +212,21 @@ object SparkEntry {
       Load.scd2Merge(main, staging, "link", batchTs = 100L)
         .orderBy(col("link"), col("valid_from"))
     }),
+    // point-in-time reads over the SCD2 result: the pre-batch (ts=50)
+    // and post-batch (ts=100) states from ONE history table
+    "q_scd2_asof" -> ((s, d) => {
+      val t = transformedStaged(s, d)
+      val main = mergeMain(t)
+        .select(col("link"), col("name"), col("price_rp"))
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("bigint"))
+      val staging = mergeStaging(t).select(col("link"), col("name"), col("price_rp"))
+      val scd = Load.scd2Merge(main, staging, "link", batchTs = 100L)
+      Seq(50L, 100L).map { ts =>
+        Load.scd2AsOf(scd, ts)
+          .select(lit(ts).as("asof_ts"), col("link"), col("name"), col("price_rp"))
+      }.reduce(_.unionByName(_))
+    }),
 
     // -- relational / analytic extensions (SURVEY.md §2.6-2.7) --
     "q_pricing_summary" -> Relational.pricingSummary _,
@@ -295,6 +310,9 @@ object SparkEntry {
     // calendar-spine gap fill of the daily order series with
     // zero-fill + forward-carried last active day (freshness monitor)
     "q_gap_fill" -> sqlq(Seq("orders"), SqlOps.gapFill),
+    // RNG-free contrastive negatives by hash-ring rotation (2 per doc,
+    // broadcast representative table, self-pairing impossible)
+    "q_negative_pairs" -> sqlq(Seq("documents"), SqlOps.negativePairs),
     // first-signup → first-purchase latency for the clean-converter
     // cohort (single conditional aggregate, integer seconds)
     "q_time_to_convert" -> sqlq(Seq("events"), SqlOps.timeToConvert),
@@ -556,6 +574,31 @@ object SparkEntry {
        |  FROM transformed WHERE ingest_order % 3 = 0
        |)""".stripMargin
 
+  /** Shared SCD2-merge oracle body ([[Load.scd2Merge]]'s relational
+    * twin) — reused by the merge query itself and the point-in-time
+    * read, so the two cannot drift. */
+  private val SCD2_SQL: String =
+    s"""$MERGE_CTES,
+       |m AS (SELECT link, name, price_rp, CAST(0 AS BIGINT) AS valid_from FROM main),
+       |st AS (SELECT link, name, price_rp FROM staging),
+       |j AS (
+       |  SELECT m.link AS olink, m.name AS oname, m.price_rp AS oprice, m.valid_from,
+       |         st.link AS slink, st.name AS sname, st.price_rp AS sprice
+       |  FROM m FULL JOIN st ON m.link = st.link
+       |),
+       |same AS (
+       |  SELECT *, (oname IS NOT DISTINCT FROM sname) AND (oprice IS NOT DISTINCT FROM sprice) AS unchanged
+       |  FROM j
+       |)
+       |SELECT olink AS link, oname AS name, oprice AS price_rp, valid_from, CAST(NULL AS BIGINT) AS valid_to
+       |FROM same WHERE slink IS NULL OR (olink IS NOT NULL AND unchanged)
+       |UNION ALL
+       |SELECT olink, oname, oprice, valid_from, CAST(100 AS BIGINT)
+       |FROM same WHERE olink IS NOT NULL AND slink IS NOT NULL AND NOT unchanged
+       |UNION ALL
+       |SELECT slink, sname, sprice, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
+       |FROM same WHERE olink IS NULL OR (slink IS NOT NULL AND NOT unchanged)""".stripMargin
+
   private val mergeCols = Seq("ingest_order", "link", "name", "price_rp",
     "location", "lot_size", "building_size", "n_bedroom", "n_bathroom",
     "n_carport", "additional_features", "ads_type", "property_type")
@@ -629,27 +672,16 @@ object SparkEntry {
       s"""$MERGE_CTES
          |SELECT COUNT(*) AS n_inserted FROM staging s
          |WHERE NOT EXISTS (SELECT 1 FROM main m WHERE m.link = s.link)""".stripMargin,
-    "q_merge_scd2" ->
-      s"""$MERGE_CTES,
-         |m AS (SELECT link, name, price_rp, CAST(0 AS BIGINT) AS valid_from FROM main),
-         |st AS (SELECT link, name, price_rp FROM staging),
-         |j AS (
-         |  SELECT m.link AS olink, m.name AS oname, m.price_rp AS oprice, m.valid_from,
-         |         st.link AS slink, st.name AS sname, st.price_rp AS sprice
-         |  FROM m FULL JOIN st ON m.link = st.link
-         |),
-         |same AS (
-         |  SELECT *, (oname IS NOT DISTINCT FROM sname) AND (oprice IS NOT DISTINCT FROM sprice) AS unchanged
-         |  FROM j
-         |)
-         |SELECT olink AS link, oname AS name, oprice AS price_rp, valid_from, CAST(NULL AS BIGINT) AS valid_to
-         |FROM same WHERE slink IS NULL OR (olink IS NOT NULL AND unchanged)
+    "q_merge_scd2" -> SCD2_SQL,
+    "q_scd2_asof" ->
+      s"""WITH scd AS (SELECT * FROM (
+         |$SCD2_SQL
+         |))
+         |SELECT CAST(50 AS BIGINT) AS asof_ts, link, name, price_rp FROM scd
+         |WHERE valid_from <= 50 AND (valid_to IS NULL OR valid_to > 50)
          |UNION ALL
-         |SELECT olink, oname, oprice, valid_from, CAST(100 AS BIGINT)
-         |FROM same WHERE olink IS NOT NULL AND slink IS NOT NULL AND NOT unchanged
-         |UNION ALL
-         |SELECT slink, sname, sprice, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
-         |FROM same WHERE olink IS NULL OR (slink IS NOT NULL AND NOT unchanged)""".stripMargin,
+         |SELECT CAST(100 AS BIGINT), link, name, price_rp FROM scd
+         |WHERE valid_from <= 100 AND (valid_to IS NULL OR valid_to > 100)""".stripMargin,
 
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -993,6 +1025,7 @@ object SparkEntry {
     "q_cms_topusers" -> SqlOps.cmsTopUsers(DuckDialect),
     "q_event_paths" -> SqlOps.eventPaths(DuckDialect),
     "q_gap_fill" -> SqlOps.gapFill(DuckDialect),
+    "q_negative_pairs" -> SqlOps.negativePairs(DuckDialect),
     "q_time_to_convert" -> SqlOps.timeToConvert(DuckDialect),
     "q_dq_audit" -> SqlOps.dqAudit.single(DuckDialect),
     "q_window_range" -> SqlOps.windowRangeSpend(DuckDialect),

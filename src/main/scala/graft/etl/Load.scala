@@ -96,6 +96,17 @@ object Load {
     hist.unionByName(emitted)
   }
 
+  /** Point-in-time (time-travel) read over an SCD2 table: the version
+    * of each key valid AT `ts` — `valid_from ≤ ts < valid_to` with
+    * NULL `valid_to` meaning open. A narrow filter, so at scale it
+    * rides predicate pushdown into the dimension scan; pair with the
+    * history-keeping [[scd2Merge]] for reproducible as-of joins
+    * (rebuilding yesterday's feature table against yesterday's
+    * dimension state). */
+  def scd2AsOf(scd2: DataFrame, ts: Long): DataFrame =
+    scd2.filter(col("valid_from") <= ts &&
+      (col("valid_to").isNull || col("valid_to") > ts))
+
   /** Server-side upsert statement renderings. The reference speaks
     * Postgres `ON CONFLICT` (src/load.py:33-39); `AnsiMerge` is the
     * standard `MERGE INTO` equivalent (Derby, DB2, SQL Server, modern

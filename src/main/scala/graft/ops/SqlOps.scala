@@ -3216,6 +3216,31 @@ object SqlOps {
          |CROSS JOIN n""".stripMargin
     })
 
+  /** Deterministic negative sampling for contrastive training pairs:
+    * each document draws 2 negatives by hash-ring rotation — its
+    * content bucket b (md5 head, 0-255) points at buckets b+64 and
+    * b+128 (mod 256), and the negative is that bucket's smallest
+    * doc_id. RNG-free (re-runnable at any scale, stable across
+    * engines), and self-pairing is impossible by construction: the
+    * rotation offsets are nonzero mod 256, so the negative's bucket
+    * never equals the anchor's. Shape at 100 TB: the representative
+    * table is ≤256 rows (a broadcast), the rotation is a narrow
+    * projection — the whole op is one scan + one map-side-combined
+    * 256-group aggregate + one broadcast join, no shuffle of the fact
+    * rows. The hash ring is the same negatives-from-other-shards
+    * heuristic contrastive pipelines use: content-hash distance is
+    * uncorrelated with semantic similarity, which is exactly what a
+    * random negative wants. */
+  def negativePairs(d: Dialect): String =
+    s"""WITH b AS (SELECT doc_id, ${md5Bucket("text")} AS bkt FROM documents),
+       |rep AS (SELECT bkt, MIN(doc_id) AS rep_id FROM b GROUP BY bkt),
+       |wj AS (
+       |  ${d.explode("SELECT doc_id, bkt, " + d.seqArray("1", "2") + " AS js FROM b",
+                      "doc_id, bkt", "js", "j")}
+       |)
+       |SELECT w.doc_id, CAST(w.j AS BIGINT) AS neg_rank, r.rep_id AS neg_id
+       |FROM wj w JOIN rep r ON (w.bkt + 64 * w.j) % 256 = r.bkt""".stripMargin
+
   /** Calendar gap-fill of the daily order series: a generated day
     * spine (min..max epoch day) LEFT-joined to the per-day aggregate,
     * zero-filling silent days and carrying the last active day

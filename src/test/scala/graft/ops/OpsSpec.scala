@@ -1156,6 +1156,59 @@ class OpsSpec extends SparkSpec {
     actual.foreach { case ((a, b), (_, _, l)) => assert(actual((b, a))._3 === l) }
   }
 
+  test("scd2 as-of reads select the version valid at each timestamp") {
+    val scd = run("q_merge_scd2").collect().map(r =>
+      (r.getAs[String]("link"), r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong),
+        r.getAs[Long]("price_rp")))
+    def asOf(ts: Long) = scd.collect {
+      case (link, from, to, price) if from <= ts && to.forall(_ > ts) => (link, price)
+    }.toMap
+    val actual = run("q_scd2_asof").collect().map(r =>
+      ((r.getAs[Long]("asof_ts"), r.getAs[String]("link")), r.getAs[Long]("price_rp")))
+      .toMap
+    Seq(50L, 100L).foreach { ts =>
+      val exp = asOf(ts)
+      val got = actual.collect { case ((t, l), p) if t == ts => (l, p) }
+      assert(got === exp, s"as-of $ts mismatch")
+    }
+    // at most one version per key at any timestamp; at ts=100 (after
+    // the batch) every key has exactly one open version, while keys
+    // first inserted by the batch are invisible at ts=50
+    val at100 = actual.keys.collect { case (100L, l) => l }.toSeq
+    assert(at100.distinct.size === at100.size)
+    assert(at100.size === scd.map(_._1).distinct.length)
+    val at50 = actual.keys.collect { case (50L, l) => l }.toSeq
+    assert(at50.distinct.size === at50.size)
+    assert(at50.size < at100.size, "batch-inserted keys must be invisible at ts=50")
+    // the changed keys differ in price between the two snapshots
+    val changed = actual.collect { case ((50L, l), p)
+      if actual.get((100L, l)).exists(_ != p) => l }
+    assert(changed.nonEmpty, "fixture should contain changed keys")
+  }
+
+  test("negative pairs match an independent Scala hash-ring sweep") {
+    val docs = graft.Tables.documents(spark, sf001)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    def bkt(t: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.take(2), 16)
+    }
+    val byBkt = docs.map { case (id, t) => (id, bkt(t)) }
+    val rep = byBkt.groupBy(_._2).map { case (b, ds) => (b, ds.map(_._1).min) }
+    val expected = byBkt.flatMap { case (id, b) =>
+      Seq(1, 2).flatMap(j => rep.get((b + 64 * j) % 256).map(r => (id, j.toLong, r)))
+    }.toSet
+    val actual = run("q_negative_pairs").collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("neg_rank"), r.getAs[Long]("neg_id")))
+      .toSet
+    assert(actual === expected)
+    // a doc is never its own negative
+    actual.foreach { case (id, _, neg) => assert(id !== neg) }
+  }
+
   test("gap fill covers the full day spine with correct gap ages") {
     val rows = run("q_gap_fill").collect().map(r =>
       (r.getAs[Long]("day"), r.getAs[Long]("n_orders"), r.getAs[Long]("cents"),
