@@ -319,6 +319,9 @@ object SparkEntry {
     // declarative data-quality expectations (range/null/referential)
     // as a (rule, violations, checked) contract report
     "q_dq_audit" -> sqlStaged(Seq("lineitem", "orders", "customer"), SqlOps.dqAudit),
+    // empirical out-of-orderness per event type (running-MAX lag in
+    // arrival order, per-user shards) — the watermark-sizing metric
+    "q_disorder_profile" -> sqlq(Seq("events"), SqlOps.disorderProfile),
     "q_window_range" -> sqlq(Seq("orders"), SqlOps.windowRangeSpend),
     "q_window_moving_avg" -> sqlq(Seq("orders"), SqlOps.windowMovingAvg),
     "q_percent_rank" -> sqlq(Seq("orders"), SqlOps.percentRankOrders),
@@ -1026,6 +1029,7 @@ object SparkEntry {
     "q_event_paths" -> SqlOps.eventPaths(DuckDialect),
     "q_gap_fill" -> SqlOps.gapFill(DuckDialect),
     "q_negative_pairs" -> SqlOps.negativePairs(DuckDialect),
+    "q_disorder_profile" -> SqlOps.disorderProfile(DuckDialect),
     "q_time_to_convert" -> SqlOps.timeToConvert(DuckDialect),
     "q_dq_audit" -> SqlOps.dqAudit.single(DuckDialect),
     "q_window_range" -> SqlOps.windowRangeSpend(DuckDialect),

@@ -3216,6 +3216,32 @@ object SqlOps {
          |CROSS JOIN n""".stripMargin
     })
 
+  /** Event-time disorder profile: per event type, how far event
+    * timestamps run BEHIND the maximum already seen in arrival order
+    * (event_id) within each user's stream — the empirical
+    * out-of-orderness distribution that sizes a streaming watermark
+    * (a "10 minutes" horizon is exactly a claim about max_delta_s,
+    * and this query is how you check it against data instead of
+    * guessing). delta = running-MAX(ts) − ts is 0 for in-order
+    * arrivals, positive for late ones. The running MAX shards by
+    * user (no global order, the per-key watermark shape); integer
+    * epoch-second arithmetic throughout, the mean is one exact-sum
+    * division 6dp-quantized. */
+  def disorderProfile(d: Dialect): String = {
+    val es = d.epochSeconds("CAST(ts AS TIMESTAMP)")
+    s"""WITH x AS (
+       |  SELECT event_type, $es AS s,
+       |    MAX($es) OVER (PARTITION BY user_id ORDER BY event_id) AS mx
+       |  FROM events
+       |),
+       |del AS (SELECT event_type, mx - s AS delta_s FROM x)
+       |SELECT event_type, COUNT(*) AS n,
+       |  COUNT(CASE WHEN delta_s > 0 THEN 1 END) AS n_late,
+       |  CAST(MAX(delta_s) AS BIGINT) AS max_delta_s,
+       |  ${r6("CAST(SUM(delta_s) AS DOUBLE) / COUNT(*)")} AS mean_delta_s
+       |FROM del GROUP BY event_type""".stripMargin
+  }
+
   /** Deterministic negative sampling for contrastive training pairs:
     * each document draws 2 negatives by hash-ring rotation — its
     * content bucket b (md5 head, 0-255) points at buckets b+64 and

@@ -1156,6 +1156,53 @@ class OpsSpec extends SparkSpec {
     actual.foreach { case ((a, b), (_, _, l)) => assert(actual((b, a))._3 === l) }
   }
 
+  test("disorder profile matches an independent Scala arrival replay") {
+    val ev = graft.Tables.events(spark, sf001)
+      .selectExpr("user_id", "event_type", "event_id",
+        "unix_seconds(CAST(ts AS TIMESTAMP)) AS s").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("s")))
+    def q6(x: Double) = math.floor(x * 1.0e6 + 0.5) / 1.0e6
+    val deltas = ev.groupBy(_._1).values.flatMap { rows =>
+      var mx = Long.MinValue
+      rows.sortBy(_._3).map { case (_, tpe, _, s) =>
+        mx = math.max(mx, s)
+        (tpe, mx - s)
+      }
+    }.toSeq
+    val expected = deltas.groupBy(_._1).map { case (tpe, ds) =>
+      val v = ds.map(_._2)
+      (tpe, (v.size.toLong, v.count(_ > 0L).toLong, v.max,
+        q6(v.sum.toDouble / v.size)))
+    }
+    val actual = run("q_disorder_profile").collect().map(r =>
+      (r.getAs[String]("event_type"), (r.getAs[Long]("n"),
+        r.getAs[Long]("n_late"), r.getAs[Long]("max_delta_s"),
+        r.getAs[Double]("mean_delta_s")))).toMap
+    assert(actual === expected)
+    // the fixture stream is perfectly ordered (event_id IS ts order),
+    // so the late path never fires on it — cover it on planted
+    // disorder instead, driving the SAME rendered Spark SQL
+    import spark.implicits._
+    Seq(
+      (1L, "view", 1L, 100L), (1L, "view", 2L, 90L), // 10s late
+      (1L, "click", 3L, 130L), (2L, "view", 4L, 50L),
+      (2L, "click", 5L, 45L), (2L, "click", 6L, 60L) // 5s late
+    ).toDF("user_id", "event_type", "event_id", "s")
+      .selectExpr("user_id", "event_type", "event_id",
+        "timestamp_seconds(s) AS ts")
+      .createOrReplaceTempView("events")
+    try {
+      val planted = spark.sql(graft.ops.SqlOps.disorderProfile(graft.ops.SparkDialect))
+        .collect().map(r => (r.getAs[String]("event_type"),
+          (r.getAs[Long]("n"), r.getAs[Long]("n_late"),
+            r.getAs[Long]("max_delta_s"), r.getAs[Double]("mean_delta_s"))))
+        .toMap
+      assert(planted("view") === ((3L, 1L, 10L, q6(10.0 / 3))))
+      assert(planted("click") === ((3L, 1L, 5L, q6(5.0 / 3))))
+    } finally spark.catalog.dropTempView("events")
+  }
+
   test("scd2 as-of reads select the version valid at each timestamp") {
     val scd = run("q_merge_scd2").collect().map(r =>
       (r.getAs[String]("link"), r.getAs[Long]("valid_from"),
