@@ -293,6 +293,41 @@ object StreamingOps {
       }
   }
 
+  case class DisEv(user_id: Long, event_type: String, event_id: Long,
+                   ts: java.sql.Timestamp)
+  case class Disorder(user_id: Long, event_type: String, event_id: Long,
+                      delta_s: Long)
+
+  /** Streaming event-time disorder monitor — the live form of batch
+    * [[graft.ops.SqlOps.disorderProfile]]: per user, one int64 of
+    * state (max event-time seconds ever seen), each arriving event
+    * emits its lag behind that running max. Within a batch events are
+    * applied in event_id (arrival) order, the same total order the
+    * batch window uses, so feeding a stream in arrival order
+    * reproduces the batch deltas row for row (asserted in
+    * StreamingSpec on planted disorder). The running max is monotone,
+    * so at-least-once redelivery can only re-emit an identical row,
+    * never a wrong delta. This is the operational half of watermark
+    * sizing: the batch profile picks the horizon, this monitor
+    * verifies it live. */
+  def disorderMonitor(events: Dataset[DisEv]): Dataset[Disorder] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Disorder](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[DisEv], state: GroupState[Long]) =>
+          var mx = state.getOption.getOrElse(Long.MinValue)
+          val out = rows.toSeq.sortBy(_.event_id).map { e =>
+            val s = e.ts.getTime / 1000
+            mx = math.max(mx, s)
+            Disorder(uid, e.event_type, e.event_id, mx - s)
+          }
+          state.update(mx)
+          out.iterator
+      }
+  }
+
   case class DayCount(event_type: String, day: Long, c: Long)
   case class CusumState(s20: Long, peak20: Long, alarms: Long, lastDay: Long)
   case class CusumRow(event_type: String, day: Long, cusum20: Long,

@@ -641,6 +641,42 @@ class StreamingSpec extends SparkSpec {
     assert(sketch.size <= k)
   }
 
+  test("streaming disorder monitor reproduces the batch deltas on planted disorder") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same planted rows as the batch disorder test: two users, one
+    // late event each
+    val rows = Seq(
+      StreamingOps.DisEv(1L, "view", 1L, new java.sql.Timestamp(100000L)),
+      StreamingOps.DisEv(1L, "view", 2L, new java.sql.Timestamp(90000L)),
+      StreamingOps.DisEv(1L, "click", 3L, new java.sql.Timestamp(130000L)),
+      StreamingOps.DisEv(2L, "view", 4L, new java.sql.Timestamp(50000L)),
+      StreamingOps.DisEv(2L, "click", 5L, new java.sql.Timestamp(45000L)),
+      StreamingOps.DisEv(2L, "click", 6L, new java.sql.Timestamp(60000L)))
+    val in = MemoryStream[StreamingOps.DisEv]
+    val q = StreamingOps.disorderMonitor(in.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("dis").start()
+    // uneven batches split USER 1's late event across batches — the
+    // running max must carry through keyed state, not batch locals
+    rows.grouped(2).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    val streamed = spark.table("dis").collect().map(r =>
+      (r.getAs[Long]("event_id"), r.getAs[Long]("delta_s"))).toMap
+    q.stop()
+    val expected = Map(1L -> 0L, 2L -> 10L, 3L -> 0L, 4L -> 0L, 5L -> 5L, 6L -> 0L)
+    assert(streamed === expected)
+    // batch twin over the same rows: the SAME rendered SQL
+    rows.toDS().createOrReplaceTempView("events")
+    try {
+      val batch = spark.sql(graft.ops.SqlOps.disorderProfile(graft.ops.SparkDialect))
+        .collect().map(r => (r.getAs[String]("event_type"),
+          (r.getAs[Long]("n_late"), r.getAs[Long]("max_delta_s")))).toMap
+      val late = streamed.filter(_._2 > 0L)
+      assert(batch("view") === ((1L, 10L)))
+      assert(batch("click") === ((1L, 5L)))
+      assert(late.values.toSeq.sorted === Seq(5L, 10L))
+    } finally spark.catalog.dropTempView("events")
+  }
+
   test("streaming count-min sketch is bit-identical to the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
