@@ -60,6 +60,48 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("hive-partitioned write prunes partitions at the scan, not post-filter") {
+    // the third physical-layout lever next to bucketing and z-order:
+    // a partitionBy(col) write turns an equality predicate into
+    // directory pruning — the scan must list ONLY the matching
+    // partition's files, proven both at the plan level
+    // (PartitionFilters) and physically (inputFiles)
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      graft.Tables.events(spark, sf001)
+        .withColumn("ts", col("ts").cast("string")) // plain payload col
+        .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+      val all = spark.read.parquet(dir)
+      val types = all.select("event_type").distinct().collect().map(_.getString(0))
+      assert(types.length > 2, "fixture should have several event types")
+      val one = all.filter(col("event_type") === "purchase")
+      val plan = one.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"), s"no partition filters in:\n$plan")
+      assert(plan.contains("isnotnull(event_type") || plan.contains("event_type"),
+        s"predicate missing from partition filters:\n$plan")
+      // physically: execute THIS plan and read the scan's numFiles
+      // metric — inputFiles reflects the unpruned relation, metrics
+      // reflect what was actually listed and read
+      val qe = one.queryExecution
+      qe.toRdd.count()
+      val scan = qe.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      val purchaseFiles = new java.io.File(s"$dir/event_type=purchase")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      val allFiles = types.map(t => new java.io.File(s"$dir/event_type=$t")
+        .listFiles().count(_.getName.endsWith(".parquet"))).sum
+      assert(purchaseFiles > 0 && allFiles > purchaseFiles)
+      assert(scan.metrics("numFiles").value === purchaseFiles.toLong,
+        s"scan should read only the purchase partition's $purchaseFiles files")
+      // and the pruned read returns exactly the filtered rows
+      assert(one.count() ===
+        graft.Tables.events(spark, sf001).filter(col("event_type") === "purchase").count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("z-order write bounds BOTH dimensions per file where a single sort leaves one unbounded") {
     // the layout claim behind q_zorder_layout, driven end-to-end: write
     // the same rows (a) range-partitioned + sorted by the interleaved
