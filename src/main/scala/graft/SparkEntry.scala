@@ -322,6 +322,11 @@ object SparkEntry {
     // empirical out-of-orderness per event type (running-MAX lag in
     // arrival order, per-user shards) — the watermark-sizing metric
     "q_disorder_profile" -> sqlq(Seq("events"), SqlOps.disorderProfile),
+    // two-proportion z-test between id-parity arms (conversion = ever
+    // purchased) — the experimentation readout
+    "q_ab_test" -> sqlq(Seq("events"), SqlOps.abTest),
+    // first→last shipment span per order, rolled up by priority
+    "q_order_cycle_time" -> sqlq(Seq("lineitem", "orders"), SqlOps.orderCycleTime),
     "q_window_range" -> sqlq(Seq("orders"), SqlOps.windowRangeSpend),
     "q_window_moving_avg" -> sqlq(Seq("orders"), SqlOps.windowMovingAvg),
     "q_percent_rank" -> sqlq(Seq("orders"), SqlOps.percentRankOrders),
@@ -1030,6 +1035,8 @@ object SparkEntry {
     "q_gap_fill" -> SqlOps.gapFill(DuckDialect),
     "q_negative_pairs" -> SqlOps.negativePairs(DuckDialect),
     "q_disorder_profile" -> SqlOps.disorderProfile(DuckDialect),
+    "q_ab_test" -> SqlOps.abTest(DuckDialect),
+    "q_order_cycle_time" -> SqlOps.orderCycleTime(DuckDialect),
     "q_time_to_convert" -> SqlOps.timeToConvert(DuckDialect),
     "q_dq_audit" -> SqlOps.dqAudit.single(DuckDialect),
     "q_window_range" -> SqlOps.windowRangeSpend(DuckDialect),

@@ -3216,6 +3216,68 @@ object SqlOps {
          |CROSS JOIN n""".stripMargin
     })
 
+  /** Two-proportion z-test between experiment arms (the A/B readout):
+    * users split by id parity (the deterministic stand-in for an
+    * assignment column), conversion = ever purchased, and the
+    * statistic is (p0−p1)/√(p̂(1−p̂)(1/n0+1/n1)) with the pooled p̂ —
+    * the standard large-sample test an experimentation platform
+    * computes per metric. Shape: one per-user conditional aggregate
+    * (map-side combined), one 2-group rollup, then scalar arithmetic
+    * on a single row — nothing after the first aggregate touches more
+    * than two rows at any scale. Counts are exact int64; the z value
+    * is one fixed IEEE sequence, 6dp-quantized, with a NULL guard on
+    * the degenerate all-convert/none-convert pool. */
+  def abTest(d: Dialect): String = {
+    val p0 = "(CAST(c0 AS DOUBLE) / n0)"
+    val p1 = "(CAST(c1 AS DOUBLE) / n1)"
+    val pp = "(CAST(c0 + c1 AS DOUBLE) / (n0 + n1))"
+    val se = s"SQRT($pp * (1.0e0 - $pp) * (1.0e0 / n0 + 1.0e0 / n1))"
+    s"""WITH u AS (
+       |  SELECT user_id, user_id % 2 AS arm,
+       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+       |  FROM events GROUP BY user_id
+       |),
+       |a AS (
+       |  SELECT arm, COUNT(*) AS n,
+       |    COUNT(CASE WHEN converted = 1 THEN 1 END) AS conv
+       |  FROM u GROUP BY arm
+       |),
+       |s AS (
+       |  SELECT
+       |    MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+       |    MAX(CASE WHEN arm = 0 THEN conv END) AS c0,
+       |    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+       |    MAX(CASE WHEN arm = 1 THEN conv END) AS c1
+       |  FROM a
+       |)
+       |SELECT n0, c0, n1, c1,
+       |  ${r6(p0)} AS rate_a, ${r6(p1)} AS rate_b,
+       |  CASE WHEN $se = 0.0e0 THEN NULL
+       |       ELSE ${r6(s"($p0 - $p1) / $se")} END AS z_score
+       |FROM s""".stripMargin
+  }
+
+  /** Order fulfillment cycle time: per order, days between the first
+    * and last line shipment, rolled up per order priority — the ops
+    * latency metric behind shipping SLAs. Ship dates are midnight UTC
+    * so the /86400 quotient is an exact integer; the mean is one
+    * exact-sum division, 6dp-quantized. Shape: a map-side-combined
+    * per-order aggregate, one join to the order dim on its key, a
+    * 5-group rollup. */
+  def orderCycleTime(d: Dialect): String = {
+    val es = (x: String) => d.epochSeconds(s"CAST($x AS TIMESTAMP)")
+    s"""WITH per AS (
+       |  SELECT l_orderkey AS okey,
+       |    CAST((MAX(${es("l_shipdate")}) - MIN(${es("l_shipdate")})) / 86400 AS BIGINT) AS span_days
+       |  FROM lineitem GROUP BY l_orderkey
+       |)
+       |SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  CAST(MAX(span_days) AS BIGINT) AS max_span_days,
+       |  ${r6("CAST(SUM(span_days) AS DOUBLE) / COUNT(*)")} AS mean_span_days
+       |FROM per JOIN orders ON okey = o_orderkey
+       |GROUP BY o_orderpriority""".stripMargin
+  }
+
   /** Event-time disorder profile: per event type, how far event
     * timestamps run BEHIND the maximum already seen in arrival order
     * (event_id) within each user's stream — the empirical

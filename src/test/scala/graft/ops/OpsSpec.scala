@@ -1156,6 +1156,53 @@ class OpsSpec extends SparkSpec {
     actual.foreach { case ((a, b), (_, _, l)) => assert(actual((b, a))._3 === l) }
   }
 
+  test("ab test matches an independent Scala two-proportion computation") {
+    val ev = graft.Tables.events(spark, sf001)
+      .selectExpr("user_id", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    def q6(x: Double) = math.floor(x * 1.0e6 + 0.5) / 1.0e6
+    val byUser = ev.groupBy(_._1).toSeq.map { case (u, rows) =>
+      (u % 2, rows.exists(_._2 == "purchase"))
+    }
+    def arm(a: Long) = {
+      val rows = byUser.filter(_._1 == a)
+      (rows.size.toLong, rows.count(_._2).toLong)
+    }
+    val ((n0, c0), (n1, c1)) = (arm(0), arm(1))
+    val (p0, p1) = (c0.toDouble / n0, c1.toDouble / n1)
+    val pp = (c0 + c1).toDouble / (n0 + n1)
+    val se = math.sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1))
+    val r = run("q_ab_test").collect().head
+    assert(r.getAs[Long]("n0") === n0 && r.getAs[Long]("c0") === c0)
+    assert(r.getAs[Long]("n1") === n1 && r.getAs[Long]("c1") === c1)
+    assert(r.getAs[Double]("rate_a") === q6(p0))
+    assert(r.getAs[Double]("rate_b") === q6(p1))
+    if (se == 0.0) assert(r.isNullAt(r.fieldIndex("z_score")))
+    else assert(r.getAs[Double]("z_score") === q6((p0 - p1) / se))
+  }
+
+  test("order cycle time matches an independent Scala span sweep") {
+    val li = graft.Tables.lineitem(spark, sf001)
+      .selectExpr("l_orderkey", "unix_seconds(CAST(l_shipdate AS TIMESTAMP)) AS s")
+      .collect().map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("s")))
+    val pri = graft.Tables.orders(spark, sf001)
+      .selectExpr("o_orderkey", "o_orderpriority").collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[String]("o_orderpriority"))).toMap
+    def q6(x: Double) = math.floor(x * 1.0e6 + 0.5) / 1.0e6
+    val spans = li.groupBy(_._1).toSeq.map { case (ok, rows) =>
+      (pri(ok), (rows.map(_._2).max - rows.map(_._2).min) / 86400)
+    }
+    val expected = spans.groupBy(_._1).map { case (p, rs) =>
+      val v = rs.map(_._2)
+      (p, (v.size.toLong, v.max, q6(v.sum.toDouble / v.size)))
+    }
+    val actual = run("q_order_cycle_time").collect().map(r =>
+      (r.getAs[String]("o_orderpriority"), (r.getAs[Long]("n_orders"),
+        r.getAs[Long]("max_span_days"), r.getAs[Double]("mean_span_days")))).toMap
+    assert(actual === expected)
+    assert(actual.values.exists(_._2 > 0L), "multi-line orders should span days")
+  }
+
   test("disorder profile matches an independent Scala arrival replay") {
     val ev = graft.Tables.events(spark, sf001)
       .selectExpr("user_id", "event_type", "event_id",
