@@ -325,6 +325,9 @@ object SparkEntry {
     // two-proportion z-test between id-parity arms (conversion = ever
     // purchased) — the experimentation readout
     "q_ab_test" -> sqlq(Seq("events"), SqlOps.abTest),
+    // correlated LATERAL top-1 (decorrelated by Catalyst into a
+    // ranked join — the per-row subquery form of top-k per group)
+    "q_lateral_latest" -> sqlq(Seq("customer", "orders"), SqlOps.lateralLatest),
     // first→last shipment span per order, rolled up by priority
     "q_order_cycle_time" -> sqlq(Seq("lineitem", "orders"), SqlOps.orderCycleTime),
     "q_window_range" -> sqlq(Seq("orders"), SqlOps.windowRangeSpend),
@@ -1036,6 +1039,7 @@ object SparkEntry {
     "q_negative_pairs" -> SqlOps.negativePairs(DuckDialect),
     "q_disorder_profile" -> SqlOps.disorderProfile(DuckDialect),
     "q_ab_test" -> SqlOps.abTest(DuckDialect),
+    "q_lateral_latest" -> SqlOps.lateralLatest(DuckDialect),
     "q_order_cycle_time" -> SqlOps.orderCycleTime(DuckDialect),
     "q_time_to_convert" -> SqlOps.timeToConvert(DuckDialect),
     "q_dq_audit" -> SqlOps.dqAudit.single(DuckDialect),

@@ -3216,6 +3216,26 @@ object SqlOps {
          |CROSS JOIN n""".stripMargin
     })
 
+  /** Correlated LATERAL top-1 join: each customer's single most
+    * expensive order via a per-row dependent subquery — the form an
+    * analyst writes when the "top-k per group" intent is one row per
+    * outer row. Catalyst decorrelates the lateral subquery into a
+    * ranked join (same physical family as the window form in
+    * q_topk_per_group), so the declarative per-row loop costs one
+    * shuffle, not N subqueries — the reason LATERAL is safe to expose
+    * at scale. Deterministic tie-break on (price DESC, orderkey);
+    * customers with no orders drop (inner lateral semantics, the
+    * intent of a "best order" readout). */
+  def lateralLatest(d: Dialect): String =
+    s"""SELECT c.c_custkey, l.o_orderkey AS best_orderkey,
+       |  CAST(FLOOR(l.o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT) AS best_cents
+       |FROM customer c,
+       |LATERAL (
+       |  SELECT o_orderkey, o_totalprice FROM orders o
+       |  WHERE o.o_custkey = c.c_custkey
+       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+       |) l""".stripMargin
+
   /** Two-proportion z-test between experiment arms (the A/B readout):
     * users split by id parity (the deterministic stand-in for an
     * assignment column), conversion = ever purchased, and the

@@ -1156,6 +1156,23 @@ class OpsSpec extends SparkSpec {
     actual.foreach { case ((a, b), (_, _, l)) => assert(actual((b, a))._3 === l) }
   }
 
+  test("lateral top-1 matches an independent Scala best-order sweep") {
+    val orders = graft.Tables.orders(spark, sf001)
+      .selectExpr("o_custkey", "o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey"),
+        math.floor(r.getAs[Double]("o_totalprice") * 100 + 0.5).toLong))
+    val expected = orders.groupBy(_._1).toSeq.map { case (ck, os) =>
+      val best = os.minBy(o => (-o._3, o._2))
+      (ck, (best._2, best._3))
+    }.toMap
+    val actual = run("q_lateral_latest").collect().map(r =>
+      (r.getAs[Long]("c_custkey"),
+        (r.getAs[Long]("best_orderkey"), r.getAs[Long]("best_cents")))).toMap
+    assert(actual === expected)
+    // only customers with orders appear (inner lateral semantics)
+    assert(actual.keySet === orders.map(_._1).toSet)
+  }
+
   test("ab test matches an independent Scala two-proportion computation") {
     val ev = graft.Tables.events(spark, sf001)
       .selectExpr("user_id", "event_type").collect()
