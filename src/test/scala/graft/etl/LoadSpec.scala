@@ -143,4 +143,31 @@ class LoadSpec extends SparkSpec {
     assert(pg.contains("ON CONFLICT (link) DO UPDATE SET"))
     assert(pg.contains("price_rp = EXCLUDED.price_rp"))
   }
+
+  test("schema evolution: mergeSchema unions file batches, missing columns read NULL") {
+    // a long-lived landing zone accumulates batches written by
+    // different pipeline versions; the engine must read them as one
+    // table with the unioned schema — additive evolution, no rewrite
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    try {
+      Seq(("a", 100L)).toDF("link", "price_rp")
+        .write.mode("append").parquet(dir)
+      Seq(("b", 200L, "agent-x")).toDF("link", "price_rp", "listed_by")
+        .write.mode("append").parquet(dir)
+      val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+      assert(merged.columns.sorted.toSeq === Seq("link", "listed_by", "price_rp"))
+      val rows = merged.collect()
+        .map(r => (r.getAs[String]("link"), r.getAs[Long]("price_rp"),
+          Option(r.getAs[String]("listed_by")))).toSet
+      assert(rows === Set(("a", 100L, None), ("b", 200L, Some("agent-x"))))
+      // without mergeSchema the footer picked can hide the new column —
+      // the gotcha that makes the option (or a table format) mandatory
+      // for evolving landing zones; column ORDER is footer-dependent
+      // either way, so consumers must select by name
+      val plain = spark.read.parquet(dir)
+      assert(plain.columns.length <= merged.columns.length)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
