@@ -328,6 +328,9 @@ object SparkEntry {
     // correlated LATERAL top-1 (decorrelated by Catalyst into a
     // ranked join — the per-row subquery form of top-k per group)
     "q_lateral_latest" -> sqlq(Seq("customer", "orders"), SqlOps.lateralLatest),
+    // k-anonymity privacy audit over the (nation, segment)
+    // quasi-identifier (k=5; flagged groups are the worklist)
+    "q_k_anonymity" -> sqlq(Seq("customer"), SqlOps.kAnonymity),
     // first→last shipment span per order, rolled up by priority
     "q_order_cycle_time" -> sqlq(Seq("lineitem", "orders"), SqlOps.orderCycleTime),
     "q_window_range" -> sqlq(Seq("orders"), SqlOps.windowRangeSpend),
@@ -1040,6 +1043,7 @@ object SparkEntry {
     "q_disorder_profile" -> SqlOps.disorderProfile(DuckDialect),
     "q_ab_test" -> SqlOps.abTest(DuckDialect),
     "q_lateral_latest" -> SqlOps.lateralLatest(DuckDialect),
+    "q_k_anonymity" -> SqlOps.kAnonymity(DuckDialect),
     "q_order_cycle_time" -> SqlOps.orderCycleTime(DuckDialect),
     "q_time_to_convert" -> SqlOps.timeToConvert(DuckDialect),
     "q_dq_audit" -> SqlOps.dqAudit.single(DuckDialect),

@@ -3216,6 +3216,21 @@ object SqlOps {
          |CROSS JOIN n""".stripMargin
     })
 
+  /** k-anonymity audit over the quasi-identifier (nation, segment):
+    * the privacy gate a dataset passes before release — any
+    * quasi-identifier combination observed fewer than k=5 times
+    * re-identifies its members and is flagged. One map-side-combined
+    * groupBy at quasi-identifier cardinality (bounded domain, never
+    * row count); exact integer counts, the flag is integer CASE. The
+    * release decision reads `SUM(at_risk)` = 0; the per-group rows
+    * are the remediation worklist (generalize or suppress those
+    * cells). */
+  def kAnonymity(d: Dialect): String =
+    s"""SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size,
+       |  CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS at_risk
+       |FROM customer
+       |GROUP BY c_nationkey, c_mktsegment""".stripMargin
+
   /** Correlated LATERAL top-1 join: each customer's single most
     * expensive order via a per-row dependent subquery — the form an
     * analyst writes when the "top-k per group" intent is one row per

@@ -1156,6 +1156,22 @@ class OpsSpec extends SparkSpec {
     actual.foreach { case ((a, b), (_, _, l)) => assert(actual((b, a))._3 === l) }
   }
 
+  test("k-anonymity audit flags exactly the below-threshold groups") {
+    val cust = graft.Tables.customer(spark, sf001)
+      .selectExpr("c_nationkey", "c_mktsegment").collect()
+      .map(r => (r.getAs[Long]("c_nationkey"), r.getAs[String]("c_mktsegment")))
+    val expected = cust.groupBy(identity).map { case (g, rs) =>
+      (g, (rs.length.toLong, if (rs.length < 5) 1 else 0))
+    }
+    val actual = run("q_k_anonymity").collect().map(r =>
+      ((r.getAs[Long]("c_nationkey"), r.getAs[String]("c_mktsegment")),
+        (r.getAs[Long]("group_size"), r.getAs[Number]("at_risk").intValue))).toMap
+    assert(actual === expected)
+    // the small fixture genuinely contains re-identifiable groups
+    assert(actual.values.exists(_._2 == 1), "expected at-risk groups at sf0.001")
+    assert(actual.values.map(_._1).sum === cust.length.toLong)
+  }
+
   test("lateral top-1 matches an independent Scala best-order sweep") {
     val orders = graft.Tables.orders(spark, sf001)
       .selectExpr("o_custkey", "o_orderkey", "o_totalprice").collect()
