@@ -333,6 +333,28 @@ object SparkEntry {
     "q_k_anonymity" -> sqlq(Seq("customer"), SqlOps.kAnonymity),
     // first→last shipment span per order, rolled up by priority
     "q_order_cycle_time" -> sqlq(Seq("lineitem", "orders"), SqlOps.orderCycleTime),
+    // TPC-H Q20 shape: suppliers shipping >1.5× a part family's
+    // per-supplier average (integer-exact window threshold + dim joins)
+    "q_excess_suppliers" -> sqlq(Seq("lineitem", "part", "supplier", "nation"),
+      SqlOps.excessSuppliers),
+    // exact p05/p95 winsorized mean via a cents-histogram cumulative
+    // window (domain-ordered — no raw-row sort, boundaries broadcast)
+    "q_winsorize" -> sqlq(Seq("orders"), SqlOps.winsorize),
+    // purchase conversion by ⌊log2⌋ session-size bucket off the shared
+    // gap-sessionize spans
+    "q_session_conversion" -> sqlq(Seq("events"), SqlOps.sessionConversion),
+    // per-day peak concurrent sessions: midnight carry-in count + a
+    // day-sharded ±1 sweep (no global ordered timeline)
+    "q_concurrency_peak" -> sqlStaged(Seq("events"), SqlOps.concurrencyPeak),
+    // integer-exact 8-day half-life EWMA of daily revenue over the
+    // zero-filled day spine (powers-of-two weights, one int64 per day)
+    "q_ewma_revenue" -> sqlq(Seq("orders"), SqlOps.ewmaRevenue),
+    // multi-source BFS landmark distances on the candidate graph
+    // (4 staged frontier rounds; Pregel-as-joins shape)
+    "q_bfs_levels" -> sqlStaged(Seq("documents"), SqlOps.bfsLevels),
+    // deterministic md5-ring training shuffle: 32 shards, in-shard
+    // positions, order-sensitive modular checksum per shard
+    "q_shuffle_shards" -> sqlq(Seq("documents"), SqlOps.shuffleShards),
     "q_window_range" -> sqlq(Seq("orders"), SqlOps.windowRangeSpend),
     "q_window_moving_avg" -> sqlq(Seq("orders"), SqlOps.windowMovingAvg),
     "q_percent_rank" -> sqlq(Seq("orders"), SqlOps.percentRankOrders),
@@ -1045,6 +1067,13 @@ object SparkEntry {
     "q_lateral_latest" -> SqlOps.lateralLatest(DuckDialect),
     "q_k_anonymity" -> SqlOps.kAnonymity(DuckDialect),
     "q_order_cycle_time" -> SqlOps.orderCycleTime(DuckDialect),
+    "q_excess_suppliers" -> SqlOps.excessSuppliers(DuckDialect),
+    "q_winsorize" -> SqlOps.winsorize(DuckDialect),
+    "q_session_conversion" -> SqlOps.sessionConversion(DuckDialect),
+    "q_concurrency_peak" -> SqlOps.concurrencyPeak.single(DuckDialect),
+    "q_ewma_revenue" -> SqlOps.ewmaRevenue(DuckDialect),
+    "q_bfs_levels" -> SqlOps.bfsLevels.single(DuckDialect),
+    "q_shuffle_shards" -> SqlOps.shuffleShards(DuckDialect),
     "q_time_to_convert" -> SqlOps.timeToConvert(DuckDialect),
     "q_dq_audit" -> SqlOps.dqAudit.single(DuckDialect),
     "q_window_range" -> SqlOps.windowRangeSpend(DuckDialect),

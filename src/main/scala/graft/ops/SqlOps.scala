@@ -3483,6 +3483,17 @@ object SqlOps {
     * count aggregate, and a per-node argmax window over the few
     * distinct neighbor labels — all integer-exact with total
     * tie-break, so both engines land identical fixpoints. */
+  /** Undirected edge list of the minhash candidate graph (both
+    * orientations of each candidate pair) — the shared adjacency
+    * artifact under label propagation and BFS landmark distances.
+    * Named stage: one parquet per JVM, shared by every consumer. */
+  private val lpEdgeStage: (String, Dialect => String) =
+    "lp_edges" -> { (_: Dialect) =>
+      s"""SELECT doc_a AS src, doc_b AS dst FROM mh_cand
+         |UNION ALL
+         |SELECT doc_b AS src, doc_a AS dst FROM mh_cand""".stripMargin
+    }
+
   val labelProp: StagedOp = {
     val nRounds = 3
     val roundStages = (1 to nRounds).map { i =>
@@ -3501,11 +3512,7 @@ object SqlOps {
     }
     StagedOp(
       stages = dedupMinhash.stages ++ Seq(
-        "lp_edges" -> { (_: Dialect) =>
-          s"""SELECT doc_a AS src, doc_b AS dst FROM mh_cand
-             |UNION ALL
-             |SELECT doc_b AS src, doc_a AS dst FROM mh_cand""".stripMargin
-        },
+        lpEdgeStage,
         "lp_l0" -> { (_: Dialect) =>
           "SELECT DISTINCT src AS id, src AS lbl FROM lp_edges"
         }) ++ roundStages,
@@ -3706,4 +3713,292 @@ object SqlOps {
          |  FROM scored
          |) WHERE rk <= 5""".stripMargin
     })
+
+  /** TPC-H Q20's "excess availability" shape adapted to this schema
+    * (the fixture has no partsupp/availqty): suppliers whose shipped
+    * quantity of a name-filtered part family exceeds 1.5× that part's
+    * per-supplier average — the nested-aggregate-threshold semi-join
+    * an inventory planner runs to find over-concentrated supply.
+    * The threshold compares each (supplier, part) aggregate against a
+    * window over its part (2·qty·n_suppliers > 3·total keeps the test
+    * integer-exact, no division), then the qualifying supplier set
+    * joins the two dims. Shape at 100 TB: the fact collapses to
+    * (supplier × part) grain map-side first, the window runs over
+    * partkey on that aggregate (never raw rows), and the dim joins
+    * broadcast — the only fact-sized shuffle is the first groupBy.
+    * l_quantity is a whole-number double, so CAST to BIGINT is exact
+    * in both engines (DuckDB rounds, Spark truncates — equal on
+    * integers). */
+  def excessSuppliers(d: Dialect): String =
+    s"""WITH sp AS (
+       |  SELECT l_suppkey AS sk, l_partkey AS pk,
+       |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey
+       |  WHERE p_name LIKE 'small %' OR p_name LIKE 'large %'
+       |  GROUP BY l_suppkey, l_partkey
+       |),
+       |w AS (
+       |  SELECT sk, pk, qty,
+       |    CAST(SUM(qty) OVER (PARTITION BY pk) AS BIGINT) AS tot,
+       |    CAST(COUNT(*) OVER (PARTITION BY pk) AS BIGINT) AS ns
+       |  FROM sp
+       |),
+       |ex AS (SELECT sk, pk FROM w WHERE 2 * qty * ns > 3 * tot)
+       |SELECT s_name, n_name, COUNT(*) AS n_excess_parts
+       |FROM ex
+       |JOIN supplier ON sk = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |GROUP BY s_name, n_name""".stripMargin
+
+  /** Winsorized summary of order totals: exact 5th/95th-percentile
+    * boundaries and the mean after clipping to them — the robust-mean
+    * readout a metrics pipeline uses against fat-tailed spend columns.
+    * The k-th order statistic comes from a (cents, count) HISTOGRAM
+    * with a cumulative window over the price domain (the
+    * weighted-median pattern): `lo` is the smallest cents value whose
+    * cumulative count reaches ⌈0.05n⌉ — stated integer-only as
+    * 20·cum ≥ n (no division, no float percentile). Shape at 100 TB:
+    * the histogram is one map-side-combined aggregate to price-domain
+    * cardinality, the window orders the DOMAIN (never raw rows), the
+    * 1-row boundary table broadcasts back for the clipped re-aggregate
+    * — two fact scans, zero fact-row sorts. Clipped sum stays int64
+    * (n·max_cents ≪ 2⁶³ here; DECIMAL(38) is the headroom swap at
+    * extreme scale). */
+  def winsorize(d: Dialect): String =
+    s"""WITH c AS (
+       |  SELECT CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT) AS cents
+       |  FROM orders
+       |),
+       |h AS (SELECT cents, COUNT(*) AS cnt FROM c GROUP BY cents),
+       |cum AS (
+       |  SELECT cents,
+       |    CAST(SUM(cnt) OVER (ORDER BY cents
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm,
+       |    CAST(SUM(cnt) OVER () AS BIGINT) AS n
+       |  FROM h
+       |),
+       |b AS (
+       |  SELECT MIN(CASE WHEN cm * 20 >= n THEN cents END) AS lo,
+       |         MIN(CASE WHEN cm * 20 >= 19 * n THEN cents END) AS hi,
+       |         MAX(n) AS n
+       |  FROM cum
+       |)
+       |SELECT b.lo AS lo_cents, b.hi AS hi_cents, b.n AS n_rows,
+       |  COUNT(CASE WHEN c.cents < b.lo THEN 1 END) AS n_clip_lo,
+       |  COUNT(CASE WHEN c.cents > b.hi THEN 1 END) AS n_clip_hi,
+       |  ${r6("CAST(SUM(LEAST(GREATEST(c.cents, b.lo), b.hi)) AS DOUBLE) / b.n / 1.0e2")} AS win_mean
+       |FROM c CROSS JOIN b
+       |GROUP BY b.lo, b.hi, b.n""".stripMargin
+
+  /** Shared 30-minute-gap session spans with the conversion flag:
+    * (user, session) → event count, purchase indicator, first/last
+    * event micros. Same gap logic as [[eventsSessionize]] (lag +
+    * running flag sum inside each user's timeline), with event_type
+    * carried through for the conversion readout. Emitted as a CTE
+    * chain consumed ONCE by each caller (linear — safe under Spark
+    * CTE inlining). */
+  private def sessionSpanCtes(d: Dialect): String =
+    s"""e AS (SELECT user_id, event_id, event_type, ${d.epochMicros("ts")} AS us FROM events),
+       |lagd AS (
+       |  SELECT user_id, event_id, event_type, us,
+       |    LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+       |  FROM e
+       |),
+       |flags AS (
+       |  SELECT user_id, event_id, event_type, us,
+       |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+       |  FROM lagd
+       |),
+       |sess AS (
+       |  SELECT user_id, event_type, us,
+       |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+       |  FROM flags
+       |),
+       |sess_per AS (
+       |  SELECT user_id, session_no, COUNT(*) AS n_events,
+       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+       |    MIN(us) AS start_us, MAX(us) AS end_us
+       |  FROM sess GROUP BY user_id, session_no
+       |)""".stripMargin
+
+  /** Session conversion by session size: sessions bucketed by
+    * ⌊log2(n_events)⌋ (the exact `length(bin(n))−1` integer form both
+    * engines share), conversion = the session contains a purchase —
+    * the engagement-vs-conversion curve a funnel owner reads. Shape:
+    * the sessionize window (one shuffle on user_id), a per-session
+    * aggregate, then a ≤⌊log2 max⌋-group rollup — nothing after the
+    * session grain touches raw events. */
+  def sessionConversion(d: Dialect): String =
+    s"""WITH ${sessionSpanCtes(d)}
+       |SELECT CAST(length(bin(n_events)) - 1 AS BIGINT) AS size_bucket,
+       |  COUNT(*) AS n_sessions,
+       |  CAST(COUNT(CASE WHEN conv = 1 THEN 1 END) AS BIGINT) AS n_converted,
+       |  ${r6("CAST(COUNT(CASE WHEN conv = 1 THEN 1 END) AS DOUBLE) / COUNT(*)")} AS conv_rate
+       |FROM sess_per
+       |GROUP BY length(bin(n_events)) - 1""".stripMargin
+
+  /** Per-day peak concurrent sessions — the capacity-planning metric
+    * (max simultaneous actives) computed WITHOUT a global ordered
+    * sweep. Classic formulations sort every start/end event into one
+    * timeline (a single-partition window at scale); this one shards
+    * by day: each day's peak = (sessions already active at midnight,
+    * a count) + the max of a running ±1 sweep over only that day's
+    * own start/end events. A session active range is [start_us,
+    * end_us] inclusive; the −1 lands at end_us+1 (and is dropped when
+    * that instant falls past the session's last covered day — the
+    * next day's midnight carry-in already excludes the session).
+    * Start events order before end events at the same microsecond
+    * (delta DESC), so touching sessions count as overlapping;
+    * permuting equal (us, delta) rows cannot change any prefix sum,
+    * so the peak is cross-engine deterministic. The day-span explode
+    * is bounded by session length (gap-bounded sessions span few
+    * days). The session-interval stage is materialized because the
+    * sweep references it three times (covered days, +1s, −1s) —
+    * Spark CTE inlining would re-run the sessionize pipeline per
+    * reference. */
+  val concurrencyPeak: StagedOp = {
+    val D = "86400000000"
+    StagedOp(
+      stages = Seq(
+        "cp_iv" -> { (d: Dialect) =>
+          s"""WITH ${sessionSpanCtes(d)}
+             |SELECT start_us, end_us,
+             |  ${d.idiv("start_us", D)} AS sd, ${d.idiv("end_us", D)} AS ed
+             |FROM sess_per""".stripMargin
+        }),
+      body = { d =>
+        s"""WITH cov AS (
+           |  ${d.explode("SELECT sd, " + d.seqArray("sd", "ed") + " AS ds FROM cp_iv",
+                          "sd", "ds", "day")}
+           |),
+           |ci AS (
+           |  SELECT day, CAST(COUNT(CASE WHEN day > sd THEN 1 END) AS BIGINT) AS base
+           |  FROM cov GROUP BY day
+           |),
+           |ev AS (
+           |  SELECT sd AS day, start_us AS us, 1 AS delta FROM cp_iv
+           |  UNION ALL
+           |  SELECT ed, end_us + 1, -1 FROM cp_iv
+           |  WHERE ${d.idiv("end_us + 1", D)} = ed
+           |),
+           |swept AS (
+           |  SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY us, delta DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           |  FROM ev
+           |),
+           |pk AS (SELECT day, CAST(MAX(run) AS BIGINT) AS mx FROM swept GROUP BY day)
+           |SELECT c.day, c.base,
+           |  c.base + GREATEST(COALESCE(p.mx, 0), 0) AS peak
+           |FROM ci c LEFT JOIN pk p ON c.day = p.day""".stripMargin
+      })
+  }
+
+  /** Exponentially weighted moving average of daily revenue with a
+    * one-day half-life over an 8-day horizon — the trend smoother a
+    * revenue dashboard plots, computed integer-exactly: weights are
+    * powers of two (128·today + 64·yesterday + … + 1·(d−7), weight
+    * sum 255), applied as 8 LAG terms over the zero-filled day spine
+    * (silent days genuinely contribute 0 — the spine is the gap-fill
+    * pattern), so the weighted sum is one exact int64 per day and the
+    * only float is the final /255/100 display division, 6dp-quantized
+    * (an identical 3-op IEEE sequence in both engines). The ordered
+    * window runs over DAY-grain data (a few thousand rows from one
+    * aggregate) — the same never-on-raw-facts argument as gap_fill. */
+  def ewmaRevenue(d: Dialect): String = {
+    val es = (x: String) => d.epochSeconds(s"CAST($x AS TIMESTAMP)")
+    val wsum = (0 to 7).map { k =>
+      val w = 1L << (7 - k)
+      if (k == 0) s"cents * $w"
+      else s"COALESCE(LAG(cents, $k) OVER (ORDER BY day), 0) * $w"
+    }.mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT CAST(${es("o_orderdate")} / 86400 AS BIGINT) AS day,
+       |    CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1
+       |),
+       |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+       |spine AS (
+       |  ${d.explode("SELECT lo, " + d.seqArray("lo", "hi") + " AS ds FROM bounds",
+                      "lo", "ds", "day")}
+       |),
+       |filled AS (
+       |  SELECT s.day, COALESCE(dl.cents, 0) AS cents
+       |  FROM spine s LEFT JOIN daily dl ON s.day = dl.day
+       |),
+       |wtd AS (SELECT day, cents, CAST($wsum AS BIGINT) AS wsum FROM filled)
+       |SELECT day, cents, wsum,
+       |  ${r6("CAST(wsum AS DOUBLE) / 2.55e2 / 1.0e2")} AS ewma_value
+       |FROM wtd""".stripMargin
+  }
+
+  /** Multi-source BFS landmark distances on the minhash candidate
+    * graph: hop distance from the nearest seed (every 16th node id —
+    * the deterministic landmark set), four synchronous rounds, then a
+    * distance histogram. Each round relaxes dist' = min(dist,
+    * min(frontier neighbor)+1) propagating ONLY from the previous
+    * frontier (nodes first reached last round — with unit weights a
+    * node's first-reach distance is final, so the frontier restriction
+    * is lossless and keeps each round's join to frontier × adjacency).
+    * Rounds are materialized stages (each references its predecessor
+    * twice — carry + relax — and Spark CTE inlining would re-run the
+    * whole prefix per reference; the k-core lesson). At 100 TB this is
+    * the standard Pregel-as-joins shape: per round one shuffle on the
+    * edge src plus a min-combine groupBy, state bounded by the node
+    * set. Unreached nodes report distance −1. */
+  val bfsLevels: StagedOp = {
+    val nRounds = 4
+    val roundStages = (1 to nRounds).map { i =>
+      s"bfs_d$i" -> { (_: Dialect) =>
+        s"""SELECT id, MIN(dist) AS dist FROM (
+           |  SELECT id, dist FROM bfs_d${i - 1}
+           |  UNION ALL
+           |  SELECT e.dst AS id, l.dist + 1 AS dist
+           |  FROM lp_edges e JOIN bfs_d${i - 1} l ON e.src = l.id
+           |  WHERE l.dist = ${i - 1}
+           |) u GROUP BY id""".stripMargin
+      }
+    }
+    StagedOp(
+      stages = dedupMinhash.stages ++ Seq(
+        lpEdgeStage,
+        "bfs_d0" -> { (_: Dialect) =>
+          s"""SELECT id, CASE WHEN id % 16 = 0 THEN 0 END AS dist
+             |FROM (SELECT DISTINCT src AS id FROM lp_edges) n""".stripMargin
+        }) ++ roundStages,
+      body = { _ =>
+        s"""SELECT CAST(COALESCE(dist, -1) AS BIGINT) AS dist,
+           |  COUNT(*) AS n_nodes
+           |FROM bfs_d$nRounds GROUP BY COALESCE(dist, -1)""".stripMargin
+      })
+  }
+
+  /** Deterministic training-order shuffle: every document is assigned
+    * a shard (md5 ring, 32 shards) and a position within it (ordered
+    * by the full content-independent md5 of its id — the
+    * reproducible "random" permutation a training pipeline needs so
+    * every re-run, resumption, and engine reads the same order), then
+    * each shard reports its size, head document, and an
+    * order-sensitive checksum (Σ (id mod p)·(pos mod p) mod p in
+    * DECIMAL — overflow-free at any corpus size) that any consumer
+    * can re-verify cheaply. Shape at 100 TB: the permutation is a
+    * per-shard window (32-way shuffle, no global sort), the report is
+    * a 32-row aggregate. */
+  def shuffleShards(d: Dialect): String = {
+    val h = "md5(CAST(doc_id AS STRING) || ':shuffle')"
+    val P = "1000000007"
+    s"""WITH a AS (
+       |  SELECT doc_id, $h AS h, ${md5Bucket(s"CAST(doc_id AS STRING) || ':shuffle'")} % 32 AS shard
+       |  FROM documents
+       |),
+       |p AS (
+       |  SELECT doc_id, shard,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+       |  FROM a
+       |)
+       |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+       |  CAST(MIN(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS head_doc,
+       |  CAST(CAST(SUM(CAST((doc_id % $P) * (pos % $P) AS DECIMAL(38,0))) AS DECIMAL(38,0)) % $P AS BIGINT) AS checksum
+       |FROM p GROUP BY shard""".stripMargin
+  }
 }

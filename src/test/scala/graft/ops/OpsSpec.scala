@@ -1556,4 +1556,193 @@ class OpsSpec extends SparkSpec {
              .contains(r.getAs[String]("col")))
     }
   }
+
+  private def q6d(x: Double): Double = math.floor(x * 1.0e6 + 0.5) / 1.0e6
+
+  test("excess suppliers matches an independent Scala threshold sweep") {
+    val li = graft.Tables.lineitem(spark, sf001)
+      .selectExpr("l_suppkey", "l_partkey", "CAST(l_quantity AS BIGINT) AS q")
+      .collect().map(r => (r.getAs[Long]("l_suppkey"), r.getAs[Long]("l_partkey"),
+        r.getAs[Long]("q")))
+    val pname = graft.Tables.part(spark, sf001)
+      .selectExpr("p_partkey", "p_name").collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[String]("p_name"))).toMap
+    val supp = graft.Tables.supplier(spark, sf001)
+      .selectExpr("s_suppkey", "s_name", "s_nationkey").collect()
+      .map(r => (r.getAs[Long]("s_suppkey"),
+        (r.getAs[String]("s_name"), r.getAs[Number]("s_nationkey").longValue))).toMap
+    val nat = graft.Tables.nation(spark, sf001)
+      .selectExpr("n_nationkey", "n_name").collect()
+      .map(r => (r.getAs[Number]("n_nationkey").longValue, r.getAs[String]("n_name"))).toMap
+    val sp = li.filter { case (_, pk, _) =>
+        val n = pname(pk); n.startsWith("small ") || n.startsWith("large ") }
+      .groupBy(t => (t._1, t._2)).map { case (k, rs) => (k, rs.map(_._3).sum) }
+    val byPart = sp.toSeq.groupBy(_._1._2)
+    val excess = byPart.values.flatMap { parts =>
+      val tot = parts.map(_._2).sum
+      val ns = parts.size.toLong
+      parts.filter { case (_, qty) => 2 * qty * ns > 3 * tot }.map(_._1)
+    }
+    val expected = excess.toSeq.groupBy { case (sk, _) =>
+      val (sn, nk) = supp(sk); (sn, nat(nk))
+    }.map { case (k, ps) => (k, ps.size.toLong) }
+    val actual = run("q_excess_suppliers").collect().map(r =>
+      ((r.getAs[String]("s_name"), r.getAs[String]("n_name")),
+        r.getAs[Long]("n_excess_parts"))).toMap
+    assert(actual === expected)
+    assert(actual.nonEmpty, "threshold should fire at sf0.001")
+  }
+
+  test("winsorize matches an independent order-statistic computation") {
+    val cents = graft.Tables.orders(spark, sf001)
+      .selectExpr("CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT) AS c")
+      .collect().map(_.getAs[Long]("c")).sorted
+    val n = cents.length
+    val lo = cents(math.ceil(0.05 * n).toInt - 1)
+    val hi = cents(math.ceil(0.95 * n).toInt - 1)
+    val winMean = q6d(cents.map(c => math.min(math.max(c, lo), hi)).sum.toDouble / n / 100.0)
+    val r = run("q_winsorize").collect().head
+    assert(r.getAs[Long]("lo_cents") === lo)
+    assert(r.getAs[Long]("hi_cents") === hi)
+    assert(r.getAs[Long]("n_rows") === n.toLong)
+    assert(r.getAs[Long]("n_clip_lo") === cents.count(_ < lo).toLong)
+    assert(r.getAs[Long]("n_clip_hi") === cents.count(_ > hi).toLong)
+    assert(r.getAs[Double]("win_mean") === winMean)
+    // the clip actually moved the mean on this fat-tailed column
+    assert(r.getAs[Double]("win_mean") !== q6d(cents.sum.toDouble / n / 100.0))
+  }
+
+  /** Shared independent sessionizer: (user, session) spans from the
+    * 30-minute gap rule, sweeping each user's (us, event_id)-ordered
+    * timeline in plain Scala. */
+  private def scalaSessions(): Seq[(Long, Seq[(Long, String)])] = {
+    val ev = graft.Tables.events(spark, sf001)
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("us")))
+    ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._2))
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[
+        scala.collection.mutable.ArrayBuffer[(Long, String)]]
+      var prev = Long.MinValue
+      ordered.foreach { case (_, _, et, us) =>
+        if (sessions.isEmpty || us - prev > 1800000000L)
+          sessions += scala.collection.mutable.ArrayBuffer.empty
+        sessions.last += ((us, et))
+        prev = us
+      }
+      sessions.map(s => (u, s.toSeq))
+    }
+  }
+
+  test("session conversion matches an independent Scala sessionizer") {
+    val sess = scalaSessions()
+    val expected = sess.map { case (_, evs) =>
+      (java.lang.Long.toBinaryString(evs.size.toLong).length - 1.toLong,
+        evs.exists(_._2 == "purchase"))
+    }.groupBy(_._1).map { case (b, xs) =>
+      val conv = xs.count(_._2).toLong
+      (b.toLong, (xs.size.toLong, conv, q6d(conv.toDouble / xs.size)))
+    }
+    val actual = run("q_session_conversion").collect().map(r =>
+      (r.getAs[Long]("size_bucket"),
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_converted"),
+          r.getAs[Double]("conv_rate")))).toMap
+    assert(actual === expected)
+  }
+
+  test("concurrency peak matches a brute-force sampled sweep") {
+    val iv = scalaSessions().map { case (_, evs) =>
+      (evs.map(_._1).min, evs.map(_._1).max)
+    }
+    val D = 86400000000L
+    val days = (iv.map(_._1 / D).min to iv.map(_._2 / D).max)
+    // concurrency only changes at session starts; sampling every start
+    // plus every midnight hits every level the day ever reaches
+    val samples = (iv.map(_._1) ++ days.map(_ * D)).distinct
+    val bf = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    samples.foreach { t =>
+      val c = iv.count { case (s, e) => s <= t && t <= e }.toLong
+      val d = t / D
+      if (c > bf(d)) bf(d) = c
+    }
+    // drop zero days outside any session coverage (query emits covered days)
+    val expected = bf.filter { case (d, c) =>
+      c > 0 || iv.exists { case (s, e) => s / D <= d && d <= e / D } }.toMap
+    val actual = run("q_concurrency_peak").collect().map(r =>
+      (r.getAs[Long]("day"), r.getAs[Long]("peak"))).toMap
+    assert(actual === expected)
+    // base is the midnight carry-in, never exceeding the peak
+    run("q_concurrency_peak").collect().foreach { r =>
+      assert(r.getAs[Long]("base") <= r.getAs[Long]("peak"))
+    }
+  }
+
+  test("ewma matches an independent Scala weighted-window computation") {
+    val daily = graft.Tables.orders(spark, sf001)
+      .selectExpr("CAST(unix_seconds(CAST(o_orderdate AS TIMESTAMP)) / 86400 AS BIGINT) AS d",
+        "CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT) AS c")
+      .collect().map(r => (r.getAs[Long]("d"), r.getAs[Long]("c")))
+      .groupBy(_._1).map { case (d, rs) => (d, rs.map(_._2).sum) }
+    val lo = daily.keys.min
+    val hi = daily.keys.max
+    val cents = (lo to hi).map(d => daily.getOrElse(d, 0L)).toArray
+    val expected = (lo to hi).map { d =>
+      val i = (d - lo).toInt
+      val wsum = (0 to 7).map { k =>
+        (if (i - k >= 0) cents(i - k) else 0L) * (1L << (7 - k))
+      }.sum
+      (d, (cents(i), wsum, q6d(wsum.toDouble / 255.0 / 100.0)))
+    }.toMap
+    val actual = run("q_ewma_revenue").collect().map(r =>
+      (r.getAs[Long]("day"), (r.getAs[Long]("cents"), r.getAs[Long]("wsum"),
+        r.getAs[Double]("ewma_value")))).toMap
+    assert(actual === expected)
+  }
+
+  test("bfs levels match an independent Scala BFS from the seed set") {
+    val edges = run("q_dedup_minhash").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => (k, vs.map(_._2).toSet) }
+    val nodes = adj.keySet
+    val dist = scala.collection.mutable.Map.empty[Long, Int]
+    var frontier = nodes.filter(_ % 16 == 0)
+    frontier.foreach(dist(_) = 0)
+    (1 to 4).foreach { lvl =>
+      frontier = frontier.flatMap(adj(_)).filterNot(dist.contains)
+      frontier.foreach(dist(_) = lvl)
+    }
+    val expected = nodes.toSeq.map(n => dist.getOrElse(n, -1).toLong)
+      .groupBy(identity).map { case (d, xs) => (d, xs.size.toLong) }
+    val actual = run("q_bfs_levels").collect().map(r =>
+      (r.getAs[Long]("dist"), r.getAs[Long]("n_nodes"))).toMap
+    assert(actual === expected)
+    assert(actual.contains(0L), "seed level must exist")
+  }
+
+  test("shuffle shards match an independent Scala md5-ring permutation") {
+    val ids = graft.Tables.documents(spark, sf001)
+      .selectExpr("doc_id").collect().map(_.getAs[Long]("doc_id"))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val P = 1000000007L
+    val expected = ids.map { id =>
+      val h = md5hex(s"$id:shuffle")
+      val shard = ((Character.digit(h(0), 16) * 16 + Character.digit(h(1), 16)) % 32).toLong
+      (shard, h, id)
+    }.groupBy(_._1).map { case (shard, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3)).zipWithIndex
+      val checksum = ordered.map { case ((_, _, id), i) =>
+        BigInt((id % P) * ((i + 1) % P))
+      }.sum % P
+      (shard, (rows.length.toLong, ordered.head._1._3, checksum.toLong))
+    }
+    val actual = run("q_shuffle_shards").collect().map(r =>
+      (r.getAs[Long]("shard"), (r.getAs[Long]("n_docs"), r.getAs[Long]("head_doc"),
+        r.getAs[Long]("checksum")))).toMap
+    assert(actual === expected)
+    assert(actual.size === 32, "every shard occupied at this corpus size")
+  }
 }
