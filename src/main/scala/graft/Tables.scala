@@ -23,10 +23,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in the parquet footer, which Spark's
-    * vectorized reader rejects. Read nanos as long and rebuild a
-    * microsecond TimestampType (the same truncation DuckDB applies), so
-    * event-time operators see a plain timestamp column.
+  /** events.ts has shipped in two physical forms across testdata
+    * generations: TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * rejects, so it is read as a nanosecond long via the nanosAsLong
+    * legacy flag and rebuilt — and plain TIMESTAMP(MICROS), which Spark
+    * reads natively as TIMESTAMP_NTZ. Normalize both to a session-zone
+    * TimestampType so every event-time operator (and the DuckDB oracle,
+    * which reads the same file as a naive microsecond timestamp; the
+    * session zone is pinned to UTC in [[GraftSession.local]]) sees
+    * identical wall-clock values regardless of the file's vintage.
     *
     * The nanosAsLong flag is normally pinned at session build
     * ([[GraftSession.local]]) so behavior doesn't depend on read order;
@@ -35,10 +40,17 @@ object Tables {
     * at execution time, so a set-and-restore around this call would
     * break the returned (lazy) DataFrame. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = s.read.parquet(s"$d/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long vintage: truncate to micros
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _ => // TIMESTAMP_NTZ vintage: reinterpret wall-clock in UTC
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
