@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout, WITHOUT the
+// sbt logger's "[info] " prefix — four rounds of the driver failing to
+// parse Bench's final JSON line traced to that prefix landing in the
+// captured log tail.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

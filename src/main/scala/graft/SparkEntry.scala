@@ -159,22 +159,57 @@ object SparkEntry {
     // NOT prewarmed: its build IS q_dedup_cluster's computation (the
     // iterative label propagation), so prewarming it would turn that
     // query's number into a parquet read
+    // Every StagedOp whose stages are shared indexes / derived tables
+    // (not the query's own iterative computation) is listed, so timed
+    // bench numbers measure the query body, never a cold stage WRITE.
+    // Deliberately NOT here (their stage build IS the query):
+    // clustersStaged (iterative CC), kcoreIter (the peel),
+    // pagerankIter and labelProp (the unrolled iteration rounds).
     Seq(
       Seq("documents")  -> SqlOps.dedupMinhash, // mh_sig + mh_cand
+      Seq("documents")  -> SqlOps.dedupMinhashEst,
       Seq("documents")  -> SqlOps.dedupNgramJaccard,
       Seq("documents")  -> SqlOps.dedupCommonNgrams, // cng_dsh
       Seq("documents")  -> SqlOps.dedupPrefix, // pfx_dsh
       Seq("documents")  -> SqlOps.dedupSimhashPairs,
+      Seq("documents")  -> SqlOps.dedupSortedNeighborhood,
+      Seq("documents")  -> SqlOps.dedupContainment,
+      Seq("documents")  -> SqlOps.dedupVerified,
+      Seq("documents")  -> SqlOps.dedupLshEval,
+      Seq("documents")  -> SqlOps.dedupSourceOverlap,
+      Seq("documents")  -> SqlOps.fuzzyJoin,
       Seq("documents")  -> SqlOps.contaminationBloom, // ctm_srcd → ctm_bsh + ctm_csh
       Seq("documents")  -> SqlOps.dedupSubstring, // ss_win
       Seq("documents")  -> SqlOps.textUnigramLm, // ulm_tf
+      Seq("documents")  -> SqlOps.textBigramLm,
       Seq("documents")  -> SqlOps.heavyHitters, // hh_bg
+      Seq("documents")  -> SqlOps.searchBm25,
+      Seq("documents")  -> SqlOps.bpePairs,
+      Seq("documents")  -> SqlOps.zipfFit,
+      Seq("documents")  -> SqlOps.graphDegrees,
+      Seq("documents")  -> SqlOps.graphTriangles,
+      Seq("documents")  -> SqlOps.pagerankStep, // one step; the loop stays timed
+      Seq("documents")  -> SqlOps.bfsLevels,
+      Seq("documents")  -> SqlOps.qualityAdaptiveFilter, // qa_m
+
       Seq("embeddings") -> SqlOps.annIvf, // builds emb_nv + ivf_nvc (kmeansStep shares them)
       Seq("embeddings") -> SqlOps.annIvfProbe2, // adds ivf_cent
-      // ar_baskets/ar_isup/ar_pairs feed both basket queries; the
-      // k-core rounds (kcoreIter) are deliberately NOT here — the
-      // peel IS q_kcore's computation, like the cluster map
-      Seq("lineitem", "part") -> SqlOps.assocRules
+      Seq("embeddings") -> SqlOps.annSignLsh,
+      Seq("embeddings") -> SqlOps.annEval,
+      Seq("embeddings") -> SqlOps.annPq,
+      Seq("embeddings") -> SqlOps.kmeansStep,
+      Seq("embeddings") -> SqlOps.knnBruteForce,
+      Seq("embeddings") -> SqlOps.dedupEmbeddingCosine,
+      Seq("orders")     -> SqlOps.profileOrders,
+      Seq("orders")     -> SqlOps.ordersRfm,
+      Seq("orders")     -> SqlOps.paretoCustomers,
+      Seq("orders")     -> SqlOps.skylineOrders,
+      Seq("events")     -> SqlOps.anomalyMad,
+      Seq("events")     -> SqlOps.concurrencyPeak,
+      // ar_baskets/ar_isup/ar_pairs feed both basket queries
+      Seq("lineitem", "part") -> SqlOps.assocRules,
+      Seq("lineitem", "part") -> SqlOps.itemSimilarity,
+      Seq("lineitem", "orders", "customer") -> SqlOps.dqAudit
     ).foreach { case (views, op) => buildStages(views, op)(s, d) }
   }
 
@@ -516,7 +551,7 @@ object SparkEntry {
     "q_skew_profile" -> sqlq(Seq("orders"), SqlOps.skewProfile),
     // per-language median quality cutoff and per-dimension embedding
     // normalization stats
-    "q_quality_adaptive" -> sqlq(Seq("documents"), SqlOps.qualityAdaptiveFilter),
+    "q_quality_adaptive" -> sqlStaged(Seq("documents"), SqlOps.qualityAdaptiveFilter),
     "q_embedding_dim_stats" -> sqlq(Seq("embeddings"), SqlOps.embeddingDimStats),
     "q_embedding_whiten" -> sqlq(Seq("embeddings"), SqlOps.embeddingWhiten),
     "q_pca_power_step" -> sqlq(Seq("embeddings"), SqlOps.pcaPowerStep),
@@ -539,6 +574,7 @@ object SparkEntry {
     "q_events_sessionize" -> sqlq(Seq("events"), SqlOps.eventsSessionize),
     "q_value_outliers" -> sqlq(Seq("events"), SqlOps.valueOutliers),
     "q_range_join" -> sqlq(Seq("events"), SqlOps.rangeJoinBands),
+    "q_range_join_irregular" -> sqlq(Seq("events"), SqlOps.rangeJoinIrregular),
     "q_events_funnel" -> sqlq(Seq("events"), SqlOps.eventsFunnel),
     "q_orders_retention" -> sqlq(Seq("orders"), SqlOps.ordersRetention),
     // hopping (overlapping) windows, interval union, CDC apply,
@@ -550,6 +586,7 @@ object SparkEntry {
     "q_snapshot_diff" -> sqlq(Seq("documents"), SqlOps.snapshotDiff),
     "q_merkle_ranges" -> sqlq(Seq("documents"), SqlOps.merkleRanges),
     "q_profile_orders" -> sqlStaged(Seq("orders"), SqlOps.profileOrders),
+    "q_profile_orders_approx" -> sqlq(Seq("orders"), SqlOps.profileOrdersApprox),
     "q_anomaly_mad" -> sqlStaged(Seq("events"), SqlOps.anomalyMad),
     "q_attribution" -> sqlq(Seq("events"), SqlOps.attributionLastTouch),
     "q_user_growth" -> sqlq(Seq("events"), SqlOps.userGrowth),
@@ -1133,7 +1170,7 @@ object SparkEntry {
     "q_length_histogram" -> SqlOps.lengthHistogram(DuckDialect),
     "q_skew_profile" -> SqlOps.skewProfile(DuckDialect),
     "q_window_dense_cume" -> SqlOps.windowDenseCume(DuckDialect),
-    "q_quality_adaptive" -> SqlOps.qualityAdaptiveFilter(DuckDialect),
+    "q_quality_adaptive" -> SqlOps.qualityAdaptiveFilter.single(DuckDialect),
     "q_embedding_dim_stats" -> SqlOps.embeddingDimStats(DuckDialect),
     "q_order_priority_late" ->
       """SELECT o_orderpriority, COUNT(*) AS n_late_orders
@@ -1205,6 +1242,7 @@ object SparkEntry {
     "q_events_sessionize" -> SqlOps.eventsSessionize(DuckDialect),
     "q_value_outliers" -> SqlOps.valueOutliers(DuckDialect),
     "q_range_join" -> SqlOps.rangeJoinBands(DuckDialect),
+    "q_range_join_irregular" -> SqlOps.rangeJoinIrregular(DuckDialect),
     "q_events_funnel" -> SqlOps.eventsFunnel(DuckDialect),
     "q_orders_retention" -> SqlOps.ordersRetention(DuckDialect),
     "q_events_hopping" -> SqlOps.eventsHopping(DuckDialect),
@@ -1213,6 +1251,7 @@ object SparkEntry {
     "q_snapshot_diff" -> SqlOps.snapshotDiff(DuckDialect),
     "q_merkle_ranges" -> SqlOps.merkleRanges(DuckDialect),
     "q_profile_orders" -> SqlOps.profileOrders.single(DuckDialect),
+    "q_profile_orders_approx" -> SqlOps.profileOrdersApprox(DuckDialect),
     "q_anomaly_mad" -> SqlOps.anomalyMad.single(DuckDialect),
     "q_attribution" -> SqlOps.attributionLastTouch(DuckDialect),
     "q_user_growth" -> SqlOps.userGrowth(DuckDialect),

@@ -41,15 +41,28 @@ object Tables {
     * break the returned (lazy) DataFrame. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ→Timestamp branch reinterprets the naive wall-clock in the
+    // SESSION zone; it is only oracle-correct (DuckDB reads the same
+    // file as a naive timestamp) when that zone is UTC. GraftSession
+    // pins it; an externally-built session in another zone would
+    // silently shift every event — fail loudly instead.
+    val tz = s.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"events() needs spark.sql.session.timeZone=UTC (got '$tz'): " +
+        "the TIMESTAMP_NTZ cast reinterprets wall-clock in the session zone")
     val raw = s.read.parquet(s"$d/events.parquet")
     raw.schema("ts").dataType match {
       case LongType => // nanos-as-long vintage: truncate to micros
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampType => raw
-      case _ => // TIMESTAMP_NTZ vintage: reinterpret wall-clock in UTC
+      case TimestampNTZType => // NTZ vintage: reinterpret wall-clock in UTC
         raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => // a malformed vintage must fail fast, not null-cast
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other " +
+            "(expected TIMESTAMP(NANOS) as long, TIMESTAMP, or TIMESTAMP_NTZ)")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
