@@ -99,6 +99,33 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** "Today's ingest" slice for the incremental-CC demo: ~1/16 of the
+    * corpus plays the new-arrivals batch; everything else is the base
+    * corpus whose cluster map ([[clustersBaseStaged]]) already exists.
+    * One predicate, shared by the base-map build (which must EXCLUDE
+    * every edge touching a new doc) and the delta query (which takes
+    * exactly those edges), so the two slices cannot drift. */
+  private def isNewDoc(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c % 16 === 3
+
+  /** Yesterday's cluster map: CC over only the base-corpus candidate
+    * pairs, staged once per JVM. This is the precomputed artifact the
+    * incremental update reads — in the daily-ingest story it was
+    * written by yesterday's run; prewarmed so q_dedup_cluster_delta's
+    * timed cost is the DELTA work (contract + small CC + remap), which
+    * is the entire point of the operator. */
+  private def clustersBaseStaged(s: SparkSession, d: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_stage/${d.hashCode.toHexString}/mh_clusters_base"
+    writeStageOnce(path) {
+      val pairs = sqlStaged(Seq("documents"), SqlOps.dedupMinhash)(s, d)
+      graft.ops.Cluster.connectedComponents(
+          pairs.filter(!isNewDoc(col("doc_a")) && !isNewDoc(col("doc_b")))
+            .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   private def mergeMain(t: DataFrame): DataFrame =
     t.filter(col("ingest_order") % 2 === 0)
 
@@ -155,6 +182,9 @@ object SparkEntry {
     * merge family and the first similarity query alphabetically). */
   def prewarmStages(s: SparkSession, d: String): Unit = {
     transformedStaged(s, d)
+    // yesterday's base cluster map (NOT the full map — see below): the
+    // incremental-CC query's precomputed input, never its computation
+    clustersBaseStaged(s, d)
     // indexes only — the cluster map (clustersStaged) is deliberately
     // NOT prewarmed: its build IS q_dedup_cluster's computation (the
     // iterative label propagation), so prewarming it would turn that
@@ -425,6 +455,17 @@ object SparkEntry {
       val pairs = sqlStaged(Seq("documents"), SqlOps.dedupMinhash)(s, d)
       graft.ops.Cluster.connectedComponentsStar(
         pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+    }),
+    // delta-edge cluster maintenance: merge the new-arrivals batch's
+    // candidate pairs into the staged base map via component
+    // contraction — must reproduce full CC on the union graph (same
+    // recursive-CTE oracle as the from-scratch builds), at cost ∝ delta
+    "q_dedup_cluster_delta" -> ((s, d) => {
+      val pairs = sqlStaged(Seq("documents"), SqlOps.dedupMinhash)(s, d)
+      val delta = pairs
+        .filter(isNewDoc(col("doc_a")) || isNewDoc(col("doc_b")))
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      graft.ops.Cluster.incrementalUpdate(clustersBaseStaged(s, d), delta)
     }),
     // the final dedup step: the cleaned corpus = one representative per
     // duplicate cluster (its minimum id) plus every unclustered doc;
@@ -1141,6 +1182,9 @@ object SparkEntry {
     // both CC implementations)
     "q_dedup_cluster" -> CLUSTER_ORACLE,
     "q_dedup_cluster_star" -> CLUSTER_ORACLE,
+    // the incremental update must land on the SAME map as a full
+    // rebuild over base ∪ delta — which is the whole pair set
+    "q_dedup_cluster_delta" -> CLUSTER_ORACLE,
     "q_dedup_survivors" -> SURVIVORS_ORACLE,
     "q_sample_hash" -> SqlOps.sampleHash(DuckDialect),
     "q_sample_stratified" -> SqlOps.sampleStratified(DuckDialect),

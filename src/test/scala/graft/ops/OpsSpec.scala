@@ -235,6 +235,50 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental CC merges delta edges into a base map (all merge shapes)") {
+    import spark.implicits._
+    // base: components {1,2,3}, {10,11}, {20,21} (labels 1, 10, 20)
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("a", "b")
+    val baseMap = Cluster.connectedComponents(base)
+    // delta exercises every shape at once:
+    //  - (30,10): NEW doc bridges into a base component
+    //  - (30,2):  ...and via the same new doc MERGES components 1 and 10
+    //  - (40,41): new-new pair forming its own fresh cluster
+    //  - (0,20):  new doc whose id UNDERCUTS the base label — the
+    //             touched component must relabel to the new minimum
+    val delta = Seq((30L, 10L), (30L, 2L), (40L, 41L), (0L, 20L)).toDF("a", "b")
+    val got = Cluster.incrementalUpdate(baseMap, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = Cluster.connectedComponents(base.union(delta))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === expected)
+    // spot-check the interesting rows: merged 1∪10 component keeps 1,
+    // the undercut component re-labels to 0, untouched nothing remains
+    assert(got(11L) === 1L && got(30L) === 1L)
+    assert(got(20L) === 0L && got(21L) === 0L)
+    assert(got(40L) === 40L && got(41L) === 40L)
+  }
+
+  test("incremental CC equals full rebuild on random base/delta splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val n = 40
+      val edges = (1 to 60).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // the same split rule the registered query uses: an edge touching
+      // any "new" node is delta; the base map never saw those nodes
+      def isNew(x: Long) = x % 5 == 3
+      val (delta, baseE) = edges.partition { case (a, b) => isNew(a) || isNew(b) }
+      val baseMap = Cluster.connectedComponents(baseE.toDF("a", "b"))
+      val got = Cluster.incrementalUpdate(baseMap, delta.toDF("a", "b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val full = Cluster.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === full)
+    }
+  }
+
   test("chunking covers every token with stride-12 windows ending at the last token") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf001)
