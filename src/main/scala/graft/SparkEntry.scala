@@ -227,6 +227,7 @@ object SparkEntry {
       Seq("embeddings") -> SqlOps.annSignLsh,
       Seq("embeddings") -> SqlOps.annEval,
       Seq("embeddings") -> SqlOps.annPq,
+      Seq("embeddings") -> SqlOps.annPqSearch, // adds pq_codes
       Seq("embeddings") -> SqlOps.kmeansStep,
       Seq("embeddings") -> SqlOps.knnBruteForce,
       Seq("embeddings") -> SqlOps.dedupEmbeddingCosine,
@@ -558,6 +559,9 @@ object SparkEntry {
     // IVF-PQ's storage half: 4 codebook ids per vector off the shared
     // per-label component means
     "q_ann_pq" -> sqlStaged(Seq("embeddings"), SqlOps.annPq),
+    // the PQ read path: ADC top-10 per query off the staged code table
+    // (scores 4 int lookups per vector — never touches the embeddings)
+    "q_ann_pq_search" -> sqlStaged(Seq("embeddings"), SqlOps.annPqSearch),
     // one Lloyd iteration: broadcast-argmin assignment (the staged IVF
     // working set) + the per-cell centroid update groupBy
     "q_kmeans_step" -> sqlStaged(Seq("embeddings"), SqlOps.kmeansStep),
@@ -1252,6 +1256,7 @@ object SparkEntry {
     "q_ann_sign_lsh" -> SqlOps.annSignLsh.single(DuckDialect),
     "q_ann_ivf" -> SqlOps.annIvf.single(DuckDialect),
     "q_ann_pq" -> SqlOps.annPq.single(DuckDialect),
+    "q_ann_pq_search" -> SqlOps.annPqSearch.single(DuckDialect),
     "q_text_tokens" -> SqlOps.textTokens(DuckDialect),
     "q_dedup_substring" -> SqlOps.dedupSubstring.single(DuckDialect),
     "q_mix_temperature" -> SqlOps.mixTemperature(DuckDialect),

@@ -2286,17 +2286,83 @@ object SqlOps {
     * int64 L2 over µ-quantized components, ties to the smallest label.
     * The codebook is broadcast-sized (labels × dims); at 100 TB the
     * Spark path is a narrow zero-shuffle projection per vector. */
+  /** Per-(label, pos) µ-quantized block-codebook centroids — the one
+    * stage [[annPq]] (encode) and [[annPqSearch]] (ADC decode) share. */
+  private def pqCentStage(d: Dialect): String = {
+    val expC = d.explodeWithPos(
+      "SELECT vec_id, label, embedding FROM embeddings",
+      "vec_id, label", "embedding", "pos", "v")
+    s"""WITH evc AS ($expC)
+       |SELECT label, pos,
+       |  CAST(FLOOR(CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
+       |FROM evc GROUP BY label, pos""".stripMargin
+  }
+
   val annPq: StagedOp = StagedOp(
-    stages = Seq("pq_cent" -> { d =>
-      val expC = d.explodeWithPos(
-        "SELECT vec_id, label, embedding FROM embeddings",
-        "vec_id, label", "embedding", "pos", "v")
-      s"""WITH evc AS ($expC)
-         |SELECT label, pos,
-         |  CAST(FLOOR(CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
-         |FROM evc GROUP BY label, pos""".stripMargin
-    }),
+    stages = Seq("pq_cent" -> pqCentStage _),
     body = d => d.pqAssign(m = 4, bs = 16))
+
+  /** PQ search by asymmetric distance computation (ADC) — the read
+    * path that makes PQ codes useful: per query, a lookup table of
+    * squared distances from each query BLOCK slice to every codebook
+    * centroid slice (|Q| × 4 blocks × labels rows — broadcast-sized),
+    * then every database vector is scored by summing 4 table lookups
+    * keyed by its stored codes. No vector arithmetic per (query,
+    * vector) pair and no scan of the embeddings themselves: the scored
+    * relation is the narrow staged code table (1 short row per
+    * vector), which is the entire storage/compute win of PQ at 100 TB
+    * (codes ≈ 1/64th the bytes of the raw vectors here). All distance
+    * math is exact int64 over µ-quantized components (same proof as
+    * IVF), so both engines rank identically; ties break to the
+    * smaller neighbor id. */
+  val annPqSearch: StagedOp = {
+    val (m, bs) = (4, 16)
+    StagedOp(
+      stages = Seq(
+        "pq_cent" -> pqCentStage _,
+        // the encoded corpus: same rendering the q_ann_pq body emits,
+        // staged because search consumes it as the database
+        "pq_codes" -> { d => d.pqAssign(m, bs) }),
+      body = { d =>
+        val expQ = d.explodeWithPos(
+          s"SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5 AND ${d.size("embedding")} = ${m * bs}",
+          "vec_id", "embedding", "pos", "v")
+        val codeArms = (0 until m).map { b =>
+          s"SELECT vec_id, $b AS block, code$b AS code FROM pq_codes"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH qv AS ($expQ),
+           |qq AS (
+           |  SELECT vec_id AS qid, CAST(FLOOR(pos / $bs) AS INT) AS block, pos % $bs AS bpos,
+           |    CAST(FLOOR(CAST(v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT) AS qv
+           |  FROM qv
+           |),
+           |cb AS (
+           |  SELECT label, CAST(FLOOR(pos / $bs) AS INT) AS block, pos % $bs AS bpos, qc
+           |  FROM pq_cent
+           |),
+           |lut AS (
+           |  SELECT q.qid, c.block, c.label,
+           |    CAST(SUM((q.qv - c.qc) * (q.qv - c.qc)) AS BIGINT) AS d2
+           |  FROM qq q JOIN cb c ON q.block = c.block AND q.bpos = c.bpos
+           |  GROUP BY q.qid, c.block, c.label
+           |),
+           |codes AS (
+           |  $codeArms
+           |),
+           |adc AS (
+           |  SELECT l.qid AS query_id, c.vec_id AS neighbor_id,
+           |    CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+           |  FROM codes c JOIN lut l ON l.block = c.block AND l.label = c.code
+           |  WHERE c.vec_id <> l.qid
+           |  GROUP BY l.qid, c.vec_id
+           |)
+           |SELECT query_id, neighbor_id, adc_d2, rk FROM (
+           |  SELECT *, ROW_NUMBER() OVER (
+           |    PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rk
+           |  FROM adc
+           |) WHERE rk <= 10""".stripMargin
+      })
+  }
 
   // ---- text analysis ----
 

@@ -669,4 +669,46 @@ object StreamingOps {
         ()
       }
   }
+
+  /** Streaming duplicate-cluster maintenance: each micro-batch of
+    * candidate-pair edges (`a`, `b`) merges into the persistent cluster
+    * map via the delta-edge CC update
+    * ([[graft.ops.Cluster.incrementalUpdate]]) — per-batch cost ∝ batch
+    * edges, never the corpus-wide closure. The first batch seeds the
+    * map with a from-scratch CC over itself.
+    *
+    * At-least-once safe BY ALGEBRA, not by bookkeeping: component
+    * structure is a function of the edge SET, so a replayed edge
+    * contracts to a self-loop (both endpoints already share a label)
+    * and changes nothing — redelivered batches are idempotent, unlike
+    * counter-style state. The target swap is the same
+    * crash-recoverable ATOMIC_MOVE protocol as [[upsertEachBatch]]:
+    * a batch that dies mid-publish either left the old map in place or
+    * is recovered from `.old` before the retry applies. */
+  def clusterMaintenance(spark: SparkSession, edges: DataFrame,
+                         targetDir: String, checkpointDir: String) = {
+    edges.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val target = Paths.get(targetDir)
+        val old = Paths.get(targetDir + ".old")
+        if (!Files.exists(target) && Files.exists(old))
+          Files.move(old, target, StandardCopyOption.ATOMIC_MOVE)
+        val b = batch.select(col("a"), col("b"))
+        val merged =
+          if (Files.exists(target))
+            graft.ops.Cluster.incrementalUpdate(spark.read.parquet(targetDir), b)
+          else graft.ops.Cluster.connectedComponents(b)
+        val tmp = targetDir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+        if (Files.exists(target))
+          Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+        ()
+      }
+  }
 }

@@ -229,8 +229,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("no accidental cartesian products outside the literal-band range join") {
-    SparkEntry.queries.keys.filterNot(_ == "q_range_join").foreach { q =>
+  test("uniform range bands plan as a projection — no join, single scan") {
+    // the round-4 verdict fix: floor(value/50) replaces the 10-interval
+    // theta join that BroadcastNestedLoop'd every event row 10×
+    val plan = planOf("q_range_join")
+    assert(!plan.contains("Join"), s"banding must be a projection, not a join:\n$plan")
+    assert("FileScan".r.findAllIn(plan).length === 1, s"expected a single events scan:\n$plan")
+  }
+
+  test("PQ ADC search scores the code table — embeddings scanned once, for the bounded query side") {
+    val plan = planOf("q_ann_pq_search")
+    assert("embeddings.parquet".r.findAllIn(plan).length === 1,
+      s"database vectors must never be rescanned (codes carry the search):\n$plan")
+    assert(plan.contains("pq_codes"), s"expected the staged code table in the plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop"),
+      s"ADC is equi-join lookups, no nested loop:\n$plan")
+  }
+
+  test("no accidental cartesian products outside the literal-band irregular range join") {
+    SparkEntry.queries.keys.filterNot(_ == "q_range_join_irregular").foreach { q =>
       val plan =
         try planOf(q)
         catch { case _: Throwable => "" } // staged ops build files; skip env issues

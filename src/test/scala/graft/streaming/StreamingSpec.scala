@@ -214,6 +214,33 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set(("a", 1L), ("b", 99L), ("c", 3L)))
   }
 
+  test("streaming cluster maintenance equals batch CC, including replayed edges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccstream").toString
+    val target = s"$dir/target"
+    val in = MemoryStream[(Long, Long)]
+    val df = in.toDF().toDF("a", "b")
+    val q = StreamingOps.clusterMaintenance(spark, df, target, s"$dir/ckpt").start()
+    // batch 1 seeds two components; batch 2 merges them through a new
+    // node AND replays an already-applied edge (at-least-once); batch 3
+    // adds a fresh component whose min undercuts nothing
+    in.addData((1L, 2L), (10L, 11L))
+    q.processAllAvailable()
+    in.addData((30L, 2L), (30L, 10L), (1L, 2L))
+    q.processAllAvailable()
+    in.addData((40L, 41L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(target).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val all = Seq((1L, 2L), (10L, 11L), (30L, 2L), (30L, 10L), (40L, 41L))
+    val full = graft.ops.Cluster.connectedComponents(all.toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === full)
+    assert(got(30L) === 1L && got(11L) === 1L && got(41L) === 40L)
+  }
+
   test("streaming tumbling aggregation equals the batch form on the same events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
