@@ -228,6 +228,7 @@ object SparkEntry {
       Seq("embeddings") -> SqlOps.annEval,
       Seq("embeddings") -> SqlOps.annPq,
       Seq("embeddings") -> SqlOps.annPqSearch, // adds pq_codes
+      Seq("embeddings") -> SqlOps.annIvfPq,
       Seq("embeddings") -> SqlOps.kmeansStep,
       Seq("embeddings") -> SqlOps.knnBruteForce,
       Seq("embeddings") -> SqlOps.dedupEmbeddingCosine,
@@ -462,9 +463,11 @@ object SparkEntry {
     // contraction — must reproduce full CC on the union graph (same
     // recursive-CTE oracle as the from-scratch builds), at cost ∝ delta
     "q_dedup_cluster_delta" -> ((s, d) => {
-      val pairs = sqlStaged(Seq("documents"), SqlOps.dedupMinhash)(s, d)
-      val delta = pairs
-        .filter(isNewDoc(col("doc_a")) || isNewDoc(col("doc_b")))
+      // the delta pairs come from the incremental candidate op (new
+      // signatures probing the existing band index, cost ∝ delta) —
+      // OpsSpec proves them identical to the full pair set restricted
+      // to new docs, so the union-closure oracle still applies
+      val delta = sqlStaged(Seq("documents"), SqlOps.dedupMinhashDelta)(s, d)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       graft.ops.Cluster.incrementalUpdate(clustersBaseStaged(s, d), delta)
     }),
@@ -497,6 +500,9 @@ object SparkEntry {
     // content-addressed anti-join of a fresh snapshot against the
     // already-ingested corpus (the daily-ingest dedup gate)
     "q_dedup_incremental" -> sqlq(Seq("documents"), SqlOps.dedupIncremental),
+    // incremental candidate generation: new docs probe the existing
+    // band index (cost ∝ delta), feeding the delta-CC update below
+    "q_dedup_minhash_delta" -> sqlStaged(Seq("documents"), SqlOps.dedupMinhashDelta),
     // corpus-common (boilerplate) 3-gram fraction off the uncapped
     // distinct shingle index — the C4/CCNet line-dedup analogue
     "q_dedup_common_ngrams" -> sqlStaged(Seq("documents"), SqlOps.dedupCommonNgrams),
@@ -562,6 +568,9 @@ object SparkEntry {
     // the PQ read path: ADC top-10 per query off the staged code table
     // (scores 4 int lookups per vector — never touches the embeddings)
     "q_ann_pq_search" -> sqlStaged(Seq("embeddings"), SqlOps.annPqSearch),
+    // the composed FAISS-style pipeline: IVF 2-cell probe → ADC top-20
+    // off the code table → exact-cosine refine to top-5
+    "q_ann_ivfpq" -> sqlStaged(Seq("embeddings"), SqlOps.annIvfPq),
     // one Lloyd iteration: broadcast-argmin assignment (the staged IVF
     // working set) + the per-cell centroid update groupBy
     "q_kmeans_step" -> sqlStaged(Seq("embeddings"), SqlOps.kmeansStep),
@@ -1198,6 +1207,7 @@ object SparkEntry {
     "q_vocab_coverage" -> SqlOps.vocabCoverage(DuckDialect),
     "q_dedup_source_overlap" -> SqlOps.dedupSourceOverlap.single(DuckDialect),
     "q_dedup_incremental" -> SqlOps.dedupIncremental(DuckDialect),
+    "q_dedup_minhash_delta" -> SqlOps.dedupMinhashDelta.single(DuckDialect),
     "q_dedup_common_ngrams" -> SqlOps.dedupCommonNgrams.single(DuckDialect),
     "q_assoc_rules" -> SqlOps.assocRules.single(DuckDialect),
     "q_item_similarity" -> SqlOps.itemSimilarity.single(DuckDialect),
@@ -1257,6 +1267,7 @@ object SparkEntry {
     "q_ann_ivf" -> SqlOps.annIvf.single(DuckDialect),
     "q_ann_pq" -> SqlOps.annPq.single(DuckDialect),
     "q_ann_pq_search" -> SqlOps.annPqSearch.single(DuckDialect),
+    "q_ann_ivfpq" -> SqlOps.annIvfPq.single(DuckDialect),
     "q_text_tokens" -> SqlOps.textTokens(DuckDialect),
     "q_dedup_substring" -> SqlOps.dedupSubstring.single(DuckDialect),
     "q_mix_temperature" -> SqlOps.mixTemperature(DuckDialect),

@@ -197,6 +197,32 @@ object SqlOps {
       body = { _ => "SELECT doc_a, doc_b FROM mh_cand" })
   }
 
+  /** Incremental candidate generation — the daily-ingest twin of
+    * [[dedupMinhash]]: only the NEW docs' signatures (the same 1/16
+    * slice [[graft.SparkEntry]]'s delta-CC demo treats as today's
+    * batch) probe the existing band index, so the band join costs
+    * delta × bucket-size instead of the corpus-wide self-join. Emits
+    * exactly the full candidate set restricted to pairs touching a new
+    * doc (equivalence asserted in OpsSpec) — these pairs are the input
+    * [[graft.ops.Cluster.incrementalUpdate]] merges into the map,
+    * closing the gate → candidates → clusters incremental pipeline. */
+  val dedupMinhashDelta: StagedOp = StagedOp(
+    stages = Seq(dedupMinhash.stages.head), // mh_sig, shared
+    body = { _ =>
+      val bandRows = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, concat(h${2 * b}, h${2 * b + 1}) AS bkey FROM mh_sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH aband AS (
+         |  $bandRows
+         |),
+         |nband AS (SELECT doc_id, band, bkey FROM aband WHERE doc_id % 16 = 3)
+         |SELECT DISTINCT
+         |  LEAST(n.doc_id, t.doc_id) AS doc_a,
+         |  GREATEST(n.doc_id, t.doc_id) AS doc_b
+         |FROM nband n JOIN aband t
+         |  ON n.band = t.band AND n.bkey = t.bkey AND n.doc_id <> t.doc_id""".stripMargin
+    })
+
   /** N-gram jaccard near-dup: inverted-index join on distinct shingles,
     * exact jaccard ≥ 0.6. Shingles appearing in > 20 docs are dropped
     * from the index AND the sizes (so identical docs still score 1.0):
@@ -2221,6 +2247,93 @@ object SqlOps {
          |  FROM pairs
          |) WHERE rk <= 3""".stripMargin
     })
+
+  /** The composed production ANN index — IVF-PQ with exact refine, the
+    * FAISS-style three-stage read path, every stage off already-staged
+    * artifacts:
+    *   1. PROBE: each query ranks the broadcast-sized centroid table
+    *      and keeps its 2 nearest cells (the [[annIvfProbe2]] shape);
+    *   2. ADC: candidates are only the probed cells' members, scored
+    *      by 4 integer lookups against the per-query block lookup
+    *      table over the staged PQ codes (the [[annPqSearch]] shape) —
+    *      top-20 survive, and the raw vectors are never touched;
+    *   3. REFINE: the ≤20 survivors per query are re-ranked by exact
+    *      cosine (a bounded join back to emb_nv — per query a constant
+    *      number of full-width vector reads), emitting top-5.
+    * This is how 100 TB vector search actually ships: the coarse index
+    * bounds the candidate set, the code table carries the cheap scan,
+    * and exact math touches only a per-query constant. All ranking
+    * before the final cosine is exact int64, ties to the smaller id. */
+  val annIvfPq: StagedOp = {
+    val (m, bs) = (4, 16)
+    StagedOp(
+      stages = Seq(
+        "emb_nv" -> nvStage,
+        "ivf_nvc" -> { d => d.ivfAssign(ivfCentCtes(d)) },
+        "ivf_cent" -> { d =>
+          s"WITH ${ivfCentCtes(d)} SELECT label, pos, qc FROM cent"
+        },
+        "pq_cent" -> pqCentStage _,
+        "pq_codes" -> { d => d.pqAssign(m, bs) }),
+      body = { d =>
+        val expQ = d.explodeWithPos(
+          "SELECT vec_id, embedding FROM qs", "vec_id", "embedding", "pos", "v")
+        val qv = "CAST(FLOOR(CAST(e.v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)"
+        val codeArms = (0 until m).map { b =>
+          s"SELECT vec_id, $b AS block, code$b AS code FROM pq_codes"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH qs AS (SELECT * FROM ivf_nvc WHERE vec_id % 50 = 0),
+           |qe AS ($expQ),
+           |qd AS (
+           |  SELECT e.vec_id, c.label,
+           |    SUM(($qv - c.qc) * ($qv - c.qc)) AS dist
+           |  FROM qe e JOIN ivf_cent c ON e.pos = c.pos
+           |  GROUP BY e.vec_id, c.label
+           |),
+           |probes AS (
+           |  SELECT vec_id, label FROM (
+           |    SELECT vec_id, label,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, label) AS prk
+           |    FROM qd) p
+           |  WHERE prk <= 2
+           |),
+           |lut AS (
+           |  SELECT e.vec_id AS qid, CAST(FLOOR(c.pos / $bs) AS INT) AS block, c.label,
+           |    CAST(SUM(($qv - c.qc) * ($qv - c.qc)) AS BIGINT) AS d2
+           |  FROM qe e JOIN pq_cent c ON e.pos = c.pos
+           |  GROUP BY e.vec_id, CAST(FLOOR(c.pos / $bs) AS INT), c.label
+           |),
+           |codes AS (
+           |  $codeArms
+           |),
+           |adc AS (
+           |  SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+           |  FROM probes p
+           |  JOIN ivf_nvc b ON b.cell = p.label AND b.vec_id <> p.vec_id
+           |  JOIN codes c ON c.vec_id = b.vec_id
+           |  JOIN lut l ON l.qid = p.vec_id AND l.block = c.block AND l.label = c.code
+           |  GROUP BY p.vec_id, b.vec_id
+           |),
+           |shortlist AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, ROW_NUMBER() OVER (
+           |      PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS ark
+           |    FROM adc) s
+           |  WHERE ark <= 20
+           |)
+           |SELECT query_id, neighbor_id, cosine, rk FROM (
+           |  SELECT s.query_id, s.neighbor_id,
+           |    ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine,
+           |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+           |      ORDER BY ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} DESC,
+           |        s.neighbor_id) AS rk
+           |  FROM shortlist s
+           |  JOIN emb_nv a ON a.vec_id = s.query_id
+           |  JOIN emb_nv b ON b.vec_id = s.neighbor_id
+           |) WHERE rk <= 5""".stripMargin
+      })
+  }
 
   /** One k-means (Lloyd) iteration over the embeddings: assignment to
     * the nearest current centroid (the staged IVF working set — on the

@@ -235,6 +235,17 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("delta minhash candidates equal the full pair set restricted to new docs") {
+    def pairSet(q: String) = run(q).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val full = pairSet("q_dedup_minhash")
+    val delta = pairSet("q_dedup_minhash_delta")
+    def isNew(x: Long) = x % 16 == 3
+    assert(delta === full.filter { case (a, b) => isNew(a) || isNew(b) },
+      "probing the band index with only new signatures must recover " +
+        "exactly the full candidate pairs that touch a new doc")
+  }
+
   test("incremental CC merges delta edges into a base map (all merge shapes)") {
     import spark.implicits._
     // base: components {1,2,3}, {10,11}, {20,21} (labels 1, 10, 20)
