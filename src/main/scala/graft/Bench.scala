@@ -56,8 +56,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val prewarm = prewarmFailed.map(c => s"\"$c\"").getOrElse("null")
+    // run conditions: round-4's snapshot carried a uniform ~1.9×
+    // machine-load slowdown that polluted cross-round comparison —
+    // record the 1-minute load average (taken AFTER the run, so it
+    // reflects this JVM's own pressure plus whatever else ran) and the
+    // worker count, so a loaded run is identifiable from the artifact
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val cond = f""""load_avg_1m":$loadAvg%.2f,"cpus":$cpus"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)},"errors":$errs,"prewarm_failed":$prewarm,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)},"errors":$errs,"prewarm_failed":$prewarm,$cond,"sf":"$sfDir"}"""
     // full per-query map: first as a log line (for a reader of the whole
     // log), then as a file next to the repo (survives log truncation)
     println(full)
@@ -69,7 +77,7 @@ object Bench {
     // errored query (a failure must stay visible even off-headline)
     val compact = results.filter { case (k, _, err) =>
       headline.contains(k) || err.isDefined }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(compact)},"errors":$errs,"prewarm_failed":$prewarm,"detail":"bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(compact)},"errors":$errs,"prewarm_failed":$prewarm,$cond,"detail":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -489,6 +489,7 @@ object SparkEntry {
     }),
     "q_sample_hash" -> sqlq(Seq("documents"), SqlOps.sampleHash),
     "q_sample_stratified" -> sqlq(Seq("documents"), SqlOps.sampleStratified),
+    "q_cap_per_source" -> sqlq(Seq("documents"), SqlOps.capPerSource),
     "q_sample_weighted" -> sqlq(Seq("documents"), SqlOps.sampleWeighted),
     // shard-parallel token-budget packing (per-shard windows, no
     // single-partition exchange) and weight-proportional corpus mixing
@@ -1201,6 +1202,7 @@ object SparkEntry {
     "q_dedup_survivors" -> SURVIVORS_ORACLE,
     "q_sample_hash" -> SqlOps.sampleHash(DuckDialect),
     "q_sample_stratified" -> SqlOps.sampleStratified(DuckDialect),
+    "q_cap_per_source" -> SqlOps.capPerSource(DuckDialect),
     "q_sample_weighted" -> SqlOps.sampleWeighted(DuckDialect),
     "q_pack_sequences" -> SqlOps.packSequences(DuckDialect),
     "q_mix_epochs" -> SqlOps.mixEpochs(DuckDialect),

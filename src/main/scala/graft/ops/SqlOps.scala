@@ -2270,9 +2270,6 @@ object SqlOps {
       stages = Seq(
         "emb_nv" -> nvStage,
         "ivf_nvc" -> { d => d.ivfAssign(ivfCentCtes(d)) },
-        "ivf_cent" -> { d =>
-          s"WITH ${ivfCentCtes(d)} SELECT label, pos, qc FROM cent"
-        },
         "pq_cent" -> pqCentStage _,
         "pq_codes" -> { d => d.pqAssign(m, bs) }),
       body = { d =>
@@ -2282,13 +2279,22 @@ object SqlOps {
         val codeArms = (0 until m).map { b =>
           s"SELECT vec_id, $b AS block, code$b AS code FROM pq_codes"
         }.mkString("\n  UNION ALL\n  ")
+        // the IVF centroid table and the PQ block codebook are the SAME
+        // per-(label, pos) statistics, so the coarse probe needs no
+        // separate centroid pass: full-vector cell distance = the sum
+        // of the 4 block-restricted distances already in the LUT
+        // (blocks partition the position range — exact int64 either way)
         s"""WITH qs AS (SELECT * FROM ivf_nvc WHERE vec_id % 50 = 0),
            |qe AS ($expQ),
+           |lut AS (
+           |  SELECT e.vec_id AS qid, CAST(FLOOR(c.pos / $bs) AS INT) AS block, c.label,
+           |    CAST(SUM(($qv - c.qc) * ($qv - c.qc)) AS BIGINT) AS d2
+           |  FROM qe e JOIN pq_cent c ON e.pos = c.pos
+           |  GROUP BY e.vec_id, CAST(FLOOR(c.pos / $bs) AS INT), c.label
+           |),
            |qd AS (
-           |  SELECT e.vec_id, c.label,
-           |    SUM(($qv - c.qc) * ($qv - c.qc)) AS dist
-           |  FROM qe e JOIN ivf_cent c ON e.pos = c.pos
-           |  GROUP BY e.vec_id, c.label
+           |  SELECT qid AS vec_id, label, CAST(SUM(d2) AS BIGINT) AS dist
+           |  FROM lut GROUP BY qid, label
            |),
            |probes AS (
            |  SELECT vec_id, label FROM (
@@ -2296,12 +2302,6 @@ object SqlOps {
            |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, label) AS prk
            |    FROM qd) p
            |  WHERE prk <= 2
-           |),
-           |lut AS (
-           |  SELECT e.vec_id AS qid, CAST(FLOOR(c.pos / $bs) AS INT) AS block, c.label,
-           |    CAST(SUM(($qv - c.qc) * ($qv - c.qc)) AS BIGINT) AS d2
-           |  FROM qe e JOIN pq_cent c ON e.pos = c.pos
-           |  GROUP BY e.vec_id, CAST(FLOOR(c.pos / $bs) AS INT), c.label
            |),
            |codes AS (
            |  $codeArms
@@ -3115,6 +3115,21 @@ object SqlOps {
   def sampleHash(d: Dialect): String =
     s"""SELECT doc_id, lang, n_chars FROM documents
        |WHERE ${md5Bucket("text")} < 32""".stripMargin
+
+  /** Per-source document cap — the C4-style per-domain quota that
+    * stops any single source from dominating a training mix: keep at
+    * most 30 docs per source, chosen by content-hash priority
+    * (deterministic, position-unbiased, RNG-free — re-runnable on any
+    * engine and any partitioning). One window shuffle on the source
+    * key; at 100 TB each source's rows rank independently, and a
+    * pre-aggregated count gate could skip the window entirely for
+    * sources already under quota. */
+  def capPerSource(d: Dialect): String =
+    s"""SELECT doc_id, source, rn FROM (
+       |  SELECT doc_id, source,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+       |  FROM documents
+       |) WHERE rn <= 30""".stripMargin
 
   /** Stratified sampling: exactly 50 docs per language, chosen by
     * content-hash order (deterministic, unbiased w.r.t. position).
