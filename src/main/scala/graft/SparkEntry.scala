@@ -229,6 +229,7 @@ object SparkEntry {
       Seq("embeddings") -> SqlOps.annPq,
       Seq("embeddings") -> SqlOps.annPqSearch, // adds pq_codes
       Seq("embeddings") -> SqlOps.annIvfPq,
+      Seq("embeddings") -> SqlOps.annIvfPqEval, // adds ivfpq_top
       Seq("embeddings") -> SqlOps.kmeansStep,
       Seq("embeddings") -> SqlOps.knnBruteForce,
       Seq("embeddings") -> SqlOps.dedupEmbeddingCosine,
@@ -490,6 +491,7 @@ object SparkEntry {
     "q_sample_hash" -> sqlq(Seq("documents"), SqlOps.sampleHash),
     "q_sample_stratified" -> sqlq(Seq("documents"), SqlOps.sampleStratified),
     "q_cap_per_source" -> sqlq(Seq("documents"), SqlOps.capPerSource),
+    "q_global_rownum" -> sqlq(Seq("documents"), SqlOps.globalRowNumber),
     "q_sample_weighted" -> sqlq(Seq("documents"), SqlOps.sampleWeighted),
     // shard-parallel token-budget packing (per-shard windows, no
     // single-partition exchange) and weight-proportional corpus mixing
@@ -572,6 +574,7 @@ object SparkEntry {
     // the composed FAISS-style pipeline: IVF 2-cell probe → ADC top-20
     // off the code table → exact-cosine refine to top-5
     "q_ann_ivfpq" -> sqlStaged(Seq("embeddings"), SqlOps.annIvfPq),
+    "q_ann_ivfpq_eval" -> sqlStaged(Seq("embeddings"), SqlOps.annIvfPqEval),
     // one Lloyd iteration: broadcast-argmin assignment (the staged IVF
     // working set) + the per-cell centroid update groupBy
     "q_kmeans_step" -> sqlStaged(Seq("embeddings"), SqlOps.kmeansStep),
@@ -1203,6 +1206,20 @@ object SparkEntry {
     "q_sample_hash" -> SqlOps.sampleHash(DuckDialect),
     "q_sample_stratified" -> SqlOps.sampleStratified(DuckDialect),
     "q_cap_per_source" -> SqlOps.capPerSource(DuckDialect),
+    // deliberately NOT the two-phase rendering: the single global
+    // window is the independent ground truth the shard/offset
+    // decomposition must reproduce id-for-id
+    "q_global_rownum" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    ((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+         |      + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) % 16 AS shard,
+         |    md5(text) AS h
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY shard, h, doc_id) AS BIGINT) AS global_id
+         |FROM sh""".stripMargin,
     "q_sample_weighted" -> SqlOps.sampleWeighted(DuckDialect),
     "q_pack_sequences" -> SqlOps.packSequences(DuckDialect),
     "q_mix_epochs" -> SqlOps.mixEpochs(DuckDialect),
@@ -1270,6 +1287,7 @@ object SparkEntry {
     "q_ann_pq" -> SqlOps.annPq.single(DuckDialect),
     "q_ann_pq_search" -> SqlOps.annPqSearch.single(DuckDialect),
     "q_ann_ivfpq" -> SqlOps.annIvfPq.single(DuckDialect),
+    "q_ann_ivfpq_eval" -> SqlOps.annIvfPqEval.single(DuckDialect),
     "q_text_tokens" -> SqlOps.textTokens(DuckDialect),
     "q_dedup_substring" -> SqlOps.dedupSubstring.single(DuckDialect),
     "q_mix_temperature" -> SqlOps.mixTemperature(DuckDialect),

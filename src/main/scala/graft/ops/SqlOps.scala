@@ -2335,6 +2335,37 @@ object SqlOps {
       })
   }
 
+  /** Recall@5 of the composed IVF-PQ index against exact brute-force
+    * cosine on the bounded query set — [[annEval]]'s nightly
+    * drift-check pattern applied to the production index: the IVF-PQ
+    * top-5 is a staged artifact (built by the same pipeline
+    * q_ann_ivfpq times), the exact side is O(|Q|·N) and |Q| is the 2%
+    * slice, and a missing shortlist neighbor counts as a miss via the
+    * LEFT JOIN. Measures end-to-end loss: probe misses (wrong cell)
+    * AND ADC quantization error together. */
+  val annIvfPqEval: StagedOp = StagedOp(
+    stages = annIvfPq.stages :+ ("ivfpq_top" -> annIvfPq.body),
+    body = { d =>
+      s"""WITH qs AS (SELECT vec_id, embedding, nrm FROM ivf_nvc WHERE vec_id % 50 = 0),
+         |ep AS (
+         |  SELECT qs.vec_id AS query_id, t.vec_id AS neighbor_id,
+         |    ${r6(dotExpr(d, "qs.embedding", "t.embedding") + " / (qs.nrm * t.nrm)")} AS cosine
+         |  FROM qs JOIN emb_nv t ON t.vec_id <> qs.vec_id
+         |),
+         |ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         |    FROM ep
+         |  ) WHERE rk <= 5
+         |)
+         |SELECT e.query_id, COUNT(l.neighbor_id) AS n_hit,
+         |  CAST(COUNT(l.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+         |FROM ex e LEFT JOIN ivfpq_top l
+         |  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+         |GROUP BY e.query_id""".stripMargin
+    })
+
   /** One k-means (Lloyd) iteration over the embeddings: assignment to
     * the nearest current centroid (the staged IVF working set — on the
     * Spark side a broadcast-packed codegen'd argmin, zero vector
@@ -3130,6 +3161,36 @@ object SqlOps {
        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
        |  FROM documents
        |) WHERE rn <= 30""".stripMargin
+
+  /** Globally consecutive row ids WITHOUT a global sort — the
+    * technique that replaces `ROW_NUMBER() OVER (ORDER BY …)` (a
+    * single-partition window, the classic 100 TB deadend) with a
+    * two-phase decomposition: per-shard local ranks (parallel windows
+    * over 16 hash shards), per-shard counts (a 16-row table), prefix
+    * offsets over that tiny table, and one broadcast join adding
+    * offset + local rank. The oracle runs the single global window —
+    * proving the decomposition emits byte-identical ids. Total order
+    * is (shard, md5(text), doc_id): deterministic, engine-portable,
+    * no RNG. */
+  def globalRowNumber(d: Dialect): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${md5Bucket("text")} % 16 AS shard, md5(text) AS h
+       |  FROM documents
+       |),
+       |r AS (
+       |  SELECT doc_id, shard, h,
+       |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS lr
+       |  FROM sh
+       |),
+       |cnt AS (SELECT shard, COUNT(*) AS n FROM sh GROUP BY shard),
+       |osets AS (
+       |  SELECT shard,
+       |    SUM(n) OVER (ORDER BY shard
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off0
+       |  FROM cnt
+       |)
+       |SELECT r.doc_id, CAST(r.lr + COALESCE(o.off0, 0) AS BIGINT) AS global_id
+       |FROM r JOIN osets o ON r.shard = o.shard""".stripMargin
 
   /** Stratified sampling: exactly 50 docs per language, chosen by
     * content-hash order (deterministic, unbiased w.r.t. position).

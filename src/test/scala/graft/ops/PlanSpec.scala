@@ -229,6 +229,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("global row numbering plans sharded windows — the heavy side never single-partitions") {
+    // the whole point of the two-phase decomposition: the global
+    // window the ORACLE runs would be Exchange SinglePartition over
+    // every row; the engine side may single-partition only the 16-row
+    // shard-count table (the offset prefix sum)
+    val plan = planOf("q_global_rownum")
+    val sp = "SinglePartition".r.findAllIn(plan).length
+    assert(sp <= 1, s"row-cardinality data must not single-partition:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"expected the local-rank window sharded by hash:\n$plan")
+  }
+
   test("uniform range bands plan as a projection — no join, single scan") {
     // the round-4 verdict fix: floor(value/50) replaces the 10-interval
     // theta join that BroadcastNestedLoop'd every event row 10×
