@@ -630,6 +630,7 @@ object SparkEntry {
     // -- event-time analytics --
     "q_events_tumbling" -> sqlq(Seq("events"), SqlOps.eventsTumbling),
     "q_events_sessionize" -> sqlq(Seq("events"), SqlOps.eventsSessionize),
+    "q_events_twa" -> sqlq(Seq("events"), SqlOps.eventsTimeWeightedAvg),
     "q_value_outliers" -> sqlq(Seq("events"), SqlOps.valueOutliers),
     "q_range_join" -> sqlq(Seq("events"), SqlOps.rangeJoinBands),
     "q_range_join_irregular" -> sqlq(Seq("events"), SqlOps.rangeJoinIrregular),
@@ -1320,6 +1321,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_events_tumbling" -> SqlOps.eventsTumbling(DuckDialect),
     "q_events_sessionize" -> SqlOps.eventsSessionize(DuckDialect),
+    "q_events_twa" -> SqlOps.eventsTimeWeightedAvg(DuckDialect),
     "q_value_outliers" -> SqlOps.valueOutliers(DuckDialect),
     "q_range_join" -> SqlOps.rangeJoinBands(DuckDialect),
     "q_range_join_irregular" -> SqlOps.rangeJoinIrregular(DuckDialect),

@@ -2796,6 +2796,44 @@ object SqlOps {
        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
        |FROM e GROUP BY es - es % 300, event_type""".stripMargin
 
+  /** Time-weighted average of an irregular series — the telemetry
+    * integral (∫value·dt / ∫dt) a plain AVG gets wrong whenever
+    * sampling is uneven: each observation holds its value until the
+    * NEXT one (step interpolation), so it is weighted by its gap.
+    * One LEAD window per (user, day) shard + one aggregate — no
+    * self-join, same shuffle count as sessionize. Exactness: gaps in
+    * whole seconds (≤ 86 400) × µ-quantized values keeps every product
+    * and sum in int64 (≤ ~4.3e13 per term); the single final division
+    * runs on exact integers in both engines, and a day whose events
+    * all share one timestamp (zero total span) falls back to the
+    * plain mean, exactly. LEAD order is (t, event_id) — the repo's
+    * deterministic event order under timestamp ties. */
+  def eventsTimeWeightedAvg(d: Dialect): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id,
+       |    CAST(FLOOR(${d.epochSeconds("ts")} / 86400.0e0) AS BIGINT) AS day,
+       |    ${d.epochSeconds("ts")} AS t,
+       |    CAST(FLOOR(value * 1.0e6 + 5.0e-1) AS BIGINT) AS qv
+       |  FROM events
+       |),
+       |g AS (
+       |  SELECT user_id, day, qv, t,
+       |    LEAD(t) OVER (PARTITION BY user_id, day ORDER BY t, event_id) AS tn
+       |  FROM e
+       |),
+       |a AS (
+       |  SELECT user_id, day, COUNT(*) AS n_events,
+       |    CAST(SUM(CASE WHEN tn IS NULL THEN 0 ELSE qv * (tn - t) END) AS BIGINT) AS num,
+       |    CAST(SUM(CASE WHEN tn IS NULL THEN 0 ELSE tn - t END) AS BIGINT) AS den,
+       |    CAST(SUM(qv) AS BIGINT) AS sq
+       |  FROM g GROUP BY user_id, day
+       |)
+       |SELECT user_id, day, n_events,
+       |  CASE WHEN den = 0
+       |    THEN ${r6("CAST(sq AS DOUBLE) / n_events / 1.0e6")}
+       |    ELSE ${r6("CAST(num AS DOUBLE) / den / 1.0e6")} END AS twa
+       |FROM a""".stripMargin
+
   /** Sessionization: 30-minute inactivity gap via lag + running sum. */
   def eventsSessionize(d: Dialect): String =
     s"""WITH e AS (SELECT user_id, event_id, ${d.epochMicros("ts")} AS us FROM events),

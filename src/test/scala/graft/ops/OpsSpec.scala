@@ -235,6 +235,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("time-weighted average: step integral on crafted gaps, plain mean on zero span") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // user 1: 10.0 held 30 s, then 20.0 held 10 s, last event weightless
+    //   → (10·30 + 20·10) / 40 = 12.5 — NOT the plain mean (10.6̄)
+    // user 2: single observation → falls back to the value itself
+    // user 3: two events at the SAME second (zero span) → plain mean
+    val rows = Seq(
+      (1L, 1L, t(0), "view", 10.0), (1L, 2L, t(30), "view", 20.0),
+      (1L, 3L, t(40), "view", 0.0),
+      (2L, 4L, t(100), "view", 7.0),
+      (3L, 5L, t(200), "view", 1.0), (3L, 6L, t(200), "view", 3.0))
+    rows.toDF("user_id", "event_id", "ts", "event_type", "value")
+      .createOrReplaceTempView("events")
+    val got = spark.sql(SqlOps.eventsTimeWeightedAvg(SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("twa"))).toMap
+    assert(got === Map(1L -> 12.5, 2L -> 7.0, 3L -> 2.0))
+    spark.catalog.dropTempView("events")
+  }
+
   test("delta minhash candidates equal the full pair set restricted to new docs") {
     def pairSet(q: String) = run(q).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
