@@ -589,6 +589,9 @@ object SparkEntry {
     "q_text_unigram_lm" -> sqlStaged(Seq("documents"), SqlOps.textUnigramLm),
     "q_search_bm25" -> sqlStaged(Seq("documents"), SqlOps.searchBm25),
     "q_bpe_pairs" -> sqlStaged(Seq("documents"), SqlOps.bpePairs),
+    // the iterative BPE trainer: 3 staged merge rounds over the vocab
+    // (NOT prewarmed — the rounds ARE the query, like the k-core peel)
+    "q_bpe_merges" -> sqlStaged(Seq("documents"), SqlOps.bpeMerges),
     "q_text_langid" -> sqlq(Seq("documents"), SqlOps.textLangId),
     "q_text_langid_eval" -> sqlq(Seq("documents"), SqlOps.textLangIdEval),
     "q_text_quality" -> sqlq(Seq("documents"), SqlOps.textQuality),
@@ -1298,6 +1301,7 @@ object SparkEntry {
     "q_text_unigram_lm" -> SqlOps.textUnigramLm.single(DuckDialect),
     "q_search_bm25" -> SqlOps.searchBm25.single(DuckDialect),
     "q_bpe_pairs" -> SqlOps.bpePairs.single(DuckDialect),
+    "q_bpe_merges" -> SqlOps.bpeMerges.single(DuckDialect),
     "q_text_langid" -> SqlOps.textLangId(DuckDialect),
     "q_text_langid_eval" -> SqlOps.textLangIdEval(DuckDialect),
     "q_text_quality" -> SqlOps.textQuality(DuckDialect),

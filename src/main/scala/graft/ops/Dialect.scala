@@ -52,6 +52,11 @@ trait Dialect {
   def arrayLit(items: Seq[String]): String
   /** Count of regex matches (whole-match, group 0). */
   def reCount(x: String, rawRegex: String): String
+  /** regexp_replace over ALL matches with capture-group backrefs:
+    * `repl` uses `$1` syntax and is rendered per engine (Spark `$1`
+    * natively replaces all matches; DuckDB needs `\1` and the 'g'
+    * flag — without it only the FIRST match is replaced). */
+  def reReplaceAll(x: String, rawRegex: String, repl: String): String
   def bitXor(a: String, b: String): String
   /** Integer (floor) division — for the NONNEGATIVE operands the
     * callers use, where Spark `DIV` and DuckDB `//` agree. */
@@ -177,6 +182,8 @@ object SparkDialect extends Dialect {
     items.map(i => s"'${q(i)}'").mkString("array(", ", ", ")")
   def reCount(x: String, rawRegex: String): String =
     s"size(regexp_extract_all($x, ${relit(rawRegex)}, 0))"
+  def reReplaceAll(x: String, rawRegex: String, repl: String): String =
+    s"regexp_replace($x, ${relit(rawRegex)}, '${q(repl)}')"
   def bitXor(a: String, b: String): String = s"($a ^ $b)"
   def idiv(a: String, b: String): String = s"(($a) DIV ($b))"
   // bare sequence(lo, hi) with hi < lo defaults to step -1 and returns
@@ -301,6 +308,8 @@ object DuckDialect extends Dialect {
     items.map(i => s"'${q(i)}'").mkString("[", ", ", "]")
   def reCount(x: String, rawRegex: String): String =
     s"len(regexp_extract_all($x, ${relit(rawRegex)}, 0))"
+  def reReplaceAll(x: String, rawRegex: String, repl: String): String =
+    s"regexp_replace($x, ${relit(rawRegex)}, '${q(repl.replace("$", "\\"))}', 'g')"
   def bitXor(a: String, b: String): String = s"xor($a, $b)"
   def idiv(a: String, b: String): String = s"(($a) // ($b))"
   // expression-context generate_series returns a LIST, inclusive of hi

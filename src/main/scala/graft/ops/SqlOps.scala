@@ -1095,6 +1095,61 @@ object SqlOps {
          |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
     })
 
+  /** BPE merge TRAINING loop — 3 rounds of the byte-pair-encoding
+    * update rule over the corpus vocabulary, the genuinely iterative
+    * tokenizer-training op (q_bpe_pairs only counts; this MERGES and
+    * re-counts):
+    *   round r: count adjacent symbol pairs weighted by word
+    *   frequency → pick the (count DESC, pair ASC) winner → rewrite
+    *   every word's symbol sequence with the pair fused.
+    * Symbol sequences are space-joined strings (`" a b c "`), so the
+    * merge is a plain `replace(' a b ', ' ab ')` — both engines scan
+    * left-to-right non-overlapping and resume AFTER each replacement,
+    * which IS BPE's greedy merge order (`a a a` under merge (a,a) →
+    * `aa a`, never `a aa`); the oracle gate proves the two engines'
+    * scan semantics identical on every round. Each round is a staged
+    * artifact (the recurrence reads its predecessor twice — the
+    * staged-rounds rule for recurrences, see k-core), and every
+    * per-round table is vocabulary-cardinality, never corpus-
+    * cardinality — at 100 TB the corpus is touched once (the ulm_tf
+    * stage); the loop runs on the tiny aggregated vocab, which is
+    * exactly how production BPE trainers are structured. */
+  val bpeMerges: StagedOp = {
+    val rounds = 3
+    def topStage(d: Dialect, prev: String): String =
+      s"""WITH va AS (
+         |  SELECT w, c, ${d.filter(d.split("sym", " "), "x -> x <> ''")} AS arr
+         |  FROM $prev
+         |),
+         |wi AS (SELECT w, c, arr, ${d.seqArray("1", s"${d.size("arr")} - 1")} AS ii FROM va),
+         |pe AS (${d.explode("SELECT w, c, arr, ii FROM wi", "w, c, arr", "ii", "i")}),
+         |pr AS (SELECT ${d.elem("arr", "i")} AS a, ${d.elem("arr", "i + 1")} AS b, c FROM pe),
+         |pc AS (SELECT a, b, CAST(SUM(c) AS BIGINT) AS cnt FROM pr GROUP BY a, b)
+         |SELECT a, b, cnt FROM pc ORDER BY cnt DESC, a, b LIMIT 1""".stripMargin
+    def mergeStage(prev: String, top: String): String =
+      s"""SELECT p.w, p.c,
+         |  replace(p.sym, ' ' || t.a || ' ' || t.b || ' ', ' ' || t.a || t.b || ' ') AS sym
+         |FROM $prev p CROSS JOIN $top t""".stripMargin
+    val roundStages = (1 to rounds).flatMap { r =>
+      val prev = if (r == 1) "bpe_v0" else s"bpe_m${r - 1}"
+      Seq(
+        s"bpe_t$r" -> { (d: Dialect) => topStage(d, prev) },
+        s"bpe_m$r" -> { (_: Dialect) => mergeStage(prev, s"bpe_t$r") })
+    }
+    StagedOp(
+      stages = (textUnigramLm.stages :+
+        ("bpe_v0" -> { (d: Dialect) =>
+          s"""SELECT w, c,
+             |  concat(' ', ${d.reReplaceAll("w", "(.)", "$1 ")}) AS sym
+             |FROM (SELECT s AS w, CAST(SUM(tf) AS BIGINT) AS c FROM ulm_tf GROUP BY s)""".stripMargin
+        })) ++ roundStages,
+      body = { _ =>
+        (1 to rounds).map { r =>
+          s"SELECT $r AS round, a AS sym_a, b AS sym_b, cnt FROM bpe_t$r"
+        }.mkString("\nUNION ALL\n")
+      })
+  }
+
   /** Heavy-hitter bigrams via a Misra-Gries candidate gate: the
     * frequent-n-gram profile (boilerplate phrases, template markers) a
     * corpus pipeline tracks, computed at 100 TB shape — a mergeable

@@ -235,6 +235,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("BPE merge loop matches an independent Scala trainer on a crafted corpus") {
+    import spark.implicits._
+    val text = "hug hug hug hug hug pug pug bug bun hugs"
+    graft.functions.GraftFunctions.registerAll(spark)
+    Seq((0L, text)).toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.bpeMerges.single(SparkDialect)).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toList
+    // reference trainer, from first principles: greedy left-to-right
+    // non-overlapping fuse, winner by (count DESC, pair ASC)
+    def fuse(s: List[String], a: String, b: String): List[String] = s match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: fuse(rest, a, b)
+      case x :: rest => x :: fuse(rest, a, b)
+      case Nil => Nil
+    }
+    var vocab: Map[List[String], Long] = text.split(" ").toSeq
+      .groupBy(identity).map { case (w, ws) => w.map(_.toString).toList -> ws.size.toLong }
+    val expected = (1 to 3).map { r =>
+      val counts = vocab.toSeq
+        .flatMap { case (syms, c) => syms.sliding(2).collect { case List(a, b) => ((a, b), c) } }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      val ((a, b), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      vocab = vocab.toSeq.map { case (syms, c) => (fuse(syms, a, b), c) }
+        .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+      (r, a, b, cnt)
+    }.toList
+    assert(got === expected)
+    spark.catalog.dropTempView("documents")
+  }
+
   test("time-weighted average: step integral on crafted gaps, plain mean on zero span") {
     import spark.implicits._
     import java.sql.Timestamp
