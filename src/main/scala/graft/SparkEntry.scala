@@ -221,6 +221,11 @@ object SparkEntry {
       Seq("documents")  -> SqlOps.pagerankStep, // one step; the loop stays timed
       Seq("documents")  -> SqlOps.bfsLevels,
       Seq("documents")  -> SqlOps.qualityAdaptiveFilter, // qa_m
+      // the BPE training rounds are SHARED by q_bpe_merges (reads the
+      // per-round winners) and q_bpe_encode (applies them): two
+      // consumers → staged+prewarmed, else whichever runs first in
+      // bench order gets billed for the build (the two-consumer rule)
+      Seq("documents")  -> SqlOps.bpeMerges,
 
       Seq("embeddings") -> SqlOps.annIvf, // builds emb_nv + ivf_nvc (kmeansStep shares them)
       Seq("embeddings") -> SqlOps.annIvfProbe2, // adds ivf_cent
@@ -590,8 +595,9 @@ object SparkEntry {
     "q_search_bm25" -> sqlStaged(Seq("documents"), SqlOps.searchBm25),
     "q_bpe_pairs" -> sqlStaged(Seq("documents"), SqlOps.bpePairs),
     // the iterative BPE trainer: 3 staged merge rounds over the vocab
-    // (NOT prewarmed — the rounds ARE the query, like the k-core peel)
+    // (prewarmed — the rounds feed TWO consumers, merges + encode)
     "q_bpe_merges" -> sqlStaged(Seq("documents"), SqlOps.bpeMerges),
+    "q_bpe_encode" -> sqlStaged(Seq("documents"), SqlOps.bpeEncode),
     "q_text_langid" -> sqlq(Seq("documents"), SqlOps.textLangId),
     "q_text_langid_eval" -> sqlq(Seq("documents"), SqlOps.textLangIdEval),
     "q_text_quality" -> sqlq(Seq("documents"), SqlOps.textQuality),
@@ -1302,6 +1308,7 @@ object SparkEntry {
     "q_search_bm25" -> SqlOps.searchBm25.single(DuckDialect),
     "q_bpe_pairs" -> SqlOps.bpePairs.single(DuckDialect),
     "q_bpe_merges" -> SqlOps.bpeMerges.single(DuckDialect),
+    "q_bpe_encode" -> SqlOps.bpeEncode.single(DuckDialect),
     "q_text_langid" -> SqlOps.textLangId(DuckDialect),
     "q_text_langid_eval" -> SqlOps.textLangIdEval(DuckDialect),
     "q_text_quality" -> SqlOps.textQuality(DuckDialect),

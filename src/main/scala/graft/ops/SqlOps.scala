@@ -1150,6 +1150,39 @@ object SqlOps {
       })
   }
 
+  /** BPE ENCODE — the read path of [[bpeMerges]]: apply the 3 learned
+    * merges, in learned priority order, to every (doc, token) row and
+    * report per-doc token vs subtoken counts (the compression the
+    * tokenizer achieves — the number a data pipeline actually tracks
+    * per document for budget/packing). Encoding is the same chained
+    * `replace` scan as training, so train and encode cannot drift;
+    * the merge table is a 1-row broadcast (3 pairs), and the whole op
+    * is one narrow projection + one doc-keyed aggregate over the
+    * staged term-frequency index — each DISTINCT (doc, token) is
+    * encoded once and weighted by tf. */
+  val bpeEncode: StagedOp = StagedOp(
+    stages = bpeMerges.stages,
+    body = { d =>
+      def fused(inner: String, a: String, b: String): String =
+        s"replace($inner, ' ' || $a || ' ' || $b || ' ', ' ' || $a || $b || ' ')"
+      val sym0 = s"concat(' ', ${d.reReplaceAll("s", "(.)", "$1 ")})"
+      val sym3 = fused(fused(fused(sym0, "m.a1", "m.b1"), "m.a2", "m.b2"), "m.a3", "m.b3")
+      s"""WITH m AS (
+         |  SELECT t1.a AS a1, t1.b AS b1, t2.a AS a2, t2.b AS b2,
+         |         t3.a AS a3, t3.b AS b3
+         |  FROM bpe_t1 t1 CROSS JOIN bpe_t2 t2 CROSS JOIN bpe_t3 t3
+         |),
+         |enc AS (
+         |  SELECT doc_id, tf,
+         |    ${d.size(d.filter(d.split(sym3, " "), "x -> x <> ''"))} AS n_syms
+         |  FROM ulm_tf CROSS JOIN m
+         |)
+         |SELECT doc_id,
+         |  CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(tf * n_syms) AS BIGINT) AS n_subtokens
+         |FROM enc GROUP BY doc_id""".stripMargin
+    })
+
   /** Heavy-hitter bigrams via a Misra-Gries candidate gate: the
     * frequent-n-gram profile (boilerplate phrases, template markers) a
     * corpus pipeline tracks, computed at 100 TB shape — a mergeable
