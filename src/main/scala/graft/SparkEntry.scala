@@ -404,6 +404,7 @@ object SparkEntry {
     // k-anonymity privacy audit over the (nation, segment)
     // quasi-identifier (k=5; flagged groups are the worklist)
     "q_k_anonymity" -> sqlq(Seq("customer"), SqlOps.kAnonymity),
+    "q_l_diversity" -> sqlq(Seq("customer"), SqlOps.lDiversity),
     // first→last shipment span per order, rolled up by priority
     "q_order_cycle_time" -> sqlq(Seq("lineitem", "orders"), SqlOps.orderCycleTime),
     // TPC-H Q20 shape: suppliers shipping >1.5× a part family's
@@ -1171,6 +1172,7 @@ object SparkEntry {
     "q_ab_test" -> SqlOps.abTest(DuckDialect),
     "q_lateral_latest" -> SqlOps.lateralLatest(DuckDialect),
     "q_k_anonymity" -> SqlOps.kAnonymity(DuckDialect),
+    "q_l_diversity" -> SqlOps.lDiversity(DuckDialect),
     "q_order_cycle_time" -> SqlOps.orderCycleTime(DuckDialect),
     "q_excess_suppliers" -> SqlOps.excessSuppliers(DuckDialect),
     "q_winsorize" -> SqlOps.winsorize(DuckDialect),

@@ -3665,6 +3665,29 @@ object SqlOps {
        |FROM customer
        |GROUP BY c_nationkey, c_mktsegment""".stripMargin
 
+  /** l-diversity audit — [[kAnonymity]]'s stronger sibling: a
+    * quasi-identifier group can be large (k-anonymous) yet still leak
+    * if everyone in it shares one sensitive value, so each (nation,
+    * segment) cell must also contain at least l = 3 DISTINCT sensitive
+    * values (here the account-balance sign bucket: negative / low /
+    * high — a bounded categorical derived with exact integer
+    * thresholds). Same shape and cost as the k-anonymity gate: one
+    * groupBy at quasi-identifier cardinality with a distinct-count,
+    * release decision = SUM(below_l) = 0. */
+  def lDiversity(d: Dialect): String =
+    s"""WITH s AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CASE WHEN c_acctbal < 0 THEN 'neg'
+       |         WHEN c_acctbal < 5000 THEN 'low'
+       |         ELSE 'high' END AS bal_class
+       |  FROM customer
+       |)
+       |SELECT c_nationkey, c_mktsegment,
+       |  COUNT(*) AS group_size,
+       |  COUNT(DISTINCT bal_class) AS n_sensitive,
+       |  CASE WHEN COUNT(DISTINCT bal_class) < 3 THEN 1 ELSE 0 END AS below_l
+       |FROM s GROUP BY c_nationkey, c_mktsegment""".stripMargin
+
   /** Correlated LATERAL top-1 join: each customer's single most
     * expensive order via a per-row dependent subquery — the form an
     * analyst writes when the "top-k per group" intent is one row per

@@ -235,6 +235,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("global row numbering emits exactly the consecutive ids 1..N") {
+    val ids = run("q_global_rownum").collect().map(_.getAs[Long]("global_id")).sorted
+    assert(ids.toList === (1L to ids.length).toList)
+  }
+
+  test("per-source cap keeps at most 30 docs per source, ranks consecutive") {
+    val rows = run("q_cap_per_source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("rn")))
+    rows.groupBy(_._1).foreach { case (src, xs) =>
+      val rns = xs.map(_._2).sorted.toList
+      assert(rns.length <= 30 && rns === (1 to rns.length).toList,
+        s"source $src has ranks $rns")
+    }
+  }
+
   test("BPE merge loop matches an independent Scala trainer on a crafted corpus") {
     import spark.implicits._
     val text = "hug hug hug hug hug pug pug bug bun hugs"
