@@ -17,7 +17,10 @@ object Bench {
     "q_pagerank_loop", "q_text_tfidf", "q_heavy_hitters", "q_corpus_filter",
     "q_contamination_bloom", "q_events_sessionize", "q_pack_sequences",
     "q_sample_weighted", "q_pareto_customers", "q_profile_orders",
-    "q_hll_merge", "q_fuzzy_join", "q_waiting_orders")
+    "q_hll_merge", "q_fuzzy_join", "q_waiting_orders",
+    // round-5 flagships
+    "q_ann_ivfpq", "q_dedup_cluster_delta", "q_bpe_merges",
+    "q_global_rownum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -464,6 +464,36 @@ object StreamingOps {
       .select(col("doc_id"), col("content_hash"), col("lang_guess"), col("quality"))
   }
 
+  case class QuotaDoc(doc_id: Long, source: String)
+  case class QuotaAdmit(source: String, doc_id: Long)
+
+  /** Streaming per-source admission quota — the ingestion-side twin of
+    * the batch `q_cap_per_source` gate: admit at most `quota` docs per
+    * source, then reject. State per source is the ADMITTED ID SET, not
+    * a counter — bounded at O(quota) ids, and the membership check
+    * makes at-least-once redelivery idempotent (a replayed admitted
+    * doc neither double-counts nor re-emits; a replayed rejected doc
+    * is re-rejected). Within a micro-batch docs are processed in
+    * doc_id order, the only deterministic choice available to a
+    * stream (the batch gate's hash-priority ranking needs the full
+    * corpus); across batches admission is first-arrival — so the
+    * parity reference is a sequential per-batch replay, asserted in
+    * StreamingSpec. */
+  def sourceQuotaGate(docs: Dataset[QuotaDoc], quota: Int): Dataset[QuotaAdmit] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[QuotaDoc], state: GroupState[Seq[Long]]) =>
+          val admitted = state.getOption.getOrElse(Seq.empty[Long])
+          val have = admitted.toSet
+          val fresh = it.map(_.doc_id).toSeq.distinct.sorted
+            .filterNot(have)
+            .take(math.max(0, quota - admitted.size))
+          if (fresh.nonEmpty) state.update(admitted ++ fresh)
+          fresh.iterator.map(QuotaAdmit(src, _))
+      }
+  }
+
   case class BandRow(doc_id: Long, ts: java.sql.Timestamp, band: Int, bkey: String)
   case class BandState(ids: List[Long], maxUs: Long = 0L)
   case class CandPair(doc_a: Long, doc_b: Long, band: Int)

@@ -214,6 +214,28 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set(("a", 1L), ("b", 99L), ("c", 3L)))
   }
 
+  test("source quota gate admits at most N per source, idempotent under replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{QuotaDoc, QuotaAdmit}
+    val in = MemoryStream[QuotaDoc]
+    val q = StreamingOps.sourceQuotaGate(in.toDS(), quota = 3)
+      .writeStream.outputMode("update").format("memory").queryName("quota").start()
+    // batch 1: source A over quota in one batch (doc_id order decides)
+    in.addData(QuotaDoc(5, "A"), QuotaDoc(1, "A"), QuotaDoc(9, "A"), QuotaDoc(7, "A"))
+    q.processAllAvailable()
+    // batch 2: A is full (2 rejected), 5 is a REPLAY (no re-emit),
+    // B starts fresh
+    in.addData(QuotaDoc(2, "A"), QuotaDoc(5, "A"), QuotaDoc(4, "B"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("quota").as[QuotaAdmit].collect()
+      .map(a => (a.source, a.doc_id)).toSet
+    // sequential per-batch replay: batch 1 admits A's 3 smallest ids;
+    // batch 2 admits only B's doc
+    assert(got === Set(("A", 1L), ("A", 5L), ("A", 7L), ("B", 4L)))
+  }
+
   test("streaming cluster maintenance equals batch CC, including replayed edges") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
