@@ -651,6 +651,8 @@ object SparkEntry {
     // maintenance surface around the analytic core
     "q_events_hopping" -> sqlq(Seq("events"), SqlOps.eventsHopping),
     "q_intervals_coverage" -> sqlq(Seq("events"), SqlOps.intervalCoverage),
+    "q_interval_overlap" -> sqlq(Seq("events"), SqlOps.intervalOverlapJoin),
+    "q_changepoint" -> sqlq(Seq("orders"), SqlOps.changepointRevenue),
     "q_cdc_apply" -> sqlq(Seq("orders"), SqlOps.cdcApply),
     "q_snapshot_diff" -> sqlq(Seq("documents"), SqlOps.snapshotDiff),
     "q_merkle_ranges" -> sqlq(Seq("documents"), SqlOps.merkleRanges),
@@ -1342,6 +1344,8 @@ object SparkEntry {
     "q_orders_retention" -> SqlOps.ordersRetention(DuckDialect),
     "q_events_hopping" -> SqlOps.eventsHopping(DuckDialect),
     "q_intervals_coverage" -> SqlOps.intervalCoverage(DuckDialect),
+    "q_interval_overlap" -> SqlOps.intervalOverlapJoin(DuckDialect),
+    "q_changepoint" -> SqlOps.changepointRevenue(DuckDialect),
     "q_cdc_apply" -> SqlOps.cdcApply(DuckDialect),
     "q_snapshot_diff" -> SqlOps.snapshotDiff(DuckDialect),
     "q_merkle_ranges" -> SqlOps.merkleRanges(DuckDialect),

@@ -3021,6 +3021,73 @@ object SqlOps {
        |  COUNT(*) AS n_intervals
        |FROM g GROUP BY user_id""".stripMargin
 
+  /** Interval-OVERLAP join (two interval SETS, not point-in-interval
+    * like the range join): per-day user activity spans joined against
+    * per-day event-type spans, keeping overlapping pairs with their
+    * exact overlap length. The scale shape is the equi-join on the
+    * BUCKET key (day) with the overlap inequality applied after — a
+    * hash join whose fan-out is bounded by per-bucket cardinality,
+    * never a nested loop over the cross product; at finer granularity
+    * the same plan uses multiple covering buckets per interval +
+    * DISTINCT. Both span tables are aggregate-cardinality (users×days,
+    * types×days) from one map-side-combined pass each; all arithmetic
+    * is epoch-second int64. */
+  def intervalOverlapJoin(d: Dialect): String = {
+    val day = s"CAST(FLOOR(${d.epochSeconds("ts")} / 86400.0e0) AS BIGINT)"
+    s"""WITH ua AS (
+       |  SELECT user_id, $day AS day,
+       |    MIN(${d.epochSeconds("ts")}) AS us, MAX(${d.epochSeconds("ts")}) AS ue
+       |  FROM events GROUP BY user_id, $day
+       |),
+       |ta AS (
+       |  SELECT event_type, $day AS day,
+       |    MIN(${d.epochSeconds("ts")}) AS ts_s, MAX(${d.epochSeconds("ts")}) AS ts_e
+       |  FROM events GROUP BY event_type, $day
+       |)
+       |SELECT u.user_id, t.event_type, u.day,
+       |  CAST(LEAST(u.ue, t.ts_e) - GREATEST(u.us, t.ts_s) AS BIGINT) AS overlap_seconds
+       |FROM ua u JOIN ta t
+       |  ON u.day = t.day AND u.us <= t.ts_e AND t.ts_s <= u.ue
+       |WHERE u.user_id % 20 = 0""".stripMargin
+  }
+
+  /** Changepoint detection by single binary segmentation over the
+    * daily revenue series: for every candidate split day, score the
+    * separation of left vs right segment means; report the argmax
+    * split. Scored on the day-cardinality aggregate (the corpus is
+    * touched once for the daily rollup), with running-sum windows
+    * providing every candidate's left/right sums in one pass — no
+    * per-candidate rescan. The score is the pooled-variance-free
+    * |meanL − meanR| · sqrt(harmonic n) form (sufficient for argmax);
+    * computed in doubles from exact integer cents, rounded to 6dp
+    * BEFORE ranking and id-tiebroken, so both engines pick the same
+    * day. */
+  def changepointRevenue(d: Dialect): String = {
+    val day = s"CAST(FLOOR(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} / 86400.0e0) AS BIGINT)"
+    s"""WITH daily AS (
+       |  SELECT $day AS day,
+       |    CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY $day
+       |),
+       |w AS (
+       |  SELECT day, cents,
+       |    CAST(SUM(cents) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS lsum,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS ln,
+       |    CAST(SUM(cents) OVER () AS BIGINT) AS tsum,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS tn
+       |  FROM daily
+       |),
+       |scored AS (
+       |  SELECT day,
+       |    ${r6("""ABS(CAST(lsum AS DOUBLE) / ln - CAST(tsum - lsum AS DOUBLE) / (tn - ln))
+       |      * sqrt(CAST(ln AS DOUBLE) * (tn - ln) / tn) / 1.0e2""")} AS score
+       |  FROM w WHERE ln < tn
+       |)
+       |SELECT day AS split_day, score FROM scored
+       |ORDER BY score DESC, day LIMIT 1""".stripMargin
+  }
+
   /** User growth curve: first-seen day per user → daily new users →
     * running cumulative — the cumulative-distinct-over-time query,
     * computed without any distinct-over-window: one shuffle on user_id
