@@ -19,7 +19,7 @@ object Bench {
     "q_sample_weighted", "q_pareto_customers", "q_profile_orders",
     "q_hll_merge", "q_fuzzy_join", "q_waiting_orders",
     // round-5 flagships
-    "q_ann_ivfpq", "q_dedup_cluster_delta", "q_bpe_merges",
+    "q_ann_ivfpq", "q_dedup_cluster_delta", "q_bpe_encode",
     "q_global_rownum")
 
   def main(args: Array[String]): Unit = {
@@ -51,9 +51,14 @@ object Bench {
                 catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    // ALL number formatting is Locale.ROOT: the scala f interpolator
+    // uses the default locale, and a de_DE-style JVM would render
+    // "1,234" — invalid JSON in the exact line the driver must parse
+    def num(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     def qmap(rs: Seq[(String, Double, Option[String])]): String =
       rs.map { case (k, v, err) =>
-        "\"" + k + "\":" + (if (err.isDefined) "-1" else f"$v%.3f")
+        "\"" + k + "\":" + (if (err.isDefined) "-1" else num("%.3f", v))
       }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
@@ -64,9 +69,12 @@ object Bench {
     // record the 1-minute load average (taken AFTER the run, so it
     // reflects this JVM's own pressure plus whatever else ran) and the
     // worker count, so a loaded run is identifiable from the artifact
+    // getSystemLoadAverage is -1.0 where unsupported — emit null, not a
+    // legitimate-looking negative load
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val cond = f""""load_avg_1m":$loadAvg%.2f,"cpus":$cpus"""
+    val loadJson = if (loadAvg < 0) "null" else num("%.2f", loadAvg)
+    val cond = s""""load_avg_1m":$loadJson,"cpus":$cpus"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)},"errors":$errs,"prewarm_failed":$prewarm,$cond,"sf":"$sfDir"}"""
     // full per-query map: first as a log line (for a reader of the whole

@@ -102,11 +102,12 @@ object SparkEntry {
   /** "Today's ingest" slice for the incremental-CC demo: ~1/16 of the
     * corpus plays the new-arrivals batch; everything else is the base
     * corpus whose cluster map ([[clustersBaseStaged]]) already exists.
-    * One predicate, shared by the base-map build (which must EXCLUDE
-    * every edge touching a new doc) and the delta query (which takes
-    * exactly those edges), so the two slices cannot drift. */
+    * The constants are single-sourced in [[SqlOps]] (shared with the
+    * delta candidate probe and its equivalence test), so the base-map
+    * build (which must EXCLUDE every edge touching a new doc) and the
+    * delta path cannot drift. */
   private def isNewDoc(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    c % 16 === 3
+    c % SqlOps.NewDocMod === SqlOps.NewDocRem
 
   /** Yesterday's cluster map: CC over only the base-corpus candidate
     * pairs, staged once per JVM. This is the precomputed artifact the

@@ -57,6 +57,12 @@ trait Dialect {
     * natively replaces all matches; DuckDB needs `\1` and the 'g'
     * flag — without it only the FIRST match is replaced). */
   def reReplaceAll(x: String, rawRegex: String, repl: String): String
+  /** ORDER-DETERMINISTIC string aggregation: join `value` rows by
+    * `sep` in ascending `order` order. DuckDB has ordered string_agg
+    * natively; Spark collects (order, value) structs and sorts the
+    * array (collect_list order is partition-dependent — never join
+    * unsorted). */
+  def stringAggOrdered(value: String, order: String, sep: String): String
   def bitXor(a: String, b: String): String
   /** Integer (floor) division — for the NONNEGATIVE operands the
     * callers use, where Spark `DIV` and DuckDB `//` agree. */
@@ -184,6 +190,9 @@ object SparkDialect extends Dialect {
     s"size(regexp_extract_all($x, ${relit(rawRegex)}, 0))"
   def reReplaceAll(x: String, rawRegex: String, repl: String): String =
     s"regexp_replace($x, ${relit(rawRegex)}, '${q(repl)}')"
+  def stringAggOrdered(value: String, order: String, sep: String): String =
+    s"concat_ws('${q(sep)}', transform(array_sort(" +
+      s"collect_list(struct($order AS o, $value AS v))), s -> s.v))"
   def bitXor(a: String, b: String): String = s"($a ^ $b)"
   def idiv(a: String, b: String): String = s"(($a) DIV ($b))"
   // bare sequence(lo, hi) with hi < lo defaults to step -1 and returns
@@ -310,6 +319,8 @@ object DuckDialect extends Dialect {
     s"len(regexp_extract_all($x, ${relit(rawRegex)}, 0))"
   def reReplaceAll(x: String, rawRegex: String, repl: String): String =
     s"regexp_replace($x, ${relit(rawRegex)}, '${q(repl.replace("$", "\\"))}', 'g')"
+  def stringAggOrdered(value: String, order: String, sep: String): String =
+    s"string_agg($value, '${q(sep)}' ORDER BY $order)"
   def bitXor(a: String, b: String): String = s"xor($a, $b)"
   def idiv(a: String, b: String): String = s"(($a) // ($b))"
   // expression-context generate_series returns a LIST, inclusive of hi

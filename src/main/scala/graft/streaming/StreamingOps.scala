@@ -635,6 +635,37 @@ object StreamingOps {
     * twice (re-scrape within one day), and [[graft.etl.Load.merge]]
     * requires unique staging keys to reproduce the reference's
     * sequential ON CONFLICT last-writer-wins semantics. */
+  /** Crash-recoverable atomic republish of a parquet target dir — the
+    * ONE copy of the swap protocol every foreachBatch sink that
+    * maintains a read-modify-write target ([[upsertEachBatch]],
+    * [[clusterMaintenance]]) goes through:
+    *  - recovery first: target missing with `.old` present means a
+    *    previous batch died between its two moves — restore `.old`;
+    *  - `build` receives the CURRENT target contents (None on first
+    *    publish) and returns the replacement;
+    *  - the replacement lands in `.tmp`, then target → `.old` →
+    *    `.tmp` → target via ATOMIC_MOVEs (which THROW instead of
+    *    silently degrading, e.g. across filesystems — failing the
+    *    batch so the checkpoint cannot advance past a lost target). */
+  private def publishParquet(spark: SparkSession, targetDir: String)
+                            (build: Option[DataFrame] => DataFrame): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val target = Paths.get(targetDir)
+    val old = Paths.get(targetDir + ".old")
+    if (!Files.exists(target) && Files.exists(old))
+      Files.move(old, target, StandardCopyOption.ATOMIC_MOVE)
+    val current =
+      if (Files.exists(target)) Some(spark.read.parquet(targetDir)) else None
+    val merged = build(current)
+    val tmp = targetDir + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    if (Files.exists(target))
+      Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+  }
+
   def upsertEachBatch(spark: SparkSession, stream: DataFrame, key: String,
                       targetDir: String, checkpointDir: String,
                       orderCol: Option[String] = None) = {
@@ -642,13 +673,6 @@ object StreamingOps {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import java.nio.file.{Files, Paths, StandardCopyOption}
-        val target = Paths.get(targetDir)
-        val old = Paths.get(targetDir + ".old")
-        // crash recovery: a previous batch moved target -> .old and died
-        // before publishing its replacement
-        if (!Files.exists(target) && Files.exists(old))
-          Files.move(old, target, StandardCopyOption.ATOMIC_MOVE)
         // keep-last within the batch = the reference's sequential upsert.
         // Callers needing reference-faithful last-writer-wins MUST pass
         // orderCol: without one, monotonically_increasing_id encodes
@@ -683,20 +707,10 @@ object StreamingOps {
         // can't hold one), so the first-batch branch filters them too
         // — otherwise the target's content would depend on which batch
         // a null-key row happened to arrive in
-        val merged =
-          if (Files.exists(target)) graft.etl.Load.merge(spark.read.parquet(targetDir), deduped, key)
-          else deduped.filter(col(key).isNotNull)
-        val tmp = targetDir + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        // checked swap; ATOMIC_MOVE throws instead of silently failing
-        // (e.g. cross-filesystem), failing the batch so the checkpoint
-        // does not advance past a lost target
-        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
-        if (Files.exists(target))
-          Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
-        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
-        ()
+        publishParquet(spark, targetDir) {
+          case Some(current) => graft.etl.Load.merge(current, deduped, key)
+          case None => deduped.filter(col(key).isNotNull)
+        }
       }
   }
 
@@ -721,24 +735,11 @@ object StreamingOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import java.nio.file.{Files, Paths, StandardCopyOption}
-        val target = Paths.get(targetDir)
-        val old = Paths.get(targetDir + ".old")
-        if (!Files.exists(target) && Files.exists(old))
-          Files.move(old, target, StandardCopyOption.ATOMIC_MOVE)
         val b = batch.select(col("a"), col("b"))
-        val merged =
-          if (Files.exists(target))
-            graft.ops.Cluster.incrementalUpdate(spark.read.parquet(targetDir), b)
-          else graft.ops.Cluster.connectedComponents(b)
-        val tmp = targetDir + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
-        if (Files.exists(target))
-          Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
-        org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
-        ()
+        publishParquet(spark, targetDir) {
+          case Some(current) => graft.ops.Cluster.incrementalUpdate(current, b)
+          case None => graft.ops.Cluster.connectedComponents(b)
+        }
       }
   }
 }

@@ -252,7 +252,12 @@ class OpsSpec extends SparkSpec {
 
   test("BPE merge loop matches an independent Scala trainer on a crafted corpus") {
     import spark.implicits._
-    val text = "hug hug hug hug hug pug pug bug bun hugs"
+    // back-to-back pair occurrences included on purpose: "banana"
+    // (a,n twice with a shared letter between) and "aaaa" (a run of
+    // identical symbols) are exactly the shapes a naive string-replace
+    // fuse gets wrong — the reference trainer is the ground truth
+    val text = "hug hug hug hug hug pug pug bug bun hugs " +
+      "banana banana banana nan aaaa aaaa aaaa aaaa"
     graft.functions.GraftFunctions.registerAll(spark)
     Seq((0L, text)).toDF("doc_id", "text").createOrReplaceTempView("documents")
     val got = spark.sql(SqlOps.bpeMerges.single(SparkDialect)).collect()
@@ -306,7 +311,7 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     val full = pairSet("q_dedup_minhash")
     val delta = pairSet("q_dedup_minhash_delta")
-    def isNew(x: Long) = x % 16 == 3
+    def isNew(x: Long) = x % SqlOps.NewDocMod == SqlOps.NewDocRem
     assert(delta === full.filter { case (a, b) => isNew(a) || isNew(b) },
       "probing the band index with only new signatures must recover " +
         "exactly the full candidate pairs that touch a new doc")
