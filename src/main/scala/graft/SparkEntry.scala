@@ -664,6 +664,8 @@ object SparkEntry {
     "q_user_growth" -> sqlq(Seq("events"), SqlOps.userGrowth),
     "q_zipf_fit" -> sqlStaged(Seq("documents"), SqlOps.zipfFit),
     "q_text_bigram_lm" -> sqlStaged(Seq("documents"), SqlOps.textBigramLm),
+    "q_bigram_pmi" -> sqlStaged(Seq("documents"), SqlOps.bigramPmi),
+    "q_join_size_audit" -> sqlq(Seq("orders", "lineitem"), SqlOps.joinSizeAudit),
     "q_pareto_customers" -> sqlStaged(Seq("orders"), SqlOps.paretoCustomers),
     "q_text_readability" -> sqlq(Seq("documents"), SqlOps.textReadability),
     // merge-of-partials vs a direct-aggregation oracle: the equality
@@ -1364,6 +1366,8 @@ object SparkEntry {
         |FROM events GROUP BY CAST(FLOOR(epoch(ts) / 604800.0) AS BIGINT)""".stripMargin,
     "q_zipf_fit" -> SqlOps.zipfFit.single(DuckDialect),
     "q_text_bigram_lm" -> SqlOps.textBigramLm.single(DuckDialect),
+    "q_bigram_pmi" -> SqlOps.bigramPmi.single(DuckDialect),
+    "q_join_size_audit" -> SqlOps.joinSizeAudit(DuckDialect),
     "q_pareto_customers" -> SqlOps.paretoCustomers.single(DuckDialect),
     "q_text_readability" -> SqlOps.textReadability(DuckDialect),
     // deliberately NOT the merge rendering: the direct aggregate over

@@ -1027,6 +1027,56 @@ object SqlOps {
          |FROM j GROUP BY doc_id""".stripMargin
     })
 
+  /** Bigram PMI (pointwise mutual information) — the collocation
+    * detector that separates genuine phrases from chance co-occurrence
+    * (high c12 relative to c1·c2): the corpus diagnostic behind
+    * phrase-aware tokenization and stop-phrase lists. Reuses the
+    * staged unigram + bigram term-frequency indexes; following the
+    * bigram-LM precedent, the score is the floor-log2 surrogate
+    * (length(bin(x)) per factor — exact integer ops, engine-identical;
+    * real log2 differs across engines' libm). c12 ≥ 5 prunes noise
+    * pairs, ties break lexicographically. */
+  val bigramPmi: StagedOp = StagedOp(
+    stages = textBigramLm.stages,
+    body = { d =>
+      s"""WITH bg AS (SELECT s, CAST(SUM(tf) AS BIGINT) AS c12 FROM blm_tf GROUP BY s),
+         |u AS (SELECT s AS w, CAST(SUM(tf) AS BIGINT) AS c FROM ulm_tf GROUP BY s),
+         |n1 AS (SELECT CAST(SUM(tf) AS BIGINT) AS nu FROM ulm_tf),
+         |sp AS (
+         |  SELECT s, c12,
+         |    ${d.elem(d.split("s", " "), "1")} AS w1,
+         |    ${d.elem(d.split("s", " "), "2")} AS w2
+         |  FROM bg WHERE c12 >= 5
+         |)
+         |SELECT bigram, c12, pmi_bits FROM (
+         |  SELECT sp.s AS bigram, sp.c12,
+         |    (length(bin(sp.c12)) + length(bin(n1.nu)))
+         |      - (length(bin(u1.c)) + length(bin(u2.c))) AS pmi_bits
+         |  FROM sp
+         |  JOIN u u1 ON sp.w1 = u1.w
+         |  JOIN u u2 ON sp.w2 = u2.w
+         |  CROSS JOIN n1
+         |)
+         |ORDER BY pmi_bits DESC, bigram LIMIT 20""".stripMargin
+    })
+
+  /** Join-size audit: predict |A ⋈ B| from per-key count histograms
+    * BEFORE running the join — Σ_k cntA(k)·cntB(k), the exact identity
+    * a planner's cardinality estimator approximates (and the skew
+    * diagnostic that finds the hot key whose product term dominates).
+    * Histograms are one map-side-combined groupBy per side at key
+    * cardinality; the audit query also runs the real join and asserts
+    * the identity in-row, so the oracle gate proves the estimator
+    * formula itself. */
+  def joinSizeAudit(d: Dialect): String =
+    s"""WITH ha AS (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY o_orderkey),
+       |hb AS (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY l_orderkey),
+       |est AS (SELECT CAST(SUM(ca * cb) AS BIGINT) AS est_rows FROM ha JOIN hb ON ha.k = hb.k),
+       |act AS (SELECT COUNT(*) AS actual_rows
+       |        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+       |SELECT est_rows, actual_rows, est_rows = actual_rows AS exact_match
+       |FROM est CROSS JOIN act""".stripMargin
+
   /** BM25 ranked retrieval over the corpus for a fixed 3-term query —
     * the text-search operator (Robertson/Spärck Jones probabilistic
     * weighting, the Lucene default) a corpus pipeline uses to pull
