@@ -127,6 +127,22 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Cleaned-corpus manifest from a cluster map: one representative
+    * per duplicate cluster (its minimum id) plus every unclustered
+    * doc. Shared by the full-rebuild and incremental survivor queries
+    * so the release rule cannot drift between them. The `documents`
+    * view is (re-)registered here, not only inside the stage-build
+    * cache-miss path: with a warm per-JVM stage cache a fresh
+    * SparkSession would otherwise have no view for the corpus CTE. */
+  private def survivorsFrom(clusters: DataFrame, s: SparkSession, d: String): DataFrame = {
+    graft.Tables(s, d, "documents").createOrReplaceTempView("documents")
+    val corpus = s.sql(
+      s"WITH ${SqlOps.corpusCte(SparkDialect)} SELECT doc_id FROM corpus")
+    corpus.join(clusters, Seq("doc_id"), "left_outer")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"))
+  }
+
   private def mergeMain(t: DataFrame): DataFrame =
     t.filter(col("ingest_order") % 2 === 0)
 
@@ -483,17 +499,15 @@ object SparkEntry {
     // duplicate cluster (its minimum id) plus every unclustered doc;
     // the corpus definition is single-sourced from SqlOps.corpusCte
     // (the same corpus the minhash pairs are built over)
-    "q_dedup_survivors" -> ((s, d) => {
-      val clusters = clustersStaged(s, d)
-      // registered here, not only inside clustersStaged's cache-miss
-      // path: with a warm per-JVM stage cache a fresh SparkSession
-      // would otherwise have no `documents` view for the corpus CTE
-      graft.Tables(s, d, "documents").createOrReplaceTempView("documents")
-      val corpus = s.sql(
-        s"WITH ${SqlOps.corpusCte(SparkDialect)} SELECT doc_id FROM corpus")
-      corpus.join(clusters, Seq("doc_id"), "left_outer")
-        .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
-        .select(col("doc_id"))
+    "q_dedup_survivors" -> ((s, d) => survivorsFrom(clustersStaged(s, d), s, d)),
+    // the incremental pipeline closed end-to-end: delta candidates →
+    // delta-CC map → survivors, against the SAME survivors oracle as
+    // the full rebuild (the delta map must be closure-identical)
+    "q_dedup_survivors_delta" -> ((s, d) => {
+      val delta = sqlStaged(Seq("documents"), SqlOps.dedupMinhashDelta)(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      survivorsFrom(
+        graft.ops.Cluster.incrementalUpdate(clustersBaseStaged(s, d), delta), s, d)
     }),
     "q_sample_hash" -> sqlq(Seq("documents"), SqlOps.sampleHash),
     "q_sample_stratified" -> sqlq(Seq("documents"), SqlOps.sampleStratified),
@@ -1220,6 +1234,7 @@ object SparkEntry {
     // rebuild over base ∪ delta — which is the whole pair set
     "q_dedup_cluster_delta" -> CLUSTER_ORACLE,
     "q_dedup_survivors" -> SURVIVORS_ORACLE,
+    "q_dedup_survivors_delta" -> SURVIVORS_ORACLE,
     "q_sample_hash" -> SqlOps.sampleHash(DuckDialect),
     "q_sample_stratified" -> SqlOps.sampleStratified(DuckDialect),
     "q_cap_per_source" -> SqlOps.capPerSource(DuckDialect),
