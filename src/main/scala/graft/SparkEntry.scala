@@ -680,6 +680,7 @@ object SparkEntry {
     "q_text_bigram_lm" -> sqlStaged(Seq("documents"), SqlOps.textBigramLm),
     "q_bigram_pmi" -> sqlStaged(Seq("documents"), SqlOps.bigramPmi),
     "q_join_size_audit" -> sqlq(Seq("orders", "lineitem"), SqlOps.joinSizeAudit),
+    "q_metric_contribution" -> sqlq(Seq("lineitem", "part"), SqlOps.metricContribution),
     "q_pareto_customers" -> sqlStaged(Seq("orders"), SqlOps.paretoCustomers),
     "q_text_readability" -> sqlq(Seq("documents"), SqlOps.textReadability),
     // merge-of-partials vs a direct-aggregation oracle: the equality
@@ -1383,6 +1384,7 @@ object SparkEntry {
     "q_text_bigram_lm" -> SqlOps.textBigramLm.single(DuckDialect),
     "q_bigram_pmi" -> SqlOps.bigramPmi.single(DuckDialect),
     "q_join_size_audit" -> SqlOps.joinSizeAudit(DuckDialect),
+    "q_metric_contribution" -> SqlOps.metricContribution(DuckDialect),
     "q_pareto_customers" -> SqlOps.paretoCustomers.single(DuckDialect),
     "q_text_readability" -> SqlOps.textReadability(DuckDialect),
     // deliberately NOT the merge rendering: the direct aggregate over

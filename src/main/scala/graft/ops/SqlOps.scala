@@ -1060,6 +1060,34 @@ object SqlOps {
          |ORDER BY pmi_bits DESC, bigram LIMIT 20""".stripMargin
     })
 
+  /** Contribution (root-cause) analysis: decompose a month-over-month
+    * revenue change by brand — per-slice Δ plus its share of the total
+    * Δ, the "what moved the metric" readout every analytics engine
+    * ships. One filtered fact scan (two-month predicate pushed to the
+    * parquet scan) + broadcast part join + conditional aggregate at
+    * brand cardinality; cents stay exact int64 and the share is one
+    * final division, NULL-guarded when the total Δ is zero. */
+  def metricContribution(d: Dialect): String =
+    s"""WITH m AS (
+       |  SELECT p.p_brand AS brand,
+       |    year(l.l_shipdate) * 100 + month(l.l_shipdate) AS mk,
+       |    CAST(FLOOR(l.l_extendedprice * (1.0e0 - l.l_discount) * 1.0e2 + 5.0e-1) AS BIGINT) AS cents
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |  WHERE year(l.l_shipdate) * 100 + month(l.l_shipdate) IN (199502, 199503)
+       |),
+       |g AS (
+       |  SELECT brand,
+       |    CAST(SUM(CASE WHEN mk = 199502 THEN cents ELSE 0 END) AS BIGINT) AS prev_cents,
+       |    CAST(SUM(CASE WHEN mk = 199503 THEN cents ELSE 0 END) AS BIGINT) AS cur_cents
+       |  FROM m GROUP BY brand
+       |),
+       |t AS (SELECT CAST(SUM(cur_cents - prev_cents) AS BIGINT) AS tot FROM g)
+       |SELECT g.brand, g.prev_cents, g.cur_cents,
+       |  CAST(g.cur_cents - g.prev_cents AS BIGINT) AS delta_cents,
+       |  CASE WHEN t.tot = 0 THEN NULL
+       |       ELSE ${r6("CAST(g.cur_cents - g.prev_cents AS DOUBLE) / t.tot")} END AS delta_share
+       |FROM g CROSS JOIN t""".stripMargin
+
   /** Join-size audit: predict |A ⋈ B| from per-key count histograms
     * BEFORE running the join — Σ_k cntA(k)·cntB(k), the exact identity
     * a planner's cardinality estimator approximates (and the skew
