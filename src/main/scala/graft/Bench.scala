@@ -74,7 +74,9 @@ object Bench {
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val loadJson = if (loadAvg < 0) "null" else num("%.2f", loadAvg)
-    val cond = s""""load_avg_1m":$loadJson,"cpus":$cpus"""
+    // cpus is a raw env string; parse defensively so a non-numeric
+    // value can never make this (the driver-parsed) line unparseable
+    val cond = s""""load_avg_1m":$loadJson,"cpus":${cpus.trim.toIntOption.getOrElse(-1)}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)},"errors":$errs,"prewarm_failed":$prewarm,$cond,"sf":"$sfDir"}"""
     // full per-query map: first as a log line (for a reader of the whole

@@ -198,10 +198,29 @@ object Cluster {
     * the map). Gate-checked against the same recursive-CTE closure
     * oracle as the from-scratch builds — the delta result must be
     * row-identical to full CC on the union graph. */
+  /** Assert the min-label convention [[incrementalUpdate]] relies on:
+    * every cluster_id must itself appear as a doc_id row of its own
+    * cluster (labels are self-labeled member representatives, as
+    * [[connectedComponents]] produces). A map violating this — e.g.
+    * hand-edited on disk or built by a different CC variant — would
+    * make incrementalUpdate relabel silently wrongly; one anti-join
+    * count over the (2-column) map fails loudly instead. Callers that
+    * ingest a map across a trust boundary (disk, external system) run
+    * this; maps produced in-JVM by connectedComponents hold it by
+    * construction. */
+  def requireMinLabelMap(map: DataFrame): Unit = {
+    val labels = map.select(col("cluster_id").as("doc_id"), col("cluster_id"))
+    val violations = labels.except(map.select(col("doc_id"), col("cluster_id"))).count()
+    require(violations == 0,
+      s"cluster map violates the self-labeled-representative invariant for $violations label(s)")
+  }
+
   def incrementalUpdate(baseMap: DataFrame, deltaEdges: DataFrame): DataFrame = {
     // contract: delta endpoints → their base component label (new docs
-    // pass through as themselves). Left joins: an endpoint absent from
-    // the base map is a first-seen doc.
+    // pass through as themselves; precondition: baseMap labels are
+    // self-labeled member representatives — see [[requireMinLabelMap]],
+    // enforced where a map crosses a trust boundary). Left joins: an
+    // endpoint absent from the base map is a first-seen doc.
     val la = baseMap.select(col("doc_id").as("a"), col("cluster_id").as("la"))
     val lb = baseMap.select(col("doc_id").as("b"), col("cluster_id").as("lb"))
     val contracted = deltaEdges.select(col("a"), col("b"))

@@ -317,8 +317,17 @@ object DuckDialect extends Dialect {
     items.map(i => s"'${q(i)}'").mkString("[", ", ", "]")
   def reCount(x: String, rawRegex: String): String =
     s"len(regexp_extract_all($x, ${relit(rawRegex)}, 0))"
-  def reReplaceAll(x: String, rawRegex: String, repl: String): String =
-    s"regexp_replace($x, ${relit(rawRegex)}, '${q(repl.replace("$", "\\"))}', 'g')"
+  def reReplaceAll(x: String, rawRegex: String, repl: String): String = {
+    // `repl` arrives in Spark replacement syntax ($N backrefs). DuckDB
+    // (RE2) wants \N, so translate ONLY backref tokens; anything else
+    // involving '$' or '\' has no single faithful rendering across the
+    // two engines, so fail loudly instead of silently corrupting it.
+    require(!repl.contains("\\"), s"reReplaceAll: backslash in replacement '$repl' unsupported")
+    require("\\$(?!\\d)".r.findFirstIn(repl).isEmpty,
+      s"reReplaceAll: literal '$$' in replacement '$repl' unsupported (only $$N backrefs translate)")
+    val ducked = repl.replaceAll("\\$(\\d)", "\\\\$1")
+    s"regexp_replace($x, ${relit(rawRegex)}, '${q(ducked)}', 'g')"
+  }
   def stringAggOrdered(value: String, order: String, sep: String): String =
     s"string_agg($value, '${q(sep)}' ORDER BY $order)"
   def bitXor(a: String, b: String): String = s"xor($a, $b)"

@@ -737,7 +737,13 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.select(col("a"), col("b"))
         publishParquet(spark, targetDir) {
-          case Some(current) => graft.ops.Cluster.incrementalUpdate(current, b)
+          case Some(current) =>
+            // the disk-loaded map is a trust boundary: a target dir
+            // seeded by anything but this pipeline could violate the
+            // self-labeled-representative invariant incrementalUpdate
+            // assumes — fail the batch loudly rather than relabel wrong
+            graft.ops.Cluster.requireMinLabelMap(current)
+            graft.ops.Cluster.incrementalUpdate(current, b)
           case None => graft.ops.Cluster.connectedComponents(b)
         }
       }

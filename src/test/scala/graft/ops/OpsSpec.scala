@@ -341,6 +341,25 @@ class OpsSpec extends SparkSpec {
     assert(got(40L) === 40L && got(41L) === 40L)
   }
 
+  test("requireMinLabelMap accepts CC output and rejects a foreign-labeled map") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val good = Cluster.connectedComponents(edges)
+    Cluster.requireMinLabelMap(good) // must not throw
+    // a map whose label is NOT a member row of its own cluster (e.g.
+    // built by a max-label CC variant, then the representative row lost)
+    val bad = Seq((1L, 99L), (2L, 99L), (3L, 99L)).toDF("doc_id", "cluster_id")
+    val e = intercept[IllegalArgumentException](Cluster.requireMinLabelMap(bad))
+    assert(e.getMessage.contains("invariant"))
+  }
+
+  test("DuckDialect reReplaceAll translates $N backrefs and rejects untranslatable replacements") {
+    val sql = DuckDialect.reReplaceAll("w", "(.)", "$1 ")
+    assert(sql.contains("""'\1 '"""), s"backref must become \\1: $sql")
+    intercept[IllegalArgumentException](DuckDialect.reReplaceAll("w", "(.)", "a$b"))
+    intercept[IllegalArgumentException](DuckDialect.reReplaceAll("w", "(.)", "a\\b"))
+  }
+
   test("incremental CC equals full rebuild on random base/delta splits") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
