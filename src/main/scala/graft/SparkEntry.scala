@@ -269,6 +269,9 @@ object SparkEntry {
       Seq("embeddings") -> SqlOps.annPqSearch, // adds pq_codes
       Seq("embeddings") -> SqlOps.annIvfPq,
       Seq("embeddings") -> SqlOps.annIvfPqEval, // adds ivfpq_top
+      // yesterday's index state (centroids + sufficient stats): the
+      // incremental update's precomputed input, never its computation
+      Seq("embeddings") -> SqlOps.annIvfDelta,
       Seq("embeddings") -> SqlOps.kmeansStep,
       Seq("embeddings") -> SqlOps.knnBruteForce,
       Seq("embeddings") -> SqlOps.dedupEmbeddingCosine,
@@ -605,6 +608,10 @@ object SparkEntry {
     // off the code table → exact-cosine refine to top-5
     "q_ann_ivfpq" -> sqlStaged(Seq("embeddings"), SqlOps.annIvfPq),
     "q_ann_ivfpq_eval" -> sqlStaged(Seq("embeddings"), SqlOps.annIvfPqEval),
+    // incremental IVF maintenance: assign only today's delta slice to
+    // yesterday's staged centroids, merge into the staged sufficient
+    // stats (cost ∝ delta); the oracle is the full-rebuild form
+    "q_ann_ivf_delta" -> sqlStaged(Seq("embeddings"), SqlOps.annIvfDelta),
     // one Lloyd iteration: broadcast-argmin assignment (the staged IVF
     // working set) + the per-cell centroid update groupBy
     "q_kmeans_step" -> sqlStaged(Seq("embeddings"), SqlOps.kmeansStep),
@@ -1330,6 +1337,10 @@ object SparkEntry {
     "q_ann_pq_search" -> SqlOps.annPqSearch.single(DuckDialect),
     "q_ann_ivfpq" -> SqlOps.annIvfPq.single(DuckDialect),
     "q_ann_ivfpq_eval" -> SqlOps.annIvfPqEval.single(DuckDialect),
+    // deliberately NOT the incremental rendering: the from-scratch
+    // reassign-and-aggregate pass is the independent ground truth the
+    // staged sufficient-statistics merge must reproduce cell-for-cell
+    "q_ann_ivf_delta" -> SqlOps.annIvfDeltaFull.single(DuckDialect),
     "q_text_tokens" -> SqlOps.textTokens(DuckDialect),
     "q_dedup_substring" -> SqlOps.dedupSubstring.single(DuckDialect),
     "q_mix_temperature" -> SqlOps.mixTemperature(DuckDialect),

@@ -2673,6 +2673,150 @@ object SqlOps {
          |GROUP BY e.query_id""".stripMargin
     })
 
+  /** The embedding delta-slice convention (the [[NewDocMod]] pattern
+    * applied to vectors): vec_id % 16 = 3 is "today's ingest", the
+    * rest is the base corpus yesterday's index was built on. */
+  val NewVecMod = 16
+  val NewVecRem = 3
+
+  private def qvExpr(v: String): String =
+    s"CAST(FLOOR(CAST($v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)"
+
+  /** Base-slice centroid table — yesterday's trained coarse quantizer,
+    * shared by the incremental update and its full-rebuild oracle. */
+  private def ivfdCentStage(d: Dialect): String = {
+    val exp = d.explodeWithPos(
+      s"SELECT vec_id, label, embedding FROM embeddings " +
+        s"WHERE vec_id % $NewVecMod <> $NewVecRem AND ${d.size("embedding")} = 64",
+      "vec_id, label", "embedding", "pos", "v")
+    s"""WITH evc AS ($exp)
+       |SELECT label, pos,
+       |  CAST(FLOOR(CAST(SUM(${qvExpr("v")}) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
+       |FROM evc GROUP BY label, pos""".stripMargin
+  }
+
+  /** Relational CTE chain `eq` → `dist` → `asgn` assigning `src`'s
+    * (vec_id, embedding) rows to the `ivfd_cent` centroids: exact
+    * int64 L2 over µ-quantized components, completeness-guarded, ties
+    * to the smaller label — the one assignment rule, rendered once for
+    * the base stats stage, the delta body, and the full oracle. */
+  private def ivfdAssignCtes(d: Dialect, src: String): String = {
+    val exp = d.explodeWithPos(src, "vec_id", "embedding", "pos", "v")
+    s"""ev AS ($exp),
+       |eq AS (SELECT vec_id, pos, ${qvExpr("v")} AS qv FROM ev),
+       |dist AS (
+       |  SELECT e.vec_id, c.label,
+       |    CAST(SUM((e.qv - c.qc) * (e.qv - c.qc)) AS BIGINT) AS d2
+       |  FROM eq e JOIN ivfd_cent c ON e.pos = c.pos
+       |  GROUP BY e.vec_id, c.label
+       |  HAVING COUNT(*) = 64
+       |),
+       |asgn AS (
+       |  SELECT vec_id, label AS cell FROM (
+       |    SELECT vec_id, label, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, label) AS rn
+       |    FROM dist) r
+       |  WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  private def ivfdBaseSrc(d: Dialect): String =
+    s"SELECT vec_id, embedding FROM embeddings " +
+      s"WHERE vec_id % $NewVecMod <> $NewVecRem AND ${d.size("embedding")} = 64"
+  private def ivfdDeltaSrc(d: Dialect): String =
+    s"SELECT vec_id, embedding FROM embeddings " +
+      s"WHERE vec_id % $NewVecMod = $NewVecRem AND ${d.size("embedding")} = 64"
+
+  /** Incremental IVF index maintenance — the daily-ingest path for the
+    * ANN index, mirroring [[Cluster.incrementalUpdate]]'s shape for
+    * dedup: yesterday's artifacts (centroid table + per-(cell, pos)
+    * sufficient statistics of the base assignment) are staged; the
+    * TIMED work assigns only today's delta slice to the existing
+    * centroids (cost ∝ delta — the centroid table is broadcast-sized
+    * and only delta vectors explode), merges the delta's component
+    * sums into the base statistics, and reports per cell: member
+    * counts, the maximum component drift of the updated mean in
+    * µ-units, and a retrain flag. The oracle is the handwritten
+    * FULL-REBUILD form ([[annIvfDeltaFull]] — assign everything from
+    * scratch, aggregate directly), so the hash gate proves the
+    * sufficient-statistics decomposition exact, the
+    * q_dedup_cluster_delta pattern. Drift is measured only where the
+    * base cell has members; a cell first populated today reports its
+    * fresh mean with zero drift. */
+  val annIvfDelta: StagedOp = StagedOp(
+    stages = Seq(
+      "ivfd_cent" -> ivfdCentStage _,
+      "ivfd_stats" -> { d =>
+        s"""WITH ${ivfdAssignCtes(d, ivfdBaseSrc(d))}
+           |SELECT a.cell, e.pos,
+           |  CAST(SUM(e.qv) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+           |FROM asgn a JOIN eq e ON a.vec_id = e.vec_id
+           |GROUP BY a.cell, e.pos""".stripMargin
+      }),
+    body = { d =>
+      s"""WITH ${ivfdAssignCtes(d, ivfdDeltaSrc(d))},
+         |dstats AS (
+         |  SELECT a.cell, e.pos,
+         |    CAST(SUM(e.qv) AS BIGINT) AS sd, CAST(COUNT(*) AS BIGINT) AS nd
+         |  FROM asgn a JOIN eq e ON a.vec_id = e.vec_id
+         |  GROUP BY a.cell, e.pos
+         |),
+         |merged AS (
+         |  SELECT
+         |    COALESCE(b.cell, dq.cell) AS cell,
+         |    COALESCE(b.n, 0) AS n, COALESCE(dq.nd, 0) AS nd,
+         |    CASE WHEN COALESCE(b.n, 0) > 0
+         |         THEN CAST(FLOOR(CAST(b.s AS DOUBLE) / b.n + 5.0e-1) AS BIGINT) END AS qc_base,
+         |    CAST(FLOOR(CAST(COALESCE(b.s, 0) + COALESCE(dq.sd, 0) AS DOUBLE)
+         |      / (COALESCE(b.n, 0) + COALESCE(dq.nd, 0)) + 5.0e-1) AS BIGINT) AS qc_upd
+         |  FROM ivfd_stats b
+         |  FULL OUTER JOIN dstats dq ON b.cell = dq.cell AND b.pos = dq.pos
+         |)
+         |SELECT cell,
+         |  CAST(MAX(n) AS BIGINT) AS n_base,
+         |  CAST(MAX(nd) AS BIGINT) AS n_new,
+         |  CAST(MAX(CASE WHEN n > 0 THEN ABS(qc_upd - qc_base) ELSE 0 END) AS BIGINT) AS max_drift_mu,
+         |  CASE WHEN MAX(CASE WHEN n > 0 THEN ABS(qc_upd - qc_base) ELSE 0 END) > 1000
+         |       THEN 1 ELSE 0 END AS retrain_flag
+         |FROM merged GROUP BY cell""".stripMargin
+    })
+
+  /** The full-rebuild ground truth for [[annIvfDelta]]: assign EVERY
+    * vector (base and delta alike) to the base centroids in one pass
+    * and aggregate the per-cell statistics directly — no staged
+    * sufficient statistics, no merge. Rendered for DuckDB as
+    * q_ann_ivf_delta's oracle; never run on the Spark side. */
+  val annIvfDeltaFull: StagedOp = StagedOp(
+    stages = Seq("ivfd_cent" -> ivfdCentStage _),
+    body = { d =>
+      val allSrc = s"SELECT vec_id, embedding FROM embeddings WHERE ${d.size("embedding")} = 64"
+      s"""WITH ${ivfdAssignCtes(d, allSrc)},
+         |stats AS (
+         |  SELECT a.cell, e.pos,
+         |    CAST(SUM(CASE WHEN e.vec_id % $NewVecMod <> $NewVecRem THEN e.qv ELSE 0 END) AS BIGINT) AS s_base,
+         |    CAST(SUM(CASE WHEN e.vec_id % $NewVecMod <> $NewVecRem THEN 1 ELSE 0 END) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN e.vec_id % $NewVecMod = $NewVecRem THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+         |    CAST(SUM(e.qv) AS BIGINT) AS s_all,
+         |    CAST(COUNT(*) AS BIGINT) AS n_all
+         |  FROM asgn a JOIN eq e ON a.vec_id = e.vec_id
+         |  GROUP BY a.cell, e.pos
+         |),
+         |merged AS (
+         |  SELECT cell, n, nd,
+         |    CASE WHEN n > 0
+         |         THEN CAST(FLOOR(CAST(s_base AS DOUBLE) / n + 5.0e-1) AS BIGINT) END AS qc_base,
+         |    CAST(FLOOR(CAST(s_all AS DOUBLE) / n_all + 5.0e-1) AS BIGINT) AS qc_upd
+         |  FROM stats
+         |)
+         |SELECT cell,
+         |  CAST(MAX(n) AS BIGINT) AS n_base,
+         |  CAST(MAX(nd) AS BIGINT) AS n_new,
+         |  CAST(MAX(CASE WHEN n > 0 THEN ABS(qc_upd - qc_base) ELSE 0 END) AS BIGINT) AS max_drift_mu,
+         |  CASE WHEN MAX(CASE WHEN n > 0 THEN ABS(qc_upd - qc_base) ELSE 0 END) > 1000
+         |       THEN 1 ELSE 0 END AS retrain_flag
+         |FROM merged GROUP BY cell""".stripMargin
+    })
+
   /** One k-means (Lloyd) iteration over the embeddings: assignment to
     * the nearest current centroid (the staged IVF working set — on the
     * Spark side a broadcast-packed codegen'd argmin, zero vector
