@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque binary
   * columns with typed metadata, processed in partition-local batches.
   *
-  * The actual codecs (JPEG decode, resampling, frame extraction) are
-  * NOT available in this container — the decode step is a clearly
-  * marked deterministic STUB. Everything around it is the real Spark
-  * mechanics and is what matters at 100 TB:
+  * Image payloads decode for REAL through `javax.imageio` (PNG/JPEG/
+  * GIF/BMP ship with the JDK — no external libs needed): true
+  * dimensions, channel count from the color model, and stripe-mean
+  * luminance features. Audio/video codecs are genuinely absent from
+  * this container, so those mimes (and image payloads ImageIO can't
+  * sniff) fall back to a clearly marked deterministic STUB. The Spark
+  * mechanics are what matter at 100 TB and are real throughout:
   *  - binary payload + metadata struct schema,
   *  - `mapPartitions` with bounded batch grouping (the JVM shape of
   *    `mapInPandas`: amortize per-batch codec setup, bound memory by
@@ -33,10 +36,54 @@ object Multimodal {
       col("text").cast("binary").as("payload")).as[MediaRow]
   }
 
-  /** STUB codec ??? — deterministic fake standing in for the real
-    * decode (no image/audio libs in this container). Dimensions derive
-    * from payload size, "pixel" statistics from the raw bytes, so
-    * results are reproducible and schema/batching are exercised for
+  /** Real image decode via the JDK's `javax.imageio` (PNG, JPEG, GIF,
+    * BMP). Returns None when the payload isn't a decodable image so
+    * the caller can fall back to the stub — asMedia's text-as-bytes
+    * payloads, for instance, never sniff as an image format.
+    * Features are mean luminance over 8 horizontal stripes (the last
+    * stripe absorbs residual rows), so a lossless format (PNG) decodes
+    * to exactly reproducible statistics. */
+  private def decodeImage(b: MediaRow): Option[Decoded] = {
+    if (b.payload == null || b.payload.length == 0) None
+    else {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.payload))
+        catch { case _: Exception => null } // truncated/hostile payload → fallback
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val channels = img.getColorModel.getNumComponents
+        val feats = new Array[Float](8)
+        if (w > 0 && h > 0) {
+          val sums = new Array[Double](8)
+          val counts = new Array[Long](8)
+          val stripe = math.max(h / 8, 1)
+          var y = 0
+          while (y < h) {
+            val s = math.min(y / stripe, 7)
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sums(s) += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+              counts(s) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var j = 0
+          while (j < 8) { if (counts(j) > 0) feats(j) = (sums(j) / counts(j)).toFloat; j += 1 }
+        }
+        Some(Decoded(b.doc_id, w, h, channels, b.payload.length, feats))
+      }
+    }
+  }
+
+  /** STUB codec ??? — deterministic fake standing in for the decoders
+    * genuinely absent from this container (audio/video; also the
+    * fallback when ImageIO can't sniff an image payload). Dimensions
+    * derive from payload size, "pixel" statistics from the raw bytes,
+    * so results are reproducible and schema/batching are exercised for
     * real. A production build swaps only this function's body. */
   private def decodeStub(b: MediaRow): Decoded = {
     // NULL payload (e.g. a null source column cast to binary) decodes
@@ -72,9 +119,16 @@ object Multimodal {
   def decodeBatched(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[Decoded] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      // per-executor codec setup: ImageIO's default ImageInputStream
+      // cache spills to temp FILES — in-memory payloads must never
+      // touch executor local disk
+      javax.imageio.ImageIO.setUseCache(false)
       it.grouped(batchSize).flatMap { batch =>
-        // per-batch codec setup would go here (amortized across rows)
-        batch.iterator.map(decodeStub)
+        // per-batch codec setup (reader pools etc.) amortizes here
+        batch.iterator.map { m =>
+          if (m.mime.startsWith("image/")) decodeImage(m).getOrElse(decodeStub(m))
+          else decodeStub(m)
+        }
       }
     }
   }

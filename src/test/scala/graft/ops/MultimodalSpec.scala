@@ -32,6 +32,80 @@ class MultimodalSpec extends SparkSpec {
     })
   }
 
+  // --- real javax.imageio decode path -------------------------------
+
+  /** Deterministic test image: pixel (x, y) of doc d is a pure
+    * function of (d, x, y), covering the full 0-255 range. */
+  private def pixel(d: Long, x: Int, y: Int): Int = {
+    val r = ((d * 31 + x * 7 + y * 13) % 256).toInt
+    val g = ((d * 17 + x * 3 + y * 5) % 256).toInt
+    val b = ((d * 11 + x * 19 + y * 23) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  private def makeImage(d: Long, w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(d, x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, bos))
+    bos.toByteArray
+  }
+
+  /** Independent expectation: stripe-mean luminance computed straight
+    * from the pixel function, never through ImageIO. */
+  private def expectedFeatures(d: Long, w: Int, h: Int): Array[Float] = {
+    val sums = new Array[Double](8)
+    val counts = new Array[Long](8)
+    val stripe = math.max(h / 8, 1)
+    for (y <- 0 until h; x <- 0 until w) {
+      val s = math.min(y / stripe, 7)
+      val p = pixel(d, x, y)
+      sums(s) += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3.0
+      counts(s) += 1
+    }
+    Array.tabulate(8)(j => if (counts(j) > 0) (sums(j) / counts(j)).toFloat else 0f)
+  }
+
+  test("decodeBatched: real PNG payloads decode to exact dims, channels, pixel stats") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/png", makeImage(1L, 40, 24, "png")),
+      Multimodal.MediaRow(2L, "image/png", makeImage(2L, 17, 9, "png")), // h > 8 but not divisible
+      Multimodal.MediaRow(3L, "image/png", makeImage(3L, 5, 3, "png"))) // h < 8 stripes
+    val out = Multimodal.decodeBatched(spark.createDataset(rows), batchSize = 2)
+      .collect().map(d => d.doc_id -> d).toMap
+    val dims = Map(1L -> (40, 24), 2L -> (17, 9), 3L -> (5, 3))
+    dims.foreach { case (id, (w, h)) =>
+      val d = out(id)
+      assert(d.width === w && d.height === h)
+      assert(d.channels === 3)
+      val exp = expectedFeatures(id, w, h)
+      // PNG is lossless: stripe means must match to float rounding
+      d.features.zip(exp).foreach { case (a, e) => assert(math.abs(a - e) < 1e-3, s"doc $id") }
+    }
+  }
+
+  test("decodeBatched: real JPEG decodes true dims; lossy pixels stay close") {
+    import spark.implicits._
+    val rows = Seq(Multimodal.MediaRow(7L, "image/jpeg", makeImage(7L, 32, 32, "jpg")))
+    val d = Multimodal.decodeBatched(spark.createDataset(rows)).collect().head
+    assert(d.width === 32 && d.height === 32 && d.channels === 3)
+    val exp = expectedFeatures(7L, 32, 32)
+    d.features.zip(exp).foreach { case (a, e) => assert(math.abs(a - e) < 32f) }
+  }
+
+  test("decodeBatched: undecodable image payloads fall back to the stub") {
+    import spark.implicits._
+    val text = "not actually a jpeg".getBytes("UTF-8")
+    val rows = Seq(
+      Multimodal.MediaRow(9L, "image/jpeg", text),
+      Multimodal.MediaRow(10L, "image/png", Array.emptyByteArray))
+    val out = Multimodal.decodeBatched(spark.createDataset(rows))
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(out(9L).width === text.length % 317 + 16) // stub geometry
+    assert(out(10L).n_bytes === 0)
+  }
+
   test("sampleFrames: only video payloads, stride-spaced frame numbers") {
     val frames = Multimodal.sampleFrames(media, stride = 4).collect()
     assert(frames.nonEmpty)
