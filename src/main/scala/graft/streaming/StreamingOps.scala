@@ -540,16 +540,24 @@ object StreamingOps {
     * production bound: a doc only pairs with others inside the
     * watermark window, which is the streaming contract (cross-horizon
     * dedup belongs to the batch/incremental ops). */
+  /** The 8×16-bit md5-slice minhash signature and its 4×2 band keys as
+    * SQL expression strings — ONE copy shared by [[minhashCandidates]]
+    * (keyed-state candidates) and [[bandRowsOf]] (the daily-ingest band
+    * index), mirroring the batch side's single-sourced geometry
+    * ([[graft.ops.SqlOps]] mhBandRows). */
+  private val mhSigCols: Seq[String] = (0 until 8).map { j =>
+    s"array_min(transform(word_shingles(text, 3), s -> substr(md5(s), ${4 * j + 1}, 4))) AS h$j"
+  }
+  private val mhBandStructs: String = (0 until 4).map { b =>
+    s"named_struct('band', $b, 'bkey', concat(h${2 * b}, h${2 * b + 1}))"
+  }.mkString("array(", ", ", ")")
+
   def minhashCandidates(docs: DataFrame, watermark: String = "10 minutes",
                         horizonMinutes: Int = 60): Dataset[CandPair] = {
     import docs.sparkSession.implicits._
     val horizonUs = horizonMinutes * 60L * 1000000L
-    val sigCols = (0 until 8).map { j =>
-      s"array_min(transform(word_shingles(text, 3), s -> substr(md5(s), ${4 * j + 1}, 4))) AS h$j"
-    }
-    val bandStructs = (0 until 4).map { b =>
-      s"named_struct('band', $b, 'bkey', concat(h${2 * b}, h${2 * b + 1}))"
-    }.mkString("array(", ", ", ")")
+    val sigCols = mhSigCols
+    val bandStructs = mhBandStructs
     docs
       .selectExpr(Seq("doc_id", "ts") ++ sigCols: _*)
       // docs with no 3-grams have no signature (same rule as the batch
@@ -746,6 +754,195 @@ object StreamingOps {
             graft.ops.Cluster.incrementalUpdate(current, b)
           case None => graft.ops.Cluster.connectedComponents(b)
         }
+      }
+  }
+
+  // --------------------------------------------------------------------
+  // Composed daily-ingest pipeline: quota gate → minhash band index →
+  // incremental clusters → survivors, as ONE foreachBatch body.
+  // --------------------------------------------------------------------
+
+  /** LSH band rows of a (doc_id, text) relation — the daily-ingest
+    * band index's row shape, same geometry as [[minhashCandidates]].
+    * Docs with no 3-grams get a SENTINEL row (band = -1, unique bkey):
+    * they can never collide, but they stay visible to the membership
+    * deltas downstream (signed, clustered-as-singleton) — without it a
+    * shingle-less doc would be re-signed on every batch and never reach
+    * the survivor manifest. */
+  private[streaming] def bandRowsOf(docs: DataFrame): DataFrame = {
+    val sig = docs.selectExpr(Seq("doc_id") ++ mhSigCols: _*)
+    val banded = sig.filter(col("h0").isNotNull)
+      .selectExpr("doc_id", s"explode($mhBandStructs) AS bk")
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val sentinel = sig.filter(col("h0").isNull)
+      .select(col("doc_id"), lit(-1).as("band"),
+        concat(lit("__doc_"), col("doc_id")).as("bkey"))
+    banded.unionByName(sentinel)
+  }
+
+  private def readState(spark: SparkSession, dir: String): Option[DataFrame] = {
+    import java.nio.file.{Files, Paths}
+    // mirror publishParquet's recovery view: target missing with `.old`
+    // present means a publish died between its two moves — the NEXT
+    // publish restores it, so a read-only peek must look there too
+    if (Files.exists(Paths.get(dir))) Some(spark.read.parquet(dir))
+    else if (Files.exists(Paths.get(dir + ".old"))) Some(spark.read.parquet(dir + ".old"))
+    else None
+  }
+
+  /** Stage 1 — per-source admission against the persisted admitted set
+    * (`<root>/admitted`, cols source, doc_id). Same semantics as
+    * [[sourceQuotaGate]] with the state on disk instead of in the state
+    * store: membership makes replays no-ops, in-batch order is doc_id
+    * per source (the only deterministic choice), and a source's lifetime
+    * admissions never exceed the quota. */
+  private[streaming] def ingestAdmit(spark: SparkSession, batch: DataFrame,
+                                     quota: Int, root: String): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    publishParquet(spark, s"$root/admitted") { current =>
+      val docs = batch.select(col("source"), col("doc_id"))
+        .filter(col("source").isNotNull && col("doc_id").isNotNull).distinct()
+      current match {
+        case None =>
+          docs.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= quota).drop("__rn")
+        case Some(cur) =>
+          val have = cur.groupBy("source").agg(count(lit(1)).as("__have"))
+          val fresh = docs.join(cur, Seq("source", "doc_id"), "left_anti")
+            .join(have, Seq("source"), "left")
+            .withColumn("__have", coalesce(col("__have"), lit(0L)))
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= lit(quota.toLong) - col("__have"))
+            .select(col("source"), col("doc_id"))
+          cur.select(col("source"), col("doc_id")).unionByName(fresh)
+      }
+    }
+  }
+
+  /** Stage 2 — sign admitted docs into the band index
+    * (`<root>/bands`, cols doc_id, band, bkey). The stage's delta is
+    * computed INSIDE the publish callback against the authoritative
+    * current index: admitted ∩ batch ∖ already-signed — so a crash
+    * after stage 1's publish but before this one self-heals when the
+    * batch is redelivered. */
+  private[streaming] def ingestSign(spark: SparkSession, batch: DataFrame,
+                                    root: String): Unit = {
+    val admitted = readState(spark, s"$root/admitted")
+      .getOrElse(sys.error(s"daily-ingest: $root/admitted missing (stage order violated)"))
+    publishParquet(spark, s"$root/bands") { current =>
+      // same doc_id twice in one drain = redelivery; texts are
+      // identical by the source contract, so any row representative works
+      val adm = batch.select(col("doc_id"), col("text"))
+        .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+        .dropDuplicates("doc_id")
+      val fresh = current match {
+        case Some(cur) =>
+          adm.join(cur.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+        case None => adm
+      }
+      val rows = bandRowsOf(fresh)
+      current.map(_.unionByName(rows)).getOrElse(rows)
+    }
+  }
+
+  /** Stage 3 — fold newly signed docs into the persistent cluster map
+    * (`<root>/clusters`, cols doc_id, cluster_id; INCLUDES singleton
+    * self-rows, so map membership tracks "clustered" exactly). Delta
+    * docs = band-index docs not yet in the map; their band rows probe
+    * the FULL index for collision edges (new-old and new-new — old-old
+    * closures are already folded in), then
+    * [[graft.ops.Cluster.incrementalUpdate]] merges them at cost ∝
+    * delta. Replayed edges contract to self-loops (no-ops), so a crash
+    * between the bands and clusters publishes self-heals too. */
+  private[streaming] def ingestCluster(spark: SparkSession, root: String): Unit = {
+    val bands = readState(spark, s"$root/bands")
+      .getOrElse(sys.error(s"daily-ingest: $root/bands missing (stage order violated)"))
+    publishParquet(spark, s"$root/clusters") { current =>
+      val deltaDocs = current match {
+        case Some(cur) =>
+          bands.select("doc_id").distinct()
+            .join(cur.select("doc_id"), Seq("doc_id"), "left_anti")
+        case None => bands.select("doc_id").distinct()
+      }
+      val real = bands.filter(col("band") =!= -1)
+      val probe = real.join(deltaDocs, Seq("doc_id"), "left_semi")
+      val edges = probe.alias("n")
+        .join(real.alias("idx"),
+          col("n.band") === col("idx.band") && col("n.bkey") === col("idx.bkey") &&
+            col("n.doc_id") =!= col("idx.doc_id"))
+        .select(least(col("n.doc_id"), col("idx.doc_id")).as("a"),
+                greatest(col("n.doc_id"), col("idx.doc_id")).as("b"))
+        .distinct()
+      val withEdges = current match {
+        case Some(cur) =>
+          // disk is a trust boundary: fail loudly on a map that violates
+          // the self-labeled-representative invariant
+          graft.ops.Cluster.requireMinLabelMap(cur)
+          graft.ops.Cluster.incrementalUpdate(cur, edges)
+        case None => graft.ops.Cluster.connectedComponents(edges)
+      }
+      val singles = deltaDocs
+        .join(withEdges.select("doc_id"), Seq("doc_id"), "left_anti")
+        .withColumn("cluster_id", col("doc_id"))
+      withEdges.unionByName(singles)
+    }
+  }
+
+  /** Stage 4 — the release manifest (`<root>/survivors`, col doc_id):
+    * one representative per cluster. Because the map holds singleton
+    * self-rows and labels are component MINIMA, survivors are exactly
+    * the self-labeled rows — a pure function of the map, trivially
+    * idempotent. */
+  private[streaming] def ingestSurvivors(spark: SparkSession, root: String): Unit = {
+    val clusters = readState(spark, s"$root/clusters")
+      .getOrElse(sys.error(s"daily-ingest: $root/clusters missing (stage order violated)"))
+    publishParquet(spark, s"$root/survivors") { _ =>
+      clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    }
+  }
+
+  /** One micro-batch of the composed daily-ingest pipeline. Exposed so
+    * a scheduled batch job (the reference's cron shape) can call it on
+    * a day's drain directly; [[dailyIngest]] wraps it for Structured
+    * Streaming.
+    *
+    * Crash-safety by LAYERED MEMBERSHIP, not transactions: each stage
+    * publishes its own artifact atomically ([[publishParquet]]) and
+    * derives its work set by anti-joining its predecessor's artifact
+    * against its own — admitted ∖ signed, signed ∖ clustered. A crash
+    * between ANY two publishes leaves a prefix of artifacts advanced;
+    * on redelivery the earlier stages no-op (membership) and the first
+    * un-advanced stage finds its backlog in the predecessor artifact.
+    * Combined with edge-set idempotence of the cluster fold, the whole
+    * pipeline is exactly-once-EFFECT under at-least-once delivery.
+    *
+    * Scale note: the swap protocol rewrites each artifact per batch —
+    * the COMPUTE is ∝ delta but the WRITE is ∝ artifact. At 100 TB the
+    * identical stage logic runs against a table format with atomic
+    * appends (or date-partitioned dirs); the membership anti-joins and
+    * the contracted cluster fold carry over unchanged. */
+  def dailyIngestBatch(spark: SparkSession, batch: DataFrame,
+                       quota: Int, root: String): Unit = {
+    ingestAdmit(spark, batch, quota, root)
+    ingestSign(spark, batch, root)
+    ingestCluster(spark, root)
+    ingestSurvivors(spark, root)
+  }
+
+  /** The streaming daily-ingest pipeline: each micro-batch of raw docs
+    * (doc_id, source, text) flows quota gate → minhash band index →
+    * incremental cluster map → survivor manifest. Run with
+    * `Trigger.AvailableNow` over a landing directory for the
+    * reference's idempotent daily-batch semantics, or continuously for
+    * a live feed. Restart-safe: see [[dailyIngestBatch]]. */
+  def dailyIngest(spark: SparkSession, docs: DataFrame, quota: Int,
+                  stateRoot: String, checkpointDir: String) = {
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        dailyIngestBatch(spark, batch, quota, stateRoot)
       }
   }
 }
