@@ -491,6 +491,7 @@ object SparkEntry {
     "q_dedup_levenshtein" -> sqlq(Seq("documents"), SqlOps.dedupLevenshtein),
     "q_ntile" -> sqlq(Seq("orders"), SqlOps.orderDeciles),
     "q_dedup_embedding_cosine" -> sqlStaged(Seq("embeddings"), SqlOps.dedupEmbeddingCosine),
+    "q_dedup_semantic" -> sqlStaged(Seq("embeddings"), SqlOps.dedupSemantic),
     "q_dedup_canonical" -> sqlq(Seq("documents"), SqlOps.dedupCanonical),
     // pairs → clusters: transitive closure of the minhash candidate
     // pairs via iterative min-label propagation (graft.ops.Cluster)
@@ -1241,6 +1242,7 @@ object SparkEntry {
     "q_dedup_levenshtein" -> SqlOps.dedupLevenshtein(DuckDialect),
     "q_ntile" -> SqlOps.orderDeciles(DuckDialect),
     "q_dedup_embedding_cosine" -> SqlOps.dedupEmbeddingCosine.single(DuckDialect),
+    "q_dedup_semantic" -> SqlOps.dedupSemantic.single(DuckDialect),
     "q_dedup_canonical" -> SqlOps.dedupCanonical(DuckDialect),
     // transitive closure of the same candidate pairs as a recursive CTE;
     // MIN over all reachable labels = the component minimum (shared by

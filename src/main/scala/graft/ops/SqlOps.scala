@@ -2871,6 +2871,75 @@ object SqlOps {
          |) WHERE cosine >= 0.35""".stripMargin
     })
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): duplicates whose surface forms differ
+    * (paraphrases, re-renders, translations) share no shingles, so the
+    * minhash family is structurally blind to them — but their
+    * embeddings are close. The scale shape is the IVF search trick
+    * applied to dedup: cluster first, compare only WITHIN cells, so
+    * the pairwise cosine work is cell-bounded, never corpus-wide (at
+    * 100 TB the cell count grows with N and cells stay bounded).
+    *
+    * Inside a cell every pair with cosine ≥ 0.35 is duplicate
+    * evidence; of each such pair the member ranked earlier in the
+    * cell's keep-order survives. Keep-order is distance-to-centroid
+    * DESCENDING — SemDeDup's published rule: keep the LOW-similarity-
+    * to-centroid example, because prototypical near-centroid text is
+    * exactly what the corpus over-represents — with ties to the
+    * smaller vec_id. The drop rule is the non-sequential dominance
+    * variant (x is dropped if ANY earlier-ranked in-cell neighbor
+    * exceeds τ, whether or not that neighbor itself survives): the
+    * same shape as the skyline dominance test — deterministic and
+    * join-parallel, no sequential sweep over the cell.
+    *
+    * All three inputs are already-staged shared artifacts (emb_nv,
+    * ivf_nvc, ivf_cent); centroid distances reuse the IVF family's
+    * exact int64 µ-quantized arithmetic, so both engines rank
+    * identically. No dimension guard needed in `cd`: a vector's cell
+    * was assigned under ivfAssign's full-dimension-match rule, so its
+    * own-cell centroid matches every position. */
+  val dedupSemantic: StagedOp = StagedOp(
+    stages = Seq(
+      "emb_nv" -> nvStage,
+      "ivf_nvc" -> { d => d.ivfAssign(ivfCentCtes(d)) },
+      "ivf_cent" -> { d =>
+        s"WITH ${ivfCentCtes(d)} SELECT label, pos, qc FROM cent"
+      }),
+    body = { d =>
+      val expV = d.explodeWithPos(
+        "SELECT vec_id, cell, embedding FROM ivf_nvc",
+        "vec_id, cell", "embedding", "pos", "v")
+      val qv = "CAST(FLOOR(CAST(e.v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)"
+      s"""WITH ev AS ($expV),
+         |cd AS (
+         |  SELECT e.vec_id, e.cell,
+         |    SUM(($qv - c.qc) * ($qv - c.qc)) AS d2
+         |  FROM ev e JOIN ivf_cent c ON c.label = e.cell AND c.pos = e.pos
+         |  GROUP BY e.vec_id, e.cell
+         |),
+         |ranked AS (
+         |  SELECT vec_id, cell,
+         |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d2 DESC, vec_id) AS rk
+         |  FROM cd
+         |),
+         |dup AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM ivf_nvc a JOIN ivf_nvc b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  WHERE ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} >= 0.35
+         |),
+         |drops AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM dup p
+         |  JOIN ranked x ON x.vec_id = p.va
+         |  JOIN ranked y ON y.vec_id = p.vb
+         |  WHERE y.rk < x.rk
+         |)
+         |SELECT r.vec_id, r.cell, r.rk
+         |FROM ranked r LEFT JOIN drops dr ON dr.vec_id = r.vec_id
+         |WHERE dr.vec_id IS NULL""".stripMargin
+    })
+
   /** Product-quantization codes (the compressed representation behind
     * [[embeddingQuantize]]'s scalar codes in a real ANN index): each
     * 64-dim vector becomes 4 codebook ids, one per 16-dim block, where

@@ -99,6 +99,86 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("documents")
   }
 
+  test("semantic dedup: SQL survivors equal an independent SemDeDup reimplementation") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    // 3 clusters; each point = center + noise. Points 100/101 and
+    // 200/201 are PLANTED near-identical pairs (dup evidence no matter
+    // how the noise falls); the zero vector exercises the nrm>0 gate.
+    val centers = Array.fill(3, dim)(rnd.nextFloat() * 2f - 1f)
+    val vecs: Seq[(Long, Int, Seq[Float])] =
+      (0 until 24).map { i =>
+        val lbl = i % 3
+        val v = Array.tabulate(dim)(j => centers(lbl)(j) + (rnd.nextFloat() - 0.5f) * 0.8f)
+        (i.toLong, lbl, v.toSeq)
+      } ++ Seq(100L, 200L).flatMap { base =>
+        val lbl = (base / 100).toInt % 3
+        val v = Array.tabulate(dim)(j => centers(lbl)(j) + (rnd.nextFloat() - 0.5f) * 0.8f)
+        Seq((base, lbl, v.toSeq),
+          (base + 1, lbl, v.map(x => x * 1.0005f).toSeq))
+      } :+ ((999L, 0, Seq.fill(dim)(0f)))
+    vecs.toDF("vec_id", "label", "embedding")
+      .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<FLOAT>) AS embedding")
+      .createOrReplaceTempView("embeddings")
+    SqlOps.dedupSemantic.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.dedupSemantic.body(SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Number]("cell").intValue(),
+        r.getAs[Number]("rk").longValue())).toSet
+
+    // ---- independent implementation ----
+    def quant(v: Float): Long = math.floor(v.toDouble * 1.0e6 + 0.5).toLong
+    def qmean(xs: Seq[Long]): Long = math.floor(xs.sum.toDouble / xs.size + 0.5).toLong
+    val data = vecs.collect { case (id, lbl, v)
+      if v.map(x => x.toDouble * x.toDouble).sum > 0 => (id, lbl, v.toArray) }
+    // centroids train over ALL embeddings (the cent CTE has no norm
+    // gate), assignment runs over the norm-filtered emb_nv
+    val cent: Map[(Int, Int), Long] = vecs.groupBy(_._2).flatMap { case (lbl, vs) =>
+      (0 until dim).map(p => (lbl, p) -> qmean(vs.map(t => quant(t._3(p)))))
+    }
+    val labels = cent.keys.map(_._1).toSeq.distinct.sorted
+    def l2(q: Array[Long], lbl: Int): Long =
+      (0 until dim).map(p => { val d = q(p) - cent((lbl, p)); d * d }).sum
+    val cellOf: Map[Long, Int] = data.map { case (id, _, v) =>
+      val q = v.map(quant)
+      id -> labels.minBy(l => (l2(q, l), l))
+    }.toMap
+    val d2own: Map[Long, Long] = data.map { case (id, _, v) =>
+      id -> l2(v.map(quant), cellOf(id))
+    }.toMap
+    // per-cell keep-order: distance DESC, id ASC
+    val rank: Map[Long, Long] = data.groupBy(t => cellOf(t._1)).values.flatMap { members =>
+      members.map(_._1).sortBy(id => (-d2own(id), id)).zipWithIndex
+        .map { case (id, i) => id -> (i + 1L) }
+    }.toMap
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      val dot = (0 until dim).map(i => a(i).toDouble * b(i).toDouble).sum
+      def nrm(x: Array[Float]) = math.sqrt((0 until dim).map(i => x(i).toDouble * x(i).toDouble).sum)
+      r6(dot / (nrm(a) * nrm(b)))
+    }
+    val byId = data.map(t => t._1 -> t._3).toMap
+    val dropped = data.map(_._1).filter { x =>
+      data.map(_._1).exists { y =>
+        y != x && cellOf(y) == cellOf(x) && rank(y) < rank(x) &&
+          cosine(byId(x), byId(y)) >= 0.35
+      }
+    }.toSet
+    val expected = data.map(_._1).filterNot(dropped)
+      .map(id => (id, cellOf(id), rank(id))).toSet
+    assert(got === expected)
+    // sanity: each planted pair lost exactly its earlier-ranked member,
+    // the zero vector is absent (not a survivor, not an input), and
+    // survivors are nonempty
+    assert(dropped.nonEmpty && expected.nonEmpty)
+    for (base <- Seq(100L, 200L))
+      assert(dropped.contains(base) || dropped.contains(base + 1))
+    assert(!got.exists(_._1 == 999L))
+    spark.catalog.dropTempView("embeddings")
+  }
+
   test("residual IVF-PQ: SQL top-5 equals an independent full-pipeline reimplementation") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
