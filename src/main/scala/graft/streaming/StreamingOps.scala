@@ -758,6 +758,125 @@ object StreamingOps {
   }
 
   // --------------------------------------------------------------------
+  // Streaming ANN (IVF) index maintenance: the foreachBatch twin of the
+  // batch q_ann_ivf_delta — frozen coarse centroids, per-batch delta
+  // assignment, sufficient-statistics merge.
+  // --------------------------------------------------------------------
+
+  /** Streaming IVF index maintenance. `centroids` is yesterday's
+    * TRAINED coarse quantizer — (label, pos, qc) with 0-based pos and
+    * µ-quantized int64 components, frozen for the day exactly as in the
+    * batch delta op ([[graft.ops.SqlOps.annIvfDelta]]): arriving
+    * vectors are assigned to it, never retrain it (drift detection
+    * below tells you when to). The maintained state is ONE atomically
+    * published artifact (`targetDir`) holding two row kinds:
+    *  - `member` rows (vec_id, cell) — the posting list, i.e. the
+    *    index payload itself;
+    *  - `stat` rows (cell, pos, s, n) — per-(cell, component)
+    *    sufficient statistics (Σ quantized value, count).
+    * One artifact, one swap: the posting list and its statistics can
+    * never be observed out of step, and idempotence is pure membership
+    * — a replayed vector is already a member, contributes nothing, and
+    * the batch no-ops. Per-batch compute is ∝ batch: assignment is
+    * batch × centroids (broadcast-sized), the stats merge is a
+    * full-outer join on (cell, pos) — cells × dims rows, tiny.
+    *
+    * Assignment arithmetic is the IVF family's exact µ-quantized int64
+    * L2 with the full-dimension-match guard (a vector whose length
+    * differs from a centroid's must skip it, not score a prefix), ties
+    * to the smallest label — engine-identical to the batch index, so a
+    * nightly parity check against the batch rebuild is row-exact. */
+  def annMaintenanceBatch(spark: SparkSession, batch: DataFrame,
+                          centroids: DataFrame, targetDir: String): Unit = {
+    publishParquet(spark, targetDir) { current =>
+      val fresh0 = batch.select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id").isNotNull).dropDuplicates("vec_id")
+      val fresh = current match {
+        case Some(cur) => fresh0.join(
+          cur.filter(col("kind") === "member").select("vec_id"),
+          Seq("vec_id"), "left_anti")
+        case None => fresh0
+      }
+      // exact int64 µ-quantized components, 0-based pos
+      val eq = fresh.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("pos", col("pos").cast("long"))
+        .withColumn("qv",
+          floor(col("v").cast("double") * 1.0e6 + 0.5).cast("long"))
+      val vdim = eq.groupBy("vec_id").agg(count(lit(1)).as("nd"))
+      val cdim = centroids.groupBy("label").agg(count(lit(1)).as("cd"))
+      val dist = eq.join(centroids, Seq("pos"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum((col("qv") - col("qc")) * (col("qv") - col("qc"))).as("d2"),
+          count(lit(1)).as("npos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("d2"), col("label"))
+      val asgn = dist
+        .join(vdim, Seq("vec_id")).join(cdim, Seq("label"))
+        .filter(col("npos") === col("nd") && col("npos") === col("cd"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("vec_id"), col("label").as("cell"))
+      val dstats = eq.join(asgn, Seq("vec_id"))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("qv")).as("sd"), count(lit(1)).as("nd"))
+      val newMembers = asgn
+        .select(lit("member").as("kind"), col("vec_id"), col("cell"),
+          lit(null).cast("long").as("pos"), lit(null).cast("long").as("s"),
+          lit(null).cast("long").as("n"))
+      val baseStats = current.map(_.filter(col("kind") === "stat")
+          .select(col("cell"), col("pos"), col("s"), col("n")))
+        .getOrElse(dstats.select(col("cell"), col("pos"),
+          lit(0L).as("s"), lit(0L).as("n")).limit(0))
+      // USING-join on (cell, pos): the output key columns are already
+      // the non-null side's values
+      val mergedStats = baseStats
+        .join(dstats, Seq("cell", "pos"), "full_outer")
+        .select(lit("stat").as("kind"), lit(null).cast("long").as("vec_id"),
+          col("cell"), col("pos"),
+          (coalesce(col("s"), lit(0L)) + coalesce(col("sd"), lit(0L))).as("s"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("nd"), lit(0L))).as("n"))
+      val keptMembers = current.map(_.filter(col("kind") === "member"))
+        .getOrElse(newMembers.limit(0))
+      keptMembers.unionByName(newMembers).unionByName(mergedStats)
+    }
+  }
+
+  /** Per-cell drift report off the maintained state — the read-side
+    * pure function a scheduler polls to decide retraining: member
+    * count, the updated quantized mean per component vs the frozen
+    * centroid, max |drift| in µ-units, retrain flag past the same
+    * 1000 µ threshold as the batch delta op. */
+  def ivfDriftReport(state: DataFrame, centroids: DataFrame): DataFrame = {
+    val stats = state.filter(col("kind") === "stat")
+      .select(col("cell"), col("pos"), col("s"), col("n"))
+    stats
+      .withColumn("qc_upd",
+        floor(col("s").cast("double") / col("n") + 0.5).cast("long"))
+      .join(centroids.select(col("label").as("cell"), col("pos"), col("qc")),
+        Seq("cell", "pos"))
+      .groupBy("cell")
+      .agg(max(col("n")).as("n_members"),
+        max(abs(col("qc_upd") - col("qc"))).as("max_drift_mu"))
+      .withColumn("retrain_flag",
+        when(col("max_drift_mu") > 1000L, 1).otherwise(0))
+  }
+
+  /** The streaming wrapper: each micro-batch of raw vectors (vec_id,
+    * embedding) folds into the IVF state via [[annMaintenanceBatch]].
+    * Restart-safe for the same reasons as [[clusterMaintenance]]:
+    * atomic swap publish + membership idempotence. */
+  def annMaintenance(spark: SparkSession, vectors: DataFrame,
+                     centroids: DataFrame, targetDir: String,
+                     checkpointDir: String) = {
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        annMaintenanceBatch(spark, batch, centroids, targetDir)
+      }
+  }
+
+  // --------------------------------------------------------------------
   // Composed daily-ingest pipeline: quota gate → minhash band index →
   // incremental clusters → survivors, as ONE foreachBatch body.
   // --------------------------------------------------------------------
