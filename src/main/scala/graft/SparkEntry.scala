@@ -625,6 +625,7 @@ object SparkEntry {
     "q_heavy_hitters" -> sqlStaged(Seq("documents"), SqlOps.heavyHitters),
     "q_ann_ivf_probe2" -> sqlStaged(Seq("embeddings"), SqlOps.annIvfProbe2),
     "q_text_unigram_lm" -> sqlStaged(Seq("documents"), SqlOps.textUnigramLm),
+    "q_dsir_weights" -> sqlStaged(Seq("documents"), SqlOps.dsirWeights),
     "q_search_bm25" -> sqlStaged(Seq("documents"), SqlOps.searchBm25),
     "q_bpe_pairs" -> sqlStaged(Seq("documents"), SqlOps.bpePairs),
     // the iterative BPE trainer: 3 staged merge rounds over the vocab
@@ -1350,6 +1351,7 @@ object SparkEntry {
     "q_heavy_hitters" -> SqlOps.heavyHitters.single(DuckDialect),
     "q_ann_ivf_probe2" -> SqlOps.annIvfProbe2.single(DuckDialect),
     "q_text_unigram_lm" -> SqlOps.textUnigramLm.single(DuckDialect),
+    "q_dsir_weights" -> SqlOps.dsirWeights.single(DuckDialect),
     "q_search_bm25" -> SqlOps.searchBm25.single(DuckDialect),
     "q_bpe_pairs" -> SqlOps.bpePairs.single(DuckDialect),
     "q_bpe_merges" -> SqlOps.bpeMerges.single(DuckDialect),

@@ -60,6 +60,13 @@ object SqlOps {
     * engine-portable bucket key behind [[sampleHash]] and the sampled
     * LSH-eval truth side (hex-digit arithmetic; no engine-specific
     * hash or RNG involved). */
+  /** µ-quantized log2 as int64 — the zipfFit regression arithmetic,
+    * shared wherever a log-ratio must survive exact cross-engine
+    * summation (floor-log2 bits are exactly portable but only
+    * 1-bit-granular; this keeps 6 decimal digits). */
+  private def qlog2(x: String): String =
+    s"CAST(FLOOR(log2(CAST($x AS DOUBLE)) * 1.0e6 + 5.0e-1) AS BIGINT)"
+
   private def md5Bucket(col: String): String =
     // self-parenthesized: callers compose this with tighter-binding
     // operators (`% 8` in packSequences bound only the second addend
@@ -877,6 +884,62 @@ object SqlOps {
          |       ELSE ${r6("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)")}
          |  END AS zipf_slope
          |FROM m""".stripMargin
+    })
+
+  /** DSIR-style importance weighting (Xie et al. 2023,
+    * arXiv:2302.03169): score every document by how much more likely
+    * its tokens are under a TARGET distribution (here the corpus's
+    * English slice — stand-in for "looks like Wikipedia") than under
+    * the raw pool, then keep the top-k. Features are hashed unigrams
+    * ([[md5Bucket]] → 256 buckets; DSIR's 10k-bucket n-gram hash
+    * scaled to this corpus); each bucket's score is the add-1-smoothed
+    * log-likelihood ratio as a µ-quantized log2 integer (the zipfFit
+    * qlog arithmetic — floor-log2 bits are too coarse here: with
+    * near-uniform bucket ratios every bucket rounds to 0 bits and the
+    * op degenerates), and a doc's weight is its tf-weighted
+    * bucket-score sum — int64 all the way, so both engines sum
+    * exactly.
+    *
+    * Scale shape: token explode runs once (the staged ulm_tf), the
+    * bucket model is a 256-row broadcast, the per-doc weight is one
+    * map-side-combinable groupBy, and the final top-50 is ORDER
+    * BY+LIMIT — Spark plans TakeOrderedAndProject, never a global
+    * window sort. */
+  val dsirWeights: StagedOp = StagedOp(
+    // dsir_tfb (bucketed tfs + lang) is consumed TWICE in the body
+    // (bucket model + per-doc weights) — the two-consumer rule: stage
+    // it, or CTE inlining re-runs the join and the md5 per reference
+    stages = textUnigramLm.stages :+ ("dsir_tfb" -> { (_: Dialect) =>
+      s"""SELECT t.doc_id, ${md5Bucket("t.s")} AS b, t.tf, d.lang
+         |FROM ulm_tf t JOIN documents d ON d.doc_id = t.doc_id""".stripMargin
+    }),
+    body = { _ =>
+      s"""WITH bc AS (
+         |  SELECT b,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS ct,
+         |    CAST(SUM(tf) AS BIGINT) AS cs
+         |  FROM dsir_tfb GROUP BY b
+         |),
+         |tot AS (
+         |  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cs) AS BIGINT) AS ns FROM bc
+         |),
+         |sc AS (
+         |  SELECT b,
+         |    (${qlog2("ct + 1")} + ${qlog2("ns + 256")})
+         |      - (${qlog2("cs + 1")} + ${qlog2("nt + 256")}) AS sbits
+         |  FROM bc CROSS JOIN tot
+         |),
+         |wd AS (
+         |  SELECT t.doc_id, t.lang,
+         |    CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(t.tf * s.sbits) AS BIGINT) AS weight_bits
+         |  FROM dsir_tfb t JOIN sc s ON t.b = s.b
+         |  GROUP BY t.doc_id, t.lang
+         |)
+         |SELECT doc_id, lang, n_tokens, weight_bits
+         |FROM wd
+         |ORDER BY weight_bits DESC, doc_id
+         |LIMIT 50""".stripMargin
     })
 
   /** Pareto concentration cutoff: how many customers carry 80% of

@@ -99,6 +99,62 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("documents")
   }
 
+  test("DSIR weights: SQL top-k equals an independent hash-and-score pass") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // crafted corpus: the 'en' target slice lives on vocab {alpha,
+    // beta, gamma}, the rest on {delta, epsilon}, one mixed doc, one
+    // shared token everywhere. Single-space text keeps the independent
+    // whitespace tokenizer faithful to word_shingles.
+    val docs = Seq(
+      (0L, "en", "alpha beta alpha gamma common"),
+      (1L, "en", "beta beta gamma common"),
+      (2L, "en", "alpha gamma gamma alpha common"),
+      (3L, "de", "delta epsilon delta common"),
+      (4L, "de", "epsilon epsilon delta common"),
+      (5L, "fr", "delta alpha epsilon common"),
+      (6L, "fr", "delta delta epsilon epsilon common"))
+    docs.map { case (id, lang, t) => (id, t, lang, s"src$id", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .createOrReplaceTempView("documents")
+    SqlOps.dsirWeights.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.dsirWeights.body(SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("weight_bits")))
+
+    // ---- independent implementation ----
+    def md5b(s: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d(0) & 0xff
+    }
+    def qlog(x: Long): Long =
+      math.floor(math.log(x.toDouble) / math.log(2.0) * 1.0e6 + 0.5).toLong
+    val tf = docs.flatMap { case (id, lang, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (w, xs) =>
+        (id, lang, md5b(w), xs.length.toLong)
+      }
+    }
+    val buckets = tf.map(_._3).distinct
+    val ct = buckets.map(b => b ->
+      tf.collect { case (_, "en", `b`, n) => n }.sum).toMap
+    val cs = buckets.map(b => b ->
+      tf.collect { case (_, _, `b`, n) => n }.sum).toMap
+    val (nt, ns) = (ct.values.sum, cs.values.sum)
+    val sbits = buckets.map(b => b ->
+      ((qlog(ct(b) + 1) + qlog(ns + 256)) - (qlog(cs(b) + 1) + qlog(nt + 256)))).toMap
+    val expected = docs.map { case (id, lang, _) =>
+      val mine = tf.filter(_._1 == id)
+      (id, lang, mine.map(_._4).sum, mine.map { case (_, _, b, n) => n * sbits(b) }.sum)
+    }.sortBy { case (id, _, _, w) => (-w, id) }.take(50)
+    assert(got.toSeq === expected)
+    // sanity: every en doc outweighs every pure non-target doc
+    val wOf = expected.map(e => e._1 -> e._4).toMap
+    for (e <- Seq(0L, 1L, 2L); o <- Seq(3L, 4L, 6L)) assert(wOf(e) > wOf(o))
+    spark.catalog.dropTempView("documents")
+  }
+
   test("semantic dedup: SQL survivors equal an independent SemDeDup reimplementation") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
