@@ -275,6 +275,9 @@ object SparkEntry {
       Seq("embeddings") -> SqlOps.kmeansStep,
       Seq("embeddings") -> SqlOps.knnBruteForce,
       Seq("embeddings") -> SqlOps.dedupEmbeddingCosine,
+      Seq("embeddings") -> SqlOps.dedupSemantic, // adds sem_rank
+      Seq("documents")  -> SqlOps.dsirWeights, // adds dsir_tfb
+
       Seq("orders")     -> SqlOps.profileOrders,
       Seq("orders")     -> SqlOps.ordersRfm,
       Seq("orders")     -> SqlOps.paretoCustomers,

@@ -2967,25 +2967,29 @@ object SqlOps {
       "ivf_nvc" -> { d => d.ivfAssign(ivfCentCtes(d)) },
       "ivf_cent" -> { d =>
         s"WITH ${ivfCentCtes(d)} SELECT label, pos, qc FROM cent"
+      },
+      // the per-cell keep-order is consumed THREE times in the body
+      // (both sides of the dominance test + the survivor projection) —
+      // the two-consumer rule: staged, or CTE inlining re-runs the
+      // explode+centroid join per reference
+      "sem_rank" -> { d =>
+        val expV = d.explodeWithPos(
+          "SELECT vec_id, cell, embedding FROM ivf_nvc",
+          "vec_id, cell", "embedding", "pos", "v")
+        val qv = "CAST(FLOOR(CAST(e.v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)"
+        s"""WITH ev AS ($expV),
+           |cd AS (
+           |  SELECT e.vec_id, e.cell,
+           |    SUM(($qv - c.qc) * ($qv - c.qc)) AS d2
+           |  FROM ev e JOIN ivf_cent c ON c.label = e.cell AND c.pos = e.pos
+           |  GROUP BY e.vec_id, e.cell
+           |)
+           |SELECT vec_id, cell,
+           |  ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d2 DESC, vec_id) AS rk
+           |FROM cd""".stripMargin
       }),
     body = { d =>
-      val expV = d.explodeWithPos(
-        "SELECT vec_id, cell, embedding FROM ivf_nvc",
-        "vec_id, cell", "embedding", "pos", "v")
-      val qv = "CAST(FLOOR(CAST(e.v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)"
-      s"""WITH ev AS ($expV),
-         |cd AS (
-         |  SELECT e.vec_id, e.cell,
-         |    SUM(($qv - c.qc) * ($qv - c.qc)) AS d2
-         |  FROM ev e JOIN ivf_cent c ON c.label = e.cell AND c.pos = e.pos
-         |  GROUP BY e.vec_id, e.cell
-         |),
-         |ranked AS (
-         |  SELECT vec_id, cell,
-         |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d2 DESC, vec_id) AS rk
-         |  FROM cd
-         |),
-         |dup AS (
+      s"""WITH dup AS (
          |  SELECT a.vec_id AS va, b.vec_id AS vb
          |  FROM ivf_nvc a JOIN ivf_nvc b
          |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
@@ -2994,12 +2998,12 @@ object SqlOps {
          |drops AS (
          |  SELECT DISTINCT x.vec_id
          |  FROM dup p
-         |  JOIN ranked x ON x.vec_id = p.va
-         |  JOIN ranked y ON y.vec_id = p.vb
+         |  JOIN sem_rank x ON x.vec_id = p.va
+         |  JOIN sem_rank y ON y.vec_id = p.vb
          |  WHERE y.rk < x.rk
          |)
          |SELECT r.vec_id, r.cell, r.rk
-         |FROM ranked r LEFT JOIN drops dr ON dr.vec_id = r.vec_id
+         |FROM sem_rank r LEFT JOIN drops dr ON dr.vec_id = r.vec_id
          |WHERE dr.vec_id IS NULL""".stripMargin
     })
 
