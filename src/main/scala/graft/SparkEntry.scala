@@ -276,6 +276,7 @@ object SparkEntry {
       Seq("embeddings") -> SqlOps.knnBruteForce,
       Seq("embeddings") -> SqlOps.dedupEmbeddingCosine,
       Seq("embeddings") -> SqlOps.dedupSemantic, // adds sem_rank
+      Seq("embeddings") -> SqlOps.annMargin, // adds mgn_top
       Seq("documents")  -> SqlOps.dsirWeights, // adds dsir_tfb
 
       Seq("orders")     -> SqlOps.profileOrders,
@@ -495,6 +496,7 @@ object SparkEntry {
     "q_ntile" -> sqlq(Seq("orders"), SqlOps.orderDeciles),
     "q_dedup_embedding_cosine" -> sqlStaged(Seq("embeddings"), SqlOps.dedupEmbeddingCosine),
     "q_dedup_semantic" -> sqlStaged(Seq("embeddings"), SqlOps.dedupSemantic),
+    "q_ann_margin" -> sqlStaged(Seq("embeddings"), SqlOps.annMargin),
     "q_dedup_canonical" -> sqlq(Seq("documents"), SqlOps.dedupCanonical),
     // pairs → clusters: transitive closure of the minhash candidate
     // pairs via iterative min-label propagation (graft.ops.Cluster)
@@ -1247,6 +1249,7 @@ object SparkEntry {
     "q_ntile" -> SqlOps.orderDeciles(DuckDialect),
     "q_dedup_embedding_cosine" -> SqlOps.dedupEmbeddingCosine.single(DuckDialect),
     "q_dedup_semantic" -> SqlOps.dedupSemantic.single(DuckDialect),
+    "q_ann_margin" -> SqlOps.annMargin.single(DuckDialect),
     "q_dedup_canonical" -> SqlOps.dedupCanonical(DuckDialect),
     // transitive closure of the same candidate pairs as a recursive CTE;
     // MIN over all reachable labels = the component minimum (shared by

@@ -3007,6 +3007,83 @@ object SqlOps {
          |WHERE dr.vec_id IS NULL""".stripMargin
     })
 
+  /** Margin-based nearest-neighbor pair mining — the CCMatrix/LASER
+    * bitext-mining criterion (Artetxe & Schwenk 2019): a candidate
+    * pair (x, y) across two corpora scores not by raw cosine but by
+    * cosine NORMALIZED by both endpoints' neighborhood densities,
+    *   margin(x,y) = cos(x,y) / ((avgₖNN(x) + avgₖNN(y)) / 2),
+    * which suppresses hub vectors that are "close to everything".
+    * The two corpora here are the embedding table's parity slices
+    * (stand-ins for two languages' sentence embeddings).
+    *
+    * Cost shape (the eval-scoping rule): the query side is the bounded
+    * vec_id % 50 slice, its top-k search is |Q|·N; the REVERSE
+    * neighborhood penalty is computed only for the ≤ |Q|·k distinct
+    * shortlist partners, each one pass against the other side — never
+    * all-pairs on the big sides. At 100 TB both passes ride the IVF/
+    * sign-LSH indexes instead of brute force; the margin algebra is
+    * unchanged. All cosines are µ-quantized to int64 before any SUM
+    * (6-decimal doubles do NOT sum associatively; integers do), so
+    * both engines rank identically; the one float op is the final
+    * ratio, r6-rounded. The shortlist is staged under the
+    * two-consumer rule (read for the reverse-penalty seed AND the
+    * final margin join). */
+  val annMargin: StagedOp = {
+    val k = 4
+    def qcos(d: Dialect, a: String, b: String, na: String, nb: String) =
+      s"CAST(FLOOR((${dotExpr(d, a, b)} / ($na * $nb)) * 1.0e6 + 5.0e-1) AS BIGINT)"
+    StagedOp(
+      stages = Seq(
+        "emb_nv" -> nvStage,
+        "mgn_top" -> { d =>
+          s"""WITH qs AS (
+             |  SELECT * FROM emb_nv WHERE vec_id % 50 = 0 AND vec_id % 2 = 0
+             |),
+             |p AS (
+             |  SELECT qs.vec_id AS qa, t.vec_id AS qb,
+             |    ${qcos(d, "qs.embedding", "t.embedding", "qs.nrm", "t.nrm")} AS qc
+             |  FROM qs JOIN emb_nv t ON t.vec_id % 2 = 1
+             |)
+             |SELECT qa, qb, qc FROM (
+             |  SELECT *, ROW_NUMBER() OVER (
+             |    PARTITION BY qa ORDER BY qc DESC, qb) AS rk
+             |  FROM p
+             |) WHERE rk <= $k""".stripMargin
+        }),
+      body = { d =>
+        s"""WITH bq AS (SELECT DISTINCT qb FROM mgn_top),
+           |bp AS (
+           |  SELECT b.vec_id AS qb, a.vec_id AS qa2,
+           |    ${qcos(d, "b.embedding", "a.embedding", "b.nrm", "a.nrm")} AS qc
+           |  FROM emb_nv b JOIN bq ON b.vec_id = bq.qb
+           |  JOIN emb_nv a ON a.vec_id % 2 = 0
+           |),
+           |btop AS (
+           |  SELECT qb, qc FROM (
+           |    SELECT *, ROW_NUMBER() OVER (
+           |      PARTITION BY qb ORDER BY qc DESC, qa2) AS rk
+           |    FROM bp
+           |  ) WHERE rk <= $k
+           |),
+           |bavg AS (SELECT qb, CAST(SUM(qc) AS BIGINT) AS bs FROM btop GROUP BY qb),
+           |aavg AS (SELECT qa, CAST(SUM(qc) AS BIGINT) AS as_ FROM mgn_top GROUP BY qa),
+           |m AS (
+           |  SELECT t.qa, t.qb, t.qc,
+           |    CASE WHEN av.as_ + bv.bs > 0
+           |         THEN ${r6(s"CAST(${2 * k} * t.qc AS DOUBLE) / CAST(av.as_ + bv.bs AS DOUBLE)")}
+           |    END AS margin
+           |  FROM mgn_top t
+           |  JOIN aavg av ON av.qa = t.qa
+           |  JOIN bavg bv ON bv.qb = t.qb
+           |)
+           |SELECT qa AS query_id, qb AS pair_id, qc AS qcos, margin, rk FROM (
+           |  SELECT *, ROW_NUMBER() OVER (
+           |    PARTITION BY qa ORDER BY margin DESC, qb) AS rk
+           |  FROM m WHERE margin IS NOT NULL
+           |) WHERE rk <= 2""".stripMargin
+      })
+  }
+
   /** Product-quantization codes (the compressed representation behind
     * [[embeddingQuantize]]'s scalar codes in a real ANN index): each
     * 64-dim vector becomes 4 codebook ids, one per 16-dim block, where

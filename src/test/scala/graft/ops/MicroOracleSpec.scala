@@ -155,6 +155,77 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("documents")
   }
 
+  test("margin mining: SQL pairs equal an independent margin-criterion pass") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val dim = 64
+    val rnd = new scala.util.Random(11)
+    def vec(f: Int => Float): Seq[Float] = Seq.tabulate(dim)(f)
+    def noisy(base: Seq[Float], eps: Float): Seq[Float] =
+      base.zipWithIndex.map { case (x, _) => x + (rnd.nextFloat() - 0.5f) * eps }
+    val q0 = vec(j => if (j < 8) 1f else 0.01f * j)
+    val q1 = vec(j => if (j >= 8 && j < 16) 1f else -0.01f * j)
+    val q2 = vec(j => math.sin(j.toDouble).toFloat)
+    // queries: even AND % 50 == 0; database: odd ids — including true
+    // matches for q0/q1, a HUB vector (midway between everything, so
+    // raw cosine likes it but the margin should suppress it), and
+    // fillers
+    val rows: Seq[(Long, Seq[Float])] =
+      Seq(0L -> q0, 50L -> q1, 100L -> q2) ++
+      Seq(1L -> noisy(q0, 0.2f), 3L -> noisy(q1, 0.2f),
+        5L -> q0.zip(q1).map { case (a, b) => (a + b) / 2 }, // hub
+        7L -> noisy(q2, 0.3f), 9L -> vec(j => ((j * 37) % 11 - 5).toFloat / 7f),
+        11L -> noisy(q0, 0.9f), 13L -> noisy(q1, 0.9f),
+        15L -> vec(j => ((j * 13) % 17 - 8).toFloat / 9f)) ++
+      // extra even ids (not % 50) prove the query slice is respected
+      Seq(2L -> noisy(q0, 0.1f), 4L -> noisy(q1, 0.1f))
+    rows.map { case (id, v) => (id, 0, v) }.toDF("vec_id", "label", "embedding")
+      .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<FLOAT>) AS embedding")
+      .createOrReplaceTempView("embeddings")
+    SqlOps.annMargin.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.annMargin.body(SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("pair_id"),
+        r.getAs[Long]("qcos"), r.getAs[Double]("margin"),
+        r.getAs[Number]("rk").longValue())).sortBy(t => (t._1, t._5))
+
+    // ---- independent implementation (k = 4) ----
+    val k = 4
+    val byId = rows.toMap
+    def qcos(a: Seq[Float], b: Seq[Float]): Long = {
+      val dot = (0 until dim).map(i => a(i).toDouble * b(i).toDouble).sum
+      def nrm(x: Seq[Float]) = math.sqrt((0 until dim).map(i => x(i).toDouble * x(i).toDouble).sum)
+      math.floor(dot / (nrm(a) * nrm(b)) * 1.0e6 + 0.5).toLong
+    }
+    val queries = rows.map(_._1).filter(id => id % 50 == 0 && id % 2 == 0).sorted
+    val odd = rows.map(_._1).filter(_ % 2 == 1).sorted
+    val even = rows.map(_._1).filter(_ % 2 == 0).sorted
+    val top = queries.map { qa =>
+      qa -> odd.map(qb => qb -> qcos(byId(qa), byId(qb)))
+        .sortBy { case (qb, c) => (-c, qb) }.take(k)
+    }.toMap
+    val aavg = top.map { case (qa, ns) => qa -> ns.map(_._2).sum }
+    val bavg = top.values.flatten.map(_._1).toSeq.distinct.map { qb =>
+      qb -> even.map(qa2 => qa2 -> qcos(byId(qb), byId(qa2)))
+        .sortBy { case (qa2, c) => (-c, qa2) }.take(k).map(_._2).sum
+    }.toMap
+    val expected = queries.flatMap { qa =>
+      top(qa).flatMap { case (qb, c) =>
+        val den = aavg(qa) + bavg(qb)
+        if (den > 0) Some((qb, c, r6(2.0 * k * c / den))) else None
+      }.sortBy { case (qb, _, m) => (-m, qb) }.take(2).zipWithIndex
+        .map { case ((qb, c, m), i) => (qa, qb, c, m, i + 1L) }
+    }.sortBy(t => (t._1, t._5))
+    assert(got.toSeq === expected)
+    assert(expected.size === queries.size * 2)
+    // sanity: the hub partner never wins rank 1 for q0 or q1 — its raw
+    // cosine is high for both, but the margin normalizes it away
+    for (qa <- Seq(0L, 50L))
+      assert(got.find(t => t._1 == qa && t._5 == 1L).get._2 !== 5L)
+    spark.catalog.dropTempView("embeddings")
+  }
+
   test("semantic dedup: SQL survivors equal an independent SemDeDup reimplementation") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
