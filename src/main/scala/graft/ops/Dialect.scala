@@ -325,6 +325,11 @@ object DuckDialect extends Dialect {
     require(!repl.contains("\\"), s"reReplaceAll: backslash in replacement '$repl' unsupported")
     require("\\$(?!\\d)".r.findFirstIn(repl).isEmpty,
       s"reReplaceAll: literal '$$' in replacement '$repl' unsupported (only $$N backrefs translate)")
+    // RE2 rewrites know \0-\9 only: a multi-digit backref ($12) would
+    // translate to \1 followed by a literal '2' — the exact silent
+    // cross-engine divergence this guard chain exists to prevent
+    require("\\$\\d\\d".r.findFirstIn(repl).isEmpty,
+      s"reReplaceAll: multi-digit backref in replacement '$repl' unsupported (RE2 rewrites stop at \\9)")
     val ducked = repl.replaceAll("\\$(\\d)", "\\\\$1")
     s"regexp_replace($x, ${relit(rawRegex)}, '${q(ducked)}', 'g')"
   }

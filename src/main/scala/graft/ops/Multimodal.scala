@@ -59,12 +59,17 @@ object Multimodal {
           val sums = new Array[Double](8)
           val counts = new Array[Long](8)
           val stripe = math.max(h / 8, 1)
+          // one bulk getRGB per ROW, not per pixel — the per-pixel
+          // overload re-does bounds checks and color-model conversion
+          // 12M times on a 4000×3000 frame
+          val rowBuf = new Array[Int](w)
           var y = 0
           while (y < h) {
             val s = math.min(y / stripe, 7)
+            img.getRGB(0, y, w, 1, rowBuf, 0, w)
             var x = 0
             while (x < w) {
-              val rgb = img.getRGB(x, y)
+              val rgb = rowBuf(x)
               sums(s) += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
               counts(s) += 1
               x += 1
@@ -126,7 +131,10 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // per-batch codec setup (reader pools etc.) amortizes here
         batch.iterator.map { m =>
-          if (m.mime.startsWith("image/")) decodeImage(m).getOrElse(decodeStub(m))
+          // null mime (a null source column) must not NPE the executor
+          // — same defensive rule as the stub's null payload
+          if (m.mime != null && m.mime.startsWith("image/"))
+            decodeImage(m).getOrElse(decodeStub(m))
           else decodeStub(m)
         }
       }

@@ -56,17 +56,25 @@ object SqlOps {
     * — the parity rule learned on the corr sums. */
   private def r6(x: String): String = s"FLOOR(($x) * 1.0e6 + 5.0e-1) / 1.0e6"
 
+  /** µ-quantized log2 as int64 — THE one copy of the quantized-log
+    * arithmetic ([[zipfFit]]'s regression inputs, [[dsirWeights]]'
+    * bucket scores), shared wherever a log-ratio must survive exact
+    * cross-engine summation (floor-log2 bits are exactly portable but
+    * only 1-bit-granular; this keeps 6 decimal digits). */
+  private def qlog2(x: String): String =
+    s"CAST(FLOOR(log2(CAST($x AS DOUBLE)) * 1.0e6 + 5.0e-1) AS BIGINT)"
+
+  /** µ-quantized value as int64 (half-up at 6 decimals) — THE one copy
+    * of the quantization every exact-integer distance/centroid op in
+    * the similarity family builds on; a rounding change here must not
+    * be forkable per-op. */
+  private def qvExpr(v: String): String =
+    s"CAST(FLOOR(CAST($v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)"
+
   /** First byte of md5(col) as an integer 0-255 — the deterministic,
     * engine-portable bucket key behind [[sampleHash]] and the sampled
     * LSH-eval truth side (hex-digit arithmetic; no engine-specific
     * hash or RNG involved). */
-  /** µ-quantized log2 as int64 — the zipfFit regression arithmetic,
-    * shared wherever a log-ratio must survive exact cross-engine
-    * summation (floor-log2 bits are exactly portable but only
-    * 1-bit-granular; this keeps 6 decimal digits). */
-  private def qlog2(x: String): String =
-    s"CAST(FLOOR(log2(CAST($x AS DOUBLE)) * 1.0e6 + 5.0e-1) AS BIGINT)"
-
   private def md5Bucket(col: String): String =
     // self-parenthesized: callers compose this with tighter-binding
     // operators (`% 8` in packSequences bound only the second addend
@@ -865,8 +873,7 @@ object SqlOps {
   val zipfFit: StagedOp = StagedOp(
     stages = textUnigramLm.stages,
     body = { _ =>
-      val qlog = (x: String) =>
-        s"CAST(FLOOR(log2(CAST($x AS DOUBLE)) * 1.0e6 + 5.0e-1) AS BIGINT)"
+      val qlog = qlog2 _
       s"""WITH vc AS (SELECT s, CAST(SUM(tf) AS BIGINT) AS c FROM ulm_tf GROUP BY s),
          |rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, s) AS r FROM vc),
          |q AS (
@@ -1638,7 +1645,7 @@ object SqlOps {
     * engines. One explode + one 64-group aggregate — map-side
     * combinable, no joins. */
   def embeddingDimStats(d: Dialect): String = {
-    val qv = "CAST(FLOOR(CAST(v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)"
+    val qv = qvExpr("v")
     val expV = d.explodeWithPos(
       "SELECT vec_id, embedding FROM embeddings", "vec_id", "embedding", "pos", "v")
     s"""WITH ev AS ($expV),
@@ -1663,7 +1670,7 @@ object SqlOps {
     * makes lexicographic order = position order). Constant dimensions
     * (σ = 0) are excluded — z is undefined there. */
   def embeddingWhiten(d: Dialect): String = {
-    val qv = "CAST(FLOOR(CAST(v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)"
+    val qv = qvExpr("v")
     val expV = d.explodeWithPos(
       "SELECT vec_id, embedding FROM embeddings", "vec_id", "embedding", "pos", "v")
     s"""WITH ev AS ($expV),
@@ -2439,7 +2446,7 @@ object SqlOps {
     s"""evc AS ($expC),
        |cent AS (
        |  SELECT label, pos,
-       |    CAST(FLOOR(CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
+       |    CAST(FLOOR(CAST(SUM(${qvExpr("v")}) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
        |  FROM evc GROUP BY label, pos
        |)""".stripMargin
   }
@@ -2495,7 +2502,7 @@ object SqlOps {
     body = { d =>
       val expQ = d.explodeWithPos(
         "SELECT vec_id, embedding FROM qs", "vec_id", "embedding", "pos", "v")
-      val qv = "CAST(FLOOR(CAST(e.v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)"
+      val qv = qvExpr("e.v")
       s"""WITH qs AS (SELECT * FROM ivf_nvc WHERE vec_id % 50 = 0),
          |qd AS (
          |  SELECT e.vec_id, c.label,
@@ -2549,7 +2556,7 @@ object SqlOps {
     * ties to the smaller id. */
   val annIvfPq: StagedOp = {
     val (m, bs) = (4, 16)
-    val quant = (v: String) => s"CAST(FLOOR(CAST($v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)"
+    val quant = qvExpr _
     // residual PQ training pipeline, classic FAISS shape: codes encode
     // v − centroid(cell(v)), not v itself. Residuals concentrate near
     // zero (the coarse quantizer already explains the cell mean), so a
@@ -2558,10 +2565,10 @@ object SqlOps {
     // code width than reusing the IVF centroid table as the codebook.
     //
     // Training is one deterministic hash-seeded Lloyd pass, fully
-    // relational: bucket each block residual by the 4-bit sign pattern
-    // of its first 4 components (16 codewords per block), codeword =
-    // per-bucket µ-quantized mean. Exact int64 end-to-end, so both
-    // engines learn the identical codebook.
+    // relational: bucket each block residual by the 6-bit sign pattern
+    // of its first 6 components (up to 64 codewords per block),
+    // codeword = per-bucket µ-quantized mean. Exact int64 end-to-end,
+    // so both engines learn the identical codebook.
     val resStage = { d: Dialect =>
       val exp = d.explodeWithPos(
         "SELECT vec_id, cell, embedding FROM ivf_nvc",
@@ -2636,8 +2643,9 @@ object SqlOps {
         // The read path: (1) PROBE — rank the broadcast-sized coarse
         // centroids, keep 2 cells; (2) ADC — the query's residual LUT
         // is PER PROBED CELL (residual encoding makes the LUT
-        // cell-dependent: q − centroid(cell)), |Q|×2×m×16 rows, still
-        // broadcast-sized; candidates are the probed cells' members
+        // cell-dependent: q − centroid(cell)), |Q|×2×m×codewords rows
+        // (≤ 64 codewords per block), still broadcast-sized;
+        // candidates are the probed cells' members
         // scored by m integer lookups off the staged code table;
         // (3) REFINE — exact cosine over the ≤20 survivors per query.
         // HAVING guards at every aggregate: a short-trained label or
@@ -2741,9 +2749,6 @@ object SqlOps {
     * rest is the base corpus yesterday's index was built on. */
   val NewVecMod = 16
   val NewVecRem = 3
-
-  private def qvExpr(v: String): String =
-    s"CAST(FLOOR(CAST($v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)"
 
   /** Base-slice centroid table — yesterday's trained coarse quantizer,
     * shared by the incremental update and its full-rebuild oracle. */
@@ -2897,7 +2902,7 @@ object SqlOps {
         "SELECT cell, embedding FROM ivf_nvc", "cell", "embedding", "pos", "v")
       s"""WITH easg AS ($exp)
          |SELECT cell, pos,
-         |  CAST(FLOOR(CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc_new,
+         |  CAST(FLOOR(CAST(SUM(${qvExpr("v")}) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc_new,
          |  COUNT(*) AS n_members
          |FROM easg GROUP BY cell, pos""".stripMargin
     })
@@ -2953,7 +2958,10 @@ object SqlOps {
     * variant (x is dropped if ANY earlier-ranked in-cell neighbor
     * exceeds τ, whether or not that neighbor itself survives): the
     * same shape as the skyline dominance test — deterministic and
-    * join-parallel, no sequential sweep over the cell.
+    * join-parallel, no sequential sweep over the cell. The pair join
+    * is canonical (vec_id <, each unordered pair's 64-dim cosine
+    * computed ONCE); per-cell ranks are distinct, so the CASE in
+    * `drops` always finds a strictly later-ranked member to drop.
     *
     * All three inputs are already-staged shared artifacts (emb_nv,
     * ivf_nvc, ivf_cent); centroid distances reuse the IVF family's
@@ -2976,7 +2984,7 @@ object SqlOps {
         val expV = d.explodeWithPos(
           "SELECT vec_id, cell, embedding FROM ivf_nvc",
           "vec_id, cell", "embedding", "pos", "v")
-        val qv = "CAST(FLOOR(CAST(e.v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)"
+        val qv = qvExpr("e.v")
         s"""WITH ev AS ($expV),
            |cd AS (
            |  SELECT e.vec_id, e.cell,
@@ -2992,15 +3000,15 @@ object SqlOps {
       s"""WITH dup AS (
          |  SELECT a.vec_id AS va, b.vec_id AS vb
          |  FROM ivf_nvc a JOIN ivf_nvc b
-         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
          |  WHERE ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} >= 0.35
          |),
          |drops AS (
-         |  SELECT DISTINCT x.vec_id
+         |  SELECT DISTINCT
+         |    CASE WHEN x.rk > y.rk THEN x.vec_id ELSE y.vec_id END AS vec_id
          |  FROM dup p
          |  JOIN sem_rank x ON x.vec_id = p.va
          |  JOIN sem_rank y ON y.vec_id = p.vb
-         |  WHERE y.rk < x.rk
          |)
          |SELECT r.vec_id, r.cell, r.rk
          |FROM sem_rank r LEFT JOIN drops dr ON dr.vec_id = r.vec_id
@@ -3022,7 +3030,13 @@ object SqlOps {
     * shortlist partners, each one pass against the other side — never
     * all-pairs on the big sides. At 100 TB both passes ride the IVF/
     * sign-LSH indexes instead of brute force; the margin algebra is
-    * unchanged. All cosines are µ-quantized to int64 before any SUM
+    * unchanged. The denominator uses each endpoint's ACTUAL
+    * neighborhood size (a side with fewer than k members must average
+    * over what it has, not divide a k-scaled numerator by an
+    * under-filled sum): margin = 2·cos·ca·cb / (Σa·cb + Σb·ca), the
+    * cross-multiplied form of cos / ((Σa/ca + Σb/cb)/2), kept in int64
+    * until the final ratio. All cosines are µ-quantized to int64
+    * before any SUM
     * (6-decimal doubles do NOT sum associatively; integers do), so
     * both engines rank identically; the one float op is the final
     * ratio, r6-rounded. The shortlist is staged under the
@@ -3065,12 +3079,18 @@ object SqlOps {
            |    FROM bp
            |  ) WHERE rk <= $k
            |),
-           |bavg AS (SELECT qb, CAST(SUM(qc) AS BIGINT) AS bs FROM btop GROUP BY qb),
-           |aavg AS (SELECT qa, CAST(SUM(qc) AS BIGINT) AS as_ FROM mgn_top GROUP BY qa),
+           |bavg AS (
+           |  SELECT qb, CAST(SUM(qc) AS BIGINT) AS bs, COUNT(*) AS cb
+           |  FROM btop GROUP BY qb
+           |),
+           |aavg AS (
+           |  SELECT qa, CAST(SUM(qc) AS BIGINT) AS as_, COUNT(*) AS ca
+           |  FROM mgn_top GROUP BY qa
+           |),
            |m AS (
            |  SELECT t.qa, t.qb, t.qc,
-           |    CASE WHEN av.as_ + bv.bs > 0
-           |         THEN ${r6(s"CAST(${2 * k} * t.qc AS DOUBLE) / CAST(av.as_ + bv.bs AS DOUBLE)")}
+           |    CASE WHEN av.as_ * bv.cb + bv.bs * av.ca > 0
+           |         THEN ${r6("CAST(2 * t.qc * av.ca * bv.cb AS DOUBLE) / CAST(av.as_ * bv.cb + bv.bs * av.ca AS DOUBLE)")}
            |    END AS margin
            |  FROM mgn_top t
            |  JOIN aavg av ON av.qa = t.qa
@@ -3102,7 +3122,7 @@ object SqlOps {
       "vec_id, label", "embedding", "pos", "v")
     s"""WITH evc AS ($expC)
        |SELECT label, pos,
-       |  CAST(FLOOR(CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
+       |  CAST(FLOOR(CAST(SUM(${qvExpr("v")}) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
        |FROM evc GROUP BY label, pos""".stripMargin
   }
 
@@ -3141,7 +3161,7 @@ object SqlOps {
         s"""WITH qv AS ($expQ),
            |qq AS (
            |  SELECT vec_id AS qid, CAST(FLOOR(pos / $bs) AS INT) AS block, pos % $bs AS bpos,
-           |    CAST(FLOOR(CAST(v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT) AS qv
+           |    ${qvExpr("v")} AS qv
            |  FROM qv
            |),
            |cb AS (

@@ -737,6 +737,22 @@ object StreamingOps {
     * crash-recoverable ATOMIC_MOVE protocol as [[upsertEachBatch]]:
     * a batch that dies mid-publish either left the old map in place or
     * is recovered from `.old` before the retry applies. */
+  /** Cluster-map target dirs this JVM has already validated (or itself
+    * published): the self-labeled-representative check is O(|map|), so
+    * it runs once per artifact LOAD — the trust boundary is the first
+    * disk read, not every micro-batch; re-checking a map this process
+    * just wrote would break the cost-∝-delta contract for no added
+    * trust. (An external writer mutating the dir mid-stream is outside
+    * the single-writer contract every publishParquet target assumes.) */
+  private val validatedClusterMaps =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[streaming] def requireMinLabelMapOnce(map: DataFrame, targetDir: String): Unit =
+    if (!validatedClusterMaps.contains(targetDir)) {
+      graft.ops.Cluster.requireMinLabelMap(map)
+      validatedClusterMaps.add(targetDir)
+    }
+
   def clusterMaintenance(spark: SparkSession, edges: DataFrame,
                          targetDir: String, checkpointDir: String) = {
     edges.writeStream
@@ -750,7 +766,7 @@ object StreamingOps {
             // seeded by anything but this pipeline could violate the
             // self-labeled-representative invariant incrementalUpdate
             // assumes — fail the batch loudly rather than relabel wrong
-            graft.ops.Cluster.requireMinLabelMap(current)
+            requireMinLabelMapOnce(current, targetDir)
             graft.ops.Cluster.incrementalUpdate(current, b)
           case None => graft.ops.Cluster.connectedComponents(b)
         }
@@ -903,7 +919,12 @@ object StreamingOps {
     import java.nio.file.{Files, Paths}
     // mirror publishParquet's recovery view: target missing with `.old`
     // present means a publish died between its two moves — the NEXT
-    // publish restores it, so a read-only peek must look there too
+    // publish restores it, so a read-only peek must look there too.
+    // Both missing ⇒ the artifact was never published: each individual
+    // move is ATOMIC_MOVE (it either happened or didn't, and the
+    // protocol never has target and .old both absent mid-swap), so the
+    // downstream sys.error guards fire only on a genuine call-order
+    // violation, not on any crash interleaving.
     if (Files.exists(Paths.get(dir))) Some(spark.read.parquet(dir))
     else if (Files.exists(Paths.get(dir + ".old"))) Some(spark.read.parquet(dir + ".old"))
     else None
@@ -996,8 +1017,9 @@ object StreamingOps {
       val withEdges = current match {
         case Some(cur) =>
           // disk is a trust boundary: fail loudly on a map that violates
-          // the self-labeled-representative invariant
-          graft.ops.Cluster.requireMinLabelMap(cur)
+          // the self-labeled-representative invariant (first load only —
+          // the check is O(|map|), see requireMinLabelMapOnce)
+          requireMinLabelMapOnce(cur, s"$root/clusters")
           graft.ops.Cluster.incrementalUpdate(cur, edges)
         case None => graft.ops.Cluster.connectedComponents(edges)
       }

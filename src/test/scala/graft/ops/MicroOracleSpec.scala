@@ -205,15 +205,18 @@ class MicroOracleSpec extends SparkSpec {
       qa -> odd.map(qb => qb -> qcos(byId(qa), byId(qb)))
         .sortBy { case (qb, c) => (-c, qb) }.take(k)
     }.toMap
-    val aavg = top.map { case (qa, ns) => qa -> ns.map(_._2).sum }
+    val aavg = top.map { case (qa, ns) => qa -> (ns.map(_._2).sum, ns.size.toLong) }
     val bavg = top.values.flatten.map(_._1).toSeq.distinct.map { qb =>
-      qb -> even.map(qa2 => qa2 -> qcos(byId(qb), byId(qa2)))
-        .sortBy { case (qa2, c) => (-c, qa2) }.take(k).map(_._2).sum
+      val ns = even.map(qa2 => qa2 -> qcos(byId(qb), byId(qa2)))
+        .sortBy { case (qa2, c) => (-c, qa2) }.take(k)
+      qb -> (ns.map(_._2).sum, ns.size.toLong)
     }.toMap
     val expected = queries.flatMap { qa =>
       top(qa).flatMap { case (qb, c) =>
-        val den = aavg(qa) + bavg(qb)
-        if (den > 0) Some((qb, c, r6(2.0 * k * c / den))) else None
+        val (as_, ca) = aavg(qa)
+        val (bs, cb) = bavg(qb)
+        val den = as_ * cb + bs * ca
+        if (den > 0) Some((qb, c, r6(2.0 * c * ca * cb / den))) else None
       }.sortBy { case (qb, _, m) => (-m, qb) }.take(2).zipWithIndex
         .map { case ((qb, c, m), i) => (qa, qb, c, m, i + 1L) }
     }.sortBy(t => (t._1, t._5))
