@@ -700,6 +700,13 @@ object SparkEntry {
     "q_attribution" -> sqlq(Seq("events"), SqlOps.attributionLastTouch),
     "q_user_growth" -> sqlq(Seq("events"), SqlOps.userGrowth),
     "q_zipf_fit" -> sqlStaged(Seq("documents"), SqlOps.zipfFit),
+    // Gopher rule battery, CCNet LM-bucketing, tokenizer fertility,
+    // histogram-sketch quantiles, and full power-iteration PCA
+    "q_gopher_rules" -> sqlq(Seq("documents"), SqlOps.gopherRules),
+    "q_ccnet_buckets" -> sqlStaged(Seq("documents"), SqlOps.ccnetBuckets),
+    "q_tokenizer_fertility" -> sqlStaged(Seq("documents"), SqlOps.tokenizerFertility),
+    "q_hist_quantiles" -> sqlq(Seq("events"), SqlOps.histogramQuantiles),
+    "q_pca_power_iter" -> sqlStaged(Seq("embeddings"), SqlOps.pcaPower),
     "q_text_bigram_lm" -> sqlStaged(Seq("documents"), SqlOps.textBigramLm),
     "q_bigram_pmi" -> sqlStaged(Seq("documents"), SqlOps.bigramPmi),
     "q_join_size_audit" -> sqlq(Seq("orders", "lineitem"), SqlOps.joinSizeAudit),
@@ -1411,6 +1418,11 @@ object SparkEntry {
         |  TRUE AS merge_equals_direct, TRUE AS est_within_5pct
         |FROM events GROUP BY CAST(FLOOR(epoch(ts) / 604800.0) AS BIGINT)""".stripMargin,
     "q_zipf_fit" -> SqlOps.zipfFit.single(DuckDialect),
+    "q_gopher_rules" -> SqlOps.gopherRules(DuckDialect),
+    "q_ccnet_buckets" -> SqlOps.ccnetBuckets.single(DuckDialect),
+    "q_tokenizer_fertility" -> SqlOps.tokenizerFertility.single(DuckDialect),
+    "q_hist_quantiles" -> SqlOps.histogramQuantiles(DuckDialect),
+    "q_pca_power_iter" -> SqlOps.pcaPower.single(DuckDialect),
     "q_text_bigram_lm" -> SqlOps.textBigramLm.single(DuckDialect),
     "q_bigram_pmi" -> SqlOps.bigramPmi.single(DuckDialect),
     "q_join_size_audit" -> SqlOps.joinSizeAudit(DuckDialect),

@@ -5121,4 +5121,250 @@ object SqlOps {
        |  CAST(CAST(SUM(CAST((doc_id % $P) * (pos % $P) AS DECIMAL(38,0))) AS DECIMAL(38,0)) % $P AS BIGINT) AS checksum
        |FROM p GROUP BY shard""".stripMargin
   }
+
+  // ---- corpus curation: rule filters, LM bucketing, linear algebra ----
+
+  /** Non-negative remainder of int64 `a` modulo positive `b` — both
+    * engines' `%` keeps the dividend's sign, so this canonical form is
+    * identical across them for negative dividends too. */
+  private def pmodPos(a: String, b: String): String =
+    s"(((($a) % ($b)) + ($b)) % ($b))"
+
+  /** FLOOR division of a possibly-negative int64 `a` by positive `b`.
+    * Spark `DIV` truncates toward zero while DuckDB `//` floors, so
+    * they disagree on negative dividends with a remainder; subtracting
+    * the non-negative remainder first makes the dividend an exact
+    * multiple, where truncation and floor coincide — pure int64 ops,
+    * no double round-trip, exact at any magnitude. */
+  private def floorDiv(d: Dialect)(a: String, b: String): String =
+    d.idiv(s"(($a) - ${pmodPos(a, b)})", b)
+
+  /** Gopher-style quality rule battery (Rae et al. 2021, "Scaling
+    * Language Models", Appendix A1.1's MassiveWeb document filters) as
+    * ONE narrow scan — the standard rule filter a curation pipeline
+    * runs before any model-based scoring. Every rule is an INTEGER
+    * inequality (mean-word-length 3..10 becomes 3·words ≤ chars ≤
+    * 10·words; ratios are cross-multiplied) so the flags are exact in
+    * both engines with no float compare. Alphabetic-word detection is
+    * the portable `lower(t) <> upper(t)` (true iff the token contains
+    * a cased letter — no regex-in-lambda, which the engines render
+    * differently). Scale shape: scan → codegen'd projection, no
+    * shuffle at all. */
+  def gopherRules(d: Dialect): String = {
+    // the rule is parametric in its designated stop set; Gopher's own
+    // list ({the,be,to,of,and,that,have,with}) intersects this
+    // fixture's vocabulary at exactly {the}, collapsing the rule to
+    // all-false — so the designated set here is the corpus's English
+    // marker palette (STOP_EN, the same list langid keys on), which
+    // keeps the rule discriminative on any corpus langid works on
+    val stops = d.arrayLit(STOP_EN)
+    val ruleWc = "n_words BETWEEN 50 AND 100000"
+    val ruleWl = "(n_chars >= 3 * n_words AND n_chars <= 10 * n_words)"
+    val ruleSym = "n_sym * 10 < n_words"
+    val ruleAlpha = "n_alpha * 10 >= n_words * 8"
+    val ruleStop = "n_stop >= 2"
+    s"""WITH g AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(${d.size("toks")} AS BIGINT) AS n_words,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+       |    CAST(${d.reCount("text", "#|\\.\\.\\.")} AS BIGINT) AS n_sym,
+       |    CAST(${d.size(d.filter("toks", "t -> lower(t) <> upper(t)"))} AS BIGINT) AS n_alpha,
+       |    CAST(${d.size(d.arrayDistinct(d.filter("toks", s"t -> ${d.arrayContains(stops, "t")}")))} AS BIGINT) AS n_stop
+       |  FROM g
+       |)
+       |SELECT doc_id, n_words,
+       |  $ruleWc AS r_wordcount,
+       |  $ruleWl AS r_wordlen,
+       |  $ruleSym AS r_symbol,
+       |  $ruleAlpha AS r_alpha,
+       |  $ruleStop AS r_stop,
+       |  ($ruleWc AND $ruleWl AND $ruleSym AND $ruleAlpha AND $ruleStop) AS gopher_pass
+       |FROM m""".stripMargin
+  }
+
+  /** CCNet-style corpus bucketing (Wenzek et al. 2019): score every
+    * document by its per-token bits under the corpus unigram LM (the
+    * [[textUnigramLm]] arithmetic, off the same staged term-frequency
+    * index) and split the corpus at the global terciles into
+    * head / middle / tail — head is the most-LM-likely slice CCNet
+    * feeds to training first. Per-token bits are the µ-quantized log2
+    * ([[qlog2]] — [[textUnigramLm]]'s floor-log2 integer bits collapse
+    * to ONE value on a near-uniform vocabulary and the terciles
+    * degenerate, the exact failure mode dsirWeights hit), the per-doc
+    * score is µ-bit int64 (integer floor division — exact), the two
+    * thresholds are ONE 2-column aggregate row broadcast back over the
+    * corpus, and an int-vs-double threshold compare is exact, so
+    * bucket assignment is engine-identical. Scale shape: staged index
+    * scan → doc groupBy → tiny aggregate → broadcast tag; no global
+    * sort anywhere. */
+  val ccnetBuckets: StagedOp = StagedOp(
+    // the per-doc score table is read twice (threshold aggregate +
+    // final tag) — two-consumer rule: staged, so the LM scoring pass
+    // over the term-frequency index runs once, not per reference
+    stages = textUnigramLm.stages :+ ("ccn_sc" -> { (d: Dialect) =>
+      s"""WITH c AS (SELECT doc_id, tf,
+         |    CAST(SUM(tf) OVER (PARTITION BY s) AS BIGINT) AS c FROM ulm_tf),
+         |n AS (SELECT CAST(SUM(tf) AS BIGINT) AS nn FROM ulm_tf),
+         |ds AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(tf * (${qlog2("nn")} - ${qlog2("c")})) AS BIGINT) AS total_bits,
+         |    CAST(SUM(tf) AS BIGINT) AS n_tokens
+         |  FROM c CROSS JOIN n GROUP BY doc_id
+         |)
+         |SELECT doc_id, ${d.idiv("total_bits", "n_tokens")} AS q FROM ds""".stripMargin
+    }),
+    body = { d =>
+      s"""WITH th AS (SELECT ${d.percentileCont("q", "3.3e-1")} AS t33,
+         |              ${d.percentileCont("q", "6.7e-1")} AS t67 FROM ccn_sc)
+         |SELECT doc_id, ${r6("CAST(q AS DOUBLE) / 1.0e6")} AS mean_bits,
+         |  CASE WHEN q <= t33 THEN 'head'
+         |       WHEN q <= t67 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM ccn_sc CROSS JOIN th""".stripMargin
+    })
+
+  /** Tokenizer fertility by language: average subtokens per
+    * whitespace token under the trained BPE merges ([[bpeMerges]] —
+    * its final vocabulary table IS the encoder), grouped by the
+    * [[textLangId]] language guess. The number a multilingual
+    * pipeline watches per corpus slice: fertility creeping up on one
+    * language means the learned merges are under-serving it. All
+    * inputs are shared staged artifacts; the per-language rollup is
+    * one broadcast-sized join + groupBy. */
+  val tokenizerFertility: StagedOp = StagedOp(
+    stages = bpeMerges.stages,
+    body = { d =>
+      val (en, id) = langHitExprs(d)
+      s"""WITH n AS (
+         |  SELECT w, ${d.size(d.filter(d.split("sym", " "), "x -> x <> ''"))} AS n_syms
+         |  FROM bpe_m3
+         |),
+         |enc AS (
+         |  SELECT t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(t.tf * n.n_syms) AS BIGINT) AS n_subtokens
+         |  FROM ulm_tf t JOIN n ON t.s = n.w GROUP BY t.doc_id
+         |),
+         |lt AS (SELECT doc_id, ${toks(d)} AS toks FROM documents),
+         |lg AS (SELECT doc_id, ${langGuessCase(en, id)} AS lang_guess FROM lt)
+         |SELECT lg.lang_guess, COUNT(*) AS n_docs,
+         |  CAST(SUM(enc.n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(enc.n_subtokens) AS BIGINT) AS n_subtokens,
+         |  ${r6("CAST(SUM(enc.n_subtokens) AS DOUBLE) / CAST(SUM(enc.n_tokens) AS DOUBLE)")} AS fertility
+         |FROM enc JOIN lg ON enc.doc_id = lg.doc_id
+         |GROUP BY lg.lang_guess""".stripMargin
+    })
+
+  /** Mergeable fixed-bin histogram → interpolated quantile estimates
+    * per event type — the constant-state quantile sketch pattern: the
+    * (event_type, bin, cnt) table is the artifact shards emit, and
+    * GROUP BY IS the merge (associative, any tree shape), unlike an
+    * exact percentile whose state is the whole value multiset. 32
+    * equi-width bins over the observed integer-cent range; bin
+    * assignment, cumulative counts, and the p50/p95/p99 bin picks are
+    * all int64-exact, and only the final midpoint estimate touches
+    * doubles (identical IEEE sequence in both engines). Estimates are
+    * within half a bin of truth by construction — the contract a
+    * sketch consumer signs. */
+  def histogramQuantiles(d: Dialect): String = {
+    def est(bin: String): String =
+      s"(mn + ($bin + 5.0e-1) * (mx - mn + 1) / 32.0e0) / 1.0e2"
+    s"""WITH e AS (
+       |  SELECT event_type, CAST(FLOOR(value * 100 + 5.0e-1) AS BIGINT) AS c FROM events
+       |),
+       |b AS (SELECT event_type, MIN(c) AS mn, MAX(c) AS mx FROM e GROUP BY event_type),
+       |h AS (
+       |  SELECT e.event_type,
+       |    LEAST(31, ${d.idiv("(e.c - b.mn) * 32", "b.mx - b.mn + 1")}) AS bin,
+       |    COUNT(*) AS cnt, MIN(b.mn) AS mn, MIN(b.mx) AS mx
+       |  FROM e JOIN b ON e.event_type = b.event_type
+       |  GROUP BY e.event_type, LEAST(31, ${d.idiv("(e.c - b.mn) * 32", "b.mx - b.mn + 1")})
+       |),
+       |cum AS (
+       |  SELECT event_type, bin, cnt, mn, mx,
+       |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cm,
+       |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+       |  FROM h
+       |)
+       |SELECT event_type, tot AS n,
+       |  ${r6(est("MIN(CASE WHEN cm * 2 >= tot THEN bin END)"))} AS p50_est,
+       |  ${r6(est("MIN(CASE WHEN cm * 20 >= tot * 19 THEN bin END)"))} AS p95_est,
+       |  ${r6(est("MIN(CASE WHEN cm * 100 >= tot * 99 THEN bin END)"))} AS p99_est
+       |FROM cum GROUP BY event_type, tot, mn, mx""".stripMargin
+  }
+
+  /** First principal component of the embedding matrix by POWER
+    * ITERATION — distributed PCA with nothing but joins and groupBys:
+    * center the µ-quantized matrix once (staged), then each iteration
+    * is matvec s = Xv (corpus pass, 64-row broadcast join on pos) and
+    * vecmat w = Xᵀs (corpus pass, join on vec_id), with s and w
+    * rescaled to ≤1e6 µ-units between passes via exact int64 floor
+    * division ([[floorDiv]] — dividend made an exact multiple first,
+    * so Spark DIV ≡ DuckDB //). Three iterations from the all-ones
+    * start; every sum is int64 (overflow headroom: |cv| ≤ ~1e7 µ,
+    * |sn| ≤ 1e6, so Σ|cv·sn| ≤ 1e13·N — safe to N ≈ 9e5 vectors; at
+    * larger N drop the rescale target a decade per 10× rows, trading
+    * one digit of per-round precision). Each N-row intermediate is a
+    * STAGE, not a CTE, because Spark inlines CTEs — the s table is
+    * read by both its max and the vecmat, and as a CTE the corpus
+    * pass would run twice per reference chain, compounding per round.
+    * The iterative stages ARE the computation (pagerankIter rule:
+    * never prewarmed). */
+  val pcaPower: StagedOp = {
+    val rounds = 3
+    // rescale a (key, col) table's column to ≤1e6 µ-units: divisor is
+    // ceil(max|x| / 1e6), computed and applied in pure int64
+    def scaled(d: Dialect, tbl: String, key: String, col: String, out: String): String =
+      s"""mxt AS (SELECT GREATEST(COALESCE(CAST(MAX(ABS($col)) AS BIGINT), 1), 1) AS mx
+         |        FROM $tbl),
+         |dvt AS (SELECT 1 + ${d.idiv("mx - 1", "1000000")} AS dm FROM mxt),
+         |sc AS (SELECT $key, ${floorDiv(d)(col, "dm")} AS $out
+         |       FROM $tbl CROSS JOIN dvt)""".stripMargin
+    val iterStages = (1 to rounds).flatMap { r =>
+      Seq(
+        s"pca_s$r" -> { (d: Dialect) =>
+          val v =
+            if (r == 1)
+              "v AS (SELECT DISTINCT pos, CAST(1000000 AS BIGINT) AS vq FROM pca_cv)"
+            else
+              s"""${scaled(d, s"pca_w${r - 1}", "pos", "w", "vq")},
+                 |v AS (SELECT pos, vq FROM sc)""".stripMargin
+          s"""WITH $v
+             |SELECT c.vec_id, CAST(SUM(c.cv * v.vq) AS BIGINT) AS sv
+             |FROM pca_cv c JOIN v ON c.pos = v.pos
+             |GROUP BY c.vec_id""".stripMargin
+        },
+        s"pca_w$r" -> { (d: Dialect) =>
+          s"""WITH ${scaled(d, s"pca_s$r", "vec_id", "sv", "sn")}
+             |SELECT c.pos, CAST(SUM(c.cv * s.sn) AS BIGINT) AS w
+             |FROM pca_cv c JOIN sc s ON c.vec_id = s.vec_id
+             |GROUP BY c.pos""".stripMargin
+        })
+    }
+    StagedOp(
+      stages = Seq(
+        // (vec_id, pos, qv): the matrix in µ-units — ONE explode pass
+        "pca_q" -> { (d: Dialect) =>
+          s"""SELECT vec_id, pos, ${qvExpr("ev")} AS qv
+             |FROM (${d.explodeWithPos("SELECT vec_id, embedding FROM embeddings",
+                                       "vec_id", "embedding", "pos", "ev")})""".stripMargin
+        },
+        // centered matrix: per-pos floor-mean subtracted (floor keeps
+        // the centering exact in int64; the constant sub-µ offset per
+        // pos is irrelevant to the dominant direction)
+        "pca_cv" -> { (d: Dialect) =>
+          s"""WITH mu AS (
+             |  SELECT pos, ${floorDiv(d)("CAST(SUM(qv) AS BIGINT)", "COUNT(*)")} AS mu
+             |  FROM pca_q GROUP BY pos
+             |)
+             |SELECT q.vec_id, q.pos, q.qv - mu.mu AS cv
+             |FROM pca_q q JOIN mu ON q.pos = mu.pos""".stripMargin
+        }) ++ iterStages,
+      body = { d =>
+        s"""WITH ${scaled(d, s"pca_w$rounds", "pos", "w", "vq")}
+           |SELECT CAST(pos AS BIGINT) AS pos,
+           |  ${r6("CAST(vq AS DOUBLE) / 1.0e6")} AS component
+           |FROM sc""".stripMargin
+      })
+  }
 }

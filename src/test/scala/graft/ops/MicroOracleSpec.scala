@@ -414,4 +414,211 @@ class MicroOracleSpec extends SparkSpec {
     assert(expected.nonEmpty && expected.size === queries.size * 5)
     spark.catalog.dropTempView("embeddings")
   }
+
+  test("power-iteration PCA: SQL component equals an independent int64 implementation") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // crafted matrix: spread along u dominates spread along w, so the
+    // true first principal component is u/|u|
+    val dim = 6
+    val u = Array(3.0, 1.0, 0.0, 2.0, 0.0, 1.0)
+    val w = Array(-1.0, 2.0, 1.0, 0.0, 1.0, 0.5)
+    val data: Seq[(Long, Array[Float])] = (0 until 40).map { i =>
+      val a = ((i * 7) % 13) - 6.0
+      val b = ((i * 3) % 5) - 2.0
+      i.toLong -> Array.tabulate(dim)(j => (a * u(j) + 0.3 * b * w(j)).toFloat)
+    }
+    data.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label").createOrReplaceTempView("embeddings")
+    SqlOps.pcaPower.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.pcaPower.body(SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Double]("component"))).sortBy(_._1)
+
+    // ---- independent implementation (same int64 spec, no SQL) ----
+    def fd(a: Long, b: Long): Long = Math.floorDiv(a, b) // b > 0
+    val qv: Map[(Long, Int), Long] = data.flatMap { case (id, v) =>
+      v.zipWithIndex.map { case (x, p) =>
+        (id, p) -> math.floor(x.toDouble * 1e6 + 0.5).toLong
+      }
+    }.toMap
+    val n = data.size.toLong
+    val mu = Array.tabulate(dim)(p => fd(data.map(d => qv((d._1, p))).sum, n))
+    val cv: Map[(Long, Int), Long] =
+      qv.map { case ((id, p), x) => (id, p) -> (x - mu(p)) }
+    def rescale(xs: Seq[Long]): Seq[Long] = {
+      val mx = math.max(xs.map(math.abs).max, 1L)
+      val dm = 1L + (mx - 1L) / 1000000L
+      xs.map(fd(_, dm))
+    }
+    var v: Array[Long] = Array.fill(dim)(1000000L)
+    var wv: Array[Long] = null
+    for (_ <- 1 to 3) {
+      val s = data.map { case (id, _) => (0 until dim).map(p => cv((id, p)) * v(p)).sum }
+      val sn = rescale(s)
+      wv = Array.tabulate(dim) { p =>
+        data.zip(sn).map { case ((id, _), sni) => cv((id, p)) * sni }.sum
+      }
+      v = rescale(wv.toSeq).toArray
+    }
+    val expected = (0 until dim).map(p => (p.toLong, r6(v(p).toDouble / 1e6)))
+    assert(got.toSeq === expected)
+    // convergence sanity: the learned direction aligns with u
+    val nv = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    val nu = math.sqrt(u.map(x => x * x).sum)
+    val cos = (0 until dim).map(p => v(p).toDouble * u(p)).sum / (nv * nu)
+    assert(math.abs(cos) > 0.99, s"component should align with the planted direction, cos=$cos")
+    spark.catalog.dropTempView("embeddings")
+  }
+
+  test("histogram quantiles: SQL estimates equal an independent sketch and bracket truth") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // two types with different shapes; .005 values exercise the cent
+    // rounding; 'b' is right-skewed so p99 lands in a sparse bin
+    val rows: Seq[(String, Double)] =
+      (0 until 200).map(i => ("a", (i % 100) + 0.005 * (i % 3))) ++
+      (0 until 200).map(i => ("b", math.pow(1.04, (i * 37) % 200)))
+    rows.toDF("event_type", "value").createOrReplaceTempView("events")
+    val got = spark.sql(SqlOps.histogramQuantiles(SparkDialect)).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("p50_est"), r.getAs[Double]("p95_est"), r.getAs[Double]("p99_est")))
+      .sortBy(_._1)
+
+    // ---- independent implementation ----
+    val expected = rows.groupBy(_._1).toSeq.map { case (t, rs) =>
+      val cents = rs.map { case (_, v) => math.floor(v * 100 + 0.5).toLong }
+      val (mn, mx) = (cents.min, cents.max)
+      val width = mx - mn + 1
+      val hist = cents.groupBy(c => math.min(31L, (c - mn) * 32 / width))
+        .map { case (b, xs) => b -> xs.size.toLong }
+      val bins = hist.keys.toSeq.sorted
+      val tot = cents.size.toLong
+      def pick(num: Long, den: Long): Long = {
+        var cm = 0L
+        bins.find { b => cm += hist(b); cm * den >= tot * num }.get
+      }
+      def est(b: Long): Double = r6((mn + (b + 0.5) * width / 32.0) / 100.0)
+      (t, tot, est(pick(1, 2)), est(pick(19, 20)), est(pick(99, 100)))
+    }.sortBy(_._1)
+    assert(got.toSeq === expected)
+    // sketch contract: each estimate within half a bin of the exact
+    // rank value it summarizes — the picked bin CONTAINS the
+    // ceil(tot·p)-th smallest cent, and the estimate is its midpoint
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val cents = rs.map { case (_, v) => math.floor(v * 100 + 0.5).toLong }.sorted
+      val halfBinVal = (cents.last - cents.head + 1).toDouble / 32.0 / 2.0 / 100.0 + 0.01
+      val (_, _, p50, p95, p99) = got.find(_._1 == t).get
+      def rankVal(num: Long, den: Long): Double = {
+        val r = (cents.size * num + den - 1) / den // ceil(tot·num/den)
+        cents(r.toInt - 1) / 100.0
+      }
+      assert(math.abs(p50 - rankVal(1, 2)) <= halfBinVal)
+      assert(math.abs(p95 - rankVal(19, 20)) <= halfBinVal)
+      assert(math.abs(p99 - rankVal(99, 100)) <= halfBinVal)
+    }
+    spark.catalog.dropTempView("events")
+  }
+
+  test("gopher rules: SQL flags equal an independent rule evaluation at the boundaries") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // docs pinned to rule boundaries: 49 vs 50 words, mean word length
+    // exactly 3 vs just under, symbol ratio exactly at vs under the
+    // 10% cut, alpha fraction at 80%, 1 vs 2 distinct stopwords
+    val fill = (1 to 46).map(i => f"w$i%03d") // 4-char filler words
+    val docs = Seq(
+      0L -> (Seq("the", "and", "abc", "abcd") ++ fill),            // 50 words, passes all
+      1L -> (Seq("the", "and", "abc") ++ fill),                    // 49 words: r_wordcount false
+      2L -> (Seq.fill(50)("ab") ++ Seq("the", "and")),             // mean len < 3: fails
+      3L -> (Seq("the", "and") ++ Seq.fill(48)("abcd")),           // mean len 3.9 ok
+      4L -> (Seq("the", "and", "#", "#", "#", "#", "#") ++ fill),  // 53 words, 5 syms: ratio<0.1 ok
+      5L -> (Seq("the", "and") ++ Seq.fill(6)("#") ++ fill.take(44) ++ Seq("x", "y")), // 54w 6sym: fails
+      6L -> (Seq("the", "and") ++ Seq.fill(12)("123") ++ fill.take(36)),  // 50w, 12 non-alpha: fails 80%
+      7L -> (Seq("the", "the", "the") ++ fill ++ Seq("zz"))        // 1 distinct stopword: r_stop false
+    ).map { case (id, ws) => (id, ws.mkString(" ")) }
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.gopherRules(SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Boolean]("r_wordcount"), r.getAs[Boolean]("r_wordlen"),
+        r.getAs[Boolean]("r_symbol"), r.getAs[Boolean]("r_alpha"),
+        r.getAs[Boolean]("r_stop"), r.getAs[Boolean]("gopher_pass")))
+      .sortBy(_._1)
+
+    // ---- independent implementation ----
+    val stopSet = Set("the", "and", "of", "to", "in", "is", "a")
+    val expected = docs.map { case (id, text) =>
+      val ws = text.split(" ", -1).filter(_.nonEmpty)
+      val nWords = ws.length.toLong
+      val nChars = text.replace(" ", "").length.toLong
+      val nSym = "#|\\.\\.\\.".r.findAllIn(text).size.toLong
+      val nAlpha = ws.count(_.exists(_.isLetter)).toLong
+      val nStop = ws.filter(stopSet).distinct.length.toLong
+      val (rWc, rWl) = (nWords >= 50 && nWords <= 100000,
+        nChars >= 3 * nWords && nChars <= 10 * nWords)
+      val (rSym, rAlpha, rStop) = (nSym * 10 < nWords, nAlpha * 10 >= nWords * 8, nStop >= 2)
+      (id, nWords, rWc, rWl, rSym, rAlpha, rStop, rWc && rWl && rSym && rAlpha && rStop)
+    }.sortBy(_._1)
+    assert(got.toSeq === expected)
+    // the battery must discriminate: at least one pass and one fail,
+    // and each rule must be the sole cause of some failure
+    assert(expected.exists(_._8) && expected.exists(!_._8))
+    spark.catalog.dropTempView("documents")
+  }
+
+  test("CCNet buckets: SQL terciles equal an independent LM-scoring pass") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // three quality strata: docs of common tokens (low bits), mixed,
+    // and rare-heavy (high bits); single-space text keeps the
+    // independent tokenizer faithful to word_shingles
+    val docs: Seq[(Long, String)] = (0 until 12).map { i =>
+      val words =
+        if (i < 4) Seq.fill(8)("common")
+        else if (i < 8) Seq.fill(4)("common") ++ Seq.fill(4)(s"mid${i % 2}")
+        else Seq(s"rare${i}a", s"rare${i}b", s"rare${i}c", "common")
+      (i.toLong, words.mkString(" "))
+    }
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    SqlOps.ccnetBuckets.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.ccnetBuckets.body(SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("mean_bits"), r.getAs[String]("bucket")))
+      .sortBy(_._1)
+
+    // ---- independent implementation ----
+    def qlog2(x: Long): Long = math.floor(math.log(x.toDouble) / math.log(2.0) * 1e6 + 0.5).toLong
+    val tf: Map[(Long, String), Long] = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).filter(_.nonEmpty).groupBy(identity)
+        .map { case (w, xs) => (id, w) -> xs.size.toLong }
+    }.toMap
+    val cGlob: Map[String, Long] =
+      tf.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val nn = tf.values.sum
+    val scores: Seq[(Long, Long)] = docs.map { case (id, _) =>
+      val mine = tf.collect { case ((d, w), f) if d == id => (w, f) }
+      val totalBits = mine.map { case (w, f) => f * (qlog2(nn) - qlog2(cGlob(w))) }.sum
+      val nTok = mine.map(_._2).sum
+      id -> totalBits / nTok // non-negative: plain truncation == floor
+    }
+    // Spark `percentile`: index (n-1)*p, linear interpolation
+    def pct(xs: Seq[Long], p: Double): Double = {
+      val s = xs.sorted
+      val idx = (s.size - 1) * p
+      val (lo, hi) = (math.floor(idx).toInt, math.ceil(idx).toInt)
+      s(lo) + (idx - lo) * (s(hi) - s(lo))
+    }
+    val (t33, t67) = (pct(scores.map(_._2), 0.33), pct(scores.map(_._2), 0.67))
+    val expected = scores.map { case (id, q) =>
+      val b = if (q <= t33) "head" else if (q <= t67) "middle" else "tail"
+      (id, r6(q.toDouble / 1e6), b)
+    }.sortBy(_._1)
+    assert(got.toSeq === expected)
+    // stratification sanity: common-token docs are head, rare-heavy tail
+    assert((0L to 3L).forall(id => expected(id.toInt)._3 == "head"))
+    assert((8L to 11L).forall(id => expected(id.toInt)._3 == "tail"))
+    spark.catalog.dropTempView("documents")
+  }
 }

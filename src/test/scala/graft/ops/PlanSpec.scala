@@ -258,6 +258,38 @@ class PlanSpec extends SparkSpec {
       s"ADC is equi-join lookups, no nested loop:\n$plan")
   }
 
+  test("gopher rules plan as one narrow scan — zero exchanges, no join") {
+    val plan = planOf("q_gopher_rules")
+    assert(!plan.contains("Exchange"), s"rule battery must be shuffle-free:\n$plan")
+    assert(!plan.contains("Join"), s"rule battery must not plan a join:\n$plan")
+    assert("FileScan".r.findAllIn(plan).length === 1,
+      s"expected a single documents scan:\n$plan")
+  }
+
+  test("CCNet bucketing body reads the staged score table — no token re-derivation, broadcast thresholds") {
+    val plan = planOf("q_ccnet_buckets")
+    assert(!plan.contains("word_shingles") && !plan.contains("Generate"),
+      s"body must scan ccn_sc, never re-tokenize:\n$plan")
+    assert(plan.contains("ccn_sc"), s"expected the staged score table:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the 1-row threshold side must broadcast:\n$plan")
+  }
+
+  test("histogram quantiles: per-type bounds broadcast back — no sort-merge, two event passes") {
+    val plan = planOf("q_hist_quantiles")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the per-type bounds row must broadcast:\n$plan")
+    assert("FileScan".r.findAllIn(plan).length <= 2,
+      s"bounds pass + histogram pass — never more:\n$plan")
+  }
+
+  test("power-iteration PCA body reads only the final 64-row stage — never the embeddings") {
+    val plan = planOf("q_pca_power_iter")
+    assert(plan.contains("pca_w3"), s"expected the final iteration stage:\n$plan")
+    assert(!plan.contains("embeddings.parquet"),
+      s"the corpus passes live in the stages; the body is stage-only:\n$plan")
+  }
+
   test("no accidental cartesian products outside the literal-band irregular range join") {
     SparkEntry.queries.keys.filterNot(_ == "q_range_join_irregular").foreach { q =>
       val plan =
