@@ -707,6 +707,7 @@ object SparkEntry {
     "q_tokenizer_fertility" -> sqlStaged(Seq("documents"), SqlOps.tokenizerFertility),
     "q_hist_quantiles" -> sqlq(Seq("events"), SqlOps.histogramQuantiles),
     "q_pca_power_iter" -> sqlStaged(Seq("embeddings"), SqlOps.pcaPower),
+    "q_pca_project" -> sqlStaged(Seq("embeddings"), SqlOps.pcaProject),
     "q_text_bigram_lm" -> sqlStaged(Seq("documents"), SqlOps.textBigramLm),
     "q_bigram_pmi" -> sqlStaged(Seq("documents"), SqlOps.bigramPmi),
     "q_join_size_audit" -> sqlq(Seq("orders", "lineitem"), SqlOps.joinSizeAudit),
@@ -1423,6 +1424,7 @@ object SparkEntry {
     "q_tokenizer_fertility" -> SqlOps.tokenizerFertility.single(DuckDialect),
     "q_hist_quantiles" -> SqlOps.histogramQuantiles(DuckDialect),
     "q_pca_power_iter" -> SqlOps.pcaPower.single(DuckDialect),
+    "q_pca_project" -> SqlOps.pcaProject.single(DuckDialect),
     "q_text_bigram_lm" -> SqlOps.textBigramLm.single(DuckDialect),
     "q_bigram_pmi" -> SqlOps.bigramPmi.single(DuckDialect),
     "q_join_size_audit" -> SqlOps.joinSizeAudit(DuckDialect),

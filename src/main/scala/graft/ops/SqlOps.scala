@@ -5312,14 +5312,8 @@ object SqlOps {
     * never prewarmed). */
   val pcaPower: StagedOp = {
     val rounds = 3
-    // rescale a (key, col) table's column to ≤1e6 µ-units: divisor is
-    // ceil(max|x| / 1e6), computed and applied in pure int64
     def scaled(d: Dialect, tbl: String, key: String, col: String, out: String): String =
-      s"""mxt AS (SELECT GREATEST(COALESCE(CAST(MAX(ABS($col)) AS BIGINT), 1), 1) AS mx
-         |        FROM $tbl),
-         |dvt AS (SELECT 1 + ${d.idiv("mx - 1", "1000000")} AS dm FROM mxt),
-         |sc AS (SELECT $key, ${floorDiv(d)(col, "dm")} AS $out
-         |       FROM $tbl CROSS JOIN dvt)""".stripMargin
+      pcaScaled(d, tbl, key, col, out)
     val iterStages = (1 to rounds).flatMap { r =>
       Seq(
         s"pca_s$r" -> { (d: Dialect) =>
@@ -5367,4 +5361,48 @@ object SqlOps {
            |FROM sc""".stripMargin
       })
   }
+
+  /** The PCA read path: project every (centered) vector onto the
+    * learned first component ([[pcaPower]]'s staged iteration output)
+    * and report its signed projection length plus its squared
+    * alignment (cos² between the centered vector and the component) —
+    * the residual outlier score an embedding-quality monitor tracks:
+    * align2 → 1 means the vector is explained by the dominant
+    * direction, → 0 an off-axis outlier. One pass over the staged
+    * centered matrix joined with the broadcast 64-row component; all
+    * sums are int64 (the pcaPower overflow bounds), and the only
+    * float ops are the final sqrt/divisions on exact integer operands
+    * — identical IEEE sequences in both engines. */
+  val pcaProject: StagedOp = StagedOp(
+    stages = pcaPower.stages,
+    body = { d =>
+      s"""WITH ${pcaScaled(d, "pca_w3", "pos", "w", "vq")},
+         |vs AS (SELECT CAST(SUM(vq * vq) AS BIGINT) AS nv2 FROM sc),
+         |p AS (
+         |  SELECT c.vec_id,
+         |    CAST(SUM(c.cv * v.vq) AS BIGINT) AS t,
+         |    CAST(SUM(c.cv * c.cv) AS BIGINT) AS ss
+         |  FROM pca_cv c JOIN sc v ON c.pos = v.pos
+         |  GROUP BY c.vec_id
+         |)
+         |SELECT vec_id,
+         |  ${r6("CAST(t AS DOUBLE) / 1.0e6 / sqrt(CAST(nv2 AS DOUBLE)) ")} AS proj,
+         |  CASE WHEN ss = 0 THEN NULL
+         |       ELSE ${r6("CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / (CAST(ss AS DOUBLE) * CAST(nv2 AS DOUBLE))")}
+         |  END AS align2
+         |FROM p CROSS JOIN vs""".stripMargin
+    })
+
+  /** Rescale a (key, col) table's int64 column to ≤1e6 µ-units:
+    * divisor is ceil(max|x| / 1e6), computed and applied in pure
+    * int64 — THE one copy of the power-iteration rescale, shared by
+    * [[pcaPower]]'s iterations and [[pcaProject]]'s read path so the
+    * projection cannot drift from the trainer's scaling. Emits a
+    * (mxt, dvt, sc) CTE chain ending in sc(key, out). */
+  private def pcaScaled(d: Dialect, tbl: String, key: String, col: String, out: String): String =
+    s"""mxt AS (SELECT GREATEST(COALESCE(CAST(MAX(ABS($col)) AS BIGINT), 1), 1) AS mx
+       |        FROM $tbl),
+       |dvt AS (SELECT 1 + ${d.idiv("mx - 1", "1000000")} AS dm FROM mxt),
+       |sc AS (SELECT $key, ${floorDiv(d)(col, "dm")} AS $out
+       |       FROM $tbl CROSS JOIN dvt)""".stripMargin
 }

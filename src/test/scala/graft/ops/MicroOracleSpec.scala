@@ -469,6 +469,24 @@ class MicroOracleSpec extends SparkSpec {
     val nu = math.sqrt(u.map(x => x * x).sum)
     val cos = (0 until dim).map(p => v(p).toDouble * u(p)).sum / (nv * nu)
     assert(math.abs(cos) > 0.99, s"component should align with the planted direction, cos=$cos")
+
+    // ---- read path: projection + alignment off the same stages ----
+    val gotP = spark.sql(SqlOps.pcaProject.body(SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("proj"), r.getAs[Double]("align2")))
+      .sortBy(_._1)
+    val nv2 = v.map(x => x * x).sum
+    val expP = data.map { case (id, _) =>
+      val t = (0 until dim).map(p => cv((id, p)) * v(p)).sum
+      val ss = (0 until dim).map(p => cv((id, p)) * cv((id, p))).sum
+      val proj = r6(t.toDouble / 1e6 / math.sqrt(nv2.toDouble))
+      val a2 = r6(t.toDouble * t.toDouble / (ss.toDouble * nv2.toDouble))
+      (id, proj, a2)
+    }.sortBy(_._1)
+    assert(gotP.toSeq === expP)
+    // pure-u rows (b == 0 → i*3 % 5 == 2) are fully explained by the
+    // learned direction; mixed rows are not
+    val pureU = data.collect { case (id, _) if (id * 3) % 5 == 2 => id }.toSet
+    assert(expP.filter(e => pureU(e._1)).forall(_._3 > 0.99))
     spark.catalog.dropTempView("embeddings")
   }
 
