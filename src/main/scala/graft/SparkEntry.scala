@@ -708,6 +708,7 @@ object SparkEntry {
     "q_hist_quantiles" -> sqlq(Seq("events"), SqlOps.histogramQuantiles),
     "q_pca_power_iter" -> sqlStaged(Seq("embeddings"), SqlOps.pcaPower),
     "q_pca_project" -> sqlStaged(Seq("embeddings"), SqlOps.pcaProject),
+    "q_join_bloom_gate" -> sqlq(Seq("orders", "lineitem"), SqlOps.joinBloomGate),
     "q_text_bigram_lm" -> sqlStaged(Seq("documents"), SqlOps.textBigramLm),
     "q_bigram_pmi" -> sqlStaged(Seq("documents"), SqlOps.bigramPmi),
     "q_join_size_audit" -> sqlq(Seq("orders", "lineitem"), SqlOps.joinSizeAudit),
@@ -1425,6 +1426,7 @@ object SparkEntry {
     "q_hist_quantiles" -> SqlOps.histogramQuantiles(DuckDialect),
     "q_pca_power_iter" -> SqlOps.pcaPower.single(DuckDialect),
     "q_pca_project" -> SqlOps.pcaProject.single(DuckDialect),
+    "q_join_bloom_gate" -> SqlOps.joinBloomGate(DuckDialect),
     "q_text_bigram_lm" -> SqlOps.textBigramLm.single(DuckDialect),
     "q_bigram_pmi" -> SqlOps.bigramPmi.single(DuckDialect),
     "q_join_size_audit" -> SqlOps.joinSizeAudit(DuckDialect),

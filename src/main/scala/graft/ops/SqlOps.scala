@@ -5293,6 +5293,31 @@ object SqlOps {
        |FROM cum GROUP BY event_type, tot, mn, mx""".stripMargin
   }
 
+  /** Runtime-filter (semi-join reduction) on a big⋈big join — the
+    * 100 TB staple Spark's own runtime filters automate for simple
+    * cases, expressed explicitly: the FILTERED orders slice folds its
+    * join keys into ONE bloom value (bloom_filter_agg), and the
+    * lineitem side is prefiltered with might_contain BEFORE the
+    * shuffle join, so the exchange carries only probable matches
+    * (slice selectivity + fpp of the fact table) instead of every
+    * row. Bloom false positives are eliminated by the exact equi-join
+    * that follows — the gate is result-invisible, which the oracle
+    * proves by running the ungated exact form (the
+    * contamination-bloom pattern applied to a fact⋈fact join).
+    * Revenue stays in DECIMAL until the final cast. */
+  def joinBloomGate(d: Dialect): String =
+    s"""WITH ords AS (
+       |  SELECT o_orderkey AS l_orderkey, o_orderpriority FROM orders
+       |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |    AND year(o_orderdate) * 100 + month(o_orderdate) BETWEEN 199501 AND 199503
+       |),
+       |${d.bloomPrefilter("lgate", "lineitem", "ords", "l_orderkey")}
+       |SELECT o.o_orderpriority, COUNT(*) AS n_items,
+       |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+       |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+       |FROM lgate l JOIN ords o ON l.l_orderkey = o.l_orderkey
+       |GROUP BY o.o_orderpriority""".stripMargin
+
   /** First principal component of the embedding matrix by POWER
     * ITERATION — distributed PCA with nothing but joins and groupBys:
     * center the µ-quantized matrix once (staged), then each iteration

@@ -74,6 +74,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("might_contain"), s"bloom prefilter missing from plan:\n$plan")
   }
 
+  test("join runtime filter plans the might_contain gate below the join") {
+    val plan = planOf("q_join_bloom_gate")
+    assert(plan.contains("might_contain"), s"bloom prefilter missing from plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the filtered orders slice must broadcast at this size:\n$plan")
+  }
+
   test("incremental-ingest dedup plans as a hash anti-join on the content digest") {
     val plan = planOf("q_dedup_incremental")
     assert(plan.contains("LeftAnti"), s"expected an anti-join:\n$plan")
