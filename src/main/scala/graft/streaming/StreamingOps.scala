@@ -438,6 +438,29 @@ object StreamingOps {
     items.groupBy().agg(expr(s"cms_sketch($keyCol, $w, $d)").as("sketch"))
   }
 
+  /** Streaming histogram sketch — the incremental form of the batch
+    * histogram-quantile artifact ([[graft.ops.SqlOps.histogramQuantiles]]'
+    * (event_type, bin, cnt) table): bin arriving values against a
+    * FROZEN per-type bounds table (the prior calibration batch —
+    * production histogram monitors pin bin edges so shards, epochs,
+    * and streams stay mergeable against each other) and maintain the
+    * counts as a streaming aggregation. State is O(types · 32)
+    * regardless of stream length, and the content is pure
+    * commutative-associative integer addition, so the streamed table
+    * is ROW-IDENTICAL to the batch histogram over the same rows under
+    * any batching (the cmsSketchStream parity class). Unlike the
+    * batch form (whose bounds come from the same data), a drifted
+    * stream can fall outside the frozen bounds — both edges clamp, so
+    * drift piles visibly into bins 0/31 instead of corrupting keys. */
+  def histogramStream(events: DataFrame, bounds: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("CAST(FLOOR(value * 100 + 5.0e-1) AS BIGINT)").as("c"))
+      .join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_type"),
+        expr("GREATEST(0, LEAST(31, ((c - mn) * 32) DIV (mx - mn + 1)))").as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+
   /** Streaming corpus-cleaning gate: score every arriving document
     * with the SAME single-sourced language-guess + quality formulas
     * the batch filter uses ([[graft.ops.SqlOps.sparkScoreExprs]] —

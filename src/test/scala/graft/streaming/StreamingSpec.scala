@@ -753,4 +753,41 @@ class StreamingSpec extends SparkSpec {
       assert(est >= c, s"key $k0 undercounted")
     }
   }
+
+  test("streaming histogram equals an independent binning under any batching, and clamps drift") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // calibration slice defines the frozen bounds; the stream then
+    // carries in-range rows plus drifted rows outside the bounds
+    val calib: Seq[(String, Double)] =
+      (0 until 90).map(i => ("a", (i % 30) + 0.005 * (i % 3))) ++
+      (0 until 90).map(i => ("b", (i % 60) * 2.5))
+    val drift: Seq[(String, Double)] = Seq(("a", -50.0), ("a", 999.0), ("b", -1.0))
+    val bounds = calib.groupBy(_._1).toSeq.map { case (t, rs) =>
+      val cents = rs.map { case (_, v) => math.floor(v * 100 + 0.5).toLong }
+      (t, cents.min, cents.max)
+    }.toDF("event_type", "mn", "mx")
+    val rows = calib ++ drift
+    val in = MemoryStream[(String, Double)]
+    val q = StreamingOps.histogramStream(in.toDF().toDF("event_type", "value"), bounds)
+      .writeStream.outputMode("complete").format("memory").queryName("histsk").start()
+    rows.grouped(41).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    val streamed = spark.table("histsk").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bin"), r.getAs[Long]("cnt")))
+      .sortBy(t => (t._1, t._2))
+    q.stop()
+
+    // ---- independent implementation (same frozen-bounds spec) ----
+    val bmap = bounds.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = rows.groupBy { case (t, v) =>
+      val (mn, mx) = bmap(t)
+      val c = math.floor(v * 100 + 0.5).toLong
+      (t, math.max(0L, math.min(31L, (c - mn) * 32 / (mx - mn + 1))))
+    }.toSeq.map { case ((t, b), xs) => (t, b, xs.size.toLong) }.sortBy(t => (t._1, t._2))
+    assert(streamed.toSeq === expected)
+    // drift lands visibly at the edges: below-range in bin 0,
+    // above-range in bin 31
+    assert(streamed.exists { case (t, b, _) => t == "a" && b == 31L })
+    assert(expected.map(_._3).sum === rows.size.toLong)
+  }
 }
