@@ -5335,31 +5335,40 @@ object SqlOps {
     * pass would run twice per reference chain, compounding per round.
     * The iterative stages ARE the computation (pagerankIter rule:
     * never prewarmed). */
+  /** The power-iteration stage chain over a centered matrix table
+    * `cvTbl(vec_id, pos, cv)`: per round, matvec `<p>_s$r` then vecmat
+    * `<p>_w$r` — THE one copy of the iteration, shared by the first
+    * component ([[pcaPower]], prefix `pca`) and the deflated second
+    * component ([[pcaDeflate]], prefix `pcb`). */
+  private def powerIterStages(prefix: String, cvTbl: String, rounds: Int)
+      : Seq[(String, Dialect => String)] =
+    (1 to rounds).flatMap { r =>
+      Seq(
+        s"${prefix}_s$r" -> { (d: Dialect) =>
+          val v =
+            if (r == 1)
+              s"v AS (SELECT DISTINCT pos, CAST(1000000 AS BIGINT) AS vq FROM $cvTbl)"
+            else
+              s"""${pcaScaled(d, s"${prefix}_w${r - 1}", "pos", "w", "vq")},
+                 |v AS (SELECT pos, vq FROM sc)""".stripMargin
+          s"""WITH $v
+             |SELECT c.vec_id, CAST(SUM(c.cv * v.vq) AS BIGINT) AS sv
+             |FROM $cvTbl c JOIN v ON c.pos = v.pos
+             |GROUP BY c.vec_id""".stripMargin
+        },
+        s"${prefix}_w$r" -> { (d: Dialect) =>
+          s"""WITH ${pcaScaled(d, s"${prefix}_s$r", "vec_id", "sv", "sn")}
+             |SELECT c.pos, CAST(SUM(c.cv * s.sn) AS BIGINT) AS w
+             |FROM $cvTbl c JOIN sc s ON c.vec_id = s.vec_id
+             |GROUP BY c.pos""".stripMargin
+        })
+    }
+
   val pcaPower: StagedOp = {
     val rounds = 3
     def scaled(d: Dialect, tbl: String, key: String, col: String, out: String): String =
       pcaScaled(d, tbl, key, col, out)
-    val iterStages = (1 to rounds).flatMap { r =>
-      Seq(
-        s"pca_s$r" -> { (d: Dialect) =>
-          val v =
-            if (r == 1)
-              "v AS (SELECT DISTINCT pos, CAST(1000000 AS BIGINT) AS vq FROM pca_cv)"
-            else
-              s"""${scaled(d, s"pca_w${r - 1}", "pos", "w", "vq")},
-                 |v AS (SELECT pos, vq FROM sc)""".stripMargin
-          s"""WITH $v
-             |SELECT c.vec_id, CAST(SUM(c.cv * v.vq) AS BIGINT) AS sv
-             |FROM pca_cv c JOIN v ON c.pos = v.pos
-             |GROUP BY c.vec_id""".stripMargin
-        },
-        s"pca_w$r" -> { (d: Dialect) =>
-          s"""WITH ${scaled(d, s"pca_s$r", "vec_id", "sv", "sn")}
-             |SELECT c.pos, CAST(SUM(c.cv * s.sn) AS BIGINT) AS w
-             |FROM pca_cv c JOIN sc s ON c.vec_id = s.vec_id
-             |GROUP BY c.pos""".stripMargin
-        })
-    }
+    val iterStages = powerIterStages("pca", "pca_cv", rounds)
     StagedOp(
       stages = Seq(
         // (vec_id, pos, qv): the matrix in µ-units — ONE explode pass
@@ -5416,6 +5425,42 @@ object SqlOps {
          |       ELSE ${r6("CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / (CAST(ss AS DOUBLE) * CAST(nv2 AS DOUBLE))")}
          |  END AS align2
          |FROM p CROSS JOIN vs""".stripMargin
+    })
+
+  /** SECOND principal component by DEFLATION: subtract each vector's
+    * projection onto the learned first component from the centered
+    * matrix (rank-one update, one staged pass), then run the same
+    * power iteration on the deflated matrix — Hotelling deflation,
+    * the standard route to top-k components one at a time. The
+    * projection coefficient t·vqₚ/nv2 is computed in doubles (the
+    * int64 product would overflow; doubles on exact integer operands
+    * round identically in both engines) and half-up re-quantized to
+    * µ-units, so the deflated matrix is int64 again and every
+    * iteration sum stays exact. Orthogonality to component 1 is not
+    * assumed — the micro-oracle asserts it (|cos| ≈ 0) against an
+    * independent implementation. */
+  val pcaDeflate: StagedOp = StagedOp(
+    stages = (pcaPower.stages :+ ("pcb_cv" -> { (d: Dialect) =>
+      s"""WITH ${pcaScaled(d, "pca_w3", "pos", "w", "vq")},
+         |vs AS (SELECT CAST(SUM(vq * vq) AS BIGINT) AS nv2 FROM sc),
+         |t AS (
+         |  SELECT c.vec_id, CAST(SUM(c.cv * v.vq) AS BIGINT) AS t
+         |  FROM pca_cv c JOIN sc v ON c.pos = v.pos
+         |  GROUP BY c.vec_id
+         |)
+         |SELECT c.vec_id, c.pos,
+         |  c.cv - CAST(FLOOR(CAST(t.t AS DOUBLE) * CAST(v.vq AS DOUBLE)
+         |                    / CAST(vs.nv2 AS DOUBLE) + 5.0e-1) AS BIGINT) AS cv
+         |FROM pca_cv c
+         |JOIN t ON c.vec_id = t.vec_id
+         |JOIN sc v ON c.pos = v.pos
+         |CROSS JOIN vs""".stripMargin
+    })) ++ powerIterStages("pcb", "pcb_cv", 3),
+    body = { d =>
+      s"""WITH ${pcaScaled(d, "pcb_w3", "pos", "w", "vq")}
+         |SELECT CAST(pos AS BIGINT) AS pos,
+         |  ${r6("CAST(vq AS DOUBLE) / 1.0e6")} AS component2
+         |FROM sc""".stripMargin
     })
 
   /** Rescale a (key, col) table's int64 column to ≤1e6 µ-units:

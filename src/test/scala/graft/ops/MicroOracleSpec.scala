@@ -487,6 +487,42 @@ class MicroOracleSpec extends SparkSpec {
     // learned direction; mixed rows are not
     val pureU = data.collect { case (id, _) if (id * 3) % 5 == 2 => id }.toSet
     assert(expP.filter(e => pureU(e._1)).forall(_._3 > 0.99))
+
+    // ---- deflation: second component off the same stages ----
+    SqlOps.pcaDeflate.stages.drop(SqlOps.pcaPower.stages.size).foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val gotD = spark.sql(SqlOps.pcaDeflate.body(SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Double]("component2"))).sortBy(_._1)
+    // independent deflation with the same spec: double-rounded rank-one
+    // subtraction, then the same int64 power iteration
+    val cv2: Map[(Long, Int), Long] = data.flatMap { case (id, _) =>
+      val t = (0 until dim).map(p => cv((id, p)) * v(p)).sum
+      (0 until dim).map { p =>
+        (id, p) -> (cv((id, p)) -
+          math.floor(t.toDouble * v(p).toDouble / nv2.toDouble + 0.5).toLong)
+      }
+    }.toMap
+    var v2: Array[Long] = Array.fill(dim)(1000000L)
+    for (_ <- 1 to 3) {
+      val s = data.map { case (id, _) => (0 until dim).map(p => cv2((id, p)) * v2(p)).sum }
+      val sn = rescale(s)
+      val wv2 = Array.tabulate(dim) { p =>
+        data.zip(sn).map { case ((id, _), sni) => cv2((id, p)) * sni }.sum
+      }
+      v2 = rescale(wv2.toSeq).toArray
+    }
+    val expD = (0 until dim).map(p => (p.toLong, r6(v2(p).toDouble / 1e6)))
+    assert(gotD.toSeq === expD)
+    // the second component aligns with the planted minor direction w
+    // (after orthogonalizing w against u) and is orthogonal to v1
+    val nw = math.sqrt(w.map(x => x * x).sum)
+    val n2 = math.sqrt(v2.map(x => x.toDouble * x.toDouble).sum)
+    val cosW = (0 until dim).map(p => v2(p).toDouble * w(p)).sum / (n2 * nw)
+    assert(math.abs(cosW) > 0.9, s"component2 should mostly align with w, cos=$cosW")
+    val cos12 = (0 until dim).map(p => v2(p).toDouble * v(p)).sum /
+      (n2 * math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
+    assert(math.abs(cos12) < 0.02, s"components must be near-orthogonal, cos=$cos12")
     spark.catalog.dropTempView("embeddings")
   }
 
