@@ -715,6 +715,13 @@ object SparkEntry {
     "q_pca_project" -> sqlStaged(Seq("embeddings"), SqlOps.pcaProject),
     "q_pca_deflate" -> sqlStaged(Seq("embeddings"), SqlOps.pcaDeflate),
     "q_join_bloom_gate" -> sqlq(Seq("orders", "lineitem"), SqlOps.joinBloomGate),
+    // leakage-safe split: the staged cluster map feeds the `clusters`
+    // view; the oracle re-derives it via the recursive-CTE closure
+    "q_split_leakage_safe" -> ((s, d) => {
+      clustersStaged(s, d).createOrReplaceTempView("clusters")
+      graft.Tables(s, d, "documents").createOrReplaceTempView("documents")
+      s.sql(SqlOps.splitLeakageSafe(SparkDialect))
+    }),
     "q_text_bigram_lm" -> sqlStaged(Seq("documents"), SqlOps.textBigramLm),
     "q_bigram_pmi" -> sqlStaged(Seq("documents"), SqlOps.bigramPmi),
     "q_join_size_audit" -> sqlq(Seq("orders", "lineitem"), SqlOps.joinSizeAudit),
@@ -1434,6 +1441,11 @@ object SparkEntry {
     "q_pca_project" -> SqlOps.pcaProject.single(DuckDialect),
     "q_pca_deflate" -> SqlOps.pcaDeflate.single(DuckDialect),
     "q_join_bloom_gate" -> SqlOps.joinBloomGate(DuckDialect),
+    "q_split_leakage_safe" ->
+      s"""$CLUSTER_CTES
+         |SELECT * FROM (
+         |${SqlOps.splitLeakageSafe(DuckDialect)}
+         |)""".stripMargin,
     "q_text_bigram_lm" -> SqlOps.textBigramLm.single(DuckDialect),
     "q_bigram_pmi" -> SqlOps.bigramPmi.single(DuckDialect),
     "q_join_size_audit" -> SqlOps.joinSizeAudit(DuckDialect),

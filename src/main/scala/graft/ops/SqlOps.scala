@@ -5293,6 +5293,45 @@ object SqlOps {
        |FROM cum GROUP BY event_type, tot, mn, mx""".stripMargin
   }
 
+  /** Leakage-safe corpus split: assign every near-dup CLUSTER — not
+    * every document — to train/val/test by hashing its cluster
+    * representative (singletons hash their own id), so duplicate
+    * documents can never straddle a split boundary and leak eval
+    * content into training. Expects a `clusters(doc_id, cluster_id)`
+    * relation (the staged dedup cluster map; the oracle re-derives it
+    * with the recursive-CTE closure). The audit column counts the
+    * clusters that WOULD have straddled under the naive per-document
+    * hash ([[corpusSplit]]'s rule) — the leakage this op exists to
+    * prevent, measured on the same corpus. Scale shape: one broadcast
+    * of nothing — a left join on doc_id, a hash projection, and two
+    * group-bys; the 82/10/8 bucket split matches [[corpusSplit]]. */
+  def splitLeakageSafe(d: Dialect): String = {
+    def bucketOf(x: String): String =
+      s"""CASE WHEN ${md5Bucket(x)} < 205 THEN 'train'
+         |         WHEN ${md5Bucket(x)} < 230 THEN 'val'
+         |         ELSE 'test' END""".stripMargin
+    s"""WITH ${corpusCte(d)},
+       |g AS (
+       |  SELECT c.doc_id, COALESCE(k.cluster_id, c.doc_id) AS grp
+       |  FROM corpus c LEFT JOIN clusters k ON c.doc_id = k.doc_id
+       |),
+       |a AS (
+       |  SELECT doc_id, grp,
+       |    ${bucketOf("CAST(grp AS STRING)")} AS split,
+       |    ${bucketOf("CAST(doc_id AS STRING)")} AS naive_split
+       |  FROM g
+       |),
+       |straddle AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS naive_straddling_groups
+       |  FROM (SELECT grp FROM a GROUP BY grp HAVING COUNT(DISTINCT naive_split) > 1)
+       |)
+       |SELECT split, COUNT(*) AS n_docs,
+       |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+       |  MIN(naive_straddling_groups) AS naive_straddling_groups
+       |FROM a CROSS JOIN straddle
+       |GROUP BY split""".stripMargin
+  }
+
   /** Runtime-filter (semi-join reduction) on a big⋈big join — the
     * 100 TB staple Spark's own runtime filters automate for simple
     * cases, expressed explicitly: the FILTERED orders slice folds its
