@@ -5236,15 +5236,12 @@ object SqlOps {
     stages = bpeMerges.stages,
     body = { d =>
       val (en, id) = langHitExprs(d)
-      s"""WITH n AS (
-         |  SELECT w, ${d.size(d.filter(d.split("sym", " "), "x -> x <> ''"))} AS n_syms
-         |  FROM bpe_m3
-         |),
-         |enc AS (
-         |  SELECT t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
-         |    CAST(SUM(t.tf * n.n_syms) AS BIGINT) AS n_subtokens
-         |  FROM ulm_tf t JOIN n ON t.s = n.w GROUP BY t.doc_id
-         |),
+      // the per-doc encode is [[bpeEncode]]'s body nested verbatim —
+      // ONE copy of the encoder semantics (its docstring's own rule);
+      // a nested WITH inside a derived table parses in both engines
+      s"""WITH enc AS (SELECT * FROM (
+         |${bpeEncode.body(d)}
+         |)),
          |lt AS (SELECT doc_id, ${toks(d)} AS toks FROM documents),
          |lg AS (SELECT doc_id, ${langGuessCase(en, id)} AS lang_guess FROM lt)
          |SELECT lg.lang_guess, COUNT(*) AS n_docs,
@@ -5304,7 +5301,7 @@ object SqlOps {
     * hash ([[corpusSplit]]'s rule) — the leakage this op exists to
     * prevent, measured on the same corpus. Scale shape: one broadcast
     * of nothing — a left join on doc_id, a hash projection, and two
-    * group-bys; the 82/10/8 bucket split matches [[corpusSplit]]. */
+    * group-bys; the 80/10/10 bucket split matches [[corpusSplit]]. */
   def splitLeakageSafe(d: Dialect): String = {
     def bucketOf(x: String): String =
       s"""CASE WHEN ${md5Bucket(x)} < 205 THEN 'train'
@@ -5379,6 +5376,12 @@ object SqlOps {
     * `<p>_w$r` — THE one copy of the iteration, shared by the first
     * component ([[pcaPower]], prefix `pca`) and the deflated second
     * component ([[pcaDeflate]], prefix `pcb`). */
+  /** Power-iteration round count, shared by the trainer and every
+    * consumer of its final stage (`pca_w$PcaRounds`) — hardcoding the
+    * stage name in a reader would silently pin it to a stale iterate
+    * if the round count ever changed. */
+  private val PcaRounds = 3
+
   private def powerIterStages(prefix: String, cvTbl: String, rounds: Int)
       : Seq[(String, Dialect => String)] =
     (1 to rounds).flatMap { r =>
@@ -5404,10 +5407,7 @@ object SqlOps {
     }
 
   val pcaPower: StagedOp = {
-    val rounds = 3
-    def scaled(d: Dialect, tbl: String, key: String, col: String, out: String): String =
-      pcaScaled(d, tbl, key, col, out)
-    val iterStages = powerIterStages("pca", "pca_cv", rounds)
+    val iterStages = powerIterStages("pca", "pca_cv", PcaRounds)
     StagedOp(
       stages = Seq(
         // (vec_id, pos, qv): the matrix in µ-units — ONE explode pass
@@ -5428,7 +5428,7 @@ object SqlOps {
              |FROM pca_q q JOIN mu ON q.pos = mu.pos""".stripMargin
         }) ++ iterStages,
       body = { d =>
-        s"""WITH ${scaled(d, s"pca_w$rounds", "pos", "w", "vq")}
+        s"""WITH ${pcaScaled(d, s"pca_w$PcaRounds", "pos", "w", "vq")}
            |SELECT CAST(pos AS BIGINT) AS pos,
            |  ${r6("CAST(vq AS DOUBLE) / 1.0e6")} AS component
            |FROM sc""".stripMargin
@@ -5449,7 +5449,7 @@ object SqlOps {
   val pcaProject: StagedOp = StagedOp(
     stages = pcaPower.stages,
     body = { d =>
-      s"""WITH ${pcaScaled(d, "pca_w3", "pos", "w", "vq")},
+      s"""WITH ${pcaScaled(d, s"pca_w$PcaRounds", "pos", "w", "vq")},
          |vs AS (SELECT CAST(SUM(vq * vq) AS BIGINT) AS nv2 FROM sc),
          |p AS (
          |  SELECT c.vec_id,
@@ -5480,7 +5480,7 @@ object SqlOps {
     * independent implementation. */
   val pcaDeflate: StagedOp = StagedOp(
     stages = (pcaPower.stages :+ ("pcb_cv" -> { (d: Dialect) =>
-      s"""WITH ${pcaScaled(d, "pca_w3", "pos", "w", "vq")},
+      s"""WITH ${pcaScaled(d, s"pca_w$PcaRounds", "pos", "w", "vq")},
          |vs AS (SELECT CAST(SUM(vq * vq) AS BIGINT) AS nv2 FROM sc),
          |t AS (
          |  SELECT c.vec_id, CAST(SUM(c.cv * v.vq) AS BIGINT) AS t
@@ -5494,9 +5494,9 @@ object SqlOps {
          |JOIN t ON c.vec_id = t.vec_id
          |JOIN sc v ON c.pos = v.pos
          |CROSS JOIN vs""".stripMargin
-    })) ++ powerIterStages("pcb", "pcb_cv", 3),
+    })) ++ powerIterStages("pcb", "pcb_cv", PcaRounds),
     body = { d =>
-      s"""WITH ${pcaScaled(d, "pcb_w3", "pos", "w", "vq")}
+      s"""WITH ${pcaScaled(d, s"pcb_w$PcaRounds", "pos", "w", "vq")}
          |SELECT CAST(pos AS BIGINT) AS pos,
          |  ${r6("CAST(vq AS DOUBLE) / 1.0e6")} AS component2
          |FROM sc""".stripMargin

@@ -451,14 +451,18 @@ object StreamingOps {
     * any batching (the cmsSketchStream parity class). Unlike the
     * batch form (whose bounds come from the same data), a drifted
     * stream can fall outside the frozen bounds — both edges clamp, so
-    * drift piles visibly into bins 0/31 instead of corrupting keys. */
+    * drift piles visibly into bins 0/31 instead of corrupting keys;
+    * an event_type the calibration batch never saw has no bin edges
+    * at all, so it lands in the sentinel bin -1 (LEFT join, never an
+    * inner join that would silently drop the series exactly when
+    * drift appears). */
   def histogramStream(events: DataFrame, bounds: DataFrame): DataFrame =
     events
       .select(col("event_type"),
         expr("CAST(FLOOR(value * 100 + 5.0e-1) AS BIGINT)").as("c"))
-      .join(broadcast(bounds), Seq("event_type"))
+      .join(broadcast(bounds), Seq("event_type"), "left_outer")
       .select(col("event_type"),
-        expr("GREATEST(0, LEAST(31, ((c - mn) * 32) DIV (mx - mn + 1)))").as("bin"))
+        expr("CASE WHEN mn IS NULL THEN -1L ELSE GREATEST(0, LEAST(31, ((c - mn) * 32) DIV (mx - mn + 1))) END").as("bin"))
       .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
 
   /** Streaming corpus-cleaning gate: score every arriving document

@@ -762,7 +762,11 @@ class StreamingSpec extends SparkSpec {
     val calib: Seq[(String, Double)] =
       (0 until 90).map(i => ("a", (i % 30) + 0.005 * (i % 3))) ++
       (0 until 90).map(i => ("b", (i % 60) * 2.5))
-    val drift: Seq[(String, Double)] = Seq(("a", -50.0), ("a", 999.0), ("b", -1.0))
+    // drift cases: out-of-bounds values on known types, plus a whole
+    // event_type the calibration batch never saw (must surface in the
+    // sentinel bin -1, never be silently dropped)
+    val drift: Seq[(String, Double)] = Seq(("a", -50.0), ("a", 999.0), ("b", -1.0),
+      ("c", 7.0), ("c", 8.0))
     val bounds = calib.groupBy(_._1).toSeq.map { case (t, rs) =>
       val cents = rs.map { case (_, v) => math.floor(v * 100 + 0.5).toLong }
       (t, cents.min, cents.max)
@@ -780,14 +784,18 @@ class StreamingSpec extends SparkSpec {
     // ---- independent implementation (same frozen-bounds spec) ----
     val bmap = bounds.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val expected = rows.groupBy { case (t, v) =>
-      val (mn, mx) = bmap(t)
-      val c = math.floor(v * 100 + 0.5).toLong
-      (t, math.max(0L, math.min(31L, (c - mn) * 32 / (mx - mn + 1))))
+      (t, bmap.get(t) match {
+        case None => -1L
+        case Some((mn, mx)) =>
+          val c = math.floor(v * 100 + 0.5).toLong
+          math.max(0L, math.min(31L, (c - mn) * 32 / (mx - mn + 1)))
+      })
     }.toSeq.map { case ((t, b), xs) => (t, b, xs.size.toLong) }.sortBy(t => (t._1, t._2))
     assert(streamed.toSeq === expected)
-    // drift lands visibly at the edges: below-range in bin 0,
-    // above-range in bin 31
+    // drift lands visibly at the edges — above-range in bin 31, the
+    // uncalibrated type in the sentinel bin — never silently dropped
     assert(streamed.exists { case (t, b, _) => t == "a" && b == 31L })
+    assert(streamed.exists { case (t, b, _) => t == "c" && b == -1L })
     assert(expected.map(_._3).sum === rows.size.toLong)
   }
 }
