@@ -770,6 +770,22 @@ object SparkEntry {
         .sampleFrames(graft.ops.Multimodal.asMedia(graft.Tables.documents(s, d)))
         .drop("frame")
         .orderBy("doc_id", "frame_no")),
+    // perceptual-hash image dedup over the two-snapshot media corpus:
+    // every payload appears twice under different ids (and different
+    // claimed mimes — the hash is content-addressed, so the pair still
+    // collides). The oracle reproduces the stub byte-grid hash in pure
+    // SQL; the real-pixel 8×8 grid path is covered by MultimodalSpec.
+    "q_image_phash" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = graft.Tables.documents(s, d)
+      val corpus = docs.select((col("doc_id") * 2).as("doc_id"), col("text"))
+        .unionAll(docs.select((col("doc_id") * 2 + 1).as("doc_id"), col("text")))
+      val hashed = graft.ops.Multimodal.aHash(graft.ops.Multimodal.asMedia(corpus)).toDF()
+      val w = Window.partitionBy("phash")
+      hashed
+        .withColumn("n_dups", count(lit(1)).over(w))
+        .withColumn("keep_id", min("doc_id").over(w))
+    }),
   )
 
   // ---- DuckDB oracles ----
@@ -1485,6 +1501,39 @@ object SparkEntry {
         |  CAST(unnest(range(0,
         |    CAST(CEIL(CAST(octet_length(encode(text)) AS DOUBLE) / 64) AS BIGINT), 4)) AS INT) AS frame_no
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    "q_image_phash" ->
+      """WITH corpus AS (
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS doc_id, text FROM documents
+        |),
+        |t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM corpus),
+        |pos AS (SELECT doc_id, n, text, unnest(range(0, n)) AS i FROM t WHERE n > 0),
+        |by AS (
+        |  SELECT doc_id,
+        |    LEAST(i // GREATEST(n // 64, 1), 63) AS cell,
+        |    ascii(substr(text, CAST(i + 1 AS INT), 1)) AS b
+        |  FROM pos
+        |),
+        |c AS (SELECT doc_id, cell, CAST(SUM(b) AS BIGINT) AS cs,
+        |        CAST(COUNT(*) AS BIGINT) AS cc FROM by GROUP BY doc_id, cell),
+        |tt AS (SELECT doc_id, CAST(SUM(b) AS BIGINT) AS ts,
+        |        CAST(COUNT(*) AS BIGINT) AS tc FROM by GROUP BY doc_id),
+        |spine AS (SELECT doc_id, unnest(range(0, 64)) AS cell FROM t),
+        |bits AS (
+        |  SELECT s.doc_id, s.cell,
+        |    CASE WHEN c.cc IS NOT NULL AND c.cs * tt.tc > tt.ts * c.cc
+        |         THEN '1' ELSE '0' END AS bit
+        |  FROM spine s
+        |  LEFT JOIN c ON s.doc_id = c.doc_id AND s.cell = c.cell
+        |  LEFT JOIN tt ON s.doc_id = tt.doc_id
+        |),
+        |ph AS (SELECT doc_id, string_agg(bit, '' ORDER BY cell) AS phash
+        |       FROM bits GROUP BY doc_id)
+        |SELECT doc_id, phash,
+        |  CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_dups,
+        |  MIN(doc_id) OVER (PARTITION BY phash) AS keep_id
+        |FROM ph""".stripMargin,
     "q_multimodal_decode" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) % 317 + 16 AS INT) AS width,

@@ -141,6 +141,106 @@ object Multimodal {
     }
   }
 
+  case class PHashRow(doc_id: Long, phash: String)
+
+  /** Perceptual AVERAGE HASH (aHash) for image near-dup detection:
+    * 64 bits, bit j set iff grid cell j's mean intensity exceeds the
+    * payload's global mean. The compare is an exact integer
+    * cross-multiply (cellSum·totalCount > totalSum·cellCount — no
+    * float mean ever computed), so the hash is bit-reproducible
+    * everywhere, and the bit STRING representation keeps it portable
+    * (a packed int64 would overflow signed arithmetic at bit 63).
+    *
+    * Real images (ImageIO-decodable): the classic 8×8 spatial grid
+    * over per-pixel r+g+b integer sums — identical content hashes
+    * identically, small perturbations flip few bits (hamming ≤ k
+    * near-dup rule). Stub payloads: 64 byte-stripes in
+    * [[decodeStub]]'s stripe convention — deterministic and exactly
+    * reproducible in SQL, which is what the q_image_phash oracle
+    * checks while MultimodalSpec covers the real-pixel path. */
+  private def stubGridBits(m: MediaRow): String = {
+    val p = if (m.payload == null) Array.emptyByteArray else m.payload
+    val n = p.length
+    val cs = new Array[Long](64)
+    val cc = new Array[Long](64)
+    var ts = 0L
+    if (n > 0) {
+      val stripe = math.max(n / 64, 1)
+      var i = 0
+      while (i < n) {
+        val j = math.min(i / stripe, 63)
+        val v = (p(i) & 0xff).toLong
+        cs(j) += v; cc(j) += 1; ts += v
+        i += 1
+      }
+    }
+    val tc = n.toLong
+    val sb = new StringBuilder(64)
+    var j = 0
+    while (j < 64) {
+      sb.append(if (cc(j) > 0 && cs(j) * tc > ts * cc(j)) '1' else '0')
+      j += 1
+    }
+    sb.toString
+  }
+
+  private def imageGridBits(m: MediaRow): Option[String] = {
+    if (m.mime == null || !m.mime.startsWith("image/") ||
+        m.payload == null || m.payload.isEmpty) None
+    else {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        catch { case _: Exception => null }
+      if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val cs = new Array[Long](64)
+        val cc = new Array[Long](64)
+        var ts = 0L
+        val rowBuf = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          val gy = math.min(y * 8 / h, 7)
+          img.getRGB(0, y, w, 1, rowBuf, 0, w)
+          var x = 0
+          while (x < w) {
+            val rgb = rowBuf(x)
+            val v = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toLong
+            val j = gy * 8 + math.min(x * 8 / w, 7)
+            cs(j) += v; cc(j) += 1; ts += v
+            x += 1
+          }
+          y += 1
+        }
+        val tc = w.toLong * h
+        val sb = new StringBuilder(64)
+        var j = 0
+        while (j < 64) {
+          sb.append(if (cc(j) > 0 && cs(j) * tc > ts * cc(j)) '1' else '0')
+          j += 1
+        }
+        Some(sb.toString)
+      }
+    }
+  }
+
+  /** Batched aHash over a media column — the image-dedup signature
+    * pass (narrow mapPartitions, same batch shape as
+    * [[decodeBatched]]); group equal hashes (or hamming ≤ k bands)
+    * downstream for near-dup clusters. */
+  def aHash(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[PHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          PHashRow(m.doc_id, imageGridBits(m).getOrElse(stubGridBits(m)))
+        }
+      }
+    }
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th 64-byte
     * chunk becomes a frame row (doc_id, frame_no, frame binary). */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 4): DataFrame = {

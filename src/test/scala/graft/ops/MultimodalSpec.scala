@@ -113,4 +113,56 @@ class MultimodalSpec extends SparkSpec {
     val videoIds = media.filter(_.mime == "video/mp4").collect().map(_.doc_id).toSet
     assert(frames.map(_.getAs[Long]("doc_id")).toSet.subsetOf(videoIds))
   }
+
+  test("aHash: identical images collide, perturbed images stay near, distinct images part") {
+    import spark.implicits._
+    // a structured image (left-dark / right-light gradient), its exact
+    // copy, a lightly perturbed copy (one grid cell brightened), and
+    // its inverse
+    val (w, h) = (64, 48)
+    def gradient(invert: Boolean, bumpCell: Option[(Int, Int)]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = x * 255 / (w - 1)
+        val v0 = if (invert) 255 - base else base
+        val bumped = bumpCell.exists { case (gx, gy) =>
+          x * 8 / w == gx && y * 8 / h == gy }
+        val v = if (bumped) 255 else v0
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(0L, "image/png", gradient(invert = false, None)),
+      Multimodal.MediaRow(1L, "image/png", gradient(invert = false, None)),
+      Multimodal.MediaRow(2L, "image/png", gradient(invert = false, Some((0, 0)))),
+      Multimodal.MediaRow(3L, "image/png", gradient(invert = true, None)))
+    val hashes = Multimodal.aHash(spark.createDataset(rows))
+      .collect().map(p => p.doc_id -> p.phash).toMap
+    assert(hashes.values.forall(ph => ph.length == 64 && ph.forall(c => c == '0' || c == '1')))
+    def hamming(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    // exact copy: identical hash
+    assert(hashes(0L) === hashes(1L))
+    // one brightened grid cell flips few bits
+    assert(hamming(hashes(0L), hashes(2L)) <= 4,
+      s"perturbation too destructive: ${hamming(hashes(0L), hashes(2L))}")
+    assert(hashes(0L) !== hashes(2L), "the brightened dark-side cell must flip its bit")
+    // inverted gradient flips (nearly) every informative bit
+    assert(hamming(hashes(0L), hashes(3L)) >= 32,
+      s"inverse should be far: ${hamming(hashes(0L), hashes(3L))}")
+    // sanity: the full hash from first principles — the gradient is a
+    // function of x only, so the hash is one 8-bit row pattern
+    // repeated; same Int-truncating pixel formula, same exact integer
+    // cross-multiply (per-row h factor cancels)
+    val vals = (0 until w).map(x => 3L * (x * 255 / (w - 1)))
+    val (totalSum, totalCnt) = (vals.sum, w.toLong)
+    val expectedRow = (0 until 8).map { gx =>
+      val xs = (0 until w).filter(x => x * 8 / w == gx)
+      val (cs, cc) = (xs.map(vals).sum, xs.size.toLong)
+      if (cs * totalCnt > totalSum * cc) '1' else '0'
+    }.mkString
+    assert(hashes(0L) === expectedRow * 8)
+  }
 }
