@@ -777,14 +777,16 @@ object SparkEntry {
     // SQL; the real-pixel 8×8 grid path is covered by MultimodalSpec.
     "q_image_phash" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = graft.Tables.documents(s, d)
-      val corpus = docs.select((col("doc_id") * 2).as("doc_id"), col("text"))
-        .unionAll(docs.select((col("doc_id") * 2 + 1).as("doc_id"), col("text")))
-      val hashed = graft.ops.Multimodal.aHash(graft.ops.Multimodal.asMedia(corpus)).toDF()
       val w = Window.partitionBy("phash")
-      hashed
+      mediaPhash(s, d)
         .withColumn("n_dups", count(lit(1)).over(w))
         .withColumn("keep_id", min("doc_id").over(w))
+    }),
+    // banded hamming near-dup over the same hashes (recall-approximate
+    // bands, exact one-sided verify — the simhash pattern on images)
+    "q_dedup_phash_near" -> ((s, d) => {
+      mediaPhash(s, d).createOrReplaceTempView("phash_tbl")
+      s.sql(SqlOps.phashNear(SparkDialect))
     }),
   )
 
@@ -849,6 +851,48 @@ object SparkEntry {
        |  SELECT e.a AS $idCol, r.lbl FROM edges e JOIN reach r ON r.$idCol = e.b
        |),
        |clusters AS (SELECT $idCol, MIN(lbl) AS cluster_id FROM reach GROUP BY $idCol)""".stripMargin
+
+  /** Two-snapshot media corpus -> (doc_id, phash) via the batched
+    * aHash pass — shared by q_image_phash and q_dedup_phash_near. */
+  private def mediaPhash(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    val corpus = docs.select((col("doc_id") * 2).as("doc_id"), col("text"))
+      .unionAll(docs.select((col("doc_id") * 2 + 1).as("doc_id"), col("text")))
+    graft.ops.Multimodal.aHash(graft.ops.Multimodal.asMedia(corpus)).toDF()
+  }
+
+  /** The pure-SQL re-derivation of the stub byte-grid aHash over the
+    * two-snapshot corpus, ending in `ph(doc_id, phash)` — ONE copy
+    * shared by both image-hash oracles. */
+  private val PHASH_CTES: String =
+    """WITH corpus AS (
+      |  SELECT doc_id * 2 AS doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1 AS doc_id, text FROM documents
+      |),
+      |t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM corpus),
+      |pos AS (SELECT doc_id, n, text, unnest(range(0, n)) AS i FROM t WHERE n > 0),
+      |by AS (
+      |  SELECT doc_id,
+      |    LEAST(i // GREATEST(n // 64, 1), 63) AS cell,
+      |    ascii(substr(text, CAST(i + 1 AS INT), 1)) AS b
+      |  FROM pos
+      |),
+      |c AS (SELECT doc_id, cell, CAST(SUM(b) AS BIGINT) AS cs,
+      |        CAST(COUNT(*) AS BIGINT) AS cc FROM by GROUP BY doc_id, cell),
+      |tt AS (SELECT doc_id, CAST(SUM(b) AS BIGINT) AS ts,
+      |        CAST(COUNT(*) AS BIGINT) AS tc FROM by GROUP BY doc_id),
+      |spine AS (SELECT doc_id, unnest(range(0, 64)) AS cell FROM t),
+      |bits AS (
+      |  SELECT s.doc_id, s.cell,
+      |    CASE WHEN c.cc IS NOT NULL AND c.cs * tt.tc > tt.ts * c.cc
+      |         THEN '1' ELSE '0' END AS bit
+      |  FROM spine s
+      |  LEFT JOIN c ON s.doc_id = c.doc_id AND s.cell = c.cell
+      |  LEFT JOIN tt ON s.doc_id = tt.doc_id
+      |),
+      |ph AS (SELECT doc_id, string_agg(bit, '' ORDER BY cell) AS phash
+      |       FROM bits GROUP BY doc_id)""".stripMargin
 
   private val CLUSTER_CTES: String =
     closureCtes(SqlOps.dedupMinhash.single(DuckDialect), "doc_a", "doc_b", "doc_id")
@@ -1502,38 +1546,17 @@ object SparkEntry {
         |    CAST(CEIL(CAST(octet_length(encode(text)) AS DOUBLE) / 64) AS BIGINT), 4)) AS INT) AS frame_no
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
     "q_image_phash" ->
-      """WITH corpus AS (
-        |  SELECT doc_id * 2 AS doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id * 2 + 1 AS doc_id, text FROM documents
-        |),
-        |t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM corpus),
-        |pos AS (SELECT doc_id, n, text, unnest(range(0, n)) AS i FROM t WHERE n > 0),
-        |by AS (
-        |  SELECT doc_id,
-        |    LEAST(i // GREATEST(n // 64, 1), 63) AS cell,
-        |    ascii(substr(text, CAST(i + 1 AS INT), 1)) AS b
-        |  FROM pos
-        |),
-        |c AS (SELECT doc_id, cell, CAST(SUM(b) AS BIGINT) AS cs,
-        |        CAST(COUNT(*) AS BIGINT) AS cc FROM by GROUP BY doc_id, cell),
-        |tt AS (SELECT doc_id, CAST(SUM(b) AS BIGINT) AS ts,
-        |        CAST(COUNT(*) AS BIGINT) AS tc FROM by GROUP BY doc_id),
-        |spine AS (SELECT doc_id, unnest(range(0, 64)) AS cell FROM t),
-        |bits AS (
-        |  SELECT s.doc_id, s.cell,
-        |    CASE WHEN c.cc IS NOT NULL AND c.cs * tt.tc > tt.ts * c.cc
-        |         THEN '1' ELSE '0' END AS bit
-        |  FROM spine s
-        |  LEFT JOIN c ON s.doc_id = c.doc_id AND s.cell = c.cell
-        |  LEFT JOIN tt ON s.doc_id = tt.doc_id
-        |),
-        |ph AS (SELECT doc_id, string_agg(bit, '' ORDER BY cell) AS phash
-        |       FROM bits GROUP BY doc_id)
+      s"""$PHASH_CTES
         |SELECT doc_id, phash,
         |  CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_dups,
         |  MIN(doc_id) OVER (PARTITION BY phash) AS keep_id
         |FROM ph""".stripMargin,
+    "q_dedup_phash_near" ->
+      s"""$PHASH_CTES,
+        |phash_tbl AS (SELECT doc_id, phash FROM ph)
+        |SELECT * FROM (
+        |${SqlOps.phashNear(DuckDialect)}
+        |)""".stripMargin,
     "q_multimodal_decode" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) % 317 + 16 AS INT) AS width,

@@ -5290,6 +5290,45 @@ object SqlOps {
        |FROM cum GROUP BY event_type, tot, mn, mx""".stripMargin
   }
 
+  /** Banded hamming near-dup join over perceptual image hashes — the
+    * simhash banding pattern applied to the aHash bit strings: each
+    * 64-bit hash splits into 4 × 16-bit bands, candidates share at
+    * least one exact band (equi-join, never all-pairs), and the exact
+    * hamming distance verifies ≤ 6 over the bounded candidate set.
+    * Like minhash/simhash banding this is recall-approximate (6 flips
+    * CAN straddle all 4 bands); the guarantee is one-sided — every
+    * emitted pair is exact-verified. Expects a `phash_tbl(doc_id,
+    * phash)` relation (Spark: the [[graft.ops.Multimodal.aHash]]
+    * output registered as a view; oracle: the same hash re-derived in
+    * pure SQL). Scale shape: band explode is ×4 narrow, the join is
+    * hash-equi on (band, key), the 64-position hamming explode runs
+    * only on candidates. */
+  def phashNear(d: Dialect): String =
+    s"""WITH bnd AS (
+       |  SELECT doc_id, phash, b, substr(phash, 1 + b * 16, 16) AS key
+       |  FROM (${d.explode("SELECT doc_id, phash, " + d.seqArray("0", "3") +
+                            " AS bs FROM phash_tbl", "doc_id, phash", "bs", "b")})
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.phash AS pa, y.phash AS pb
+       |  FROM bnd x JOIN bnd y
+       |    ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+       |),
+       |pe AS (
+       |  SELECT doc_a, doc_b, pa, pb, i
+       |  FROM (${d.explode("SELECT doc_a, doc_b, pa, pb, " + d.seqArray("1", "64") +
+                            " AS ii FROM cand", "doc_a, doc_b, pa, pb", "ii", "i")}
+       |  )
+       |),
+       |hm AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(SUM(CASE WHEN substr(pa, i, 1) <> substr(pb, i, 1)
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+       |  FROM pe GROUP BY doc_a, doc_b
+       |)
+       |SELECT doc_a, doc_b, hamming FROM hm WHERE hamming <= 6""".stripMargin
+
   /** Leakage-safe corpus split: assign every near-dup CLUSTER — not
     * every document — to train/val/test by hashing its cluster
     * representative (singletons hash their own id), so duplicate
