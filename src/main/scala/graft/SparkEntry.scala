@@ -455,6 +455,7 @@ object SparkEntry {
     // quasi-identifier (k=5; flagged groups are the worklist)
     "q_k_anonymity" -> sqlq(Seq("customer"), SqlOps.kAnonymity),
     "q_l_diversity" -> sqlq(Seq("customer"), SqlOps.lDiversity),
+    "q_t_closeness" -> sqlq(Seq("customer"), SqlOps.tCloseness),
     // first→last shipment span per order, rolled up by priority
     "q_order_cycle_time" -> sqlq(Seq("lineitem", "orders"), SqlOps.orderCycleTime),
     // TPC-H Q20 shape: suppliers shipping >1.5× a part family's
@@ -641,6 +642,7 @@ object SparkEntry {
     "q_text_unigram_lm" -> sqlStaged(Seq("documents"), SqlOps.textUnigramLm),
     "q_dsir_weights" -> sqlStaged(Seq("documents"), SqlOps.dsirWeights),
     "q_search_bm25" -> sqlStaged(Seq("documents"), SqlOps.searchBm25),
+    "q_search_ndcg" -> sqlStaged(Seq("documents"), SqlOps.searchNdcg),
     "q_bpe_pairs" -> sqlStaged(Seq("documents"), SqlOps.bpePairs),
     // the iterative BPE trainer: 3 staged merge rounds over the vocab
     // (prewarmed — the rounds feed TWO consumers, merges + encode)
@@ -1302,6 +1304,7 @@ object SparkEntry {
     "q_lateral_latest" -> SqlOps.lateralLatest(DuckDialect),
     "q_k_anonymity" -> SqlOps.kAnonymity(DuckDialect),
     "q_l_diversity" -> SqlOps.lDiversity(DuckDialect),
+    "q_t_closeness" -> SqlOps.tCloseness(DuckDialect),
     "q_order_cycle_time" -> SqlOps.orderCycleTime(DuckDialect),
     "q_excess_suppliers" -> SqlOps.excessSuppliers(DuckDialect),
     "q_winsorize" -> SqlOps.winsorize(DuckDialect),
@@ -1445,6 +1448,7 @@ object SparkEntry {
     "q_text_unigram_lm" -> SqlOps.textUnigramLm.single(DuckDialect),
     "q_dsir_weights" -> SqlOps.dsirWeights.single(DuckDialect),
     "q_search_bm25" -> SqlOps.searchBm25.single(DuckDialect),
+    "q_search_ndcg" -> SqlOps.searchNdcg.single(DuckDialect),
     "q_bpe_pairs" -> SqlOps.bpePairs.single(DuckDialect),
     "q_bpe_merges" -> SqlOps.bpeMerges.single(DuckDialect),
     "q_bpe_encode" -> SqlOps.bpeEncode.single(DuckDialect),

@@ -1196,11 +1196,14 @@ object SqlOps {
     * Headroom: qidf·44·tf·T stays under 2⁶³ up to ~10⁸ total corpus
     * tokens at tf ≤ 50; past that, drop the IDF quantization to ×10³
     * or move the product to DECIMAL(38,0). */
+  /** The fixed evaluation query's terms — shared by the BM25 ranking
+    * and its quality eval so the two cannot drift. */
+  private val SearchTerms = Seq("join", "merge", "window")
+
   val searchBm25: StagedOp = StagedOp(
     stages = textUnigramLm.stages,
     body = { d =>
-      val terms = Seq("join", "merge", "window")
-      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val inList = SearchTerms.map(t => s"'$t'").mkString(", ")
       val qidf =
         s"""CAST(FLOOR(log2(CAST(2 * t.n_docs + 2 AS DOUBLE) / (2 * df.df + 1))
            |    * 1.0e6 + 5.0e-1) AS BIGINT)""".stripMargin
@@ -1227,6 +1230,65 @@ object SqlOps {
          |SELECT doc_id, CAST(SUM(s_term) AS BIGINT) AS bm25_micro
          |FROM sc GROUP BY doc_id
          |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin
+    })
+
+  /** Retrieval-quality eval for the BM25 ranking — nDCG@10 and MRR
+    * against a graded relevance oracle (rel = how many of the fixed
+    * query's terms the document contains, 0..3), completing the eval
+    * family (langid eval, LSH eval, ANN recall eval). The ranked list
+    * is [[searchBm25]]'s own body nested verbatim (one copy of the
+    * scorer); relevance is graded 0–5 from the summed query-term
+    * frequency (a binary present/absent label saturates on this
+    * corpus — 97% of docs contain a term, so nDCG degenerates to a
+    * constant 1.0; the tf grade spreads the ideal list and makes the
+    * number move when BM25's length normalization disagrees with raw
+    * frequency); gains use the exact integer 2^rel−1 table (no POW —
+    * a float power could diverge in the last ulp) and each DCG term
+    * is µ-quantized to int64 BEFORE summation, because double sums
+    * are order-dependent across engines; the only unquantized float
+    * ops are the shared log2 discount and the final ratios. MRR
+    * rewards the first rank with rel ≥ 4. */
+  val searchNdcg: StagedOp = StagedOp(
+    stages = textUnigramLm.stages,
+    body = { d =>
+      val inList = SearchTerms.map(t => s"'$t'").mkString(", ")
+      def gain(rel: String): String =
+        s"""(CASE $rel WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 7
+           |  WHEN 4 THEN 15 WHEN 5 THEN 31 ELSE 0 END)""".stripMargin
+      def dcgTerm(rel: String, rk: String): String =
+        qvExpr(s"CAST(${gain(rel)} AS DOUBLE) / log2(CAST($rk AS DOUBLE) + 1.0e0)")
+      s"""WITH ranked AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS rk
+         |  FROM (
+         |${searchBm25.body(d)}
+         |  )
+         |),
+         |rel AS (
+         |  SELECT doc_id, LEAST(5, ${d.idiv("CAST(SUM(tf) AS BIGINT)", "2")}) AS rel
+         |  FROM ulm_tf WHERE s IN ($inList) GROUP BY doc_id
+         |),
+         |dcg AS (
+         |  SELECT CAST(SUM(${dcgTerm("COALESCE(rel.rel, 0)", "r.rk")}) AS BIGINT) AS dcg_q
+         |  FROM ranked r LEFT JOIN rel ON r.doc_id = rel.doc_id
+         |),
+         |ideal AS (
+         |  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rk FROM rel
+         |),
+         |idcg AS (
+         |  SELECT CAST(SUM(${dcgTerm("rel", "rk")}) AS BIGINT) AS idcg_q
+         |  FROM ideal WHERE rk <= 10
+         |),
+         |mrr AS (
+         |  SELECT MIN(r.rk) AS first_good
+         |  FROM ranked r JOIN rel ON r.doc_id = rel.doc_id
+         |  WHERE rel.rel >= 4
+         |)
+         |SELECT
+         |  ${r6("CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE)")} AS ndcg10,
+         |  CASE WHEN first_good IS NULL THEN 0.0e0
+         |       ELSE ${r6("1.0e0 / first_good")} END AS mrr,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM rel) AS n_relevant
+         |FROM dcg CROSS JOIN idcg CROSS JOIN mrr""".stripMargin
     })
 
   /** One BPE-training iteration: count adjacent character pairs
@@ -4350,6 +4412,66 @@ object SqlOps {
        |  COUNT(DISTINCT bal_class) AS n_sensitive,
        |  CASE WHEN COUNT(DISTINCT bal_class) < 3 THEN 1 ELSE 0 END AS below_l
        |FROM s GROUP BY c_nationkey, c_mktsegment""".stripMargin
+
+  /** t-closeness audit — the privacy triad's third gate after
+    * [[kAnonymity]] and [[lDiversity]]: a cell can be large AND
+    * diverse yet still leak if its sensitive DISTRIBUTION deviates
+    * from the table-wide one (e.g. a cell that is 95% 'neg' when the
+    * population is 10%). Distance is the ordered-category Earth
+    * Mover's Distance — mean |cumulative difference| over the ordered
+    * classes — computed as exact integer cross-products over one
+    * common denominator (|cumᶜ·G − cumᵍ·nᶜ|; the only float op is the
+    * final division, r6'd), so the audit is engine-identical. A
+    * category spine LEFT-joins so absent classes count as zero mass
+    * rather than silently shrinking a cell's distribution. Cost: two
+    * groupBys at cell×3 cardinality — same shape as the siblings. */
+  def tCloseness(d: Dialect): String =
+    s"""WITH s AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CASE WHEN c_acctbal < 0 THEN 1
+       |         WHEN c_acctbal < 5000 THEN 2
+       |         ELSE 3 END AS ord
+       |  FROM customer
+       |),
+       |cellcat AS (
+       |  SELECT c_nationkey, c_mktsegment, ord, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM s GROUP BY c_nationkey, c_mktsegment, ord
+       |),
+       |cats AS (SELECT 1 AS ord UNION ALL SELECT 2 UNION ALL SELECT 3),
+       |cells AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM s),
+       |cc AS (
+       |  SELECT sp.c_nationkey, sp.c_mktsegment, sp.ord, COALESCE(x.n, 0) AS n
+       |  FROM (SELECT * FROM cells CROSS JOIN cats) sp
+       |  LEFT JOIN cellcat x
+       |    ON sp.c_nationkey = x.c_nationkey
+       |   AND sp.c_mktsegment = x.c_mktsegment AND sp.ord = x.ord
+       |),
+       |g AS (
+       |  SELECT ord, CAST(COUNT(*) AS BIGINT) AS gn FROM s GROUP BY ord
+       |),
+       |gc AS (
+       |  SELECT c.ord, CAST(SUM(COALESCE(g.gn, 0)) AS BIGINT) AS gcum
+       |  FROM cats c LEFT JOIN g ON g.ord <= c.ord GROUP BY c.ord
+       |),
+       |cum AS (
+       |  SELECT c_nationkey, c_mktsegment, ord,
+       |    CAST(SUM(n) OVER (PARTITION BY c_nationkey, c_mktsegment
+       |                      ORDER BY ord) AS BIGINT) AS ccum,
+       |    CAST(SUM(n) OVER (PARTITION BY c_nationkey, c_mktsegment) AS BIGINT) AS nc
+       |  FROM cc
+       |),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS gt FROM s),
+       |emd AS (
+       |  SELECT c_nationkey, c_mktsegment, MIN(nc) AS group_size,
+       |    CAST(SUM(ABS(ccum * gt - gcum * nc)) AS BIGINT) AS num,
+       |    MIN(nc) * MIN(gt) AS den
+       |  FROM cum JOIN gc ON cum.ord = gc.ord CROSS JOIN tot
+       |  GROUP BY c_nationkey, c_mktsegment
+       |)
+       |SELECT c_nationkey, c_mktsegment, group_size,
+       |  ${r6("CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 2.0e0")} AS t_distance,
+       |  CASE WHEN num * 2 > den THEN 1 ELSE 0 END AS above_t
+       |FROM emd""".stripMargin
 
   /** Correlated LATERAL top-1 join: each customer's single most
     * expensive order via a per-row dependent subquery — the form an
