@@ -690,6 +690,7 @@ object SparkEntry {
     "q_events_tumbling" -> sqlq(Seq("events"), SqlOps.eventsTumbling),
     "q_events_sessionize" -> sqlq(Seq("events"), SqlOps.eventsSessionize),
     "q_events_twa" -> sqlq(Seq("events"), SqlOps.eventsTimeWeightedAvg),
+    "q_survival_km" -> sqlq(Seq("events"), SqlOps.survivalKm),
     "q_value_outliers" -> sqlq(Seq("events"), SqlOps.valueOutliers),
     "q_range_join" -> sqlq(Seq("events"), SqlOps.rangeJoinBands),
     "q_range_join_irregular" -> sqlq(Seq("events"), SqlOps.rangeJoinIrregular),
@@ -723,6 +724,11 @@ object SparkEntry {
     "q_join_bloom_gate" -> sqlq(Seq("orders", "lineitem"), SqlOps.joinBloomGate),
     // leakage-safe split: the staged cluster map feeds the `clusters`
     // view; the oracle re-derives it via the recursive-CTE closure
+    "q_dedup_cluster_eval" -> ((s, d) => {
+      clustersStaged(s, d).createOrReplaceTempView("clusters")
+      graft.Tables(s, d, "documents").createOrReplaceTempView("documents")
+      s.sql(SqlOps.dedupClusterEval(SparkDialect))
+    }),
     "q_split_leakage_safe" -> ((s, d) => {
       clustersStaged(s, d).createOrReplaceTempView("clusters")
       graft.Tables(s, d, "documents").createOrReplaceTempView("documents")
@@ -1476,6 +1482,7 @@ object SparkEntry {
     "q_events_tumbling" -> SqlOps.eventsTumbling(DuckDialect),
     "q_events_sessionize" -> SqlOps.eventsSessionize(DuckDialect),
     "q_events_twa" -> SqlOps.eventsTimeWeightedAvg(DuckDialect),
+    "q_survival_km" -> SqlOps.survivalKm(DuckDialect),
     "q_value_outliers" -> SqlOps.valueOutliers(DuckDialect),
     "q_range_join" -> SqlOps.rangeJoinBands(DuckDialect),
     "q_range_join_irregular" -> SqlOps.rangeJoinIrregular(DuckDialect),
@@ -1509,6 +1516,11 @@ object SparkEntry {
     "q_pca_project" -> SqlOps.pcaProject.single(DuckDialect),
     "q_pca_deflate" -> SqlOps.pcaDeflate.single(DuckDialect),
     "q_join_bloom_gate" -> SqlOps.joinBloomGate(DuckDialect),
+    "q_dedup_cluster_eval" ->
+      s"""$CLUSTER_CTES
+         |SELECT * FROM (
+         |${SqlOps.dedupClusterEval(DuckDialect)}
+         |)""".stripMargin,
     "q_split_leakage_safe" ->
       s"""$CLUSTER_CTES
          |SELECT * FROM (

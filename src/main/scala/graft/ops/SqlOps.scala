@@ -3580,6 +3580,69 @@ object SqlOps {
        |    ELSE ${r6("CAST(num AS DOUBLE) / den / 1.0e6")} END AS twa
        |FROM a""".stripMargin
 
+  /** Kaplan-Meier survival curve for time-to-first-purchase, with
+    * right censoring at each user's last observed activity — the
+    * survival-analysis staple (retention, churn, time-to-convert
+    * under incomplete observation). S(t) = Π(1 − dᵤ/nᵤ) is computed
+    * as a µ-quantized log2 cumulative sum in int64 (the exact-sum
+    * discipline; the product itself would underflow and double
+    * products don't associate across engines) exponentiated once per
+    * output row; a day where everyone remaining events drives S to
+    * exactly 0 from there on (the log is undefined — handled by a
+    * zero-flag window, not a sentinel). Scale shape: one user-level
+    * groupBy (the only corpus-sized shuffle), then all windows run on
+    * the day-cardinality aggregate — the changepoint rule. */
+  def survivalKm(d: Dialect): String = {
+    val qlogRatio =
+      """CAST(FLOOR(log2(CAST(n_t - d_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+        |     * 1.0e6 + 5.0e-1) AS BIGINT)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT user_id, ${d.idiv(d.epochSeconds("ts"), "86400")} AS day, event_type
+       |  FROM events
+       |),
+       |u AS (
+       |  SELECT user_id, MIN(day) AS d0, MAX(day) AS dlast,
+       |    MIN(CASE WHEN event_type = 'purchase' THEN day END) AS dpur
+       |  FROM e GROUP BY user_id
+       |),
+       |tu AS (
+       |  SELECT CASE WHEN dpur IS NOT NULL THEN dpur - d0 ELSE dlast - d0 END AS t,
+       |    CASE WHEN dpur IS NOT NULL THEN 1 ELSE 0 END AS ev
+       |  FROM u
+       |),
+       |agg AS (
+       |  SELECT t, CAST(SUM(ev) AS BIGINT) AS d_t,
+       |    CAST(COUNT(*) AS BIGINT) AS leave_t
+       |  FROM tu GROUP BY t
+       |),
+       |n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM tu),
+       |risk AS (
+       |  SELECT t, d_t, leave_t,
+       |    n0 - COALESCE(CAST(SUM(leave_t) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_t
+       |  FROM agg CROSS JOIN n0
+       |),
+       |terms AS (
+       |  SELECT t, d_t, n_t,
+       |    CASE WHEN d_t = 0 THEN 0
+       |         WHEN n_t > d_t THEN $qlogRatio
+       |         ELSE NULL END AS ql,
+       |    CASE WHEN n_t = d_t AND d_t > 0 THEN 1 ELSE 0 END AS zero_here
+       |  FROM risk
+       |),
+       |curve AS (
+       |  SELECT t, d_t, n_t,
+       |    CAST(SUM(ql) OVER (ORDER BY t) AS BIGINT) AS cum_ql,
+       |    CAST(SUM(zero_here) OVER (ORDER BY t) AS BIGINT) AS zeroed
+       |  FROM terms
+       |)
+       |SELECT t AS day_offset, n_t AS n_risk, d_t AS n_events,
+       |  CASE WHEN zeroed > 0 THEN 0.0e0
+       |       ELSE ${r6("pow(2.0e0, CAST(cum_ql AS DOUBLE) / 1.0e6)")}
+       |  END AS survival
+       |FROM curve""".stripMargin
+  }
+
   /** Sessionization: 30-minute inactivity gap via lag + running sum. */
   def eventsSessionize(d: Dialect): String =
     s"""WITH e AS (SELECT user_id, event_id, ${d.epochMicros("ts")} AS us FROM events),
@@ -5450,6 +5513,47 @@ object SqlOps {
        |  FROM pe GROUP BY doc_a, doc_b
        |)
        |SELECT doc_a, doc_b, hamming FROM hm WHERE hamming <= 6""".stripMargin
+
+  /** Dedup-cluster quality eval: pairwise precision/recall/F1 of the
+    * minhash cluster map's co-membership against the EXACT-duplicate
+    * ground truth (same content hash in the two-snapshot corpus —
+    * known by construction: every document appears twice). Pair
+    * counts are closed-form (Σ C(n,2) per group — never an O(n²)
+    * pair explode): true pairs per content hash, predicted pairs per
+    * cluster, true positives per (cluster, hash) cell. A near-dup
+    * edge joining two DISTINCT texts scores as a false positive under
+    * this exact-text truth — that is the honest reading: the metric
+    * measures how much beyond exact duplication the near-dup gate
+    * reaches. Expects a `clusters(doc_id, cluster_id)` relation (the
+    * [[splitLeakageSafe]] convention); integers throughout, r6'd
+    * ratios at the end. */
+  def dedupClusterEval(d: Dialect): String = {
+    def c2(n: String): String = d.idiv(s"($n) * (($n) - 1)", "2")
+    s"""WITH ${corpusCte(d)},
+       |ch AS (SELECT doc_id, md5(text) AS h FROM corpus),
+       |tp_h AS (
+       |  SELECT CAST(SUM(${c2("n")}) AS BIGINT) AS true_pairs
+       |  FROM (SELECT h, CAST(COUNT(*) AS BIGINT) AS n FROM ch GROUP BY h)
+       |),
+       |pp AS (
+       |  SELECT CAST(SUM(${c2("n")}) AS BIGINT) AS pred_pairs
+       |  FROM (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n
+       |        FROM clusters GROUP BY cluster_id)
+       |),
+       |tp AS (
+       |  SELECT CAST(SUM(${c2("n")}) AS BIGINT) AS tp
+       |  FROM (
+       |    SELECT k.cluster_id, c.h, CAST(COUNT(*) AS BIGINT) AS n
+       |    FROM clusters k JOIN ch c ON k.doc_id = c.doc_id
+       |    GROUP BY k.cluster_id, c.h
+       |  )
+       |)
+       |SELECT true_pairs, pred_pairs, tp,
+       |  ${r6("CAST(tp AS DOUBLE) / pred_pairs")} AS precision_pairs,
+       |  ${r6("CAST(tp AS DOUBLE) / true_pairs")} AS recall_pairs,
+       |  ${r6("2.0e0 * tp / (pred_pairs + true_pairs)")} AS f1_pairs
+       |FROM tp_h CROSS JOIN pp CROSS JOIN tp""".stripMargin
+  }
 
   /** Leakage-safe corpus split: assign every near-dup CLUSTER — not
     * every document — to train/val/test by hashing its cluster
