@@ -489,6 +489,7 @@ object SparkEntry {
     "q_mode_priority" -> sqlq(Seq("orders"), SqlOps.modePriority),
     "q_agg_collect" -> sqlq(Seq("orders"), SqlOps.collectOrders),
     "q_corr_exact" -> sqlq(Seq("lineitem"), SqlOps.corrQtyPrice),
+    "q_corr_matrix" -> sqlq(Seq("lineitem"), SqlOps.corrMatrix),
 
     // -- dedup family (documents) --
     "q_dedup_exact" -> sqlq(Seq("documents"), SqlOps.dedupExact),
@@ -1329,6 +1330,7 @@ object SparkEntry {
     "q_mode_priority" -> SqlOps.modePriority(DuckDialect),
     "q_agg_collect" -> SqlOps.collectOrders(DuckDialect),
     "q_corr_exact" -> SqlOps.corrQtyPrice(DuckDialect),
+    "q_corr_matrix" -> SqlOps.corrMatrix(DuckDialect),
     "q_dedup_verified" -> SqlOps.dedupVerified.single(DuckDialect),
     "q_dedup_lsh_eval" -> SqlOps.dedupLshEval.single(DuckDialect),
 

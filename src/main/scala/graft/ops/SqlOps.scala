@@ -2275,6 +2275,43 @@ object SqlOps {
        |  COUNT(*) AS n_orders
        |FROM orders GROUP BY o_custkey""".stripMargin
 
+  /** Full Pearson correlation MATRIX over the lineitem numerics in
+    * ONE scan — the multi-column profiling shape: all 4 columns' and
+    * 6 pairs' sufficient statistics accumulate in a single aggregate
+    * (exact DECIMAL sums, the [[corrQtyPrice]] discipline), and every
+    * pairwise correlation is a deterministic finalizer over that one
+    * row. A per-pair loop would scan the fact table C(k,2) times;
+    * this is the k-column generalization that stays one pass at any
+    * k. Output is one wide row (pair columns), hash-comparable. */
+  def corrMatrix(d: Dialect): String = {
+    val cols = Seq(
+      "qty" -> "CAST(l_quantity AS DECIMAL(18,2))",
+      "price" -> "CAST(l_extendedprice AS DECIMAL(18,2))",
+      "disc" -> "CAST(l_discount AS DECIMAL(18,2))",
+      "tax" -> "CAST(l_tax AS DECIMAL(18,2))")
+    def toDbl(sum: String) =
+      s"CAST(CAST(($sum) * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 1.0e4"
+    val sums = cols.map { case (n, e) => s"${toDbl(s"SUM($e)")} AS s_$n" } ++
+      cols.map { case (n, e) => s"${toDbl(s"SUM($e * $e)")} AS ss_$n" } ++
+      cols.combinations(2).map { case Seq((na, ea), (nb, eb)) =>
+        s"${toDbl(s"SUM($ea * $eb)")} AS sp_${na}_$nb"
+      }.toSeq
+    val corrs = cols.combinations(2).map { case Seq((na, _), (nb, _)) =>
+      val num = s"(n * sp_${na}_$nb - s_$na * s_$nb)"
+      val den = s"sqrt(n * ss_$na - s_$na * s_$na) * sqrt(n * ss_$nb - s_$nb * s_$nb)"
+      s"""CASE WHEN $den = 0 THEN NULL
+         |       ELSE ${r6(s"$num / ($den)")} END AS corr_${na}_$nb""".stripMargin
+    }.toSeq
+    s"""WITH m AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${sums.mkString(",\n    ")}
+       |  FROM lineitem
+       |)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  ${corrs.mkString(",\n  ")}
+       |FROM m""".stripMargin
+  }
+
   /** Pearson correlation from exact components: the five sufficient
     * statistics are decimal-exact sums cast to double at the end, and
     * the correlation is one fixed IEEE expression over them — so the
