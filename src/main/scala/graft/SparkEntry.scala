@@ -658,6 +658,7 @@ object SparkEntry {
     "q_text_bigrams_source" -> sqlq(Seq("documents"), SqlOps.topBigramsPerSource),
     "q_text_repetition" -> sqlq(Seq("documents"), SqlOps.textRepetition),
     "q_corpus_filter" -> sqlq(Seq("documents"), SqlOps.corpusFilter),
+    "q_curation_funnel" -> sqlq(Seq("documents"), SqlOps.curationFunnel),
     "q_corpus_report" -> sqlq(Seq("documents"), SqlOps.corpusReport),
     "q_contamination" -> sqlq(Seq("documents"), SqlOps.contamination),
     // the bloom-gated variant: identical rows (the oracle runs the
@@ -1469,6 +1470,7 @@ object SparkEntry {
     "q_text_bigrams_source" -> SqlOps.topBigramsPerSource(DuckDialect),
     "q_text_repetition" -> SqlOps.textRepetition(DuckDialect),
     "q_corpus_filter" -> SqlOps.corpusFilter(DuckDialect),
+    "q_curation_funnel" -> SqlOps.curationFunnel(DuckDialect),
     "q_corpus_report" -> SqlOps.corpusReport(DuckDialect),
     "q_contamination" -> SqlOps.contamination(DuckDialect),
     // empty-text guard: list_reduce on an empty list ERRORS in DuckDB,

@@ -5372,37 +5372,103 @@ object SqlOps {
     * a cased letter — no regex-in-lambda, which the engines render
     * differently). Scale shape: scan → codegen'd projection, no
     * shuffle at all. */
-  def gopherRules(d: Dialect): String = {
-    // the rule is parametric in its designated stop set; Gopher's own
-    // list ({the,be,to,of,and,that,have,with}) intersects this
-    // fixture's vocabulary at exactly {the}, collapsing the rule to
-    // all-false — so the designated set here is the corpus's English
-    // marker palette (STOP_EN, the same list langid keys on), which
-    // keeps the rule discriminative on any corpus langid works on
+  /** The Gopher rule battery's per-doc counters (over `text` + `toks`
+    * columns) and the five integer-inequality rules — ONE copy shared
+    * by [[gopherRules]] and the [[curationFunnel]] so the gates cannot
+    * drift. The rule set is parametric in its designated stop list;
+    * Gopher's own ({the,be,to,of,and,that,have,with}) intersects this
+    * fixture's vocabulary at exactly {the}, collapsing the rule to
+    * all-false — so the designated set is the corpus's English marker
+    * palette (STOP_EN, the same list langid keys on). */
+  private def gopherCounts(d: Dialect): String = {
     val stops = d.arrayLit(STOP_EN)
-    val ruleWc = "n_words BETWEEN 50 AND 100000"
-    val ruleWl = "(n_chars >= 3 * n_words AND n_chars <= 10 * n_words)"
-    val ruleSym = "n_sym * 10 < n_words"
-    val ruleAlpha = "n_alpha * 10 >= n_words * 8"
-    val ruleStop = "n_stop >= 2"
-    s"""WITH g AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
-       |m AS (
-       |  SELECT doc_id,
-       |    CAST(${d.size("toks")} AS BIGINT) AS n_words,
+    s"""CAST(${d.size("toks")} AS BIGINT) AS n_words,
        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
        |    CAST(${d.reCount("text", "#|\\.\\.\\.")} AS BIGINT) AS n_sym,
        |    CAST(${d.size(d.filter("toks", "t -> lower(t) <> upper(t)"))} AS BIGINT) AS n_alpha,
-       |    CAST(${d.size(d.arrayDistinct(d.filter("toks", s"t -> ${d.arrayContains(stops, "t")}")))} AS BIGINT) AS n_stop
+       |    CAST(${d.size(d.arrayDistinct(d.filter("toks", s"t -> ${d.arrayContains(stops, "t")}")))} AS BIGINT) AS n_stop""".stripMargin
+  }
+  private val GopherRules: Seq[(String, String)] = Seq(
+    "r_wordcount" -> "n_words BETWEEN 50 AND 100000",
+    "r_wordlen" -> "(n_chars >= 3 * n_words AND n_chars <= 10 * n_words)",
+    "r_symbol" -> "n_sym * 10 < n_words",
+    "r_alpha" -> "n_alpha * 10 >= n_words * 8",
+    "r_stop" -> "n_stop >= 2")
+  private val GopherPass: String =
+    GopherRules.map(_._2).mkString("(", " AND ", ")")
+
+  def gopherRules(d: Dialect): String =
+    s"""WITH g AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    ${gopherCounts(d)}
        |  FROM g
        |)
        |SELECT doc_id, n_words,
-       |  $ruleWc AS r_wordcount,
-       |  $ruleWl AS r_wordlen,
-       |  $ruleSym AS r_symbol,
-       |  $ruleAlpha AS r_alpha,
-       |  $ruleStop AS r_stop,
-       |  ($ruleWc AND $ruleWl AND $ruleSym AND $ruleAlpha AND $ruleStop) AS gopher_pass
+       |  ${GopherRules.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")},
+       |  $GopherPass AS gopher_pass
        |FROM m""".stripMargin
+
+  /** Curation FUNNEL — the observability sibling of [[corpusFilter]]:
+    * instead of emitting survivors, report per-stage attrition
+    * (docs + tokens surviving langid → Gopher rules → quality →
+    * exact dedup, cumulatively), the readout a pipeline owner watches
+    * to see WHERE the corpus is being lost. Single-sourced gates
+    * ([[langGuessCase]], [[gopherCounts]]/[[GopherPass]],
+    * [[qualityFormula]], the md5 keep-first rule). One corpus scan:
+    * each doc is assigned its DEEPEST passing stage, the 5-row stage
+    * aggregate is spine-joined, and the cumulative "reached stage s"
+    * counts are a descending window over that tiny table — never a
+    * per-stage rescan. */
+  def curationFunnel(d: Dialect): String = {
+    val (en, id) = langHitExprs(d)
+    val quality = qualityFormula(
+      nWords = d.size("toks"),
+      stopRatio = s"CAST(${stopHitsExpr(d)} AS DOUBLE) / ${d.size("toks")}",
+      avgWlen = s"CAST(length(replace(text, ' ', '')) AS DOUBLE) / ${d.size("toks")}")
+    s"""WITH g AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(${d.size("toks")} AS BIGINT) AS n_tok,
+       |    ${langGuessCase(en, id)} AS lang_guess,
+       |    $quality AS quality,
+       |    ${gopherCounts(d)},
+       |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM g
+       |),
+       |deep AS (
+       |  SELECT n_tok,
+       |    CASE WHEN lang_guess = 'und' THEN 0
+       |         WHEN NOT $GopherPass THEN 1
+       |         WHEN quality < 4.0e-1 THEN 2
+       |         WHEN rn <> 1 THEN 3
+       |         ELSE 4 END AS deepest
+       |  FROM scored
+       |),
+       |agg AS (
+       |  SELECT deepest, CAST(COUNT(*) AS BIGINT) AS c,
+       |    CAST(SUM(n_tok) AS BIGINT) AS tk
+       |  FROM deep GROUP BY deepest
+       |),
+       |spine AS (${d.explode(s"SELECT ${d.seqArray("0", "4")} AS ss", "ss", "ss", "stage")}),
+       |filled AS (
+       |  SELECT sp.stage, COALESCE(a.c, 0) AS c, COALESCE(a.tk, 0) AS tk
+       |  FROM (SELECT stage FROM spine) sp LEFT JOIN agg a ON sp.stage = a.deepest
+       |),
+       |cum AS (
+       |  SELECT stage,
+       |    CAST(SUM(c) OVER (ORDER BY stage DESC) AS BIGINT) AS n_docs,
+       |    CAST(SUM(tk) OVER (ORDER BY stage DESC) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(c) OVER () AS BIGINT) AS n_raw
+       |  FROM filled
+       |)
+       |SELECT CAST(stage AS BIGINT) AS stage,
+       |  CASE stage WHEN 0 THEN 'raw' WHEN 1 THEN 'langid'
+       |       WHEN 2 THEN 'gopher' WHEN 3 THEN 'quality'
+       |       ELSE 'dedup' END AS reached,
+       |  n_docs, n_tokens,
+       |  ${r6("CAST(n_docs AS DOUBLE) / n_raw")} AS doc_share
+       |FROM cum""".stripMargin
   }
 
   /** CCNet-style corpus bucketing (Wenzek et al. 2019): score every
