@@ -865,9 +865,9 @@ object SparkEntry {
   /** Two-snapshot media corpus -> (doc_id, phash) via the batched
     * aHash pass — shared by q_image_phash and q_dedup_phash_near. */
   private def mediaPhash(s: SparkSession, d: String): DataFrame = {
-    val docs = graft.Tables.documents(s, d)
-    val corpus = docs.select((col("doc_id") * 2).as("doc_id"), col("text"))
-      .unionAll(docs.select((col("doc_id") * 2 + 1).as("doc_id"), col("text")))
+    graft.Tables(s, d, "documents").createOrReplaceTempView("documents")
+    val corpus = s.sql(
+      s"WITH ${SqlOps.corpusCte(SparkDialect)} SELECT doc_id, text FROM corpus")
     graft.ops.Multimodal.aHash(graft.ops.Multimodal.asMedia(corpus)).toDF()
   }
 
@@ -875,11 +875,7 @@ object SparkEntry {
     * two-snapshot corpus, ending in `ph(doc_id, phash)` — ONE copy
     * shared by both image-hash oracles. */
   private val PHASH_CTES: String =
-    """WITH corpus AS (
-      |  SELECT doc_id * 2 AS doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id * 2 + 1 AS doc_id, text FROM documents
-      |),
+    s"""WITH ${SqlOps.corpusCte(DuckDialect)},
       |t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM corpus),
       |pos AS (SELECT doc_id, n, text, unnest(range(0, n)) AS i FROM t WHERE n > 0),
       |by AS (

@@ -1233,8 +1233,8 @@ object SqlOps {
     })
 
   /** Retrieval-quality eval for the BM25 ranking — nDCG@10 and MRR
-    * against a graded relevance oracle (rel = how many of the fixed
-    * query's terms the document contains, 0..3), completing the eval
+    * against a graded relevance oracle (rel = the summed query-term
+    * frequency, floored halves capped at 5), completing the eval
     * family (langid eval, LSH eval, ANN recall eval). The ranked list
     * is [[searchBm25]]'s own body nested verbatim (one copy of the
     * scorer); relevance is graded 0–5 from the summed query-term
@@ -1287,7 +1287,7 @@ object SqlOps {
          |  ${r6("CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE)")} AS ndcg10,
          |  CASE WHEN first_good IS NULL THEN 0.0e0
          |       ELSE ${r6("1.0e0 / first_good")} END AS mrr,
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM rel) AS n_relevant
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM rel WHERE rel > 0) AS n_relevant
          |FROM dcg CROSS JOIN idcg CROSS JOIN mrr""".stripMargin
     })
 
@@ -5361,25 +5361,20 @@ object SqlOps {
   private def floorDiv(d: Dialect)(a: String, b: String): String =
     d.idiv(s"(($a) - ${pmodPos(a, b)})", b)
 
-  /** Gopher-style quality rule battery (Rae et al. 2021, "Scaling
-    * Language Models", Appendix A1.1's MassiveWeb document filters) as
-    * ONE narrow scan — the standard rule filter a curation pipeline
-    * runs before any model-based scoring. Every rule is an INTEGER
-    * inequality (mean-word-length 3..10 becomes 3·words ≤ chars ≤
-    * 10·words; ratios are cross-multiplied) so the flags are exact in
-    * both engines with no float compare. Alphabetic-word detection is
-    * the portable `lower(t) <> upper(t)` (true iff the token contains
-    * a cased letter — no regex-in-lambda, which the engines render
-    * differently). Scale shape: scan → codegen'd projection, no
-    * shuffle at all. */
   /** The Gopher rule battery's per-doc counters (over `text` + `toks`
-    * columns) and the five integer-inequality rules — ONE copy shared
-    * by [[gopherRules]] and the [[curationFunnel]] so the gates cannot
-    * drift. The rule set is parametric in its designated stop list;
-    * Gopher's own ({the,be,to,of,and,that,have,with}) intersects this
-    * fixture's vocabulary at exactly {the}, collapsing the rule to
-    * all-false — so the designated set is the corpus's English marker
-    * palette (STOP_EN, the same list langid keys on). */
+    * columns) — ONE copy shared by [[gopherRules]] and the
+    * [[curationFunnel]] so the gates cannot drift. Every downstream
+    * rule is an INTEGER inequality over these counters
+    * (mean-word-length 3..10 becomes 3·words ≤ chars ≤ 10·words;
+    * ratios are cross-multiplied), so the flags are exact in both
+    * engines with no float compare. Alphabetic-word detection is the
+    * portable `lower(t) <> upper(t)` (true iff the token contains a
+    * cased letter — no regex-in-lambda, which the engines render
+    * differently). The rule set is parametric in its designated stop
+    * list; Gopher's own ({the,be,to,of,and,that,have,with}) intersects
+    * this fixture's vocabulary at exactly {the}, collapsing the rule
+    * to all-false — so the designated set is the corpus's English
+    * marker palette (STOP_EN, the same list langid keys on). */
   private def gopherCounts(d: Dialect): String = {
     val stops = d.arrayLit(STOP_EN)
     s"""CAST(${d.size("toks")} AS BIGINT) AS n_words,
@@ -5397,6 +5392,12 @@ object SqlOps {
   private val GopherPass: String =
     GopherRules.map(_._2).mkString("(", " AND ", ")")
 
+  /** Gopher-style quality rule battery (Rae et al. 2021, "Scaling
+    * Language Models", Appendix A1.1's MassiveWeb document filters) as
+    * ONE narrow scan — the standard rule filter a curation pipeline
+    * runs before any model-based scoring. Scale shape: scan →
+    * codegen'd projection, no shuffle at all. Counters and rules in
+    * [[gopherCounts]]/[[GopherRules]], shared with the funnel. */
   def gopherRules(d: Dialect): String =
     s"""WITH g AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
        |m AS (
@@ -5429,7 +5430,6 @@ object SqlOps {
     s"""WITH g AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
        |scored AS (
        |  SELECT doc_id,
-       |    CAST(${d.size("toks")} AS BIGINT) AS n_tok,
        |    ${langGuessCase(en, id)} AS lang_guess,
        |    $quality AS quality,
        |    ${gopherCounts(d)},
@@ -5437,7 +5437,7 @@ object SqlOps {
        |  FROM g
        |),
        |deep AS (
-       |  SELECT n_tok,
+       |  SELECT n_words AS n_tok,
        |    CASE WHEN lang_guess = 'und' THEN 0
        |         WHEN NOT $GopherPass THEN 1
        |         WHEN quality < 4.0e-1 THEN 2
