@@ -3820,6 +3820,74 @@ object SqlOps {
     * computed in doubles from exact integer cents, rounded to 6dp
     * BEFORE ranking and id-tiebroken, so both engines pick the same
     * day. */
+  /** EWMA revenue forecast with one-step-ahead error — exponential
+    * smoothing S_t = α·y_t + (1−α)·S_{t−1} expressed in CLOSED FORM
+    * (the CUSUM rule: a per-row recursion can't window, its unrolled
+    * sum can): S_t = Σ α(1−α)^(t−j)·y_j over a 60-lag horizon (the
+    * dropped tail's weight is (1−α)^61 < 1e-9 — below µ-quantization
+    * even against the maximum daily revenue, so the truncation IS the
+    * op's definition and both engines compute it identically). The
+    * 61 weights α(1−α)^k are FINITE DECIMALS (3·7^k/10^(k+1)) —
+    * precomputed exactly in Scala as pico-scaled int64 literals and
+    * inlined as a 61-row table, so NO transcendental ever runs in
+    * either engine (a first attempt used pow(0.7, k): Java's and
+    * DuckDB's pow differ in the last ulp, and after scaling by daily
+    * revenue the µ-quantization straddled — transcendentals are NOT
+    * IEEE-pinned across engines, unlike +·−·/·sqrt). The series is
+    * whole-dollar daily revenue; each term is y·wqₖ/1e6 in pure int64
+    * (headroom: y < 3e7 $/day at wq ≤ 3e11 — beyond that, drop a
+    * digit of weight precision). The forecast for day t is S_{t−1}
+    * (one LAG over the day-cardinality curve); abs_err scores it
+    * against the actual. Scale shape: the daily rollup is the one
+    * corpus-sized shuffle; the lag self-join is calendar-bounded
+    * (days × 61 rows) regardless of corpus size. */
+  def ewmaForecast(d: Dialect): String = {
+    val day = s"CAST(FLOOR(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} / 86400.0e0) AS BIGINT)"
+    // wq_k = round(0.3 · 0.7^k · 1e12), exact via BigDecimal
+    val wq = (0 to 60).map { k =>
+      (BigDecimal("0.3") * BigDecimal("0.7").pow(k) * BigDecimal(1000000000000L))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    }
+    val wtRows = wq.zipWithIndex
+      .map { case (w, k) => s"SELECT $k AS k, CAST($w AS BIGINT) AS wq" }
+      .mkString("\n       |  UNION ALL ")
+    s"""WITH daily AS (
+       |  SELECT $day AS day,
+       |    ${d.idiv("CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT)", "100")} AS y
+       |  FROM orders GROUP BY $day
+       |),
+       |idx AS (
+       |  SELECT day, y, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+       |  FROM daily
+       |),
+       |wt AS (
+       |  $wtRows
+       |),
+       |terms AS (
+       |  SELECT a.t, a.day, a.y,
+       |    ${d.idiv("b.y * w.wq", "1000000")} AS q
+       |  FROM idx a
+       |  JOIN idx b ON b.t <= a.t AND b.t >= a.t - 60
+       |  JOIN wt w ON w.k = a.t - b.t
+       |),
+       |curve AS (
+       |  SELECT t, day, y, CAST(SUM(q) AS BIGINT) AS ewma_q
+       |  FROM terms GROUP BY t, day, y
+       |),
+       |f AS (
+       |  SELECT day, y, ewma_q,
+       |    LAG(ewma_q) OVER (ORDER BY t) AS fc_q
+       |  FROM curve
+       |)
+       |SELECT day, y AS actual,
+       |  ${r6("CAST(ewma_q AS DOUBLE) / 1.0e6")} AS ewma,
+       |  ${r6("CAST(fc_q AS DOUBLE) / 1.0e6")} AS forecast,
+       |  CASE WHEN fc_q IS NULL THEN NULL
+       |       ELSE ${r6("CAST(ABS(y * 1000000 - fc_q) AS DOUBLE) / 1.0e6")}
+       |  END AS abs_err
+       |FROM f""".stripMargin
+  }
+
   def changepointRevenue(d: Dialect): String = {
     val day = s"CAST(FLOOR(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} / 86400.0e0) AS BIGINT)"
     s"""WITH daily AS (

@@ -621,6 +621,57 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("documents")
   }
 
+  test("EWMA forecast: SQL curve equals an independent closed-form pass and tracks a step") {
+    import spark.implicits._
+    import java.sql.Date
+    graft.functions.GraftFunctions.registerAll(spark)
+    // 90 days of daily revenue with a planted step at day 45, plus
+    // in-day multiplicity so the daily rollup matters
+    val base = java.time.LocalDate.of(1995, 3, 1)
+    val rows = for {
+      t <- 0 until 90
+      k <- 0 until 2
+    } yield {
+      val level = if (t < 45) 1000.0 else 4000.0
+      (Date.valueOf(base.plusDays(t.toLong)), level / 2 + (t * 13 + k * 7) % 50 + 0.005 * (k % 2))
+    }
+    rows.toDF("o_orderdate", "o_totalprice").createOrReplaceTempView("orders")
+    val got = spark.sql(SqlOps.ewmaForecast(SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("actual"), r.getAs[Double]("ewma"),
+        Option(r.getAs[Any]("forecast")).map(_.asInstanceOf[Double]),
+        Option(r.getAs[Any]("abs_err")).map(_.asInstanceOf[Double])))
+      .sortBy(_._1)
+
+    // ---- independent implementation (same truncated-closed-form spec) ----
+    def r6o(x: Double): Double = r6(x)
+    val daily: Seq[(Long, Long)] = rows.groupBy(_._1.toLocalDate.toEpochDay)
+      .map { case (day, rs) =>
+        day -> rs.map { case (_, p) => math.floor(p * 100 + 0.5).toLong }.sum / 100
+      }.toSeq.sortBy(_._1)
+    val wq = (0 to 60).map(k =>
+      (BigDecimal("0.3") * BigDecimal("0.7").pow(k) * BigDecimal(1000000000000L))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact)
+    val ewmaQ = daily.indices.map { t =>
+      (math.max(0, t - 60) to t).map(j => daily(j)._2 * wq(t - j) / 1000000L).sum
+    }
+    val expected = daily.indices.map { t =>
+      val fc = if (t == 0) None else Some(ewmaQ(t - 1))
+      (daily(t)._1, daily(t)._2, r6o(ewmaQ(t).toDouble / 1e6),
+        fc.map(q => r6o(q.toDouble / 1e6)),
+        fc.map(q => r6o(math.abs(daily(t)._2 * 1000000L - q).toDouble / 1e6)))
+    }
+    assert(got.toSeq === expected)
+    // step response: the smoothed curve converges monotonically toward
+    // the new level after the step and sits near the old level before
+    val pre = expected(44)._3
+    assert(pre < 1100, s"pre-step EWMA should sit near the old level: $pre")
+    val post = expected.drop(46).take(10).map(_._3)
+    assert(post.zip(post.drop(1)).forall { case (a, b) => b >= a },
+      "EWMA must rise monotonically toward the new level after the step")
+    assert(expected.last._3 > 2200, s"converged EWMA too low: ${expected.last._3}")
+    spark.catalog.dropTempView("orders")
+  }
+
   test("CCNet buckets: SQL terciles equal an independent LM-scoring pass") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
