@@ -3836,12 +3836,25 @@ object SqlOps {
     * IEEE-pinned across engines, unlike +·−·/·sqrt). The series is
     * whole-dollar daily revenue; each term is y·wqₖ/1e6 in pure int64
     * (headroom: y < 3e7 $/day at wq ≤ 3e11 — beyond that, drop a
-    * digit of weight precision). The forecast for day t is S_{t−1}
+    * digit of weight precision), and each day's sum is NORMALIZED by
+    * its window's exact weight sum (an un-normalized truncated EWMA
+    * under-forecasts for the first ~horizon days — the warm-up bias
+    * flagged every early day in the anomaly gate's first test run;
+    * normalizing makes S_t a true convex combination from day 1).
+    * The int-ratio normalization runs in doubles on exact int64
+    * operands — deterministic IEEE, no transcendental. The forecast
+    * for day t is S_{t−1}
     * (one LAG over the day-cardinality curve); abs_err scores it
     * against the actual. Scale shape: the daily rollup is the one
     * corpus-sized shuffle; the lag self-join is calendar-bounded
     * (days × 61 rows) regardless of corpus size. */
-  def ewmaForecast(d: Dialect): String = {
+  /** The EWMA chain's CTE prefix (daily rollup → weight table →
+    * closed-form curve → LAG forecast, ending in
+    * `f(day, y, ewma_q, fc_q)`) — ONE copy shared by
+    * [[ewmaForecast]] (the curve readout) and [[anomalyEwma]] (the
+    * residual gate), so the forecaster and its monitor cannot
+    * drift. */
+  private def ewmaCtes(d: Dialect): String = {
     val day = s"CAST(FLOOR(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} / 86400.0e0) AS BIGINT)"
     // wq_k = round(0.3 · 0.7^k · 1e12), exact via BigDecimal
     val wq = (0 to 60).map { k =>
@@ -3851,7 +3864,7 @@ object SqlOps {
     val wtRows = wq.zipWithIndex
       .map { case (w, k) => s"SELECT $k AS k, CAST($w AS BIGINT) AS wq" }
       .mkString("\n       |  UNION ALL ")
-    s"""WITH daily AS (
+    s"""daily AS (
        |  SELECT $day AS day,
        |    ${d.idiv("CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT)", "100")} AS y
        |  FROM orders GROUP BY $day
@@ -3865,20 +3878,26 @@ object SqlOps {
        |),
        |terms AS (
        |  SELECT a.t, a.day, a.y,
-       |    ${d.idiv("b.y * w.wq", "1000000")} AS q
+       |    ${d.idiv("b.y * w.wq", "1000000")} AS q, w.wq
        |  FROM idx a
        |  JOIN idx b ON b.t <= a.t AND b.t >= a.t - 60
        |  JOIN wt w ON w.k = a.t - b.t
        |),
        |curve AS (
-       |  SELECT t, day, y, CAST(SUM(q) AS BIGINT) AS ewma_q
+       |  SELECT t, day, y,
+       |    CAST(FLOOR(CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) * 1.0e12
+       |               / CAST(CAST(SUM(wq) AS BIGINT) AS DOUBLE) + 5.0e-1) AS BIGINT) AS ewma_q
        |  FROM terms GROUP BY t, day, y
        |),
        |f AS (
        |  SELECT day, y, ewma_q,
        |    LAG(ewma_q) OVER (ORDER BY t) AS fc_q
        |  FROM curve
-       |)
+       |)""".stripMargin
+  }
+
+  def ewmaForecast(d: Dialect): String =
+    s"""WITH ${ewmaCtes(d)}
        |SELECT day, y AS actual,
        |  ${r6("CAST(ewma_q AS DOUBLE) / 1.0e6")} AS ewma,
        |  ${r6("CAST(fc_q AS DOUBLE) / 1.0e6")} AS forecast,
@@ -3886,7 +3905,35 @@ object SqlOps {
        |       ELSE ${r6("CAST(ABS(y * 1000000 - fc_q) AS DOUBLE) / 1.0e6")}
        |  END AS abs_err
        |FROM f""".stripMargin
-  }
+
+  /** Forecast-residual anomaly gate — the monitoring op the EWMA
+    * exists for: flag days whose one-step-ahead residual deviates
+    * from the residual MEDIAN by more than 3 robust sigmas
+    * (1.4826·MAD — both robust statistics are exact interpolated
+    * percentiles over int64 µ-residuals, so a genuine anomaly cannot
+    * drag its own threshold the way a mean/stddev gate would; the
+    * anomalyMad pattern applied to the forecast residual instead of
+    * the raw value, which makes it trend- and season-aware to the
+    * extent the smoother tracks them). Residuals are SIGNED — a
+    * revenue collapse flags exactly like a spike. All windows run on
+    * the day-cardinality curve; the two threshold scalars broadcast
+    * back over it. */
+  def anomalyEwma(d: Dialect): String =
+    s"""WITH ${ewmaCtes(d)},
+       |res AS (
+       |  SELECT day, y, fc_q, y * 1000000 - fc_q AS r
+       |  FROM f WHERE fc_q IS NOT NULL
+       |),
+       |med AS (SELECT ${d.percentileCont("r", "5.0e-1")} AS med FROM res),
+       |mad AS (
+       |  SELECT ${d.percentileCont("ABS(r - med)", "5.0e-1")} AS mad
+       |  FROM res CROSS JOIN med
+       |)
+       |SELECT day, y AS actual,
+       |  ${r6("CAST(fc_q AS DOUBLE) / 1.0e6")} AS forecast,
+       |  ${r6("CAST(r AS DOUBLE) / 1.0e6")} AS residual,
+       |  CASE WHEN ABS(r - med) > 3.0e0 * 1.4826e0 * mad THEN 1 ELSE 0 END AS is_anomaly
+       |FROM res CROSS JOIN med CROSS JOIN mad""".stripMargin
 
   def changepointRevenue(d: Dialect): String = {
     val day = s"CAST(FLOOR(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} / 86400.0e0) AS BIGINT)"

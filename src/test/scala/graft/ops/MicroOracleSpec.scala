@@ -652,7 +652,10 @@ class MicroOracleSpec extends SparkSpec {
       (BigDecimal("0.3") * BigDecimal("0.7").pow(k) * BigDecimal(1000000000000L))
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact)
     val ewmaQ = daily.indices.map { t =>
-      (math.max(0, t - 60) to t).map(j => daily(j)._2 * wq(t - j) / 1000000L).sum
+      val window = math.max(0, t - 60) to t
+      val sq = window.map(j => daily(j)._2 * wq(t - j) / 1000000L).sum
+      val ws = window.map(j => wq(t - j)).sum
+      math.floor(sq.toDouble * 1e12 / ws.toDouble + 0.5).toLong
     }
     val expected = daily.indices.map { t =>
       val fc = if (t == 0) None else Some(ewmaQ(t - 1))
@@ -663,13 +666,65 @@ class MicroOracleSpec extends SparkSpec {
     assert(got.toSeq === expected)
     // step response: the smoothed curve converges monotonically toward
     // the new level after the step and sits near the old level before
+    // (the weight-sum normalization makes this hold from day 1 — the
+    // un-normalized truncated form under-forecast the whole warm-up)
     val pre = expected(44)._3
-    assert(pre < 1100, s"pre-step EWMA should sit near the old level: $pre")
+    assert(pre > 900 && pre < 1100, s"pre-step EWMA should sit near the old level: $pre")
+    assert(expected(3)._3 > 900, s"warm-up must be unbiased: ${expected(3)._3}")
     val post = expected.drop(46).take(10).map(_._3)
     assert(post.zip(post.drop(1)).forall { case (a, b) => b >= a },
       "EWMA must rise monotonically toward the new level after the step")
     assert(expected.last._3 > 2200, s"converged EWMA too low: ${expected.last._3}")
     spark.catalog.dropTempView("orders")
+  }
+
+  test("EWMA anomaly gate: a planted spike flags; its neighbors do not") {
+    import spark.implicits._
+    import java.sql.Date
+    graft.functions.GraftFunctions.registerAll(spark)
+    val base = java.time.LocalDate.of(1995, 3, 1)
+    // stable level with bounded-step alternating jitter (a sawtooth's
+    // wrap step is itself an outlier to a robust gate on an otherwise
+    // quiet series — realistic, but not what this test isolates), one
+    // 8x spike at day 60
+    val rows = (0 until 90).map { t =>
+      val level = if (t == 60) 8000.0 else 1000.0
+      (Date.valueOf(base.plusDays(t.toLong)), level + (if (t % 2 == 0) 20.0 else -20.0))
+    }
+    rows.toDF("o_orderdate", "o_totalprice").createOrReplaceTempView("orders")
+    val got = spark.sql(SqlOps.anomalyEwma(SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Int]("is_anomaly"))).toMap
+    val spikeDay = base.plusDays(60L).toEpochDay
+    assert(got(spikeDay) === 1, "the planted spike must flag")
+    // days after the spike carry an inflated forecast until its
+    // weight decays below the robust threshold (~0.7^k): those flags
+    // are correct behavior; anything OUTSIDE the decay window is a
+    // false positive
+    val flagged = got.collect { case (day, 1) => day }
+    assert(flagged.forall(day => day >= spikeDay && day <= spikeDay + 9),
+      s"flags outside the spike's decay window: ${flagged.toSeq.sorted}")
+    spark.catalog.dropTempView("orders")
+  }
+
+  test("floorDiv/pmod SQL rendering equals Math.floorDiv exhaustively around zero") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // the signed floor-division idiom underpins every PCA rescale;
+    // exhaustive over the sign/boundary lattice where Spark DIV
+    // (truncating) and a floor must differ
+    val pairs = for { a <- -100L to 100L; b <- 1L to 20L } yield (a, b)
+    pairs.toDF("a", "b").createOrReplaceTempView("fd_in")
+    // same rendering SqlOps.floorDiv produces (private — inlined here;
+    // MicroOracleSpec's independence rule: re-spell, don't import)
+    val got = spark.sql(
+      """SELECT a, b,
+        |  ((a - (((a % b) + b) % b)) DIV b) AS fd
+        |FROM fd_in""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) === Math.floorDiv(a, b), s"floorDiv($a, $b)")
+    }
+    spark.catalog.dropTempView("fd_in")
   }
 
   test("CCNet buckets: SQL terciles equal an independent LM-scoring pass") {
