@@ -3823,10 +3823,11 @@ object SqlOps {
   /** EWMA revenue forecast with one-step-ahead error — exponential
     * smoothing S_t = α·y_t + (1−α)·S_{t−1} expressed in CLOSED FORM
     * (the CUSUM rule: a per-row recursion can't window, its unrolled
-    * sum can): S_t = Σ α(1−α)^(t−j)·y_j over a 60-lag horizon (the
-    * dropped tail's weight is (1−α)^61 < 1e-9 — below µ-quantization
-    * even against the maximum daily revenue, so the truncation IS the
-    * op's definition and both engines compute it identically). The
+    * sum can): S_t = Σ α(1−α)^(t−j)·y_j over a 60-lag horizon. The
+    * dropped tail's weight (1−α)^61 ≈ 3.6e-10 is NOT sub-µ against a
+    * large daily revenue (3e7 $ · 3.6e-10 ≈ $0.01) — the truncation
+    * is safe because it IS the op's definition, shared identically by
+    * both engines and the Scala oracle, not because it vanishes. The
     * 61 weights α(1−α)^k are FINITE DECIMALS (3·7^k/10^(k+1)) —
     * precomputed exactly in Scala as pico-scaled int64 literals and
     * inlined as a 61-row table, so NO transcendental ever runs in
@@ -3845,9 +3846,13 @@ object SqlOps {
     * operands — deterministic IEEE, no transcendental. The forecast
     * for day t is S_{t−1}
     * (one LAG over the day-cardinality curve); abs_err scores it
-    * against the actual. Scale shape: the daily rollup is the one
-    * corpus-sized shuffle; the lag self-join is calendar-bounded
-    * (days × 61 rows) regardless of corpus size. */
+    * against the actual. Past the envelope both engines must fail the
+    * SAME way — Spark would silently wrap where DuckDB errors — so a
+    * guard CAST throws loudly in both. Scale shape: the daily rollup
+    * is the one corpus-sized shuffle; the window is a pure EQUI-join
+    * through the 61-row weight table (b.t = a.t − w.k — a range
+    * self-join here plans a days×days nested loop before the lag
+    * filter), days × 61 rows regardless of corpus size. */
   /** The EWMA chain's CTE prefix (daily rollup → weight table →
     * closed-form curve → LAG forecast, ending in
     * `f(day, y, ewma_q, fc_q)`) — ONE copy shared by
@@ -3878,10 +3883,13 @@ object SqlOps {
        |),
        |terms AS (
        |  SELECT a.t, a.day, a.y,
-       |    ${d.idiv("b.y * w.wq", "1000000")} AS q, w.wq
+       |    ${d.idiv("b.yg * w.wq", "1000000")} AS q, w.wq
        |  FROM idx a
-       |  JOIN idx b ON b.t <= a.t AND b.t >= a.t - 60
-       |  JOIN wt w ON w.k = a.t - b.t
+       |  JOIN wt w ON w.k <= 60
+       |  JOIN (SELECT t, CASE WHEN y > 30000000
+       |                       THEN CAST('ewma: daily revenue exceeds the int64 weight envelope — rescale wq' AS BIGINT)
+       |                       ELSE y END AS yg
+       |        FROM idx) b ON b.t = a.t - w.k
        |),
        |curve AS (
        |  SELECT t, day, y,

@@ -643,7 +643,7 @@ class MicroOracleSpec extends SparkSpec {
       .sortBy(_._1)
 
     // ---- independent implementation (same truncated-closed-form spec) ----
-    def r6o(x: Double): Double = r6(x)
+    def r6o(x: Double): Double = math.floor(x * 1.0e6 + 0.5) / 1.0e6 // re-spelled, not shared
     val daily: Seq[(Long, Long)] = rows.groupBy(_._1.toLocalDate.toEpochDay)
       .map { case (day, rs) =>
         day -> rs.map { case (_, p) => math.floor(p * 100 + 0.5).toLong }.sum / 100
