@@ -706,7 +706,7 @@ object SparkEntry {
     "q_interval_overlap" -> sqlq(Seq("events"), SqlOps.intervalOverlapJoin),
     "q_changepoint" -> sqlq(Seq("orders"), SqlOps.changepointRevenue),
     "q_ewma_forecast" -> sqlq(Seq("orders"), SqlOps.ewmaForecast),
-    "q_anomaly_ewma" -> sqlq(Seq("orders"), SqlOps.anomalyEwma),
+    "q_anomaly_ewma" -> sqlStaged(Seq("orders"), SqlOps.anomalyEwma),
     "q_cdc_apply" -> sqlq(Seq("orders"), SqlOps.cdcApply),
     "q_snapshot_diff" -> sqlq(Seq("documents"), SqlOps.snapshotDiff),
     "q_merkle_ranges" -> sqlq(Seq("documents"), SqlOps.merkleRanges),
@@ -1495,7 +1495,7 @@ object SparkEntry {
     "q_interval_overlap" -> SqlOps.intervalOverlapJoin(DuckDialect),
     "q_changepoint" -> SqlOps.changepointRevenue(DuckDialect),
     "q_ewma_forecast" -> SqlOps.ewmaForecast(DuckDialect),
-    "q_anomaly_ewma" -> SqlOps.anomalyEwma(DuckDialect),
+    "q_anomaly_ewma" -> SqlOps.anomalyEwma.single(DuckDialect),
     "q_cdc_apply" -> SqlOps.cdcApply(DuckDialect),
     "q_snapshot_diff" -> SqlOps.snapshotDiff(DuckDialect),
     "q_merkle_ranges" -> SqlOps.merkleRanges(DuckDialect),

@@ -3923,25 +3923,29 @@ object SqlOps {
     * anomalyMad pattern applied to the forecast residual instead of
     * the raw value, which makes it trend- and season-aware to the
     * extent the smoother tracks them). Residuals are SIGNED — a
-    * revenue collapse flags exactly like a spike. All windows run on
-    * the day-cardinality curve; the two threshold scalars broadcast
-    * back over it. */
-  def anomalyEwma(d: Dialect): String =
-    s"""WITH ${ewmaCtes(d)},
-       |res AS (
-       |  SELECT day, y, fc_q, y * 1000000 - fc_q AS r
-       |  FROM f WHERE fc_q IS NOT NULL
-       |),
-       |med AS (SELECT ${d.percentileCont("r", "5.0e-1")} AS med FROM res),
-       |mad AS (
-       |  SELECT ${d.percentileCont("ABS(r - med)", "5.0e-1")} AS mad
-       |  FROM res CROSS JOIN med
-       |)
-       |SELECT day, y AS actual,
-       |  ${r6("CAST(fc_q AS DOUBLE) / 1.0e6")} AS forecast,
-       |  ${r6("CAST(r AS DOUBLE) / 1.0e6")} AS residual,
-       |  CASE WHEN ABS(r - med) > 3.0e0 * 1.4826e0 * mad THEN 1 ELSE 0 END AS is_anomaly
-       |FROM res CROSS JOIN med CROSS JOIN mad""".stripMargin
+    * revenue collapse flags exactly like a spike. The residual table
+    * is STAGED (three consumers: median, MAD, and the flag pass —
+    * inlined CTEs would re-run the whole EWMA chain, orders scan
+    * included, per reference); the two threshold scalars broadcast
+    * back over the day-cardinality stage. */
+  val anomalyEwma: StagedOp = StagedOp(
+    stages = Seq("ewma_res" -> { (d: Dialect) =>
+      s"""WITH ${ewmaCtes(d)}
+         |SELECT day, y, fc_q, y * 1000000 - fc_q AS r
+         |FROM f WHERE fc_q IS NOT NULL""".stripMargin
+    }),
+    body = { d =>
+      s"""WITH med AS (SELECT ${d.percentileCont("r", "5.0e-1")} AS med FROM ewma_res),
+         |mad AS (
+         |  SELECT ${d.percentileCont("ABS(r - med)", "5.0e-1")} AS mad
+         |  FROM ewma_res CROSS JOIN med
+         |)
+         |SELECT day, y AS actual,
+         |  ${r6("CAST(fc_q AS DOUBLE) / 1.0e6")} AS forecast,
+         |  ${r6("CAST(r AS DOUBLE) / 1.0e6")} AS residual,
+         |  CASE WHEN ABS(r - med) > 3.0e0 * 1.4826e0 * mad THEN 1 ELSE 0 END AS is_anomaly
+         |FROM ewma_res CROSS JOIN med CROSS JOIN mad""".stripMargin
+    })
 
   def changepointRevenue(d: Dialect): String = {
     val day = s"CAST(FLOOR(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} / 86400.0e0) AS BIGINT)"

@@ -692,7 +692,10 @@ class MicroOracleSpec extends SparkSpec {
       (Date.valueOf(base.plusDays(t.toLong)), level + (if (t % 2 == 0) 20.0 else -20.0))
     }
     rows.toDF("o_orderdate", "o_totalprice").createOrReplaceTempView("orders")
-    val got = spark.sql(SqlOps.anomalyEwma(SparkDialect)).collect()
+    SqlOps.anomalyEwma.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.anomalyEwma.body(SparkDialect)).collect()
       .map(r => (r.getAs[Long]("day"), r.getAs[Int]("is_anomaly"))).toMap
     val spikeDay = base.plusDays(60L).toEpochDay
     assert(got(spikeDay) === 1, "the planted spike must flag")
