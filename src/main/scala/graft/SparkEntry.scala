@@ -736,7 +736,11 @@ object SparkEntry {
     "q_split_leakage_safe" -> ((s, d) => {
       clustersStaged(s, d).createOrReplaceTempView("clusters")
       graft.Tables(s, d, "documents").createOrReplaceTempView("documents")
-      s.sql(SqlOps.splitLeakageSafe(SparkDialect))
+      // the assignment is materialized once (two consumers: straddle
+      // audit + rollup — inlined, each would re-run corpus⋈clusters)
+      s.sql(SqlOps.splitLeakageSafe(SparkDialect)).localCheckpoint()
+        .createOrReplaceTempView("split_a")
+      s.sql(SqlOps.splitReport(SparkDialect))
     }),
     "q_text_bigram_lm" -> sqlStaged(Seq("documents"), SqlOps.textBigramLm),
     "q_bigram_pmi" -> sqlStaged(Seq("documents"), SqlOps.bigramPmi),
@@ -1526,9 +1530,12 @@ object SparkEntry {
          |${SqlOps.dedupClusterEval(DuckDialect)}
          |)""".stripMargin,
     "q_split_leakage_safe" ->
-      s"""$CLUSTER_CTES
-         |SELECT * FROM (
+      s"""$CLUSTER_CTES,
+         |split_a AS ${DuckDialect.cteMaterialize}(
          |${SqlOps.splitLeakageSafe(DuckDialect)}
+         |)
+         |SELECT * FROM (
+         |${SqlOps.splitReport(DuckDialect)}
          |)""".stripMargin,
     "q_text_bigram_lm" -> SqlOps.textBigramLm.single(DuckDialect),
     "q_bigram_pmi" -> SqlOps.bigramPmi.single(DuckDialect),

@@ -1249,30 +1249,34 @@ object SqlOps {
     * ops are the shared log2 discount and the final ratios. MRR
     * rewards the first rank with rel ≥ 4. */
   val searchNdcg: StagedOp = StagedOp(
-    stages = textUnigramLm.stages,
+    // ranked list and relevance table are staged: ranked feeds the DCG
+    // and MRR passes, rel feeds DCG, the ideal ranking, and MRR — as
+    // CTEs each reference would re-run the BM25 scorer / the relevance
+    // aggregate against the index (ScanAudit showed 12 scans)
+    stages = textUnigramLm.stages ++ Seq(
+      "ndcg_ranked" -> { (d: Dialect) =>
+        s"""SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS rk
+           |FROM (
+           |${searchBm25.body(d)}
+           |)""".stripMargin
+      },
+      "ndcg_rel" -> { (d: Dialect) =>
+        val inList = SearchTerms.map(t => s"'$t'").mkString(", ")
+        s"""SELECT doc_id, LEAST(5, ${d.idiv("CAST(SUM(tf) AS BIGINT)", "2")}) AS rel
+           |FROM ulm_tf WHERE s IN ($inList) GROUP BY doc_id""".stripMargin
+      }),
     body = { d =>
-      val inList = SearchTerms.map(t => s"'$t'").mkString(", ")
       def gain(rel: String): String =
         s"""(CASE $rel WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 7
            |  WHEN 4 THEN 15 WHEN 5 THEN 31 ELSE 0 END)""".stripMargin
       def dcgTerm(rel: String, rk: String): String =
         qvExpr(s"CAST(${gain(rel)} AS DOUBLE) / log2(CAST($rk AS DOUBLE) + 1.0e0)")
-      s"""WITH ranked AS (
-         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS rk
-         |  FROM (
-         |${searchBm25.body(d)}
-         |  )
-         |),
-         |rel AS (
-         |  SELECT doc_id, LEAST(5, ${d.idiv("CAST(SUM(tf) AS BIGINT)", "2")}) AS rel
-         |  FROM ulm_tf WHERE s IN ($inList) GROUP BY doc_id
-         |),
-         |dcg AS (
+      s"""WITH dcg AS (
          |  SELECT CAST(SUM(${dcgTerm("COALESCE(rel.rel, 0)", "r.rk")}) AS BIGINT) AS dcg_q
-         |  FROM ranked r LEFT JOIN rel ON r.doc_id = rel.doc_id
+         |  FROM ndcg_ranked r LEFT JOIN ndcg_rel rel ON r.doc_id = rel.doc_id
          |),
          |ideal AS (
-         |  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rk FROM rel
+         |  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rk FROM ndcg_rel
          |),
          |idcg AS (
          |  SELECT CAST(SUM(${dcgTerm("rel", "rk")}) AS BIGINT) AS idcg_q
@@ -1280,14 +1284,14 @@ object SqlOps {
          |),
          |mrr AS (
          |  SELECT MIN(r.rk) AS first_good
-         |  FROM ranked r JOIN rel ON r.doc_id = rel.doc_id
+         |  FROM ndcg_ranked r JOIN ndcg_rel rel ON r.doc_id = rel.doc_id
          |  WHERE rel.rel >= 4
          |)
          |SELECT
          |  ${r6("CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE)")} AS ndcg10,
          |  CASE WHEN first_good IS NULL THEN 0.0e0
          |       ELSE ${r6("1.0e0 / first_good")} END AS mrr,
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM rel WHERE rel > 0) AS n_relevant
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ndcg_rel WHERE rel > 0) AS n_relevant
          |FROM dcg CROSS JOIN idcg CROSS JOIN mrr""".stripMargin
     })
 
@@ -5806,23 +5810,27 @@ object SqlOps {
        |g AS (
        |  SELECT c.doc_id, COALESCE(k.cluster_id, c.doc_id) AS grp
        |  FROM corpus c LEFT JOIN clusters k ON c.doc_id = k.doc_id
-       |),
-       |a AS (
-       |  SELECT doc_id, grp,
-       |    ${bucketOf("CAST(grp AS STRING)")} AS split,
-       |    ${bucketOf("CAST(doc_id AS STRING)")} AS naive_split
-       |  FROM g
-       |),
-       |straddle AS (
+       |)
+       |SELECT doc_id, grp,
+       |  ${bucketOf("CAST(grp AS STRING)")} AS split,
+       |  ${bucketOf("CAST(doc_id AS STRING)")} AS naive_split
+       |FROM g""".stripMargin
+  }
+
+  /** The split report over a materialized `split_a` assignment (the
+    * [[splitLeakageSafe]] output — two consumers: the straddle audit
+    * and the per-split rollup; inlined, each reference would re-run
+    * the corpus⋈clusters join). */
+  def splitReport(d: Dialect): String =
+    s"""WITH straddle AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS naive_straddling_groups
-       |  FROM (SELECT grp FROM a GROUP BY grp HAVING COUNT(DISTINCT naive_split) > 1)
+       |  FROM (SELECT grp FROM split_a GROUP BY grp HAVING COUNT(DISTINCT naive_split) > 1)
        |)
        |SELECT split, COUNT(*) AS n_docs,
        |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
        |  MIN(naive_straddling_groups) AS naive_straddling_groups
-       |FROM a CROSS JOIN straddle
+       |FROM split_a CROSS JOIN straddle
        |GROUP BY split""".stripMargin
-  }
 
   /** Runtime-filter (semi-join reduction) on a big⋈big join — the
     * 100 TB staple Spark's own runtime filters automate for simple
