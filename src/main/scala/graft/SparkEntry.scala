@@ -716,6 +716,7 @@ object SparkEntry {
     "q_attribution" -> sqlq(Seq("events"), SqlOps.attributionLastTouch),
     "q_user_growth" -> sqlq(Seq("events"), SqlOps.userGrowth),
     "q_zipf_fit" -> sqlStaged(Seq("documents"), SqlOps.zipfFit),
+    "q_heaps_fit" -> sqlStaged(Seq("documents"), SqlOps.heapsFit),
     // Gopher rule battery, CCNet LM-bucketing, tokenizer fertility,
     // histogram-sketch quantiles, and full power-iteration PCA
     "q_gopher_rules" -> sqlq(Seq("documents"), SqlOps.gopherRules),
@@ -1516,6 +1517,7 @@ object SparkEntry {
         |  TRUE AS merge_equals_direct, TRUE AS est_within_5pct
         |FROM events GROUP BY CAST(FLOOR(epoch(ts) / 604800.0) AS BIGINT)""".stripMargin,
     "q_zipf_fit" -> SqlOps.zipfFit.single(DuckDialect),
+    "q_heaps_fit" -> SqlOps.heapsFit.single(DuckDialect),
     "q_gopher_rules" -> SqlOps.gopherRules(DuckDialect),
     "q_ccnet_buckets" -> SqlOps.ccnetBuckets.single(DuckDialect),
     "q_tokenizer_fertility" -> SqlOps.tokenizerFertility.single(DuckDialect),

@@ -870,6 +870,61 @@ object SqlOps {
     * (the vocabCoverage bound), and the regression sums are
     * µ-quantized log2 values in int64 so both engines sum exactly —
     * the only unquantized float op is the final slope division. */
+  /** Heaps'-law vocabulary-growth fit — [[zipfFit]]'s sibling
+    * diagnostic: V(N) ≈ K·N^β, with natural text at β ≈ 0.4–0.6
+    * (template/generated text flattens toward 0; unbounded noise
+    * pushes toward 1). Vocabulary size at a prefix length N needs no
+    * per-prefix distinct: a token's FIRST global occurrence position
+    * is one groupBy-min, and V(N) = #{first ≤ N}. Global positions
+    * use the sharded global-rownum decomposition (per-doc offsets via
+    * a window over the doc-cardinality length table — never a global
+    * sort of the token stream). Checkpoints are powers of two
+    * inlined as exact literals (the EWMA pow lesson: never compute
+    * even 2^k through a float pow in-engine when a literal table
+    * costs nothing), so log2(N) is EXACTLY k·1e6 µbits and the OLS
+    * x-coordinates carry zero quantization error; the y side is the
+    * shared µ-quantized log2. One token pass + vocab-sized joins. */
+  val heapsFit: StagedOp = StagedOp(
+    stages = textUnigramLm.stages :+ ("hp_first" -> { (d: Dialect) =>
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         |${d.shingleRowsPos("docs", 1)},
+         |dlen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shp GROUP BY doc_id),
+         |off AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(n) OVER (ORDER BY doc_id) AS BIGINT) - n AS o
+         |  FROM dlen
+         |)
+         |SELECT t.s, CAST(MIN(o.o + t.pos + 1) AS BIGINT) AS first_pos
+         |FROM shp t JOIN off o ON t.doc_id = o.doc_id
+         |GROUP BY t.s""".stripMargin
+    }),
+    body = { _ =>
+      val cps = (0 to 30).map(k => s"SELECT $k AS k, CAST(${1L << k} AS BIGINT) AS cp")
+        .mkString("\n         |  UNION ALL ")
+      s"""WITH tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS nn FROM ulm_tf),
+         |cps AS (
+         |  $cps
+         |),
+         |valid AS (SELECT k, cp FROM cps CROSS JOIN tot WHERE cp <= nn),
+         |vat AS (
+         |  SELECT v.k, v.cp, CAST(COUNT(*) AS BIGINT) AS vocab
+         |  FROM valid v JOIN hp_first f ON f.first_pos <= v.cp
+         |  GROUP BY v.k, v.cp
+         |),
+         |q AS (SELECT CAST(k AS BIGINT) * 1000000 AS qx, ${qlog2("vocab")} AS qy FROM vat),
+         |m AS (
+         |  SELECT COUNT(*) AS n, CAST(SUM(qx) AS BIGINT) AS sx,
+         |    CAST(SUM(qy) AS BIGINT) AS sy, CAST(SUM(qx * qy) AS BIGINT) AS sxy,
+         |    CAST(SUM(qx * qx) AS BIGINT) AS sxx
+         |  FROM q
+         |)
+         |SELECT n AS n_checkpoints,
+         |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+         |       ELSE ${r6("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)")}
+         |  END AS heaps_beta
+         |FROM m""".stripMargin
+    })
+
   val zipfFit: StagedOp = StagedOp(
     stages = textUnigramLm.stages,
     body = { _ =>

@@ -730,6 +730,48 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("fd_in")
   }
 
+  test("Heaps fit: SQL beta equals an independent first-occurrence OLS pass") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // controlled vocabulary growth: each doc introduces two new tokens
+    // and repeats a rotation of old ones; single-space text keeps the
+    // independent tokenizer faithful to word_shingles
+    val docs: Seq[(Long, String)] = (0 until 40).map { i =>
+      val fresh = Seq(s"new${i}a", s"new${i}b")
+      val old = (0 until 6).map(j => s"new${(i * 7 + j) % math.max(1, i)}a")
+      (i.toLong, (fresh ++ old).mkString(" "))
+    }
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    SqlOps.heapsFit.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.heapsFit.body(SparkDialect)).collect()
+    assert(got.length === 1)
+
+    // ---- independent implementation ----
+    val stream: Seq[String] = docs.sortBy(_._1).flatMap(_._2.split(" ", -1).filter(_.nonEmpty))
+    val firstPos: Map[String, Int] = stream.zipWithIndex.reverse.toMap.map {
+      case (w, i) => w -> (i + 1) } // reverse keeps the FIRST index
+    def qlog(x: Long): Long =
+      math.floor(math.log(x.toDouble) / math.log(2.0) * 1e6 + 0.5).toLong
+    val pts = (0 to 30).map(k => 1L << k).filter(_ <= stream.size).map { cp =>
+      (cp, firstPos.values.count(_ <= cp).toLong)
+    }
+    val q = pts.zipWithIndex.map { case ((cp, v), _) =>
+      (java.lang.Long.numberOfTrailingZeros(cp).toLong * 1000000L, qlog(v))
+    }
+    val n = q.size.toLong
+    val (sx, sy) = (q.map(_._1).sum, q.map(_._2).sum)
+    val (sxy, sxx) = (q.map(p => p._1 * p._2).sum, q.map(p => p._1 * p._1).sum)
+    val beta = r6((n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble)
+    assert(got(0).getAs[Long]("n_checkpoints") === n)
+    assert(got(0).getAs[Double]("heaps_beta") === beta)
+    // sanity: steady two-new-tokens-per-doc growth is sublinear but
+    // well away from saturation
+    assert(beta > 0.2 && beta < 0.9, s"unexpected beta: $beta")
+    spark.catalog.dropTempView("documents")
+  }
+
   test("CCNet buckets: SQL terciles equal an independent LM-scoring pass") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
