@@ -262,13 +262,16 @@ object SparkEntry {
       Seq("documents")  -> SqlOps.bpeMerges,
       // ccn_sc (per-doc LM score) is a single-pass derived table, not
       // the query's iteration; tokenizerFertility only reuses the BPE
-      // stages above. The PCA chain is deliberately NOT prewarmed —
-      // its iterative matvec stages ARE the computation — and follows
-      // the clustersStaged first-consumer rule: q_pca_deflate (first
-      // in bench's name order) builds the shared first-component
-      // stages timed plus its own deflation; q_pca_power_iter and
-      // q_pca_project then read the staged parquet
+      // stages above.
       Seq("documents")  -> SqlOps.ccnetBuckets, // adds ccn_sc
+      // The canonical pca_* chain (matrix + component-1 iteration) has
+      // THREE consumers — q_pca_power_iter's result, q_pca_project's
+      // read path, q_pca_deflate's input — so it is prewarmed like
+      // every multi-consumer artifact. The iteration still gets timed:
+      // q_pca_power_iter re-runs it under non-prewarmed alias stages
+      // (pci_*, SqlOps.pcaPowerTimed); q_pca_deflate times only its
+      // own pcb_* deflation chain.
+      Seq("embeddings") -> SqlOps.pcaPower,
 
       Seq("embeddings") -> SqlOps.annIvf, // builds emb_nv + ivf_nvc (kmeansStep shares them)
       Seq("embeddings") -> SqlOps.annIvfProbe2, // adds ivf_cent
@@ -723,7 +726,7 @@ object SparkEntry {
     "q_ccnet_buckets" -> sqlStaged(Seq("documents"), SqlOps.ccnetBuckets),
     "q_tokenizer_fertility" -> sqlStaged(Seq("documents"), SqlOps.tokenizerFertility),
     "q_hist_quantiles" -> sqlq(Seq("events"), SqlOps.histogramQuantiles),
-    "q_pca_power_iter" -> sqlStaged(Seq("embeddings"), SqlOps.pcaPower),
+    "q_pca_power_iter" -> sqlStaged(Seq("embeddings"), SqlOps.pcaPowerTimed),
     "q_pca_project" -> sqlStaged(Seq("embeddings"), SqlOps.pcaProject),
     "q_pca_deflate" -> sqlStaged(Seq("embeddings"), SqlOps.pcaDeflate),
     "q_join_bloom_gate" -> sqlq(Seq("orders", "lineitem"), SqlOps.joinBloomGate),
@@ -883,7 +886,11 @@ object SparkEntry {
     * shared by both image-hash oracles. */
   private val PHASH_CTES: String =
     s"""WITH ${SqlOps.corpusCte(DuckDialect)},
-      |t AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM corpus),
+      |t AS (SELECT doc_id, text,
+      |        CASE WHEN octet_length(encode(text)) = length(text)
+      |             THEN octet_length(encode(text))
+      |             ELSE CAST(error('phash oracle: non-ASCII corpus — ascii(substr(..)) addresses CHARACTERS while the Spark stub hashes UTF-8 BYTES; rewrite this oracle over encode(text) bytes before trusting it') AS BIGINT)
+      |        END AS n FROM corpus),
       |pos AS (SELECT doc_id, n, text, unnest(range(0, n)) AS i FROM t WHERE n > 0),
       |by AS (
       |  SELECT doc_id,
@@ -1522,7 +1529,7 @@ object SparkEntry {
     "q_ccnet_buckets" -> SqlOps.ccnetBuckets.single(DuckDialect),
     "q_tokenizer_fertility" -> SqlOps.tokenizerFertility.single(DuckDialect),
     "q_hist_quantiles" -> SqlOps.histogramQuantiles(DuckDialect),
-    "q_pca_power_iter" -> SqlOps.pcaPower.single(DuckDialect),
+    "q_pca_power_iter" -> SqlOps.pcaPowerTimed.single(DuckDialect),
     "q_pca_project" -> SqlOps.pcaProject.single(DuckDialect),
     "q_pca_deflate" -> SqlOps.pcaDeflate.single(DuckDialect),
     "q_join_bloom_gate" -> SqlOps.joinBloomGate(DuckDialect),

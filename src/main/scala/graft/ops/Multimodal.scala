@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   * Image payloads decode for REAL through `javax.imageio` (PNG/JPEG/
   * GIF/BMP ship with the JDK — no external libs needed): true
   * dimensions, channel count from the color model, and stripe-mean
-  * luminance features. Audio/video codecs are genuinely absent from
-  * this container, so those mimes (and image payloads ImageIO can't
+  * luminance features. Audio payloads decode for REAL through
+  * `javax.sound.sampled` (WAV/AIFF/AU PCM parsing also ships with the
+  * JDK): sample rate, channel count, frame count, and per-stripe RMS
+  * amplitude. Only VIDEO codecs are genuinely absent from this
+  * container, so video mimes (and image/audio payloads the JDK can't
   * sniff) fall back to a clearly marked deterministic STUB. The Spark
   * mechanics are what matter at 100 TB and are real throughout:
   *  - binary payload + metadata struct schema,
@@ -84,9 +87,78 @@ object Multimodal {
     }
   }
 
+  /** Real audio decode via the JDK's `javax.sound.sampled` (WAV, AIFF,
+    * AU). Returns None when the payload isn't a parseable audio file so
+    * the caller can fall back to the stub — asMedia's text-as-bytes
+    * payloads never carry a RIFF/FORM header, so they never sniff as
+    * audio. The stream is normalized to signed 16-bit little-endian PCM
+    * at the source rate/channel count (the JDK converts 8-bit, unsigned
+    * and big-endian variants), then features are per-stripe RMS
+    * amplitude over 8 time stripes of mono-mixed frames, normalized to
+    * [0, 1] by full scale (32768) — the windowed energy statistics an
+    * audio-quality filter gates on. Decoded mapping for audio:
+    * width = frame count, height = sample rate (Hz), channels =
+    * channel count. */
+  private def decodeAudio(b: MediaRow): Option[Decoded] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (b.payload == null || b.payload.length == 0) None
+    else {
+      val in =
+        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(b.payload))
+        catch { case _: Exception => null } // no audio header → fallback
+      if (in == null) None
+      else try {
+        val fmt = in.getFormat
+        val target = new AudioFormat(
+          AudioFormat.Encoding.PCM_SIGNED, fmt.getSampleRate, 16,
+          fmt.getChannels, 2 * fmt.getChannels, fmt.getSampleRate, false)
+        val pcm =
+          try AudioSystem.getAudioInputStream(target, in)
+          catch { case _: Exception => null } // unconvertible encoding → fallback
+        if (pcm == null) None
+        else {
+          val bytes = pcm.readAllBytes()
+          val ch = target.getChannels
+          val nFrames = bytes.length / (2 * ch)
+          val feats = new Array[Float](8)
+          if (nFrames > 0) {
+            val sums = new Array[Double](8)
+            val counts = new Array[Long](8)
+            val stripe = math.max(nFrames / 8, 1)
+            var f = 0
+            while (f < nFrames) {
+              val s = math.min(f / stripe, 7)
+              // mono mix: mean over the frame's channel samples
+              var acc = 0.0
+              var c = 0
+              while (c < ch) {
+                val i = 2 * (f * ch + c)
+                acc += ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+                c += 1
+              }
+              val m = acc / ch
+              sums(s) += m * m
+              counts(s) += 1
+              f += 1
+            }
+            var j = 0
+            while (j < 8) {
+              if (counts(j) > 0)
+                feats(j) = (math.sqrt(sums(j) / counts(j)) / 32768.0).toFloat
+              j += 1
+            }
+          }
+          Some(Decoded(b.doc_id, nFrames, math.round(fmt.getSampleRate),
+            ch, b.payload.length, feats))
+        }
+      } catch { case _: Exception => None } // truncated/hostile payload → fallback
+      finally { try in.close() catch { case _: Exception => () } }
+    }
+  }
+
   /** STUB codec ??? — deterministic fake standing in for the decoders
-    * genuinely absent from this container (audio/video; also the
-    * fallback when ImageIO can't sniff an image payload). Dimensions
+    * genuinely absent from this container (video; also the fallback
+    * when the JDK can't sniff an image/audio payload). Dimensions
     * derive from payload size, "pixel" statistics from the raw bytes,
     * so results are reproducible and schema/batching are exercised for
     * real. A production build swaps only this function's body. */
@@ -135,6 +207,8 @@ object Multimodal {
           // — same defensive rule as the stub's null payload
           if (m.mime != null && m.mime.startsWith("image/"))
             decodeImage(m).getOrElse(decodeStub(m))
+          else if (m.mime != null && m.mime.startsWith("audio/"))
+            decodeAudio(m).getOrElse(decodeStub(m))
           else decodeStub(m)
         }
       }

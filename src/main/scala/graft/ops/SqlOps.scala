@@ -1302,7 +1302,11 @@ object SqlOps {
     * is µ-quantized to int64 BEFORE summation, because double sums
     * are order-dependent across engines; the only unquantized float
     * ops are the shared log2 discount and the final ratios. MRR
-    * rewards the first rank with rel ≥ 4. */
+    * rewards the first rank with rel ≥ 4 — and since the ranked list
+    * is the BM25 top-10, it is by construction MRR@10 (a rel ≥ 4 doc
+    * first appearing at rank 11 scores 0), which the column name says
+    * explicitly. idcg_q = 0 (no doc with rel > 0 anywhere) yields
+    * ndcg10 = NULL rather than a division blow-up. */
   val searchNdcg: StagedOp = StagedOp(
     // ranked list and relevance table are staged: ranked feeds the DCG
     // and MRR passes, rel feeds DCG, the ideal ranking, and MRR — as
@@ -1343,9 +1347,11 @@ object SqlOps {
          |  WHERE rel.rel >= 4
          |)
          |SELECT
-         |  ${r6("CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE)")} AS ndcg10,
+         |  CASE WHEN idcg_q = 0 THEN NULL
+         |       ELSE ${r6("CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE)")}
+         |  END AS ndcg10,
          |  CASE WHEN first_good IS NULL THEN 0.0e0
-         |       ELSE ${r6("1.0e0 / first_good")} END AS mrr,
+         |       ELSE ${r6("1.0e0 / first_good")} END AS mrr_at_10,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ndcg_rel WHERE rel > 0) AS n_relevant
          |FROM dcg CROSS JOIN idcg CROSS JOIN mrr""".stripMargin
     })
@@ -2009,38 +2015,55 @@ object SqlOps {
         s"""WITH ${corpusCte(d)},
            |${shinglesCtes(d, n = 5)}
            |SELECT DISTINCT doc_id, $sid AS s FROM sh""".stripMargin
+      },
+      // the rarity-RANKED index (per-doc ascending global df, position
+      // + set size attached) — index construction, not the join: at
+      // scale the df table and the per-doc rank ordering are built once
+      // with the inverted index (the mh_sig pattern), and every
+      // prefix-join run reads them
+      "pfx_rk" -> { _ =>
+        s"""WITH df AS (SELECT s, COUNT(*) AS df FROM pfx_dsh GROUP BY s)
+           |SELECT c.doc_id, c.s,
+           |  ROW_NUMBER() OVER (PARTITION BY c.doc_id ORDER BY f.df, c.s) AS rk,
+           |  COUNT(*) OVER (PARTITION BY c.doc_id) AS n
+           |FROM pfx_dsh c JOIN df f ON c.s = f.s""".stripMargin
       }),
     body = { _ =>
-      s"""WITH df AS (SELECT s, COUNT(*) AS df FROM pfx_dsh GROUP BY s),
-         |r AS (
-         |  SELECT c.doc_id, c.s,
-         |    ROW_NUMBER() OVER (PARTITION BY c.doc_id ORDER BY f.df, c.s) AS rk,
-         |    COUNT(*) OVER (PARTITION BY c.doc_id) AS n
-         |  FROM pfx_dsh c JOIN df f ON c.s = f.s
-         |),
-         |pre AS (
-         |  SELECT doc_id, s, n FROM r
+      // The candidate step also applies the PPJoin POSITION filter: a
+      // shared prefix token at (1-indexed, order-consistent) positions
+      // (i, j) bounds the overlap by min(i,j) + min(na−i, nb−j) —
+      // common tokens at-or-before the match inject ≤ min(i,j)
+      // distinct positions, those after ≤ min(na−i, nb−j) — so a pair
+      // whose TIGHTEST per-match bound (MIN over shared prefix tokens)
+      // is below the overlap threshold α = ⌈3(na+nb)/8⌉ (inter ≥
+      // t/(1+t)·(na+nb) for Jaccard t=0.6, integer-exact as
+      // ⌊(3(na+nb)+7)/8⌋) cannot verify, under either engine's tie
+      // order. Sizes (na, nb) ride along from the prefix rows — the
+      // former psz CTE re-scanned the full index and joined it twice
+      // per verified pair just to recover them.
+      s"""WITH pre AS (
+         |  SELECT doc_id, s, n, rk FROM pfx_rk
          |  WHERE rk <= n - CAST(FLOOR(CAST(3 * n + 4 AS DOUBLE) / 5.0e0) AS BIGINT) + 1
          |),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb
          |  FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
          |    AND 5 * LEAST(a.n, b.n) >= 3 * GREATEST(a.n, b.n)
+         |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+         |  HAVING MIN(LEAST(a.rk, b.rk) + LEAST(a.n - a.rk, b.n - b.rk))
+         |    >= CAST(FLOOR(CAST(3 * (a.n + b.n) + 7 AS DOUBLE) / 8.0e0) AS BIGINT)
          |),
-         |psz AS (SELECT doc_id, COUNT(*) AS n FROM pfx_dsh GROUP BY doc_id),
          |pinter AS (
-         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |  SELECT c.doc_a, c.doc_b, c.na, c.nb, COUNT(*) AS inter
          |  FROM cand c
          |  JOIN pfx_dsh a ON a.doc_id = c.doc_a
          |  JOIN pfx_dsh b ON b.doc_id = c.doc_b AND b.s = a.s
-         |  GROUP BY c.doc_a, c.doc_b
+         |  GROUP BY c.doc_a, c.doc_b, c.na, c.nb
          |)
-         |SELECT i.doc_a, i.doc_b,
-         |  ${r6("CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter)")} AS jaccard
-         |FROM pinter i
-         |JOIN psz sa ON i.doc_a = sa.doc_id
-         |JOIN psz sb ON i.doc_b = sb.doc_id
-         |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.6""".stripMargin
+         |SELECT doc_a, doc_b,
+         |  ${r6("CAST(inter AS DOUBLE) / (na + nb - inter)")} AS jaccard
+         |FROM pinter
+         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6""".stripMargin
     })
 
   /** Sliding-window document chunking (chunk = 16 tokens, stride = 12,
@@ -2794,77 +2817,85 @@ object SqlOps {
         "rpq_cent1" -> { _: Dialect => updateSql("rpq_asg1") },
         "rpq_asg2" -> { _: Dialect => assignSql("rpq_cent1") },
         "rpq_cent" -> { _: Dialect => updateSql("rpq_asg2") },
-        "rpq_codes" -> { _: Dialect => assignSql("rpq_cent") }),
+        "rpq_codes" -> { _: Dialect => assignSql("rpq_cent") },
+        // The ADC shortlist as its own staged artifact: (1) PROBE —
+        // rank the broadcast-sized coarse centroids, keep 2 cells;
+        // (2) ADC — the query's residual LUT is PER PROBED CELL
+        // (residual encoding makes the LUT cell-dependent:
+        // q − centroid(cell)), |Q|×2×m×codewords rows (≤ 64 codewords
+        // per block), still broadcast-sized; candidates are the probed
+        // cells' members scored by m integer lookups off the staged
+        // code table, top-20 kept per query. HAVING guards at every
+        // aggregate: a short-trained label or codeword must not win an
+        // argmin on a prefix distance. Staged (not a body CTE) because
+        // the composed probe→ADC→refine megaplan's first-run
+        // analysis+codegen tripled between r5 and r6 as the residual
+        // codebooks grew — splitting here keeps each codegen unit
+        // small, and the shortlist has two consumers anyway (the
+        // refine body and the eval's ivfpq_top stage).
+        "ivfpq_sl" -> { (d: Dialect) =>
+          val expQ = d.explodeWithPos(
+            "SELECT vec_id, embedding FROM qs", "vec_id", "embedding", "pos", "v")
+          s"""WITH qs AS (SELECT vec_id, embedding FROM ivf_nvc WHERE vec_id % 50 = 0),
+             |qe AS ($expQ),
+             |qq AS (SELECT vec_id, pos, ${quant("v")} AS qv FROM qe),
+             |qd AS (
+             |  SELECT q.vec_id, c.label,
+             |    CAST(SUM((q.qv - c.qc) * (q.qv - c.qc)) AS BIGINT) AS dist
+             |  FROM qq q JOIN ivf_cent c ON c.pos = q.pos
+             |  GROUP BY q.vec_id, c.label
+             |  HAVING COUNT(*) = ${m * bs}
+             |),
+             |probes AS (
+             |  SELECT vec_id, label FROM (
+             |    SELECT vec_id, label,
+             |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, label) AS prk
+             |    FROM qd) p
+             |  WHERE prk <= 2
+             |),
+             |qres AS (
+             |  SELECT p.vec_id, p.label AS cell,
+             |    CAST(FLOOR(q.pos / $bs) AS INT) AS block, q.pos % $bs AS bpos,
+             |    (q.qv - c.qc) AS qr
+             |  FROM probes p
+             |  JOIN qq q ON q.vec_id = p.vec_id
+             |  JOIN ivf_cent c ON c.label = p.label AND c.pos = q.pos
+             |),
+             |qlut AS (
+             |  SELECT r.vec_id AS qid, r.cell, r.block, c.cw,
+             |    CAST(SUM((r.qr - c.qc) * (r.qr - c.qc)) AS BIGINT) AS d2
+             |  FROM qres r JOIN rpq_cent c ON c.block = r.block AND c.bpos = r.bpos
+             |  GROUP BY r.vec_id, r.cell, r.block, c.cw
+             |  HAVING COUNT(*) = $bs
+             |),
+             |adc AS (
+             |  SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |    CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+             |  FROM probes p
+             |  JOIN ivf_nvc b ON b.cell = p.label AND b.vec_id <> p.vec_id
+             |  JOIN rpq_codes k ON k.vec_id = b.vec_id
+             |  JOIN qlut l ON l.qid = p.vec_id AND l.cell = p.label
+             |    AND l.block = k.block AND l.cw = k.code
+             |  GROUP BY p.vec_id, b.vec_id
+             |  HAVING COUNT(*) = $m
+             |)
+             |SELECT query_id, neighbor_id FROM (
+             |  SELECT *, ROW_NUMBER() OVER (
+             |    PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS ark
+             |  FROM adc) s
+             |WHERE ark <= 20""".stripMargin
+        }),
       body = { d =>
-        val expQ = d.explodeWithPos(
-          "SELECT vec_id, embedding FROM qs", "vec_id", "embedding", "pos", "v")
-        // The read path: (1) PROBE — rank the broadcast-sized coarse
-        // centroids, keep 2 cells; (2) ADC — the query's residual LUT
-        // is PER PROBED CELL (residual encoding makes the LUT
-        // cell-dependent: q − centroid(cell)), |Q|×2×m×codewords rows
-        // (≤ 64 codewords per block), still broadcast-sized;
-        // candidates are the probed cells' members
-        // scored by m integer lookups off the staged code table;
-        // (3) REFINE — exact cosine over the ≤20 survivors per query.
-        // HAVING guards at every aggregate: a short-trained label or
-        // codeword must not win an argmin on a prefix distance.
-        s"""WITH qs AS (SELECT vec_id, embedding FROM ivf_nvc WHERE vec_id % 50 = 0),
-           |qe AS ($expQ),
-           |qq AS (SELECT vec_id, pos, ${quant("v")} AS qv FROM qe),
-           |qd AS (
-           |  SELECT q.vec_id, c.label,
-           |    CAST(SUM((q.qv - c.qc) * (q.qv - c.qc)) AS BIGINT) AS dist
-           |  FROM qq q JOIN ivf_cent c ON c.pos = q.pos
-           |  GROUP BY q.vec_id, c.label
-           |  HAVING COUNT(*) = ${m * bs}
-           |),
-           |probes AS (
-           |  SELECT vec_id, label FROM (
-           |    SELECT vec_id, label,
-           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, label) AS prk
-           |    FROM qd) p
-           |  WHERE prk <= 2
-           |),
-           |qres AS (
-           |  SELECT p.vec_id, p.label AS cell,
-           |    CAST(FLOOR(q.pos / $bs) AS INT) AS block, q.pos % $bs AS bpos,
-           |    (q.qv - c.qc) AS qr
-           |  FROM probes p
-           |  JOIN qq q ON q.vec_id = p.vec_id
-           |  JOIN ivf_cent c ON c.label = p.label AND c.pos = q.pos
-           |),
-           |qlut AS (
-           |  SELECT r.vec_id AS qid, r.cell, r.block, c.cw,
-           |    CAST(SUM((r.qr - c.qc) * (r.qr - c.qc)) AS BIGINT) AS d2
-           |  FROM qres r JOIN rpq_cent c ON c.block = r.block AND c.bpos = r.bpos
-           |  GROUP BY r.vec_id, r.cell, r.block, c.cw
-           |  HAVING COUNT(*) = $bs
-           |),
-           |adc AS (
-           |  SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
-           |    CAST(SUM(l.d2) AS BIGINT) AS adc_d2
-           |  FROM probes p
-           |  JOIN ivf_nvc b ON b.cell = p.label AND b.vec_id <> p.vec_id
-           |  JOIN rpq_codes k ON k.vec_id = b.vec_id
-           |  JOIN qlut l ON l.qid = p.vec_id AND l.cell = p.label
-           |    AND l.block = k.block AND l.cw = k.code
-           |  GROUP BY p.vec_id, b.vec_id
-           |  HAVING COUNT(*) = $m
-           |),
-           |shortlist AS (
-           |  SELECT query_id, neighbor_id FROM (
-           |    SELECT *, ROW_NUMBER() OVER (
-           |      PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS ark
-           |    FROM adc) s
-           |  WHERE ark <= 20
-           |)
-           |SELECT query_id, neighbor_id, cosine, rk FROM (
+        // (3) REFINE — exact cosine over the ≤20 staged survivors per
+        // query; the only non-broadcast table here is the 2-column
+        // shortlist itself.
+        s"""SELECT query_id, neighbor_id, cosine, rk FROM (
            |  SELECT s.query_id, s.neighbor_id,
            |    ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine,
            |    ROW_NUMBER() OVER (PARTITION BY s.query_id
            |      ORDER BY ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} DESC,
            |        s.neighbor_id) AS rk
-           |  FROM shortlist s
+           |  FROM ivfpq_sl s
            |  JOIN emb_nv a ON a.vec_id = s.query_id
            |  JOIN emb_nv b ON b.vec_id = s.neighbor_id
            |) WHERE rk <= 5""".stripMargin
@@ -3982,7 +4013,10 @@ object SqlOps {
     * anomalyMad pattern applied to the forecast residual instead of
     * the raw value, which makes it trend- and season-aware to the
     * extent the smoother tracks them). Residuals are SIGNED — a
-    * revenue collapse flags exactly like a spike. The residual table
+    * revenue collapse flags exactly like a spike. The MAD is floored
+    * at 1 µ-unit: a perfectly regular series has MAD = 0, and an
+    * unfloored threshold would then flag EVERY day whose residual
+    * differs at all from the median. The residual table
     * is STAGED (three consumers: median, MAD, and the flag pass —
     * inlined CTEs would re-run the whole EWMA chain, orders scan
     * included, per reference); the two threshold scalars broadcast
@@ -4002,7 +4036,7 @@ object SqlOps {
          |SELECT day, y AS actual,
          |  ${r6("CAST(fc_q AS DOUBLE) / 1.0e6")} AS forecast,
          |  ${r6("CAST(r AS DOUBLE) / 1.0e6")} AS residual,
-         |  CASE WHEN ABS(r - med) > 3.0e0 * 1.4826e0 * mad THEN 1 ELSE 0 END AS is_anomaly
+         |  CASE WHEN ABS(r - med) > 3.0e0 * 1.4826e0 * GREATEST(mad, 1.0e0) THEN 1 ELSE 0 END AS is_anomaly
          |FROM ewma_res CROSS JOIN med CROSS JOIN mad""".stripMargin
     })
 
@@ -5964,34 +5998,54 @@ object SqlOps {
         })
     }
 
-  val pcaPower: StagedOp = {
-    val iterStages = powerIterStages("pca", "pca_cv", PcaRounds)
-    StagedOp(
-      stages = Seq(
-        // (vec_id, pos, qv): the matrix in µ-units — ONE explode pass
-        "pca_q" -> { (d: Dialect) =>
-          s"""SELECT vec_id, pos, ${qvExpr("ev")} AS qv
-             |FROM (${d.explodeWithPos("SELECT vec_id, embedding FROM embeddings",
-                                       "vec_id", "embedding", "pos", "ev")})""".stripMargin
-        },
-        // centered matrix: per-pos floor-mean subtracted (floor keeps
-        // the centering exact in int64; the constant sub-µ offset per
-        // pos is irrelevant to the dominant direction)
-        "pca_cv" -> { (d: Dialect) =>
-          s"""WITH mu AS (
-             |  SELECT pos, ${floorDiv(d)("CAST(SUM(qv) AS BIGINT)", "COUNT(*)")} AS mu
-             |  FROM pca_q GROUP BY pos
-             |)
-             |SELECT q.vec_id, q.pos, q.qv - mu.mu AS cv
-             |FROM pca_q q JOIN mu ON q.pos = mu.pos""".stripMargin
-        }) ++ iterStages,
-      body = { d =>
-        s"""WITH ${pcaScaled(d, s"pca_w$PcaRounds", "pos", "w", "vq")}
-           |SELECT CAST(pos AS BIGINT) AS pos,
-           |  ${r6("CAST(vq AS DOUBLE) / 1.0e6")} AS component
-           |FROM sc""".stripMargin
-      })
-  }
+  /** The centered µ-quantized matrix — the input every PCA op shares
+    * (trainer, projector, deflation, and the timed-alias iteration). */
+  private val pcaMatrixStages: Seq[(String, Dialect => String)] = Seq(
+    // (vec_id, pos, qv): the matrix in µ-units — ONE explode pass
+    "pca_q" -> { (d: Dialect) =>
+      s"""SELECT vec_id, pos, ${qvExpr("ev")} AS qv
+         |FROM (${d.explodeWithPos("SELECT vec_id, embedding FROM embeddings",
+                                   "vec_id", "embedding", "pos", "ev")})""".stripMargin
+    },
+    // centered matrix: per-pos floor-mean subtracted (floor keeps
+    // the centering exact in int64; the constant sub-µ offset per
+    // pos is irrelevant to the dominant direction)
+    "pca_cv" -> { (d: Dialect) =>
+      s"""WITH mu AS (
+         |  SELECT pos, ${floorDiv(d)("CAST(SUM(qv) AS BIGINT)", "COUNT(*)")} AS mu
+         |  FROM pca_q GROUP BY pos
+         |)
+         |SELECT q.vec_id, q.pos, q.qv - mu.mu AS cv
+         |FROM pca_q q JOIN mu ON q.pos = mu.pos""".stripMargin
+    })
+
+  val pcaPower: StagedOp = StagedOp(
+    stages = pcaMatrixStages ++ powerIterStages("pca", "pca_cv", PcaRounds),
+    body = { d =>
+      s"""WITH ${pcaScaled(d, s"pca_w$PcaRounds", "pos", "w", "vq")}
+         |SELECT CAST(pos AS BIGINT) AS pos,
+         |  ${r6("CAST(vq AS DOUBLE) / 1.0e6")} AS component
+         |FROM sc""".stripMargin
+    })
+
+  /** The SAME power iteration under alias stage names (`pci_*`) — the
+    * variant q_pca_power_iter times. The canonical `pca_*` chain has
+    * THREE consumers (trainer output, projection read path, deflation
+    * input) and is therefore prewarmed like every multi-consumer
+    * artifact; but the iteration itself IS this query's computation,
+    * so it re-runs the rounds under names no other query reads —
+    * first-consumer billing stops depending on bench name order.
+    * Identical int64 arithmetic on the same prewarmed centered matrix
+    * → identical result to reading `pca_w3`, and the oracle proves
+    * that every run. */
+  val pcaPowerTimed: StagedOp = StagedOp(
+    stages = pcaMatrixStages ++ powerIterStages("pci", "pca_cv", PcaRounds),
+    body = { d =>
+      s"""WITH ${pcaScaled(d, s"pci_w$PcaRounds", "pos", "w", "vq")}
+         |SELECT CAST(pos AS BIGINT) AS pos,
+         |  ${r6("CAST(vq AS DOUBLE) / 1.0e6")} AS component
+         |FROM sc""".stripMargin
+    })
 
   /** The PCA read path: project every (centered) vector onto the
     * learned first component ([[pcaPower]]'s staged iteration output)

@@ -1113,4 +1113,168 @@ object StreamingOps {
         dailyIngestBatch(spark, batch, quota, stateRoot)
       }
   }
+
+  // --------------------------------------------------------------------
+  // MONITORED daily ingest: the dedup chain composed with ANN index
+  // maintenance and the drift/volume monitors, one foreachBatch body —
+  // the full production drain (gate → dedup → index → report) instead
+  // of monitors running standalone next to the pipeline.
+  // --------------------------------------------------------------------
+
+  /** Stage 5 — fold the batch's ADMITTED vectors into the maintained
+    * IVF index (`<root>/ivf`, the [[annMaintenanceBatch]] artifact).
+    * Work set = batch ∩ admitted: rejected docs never reach the index,
+    * and a replayed vector is already a member so the merge no-ops.
+    * Crash-safe under the same redelivery contract as stages 1–4: a
+    * batch whose body died is redelivered whole, and this stage's
+    * work set is recomputed from the batch against the authoritative
+    * admitted artifact. */
+  private[streaming] def ingestIndex(spark: SparkSession, batch: DataFrame,
+                                     centroids: DataFrame, root: String): Unit = {
+    val admitted = readState(spark, s"$root/admitted")
+      .getOrElse(sys.error(s"daily-ingest: $root/admitted missing (stage order violated)"))
+    val vecs = batch.select(col("doc_id"), col("embedding"))
+      .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    annMaintenanceBatch(spark, vecs, centroids, s"$root/ivf")
+  }
+
+  /** Stage 6 — the admission-volume history (`<root>/history`, cols
+    * batch_seq, n_admitted): one row per drained batch recording the
+    * LIFETIME admitted count after that batch — the time series the
+    * EWMA volume monitor watches. Keyed by the engine's batch id, so a
+    * redelivered batch overwrites its own row with the same value
+    * (the admitted artifact is already advanced and membership makes
+    * re-admission a no-op) instead of appending a duplicate. */
+  private[streaming] def ingestHistory(spark: SparkSession, batchSeq: Long,
+                                       root: String): Unit = {
+    val admitted = readState(spark, s"$root/admitted")
+      .getOrElse(sys.error(s"daily-ingest: $root/admitted missing (stage order violated)"))
+    val nAdmitted = admitted.count()
+    publishParquet(spark, s"$root/history") { current =>
+      val row = spark.range(1).select(lit(batchSeq).as("batch_seq"),
+        lit(nAdmitted).as("n_admitted"))
+      current match {
+        case Some(cur) =>
+          // first-write-wins: under at-least-once only the LAST batch
+          // is ever redelivered, and its admissions are already folded
+          // into the admitted artifact when its history row is first
+          // written — so an existing row is already correct, and
+          // keeping it makes even an out-of-order replay (which the
+          // other artifacts tolerate by membership) unable to rewrite
+          // history with a later lifetime count
+          cur.unionByName(
+            row.join(cur.select("batch_seq"), Seq("batch_seq"), "left_anti"))
+        case None => row
+      }
+    }
+  }
+
+  /** EWMA volume gate over the admission history — the
+    * [[graft.ops.SqlOps.anomalyEwma]] shape applied to per-drain NEW
+    * admissions: the same exponential weight table equi-joined through
+    * the lag offset (history × 61 rows, never a history² nested loop),
+    * forecast = previous EWMA, flag when the forecast residual deviates
+    * from the residual median by > 3 robust sigmas (1.4826·MAD, floored
+    * — a perfectly regular feed has MAD = 0 and must not flag every
+    * drain). History is one row per drain, so this input is
+    * calendar-bounded at any corpus scale. */
+  def ewmaAdmissionGate(history: DataFrame, alpha: Double = 0.3,
+                        lookback: Int = 60): DataFrame = {
+    val spark = history.sparkSession
+    import spark.implicits._
+    val wt = (0 to lookback).map(k => (k.toLong, alpha * math.pow(1 - alpha, k)))
+      .toDF("k", "w")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("batch_seq")
+    val deltas = history
+      .withColumn("delta",
+        col("n_admitted") - coalesce(lag(col("n_admitted"), 1).over(w), lit(0L)))
+      .withColumn("t", row_number().over(w).cast("long"))
+      .select(col("batch_seq"), col("t"), col("delta"))
+    val terms = deltas.alias("a")
+      .join(wt, col("k") <= lit(lookback.toLong))
+      .join(deltas.alias("b"), col("b.t") === col("a.t") - col("k"))
+      .groupBy(col("a.batch_seq").as("batch_seq"), col("a.t").as("t"),
+        col("a.delta").as("delta"))
+      .agg((sum(col("w") * col("b.delta")) / sum(col("w"))).as("ewma"))
+    val fc = terms
+      .withColumn("forecast", lag(col("ewma"), 1)
+        .over(org.apache.spark.sql.expressions.Window.orderBy("t")))
+      .withColumn("residual", col("delta").cast("double") - col("forecast"))
+    val med = fc.filter(col("residual").isNotNull)
+      .agg(expr("percentile(residual, 0.5)").as("med"))
+    val mad = fc.filter(col("residual").isNotNull).crossJoin(med)
+      .agg(expr("percentile(abs(residual - med), 0.5)").as("mad"),
+        first(col("med")).as("med"))
+    fc.crossJoin(mad)
+      .select(col("batch_seq"), col("delta").as("n_new_admitted"),
+        col("forecast"), col("residual"),
+        when(col("residual").isNotNull &&
+          abs(col("residual") - col("med")) >
+            lit(3.0 * 1.4826) * greatest(col("mad"), lit(1.0)), 1)
+          .otherwise(0).as("is_anomaly"))
+  }
+
+  /** Stage 7 — the monitoring readout, pure functions of the published
+    * artifacts (trivially idempotent):
+    *  - `<root>/drift`: [[ivfDriftReport]] per IVF cell (retrain flag);
+    *  - `<root>/ewma`: [[ewmaAdmissionGate]] over the volume history;
+    *  - `<root>/metrics`: corpus-health counters — admitted per source
+    *    (quota pressure), survivor count, duplicate-cluster size
+    *    histogram (dedup health), IVF cell occupancy (index balance). */
+  private[streaming] def ingestReport(spark: SparkSession, centroids: DataFrame,
+                                      root: String): Unit = {
+    def state(name: String): DataFrame = readState(spark, s"$root/$name")
+      .getOrElse(sys.error(s"daily-ingest: $root/$name missing (stage order violated)"))
+    val ivf = state("ivf")
+    publishParquet(spark, s"$root/drift")(_ => ivfDriftReport(ivf, centroids))
+    val history = state("history")
+    publishParquet(spark, s"$root/ewma")(_ => ewmaAdmissionGate(history))
+    val admitted = state("admitted")
+    val survivors = state("survivors")
+    val clusters = state("clusters")
+    publishParquet(spark, s"$root/metrics") { _ =>
+      val bySource = admitted.groupBy("source").agg(count(lit(1)).as("value"))
+        .select(concat(lit("admitted:"), col("source")).as("metric"), col("value"))
+      val nSurv = survivors.agg(count(lit(1)).as("value"))
+        .select(lit("survivors").as("metric"), col("value"))
+      val clusterHist = clusters.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("value"))
+        .select(concat(lit("cluster_size:"), col("sz")).as("metric"), col("value"))
+      val cellOcc = ivf.filter(col("kind") === "member")
+        .groupBy("cell").agg(count(lit(1)).as("value"))
+        .select(concat(lit("ivf_cell:"), col("cell")).as("metric"), col("value"))
+      bySource.unionByName(nSurv).unionByName(clusterHist).unionByName(cellOcc)
+    }
+  }
+
+  /** One micro-batch of the MONITORED pipeline: the dedup chain
+    * ([[dailyIngestBatch]]) then index maintenance, volume history and
+    * the monitor readouts. Same layered-membership crash safety — each
+    * added stage derives its work set from the batch plus the published
+    * artifacts, so any crash/redelivery interleaving converges to the
+    * same eight artifacts. */
+  def dailyIngestMonitoredBatch(spark: SparkSession, batch: DataFrame,
+                                batchSeq: Long, quota: Int,
+                                centroids: DataFrame, root: String): Unit = {
+    dailyIngestBatch(spark, batch, quota, root)
+    ingestIndex(spark, batch, centroids, root)
+    ingestHistory(spark, batchSeq, root)
+    ingestReport(spark, centroids, root)
+  }
+
+  /** The streaming wrapper for the monitored drain: raw docs
+    * (doc_id, source, text, embedding) flow gate → band index →
+    * clusters → survivors → IVF maintenance → drift/EWMA/health
+    * reports, one atomic-swap artifact per stage. */
+  def dailyIngestMonitored(spark: SparkSession, docs: DataFrame, quota: Int,
+                           centroids: DataFrame, stateRoot: String,
+                           checkpointDir: String) = {
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dailyIngestMonitoredBatch(spark, batch, batchId, quota, centroids, stateRoot)
+      }
+  }
 }

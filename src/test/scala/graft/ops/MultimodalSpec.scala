@@ -106,6 +106,84 @@ class MultimodalSpec extends SparkSpec {
     assert(out(10L).n_bytes === 0)
   }
 
+  // --- real javax.sound.sampled decode path -------------------------
+
+  /** Deterministic test WAV: 16-bit signed PCM frames from an explicit
+    * per-frame sample function, written through AudioSystem so the
+    * header is a real RIFF/WAVE container. */
+  private def makeWav(samples: Array[Short], rate: Float, channels: Int,
+                      bits: Int = 16): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val bytes = new Array[Byte](samples.length * bits / 8)
+    var i = 0
+    while (i < samples.length) {
+      if (bits == 16) {
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      } else { // 8-bit WAV is unsigned PCM by convention
+        bytes(i) = ((samples(i) / 256) + 128).toByte
+      }
+      i += 1
+    }
+    val enc = if (bits == 16) AudioFormat.Encoding.PCM_SIGNED
+              else AudioFormat.Encoding.PCM_UNSIGNED
+    val fmt = new AudioFormat(enc, rate, bits, channels,
+      channels * bits / 8, rate, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(bytes),
+      fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeBatched: real WAV decodes true rate/channels/frames and exact stripe RMS") {
+    import spark.implicits._
+    // mono square wave at constant |amplitude| A: every mono-mixed
+    // frame contributes A², so each stripe's RMS is exactly A/32768
+    val a = 8192
+    val mono = Array.tabulate(800)(i => (if (i % 2 == 0) a else -a).toShort)
+    // stereo: L = +A, R = −A mono-mixes to 0; second half L = R = A/2
+    val stereo = Array.tabulate(1200) { i =>
+      val f = i / 2
+      if (f < 300) { if (i % 2 == 0) a.toShort else (-a).toShort }
+      else (a / 2).toShort
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(21L, "audio/wav", makeWav(mono, 8000f, 1)),
+      Multimodal.MediaRow(22L, "audio/wav", makeWav(stereo, 44100f, 2)))
+    val out = Multimodal.decodeBatched(spark.createDataset(rows))
+      .collect().map(d => d.doc_id -> d).toMap
+    val m = out(21L)
+    assert(m.width === 800 && m.height === 8000 && m.channels === 1)
+    m.features.foreach(f => assert(math.abs(f - a / 32768f) < 1e-6f, s"mono RMS $f"))
+    val s = out(22L)
+    assert(s.width === 600 && s.height === 44100 && s.channels === 2)
+    // frames 0-299 (stripes 0-3) mix to 0; frames 300-599 to A/2
+    s.features.take(4).foreach(f => assert(f === 0f, s"cancelling stereo RMS $f"))
+    s.features.drop(4).foreach(f =>
+      assert(math.abs(f - a / 2f / 32768f) < 1e-6f, s"steady stereo RMS $f"))
+  }
+
+  test("decodeBatched: 8-bit unsigned WAV converts through the JDK to the same stats") {
+    import spark.implicits._
+    // constant +A square at 8-bit resolution: A = 8192 → byte 32 above
+    // center → reconstructed 16-bit magnitude exactly 32·256 = 8192
+    val a = 8192
+    val samples = Array.tabulate(400)(i => (if (i % 2 == 0) a else -a).toShort)
+    val rows = Seq(Multimodal.MediaRow(23L, "audio/wav", makeWav(samples, 16000f, 1, bits = 8)))
+    val d = Multimodal.decodeBatched(spark.createDataset(rows)).collect().head
+    assert(d.width === 400 && d.height === 16000 && d.channels === 1)
+    d.features.foreach(f => assert(math.abs(f - a / 32768f) < 1e-2f, s"8-bit RMS $f"))
+  }
+
+  test("decodeBatched: undecodable audio payloads fall back to the stub") {
+    import spark.implicits._
+    val text = "not actually a wav".getBytes("UTF-8")
+    val rows = Seq(Multimodal.MediaRow(24L, "audio/wav", text))
+    val d = Multimodal.decodeBatched(spark.createDataset(rows)).collect().head
+    assert(d.width === text.length % 317 + 16) // stub geometry
+  }
+
   test("sampleFrames: only video payloads, stride-spaced frame numbers") {
     val frames = Multimodal.sampleFrames(media, stride = 4).collect()
     assert(frames.nonEmpty)

@@ -159,6 +159,140 @@ class DailyIngestSpec extends SparkSpec {
     }
   }
 
+  // --- the MONITORED drain: gate → dedup → IVF maintenance → reports --
+
+  /** Deterministic per-doc embedding near one of two planted centers:
+    * even ids hug center 0 (low values), odd ids center 1 (high), with
+    * a small id-dependent wiggle so drift statistics are non-trivial. */
+  private def emb(id: Long): Array[Float] = {
+    val base = if (id % 2 == 0) 0.1f else 0.9f
+    Array.tabulate(4)(j => base + ((id * 7 + j * 3) % 5).toFloat / 100f)
+  }
+
+  /** The frozen coarse quantizer: centroid 0 at 0.1⁴, centroid 1 at
+    * 0.9⁴, µ-quantized int64 — the (label, pos, qc) contract of
+    * annMaintenanceBatch. */
+  private def centroids: DataFrame = {
+    import spark.implicits._
+    (for (l <- Seq(0L, 1L); p <- 0L to 3L)
+      yield (l, p, if (l == 0) 100000L else 900000L)).toDF("label", "pos", "qc")
+  }
+
+  private def withEmb(day: Seq[(Long, String, String)]): Seq[(Long, String, String, Array[Float])] =
+    day.map { case (id, src, text) => (id, src, text, emb(id)) }
+
+  private def artifacts(root: String): Map[String, Set[Seq[Any]]] =
+    Seq("admitted", "bands", "clusters", "survivors", "ivf", "history",
+        "drift", "ewma", "metrics")
+      .map(a => a -> spark.read.parquet(s"$root/$a").collect().map(_.toSeq).toSet)
+      .toMap
+
+  test("monitored ingest: three restart drains — dedup parity, index membership, live reports") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val dir = tmp("graft_mingest")
+    val landing = s"$dir/landing"
+    val root = s"$dir/state"
+
+    def land(day: Seq[(Long, String, String)]): Unit =
+      withEmb(day).toDF("doc_id", "source", "text", "embedding")
+        .write.mode("append").parquet(landing)
+
+    def drain(): Unit = {
+      val schema = spark.read.parquet(landing).schema
+      val stream = spark.readStream.schema(schema).parquet(landing)
+      val q = StreamingOps.dailyIngestMonitored(
+          spark, stream, quota, centroids, root, s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    land(day1); drain()
+    land(day2); drain()
+    land(day3); drain()
+
+    // the dedup semantics are untouched by the added stages
+    assert(readIds(s"$root/survivors") === referenceSurvivors(Seq(day1, day2, day3)))
+
+    // the IVF index holds exactly the admitted ids, each in its
+    // nearest planted cell (even → 0, odd → 1 by construction)
+    val admittedIds = spark.read.parquet(s"$root/admitted")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val members = spark.read.parquet(s"$root/ivf")
+      .filter(col("kind") === "member").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    assert(members.keySet === admittedIds)
+    members.foreach { case (id, cell) => assert(cell === id % 2, s"doc $id") }
+
+    // drift report = the pure read-side function recomputed
+    val wantDrift = StreamingOps.ivfDriftReport(
+        spark.read.parquet(s"$root/ivf"), centroids)
+      .collect().map(_.toSeq).toSet
+    assert(spark.read.parquet(s"$root/drift").collect().map(_.toSeq).toSet === wantDrift)
+    // the planted wiggle is ≤ 0.04 ⇒ ≤ 40000 µ mean drift; with the
+    // retrain bar at 1000 µ both cells flag (statistics are moving)
+    assert(spark.read.parquet(s"$root/drift").collect()
+      .forall(_.getAs[Int]("retrain_flag") === 1))
+
+    // history: one row per drain, lifetime admitted counts
+    // (day 1: A admits 4 of 5, B 2 → 6; day 2: B admits 8, 11 → 8;
+    //  day 3: B is AT quota so 10 is rejected, C admits 12 → 9)
+    val hist = spark.read.parquet(s"$root/history").collect()
+      .map(r => r.getAs[Long]("batch_seq") -> r.getAs[Long]("n_admitted")).toMap
+    assert(hist === Map(0L -> 6L, 1L -> 8L, 2L -> 9L))
+
+    // EWMA gate: forecast equals the hand-rolled weighted mean over
+    // per-drain deltas (6, 2, 1); no anomaly on a calm feed
+    val ew = spark.read.parquet(s"$root/ewma").collect()
+      .map(r => r.getAs[Long]("batch_seq") ->
+        (Option(r.getAs[java.lang.Double]("forecast")), r.getAs[Int]("is_anomaly"))).toMap
+    assert(ew(0L)._1.isEmpty) // nothing to forecast the first drain
+    assert(math.abs(ew(1L)._1.get - 6.0) < 1e-9) // EWMA of (6) is 6
+    // EWMA of (6, 2) with α=0.3: (0.3·2 + 0.21·6) / 0.51
+    assert(math.abs(ew(2L)._1.get - (0.3 * 2 + 0.21 * 6) / 0.51) < 1e-9)
+    assert(ew.values.forall(_._2 === 0))
+
+    // health metrics: quota pressure, survivor count, cluster-size
+    // histogram and cell occupancy all present and consistent
+    val metrics = spark.read.parquet(s"$root/metrics").collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
+    assert(metrics("admitted:A") === quota.toLong)
+    assert(metrics("survivors") === readIds(s"$root/survivors").size.toLong)
+    assert(metrics("ivf_cell:0") + metrics("ivf_cell:1") === admittedIds.size.toLong)
+    // dup chains among ADMITTED docs: {1,2}, {4,8} (10 never admitted),
+    // {3,12} → three size-2 clusters; 5, 6, 11 stay singletons
+    assert(metrics("cluster_size:2") === 3L)
+    assert(metrics("cluster_size:1") === 3L)
+    assert(!metrics.contains("cluster_size:3"))
+  }
+
+  test("monitored ingest: mid-pipeline crash and full replay leave all nine artifacts unchanged") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val cleanRoot = tmp("graft_mingest_clean")
+    val crashRoot = tmp("graft_mingest_crash")
+    val b1 = withEmb(day1).toDF("doc_id", "source", "text", "embedding")
+    val b2 = withEmb(day2).toDF("doc_id", "source", "text", "embedding")
+
+    StreamingOps.dailyIngestMonitoredBatch(spark, b1, 0L, quota, centroids, cleanRoot)
+    StreamingOps.dailyIngestMonitoredBatch(spark, b2, 1L, quota, centroids, cleanRoot)
+
+    // crashed run: batch 1 completes; batch 2 "dies" after the dedup
+    // chain but BEFORE index maintenance and the reports — then the
+    // batch is redelivered and the full monitored body runs again
+    StreamingOps.dailyIngestMonitoredBatch(spark, b1, 0L, quota, centroids, crashRoot)
+    StreamingOps.dailyIngestBatch(spark, b2, quota, crashRoot)
+    StreamingOps.dailyIngestMonitoredBatch(spark, b2, 1L, quota, centroids, crashRoot)
+
+    assert(artifacts(crashRoot) === artifacts(cleanRoot))
+
+    // at-least-once: day 1 replayed wholesale after day 2 — membership
+    // (and first-write-wins history) keep every artifact fixed
+    val before = artifacts(cleanRoot)
+    StreamingOps.dailyIngestMonitoredBatch(spark, b1, 0L, quota, centroids, cleanRoot)
+    assert(artifacts(cleanRoot) === before)
+  }
+
   test("daily ingest: replaying an already-processed day changes nothing") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
