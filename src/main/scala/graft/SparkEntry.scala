@@ -647,6 +647,17 @@ object SparkEntry {
     "q_dsir_weights" -> sqlStaged(Seq("documents"), SqlOps.dsirWeights),
     "q_search_bm25" -> sqlStaged(Seq("documents"), SqlOps.searchBm25),
     "q_search_ndcg" -> sqlStaged(Seq("documents"), SqlOps.searchNdcg),
+    "q_search_rrf" -> sqlStaged(Seq("documents"), SqlOps.searchRrf),
+    "q_corpus_diversity" -> sqlStaged(Seq("documents"), SqlOps.corpusDiversity),
+    "q_ship_latency_priority" -> sqlq(Seq("lineitem", "orders"), SqlOps.shipLatencyPriority),
+    // provenance entropy over the staged cluster map (the clusters-view
+    // pattern of q_dedup_cluster_eval; oracle re-derives the map via
+    // the recursive-CTE closure)
+    "q_cluster_source_entropy" -> ((s, d) => {
+      clustersStaged(s, d).createOrReplaceTempView("clusters")
+      graft.Tables(s, d, "documents").createOrReplaceTempView("documents")
+      s.sql(SqlOps.clusterSourceEntropy(SparkDialect))
+    }),
     "q_bpe_pairs" -> sqlStaged(Seq("documents"), SqlOps.bpePairs),
     // the iterative BPE trainer: 3 staged merge rounds over the vocab
     // (prewarmed — the rounds feed TWO consumers, merges + encode)
@@ -1468,6 +1479,14 @@ object SparkEntry {
     "q_dsir_weights" -> SqlOps.dsirWeights.single(DuckDialect),
     "q_search_bm25" -> SqlOps.searchBm25.single(DuckDialect),
     "q_search_ndcg" -> SqlOps.searchNdcg.single(DuckDialect),
+    "q_search_rrf" -> SqlOps.searchRrf.single(DuckDialect),
+    "q_corpus_diversity" -> SqlOps.corpusDiversity.single(DuckDialect),
+    "q_ship_latency_priority" -> SqlOps.shipLatencyPriority(DuckDialect),
+    "q_cluster_source_entropy" ->
+      s"""$CLUSTER_CTES
+         |SELECT * FROM (
+         |${SqlOps.clusterSourceEntropy(DuckDialect)}
+         |)""".stripMargin,
     "q_bpe_pairs" -> SqlOps.bpePairs.single(DuckDialect),
     "q_bpe_merges" -> SqlOps.bpeMerges.single(DuckDialect),
     "q_bpe_encode" -> SqlOps.bpeEncode.single(DuckDialect),

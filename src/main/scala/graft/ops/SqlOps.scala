@@ -1230,6 +1230,34 @@ object SqlOps {
        |SELECT est_rows, actual_rows, est_rows = actual_rows AS exact_match
        |FROM est CROSS JOIN act""".stripMargin
 
+  /** TPC-H Q12's shipmode-priority aggregation adapted to this schema
+    * (the fixture lineitem carries no l_shipmode / l_commitdate /
+    * l_receiptdate — it ends at l_shipdate): the "mode" is the ship
+    * LATENCY BUCKET — 30-day floor-bins of l_shipdate − o_orderdate,
+    * SIGNED because the synthetic fixture ships both before and after
+    * the order date, hence [[floorDiv]] (Spark DIV truncates toward
+    * zero where DuckDB // floors; the pmod-subtract makes them agree)
+    * — and the measure is Q12's exact CASE aggregation: critical- vs
+    * non-critical-priority line counts for the two "slow" buckets
+    * standing in for Q12's two mail modes. One co-partitioned shuffle
+    * join on the order key, then a map-side-combinable aggregate; at
+    * 100 TB this is a plain co-located fact⋈fact join. */
+  def shipLatencyPriority(d: Dialect): String = {
+    val diff = s"(${d.epochSeconds("CAST(l_shipdate AS TIMESTAMP)")} - ${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")})"
+    s"""WITH j AS (
+       |  SELECT ${floorDiv(d)(diff, "2592000")} AS latency_bucket, o.o_orderpriority
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |)
+       |SELECT latency_bucket,
+       |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       |FROM j
+       |WHERE latency_bucket IN (2, 3)
+       |GROUP BY latency_bucket""".stripMargin
+  }
+
   /** BM25 ranked retrieval over the corpus for a fixed 3-term query —
     * the text-search operator (Robertson/Spärck Jones probabilistic
     * weighting, the Lucene default) a corpus pipeline uses to pull
@@ -1307,18 +1335,24 @@ object SqlOps {
     * first appearing at rank 11 scores 0), which the column name says
     * explicitly. idcg_q = 0 (no doc with rel > 0 anywhere) yields
     * ndcg10 = NULL rather than a division blow-up. */
+  /** The BM25 top-10 as a ranked staged artifact — shared by the nDCG
+    * eval and the RRF fusion (two consumers → staged, never a CTE:
+    * each reference would re-run the scorer against the index). */
+  private val ndcgRankedStage: (String, Dialect => String) =
+    "ndcg_ranked" -> { (d: Dialect) =>
+      s"""SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS rk
+         |FROM (
+         |${searchBm25.body(d)}
+         |)""".stripMargin
+    }
+
   val searchNdcg: StagedOp = StagedOp(
     // ranked list and relevance table are staged: ranked feeds the DCG
     // and MRR passes, rel feeds DCG, the ideal ranking, and MRR — as
     // CTEs each reference would re-run the BM25 scorer / the relevance
     // aggregate against the index (ScanAudit showed 12 scans)
     stages = textUnigramLm.stages ++ Seq(
-      "ndcg_ranked" -> { (d: Dialect) =>
-        s"""SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS rk
-           |FROM (
-           |${searchBm25.body(d)}
-           |)""".stripMargin
-      },
+      ndcgRankedStage,
       "ndcg_rel" -> { (d: Dialect) =>
         val inList = SearchTerms.map(t => s"'$t'").mkString(", ")
         s"""SELECT doc_id, LEAST(5, ${d.idiv("CAST(SUM(tf) AS BIGINT)", "2")}) AS rel
@@ -1354,6 +1388,48 @@ object SqlOps {
          |       ELSE ${r6("1.0e0 / first_good")} END AS mrr_at_10,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ndcg_rel WHERE rel > 0) AS n_relevant
          |FROM dcg CROSS JOIN idcg CROSS JOIN mrr""".stripMargin
+    })
+
+  /** Reciprocal-rank fusion of two retrievers over the same fixed
+    * query — the hybrid-search read path (Cormack/Clarke/Buettcher:
+    * score(d) = Σ_r 1/(k + rank_r(d)), k = 60): the BM25 top-10 (the
+    * staged [[ndcgRankedStage]] artifact) fused with a coverage-ranked
+    * boolean retriever (distinct query terms matched, then summed tf)
+    * — two genuinely different rankers, which is where RRF earns its
+    * keep. Both lists are rank-capped at 10; the fuse is one FULL
+    * OUTER join on doc_id over two ≤10-row relations (a doc on one
+    * list only keeps its single reciprocal term); the two reciprocal
+    * terms are summed in ONE fixed two-operand expression tree —
+    * deterministic IEEE in both engines, so the µ-quantized-comparator
+    * rule for longer float sums doesn't arise. At scale both input
+    * rankings are TakeOrdered top-k artifacts, so the fusion cost is
+    * O(k) regardless of corpus size. */
+  val searchRrf: StagedOp = StagedOp(
+    stages = textUnigramLm.stages :+ ndcgRankedStage,
+    body = { _ =>
+      val inList = SearchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH cov AS (
+         |  SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(tf) AS BIGINT) AS tot_tf
+         |  FROM ulm_tf WHERE s IN ($inList) GROUP BY doc_id
+         |),
+         |covr AS (
+         |  SELECT doc_id, rk FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (
+         |      ORDER BY n_terms DESC, tot_tf DESC, doc_id) AS rk
+         |    FROM cov
+         |  ) WHERE rk <= 10
+         |),
+         |fused AS (
+         |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         |    COALESCE(1.0e0 / (60 + a.rk), 0.0e0)
+         |      + COALESCE(1.0e0 / (60 + b.rk), 0.0e0) AS s,
+         |    a.rk AS bm25_rank, b.rk AS coverage_rank
+         |  FROM ndcg_ranked a FULL JOIN covr b ON a.doc_id = b.doc_id
+         |)
+         |SELECT doc_id, ${r6("s")} AS rrf_score, bm25_rank, coverage_rank,
+         |  rk AS fused_rank
+         |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rk FROM fused)
+         |WHERE rk <= 10""".stripMargin
     })
 
   /** One BPE-training iteration: count adjacent character pairs
@@ -2064,6 +2140,59 @@ object SqlOps {
          |  ${r6("CAST(inter AS DOUBLE) / (na + nb - inter)")} AS jaccard
          |FROM pinter
          |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6""".stripMargin
+    })
+
+  /** Corpus DIVERSITY by sampled mean pairwise similarity — the
+    * self-BLEU-shaped health metric a data-mixing pipeline tracks per
+    * source/epoch (a rising mean similarity means the corpus is
+    * collapsing toward templates): draw a deterministic ~3% content
+    * sample (md5 bucket < 8 — no RNG, engine-portable), compute exact
+    * 3-gram Jaccard over ALL sample pairs, and report the mean with
+    * non-overlapping pairs counted as 0 via the closed-form C(n,2)
+    * denominator (enumerating them would be the n² the sample exists
+    * to avoid; only OVERLAPPING pairs ever materialize, bounded by the
+    * inverted-index join). Per-pair scores are µ-quantized to int64
+    * before the order-independent sum; diversity = 1 − mean. Sampling
+    * is over the ORIGINAL documents, not the two-snapshot corpus —
+    * the planted snapshot duplicates would floor the metric by
+    * construction. Docs whose text yields no 3-gram (< 3 tokens) have
+    * no similarity support and are excluded from the population,
+    * which the n_docs column makes visible. */
+  val corpusDiversity: StagedOp = StagedOp(
+    stages = Seq(
+      "dvs_dsh" -> { d =>
+        s"""WITH samp AS (
+           |  SELECT doc_id, text FROM documents WHERE ${md5Bucket("text")} < 8
+           |),
+           |${shinglesCtes(d, n = 3, from = "samp")}
+           |SELECT DISTINCT doc_id, ${d.shingleId("s")} AS s FROM sh""".stripMargin
+      }),
+    body = { d =>
+      s"""WITH nd AS (
+         |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM dvs_dsh
+         |),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM dvs_dsh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM dvs_dsh a JOIN dvs_dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |),
+         |qj AS (
+         |  SELECT ${qvExpr("CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter)")} AS qj
+         |  FROM inter i
+         |  JOIN sz sa ON i.doc_a = sa.doc_id
+         |  JOIN sz sb ON i.doc_b = sb.doc_id
+         |),
+         |tot AS (SELECT CAST(COALESCE(SUM(qj), 0) AS BIGINT) AS sqj FROM qj)
+         |SELECT n AS n_docs,
+         |  ${d.idiv("n * (n - 1)", "2")} AS n_pairs,
+         |  CASE WHEN n < 2 THEN NULL
+         |       ELSE ${r6(s"CAST(sqj AS DOUBLE) / 1.0e6 / ${d.idiv("n * (n - 1)", "2")}")}
+         |  END AS mean_jaccard,
+         |  CASE WHEN n < 2 THEN NULL
+         |       ELSE ${r6(s"1.0e0 - CAST(sqj AS DOUBLE) / 1.0e6 / ${d.idiv("n * (n - 1)", "2")}")}
+         |  END AS diversity
+         |FROM nd CROSS JOIN tot""".stripMargin
     })
 
   /** Sliding-window document chunking (chunk = 16 tokens, stride = 12,
@@ -5905,6 +6034,38 @@ object SqlOps {
        |  ${bucketOf("CAST(doc_id AS STRING)")} AS naive_split
        |FROM g""".stripMargin
   }
+
+  /** Per-duplicate-cluster SOURCE diversity — the provenance monitor a
+    * dedup pipeline reads before deleting: a multi-doc cluster whose
+    * members span many sources is syndication/boilerplate (safe to
+    * collapse to one copy), one concentrated in a single source is a
+    * crawler loop or a template farm (worth excluding wholesale).
+    * Shannon entropy over member sources in the exact µ-bit arithmetic
+    * of [[textEntropy]] (H = log2(n) − (Σ c·log2 c)/n; each c·log2 c
+    * term quantized to int64 micro-bits BEFORE the order-independent
+    * sum), computed off the staged cluster map (`clusters` view)
+    * joined to the snapshot corpus — both snapshot copies inherit the
+    * original's source. Multi-doc clusters only, biggest first,
+    * top 20; at 100 TB this is one map-side-combinable rollup over the
+    * cluster map plus a TakeOrdered. */
+  def clusterSourceEntropy(d: Dialect): String =
+    s"""WITH ${corpusCte(d, "source")},
+       |m AS (
+       |  SELECT k.cluster_id, c.source
+       |  FROM clusters k JOIN corpus c ON k.doc_id = c.doc_id
+       |),
+       |cs AS (SELECT cluster_id, source, COUNT(*) AS c FROM m GROUP BY cluster_id, source),
+       |agg AS (
+       |  SELECT cluster_id, CAST(SUM(c) AS BIGINT) AS n,
+       |    CAST(COUNT(*) AS BIGINT) AS n_sources,
+       |    SUM(CAST(FLOOR(c * log2(CAST(c AS DOUBLE)) * 1.0e6 + 5.0e-1) AS BIGINT)) AS sq
+       |  FROM cs GROUP BY cluster_id
+       |)
+       |SELECT cluster_id, n AS n_docs, n_sources,
+       |  ${r6("log2(CAST(n AS DOUBLE)) - CAST(sq AS DOUBLE) / 1.0e6 / n")} AS source_entropy_bits
+       |FROM agg
+       |WHERE n >= 2
+       |ORDER BY n DESC, cluster_id LIMIT 20""".stripMargin
 
   /** The split report over a materialized `split_a` assignment (the
     * [[splitLeakageSafe]] output — two consumers: the straddle audit
