@@ -600,9 +600,14 @@ object SparkEntry {
     // candidates (8-band sign-LSH gate) closed into components by the
     // same CC operator the text side uses, against the same
     // recursive-CTE closure oracle. Embedding near-dup chains give this
-    // graph a much larger diameter than text minhash clusters (measured
-    // 10 plain-propagation rounds at sf0.1) — the regime the CC loop's
-    // pointer-doubling hop exists for (rounds ~ log diameter).
+    // graph a much larger diameter than text minhash clusters (10
+    // plain-propagation rounds at sf0.1) — but ALL THREE round-saving
+    // variants were measured here and lose at local scale, where
+    // per-round plan/codegen cost dominates the tiny dataflow: plain
+    // 10 rounds 2.5 s, pointer-doubling 7 rounds 3.3 s, star
+    // alternation 5 rounds 4.0 s. At 100 TB the ranking inverts (data
+    // volume per round dominates, round count is what matters) and
+    // this composition routes to connectedComponentsStar.
     "q_dedup_embedding_clusters" -> ((s, d) => {
       val pairs = sqlStaged(Seq("embeddings"), SqlOps.dedupEmbeddingCosine)(s, d)
       graft.ops.Cluster.connectedComponents(

@@ -166,7 +166,13 @@ object Cluster {
       val viaNeighbor = sym.join(labels, sym("b") === labels("id"))
         .select(sym("a").as("id"), col("lbl"))
       // lazy: the labelSum action below materializes the checkpoint —
-      // one job per round instead of two
+      // one job per round instead of two. (A pointer-doubling hop —
+      // lbl(x) ← min(lbl(x), lbl(lbl(x))) — was MEASURED here and
+      // reverted: it cut the embedding graph's rounds 10 → 7 but the
+      // extra node-cardinality self-join grew each round's plan enough
+      // to lose overall, 2.5 s → 3.3 s at sf0.1. Long-diameter graphs
+      // route to connectedComponentsStar instead, whose alternation is
+      // the bounded-round path that actually pays.)
       labels = viaNeighbor.union(labels)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint(eager = false)
