@@ -667,6 +667,7 @@ object SparkEntry {
     // the iterative BPE trainer: 3 staged merge rounds over the vocab
     // (prewarmed — the rounds feed TWO consumers, merges + encode)
     "q_bpe_merges" -> sqlStaged(Seq("documents"), SqlOps.bpeMerges),
+    "q_ulm_viterbi" -> sqlStaged(Seq("documents"), SqlOps.ulmViterbi),
     "q_bpe_encode" -> sqlStaged(Seq("documents"), SqlOps.bpeEncode),
     "q_text_langid" -> sqlq(Seq("documents"), SqlOps.textLangId),
     "q_text_langid_eval" -> sqlq(Seq("documents"), SqlOps.textLangIdEval),
@@ -1494,6 +1495,7 @@ object SparkEntry {
          |)""".stripMargin,
     "q_bpe_pairs" -> SqlOps.bpePairs.single(DuckDialect),
     "q_bpe_merges" -> SqlOps.bpeMerges.single(DuckDialect),
+    "q_ulm_viterbi" -> SqlOps.ulmViterbi.single(DuckDialect),
     "q_bpe_encode" -> SqlOps.bpeEncode.single(DuckDialect),
     "q_text_langid" -> SqlOps.textLangId(DuckDialect),
     "q_text_langid_eval" -> SqlOps.textLangIdEval(DuckDialect),

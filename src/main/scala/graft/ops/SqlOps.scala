@@ -1432,6 +1432,99 @@ object SqlOps {
          |WHERE rk <= 10""".stripMargin
     })
 
+  /** Unigram-LM tokenizer DP bounds: Viterbi positions 1..[[UlmMaxLen]]
+    * (words longer than the bound carry no dp row and are excluded —
+    * the fixture vocabulary tops out at 8 characters, the margin is
+    * headroom), candidate pieces are all substrings up to
+    * [[UlmMaxPiece]] characters. */
+  private val UlmMaxLen = 12
+  private val UlmMaxPiece = 3
+
+  /** One Viterbi DP stage: best segmentation score of each word's
+    * PREFIX ending at position `i`, from the ≤ [[UlmMaxPiece]]
+    * predecessor stages plus the piece ending at `i`. Candidate
+    * enumeration guarantees every ≤ 3-char substring has a piece row,
+    * so the joins can never drop a path. Ties are totally ordered
+    * (score DESC, fewer pieces, lexicographically smallest final
+    * piece — arms at one position always end in DIFFERENT-length,
+    * hence different, pieces), so both engines pick the same
+    * segmentation. */
+  private def ulmDpStage(i: Int): (String, Dialect => String) =
+    s"ulm_dp$i" -> { (_: Dialect) =>
+      val arms = (1 to math.min(UlmMaxPiece, i)).map { l =>
+        if (i - l == 0)
+          s"""SELECT v.w, p.qlp AS score, CAST(1 AS BIGINT) AS np,
+             |    substr(v.w, ${i - l + 1}, $l) AS piece
+             |  FROM ulm_vocab v
+             |  JOIN ulm_pieces p ON p.piece = substr(v.w, ${i - l + 1}, $l)
+             |  WHERE length(v.w) >= $i""".stripMargin
+        else
+          s"""SELECT b.w, b.score + p.qlp AS score, b.np + 1 AS np,
+             |    substr(b.w, ${i - l + 1}, $l) AS piece
+             |  FROM ulm_dp${i - l} b
+             |  JOIN ulm_pieces p ON p.piece = substr(b.w, ${i - l + 1}, $l)
+             |  WHERE length(b.w) >= $i""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH arms AS (
+         |$arms
+         |)
+         |SELECT w, score, np FROM (
+         |  SELECT w, score, np,
+         |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY score DESC, np, piece) AS rk
+         |  FROM arms
+         |) WHERE rk = 1""".stripMargin
+    }
+
+  /** SentencePiece-style UNIGRAM-LM tokenization (Kudo 2018), the
+    * other canonical subword family next to [[bpeMerges]]: score every
+    * word's best segmentation into candidate pieces under a unigram
+    * piece LM by exact Viterbi DP. Candidate vocabulary = ALL
+    * substrings up to 3 chars of corpus words, tf-weighted (single
+    * chars included by construction → full coverage, no unreachable
+    * word); piece log-probabilities are µ-log2 int64
+    * (qlog2(cnt) − qlog2(total) — the [[qlog2]] quantizer, no float
+    * sum ever crosses an aggregate); the DP is [[UlmMaxLen]] staged
+    * rounds over the VOCABULARY (the corpus collapses once into
+    * ulm_tf; every DP table is vocab-cardinality — the BPE trainer's
+    * scale shape). The iterative stages ARE the computation
+    * (pagerankIter rule: not prewarmed). Output: per-word best piece
+    * count and segmentation log-likelihood, tf-weighted — the
+    * tokenizer-fitting diagnostic (fertility under a unigram LM vs
+    * BPE's merge table). */
+  val ulmViterbi: StagedOp = StagedOp(
+    stages = textUnigramLm.stages ++ Seq(
+      "ulm_vocab" -> { (_: Dialect) =>
+        "SELECT s AS w, CAST(SUM(tf) AS BIGINT) AS c FROM ulm_tf GROUP BY s"
+      },
+      "ulm_pieces" -> { (d: Dialect) =>
+        s"""WITH wi AS (SELECT w, c, ${d.seqArray("1", "length(w)")} AS ii FROM ulm_vocab),
+           |pe AS (${d.explode("SELECT w, c, ii FROM wi", "w, c", "ii", "i")}),
+           |sub AS (
+           |  SELECT substr(w, i, 1) AS piece, c FROM pe
+           |  UNION ALL
+           |  SELECT substr(w, i, 2) AS piece, c FROM pe WHERE i + 1 <= length(w)
+           |  UNION ALL
+           |  SELECT substr(w, i, 3) AS piece, c FROM pe WHERE i + 2 <= length(w)
+           |),
+           |pc AS (SELECT piece, CAST(SUM(c) AS BIGINT) AS cnt FROM sub GROUP BY piece),
+           |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM pc)
+           |SELECT piece, cnt, ${qlog2("cnt")} - ${qlog2("t")} AS qlp
+           |FROM pc CROSS JOIN tot""".stripMargin
+      }) ++ (1 to UlmMaxLen).map(ulmDpStage),
+    body = { _ =>
+      val all = (1 to UlmMaxLen)
+        .map(i => s"SELECT w, score, np, $i AS i FROM ulm_dp$i")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH alldp AS (
+         |$all
+         |)
+         |SELECT v.w AS word, v.c AS tf, a.np AS n_pieces,
+         |  ${r6("CAST(a.score AS DOUBLE) / 1.0e6")} AS loglik_bits
+         |FROM ulm_vocab v
+         |JOIN alldp a ON a.w = v.w AND a.i = length(v.w)
+         |ORDER BY v.c DESC, v.w""".stripMargin
+    })
+
   /** One BPE-training iteration: count adjacent character pairs
     * weighted by word frequency and propose the top merge candidates
     * — the tokenizer-fitting step of an LLM data pipeline, computed

@@ -826,4 +826,64 @@ class MicroOracleSpec extends SparkSpec {
     assert((8L to 11L).forall(id => expected(id.toInt)._3 == "tail"))
     spark.catalog.dropTempView("documents")
   }
+
+  test("unigram-LM Viterbi: SQL DP equals an independent Scala segmenter") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // crafted corpus: overlapping substrings (ban/an/ana/and/nab) so
+    // the best segmentation is genuinely contested and the per-position
+    // tie order matters; word lengths 2..6 exercise every DP arm
+    val docs: Seq[(Long, String)] = Seq(
+      (0L, "banana band ban an"),
+      (1L, "banana banana ban and"),
+      (2L, "and band banana nab"),
+      (3L, "nab ban and an an"))
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    SqlOps.ulmViterbi.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.ulmViterbi.body(SparkDialect)).collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("tf"),
+        r.getAs[Long]("n_pieces"), r.getAs[Double]("loglik_bits")))
+
+    // ---- independent implementation ----
+    def qlog2(x: Long): Long =
+      math.floor(math.log(x.toDouble) / math.log(2.0) * 1e6 + 0.5).toLong
+    val vocab: Map[String, Long] = docs.flatMap(_._2.split(" ", -1))
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val pieceCnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, c) <- vocab; i <- 0 until w.length; l <- 1 to 3 if i + l <= w.length)
+      pieceCnt(w.substring(i, i + l)) += c
+    val total = pieceCnt.values.sum
+    val qlp: Map[String, Long] =
+      pieceCnt.toMap.map { case (p, c) => p -> (qlog2(c) - qlog2(total)) }
+    // Viterbi keeping ONE candidate per position under the SQL's exact
+    // total tie order: score DESC, fewer pieces, smallest final piece
+    def best(w: String): (Long, Long) = {
+      val dp = new Array[(Long, Long, String)](w.length + 1)
+      dp(0) = (0L, 0L, "")
+      for (i <- 1 to w.length) {
+        val cands = (1 to math.min(3, i)).map { l =>
+          val piece = w.substring(i - l, i)
+          val prev = dp(i - l)
+          (prev._1 + qlp(piece), prev._2 + 1, piece)
+        }
+        dp(i) = cands.minBy { case (s, np, p) => (-s, np, p) }
+      }
+      (dp(w.length)._1, dp(w.length)._2)
+    }
+    val expected = vocab.toSeq.map { case (w, c) =>
+      val (score, np) = best(w)
+      (w, c, np, r6(score.toDouble / 1e6))
+    }.sortBy { case (w, c, _, _) => (-c, w) }
+    assert(got.toSeq === expected)
+    // structural sanity: coverage — every word segmentable (got covers
+    // the whole vocab), single chars never beat a whole-word piece for
+    // 3-char words that are themselves frequent pieces
+    assert(got.map(_._1).toSet === vocab.keySet)
+    val np = got.map(g => g._1 -> g._3).toMap
+    assert(np("an") === 1L, "the 2-char word is itself a candidate piece")
+    assert(np("banana") <= 3L, "3-char pieces must bound banana at 3")
+    spark.catalog.dropTempView("documents")
+  }
 }
