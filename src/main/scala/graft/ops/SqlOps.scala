@@ -1468,8 +1468,8 @@ object SqlOps {
       s"""WITH arms AS (
          |$arms
          |)
-         |SELECT w, score, np FROM (
-         |  SELECT w, score, np,
+         |SELECT w, score, np, piece FROM (
+         |  SELECT w, score, np, piece,
          |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY score DESC, np, piece) AS rk
          |  FROM arms
          |) WHERE rk = 1""".stripMargin
@@ -1524,6 +1524,65 @@ object SqlOps {
          |JOIN alldp a ON a.w = v.w AND a.i = length(v.w)
          |ORDER BY v.c DESC, v.w""".stripMargin
     })
+
+  /** One hard-EM training iteration for the unigram LM (the Kudo 2018
+    * trainer's E+M under Viterbi counts, the standard hard-EM
+    * variant): walk every word's BEST segmentation back through the
+    * staged DP tables (each dp row carries its winning final piece, so
+    * the back-walk is [[UlmMaxLen]] staged position hops — pure joins,
+    * no recursion), count each piece's tf-weighted occurrences along
+    * those paths (the E step), and re-estimate the piece
+    * log-probabilities from the counts (the M step), reporting the
+    * µ-bit delta against the substring-frequency initialization. A
+    * piece that Viterbi never uses drops out — exactly the vocabulary
+    * pruning signal the real trainer thresholds on. Shares the dp
+    * chain with [[ulmViterbi]] (first consumer in bench name order
+    * builds it timed, the clustersStaged convention for iterative
+    * artifacts). */
+  val ulmEmStep: StagedOp = {
+    val dpAll = "ulm_dpall" -> { (_: Dialect) =>
+      (1 to UlmMaxLen)
+        .map(i => s"SELECT w, score, np, piece, $i AS i FROM ulm_dp$i")
+        .mkString("\nUNION ALL\n")
+    }
+    // bw_k(w, pos, piece): the k-th piece from the END of w's best
+    // segmentation, pos = the prefix position that piece ends at
+    def bwStage(k: Int): (String, Dialect => String) =
+      s"ulm_bw$k" -> { (_: Dialect) =>
+        if (k == 1)
+          s"""SELECT d.w, d.i AS pos, d.piece
+             |FROM ulm_dpall d JOIN ulm_vocab v ON d.w = v.w AND d.i = length(v.w)""".stripMargin
+        else
+          s"""SELECT d.w, d.i AS pos, d.piece
+             |FROM ulm_bw${k - 1} b
+             |JOIN ulm_dpall d ON d.w = b.w AND d.i = b.pos - length(b.piece)
+             |WHERE b.pos - length(b.piece) >= 1""".stripMargin
+      }
+    StagedOp(
+      stages = ulmViterbi.stages ++ Seq(dpAll) ++ (1 to UlmMaxLen).map(bwStage),
+      body = { _ =>
+        val path = (1 to UlmMaxLen)
+          .map(k => s"SELECT w, piece FROM ulm_bw$k")
+          .mkString("\nUNION ALL\n")
+        s"""WITH pp AS (
+           |$path
+           |),
+           |cnt AS (
+           |  SELECT p.piece, CAST(SUM(v.c) AS BIGINT) AS expected_count
+           |  FROM pp p JOIN ulm_vocab v ON v.w = p.w
+           |  GROUP BY p.piece
+           |),
+           |tot AS (SELECT CAST(SUM(expected_count) AS BIGINT) AS t FROM cnt)
+           |SELECT c.piece, c.expected_count,
+           |  ${r6(s"CAST(${qlog2("c.expected_count")} - ${qlog2("t")} AS DOUBLE) / 1.0e6")} AS logp_new_bits,
+           |  ${r6("CAST(p.qlp AS DOUBLE) / 1.0e6")} AS logp_init_bits,
+           |  ${r6(s"CAST((${qlog2("c.expected_count")} - ${qlog2("t")}) - p.qlp AS DOUBLE) / 1.0e6")} AS delta_bits
+           |FROM cnt c
+           |JOIN ulm_pieces p ON p.piece = c.piece
+           |CROSS JOIN tot
+           |ORDER BY c.expected_count DESC, c.piece LIMIT 30""".stripMargin
+      })
+  }
 
   /** One BPE-training iteration: count adjacent character pairs
     * weighted by word frequency and propose the top merge candidates

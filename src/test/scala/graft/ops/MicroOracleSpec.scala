@@ -886,4 +886,61 @@ class MicroOracleSpec extends SparkSpec {
     assert(np("banana") <= 3L, "3-char pieces must bound banana at 3")
     spark.catalog.dropTempView("documents")
   }
+
+  test("unigram-LM hard-EM step: SQL back-walk counts equal an independent path trace") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val docs: Seq[(Long, String)] = Seq(
+      (0L, "banana band ban an"),
+      (1L, "banana banana ban and"),
+      (2L, "and band banana nab"),
+      (3L, "nab ban and an an"))
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    SqlOps.ulmEmStep.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.ulmEmStep.body(SparkDialect)).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("expected_count"),
+        r.getAs[Double]("logp_new_bits"), r.getAs[Double]("delta_bits")))
+
+    // ---- independent implementation (segmenter + path trace) ----
+    def qlog2(x: Long): Long =
+      math.floor(math.log(x.toDouble) / math.log(2.0) * 1e6 + 0.5).toLong
+    val vocab: Map[String, Long] = docs.flatMap(_._2.split(" ", -1))
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val pieceCnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, c) <- vocab; i <- 0 until w.length; l <- 1 to 3 if i + l <= w.length)
+      pieceCnt(w.substring(i, i + l)) += c
+    val total = pieceCnt.values.sum
+    val qlp: Map[String, Long] =
+      pieceCnt.toMap.map { case (p, c) => p -> (qlog2(c) - qlog2(total)) }
+    def bestPath(w: String): List[String] = {
+      val dp = new Array[(Long, Long, String)](w.length + 1)
+      dp(0) = (0L, 0L, "")
+      for (i <- 1 to w.length) {
+        val cands = (1 to math.min(3, i)).map { l =>
+          val piece = w.substring(i - l, i)
+          val prev = dp(i - l)
+          (prev._1 + qlp(piece), prev._2 + 1, piece)
+        }
+        dp(i) = cands.minBy { case (s, n, p) => (-s, n, p) }
+      }
+      var pos = w.length
+      var path = List.empty[String]
+      while (pos > 0) { val p = dp(pos)._3; path = p :: path; pos -= p.length }
+      path
+    }
+    val ec = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, c) <- vocab; p <- bestPath(w)) ec(p) += c
+    val t = ec.values.sum
+    val expected = ec.toSeq.map { case (p, c) =>
+      val qNew = qlog2(c) - qlog2(t)
+      (p, c, r6(qNew.toDouble / 1e6), r6((qNew - qlp(p)).toDouble / 1e6))
+    }.sortBy { case (p, c, _, _) => (-c, p) }.take(30)
+    assert(got.toSeq === expected)
+    // E-step coverage: the surviving vocabulary is exactly the pieces
+    // some best path uses — the pruning signal the trainer thresholds
+    assert(got.map(_._1).toSet === ec.keySet)
+    spark.catalog.dropTempView("documents")
+  }
 }
