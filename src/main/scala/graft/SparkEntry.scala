@@ -669,6 +669,7 @@ object SparkEntry {
     "q_bpe_merges" -> sqlStaged(Seq("documents"), SqlOps.bpeMerges),
     "q_ulm_viterbi" -> sqlStaged(Seq("documents"), SqlOps.ulmViterbi),
     "q_ulm_em_step" -> sqlStaged(Seq("documents"), SqlOps.ulmEmStep),
+    "q_ulm_encode" -> sqlStaged(Seq("documents"), SqlOps.ulmEncode),
     "q_bpe_encode" -> sqlStaged(Seq("documents"), SqlOps.bpeEncode),
     "q_text_langid" -> sqlq(Seq("documents"), SqlOps.textLangId),
     "q_text_langid_eval" -> sqlq(Seq("documents"), SqlOps.textLangIdEval),
@@ -1498,6 +1499,7 @@ object SparkEntry {
     "q_bpe_merges" -> SqlOps.bpeMerges.single(DuckDialect),
     "q_ulm_viterbi" -> SqlOps.ulmViterbi.single(DuckDialect),
     "q_ulm_em_step" -> SqlOps.ulmEmStep.single(DuckDialect),
+    "q_ulm_encode" -> SqlOps.ulmEncode.single(DuckDialect),
     "q_bpe_encode" -> SqlOps.bpeEncode.single(DuckDialect),
     "q_text_langid" -> SqlOps.textLangId(DuckDialect),
     "q_text_langid_eval" -> SqlOps.textLangIdEval(DuckDialect),

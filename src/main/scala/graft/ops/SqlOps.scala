@@ -1525,6 +1525,40 @@ object SqlOps {
          |ORDER BY v.c DESC, v.w""".stripMargin
     })
 
+  /** The unigram-LM tokenizer's READ path: tokenize the corpus with
+    * the trained segmenter — per-document word, subword-piece and
+    * total-log-likelihood counts, the [[bpeEncode]] counterpart for
+    * the ULM family (a tokenizer-choice A/B over the same corpus).
+    * All per-word work is already in the staged DP tables; the encode
+    * is ONE join of the per-(doc, word) tf index against the
+    * vocab-cardinality best-segmentation table — the corpus is never
+    * re-scanned, which is the whole point of training on the collapsed
+    * vocabulary. Words longer than [[UlmMaxLen]] (none in this
+    * corpus' vocabulary) would fall out of the inner join — the
+    * n_words column against a plain token count would expose that
+    * loudly. */
+  val ulmEncode: StagedOp = StagedOp(
+    stages = ulmViterbi.stages,
+    body = { _ =>
+      val all = (1 to UlmMaxLen)
+        .map(i => s"SELECT w, score, np, $i AS i FROM ulm_dp$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH alldp AS (
+         |$all
+         |),
+         |seg AS (
+         |  SELECT v.w, a.np, a.score
+         |  FROM ulm_vocab v JOIN alldp a ON a.w = v.w AND a.i = length(v.w)
+         |)
+         |SELECT t.doc_id,
+         |  CAST(SUM(t.tf) AS BIGINT) AS n_words,
+         |  CAST(SUM(t.tf * s.np) AS BIGINT) AS n_pieces,
+         |  ${r6("CAST(SUM(t.tf * s.np) AS DOUBLE) / SUM(t.tf)")} AS fertility,
+         |  ${r6("CAST(SUM(t.tf * s.score) AS DOUBLE) / 1.0e6")} AS loglik_bits
+         |FROM ulm_tf t JOIN seg s ON s.w = t.s
+         |GROUP BY t.doc_id""".stripMargin
+    })
+
   /** One hard-EM training iteration for the unigram LM (the Kudo 2018
     * trainer's E+M under Viterbi counts, the standard hard-EM
     * variant): walk every word's BEST segmentation back through the
