@@ -730,6 +730,7 @@ object SparkEntry {
     "q_ewma_forecast" -> sqlq(Seq("orders"), SqlOps.ewmaForecast),
     "q_anomaly_ewma" -> sqlStaged(Seq("orders"), SqlOps.anomalyEwma),
     "q_cdc_apply" -> sqlq(Seq("orders"), SqlOps.cdcApply),
+    "q_agg_retract" -> sqlq(Seq("orders"), SqlOps.aggRetract),
     "q_snapshot_diff" -> sqlq(Seq("documents"), SqlOps.snapshotDiff),
     "q_merkle_ranges" -> sqlq(Seq("documents"), SqlOps.merkleRanges),
     "q_profile_orders" -> sqlStaged(Seq("orders"), SqlOps.profileOrders),
@@ -1539,6 +1540,7 @@ object SparkEntry {
     "q_ewma_forecast" -> SqlOps.ewmaForecast(DuckDialect),
     "q_anomaly_ewma" -> SqlOps.anomalyEwma.single(DuckDialect),
     "q_cdc_apply" -> SqlOps.cdcApply(DuckDialect),
+    "q_agg_retract" -> SqlOps.aggRetract(DuckDialect),
     "q_snapshot_diff" -> SqlOps.snapshotDiff(DuckDialect),
     "q_merkle_ranges" -> SqlOps.merkleRanges(DuckDialect),
     "q_profile_orders" -> SqlOps.profileOrders.single(DuckDialect),

@@ -4149,6 +4149,66 @@ object SqlOps {
        |SELECT key, CAST(val AS DOUBLE) AS val, seq AS last_seq
        |FROM latest WHERE rn = 1 AND op <> 'D'""".stripMargin
 
+  /** Retraction-maintained aggregate — incremental view maintenance
+    * over a before/after change feed (the Flink-retract / DBSP /
+    * materialized-view delta shape, and [[cdcApply]]'s aggregate-level
+    * sibling): every change row carries its before- and after-image
+    * (Debezium's envelope), contributes signed deltas
+    * (Δcount = [after≠NULL] − [before≠NULL], Δsum = after − before),
+    * and the per-group aggregate is ONE map-side-combinable SUM of
+    * deltas — no per-key window, no state lookup, exactly how a
+    * streaming materialized view folds a 100 TB change log. The query
+    * also computes the ground truth the long way (keep-latest per key,
+    * then aggregate the live state) and asserts the maintenance
+    * identity IN-ROW per group, so the oracle gate proves the
+    * decomposition itself (the joinSizeAudit pattern). All money stays
+    * DECIMAL until the output cast. */
+  def aggRetract(d: Dialect): String = {
+    val p = "CAST(o_totalprice AS DECIMAL(18,2))"
+    s"""WITH changes AS (
+       |  SELECT o_orderkey AS key, 1 AS seq,
+       |    CAST(NULL AS DECIMAL(18,2)) AS before_val, $p AS after_val
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT o_orderkey, 2, $p, CAST($p * 2 AS DECIMAL(18,2))
+       |  FROM orders WHERE o_orderkey % 3 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey, 3,
+       |    CASE WHEN o_orderkey % 3 = 0 THEN CAST($p * 2 AS DECIMAL(18,2)) ELSE $p END,
+       |    CAST(NULL AS DECIMAL(18,2))
+       |  FROM orders WHERE o_orderkey % 5 = 0
+       |),
+       |deltas AS (
+       |  SELECT key % 100 AS grp,
+       |    (CASE WHEN after_val IS NOT NULL THEN 1 ELSE 0 END)
+       |      - (CASE WHEN before_val IS NOT NULL THEN 1 ELSE 0 END) AS dc,
+       |    COALESCE(after_val, CAST(0 AS DECIMAL(18,2)))
+       |      - COALESCE(before_val, CAST(0 AS DECIMAL(18,2))) AS ds
+       |  FROM changes
+       |),
+       |maintained AS (
+       |  SELECT grp, CAST(SUM(dc) AS BIGINT) AS n_live,
+       |    CAST(SUM(ds) AS DECIMAL(28,2)) AS sum_live
+       |  FROM deltas GROUP BY grp
+       |),
+       |latest AS (
+       |  SELECT key, after_val AS val FROM (
+       |    SELECT key, after_val,
+       |      ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+       |    FROM changes
+       |  ) WHERE rn = 1
+       |),
+       |direct AS (
+       |  SELECT key % 100 AS grp, CAST(COUNT(val) AS BIGINT) AS n_direct,
+       |    CAST(COALESCE(SUM(val), CAST(0 AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_direct
+       |  FROM latest GROUP BY key % 100
+       |)
+       |SELECT m.grp, m.n_live, CAST(m.sum_live AS DOUBLE) AS sum_live,
+       |  m.n_live = d.n_direct AS count_matches,
+       |  m.sum_live = d.sum_direct AS sum_matches
+       |FROM maintained m JOIN direct d ON m.grp = d.grp""".stripMargin
+  }
+
   /** Per-user union of overlapping time intervals (total covered
     * seconds + merged-interval count) — the classic gaps-and-islands
     * reduction, the watch-time/dwell-time operator. Interval length is
