@@ -1277,4 +1277,82 @@ object StreamingOps {
         dailyIngestMonitoredBatch(spark, batch, batchId, quota, centroids, stateRoot)
       }
   }
+
+  // --------------------------------------------------------------------
+  // Exactly-once JDBC sink: the reference's staging-table merge
+  // (etl.Load.jdbcUpsert) made redelivery-safe for foreachBatch.
+  // --------------------------------------------------------------------
+
+  /** Apply one micro-batch to an RDBMS EXACTLY ONCE: a `__ledger`
+    * table records every committed epoch id, and the MERGE plus the
+    * ledger INSERT run in ONE driver-side transaction — a crash can
+    * never apply the merge without recording the epoch or vice versa,
+    * so redelivery (which Structured Streaming guarantees for any
+    * batch whose body did not complete) is detected by the ledger
+    * check and becomes a no-op. That makes the sink exactly-once for
+    * ANY merge statement, idempotent or not (an idempotent upsert
+    * only needs the ledger for skip cost; an accumulating statement
+    * needs it for correctness). The staging-table write is executed
+    * by the executors OUTSIDE the transaction — it is a scratch
+    * overwrite, harmless to repeat. Returns true when the batch was
+    * applied, false when the ledger said it already had been.
+    *
+    * Ledger DDL contract: `CREATE TABLE <ledger> (batch_id BIGINT
+    * PRIMARY KEY)` — the primary key also makes a double-apply race
+    * (two drivers on one checkpoint, which Spark itself forbids) fail
+    * loudly instead of silently. */
+  def jdbcExactlyOnceBatch(batch: DataFrame, batchId: Long, url: String,
+                           stagingTable: String, mainTable: String, key: String,
+                           ledgerTable: String,
+                           dialect: graft.etl.Load.MergeDialect = graft.etl.Load.AnsiMerge,
+                           batchSize: Int = 500): Boolean = {
+    val props = new java.util.Properties
+    val check = java.sql.DriverManager.getConnection(url, props)
+    val already =
+      try {
+        val st = check.createStatement()
+        try {
+          val rs = st.executeQuery(
+            s"SELECT COUNT(*) FROM $ledgerTable WHERE batch_id = $batchId")
+          rs.next()
+          rs.getLong(1) > 0
+        } finally st.close()
+      } finally check.close()
+    if (already) false
+    else {
+      batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("truncate", "true")
+        .option("batchsize", batchSize.toString)
+        .jdbc(url, stagingTable, props)
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        try {
+          st.execute(dialect.mergeSql(mainTable, stagingTable, batch.columns.toSeq, key))
+          st.execute(s"INSERT INTO $ledgerTable (batch_id) VALUES ($batchId)")
+          conn.commit()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally st.close()
+      } finally conn.close()
+      true
+    }
+  }
+
+  /** The streaming wrapper: each micro-batch upserts into `mainTable`
+    * through the staging table + transactional ledger protocol of
+    * [[jdbcExactlyOnceBatch]]. */
+  def jdbcExactlyOnce(stream: DataFrame, url: String, stagingTable: String,
+                      mainTable: String, key: String, ledgerTable: String,
+                      checkpointDir: String) = {
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        jdbcExactlyOnceBatch(batch, batchId, url, stagingTable, mainTable,
+          key, ledgerTable)
+        ()
+      }
+  }
 }

@@ -144,6 +144,59 @@ class LoadSpec extends SparkSpec {
     assert(pg.contains("price_rp = EXCLUDED.price_rp"))
   }
 
+  test("jdbcExactlyOnce: ledger + transactional merge — redelivery no-ops, failures roll back whole") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    val url = "jdbc:derby:memory:graftxonce;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE main_x (link VARCHAR(64) PRIMARY KEY, price_rp BIGINT)")
+      st.execute("CREATE TABLE stg_x (link VARCHAR(64), price_rp BIGINT)")
+      st.execute("CREATE TABLE led_x (batch_id BIGINT PRIMARY KEY)")
+      st.close()
+    } finally conn.close()
+    def readMain(): Set[(String, Long)] =
+      spark.read.jdbc(url, "main_x", new java.util.Properties)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    // first delivery of epoch 7 applies
+    assert(StreamingOps.jdbcExactlyOnceBatch(
+      Seq(("a", 1L), ("b", 2L)).toDF("link", "price_rp"),
+      7L, url, "stg_x", "main_x", "link", "led_x"))
+    assert(readMain() === Set(("a", 1L), ("b", 2L)))
+
+    // redelivery of epoch 7 is skipped even with DIFFERENT payload —
+    // the ledger, not value idempotence, is what protects the sink
+    assert(!StreamingOps.jdbcExactlyOnceBatch(
+      Seq(("a", 999L)).toDF("link", "price_rp"),
+      7L, url, "stg_x", "main_x", "link", "led_x"))
+    assert(readMain() === Set(("a", 1L), ("b", 2L)))
+
+    // next epoch upserts normally
+    assert(StreamingOps.jdbcExactlyOnceBatch(
+      Seq(("b", 20L), ("c", 3L)).toDF("link", "price_rp"),
+      8L, url, "stg_x", "main_x", "link", "led_x"))
+    assert(readMain() === Set(("a", 1L), ("b", 20L), ("c", 3L)))
+
+    // atomicity: a merge that fails mid-statement (duplicate source
+    // keys violate main's PRIMARY KEY on the NOT MATCHED inserts)
+    // rolls back WITH its ledger insert — the epoch stays unrecorded,
+    // main stays untouched, and the fixed redelivery then applies
+    intercept[java.sql.SQLException] {
+      StreamingOps.jdbcExactlyOnceBatch(
+        Seq(("d", 4L), ("d", 5L)).toDF("link", "price_rp"),
+        9L, url, "stg_x", "main_x", "link", "led_x")
+    }
+    assert(readMain() === Set(("a", 1L), ("b", 20L), ("c", 3L)),
+      "a failed merge must leave the main table untouched")
+    assert(StreamingOps.jdbcExactlyOnceBatch(
+      Seq(("d", 4L)).toDF("link", "price_rp"),
+      9L, url, "stg_x", "main_x", "link", "led_x"),
+      "the failed epoch must not have been recorded in the ledger")
+    assert(readMain() === Set(("a", 1L), ("b", 20L), ("c", 3L), ("d", 4L)))
+  }
+
   test("schema evolution: mergeSchema unions file batches, missing columns read NULL") {
     // a long-lived landing zone accumulates batches written by
     // different pipeline versions; the engine must read them as one
