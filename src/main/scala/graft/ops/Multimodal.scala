@@ -325,4 +325,42 @@ object Multimodal {
       }
     }.toDF("doc_id", "frame_no", "frame")
   }
+
+  case class FrameStat(doc_id: Long, frame_no: Int, mean_byte: Double)
+
+  /** Scene-change KEYFRAME selection over the sampled frames — the
+    * video-curation step that turns a frame stream into the sparse set
+    * a captioning/embedding stage actually processes. Per frame one
+    * narrow statistic (mean byte intensity — the stub stand-in for a
+    * real frame histogram; a production build swaps only that lambda),
+    * then ONE window per doc (LAG over frame_no) and a threshold gate
+    * on the inter-frame difference; the first frame is always a
+    * keyframe. Shape notes for 100 TB: the per-frame map is
+    * embarrassingly parallel, the window shuffles once on doc_id, and
+    * the output carries the flag rather than filtering so a downstream
+    * stage can choose its own sparsity. */
+  def keyFrames(media: Dataset[MediaRow], stride: Int = 4,
+                threshold: Double = 8.0): DataFrame = {
+    import media.sparkSession.implicits._
+    val stats = sampleFrames(media, stride)
+      .as[(Long, Int, Array[Byte])]
+      .map { case (id, no, bytes) =>
+        val m =
+          if (bytes == null || bytes.isEmpty) 0.0
+          else {
+            var s = 0L
+            var i = 0
+            while (i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
+            s.toDouble / bytes.length
+          }
+        FrameStat(id, no, m)
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_no")
+    stats.toDF()
+      .withColumn("prev_mean", lag(col("mean_byte"), 1).over(w))
+      .withColumn("is_keyframe",
+        (col("prev_mean").isNull ||
+          abs(col("mean_byte") - col("prev_mean")) > threshold).cast("boolean"))
+  }
 }

@@ -192,6 +192,28 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getAs[Long]("doc_id")).toSet.subsetOf(videoIds))
   }
 
+  test("keyFrames: scene changes flag, steady scenes don't, first frame always keeps") {
+    import spark.implicits._
+    // three "scenes": 4 chunks of byte 10, 4 of byte 200, 4 of byte 12
+    // → keyframes at frames 0 (first), 4 (10→200 jump) and 8 (200→12)
+    val payload = (Array.fill(256)(10.toByte) ++ Array.fill(256)(200.toByte)
+      ++ Array.fill(256)(12.toByte))
+    val rows = Seq(Multimodal.MediaRow(1L, "video/mp4", payload))
+    val got = Multimodal.keyFrames(spark.createDataset(rows), stride = 1)
+      .collect()
+      .map(r => r.getAs[Int]("frame_no") -> r.getAs[Boolean]("is_keyframe"))
+      .toMap
+    assert(got.size === 12, "stride 1 over 768 bytes = 12 frames")
+    assert(got.filter(_._2).keySet === Set(0, 4, 8))
+    // wider stride still lands on the scene boundaries it samples
+    val sampled = Multimodal.keyFrames(spark.createDataset(rows), stride = 4)
+      .collect()
+      .map(r => r.getAs[Int]("frame_no") -> r.getAs[Boolean]("is_keyframe"))
+      .toMap
+    assert(sampled.keySet === Set(0, 4, 8))
+    assert(sampled.values.forall(identity), "every sampled frame starts a scene here")
+  }
+
   test("aHash: identical images collide, perturbed images stay near, distinct images part") {
     import spark.implicits._
     // a structured image (left-dark / right-light gradient), its exact
