@@ -37,7 +37,7 @@ object SparkEntry {
     // written once per JVM per dataset: the derivation is deterministic,
     // so the three merge queries share one interchange materialization
     writeStageOnce(path)(transformed(s, d).write.mode("overwrite").parquet(path))
-    s.read.parquet(path)
+    readStage(s, path)
   }
 
   /** Mark `path` materialized only AFTER the write succeeds — a failed
@@ -56,6 +56,11 @@ object SparkEntry {
       if (!stagedOnce.contains(path) || !stageComplete(path)) {
         write
         stagedOnce.add(path)
+        // a (re)write replaced the part files under `path`: a memoized
+        // reader pins the OLD file listing (read.parquet captures the
+        // FileIndex eagerly, not lazily), so every session's memo entry
+        // for this path must drop — the next readStage lists afresh
+        stageReads.keySet.removeIf(_._2 == path)
         ()
       }
     }
@@ -77,6 +82,7 @@ object SparkEntry {
       new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_stage"))
     catch { case scala.util.control.NonFatal(_) => () }
     stagedOnce.clear()
+    stageReads.clear()
   }
 
   /** Duplicate-cluster map (pairs → components), staged once per JVM
@@ -96,7 +102,7 @@ object SparkEntry {
           pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
         .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
+    readStage(s, path)
   }
 
   /** "Today's ingest" slice for the incremental-CC demo: ~1/16 of the
@@ -124,7 +130,7 @@ object SparkEntry {
             .select(col("doc_a").as("a"), col("doc_b").as("b")))
         .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
+    readStage(s, path)
   }
 
   /** Cleaned-corpus manifest from a cluster map: one representative
@@ -157,7 +163,7 @@ object SparkEntry {
       graft.ops.Cluster.incrementalUpdate(clustersBaseStaged(s, d), delta)
         .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
+    readStage(s, path)
   }
 
   private def mergeMain(t: DataFrame): DataFrame =
@@ -189,6 +195,21 @@ object SparkEntry {
       s.sql(op.body(SparkDialect))
     }
 
+  /** Per-(session, path) memo of the stage-reading DataFrames:
+    * `spark.read.parquet` lists the directory and reads a footer for
+    * the schema EVERY call, and a staged query re-registers each of
+    * its stages on every run — a 25-stage op was paying ~1 s of
+    * repeated footer/listing reads per WARM run. The memoized frame
+    * pins the FileIndex (read.parquet captures the listing eagerly),
+    * which is exactly why [[writeStageOnce]] drops the path's entries
+    * whenever it (re)writes and [[cleanupStages]] clears the map —
+    * a memo may only outlive the part files it lists if nothing
+    * rewrote them. */
+  private val stageReads =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def readStage(s: SparkSession, path: String): DataFrame =
+    stageReads.computeIfAbsent((s, path), _ => s.read.parquet(path))
+
   /** Materialize (or re-register, when already cached this JVM) every
     * stage of `op` as a parquet-backed temp view. */
   private def buildStages(views: Seq[String], op: StagedOp): (SparkSession, String) => Unit =
@@ -204,7 +225,7 @@ object SparkEntry {
         // treats a signature/shingle index
         writeStageOnce(path)(
           s.sql(build(SparkDialect)).write.mode("overwrite").parquet(path))
-        s.read.parquet(path).createOrReplaceTempView(name)
+        readStage(s, path).createOrReplaceTempView(name)
       }
     }
 
@@ -731,6 +752,7 @@ object SparkEntry {
     "q_anomaly_ewma" -> sqlStaged(Seq("orders"), SqlOps.anomalyEwma),
     "q_cdc_apply" -> sqlq(Seq("orders"), SqlOps.cdcApply),
     "q_agg_retract" -> sqlq(Seq("orders"), SqlOps.aggRetract),
+    "q_url_canonical" -> sqlq(Seq("part"), SqlOps.urlCanonical),
     "q_snapshot_diff" -> sqlq(Seq("documents"), SqlOps.snapshotDiff),
     "q_merkle_ranges" -> sqlq(Seq("documents"), SqlOps.merkleRanges),
     "q_profile_orders" -> sqlStaged(Seq("orders"), SqlOps.profileOrders),
@@ -1541,6 +1563,7 @@ object SparkEntry {
     "q_anomaly_ewma" -> SqlOps.anomalyEwma.single(DuckDialect),
     "q_cdc_apply" -> SqlOps.cdcApply(DuckDialect),
     "q_agg_retract" -> SqlOps.aggRetract(DuckDialect),
+    "q_url_canonical" -> SqlOps.urlCanonical(DuckDialect),
     "q_snapshot_diff" -> SqlOps.snapshotDiff(DuckDialect),
     "q_merkle_ranges" -> SqlOps.merkleRanges(DuckDialect),
     "q_profile_orders" -> SqlOps.profileOrders.single(DuckDialect),

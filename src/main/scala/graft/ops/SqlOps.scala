@@ -1433,11 +1433,13 @@ object SqlOps {
     })
 
   /** Unigram-LM tokenizer DP bounds: Viterbi positions 1..[[UlmMaxLen]]
-    * (words longer than the bound carry no dp row and are excluded —
-    * the fixture vocabulary tops out at 8 characters, the margin is
-    * headroom), candidate pieces are all substrings up to
-    * [[UlmMaxPiece]] characters. */
-  private val UlmMaxLen = 12
+    * (the fixture vocabulary tops out at 8 characters; the vocab stage
+    * guards the bound LOUDLY — a longer word throws identically in
+    * both engines instead of silently dropping out of the DP joins),
+    * candidate pieces are all substrings up to [[UlmMaxPiece]]
+    * characters. Every +1 on the bound is two more staged DP/back-walk
+    * rounds, so the bound is deliberately snug. */
+  private val UlmMaxLen = 10
   private val UlmMaxPiece = 3
 
   /** One Viterbi DP stage: best segmentation score of each word's
@@ -1494,7 +1496,14 @@ object SqlOps {
   val ulmViterbi: StagedOp = StagedOp(
     stages = textUnigramLm.stages ++ Seq(
       "ulm_vocab" -> { (_: Dialect) =>
-        "SELECT s AS w, CAST(SUM(tf) AS BIGINT) AS c FROM ulm_tf GROUP BY s"
+        // the loud bound guard: under ANSI both engines throw on the
+        // string-to-int cast, so a corpus word outlasting the DP bound
+        // can never silently vanish from the tokenizer
+        s"""SELECT s AS w,
+           |  CASE WHEN length(s) > $UlmMaxLen
+           |       THEN CAST('ulm: word longer than UlmMaxLen — raise the DP bound' AS BIGINT)
+           |       ELSE CAST(SUM(tf) AS BIGINT) END AS c
+           |FROM ulm_tf GROUP BY s""".stripMargin
       },
       "ulm_pieces" -> { (d: Dialect) =>
         s"""WITH wi AS (SELECT w, c, ${d.seqArray("1", "length(w)")} AS ii FROM ulm_vocab),
@@ -1510,18 +1519,19 @@ object SqlOps {
            |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM pc)
            |SELECT piece, cnt, ${qlog2("cnt")} - ${qlog2("t")} AS qlp
            |FROM pc CROSS JOIN tot""".stripMargin
-      }) ++ (1 to UlmMaxLen).map(ulmDpStage),
+      }) ++ (1 to UlmMaxLen).map(ulmDpStage) :+ ("ulm_dpall" -> { (_: Dialect) =>
+        // the per-position dp tables flattened once (pos column added)
+        // — THREE consumers (the viterbi readout, the encode join, the
+        // EM back-walk's every hop), so the 10-arm union runs once
+        (1 to UlmMaxLen)
+          .map(i => s"SELECT w, score, np, piece, $i AS i FROM ulm_dp$i")
+          .mkString("\nUNION ALL\n")
+      }),
     body = { _ =>
-      val all = (1 to UlmMaxLen)
-        .map(i => s"SELECT w, score, np, $i AS i FROM ulm_dp$i")
-        .mkString("\n  UNION ALL\n")
-      s"""WITH alldp AS (
-         |$all
-         |)
-         |SELECT v.w AS word, v.c AS tf, a.np AS n_pieces,
+      s"""SELECT v.w AS word, v.c AS tf, a.np AS n_pieces,
          |  ${r6("CAST(a.score AS DOUBLE) / 1.0e6")} AS loglik_bits
          |FROM ulm_vocab v
-         |JOIN alldp a ON a.w = v.w AND a.i = length(v.w)
+         |JOIN ulm_dpall a ON a.w = v.w AND a.i = length(v.w)
          |ORDER BY v.c DESC, v.w""".stripMargin
     })
 
@@ -1533,22 +1543,14 @@ object SqlOps {
     * is ONE join of the per-(doc, word) tf index against the
     * vocab-cardinality best-segmentation table — the corpus is never
     * re-scanned, which is the whole point of training on the collapsed
-    * vocabulary. Words longer than [[UlmMaxLen]] (none in this
-    * corpus' vocabulary) would fall out of the inner join — the
-    * n_words column against a plain token count would expose that
-    * loudly. */
+    * vocabulary. Words longer than [[UlmMaxLen]] cannot silently fall
+    * out of the join — the vocab stage's bound guard throws first. */
   val ulmEncode: StagedOp = StagedOp(
     stages = ulmViterbi.stages,
     body = { _ =>
-      val all = (1 to UlmMaxLen)
-        .map(i => s"SELECT w, score, np, $i AS i FROM ulm_dp$i")
-        .mkString("\nUNION ALL\n")
-      s"""WITH alldp AS (
-         |$all
-         |),
-         |seg AS (
+      s"""WITH seg AS (
          |  SELECT v.w, a.np, a.score
-         |  FROM ulm_vocab v JOIN alldp a ON a.w = v.w AND a.i = length(v.w)
+         |  FROM ulm_vocab v JOIN ulm_dpall a ON a.w = v.w AND a.i = length(v.w)
          |)
          |SELECT t.doc_id,
          |  CAST(SUM(t.tf) AS BIGINT) AS n_words,
@@ -1574,11 +1576,6 @@ object SqlOps {
     * builds it timed, the clustersStaged convention for iterative
     * artifacts). */
   val ulmEmStep: StagedOp = {
-    val dpAll = "ulm_dpall" -> { (_: Dialect) =>
-      (1 to UlmMaxLen)
-        .map(i => s"SELECT w, score, np, piece, $i AS i FROM ulm_dp$i")
-        .mkString("\nUNION ALL\n")
-    }
     // bw_k(w, pos, piece): the k-th piece from the END of w's best
     // segmentation, pos = the prefix position that piece ends at
     def bwStage(k: Int): (String, Dialect => String) =
@@ -1592,18 +1589,17 @@ object SqlOps {
              |JOIN ulm_dpall d ON d.w = b.w AND d.i = b.pos - length(b.piece)
              |WHERE b.pos - length(b.piece) >= 1""".stripMargin
       }
+    val pathStage = "ulm_path" -> { (_: Dialect) =>
+      (1 to UlmMaxLen)
+        .map(k => s"SELECT w, piece FROM ulm_bw$k")
+        .mkString("\nUNION ALL\n")
+    }
     StagedOp(
-      stages = ulmViterbi.stages ++ Seq(dpAll) ++ (1 to UlmMaxLen).map(bwStage),
+      stages = ulmViterbi.stages ++ (1 to UlmMaxLen).map(bwStage) :+ pathStage,
       body = { _ =>
-        val path = (1 to UlmMaxLen)
-          .map(k => s"SELECT w, piece FROM ulm_bw$k")
-          .mkString("\nUNION ALL\n")
-        s"""WITH pp AS (
-           |$path
-           |),
-           |cnt AS (
+        s"""WITH cnt AS (
            |  SELECT p.piece, CAST(SUM(v.c) AS BIGINT) AS expected_count
-           |  FROM pp p JOIN ulm_vocab v ON v.w = p.w
+           |  FROM ulm_path p JOIN ulm_vocab v ON v.w = p.w
            |  GROUP BY p.piece
            |),
            |tot AS (SELECT CAST(SUM(expected_count) AS BIGINT) AS t FROM cnt)
@@ -4123,6 +4119,92 @@ object SqlOps {
        |SELECT es - es % 300 - k * 300 AS window_start, event_type,
        |  COUNT(*) AS n_events
        |FROM w GROUP BY es - es % 300 - k * 300, event_type""".stripMargin
+  }
+
+  /** URL canonicalization + dedup — the crawl-frontier normalization
+    * every web-scale corpus runs BEFORE content dedup (the reference
+    * scrapes listing URLs; a real frontier sees the same page under
+    * scheme-case, www, trailing-slash, tracking-param-order and
+    * fragment variants). Deterministic messy variants are synthesized
+    * from `part` (no RNG), then canonicalized relationally: drop the
+    * fragment, lowercase scheme+host, strip `www.`, strip the
+    * trailing slash (except a bare "/"), drop `utm_*` tracking params
+    * (substr-prefix test — `_` is a LIKE wildcard), and SORT the surviving
+    * params — the canonical form groups all variants of a page. Every
+    * step is a narrow string projection (codegen'd, no UDF); the one
+    * shuffle is the final groupBy on the canonical key, exactly the
+    * exact-dedup shape. Survivor = min id (keep-first). */
+  def urlCanonical(d: Dialect): String = {
+    // substr-prefix test, not LIKE: `_` is a LIKE wildcard and the
+    // ESCAPE clause doesn't parse inside Spark's lambda bodies.
+    // COALESCE: joining the EMPTY filtered list is '' in Spark but
+    // NULL in DuckDB (the documented empty-array divergence class —
+    // it silently nulled every no-query canonical URL).
+    val params = s"COALESCE(${d.arrayJoin(
+      d.arraySort(d.filter(d.split("qs", "&"),
+        "x -> substr(x, 1, 4) <> 'utm_' AND x <> ''")), "&")}, '')"
+    s"""WITH raw AS (
+       |  SELECT p_partkey AS id,
+       |    CASE WHEN p_partkey % 4 = 0 THEN 'https://'
+       |         WHEN p_partkey % 4 = 1 THEN 'HTTPS://'
+       |         WHEN p_partkey % 4 = 2 THEN 'https://WWW.'
+       |         ELSE 'https://www.' END
+       |    || 'rumah123.com/properti/p' || CAST(p_partkey % 571 AS VARCHAR(8))
+       |    || CASE WHEN p_partkey % 5 = 0 THEN '/' ELSE '' END
+       |    || CASE WHEN p_partkey % 3 = 0 THEN '?utm_source=mail&b=2&a=1'
+       |            WHEN p_partkey % 3 = 1 THEN '?a=1&utm_campaign=x&b=2'
+       |            ELSE '' END
+       |    || CASE WHEN p_partkey % 7 = 0 THEN '#section' ELSE '' END AS url
+       |  FROM part
+       |),
+       |nofrag AS (
+       |  SELECT id, url,
+       |    CASE WHEN instr(url, '#') > 0 THEN substr(url, 1, instr(url, '#') - 1)
+       |         ELSE url END AS u1
+       |  FROM raw
+       |),
+       |sp AS (
+       |  SELECT id, url, lower(substr(u1, 1, instr(u1, '://') + 2)) AS sch,
+       |    substr(u1, instr(u1, '://') + 3) AS rest
+       |  FROM nofrag
+       |),
+       |hp AS (
+       |  SELECT id, url, sch,
+       |    lower(CASE WHEN instr(rest, '/') > 0
+       |               THEN substr(rest, 1, instr(rest, '/') - 1) ELSE rest END) AS host,
+       |    CASE WHEN instr(rest, '/') > 0 THEN substr(rest, instr(rest, '/')) ELSE '' END AS pathq
+       |  FROM sp
+       |),
+       |h2 AS (
+       |  SELECT id, url, sch,
+       |    CASE WHEN host LIKE 'www.%' THEN substr(host, 5) ELSE host END AS host, pathq
+       |  FROM hp
+       |),
+       |pq AS (
+       |  SELECT id, url, sch, host,
+       |    CASE WHEN instr(pathq, '?') > 0 THEN substr(pathq, 1, instr(pathq, '?') - 1)
+       |         ELSE pathq END AS path,
+       |    CASE WHEN instr(pathq, '?') > 0 THEN substr(pathq, instr(pathq, '?') + 1)
+       |         ELSE '' END AS qs
+       |  FROM h2
+       |),
+       |p2 AS (
+       |  SELECT id, url, sch, host,
+       |    CASE WHEN path <> '/' AND path LIKE '%/'
+       |         THEN substr(path, 1, length(path) - 1) ELSE path END AS path, qs
+       |  FROM pq
+       |),
+       |qp AS (
+       |  SELECT id, url,
+       |    sch || host || path ||
+       |      CASE WHEN $params = '' THEN '' ELSE '?' || $params END AS canonical_url
+       |  FROM p2
+       |)
+       |SELECT canonical_url,
+       |  CAST(COUNT(*) AS BIGINT) AS n_raw,
+       |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
+       |  MIN(id) AS keep_id
+       |FROM qp GROUP BY canonical_url""".stripMargin
   }
 
   /** CDC apply: collapse an insert/update/delete change stream to the
