@@ -73,8 +73,13 @@ object Bench {
     // cost — r6's cross-round comparison was unadjudicable because one
     // number conflated the two (a cold first-consumer stage build looks
     // identical to a plan regression in a single sample).
+    // errors are tracked PER RUN: a query that succeeds first and
+    // fails only on the steady re-run keeps its valid first-run number
+    // (masking it as -1 would misattribute a transient steady failure
+    // as "query broken" in the cross-round first-run comparison — the
+    // exact conflation the first/steady split exists to prevent)
     case class R(name: String, first: Double, steady: Double,
-                 err: Option[String], rounds: Int)
+                 err1: Option[String], err2: Option[String], rounds: Int)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -89,31 +94,37 @@ object Bench {
       // change and a per-round regression read identically)
       val rounds = graft.ops.Cluster.lastRounds
       val (t2, e2) = if (e1.isDefined) (-1.0, e1) else once()
-      R(name, t1, t2, e1.orElse(e2), rounds)
+      R(name, t1, t2, e1, e2, rounds)
     }
     // ALL number formatting is Locale.ROOT: the scala f interpolator
     // uses the default locale, and a de_DE-style JVM would render
     // "1,234" — invalid JSON in the exact line the driver must parse
     def num(fmt: String, v: Double): String =
       String.format(java.util.Locale.ROOT, fmt, Double.box(v))
-    def qmap(rs: Seq[R], v: R => Double): String =
+    def qmap(rs: Seq[R], v: R => Double, bad: R => Boolean): String =
       rs.map { r =>
-        "\"" + r.name + "\":" + (if (r.err.isDefined) "-1" else num("%.3f", v(r)))
+        "\"" + r.name + "\":" + (if (bad(r)) "-1" else num("%.3f", v(r)))
       }.mkString("{", ",", "}")
-    val errs = results.collect { case R(k, _, _, Some(e), _) => s""""$k":"$e"""" }
-      .mkString("{", ",", "}")
-    val roundsMap = results.filter(r => r.rounds >= 0 && r.err.isEmpty)
+    def qfirst(rs: Seq[R]) = qmap(rs, _.first, _.err1.isDefined)
+    def qsteady(rs: Seq[R]) = qmap(rs, _.steady, r => r.err1.isDefined || r.err2.isDefined)
+    // the errors map says WHICH run failed, so a steady-only failure
+    // stays distinguishable from a broken query
+    val errs = results.flatMap { r =>
+      r.err1.map(e => s""""${r.name}":"first:$e"""")
+        .orElse(r.err2.map(e => s""""${r.name}":"steady:$e""""))
+    }.mkString("{", ",", "}")
+    val roundsMap = results.filter(r => r.rounds >= 0 && r.err1.isEmpty)
       .map(r => s""""${r.name}":${r.rounds}""").mkString("{", ",", "}")
-    val ok = results.filter(_.err.isEmpty)
-    val total = ok.map(_.first).sum
-    val totalSteady = ok.map(_.steady).sum
+    val total = results.filter(_.err1.isEmpty).map(_.first).sum
+    val totalSteady = results
+      .filter(r => r.err1.isEmpty && r.err2.isEmpty).map(_.steady).sum
     val prewarm = prewarmFailed.map(c => s""""$c"""").getOrElse("null")
     // getSystemLoadAverage is -1.0 where unsupported — emit null, not a
     // legitimate-looking negative load
     def loadJson(v: Double) = if (v < 0) "null" else num("%.2f", v)
     val cond = s""""load_avg_before":${loadJson(loadBefore)},"load_avg_1m":${loadJson(loadAvg)},"cpus":${cpus.trim.toIntOption.getOrElse(-1)}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_steady":$totalSteady,"queries":${qmap(results, _.first)},"queries_steady":${qmap(results, _.steady)},"cc_rounds":$roundsMap,"errors":$errs,"prewarm_failed":$prewarm,$cond,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_steady":$totalSteady,"queries":${qfirst(results)},"queries_steady":${qsteady(results)},"cc_rounds":$roundsMap,"errors":$errs,"prewarm_failed":$prewarm,$cond,"sf":"$sfDir"}"""
     // full per-query map: first as a log line (for a reader of the whole
     // log), then as a file next to the repo (survives log truncation)
     println(full)
@@ -126,10 +137,10 @@ object Bench {
     // `queries` stays the first-run map (the number every prior round
     // reported); `queries_steady` is the repeat-run dataflow cost.
     val compact = results.filter(r =>
-      headline.contains(r.name) || r.err.isDefined)
+      headline.contains(r.name) || r.err1.isDefined || r.err2.isDefined)
     val compactSteady = results.filter(r =>
-      steadyWatch.contains(r.name) && r.err.isEmpty)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"total_steady":$totalSteady,"queries":${qmap(compact, _.first)},"queries_steady":${qmap(compactSteady, _.steady)},"errors":$errs,"prewarm_failed":$prewarm,$cond,"detail":"bench_full.json","sf":"$sfDir"}""")
+      steadyWatch.contains(r.name) && r.err1.isEmpty && r.err2.isEmpty)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"total_steady":$totalSteady,"queries":${qfirst(compact)},"queries_steady":${qsteady(compactSteady)},"errors":$errs,"prewarm_failed":$prewarm,$cond,"detail":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

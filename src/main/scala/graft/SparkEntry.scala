@@ -60,8 +60,7 @@ object SparkEntry {
         // reader pins the OLD file listing (read.parquet captures the
         // FileIndex eagerly, not lazily), so every session's memo entry
         // for this path must drop — the next readStage lists afresh
-        stageReads.keySet.removeIf(_._2 == path)
-        ()
+        dropStageReads(path)
       }
     }
 
@@ -82,7 +81,7 @@ object SparkEntry {
       new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_stage"))
     catch { case scala.util.control.NonFatal(_) => () }
     stagedOnce.clear()
-    stageReads.clear()
+    stageReads.synchronized(stageReads.clear())
   }
 
   /** Duplicate-cluster map (pairs → components), staged once per JVM
@@ -205,10 +204,22 @@ object SparkEntry {
     * whenever it (re)writes and [[cleanupStages]] clears the map —
     * a memo may only outlive the part files it lists if nothing
     * rewrote them. */
+  // WeakHashMap on the session: a memoized DataFrame strongly
+  // references its SparkSession, so a (session, path)-keyed flat map
+  // would pin every STOPPED session (plus its FileIndex listings) for
+  // the JVM lifetime — test suites create many sessions per JVM
   private val stageReads =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.HashMap[String, DataFrame]]()
   private def readStage(s: SparkSession, path: String): DataFrame =
-    stageReads.computeIfAbsent((s, path), _ => s.read.parquet(path))
+    stageReads.synchronized {
+      var m = stageReads.get(s)
+      if (m == null) { m = scala.collection.mutable.HashMap.empty; stageReads.put(s, m) }
+      m.getOrElseUpdate(path, s.read.parquet(path))
+    }
+  private def dropStageReads(path: String): Unit =
+    stageReads.synchronized {
+      stageReads.values.forEach(m => { m.remove(path); () })
+    }
 
   /** Materialize (or re-register, when already cached this JVM) every
     * stage of `op` as a parquet-backed temp view. */

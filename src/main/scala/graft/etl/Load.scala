@@ -143,14 +143,24 @@ object Load {
     * end-to-end against embedded Derby (LoadSpec) with the ANSI MERGE
     * rendering; the Postgres rendering is byte-for-byte the reference's
     * statement shape. */
-  def jdbcUpsert(df: DataFrame, url: String, stagingTable: String,
-                 mainTable: String, key: String, batchSize: Int = 500,
-                 props: java.util.Properties = new java.util.Properties,
-                 dialect: MergeDialect = PostgresOnConflict): Unit = {
+  /** Truncate-overwrite the staging table via Spark's batched JDBC
+    * writer — THE one copy of the staging-write protocol, shared by
+    * [[jdbcUpsert]] and the streaming exactly-once sink
+    * ([[graft.streaming.StreamingOps.jdbcExactlyOnceBatch]]) so a
+    * staging-side change (credentials, isolation, batch shape) cannot
+    * silently diverge between the two paths. */
+  def stageOverwrite(df: DataFrame, url: String, stagingTable: String,
+                     batchSize: Int, props: java.util.Properties): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("truncate", "true")
       .option("batchsize", batchSize.toString)
       .jdbc(url, stagingTable, props)
+
+  def jdbcUpsert(df: DataFrame, url: String, stagingTable: String,
+                 mainTable: String, key: String, batchSize: Int = 500,
+                 props: java.util.Properties = new java.util.Properties,
+                 dialect: MergeDialect = PostgresOnConflict): Unit = {
+    stageOverwrite(df, url, stagingTable, batchSize, props)
     val mergeSql = dialect.mergeSql(mainTable, stagingTable, df.columns.toSeq, key)
     val conn = java.sql.DriverManager.getConnection(url, props)
     try { val st = conn.createStatement(); try st.execute(mergeSql) finally st.close() }

@@ -1315,6 +1315,17 @@ object SqlOps {
          |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin
     })
 
+  /** The BM25 top-10 as a ranked staged artifact — shared by the nDCG
+    * eval and the RRF fusion (two consumers → staged, never a CTE:
+    * each reference would re-run the scorer against the index). */
+  private val ndcgRankedStage: (String, Dialect => String) =
+    "ndcg_ranked" -> { (d: Dialect) =>
+      s"""SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS rk
+         |FROM (
+         |${searchBm25.body(d)}
+         |)""".stripMargin
+    }
+
   /** Retrieval-quality eval for the BM25 ranking — nDCG@10 and MRR
     * against a graded relevance oracle (rel = the summed query-term
     * frequency, floored halves capped at 5), completing the eval
@@ -1335,17 +1346,6 @@ object SqlOps {
     * first appearing at rank 11 scores 0), which the column name says
     * explicitly. idcg_q = 0 (no doc with rel > 0 anywhere) yields
     * ndcg10 = NULL rather than a division blow-up. */
-  /** The BM25 top-10 as a ranked staged artifact — shared by the nDCG
-    * eval and the RRF fusion (two consumers → staged, never a CTE:
-    * each reference would re-run the scorer against the index). */
-  private val ndcgRankedStage: (String, Dialect => String) =
-    "ndcg_ranked" -> { (d: Dialect) =>
-      s"""SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS rk
-         |FROM (
-         |${searchBm25.body(d)}
-         |)""".stripMargin
-    }
-
   val searchNdcg: StagedOp = StagedOp(
     // ranked list and relevance table are staged: ranked feeds the DCG
     // and MRR passes, rel feeds DCG, the ideal ranking, and MRR — as

@@ -1191,8 +1191,11 @@ object StreamingOps {
         col("n_admitted") - coalesce(lag(col("n_admitted"), 1).over(w), lit(0L)))
       .withColumn("t", row_number().over(w).cast("long"))
       .select(col("batch_seq"), col("t"), col("delta"))
+    // explicit cross join: wt is BUILT as exactly the 0..lookback
+    // weights, so there is no residual predicate to express — a fake
+    // always-true condition here would misread as a data-driven bound
     val terms = deltas.alias("a")
-      .join(wt, col("k") <= lit(lookback.toLong))
+      .crossJoin(wt)
       .join(deltas.alias("b"), col("b.t") === col("a.t") - col("k"))
       .groupBy(col("a.batch_seq").as("batch_seq"), col("a.t").as("t"),
         col("a.delta").as("delta"))
@@ -1307,25 +1310,24 @@ object StreamingOps {
                            dialect: graft.etl.Load.MergeDialect = graft.etl.Load.AnsiMerge,
                            batchSize: Int = 500): Boolean = {
     val props = new java.util.Properties
-    val check = java.sql.DriverManager.getConnection(url, props)
-    val already =
-      try {
-        val st = check.createStatement()
+    // one driver connection for the whole batch: the ledger check runs
+    // on the same connection the transaction later uses
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val already = {
+        val st = conn.createStatement()
         try {
           val rs = st.executeQuery(
             s"SELECT COUNT(*) FROM $ledgerTable WHERE batch_id = $batchId")
           rs.next()
           rs.getLong(1) > 0
         } finally st.close()
-      } finally check.close()
-    if (already) false
-    else {
-      batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .option("truncate", "true")
-        .option("batchsize", batchSize.toString)
-        .jdbc(url, stagingTable, props)
-      val conn = java.sql.DriverManager.getConnection(url, props)
-      try {
+      }
+      if (already) false
+      else {
+        // executors write the scratch staging table through the SAME
+        // protocol as the batch upsert (one copy: Load.stageOverwrite)
+        graft.etl.Load.stageOverwrite(batch, url, stagingTable, batchSize, props)
         conn.setAutoCommit(false)
         val st = conn.createStatement()
         try {
@@ -1335,9 +1337,9 @@ object StreamingOps {
         } catch {
           case e: Throwable => conn.rollback(); throw e
         } finally st.close()
-      } finally conn.close()
-      true
-    }
+        true
+      }
+    } finally conn.close()
   }
 
   /** The streaming wrapper: each micro-batch upserts into `mainTable`

@@ -17,6 +17,15 @@ import org.apache.spark.sql.SparkSession
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val (flags, rest) = args.partition(_.startsWith("--"))
+    val unknown = flags.filterNot(Set("--cold", "--prewarm"))
+    if (unknown.nonEmpty || rest.isEmpty) {
+      // a typo'd --prewarm silently yielding cold timings would read
+      // as a perf regression — reject loudly instead
+      System.err.println(
+        (if (unknown.nonEmpty) s"unknown flag(s): ${unknown.mkString(" ")}\n" else "") +
+          "usage: TimeQ [--cold] [--prewarm] <sfDir> <query> [<query> ...]")
+      sys.exit(2)
+    }
     val cold = flags.contains("--cold")
     val prewarm = flags.contains("--prewarm")
     val sfDir = rest(0)
