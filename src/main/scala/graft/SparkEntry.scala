@@ -764,6 +764,7 @@ object SparkEntry {
     "q_cdc_apply" -> sqlq(Seq("orders"), SqlOps.cdcApply),
     "q_agg_retract" -> sqlq(Seq("orders"), SqlOps.aggRetract),
     "q_url_canonical" -> sqlq(Seq("part"), SqlOps.urlCanonical),
+    "q_split_temporal" -> sqlq(Seq("events"), SqlOps.splitTemporal),
     "q_snapshot_diff" -> sqlq(Seq("documents"), SqlOps.snapshotDiff),
     "q_merkle_ranges" -> sqlq(Seq("documents"), SqlOps.merkleRanges),
     "q_profile_orders" -> sqlStaged(Seq("orders"), SqlOps.profileOrders),
@@ -1575,6 +1576,7 @@ object SparkEntry {
     "q_cdc_apply" -> SqlOps.cdcApply(DuckDialect),
     "q_agg_retract" -> SqlOps.aggRetract(DuckDialect),
     "q_url_canonical" -> SqlOps.urlCanonical(DuckDialect),
+    "q_split_temporal" -> SqlOps.splitTemporal(DuckDialect),
     "q_snapshot_diff" -> SqlOps.snapshotDiff(DuckDialect),
     "q_merkle_ranges" -> SqlOps.merkleRanges(DuckDialect),
     "q_profile_orders" -> SqlOps.profileOrders.single(DuckDialect),

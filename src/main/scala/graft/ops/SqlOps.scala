@@ -5629,31 +5629,59 @@ object SqlOps {
     * (2·cum ≥ tot — the integer form of cum ≥ tot/2, no division).
     * Prices are exact integer cents and weights exact integer
     * quantities, so every comparison is int64 — no percentile
-    * interpolation, no float boundary. The scale design is the
-    * compressed-histogram window: rows are first aggregated to one row
-    * per (group, price point) — a map-side-combined groupBy that
-    * bounds the window input to the price DOMAIN, not the row count —
-    * and the running-sum window then scans only that histogram (the
-    * same boundary-bucket idea as the Pareto cutoff). A raw-row window
-    * here would sort the whole fact table inside 3 partitions. */
-  def weightedMedian(d: Dialect): String =
+    * interpolation, no float boundary.
+    *
+    * Scale shape: the single-histogram form degenerates when the
+    * price domain is near-unique (at sf0.1 the "(group, price)
+    * histogram" was ~the row count, so its running-sum window sorted
+    * 600k rows inside 3 partitions). This is the two-phase
+    * BOUNDARY-BUCKET form (the Pareto-cutoff idea, exact): phase 1
+    * aggregates to $1000 buckets — a map-side-combined groupBy whose
+    * window input is ~100 rows per group — and finds each group's
+    * boundary bucket (the first whose cumulative reaches half) plus
+    * the cumulative weight BEFORE it; phase 2 scans only the boundary
+    * bucket's rows for the exact in-bucket running sum. Global
+    * cumulative at a price = cum_before(bucket) + in-bucket cum, so
+    * the answer is identical to the single-pass form while every
+    * window input is bounded by the bucket count or one bucket's
+    * contents. */
+  def weightedMedian(d: Dialect): String = {
+    val bkt = d.idiv("cents", "100000")
     s"""WITH x AS (
        |  SELECT l_returnflag AS grp,
        |    CAST(FLOOR(l_extendedprice * 1.0e2 + 5.0e-1) AS BIGINT) AS cents,
        |    CAST(l_quantity AS BIGINT) AS w
        |  FROM lineitem
        |),
-       |hist AS (SELECT grp, cents, SUM(w) AS w FROM x GROUP BY grp, cents),
-       |c AS (
-       |  SELECT grp, cents, w,
-       |    SUM(w) OVER (PARTITION BY grp ORDER BY cents) AS cum,
-       |    SUM(w) OVER (PARTITION BY grp) AS tot
-       |  FROM hist
+       |b AS (SELECT grp, $bkt AS bkt, CAST(SUM(w) AS BIGINT) AS w
+       |      FROM x GROUP BY grp, $bkt),
+       |cb AS (
+       |  SELECT grp, bkt, w,
+       |    CAST(SUM(w) OVER (PARTITION BY grp ORDER BY bkt) AS BIGINT) AS cum,
+       |    CAST(SUM(w) OVER (PARTITION BY grp) AS BIGINT) AS tot
+       |  FROM b
+       |),
+       |sel AS (
+       |  SELECT grp, MIN(bkt) AS bkt,
+       |    MIN(tot) AS tot, MIN(cum - w) AS cum_before
+       |  FROM cb WHERE 2 * cum >= tot GROUP BY grp
+       |),
+       |inb AS (
+       |  SELECT x.grp, x.cents, CAST(SUM(x.w) AS BIGINT) AS w,
+       |    MIN(s.tot) AS tot, MIN(s.cum_before) AS cum_before
+       |  FROM x JOIN sel s ON x.grp = s.grp AND $bkt = s.bkt
+       |  GROUP BY x.grp, x.cents
+       |),
+       |c2 AS (
+       |  SELECT grp, cents, tot,
+       |    cum_before + CAST(SUM(w) OVER (PARTITION BY grp ORDER BY cents) AS BIGINT) AS cum
+       |  FROM inb
        |)
        |SELECT grp AS l_returnflag,
        |  CAST(MIN(cents) AS BIGINT) AS wmedian_cents,
        |  CAST(MIN(tot) AS BIGINT) AS total_qty
-       |FROM c WHERE 2 * cum >= tot GROUP BY grp""".stripMargin
+       |FROM c2 WHERE 2 * cum >= tot GROUP BY grp""".stripMargin
+  }
 
   /** 2-core of the minhash candidate-pair graph by depth-bounded
     * peeling (Seidman, "Network structure and minimum degree", Social
@@ -6394,6 +6422,49 @@ object SqlOps {
        |FROM agg
        |WHERE n >= 2
        |ORDER BY n DESC, cluster_id LIMIT 20""".stripMargin
+
+  /** Temporal train/test split with a TIME-TRAVEL leakage audit — the
+    * evaluation-hygiene sibling of the cluster-aware content split:
+    * compares the two standard strategies over the event stream in
+    * one query.
+    *  - `per_user_holdout` (the recsys default: each user's LAST
+    *    event is test) leaks future GLOBAL information — a user's
+    *    held-out event can precede other users' training events, so a
+    *    model with any cross-user signal trains on the future of its
+    *    own test set. The audit COUNTS those events (test es <
+    *    global train max).
+    *  - `global_cutoff` (train strictly before the 80th-percentile
+    *    timestamp) is leakage-free BY CONSTRUCTION, and the audit
+    *    proving 0 here is the gate's self-check.
+    * One user-sharded window for the holdout rank, one percentile
+    * scalar for the cutoff, map-side-combinable counting aggregates;
+    * each strategy scans its labeled events twice (once for the
+    * broadcast single-row train-max, once for the counts) — the
+    * two-pass shape that avoids a single-partition global window. */
+  def splitTemporal(d: Dialect): String = {
+    val es = d.epochSeconds("ts")
+    def strat(name: String, part: String, from: String): String =
+      s"""SELECT '$name' AS strategy,
+         |  CAST(SUM(CASE WHEN $part = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |  CAST(SUM(CASE WHEN $part = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+         |  CAST(SUM(CASE WHEN $part = 'test' AND es < mx THEN 1 ELSE 0 END) AS BIGINT) AS leaky_test_events
+         |FROM $from CROSS JOIN (SELECT MAX(es) AS mx FROM $from WHERE $part = 'train')""".stripMargin
+    s"""WITH e AS (SELECT user_id, event_id, $es AS es FROM events),
+       |r AS (
+       |  SELECT user_id, event_id, es,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY es DESC, event_id DESC) AS rk
+       |  FROM e
+       |),
+       |pu AS (SELECT es, CASE WHEN rk = 1 THEN 'test' ELSE 'train' END AS part FROM r),
+       |cut AS (SELECT ${d.percentileCont("es", "8.0e-1")} AS c80 FROM e),
+       |g AS (
+       |  SELECT es, CASE WHEN es <= c80 THEN 'train' ELSE 'test' END AS part
+       |  FROM e CROSS JOIN cut
+       |)
+       |${strat("per_user_holdout", "part", "pu")}
+       |UNION ALL
+       |${strat("global_cutoff", "part", "g")}""".stripMargin
+  }
 
   /** The split report over a materialized `split_a` assignment (the
     * [[splitLeakageSafe]] output — two consumers: the straddle audit
