@@ -701,6 +701,7 @@ object SparkEntry {
     "q_bpe_merges" -> sqlStaged(Seq("documents"), SqlOps.bpeMerges),
     "q_ulm_viterbi" -> sqlStaged(Seq("documents"), SqlOps.ulmViterbi),
     "q_ulm_em_step" -> sqlStaged(Seq("documents"), SqlOps.ulmEmStep),
+    "q_ulm_em_gain" -> sqlStaged(Seq("documents"), SqlOps.ulmEmGain),
     "q_ulm_encode" -> sqlStaged(Seq("documents"), SqlOps.ulmEncode),
     "q_bpe_encode" -> sqlStaged(Seq("documents"), SqlOps.bpeEncode),
     "q_text_langid" -> sqlq(Seq("documents"), SqlOps.textLangId),
@@ -1534,6 +1535,7 @@ object SparkEntry {
     "q_bpe_merges" -> SqlOps.bpeMerges.single(DuckDialect),
     "q_ulm_viterbi" -> SqlOps.ulmViterbi.single(DuckDialect),
     "q_ulm_em_step" -> SqlOps.ulmEmStep.single(DuckDialect),
+    "q_ulm_em_gain" -> SqlOps.ulmEmGain.single(DuckDialect),
     "q_ulm_encode" -> SqlOps.ulmEncode.single(DuckDialect),
     "q_bpe_encode" -> SqlOps.bpeEncode.single(DuckDialect),
     "q_text_langid" -> SqlOps.textLangId(DuckDialect),

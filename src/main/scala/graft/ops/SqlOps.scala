@@ -1451,20 +1451,21 @@ object SqlOps {
     * piece — arms at one position always end in DIFFERENT-length,
     * hence different, pieces), so both engines pick the same
     * segmentation. */
-  private def ulmDpStage(i: Int): (String, Dialect => String) =
-    s"ulm_dp$i" -> { (_: Dialect) =>
+  private def ulmDpStage(i: Int, dpPrefix: String = "ulm_dp",
+                         piecesTbl: String = "ulm_pieces"): (String, Dialect => String) =
+    s"$dpPrefix$i" -> { (_: Dialect) =>
       val arms = (1 to math.min(UlmMaxPiece, i)).map { l =>
         if (i - l == 0)
           s"""SELECT v.w, p.qlp AS score, CAST(1 AS BIGINT) AS np,
              |    substr(v.w, ${i - l + 1}, $l) AS piece
              |  FROM ulm_vocab v
-             |  JOIN ulm_pieces p ON p.piece = substr(v.w, ${i - l + 1}, $l)
+             |  JOIN $piecesTbl p ON p.piece = substr(v.w, ${i - l + 1}, $l)
              |  WHERE length(v.w) >= $i""".stripMargin
         else
           s"""SELECT b.w, b.score + p.qlp AS score, b.np + 1 AS np,
              |    substr(b.w, ${i - l + 1}, $l) AS piece
-             |  FROM ulm_dp${i - l} b
-             |  JOIN ulm_pieces p ON p.piece = substr(b.w, ${i - l + 1}, $l)
+             |  FROM $dpPrefix${i - l} b
+             |  JOIN $piecesTbl p ON p.piece = substr(b.w, ${i - l + 1}, $l)
              |  WHERE length(b.w) >= $i""".stripMargin
       }.mkString("\n  UNION ALL\n")
       s"""WITH arms AS (
@@ -1519,7 +1520,7 @@ object SqlOps {
            |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM pc)
            |SELECT piece, cnt, ${qlog2("cnt")} - ${qlog2("t")} AS qlp
            |FROM pc CROSS JOIN tot""".stripMargin
-      }) ++ (1 to UlmMaxLen).map(ulmDpStage) :+ ("ulm_dpall" -> { (_: Dialect) =>
+      }) ++ (1 to UlmMaxLen).map(i => ulmDpStage(i)) :+ ("ulm_dpall" -> { (_: Dialect) =>
         // the per-position dp tables flattened once (pos column added)
         // — THREE consumers (the viterbi readout, the encode join, the
         // EM back-walk's every hop), so the 10-arm union runs once
@@ -1611,6 +1612,69 @@ object SqlOps {
            |JOIN ulm_pieces p ON p.piece = c.piece
            |CROSS JOIN tot
            |ORDER BY c.expected_count DESC, c.piece LIMIT 30""".stripMargin
+      })
+  }
+
+  /** EM improvement audit — the hard-EM step's monotonicity
+    * guarantees asserted IN-QUERY (the q_agg_retract identity pattern
+    * applied to the tokenizer trainer). Three corpus log-likelihoods,
+    * all tf-weighted exact µ-bit int64 sums:
+    *   L0 = the OLD best paths under the INITIAL piece probs (the
+    *        ulm_dpall readout);
+    *   L1 = the same old paths re-scored under the RE-ESTIMATED probs
+    *        (ulm_path joined to the M-step table);
+    *   L2 = the NEW best paths under the re-estimated probs — a
+    *        second full Viterbi chain over the PRUNED vocabulary
+    *        (only path-used pieces survive; every word stays
+    *        segmentable because its own old path survives the prune).
+    * Theory says L1 ≥ L0 (Gibbs: the MLE re-estimate maximizes the
+    * expected-count likelihood; exact up to the ±0.5µ log
+    * quantization) and L2 ≥ L1 (re-segmentation under fixed probs
+    * only improves; EXACT in int64 — the old path is a valid
+    * candidate). Both inequalities are output columns, so the oracle
+    * gate re-proves the trainer's improvement every run. */
+  val ulmEmGain: StagedOp = {
+    val pcs2 = "ulm_pcs2" -> { (_: Dialect) =>
+      s"""WITH cnt AS (
+         |  SELECT p.piece, CAST(SUM(v.c) AS BIGINT) AS ec
+         |  FROM ulm_path p JOIN ulm_vocab v ON v.w = p.w
+         |  GROUP BY p.piece
+         |),
+         |tot AS (SELECT CAST(SUM(ec) AS BIGINT) AS t FROM cnt)
+         |SELECT piece, ec, ${qlog2("ec")} - ${qlog2("t")} AS qlp
+         |FROM cnt CROSS JOIN tot""".stripMargin
+    }
+    val dp2 = (1 to UlmMaxLen).map(i => ulmDpStage(i, "ulm_dq", "ulm_pcs2"))
+    StagedOp(
+      stages = (ulmEmStep.stages :+ pcs2) ++ dp2,
+      body = { _ =>
+        val all2 = (1 to UlmMaxLen)
+          .map(i => s"SELECT w, score, $i AS i FROM ulm_dq$i")
+          .mkString("\n  UNION ALL\n")
+        s"""WITH l0 AS (
+           |  SELECT CAST(SUM(v.c * a.score) AS BIGINT) AS q
+           |  FROM ulm_vocab v JOIN ulm_dpall a ON a.w = v.w AND a.i = length(v.w)
+           |),
+           |l1 AS (
+           |  SELECT CAST(SUM(v.c * p2.qlp) AS BIGINT) AS q
+           |  FROM ulm_path p
+           |  JOIN ulm_vocab v ON v.w = p.w
+           |  JOIN ulm_pcs2 p2 ON p2.piece = p.piece
+           |),
+           |d2 AS (
+           |$all2
+           |),
+           |l2 AS (
+           |  SELECT CAST(SUM(v.c * d.score) AS BIGINT) AS q
+           |  FROM ulm_vocab v JOIN d2 d ON d.w = v.w AND d.i = length(v.w)
+           |)
+           |SELECT
+           |  ${r6("CAST(l0.q AS DOUBLE) / 1.0e6")} AS loglik_init_bits,
+           |  ${r6("CAST(l1.q AS DOUBLE) / 1.0e6")} AS loglik_mstep_bits,
+           |  ${r6("CAST(l2.q AS DOUBLE) / 1.0e6")} AS loglik_resegment_bits,
+           |  l1.q >= l0.q AS mstep_improves,
+           |  l2.q >= l1.q AS resegment_improves
+           |FROM l0 CROSS JOIN l1 CROSS JOIN l2""".stripMargin
       })
   }
 

@@ -941,6 +941,36 @@ class MicroOracleSpec extends SparkSpec {
     // E-step coverage: the surviving vocabulary is exactly the pieces
     // some best path uses — the pruning signal the trainer thresholds
     assert(got.map(_._1).toSet === ec.keySet)
+
+    // --- the EM-gain audit against the same independent trace ---
+    SqlOps.ulmEmGain.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val gain = spark.sql(SqlOps.ulmEmGain.body(SparkDialect)).collect().head
+    // independent L0/L1/L2 in µ-bits
+    def segScore(w: String, probs: Map[String, Long]): Long = {
+      val dp = new Array[Option[(Long, Long, String)]](w.length + 1)
+      dp(0) = Some((0L, 0L, ""))
+      for (i <- 1 to w.length) {
+        val cands = (1 to math.min(3, i)).flatMap { l =>
+          val piece = w.substring(i - l, i)
+          for (prev <- dp(i - l); lp <- probs.get(piece))
+            yield (prev._1 + lp, prev._2 + 1, piece)
+        }
+        dp(i) = if (cands.isEmpty) None
+                else Some(cands.minBy { case (s, n, p) => (-s, n, p) })
+      }
+      dp(w.length).get._1
+    }
+    val qlp2: Map[String, Long] = ec.toMap.map { case (p, c) => p -> (qlog2(c) - qlog2(t)) }
+    val l0 = vocab.map { case (w, c) => c * segScore(w, qlp) }.sum
+    val l1 = vocab.map { case (w, c) => c * bestPath(w).map(qlp2).sum }.sum
+    val l2 = vocab.map { case (w, c) => c * segScore(w, qlp2) }.sum
+    assert(gain.getAs[Double]("loglik_init_bits") === r6(l0.toDouble / 1e6))
+    assert(gain.getAs[Double]("loglik_mstep_bits") === r6(l1.toDouble / 1e6))
+    assert(gain.getAs[Double]("loglik_resegment_bits") === r6(l2.toDouble / 1e6))
+    assert(gain.getAs[Boolean]("mstep_improves") && gain.getAs[Boolean]("resegment_improves"))
+    assert(l1 >= l0 && l2 >= l1, "the EM monotonicity the op exists to prove")
     spark.catalog.dropTempView("documents")
   }
 }
