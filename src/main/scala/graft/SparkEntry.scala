@@ -779,6 +779,7 @@ object SparkEntry {
     // histogram-sketch quantiles, and full power-iteration PCA
     "q_gopher_rules" -> sqlq(Seq("documents"), SqlOps.gopherRules),
     "q_ccnet_buckets" -> sqlStaged(Seq("documents"), SqlOps.ccnetBuckets),
+    "q_filter_kappa" -> sqlStaged(Seq("documents"), SqlOps.filterKappa),
     "q_tokenizer_fertility" -> sqlStaged(Seq("documents"), SqlOps.tokenizerFertility),
     "q_hist_quantiles" -> sqlq(Seq("events"), SqlOps.histogramQuantiles),
     "q_pca_power_iter" -> sqlStaged(Seq("embeddings"), SqlOps.pcaPowerTimed),
@@ -1597,6 +1598,7 @@ object SparkEntry {
     "q_heaps_fit" -> SqlOps.heapsFit.single(DuckDialect),
     "q_gopher_rules" -> SqlOps.gopherRules(DuckDialect),
     "q_ccnet_buckets" -> SqlOps.ccnetBuckets.single(DuckDialect),
+    "q_filter_kappa" -> SqlOps.filterKappa.single(DuckDialect),
     "q_tokenizer_fertility" -> SqlOps.tokenizerFertility.single(DuckDialect),
     "q_hist_quantiles" -> SqlOps.histogramQuantiles(DuckDialect),
     "q_pca_power_iter" -> SqlOps.pcaPowerTimed.single(DuckDialect),

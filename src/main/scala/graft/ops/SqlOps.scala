@@ -6281,6 +6281,59 @@ object SqlOps {
          |FROM ccn_sc CROSS JOIN th""".stripMargin
     })
 
+  /** Inter-filter reliability — Cohen's kappa between the RULE-based
+    * judge (the Gopher battery) and the MODEL-based judge (CCNet
+    * LM-score terciles; keep = head/middle, i.e. q ≤ t67): the 2×2
+    * contingency, observed agreement p_o, chance agreement p_e from
+    * the marginals, κ = (p_o − p_e)/(1 − p_e). This is the
+    * calibration question a curation pipeline asks before chaining
+    * filters: κ ≈ 0 means the model filter adds an independent signal,
+    * κ ≈ 1 means it is redundant with the rules. Cells are exact int64
+    * counts off ONE corpus scan (judge A) joined to the staged score
+    * table (judge B); p_o/p_e/κ are fixed expression trees on those
+    * exact ints — deterministic IEEE in both engines; κ is NULL when
+    * p_e = 1 (both judges constant — division blow-up guarded like
+    * idcg). */
+  val filterKappa: StagedOp = StagedOp(
+    stages = ccnetBuckets.stages,
+    body = { d =>
+      s"""WITH g AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    ${gopherCounts(d)}
+         |  FROM g
+         |),
+         |ga AS (SELECT doc_id, CASE WHEN $GopherPass THEN 1 ELSE 0 END AS a FROM m),
+         |th AS (SELECT ${d.percentileCont("q", "6.7e-1")} AS t67 FROM ccn_sc),
+         |jb AS (
+         |  SELECT doc_id, CASE WHEN q <= t67 THEN 1 ELSE 0 END AS b
+         |  FROM ccn_sc CROSS JOIN th
+         |),
+         |j AS (SELECT ga.a, jb.b FROM ga JOIN jb ON ga.doc_id = jb.doc_id),
+         |cells AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(a * b) AS BIGINT) AS n11,
+         |    CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         |    CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+         |    CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+         |  FROM j
+         |),
+         |k AS (
+         |  SELECT n, n11, n10, n01, n00,
+         |    CAST(n11 + n00 AS DOUBLE) / n AS po,
+         |    (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+         |      + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+         |      / (CAST(n AS DOUBLE) * n) AS pe
+         |  FROM cells
+         |)
+         |SELECT n, n11, n10, n01, n00,
+         |  ${r6("po")} AS observed_agreement,
+         |  ${r6("pe")} AS chance_agreement,
+         |  CASE WHEN pe >= 1.0e0 THEN NULL
+         |       ELSE ${r6("(po - pe) / (1.0e0 - pe)")} END AS kappa
+         |FROM k""".stripMargin
+    })
+
   /** Tokenizer fertility by language: average subtokens per
     * whitespace token under the trained BPE merges ([[bpeMerges]] —
     * its final vocabulary table IS the encoder), grouped by the
