@@ -649,6 +649,7 @@ object SparkEntry {
 
     // -- similarity search (embeddings) --
     "q_embedding_stats" -> sqlq(Seq("embeddings"), SqlOps.embeddingStats),
+    "q_embedding_drift" -> sqlq(Seq("embeddings"), SqlOps.embeddingDrift),
     "q_knn_bruteforce" -> sqlStaged(Seq("embeddings"), SqlOps.knnBruteForce),
     "q_ann_sign_lsh" -> sqlStaged(Seq("embeddings"), SqlOps.annSignLsh),
     // recall@3 of the sign-LSH index vs exact brute force on the
@@ -1503,6 +1504,7 @@ object SparkEntry {
       s"""${closureCtes(SqlOps.dedupEmbeddingCosine.single(DuckDialect), "vec_a", "vec_b", "vec_id")}
          |SELECT vec_id, cluster_id FROM clusters""".stripMargin,
     "q_embedding_stats" -> SqlOps.embeddingStats(DuckDialect),
+    "q_embedding_drift" -> SqlOps.embeddingDrift(DuckDialect),
     "q_knn_bruteforce" -> SqlOps.knnBruteForce.single(DuckDialect),
     "q_ann_sign_lsh" -> SqlOps.annSignLsh.single(DuckDialect),
     "q_ann_ivf" -> SqlOps.annIvf.single(DuckDialect),

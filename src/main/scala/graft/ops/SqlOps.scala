@@ -3314,6 +3314,58 @@ object SqlOps {
   val NewVecMod = 16
   val NewVecRem = 3
 
+  /** Embedding-DISTRIBUTION drift between the base corpus and today's
+    * ingest slice (the [[NewVecMod]] convention) — the upstream
+    * monitor that tells you the embedding MODEL or the content mix
+    * changed before any index metric moves: per dimension, both
+    * slices' count/mean/variance and the standardized mean difference
+    * smd = (µ_new − µ_base) / √((σ²_base + σ²_new)/2) (Cohen's d with
+    * the pooled-spread denominator), flagged past |smd| > 0.1 (the
+    * conventional "small effect" bar). Sufficient statistics are
+    * exact int64 sums of µ-quantized components (one explode pass,
+    * map-side combinable, conditional aggregation instead of a
+    * self-join — the two slices never shuffle separately); the
+    * variance/smd arithmetic is fixed expression trees over those
+    * exact ints. Constant dimensions (zero pooled spread) yield NULL
+    * rather than a division blow-up. */
+  def embeddingDrift(d: Dialect): String = {
+    val exp = d.explodeWithPos(
+      "SELECT vec_id, embedding FROM embeddings", "vec_id", "embedding", "pos", "v")
+    s"""WITH e AS ($exp),
+       |q AS (
+       |  SELECT CAST(pos AS BIGINT) AS pos,
+       |    CASE WHEN vec_id % $NewVecMod = $NewVecRem THEN 1 ELSE 0 END AS is_new,
+       |    ${qvExpr("v")} AS qv
+       |  FROM e
+       |),
+       |s AS (
+       |  SELECT pos,
+       |    CAST(SUM(1 - is_new) AS BIGINT) AS nb,
+       |    CAST(SUM((1 - is_new) * qv) AS BIGINT) AS sb,
+       |    CAST(SUM(is_new) AS BIGINT) AS nn,
+       |    CAST(SUM(is_new * qv) AS BIGINT) AS sn,
+       |    SUM(CAST(1 - is_new AS DOUBLE) * qv * qv) AS qb,
+       |    SUM(CAST(is_new AS DOUBLE) * qv * qv) AS qn
+       |  FROM q GROUP BY pos
+       |),
+       |v AS (
+       |  SELECT pos, nb, nn,
+       |    CAST(sb AS DOUBLE) / nb AS mb,
+       |    CAST(sn AS DOUBLE) / nn AS mn,
+       |    (qb - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) AS vb,
+       |    (qn - CAST(sn AS DOUBLE) * sn / nn) / (nn - 1) AS vn
+       |  FROM s WHERE nb > 1 AND nn > 1
+       |)
+       |SELECT pos, nb AS n_base, nn AS n_new,
+       |  ${r6("(mn - mb) / 1.0e6")} AS mean_diff,
+       |  CASE WHEN vb + vn <= 0.0e0 THEN NULL
+       |       ELSE ${r6("(mn - mb) / sqrt((vb + vn) / 2.0e0)")} END AS smd,
+       |  CASE WHEN vb + vn <= 0.0e0 THEN NULL
+       |       WHEN ABS(${"(mn - mb) / sqrt((vb + vn) / 2.0e0)"}) > 1.0e-1 THEN 1
+       |       ELSE 0 END AS drift_flag
+       |FROM v""".stripMargin
+  }
+
   /** Base-slice centroid table — yesterday's trained coarse quantizer,
     * shared by the incremental update and its full-rebuild oracle. */
   private def ivfdCentStage(d: Dialect): String = {
