@@ -650,6 +650,7 @@ object SparkEntry {
     // -- similarity search (embeddings) --
     "q_embedding_stats" -> sqlq(Seq("embeddings"), SqlOps.embeddingStats),
     "q_embedding_drift" -> sqlq(Seq("embeddings"), SqlOps.embeddingDrift),
+    "q_label_drift" -> sqlq(Seq("embeddings"), SqlOps.labelDrift),
     "q_knn_bruteforce" -> sqlStaged(Seq("embeddings"), SqlOps.knnBruteForce),
     "q_ann_sign_lsh" -> sqlStaged(Seq("embeddings"), SqlOps.annSignLsh),
     // recall@3 of the sign-LSH index vs exact brute force on the
@@ -1505,6 +1506,7 @@ object SparkEntry {
          |SELECT vec_id, cluster_id FROM clusters""".stripMargin,
     "q_embedding_stats" -> SqlOps.embeddingStats(DuckDialect),
     "q_embedding_drift" -> SqlOps.embeddingDrift(DuckDialect),
+    "q_label_drift" -> SqlOps.labelDrift(DuckDialect),
     "q_knn_bruteforce" -> SqlOps.knnBruteForce.single(DuckDialect),
     "q_ann_sign_lsh" -> SqlOps.annSignLsh.single(DuckDialect),
     "q_ann_ivf" -> SqlOps.annIvf.single(DuckDialect),

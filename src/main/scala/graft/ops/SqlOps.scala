@@ -3314,6 +3314,58 @@ object SqlOps {
   val NewVecMod = 16
   val NewVecRem = 3
 
+  /** Class-prior (label-mix) drift between the base corpus and
+    * today's ingest slice — the LABEL-level companion of
+    * [[embeddingDrift]], the [[chiSquare]] shape over the
+    * label × slice contingency: did the category mix of arriving
+    * vectors shift? Missing cells are spine-filled to 0 (a label
+    * absent from one slice is exactly the signal — dropping its cell
+    * would understate the statistic); marginals are windows over the
+    * labels×2 table; each (o−e)²/e term is µ-quantized int64 BEFORE
+    * any cross-row sum. Per-label rows carry both shares (exact ppm)
+    * and the label's chi-square contribution, so the report ranks the
+    * movers, not just the headline statistic. */
+  def labelDrift(d: Dialect): String = {
+    val term = "(obs - rt * ct / n) * (obs - rt * ct / n) / (rt * ct / n)"
+    s"""WITH s AS (
+       |  SELECT label,
+       |    CASE WHEN vec_id % $NewVecMod = $NewVecRem THEN 1 ELSE 0 END AS sl
+       |  FROM embeddings
+       |),
+       |o AS (SELECT label, sl, COUNT(*) AS obs FROM s GROUP BY label, sl),
+       |lb AS (SELECT DISTINCT label FROM s),
+       |spine AS (
+       |  SELECT label, sl FROM lb
+       |  CROSS JOIN (SELECT 0 AS sl UNION ALL SELECT 1)
+       |),
+       |f AS (
+       |  SELECT sp.label, sp.sl, COALESCE(o.obs, 0) AS obs
+       |  FROM spine sp LEFT JOIN o ON o.label = sp.label AND o.sl = sp.sl
+       |),
+       |x AS (
+       |  SELECT label, sl, CAST(obs AS BIGINT) AS obs_i, CAST(obs AS DOUBLE) AS obs,
+       |    CAST(SUM(obs) OVER (PARTITION BY label) AS DOUBLE) AS rt,
+       |    CAST(SUM(obs) OVER (PARTITION BY sl) AS BIGINT) AS ct_i,
+       |    CAST(SUM(obs) OVER (PARTITION BY sl) AS DOUBLE) AS ct,
+       |    CAST(SUM(obs) OVER () AS DOUBLE) AS n
+       |  FROM f
+       |),
+       |t AS (
+       |  SELECT label, sl, obs_i, ct_i,
+       |    CAST(FLOOR($term * 1.0e6 + 5.0e-1) AS BIGINT) AS qt
+       |  FROM x
+       |)
+       |SELECT label,
+       |  CAST(MAX(CASE WHEN sl = 0 THEN obs_i END) AS BIGINT) AS n_base,
+       |  CAST(MAX(CASE WHEN sl = 1 THEN obs_i END) AS BIGINT) AS n_new,
+       |  ${d.idiv("MAX(CASE WHEN sl = 0 THEN obs_i END) * 1000000",
+                   "MAX(CASE WHEN sl = 0 THEN ct_i END)")} AS share_base_ppm,
+       |  ${d.idiv("MAX(CASE WHEN sl = 1 THEN obs_i END) * 1000000",
+                   "MAX(CASE WHEN sl = 1 THEN ct_i END)")} AS share_new_ppm,
+       |  ${r6("CAST(SUM(qt) AS DOUBLE) / 1.0e6")} AS chi2_part
+       |FROM t GROUP BY label""".stripMargin
+  }
+
   /** Embedding-DISTRIBUTION drift between the base corpus and today's
     * ingest slice (the [[NewVecMod]] convention) — the upstream
     * monitor that tells you the embedding MODEL or the content mix
