@@ -566,8 +566,18 @@ object SqlOps {
     * marginal); each cell's (o−e)²/e term is an IEEE chain on exact
     * integer inputs, µ-quantized before the final sum so both engines
     * add identical int64 values. */
+  /** The (o−e)²/e cell term over window marginals rt/ct/n — THE one
+    * copy of the chi-square contribution, shared by [[chiSquare]] and
+    * [[labelDrift]] (the per-op-fork rule: a quantization or guard
+    * change must not be applicable to one op and missed in the
+    * other). Callers with spine-filled contingencies must guard the
+    * e = 0 cells themselves (an all-observed contingency like
+    * [[chiSquare]]'s never has one). */
+  private val chi2CellTerm: String =
+    "(obs - rt * ct / n) * (obs - rt * ct / n) / (rt * ct / n)"
+
   def chiSquare(d: Dialect): String = {
-    val term = "(obs - rt * ct / n) * (obs - rt * ct / n) / (rt * ct / n)"
+    val term = chi2CellTerm
     s"""WITH e AS (
        |  SELECT event_type,
        |    CAST(FLOOR(${d.epochSeconds("ts")} / 86400.0) AS BIGINT) % 7 AS dow
@@ -1595,23 +1605,32 @@ object SqlOps {
         .map(k => s"SELECT w, piece FROM ulm_bw$k")
         .mkString("\nUNION ALL\n")
     }
+    // THE one copy of the M step (E-step counts → MLE log-probs):
+    // staged, because TWO bodies consume it — this op's report and
+    // [[ulmEmGain]]'s L1/L2 (a smoothing or prune-threshold change
+    // applied to a second inline copy would make the gain audit
+    // silently score a different model than the step reports)
+    val pcs2Stage = "ulm_pcs2" -> { (_: Dialect) =>
+      s"""WITH cnt AS (
+         |  SELECT p.piece, CAST(SUM(v.c) AS BIGINT) AS ec
+         |  FROM ulm_path p JOIN ulm_vocab v ON v.w = p.w
+         |  GROUP BY p.piece
+         |),
+         |tot AS (SELECT CAST(SUM(ec) AS BIGINT) AS t FROM cnt)
+         |SELECT piece, ec, ${qlog2("ec")} - ${qlog2("t")} AS qlp
+         |FROM cnt CROSS JOIN tot""".stripMargin
+    }
     StagedOp(
-      stages = ulmViterbi.stages ++ (1 to UlmMaxLen).map(bwStage) :+ pathStage,
+      stages = (ulmViterbi.stages ++ (1 to UlmMaxLen).map(bwStage)
+        :+ pathStage) :+ pcs2Stage,
       body = { _ =>
-        s"""WITH cnt AS (
-           |  SELECT p.piece, CAST(SUM(v.c) AS BIGINT) AS expected_count
-           |  FROM ulm_path p JOIN ulm_vocab v ON v.w = p.w
-           |  GROUP BY p.piece
-           |),
-           |tot AS (SELECT CAST(SUM(expected_count) AS BIGINT) AS t FROM cnt)
-           |SELECT c.piece, c.expected_count,
-           |  ${r6(s"CAST(${qlog2("c.expected_count")} - ${qlog2("t")} AS DOUBLE) / 1.0e6")} AS logp_new_bits,
+        s"""SELECT c.piece, c.ec AS expected_count,
+           |  ${r6("CAST(c.qlp AS DOUBLE) / 1.0e6")} AS logp_new_bits,
            |  ${r6("CAST(p.qlp AS DOUBLE) / 1.0e6")} AS logp_init_bits,
-           |  ${r6(s"CAST((${qlog2("c.expected_count")} - ${qlog2("t")}) - p.qlp AS DOUBLE) / 1.0e6")} AS delta_bits
-           |FROM cnt c
+           |  ${r6("CAST(c.qlp - p.qlp AS DOUBLE) / 1.0e6")} AS delta_bits
+           |FROM ulm_pcs2 c
            |JOIN ulm_pieces p ON p.piece = c.piece
-           |CROSS JOIN tot
-           |ORDER BY c.expected_count DESC, c.piece LIMIT 30""".stripMargin
+           |ORDER BY c.ec DESC, c.piece LIMIT 30""".stripMargin
       })
   }
 
@@ -1634,19 +1653,11 @@ object SqlOps {
     * candidate). Both inequalities are output columns, so the oracle
     * gate re-proves the trainer's improvement every run. */
   val ulmEmGain: StagedOp = {
-    val pcs2 = "ulm_pcs2" -> { (_: Dialect) =>
-      s"""WITH cnt AS (
-         |  SELECT p.piece, CAST(SUM(v.c) AS BIGINT) AS ec
-         |  FROM ulm_path p JOIN ulm_vocab v ON v.w = p.w
-         |  GROUP BY p.piece
-         |),
-         |tot AS (SELECT CAST(SUM(ec) AS BIGINT) AS t FROM cnt)
-         |SELECT piece, ec, ${qlog2("ec")} - ${qlog2("t")} AS qlp
-         |FROM cnt CROSS JOIN tot""".stripMargin
-    }
+    // ulm_pcs2 (the M-step table) is a stage of [[ulmEmStep]] — one
+    // copy, two consumers
     val dp2 = (1 to UlmMaxLen).map(i => ulmDpStage(i, "ulm_dq", "ulm_pcs2"))
     StagedOp(
-      stages = (ulmEmStep.stages :+ pcs2) ++ dp2,
+      stages = ulmEmStep.stages ++ dp2,
       body = { _ =>
         val all2 = (1 to UlmMaxLen)
           .map(i => s"SELECT w, score, $i AS i FROM ulm_dq$i")
@@ -3326,7 +3337,7 @@ object SqlOps {
     * and the label's chi-square contribution, so the report ranks the
     * movers, not just the headline statistic. */
   def labelDrift(d: Dialect): String = {
-    val term = "(obs - rt * ct / n) * (obs - rt * ct / n) / (rt * ct / n)"
+    val term = chi2CellTerm
     s"""WITH s AS (
        |  SELECT label,
        |    CASE WHEN vec_id % $NewVecMod = $NewVecRem THEN 1 ELSE 0 END AS sl
@@ -3351,17 +3362,26 @@ object SqlOps {
        |  FROM f
        |),
        |t AS (
+       |  -- e = rt·ct/n is 0 exactly when a slice (or label) total is
+       |  -- 0 — "today's ingest is empty" is a state a drift monitor
+       |  -- must SURVIVE, not crash on (the spine-fill creates the
+       |  -- e = 0 cells chiSquare's observed-only contingency never
+       |  -- has; an unguarded term is 0/0 → NaN → ANSI CAST throw)
        |  SELECT label, sl, obs_i, ct_i,
-       |    CAST(FLOOR($term * 1.0e6 + 5.0e-1) AS BIGINT) AS qt
+       |    CASE WHEN rt * ct > 0.0e0
+       |         THEN CAST(FLOOR($term * 1.0e6 + 5.0e-1) AS BIGINT)
+       |         ELSE 0 END AS qt
        |  FROM x
        |)
        |SELECT label,
        |  CAST(MAX(CASE WHEN sl = 0 THEN obs_i END) AS BIGINT) AS n_base,
        |  CAST(MAX(CASE WHEN sl = 1 THEN obs_i END) AS BIGINT) AS n_new,
-       |  ${d.idiv("MAX(CASE WHEN sl = 0 THEN obs_i END) * 1000000",
-                   "MAX(CASE WHEN sl = 0 THEN ct_i END)")} AS share_base_ppm,
-       |  ${d.idiv("MAX(CASE WHEN sl = 1 THEN obs_i END) * 1000000",
-                   "MAX(CASE WHEN sl = 1 THEN ct_i END)")} AS share_new_ppm,
+       |  CASE WHEN MAX(CASE WHEN sl = 0 THEN ct_i END) = 0 THEN NULL
+       |       ELSE ${d.idiv("MAX(CASE WHEN sl = 0 THEN obs_i END) * 1000000",
+                             "MAX(CASE WHEN sl = 0 THEN ct_i END)")} END AS share_base_ppm,
+       |  CASE WHEN MAX(CASE WHEN sl = 1 THEN ct_i END) = 0 THEN NULL
+       |       ELSE ${d.idiv("MAX(CASE WHEN sl = 1 THEN obs_i END) * 1000000",
+                             "MAX(CASE WHEN sl = 1 THEN ct_i END)")} END AS share_new_ppm,
        |  ${r6("CAST(SUM(qt) AS DOUBLE) / 1.0e6")} AS chi2_part
        |FROM t GROUP BY label""".stripMargin
   }
@@ -3378,8 +3398,10 @@ object SqlOps {
     * map-side combinable, conditional aggregation instead of a
     * self-join — the two slices never shuffle separately); the
     * variance/smd arithmetic is fixed expression trees over those
-    * exact ints. Constant dimensions (zero pooled spread) yield NULL
-    * rather than a division blow-up. */
+    * exact ints. Zero pooled spread yields smd = NULL (infinite
+    * effect size, not a division blow-up) — but the FLAG still fires
+    * when the two constant means differ, because a zeroed/re-scaled
+    * feature is the bluntest drift of all. */
   def embeddingDrift(d: Dialect): String = {
     val exp = d.explodeWithPos(
       "SELECT vec_id, embedding FROM embeddings", "vec_id", "embedding", "pos", "v")
@@ -3396,26 +3418,35 @@ object SqlOps {
        |    CAST(SUM((1 - is_new) * qv) AS BIGINT) AS sb,
        |    CAST(SUM(is_new) AS BIGINT) AS nn,
        |    CAST(SUM(is_new * qv) AS BIGINT) AS sn,
-       |    SUM(CAST(1 - is_new AS DOUBLE) * qv * qv) AS qb,
-       |    SUM(CAST(is_new AS DOUBLE) * qv * qv) AS qn
+       |    CAST(SUM((1 - is_new) * qv * qv) AS BIGINT) AS qb,
+       |    CAST(SUM(is_new * qv * qv) AS BIGINT) AS qn
        |  FROM q GROUP BY pos
        |),
        |v AS (
        |  SELECT pos, nb, nn,
        |    CAST(sb AS DOUBLE) / nb AS mb,
        |    CAST(sn AS DOUBLE) / nn AS mn,
-       |    (qb - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) AS vb,
-       |    (qn - CAST(sn AS DOUBLE) * sn / nn) / (nn - 1) AS vn
+       |    (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) AS vb,
+       |    (CAST(qn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / nn) / (nn - 1) AS vn
        |  FROM s WHERE nb > 1 AND nn > 1
+       |),
+       |sm AS (
+       |  SELECT pos, nb, nn, mb, mn, vb, vn,
+       |    CASE WHEN vb + vn <= 0.0e0 THEN NULL
+       |         ELSE (mn - mb) / sqrt((vb + vn) / 2.0e0) END AS smd_raw
+       |  FROM v
        |)
        |SELECT pos, nb AS n_base, nn AS n_new,
        |  ${r6("(mn - mb) / 1.0e6")} AS mean_diff,
-       |  CASE WHEN vb + vn <= 0.0e0 THEN NULL
-       |       ELSE ${r6("(mn - mb) / sqrt((vb + vn) / 2.0e0)")} END AS smd,
-       |  CASE WHEN vb + vn <= 0.0e0 THEN NULL
-       |       WHEN ABS(${"(mn - mb) / sqrt((vb + vn) / 2.0e0)"}) > 1.0e-1 THEN 1
-       |       ELSE 0 END AS drift_flag
-       |FROM v""".stripMargin
+       |  ${r6("smd_raw")} AS smd,
+       |  CASE
+       |    -- zero pooled spread with DIFFERENT means = infinite effect
+       |    -- size: the bluntest drift there is (the model zeroed or
+       |    -- re-scaled a feature) must flag, not mask as NULL
+       |    WHEN vb + vn <= 0.0e0 THEN (CASE WHEN mn <> mb THEN 1 ELSE 0 END)
+       |    WHEN ABS(smd_raw) > 1.0e-1 THEN 1
+       |    ELSE 0 END AS drift_flag
+       |FROM sm""".stripMargin
   }
 
   /** Base-slice centroid table — yesterday's trained coarse quantizer,
@@ -6654,9 +6685,10 @@ object SqlOps {
     *    model with any cross-user signal trains on the future of its
     *    own test set. The audit COUNTS those events (test es <
     *    global train max).
-    *  - `global_cutoff` (train strictly before the 80th-percentile
-    *    timestamp) is leakage-free BY CONSTRUCTION, and the audit
-    *    proving 0 here is the gate's self-check.
+    *  - `global_cutoff` (train = events AT-OR-BEFORE the
+    *    80th-percentile timestamp, test strictly after) is
+    *    leakage-free BY CONSTRUCTION, and the audit proving 0 here is
+    *    the gate's self-check.
     * One user-sharded window for the holdout rank, one percentile
     * scalar for the cutoff, map-side-combinable counting aggregates;
     * each strategy scans its labeled events twice (once for the

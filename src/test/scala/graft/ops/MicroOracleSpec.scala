@@ -973,4 +973,213 @@ class MicroOracleSpec extends SparkSpec {
     assert(l1 >= l0 && l2 >= l1, "the EM monotonicity the op exists to prove")
     spark.catalog.dropTempView("documents")
   }
+
+  /** Spark `percentile`: index (n−1)·p, linear interpolation — shared
+    * by the label/temporal-split micro-oracles below. */
+  private def pctCont(xs: Seq[Long], p: Double): Double = {
+    val s = xs.sorted
+    val idx = (s.size - 1) * p
+    val (lo, hi) = (math.floor(idx).toInt, math.ceil(idx).toInt)
+    s(lo) + (idx - lo) * (s(hi) - s(lo))
+  }
+
+  test("label drift: SQL chi-square parts and ppm shares equal an independent contingency") {
+    import spark.implicits._
+    // labels 0..3; label 3 exists ONLY in the base slice (the
+    // spine-fill case); slice = vec_id % 16 == 3
+    val rows: Seq[(Long, Array[Float], Long)] = (0L until 160L).map { i =>
+      val label = if (i % 16 == 3) i % 3 else i % 4
+      (i, Array(0f), label)
+    }
+    rows.toDF("vec_id", "embedding", "label").createOrReplaceTempView("embeddings")
+    val got = spark.sql(SqlOps.labelDrift(SparkDialect)).collect()
+      .map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("n_base"), r.getAs[Long]("n_new"),
+          Option(r.getAs[java.lang.Long]("share_base_ppm")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("share_new_ppm")).map(_.toLong),
+          r.getAs[Double]("chi2_part"))).toMap
+
+    // ---- independent contingency ----
+    val cells = rows.groupBy { case (id, _, l) => (l, if (id % 16 == 3) 1 else 0) }
+      .view.mapValues(_.size.toLong).toMap.withDefaultValue(0L)
+    val labels = rows.map(_._3).distinct.sorted
+    val ct = Map(0 -> labels.map(l => cells((l, 0))).sum,
+                 1 -> labels.map(l => cells((l, 1))).sum)
+    val n = ct(0) + ct(1)
+    val expected = labels.map { l =>
+      val (nb, nn) = (cells((l, 0)), cells((l, 1)))
+      val rt = nb + nn
+      val qts = Seq(0, 1).map { sl =>
+        val e = rt.toDouble * ct(sl) / n
+        val o = cells((l, sl)).toDouble
+        if (rt.toDouble * ct(sl) > 0) math.floor((o - e) * (o - e) / e * 1e6 + 0.5).toLong
+        else 0L
+      }
+      l -> (nb, nn, Some(nb * 1000000L / ct(0)), Some(nn * 1000000L / ct(1)),
+        r6(qts.sum.toDouble / 1e6))
+    }.toMap
+    assert(got === expected)
+    // label 3 has zero new-slice mass and a positive contribution
+    assert(got(3L)._2 === 0L && got(3L)._5 > 0.0)
+
+    // robustness: an EMPTY ingest slice must report, not crash — new
+    // shares NULL, every chi-square contribution 0 (degenerate table)
+    rows.filter(_._1 % 16 != 3)
+      .toDF("vec_id", "embedding", "label").createOrReplaceTempView("embeddings")
+    val empty = spark.sql(SqlOps.labelDrift(SparkDialect)).collect()
+    assert(empty.nonEmpty)
+    assert(empty.forall(r => r.isNullAt(r.fieldIndex("share_new_ppm"))))
+    assert(empty.forall(_.getAs[Double]("chi2_part") === 0.0))
+    spark.catalog.dropTempView("embeddings")
+  }
+
+  test("embedding drift: SQL smd equals independent statistics; constant-shift dims still flag") {
+    import spark.implicits._
+    // dim 0: genuine shift (base ~0.1, new ~0.5); dim 1: identical
+    // distributions; dim 2: constant in both slices but DIFFERENT
+    // constants (zero spread — the masking case); dim 3: identical
+    // constants (no drift at all)
+    val rows: Seq[(Long, Array[Float])] = (0L until 64L).map { i =>
+      val isNew = i % 16 == 3
+      val d0 = (if (isNew) 0.5f else 0.1f) + (i % 5).toFloat / 100f
+      val d1 = (i % 7).toFloat / 10f
+      val d2 = if (isNew) 0.25f else -0.25f
+      val d3 = 0.125f
+      (i, Array(d0, d1, d2, d3))
+    }
+    rows.toDF("vec_id", "embedding").createOrReplaceTempView("embeddings")
+    val got = spark.sql(SqlOps.embeddingDrift(SparkDialect)).collect()
+      .map(r => r.getAs[Long]("pos") ->
+        (Option(r.getAs[java.lang.Double]("smd")).map(_.toDouble),
+          r.getAs[Int]("drift_flag"))).toMap
+
+    // ---- independent statistics (same µ-quantization) ----
+    def qv(v: Float): Long = math.floor(v.toDouble * 1e6 + 0.5).toLong
+    def smdOf(pos: Int): Option[Double] = {
+      val (base, nw) = rows.partition(_._1 % 16 != 3)
+      def stats(xs: Seq[Long]) = {
+        val nn = xs.size
+        val m = xs.sum.toDouble / nn
+        val v = (xs.map(x => x.toDouble * x).sum - xs.sum.toDouble * xs.sum / nn) / (nn - 1)
+        (m, v)
+      }
+      val (mb, vb) = stats(base.map(r => qv(r._2(pos))))
+      val (mn, vn) = stats(nw.map(r => qv(r._2(pos))))
+      if (vb + vn <= 0) None else Some(r6((mn - mb) / math.sqrt((vb + vn) / 2.0)))
+    }
+    assert(got(0L)._1 === smdOf(0) && got(0L)._2 === 1, "shifted dim must flag")
+    // dim 1's slices are close but not engineered-identical: the flag
+    // must agree with the independent statistic's threshold verdict
+    assert(got(1L)._1 === smdOf(1))
+    assert(got(1L)._2 === (if (smdOf(1).exists(s => math.abs(s) > 0.1)) 1 else 0))
+    assert(got(2L)._1.isEmpty && got(2L)._2 === 1,
+      "constant-but-different dims are the bluntest drift and must flag")
+    assert(got(3L)._1.isEmpty && got(3L)._2 === 0, "identical constants must not flag")
+    spark.catalog.dropTempView("embeddings")
+  }
+
+  test("temporal split: SQL counts and leakage audit equal an independent replay") {
+    import spark.implicits._
+    // 6 users × 5 events at staggered seconds; user 0's last event is
+    // EARLY (second 10) so its holdout test event precedes most train
+    val rows: Seq[(Long, Long, java.sql.Timestamp)] = for {
+      u <- 0L until 6L
+      k <- 0L until 5L
+    } yield {
+      val sec = if (u == 0) 2 + 2 * k else 100 * u + 10 * k
+      (u, u * 10 + k, new java.sql.Timestamp(sec * 1000L))
+    }
+    rows.map { case (u, id, ts) => (id, ts, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .createOrReplaceTempView("events")
+    val got = spark.sql(SqlOps.splitTemporal(SparkDialect)).collect()
+      .map(r => r.getAs[String]("strategy") ->
+        (r.getAs[Long]("n_train"), r.getAs[Long]("n_test"),
+          r.getAs[Long]("leaky_test_events"))).toMap
+
+    // ---- independent replay ----
+    val es = rows.map { case (u, id, ts) => (u, id, ts.getTime / 1000) }
+    // per-user holdout: max (es, event_id) per user is test
+    val test1 = es.groupBy(_._1).values.map(_.maxBy(e => (e._3, e._2))).toSet
+    val train1 = es.filterNot(test1).map(_._3)
+    val leak1 = test1.count(_._3 < train1.max)
+    // global cutoff at the interpolated 80th percentile
+    val c80 = pctCont(es.map(_._3), 0.8)
+    val (trainG, testG) = es.partition(_._3 <= c80)
+    assert(got("per_user_holdout") === ((train1.size.toLong, test1.size.toLong, leak1.toLong)))
+    assert(got("global_cutoff") === ((trainG.size.toLong, testG.size.toLong, 0L)))
+    assert(leak1 > 0, "the crafted early user must exhibit time travel")
+    spark.catalog.dropTempView("events")
+  }
+
+  test("filter kappa: SQL contingency and kappa equal an independent judge pair") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // docs crafted to land on all four contingency cells: gopher pass
+    // needs >=50 words, >=2 distinct designated stopwords, mean word
+    // length 3..10, >=80% alphabetic, <10% symbol hits
+    val stopFill = "the and " // 2 designated stops -> r_stop passes
+    def doc(body: String, n: Int): String =
+      (stopFill + (1 to n).map(i => body + i).mkString(" ")).trim
+    val docs: Seq[(Long, String)] = Seq(
+      (0L, doc("alpha", 60)),          // gopher pass, common-ish tokens
+      (1L, doc("alpha", 60)),          // duplicate content profile
+      (2L, doc("beta", 60)),
+      (3L, "tiny doc"),                // fails r_wordcount
+      (4L, (1 to 60).map(i => s"## $i ##").mkString(" ")), // symbol/alpha fail
+      (5L, doc("gamma", 70)),
+      (6L, "the and " + (1 to 55).map(_ => "zz").mkString(" ")), // repeated short tokens
+      (7L, doc("delta", 52)))
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    SqlOps.filterKappa.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.filterKappa.body(SparkDialect)).collect().head
+
+    // ---- independent judges ----
+    val stops = Set("the", "and", "of", "to", "in", "is", "a",
+      "yang", "dan", "di", "ke", "itu", "untuk")
+    def gopher(t: String): Boolean = {
+      val toks = t.split(" ", -1)
+      val words = toks.length.toLong
+      val chars = t.replace(" ", "").length.toLong
+      val sym = "#|\\.\\.\\.".r.findAllIn(t).length.toLong
+      val alpha = toks.count(w => w.toLowerCase != w.toUpperCase).toLong
+      val stop = toks.filter(stops).distinct.length.toLong
+      (words >= 50 && words <= 100000) &&
+        (chars >= 3 * words && chars <= 10 * words) &&
+        (sym * 10 < words) && (alpha * 10 >= words * 8) && (stop >= 2)
+    }
+    def qlog2(x: Long): Long =
+      math.floor(math.log(x.toDouble) / math.log(2.0) * 1e6 + 0.5).toLong
+    val tf: Map[(Long, String), Long] = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (w, xs) => (id, w) -> xs.size.toLong }
+    }.toMap
+    val cGlob = tf.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val nn = tf.values.sum
+    val q: Map[Long, Long] = docs.map { case (id, _) =>
+      val mine = tf.collect { case ((d, w), f) if d == id => (w, f) }
+      val bits = mine.map { case (w, f) => f * (qlog2(nn) - qlog2(cGlob(w))) }.sum
+      id -> bits / mine.map(_._2).sum
+    }.toMap
+    val t67 = pctCont(q.values.toSeq, 0.67)
+    val ab = docs.map { case (id, t) =>
+      (if (gopher(t)) 1 else 0, if (q(id) <= t67) 1 else 0)
+    }
+    val n = ab.size.toLong
+    val n11 = ab.count(p => p._1 == 1 && p._2 == 1).toLong
+    val n10 = ab.count(p => p._1 == 1 && p._2 == 0).toLong
+    val n01 = ab.count(p => p._1 == 0 && p._2 == 1).toLong
+    val n00 = ab.count(p => p._1 == 0 && p._2 == 0).toLong
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10).toDouble * (n11 + n01) + (n01 + n00).toDouble * (n10 + n00)) / (n.toDouble * n)
+    assert((got.getAs[Long]("n"), got.getAs[Long]("n11"), got.getAs[Long]("n10"),
+      got.getAs[Long]("n01"), got.getAs[Long]("n00")) === ((n, n11, n10, n01, n00)))
+    assert(got.getAs[Double]("observed_agreement") === r6(po))
+    assert(got.getAs[Double]("chance_agreement") === r6(pe))
+    assert(got.getAs[Double]("kappa") === r6((po - pe) / (1.0 - pe)))
+    // the crafted corpus must exercise BOTH judges' both verdicts
+    assert(Seq(n11, n10, n01, n00).count(_ > 0) >= 3, s"degenerate contingency: $n11 $n10 $n01 $n00")
+    spark.catalog.dropTempView("documents")
+  }
 }
