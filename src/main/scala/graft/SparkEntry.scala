@@ -687,6 +687,7 @@ object SparkEntry {
     "q_search_bm25" -> sqlStaged(Seq("documents"), SqlOps.searchBm25),
     "q_search_ndcg" -> sqlStaged(Seq("documents"), SqlOps.searchNdcg),
     "q_search_rrf" -> sqlStaged(Seq("documents"), SqlOps.searchRrf),
+    "q_search_rbo" -> sqlStaged(Seq("documents"), SqlOps.searchRbo),
     "q_corpus_diversity" -> sqlStaged(Seq("documents"), SqlOps.corpusDiversity),
     "q_ship_latency_priority" -> sqlq(Seq("lineitem", "orders"), SqlOps.shipLatencyPriority),
     // provenance entropy over the staged cluster map (the clusters-view
@@ -1529,6 +1530,7 @@ object SparkEntry {
     "q_search_bm25" -> SqlOps.searchBm25.single(DuckDialect),
     "q_search_ndcg" -> SqlOps.searchNdcg.single(DuckDialect),
     "q_search_rrf" -> SqlOps.searchRrf.single(DuckDialect),
+    "q_search_rbo" -> SqlOps.searchRbo.single(DuckDialect),
     "q_corpus_diversity" -> SqlOps.corpusDiversity.single(DuckDialect),
     "q_ship_latency_priority" -> SqlOps.shipLatencyPriority(DuckDialect),
     "q_cluster_source_entropy" ->

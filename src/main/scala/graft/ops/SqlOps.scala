@@ -1336,6 +1336,24 @@ object SqlOps {
          |)""".stripMargin
     }
 
+  /** The coverage-ranked boolean retriever's top-10 (distinct query
+    * terms matched, then summed tf) — the second ranker, staged
+    * because TWO consumers read it (the RRF fusion and the RBO churn
+    * metric). */
+  private val covRankedStage: (String, Dialect => String) =
+    "cov_ranked" -> { (_: Dialect) =>
+      val inList = SearchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH cov AS (
+         |  SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(tf) AS BIGINT) AS tot_tf
+         |  FROM ulm_tf WHERE s IN ($inList) GROUP BY doc_id
+         |)
+         |SELECT doc_id, rk FROM (
+         |  SELECT doc_id, ROW_NUMBER() OVER (
+         |    ORDER BY n_terms DESC, tot_tf DESC, doc_id) AS rk
+         |  FROM cov
+         |) WHERE rk <= 10""".stripMargin
+    }
+
   /** Retrieval-quality eval for the BM25 ranking — nDCG@10 and MRR
     * against a graded relevance oracle (rel = the summed query-term
     * frequency, floored halves capped at 5), completing the eval
@@ -1415,32 +1433,69 @@ object SqlOps {
     * rankings are TakeOrdered top-k artifacts, so the fusion cost is
     * O(k) regardless of corpus size. */
   val searchRrf: StagedOp = StagedOp(
-    stages = textUnigramLm.stages :+ ndcgRankedStage,
+    stages = textUnigramLm.stages :+ ndcgRankedStage :+ covRankedStage,
     body = { _ =>
-      val inList = SearchTerms.map(t => s"'$t'").mkString(", ")
-      s"""WITH cov AS (
-         |  SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(tf) AS BIGINT) AS tot_tf
-         |  FROM ulm_tf WHERE s IN ($inList) GROUP BY doc_id
-         |),
-         |covr AS (
-         |  SELECT doc_id, rk FROM (
-         |    SELECT doc_id, ROW_NUMBER() OVER (
-         |      ORDER BY n_terms DESC, tot_tf DESC, doc_id) AS rk
-         |    FROM cov
-         |  ) WHERE rk <= 10
-         |),
-         |fused AS (
+      s"""WITH fused AS (
          |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
          |    COALESCE(1.0e0 / (60 + a.rk), 0.0e0)
          |      + COALESCE(1.0e0 / (60 + b.rk), 0.0e0) AS s,
          |    a.rk AS bm25_rank, b.rk AS coverage_rank
-         |  FROM ndcg_ranked a FULL JOIN covr b ON a.doc_id = b.doc_id
+         |  FROM ndcg_ranked a FULL JOIN cov_ranked b ON a.doc_id = b.doc_id
          |)
          |SELECT doc_id, ${r6("s")} AS rrf_score, bm25_rank, coverage_rank,
          |  rk AS fused_rank
          |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rk FROM fused)
          |WHERE rk <= 10""".stripMargin
     })
+
+  /** Rank-biased overlap (Webber/Moffat/Zobel 2010) between the two
+    * retrievers' top-10 lists — the RANK-agreement complement of
+    * [[filterKappa]]'s set-level agreement and the churn metric a
+    * search team tracks between ranker versions: RBO@10 =
+    * (1−p)·Σ_{d≤10} p^{d−1}·|A_d ∩ B_d|/d with p = 0.9, weighting
+    * agreement at the top far above the tail. The geometric weights
+    * are precomputed EXACTLY host-side (BigDecimal → µ-quantized
+    * int64 literals — the EWMA transcendental-pinning rule; engine
+    * pow() is not IEEE-pinned); the depth-d overlap count comes from
+    * each shared doc's max(rank_a, rank_b) ≤ d over a 10-row depth
+    * spine, so the whole body is two ≤10-row staged reads, one ≤10-row
+    * join and a 10-row weighted sum — O(k) at any corpus size. Each
+    * w_d·overlap/d term is a fixed expression tree on exact ints,
+    * µ-quantized before the final int64 sum. */
+  val searchRbo: StagedOp = {
+    // w_d = (1−p)·p^(d−1)·1e12 exact, p = 9/10
+    val wq = (1 to 10).map { d =>
+      (BigDecimal(1) - BigDecimal("0.9")) * BigDecimal("0.9").pow(d - 1) *
+        BigDecimal(1000000000000L)
+    }.map(_.setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact)
+    val wtRows = wq.zipWithIndex
+      .map { case (w, i) => s"SELECT ${i + 1} AS d, CAST($w AS BIGINT) AS wq" }
+      .mkString("\nUNION ALL ")
+    StagedOp(
+      stages = textUnigramLm.stages :+ ndcgRankedStage :+ covRankedStage,
+      body = { _ =>
+        s"""WITH shared AS (
+           |  SELECT GREATEST(a.rk, b.rk) AS mr
+           |  FROM ndcg_ranked a JOIN cov_ranked b ON a.doc_id = b.doc_id
+           |),
+           |wt AS (
+           |  $wtRows
+           |),
+           |terms AS (
+           |  -- depth-spine inequality join (10 × ≤10 rows): COUNT of
+           |  -- non-null matches keeps zero-overlap depths at 0 (a
+           |  -- correlated scalar subquery here failed Spark's
+           |  -- decorrelation outright — "key not found" at planning)
+           |  SELECT w.d, w.wq, CAST(COUNT(s.mr) AS BIGINT) AS ov
+           |  FROM wt w LEFT JOIN shared s ON s.mr <= w.d
+           |  GROUP BY w.d, w.wq
+           |)
+           |SELECT
+           |  ${r6("CAST(SUM(CAST(FLOOR(CAST(wq AS DOUBLE) * ov / d + 5.0e-1) AS BIGINT)) AS DOUBLE) / 1.0e12")} AS rbo_at_10,
+           |  CAST(MAX(CASE WHEN d = 10 THEN ov END) AS BIGINT) AS n_shared_top10
+           |FROM terms""".stripMargin
+      })
+  }
 
   /** Unigram-LM tokenizer DP bounds: Viterbi positions 1..[[UlmMaxLen]]
     * (the fixture vocabulary tops out at 8 characters; the vocab stage

@@ -1182,4 +1182,36 @@ class MicroOracleSpec extends SparkSpec {
     assert(Seq(n11, n10, n01, n00).count(_ > 0) >= 3, s"degenerate contingency: $n11 $n10 $n01 $n00")
     spark.catalog.dropTempView("documents")
   }
+
+  test("RBO: SQL weighted overlap equals an independent textbook computation") {
+    import spark.implicits._
+    // hand-built rank lists: doc 1 tops both; docs 3 and 7 shared at
+    // different depths; the rest disjoint
+    val listA = (1 to 10).map(r => (r.toLong * 100 + 1, r)) // docs 101,201,...
+    val listB = Seq((101L, 1), (301L, 4), (701L, 2)) ++
+      (4 to 10).map(r => (r.toLong * 100 + 99, r))
+    listA.toDF("doc_id", "rk").createOrReplaceTempView("ndcg_ranked")
+    listB.toDF("doc_id", "rk").createOrReplaceTempView("cov_ranked")
+    val got = spark.sql(SqlOps.searchRbo.body(SparkDialect)).collect().head
+
+    // ---- independent textbook RBO@10, same exact weight pinning ----
+    val wq = (1 to 10).map { d =>
+      ((BigDecimal(1) - BigDecimal("0.9")) * BigDecimal("0.9").pow(d - 1) *
+        BigDecimal(1000000000000L)).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    }
+    val ra = listA.toMap
+    val shared = listB.collect { case (id, rb) if ra.contains(id) => math.max(ra(id), rb) }
+    val terms = (1 to 10).map { d =>
+      val ov = shared.count(_ <= d).toLong
+      math.floor(wq(d - 1).toDouble * ov / d + 0.5).toLong
+    }
+    assert(got.getAs[Long]("n_shared_top10") === shared.size.toLong)
+    assert(got.getAs[Double]("rbo_at_10") === r6(terms.sum.toDouble / 1e12))
+    // sanity: identical lists give RBO@10 = Σ w_d (the truncated mass)
+    listA.toDF("doc_id", "rk").createOrReplaceTempView("cov_ranked")
+    val same = spark.sql(SqlOps.searchRbo.body(SparkDialect)).collect().head
+    assert(same.getAs[Double]("rbo_at_10") === r6(wq.sum.toDouble / 1e12))
+    spark.catalog.dropTempView("ndcg_ranked")
+    spark.catalog.dropTempView("cov_ranked")
+  }
 }
