@@ -197,6 +197,51 @@ class LoadSpec extends SparkSpec {
     assert(readMain() === Set(("a", 1L), ("b", 20L), ("c", 3L), ("d", 4L)))
   }
 
+  test("jdbcExactlyOnce: streaming drive — AvailableNow drains across restarts upsert once each") {
+    import spark.implicits._
+    import graft.streaming.StreamingOps
+    import org.apache.spark.sql.streaming.Trigger
+    val url = "jdbc:derby:memory:graftxstream;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE main_s (link VARCHAR(64) PRIMARY KEY, price_rp BIGINT)")
+      st.execute("CREATE TABLE stg_s (link VARCHAR(64), price_rp BIGINT)")
+      st.execute("CREATE TABLE led_s (batch_id BIGINT PRIMARY KEY)")
+      st.close()
+    } finally conn.close()
+    val dir = java.nio.file.Files.createTempDirectory("graft_xstream").toString
+    val landing = s"$dir/landing"
+    def land(rows: Seq[(String, Long)]): Unit =
+      rows.toDF("link", "price_rp").write.mode("append").parquet(landing)
+    def drain(): Unit = {
+      val schema = spark.read.parquet(landing).schema
+      val stream = spark.readStream.schema(schema).parquet(landing)
+      val q = StreamingOps.jdbcExactlyOnce(stream, url, "stg_s", "main_s",
+          "link", "led_s", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def readMain(): Set[(String, Long)] =
+      spark.read.jdbc(url, "main_s", new java.util.Properties)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    land(Seq(("a", 1L), ("b", 2L))); drain()
+    assert(readMain() === Set(("a", 1L), ("b", 2L)))
+    // restart on the same checkpoint: only NEW files drain; the upsert
+    // revises b and adds c exactly once
+    land(Seq(("b", 20L), ("c", 3L))); drain()
+    assert(readMain() === Set(("a", 1L), ("b", 20L), ("c", 3L)))
+    // a third restart with nothing new applies nothing (ledger rows =
+    // committed epochs, no duplicates)
+    drain()
+    assert(readMain() === Set(("a", 1L), ("b", 20L), ("c", 3L)))
+    val ledger = spark.read.jdbc(url, "led_s", new java.util.Properties)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ledger === ledger.distinct, "ledger must hold each epoch once")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("schema evolution: mergeSchema unions file batches, missing columns read NULL") {
     // a long-lived landing zone accumulates batches written by
     // different pipeline versions; the engine must read them as one
