@@ -204,14 +204,26 @@ object SparkEntry {
     * whenever it (re)writes and [[cleanupStages]] clears the map —
     * a memo may only outlive the part files it lists if nothing
     * rewrote them. */
-  // WeakHashMap on the session: a memoized DataFrame strongly
-  // references its SparkSession, so a (session, path)-keyed flat map
-  // would pin every STOPPED session (plus its FileIndex listings) for
-  // the JVM lifetime — test suites create many sessions per JVM
+  // WeakHashMap alone would NOT reclaim stopped sessions here: the
+  // memoized DataFrame values strongly reference their own session
+  // key (Dataset -> QueryExecution -> SparkSession), which per the
+  // WeakHashMap contract pins the entry forever. purgeStopped below
+  // is the actual collector: a stopped session can never serve
+  // another read, so every access drops entries whose SparkContext
+  // is stopped — multi-session test suites no longer accumulate
+  // dead sessions plus their FileIndex listings
   private val stageReads =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.HashMap[String, DataFrame]]()
+  private def purgeStoppedLocked(): Unit = {
+    val it = stageReads.keySet.iterator
+    while (it.hasNext) {
+      val k = it.next()
+      if (k != null && k.sparkContext.isStopped) it.remove()
+    }
+  }
   private def readStage(s: SparkSession, path: String): DataFrame =
     stageReads.synchronized {
+      purgeStoppedLocked()
       var m = stageReads.get(s)
       if (m == null) { m = scala.collection.mutable.HashMap.empty; stageReads.put(s, m) }
       m.getOrElseUpdate(path, s.read.parquet(path))

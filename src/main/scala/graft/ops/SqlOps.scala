@@ -3478,23 +3478,31 @@ object SqlOps {
        |  FROM q GROUP BY pos
        |),
        |v AS (
+       |  -- under-sampled dimensions (a slice with < 2 samples) are
+       |  -- KEPT with NULL moments, not dropped: an empty ingest must
+       |  -- read as "no data" (status, NULL smd, NULL flag), never as
+       |  -- the silent empty report that looks like "no drift"
        |  SELECT pos, nb, nn,
-       |    CAST(sb AS DOUBLE) / nb AS mb,
-       |    CAST(sn AS DOUBLE) / nn AS mn,
-       |    (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) AS vb,
-       |    (CAST(qn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / nn) / (nn - 1) AS vn
-       |  FROM s WHERE nb > 1 AND nn > 1
+       |    CASE WHEN nb > 0 THEN CAST(sb AS DOUBLE) / nb END AS mb,
+       |    CASE WHEN nn > 0 THEN CAST(sn AS DOUBLE) / nn END AS mn,
+       |    CASE WHEN nb > 1 THEN
+       |      (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) END AS vb,
+       |    CASE WHEN nn > 1 THEN
+       |      (CAST(qn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / nn) / (nn - 1) END AS vn
+       |  FROM s
        |),
        |sm AS (
        |  SELECT pos, nb, nn, mb, mn, vb, vn,
-       |    CASE WHEN vb + vn <= 0.0e0 THEN NULL
+       |    CASE WHEN vb IS NULL OR vn IS NULL OR vb + vn <= 0.0e0 THEN NULL
        |         ELSE (mn - mb) / sqrt((vb + vn) / 2.0e0) END AS smd_raw
        |  FROM v
        |)
        |SELECT pos, nb AS n_base, nn AS n_new,
+       |  CASE WHEN nb > 1 AND nn > 1 THEN 'ok' ELSE 'no_data' END AS status,
        |  ${r6("(mn - mb) / 1.0e6")} AS mean_diff,
        |  ${r6("smd_raw")} AS smd,
        |  CASE
+       |    WHEN nb < 2 OR nn < 2 THEN NULL
        |    -- zero pooled spread with DIFFERENT means = infinite effect
        |    -- size: the bluntest drift there is (the model zeroed or
        |    -- re-scaled a feature) must flag, not mask as NULL

@@ -1140,22 +1140,49 @@ object StreamingOps {
   }
 
   /** Stage 6 — the admission-volume history (`<root>/history`, cols
-    * batch_seq, n_admitted): one row per drained batch recording the
-    * LIFETIME admitted count after that batch — the time series the
-    * EWMA volume monitor watches. Keyed by the engine's batch id, so a
-    * redelivered batch overwrites its own row with the same value
-    * (the admitted artifact is already advanced and membership makes
-    * re-admission a no-op) instead of appending a duplicate. */
-  private[streaming] def ingestHistory(spark: SparkSession, batchSeq: Long,
-                                       root: String): Unit = {
+    * batch_seq, n_admitted, admit_sig): one row per drained batch
+    * recording the LIFETIME admitted count after that batch — the time
+    * series the EWMA volume monitor watches. Keyed by the engine's
+    * batch id, so a redelivered batch overwrites its own row with the
+    * same value (the admitted artifact is already advanced and
+    * membership makes re-admission a no-op) instead of appending a
+    * duplicate.
+    *
+    * `admit_sig` is an order-independent signature (bit_xor of
+    * xxhash64 — no overflow under ANSI) of the batch's admitted
+    * work-set ids, written once with the row. It is the collision
+    * detector for the one failure the lifetime count cannot see: a
+    * stream restarted on a FRESH checkpoint against an OLD stateRoot
+    * restarts batchId at 0, so NEW data arrives under an
+    * already-recorded batch_seq and the EWMA gate would compute
+    * deltas from the wrong rows. A genuine redelivery — even out of
+    * order — carries the same docs, reproduces the signature and
+    * passes; new data under a recycled id cannot, and fails loudly.
+    * (The lifetime count is NOT a usable discriminator: an
+    * out-of-order replay legitimately recomputes a LARGER count than
+    * its first-write row, which first-write-wins then ignores.) */
+  private[streaming] def ingestHistory(spark: SparkSession, batch: DataFrame,
+                                       batchSeq: Long, root: String): Unit = {
     val admitted = readState(spark, s"$root/admitted")
       .getOrElse(sys.error(s"daily-ingest: $root/admitted missing (stage order violated)"))
     val nAdmitted = admitted.count()
+    val admitSig = batch.select(col("doc_id"))
+      .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+      .agg(coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)))
+      .head().getLong(0)
     publishParquet(spark, s"$root/history") { current =>
       val row = spark.range(1).select(lit(batchSeq).as("batch_seq"),
-        lit(nAdmitted).as("n_admitted"))
+        lit(nAdmitted).as("n_admitted"), lit(admitSig).as("admit_sig"))
       current match {
         case Some(cur) =>
+          val clash = cur.filter(col("batch_seq") === batchSeq)
+            .filter(col("admit_sig") =!= admitSig).count()
+          if (clash > 0) sys.error(
+            s"daily-ingest: history batch_seq=$batchSeq already recorded with a " +
+              "different admitted work-set signature — this is new data under a " +
+              "recycled batch id (the stream's checkpointDir was reset against a " +
+              "live stateRoot; their lifetimes must be coupled), not a replay; " +
+              "refusing to corrupt the volume-gate history")
           // first-write-wins: under at-least-once only the LAST batch
           // is ever redelivered, and its admissions are already folded
           // into the admitted artifact when its history row is first
@@ -1262,7 +1289,7 @@ object StreamingOps {
                                 centroids: DataFrame, root: String): Unit = {
     dailyIngestBatch(spark, batch, quota, root)
     ingestIndex(spark, batch, centroids, root)
-    ingestHistory(spark, batchSeq, root)
+    ingestHistory(spark, batch, batchSeq, root)
     ingestReport(spark, centroids, root)
   }
 
@@ -1308,8 +1335,8 @@ object StreamingOps {
                            stagingTable: String, mainTable: String, key: String,
                            ledgerTable: String,
                            dialect: graft.etl.Load.MergeDialect = graft.etl.Load.AnsiMerge,
-                           batchSize: Int = 500): Boolean = {
-    val props = new java.util.Properties
+                           batchSize: Int = 500,
+                           props: java.util.Properties = new java.util.Properties): Boolean = {
     // one driver connection for the whole batch: the ledger check runs
     // on the same connection the transaction later uses
     val conn = java.sql.DriverManager.getConnection(url, props)
@@ -1344,16 +1371,23 @@ object StreamingOps {
 
   /** The streaming wrapper: each micro-batch upserts into `mainTable`
     * through the staging table + transactional ledger protocol of
-    * [[jdbcExactlyOnceBatch]]. */
+    * [[jdbcExactlyOnceBatch]]. `dialect`/`batchSize`/`props` thread
+    * through unchanged so a non-ANSI target (e.g. Postgres, whose
+    * batch path defaults to ON CONFLICT and which may carry
+    * credentials outside the URL) can be driven through the streaming
+    * sink too. */
   def jdbcExactlyOnce(stream: DataFrame, url: String, stagingTable: String,
                       mainTable: String, key: String, ledgerTable: String,
-                      checkpointDir: String) = {
+                      checkpointDir: String,
+                      dialect: graft.etl.Load.MergeDialect = graft.etl.Load.AnsiMerge,
+                      batchSize: Int = 500,
+                      props: java.util.Properties = new java.util.Properties) = {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         jdbcExactlyOnceBatch(batch, batchId, url, stagingTable, mainTable,
-          key, ledgerTable)
+          key, ledgerTable, dialect, batchSize, props)
         ()
       }
   }

@@ -1075,6 +1075,18 @@ class MicroOracleSpec extends SparkSpec {
     assert(got(2L)._1.isEmpty && got(2L)._2 === 1,
       "constant-but-different dims are the bluntest drift and must flag")
     assert(got(3L)._1.isEmpty && got(3L)._2 === 0, "identical constants must not flag")
+
+    // robustness: an EMPTY ingest slice must still report every
+    // dimension — status 'no_data', NULL smd, NULL flag — so the
+    // monitor reads "no data", never the silent "no drift"
+    rows.filterNot(_._1 % 16 == 3)
+      .toDF("vec_id", "embedding").createOrReplaceTempView("embeddings")
+    val noData = spark.sql(SqlOps.embeddingDrift(SparkDialect)).collect()
+    assert(noData.length === 4, "all dimensions must appear")
+    assert(noData.forall(r => r.getAs[String]("status") === "no_data"))
+    assert(noData.forall(r => r.isNullAt(r.fieldIndex("smd"))))
+    assert(noData.forall(r => r.isNullAt(r.fieldIndex("drift_flag"))))
+    assert(noData.forall(r => r.getAs[Long]("n_new") === 0L))
     spark.catalog.dropTempView("embeddings")
   }
 

@@ -293,6 +293,35 @@ class DailyIngestSpec extends SparkSpec {
     assert(artifacts(cleanRoot) === before)
   }
 
+  test("monitored ingest: new data under a recycled batch id fails loudly; true replay passes") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val root = tmp("graft_mingest_collide")
+    val b1 = withEmb(day1).toDF("doc_id", "source", "text", "embedding")
+    val b2 = withEmb(day2).toDF("doc_id", "source", "text", "embedding")
+    StreamingOps.dailyIngestMonitoredBatch(spark, b1, 0L, quota, centroids, root)
+    StreamingOps.dailyIngestMonitoredBatch(spark, b2, 1L, quota, centroids, root)
+    // a TRUE out-of-order replay reproduces the recorded work-set
+    // signature (even though its recomputed lifetime count is larger
+    // than the first-write row) and must pass
+    StreamingOps.dailyIngestMonitoredBatch(spark, b1, 0L, quota, centroids, root)
+    val sigs = spark.read.parquet(s"$root/history").collect()
+      .map(r => r.getAs[Long]("batch_seq") -> r.getAs[Long]("admit_sig")).toMap
+    assert(sigs.size === 2 && sigs(0L) != sigs(1L))
+    // fresh checkpoint against the live stateRoot: the engine restarts
+    // batchId at 0 but now carries day-3 data — NEW data under a
+    // recycled id must fail loudly instead of silently corrupting the
+    // volume-gate history (the batch body folds before stage 6 catches
+    // it, but the history artifact stays uncorrupted and the stream dies)
+    val b3 = withEmb(day3).toDF("doc_id", "source", "text", "embedding")
+    val e = intercept[RuntimeException] {
+      StreamingOps.dailyIngestMonitoredBatch(spark, b3, 0L, quota, centroids, root)
+    }
+    assert(e.getMessage.contains("recycled batch id"))
+    assert(spark.read.parquet(s"$root/history").collect()
+      .map(r => r.getAs[Long]("batch_seq") -> r.getAs[Long]("admit_sig")).toMap === sigs)
+  }
+
   test("daily ingest: replaying an already-processed day changes nothing") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
