@@ -246,8 +246,14 @@ object SparkEntry {
         // queries, mh_sig by minhash and clustering) is materialized
         // once per JVM and reused — exactly how a production pipeline
         // treats a signature/shingle index
+        val t0 = System.nanoTime()
         writeStageOnce(path)(
           s.sql(build(SparkDialect)).write.mode("overwrite").parquet(path))
+        // dev-only stage profiler (stderr, env-gated): which stage of a
+        // chain owns a first-run regression — never on in Bench/Verify
+        if (sys.env.contains("SPARK_GRAFT_STAGE_TIMING"))
+          System.err.println(
+            f"[stage] $name%-20s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
         readStage(s, path).createOrReplaceTempView(name)
       }
     }

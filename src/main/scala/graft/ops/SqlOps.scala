@@ -1502,45 +1502,101 @@ object SqlOps {
     * guards the bound LOUDLY — a longer word throws identically in
     * both engines instead of silently dropping out of the DP joins),
     * candidate pieces are all substrings up to [[UlmMaxPiece]]
-    * characters. Every +1 on the bound is two more staged DP/back-walk
-    * rounds, so the bound is deliberately snug. */
+    * characters. Every +1 on the bound DOUBLES the per-word cut-mask
+    * space of [[ulmCandCte]], so the bound is deliberately snug. */
   private val UlmMaxLen = 10
   private val UlmMaxPiece = 3
 
-  /** One Viterbi DP stage: best segmentation score of each word's
-    * PREFIX ending at position `i`, from the ≤ [[UlmMaxPiece]]
-    * predecessor stages plus the piece ending at `i`. Candidate
-    * enumeration guarantees every ≤ 3-char substring has a piece row,
-    * so the joins can never drop a path. Ties are totally ordered
-    * (score DESC, fewer pieces, lexicographically smallest final
-    * piece — arms at one position always end in DIFFERENT-length,
-    * hence different, pieces), so both engines pick the same
-    * segmentation. */
-  private def ulmDpStage(i: Int, dpPrefix: String = "ulm_dp",
-                         piecesTbl: String = "ulm_pieces"): (String, Dialect => String) =
-    s"$dpPrefix$i" -> { (_: Dialect) =>
-      val arms = (1 to math.min(UlmMaxPiece, i)).map { l =>
-        if (i - l == 0)
-          s"""SELECT v.w, p.qlp AS score, CAST(1 AS BIGINT) AS np,
-             |    substr(v.w, ${i - l + 1}, $l) AS piece
-             |  FROM ulm_vocab v
-             |  JOIN $piecesTbl p ON p.piece = substr(v.w, ${i - l + 1}, $l)
-             |  WHERE length(v.w) >= $i""".stripMargin
-        else
-          s"""SELECT b.w, b.score + p.qlp AS score, b.np + 1 AS np,
-             |    substr(b.w, ${i - l + 1}, $l) AS piece
-             |  FROM $dpPrefix${i - l} b
-             |  JOIN $piecesTbl p ON p.piece = substr(b.w, ${i - l + 1}, $l)
-             |  WHERE length(b.w) >= $i""".stripMargin
-      }.mkString("\n  UNION ALL\n")
-      s"""WITH arms AS (
-         |$arms
+  /** Candidate-segmentation enumeration: under the snug
+    * [[UlmMaxLen]] = 10 bound, EVERY segmentation of a word is one of
+    * ≤ 2^9 = 512 cut-point bitmasks (bit j = cut after character
+    * j+1), so the whole Viterbi lattice flattens into ONE bounded
+    * enumeration — word × mask × position, segment ids by
+    * `bit_count(m % 2^(p-1))`, three small aggregates and a single
+    * winner window. No sequential DP rounds at all: the staged
+    * 10-round chain this replaced (git history, round 7) paid ~0.4 s
+    * of fixed plan/codegen/write overhead per tiny stage × 10
+    * positions × 2 chains — 11 s first-run quiet for sub-second
+    * dataflow. The enumeration is exact and embarrassingly parallel
+    * (zero shuffle BARRIERS between rounds, which is also the better
+    * cluster-latency shape for a huge vocabulary); its candidate
+    * count grows ~1.84^len (gap-≤3 masks), so if the bound is ever
+    * raised past ~16, resurrect the staged-DP shape instead. Rows:
+    * one per (word, mask, segment) with the segment's piece, the
+    * mask's piece count np = bit_count+1, and the segment length for
+    * the ≤ [[UlmMaxPiece]] validity filter. pow(2, k) is exact in
+    * IEEE double for k ≤ 52 and k here is ≤ 9 (the vocab stage's
+    * loud bound guard), so the CAST agrees across engines. */
+  private def ulmCandCte(d: Dialect): String =
+    s"""wm0 AS (SELECT w, ${d.seqArray("0", "CAST(pow(2, length(w) - 1) AS BIGINT) - 1")} AS mm
+       |        FROM ulm_vocab),
+       |wm AS (${d.explode("SELECT w, mm FROM wm0", "w", "mm", "m")}),
+       |wp0 AS (SELECT w, m, ${d.seqArray("1", "length(w)")} AS pp FROM wm),
+       |wp AS (${d.explode("SELECT w, m, pp FROM wp0", "w, m", "pp", "p")}),
+       |cand AS (
+       |  SELECT w, m, segid, substr(w, lo, ln) AS piece, ln,
+       |    CAST(bit_count(m) + 1 AS BIGINT) AS np
+       |  FROM (
+       |    SELECT w, m, segid, MIN(p) AS lo, COUNT(*) AS ln
+       |    FROM (SELECT w, m, p,
+       |            bit_count(m % CAST(pow(2, p - 1) AS BIGINT)) AS segid
+       |          FROM wp)
+       |    GROUP BY w, m, segid
+       |  )
+       |)""".stripMargin
+
+  /** Scored candidates: piece rows joined to `piecesTbl`
+    * log-probabilities, summed per (word, mask). `matched = np`
+    * guards the PRUNED-vocabulary case (chain 2): a mask any of whose
+    * pieces is absent from the table is not a candidate at all — the
+    * sum over the surviving pieces must never masquerade as a path
+    * score. `val` keeps only masks whose every segment is ≤
+    * [[UlmMaxPiece]] chars. */
+  private def ulmScoredCte(piecesTbl: String): String =
+    s"""vm AS (SELECT w, m FROM cand GROUP BY w, m HAVING MAX(ln) <= $UlmMaxPiece),
+       |sc AS (
+       |  SELECT c.w, c.m, CAST(SUM(p.qlp) AS BIGINT) AS score,
+       |    COUNT(*) AS matched, MAX(c.np) AS np
+       |  FROM cand c JOIN $piecesTbl p ON p.piece = c.piece
+       |  GROUP BY c.w, c.m
+       |),
+       |ok AS (
+       |  SELECT s.w, s.m, s.score, s.np
+       |  FROM sc s JOIN vm v ON v.w = s.w AND v.m = s.m
+       |  WHERE s.matched = s.np
+       |)""".stripMargin
+
+  /** The trained segmenter, materialized once: every word's WINNING
+    * segmentation as its piece rows (w, segid, piece, score, np).
+    * Winner = max (score DESC, fewer pieces, smallest mask) — mask
+    * order is a total, engine-portable tie-break (a mask IS the
+    * segmentation). One row per piece occurrence, so the EM E-step
+    * reads its path counts straight off this table (`segid = 0`
+    * collapses it to one row per word for the score/np readouts). */
+  private val ulmSegStage: (String, Dialect => String) =
+    "ulm_seg" -> { (d: Dialect) =>
+      s"""WITH ${ulmCandCte(d)},
+         |${ulmScoredCte("ulm_pieces")},
+         |win AS (
+         |  SELECT w, m, score, np FROM (
+         |    SELECT w, m, score, np,
+         |      ROW_NUMBER() OVER (PARTITION BY w ORDER BY score DESC, np, m) AS rk
+         |    FROM ok
+         |  ) WHERE rk = 1
          |)
-         |SELECT w, score, np, piece FROM (
-         |  SELECT w, score, np, piece,
-         |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY score DESC, np, piece) AS rk
-         |  FROM arms
-         |) WHERE rk = 1""".stripMargin
+         |SELECT c.w, c.segid, c.piece, n.score, n.np
+         |FROM cand c JOIN win n ON n.w = c.w AND n.m = c.m""".stripMargin
+    }
+
+  /** Chain 2 — re-segmentation under the RE-ESTIMATED (pruned)
+    * probabilities: the same enumeration scored against the M-step
+    * table, score-only (a max needs no tie-break). */
+  private val ulmSeg2Stage: (String, Dialect => String) =
+    "ulm_seg2" -> { (d: Dialect) =>
+      s"""WITH ${ulmCandCte(d)},
+         |${ulmScoredCte("ulm_pcs2")}
+         |SELECT w, CAST(MAX(score) AS BIGINT) AS score
+         |FROM ok GROUP BY w""".stripMargin
     }
 
   /** SentencePiece-style UNIGRAM-LM tokenization (Kudo 2018), the
@@ -1551,14 +1607,14 @@ object SqlOps {
     * chars included by construction → full coverage, no unreachable
     * word); piece log-probabilities are µ-log2 int64
     * (qlog2(cnt) − qlog2(total) — the [[qlog2]] quantizer, no float
-    * sum ever crosses an aggregate); the DP is [[UlmMaxLen]] staged
-    * rounds over the VOCABULARY (the corpus collapses once into
-    * ulm_tf; every DP table is vocab-cardinality — the BPE trainer's
-    * scale shape). The iterative stages ARE the computation
-    * (pagerankIter rule: not prewarmed). Output: per-word best piece
-    * count and segmentation log-likelihood, tf-weighted — the
-    * tokenizer-fitting diagnostic (fertility under a unigram LM vs
-    * BPE's merge table). */
+    * sum ever crosses an aggregate); the lattice max is the bounded
+    * mask ENUMERATION of [[ulmCandCte]] over the VOCABULARY (the
+    * corpus collapses once into ulm_tf; every derived table is
+    * vocab-cardinality — the BPE trainer's scale shape). The segment
+    * stages ARE the computation (pagerankIter rule: not prewarmed).
+    * Output: per-word best piece count and segmentation
+    * log-likelihood, tf-weighted — the tokenizer-fitting diagnostic
+    * (fertility under a unigram LM vs BPE's merge table). */
   val ulmViterbi: StagedOp = StagedOp(
     stages = textUnigramLm.stages ++ Seq(
       "ulm_vocab" -> { (_: Dialect) =>
@@ -1585,19 +1641,12 @@ object SqlOps {
            |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM pc)
            |SELECT piece, cnt, ${qlog2("cnt")} - ${qlog2("t")} AS qlp
            |FROM pc CROSS JOIN tot""".stripMargin
-      }) ++ (1 to UlmMaxLen).map(i => ulmDpStage(i)) :+ ("ulm_dpall" -> { (_: Dialect) =>
-        // the per-position dp tables flattened once (pos column added)
-        // — THREE consumers (the viterbi readout, the encode join, the
-        // EM back-walk's every hop), so the 10-arm union runs once
-        (1 to UlmMaxLen)
-          .map(i => s"SELECT w, score, np, piece, $i AS i FROM ulm_dp$i")
-          .mkString("\nUNION ALL\n")
-      }),
+      }) :+ ulmSegStage,
     body = { _ =>
       s"""SELECT v.w AS word, v.c AS tf, a.np AS n_pieces,
          |  ${r6("CAST(a.score AS DOUBLE) / 1.0e6")} AS loglik_bits
          |FROM ulm_vocab v
-         |JOIN ulm_dpall a ON a.w = v.w AND a.i = length(v.w)
+         |JOIN (SELECT w, np, score FROM ulm_seg WHERE segid = 0) a ON a.w = v.w
          |ORDER BY v.c DESC, v.w""".stripMargin
     })
 
@@ -1615,8 +1664,7 @@ object SqlOps {
     stages = ulmViterbi.stages,
     body = { _ =>
       s"""WITH seg AS (
-         |  SELECT v.w, a.np, a.score
-         |  FROM ulm_vocab v JOIN ulm_dpall a ON a.w = v.w AND a.i = length(v.w)
+         |  SELECT w, np, score FROM ulm_seg WHERE segid = 0
          |)
          |SELECT t.doc_id,
          |  CAST(SUM(t.tf) AS BIGINT) AS n_words,
@@ -1629,37 +1677,21 @@ object SqlOps {
 
   /** One hard-EM training iteration for the unigram LM (the Kudo 2018
     * trainer's E+M under Viterbi counts, the standard hard-EM
-    * variant): walk every word's BEST segmentation back through the
-    * staged DP tables (each dp row carries its winning final piece, so
-    * the back-walk is [[UlmMaxLen]] staged position hops — pure joins,
-    * no recursion), count each piece's tf-weighted occurrences along
-    * those paths (the E step), and re-estimate the piece
-    * log-probabilities from the counts (the M step), reporting the
-    * µ-bit delta against the substring-frequency initialization. A
-    * piece that Viterbi never uses drops out — exactly the vocabulary
-    * pruning signal the real trainer thresholds on. Shares the dp
-    * chain with [[ulmViterbi]] (first consumer in bench name order
-    * builds it timed, the clustersStaged convention for iterative
+    * variant): read every word's BEST segmentation straight off the
+    * materialized segmenter ([[ulmSegStage]] carries one row per
+    * piece occurrence of the winning path — the E step is a plain
+    * scan; the ten staged back-walk hops this replaced were ~4 s of
+    * fixed stage overhead for the same multiset of path pieces),
+    * count each piece's tf-weighted occurrences along those paths
+    * (the E step), and re-estimate the piece log-probabilities from
+    * the counts (the M step), reporting the µ-bit delta against the
+    * substring-frequency initialization. A piece that Viterbi never
+    * uses drops out — exactly the vocabulary pruning signal the real
+    * trainer thresholds on. Shares the segmenter stage with
+    * [[ulmViterbi]] (first consumer in bench name order builds it
+    * timed, the clustersStaged convention for iterative
     * artifacts). */
   val ulmEmStep: StagedOp = {
-    // bw_k(w, pos, piece): the k-th piece from the END of w's best
-    // segmentation, pos = the prefix position that piece ends at
-    def bwStage(k: Int): (String, Dialect => String) =
-      s"ulm_bw$k" -> { (_: Dialect) =>
-        if (k == 1)
-          s"""SELECT d.w, d.i AS pos, d.piece
-             |FROM ulm_dpall d JOIN ulm_vocab v ON d.w = v.w AND d.i = length(v.w)""".stripMargin
-        else
-          s"""SELECT d.w, d.i AS pos, d.piece
-             |FROM ulm_bw${k - 1} b
-             |JOIN ulm_dpall d ON d.w = b.w AND d.i = b.pos - length(b.piece)
-             |WHERE b.pos - length(b.piece) >= 1""".stripMargin
-      }
-    val pathStage = "ulm_path" -> { (_: Dialect) =>
-      (1 to UlmMaxLen)
-        .map(k => s"SELECT w, piece FROM ulm_bw$k")
-        .mkString("\nUNION ALL\n")
-    }
     // THE one copy of the M step (E-step counts → MLE log-probs):
     // staged, because TWO bodies consume it — this op's report and
     // [[ulmEmGain]]'s L1/L2 (a smoothing or prune-threshold change
@@ -1668,7 +1700,7 @@ object SqlOps {
     val pcs2Stage = "ulm_pcs2" -> { (_: Dialect) =>
       s"""WITH cnt AS (
          |  SELECT p.piece, CAST(SUM(v.c) AS BIGINT) AS ec
-         |  FROM ulm_path p JOIN ulm_vocab v ON v.w = p.w
+         |  FROM ulm_seg p JOIN ulm_vocab v ON v.w = p.w
          |  GROUP BY p.piece
          |),
          |tot AS (SELECT CAST(SUM(ec) AS BIGINT) AS t FROM cnt)
@@ -1676,8 +1708,7 @@ object SqlOps {
          |FROM cnt CROSS JOIN tot""".stripMargin
     }
     StagedOp(
-      stages = (ulmViterbi.stages ++ (1 to UlmMaxLen).map(bwStage)
-        :+ pathStage) :+ pcs2Stage,
+      stages = ulmViterbi.stages :+ pcs2Stage,
       body = { _ =>
         s"""SELECT c.piece, c.ec AS expected_count,
            |  ${r6("CAST(c.qlp AS DOUBLE) / 1.0e6")} AS logp_new_bits,
@@ -1694,13 +1725,14 @@ object SqlOps {
     * applied to the tokenizer trainer). Three corpus log-likelihoods,
     * all tf-weighted exact µ-bit int64 sums:
     *   L0 = the OLD best paths under the INITIAL piece probs (the
-    *        ulm_dpall readout);
+    *        ulm_seg readout);
     *   L1 = the same old paths re-scored under the RE-ESTIMATED probs
-    *        (ulm_path joined to the M-step table);
-    *   L2 = the NEW best paths under the re-estimated probs — a
-    *        second full Viterbi chain over the PRUNED vocabulary
-    *        (only path-used pieces survive; every word stays
-    *        segmentable because its own old path survives the prune).
+    *        (ulm_seg's piece rows joined to the M-step table);
+    *   L2 = the NEW best paths under the re-estimated probs — the
+    *        second enumeration pass over the PRUNED vocabulary
+    *        ([[ulmSeg2Stage]]: only path-used pieces survive; every
+    *        word stays segmentable because its own old path survives
+    *        the prune).
     * Theory says L1 ≥ L0 (Gibbs: the MLE re-estimate maximizes the
     * expected-count likelihood; exact up to the ±0.5µ log
     * quantization) and L2 ≥ L1 (re-segmentation under fixed probs
@@ -1710,29 +1742,23 @@ object SqlOps {
   val ulmEmGain: StagedOp = {
     // ulm_pcs2 (the M-step table) is a stage of [[ulmEmStep]] — one
     // copy, two consumers
-    val dp2 = (1 to UlmMaxLen).map(i => ulmDpStage(i, "ulm_dq", "ulm_pcs2"))
     StagedOp(
-      stages = ulmEmStep.stages ++ dp2,
+      stages = ulmEmStep.stages :+ ulmSeg2Stage,
       body = { _ =>
-        val all2 = (1 to UlmMaxLen)
-          .map(i => s"SELECT w, score, $i AS i FROM ulm_dq$i")
-          .mkString("\n  UNION ALL\n")
         s"""WITH l0 AS (
            |  SELECT CAST(SUM(v.c * a.score) AS BIGINT) AS q
-           |  FROM ulm_vocab v JOIN ulm_dpall a ON a.w = v.w AND a.i = length(v.w)
+           |  FROM ulm_vocab v
+           |  JOIN (SELECT w, score FROM ulm_seg WHERE segid = 0) a ON a.w = v.w
            |),
            |l1 AS (
            |  SELECT CAST(SUM(v.c * p2.qlp) AS BIGINT) AS q
-           |  FROM ulm_path p
+           |  FROM ulm_seg p
            |  JOIN ulm_vocab v ON v.w = p.w
            |  JOIN ulm_pcs2 p2 ON p2.piece = p.piece
            |),
-           |d2 AS (
-           |$all2
-           |),
            |l2 AS (
            |  SELECT CAST(SUM(v.c * d.score) AS BIGINT) AS q
-           |  FROM ulm_vocab v JOIN d2 d ON d.w = v.w AND d.i = length(v.w)
+           |  FROM ulm_vocab v JOIN ulm_seg2 d ON d.w = v.w
            |)
            |SELECT
            |  ${r6("CAST(l0.q AS DOUBLE) / 1.0e6")} AS loglik_init_bits,

@@ -857,20 +857,22 @@ class MicroOracleSpec extends SparkSpec {
     val total = pieceCnt.values.sum
     val qlp: Map[String, Long] =
       pieceCnt.toMap.map { case (p, c) => p -> (qlog2(c) - qlog2(total)) }
-    // Viterbi keeping ONE candidate per position under the SQL's exact
-    // total tie order: score DESC, fewer pieces, smallest final piece
+    // exhaustive lattice max under the SQL's exact total tie order:
+    // score DESC, fewer pieces, smallest cut-mask (bit j of the mask
+    // = cut after character j+1 — the ulmCandCte convention)
+    def segmentsOf(w: String, m: Int): Seq[String] = {
+      val cuts = (0 until w.length - 1).filter(j => ((m >> j) & 1) == 1)
+      val bounds = 0 +: cuts.map(_ + 1) :+ w.length
+      bounds.sliding(2).map { case Seq(a, b) => w.substring(a, b) }.toSeq
+    }
     def best(w: String): (Long, Long) = {
-      val dp = new Array[(Long, Long, String)](w.length + 1)
-      dp(0) = (0L, 0L, "")
-      for (i <- 1 to w.length) {
-        val cands = (1 to math.min(3, i)).map { l =>
-          val piece = w.substring(i - l, i)
-          val prev = dp(i - l)
-          (prev._1 + qlp(piece), prev._2 + 1, piece)
-        }
-        dp(i) = cands.minBy { case (s, np, p) => (-s, np, p) }
+      val cands = (0 until (1 << (w.length - 1))).flatMap { m =>
+        val segs = segmentsOf(w, m)
+        if (segs.exists(_.length > 3)) None
+        else Some((segs.map(qlp).sum, segs.size.toLong, m))
       }
-      (dp(w.length)._1, dp(w.length)._2)
+      val (s, np, _) = cands.minBy { case (s, np, m) => (-s, np, m) }
+      (s, np)
     }
     val expected = vocab.toSeq.map { case (w, c) =>
       val (score, np) = best(w)
@@ -914,21 +916,19 @@ class MicroOracleSpec extends SparkSpec {
     val total = pieceCnt.values.sum
     val qlp: Map[String, Long] =
       pieceCnt.toMap.map { case (p, c) => p -> (qlog2(c) - qlog2(total)) }
+    // the same exhaustive-lattice winner as the viterbi test, path form
+    def segmentsOf(w: String, m: Int): Seq[String] = {
+      val cuts = (0 until w.length - 1).filter(j => ((m >> j) & 1) == 1)
+      val bounds = 0 +: cuts.map(_ + 1) :+ w.length
+      bounds.sliding(2).map { case Seq(a, b) => w.substring(a, b) }.toSeq
+    }
     def bestPath(w: String): List[String] = {
-      val dp = new Array[(Long, Long, String)](w.length + 1)
-      dp(0) = (0L, 0L, "")
-      for (i <- 1 to w.length) {
-        val cands = (1 to math.min(3, i)).map { l =>
-          val piece = w.substring(i - l, i)
-          val prev = dp(i - l)
-          (prev._1 + qlp(piece), prev._2 + 1, piece)
-        }
-        dp(i) = cands.minBy { case (s, n, p) => (-s, n, p) }
+      val cands = (0 until (1 << (w.length - 1))).flatMap { m =>
+        val segs = segmentsOf(w, m)
+        if (segs.exists(_.length > 3)) None
+        else Some((segs.map(qlp).sum, segs.size.toLong, m, segs))
       }
-      var pos = w.length
-      var path = List.empty[String]
-      while (pos > 0) { val p = dp(pos)._3; path = p :: path; pos -= p.length }
-      path
+      cands.minBy { case (s, np, m, _) => (-s, np, m) }._4.toList
     }
     val ec = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     for ((w, c) <- vocab; p <- bestPath(w)) ec(p) += c
@@ -948,20 +948,14 @@ class MicroOracleSpec extends SparkSpec {
     }
     val gain = spark.sql(SqlOps.ulmEmGain.body(SparkDialect)).collect().head
     // independent L0/L1/L2 in µ-bits
-    def segScore(w: String, probs: Map[String, Long]): Long = {
-      val dp = new Array[Option[(Long, Long, String)]](w.length + 1)
-      dp(0) = Some((0L, 0L, ""))
-      for (i <- 1 to w.length) {
-        val cands = (1 to math.min(3, i)).flatMap { l =>
-          val piece = w.substring(i - l, i)
-          for (prev <- dp(i - l); lp <- probs.get(piece))
-            yield (prev._1 + lp, prev._2 + 1, piece)
-        }
-        dp(i) = if (cands.isEmpty) None
-                else Some(cands.minBy { case (s, n, p) => (-s, n, p) })
-      }
-      dp(w.length).get._1
-    }
+    // exhaustive max over masks whose EVERY piece the prob table still
+    // carries (the SQL's matched = np guard)
+    def segScore(w: String, probs: Map[String, Long]): Long =
+      (0 until (1 << (w.length - 1))).flatMap { m =>
+        val segs = segmentsOf(w, m)
+        if (segs.exists(_.length > 3) || !segs.forall(probs.contains)) None
+        else Some(segs.map(probs).sum)
+      }.max
     val qlp2: Map[String, Long] = ec.toMap.map { case (p, c) => p -> (qlog2(c) - qlog2(t)) }
     val l0 = vocab.map { case (w, c) => c * segScore(w, qlp) }.sum
     val l1 = vocab.map { case (w, c) => c * bestPath(w).map(qlp2).sum }.sum
