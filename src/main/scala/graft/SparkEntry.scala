@@ -724,6 +724,10 @@ object SparkEntry {
     "q_ulm_em_step" -> sqlStaged(Seq("documents"), SqlOps.ulmEmStep),
     "q_ulm_em_gain" -> sqlStaged(Seq("documents"), SqlOps.ulmEmGain),
     "q_ulm_encode" -> sqlStaged(Seq("documents"), SqlOps.ulmEncode),
+    // the FULL SentencePiece trainer loop: soft-EM expected counts
+    // over all segmentations + iterative pruning to a 64-piece vocab
+    "q_ulm_soft_em" -> sqlStaged(Seq("documents"), SqlOps.ulmSoftEm),
+    "q_ulm_prune" -> sqlStaged(Seq("documents"), SqlOps.ulmPrune64),
     "q_bpe_encode" -> sqlStaged(Seq("documents"), SqlOps.bpeEncode),
     "q_text_langid" -> sqlq(Seq("documents"), SqlOps.textLangId),
     "q_text_langid_eval" -> sqlq(Seq("documents"), SqlOps.textLangIdEval),
@@ -1562,6 +1566,8 @@ object SparkEntry {
     "q_ulm_em_step" -> SqlOps.ulmEmStep.single(DuckDialect),
     "q_ulm_em_gain" -> SqlOps.ulmEmGain.single(DuckDialect),
     "q_ulm_encode" -> SqlOps.ulmEncode.single(DuckDialect),
+    "q_ulm_soft_em" -> SqlOps.ulmSoftEm.single(DuckDialect),
+    "q_ulm_prune" -> SqlOps.ulmPrune64.single(DuckDialect),
     "q_bpe_encode" -> SqlOps.bpeEncode.single(DuckDialect),
     "q_text_langid" -> SqlOps.textLangId(DuckDialect),
     "q_text_langid_eval" -> SqlOps.textLangIdEval(DuckDialect),

@@ -1527,23 +1527,32 @@ object SqlOps {
     * the ≤ [[UlmMaxPiece]] validity filter. pow(2, k) is exact in
     * IEEE double for k ≤ 52 and k here is ≤ 9 (the vocab stage's
     * loud bound guard), so the CAST agrees across engines. */
+  /** The enumeration is PROBABILITY-INDEPENDENT, so it materializes
+    * once ([[ulmCandStage]]) and every chain — initial Viterbi,
+    * soft-EM posteriors, each pruning round, the re-scored audit —
+    * reads the same tiny parquet artifact instead of re-deriving the
+    * mask lattice (a pruning round referenced it 3× per stage; CTE
+    * inlining re-ran the double explode each time). */
+  private val ulmCandStage: (String, Dialect => String) =
+    "ulm_cand" -> { (d: Dialect) =>
+      s"""WITH wm0 AS (SELECT w, ${d.seqArray("0", "CAST(pow(2, length(w) - 1) AS BIGINT) - 1")} AS mm
+         |        FROM ulm_vocab),
+         |wm AS (${d.explode("SELECT w, mm FROM wm0", "w", "mm", "m")}),
+         |wp0 AS (SELECT w, m, ${d.seqArray("1", "length(w)")} AS pp FROM wm),
+         |wp AS (${d.explode("SELECT w, m, pp FROM wp0", "w, m", "pp", "p")})
+         |SELECT w, m, segid, substr(w, lo, ln) AS piece, ln,
+         |  CAST(bit_count(m) + 1 AS BIGINT) AS np
+         |FROM (
+         |  SELECT w, m, segid, MIN(p) AS lo, COUNT(*) AS ln
+         |  FROM (SELECT w, m, p,
+         |          bit_count(m % CAST(pow(2, p - 1) AS BIGINT)) AS segid
+         |        FROM wp)
+         |  GROUP BY w, m, segid
+         |)""".stripMargin
+    }
+
   private def ulmCandCte(d: Dialect): String =
-    s"""wm0 AS (SELECT w, ${d.seqArray("0", "CAST(pow(2, length(w) - 1) AS BIGINT) - 1")} AS mm
-       |        FROM ulm_vocab),
-       |wm AS (${d.explode("SELECT w, mm FROM wm0", "w", "mm", "m")}),
-       |wp0 AS (SELECT w, m, ${d.seqArray("1", "length(w)")} AS pp FROM wm),
-       |wp AS (${d.explode("SELECT w, m, pp FROM wp0", "w, m", "pp", "p")}),
-       |cand AS (
-       |  SELECT w, m, segid, substr(w, lo, ln) AS piece, ln,
-       |    CAST(bit_count(m) + 1 AS BIGINT) AS np
-       |  FROM (
-       |    SELECT w, m, segid, MIN(p) AS lo, COUNT(*) AS ln
-       |    FROM (SELECT w, m, p,
-       |            bit_count(m % CAST(pow(2, p - 1) AS BIGINT)) AS segid
-       |          FROM wp)
-       |    GROUP BY w, m, segid
-       |  )
-       |)""".stripMargin
+    "cand AS (SELECT * FROM ulm_cand)"
 
   /** Scored candidates: piece rows joined to `piecesTbl`
     * log-probabilities, summed per (word, mask). `matched = np`
@@ -1641,7 +1650,7 @@ object SqlOps {
            |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM pc)
            |SELECT piece, cnt, ${qlog2("cnt")} - ${qlog2("t")} AS qlp
            |FROM pc CROSS JOIN tot""".stripMargin
-      }) :+ ulmSegStage,
+      }) :+ ulmCandStage :+ ulmSegStage,
     body = { _ =>
       s"""SELECT v.w AS word, v.c AS tf, a.np AS n_pieces,
          |  ${r6("CAST(a.score AS DOUBLE) / 1.0e6")} AS loglik_bits
@@ -1769,6 +1778,281 @@ object SqlOps {
            |FROM l0 CROSS JOIN l1 CROSS JOIN l2""".stripMargin
       })
   }
+
+  // ---- the FULL SentencePiece trainer loop (Kudo 2018 §3.2):
+  // soft-EM expected counts over ALL segmentations, and iterative
+  // vocabulary pruning to a target size with re-Viterbi per round ----
+
+  /** Posterior-weight staircase: soft-EM needs exp2 of score
+    * differences, and transcendentals are NOT IEEE-pinned across
+    * engines — so the posterior weight is DEFINED on a 1/16-bit
+    * staircase: rel µ-bits below the word's best mask quantize to
+    * k = ⌊rel/62500⌋ sixteenths, and the weight is the HOST-exact
+    * integer table T[k mod 16] = round(2^(r/16)·10⁶) halved ⌊k/16⌋
+    * times (integer division by an exact power of two). Both engines
+    * evaluate only int64 +·−·%·÷ and the shared literal table, so
+    * the posteriors are bit-identical by construction; weights more
+    * than 40 bits below the mode are 0 (they cannot move a µ-count).
+    * The quantized posterior under-weights a mask by < 2^(1/16)−1 ≈
+    * 4.4% relative — bounded, documented, and identical in both
+    * engines (the "documented quantization" alternative to pinning
+    * exp). */
+  private val UlmStairStepMu = 62500
+  private val UlmStairBits = 16
+  private def ulmStairExpr(rr: String): String = {
+    val t = (0 until UlmStairBits)
+      .map(r => math.round(StrictMath.pow(2.0, r / 16.0) * 1e6))
+    "CASE " + t.zipWithIndex
+      .map { case (v, r) => s"WHEN ($rr) = $r THEN CAST($v AS BIGINT)" }
+      .mkString(" ") + " ELSE CAST('ulm stair: unreachable residue' AS BIGINT) END"
+  }
+
+  /** Staircase posterior weights of every valid mask of every word
+    * under `piecesTbl` probabilities: (w, m, score, wq). Reused for
+    * the re-estimated model (`ulm_wq2`) so the marginal-likelihood
+    * audit measures both models through the SAME quantizer. */
+  private def ulmWqStage(name: String, piecesTbl: String): (String, Dialect => String) =
+    name -> { (d: Dialect) =>
+      val fd = floorDiv(d) _
+      s"""WITH ${ulmCandCte(d)},
+         |${ulmScoredCte(piecesTbl)},
+         |mx AS (SELECT w, MAX(score) AS mx FROM ok GROUP BY w),
+         |kq AS (
+         |  SELECT o.w, o.m, o.score,
+         |    ${fd("o.score - x.mx", UlmStairStepMu.toString)} AS k
+         |  FROM ok o JOIN mx x ON x.w = o.w
+         |),
+         |qr AS (
+         |  SELECT w, m, score,
+         |    ${fd("k", UlmStairBits.toString)} AS qq,
+         |    ${pmodPos("k", UlmStairBits.toString)} AS rr
+         |  FROM kq
+         |)
+         |SELECT w, m, score,
+         |  CASE WHEN qq < -40 THEN CAST(0 AS BIGINT)
+         |       ELSE ${d.idiv(ulmStairExpr("rr"), "CAST(pow(2, -qq) AS BIGINT)")} END AS wq
+         |FROM qr""".stripMargin
+    }
+
+  /** Soft-EM E+M step: expected piece counts over ALL segmentations
+    * (not just the Viterbi path — the [[ulmEmStep]] hard-count
+    * refinement Kudo's trainer actually runs). Per word, each piece's
+    * posterior-expected occurrence count is the exact rational
+    * Σ wq·occurrences / Σ wq, half-up µ-quantized with the pure
+    * integer identity ⌊a/b + ½⌋ = (2a+b) div 2b — no doubles cross an
+    * aggregate anywhere. tf-weighted corpus sums then re-estimate the
+    * piece log-probs (µ-log2). Envelope: tf·fq ≤ 10¹³ per word at
+    * tf ≤ 10⁶ — int64-safe far past the test corpus; the num·10⁶
+    * term is ≤ 2·10¹⁶. Pieces whose soft count quantizes to zero
+    * µ-counts drop out (below-quantization mass — the soft analogue
+    * of the hard prune signal). */
+  private val ulmSoftStage: (String, Dialect => String) =
+    "ulm_softq" -> { (d: Dialect) =>
+      s"""WITH ${ulmCandCte(d)},
+         |num AS (
+         |  SELECT c.w, c.piece, CAST(SUM(q.wq) AS BIGINT) AS num
+         |  FROM cand c JOIN ulm_wq q ON q.w = c.w AND q.m = c.m
+         |  GROUP BY c.w, c.piece
+         |),
+         |den AS (SELECT w, CAST(SUM(wq) AS BIGINT) AS den FROM ulm_wq GROUP BY w),
+         |fq AS (
+         |  SELECT n.w, n.piece,
+         |    ${d.idiv("2 * n.num * 1000000 + d.den", "2 * d.den")} AS fq
+         |  FROM num n JOIN den d ON d.w = n.w
+         |),
+         |ec AS (
+         |  SELECT f.piece, CAST(SUM(v.c * f.fq) AS BIGINT) AS ecq
+         |  FROM fq f JOIN ulm_vocab v ON v.w = f.w
+         |  GROUP BY f.piece
+         |),
+         |tot AS (SELECT CAST(SUM(ecq) AS BIGINT) AS t FROM ec)
+         |SELECT piece, ecq, ${qlog2("ecq")} - ${qlog2("t")} AS qlp
+         |FROM ec CROSS JOIN tot WHERE ecq > 0""".stripMargin
+    }
+
+  /** The soft-EM step with its own monotonicity audit: per-piece soft
+    * (posterior-expected) vs hard (Viterbi) counts and both models'
+    * log-probs, plus the EM guarantee on the MARGINAL likelihood —
+    * Σ_w tf·log2 Z_w measured through the same staircase for the
+    * initial and the re-estimated model (Z_w = 2^{M_w}·Σ wq/10⁶, so
+    * log2 Z_w = M_w + qlog2(Σ wq) − qlog2(10⁶) in exact µ-bits;
+    * qlog2's operand Σ wq ≤ 512·2·10⁶ stays small). `soft_improves`
+    * re-proves EM's L(θ') ≥ L(θ) on every run, like
+    * [[ulmEmGain]]'s columns for the hard step. */
+  val ulmSoftEm: StagedOp = StagedOp(
+    stages = ulmEmStep.stages ++ Seq(
+      ulmWqStage("ulm_wq", "ulm_pieces"),
+      ulmSoftStage,
+      ulmWqStage("ulm_wq2", "ulm_softq")),
+    body = { _ =>
+      def lm(tbl: String) =
+        s"""SELECT CAST(SUM(v.c * (s.mxs + ${qlog2("s.dens")} - ${qlog2("1000000")})) AS BIGINT) AS q
+           |  FROM (SELECT w, MAX(score) AS mxs, CAST(SUM(wq) AS BIGINT) AS dens
+           |        FROM $tbl GROUP BY w) s
+           |  JOIN ulm_vocab v ON v.w = s.w""".stripMargin
+      s"""WITH lm0 AS (
+         |${lm("ulm_wq")}
+         |),
+         |lm1 AS (
+         |${lm("ulm_wq2")}
+         |)
+         |SELECT s.piece,
+         |  ${r6("CAST(s.ecq AS DOUBLE) / 1.0e6")} AS soft_count,
+         |  h.ec AS hard_count,
+         |  ${r6("CAST(s.qlp AS DOUBLE) / 1.0e6")} AS logp_soft_bits,
+         |  ${r6("CAST(h.qlp AS DOUBLE) / 1.0e6")} AS logp_hard_bits,
+         |  ${r6("CAST(l0.q AS DOUBLE) / 1.0e6")} AS marginal_init_bits,
+         |  ${r6("CAST(l1.q AS DOUBLE) / 1.0e6")} AS marginal_soft_bits,
+         |  l1.q >= l0.q AS soft_improves
+         |FROM ulm_softq s
+         |LEFT JOIN ulm_pcs2 h ON h.piece = s.piece
+         |CROSS JOIN lm0 l0 CROSS JOIN lm1 l1
+         |ORDER BY s.ecq DESC, s.piece LIMIT 30""".stripMargin
+    })
+
+  /** One vocabulary-pruning round (Kudo 2018 §3.2's outer loop):
+    * re-Viterbi under the current vocabulary, per-piece likelihood
+    * LOSS = Σ_w tf·(best − best-avoiding-the-piece) over the words
+    * whose winning path uses it (exact, off the same enumeration —
+    * no Viterbi approximation needed), then drop the lowest-loss
+    * HALF of the multi-char pieces, floored so the total vocabulary
+    * never goes below `target`. Single-char pieces are never dropped
+    * (the SentencePiece coverage rule — every word stays segmentable
+    * via its all-singles mask, so an alternative path always exists
+    * for any multi-char piece; a missing alternative is still
+    * guarded by a 100-bit sentinel loss). Survivor log-probs are
+    * re-estimated from this round's Viterbi counts; a kept-but-
+    * unused piece carries its previous estimate. */
+  private def ulmPruneOkStage(prev: String, name: String): (String, Dialect => String) =
+    name -> { (d: Dialect) =>
+      s"""WITH ${ulmCandCte(d)},
+         |${ulmScoredCte(prev)}
+         |SELECT w, m, score, np FROM ok""".stripMargin
+    }
+
+  private def ulmPruneRound(prev: String, okTbl: String, name: String,
+                            target: Int): (String, Dialect => String) =
+    name -> { (d: Dialect) =>
+      s"""WITH ${ulmCandCte(d)},
+         |win AS (
+         |  SELECT w, m, score FROM (
+         |    SELECT w, m, score,
+         |      ROW_NUMBER() OVER (PARTITION BY w ORDER BY score DESC, np, m) AS rk
+         |    FROM $okTbl
+         |  ) WHERE rk = 1
+         |),
+         |path AS (
+         |  SELECT c.w, c.piece FROM cand c JOIN win n ON n.w = c.w AND n.m = c.m
+         |),
+         |ec AS (
+         |  SELECT p.piece, CAST(SUM(v.c) AS BIGINT) AS ec
+         |  FROM path p JOIN ulm_vocab v ON v.w = p.w GROUP BY p.piece
+         |),
+         |pl AS (SELECT DISTINCT w, piece FROM path WHERE length(piece) > 1),
+         |alt AS (
+         |  -- masks avoiding the piece: mask membership comes straight
+         |  -- off the enumeration (cand), validity/scorability off the
+         |  -- materialized ok table — duplicates in cand (a piece
+         |  -- appearing twice in one mask) don't matter to EXISTS
+         |  SELECT p.w, p.piece, MAX(o.score) AS alt_score
+         |  FROM pl p JOIN $okTbl o ON o.w = p.w
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM cand h
+         |    WHERE h.w = o.w AND h.m = o.m AND h.piece = p.piece)
+         |  GROUP BY p.w, p.piece
+         |),
+         |loss0 AS (
+         |  SELECT p.piece,
+         |    CAST(SUM(v.c * (n.score - COALESCE(a.alt_score, n.score - 100000000)))
+         |         AS BIGINT) AS lossq
+         |  FROM pl p
+         |  JOIN win n ON n.w = p.w
+         |  JOIN ulm_vocab v ON v.w = p.w
+         |  LEFT JOIN alt a ON a.w = p.w AND a.piece = p.piece
+         |  GROUP BY p.piece
+         |),
+         |mp AS (
+         |  SELECT vp.piece, COALESCE(l.lossq, CAST(0 AS BIGINT)) AS lossq
+         |  FROM $prev vp LEFT JOIN loss0 l ON l.piece = vp.piece
+         |  WHERE length(vp.piece) > 1
+         |),
+         |dr AS (
+         |  -- both scalar counts in ONE pass over the vocabulary
+         |  SELECT LEAST(${d.idiv("nm + 1", "2")},
+         |               GREATEST(nm - GREATEST($target - n1, 0), 0)) AS ndrop
+         |  FROM (
+         |    SELECT CAST(SUM(CASE WHEN length(piece) > 1 THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+         |           CAST(SUM(CASE WHEN length(piece) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+         |    FROM $prev
+         |  )
+         |),
+         |ranked AS (
+         |  SELECT piece, ROW_NUMBER() OVER (ORDER BY lossq ASC, piece) AS rn FROM mp
+         |),
+         |ke AS (
+         |  -- one pass: singles always keep, multis keep past the drop
+         |  -- line (a single's rn is NULL — the ranking covers multis)
+         |  SELECT vp.piece, vp.qlp AS qlp_prev, CAST(COALESCE(e.ec, 0) AS BIGINT) AS ec
+         |  FROM $prev vp
+         |  LEFT JOIN ranked r ON r.piece = vp.piece
+         |  LEFT JOIN ec e ON e.piece = vp.piece
+         |  CROSS JOIN dr
+         |  WHERE length(vp.piece) = 1 OR r.rn > ndrop
+         |),
+         |tot AS (SELECT CAST(SUM(ec) AS BIGINT) AS t FROM ke WHERE ec > 0)
+         |SELECT piece,
+         |  CASE WHEN ec > 0 THEN ${qlog2("ec")} - ${qlog2("t")} ELSE qlp_prev END AS qlp,
+         |  ec
+         |FROM ke CROSS JOIN tot""".stripMargin
+    }
+
+  /** The trainer's outer loop, materialized: `rounds` pruning rounds
+    * (each re-Viterbis under the shrinking vocabulary) down to
+    * `target` total pieces. The round count is static; once the
+    * multi-char pool reaches max(0, target − n_singles) further
+    * rounds are no-ops (ndrop = 0), so a fixed-round chain converges
+    * for any corpus whose pool halves down to target within
+    * `rounds`. Body re-scores the corpus one last time under the
+    * final vocabulary and asserts the two trainer invariants as
+    * output columns: the vocabulary hit its target (up to the
+    * never-dropped single-chars floor) and EVERY corpus word is
+    * still segmentable. */
+  def ulmPrune(target: Int, rounds: Int): StagedOp = {
+    val roundStages = (1 to rounds).flatMap { r =>
+      val prev = if (r == 1) "ulm_pieces" else s"ulm_pv${r - 1}"
+      Seq(ulmPruneOkStage(prev, s"ulm_po$r"),
+          ulmPruneRound(prev, s"ulm_po$r", s"ulm_pv$r", target))
+    }
+    val fin = s"ulm_pv$rounds"
+    StagedOp(
+      stages = ulmViterbi.stages ++ roundStages,
+      body = { d =>
+        s"""WITH ${ulmCandCte(d)},
+           |${ulmScoredCte(fin)},
+           |cov AS (SELECT COUNT(DISTINCT w) AS ncov FROM ok),
+           |nv AS (SELECT COUNT(*) AS n FROM $fin),
+           |n1 AS (SELECT COUNT(*) AS n FROM $fin WHERE length(piece) = 1),
+           |nw AS (SELECT COUNT(*) AS n FROM ulm_vocab)
+           |SELECT v.piece,
+           |  ${r6("CAST(v.qlp AS DOUBLE) / 1.0e6")} AS logp_bits,
+           |  v.ec AS viterbi_count,
+           |  CASE WHEN length(v.piece) = 1 THEN 1 ELSE 0 END AS is_char,
+           |  nv.n AS n_vocab,
+           |  $target AS target_vocab,
+           |  nv.n <= GREATEST($target, n1.n) AS within_target,
+           |  cov.ncov = nw.n AS all_words_covered
+           |FROM $fin v CROSS JOIN nv CROSS JOIN n1 CROSS JOIN cov CROSS JOIN nw
+           |ORDER BY v.ec DESC, v.piece""".stripMargin
+      })
+  }
+
+  /** The registered instance: 64-piece target over the fixture corpus
+    * (24 single chars + 40 kept multi-char pieces; 157 multi-char
+    * candidates reach the target in exactly two rounds, 157 → 78 →
+    * 40). The convergence NO-OP round — ndrop = 0 once the pool is at
+    * target — is proven by the micro-oracle's 3-round instantiation,
+    * not paid for on every bench run. */
+  val ulmPrune64: StagedOp = ulmPrune(64, 2)
 
   /** One BPE-training iteration: count adjacent character pairs
     * weighted by word frequency and propose the top merge candidates

@@ -968,6 +968,175 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("documents")
   }
 
+  // ---- shared plain-Scala mirror of the ULM enumeration trainer ----
+  private def ulmSegmentsOf(w: String, m: Int): Seq[String] = {
+    val cuts = (0 until w.length - 1).filter(j => ((m >> j) & 1) == 1)
+    val bounds = 0 +: cuts.map(_ + 1) :+ w.length
+    bounds.sliding(2).map { case Seq(a, b) => w.substring(a, b) }.toSeq
+  }
+  private def ulmQlog2(x: Long): Long =
+    math.floor(math.log(x.toDouble) / math.log(2.0) * 1e6 + 0.5).toLong
+  /** Valid masks whose every piece the prob table carries, with their
+    * integer scores — the `ok` CTE. */
+  private def ulmOk(w: String, probs: Map[String, Long]): Seq[(Int, Long, Long)] =
+    (0 until (1 << (w.length - 1))).flatMap { m =>
+      val segs = ulmSegmentsOf(w, m)
+      if (segs.exists(_.length > 3) || !segs.forall(probs.contains)) None
+      else Some((m, segs.map(probs).sum, segs.size.toLong))
+    }
+  private val ulmStairT: IndexedSeq[Long] =
+    (0 until 16).map(r => math.round(StrictMath.pow(2.0, r / 16.0) * 1e6))
+  /** Staircase posterior weights per mask — the ulm_wq stage. */
+  private def ulmWq(w: String, probs: Map[String, Long]): Map[Int, (Long, Long)] = {
+    val ok = ulmOk(w, probs)
+    val mx = ok.map(_._2).max
+    ok.map { case (m, s, _) =>
+      val k = Math.floorDiv(s - mx, 62500L)
+      val q = Math.floorDiv(k, 16L)
+      val r = Math.floorMod(k, 16L).toInt
+      val wq = if (q < -40) 0L else ulmStairT(r) / (1L << (-q).toInt)
+      m -> (s, wq)
+    }.toMap
+  }
+
+  test("unigram-LM soft EM: staircase posteriors, expected counts and marginal audit " +
+    "equal an independent enumeration") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val docs: Seq[(Long, String)] = Seq(
+      (0L, "banana band ban an"),
+      (1L, "banana banana ban and"),
+      (2L, "and band banana nab"),
+      (3L, "nab ban and an an"))
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    SqlOps.ulmSoftEm.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.ulmSoftEm.body(SparkDialect)).collect()
+
+    // ---- independent enumeration ----
+    val vocab: Map[String, Long] = docs.flatMap(_._2.split(" ", -1))
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val pieceCnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, c) <- vocab; i <- 0 until w.length; l <- 1 to 3 if i + l <= w.length)
+      pieceCnt(w.substring(i, i + l)) += c
+    val total = pieceCnt.values.sum
+    val qlp0: Map[String, Long] =
+      pieceCnt.toMap.map { case (p, c) => p -> (ulmQlog2(c) - ulmQlog2(total)) }
+    // soft expected counts: per word, rational Σwq·occ / Σwq µ-quantized
+    val ecq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, c) <- vocab) {
+      val wq = ulmWq(w, qlp0)
+      val den = wq.values.map(_._2).sum
+      val num = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((m, (_, q)) <- wq; p <- ulmSegmentsOf(w, m)) num(p) += q
+      for ((p, n) <- num) ecq(p) += c * ((2 * n * 1000000L + den) / (2 * den))
+    }
+    val softTot = ecq.values.sum
+    val qlpSoft = ecq.toMap.collect {
+      case (p, e) if e > 0 => p -> (ulmQlog2(e) - ulmQlog2(softTot))
+    }
+    // hard counts along the (score, np, mask)-winner paths
+    val hardEc = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, c) <- vocab) {
+      val best = ulmOk(w, qlp0).minBy { case (m, s, np) => (-s, np, m) }
+      for (p <- ulmSegmentsOf(w, best._1)) hardEc(p) += c
+    }
+    // marginals through the same staircase, under both models
+    def marginal(probs: Map[String, Long]): Long =
+      vocab.map { case (w, c) =>
+        val wq = ulmWq(w, probs)
+        val mx = wq.values.map(_._1).max
+        c * (mx + ulmQlog2(wq.values.map(_._2).sum) - ulmQlog2(1000000L))
+      }.sum
+    val (lm0, lm1) = (marginal(qlp0), marginal(qlpSoft))
+    assert(lm1 >= lm0, "soft-EM marginal monotonicity on the crafted corpus")
+
+    val expected = ecq.toSeq.filter(_._2 > 0)
+      .sortBy { case (p, e) => (-e, p) }.take(30)
+    assert(got.map(_.getAs[String]("piece")).toSeq === expected.map(_._1))
+    got.foreach { r =>
+      val p = r.getAs[String]("piece")
+      assert(r.getAs[Double]("soft_count") === r6(ecq(p).toDouble / 1e6))
+      assert(r.getAs[Double]("logp_soft_bits") === r6(qlpSoft(p).toDouble / 1e6))
+      if (hardEc.contains(p)) assert(r.getAs[Long]("hard_count") === hardEc(p))
+      else assert(r.isNullAt(r.fieldIndex("hard_count")))
+      assert(r.getAs[Double]("marginal_init_bits") === r6(lm0.toDouble / 1e6))
+      assert(r.getAs[Double]("marginal_soft_bits") === r6(lm1.toDouble / 1e6))
+      assert(r.getAs[Boolean]("soft_improves"))
+    }
+    spark.catalog.dropTempView("documents")
+  }
+
+  test("unigram-LM prune loop: per-round loss ranking, drops and re-estimates equal " +
+    "an independent replay; coverage and target invariants hold") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val docs: Seq[(Long, String)] = Seq(
+      (0L, "banana band ban an"),
+      (1L, "banana banana ban and"),
+      (2L, "and band banana nab"),
+      (3L, "nab ban and an an"))
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val target = 8
+    val op = SqlOps.ulmPrune(target, 3)
+    op.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(op.body(SparkDialect)).collect()
+      .map(r => r.getAs[String]("piece") ->
+        (r.getAs[Double]("logp_bits"), r.getAs[Long]("viterbi_count"),
+          r.getAs[Long]("n_vocab"), r.getAs[Boolean]("within_target"),
+          r.getAs[Boolean]("all_words_covered"))).toMap
+
+    // ---- independent replay of the 3 pruning rounds ----
+    val vocab: Map[String, Long] = docs.flatMap(_._2.split(" ", -1))
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val pieceCnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, c) <- vocab; i <- 0 until w.length; l <- 1 to 3 if i + l <= w.length)
+      pieceCnt(w.substring(i, i + l)) += c
+    val tot0 = pieceCnt.values.sum
+    var v: Map[String, Long] =
+      pieceCnt.toMap.map { case (p, c) => p -> (ulmQlog2(c) - ulmQlog2(tot0)) }
+    var lastEc: Map[String, Long] = Map.empty
+    for (_ <- 1 to 3) {
+      val wins = vocab.keys.map { w =>
+        w -> ulmOk(w, v).minBy { case (m, s, np) => (-s, np, m) }
+      }.toMap
+      val ec = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((w, c) <- vocab; p <- ulmSegmentsOf(w, wins(w)._1)) ec(p) += c
+      val losses = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((w, c) <- vocab; p <- ulmSegmentsOf(w, wins(w)._1).distinct if p.length > 1) {
+        val alts = ulmOk(w, v).filterNot { case (m, _, _) => ulmSegmentsOf(w, m).contains(p) }
+        val alt = if (alts.isEmpty) wins(w)._2 - 100000000L else alts.map(_._2).max
+        losses(p) += c * (wins(w)._2 - alt)
+      }
+      val mp = v.keys.filter(_.length > 1).toSeq
+        .map(p => p -> losses(p)).sortBy { case (p, l) => (l, p) }
+      val n1 = v.keys.count(_.length == 1)
+      val ndrop = math.min((mp.size + 1) / 2,
+        math.max(mp.size - math.max(target - n1, 0), 0))
+      val keep = v.keys.filter(_.length == 1).toSet ++ mp.drop(ndrop).map(_._1)
+      val totKept = keep.toSeq.map(p => ec(p)).filter(_ > 0).sum
+      v = keep.map { p =>
+        p -> (if (ec(p) > 0) ulmQlog2(ec(p)) - ulmQlog2(totKept) else v(p))
+      }.toMap
+      lastEc = keep.map(p => p -> ec(p)).toMap
+    }
+    assert(got.keySet === v.keySet, "final vocabulary must match the replay")
+    v.foreach { case (p, q) =>
+      assert(got(p)._1 === r6(q.toDouble / 1e6), s"logp of $p")
+      assert(got(p)._2 === lastEc(p), s"viterbi count of $p")
+    }
+    val n1 = v.keys.count(_.length == 1)
+    assert(got.head._2._3 === v.size.toLong)
+    assert(v.size <= math.max(target, n1))
+    assert(got.values.forall(t => t._4 && t._5), "target + coverage invariants")
+    // the loop genuinely pruned: more candidate pieces existed than survived
+    assert(pieceCnt.size > v.size)
+    spark.catalog.dropTempView("documents")
+  }
+
   /** Spark `percentile`: index (n−1)·p, linear interpolation — shared
     * by the label/temporal-split micro-oracles below. */
   private def pctCont(xs: Seq[Long], p: Double): Double = {
