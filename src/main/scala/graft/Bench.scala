@@ -99,6 +99,16 @@ object Bench {
     // exact conflation the first/steady split exists to prevent)
     case class R(name: String, first: Double, steady: Double,
                  err1: Option[String], err2: Option[String], rounds: Int)
+    // min-of-N steady: a SINGLE steady sample was the artifact's last
+    // untrustworthy column — the r8 quiet-START gate could not stop
+    // mid-run ambient load from inflating 8 steady entries up to 4.8×
+    // their quiet truth. Two samples that agree (within 20% + 50 ms
+    // absolute slack, so millisecond queries don't triple-run on
+    // scheduler jitter) accept the min; disagreement is interference
+    // evidence and buys a third sample, min of all three. The min is
+    // the right statistic here: steady dataflow cost has a hard floor
+    // and pollution only ever ADDS time.
+    var steadyThirdRuns = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -106,13 +116,30 @@ object Bench {
                   catch { case e: Throwable => Some(e.getClass.getSimpleName) }
         ((System.nanoTime() - t0) / 1e9, err)
       }
+      // an errored steady sample reports immediately (a steady failure
+      // must stay visible, not be retried away as if it were noise)
+      def steadyMinOfN(): (Double, Option[String]) = {
+        val (a, ea) = once()
+        if (ea.isDefined) (a, ea)
+        else {
+          val (b, eb) = once()
+          if (eb.isDefined) (b, eb)
+          else if (math.max(a, b) <= math.min(a, b) * 1.2 + 0.05)
+            (math.min(a, b), None)
+          else {
+            steadyThirdRuns += 1
+            val (c, ec) = once()
+            if (ec.isDefined) (c, ec) else (math.min(math.min(a, b), c), None)
+          }
+        }
+      }
       graft.ops.Cluster.resetRounds()
       val (t1, e1) = once()
       // iterative ops emit their round count (convergence behaviour is
       // otherwise invisible in a wall-clock number — a round-count
       // change and a per-round regression read identically)
       val rounds = graft.ops.Cluster.lastRounds
-      val (t2, e2) = if (e1.isDefined) (-1.0, e1) else once()
+      val (t2, e2) = if (e1.isDefined) (-1.0, e1) else steadyMinOfN()
       R(name, t1, t2, e1, e2, rounds)
     }
     // ALL number formatting is Locale.ROOT: the scala f interpolator
@@ -141,7 +168,7 @@ object Bench {
     // getSystemLoadAverage is -1.0 where unsupported — emit null, not a
     // legitimate-looking negative load
     def loadJson(v: Double) = if (v < 0) "null" else num("%.2f", v)
-    val cond = s""""load_avg_before":${loadJson(loadBefore)},"load_avg_1m":${loadJson(loadAvg)},"quiet_waits":$quietWaits,"cpus":${cpus.trim.toIntOption.getOrElse(-1)}"""
+    val cond = s""""load_avg_before":${loadJson(loadBefore)},"load_avg_1m":${loadJson(loadAvg)},"quiet_waits":$quietWaits,"steady_third_runs":$steadyThirdRuns,"cpus":${cpus.trim.toIntOption.getOrElse(-1)}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","total_steady":$totalSteady,"queries":${qfirst(results)},"queries_steady":${qsteady(results)},"cc_rounds":$roundsMap,"errors":$errs,"prewarm_failed":$prewarm,$cond,"sf":"$sfDir"}"""
     // full per-query map: first as a log line (for a reader of the whole

@@ -295,6 +295,12 @@ object SparkEntry {
       Seq("documents")  -> SqlOps.contaminationBloom, // ctm_srcd → ctm_bsh + ctm_csh
       Seq("documents")  -> SqlOps.dedupSubstring, // ss_win
       Seq("documents")  -> SqlOps.textUnigramLm, // ulm_tf
+      // the ULM trainer substrate (vocab + substring pieces + mask
+      // enumeration): four artifacts consumed by all six ulm_*
+      // queries — the multi-consumer rule, same as mh_sig/emb_nv/
+      // pca_*. The trainer chains (segmenter, EM, staircase, prune
+      // rounds) are NOT in this op and stay timed.
+      Seq("documents")  -> SqlOps.ulmBase,
       Seq("documents")  -> SqlOps.textBigramLm,
       Seq("documents")  -> SqlOps.heavyHitters, // hh_bg
       Seq("documents")  -> SqlOps.searchBm25,

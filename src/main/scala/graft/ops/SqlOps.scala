@@ -1539,40 +1539,42 @@ object SqlOps {
          |        FROM ulm_vocab),
          |wm AS (${d.explode("SELECT w, mm FROM wm0", "w", "mm", "m")}),
          |wp0 AS (SELECT w, m, ${d.seqArray("1", "length(w)")} AS pp FROM wm),
-         |wp AS (${d.explode("SELECT w, m, pp FROM wp0", "w, m", "pp", "p")})
-         |SELECT w, m, segid, substr(w, lo, ln) AS piece, ln,
-         |  CAST(bit_count(m) + 1 AS BIGINT) AS np
-         |FROM (
+         |wp AS (${d.explode("SELECT w, m, pp FROM wp0", "w, m", "pp", "p")}),
+         |seg AS (
          |  SELECT w, m, segid, MIN(p) AS lo, COUNT(*) AS ln
          |  FROM (SELECT w, m, p,
          |          bit_count(m % CAST(pow(2, p - 1) AS BIGINT)) AS segid
          |        FROM wp)
          |  GROUP BY w, m, segid
-         |)""".stripMargin
+         |)
+         |-- validity filter as a WINDOW, not a groupBy+self-join: a CTE
+         |-- referenced twice would inline (and so re-run) the whole
+         |-- enumeration subtree per reference
+         |SELECT w, m, segid, substr(w, lo, ln) AS piece, ln,
+         |  CAST(bit_count(m) + 1 AS BIGINT) AS np
+         |FROM (SELECT w, m, segid, lo, ln,
+         |        MAX(ln) OVER (PARTITION BY w, m) AS mxln FROM seg)
+         |WHERE mxln <= $UlmMaxPiece""".stripMargin
     }
 
   private def ulmCandCte(d: Dialect): String =
     "cand AS (SELECT * FROM ulm_cand)"
 
   /** Scored candidates: piece rows joined to `piecesTbl`
-    * log-probabilities, summed per (word, mask). `matched = np`
-    * guards the PRUNED-vocabulary case (chain 2): a mask any of whose
-    * pieces is absent from the table is not a candidate at all — the
-    * sum over the surviving pieces must never masquerade as a path
-    * score. `val` keeps only masks whose every segment is ≤
-    * [[UlmMaxPiece]] chars. */
+    * log-probabilities, summed per (word, mask). The HAVING
+    * `COUNT(*) = MAX(np)` guards the PRUNED-vocabulary case
+    * (chain 2): a mask any of whose pieces is absent from the table
+    * is not a candidate at all — the sum over the surviving pieces
+    * must never masquerade as a path score. Segment-length validity
+    * (every piece ≤ [[UlmMaxPiece]] chars) is enforced once at the
+    * [[ulmCandStage]] materialization — `cand` holds only valid
+    * masks, so no consumer re-derives the filter. */
   private def ulmScoredCte(piecesTbl: String): String =
-    s"""vm AS (SELECT w, m FROM cand GROUP BY w, m HAVING MAX(ln) <= $UlmMaxPiece),
-       |sc AS (
-       |  SELECT c.w, c.m, CAST(SUM(p.qlp) AS BIGINT) AS score,
-       |    COUNT(*) AS matched, MAX(c.np) AS np
+    s"""ok AS (
+       |  SELECT c.w, c.m, CAST(SUM(p.qlp) AS BIGINT) AS score, MAX(c.np) AS np
        |  FROM cand c JOIN $piecesTbl p ON p.piece = c.piece
        |  GROUP BY c.w, c.m
-       |),
-       |ok AS (
-       |  SELECT s.w, s.m, s.score, s.np
-       |  FROM sc s JOIN vm v ON v.w = s.w AND v.m = s.m
-       |  WHERE s.matched = s.np
+       |  HAVING COUNT(*) = MAX(c.np)
        |)""".stripMargin
 
   /** The trained segmenter, materialized once: every word's WINNING
@@ -1624,8 +1626,12 @@ object SqlOps {
     * Output: per-word best piece count and segmentation
     * log-likelihood, tf-weighted — the tokenizer-fitting diagnostic
     * (fertility under a unigram LM vs BPE's merge table). */
-  val ulmViterbi: StagedOp = StagedOp(
-    stages = textUnigramLm.stages ++ Seq(
+  /** The shared ULM trainer substrate — corpus tf index, bounded
+    * vocabulary, substring-candidate pieces with their initial
+    * log-probs, and the mask enumeration. Six queries consume these
+    * four artifacts; every trainer chain appends its own stages. */
+  private val ulmBaseStages: Seq[(String, Dialect => String)] =
+    textUnigramLm.stages ++ Seq(
       "ulm_vocab" -> { (_: Dialect) =>
         // the loud bound guard: under ANSI both engines throw on the
         // string-to-int cast, so a corpus word outlasting the DP bound
@@ -1637,20 +1643,31 @@ object SqlOps {
            |FROM ulm_tf GROUP BY s""".stripMargin
       },
       "ulm_pieces" -> { (d: Dialect) =>
+        // single-copy plan: the position explode is joined against a
+        // 3-row length leaf (not UNION ALL'd three times — CTE
+        // inlining would re-run the explode per branch), and the
+        // total is a window (not a scalar cross-join re-read)
         s"""WITH wi AS (SELECT w, c, ${d.seqArray("1", "length(w)")} AS ii FROM ulm_vocab),
            |pe AS (${d.explode("SELECT w, c, ii FROM wi", "w, c", "ii", "i")}),
-           |sub AS (
-           |  SELECT substr(w, i, 1) AS piece, c FROM pe
-           |  UNION ALL
-           |  SELECT substr(w, i, 2) AS piece, c FROM pe WHERE i + 1 <= length(w)
-           |  UNION ALL
-           |  SELECT substr(w, i, 3) AS piece, c FROM pe WHERE i + 2 <= length(w)
-           |),
-           |pc AS (SELECT piece, CAST(SUM(c) AS BIGINT) AS cnt FROM sub GROUP BY piece),
-           |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM pc)
+           |ll AS (${(1 to UlmMaxPiece).map(l => s"SELECT $l AS l").mkString(" UNION ALL ")}),
+           |pc AS (
+           |  SELECT substr(w, i, l) AS piece, CAST(SUM(c) AS BIGINT) AS cnt
+           |  FROM pe JOIN ll ON i + l - 1 <= length(w)
+           |  GROUP BY substr(w, i, l)
+           |)
            |SELECT piece, cnt, ${qlog2("cnt")} - ${qlog2("t")} AS qlp
-           |FROM pc CROSS JOIN tot""".stripMargin
-      }) :+ ulmCandStage :+ ulmSegStage,
+           |FROM (SELECT piece, cnt, CAST(SUM(cnt) OVER () AS BIGINT) AS t FROM pc)""".stripMargin
+      }) :+ ulmCandStage
+
+  /** Prewarm handle for the shared substrate above (the body is never
+    * run — prewarm builds stages only). The trainer chains themselves
+    * — segmenter, EM steps, soft-EM staircase, prune rounds — are
+    * deliberately NOT reachable through this: they ARE their queries'
+    * computation and must stay timed. */
+  val ulmBase: StagedOp = StagedOp(ulmBaseStages, _ => "SELECT 1 AS one")
+
+  val ulmViterbi: StagedOp = StagedOp(
+    stages = ulmBaseStages :+ ulmSegStage,
     body = { _ =>
       s"""SELECT v.w AS word, v.c AS tf, a.np AS n_pieces,
          |  ${r6("CAST(a.score AS DOUBLE) / 1.0e6")} AS loglik_bits
@@ -1711,10 +1728,11 @@ object SqlOps {
          |  SELECT p.piece, CAST(SUM(v.c) AS BIGINT) AS ec
          |  FROM ulm_seg p JOIN ulm_vocab v ON v.w = p.w
          |  GROUP BY p.piece
-         |),
-         |tot AS (SELECT CAST(SUM(ec) AS BIGINT) AS t FROM cnt)
+         |)
+         |-- total as a window: a scalar-CTE cross-join would inline
+         |-- (re-run) the counting join a second time
          |SELECT piece, ec, ${qlog2("ec")} - ${qlog2("t")} AS qlp
-         |FROM cnt CROSS JOIN tot""".stripMargin
+         |FROM (SELECT piece, ec, CAST(SUM(ec) OVER () AS BIGINT) AS t FROM cnt)""".stripMargin
     }
     StagedOp(
       stages = ulmViterbi.stages :+ pcs2Stage,
@@ -1816,11 +1834,12 @@ object SqlOps {
       val fd = floorDiv(d) _
       s"""WITH ${ulmCandCte(d)},
          |${ulmScoredCte(piecesTbl)},
-         |mx AS (SELECT w, MAX(score) AS mx FROM ok GROUP BY w),
          |kq AS (
-         |  SELECT o.w, o.m, o.score,
-         |    ${fd("o.score - x.mx", UlmStairStepMu.toString)} AS k
-         |  FROM ok o JOIN mx x ON x.w = o.w
+         |  -- per-word mode as a WINDOW, not a groupBy+self-join: ok is
+         |  -- an aggregation subtree and a second reference would
+         |  -- inline (re-run) it whole
+         |  SELECT w, m, score, ${fd("score - mxs", UlmStairStepMu.toString)} AS k
+         |  FROM (SELECT w, m, score, MAX(score) OVER (PARTITION BY w) AS mxs FROM ok)
          |),
          |qr AS (
          |  SELECT w, m, score,
@@ -1864,10 +1883,12 @@ object SqlOps {
          |  SELECT f.piece, CAST(SUM(v.c * f.fq) AS BIGINT) AS ecq
          |  FROM fq f JOIN ulm_vocab v ON v.w = f.w
          |  GROUP BY f.piece
-         |),
-         |tot AS (SELECT CAST(SUM(ecq) AS BIGINT) AS t FROM ec)
+         |)
+         |-- total as a window: a scalar-CTE cross-join would inline
+         |-- (re-run) the whole num/den/fq chain a second time
          |SELECT piece, ecq, ${qlog2("ecq")} - ${qlog2("t")} AS qlp
-         |FROM ec CROSS JOIN tot WHERE ecq > 0""".stripMargin
+         |FROM (SELECT piece, ecq, CAST(SUM(ecq) OVER () AS BIGINT) AS t FROM ec)
+         |WHERE ecq > 0""".stripMargin
     }
 
   /** The soft-EM step with its own monotonicity audit: per-piece soft
@@ -1923,87 +1944,101 @@ object SqlOps {
     * guarded by a 100-bit sentinel loss). Survivor log-probs are
     * re-estimated from this round's Viterbi counts; a kept-but-
     * unused piece carries its previous estimate. */
-  private def ulmPruneOkStage(prev: String, name: String): (String, Dialect => String) =
+  /** Round stage A — this round's winning paths at (word, piece)
+    * grain: occurrences `cnt` on the path, word tf `c` and the path
+    * score carried along, so stage B's loss and count aggregates are
+    * plain scans of this table. Materialized because TWO independent
+    * branches of the round (the per-piece Viterbi counts and the
+    * loss ranking) consume it — Spark inlines a twice-referenced CTE
+    * and would re-run the whole score→window→join subtree per
+    * reference (the r8 shape: 60 exchanges / 42 aggregates compiled
+    * into ONE round stage, ~1.8 s of AQE-scheduled micro-jobs for
+    * <2k-row dataflow). */
+  private def ulmPruneWinStage(prev: String, name: String): (String, Dialect => String) =
     name -> { (d: Dialect) =>
       s"""WITH ${ulmCandCte(d)},
-         |${ulmScoredCte(prev)}
-         |SELECT w, m, score, np FROM ok""".stripMargin
-    }
-
-  private def ulmPruneRound(prev: String, okTbl: String, name: String,
-                            target: Int): (String, Dialect => String) =
-    name -> { (d: Dialect) =>
-      s"""WITH ${ulmCandCte(d)},
+         |${ulmScoredCte(prev)},
          |win AS (
          |  SELECT w, m, score FROM (
          |    SELECT w, m, score,
          |      ROW_NUMBER() OVER (PARTITION BY w ORDER BY score DESC, np, m) AS rk
-         |    FROM $okTbl
+         |    FROM ok
          |  ) WHERE rk = 1
-         |),
-         |path AS (
-         |  SELECT c.w, c.piece FROM cand c JOIN win n ON n.w = c.w AND n.m = c.m
-         |),
-         |ec AS (
-         |  SELECT p.piece, CAST(SUM(v.c) AS BIGINT) AS ec
-         |  FROM path p JOIN ulm_vocab v ON v.w = p.w GROUP BY p.piece
-         |),
-         |pl AS (SELECT DISTINCT w, piece FROM path WHERE length(piece) > 1),
-         |alt AS (
-         |  -- masks avoiding the piece: mask membership comes straight
-         |  -- off the enumeration (cand), validity/scorability off the
-         |  -- materialized ok table — duplicates in cand (a piece
-         |  -- appearing twice in one mask) don't matter to EXISTS
-         |  SELECT p.w, p.piece, MAX(o.score) AS alt_score
-         |  FROM pl p JOIN $okTbl o ON o.w = p.w
-         |  WHERE NOT EXISTS (
-         |    SELECT 1 FROM cand h
-         |    WHERE h.w = o.w AND h.m = o.m AND h.piece = p.piece)
-         |  GROUP BY p.w, p.piece
+         |)
+         |SELECT c.w, c.piece, c.ln, v.c, n.score, COUNT(*) AS cnt
+         |FROM cand c
+         |JOIN win n ON n.w = c.w AND n.m = c.m
+         |JOIN ulm_vocab v ON v.w = c.w
+         |GROUP BY c.w, c.piece, c.ln, v.c, n.score""".stripMargin
+    }
+
+  /** Round stage B — the prune decision. Every CTE here is referenced
+    * exactly ONCE (multi-consumed intermediates are either the
+    * materialized stage-A table or plain table scans), and the final
+    * total is a window over `ke` instead of a scalar cross-join —
+    * both deliberate: CTE inlining duplicates the whole subtree per
+    * reference, and this stage's cost is plan overhead, not
+    * dataflow. */
+  private def ulmPruneRound(prev: String, pw: String, name: String,
+                            target: Int): (String, Dialect => String) =
+    name -> { (d: Dialect) =>
+      s"""WITH ${ulmCandCte(d)},
+         |${ulmScoredCte(prev)},
+         |av AS (
+         |  -- per (word, multi-char path piece): best score among ok
+         |  -- masks AVOIDING the piece — mask membership read off the
+         |  -- enumeration as a LEFT JOIN + conditional MAX (an avoided
+         |  -- mask has no membership row), so a piece with no
+         |  -- alternative path keeps its row with a NULL alt
+         |  SELECT pg.w, pg.piece, pg.c, pg.score,
+         |    MAX(CASE WHEN h.w IS NULL THEN o.score END) AS alt_score
+         |  FROM $pw pg
+         |  JOIN ok o ON o.w = pg.w
+         |  LEFT JOIN (SELECT DISTINCT w, m, piece FROM cand) h
+         |    ON h.w = o.w AND h.m = o.m AND h.piece = pg.piece
+         |  WHERE pg.ln > 1
+         |  GROUP BY pg.w, pg.piece, pg.c, pg.score
          |),
          |loss0 AS (
-         |  SELECT p.piece,
-         |    CAST(SUM(v.c * (n.score - COALESCE(a.alt_score, n.score - 100000000)))
+         |  -- a missing alternative is guarded by a 100-bit sentinel
+         |  SELECT piece,
+         |    CAST(SUM(c * (score - COALESCE(alt_score, score - 100000000)))
          |         AS BIGINT) AS lossq
-         |  FROM pl p
-         |  JOIN win n ON n.w = p.w
-         |  JOIN ulm_vocab v ON v.w = p.w
-         |  LEFT JOIN alt a ON a.w = p.w AND a.piece = p.piece
-         |  GROUP BY p.piece
+         |  FROM av GROUP BY piece
          |),
-         |mp AS (
-         |  SELECT vp.piece, COALESCE(l.lossq, CAST(0 AS BIGINT)) AS lossq
+         |ranked AS (
+         |  SELECT vp.piece,
+         |    ROW_NUMBER() OVER (ORDER BY COALESCE(l.lossq, CAST(0 AS BIGINT)) ASC,
+         |                       vp.piece) AS rn
          |  FROM $prev vp LEFT JOIN loss0 l ON l.piece = vp.piece
          |  WHERE length(vp.piece) > 1
          |),
-         |dr AS (
-         |  -- both scalar counts in ONE pass over the vocabulary
-         |  SELECT LEAST(${d.idiv("nm + 1", "2")},
-         |               GREATEST(nm - GREATEST($target - n1, 0), 0)) AS ndrop
-         |  FROM (
-         |    SELECT CAST(SUM(CASE WHEN length(piece) > 1 THEN 1 ELSE 0 END) AS BIGINT) AS nm,
-         |           CAST(SUM(CASE WHEN length(piece) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
-         |    FROM $prev
-         |  )
-         |),
-         |ranked AS (
-         |  SELECT piece, ROW_NUMBER() OVER (ORDER BY lossq ASC, piece) AS rn FROM mp
-         |),
+         |ec AS (SELECT piece, CAST(SUM(c * cnt) AS BIGINT) AS ec FROM $pw GROUP BY piece),
          |ke AS (
          |  -- one pass: singles always keep, multis keep past the drop
-         |  -- line (a single's rn is NULL — the ranking covers multis)
-         |  SELECT vp.piece, vp.qlp AS qlp_prev, CAST(COALESCE(e.ec, 0) AS BIGINT) AS ec
-         |  FROM $prev vp
-         |  LEFT JOIN ranked r ON r.piece = vp.piece
-         |  LEFT JOIN ec e ON e.piece = vp.piece
-         |  CROSS JOIN dr
-         |  WHERE length(vp.piece) = 1 OR r.rn > ndrop
-         |),
-         |tot AS (SELECT CAST(SUM(ec) AS BIGINT) AS t FROM ke WHERE ec > 0)
+         |  -- line (a single's rn is NULL — the ranking covers multis).
+         |  -- ndrop's inputs are WINDOW counts over this same join, not
+         |  -- a scalar-CTE cross-join (which would re-scan the
+         |  -- vocabulary through a second broadcast build)
+         |  SELECT piece, qlp_prev, ec FROM (
+         |    SELECT vp.piece, vp.qlp AS qlp_prev,
+         |      CAST(COALESCE(e.ec, 0) AS BIGINT) AS ec, r.rn,
+         |      CAST(SUM(CASE WHEN length(vp.piece) > 1 THEN 1 ELSE 0 END) OVER () AS BIGINT) AS nm,
+         |      CAST(SUM(CASE WHEN length(vp.piece) = 1 THEN 1 ELSE 0 END) OVER () AS BIGINT) AS n1
+         |    FROM $prev vp
+         |    LEFT JOIN ranked r ON r.piece = vp.piece
+         |    LEFT JOIN ec e ON e.piece = vp.piece
+         |  )
+         |  WHERE length(piece) = 1
+         |     OR rn > LEAST(${d.idiv("nm + 1", "2")},
+         |                   GREATEST(nm - GREATEST($target - n1, 0), 0))
+         |)
          |SELECT piece,
          |  CASE WHEN ec > 0 THEN ${qlog2("ec")} - ${qlog2("t")} ELSE qlp_prev END AS qlp,
          |  ec
-         |FROM ke CROSS JOIN tot""".stripMargin
+         |FROM (SELECT piece, qlp_prev, ec,
+         |        CAST(SUM(CASE WHEN ec > 0 THEN ec ELSE 0 END) OVER () AS BIGINT) AS t
+         |      FROM ke)""".stripMargin
     }
 
   /** The trainer's outer loop, materialized: `rounds` pruning rounds
@@ -2016,32 +2051,60 @@ object SqlOps {
     * final vocabulary and asserts the two trainer invariants as
     * output columns: the vocabulary hit its target (up to the
     * never-dropped single-chars floor) and EVERY corpus word is
-    * still segmentable. */
+    * still segmentable — plus the per-round remaining-pool trace
+    * (`pool_after_r1, pool_after_r2, …`), so a corpus that needs
+    * MORE rounds than the instantiation provides is visible in the
+    * output itself (which round stalled above target), not just in
+    * the final `within_target = false` flag. */
   def ulmPrune(target: Int, rounds: Int): StagedOp = {
     val roundStages = (1 to rounds).flatMap { r =>
       val prev = if (r == 1) "ulm_pieces" else s"ulm_pv${r - 1}"
-      Seq(ulmPruneOkStage(prev, s"ulm_po$r"),
-          ulmPruneRound(prev, s"ulm_po$r", s"ulm_pv$r", target))
+      Seq(ulmPruneWinStage(prev, s"ulm_pw$r"),
+          ulmPruneRound(prev, s"ulm_pw$r", s"ulm_pv$r", target))
     }
     val fin = s"ulm_pv$rounds"
     StagedOp(
-      stages = ulmViterbi.stages ++ roundStages,
+      // the base chain only: the prune loop re-Viterbis per round and
+      // never reads the ulm_seg segmenter — building it here billed
+      // an unconsumed 0.7 s stage to every cold prune run
+      stages = ulmBaseStages ++ roundStages,
       body = { d =>
+        // the final round's pool is derivable from the one fin scan
+        // (pool = n_vocab − n_singles); earlier rounds scan their own
+        // (tiny) table — one scalar CTE per round, not per metric
+        val poolCtes = (1 until rounds).map { r =>
+          s"pool$r AS (SELECT COUNT(*) AS n FROM ulm_pv$r WHERE length(piece) > 1),"
+        }.mkString("\n")
+        val poolCols = ((1 until rounds)
+          .map(r => s"pool$r.n AS pool_after_r$r") :+
+          s"sc.n - sc.n1 AS pool_after_r$rounds").mkString(",\n  ")
+        val poolJoins = (1 until rounds).map(r => s"CROSS JOIN pool$r").mkString(" ")
         s"""WITH ${ulmCandCte(d)},
            |${ulmScoredCte(fin)},
-           |cov AS (SELECT COUNT(DISTINCT w) AS ncov FROM ok),
-           |nv AS (SELECT COUNT(*) AS n FROM $fin),
-           |n1 AS (SELECT COUNT(*) AS n FROM $fin WHERE length(piece) = 1),
-           |nw AS (SELECT COUNT(*) AS n FROM ulm_vocab)
+           |sc AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(CASE WHEN length(piece) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+           |  FROM $fin
+           |),
+           |cov AS (
+           |  -- coverage and vocab size off ONE scan: a word is covered
+           |  -- iff it has any scorable mask under the final vocabulary
+           |  SELECT COUNT(*) AS nw, COUNT(o.w) AS ncov
+           |  FROM ulm_vocab v LEFT JOIN (SELECT DISTINCT w FROM ok) o ON o.w = v.w
+           |),
+           |$poolCtes
+           |pcs AS (SELECT piece, qlp, ec FROM $fin)
            |SELECT v.piece,
            |  ${r6("CAST(v.qlp AS DOUBLE) / 1.0e6")} AS logp_bits,
            |  v.ec AS viterbi_count,
            |  CASE WHEN length(v.piece) = 1 THEN 1 ELSE 0 END AS is_char,
-           |  nv.n AS n_vocab,
+           |  sc.n AS n_vocab,
            |  $target AS target_vocab,
-           |  nv.n <= GREATEST($target, n1.n) AS within_target,
-           |  cov.ncov = nw.n AS all_words_covered
-           |FROM $fin v CROSS JOIN nv CROSS JOIN n1 CROSS JOIN cov CROSS JOIN nw
+           |  $poolCols,
+           |  sc.n <= GREATEST($target, sc.n1) AS within_target,
+           |  cov.ncov = cov.nw AS all_words_covered
+           |FROM pcs v CROSS JOIN sc CROSS JOIN cov
+           |$poolJoins
            |ORDER BY v.ec DESC, v.piece""".stripMargin
       })
   }
@@ -2053,6 +2116,7 @@ object SqlOps {
     * target — is proven by the micro-oracle's 3-round instantiation,
     * not paid for on every bench run. */
   val ulmPrune64: StagedOp = ulmPrune(64, 2)
+
 
   /** One BPE-training iteration: count adjacent character pairs
     * weighted by word frequency and propose the top merge candidates
