@@ -734,6 +734,7 @@ object SparkEntry {
     // over all segmentations + iterative pruning to a 64-piece vocab
     "q_ulm_soft_em" -> sqlStaged(Seq("documents"), SqlOps.ulmSoftEm),
     "q_ulm_prune" -> sqlStaged(Seq("documents"), SqlOps.ulmPrune64),
+    "q_ulm_drift" -> sqlStaged(Seq("documents"), SqlOps.ulmDrift),
     "q_bpe_encode" -> sqlStaged(Seq("documents"), SqlOps.bpeEncode),
     "q_text_langid" -> sqlq(Seq("documents"), SqlOps.textLangId),
     "q_text_langid_eval" -> sqlq(Seq("documents"), SqlOps.textLangIdEval),
@@ -1574,6 +1575,7 @@ object SparkEntry {
     "q_ulm_encode" -> SqlOps.ulmEncode.single(DuckDialect),
     "q_ulm_soft_em" -> SqlOps.ulmSoftEm.single(DuckDialect),
     "q_ulm_prune" -> SqlOps.ulmPrune64.single(DuckDialect),
+    "q_ulm_drift" -> SqlOps.ulmDrift.single(DuckDialect),
     "q_bpe_encode" -> SqlOps.bpeEncode.single(DuckDialect),
     "q_text_langid" -> SqlOps.textLangId(DuckDialect),
     "q_text_langid_eval" -> SqlOps.textLangIdEval(DuckDialect),

@@ -2114,8 +2114,44 @@ object SqlOps {
     * candidates reach the target in exactly two rounds, 157 → 78 →
     * 40). The convergence NO-OP round — ndrop = 0 once the pool is at
     * target — is proven by the micro-oracle's 3-round instantiation,
-    * not paid for on every bench run. */
-  val ulmPrune64: StagedOp = ulmPrune(64, 2)
+    * not paid for on every bench run. The rounds constant also names
+    * the final vocabulary stage ([[ulmPruneFin]]) — single-sourced so
+    * a rounds change can never pin a downstream reader to a stale
+    * iterate. */
+  private val UlmPruneRounds = 2
+  val ulmPrune64: StagedOp = ulmPrune(64, UlmPruneRounds)
+  private val ulmPruneFin = s"ulm_pv$UlmPruneRounds"
+
+  /** Tokenizer-drift baseline under the TRAINED pruned vocabulary:
+    * per-source fertility (pieces per word under the final
+    * segmenter's winning paths) and degenerate-segmentation rate
+    * (words whose winning path is all single-char pieces — the
+    * fallback the trainer exists to avoid; its rate climbing is the
+    * "retrain the tokenizer" signal). The batch twin of the streaming
+    * `tokdrift` monitor ([[graft.streaming.StreamingOps]]): this is
+    * the per-source baseline a production monitor compares incoming
+    * batches against. Re-uses the prune chain's winning-path stage
+    * shape under the FINAL vocabulary; both ratios are one exact
+    * integer division each (correctly rounded in IEEE, so portable
+    * without µ-staging). */
+  val ulmDrift: StagedOp = StagedOp(
+    stages = ulmPrune64.stages :+ ulmPruneWinStage(ulmPruneFin, "ulm_segf"),
+    body = { _ =>
+      s"""WITH seg AS (
+         |  SELECT w, CAST(SUM(cnt) AS BIGINT) AS np,
+         |    MAX(CASE WHEN ln > 1 THEN 1 ELSE 0 END) AS has_multi
+         |  FROM ulm_segf GROUP BY w
+         |)
+         |SELECT d.source,
+         |  CAST(SUM(t.tf) AS BIGINT) AS n_words,
+         |  ${r6("CAST(SUM(t.tf * g.np) AS DOUBLE) / SUM(t.tf)")} AS fertility,
+         |  ${r6("CAST(SUM(t.tf * (1 - g.has_multi)) AS DOUBLE) / SUM(t.tf)")} AS allsingle_rate
+         |FROM ulm_tf t
+         |JOIN documents d ON d.doc_id = t.doc_id
+         |JOIN seg g ON g.w = t.s
+         |GROUP BY d.source
+         |ORDER BY d.source""".stripMargin
+    })
 
 
   /** One BPE-training iteration: count adjacent character pairs

@@ -1139,59 +1139,65 @@ object StreamingOps {
     annMaintenanceBatch(spark, vecs, centroids, s"$root/ivf")
   }
 
+  /** Order-independent signature of a batch's DISTINCT non-null doc
+    * ids (bit_xor of xxhash64 — no overflow under ANSI) plus their
+    * count. Computed from the RAW batch, before any stage runs: a
+    * true redelivery carries the same docs and reproduces the pair
+    * bit-for-bit, while NEW data under a recycled batch id (a stream
+    * restarted on a fresh checkpoint against a live stateRoot) cannot
+    * — and because the signature needs no published artifact, the
+    * clash check can run BEFORE stage 1 mutates anything. Signing the
+    * whole batch (not the admitted work set, as before) also closes
+    * the all-quota-rejected hole: new data whose every doc the gate
+    * rejects still signs differently from the original batch. The
+    * count disambiguates the xor of a set from the xor of a subset
+    * that happens to collide; an empty batch signs (0, 0) — two empty
+    * batches are genuinely indistinguishable, and harmlessly so (an
+    * empty batch folds nothing into any artifact). Distinctness makes
+    * an in-batch duplicate row sign identically to its single copy —
+    * membership already makes the two equivalent downstream. */
+  private[streaming] def batchSignature(batch: DataFrame): (Long, Long) = {
+    val r = batch.select(col("doc_id")).filter(col("doc_id").isNotNull).distinct()
+      .agg(coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)), count(lit(1)))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Stage 6 — the admission-volume history (`<root>/history`, cols
-    * batch_seq, n_admitted, admit_sig): one row per drained batch
-    * recording the LIFETIME admitted count after that batch — the time
-    * series the EWMA volume monitor watches. Keyed by the engine's
-    * batch id, so a redelivered batch overwrites its own row with the
-    * same value (the admitted artifact is already advanced and
-    * membership makes re-admission a no-op) instead of appending a
-    * duplicate.
-    *
-    * `admit_sig` is an order-independent signature (bit_xor of
-    * xxhash64 — no overflow under ANSI) of the batch's admitted
-    * work-set ids, written once with the row. It is the collision
-    * detector for the one failure the lifetime count cannot see: a
-    * stream restarted on a FRESH checkpoint against an OLD stateRoot
-    * restarts batchId at 0, so NEW data arrives under an
-    * already-recorded batch_seq and the EWMA gate would compute
-    * deltas from the wrong rows. A genuine redelivery — even out of
-    * order — carries the same docs, reproduces the signature and
-    * passes; new data under a recycled id cannot, and fails loudly.
-    * (The lifetime count is NOT a usable discriminator: an
-    * out-of-order replay legitimately recomputes a LARGER count than
-    * its first-write row, which first-write-wins then ignores.) */
-  private[streaming] def ingestHistory(spark: SparkSession, batch: DataFrame,
-                                       batchSeq: Long, root: String): Unit = {
+    * batch_seq, n_admitted, batch_sig, n_sig): one row per drained
+    * batch recording the LIFETIME admitted count after that batch —
+    * the time series the EWMA volume monitor watches — plus the
+    * [[batchSignature]] pair for the recycled-batch-id clash check,
+    * which runs in [[dailyIngestMonitoredBatch]] BEFORE stage 1 (an
+    * abort must precede any artifact mutation, not follow five of
+    * them). Keyed by the engine's batch id; first-write-wins: under
+    * at-least-once only the LAST batch is ever redelivered, and its
+    * admissions are already folded into the admitted artifact when
+    * its history row is first written — so an existing row is already
+    * correct, and keeping it makes even an out-of-order replay (which
+    * the other artifacts tolerate by membership) unable to rewrite
+    * history with a later lifetime count. History artifacts written
+    * before the signature columns existed (or with the r8
+    * admitted-work-set admit_sig) upgrade in place through the
+    * null-filling union: their rows keep NULL signatures, which the
+    * precheck skips — the guard covers every batch drained after the
+    * upgrade instead of throwing an unresolved-column error on the
+    * first post-upgrade drain. */
+  private[streaming] def ingestHistory(spark: SparkSession, batchSeq: Long,
+                                       batchSig: Long, nSig: Long,
+                                       root: String): Unit = {
     val admitted = readState(spark, s"$root/admitted")
       .getOrElse(sys.error(s"daily-ingest: $root/admitted missing (stage order violated)"))
     val nAdmitted = admitted.count()
-    val admitSig = batch.select(col("doc_id"))
-      .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
-      .agg(coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)))
-      .head().getLong(0)
     publishParquet(spark, s"$root/history") { current =>
       val row = spark.range(1).select(lit(batchSeq).as("batch_seq"),
-        lit(nAdmitted).as("n_admitted"), lit(admitSig).as("admit_sig"))
+        lit(nAdmitted).as("n_admitted"), lit(batchSig).as("batch_sig"),
+        lit(nSig).as("n_sig"))
       current match {
         case Some(cur) =>
-          val clash = cur.filter(col("batch_seq") === batchSeq)
-            .filter(col("admit_sig") =!= admitSig).count()
-          if (clash > 0) sys.error(
-            s"daily-ingest: history batch_seq=$batchSeq already recorded with a " +
-              "different admitted work-set signature — this is new data under a " +
-              "recycled batch id (the stream's checkpointDir was reset against a " +
-              "live stateRoot; their lifetimes must be coupled), not a replay; " +
-              "refusing to corrupt the volume-gate history")
-          // first-write-wins: under at-least-once only the LAST batch
-          // is ever redelivered, and its admissions are already folded
-          // into the admitted artifact when its history row is first
-          // written — so an existing row is already correct, and
-          // keeping it makes even an out-of-order replay (which the
-          // other artifacts tolerate by membership) unable to rewrite
-          // history with a later lifetime count
           cur.unionByName(
-            row.join(cur.select("batch_seq"), Seq("batch_seq"), "left_anti"))
+            row.join(cur.select("batch_seq"), Seq("batch_seq"), "left_anti"),
+            allowMissingColumns = true)
         case None => row
       }
     }
@@ -1278,33 +1284,134 @@ object StreamingOps {
     }
   }
 
-  /** One micro-batch of the MONITORED pipeline: the dedup chain
-    * ([[dailyIngestBatch]]) then index maintenance, volume history and
-    * the monitor readouts. Same layered-membership crash safety — each
-    * added stage derives its work set from the batch plus the published
-    * artifacts, so any crash/redelivery interleaving converges to the
-    * same eight artifacts. */
+  /** Stage 8 (optional) — tokenizer drift (`<root>/tokdrift`, one row
+    * per drained batch, first-write-wins like the volume history):
+    * the incoming batch's word tokens joined against the TRAINED
+    * unigram-LM vocabulary (`tokVocab`, a `piece` column — e.g. the
+    * pruned `ulm_pv*` table), reporting
+    *  - `oov_char_rate` — tf-weighted fraction of word tokens
+    *    containing a character that is not a single-char vocab piece
+    *    (a true out-of-vocabulary word: the trained segmenter cannot
+    *    represent it at all);
+    *  - `multi_hit_rate` — tf-weighted fraction of word tokens
+    *    containing at least one multi-char vocab piece as a substring
+    *    (the fertility proxy: when the learned multi-char pieces stop
+    *    matching incoming text, every word degenerates to single-char
+    *    segmentation and this rate collapses).
+    * Both are exact integer-ratio metrics (µ-quantized), tokenized by
+    * the same `word_shingles` expression as the batch ULM trainer's
+    * tf index. `flag` trips when either crosses its threshold — the
+    * health signal beside the embedding/volume monitors that says
+    * "retrain the tokenizer", which no embedding- or volume-level
+    * monitor can see. */
+  private[streaming] def tokenizerDriftBatch(spark: SparkSession, batch: DataFrame,
+                                             batchSeq: Long, tokVocab: DataFrame,
+                                             root: String,
+                                             maxOovMu: Long = 100000L,
+                                             minMultiHitMu: Long = 500000L): Unit = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val words = batch.select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
+      .selectExpr("explode(word_shingles(text, 1)) AS w")
+      .groupBy("w").agg(count(lit(1)).as("tf"))
+    val singles = tokVocab.filter(length(col("piece")) === 1).select("piece")
+    val multis = tokVocab.filter(length(col("piece")) > 1).select("piece")
+    val chars = words.select(col("w"), col("tf"),
+        explode(expr("sequence(1, length(w))")).as("i"))
+      .select(col("w"), col("tf"), expr("substr(w, i, 1)").as("ch"))
+    val oovWords = chars.join(singles, chars("ch") === singles("piece"), "left_anti")
+      .select("w").distinct()
+    // the multi-piece probe is a broadcast substring scan: the trained
+    // multi-char vocabulary is target-size-bounded (tiny) by
+    // construction, so contains() against every word is a narrow
+    // broadcast nested loop, not a shuffle
+    val hitWords = words.select("w")
+      .join(broadcast(multis), expr("instr(w, piece) > 0"), "left_semi")
+    val stats = words
+      .join(oovWords.withColumn("is_oov", lit(1L)), Seq("w"), "left")
+      .join(hitWords.withColumn("is_hit", lit(1L)), Seq("w"), "left")
+      .agg(coalesce(sum(col("tf")), lit(0L)).as("n_words"),
+        coalesce(sum(col("tf") * coalesce(col("is_oov"), lit(0L))), lit(0L)).as("oov"),
+        coalesce(sum(col("tf") * coalesce(col("is_hit"), lit(0L))), lit(0L)).as("hit"))
+      .head()
+    val n = stats.getAs[Long]("n_words")
+    // empty batch: nothing to measure — record a NULL-rate row (no
+    // flag) instead of dividing by zero or faking a healthy 0/1
+    val (oovMu, hitMu) =
+      if (n == 0L) (None, None)
+      else (Some(stats.getAs[Long]("oov") * 1000000L / n),
+            Some(stats.getAs[Long]("hit") * 1000000L / n))
+    val flag = (oovMu.exists(_ > maxOovMu) || hitMu.exists(_ < minMultiHitMu)) && n > 0
+    publishParquet(spark, s"$root/tokdrift") { current =>
+      val row = spark.range(1).select(
+        lit(batchSeq).as("batch_seq"), lit(n).as("n_words"),
+        oovMu.map(lit(_)).getOrElse(lit(null)).cast("long").as("oov_char_rate_mu"),
+        hitMu.map(lit(_)).getOrElse(lit(null)).cast("long").as("multi_hit_rate_mu"),
+        lit(if (flag) 1 else 0).as("flag"))
+      current match {
+        case Some(cur) => cur.unionByName(
+          row.join(cur.select("batch_seq"), Seq("batch_seq"), "left_anti"))
+        case None => row
+      }
+    }
+  }
+
+  /** One micro-batch of the MONITORED pipeline: the recycled-batch-id
+    * precheck, then the dedup chain ([[dailyIngestBatch]]), index
+    * maintenance, volume history, the monitor readouts, and (when a
+    * trained vocabulary is supplied) the tokenizer drift report. Same
+    * layered-membership crash safety — each stage derives its work
+    * set from the batch plus the published artifacts, so any
+    * crash/redelivery interleaving converges to the same artifacts. */
   def dailyIngestMonitoredBatch(spark: SparkSession, batch: DataFrame,
                                 batchSeq: Long, quota: Int,
-                                centroids: DataFrame, root: String): Unit = {
+                                centroids: DataFrame, root: String,
+                                tokVocab: Option[DataFrame] = None): Unit = {
+    // recycled-batch-id PRECHECK, before any artifact is mutated: the
+    // full-batch signature needs no published state, so new data under
+    // an already-recorded batch_seq aborts here with every artifact
+    // intact (checking inside stage 6 protected only the history table
+    // — the admitted/bands/clusters/ivf folds were already poisoned by
+    // the time the clash surfaced, leaving a dead stream over corrupt
+    // state). Rows without signatures (pre-upgrade history) skip the
+    // check — the guard covers every batch drained after the upgrade.
+    val (batchSig, nSig) = batchSignature(batch)
+    readState(spark, s"$root/history").foreach { cur =>
+      if (cur.columns.contains("batch_sig") && cur.columns.contains("n_sig")) {
+        val clash = cur.filter(col("batch_seq") === batchSeq)
+          .filter(col("batch_sig").isNotNull && col("n_sig").isNotNull)
+          .filter(col("batch_sig") =!= batchSig || col("n_sig") =!= nSig)
+          .count()
+        if (clash > 0) sys.error(
+          s"daily-ingest: history batch_seq=$batchSeq already recorded with a " +
+            "different batch signature — this is new data under a recycled " +
+            "batch id (the stream's checkpointDir was reset against a live " +
+            "stateRoot; their lifetimes must be coupled), not a replay; " +
+            "aborting before any artifact is mutated")
+      }
+    }
     dailyIngestBatch(spark, batch, quota, root)
     ingestIndex(spark, batch, centroids, root)
-    ingestHistory(spark, batch, batchSeq, root)
+    ingestHistory(spark, batchSeq, batchSig, nSig, root)
     ingestReport(spark, centroids, root)
+    tokVocab.foreach(v => tokenizerDriftBatch(spark, batch, batchSeq, v, root))
   }
 
   /** The streaming wrapper for the monitored drain: raw docs
     * (doc_id, source, text, embedding) flow gate → band index →
     * clusters → survivors → IVF maintenance → drift/EWMA/health
-    * reports, one atomic-swap artifact per stage. */
+    * reports (and tokenizer drift when `tokVocab` is supplied), one
+    * atomic-swap artifact per stage. */
   def dailyIngestMonitored(spark: SparkSession, docs: DataFrame, quota: Int,
                            centroids: DataFrame, stateRoot: String,
-                           checkpointDir: String) = {
+                           checkpointDir: String,
+                           tokVocab: Option[DataFrame] = None) = {
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dailyIngestMonitoredBatch(spark, batch, batchId, quota, centroids, stateRoot)
+        dailyIngestMonitoredBatch(spark, batch, batchId, quota, centroids,
+          stateRoot, tokVocab)
       }
   }
 
@@ -1388,6 +1495,75 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         jdbcExactlyOnceBatch(batch, batchId, url, stagingTable, mainTable,
           key, ledgerTable, dialect, batchSize, props)
+        ()
+      }
+  }
+
+  // --------------------------------------------------------------------
+  // The monitored drain COMPOSED with the exactly-once RDBMS sink: the
+  // two independently-proven pieces in ONE foreachBatch body — the
+  // reference's full production shape (scrape → dedup → upsert into
+  // Postgres) at the streaming pipeline's scale.
+  // --------------------------------------------------------------------
+
+  /** One micro-batch of the monitored pipeline PLUS the exactly-once
+    * RDBMS upsert of this batch's released docs: after the artifact
+    * stages, the batch's admitted survivors (batch ∩ admitted ∩
+    * survivors — admitted but deduplicated-away docs are not
+    * released) merge into `mainTable` through the staging-table +
+    * ledger transaction of [[jdbcExactlyOnceBatch]] under the same
+    * batch id. Returns that call's applied/skipped flag.
+    *
+    * Crash matrix, all converging under at-least-once redelivery:
+    *  - crash between any two artifact publishes → the stages no-op
+    *    by membership on redelivery, the ledger has no row, the merge
+    *    applies ONCE;
+    *  - crash after the ledger commit but before the checkpoint
+    *    advances → the stages no-op AND the ledger check skips the
+    *    merge — no double-apply;
+    *  - the row set is recomputed from the published artifacts, which
+    *    is deterministic across redeliveries of the same batch
+    *    because only the LAST batch is ever redelivered (no later
+    *    batch can have re-clustered this batch's docs in between). */
+  def dailyIngestMonitoredSinkBatch(spark: SparkSession, batch: DataFrame,
+                                    batchSeq: Long, quota: Int,
+                                    centroids: DataFrame, root: String,
+                                    url: String, stagingTable: String,
+                                    mainTable: String, key: String,
+                                    ledgerTable: String,
+                                    dialect: graft.etl.Load.MergeDialect = graft.etl.Load.AnsiMerge,
+                                    batchSize: Int = 500,
+                                    props: java.util.Properties = new java.util.Properties,
+                                    tokVocab: Option[DataFrame] = None): Boolean = {
+    dailyIngestMonitoredBatch(spark, batch, batchSeq, quota, centroids, root, tokVocab)
+    def state(name: String): DataFrame = readState(spark, s"$root/$name")
+      .getOrElse(sys.error(s"daily-ingest: $root/$name missing (stage order violated)"))
+    val released = batch.select(col("doc_id"), col("source"), col("text"))
+      .dropDuplicates("doc_id")
+      .join(state("admitted").select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(state("survivors").select("doc_id"), Seq("doc_id"), "left_semi")
+    jdbcExactlyOnceBatch(released, batchSeq, url, stagingTable, mainTable,
+      key, ledgerTable, dialect, batchSize, props)
+  }
+
+  /** The streaming wrapper for the composed drain. */
+  def dailyIngestMonitoredSink(spark: SparkSession, docs: DataFrame, quota: Int,
+                               centroids: DataFrame, stateRoot: String,
+                               checkpointDir: String,
+                               url: String, stagingTable: String,
+                               mainTable: String, key: String,
+                               ledgerTable: String,
+                               dialect: graft.etl.Load.MergeDialect = graft.etl.Load.AnsiMerge,
+                               batchSize: Int = 500,
+                               props: java.util.Properties = new java.util.Properties,
+                               tokVocab: Option[DataFrame] = None) = {
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dailyIngestMonitoredSinkBatch(spark, batch, batchId, quota, centroids,
+          stateRoot, url, stagingTable, mainTable, key, ledgerTable,
+          dialect, batchSize, props, tokVocab)
         ()
       }
   }

@@ -301,25 +301,188 @@ class DailyIngestSpec extends SparkSpec {
     val b2 = withEmb(day2).toDF("doc_id", "source", "text", "embedding")
     StreamingOps.dailyIngestMonitoredBatch(spark, b1, 0L, quota, centroids, root)
     StreamingOps.dailyIngestMonitoredBatch(spark, b2, 1L, quota, centroids, root)
-    // a TRUE out-of-order replay reproduces the recorded work-set
+    // a TRUE out-of-order replay reproduces the recorded full-batch
     // signature (even though its recomputed lifetime count is larger
     // than the first-write row) and must pass
     StreamingOps.dailyIngestMonitoredBatch(spark, b1, 0L, quota, centroids, root)
     val sigs = spark.read.parquet(s"$root/history").collect()
-      .map(r => r.getAs[Long]("batch_seq") -> r.getAs[Long]("admit_sig")).toMap
+      .map(r => r.getAs[Long]("batch_seq") ->
+        (r.getAs[Long]("batch_sig"), r.getAs[Long]("n_sig"))).toMap
     assert(sigs.size === 2 && sigs(0L) != sigs(1L))
     // fresh checkpoint against the live stateRoot: the engine restarts
     // batchId at 0 but now carries day-3 data — NEW data under a
-    // recycled id must fail loudly instead of silently corrupting the
-    // volume-gate history (the batch body folds before stage 6 catches
-    // it, but the history artifact stays uncorrupted and the stream dies)
+    // recycled id must fail loudly, and it must fail BEFORE stage 1:
+    // every artifact (not just the history) is bit-identical after the
+    // abort, so the operator can fix the checkpoint/stateRoot coupling
+    // and resume without state surgery
+    val before = artifacts(root)
     val b3 = withEmb(day3).toDF("doc_id", "source", "text", "embedding")
     val e = intercept[RuntimeException] {
       StreamingOps.dailyIngestMonitoredBatch(spark, b3, 0L, quota, centroids, root)
     }
     assert(e.getMessage.contains("recycled batch id"))
-    assert(spark.read.parquet(s"$root/history").collect()
-      .map(r => r.getAs[Long]("batch_seq") -> r.getAs[Long]("admit_sig")).toMap === sigs)
+    assert(artifacts(root) === before,
+      "the recycled-id abort must precede ANY artifact mutation")
+  }
+
+  test("monitored ingest: quota-rejected new data under a recycled id is still caught") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val root = tmp("graft_mingest_rejected")
+    val b1 = withEmb(day1).toDF("doc_id", "source", "text", "embedding")
+    StreamingOps.dailyIngestMonitoredBatch(spark, b1, 0L, quota, centroids, root)
+    // new docs from source A only — A is at quota, so the admitted
+    // work set of this batch is EMPTY; the r8 admitted-work-set
+    // signature could not distinguish this from the original batch,
+    // the full-batch signature does
+    val rejected = Seq((21L, "A", "brand new text under a full source"))
+      .map { case (id, s, t) => (id, s, t, emb(id)) }
+      .toDF("doc_id", "source", "text", "embedding")
+    val before = artifacts(root)
+    val e = intercept[RuntimeException] {
+      StreamingOps.dailyIngestMonitoredBatch(spark, rejected, 0L, quota, centroids, root)
+    }
+    assert(e.getMessage.contains("recycled batch id"))
+    assert(artifacts(root) === before)
+  }
+
+  test("monitored ingest: a pre-signature history artifact upgrades in place") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val root = tmp("graft_mingest_legacy")
+    val b1 = withEmb(day1).toDF("doc_id", "source", "text", "embedding")
+    StreamingOps.dailyIngestMonitoredBatch(spark, b1, 0L, quota, centroids, root)
+    // rewrite the history as a legacy artifact: (batch_seq, n_admitted)
+    // only, the pre-r8 schema of a long-lived stateRoot
+    val legacy = spark.read.parquet(s"$root/history")
+      .select("batch_seq", "n_admitted").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    legacy.toSeq.toDF("batch_seq", "n_admitted")
+      .write.mode("overwrite").parquet(s"$root/history")
+    // the next drain must neither throw an unresolved-column error nor
+    // trip the guard on the legacy row — it upgrades the schema and
+    // signs its own row
+    val b2 = withEmb(day2).toDF("doc_id", "source", "text", "embedding")
+    StreamingOps.dailyIngestMonitoredBatch(spark, b2, 1L, quota, centroids, root)
+    val hist = spark.read.parquet(s"$root/history").collect()
+      .map(r => r.getAs[Long]("batch_seq") ->
+        (Option(r.getAs[java.lang.Long]("batch_sig")), r.getAs[Long]("n_admitted"))).toMap
+    assert(hist(0L)._1.isEmpty, "the legacy row keeps a NULL signature")
+    assert(hist(1L)._1.isDefined, "the post-upgrade row is signed")
+    // a replay of the legacy batch under its old id passes (no
+    // signature to clash with), and new data under id 0 ALSO passes —
+    // the documented hole for pre-upgrade rows, closed from batch 1 on
+    StreamingOps.dailyIngestMonitoredBatch(spark, b1, 0L, quota, centroids, root)
+    val b3 = withEmb(day3).toDF("doc_id", "source", "text", "embedding")
+    val e = intercept[RuntimeException] {
+      StreamingOps.dailyIngestMonitoredBatch(spark, b3, 1L, quota, centroids, root)
+    }
+    assert(e.getMessage.contains("recycled batch id"))
+  }
+
+  test("monitored ingest + exactly-once sink: kill mid-batch, redeliver — rows exact, ledger monotone") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val root = tmp("graft_mingest_sink")
+    val url = "jdbc:derby:memory:graftmsink;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE main_m (doc_id BIGINT PRIMARY KEY, " +
+        "source VARCHAR(16), text VARCHAR(256))")
+      st.execute("CREATE TABLE stg_m (doc_id BIGINT, source VARCHAR(16), text VARCHAR(256))")
+      st.execute("CREATE TABLE led_m (batch_id BIGINT PRIMARY KEY)")
+      st.close()
+    } finally conn.close()
+    def readMain(): Set[Long] =
+      spark.read.jdbc(url, "main_m", new java.util.Properties)
+        .collect().map(_.getAs[Long]("DOC_ID")).toSet
+    def readLedger(): Set[Long] =
+      spark.read.jdbc(url, "led_m", new java.util.Properties)
+        .collect().map(_.getAs[Long]("BATCH_ID")).toSet
+    def sinkBatch(b: DataFrame, seq: Long): Boolean =
+      StreamingOps.dailyIngestMonitoredSinkBatch(spark, b, seq, quota,
+        centroids, root, url, "stg_m", "main_m", "doc_id", "led_m")
+
+    val b1 = withEmb(day1).toDF("doc_id", "source", "text", "embedding")
+    val b2 = withEmb(day2).toDF("doc_id", "source", "text", "embedding")
+
+    // batch 0 applies: released = day-1 admitted survivors
+    assert(sinkBatch(b1, 0L))
+    val day1Released = readMain()
+    assert(day1Released === readIds(s"$root/survivors"))
+    assert(readLedger() === Set(0L))
+
+    // CRASH mid-batch-1: the artifact stages complete, the process
+    // dies BEFORE the JDBC transaction — redelivery of the whole
+    // batch must upsert exactly once
+    StreamingOps.dailyIngestMonitoredBatch(spark, b2, 1L, quota, centroids, root)
+    assert(readLedger() === Set(0L), "the crashed batch must not be in the ledger")
+    assert(sinkBatch(b2, 1L), "the redelivered batch applies")
+    // released set after day 2 = day-1 released plus THIS batch's docs
+    // that are admitted survivors (8 deduped away against day-1 doc 4)
+    val day2Released = day2.map(_._1).toSet
+      .intersect(readIds(s"$root/admitted"))
+      .intersect(readIds(s"$root/survivors"))
+    assert(readMain() === day1Released ++ day2Released,
+      "main holds day-1 released plus day-2 released, each exactly once")
+    assert(readLedger() === Set(0L, 1L))
+
+    // CRASH after commit: redelivery of batch 1 — artifact stages
+    // no-op by membership, the ledger skips the merge
+    val mainBefore = readMain()
+    assert(!sinkBatch(b2, 1L), "post-commit redelivery must be skipped by the ledger")
+    assert(readMain() === mainBefore)
+    assert(readLedger() === Set(0L, 1L), "ledger stays monotone — one row per batch")
+
+    // the recycled-id guard still runs in the composed body
+    val b3 = withEmb(day3).toDF("doc_id", "source", "text", "embedding")
+    val e = intercept[RuntimeException] { sinkBatch(b3, 0L) }
+    assert(e.getMessage.contains("recycled batch id"))
+    assert(readMain() === mainBefore && readLedger() === Set(0L, 1L))
+  }
+
+  test("monitored ingest: tokenizer drift report — vocabulary-shifted batch flags, in-domain does not") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val root = tmp("graft_mingest_tokdrift")
+    // a trained-vocabulary stand-in: all single chars plus the leading
+    // bigram of every in-domain word — the shape a trained ULM vocab
+    // has (full char coverage, multi-char pieces fitted to the corpus)
+    val singles = (('a' to 'z').map(_.toString))
+    val multis = (day1 ++ day2).flatMap(_._3.split(" "))
+      .filter(_.length >= 2).map(_.take(2)).distinct
+    val vocab = (singles ++ multis).toDF("piece")
+    val b1 = withEmb(day1).toDF("doc_id", "source", "text", "embedding")
+    StreamingOps.dailyIngestMonitoredBatch(spark, b1, 0L, quota, centroids, root,
+      tokVocab = Some(vocab))
+    val d1 = spark.read.parquet(s"$root/tokdrift").collect()
+      .map(r => r.getAs[Long]("batch_seq") ->
+        (r.getAs[Long]("oov_char_rate_mu"), r.getAs[Long]("multi_hit_rate_mu"),
+          r.getAs[Int]("flag"))).toMap
+    assert(d1(0L)._1 === 0L, "in-domain text has no OOV characters")
+    assert(d1(0L)._2 > 500000L, "most in-domain words contain a learned piece")
+    assert(d1(0L)._3 === 0, "an in-domain batch must not flag")
+
+    // a vocabulary-shifted batch: digit-heavy tokens the trained vocab
+    // has never seen — both metrics collapse and the monitor flags
+    val shifted = Seq(
+      (31L, "B", "99812 4417 80233 5521 90017 33345"),
+      (32L, "B", "70могл 81threv 9xqz7 55011 1204 777"))
+      .map { case (id, s, t) => (id, s, t, emb(id)) }
+      .toDF("doc_id", "source", "text", "embedding")
+    StreamingOps.dailyIngestMonitoredBatch(spark, shifted, 1L, quota, centroids, root,
+      tokVocab = Some(vocab))
+    val d2 = spark.read.parquet(s"$root/tokdrift").collect()
+      .map(r => r.getAs[Long]("batch_seq") ->
+        (r.getAs[Long]("oov_char_rate_mu"), r.getAs[Long]("multi_hit_rate_mu"),
+          r.getAs[Int]("flag"))).toMap
+    assert(d2(1L)._1 > 500000L, "shifted tokens are character-OOV")
+    assert(d2(1L)._3 === 1, "the vocabulary-shifted batch must flag")
+    // first-write-wins under replay, like every per-batch history row
+    StreamingOps.dailyIngestMonitoredBatch(spark, b1, 0L, quota, centroids, root,
+      tokVocab = Some(vocab))
+    assert(spark.read.parquet(s"$root/tokdrift").count() === 2L)
   }
 
   test("daily ingest: replaying an already-processed day changes nothing") {
