@@ -7237,13 +7237,16 @@ object SqlOps {
     * center the µ-quantized matrix once (staged), then each iteration
     * is matvec s = Xv (corpus pass, 64-row broadcast join on pos) and
     * vecmat w = Xᵀs (corpus pass, join on vec_id), with s and w
-    * rescaled to ≤1e6 µ-units between passes via exact int64 floor
-    * division ([[floorDiv]] — dividend made an exact multiple first,
-    * so Spark DIV ≡ DuckDB //). Three iterations from the all-ones
-    * start; every sum is int64 (overflow headroom: |cv| ≤ ~1e7 µ,
-    * |sn| ≤ 1e6, so Σ|cv·sn| ≤ 1e13·N — safe to N ≈ 9e5 vectors; at
-    * larger N drop the rescale target a decade per 10× rows, trading
-    * one digit of per-round precision). Each N-row intermediate is a
+    * rescaled between passes via exact int64 floor division
+    * ([[floorDiv]] — dividend made an exact multiple first, so Spark
+    * DIV ≡ DuckDB //). Three iterations from the all-ones start;
+    * every sum is int64 with the headroom COMPUTED from the staged
+    * envelope (`<p>_env`: cardinalities + matrix magnitude): the
+    * rescale target is the largest T ≤ 1e6 with terms·mxcv·T ≤
+    * 9.2e18 ([[pcaTargetCte]]), so a 100× scale-up in rows trades
+    * per-round precision digits automatically instead of silently
+    * wrapping (the old manual "drop a decade per 10× rows" rule,
+    * now arithmetic). Each N-row intermediate is a
     * STAGE, not a CTE, because Spark inlines CTEs — the s table is
     * read by both its max and the vecmat, and as a CTE the corpus
     * pass would run twice per reference chain, compounding per round.
@@ -7262,14 +7265,30 @@ object SqlOps {
 
   private def powerIterStages(prefix: String, cvTbl: String, rounds: Int)
       : Seq[(String, Dialect => String)] =
-    (1 to rounds).flatMap { r =>
+    (s"${prefix}_env" -> { (_: Dialect) =>
+      // the overflow envelope's inputs, ONE matrix pass staged up
+      // front: row/column cardinalities and the matrix magnitude.
+      // Every interior rescale derives its target from these instead
+      // of a fixed 1e6 — the manual "drop a decade per 10× rows"
+      // rule, computed (see pcaScaled)
+      s"""SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vec,
+         |  CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_pos,
+         |  GREATEST(COALESCE(CAST(MAX(ABS(cv)) AS BIGINT), 1), 1) AS mxcv
+         |FROM $cvTbl""".stripMargin
+    }) +: (1 to rounds).flatMap { r =>
       Seq(
         s"${prefix}_s$r" -> { (d: Dialect) =>
           val v =
             if (r == 1)
-              s"v AS (SELECT DISTINCT pos, CAST(1000000 AS BIGINT) AS vq FROM $cvTbl)"
+              // the all-ones start at the ENVELOPE target, not a fixed
+              // 1e6 — the very first matvec must respect the same
+              // headroom as every later round
+              s"""${pcaTargetCte(d, s"${prefix}_env", "n_pos")},
+                 |v AS (SELECT DISTINCT c.pos, t.tq AS vq
+                 |      FROM $cvTbl c CROSS JOIN tgt t)""".stripMargin
             else
-              s"""${pcaScaled(d, s"${prefix}_w${r - 1}", "pos", "w", "vq")},
+              s"""${pcaScaled(d, s"${prefix}_w${r - 1}", "pos", "w", "vq",
+                              Some((s"${prefix}_env", "n_pos")))},
                  |v AS (SELECT pos, vq FROM sc)""".stripMargin
           s"""WITH $v
              |SELECT c.vec_id, CAST(SUM(c.cv * v.vq) AS BIGINT) AS sv
@@ -7277,7 +7296,8 @@ object SqlOps {
              |GROUP BY c.vec_id""".stripMargin
         },
         s"${prefix}_w$r" -> { (d: Dialect) =>
-          s"""WITH ${pcaScaled(d, s"${prefix}_s$r", "vec_id", "sv", "sn")}
+          s"""WITH ${pcaScaled(d, s"${prefix}_s$r", "vec_id", "sv", "sn",
+                               Some((s"${prefix}_env", "n_vec")))}
              |SELECT c.pos, CAST(SUM(c.cv * s.sn) AS BIGINT) AS w
              |FROM $cvTbl c JOIN sc s ON c.vec_id = s.vec_id
              |GROUP BY c.pos""".stripMargin
@@ -7400,16 +7420,43 @@ object SqlOps {
          |FROM sc""".stripMargin
     })
 
-  /** Rescale a (key, col) table's int64 column to ≤1e6 µ-units:
-    * divisor is ceil(max|x| / 1e6), computed and applied in pure
-    * int64 — THE one copy of the power-iteration rescale, shared by
-    * [[pcaPower]]'s iterations and [[pcaProject]]'s read path so the
-    * projection cannot drift from the trainer's scaling. Emits a
-    * (mxt, dvt, sc) CTE chain ending in sc(key, out). */
-  private def pcaScaled(d: Dialect, tbl: String, key: String, col: String, out: String): String =
+  /** The adaptive rescale target: the largest T ≤ 1e6 with
+    * terms · mxcv · T ≤ 9.2e18 (int64 headroom), so the NEXT stage's
+    * sum of `terms` products of a ≤ mxcv matrix entry and a ≤ T
+    * rescaled component can never wrap — Spark wraps int64 silently
+    * where DuckDB raises, so an overflow here would be a silent wrong
+    * answer, not a crash. Division twice (9.2e18 ÷ mxcv ÷ terms)
+    * keeps every intermediate in range at ANY cardinality; at the
+    * test scales the clamp at 1e6 makes this the identity of the old
+    * fixed target. Floor-of-floor is ≤ the true quotient, so the
+    * bound errs conservative. */
+  private def pcaTargetCte(d: Dialect, envTbl: String, termsCol: String): String =
+    s"""tgt AS (SELECT GREATEST(1, LEAST(1000000,
+       |  ${d.idiv(d.idiv("9200000000000000000", "mxcv"), termsCol)})) AS tq
+       |  FROM $envTbl)""".stripMargin
+
+  /** Rescale a (key, col) table's int64 column to ≤ the envelope
+    * target (≤1e6 µ-units): divisor is ceil(max|x| / target),
+    * computed and applied in pure int64 — THE one copy of the
+    * power-iteration rescale, shared by [[pcaPower]]'s iterations and
+    * [[pcaProject]]'s read path so the projection cannot drift from
+    * the trainer's scaling. `env = Some((envTbl, termsCol))` derives
+    * the target from the staged envelope ([[pcaTargetCte]] — interior
+    * iteration rescales, whose output feeds another int64 sum); None
+    * keeps the fixed 1e6 (final OUTPUT rescales, whose µ-unit scale
+    * is the published contract and which feed only doubles). Emits a
+    * CTE chain ending in sc(key, out). */
+  private def pcaScaled(d: Dialect, tbl: String, key: String, col: String, out: String,
+                        env: Option[(String, String)] = None): String = {
+    val tgt = env match {
+      case Some((envTbl, termsCol)) => pcaTargetCte(d, envTbl, termsCol)
+      case None => "tgt AS (SELECT CAST(1000000 AS BIGINT) AS tq)"
+    }
     s"""mxt AS (SELECT GREATEST(COALESCE(CAST(MAX(ABS($col)) AS BIGINT), 1), 1) AS mx
        |        FROM $tbl),
-       |dvt AS (SELECT 1 + ${d.idiv("mx - 1", "1000000")} AS dm FROM mxt),
+       |$tgt,
+       |dvt AS (SELECT 1 + ${d.idiv("mx - 1", "tq")} AS dm FROM mxt CROSS JOIN tgt),
        |sc AS (SELECT $key, ${floorDiv(d)(col, "dm")} AS $out
        |       FROM $tbl CROSS JOIN dvt)""".stripMargin
+  }
 }

@@ -526,6 +526,92 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("embeddings")
   }
 
+  test("power-iteration PCA at the overflow boundary: the rescale target auto-scales " +
+      "from the staged envelope where the fixed 1e6 target would wrap int64") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // the same planted directions, magnified 1e6×: µ-quantized entries
+    // reach ~1.8e13, so n_vec·mxcv·1e6 ≈ 7e20 — far past int64. The
+    // adaptive target must drop below 1e6 and keep every sum exact.
+    val dim = 6
+    val u = Array(3.0, 1.0, 0.0, 2.0, 0.0, 1.0)
+    val w = Array(-1.0, 2.0, 1.0, 0.0, 1.0, 0.5)
+    val data: Seq[(Long, Array[Float])] = (0 until 40).map { i =>
+      val a = ((i * 7) % 13) - 6.0
+      val b = ((i * 3) % 5) - 2.0
+      i.toLong -> Array.tabulate(dim)(j => ((a * u(j) + 0.3 * b * w(j)) * 1.0e6).toFloat)
+    }
+    data.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label").createOrReplaceTempView("embeddings")
+    SqlOps.pcaPower.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.pcaPower.body(SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Double]("component"))).sortBy(_._1)
+
+    // ---- independent mirror of the ADAPTIVE spec ----
+    def fd(a: Long, b: Long): Long = Math.floorDiv(a, b)
+    val qv: Map[(Long, Int), Long] = data.flatMap { case (id, vv) =>
+      vv.zipWithIndex.map { case (x, p) =>
+        (id, p) -> math.floor(x.toDouble * 1e6 + 0.5).toLong
+      }
+    }.toMap
+    val n = data.size.toLong
+    val mu = Array.tabulate(dim)(p => fd(data.map(d => qv((d._1, p))).sum, n))
+    val cv: Map[(Long, Int), Long] =
+      qv.map { case ((id, p), x) => (id, p) -> (x - mu(p)) }
+    val mxcv = math.max(cv.values.map(math.abs).max, 1L)
+    def target(terms: Long): Long =
+      math.max(1L, math.min(1000000L, fd(fd(9200000000000000000L, mxcv), terms)))
+    val tV = target(dim.toLong)  // feeds the matvec (sums over pos)
+    val tS = target(n)           // feeds the vecmat (sums over vec_id)
+    assert(tV < 1000000L && tS < 1000000L,
+      s"the fixture must actually engage the adaptive target, tV=$tV tS=$tS")
+    // prove the boundary is real: under the OLD fixed 1e6 interior
+    // target the first vecmat's true sum exceeds int64 for some pos
+    // (Spark would WRAP silently — the failure this machinery removes)
+    def rescaleTo(xs: Seq[Long], t: Long): Seq[Long] = {
+      val mx = math.max(xs.map(math.abs).max, 1L)
+      val dm = 1L + (mx - 1L) / t
+      xs.map(fd(_, dm))
+    }
+    {
+      val s0 = data.map { case (id, _) => (0 until dim).map(p => BigInt(cv((id, p))) * 1000000L).sum }
+      val sn0 = {
+        val mx = s0.map(_.abs).max.max(BigInt(1))
+        val dm = BigInt(1) + (mx - 1) / 1000000L
+        s0.map(x => x / dm) // BigInt / truncates toward zero, close enough for a magnitude proof
+      }
+      val w0 = (0 until dim).map { p =>
+        data.zip(sn0).map { case ((id, _), sni) => BigInt(cv((id, p))) * sni }.sum }
+      assert(w0.map(_.abs).max > BigInt(Long.MaxValue),
+        "fixture must overflow int64 under the fixed target, else this test proves nothing")
+    }
+    var v: Array[Long] = Array.fill(dim)(tV)
+    var wv: Array[Long] = null
+    for (r <- 1 to 3) {
+      val s = data.map { case (id, _) => (0 until dim).map(p => cv((id, p)) * v(p)).sum }
+      val sn = rescaleTo(s, tS)
+      wv = Array.tabulate(dim) { p =>
+        data.zip(sn).map { case ((id, _), sni) => cv((id, p)) * sni }.sum
+      }
+      // interior rescale (to tV) happens when the NEXT round's matvec
+      // consumes w; the final w3 is rescaled only by the body, at the
+      // fixed OUTPUT target — rescaling it to tV first would discard
+      // output resolution the SQL keeps
+      if (r < 3) v = rescaleTo(wv.toSeq, tV).toArray
+    }
+    val vOut = rescaleTo(wv.toSeq, 1000000L)
+    val expected = (0 until dim).map(p => (p.toLong, r6(vOut(p).toDouble / 1e6)))
+    assert(got.toSeq === expected)
+    // and it still converges to the planted direction
+    val nv = math.sqrt(vOut.map(x => x.toDouble * x.toDouble).sum)
+    val nu = math.sqrt(u.map(x => x * x).sum)
+    val cos = (0 until dim).map(p => vOut(p).toDouble * u(p)).sum / (nv * nu)
+    assert(math.abs(cos) > 0.99, s"component should align with the planted direction, cos=$cos")
+    spark.catalog.dropTempView("embeddings")
+  }
+
   test("histogram quantiles: SQL estimates equal an independent sketch and bracket truth") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
