@@ -156,9 +156,109 @@ object Multimodal {
     }
   }
 
-  /** STUB codec ??? — deterministic fake standing in for the decoders
-    * genuinely absent from this container (video; also the fallback
-    * when the JDK can't sniff an image/audio payload). Dimensions
+  /** Motion-JPEG frame boundaries: offsets where a JPEG SOI marker
+    * (FF D8 FF) begins. Entropy-coded JPEG data cannot contain the
+    * triple (FF is byte-stuffed as FF 00 or followed by RST markers
+    * D0–D7), so SOI triples delimit frames in a concatenated-JPEG
+    * stream. A pathological APPn segment whose payload bytes spell
+    * FF D8 FF would over-split — acceptable for a codec whose
+    * contract is "MJPEG as written by a JPEG encoder". */
+  private def mjpegFrameOffsets(p: Array[Byte]): IndexedSeq[Int] = {
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i + 2 < p.length) {
+      if ((p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xd8 &&
+          (p(i + 2) & 0xff) == 0xff) { offs += i; i += 3 }
+      else i += 1
+    }
+    offs.toIndexedSeq
+  }
+
+  /** True iff the payload sniffs as JPEG content (starts at a SOI
+    * marker) — the gate between the real Motion-JPEG frame path and
+    * the stub chunker for unsniffable payloads. */
+  private def sniffsJpeg(p: Array[Byte]): Boolean =
+    p != null && p.length >= 3 &&
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff
+
+  /** Real video decode for Motion-JPEG payloads: split into JPEG
+    * frames, decode the FIRST frame for dimensions/channels (MJPEG
+    * frames share geometry), and summarize the video as per-stripe
+    * means of the per-frame mean luminance over 8 time stripes — the
+    * temporal-activity statistics a video-curation gate reads. None
+    * when the payload doesn't sniff as MJPEG or no frame decodes, so
+    * the caller falls back to the stub. */
+  private def decodeVideo(b: MediaRow): Option[Decoded] = {
+    if (!sniffsJpeg(b.payload)) None
+    else {
+      val offs = mjpegFrameOffsets(b.payload)
+      val bounds = offs :+ b.payload.length
+      val frames = bounds.sliding(2).collect {
+        case IndexedSeq(a, z) if z > a => java.util.Arrays.copyOfRange(b.payload, a, z)
+      }.toIndexedSeq
+      val first =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frames.head))
+        catch { case _: Exception => null }
+      if (first == null || first.getWidth == 0 || first.getHeight == 0) None
+      else {
+        val means = frames.map(jpegFrameMean)
+        val feats = new Array[Float](8)
+        val counts = new Array[Int](8)
+        val stripe = math.max(frames.size / 8, 1)
+        means.zipWithIndex.foreach { case (m, i) =>
+          val j = math.min(i / stripe, 7)
+          feats(j) += m.toFloat; counts(j) += 1
+        }
+        var j = 0
+        while (j < 8) { if (counts(j) > 0) feats(j) = feats(j) / counts(j); j += 1 }
+        Some(Decoded(b.doc_id, first.getWidth, first.getHeight,
+          first.getColorModel.getNumComponents, b.payload.length, feats))
+      }
+    }
+  }
+
+  /** Mean luminance ((r+g+b)/3 per pixel) of one decodable JPEG
+    * frame; falls back to the raw byte mean for an undecodable
+    * payload so a truncated tail frame degrades instead of failing. */
+  private def jpegFrameMean(bytes: Array[Byte]): Double = {
+    def byteMean: Double =
+      if (bytes == null || bytes.isEmpty) 0.0
+      else {
+        var s = 0L; var i = 0
+        while (i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
+        s.toDouble / bytes.length
+      }
+    if (!sniffsJpeg(bytes)) byteMean
+    else {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null || img.getWidth == 0 || img.getHeight == 0) byteMean
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var s = 0L
+        val rowBuf = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, rowBuf, 0, w)
+          var x = 0
+          while (x < w) {
+            val rgb = rowBuf(x)
+            s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        s.toDouble / (3.0 * w * h)
+      }
+    }
+  }
+
+  /** STUB codec ??? — deterministic fake standing in for genuinely
+    * undecodable payloads (a claimed mime whose bytes the JDK can't
+    * sniff as that format). Dimensions
     * derive from payload size, "pixel" statistics from the raw bytes,
     * so results are reproducible and schema/batching are exercised for
     * real. A production build swaps only this function's body. */
@@ -209,6 +309,8 @@ object Multimodal {
             decodeImage(m).getOrElse(decodeStub(m))
           else if (m.mime != null && m.mime.startsWith("audio/"))
             decodeAudio(m).getOrElse(decodeStub(m))
+          else if (m.mime != null && m.mime.startsWith("video/"))
+            decodeVideo(m).getOrElse(decodeStub(m))
           else decodeStub(m)
         }
       }
@@ -315,15 +417,32 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for "video" payloads: every `stride`-th 64-byte
-    * chunk becomes a frame row (doc_id, frame_no, frame binary). */
+  /** Frame sampling for video payloads: a payload that sniffs as
+    * Motion-JPEG splits at its real SOI frame boundaries
+    * ([[mjpegFrameOffsets]]) and every `stride`-th JPEG frame becomes
+    * a frame row; an unsniffable payload falls back to the stub
+    * 64-byte chunker (which is also what the q_multimodal_frames
+    * oracle reproduces in SQL over the text-as-bytes corpus). Output:
+    * (doc_id, frame_no, frame binary) — frame_no is the index in the
+    * FULL frame sequence, so stride sampling is visible downstream. */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 4): DataFrame = {
     import media.sparkSession.implicits._
-    media.filter(m => m.mime == "video/mp4" && m.payload != null).flatMap { m =>
-      m.payload.grouped(64).zipWithIndex.collect {
-        case (chunk, i) if i % stride == 0 => (m.doc_id, i, chunk)
-      }
-    }.toDF("doc_id", "frame_no", "frame")
+    media.filter(m => m.mime != null && m.mime.startsWith("video/") && m.payload != null)
+      .flatMap { m =>
+        if (sniffsJpeg(m.payload)) {
+          val bounds = mjpegFrameOffsets(m.payload) :+ m.payload.length
+          bounds.sliding(2).collect {
+            case IndexedSeq(a, z) if z > a =>
+              java.util.Arrays.copyOfRange(m.payload, a, z)
+          }.zipWithIndex.collect {
+            case (frame, i) if i % stride == 0 => (m.doc_id, i, frame)
+          }
+        } else {
+          m.payload.grouped(64).zipWithIndex.collect {
+            case (chunk, i) if i % stride == 0 => (m.doc_id, i, chunk)
+          }
+        }
+      }.toDF("doc_id", "frame_no", "frame")
   }
 
   case class FrameStat(doc_id: Long, frame_no: Int, mean_byte: Double)
@@ -331,11 +450,12 @@ object Multimodal {
   /** Scene-change KEYFRAME selection over the sampled frames — the
     * video-curation step that turns a frame stream into the sparse set
     * a captioning/embedding stage actually processes. Per frame one
-    * narrow statistic (mean byte intensity — the stub stand-in for a
-    * real frame histogram; a production build swaps only that lambda),
-    * then ONE window per doc (LAG over frame_no) and a threshold gate
-    * on the inter-frame difference; the first frame is always a
-    * keyframe. Shape notes for 100 TB: the per-frame map is
+    * narrow statistic — REAL mean luminance for decodable JPEG frames
+    * ([[jpegFrameMean]], so an MJPEG payload's scene cuts are detected
+    * on actual pixels), raw byte mean for stub chunks — then ONE
+    * window per doc (LAG over frame_no) and a threshold gate on the
+    * inter-frame difference; the first frame is always a keyframe.
+    * Shape notes for 100 TB: the per-frame map is
     * embarrassingly parallel, the window shuffles once on doc_id, and
     * the output carries the flag rather than filtering so a downstream
     * stage can choose its own sparsity. */
@@ -345,15 +465,7 @@ object Multimodal {
     val stats = sampleFrames(media, stride)
       .as[(Long, Int, Array[Byte])]
       .map { case (id, no, bytes) =>
-        val m =
-          if (bytes == null || bytes.isEmpty) 0.0
-          else {
-            var s = 0L
-            var i = 0
-            while (i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
-            s.toDouble / bytes.length
-          }
-        FrameStat(id, no, m)
+        FrameStat(id, no, if (bytes == null || bytes.isEmpty) 0.0 else jpegFrameMean(bytes))
       }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("frame_no")

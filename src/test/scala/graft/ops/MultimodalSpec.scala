@@ -214,6 +214,66 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.values.forall(identity), "every sampled frame starts a scene here")
   }
 
+  test("Motion-JPEG: real frames split at SOI boundaries, decode, and scene-cut on real pixels") {
+    import spark.implicits._
+    // a real MJPEG stream: 12 concatenated JPEG frames of constant
+    // gray — 6 dark (40), then 6 bright (200). The scene cut must be
+    // detected from DECODED pixel luminance, not payload bytes.
+    def jpegFrame(gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, rgb)
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", baos), "JDK must encode JPEG")
+      baos.toByteArray
+    }
+    val payload = (Seq.fill(6)(jpegFrame(40)) ++ Seq.fill(6)(jpegFrame(200)))
+      .reduce(_ ++ _)
+    val rows = Seq(Multimodal.MediaRow(1L, "video/x-motion-jpeg", payload))
+
+    // frame split: 12 real frames, each independently ImageIO-decodable
+    val frames = Multimodal.sampleFrames(spark.createDataset(rows), stride = 1)
+      .collect().sortBy(_.getAs[Int]("frame_no"))
+    assert(frames.length === 12)
+    frames.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame")))
+      assert(img != null && img.getWidth === 16 && img.getHeight === 16,
+        s"frame ${r.getAs[Int]("frame_no")} must be a standalone decodable JPEG")
+    }
+
+    // scene-change detection on real decoded means: keyframes exactly
+    // at frame 0 (first) and frame 6 (the 40→200 luminance jump);
+    // identical in-scene frames encode identically → zero diff
+    val kf = Multimodal.keyFrames(spark.createDataset(rows), stride = 1)
+      .collect()
+      .map(r => r.getAs[Int]("frame_no") ->
+        (r.getAs[Boolean]("is_keyframe"), r.getAs[Double]("mean_byte"))).toMap
+    assert(kf.size === 12)
+    assert(kf.filter(_._2._1).keySet === Set(0, 6))
+    // the statistic is real luminance (≈ the planted grays), which no
+    // byte-level mean of compressed JPEG data would reproduce
+    assert(math.abs(kf(0)._2 - 40.0) < 6.0, s"dark-scene mean ${kf(0)._2}")
+    assert(math.abs(kf(6)._2 - 200.0) < 6.0, s"bright-scene mean ${kf(6)._2}")
+
+    // the batched decoder takes the real path too: true dimensions
+    // from the first frame, not the stub's payload-size geometry
+    val d = Multimodal.decodeBatched(spark.createDataset(rows)).collect().head
+    assert(d.width === 16 && d.height === 16)
+    // temporal features: dark stripes ≈ 40, bright stripes ≈ 200
+    assert(math.abs(d.features(0) - 40.0) < 6.0)
+    assert(math.abs(d.features(7) - 200.0) < 6.0)
+
+    // an unsniffable payload under a video mime still takes the stub
+    // chunker — the documented fallback, not an error
+    val stubRows = Seq(Multimodal.MediaRow(2L, "video/mp4",
+      Array.fill(128)(7.toByte)))
+    val stubFrames = Multimodal.sampleFrames(spark.createDataset(stubRows), stride = 1)
+      .collect()
+    assert(stubFrames.length === 2, "128 bytes = two 64-byte stub chunks")
+  }
+
   test("aHash: identical images collide, perturbed images stay near, distinct images part") {
     import spark.implicits._
     // a structured image (left-dark / right-light gradient), its exact
