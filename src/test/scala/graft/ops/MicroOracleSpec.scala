@@ -944,20 +944,10 @@ class MicroOracleSpec extends SparkSpec {
     val qlp: Map[String, Long] =
       pieceCnt.toMap.map { case (p, c) => p -> (qlog2(c) - qlog2(total)) }
     // exhaustive lattice max under the SQL's exact total tie order:
-    // score DESC, fewer pieces, smallest cut-mask (bit j of the mask
-    // = cut after character j+1 — the ulmCandCte convention)
-    def segmentsOf(w: String, m: Int): Seq[String] = {
-      val cuts = (0 until w.length - 1).filter(j => ((m >> j) & 1) == 1)
-      val bounds = 0 +: cuts.map(_ + 1) :+ w.length
-      bounds.sliding(2).map { case Seq(a, b) => w.substring(a, b) }.toSeq
-    }
+    // score DESC, fewer pieces, smallest cut-mask — off the SHARED
+    // ulmOk/ulmSegmentsOf mirror (one copy for all four ULM tests)
     def best(w: String): (Long, Long) = {
-      val cands = (0 until (1 << (w.length - 1))).flatMap { m =>
-        val segs = segmentsOf(w, m)
-        if (segs.exists(_.length > 3)) None
-        else Some((segs.map(qlp).sum, segs.size.toLong, m))
-      }
-      val (s, np, _) = cands.minBy { case (s, np, m) => (-s, np, m) }
+      val (_, s, np) = ulmOk(w, qlp).minBy { case (m, s, np) => (-s, np, m) }
       (s, np)
     }
     val expected = vocab.toSeq.map { case (w, c) =>
@@ -1002,19 +992,11 @@ class MicroOracleSpec extends SparkSpec {
     val total = pieceCnt.values.sum
     val qlp: Map[String, Long] =
       pieceCnt.toMap.map { case (p, c) => p -> (qlog2(c) - qlog2(total)) }
-    // the same exhaustive-lattice winner as the viterbi test, path form
-    def segmentsOf(w: String, m: Int): Seq[String] = {
-      val cuts = (0 until w.length - 1).filter(j => ((m >> j) & 1) == 1)
-      val bounds = 0 +: cuts.map(_ + 1) :+ w.length
-      bounds.sliding(2).map { case Seq(a, b) => w.substring(a, b) }.toSeq
-    }
+    // the same exhaustive-lattice winner as the viterbi test, path
+    // form — off the SHARED ulmOk/ulmSegmentsOf mirror
     def bestPath(w: String): List[String] = {
-      val cands = (0 until (1 << (w.length - 1))).flatMap { m =>
-        val segs = segmentsOf(w, m)
-        if (segs.exists(_.length > 3)) None
-        else Some((segs.map(qlp).sum, segs.size.toLong, m, segs))
-      }
-      cands.minBy { case (s, np, m, _) => (-s, np, m) }._4.toList
+      val win = ulmOk(w, qlp).minBy { case (m, s, np) => (-s, np, m) }._1
+      ulmSegmentsOf(w, win).toList
     }
     val ec = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     for ((w, c) <- vocab; p <- bestPath(w)) ec(p) += c
@@ -1035,13 +1017,9 @@ class MicroOracleSpec extends SparkSpec {
     val gain = spark.sql(SqlOps.ulmEmGain.body(SparkDialect)).collect().head
     // independent L0/L1/L2 in µ-bits
     // exhaustive max over masks whose EVERY piece the prob table still
-    // carries (the SQL's matched = np guard)
+    // carries — exactly ulmOk's candidate set
     def segScore(w: String, probs: Map[String, Long]): Long =
-      (0 until (1 << (w.length - 1))).flatMap { m =>
-        val segs = segmentsOf(w, m)
-        if (segs.exists(_.length > 3) || !segs.forall(probs.contains)) None
-        else Some(segs.map(probs).sum)
-      }.max
+      ulmOk(w, probs).map(_._2).max
     val qlp2: Map[String, Long] = ec.toMap.map { case (p, c) => p -> (qlog2(c) - qlog2(t)) }
     val l0 = vocab.map { case (w, c) => c * segScore(w, qlp) }.sum
     val l1 = vocab.map { case (w, c) => c * bestPath(w).map(qlp2).sum }.sum
@@ -1220,6 +1198,51 @@ class MicroOracleSpec extends SparkSpec {
     assert(got.values.forall(t => t._4 && t._5), "target + coverage invariants")
     // the loop genuinely pruned: more candidate pieces existed than survived
     assert(pieceCnt.size > v.size)
+    spark.catalog.dropTempView("documents")
+  }
+
+  test("unigram-LM prune loop: an under-provisioned round budget fails VISIBLY — " +
+    "within_target false, the pool trace shows the stall, coverage never sacrificed") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val docs: Seq[(Long, String)] = Seq(
+      (0L, "banana band ban an"),
+      (1L, "banana banana ban and"),
+      (2L, "and band banana nab"),
+      (3L, "nab ban and an an"))
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    // fixture validity: compute the candidate pool and prove ONE
+    // halving round genuinely cannot reach the target
+    val vocab: Map[String, Long] = docs.flatMap(_._2.split(" ", -1))
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val pieces = (for ((w, _) <- vocab; i <- 0 until w.length; l <- 1 to 3
+                       if i + l <= w.length) yield w.substring(i, i + l)).toSet
+    val nm0 = pieces.count(_.length > 1)
+    val n1 = pieces.count(_.length == 1)
+    val target = 8
+    assert(nm0 - (nm0 + 1) / 2 + n1 > target,
+      s"fixture must make one round insufficient (nm0=$nm0 n1=$n1)")
+
+    val op = SqlOps.ulmPrune(target, 1)
+    op.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val rows = spark.sql(op.body(SparkDialect)).collect()
+    val nVocab = rows.head.getAs[Long]("n_vocab")
+    val pool1 = rows.head.getAs[Long]("pool_after_r1")
+    // the in-query guard fails loudly: every output row says the
+    // vocabulary is NOT within target...
+    assert(rows.forall(!_.getAs[Boolean]("within_target")),
+      "an under-provisioned round budget must flag on every row")
+    // ...the pool trace pinpoints the stall (too many multis remain)...
+    assert(pool1 > target - n1 && nVocab === pool1 + n1)
+    assert(nVocab > math.max(target, n1).toLong)
+    // ...and the halving actually happened — the budget, not the
+    // round, is what fell short
+    assert(pool1 === nm0 - (nm0 + 1) / 2)
+    // coverage is never traded for the target: singles survive, every
+    // word stays segmentable
+    assert(rows.forall(_.getAs[Boolean]("all_words_covered")))
     spark.catalog.dropTempView("documents")
   }
 
