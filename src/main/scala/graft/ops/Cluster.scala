@@ -159,22 +159,37 @@ object Cluster {
     var curSum = labelSum(labels)
     var nRounds = 0
     rounds.set(nRounds)
+    // TWO propagation hops per MATERIALIZED round, each hop behind its
+    // own lazy checkpoint: halves the convergence actions and lets the
+    // second hop's broadcast build materialize the first hop ONCE (an
+    // un-checkpointed inner hop is referenced twice — join side + the
+    // union arm — and Spark would execute its plan twice; that naive
+    // form MEASURED 3.1 s, WORSE than single-hop's 2.8 s). With the
+    // checkpoint: 2.2→1.7 s steady on the 9-hop embedding graph at
+    // sf0.1, identical labels, 5 materialized rounds. (A
+    // pointer-doubling hop — lbl(x) ← min(lbl(x), lbl(lbl(x))) — was
+    // also MEASURED here and reverted: its node-cardinality label
+    // self-join grew the plan enough to lose, 2.5 s → 3.3 s. Unrolling
+    // over the loop-invariant edge list has no such self-join.
+    // Long-diameter graphs still route to connectedComponentsStar,
+    // whose alternation bounds the round count itself.) `lastRounds`
+    // counts materialized rounds — each is two hops, so diameter ≈ up
+    // to 2·rounds. No broadcast hint: locally AQE broadcasts the
+    // node-cardinality label side on its own, and at cluster scale —
+    // where labels outgrow broadcast — a forced hint would OOM the
+    // driver where the planner would have picked sort-merge.
+    def hop(l: DataFrame): DataFrame =
+      sym.join(l, sym("b") === l("id"))
+        .select(sym("a").as("id"), col("lbl"))
+        .union(l)
+        .groupBy("id").agg(min("lbl").as("lbl"))
     while (curSum != prevSum) {
       prevSum = curSum
       nRounds += 1
       rounds.set(nRounds)
-      val viaNeighbor = sym.join(labels, sym("b") === labels("id"))
-        .select(sym("a").as("id"), col("lbl"))
-      // lazy: the labelSum action below materializes the checkpoint —
-      // one job per round instead of two. (A pointer-doubling hop —
-      // lbl(x) ← min(lbl(x), lbl(lbl(x))) — was MEASURED here and
-      // reverted: it cut the embedding graph's rounds 10 → 7 but the
-      // extra node-cardinality self-join grew each round's plan enough
-      // to lose overall, 2.5 s → 3.3 s at sf0.1. Long-diameter graphs
-      // route to connectedComponentsStar instead, whose alternation is
-      // the bounded-round path that actually pays.)
-      labels = viaNeighbor.union(labels)
-        .groupBy("id").agg(min("lbl").as("lbl"))
+      // lazy: the labelSum action below materializes the outer
+      // checkpoint — one convergence job per round, not per hop
+      labels = hop(hop(labels).localCheckpoint(eager = false))
         .localCheckpoint(eager = false)
       curSum = labelSum(labels)
     }
