@@ -301,6 +301,12 @@ object SparkEntry {
       // pca_*. The trainer chains (segmenter, EM, staircase, prune
       // rounds) are NOT in this op and stay timed.
       Seq("documents")  -> SqlOps.ulmBase,
+      // pref_cmp feeds both the win-rate matrix and the BT trainer;
+      // the BT MM rounds themselves stay timed (iterative rule)
+      Seq("documents")  -> SqlOps.prefWinrate,
+      // jl_r/jl_p feed both the projection readout and the
+      // distortion audit
+      Seq("embeddings") -> SqlOps.embedJlProject,
       Seq("documents")  -> SqlOps.textBigramLm,
       Seq("documents")  -> SqlOps.heavyHitters, // hh_bg
       Seq("documents")  -> SqlOps.searchBm25,
@@ -735,6 +741,16 @@ object SparkEntry {
     "q_ulm_soft_em" -> sqlStaged(Seq("documents"), SqlOps.ulmSoftEm),
     "q_ulm_prune" -> sqlStaged(Seq("documents"), SqlOps.ulmPrune64),
     "q_ulm_drift" -> sqlStaged(Seq("documents"), SqlOps.ulmDrift),
+    // -- preference-data aggregation (RLHF data prep) --
+    "q_pref_winrate" -> sqlStaged(Seq("documents"), SqlOps.prefWinrate),
+    "q_pref_bradley_terry" -> sqlStaged(Seq("documents"), SqlOps.prefBradleyTerry),
+    // calibration of a cheap quality score against the rule battery
+    "q_filter_calibration" -> sqlq(Seq("documents"), SqlOps.filterCalibration),
+    // GRPO-style per-group advantage baseline
+    "q_reward_group_norm" -> sqlq(Seq("documents"), SqlOps.rewardGroupNorm),
+    // Johnson-Lindenstrauss projection + distortion audit
+    "q_embed_jl_project" -> sqlStaged(Seq("embeddings"), SqlOps.embedJlProject),
+    "q_embed_jl_distortion" -> sqlStaged(Seq("embeddings"), SqlOps.embedJlDistortion),
     "q_bpe_encode" -> sqlStaged(Seq("documents"), SqlOps.bpeEncode),
     "q_text_langid" -> sqlq(Seq("documents"), SqlOps.textLangId),
     "q_text_langid_eval" -> sqlq(Seq("documents"), SqlOps.textLangIdEval),
@@ -1576,6 +1592,12 @@ object SparkEntry {
     "q_ulm_soft_em" -> SqlOps.ulmSoftEm.single(DuckDialect),
     "q_ulm_prune" -> SqlOps.ulmPrune64.single(DuckDialect),
     "q_ulm_drift" -> SqlOps.ulmDrift.single(DuckDialect),
+    "q_pref_winrate" -> SqlOps.prefWinrate.single(DuckDialect),
+    "q_pref_bradley_terry" -> SqlOps.prefBradleyTerry.single(DuckDialect),
+    "q_filter_calibration" -> SqlOps.filterCalibration(DuckDialect),
+    "q_reward_group_norm" -> SqlOps.rewardGroupNorm(DuckDialect),
+    "q_embed_jl_project" -> SqlOps.embedJlProject.single(DuckDialect),
+    "q_embed_jl_distortion" -> SqlOps.embedJlDistortion.single(DuckDialect),
     "q_bpe_encode" -> SqlOps.bpeEncode.single(DuckDialect),
     "q_text_langid" -> SqlOps.textLangId(DuckDialect),
     "q_text_langid_eval" -> SqlOps.textLangIdEval(DuckDialect),

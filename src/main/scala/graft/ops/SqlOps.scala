@@ -2134,6 +2134,331 @@ object SqlOps {
     * shape under the FINAL vocabulary; both ratios are one exact
     * integer division each (correctly rounded in IEEE, so portable
     * without µ-staging). */
+  // ---- preference-data aggregation (the RLHF data-prep family):
+  // pairwise judgments → win-rate matrix → Bradley-Terry strengths ----
+
+  /** Deterministic pairwise-preference fixture derivation, ONE staged
+    * artifact shared by the win-rate and Bradley-Terry readers: each
+    * doc is compared against the representative of its md5-rotated
+    * content bucket (the [[negativePairs]] hash-ring — RNG-free,
+    * self-pair-impossible, stable across engines), restricted to
+    * CROSS-source pairs; the judge prefers the longer document
+    * (deterministic tie-break by id) with a ~25% md5-keyed flip — a
+    * latent-strength-plus-noise model, which is exactly the regime
+    * Bradley-Terry assumes. Aggregated to source-pair grain
+    * (si < sj, n comparisons, w_i wins for si): the comparison matrix
+    * is SOURCE-cardinality — bounded at any corpus scale, which is
+    * what makes the MM iteration below a tiny fixed-point loop no
+    * matter how many judgments feed it. */
+  private val prefCmpStage: (String, Dialect => String) =
+    "pref_cmp" -> { (d: Dialect) =>
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(${d.size(toks(d))} AS BIGINT) AS n_tok
+         |  FROM documents
+         |),
+         |b AS (SELECT doc_id, source, n_tok, ${md5Bucket("text")} AS bkt FROM t),
+         |rep AS (SELECT bkt, MIN(doc_id) AS rep_id FROM b GROUP BY bkt),
+         |pair0 AS (
+         |  SELECT a.doc_id AS a_id, a.source AS a_src, a.n_tok AS a_tok,
+         |    p.doc_id AS b_id, p.source AS b_src, p.n_tok AS b_tok
+         |  FROM b a
+         |  JOIN rep r ON (a.bkt + 97) % 256 = r.bkt
+         |  JOIN b p ON p.doc_id = r.rep_id
+         |  WHERE p.source <> a.source
+         |),
+         |j AS (
+         |  SELECT a_src, b_src,
+         |    CASE WHEN (a_tok > b_tok OR (a_tok = b_tok AND a_id < b_id))
+         |              <> (substr(md5(concat(CAST(a_id AS STRING), '|',
+         |                                    CAST(b_id AS STRING))), 1, 1) < '4')
+         |         THEN 1 ELSE 0 END AS win_a
+         |  FROM pair0
+         |)
+         |SELECT LEAST(a_src, b_src) AS si, GREATEST(a_src, b_src) AS sj,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN (a_src < b_src AND win_a = 1)
+         |                  OR (a_src > b_src AND win_a = 0)
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS w_i
+         |FROM j GROUP BY LEAST(a_src, b_src), GREATEST(a_src, b_src)""".stripMargin
+    }
+
+  /** The pairwise win-rate matrix — the first readout of any
+    * preference dataset (annotator dashboards, model-vs-model
+    * comparison tables). One scan of the source-pair artifact. */
+  val prefWinrate: StagedOp = StagedOp(
+    stages = Seq(prefCmpStage),
+    body = { _ =>
+      s"""SELECT si AS source_a, sj AS source_b,
+         |  n AS n_comparisons, w_i AS wins_a,
+         |  ${r6("CAST(w_i AS DOUBLE) / n")} AS winrate_a
+         |FROM pref_cmp ORDER BY si, sj""".stripMargin
+    })
+
+  /** One Bradley-Terry minorize-maximize round (Hunter 2004's MM
+    * update, the standard BT fitter): s'_i = W_i / Σ_j n_ij/(s_i+s_j),
+    * in pure int64 — per-pair terms at 1e12 precision, strengths
+    * normalized to mean 1e6 each round (BT is scale-invariant), and a
+    * VIRTUAL win+loss against a fixed 1.0 opponent regularizes the
+    * never-wins/never-loses endpoints the raw MLE sends to 0/∞.
+    * Every CTE is single-referenced; the normalizer is a window. */
+  private def btRound(prev: String, name: String): (String, Dialect => String) =
+    name -> { (d: Dialect) =>
+      s"""WITH sym AS (
+         |  SELECT si AS a, sj AS b, n, w_i AS w FROM pref_cmp
+         |  UNION ALL
+         |  SELECT sj AS a, si AS b, n, n - w_i AS w FROM pref_cmp
+         |),
+         |den AS (
+         |  SELECT y.a AS src, CAST(SUM(w) AS BIGINT) AS wins,
+         |    CAST(SUM(${d.idiv("y.n * 1000000000000", "sa.s + sb.s")}) AS BIGINT) AS den
+         |  FROM sym y
+         |  JOIN $prev sa ON sa.src = y.a
+         |  JOIN $prev sb ON sb.src = y.b
+         |  GROUP BY y.a
+         |),
+         |raw AS (
+         |  SELECT d0.src,
+         |    ${d.idiv("(d0.wins + 1) * 1000000000000",
+                       s"d0.den + ${d.idiv("2 * 1000000000000", "p.s + 1000000")}")} AS s0
+         |  FROM den d0 JOIN $prev p ON p.src = d0.src
+         |)
+         |SELECT src,
+         |  GREATEST(${d.idiv("s0 * 1000000",
+                              s"GREATEST(${d.idiv("sm", "cnt")}, 1)")}, 1) AS s
+         |FROM (SELECT src, s0, CAST(SUM(s0) OVER () AS BIGINT) AS sm,
+         |        COUNT(*) OVER () AS cnt FROM raw)""".stripMargin
+    }
+
+  private val BtRounds = 3
+
+  /** Bradley-Terry strength estimation over the preference matrix:
+    * [[BtRounds]] staged MM rounds from the uniform start, with the
+    * MM monotonicity audited IN-QUERY — the tf-weighted log-likelihood
+    * of the judgments under the initial and the final strengths
+    * (µ-log2 int64, the [[ulmEmGain]] pattern) and `mm_improves` as an
+    * output column the oracle re-proves every run. Everything after
+    * the judgment aggregation is source-cardinality. */
+  val prefBradleyTerry: StagedOp = {
+    val s0Stage = "bt_s0" -> { (_: Dialect) =>
+      s"""SELECT src, CAST(1000000 AS BIGINT) AS s FROM (
+         |  SELECT si AS src FROM pref_cmp
+         |  UNION
+         |  SELECT sj AS src FROM pref_cmp
+         |)""".stripMargin
+    }
+    val roundStages = (1 to BtRounds).map { r =>
+      btRound(if (r == 1) "bt_s0" else s"bt_s${r - 1}", s"bt_s$r")
+    }
+    StagedOp(
+      stages = Seq(prefCmpStage, s0Stage) ++ roundStages,
+      body = { _ =>
+        def ll(tbl: String) =
+          s"""SELECT CAST(SUM(y.w * (${qlog2("sa.s")} - ${qlog2("sa.s + sb.s")})) AS BIGINT) AS q
+             |  FROM (SELECT si AS a, sj AS b, w_i AS w FROM pref_cmp
+             |        UNION ALL
+             |        SELECT sj AS a, si AS b, n - w_i AS w FROM pref_cmp) y
+             |  JOIN $tbl sa ON sa.src = y.a
+             |  JOIN $tbl sb ON sb.src = y.b""".stripMargin
+        val fin = s"bt_s$BtRounds"
+        s"""WITH wl AS (
+           |  SELECT a AS src, CAST(SUM(w) AS BIGINT) AS wins, CAST(SUM(n) AS BIGINT) AS n_cmp
+           |  FROM (SELECT si AS a, n, w_i AS w FROM pref_cmp
+           |        UNION ALL
+           |        SELECT sj AS a, n, n - w_i AS w FROM pref_cmp)
+           |  GROUP BY a
+           |),
+           |l0 AS (${ll("bt_s0")}),
+           |l1 AS (${ll(fin)})
+           |SELECT f.src AS source,
+           |  ${r6("CAST(f.s AS DOUBLE) / 1.0e6")} AS strength,
+           |  ROW_NUMBER() OVER (ORDER BY f.s DESC, f.src) AS bt_rank,
+           |  wl.wins, wl.n_cmp,
+           |  ${r6("CAST(l0.q AS DOUBLE) / 1.0e6")} AS loglik_init_bits,
+           |  ${r6("CAST(l1.q AS DOUBLE) / 1.0e6")} AS loglik_final_bits,
+           |  l1.q >= l0.q AS mm_improves
+           |FROM $fin f
+           |JOIN wl ON wl.src = f.src
+           |CROSS JOIN l0 CROSS JOIN l1
+           |ORDER BY f.s DESC, f.src""".stripMargin
+      })
+  }
+
+  /** Calibration audit of a cheap quality signal against the
+    * expensive rule battery — Expected Calibration Error over 10
+    * confidence bins: does a one-scan length score (word count
+    * against the Gopher lower band — the kind of score a pipeline
+    * uses to SKIP full filtering) actually predict the Gopher
+    * verdict at its stated confidence? The score deliberately sees
+    * only length, so the rules it cannot see (the stop-word gate)
+    * surface as per-bin over-confidence — a non-trivial reliability
+    * curve, which is the point of the audit. Per-bin exact integer
+    * ratios (µ-quantized accuracy and mean confidence), ECE as the
+    * doc-weighted |gap| mean via a window — one corpus scan, one
+    * 10-row aggregate, no float sums. The readout a curation
+    * pipeline reads before trusting a cheap gate at 100 TB (where
+    * running the full battery everywhere is the cost). */
+  def filterCalibration(d: Dialect): String =
+    s"""WITH g AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    ${gopherCounts(d)}
+       |  FROM g
+       |),
+       |sc AS (
+       |  SELECT doc_id,
+       |    LEAST(${d.idiv("1000000 * n_words", "100")}, 1000000) AS conf,
+       |    CASE WHEN $GopherPass THEN 1 ELSE 0 END AS pass
+       |  FROM m
+       |),
+       |bins AS (
+       |  SELECT LEAST(${d.idiv("conf * 10", "1000001")}, 9) AS bin,
+       |    COUNT(*) AS n_docs,
+       |    CAST(SUM(pass) AS BIGINT) AS n_pass,
+       |    CAST(SUM(conf) AS BIGINT) AS sum_conf
+       |  FROM sc GROUP BY LEAST(${d.idiv("conf * 10", "1000001")}, 9)
+       |),
+       |w AS (
+       |  SELECT bin, n_docs,
+       |    ${d.idiv("1000000 * n_pass", "n_docs")} AS acc_mu,
+       |    ${d.idiv("sum_conf", "n_docs")} AS conf_mu
+       |  FROM bins
+       |)
+       |SELECT bin, n_docs,
+       |  ${r6("CAST(conf_mu AS DOUBLE) / 1.0e6")} AS mean_conf,
+       |  ${r6("CAST(acc_mu AS DOUBLE) / 1.0e6")} AS pass_rate,
+       |  ${r6("CAST(acc_mu - conf_mu AS DOUBLE) / 1.0e6")} AS gap,
+       |  ${r6(s"""CAST(${d.idiv("CAST(SUM(n_docs * ABS(acc_mu - conf_mu)) OVER () AS BIGINT)",
+                                 "CAST(SUM(n_docs) OVER () AS BIGINT)")} AS DOUBLE) / 1.0e6""")} AS ece
+       |FROM w
+       |ORDER BY bin""".stripMargin
+
+  /** Group-relative reward normalization (the GRPO/RLOO advantage
+    * baseline): per group (source plays the prompt), each sample's
+    * advantage = (x − μ_group)/σ_group, computed EXACTLY as
+    * (n·x − Σx)/√(n·Σx² − (Σx)²) — integer window sums, one
+    * correctly-rounded division and sqrt, so the z-scores are
+    * bit-identical across engines with no float accumulation.
+    * Degenerate groups (n < 2 or zero variance) emit NULL rather than
+    * a fake 0 advantage. One scan, one window partition — the same
+    * shape at any group count. */
+  def rewardGroupNorm(d: Dialect): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(${d.size(toks(d))} AS BIGINT) AS reward
+       |  FROM documents
+       |),
+       |s AS (
+       |  SELECT doc_id, source, reward,
+       |    COUNT(*) OVER (PARTITION BY source) AS n,
+       |    CAST(SUM(reward) OVER (PARTITION BY source) AS BIGINT) AS sx,
+       |    CAST(SUM(reward * reward) OVER (PARTITION BY source) AS BIGINT) AS sxx
+       |  FROM t
+       |)
+       |SELECT doc_id, source, reward,
+       |  CASE WHEN n < 2 OR n * sxx - sx * sx <= 0 THEN NULL
+       |       ELSE ${r6("CAST(n * reward - sx AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))")}
+       |  END AS advantage
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  // ---- Johnson-Lindenstrauss random projection: dimensionality
+  // reduction for the embedding column with a distortion audit ----
+
+  /** JL projection dimensions. */
+  private val JlDims = 16
+
+  /** Deterministic ±1 projection matrix: sign(k, pos) from the first
+    * md5 hex digit of "k:pos" (< '8' → +1 — exactly half the digit
+    * space), so the matrix is RNG-free and identical in both engines
+    * at any dimensionality. */
+  private val jlSignStage: (String, Dialect => String) =
+    "jl_r" -> { (d: Dialect) =>
+      s"""WITH ks0 AS (SELECT 0 AS z, ${d.seqArray("0", (JlDims - 1).toString)} AS kk),
+         |ks AS (${d.explode("SELECT z, kk FROM ks0", "z", "kk", "k")}),
+         |ps AS (SELECT DISTINCT pos FROM pca_q)
+         |SELECT k, pos,
+         |  CASE WHEN substr(md5(concat(CAST(k AS STRING), ':',
+         |                              CAST(pos AS STRING))), 1, 1) < '8'
+         |       THEN 1 ELSE -1 END AS r
+         |FROM ks CROSS JOIN ps""".stripMargin
+    }
+
+  /** Projected vectors (vec_id, k, qp = Σ_pos r·qv in µ-units): one
+    * broadcast join of the µ-quantized matrix against the 16×64 sign
+    * table + a narrow aggregate — zero shuffles of the vectors beyond
+    * the projection's own groupBy, the shape that makes JL the cheap
+    * FIRST step before any ANN index at scale. */
+  private val jlProjStage: (String, Dialect => String) =
+    "jl_p" -> { (_: Dialect) =>
+      s"""SELECT q.vec_id, r.k, CAST(SUM(r.r * q.qv) AS BIGINT) AS qp
+         |FROM pca_q q JOIN jl_r r ON r.pos = q.pos
+         |GROUP BY q.vec_id, r.k""".stripMargin
+    }
+
+  /** The projection read-out: every vector's 16 JL coordinates
+    * (scaled by 1/√16 = exactly 1/4). */
+  lazy val embedJlProject: StagedOp = StagedOp(
+    stages = pcaMatrixStages.take(1) ++ Seq(jlSignStage, jlProjStage),
+    body = { _ =>
+      s"""SELECT vec_id, k, ${r6("CAST(qp AS DOUBLE) / 4.0e6")} AS proj
+         |FROM jl_p ORDER BY vec_id, k""".stripMargin
+    })
+
+  /** The JL distortion audit: deterministic pair sample (mod-ring
+    * partners, self-pair impossible), per-pair ratio of projected to
+    * original Euclidean distance — ‖Pa−Pb‖/√16 over ‖a−b‖ — plus the
+    * corpus-level mean distortion and the fraction inside a ±50%
+    * band, all from exact int64 sums (projection diffs floor-scaled
+    * to milli-units so their squares stay in range; the final
+    * sqrt/divisions are single correctly-rounded IEEE ops). The
+    * audit that licenses replacing 64-dim distances with 16-dim ones
+    * in a downstream dedup/ANN stage. */
+  lazy val embedJlDistortion: StagedOp = StagedOp(
+    stages = pcaMatrixStages.take(1) ++ Seq(jlSignStage, jlProjStage),
+    body = { d =>
+      s"""WITH v AS (SELECT DISTINCT vec_id FROM jl_p),
+         |b AS (SELECT vec_id, vec_id % 256 AS bkt FROM v),
+         |rep AS (SELECT bkt, MIN(vec_id) AS rep_id FROM b GROUP BY bkt),
+         |pr AS (
+         |  SELECT b.vec_id AS a_id, r.rep_id AS b_id
+         |  FROM b JOIN rep r ON (b.bkt + 128) % 256 = r.bkt
+         |  WHERE r.rep_id <> b.vec_id
+         |),
+         |so AS (
+         |  SELECT p.a_id, p.b_id,
+         |    CAST(SUM((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS BIGINT) AS so
+         |  FROM pr p
+         |  JOIN pca_q qa ON qa.vec_id = p.a_id
+         |  JOIN pca_q qb ON qb.vec_id = p.b_id AND qb.pos = qa.pos
+         |  GROUP BY p.a_id, p.b_id
+         |),
+         |sp AS (
+         |  SELECT p.a_id, p.b_id,
+         |    CAST(SUM(${floorDiv(d)("pa.qp - pb.qp", "1000")}
+         |             * ${floorDiv(d)("pa.qp - pb.qp", "1000")}) AS BIGINT) AS sp
+         |  FROM pr p
+         |  JOIN jl_p pa ON pa.vec_id = p.a_id
+         |  JOIN jl_p pb ON pb.vec_id = p.b_id AND pb.k = pa.k
+         |  GROUP BY p.a_id, p.b_id
+         |),
+         |dd AS (
+         |  -- distortion µ-quantized to int64 at the pair grain: the
+         |  -- corpus-level mean must never SUM raw doubles (float
+         |  -- accumulation is order-dependent across engines)
+         |  SELECT so.a_id AS vec_a, so.b_id AS vec_b,
+         |    CASE WHEN so.so = 0 THEN NULL
+         |         ELSE CAST(FLOOR(sqrt(CAST(sp.sp AS DOUBLE) * 1.0e6 / 16.0
+         |                               / CAST(so.so AS DOUBLE)) * 1.0e6 + 5.0e-1) AS BIGINT)
+         |    END AS dmu
+         |  FROM so JOIN sp ON sp.a_id = so.a_id AND sp.b_id = so.b_id
+         |)
+         |SELECT vec_a, vec_b,
+         |  CAST(dmu AS DOUBLE) / 1.0e6 AS distortion,
+         |  ${r6("CAST(SUM(dmu) OVER () AS DOUBLE) / 1.0e6 / SUM(CASE WHEN dmu IS NOT NULL THEN 1 ELSE 0 END) OVER ()")} AS mean_distortion,
+         |  ${r6("CAST(SUM(CASE WHEN dmu BETWEEN 500000 AND 1500000 THEN 1 ELSE 0 END) OVER () AS DOUBLE) / SUM(CASE WHEN dmu IS NOT NULL THEN 1 ELSE 0 END) OVER ()")} AS frac_within_50pct
+         |FROM dd ORDER BY vec_a, vec_b""".stripMargin
+    })
+
   val ulmDrift: StagedOp = StagedOp(
     stages = ulmPrune64.stages :+ ulmPruneWinStage(ulmPruneFin, "ulm_segf"),
     body = { _ =>

@@ -1498,4 +1498,201 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("ndcg_ranked")
     spark.catalog.dropTempView("cov_ranked")
   }
+
+  // ---- shared plain-Scala md5 mirror for the hash-ring fixtures ----
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  test("Bradley-Terry: SQL MM strengths equal an independent integer replay, " +
+    "and the likelihood audit holds") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // 3 sources with planted latent strengths via token counts (A docs
+    // longest, C shortest) — enough docs that the hash ring yields
+    // cross-source comparisons
+    val docs: Seq[(Long, String, String)] = (0 until 120).map { i =>
+      val src = "SRC" + ('A' + i % 3).toChar
+      val len = 4 + (i % 3 match { case 0 => 16 case 1 => 8 case _ => 0 }) + i % 4
+      (i.toLong, src, (0 until len).map(j => s"w${i}x$j").mkString(" "))
+    }
+    docs.toDF("doc_id", "source", "text").createOrReplaceTempView("documents")
+    SqlOps.prefBradleyTerry.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.prefBradleyTerry.body(SparkDialect)).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("strength"), r.getAs[Long]("bt_rank"),
+          r.getAs[Long]("wins"), r.getAs[Long]("n_cmp"),
+          r.getAs[Double]("loglik_init_bits"), r.getAs[Double]("loglik_final_bits"),
+          r.getAs[Boolean]("mm_improves"))).toMap
+
+    // ---- independent replay: fixture derivation + integer MM ----
+    def bucket(t: String): Int = {
+      val h = md5hex(t)
+      ("0123456789abcdef".indexOf(h(0))) * 16 + "0123456789abcdef".indexOf(h(1))
+    }
+    val byId = docs.map(d => d._1 -> d).toMap
+    val b = docs.map { case (id, src, t) => (id, src, t.split(" ", -1).length.toLong, bucket(t)) }
+    val rep = b.groupBy(_._4).map { case (bk, xs) => bk -> xs.map(_._1).min }
+    val judgments = b.flatMap { case (aId, aSrc, aTok, aBkt) =>
+      rep.get((aBkt + 97) % 256).map(byId).collect {
+        case (bId, bSrc, bText) if bSrc != aSrc =>
+          val bTok = bText.split(" ", -1).length.toLong
+          val latent = aTok > bTok || (aTok == bTok && aId < bId)
+          val flip = md5hex(s"$aId|$bId").head < '4'
+          (aSrc, bSrc, if (latent != flip) 1 else 0)
+      }
+    }
+    val cmp: Map[(String, String), (Long, Long)] = judgments
+      .groupBy { case (a, bb, _) => (Seq(a, bb).min, Seq(a, bb).max) }
+      .map { case ((si, sj), js) =>
+        (si, sj) -> (js.size.toLong,
+          js.count { case (a, _, w) => (a == si && w == 1) || (a != si && w == 0) }.toLong)
+      }
+    assert(cmp.nonEmpty, "fixture must produce cross-source comparisons")
+    val srcs = cmp.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
+    def fd(a: Long, bb: Long): Long = a / bb // all operands nonnegative
+    var s: Map[String, Long] = srcs.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val sym = cmp.toSeq.flatMap { case ((si, sj), (n, w)) =>
+        Seq((si, sj, n, w), (sj, si, n, n - w)) }
+      val den = sym.groupBy(_._1).map { case (src, xs) =>
+        src -> (xs.map(_._4).sum,
+          xs.map { case (_, o, n, _) => fd(n * 1000000000000L, s(src) + s(o)) }.sum)
+      }
+      val raw = den.map { case (src, (wins, dn)) =>
+        src -> fd((wins + 1) * 1000000000000L, dn + fd(2000000000000L, s(src) + 1000000L))
+      }
+      val mean = math.max(fd(raw.values.sum, raw.size.toLong), 1L)
+      s = raw.map { case (src, r0) => src -> math.max(fd(r0 * 1000000L, mean), 1L) }
+    }
+    def ll(st: Map[String, Long]): Long = cmp.toSeq.flatMap { case ((si, sj), (n, w)) =>
+      Seq((si, sj, w), (sj, si, n - w)) }.map { case (a, bb, w) =>
+      w * (ulmQlog2(st(a)) - ulmQlog2(st(a) + st(bb))) }.sum
+    val l0 = ll(srcs.map(_ -> 1000000L).toMap)
+    val l1 = ll(s)
+    assert(got.keySet === s.keySet)
+    s.foreach { case (src, sv) =>
+      assert(got(src)._1 === r6(sv.toDouble / 1e6), s"strength of $src")
+      assert(got(src)._5 === r6(l0.toDouble / 1e6))
+      assert(got(src)._6 === r6(l1.toDouble / 1e6))
+    }
+    assert(l1 >= l0 && got.values.forall(_._7), "the MM step must improve the likelihood")
+    // the planted ordering surfaces: every A-source strength ranks
+    // above every C-source strength
+    assert(got("SRCA")._1 > got("SRCC")._1, "latent strength must drive the fit")
+    val wantRank = s.toSeq.sortBy { case (src, sv) => (-sv, src) }.map(_._1)
+      .zipWithIndex.map { case (src, i) => src -> (i + 1).toLong }.toMap
+    got.foreach { case (src, g) => assert(g._2 === wantRank(src), s"rank of $src") }
+    spark.catalog.dropTempView("documents")
+  }
+
+  test("JL projection: SQL distortion audit equals an independent integer replay " +
+    "and the distances genuinely concentrate") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val dim = 8
+    // ids span both halves of the mod-256 ring so every rotated
+    // bucket (b+128) actually has a representative
+    val data: Seq[(Long, Array[Float])] = ((0 until 40) ++ (128 until 168)).map { i =>
+      i.toLong -> Array.tabulate(dim)(j =>
+        (math.sin(i * 1.7 + j * 0.9) * 2.0 + ((i * 13 + j * 7) % 5) * 0.3).toFloat)
+    }
+    data.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label").createOrReplaceTempView("embeddings")
+    SqlOps.embedJlDistortion.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.embedJlDistortion.body(SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("distortion"), r.getAs[Double]("mean_distortion"),
+        r.getAs[Double]("frac_within_50pct"))).sortBy(t => (t._1, t._2))
+
+    // ---- independent integer replay ----
+    def fd(a: Long, bb: Long): Long = Math.floorDiv(a, bb)
+    val qv: Map[(Long, Int), Long] = data.flatMap { case (id, v) =>
+      v.zipWithIndex.map { case (x, p) => (id, p) -> math.floor(x.toDouble * 1e6 + 0.5).toLong }
+    }.toMap
+    val sign: Map[(Int, Int), Long] = (for (k <- 0 until 16; p <- 0 until dim) yield
+      (k, p) -> (if (md5hex(s"$k:$p").head < '8') 1L else -1L)).toMap
+    val qp: Map[(Long, Int), Long] = (for ((id, _) <- data; k <- 0 until 16) yield
+      (id, k) -> (0 until dim).map(p => sign((k, p)) * qv((id, p))).sum).toMap
+    val rep = data.map(_._1).groupBy(_ % 256).map { case (bk, xs) => bk -> xs.min }
+    val pairs = data.map(_._1).flatMap { a =>
+      rep.get((a % 256 + 128) % 256).collect { case bId if bId != a => (a, bId) } }
+    val expected = pairs.map { case (a, bb) =>
+      val so = (0 until dim).map(p => { val d0 = qv((a, p)) - qv((bb, p)); d0 * d0 }).sum
+      val sp = (0 until 16).map(k => { val d0 = fd(qp((a, k)) - qp((bb, k)), 1000L); d0 * d0 }).sum
+      val dmu = math.floor(math.sqrt(sp.toDouble * 1e6 / 16.0 / so.toDouble) * 1e6 + 0.5).toLong
+      (a, bb, dmu)
+    }.sortBy(t => (t._1, t._2))
+    val dmus = expected.map(_._3)
+    val meanD = r6(dmus.sum.toDouble / 1e6 / dmus.size)
+    val frac = r6(dmus.count(d => d >= 500000L && d <= 1500000L).toDouble / dmus.size)
+    assert(got.map(t => (t._1, t._2, t._3)) ===
+      expected.map(t => (t._1, t._2, t._3.toDouble / 1e6)))
+    got.foreach { t => assert(t._4 === meanD && t._5 === frac) }
+    // JL actually works on this fixture: distances concentrate
+    assert(frac >= 0.9, s"JL distortion should concentrate, frac=$frac")
+    spark.catalog.dropTempView("embeddings")
+  }
+
+  test("filter calibration: SQL ECE equals an independent binned replay") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // planted lengths straddling the Gopher word-count band and a mix
+    // of stopword-bearing and stopword-free docs → a reliability curve
+    // with both under- and over-confident bins
+    val stopTail = "the and of"
+    val docs: Seq[(Long, String)] = (0 until 60).map { i =>
+      val n = 10 + i * 3
+      val body = (0 until n).map(j => s"tok${i}v$j").mkString(" ")
+      (i.toLong, if (i % 3 != 0) s"$body $stopTail" else body)
+    }
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.filterCalibration(SparkDialect)).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("mean_conf"),
+          r.getAs[Double]("pass_rate"), r.getAs[Double]("gap"),
+          r.getAs[Double]("ece"))).toMap
+
+    // ---- independent replay of the counters, rules, bins and ECE ----
+    val stops = Set("the", "and", "of", "to", "in", "is", "a")
+    val rows = docs.map { case (_, t) =>
+      val toks = t.split(" ", -1)
+      val nWords = toks.length.toLong
+      val nChars = t.replace(" ", "").length.toLong
+      val nSym = ("#|\\.\\.\\.".r).findAllIn(t).length.toLong
+      val nAlpha = toks.count(w => w.toLowerCase != w.toUpperCase).toLong
+      val nStop = toks.filter(stops).distinct.length.toLong
+      val pass = (nWords >= 50 && nWords <= 100000) &&
+        (nChars >= 3 * nWords && nChars <= 10 * nWords) &&
+        (nSym * 10 < nWords) && (nAlpha * 10 >= nWords * 8) && (nStop >= 2)
+      val conf = math.min(1000000L * nWords / 100L, 1000000L)
+      (conf, if (pass) 1L else 0L)
+    }
+    val bins = rows.groupBy { case (c, _) => math.min(c * 10 / 1000001L, 9L) }
+    val perBin = bins.map { case (bin, xs) =>
+      val n = xs.size.toLong
+      val acc = 1000000L * xs.map(_._2).sum / n
+      val cf = xs.map(_._1).sum / n
+      bin -> (n, cf, acc)
+    }
+    val tot = rows.size.toLong
+    val ece = perBin.values.map { case (n, cf, acc) => n * math.abs(acc - cf) }.sum / tot
+    assert(got.keySet === perBin.keySet)
+    perBin.foreach { case (bin, (n, cf, acc)) =>
+      val g = got(bin)
+      assert(g._1 === n, s"bin $bin count")
+      assert(g._2 === r6(cf.toDouble / 1e6), s"bin $bin conf")
+      assert(g._3 === r6(acc.toDouble / 1e6), s"bin $bin accuracy")
+      assert(g._4 === r6((acc - cf).toDouble / 1e6), s"bin $bin gap")
+      assert(g._5 === r6(ece.toDouble / 1e6), s"ece")
+    }
+    // the curve is genuinely mixed: some bin under-confident, some over
+    assert(perBin.values.exists { case (_, cf, acc) => acc > cf } &&
+           perBin.values.exists { case (_, cf, acc) => acc < cf })
+    spark.catalog.dropTempView("documents")
+  }
 }
