@@ -301,6 +301,10 @@ object SparkEntry {
       // pca_*. The trainer chains (segmenter, EM, staircase, prune
       // rounds) are NOT in this op and stay timed.
       Seq("documents")  -> SqlOps.ulmBase,
+      // the canonical prune chain (ulm_pw*/ulm_pv*) has two consumers
+      // (q_ulm_prune's readout, q_ulm_drift's final vocabulary);
+      // q_ulm_prune times the iteration under ulm_tp* alias stages
+      Seq("documents")  -> SqlOps.ulmPrune64,
       // pref_cmp feeds both the win-rate matrix and the BT trainer;
       // the BT MM rounds themselves stay timed (iterative rule)
       Seq("documents")  -> SqlOps.prefWinrate,
@@ -739,7 +743,7 @@ object SparkEntry {
     // the FULL SentencePiece trainer loop: soft-EM expected counts
     // over all segmentations + iterative pruning to a 64-piece vocab
     "q_ulm_soft_em" -> sqlStaged(Seq("documents"), SqlOps.ulmSoftEm),
-    "q_ulm_prune" -> sqlStaged(Seq("documents"), SqlOps.ulmPrune64),
+    "q_ulm_prune" -> sqlStaged(Seq("documents"), SqlOps.ulmPrune64Timed),
     "q_ulm_drift" -> sqlStaged(Seq("documents"), SqlOps.ulmDrift),
     // -- preference-data aggregation (RLHF data prep) --
     "q_pref_winrate" -> sqlStaged(Seq("documents"), SqlOps.prefWinrate),
@@ -1590,7 +1594,7 @@ object SparkEntry {
     "q_ulm_em_gain" -> SqlOps.ulmEmGain.single(DuckDialect),
     "q_ulm_encode" -> SqlOps.ulmEncode.single(DuckDialect),
     "q_ulm_soft_em" -> SqlOps.ulmSoftEm.single(DuckDialect),
-    "q_ulm_prune" -> SqlOps.ulmPrune64.single(DuckDialect),
+    "q_ulm_prune" -> SqlOps.ulmPrune64Timed.single(DuckDialect),
     "q_ulm_drift" -> SqlOps.ulmDrift.single(DuckDialect),
     "q_pref_winrate" -> SqlOps.prefWinrate.single(DuckDialect),
     "q_pref_bradley_terry" -> SqlOps.prefBradleyTerry.single(DuckDialect),

@@ -182,8 +182,9 @@ object Multimodal {
       (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff
 
   /** Real video decode for Motion-JPEG payloads: split into JPEG
-    * frames, decode the FIRST frame for dimensions/channels (MJPEG
-    * frames share geometry), and summarize the video as per-stripe
+    * frames, take dimensions/channels from the first DECODABLE frame
+    * (MJPEG frames share geometry; a truncated leading frame must not
+    * stub out the video), and summarize the video as per-stripe
     * means of the per-frame mean luminance over 8 time stripes — the
     * temporal-activity statistics a video-curation gate reads. None
     * when the payload doesn't sniff as MJPEG or no frame decodes, so
@@ -191,17 +192,27 @@ object Multimodal {
   private def decodeVideo(b: MediaRow): Option[Decoded] = {
     if (!sniffsJpeg(b.payload)) None
     else {
+      javax.imageio.ImageIO.setUseCache(false)
       val offs = mjpegFrameOffsets(b.payload)
       val bounds = offs :+ b.payload.length
       val frames = bounds.sliding(2).collect {
         case IndexedSeq(a, z) if z > a => java.util.Arrays.copyOfRange(b.payload, a, z)
       }.toIndexedSeq
-      val first =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frames.head))
+      // ONE decode pass: each frame's image is read once and feeds both
+      // the geometry probe and the luminance statistic (a corrupt frame
+      // decodes to null and degrades to its byte mean — per frame, not
+      // for the whole video)
+      val decoded = frames.map { f =>
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
         catch { case _: Exception => null }
-      if (first == null || first.getWidth == 0 || first.getHeight == 0) None
-      else {
-        val means = frames.map(jpegFrameMean)
+      }
+      // geometry from the FIRST DECODABLE frame: a truncated leading
+      // frame must not stub out an otherwise-decodable video
+      decoded.find(img => img != null && img.getWidth > 0 && img.getHeight > 0).map { first =>
+        val means = frames.zip(decoded).map { case (f, img) =>
+          if (img != null && img.getWidth > 0 && img.getHeight > 0) imageMeanLuminance(img)
+          else byteMean(f)
+        }
         val feats = new Array[Float](8)
         val counts = new Array[Int](8)
         val stripe = math.max(frames.size / 8, 1)
@@ -211,48 +222,52 @@ object Multimodal {
         }
         var j = 0
         while (j < 8) { if (counts(j) > 0) feats(j) = feats(j) / counts(j); j += 1 }
-        Some(Decoded(b.doc_id, first.getWidth, first.getHeight,
-          first.getColorModel.getNumComponents, b.payload.length, feats))
+        Decoded(b.doc_id, first.getWidth, first.getHeight,
+          first.getColorModel.getNumComponents, b.payload.length, feats)
       }
     }
   }
 
-  /** Mean luminance ((r+g+b)/3 per pixel) of one decodable JPEG
-    * frame; falls back to the raw byte mean for an undecodable
-    * payload so a truncated tail frame degrades instead of failing. */
-  private def jpegFrameMean(bytes: Array[Byte]): Double = {
-    def byteMean: Double =
-      if (bytes == null || bytes.isEmpty) 0.0
-      else {
-        var s = 0L; var i = 0
-        while (i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
-        s.toDouble / bytes.length
+  private def byteMean(bytes: Array[Byte]): Double =
+    if (bytes == null || bytes.isEmpty) 0.0
+    else {
+      var s = 0L; var i = 0
+      while (i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
+      s.toDouble / bytes.length
+    }
+
+  /** Mean luminance ((r+g+b)/3 per pixel) of a decoded image. */
+  private def imageMeanLuminance(img: java.awt.image.BufferedImage): Double = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var s = 0L
+    val rowBuf = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
+      var x = 0
+      while (x < w) {
+        val rgb = rowBuf(x)
+        s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
       }
-    if (!sniffsJpeg(bytes)) byteMean
+      y += 1
+    }
+    s.toDouble / (3.0 * w * h)
+  }
+
+  /** Mean luminance of one JPEG frame payload; falls back to the raw
+    * byte mean for an undecodable payload so a truncated frame
+    * degrades instead of failing. */
+  private def jpegFrameMean(bytes: Array[Byte]): Double = {
+    if (!sniffsJpeg(bytes)) byteMean(bytes)
     else {
       javax.imageio.ImageIO.setUseCache(false)
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         catch { case _: Exception => null }
-      if (img == null || img.getWidth == 0 || img.getHeight == 0) byteMean
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        var s = 0L
-        val rowBuf = new Array[Int](w)
-        var y = 0
-        while (y < h) {
-          img.getRGB(0, y, w, 1, rowBuf, 0, w)
-          var x = 0
-          while (x < w) {
-            val rgb = rowBuf(x)
-            s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-            x += 1
-          }
-          y += 1
-        }
-        s.toDouble / (3.0 * w * h)
-      }
+      if (img == null || img.getWidth == 0 || img.getHeight == 0) byteMean(bytes)
+      else imageMeanLuminance(img)
     }
   }
 

@@ -2056,13 +2056,13 @@ object SqlOps {
     * MORE rounds than the instantiation provides is visible in the
     * output itself (which round stalled above target), not just in
     * the final `within_target = false` flag. */
-  def ulmPrune(target: Int, rounds: Int): StagedOp = {
+  def ulmPrune(target: Int, rounds: Int, prefix: String = "ulm_p"): StagedOp = {
     val roundStages = (1 to rounds).flatMap { r =>
-      val prev = if (r == 1) "ulm_pieces" else s"ulm_pv${r - 1}"
-      Seq(ulmPruneWinStage(prev, s"ulm_pw$r"),
-          ulmPruneRound(prev, s"ulm_pw$r", s"ulm_pv$r", target))
+      val prev = if (r == 1) "ulm_pieces" else s"${prefix}v${r - 1}"
+      Seq(ulmPruneWinStage(prev, s"${prefix}w$r"),
+          ulmPruneRound(prev, s"${prefix}w$r", s"${prefix}v$r", target))
     }
-    val fin = s"ulm_pv$rounds"
+    val fin = s"${prefix}v$rounds"
     StagedOp(
       // the base chain only: the prune loop re-Viterbis per round and
       // never reads the ulm_seg segmenter — building it here billed
@@ -2073,7 +2073,7 @@ object SqlOps {
         // (pool = n_vocab − n_singles); earlier rounds scan their own
         // (tiny) table — one scalar CTE per round, not per metric
         val poolCtes = (1 until rounds).map { r =>
-          s"pool$r AS (SELECT COUNT(*) AS n FROM ulm_pv$r WHERE length(piece) > 1),"
+          s"pool$r AS (SELECT COUNT(*) AS n FROM ${prefix}v$r WHERE length(piece) > 1),"
         }.mkString("\n")
         val poolCols = ((1 until rounds)
           .map(r => s"pool$r.n AS pool_after_r$r") :+
@@ -2121,6 +2121,18 @@ object SqlOps {
   private val UlmPruneRounds = 2
   val ulmPrune64: StagedOp = ulmPrune(64, UlmPruneRounds)
   private val ulmPruneFin = s"ulm_pv$UlmPruneRounds"
+
+  /** The SAME prune loop under ALIAS stage names (`ulm_tp*`) — the
+    * variant q_ulm_prune times. The canonical `ulm_pw…/ulm_pv…` chain
+    * has TWO consumers (the prune readout and the drift baseline's
+    * final vocabulary) and is therefore prewarmed like every
+    * multi-consumer artifact; but the pruning iteration IS this
+    * query's computation, so it re-runs the rounds under names no
+    * other query reads — first-consumer billing stops depending on
+    * bench name order (the pci_* precedent). Identical SQL modulo
+    * stage names → identical result, and the oracle proves that every
+    * run. */
+  val ulmPrune64Timed: StagedOp = ulmPrune(64, UlmPruneRounds, "ulm_tp")
 
   /** Tokenizer-drift baseline under the TRAINED pruned vocabulary:
     * per-source fertility (pieces per word under the final
@@ -2356,7 +2368,14 @@ object SqlOps {
        |  FROM t
        |)
        |SELECT doc_id, source, reward,
-       |  CASE WHEN n < 2 OR n * sxx - sx * sx <= 0 THEN NULL
+       |  -- loud envelope guard (the ULM-vocab pattern): n·sxx and sx²
+       |  -- must stay inside int64 or Spark WRAPS silently where DuckDB
+       |  -- raises — a group that outgrows the moment envelope throws
+       |  -- identically in both engines instead of emitting a wrong
+       |  -- z-score (3037000499 = ⌊√(2⁶³−1)⌋)
+       |  CASE WHEN sx > 3037000499 OR sxx > ${d.idiv("4611686018427387903", "GREATEST(n, 1)")}
+       |       THEN CAST('reward-group-norm: group moment envelope exceeded — rescale rewards first' AS BIGINT)
+       |       WHEN n < 2 OR n * sxx - sx * sx <= 0 THEN NULL
        |       ELSE ${r6("CAST(n * reward - sx AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))")}
        |  END AS advantage
        |FROM s ORDER BY doc_id""".stripMargin
@@ -2414,49 +2433,61 @@ object SqlOps {
     * audit that licenses replacing 64-dim distances with 16-dim ones
     * in a downstream dedup/ANN stage. */
   lazy val embedJlDistortion: StagedOp = StagedOp(
-    stages = pcaMatrixStages.take(1) ++ Seq(jlSignStage, jlProjStage),
-    body = { d =>
-      s"""WITH v AS (SELECT DISTINCT vec_id FROM jl_p),
-         |b AS (SELECT vec_id, vec_id % 256 AS bkt FROM v),
-         |rep AS (SELECT bkt, MIN(vec_id) AS rep_id FROM b GROUP BY bkt),
-         |pr AS (
-         |  SELECT b.vec_id AS a_id, r.rep_id AS b_id
-         |  FROM b JOIN rep r ON (b.bkt + 128) % 256 = r.bkt
-         |  WHERE r.rep_id <> b.vec_id
-         |),
-         |so AS (
-         |  SELECT p.a_id, p.b_id,
-         |    CAST(SUM((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS BIGINT) AS so
-         |  FROM pr p
-         |  JOIN pca_q qa ON qa.vec_id = p.a_id
-         |  JOIN pca_q qb ON qb.vec_id = p.b_id AND qb.pos = qa.pos
-         |  GROUP BY p.a_id, p.b_id
-         |),
-         |sp AS (
-         |  SELECT p.a_id, p.b_id,
-         |    CAST(SUM(${floorDiv(d)("pa.qp - pb.qp", "1000")}
-         |             * ${floorDiv(d)("pa.qp - pb.qp", "1000")}) AS BIGINT) AS sp
-         |  FROM pr p
-         |  JOIN jl_p pa ON pa.vec_id = p.a_id
-         |  JOIN jl_p pb ON pb.vec_id = p.b_id AND pb.k = pa.k
-         |  GROUP BY p.a_id, p.b_id
-         |),
-         |dd AS (
-         |  -- distortion µ-quantized to int64 at the pair grain: the
-         |  -- corpus-level mean must never SUM raw doubles (float
-         |  -- accumulation is order-dependent across engines)
-         |  SELECT so.a_id AS vec_a, so.b_id AS vec_b,
-         |    CASE WHEN so.so = 0 THEN NULL
-         |         ELSE CAST(FLOOR(sqrt(CAST(sp.sp AS DOUBLE) * 1.0e6 / 16.0
-         |                               / CAST(so.so AS DOUBLE)) * 1.0e6 + 5.0e-1) AS BIGINT)
-         |    END AS dmu
-         |  FROM so JOIN sp ON sp.a_id = so.a_id AND sp.b_id = so.b_id
+    stages = pcaMatrixStages.take(1) ++ Seq(jlSignStage, jlProjStage,
+      // the per-pair distortion table is MATERIALIZED (µ-quantized to
+      // int64 at the pair grain — the corpus-level mean must never SUM
+      // raw doubles, float accumulation is order-dependent across
+      // engines): the corpus scalars are then a shuffle-parallel
+      // aggregate over the artifact instead of an unpartitioned
+      // OVER () window funneling every pair through one partition.
+      // Single consumer -> not prewarmed; the build is this query's
+      // own computation
+      "jl_dd" -> { (d: Dialect) =>
+        s"""WITH v AS (SELECT DISTINCT vec_id FROM jl_p),
+           |b AS (SELECT vec_id, vec_id % 256 AS bkt FROM v),
+           |rep AS (SELECT bkt, MIN(vec_id) AS rep_id FROM b GROUP BY bkt),
+           |pr AS (
+           |  SELECT b.vec_id AS a_id, r.rep_id AS b_id
+           |  FROM b JOIN rep r ON (b.bkt + 128) % 256 = r.bkt
+           |  WHERE r.rep_id <> b.vec_id
+           |),
+           |so AS (
+           |  SELECT p.a_id, p.b_id,
+           |    CAST(SUM((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS BIGINT) AS so
+           |  FROM pr p
+           |  JOIN pca_q qa ON qa.vec_id = p.a_id
+           |  JOIN pca_q qb ON qb.vec_id = p.b_id AND qb.pos = qa.pos
+           |  GROUP BY p.a_id, p.b_id
+           |),
+           |sp AS (
+           |  SELECT p.a_id, p.b_id,
+           |    CAST(SUM(${floorDiv(d)("pa.qp - pb.qp", "1000")}
+           |             * ${floorDiv(d)("pa.qp - pb.qp", "1000")}) AS BIGINT) AS sp
+           |  FROM pr p
+           |  JOIN jl_p pa ON pa.vec_id = p.a_id
+           |  JOIN jl_p pb ON pb.vec_id = p.b_id AND pb.k = pa.k
+           |  GROUP BY p.a_id, p.b_id
+           |)
+           |SELECT so.a_id AS vec_a, so.b_id AS vec_b,
+           |  CASE WHEN so.so = 0 THEN NULL
+           |       ELSE CAST(FLOOR(sqrt(CAST(sp.sp AS DOUBLE) * 1.0e6 / 16.0
+           |                             / CAST(so.so AS DOUBLE)) * 1.0e6 + 5.0e-1) AS BIGINT)
+           |  END AS dmu
+           |FROM so JOIN sp ON sp.a_id = so.a_id AND sp.b_id = so.b_id""".stripMargin
+      }),
+    body = { _ =>
+      s"""WITH g AS (
+         |  SELECT CAST(SUM(dmu) AS BIGINT) AS sd,
+         |    CAST(SUM(CASE WHEN dmu IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+         |    CAST(SUM(CASE WHEN dmu BETWEEN 500000 AND 1500000 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+         |  FROM jl_dd
          |)
          |SELECT vec_a, vec_b,
          |  CAST(dmu AS DOUBLE) / 1.0e6 AS distortion,
-         |  ${r6("CAST(SUM(dmu) OVER () AS DOUBLE) / 1.0e6 / SUM(CASE WHEN dmu IS NOT NULL THEN 1 ELSE 0 END) OVER ()")} AS mean_distortion,
-         |  ${r6("CAST(SUM(CASE WHEN dmu BETWEEN 500000 AND 1500000 THEN 1 ELSE 0 END) OVER () AS DOUBLE) / SUM(CASE WHEN dmu IS NOT NULL THEN 1 ELSE 0 END) OVER ()")} AS frac_within_50pct
-         |FROM dd ORDER BY vec_a, vec_b""".stripMargin
+         |  ${r6("CAST(g.sd AS DOUBLE) / 1.0e6 / g.nn")} AS mean_distortion,
+         |  ${r6("CAST(g.nb AS DOUBLE) / g.nn")} AS frac_within_50pct
+         |FROM jl_dd CROSS JOIN g
+         |ORDER BY vec_a, vec_b""".stripMargin
     })
 
   val ulmDrift: StagedOp = StagedOp(
@@ -7692,7 +7723,14 @@ object SqlOps {
   val pcaProject: StagedOp = StagedOp(
     stages = pcaPower.stages,
     body = { d =>
-      s"""WITH ${pcaScaled(d, s"pca_w$PcaRounds", "pos", "w", "vq")},
+      // ENVELOPE-target rescale, not the fixed 1e6: this vq feeds the
+      // int64 projection sums below (Σ cv·vq over n_pos terms), which
+      // would silently wrap in Spark at the matrix magnitudes the
+      // adaptive envelope exists for. proj/align2 are RATIOS of t and
+      // √nv2, so the vq scale cancels — at test magnitudes the clamp
+      // makes this byte-identical to the fixed target
+      s"""WITH ${pcaScaled(d, s"pca_w$PcaRounds", "pos", "w", "vq",
+                           Some(("pca_env", "n_pos")))},
          |vs AS (SELECT CAST(SUM(vq * vq) AS BIGINT) AS nv2 FROM sc),
          |p AS (
          |  SELECT c.vec_id,
@@ -7723,7 +7761,11 @@ object SqlOps {
     * independent implementation. */
   val pcaDeflate: StagedOp = StagedOp(
     stages = (pcaPower.stages :+ ("pcb_cv" -> { (d: Dialect) =>
-      s"""WITH ${pcaScaled(d, s"pca_w$PcaRounds", "pos", "w", "vq")},
+      // envelope-target rescale — the same silent-wrap reasoning as
+      // pcaProject's body; the rank-one coefficient t·vq/nv2 is
+      // scale-invariant in vq
+      s"""WITH ${pcaScaled(d, s"pca_w$PcaRounds", "pos", "w", "vq",
+                           Some(("pca_env", "n_pos")))},
          |vs AS (SELECT CAST(SUM(vq * vq) AS BIGINT) AS nv2 FROM sc),
          |t AS (
          |  SELECT c.vec_id, CAST(SUM(c.cv * v.vq) AS BIGINT) AS t
@@ -7768,8 +7810,10 @@ object SqlOps {
     * the trainer's scaling. `env = Some((envTbl, termsCol))` derives
     * the target from the staged envelope ([[pcaTargetCte]] — interior
     * iteration rescales, whose output feeds another int64 sum); None
-    * keeps the fixed 1e6 (final OUTPUT rescales, whose µ-unit scale
-    * is the published contract and which feed only doubles). Emits a
+    * keeps the fixed 1e6 — ONLY for final component outputs, whose
+    * µ-unit scale is the published contract and whose values feed
+    * nothing but the /1e6 double conversion; every rescale whose
+    * output enters another int64 sum must pass the envelope. Emits a
     * CTE chain ending in sc(key, out). */
   private def pcaScaled(d: Dialect, tbl: String, key: String, col: String, out: String,
                         env: Option[(String, String)] = None): String = {
