@@ -752,6 +752,10 @@ object SparkEntry {
     "q_filter_calibration" -> sqlq(Seq("documents"), SqlOps.filterCalibration),
     // GRPO-style per-group advantage baseline
     "q_reward_group_norm" -> sqlq(Seq("documents"), SqlOps.rewardGroupNorm),
+    // water-filling token-budget allocation across domains
+    "q_mix_waterfill" -> sqlq(Seq("documents"), SqlOps.mixWaterfill),
+    // split-conformal threshold for the cheap filter score
+    "q_filter_conformal" -> sqlStaged(Seq("documents"), SqlOps.filterConformal),
     // Johnson-Lindenstrauss projection + distortion audit
     "q_embed_jl_project" -> sqlStaged(Seq("embeddings"), SqlOps.embedJlProject),
     "q_embed_jl_distortion" -> sqlStaged(Seq("embeddings"), SqlOps.embedJlDistortion),
@@ -1600,6 +1604,8 @@ object SparkEntry {
     "q_pref_bradley_terry" -> SqlOps.prefBradleyTerry.single(DuckDialect),
     "q_filter_calibration" -> SqlOps.filterCalibration(DuckDialect),
     "q_reward_group_norm" -> SqlOps.rewardGroupNorm(DuckDialect),
+    "q_mix_waterfill" -> SqlOps.mixWaterfill(DuckDialect),
+    "q_filter_conformal" -> SqlOps.filterConformal.single(DuckDialect),
     "q_embed_jl_project" -> SqlOps.embedJlProject.single(DuckDialect),
     "q_embed_jl_distortion" -> SqlOps.embedJlDistortion.single(DuckDialect),
     "q_bpe_encode" -> SqlOps.bpeEncode.single(DuckDialect),

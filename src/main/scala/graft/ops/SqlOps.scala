@@ -2345,6 +2345,128 @@ object SqlOps {
        |FROM w
        |ORDER BY bin""".stripMargin
 
+  /** Token-budget allocation across domains by WATER-FILLING: give
+    * every domain an equal share of the budget until its available
+    * mass caps it, then re-level the remainder over the uncapped rest
+    * — the max-min-fair allocation (equivalently: maximize Σ log t_d
+    * under Σ t_d = B, t_d ≤ cap_d), the standard way a mixture
+    * schedule spends a token budget without starving small domains.
+    * Closed form, no iteration: with caps sorted ascending, domain j
+    * is capped iff cap_j·(n−j+1) + prefix_{j−1} ≤ B (a prefix
+    * property — window-computable), the water level is the integer
+    * share of what capping leaves, and the sub-level remainder is
+    * distributed largest-remainder-style (the [[mixTemperature]]
+    * rule). Everything is ONE scan → ONE domain-cardinality aggregate
+    * → windows: exact int64 (envelope: cap·n ≤ 9e18 — petabyte token
+    * masses at thousands of domains), with the two invariants
+    * (budget exactly spent, no allocation above its cap) asserted as
+    * output columns. */
+  def mixWaterfill(d: Dialect): String =
+    s"""WITH sc AS (
+       |  -- domain = (source × language) cell: heavily skewed masses,
+       |  -- so both arms of the water-fill (capped small cells,
+       |  -- levelled large ones) are exercised on every corpus
+       |  SELECT concat(source, ':', lang) AS source, CAST(SUM(n_chars) AS BIGINT) AS cap
+       |  FROM documents GROUP BY concat(source, ':', lang)
+       |),
+       |t AS (
+       |  SELECT source, cap,
+       |    CAST(SUM(cap) OVER () AS BIGINT) AS total,
+       |    CAST(SUM(cap) OVER (ORDER BY cap, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pfx,
+       |    ROW_NUMBER() OVER (ORDER BY cap, source) AS j,
+       |    COUNT(*) OVER () AS n
+       |  FROM sc
+       |),
+       |b AS (
+       |  SELECT source, cap, total, pfx, j, n,
+       |    ${d.idiv("total * 3", "5")} AS budget,
+       |    CASE WHEN cap * (n - j + 1) + (pfx - cap) <= ${d.idiv("total * 3", "5")}
+       |         THEN 1 ELSE 0 END AS capped
+       |  FROM t
+       |),
+       |k AS (
+       |  SELECT source, cap, budget, n, capped,
+       |    CAST(SUM(capped) OVER () AS BIGINT) AS nk,
+       |    CAST(SUM(CASE WHEN capped = 1 THEN cap ELSE 0 END) OVER () AS BIGINT) AS cmass,
+       |    ROW_NUMBER() OVER (PARTITION BY capped ORDER BY source) AS urk
+       |  FROM b
+       |),
+       |a AS (
+       |  SELECT source, cap, budget, capped,
+       |    CASE WHEN capped = 1 THEN cap
+       |         ELSE ${d.idiv("budget - cmass", "GREATEST(n - nk, 1)")}
+       |              + CASE WHEN urk <= (budget - cmass) % GREATEST(n - nk, 1)
+       |                     THEN 1 ELSE 0 END
+       |    END AS alloc
+       |  FROM k
+       |)
+       |SELECT source AS domain, cap AS available, alloc AS allocated, budget,
+       |  capped = 1 AS is_capped,
+       |  CAST(SUM(alloc) OVER () AS BIGINT) = budget AS fully_allocated,
+       |  alloc <= cap AS within_cap
+       |FROM a ORDER BY domain""".stripMargin
+
+  /** Split-conformal threshold for a cheap filter score: calibrate the
+    * keep-cutoff τ on an md5-split calibration half so that at most
+    * α = 10% of the TRUE-pass calibration docs fall below it (a
+    * distribution-free false-negative guarantee — the modern way to
+    * run a cheap gate in front of an expensive filter with a bounded
+    * miss rate), then report the held-out test half's achieved FNR,
+    * keep rate and rejection precision. τ is an ordered statistic
+    * (one window over calibration positives), every rate is one
+    * exact integer ratio, and the α guarantee is re-proven in-query
+    * (`cal_within_alpha`: cal_fn·10 ≤ cal_pos — integer compare, no
+    * float). The score table is a STAGE: three consumers (the
+    * threshold, the calibration audit, the test metrics) would
+    * otherwise re-run the token-counting scan per reference. */
+  val filterConformal: StagedOp = StagedOp(
+    stages = Seq("conf_sc" -> { (d: Dialect) =>
+      s"""WITH g AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id, text,
+         |    ${gopherCounts(d)}
+         |  FROM g
+         |)
+         |SELECT doc_id,
+         |  LEAST(${d.idiv("1000000 * n_words", "100")}, 1000000) AS conf,
+         |  CASE WHEN $GopherPass THEN 1 ELSE 0 END AS pass,
+         |  CASE WHEN ${md5Bucket("text")} < 128 THEN 1 ELSE 0 END AS is_cal
+         |FROM m""".stripMargin
+    }),
+    body = { d =>
+      s"""WITH tau AS (
+         |  SELECT conf AS tau FROM (
+         |    SELECT conf, ROW_NUMBER() OVER (ORDER BY conf, doc_id) AS rk,
+         |      COUNT(*) OVER () AS npos
+         |    FROM conf_sc WHERE is_cal = 1 AND pass = 1
+         |  ) WHERE rk = ${d.idiv("npos + 9", "10")}
+         |),
+         |agg AS (
+         |  SELECT
+         |    CAST(MAX(t.tau) AS BIGINT) AS tau,
+         |    CAST(SUM(CASE WHEN is_cal = 1 AND pass = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cal_pos,
+         |    CAST(SUM(CASE WHEN is_cal = 1 AND pass = 1 AND conf < t.tau THEN 1 ELSE 0 END) AS BIGINT) AS cal_fn,
+         |    CAST(SUM(CASE WHEN is_cal = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+         |    CAST(SUM(CASE WHEN is_cal = 0 AND pass = 1 THEN 1 ELSE 0 END) AS BIGINT) AS test_pos,
+         |    CAST(SUM(CASE WHEN is_cal = 0 AND pass = 1 AND conf < t.tau THEN 1 ELSE 0 END) AS BIGINT) AS test_fn,
+         |    CAST(SUM(CASE WHEN is_cal = 0 AND conf >= t.tau THEN 1 ELSE 0 END) AS BIGINT) AS test_keep,
+         |    CAST(SUM(CASE WHEN is_cal = 0 AND conf < t.tau AND pass = 0 THEN 1 ELSE 0 END) AS BIGINT) AS test_tn
+         |  FROM conf_sc CROSS JOIN tau t
+         |)
+         |SELECT
+         |  ${r6("CAST(tau AS DOUBLE) / 1.0e6")} AS tau,
+         |  cal_pos,
+         |  ${r6("CAST(cal_fn AS DOUBLE) / cal_pos")} AS cal_fnr,
+         |  cal_fn * 10 <= cal_pos AS cal_within_alpha,
+         |  CASE WHEN test_pos = 0 THEN NULL
+         |       ELSE ${r6("CAST(test_fn AS DOUBLE) / test_pos")} END AS test_fnr,
+         |  ${r6("CAST(test_keep AS DOUBLE) / n_test")} AS test_keep_rate,
+         |  CASE WHEN n_test - test_keep = 0 THEN NULL
+         |       ELSE ${r6("CAST(test_tn AS DOUBLE) / (n_test - test_keep)")} END AS reject_precision
+         |FROM agg""".stripMargin
+    })
+
   /** Group-relative reward normalization (the GRPO/RLOO advantage
     * baseline): per group (source plays the prompt), each sample's
     * advantage = (x − μ_group)/σ_group, computed EXACTLY as

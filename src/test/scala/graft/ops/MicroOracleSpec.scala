@@ -1695,4 +1695,129 @@ class MicroOracleSpec extends SparkSpec {
            perBin.values.exists { case (_, cf, acc) => acc < cf })
     spark.catalog.dropTempView("documents")
   }
+
+  test("water-filling: SQL closed-form allocation equals an independent " +
+    "iterative re-levelling fixpoint") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // 8 domains with skewed caps: a tie among the small (all-or-none
+    // capping), four large ones that get levelled, and a cap mass that
+    // leaves a nonzero sub-level remainder — every arm of the SQL is
+    // exercised; multiple rows per domain so the SUM rollup matters
+    val domCaps: Seq[(String, String, Long)] = Seq(
+      ("A", "en", 12L), ("B", "en", 30L), ("C", "en", 30L), ("D", "en", 55L),
+      ("E", "en", 4000L), ("F", "en", 5000L), ("G", "en", 7000L), ("H", "en", 9000L))
+    val rows = domCaps.zipWithIndex.flatMap { case ((s, l, cap), i) =>
+      // split each cap over 3 rows (two fixed chips + remainder)
+      val chip = cap / 4
+      Seq((i * 3L, s, l, chip), (i * 3L + 1, s, l, chip), (i * 3L + 2, s, l, cap - 2 * chip))
+    }
+    rows.toDF("doc_id", "source", "lang", "n_chars").createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.mixWaterfill(SparkDialect)).collect()
+      .map(r => r.getAs[String]("domain") ->
+        (r.getAs[Long]("available"), r.getAs[Long]("allocated"),
+          r.getAs[Boolean]("is_capped"), r.getAs[Boolean]("fully_allocated"),
+          r.getAs[Boolean]("within_cap"))).toMap
+
+    // ---- independent implementation: textbook iterative water-fill,
+    // re-levelling over the uncapped set until the fixpoint (the SQL
+    // instead uses the sorted-prefix closed form) ----
+    val caps: Map[String, Long] = domCaps.map { case (s, l, c) => s"$s:$l" -> c }.toMap
+    val budget = caps.values.sum * 3 / 5
+    var cappedSet = Set.empty[String]
+    var changed = true
+    while (changed) {
+      val unc = caps.keys.filterNot(cappedSet).toSeq
+      val rem = budget - cappedSet.toSeq.map(caps).sum
+      val newly = unc.filter(d => caps(d) * unc.size <= rem)
+      changed = newly.nonEmpty
+      cappedSet ++= newly
+    }
+    val unc = caps.keys.filterNot(cappedSet).toSeq.sorted
+    val rem = budget - cappedSet.toSeq.map(caps).sum
+    val base = rem / unc.size
+    val extra = rem % unc.size
+    val expAlloc: Map[String, Long] =
+      cappedSet.map(d => d -> caps(d)).toMap ++
+        unc.zipWithIndex.map { case (d, i) => d -> (base + (if (i < extra) 1L else 0L)) }
+    assert(got.keySet === caps.keySet)
+    caps.keys.foreach { d =>
+      val (avail, alloc, isCapped, full, within) = got(d)
+      assert(avail === caps(d), s"$d available")
+      assert(alloc === expAlloc(d), s"$d allocated")
+      assert(isCapped === cappedSet(d), s"$d is_capped")
+      assert(full && within, s"$d invariants")
+    }
+    // the fixture genuinely exercises every arm
+    assert(cappedSet.nonEmpty && unc.nonEmpty, "need both capped and levelled domains")
+    assert(extra > 0, "need a sub-level remainder so largest-remainder +1s happen")
+    assert(expAlloc.values.sum === budget)
+    spark.catalog.dropTempView("documents")
+  }
+
+  test("split-conformal threshold: SQL tau and held-out rates equal an " +
+    "independent ordered-statistic replay") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // 160 docs: word counts sweep 40..129 (so conf sweeps the band and
+    // caps at 1.0 → ties at the top), short docs fail the Gopher
+    // word-count rule (true negatives below tau), every 11th doc is a
+    // symbol-spam fail with HIGH conf (false keeps) — both halves of
+    // the md5 split get positives and negatives
+    val stopTail = "the and of"
+    val docs: Seq[(Long, String)] = (0 until 160).map { i =>
+      val n = 40 + (i * 7) % 90
+      val body = (0 until n).map(j => s"w${i}x$j").mkString(" ")
+      val text =
+        if (i % 11 == 0) s"$body ${Seq.fill(n / 5)("#").mkString(" ")} $stopTail"
+        else s"$body $stopTail"
+      (i.toLong, text)
+    }
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.filterConformal.single(SparkDialect)).collect()
+    assert(got.length === 1)
+    val g = got(0)
+
+    // ---- independent replay: counters, md5 split, ordered-statistic
+    // tau, exact integer rates ----
+    val stops = Set("the", "and", "of", "to", "in", "is", "a")
+    case class D(id: Long, conf: Long, pass: Boolean, cal: Boolean)
+    val ds = docs.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val nWords = toks.length.toLong
+      val nChars = t.replace(" ", "").length.toLong
+      val nSym = ("#|\\.\\.\\.".r).findAllIn(t).length.toLong
+      val nAlpha = toks.count(w => w.toLowerCase != w.toUpperCase).toLong
+      val nStop = toks.filter(stops).distinct.length.toLong
+      val pass = (nWords >= 50 && nWords <= 100000) &&
+        (nChars >= 3 * nWords && nChars <= 10 * nWords) &&
+        (nSym * 10 < nWords) && (nAlpha * 10 >= nWords * 8) && (nStop >= 2)
+      val conf = math.min(1000000L * nWords / 100L, 1000000L)
+      val cal = Integer.parseInt(md5hex(t).substring(0, 2), 16) < 128
+      D(id, conf, pass, cal)
+    }
+    val calPos = ds.filter(d => d.cal && d.pass).sortBy(d => (d.conf, d.id))
+    val npos = calPos.size.toLong
+    val tau = calPos(((npos + 9) / 10 - 1).toInt).conf
+    val calFn = calPos.count(_.conf < tau).toLong
+    val test = ds.filterNot(_.cal)
+    val nTest = test.size.toLong
+    val testPos = test.count(_.pass).toLong
+    val testFn = test.count(d => d.pass && d.conf < tau).toLong
+    val testKeep = test.count(_.conf >= tau).toLong
+    val testTn = test.count(d => d.conf < tau && !d.pass).toLong
+    assert(g.getAs[Double]("tau") === r6(tau.toDouble / 1e6))
+    assert(g.getAs[Long]("cal_pos") === npos)
+    assert(g.getAs[Double]("cal_fnr") === r6(calFn.toDouble / npos))
+    assert(g.getAs[Boolean]("cal_within_alpha") === (calFn * 10 <= npos))
+    assert(g.getAs[Boolean]("cal_within_alpha"), "the ordered statistic must enforce alpha")
+    assert(g.getAs[Double]("test_fnr") === r6(testFn.toDouble / testPos))
+    assert(g.getAs[Double]("test_keep_rate") === r6(testKeep.toDouble / nTest))
+    assert(g.getAs[Double]("reject_precision") === r6(testTn.toDouble / (nTest - testKeep)))
+    // the fixture discriminates: an interior tau, real misses on the
+    // held-out half, and genuine true rejections below tau
+    assert(npos >= 20 && tau > 500000L && tau < 1000000L, s"tau=$tau npos=$npos")
+    assert(testFn > 0 && testTn > 0 && testKeep < nTest)
+    spark.catalog.dropTempView("documents")
+  }
 }
