@@ -752,6 +752,10 @@ object SparkEntry {
     "q_filter_calibration" -> sqlq(Seq("documents"), SqlOps.filterCalibration),
     // GRPO-style per-group advantage baseline
     "q_reward_group_norm" -> sqlq(Seq("documents"), SqlOps.rewardGroupNorm),
+    // DPO chosen/rejected pair construction per prompt group
+    "q_pref_dpo_pairs" -> sqlq(Seq("documents"), SqlOps.prefDpoPairs),
+    // Poisson-bootstrap CI for the corpus pass-rate
+    "q_eval_bootstrap" -> sqlq(Seq("documents"), SqlOps.evalBootstrap),
     // water-filling token-budget allocation across domains
     "q_mix_waterfill" -> sqlq(Seq("documents"), SqlOps.mixWaterfill),
     // split-conformal threshold for the cheap filter score
@@ -1604,6 +1608,8 @@ object SparkEntry {
     "q_pref_bradley_terry" -> SqlOps.prefBradleyTerry.single(DuckDialect),
     "q_filter_calibration" -> SqlOps.filterCalibration(DuckDialect),
     "q_reward_group_norm" -> SqlOps.rewardGroupNorm(DuckDialect),
+    "q_pref_dpo_pairs" -> SqlOps.prefDpoPairs(DuckDialect),
+    "q_eval_bootstrap" -> SqlOps.evalBootstrap(DuckDialect),
     "q_mix_waterfill" -> SqlOps.mixWaterfill(DuckDialect),
     "q_filter_conformal" -> SqlOps.filterConformal.single(DuckDialect),
     "q_embed_jl_project" -> SqlOps.embedJlProject.single(DuckDialect),

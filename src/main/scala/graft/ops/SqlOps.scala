@@ -2502,6 +2502,143 @@ object SqlOps {
        |  END AS advantage
        |FROM s ORDER BY doc_id""".stripMargin
 
+  /** DPO/best-of-n preference-pair construction: per prompt group
+    * (source × lang plays the prompt), CHOSEN = the top-reward sample
+    * and REJECTED = the bottom-reward sample (ties to the smaller
+    * doc_id — deterministic in both engines), kept only when the
+    * group has ≥ 4 candidates and the margin clears 10% of the chosen
+    * reward (an integer compare — weak pairs teach a DPO objective
+    * nothing and a zero margin is a coin flip). ONE scan, ONE window
+    * partition (both rank directions share it), and the final rollup
+    * groups on the same key the window already partitioned by — no
+    * second shuffle. Scale shape: rows = group count, never corpus
+    * size. */
+  def prefDpoPairs(d: Dialect): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, concat(source, ':', lang) AS grp,
+       |    CAST(${d.size(toks(d))} AS BIGINT) AS reward
+       |  FROM documents
+       |),
+       |w AS (
+       |  SELECT doc_id, grp, reward,
+       |    COUNT(*) OVER (PARTITION BY grp) AS n,
+       |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY reward DESC, doc_id) AS rk_top,
+       |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY reward ASC, doc_id) AS rk_bot
+       |  FROM t
+       |),
+       |g AS (
+       |  SELECT grp, MAX(n) AS n_candidates,
+       |    MAX(CASE WHEN rk_top = 1 THEN doc_id END) AS chosen_id,
+       |    MAX(CASE WHEN rk_top = 1 THEN reward END) AS chosen_reward,
+       |    MAX(CASE WHEN rk_bot = 1 THEN doc_id END) AS rejected_id,
+       |    MAX(CASE WHEN rk_bot = 1 THEN reward END) AS rejected_reward
+       |  FROM w GROUP BY grp
+       |)
+       |SELECT grp AS prompt_group, n_candidates,
+       |  chosen_id, chosen_reward, rejected_id, rejected_reward,
+       |  chosen_reward - rejected_reward AS margin
+       |FROM g
+       |WHERE n_candidates >= 4
+       |  AND (chosen_reward - rejected_reward) * 10 >= chosen_reward
+       |ORDER BY prompt_group""".stripMargin
+
+  /** Resample count and weight cap for [[evalBootstrap]]. */
+  private val BootB = 64
+  private val BootWMax = 8
+
+  /** Cumulative Poisson(1) thresholds at 48-bit resolution —
+    * T_k = ⌊CDF(k−1)·2⁴⁸⌋, so a 48-bit uniform u draws weight
+    * w = |{k : u ≥ T_k}| ~ Poisson(1), truncated at [[BootWMax]]
+    * (P(w > 8) ≈ 1.1e−6 — a bounded, documented truncation both
+    * engines share). Host-exact at 60 digits (the transcendental-
+    * pinning rule: e⁻¹ never crosses an engine boundary, only these
+    * integer literals do). */
+  private val PoissonT: Seq[Long] = {
+    val mc = new java.math.MathContext(60)
+    val one = BigDecimal(1, mc)
+    // e^{-1} by the alternating factorial series, |error| < 1/51!
+    var term = one
+    var einv = one
+    for (j <- 1 to 50) { term = term / j; einv += (if (j % 2 == 1) -term else term) }
+    val pow48 = BigDecimal(1L << 48)
+    var invFact = one   // 1/j! running
+    var cum = BigDecimal(0, mc) // Σ_{j<k} 1/j!
+    (1 to BootWMax).map { k =>
+      cum += invFact    // now Σ_{j<=k-1} 1/j!
+      invFact = invFact / k
+      (einv * cum * pow48).setScale(0, BigDecimal.RoundingMode.FLOOR).toLongExact
+    }
+  }
+
+  /** Poisson bootstrap over the corpus pass-rate — THE distributed
+    * bootstrap (Chamandy et al. 2012): a true multinomial resample
+    * needs a global draw, but Poisson(1) per-doc weights are
+    * independent, so each of the [[BootB]] resamples is ONE narrow
+    * map-side expression and the whole CI costs docs×B tiny rows that
+    * collapse to B partial aggregates before any shuffle. Weights are
+    * deterministic and engine-portable: a 48-bit md5 uniform per
+    * (doc, replicate) stepped through the [[PoissonT]] integer
+    * staircase. Per-replicate rates are µ-quantized int64 (exact
+    * division — ranking and the ordered-statistic CI never compare
+    * doubles), the CI is the 2.5%/97.5% ordered ranks (⌈αB/2⌉ = 2 and
+    * B+1−2 = 63 at B = 64), and the bootstrap SE comes off exact
+    * integer moments. The empty-resample guard throws loudly in both
+    * engines rather than silently shifting ranks. */
+  def evalBootstrap(d: Dialect): String = {
+    val wSum = PoissonT.map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+      .mkString("(", "\n      + ", ")")
+    val rep =
+      s"""SELECT doc_id, pass, ${d.seqArray("1", BootB.toString)} AS bs
+         |  FROM p""".stripMargin
+    s"""WITH g AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    ${gopherCounts(d)}
+       |  FROM g
+       |),
+       |p AS (SELECT doc_id, CASE WHEN $GopherPass THEN 1 ELSE 0 END AS pass FROM m),
+       |pb AS (
+       |  ${d.explode(rep, "doc_id, pass", "bs", "b")}
+       |),
+       |hb AS (
+       |  SELECT b, pass,
+       |    md5(concat(CAST(doc_id AS STRING), '#', CAST(b AS STRING))) AS mh
+       |  FROM pb
+       |),
+       |uv AS (SELECT b, pass, ${md5U48("mh")} AS u FROM hb),
+       |wv AS (SELECT b, pass, $wSum AS w FROM uv),
+       |rb AS (
+       |  SELECT b,
+       |    CAST(SUM(w * pass) AS BIGINT) AS wpass,
+       |    CAST(SUM(w) AS BIGINT) AS wtot
+       |  FROM wv GROUP BY b
+       |),
+       |rq AS (
+       |  SELECT b,
+       |    CASE WHEN wtot = 0
+       |         THEN CAST('eval-bootstrap: empty Poisson resample — corpus too small' AS BIGINT)
+       |         ELSE ${d.idiv("wpass * 1000000", "wtot")} END AS rq
+       |  FROM rb
+       |),
+       |ord AS (SELECT b, rq, ROW_NUMBER() OVER (ORDER BY rq, b) AS rk FROM rq),
+       |st AS (
+       |  SELECT COUNT(*) AS nb,
+       |    CAST(SUM(rq) AS BIGINT) AS s1,
+       |    CAST(SUM(rq * rq) AS BIGINT) AS s2,
+       |    MAX(CASE WHEN rk = 2 THEN rq END) AS lo,
+       |    MAX(CASE WHEN rk = ${BootB - 1} THEN rq END) AS hi
+       |  FROM ord
+       |),
+       |pt AS (SELECT COUNT(*) AS n_docs, CAST(SUM(pass) AS BIGINT) AS np FROM p)
+       |SELECT n_docs,
+       |  ${r6("CAST(np AS DOUBLE) / n_docs")} AS pass_rate,
+       |  ${r6("CAST(lo AS DOUBLE) / 1.0e6")} AS ci_lo,
+       |  ${r6("CAST(hi AS DOUBLE) / 1.0e6")} AS ci_hi,
+       |  ${r6("sqrt(CAST(nb * s2 - s1 * s1 AS DOUBLE) / (nb * (nb - 1))) / 1.0e6")} AS boot_se,
+       |  CAST($BootB AS BIGINT) AS n_resamples
+       |FROM st CROSS JOIN pt""".stripMargin
+  }
+
   // ---- Johnson-Lindenstrauss random projection: dimensionality
   // reduction for the embedding column with a distortion audit ----
 

@@ -1820,4 +1820,124 @@ class MicroOracleSpec extends SparkSpec {
     assert(testFn > 0 && testTn > 0 && testKeep < nTest)
     spark.catalog.dropTempView("documents")
   }
+
+  test("DPO pairs: SQL chosen/rejected selection equals an independent " +
+    "per-group scan with ties and threshold edges") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // groups engineered at the rule edges: a tie at the top AND at the
+    // bottom (doc_id must break both), a group with margin exactly AT
+    // the 10% line, one just UNDER it, and a group below the size gate
+    def doc(id: Long, src: String, lang: String, nTok: Int): (Long, String, String, String) =
+      (id, src, lang, (0 until nTok).map(j => s"t${id}x$j").mkString(" "))
+    val docs: Seq[(Long, String, String, String)] = Seq(
+      // G1: top tie 100@(1,2), bottom tie 40@(3,4) — ids break ties
+      doc(2, "A", "en", 100), doc(1, "A", "en", 100), doc(4, "A", "en", 40), doc(3, "A", "en", 40),
+      // G2: margin exactly 10% of chosen (50 -> 45): 5*10 = 50 — kept
+      doc(10, "B", "en", 50), doc(11, "B", "en", 45), doc(12, "B", "en", 47), doc(13, "B", "en", 48),
+      // G3: margin just under 10% (50 -> 46): 4*10 < 50 — dropped
+      doc(20, "C", "en", 50), doc(21, "C", "en", 46), doc(22, "C", "en", 47), doc(23, "C", "en", 48),
+      // G4: only 3 candidates — dropped by the size gate
+      doc(30, "D", "en", 90), doc(31, "D", "en", 10), doc(32, "D", "en", 50))
+    docs.toDF("doc_id", "source", "lang", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.prefDpoPairs(SparkDialect)).collect()
+      .map(r => (r.getAs[String]("prompt_group"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("chosen_id"), r.getAs[Long]("chosen_reward"),
+        r.getAs[Long]("rejected_id"), r.getAs[Long]("rejected_reward"),
+        r.getAs[Long]("margin")))
+
+    // ---- independent per-group scan ----
+    val expected = docs.groupBy { case (_, s, l, _) => s"$s:$l" }.toSeq.flatMap {
+      case (grp, ds) =>
+        val scored = ds.map { case (id, _, _, t) => (id, t.split(" ", -1).length.toLong) }
+        val chosen = scored.minBy { case (id, r) => (-r, id) }
+        val rejected = scored.minBy { case (id, r) => (r, id) }
+        val margin = chosen._2 - rejected._2
+        if (scored.size >= 4 && margin * 10 >= chosen._2)
+          Some((grp, scored.size.toLong, chosen._1, chosen._2, rejected._1, rejected._2, margin))
+        else None
+    }.sortBy(_._1)
+    assert(got.toSeq === expected)
+    // the edges actually fired: G1 kept with both ties id-broken,
+    // G2 kept at the exact line, G3 and G4 dropped
+    assert(expected.map(_._1) === Seq("A:en", "B:en"))
+    assert(expected.head._3 === 1L && expected.head._5 === 3L)
+    spark.catalog.dropTempView("documents")
+  }
+
+  test("Poisson bootstrap: SQL weights, rates, CI ranks and SE equal an " +
+    "independent replay with independently derived thresholds") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // 120 docs, a planted ~55% Gopher pass-rate: ids ending 0..5 pass
+    // (55+ words with stopwords), the rest fail the word-count rule
+    val stopTail = "the and of"
+    val docs: Seq[(Long, String)] = (0 until 120).map { i =>
+      val n = if (i % 10 <= 5) 60 + i % 7 else 30 + i % 7
+      (i.toLong, (0 until n).map(j => s"w${i}x$j").mkString(" ") + " " + stopTail)
+    }
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.evalBootstrap(SparkDialect)).collect()
+    assert(got.length === 1)
+    val g = got(0)
+
+    // ---- independent replay ----
+    // thresholds re-derived a DIFFERENT way: e via Σ1/j! then inverted,
+    // CDF terms multiplied down recursively (the main path uses the
+    // alternating e^{-1} series)
+    val mc = new java.math.MathContext(50)
+    val e = (0 to 40).foldLeft(BigDecimal(0, mc)) { (s, j) =>
+      s + BigDecimal(1, mc) / (1 to j).foldLeft(BigDecimal(1, mc))(_ * _)
+    }
+    val thresholds: Seq[Long] = {
+      var cdf = BigDecimal(0, mc)
+      var term = BigDecimal(1, mc) / e // e^{-1}·1/0!
+      (1 to 8).map { k =>
+        cdf += term
+        term = term / k
+        (cdf * BigDecimal(1L << 48)).setScale(0, BigDecimal.RoundingMode.FLOOR).toLongExact
+      }
+    }
+    val stops = Set("the", "and", "of", "to", "in", "is", "a")
+    val pass: Map[Long, Long] = docs.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val nWords = toks.length.toLong
+      val nChars = t.replace(" ", "").length.toLong
+      val ok = (nWords >= 50 && nWords <= 100000) &&
+        (nChars >= 3 * nWords && nChars <= 10 * nWords) &&
+        toks.count(w => w.toLowerCase != w.toUpperCase) * 10 >= nWords * 8 &&
+        toks.filter(stops).distinct.length >= 2
+      id -> (if (ok) 1L else 0L)
+    }.toMap
+    def u48(s: String): Long = java.lang.Long.parseLong(md5hex(s).substring(0, 12), 16)
+    val weights: Seq[(Int, Long, Long)] = for {
+      (id, _) <- docs; b <- 1 to 64
+    } yield {
+      val u = u48(s"$id#$b")
+      (b, pass(id), thresholds.count(u >= _).toLong)
+    }
+    val rates: Seq[(Long, Int)] = weights.groupBy(_._1).toSeq.map { case (b, ws) =>
+      val wtot = ws.map(_._3).sum
+      val wpass = ws.collect { case (_, p, w) if p == 1 => w }.sum
+      (wpass * 1000000L / wtot, b)
+    }.sorted
+    val lo = rates(1)._1  // rank 2 of 64
+    val hi = rates(62)._1 // rank 63 of 64
+    val s1 = rates.map(_._1).sum
+    val s2 = rates.map(r => r._1 * r._1).sum
+    val nb = 64L
+    val se = math.sqrt((nb * s2 - s1 * s1).toDouble / (nb * (nb - 1))) / 1.0e6
+    val np = pass.values.sum
+    assert(g.getAs[Long]("n_docs") === 120L)
+    assert(g.getAs[Double]("pass_rate") === r6(np.toDouble / 120))
+    assert(g.getAs[Double]("ci_lo") === r6(lo.toDouble / 1e6))
+    assert(g.getAs[Double]("ci_hi") === r6(hi.toDouble / 1e6))
+    assert(g.getAs[Double]("boot_se") === r6(se))
+    assert(g.getAs[Long]("n_resamples") === 64L)
+    // the resampling is genuinely Poisson-spread (zeros and multiples
+    // both occur), the CI is nondegenerate and brackets the estimate
+    assert(weights.exists(_._3 == 0L) && weights.exists(_._3 >= 2L))
+    assert(lo < hi && lo.toDouble / 1e6 <= np.toDouble / 120 && np.toDouble / 120 <= hi.toDouble / 1e6)
+    spark.catalog.dropTempView("documents")
+  }
 }
