@@ -4694,6 +4694,74 @@ object SqlOps {
          |FROM easg GROUP BY cell, pos""".stripMargin
     })
 
+  /** Lloyd rounds for [[kmeansLoop]]. */
+  private val KmRounds = 3
+
+  /** The FULL Lloyd loop — [[kmeansStep]] iterated to (near)
+    * convergence as staged rounds: round r assigns every vector to its
+    * nearest round-(r−1) centroid ([[Dialect.ivfAssign]]: Spark packs
+    * the broadcast-sized centroid table into one array value and runs
+    * the codegen'd argmin — a narrow projection, ZERO shuffle of the
+    * vectors; the only shuffle per round is the (cell, pos) centroid
+    * re-aggregation, cells×dims cardinality) and re-estimates the
+    * means in exact µ-quantized int64. Readout per round: how many
+    * vectors changed cells, the surviving-centroid L1 shift, and the
+    * live cell count — the convergence trajectory a clustering job
+    * monitors. A cell that loses all members drops out (the
+    * [[kmeansStep]] rule); the shift join therefore covers surviving
+    * labels only. The round stages are the query's own computation —
+    * deliberately NOT prewarmed, like the CC/peel/pagerank loops. */
+  val kmeansLoop: StagedOp = {
+    val roundStages: Seq[(String, Dialect => String)] = (1 to KmRounds).flatMap { r =>
+      val prevCent = if (r == 1) "ivf_cent" else s"km_c${r - 1}"
+      Seq(
+        s"km_a$r" -> { (d: Dialect) =>
+          d.ivfAssign(s"cent AS (SELECT label, pos, qc FROM $prevCent)")
+        },
+        s"km_c$r" -> { (d: Dialect) =>
+          val exp = d.explodeWithPos(
+            s"SELECT cell, embedding FROM km_a$r", "cell", "embedding", "pos", "v")
+          s"""WITH ea AS ($exp)
+             |SELECT cell AS label, pos,
+             |  CAST(FLOOR(CAST(SUM(${qvExpr("v")}) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
+             |FROM ea GROUP BY cell, pos""".stripMargin
+        })
+    }
+    StagedOp(
+      stages = Seq[(String, Dialect => String)](
+        "emb_nv" -> (nvStage(_)),
+        "ivf_cent" -> { (d: Dialect) =>
+          s"WITH ${ivfCentCtes(d)} SELECT label, pos, qc FROM cent"
+        }) ++ roundStages,
+      body = { _ =>
+        val rows = (1 to KmRounds).map { r =>
+          val prevCent = if (r == 1) "ivf_cent" else s"km_c${r - 1}"
+          val prevAsgn =
+            if (r == 1)
+              // the initial "assignment" is the label column, restricted
+              // to emb_nv's vector set (zero-norm exclusions) so round 1
+              // counts over the same population as every later round
+              "(SELECT n.vec_id, e.label AS cell FROM emb_nv n JOIN embeddings e ON n.vec_id = e.vec_id)"
+            else s"(SELECT vec_id, cell FROM km_a${r - 1})"
+          // three tiny single-row aggregates per round; the cross joins
+          // broadcast one-row scalars (the q_above_avg pattern)
+          s"""SELECT $r AS round, ra.n_reassigned, sh.shift_l1, nc.n_cells
+             |FROM (
+             |  SELECT COUNT(*) AS n_reassigned
+             |  FROM km_a$r a JOIN $prevAsgn p ON a.vec_id = p.vec_id AND a.cell <> p.cell
+             |) ra
+             |CROSS JOIN (
+             |  SELECT CAST(SUM(ABS(c.qc - pc.qc)) AS BIGINT) AS shift_l1
+             |  FROM km_c$r c JOIN $prevCent pc ON c.label = pc.label AND c.pos = pc.pos
+             |) sh
+             |CROSS JOIN (
+             |  SELECT COUNT(DISTINCT cell) AS n_cells FROM km_a$r
+             |) nc""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"$rows\nORDER BY round"
+      })
+  }
+
   /** Embedding near-dup pairs above a cosine threshold, LSH-gated with
     * [[SignBands]] OR'd 8-bit sign bands (the minhash banding pattern
     * applied to sign LSH): a pair is a candidate iff ALL 8 signs of

@@ -1940,4 +1940,66 @@ class MicroOracleSpec extends SparkSpec {
     assert(lo < hi && lo.toDouble / 1e6 <= np.toDouble / 120 && np.toDouble / 120 <= hi.toDouble / 1e6)
     spark.catalog.dropTempView("documents")
   }
+
+  test("k-means loop: SQL staged Lloyd rounds equal an independent fixpoint replay") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val dim = 64 // emb_nv's sign bands read the first 64 positions
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(3, dim)(rnd.nextFloat() * 2f - 1f)
+    // 45 vectors near 3 planted centers; a third of the initial labels
+    // are deliberately scrambled so round 1 has real work to do
+    val vecs = (0 until 45).map { i =>
+      val t = i % 3
+      val v = Array.tabulate(dim)(j => centers(t)(j) + (rnd.nextFloat() - 0.5f) * 0.3f)
+      val lbl = if (i % 5 == 0) (t + 1) % 3 else t
+      (i.toLong, lbl.toLong, v.toSeq)
+    }
+    vecs.toDF("vec_id", "label", "embedding")
+      .selectExpr("vec_id", "CAST(label AS INT) AS label",
+        "CAST(embedding AS ARRAY<FLOAT>) AS embedding")
+      .createOrReplaceTempView("embeddings")
+    SqlOps.kmeansLoop.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.kmeansLoop.body(SparkDialect)).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[Long]("n_reassigned"),
+        r.getAs[Long]("shift_l1"), r.getAs[Long]("n_cells"))).sortBy(_._1)
+
+    // ---- independent plain-Scala Lloyd on the same µ-quantized grid ----
+    def qvq(v: Float): Long = math.floor(v.toDouble * 1e6 + 0.5).toLong
+    val pts: Map[Long, Array[Long]] = vecs.map { case (id, _, v) => id -> v.map(qvq).toArray }.toMap
+    def centroidsOf(asgn: Map[Long, Long]): Map[Long, Array[Long]] =
+      asgn.groupBy(_._2).map { case (c, m) =>
+        val members = m.keys.toSeq.map(pts)
+        c -> Array.tabulate(dim) { j =>
+          math.floor(members.map(_(j)).sum.toDouble / members.size + 0.5).toLong
+        }
+      }
+    def assignAll(cents: Map[Long, Array[Long]]): Map[Long, Long] =
+      pts.map { case (id, p) =>
+        id -> cents.toSeq.map { case (c, q) =>
+          ((0 until dim).map { j => val dd = p(j) - q(j); dd * dd }.sum, c)
+        }.min._2
+      }
+    var asgn: Map[Long, Long] = vecs.map(v => v._1 -> v._2).toMap
+    var cents = centroidsOf(asgn)
+    val expected = (1 to 3).map { r =>
+      val na = assignAll(cents)
+      val nc = centroidsOf(na)
+      val shift = nc.keys.filter(cents.contains).toSeq.map { c =>
+        (0 until dim).map(j => math.abs(nc(c)(j) - cents(c)(j))).sum
+      }.sum
+      val row = (r, na.count { case (id, c) => asgn(id) != c }.toLong,
+        shift, na.values.toSet.size.toLong)
+      asgn = na; cents = nc
+      row
+    }
+    assert(got.toSeq === expected)
+    // the loop genuinely converges on this fixture: round 1 fixes the
+    // scrambled labels, later rounds reassign strictly less
+    assert(expected.head._2 >= 9L, s"round 1 must do real work: ${expected.head._2}")
+    assert(expected.last._2 < expected.head._2)
+    spark.catalog.dropTempView("embeddings")
+  }
 }
