@@ -758,6 +758,8 @@ object SparkEntry {
     "q_eval_bootstrap" -> sqlq(Seq("documents"), SqlOps.evalBootstrap),
     // full Lloyd loop: per-round reassignments + centroid shift
     "q_kmeans_loop" -> sqlStaged(Seq("embeddings"), SqlOps.kmeansLoop),
+    // DoReMi-style excess-loss domain reweighting
+    "q_mix_doremi" -> sqlStaged(Seq("documents"), SqlOps.mixDoremiOp),
     // water-filling token-budget allocation across domains
     "q_mix_waterfill" -> sqlq(Seq("documents"), SqlOps.mixWaterfill),
     // split-conformal threshold for the cheap filter score
@@ -1613,6 +1615,7 @@ object SparkEntry {
     "q_pref_dpo_pairs" -> SqlOps.prefDpoPairs(DuckDialect),
     "q_eval_bootstrap" -> SqlOps.evalBootstrap(DuckDialect),
     "q_kmeans_loop" -> SqlOps.kmeansLoop.single(DuckDialect),
+    "q_mix_doremi" -> SqlOps.mixDoremiOp.single(DuckDialect),
     "q_mix_waterfill" -> SqlOps.mixWaterfill(DuckDialect),
     "q_filter_conformal" -> SqlOps.filterConformal.single(DuckDialect),
     "q_embed_jl_project" -> SqlOps.embedJlProject.single(DuckDialect),

@@ -2542,6 +2542,112 @@ object SqlOps {
        |  AND (chosen_reward - rejected_reward) * 10 >= chosen_reward
        |ORDER BY prompt_group""".stripMargin
 
+  /** Multiplicative-weights staircase for [[mixDoremi]]: EXPQ(i) =
+    * round(exp(i/16)·10⁹) for i ∈ [−32, 32] — a 1/16-bit grid over the
+    * clamped ±2-bit excess range, host-exact via StrictMath (the
+    * transcendental-pinning rule: exp never crosses an engine
+    * boundary; quantization error ≤ e^(1/32)−1 ≈ 3.2% relative,
+    * documented and engine-identical). */
+  private val DoremiExpQ: Seq[Long] =
+    (-32 to 32).map(i => math.round(StrictMath.exp(i / 16.0) * 1e9))
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, arXiv:
+    * 2305.10429, data-side instantiation): one multiplicative-weights
+    * step that UPWEIGHTS domains with high excess loss. The loss proxy
+    * is the corpus unigram-LM surprisal (bits/token off the staged
+    * ulm_tf index — the same signal q_text_unigram_lm reads): a
+    * domain whose text the corpus LM finds surprising is exactly the
+    * under-represented kind DoReMi boosts. Per-domain excess =
+    * bits/token − corpus bits/token in exact µ-bits (µ-log2 int64
+    * sums), clamped to ±2 bits, stepped through the [[DoremiExpQ]]
+    * staircase (signed grid round via floorDiv — Spark DIV truncates
+    * toward zero where DuckDB floors), and normalized to ppm by
+    * largest remainder (the [[mixTemperature]] rule). Everything
+    * after the one ulm_tf scan is domain-cardinality; the
+    * normalization identity is asserted in-row. */
+  def mixDoremi(d: Dialect): String = {
+    // the ulmStair pattern: a CASE over the bounded grid index — both
+    // engines evaluate only int64 arithmetic plus this literal table
+    val expCase = "CASE " + DoremiExpQ.zipWithIndex.map { case (v, i) =>
+      s"WHEN gi = ${i - 32} THEN CAST($v AS BIGINT)"
+    }.mkString("\n      ") +
+      "\n      ELSE CAST('doremi stair: unreachable grid index' AS BIGINT) END"
+    s"""WITH c AS (SELECT doc_id, tf,
+       |    CAST(SUM(tf) OVER (PARTITION BY s) AS BIGINT) AS c FROM ulm_tf),
+       |n AS (SELECT CAST(SUM(tf) AS BIGINT) AS nn FROM ulm_tf),
+       |db AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(tf * (${qlog2("nn")} - ${qlog2("c")})) AS BIGINT) AS bits_mu
+       |  FROM c CROSS JOIN n GROUP BY doc_id
+       |),
+       |dd AS (
+       |  -- domain = (source × lang) cell: minority-language cells are
+       |  -- genuinely surprising under the corpus-wide LM (their tokens
+       |  -- are globally rare), so the staircase's upweighting arms are
+       |  -- exercised on every corpus — source alone is statistically
+       |  -- uniform here and would quantize to an all-uniform readout
+       |  SELECT concat(doc.source, ':', doc.lang) AS source, COUNT(*) AS n_docs,
+       |    CAST(SUM(b.n_tokens) AS BIGINT) AS toks,
+       |    CAST(SUM(b.bits_mu) AS BIGINT) AS bits_mu
+       |  FROM db b JOIN documents doc ON b.doc_id = doc.doc_id
+       |  GROUP BY concat(doc.source, ':', doc.lang)
+       |),
+       |g AS (SELECT source, n_docs, toks, bits_mu,
+       |    CAST(SUM(toks) OVER () AS BIGINT) AS gtoks,
+       |    CAST(SUM(bits_mu) OVER () AS BIGINT) AS gbits,
+       |    COUNT(*) OVER () AS nd
+       |  FROM dd),
+       |x AS (
+       |  SELECT source, n_docs, toks, nd,
+       |    ${d.idiv("bits_mu", "toks")} AS bpt_mu,
+       |    ${d.idiv("gbits", "gtoks")} AS gbpt_mu
+       |  FROM g
+       |),
+       |e AS (
+       |  SELECT source, n_docs, toks, nd, bpt_mu, gbpt_mu,
+       |    LEAST(GREATEST(bpt_mu - gbpt_mu, -2000000), 2000000) AS exq
+       |  FROM x
+       |),
+       |gi AS (
+       |  SELECT source, n_docs, toks, nd, bpt_mu, gbpt_mu, exq,
+       |    ${floorDiv(d)("exq + 31250", "62500")} AS gi
+       |  FROM e
+       |),
+       |w AS (
+       |  SELECT source, n_docs, toks, nd, bpt_mu, gbpt_mu, exq,
+       |    $expCase AS wq
+       |  FROM gi
+       |),
+       |t AS (SELECT source, n_docs, toks, nd, bpt_mu, gbpt_mu, exq, wq,
+       |    CAST(SUM(wq) OVER () AS BIGINT) AS tw FROM w),
+       |alloc AS (
+       |  SELECT source, n_docs, toks, nd, bpt_mu, gbpt_mu, exq, wq,
+       |    ${d.idiv("1000000 * wq", "tw")} AS base,
+       |    (1000000 * wq) % tw AS rem
+       |  FROM t
+       |),
+       |ranked AS (
+       |  SELECT source, n_docs, toks, nd, bpt_mu, gbpt_mu, exq, base,
+       |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+       |    CAST(1000000 - SUM(base) OVER () AS BIGINT) AS leftover
+       |  FROM alloc
+       |)
+       |SELECT source AS domain, n_docs, toks AS n_tokens,
+       |  ${r6("CAST(bpt_mu AS DOUBLE) / 1.0e6")} AS bits_per_token,
+       |  ${r6("CAST(bpt_mu - gbpt_mu AS DOUBLE) / 1.0e6")} AS excess_bits,
+       |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS weight_ppm,
+       |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) * nd > 1000000 AS upweighted,
+       |  CAST(SUM(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) OVER () AS BIGINT) = 1000000
+       |    AS fully_normalized
+       |FROM ranked ORDER BY domain""".stripMargin
+  }
+
+  /** Staged wrapper: [[mixDoremi]] reads the shared ulm_tf index. */
+  val mixDoremiOp: StagedOp = StagedOp(
+    stages = textUnigramLm.stages,
+    body = mixDoremi)
+
   /** Resample count and weight cap for [[evalBootstrap]]. */
   private val BootB = 64
   private val BootWMax = 8

@@ -2002,4 +2002,77 @@ class MicroOracleSpec extends SparkSpec {
     assert(expected.last._2 < expected.head._2)
     spark.catalog.dropTempView("embeddings")
   }
+
+  test("DoReMi reweighting: SQL staircase weights equal an independent " +
+    "replay, with both clamp arms and the largest remainder exercised") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // A:en floods the corpus with one token (surprisal ~0 → excess
+    // clamps at −2 bits), B:de is all-unique tokens (excess clamps at
+    // +2), C:fr sits between (an interior staircase arm)
+    val docs: Seq[(Long, String, String, String)] =
+      (0 until 10).map(i => (i.toLong, "A", "en", Seq.fill(40)("aa").mkString(" "))) ++
+      (0 until 5).map(i => (100L + i, "B", "de",
+        (0 until 30).map(j => s"rare${i}u$j").mkString(" "))) ++
+      (0 until 5).map(i => (200L + i, "C", "fr",
+        (Seq.fill(10)("aa") ++ (0 until 10).map(j => s"mid${j % 5}")).mkString(" ")))
+    docs.toDF("doc_id", "source", "lang", "text").createOrReplaceTempView("documents")
+    SqlOps.mixDoremiOp.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.mixDoremiOp.body(SparkDialect)).collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("bits_per_token"),
+        r.getAs[Double]("excess_bits"), r.getAs[Long]("weight_ppm"),
+        r.getAs[Boolean]("upweighted"), r.getAs[Boolean]("fully_normalized")))
+      .sortBy(_._1)
+
+    // ---- independent replay ----
+    def qlog2(x: Long): Long =
+      math.floor(math.log(x.toDouble) / math.log(2.0) * 1e6 + 0.5).toLong
+    val toksOf: Map[Long, Seq[String]] =
+      docs.map { case (id, _, _, t) => id -> t.split(" ", -1).filter(_.nonEmpty).toSeq }.toMap
+    val cGlob: Map[String, Long] =
+      toksOf.values.flatten.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val nn = cGlob.values.sum
+    case class Dom(nDocs: Long, toks: Long, bitsMu: Long)
+    val byDom: Map[String, Dom] = docs.groupBy { case (_, s, l, _) => s"$s:$l" }.map {
+      case (dom, ds) =>
+        val perDoc = ds.map { case (id, _, _, _) =>
+          val tf = toksOf(id).groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+          (tf.values.sum, tf.map { case (w, f) => f * (qlog2(nn) - qlog2(cGlob(w))) }.sum)
+        }
+        dom -> Dom(ds.size.toLong, perDoc.map(_._1).sum, perDoc.map(_._2).sum)
+    }
+    val gtoks = byDom.values.map(_.toks).sum
+    val gbits = byDom.values.map(_.bitsMu).sum
+    val gbpt = gbits / gtoks
+    val nd = byDom.size.toLong
+    val rows = byDom.toSeq.map { case (dom, dm) =>
+      val bpt = dm.bitsMu / dm.toks
+      val exq = math.max(-2000000L, math.min(2000000L, bpt - gbpt))
+      val gi = Math.floorDiv(exq + 31250L, 62500L)
+      val wq = math.round(StrictMath.exp(gi / 16.0) * 1e9)
+      (dom, dm, bpt, bpt - gbpt, exq, wq)
+    }
+    val tw = rows.map(_._6).sum
+    val alloc = rows.map { case t => (t, 1000000L * t._6 / tw, (1000000L * t._6) % tw) }
+    val leftover = 1000000L - alloc.map(_._2).sum
+    val rankedUp = alloc.sortBy { case (t, _, rem) => (-rem, t._1) }.zipWithIndex.map {
+      case (((dom, dm, bpt, ex, exq, _), base, _), i) =>
+        val w = base + (if (i < leftover) 1L else 0L)
+        (dom, dm.nDocs, dm.toks, r6(bpt.toDouble / 1e6), r6(ex.toDouble / 1e6),
+          w, w * nd > 1000000L, true)
+    }.sortBy(_._1)
+    assert(got.toSeq === rankedUp)
+    // the fixture exercises the machinery end to end
+    val exqs = rows.map(_._5)
+    assert(exqs.contains(2000000L) && exqs.contains(-2000000L), s"both clamps must fire: $exqs")
+    assert(rows.map(_._6).distinct.size === 3, "three distinct staircase arms")
+    assert(got.map(_._6).sum === 1000000L)
+    val wByDom = got.map(r => r._1 -> r._6).toMap
+    assert(wByDom("B:de") > wByDom("C:fr") && wByDom("C:fr") > wByDom("A:en"),
+      s"rare domains must be upweighted: $wByDom")
+    spark.catalog.dropTempView("documents")
+  }
 }
