@@ -866,6 +866,14 @@ object SparkEntry {
         .createOrReplaceTempView("split_a")
       s.sql(SqlOps.splitReport(SparkDialect))
     }),
+    // cluster-safe K-fold CV assignment + straddle/balance audit
+    "q_split_kfold" -> ((s, d) => {
+      clustersStaged(s, d).createOrReplaceTempView("clusters")
+      graft.Tables(s, d, "documents").createOrReplaceTempView("documents")
+      s.sql(SqlOps.splitKfoldAssign(SparkDialect)).localCheckpoint()
+        .createOrReplaceTempView("kfold_a")
+      s.sql(SqlOps.splitKfoldReport(SparkDialect))
+    }),
     "q_text_bigram_lm" -> sqlStaged(Seq("documents"), SqlOps.textBigramLm),
     "q_bigram_pmi" -> sqlStaged(Seq("documents"), SqlOps.bigramPmi),
     "q_join_size_audit" -> sqlq(Seq("orders", "lineitem"), SqlOps.joinSizeAudit),
@@ -1699,6 +1707,14 @@ object SparkEntry {
          |)
          |SELECT * FROM (
          |${SqlOps.splitReport(DuckDialect)}
+         |)""".stripMargin,
+    "q_split_kfold" ->
+      s"""$CLUSTER_CTES,
+         |kfold_a AS ${DuckDialect.cteMaterialize}(
+         |${SqlOps.splitKfoldAssign(DuckDialect)}
+         |)
+         |SELECT * FROM (
+         |${SqlOps.splitKfoldReport(DuckDialect)}
          |)""".stripMargin,
     "q_text_bigram_lm" -> SqlOps.textBigramLm.single(DuckDialect),
     "q_bigram_pmi" -> SqlOps.bigramPmi.single(DuckDialect),

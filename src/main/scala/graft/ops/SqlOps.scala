@@ -7996,6 +7996,53 @@ object SqlOps {
        |FROM split_a CROSS JOIN straddle
        |GROUP BY split""".stripMargin
 
+  /** Cluster-safe K-fold assignment for [[splitKfoldReport]]: every
+    * near-dup CLUSTER (singletons = their own id) hashes to one of
+    * [[KfoldK]] folds, so duplicates can never straddle a CV fold
+    * boundary — the cross-validation sibling of [[splitLeakageSafe]].
+    * The naive per-document fold rides along for the straddle audit.
+    * Same scale shape: a left join, a hash projection, group-bys. */
+  def splitKfoldAssign(d: Dialect): String =
+    s"""WITH ${corpusCte(d)},
+       |g AS (
+       |  SELECT c.doc_id, COALESCE(k.cluster_id, c.doc_id) AS grp
+       |  FROM corpus c LEFT JOIN clusters k ON c.doc_id = k.doc_id
+       |)
+       |SELECT doc_id, grp,
+       |  ${md5Bucket("CAST(grp AS STRING)")} % $KfoldK AS fold,
+       |  ${md5Bucket("CAST(doc_id AS STRING)")} % $KfoldK AS naive_fold
+       |FROM g""".stripMargin
+
+  private val KfoldK = 5
+
+  /** K-fold readout off the materialized assignment (`kfold_a` view):
+    * per fold the doc/group counts and the train-side size (each fold
+    * serves as validation once), plus two corpus scalars — the groups
+    * the NAIVE per-doc hash would have split across folds (the
+    * leakage this op prevents) and the max/min fold balance ratio.
+    * Single-row scalars broadcast through cross joins. */
+  def splitKfoldReport(d: Dialect): String =
+    s"""WITH straddle AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS naive_straddling_groups
+       |  FROM (SELECT grp FROM kfold_a GROUP BY grp HAVING COUNT(DISTINCT naive_fold) > 1)
+       |),
+       |f AS (
+       |  SELECT fold, COUNT(*) AS n_docs,
+       |    CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups
+       |  FROM kfold_a GROUP BY fold
+       |),
+       |tot AS (
+       |  SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+       |    CAST(MAX(n_docs) AS BIGINT) AS mx, CAST(MIN(n_docs) AS BIGINT) AS mn
+       |  FROM f
+       |)
+       |SELECT CAST(f.fold AS BIGINT) AS fold, f.n_docs, f.n_groups,
+       |  t.total - f.n_docs AS train_docs,
+       |  s.naive_straddling_groups,
+       |  ${r6("CAST(t.mx AS DOUBLE) / t.mn")} AS balance_ratio
+       |FROM f CROSS JOIN tot t CROSS JOIN straddle s
+       |ORDER BY fold""".stripMargin
+
   /** Runtime-filter (semi-join reduction) on a big⋈big join — the
     * 100 TB staple Spark's own runtime filters automate for simple
     * cases, expressed explicitly: the FILTERED orders slice folds its

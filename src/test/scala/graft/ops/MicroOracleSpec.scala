@@ -2075,4 +2075,48 @@ class MicroOracleSpec extends SparkSpec {
       s"rare domains must be upweighted: $wByDom")
     spark.catalog.dropTempView("documents")
   }
+
+  test("k-fold split: SQL fold assignment and straddle audit equal an " +
+    "independent md5 replay over the snapshot corpus") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // 12 docs → 24 snapshot copies (ids 2d/2d+1); 8 docs clustered in
+    // dup pairs, 4 singletons
+    val docs = (0 until 12).map(i => (i.toLong, s"text body number $i"))
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val pairs = (0 until 8).flatMap { d =>
+      Seq((2L * d, 2L * d), (2L * d + 1, 2L * d))
+    }
+    pairs.toDF("doc_id", "cluster_id").createOrReplaceTempView("clusters")
+    spark.sql(SqlOps.splitKfoldAssign(SparkDialect)).localCheckpoint()
+      .createOrReplaceTempView("kfold_a")
+    val got = spark.sql(SqlOps.splitKfoldReport(SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("fold"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_groups"), r.getAs[Long]("train_docs"),
+        r.getAs[Long]("naive_straddling_groups"), r.getAs[Double]("balance_ratio")))
+      .sortBy(_._1)
+
+    // ---- independent replay ----
+    def bkt(s: String): Int = Integer.parseInt(md5hex(s).substring(0, 2), 16)
+    val cmap = pairs.toMap
+    val corpusIds = docs.flatMap { case (d0, _) => Seq(2 * d0, 2 * d0 + 1) }
+    val asgn = corpusIds.map { id =>
+      val grp = cmap.getOrElse(id, id)
+      (id, grp, bkt(grp.toString) % 5, bkt(id.toString) % 5)
+    }
+    val straddle = asgn.groupBy(_._2).count { case (_, xs) => xs.map(_._4).distinct.size > 1 }.toLong
+    val byFold = asgn.groupBy(_._3)
+    val total = asgn.size.toLong
+    val mx = byFold.values.map(_.size).max.toLong
+    val mn = byFold.values.map(_.size).min.toLong
+    val expected = byFold.toSeq.map { case (f, xs) =>
+      (f.toLong, xs.size.toLong, xs.map(_._2).distinct.size.toLong,
+        total - xs.size, straddle, r6(mx.toDouble / mn))
+    }.sortBy(_._1)
+    assert(got.toSeq === expected)
+    // cluster safety by construction: no GROUP straddles folds
+    assert(asgn.groupBy(_._2).values.forall(xs => xs.map(_._3).distinct.size == 1))
+    assert(straddle > 0, "the naive audit must catch real straddling on dup pairs")
+    spark.catalog.dropTempView("documents"); spark.catalog.dropTempView("clusters")
+  }
 }
