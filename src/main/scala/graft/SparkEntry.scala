@@ -745,6 +745,9 @@ object SparkEntry {
     "q_ulm_soft_em" -> sqlStaged(Seq("documents"), SqlOps.ulmSoftEm),
     "q_ulm_prune" -> sqlStaged(Seq("documents"), SqlOps.ulmPrune64Timed),
     "q_ulm_drift" -> sqlStaged(Seq("documents"), SqlOps.ulmDrift),
+    // tokenizer-selection A/B (both trained artifacts, one tf join);
+    // name sorts after q_ulm_viterbi so ulm_seg stays billed there
+    "q_ulm_vs_bpe" -> sqlStaged(Seq("documents"), SqlOps.ulmVsBpe),
     // -- preference-data aggregation (RLHF data prep) --
     "q_pref_winrate" -> sqlStaged(Seq("documents"), SqlOps.prefWinrate),
     "q_pref_bradley_terry" -> sqlStaged(Seq("documents"), SqlOps.prefBradleyTerry),
@@ -1616,6 +1619,7 @@ object SparkEntry {
     "q_ulm_soft_em" -> SqlOps.ulmSoftEm.single(DuckDialect),
     "q_ulm_prune" -> SqlOps.ulmPrune64Timed.single(DuckDialect),
     "q_ulm_drift" -> SqlOps.ulmDrift.single(DuckDialect),
+    "q_ulm_vs_bpe" -> SqlOps.ulmVsBpe.single(DuckDialect),
     "q_pref_winrate" -> SqlOps.prefWinrate.single(DuckDialect),
     "q_pref_bradley_terry" -> SqlOps.prefBradleyTerry.single(DuckDialect),
     "q_filter_calibration" -> SqlOps.filterCalibration(DuckDialect),

@@ -3024,6 +3024,53 @@ object SqlOps {
          |GROUP BY t.doc_id""".stripMargin
     })
 
+  /** Tokenizer-selection A/B — BPE vs unigram-LM over the SAME corpus,
+    * the readout a pipeline makes before committing a tokenizer: both
+    * trained artifacts ([[bpeMerges]]' final vocabulary, [[ulmViterbi]]'s
+    * segmenter) are joined through the one collapsed tf index, so each
+    * DISTINCT word is measured once per tokenizer and the corpus is
+    * never re-scanned. Corpus-level tf-weighted fertility for each,
+    * plus per-doc winner counts (pure int64 comparisons — no float
+    * crosses an aggregate). Coverage is total by construction on both
+    * sides: bpe_v0 is built FROM ulm_tf's words and the ULM candidate
+    * vocabulary includes all single chars, so the inner joins drop
+    * nothing. Stage lists of the two families share the
+    * [[textUnigramLm]] prefix — dedup by name keeps the oracle's CTE
+    * rendering single-copy; on the Spark side the per-JVM stage memo
+    * makes the repeat registrations free. Named to sort AFTER
+    * q_ulm_viterbi so the timed ulm_seg build stays billed to its
+    * owning query (the bench first-consumer rule). */
+  val ulmVsBpe: StagedOp = StagedOp(
+    stages = (ulmViterbi.stages ++ bpeMerges.stages).distinctBy(_._1),
+    body = { d =>
+      s"""WITH useg AS (SELECT w, np FROM ulm_seg WHERE segid = 0),
+         |bseg AS (
+         |  SELECT w, ${d.size(d.filter(d.split("sym", " "), "x -> x <> ''"))} AS n_syms
+         |  FROM bpe_m3
+         |),
+         |per_doc AS (
+         |  SELECT t.doc_id,
+         |    CAST(SUM(t.tf) AS BIGINT) AS n_words,
+         |    CAST(SUM(t.tf * u.np) AS BIGINT) AS ulm_pieces,
+         |    CAST(SUM(t.tf * b.n_syms) AS BIGINT) AS bpe_pieces
+         |  FROM ulm_tf t
+         |  JOIN useg u ON u.w = t.s
+         |  JOIN bseg b ON b.w = t.s
+         |  GROUP BY t.doc_id
+         |)
+         |SELECT
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(ulm_pieces) AS BIGINT) AS ulm_pieces,
+         |  CAST(SUM(bpe_pieces) AS BIGINT) AS bpe_pieces,
+         |  ${r6("CAST(SUM(ulm_pieces) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)")} AS ulm_fertility,
+         |  ${r6("CAST(SUM(bpe_pieces) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)")} AS bpe_fertility,
+         |  CAST(SUM(CASE WHEN ulm_pieces < bpe_pieces THEN 1 ELSE 0 END) AS BIGINT) AS ulm_wins,
+         |  CAST(SUM(CASE WHEN bpe_pieces < ulm_pieces THEN 1 ELSE 0 END) AS BIGINT) AS bpe_wins,
+         |  CAST(SUM(CASE WHEN ulm_pieces = bpe_pieces THEN 1 ELSE 0 END) AS BIGINT) AS ties
+         |FROM per_doc""".stripMargin
+    })
+
   /** Heavy-hitter bigrams via a Misra-Gries candidate gate: the
     * frequent-n-gram profile (boilerplate phrases, template markers) a
     * corpus pipeline tracks, computed at 100 TB shape — a mergeable
