@@ -2407,6 +2407,34 @@ object SqlOps {
        |  alloc <= cap AS within_cap
        |FROM a ORDER BY domain""".stripMargin
 
+  /** THE one copy of the cheap conformal filter score (µ-scaled capped
+    * word count) — shared by the [[filterConformal]] calibration stage
+    * and the streaming gate's Spark-side scorer; a formula change must
+    * not be forkable between calibration and deployment. */
+  private def confScoreExpr(d: Dialect, nWords: String): String =
+    s"LEAST(${d.idiv(s"1000000 * ($nWords)", "100")}, 1000000)"
+
+  /** The calibrated conformal keep-cutoff τ over the staged `conf_sc`
+    * table — the ⌈npos/10⌉-th smallest calibration-positive score, so
+    * at most α = 10% of true-pass calibration docs fall below it.
+    * Single-sourced: [[filterConformal]]'s body nests it as its tau
+    * CTE, and [[graft.streaming.StreamingOps.conformalGate]]'s static
+    * side runs it verbatim over the same stage. */
+  def confTauSelect(d: Dialect): String =
+    s"""  SELECT conf AS tau FROM (
+       |    SELECT conf, ROW_NUMBER() OVER (ORDER BY conf, doc_id) AS rk,
+       |      COUNT(*) OVER () AS npos
+       |    FROM conf_sc WHERE is_cal = 1 AND pass = 1
+       |  ) WHERE rk = ${d.idiv("npos + 9", "10")}""".stripMargin
+
+  /** Spark-dialect conf score over a prepared `toks` array column —
+    * the streaming gate's scorer, same single-sourced formula as the
+    * calibration stage. The BIGINT cast matches the stage's n_words
+    * type: size() is INT and 1000000·INT ANSI-throws past 2147
+    * words, where the calibration side would have scored fine. */
+  def sparkConfExpr: String =
+    confScoreExpr(SparkDialect, s"CAST(${SparkDialect.size("toks")} AS BIGINT)")
+
   /** Split-conformal threshold for a cheap filter score: calibrate the
     * keep-cutoff τ on an md5-split calibration half so that at most
     * α = 10% of the TRUE-pass calibration docs fall below it (a
@@ -2429,18 +2457,14 @@ object SqlOps {
          |  FROM g
          |)
          |SELECT doc_id,
-         |  LEAST(${d.idiv("1000000 * n_words", "100")}, 1000000) AS conf,
+         |  ${confScoreExpr(d, "n_words")} AS conf,
          |  CASE WHEN $GopherPass THEN 1 ELSE 0 END AS pass,
          |  CASE WHEN ${md5Bucket("text")} < 128 THEN 1 ELSE 0 END AS is_cal
          |FROM m""".stripMargin
     }),
     body = { d =>
       s"""WITH tau AS (
-         |  SELECT conf AS tau FROM (
-         |    SELECT conf, ROW_NUMBER() OVER (ORDER BY conf, doc_id) AS rk,
-         |      COUNT(*) OVER () AS npos
-         |    FROM conf_sc WHERE is_cal = 1 AND pass = 1
-         |  ) WHERE rk = ${d.idiv("npos + 9", "10")}
+         |${confTauSelect(d)}
          |),
          |agg AS (
          |  SELECT

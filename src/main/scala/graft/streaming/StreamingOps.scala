@@ -396,6 +396,28 @@ object StreamingOps {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("cents"), col("medc"), col("madc"))
 
+  /** Streaming conformal gate — the DEPLOYMENT side of the batch
+    * split-conformal calibration ([[graft.ops.SqlOps.filterConformal]]):
+    * arriving docs are scored with the SAME single-sourced cheap-score
+    * formula ([[graft.ops.SqlOps.sparkConfExpr]] — calibration and
+    * deployment cannot drift), then gated on the calibrated τ carried
+    * by a ONE-ROW static table (broadcast cross join; the static side
+    * is re-read per micro-batch, so a nightly re-calibration is picked
+    * up without restarting the stream). Stateless — score + gate, no
+    * streaming state; the admitted row carries its score and the τ it
+    * was admitted under, so downstream can audit which calibration
+    * admitted each doc. The conformal guarantee transfers exactly as
+    * calibrated: ≤ α of true-pass docs are wrongly rejected, as long
+    * as the arriving distribution matches the calibration split (the
+    * drift monitors watch that assumption). */
+  def conformalGate(docs: DataFrame, tau: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("conf", expr(graft.ops.SqlOps.sparkConfExpr))
+      .crossJoin(broadcast(tau.select(col("tau").as("tau_admitted"))))
+      .filter(col("conf") >= col("tau_admitted"))
+      .select(col("doc_id"), col("conf"), col("tau_admitted"))
+
   /** Streaming cross-run dedup on a key (the reference's re-scrape
     * collapse, SURVEY.md §2.4 D2) with watermark-bounded state. */
   def dedupByKey(df: DataFrame, key: String, tsCol: String, watermark: String): DataFrame =

@@ -381,6 +381,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch.filter(_._2 > 0))
   }
 
+  test("streaming conformal gate admits exactly the batch conf >= tau set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static side: the same staged calibration table and the same
+    // single-sourced tau select the batch query nests as its CTE
+    graft.Tables.documents(spark, sf001).createOrReplaceTempView("documents")
+    spark.sql(graft.ops.SqlOps.filterConformal.stages(0)._2(graft.ops.SparkDialect))
+      .createOrReplaceTempView("conf_sc")
+    val tau = spark.sql(graft.ops.SqlOps.confTauSelect(graft.ops.SparkDialect))
+    // batch truth: every doc whose score clears the calibrated cutoff
+    val expected = spark.sql(
+      s"""SELECT doc_id FROM conf_sc CROSS JOIN (
+         |${graft.ops.SqlOps.confTauSelect(graft.ops.SparkDialect)}
+         |) WHERE conf >= tau""".stripMargin)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(expected.nonEmpty, "fixture must admit at least one doc")
+    val docs = graft.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    assert(expected.size < docs.length, "tau must actually reject some docs")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.conformalGate(in.toDF().toDF("doc_id", "text"), tau)
+      .writeStream.outputMode("append").format("memory").queryName("confg").start()
+    in.addData(docs.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val admitted = spark.table("confg").collect()
+    q.stop()
+    assert(admitted.map(_.getAs[Long]("doc_id")).toSet === expected)
+    // every admitted row carries the tau it was admitted under
+    val tauVal = tau.collect().head.getAs[Long]("tau")
+    assert(admitted.forall(r => r.getAs[Long]("tau_admitted") == tauVal
+      && r.getAs[Long]("conf") >= tauVal))
+  }
+
   test("streaming corpus gate equals the batch corpus filter on in-order arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
