@@ -549,6 +549,8 @@ object SparkEntry {
     // deterministic md5-ring training shuffle: 32 shards, in-shard
     // positions, order-sensitive modular checksum per shard
     "q_shuffle_shards" -> sqlq(Seq("documents"), SqlOps.shuffleShards),
+    // curriculum manifest: difficulty quartile phases, md5 shards
+    "q_curriculum_order" -> sqlStaged(Seq("documents"), SqlOps.curriculumOrder),
     "q_window_range" -> sqlq(Seq("orders"), SqlOps.windowRangeSpend),
     "q_window_moving_avg" -> sqlq(Seq("orders"), SqlOps.windowMovingAvg),
     "q_percent_rank" -> sqlq(Seq("orders"), SqlOps.percentRankOrders),
@@ -1462,6 +1464,7 @@ object SparkEntry {
     "q_ewma_revenue" -> SqlOps.ewmaRevenue(DuckDialect),
     "q_bfs_levels" -> SqlOps.bfsLevels.single(DuckDialect),
     "q_shuffle_shards" -> SqlOps.shuffleShards(DuckDialect),
+    "q_curriculum_order" -> SqlOps.curriculumOrder.single(DuckDialect),
     "q_time_to_convert" -> SqlOps.timeToConvert(DuckDialect),
     "q_dq_audit" -> SqlOps.dqAudit.single(DuckDialect),
     "q_window_range" -> SqlOps.windowRangeSpend(DuckDialect),

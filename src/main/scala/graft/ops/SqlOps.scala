@@ -7552,6 +7552,60 @@ object SqlOps {
       })
   }
 
+  /** Curriculum data ordering — [[shuffleShards]]' difficulty-ordered
+    * complement: a curriculum trainer reads easy documents first, so
+    * every doc gets a difficulty (mean unigram surprisal in µ-bits —
+    * the [[qlog2]] quantizer, NOT [[textUnigramLm]]'s floor-log2
+    * bits: on this corpus the 1-bit granularity collapses 95% of
+    * docs onto one value and the quartiles degenerate to an
+    * empty-middle two-phase split, the CCNet-terciles lesson), a
+    * curriculum PHASE (difficulty quartile), and a deterministic
+    * shard within its phase (md5 ring — reproducible across re-runs
+    * and engines, the shuffleShards rule). Phases come from THREE
+    * percentile scalars
+    * riding a one-row broadcast cross join — boundaries-then-bucket,
+    * never an ntile global sort (the ordersRfm shape); interpolated
+    * midpoints of int64 µ-values are exact doubles, so the bucket
+    * comparisons are engine-portable. At 100 TB the exact percentile
+    * pass is the one shuffle — swap in approx_percentile and the rest
+    * of the plan is unchanged. Output: the (phase, shard) manifest
+    * with doc/token counts and the difficulty envelope per cell. */
+  val curriculumOrder: StagedOp = StagedOp(
+    stages = textUnigramLm.stages :+ ("cur_d" -> { (d: Dialect) =>
+      // per-token µ-bit surprisal summed tf-weighted in int64, one
+      // exact idiv to the per-doc mean (operands nonnegative: c ≤ nn)
+      s"""WITH c AS (SELECT doc_id, tf,
+         |    CAST(SUM(tf) OVER (PARTITION BY s) AS BIGINT) AS c FROM ulm_tf),
+         |n AS (SELECT CAST(SUM(tf) AS BIGINT) AS nn FROM ulm_tf)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |  ${d.idiv(s"CAST(SUM(tf * (${qlog2("nn")} - ${qlog2("c")})) AS BIGINT)",
+                      "CAST(SUM(tf) AS BIGINT)")} AS diff_q
+         |FROM c CROSS JOIN n GROUP BY doc_id""".stripMargin
+    }),
+    body = { d =>
+      s"""WITH b AS (
+         |  SELECT ${d.percentileCont("diff_q", "0.25")} AS q1,
+         |         ${d.percentileCont("diff_q", "0.5")} AS q2,
+         |         ${d.percentileCont("diff_q", "0.75")} AS q3
+         |  FROM cur_d
+         |),
+         |ph AS (
+         |  SELECT doc_id, n_tokens, diff_q,
+         |    CASE WHEN diff_q <= b.q1 THEN 1
+         |         WHEN diff_q <= b.q2 THEN 2
+         |         WHEN diff_q <= b.q3 THEN 3
+         |         ELSE 4 END AS phase,
+         |    ${md5Bucket("CAST(doc_id AS STRING) || ':curriculum'")} % 8 AS shard
+         |  FROM cur_d CROSS JOIN b
+         |)
+         |SELECT phase, shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  ${r6("CAST(MIN(diff_q) AS DOUBLE) / 1.0e6")} AS d_lo,
+         |  ${r6("CAST(MAX(diff_q) AS DOUBLE) / 1.0e6")} AS d_hi
+         |FROM ph GROUP BY phase, shard""".stripMargin
+    })
+
   /** Deterministic training-order shuffle: every document is assigned
     * a shard (md5 ring, 32 shards) and a position within it (ordered
     * by the full content-independent md5 of its id — the
