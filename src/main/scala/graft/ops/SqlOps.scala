@@ -2468,7 +2468,13 @@ object SqlOps {
          |),
          |agg AS (
          |  SELECT
-         |    CAST(MAX(t.tau) AS BIGINT) AS tau,
+         |    -- loud guard: an empty calibration split empties the tau
+         |    -- CROSS JOIN and every aggregate here — both engines
+         |    -- throw on the string cast instead of reporting an
+         |    -- all-NULL "calibration" (the conformalGate blackhole)
+         |    CASE WHEN MAX(t.tau) IS NULL
+         |         THEN CAST('conformal: empty calibration split — no true-pass calibration docs' AS BIGINT)
+         |         ELSE CAST(MAX(t.tau) AS BIGINT) END AS tau,
          |    CAST(SUM(CASE WHEN is_cal = 1 AND pass = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cal_pos,
          |    CAST(SUM(CASE WHEN is_cal = 1 AND pass = 1 AND conf < t.tau THEN 1 ELSE 0 END) AS BIGINT) AS cal_fn,
          |    CAST(SUM(CASE WHEN is_cal = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
@@ -2710,11 +2716,16 @@ object SqlOps {
     * (doc, replicate) stepped through the [[PoissonT]] integer
     * staircase. Per-replicate rates are µ-quantized int64 (exact
     * division — ranking and the ordered-statistic CI never compare
-    * doubles), the CI is the 2.5%/97.5% ordered ranks (⌈αB/2⌉ = 2 and
-    * B+1−2 = 63 at B = 64), and the bootstrap SE comes off exact
-    * integer moments. The empty-resample guard throws loudly in both
-    * engines rather than silently shifting ranks. */
+    * doubles), the CI is the 2.5%/97.5% ordered ranks — BOTH derived
+    * from [[BootB]] (⌈0.025·B⌉ and B+1−⌈0.025·B⌉; a literal pair
+    * would silently desynchronize if B changes), and the bootstrap
+    * SE comes off exact integer moments. The empty-resample guard
+    * throws loudly in both engines rather than silently shifting
+    * ranks. */
   def evalBootstrap(d: Dialect): String = {
+    // ceil(0.025·B) as exact integer arithmetic: (B + 39) / 40
+    val loRank = (BootB + 39) / 40
+    val hiRank = BootB + 1 - loRank
     val wSum = PoissonT.map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
       .mkString("(", "\n      + ", ")")
     val rep =
@@ -2755,8 +2766,8 @@ object SqlOps {
        |  SELECT COUNT(*) AS nb,
        |    CAST(SUM(rq) AS BIGINT) AS s1,
        |    CAST(SUM(rq * rq) AS BIGINT) AS s2,
-       |    MAX(CASE WHEN rk = 2 THEN rq END) AS lo,
-       |    MAX(CASE WHEN rk = ${BootB - 1} THEN rq END) AS hi
+       |    MAX(CASE WHEN rk = $loRank THEN rq END) AS lo,
+       |    MAX(CASE WHEN rk = $hiRank THEN rq END) AS hi
        |  FROM ord
        |),
        |pt AS (SELECT COUNT(*) AS n_docs, CAST(SUM(pass) AS BIGINT) AS np FROM p)
@@ -3081,9 +3092,15 @@ object SqlOps {
          |  JOIN useg u ON u.w = t.s
          |  JOIN bseg b ON b.w = t.s
          |  GROUP BY t.doc_id
-         |)
+         |),
+         |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS nt FROM ulm_tf)
          |SELECT
          |  COUNT(*) AS n_docs,
+         |  -- in-query proof of the total-coverage claim: a future
+         |  -- trainer change that drops a word from either vocabulary
+         |  -- would deflate the joined sum identically in both engines
+         |  -- (oracle-invisible) — this column turns it visible
+         |  CAST(SUM(n_words) AS BIGINT) = MAX(t.nt) AS coverage_ok,
          |  CAST(SUM(n_words) AS BIGINT) AS n_words,
          |  CAST(SUM(ulm_pieces) AS BIGINT) AS ulm_pieces,
          |  CAST(SUM(bpe_pieces) AS BIGINT) AS bpe_pieces,
@@ -3092,7 +3109,7 @@ object SqlOps {
          |  CAST(SUM(CASE WHEN ulm_pieces < bpe_pieces THEN 1 ELSE 0 END) AS BIGINT) AS ulm_wins,
          |  CAST(SUM(CASE WHEN bpe_pieces < ulm_pieces THEN 1 ELSE 0 END) AS BIGINT) AS bpe_wins,
          |  CAST(SUM(CASE WHEN ulm_pieces = bpe_pieces THEN 1 ELSE 0 END) AS BIGINT) AS ties
-         |FROM per_doc""".stripMargin
+         |FROM per_doc CROSS JOIN tot t""".stripMargin
     })
 
   /** Heavy-hitter bigrams via a Misra-Gries candidate gate: the
@@ -8145,16 +8162,29 @@ object SqlOps {
     * serves as validation once), plus two corpus scalars — the groups
     * the NAIVE per-doc hash would have split across folds (the
     * leakage this op prevents) and the max/min fold balance ratio.
-    * Single-row scalars broadcast through cross joins. */
-  def splitKfoldReport(d: Dialect): String =
+    * Single-row scalars broadcast through cross joins. The fold
+    * domain is the LITERAL 0..K−1 list, left-joined: a fold that
+    * received zero docs still emits its row (n_docs = 0) and drives
+    * the balance ratio to NULL — a GROUP BY over the assignment
+    * would silently omit it and the MIN would read healthy, the
+    * exact pathology this audit exists to flag. */
+  def splitKfoldReport(d: Dialect): String = {
+    val dom = (0 until KfoldK).map(k => s"SELECT $k AS fold").mkString(" UNION ALL ")
     s"""WITH straddle AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS naive_straddling_groups
        |  FROM (SELECT grp FROM kfold_a GROUP BY grp HAVING COUNT(DISTINCT naive_fold) > 1)
        |),
-       |f AS (
+       |dom AS ($dom),
+       |f0 AS (
        |  SELECT fold, COUNT(*) AS n_docs,
        |    CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups
        |  FROM kfold_a GROUP BY fold
+       |),
+       |f AS (
+       |  SELECT dom.fold,
+       |    CAST(COALESCE(f0.n_docs, 0) AS BIGINT) AS n_docs,
+       |    CAST(COALESCE(f0.n_groups, 0) AS BIGINT) AS n_groups
+       |  FROM dom LEFT JOIN f0 ON f0.fold = dom.fold
        |),
        |tot AS (
        |  SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
@@ -8164,9 +8194,11 @@ object SqlOps {
        |SELECT CAST(f.fold AS BIGINT) AS fold, f.n_docs, f.n_groups,
        |  t.total - f.n_docs AS train_docs,
        |  s.naive_straddling_groups,
-       |  ${r6("CAST(t.mx AS DOUBLE) / t.mn")} AS balance_ratio
+       |  CASE WHEN t.mn = 0 THEN NULL
+       |       ELSE ${r6("CAST(t.mx AS DOUBLE) / t.mn")} END AS balance_ratio
        |FROM f CROSS JOIN tot t CROSS JOIN straddle s
        |ORDER BY fold""".stripMargin
+  }
 
   /** Runtime-filter (semi-join reduction) on a big⋈big join — the
     * 100 TB staple Spark's own runtime filters automate for simple

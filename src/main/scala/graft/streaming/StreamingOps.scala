@@ -401,22 +401,35 @@ object StreamingOps {
     * arriving docs are scored with the SAME single-sourced cheap-score
     * formula ([[graft.ops.SqlOps.sparkConfExpr]] — calibration and
     * deployment cannot drift), then gated on the calibrated τ carried
-    * by a ONE-ROW static table (broadcast cross join; the static side
-    * is re-read per micro-batch, so a nightly re-calibration is picked
-    * up without restarting the stream). Stateless — score + gate, no
-    * streaming state; the admitted row carries its score and the τ it
-    * was admitted under, so downstream can audit which calibration
-    * admitted each doc. The conformal guarantee transfers exactly as
-    * calibrated: ≤ α of true-pass docs are wrongly rejected, as long
-    * as the arriving distribution matches the calibration split (the
-    * drift monitors watch that assumption). */
-  def conformalGate(docs: DataFrame, tau: DataFrame): DataFrame =
+    * by a ONE-ROW static table (broadcast cross join). Refreshing the
+    * calibration means re-creating the τ frame and restarting the
+    * query: a FILE-backed static DataFrame pins its part-file listing
+    * at creation (the stage-memo lesson — `read.parquet` captures the
+    * FileIndex eagerly), so an in-place parquet overwrite would serve
+    * the stale τ or fail on deleted part files, never refresh it; a
+    * table-backed source (JDBC, Delta) re-reads per micro-batch.
+    * Stateless — score + gate, no streaming state; the admitted row
+    * carries its score and the τ it was admitted under, so downstream
+    * can audit which calibration admitted each doc. An EMPTY τ table
+    * is refused loudly at construction — the inner cross join would
+    * otherwise admit zero docs forever with no error signal (the
+    * blackhole failure mode); the same degenerate calibration throws
+    * in the batch query's own guard. The conformal guarantee
+    * transfers exactly as calibrated: ≤ α of true-pass docs are
+    * wrongly rejected, as long as the arriving distribution matches
+    * the calibration split (the drift monitors watch that
+    * assumption). */
+  def conformalGate(docs: DataFrame, tau: DataFrame): DataFrame = {
+    require(!tau.isEmpty,
+      "conformalGate: empty tau table — no true-pass calibration docs; " +
+        "recalibrate before deploying the gate")
     docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("conf", expr(graft.ops.SqlOps.sparkConfExpr))
       .crossJoin(broadcast(tau.select(col("tau").as("tau_admitted"))))
       .filter(col("conf") >= col("tau_admitted"))
       .select(col("doc_id"), col("conf"), col("tau_admitted"))
+  }
 
   /** Streaming cross-run dedup on a key (the reference's re-scrape
     * collapse, SURVEY.md §2.4 D2) with watermark-bounded state. */

@@ -1921,8 +1921,12 @@ class MicroOracleSpec extends SparkSpec {
       val wpass = ws.collect { case (_, p, w) if p == 1 => w }.sum
       (wpass * 1000000L / wtot, b)
     }.sorted
-    val lo = rates(1)._1  // rank 2 of 64
-    val hi = rates(62)._1 // rank 63 of 64
+    // CI ranks derived from B the same way the query derives them
+    // (⌈0.025·B⌉ and B+1−⌈0.025·B⌉), not hardcoded — a B change must
+    // move both sides of this comparison together
+    val loRank = (64 + 39) / 40
+    val lo = rates(loRank - 1)._1
+    val hi = rates(64 - loRank)._1
     val s1 = rates.map(_._1).sum
     val s2 = rates.map(r => r._1 * r._1).sum
     val nb = 64L
@@ -2117,6 +2121,95 @@ class MicroOracleSpec extends SparkSpec {
     // cluster safety by construction: no GROUP straddles folds
     assert(asgn.groupBy(_._2).values.forall(xs => xs.map(_._3).distinct.size == 1))
     assert(straddle > 0, "the naive audit must catch real straddling on dup pairs")
+    spark.catalog.dropTempView("documents"); spark.catalog.dropTempView("clusters")
+  }
+
+  test("curriculum order: SQL manifest equals an independent surprisal, " +
+    "quartile and md5-shard replay") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // difficulty staircase: doc i carries i rare singletons diluted in
+    // common filler — 16 distinct surprisal levels so every quartile
+    // boundary separates real docs. Single-space text keeps the
+    // independent tokenizer faithful to word_shingles.
+    val docs: Seq[(Long, String)] = (0 until 16).map { i =>
+      val words = Seq.fill(16 - i)("common") ++ (0 until i).map(j => s"rare${i}x$j")
+      (i.toLong, words.mkString(" "))
+    }
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    SqlOps.curriculumOrder.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.curriculumOrder.body(SparkDialect)).collect()
+      .map(r => (r.getAs[Number]("phase").intValue, r.getAs[Number]("shard").intValue,
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("d_lo"), r.getAs[Double]("d_hi")))
+      .sortBy(t => (t._1, t._2))
+
+    // ---- independent replay ----
+    def qlog2(x: Long): Long =
+      math.floor(math.log(x.toDouble) / math.log(2.0) * 1e6 + 0.5).toLong
+    val tf: Map[(Long, String), Long] = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).filter(_.nonEmpty).groupBy(identity)
+        .map { case (w, xs) => (id, w) -> xs.size.toLong }
+    }.toMap
+    val cGlob = tf.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val nn = tf.values.sum
+    val scored: Seq[(Long, Long, Long)] = docs.map { case (id, _) =>
+      val mine = tf.collect { case ((d, w), f) if d == id => (w, f) }
+      val nTok = mine.map(_._2).sum
+      val diffQ = mine.map { case (w, f) => f * (qlog2(nn) - qlog2(cGlob(w))) }.sum / nTok
+      (id, nTok, diffQ)
+    }
+    assert(scored.map(_._3).distinct.size === 16, "staircase must not collapse")
+    // Spark `percentile`: index (n-1)*p, linear interpolation
+    def pct(xs: Seq[Long], p: Double): Double = {
+      val s = xs.sorted
+      val idx = (s.size - 1) * p
+      val (lo, hi) = (math.floor(idx).toInt, math.ceil(idx).toInt)
+      s(lo) + (idx - lo) * (s(hi) - s(lo))
+    }
+    val qs = Seq(0.25, 0.5, 0.75).map(pct(scored.map(_._3), _))
+    def bkt(s: String): Int = Integer.parseInt(md5hex(s).substring(0, 2), 16)
+    val expected = scored.map { case (id, nTok, dq) =>
+      val phase = qs.indexWhere(dq <= _) match { case -1 => 4; case k => k + 1 }
+      (phase, bkt(s"$id:curriculum") % 8, id, nTok, dq)
+    }.groupBy(t => (t._1, t._2)).toSeq.map { case ((ph, sh), xs) =>
+      (ph, sh, xs.size.toLong, xs.map(_._4).sum,
+        r6(xs.map(_._5).min.toDouble / 1e6), r6(xs.map(_._5).max.toDouble / 1e6))
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === expected)
+    // all four phases occupied, each with 4 of the 16 docs
+    assert(expected.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap ===
+      Map(1 -> 4L, 2 -> 4L, 3 -> 4L, 4 -> 4L))
+    spark.catalog.dropTempView("documents")
+  }
+
+  test("k-fold report emits empty folds with zero counts and a NULL balance " +
+    "ratio instead of omitting them") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    def bkt(s: String): Int = Integer.parseInt(md5hex(s).substring(0, 2), 16)
+    // two docs → four snapshot ids, each its own singleton group:
+    // small enough that at least one of the 5 folds MUST be empty
+    val docs = (0 until 2).map(i => (i.toLong, s"tiny corpus doc $i"))
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+      .createOrReplaceTempView("clusters")
+    spark.sql(SqlOps.splitKfoldAssign(SparkDialect)).localCheckpoint()
+      .createOrReplaceTempView("kfold_a")
+    val got = spark.sql(SqlOps.splitKfoldReport(SparkDialect)).collect()
+    val occupied = (0 until 2).flatMap(d => Seq(2L * d, 2L * d + 1))
+      .map(id => bkt(id.toString) % 5).toSet
+    assert(occupied.size < 5, "fixture must leave at least one fold empty")
+    // every fold of the domain appears, empties included…
+    assert(got.map(_.getAs[Long]("fold")).toSet === (0L until 5L).toSet)
+    val empties = got.filter(r => !occupied.contains(r.getAs[Long]("fold").toInt))
+    assert(empties.nonEmpty && empties.forall(r =>
+      r.getAs[Long]("n_docs") == 0L && r.getAs[Long]("n_groups") == 0L))
+    // …and the balance audit flags the pathology instead of reading
+    // healthy over only the non-empty folds
+    assert(got.forall(_.isNullAt(got.head.fieldIndex("balance_ratio"))))
     spark.catalog.dropTempView("documents"); spark.catalog.dropTempView("clusters")
   }
 }
