@@ -847,6 +847,9 @@ object SparkEntry {
     // Gopher rule battery, CCNet LM-bucketing, tokenizer fertility,
     // histogram-sketch quantiles, and full power-iteration PCA
     "q_gopher_rules" -> sqlq(Seq("documents"), SqlOps.gopherRules),
+    // PII release-gate audit (Luhn / octet validation; zero baseline
+    // on this PII-free fixture, planted paths in MicroOracleSpec)
+    "q_pii_scan" -> sqlStaged(Seq("documents"), SqlOps.piiScan),
     "q_ccnet_buckets" -> sqlStaged(Seq("documents"), SqlOps.ccnetBuckets),
     "q_filter_kappa" -> sqlStaged(Seq("documents"), SqlOps.filterKappa),
     "q_tokenizer_fertility" -> sqlStaged(Seq("documents"), SqlOps.tokenizerFertility),
@@ -1694,6 +1697,7 @@ object SparkEntry {
     "q_zipf_fit" -> SqlOps.zipfFit.single(DuckDialect),
     "q_heaps_fit" -> SqlOps.heapsFit.single(DuckDialect),
     "q_gopher_rules" -> SqlOps.gopherRules(DuckDialect),
+    "q_pii_scan" -> SqlOps.piiScan.single(DuckDialect),
     "q_ccnet_buckets" -> SqlOps.ccnetBuckets.single(DuckDialect),
     "q_filter_kappa" -> SqlOps.filterKappa.single(DuckDialect),
     "q_tokenizer_fertility" -> SqlOps.tokenizerFertility.single(DuckDialect),

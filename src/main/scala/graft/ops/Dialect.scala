@@ -52,6 +52,10 @@ trait Dialect {
   def arrayLit(items: Seq[String]): String
   /** Count of regex matches (whole-match, group 0). */
   def reCount(x: String, rawRegex: String): String
+  /** Array of ALL whole-match (group 0) regex matches — the
+    * extraction sibling of [[reCount]]; both engines name the
+    * function regexp_extract_all and take the group index. */
+  def reExtractAll(x: String, rawRegex: String): String
   /** regexp_replace over ALL matches with capture-group backrefs:
     * `repl` uses `$1` syntax and is rendered per engine (Spark `$1`
     * natively replaces all matches; DuckDB needs `\1` and the 'g'
@@ -188,6 +192,8 @@ object SparkDialect extends Dialect {
     items.map(i => s"'${q(i)}'").mkString("array(", ", ", ")")
   def reCount(x: String, rawRegex: String): String =
     s"size(regexp_extract_all($x, ${relit(rawRegex)}, 0))"
+  def reExtractAll(x: String, rawRegex: String): String =
+    s"regexp_extract_all($x, ${relit(rawRegex)}, 0)"
   def reReplaceAll(x: String, rawRegex: String, repl: String): String =
     s"regexp_replace($x, ${relit(rawRegex)}, '${q(repl)}')"
   def stringAggOrdered(value: String, order: String, sep: String): String =
@@ -317,6 +323,8 @@ object DuckDialect extends Dialect {
     items.map(i => s"'${q(i)}'").mkString("[", ", ", "]")
   def reCount(x: String, rawRegex: String): String =
     s"len(regexp_extract_all($x, ${relit(rawRegex)}, 0))"
+  def reExtractAll(x: String, rawRegex: String): String =
+    s"regexp_extract_all($x, ${relit(rawRegex)}, 0)"
   def reReplaceAll(x: String, rawRegex: String, repl: String): String = {
     // `repl` arrives in Spark replacement syntax ($N backrefs). DuckDB
     // (RE2) wants \N, so translate ONLY backref tokens; anything else

@@ -7700,6 +7700,114 @@ object SqlOps {
   private val GopherPass: String =
     GopherRules.map(_._2).mkString("(", " AND ", ")")
 
+  /** Single-sourced PII detector patterns (kind → regex), written to
+    * the RE2 ∩ java.util.regex common subset (no lookaround, no
+    * multi-digit backrefs — the reReplaceAll rule): the scan query,
+    * the redaction projection and the spec replay all read THIS list,
+    * so adding a kind or tightening a pattern cannot drift between
+    * detection and redaction. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "card" -> "\\b\\d{4}[- ]?\\d{4}[- ]?\\d{4}[- ]?\\d{1,4}\\b",
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}")
+  private val ValidIpv4 =
+    "^(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)(\\.(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)){3}$"
+
+  /** Redact every PII pattern in `col` to its [KIND] tag — the
+    * projection a curation pipeline runs before release, same
+    * single-sourced [[PiiPatterns]] as the scan. Narrow and
+    * codegen'd; order follows the pattern list (card before phone,
+    * so a card number is never half-eaten by the phone rule). */
+  def piiRedactExpr(col: String, d: Dialect = SparkDialect): String =
+    PiiPatterns.foldLeft(col) { case (acc, (k, rx)) =>
+      d.reReplaceAll(acc, rx, s"[${k.toUpperCase}]")
+    }
+
+  /** PII scan — the release-gate audit a curation pipeline runs over
+    * every corpus: per kind (credit card, email, IPv4, phone) the
+    * match and matched-doc counts plus the VALIDATED count (Luhn
+    * checksum for cards, octet range for IPv4 — regex hits alone
+    * overcount random digit runs; email/phone have no checksum, so
+    * validated = matched). Scale shape: ONE corpus scan computes all
+    * extraction arrays ([[PiiPatterns]], codegen'd regex projections,
+    * stage `pii_m`); the per-occurrence table (`pii_o`) and everything
+    * after are match-cardinality. The Luhn sum is exact integer
+    * arithmetic over a digit-position explode at DISTINCT-candidate
+    * grain, joined back to occurrences. The kind domain is a literal
+    * list left-joined, so a PII-free corpus (this fixture — the
+    * cross-engine rows are the zero baseline, like the volume-stable
+    * cusum fixture) still emits every kind's zero row; the planted
+    * positive paths (valid/invalid Luhn, out-of-range octets,
+    * redaction round-trip) are covered by the independent replay in
+    * MicroOracleSpec. */
+  val piiScan: StagedOp = StagedOp(
+    stages = Seq(
+      "pii_m" -> { (d: Dialect) =>
+        val cols = PiiPatterns.map { case (k, rx) =>
+          s"${d.reExtractAll("text", rx)} AS m_$k" }
+        s"SELECT doc_id,\n  ${cols.mkString(",\n  ")}\nFROM documents"
+      },
+      // occurrence rows, staged: four consumers below (counts, two
+      // validator arms, the card candidates) would each re-explode
+      // the arrays under CTE inlining
+      "pii_o" -> { (d: Dialect) =>
+        PiiPatterns.map { case (k, _) =>
+          s"""SELECT doc_id, '$k' AS kind, m FROM (
+             |  ${d.explode(s"SELECT doc_id, m_$k FROM pii_m", "doc_id", s"m_$k", "m")}
+             |)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      }),
+    body = { d =>
+      val dom = PiiPatterns.map { case (k, _) => s"SELECT '$k' AS kind" }
+        .mkString(" UNION ALL ")
+      s"""WITH cnt AS (
+         |  SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_matches,
+         |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |  FROM pii_o GROUP BY kind
+         |),
+         |cdist AS (
+         |  SELECT DISTINCT ${d.reReplaceAll("m", "[- ]", "")} AS ds
+         |  FROM pii_o WHERE kind = 'card'
+         |),
+         |cn AS (SELECT ds, length(ds) AS n FROM cdist
+         |       WHERE length(ds) BETWEEN 13 AND 16),
+         |cseq AS (SELECT ds, n, ${d.seqArray("1", "n")} AS ii FROM cn),
+         |cpos AS (${d.explode("SELECT ds, n, ii FROM cseq", "ds, n", "ii", "i")}),
+         |cl AS (
+         |  -- Luhn: from the right, double every second digit, subtract
+         |  -- 9 past 9, total divisible by 10 — all int64-exact
+         |  SELECT ds,
+         |    SUM(CASE WHEN (n - i) % 2 = 1
+         |             THEN CASE WHEN 2 * dg > 9 THEN 2 * dg - 9 ELSE 2 * dg END
+         |             ELSE dg END) % 10 AS r
+         |  FROM (SELECT ds, n, i, CAST(substr(ds, i, 1) AS INT) AS dg FROM cpos)
+         |  GROUP BY ds
+         |),
+         |vocc AS (
+         |  SELECT kind FROM pii_o WHERE kind IN ('email', 'phone')
+         |  UNION ALL
+         |  SELECT kind FROM pii_o
+         |  WHERE kind = 'ipv4' AND ${d.reCount("m", ValidIpv4)} > 0
+         |  UNION ALL
+         |  SELECT c.kind FROM (
+         |    SELECT kind, ${d.reReplaceAll("m", "[- ]", "")} AS ds
+         |    FROM pii_o WHERE kind = 'card'
+         |  ) c JOIN cl ON cl.ds = c.ds AND cl.r = 0
+         |),
+         |vc AS (SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_valid
+         |       FROM vocc GROUP BY kind),
+         |dom AS ($dom)
+         |SELECT dom.kind,
+         |  CAST(COALESCE(c.n_matches, 0) AS BIGINT) AS n_matches,
+         |  CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs,
+         |  CAST(COALESCE(v.n_valid, 0) AS BIGINT) AS n_valid
+         |FROM dom
+         |LEFT JOIN cnt c ON c.kind = dom.kind
+         |LEFT JOIN vc v ON v.kind = dom.kind
+         |ORDER BY dom.kind""".stripMargin
+    })
+
   /** Gopher-style quality rule battery (Rae et al. 2021, "Scaling
     * Language Models", Appendix A1.1's MassiveWeb document filters) as
     * ONE narrow scan — the standard rule filter a curation pipeline

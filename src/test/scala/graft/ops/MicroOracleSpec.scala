@@ -2124,6 +2124,81 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("documents"); spark.catalog.dropTempView("clusters")
   }
 
+  test("PII scan: SQL counts equal an independent regex/Luhn/octet replay " +
+    "on planted PII, and redaction removes every match") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // planted fixture: each kind in its own docs, with duplicate
+    // occurrences (n_matches > n_docs), an invalid Luhn card, an
+    // out-of-range octet IP, and one clean doc
+    val docs: Seq[(Long, String)] = Seq(
+      (0L, "contact alice@example.com or bob.smith+tag@mail.co for details"),
+      (1L, "escalate to ops@example.org please"),
+      (2L, "call (415) 555-1234 or 415.555.9876 after hours"),
+      (3L, "cards 4111-1111-1111-1111 and 4111-1111-1111-1112 on file"),
+      (4L, "backup card 5500 0000 0000 0004 expires soon"),
+      (5L, "hosts 10.0.0.1 and 10.0.0.1 plus bogus 999.1.1.256"),
+      (6L, "a perfectly clean document with no identifiers at all"))
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    SqlOps.piiScan.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.piiScan.body(SparkDialect)).collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[Long]("n_matches"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_valid"))).sortBy(_._1)
+
+    // ---- independent replay (java.util.regex + hand Luhn/octets) ----
+    import java.util.regex.Pattern
+    def allMatches(rx: String, t: String): Seq[String] = {
+      val m = Pattern.compile(rx).matcher(t)
+      val b = Seq.newBuilder[String]; while (m.find()) b += m.group(); b.result()
+    }
+    def luhn(ds: String): Boolean = {
+      val n = ds.length
+      ds.zipWithIndex.map { case (ch, idx) =>
+        val dg = ch - '0'
+        if ((n - (idx + 1)) % 2 == 1) { val d2 = 2 * dg; if (d2 > 9) d2 - 9 else d2 }
+        else dg
+      }.sum % 10 == 0
+    }
+    def octetsOk(ip: String): Boolean = ip.split("\\.").forall(o =>
+      o.nonEmpty && o.length <= 3 && (o == "0" || !o.startsWith("0")) && o.toInt <= 255)
+    val expected = SqlOps.PiiPatterns.map { case (kind, rx) =>
+      val perDoc = docs.map { case (id, t) => id -> allMatches(rx, t) }
+      val occ = perDoc.flatMap(_._2)
+      val valid = kind match {
+        case "card" =>
+          occ.map(_.replaceAll("[- ]", "")).count(ds =>
+            ds.length >= 13 && ds.length <= 16 && luhn(ds))
+        case "ipv4" => occ.count(octetsOk)
+        case _ => occ.size
+      }
+      (kind, occ.size.toLong, perDoc.count(_._2.nonEmpty).toLong, valid.toLong)
+    }.sortBy(_._1)
+    assert(got.toSeq === expected)
+    // the fixture must exercise every discriminating path
+    val byKind = expected.map(e => e._1 -> e).toMap
+    assert(byKind("email")._2 === 3L && byKind("email")._3 === 2L)
+    assert(byKind("phone")._2 === 2L)
+    assert(byKind("card")._2 === 3L && byKind("card")._4 === 2L,
+      "one planted card must fail Luhn")
+    assert(byKind("ipv4")._2 === 3L && byKind("ipv4")._4 === 2L,
+      "the out-of-range octet must fail validation")
+    // redaction round-trip: after piiRedactExpr no pattern matches
+    // remain and every tag appears where its kind was planted
+    val red = docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", s"${SqlOps.piiRedactExpr("text")} AS text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    SqlOps.PiiPatterns.foreach { case (kind, rx) =>
+      assert(red.values.forall(t => allMatches(rx, t).isEmpty),
+        s"redaction must leave no $kind match")
+    }
+    assert(red(0L).contains("[EMAIL]") && red(2L).contains("[PHONE]")
+      && red(3L).contains("[CARD]") && red(5L).contains("[IPV4]"))
+    assert(red(6L) === docs(6)._2, "clean text must pass through untouched")
+    spark.catalog.dropTempView("documents")
+  }
+
   test("curriculum order: SQL manifest equals an independent surprisal, " +
     "quartile and md5-shard replay") {
     import spark.implicits._
