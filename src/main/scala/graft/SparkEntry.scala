@@ -763,6 +763,9 @@ object SparkEntry {
     "q_eval_bootstrap" -> sqlq(Seq("documents"), SqlOps.evalBootstrap),
     // full Lloyd loop: per-round reassignments + centroid shift
     "q_kmeans_loop" -> sqlStaged(Seq("embeddings"), SqlOps.kmeansLoop),
+    // simplified (centroid-based) silhouette over the final model;
+    // shares the Lloyd chain, billed to q_kmeans_loop by name order
+    "q_kmeans_silhouette" -> sqlStaged(Seq("embeddings"), SqlOps.kmeansSilhouette),
     // DoReMi-style excess-loss domain reweighting
     "q_mix_doremi" -> sqlStaged(Seq("documents"), SqlOps.mixDoremiOp),
     // water-filling token-budget allocation across domains
@@ -1633,6 +1636,7 @@ object SparkEntry {
     "q_pref_dpo_pairs" -> SqlOps.prefDpoPairs(DuckDialect),
     "q_eval_bootstrap" -> SqlOps.evalBootstrap(DuckDialect),
     "q_kmeans_loop" -> SqlOps.kmeansLoop.single(DuckDialect),
+    "q_kmeans_silhouette" -> SqlOps.kmeansSilhouette.single(DuckDialect),
     "q_mix_doremi" -> SqlOps.mixDoremiOp.single(DuckDialect),
     "q_mix_waterfill" -> SqlOps.mixWaterfill(DuckDialect),
     "q_filter_conformal" -> SqlOps.filterConformal.single(DuckDialect),

@@ -4956,6 +4956,63 @@ object SqlOps {
       })
   }
 
+  /** Cluster-quality readout for the trained Lloyd model — the
+    * SIMPLIFIED silhouette (centroid-based: a(i) = distance to own
+    * centroid, b(i) = distance to the nearest OTHER centroid,
+    * s = (b−a)/max(a,b)), the variant that scales: vectors×k centroid
+    * distances instead of the classic all-pairs O(n²) — at 100 TB the
+    * full silhouette is not computable, this one is a corpus pass
+    * plus a k-row broadcast. Distances are exact int64 L2 over the
+    * µ-quantized grid (the [[qvExpr]] quantizer, same grid the
+    * trainer itself aggregates on); only the final sqrt/ratio touch
+    * doubles — a fixed sequence of correctly-rounded ops, µ-quantized
+    * back to int64 BEFORE the per-cell mean sum (the float-sum
+    * parity rule). Degenerate cases are explicit: a singleton-k model
+    * (no other centroid) emits NULL, coincident zero distances score
+    * 0. Reads the FINAL round's assignment and means ([[kmeansLoop]]
+    * stages — shared chain, billed to q_kmeans_loop by name order). */
+  val kmeansSilhouette: StagedOp = StagedOp(
+    stages = kmeansLoop.stages,
+    body = { d =>
+      val finA = s"km_a$KmRounds"
+      val finC = s"km_c$KmRounds"
+      val exp = d.explodeWithPos(
+        "SELECT vec_id, embedding FROM emb_nv", "vec_id", "embedding", "pos", "v")
+      s"""WITH ea AS ($exp),
+         |ed AS (SELECT vec_id, pos, ${qvExpr("v")} AS qv FROM ea),
+         |dd AS (
+         |  SELECT e.vec_id, c.label,
+         |    CAST(SUM((e.qv - c.qc) * (e.qv - c.qc)) AS BIGINT) AS d2
+         |  FROM ed e JOIN $finC c ON c.pos = e.pos
+         |  GROUP BY e.vec_id, c.label
+         |),
+         |ab AS (
+         |  SELECT d.vec_id, a.cell,
+         |    MAX(CASE WHEN d.label = a.cell THEN d.d2 END) AS a2,
+         |    MIN(CASE WHEN d.label <> a.cell THEN d.d2 END) AS b2
+         |  FROM dd d JOIN $finA a ON a.vec_id = d.vec_id
+         |  GROUP BY d.vec_id, a.cell
+         |),
+         |sv AS (
+         |  SELECT cell,
+         |    CASE
+         |      WHEN b2 IS NULL THEN NULL
+         |      WHEN a2 = 0 AND b2 = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE ${qvExpr(
+                 """(sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+                   | / GREATEST(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE)))""".stripMargin)}
+         |    END AS sq
+         |  FROM ab
+         |)
+         |SELECT cell,
+         |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CASE WHEN COUNT(sq) = 0 THEN NULL
+         |       ELSE ${r6("CAST(SUM(sq) AS DOUBLE) / (COUNT(sq) * 1.0e6)")} END
+         |    AS mean_silhouette
+         |FROM sv GROUP BY cell
+         |ORDER BY cell""".stripMargin
+    })
+
   /** Embedding near-dup pairs above a cosine threshold, LSH-gated with
     * [[SignBands]] OR'd 8-bit sign bands (the minhash banding pattern
     * applied to sign LSH): a pair is a candidate iff ALL 8 signs of

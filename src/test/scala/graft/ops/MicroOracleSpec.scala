@@ -2007,6 +2007,65 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("embeddings")
   }
 
+  test("k-means silhouette: SQL centroid-based scores equal an independent " +
+    "Lloyd + silhouette replay on a separated fixture") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val dim = 64
+    val rnd = new scala.util.Random(11)
+    // two WELL-separated planted clusters (centers at ±0.8 per dim,
+    // jitter 0.2) — the mean silhouette must come out decisively high
+    val centers = Array(Array.fill(dim)(0.8f), Array.fill(dim)(-0.8f))
+    val vecs = (0 until 40).map { i =>
+      val t = i % 2
+      val v = Array.tabulate(dim)(j => centers(t)(j) + (rnd.nextFloat() - 0.5f) * 0.2f)
+      (i.toLong, t.toLong, v.toSeq)
+    }
+    vecs.toDF("vec_id", "label", "embedding")
+      .selectExpr("vec_id", "CAST(label AS INT) AS label",
+        "CAST(embedding AS ARRAY<FLOAT>) AS embedding")
+      .createOrReplaceTempView("embeddings")
+    SqlOps.kmeansSilhouette.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.kmeansSilhouette.body(SparkDialect)).collect()
+      .map(r => (r.getAs[Number]("cell").longValue, r.getAs[Long]("n_vecs"),
+        r.getAs[Double]("mean_silhouette"))).sortBy(_._1)
+
+    // ---- independent replay: Lloyd to the same final round, then the
+    // centroid-based silhouette on the same µ-quantized grid ----
+    def qvq(v: Double): Long = math.floor(v * 1e6 + 0.5).toLong
+    val pts: Map[Long, Array[Long]] =
+      vecs.map { case (id, _, v) => id -> v.map(f => qvq(f.toDouble)).toArray }.toMap
+    def centroidsOf(asgn: Map[Long, Long]): Map[Long, Array[Long]] =
+      asgn.groupBy(_._2).map { case (c, m) =>
+        val members = m.keys.toSeq.map(pts)
+        c -> Array.tabulate(dim) { j =>
+          math.floor(members.map(_(j)).sum.toDouble / members.size + 0.5).toLong
+        }
+      }
+    def d2(p: Array[Long], q: Array[Long]): Long =
+      (0 until dim).map { j => val dd = p(j) - q(j); dd * dd }.sum
+    def assignAll(cents: Map[Long, Array[Long]]): Map[Long, Long] =
+      pts.map { case (id, p) => id -> cents.toSeq.map(c => (d2(p, c._2), c._1)).min._2 }
+    var asgn: Map[Long, Long] = vecs.map(v => v._1 -> v._2).toMap
+    var cents = centroidsOf(asgn)
+    (1 to 3).foreach { _ => val na = assignAll(cents); cents = centroidsOf(na); asgn = na }
+    val expected = asgn.groupBy(_._2).toSeq.map { case (cell, m) =>
+      val sqs = m.keys.toSeq.map { id =>
+        val a2 = d2(pts(id), cents(cell))
+        val b2 = cents.collect { case (c, q) if c != cell => d2(pts(id), q) }.min
+        val (a, b) = (math.sqrt(a2.toDouble), math.sqrt(b2.toDouble))
+        if (a2 == 0 && b2 == 0) 0L else qvq((b - a) / math.max(a, b))
+      }
+      (cell, m.size.toLong, r6(sqs.sum.toDouble / (sqs.size * 1e6)))
+    }.sortBy(_._1)
+    assert(got.toSeq === expected)
+    // separated clusters must score decisively: every cell > 0.5
+    assert(got.nonEmpty && got.forall(_._3 > 0.5), s"weak silhouette: $got")
+    spark.catalog.dropTempView("embeddings")
+  }
+
   test("DoReMi reweighting: SQL staircase weights equal an independent " +
     "replay, with both clamp arms and the largest remainder exercised") {
     import spark.implicits._
