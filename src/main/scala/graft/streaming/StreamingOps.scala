@@ -431,6 +431,29 @@ object StreamingOps {
       .select(col("doc_id"), col("conf"), col("tau_admitted"))
   }
 
+  /** Streaming PII redaction gate — the deployment side of the batch
+    * release audit ([[graft.ops.SqlOps.piiScan]]): every arriving doc
+    * is emitted with its text redacted to [KIND] tags and its
+    * per-kind raw match counts (the per-batch health signal an ingest
+    * monitor rolls up — a count spike means an upstream source
+    * started leaking identifiers). Patterns and redaction order are
+    * the SAME single-sourced list the batch scan and the spec replay
+    * read ([[graft.ops.SqlOps.PiiPatterns]] /
+    * [[graft.ops.SqlOps.piiRedactExpr]]) — detection and redaction
+    * cannot drift between batch and stream. Stateless: one narrow
+    * codegen'd projection, no joins, no streaming state — the shape
+    * that streams at any volume. Counts are of regex HITS (the
+    * redaction trigger), not validated identifiers — the Luhn/octet
+    * separation stays a batch-audit concern. */
+  def piiRedactStream(docs: DataFrame): DataFrame = {
+    val counts = graft.ops.SqlOps.PiiPatterns.map { case (k, rx) =>
+      expr(graft.ops.SparkDialect.reCount("text", rx)).cast("long").as(s"n_$k")
+    }
+    docs.select(
+      col("doc_id") +: counts :+
+        expr(graft.ops.SqlOps.piiRedactExpr("text")).as("text_redacted"): _*)
+  }
+
   /** Streaming cross-run dedup on a key (the reference's re-scrape
     * collapse, SURVEY.md §2.4 D2) with watermark-bounded state. */
   def dedupByKey(df: DataFrame, key: String, tsCol: String, watermark: String): DataFrame =

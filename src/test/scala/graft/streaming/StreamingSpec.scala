@@ -415,6 +415,42 @@ class StreamingSpec extends SparkSpec {
       && r.getAs[Long]("conf") >= tauVal))
   }
 
+  test("streaming PII gate redacts and counts identically to the batch projection") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (0L, "reach alice@example.com or (415) 555-1234 now"),
+      (1L, "cards 4111-1111-1111-1111 and 10.0.0.1 and 10.0.0.2"),
+      (2L, "a clean line with nothing to hide"))
+    // batch truth: the same projection over a static frame
+    val batch = StreamingOps.piiRedactStream(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingOps.piiRedactStream(in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("piig").start()
+    in.addData(docs: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("piig").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    q.stop()
+    assert(streamed.keySet === batch.keySet)
+    docs.foreach { case (id, _) =>
+      assert(streamed(id).getAs[String]("text_redacted") ===
+        batch(id).getAs[String]("text_redacted"))
+      Seq("n_card", "n_email", "n_ipv4", "n_phone").foreach { c =>
+        assert(streamed(id).getAs[Long](c) === batch(id).getAs[Long](c))
+      }
+    }
+    // the planted signal actually fires and the redaction took
+    assert(streamed(0L).getAs[Long]("n_email") === 1L
+      && streamed(0L).getAs[Long]("n_phone") === 1L)
+    assert(streamed(1L).getAs[Long]("n_card") === 1L
+      && streamed(1L).getAs[Long]("n_ipv4") === 2L)
+    assert(streamed(0L).getAs[String]("text_redacted").contains("[EMAIL]"))
+    assert(streamed(1L).getAs[String]("text_redacted").contains("[CARD]"))
+    assert(streamed(2L).getAs[String]("text_redacted") === docs(2)._2)
+  }
+
   test("streaming corpus gate equals the batch corpus filter on in-order arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
