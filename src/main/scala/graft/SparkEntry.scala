@@ -570,6 +570,9 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> sqlStaged(Seq("documents"), SqlOps.dedupNgramJaccard),
     "q_dedup_verified" -> sqlStaged(Seq("documents"), SqlOps.dedupVerified),
     "q_dedup_lsh_eval" -> sqlStaged(Seq("documents"), SqlOps.dedupLshEval),
+    // S-curve audit: empirical vs exact-rational theoretical collision
+    // rate per Jaccard decile over the deterministic sample
+    "q_lsh_scurve" -> sqlStaged(Seq("documents"), SqlOps.lshScurve),
     "q_dedup_simhash" -> sqlq(Seq("documents"), SqlOps.dedupSimhash),
     "q_dedup_simhash_pairs" -> sqlStaged(Seq("documents"), SqlOps.dedupSimhashPairs),
     "q_dedup_sorted_neighborhood" -> sqlStaged(Seq("documents"), SqlOps.dedupSortedNeighborhood),
@@ -1484,6 +1487,7 @@ object SparkEntry {
     "q_corr_matrix" -> SqlOps.corrMatrix(DuckDialect),
     "q_dedup_verified" -> SqlOps.dedupVerified.single(DuckDialect),
     "q_dedup_lsh_eval" -> SqlOps.dedupLshEval.single(DuckDialect),
+    "q_lsh_scurve" -> SqlOps.lshScurve.single(DuckDialect),
 
     "q_dedup_exact" -> SqlOps.dedupExact(DuckDialect),
     "q_dedup_minhash" -> SqlOps.dedupMinhash.single(DuckDialect),

@@ -6370,6 +6370,68 @@ object SqlOps {
          |FROM m""".stripMargin
     })
 
+  /** LSH design audit — the S-curve tuning readout for the 4-band ×
+    * 2-row minhash geometry: per exact-Jaccard decile (over the
+    * deterministic content-hash sample, the [[dedupLshEval]] truth
+    * pattern), the EMPIRICAL candidate rate (fraction of sampled
+    * pairs the band join actually surfaced) next to the THEORETICAL
+    * collision probability 1 − (1 − s²)⁴ at the decile midpoint —
+    * the curve a pipeline inspects before changing band geometry
+    * (more bands → the S shifts left, more recall, more candidates).
+    * The theory column is EXACT rational arithmetic, no transcendental
+    * pow: at midpoint s = (2b+1)/20, 1 − (1−s²)⁴ =
+    * (400⁴ − (400 − (2b+1)²)⁴) / 400⁴, all int64 (400⁴ = 2.56e10).
+    * Only pairs sharing ≥1 shingle appear (the inter join's own
+    * grain — disjoint pairs are the flat left tail of the curve);
+    * the decile domain is a literal list left-joined so empty deciles
+    * emit their zero row. Scale shape: everything is sample² bounded;
+    * the full-corpus band join is read from the staged mh_cand. */
+  val lshScurve: StagedOp = StagedOp(
+    stages = dedupMinhash.stages ++ dedupNgramJaccard.stages,
+    body = { d =>
+      val dom = (0 to 9).map(b => s"SELECT $b AS bkt").mkString(" UNION ALL ")
+      s"""WITH ${corpusCte(d)},
+         |samp AS (SELECT doc_id FROM corpus WHERE ${md5Bucket("text")} < 32),
+         |$szCte,
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM nj_dshf a
+         |  JOIN samp pa ON a.doc_id = pa.doc_id
+         |  JOIN nj_dshf b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  JOIN samp pb ON b.doc_id = pb.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |),
+         |pairs AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |    LEAST(${d.idiv("10 * i.inter", "sa.n + sb.n - i.inter")}, 9) AS bkt
+         |  FROM inter i
+         |  JOIN sz sa ON i.doc_a = sa.doc_id
+         |  JOIN sz sb ON i.doc_b = sb.doc_id
+         |),
+         |h AS (
+         |  SELECT p.bkt, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cand
+         |  FROM pairs p
+         |  LEFT JOIN mh_cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+         |  GROUP BY p.bkt
+         |),
+         |dom AS ($dom),
+         |-- (400 − (2b+1)²)⁴ reaches 2.5e10: the 4th power must run in
+         |-- BIGINT (INT would ANSI-overflow in Spark at bucket 0)
+         |th AS (SELECT bkt,
+         |         CAST(400 - (2 * bkt + 1) * (2 * bkt + 1) AS BIGINT) AS nb
+         |       FROM dom)
+         |SELECT th.bkt AS bucket,
+         |  CAST(COALESCE(h.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(COALESCE(h.n_cand, 0) AS BIGINT) AS n_candidates,
+         |  CASE WHEN COALESCE(h.n_pairs, 0) = 0 THEN NULL
+         |       ELSE ${r6("CAST(h.n_cand AS DOUBLE) / h.n_pairs")} END AS empirical_rate,
+         |  ${r6("CAST(25600000000 - th.nb * th.nb * th.nb * th.nb AS DOUBLE) / 25600000000")}
+         |    AS theoretical_rate
+         |FROM th LEFT JOIN h ON h.bkt = th.bkt
+         |ORDER BY bucket""".stripMargin
+    })
+
   // ---- sampling / canonical selection / corpus statistics ----
 
   /** Deterministic content-hash sampling: bucket = first byte of

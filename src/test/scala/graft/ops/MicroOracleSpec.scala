@@ -2007,6 +2007,53 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("embeddings")
   }
 
+  test("LSH S-curve: bucketing and counting replay exactly, and the " +
+    "rational theory column equals an independent BigDecimal power series") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // texts brute-forced into the md5 < 32 sample gate so every
+    // planted snapshot doc survives the body's own sampling
+    val sampledTexts = Iterator.from(0).map(i => s"planted doc $i")
+      .filter(t => Integer.parseInt(md5hex(t).substring(0, 2), 16) < 32)
+      .take(3).toSeq
+    // documents d → snapshot ids 2d/2d+1 (the corpusCte convention)
+    sampledTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").createOrReplaceTempView("documents")
+    // handcrafted shingle index at snapshot grain: ids 0,1 share 3 of
+    // 5 (j=0.6 → bucket 6), ids 2,3 share 1 of 7 (j≈0.14 → bucket 1),
+    // ids 4,5 identical 4 shingles (j=1 → clamped bucket 9)
+    val shingles: Seq[(Long, String)] =
+      Seq(0L -> Seq("a", "b", "c", "x"), 1L -> Seq("a", "b", "c", "y"),
+          2L -> Seq("p", "q", "r", "s"), 3L -> Seq("p", "t", "u", "v"),
+          4L -> Seq("m", "n", "o", "w"), 5L -> Seq("m", "n", "o", "w"))
+        .flatMap { case (id, ss) => ss.map(id -> _) }
+    shingles.toDF("doc_id", "s").createOrReplaceTempView("nj_dshf")
+    // the band join surfaced the twin pair and ONE of the overlapers
+    Seq((4L, 5L), (0L, 1L)).toDF("doc_a", "doc_b")
+      .createOrReplaceTempView("mh_cand")
+    val got = spark.sql(SqlOps.lshScurve.body(SparkDialect)).collect()
+      .map(r => (r.getAs[Number]("bucket").intValue, r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_candidates"), Option(r.get(r.fieldIndex("empirical_rate")))
+          .map(_.asInstanceOf[Double]),
+        r.getAs[Double]("theoretical_rate"))).sortBy(_._1)
+    // bucketing replay: (0,1) inter=3 union=5 → 6; (2,3) 1/7 → 1;
+    // (4,5) 4/4 → 10 clamped 9
+    val expCounts = Map(6 -> (1L, 1L), 1 -> (1L, 0L), 9 -> (1L, 1L))
+    got.foreach { case (b, np, nc, emp, th) =>
+      val (enp, enc) = expCounts.getOrElse(b, (0L, 0L))
+      assert((np, nc) === (enp, enc), s"bucket $b")
+      assert(emp === (if (enp == 0) None else Some(r6(enc.toDouble / enp))))
+      // theory replayed with BigDecimal exact powers of the midpoint
+      val mc = new java.math.MathContext(40)
+      val s = BigDecimal(2 * b + 1, mc) / 20
+      val p = BigDecimal(1, mc) - (BigDecimal(1, mc) - s * s).pow(4)
+      assert(th === r6(p.toDouble), s"theory at bucket $b")
+    }
+    assert(got.map(_._1).toSeq === (0 to 9).toSeq, "full decile domain must be emitted")
+    spark.catalog.dropTempView("documents")
+    spark.catalog.dropTempView("nj_dshf"); spark.catalog.dropTempView("mh_cand")
+  }
+
   test("k-means silhouette: SQL centroid-based scores equal an independent " +
     "Lloyd + silhouette replay on a separated fixture") {
     import spark.implicits._
