@@ -1414,10 +1414,42 @@ object StreamingOps {
     }
   }
 
+  /** Stage 9 — PII leak monitor (`<root>/pii`, one row per drained
+    * batch, first-write-wins like the volume history): per-kind regex
+    * hit totals over the incoming batch, the SAME single-sourced
+    * [[graft.ops.SqlOps.PiiPatterns]] the batch release audit and the
+    * redaction gate read. ANY hit flags — identifiers in a training
+    * corpus are an upstream leak regardless of count; severity
+    * triage (Luhn/octet validation, redaction) is the offline
+    * release gate's job. One narrow codegen'd aggregate over the
+    * batch, no state, no joins. */
+  private[streaming] def piiReportBatch(spark: SparkSession, batch: DataFrame,
+                                        batchSeq: Long, root: String): Unit = {
+    val kinds = graft.ops.SqlOps.PiiPatterns.map(_._1)
+    val counts = graft.ops.SqlOps.PiiPatterns.map { case (k, rx) =>
+      coalesce(sum(expr(graft.ops.SparkDialect.reCount("text", rx)).cast("long")),
+        lit(0L)).as(s"n_$k")
+    }
+    val r = batch.filter(col("text").isNotNull).agg(counts.head, counts.tail: _*).head()
+    val total = kinds.map(k => r.getAs[Long](s"n_$k")).sum
+    publishParquet(spark, s"$root/pii") { current =>
+      val row = spark.range(1).select(
+        (lit(batchSeq).as("batch_seq") +:
+          kinds.map(k => lit(r.getAs[Long](s"n_$k")).as(s"n_$k"))) :+
+          lit(if (total > 0) 1 else 0).as("flag"): _*)
+      current match {
+        case Some(cur) => cur.unionByName(
+          row.join(cur.select("batch_seq"), Seq("batch_seq"), "left_anti"))
+        case None => row
+      }
+    }
+  }
+
   /** One micro-batch of the MONITORED pipeline: the recycled-batch-id
     * precheck, then the dedup chain ([[dailyIngestBatch]]), index
-    * maintenance, volume history, the monitor readouts, and (when a
-    * trained vocabulary is supplied) the tokenizer drift report. Same
+    * maintenance, volume history, the monitor readouts, the PII leak
+    * monitor, and (when a trained vocabulary is supplied) the
+    * tokenizer drift report. Same
     * layered-membership crash safety — each stage derives its work
     * set from the batch plus the published artifacts, so any
     * crash/redelivery interleaving converges to the same artifacts. */
@@ -1452,6 +1484,7 @@ object StreamingOps {
     ingestIndex(spark, batch, centroids, root)
     ingestHistory(spark, batchSeq, batchSig, nSig, root)
     ingestReport(spark, centroids, root)
+    piiReportBatch(spark, batch, batchSeq, root)
     tokVocab.foreach(v => tokenizerDriftBatch(spark, batch, batchSeq, v, root))
   }
 

@@ -183,7 +183,7 @@ class DailyIngestSpec extends SparkSpec {
 
   private def artifacts(root: String): Map[String, Set[Seq[Any]]] =
     Seq("admitted", "bands", "clusters", "survivors", "ivf", "history",
-        "drift", "ewma", "metrics")
+        "drift", "ewma", "metrics", "pii")
       .map(a => a -> spark.read.parquet(s"$root/$a").collect().map(_.toSeq).toSet)
       .toMap
 
@@ -264,9 +264,42 @@ class DailyIngestSpec extends SparkSpec {
     assert(metrics("cluster_size:2") === 3L)
     assert(metrics("cluster_size:1") === 3L)
     assert(!metrics.contains("cluster_size:3"))
+
+    // PII leak monitor: one row per drain, all-clean corpus → zero
+    // counts, no flag
+    val pii = spark.read.parquet(s"$root/pii").collect()
+      .map(r => r.getAs[Long]("batch_seq") ->
+        (Seq("n_card", "n_email", "n_ipv4", "n_phone").map(r.getAs[Long]).sum,
+          r.getAs[Int]("flag"))).toMap
+    assert(pii === Map(0L -> (0L, 0), 1L -> (0L, 0), 2L -> (0L, 0)))
   }
 
-  test("monitored ingest: mid-pipeline crash and full replay leave all nine artifacts unchanged") {
+  test("monitored ingest: a leaking batch flags the PII monitor, first write wins on replay") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val root = tmp("graft_mingest_pii")
+    val leaky = Seq(
+      (21L, "A", "ping admin@example.org from 10.0.0.7 about the rollout"),
+      (22L, "A", "a perfectly clean line of prose"))
+    val b1 = withEmb(leaky).toDF("doc_id", "source", "text", "embedding")
+    val b2 = withEmb(Seq((23L, "B", "nothing sensitive here either")))
+      .toDF("doc_id", "source", "text", "embedding")
+    StreamingOps.dailyIngestMonitoredBatch(spark, b1, 0L, quota, centroids, root)
+    def piiRows() = spark.read.parquet(s"$root/pii").collect()
+      .map(r => r.getAs[Long]("batch_seq") ->
+        (r.getAs[Long]("n_email"), r.getAs[Long]("n_ipv4"),
+          r.getAs[Long]("n_card"), r.getAs[Long]("n_phone"),
+          r.getAs[Int]("flag"))).toMap
+    assert(piiRows() === Map(0L -> (1L, 1L, 0L, 0L, 1)))
+    // replay of the same batch: the recorded row stays (first write wins)
+    StreamingOps.dailyIngestMonitoredBatch(spark, b1, 0L, quota, centroids, root)
+    assert(piiRows() === Map(0L -> (1L, 1L, 0L, 0L, 1)))
+    // a clean follow-up batch records its own zero row, unflagged
+    StreamingOps.dailyIngestMonitoredBatch(spark, b2, 1L, quota, centroids, root)
+    assert(piiRows() === Map(0L -> (1L, 1L, 0L, 0L, 1), 1L -> (0L, 0L, 0L, 0L, 0)))
+  }
+
+  test("monitored ingest: mid-pipeline crash and full replay leave all ten artifacts unchanged") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
     val cleanRoot = tmp("graft_mingest_clean")
