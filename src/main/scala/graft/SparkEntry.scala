@@ -690,6 +690,8 @@ object SparkEntry {
     "q_embedding_stats" -> sqlq(Seq("embeddings"), SqlOps.embeddingStats),
     "q_embedding_drift" -> sqlq(Seq("embeddings"), SqlOps.embeddingDrift),
     "q_label_drift" -> sqlq(Seq("embeddings"), SqlOps.labelDrift),
+    // two-sample KS over doc lengths (en vs rest): exact int64 D
+    "q_ks_drift" -> sqlq(Seq("documents"), SqlOps.ksDrift),
     "q_knn_bruteforce" -> sqlStaged(Seq("embeddings"), SqlOps.knnBruteForce),
     "q_ann_sign_lsh" -> sqlStaged(Seq("embeddings"), SqlOps.annSignLsh),
     // recall@3 of the sign-LSH index vs exact brute force on the
@@ -1593,6 +1595,7 @@ object SparkEntry {
     "q_embedding_stats" -> SqlOps.embeddingStats(DuckDialect),
     "q_embedding_drift" -> SqlOps.embeddingDrift(DuckDialect),
     "q_label_drift" -> SqlOps.labelDrift(DuckDialect),
+    "q_ks_drift" -> SqlOps.ksDrift(DuckDialect),
     "q_knn_bruteforce" -> SqlOps.knnBruteForce.single(DuckDialect),
     "q_ann_sign_lsh" -> SqlOps.annSignLsh.single(DuckDialect),
     "q_ann_ivf" -> SqlOps.annIvf.single(DuckDialect),

@@ -4610,6 +4610,59 @@ object SqlOps {
     * any cross-row sum. Per-label rows carry both shares (exact ppm)
     * and the label's chi-square contribution, so the report ranks the
     * movers, not just the headline statistic. */
+  /** Two-sample Kolmogorov–Smirnov drift test — the CONTINUOUS-metric
+    * sibling of the categorical [[labelDrift]] chi-square: did the
+    * length distribution of one slice (en docs) shift against the
+    * rest? D = max over the merged value domain of |F₁(v) − F₂(v)|,
+    * computed EXACTLY in int64 as max |f₁·n₂ − f₂·n₁| over cumulative
+    * counts (products ≤ n² ≈ 10¹² at 10⁶ docs — no float CDF ever
+    * compared), divided once at the end. The α = 0.05 rejection bar
+    * is the asymptotic 1.358·√((n₁+n₂)/(n₁·n₂)) — two
+    * correctly-rounded IEEE ops on exact integers, deterministic in
+    * both engines. Scale shape: one narrow scan, a groupBy on the
+    * metric VALUE (the cumulative window runs over the bounded
+    * distinct-value domain — document lengths — never over docs), one
+    * single-row readout. Degenerate slices (either side empty) emit
+    * NULL instead of a fake zero statistic. */
+  def ksDrift(d: Dialect): String =
+    s"""WITH v AS (
+       |  SELECT n_chars AS x,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g
+       |  FROM documents
+       |),
+       |n AS (
+       |  SELECT CAST(SUM(g) AS BIGINT) AS n1,
+       |    CAST(SUM(1 - g) AS BIGINT) AS n2
+       |  FROM v
+       |),
+       |c AS (
+       |  SELECT x, CAST(SUM(g) AS BIGINT) AS c1,
+       |    CAST(SUM(1 - g) AS BIGINT) AS c2
+       |  FROM v GROUP BY x
+       |),
+       |cum AS (
+       |  SELECT x,
+       |    CAST(SUM(c1) OVER (ORDER BY x) AS BIGINT) AS f1,
+       |    CAST(SUM(c2) OVER (ORDER BY x) AS BIGINT) AS f2
+       |  FROM c
+       |),
+       |dm AS (
+       |  SELECT CAST(MAX(ABS(f1 * n.n2 - f2 * n.n1)) AS BIGINT) AS dmax
+       |  FROM cum CROSS JOIN n
+       |)
+       |SELECT n.n1, n.n2,
+       |  CASE WHEN n.n1 = 0 OR n.n2 = 0 THEN NULL
+       |       ELSE ${r6("CAST(dm.dmax AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2)")}
+       |  END AS d_stat,
+       |  CASE WHEN n.n1 = 0 OR n.n2 = 0 THEN NULL
+       |       ELSE ${r6("1.358e0 * sqrt(CAST(n.n1 + n.n2 AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2))")}
+       |  END AS reject_bar,
+       |  CASE WHEN n.n1 = 0 OR n.n2 = 0 THEN NULL
+       |       ELSE CAST(dm.dmax AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2)
+       |            > 1.358e0 * sqrt(CAST(n.n1 + n.n2 AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2))
+       |  END AS drifted
+       |FROM n CROSS JOIN dm""".stripMargin
+
   def labelDrift(d: Dialect): String = {
     val term = chi2CellTerm
     s"""WITH s AS (

@@ -2007,6 +2007,43 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("embeddings")
   }
 
+  test("KS drift: SQL exact-integer D equals an independent replay, and a " +
+    "planted shift trips the asymptotic bar while a matched split does not") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    def run(docs: Seq[(Long, String, Long)]): (Long, Long, Double, Double, Boolean) = {
+      docs.toDF("doc_id", "lang", "n_chars").createOrReplaceTempView("documents")
+      val r = spark.sql(SqlOps.ksDrift(SparkDialect)).collect().head
+      val out = (r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Double]("d_stat"),
+        r.getAs[Double]("reject_bar"), r.getAs[Boolean]("drifted"))
+      spark.catalog.dropTempView("documents")
+      out
+    }
+    def replay(docs: Seq[(Long, String, Long)]): (Double, Boolean) = {
+      val en = docs.collect { case (_, "en", x) => x }
+      val rest = docs.collect { case (_, l, x) if l != "en" => x }
+      val (n1, n2) = (en.size.toLong, rest.size.toLong)
+      val dmax = (en ++ rest).distinct.map { v =>
+        math.abs(en.count(_ <= v) * n2 - rest.count(_ <= v) * n1)
+      }.max
+      val d = dmax.toDouble / (n1.toDouble * n2)
+      (d, d > 1.358 * math.sqrt((n1 + n2).toDouble / (n1.toDouble * n2)))
+    }
+    // planted shift: en lengths 100..139, rest 160..199 — disjoint
+    // supports, D must be 1 and decisively over the bar
+    val shifted = (0 until 40).map(i => (i.toLong, "en", 100L + i)) ++
+      (0 until 40).map(i => (100L + i, "de", 160L + i))
+    val gotS = run(shifted); val (dS, fS) = replay(shifted)
+    assert(gotS._3 === r6(dS) && gotS._5 === fS && fS && gotS._3 === 1.0)
+    // matched split: identical interleaved lengths on both sides —
+    // D small, under the bar
+    val matched = (0 until 40).map(i => (i.toLong, "en", 100L + i % 10)) ++
+      (0 until 40).map(i => (100L + i, "de", 100L + i % 10))
+    val gotM = run(matched); val (dM, fM) = replay(matched)
+    assert(gotM._3 === r6(dM) && gotM._5 === fM && !fM && gotM._3 === 0.0)
+    assert(gotS._4 === r6(1.358 * math.sqrt(80.0 / 1600.0)))
+  }
+
   test("LSH S-curve: bucketing and counting replay exactly, and the " +
     "rational theory column equals an independent BigDecimal power series") {
     import spark.implicits._
