@@ -620,6 +620,8 @@ object SparkEntry {
     // shard-parallel token-budget packing (per-shard windows, no
     // single-partition exchange) and weight-proportional corpus mixing
     "q_pack_sequences" -> sqlq(Seq("documents"), SqlOps.packSequences),
+    // context-length sizing: naive-padding vs concat-packing bound
+    "q_pack_efficiency" -> sqlStaged(Seq("documents"), SqlOps.packEfficiency),
     "q_mix_epochs" -> sqlq(Seq("documents"), SqlOps.mixEpochs),
     // which sources copy from which: rollup of the staged minhash
     // band candidates into a source×source matrix
@@ -1534,6 +1536,7 @@ object SparkEntry {
          |FROM sh""".stripMargin,
     "q_sample_weighted" -> SqlOps.sampleWeighted(DuckDialect),
     "q_pack_sequences" -> SqlOps.packSequences(DuckDialect),
+    "q_pack_efficiency" -> SqlOps.packEfficiency.single(DuckDialect),
     "q_mix_epochs" -> SqlOps.mixEpochs(DuckDialect),
     "q_vocab_coverage" -> SqlOps.vocabCoverage(DuckDialect),
     "q_dedup_source_overlap" -> SqlOps.dedupSourceOverlap.single(DuckDialect),

@@ -6552,6 +6552,47 @@ object SqlOps {
        |  FROM documents
        |) WHERE rn <= 50""".stripMargin
 
+  /** Context-length sizing audit — the padding-waste table a pipeline
+    * reads before choosing max_len and deciding whether packing is
+    * worth it: for each candidate length, the NAIVE per-doc regime
+    * (every doc padded to ⌈n/L⌉ full sequences — the no-packing
+    * baseline) against the concat-packing LOWER BOUND (one global
+    * token stream, ⌈Σn/L⌉ sequences — what perfect packing achieves;
+    * [[packSequences]]' shard-greedy lands between the two). All
+    * closed-form integer arithmetic off one scan of per-doc token
+    * counts: ⌈n/L⌉ = (n + L − 1) DIV L, waste = padded − tokens,
+    * fractions are single exact divisions. Scale shape: one narrow
+    * aggregate per candidate length over the doc-cardinality token
+    * counts read off the STAGED tf index (a 4-armed UNION over an
+    * inline corpus CTE would re-tokenize the corpus per arm under
+    * CTE inlining) — no packing simulation, no window, no shuffle
+    * beyond the aggregates. */
+  val packEfficiency: StagedOp = StagedOp(
+    stages = textUnigramLm.stages,
+    body = { d =>
+      val lens = Seq(64, 128, 256, 512)
+      val rows = lens.map { l =>
+        def ceilDoc = d.idiv(s"n + ${l - 1}", l.toString)
+        def ceilAll = d.idiv(s"SUM(n) + ${l - 1}", l.toString)
+        s"""SELECT $l AS max_len,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+           |  CAST(SUM($ceilDoc) AS BIGINT) AS naive_seqs,
+           |  CAST(SUM($ceilDoc) * $l AS BIGINT) AS naive_padded,
+           |  ${r6(s"CAST(SUM($ceilDoc) * $l - SUM(n) AS DOUBLE)" +
+                  s" / (SUM($ceilDoc) * $l)")} AS naive_waste,
+           |  CAST($ceilAll AS BIGINT) AS packed_seqs,
+           |  ${r6(s"CAST($ceilAll * $l - SUM(n) AS DOUBLE)" +
+                  s" / ($ceilAll * $l)")} AS packed_waste
+           |FROM tn""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tn AS (
+         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n FROM ulm_tf GROUP BY doc_id
+         |)
+         |$rows
+         |ORDER BY max_len""".stripMargin
+    })
+
   /** Shard-parallel sequence packing: assign documents to fixed
     * token-budget training sequences. Global greedy packing is
     * inherently sequential, so the scale shape is the one real
