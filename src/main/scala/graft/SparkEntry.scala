@@ -570,6 +570,8 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> sqlStaged(Seq("documents"), SqlOps.dedupNgramJaccard),
     "q_dedup_verified" -> sqlStaged(Seq("documents"), SqlOps.dedupVerified),
     "q_dedup_lsh_eval" -> sqlStaged(Seq("documents"), SqlOps.dedupLshEval),
+    // threshold sensitivity: pair/doc counts per candidate Jaccard bar
+    "q_dedup_threshold_sweep" -> sqlStaged(Seq("documents"), SqlOps.dedupThresholdSweep),
     // S-curve audit: empirical vs exact-rational theoretical collision
     // rate per Jaccard decile over the deterministic sample
     "q_lsh_scurve" -> sqlStaged(Seq("documents"), SqlOps.lshScurve),
@@ -1491,6 +1493,7 @@ object SparkEntry {
     "q_corr_matrix" -> SqlOps.corrMatrix(DuckDialect),
     "q_dedup_verified" -> SqlOps.dedupVerified.single(DuckDialect),
     "q_dedup_lsh_eval" -> SqlOps.dedupLshEval.single(DuckDialect),
+    "q_dedup_threshold_sweep" -> SqlOps.dedupThresholdSweep.single(DuckDialect),
     "q_lsh_scurve" -> SqlOps.lshScurve.single(DuckDialect),
 
     "q_dedup_exact" -> SqlOps.dedupExact(DuckDialect),

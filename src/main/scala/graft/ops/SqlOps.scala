@@ -6367,6 +6367,73 @@ object SqlOps {
          |$jaccardSelect""".stripMargin
     })
 
+  /** Dedup-threshold sensitivity sweep — the tuning table for the
+    * Jaccard cutoff the verified-dedup gate hardcodes at 0.6: for
+    * each candidate threshold 0.50/0.55/…/0.90, how many candidate
+    * pairs the verifier would keep, how many distinct docs those
+    * pairs touch, and the corpus fraction affected. One scan of the
+    * gated intersections (the staged mh_cand candidates scored
+    * against the staged shingle index — the [[dedupVerified]] CTEs
+    * verbatim, minus its fixed WHERE), so the sweep costs ONE
+    * verification pass, not nine. Jaccard t-tests are integer-exact
+    * (inter·100 ≥ t·union); the per-threshold pair/doc counts run
+    * over the thresholds×surviving-pairs join — DISTINCT doc counts
+    * cannot cumulate across buckets, so the 9× fan-out of the
+    * (already tiny, candidate-cardinality) scored pairs is the
+    * honest cost, bounded by 9 × pairs, never corpus-shaped. */
+  val dedupThresholdSweep: StagedOp = StagedOp(
+    stages = dedupMinhash.stages ++ dedupNgramJaccard.stages,
+    body = { d =>
+      val bars = Seq(50, 55, 60, 65, 70, 75, 80, 85, 90)
+      val dom = bars.map(b => s"SELECT $b AS bar").mkString(" UNION ALL ")
+      s"""WITH cand AS (SELECT doc_a, doc_b FROM mh_cand),
+         |$szCte,
+         |$interGatedCte,
+         |sc AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |    CAST(100 * i.inter AS BIGINT) AS j100,
+         |    CAST(sa.n + sb.n - i.inter AS BIGINT) AS un,
+         |    -- snapshot twins (2d, 2d+1) are corpus-construction
+         |    -- artifacts every threshold keeps; flagged so the doc
+         |    -- count can show the DISCRIMINATING membership too
+         |    CASE WHEN ${d.idiv("i.doc_a", "2")} = ${d.idiv("i.doc_b", "2")}
+         |         THEN 1 ELSE 0 END AS twin
+         |  FROM inter i
+         |  JOIN sz sa ON i.doc_a = sa.doc_id
+         |  JOIN sz sb ON i.doc_b = sb.doc_id
+         |),
+         |dom AS ($dom),
+         |hit AS (
+         |  SELECT dom.bar, sc.doc_a, sc.doc_b, sc.twin
+         |  FROM sc JOIN dom ON sc.j100 >= dom.bar * sc.un
+         |),
+         |pairs AS (
+         |  SELECT bar, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM hit GROUP BY bar
+         |),
+         |docs AS (
+         |  SELECT bar,
+         |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(COUNT(DISTINCT CASE WHEN twin = 0 THEN doc_id END) AS BIGINT)
+         |      AS n_docs_nontwin
+         |  FROM (
+         |    SELECT bar, twin, doc_a AS doc_id FROM hit
+         |    UNION ALL SELECT bar, twin, doc_b AS doc_id FROM hit
+         |  ) GROUP BY bar
+         |),
+         |-- corpus size = 2 × documents (the corpusCte snapshot pairing)
+         |nc AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS n FROM documents)
+         |SELECT ${r6("CAST(dom.bar AS DOUBLE) / 100")} AS threshold,
+         |  CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(COALESCE(dc.n_docs, 0) AS BIGINT) AS n_docs,
+         |  CAST(COALESCE(dc.n_docs_nontwin, 0) AS BIGINT) AS n_docs_nontwin,
+         |  ${r6("CAST(COALESCE(dc.n_docs_nontwin, 0) AS DOUBLE) / nc.n")} AS nontwin_frac
+         |FROM dom
+         |LEFT JOIN pairs p ON p.bar = dom.bar
+         |LEFT JOIN docs dc ON dc.bar = dom.bar
+         |CROSS JOIN nc
+         |ORDER BY threshold""".stripMargin
+    })
+
   /** LSH quality evaluation: recall/precision of the minhash band
     * candidates against exact-jaccard (≥ 0.6) ground truth — the
     * metrics row a pipeline publishes when tuning band/row counts.
