@@ -862,6 +862,8 @@ object SparkEntry {
     // PII release-gate audit (Luhn / octet validation; zero baseline
     // on this PII-free fixture, planted paths in MicroOracleSpec)
     "q_pii_scan" -> sqlStaged(Seq("documents"), SqlOps.piiScan),
+    // unbiased pass@k per task (source=task, Gopher battery=checker)
+    "q_eval_pass_at_k" -> sqlq(Seq("documents"), SqlOps.evalPassAtK),
     "q_ccnet_buckets" -> sqlStaged(Seq("documents"), SqlOps.ccnetBuckets),
     "q_filter_kappa" -> sqlStaged(Seq("documents"), SqlOps.filterKappa),
     "q_tokenizer_fertility" -> sqlStaged(Seq("documents"), SqlOps.tokenizerFertility),
@@ -1715,6 +1717,7 @@ object SparkEntry {
     "q_heaps_fit" -> SqlOps.heapsFit.single(DuckDialect),
     "q_gopher_rules" -> SqlOps.gopherRules(DuckDialect),
     "q_pii_scan" -> SqlOps.piiScan.single(DuckDialect),
+    "q_eval_pass_at_k" -> SqlOps.evalPassAtK(DuckDialect),
     "q_ccnet_buckets" -> SqlOps.ccnetBuckets.single(DuckDialect),
     "q_filter_kappa" -> SqlOps.filterKappa.single(DuckDialect),
     "q_tokenizer_fertility" -> SqlOps.tokenizerFertility.single(DuckDialect),

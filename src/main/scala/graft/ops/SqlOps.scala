@@ -8088,6 +8088,43 @@ object SqlOps {
          |ORDER BY dom.kind""".stripMargin
     })
 
+  /** Unbiased pass@k estimator (Chen et al. 2021, "Evaluating LLMs
+    * Trained on Code", eq. 1) — the standard eval rollup for
+    * sampled generations: per task (source plays the task, docs its
+    * samples, the Gopher battery plays the checker), with n samples
+    * and c passes, pass@k = 1 − C(n−c,k)/C(n,k). Computed as the
+    * PRODUCT OF RATIOS Π (n−c−i)/(n−i), i < k — never a factorial:
+    * each ratio is one correctly-rounded IEEE division and the
+    * k-term product is a fixed sequence, so the estimate is
+    * bit-identical across engines at ANY n (the C(n,k) form
+    * overflows int64 past n ≈ 60). A zero factor (n−c < k) makes the
+    * product exactly 0 → pass@k = 1; tasks with n < k emit NULL
+    * (the estimator is undefined, not zero). One scan, one groupBy
+    * on task — sample-cardinality nowhere. */
+  def evalPassAtK(d: Dialect): String = {
+    def prodK(k: Int): String = (0 until k).map { i =>
+      s"(CAST(n - c - $i AS DOUBLE) / (n - $i))"
+    }.mkString(" * ")
+    s"""WITH g AS (SELECT doc_id, source, text, ${toks(d)} AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id, source, text,
+       |    ${gopherCounts(d)}
+       |  FROM g
+       |),
+       |t AS (
+       |  SELECT source,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN $GopherPass THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM m GROUP BY source
+       |)
+       |SELECT source, n, c,
+       |  ${r6("CAST(c AS DOUBLE) / n")} AS pass_at_1,
+       |  CASE WHEN n < 4 THEN NULL
+       |       ELSE ${r6(s"1.0e0 - ${prodK(4)}")} END AS pass_at_4
+       |FROM t
+       |ORDER BY source""".stripMargin
+  }
+
   /** Gopher-style quality rule battery (Rae et al. 2021, "Scaling
     * Language Models", Appendix A1.1's MassiveWeb document filters) as
     * ONE narrow scan — the standard rule filter a curation pipeline

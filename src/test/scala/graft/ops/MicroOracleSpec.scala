@@ -2007,6 +2007,47 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("embeddings")
   }
 
+  test("pass@k: SQL ratio-product estimates equal exact C(n,k) combinatorics, " +
+    "including the all-but-guaranteed and undefined edges") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val stopTail = " the and of"
+    def doc(pass: Boolean, id: Long): String = {
+      val n = if (pass) 60 else 30 // word-count rule decides
+      (0 until n).map(j => s"w${id}x$j").mkString(" ") + stopTail
+    }
+    // tasks: A 3/10 pass, B 8/10 (n−c=2 < k=4 → pass@4 = 1 exactly),
+    // C 0/10, D n=3 < k (pass@4 undefined → NULL)
+    val spec = Seq(("A", 10, 3), ("B", 10, 8), ("C", 10, 0), ("D", 3, 2))
+    val docs = spec.zipWithIndex.flatMap { case ((src, n, c), t) =>
+      (0 until n).map { i =>
+        val id = t * 100L + i
+        (id, src, doc(i < c, id))
+      }
+    }
+    docs.toDF("doc_id", "source", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.evalPassAtK(SparkDialect)).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n"), r.getAs[Long]("c"),
+        r.getAs[Double]("pass_at_1"),
+        Option(r.get(r.fieldIndex("pass_at_4"))).map(_.asInstanceOf[Double])))
+      .sortBy(_._1)
+    // exact combinatorial truth: 1 − C(n−c,k)/C(n,k) in BigInt
+    def cnk(n: Int, k: Int): BigInt =
+      if (k > n) BigInt(0)
+      else (0 until k).map(i => BigInt(n - i)).product / (1 to k).map(BigInt(_)).product
+    val expected = spec.map { case (src, n, c) =>
+      val p4 = if (n < 4) None
+        else Some(r6(1.0 - (BigDecimal(cnk(n - c, 4)) / BigDecimal(cnk(n, 4))).toDouble))
+      (src, n.toLong, c.toLong, r6(c.toDouble / n), p4)
+    }.sortBy(_._1)
+    assert(got.toSeq === expected)
+    val byS = got.map(g => g._1 -> g).toMap
+    assert(byS("B")._5 === Some(1.0), "n−c < k must give pass@4 = 1 exactly")
+    assert(byS("C")._5 === Some(0.0), "zero passes must give pass@4 = 0")
+    assert(byS("D")._5 === None, "n < k must be NULL, not zero")
+    spark.catalog.dropTempView("documents")
+  }
+
   test("KS drift: SQL exact-integer D equals an independent replay, and a " +
     "planted shift trips the asymptotic bar while a matched split does not") {
     import spark.implicits._
