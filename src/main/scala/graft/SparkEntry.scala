@@ -551,6 +551,8 @@ object SparkEntry {
     "q_shuffle_shards" -> sqlq(Seq("documents"), SqlOps.shuffleShards),
     // curriculum manifest: difficulty quartile phases, md5 shards
     "q_curriculum_order" -> sqlStaged(Seq("documents"), SqlOps.curriculumOrder),
+    // min-k% prob memorization signal off the same tf index
+    "q_mink_prob" -> sqlStaged(Seq("documents"), SqlOps.minkProb),
     "q_window_range" -> sqlq(Seq("orders"), SqlOps.windowRangeSpend),
     "q_window_moving_avg" -> sqlq(Seq("orders"), SqlOps.windowMovingAvg),
     "q_percent_rank" -> sqlq(Seq("orders"), SqlOps.percentRankOrders),
@@ -1482,6 +1484,7 @@ object SparkEntry {
     "q_bfs_levels" -> SqlOps.bfsLevels.single(DuckDialect),
     "q_shuffle_shards" -> SqlOps.shuffleShards(DuckDialect),
     "q_curriculum_order" -> SqlOps.curriculumOrder.single(DuckDialect),
+    "q_mink_prob" -> SqlOps.minkProb.single(DuckDialect),
     "q_time_to_convert" -> SqlOps.timeToConvert(DuckDialect),
     "q_dq_audit" -> SqlOps.dqAudit.single(DuckDialect),
     "q_window_range" -> SqlOps.windowRangeSpend(DuckDialect),

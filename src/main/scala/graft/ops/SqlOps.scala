@@ -7849,6 +7849,47 @@ object SqlOps {
       })
   }
 
+  /** Min-K%-prob memorization/contamination signal (Shi et al. 2023,
+    * "Detecting Pretraining Data"): per document, the mean surprisal
+    * of its k% LEAST-probable tokens — a doc whose rarest tokens are
+    * still corpus-common is template/duplicate-suspect (the signal
+    * that catches members a whole-doc mean would wash out). Unigram
+    * approximation over the staged tf index: per-(doc, distinct
+    * token) µ-bit surprisal ([[qlog2]]), rank per doc by surprisal
+    * DESCENDING (token string as the total tie-break), keep
+    * r ≤ ⌈m/5⌉ (k = 20%; the test is the exact integer 5r ≤ m+4),
+    * mean as one exact idiv. Scale shape: the rank is a per-doc
+    * window over (doc, distinct token) rows — the tf index's own
+    * grain — and the global counts ride the same token-partitioned
+    * window the tf-idf family uses. */
+  val minkProb: StagedOp = StagedOp(
+    stages = textUnigramLm.stages,
+    body = { d =>
+      s"""WITH c AS (
+         |  SELECT doc_id, s, tf,
+         |    CAST(SUM(tf) OVER (PARTITION BY s) AS BIGINT) AS cg
+         |  FROM ulm_tf
+         |),
+         |n AS (SELECT CAST(SUM(tf) AS BIGINT) AS nn FROM ulm_tf),
+         |sp AS (
+         |  SELECT doc_id, s, ${qlog2("nn")} - ${qlog2("cg")} AS q
+         |  FROM c CROSS JOIN n
+         |),
+         |rk AS (
+         |  SELECT doc_id, q,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY q DESC, s) AS r,
+         |    CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS m
+         |  FROM sp
+         |)
+         |SELECT doc_id,
+         |  CAST(MAX(m) AS BIGINT) AS n_distinct,
+         |  CAST(COUNT(*) AS BIGINT) AS k_used,
+         |  ${r6(s"CAST(${d.idiv("CAST(SUM(q) AS BIGINT)", "COUNT(*)")} AS DOUBLE) / 1.0e6")}
+         |    AS mink_bits
+         |FROM rk WHERE 5 * r <= m + 4
+         |GROUP BY doc_id""".stripMargin
+    })
+
   /** Curriculum data ordering — [[shuffleShards]]' difficulty-ordered
     * complement: a curriculum trainer reads easy documents first, so
     * every doc gets a difficulty (mean unigram surprisal in µ-bits —

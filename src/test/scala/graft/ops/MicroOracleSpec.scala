@@ -2007,6 +2007,56 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("embeddings")
   }
 
+  test("min-k% prob: SQL per-doc selection and mean equal an independent " +
+    "surprisal replay, and the all-common doc scores lowest") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // doc 0 all-common (memorization suspect), doc 1 mixed, doc 2
+    // rare-heavy; sizes chosen so ceil(m/5) exercises 1 and 2 picks.
+    // Single-space text keeps the tokenizer faithful to word_shingles.
+    val docs: Seq[(Long, String)] = Seq(
+      (0L, Seq.fill(12)("common").mkString(" ")),                       // m=1
+      (1L, (Seq.fill(6)("common") ++ Seq("mid0", "mid1", "r1a", "r1b",
+        "r1c", "r1d")).mkString(" ")),                                  // m=7
+      (2L, ((0 until 9).map(j => s"r2x$j") ++ Seq("common", "mid0",
+        "mid1")).mkString(" ")))                                        // m=12
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    SqlOps.minkProb.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.minkProb.body(SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_distinct"),
+        r.getAs[Long]("k_used"), r.getAs[Double]("mink_bits"))).sortBy(_._1)
+
+    // ---- independent replay ----
+    def qlog2(x: Long): Long =
+      math.floor(math.log(x.toDouble) / math.log(2.0) * 1e6 + 0.5).toLong
+    val tf: Map[(Long, String), Long] = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).filter(_.nonEmpty).groupBy(identity)
+        .map { case (w, xs) => (id, w) -> xs.size.toLong }
+    }.toMap
+    val cGlob = tf.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val nn = tf.values.sum
+    val expected = docs.map { case (id, _) =>
+      // .toSeq BEFORE collect: collecting (q, w) pairs straight off
+      // the Map would build a Map keyed by q and collapse
+      // equal-surprisal words (the groupBy-Map re-keying pitfall)
+      val qs = tf.toSeq.collect { case ((d, w), _) if d == id =>
+        (qlog2(nn) - qlog2(cGlob(w)), w) }
+      val m = qs.size
+      val k = (m + 4) / 5
+      val sel = qs.sortBy { case (q, w) => (-q, w) }.take(k).map(_._1)
+      (id, m.toLong, k.toLong, r6((sel.sum / sel.size).toDouble / 1e6))
+    }
+    assert(got.toSeq === expected)
+    assert(got.map(_._3).toSeq === Seq(1L, 2L, 3L), "ceil(m/5) pick sizes")
+    // the all-common doc must score strictly lowest; docs 1 and 2 tie
+    // exactly — their min-k picks are all global singletons, so the
+    // signal correctly ignores how much COMMON filler surrounds them
+    assert(got(0)._4 < got(1)._4 && got(1)._4 === got(2)._4)
+    spark.catalog.dropTempView("documents")
+  }
+
   test("pass@k: SQL ratio-product estimates equal exact C(n,k) combinatorics, " +
     "including the all-but-guaranteed and undefined edges") {
     import spark.implicits._
