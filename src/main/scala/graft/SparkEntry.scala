@@ -618,6 +618,8 @@ object SparkEntry {
       survivorsFrom(clustersDeltaStaged(s, d), s, d)),
     "q_sample_hash" -> sqlq(Seq("documents"), SqlOps.sampleHash),
     "q_sample_stratified" -> sqlq(Seq("documents"), SqlOps.sampleStratified),
+    // Neyman-optimal budget allocation across strata (N_h * sigma_h)
+    "q_sample_neyman" -> sqlq(Seq("documents"), SqlOps.sampleNeyman),
     "q_cap_per_source" -> sqlq(Seq("documents"), SqlOps.capPerSource),
     "q_global_rownum" -> sqlq(Seq("documents"), SqlOps.globalRowNumber),
     "q_sample_weighted" -> sqlq(Seq("documents"), SqlOps.sampleWeighted),
@@ -1527,6 +1529,7 @@ object SparkEntry {
     "q_dedup_survivors_delta" -> SURVIVORS_ORACLE,
     "q_sample_hash" -> SqlOps.sampleHash(DuckDialect),
     "q_sample_stratified" -> SqlOps.sampleStratified(DuckDialect),
+    "q_sample_neyman" -> SqlOps.sampleNeyman(DuckDialect),
     "q_cap_per_source" -> SqlOps.capPerSource(DuckDialect),
     // deliberately NOT the two-phase rendering: the single global
     // window is the independent ground truth the shard/offset

@@ -3220,6 +3220,61 @@ object SqlOps {
        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
        |FROM ranked""".stripMargin
 
+  /** Neyman allocation for stratified sampling — the optimal-variance
+    * split of a fixed sample budget: stratum h gets n_h ∝ N_h·σ_h
+    * (big AND internally-varied strata deserve more samples than big
+    * uniform ones — the advance over proportional allocation), here
+    * over language strata with doc length as the survey variable.
+    * σ_h comes off exact integer moments (n·Σx² − (Σx)², int64 at
+    * any corpus scale given bounded lengths); the weight
+    * ⌊N_h·√(num/den)⌋ is two correctly-rounded IEEE ops on exact
+    * operands, so the FLOOR lands identically in both engines; the
+    * 200-sample budget is integerized by the largest-remainder
+    * method (the [[mixTemperature]] rule — exact integer remainders,
+    * stratum name as the total tie-break). Zero-variance or
+    * singleton strata get weight 0 (Neyman's own verdict: sampling a
+    * constant stratum teaches nothing beyond one row); a fully
+    * degenerate corpus (all weights 0) emits NULL allocations rather
+    * than faking a split. One scan, one stratum groupBy. */
+  def sampleNeyman(d: Dialect): String =
+    s"""WITH sc AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(n_chars) AS BIGINT) AS s1,
+       |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+       |  FROM documents GROUP BY lang
+       |),
+       |w AS (
+       |  SELECT lang, n,
+       |    CASE WHEN n < 2 OR n * s2 - s1 * s1 <= 0 THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(FLOOR(CAST(n AS DOUBLE) *
+       |                sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1))))
+       |              AS BIGINT) END AS wt,
+       |    CASE WHEN n < 2 OR n * s2 - s1 * s1 <= 0 THEN 0.0e0
+       |         ELSE ${r6("sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1)))")}
+       |    END AS sigma
+       |  FROM sc
+       |),
+       |t AS (SELECT lang, n, wt, sigma, CAST(SUM(wt) OVER () AS BIGINT) AS tw FROM w),
+       |alloc AS (
+       |  SELECT lang, n, wt, sigma, tw,
+       |    CASE WHEN tw = 0 THEN NULL
+       |         ELSE CAST(${d.idiv("200 * wt", "tw")} AS BIGINT) END AS base,
+       |    CASE WHEN tw = 0 THEN NULL ELSE (200 * wt) % tw END AS rem
+       |  FROM t
+       |),
+       |ranked AS (
+       |  SELECT lang, n, wt, sigma, tw, base,
+       |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk,
+       |    CAST(200 - SUM(base) OVER () AS BIGINT) AS leftover
+       |  FROM alloc
+       |)
+       |SELECT lang, n, sigma, wt,
+       |  CASE WHEN tw = 0 THEN NULL
+       |       ELSE CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+       |  END AS n_alloc
+       |FROM ranked
+       |ORDER BY lang""".stripMargin
+
   /** 32-bit SimHash CTEs over the corpus: md5-derived per-token 32-bit
     * values, per-bit signed majority, reassembled digest. 32 bits keeps
     * the random-collision rate of the band join negligible (16 bits

@@ -2007,6 +2007,53 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("embeddings")
   }
 
+  test("Neyman allocation: SQL weights and largest-remainder split equal an " +
+    "independent replay; constant and singleton strata get zero weight") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // A: big, varied; B: small, very varied; C: constant lengths
+    // (sigma 0 -> weight 0); D: singleton (undefined sigma -> 0)
+    val docs: Seq[(Long, String, Long)] =
+      (0 until 30).map(i => (i.toLong, "A", 100L + 7 * (i % 9))) ++
+      (0 until 8).map(i => (100L + i, "B", 50L + 90 * (i % 2))) ++
+      (0 until 20).map(i => (200L + i, "C", 333L)) :+
+      ((300L, "D", 123L))
+    docs.toDF("doc_id", "lang", "n_chars").createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.sampleNeyman(SparkDialect)).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n"),
+        r.getAs[Double]("sigma"), r.getAs[Long]("wt"), r.getAs[Long]("n_alloc")))
+      .sortBy(_._1)
+
+    // ---- independent replay ----
+    val strata = docs.groupBy(_._2).toSeq.map { case (l, xs) =>
+      val n = xs.size.toLong
+      val s1 = xs.map(_._3).sum
+      val s2 = xs.map(x => x._3 * x._3).sum
+      val num = n * s2 - s1 * s1
+      val (wt, sig) =
+        if (n < 2 || num <= 0) (0L, 0.0)
+        else {
+          val s = math.sqrt(num.toDouble / (n * (n - 1)))
+          (math.floor(n.toDouble * s).toLong, r6(s))
+        }
+      (l, n, sig, wt)
+    }
+    val tw = strata.map(_._4).sum
+    val base = strata.map { case (l, n, s, wt) => (l, n, s, wt, 200L * wt / tw, (200L * wt) % tw) }
+    val leftover = 200L - base.map(_._5).sum
+    val expected = base.sortBy { case (l, _, _, _, _, rem) => (-rem, l) }.zipWithIndex
+      .map { case ((l, n, s, wt, b, _), i) =>
+        (l, n, s, wt, b + (if (i < leftover) 1L else 0L))
+      }.sortBy(_._1)
+    assert(got.toSeq === expected)
+    assert(got.map(_._5).sum === 200L, "budget must be exactly spent")
+    val byL = got.map(g => g._1 -> g).toMap
+    assert(byL("C")._4 === 0L && byL("C")._5 === 0L, "constant stratum gets nothing")
+    assert(byL("D")._4 === 0L && byL("D")._5 === 0L, "singleton stratum gets nothing")
+    assert(byL("B")._5 > 0L, "small-but-varied stratum must be sampled")
+    spark.catalog.dropTempView("documents")
+  }
+
   test("min-k% prob: SQL per-doc selection and mean equal an independent " +
     "surprisal replay, and the all-common doc scores lowest") {
     import spark.implicits._
