@@ -6430,61 +6430,76 @@ object SqlOps {
     * gated intersections (the staged mh_cand candidates scored
     * against the staged shingle index — the [[dedupVerified]] CTEs
     * verbatim, minus its fixed WHERE), so the sweep costs ONE
-    * verification pass, not nine. Jaccard t-tests are integer-exact
-    * (inter·100 ≥ t·union); the per-threshold pair/doc counts run
-    * over the thresholds×surviving-pairs join — DISTINCT doc counts
-    * cannot cumulate across buckets, so the 9× fan-out of the
-    * (already tiny, candidate-cardinality) scored pairs is the
-    * honest cost, bounded by 9 × pairs, never corpus-shaped. */
+    * verification pass, not nine: each pair collapses to its MAXIMAL
+    * passing bar ⌊100·inter/union⌋ (integer-exact — j ≥ bar/100 ⟺
+    * that floor ≥ bar), each doc to the max bar over its pairs, and
+    * the per-threshold counts are sums over the tiny bar-bucket
+    * tables joined to the 9-row threshold domain. The first draft
+    * re-ran the gated intersection join once per consumer (ScanAudit:
+    * 16 scans); this shape runs it once. */
   val dedupThresholdSweep: StagedOp = StagedOp(
-    stages = dedupMinhash.stages ++ dedupNgramJaccard.stages,
+    stages = dedupMinhash.stages ++ dedupNgramJaccard.stages :+
+      // each pair's maximal passing bar — MATERIALIZED: three
+      // consumers below (pair buckets + both endpoint arms) would
+      // re-run the gated intersection join per reference as a CTE
+      ("dts_pb" -> { (d: Dialect) =>
+        s"""WITH cand AS (SELECT doc_a, doc_b FROM mh_cand),
+           |$szCte,
+           |$interGatedCte
+           |SELECT i.doc_a, i.doc_b,
+           |  -- snapshot twins (2d, 2d+1) are corpus-construction
+           |  -- artifacts every threshold keeps; flagged so the doc
+           |  -- count can show the DISCRIMINATING membership too
+           |  CASE WHEN ${d.idiv("i.doc_a", "2")} = ${d.idiv("i.doc_b", "2")}
+           |       THEN 1 ELSE 0 END AS twin,
+           |  CAST(${d.idiv("100 * i.inter", "sa.n + sb.n - i.inter")} AS BIGINT) AS pmax
+           |FROM inter i
+           |JOIN sz sa ON i.doc_a = sa.doc_id
+           |JOIN sz sb ON i.doc_b = sb.doc_id""".stripMargin
+      }),
     body = { d =>
       val bars = Seq(50, 55, 60, 65, 70, 75, 80, 85, 90)
       val dom = bars.map(b => s"SELECT $b AS bar").mkString(" UNION ALL ")
-      s"""WITH cand AS (SELECT doc_a, doc_b FROM mh_cand),
-         |$szCte,
-         |$interGatedCte,
-         |sc AS (
-         |  SELECT i.doc_a, i.doc_b,
-         |    CAST(100 * i.inter AS BIGINT) AS j100,
-         |    CAST(sa.n + sb.n - i.inter AS BIGINT) AS un,
-         |    -- snapshot twins (2d, 2d+1) are corpus-construction
-         |    -- artifacts every threshold keeps; flagged so the doc
-         |    -- count can show the DISCRIMINATING membership too
-         |    CASE WHEN ${d.idiv("i.doc_a", "2")} = ${d.idiv("i.doc_b", "2")}
-         |         THEN 1 ELSE 0 END AS twin
-         |  FROM inter i
-         |  JOIN sz sa ON i.doc_a = sa.doc_id
-         |  JOIN sz sb ON i.doc_b = sb.doc_id
-         |),
-         |dom AS ($dom),
-         |hit AS (
-         |  SELECT dom.bar, sc.doc_a, sc.doc_b, sc.twin
-         |  FROM sc JOIN dom ON sc.j100 >= dom.bar * sc.un
-         |),
-         |pairs AS (
-         |  SELECT bar, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM hit GROUP BY bar
-         |),
-         |docs AS (
-         |  SELECT bar,
-         |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-         |    CAST(COUNT(DISTINCT CASE WHEN twin = 0 THEN doc_id END) AS BIGINT)
-         |      AS n_docs_nontwin
+      s"""WITH dom AS ($dom),
+         |pb AS (SELECT doc_a, doc_b, twin, pmax FROM dts_pb),
+         |pcnt AS (SELECT pmax, CAST(COUNT(*) AS BIGINT) AS c FROM pb GROUP BY pmax),
+         |-- each doc's maximal bar over all its pairs / its non-twin pairs
+         |db AS (
+         |  SELECT doc_id,
+         |    CAST(MAX(pmax) AS BIGINT) AS dmax,
+         |    CAST(MAX(CASE WHEN twin = 0 THEN pmax END) AS BIGINT) AS dmax_nt
          |  FROM (
-         |    SELECT bar, twin, doc_a AS doc_id FROM hit
-         |    UNION ALL SELECT bar, twin, doc_b AS doc_id FROM hit
-         |  ) GROUP BY bar
+         |    SELECT doc_a AS doc_id, twin, pmax FROM pb
+         |    UNION ALL SELECT doc_b AS doc_id, twin, pmax FROM pb
+         |  ) GROUP BY doc_id
+         |),
+         |dcnt AS (
+         |  SELECT dmax, CAST(COUNT(*) AS BIGINT) AS c FROM db GROUP BY dmax
+         |),
+         |dcntn AS (
+         |  SELECT dmax_nt, CAST(COUNT(*) AS BIGINT) AS c FROM db
+         |  WHERE dmax_nt IS NOT NULL GROUP BY dmax_nt
          |),
          |-- corpus size = 2 × documents (the corpusCte snapshot pairing)
-         |nc AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS n FROM documents)
-         |SELECT ${r6("CAST(dom.bar AS DOUBLE) / 100")} AS threshold,
-         |  CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
-         |  CAST(COALESCE(dc.n_docs, 0) AS BIGINT) AS n_docs,
-         |  CAST(COALESCE(dc.n_docs_nontwin, 0) AS BIGINT) AS n_docs_nontwin,
-         |  ${r6("CAST(COALESCE(dc.n_docs_nontwin, 0) AS DOUBLE) / nc.n")} AS nontwin_frac
-         |FROM dom
-         |LEFT JOIN pairs p ON p.bar = dom.bar
-         |LEFT JOIN docs dc ON dc.bar = dom.bar
+         |nc AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS n FROM documents),
+         |pairs AS (
+         |  SELECT dom.bar, CAST(COALESCE(SUM(p.c), 0) AS BIGINT) AS n_pairs
+         |  FROM dom LEFT JOIN pcnt p ON p.pmax >= dom.bar GROUP BY dom.bar
+         |),
+         |docs AS (
+         |  SELECT dom.bar, CAST(COALESCE(SUM(dc.c), 0) AS BIGINT) AS n_docs
+         |  FROM dom LEFT JOIN dcnt dc ON dc.dmax >= dom.bar GROUP BY dom.bar
+         |),
+         |docsn AS (
+         |  SELECT dom.bar, CAST(COALESCE(SUM(dn.c), 0) AS BIGINT) AS n_docs_nontwin
+         |  FROM dom LEFT JOIN dcntn dn ON dn.dmax_nt >= dom.bar GROUP BY dom.bar
+         |)
+         |SELECT ${r6("CAST(p.bar AS DOUBLE) / 100")} AS threshold,
+         |  p.n_pairs, dc.n_docs, dn.n_docs_nontwin,
+         |  ${r6("CAST(dn.n_docs_nontwin AS DOUBLE) / nc.n")} AS nontwin_frac
+         |FROM pairs p
+         |JOIN docs dc ON dc.bar = p.bar
+         |JOIN docsn dn ON dn.bar = p.bar
          |CROSS JOIN nc
          |ORDER BY threshold""".stripMargin
     })
