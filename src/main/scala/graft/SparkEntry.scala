@@ -798,6 +798,8 @@ object SparkEntry {
     "q_text_bigrams_source" -> sqlq(Seq("documents"), SqlOps.topBigramsPerSource),
     "q_text_repetition" -> sqlq(Seq("documents"), SqlOps.textRepetition),
     "q_corpus_filter" -> sqlq(Seq("documents"), SqlOps.corpusFilter),
+    // the shippable artifact: survivors + redacted-content hash + shard
+    "q_release_manifest" -> sqlq(Seq("documents"), SqlOps.releaseManifest),
     "q_curation_funnel" -> sqlq(Seq("documents"), SqlOps.curationFunnel),
     "q_corpus_report" -> sqlq(Seq("documents"), SqlOps.corpusReport),
     "q_contamination" -> sqlq(Seq("documents"), SqlOps.contamination),
@@ -1673,6 +1675,7 @@ object SparkEntry {
     "q_text_bigrams_source" -> SqlOps.topBigramsPerSource(DuckDialect),
     "q_text_repetition" -> SqlOps.textRepetition(DuckDialect),
     "q_corpus_filter" -> SqlOps.corpusFilter(DuckDialect),
+    "q_release_manifest" -> SqlOps.releaseManifest(DuckDialect),
     "q_curation_funnel" -> SqlOps.curationFunnel(DuckDialect),
     "q_corpus_report" -> SqlOps.corpusReport(DuckDialect),
     "q_contamination" -> SqlOps.contamination(DuckDialect),

@@ -5600,6 +5600,30 @@ object SqlOps {
        |WHERE rn = 1 AND lang_guess <> 'und' AND quality >= 4.0e-1""".stripMargin
   }
 
+  /** The RELEASE MANIFEST — the artifact a curation pipeline actually
+    * ships: every [[corpusFilter]] survivor (its body nested VERBATIM,
+    * one copy of the gate logic) with the columns a consumer needs to
+    * load, verify and reproduce the release: language and quality
+    * score, token count, a deterministic md5-ring shard (the
+    * shuffleShards rule — every re-run and engine assigns the same
+    * doc to the same output file), and the content hash of the
+    * PII-REDACTED text ([[piiRedactExpr]] — the checksum certifies
+    * what ships, not what was scraped; a post-release redaction
+    * change is visible as a hash change). One join back to the
+    * narrow text column; everything else rides the single filter
+    * pass. */
+  def releaseManifest(d: Dialect): String =
+    s"""WITH cf AS (SELECT * FROM (
+       |${corpusFilter(d)}
+       |)),
+       |dt AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents)
+       |SELECT cf.doc_id, cf.lang_guess,
+       |  ${r6("cf.quality")} AS quality,
+       |  CAST(${d.size("dt.toks")} AS BIGINT) AS n_tokens,
+       |  ${md5Bucket("CAST(cf.doc_id AS STRING) || ':release'")} % 16 AS shard,
+       |  md5(${piiRedactExpr("dt.text", d)}) AS content_hash
+       |FROM cf JOIN dt ON dt.doc_id = cf.doc_id""".stripMargin
+
   /** The held-out "benchmark" slice of the documents table (by source)
     * and the shared decontamination fragments — single-sourced by
     * [[contamination]] and [[contaminationBloom]] so the two gates
