@@ -172,6 +172,23 @@ object SqlOps {
     * the ≥ 0.6 score expression — shared by [[dedupNgramJaccard]],
     * [[dedupVerified]], [[dedupLshEval]]. */
   private val szCte = "sz AS (SELECT doc_id, COUNT(*) AS n FROM nj_dshf GROUP BY doc_id)"
+  /** The deterministic ~12.5% content-hash truth sample and the
+    * sample-gated exact-intersection join — THE single source of the
+    * sampled-truth pattern shared by [[dedupLshEval]] and
+    * [[lshScurve]]: a sample-rate or truth-join change must move the
+    * recall/precision eval and the S-curve audit together. Both
+    * assume a `corpus` CTE is already in scope. */
+  private def lshSampCte(d: Dialect): String =
+    s"samp AS (SELECT doc_id FROM corpus WHERE ${md5Bucket("text")} < 32)"
+  private val interSampledCte: String =
+    """inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM nj_dshf a
+      |  JOIN samp pa ON a.doc_id = pa.doc_id
+      |  JOIN nj_dshf b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  JOIN samp pb ON b.doc_id = pb.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |)""".stripMargin
   private val interFullCte =
     """inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -3224,24 +3241,44 @@ object SqlOps {
     * split of a fixed sample budget: stratum h gets n_h ∝ N_h·σ_h
     * (big AND internally-varied strata deserve more samples than big
     * uniform ones — the advance over proportional allocation), here
-    * over language strata with doc length as the survey variable.
-    * σ_h comes off exact integer moments (n·Σx² − (Σx)², int64 at
-    * any corpus scale given bounded lengths); the weight
-    * ⌊N_h·√(num/den)⌋ is two correctly-rounded IEEE ops on exact
-    * operands, so the FLOOR lands identically in both engines; the
-    * 200-sample budget is integerized by the largest-remainder
-    * method (the [[mixTemperature]] rule — exact integer remainders,
+    * over language strata with doc length as the survey variable,
+    * CAPPED at the stratum population (a without-replacement sampler
+    * cannot draw 83 docs from an 8-row stratum; capped budget
+    * redistributes to the uncapped strata — the [[mixWaterfill]]
+    * rule with caps = N_h: sorted by N_h/w_h the capped set is a
+    * prefix, tested per row by cross-multiplication). σ_h comes off
+    * exact integer moments inside a LOUD envelope guard — n·Σx² and
+    * (Σx)² must fit int64, and past the envelope BOTH engines throw
+    * the string-cast error instead of Spark ANSI-failing while
+    * DuckDB's hugeint silently sails on (the documented-envelope
+    * rule; switch to centered or decimal moments past ~3e9 total
+    * chars per stratum). The weight ⌊N_h·√(num/den)⌋ is two
+    * correctly-rounded IEEE ops on exact operands, so the FLOOR
+    * lands identically in both engines; the uncapped remainder is
+    * integerized by largest remainder (exact integer remainders,
     * stratum name as the total tie-break). Zero-variance or
-    * singleton strata get weight 0 (Neyman's own verdict: sampling a
-    * constant stratum teaches nothing beyond one row); a fully
-    * degenerate corpus (all weights 0) emits NULL allocations rather
-    * than faking a split. One scan, one stratum groupBy. */
+    * singleton strata get weight 0 (Neyman's own verdict); a fully
+    * degenerate corpus (all weights 0) emits NULL allocations; a
+    * budget exceeding the sampleable mass leaves every stratum
+    * capped and flags `budget_unfilled` instead of inventing rows.
+    * One scan, one stratum groupBy; everything after is
+    * strata-cardinality. */
   def sampleNeyman(d: Dialect): String =
-    s"""WITH sc AS (
+    s"""WITH sc0 AS (
        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
        |    CAST(SUM(n_chars) AS BIGINT) AS s1,
        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
        |  FROM documents GROUP BY lang
+       |),
+       |sc AS (
+       |  SELECT lang, n,
+       |    CASE WHEN s1 > 3037000499 THEN
+       |      CAST('neyman: (sum x)^2 exceeds the int64 moment envelope — use centered/decimal moments' AS BIGINT)
+       |    ELSE s1 END AS s1,
+       |    CASE WHEN n > 0 AND s2 > ${d.idiv("9223372036854775807", "GREATEST(n, 1)")} THEN
+       |      CAST('neyman: n*sum(x^2) exceeds the int64 moment envelope — use centered/decimal moments' AS BIGINT)
+       |    ELSE s2 END AS s2
+       |  FROM sc0
        |),
        |w AS (
        |  SELECT lang, n,
@@ -3254,26 +3291,63 @@ object SqlOps {
        |    END AS sigma
        |  FROM sc
        |),
-       |t AS (SELECT lang, n, wt, sigma, CAST(SUM(wt) OVER () AS BIGINT) AS tw FROM w),
-       |alloc AS (
+       |-- capped-prefix test over the positive-weight strata, sorted by
+       |-- N/w ascending: stratum j is capped iff its proportional share
+       |-- of the budget REMAINING after the (smaller-ratio) prefix is
+       |-- capped meets its population: n_j·W_suffix ≥/≤ cross-multiplied
+       |-- in DOUBLE (correctly-rounded products — both engines land the
+       |-- same side; the decision is a design choice, not a comparator)
+       |t AS (
+       |  SELECT lang, n, wt, sigma,
+       |    CAST(SUM(wt) OVER () AS BIGINT) AS tw,
+       |    CAST(SUM(wt) OVER (ORDER BY ${d.idiv("1000000 * n", "GREATEST(wt, 1)")}, lang
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pfxw,
+       |    CAST(SUM(n) OVER (ORDER BY ${d.idiv("1000000 * n", "GREATEST(wt, 1)")}, lang
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pfxn
+       |  FROM w WHERE wt > 0
+       |),
+       |b AS (
        |  SELECT lang, n, wt, sigma, tw,
-       |    CASE WHEN tw = 0 THEN NULL
-       |         ELSE CAST(${d.idiv("200 * wt", "tw")} AS BIGINT) END AS base,
-       |    CASE WHEN tw = 0 THEN NULL ELSE (200 * wt) % tw END AS rem
+       |    CASE WHEN CAST(n AS DOUBLE) * (tw - (pfxw - wt))
+       |              <= CAST(200 - (pfxn - n) AS DOUBLE) * wt
+       |         THEN 1 ELSE 0 END AS capped
        |  FROM t
        |),
+       |k AS (
+       |  SELECT lang, n, wt, sigma, tw, capped,
+       |    CAST(SUM(CASE WHEN capped = 1 THEN n ELSE 0 END) OVER () AS BIGINT) AS cn,
+       |    CAST(SUM(CASE WHEN capped = 0 THEN wt ELSE 0 END) OVER () AS BIGINT) AS wu
+       |  FROM b
+       |),
+       |alloc AS (
+       |  SELECT lang, n, wt, sigma, tw, capped, cn, wu,
+       |    CASE WHEN capped = 1 THEN n
+       |         ELSE CAST(${d.idiv("(200 - cn) * wt", "GREATEST(wu, 1)")} AS BIGINT)
+       |    END AS base,
+       |    CASE WHEN capped = 1 THEN CAST(-1 AS BIGINT)
+       |         ELSE ((200 - cn) * wt) % GREATEST(wu, 1) END AS rem
+       |  FROM k
+       |),
        |ranked AS (
-       |  SELECT lang, n, wt, sigma, tw, base,
+       |  SELECT lang, n, wt, sigma, capped, cn, base,
        |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk,
        |    CAST(200 - SUM(base) OVER () AS BIGINT) AS leftover
        |  FROM alloc
        |)
-       |SELECT lang, n, sigma, wt,
-       |  CASE WHEN tw = 0 THEN NULL
-       |       ELSE CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
-       |  END AS n_alloc
-       |FROM ranked
-       |ORDER BY lang""".stripMargin
+       |SELECT w.lang, w.n, w.sigma, w.wt,
+       |  CASE WHEN (SELECT MAX(tw) FROM t) IS NULL THEN NULL
+       |       ELSE CAST(COALESCE(
+       |         r.base + CASE WHEN r.capped = 0 AND r.rk <= r.leftover
+       |                       THEN 1 ELSE 0 END, 0) AS BIGINT)
+       |  END AS n_alloc,
+       |  COALESCE(r.capped = 1, FALSE) AS is_capped,
+       |  -- unfilled ⟺ every stratum is capped and the caps fall short: with
+       |  -- any uncapped stratum the largest-remainder pass spends the
+       |  -- budget exactly (Σ floor-bases + leftover, leftover < #uncapped)
+       |  COALESCE((SELECT MAX(wu) FROM k) = 0
+       |           AND (SELECT MAX(cn) FROM k) < 200, TRUE) AS budget_unfilled
+       |FROM w LEFT JOIN ranked r ON r.lang = w.lang
+       |ORDER BY w.lang""".stripMargin
 
   /** 32-bit SimHash CTEs over the corpus: md5-derived per-token 32-bit
     * values, per-bit signed majority, reassembled digest. 32 bits keeps
@@ -4654,17 +4728,6 @@ object SqlOps {
   val NewVecMod = 16
   val NewVecRem = 3
 
-  /** Class-prior (label-mix) drift between the base corpus and
-    * today's ingest slice — the LABEL-level companion of
-    * [[embeddingDrift]], the [[chiSquare]] shape over the
-    * label × slice contingency: did the category mix of arriving
-    * vectors shift? Missing cells are spine-filled to 0 (a label
-    * absent from one slice is exactly the signal — dropping its cell
-    * would understate the statistic); marginals are windows over the
-    * labels×2 table; each (o−e)²/e term is µ-quantized int64 BEFORE
-    * any cross-row sum. Per-label rows carry both shares (exact ppm)
-    * and the label's chi-square contribution, so the report ranks the
-    * movers, not just the headline statistic. */
   /** Two-sample Kolmogorov–Smirnov drift test — the CONTINUOUS-metric
     * sibling of the categorical [[labelDrift]] chi-square: did the
     * length distribution of one slice (en docs) shift against the
@@ -4718,6 +4781,17 @@ object SqlOps {
        |  END AS drifted
        |FROM n CROSS JOIN dm""".stripMargin
 
+  /** Class-prior (label-mix) drift between the base corpus and
+    * today's ingest slice — the LABEL-level companion of
+    * [[embeddingDrift]], the [[chiSquare]] shape over the
+    * label × slice contingency: did the category mix of arriving
+    * vectors shift? Missing cells are spine-filled to 0 (a label
+    * absent from one slice is exactly the signal — dropping its cell
+    * would understate the statistic); marginals are windows over the
+    * labels×2 table; each (o−e)²/e term is µ-quantized int64 BEFORE
+    * any cross-row sum. Per-label rows carry both shares (exact ppm)
+    * and the label's chi-square contribution, so the report ranks the
+    * movers, not just the headline statistic. */
   def labelDrift(d: Dialect): String = {
     val term = chi2CellTerm
     s"""WITH s AS (
@@ -6547,7 +6621,7 @@ object SqlOps {
     stages = dedupMinhash.stages ++ dedupNgramJaccard.stages,
     body = { d =>
       s"""WITH ${corpusCte(d)},
-         |samp AS (SELECT doc_id FROM corpus WHERE ${md5Bucket("text")} < 32),
+         |${lshSampCte(d)},
          |cands AS (
          |  SELECT c.doc_a, c.doc_b
          |  FROM mh_cand c
@@ -6555,14 +6629,7 @@ object SqlOps {
          |  JOIN samp pb ON c.doc_b = pb.doc_id
          |),
          |$szCte,
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-         |  FROM nj_dshf a
-         |  JOIN samp pa ON a.doc_id = pa.doc_id
-         |  JOIN nj_dshf b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  JOIN samp pb ON b.doc_id = pb.doc_id
-         |  GROUP BY a.doc_id, b.doc_id
-         |),
+         |$interSampledCte,
          |truth AS (
          |  SELECT i.doc_a, i.doc_b FROM inter i
          |  JOIN sz sa ON i.doc_a = sa.doc_id
@@ -6605,16 +6672,9 @@ object SqlOps {
     body = { d =>
       val dom = (0 to 9).map(b => s"SELECT $b AS bkt").mkString(" UNION ALL ")
       s"""WITH ${corpusCte(d)},
-         |samp AS (SELECT doc_id FROM corpus WHERE ${md5Bucket("text")} < 32),
+         |${lshSampCte(d)},
          |$szCte,
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-         |  FROM nj_dshf a
-         |  JOIN samp pa ON a.doc_id = pa.doc_id
-         |  JOIN nj_dshf b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  JOIN samp pb ON b.doc_id = pb.doc_id
-         |  GROUP BY a.doc_id, b.doc_id
-         |),
+         |$interSampledCte,
          |pairs AS (
          |  SELECT i.doc_a, i.doc_b,
          |    LEAST(${d.idiv("10 * i.inter", "sa.n + sb.n - i.inter")}, 9) AS bkt

@@ -446,8 +446,12 @@ object StreamingOps {
     * redaction trigger), not validated identifiers — the Luhn/octet
     * separation stays a batch-audit concern. */
   def piiRedactStream(docs: DataFrame): DataFrame = {
+    // coalesce: a NULL-text doc must count 0, not NULL — the batch
+    // monitor filters NULL text before counting, and the two paths
+    // must not drift on per-row arithmetic
     val counts = graft.ops.SqlOps.PiiPatterns.map { case (k, rx) =>
-      expr(graft.ops.SparkDialect.reCount("text", rx)).cast("long").as(s"n_$k")
+      coalesce(expr(graft.ops.SparkDialect.reCount("text", rx)).cast("long"), lit(0L))
+        .as(s"n_$k")
     }
     docs.select(
       col("doc_id") +: counts :+
@@ -1251,15 +1255,25 @@ object StreamingOps {
       val row = spark.range(1).select(lit(batchSeq).as("batch_seq"),
         lit(nAdmitted).as("n_admitted"), lit(batchSig).as("batch_sig"),
         lit(nSig).as("n_sig"))
-      current match {
-        case Some(cur) =>
-          cur.unionByName(
-            row.join(cur.select("batch_seq"), Seq("batch_seq"), "left_anti"),
-            allowMissingColumns = true)
-        case None => row
-      }
+      firstWriteWins(row, current, allowMissing = true)
     }
   }
+
+  /** THE one copy of the first-write-wins append for per-batch report
+    * artifacts (history, tokdrift, pii): the new row lands only if
+    * its batch_seq is not already recorded, so out-of-order replay
+    * cannot rewrite lifetime records. `allowMissing` backfills
+    * columns an upgrade added (the history artifact's admit-sig
+    * migration) with NULLs on pre-upgrade rows — a semantics fix here
+    * now reaches every report, instead of three drifting copies. */
+  private def firstWriteWins(row: DataFrame, current: Option[DataFrame],
+                             allowMissing: Boolean = false): DataFrame =
+    current match {
+      case Some(cur) => cur.unionByName(
+        row.join(cur.select("batch_seq"), Seq("batch_seq"), "left_anti"),
+        allowMissingColumns = allowMissing)
+      case None => row
+    }
 
   /** EWMA volume gate over the admission history — the
     * [[graft.ops.SqlOps.anomalyEwma]] shape applied to per-drain NEW
@@ -1406,11 +1420,7 @@ object StreamingOps {
         oovMu.map(lit(_)).getOrElse(lit(null)).cast("long").as("oov_char_rate_mu"),
         hitMu.map(lit(_)).getOrElse(lit(null)).cast("long").as("multi_hit_rate_mu"),
         lit(if (flag) 1 else 0).as("flag"))
-      current match {
-        case Some(cur) => cur.unionByName(
-          row.join(cur.select("batch_seq"), Seq("batch_seq"), "left_anti"))
-        case None => row
-      }
+      firstWriteWins(row, current)
     }
   }
 
@@ -1437,11 +1447,7 @@ object StreamingOps {
         (lit(batchSeq).as("batch_seq") +:
           kinds.map(k => lit(r.getAs[Long](s"n_$k")).as(s"n_$k"))) :+
           lit(if (total > 0) 1 else 0).as("flag"): _*)
-      current match {
-        case Some(cur) => cur.unionByName(
-          row.join(cur.select("batch_seq"), Seq("batch_seq"), "left_anti"))
-        case None => row
-      }
+      firstWriteWins(row, current)
     }
   }
 

@@ -2007,24 +2007,27 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("embeddings")
   }
 
-  test("Neyman allocation: SQL weights and largest-remainder split equal an " +
-    "independent replay; constant and singleton strata get zero weight") {
+  test("Neyman allocation: SQL cap-aware weights and largest-remainder split " +
+    "equal an independent replay; capped, degenerate and unfilled paths hold") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
-    // A: big, varied; B: small, very varied; C: constant lengths
-    // (sigma 0 -> weight 0); D: singleton (undefined sigma -> 0)
+    // A: big, varied (absorbs the redistribution); B: tiny but very
+    // varied (Neyman share ~13 > its 8 rows → CAPPED at 8); C:
+    // constant lengths (sigma 0 → weight 0); D: singleton (→ 0)
     val docs: Seq[(Long, String, Long)] =
-      (0 until 30).map(i => (i.toLong, "A", 100L + 7 * (i % 9))) ++
-      (0 until 8).map(i => (100L + i, "B", 50L + 90 * (i % 2))) ++
-      (0 until 20).map(i => (200L + i, "C", 333L)) :+
-      ((300L, "D", 123L))
+      (0 until 300).map(i => (i.toLong, "A", 100L + 7 * (i % 9))) ++
+      (0 until 8).map(i => (1000L + i, "B", 50L + 90 * (i % 2))) ++
+      (0 until 20).map(i => (2000L + i, "C", 333L)) :+
+      ((3000L, "D", 123L))
     docs.toDF("doc_id", "lang", "n_chars").createOrReplaceTempView("documents")
-    val got = spark.sql(SqlOps.sampleNeyman(SparkDialect)).collect()
+    def run() = spark.sql(SqlOps.sampleNeyman(SparkDialect)).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n"),
-        r.getAs[Double]("sigma"), r.getAs[Long]("wt"), r.getAs[Long]("n_alloc")))
+        r.getAs[Double]("sigma"), r.getAs[Long]("wt"), r.getAs[Long]("n_alloc"),
+        r.getAs[Boolean]("is_capped"), r.getAs[Boolean]("budget_unfilled")))
       .sortBy(_._1)
+    val got = run()
 
-    // ---- independent replay ----
+    // ---- independent replay of the cap-aware water-fill ----
     val strata = docs.groupBy(_._2).toSeq.map { case (l, xs) =>
       val n = xs.size.toLong
       val s1 = xs.map(_._3).sum
@@ -2038,19 +2041,51 @@ class MicroOracleSpec extends SparkSpec {
         }
       (l, n, sig, wt)
     }
-    val tw = strata.map(_._4).sum
-    val base = strata.map { case (l, n, s, wt) => (l, n, s, wt, 200L * wt / tw, (200L * wt) % tw) }
-    val leftover = 200L - base.map(_._5).sum
-    val expected = base.sortBy { case (l, _, _, _, _, rem) => (-rem, l) }.zipWithIndex
-      .map { case ((l, n, s, wt, b, _), i) =>
-        (l, n, s, wt, b + (if (i < leftover) 1L else 0L))
-      }.sortBy(_._1)
+    val pos = strata.filter(_._4 > 0).sortBy { case (l, n, _, wt) =>
+      (1000000L * n / wt, l)
+    }
+    // prefix cap test, same DOUBLE cross-multiplication as the SQL
+    var pfxN = 0L; var pfxW = 0L
+    val tw = pos.map(_._4).sum
+    val capFlags = pos.map { case (l, n, _, wt) =>
+      val capped = n.toDouble * (tw - pfxW) <= (200L - pfxN).toDouble * wt
+      if (capped) { pfxN += n }
+      pfxW += wt
+      (l, capped)
+    }.toMap
+    val cn = pos.collect { case (l, n, _, _) if capFlags(l) => n }.sum
+    val wu = pos.collect { case (l, _, _, wt) if !capFlags(l) => wt }.sum
+    val baseRem = pos.map { case (l, n, _, wt) =>
+      if (capFlags(l)) (l, n, -1L)
+      else (l, (200L - cn) * wt / wu, ((200L - cn) * wt) % wu)
+    }
+    val leftover = 200L - baseRem.map(_._2).sum
+    val plusOne = baseRem.sortBy { case (l, _, rem) => (-rem, l) }.zipWithIndex
+      .map { case ((l, b, rem), i) =>
+        l -> (b + (if (rem >= 0 && i < leftover) 1L else 0L))
+      }.toMap
+    val expected = strata.map { case (l, n, sig, wt) =>
+      (l, n, sig, wt, plusOne.getOrElse(l, 0L), capFlags.getOrElse(l, false), false)
+    }.sortBy(_._1)
     assert(got.toSeq === expected)
-    assert(got.map(_._5).sum === 200L, "budget must be exactly spent")
+    // semantic invariants: no over-allocation, budget exactly spent
+    assert(got.forall(g => g._5 <= g._2), "never allocate past the population")
+    assert(got.map(_._5).sum === 200L, "budget exactly spent with an uncapped stratum")
     val byL = got.map(g => g._1 -> g).toMap
-    assert(byL("C")._4 === 0L && byL("C")._5 === 0L, "constant stratum gets nothing")
-    assert(byL("D")._4 === 0L && byL("D")._5 === 0L, "singleton stratum gets nothing")
-    assert(byL("B")._5 > 0L, "small-but-varied stratum must be sampled")
+    assert(byL("B")._6 && byL("B")._5 === 8L, "tiny varied stratum capped at its size")
+    assert(!byL("A")._6 && byL("A")._5 === 192L, "uncapped stratum absorbs the rest")
+    assert(byL("C")._5 === 0L && byL("D")._5 === 0L)
+    spark.catalog.dropTempView("documents")
+
+    // budget exceeding the sampleable mass: everything caps, the flag
+    // fires, and allocations equal the populations
+    val tiny: Seq[(Long, String, Long)] =
+      (0 until 6).map(i => (i.toLong, "A", 100L + 31 * (i % 3))) ++
+      (0 until 4).map(i => (100L + i, "B", 50L + 90 * (i % 2)))
+    tiny.toDF("doc_id", "lang", "n_chars").createOrReplaceTempView("documents")
+    val got2 = run()
+    assert(got2.forall(_._7), "budget_unfilled must flag")
+    assert(got2.map(g => g._1 -> g._5).toMap === Map("A" -> 6L, "B" -> 4L))
     spark.catalog.dropTempView("documents")
   }
 
