@@ -903,6 +903,8 @@ object SparkEntry {
       s.sql(SqlOps.splitKfoldReport(SparkDialect))
     }),
     "q_text_bigram_lm" -> sqlStaged(Seq("documents"), SqlOps.textBigramLm),
+    // Stupid-Backoff LM: held-out half scored under train-half counts
+    "q_text_backoff_lm" -> sqlStaged(Seq("documents"), SqlOps.textBackoffLm),
     "q_bigram_pmi" -> sqlStaged(Seq("documents"), SqlOps.bigramPmi),
     "q_join_size_audit" -> sqlq(Seq("orders", "lineitem"), SqlOps.joinSizeAudit),
     "q_metric_contribution" -> sqlq(Seq("lineitem", "part"), SqlOps.metricContribution),
@@ -1757,6 +1759,7 @@ object SparkEntry {
          |${SqlOps.splitKfoldReport(DuckDialect)}
          |)""".stripMargin,
     "q_text_bigram_lm" -> SqlOps.textBigramLm.single(DuckDialect),
+    "q_text_backoff_lm" -> SqlOps.textBackoffLm.single(DuckDialect),
     "q_bigram_pmi" -> SqlOps.bigramPmi.single(DuckDialect),
     "q_join_size_audit" -> SqlOps.joinSizeAudit(DuckDialect),
     "q_metric_contribution" -> SqlOps.metricContribution(DuckDialect),

@@ -1179,6 +1179,73 @@ object SqlOps {
          |FROM j GROUP BY doc_id""".stripMargin
     })
 
+  /** Stupid-Backoff bigram LM filter (Brants et al. 2007) — the
+    * CCNet-style perplexity gate with the detail the in-corpus bigram
+    * score ([[textBigramLm]]) cannot show: UNSEEN bigrams. Counts are
+    * trained on the md5 calibration half (the [[filterConformal]]
+    * split) and score the HELD-OUT half, so cross-half novel bigrams
+    * genuinely occur and take the backoff arm:
+    * S(w₂|w₁) = c₁₂/c₁ when the bigram was seen, else
+    * 0.4·c₂/N (OOV words floor at c₂ = 1 — one extra µ-bit term, not
+    * a dropped row). Surprisals are µ-log2 int64 ([[qlog2]]); the
+    * −log₂(0.4) backoff penalty is PRECOMPUTED HOST-SIDE and inlined
+    * as the same integer literal in both dialect renderings (the
+    * transcendental-pinning rule — engine libm never evaluates it).
+    * Output per held-out doc: bigram count, how many backed off, and
+    * the mean µ-bit score — the filter signal plus the backoff-rate
+    * diagnostic (a spike means the train half stopped representing
+    * the stream). Scale shape: two staged train-half count tables
+    * (vocab/bigram cardinality), one join per arm, no corpus
+    * re-scan. */
+  val textBackoffLm: StagedOp = {
+    // −log2(0.4) in µ-bits, pinned host-side (same JVM renders both
+    // dialects, so the literal is identical by construction)
+    val b04 = math.floor(-math.log(0.4) / math.log(2.0) * 1e6 + 0.5).toLong
+    StagedOp(
+      stages = textBigramLm.stages ++ Seq(
+        "bo_u" -> { (d: Dialect) =>
+          s"""WITH docs AS (SELECT doc_id, text FROM documents
+             |             WHERE ${md5Bucket("text")} < 128),
+             |${d.shingleRows("docs", 1)}
+             |SELECT s AS w, CAST(COUNT(*) AS BIGINT) AS c FROM sh GROUP BY s""".stripMargin
+        },
+        "bo_b" -> { (d: Dialect) =>
+          s"""WITH docs AS (SELECT doc_id, text FROM documents
+             |             WHERE ${md5Bucket("text")} < 128),
+             |${d.shingleRows("docs", 2)}
+             |SELECT s, CAST(COUNT(*) AS BIGINT) AS c12 FROM sh GROUP BY s""".stripMargin
+        }),
+      body = { d =>
+        s"""WITH ho AS (SELECT doc_id FROM documents WHERE ${md5Bucket("text")} >= 128),
+           |bt AS (
+           |  SELECT b.doc_id, b.s, b.tf,
+           |    ${d.elem(d.split("b.s", " "), "1")} AS w1,
+           |    ${d.elem(d.split("b.s", " "), "2")} AS w2
+           |  FROM blm_tf b JOIN ho ON b.doc_id = ho.doc_id
+           |),
+           |tn AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM bo_u),
+           |sc AS (
+           |  SELECT bt.doc_id, bt.tf,
+           |    CASE WHEN bb.c12 IS NOT NULL THEN 0 ELSE 1 END AS backed,
+           |    CASE WHEN bb.c12 IS NOT NULL
+           |         THEN ${qlog2("u1.c")} - ${qlog2("bb.c12")}
+           |         ELSE $b04 + ${qlog2("tn.nn")} - ${qlog2("COALESCE(u2.c, 1)")}
+           |    END AS q
+           |  FROM bt
+           |  LEFT JOIN bo_b bb ON bb.s = bt.s
+           |  LEFT JOIN bo_u u1 ON u1.w = bt.w1
+           |  LEFT JOIN bo_u u2 ON u2.w = bt.w2
+           |  CROSS JOIN tn
+           |)
+           |SELECT doc_id,
+           |  CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           |  CAST(SUM(tf * backed) AS BIGINT) AS n_backoff,
+           |  ${r6(s"CAST(${d.idiv("CAST(SUM(tf * q) AS BIGINT)", "CAST(SUM(tf) AS BIGINT)")} AS DOUBLE) / 1.0e6")}
+           |    AS mean_bits
+           |FROM sc GROUP BY doc_id""".stripMargin
+      })
+  }
+
   /** Bigram PMI (pointwise mutual information) — the collocation
     * detector that separates genuine phrases from chance co-occurrence
     * (high c12 relative to c1·c2): the corpus diagnostic behind

@@ -2007,6 +2007,61 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("embeddings")
   }
 
+  test("Stupid-Backoff LM: SQL seen/backoff/OOV arms equal an independent " +
+    "replay with an independently derived penalty constant") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    def bucket(t: String): Int = Integer.parseInt(md5hex(t).substring(0, 2), 16)
+    // brute-force texts into the right md5 halves: train docs teach
+    // the bigrams, the held-out doc replays one seen bigram, one
+    // novel-but-known-words bigram, and one OOV word
+    val trainBody = "alpha beta alpha beta gamma alpha"
+    val train = Iterator.from(0).map(i => s"$trainBody pad$i")
+      .filter(t => bucket(t) < 128).take(3).toSeq
+    // "gamma gamma" is the novel known-words bigram (train never has
+    // it), "alpha zzoovN" the OOV backoff, "alpha beta" the seen arm
+    val hoText = Iterator.from(0).map(i => s"alpha beta gamma gamma alpha zzoov$i")
+      .filter(t => bucket(t) >= 128).next()
+    val docs = train.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+ (100L, hoText)
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    SqlOps.textBackoffLm.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.textBackoffLm.body(SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("n_backoff"), r.getAs[Double]("mean_bits")))
+    assert(got.map(_._1).toSet === Set(100L), "only the held-out doc is scored")
+
+    // ---- independent replay ----
+    def qlog2(x: Long): Long =
+      math.floor(math.log(x.toDouble) / math.log(2.0) * 1e6 + 0.5).toLong
+    // penalty derived a different way: log2(5/2) via BigDecimal ln
+    // ratio is overkill here — use log1p for an independent code path
+    val b04 = math.floor(math.log1p(1.5) / math.log(2.0) * 1e6 + 0.5).toLong
+    val trTok = train.flatMap(_.split(" ", -1).filter(_.nonEmpty))
+    val uni = trTok.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val bi = train.flatMap { t =>
+      val ws = t.split(" ", -1).filter(_.nonEmpty)
+      ws.zip(ws.drop(1)).map { case (a, b) => s"$a $b" }
+    }.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    val nn = trTok.size.toLong
+    val hoWs = hoText.split(" ", -1).filter(_.nonEmpty)
+    val hoBis = hoWs.zip(hoWs.drop(1)).map { case (a, b) => s"$a $b" }
+    val qs = hoBis.map { s =>
+      val Array(w1, w2) = s.split(" ", -1)
+      bi.get(s) match {
+        case Some(c12) => (qlog2(uni(w1)) - qlog2(c12), 0L)
+        case None => (b04 + qlog2(nn) - qlog2(uni.getOrElse(w2, 1L)), 1L)
+      }
+    }
+    val expMean = r6((qs.map(_._1).sum / qs.size).toDouble / 1e6)
+    assert(got.head === ((100L, qs.size.toLong, qs.map(_._2).sum, expMean)))
+    // the fixture exercises all three arms
+    assert(qs.map(_._2).sum >= 2L, "novel bigram AND the OOV word back off")
+    assert(qs.exists(_._2 == 0L), "a seen bigram takes the direct arm")
+    spark.catalog.dropTempView("documents")
+  }
+
   test("Neyman allocation: SQL cap-aware weights and largest-remainder split " +
     "equal an independent replay; capped, degenerate and unfilled paths hold") {
     import spark.implicits._
