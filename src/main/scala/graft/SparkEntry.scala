@@ -731,6 +731,8 @@ object SparkEntry {
     "q_orders_rfm" -> sqlStaged(Seq("orders"), SqlOps.ordersRfm),
     "q_heavy_hitters" -> sqlStaged(Seq("documents"), SqlOps.heavyHitters),
     "q_ann_ivf_probe2" -> sqlStaged(Seq("embeddings"), SqlOps.annIvfProbe2),
+    // recall-vs-cost curve per probe depth (staged pair table)
+    "q_ann_nprobe_sweep" -> sqlStaged(Seq("embeddings"), SqlOps.annNprobeSweep),
     "q_text_unigram_lm" -> sqlStaged(Seq("documents"), SqlOps.textUnigramLm),
     "q_dsir_weights" -> sqlStaged(Seq("documents"), SqlOps.dsirWeights),
     "q_search_bm25" -> sqlStaged(Seq("documents"), SqlOps.searchBm25),
@@ -1631,6 +1633,7 @@ object SparkEntry {
     "q_orders_rfm" -> SqlOps.ordersRfm.single(DuckDialect),
     "q_heavy_hitters" -> SqlOps.heavyHitters.single(DuckDialect),
     "q_ann_ivf_probe2" -> SqlOps.annIvfProbe2.single(DuckDialect),
+    "q_ann_nprobe_sweep" -> SqlOps.annNprobeSweep.single(DuckDialect),
     "q_text_unigram_lm" -> SqlOps.textUnigramLm.single(DuckDialect),
     "q_dsir_weights" -> SqlOps.dsirWeights.single(DuckDialect),
     "q_search_bm25" -> SqlOps.searchBm25.single(DuckDialect),

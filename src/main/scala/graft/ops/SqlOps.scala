@@ -4568,6 +4568,93 @@ object SqlOps {
          |) WHERE rk <= 3""".stripMargin
     })
 
+  /** IVF nprobe tuning sweep — the recall-vs-cost curve a pipeline
+    * reads before fixing the probe depth (the [[lshScurve]] idea
+    * applied to the IVF family): for nprobe 1..4, recall@3 of the
+    * probed-cells search against the exact brute-force truth over the
+    * SAME deterministic query sample, next to the average candidate
+    * count per query (the cost axis — more probes buy recall with
+    * linearly more distance evaluations). The probed candidate pairs
+    * are computed ONCE into a stage carrying each neighbor's cell
+    * rank (`cellrank` — which probe depth first reaches it), so the
+    * sweep is windows over that table joined to a 4-row domain, never
+    * four re-probes; the brute-force truth side is the body's own
+    * honest cost, sample×corpus bounded exactly like [[annEval]]. */
+  val annNprobeSweep: StagedOp = {
+    val pairsStage = "anp_pr" -> { (d: Dialect) =>
+      val expQ = d.explodeWithPos(
+        "SELECT vec_id, embedding FROM qs", "vec_id", "embedding", "pos", "v")
+      val qv = qvExpr("e.v")
+      s"""WITH qs AS (SELECT * FROM ivf_nvc WHERE vec_id % 50 = 0),
+         |qd AS (
+         |  SELECT e.vec_id, c.label,
+         |    SUM(($qv - c.qc) * ($qv - c.qc)) AS dist
+         |  FROM ($expQ) e JOIN ivf_cent c ON e.pos = c.pos
+         |  GROUP BY e.vec_id, c.label
+         |),
+         |pr AS (
+         |  SELECT vec_id, label, prk FROM (
+         |    SELECT vec_id, label,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, label) AS prk
+         |    FROM qd) p
+         |  WHERE prk <= 4
+         |)
+         |SELECT qs.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  p.prk AS cellrank,
+         |  ${r6(dotExpr(d, "qs.embedding", "b.embedding") + " / (qs.nrm * b.nrm)")} AS cosine
+         |FROM qs
+         |JOIN pr p ON qs.vec_id = p.vec_id
+         |JOIN ivf_nvc b ON b.cell = p.label AND qs.vec_id <> b.vec_id""".stripMargin
+    }
+    StagedOp(
+      stages = annIvfProbe2.stages :+ pairsStage,
+      body = { d =>
+        s"""WITH qs AS (SELECT * FROM ivf_nvc WHERE vec_id % 50 = 0),
+           |ex AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, ROW_NUMBER() OVER (
+           |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+           |    FROM (
+           |      SELECT qs.vec_id AS query_id, t.vec_id AS neighbor_id,
+           |        ${r6(dotExpr(d, "qs.embedding", "t.embedding") + " / (qs.nrm * t.nrm)")} AS cosine
+           |      FROM qs JOIN emb_nv t ON t.vec_id <> qs.vec_id
+           |    )
+           |  ) WHERE rk <= 3
+           |),
+           |dom AS (SELECT 1 AS np UNION ALL SELECT 2 UNION ALL
+           |        SELECT 3 UNION ALL SELECT 4),
+           |ap AS (
+           |  SELECT np, query_id, neighbor_id FROM (
+           |    SELECT dom.np, p.query_id, p.neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY dom.np, p.query_id
+           |        ORDER BY p.cosine DESC, p.neighbor_id) AS rk
+           |    FROM anp_pr p JOIN dom ON p.cellrank <= dom.np
+           |  ) WHERE rk <= 3
+           |),
+           |cost AS (
+           |  SELECT dom.np, CAST(COUNT(*) AS BIGINT) AS n_cand
+           |  FROM anp_pr p JOIN dom ON p.cellrank <= dom.np GROUP BY dom.np
+           |),
+           |hit AS (
+           |  SELECT a.np, CAST(COUNT(*) AS BIGINT) AS n_hit
+           |  FROM ap a JOIN ex e
+           |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           |  GROUP BY a.np
+           |),
+           |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qs)
+           |SELECT dom.np AS nprobe, nq.n AS n_queries,
+           |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           |  ${r6("CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / (3 * nq.n)")} AS recall_at_3,
+           |  CAST(${d.idiv("COALESCE(c.n_cand, 0)", "GREATEST(nq.n, 1)")} AS BIGINT)
+           |    AS avg_candidates
+           |FROM dom
+           |LEFT JOIN hit h ON h.np = dom.np
+           |LEFT JOIN cost c ON c.np = dom.np
+           |CROSS JOIN nq
+           |ORDER BY nprobe""".stripMargin
+      })
+  }
+
   /** The composed production ANN index — IVF-PQ with exact refine, the
     * FAISS-style three-stage read path, every stage off already-staged
     * artifacts:
