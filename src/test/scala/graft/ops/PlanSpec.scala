@@ -300,6 +300,16 @@ class PlanSpec extends SparkSpec {
       s"the corpus passes live in the stages; the body is stage-only:\n$plan")
   }
 
+  test("tf-index consumers are stage-only — the corpus is never re-scanned") {
+    // these bodies read only staged artifacts (ulm_tf and friends);
+    // a corpus scan appearing here means a CTE/SQL edit silently
+    // reverted the collapse-once design
+    Seq("q_pack_efficiency", "q_mink_prob", "q_ulm_vs_bpe").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("documents.parquet"), s"$q re-scans the corpus:\n$plan")
+    }
+  }
+
   test("no accidental cartesian products outside the literal-band irregular range join") {
     SparkEntry.queries.keys.filterNot(_ == "q_range_join_irregular").foreach { q =>
       val plan =
