@@ -808,6 +808,8 @@ object SparkEntry {
     // the bloom-gated variant: identical rows (the oracle runs the
     // ungated exact form — the bloom prefilter must be result-invisible)
     "q_contamination_bloom" -> sqlStaged(Seq("documents"), SqlOps.contaminationBloom),
+    // per-source leak rollup (quarantine decisions, not per-doc drops)
+    "q_contamination_by_source" -> sqlStaged(Seq("documents"), SqlOps.contaminationBySource),
     "q_text_ttr" -> sqlq(Seq("documents"), SqlOps.textTtr),
     // corpus length profile (log2 buckets) and key-skew diagnostic
     "q_length_histogram" -> sqlq(Seq("documents"), SqlOps.lengthHistogram),
@@ -1603,6 +1605,7 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q_kmeans_step" -> SqlOps.kmeansStep.single(DuckDialect),
     "q_contamination_bloom" -> SqlOps.contaminationBloom.single(DuckDialect),
+    "q_contamination_by_source" -> SqlOps.contaminationBySource.single(DuckDialect),
     "q_text_ttr" -> SqlOps.textTtr(DuckDialect),
     "q_text_dup_ngrams" -> SqlOps.textDupNgrams(DuckDialect),
     "q_text_entropy" -> SqlOps.textEntropy(DuckDialect),

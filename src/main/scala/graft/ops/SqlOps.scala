@@ -5914,6 +5914,34 @@ object SqlOps {
          |${contaminationTail("cshb", "ctm_bsh")}""".stripMargin
     })
 
+  /** Per-source contamination rollup — WHICH upstream sources leak
+    * the benchmark, not just which docs: the [[contamination]] tail
+    * run over the SAME staged indexes ([[contaminationBloom]]'s
+    * ctm_* artifacts — the 3-gram explode never re-runs), then one
+    * groupBy on provenance. The table a pipeline acts on: a source
+    * with a high contamination rate gets quarantined wholesale, not
+    * filtered doc-by-doc. Rates are exact integer ratios. */
+  val contaminationBySource: StagedOp = StagedOp(
+    stages = contaminationBloom.stages,
+    body = { d =>
+      s"""WITH c AS (SELECT * FROM (
+         |  WITH ${contaminationTail("ctm_csh", "ctm_bsh")}
+         |)),
+         |r AS (
+         |  SELECT dd.source,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN c.contaminated THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_contaminated,
+         |    CAST(SUM(c.shared_ngrams) AS BIGINT) AS shared_total
+         |  FROM c JOIN documents dd ON dd.doc_id = c.doc_id
+         |  GROUP BY dd.source
+         |)
+         |SELECT source, n_docs, n_contaminated,
+         |  ${r6("CAST(n_contaminated AS DOUBLE) / n_docs")} AS contamination_rate,
+         |  shared_total
+         |FROM r ORDER BY source""".stripMargin
+    })
+
   /** Explicit grouping sets (beyond rollup/cube): status-only,
     * priority-only, and grand-total groups in one pass. Identical
     * syntax in both dialects. */
