@@ -906,6 +906,12 @@ object SparkEntry {
         .createOrReplaceTempView("kfold_a")
       s.sql(SqlOps.splitKfoldReport(SparkDialect))
     }),
+    // quality-gate pass rate among real duplicates vs uniques + z
+    "q_quality_vs_dup" -> ((s, d) => {
+      clustersStaged(s, d).createOrReplaceTempView("clusters")
+      graft.Tables(s, d, "documents").createOrReplaceTempView("documents")
+      s.sql(SqlOps.qualityVsDup(SparkDialect))
+    }),
     "q_text_bigram_lm" -> sqlStaged(Seq("documents"), SqlOps.textBigramLm),
     // Stupid-Backoff LM: held-out half scored under train-half counts
     "q_text_backoff_lm" -> sqlStaged(Seq("documents"), SqlOps.textBackoffLm),
@@ -1763,6 +1769,11 @@ object SparkEntry {
          |)
          |SELECT * FROM (
          |${SqlOps.splitKfoldReport(DuckDialect)}
+         |)""".stripMargin,
+    "q_quality_vs_dup" ->
+      s"""$CLUSTER_CTES
+         |SELECT * FROM (
+         |${SqlOps.qualityVsDup(DuckDialect)}
          |)""".stripMargin,
     "q_text_bigram_lm" -> SqlOps.textBigramLm.single(DuckDialect),
     "q_text_backoff_lm" -> SqlOps.textBackoffLm.single(DuckDialect),

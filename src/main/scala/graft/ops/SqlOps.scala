@@ -8833,6 +8833,66 @@ object SqlOps {
     * prevent, measured on the same corpus. Scale shape: one broadcast
     * of nothing — a left join on doc_id, a hash projection, and two
     * group-bys; the 80/10/10 bucket split matches [[corpusSplit]]. */
+  /** Quality × duplication cross-check — the corpus-insight readout
+    * behind "dedup improves data quality" claims: the HIGH-quality
+    * rate (score ≥ 0.6 — the corpus-median region, deliberately
+    * stricter than the 0.4 release gate which passes ~99.7% of this
+    * fixture and would carry no signal) among genuinely duplicated
+    * docs (cluster containing a SECOND base document — snapshot
+    * twins don't count, the threshold-sweep rule) against the unique
+    * docs, with a pooled
+    * two-proportion z (the [[abTest]] arithmetic: exact integer
+    * counts, one fixed correctly-rounded IEEE sequence, NULL on a
+    * degenerate pool). A strongly negative z says duplicates skew
+    * low-quality (dedup doubles as a quality filter); ~0 says the
+    * two axes are independent and must both run. Consumes the staged
+    * cluster map through the `clusters` view (the splitLeakageSafe
+    * wiring; oracle prepends the recursive-CTE closure). */
+  def qualityVsDup(d: Dialect): String = {
+    val quality = qualityFormula(
+      nWords = d.size("toks"),
+      stopRatio = s"CAST(${stopHitsExpr(d)} AS DOUBLE) / ${d.size("toks")}",
+      avgWlen = s"CAST(length(replace(text, ' ', '')) AS DOUBLE) / ${d.size("toks")}")
+    s"""WITH ${corpusCte(d)},
+       |g AS (
+       |  SELECT c.doc_id, COALESCE(k.cluster_id, c.doc_id) AS grp
+       |  FROM corpus c LEFT JOIN clusters k ON c.doc_id = k.doc_id
+       |),
+       |gb AS (
+       |  SELECT grp, COUNT(DISTINCT ${d.idiv("doc_id", "2")}) AS nb
+       |  FROM g GROUP BY grp
+       |),
+       |qt AS (SELECT doc_id, text, ${toks(d)} AS toks FROM corpus),
+       |q AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $quality >= 6.0e-1 THEN 1 ELSE 0 END AS pass
+       |  FROM qt
+       |),
+       |agg AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN gb.nb >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(SUM(CASE WHEN gb.nb >= 2 THEN q.pass ELSE 0 END) AS BIGINT) AS x1,
+       |    CAST(SUM(CASE WHEN gb.nb >= 2 THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+       |    CAST(SUM(CASE WHEN gb.nb >= 2 THEN 0 ELSE q.pass END) AS BIGINT) AS x2
+       |  FROM g
+       |  JOIN gb ON gb.grp = g.grp
+       |  JOIN q ON q.doc_id = g.doc_id
+       |)
+       |SELECT n1 AS n_dup, n2 AS n_unique, x1 AS pass_dup, x2 AS pass_unique,
+       |  CASE WHEN n1 = 0 THEN NULL ELSE ${r6("CAST(x1 AS DOUBLE) / n1")} END
+       |    AS dup_pass_rate,
+       |  CASE WHEN n2 = 0 THEN NULL ELSE ${r6("CAST(x2 AS DOUBLE) / n2")} END
+       |    AS unique_pass_rate,
+       |  CASE WHEN n1 = 0 OR n2 = 0 OR x1 + x2 = 0 OR x1 + x2 = n1 + n2 THEN NULL
+       |       ELSE ${r6(
+                 """(CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+                   | / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                   |        * (1.0e0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                   |        * (1.0e0 / n1 + 1.0e0 / n2))""".stripMargin)}
+       |  END AS z_score
+       |FROM agg""".stripMargin
+  }
+
   def splitLeakageSafe(d: Dialect): String = {
     def bucketOf(x: String): String =
       s"""CASE WHEN ${md5Bucket(x)} < 205 THEN 'train'
