@@ -733,6 +733,8 @@ object SparkEntry {
     "q_ann_ivf_probe2" -> sqlStaged(Seq("embeddings"), SqlOps.annIvfProbe2),
     // recall-vs-cost curve per probe depth (staged pair table)
     "q_ann_nprobe_sweep" -> sqlStaged(Seq("embeddings"), SqlOps.annNprobeSweep),
+    // near-dup graph degree histogram (isolates / hubs)
+    "q_ann_degree_hist" -> sqlStaged(Seq("embeddings"), SqlOps.annDegreeHist),
     "q_text_unigram_lm" -> sqlStaged(Seq("documents"), SqlOps.textUnigramLm),
     "q_dsir_weights" -> sqlStaged(Seq("documents"), SqlOps.dsirWeights),
     "q_search_bm25" -> sqlStaged(Seq("documents"), SqlOps.searchBm25),
@@ -1643,6 +1645,7 @@ object SparkEntry {
     "q_heavy_hitters" -> SqlOps.heavyHitters.single(DuckDialect),
     "q_ann_ivf_probe2" -> SqlOps.annIvfProbe2.single(DuckDialect),
     "q_ann_nprobe_sweep" -> SqlOps.annNprobeSweep.single(DuckDialect),
+    "q_ann_degree_hist" -> SqlOps.annDegreeHist.single(DuckDialect),
     "q_text_unigram_lm" -> SqlOps.textUnigramLm.single(DuckDialect),
     "q_dsir_weights" -> SqlOps.dsirWeights.single(DuckDialect),
     "q_search_bm25" -> SqlOps.searchBm25.single(DuckDialect),

@@ -4655,6 +4655,38 @@ object SqlOps {
       })
   }
 
+  /** Near-dup graph degree histogram — the connectivity-health
+    * readout over the cosine near-dup graph ([[dedupEmbeddingCosine]]
+    * nested once): how many vectors are isolated (degree 0 — safe
+    * uniques), lightly linked, or hubs (template centers whose
+    * cluster will absorb everything they touch). Both endpoints are
+    * counted from ONE pass over the pair table (the seqArray(0,1)
+    * explode — a two-arm UNION would re-run the band self-join per
+    * arm under CTE inlining); isolated vectors come back through a
+    * LEFT JOIN against the staged vector table, so degree 0 is a
+    * row, not an absence. Histogram is degree-cardinality. (lazy:
+    * declared before [[dedupEmbeddingCosine]] in source order —
+    * a strict val would NPE at object init.) */
+  lazy val annDegreeHist: StagedOp = StagedOp(
+    stages = dedupEmbeddingCosine.stages,
+    body = { d =>
+      val pe = d.explode(
+        s"SELECT vec_a, vec_b, ${d.seqArray("0", "1")} AS ks FROM p",
+        "vec_a, vec_b", "ks", "k")
+      s"""WITH p AS (SELECT * FROM (
+         |${dedupEmbeddingCosine.body(d)}
+         |)),
+         |pe AS ($pe),
+         |en AS (SELECT CASE WHEN k = 0 THEN vec_a ELSE vec_b END AS vec_id FROM pe),
+         |dg AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS deg FROM en GROUP BY vec_id),
+         |ad AS (
+         |  SELECT n.vec_id, CAST(COALESCE(dg.deg, 0) AS BIGINT) AS deg
+         |  FROM emb_nv n LEFT JOIN dg ON dg.vec_id = n.vec_id
+         |)
+         |SELECT deg AS degree, CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |FROM ad GROUP BY deg ORDER BY degree""".stripMargin
+    })
+
   /** The composed production ANN index — IVF-PQ with exact refine, the
     * FAISS-style three-stage read path, every stage off already-staged
     * artifacts:
