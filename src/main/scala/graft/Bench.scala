@@ -109,7 +109,18 @@ object Bench {
     // the right statistic here: steady dataflow cost has a hard floor
     // and pollution only ever ADDS time.
     var steadyThirdRuns = 0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // stage-OWNER queries run before the alphabetical sweep: a
+    // deliberately-unprewarmed shared stage (the cluster map) must
+    // bill its build to the query whose computation it IS, not to
+    // whichever consumer sorts first (r9 billed the CC build to
+    // q_cluster_source_entropy because "c" < "d"). Output maps are
+    // re-sorted by name below, so cross-round comparison is unchanged.
+    val owners = SparkEntry.stageOwners
+    val ordered =
+      owners.flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot { case (n, _) => owners.contains(n) }
+    val results0 = ordered.map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
@@ -142,6 +153,9 @@ object Bench {
       val (t2, e2) = if (e1.isDefined) (-1.0, e1) else steadyMinOfN()
       R(name, t1, t2, e1, e2, rounds)
     }
+    // name-sorted for the output maps (stable cross-round comparison
+    // regardless of the owner-first run order above)
+    val results = results0.sortBy(_.name)
     // ALL number formatting is Locale.ROOT: the scala f interpolator
     // uses the default locale, and a de_DE-style JVM would render
     // "1,234" — invalid JSON in the exact line the driver must parse

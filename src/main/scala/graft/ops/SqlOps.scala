@@ -7764,25 +7764,30 @@ object SqlOps {
        |ORDER BY cnt DESC, path LIMIT 20""".stripMargin
 
   /** Top talkers via a count-min-sketch candidate gate: users
-    * contributing ≥ 2% of the event stream, the canonical CMS use
+    * contributing ≥ 0.08% of the event stream, the canonical CMS use
     * (frequent-flow detection over an unbounded key space). Shape at
     * 100 TB: the sketch is one O(d·w)-state mergeable aggregate over
     * the stream (map-side combined, 64 KiB regardless of user
     * cardinality), the estimate runs once per DISTINCT key, and only
     * the gated slice pays the exact count. CMS never undercounts, so
     * the gate is a lossless superset of the truly-frequent keys and
-    * the integer-exact cnt·50 ≥ N verify makes it result-invisible —
+    * the integer-exact cnt·1250 ≥ N verify makes it result-invisible —
     * proved by the oracle running the ungated exact form (the
     * bloom-decontamination pattern, third sketch class after bloom
-    * membership and Misra-Gries top-k). On this fixture user
-    * cardinality is far below the 2048-bucket width, so collision
+    * membership and Misra-Gries top-k). The 1/1250 share is chosen so
+    * the fixture has survivors at EVERY oracle SF (15/150/104 rows at
+    * sf0.001/0.01/0.1 — at sf0.1 the max user share is ~0.099%, so any
+    * gate ≥ 0.1% is vacuously empty and proves nothing; the gate still
+    * rejects ~93% of sf0.1 users, so the estimate→candidate→exact-
+    * verify positive path is genuinely exercised). On this fixture
+    * user cardinality is far below the 2048-bucket width, so collision
     * paths are exercised adversarially in ExpressionSpec with w=2. */
   def cmsTopUsers(d: Dialect): String =
     s"""WITH ev AS (SELECT user_id FROM events),
-       |${d.cmsGate("cms_gated", "ev", "user_id", 50)},
+       |${d.cmsGate("cms_gated", "ev", "user_id", 1250)},
        |ex AS (SELECT user_id, COUNT(*) AS cnt FROM cms_gated GROUP BY user_id),
        |n AS (SELECT COUNT(*) AS nn FROM ev)
-       |SELECT user_id, cnt FROM ex CROSS JOIN n WHERE cnt * 50 >= nn""".stripMargin
+       |SELECT user_id, cnt FROM ex CROSS JOIN n WHERE cnt * 1250 >= nn""".stripMargin
 
   /** Benford first-digit audit of order totals (Newcomb 1881 / Benford
     * 1938; the classic fraud/corruption screen for financial columns):
