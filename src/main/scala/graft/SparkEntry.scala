@@ -462,6 +462,10 @@ object SparkEntry {
     "q_above_avg" -> Relational.aboveAvgOrders _,
     "q_agg_salted" -> ((s, d) => Relational.saltedRevenueByFlag(s, d)),
     "q_join_salted" -> ((s, d) => Relational.saltedJoinRevenue(s, d)),
+    // does the salt pay on THIS data? hottest-partition share, ppm,
+    // unsalted vs salted, on the uniform join key AND the
+    // low-cardinality one
+    "q_join_salt_audit" -> sqlq(Seq("lineitem", "events"), SqlOps.joinSaltAudit),
     "q_events_json" -> Relational.eventsJsonAgg _,
     "q_orders_by_month" -> Relational.ordersByMonth _,
     "q_asof_join" -> Relational.asofLastPurchase _,
@@ -818,9 +822,9 @@ object SparkEntry {
     "q_text_bigrams" -> sqlq(Seq("documents"), SqlOps.textBigrams),
     "q_text_bigrams_source" -> sqlq(Seq("documents"), SqlOps.topBigramsPerSource),
     "q_text_repetition" -> sqlq(Seq("documents"), SqlOps.textRepetition),
-    "q_corpus_filter" -> sqlq(Seq("documents"), SqlOps.corpusFilter),
+    "q_corpus_filter" -> sqlq(Seq("documents"), d => SqlOps.corpusFilter(d)),
     // the shippable artifact: survivors + redacted-content hash + shard
-    "q_release_manifest" -> sqlq(Seq("documents"), SqlOps.releaseManifest),
+    "q_release_manifest" -> sqlq(Seq("documents"), d => SqlOps.releaseManifest(d)),
     "q_curation_funnel" -> sqlq(Seq("documents"), SqlOps.curationFunnel),
     "q_corpus_report" -> sqlq(Seq("documents"), SqlOps.corpusReport),
     "q_contamination" -> sqlq(Seq("documents"), SqlOps.contamination),
@@ -1280,6 +1284,7 @@ object SparkEntry {
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "q_join_salt_audit" -> SqlOps.joinSaltAudit(DuckDialect),
 
     "q_events_json" ->
       """SELECT event_type,

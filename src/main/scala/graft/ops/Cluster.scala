@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   * engine.
   *
   * Algorithm: every node starts labeled with itself; each round a node
-  * takes the minimum of its own label and its neighbors' labels; stop
-  * when the (strictly decreasing) global label sum is unchanged. Each
-  * round is one shuffle (join edges⋈labels + groupBy-min with map-side
-  * combine), and `localCheckpoint` cuts the growing lineage so round N
-  * doesn't replan rounds 1..N-1. Rounds = component diameter — small
-  * for near-dup clusters (dups of a doc are dups of each other).
+  * takes the minimum of its own label and its ≤2-hop neighbors' labels
+  * (the propagation runs over a loop-invariant 2-hop edge closure built
+  * once before the loop); stop when the (strictly decreasing) global
+  * label sum is unchanged. Each round is one shuffle (join
+  * closure⋈labels + groupBy-min with map-side combine), and
+  * `localCheckpoint` cuts the growing lineage so round N doesn't replan
+  * rounds 1..N-1. Rounds ≈ component diameter / 2 — small for near-dup
+  * clusters (dups of a doc are dups of each other).
   * At 100 TB scale the same loop runs with the large-star/small-star
   * optimization (Kiveris et al., "Connected Components in MapReduce"),
   * which bounds rounds to O(log n); plain propagation keeps this
@@ -136,18 +138,58 @@ object Cluster {
     // edge side of the resulting sort-merge join is exchanged per
     // round — that regime is what connectedComponentsStar's bounded
     // round count is for.)
-    val sym = edges.select(col("a"), col("b"))
+    // checkpointed BEFORE the closure build: sym1 is referenced three
+    // times below (union arm + both join sides) — un-checkpointed,
+    // the upstream candidate-pair plan would execute three times
+    // (MEASURED: 3.5 s steady vs 2.5 s on the sf0.1 embedding graph).
+    // Lazy, like every pre-loop checkpoint here: the initial labelSum
+    // action materializes sym1 → closure → seed in ONE cascade (each
+    // caches as its shuffle completes), where three eager checkpoints
+    // were three separate driver actions — on local-scale dataflow
+    // the per-action overhead (AQE stage materialization + job
+    // scheduling) dominates this loop, so actions are the budget.
+    val sym1 = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(eager = false)
+    // loop-invariant 2-hop edge closure, built ONCE before the loop:
+    // paths of length ≤ 2 (generated a→m→a self-pairs dropped — the
+    // self label is carried by the seed's least(a, …) and the hop's
+    // union(l); ORIGINAL self-loop edges are kept so a
+    // self-loop-only node still surfaces as a singleton component).
+    // Each round's single join+aggregate over this closure propagates
+    // labels TWO hops, so the per-round driver cost is ONE hop plan +
+    // one action instead of r9's two chained hop plans with an inner
+    // lazy checkpoint — same reach per materialized round, roughly
+    // half the per-round plan/codegen overhead, which is what
+    // dominates this loop on local[32]-sized dataflow (per-round cost
+    // decomposes as ~0.16 s per hop plan + ~0.12 s per action,
+    // MEASURED r7-r9 across the 1/2-hop variants). SCALE NOTE: the
+    // closure is |paths ≤ 2| = Σ_v deg(v)² edges in the worst case —
+    // near-dup band graphs are unions of near-cliques (a clique's
+    // 2-hop closure is itself), so the blowup is benign HERE, but a
+    // hub-star topology squares its hub degree: at 100 TB route
+    // long-chain or hub-heavy graphs to connectedComponentsStar,
+    // whose alternation bounds rounds without materializing paths.
+    val sym = sym1
+      .union(sym1.select(col("a"), col("b").as("m"))
+        .join(sym1.select(col("a").as("m"), col("b")), "m")
+        .select(col("a"), col("b"))
+        // only GENERATED paths drop their a→m→a self-pairs; original
+        // edges keep self-loops, because a self-loop-only node is
+        // still a node and must surface as a singleton component
+        .filter(col("a") =!= col("b")))
+      .distinct()
       .repartition(col("b"))
-      .localCheckpoint()
-    // seed labels with round 1 fused in: lbl₀ = min(self, direct
-    // neighbors) — computable in the same groupBy that enumerates the
-    // nodes, so the loop starts one propagation ahead (one fewer
-    // join+aggregate round; diameter-2 components converge in a
-    // single loop iteration plus the fixpoint check)
+      .localCheckpoint(eager = false)
+    // seed labels with the first TWO propagation hops fused in:
+    // lbl₀ = min(self, ≤2-hop neighbors) — computable in the same
+    // groupBy that enumerates the nodes (every edge endpoint appears
+    // as `a` in some length-1 path of the closure), so the loop
+    // starts two hops ahead; diameter-4 components converge in a
+    // single loop iteration plus the fixpoint check
     var labels = sym.groupBy(col("a").as("id"))
       .agg(least(min(col("b")), col("a")).as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // convergence test: labels only ever decrease (min propagation),
     // so the label sum strictly decreases until fixpoint — summed in
     // DECIMAL(38,0) so extreme node counts cannot wrap a signed long
@@ -159,22 +201,22 @@ object Cluster {
     var curSum = labelSum(labels)
     var nRounds = 0
     rounds.set(nRounds)
-    // TWO propagation hops per MATERIALIZED round, each hop behind its
-    // own lazy checkpoint: halves the convergence actions and lets the
-    // second hop's broadcast build materialize the first hop ONCE (an
-    // un-checkpointed inner hop is referenced twice — join side + the
-    // union arm — and Spark would execute its plan twice; that naive
-    // form MEASURED 3.1 s, WORSE than single-hop's 2.8 s). With the
-    // checkpoint: 2.2→1.7 s steady on the 9-hop embedding graph at
-    // sf0.1, identical labels, 5 materialized rounds. (A
-    // pointer-doubling hop — lbl(x) ← min(lbl(x), lbl(lbl(x))) — was
-    // also MEASURED here and reverted: its node-cardinality label
-    // self-join grew the plan enough to lose, 2.5 s → 3.3 s. Unrolling
-    // over the loop-invariant edge list has no such self-join.
-    // Long-diameter graphs still route to connectedComponentsStar,
-    // whose alternation bounds the round count itself.) `lastRounds`
-    // counts materialized rounds — each is two hops, so diameter ≈ up
-    // to 2·rounds. No broadcast hint: locally AQE broadcasts the
+    // TWO chained hops per MATERIALIZED round over the 2-hop closure
+    // — FOUR hops of reach per convergence action, so the 9-hop
+    // embedding graph converges in 3 materialized rounds instead of
+    // r9's 5. Per-round cost here is dominated by the ACTION (AQE
+    // stage materialization + broadcast build + job scheduling), not
+    // by hop-plan count (codegen is cached across identically-shaped
+    // rounds) — MEASURED on the sf0.1 embedding graph: one 2-hop-
+    // closure hop per round kept 5 rounds and ~2.4 s steady, no
+    // better than r9's two 1-hop plans (~2.2 s quiet); earlier
+    // variants for the record: un-checkpointed inner hop 3.1 s
+    // (executed twice — join side + union arm), single-hop rounds
+    // 2.8 s, pointer-doubling lbl(x) ← min(lbl(x), lbl(lbl(x)))
+    // 3.3 s (its node-cardinality label self-join grew the plan
+    // enough to lose). `lastRounds` counts materialized rounds —
+    // each is four hops of reach, so diameter ≈ up to 4·rounds + 2
+    // (seed). No broadcast hint: locally AQE broadcasts the
     // node-cardinality label side on its own, and at cluster scale —
     // where labels outgrow broadcast — a forced hint would OOM the
     // driver where the planner would have picked sort-merge.
@@ -187,8 +229,12 @@ object Cluster {
       prevSum = curSum
       nRounds += 1
       rounds.set(nRounds)
-      // lazy: the labelSum action below materializes the outer
-      // checkpoint — one convergence job per round, not per hop
+      // TWO chained hops over the 2-hop closure = FOUR hops of reach
+      // per materialized round, one convergence action; the inner hop
+      // is behind a lazy checkpoint because it is referenced twice
+      // (join side + union arm) and would otherwise execute twice.
+      // The labelSum action below materializes both checkpoints —
+      // one convergence job per round.
       labels = hop(hop(labels).localCheckpoint(eager = false))
         .localCheckpoint(eager = false)
       curSum = labelSum(labels)

@@ -404,7 +404,14 @@ object Relational {
     * identical to the plain join (the oracle checks the plain SQL).
     * At 100 TB this (or AQE's skew-join split, which automates the same
     * idea) is what keeps a power-law key distribution from serializing
-    * the stage. */
+    * the stage. NOTE the fixture's l_orderkey is high-cardinality and
+    * uniform, so the salt pays pure overhead HERE — this query is the
+    * technique demo (salt mechanics + result-invisibility proof);
+    * [[graft.ops.SqlOps.joinSaltAudit]] (q_join_salt_audit) is the
+    * readout that measures where a salt actually moves the hottest
+    * partition's share on this fixture (the low-cardinality
+    * event_type key, not this one), and a Scala micro-oracle proves
+    * the contraction on a synthetic power-law key. */
   def saltedJoinRevenue(spark: SparkSession, dir: String, salts: Int = 4): DataFrame = {
     // the salt MUST be independent of the join key — a salt derived
     // from l_orderkey would be constant per key and spread nothing;

@@ -44,6 +44,36 @@ case class StagedOp(stages: Seq[(String, Dialect => String)], body: Dialect => S
   }
 }
 
+/** EWMA+MAD anomaly-gate parameters, single-sourced for the batch
+  * monitor ([[SqlOps.ewmaForecast]]/[[SqlOps.anomalyEwma]]) and the
+  * streaming admission gate (graft.streaming.StreamingOps
+  * .ewmaAdmissionGate) — the same formula runs as two dataflows
+  * (SQL over orders, DataFrame over the ingest volume history), and a
+  * drifted α / lookback / threshold between the two copies would make
+  * the streaming gate silently disagree with the batch monitor it
+  * mirrors. Exact decimals so the batch side's integer weight table
+  * (round(α·(1−α)^k·10¹²)) is reproducible to the last digit. */
+object EwmaParams {
+  val Alpha: BigDecimal = BigDecimal("0.3")
+  /** Rows 0..Lookback of the weight table — 61 lag terms. */
+  val Lookback: Int = 60
+  /** Flag when |residual − median| > Sigmas robust sigmas. */
+  val Sigmas: Int = 3
+  /** MAD→σ under normality: 1/Φ⁻¹(3/4). */
+  val MadToSigma: BigDecimal = BigDecimal("1.4826")
+  /** A perfectly regular feed has MAD = 0 and must not flag every
+    * row — floor the scale at one unit. */
+  val MadFloor: BigDecimal = BigDecimal("1.0")
+  /** The SQL threshold expression over a column named `mad` (double
+    * scientific literals so both engines type it DOUBLE). */
+  def thresholdSql: String =
+    s"$Sigmas.0e0 * ${MadToSigma}e0 * GREATEST(mad, ${MadFloor}e0)"
+  /** The same threshold factor for the DataFrame side — the runtime
+    * double product matches the SQL side's (correctly-rounded IEEE
+    * multiply in both). */
+  def thresholdFactor: Double = Sigmas.toDouble * MadToSigma.toDouble
+}
+
 object SqlOps {
 
   private val STOP_EN = Seq("the", "and", "of", "to", "in", "is", "a")
@@ -75,11 +105,13 @@ object SqlOps {
     * engine-portable bucket key behind [[sampleHash]] and the sampled
     * LSH-eval truth side (hex-digit arithmetic; no engine-specific
     * hash or RNG involved). */
-  private def md5Bucket(col: String): String =
+  def md5Bucket(col: String): String =
     // self-parenthesized: callers compose this with tighter-binding
     // operators (`% 8` in packSequences bound only the second addend
     // before the outer parens, silently yielding ~128 shard values —
     // identically in both dialects, so the oracle gate can't see it)
+    // public (not private): the salt-audit micro-oracle composes the
+    // same bucket SQL over its synthetic table
     s"""((instr('0123456789abcdef', substr(md5($col), 1, 1)) - 1) * 16
        |    + (instr('0123456789abcdef', substr(md5($col), 2, 1)) - 1))""".stripMargin
 
@@ -178,7 +210,9 @@ object SqlOps {
     * [[lshScurve]]: a sample-rate or truth-join change must move the
     * recall/precision eval and the S-curve audit together. Both
     * assume a `corpus` CTE is already in scope. */
-  private def lshSampCte(d: Dialect): String =
+  // a val like interSampledCte: the SQL is dialect-invariant (a
+  // Dialect parameter here would imply dialect-sensitive rendering)
+  private val lshSampCte: String =
     s"samp AS (SELECT doc_id FROM corpus WHERE ${md5Bucket("text")} < 32)"
   private val interSampledCte: String =
     """inter AS (
@@ -2621,8 +2655,13 @@ object SqlOps {
     * and REJECTED = the bottom-reward sample (ties to the smaller
     * doc_id — deterministic in both engines), kept only when the
     * group has ≥ 4 candidates and the margin clears 10% of the chosen
-    * reward (an integer compare — weak pairs teach a DPO objective
-    * nothing and a zero margin is a coin flip). ONE scan, ONE window
+    * reward AND is strictly positive (an integer compare — weak pairs
+    * teach a DPO objective nothing and a zero margin is a coin flip;
+    * the explicit margin > 0 conjunct matters when chosen_reward = 0,
+    * where the 10% gate alone would pass an all-zero-reward group and
+    * emit a degenerate chosen_id == rejected_id pair — unreachable
+    * with the current ≥1 token-count reward, latent if the reward
+    * expression ever changes). ONE scan, ONE window
     * partition (both rank directions share it), and the final rollup
     * groups on the same key the window already partitioned by — no
     * second shuffle. Scale shape: rows = group count, never corpus
@@ -2654,6 +2693,7 @@ object SqlOps {
        |FROM g
        |WHERE n_candidates >= 4
        |  AND (chosen_reward - rejected_reward) * 10 >= chosen_reward
+       |  AND chosen_reward - rejected_reward > 0
        |ORDER BY prompt_group""".stripMargin
 
   /** Multiplicative-weights staircase for [[mixDoremi]]: EXPQ(i) =
@@ -5838,13 +5878,13 @@ object SqlOps {
     * the same logic as its standalone query; composing them keeps all
     * three in a single distributed pass (scan → narrow scoring →
     * two window/group shuffles). */
-  def corpusFilter(d: Dialect): String = {
+  def corpusFilter(d: Dialect, from: String = "documents"): String = {
     val (en, id) = langHitExprs(d)
     val quality = qualityFormula(
       nWords = d.size("toks"),
       stopRatio = s"CAST(${stopHitsExpr(d)} AS DOUBLE) / ${d.size("toks")}",
       avgWlen = s"CAST(length(replace(text, ' ', '')) AS DOUBLE) / ${d.size("toks")}")
-    s"""WITH ftoks AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
+    s"""WITH ftoks AS (SELECT doc_id, text, ${toks(d)} AS toks FROM $from),
        |scored AS (
        |  SELECT doc_id, text,
        |    ${langGuessCase(en, id)} AS lang_guess,
@@ -5872,11 +5912,11 @@ object SqlOps {
     * change is visible as a hash change). One join back to the
     * narrow text column; everything else rides the single filter
     * pass. */
-  def releaseManifest(d: Dialect): String =
+  def releaseManifest(d: Dialect, from: String = "documents"): String =
     s"""WITH cf AS (SELECT * FROM (
-       |${corpusFilter(d)}
+       |${corpusFilter(d, from)}
        |)),
-       |dt AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents)
+       |dt AS (SELECT doc_id, text, ${toks(d)} AS toks FROM $from)
        |SELECT cf.doc_id, cf.lang_guess,
        |  ${r6("cf.quality")} AS quality,
        |  CAST(${d.size("dt.toks")} AS BIGINT) AS n_tokens,
@@ -6434,9 +6474,12 @@ object SqlOps {
     * drift. */
   private def ewmaCtes(d: Dialect): String = {
     val day = s"CAST(FLOOR(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} / 86400.0e0) AS BIGINT)"
-    // wq_k = round(0.3 · 0.7^k · 1e12), exact via BigDecimal
-    val wq = (0 to 60).map { k =>
-      (BigDecimal("0.3") * BigDecimal("0.7").pow(k) * BigDecimal(1000000000000L))
+    // wq_k = round(α·(1−α)^k · 1e12), exact via BigDecimal; α and the
+    // lookback are single-sourced in [[EwmaParams]] (shared with the
+    // streaming admission gate)
+    val wq = (0 to EwmaParams.Lookback).map { k =>
+      (EwmaParams.Alpha * (BigDecimal(1) - EwmaParams.Alpha).pow(k)
+        * BigDecimal(1000000000000L))
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
     }
     val wtRows = wq.zipWithIndex
@@ -6458,7 +6501,7 @@ object SqlOps {
        |  SELECT a.t, a.day, a.y,
        |    ${d.idiv("b.yg * w.wq", "1000000")} AS q, w.wq
        |  FROM idx a
-       |  JOIN wt w ON w.k <= 60
+       |  JOIN wt w ON w.k <= ${EwmaParams.Lookback}
        |  JOIN (SELECT t, CASE WHEN y > 30000000
        |                       THEN CAST('ewma: daily revenue exceeds the int64 weight envelope — rescale wq' AS BIGINT)
        |                       ELSE y END AS yg
@@ -6519,7 +6562,7 @@ object SqlOps {
          |SELECT day, y AS actual,
          |  ${r6("CAST(fc_q AS DOUBLE) / 1.0e6")} AS forecast,
          |  ${r6("CAST(r AS DOUBLE) / 1.0e6")} AS residual,
-         |  CASE WHEN ABS(r - med) > 3.0e0 * 1.4826e0 * GREATEST(mad, 1.0e0) THEN 1 ELSE 0 END AS is_anomaly
+         |  CASE WHEN ABS(r - med) > ${EwmaParams.thresholdSql} THEN 1 ELSE 0 END AS is_anomaly
          |FROM ewma_res CROSS JOIN med CROSS JOIN mad""".stripMargin
     })
 
@@ -6835,7 +6878,7 @@ object SqlOps {
     stages = dedupMinhash.stages ++ dedupNgramJaccard.stages,
     body = { d =>
       s"""WITH ${corpusCte(d)},
-         |${lshSampCte(d)},
+         |${lshSampCte},
          |cands AS (
          |  SELECT c.doc_a, c.doc_b
          |  FROM mh_cand c
@@ -6886,7 +6929,7 @@ object SqlOps {
     body = { d =>
       val dom = (0 to 9).map(b => s"SELECT $b AS bkt").mkString(" UNION ALL ")
       s"""WITH ${corpusCte(d)},
-         |${lshSampCte(d)},
+         |${lshSampCte},
          |$szCte,
          |$interSampledCte,
          |pairs AS (
@@ -7788,6 +7831,55 @@ object SqlOps {
        |ex AS (SELECT user_id, COUNT(*) AS cnt FROM cms_gated GROUP BY user_id),
        |n AS (SELECT COUNT(*) AS nn FROM ev)
        |SELECT user_id, cnt FROM ex CROSS JOIN n WHERE cnt * 1250 >= nn""".stripMargin
+
+  /** Salt-audit readout: does salting the shuffle key actually buy
+    * anything on THIS data? For each audited key domain, the hottest
+    * of 32 hash partitions' row share (ppm), unsalted vs salted —
+    * the number a skew mitigation must move. Two domains on purpose:
+    *  - `l_orderkey` (the q_join_salted key): high-cardinality and
+    *    uniform on this fixture, so the salt CANNOT win — the readout
+    *    proves the q_join_salted demo pays pure overhead here and
+    *    exists as the technique, not as a fixture win;
+    *  - `event_type`: 5 distinct values, so whole keys pin partitions
+    *    at ≥ 200,000 ppm regardless of per-key balance — THE case
+    *    where a salt (or AQE skew split) rescues the stage; salting
+    *    ×8 spreads each key across 8 reducers.
+    * The partition function is the portable md5 bucket (mod 32 — the
+    * engine's shuffle-partition count), so both engines compute the
+    * identical assignment; shares are exact integer ppm. One scan per
+    * domain, two tiny aggregates: scale-trivial, and at 100 TB this
+    * readout is exactly the pre-flight a pipeline runs before
+    * choosing salt factors. An independent Scala micro-oracle checks
+    * the salted-max-share contraction on a synthetic power-law key. */
+  def joinSaltAudit(d: Dialect): String =
+    s"""WITH le AS (
+       |  SELECT CAST(l_orderkey AS STRING) AS k,
+       |    CAST(l_linenumber % 4 AS STRING) AS s
+       |  FROM lineitem
+       |),
+       |ev AS (
+       |  SELECT event_type AS k, CAST(event_id % 8 AS STRING) AS s
+       |  FROM events
+       |),
+       |u AS (
+       |  SELECT 'l_orderkey' AS key_domain, 'unsalted' AS variant,
+       |    ${md5Bucket("k")} % 32 AS p FROM le
+       |  UNION ALL
+       |  SELECT 'l_orderkey', 'salted', ${md5Bucket("k || '#' || s")} % 32 FROM le
+       |  UNION ALL
+       |  SELECT 'event_type', 'unsalted', ${md5Bucket("k")} % 32 FROM ev
+       |  UNION ALL
+       |  SELECT 'event_type', 'salted', ${md5Bucket("k || '#' || s")} % 32 FROM ev
+       |),
+       |pc AS (
+       |  SELECT key_domain, variant, p, COUNT(*) AS c
+       |  FROM u GROUP BY key_domain, variant, p
+       |)
+       |SELECT key_domain, variant,
+       |  COUNT(*) AS n_parts_hit,
+       |  ${d.idiv("CAST(MAX(c) AS BIGINT) * 1000000", "CAST(SUM(c) AS BIGINT)")} AS max_share_ppm
+       |FROM pc GROUP BY key_domain, variant
+       |ORDER BY key_domain, variant""".stripMargin
 
   /** Benford first-digit audit of order totals (Newcomb 1881 / Benford
     * 1938; the classic fraud/corruption screen for financial columns):

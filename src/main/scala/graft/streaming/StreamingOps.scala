@@ -423,7 +423,15 @@ object StreamingOps {
     require(!tau.isEmpty,
       "conformalGate: empty tau table — no true-pass calibration docs; " +
         "recalibrate before deploying the gate")
+    // NULL-text docs are rejected EXPLICITLY (filter first), not by
+    // the score arithmetic: split(NULL) makes conf NULL and the τ
+    // compare silently rejects — an explicit filter documents that a
+    // NULL-text doc can never be admitted (it has no content to score,
+    // so no conformal guarantee can cover it), mirroring
+    // piiRedactStream's explicit NULL handling instead of relying on
+    // NULL-comparison semantics.
     docs
+      .filter(col("text").isNotNull)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("conf", expr(graft.ops.SqlOps.sparkConfExpr))
       .crossJoin(broadcast(tau.select(col("tau").as("tau_admitted"))))
@@ -1132,6 +1140,74 @@ object StreamingOps {
     }
   }
 
+  /** Stage 10 — per-doc release-manifest enrichment (`<root>/manifest`,
+    * cols doc_id, lang_guess, quality, n_tokens, shard, content_hash,
+    * text_md5): the batch release manifest's own rendered SQL
+    * ([[graft.ops.SqlOps.releaseManifest]] — ONE copy of the gate +
+    * enrichment logic, zero drift possible) run over each batch's
+    * newly-admitted docs. Append-only and FIRST-WRITE-WINS like the
+    * history table: enrichment is a pure per-doc function, so a
+    * replayed doc can never rewrite its row. The exact-dup gate
+    * (corpusFilter's min-doc_id-per-md5(text) rule) is carried across
+    * batches by anti-joining on `text_md5` — under in-order drains
+    * (ascending doc_id day slices, the daily-ingest contract)
+    * first-write-wins coincides with the batch gate's min-doc_id
+    * rule, which is exactly what the DailyIngestSpec replay assertion
+    * proves (batch-manifest ∘ replayed corpus == streaming union);
+    * out-of-order redelivery keeps first-write-wins, the history
+    * precedent. NOT the released set by itself: cluster
+    * representatives can change when a later batch merges clusters,
+    * so release membership is composed at stage 11 from two published
+    * artifacts instead of baked into this one. */
+  private[streaming] def ingestManifest(spark: SparkSession, batch: DataFrame,
+                                        root: String): Unit = {
+    val admitted = readState(spark, s"$root/admitted")
+      .getOrElse(sys.error(s"daily-ingest: $root/admitted missing (stage order violated)"))
+    publishParquet(spark, s"$root/manifest") { current =>
+      val cand = batch.select(col("doc_id"), col("text"))
+        .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+        .dropDuplicates("doc_id")
+      val fresh = current match {
+        case Some(cur) =>
+          cand.join(cur.select("doc_id"), Seq("doc_id"), "left_anti")
+            .join(cur.select(col("text_md5").as("__md5")),
+              md5(col("text")) === col("__md5"), "left_anti")
+        case None => cand
+      }
+      // the batch manifest SQL, verbatim, over this batch's slice —
+      // the view is resolved at analysis time, so dropping it after
+      // sql() leaves the plan intact. View and sql() go through the
+      // SLICE's own session: inside foreachBatch the batch DataFrame
+      // lives in the micro-batch's isolated session clone, and a view
+      // registered there is invisible to the outer session (and vice
+      // versa).
+      val ss = fresh.sparkSession
+      fresh.createOrReplaceTempView("__ingest_manifest_delta")
+      val rows = ss.sql(graft.ops.SqlOps.releaseManifest(
+          graft.ops.SparkDialect, from = "__ingest_manifest_delta"))
+        .join(fresh.select(col("doc_id"), md5(col("text")).as("text_md5")),
+          Seq("doc_id"))
+      ss.catalog.dropTempView("__ingest_manifest_delta")
+      current.map(_.unionByName(rows)).getOrElse(rows)
+    }
+  }
+
+  /** Stage 11 — the released set (`<root>/release`): manifest ⋈
+    * survivors, a pure function of two published artifacts (trivially
+    * idempotent), recomputed per batch because survivorship is NOT
+    * monotone — a cluster merge can demote an earlier representative.
+    * This is the artifact a downstream consumer ships: every released
+    * doc with its shard assignment and redacted-content hash. */
+  private[streaming] def ingestRelease(spark: SparkSession, root: String): Unit = {
+    val manifest = readState(spark, s"$root/manifest")
+      .getOrElse(sys.error(s"daily-ingest: $root/manifest missing (stage order violated)"))
+    val survivors = readState(spark, s"$root/survivors")
+      .getOrElse(sys.error(s"daily-ingest: $root/survivors missing (stage order violated)"))
+    publishParquet(spark, s"$root/release") { _ =>
+      manifest.drop("text_md5").join(survivors, Seq("doc_id"), "left_semi")
+    }
+  }
+
   /** One micro-batch of the composed daily-ingest pipeline. Exposed so
     * a scheduled batch job (the reference's cron shape) can call it on
     * a day's drain directly; [[dailyIngest]] wraps it for Structured
@@ -1284,8 +1360,9 @@ object StreamingOps {
     * — a perfectly regular feed has MAD = 0 and must not flag every
     * drain). History is one row per drain, so this input is
     * calendar-bounded at any corpus scale. */
-  def ewmaAdmissionGate(history: DataFrame, alpha: Double = 0.3,
-                        lookback: Int = 60): DataFrame = {
+  def ewmaAdmissionGate(history: DataFrame,
+                        alpha: Double = graft.ops.EwmaParams.Alpha.toDouble,
+                        lookback: Int = graft.ops.EwmaParams.Lookback): DataFrame = {
     val spark = history.sparkSession
     import spark.implicits._
     val wt = (0 to lookback).map(k => (k.toLong, alpha * math.pow(1 - alpha, k)))
@@ -1317,9 +1394,13 @@ object StreamingOps {
     fc.crossJoin(mad)
       .select(col("batch_seq"), col("delta").as("n_new_admitted"),
         col("forecast"), col("residual"),
+        // threshold single-sourced with the batch monitor
+        // (SqlOps.anomalyEwma): EwmaParams.thresholdFactor is the same
+        // correctly-rounded double product the SQL side computes
         when(col("residual").isNotNull &&
           abs(col("residual") - col("med")) >
-            lit(3.0 * 1.4826) * greatest(col("mad"), lit(1.0)), 1)
+            lit(graft.ops.EwmaParams.thresholdFactor) *
+              greatest(col("mad"), lit(graft.ops.EwmaParams.MadFloor.toDouble)), 1)
           .otherwise(0).as("is_anomaly"))
   }
 
@@ -1487,6 +1568,8 @@ object StreamingOps {
       }
     }
     dailyIngestBatch(spark, batch, quota, root)
+    ingestManifest(spark, batch, root)
+    ingestRelease(spark, root)
     ingestIndex(spark, batch, centroids, root)
     ingestHistory(spark, batchSeq, batchSig, nSig, root)
     ingestReport(spark, centroids, root)
@@ -1496,7 +1579,8 @@ object StreamingOps {
 
   /** The streaming wrapper for the monitored drain: raw docs
     * (doc_id, source, text, embedding) flow gate → band index →
-    * clusters → survivors → IVF maintenance → drift/EWMA/health
+    * clusters → survivors → release manifest (per-doc enrichment +
+    * the composed released set) → IVF maintenance → drift/EWMA/health
     * reports (and tokenizer drift when `tokVocab` is supplied), one
     * atomic-swap artifact per stage. */
   def dailyIngestMonitored(spark: SparkSession, docs: DataFrame, quota: Int,

@@ -2631,6 +2631,56 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("documents")
   }
 
+  test("salt audit: salting contracts the hottest partition's share on a " +
+    "power-law key and the SQL readout reproduces the Scala shares") {
+    import spark.implicits._
+    // synthetic power-law keys: one hot key owns 80% of rows, the
+    // rest spread over 20 cold keys — the distribution the salted
+    // join exists for (the FIXTURE keys are uniform or merely
+    // low-cardinality, so the contraction claim needs this oracle)
+    val rows = (0 until 1000).map { i =>
+      val k = if (i < 800) "hot" else s"cold${i % 20}"
+      (k, (i % 8).toString)
+    }
+    def bkt(s: String): Int = Integer.parseInt(md5hex(s).substring(0, 2), 16) % 32
+    // exact integer ppm, the same floor-divide the SQL computes
+    def maxSharePpm(parts: Seq[Int]): Long = {
+      val hottest = parts.groupBy(identity).values.map(_.size).max
+      hottest.toLong * 1000000L / parts.size
+    }
+    val unsalted = maxSharePpm(rows.map { case (k, _) => bkt(k) })
+    val salted = maxSharePpm(rows.map { case (k, s) => bkt(s"$k#$s") })
+    // the hot key alone pins one partition at ≥ 80% unsalted; salted
+    // ×8 must contract that by at least 3× (8 salts → ~10-14% each)
+    assert(unsalted >= 800000L, s"hot key must dominate unsalted: $unsalted")
+    assert(salted <= unsalted / 3,
+      s"salting must contract the hottest share ≥3×: $unsalted -> $salted")
+    // the SQL readout computes the same shares on the same rows: run
+    // joinSaltAudit's aggregation shape over this synthetic table and
+    // compare its ppm numbers against the Scala computation
+    rows.zipWithIndex
+      .map { case ((k, s), i) => (i.toLong, k, s.toLong) }
+      .toDF("l_orderkey", "k", "l_linenumber")
+      .createOrReplaceTempView("salt_probe")
+    val got = spark.sql(
+      s"""WITH u AS (
+         |  SELECT 'probe' AS key_domain, 'unsalted' AS variant,
+         |    ${SqlOps.md5Bucket("k")} % 32 AS p FROM salt_probe
+         |  UNION ALL
+         |  SELECT 'probe', 'salted',
+         |    ${SqlOps.md5Bucket("k || '#' || CAST(l_linenumber AS STRING)")} % 32
+         |  FROM salt_probe
+         |),
+         |pc AS (SELECT key_domain, variant, p, COUNT(*) AS c
+         |       FROM u GROUP BY key_domain, variant, p)
+         |SELECT variant, CAST(MAX(c) AS BIGINT) * 1000000 DIV CAST(SUM(c) AS BIGINT) AS ppm
+         |FROM pc GROUP BY key_domain, variant""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("unsalted") === unsalted)
+    assert(got("salted") === salted)
+    spark.catalog.dropTempView("salt_probe")
+  }
+
   test("k-fold report emits empty folds with zero counts and a NULL balance " +
     "ratio instead of omitting them") {
     import spark.implicits._

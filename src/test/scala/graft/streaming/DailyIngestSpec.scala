@@ -182,8 +182,8 @@ class DailyIngestSpec extends SparkSpec {
     day.map { case (id, src, text) => (id, src, text, emb(id)) }
 
   private def artifacts(root: String): Map[String, Set[Seq[Any]]] =
-    Seq("admitted", "bands", "clusters", "survivors", "ivf", "history",
-        "drift", "ewma", "metrics", "pii")
+    Seq("admitted", "bands", "clusters", "survivors", "manifest", "release",
+        "ivf", "history", "drift", "ewma", "metrics", "pii")
       .map(a => a -> spark.read.parquet(s"$root/$a").collect().map(_.toSeq).toSet)
       .toMap
 
@@ -299,7 +299,78 @@ class DailyIngestSpec extends SparkSpec {
     assert(piiRows() === Map(0L -> (1L, 1L, 0L, 0L, 1), 1L -> (0L, 0L, 0L, 0L, 0)))
   }
 
-  test("monitored ingest: mid-pipeline crash and full replay leave all ten artifacts unchanged") {
+  test("monitored ingest: streaming manifest union == batch manifest over the " +
+    "replayed corpus; release = manifest ∩ survivors") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val root = tmp("graft_mingest_manifest")
+    // texts sized for the corpus-filter gate (quality ≥ 0.4 needs
+    // ~30 words with long content words and a low stopword ratio,
+    // plus en-stopword hits for lang 'en') — the other tests'
+    // nonsense fixtures would make every manifest empty, a vacuous
+    // pass; the nonEmpty assert below guards that
+    val e1 = "the quantum processor executed seventeen benchmark workloads and " +
+      "delivered consistent throughput across distributed clusters while " +
+      "maintaining thermal stability under sustained production traffic in " +
+      "the experimental datacenter during extended validation periods"
+    val e2 = "the research consortium published comprehensive findings about " +
+      "glacier dynamics and sediment transport in mountainous watersheds " +
+      "demonstrating measurable correlations between seasonal temperature " +
+      "gradients and downstream aquifer recharge patterns across decades"
+    val e3 = "the orchestra rehearsed intricate passages from contemporary " +
+      "compositions and refined ensemble balance through deliberate " +
+      "sectional practice while guest conductors introduced interpretive " +
+      "approaches rooted in historical performance scholarship"
+    val junk = "zzz qqq xxx www vvv" // admitted, but fails the quality gate
+    val dayA = Seq((31L, "A", e1), (32L, "A", e1), // exact dup inside day A
+      (33L, "A", e2), (34L, "A", junk))
+    val dayB = Seq((35L, "B", e3),
+      (36L, "B", e1)) // CROSS-batch exact dup of 31 → text_md5 gate
+    val b1 = withEmb(dayA).toDF("doc_id", "source", "text", "embedding")
+    val b2 = withEmb(dayB).toDF("doc_id", "source", "text", "embedding")
+    StreamingOps.dailyIngestMonitoredBatch(spark, b1, 0L, quota, centroids, root)
+    // replay of day A before day B: first-write-wins, no duplicate rows
+    StreamingOps.dailyIngestMonitoredBatch(spark, b1, 0L, quota, centroids, root)
+    StreamingOps.dailyIngestMonitoredBatch(spark, b2, 1L, quota, centroids, root)
+
+    val cols = Seq("doc_id", "lang_guess", "quality", "n_tokens", "shard",
+      "content_hash")
+    val got = spark.read.parquet(s"$root/manifest")
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+
+    // batch-manifest ∘ replay: the SAME rendered SQL over the corpus
+    // the ingest admitted, in one batch
+    val admittedIds = readIds(s"$root/admitted")
+    (dayA ++ dayB).distinct.filter(d => admittedIds(d._1))
+      .toDF("doc_id", "source", "text").dropDuplicates("doc_id")
+      .createOrReplaceTempView("__manifest_replay")
+    val want = spark.sql(graft.ops.SqlOps.releaseManifest(
+        graft.ops.SparkDialect, from = "__manifest_replay"))
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    spark.catalog.dropTempView("__manifest_replay")
+    assert(want.nonEmpty, "fixture texts must pass the corpus filter")
+    assert(got === want)
+
+    val manifestIds = got.map(_.head.asInstanceOf[Long])
+    // the junk doc was admitted but the quality gate keeps it out
+    assert(admittedIds.contains(34L) && !manifestIds.contains(34L))
+    // exact dups collapse to the min doc_id, within AND across batches
+    assert(manifestIds.intersect(Set(31L, 32L, 36L)) === Set(31L))
+
+    // release = manifest ∩ survivors, recomputed per batch
+    val survivors = readIds(s"$root/survivors")
+    val wantRelease = got.filter(r => survivors(r.head.asInstanceOf[Long]))
+    val gotRelease = spark.read.parquet(s"$root/release")
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(gotRelease === wantRelease)
+
+    // full replay of day B: every manifest/release row unchanged
+    val before = artifacts(root)
+    StreamingOps.dailyIngestMonitoredBatch(spark, b2, 1L, quota, centroids, root)
+    assert(artifacts(root) === before)
+  }
+
+  test("monitored ingest: mid-pipeline crash and full replay leave all twelve artifacts unchanged") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
     val cleanRoot = tmp("graft_mingest_clean")
