@@ -598,6 +598,9 @@ object SparkEntry {
     // S-curve audit: empirical vs exact-rational theoretical collision
     // rate per Jaccard decile over the deterministic sample
     "q_lsh_scurve" -> sqlStaged(Seq("documents"), SqlOps.lshScurve),
+    // (bands, rows) optimizer: expected FN/FP mass per factorization
+    // of the 8-slice signature against the corpus's own pair histogram
+    "q_lsh_param_opt" -> sqlStaged(Seq("documents"), SqlOps.lshParamOpt),
     "q_dedup_simhash" -> sqlq(Seq("documents"), SqlOps.dedupSimhash),
     "q_dedup_simhash_pairs" -> sqlStaged(Seq("documents"), SqlOps.dedupSimhashPairs),
     "q_dedup_sorted_neighborhood" -> sqlStaged(Seq("documents"), SqlOps.dedupSortedNeighborhood),
@@ -722,6 +725,9 @@ object SparkEntry {
     // two-sample KS over doc lengths (en vs rest): exact int64 D
     "q_ks_drift" -> sqlq(Seq("documents"), SqlOps.ksDrift),
     "q_knn_bruteforce" -> sqlStaged(Seq("embeddings"), SqlOps.knnBruteForce),
+    // influence concentration: which training vectors dominate eval
+    // top-k lists (split-leakage audit from the embedding side)
+    "q_train_attribution" -> sqlStaged(Seq("embeddings"), SqlOps.trainAttribution),
     "q_ann_sign_lsh" -> sqlStaged(Seq("embeddings"), SqlOps.annSignLsh),
     // recall@3 of the sign-LSH index vs exact brute force on the
     // bounded query set — the nightly index-drift check
@@ -804,6 +810,9 @@ object SparkEntry {
     // simplified (centroid-based) silhouette over the final model;
     // shares the Lloyd chain, billed to q_kmeans_loop by name order
     "q_kmeans_silhouette" -> sqlStaged(Seq("embeddings"), SqlOps.kmeansSilhouette),
+    // external validation: purity + NMI of the final assignment
+    // against ground-truth labels (same Lloyd chain)
+    "q_kmeans_purity" -> sqlStaged(Seq("embeddings"), SqlOps.kmeansPurity),
     // DoReMi-style excess-loss domain reweighting
     "q_mix_doremi" -> sqlStaged(Seq("documents"), SqlOps.mixDoremiOp),
     // water-filling token-budget allocation across domains
@@ -828,6 +837,9 @@ object SparkEntry {
     "q_curation_funnel" -> sqlq(Seq("documents"), SqlOps.curationFunnel),
     "q_corpus_report" -> sqlq(Seq("documents"), SqlOps.corpusReport),
     "q_contamination" -> sqlq(Seq("documents"), SqlOps.contamination),
+    // held-out 4-gram novelty vs the training split, per source —
+    // the memorization-side sibling of decontamination
+    "q_ngram_novelty" -> sqlq(Seq("documents"), SqlOps.ngramNovelty),
     // the bloom-gated variant: identical rows (the oracle runs the
     // ungated exact form — the bloom prefilter must be result-invisible)
     "q_contamination_bloom" -> sqlStaged(Seq("documents"), SqlOps.contaminationBloom),
@@ -899,6 +911,9 @@ object SparkEntry {
     "q_eval_pass_at_k" -> sqlq(Seq("documents"), SqlOps.evalPassAtK),
     "q_ccnet_buckets" -> sqlStaged(Seq("documents"), SqlOps.ccnetBuckets),
     "q_filter_kappa" -> sqlStaged(Seq("documents"), SqlOps.filterKappa),
+    // McNemar paired test over the same two gates: is the
+    // disagreement directional or coin-flip noise?
+    "q_filter_mcnemar" -> sqlStaged(Seq("documents"), SqlOps.filterMcnemar),
     "q_tokenizer_fertility" -> sqlStaged(Seq("documents"), SqlOps.tokenizerFertility),
     "q_hist_quantiles" -> sqlq(Seq("events"), SqlOps.histogramQuantiles),
     "q_pca_power_iter" -> sqlStaged(Seq("embeddings"), SqlOps.pcaPowerTimed),
@@ -1540,6 +1555,7 @@ object SparkEntry {
     "q_dedup_lsh_eval" -> SqlOps.dedupLshEval.single(DuckDialect),
     "q_dedup_threshold_sweep" -> SqlOps.dedupThresholdSweep.single(DuckDialect),
     "q_lsh_scurve" -> SqlOps.lshScurve.single(DuckDialect),
+    "q_lsh_param_opt" -> SqlOps.lshParamOpt.single(DuckDialect),
 
     "q_dedup_exact" -> SqlOps.dedupExact(DuckDialect),
     "q_dedup_minhash" -> SqlOps.dedupMinhash.single(DuckDialect),
@@ -1650,6 +1666,7 @@ object SparkEntry {
     "q_label_drift" -> SqlOps.labelDrift(DuckDialect),
     "q_ks_drift" -> SqlOps.ksDrift(DuckDialect),
     "q_knn_bruteforce" -> SqlOps.knnBruteForce.single(DuckDialect),
+    "q_train_attribution" -> SqlOps.trainAttribution.single(DuckDialect),
     "q_ann_sign_lsh" -> SqlOps.annSignLsh.single(DuckDialect),
     "q_ann_ivf" -> SqlOps.annIvf.single(DuckDialect),
     "q_ann_pq" -> SqlOps.annPq.single(DuckDialect),
@@ -1699,6 +1716,7 @@ object SparkEntry {
     "q_eval_bootstrap" -> SqlOps.evalBootstrap(DuckDialect),
     "q_kmeans_loop" -> SqlOps.kmeansLoop.single(DuckDialect),
     "q_kmeans_silhouette" -> SqlOps.kmeansSilhouette.single(DuckDialect),
+    "q_kmeans_purity" -> SqlOps.kmeansPurity.single(DuckDialect),
     "q_mix_doremi" -> SqlOps.mixDoremiOp.single(DuckDialect),
     "q_mix_waterfill" -> SqlOps.mixWaterfill(DuckDialect),
     "q_filter_conformal" -> SqlOps.filterConformal.single(DuckDialect),
@@ -1718,6 +1736,7 @@ object SparkEntry {
     "q_curation_funnel" -> SqlOps.curationFunnel(DuckDialect),
     "q_corpus_report" -> SqlOps.corpusReport(DuckDialect),
     "q_contamination" -> SqlOps.contamination(DuckDialect),
+    "q_ngram_novelty" -> SqlOps.ngramNovelty(DuckDialect),
     // empty-text guard: list_reduce on an empty list ERRORS in DuckDB,
     // while the Spark expression returns 0 — the CASE keeps the oracle
     // total on datasets containing an empty document
@@ -1768,6 +1787,7 @@ object SparkEntry {
     "q_eval_pass_at_k" -> SqlOps.evalPassAtK(DuckDialect),
     "q_ccnet_buckets" -> SqlOps.ccnetBuckets.single(DuckDialect),
     "q_filter_kappa" -> SqlOps.filterKappa.single(DuckDialect),
+    "q_filter_mcnemar" -> SqlOps.filterMcnemar.single(DuckDialect),
     "q_tokenizer_fertility" -> SqlOps.tokenizerFertility.single(DuckDialect),
     "q_hist_quantiles" -> SqlOps.histogramQuantiles(DuckDialect),
     "q_pca_power_iter" -> SqlOps.pcaPowerTimed.single(DuckDialect),

@@ -4439,6 +4439,56 @@ object SqlOps {
          |) WHERE rk <= 10""".stripMargin
     })
 
+  /** Training-data attribution by influence concentration: split the
+    * embedding corpus into an eval slice (vec_id % 10 = 0) and its
+    * training remainder, take each eval vector's top-3 training
+    * neighbors by exact cosine, then INVERT the lists — which
+    * training examples appear in the most eval top-k lists, and how
+    * often their label agrees with the eval vector's. The heavy
+    * hitters of this table are what a leakage audit reads: one
+    * training doc influencing many eval docs signals a near-dup
+    * cluster straddling the split (the q_split_leakage_safe failure
+    * mode, observed from the embedding side), and a low label-match
+    * rate among top attributions says proximity is NOT semantic.
+    * Top-20 by (influence, id) — deterministic. Scale shape: the
+    * eval slice is the bounded side (the knnBruteForce rule), the
+    * per-neighbor rollup is a map-side-combinable count, and the
+    * final table is a TakeOrdered, not a global sort; at 100 TB the
+    * brute-force pair stage swaps for the IVF shortlist with the
+    * same inversion rolled over it. */
+  val trainAttribution: StagedOp = StagedOp(
+    stages = Seq("emb_nv" -> nvStage),
+    body = { d =>
+      s"""WITH ev AS (SELECT * FROM emb_nv WHERE vec_id % 10 = 0),
+         |tr AS (SELECT * FROM emb_nv WHERE vec_id % 10 <> 0),
+         |pairs AS (
+         |  SELECT ev.vec_id AS eval_id, tr.vec_id AS train_id,
+         |    ${r6(dotExpr(d, "ev.embedding", "tr.embedding") + " / (ev.nrm * tr.nrm)")} AS cosine
+         |  FROM ev JOIN tr ON ev.vec_id <> tr.vec_id
+         |),
+         |topk AS (
+         |  SELECT eval_id, train_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY eval_id ORDER BY cosine DESC, train_id) AS rk
+         |    FROM pairs
+         |  ) WHERE rk <= 3
+         |),
+         |inf AS (
+         |  SELECT t.train_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_influenced,
+         |    CAST(SUM(CASE WHEN le.label = lt.label THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_label_match
+         |  FROM topk t
+         |  JOIN embeddings le ON le.vec_id = t.eval_id
+         |  JOIN embeddings lt ON lt.vec_id = t.train_id
+         |  GROUP BY t.train_id
+         |)
+         |SELECT train_id, n_influenced, n_label_match,
+         |  ${d.idiv("1000000 * n_label_match", "n_influenced")} AS match_ppm
+         |FROM inf
+         |ORDER BY n_influenced DESC, train_id LIMIT 20""".stripMargin
+    })
+
   /** Sign-LSH ANN: bucket by sign pattern of dims 1-8 (256 buckets),
     * top-3 within bucket for every vector. The scale path: candidates
     * per query drop from N to N/256 with a plain equi-join shuffle. */
@@ -5364,6 +5414,63 @@ object SqlOps {
       })
   }
 
+  /** EXTERNAL cluster validation for the trained Lloyd model —
+    * purity and normalized mutual information of the final-round
+    * assignment against the embeddings' ground-truth labels (the
+    * readout that says whether the clusters recover the labeling, as
+    * the internal silhouette cannot). All counting rides ONE
+    * cells×labels contingency table (k·|labels| rows — broadcast-
+    * trivial at any corpus scale; the only corpus-sized work is the
+    * assignment join, one shuffle). Entropies and MI are µ-quantized-
+    * log2 int64 sums (the [[mutualInfo]] arithmetic — quantize each
+    * term BEFORE summation, so cross-engine float sums never
+    * diverge); the final NMI = MI/√(H(cell)·H(label)) touches doubles
+    * only in a fixed sequence of correctly-rounded ops and is NULL
+    * when either marginal entropy is zero (a single-cell or
+    * single-label degenerate run must read as "undefined", not 0 or
+    * ∞). Reads the FINAL round's assignment ([[kmeansLoop]] stages —
+    * shared chain, billed to q_kmeans_loop by name order). */
+  val kmeansPurity: StagedOp = StagedOp(
+    stages = kmeansLoop.stages,
+    body = { _ =>
+      val finA = s"km_a$KmRounds"
+      s"""WITH ct AS (
+         |  SELECT a.cell, e.label, CAST(COUNT(*) AS BIGINT) AS nij
+         |  FROM $finA a JOIN embeddings e ON a.vec_id = e.vec_id
+         |  GROUP BY a.cell, e.label
+         |),
+         |tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM ct),
+         |cm AS (SELECT cell, CAST(SUM(nij) AS BIGINT) AS ni FROM ct GROUP BY cell),
+         |lm AS (SELECT label, CAST(SUM(nij) AS BIGINT) AS nj FROM ct GROUP BY label),
+         |pur AS (
+         |  SELECT CAST(SUM(mx) AS BIGINT) AS pure, COUNT(*) AS n_cells
+         |  FROM (SELECT cell, MAX(nij) AS mx FROM ct GROUP BY cell)
+         |),
+         |qmi AS (
+         |  SELECT CAST(SUM(CAST(FLOOR(x.nij * log2(CAST(x.nij AS DOUBLE) * t.n
+         |      / (CAST(c.ni AS DOUBLE) * l.nj)) * 1.0e6 + 5.0e-1) AS BIGINT)) AS BIGINT) AS q
+         |  FROM ct x JOIN cm c ON x.cell = c.cell
+         |  JOIN lm l ON x.label = l.label CROSS JOIN tot t
+         |),
+         |qhc AS (SELECT CAST(SUM(CAST(FLOOR(ni * log2(CAST(ni AS DOUBLE)) * 1.0e6 + 5.0e-1) AS BIGINT)) AS BIGINT) AS q,
+         |               COUNT(*) AS k FROM cm),
+         |qhl AS (SELECT CAST(SUM(CAST(FLOOR(nj * log2(CAST(nj AS DOUBLE)) * 1.0e6 + 5.0e-1) AS BIGINT)) AS BIGINT) AS q,
+         |               COUNT(*) AS k FROM lm),
+         |f AS (
+         |  SELECT t.n, pur.pure, pur.n_cells, qhl.k AS n_labels,
+         |    CAST(qmi.q AS DOUBLE) / 1.0e6 / t.n AS mi,
+         |    ${qlog2("t.n")} / 1.0e6 - CAST(qhc.q AS DOUBLE) / 1.0e6 / t.n AS hc,
+         |    ${qlog2("t.n")} / 1.0e6 - CAST(qhl.q AS DOUBLE) / 1.0e6 / t.n AS hl
+         |  FROM tot t CROSS JOIN pur CROSS JOIN qmi CROSS JOIN qhc CROSS JOIN qhl
+         |)
+         |SELECT n AS n_vectors, n_cells, n_labels,
+         |  ${r6("CAST(pure AS DOUBLE) / n")} AS purity,
+         |  ${r6("mi")} AS mi_bits,
+         |  CASE WHEN hc <= 0.0e0 OR hl <= 0.0e0 THEN NULL
+         |       ELSE ${r6("mi / SQRT(hc * hl)")} END AS nmi
+         |FROM f""".stripMargin
+    })
+
   /** Cluster-quality readout for the trained Lloyd model — the
     * SIMPLIFIED silhouette (centroid-based: a(i) = distance to own
     * centroid, b(i) = distance to the nearest OTHER centroid,
@@ -5943,6 +6050,42 @@ object SqlOps {
        |  COALESCE(h.shared, 0) >= 10 AS contaminated
        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
        |WHERE d.source NOT IN $BenchSrcs""".stripMargin
+
+  /** N-gram NOVELTY of a held-out split against its training split —
+    * the memorization-side sibling of decontamination (how much of
+    * the eval text is literally present in training n-grams; the
+    * audit behind "is the model reciting or generalizing" readouts):
+    * corpus split by doc_id parity into train/test, each test doc's
+    * DISTINCT 4-grams probed against the train side's distinct 4-gram
+    * index, rolled up per source as exact ppm novelty. Shape at
+    * 100 TB: grams join on the 64-bit shingle fingerprint (Spark
+    * side; DuckDB keeps strings — the count-equivalence the
+    * shingleId contract proves), the train index is the one big
+    * DISTINCT, and the probe is the same inverted-index equi-join as
+    * the dedup family — with a bloom gate on the train side when the
+    * index outgrows a shuffle (the contaminationBloom pattern,
+    * result-invisible). Docs under 4 words have no 4-grams and drop
+    * from both engines identically. */
+  def ngramNovelty(d: Dialect): String =
+    s"""WITH ${shinglesCtes(d, n = 4, from = "documents")},
+       |ids AS (SELECT doc_id, ${d.shingleId("s")} AS sid FROM sh),
+       |tr AS (SELECT DISTINCT sid FROM ids WHERE doc_id % 2 = 0),
+       |ted AS (SELECT DISTINCT doc_id, sid FROM ids WHERE doc_id % 2 = 1),
+       |pd AS (
+       |  SELECT t.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |    CAST(SUM(CASE WHEN tr.sid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |  FROM ted t LEFT JOIN tr ON t.sid = tr.sid
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT dd.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(pd.n_grams) AS BIGINT) AS n_grams,
+       |  CAST(SUM(pd.n_novel) AS BIGINT) AS n_novel,
+       |  ${d.idiv("1000000 * CAST(SUM(pd.n_novel) AS BIGINT)",
+                   "CAST(SUM(pd.n_grams) AS BIGINT)")} AS novelty_ppm
+       |FROM pd JOIN documents dd ON pd.doc_id = dd.doc_id
+       |GROUP BY dd.source""".stripMargin
 
   /** Benchmark decontamination: 3-gram overlap of each corpus document
     * against a held-out "benchmark" slice (sources src0-src4), via the
@@ -6962,6 +7105,65 @@ object SqlOps {
          |FROM th LEFT JOIN h ON h.bkt = th.bkt
          |ORDER BY bucket""".stripMargin
     })
+
+  /** LSH banding-parameter optimizer — which (bands, rows) split of
+    * the 8-slice minhash signature minimizes expected dedup error on
+    * THIS corpus? For every factorization b·r = 8, the expected
+    * false-negative mass (true dups — Jaccard ≥ 0.6, the verified
+    * gate's bar — the banding would MISS) and false-positive mass
+    * (non-dups it would surface to the verifier) under the S-curve
+    * P(s) = 1 − (1 − sʳ)ᵇ, evaluated against the corpus's OWN
+    * sampled pair-similarity histogram (the [[lshScurve]] decile
+    * buckets, same stages, same deterministic sample). Detection
+    * probabilities are computed HOST-SIDE with BigDecimal at the
+    * decile midpoints and inlined as exact ppm integer literals (the
+    * EXPQ rule: no transcendental ever crosses an engine boundary),
+    * so the whole query is integer arithmetic until the final
+    * 6dp-quantized ratios. The engine currently ships b=4, r=2; this
+    * readout is the evidence that choice rests on — at 100 TB the
+    * same table re-runs per corpus before each re-index. */
+  val lshParamOpt: StagedOp = {
+    val configs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
+    val pTable = for ((b, r) <- configs; k <- 0 to 9) yield {
+      val s = BigDecimal(2 * k + 1) / BigDecimal(20)
+      val p = BigDecimal(1) - (BigDecimal(1) - s.pow(r)).pow(b)
+      val ppm = (p * BigDecimal(1000000))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+      s"SELECT $b AS b, $r AS r, $k AS bkt, CAST($ppm AS BIGINT) AS p_ppm"
+    }
+    StagedOp(
+      stages = dedupMinhash.stages ++ dedupNgramJaccard.stages,
+      body = { d =>
+        s"""WITH ${corpusCte(d)},
+           |${lshSampCte},
+           |$szCte,
+           |$interSampledCte,
+           |pairs AS (
+           |  SELECT LEAST(${d.idiv("10 * i.inter", "sa.n + sb.n - i.inter")}, 9) AS bkt
+           |  FROM inter i
+           |  JOIN sz sa ON i.doc_a = sa.doc_id
+           |  JOIN sz sb ON i.doc_b = sb.doc_id
+           |),
+           |h AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY bkt),
+           |pt AS (${pTable.mkString("\n           |  UNION ALL ")}),
+           |e AS (
+           |  SELECT pt.b, pt.r,
+           |    CAST(SUM(CASE WHEN pt.bkt >= 6
+           |             THEN COALESCE(h.n_pairs, 0) * (1000000 - pt.p_ppm)
+           |             ELSE 0 END) AS BIGINT) AS fn_mass,
+           |    CAST(SUM(CASE WHEN pt.bkt < 6
+           |             THEN COALESCE(h.n_pairs, 0) * pt.p_ppm
+           |             ELSE 0 END) AS BIGINT) AS fp_mass
+           |  FROM pt LEFT JOIN h ON h.bkt = pt.bkt
+           |  GROUP BY pt.b, pt.r
+           |)
+           |SELECT b, r,
+           |  ${r6("CAST(fn_mass AS DOUBLE) / 1.0e6")} AS exp_false_neg,
+           |  ${r6("CAST(fp_mass AS DOUBLE) / 1.0e6")} AS exp_false_pos,
+           |  ${r6("CAST(fn_mass + fp_mass AS DOUBLE) / 1.0e6")} AS exp_cost
+           |FROM e ORDER BY b, r""".stripMargin
+      })
+  }
 
   // ---- sampling / canonical selection / corpus statistics ----
 
@@ -8764,30 +8966,38 @@ object SqlOps {
     * exact ints — deterministic IEEE in both engines; κ is NULL when
     * p_e = 1 (both judges constant — division blow-up guarded like
     * idcg). */
+  /** The paired-gate 2×2 contingency cells (Gopher rule vs CCNet
+    * bottom-two-terciles, per doc) — ONE copy shared by
+    * [[filterKappa]] (agreement) and [[filterMcnemar]] (paired
+    * significance), so the two readouts can never disagree about
+    * which gates they compare or how the cells are counted. */
+  private def gateCellsCtes(d: Dialect): String =
+    s"""g AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    ${gopherCounts(d)}
+       |  FROM g
+       |),
+       |ga AS (SELECT doc_id, CASE WHEN $GopherPass THEN 1 ELSE 0 END AS a FROM m),
+       |th AS (SELECT ${d.percentileCont("q", "6.7e-1")} AS t67 FROM ccn_sc),
+       |jb AS (
+       |  SELECT doc_id, CASE WHEN q <= t67 THEN 1 ELSE 0 END AS b
+       |  FROM ccn_sc CROSS JOIN th
+       |),
+       |j AS (SELECT ga.a, jb.b FROM ga JOIN jb ON ga.doc_id = jb.doc_id),
+       |cells AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(a * b) AS BIGINT) AS n11,
+       |    CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+       |    CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+       |    CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+       |  FROM j
+       |)""".stripMargin
+
   val filterKappa: StagedOp = StagedOp(
     stages = ccnetBuckets.stages,
     body = { d =>
-      s"""WITH g AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |    ${gopherCounts(d)}
-         |  FROM g
-         |),
-         |ga AS (SELECT doc_id, CASE WHEN $GopherPass THEN 1 ELSE 0 END AS a FROM m),
-         |th AS (SELECT ${d.percentileCont("q", "6.7e-1")} AS t67 FROM ccn_sc),
-         |jb AS (
-         |  SELECT doc_id, CASE WHEN q <= t67 THEN 1 ELSE 0 END AS b
-         |  FROM ccn_sc CROSS JOIN th
-         |),
-         |j AS (SELECT ga.a, jb.b FROM ga JOIN jb ON ga.doc_id = jb.doc_id),
-         |cells AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         |    CAST(SUM(a * b) AS BIGINT) AS n11,
-         |    CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
-         |    CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
-         |    CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
-         |  FROM j
-         |),
+      s"""WITH ${gateCellsCtes(d)},
          |k AS (
          |  SELECT n, n11, n10, n01, n00,
          |    CAST(n11 + n00 AS DOUBLE) / n AS po,
@@ -8802,6 +9012,38 @@ object SqlOps {
          |  CASE WHEN pe >= 1.0e0 THEN NULL
          |       ELSE ${r6("(po - pe) / (1.0e0 - pe)")} END AS kappa
          |FROM k""".stripMargin
+    })
+
+  /** McNemar's paired test over the SAME two quality gates
+    * [[filterKappa]] agrees on ([[gateCellsCtes]] — one copy of the
+    * cell counting): does gate A pass docs gate B rejects
+    * SIGNIFICANTLY more often than vice versa? The test reads only
+    * the discordant cells — χ² = (max(|n10−n01|−1, 0))²/(n10+n01)
+    * with continuity correction — which is exactly the question a
+    * curation pipeline asks before swapping one filter for another
+    * (κ says how often they agree; McNemar says whether their
+    * DISAGREEMENT is directional or coin-flip noise). The
+    * significance decision is integer-exact: num·10⁶ > 3841459·den
+    * compares against the χ²₁ 95th percentile (3.841459, a baked
+    * constant — math, not data) with no float in the verdict; the
+    * reported chi2 is the 6dp-quantized ratio of two exact int64s.
+    * One row; all inputs ride the staged CCNet chain. */
+  val filterMcnemar: StagedOp = StagedOp(
+    stages = ccnetBuckets.stages,
+    body = { d =>
+      s"""WITH ${gateCellsCtes(d)},
+         |mc AS (
+         |  SELECT n10, n01,
+         |    GREATEST(ABS(n10 - n01) - 1, 0) * GREATEST(ABS(n10 - n01) - 1, 0) AS num,
+         |    n10 + n01 AS den
+         |  FROM cells
+         |)
+         |SELECT n10 AS a_only, n01 AS b_only,
+         |  CASE WHEN den = 0 THEN NULL
+         |       ELSE ${r6("CAST(num AS DOUBLE) / den")} END AS chi2,
+         |  CASE WHEN den = 0 THEN NULL
+         |       WHEN num * 1000000 > 3841459 * den THEN 1 ELSE 0 END AS significant
+         |FROM mc""".stripMargin
     })
 
   /** Tokenizer fertility by language: average subtokens per
