@@ -961,6 +961,12 @@ object SparkEntry {
     // merge-of-partials vs a direct-aggregation oracle: the equality
     // proves the incremental-maintenance decomposition lossless
     "q_agg_incremental" -> sqlq(Seq("orders"), SqlOps.aggIncremental),
+    // join-view delta decomposition; the oracle runs the direct join
+    "q_join_delta" -> sqlq(Seq("orders", "lineitem"), SqlOps.joinDelta),
+    // snapshot-to-snapshot source-mix KL contributions
+    "q_source_kl" -> sqlq(Seq("documents"), SqlOps.sourceKl),
+    // source→lang functional-dependency profile
+    "q_fd_audit" -> sqlq(Seq("documents"), SqlOps.fdAudit),
     // containment near-dup off the same staged shingle index, and the
     // candidate-graph triangle diagnostic off the staged band pairs
     "q_dedup_containment" -> sqlStaged(Seq("documents"), SqlOps.dedupContainment),
@@ -1830,6 +1836,15 @@ object SparkEntry {
     // deliberately NOT the merge rendering: the direct aggregate over
     // all orders is the independent ground truth the partial-state
     // merge must reproduce
+    // the DIRECT join: equality proves the four-quadrant delta
+    // decomposition lossless
+    "q_join_delta" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_source_kl" -> SqlOps.sourceKl(DuckDialect),
+    "q_fd_audit" -> SqlOps.fdAudit(DuckDialect),
     "q_agg_incremental" ->
       """SELECT year(o_orderdate) * 100 + month(o_orderdate) AS month_key,
         |  CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT) AS revenue_cents,

@@ -1147,6 +1147,112 @@ object SqlOps {
        |  ${r6("206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences) - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)")} AS flesch
        |FROM f WHERE n_words > 0""".stripMargin
 
+  /** Incremental JOIN-view maintenance — the delta decomposition
+    * Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB that every materialized
+    * join view refresh rests on, here over the orders⋈lineitem
+    * revenue rollup: base/delta splits on BOTH sides (delta orders =
+    * orderkey ≡ 0 mod 16, the newly-landed orders; delta lineitems =
+    * linenumber ≥ 5, the late-arriving lines), the four quadrant
+    * joins unioned and aggregated. The ORACLE runs the direct join
+    * over the full tables — equality proves the decomposition
+    * lossless, the identity an incremental refresh pipeline rests on
+    * (and the reason it can skip the base⋈base quadrant entirely:
+    * that term IS yesterday's materialization; only the three
+    * delta-touching joins — each bounded by a delta side — run per
+    * refresh). Revenue combines in exact DECIMAL across the union,
+    * cast to double once at the end. */
+  def joinDelta(d: Dialect): String = {
+    val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) " +
+      "* (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    def quad(lSide: String, oSide: String): String =
+      s"""SELECT o.o_orderpriority, $rev AS rv
+         |  FROM $lSide l JOIN $oSide o ON l.l_orderkey = o.o_orderkey""".stripMargin
+    s"""WITH ob AS (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 16 <> 0),
+       |od AS (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 16 = 0),
+       |lb AS (SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem WHERE l_linenumber < 5),
+       |ld AS (SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem WHERE l_linenumber >= 5),
+       |parts AS (
+       |  ${quad("lb", "ob")}
+       |  UNION ALL
+       |  ${quad("lb", "od")}
+       |  UNION ALL
+       |  ${quad("ld", "ob")}
+       |  UNION ALL
+       |  ${quad("ld", "od")}
+       |)
+       |SELECT o_orderpriority, COUNT(*) AS n_items,
+       |  CAST(SUM(rv) AS DOUBLE) AS revenue
+       |FROM parts GROUP BY o_orderpriority""".stripMargin
+  }
+
+  /** Mix drift between two crawl "snapshots" (deterministic md5
+    * halves of the corpus — doc_id PARITY would be the wrong split
+    * here: the fixture assigns source = f(doc_id mod), so parity
+    * separates the sources entirely and the readout degenerates to
+    * ±∞-ish terms; the hash split gives every source presence in
+    * both halves, the realistic drift regime): the per-source
+    * KL-divergence contribution of today's source distribution
+    * against yesterday's, the number a mixing policy watches before
+    * re-fitting weights (a source surging from 2% to 6% of the feed
+    * moves DoReMi/temperature weights; KL says by how much, in
+    * bits). Terms are µ-quantized over Laplace-smoothed counts (+1
+    * per source on each side, so a source absent from one half
+    * contributes a finite, loud term instead of ±∞).
+    * Source-cardinality dataflow after one corpus-wide count:
+    * scale-trivial. */
+  def sourceKl(d: Dialect): String =
+    s"""WITH c AS (
+       |  SELECT source,
+       |    CAST(SUM(CASE WHEN ${md5Bucket("CAST(doc_id AS STRING)")} % 2 = 0
+       |             THEN 1 ELSE 0 END) + 1 AS BIGINT) AS na,
+       |    CAST(SUM(CASE WHEN ${md5Bucket("CAST(doc_id AS STRING)")} % 2 = 1
+       |             THEN 1 ELSE 0 END) + 1 AS BIGINT) AS nb
+       |  FROM documents GROUP BY source
+       |),
+       |t AS (
+       |  SELECT source, na, nb,
+       |    CAST(SUM(na) OVER () AS BIGINT) AS ta,
+       |    CAST(SUM(nb) OVER () AS BIGINT) AS tb
+       |  FROM c
+       |),
+       |q AS (
+       |  SELECT source, na, nb,
+       |    -- p_b · log2(p_b/p_a) in µbits, per source: KL(today ‖ yesterday)
+       |    CAST(FLOOR(CAST(nb AS DOUBLE) / tb
+       |      * log2((CAST(nb AS DOUBLE) * ta) / (CAST(na AS DOUBLE) * tb))
+       |      * 1.0e6 + 5.0e-1) AS BIGINT) AS qkl
+       |  FROM t
+       |)
+       |SELECT source, na - 1 AS n_yesterday, nb - 1 AS n_today,
+       |  ${r6("CAST(qkl AS DOUBLE) / 1.0e6")} AS kl_contrib_bits
+       |FROM q""".stripMargin
+
+  /** Functional-dependency audit: does source determine lang? For
+    * each source, the distinct-lang count, the majority lang (max
+    * count, lexicographic tie-break — deterministic in both engines)
+    * and its share — the profiling readout an ingestion pipeline
+    * runs before trusting a column as a partition/routing key. A
+    * clean FD shows n_langs = 1 everywhere; drift shows up as
+    * falling majority share. One corpus scan, two source×lang-sized
+    * aggregates. */
+  def fdAudit(d: Dialect): String =
+    s"""WITH sl AS (
+       |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY source, lang
+       |),
+       |r AS (
+       |  SELECT source, lang, n,
+       |    CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS tot,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rk,
+       |    COUNT(*) OVER (PARTITION BY source) AS n_langs
+       |  FROM sl
+       |)
+       |SELECT source, CAST(n_langs AS BIGINT) AS n_langs,
+       |  lang AS majority_lang,
+       |  ${d.idiv("1000000 * n", "tot")} AS majority_ppm,
+       |  CASE WHEN n_langs = 1 THEN 1 ELSE 0 END AS fd_holds
+       |FROM r WHERE rk = 1""".stripMargin
+
   /** Incremental aggregate maintenance: merge a stored monthly-revenue
     * aggregate with a delta batch's partial aggregate — the
     * materialized-view refresh every warehouse pipeline runs nightly.
@@ -6065,12 +6171,17 @@ object SqlOps {
     * the dedup family — with a bloom gate on the train side when the
     * index outgrows a shuffle (the contaminationBloom pattern,
     * result-invisible). Docs under 4 words have no 4-grams and drop
-    * from both engines identically. */
+    * from both engines identically. The split is the deterministic
+    * md5 half, NOT doc_id parity — the fixture assigns source =
+    * f(doc_id mod), so a parity split would test only cross-source
+    * novelty; the hash split puts every source on both sides. */
   def ngramNovelty(d: Dialect): String =
     s"""WITH ${shinglesCtes(d, n = 4, from = "documents")},
-       |ids AS (SELECT doc_id, ${d.shingleId("s")} AS sid FROM sh),
-       |tr AS (SELECT DISTINCT sid FROM ids WHERE doc_id % 2 = 0),
-       |ted AS (SELECT DISTINCT doc_id, sid FROM ids WHERE doc_id % 2 = 1),
+       |ids AS (SELECT doc_id, ${d.shingleId("s")} AS sid,
+       |          ${md5Bucket("CAST(doc_id AS STRING)")} % 2 AS half
+       |        FROM sh),
+       |tr AS (SELECT DISTINCT sid FROM ids WHERE half = 0),
+       |ted AS (SELECT DISTINCT doc_id, sid FROM ids WHERE half = 1),
        |pd AS (
        |  SELECT t.doc_id,
        |    CAST(COUNT(*) AS BIGINT) AS n_grams,
