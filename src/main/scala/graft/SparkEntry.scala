@@ -1833,9 +1833,6 @@ object SparkEntry {
     "q_metric_contribution" -> SqlOps.metricContribution(DuckDialect),
     "q_pareto_customers" -> SqlOps.paretoCustomers.single(DuckDialect),
     "q_text_readability" -> SqlOps.textReadability(DuckDialect),
-    // deliberately NOT the merge rendering: the direct aggregate over
-    // all orders is the independent ground truth the partial-state
-    // merge must reproduce
     // the DIRECT join: equality proves the four-quadrant delta
     // decomposition lossless
     "q_join_delta" ->
@@ -1845,6 +1842,9 @@ object SparkEntry {
         |GROUP BY o_orderpriority""".stripMargin,
     "q_source_kl" -> SqlOps.sourceKl(DuckDialect),
     "q_fd_audit" -> SqlOps.fdAudit(DuckDialect),
+    // deliberately NOT the merge rendering: the direct aggregate over
+    // all orders is the independent ground truth the partial-state
+    // merge must reproduce
     "q_agg_incremental" ->
       """SELECT year(o_orderdate) * 100 + month(o_orderdate) AS month_key,
         |  CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT) AS revenue_cents,

@@ -1201,13 +1201,15 @@ object SqlOps {
     * Source-cardinality dataflow after one corpus-wide count:
     * scale-trivial. */
   def sourceKl(d: Dialect): String =
-    s"""WITH c AS (
+    s"""WITH hs AS (
+       |  SELECT source, ${md5Bucket("CAST(doc_id AS STRING)")} % 2 AS half
+       |  FROM documents
+       |),
+       |c AS (
        |  SELECT source,
-       |    CAST(SUM(CASE WHEN ${md5Bucket("CAST(doc_id AS STRING)")} % 2 = 0
-       |             THEN 1 ELSE 0 END) + 1 AS BIGINT) AS na,
-       |    CAST(SUM(CASE WHEN ${md5Bucket("CAST(doc_id AS STRING)")} % 2 = 1
-       |             THEN 1 ELSE 0 END) + 1 AS BIGINT) AS nb
-       |  FROM documents GROUP BY source
+       |    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS na,
+       |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS nb
+       |  FROM hs GROUP BY source
        |),
        |t AS (
        |  SELECT source, na, nb,
@@ -4570,7 +4572,11 @@ object SqlOps {
          |pairs AS (
          |  SELECT ev.vec_id AS eval_id, tr.vec_id AS train_id,
          |    ${r6(dotExpr(d, "ev.embedding", "tr.embedding") + " / (ev.nrm * tr.nrm)")} AS cosine
-         |  FROM ev JOIN tr ON ev.vec_id <> tr.vec_id
+         |  -- an honest cross join: ev and tr are DISJOINT by the mod
+         |  -- split, so there is no self-pair to exclude and no real
+         |  -- predicate to express (the ev side is the bounded ~10%
+         |  -- slice — broadcast, never a shuffled cartesian)
+         |  FROM ev CROSS JOIN tr
          |),
          |topk AS (
          |  SELECT eval_id, train_id FROM (
@@ -6161,7 +6167,7 @@ object SqlOps {
     * the memorization-side sibling of decontamination (how much of
     * the eval text is literally present in training n-grams; the
     * audit behind "is the model reciting or generalizing" readouts):
-    * corpus split by doc_id parity into train/test, each test doc's
+    * corpus split into deterministic md5 halves, each test doc's
     * DISTINCT 4-grams probed against the train side's distinct 4-gram
     * index, rolled up per source as exact ppm novelty. Shape at
     * 100 TB: grams join on the 64-bit shingle fingerprint (Spark
@@ -7178,6 +7184,20 @@ object SqlOps {
     * the decile domain is a literal list left-joined so empty deciles
     * emit their zero row. Scale shape: everything is sample² bounded;
     * the full-corpus band join is read from the staged mh_cand. */
+  /** Sampled pair-similarity decile buckets (true Jaccard → bucket
+    * ⌊10j⌋ capped at 9, over the deterministic md5 sample) — ONE copy
+    * shared by [[lshScurve]] (the empirical-vs-theoretical audit) and
+    * [[lshParamOpt]] (the banding optimizer), so the two can never
+    * disagree about the histogram they both claim to read. */
+  private def lshPairBucketCte(d: Dialect): String =
+    s"""pairs AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |    LEAST(${d.idiv("10 * i.inter", "sa.n + sb.n - i.inter")}, 9) AS bkt
+       |  FROM inter i
+       |  JOIN sz sa ON i.doc_a = sa.doc_id
+       |  JOIN sz sb ON i.doc_b = sb.doc_id
+       |)""".stripMargin
+
   val lshScurve: StagedOp = StagedOp(
     stages = dedupMinhash.stages ++ dedupNgramJaccard.stages,
     body = { d =>
@@ -7186,13 +7206,7 @@ object SqlOps {
          |${lshSampCte},
          |$szCte,
          |$interSampledCte,
-         |pairs AS (
-         |  SELECT i.doc_a, i.doc_b,
-         |    LEAST(${d.idiv("10 * i.inter", "sa.n + sb.n - i.inter")}, 9) AS bkt
-         |  FROM inter i
-         |  JOIN sz sa ON i.doc_a = sa.doc_id
-         |  JOIN sz sb ON i.doc_b = sb.doc_id
-         |),
+         |${lshPairBucketCte(d)},
          |h AS (
          |  SELECT p.bkt, CAST(COUNT(*) AS BIGINT) AS n_pairs,
          |    CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cand
@@ -7249,12 +7263,7 @@ object SqlOps {
            |${lshSampCte},
            |$szCte,
            |$interSampledCte,
-           |pairs AS (
-           |  SELECT LEAST(${d.idiv("10 * i.inter", "sa.n + sb.n - i.inter")}, 9) AS bkt
-           |  FROM inter i
-           |  JOIN sz sa ON i.doc_a = sa.doc_id
-           |  JOIN sz sb ON i.doc_b = sb.doc_id
-           |),
+           |${lshPairBucketCte(d)},
            |h AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY bkt),
            |pt AS (${pTable.mkString("\n           |  UNION ALL ")}),
            |e AS (
@@ -9145,8 +9154,18 @@ object SqlOps {
       s"""WITH ${gateCellsCtes(d)},
          |mc AS (
          |  SELECT n10, n01,
-         |    GREATEST(ABS(n10 - n01) - 1, 0) * GREATEST(ABS(n10 - n01) - 1, 0) AS num,
-         |    n10 + n01 AS den
+         |    -- int64 envelope, loud (the ewma rescale-wq pattern): the
+         |    -- verdict multiplies num·10⁶ and 3841459·den, so the
+         |    -- discordant GAP must stay ≤ 3,036,999 (√(2⁶³/10⁶)) and
+         |    -- the discordant TOTAL ≤ 2,401,007,543,450 — beyond either,
+         |    -- both engines would abort on overflow anyway (ANSI), but
+         |    -- with this guard they abort with the fix in the message
+         |    CASE WHEN GREATEST(ABS(n10 - n01) - 1, 0) > 3036999
+         |         THEN CAST('mcnemar: discordant gap exceeds the int64 verdict envelope — compare in DECIMAL' AS BIGINT)
+         |         ELSE GREATEST(ABS(n10 - n01) - 1, 0) * GREATEST(ABS(n10 - n01) - 1, 0) END AS num,
+         |    CASE WHEN n10 + n01 > 2401007543450
+         |         THEN CAST('mcnemar: discordant total exceeds the int64 verdict envelope — compare in DECIMAL' AS BIGINT)
+         |         ELSE n10 + n01 END AS den
          |  FROM cells
          |)
          |SELECT n10 AS a_only, n01 AS b_only,
