@@ -668,6 +668,9 @@ object SparkEntry {
     // one integer-exact PageRank power step over the minhash candidate
     // graph (hub detection on the duplicate graph), and the 3-step
     // unrolled iteration
+    // degree assortativity of the candidate graph: dup farms vs
+    // template fan-out
+    "q_graph_assortativity" -> sqlStaged(Seq("documents"), SqlOps.graphAssortativity),
     "q_pagerank_step" -> sqlStaged(Seq("documents"), SqlOps.pagerankStep),
     "q_pagerank_iter" -> sqlStaged(Seq("documents"), SqlOps.pagerankIter),
     // the driver-loop form of the same 3 iterations, gated against the
@@ -832,6 +835,9 @@ object SparkEntry {
     "q_text_bigrams_source" -> sqlq(Seq("documents"), SqlOps.topBigramsPerSource),
     "q_text_repetition" -> sqlq(Seq("documents"), SqlOps.textRepetition),
     "q_corpus_filter" -> sqlq(Seq("documents"), d => SqlOps.corpusFilter(d)),
+    // threshold sensitivity of the shipped 0.4 quality gate, one
+    // scoring pass against a 6-row threshold domain
+    "q_quality_sweep" -> sqlq(Seq("documents"), SqlOps.qualitySweep),
     // the shippable artifact: survivors + redacted-content hash + shard
     "q_release_manifest" -> sqlq(Seq("documents"), d => SqlOps.releaseManifest(d)),
     "q_curation_funnel" -> sqlq(Seq("documents"), SqlOps.curationFunnel),
@@ -965,6 +971,9 @@ object SparkEntry {
     "q_join_delta" -> sqlq(Seq("orders", "lineitem"), SqlOps.joinDelta),
     // snapshot-to-snapshot source-mix KL contributions
     "q_source_kl" -> sqlq(Seq("documents"), SqlOps.sourceKl),
+    // weekly-structure diagnostic: daily-revenue autocorrelation at
+    // lags 1..7 from exact integer moments
+    "q_acf_revenue" -> sqlq(Seq("orders"), SqlOps.acfRevenue),
     // source→lang functional-dependency profile
     "q_fd_audit" -> sqlq(Seq("documents"), SqlOps.fdAudit),
     // containment near-dup off the same staged shingle index, and the
@@ -1562,6 +1571,7 @@ object SparkEntry {
     "q_dedup_threshold_sweep" -> SqlOps.dedupThresholdSweep.single(DuckDialect),
     "q_lsh_scurve" -> SqlOps.lshScurve.single(DuckDialect),
     "q_lsh_param_opt" -> SqlOps.lshParamOpt.single(DuckDialect),
+    "q_graph_assortativity" -> SqlOps.graphAssortativity.single(DuckDialect),
 
     "q_dedup_exact" -> SqlOps.dedupExact(DuckDialect),
     "q_dedup_minhash" -> SqlOps.dedupMinhash.single(DuckDialect),
@@ -1738,6 +1748,7 @@ object SparkEntry {
     "q_text_bigrams_source" -> SqlOps.topBigramsPerSource(DuckDialect),
     "q_text_repetition" -> SqlOps.textRepetition(DuckDialect),
     "q_corpus_filter" -> SqlOps.corpusFilter(DuckDialect),
+    "q_quality_sweep" -> SqlOps.qualitySweep(DuckDialect),
     "q_release_manifest" -> SqlOps.releaseManifest(DuckDialect),
     "q_curation_funnel" -> SqlOps.curationFunnel(DuckDialect),
     "q_corpus_report" -> SqlOps.corpusReport(DuckDialect),
@@ -1841,6 +1852,7 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
     "q_source_kl" -> SqlOps.sourceKl(DuckDialect),
+    "q_acf_revenue" -> SqlOps.acfRevenue(DuckDialect),
     "q_fd_audit" -> SqlOps.fdAudit(DuckDialect),
     // deliberately NOT the merge rendering: the direct aggregate over
     // all orders is the independent ground truth the partial-state

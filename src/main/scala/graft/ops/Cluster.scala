@@ -138,18 +138,20 @@ object Cluster {
     // edge side of the resulting sort-merge join is exchanged per
     // round — that regime is what connectedComponentsStar's bounded
     // round count is for.)
-    // checkpointed BEFORE the closure build: sym1 is referenced three
-    // times below (union arm + both join sides) — un-checkpointed,
-    // the upstream candidate-pair plan would execute three times
-    // (MEASURED: 3.5 s steady vs 2.5 s on the sf0.1 embedding graph).
+    // checkpoints BEFORE the closure build: `base` is referenced by
+    // both union arms (an un-checkpointed upstream plan would execute
+    // twice), and sym1 three times below (union arm + both join
+    // sides — un-checkpointed, the pair plan executed three times:
+    // MEASURED 3.5 s steady vs 2.5 s on the sf0.1 embedding graph).
     // Lazy, like every pre-loop checkpoint here: the initial labelSum
-    // action materializes sym1 → closure → seed in ONE cascade (each
-    // caches as its shuffle completes), where three eager checkpoints
-    // were three separate driver actions — on local-scale dataflow
-    // the per-action overhead (AQE stage materialization + job
+    // action materializes base → sym1 → closure → seed in ONE cascade
+    // (each caches as its shuffle completes), where eager checkpoints
+    // were separate driver actions — on local-scale dataflow the
+    // per-action overhead (AQE stage materialization + job
     // scheduling) dominates this loop, so actions are the budget.
-    val sym1 = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    val base = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    val sym1 = base
+      .union(base.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(eager = false)
     // loop-invariant 2-hop edge closure, built ONCE before the loop:
     // paths of length ≤ 2 (generated a→m→a self-pairs dropped — the

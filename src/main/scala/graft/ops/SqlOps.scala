@@ -5650,27 +5650,34 @@ object SqlOps {
     * at 100× the data. Cosine is computed once per distinct candidate
     * pair. */
   val dedupEmbeddingCosine: StagedOp = StagedOp(
-    stages = Seq("emb_nv" -> nvStage),
-    body = { d =>
-      val bandRows = (1 to SignBands).map { b =>
-        s"SELECT vec_id, $b AS band, sb$b AS bkey FROM emb_nv"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""WITH sbands AS (
-         |  $bandRows
-         |),
-         |cand AS (
-         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM sbands x JOIN sbands y
-         |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
-         |)
-         |SELECT vec_a, vec_b, cosine FROM (
-         |  SELECT c.vec_a, c.vec_b,
-         |    ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine
-         |  FROM cand c
-         |  JOIN emb_nv a ON a.vec_id = c.vec_a
-         |  JOIN emb_nv b ON b.vec_id = c.vec_b
-         |) WHERE cosine >= 0.35""".stripMargin
-    })
+    // the verified pair set is a STAGE, not the body: it has two
+    // consumers (this query and the embedding-clusters CC
+    // composition) — the mh_cand rule; staged once per JVM, both
+    // read the parquet, and the clusters query's timed cost is the
+    // CC it owns, not a re-run of the band self-join
+    stages = Seq(
+      "emb_nv" -> nvStage,
+      "embc_pairs" -> { (d: Dialect) =>
+        val bandRows = (1 to SignBands).map { b =>
+          s"SELECT vec_id, $b AS band, sb$b AS bkey FROM emb_nv"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH sbands AS (
+           |  $bandRows
+           |),
+           |cand AS (
+           |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+           |  FROM sbands x JOIN sbands y
+           |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+           |)
+           |SELECT vec_a, vec_b, cosine FROM (
+           |  SELECT c.vec_a, c.vec_b,
+           |    ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine
+           |  FROM cand c
+           |  JOIN emb_nv a ON a.vec_id = c.vec_a
+           |  JOIN emb_nv b ON b.vec_id = c.vec_b
+           |) WHERE cosine >= 0.35""".stripMargin
+      }),
+    body = { _ => "SELECT vec_a, vec_b, cosine FROM embc_pairs" })
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): duplicates whose surface forms differ
@@ -6097,19 +6104,28 @@ object SqlOps {
     * the same logic as its standalone query; composing them keeps all
     * three in a single distributed pass (scan → narrow scoring →
     * two window/group shuffles). */
-  def corpusFilter(d: Dialect, from: String = "documents"): String = {
+  /** The per-doc scoring prefix (tokenize → lang guess + quality),
+    * ending in `scored(doc_id, text, lang_guess, quality)` — ONE copy
+    * shared by [[corpusFilter]] (which gates at the shipped 0.4
+    * threshold) and [[qualitySweep]] (which sweeps the threshold), so
+    * the sweep can never score differently from the gate it tunes. */
+  private def scoredCtes(d: Dialect, from: String): String = {
     val (en, id) = langHitExprs(d)
     val quality = qualityFormula(
       nWords = d.size("toks"),
       stopRatio = s"CAST(${stopHitsExpr(d)} AS DOUBLE) / ${d.size("toks")}",
       avgWlen = s"CAST(length(replace(text, ' ', '')) AS DOUBLE) / ${d.size("toks")}")
-    s"""WITH ftoks AS (SELECT doc_id, text, ${toks(d)} AS toks FROM $from),
+    s"""ftoks AS (SELECT doc_id, text, ${toks(d)} AS toks FROM $from),
        |scored AS (
        |  SELECT doc_id, text,
        |    ${langGuessCase(en, id)} AS lang_guess,
        |    $quality AS quality
        |  FROM ftoks
-       |),
+       |)""".stripMargin
+  }
+
+  def corpusFilter(d: Dialect, from: String = "documents"): String = {
+    s"""WITH ${scoredCtes(d, from)},
        |survivors AS (
        |  SELECT doc_id, lang_guess, quality,
        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
@@ -6118,6 +6134,151 @@ object SqlOps {
        |SELECT doc_id, lang_guess, quality FROM survivors
        |WHERE rn = 1 AND lang_guess <> 'und' AND quality >= 4.0e-1""".stripMargin
   }
+
+  /** Quality-threshold sensitivity sweep — the tuning table behind
+    * [[corpusFilter]]'s shipped 0.4 cutoff: for thresholds
+    * 0.30/0.35/…/0.55, how many docs pass (lang-gated, exact-dedup'd
+    * exactly like the filter), their language mix, and the corpus
+    * pass share in exact ppm. Scores come from the SAME
+    * [[scoredCtes]] the filter reads (one copy), computed ONCE — the
+    * sweep is one corpus scoring pass joined to a 6-row threshold
+    * domain, never six filter runs (the dedup-threshold-sweep rule).
+    * The threshold compare is quality·100 ≥ thr on the identical
+    * doubles both engines computed — same comparison class as the
+    * filter's own gate. */
+  def qualitySweep(d: Dialect): String = {
+    val dom = (30 to 55 by 5).map(t => s"SELECT $t AS thr").mkString(" UNION ALL ")
+    s"""WITH ${scoredCtes(d, "documents")},
+       |first_of_dup AS (
+       |  SELECT doc_id, lang_guess, quality FROM (
+       |    SELECT doc_id, lang_guess, quality,
+       |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM scored
+       |  ) WHERE rn = 1 AND lang_guess <> 'und'
+       |),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM scored),
+       |dom AS ($dom)
+       |SELECT dom.thr,
+       |  CAST(SUM(CASE WHEN f.quality * 1.0e2 >= dom.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |  CAST(SUM(CASE WHEN f.quality * 1.0e2 >= dom.thr AND f.lang_guess = 'en'
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       |  CAST(SUM(CASE WHEN f.quality * 1.0e2 >= dom.thr AND f.lang_guess = 'id'
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_id,
+       |  ${d.idiv(
+             "1000000 * CAST(SUM(CASE WHEN f.quality * 1.0e2 >= dom.thr THEN 1 ELSE 0 END) AS BIGINT)",
+             "MAX(n.total)")} AS pass_ppm
+       |FROM first_of_dup f CROSS JOIN dom CROSS JOIN n
+       |GROUP BY dom.thr""".stripMargin
+  }
+
+  /** Autocorrelation of daily revenue at lags 1–7 — the
+    * pre-forecasting diagnostic (is there weekly structure worth a
+    * seasonal model, or is [[ewmaForecast]]'s level-only smoothing
+    * right?): r_k over the day-indexed revenue series, computed from
+    * EXACT integer-dollar moments (per-day cents floored to dollars —
+    * both engines floor identically — keeps Σy² for a century of
+    * days inside int64; cents would wrap at ~2,400 days) and
+    * assembled in one fixed double sequence, 6dp-quantized. The lag
+    * join is an equi-join through a 7-row lag domain (days × 7 rows
+    * — never a days² range join, the ewma rule); day cardinality is
+    * calendar-bounded at any corpus scale. NULL when the series is
+    * shorter than the lag or variance is zero. */
+  def acfRevenue(d: Dialect): String = {
+    val day = s"CAST(FLOOR(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} / 86400.0e0) AS BIGINT)"
+    val dom = (1 to 7).map(k => s"SELECT $k AS k").mkString(" UNION ALL ")
+    s"""WITH daily0 AS (
+       |  SELECT $day AS day,
+       |    ${d.idiv(
+             "CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT)",
+             "100")} AS y
+       |  FROM orders GROUP BY $day
+       |),
+       |daily AS (
+       |  -- int64 envelope, loud (the ewma rescale-wq pattern): Σy²
+       |  -- over a decade of days stays inside int64 only while the
+       |  -- daily total is ≤ 5e7 dollars — beyond that, rescale y
+       |  SELECT day, CASE WHEN y > 50000000
+       |    THEN CAST('acf: daily revenue exceeds the int64 moment envelope — rescale y' AS BIGINT)
+       |    ELSE y END AS y
+       |  FROM daily0
+       |),
+       |idx AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t, y
+       |  FROM daily
+       |),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(y * y) AS BIGINT) AS syy
+       |  FROM idx
+       |),
+       |dom AS ($dom),
+       |lagm AS (
+       |  SELECT dm.k,
+       |    CAST(COUNT(*) AS BIGINT) AS nk,
+       |    CAST(SUM(a.y * b.y) AS BIGINT) AS sxy,
+       |    CAST(SUM(a.y) AS BIGINT) AS sh,
+       |    CAST(SUM(b.y) AS BIGINT) AS st
+       |  FROM dom dm
+       |  JOIN idx a ON a.t > dm.k
+       |  JOIN idx b ON b.t = a.t - dm.k
+       |  GROUP BY dm.k
+       |)
+       |SELECT l.k AS lag, l.nk AS n_pairs,
+       |  -- the variance guard runs in DOUBLE: n·syy and sy² each wrap
+       |  -- int64 at fixture scale already (n·syy ≈ 9e20 at sf0.1)
+       |  CASE WHEN CAST(m.syy AS DOUBLE) - CAST(m.sy AS DOUBLE) * m.sy / m.n <= 0.0e0
+       |            OR l.nk = 0 THEN NULL
+       |       ELSE ${r6(
+                 "(CAST(l.sxy AS DOUBLE) - CAST(m.sy AS DOUBLE) * (l.sh + l.st) / m.n " +
+                 "+ CAST(l.nk AS DOUBLE) * m.sy * m.sy / (CAST(m.n AS DOUBLE) * m.n)) " +
+                 "/ (CAST(m.syy AS DOUBLE) - CAST(m.sy AS DOUBLE) * m.sy / m.n)")}
+       |  END AS acf
+       |FROM lagm l CROSS JOIN m
+       |ORDER BY lag""".stripMargin
+  }
+
+  /** Degree assortativity of the minhash candidate graph — Pearson
+    * correlation of endpoint degrees over the directed edge list
+    * (both orientations, the standard Newman 2002 form): do heavily-
+    * duplicated docs collide with other heavy hubs (assortative,
+    * r > 0 — dup FARMS) or with leaves (dissortative, r < 0 — one
+    * template fanning out)? All five moments are exact int64 sums
+    * over the symmetric edge list (degrees are ≤ node count; at the
+    * envelope where Σd·d′ could wrap int64 this graph has bigger
+    * problems than this readout — the banded candidate generator
+    * bounds per-doc degree by band-bucket size); by symmetry the two
+    * endpoint marginals coincide, so the readout also emits them
+    * once. NULL when the degree variance is zero (a perfectly
+    * regular graph has no assortativity to measure). */
+  val graphAssortativity: StagedOp = StagedOp(
+    stages = dedupMinhash.stages,
+    body = { _ =>
+      s"""WITH sym AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM mh_cand
+         |  UNION ALL
+         |  SELECT doc_b AS u, doc_a AS v FROM mh_cand
+         |),
+         |deg AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS dg FROM sym GROUP BY u),
+         |ed AS (
+         |  SELECT da.dg AS x, db.dg AS y
+         |  FROM sym s JOIN deg da ON s.u = da.id JOIN deg db ON s.v = db.id
+         |),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy
+         |  FROM ed
+         |)
+         |SELECT n AS n_directed_edges, sx AS sum_degree,
+         |  CASE WHEN n * sxx - sx * sx <= 0 THEN NULL
+         |       ELSE ${r6(
+                   "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx) " +
+                   "/ (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)")}
+         |  END AS assortativity
+         |FROM m""".stripMargin
+    })
 
   /** The RELEASE MANIFEST — the artifact a curation pipeline actually
     * ships: every [[corpusFilter]] survivor (its body nested VERBATIM,
