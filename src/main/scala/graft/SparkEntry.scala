@@ -840,6 +840,9 @@ object SparkEntry {
     "q_quality_sweep" -> sqlq(Seq("documents"), SqlOps.qualitySweep),
     // the shippable artifact: survivors + redacted-content hash + shard
     "q_release_manifest" -> sqlq(Seq("documents"), d => SqlOps.releaseManifest(d)),
+    // the one-page datasheet next to the manifest: size, mix, dup and
+    // PII facts as (metric, value) rows off staged artifacts
+    "q_dataset_card" -> sqlStaged(Seq("documents"), SqlOps.datasetCard),
     "q_curation_funnel" -> sqlq(Seq("documents"), SqlOps.curationFunnel),
     "q_corpus_report" -> sqlq(Seq("documents"), SqlOps.corpusReport),
     "q_contamination" -> sqlq(Seq("documents"), SqlOps.contamination),
@@ -1750,6 +1753,7 @@ object SparkEntry {
     "q_corpus_filter" -> SqlOps.corpusFilter(DuckDialect),
     "q_quality_sweep" -> SqlOps.qualitySweep(DuckDialect),
     "q_release_manifest" -> SqlOps.releaseManifest(DuckDialect),
+    "q_dataset_card" -> SqlOps.datasetCard.single(DuckDialect),
     "q_curation_funnel" -> SqlOps.curationFunnel(DuckDialect),
     "q_corpus_report" -> SqlOps.corpusReport(DuckDialect),
     "q_contamination" -> SqlOps.contamination(DuckDialect),

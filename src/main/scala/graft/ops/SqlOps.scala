@@ -6280,6 +6280,68 @@ object SqlOps {
          |FROM m""".stripMargin
     })
 
+  /** The DATASET CARD — the one-page datasheet (Gebru et al. 2021)
+    * a release ships next to [[releaseManifest]]: corpus size in
+    * docs/tokens/chars, source spread and the hottest source's share,
+    * language mix and quality-gate pass count (the [[corpusFilter]]
+    * body nested VERBATIM — one copy of the gate), exact-duplicate
+    * group/doc counts, near-dup candidate pairs (the staged mh_cand —
+    * over the two-snapshot corpus, the dedup family's input
+    * convention), and total PII matches (the staged pii_o occurrence
+    * rows). One (metric, value) row per fact, all exact int64 — the
+    * composition is a union of tiny aggregates over already-staged
+    * artifacts plus one scoring pass, so the card costs one corpus
+    * scan regardless of how many facts it reports. (lazy: declared
+    * before [[piiScan]] in source order — a strict val would NPE at
+    * object init, the annDegreeHist precedent.) */
+  lazy val datasetCard: StagedOp = StagedOp(
+    stages = dedupMinhash.stages ++ piiScan.stages,
+    body = { d =>
+      s"""WITH ${scoredCtes(d, "documents")},
+         |base AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CAST(${d.size("toks")} AS BIGINT)) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars
+         |  FROM ftoks
+         |),
+         |src AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+         |    CAST(MAX(c) AS BIGINT) AS max_c, CAST(SUM(c) AS BIGINT) AS tot
+         |  FROM (SELECT source, COUNT(*) AS c FROM documents GROUP BY source)
+         |),
+         |langs AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |    CAST(SUM(CASE WHEN lang_guess = 'id' THEN 1 ELSE 0 END) AS BIGINT) AS n_id,
+         |    CAST(SUM(CASE WHEN lang_guess = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und
+         |  FROM scored
+         |),
+         |qp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |${corpusFilter(d)}
+         |)),
+         |xd AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS groups,
+         |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS docs
+         |  FROM (SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY md5(text))
+         |),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM mh_cand),
+         |pii AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pii_o)
+         |SELECT 'docs' AS metric, n_docs AS value FROM base
+         |UNION ALL SELECT 'tokens', n_tokens FROM base
+         |UNION ALL SELECT 'chars', n_chars FROM base
+         |UNION ALL SELECT 'sources', n_sources FROM src
+         |UNION ALL SELECT 'max_source_share_ppm', ${d.idiv("1000000 * max_c", "tot")} FROM src
+         |UNION ALL SELECT 'lang_en_docs', n_en FROM langs
+         |UNION ALL SELECT 'lang_id_docs', n_id FROM langs
+         |UNION ALL SELECT 'lang_und_docs', n_und FROM langs
+         |UNION ALL SELECT 'quality_pass_docs', n FROM qp
+         |UNION ALL SELECT 'exact_dup_groups', groups FROM xd
+         |UNION ALL SELECT 'exact_dup_docs', docs FROM xd
+         |UNION ALL SELECT 'neardup_candidate_pairs', n FROM nd
+         |UNION ALL SELECT 'pii_matches', n FROM pii""".stripMargin
+    })
+
   /** The RELEASE MANIFEST — the artifact a curation pipeline actually
     * ships: every [[corpusFilter]] survivor (its body nested VERBATIM,
     * one copy of the gate logic) with the columns a consumer needs to
