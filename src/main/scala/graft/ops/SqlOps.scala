@@ -6117,12 +6117,26 @@ object SqlOps {
       avgWlen = s"CAST(length(replace(text, ' ', '')) AS DOUBLE) / ${d.size("toks")}")
     s"""ftoks AS (SELECT doc_id, text, ${toks(d)} AS toks FROM $from),
        |scored AS (
-       |  SELECT doc_id, text,
+       |  SELECT doc_id, text, toks,
        |    ${langGuessCase(en, id)} AS lang_guess,
        |    $quality AS quality
        |  FROM ftoks
        |)""".stripMargin
   }
+
+  /** The shipped survivor predicate over (rn, lang_guess, quality) —
+    * ONE copy of the gate DECISION (not just the scores) shared by
+    * [[corpusFilter]] and [[datasetCard]]'s quality_pass_docs row, so
+    * a card can never report a different survivor count than the
+    * filter ships. [[qualitySweep]] sweeps the quality term of this
+    * predicate; its thr=40 row uses the double literal 40.0e-2, which
+    * parses to the identical double as this 4.0e-1 (both are the
+    * correctly-rounded decimal 0.4), so the sweep's shipped-threshold
+    * row equals the filter's survivor count EXACTLY — a scaled
+    * integer compare (quality·100 ≥ 40) would not: ×100 can round a
+    * one-ulp-below-0.4 quality up to exactly 40.0. */
+  private val SurvivorGate =
+    "rn = 1 AND lang_guess <> 'und' AND quality >= 4.0e-1"
 
   def corpusFilter(d: Dialect, from: String = "documents"): String = {
     s"""WITH ${scoredCtes(d, from)},
@@ -6132,7 +6146,7 @@ object SqlOps {
        |  FROM scored
        |)
        |SELECT doc_id, lang_guess, quality FROM survivors
-       |WHERE rn = 1 AND lang_guess <> 'und' AND quality >= 4.0e-1""".stripMargin
+       |WHERE $SurvivorGate""".stripMargin
   }
 
   /** Quality-threshold sensitivity sweep — the tuning table behind
@@ -6143,11 +6157,16 @@ object SqlOps {
     * [[scoredCtes]] the filter reads (one copy), computed ONCE — the
     * sweep is one corpus scoring pass joined to a 6-row threshold
     * domain, never six filter runs (the dedup-threshold-sweep rule).
-    * The threshold compare is quality·100 ≥ thr on the identical
-    * doubles both engines computed — same comparison class as the
-    * filter's own gate. */
+    * Each threshold is carried as the DOUBLE literal t·e-2 and the
+    * compare is quality ≥ thr_q — at thr=40 that literal is the
+    * identical double as [[SurvivorGate]]'s 4.0e-1, so the
+    * shipped-threshold row equals the filter's survivor count
+    * EXACTLY (a scaled quality·100 ≥ thr compare would not: the ×100
+    * can round a one-ulp-below-0.4 quality up to exactly 40.0 and
+    * overcount the row that exists to calibrate the gate). */
   def qualitySweep(d: Dialect): String = {
-    val dom = (30 to 55 by 5).map(t => s"SELECT $t AS thr").mkString(" UNION ALL ")
+    val dom = (30 to 55 by 5)
+      .map(t => s"SELECT $t AS thr, ${t}.0e-2 AS thr_q").mkString(" UNION ALL ")
     s"""WITH ${scoredCtes(d, "documents")},
        |first_of_dup AS (
        |  SELECT doc_id, lang_guess, quality FROM (
@@ -6159,13 +6178,13 @@ object SqlOps {
        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM scored),
        |dom AS ($dom)
        |SELECT dom.thr,
-       |  CAST(SUM(CASE WHEN f.quality * 1.0e2 >= dom.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-       |  CAST(SUM(CASE WHEN f.quality * 1.0e2 >= dom.thr AND f.lang_guess = 'en'
+       |  CAST(SUM(CASE WHEN f.quality >= dom.thr_q THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |  CAST(SUM(CASE WHEN f.quality >= dom.thr_q AND f.lang_guess = 'en'
        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-       |  CAST(SUM(CASE WHEN f.quality * 1.0e2 >= dom.thr AND f.lang_guess = 'id'
+       |  CAST(SUM(CASE WHEN f.quality >= dom.thr_q AND f.lang_guess = 'id'
        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_id,
        |  ${d.idiv(
-             "1000000 * CAST(SUM(CASE WHEN f.quality * 1.0e2 >= dom.thr THEN 1 ELSE 0 END) AS BIGINT)",
+             "1000000 * CAST(SUM(CASE WHEN f.quality >= dom.thr_q THEN 1 ELSE 0 END) AS BIGINT)",
              "MAX(n.total)")} AS pass_ppm
        |FROM first_of_dup f CROSS JOIN dom CROSS JOIN n
        |GROUP BY dom.thr""".stripMargin
@@ -6202,9 +6221,15 @@ object SqlOps {
        |    ELSE y END AS y
        |  FROM daily0
        |),
+       |mn AS (SELECT MIN(day) AS d0 FROM daily),
        |idx AS (
-       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t, y
-       |  FROM daily
+       |  -- CALENDAR index (day − first day), not ROW_NUMBER over
+       |  -- days-with-orders: on a gappy series a row-number lag-7
+       |  -- pair spans >7 calendar days and rotates through the week,
+       |  -- smearing exactly the weekly structure this diagnostic
+       |  -- exists to find; with the calendar index an absent day
+       |  -- simply yields no pair at that lag
+       |  SELECT day - d0 + 1 AS t, y FROM daily CROSS JOIN mn
        |),
        |m AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -6224,17 +6249,21 @@ object SqlOps {
        |  JOIN idx b ON b.t = a.t - dm.k
        |  GROUP BY dm.k
        |)
-       |SELECT l.k AS lag, l.nk AS n_pairs,
+       |-- dom LEFT JOIN lagm: a lag longer than the series (or with
+       |-- every pair straddling a gap) must emit (lag, 0, NULL), not
+       |-- silently vanish — a consumer iterating lags 1..7 reads
+       |-- absence as a parse error, NULL as "no evidence"
+       |SELECT dm.k AS lag, CAST(COALESCE(l.nk, 0) AS BIGINT) AS n_pairs,
        |  -- the variance guard runs in DOUBLE: n·syy and sy² each wrap
        |  -- int64 at fixture scale already (n·syy ≈ 9e20 at sf0.1)
        |  CASE WHEN CAST(m.syy AS DOUBLE) - CAST(m.sy AS DOUBLE) * m.sy / m.n <= 0.0e0
-       |            OR l.nk = 0 THEN NULL
+       |            OR l.nk IS NULL THEN NULL
        |       ELSE ${r6(
                  "(CAST(l.sxy AS DOUBLE) - CAST(m.sy AS DOUBLE) * (l.sh + l.st) / m.n " +
                  "+ CAST(l.nk AS DOUBLE) * m.sy * m.sy / (CAST(m.n AS DOUBLE) * m.n)) " +
                  "/ (CAST(m.syy AS DOUBLE) - CAST(m.sy AS DOUBLE) * m.sy / m.n)")}
        |  END AS acf
-       |FROM lagm l CROSS JOIN m
+       |FROM dom dm LEFT JOIN lagm l ON l.k = dm.k CROSS JOIN m
        |ORDER BY lag""".stripMargin
   }
 
@@ -6243,11 +6272,12 @@ object SqlOps {
     * (both orientations, the standard Newman 2002 form): do heavily-
     * duplicated docs collide with other heavy hubs (assortative,
     * r > 0 — dup FARMS) or with leaves (dissortative, r < 0 — one
-    * template fanning out)? All five moments are exact int64 sums
-    * over the symmetric edge list (degrees are ≤ node count; at the
-    * envelope where Σd·d′ could wrap int64 this graph has bigger
-    * problems than this readout — the banded candidate generator
-    * bounds per-doc degree by band-bucket size); by symmetry the two
+    * template fanning out)? All base moments are exact int64 sums
+    * over the symmetric edge list; every DERIVED product (the
+    * variance guard and the ratio) runs in DOUBLE, because the
+    * binding envelope is Σdeg² squared — sx·sx wraps int64 once
+    * Σdeg² exceeds ~3.04e9, which one ~55k-degree hub reaches while
+    * sxx is still 9 orders inside int64; by symmetry the two
     * endpoint marginals coincide, so the readout also emits them
     * once. NULL when the degree variance is zero (a perfectly
     * regular graph has no assortativity to measure). */
@@ -6272,10 +6302,14 @@ object SqlOps {
          |  FROM ed
          |)
          |SELECT n AS n_directed_edges, sx AS sum_degree,
-         |  CASE WHEN n * sxx - sx * sx <= 0 THEN NULL
+         |  -- the variance guard runs in DOUBLE (the acfRevenue rule):
+         |  -- sx = Σdeg² over directed edges, so the int64 form sx·sx
+         |  -- wraps once Σdeg² exceeds ~3.04e9 — a single ~55k-degree
+         |  -- hub gets there long before sxx is anywhere near int64
+         |  CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n <= 0.0e0 THEN NULL
          |       ELSE ${r6(
-                   "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx) " +
-                   "/ (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)")}
+                   "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) " +
+                   "/ (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)")}
          |  END AS assortativity
          |FROM m""".stripMargin
     })
@@ -6288,57 +6322,68 @@ object SqlOps {
     * group/doc counts, near-dup candidate pairs (the staged mh_cand —
     * over the two-snapshot corpus, the dedup family's input
     * convention), and total PII matches (the staged pii_o occurrence
-    * rows). One (metric, value) row per fact, all exact int64 — the
-    * composition is a union of tiny aggregates over already-staged
-    * artifacts plus one scoring pass, so the card costs one corpus
-    * scan regardless of how many facts it reports. (lazy: declared
-    * before [[piiScan]] in source order — a strict val would NPE at
-    * object init, the annDegreeHist precedent.) */
+    * rows — with the two-snapshot doc count emitted as its OWN row,
+    * so the pair count's denominator is in the card, not only in the
+    * Scala source). One (metric, value) row per fact, all exact
+    * int64. Spark INLINES CTEs (the StagedOp premise), so every
+    * scored fact — size, language mix, quality pass, exact-dup
+    * counts — folds into ONE aggregate over ONE scoring pass (an
+    * earlier draft referenced the scoring subtree three times and
+    * nested corpusFilter whole, tokenizing the corpus 3×); the
+    * quality_pass_docs row applies [[SurvivorGate]] verbatim, the
+    * exact-dup counts read off the same dedup window (groups = rn 2
+    * rows, member docs = rn≥2 rows + their rn=1 representatives).
+    * Only the column-pruned source histogram and the two staged
+    * artifact counts scan anything else. (lazy: declared before
+    * [[piiScan]] in source order — a strict val would NPE at object
+    * init, the annDegreeHist precedent.) */
   lazy val datasetCard: StagedOp = StagedOp(
     stages = dedupMinhash.stages ++ piiScan.stages,
     body = { d =>
       s"""WITH ${scoredCtes(d, "documents")},
-         |base AS (
+         |sx AS (
+         |  SELECT text, CAST(${d.size("toks")} AS BIGINT) AS ntok,
+         |    lang_guess, quality,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM scored
+         |),
+         |agg AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |    CAST(SUM(CAST(${d.size("toks")} AS BIGINT)) AS BIGINT) AS n_tokens,
-         |    CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars
-         |  FROM ftoks
+         |    CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars,
+         |    CAST(SUM(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |    CAST(SUM(CASE WHEN lang_guess = 'id' THEN 1 ELSE 0 END) AS BIGINT) AS n_id,
+         |    CAST(SUM(CASE WHEN lang_guess = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und,
+         |    CAST(SUM(CASE WHEN $SurvivorGate THEN 1 ELSE 0 END) AS BIGINT) AS q_pass,
+         |    CAST(SUM(CASE WHEN rn = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+         |    CAST(SUM(CASE WHEN rn >= 2 THEN 1 ELSE 0 END)
+         |       + SUM(CASE WHEN rn = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+         |  FROM sx
          |),
          |src AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
          |    CAST(MAX(c) AS BIGINT) AS max_c, CAST(SUM(c) AS BIGINT) AS tot
          |  FROM (SELECT source, COUNT(*) AS c FROM documents GROUP BY source)
          |),
-         |langs AS (
-         |  SELECT
-         |    CAST(SUM(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-         |    CAST(SUM(CASE WHEN lang_guess = 'id' THEN 1 ELSE 0 END) AS BIGINT) AS n_id,
-         |    CAST(SUM(CASE WHEN lang_guess = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und
-         |  FROM scored
-         |),
-         |qp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
-         |${corpusFilter(d)}
-         |)),
-         |xd AS (
-         |  SELECT
-         |    CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS groups,
-         |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS docs
-         |  FROM (SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY md5(text))
-         |),
          |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM mh_cand),
          |pii AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pii_o)
-         |SELECT 'docs' AS metric, n_docs AS value FROM base
-         |UNION ALL SELECT 'tokens', n_tokens FROM base
-         |UNION ALL SELECT 'chars', n_chars FROM base
+         |SELECT 'docs' AS metric, n_docs AS value FROM agg
+         |UNION ALL SELECT 'tokens', n_tokens FROM agg
+         |UNION ALL SELECT 'chars', n_chars FROM agg
          |UNION ALL SELECT 'sources', n_sources FROM src
          |UNION ALL SELECT 'max_source_share_ppm', ${d.idiv("1000000 * max_c", "tot")} FROM src
-         |UNION ALL SELECT 'lang_en_docs', n_en FROM langs
-         |UNION ALL SELECT 'lang_id_docs', n_id FROM langs
-         |UNION ALL SELECT 'lang_und_docs', n_und FROM langs
-         |UNION ALL SELECT 'quality_pass_docs', n FROM qp
-         |UNION ALL SELECT 'exact_dup_groups', groups FROM xd
-         |UNION ALL SELECT 'exact_dup_docs', docs FROM xd
+         |UNION ALL SELECT 'lang_en_docs', n_en FROM agg
+         |UNION ALL SELECT 'lang_id_docs', n_id FROM agg
+         |UNION ALL SELECT 'lang_und_docs', n_und FROM agg
+         |UNION ALL SELECT 'quality_pass_docs', q_pass FROM agg
+         |UNION ALL SELECT 'exact_dup_groups', dup_groups FROM agg
+         |UNION ALL SELECT 'exact_dup_docs', dup_docs FROM agg
          |UNION ALL SELECT 'neardup_candidate_pairs', n FROM nd
+         |-- the pair count's own denominator: mh_cand is built over
+         |-- the two-snapshot corpus (every doc appears twice), so a
+         |-- rate computed against 'docs' would be inflated — the card
+         |-- carries the correct denominator itself
+         |UNION ALL SELECT 'neardup_corpus_docs', 2 * n_docs FROM agg
          |UNION ALL SELECT 'pii_matches', n FROM pii""".stripMargin
     })
 

@@ -2708,4 +2708,200 @@ class MicroOracleSpec extends SparkSpec {
     assert(got.forall(_.isNullAt(got.head.fieldIndex("balance_ratio"))))
     spark.catalog.dropTempView("documents"); spark.catalog.dropTempView("clusters")
   }
+
+  test("acf: SQL autocorrelation equals an independent calendar-indexed Scala " +
+    "ACF on a gappy series, and over-long lags emit (lag, 0, NULL)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val base = java.time.LocalDate.of(1995, 3, 1)
+    // 40 calendar days with a planted period-7 level shift, Sundays
+    // (every 7th day) MISSING — the gap case the calendar index exists
+    // for — and 2 orders per day so the daily rollup matters
+    val days = (0 until 40).filter(_ % 7 != 6)
+    val rows = for { d <- days; k <- 0 until 2 } yield {
+      val price = (if (d % 7 < 3) 1000.0 else 3000.0) + d * 7.13 + k * 11.31
+      (java.sql.Timestamp.valueOf(base.plusDays(d).atStartOfDay), price)
+    }
+    rows.toDF("o_orderdate", "o_totalprice").createOrReplaceTempView("orders")
+    val got = spark.sql(SqlOps.acfRevenue(SparkDialect)).collect()
+      .map(r => r.getAs[Long]("lag") ->
+        (r.getAs[Long]("n_pairs"),
+          Option(r.getAs[java.lang.Double]("acf")).map(_.doubleValue))).toMap
+    // independent Scala ACF: exact integer dollars, calendar index
+    val daily = rows.groupBy(_._1.toLocalDateTime.toLocalDate).toSeq
+      .map { case (d, rs) =>
+        val cents = rs.map(r => math.floor(r._2 * 100.0 + 0.5).toLong).sum
+        (d.toEpochDay, cents / 100)
+      }.sortBy(_._1)
+    val y = daily.map { case (ed, v) => (ed - daily.head._1 + 1) -> v }.toMap
+    val n = y.size
+    val sy = y.values.sum
+    val syy = y.values.map(v => v * v).sum
+    val mean = sy.toDouble / n
+    val denom = syy.toDouble - sy.toDouble * sy / n
+    (1 to 7).foreach { k =>
+      val pairs = y.keys.toSeq.filter(t => y.contains(t - k)).sorted
+      val (nk, wantAcf) =
+        if (pairs.isEmpty) (0L, None)
+        else {
+          val num = pairs.map(t => (y(t) - mean) * (y(t - k) - mean)).sum
+          (pairs.size.toLong, Some(r6(num / denom)))
+        }
+      assert(got(k.toLong)._1 === nk, s"lag $k pair count")
+      assert(got(k.toLong)._2 === wantAcf, s"lag $k acf")
+    }
+    // short series: 5 present days → lags 5-7 must be (lag, 0, NULL)
+    val short = (0 until 5).flatMap(d => Seq(
+      (java.sql.Timestamp.valueOf(base.plusDays(d).atStartOfDay), 100.0 + d)))
+    short.toDF("o_orderdate", "o_totalprice").createOrReplaceTempView("orders")
+    val g2 = spark.sql(SqlOps.acfRevenue(SparkDialect)).collect()
+      .map(r => r.getAs[Long]("lag") ->
+        (r.getAs[Long]("n_pairs"), r.isNullAt(r.fieldIndex("acf")))).toMap
+    assert(g2.keySet === (1L to 7L).toSet, "all seven lag rows present")
+    Seq(5L, 6L, 7L).foreach(k => assert(g2(k) === ((0L, true)), s"lag $k"))
+    spark.catalog.dropTempView("orders")
+  }
+
+  test("assortativity: SQL Pearson over endpoint degrees equals an " +
+    "independent Scala computation on a star + clique graph") {
+    import spark.implicits._
+    // a hub-star (dissortative pull) plus a 4-clique (assortative
+    // pull) plus a 2-chain — mixed structure, nontrivial r
+    val pairs = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L),
+      (20L, 21L))
+    pairs.toDF("doc_a", "doc_b").createOrReplaceTempView("mh_cand")
+    val got = spark.sql(SqlOps.graphAssortativity.body(SparkDialect)).head
+    val sym = pairs ++ pairs.map(_.swap)
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val xy = sym.map { case (u, v) => (deg(u), deg(v)) }
+    val n = xy.size
+    val sx = xy.map(_._1).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val want = r6((sxy.toDouble - sx.toDouble * sx / n) /
+      (sxx.toDouble - sx.toDouble * sx / n))
+    assert(got.getAs[Long]("n_directed_edges") === n.toLong)
+    assert(got.getAs[Long]("sum_degree") === sx)
+    assert(got.getAs[Double]("assortativity") === want)
+    spark.catalog.dropTempView("mh_cand")
+  }
+
+  test("k-means purity/NMI: SQL equals an independent Scala computation, " +
+    "and a single-label run reads NULL NMI, not 0 or infinity") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val finA = SqlOps.kmeansLoop.stages.map(_._1).filter(_.startsWith("km_a")).last
+    // 3 cells × 2 labels with one noisy assignment per cell
+    val asgn = Seq(
+      (1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L), (6L, 1L),
+      (7L, 2L), (8L, 2L), (9L, 2L))
+    val labels = Seq(
+      (1L, 0), (2L, 0), (3L, 1), (4L, 1), (5L, 1), (6L, 0),
+      (7L, 0), (8L, 0), (9L, 1))
+    asgn.toDF("vec_id", "cell").createOrReplaceTempView(finA)
+    labels.toDF("vec_id", "label").createOrReplaceTempView("embeddings")
+    val got = spark.sql(SqlOps.kmeansPurity.body(SparkDialect)).head
+    // independent Scala: same µ-quantization spec, unrelated code path
+    val ct = asgn.map { case (v, c) => (c, labels.toMap.apply(v)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = ct.values.sum
+    val ni = ct.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nj = ct.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    def q6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    def log2(x: Double): Double = math.log(x) / math.log(2.0)
+    val mi = ct.map { case ((c, l), nij) =>
+      q6(nij * log2(nij.toDouble * n / (ni(c).toDouble * nj(l)))) }.sum / 1e6 / n
+    def h(m: Map[_, Long]): Double =
+      q6(log2(n.toDouble)) / 1e6 - m.values.map(v => q6(v * log2(v.toDouble))).sum / 1e6 / n
+    val purity = r6(ct.groupBy(_._1._1).view
+      .mapValues(_.values.max).values.sum.toDouble / n)
+    assert(got.getAs[Long]("n_vectors") === n)
+    assert(got.getAs[Double]("purity") === purity)
+    assert(got.getAs[Double]("mi_bits") === r6(mi))
+    assert(got.getAs[Double]("nmi") === r6(mi / math.sqrt(h(ni) * h(nj))))
+    // degenerate: every vector the same label → H(label)=0 → NMI NULL
+    labels.map { case (v, _) => (v, 7) }.toDF("vec_id", "label")
+      .createOrReplaceTempView("embeddings")
+    val g2 = spark.sql(SqlOps.kmeansPurity.body(SparkDialect)).head
+    assert(g2.isNullAt(g2.fieldIndex("nmi")))
+    spark.catalog.dropTempView(finA); spark.catalog.dropTempView("embeddings")
+  }
+
+  test("source KL: SQL per-source contributions equal an independent " +
+    "Scala computation with Laplace smoothing over the md5 halves") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"src${i % 3}", s"text $i")
+    }
+    docs.toDF("doc_id", "source", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.sourceKl(SparkDialect)).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_yesterday"), r.getAs[Long]("n_today"),
+          r.getAs[Double]("kl_contrib_bits"))).toMap
+    def half(id: Long): Int = Integer.parseInt(md5hex(id.toString).substring(0, 2), 16) % 2
+    val bySrc = docs.groupBy(_._2).view.mapValues { ds =>
+      (ds.count(d => half(d._1) == 0).toLong, ds.count(d => half(d._1) == 1).toLong)
+    }.toMap
+    val ta = bySrc.values.map(_._1 + 1).sum
+    val tb = bySrc.values.map(_._2 + 1).sum
+    def log2(x: Double): Double = math.log(x) / math.log(2.0)
+    bySrc.foreach { case (src, (a0, b0)) =>
+      val (na, nb) = (a0 + 1, b0 + 1)
+      val term = math.floor(nb.toDouble / tb *
+        log2(nb.toDouble * ta / (na.toDouble * tb)) * 1e6 + 0.5) / 1e6
+      assert(got(src) === ((a0, b0, r6(term))), src)
+    }
+    spark.catalog.dropTempView("documents")
+  }
+
+  test("mcnemar: SQL cells, chi-square and verdict equal an independent " +
+    "Scala evaluation of both gates on crafted docs") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // gate A = Gopher rules (needs ≥50 words, ≥2 distinct stopwords,
+    // sane word lengths); gate B = q ≤ 67th percentile of ccn_sc.q.
+    // Five q=0 docs and one q=100 doc put t67 at 0, so B-pass = q=0.
+    val passText = (Seq("the", "and") ++ (1 to 58).map(i => s"word$i")).mkString(" ")
+    val failText = "tiny doc only"
+    val docs = Seq(
+      (1L, passText, 0L),   // A-pass, B-pass  → n11
+      (2L, passText, 100L), // A-pass, B-fail  → n10
+      (3L, passText, 0L),   // n11
+      (4L, failText, 0L),   // A-fail, B-pass  → n01
+      (5L, failText, 0L),   // n01
+      (6L, passText, 0L))   // n11
+    docs.map(d => (d._1, d._2)).toDF("doc_id", "text")
+      .createOrReplaceTempView("documents")
+    docs.map(d => (d._1, d._3)).toDF("doc_id", "q")
+      .createOrReplaceTempView("ccn_sc")
+    val got = spark.sql(SqlOps.filterMcnemar.body(SparkDialect)).head
+    // independent Scala gates: A re-derived from the rule list, B from
+    // an interpolated percentile over the q values
+    def gopherA(text: String): Boolean = {
+      val toks = text.split(" ").toSeq
+      val nWords = toks.size
+      val nChars = text.replace(" ", "").length
+      val nStop = toks.filter(Set("the", "and", "of", "to", "in", "is", "a")).distinct.size
+      val nAlpha = toks.count(t => t.toLowerCase != t.toUpperCase)
+      nWords >= 50 && nWords <= 100000 &&
+        nChars >= 3 * nWords && nChars <= 10 * nWords &&
+        nAlpha * 10 >= nWords * 8 && nStop >= 2
+    }
+    val qs = docs.map(_._3.toDouble).sorted
+    val idx = (qs.size - 1) * 0.67
+    val t67 = qs(idx.toInt) + (idx - idx.toInt) * (qs(math.ceil(idx).toInt) - qs(idx.toInt))
+    val cells = docs.map(d => (gopherA(d._2), d._3.toDouble <= t67))
+    val n10 = cells.count(c => c._1 && !c._2).toLong
+    val n01 = cells.count(c => !c._1 && c._2).toLong
+    val g = math.max(math.abs(n10 - n01) - 1, 0L)
+    assert(got.getAs[Long]("a_only") === n10)
+    assert(got.getAs[Long]("b_only") === n01)
+    assert(got.getAs[Double]("chi2") === r6(g.toDouble * g / (n10 + n01)))
+    assert(got.getAs[Int]("significant") ===
+      (if (g * g * 1000000L > 3841459L * (n10 + n01)) 1 else 0))
+    spark.catalog.dropTempView("documents"); spark.catalog.dropTempView("ccn_sc")
+  }
 }
