@@ -72,9 +72,12 @@ object Cluster {
     // and the post-convergence singleton recovery read this checkpoint
     // — deriving allNodes from the raw `edges` plan would re-run the
     // whole upstream candidate-pair query (band self-join + DISTINCT)
-    // a second time after the loop
-    val base = edges.select(col("a"), col("b")).localCheckpoint()
-    var e = canon(base).localCheckpoint()
+    // a second time after the loop. Lazy (the connectedComponents
+    // cascade rule): the initial sig() action materializes base →
+    // canon in one job instead of two eager pre-loop actions — on
+    // local-scale dataflow per-action overhead dominates this loop.
+    val base = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    var e = canon(base).localCheckpoint(eager = false)
     var prev = (-1L, -1L)
     var cur = sig(e)
     var nRounds = 0
