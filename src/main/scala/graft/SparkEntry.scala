@@ -977,6 +977,12 @@ object SparkEntry {
     // weekly-structure diagnostic: daily-revenue autocorrelation at
     // lags 1..7 from exact integer moments
     "q_acf_revenue" -> sqlq(Seq("orders"), SqlOps.acfRevenue),
+    // concentration + robust trend + inequality over the same
+    // exact-cents revenue facts
+    "q_revenue_hhi" -> sqlq(Seq("orders", "customer", "nation"), SqlOps.revenueHhi),
+    "q_rolling_median_revenue" -> sqlq(Seq("orders"), SqlOps.rollingMedianRevenue),
+    // bucket-decomposed global value rank; oracle = the single window
+    "q_revenue_gini" -> sqlq(Seq("orders"), SqlOps.revenueGini),
     // source→lang functional-dependency profile
     "q_fd_audit" -> sqlq(Seq("documents"), SqlOps.fdAudit),
     // containment near-dup off the same staged shingle index, and the
@@ -1857,6 +1863,33 @@ object SparkEntry {
         |GROUP BY o_orderpriority""".stripMargin,
     "q_source_kl" -> SqlOps.sourceKl(DuckDialect),
     "q_acf_revenue" -> SqlOps.acfRevenue(DuckDialect),
+    "q_revenue_hhi" -> SqlOps.revenueHhi(DuckDialect),
+    "q_rolling_median_revenue" -> SqlOps.rollingMedianRevenue(DuckDialect),
+    // the single global-window form: equality proves the
+    // bucket-decomposed rank exact
+    "q_revenue_gini" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey
+        |),
+        |r AS (
+        |  SELECT cents,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rk
+        |  FROM cust
+        |),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS t,
+        |    SUM(CAST(rk AS DECIMAL(38,0)) * cents) AS rx
+        |  FROM r
+        |)
+        |SELECT n AS n_customers,
+        |  CASE WHEN n = 0 OR t = 0 THEN NULL
+        |       ELSE FLOOR((2.0e0 * CAST(rx AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0e0) * t)
+        |                  / (CAST(n AS DOUBLE) * t) * 1.0e6 + 5.0e-1) / 1.0e6
+        |  END AS gini
+        |FROM s""".stripMargin,
     "q_fd_audit" -> SqlOps.fdAudit(DuckDialect),
     // deliberately NOT the merge rendering: the direct aggregate over
     // all orders is the independent ground truth the partial-state

@@ -6267,6 +6267,118 @@ object SqlOps {
        |ORDER BY lag""".stripMargin
   }
 
+  /** Herfindahl–Hirschman concentration of revenue by nation — the
+    * market-concentration screen (and, re-keyed on `source`, the
+    * single-supplier-risk readout a data-mix policy watches): HHI =
+    * Σ shareᵢ² over the per-nation revenue shares, plus the top
+    * share. Shares derive from exact integer cents; each share² term
+    * is quantized to an int64 picodecimal BEFORE the sum (Σ over
+    * groups of raw doubles is order-dependent across engines — the
+    * float-sum parity rule), so both engines add identical integers.
+    * One fact-side aggregate, then nation-cardinality arithmetic. */
+  def revenueHhi(d: Dialect): String =
+    s"""WITH r AS (
+       |  SELECT n_name,
+       |    CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT) AS rev
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY n_name
+       |),
+       |t AS (SELECT n_name, rev, CAST(SUM(rev) OVER () AS BIGINT) AS tot FROM r),
+       |q AS (
+       |  SELECT rev, tot,
+       |    CAST(FLOOR(CAST(rev AS DOUBLE) * rev / (CAST(tot AS DOUBLE) * tot)
+       |      * 1.0e12 + 5.0e-1) AS BIGINT) AS qs
+       |  FROM t
+       |)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |  ${r6("CAST(SUM(qs) AS DOUBLE) / 1.0e12")} AS hhi,
+       |  ${r6("CAST(MAX(rev) AS DOUBLE) / MAX(tot)")} AS top_share
+       |FROM q""".stripMargin
+
+  /** 7-day rolling MEDIAN of daily revenue — the robust trend line a
+    * volume monitor plots next to the EWMA (a single spiked day moves
+    * the mean for a week; the median shrugs it off). Same exact
+    * integer-dollar day series as [[acfRevenue]]; the window is the
+    * lag-domain equi-join (days × 7 rows, never a range self-join)
+    * with the interpolated median per day — warm-up days report their
+    * actual present count, so a consumer can gate on n_present = 7.
+    * Day cardinality is calendar-bounded at any corpus scale. */
+  def rollingMedianRevenue(d: Dialect): String = {
+    val day = s"CAST(FLOOR(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} / 86400.0e0) AS BIGINT)"
+    val dom = (0 to 6).map(k => s"SELECT $k AS k").mkString(" UNION ALL ")
+    s"""WITH daily AS (
+       |  SELECT $day AS day,
+       |    ${d.idiv(
+             "CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT)",
+             "100")} AS y
+       |  FROM orders GROUP BY $day
+       |),
+       |mn AS (SELECT MIN(day) AS d0 FROM daily),
+       |idx AS (SELECT day - d0 + 1 AS t, y FROM daily CROSS JOIN mn),
+       |dom AS ($dom),
+       |w AS (
+       |  SELECT a.t, b.y
+       |  FROM idx a CROSS JOIN dom dm
+       |  JOIN idx b ON b.t = a.t - dm.k
+       |)
+       |SELECT t AS day_index, CAST(COUNT(*) AS BIGINT) AS n_present,
+       |  ${r6(d.percentileCont("y", "5.0e-1"))} AS rolling_median
+       |FROM w GROUP BY t""".stripMargin
+  }
+
+  /** Gini coefficient of per-customer revenue — the inequality
+    * readout (identically useful re-keyed as tokens-per-source for a
+    * training-mix skew audit): G = (2·Σrᵢxᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ)
+    * with rᵢ the ascending value rank. The rank is computed WITHOUT a
+    * global sort — the [[globalRowNumber]] decomposition applied to a
+    * VALUE ordering: floor-log2 revenue buckets (≤ ~47, the
+    * length(bin()) trick), per-bucket local ranks (parallel windows),
+    * prefix offsets over the tiny bucket histogram, global rank =
+    * offset + local rank. Ties share a value, so Σr·x is invariant
+    * to intra-tie rank assignment and the (cents, custkey) tie-break
+    * only pins determinism. Σr·x accumulates in DECIMAL(38,0) —
+    * rank×cents sums reach n²·x̄/2, past int64 at real customer
+    * counts (the labelSum precedent); the oracle runs the single
+    * global-window form, proving the decomposition exact. */
+  def revenueGini(d: Dialect): String =
+    s"""WITH cust AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY o_custkey
+       |),
+       |b AS (
+       |  SELECT o_custkey, cents,
+       |    CAST(length(bin(GREATEST(cents, 1))) AS BIGINT) AS bkt
+       |  FROM cust
+       |),
+       |r AS (
+       |  SELECT cents, bkt,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY cents, o_custkey) AS BIGINT) AS lr
+       |  FROM b
+       |),
+       |h AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY bkt),
+       |osets AS (
+       |  SELECT bkt,
+       |    CAST(COALESCE(SUM(c) OVER (ORDER BY bkt
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off0
+       |  FROM h
+       |),
+       |s AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(cents) AS BIGINT) AS t,
+       |    SUM(CAST(r.lr + osets.off0 AS DECIMAL(38,0)) * cents) AS rx
+       |  FROM r JOIN osets ON r.bkt = osets.bkt
+       |)
+       |SELECT n AS n_customers,
+       |  CASE WHEN n = 0 OR t = 0 THEN NULL
+       |       ELSE ${r6(
+                 "(2.0e0 * CAST(rx AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0e0) * t) " +
+                 "/ (CAST(n AS DOUBLE) * t)")}
+       |  END AS gini
+       |FROM s""".stripMargin
+
   /** Degree assortativity of the minhash candidate graph — Pearson
     * correlation of endpoint degrees over the directed edge list
     * (both orientations, the standard Newman 2002 form): do heavily-

@@ -2857,6 +2857,35 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("documents")
   }
 
+  test("gini: the bucket-decomposed rank equals an independent fully-sorted " +
+    "Scala Gini on a skewed synthetic revenue distribution") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val base = java.time.LocalDate.of(1995, 3, 1)
+    // power-law-ish per-customer revenue spread across many log2
+    // buckets (the decomposition's interesting regime), with one
+    // customer split over two orders so the pre-aggregate matters
+    val rows = (1 to 200).flatMap { c =>
+      val v = 10.0 + c * c * 3.17
+      if (c % 17 == 0) Seq((c.toLong, v / 2, base), (c.toLong, v / 2, base.plusDays(1)))
+      else Seq((c.toLong, v, base))
+    }.map { case (c, v, d) =>
+      (c, v, java.sql.Timestamp.valueOf(d.atStartOfDay)) }
+    rows.toDF("o_custkey", "o_totalprice", "o_orderdate")
+      .createOrReplaceTempView("orders")
+    val got = spark.sql(SqlOps.revenueGini(SparkDialect)).head
+    // independent Scala: one full sort, the textbook formula
+    val cents = rows.groupBy(_._1).values
+      .map(_.map(r => math.floor(r._2 * 100.0 + 0.5).toLong).sum).toSeq.sorted
+    val n = cents.size
+    val t = cents.sum
+    val rx = cents.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    val want = r6((2.0 * rx - (n + 1.0) * t) / (n.toDouble * t))
+    assert(got.getAs[Long]("n_customers") === n.toLong)
+    assert(got.getAs[Double]("gini") === want)
+    spark.catalog.dropTempView("orders")
+  }
+
   test("mcnemar: SQL cells, chi-square and verdict equal an independent " +
     "Scala evaluation of both gates on crafted docs") {
     import spark.implicits._
