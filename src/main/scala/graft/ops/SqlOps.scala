@@ -6183,10 +6183,16 @@ object SqlOps {
        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
        |  CAST(SUM(CASE WHEN f.quality >= dom.thr_q AND f.lang_guess = 'id'
        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_id,
-       |  ${d.idiv(
+       |  -- ppm is NULL (not ÷0) on an empty corpus: zero evidence,
+       |  -- not a zero rate
+       |  CASE WHEN MAX(n.total) = 0 THEN NULL ELSE ${d.idiv(
              "1000000 * CAST(SUM(CASE WHEN f.quality >= dom.thr_q THEN 1 ELSE 0 END) AS BIGINT)",
-             "MAX(n.total)")} AS pass_ppm
-       |FROM first_of_dup f CROSS JOIN dom CROSS JOIN n
+             "MAX(n.total)")} END AS pass_ppm
+       |-- dom-driven LEFT JOIN (the acfRevenue absent-row rule): an
+       |-- empty/fully-'und' corpus must emit all six threshold rows
+       |-- with zero counts, not zero rows — a consumer iterating the
+       |-- sweep reads absence as a parse error, zeros as evidence
+       |FROM dom CROSS JOIN n LEFT JOIN first_of_dup f ON 1 = 1
        |GROUP BY dom.thr""".stripMargin
   }
 
@@ -6195,8 +6201,10 @@ object SqlOps {
     * seasonal model, or is [[ewmaForecast]]'s level-only smoothing
     * right?): r_k over the day-indexed revenue series, computed from
     * EXACT integer-dollar moments (per-day cents floored to dollars —
-    * both engines floor identically — keeps Σy² for a century of
-    * days inside int64; cents would wrap at ~2,400 days) and
+    * both engines floor identically — keeps Σy² for a decade of days
+    * inside int64 under the y ≤ 5e7 guard below (~3,650 days · 2.5e15
+    * ≈ 9.1e18; a century would reach ~9.1e19 and wrap); cents would
+    * wrap at ~2,400 days) and
     * assembled in one fixed double sequence, 6dp-quantized. The lag
     * join is an equi-join through a 7-row lag domain (days × 7 rows
     * — never a days² range join, the ewma rule); day cardinality is
@@ -6433,8 +6441,10 @@ object SqlOps {
     * body nested VERBATIM — one copy of the gate), exact-duplicate
     * group/doc counts, near-dup candidate pairs (the staged mh_cand —
     * over the two-snapshot corpus, the dedup family's input
-    * convention), and total PII matches (the staged pii_o occurrence
-    * rows — with the two-snapshot doc count emitted as its OWN row,
+    * convention), and total PII CANDIDATE matches (the staged pii_o
+    * pre-validation occurrence rows, named `pii_candidate_matches` so
+    * they can't be read as Luhn/octet-confirmed PII — with the
+    * two-snapshot doc count emitted as its OWN row,
     * so the pair count's denominator is in the card, not only in the
     * Scala source). One (metric, value) row per fact, all exact
     * int64. Spark INLINES CTEs (the StagedOp premise), so every
@@ -6496,7 +6506,12 @@ object SqlOps {
          |-- rate computed against 'docs' would be inflated — the card
          |-- carries the correct denominator itself
          |UNION ALL SELECT 'neardup_corpus_docs', 2 * n_docs FROM agg
-         |UNION ALL SELECT 'pii_matches', n FROM pii""".stripMargin
+         |-- CANDIDATE matches: pii_o is the raw regex-occurrence set
+         |-- (pre-validation — includes Luhn-invalid card candidates and
+         |-- out-of-range octet runs); piiScan's n_valid column is the
+         |-- confirmed count. Named so a card consumer cannot read the
+         |-- scan's widest net as confirmed PII.
+         |UNION ALL SELECT 'pii_candidate_matches', n FROM pii""".stripMargin
     })
 
   /** The RELEASE MANIFEST — the artifact a curation pipeline actually

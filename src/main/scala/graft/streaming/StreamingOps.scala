@@ -1153,9 +1153,14 @@ object StreamingOps {
     * (ascending doc_id day slices, the daily-ingest contract)
     * first-write-wins coincides with the batch gate's min-doc_id
     * rule, which is exactly what the DailyIngestSpec replay assertion
-    * proves (batch-manifest ∘ replayed corpus == streaming union);
-    * out-of-order redelivery keeps first-write-wins, the history
-    * precedent. NOT the released set by itself: cluster
+    * proves (batch-manifest ∘ replayed corpus == streaming union).
+    * The equivalence is ENFORCED, not assumed: the one order-sensitive
+    * case — a new doc whose md5 group is already manifested under a
+    * higher doc_id (a late-delivered group minimum) — throws loudly
+    * (see the guard below) instead of being silently anti-joined
+    * away; replays (including of gate-failed docs, which never enter
+    * the manifest) are unaffected.
+    * NOT the released set by itself: cluster
     * representatives can change when a later batch merges clusters,
     * so release membership is composed at stage 11 from two published
     * artifacts instead of baked into this one. */
@@ -1169,9 +1174,34 @@ object StreamingOps {
         .dropDuplicates("doc_id")
       val fresh = current match {
         case Some(cur) =>
-          cand.join(cur.select("doc_id"), Seq("doc_id"), "left_anti")
-            .join(cur.select(col("text_md5").as("__md5")),
-              md5(col("text")) === col("__md5"), "left_anti")
+          val byId = cand.join(cur.select("doc_id"), Seq("doc_id"), "left_anti")
+            .withColumn("__md5", md5(col("text")))
+          // LOUD divergence guard: first-write-wins on text_md5 equals
+          // the batch gate's min-doc_id-per-md5 rule EXCEPT in exactly
+          // one case — a genuinely-new doc whose md5 group is already
+          // manifested under a HIGHER doc_id (an out-of-order producer
+          // redelivering the group's true minimum late). The old code
+          // silently anti-joined that doc away, quietly breaking the
+          // streaming-union == batch-manifest equivalence DailyIngest-
+          // Spec asserts; now it throws. Guarding the md5-collision
+          // case itself (not a blanket ascending-doc_id contract)
+          // keeps replays of gate-failed docs — which never enter the
+          // manifest and so re-present as "fresh" on every replay —
+          // idempotent, and costs one limit-1 action over a join of
+          // tables this stage already scans.
+          val viol = byId.join(
+              cur.select(col("text_md5").as("__md5"),
+                col("doc_id").as("__manifested_id")),
+              Seq("__md5"))
+            .where(col("doc_id") < col("__manifested_id"))
+            .select("doc_id", "__manifested_id").limit(1).collect()
+          require(viol.isEmpty,
+            s"daily-ingest: out-of-order drain — doc_id ${viol.headOption.map(_.get(0)).orNull} " +
+              s"arrived after its exact-dup group was manifested under higher doc_id " +
+              s"${viol.headOption.map(_.get(1)).orNull}; first-write-wins would silently " +
+              "diverge from the batch manifest's min-doc_id-per-md5 rule")
+          byId.join(cur.select(col("text_md5").as("__md5")), Seq("__md5"), "left_anti")
+            .drop("__md5")
         case None => cand
       }
       // the batch manifest SQL, verbatim, over this batch's slice —

@@ -370,6 +370,49 @@ class DailyIngestSpec extends SparkSpec {
     assert(artifacts(root) === before)
   }
 
+  test("monitored ingest: a late-delivered exact-dup group minimum fails loudly; " +
+    "a late lower id with new text does not") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val root = tmp("graft_mingest_ooo")
+    val t1 = "the quantum processor executed seventeen benchmark workloads and " +
+      "delivered consistent throughput across distributed clusters while " +
+      "maintaining thermal stability under sustained production traffic in " +
+      "the experimental datacenter during extended validation periods"
+    val t2 = "the research consortium published comprehensive findings about " +
+      "glacier dynamics and sediment transport in mountainous watersheds " +
+      "demonstrating measurable correlations between seasonal temperature " +
+      "gradients and downstream aquifer recharge patterns across decades"
+    val b1 = withEmb(Seq((41L, "A", t1), (43L, "A", t2)))
+      .toDF("doc_id", "source", "text", "embedding")
+    StreamingOps.dailyIngestMonitoredBatch(spark, b1, 0L, quota, centroids, root)
+    assert(spark.read.parquet(s"$root/manifest")
+      .collect().map(_.getAs[Long]("doc_id")).toSet === Set(41L, 43L))
+
+    // a lower doc_id whose text's md5 group is ALREADY manifested under
+    // a higher id: accepting first-write-wins here would diverge from
+    // the batch gate's min-doc_id rule — must throw, not silently drop
+    val late = withEmb(Seq((40L, "A", t1)))
+      .toDF("doc_id", "source", "text", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.dailyIngestMonitoredBatch(spark, late, 1L, quota, centroids, root)
+    }
+    assert(e.getMessage.contains("out-of-order drain"))
+
+    // a late lower id with a NEW md5 is order-insensitive (the batch
+    // replay writes the same row) — must pass, not be over-constrained
+    // by a blanket ascending-id contract
+    val t3 = "the orchestra rehearsed intricate passages from contemporary " +
+      "compositions and refined ensemble balance through deliberate " +
+      "sectional practice while guest conductors introduced interpretive " +
+      "approaches rooted in historical performance scholarship"
+    val fine = withEmb(Seq((39L, "B", t3)))
+      .toDF("doc_id", "source", "text", "embedding")
+    StreamingOps.dailyIngestMonitoredBatch(spark, fine, 2L, quota, centroids, root)
+    assert(spark.read.parquet(s"$root/manifest")
+      .collect().map(_.getAs[Long]("doc_id")).toSet === Set(39L, 41L, 43L))
+  }
+
   test("monitored ingest: mid-pipeline crash and full replay leave all twelve artifacts unchanged") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
