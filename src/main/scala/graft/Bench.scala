@@ -98,7 +98,8 @@ object Bench {
     // as "query broken" in the cross-round first-run comparison — the
     // exact conflation the first/steady split exists to prevent)
     case class R(name: String, first: Double, steady: Double,
-                 err1: Option[String], err2: Option[String], rounds: Int)
+                 err1: Option[String], err2: Option[String], rounds: Int,
+                 load: Double)
     // min-of-N steady: a SINGLE steady sample was the artifact's last
     // untrustworthy column — the r8 quiet-START gate could not stop
     // mid-run ambient load from inflating 8 steady entries up to 4.8×
@@ -109,6 +110,34 @@ object Bench {
     // the right statistic here: steady dataflow cost has a hard floor
     // and pollution only ever ADDS time.
     var steadyThirdRuns = 0
+    // MID-RUN quiet gate (r11): the r10 DRIVER artifact ran at load
+    // 1.97 and its single-sample FIRST runs came out up to 5× off
+    // quiet truth (q_dataset_card 5.98 vs 1.22) — the pre-run gate
+    // cannot see load that arrives mid-sweep. Before each query's
+    // first run, if the 1-minute load is above the quiet threshold,
+    // wait in short steps against a shared budget; waits and the
+    // remaining budget are in the output so an exhausted-budget
+    // (still-loaded) run stays self-adjudicating. A RETRY-MIN of
+    // polluted first runs was considered and REJECTED: codegen and
+    // timed-alias stage builds are unrepeatable inside one JVM
+    // (writeStageOnce memoizes; the JIT cache persists), so a warm
+    // retry measures ~steady and min(first, retry) would silently
+    // replace the architectural first-run cost with the steady number
+    // — for q_pca_power_iter (first 3.11 / steady 0.17, QUIET) that
+    // "fix" would erase the very number the timed-alias billing
+    // design exists to report. Prevention + per-query load evidence
+    // + the first_suspect list below is the honest version.
+    var midrunWaits = 0
+    var midrunBudgetSec = sys.env.get("SPARK_GRAFT_MIDRUN_WAIT_BUDGET_SEC")
+      .flatMap(_.toIntOption).getOrElse(240)
+    def midrunQuietGate(): Unit = {
+      val step = 5
+      while (loadAvg >= quietBelow && midrunBudgetSec >= step) {
+        midrunWaits += 1
+        midrunBudgetSec -= step
+        Thread.sleep(step * 1000L)
+      }
+    }
     // stage-OWNER queries run before the alphabetical sweep: a
     // deliberately-unprewarmed shared stage (the cluster map) must
     // bill its build to the query whose computation it IS, not to
@@ -145,13 +174,19 @@ object Bench {
         }
       }
       graft.ops.Cluster.resetRounds()
+      midrunQuietGate()
       val (t1, e1) = once()
+      // the load sample bracketing this query's first run (the
+      // 1-minute average moves slowly, so one post-run sample is the
+      // per-query evidence column — coarse, but enough to adjudicate
+      // a 5× first-run outlier as load vs regression cross-round)
+      val qLoad = loadAvg
       // iterative ops emit their round count (convergence behaviour is
       // otherwise invisible in a wall-clock number — a round-count
       // change and a per-round regression read identically)
       val rounds = graft.ops.Cluster.lastRounds
       val (t2, e2) = if (e1.isDefined) (-1.0, e1) else steadyMinOfN()
-      R(name, t1, t2, e1, e2, rounds)
+      R(name, t1, t2, e1, e2, rounds, qLoad)
     }
     // name-sorted for the output maps (stable cross-round comparison
     // regardless of the owner-first run order above)
@@ -178,13 +213,28 @@ object Bench {
     val total = results.filter(_.err1.isEmpty).map(_.first).sum
     val totalSteady = results
       .filter(r => r.err1.isEmpty && r.err2.isEmpty).map(_.steady).sum
+    // queries whose first run LOOKS polluted: wall-time well past its
+    // own steady (3× + 0.3 s slack — legitimate codegen-heavy ratios
+    // like the timed-alias iterations are excluded by the load
+    // conjunct) while the bracketing load sample was above the quiet
+    // threshold. A cross-round comparator should treat these
+    // first-run cells as load noise, not regressions.
+    val firstSuspect = results.filter { r =>
+      r.err1.isEmpty && r.err2.isEmpty &&
+        r.first > 3.0 * math.max(r.steady, 0.0) + 0.3 && r.load >= quietBelow
+    }.map(r => "\"" + r.name + "\"").mkString("[", ",", "]")
+    val maxLoad = results.map(_.load).foldLeft(-1.0)(math.max)
+    val loadMap = results
+      .map(r => "\"" + r.name + "\":" + (if (r.load < 0) "null" else num("%.2f", r.load)))
+      .mkString("{", ",", "}")
     val prewarm = prewarmFailed.map(c => s""""$c"""").getOrElse("null")
     // getSystemLoadAverage is -1.0 where unsupported — emit null, not a
     // legitimate-looking negative load
     def loadJson(v: Double) = if (v < 0) "null" else num("%.2f", v)
-    val cond = s""""load_avg_before":${loadJson(loadBefore)},"load_avg_1m":${loadJson(loadAvg)},"quiet_waits":$quietWaits,"steady_third_runs":$steadyThirdRuns,"cpus":${cpus.trim.toIntOption.getOrElse(-1)}"""
+    val nSuspect = firstSuspect.count(_ == '"') / 2
+    val cond = s""""load_avg_before":${loadJson(loadBefore)},"load_avg_1m":${loadJson(loadAvg)},"max_load_1m":${loadJson(maxLoad)},"quiet_waits":$quietWaits,"midrun_waits":$midrunWaits,"n_first_suspect":$nSuspect,"steady_third_runs":$steadyThirdRuns,"cpus":${cpus.trim.toIntOption.getOrElse(-1)}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_steady":$totalSteady,"queries":${qfirst(results)},"queries_steady":${qsteady(results)},"cc_rounds":$roundsMap,"errors":$errs,"prewarm_failed":$prewarm,$cond,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_steady":$totalSteady,"queries":${qfirst(results)},"queries_steady":${qsteady(results)},"queries_load":$loadMap,"first_suspect":$firstSuspect,"cc_rounds":$roundsMap,"errors":$errs,"prewarm_failed":$prewarm,$cond,"sf":"$sfDir"}"""
     // full per-query map: first as a log line (for a reader of the whole
     // log), then as a file next to the repo (survives log truncation)
     println(full)

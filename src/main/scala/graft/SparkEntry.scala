@@ -352,6 +352,9 @@ object SparkEntry {
       Seq("embeddings") -> SqlOps.annIvfDelta,
       Seq("embeddings") -> SqlOps.kmeansStep,
       Seq("embeddings") -> SqlOps.knnBruteForce,
+      // attr_sl feeds both the attribution inversion and its recall
+      // readout (two consumers → staged+prewarmed)
+      Seq("embeddings") -> SqlOps.trainAttribution,
       Seq("embeddings") -> SqlOps.dedupEmbeddingCosine,
       Seq("embeddings") -> SqlOps.dedupSemantic, // adds sem_rank
       Seq("embeddings") -> SqlOps.annMargin, // adds mgn_top
@@ -461,7 +464,12 @@ object SparkEntry {
     "q_union_slices" -> Relational.unionSlices _,
     "q_above_avg" -> Relational.aboveAvgOrders _,
     "q_agg_salted" -> ((s, d) => Relational.saltedRevenueByFlag(s, d)),
-    "q_join_salted" -> ((s, d) => Relational.saltedJoinRevenue(s, d)),
+    // the salted/unsalted pair on the key the audit proves skewed
+    // (event_type, 5 values): same plain-join oracle for both —
+    // salting must be result-invisible, and the pair is the local
+    // measurement of what the salt buys
+    "q_join_salted" -> ((s, d) => Relational.eventTypeSkewJoin(s, d, salted = true)),
+    "q_join_skew_unsalted" -> ((s, d) => Relational.eventTypeSkewJoin(s, d, salted = false)),
     // does the salt pay on THIS data? hottest-partition share, ppm,
     // unsalted vs salted, on the uniform join key AND the
     // low-cardinality one
@@ -731,6 +739,9 @@ object SparkEntry {
     // influence concentration: which training vectors dominate eval
     // top-k lists (split-leakage audit from the embedding side)
     "q_train_attribution" -> sqlStaged(Seq("embeddings"), SqlOps.trainAttribution),
+    // recall@3 of the attribution shortlist vs exact — bounds what the
+    // 2-probe IVF pair stage loses vs the cartesian it replaced
+    "q_attr_shortlist_recall" -> sqlStaged(Seq("embeddings"), SqlOps.attrShortlistRecall),
     "q_ann_sign_lsh" -> sqlStaged(Seq("embeddings"), SqlOps.annSignLsh),
     // recall@3 of the sign-LSH index vs exact brute force on the
     // bounded query set — the nightly index-drift check
@@ -1159,6 +1170,25 @@ object SparkEntry {
        |SELECT c.doc_id FROM corpus c LEFT JOIN clusters k ON c.doc_id = k.doc_id
        |WHERE k.doc_id IS NULL OR k.cluster_id = c.doc_id""".stripMargin
 
+  /** The plain (unsalted, unhinted) form of the event-type stats join
+    * — ONE oracle string for both q_join_salted and
+    * q_join_skew_unsalted: the salt must be result-invisible, so both
+    * variants must hash-match this same plain join. */
+  private val EventSkewJoinSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(FLOOR(value * 1.0e2 + 5.0e-1) AS BIGINT) AS cents
+      |  FROM events
+      |),
+      |st AS (
+      |  SELECT event_type, CAST(SUM(cents) AS BIGINT) AS sk, COUNT(*) AS ck
+      |  FROM ev GROUP BY event_type
+      |)
+      |SELECT e.event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN e.cents * s.ck > s.sk THEN 1 ELSE 0 END) AS BIGINT) AS n_above_mean
+      |FROM ev e JOIN st s ON e.event_type = s.event_type
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_raw_listings" ->
       s"WITH ${ListingSql.RAW_CTE} SELECT * FROM raw",
@@ -1317,12 +1347,9 @@ object SparkEntry {
         |  TRUE AS sketch_within_1pct
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     // the oracle is the PLAIN join: salting must be result-invisible
-    "q_join_salted" ->
-      """SELECT o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-        |  COUNT(*) AS n_items
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority""".stripMargin,
+    // (same SQL for the salted form and the unsalted baseline)
+    "q_join_salted" -> EventSkewJoinSql,
+    "q_join_skew_unsalted" -> EventSkewJoinSql,
     "q_join_salt_audit" -> SqlOps.joinSaltAudit(DuckDialect),
 
     "q_events_json" ->
@@ -1692,6 +1719,7 @@ object SparkEntry {
     "q_ks_drift" -> SqlOps.ksDrift(DuckDialect),
     "q_knn_bruteforce" -> SqlOps.knnBruteForce.single(DuckDialect),
     "q_train_attribution" -> SqlOps.trainAttribution.single(DuckDialect),
+    "q_attr_shortlist_recall" -> SqlOps.attrShortlistRecall.single(DuckDialect),
     "q_ann_sign_lsh" -> SqlOps.annSignLsh.single(DuckDialect),
     "q_ann_ivf" -> SqlOps.annIvf.single(DuckDialect),
     "q_ann_pq" -> SqlOps.annPq.single(DuckDialect),

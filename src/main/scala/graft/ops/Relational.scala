@@ -397,37 +397,47 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
-  /** Salted skew join: the fact-fact join shuffle key is widened with a
-    * salt — each probe-side row picks one salt bucket, the build side
-    * replicates once per salt — so a hot key's rows spread across
-    * `salts` reducers instead of stalling one. Result is provably
-    * identical to the plain join (the oracle checks the plain SQL).
-    * At 100 TB this (or AQE's skew-join split, which automates the same
-    * idea) is what keeps a power-law key distribution from serializing
-    * the stage. NOTE the fixture's l_orderkey is high-cardinality and
-    * uniform, so the salt pays pure overhead HERE — this query is the
-    * technique demo (salt mechanics + result-invisibility proof);
-    * [[graft.ops.SqlOps.joinSaltAudit]] (q_join_salt_audit) is the
-    * readout that measures where a salt actually moves the hottest
-    * partition's share on this fixture (the low-cardinality
-    * event_type key, not this one), and a Scala micro-oracle proves
-    * the contraction on a synthetic power-law key. */
-  def saltedJoinRevenue(spark: SparkSession, dir: String, salts: Int = 4): DataFrame = {
-    // the salt MUST be independent of the join key — a salt derived
-    // from l_orderkey would be constant per key and spread nothing;
-    // l_linenumber varies within an order, is deterministic, and keeps
-    // results identical to the plain join
-    val li = Tables.lineitem(spark, dir)
-      .withColumn("salt", pmod(col("l_linenumber"), lit(salts)))
-    val o = Tables.orders(spark, dir)
-      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
-    li.join(o,
-        li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
-      .groupBy(col("o_orderpriority"))
-      .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
-             .cast("double").as("revenue"),
-           count(lit(1)).as("n_items"))
-      .orderBy(col("o_orderpriority"))
+  /** Salted skew join — on the key its own audit proves skewed.
+    * Each event joins its type's aggregate stats row and the readout
+    * counts events priced above their type's mean (exact integer
+    * compare cents·ck > sk — no division crosses the comparator).
+    * event_type has 5 distinct values, so the unsalted shuffle join
+    * pins ≥ 1/5 of the fact table on one reducer REGARDLESS of
+    * per-key balance — exactly the regime
+    * [[graft.ops.SqlOps.joinSaltAudit]] (q_join_salt_audit) measures:
+    * hottest-partition share 203,020 ppm unsalted → 75,770 ppm salted
+    * ×8 at sf0.1 (vs l_orderkey, the key the pre-r11 demo salted,
+    * where the audit proves the salt buys nothing — that uniform-key
+    * counterexample lives on as the audit's first row pair).
+    * The salted form widens the shuffle key with salt = event_id %
+    * `salts` (deterministic, key-independent) and replicates the
+    * 5-row stats side ×salts, spreading each type across `salts`
+    * reducers. Result is provably identical to the plain join — the
+    * oracle runs the plain SQL, and [[eventTypeSkewJoin]] with
+    * salted=false is the measured baseline (q_join_skew_unsalted).
+    * The stats side is hinted SHUFFLE_HASH: at 100 TB the stats grain
+    * is (type, day/tenant) — far past broadcast — and locally the
+    * hint stands in for that regime (a broadcast would dissolve the
+    * very shuffle the salt exists to fix; AQE's skew-join split
+    * automates the same idea for sort-merge plans). */
+  def eventTypeSkewJoin(spark: SparkSession, dir: String,
+                        salted: Boolean, salts: Int = 8): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("event_type"),
+      floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+    val st = ev.groupBy("event_type")
+      .agg(sum(col("cents")).cast("long").as("sk"), count(lit(1)).as("ck"))
+    val joined =
+      if (salted) {
+        val evs = ev.withColumn("salt", pmod(col("event_id"), lit(salts)).cast("int"))
+        val sts = st.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+        evs.join(sts.hint("shuffle_hash"), Seq("event_type", "salt"))
+      } else ev.join(st.hint("shuffle_hash"), Seq("event_type"))
+    joined.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("cents") * col("ck") > col("sk"), 1L).otherwise(0L))
+             .cast("long").as("n_above_mean"))
+      .orderBy(col("event_type"))
   }
 
   /** Correlated-style aggregate filter (orders above their customer's

@@ -624,7 +624,7 @@ object StreamingOps {
     * each arriving document is signed with the SAME 8×16-bit md5-slice
     * minhash (computed as a narrow per-row expression over the
     * codegen'd word_shingles array — no pre-shuffle), exploded into
-    * the same 4 bands of 2, and matched against the per-(band, key)
+    * the same MhBands bands of MhRows, and matched against the per-(band, key)
     * membership state; every collision emits a candidate pair
     * normalized (small id, large id).
     *
@@ -637,16 +637,20 @@ object StreamingOps {
     * production bound: a doc only pairs with others inside the
     * watermark window, which is the streaming contract (cross-horizon
     * dedup belongs to the batch/incremental ops). */
-  /** The 8×16-bit md5-slice minhash signature and its 4×2 band keys as
+  /** The 8×16-bit md5-slice minhash signature and its band keys as
     * SQL expression strings — ONE copy shared by [[minhashCandidates]]
     * (keyed-state candidates) and [[bandRowsOf]] (the daily-ingest band
-    * index), mirroring the batch side's single-sourced geometry
-    * ([[graft.ops.SqlOps]] mhBandRows). */
+    * index). Band geometry renders from the batch side's constants
+    * ([[graft.ops.SqlOps.MhBands]]/[[graft.ops.SqlOps.MhRows]], the
+    * lshParamOpt argmin), so a batch re-band moves the streaming band
+    * keys with it — they feed the same candidate semantics. */
   private val mhSigCols: Seq[String] = (0 until 8).map { j =>
     s"array_min(transform(word_shingles(text, 3), s -> substr(md5(s), ${4 * j + 1}, 4))) AS h$j"
   }
-  private val mhBandStructs: String = (0 until 4).map { b =>
-    s"named_struct('band', $b, 'bkey', concat(h${2 * b}, h${2 * b + 1}))"
+  private val mhBandStructs: String = (0 until graft.ops.SqlOps.MhBands).map { b =>
+    val ks = (0 until graft.ops.SqlOps.MhRows)
+      .map(j => s"h${b * graft.ops.SqlOps.MhRows + j}").mkString(", ")
+    s"named_struct('band', $b, 'bkey', concat($ks))"
   }.mkString("array(", ", ", ")")
 
   def minhashCandidates(docs: DataFrame, watermark: String = "10 minutes",

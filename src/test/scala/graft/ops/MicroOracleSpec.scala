@@ -2308,15 +2308,130 @@ class MicroOracleSpec extends SparkSpec {
       val (enp, enc) = expCounts.getOrElse(b, (0L, 0L))
       assert((np, nc) === (enp, enc), s"bucket $b")
       assert(emp === (if (enp == 0) None else Some(r6(enc.toDouble / enp))))
-      // theory replayed with BigDecimal exact powers of the midpoint
+      // theory replayed with BigDecimal exact powers of the midpoint,
+      // at the SHIPPED band geometry (1 − (1 − s^MhRows)^MhBands)
       val mc = new java.math.MathContext(40)
       val s = BigDecimal(2 * b + 1, mc) / 20
-      val p = BigDecimal(1, mc) - (BigDecimal(1, mc) - s * s).pow(4)
+      val p = BigDecimal(1, mc) -
+        (BigDecimal(1, mc) - s.pow(SqlOps.MhRows)).pow(SqlOps.MhBands)
       assert(th === r6(p.toDouble), s"theory at bucket $b")
     }
     assert(got.map(_._1).toSeq === (0 to 9).toSeq, "full decile domain must be emitted")
     spark.catalog.dropTempView("documents")
     spark.catalog.dropTempView("nj_dshf"); spark.catalog.dropTempView("mh_cand")
+  }
+
+  test("attribution shortlist: the 2-probe IVF pair stage and its recall " +
+    "readout replay exactly against an independent Scala probe + cosine oracle") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val dim = 64
+    // three WELL-separated clusters; c2 shares its first 32 dims with
+    // c0 and its last 32 with c1, so it is the SECOND-nearest cell for
+    // members of both — a c0 query's 2-probe opens (c0, c2), never c1
+    def center(c: Int): Array[Float] = c match {
+      case 0 => Array.fill(dim)(0.8f)
+      case 1 => Array.fill(dim)(-0.8f)
+      case _ => Array.tabulate(dim)(i => if (i < 32) 0.8f else -0.8f)
+    }
+    val rnd = new scala.util.Random(7)
+    def jitter(c: Int): Array[Float] =
+      center(c).map(v => v + (rnd.nextFloat() - 0.5f) * 0.2f)
+    val base = (0 until 60).map(id => (id.toLong, (id % 3).toLong, jitter(id % 3)))
+    // the STALE-INDEX plant: id 97 is id 0's near-twin in embedding
+    // space (so it MUST be in q0's exact top-3) but its index cell
+    // says c1 — the one cell a c0 query's 2-probe never opens. The
+    // shortlist must miss it and the recall readout must count the
+    // miss (this is the path that makes the recall query a real
+    // audit, not a tautology).
+    val twin = base.find(_._1 == 0L).get._3.map(v => v + 0.001f)
+    val rows = base :+ ((97L, 1L, twin))
+    rows.toDF("vec_id", "label", "embedding").createOrReplaceTempView("embeddings")
+    // a label-partitioned index whose cells coincide with labels —
+    // including the stale plant (cell 1 despite c0-like coordinates)
+    rows.map(t => (t._1, t._2)).toDF("vec_id", "cell")
+      .createOrReplaceTempView("__attr_cells")
+    spark.sql(
+      """SELECT e.vec_id, e.embedding,
+        |  sqrt(graft_dot(e.embedding, e.embedding)) AS nrm, c.cell
+        |FROM embeddings e JOIN __attr_cells c ON e.vec_id = c.vec_id"""
+        .stripMargin).createOrReplaceTempView("ivf_nvc")
+    spark.sql("SELECT vec_id, embedding, nrm FROM ivf_nvc")
+      .createOrReplaceTempView("emb_nv")
+    val stages = SqlOps.trainAttribution.stages.toMap
+    spark.sql(stages("ivf_cent")(SparkDialect)).createOrReplaceTempView("ivf_cent")
+    spark.sql(stages("attr_sl")(SparkDialect)).createOrReplaceTempView("attr_sl")
+
+    // ---- independent Scala replay ----
+    val byId = rows.map(t => t._1 -> t._3).toMap
+    val cellOf = rows.map(t => t._1 -> t._2).toMap
+    val labOf = cellOf // labels double as cells in this fixture
+    def qv(x: Float): Long = math.floor(x.toDouble * 1.0e6 + 0.5).toLong
+    // centroid replay: per (label, pos), floor(mean of µ-quantized) —
+    // the ivfCentCtes formula verbatim
+    val qc: Map[(Long, Int), Long] = rows.groupBy(_._2).flatMap { case (l, ms) =>
+      (0 until dim).map { p =>
+        val s = ms.map(m => qv(m._3(p))).sum
+        (l, p) -> math.floor(s.toDouble / ms.size + 0.5).toLong
+      }
+    }
+    def probes(q: Array[Float]): Seq[Long] =
+      rows.map(_._2).distinct.map { l =>
+        val d2 = (0 until dim).map { p =>
+          val d = qv(q(p)) - qc((l, p)); d * d
+        }.sum
+        (d2, l)
+      }.sortBy(identity).take(2).map(_._2)
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      val dot = (0 until dim).map(i => a(i).toDouble * b(i).toDouble).sum
+      def nrm(x: Array[Float]) = math.sqrt((0 until dim).map(i => x(i).toDouble * x(i).toDouble).sum)
+      r6(dot / (nrm(a) * nrm(b)))
+    }
+    val evalIds = rows.map(_._1).filter(_ % 10 == 0)
+    val trainIds = rows.map(_._1).filter(_ % 10 != 0)
+    val wantSl: Map[Long, Seq[Long]] = evalIds.map { e =>
+      val pr = probes(byId(e)).toSet
+      e -> trainIds.filter(t => pr(cellOf(t)))
+        .map(t => (t, cosine(byId(e), byId(t))))
+        .sortBy { case (t, c) => (-c, t) }.take(3).map(_._1)
+    }.toMap
+    val gotSl = spark.sql("SELECT eval_id, train_id FROM attr_sl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (e, ps) => e -> ps.map(_._2).toSet }
+    assert(gotSl === wantSl.filter(_._2.nonEmpty).map { case (e, ts) => e -> ts.toSet })
+    // the plant: q0's exact top-3 contains 97, its shortlist cannot
+    val exact0 = trainIds.map(t => (t, cosine(byId(0L), byId(t))))
+      .sortBy { case (t, c) => (-c, t) }.take(3).map(_._1)
+    assert(exact0.contains(97L) && !wantSl(0L).contains(97L))
+
+    // ---- the inversion body ----
+    val gotInf = spark.sql(SqlOps.trainAttribution.body(SparkDialect)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val wantInf = wantSl.toSeq.flatMap { case (e, ts) => ts.map(e -> _) }
+      .groupBy(_._2).map { case (t, es) =>
+        val n = es.size.toLong
+        val m = es.count { case (e, _) => labOf(e) == labOf(t) }.toLong
+        (t, n, m, 1000000L * m / n)
+      }.toSeq.sortBy { case (t, n, _, _) => (-n, t) }.take(20).toSet
+    assert(gotInf === wantInf)
+
+    // ---- the recall readout ----
+    val gotRec = spark.sql(SqlOps.attrShortlistRecall.body(SparkDialect)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val wantRec = evalIds.filter(_ % 50 == 0).map { q =>
+      val exact = trainIds.map(t => (t, cosine(byId(q), byId(t))))
+        .sortBy { case (t, c) => (-c, t) }.take(3).map(_._1).toSet
+      val hit = (exact intersect wantSl(q).toSet).size.toLong
+      (q, hit, r6(hit.toDouble / 3))
+    }.sortBy(_._1)
+    assert(gotRec.toSeq === wantRec)
+    // the planted miss is visible in the readout: q0 hits exactly 2
+    assert(gotRec.find(_._1 == 0L).get._2 === 2L)
+    // and the undisturbed sample query is perfect
+    assert(gotRec.find(_._1 == 50L).get._2 === 3L)
+
+    Seq("embeddings", "__attr_cells", "ivf_nvc", "emb_nv", "ivf_cent", "attr_sl")
+      .foreach(spark.catalog.dropTempView)
   }
 
   test("k-means silhouette: SQL centroid-based scores equal an independent " +
