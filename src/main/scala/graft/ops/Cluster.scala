@@ -52,9 +52,10 @@ object Cluster {
     *    (and itself) to that minimum.
     *
     * Each half-round is one groupBy-min + one join; iteration stops
-    * when the canonical edge set's signature (count + xor of row
-    * hashes — order-independent) is stable, at which point every
-    * component is a star rooted at its minimum id. */
+    * as soon as the canonical edge set IS a star forest (no leaf is
+    * also a root, every leaf has exactly one parent) — the fixed
+    * point of the alternation — at which point every component is a
+    * star rooted at its minimum id. */
   def connectedComponentsStar(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{min => fmin}
     def canon(e: DataFrame): DataFrame =
@@ -62,42 +63,22 @@ object Cluster {
         .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
         .distinct()
 
-    def sig(e: DataFrame): (Long, Long) = {
-      val r = e.select(xxhash64(col("u"), col("v")).as("h"))
-        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L))).head
-      (r.getLong(0), r.getLong(1))
-    }
-
-    // the input plan is materialized ONCE: both the canonical edge set
-    // and the post-convergence singleton recovery read this checkpoint
-    // — deriving allNodes from the raw `edges` plan would re-run the
-    // whole upstream candidate-pair query (band self-join + DISTINCT)
-    // a second time after the loop. Lazy (the connectedComponents
-    // cascade rule): the initial sig() action materializes base →
-    // canon in one job instead of two eager pre-loop actions — on
-    // local-scale dataflow per-action overhead dominates this loop.
-    val base = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
-    var e = canon(base).localCheckpoint(eager = false)
-    var prev = (-1L, -1L)
-    var cur = sig(e)
-    var nRounds = 0
-    rounds.set(nRounds)
-    while (cur != prev) {
-      prev = cur
-      nRounds += 1
-      rounds.set(nRounds)
+    // one star round (large-star then small-star), lazily checkpointed
+    // — materialized by the convergence-check action that consumes it.
+    // Two rewrites were MEASURED and REJECTED at sf0.1 (r11): dropping
+    // large's mid-round distinct (steady 1.5 → 2.4 s — on the near-dup
+    // clique graph y re-links to m(x) once per smaller neighbor, so
+    // the un-distinct'd large blows up ∝ degree and the saved shuffle
+    // costs more downstream) and disabling AQE for the loop (1.5 →
+    // 3.4 s — AQE's single-partition coalescing of these tiny shuffles
+    // beats the static 32-partition stages it would otherwise run).
+    def starRound(ein: DataFrame): DataFrame = {
       // large-star over the symmetric view: m(x) = min of closed
       // neighborhood; larger neighbors y of x re-link to m(x)
-      val sym = e.select(col("u").as("x"), col("v").as("y"))
-        .union(e.select(col("v").as("x"), col("u").as("y")))
+      val sym = ein.select(col("u").as("x"), col("v").as("y"))
+        .union(ein.select(col("v").as("x"), col("u").as("y")))
       val m = sym.groupBy("x").agg(fmin(col("y")).as("mn"))
         .select(col("x"), least(col("x"), col("mn")).as("m"))
-      // lazy checkpoints: the round's sig() action materializes the
-      // whole chain (large's blocks cache as its shuffle stage
-      // completes, so its 3 downstream references still read it once)
-      // instead of running separate eager-checkpoint jobs per round.
-      // Measured ~8% off the loop at sf0.1 — the remaining per-round
-      // cost is stage planning/codegen, which amortizes at real scale
       val large = canon(
         sym.join(m, "x").filter(col("y") > col("x"))
           .select(col("y").as("a"), col("m").as("b")))
@@ -105,12 +86,50 @@ object Cluster {
       // small-star over canonical edges (u > v): all of u's smaller
       // neighbors, and u itself, link to m(u) = min neighbor
       val m2 = large.groupBy("u").agg(fmin(col("v")).as("m"))
-      val small = canon(
+      canon(
         large.join(m2, "u")
           .select(col("v").as("a"), col("m").as("b"))
           .union(large.join(m2, "u").select(col("u").as("a"), col("m").as("b"))))
-      e = small.localCheckpoint(eager = false)
-      cur = sig(e)
+        .localCheckpoint(eager = false)
+    }
+
+    // the input plan is materialized ONCE: both the canonical edge set
+    // and the post-convergence singleton recovery read this checkpoint
+    // — deriving allNodes from the raw `edges` plan would re-run the
+    // whole upstream candidate-pair query (band self-join + DISTINCT)
+    // a second time after the loop. Lazy (the connectedComponents
+    // cascade rule): the first round's convergence check materializes
+    // base → canon → round 1 in ONE job — on local-scale dataflow
+    // per-action overhead dominates this loop.
+    val base = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    var e = canon(base).localCheckpoint(eager = false)
+    var nRounds = 0
+    var converged = false
+    while (!converged) {
+      nRounds += 1
+      rounds.set(nRounds)
+      e = starRound(e)
+      // STAR-FOREST FIXED-POINT TEST (r11; replaces the edge-set
+      // signature compare): a canonical edge set is a fixed point of
+      // the alternation iff it is a star forest — the exact shape the
+      // label extraction below already assumes (the old sig-compare
+      // loop rested on the same fixed-point ⟺ star-forest theorem of
+      // Kiveris et al., it just paid an extra full confirmation round
+      // plus a pre-loop signature to detect it: 3 driver actions for
+      // a 2-round graph where this loop pays 1). Star forest = BOTH
+      // of: (1) no leaf u also appears as a root v (no chains), AND
+      // (2) every leaf u has exactly ONE parent. Conjunct (2) is NOT
+      // implied by (1): on edges {(4,3),(5,3),(4,2),(5,1)} one round
+      // yields {(3,1),(3,2),(5,1),(4,2)} — u-set {3,4,5} disjoint
+      // from v-set {1,2}, yet node 3 has two parents and the
+      // component is not yet merged; a chains-only test stops here
+      // and emits duplicate doc_id labels (regression-pinned in
+      // OpsSpec). One driver action checks both via the union.
+      converged = e.select(col("u"))
+        .join(e.select(col("v").as("u")).distinct(), Seq("u"), "left_semi")
+        .union(e.groupBy("u").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).select(col("u")))
+        .isEmpty
     }
     // converged: stars rooted at component minima; nodes whose only
     // edges were self-loops (dropped by canon) come back as singleton

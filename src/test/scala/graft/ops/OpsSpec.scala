@@ -206,6 +206,22 @@ class OpsSpec extends SparkSpec {
     assert(star === expected)
   }
 
+  test("star CC does not early-stop on a multi-parent non-star state") {
+    import spark.implicits._
+    // after ONE large+small round, {(4,3),(5,3),(4,2),(5,1)} becomes
+    // {(3,1),(3,2),(5,1),(4,2)}: leaf set {3,4,5} is disjoint from
+    // root set {1,2} — a chains-only fixed-point test declares
+    // convergence here — but node 3 has TWO parents (not a star
+    // forest) and the single component {1..5} is still split. The
+    // convergence test must also require one-parent-per-leaf.
+    val edges = Seq((4L, 3L), (5L, 3L), (4L, 2L), (5L, 1L)).toDF("a", "b")
+    val star = Cluster.connectedComponentsStar(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(star.map(_._1).distinct.length === star.length,
+      "duplicate doc_id rows: loop stopped on a multi-parent state")
+    assert(star.toMap === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("connected components agrees with brute-force union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
