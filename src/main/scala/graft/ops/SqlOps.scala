@@ -74,31 +74,57 @@ object EwmaParams {
   def thresholdFactor: Double = Sigmas.toDouble * MadToSigma.toDouble
 }
 
-object SqlOps {
 
-  private val STOP_EN = Seq("the", "and", "of", "to", "in", "is", "a")
-  private val STOP_ID = Seq("yang", "dan", "di", "ke", "itu", "untuk")
+/** The engine's SQL-operator façade — every operator keeps its
+  * pre-split name (`SqlOps.foo`); the bodies live in the domain
+  * traits composed by [[SqlOpsAll]]. */
+object SqlOps extends SqlOpsAll
+
+/** Composition of the domain modules. The extends order IS the
+  * pre-split single-file declaration order: trait linearization
+  * initializes vals left-to-right, so splitting changed nothing
+  * about which StagedOp vals exist when a later val's initializer
+  * runs (the forward-reference rule — any val reading a
+  * later-declared one must be lazy — carries over verbatim). */
+trait SqlOpsAll
+  extends SqlOpsCore
+  with SqlOpsDedup
+  with SqlOpsTokenEval
+  with SqlOpsAnn
+  with SqlOpsText
+  with SqlOpsEvents
+  with SqlOpsMultimodal
+  with SqlOpsSampling
+  with SqlOpsCuration
+
+/** Shared core: the single-copy quantizers (µ-value, µ-log2, r6),
+  * the md5 bucket key, and the two-snapshot corpus CTE every dedup
+  * operator builds on. */
+trait SqlOpsCore { this: SqlOpsAll =>
+
+  private[ops] val STOP_EN = Seq("the", "and", "of", "to", "in", "is", "a")
+  private[ops] val STOP_ID = Seq("yang", "dan", "di", "ke", "itu", "untuk")
 
   /** Half-up rounding to 6dp as pure IEEE ops (⌊x·1e6+½⌋/1e6): the
     * cross-engine-stable comparator quantizer. SQL ROUND on doubles
     * goes through BigDecimal in Spark (slow on hot self-join paths)
     * and can disagree with other engines on boundary-adjacent doubles
     * — the parity rule learned on the corr sums. */
-  private def r6(x: String): String = s"FLOOR(($x) * 1.0e6 + 5.0e-1) / 1.0e6"
+  private[ops] def r6(x: String): String = s"FLOOR(($x) * 1.0e6 + 5.0e-1) / 1.0e6"
 
   /** µ-quantized log2 as int64 — THE one copy of the quantized-log
     * arithmetic ([[zipfFit]]'s regression inputs, [[dsirWeights]]'
     * bucket scores), shared wherever a log-ratio must survive exact
     * cross-engine summation (floor-log2 bits are exactly portable but
     * only 1-bit-granular; this keeps 6 decimal digits). */
-  private def qlog2(x: String): String =
+  private[ops] def qlog2(x: String): String =
     s"CAST(FLOOR(log2(CAST($x AS DOUBLE)) * 1.0e6 + 5.0e-1) AS BIGINT)"
 
   /** µ-quantized value as int64 (half-up at 6 decimals) — THE one copy
     * of the quantization every exact-integer distance/centroid op in
     * the similarity family builds on; a rounding change here must not
     * be forkable per-op. */
-  private def qvExpr(v: String): String =
+  private[ops] def qvExpr(v: String): String =
     s"CAST(FLOOR(CAST($v AS DOUBLE) * 1.0e6 + 5.0e-1) AS BIGINT)"
 
   /** First byte of md5(col) as an integer 0-255 — the deterministic,
@@ -115,7 +141,7 @@ object SqlOps {
     s"""((instr('0123456789abcdef', substr(md5($col), 1, 1)) - 1) * 16
        |    + (instr('0123456789abcdef', substr(md5($col), 2, 1)) - 1))""".stripMargin
 
-  private def toks(d: Dialect): String = d.split("text", " ")
+  private[ops] def toks(d: Dialect): String = d.split("text", " ")
 
   /** Two "crawl snapshots": every doc appears twice under different ids
     * → guaranteed duplicate pairs for the dedup operators. Snapshot ids
@@ -135,10186 +161,4 @@ object SqlOps {
        |)""".stripMargin
   }
 
-  // ---- deduplication ----
-
-  /** Exact dedup: content-hash groupBy, survivor = min doc_id. */
-  def dedupExact(d: Dialect): String =
-    s"""WITH ${corpusCte(d)}
-       |SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-       |FROM corpus GROUP BY md5(text)""".stripMargin
-
-  /** Raw (doc, shingle) word-3-gram rows (duplicates kept) — the shared
-    * base of minhash and jaccard.
-    *
-    * Spark rendering: the native codegen'd [[graft.functions.WordShingles]]
-    * expression exploded — a narrow projection with no window, so
-    * shingling is an embarrassingly parallel scan→explode. The
-    * relational form (posexplode + LEAD window) costs a shuffle+sort on
-    * (doc_id, pos) just to see adjacent tokens, and the array-lambda
-    * form evaluates interpreted per element (4-5× slower, commit
-    * 1487599).
-    *
-    * DuckDB rendering keeps the relational posexplode+LEAD form — the
-    * oracle gate is exactly what proves the two renderings identical. */
-  private def shinglesCtes(d: Dialect, n: Int = 3, from: String = "corpus"): String = {
-    require(n >= 1, s"shingle size must be >= 1, got $n")
-    d.shingleRows(from, n)
-  }
-
-
-  /** MinHash LSH candidate pairs: ONE md5 per shingle sliced into 8
-    * 16-bit hash functions (min over each slice), [[MhBands]] bands of
-    * [[MhRows]] → join on band key. One hash pass + a map-side-
-    * combinable groupBy, not 8 lambda passes over shingle arrays. No
-    * DISTINCT on the shingle rows: MIN over a multiset equals MIN over
-    * its support, so the signature aggregation dedups for free
-    * (map-side partial MIN — the shuffle carries one partial signature
-    * per doc per partition, not the shingle index). The signature
-    * table (1 row/doc) is staged so the band self-join doesn't rebuild
-    * it. */
-  /** LSH band geometry over the 8-slice signature (MhBands · MhRows =
-    * 8). (2 bands × 4 rows) is [[lshParamOpt]]'s expected-cost argmin
-    * on this corpus — the optimizer's own round-10 readout proved the
-    * previously-shipped (4 × 2) split FP-heavy (its S-curve at the
-    * sub-threshold deciles surfaces far more non-dup mass than the
-    * (2,4) curve loses in true-dup mass: the fixture's true dups are
-    * the exact two-snapshot twins at j = 1, where EVERY banding
-    * detects with p = 1), and round 11 acts on the engine's own tuner
-    * instead of shipping against it. MEASURED at sf0.1: exp_cost
-    * 263.95 (4,2) vs 23.61 (2,4); mh_cand 8,100 → 6,008 pairs (−26%
-    * verifier input), q_dedup_lsh_eval recall 1.0 → 1.0 (unchanged),
-    * precision 0.9635 → 0.9937.
-    * Public (not private): the streaming twin
-    * (graft.streaming.StreamingOps.minhashCandidates / bandRowsOf)
-    * renders its band structs from these same constants, so the
-    * batch and streaming band keys cannot drift. */
-  val MhBands = 2
-  val MhRows = 4
-
-  /** Exact detection probability of a (b, r) banding at the decile-k
-    * midpoint s = (2k+1)/20 — P(s) = 1 − (1 − sʳ)ᵇ as a half-up ppm
-    * integer, computed HOST-SIDE with BigDecimal (the EXPQ rule: no
-    * transcendental ever crosses an engine boundary; s has a finite
-    * decimal expansion, so the powers are exact). ONE copy shared by
-    * [[lshParamOpt]] (every factorization of 8) and [[lshScurve]]
-    * (the shipped geometry's theory column), so the optimizer and the
-    * audit can never disagree about the curve. */
-  def scurveDetectPpm(b: Int, r: Int, k: Int): Long = {
-    val s = BigDecimal(2 * k + 1) / BigDecimal(20)
-    val p = BigDecimal(1) - (BigDecimal(1) - s.pow(r)).pow(b)
-    (p * BigDecimal(1000000))
-      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
-  }
-
-  /** The [[MhBands]]×[[MhRows]] band projection rows over a signature
-    * relation — THE single source of band geometry (band count, bkey
-    * slice width): [[mhBandsCte]] (full self-join) and
-    * [[dedupMinhashDelta]]'s probe both render from here, so a
-    * geometry change cannot leave the delta path on stale bands. */
-  private def mhBandRows(from: String): String =
-    (0 until MhBands).map { b =>
-      val ks = (0 until MhRows).map(j => s"h${b * MhRows + j}").mkString(", ")
-      s"SELECT doc_id, $b AS band, concat($ks) AS bkey FROM $from"
-    }.mkString("\n  UNION ALL\n  ")
-  private val mhBandsCte: String = s"bands AS (\n  ${mhBandRows("mh_sig")}\n)"
-
-  /** "Today's ingest" slice for the incremental family (~1/16 of the
-    * corpus) — single-sourced: the delta candidate probe here,
-    * SparkEntry's base-cluster-map build, and the OpsSpec equivalence
-    * test must all agree on what counts as a new doc. */
-  val NewDocMod = 16
-  val NewDocRem = 3
-  private val mhCandCte: String =
-    """cand AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-      |)""".stripMargin
-
-  /** Jaccard verification fragments over the staged df-capped index —
-    * doc sizes, pairwise intersections (full, or gated to `cand`), and
-    * the ≥ 0.6 score expression — shared by [[dedupNgramJaccard]],
-    * [[dedupVerified]], [[dedupLshEval]]. */
-  private val szCte = "sz AS (SELECT doc_id, COUNT(*) AS n FROM nj_dshf GROUP BY doc_id)"
-  /** The deterministic ~12.5% content-hash truth sample and the
-    * sample-gated exact-intersection join — THE single source of the
-    * sampled-truth pattern shared by [[dedupLshEval]] and
-    * [[lshScurve]]: a sample-rate or truth-join change must move the
-    * recall/precision eval and the S-curve audit together. Both
-    * assume a `corpus` CTE is already in scope. */
-  // a val like interSampledCte: the SQL is dialect-invariant (a
-  // Dialect parameter here would imply dialect-sensitive rendering)
-  private val lshSampCte: String =
-    s"samp AS (SELECT doc_id FROM corpus WHERE ${md5Bucket("text")} < 32)"
-  private val interSampledCte: String =
-    """inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      |  FROM nj_dshf a
-      |  JOIN samp pa ON a.doc_id = pa.doc_id
-      |  JOIN nj_dshf b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  JOIN samp pb ON b.doc_id = pb.doc_id
-      |  GROUP BY a.doc_id, b.doc_id
-      |)""".stripMargin
-  private val interFullCte =
-    """inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      |  FROM nj_dshf a JOIN nj_dshf b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY a.doc_id, b.doc_id
-      |)""".stripMargin
-  private val interGatedCte =
-    """inter AS (
-      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
-      |  FROM cand c
-      |  JOIN nj_dshf a ON a.doc_id = c.doc_a
-      |  JOIN nj_dshf b ON b.doc_id = c.doc_b AND b.s = a.s
-      |  GROUP BY c.doc_a, c.doc_b
-      |)""".stripMargin
-  private val jaccardExpr = "CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter)"
-  private val jaccardSelect =
-    s"""SELECT i.doc_a, i.doc_b,
-       |  ${r6(jaccardExpr)} AS jaccard
-       |FROM inter i
-       |JOIN sz sa ON i.doc_a = sa.doc_id
-       |JOIN sz sb ON i.doc_b = sb.doc_id
-       |WHERE $jaccardExpr >= 0.6""".stripMargin
-
-  val dedupMinhash: StagedOp = {
-    val sigCols = (0 until 8).map { j =>
-      s"MIN(substr(md5(s), ${4 * j + 1}, 4)) AS h$j"
-    }.mkString(",\n    ")
-    StagedOp(
-      stages = Seq(
-        "mh_sig" -> { d =>
-          s"""WITH ${corpusCte(d)},
-             |${shinglesCtes(d)}
-             |SELECT doc_id,
-             |    $sigCols
-             |FROM sh GROUP BY doc_id""".stripMargin
-        },
-        // the candidate-pair set is its OWN staged artifact: five
-        // consumers (minhash, est, verified, source-overlap, pagerank)
-        // and the cluster map all read these pairs, and Spark's CTE
-        // inlining would otherwise re-run the band self-join + DISTINCT
-        // once per reference (q_pagerank_step planned 48 scans of
-        // mh_sig before this stage existed). Exactly how a production
-        // pipeline treats candidate pairs: generate once, consume many.
-        "mh_cand" -> { _ =>
-          s"""WITH $mhBandsCte,
-             |$mhCandCte
-             |SELECT doc_a, doc_b FROM cand""".stripMargin
-        }),
-      body = { _ => "SELECT doc_a, doc_b FROM mh_cand" })
-  }
-
-  /** Incremental candidate generation — the daily-ingest twin of
-    * [[dedupMinhash]]: only the NEW docs' signatures (the same 1/16
-    * slice [[graft.SparkEntry]]'s delta-CC demo treats as today's
-    * batch) probe the existing band index, so the band join costs
-    * delta × bucket-size instead of the corpus-wide self-join. Emits
-    * exactly the full candidate set restricted to pairs touching a new
-    * doc (equivalence asserted in OpsSpec) — these pairs are the input
-    * [[graft.ops.Cluster.incrementalUpdate]] merges into the map,
-    * closing the gate → candidates → clusters incremental pipeline. */
-  val dedupMinhashDelta: StagedOp = StagedOp(
-    stages = Seq(dedupMinhash.stages.head), // mh_sig, shared
-    body = { _ =>
-      s"""WITH aband AS (
-         |  ${mhBandRows("mh_sig")}
-         |),
-         |nband AS (SELECT doc_id, band, bkey FROM aband
-         |          WHERE doc_id % $NewDocMod = $NewDocRem)
-         |SELECT DISTINCT
-         |  LEAST(n.doc_id, t.doc_id) AS doc_a,
-         |  GREATEST(n.doc_id, t.doc_id) AS doc_b
-         |FROM nband n JOIN aband t
-         |  ON n.band = t.band AND n.bkey = t.bkey AND n.doc_id <> t.doc_id""".stripMargin
-    })
-
-  /** N-gram jaccard near-dup: inverted-index join on distinct shingles,
-    * exact jaccard ≥ 0.6. Shingles appearing in > 20 docs are dropped
-    * from the index AND the sizes (so identical docs still score 1.0):
-    * ubiquitous shingles carry no near-dup signal and are exactly the
-    * hot keys that skew the self-join at scale.
-    *
-    * One materialized stage: distinct (doc, shingle) pairs with the
-    * document-frequency cap applied in the same pass via a count window
-    * (df = COUNT OVER (PARTITION BY shingle) on distinct rows ≡ the
-    * GROUP BY … HAVING + join-back form, minus one parquet round-trip
-    * and the join).
-    *
-    * Spark-side the shingle identity is `xxhash64(shingle)` — Broder-
-    * style shingle fingerprinting: every downstream op (df cap,
-    * inverted-index self-join, intersection counts) uses only shingle
-    * identity, so a 64-bit fingerprint gives identical counts unless
-    * two distinct shingles in one corpus collide (P ≈ n²/2⁶⁵ ≈ 1e-8 at
-    * half a million shingles), and shrinks the shuffle/index ~4× while
-    * making the hot self-join key a fixed-width long. The oracle keeps
-    * the string form — the hash gate itself proves count-equivalence on
-    * every run. */
-  val dedupNgramJaccard: StagedOp = StagedOp(
-    stages = Seq(
-      "nj_dshf" -> { d =>
-        val sid = d.shingleId("s")
-        s"""WITH ${corpusCte(d)},
-           |${shinglesCtes(d)},
-           |dsh AS (SELECT DISTINCT doc_id, $sid AS s FROM sh),
-           |w AS (SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM dsh)
-           |SELECT doc_id, s FROM w WHERE df <= 20""".stripMargin
-      }),
-    body = { _ =>
-      s"""WITH $szCte,
-         |$interFullCte
-         |$jaccardSelect""".stripMargin
-    })
-
-  /** Deterministic train/val/test corpus split (80/10/10 by content
-    * hash): the dataset-assembly step every training pipeline runs.
-    * Assignment is the md5 first-byte bucket (0-255: <205 train,
-    * <230 val, else test) of the document id — RNG-free, so the split
-    * is reproducible at any scale, stable under re-runs and
-    * partitioning, and a doc never migrates between splits when the
-    * corpus grows. Output is the per-(language, split) manifest; the
-    * assignment itself is the narrow projection inside. */
-  def corpusSplit(d: Dialect): String =
-    s"""WITH s AS (
-       |  SELECT doc_id, lang,
-       |    CASE WHEN ${md5Bucket("CAST(doc_id AS STRING)")} < 205 THEN 'train'
-       |         WHEN ${md5Bucket("CAST(doc_id AS STRING)")} < 230 THEN 'val'
-       |         ELSE 'test' END AS split
-       |  FROM documents
-       |)
-       |SELECT lang, split, COUNT(*) AS n_docs
-       |FROM s GROUP BY lang, split""".stripMargin
-
-  /** Fuzzy-match (record-linkage) join: incoming documents (the odd
-    * snapshot) matched to canonical corpus documents (the even
-    * snapshot) through the SAME staged minhash band candidates the
-    * dedup family uses, restricted to cross-snapshot pairs — the
-    * bipartite entity-resolution shape ("link each new record to an
-    * existing master record by similarity, not by key"). Survivor =
-    * smallest canonical id; n_candidates reports match ambiguity. At
-    * 100 TB the band join IS the fuzzy join — candidates stay
-    * LSH-bounded, never a cross join of the two sides. */
-  val fuzzyJoin: StagedOp = StagedOp(
-    stages = dedupMinhash.stages,
-    body = { _ =>
-      s"""WITH bip AS (
-         |  SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS incoming_id,
-         |         CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS canonical_id
-         |  FROM mh_cand
-         |  WHERE doc_a % 2 <> doc_b % 2
-         |)
-         |SELECT incoming_id, MIN(canonical_id) AS matched_id,
-         |  COUNT(*) AS n_candidates
-         |FROM bip GROUP BY incoming_id""".stripMargin
-    })
-
-  /** Two-phase distinct count: COUNT(DISTINCT user) per event type as
-    * dedup-then-count — phase 1 collapses to the (type, user) support
-    * (map-side combinable, spreads the reduction over all partitions),
-    * phase 2 counts rows per type. The classic rewrite that replaces
-    * the planner's Expand-based distinct with two plain aggregates —
-    * at 100 TB the difference between one skew-prone distinct
-    * aggregation and two well-distributed ones. The DuckDB oracle runs
-    * the direct COUNT(DISTINCT …) form: equality proves the rewrite
-    * result-invisible (the bloom/heavy-hitter gate pattern applied to
-    * aggregation strategy). */
-  def distinctTwoPhase(d: Dialect): String =
-    if (d.name == "duckdb")
-      s"""SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
-         |FROM events GROUP BY event_type""".stripMargin
-    else
-      s"""WITH su AS (
-         |  SELECT event_type, user_id, COUNT(*) AS c
-         |  FROM events GROUP BY event_type, user_id
-         |)
-         |SELECT event_type, COUNT(*) AS n_users,
-         |  CAST(SUM(c) AS BIGINT) AS n_events
-         |FROM su GROUP BY event_type""".stripMargin
-
-  /** Mutual information I(source; lang) over the corpus — the
-    * information-theoretic association measure next to the chi-square
-    * test (chi-square answers "is there dependence?", MI answers "how
-    * many bits does knowing the source tell you about the
-    * language?" — the corpus-mix diagnostic for sampling stratification
-    * decisions). One scan → contingency table; marginals are windows
-    * over that tiny table (the chi-square pattern, no re-aggregation);
-    * each cell's n_ij·log2(n_ij·N/(n_i·n_j)) term is a fixed chain of
-    * correctly-rounded IEEE ops on exact integers, µ-quantized before
-    * the int64 sum (round-half-up via FLOOR(x+½) is sign-correct for
-    * the negative terms). Marginal products stay in int64 at bench
-    * scale; at 100 TB move n_i·n_j to DECIMAL(38). */
-  def mutualInfo(d: Dialect): String =
-    s"""WITH o AS (
-       |  SELECT source, lang, COUNT(*) AS nij FROM documents GROUP BY source, lang
-       |),
-       |x AS (
-       |  SELECT source, lang, nij,
-       |    CAST(SUM(nij) OVER (PARTITION BY source) AS BIGINT) AS ni,
-       |    CAST(SUM(nij) OVER (PARTITION BY lang) AS BIGINT) AS nj,
-       |    CAST(SUM(nij) OVER () AS BIGINT) AS n
-       |  FROM o
-       |),
-       |q AS (
-       |  SELECT source, lang, n,
-       |    CAST(FLOOR(nij * log2(CAST(nij AS DOUBLE) * n / (ni * nj))
-       |      * 1.0e6 + 5.0e-1) AS BIGINT) AS qt
-       |  FROM x
-       |)
-       |SELECT COUNT(DISTINCT source) AS n_sources, COUNT(DISTINCT lang) AS n_langs,
-       |  ${r6("CAST(SUM(qt) AS DOUBLE) / 1.0e6 / MAX(n)")} AS mi_bits
-       |FROM q""".stripMargin
-
-  /** First-order event-transition matrix (Markov behavior profile):
-    * per-user previous→next event-type pair counts and row-normalized
-    * transition probabilities — the session-behavior model a product
-    * pipeline fits nightly. One shuffle on user_id for the LAG window
-    * (arbitrarily parallel — no global ordering), one pair aggregate,
-    * and the row normalizer is a window over the TYPE×TYPE matrix
-    * (≤ |types|² rows). LAG order is (ts, event_id) so simultaneous
-    * events break ties identically in both engines; the probability
-    * is the single float division, r6'd. */
-  def eventTransitions(d: Dialect): String =
-    s"""WITH s AS (
-       |  SELECT user_id, event_type,
-       |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-       |  FROM events
-       |),
-       |m AS (
-       |  SELECT prev, event_type AS next, COUNT(*) AS n
-       |  FROM s WHERE prev IS NOT NULL GROUP BY prev, event_type
-       |)
-       |SELECT prev, next, CAST(n AS BIGINT) AS n_transitions,
-       |  ${r6("CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev) AS DOUBLE)")} AS p
-       |FROM m""".stripMargin
-
-  /** Skyline (Pareto frontier) of orders over (price ↓, recency ↑) —
-    * the multi-objective dominance operator: a point survives iff no
-    * other point is cheaper-or-equal AND newer-or-equal with at least
-    * one strict. The naive formulations are an O(n²) self-join or a
-    * single global window (one partition holding the whole fact
-    * table). This runs the boundary-bucket pattern instead: stage the
-    * per-price-bucket max recency with its running cross-bucket max
-    * (a ≤256-row table — the only ordered window over "everything"
-    * runs there), broadcast it back, and keep only rows newer than
-    * every strictly-cheaper bucket's best — the skyline is provably a
-    * subset, and the exact dominance window then runs over that tiny
-    * survivor set. Skyline is also mergeable (skyline(A∪B) =
-    * skyline(skyline(A)∪skyline(B))), which is what makes the
-    * prune-then-exact composition correct at any partition count.
-    * All integer: price cents, epoch days, distinct-pair dedup before
-    * the strict-dominance test. */
-  val skylineOrders: StagedOp = StagedOp(
-    stages = Seq(
-      "sky_b" -> { d =>
-        s"""WITH o AS (
-           |  SELECT CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT) AS pc,
-           |    ${d.idiv(d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)"), "86400")} AS ed
-           |  FROM orders
-           |),
-           |b AS (
-           |  SELECT ${d.idiv("pc", "262144")} AS pb, MAX(ed) AS bmax
-           |  FROM o GROUP BY ${d.idiv("pc", "262144")}
-           |)
-           |SELECT pb, bmax,
-           |  MAX(bmax) OVER (ORDER BY pb
-           |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS premax
-           |FROM b""".stripMargin
-      }),
-    body = { d =>
-      s"""WITH o AS (
-         |  SELECT CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT) AS pc,
-         |    ${d.idiv(d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)"), "86400")} AS ed
-         |  FROM orders
-         |),
-         |surv AS (
-         |  SELECT DISTINCT o.pc, o.ed
-         |  FROM o JOIN sky_b sb ON ${d.idiv("o.pc", "262144")} = sb.pb
-         |  WHERE sb.premax IS NULL OR o.ed > sb.premax
-         |),
-         |w AS (
-         |  SELECT pc, ed, MAX(ed) OVER (ORDER BY pc ASC, ed DESC
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-         |  FROM surv
-         |)
-         |SELECT pc AS price_cents, ed AS epoch_day
-         |FROM w WHERE pm IS NULL OR ed > pm
-         |ORDER BY pc""".stripMargin
-    })
-
-  /** Per-brand monthly revenue trend by closed-form OLS — regression
-    * at scale done the distributed way: each group's slope comes from
-    * five sufficient statistics (n, Σx, Σy, Σxy, Σx²) that are plain
-    * map-side-combinable SUMs over the (brand, month) pre-aggregate,
-    * so the whole fit is two hash aggregations and zero windows/sorts
-    * — the pattern that fits a million per-key models in one pass at
-    * 100 TB (with DECIMAL(38) partials there; int64 bounds hold at
-    * bench scale). Exact integers end-to-end: x = months since
-    * 1992-01, y = revenue in cents×100 (price cents × (100 −
-    * discount hundredths)); slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is
-    * the only float, two correctly-rounded divisions r6'd. */
-  def trendByBrand(d: Dialect): String =
-    s"""WITH m AS (
-       |  SELECT p_brand AS brand,
-       |    CAST(year(l_shipdate) * 12 + month(l_shipdate) - 23904 AS BIGINT) AS x,
-       |    CAST(SUM(
-       |      CAST(FLOOR(l_extendedprice * 1.0e2 + 5.0e-1) AS BIGINT)
-       |      * (100 - CAST(FLOOR(l_discount * 1.0e2 + 5.0e-1) AS BIGINT))
-       |    ) AS BIGINT) AS y
-       |  FROM lineitem JOIN part ON l_partkey = p_partkey
-       |  GROUP BY p_brand, year(l_shipdate) * 12 + month(l_shipdate) - 23904
-       |),
-       |s AS (
-       |  SELECT brand, COUNT(*) AS n,
-       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-       |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
-       |  FROM m GROUP BY brand
-       |)
-       |SELECT brand, CAST(n AS BIGINT) AS n_months,
-       |  ${r6("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / 1.0e4")}
-       |    AS slope_dollars_per_month
-       |FROM s""".stripMargin
-
-  /** Degree distribution of the near-dup candidate graph — the
-    * structural diagnostic read next to the triangle count (a heavy
-    * tail = hub/template pages about to quadratic-blow a downstream
-    * verify join; the df-cap/band design keeps it bounded). Rolls up
-    * the SAME staged band-candidate edges every other graph op uses:
-    * two tiny aggregates over the materialized pair table. */
-  val graphDegrees: StagedOp = StagedOp(
-    stages = dedupMinhash.stages,
-    body = { _ =>
-      s"""WITH e AS (
-         |  SELECT doc_a AS v FROM mh_cand
-         |  UNION ALL
-         |  SELECT doc_b AS v FROM mh_cand
-         |),
-         |deg AS (SELECT v, COUNT(*) AS deg FROM e GROUP BY v)
-         |SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY deg""".stripMargin
-    })
-
-  /** Z-order (Morton-curve) layout audit: bucketize two query
-    * dimensions of orders (price, order date) to 8 bits each,
-    * interleave the bits into a 16-bit z-value, group rows into
-    * 256-z-value "files", and report each file's per-dimension
-    * min/max span. This is the table-layout operator behind
-    * OPTIMIZE/ZORDER in lakehouse engines: at 100 TB you
-    * `repartitionByRange(zval)` + sort-within-partitions before the
-    * parquet write so every file's min/max footer stats cover a tight
-    * rectangle in BOTH dimensions and either predicate prunes files —
-    * a single-dimension sort gives perfect pruning on one column and
-    * none on the other (the honest win is the WORST dimension's span,
-    * not the rectangle area — BucketingSpec proves it against a
-    * date-sorted layout on real written files). The query emits
-    * exactly that audit (span per z-file); its own plan is one scan +
-    * one 256-group aggregate.
-    *
-    * All integer arithmetic: buckets are floor-divisions of exact
-    * values (price floored to whole units first — DuckDB CAST rounds
-    * where Spark truncates), the interleave is Σ bit·4^i via
-    * idiv/modulo (no engine bit operators needed), so both engines
-    * produce identical rows. Date bucket anchors at epoch day 8035
-    * (1992-01-01, the TPC-H date floor) over ~10-day cells; price
-    * cells are 2500 units capped at bucket 255. */
-  def zorderLayout(d: Dialect): String = {
-    def bit(x: String, i: Int): String =
-      s"(${d.idiv(x, (1L << i).toString)} % 2)"
-    val z = (0 until 8).map { i =>
-      s"${bit("pb", i)} * ${1L << (2 * i)} + ${bit("db", i)} * ${1L << (2 * i + 1)}"
-    }.mkString(" + ")
-    s"""WITH b AS (
-       |  SELECT
-       |    LEAST(${d.idiv("CAST(FLOOR(o_totalprice) AS BIGINT)", "2500")}, 255) AS pb,
-       |    LEAST(${d.idiv(
-             // clamp BEFORE dividing: idiv's nonnegative contract (Spark
-             // DIV truncates toward zero, DuckDB // floors — they only
-             // agree at ≥ 0, and a pre-anchor date would diverge silently)
-             s"GREATEST(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} - ${8035L * 86400}, 0)",
-             "864000")}, 255) AS db
-       |  FROM orders
-       |),
-       |z AS (SELECT pb, db, $z AS zval FROM b)
-       |SELECT ${d.idiv("zval", "256")} AS zfile, COUNT(*) AS n_rows,
-       |  MIN(pb) AS pb_min, MAX(pb) AS pb_max,
-       |  MIN(db) AS db_min, MAX(db) AS db_max,
-       |  CAST((MAX(pb) - MIN(pb) + 1) * (MAX(db) - MIN(db) + 1) AS BIGINT) AS span_area
-       |FROM z GROUP BY ${d.idiv("zval", "256")}""".stripMargin
-  }
-
-  /** Chi-square independence test between event type and (epoch) day
-    * of week — the drift/seasonality monitor a data-quality suite
-    * runs per ingest. Observed counts are one map-side-combinable
-    * aggregate; row/column/grand totals are windows over the
-    * TYPE×7-row contingency table (single reference — no re-scan per
-    * marginal); each cell's (o−e)²/e term is an IEEE chain on exact
-    * integer inputs, µ-quantized before the final sum so both engines
-    * add identical int64 values. */
-  /** The (o−e)²/e cell term over window marginals rt/ct/n — THE one
-    * copy of the chi-square contribution, shared by [[chiSquare]] and
-    * [[labelDrift]] (the per-op-fork rule: a quantization or guard
-    * change must not be applicable to one op and missed in the
-    * other). Callers with spine-filled contingencies must guard the
-    * e = 0 cells themselves (an all-observed contingency like
-    * [[chiSquare]]'s never has one). */
-  private val chi2CellTerm: String =
-    "(obs - rt * ct / n) * (obs - rt * ct / n) / (rt * ct / n)"
-
-  def chiSquare(d: Dialect): String = {
-    val term = chi2CellTerm
-    s"""WITH e AS (
-       |  SELECT event_type,
-       |    CAST(FLOOR(${d.epochSeconds("ts")} / 86400.0) AS BIGINT) % 7 AS dow
-       |  FROM events
-       |),
-       |o AS (SELECT event_type, dow, COUNT(*) AS obs FROM e GROUP BY event_type, dow),
-       |x AS (
-       |  SELECT event_type, dow, CAST(obs AS DOUBLE) AS obs,
-       |    CAST(SUM(obs) OVER (PARTITION BY event_type) AS DOUBLE) AS rt,
-       |    CAST(SUM(obs) OVER (PARTITION BY dow) AS DOUBLE) AS ct,
-       |    CAST(SUM(obs) OVER () AS DOUBLE) AS n
-       |  FROM o
-       |),
-       |q AS (
-       |  SELECT CAST(FLOOR($term * 1.0e6 + 5.0e-1) AS BIGINT) AS qt,
-       |    event_type, dow
-       |  FROM x
-       |)
-       |SELECT COUNT(DISTINCT event_type) AS n_types, COUNT(DISTINCT dow) AS n_dows,
-       |  ${r6("CAST(SUM(qt) AS DOUBLE) / 1.0e6")} AS chi2
-       |FROM q""".stripMargin
-  }
-
-  /** One-sided CUSUM drift detector over daily event volumes per type
-    * — the sequential change-point monitor (Page 1954) that completes
-    * the data-quality family next to the chi-square seasonality test
-    * and the MAD outlier gate: chi-square asks "is the composition
-    * off?", MAD asks "is this row off?", CUSUM asks "did the LEVEL
-    * shift and stay shifted?". Slack κ = μ/4, alarm when the
-    * statistic exceeds 2μ.
-    *
-    * The textbook recursion S_d = max(0, S_{d−1} + (c_d − μ − κ)) is
-    * not a window function, but its closed form is: S_d = P_d −
-    * min(0, min_{j≤d} P_j) over the running sum P of deviations — so
-    * the whole detector is ONE daily pre-aggregation (the only big
-    * shuffle; map-side combinable) plus windows over the tiny
-    * (type × day) series. The per-type totals are WINDOWS over the
-    * daily counts, not a GROUP BY joined back — Spark inlines CTEs,
-    * so the join form re-ran the daily aggregation (and the fact
-    * scan) twice; the window form shares the one event_type exchange
-    * with the cumulative sums (PlanSpec pins single-scan). Deviations
-    * are scaled by 4·n_days so μ and κ stay exact integers
-    * (4·c·D − 5·T); the single unscaled float op is the final peak
-    * division. */
-  def cusumDrift(d: Dialect): String =
-    s"""WITH dc AS (
-       |  SELECT event_type,
-       |    ${d.idiv(d.epochSeconds("ts"), "86400")} AS day, COUNT(*) AS c
-       |  FROM events GROUP BY event_type, ${d.idiv(d.epochSeconds("ts"), "86400")}
-       |),
-       |w AS (
-       |  SELECT event_type, day, c,
-       |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS t,
-       |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
-       |  FROM dc
-       |),
-       |p AS (
-       |  SELECT event_type, day, nd, t,
-       |    CAST(SUM(4 * c * nd - 5 * t) OVER (
-       |      PARTITION BY event_type ORDER BY day
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pre
-       |  FROM w
-       |),
-       |s AS (
-       |  SELECT event_type, day, nd, t,
-       |    pre - LEAST(CAST(MIN(pre) OVER (
-       |      PARTITION BY event_type ORDER BY day
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS cus
-       |  FROM p
-       |)
-       |SELECT event_type, CAST(MAX(nd) AS BIGINT) AS n_days,
-       |  CAST(SUM(CASE WHEN cus > 8 * t THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days,
-       |  ${r6("CAST(MAX(cus) AS DOUBLE) / (4.0 * MAX(nd))")} AS peak_dev
-       |FROM s GROUP BY event_type""".stripMargin
-
-  /** Asymmetric containment near-dup (|A∩B| / min(|A|,|B|) ≥ 0.9): the
-    * quote/boilerplate-inclusion signal Jaccard misses — a short doc
-    * fully embedded in a long one has tiny Jaccard but containment 1.
-    * Runs over the SAME staged df-capped shingle index as the Jaccard
-    * ops (no extra pipeline); the df cap bounds the self-join exactly
-    * as there, so candidates stay bounded at any corpus size. At 100 TB
-    * the gated form (candidates from minhash bands) composes the same
-    * way [[dedupVerified]] gates Jaccard. */
-  val dedupContainment: StagedOp = StagedOp(
-    stages = dedupNgramJaccard.stages,
-    body = { _ =>
-      val cont = "CAST(i.inter AS DOUBLE) / LEAST(sa.n, sb.n)"
-      s"""WITH $szCte,
-         |$interFullCte
-         |SELECT i.doc_a, i.doc_b,
-         |  ${r6(cont)} AS containment
-         |FROM inter i
-         |JOIN sz sa ON i.doc_a = sa.doc_id
-         |JOIN sz sb ON i.doc_b = sb.doc_id
-         |WHERE $cont >= 0.9""".stripMargin
-    })
-
-  /** Triangle count of the near-dup candidate graph — the
-    * graph-cohesion diagnostic (triangle-dense regions = tight
-    * duplicate families, triangle-free stars = hub/template pages).
-    * Edges are already oriented doc_a < doc_b, so the two-hop path join
-    * (a<b<c) plus the closing-edge join counts each triangle exactly
-    * once — the standard oriented-edge algorithm (at 100 TB orient by
-    * DEGREE instead of id so high-degree hubs don't own both join
-    * sides; candidate edges here are band-bounded so id order
-    * suffices). Both joins shuffle on an edge endpoint — no all-pairs
-    * step anywhere. */
-  val graphTriangles: StagedOp = StagedOp(
-    stages = dedupMinhash.stages,
-    body = { _ =>
-      s"""WITH ec AS (SELECT COUNT(*) AS n_edges FROM mh_cand),
-         |tri AS (
-         |  SELECT COUNT(*) AS n_triangles
-         |  FROM mh_cand e1
-         |  JOIN mh_cand e2 ON e2.doc_a = e1.doc_b
-         |  JOIN mh_cand e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
-         |)
-         |SELECT ec.n_edges, tri.n_triangles FROM ec CROSS JOIN tri""".stripMargin
-    })
-
-  /** Robust per-type outlier detection: median + MAD (median absolute
-    * deviation), flagging |x − med| > 5·MAD — the data-quality monitor
-    * that survives the heavy tails a mean/stddev z-score drowns in.
-    * Values are µ-quantized to integer cents first (the
-    * [[eventPercentiles]] parity rule), so both percentile passes
-    * interpolate over exactly-representable values (halves at worst) —
-    * bit-identical across engines. Two grouped exact percentiles = two
-    * shuffles on event_type; at 100 TB swap in approx_percentile for
-    * the same two-pass shape. */
-  val anomalyMad: StagedOp = {
-    val cents = "CAST(FLOOR(value * 100 + 5.0e-1) AS BIGINT)"
-    StagedOp(
-      stages = Seq(
-        // per-type median (tiny: one row per event type) — staged so the
-        // deviation pass and the final pass don't re-run it under CTE
-        // inlining (a stats table this hot is exactly what production
-        // materializes)
-        "madm" -> { d =>
-          s"""SELECT event_type, ${d.percentileCont(cents, "5.0e-1")} AS medc
-             |FROM events GROUP BY event_type""".stripMargin
-        },
-        // per-type MAD off the staged medians (same shape, one more pass)
-        "mads" -> { d =>
-          s"""SELECT e.event_type, m.medc,
-             |  ${d.percentileCont(s"abs($cents - m.medc)", "5.0e-1")} AS madc
-             |FROM events e JOIN madm m ON e.event_type = m.event_type
-             |GROUP BY e.event_type, m.medc""".stripMargin
-        }),
-      body = { _ =>
-        s"""SELECT e.event_type,
-           |  ${r6("s.medc / 1.0e2")} AS median_value,
-           |  ${r6("s.madc / 1.0e2")} AS mad_value,
-           |  CAST(SUM(CASE WHEN abs($cents - s.medc) > 5 * s.madc THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-           |  COUNT(*) AS n
-           |FROM events e JOIN mads s ON e.event_type = s.event_type
-           |GROUP BY e.event_type, s.medc, s.madc""".stripMargin
-      })
-  }
-
-  /** Corpus-common n-gram fraction (the C4/CCNet line-dedup analogue at
-    * shingle granularity): for every corpus doc, the fraction of its
-    * DISTINCT 3-grams whose document frequency is ≥ 4 — i.e. shared
-    * boilerplate, since the two-snapshot corpus gives every shingle
-    * df ≥ 2 for free and df ≥ 4 means "appears in at least two distinct
-    * source documents". The staged stage is the UNCAPPED distinct
-    * (doc, shingle) index ([[dedupNgramJaccard]]'s index drops df > 20
-    * rows, which is exactly the signal here). The df aggregate is
-    * shingle-cardinality with map-side partial counts; the join back is
-    * one shuffle on the fixed-width shingle id; the per-doc aggregate
-    * closes it — three bounded shuffles at any corpus size, never a
-    * pairwise comparison. */
-  val dedupCommonNgrams: StagedOp = StagedOp(
-    stages = Seq(
-      "cng_dsh" -> { d =>
-        val sid = d.shingleId("s")
-        s"""WITH ${corpusCte(d)},
-           |${shinglesCtes(d)}
-           |SELECT DISTINCT doc_id, $sid AS s FROM sh""".stripMargin
-      }),
-    body = { _ =>
-      s"""WITH df AS (SELECT s, COUNT(*) AS df FROM cng_dsh GROUP BY s)
-         |SELECT c.doc_id, COUNT(*) AS n_shingles,
-         |  CAST(SUM(CASE WHEN f.df >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
-         |  CAST(SUM(CASE WHEN f.df >= 4 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS common_frac
-         |FROM cng_dsh c JOIN df f ON c.s = f.s
-         |GROUP BY c.doc_id""".stripMargin
-    })
-
-  /** Cross-document duplicated-span profile — the ExactSubstr dedup
-    * signal (Lee et al. 2022, "Deduplicating Training Data Makes
-    * Language Models Better") at 8-token window granularity: for each
-    * doc, how many of its token windows also appear verbatim in
-    * another document, and the longest consecutive duplicated run.
-    * Windows are position-aware shingles; a window is duplicated iff
-    * its shingle occurs in ≥ 2 distinct docs; runs are
-    * gaps-and-islands over the duplicated positions (pos − ROW_NUMBER,
-    * all-integer). flag_substr marks docs whose longest run spans ≥ 8
-    * windows (a ≥ 15-token verbatim overlap) — the remove-this-span
-    * decision input. Scale shape: window df is shingle-cardinality
-    * with map-side partial counts; the join back is one shuffle on the
-    * fixed-width shingle id; runs are a per-doc window — never a
-    * pairwise doc join, unlike true suffix-array ExactSubstr. */
-  val dedupSubstring: StagedOp = StagedOp(
-    stages = Seq(
-      // the position-aware window index (doc, start-pos, window id) —
-      // the heavy token pipeline runs ONCE here; the body's three
-      // references (df, dup join, totals) scan the columnar artifact.
-      // Spark would otherwise inline this CTE per reference and run
-      // the 8-LEAD shingle explode three times (ScanAudit caught it)
-      "ss_win" -> { d =>
-        s"""WITH docs AS (SELECT doc_id, text FROM documents),
-           |${d.shingleRowsPos("docs", 8)}
-           |SELECT doc_id, pos, ${d.shingleId("s")} AS sid FROM shp""".stripMargin
-      }),
-    body = { _ =>
-      s"""WITH df AS (SELECT sid, COUNT(DISTINCT doc_id) AS ndocs
-         |  FROM ss_win GROUP BY sid),
-         |dup AS (SELECT w.doc_id, w.pos FROM ss_win w JOIN df ON w.sid = df.sid
-         |        WHERE df.ndocs >= 2),
-         |runs AS (SELECT doc_id,
-         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-         |  FROM dup),
-         |runlen AS (SELECT doc_id, grp, COUNT(*) AS run FROM runs GROUP BY doc_id, grp),
-         |da AS (SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_dup,
-         |    CAST(MAX(run) AS BIGINT) AS max_run
-         |  FROM runlen GROUP BY doc_id),
-         |tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM ss_win GROUP BY doc_id)
-         |SELECT t.doc_id, t.n_windows,
-         |  COALESCE(a.n_dup, 0) AS n_dup_windows,
-         |  COALESCE(a.max_run, 0) AS max_dup_run,
-         |  CASE WHEN COALESCE(a.max_run, 0) >= 8 THEN 1 ELSE 0 END AS flag_substr
-         |FROM tot t LEFT JOIN da a ON t.doc_id = a.doc_id""".stripMargin
-    })
-
-  /** Unigram language-model surprisal score (the CCNet/KenLM
-    * quality-filter analogue, integer-exact): a token's surprisal is
-    * its floor-log2 code length ⌊log2 N⌋ − ⌊log2 c⌋ bits, computed
-    * EXACTLY in both engines as length(bin(N)) − length(bin(c)); a
-    * doc's score is the total and mean bits per token. Rare-token-
-    * heavy docs score high, boilerplate scores low — the standard
-    * perplexity-bucket signal, denominated in integers so the only
-    * float op is the final mean (one division of two exact values).
-    * One vocab-cardinality count (map-side combinable), a token→vocab
-    * join on the token, one per-doc aggregate; the corpus total rides
-    * a broadcastable 1-row cross join. */
-  val textUnigramLm: StagedOp = StagedOp(
-    stages = Seq(
-      // per-(doc, token) term frequencies — the token explode runs
-      // ONCE; the body's two references (vocab window + corpus total)
-      // scan the columnar artifact. Global count per token is then a
-      // token-partitioned window over tf (the tfidf df trick), not a
-      // separate vocab join
-      "ulm_tf" -> { d =>
-        s"""WITH docs AS (SELECT doc_id, text FROM documents),
-           |${d.shingleRows("docs", 1)}
-           |SELECT doc_id, s, COUNT(*) AS tf FROM sh GROUP BY doc_id, s""".stripMargin
-      }),
-    body = { _ =>
-      s"""WITH c AS (SELECT doc_id, tf,
-         |    CAST(SUM(tf) OVER (PARTITION BY s) AS BIGINT) AS c FROM ulm_tf),
-         |n AS (SELECT CAST(SUM(tf) AS BIGINT) AS nn FROM ulm_tf)
-         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-         |  CAST(SUM(tf * (length(bin(nn)) - length(bin(c)))) AS BIGINT) AS total_bits,
-         |  CAST(SUM(tf * (length(bin(nn)) - length(bin(c)))) AS DOUBLE) /
-         |    CAST(SUM(tf) AS BIGINT) AS mean_bits
-         |FROM c CROSS JOIN n
-         |GROUP BY doc_id""".stripMargin
-    })
-
-  /** Last-touch attribution: each purchase credited to the same user's
-    * most recent preceding view/click within the hour — the marketing
-    * analytics staple, expressed as one window pass (running MAX of
-    * touch time over strictly preceding rows; MAX skips the NULLs
-    * non-touch events produce, so no IGNORE NULLS dialect divergence).
-    * One shuffle on user_id; the ORDER BY carries event_id so ties at
-    * equal timestamps resolve identically everywhere. */
-  def attributionLastTouch(d: Dialect): String =
-    s"""WITH e AS (
-       |  SELECT event_id, user_id, event_type, ${d.epochSeconds("ts")} AS us
-       |  FROM events
-       |),
-       |u AS (
-       |  SELECT user_id, event_id, event_type, us,
-       |    MAX(CASE WHEN event_type IN ('view', 'click') THEN us END) OVER (
-       |      PARTITION BY user_id ORDER BY us, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_us
-       |  FROM e
-       |)
-       |SELECT user_id, event_id AS purchase_id, touch_us,
-       |  us - touch_us AS delay_s
-       |FROM u
-       |WHERE event_type = 'purchase' AND touch_us IS NOT NULL
-       |  AND us - touch_us <= 3600""".stripMargin
-
-  /** Zipf slope of the corpus unigram distribution: OLS fit of
-    * log2(count) against log2(rank) over the top-64 tokens — the
-    * corpus-health diagnostic (natural text ≈ −1; template/generated
-    * text flattens). Reuses the staged [[textUnigramLm]] term
-    * frequencies; ranking is a window over the VOCAB-sized aggregate
-    * (the vocabCoverage bound), and the regression sums are
-    * µ-quantized log2 values in int64 so both engines sum exactly —
-    * the only unquantized float op is the final slope division. */
-  /** Heaps'-law vocabulary-growth fit — [[zipfFit]]'s sibling
-    * diagnostic: V(N) ≈ K·N^β, with natural text at β ≈ 0.4–0.6
-    * (template/generated text flattens toward 0; unbounded noise
-    * pushes toward 1). Vocabulary size at a prefix length N needs no
-    * per-prefix distinct: a token's FIRST global occurrence position
-    * is one groupBy-min, and V(N) = #{first ≤ N}. Global positions
-    * use the sharded global-rownum decomposition (per-doc offsets via
-    * a window over the doc-cardinality length table — never a global
-    * sort of the token stream). Checkpoints are powers of two
-    * inlined as exact literals (the EWMA pow lesson: never compute
-    * even 2^k through a float pow in-engine when a literal table
-    * costs nothing), so log2(N) is EXACTLY k·1e6 µbits and the OLS
-    * x-coordinates carry zero quantization error; the y side is the
-    * shared µ-quantized log2. One token pass + vocab-sized joins. */
-  val heapsFit: StagedOp = StagedOp(
-    stages = textUnigramLm.stages :+ ("hp_first" -> { (d: Dialect) =>
-      s"""WITH docs AS (SELECT doc_id, text FROM documents),
-         |${d.shingleRowsPos("docs", 1)},
-         |dlen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shp GROUP BY doc_id),
-         |off AS (
-         |  SELECT doc_id,
-         |    CAST(SUM(n) OVER (ORDER BY doc_id) AS BIGINT) - n AS o
-         |  FROM dlen
-         |)
-         |SELECT t.s, CAST(MIN(o.o + t.pos + 1) AS BIGINT) AS first_pos
-         |FROM shp t JOIN off o ON t.doc_id = o.doc_id
-         |GROUP BY t.s""".stripMargin
-    }),
-    body = { _ =>
-      val cps = (0 to 30).map(k => s"SELECT $k AS k, CAST(${1L << k} AS BIGINT) AS cp")
-        .mkString("\n         |  UNION ALL ")
-      s"""WITH tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS nn FROM ulm_tf),
-         |cps AS (
-         |  $cps
-         |),
-         |valid AS (SELECT k, cp FROM cps CROSS JOIN tot WHERE cp <= nn),
-         |vat AS (
-         |  SELECT v.k, v.cp, CAST(COUNT(*) AS BIGINT) AS vocab
-         |  FROM valid v JOIN hp_first f ON f.first_pos <= v.cp
-         |  GROUP BY v.k, v.cp
-         |),
-         |q AS (SELECT CAST(k AS BIGINT) * 1000000 AS qx, ${qlog2("vocab")} AS qy FROM vat),
-         |m AS (
-         |  SELECT COUNT(*) AS n, CAST(SUM(qx) AS BIGINT) AS sx,
-         |    CAST(SUM(qy) AS BIGINT) AS sy, CAST(SUM(qx * qy) AS BIGINT) AS sxy,
-         |    CAST(SUM(qx * qx) AS BIGINT) AS sxx
-         |  FROM q
-         |)
-         |SELECT n AS n_checkpoints,
-         |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-         |       ELSE ${r6("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)")}
-         |  END AS heaps_beta
-         |FROM m""".stripMargin
-    })
-
-  val zipfFit: StagedOp = StagedOp(
-    stages = textUnigramLm.stages,
-    body = { _ =>
-      val qlog = qlog2 _
-      s"""WITH vc AS (SELECT s, CAST(SUM(tf) AS BIGINT) AS c FROM ulm_tf GROUP BY s),
-         |rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, s) AS r FROM vc),
-         |q AS (
-         |  SELECT ${qlog("r")} AS qx, ${qlog("c")} AS qy
-         |  FROM rk WHERE r <= 64
-         |),
-         |m AS (
-         |  SELECT COUNT(*) AS n, CAST(SUM(qx) AS BIGINT) AS sx,
-         |    CAST(SUM(qy) AS BIGINT) AS sy, CAST(SUM(qx * qy) AS BIGINT) AS sxy,
-         |    CAST(SUM(qx * qx) AS BIGINT) AS sxx
-         |  FROM q
-         |)
-         |SELECT n AS n_terms,
-         |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-         |       ELSE ${r6("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)")}
-         |  END AS zipf_slope
-         |FROM m""".stripMargin
-    })
-
-  /** DSIR-style importance weighting (Xie et al. 2023,
-    * arXiv:2302.03169): score every document by how much more likely
-    * its tokens are under a TARGET distribution (here the corpus's
-    * English slice — stand-in for "looks like Wikipedia") than under
-    * the raw pool, then keep the top-k. Features are hashed unigrams
-    * ([[md5Bucket]] → 256 buckets; DSIR's 10k-bucket n-gram hash
-    * scaled to this corpus); each bucket's score is the add-1-smoothed
-    * log-likelihood ratio as a µ-quantized log2 integer (the zipfFit
-    * qlog arithmetic — floor-log2 bits are too coarse here: with
-    * near-uniform bucket ratios every bucket rounds to 0 bits and the
-    * op degenerates), and a doc's weight is its tf-weighted
-    * bucket-score sum — int64 all the way, so both engines sum
-    * exactly.
-    *
-    * Scale shape: token explode runs once (the staged ulm_tf), the
-    * bucket model is a 256-row broadcast, the per-doc weight is one
-    * map-side-combinable groupBy, and the final top-50 is ORDER
-    * BY+LIMIT — Spark plans TakeOrderedAndProject, never a global
-    * window sort. */
-  val dsirWeights: StagedOp = StagedOp(
-    // dsir_tfb (bucketed tfs + lang) is consumed TWICE in the body
-    // (bucket model + per-doc weights) — the two-consumer rule: stage
-    // it, or CTE inlining re-runs the join and the md5 per reference
-    stages = textUnigramLm.stages :+ ("dsir_tfb" -> { (_: Dialect) =>
-      s"""SELECT t.doc_id, ${md5Bucket("t.s")} AS b, t.tf, d.lang
-         |FROM ulm_tf t JOIN documents d ON d.doc_id = t.doc_id""".stripMargin
-    }),
-    body = { _ =>
-      s"""WITH bc AS (
-         |  SELECT b,
-         |    CAST(SUM(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS ct,
-         |    CAST(SUM(tf) AS BIGINT) AS cs
-         |  FROM dsir_tfb GROUP BY b
-         |),
-         |tot AS (
-         |  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cs) AS BIGINT) AS ns FROM bc
-         |),
-         |sc AS (
-         |  SELECT b,
-         |    (${qlog2("ct + 1")} + ${qlog2("ns + 256")})
-         |      - (${qlog2("cs + 1")} + ${qlog2("nt + 256")}) AS sbits
-         |  FROM bc CROSS JOIN tot
-         |),
-         |wd AS (
-         |  SELECT t.doc_id, t.lang,
-         |    CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
-         |    CAST(SUM(t.tf * s.sbits) AS BIGINT) AS weight_bits
-         |  FROM dsir_tfb t JOIN sc s ON t.b = s.b
-         |  GROUP BY t.doc_id, t.lang
-         |)
-         |SELECT doc_id, lang, n_tokens, weight_bits
-         |FROM wd
-         |ORDER BY weight_bits DESC, doc_id
-         |LIMIT 50""".stripMargin
-    })
-
-  /** Pareto concentration cutoff: how many customers carry 80% of
-    * revenue — computed at 100 TB shape. A global
-    * rank-and-cumulative-sum over all customers would single-partition
-    * the whole dimension; instead the per-customer totals collapse
-    * into a ≤64-row log2-bucket histogram (buckets strictly order by
-    * value range, so cross-bucket rank is free), the boundary bucket
-    * is found on the histogram's cumulative sums, and the EXACT
-    * rank-and-cumsum window runs over that one bucket's customers
-    * only — the boundaries-then-bucket philosophy ([[ordersRfm]])
-    * applied to a global top-share query, bit-exact (integer cents,
-    * DECIMAL(38) sums). The per-customer table is staged (three
-    * consumers; CTE inlining would re-run the orders aggregate per
-    * reference). */
-  val paretoCustomers: StagedOp = StagedOp(
-    stages = Seq(
-      "par_pc" -> { _ =>
-        s"""SELECT o_custkey AS ck,
-           |  CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS DECIMAL(38,0)) AS c
-           |FROM orders GROUP BY o_custkey""".stripMargin
-      },
-      // grand total + customer count (1 row) and the ≤64-row log2
-      // histogram with its descending cumulative sums — staged so the
-      // body's multiple references re-read tiny parquet instead of
-      // re-running the per-customer aggregate per reference
-      "par_t" -> { _ =>
-        "SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS total, COUNT(*) AS ncust FROM par_pc"
-      },
-      "par_hc" -> { _ =>
-        s"""WITH h AS (
-           |  SELECT length(bin(CAST(c AS BIGINT))) - 1 AS b, COUNT(*) AS nc,
-           |    CAST(SUM(c) AS DECIMAL(38,0)) AS sc
-           |  FROM par_pc GROUP BY length(bin(CAST(c AS BIGINT))) - 1
-           |)
-           |SELECT b, nc, sc,
-           |  CAST(SUM(sc) OVER (ORDER BY b DESC
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS cum_sc,
-           |  CAST(SUM(nc) OVER (ORDER BY b DESC
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_nc
-           |FROM h""".stripMargin
-      }),
-    body = { _ =>
-      s"""WITH bb AS (
-         |  SELECT b, cum_sc - sc AS above_sc, cum_nc - nc AS above_nc
-         |  FROM par_hc CROSS JOIN par_t
-         |  WHERE (cum_sc - sc) * 5 < total * 4 AND cum_sc * 5 >= total * 4
-         |),
-         |w AS (
-         |  SELECT bb.above_sc, ROW_NUMBER() OVER (ORDER BY p.c DESC, p.ck) AS rk,
-         |    CAST(SUM(p.c) OVER (ORDER BY p.c DESC, p.ck
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS cum
-         |  FROM par_pc p CROSS JOIN bb
-         |  WHERE length(bin(CAST(p.c AS BIGINT))) - 1 = bb.b
-         |),
-         |k AS (
-         |  SELECT MIN(w.rk) AS in_bucket FROM w CROSS JOIN par_t
-         |  WHERE (w.above_sc + w.cum) * 5 >= par_t.total * 4
-         |)
-         |SELECT t.ncust AS n_customers,
-         |  CAST(bb.above_nc + k.in_bucket AS BIGINT) AS n_top80,
-         |  ${r6("CAST(bb.above_nc + k.in_bucket AS DOUBLE) / t.ncust")} AS frac_top80
-         |FROM par_t t CROSS JOIN bb CROSS JOIN k""".stripMargin
-    })
-
-  /** Flesch-style readability score per document: sentence count
-    * (terminal punctuation), word count, and a vowel-group syllable
-    * proxy, combined by the classic 206.835 − 1.015·(w/s) −
-    * 84.6·(syll/w) formula. The counts are exact integers (regex
-    * match counts); the formula is a fixed chain of correctly-rounded
-    * IEEE ops on those exact inputs, identical in both engines. A
-    * narrow stateless projection — streams and scales trivially. */
-  def textReadability(d: Dialect): String =
-    s"""WITH f AS (
-       |  SELECT doc_id,
-       |    ${d.size(d.split("text", " "))} AS n_words,
-       |    GREATEST(${d.reCount("text", "[.!?]")}, 1) AS n_sentences,
-       |    ${d.reCount("lower(text)", "[aeiouy]+")} AS n_syllables
-       |  FROM documents
-       |)
-       |SELECT doc_id, n_words, n_sentences, n_syllables,
-       |  ${r6("206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences) - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)")} AS flesch
-       |FROM f WHERE n_words > 0""".stripMargin
-
-  /** Incremental JOIN-view maintenance — the delta decomposition
-    * Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB that every materialized
-    * join view refresh rests on, here over the orders⋈lineitem
-    * revenue rollup: base/delta splits on BOTH sides (delta orders =
-    * orderkey ≡ 0 mod 16, the newly-landed orders; delta lineitems =
-    * linenumber ≥ 5, the late-arriving lines), the four quadrant
-    * joins unioned and aggregated. The ORACLE runs the direct join
-    * over the full tables — equality proves the decomposition
-    * lossless, the identity an incremental refresh pipeline rests on
-    * (and the reason it can skip the base⋈base quadrant entirely:
-    * that term IS yesterday's materialization; only the three
-    * delta-touching joins — each bounded by a delta side — run per
-    * refresh). Revenue combines in exact DECIMAL across the union,
-    * cast to double once at the end. */
-  def joinDelta(d: Dialect): String = {
-    val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) " +
-      "* (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
-    def quad(lSide: String, oSide: String): String =
-      s"""SELECT o.o_orderpriority, $rev AS rv
-         |  FROM $lSide l JOIN $oSide o ON l.l_orderkey = o.o_orderkey""".stripMargin
-    s"""WITH ob AS (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 16 <> 0),
-       |od AS (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 16 = 0),
-       |lb AS (SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem WHERE l_linenumber < 5),
-       |ld AS (SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem WHERE l_linenumber >= 5),
-       |parts AS (
-       |  ${quad("lb", "ob")}
-       |  UNION ALL
-       |  ${quad("lb", "od")}
-       |  UNION ALL
-       |  ${quad("ld", "ob")}
-       |  UNION ALL
-       |  ${quad("ld", "od")}
-       |)
-       |SELECT o_orderpriority, COUNT(*) AS n_items,
-       |  CAST(SUM(rv) AS DOUBLE) AS revenue
-       |FROM parts GROUP BY o_orderpriority""".stripMargin
-  }
-
-  /** Mix drift between two crawl "snapshots" (deterministic md5
-    * halves of the corpus — doc_id PARITY would be the wrong split
-    * here: the fixture assigns source = f(doc_id mod), so parity
-    * separates the sources entirely and the readout degenerates to
-    * ±∞-ish terms; the hash split gives every source presence in
-    * both halves, the realistic drift regime): the per-source
-    * KL-divergence contribution of today's source distribution
-    * against yesterday's, the number a mixing policy watches before
-    * re-fitting weights (a source surging from 2% to 6% of the feed
-    * moves DoReMi/temperature weights; KL says by how much, in
-    * bits). Terms are µ-quantized over Laplace-smoothed counts (+1
-    * per source on each side, so a source absent from one half
-    * contributes a finite, loud term instead of ±∞).
-    * Source-cardinality dataflow after one corpus-wide count:
-    * scale-trivial. */
-  def sourceKl(d: Dialect): String =
-    s"""WITH hs AS (
-       |  SELECT source, ${md5Bucket("CAST(doc_id AS STRING)")} % 2 AS half
-       |  FROM documents
-       |),
-       |c AS (
-       |  SELECT source,
-       |    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS na,
-       |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS nb
-       |  FROM hs GROUP BY source
-       |),
-       |t AS (
-       |  SELECT source, na, nb,
-       |    CAST(SUM(na) OVER () AS BIGINT) AS ta,
-       |    CAST(SUM(nb) OVER () AS BIGINT) AS tb
-       |  FROM c
-       |),
-       |q AS (
-       |  SELECT source, na, nb,
-       |    -- p_b · log2(p_b/p_a) in µbits, per source: KL(today ‖ yesterday)
-       |    CAST(FLOOR(CAST(nb AS DOUBLE) / tb
-       |      * log2((CAST(nb AS DOUBLE) * ta) / (CAST(na AS DOUBLE) * tb))
-       |      * 1.0e6 + 5.0e-1) AS BIGINT) AS qkl
-       |  FROM t
-       |)
-       |SELECT source, na - 1 AS n_yesterday, nb - 1 AS n_today,
-       |  ${r6("CAST(qkl AS DOUBLE) / 1.0e6")} AS kl_contrib_bits
-       |FROM q""".stripMargin
-
-  /** Functional-dependency audit: does source determine lang? For
-    * each source, the distinct-lang count, the majority lang (max
-    * count, lexicographic tie-break — deterministic in both engines)
-    * and its share — the profiling readout an ingestion pipeline
-    * runs before trusting a column as a partition/routing key. A
-    * clean FD shows n_langs = 1 everywhere; drift shows up as
-    * falling majority share. One corpus scan, two source×lang-sized
-    * aggregates. */
-  def fdAudit(d: Dialect): String =
-    s"""WITH sl AS (
-       |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
-       |  FROM documents GROUP BY source, lang
-       |),
-       |r AS (
-       |  SELECT source, lang, n,
-       |    CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS tot,
-       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rk,
-       |    COUNT(*) OVER (PARTITION BY source) AS n_langs
-       |  FROM sl
-       |)
-       |SELECT source, CAST(n_langs AS BIGINT) AS n_langs,
-       |  lang AS majority_lang,
-       |  ${d.idiv("1000000 * n", "tot")} AS majority_ppm,
-       |  CASE WHEN n_langs = 1 THEN 1 ELSE 0 END AS fd_holds
-       |FROM r WHERE rk = 1""".stripMargin
-
-  /** Incremental aggregate maintenance: merge a stored monthly-revenue
-    * aggregate with a delta batch's partial aggregate — the
-    * materialized-view refresh every warehouse pipeline runs nightly.
-    * The even-orderkey half stands in for the stored state, the odd
-    * half for the delta; the merge is a full outer join of the two
-    * partial states with additive combination (sums and counts are
-    * mergeable; integer cents keep it exact). The ORACLE aggregates
-    * the union directly — equality proves the partial-state merge
-    * lossless, the property incremental maintenance rests on. At
-    * 100 TB the stored side is a parquet read of aggregate
-    * cardinality, never a fact-table rescan. */
-  def aggIncremental(d: Dialect): String = {
-    def part(pred: String): String =
-      s"""SELECT year(o_orderdate) * 100 + month(o_orderdate) AS month_key,
-         |    CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT) AS cents,
-         |    COUNT(*) AS n
-         |  FROM orders WHERE $pred GROUP BY year(o_orderdate) * 100 + month(o_orderdate)""".stripMargin
-    s"""WITH base AS (
-       |  ${part("o_orderkey % 2 = 0")}
-       |),
-       |delta AS (
-       |  ${part("o_orderkey % 2 = 1")}
-       |)
-       |SELECT COALESCE(b.month_key, d.month_key) AS month_key,
-       |  CAST(COALESCE(b.cents, 0) + COALESCE(d.cents, 0) AS BIGINT) AS revenue_cents,
-       |  CAST(COALESCE(b.n, 0) + COALESCE(d.n, 0) AS BIGINT) AS n_orders
-       |FROM base b FULL JOIN delta d ON b.month_key = d.month_key""".stripMargin
-  }
-
-  /** Bigram conditional surprisal (the KenLM-bucket analogue one order
-    * up from [[textUnigramLm]]): a bigram w1w2's code length is
-    * ⌊log2 c(w1)⌋ − ⌊log2 c(w1w2)⌋ bits — the integer-exact floor-log2
-    * rendering of −log2 P(w2|w1) — and a doc scores the total and mean
-    * over its bigrams. c(w1w2) ≤ c(w1) always, so the difference is
-    * non-negative. Both count tables are token/bigram-cardinality
-    * windows over the staged tf artifacts (one explode each, no
-    * re-derived joins); the bigram→first-token join is on the token
-    * string, one bounded shuffle. High mean bits = rare continuations
-    * (fresh text); low = templated text. */
-  val textBigramLm: StagedOp = StagedOp(
-    stages = textUnigramLm.stages ++ Seq(
-      "blm_tf" -> { d =>
-        s"""WITH docs AS (SELECT doc_id, text FROM documents),
-           |${d.shingleRows("docs", 2)}
-           |SELECT doc_id, s, COUNT(*) AS tf FROM sh GROUP BY doc_id, s""".stripMargin
-      }),
-    body = { d =>
-      s"""WITH bc AS (
-         |  SELECT doc_id, s, tf,
-         |    CAST(SUM(tf) OVER (PARTITION BY s) AS BIGINT) AS c12,
-         |    ${d.elem(d.split("s", " "), "1")} AS w1
-         |  FROM blm_tf
-         |),
-         |uc AS (SELECT s AS w1, CAST(SUM(tf) AS BIGINT) AS c1 FROM ulm_tf GROUP BY s),
-         |j AS (
-         |  SELECT bc.doc_id, bc.tf,
-         |    length(bin(uc.c1)) - length(bin(bc.c12)) AS bits
-         |  FROM bc JOIN uc ON bc.w1 = uc.w1
-         |)
-         |SELECT doc_id,
-         |  CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-         |  CAST(SUM(tf * bits) AS BIGINT) AS total_bits,
-         |  CAST(SUM(tf * bits) AS DOUBLE) / CAST(SUM(tf) AS BIGINT) AS mean_bits
-         |FROM j GROUP BY doc_id""".stripMargin
-    })
-
-  /** Stupid-Backoff bigram LM filter (Brants et al. 2007) — the
-    * CCNet-style perplexity gate with the detail the in-corpus bigram
-    * score ([[textBigramLm]]) cannot show: UNSEEN bigrams. Counts are
-    * trained on the md5 calibration half (the [[filterConformal]]
-    * split) and score the HELD-OUT half, so cross-half novel bigrams
-    * genuinely occur and take the backoff arm:
-    * S(w₂|w₁) = c₁₂/c₁ when the bigram was seen, else
-    * 0.4·c₂/N (OOV words floor at c₂ = 1 — one extra µ-bit term, not
-    * a dropped row). Surprisals are µ-log2 int64 ([[qlog2]]); the
-    * −log₂(0.4) backoff penalty is PRECOMPUTED HOST-SIDE and inlined
-    * as the same integer literal in both dialect renderings (the
-    * transcendental-pinning rule — engine libm never evaluates it).
-    * Output per held-out doc: bigram count, how many backed off, and
-    * the mean µ-bit score — the filter signal plus the backoff-rate
-    * diagnostic (a spike means the train half stopped representing
-    * the stream). Scale shape: two staged train-half count tables
-    * (vocab/bigram cardinality), one join per arm, no corpus
-    * re-scan. */
-  val textBackoffLm: StagedOp = {
-    // −log2(0.4) in µ-bits, pinned host-side (same JVM renders both
-    // dialects, so the literal is identical by construction)
-    val b04 = math.floor(-math.log(0.4) / math.log(2.0) * 1e6 + 0.5).toLong
-    StagedOp(
-      stages = textBigramLm.stages ++ Seq(
-        "bo_u" -> { (d: Dialect) =>
-          s"""WITH docs AS (SELECT doc_id, text FROM documents
-             |             WHERE ${md5Bucket("text")} < 128),
-             |${d.shingleRows("docs", 1)}
-             |SELECT s AS w, CAST(COUNT(*) AS BIGINT) AS c FROM sh GROUP BY s""".stripMargin
-        },
-        "bo_b" -> { (d: Dialect) =>
-          s"""WITH docs AS (SELECT doc_id, text FROM documents
-             |             WHERE ${md5Bucket("text")} < 128),
-             |${d.shingleRows("docs", 2)}
-             |SELECT s, CAST(COUNT(*) AS BIGINT) AS c12 FROM sh GROUP BY s""".stripMargin
-        }),
-      body = { d =>
-        s"""WITH ho AS (SELECT doc_id FROM documents WHERE ${md5Bucket("text")} >= 128),
-           |bt AS (
-           |  SELECT b.doc_id, b.s, b.tf,
-           |    ${d.elem(d.split("b.s", " "), "1")} AS w1,
-           |    ${d.elem(d.split("b.s", " "), "2")} AS w2
-           |  FROM blm_tf b JOIN ho ON b.doc_id = ho.doc_id
-           |),
-           |tn AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM bo_u),
-           |sc AS (
-           |  SELECT bt.doc_id, bt.tf,
-           |    CASE WHEN bb.c12 IS NOT NULL THEN 0 ELSE 1 END AS backed,
-           |    CASE WHEN bb.c12 IS NOT NULL
-           |         THEN ${qlog2("u1.c")} - ${qlog2("bb.c12")}
-           |         ELSE $b04 + ${qlog2("tn.nn")} - ${qlog2("COALESCE(u2.c, 1)")}
-           |    END AS q
-           |  FROM bt
-           |  LEFT JOIN bo_b bb ON bb.s = bt.s
-           |  LEFT JOIN bo_u u1 ON u1.w = bt.w1
-           |  LEFT JOIN bo_u u2 ON u2.w = bt.w2
-           |  CROSS JOIN tn
-           |)
-           |SELECT doc_id,
-           |  CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-           |  CAST(SUM(tf * backed) AS BIGINT) AS n_backoff,
-           |  ${r6(s"CAST(${d.idiv("CAST(SUM(tf * q) AS BIGINT)", "CAST(SUM(tf) AS BIGINT)")} AS DOUBLE) / 1.0e6")}
-           |    AS mean_bits
-           |FROM sc GROUP BY doc_id""".stripMargin
-      })
-  }
-
-  /** Bigram PMI (pointwise mutual information) — the collocation
-    * detector that separates genuine phrases from chance co-occurrence
-    * (high c12 relative to c1·c2): the corpus diagnostic behind
-    * phrase-aware tokenization and stop-phrase lists. Reuses the
-    * staged unigram + bigram term-frequency indexes; following the
-    * bigram-LM precedent, the score is the floor-log2 surrogate
-    * (length(bin(x)) per factor — exact integer ops, engine-identical;
-    * real log2 differs across engines' libm). c12 ≥ 5 prunes noise
-    * pairs, ties break lexicographically. */
-  val bigramPmi: StagedOp = StagedOp(
-    stages = textBigramLm.stages,
-    body = { d =>
-      s"""WITH bg AS (SELECT s, CAST(SUM(tf) AS BIGINT) AS c12 FROM blm_tf GROUP BY s),
-         |u AS (SELECT s AS w, CAST(SUM(tf) AS BIGINT) AS c FROM ulm_tf GROUP BY s),
-         |n1 AS (SELECT CAST(SUM(tf) AS BIGINT) AS nu FROM ulm_tf),
-         |sp AS (
-         |  SELECT s, c12,
-         |    ${d.elem(d.split("s", " "), "1")} AS w1,
-         |    ${d.elem(d.split("s", " "), "2")} AS w2
-         |  FROM bg WHERE c12 >= 5
-         |)
-         |SELECT bigram, c12, pmi_bits FROM (
-         |  SELECT sp.s AS bigram, sp.c12,
-         |    (length(bin(sp.c12)) + length(bin(n1.nu)))
-         |      - (length(bin(u1.c)) + length(bin(u2.c))) AS pmi_bits
-         |  FROM sp
-         |  JOIN u u1 ON sp.w1 = u1.w
-         |  JOIN u u2 ON sp.w2 = u2.w
-         |  CROSS JOIN n1
-         |)
-         |ORDER BY pmi_bits DESC, bigram LIMIT 20""".stripMargin
-    })
-
-  /** Contribution (root-cause) analysis: decompose a month-over-month
-    * revenue change by brand — per-slice Δ plus its share of the total
-    * Δ, the "what moved the metric" readout every analytics engine
-    * ships. One filtered fact scan (two-month predicate pushed to the
-    * parquet scan) + broadcast part join + conditional aggregate at
-    * brand cardinality; cents stay exact int64 and the share is one
-    * final division, NULL-guarded when the total Δ is zero. */
-  def metricContribution(d: Dialect): String =
-    s"""WITH m AS (
-       |  SELECT p.p_brand AS brand,
-       |    year(l.l_shipdate) * 100 + month(l.l_shipdate) AS mk,
-       |    CAST(FLOOR(l.l_extendedprice * (1.0e0 - l.l_discount) * 1.0e2 + 5.0e-1) AS BIGINT) AS cents
-       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-       |  WHERE year(l.l_shipdate) * 100 + month(l.l_shipdate) IN (199502, 199503)
-       |),
-       |g AS (
-       |  SELECT brand,
-       |    CAST(SUM(CASE WHEN mk = 199502 THEN cents ELSE 0 END) AS BIGINT) AS prev_cents,
-       |    CAST(SUM(CASE WHEN mk = 199503 THEN cents ELSE 0 END) AS BIGINT) AS cur_cents
-       |  FROM m GROUP BY brand
-       |),
-       |t AS (SELECT CAST(SUM(cur_cents - prev_cents) AS BIGINT) AS tot FROM g)
-       |SELECT g.brand, g.prev_cents, g.cur_cents,
-       |  CAST(g.cur_cents - g.prev_cents AS BIGINT) AS delta_cents,
-       |  CASE WHEN t.tot = 0 THEN NULL
-       |       ELSE ${r6("CAST(g.cur_cents - g.prev_cents AS DOUBLE) / t.tot")} END AS delta_share
-       |FROM g CROSS JOIN t""".stripMargin
-
-  /** Join-size audit: predict |A ⋈ B| from per-key count histograms
-    * BEFORE running the join — Σ_k cntA(k)·cntB(k), the exact identity
-    * a planner's cardinality estimator approximates (and the skew
-    * diagnostic that finds the hot key whose product term dominates).
-    * Histograms are one map-side-combined groupBy per side at key
-    * cardinality; the audit query also runs the real join and asserts
-    * the identity in-row, so the oracle gate proves the estimator
-    * formula itself. */
-  def joinSizeAudit(d: Dialect): String =
-    s"""WITH ha AS (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY o_orderkey),
-       |hb AS (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY l_orderkey),
-       |est AS (SELECT CAST(SUM(ca * cb) AS BIGINT) AS est_rows FROM ha JOIN hb ON ha.k = hb.k),
-       |act AS (SELECT COUNT(*) AS actual_rows
-       |        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
-       |SELECT est_rows, actual_rows, est_rows = actual_rows AS exact_match
-       |FROM est CROSS JOIN act""".stripMargin
-
-  /** TPC-H Q12's shipmode-priority aggregation adapted to this schema
-    * (the fixture lineitem carries no l_shipmode / l_commitdate /
-    * l_receiptdate — it ends at l_shipdate): the "mode" is the ship
-    * LATENCY BUCKET — 30-day floor-bins of l_shipdate − o_orderdate,
-    * SIGNED because the synthetic fixture ships both before and after
-    * the order date, hence [[floorDiv]] (Spark DIV truncates toward
-    * zero where DuckDB // floors; the pmod-subtract makes them agree)
-    * — and the measure is Q12's exact CASE aggregation: critical- vs
-    * non-critical-priority line counts for the two "slow" buckets
-    * standing in for Q12's two mail modes. One co-partitioned shuffle
-    * join on the order key, then a map-side-combinable aggregate; at
-    * 100 TB this is a plain co-located fact⋈fact join. */
-  def shipLatencyPriority(d: Dialect): String = {
-    val diff = s"(${d.epochSeconds("CAST(l_shipdate AS TIMESTAMP)")} - ${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")})"
-    s"""WITH j AS (
-       |  SELECT ${floorDiv(d)(diff, "2592000")} AS latency_bucket, o.o_orderpriority
-       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-       |)
-       |SELECT latency_bucket,
-       |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-       |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-       |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-       |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-       |FROM j
-       |WHERE latency_bucket IN (2, 3)
-       |GROUP BY latency_bucket""".stripMargin
-  }
-
-  /** BM25 ranked retrieval over the corpus for a fixed 3-term query —
-    * the text-search operator (Robertson/Spärck Jones probabilistic
-    * weighting, the Lucene default) a corpus pipeline uses to pull
-    * topical slices. Reuses the staged [[textUnigramLm]] term
-    * frequencies as the inverted index: the term filter is a pushed
-    * predicate on the columnar artifact (at 100 TB the index is
-    * partitioned by term and the scan touches only the query's terms),
-    * doc length is one aggregate over the same artifact, and the
-    * final ranking is a TakeOrdered top-10.
-    *
-    * Cross-engine exactness, following the zipfFit/tfidf precedent:
-    * ln() is banned, so the IDF is the µ-quantized log2 of the exact
-    * integer odds ratio — (N−df+½)/(df+½)+1 simplifies to
-    * (2N+2)/(2df+1), one correctly-rounded division into log2. Every
-    * other factor is exact int64 rational arithmetic: with k1 = 6/5
-    * and b = 3/4, scaling the per-term fraction by 20·total_tokens
-    * gives score_t = qidf·(44·tf·T) / (20·tf·T + 6·T + 18·dl·N),
-    * floor-divided to an integer per term and summed exactly.
-    * Headroom: qidf·44·tf·T stays under 2⁶³ up to ~10⁸ total corpus
-    * tokens at tf ≤ 50; past that, drop the IDF quantization to ×10³
-    * or move the product to DECIMAL(38,0). */
-  /** The fixed evaluation query's terms — shared by the BM25 ranking
-    * and its quality eval so the two cannot drift. */
-  private val SearchTerms = Seq("join", "merge", "window")
-
-  val searchBm25: StagedOp = StagedOp(
-    stages = textUnigramLm.stages,
-    body = { d =>
-      val inList = SearchTerms.map(t => s"'$t'").mkString(", ")
-      val qidf =
-        s"""CAST(FLOOR(log2(CAST(2 * t.n_docs + 2 AS DOUBLE) / (2 * df.df + 1))
-           |    * 1.0e6 + 5.0e-1) AS BIGINT)""".stripMargin
-      s"""WITH dl AS (
-         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM ulm_tf GROUP BY doc_id
-         |),
-         |t AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS td
-         |  FROM dl
-         |),
-         |tq AS (SELECT doc_id, s AS term, CAST(tf AS BIGINT) AS tf
-         |       FROM ulm_tf WHERE s IN ($inList)),
-         |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tq GROUP BY term),
-         |sc AS (
-         |  SELECT tq.doc_id,
-         |    ${d.idiv(
-               s"$qidf * (44 * tq.tf * t.td)",
-               "20 * tq.tf * t.td + 6 * t.td + 18 * dl.dl * t.n_docs")} AS s_term
-         |  FROM tq
-         |  JOIN df ON tq.term = df.term
-         |  JOIN dl ON tq.doc_id = dl.doc_id
-         |  CROSS JOIN t
-         |)
-         |SELECT doc_id, CAST(SUM(s_term) AS BIGINT) AS bm25_micro
-         |FROM sc GROUP BY doc_id
-         |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin
-    })
-
-  /** The BM25 top-10 as a ranked staged artifact — shared by the nDCG
-    * eval and the RRF fusion (two consumers → staged, never a CTE:
-    * each reference would re-run the scorer against the index). */
-  private val ndcgRankedStage: (String, Dialect => String) =
-    "ndcg_ranked" -> { (d: Dialect) =>
-      s"""SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25_micro DESC, doc_id) AS rk
-         |FROM (
-         |${searchBm25.body(d)}
-         |)""".stripMargin
-    }
-
-  /** The coverage-ranked boolean retriever's top-10 (distinct query
-    * terms matched, then summed tf) — the second ranker, staged
-    * because TWO consumers read it (the RRF fusion and the RBO churn
-    * metric). */
-  private val covRankedStage: (String, Dialect => String) =
-    "cov_ranked" -> { (_: Dialect) =>
-      val inList = SearchTerms.map(t => s"'$t'").mkString(", ")
-      s"""WITH cov AS (
-         |  SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(tf) AS BIGINT) AS tot_tf
-         |  FROM ulm_tf WHERE s IN ($inList) GROUP BY doc_id
-         |)
-         |SELECT doc_id, rk FROM (
-         |  SELECT doc_id, ROW_NUMBER() OVER (
-         |    ORDER BY n_terms DESC, tot_tf DESC, doc_id) AS rk
-         |  FROM cov
-         |) WHERE rk <= 10""".stripMargin
-    }
-
-  /** Retrieval-quality eval for the BM25 ranking — nDCG@10 and MRR
-    * against a graded relevance oracle (rel = the summed query-term
-    * frequency, floored halves capped at 5), completing the eval
-    * family (langid eval, LSH eval, ANN recall eval). The ranked list
-    * is [[searchBm25]]'s own body nested verbatim (one copy of the
-    * scorer); relevance is graded 0–5 from the summed query-term
-    * frequency (a binary present/absent label saturates on this
-    * corpus — 97% of docs contain a term, so nDCG degenerates to a
-    * constant 1.0; the tf grade spreads the ideal list and makes the
-    * number move when BM25's length normalization disagrees with raw
-    * frequency); gains use the exact integer 2^rel−1 table (no POW —
-    * a float power could diverge in the last ulp) and each DCG term
-    * is µ-quantized to int64 BEFORE summation, because double sums
-    * are order-dependent across engines; the only unquantized float
-    * ops are the shared log2 discount and the final ratios. MRR
-    * rewards the first rank with rel ≥ 4 — and since the ranked list
-    * is the BM25 top-10, it is by construction MRR@10 (a rel ≥ 4 doc
-    * first appearing at rank 11 scores 0), which the column name says
-    * explicitly. idcg_q = 0 (no doc with rel > 0 anywhere) yields
-    * ndcg10 = NULL rather than a division blow-up. */
-  val searchNdcg: StagedOp = StagedOp(
-    // ranked list and relevance table are staged: ranked feeds the DCG
-    // and MRR passes, rel feeds DCG, the ideal ranking, and MRR — as
-    // CTEs each reference would re-run the BM25 scorer / the relevance
-    // aggregate against the index (ScanAudit showed 12 scans)
-    stages = textUnigramLm.stages ++ Seq(
-      ndcgRankedStage,
-      "ndcg_rel" -> { (d: Dialect) =>
-        val inList = SearchTerms.map(t => s"'$t'").mkString(", ")
-        s"""SELECT doc_id, LEAST(5, ${d.idiv("CAST(SUM(tf) AS BIGINT)", "2")}) AS rel
-           |FROM ulm_tf WHERE s IN ($inList) GROUP BY doc_id""".stripMargin
-      }),
-    body = { d =>
-      def gain(rel: String): String =
-        s"""(CASE $rel WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 7
-           |  WHEN 4 THEN 15 WHEN 5 THEN 31 ELSE 0 END)""".stripMargin
-      def dcgTerm(rel: String, rk: String): String =
-        qvExpr(s"CAST(${gain(rel)} AS DOUBLE) / log2(CAST($rk AS DOUBLE) + 1.0e0)")
-      s"""WITH dcg AS (
-         |  SELECT CAST(SUM(${dcgTerm("COALESCE(rel.rel, 0)", "r.rk")}) AS BIGINT) AS dcg_q
-         |  FROM ndcg_ranked r LEFT JOIN ndcg_rel rel ON r.doc_id = rel.doc_id
-         |),
-         |ideal AS (
-         |  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rk FROM ndcg_rel
-         |),
-         |idcg AS (
-         |  SELECT CAST(SUM(${dcgTerm("rel", "rk")}) AS BIGINT) AS idcg_q
-         |  FROM ideal WHERE rk <= 10
-         |),
-         |mrr AS (
-         |  SELECT MIN(r.rk) AS first_good
-         |  FROM ndcg_ranked r JOIN ndcg_rel rel ON r.doc_id = rel.doc_id
-         |  WHERE rel.rel >= 4
-         |)
-         |SELECT
-         |  CASE WHEN idcg_q = 0 THEN NULL
-         |       ELSE ${r6("CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE)")}
-         |  END AS ndcg10,
-         |  CASE WHEN first_good IS NULL THEN 0.0e0
-         |       ELSE ${r6("1.0e0 / first_good")} END AS mrr_at_10,
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ndcg_rel WHERE rel > 0) AS n_relevant
-         |FROM dcg CROSS JOIN idcg CROSS JOIN mrr""".stripMargin
-    })
-
-  /** Reciprocal-rank fusion of two retrievers over the same fixed
-    * query — the hybrid-search read path (Cormack/Clarke/Buettcher:
-    * score(d) = Σ_r 1/(k + rank_r(d)), k = 60): the BM25 top-10 (the
-    * staged [[ndcgRankedStage]] artifact) fused with a coverage-ranked
-    * boolean retriever (distinct query terms matched, then summed tf)
-    * — two genuinely different rankers, which is where RRF earns its
-    * keep. Both lists are rank-capped at 10; the fuse is one FULL
-    * OUTER join on doc_id over two ≤10-row relations (a doc on one
-    * list only keeps its single reciprocal term); the two reciprocal
-    * terms are summed in ONE fixed two-operand expression tree —
-    * deterministic IEEE in both engines, so the µ-quantized-comparator
-    * rule for longer float sums doesn't arise. At scale both input
-    * rankings are TakeOrdered top-k artifacts, so the fusion cost is
-    * O(k) regardless of corpus size. */
-  val searchRrf: StagedOp = StagedOp(
-    stages = textUnigramLm.stages :+ ndcgRankedStage :+ covRankedStage,
-    body = { _ =>
-      s"""WITH fused AS (
-         |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
-         |    COALESCE(1.0e0 / (60 + a.rk), 0.0e0)
-         |      + COALESCE(1.0e0 / (60 + b.rk), 0.0e0) AS s,
-         |    a.rk AS bm25_rank, b.rk AS coverage_rank
-         |  FROM ndcg_ranked a FULL JOIN cov_ranked b ON a.doc_id = b.doc_id
-         |)
-         |SELECT doc_id, ${r6("s")} AS rrf_score, bm25_rank, coverage_rank,
-         |  rk AS fused_rank
-         |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rk FROM fused)
-         |WHERE rk <= 10""".stripMargin
-    })
-
-  /** Rank-biased overlap (Webber/Moffat/Zobel 2010) between the two
-    * retrievers' top-10 lists — the RANK-agreement complement of
-    * [[filterKappa]]'s set-level agreement and the churn metric a
-    * search team tracks between ranker versions: RBO@10 =
-    * (1−p)·Σ_{d≤10} p^{d−1}·|A_d ∩ B_d|/d with p = 0.9, weighting
-    * agreement at the top far above the tail. The geometric weights
-    * are precomputed EXACTLY host-side (BigDecimal → µ-quantized
-    * int64 literals — the EWMA transcendental-pinning rule; engine
-    * pow() is not IEEE-pinned); the depth-d overlap count comes from
-    * each shared doc's max(rank_a, rank_b) ≤ d over a 10-row depth
-    * spine, so the whole body is two ≤10-row staged reads, one ≤10-row
-    * join and a 10-row weighted sum — O(k) at any corpus size. Each
-    * w_d·overlap/d term is a fixed expression tree on exact ints,
-    * µ-quantized before the final int64 sum. */
-  val searchRbo: StagedOp = {
-    // w_d = (1−p)·p^(d−1)·1e12 exact, p = 9/10
-    val wq = (1 to 10).map { d =>
-      (BigDecimal(1) - BigDecimal("0.9")) * BigDecimal("0.9").pow(d - 1) *
-        BigDecimal(1000000000000L)
-    }.map(_.setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact)
-    val wtRows = wq.zipWithIndex
-      .map { case (w, i) => s"SELECT ${i + 1} AS d, CAST($w AS BIGINT) AS wq" }
-      .mkString("\nUNION ALL ")
-    StagedOp(
-      stages = textUnigramLm.stages :+ ndcgRankedStage :+ covRankedStage,
-      body = { _ =>
-        s"""WITH shared AS (
-           |  SELECT GREATEST(a.rk, b.rk) AS mr
-           |  FROM ndcg_ranked a JOIN cov_ranked b ON a.doc_id = b.doc_id
-           |),
-           |wt AS (
-           |  $wtRows
-           |),
-           |terms AS (
-           |  -- depth-spine inequality join (10 × ≤10 rows): COUNT of
-           |  -- non-null matches keeps zero-overlap depths at 0 (a
-           |  -- correlated scalar subquery here failed Spark's
-           |  -- decorrelation outright — "key not found" at planning)
-           |  SELECT w.d, w.wq, CAST(COUNT(s.mr) AS BIGINT) AS ov
-           |  FROM wt w LEFT JOIN shared s ON s.mr <= w.d
-           |  GROUP BY w.d, w.wq
-           |)
-           |SELECT
-           |  ${r6("CAST(SUM(CAST(FLOOR(CAST(wq AS DOUBLE) * ov / d + 5.0e-1) AS BIGINT)) AS DOUBLE) / 1.0e12")} AS rbo_at_10,
-           |  CAST(MAX(CASE WHEN d = 10 THEN ov END) AS BIGINT) AS n_shared_top10
-           |FROM terms""".stripMargin
-      })
-  }
-
-  /** Unigram-LM tokenizer DP bounds: Viterbi positions 1..[[UlmMaxLen]]
-    * (the fixture vocabulary tops out at 8 characters; the vocab stage
-    * guards the bound LOUDLY — a longer word throws identically in
-    * both engines instead of silently dropping out of the DP joins),
-    * candidate pieces are all substrings up to [[UlmMaxPiece]]
-    * characters. Every +1 on the bound DOUBLES the per-word cut-mask
-    * space of [[ulmCandCte]], so the bound is deliberately snug. */
-  private val UlmMaxLen = 10
-  private val UlmMaxPiece = 3
-
-  /** Candidate-segmentation enumeration: under the snug
-    * [[UlmMaxLen]] = 10 bound, EVERY segmentation of a word is one of
-    * ≤ 2^9 = 512 cut-point bitmasks (bit j = cut after character
-    * j+1), so the whole Viterbi lattice flattens into ONE bounded
-    * enumeration — word × mask × position, segment ids by
-    * `bit_count(m % 2^(p-1))`, three small aggregates and a single
-    * winner window. No sequential DP rounds at all: the staged
-    * 10-round chain this replaced (git history, round 7) paid ~0.4 s
-    * of fixed plan/codegen/write overhead per tiny stage × 10
-    * positions × 2 chains — 11 s first-run quiet for sub-second
-    * dataflow. The enumeration is exact and embarrassingly parallel
-    * (zero shuffle BARRIERS between rounds, which is also the better
-    * cluster-latency shape for a huge vocabulary); its candidate
-    * count grows ~1.84^len (gap-≤3 masks), so if the bound is ever
-    * raised past ~16, resurrect the staged-DP shape instead. Rows:
-    * one per (word, mask, segment) with the segment's piece, the
-    * mask's piece count np = bit_count+1, and the segment length for
-    * the ≤ [[UlmMaxPiece]] validity filter. pow(2, k) is exact in
-    * IEEE double for k ≤ 52 and k here is ≤ 9 (the vocab stage's
-    * loud bound guard), so the CAST agrees across engines. */
-  /** The enumeration is PROBABILITY-INDEPENDENT, so it materializes
-    * once ([[ulmCandStage]]) and every chain — initial Viterbi,
-    * soft-EM posteriors, each pruning round, the re-scored audit —
-    * reads the same tiny parquet artifact instead of re-deriving the
-    * mask lattice (a pruning round referenced it 3× per stage; CTE
-    * inlining re-ran the double explode each time). */
-  private val ulmCandStage: (String, Dialect => String) =
-    "ulm_cand" -> { (d: Dialect) =>
-      s"""WITH wm0 AS (SELECT w, ${d.seqArray("0", "CAST(pow(2, length(w) - 1) AS BIGINT) - 1")} AS mm
-         |        FROM ulm_vocab),
-         |wm AS (${d.explode("SELECT w, mm FROM wm0", "w", "mm", "m")}),
-         |wp0 AS (SELECT w, m, ${d.seqArray("1", "length(w)")} AS pp FROM wm),
-         |wp AS (${d.explode("SELECT w, m, pp FROM wp0", "w, m", "pp", "p")}),
-         |seg AS (
-         |  SELECT w, m, segid, MIN(p) AS lo, COUNT(*) AS ln
-         |  FROM (SELECT w, m, p,
-         |          bit_count(m % CAST(pow(2, p - 1) AS BIGINT)) AS segid
-         |        FROM wp)
-         |  GROUP BY w, m, segid
-         |)
-         |-- validity filter as a WINDOW, not a groupBy+self-join: a CTE
-         |-- referenced twice would inline (and so re-run) the whole
-         |-- enumeration subtree per reference
-         |SELECT w, m, segid, substr(w, lo, ln) AS piece, ln,
-         |  CAST(bit_count(m) + 1 AS BIGINT) AS np
-         |FROM (SELECT w, m, segid, lo, ln,
-         |        MAX(ln) OVER (PARTITION BY w, m) AS mxln FROM seg)
-         |WHERE mxln <= $UlmMaxPiece""".stripMargin
-    }
-
-  private def ulmCandCte(d: Dialect): String =
-    "cand AS (SELECT * FROM ulm_cand)"
-
-  /** Scored candidates: piece rows joined to `piecesTbl`
-    * log-probabilities, summed per (word, mask). The HAVING
-    * `COUNT(*) = MAX(np)` guards the PRUNED-vocabulary case
-    * (chain 2): a mask any of whose pieces is absent from the table
-    * is not a candidate at all — the sum over the surviving pieces
-    * must never masquerade as a path score. Segment-length validity
-    * (every piece ≤ [[UlmMaxPiece]] chars) is enforced once at the
-    * [[ulmCandStage]] materialization — `cand` holds only valid
-    * masks, so no consumer re-derives the filter. */
-  private def ulmScoredCte(piecesTbl: String): String =
-    s"""ok AS (
-       |  SELECT c.w, c.m, CAST(SUM(p.qlp) AS BIGINT) AS score, MAX(c.np) AS np
-       |  FROM cand c JOIN $piecesTbl p ON p.piece = c.piece
-       |  GROUP BY c.w, c.m
-       |  HAVING COUNT(*) = MAX(c.np)
-       |)""".stripMargin
-
-  /** The trained segmenter, materialized once: every word's WINNING
-    * segmentation as its piece rows (w, segid, piece, score, np).
-    * Winner = max (score DESC, fewer pieces, smallest mask) — mask
-    * order is a total, engine-portable tie-break (a mask IS the
-    * segmentation). One row per piece occurrence, so the EM E-step
-    * reads its path counts straight off this table (`segid = 0`
-    * collapses it to one row per word for the score/np readouts). */
-  private val ulmSegStage: (String, Dialect => String) =
-    "ulm_seg" -> { (d: Dialect) =>
-      s"""WITH ${ulmCandCte(d)},
-         |${ulmScoredCte("ulm_pieces")},
-         |win AS (
-         |  SELECT w, m, score, np FROM (
-         |    SELECT w, m, score, np,
-         |      ROW_NUMBER() OVER (PARTITION BY w ORDER BY score DESC, np, m) AS rk
-         |    FROM ok
-         |  ) WHERE rk = 1
-         |)
-         |SELECT c.w, c.segid, c.piece, n.score, n.np
-         |FROM cand c JOIN win n ON n.w = c.w AND n.m = c.m""".stripMargin
-    }
-
-  /** Chain 2 — re-segmentation under the RE-ESTIMATED (pruned)
-    * probabilities: the same enumeration scored against the M-step
-    * table, score-only (a max needs no tie-break). */
-  private val ulmSeg2Stage: (String, Dialect => String) =
-    "ulm_seg2" -> { (d: Dialect) =>
-      s"""WITH ${ulmCandCte(d)},
-         |${ulmScoredCte("ulm_pcs2")}
-         |SELECT w, CAST(MAX(score) AS BIGINT) AS score
-         |FROM ok GROUP BY w""".stripMargin
-    }
-
-  /** SentencePiece-style UNIGRAM-LM tokenization (Kudo 2018), the
-    * other canonical subword family next to [[bpeMerges]]: score every
-    * word's best segmentation into candidate pieces under a unigram
-    * piece LM by exact Viterbi DP. Candidate vocabulary = ALL
-    * substrings up to 3 chars of corpus words, tf-weighted (single
-    * chars included by construction → full coverage, no unreachable
-    * word); piece log-probabilities are µ-log2 int64
-    * (qlog2(cnt) − qlog2(total) — the [[qlog2]] quantizer, no float
-    * sum ever crosses an aggregate); the lattice max is the bounded
-    * mask ENUMERATION of [[ulmCandCte]] over the VOCABULARY (the
-    * corpus collapses once into ulm_tf; every derived table is
-    * vocab-cardinality — the BPE trainer's scale shape). The segment
-    * stages ARE the computation (pagerankIter rule: not prewarmed).
-    * Output: per-word best piece count and segmentation
-    * log-likelihood, tf-weighted — the tokenizer-fitting diagnostic
-    * (fertility under a unigram LM vs BPE's merge table). */
-  /** The shared ULM trainer substrate — corpus tf index, bounded
-    * vocabulary, substring-candidate pieces with their initial
-    * log-probs, and the mask enumeration. Six queries consume these
-    * four artifacts; every trainer chain appends its own stages. */
-  private val ulmBaseStages: Seq[(String, Dialect => String)] =
-    textUnigramLm.stages ++ Seq(
-      "ulm_vocab" -> { (_: Dialect) =>
-        // the loud bound guard: under ANSI both engines throw on the
-        // string-to-int cast, so a corpus word outlasting the DP bound
-        // can never silently vanish from the tokenizer
-        s"""SELECT s AS w,
-           |  CASE WHEN length(s) > $UlmMaxLen
-           |       THEN CAST('ulm: word longer than UlmMaxLen — raise the DP bound' AS BIGINT)
-           |       ELSE CAST(SUM(tf) AS BIGINT) END AS c
-           |FROM ulm_tf GROUP BY s""".stripMargin
-      },
-      "ulm_pieces" -> { (d: Dialect) =>
-        // single-copy plan: the position explode is joined against a
-        // 3-row length leaf (not UNION ALL'd three times — CTE
-        // inlining would re-run the explode per branch), and the
-        // total is a window (not a scalar cross-join re-read)
-        s"""WITH wi AS (SELECT w, c, ${d.seqArray("1", "length(w)")} AS ii FROM ulm_vocab),
-           |pe AS (${d.explode("SELECT w, c, ii FROM wi", "w, c", "ii", "i")}),
-           |ll AS (${(1 to UlmMaxPiece).map(l => s"SELECT $l AS l").mkString(" UNION ALL ")}),
-           |pc AS (
-           |  SELECT substr(w, i, l) AS piece, CAST(SUM(c) AS BIGINT) AS cnt
-           |  FROM pe JOIN ll ON i + l - 1 <= length(w)
-           |  GROUP BY substr(w, i, l)
-           |)
-           |SELECT piece, cnt, ${qlog2("cnt")} - ${qlog2("t")} AS qlp
-           |FROM (SELECT piece, cnt, CAST(SUM(cnt) OVER () AS BIGINT) AS t FROM pc)""".stripMargin
-      }) :+ ulmCandStage
-
-  /** Prewarm handle for the shared substrate above (the body is never
-    * run — prewarm builds stages only). The trainer chains themselves
-    * — segmenter, EM steps, soft-EM staircase, prune rounds — are
-    * deliberately NOT reachable through this: they ARE their queries'
-    * computation and must stay timed. */
-  val ulmBase: StagedOp = StagedOp(ulmBaseStages, _ => "SELECT 1 AS one")
-
-  val ulmViterbi: StagedOp = StagedOp(
-    stages = ulmBaseStages :+ ulmSegStage,
-    body = { _ =>
-      s"""SELECT v.w AS word, v.c AS tf, a.np AS n_pieces,
-         |  ${r6("CAST(a.score AS DOUBLE) / 1.0e6")} AS loglik_bits
-         |FROM ulm_vocab v
-         |JOIN (SELECT w, np, score FROM ulm_seg WHERE segid = 0) a ON a.w = v.w
-         |ORDER BY v.c DESC, v.w""".stripMargin
-    })
-
-  /** The unigram-LM tokenizer's READ path: tokenize the corpus with
-    * the trained segmenter — per-document word, subword-piece and
-    * total-log-likelihood counts, the [[bpeEncode]] counterpart for
-    * the ULM family (a tokenizer-choice A/B over the same corpus).
-    * All per-word work is already in the staged DP tables; the encode
-    * is ONE join of the per-(doc, word) tf index against the
-    * vocab-cardinality best-segmentation table — the corpus is never
-    * re-scanned, which is the whole point of training on the collapsed
-    * vocabulary. Words longer than [[UlmMaxLen]] cannot silently fall
-    * out of the join — the vocab stage's bound guard throws first. */
-  val ulmEncode: StagedOp = StagedOp(
-    stages = ulmViterbi.stages,
-    body = { _ =>
-      s"""WITH seg AS (
-         |  SELECT w, np, score FROM ulm_seg WHERE segid = 0
-         |)
-         |SELECT t.doc_id,
-         |  CAST(SUM(t.tf) AS BIGINT) AS n_words,
-         |  CAST(SUM(t.tf * s.np) AS BIGINT) AS n_pieces,
-         |  ${r6("CAST(SUM(t.tf * s.np) AS DOUBLE) / SUM(t.tf)")} AS fertility,
-         |  ${r6("CAST(SUM(t.tf * s.score) AS DOUBLE) / 1.0e6")} AS loglik_bits
-         |FROM ulm_tf t JOIN seg s ON s.w = t.s
-         |GROUP BY t.doc_id""".stripMargin
-    })
-
-  /** One hard-EM training iteration for the unigram LM (the Kudo 2018
-    * trainer's E+M under Viterbi counts, the standard hard-EM
-    * variant): read every word's BEST segmentation straight off the
-    * materialized segmenter ([[ulmSegStage]] carries one row per
-    * piece occurrence of the winning path — the E step is a plain
-    * scan; the ten staged back-walk hops this replaced were ~4 s of
-    * fixed stage overhead for the same multiset of path pieces),
-    * count each piece's tf-weighted occurrences along those paths
-    * (the E step), and re-estimate the piece log-probabilities from
-    * the counts (the M step), reporting the µ-bit delta against the
-    * substring-frequency initialization. A piece that Viterbi never
-    * uses drops out — exactly the vocabulary pruning signal the real
-    * trainer thresholds on. Shares the segmenter stage with
-    * [[ulmViterbi]] (first consumer in bench name order builds it
-    * timed, the clustersStaged convention for iterative
-    * artifacts). */
-  val ulmEmStep: StagedOp = {
-    // THE one copy of the M step (E-step counts → MLE log-probs):
-    // staged, because TWO bodies consume it — this op's report and
-    // [[ulmEmGain]]'s L1/L2 (a smoothing or prune-threshold change
-    // applied to a second inline copy would make the gain audit
-    // silently score a different model than the step reports)
-    val pcs2Stage = "ulm_pcs2" -> { (_: Dialect) =>
-      s"""WITH cnt AS (
-         |  SELECT p.piece, CAST(SUM(v.c) AS BIGINT) AS ec
-         |  FROM ulm_seg p JOIN ulm_vocab v ON v.w = p.w
-         |  GROUP BY p.piece
-         |)
-         |-- total as a window: a scalar-CTE cross-join would inline
-         |-- (re-run) the counting join a second time
-         |SELECT piece, ec, ${qlog2("ec")} - ${qlog2("t")} AS qlp
-         |FROM (SELECT piece, ec, CAST(SUM(ec) OVER () AS BIGINT) AS t FROM cnt)""".stripMargin
-    }
-    StagedOp(
-      stages = ulmViterbi.stages :+ pcs2Stage,
-      body = { _ =>
-        s"""SELECT c.piece, c.ec AS expected_count,
-           |  ${r6("CAST(c.qlp AS DOUBLE) / 1.0e6")} AS logp_new_bits,
-           |  ${r6("CAST(p.qlp AS DOUBLE) / 1.0e6")} AS logp_init_bits,
-           |  ${r6("CAST(c.qlp - p.qlp AS DOUBLE) / 1.0e6")} AS delta_bits
-           |FROM ulm_pcs2 c
-           |JOIN ulm_pieces p ON p.piece = c.piece
-           |ORDER BY c.ec DESC, c.piece LIMIT 30""".stripMargin
-      })
-  }
-
-  /** EM improvement audit — the hard-EM step's monotonicity
-    * guarantees asserted IN-QUERY (the q_agg_retract identity pattern
-    * applied to the tokenizer trainer). Three corpus log-likelihoods,
-    * all tf-weighted exact µ-bit int64 sums:
-    *   L0 = the OLD best paths under the INITIAL piece probs (the
-    *        ulm_seg readout);
-    *   L1 = the same old paths re-scored under the RE-ESTIMATED probs
-    *        (ulm_seg's piece rows joined to the M-step table);
-    *   L2 = the NEW best paths under the re-estimated probs — the
-    *        second enumeration pass over the PRUNED vocabulary
-    *        ([[ulmSeg2Stage]]: only path-used pieces survive; every
-    *        word stays segmentable because its own old path survives
-    *        the prune).
-    * Theory says L1 ≥ L0 (Gibbs: the MLE re-estimate maximizes the
-    * expected-count likelihood; exact up to the ±0.5µ log
-    * quantization) and L2 ≥ L1 (re-segmentation under fixed probs
-    * only improves; EXACT in int64 — the old path is a valid
-    * candidate). Both inequalities are output columns, so the oracle
-    * gate re-proves the trainer's improvement every run. */
-  val ulmEmGain: StagedOp = {
-    // ulm_pcs2 (the M-step table) is a stage of [[ulmEmStep]] — one
-    // copy, two consumers
-    StagedOp(
-      stages = ulmEmStep.stages :+ ulmSeg2Stage,
-      body = { _ =>
-        s"""WITH l0 AS (
-           |  SELECT CAST(SUM(v.c * a.score) AS BIGINT) AS q
-           |  FROM ulm_vocab v
-           |  JOIN (SELECT w, score FROM ulm_seg WHERE segid = 0) a ON a.w = v.w
-           |),
-           |l1 AS (
-           |  SELECT CAST(SUM(v.c * p2.qlp) AS BIGINT) AS q
-           |  FROM ulm_seg p
-           |  JOIN ulm_vocab v ON v.w = p.w
-           |  JOIN ulm_pcs2 p2 ON p2.piece = p.piece
-           |),
-           |l2 AS (
-           |  SELECT CAST(SUM(v.c * d.score) AS BIGINT) AS q
-           |  FROM ulm_vocab v JOIN ulm_seg2 d ON d.w = v.w
-           |)
-           |SELECT
-           |  ${r6("CAST(l0.q AS DOUBLE) / 1.0e6")} AS loglik_init_bits,
-           |  ${r6("CAST(l1.q AS DOUBLE) / 1.0e6")} AS loglik_mstep_bits,
-           |  ${r6("CAST(l2.q AS DOUBLE) / 1.0e6")} AS loglik_resegment_bits,
-           |  l1.q >= l0.q AS mstep_improves,
-           |  l2.q >= l1.q AS resegment_improves
-           |FROM l0 CROSS JOIN l1 CROSS JOIN l2""".stripMargin
-      })
-  }
-
-  // ---- the FULL SentencePiece trainer loop (Kudo 2018 §3.2):
-  // soft-EM expected counts over ALL segmentations, and iterative
-  // vocabulary pruning to a target size with re-Viterbi per round ----
-
-  /** Posterior-weight staircase: soft-EM needs exp2 of score
-    * differences, and transcendentals are NOT IEEE-pinned across
-    * engines — so the posterior weight is DEFINED on a 1/16-bit
-    * staircase: rel µ-bits below the word's best mask quantize to
-    * k = ⌊rel/62500⌋ sixteenths, and the weight is the HOST-exact
-    * integer table T[k mod 16] = round(2^(r/16)·10⁶) halved ⌊k/16⌋
-    * times (integer division by an exact power of two). Both engines
-    * evaluate only int64 +·−·%·÷ and the shared literal table, so
-    * the posteriors are bit-identical by construction; weights more
-    * than 40 bits below the mode are 0 (they cannot move a µ-count).
-    * The quantized posterior under-weights a mask by < 2^(1/16)−1 ≈
-    * 4.4% relative — bounded, documented, and identical in both
-    * engines (the "documented quantization" alternative to pinning
-    * exp). */
-  private val UlmStairStepMu = 62500
-  private val UlmStairBits = 16
-  private def ulmStairExpr(rr: String): String = {
-    val t = (0 until UlmStairBits)
-      .map(r => math.round(StrictMath.pow(2.0, r / 16.0) * 1e6))
-    "CASE " + t.zipWithIndex
-      .map { case (v, r) => s"WHEN ($rr) = $r THEN CAST($v AS BIGINT)" }
-      .mkString(" ") + " ELSE CAST('ulm stair: unreachable residue' AS BIGINT) END"
-  }
-
-  /** Staircase posterior weights of every valid mask of every word
-    * under `piecesTbl` probabilities: (w, m, score, wq). Reused for
-    * the re-estimated model (`ulm_wq2`) so the marginal-likelihood
-    * audit measures both models through the SAME quantizer. */
-  private def ulmWqStage(name: String, piecesTbl: String): (String, Dialect => String) =
-    name -> { (d: Dialect) =>
-      val fd = floorDiv(d) _
-      s"""WITH ${ulmCandCte(d)},
-         |${ulmScoredCte(piecesTbl)},
-         |kq AS (
-         |  -- per-word mode as a WINDOW, not a groupBy+self-join: ok is
-         |  -- an aggregation subtree and a second reference would
-         |  -- inline (re-run) it whole
-         |  SELECT w, m, score, ${fd("score - mxs", UlmStairStepMu.toString)} AS k
-         |  FROM (SELECT w, m, score, MAX(score) OVER (PARTITION BY w) AS mxs FROM ok)
-         |),
-         |qr AS (
-         |  SELECT w, m, score,
-         |    ${fd("k", UlmStairBits.toString)} AS qq,
-         |    ${pmodPos("k", UlmStairBits.toString)} AS rr
-         |  FROM kq
-         |)
-         |SELECT w, m, score,
-         |  CASE WHEN qq < -40 THEN CAST(0 AS BIGINT)
-         |       ELSE ${d.idiv(ulmStairExpr("rr"), "CAST(pow(2, -qq) AS BIGINT)")} END AS wq
-         |FROM qr""".stripMargin
-    }
-
-  /** Soft-EM E+M step: expected piece counts over ALL segmentations
-    * (not just the Viterbi path — the [[ulmEmStep]] hard-count
-    * refinement Kudo's trainer actually runs). Per word, each piece's
-    * posterior-expected occurrence count is the exact rational
-    * Σ wq·occurrences / Σ wq, half-up µ-quantized with the pure
-    * integer identity ⌊a/b + ½⌋ = (2a+b) div 2b — no doubles cross an
-    * aggregate anywhere. tf-weighted corpus sums then re-estimate the
-    * piece log-probs (µ-log2). Envelope: tf·fq ≤ 10¹³ per word at
-    * tf ≤ 10⁶ — int64-safe far past the test corpus; the num·10⁶
-    * term is ≤ 2·10¹⁶. Pieces whose soft count quantizes to zero
-    * µ-counts drop out (below-quantization mass — the soft analogue
-    * of the hard prune signal). */
-  private val ulmSoftStage: (String, Dialect => String) =
-    "ulm_softq" -> { (d: Dialect) =>
-      s"""WITH ${ulmCandCte(d)},
-         |num AS (
-         |  SELECT c.w, c.piece, CAST(SUM(q.wq) AS BIGINT) AS num
-         |  FROM cand c JOIN ulm_wq q ON q.w = c.w AND q.m = c.m
-         |  GROUP BY c.w, c.piece
-         |),
-         |den AS (SELECT w, CAST(SUM(wq) AS BIGINT) AS den FROM ulm_wq GROUP BY w),
-         |fq AS (
-         |  SELECT n.w, n.piece,
-         |    ${d.idiv("2 * n.num * 1000000 + d.den", "2 * d.den")} AS fq
-         |  FROM num n JOIN den d ON d.w = n.w
-         |),
-         |ec AS (
-         |  SELECT f.piece, CAST(SUM(v.c * f.fq) AS BIGINT) AS ecq
-         |  FROM fq f JOIN ulm_vocab v ON v.w = f.w
-         |  GROUP BY f.piece
-         |)
-         |-- total as a window: a scalar-CTE cross-join would inline
-         |-- (re-run) the whole num/den/fq chain a second time
-         |SELECT piece, ecq, ${qlog2("ecq")} - ${qlog2("t")} AS qlp
-         |FROM (SELECT piece, ecq, CAST(SUM(ecq) OVER () AS BIGINT) AS t FROM ec)
-         |WHERE ecq > 0""".stripMargin
-    }
-
-  /** The soft-EM step with its own monotonicity audit: per-piece soft
-    * (posterior-expected) vs hard (Viterbi) counts and both models'
-    * log-probs, plus the EM guarantee on the MARGINAL likelihood —
-    * Σ_w tf·log2 Z_w measured through the same staircase for the
-    * initial and the re-estimated model (Z_w = 2^{M_w}·Σ wq/10⁶, so
-    * log2 Z_w = M_w + qlog2(Σ wq) − qlog2(10⁶) in exact µ-bits;
-    * qlog2's operand Σ wq ≤ 512·2·10⁶ stays small). `soft_improves`
-    * re-proves EM's L(θ') ≥ L(θ) on every run, like
-    * [[ulmEmGain]]'s columns for the hard step. */
-  val ulmSoftEm: StagedOp = StagedOp(
-    stages = ulmEmStep.stages ++ Seq(
-      ulmWqStage("ulm_wq", "ulm_pieces"),
-      ulmSoftStage,
-      ulmWqStage("ulm_wq2", "ulm_softq")),
-    body = { _ =>
-      def lm(tbl: String) =
-        s"""SELECT CAST(SUM(v.c * (s.mxs + ${qlog2("s.dens")} - ${qlog2("1000000")})) AS BIGINT) AS q
-           |  FROM (SELECT w, MAX(score) AS mxs, CAST(SUM(wq) AS BIGINT) AS dens
-           |        FROM $tbl GROUP BY w) s
-           |  JOIN ulm_vocab v ON v.w = s.w""".stripMargin
-      s"""WITH lm0 AS (
-         |${lm("ulm_wq")}
-         |),
-         |lm1 AS (
-         |${lm("ulm_wq2")}
-         |)
-         |SELECT s.piece,
-         |  ${r6("CAST(s.ecq AS DOUBLE) / 1.0e6")} AS soft_count,
-         |  h.ec AS hard_count,
-         |  ${r6("CAST(s.qlp AS DOUBLE) / 1.0e6")} AS logp_soft_bits,
-         |  ${r6("CAST(h.qlp AS DOUBLE) / 1.0e6")} AS logp_hard_bits,
-         |  ${r6("CAST(l0.q AS DOUBLE) / 1.0e6")} AS marginal_init_bits,
-         |  ${r6("CAST(l1.q AS DOUBLE) / 1.0e6")} AS marginal_soft_bits,
-         |  l1.q >= l0.q AS soft_improves
-         |FROM ulm_softq s
-         |LEFT JOIN ulm_pcs2 h ON h.piece = s.piece
-         |CROSS JOIN lm0 l0 CROSS JOIN lm1 l1
-         |ORDER BY s.ecq DESC, s.piece LIMIT 30""".stripMargin
-    })
-
-  /** One vocabulary-pruning round (Kudo 2018 §3.2's outer loop):
-    * re-Viterbi under the current vocabulary, per-piece likelihood
-    * LOSS = Σ_w tf·(best − best-avoiding-the-piece) over the words
-    * whose winning path uses it (exact, off the same enumeration —
-    * no Viterbi approximation needed), then drop the lowest-loss
-    * HALF of the multi-char pieces, floored so the total vocabulary
-    * never goes below `target`. Single-char pieces are never dropped
-    * (the SentencePiece coverage rule — every word stays segmentable
-    * via its all-singles mask, so an alternative path always exists
-    * for any multi-char piece; a missing alternative is still
-    * guarded by a 100-bit sentinel loss). Survivor log-probs are
-    * re-estimated from this round's Viterbi counts; a kept-but-
-    * unused piece carries its previous estimate. */
-  /** Round stage A — this round's winning paths at (word, piece)
-    * grain: occurrences `cnt` on the path, word tf `c` and the path
-    * score carried along, so stage B's loss and count aggregates are
-    * plain scans of this table. Materialized because TWO independent
-    * branches of the round (the per-piece Viterbi counts and the
-    * loss ranking) consume it — Spark inlines a twice-referenced CTE
-    * and would re-run the whole score→window→join subtree per
-    * reference (the r8 shape: 60 exchanges / 42 aggregates compiled
-    * into ONE round stage, ~1.8 s of AQE-scheduled micro-jobs for
-    * <2k-row dataflow). */
-  private def ulmPruneWinStage(prev: String, name: String): (String, Dialect => String) =
-    name -> { (d: Dialect) =>
-      s"""WITH ${ulmCandCte(d)},
-         |${ulmScoredCte(prev)},
-         |win AS (
-         |  SELECT w, m, score FROM (
-         |    SELECT w, m, score,
-         |      ROW_NUMBER() OVER (PARTITION BY w ORDER BY score DESC, np, m) AS rk
-         |    FROM ok
-         |  ) WHERE rk = 1
-         |)
-         |SELECT c.w, c.piece, c.ln, v.c, n.score, COUNT(*) AS cnt
-         |FROM cand c
-         |JOIN win n ON n.w = c.w AND n.m = c.m
-         |JOIN ulm_vocab v ON v.w = c.w
-         |GROUP BY c.w, c.piece, c.ln, v.c, n.score""".stripMargin
-    }
-
-  /** Round stage B — the prune decision. Every CTE here is referenced
-    * exactly ONCE (multi-consumed intermediates are either the
-    * materialized stage-A table or plain table scans), and the final
-    * total is a window over `ke` instead of a scalar cross-join —
-    * both deliberate: CTE inlining duplicates the whole subtree per
-    * reference, and this stage's cost is plan overhead, not
-    * dataflow. */
-  private def ulmPruneRound(prev: String, pw: String, name: String,
-                            target: Int): (String, Dialect => String) =
-    name -> { (d: Dialect) =>
-      s"""WITH ${ulmCandCte(d)},
-         |${ulmScoredCte(prev)},
-         |av AS (
-         |  -- per (word, multi-char path piece): best score among ok
-         |  -- masks AVOIDING the piece — mask membership read off the
-         |  -- enumeration as a LEFT JOIN + conditional MAX (an avoided
-         |  -- mask has no membership row), so a piece with no
-         |  -- alternative path keeps its row with a NULL alt
-         |  SELECT pg.w, pg.piece, pg.c, pg.score,
-         |    MAX(CASE WHEN h.w IS NULL THEN o.score END) AS alt_score
-         |  FROM $pw pg
-         |  JOIN ok o ON o.w = pg.w
-         |  LEFT JOIN (SELECT DISTINCT w, m, piece FROM cand) h
-         |    ON h.w = o.w AND h.m = o.m AND h.piece = pg.piece
-         |  WHERE pg.ln > 1
-         |  GROUP BY pg.w, pg.piece, pg.c, pg.score
-         |),
-         |loss0 AS (
-         |  -- a missing alternative is guarded by a 100-bit sentinel
-         |  SELECT piece,
-         |    CAST(SUM(c * (score - COALESCE(alt_score, score - 100000000)))
-         |         AS BIGINT) AS lossq
-         |  FROM av GROUP BY piece
-         |),
-         |ranked AS (
-         |  SELECT vp.piece,
-         |    ROW_NUMBER() OVER (ORDER BY COALESCE(l.lossq, CAST(0 AS BIGINT)) ASC,
-         |                       vp.piece) AS rn
-         |  FROM $prev vp LEFT JOIN loss0 l ON l.piece = vp.piece
-         |  WHERE length(vp.piece) > 1
-         |),
-         |ec AS (SELECT piece, CAST(SUM(c * cnt) AS BIGINT) AS ec FROM $pw GROUP BY piece),
-         |ke AS (
-         |  -- one pass: singles always keep, multis keep past the drop
-         |  -- line (a single's rn is NULL — the ranking covers multis).
-         |  -- ndrop's inputs are WINDOW counts over this same join, not
-         |  -- a scalar-CTE cross-join (which would re-scan the
-         |  -- vocabulary through a second broadcast build)
-         |  SELECT piece, qlp_prev, ec FROM (
-         |    SELECT vp.piece, vp.qlp AS qlp_prev,
-         |      CAST(COALESCE(e.ec, 0) AS BIGINT) AS ec, r.rn,
-         |      CAST(SUM(CASE WHEN length(vp.piece) > 1 THEN 1 ELSE 0 END) OVER () AS BIGINT) AS nm,
-         |      CAST(SUM(CASE WHEN length(vp.piece) = 1 THEN 1 ELSE 0 END) OVER () AS BIGINT) AS n1
-         |    FROM $prev vp
-         |    LEFT JOIN ranked r ON r.piece = vp.piece
-         |    LEFT JOIN ec e ON e.piece = vp.piece
-         |  )
-         |  WHERE length(piece) = 1
-         |     OR rn > LEAST(${d.idiv("nm + 1", "2")},
-         |                   GREATEST(nm - GREATEST($target - n1, 0), 0))
-         |)
-         |SELECT piece,
-         |  CASE WHEN ec > 0 THEN ${qlog2("ec")} - ${qlog2("t")} ELSE qlp_prev END AS qlp,
-         |  ec
-         |FROM (SELECT piece, qlp_prev, ec,
-         |        CAST(SUM(CASE WHEN ec > 0 THEN ec ELSE 0 END) OVER () AS BIGINT) AS t
-         |      FROM ke)""".stripMargin
-    }
-
-  /** The trainer's outer loop, materialized: `rounds` pruning rounds
-    * (each re-Viterbis under the shrinking vocabulary) down to
-    * `target` total pieces. The round count is static; once the
-    * multi-char pool reaches max(0, target − n_singles) further
-    * rounds are no-ops (ndrop = 0), so a fixed-round chain converges
-    * for any corpus whose pool halves down to target within
-    * `rounds`. Body re-scores the corpus one last time under the
-    * final vocabulary and asserts the two trainer invariants as
-    * output columns: the vocabulary hit its target (up to the
-    * never-dropped single-chars floor) and EVERY corpus word is
-    * still segmentable — plus the per-round remaining-pool trace
-    * (`pool_after_r1, pool_after_r2, …`), so a corpus that needs
-    * MORE rounds than the instantiation provides is visible in the
-    * output itself (which round stalled above target), not just in
-    * the final `within_target = false` flag. */
-  def ulmPrune(target: Int, rounds: Int, prefix: String = "ulm_p"): StagedOp = {
-    val roundStages = (1 to rounds).flatMap { r =>
-      val prev = if (r == 1) "ulm_pieces" else s"${prefix}v${r - 1}"
-      Seq(ulmPruneWinStage(prev, s"${prefix}w$r"),
-          ulmPruneRound(prev, s"${prefix}w$r", s"${prefix}v$r", target))
-    }
-    val fin = s"${prefix}v$rounds"
-    StagedOp(
-      // the base chain only: the prune loop re-Viterbis per round and
-      // never reads the ulm_seg segmenter — building it here billed
-      // an unconsumed 0.7 s stage to every cold prune run
-      stages = ulmBaseStages ++ roundStages,
-      body = { d =>
-        // the final round's pool is derivable from the one fin scan
-        // (pool = n_vocab − n_singles); earlier rounds scan their own
-        // (tiny) table — one scalar CTE per round, not per metric
-        val poolCtes = (1 until rounds).map { r =>
-          s"pool$r AS (SELECT COUNT(*) AS n FROM ${prefix}v$r WHERE length(piece) > 1),"
-        }.mkString("\n")
-        val poolCols = ((1 until rounds)
-          .map(r => s"pool$r.n AS pool_after_r$r") :+
-          s"sc.n - sc.n1 AS pool_after_r$rounds").mkString(",\n  ")
-        val poolJoins = (1 until rounds).map(r => s"CROSS JOIN pool$r").mkString(" ")
-        s"""WITH ${ulmCandCte(d)},
-           |${ulmScoredCte(fin)},
-           |sc AS (
-           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           |    CAST(SUM(CASE WHEN length(piece) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
-           |  FROM $fin
-           |),
-           |cov AS (
-           |  -- coverage and vocab size off ONE scan: a word is covered
-           |  -- iff it has any scorable mask under the final vocabulary
-           |  SELECT COUNT(*) AS nw, COUNT(o.w) AS ncov
-           |  FROM ulm_vocab v LEFT JOIN (SELECT DISTINCT w FROM ok) o ON o.w = v.w
-           |),
-           |$poolCtes
-           |pcs AS (SELECT piece, qlp, ec FROM $fin)
-           |SELECT v.piece,
-           |  ${r6("CAST(v.qlp AS DOUBLE) / 1.0e6")} AS logp_bits,
-           |  v.ec AS viterbi_count,
-           |  CASE WHEN length(v.piece) = 1 THEN 1 ELSE 0 END AS is_char,
-           |  sc.n AS n_vocab,
-           |  $target AS target_vocab,
-           |  $poolCols,
-           |  sc.n <= GREATEST($target, sc.n1) AS within_target,
-           |  cov.ncov = cov.nw AS all_words_covered
-           |FROM pcs v CROSS JOIN sc CROSS JOIN cov
-           |$poolJoins
-           |ORDER BY v.ec DESC, v.piece""".stripMargin
-      })
-  }
-
-  /** The registered instance: 64-piece target over the fixture corpus
-    * (24 single chars + 40 kept multi-char pieces; 157 multi-char
-    * candidates reach the target in exactly two rounds, 157 → 78 →
-    * 40). The convergence NO-OP round — ndrop = 0 once the pool is at
-    * target — is proven by the micro-oracle's 3-round instantiation,
-    * not paid for on every bench run. The rounds constant also names
-    * the final vocabulary stage ([[ulmPruneFin]]) — single-sourced so
-    * a rounds change can never pin a downstream reader to a stale
-    * iterate. */
-  private val UlmPruneRounds = 2
-  val ulmPrune64: StagedOp = ulmPrune(64, UlmPruneRounds)
-  private val ulmPruneFin = s"ulm_pv$UlmPruneRounds"
-
-  /** The SAME prune loop under ALIAS stage names (`ulm_tp*`) — the
-    * variant q_ulm_prune times. The canonical `ulm_pw…/ulm_pv…` chain
-    * has TWO consumers (the prune readout and the drift baseline's
-    * final vocabulary) and is therefore prewarmed like every
-    * multi-consumer artifact; but the pruning iteration IS this
-    * query's computation, so it re-runs the rounds under names no
-    * other query reads — first-consumer billing stops depending on
-    * bench name order (the pci_* precedent). Identical SQL modulo
-    * stage names → identical result, and the oracle proves that every
-    * run. */
-  val ulmPrune64Timed: StagedOp = ulmPrune(64, UlmPruneRounds, "ulm_tp")
-
-  /** Tokenizer-drift baseline under the TRAINED pruned vocabulary:
-    * per-source fertility (pieces per word under the final
-    * segmenter's winning paths) and degenerate-segmentation rate
-    * (words whose winning path is all single-char pieces — the
-    * fallback the trainer exists to avoid; its rate climbing is the
-    * "retrain the tokenizer" signal). The batch twin of the streaming
-    * `tokdrift` monitor ([[graft.streaming.StreamingOps]]): this is
-    * the per-source baseline a production monitor compares incoming
-    * batches against. Re-uses the prune chain's winning-path stage
-    * shape under the FINAL vocabulary; both ratios are one exact
-    * integer division each (correctly rounded in IEEE, so portable
-    * without µ-staging). */
-  // ---- preference-data aggregation (the RLHF data-prep family):
-  // pairwise judgments → win-rate matrix → Bradley-Terry strengths ----
-
-  /** Deterministic pairwise-preference fixture derivation, ONE staged
-    * artifact shared by the win-rate and Bradley-Terry readers: each
-    * doc is compared against the representative of its md5-rotated
-    * content bucket (the [[negativePairs]] hash-ring — RNG-free,
-    * self-pair-impossible, stable across engines), restricted to
-    * CROSS-source pairs; the judge prefers the longer document
-    * (deterministic tie-break by id) with a ~25% md5-keyed flip — a
-    * latent-strength-plus-noise model, which is exactly the regime
-    * Bradley-Terry assumes. Aggregated to source-pair grain
-    * (si < sj, n comparisons, w_i wins for si): the comparison matrix
-    * is SOURCE-cardinality — bounded at any corpus scale, which is
-    * what makes the MM iteration below a tiny fixed-point loop no
-    * matter how many judgments feed it. */
-  private val prefCmpStage: (String, Dialect => String) =
-    "pref_cmp" -> { (d: Dialect) =>
-      s"""WITH t AS (
-         |  SELECT doc_id, source, text,
-         |    CAST(${d.size(toks(d))} AS BIGINT) AS n_tok
-         |  FROM documents
-         |),
-         |b AS (SELECT doc_id, source, n_tok, ${md5Bucket("text")} AS bkt FROM t),
-         |rep AS (SELECT bkt, MIN(doc_id) AS rep_id FROM b GROUP BY bkt),
-         |pair0 AS (
-         |  SELECT a.doc_id AS a_id, a.source AS a_src, a.n_tok AS a_tok,
-         |    p.doc_id AS b_id, p.source AS b_src, p.n_tok AS b_tok
-         |  FROM b a
-         |  JOIN rep r ON (a.bkt + 97) % 256 = r.bkt
-         |  JOIN b p ON p.doc_id = r.rep_id
-         |  WHERE p.source <> a.source
-         |),
-         |j AS (
-         |  SELECT a_src, b_src,
-         |    CASE WHEN (a_tok > b_tok OR (a_tok = b_tok AND a_id < b_id))
-         |              <> (substr(md5(concat(CAST(a_id AS STRING), '|',
-         |                                    CAST(b_id AS STRING))), 1, 1) < '4')
-         |         THEN 1 ELSE 0 END AS win_a
-         |  FROM pair0
-         |)
-         |SELECT LEAST(a_src, b_src) AS si, GREATEST(a_src, b_src) AS sj,
-         |  COUNT(*) AS n,
-         |  CAST(SUM(CASE WHEN (a_src < b_src AND win_a = 1)
-         |                  OR (a_src > b_src AND win_a = 0)
-         |           THEN 1 ELSE 0 END) AS BIGINT) AS w_i
-         |FROM j GROUP BY LEAST(a_src, b_src), GREATEST(a_src, b_src)""".stripMargin
-    }
-
-  /** The pairwise win-rate matrix — the first readout of any
-    * preference dataset (annotator dashboards, model-vs-model
-    * comparison tables). One scan of the source-pair artifact. */
-  val prefWinrate: StagedOp = StagedOp(
-    stages = Seq(prefCmpStage),
-    body = { _ =>
-      s"""SELECT si AS source_a, sj AS source_b,
-         |  n AS n_comparisons, w_i AS wins_a,
-         |  ${r6("CAST(w_i AS DOUBLE) / n")} AS winrate_a
-         |FROM pref_cmp ORDER BY si, sj""".stripMargin
-    })
-
-  /** One Bradley-Terry minorize-maximize round (Hunter 2004's MM
-    * update, the standard BT fitter): s'_i = W_i / Σ_j n_ij/(s_i+s_j),
-    * in pure int64 — per-pair terms at 1e12 precision, strengths
-    * normalized to mean 1e6 each round (BT is scale-invariant), and a
-    * VIRTUAL win+loss against a fixed 1.0 opponent regularizes the
-    * never-wins/never-loses endpoints the raw MLE sends to 0/∞.
-    * Every CTE is single-referenced; the normalizer is a window. */
-  private def btRound(prev: String, name: String): (String, Dialect => String) =
-    name -> { (d: Dialect) =>
-      s"""WITH sym AS (
-         |  SELECT si AS a, sj AS b, n, w_i AS w FROM pref_cmp
-         |  UNION ALL
-         |  SELECT sj AS a, si AS b, n, n - w_i AS w FROM pref_cmp
-         |),
-         |den AS (
-         |  SELECT y.a AS src, CAST(SUM(w) AS BIGINT) AS wins,
-         |    CAST(SUM(${d.idiv("y.n * 1000000000000", "sa.s + sb.s")}) AS BIGINT) AS den
-         |  FROM sym y
-         |  JOIN $prev sa ON sa.src = y.a
-         |  JOIN $prev sb ON sb.src = y.b
-         |  GROUP BY y.a
-         |),
-         |raw AS (
-         |  SELECT d0.src,
-         |    ${d.idiv("(d0.wins + 1) * 1000000000000",
-                       s"d0.den + ${d.idiv("2 * 1000000000000", "p.s + 1000000")}")} AS s0
-         |  FROM den d0 JOIN $prev p ON p.src = d0.src
-         |)
-         |SELECT src,
-         |  GREATEST(${d.idiv("s0 * 1000000",
-                              s"GREATEST(${d.idiv("sm", "cnt")}, 1)")}, 1) AS s
-         |FROM (SELECT src, s0, CAST(SUM(s0) OVER () AS BIGINT) AS sm,
-         |        COUNT(*) OVER () AS cnt FROM raw)""".stripMargin
-    }
-
-  private val BtRounds = 3
-
-  /** Bradley-Terry strength estimation over the preference matrix:
-    * [[BtRounds]] staged MM rounds from the uniform start, with the
-    * MM monotonicity audited IN-QUERY — the tf-weighted log-likelihood
-    * of the judgments under the initial and the final strengths
-    * (µ-log2 int64, the [[ulmEmGain]] pattern) and `mm_improves` as an
-    * output column the oracle re-proves every run. Everything after
-    * the judgment aggregation is source-cardinality. */
-  val prefBradleyTerry: StagedOp = {
-    val s0Stage = "bt_s0" -> { (_: Dialect) =>
-      s"""SELECT src, CAST(1000000 AS BIGINT) AS s FROM (
-         |  SELECT si AS src FROM pref_cmp
-         |  UNION
-         |  SELECT sj AS src FROM pref_cmp
-         |)""".stripMargin
-    }
-    val roundStages = (1 to BtRounds).map { r =>
-      btRound(if (r == 1) "bt_s0" else s"bt_s${r - 1}", s"bt_s$r")
-    }
-    StagedOp(
-      stages = Seq(prefCmpStage, s0Stage) ++ roundStages,
-      body = { _ =>
-        def ll(tbl: String) =
-          s"""SELECT CAST(SUM(y.w * (${qlog2("sa.s")} - ${qlog2("sa.s + sb.s")})) AS BIGINT) AS q
-             |  FROM (SELECT si AS a, sj AS b, w_i AS w FROM pref_cmp
-             |        UNION ALL
-             |        SELECT sj AS a, si AS b, n - w_i AS w FROM pref_cmp) y
-             |  JOIN $tbl sa ON sa.src = y.a
-             |  JOIN $tbl sb ON sb.src = y.b""".stripMargin
-        val fin = s"bt_s$BtRounds"
-        s"""WITH wl AS (
-           |  SELECT a AS src, CAST(SUM(w) AS BIGINT) AS wins, CAST(SUM(n) AS BIGINT) AS n_cmp
-           |  FROM (SELECT si AS a, n, w_i AS w FROM pref_cmp
-           |        UNION ALL
-           |        SELECT sj AS a, n, n - w_i AS w FROM pref_cmp)
-           |  GROUP BY a
-           |),
-           |l0 AS (${ll("bt_s0")}),
-           |l1 AS (${ll(fin)})
-           |SELECT f.src AS source,
-           |  ${r6("CAST(f.s AS DOUBLE) / 1.0e6")} AS strength,
-           |  ROW_NUMBER() OVER (ORDER BY f.s DESC, f.src) AS bt_rank,
-           |  wl.wins, wl.n_cmp,
-           |  ${r6("CAST(l0.q AS DOUBLE) / 1.0e6")} AS loglik_init_bits,
-           |  ${r6("CAST(l1.q AS DOUBLE) / 1.0e6")} AS loglik_final_bits,
-           |  l1.q >= l0.q AS mm_improves
-           |FROM $fin f
-           |JOIN wl ON wl.src = f.src
-           |CROSS JOIN l0 CROSS JOIN l1
-           |ORDER BY f.s DESC, f.src""".stripMargin
-      })
-  }
-
-  /** Calibration audit of a cheap quality signal against the
-    * expensive rule battery — Expected Calibration Error over 10
-    * confidence bins: does a one-scan length score (word count
-    * against the Gopher lower band — the kind of score a pipeline
-    * uses to SKIP full filtering) actually predict the Gopher
-    * verdict at its stated confidence? The score deliberately sees
-    * only length, so the rules it cannot see (the stop-word gate)
-    * surface as per-bin over-confidence — a non-trivial reliability
-    * curve, which is the point of the audit. Per-bin exact integer
-    * ratios (µ-quantized accuracy and mean confidence), ECE as the
-    * doc-weighted |gap| mean via a window — one corpus scan, one
-    * 10-row aggregate, no float sums. The readout a curation
-    * pipeline reads before trusting a cheap gate at 100 TB (where
-    * running the full battery everywhere is the cost). */
-  def filterCalibration(d: Dialect): String =
-    s"""WITH g AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
-       |m AS (
-       |  SELECT doc_id,
-       |    ${gopherCounts(d)}
-       |  FROM g
-       |),
-       |sc AS (
-       |  SELECT doc_id,
-       |    LEAST(${d.idiv("1000000 * n_words", "100")}, 1000000) AS conf,
-       |    CASE WHEN $GopherPass THEN 1 ELSE 0 END AS pass
-       |  FROM m
-       |),
-       |bins AS (
-       |  SELECT LEAST(${d.idiv("conf * 10", "1000001")}, 9) AS bin,
-       |    COUNT(*) AS n_docs,
-       |    CAST(SUM(pass) AS BIGINT) AS n_pass,
-       |    CAST(SUM(conf) AS BIGINT) AS sum_conf
-       |  FROM sc GROUP BY LEAST(${d.idiv("conf * 10", "1000001")}, 9)
-       |),
-       |w AS (
-       |  SELECT bin, n_docs,
-       |    ${d.idiv("1000000 * n_pass", "n_docs")} AS acc_mu,
-       |    ${d.idiv("sum_conf", "n_docs")} AS conf_mu
-       |  FROM bins
-       |)
-       |SELECT bin, n_docs,
-       |  ${r6("CAST(conf_mu AS DOUBLE) / 1.0e6")} AS mean_conf,
-       |  ${r6("CAST(acc_mu AS DOUBLE) / 1.0e6")} AS pass_rate,
-       |  ${r6("CAST(acc_mu - conf_mu AS DOUBLE) / 1.0e6")} AS gap,
-       |  ${r6(s"""CAST(${d.idiv("CAST(SUM(n_docs * ABS(acc_mu - conf_mu)) OVER () AS BIGINT)",
-                                 "CAST(SUM(n_docs) OVER () AS BIGINT)")} AS DOUBLE) / 1.0e6""")} AS ece
-       |FROM w
-       |ORDER BY bin""".stripMargin
-
-  /** Token-budget allocation across domains by WATER-FILLING: give
-    * every domain an equal share of the budget until its available
-    * mass caps it, then re-level the remainder over the uncapped rest
-    * — the max-min-fair allocation (equivalently: maximize Σ log t_d
-    * under Σ t_d = B, t_d ≤ cap_d), the standard way a mixture
-    * schedule spends a token budget without starving small domains.
-    * Closed form, no iteration: with caps sorted ascending, domain j
-    * is capped iff cap_j·(n−j+1) + prefix_{j−1} ≤ B (a prefix
-    * property — window-computable), the water level is the integer
-    * share of what capping leaves, and the sub-level remainder is
-    * distributed largest-remainder-style (the [[mixTemperature]]
-    * rule). Everything is ONE scan → ONE domain-cardinality aggregate
-    * → windows: exact int64 (envelope: cap·n ≤ 9e18 — petabyte token
-    * masses at thousands of domains), with the two invariants
-    * (budget exactly spent, no allocation above its cap) asserted as
-    * output columns. */
-  def mixWaterfill(d: Dialect): String =
-    s"""WITH sc AS (
-       |  -- domain = (source × language) cell: heavily skewed masses,
-       |  -- so both arms of the water-fill (capped small cells,
-       |  -- levelled large ones) are exercised on every corpus
-       |  SELECT concat(source, ':', lang) AS source, CAST(SUM(n_chars) AS BIGINT) AS cap
-       |  FROM documents GROUP BY concat(source, ':', lang)
-       |),
-       |t AS (
-       |  SELECT source, cap,
-       |    CAST(SUM(cap) OVER () AS BIGINT) AS total,
-       |    CAST(SUM(cap) OVER (ORDER BY cap, source
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pfx,
-       |    ROW_NUMBER() OVER (ORDER BY cap, source) AS j,
-       |    COUNT(*) OVER () AS n
-       |  FROM sc
-       |),
-       |b AS (
-       |  SELECT source, cap, total, pfx, j, n,
-       |    ${d.idiv("total * 3", "5")} AS budget,
-       |    CASE WHEN cap * (n - j + 1) + (pfx - cap) <= ${d.idiv("total * 3", "5")}
-       |         THEN 1 ELSE 0 END AS capped
-       |  FROM t
-       |),
-       |k AS (
-       |  SELECT source, cap, budget, n, capped,
-       |    CAST(SUM(capped) OVER () AS BIGINT) AS nk,
-       |    CAST(SUM(CASE WHEN capped = 1 THEN cap ELSE 0 END) OVER () AS BIGINT) AS cmass,
-       |    ROW_NUMBER() OVER (PARTITION BY capped ORDER BY source) AS urk
-       |  FROM b
-       |),
-       |a AS (
-       |  SELECT source, cap, budget, capped,
-       |    CASE WHEN capped = 1 THEN cap
-       |         ELSE ${d.idiv("budget - cmass", "GREATEST(n - nk, 1)")}
-       |              + CASE WHEN urk <= (budget - cmass) % GREATEST(n - nk, 1)
-       |                     THEN 1 ELSE 0 END
-       |    END AS alloc
-       |  FROM k
-       |)
-       |SELECT source AS domain, cap AS available, alloc AS allocated, budget,
-       |  capped = 1 AS is_capped,
-       |  CAST(SUM(alloc) OVER () AS BIGINT) = budget AS fully_allocated,
-       |  alloc <= cap AS within_cap
-       |FROM a ORDER BY domain""".stripMargin
-
-  /** THE one copy of the cheap conformal filter score (µ-scaled capped
-    * word count) — shared by the [[filterConformal]] calibration stage
-    * and the streaming gate's Spark-side scorer; a formula change must
-    * not be forkable between calibration and deployment. */
-  private def confScoreExpr(d: Dialect, nWords: String): String =
-    s"LEAST(${d.idiv(s"1000000 * ($nWords)", "100")}, 1000000)"
-
-  /** The calibrated conformal keep-cutoff τ over the staged `conf_sc`
-    * table — the ⌈npos/10⌉-th smallest calibration-positive score, so
-    * at most α = 10% of true-pass calibration docs fall below it.
-    * Single-sourced: [[filterConformal]]'s body nests it as its tau
-    * CTE, and [[graft.streaming.StreamingOps.conformalGate]]'s static
-    * side runs it verbatim over the same stage. */
-  def confTauSelect(d: Dialect): String =
-    s"""  SELECT conf AS tau FROM (
-       |    SELECT conf, ROW_NUMBER() OVER (ORDER BY conf, doc_id) AS rk,
-       |      COUNT(*) OVER () AS npos
-       |    FROM conf_sc WHERE is_cal = 1 AND pass = 1
-       |  ) WHERE rk = ${d.idiv("npos + 9", "10")}""".stripMargin
-
-  /** Spark-dialect conf score over a prepared `toks` array column —
-    * the streaming gate's scorer, same single-sourced formula as the
-    * calibration stage. The BIGINT cast matches the stage's n_words
-    * type: size() is INT and 1000000·INT ANSI-throws past 2147
-    * words, where the calibration side would have scored fine. */
-  def sparkConfExpr: String =
-    confScoreExpr(SparkDialect, s"CAST(${SparkDialect.size("toks")} AS BIGINT)")
-
-  /** Split-conformal threshold for a cheap filter score: calibrate the
-    * keep-cutoff τ on an md5-split calibration half so that at most
-    * α = 10% of the TRUE-pass calibration docs fall below it (a
-    * distribution-free false-negative guarantee — the modern way to
-    * run a cheap gate in front of an expensive filter with a bounded
-    * miss rate), then report the held-out test half's achieved FNR,
-    * keep rate and rejection precision. τ is an ordered statistic
-    * (one window over calibration positives), every rate is one
-    * exact integer ratio, and the α guarantee is re-proven in-query
-    * (`cal_within_alpha`: cal_fn·10 ≤ cal_pos — integer compare, no
-    * float). The score table is a STAGE: three consumers (the
-    * threshold, the calibration audit, the test metrics) would
-    * otherwise re-run the token-counting scan per reference. */
-  val filterConformal: StagedOp = StagedOp(
-    stages = Seq("conf_sc" -> { (d: Dialect) =>
-      s"""WITH g AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
-         |m AS (
-         |  SELECT doc_id, text,
-         |    ${gopherCounts(d)}
-         |  FROM g
-         |)
-         |SELECT doc_id,
-         |  ${confScoreExpr(d, "n_words")} AS conf,
-         |  CASE WHEN $GopherPass THEN 1 ELSE 0 END AS pass,
-         |  CASE WHEN ${md5Bucket("text")} < 128 THEN 1 ELSE 0 END AS is_cal
-         |FROM m""".stripMargin
-    }),
-    body = { d =>
-      s"""WITH tau AS (
-         |${confTauSelect(d)}
-         |),
-         |agg AS (
-         |  SELECT
-         |    -- loud guard: an empty calibration split empties the tau
-         |    -- CROSS JOIN and every aggregate here — both engines
-         |    -- throw on the string cast instead of reporting an
-         |    -- all-NULL "calibration" (the conformalGate blackhole)
-         |    CASE WHEN MAX(t.tau) IS NULL
-         |         THEN CAST('conformal: empty calibration split — no true-pass calibration docs' AS BIGINT)
-         |         ELSE CAST(MAX(t.tau) AS BIGINT) END AS tau,
-         |    CAST(SUM(CASE WHEN is_cal = 1 AND pass = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cal_pos,
-         |    CAST(SUM(CASE WHEN is_cal = 1 AND pass = 1 AND conf < t.tau THEN 1 ELSE 0 END) AS BIGINT) AS cal_fn,
-         |    CAST(SUM(CASE WHEN is_cal = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
-         |    CAST(SUM(CASE WHEN is_cal = 0 AND pass = 1 THEN 1 ELSE 0 END) AS BIGINT) AS test_pos,
-         |    CAST(SUM(CASE WHEN is_cal = 0 AND pass = 1 AND conf < t.tau THEN 1 ELSE 0 END) AS BIGINT) AS test_fn,
-         |    CAST(SUM(CASE WHEN is_cal = 0 AND conf >= t.tau THEN 1 ELSE 0 END) AS BIGINT) AS test_keep,
-         |    CAST(SUM(CASE WHEN is_cal = 0 AND conf < t.tau AND pass = 0 THEN 1 ELSE 0 END) AS BIGINT) AS test_tn
-         |  FROM conf_sc CROSS JOIN tau t
-         |)
-         |SELECT
-         |  ${r6("CAST(tau AS DOUBLE) / 1.0e6")} AS tau,
-         |  cal_pos,
-         |  ${r6("CAST(cal_fn AS DOUBLE) / cal_pos")} AS cal_fnr,
-         |  cal_fn * 10 <= cal_pos AS cal_within_alpha,
-         |  CASE WHEN test_pos = 0 THEN NULL
-         |       ELSE ${r6("CAST(test_fn AS DOUBLE) / test_pos")} END AS test_fnr,
-         |  ${r6("CAST(test_keep AS DOUBLE) / n_test")} AS test_keep_rate,
-         |  CASE WHEN n_test - test_keep = 0 THEN NULL
-         |       ELSE ${r6("CAST(test_tn AS DOUBLE) / (n_test - test_keep)")} END AS reject_precision
-         |FROM agg""".stripMargin
-    })
-
-  /** Group-relative reward normalization (the GRPO/RLOO advantage
-    * baseline): per group (source plays the prompt), each sample's
-    * advantage = (x − μ_group)/σ_group, computed EXACTLY as
-    * (n·x − Σx)/√(n·Σx² − (Σx)²) — integer window sums, one
-    * correctly-rounded division and sqrt, so the z-scores are
-    * bit-identical across engines with no float accumulation.
-    * Degenerate groups (n < 2 or zero variance) emit NULL rather than
-    * a fake 0 advantage. One scan, one window partition — the same
-    * shape at any group count. */
-  def rewardGroupNorm(d: Dialect): String =
-    s"""WITH t AS (
-       |  SELECT doc_id, source,
-       |    CAST(${d.size(toks(d))} AS BIGINT) AS reward
-       |  FROM documents
-       |),
-       |s AS (
-       |  SELECT doc_id, source, reward,
-       |    COUNT(*) OVER (PARTITION BY source) AS n,
-       |    CAST(SUM(reward) OVER (PARTITION BY source) AS BIGINT) AS sx,
-       |    CAST(SUM(reward * reward) OVER (PARTITION BY source) AS BIGINT) AS sxx
-       |  FROM t
-       |)
-       |SELECT doc_id, source, reward,
-       |  -- loud envelope guard (the ULM-vocab pattern): n·sxx and sx²
-       |  -- must stay inside int64 or Spark WRAPS silently where DuckDB
-       |  -- raises — a group that outgrows the moment envelope throws
-       |  -- identically in both engines instead of emitting a wrong
-       |  -- z-score (3037000499 = ⌊√(2⁶³−1)⌋)
-       |  CASE WHEN sx > 3037000499 OR sxx > ${d.idiv("4611686018427387903", "GREATEST(n, 1)")}
-       |       THEN CAST('reward-group-norm: group moment envelope exceeded — rescale rewards first' AS BIGINT)
-       |       WHEN n < 2 OR n * sxx - sx * sx <= 0 THEN NULL
-       |       ELSE ${r6("CAST(n * reward - sx AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))")}
-       |  END AS advantage
-       |FROM s ORDER BY doc_id""".stripMargin
-
-  /** DPO/best-of-n preference-pair construction: per prompt group
-    * (source × lang plays the prompt), CHOSEN = the top-reward sample
-    * and REJECTED = the bottom-reward sample (ties to the smaller
-    * doc_id — deterministic in both engines), kept only when the
-    * group has ≥ 4 candidates and the margin clears 10% of the chosen
-    * reward AND is strictly positive (an integer compare — weak pairs
-    * teach a DPO objective nothing and a zero margin is a coin flip;
-    * the explicit margin > 0 conjunct matters when chosen_reward = 0,
-    * where the 10% gate alone would pass an all-zero-reward group and
-    * emit a degenerate chosen_id == rejected_id pair — unreachable
-    * with the current ≥1 token-count reward, latent if the reward
-    * expression ever changes). ONE scan, ONE window
-    * partition (both rank directions share it), and the final rollup
-    * groups on the same key the window already partitioned by — no
-    * second shuffle. Scale shape: rows = group count, never corpus
-    * size. */
-  def prefDpoPairs(d: Dialect): String =
-    s"""WITH t AS (
-       |  SELECT doc_id, concat(source, ':', lang) AS grp,
-       |    CAST(${d.size(toks(d))} AS BIGINT) AS reward
-       |  FROM documents
-       |),
-       |w AS (
-       |  SELECT doc_id, grp, reward,
-       |    COUNT(*) OVER (PARTITION BY grp) AS n,
-       |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY reward DESC, doc_id) AS rk_top,
-       |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY reward ASC, doc_id) AS rk_bot
-       |  FROM t
-       |),
-       |g AS (
-       |  SELECT grp, MAX(n) AS n_candidates,
-       |    MAX(CASE WHEN rk_top = 1 THEN doc_id END) AS chosen_id,
-       |    MAX(CASE WHEN rk_top = 1 THEN reward END) AS chosen_reward,
-       |    MAX(CASE WHEN rk_bot = 1 THEN doc_id END) AS rejected_id,
-       |    MAX(CASE WHEN rk_bot = 1 THEN reward END) AS rejected_reward
-       |  FROM w GROUP BY grp
-       |)
-       |SELECT grp AS prompt_group, n_candidates,
-       |  chosen_id, chosen_reward, rejected_id, rejected_reward,
-       |  chosen_reward - rejected_reward AS margin
-       |FROM g
-       |WHERE n_candidates >= 4
-       |  AND (chosen_reward - rejected_reward) * 10 >= chosen_reward
-       |  AND chosen_reward - rejected_reward > 0
-       |ORDER BY prompt_group""".stripMargin
-
-  /** Multiplicative-weights staircase for [[mixDoremi]]: EXPQ(i) =
-    * round(exp(i/16)·10⁹) for i ∈ [−32, 32] — a 1/16-bit grid over the
-    * clamped ±2-bit excess range, host-exact via StrictMath (the
-    * transcendental-pinning rule: exp never crosses an engine
-    * boundary; quantization error ≤ e^(1/32)−1 ≈ 3.2% relative,
-    * documented and engine-identical). */
-  private val DoremiExpQ: Seq[Long] =
-    (-32 to 32).map(i => math.round(StrictMath.exp(i / 16.0) * 1e9))
-
-  /** DoReMi-style domain reweighting (Xie et al. 2023, arXiv:
-    * 2305.10429, data-side instantiation): one multiplicative-weights
-    * step that UPWEIGHTS domains with high excess loss. The loss proxy
-    * is the corpus unigram-LM surprisal (bits/token off the staged
-    * ulm_tf index — the same signal q_text_unigram_lm reads): a
-    * domain whose text the corpus LM finds surprising is exactly the
-    * under-represented kind DoReMi boosts. Per-domain excess =
-    * bits/token − corpus bits/token in exact µ-bits (µ-log2 int64
-    * sums), clamped to ±2 bits, stepped through the [[DoremiExpQ]]
-    * staircase (signed grid round via floorDiv — Spark DIV truncates
-    * toward zero where DuckDB floors), and normalized to ppm by
-    * largest remainder (the [[mixTemperature]] rule). Everything
-    * after the one ulm_tf scan is domain-cardinality; the
-    * normalization identity is asserted in-row. */
-  def mixDoremi(d: Dialect): String = {
-    // the ulmStair pattern: a CASE over the bounded grid index — both
-    // engines evaluate only int64 arithmetic plus this literal table
-    val expCase = "CASE " + DoremiExpQ.zipWithIndex.map { case (v, i) =>
-      s"WHEN gi = ${i - 32} THEN CAST($v AS BIGINT)"
-    }.mkString("\n      ") +
-      "\n      ELSE CAST('doremi stair: unreachable grid index' AS BIGINT) END"
-    s"""WITH c AS (SELECT doc_id, tf,
-       |    CAST(SUM(tf) OVER (PARTITION BY s) AS BIGINT) AS c FROM ulm_tf),
-       |n AS (SELECT CAST(SUM(tf) AS BIGINT) AS nn FROM ulm_tf),
-       |db AS (
-       |  SELECT doc_id,
-       |    CAST(SUM(tf) AS BIGINT) AS n_tokens,
-       |    CAST(SUM(tf * (${qlog2("nn")} - ${qlog2("c")})) AS BIGINT) AS bits_mu
-       |  FROM c CROSS JOIN n GROUP BY doc_id
-       |),
-       |dd AS (
-       |  -- domain = (source × lang) cell: minority-language cells are
-       |  -- genuinely surprising under the corpus-wide LM (their tokens
-       |  -- are globally rare), so the staircase's upweighting arms are
-       |  -- exercised on every corpus — source alone is statistically
-       |  -- uniform here and would quantize to an all-uniform readout
-       |  SELECT concat(doc.source, ':', doc.lang) AS source, COUNT(*) AS n_docs,
-       |    CAST(SUM(b.n_tokens) AS BIGINT) AS toks,
-       |    CAST(SUM(b.bits_mu) AS BIGINT) AS bits_mu
-       |  FROM db b JOIN documents doc ON b.doc_id = doc.doc_id
-       |  GROUP BY concat(doc.source, ':', doc.lang)
-       |),
-       |g AS (SELECT source, n_docs, toks, bits_mu,
-       |    CAST(SUM(toks) OVER () AS BIGINT) AS gtoks,
-       |    CAST(SUM(bits_mu) OVER () AS BIGINT) AS gbits,
-       |    COUNT(*) OVER () AS nd
-       |  FROM dd),
-       |x AS (
-       |  SELECT source, n_docs, toks, nd,
-       |    ${d.idiv("bits_mu", "toks")} AS bpt_mu,
-       |    ${d.idiv("gbits", "gtoks")} AS gbpt_mu
-       |  FROM g
-       |),
-       |e AS (
-       |  SELECT source, n_docs, toks, nd, bpt_mu, gbpt_mu,
-       |    LEAST(GREATEST(bpt_mu - gbpt_mu, -2000000), 2000000) AS exq
-       |  FROM x
-       |),
-       |gi AS (
-       |  SELECT source, n_docs, toks, nd, bpt_mu, gbpt_mu, exq,
-       |    ${floorDiv(d)("exq + 31250", "62500")} AS gi
-       |  FROM e
-       |),
-       |w AS (
-       |  SELECT source, n_docs, toks, nd, bpt_mu, gbpt_mu, exq,
-       |    $expCase AS wq
-       |  FROM gi
-       |),
-       |t AS (SELECT source, n_docs, toks, nd, bpt_mu, gbpt_mu, exq, wq,
-       |    CAST(SUM(wq) OVER () AS BIGINT) AS tw FROM w),
-       |alloc AS (
-       |  SELECT source, n_docs, toks, nd, bpt_mu, gbpt_mu, exq, wq,
-       |    ${d.idiv("1000000 * wq", "tw")} AS base,
-       |    (1000000 * wq) % tw AS rem
-       |  FROM t
-       |),
-       |ranked AS (
-       |  SELECT source, n_docs, toks, nd, bpt_mu, gbpt_mu, exq, base,
-       |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
-       |    CAST(1000000 - SUM(base) OVER () AS BIGINT) AS leftover
-       |  FROM alloc
-       |)
-       |SELECT source AS domain, n_docs, toks AS n_tokens,
-       |  ${r6("CAST(bpt_mu AS DOUBLE) / 1.0e6")} AS bits_per_token,
-       |  ${r6("CAST(bpt_mu - gbpt_mu AS DOUBLE) / 1.0e6")} AS excess_bits,
-       |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS weight_ppm,
-       |  (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) * nd > 1000000 AS upweighted,
-       |  CAST(SUM(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) OVER () AS BIGINT) = 1000000
-       |    AS fully_normalized
-       |FROM ranked ORDER BY domain""".stripMargin
-  }
-
-  /** Staged wrapper: [[mixDoremi]] reads the shared ulm_tf index. */
-  val mixDoremiOp: StagedOp = StagedOp(
-    stages = textUnigramLm.stages,
-    body = mixDoremi)
-
-  /** Resample count and weight cap for [[evalBootstrap]]. */
-  private val BootB = 64
-  private val BootWMax = 8
-
-  /** Cumulative Poisson(1) thresholds at 48-bit resolution —
-    * T_k = ⌊CDF(k−1)·2⁴⁸⌋, so a 48-bit uniform u draws weight
-    * w = |{k : u ≥ T_k}| ~ Poisson(1), truncated at [[BootWMax]]
-    * (P(w > 8) ≈ 1.1e−6 — a bounded, documented truncation both
-    * engines share). Host-exact at 60 digits (the transcendental-
-    * pinning rule: e⁻¹ never crosses an engine boundary, only these
-    * integer literals do). */
-  private val PoissonT: Seq[Long] = {
-    val mc = new java.math.MathContext(60)
-    val one = BigDecimal(1, mc)
-    // e^{-1} by the alternating factorial series, |error| < 1/51!
-    var term = one
-    var einv = one
-    for (j <- 1 to 50) { term = term / j; einv += (if (j % 2 == 1) -term else term) }
-    val pow48 = BigDecimal(1L << 48)
-    var invFact = one   // 1/j! running
-    var cum = BigDecimal(0, mc) // Σ_{j<k} 1/j!
-    (1 to BootWMax).map { k =>
-      cum += invFact    // now Σ_{j<=k-1} 1/j!
-      invFact = invFact / k
-      (einv * cum * pow48).setScale(0, BigDecimal.RoundingMode.FLOOR).toLongExact
-    }
-  }
-
-  /** Poisson bootstrap over the corpus pass-rate — THE distributed
-    * bootstrap (Chamandy et al. 2012): a true multinomial resample
-    * needs a global draw, but Poisson(1) per-doc weights are
-    * independent, so each of the [[BootB]] resamples is ONE narrow
-    * map-side expression and the whole CI costs docs×B tiny rows that
-    * collapse to B partial aggregates before any shuffle. Weights are
-    * deterministic and engine-portable: a 48-bit md5 uniform per
-    * (doc, replicate) stepped through the [[PoissonT]] integer
-    * staircase. Per-replicate rates are µ-quantized int64 (exact
-    * division — ranking and the ordered-statistic CI never compare
-    * doubles), the CI is the 2.5%/97.5% ordered ranks — BOTH derived
-    * from [[BootB]] (⌈0.025·B⌉ and B+1−⌈0.025·B⌉; a literal pair
-    * would silently desynchronize if B changes), and the bootstrap
-    * SE comes off exact integer moments. The empty-resample guard
-    * throws loudly in both engines rather than silently shifting
-    * ranks. */
-  def evalBootstrap(d: Dialect): String = {
-    // ceil(0.025·B) as exact integer arithmetic: (B + 39) / 40
-    val loRank = (BootB + 39) / 40
-    val hiRank = BootB + 1 - loRank
-    val wSum = PoissonT.map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
-      .mkString("(", "\n      + ", ")")
-    val rep =
-      s"""SELECT doc_id, pass, ${d.seqArray("1", BootB.toString)} AS bs
-         |  FROM p""".stripMargin
-    s"""WITH g AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
-       |m AS (
-       |  SELECT doc_id,
-       |    ${gopherCounts(d)}
-       |  FROM g
-       |),
-       |p AS (SELECT doc_id, CASE WHEN $GopherPass THEN 1 ELSE 0 END AS pass FROM m),
-       |pb AS (
-       |  ${d.explode(rep, "doc_id, pass", "bs", "b")}
-       |),
-       |hb AS (
-       |  SELECT b, pass,
-       |    md5(concat(CAST(doc_id AS STRING), '#', CAST(b AS STRING))) AS mh
-       |  FROM pb
-       |),
-       |uv AS (SELECT b, pass, ${md5U48("mh")} AS u FROM hb),
-       |wv AS (SELECT b, pass, $wSum AS w FROM uv),
-       |rb AS (
-       |  SELECT b,
-       |    CAST(SUM(w * pass) AS BIGINT) AS wpass,
-       |    CAST(SUM(w) AS BIGINT) AS wtot
-       |  FROM wv GROUP BY b
-       |),
-       |rq AS (
-       |  SELECT b,
-       |    CASE WHEN wtot = 0
-       |         THEN CAST('eval-bootstrap: empty Poisson resample — corpus too small' AS BIGINT)
-       |         ELSE ${d.idiv("wpass * 1000000", "wtot")} END AS rq
-       |  FROM rb
-       |),
-       |ord AS (SELECT b, rq, ROW_NUMBER() OVER (ORDER BY rq, b) AS rk FROM rq),
-       |st AS (
-       |  SELECT COUNT(*) AS nb,
-       |    CAST(SUM(rq) AS BIGINT) AS s1,
-       |    CAST(SUM(rq * rq) AS BIGINT) AS s2,
-       |    MAX(CASE WHEN rk = $loRank THEN rq END) AS lo,
-       |    MAX(CASE WHEN rk = $hiRank THEN rq END) AS hi
-       |  FROM ord
-       |),
-       |pt AS (SELECT COUNT(*) AS n_docs, CAST(SUM(pass) AS BIGINT) AS np FROM p)
-       |SELECT n_docs,
-       |  ${r6("CAST(np AS DOUBLE) / n_docs")} AS pass_rate,
-       |  ${r6("CAST(lo AS DOUBLE) / 1.0e6")} AS ci_lo,
-       |  ${r6("CAST(hi AS DOUBLE) / 1.0e6")} AS ci_hi,
-       |  ${r6("sqrt(CAST(nb * s2 - s1 * s1 AS DOUBLE) / (nb * (nb - 1))) / 1.0e6")} AS boot_se,
-       |  CAST($BootB AS BIGINT) AS n_resamples
-       |FROM st CROSS JOIN pt""".stripMargin
-  }
-
-  // ---- Johnson-Lindenstrauss random projection: dimensionality
-  // reduction for the embedding column with a distortion audit ----
-
-  /** JL projection dimensions. */
-  private val JlDims = 16
-
-  /** Deterministic ±1 projection matrix: sign(k, pos) from the first
-    * md5 hex digit of "k:pos" (< '8' → +1 — exactly half the digit
-    * space), so the matrix is RNG-free and identical in both engines
-    * at any dimensionality. */
-  private val jlSignStage: (String, Dialect => String) =
-    "jl_r" -> { (d: Dialect) =>
-      s"""WITH ks0 AS (SELECT 0 AS z, ${d.seqArray("0", (JlDims - 1).toString)} AS kk),
-         |ks AS (${d.explode("SELECT z, kk FROM ks0", "z", "kk", "k")}),
-         |ps AS (SELECT DISTINCT pos FROM pca_q)
-         |SELECT k, pos,
-         |  CASE WHEN substr(md5(concat(CAST(k AS STRING), ':',
-         |                              CAST(pos AS STRING))), 1, 1) < '8'
-         |       THEN 1 ELSE -1 END AS r
-         |FROM ks CROSS JOIN ps""".stripMargin
-    }
-
-  /** Projected vectors (vec_id, k, qp = Σ_pos r·qv in µ-units): one
-    * broadcast join of the µ-quantized matrix against the 16×64 sign
-    * table + a narrow aggregate — zero shuffles of the vectors beyond
-    * the projection's own groupBy, the shape that makes JL the cheap
-    * FIRST step before any ANN index at scale. */
-  private val jlProjStage: (String, Dialect => String) =
-    "jl_p" -> { (_: Dialect) =>
-      s"""SELECT q.vec_id, r.k, CAST(SUM(r.r * q.qv) AS BIGINT) AS qp
-         |FROM pca_q q JOIN jl_r r ON r.pos = q.pos
-         |GROUP BY q.vec_id, r.k""".stripMargin
-    }
-
-  /** The projection read-out: every vector's 16 JL coordinates
-    * (scaled by 1/√16 = exactly 1/4). */
-  lazy val embedJlProject: StagedOp = StagedOp(
-    stages = pcaMatrixStages.take(1) ++ Seq(jlSignStage, jlProjStage),
-    body = { _ =>
-      s"""SELECT vec_id, k, ${r6("CAST(qp AS DOUBLE) / 4.0e6")} AS proj
-         |FROM jl_p ORDER BY vec_id, k""".stripMargin
-    })
-
-  /** The JL distortion audit: deterministic pair sample (mod-ring
-    * partners, self-pair impossible), per-pair ratio of projected to
-    * original Euclidean distance — ‖Pa−Pb‖/√16 over ‖a−b‖ — plus the
-    * corpus-level mean distortion and the fraction inside a ±50%
-    * band, all from exact int64 sums (projection diffs floor-scaled
-    * to milli-units so their squares stay in range; the final
-    * sqrt/divisions are single correctly-rounded IEEE ops). The
-    * audit that licenses replacing 64-dim distances with 16-dim ones
-    * in a downstream dedup/ANN stage. */
-  lazy val embedJlDistortion: StagedOp = StagedOp(
-    stages = pcaMatrixStages.take(1) ++ Seq(jlSignStage, jlProjStage,
-      // the per-pair distortion table is MATERIALIZED (µ-quantized to
-      // int64 at the pair grain — the corpus-level mean must never SUM
-      // raw doubles, float accumulation is order-dependent across
-      // engines): the corpus scalars are then a shuffle-parallel
-      // aggregate over the artifact instead of an unpartitioned
-      // OVER () window funneling every pair through one partition.
-      // Single consumer -> not prewarmed; the build is this query's
-      // own computation
-      "jl_dd" -> { (d: Dialect) =>
-        s"""WITH v AS (SELECT DISTINCT vec_id FROM jl_p),
-           |b AS (SELECT vec_id, vec_id % 256 AS bkt FROM v),
-           |rep AS (SELECT bkt, MIN(vec_id) AS rep_id FROM b GROUP BY bkt),
-           |pr AS (
-           |  SELECT b.vec_id AS a_id, r.rep_id AS b_id
-           |  FROM b JOIN rep r ON (b.bkt + 128) % 256 = r.bkt
-           |  WHERE r.rep_id <> b.vec_id
-           |),
-           |so AS (
-           |  SELECT p.a_id, p.b_id,
-           |    CAST(SUM((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS BIGINT) AS so
-           |  FROM pr p
-           |  JOIN pca_q qa ON qa.vec_id = p.a_id
-           |  JOIN pca_q qb ON qb.vec_id = p.b_id AND qb.pos = qa.pos
-           |  GROUP BY p.a_id, p.b_id
-           |),
-           |sp AS (
-           |  SELECT p.a_id, p.b_id,
-           |    CAST(SUM(${floorDiv(d)("pa.qp - pb.qp", "1000")}
-           |             * ${floorDiv(d)("pa.qp - pb.qp", "1000")}) AS BIGINT) AS sp
-           |  FROM pr p
-           |  JOIN jl_p pa ON pa.vec_id = p.a_id
-           |  JOIN jl_p pb ON pb.vec_id = p.b_id AND pb.k = pa.k
-           |  GROUP BY p.a_id, p.b_id
-           |)
-           |SELECT so.a_id AS vec_a, so.b_id AS vec_b,
-           |  CASE WHEN so.so = 0 THEN NULL
-           |       ELSE CAST(FLOOR(sqrt(CAST(sp.sp AS DOUBLE) * 1.0e6 / 16.0
-           |                             / CAST(so.so AS DOUBLE)) * 1.0e6 + 5.0e-1) AS BIGINT)
-           |  END AS dmu
-           |FROM so JOIN sp ON sp.a_id = so.a_id AND sp.b_id = so.b_id""".stripMargin
-      }),
-    body = { _ =>
-      s"""WITH g AS (
-         |  SELECT CAST(SUM(dmu) AS BIGINT) AS sd,
-         |    CAST(SUM(CASE WHEN dmu IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,
-         |    CAST(SUM(CASE WHEN dmu BETWEEN 500000 AND 1500000 THEN 1 ELSE 0 END) AS BIGINT) AS nb
-         |  FROM jl_dd
-         |)
-         |SELECT vec_a, vec_b,
-         |  CAST(dmu AS DOUBLE) / 1.0e6 AS distortion,
-         |  ${r6("CAST(g.sd AS DOUBLE) / 1.0e6 / g.nn")} AS mean_distortion,
-         |  ${r6("CAST(g.nb AS DOUBLE) / g.nn")} AS frac_within_50pct
-         |FROM jl_dd CROSS JOIN g
-         |ORDER BY vec_a, vec_b""".stripMargin
-    })
-
-  val ulmDrift: StagedOp = StagedOp(
-    stages = ulmPrune64.stages :+ ulmPruneWinStage(ulmPruneFin, "ulm_segf"),
-    body = { _ =>
-      s"""WITH seg AS (
-         |  SELECT w, CAST(SUM(cnt) AS BIGINT) AS np,
-         |    MAX(CASE WHEN ln > 1 THEN 1 ELSE 0 END) AS has_multi
-         |  FROM ulm_segf GROUP BY w
-         |)
-         |SELECT d.source,
-         |  CAST(SUM(t.tf) AS BIGINT) AS n_words,
-         |  ${r6("CAST(SUM(t.tf * g.np) AS DOUBLE) / SUM(t.tf)")} AS fertility,
-         |  ${r6("CAST(SUM(t.tf * (1 - g.has_multi)) AS DOUBLE) / SUM(t.tf)")} AS allsingle_rate
-         |FROM ulm_tf t
-         |JOIN documents d ON d.doc_id = t.doc_id
-         |JOIN seg g ON g.w = t.s
-         |GROUP BY d.source
-         |ORDER BY d.source""".stripMargin
-    })
-
-
-  /** One BPE-training iteration: count adjacent character pairs
-    * weighted by word frequency and propose the top merge candidates
-    * — the tokenizer-fitting step of an LLM data pipeline, computed
-    * the way real BPE trainers do it at scale: the corpus collapses
-    * ONCE to the word-frequency table (the only corpus-sized shuffle,
-    * shared with the staged [[textUnigramLm]] index), and pair
-    * counting then runs over the VOCABULARY (unique words × word
-    * length — orders of magnitude smaller than the corpus), as a
-    * narrow position-explode + one tiny aggregate. Counts are exact
-    * integers; the top-20 is deterministically tie-broken by pair. */
-  val bpePairs: StagedOp = StagedOp(
-    stages = textUnigramLm.stages,
-    body = { d =>
-      s"""WITH vocab AS (
-         |  SELECT s AS w, CAST(SUM(tf) AS BIGINT) AS c FROM ulm_tf GROUP BY s
-         |),
-         |wi AS (SELECT w, c, ${d.seqArray("1", "length(w) - 1")} AS ii FROM vocab),
-         |pe AS (${d.explode("SELECT w, c, ii FROM wi", "w, c", "ii", "i")})
-         |SELECT substr(w, i, 2) AS pair, CAST(SUM(c) AS BIGINT) AS cnt
-         |FROM pe GROUP BY substr(w, i, 2)
-         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
-    })
-
-  /** BPE merge TRAINING loop — 3 rounds of the byte-pair-encoding
-    * update rule over the corpus vocabulary, the genuinely iterative
-    * tokenizer-training op (q_bpe_pairs only counts; this MERGES and
-    * re-counts):
-    *   round r: count adjacent symbol pairs weighted by word
-    *   frequency → pick the (count DESC, pair ASC) winner → rewrite
-    *   every word's symbol sequence with the pair fused.
-    * The fuse is RELATIONAL, not a string replace: a naive
-    * `replace(' a b ', ' ab ')` consumes the shared delimiter space
-    * and silently skips every second occurrence of a back-to-back
-    * pair (`b a n a n a` under merge (a,n) would lose the second
-    * `an`), so occurrences are marked per position, grouped into
-    * consecutive-match runs (gaps-and-islands), and merged at the
-    * EVEN offsets within each run — exactly greedy left-to-right
-    * non-overlapping BPE (`a a a` → `aa a`, `banana` → `b an an a`),
-    * asserted against a from-first-principles Scala trainer on
-    * corpora that include back-to-back pairs. Each round is a staged
-    * artifact (the recurrence reads its predecessor twice — the
-    * staged-rounds rule for recurrences, see k-core), and every
-    * per-round table is vocabulary-cardinality, never corpus-
-    * cardinality — at 100 TB the corpus is touched once (the ulm_tf
-    * stage); the loop runs on the tiny aggregated vocab, which is
-    * exactly how production BPE trainers are structured. The round
-    * stages are prewarmed in Bench: TWO consumers read them (the
-    * merge-list readout and [[bpeEncode]]), and the two-consumer rule
-    * overrides keep-it-timed — training cost is visible in the
-    * prewarm, and trainer correctness is carried by the oracle gate
-    * plus the independent-trainer spec, not by a bench number. */
-  val bpeMerges: StagedOp = {
-    val rounds = 3
-    def topStage(d: Dialect, prev: String): String =
-      s"""WITH va AS (
-         |  SELECT w, c, ${d.filter(d.split("sym", " "), "x -> x <> ''")} AS arr
-         |  FROM $prev
-         |),
-         |wi AS (SELECT w, c, arr, ${d.seqArray("1", s"${d.size("arr")} - 1")} AS ii FROM va),
-         |pe AS (${d.explode("SELECT w, c, arr, ii FROM wi", "w, c, arr", "ii", "i")}),
-         |pr AS (SELECT ${d.elem("arr", "i")} AS a, ${d.elem("arr", "i + 1")} AS b, c FROM pe),
-         |pc AS (SELECT a, b, CAST(SUM(c) AS BIGINT) AS cnt FROM pr GROUP BY a, b)
-         |SELECT a, b, cnt FROM pc ORDER BY cnt DESC, a, b LIMIT 1""".stripMargin
-    // greedy left-to-right non-overlapping fuse: mark matches, group
-    // consecutive matched positions into runs, merge at even offsets
-    // within each run, and drop the symbol AFTER each merge point
-    def mergeStage(d: Dialect, prev: String, top: String): String =
-      s"""WITH va AS (
-         |  SELECT w, c, ${d.filter(d.split("sym", " "), "x -> x <> ''")} AS arr
-         |  FROM $prev
-         |),
-         |px AS (SELECT w, c, arr, ${d.seqArray("1", d.size("arr"))} AS ii FROM va),
-         |pe AS (${d.explode("SELECT w, c, arr, ii FROM px", "w, c, arr", "ii", "i")}),
-         |mk AS (
-         |  SELECT p.w, p.c, p.arr, p.i,
-         |    CASE WHEN p.i < ${d.size("p.arr")}
-         |           AND ${d.elem("p.arr", "p.i")} = t.a
-         |           AND ${d.elem("p.arr", "p.i + 1")} = t.b THEN 1 ELSE 0 END AS m
-         |  FROM pe p CROSS JOIN $top t
-         |),
-         |run AS (
-         |  SELECT w, c, arr, i, m,
-         |    CASE WHEN m = 1 THEN i - ROW_NUMBER() OVER (
-         |      PARTITION BY w, m ORDER BY i) ELSE NULL END AS grp
-         |  FROM mk
-         |),
-         |fused AS (
-         |  SELECT w, c, arr, i,
-         |    CASE WHEN m = 1
-         |           AND (i - MIN(i) OVER (PARTITION BY w, grp)) % 2 = 0
-         |         THEN 1 ELSE 0 END AS do_merge
-         |  FROM run
-         |),
-         |emitd AS (
-         |  SELECT w, c, arr, i, do_merge,
-         |    COALESCE(LAG(do_merge) OVER (PARTITION BY w ORDER BY i), 0) AS prev_m
-         |  FROM fused
-         |)
-         |SELECT w, c,
-         |  ' ' || ${d.stringAggOrdered(
-                s"""CASE WHEN do_merge = 1
-                   |      THEN ${d.elem("arr", "i")} || ${d.elem("arr", "i + 1")}
-                   |      ELSE ${d.elem("arr", "i")} END""".stripMargin, "i", " ")} || ' ' AS sym
-         |FROM emitd WHERE prev_m = 0
-         |GROUP BY w, c""".stripMargin
-    val roundStages = (1 to rounds).flatMap { r =>
-      val prev = if (r == 1) "bpe_v0" else s"bpe_m${r - 1}"
-      Seq(
-        s"bpe_t$r" -> { (d: Dialect) => topStage(d, prev) },
-        s"bpe_m$r" -> { (d: Dialect) => mergeStage(d, prev, s"bpe_t$r") })
-    }
-    StagedOp(
-      stages = (textUnigramLm.stages :+
-        ("bpe_v0" -> { (d: Dialect) =>
-          s"""SELECT w, c,
-             |  concat(' ', ${d.reReplaceAll("w", "(.)", "$1 ")}) AS sym
-             |FROM (SELECT s AS w, CAST(SUM(tf) AS BIGINT) AS c FROM ulm_tf GROUP BY s)""".stripMargin
-        })) ++ roundStages,
-      body = { _ =>
-        (1 to rounds).map { r =>
-          s"SELECT $r AS round, a AS sym_a, b AS sym_b, cnt FROM bpe_t$r"
-        }.mkString("\nUNION ALL\n")
-      })
-  }
-
-  /** BPE ENCODE — the read path of [[bpeMerges]]: per-doc token vs
-    * subtoken counts under the trained merges (the compression number
-    * a packing/budget stage tracks per document). The final round's
-    * vocabulary table (bpe_m3) ALREADY holds every word's merged
-    * symbol sequence — training's own output is the encoder's lookup
-    * table, so encoding is one broadcast-sized join from the staged
-    * term-frequency index to per-word symbol counts: no re-derivation,
-    * no second copy of the merge semantics that could drift from the
-    * trainer, and each DISTINCT word is measured once regardless of
-    * corpus frequency. */
-  val bpeEncode: StagedOp = StagedOp(
-    stages = bpeMerges.stages,
-    body = { d =>
-      s"""WITH n AS (
-         |  SELECT w, ${d.size(d.filter(d.split("sym", " "), "x -> x <> ''"))} AS n_syms
-         |  FROM bpe_m3
-         |)
-         |SELECT t.doc_id,
-         |  CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
-         |  CAST(SUM(t.tf * n.n_syms) AS BIGINT) AS n_subtokens
-         |FROM ulm_tf t JOIN n ON t.s = n.w
-         |GROUP BY t.doc_id""".stripMargin
-    })
-
-  /** Tokenizer-selection A/B — BPE vs unigram-LM over the SAME corpus,
-    * the readout a pipeline makes before committing a tokenizer: both
-    * trained artifacts ([[bpeMerges]]' final vocabulary, [[ulmViterbi]]'s
-    * segmenter) are joined through the one collapsed tf index, so each
-    * DISTINCT word is measured once per tokenizer and the corpus is
-    * never re-scanned. Corpus-level tf-weighted fertility for each,
-    * plus per-doc winner counts (pure int64 comparisons — no float
-    * crosses an aggregate). Coverage is total by construction on both
-    * sides: bpe_v0 is built FROM ulm_tf's words and the ULM candidate
-    * vocabulary includes all single chars, so the inner joins drop
-    * nothing. Stage lists of the two families share the
-    * [[textUnigramLm]] prefix — dedup by name keeps the oracle's CTE
-    * rendering single-copy; on the Spark side the per-JVM stage memo
-    * makes the repeat registrations free. Named to sort AFTER
-    * q_ulm_viterbi so the timed ulm_seg build stays billed to its
-    * owning query (the bench first-consumer rule). */
-  val ulmVsBpe: StagedOp = StagedOp(
-    stages = (ulmViterbi.stages ++ bpeMerges.stages).distinctBy(_._1),
-    body = { d =>
-      s"""WITH useg AS (SELECT w, np FROM ulm_seg WHERE segid = 0),
-         |bseg AS (
-         |  SELECT w, ${d.size(d.filter(d.split("sym", " "), "x -> x <> ''"))} AS n_syms
-         |  FROM bpe_m3
-         |),
-         |per_doc AS (
-         |  SELECT t.doc_id,
-         |    CAST(SUM(t.tf) AS BIGINT) AS n_words,
-         |    CAST(SUM(t.tf * u.np) AS BIGINT) AS ulm_pieces,
-         |    CAST(SUM(t.tf * b.n_syms) AS BIGINT) AS bpe_pieces
-         |  FROM ulm_tf t
-         |  JOIN useg u ON u.w = t.s
-         |  JOIN bseg b ON b.w = t.s
-         |  GROUP BY t.doc_id
-         |),
-         |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS nt FROM ulm_tf)
-         |SELECT
-         |  COUNT(*) AS n_docs,
-         |  -- in-query proof of the total-coverage claim: a future
-         |  -- trainer change that drops a word from either vocabulary
-         |  -- would deflate the joined sum identically in both engines
-         |  -- (oracle-invisible) — this column turns it visible
-         |  CAST(SUM(n_words) AS BIGINT) = MAX(t.nt) AS coverage_ok,
-         |  CAST(SUM(n_words) AS BIGINT) AS n_words,
-         |  CAST(SUM(ulm_pieces) AS BIGINT) AS ulm_pieces,
-         |  CAST(SUM(bpe_pieces) AS BIGINT) AS bpe_pieces,
-         |  ${r6("CAST(SUM(ulm_pieces) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)")} AS ulm_fertility,
-         |  ${r6("CAST(SUM(bpe_pieces) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)")} AS bpe_fertility,
-         |  CAST(SUM(CASE WHEN ulm_pieces < bpe_pieces THEN 1 ELSE 0 END) AS BIGINT) AS ulm_wins,
-         |  CAST(SUM(CASE WHEN bpe_pieces < ulm_pieces THEN 1 ELSE 0 END) AS BIGINT) AS bpe_wins,
-         |  CAST(SUM(CASE WHEN ulm_pieces = bpe_pieces THEN 1 ELSE 0 END) AS BIGINT) AS ties
-         |FROM per_doc CROSS JOIN tot t""".stripMargin
-    })
-
-  /** Heavy-hitter bigrams via a Misra-Gries candidate gate: the
-    * frequent-n-gram profile (boilerplate phrases, template markers) a
-    * corpus pipeline tracks, computed at 100 TB shape — a mergeable
-    * k-slot sketch (graft.functions.MisraGriesAgg, O(k) memory
-    * regardless of key cardinality) proposes candidates, an exact
-    * count over the gated slice verifies, and the 0.1% threshold is
-    * integer-exact (cnt·1000 ≥ N). The MG guarantee (any key with
-    * share > 1/(k+1) survives the summary; k=1024 ≫ 1000) makes the
-    * gate result-invisible, which the oracle proves by running the
-    * ungated exact form — the bloom-decontamination pattern applied
-    * to frequency. On THIS corpus the bigram vocabulary is smaller
-    * than k, so eviction never fires in the query (the sketch
-    * degenerates to exact counting); the eviction and merge-reduction
-    * paths are exercised adversarially in ExpressionSpec instead —
-    * the gate earns its keep on unbounded key spaces (urls, ids,
-    * higher-order n-grams). */
-  val heavyHitters: StagedOp = StagedOp(
-    stages = Seq(
-      "hh_bg" -> { d =>
-        s"""WITH docs AS (SELECT doc_id, text FROM documents),
-           |${d.shingleRows("docs", 2)}
-           |SELECT ${d.shingleId("s")} AS sid, s FROM sh""".stripMargin
-      }),
-    body = { d =>
-      s"""WITH ${d.heavyHitterGate("hh_gated", "hh_bg", "sid", 1024)},
-         |ex AS (SELECT s AS ngram, COUNT(*) AS cnt FROM hh_gated GROUP BY s),
-         |n AS (SELECT COUNT(*) AS nn FROM hh_bg)
-         |SELECT ngram, cnt FROM ex CROSS JOIN n WHERE cnt * 1000 >= nn""".stripMargin
-    })
-
-  /** RFM (recency / frequency / monetary) customer segmentation — the
-    * classic mart rollup, shaped for scale: per-customer metrics are
-    * one map-side-combinable aggregate; the quintile boundaries are 12
-    * SCALARS (exact interpolated percentiles) that ride a broadcast
-    * cross join; scoring is a narrow CASE projection. The naive
-    * ntile-over-all-customers form would single-partition the whole
-    * customer set — boundaries-then-bucket is the same segmentation
-    * without the global sort. Integer-exact: recency in whole days
-    * (order dates are midnight UTC, so the /86400 quotient is an
-    * integer and one IEEE division is exact), monetary in cents. */
-  val ordersRfm: StagedOp = StagedOp(
-    stages = Seq(
-      // the per-customer metric table is read twice (boundary scalars +
-      // scoring) — staged so the orders aggregate runs once, not per
-      // CTE reference
-      "rfm_per" -> { d =>
-        val es = (x: String) => d.epochSeconds(s"CAST($x AS TIMESTAMP)")
-        s"""WITH mx AS (SELECT ${es("MAX(o_orderdate)")} AS gmx FROM orders)
-           |SELECT o_custkey AS custkey,
-           |  CAST((mx.gmx - ${es("MAX(o_orderdate)")}) / 86400 AS BIGINT) AS recency_days,
-           |  COUNT(*) AS frequency,
-           |  CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT) AS monetary_cents
-           |FROM orders CROSS JOIN mx
-           |GROUP BY o_custkey, mx.gmx""".stripMargin
-      }),
-    body = { d => s"""WITH per AS (SELECT * FROM rfm_per),
-       |b AS (
-       |  SELECT
-       |    ${d.percentileCont("recency_days", "0.2")} AS r20, ${d.percentileCont("recency_days", "0.4")} AS r40,
-       |    ${d.percentileCont("recency_days", "0.6")} AS r60, ${d.percentileCont("recency_days", "0.8")} AS r80,
-       |    ${d.percentileCont("frequency", "0.2")} AS f20, ${d.percentileCont("frequency", "0.4")} AS f40,
-       |    ${d.percentileCont("frequency", "0.6")} AS f60, ${d.percentileCont("frequency", "0.8")} AS f80,
-       |    ${d.percentileCont("monetary_cents", "0.2")} AS m20, ${d.percentileCont("monetary_cents", "0.4")} AS m40,
-       |    ${d.percentileCont("monetary_cents", "0.6")} AS m60, ${d.percentileCont("monetary_cents", "0.8")} AS m80
-       |  FROM per
-       |)
-       |SELECT custkey, recency_days, frequency, monetary_cents,
-       |  CASE WHEN recency_days <= r20 THEN 5 WHEN recency_days <= r40 THEN 4
-       |       WHEN recency_days <= r60 THEN 3 WHEN recency_days <= r80 THEN 2 ELSE 1 END AS r_score,
-       |  CASE WHEN frequency >= f80 THEN 5 WHEN frequency >= f60 THEN 4
-       |       WHEN frequency >= f40 THEN 3 WHEN frequency >= f20 THEN 2 ELSE 1 END AS f_score,
-       |  CASE WHEN monetary_cents >= m80 THEN 5 WHEN monetary_cents >= m60 THEN 4
-       |       WHEN monetary_cents >= m40 THEN 3 WHEN monetary_cents >= m20 THEN 2 ELSE 1 END AS m_score
-       |FROM per CROSS JOIN b""".stripMargin
-    })
-
-  /** Temperature-weighted source-mixture allocation (the data-mixing
-    * step of multi-source training pipelines): each source's sampling
-    * mass is its char volume tempered by τ=0.5 (√mass — flattens the
-    * head like the multilingual-sampling exponent), and a budget of
-    * 1000 samples is split by the largest-remainder method so the
-    * allocation is integer-exact and sums to the budget exactly.
-    * ⌊√mass⌋ is safe cross-engine (IEEE sqrt is correctly rounded;
-    * exact squares stay exact); ⌊1000·wt/tw⌋ is the documented
-    * FLOOR-on-division case (quotient gaps ≥ 1/tw dwarf one ulp).
-    * Everything after the one map-side-combinable groupBy is
-    * source-cardinality — the unpartitioned windows are bounded by the
-    * source count at any corpus size. */
-  def mixTemperature(d: Dialect): String =
-    s"""WITH sc AS (SELECT source, COUNT(*) AS cnt,
-       |    CAST(SUM(n_chars) AS BIGINT) AS mass
-       |  FROM documents GROUP BY source),
-       |w AS (SELECT source, cnt, mass,
-       |    CAST(FLOOR(SQRT(CAST(mass AS DOUBLE))) AS BIGINT) AS wt FROM sc),
-       |t AS (SELECT source, cnt, mass, wt,
-       |    CAST(SUM(wt) OVER () AS BIGINT) AS tw FROM w),
-       |alloc AS (SELECT source, cnt, mass, wt,
-       |    CAST(FLOOR((1000.0 * wt) / tw) AS BIGINT) AS base,
-       |    (1000 * wt) % tw AS rem
-       |  FROM t),
-       |ranked AS (SELECT source, cnt, mass, wt, base,
-       |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
-       |    CAST(1000 - SUM(base) OVER () AS BIGINT) AS leftover
-       |  FROM alloc)
-       |SELECT source, cnt, mass, wt,
-       |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
-       |FROM ranked""".stripMargin
-
-  /** Neyman allocation for stratified sampling — the optimal-variance
-    * split of a fixed sample budget: stratum h gets n_h ∝ N_h·σ_h
-    * (big AND internally-varied strata deserve more samples than big
-    * uniform ones — the advance over proportional allocation), here
-    * over language strata with doc length as the survey variable,
-    * CAPPED at the stratum population (a without-replacement sampler
-    * cannot draw 83 docs from an 8-row stratum; capped budget
-    * redistributes to the uncapped strata — the [[mixWaterfill]]
-    * rule with caps = N_h: sorted by N_h/w_h the capped set is a
-    * prefix, tested per row by cross-multiplication). σ_h comes off
-    * exact integer moments inside a LOUD envelope guard — n·Σx² and
-    * (Σx)² must fit int64, and past the envelope BOTH engines throw
-    * the string-cast error instead of Spark ANSI-failing while
-    * DuckDB's hugeint silently sails on (the documented-envelope
-    * rule; switch to centered or decimal moments past ~3e9 total
-    * chars per stratum). The weight ⌊N_h·√(num/den)⌋ is two
-    * correctly-rounded IEEE ops on exact operands, so the FLOOR
-    * lands identically in both engines; the uncapped remainder is
-    * integerized by largest remainder (exact integer remainders,
-    * stratum name as the total tie-break). Zero-variance or
-    * singleton strata get weight 0 (Neyman's own verdict); a fully
-    * degenerate corpus (all weights 0) emits NULL allocations; a
-    * budget exceeding the sampleable mass leaves every stratum
-    * capped and flags `budget_unfilled` instead of inventing rows.
-    * One scan, one stratum groupBy; everything after is
-    * strata-cardinality. */
-  def sampleNeyman(d: Dialect): String =
-    s"""WITH sc0 AS (
-       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
-       |    CAST(SUM(n_chars) AS BIGINT) AS s1,
-       |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
-       |  FROM documents GROUP BY lang
-       |),
-       |sc AS (
-       |  SELECT lang, n,
-       |    CASE WHEN s1 > 3037000499 THEN
-       |      CAST('neyman: (sum x)^2 exceeds the int64 moment envelope — use centered/decimal moments' AS BIGINT)
-       |    ELSE s1 END AS s1,
-       |    CASE WHEN n > 0 AND s2 > ${d.idiv("9223372036854775807", "GREATEST(n, 1)")} THEN
-       |      CAST('neyman: n*sum(x^2) exceeds the int64 moment envelope — use centered/decimal moments' AS BIGINT)
-       |    ELSE s2 END AS s2
-       |  FROM sc0
-       |),
-       |w AS (
-       |  SELECT lang, n,
-       |    CASE WHEN n < 2 OR n * s2 - s1 * s1 <= 0 THEN CAST(0 AS BIGINT)
-       |         ELSE CAST(FLOOR(CAST(n AS DOUBLE) *
-       |                sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1))))
-       |              AS BIGINT) END AS wt,
-       |    CASE WHEN n < 2 OR n * s2 - s1 * s1 <= 0 THEN 0.0e0
-       |         ELSE ${r6("sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1)))")}
-       |    END AS sigma
-       |  FROM sc
-       |),
-       |-- capped-prefix test over the positive-weight strata, sorted by
-       |-- N/w ascending: stratum j is capped iff its proportional share
-       |-- of the budget REMAINING after the (smaller-ratio) prefix is
-       |-- capped meets its population: n_j·W_suffix ≥/≤ cross-multiplied
-       |-- in DOUBLE (correctly-rounded products — both engines land the
-       |-- same side; the decision is a design choice, not a comparator)
-       |t AS (
-       |  SELECT lang, n, wt, sigma,
-       |    CAST(SUM(wt) OVER () AS BIGINT) AS tw,
-       |    CAST(SUM(wt) OVER (ORDER BY ${d.idiv("1000000 * n", "GREATEST(wt, 1)")}, lang
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pfxw,
-       |    CAST(SUM(n) OVER (ORDER BY ${d.idiv("1000000 * n", "GREATEST(wt, 1)")}, lang
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pfxn
-       |  FROM w WHERE wt > 0
-       |),
-       |b AS (
-       |  SELECT lang, n, wt, sigma, tw,
-       |    CASE WHEN CAST(n AS DOUBLE) * (tw - (pfxw - wt))
-       |              <= CAST(200 - (pfxn - n) AS DOUBLE) * wt
-       |         THEN 1 ELSE 0 END AS capped
-       |  FROM t
-       |),
-       |k AS (
-       |  SELECT lang, n, wt, sigma, tw, capped,
-       |    CAST(SUM(CASE WHEN capped = 1 THEN n ELSE 0 END) OVER () AS BIGINT) AS cn,
-       |    CAST(SUM(CASE WHEN capped = 0 THEN wt ELSE 0 END) OVER () AS BIGINT) AS wu
-       |  FROM b
-       |),
-       |alloc AS (
-       |  SELECT lang, n, wt, sigma, tw, capped, cn, wu,
-       |    CASE WHEN capped = 1 THEN n
-       |         ELSE CAST(${d.idiv("(200 - cn) * wt", "GREATEST(wu, 1)")} AS BIGINT)
-       |    END AS base,
-       |    CASE WHEN capped = 1 THEN CAST(-1 AS BIGINT)
-       |         ELSE ((200 - cn) * wt) % GREATEST(wu, 1) END AS rem
-       |  FROM k
-       |),
-       |ranked AS (
-       |  SELECT lang, n, wt, sigma, capped, cn, base,
-       |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk,
-       |    CAST(200 - SUM(base) OVER () AS BIGINT) AS leftover
-       |  FROM alloc
-       |)
-       |SELECT w.lang, w.n, w.sigma, w.wt,
-       |  CASE WHEN (SELECT MAX(tw) FROM t) IS NULL THEN NULL
-       |       ELSE CAST(COALESCE(
-       |         r.base + CASE WHEN r.capped = 0 AND r.rk <= r.leftover
-       |                       THEN 1 ELSE 0 END, 0) AS BIGINT)
-       |  END AS n_alloc,
-       |  COALESCE(r.capped = 1, FALSE) AS is_capped,
-       |  -- unfilled ⟺ every stratum is capped and the caps fall short: with
-       |  -- any uncapped stratum the largest-remainder pass spends the
-       |  -- budget exactly (Σ floor-bases + leftover, leftover < #uncapped)
-       |  COALESCE((SELECT MAX(wu) FROM k) = 0
-       |           AND (SELECT MAX(cn) FROM k) < 200, TRUE) AS budget_unfilled
-       |FROM w LEFT JOIN ranked r ON r.lang = w.lang
-       |ORDER BY w.lang""".stripMargin
-
-  /** 32-bit SimHash CTEs over the corpus: md5-derived per-token 32-bit
-    * values, per-bit signed majority, reassembled digest. 32 bits keeps
-    * the random-collision rate of the band join negligible (16 bits
-    * produced tens of thousands of false candidates on random text). */
-  private def simhashCtes(d: Dialect): String =
-    s"""${corpusCte(d)},
-       |ctoks AS (SELECT doc_id, ${toks(d)} AS toks FROM corpus),
-       |tok AS (${d.explode("SELECT doc_id, toks FROM ctoks", "doc_id", "toks", "t")}),
-       |${d.simhashDigestCtes}""".stripMargin
-
-
-  /** SimHash digests per doc. */
-  def dedupSimhash(d: Dialect): String =
-    s"WITH ${simhashCtes(d)} SELECT doc_id, simhash FROM sim"
-
-  /** SimHash near-dup pairs: byte-band candidates, hamming ≤ 3. The
-    * digest table (1 row/doc) is staged; only the band join re-reads it. */
-  val dedupSimhashPairs: StagedOp = {
-    val bands = (0 until 4).map { b =>
-      s"SELECT doc_id, simhash, $b AS band, CAST(FLOOR(simhash / ${1L << (8 * b)}) AS BIGINT) % 256 AS bkey FROM sh_sim"
-    }.mkString("\n  UNION ALL\n  ")
-    StagedOp(
-      stages = Seq("sh_sim" -> { d =>
-        s"WITH ${simhashCtes(d)} SELECT doc_id, simhash FROM sim"
-      }),
-      body = { d =>
-        s"""WITH sbands AS (
-           |  $bands
-           |)
-           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |  bit_count(${d.bitXor("a.simhash", "b.simhash")}) AS hamming
-           |FROM sbands a JOIN sbands b
-           |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-           |WHERE bit_count(${d.bitXor("a.simhash", "b.simhash")}) <= 3""".stripMargin
-      })
-  }
-
-  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo's
-    * record-linkage method): sort by the simhash digest and compare
-    * each doc only to its 3 predecessors in sort order — the
-    * complementary blocking strategy to band EQUALITY (bands catch
-    * equal-key collisions; sort adjacency catches near keys that
-    * straddle a band boundary). Sharded the way the method actually
-    * scales: the sort runs WITHIN 256 top-byte blocks (at 100 TB:
-    * repartitionByRange on the digest + sortWithinPartitions — the
-    * window never spans executors; cross-block misses at the 255
-    * boundaries are the method's documented recall trade-off). The
-    * lag table is a STAGE so the three per-offset projections read
-    * the materialized artifact instead of re-running the window (CTE
-    * inlining), and the six LAG calls share one window spec → one
-    * Window node. Pairs are LEAST/GREATEST-normalized, hamming ≤ 3
-    * like the band verify. */
-  val dedupSortedNeighborhood: StagedOp = {
-    val w = "(PARTITION BY blk ORDER BY simhash, doc_id)"
-    val lags = (1 to 3).flatMap { k =>
-      Seq(s"LAG(doc_id, $k) OVER $w AS p$k", s"LAG(simhash, $k) OVER $w AS s$k")
-    }.mkString(",\n    ")
-    StagedOp(
-      stages = dedupSimhashPairs.stages ++ Seq(
-        "sn_lag" -> { d =>
-          s"""WITH b AS (
-             |  SELECT doc_id, simhash, ${d.idiv("simhash", "16777216")} AS blk
-             |  FROM sh_sim
-             |)
-             |SELECT doc_id, simhash,
-             |    $lags
-             |FROM b""".stripMargin
-        }),
-      body = { d =>
-        val arms = (1 to 3).map { k =>
-          s"""SELECT doc_a, doc_b, hamming FROM (
-             |  SELECT LEAST(p$k, doc_id) AS doc_a, GREATEST(p$k, doc_id) AS doc_b,
-             |    bit_count(${d.bitXor(s"s$k", "simhash")}) AS hamming
-             |  FROM sn_lag WHERE p$k IS NOT NULL
-             |) t$k WHERE hamming <= 3""".stripMargin
-        }.mkString("\nUNION ALL\n")
-        s"""SELECT DISTINCT doc_a, doc_b, hamming FROM (
-           |$arms
-           |) u""".stripMargin
-      })
-  }
-
-  /** Incremental-ingest dedup: content-addressed anti-join of an
-    * incoming crawl snapshot against the already-ingested corpus — the
-    * daily-ingestion shape (the reference's cross-run ON CONFLICT
-    * merge, generalized from key identity to content identity). Base
-    * corpus = the even-id half of the table (yesterday's ingest);
-    * incoming = the full fresh snapshot; survivors = incoming docs
-    * whose content hash is unseen. NOT EXISTS plans as a hash
-    * anti-join: one shuffle on the 128-bit digest (or a broadcast when
-    * the base's hash set fits), never a scan-per-row — at 100 TB the
-    * base side is the full historical corpus and the digest anti-join
-    * is the standard content-addressed ingest gate. */
-  def dedupIncremental(d: Dialect): String =
-    s"""WITH base AS (
-       |  SELECT md5(text) AS ch FROM documents WHERE doc_id % 2 = 0
-       |),
-       |incoming AS (SELECT doc_id, lang, md5(text) AS ch FROM documents)
-       |SELECT i.doc_id, i.lang FROM incoming i
-       |WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.ch = i.ch)""".stripMargin
-
-  /** dense_rank + cume_dist per customer over order value — the two
-    * rank functions the window family didn't cover yet. Both are pure
-    * functions of the (key, value) multiset (ties collapse in
-    * dense_rank and share one cume_dist), so output is deterministic
-    * without a tiebreaker; the single shuffle is on o_custkey. */
-  def windowDenseCume(d: Dialect): String =
-    s"""SELECT o_orderkey, o_custkey, o_totalprice,
-       |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS dr,
-       |  cume_dist()  OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS cd
-       |FROM orders""".stripMargin
-
-  /** Adaptive quality filter: keep documents at or above their
-    * DECLARED language's median quality — the per-slice threshold form
-    * every mixed-language corpus needs (a single global cutoff
-    * over-prunes low-resource languages). Quality is micro-quantized
-    * before the percentile so the interpolated median is arithmetic on
-    * exact integers (halves at worst) — engine-identical; the
-    * comparison runs on the quantized values too. The median table is
-    * language-cardinality (broadcast join); one narrow scoring pass +
-    * one lang-keyed aggregate. */
-  val qualityAdaptiveFilter: StagedOp = StagedOp(
-    stages = Seq(
-      // the per-doc metrics table is read TWICE (median aggregate +
-      // join-back filter); Spark inlines CTEs, so the un-staged form
-      // ran the tokenize + score pipeline twice per query (round-4
-      // bench: 6.65 s). Staged it is one tokenization pass, and the
-      // narrow (doc_id, lang, qmicro) table serves both consumers.
-      "qa_m" -> { d =>
-        s"""WITH qtoks AS (SELECT doc_id, lang, text, ${toks(d)} AS toks FROM documents)
-           |SELECT doc_id, lang,
-           |  CAST(FLOOR((${qualityFormula(
-                  d.size("toks"),
-                  s"CAST(${stopHitsExpr(d)} AS DOUBLE) / ${d.size("toks")}",
-                  s"CAST(length(replace(text, ' ', '')) AS DOUBLE) / ${d.size("toks")}")}
-           |  ) * 1.0e6 + 5.0e-1) AS BIGINT) AS qmicro
-           |FROM qtoks""".stripMargin
-      }),
-    body = { d =>
-      s"""WITH med AS (
-         |  SELECT lang, ${d.percentileCont("qmicro", "0.5")} AS med_micro
-         |  FROM qa_m GROUP BY lang
-         |)
-         |SELECT m.doc_id, m.lang, m.qmicro / 1.0e6 AS quality,
-         |  med.med_micro / 1.0e6 AS lang_median
-         |FROM qa_m m JOIN med ON m.lang = med.lang
-         |WHERE CAST(m.qmicro AS DOUBLE) >= med.med_micro""".stripMargin
-    })
-
-  /** Per-dimension embedding statistics (the normalization table a
-    * whitening / feature-scaling stage consumes): n, mean, variance,
-    * min, max per position. Components are micro-quantized to int64 —
-    * sums and sums of squares are exact integers (|q| ≤ ~1.6e6 →
-    * Σq² ≤ ~2.6e12·n, within int64 up to ~3.5e6 vectors per partial;
-    * production re-blocks the sum tree before that), and every
-    * double op after the casts is the same expression in both
-    * engines. One explode + one 64-group aggregate — map-side
-    * combinable, no joins. */
-  def embeddingDimStats(d: Dialect): String = {
-    val qv = qvExpr("v")
-    val expV = d.explodeWithPos(
-      "SELECT vec_id, embedding FROM embeddings", "vec_id", "embedding", "pos", "v")
-    s"""WITH ev AS ($expV),
-       |q AS (SELECT vec_id, pos, $qv AS qv FROM ev)
-       |SELECT pos, COUNT(*) AS n,
-       |  CAST(SUM(qv) AS DOUBLE) / COUNT(*) AS mean_micro,
-       |  (CAST(SUM(qv * qv) AS DOUBLE)
-       |     - CAST(SUM(qv) AS DOUBLE) * CAST(SUM(qv) AS DOUBLE) / COUNT(*)
-       |  ) / COUNT(*) AS var_micro,
-       |  MIN(qv) AS min_micro, MAX(qv) AS max_micro
-       |FROM q GROUP BY pos""".stripMargin
-  }
-
-  /** Whitened (per-dimension standardized) embeddings: z = (v − µ)/σ
-    * per position — [[embeddingDimStats]] applied back to the vectors,
-    * the feature-scaling step in front of distance-based ops. The
-    * stats side is a 64-row aggregate (broadcast join back); the
-    * z computation is the same expression tree in both engines over
-    * micro-quantized exact integers, so the 1e-6-quantized z codes are
-    * bit-identical. Output is one row per vector with the codes as a
-    * position-tagged sorted string (scalar, hash-comparable; lpad
-    * makes lexicographic order = position order). Constant dimensions
-    * (σ = 0) are excluded — z is undefined there. */
-  def embeddingWhiten(d: Dialect): String = {
-    val qv = qvExpr("v")
-    val expV = d.explodeWithPos(
-      "SELECT vec_id, embedding FROM embeddings", "vec_id", "embedding", "pos", "v")
-    s"""WITH ev AS ($expV),
-       |q AS (SELECT vec_id, pos, $qv AS qv FROM ev),
-       |st AS (
-       |  SELECT pos,
-       |    CAST(SUM(qv) AS DOUBLE) / COUNT(*) AS mean_m,
-       |    (CAST(SUM(qv * qv) AS DOUBLE)
-       |       - CAST(SUM(qv) AS DOUBLE) * CAST(SUM(qv) AS DOUBLE) / COUNT(*)
-       |    ) / COUNT(*) AS var_m
-       |  FROM q GROUP BY pos
-       |),
-       |z AS (
-       |  SELECT q.vec_id, q.pos,
-       |    CAST(FLOOR((CAST(q.qv AS DOUBLE) - s.mean_m) / sqrt(s.var_m) * 1.0e6 + 5.0e-1) AS BIGINT) AS zq
-       |  FROM q JOIN st s ON q.pos = s.pos
-       |  WHERE s.var_m > 0
-       |)
-       |SELECT vec_id, COUNT(*) AS n_dims,
-       |  ${d.arrayAggSortedStr(
-              "concat(lpad(CAST(pos AS STRING), 2, '0'), ':', CAST(zq AS STRING))")} AS whitened
-       |FROM z GROUP BY vec_id""".stripMargin
-  }
-
-  /** Document-length histogram in log2 buckets (bucket k = lengths in
-    * [2^k, 2^(k+1))) — the corpus length profile read before choosing
-    * chunk/pack sizes. The bucket index is ⌊log2 n⌋ computed EXACTLY as
-    * string-length-of-binary (both engines render n in base 2 without
-    * leading zeros) — no floating log to disagree at powers of two.
-    * One narrow scan + a bucket-cardinality groupBy (≤ 64 groups at
-    * any corpus size); the fraction is one exact int division. */
-  def lengthHistogram(d: Dialect): String =
-    s"""WITH lt AS (SELECT doc_id, ${d.size(toks(d))} AS n FROM documents),
-       |b AS (
-       |  SELECT doc_id, n, CAST(length(bin(n)) - 1 AS INT) AS bucket
-       |  FROM lt WHERE n > 0
-       |)
-       |SELECT bucket, COUNT(*) AS n_docs,
-       |  MIN(n) AS min_tokens, MAX(n) AS max_tokens,
-       |  CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM b) AS frac_docs
-       |FROM b GROUP BY bucket""".stripMargin
-
-  /** Key-skew profile of orders per customer: how many keys carry how
-    * many rows — the diagnostic that decides whether a join/agg needs
-    * salting ([[graft.ops.Relational.saltedJoinRevenue]]) or AQE skew
-    * splitting. Two groupBys, both map-side combinable; the second's
-    * cardinality is the distinct-count-per-key range (tiny). The
-    * row-fraction per bucket is n_orders·n_customers / total — exact
-    * int64 products ≪ 2^53, one exact division. */
-  def skewProfile(d: Dialect): String =
-    s"""WITH pc AS (
-       |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
-       |)
-       |SELECT n_orders, COUNT(*) AS n_customers,
-       |  CAST(n_orders * COUNT(*) AS BIGINT) AS n_rows,
-       |  CAST(n_orders * COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM orders) AS frac_rows
-       |FROM pc GROUP BY n_orders""".stripMargin
-
-  /** Type-token ratio (lexical diversity): distinct tokens over total
-    * tokens per document — the complement of [[textRepetition]]'s
-    * top-token share in a quality-filter stack. The ratio is one exact
-    * IEEE division of two ints, bit-identical across engines. */
-  def textTtr(d: Dialect): String =
-    s"""WITH dtoks AS (SELECT doc_id, ${toks(d)} AS toks FROM documents),
-       |tok AS (${d.explode("SELECT doc_id, toks FROM dtoks", "doc_id", "toks", "t")})
-       |SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT t) AS n_types,
-       |  CAST(COUNT(DISTINCT t) AS DOUBLE) / COUNT(*) AS ttr
-       |FROM tok GROUP BY doc_id""".stripMargin
-
-  /** Duplicate 3-gram fraction (Gopher's n-gram repetition filter,
-    * complementing [[textRepetition]]'s top-token share and
-    * [[textTtr]]'s type-token ratio): the fraction of a document's
-    * 3-gram occurrences that are repeats of an earlier one —
-    * 1 − distinct/total. High values flag boilerplate/looping text.
-    * One narrow shingle pass + a per-doc aggregate; the division is
-    * one exact IEEE op (both counts < 2^53). Docs shorter than 3
-    * tokens have no 3-grams and drop out (same rows both renderings:
-    * the explode yields nothing). */
-  def textDupNgrams(d: Dialect): String =
-    s"""WITH ${shinglesCtes(d, n = 3, from = "documents")}
-       |SELECT doc_id, COUNT(*) AS n_ngrams,
-       |  COUNT(DISTINCT s) AS n_distinct,
-       |  1.0e0 - CAST(COUNT(DISTINCT s) AS DOUBLE) / COUNT(*) AS dup_frac
-       |FROM sh GROUP BY doc_id""".stripMargin
-
-  /** MinHash similarity ESTIMATION (the sketch's second job beyond
-    * candidate generation): for every band-candidate pair, the fraction
-    * of the 8 signature slots that agree — an unbiased estimate of
-    * Jaccard similarity read straight off the staged signatures,
-    * without touching the shingle sets. At 100 TB this is how pair
-    * similarity is scored: the signature table is ~100 bytes/doc while
-    * the shingle index is ~the corpus, so est-then-verify gates the
-    * expensive exact comparison ([[dedupVerified]]) behind a sketch
-    * read. Planted snapshot duplicates estimate at exactly 1.0. */
-  val dedupMinhashEst: StagedOp = {
-    val agree = (0 until 8).map(j =>
-      s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END").mkString("(", "\n      + ", ")")
-    StagedOp(
-      stages = dedupMinhash.stages, // same mh_sig/mh_cand artifacts, shared per JVM
-      body = { _ =>
-        s"""SELECT c.doc_a, c.doc_b,
-           |  CAST($agree AS DOUBLE) / 8 AS est_jaccard
-           |FROM mh_cand c
-           |JOIN mh_sig a ON c.doc_a = a.doc_id
-           |JOIN mh_sig b ON c.doc_b = b.doc_id""".stripMargin
-      })
-  }
-
-  /** Shared graph CTEs over the staged candidate pairs: undirected
-    * edge list + degrees — the base of [[pagerankStep]] and
-    * [[pagerankIter]]. */
-  private val graphCtes: String =
-    s"""edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM mh_cand
-       |  UNION ALL
-       |  SELECT doc_b AS src, doc_a AS dst FROM mh_cand
-       |),
-       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)""".stripMargin
-
-  /** One PageRank power-iteration step over the minhash candidate-pair
-    * graph (undirected; damping 0.85, uniform init rank 1) — the
-    * canonical "which duplicates are HUBS" signal on the dedup graph,
-    * and the shape of every iterative graph analytic here: edges ⋈ deg
-    * (shuffle on src), contribution aggregate (shuffle on dst). Ranks
-    * are parts-per-million integers: contributions ⌊1e6/deg⌋, damped
-    * sum ⌊85·Σ/100⌋ — all sums exact int64, and each FLOOR sits on a
-    * division whose true value is ≥ 1/deg (resp. 1/20) away from the
-    * next integer when fractional, so the one rounded IEEE op per
-    * division cannot cross an integer boundary: bit-identical across
-    * engines with no decimal in the hot path. At 100 TB each step is
-    * two bounded shuffles; the iteration driver is the same
-    * re-plan-per-round loop the CC operator uses. */
-  val pagerankStep: StagedOp = StagedOp(
-    stages = dedupMinhash.stages, // same mh_sig/mh_cand artifacts, shared per JVM
-    body = { _ =>
-      s"""WITH $graphCtes,
-         |contrib AS (
-         |  SELECT e.dst,
-         |    CAST(FLOOR(1.0e6 / d.deg) AS BIGINT) AS c
-         |  FROM edges e JOIN deg d ON e.src = d.src
-         |),
-         |agg AS (SELECT dst AS doc_id, SUM(c) AS s FROM contrib GROUP BY dst)
-         |SELECT a.doc_id, g.deg AS degree,
-         |  150000 + CAST(FLOOR(CAST(85 * a.s AS DOUBLE) / 1.0e2) AS BIGINT) AS rank_ppm
-         |FROM agg a JOIN deg g ON a.doc_id = g.src""".stripMargin
-    })
-
-  /** Three unrolled PageRank power iterations in one SQL tree (ranks in
-    * micro-units, damping 0.85) — the fixed-depth form an engine
-    * without driver loops can run, and the oracle-checkable twin of an
-    * iterate-to-convergence driver loop (same per-step shape as
-    * [[pagerankStep]]). All arithmetic keeps the integer-exact
-    * discipline of the single step: per-edge contributions
-    * ⌊r/deg⌋, damped sums ⌊85·Σ/100⌋ — each FLOOR'd division sits
-    * ≥ 1/deg (resp. 1/20) from the next integer when fractional,
-    * magnitudes stay ≪ 2^53, so both engines produce bit-identical
-    * int64 ranks at every depth. */
-  val pagerankIter: StagedOp = {
-    val nSteps = 3
-    val steps = (1 to nSteps).map { k =>
-      s"""c$k AS (
-         |  SELECT e.dst AS id,
-         |    SUM(CAST(FLOOR(CAST(r.r AS DOUBLE) / d.deg) AS BIGINT)) AS s
-         |  FROM edges e
-         |  JOIN r${k - 1} r ON e.src = r.id
-         |  JOIN deg d ON e.src = d.src
-         |  GROUP BY e.dst
-         |),
-         |r$k AS (
-         |  SELECT id,
-         |    150000 + CAST(FLOOR(CAST(85 * s AS DOUBLE) / 1.0e2) AS BIGINT) AS r
-         |  FROM c$k
-         |)""".stripMargin
-    }.mkString(",\n")
-    StagedOp(
-      stages = dedupMinhash.stages,
-      body = { _ =>
-        s"""WITH $graphCtes,
-           |r0 AS (SELECT src AS id, 1000000 AS r FROM deg),
-           |$steps
-           |SELECT id AS doc_id, r AS rank_ppm FROM r$nSteps""".stripMargin
-      })
-  }
-
-  /** Prefix-filtering set-similarity self-join (the PPJoin candidate
-    * rule): order each document's distinct 5-grams by ascending global
-    * document frequency (rarest first), index only the PREFIX of
-    * length n − ⌈0.6·n⌉ + 1, and generate candidates from prefix
-    * collisions — for Jaccard ≥ t, two qualifying sets MUST share a
-    * prefix token under ANY consistent global order, so the gate is
-    * recall-lossless while the indexed rows shrink to ~the prefix
-    * fraction. The candidate join also applies the PPJoin LENGTH
-    * filter — J ≤ min/max, so 5·min(n) ≥ 3·max(n) is a lossless
-    * integer-exact prune. The two renderings order ties differently
-    * (Spark sorts 64-bit shingle fingerprints, DuckDB strings),
-    * giving different CANDIDATE sets — but losslessness holds for
-    * each order, so the verified output (exact Jaccard ≥ 0.6 on the
-    * uncapped index) is identical, and the oracle gate proves exactly
-    * that every run. ⌈0.6n⌉ is computed as ⌊(3n+4)/5⌋ — pure integer
-    * arithmetic, no float boundary.
-    *
-    * 5-gram shingles, not 3: prefix filtering's candidate bound is
-    * Σ df², so it needs shingle identities rare enough that "rarest
-    * 40% of a doc" means df ≈ 1-2 — on this corpus's flat ~30-word
-    * vocabulary, 3-gram space (27e3) saturates (median df 18 at
-    * sf0.1, verify join 14s) while 5-gram space (24e6) keeps median
-    * df at 2 — the Zipf-tail regime the technique is designed for.
-    * This is the third bounded-candidate near-dup path (minhash
-    * bands ∪ simhash bands ∪ prefix filter), the one that needs no
-    * signatures — just the df table the index already implies. */
-  val dedupPrefix: StagedOp = StagedOp(
-    stages = Seq(
-      "pfx_dsh" -> { d =>
-        val sid = d.shingleId("s")
-        s"""WITH ${corpusCte(d)},
-           |${shinglesCtes(d, n = 5)}
-           |SELECT DISTINCT doc_id, $sid AS s FROM sh""".stripMargin
-      },
-      // the rarity-RANKED index (per-doc ascending global df, position
-      // + set size attached) — index construction, not the join: at
-      // scale the df table and the per-doc rank ordering are built once
-      // with the inverted index (the mh_sig pattern), and every
-      // prefix-join run reads them
-      "pfx_rk" -> { _ =>
-        s"""WITH df AS (SELECT s, COUNT(*) AS df FROM pfx_dsh GROUP BY s)
-           |SELECT c.doc_id, c.s,
-           |  ROW_NUMBER() OVER (PARTITION BY c.doc_id ORDER BY f.df, c.s) AS rk,
-           |  COUNT(*) OVER (PARTITION BY c.doc_id) AS n
-           |FROM pfx_dsh c JOIN df f ON c.s = f.s""".stripMargin
-      }),
-    body = { _ =>
-      // The candidate step also applies the PPJoin POSITION filter: a
-      // shared prefix token at (1-indexed, order-consistent) positions
-      // (i, j) bounds the overlap by min(i,j) + min(na−i, nb−j) —
-      // common tokens at-or-before the match inject ≤ min(i,j)
-      // distinct positions, those after ≤ min(na−i, nb−j) — so a pair
-      // whose TIGHTEST per-match bound (MIN over shared prefix tokens)
-      // is below the overlap threshold α = ⌈3(na+nb)/8⌉ (inter ≥
-      // t/(1+t)·(na+nb) for Jaccard t=0.6, integer-exact as
-      // ⌊(3(na+nb)+7)/8⌋) cannot verify, under either engine's tie
-      // order. Sizes (na, nb) ride along from the prefix rows — the
-      // former psz CTE re-scanned the full index and joined it twice
-      // per verified pair just to recover them.
-      s"""WITH pre AS (
-         |  SELECT doc_id, s, n, rk FROM pfx_rk
-         |  WHERE rk <= n - CAST(FLOOR(CAST(3 * n + 4 AS DOUBLE) / 5.0e0) AS BIGINT) + 1
-         |),
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb
-         |  FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
-         |    AND 5 * LEAST(a.n, b.n) >= 3 * GREATEST(a.n, b.n)
-         |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
-         |  HAVING MIN(LEAST(a.rk, b.rk) + LEAST(a.n - a.rk, b.n - b.rk))
-         |    >= CAST(FLOOR(CAST(3 * (a.n + b.n) + 7 AS DOUBLE) / 8.0e0) AS BIGINT)
-         |),
-         |pinter AS (
-         |  SELECT c.doc_a, c.doc_b, c.na, c.nb, COUNT(*) AS inter
-         |  FROM cand c
-         |  JOIN pfx_dsh a ON a.doc_id = c.doc_a
-         |  JOIN pfx_dsh b ON b.doc_id = c.doc_b AND b.s = a.s
-         |  GROUP BY c.doc_a, c.doc_b, c.na, c.nb
-         |)
-         |SELECT doc_a, doc_b,
-         |  ${r6("CAST(inter AS DOUBLE) / (na + nb - inter)")} AS jaccard
-         |FROM pinter
-         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6""".stripMargin
-    })
-
-  /** Corpus DIVERSITY by sampled mean pairwise similarity — the
-    * self-BLEU-shaped health metric a data-mixing pipeline tracks per
-    * source/epoch (a rising mean similarity means the corpus is
-    * collapsing toward templates): draw a deterministic ~3% content
-    * sample (md5 bucket < 8 — no RNG, engine-portable), compute exact
-    * 3-gram Jaccard over ALL sample pairs, and report the mean with
-    * non-overlapping pairs counted as 0 via the closed-form C(n,2)
-    * denominator (enumerating them would be the n² the sample exists
-    * to avoid; only OVERLAPPING pairs ever materialize, bounded by the
-    * inverted-index join). Per-pair scores are µ-quantized to int64
-    * before the order-independent sum; diversity = 1 − mean. Sampling
-    * is over the ORIGINAL documents, not the two-snapshot corpus —
-    * the planted snapshot duplicates would floor the metric by
-    * construction. Docs whose text yields no 3-gram (< 3 tokens) have
-    * no similarity support and are excluded from the population,
-    * which the n_docs column makes visible. */
-  val corpusDiversity: StagedOp = StagedOp(
-    stages = Seq(
-      "dvs_dsh" -> { d =>
-        s"""WITH samp AS (
-           |  SELECT doc_id, text FROM documents WHERE ${md5Bucket("text")} < 8
-           |),
-           |${shinglesCtes(d, n = 3, from = "samp")}
-           |SELECT DISTINCT doc_id, ${d.shingleId("s")} AS s FROM sh""".stripMargin
-      }),
-    body = { d =>
-      s"""WITH nd AS (
-         |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM dvs_dsh
-         |),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM dvs_dsh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-         |  FROM dvs_dsh a JOIN dvs_dsh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id
-         |),
-         |qj AS (
-         |  SELECT ${qvExpr("CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter)")} AS qj
-         |  FROM inter i
-         |  JOIN sz sa ON i.doc_a = sa.doc_id
-         |  JOIN sz sb ON i.doc_b = sb.doc_id
-         |),
-         |tot AS (SELECT CAST(COALESCE(SUM(qj), 0) AS BIGINT) AS sqj FROM qj)
-         |SELECT n AS n_docs,
-         |  ${d.idiv("n * (n - 1)", "2")} AS n_pairs,
-         |  CASE WHEN n < 2 THEN NULL
-         |       ELSE ${r6(s"CAST(sqj AS DOUBLE) / 1.0e6 / ${d.idiv("n * (n - 1)", "2")}")}
-         |  END AS mean_jaccard,
-         |  CASE WHEN n < 2 THEN NULL
-         |       ELSE ${r6(s"1.0e0 - CAST(sqj AS DOUBLE) / 1.0e6 / ${d.idiv("n * (n - 1)", "2")}")}
-         |  END AS diversity
-         |FROM nd CROSS JOIN tot""".stripMargin
-    })
-
-  /** Sliding-window document chunking (chunk = 16 tokens, stride = 12,
-    * overlap = 4) — the RAG/pretraining chunker: every token is covered,
-    * consecutive chunks share the overlap, the final chunk ends at the
-    * document's last token. Chunk count = 1 + ⌈(n−16)/12⌉ (one chunk
-    * when n ≤ 16), computed in doubles (token counts ≪ 2^53, exact).
-    * The whole op is a narrow per-doc projection + explode — no
-    * shuffle at any scale; chunk ids are (doc_id, chunk_no), the shape
-    * a downstream embedding/packing stage consumes. */
-  def chunkDocuments(d: Dialect): String = {
-    val slice = d.arraySlice("toks", "CAST(chunk_no * 12 + 1 AS INT)", "16")
-    s"""WITH ctoks AS (
-       |  SELECT doc_id, ${toks(d)} AS toks FROM documents
-       |),
-       |sized AS (
-       |  SELECT doc_id, toks, ${d.size("toks")} AS n_toks FROM ctoks
-       |  WHERE ${d.size("toks")} > 0
-       |),
-       |spans AS (
-       |  SELECT doc_id, toks,
-       |    ${d.seqArray("0",
-             "CASE WHEN n_toks <= 16 THEN 0 ELSE CAST(FLOOR((n_toks - 5) / 1.2e1) AS BIGINT) END")} AS cnos
-       |  FROM sized
-       |),
-       |ch AS (${d.explode("SELECT doc_id, toks, cnos FROM spans", "doc_id, toks", "cnos", "chunk_no")})
-       |SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
-       |  CAST(${d.size(slice)} AS INT) AS n_chunk_toks,
-       |  ${d.arrayJoin(slice, " ")} AS chunk_text
-       |FROM ch""".stripMargin
-  }
-
-  /** Per-document unigram Shannon entropy (bits/token) — the
-    * information-density quality signal next to [[textTtr]] and
-    * [[textRepetition]]: low entropy = looping/template text.
-    * Computed as H = log2(n) − (Σ c·log2 c)/n, which needs only
-    * per-(doc,term) counts rolled straight into a per-doc aggregate —
-    * one scan, no tf⋈totals self-join (Spark inlines CTEs, so the
-    * naive H = Σ (c/n)·log2(n/c) form plans the token pipeline twice
-    * plus a join; PlanSpec pins the single-scan shape). Each c·log2 c
-    * term is quantized to micro-bits and summed as BIGINT (order-
-    * independent), and the final value is floor-rounded to 6dp; log2's
-    * last ulp (not correctly rounded in either engine) sits ~6 orders
-    * below both quanta — verified identical at all three SFs. (The
-    * linear-idf trick of [[textTfIdf]] can't apply: entropy IS the
-    * log.) Map-side combinable at every level. */
-  def textEntropy(d: Dialect): String =
-    s"""WITH etoks AS (SELECT doc_id, ${toks(d)} AS toks FROM documents),
-       |tok AS (${d.explode("SELECT doc_id, toks FROM etoks", "doc_id", "toks", "t")}),
-       |tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
-       |agg AS (
-       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_types,
-       |    SUM(CAST(FLOOR(c * log2(CAST(c AS DOUBLE)) * 1.0e6 + 5.0e-1) AS BIGINT)) AS sq
-       |  FROM tf GROUP BY doc_id
-       |)
-       |SELECT doc_id, n AS n_tokens, n_types,
-       |  ${r6("log2(CAST(n AS DOUBLE)) - CAST(sq AS DOUBLE) / 1.0e6 / n")} AS entropy_bits
-       |FROM agg""".stripMargin
-
-  /** Stopword scrub: drop function words from every document and emit
-    * the cleaned text — the corpus-cleaning counterpart of
-    * [[textQuality]]'s stopword RATIO (that one measures, this one
-    * rewrites). Pure narrow projection (array filter + join), no
-    * shuffle, codegen-friendly; the stoplist is a literal (at 100 TB a
-    * real list broadcasts the same way). Exact string output — the
-    * strongest oracle comparison available. */
-  def textScrub(d: Dialect): String = {
-    val stops = d.arrayLit(STOP_EN ++ STOP_ID)
-    val kept = d.filter("toks", s"t -> NOT ${d.arrayContains(stops, "t")}")
-    s"""WITH stoks AS (SELECT doc_id, ${toks(d)} AS toks FROM documents),
-       |sk AS (
-       |  SELECT doc_id, ${d.size("toks")} AS n_toks, $kept AS kept FROM stoks
-       |)
-       |SELECT doc_id,
-       |  CAST(n_toks - ${d.size("kept")} AS INT) AS n_removed,
-       |  ${d.arrayJoin("kept", " ")} AS clean_text
-       |FROM sk""".stripMargin
-  }
-
-  /** Symmetric int8 quantization of the embedding column (the vector-
-    * storage compression every 100 TB ANN index runs): per-vector scale
-    * = max |component|, codes = round(v·127/scale) ∈ [−127, 127].
-    * Every arithmetic step is a correctly-rounded IEEE op on exact
-    * inputs (float→double widening, one multiply, one divide), so the
-    * integer codes are bit-identical across engines — emitted as a
-    * joined string, the exact whole-vector comparison. Zero vectors
-    * (no scale) are excluded like the nv stages exclude them. Narrow
-    * projection: no shuffle, one pass. */
-  def embeddingQuantize(d: Dialect): String = {
-    val absArr = d.transform("embedding", "v -> abs(CAST(v AS DOUBLE))")
-    val codes = d.transform("embedding",
-      "v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1.27e2 / maxabs + 5.0e-1) AS BIGINT)")
-    s"""WITH ma AS (
-       |  SELECT vec_id, embedding, ${d.arrayMax(absArr)} AS maxabs FROM embeddings
-       |),
-       |qc AS (
-       |  SELECT vec_id, $codes AS q8 FROM ma WHERE maxabs > 0
-       |)
-       |SELECT vec_id, CAST(${d.size("q8")} AS INT) AS n_dims,
-       |  ${d.arrayJoin(d.transform("q8", "c -> CAST(c AS STRING)"), ",")} AS codes
-       |FROM qc""".stripMargin
-  }
-
-  /** One power-iteration step toward the top principal direction:
-    * y = Aᵀ(A·v₀) over the embedding matrix with v₀ = 1 — the
-    * distributed linear-algebra kernel (uncentered PCA / spectral
-    * initialization) done the way a 100 TB matrix does it: A·v is a
-    * per-ROW reduction (here a window sum per vec_id — sharded by
-    * vector, no global state), Aᵀ(Av) is a per-DIMENSION aggregate
-    * (64 groups), and v broadcasts. One explode pipeline, one keyed
-    * window, one tiny groupBy — no matrix shuffle. Exact arithmetic:
-    * entries are µ-quantized to integers (×1024, round-half-up, which
-    * is sign-correct), so every product and sum is int64-exact and
-    * the unnormalized iterate is bit-identical across engines
-    * (normalization — one float division per dim — is the consumer's
-    * step; deferring it keeps the op exact). */
-  def pcaPowerStep(d: Dialect): String =
-    s"""WITH e AS (
-       |  ${d.explodeWithPos("SELECT vec_id, embedding FROM embeddings",
-            "vec_id", "embedding", "p", "v")}
-       |),
-       |q AS (
-       |  SELECT vec_id, p,
-       |    CAST(FLOOR(CAST(v AS DOUBLE) * 1.024e3 + 5.0e-1) AS BIGINT) AS qv
-       |  FROM e
-       |),
-       |w AS (
-       |  SELECT p, qv, CAST(SUM(qv) OVER (PARTITION BY vec_id) AS BIGINT) AS dot
-       |  FROM q
-       |)
-       |SELECT p AS dim, CAST(SUM(qv * dot) AS BIGINT) AS y
-       |FROM w GROUP BY p""".stripMargin
-
-  /** 48-bit uniform integer from the leading 12 hex digits of an
-    * md5 column — exactly representable in both BIGINT and DOUBLE,
-    * so arithmetic on it is engine-exact (same hex-digit arithmetic
-    * as [[md5Bucket]], widened). */
-  private def md5U48(hexCol: String): String =
-    (1 to 12).map { i =>
-      s"CAST(instr('0123456789abcdef', substr($hexCol, $i, 1)) - 1 AS BIGINT) * ${1L << (4 * (12 - i))}"
-    }.mkString("(", "\n      + ", ")")
-
-  /** Deterministic weighted sampling: 100 docs chosen by hash priority
-    * u/w, where u is a 48-bit content-hash uniform and w = n_chars —
-    * keeping the k SMALLEST priorities makes longer documents
-    * proportionally more likely to be drawn, with zero RNG state
-    * (re-runnable on any engine/partitioning, like [[sampleHash]]).
-    * This is priority sampling in the Efraimidis–Spirakis style with a
-    * u/w key (a deterministic weighted draw, not their exact u^(1/w)
-    * distribution — documented as such). u ≤ 2^48 is exact in DOUBLE
-    * and w is an int, so the priority is ONE correctly-rounded IEEE
-    * division — bit-identical across engines. The Spark plan is a
-    * global top-k (TakeOrderedAndProject), not a single-partition
-    * window. */
-  def sampleWeighted(d: Dialect): String =
-    s"""WITH h AS (
-       |  SELECT doc_id, lang, n_chars, md5(text) AS mh
-       |  FROM documents WHERE n_chars > 0
-       |),
-       |pri AS (
-       |  SELECT doc_id, lang, n_chars,
-       |    CAST(${md5U48("mh")} AS DOUBLE) / n_chars AS priority
-       |  FROM h
-       |)
-       |SELECT doc_id, lang, n_chars, priority FROM pri
-       |ORDER BY priority, doc_id LIMIT 100""".stripMargin
-
-  /** Most-characteristic term per document by tf·idf ranking. The idf
-    * factor is the *linear* rarity ratio n_docs/df rather than its log:
-    * ln() is not correctly-rounded and differs across engines in the
-    * last ulp, which would flip near-tie rankings — the linear form is
-    * exact integer arithmetic and ranks identically (log is monotone in
-    * n_docs/df, so for a fixed tf the order matches; cross-tf trade-offs
-    * differ from textbook tf-idf and are documented as such).
-    *
-    * Plan shape: df is a COUNT window over the tf rows, not a
-    * separate GROUP BY t CTE joined back — Spark inlines CTEs, so the
-    * join form re-ran the whole token pipeline (scan + explode +
-    * (doc,term) aggregate) a second time just to count df. The window
-    * form runs the heavy pipeline ONCE; the rank orders by tf/df,
-    * which is score order (n_docs is a constant factor, attached from
-    * a count-only scan at the end). PlanSpec pins single-heavy-scan. */
-  def textTfIdf(d: Dialect): String =
-    s"""WITH ttoks AS (SELECT doc_id, ${toks(d)} AS toks FROM documents),
-       |tok AS (${d.explode("SELECT doc_id, toks FROM ttoks", "doc_id", "toks", "t")}),
-       |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
-       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
-       |scored AS (
-       |  SELECT doc_id, t, tf,
-       |    COUNT(*) OVER (PARTITION BY t) AS df
-       |  FROM tf
-       |),
-       |ranked AS (
-       |  SELECT *, ROW_NUMBER() OVER (
-       |    PARTITION BY doc_id ORDER BY CAST(tf AS DOUBLE) / df DESC, t) AS rn
-       |  FROM scored
-       |)
-       |SELECT doc_id, t AS top_term, tf, df,
-       |  CAST(tf * n.n_docs AS DOUBLE) / df AS score
-       |FROM ranked CROSS JOIN n WHERE rn = 1""".stripMargin
-
-  /** Per-label embedding statistics: count and mean L2 norm. Norms are
-    * bit-identical doubles per row (fixed fold); rounding to 6dp and
-    * summing in DECIMAL makes the group aggregate order-independent. */
-  def embeddingStats(d: Dialect): String =
-    s"""WITH nv AS (SELECT label, sqrt(${d.dot("embedding", "embedding")}) AS nrm FROM embeddings)
-       |SELECT label, COUNT(*) AS n,
-       |  CAST(SUM(CAST(FLOOR(nrm * 1.0e6 + 5.0e-1) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1.0e6 AS avg_norm
-       |FROM nv GROUP BY label""".stripMargin
-
-  /** Edit-distance near-dup: Levenshtein over 40-char prefixes for
-    * candidate pairs sharing a (source, length-bucket) — the blocking
-    * keys bound the quadratic edit-distance work, the standard shape
-    * for fuzzy dedup at scale. Both engines implement the same classic
-    * edit distance. Run over the two-snapshot corpus so planted dups
-    * surface at distance 0. */
-  def dedupLevenshtein(d: Dialect): String =
-    s"""WITH ${corpusCte(d, "source")},
-       |keyed AS (
-       |  SELECT doc_id, substr(text, 1, 40) AS prefix,
-       |    concat(source, ':', CAST(CAST(FLOOR(length(text) / 50) AS BIGINT) AS STRING),
-       |           ':', substr(text, 1, 3)) AS blk
-       |  FROM corpus
-       |)
-       |SELECT doc_a, doc_b, edit_dist FROM (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    levenshtein(a.prefix, b.prefix) AS edit_dist
-       |  FROM keyed a JOIN keyed b
-       |    ON a.blk = b.blk AND a.doc_id < b.doc_id
-       |) WHERE edit_dist <= 5""".stripMargin
-
-  /** Interval RANGE window frame: 30-day trailing spend per customer —
-    * the frame is defined by the ORDER BY value (event time), not row
-    * position, so peers and calendar gaps are handled by the engine.
-    * Exact decimal sum keeps the frame aggregate order-independent. */
-  def windowRangeSpend(d: Dialect): String =
-    """SELECT o_custkey, o_orderkey,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-      |    PARTITION BY o_custkey ORDER BY o_orderdate
-      |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
-      |FROM orders""".stripMargin
-
-  /** FIRST_VALUE / LAST_VALUE over the full partition frame: each
-    * customer's first and last order (by date, key-tiebroken) plus
-    * their order count — the frame must be explicitly UNBOUNDED BOTH
-    * (the default frame stops at CURRENT ROW, where LAST_VALUE is just
-    * the current row — the classic window-frame trap, identical in
-    * both engines only when spelled out). One row per customer via
-    * DISTINCT over the constant-per-partition window values. */
-  def windowFirstLast(d: Dialect): String =
-    """SELECT DISTINCT o_custkey,
-      |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
-      |  LAST_VALUE(o_orderkey) OVER w AS last_order,
-      |  COUNT(*) OVER w AS n_orders
-      |FROM orders
-      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
-
-  /** Language-ID confusion matrix: the stopword heuristic's guess
-    * against the table's ground-truth lang label — the evaluation rows
-    * a model-quality dashboard reads (the same eval shape as
-    * [[dedupLshEval]] for the LSH gate). The corpus is majority non-en
-    * non-id, so most mass lands in the 'und' row; the interesting
-    * cells are en→en recall and the false-en rate. */
-  def textLangIdEval(d: Dialect): String = {
-    val (en, id) = langHitExprs(d)
-    s"""WITH ltoks AS (SELECT doc_id, lang, ${toks(d)} AS toks FROM documents),
-       |guessed AS (
-       |  SELECT lang, ${langGuessCase(en, id)} AS lang_guess FROM ltoks
-       |)
-       |SELECT lang, lang_guess, COUNT(*) AS n
-       |FROM guessed GROUP BY lang, lang_guess""".stripMargin
-  }
-
-  /** Per-group mode (most frequent value) with deterministic tie-break
-    * — mode is not a portable built-in, but count + row_number is. */
-  def modePriority(d: Dialect): String =
-    """SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
-      |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-      |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
-      |      ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
-      |  FROM orders GROUP BY o_orderstatus, o_orderpriority
-      |) WHERE rn = 1""".stripMargin
-
-  /** Array aggregation: per-customer sorted list of order keys,
-    * emitted as a comma-joined string (sorted so the value is
-    * set-deterministic regardless of arrival order; a scalar so the
-    * result is hash-comparable — array cells are not). */
-  def collectOrders(d: Dialect): String =
-    s"""SELECT o_custkey, ${d.arrayAggSortedStr("o_orderkey")} AS order_keys,
-       |  COUNT(*) AS n_orders
-       |FROM orders GROUP BY o_custkey""".stripMargin
-
-  /** Full Pearson correlation MATRIX over the lineitem numerics in
-    * ONE scan — the multi-column profiling shape: all 4 columns' and
-    * 6 pairs' sufficient statistics accumulate in a single aggregate
-    * (exact DECIMAL sums, the [[corrQtyPrice]] discipline), and every
-    * pairwise correlation is a deterministic finalizer over that one
-    * row. A per-pair loop would scan the fact table C(k,2) times;
-    * this is the k-column generalization that stays one pass at any
-    * k. Output is one wide row (pair columns), hash-comparable. */
-  def corrMatrix(d: Dialect): String = {
-    val cols = Seq(
-      "qty" -> "CAST(l_quantity AS DECIMAL(18,2))",
-      "price" -> "CAST(l_extendedprice AS DECIMAL(18,2))",
-      "disc" -> "CAST(l_discount AS DECIMAL(18,2))",
-      "tax" -> "CAST(l_tax AS DECIMAL(18,2))")
-    def toDbl(sum: String) =
-      s"CAST(CAST(($sum) * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 1.0e4"
-    val sums = cols.map { case (n, e) => s"${toDbl(s"SUM($e)")} AS s_$n" } ++
-      cols.map { case (n, e) => s"${toDbl(s"SUM($e * $e)")} AS ss_$n" } ++
-      cols.combinations(2).map { case Seq((na, ea), (nb, eb)) =>
-        s"${toDbl(s"SUM($ea * $eb)")} AS sp_${na}_$nb"
-      }.toSeq
-    val corrs = cols.combinations(2).map { case Seq((na, _), (nb, _)) =>
-      val num = s"(n * sp_${na}_$nb - s_$na * s_$nb)"
-      val den = s"sqrt(n * ss_$na - s_$na * s_$na) * sqrt(n * ss_$nb - s_$nb * s_$nb)"
-      s"""CASE WHEN $den = 0 THEN NULL
-         |       ELSE ${r6(s"$num / ($den)")} END AS corr_${na}_$nb""".stripMargin
-    }.toSeq
-    s"""WITH m AS (
-       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-       |    ${sums.mkString(",\n    ")}
-       |  FROM lineitem
-       |)
-       |SELECT CAST(n AS BIGINT) AS n,
-       |  ${corrs.mkString(",\n  ")}
-       |FROM m""".stripMargin
-  }
-
-  /** Pearson correlation from exact components: the five sufficient
-    * statistics are decimal-exact sums cast to double at the end, and
-    * the correlation is one fixed IEEE expression over them — so the
-    * result is bit-identical across engines and partitionings, unlike
-    * a native corr() whose streaming accumulation is order-dependent.
-    * This is how distributed exact statistics should be built: exact
-    * sufficient statistics + deterministic finalizer. */
-  def corrQtyPrice(d: Dialect): String = {
-    val q = "CAST(l_quantity AS DECIMAL(18,2))"
-    val p = "CAST(l_extendedprice AS DECIMAL(18,2))"
-    // decimal→double conversion is NOT identical across engines in the
-    // last ulp (Java converts the exact decimal correctly-rounded;
-    // DuckDB divides the scaled integer — two roundings). Route both
-    // through the same sequence: exact integer (×10⁴, DECIMAL(38,0))
-    // → double (integer conversion, correctly rounded everywhere)
-    // → one IEEE division.
-    def toDbl(sum: String) =
-      s"CAST(CAST(($sum) * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 1.0e4"
-    s"""WITH m AS (
-       |  SELECT l_returnflag, COUNT(*) AS n,
-       |    ${toDbl(s"SUM($q)")} AS sx,
-       |    ${toDbl(s"SUM($p)")} AS sy,
-       |    ${toDbl(s"SUM($q * $q)")} AS sxx,
-       |    ${toDbl(s"SUM($p * $p)")} AS syy,
-       |    ${toDbl(s"SUM($q * $p)")} AS sxy
-       |  FROM lineitem GROUP BY l_returnflag
-       |)
-       |SELECT l_returnflag, n,
-       |  (CAST(n AS DOUBLE) * sxy - sx * sy)
-       |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price
-       |FROM m""".stripMargin
-  }
-
-  /** Moving average over a row frame (7-order trailing window), exact:
-    * frame SUM in decimal and frame COUNT output separately, the mean
-    * as one IEEE division — window aggregates stay order-independent. */
-  def windowMovingAvg(d: Dialect): String =
-    """SELECT o_custkey, o_orderkey,
-      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
-      |    / COUNT(*) OVER w AS DOUBLE) AS avg_7,
-      |  COUNT(*) OVER w AS n_in_frame
-      |FROM orders
-      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
-
-  /** Relative standing: PERCENT_RANK over a deterministic total order —
-    * (rank−1)/(n−1) is exact integer arithmetic finished by one IEEE
-    * division, identical in both engines. */
-  def percentRankOrders(d: Dialect): String =
-    """SELECT o_orderkey,
-      |  PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey) AS pr
-      |FROM orders""".stripMargin
-
-  /** Arithmetic bucketization: the same value bands as [[rangeJoinBands]]
-    * computed by FLOOR division instead of an interval join — at scale
-    * this is the winning plan for fixed-width bands (a narrow projection
-    * plus one aggregation; no join at all), while the interval join
-    * covers irregular band tables. The WHERE restricts to the bands'
-    * covered domain [0, 500) so the two forms are identical on ANY
-    * input, not just the fixture's value range (the interval join drops
-    * out-of-range rows; unguarded FLOOR would clamp them into edge
-    * bands). Both oracle-checked. */
-  def bucketizeValues(d: Dialect): String =
-    """SELECT CAST(FLOOR(value / 50.0e0) AS INT) AS band,
-      |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      |FROM events
-      |WHERE value >= 0.0e0 AND value < 500.0e0
-      |GROUP BY CAST(FLOOR(value / 50.0e0) AS INT)""".stripMargin
-
-  /** Decile assignment (NTILE) of order value within each status. */
-  def orderDeciles(d: Dialect): String =
-    """SELECT o_orderkey, o_orderstatus,
-      |  CAST(NTILE(10) OVER (PARTITION BY o_orderstatus
-      |    ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
-      |FROM orders""".stripMargin
-
-  /** Canonical-token-set fingerprint (sorted distinct tokens → md5). */
-  def textFingerprint(d: Dialect): String =
-    s"""WITH ftoks AS (SELECT doc_id, ${toks(d)} AS toks FROM documents)
-       |SELECT doc_id,
-       |  md5(${d.arrayJoin(d.arraySort(d.arrayDistinct("toks")), " ")}) AS fingerprint
-       |FROM ftoks""".stripMargin
-
-  /** Dedup groups by fingerprint over the two-snapshot corpus. */
-  def dedupFingerprint(d: Dialect): String =
-    s"""WITH ${corpusCte(d)},
-       |ftoks AS (SELECT doc_id, ${toks(d)} AS toks FROM corpus),
-       |fp AS (SELECT doc_id,
-       |  md5(${d.arrayJoin(d.arraySort(d.arrayDistinct("toks")), " ")}) AS fingerprint
-       |FROM ftoks)
-       |SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
-       |FROM fp GROUP BY fingerprint""".stripMargin
-
-  // ---- similarity search over embeddings ----
-
-  private def normExpr(d: Dialect, e: String): String =
-    s"sqrt(${d.dot(e, e)})"
-
-  private def dotExpr(d: Dialect, a: String, b: String): String = d.dot(a, b)
-
-  /** Number of 8-bit sign-LSH bands (dims 1-8, 9-16, … — one band per
-    * 8 dims, 256 cells each, all 64 dims used). Shared by the nv stage
-    * and the cosine near-dup gate so the geometry changes in exactly
-    * one place. */
-  private val SignBands = 8
-
-  /** Normalized-vector stage shared by the similarity ops: L2 norm plus
-    * the 8-bit sign-LSH band keys. One pass over the embeddings,
-    * materialized before any self-join. Band 1 doubles as the single
-    * sign-LSH ANN bucket; the cosine near-dup gate ORs all bands
-    * (minhash-style banding: small per-band candidate sets, recall
-    * recovered by the union — measured on this corpus: 8 OR'd bands
-    * see 3.1% of all pairs at BETTER recall than the old single 4-bit
-    * bucket's 6.2%). */
-  private def nvStage(d: Dialect): String = {
-    def bkt(lo: Int, hi: Int) = (lo to hi).map { i =>
-      s"(CASE WHEN ${d.elem("embedding", i.toString)} > 0 THEN '1' ELSE '0' END)"
-    }.mkString("concat(", ", ", ")")
-    val bandCols = (0 until SignBands)
-      .map(b => s"${bkt(8 * b + 1, 8 * b + 8)} AS sb${b + 1}").mkString(",\n  ")
-    // zero-norm vectors are excluded at the stage: cosine against them
-    // is 0/0, where the engines diverge (Spark NULL vs DuckDB NaN, with
-    // different sort positions) — a vector with no direction has no
-    // meaningful neighbors in any of the downstream ops
-    s"""SELECT vec_id, embedding, nrm,
-       |  $bandCols
-       |FROM (SELECT vec_id, embedding, ${normExpr(d, "embedding")} AS nrm FROM embeddings)
-       |WHERE nrm > 0""".stripMargin
-  }
-
-  /** Brute-force cosine top-10 for a bounded query set (vec_id < 5).
-    * The correctness baseline: exact, O(|Q|·N). */
-  val knnBruteForce: StagedOp = StagedOp(
-    stages = Seq("emb_nv" -> nvStage),
-    body = { d =>
-      s"""WITH qs AS (SELECT * FROM emb_nv WHERE vec_id < 5),
-         |pairs AS (
-         |  SELECT qs.vec_id AS query_id, t.vec_id AS neighbor_id,
-         |    ${r6(dotExpr(d, "qs.embedding", "t.embedding") + " / (qs.nrm * t.nrm)")} AS cosine
-         |  FROM qs JOIN emb_nv t ON t.vec_id <> qs.vec_id
-         |)
-         |SELECT query_id, neighbor_id, cosine, rk FROM (
-         |  SELECT *, ROW_NUMBER() OVER (
-         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
-         |  FROM pairs
-         |) WHERE rk <= 10""".stripMargin
-    })
-
-  /** Training-data attribution by influence concentration: split the
-    * embedding corpus into an eval slice (vec_id % 10 = 0) and its
-    * training remainder, take each eval vector's top-3 training
-    * neighbors, then INVERT the lists — which training examples
-    * appear in the most eval top-k lists, and how often their label
-    * agrees with the eval vector's. The heavy hitters of this table
-    * are what a leakage audit reads: one training doc influencing
-    * many eval docs signals a near-dup cluster straddling the split
-    * (the q_split_leakage_safe failure mode, observed from the
-    * embedding side), and a low label-match rate among top
-    * attributions says proximity is NOT semantic. Top-20 by
-    * (influence, id) — deterministic.
-    *
-    * Scale shape — the pair stage is the IVF SHORTLIST, not a
-    * cartesian (the r10 verdict's one scale-killer, closed): every
-    * eval vector 2-probes the shared IVF index (broadcast-sized
-    * centroid table, exact int64 L2 ranking — the [[annIvfProbe2]]
-    * probe verbatim) and scores exact cosine only against TRAIN
-    * members of its two probed cells, so the pair cost is
-    * |ev| × 2·E[cell] instead of |ev| × |tr| — at 100 TB the eval
-    * slice need not fit broadcast and nothing is all-pairs. The
-    * shortlist is its own staged artifact (`attr_sl`) with two
-    * consumers: this inversion and [[attrShortlistRecall]], the
-    * recall@3-vs-exact readout that bounds what the probe loses
-    * (the knnBruteForce rule: the exact form stays as the shortlist's
-    * truth check, over the bounded query sample). */
-  val trainAttribution: StagedOp = StagedOp(
-    stages = Seq(
-      "emb_nv" -> nvStage,
-      "ivf_nvc" -> { d => d.ivfAssign(ivfCentCtes(d)) },
-      "ivf_cent" -> { d =>
-        s"WITH ${ivfCentCtes(d)} SELECT label, pos, qc FROM cent"
-      },
-      // the attribution shortlist: 2-probe IVF, exact cosine within
-      // probed cells, train-side members only, top-3 per eval vector
-      "attr_sl" -> { (d: Dialect) =>
-        val expQ = d.explodeWithPos(
-          "SELECT vec_id, embedding FROM ev", "vec_id", "embedding", "pos", "v")
-        val qv = qvExpr("e.v")
-        s"""WITH ev AS (SELECT * FROM ivf_nvc WHERE vec_id % 10 = 0),
-           |qd AS (
-           |  SELECT e.vec_id, c.label,
-           |    SUM(($qv - c.qc) * ($qv - c.qc)) AS dist
-           |  FROM ($expQ) e JOIN ivf_cent c ON e.pos = c.pos
-           |  GROUP BY e.vec_id, c.label
-           |),
-           |probes AS (
-           |  SELECT vec_id, label FROM (
-           |    SELECT vec_id, label,
-           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, label) AS prk
-           |    FROM qd) p
-           |  WHERE prk <= 2
-           |),
-           |pairs AS (
-           |  SELECT ev.vec_id AS eval_id, b.vec_id AS train_id,
-           |    ${r6(dotExpr(d, "ev.embedding", "b.embedding") + " / (ev.nrm * b.nrm)")} AS cosine
-           |  FROM ev
-           |  JOIN probes p ON ev.vec_id = p.vec_id
-           |  JOIN ivf_nvc b ON b.cell = p.label AND b.vec_id % 10 <> 0
-           |)
-           |SELECT eval_id, train_id, cosine FROM (
-           |  SELECT *, ROW_NUMBER() OVER (
-           |    PARTITION BY eval_id ORDER BY cosine DESC, train_id) AS rk
-           |  FROM pairs
-           |) WHERE rk <= 3""".stripMargin
-      }),
-    body = { d =>
-      s"""WITH inf AS (
-         |  SELECT t.train_id,
-         |    CAST(COUNT(*) AS BIGINT) AS n_influenced,
-         |    CAST(SUM(CASE WHEN le.label = lt.label THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_label_match
-         |  FROM attr_sl t
-         |  JOIN embeddings le ON le.vec_id = t.eval_id
-         |  JOIN embeddings lt ON lt.vec_id = t.train_id
-         |  GROUP BY t.train_id
-         |)
-         |SELECT train_id, n_influenced, n_label_match,
-         |  ${d.idiv("1000000 * n_label_match", "n_influenced")} AS match_ppm
-         |FROM inf
-         |ORDER BY n_influenced DESC, train_id LIMIT 20""".stripMargin
-    })
-
-  /** Recall@3 of the attribution shortlist against exact brute-force
-    * cosine over the bounded query sample (vec_id % 50 = 0, a subset
-    * of the eval slice since 50 | vec_id ⇒ 10 | vec_id) — the truth
-    * check that bounds what [[trainAttribution]]'s 2-probe IVF pair
-    * stage loses vs the cartesian it replaced (the [[annEval]]
-    * drift-check pattern; the exact side is O(|Q|·N) with |Q| the 2%
-    * sample, never the full eval slice). A shortlist neighbor missing
-    * from the probed cells counts as a miss via the LEFT JOIN.
-    * MicroOracleSpec pins the measured recall floor on the fixture. */
-  val attrShortlistRecall: StagedOp = StagedOp(
-    stages = trainAttribution.stages,
-    body = { d =>
-      s"""WITH qs AS (SELECT * FROM emb_nv WHERE vec_id % 50 = 0),
-         |ep AS (
-         |  SELECT qs.vec_id AS query_id, t.vec_id AS neighbor_id,
-         |    ${r6(dotExpr(d, "qs.embedding", "t.embedding") + " / (qs.nrm * t.nrm)")} AS cosine
-         |  FROM qs JOIN emb_nv t ON t.vec_id % 10 <> 0
-         |),
-         |ex AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT *, ROW_NUMBER() OVER (
-         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
-         |    FROM ep
-         |  ) WHERE rk <= 3
-         |)
-         |SELECT e.query_id, CAST(COUNT(l.train_id) AS BIGINT) AS n_hit,
-         |  ${r6("CAST(COUNT(l.train_id) AS DOUBLE) / 3")} AS recall_at_3
-         |FROM ex e LEFT JOIN attr_sl l
-         |  ON l.eval_id = e.query_id AND l.train_id = e.neighbor_id
-         |GROUP BY e.query_id""".stripMargin
-    })
-
-  /** Sign-LSH ANN: bucket by sign pattern of dims 1-8 (256 buckets),
-    * top-3 within bucket for every vector. The scale path: candidates
-    * per query drop from N to N/256 with a plain equi-join shuffle. */
-  val annSignLsh: StagedOp = StagedOp(
-    stages = Seq("emb_nv" -> nvStage),
-    body = { d =>
-      s"""WITH pairs AS (
-         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |    ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine
-         |  FROM emb_nv a JOIN emb_nv b ON a.sb1 = b.sb1 AND a.vec_id <> b.vec_id
-         |)
-         |SELECT query_id, neighbor_id, cosine, rk FROM (
-         |  SELECT *, ROW_NUMBER() OVER (
-         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
-         |  FROM pairs
-         |) WHERE rk <= 3""".stripMargin
-    })
-
-  /** ANN quality eval: recall@3 of the sign-LSH index against exact
-    * brute-force cosine, per query, over the bounded query set
-    * (vec_id < 5 — the same evaluation-scoping rule as the sampled LSH
-    * eval: ground truth is O(|Q|·N), so |Q| must be bounded; the
-    * INDEX side stays the production bucket join). A missing bucket
-    * neighbor counts as a miss via the LEFT JOIN — recall is exactly
-    * |lsh∩exact|/3. This is the operator a 100 TB deployment runs
-    * nightly to catch index drift: both rankings read the one staged
-    * emb_nv artifact, nothing rebuilds. */
-  val annEval: StagedOp = StagedOp(
-    stages = Seq("emb_nv" -> nvStage),
-    body = { d =>
-      def top3(pairs: String, out: String) =
-        s"""$out AS (
-           |  SELECT query_id, neighbor_id FROM (
-           |    SELECT *, ROW_NUMBER() OVER (
-           |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
-           |    FROM $pairs
-           |  ) WHERE rk <= 3
-           |)""".stripMargin
-      s"""WITH qs AS (SELECT * FROM emb_nv WHERE vec_id < 5),
-         |ep AS (
-         |  SELECT qs.vec_id AS query_id, t.vec_id AS neighbor_id,
-         |    ${r6(dotExpr(d, "qs.embedding", "t.embedding") + " / (qs.nrm * t.nrm)")} AS cosine
-         |  FROM qs JOIN emb_nv t ON t.vec_id <> qs.vec_id
-         |),
-         |${top3("ep", "ex")},
-         |lp AS (
-         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |    ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine
-         |  FROM qs a JOIN emb_nv b ON a.sb1 = b.sb1 AND a.vec_id <> b.vec_id
-         |),
-         |${top3("lp", "ls")}
-         |SELECT e.query_id, COUNT(l.neighbor_id) AS n_hit,
-         |  CAST(COUNT(l.neighbor_id) AS DOUBLE) / 3 AS recall_at_3
-         |FROM ex e LEFT JOIN ls l
-         |  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
-         |GROUP BY e.query_id""".stripMargin
-    })
-
-  /** IVF ANN: coarse quantizer = per-label centroids (computed, not
-    * assumed), assignment = nearest centroid by L2 over µ-quantized
-    * components, probe = cosine top-3 within the assigned cell.
-    *
-    * All assignment arithmetic is int64: components quantize to
-    * micro-units (⌊v·1e6 + ½⌋ — FLOOR, not SQL ROUND, so both engines
-    * run the same cheap IEEE ops with no BigDecimal in the hot path;
-    * the earlier DECIMAL(28,10) distance sums were the slowest part of
-    * the whole similarity family), centroids to the quantized integer
-    * mean, distances to Σ(qv−qc)² — exact, order-independent, identical
-    * across engines. Max magnitude: diff² ≤ ~1.6e15 × 64 dims ≈ 1e17
-    * < 2⁶³.
-    *
-    * The IVF structure at scale: the centroid table is broadcast-sized,
-    * assignment is one pass over the vectors, and search fans out only
-    * within cells. */
-  /** µ-quantized per-(label, pos) centroid CTE chain (ends in
-    * `cent(label, pos, qc)`) — shared by the IVF assignment stage and
-    * the staged centroid table the multi-probe search reads. */
-  private def ivfCentCtes(d: Dialect): String = {
-    val expC = d.explodeWithPos(
-      "SELECT vec_id, label, embedding FROM embeddings",
-      "vec_id, label", "embedding", "pos", "v")
-    s"""evc AS ($expC),
-       |cent AS (
-       |  SELECT label, pos,
-       |    CAST(FLOOR(CAST(SUM(${qvExpr("v")}) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
-       |  FROM evc GROUP BY label, pos
-       |)""".stripMargin
-  }
-
-  val annIvf: StagedOp = {
-    StagedOp(
-      stages = Seq(
-        "emb_nv" -> nvStage,
-        // centroids (broadcast-sized: labels × dims) and the
-        // (vector, cell) working set in one staged pass; how the
-        // assignment itself runs is per-dialect ([[Dialect.ivfAssign]]):
-        // Spark packs the centroids into one broadcast array value and
-        // argmins with the codegen'd graft_nearest_centroid — a narrow
-        // projection over the staged emb_nv, zero shuffle of the
-        // vectors; DuckDB keeps the relational explode + distance
-        // groupBy, and the oracle gate proves them identical.
-        "ivf_nvc" -> { d => d.ivfAssign(ivfCentCtes(d)) }),
-      body = { d =>
-        s"""WITH qs AS (SELECT * FROM ivf_nvc WHERE vec_id % 50 = 0),
-           |pairs AS (
-           |  SELECT qs.vec_id AS query_id, b.vec_id AS neighbor_id, qs.cell,
-           |    ${r6(dotExpr(d, "qs.embedding", "b.embedding") + " / (qs.nrm * b.nrm)")} AS cosine
-           |  FROM qs JOIN ivf_nvc b ON qs.cell = b.cell AND qs.vec_id <> b.vec_id
-           |)
-           |SELECT query_id, neighbor_id, cell, cosine, rk FROM (
-           |  SELECT *, ROW_NUMBER() OVER (
-           |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
-           |  FROM pairs
-           |) WHERE rk <= 3""".stripMargin
-      })
-  }
-
-  /** IVF multi-probe search: same index as [[annIvf]], but each query
-    * probes its TWO nearest cells — the standard recall lever when the
-    * true neighbor falls just across a Voronoi boundary. The probe
-    * ranking is relational (query-embedding posexplode ⋈ the staged
-    * centroid table on pos, exact int64 L2, ROW_NUMBER ≤ 2) in BOTH
-    * engines: the query set is a 2% slice, so queries × labels × dims
-    * is tiny and needs no codegen'd argmin; the candidate fan-out is
-    * still bounded by cell sizes (2 cells per query instead of 1).
-    * Every query vector already carries a cell (so its dimensionality
-    * matched the centroids at assignment) — the probe join needs no
-    * dimension guard. */
-  val annIvfProbe2: StagedOp = StagedOp(
-    stages = Seq(
-      "emb_nv" -> nvStage,
-      "ivf_nvc" -> { d => d.ivfAssign(ivfCentCtes(d)) },
-      // the centroid table itself (labels × dims, broadcast-sized),
-      // staged so the probe ranking reads it as a plain relation
-      "ivf_cent" -> { d =>
-        s"WITH ${ivfCentCtes(d)} SELECT label, pos, qc FROM cent"
-      }),
-    body = { d =>
-      val expQ = d.explodeWithPos(
-        "SELECT vec_id, embedding FROM qs", "vec_id", "embedding", "pos", "v")
-      val qv = qvExpr("e.v")
-      s"""WITH qs AS (SELECT * FROM ivf_nvc WHERE vec_id % 50 = 0),
-         |qd AS (
-         |  SELECT e.vec_id, c.label,
-         |    SUM(($qv - c.qc) * ($qv - c.qc)) AS dist
-         |  FROM ($expQ) e JOIN ivf_cent c ON e.pos = c.pos
-         |  GROUP BY e.vec_id, c.label
-         |),
-         |probes AS (
-         |  SELECT vec_id, label FROM (
-         |    SELECT vec_id, label,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, label) AS prk
-         |    FROM qd) p
-         |  WHERE prk <= 2
-         |),
-         |pairs AS (
-         |  SELECT qs.vec_id AS query_id, b.vec_id AS neighbor_id, b.cell,
-         |    ${r6(dotExpr(d, "qs.embedding", "b.embedding") + " / (qs.nrm * b.nrm)")} AS cosine
-         |  FROM qs
-         |  JOIN probes p ON qs.vec_id = p.vec_id
-         |  JOIN ivf_nvc b ON b.cell = p.label AND qs.vec_id <> b.vec_id
-         |)
-         |SELECT query_id, neighbor_id, cell, cosine, rk FROM (
-         |  SELECT *, ROW_NUMBER() OVER (
-         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
-         |  FROM pairs
-         |) WHERE rk <= 3""".stripMargin
-    })
-
-  /** IVF nprobe tuning sweep — the recall-vs-cost curve a pipeline
-    * reads before fixing the probe depth (the [[lshScurve]] idea
-    * applied to the IVF family): for nprobe 1..4, recall@3 of the
-    * probed-cells search against the exact brute-force truth over the
-    * SAME deterministic query sample, next to the average candidate
-    * count per query (the cost axis — more probes buy recall with
-    * linearly more distance evaluations). The probed candidate pairs
-    * are computed ONCE into a stage carrying each neighbor's cell
-    * rank (`cellrank` — which probe depth first reaches it), so the
-    * sweep is windows over that table joined to a 4-row domain, never
-    * four re-probes; the brute-force truth side is the body's own
-    * honest cost, sample×corpus bounded exactly like [[annEval]]. */
-  val annNprobeSweep: StagedOp = {
-    val pairsStage = "anp_pr" -> { (d: Dialect) =>
-      val expQ = d.explodeWithPos(
-        "SELECT vec_id, embedding FROM qs", "vec_id", "embedding", "pos", "v")
-      val qv = qvExpr("e.v")
-      s"""WITH qs AS (SELECT * FROM ivf_nvc WHERE vec_id % 50 = 0),
-         |qd AS (
-         |  SELECT e.vec_id, c.label,
-         |    SUM(($qv - c.qc) * ($qv - c.qc)) AS dist
-         |  FROM ($expQ) e JOIN ivf_cent c ON e.pos = c.pos
-         |  GROUP BY e.vec_id, c.label
-         |),
-         |pr AS (
-         |  SELECT vec_id, label, prk FROM (
-         |    SELECT vec_id, label,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, label) AS prk
-         |    FROM qd) p
-         |  WHERE prk <= 4
-         |)
-         |SELECT qs.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |  p.prk AS cellrank,
-         |  ${r6(dotExpr(d, "qs.embedding", "b.embedding") + " / (qs.nrm * b.nrm)")} AS cosine
-         |FROM qs
-         |JOIN pr p ON qs.vec_id = p.vec_id
-         |JOIN ivf_nvc b ON b.cell = p.label AND qs.vec_id <> b.vec_id""".stripMargin
-    }
-    StagedOp(
-      stages = annIvfProbe2.stages :+ pairsStage,
-      body = { d =>
-        s"""WITH qs AS (SELECT * FROM ivf_nvc WHERE vec_id % 50 = 0),
-           |ex AS (
-           |  SELECT query_id, neighbor_id FROM (
-           |    SELECT *, ROW_NUMBER() OVER (
-           |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
-           |    FROM (
-           |      SELECT qs.vec_id AS query_id, t.vec_id AS neighbor_id,
-           |        ${r6(dotExpr(d, "qs.embedding", "t.embedding") + " / (qs.nrm * t.nrm)")} AS cosine
-           |      FROM qs JOIN emb_nv t ON t.vec_id <> qs.vec_id
-           |    )
-           |  ) WHERE rk <= 3
-           |),
-           |dom AS (SELECT 1 AS np UNION ALL SELECT 2 UNION ALL
-           |        SELECT 3 UNION ALL SELECT 4),
-           |ap AS (
-           |  SELECT np, query_id, neighbor_id FROM (
-           |    SELECT dom.np, p.query_id, p.neighbor_id,
-           |      ROW_NUMBER() OVER (PARTITION BY dom.np, p.query_id
-           |        ORDER BY p.cosine DESC, p.neighbor_id) AS rk
-           |    FROM anp_pr p JOIN dom ON p.cellrank <= dom.np
-           |  ) WHERE rk <= 3
-           |),
-           |cost AS (
-           |  SELECT dom.np, CAST(COUNT(*) AS BIGINT) AS n_cand
-           |  FROM anp_pr p JOIN dom ON p.cellrank <= dom.np GROUP BY dom.np
-           |),
-           |hit AS (
-           |  SELECT a.np, CAST(COUNT(*) AS BIGINT) AS n_hit
-           |  FROM ap a JOIN ex e
-           |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-           |  GROUP BY a.np
-           |),
-           |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qs)
-           |SELECT dom.np AS nprobe, nq.n AS n_queries,
-           |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
-           |  ${r6("CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / (3 * nq.n)")} AS recall_at_3,
-           |  CAST(${d.idiv("COALESCE(c.n_cand, 0)", "GREATEST(nq.n, 1)")} AS BIGINT)
-           |    AS avg_candidates
-           |FROM dom
-           |LEFT JOIN hit h ON h.np = dom.np
-           |LEFT JOIN cost c ON c.np = dom.np
-           |CROSS JOIN nq
-           |ORDER BY nprobe""".stripMargin
-      })
-  }
-
-  /** Near-dup graph degree histogram — the connectivity-health
-    * readout over the cosine near-dup graph ([[dedupEmbeddingCosine]]
-    * nested once): how many vectors are isolated (degree 0 — safe
-    * uniques), lightly linked, or hubs (template centers whose
-    * cluster will absorb everything they touch). Both endpoints are
-    * counted from ONE pass over the pair table (the seqArray(0,1)
-    * explode — a two-arm UNION would re-run the band self-join per
-    * arm under CTE inlining); isolated vectors come back through a
-    * LEFT JOIN against the staged vector table, so degree 0 is a
-    * row, not an absence. Histogram is degree-cardinality. (lazy:
-    * declared before [[dedupEmbeddingCosine]] in source order —
-    * a strict val would NPE at object init.) */
-  lazy val annDegreeHist: StagedOp = StagedOp(
-    stages = dedupEmbeddingCosine.stages,
-    body = { d =>
-      val pe = d.explode(
-        s"SELECT vec_a, vec_b, ${d.seqArray("0", "1")} AS ks FROM p",
-        "vec_a, vec_b", "ks", "k")
-      s"""WITH p AS (SELECT * FROM (
-         |${dedupEmbeddingCosine.body(d)}
-         |)),
-         |pe AS ($pe),
-         |en AS (SELECT CASE WHEN k = 0 THEN vec_a ELSE vec_b END AS vec_id FROM pe),
-         |dg AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS deg FROM en GROUP BY vec_id),
-         |ad AS (
-         |  SELECT n.vec_id, CAST(COALESCE(dg.deg, 0) AS BIGINT) AS deg
-         |  FROM emb_nv n LEFT JOIN dg ON dg.vec_id = n.vec_id
-         |)
-         |SELECT deg AS degree, CAST(COUNT(*) AS BIGINT) AS n_vecs
-         |FROM ad GROUP BY deg ORDER BY degree""".stripMargin
-    })
-
-  /** The composed production ANN index — IVF-PQ with exact refine, the
-    * FAISS-style three-stage read path, every stage off already-staged
-    * artifacts:
-    *   1. PROBE: each query ranks the broadcast-sized centroid table
-    *      and keeps its 2 nearest cells (the [[annIvfProbe2]] shape);
-    *   2. ADC: candidates are only the probed cells' members, scored
-    *      by 4 integer lookups against the per-(query, probed cell)
-    *      block lookup table over the staged RESIDUAL codes — top-20
-    *      survive, and the raw vectors are never touched;
-    *   3. REFINE: the ≤20 survivors per query are re-ranked by exact
-    *      cosine (a bounded join back to emb_nv — per query a constant
-    *      number of full-width vector reads), emitting top-5.
-    * The PQ codes encode residuals to the coarse centroid (FAISS's
-    * by_residual default) rather than the raw vectors: the coarse
-    * quantizer already explains each cell's mean, so codewords spend
-    * their bits on the part it could not explain — measured on the
-    * sf0.01 fixtures this lifted recall@5 at the identical probe
-    * count and code width versus reusing the IVF centroid table as
-    * the codebook. This is how 100 TB vector search actually ships:
-    * the coarse index bounds the candidate set, the code table
-    * carries the cheap scan, and exact math touches only a per-query
-    * constant. All ranking before the final cosine is exact int64,
-    * ties to the smaller id. */
-  val annIvfPq: StagedOp = {
-    val (m, bs) = (4, 16)
-    val quant = qvExpr _
-    // residual PQ training pipeline, classic FAISS shape: codes encode
-    // v − centroid(cell(v)), not v itself. Residuals concentrate near
-    // zero (the coarse quantizer already explains the cell mean), so a
-    // codebook trained ON residuals spends its codewords on what the
-    // coarse index could NOT explain — better ADC fidelity at the same
-    // code width than reusing the IVF centroid table as the codebook.
-    //
-    // Training is one deterministic hash-seeded Lloyd pass, fully
-    // relational: bucket each block residual by the 6-bit sign pattern
-    // of its first 6 components (up to 64 codewords per block),
-    // codeword = per-bucket µ-quantized mean. Exact int64 end-to-end,
-    // so both engines learn the identical codebook.
-    val resStage = { d: Dialect =>
-      val exp = d.explodeWithPos(
-        "SELECT vec_id, cell, embedding FROM ivf_nvc",
-        "vec_id, cell", "embedding", "pos", "v")
-      s"""WITH env AS ($exp)
-         |SELECT e.vec_id, e.cell,
-         |  CAST(FLOOR(e.pos / $bs) AS INT) AS block, e.pos % $bs AS bpos,
-         |  (${quant("e.v")} - c.qc) AS qr
-         |FROM env e JOIN ivf_cent c ON c.label = e.cell AND c.pos = e.pos""".stripMargin
-    }
-    val centInitStage = { _: Dialect =>
-      s"""WITH bkt AS (
-         |  SELECT vec_id, block,
-         |    CAST(SUM(CASE WHEN qr >= 0 THEN
-         |      (CASE bpos WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
-         |            WHEN 3 THEN 8 WHEN 4 THEN 16 ELSE 32 END)
-         |      ELSE 0 END) AS INT) AS cw
-         |  FROM rpq_res WHERE bpos < 6 GROUP BY vec_id, block
-         |)
-         |SELECT r.block, b.cw, r.bpos,
-         |  CAST(FLOOR(CAST(SUM(r.qr) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
-         |FROM rpq_res r JOIN bkt b ON b.vec_id = r.vec_id AND b.block = r.block
-         |GROUP BY r.block, b.cw, r.bpos""".stripMargin
-    }
-    // Lloyd ASSIGN step against codebook table `cent`: per (vector,
-    // block) argmin over that block's codewords, exact int64 L2 on
-    // residuals, ties to the smaller codeword id. The completeness
-    // guard keeps a codeword with missing bpos rows from winning on a
-    // prefix distance (the ivfAssign npos rule). The encode stage is
-    // this same step against the final codebook.
-    def assignSql(cent: String): String =
-      s"""WITH sc AS (
-         |  SELECT r.vec_id, r.block, c.cw,
-         |    CAST(SUM((r.qr - c.qc) * (r.qr - c.qc)) AS BIGINT) AS d2
-         |  FROM rpq_res r JOIN $cent c ON c.block = r.block AND c.bpos = r.bpos
-         |  GROUP BY r.vec_id, r.block, c.cw
-         |  HAVING COUNT(*) = $bs
-         |)
-         |SELECT vec_id, block, cw AS code FROM (
-         |  SELECT *, ROW_NUMBER() OVER (
-         |    PARTITION BY vec_id, block ORDER BY d2, cw) AS rk
-         |  FROM sc
-         |) WHERE rk = 1""".stripMargin
-    // Lloyd UPDATE step off assignment table `asg`: codeword = the
-    // µ-quantized mean of its members' residuals. Emptied codewords
-    // simply drop out, as in [[kmeansStep]].
-    def updateSql(asg: String): String =
-      s"""SELECT r.block, a.code AS cw, r.bpos,
-         |  CAST(FLOOR(CAST(SUM(r.qr) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
-         |FROM rpq_res r JOIN $asg a ON a.vec_id = r.vec_id AND a.block = r.block
-         |GROUP BY r.block, a.code, r.bpos""".stripMargin
-    StagedOp(
-      stages = Seq(
-        "emb_nv" -> nvStage,
-        "ivf_nvc" -> { d => d.ivfAssign(ivfCentCtes(d)) },
-        // the coarse centroid table as a relation (the annIvfProbe2
-        // artifact) — both the residual computation and the probe read it
-        "ivf_cent" -> { d => s"WITH ${ivfCentCtes(d)} SELECT label, pos, qc FROM cent" },
-        "rpq_res" -> resStage,
-        // codebook training: sign-hash seed, then two full Lloyd
-        // rounds (assign → update), every table vocabulary-sized and
-        // every pass one relational join over the staged residuals
-        "rpq_cent0" -> centInitStage,
-        "rpq_asg1" -> { _: Dialect => assignSql("rpq_cent0") },
-        "rpq_cent1" -> { _: Dialect => updateSql("rpq_asg1") },
-        "rpq_asg2" -> { _: Dialect => assignSql("rpq_cent1") },
-        "rpq_cent" -> { _: Dialect => updateSql("rpq_asg2") },
-        "rpq_codes" -> { _: Dialect => assignSql("rpq_cent") },
-        // The ADC shortlist as its own staged artifact: (1) PROBE —
-        // rank the broadcast-sized coarse centroids, keep 2 cells;
-        // (2) ADC — the query's residual LUT is PER PROBED CELL
-        // (residual encoding makes the LUT cell-dependent:
-        // q − centroid(cell)), |Q|×2×m×codewords rows (≤ 64 codewords
-        // per block), still broadcast-sized; candidates are the probed
-        // cells' members scored by m integer lookups off the staged
-        // code table, top-20 kept per query. HAVING guards at every
-        // aggregate: a short-trained label or codeword must not win an
-        // argmin on a prefix distance. Staged (not a body CTE) because
-        // the composed probe→ADC→refine megaplan's first-run
-        // analysis+codegen tripled between r5 and r6 as the residual
-        // codebooks grew — splitting here keeps each codegen unit
-        // small, and the shortlist has two consumers anyway (the
-        // refine body and the eval's ivfpq_top stage).
-        "ivfpq_sl" -> { (d: Dialect) =>
-          val expQ = d.explodeWithPos(
-            "SELECT vec_id, embedding FROM qs", "vec_id", "embedding", "pos", "v")
-          s"""WITH qs AS (SELECT vec_id, embedding FROM ivf_nvc WHERE vec_id % 50 = 0),
-             |qe AS ($expQ),
-             |qq AS (SELECT vec_id, pos, ${quant("v")} AS qv FROM qe),
-             |qd AS (
-             |  SELECT q.vec_id, c.label,
-             |    CAST(SUM((q.qv - c.qc) * (q.qv - c.qc)) AS BIGINT) AS dist
-             |  FROM qq q JOIN ivf_cent c ON c.pos = q.pos
-             |  GROUP BY q.vec_id, c.label
-             |  HAVING COUNT(*) = ${m * bs}
-             |),
-             |probes AS (
-             |  SELECT vec_id, label FROM (
-             |    SELECT vec_id, label,
-             |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, label) AS prk
-             |    FROM qd) p
-             |  WHERE prk <= 2
-             |),
-             |qres AS (
-             |  SELECT p.vec_id, p.label AS cell,
-             |    CAST(FLOOR(q.pos / $bs) AS INT) AS block, q.pos % $bs AS bpos,
-             |    (q.qv - c.qc) AS qr
-             |  FROM probes p
-             |  JOIN qq q ON q.vec_id = p.vec_id
-             |  JOIN ivf_cent c ON c.label = p.label AND c.pos = q.pos
-             |),
-             |qlut AS (
-             |  SELECT r.vec_id AS qid, r.cell, r.block, c.cw,
-             |    CAST(SUM((r.qr - c.qc) * (r.qr - c.qc)) AS BIGINT) AS d2
-             |  FROM qres r JOIN rpq_cent c ON c.block = r.block AND c.bpos = r.bpos
-             |  GROUP BY r.vec_id, r.cell, r.block, c.cw
-             |  HAVING COUNT(*) = $bs
-             |),
-             |adc AS (
-             |  SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
-             |    CAST(SUM(l.d2) AS BIGINT) AS adc_d2
-             |  FROM probes p
-             |  JOIN ivf_nvc b ON b.cell = p.label AND b.vec_id <> p.vec_id
-             |  JOIN rpq_codes k ON k.vec_id = b.vec_id
-             |  JOIN qlut l ON l.qid = p.vec_id AND l.cell = p.label
-             |    AND l.block = k.block AND l.cw = k.code
-             |  GROUP BY p.vec_id, b.vec_id
-             |  HAVING COUNT(*) = $m
-             |)
-             |SELECT query_id, neighbor_id FROM (
-             |  SELECT *, ROW_NUMBER() OVER (
-             |    PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS ark
-             |  FROM adc) s
-             |WHERE ark <= 20""".stripMargin
-        }),
-      body = { d =>
-        // (3) REFINE — exact cosine over the ≤20 staged survivors per
-        // query; the only non-broadcast table here is the 2-column
-        // shortlist itself.
-        s"""SELECT query_id, neighbor_id, cosine, rk FROM (
-           |  SELECT s.query_id, s.neighbor_id,
-           |    ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine,
-           |    ROW_NUMBER() OVER (PARTITION BY s.query_id
-           |      ORDER BY ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} DESC,
-           |        s.neighbor_id) AS rk
-           |  FROM ivfpq_sl s
-           |  JOIN emb_nv a ON a.vec_id = s.query_id
-           |  JOIN emb_nv b ON b.vec_id = s.neighbor_id
-           |) WHERE rk <= 5""".stripMargin
-      })
-  }
-
-  /** Recall@5 of the composed IVF-PQ index against exact brute-force
-    * cosine on the bounded query set — [[annEval]]'s nightly
-    * drift-check pattern applied to the production index: the IVF-PQ
-    * top-5 is a staged artifact (built by the same pipeline
-    * q_ann_ivfpq times), the exact side is O(|Q|·N) and |Q| is the 2%
-    * slice, and a missing shortlist neighbor counts as a miss via the
-    * LEFT JOIN. Measures end-to-end loss: probe misses (wrong cell)
-    * AND ADC quantization error together. */
-  val annIvfPqEval: StagedOp = StagedOp(
-    stages = annIvfPq.stages :+ ("ivfpq_top" -> annIvfPq.body),
-    body = { d =>
-      s"""WITH qs AS (SELECT vec_id, embedding, nrm FROM ivf_nvc WHERE vec_id % 50 = 0),
-         |ep AS (
-         |  SELECT qs.vec_id AS query_id, t.vec_id AS neighbor_id,
-         |    ${r6(dotExpr(d, "qs.embedding", "t.embedding") + " / (qs.nrm * t.nrm)")} AS cosine
-         |  FROM qs JOIN emb_nv t ON t.vec_id <> qs.vec_id
-         |),
-         |ex AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT *, ROW_NUMBER() OVER (
-         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
-         |    FROM ep
-         |  ) WHERE rk <= 5
-         |)
-         |SELECT e.query_id, COUNT(l.neighbor_id) AS n_hit,
-         |  CAST(COUNT(l.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
-         |FROM ex e LEFT JOIN ivfpq_top l
-         |  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
-         |GROUP BY e.query_id""".stripMargin
-    })
-
-  /** The embedding delta-slice convention (the [[NewDocMod]] pattern
-    * applied to vectors): vec_id % 16 = 3 is "today's ingest", the
-    * rest is the base corpus yesterday's index was built on. */
-  val NewVecMod = 16
-  val NewVecRem = 3
-
-  /** Two-sample Kolmogorov–Smirnov drift test — the CONTINUOUS-metric
-    * sibling of the categorical [[labelDrift]] chi-square: did the
-    * length distribution of one slice (en docs) shift against the
-    * rest? D = max over the merged value domain of |F₁(v) − F₂(v)|,
-    * computed EXACTLY in int64 as max |f₁·n₂ − f₂·n₁| over cumulative
-    * counts (products ≤ n² ≈ 10¹² at 10⁶ docs — no float CDF ever
-    * compared), divided once at the end. The α = 0.05 rejection bar
-    * is the asymptotic 1.358·√((n₁+n₂)/(n₁·n₂)) — two
-    * correctly-rounded IEEE ops on exact integers, deterministic in
-    * both engines. Scale shape: one narrow scan, a groupBy on the
-    * metric VALUE (the cumulative window runs over the bounded
-    * distinct-value domain — document lengths — never over docs), one
-    * single-row readout. Degenerate slices (either side empty) emit
-    * NULL instead of a fake zero statistic. */
-  def ksDrift(d: Dialect): String =
-    s"""WITH v AS (
-       |  SELECT n_chars AS x,
-       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g
-       |  FROM documents
-       |),
-       |n AS (
-       |  SELECT CAST(SUM(g) AS BIGINT) AS n1,
-       |    CAST(SUM(1 - g) AS BIGINT) AS n2
-       |  FROM v
-       |),
-       |c AS (
-       |  SELECT x, CAST(SUM(g) AS BIGINT) AS c1,
-       |    CAST(SUM(1 - g) AS BIGINT) AS c2
-       |  FROM v GROUP BY x
-       |),
-       |cum AS (
-       |  SELECT x,
-       |    CAST(SUM(c1) OVER (ORDER BY x) AS BIGINT) AS f1,
-       |    CAST(SUM(c2) OVER (ORDER BY x) AS BIGINT) AS f2
-       |  FROM c
-       |),
-       |dm AS (
-       |  SELECT CAST(MAX(ABS(f1 * n.n2 - f2 * n.n1)) AS BIGINT) AS dmax
-       |  FROM cum CROSS JOIN n
-       |)
-       |SELECT n.n1, n.n2,
-       |  CASE WHEN n.n1 = 0 OR n.n2 = 0 THEN NULL
-       |       ELSE ${r6("CAST(dm.dmax AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2)")}
-       |  END AS d_stat,
-       |  CASE WHEN n.n1 = 0 OR n.n2 = 0 THEN NULL
-       |       ELSE ${r6("1.358e0 * sqrt(CAST(n.n1 + n.n2 AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2))")}
-       |  END AS reject_bar,
-       |  CASE WHEN n.n1 = 0 OR n.n2 = 0 THEN NULL
-       |       ELSE CAST(dm.dmax AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2)
-       |            > 1.358e0 * sqrt(CAST(n.n1 + n.n2 AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2))
-       |  END AS drifted
-       |FROM n CROSS JOIN dm""".stripMargin
-
-  /** Class-prior (label-mix) drift between the base corpus and
-    * today's ingest slice — the LABEL-level companion of
-    * [[embeddingDrift]], the [[chiSquare]] shape over the
-    * label × slice contingency: did the category mix of arriving
-    * vectors shift? Missing cells are spine-filled to 0 (a label
-    * absent from one slice is exactly the signal — dropping its cell
-    * would understate the statistic); marginals are windows over the
-    * labels×2 table; each (o−e)²/e term is µ-quantized int64 BEFORE
-    * any cross-row sum. Per-label rows carry both shares (exact ppm)
-    * and the label's chi-square contribution, so the report ranks the
-    * movers, not just the headline statistic. */
-  def labelDrift(d: Dialect): String = {
-    val term = chi2CellTerm
-    s"""WITH s AS (
-       |  SELECT label,
-       |    CASE WHEN vec_id % $NewVecMod = $NewVecRem THEN 1 ELSE 0 END AS sl
-       |  FROM embeddings
-       |),
-       |o AS (SELECT label, sl, COUNT(*) AS obs FROM s GROUP BY label, sl),
-       |lb AS (SELECT DISTINCT label FROM s),
-       |spine AS (
-       |  SELECT label, sl FROM lb
-       |  CROSS JOIN (SELECT 0 AS sl UNION ALL SELECT 1)
-       |),
-       |f AS (
-       |  SELECT sp.label, sp.sl, COALESCE(o.obs, 0) AS obs
-       |  FROM spine sp LEFT JOIN o ON o.label = sp.label AND o.sl = sp.sl
-       |),
-       |x AS (
-       |  SELECT label, sl, CAST(obs AS BIGINT) AS obs_i, CAST(obs AS DOUBLE) AS obs,
-       |    CAST(SUM(obs) OVER (PARTITION BY label) AS DOUBLE) AS rt,
-       |    CAST(SUM(obs) OVER (PARTITION BY sl) AS BIGINT) AS ct_i,
-       |    CAST(SUM(obs) OVER (PARTITION BY sl) AS DOUBLE) AS ct,
-       |    CAST(SUM(obs) OVER () AS DOUBLE) AS n
-       |  FROM f
-       |),
-       |t AS (
-       |  -- e = rt·ct/n is 0 exactly when a slice (or label) total is
-       |  -- 0 — "today's ingest is empty" is a state a drift monitor
-       |  -- must SURVIVE, not crash on (the spine-fill creates the
-       |  -- e = 0 cells chiSquare's observed-only contingency never
-       |  -- has; an unguarded term is 0/0 → NaN → ANSI CAST throw)
-       |  SELECT label, sl, obs_i, ct_i,
-       |    CASE WHEN rt * ct > 0.0e0
-       |         THEN CAST(FLOOR($term * 1.0e6 + 5.0e-1) AS BIGINT)
-       |         ELSE 0 END AS qt
-       |  FROM x
-       |)
-       |SELECT label,
-       |  CAST(MAX(CASE WHEN sl = 0 THEN obs_i END) AS BIGINT) AS n_base,
-       |  CAST(MAX(CASE WHEN sl = 1 THEN obs_i END) AS BIGINT) AS n_new,
-       |  CASE WHEN MAX(CASE WHEN sl = 0 THEN ct_i END) = 0 THEN NULL
-       |       ELSE ${d.idiv("MAX(CASE WHEN sl = 0 THEN obs_i END) * 1000000",
-                             "MAX(CASE WHEN sl = 0 THEN ct_i END)")} END AS share_base_ppm,
-       |  CASE WHEN MAX(CASE WHEN sl = 1 THEN ct_i END) = 0 THEN NULL
-       |       ELSE ${d.idiv("MAX(CASE WHEN sl = 1 THEN obs_i END) * 1000000",
-                             "MAX(CASE WHEN sl = 1 THEN ct_i END)")} END AS share_new_ppm,
-       |  ${r6("CAST(SUM(qt) AS DOUBLE) / 1.0e6")} AS chi2_part
-       |FROM t GROUP BY label""".stripMargin
-  }
-
-  /** Embedding-DISTRIBUTION drift between the base corpus and today's
-    * ingest slice (the [[NewVecMod]] convention) — the upstream
-    * monitor that tells you the embedding MODEL or the content mix
-    * changed before any index metric moves: per dimension, both
-    * slices' count/mean/variance and the standardized mean difference
-    * smd = (µ_new − µ_base) / √((σ²_base + σ²_new)/2) (Cohen's d with
-    * the pooled-spread denominator), flagged past |smd| > 0.1 (the
-    * conventional "small effect" bar). Sufficient statistics are
-    * exact int64 sums of µ-quantized components (one explode pass,
-    * map-side combinable, conditional aggregation instead of a
-    * self-join — the two slices never shuffle separately); the
-    * variance/smd arithmetic is fixed expression trees over those
-    * exact ints. Zero pooled spread yields smd = NULL (infinite
-    * effect size, not a division blow-up) — but the FLAG still fires
-    * when the two constant means differ, because a zeroed/re-scaled
-    * feature is the bluntest drift of all. */
-  def embeddingDrift(d: Dialect): String = {
-    val exp = d.explodeWithPos(
-      "SELECT vec_id, embedding FROM embeddings", "vec_id", "embedding", "pos", "v")
-    s"""WITH e AS ($exp),
-       |q AS (
-       |  SELECT CAST(pos AS BIGINT) AS pos,
-       |    CASE WHEN vec_id % $NewVecMod = $NewVecRem THEN 1 ELSE 0 END AS is_new,
-       |    ${qvExpr("v")} AS qv
-       |  FROM e
-       |),
-       |s AS (
-       |  SELECT pos,
-       |    CAST(SUM(1 - is_new) AS BIGINT) AS nb,
-       |    CAST(SUM((1 - is_new) * qv) AS BIGINT) AS sb,
-       |    CAST(SUM(is_new) AS BIGINT) AS nn,
-       |    CAST(SUM(is_new * qv) AS BIGINT) AS sn,
-       |    CAST(SUM((1 - is_new) * qv * qv) AS BIGINT) AS qb,
-       |    CAST(SUM(is_new * qv * qv) AS BIGINT) AS qn
-       |  FROM q GROUP BY pos
-       |),
-       |v AS (
-       |  -- under-sampled dimensions (a slice with < 2 samples) are
-       |  -- KEPT with NULL moments, not dropped: an empty ingest must
-       |  -- read as "no data" (status, NULL smd, NULL flag), never as
-       |  -- the silent empty report that looks like "no drift"
-       |  SELECT pos, nb, nn,
-       |    CASE WHEN nb > 0 THEN CAST(sb AS DOUBLE) / nb END AS mb,
-       |    CASE WHEN nn > 0 THEN CAST(sn AS DOUBLE) / nn END AS mn,
-       |    CASE WHEN nb > 1 THEN
-       |      (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) END AS vb,
-       |    CASE WHEN nn > 1 THEN
-       |      (CAST(qn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / nn) / (nn - 1) END AS vn
-       |  FROM s
-       |),
-       |sm AS (
-       |  SELECT pos, nb, nn, mb, mn, vb, vn,
-       |    CASE WHEN vb IS NULL OR vn IS NULL OR vb + vn <= 0.0e0 THEN NULL
-       |         ELSE (mn - mb) / sqrt((vb + vn) / 2.0e0) END AS smd_raw
-       |  FROM v
-       |)
-       |SELECT pos, nb AS n_base, nn AS n_new,
-       |  CASE WHEN nb > 1 AND nn > 1 THEN 'ok' ELSE 'no_data' END AS status,
-       |  ${r6("(mn - mb) / 1.0e6")} AS mean_diff,
-       |  ${r6("smd_raw")} AS smd,
-       |  CASE
-       |    WHEN nb < 2 OR nn < 2 THEN NULL
-       |    -- zero pooled spread with DIFFERENT means = infinite effect
-       |    -- size: the bluntest drift there is (the model zeroed or
-       |    -- re-scaled a feature) must flag, not mask as NULL
-       |    WHEN vb + vn <= 0.0e0 THEN (CASE WHEN mn <> mb THEN 1 ELSE 0 END)
-       |    WHEN ABS(smd_raw) > 1.0e-1 THEN 1
-       |    ELSE 0 END AS drift_flag
-       |FROM sm""".stripMargin
-  }
-
-  /** Base-slice centroid table — yesterday's trained coarse quantizer,
-    * shared by the incremental update and its full-rebuild oracle. */
-  private def ivfdCentStage(d: Dialect): String = {
-    val exp = d.explodeWithPos(
-      s"SELECT vec_id, label, embedding FROM embeddings " +
-        s"WHERE vec_id % $NewVecMod <> $NewVecRem AND ${d.size("embedding")} = 64",
-      "vec_id, label", "embedding", "pos", "v")
-    s"""WITH evc AS ($exp)
-       |SELECT label, pos,
-       |  CAST(FLOOR(CAST(SUM(${qvExpr("v")}) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
-       |FROM evc GROUP BY label, pos""".stripMargin
-  }
-
-  /** Relational CTE chain `eq` → `dist` → `asgn` assigning `src`'s
-    * (vec_id, embedding) rows to the `ivfd_cent` centroids: exact
-    * int64 L2 over µ-quantized components, completeness-guarded, ties
-    * to the smaller label — the one assignment rule, rendered once for
-    * the base stats stage, the delta body, and the full oracle. */
-  private def ivfdAssignCtes(d: Dialect, src: String): String = {
-    val exp = d.explodeWithPos(src, "vec_id", "embedding", "pos", "v")
-    s"""ev AS ($exp),
-       |eq AS (SELECT vec_id, pos, ${qvExpr("v")} AS qv FROM ev),
-       |dist AS (
-       |  SELECT e.vec_id, c.label,
-       |    CAST(SUM((e.qv - c.qc) * (e.qv - c.qc)) AS BIGINT) AS d2
-       |  FROM eq e JOIN ivfd_cent c ON e.pos = c.pos
-       |  GROUP BY e.vec_id, c.label
-       |  HAVING COUNT(*) = 64
-       |),
-       |asgn AS (
-       |  SELECT vec_id, label AS cell FROM (
-       |    SELECT vec_id, label, ROW_NUMBER() OVER (
-       |      PARTITION BY vec_id ORDER BY d2, label) AS rn
-       |    FROM dist) r
-       |  WHERE rn = 1
-       |)""".stripMargin
-  }
-
-  private def ivfdBaseSrc(d: Dialect): String =
-    s"SELECT vec_id, embedding FROM embeddings " +
-      s"WHERE vec_id % $NewVecMod <> $NewVecRem AND ${d.size("embedding")} = 64"
-  private def ivfdDeltaSrc(d: Dialect): String =
-    s"SELECT vec_id, embedding FROM embeddings " +
-      s"WHERE vec_id % $NewVecMod = $NewVecRem AND ${d.size("embedding")} = 64"
-
-  /** Incremental IVF index maintenance — the daily-ingest path for the
-    * ANN index, mirroring [[Cluster.incrementalUpdate]]'s shape for
-    * dedup: yesterday's artifacts (centroid table + per-(cell, pos)
-    * sufficient statistics of the base assignment) are staged; the
-    * TIMED work assigns only today's delta slice to the existing
-    * centroids (cost ∝ delta — the centroid table is broadcast-sized
-    * and only delta vectors explode), merges the delta's component
-    * sums into the base statistics, and reports per cell: member
-    * counts, the maximum component drift of the updated mean in
-    * µ-units, and a retrain flag. The oracle is the handwritten
-    * FULL-REBUILD form ([[annIvfDeltaFull]] — assign everything from
-    * scratch, aggregate directly), so the hash gate proves the
-    * sufficient-statistics decomposition exact, the
-    * q_dedup_cluster_delta pattern. Drift is measured only where the
-    * base cell has members; a cell first populated today reports its
-    * fresh mean with zero drift. */
-  val annIvfDelta: StagedOp = StagedOp(
-    stages = Seq(
-      "ivfd_cent" -> ivfdCentStage _,
-      "ivfd_stats" -> { d =>
-        s"""WITH ${ivfdAssignCtes(d, ivfdBaseSrc(d))}
-           |SELECT a.cell, e.pos,
-           |  CAST(SUM(e.qv) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
-           |FROM asgn a JOIN eq e ON a.vec_id = e.vec_id
-           |GROUP BY a.cell, e.pos""".stripMargin
-      }),
-    body = { d =>
-      s"""WITH ${ivfdAssignCtes(d, ivfdDeltaSrc(d))},
-         |dstats AS (
-         |  SELECT a.cell, e.pos,
-         |    CAST(SUM(e.qv) AS BIGINT) AS sd, CAST(COUNT(*) AS BIGINT) AS nd
-         |  FROM asgn a JOIN eq e ON a.vec_id = e.vec_id
-         |  GROUP BY a.cell, e.pos
-         |),
-         |merged AS (
-         |  SELECT
-         |    COALESCE(b.cell, dq.cell) AS cell,
-         |    COALESCE(b.n, 0) AS n, COALESCE(dq.nd, 0) AS nd,
-         |    CASE WHEN COALESCE(b.n, 0) > 0
-         |         THEN CAST(FLOOR(CAST(b.s AS DOUBLE) / b.n + 5.0e-1) AS BIGINT) END AS qc_base,
-         |    CAST(FLOOR(CAST(COALESCE(b.s, 0) + COALESCE(dq.sd, 0) AS DOUBLE)
-         |      / (COALESCE(b.n, 0) + COALESCE(dq.nd, 0)) + 5.0e-1) AS BIGINT) AS qc_upd
-         |  FROM ivfd_stats b
-         |  FULL OUTER JOIN dstats dq ON b.cell = dq.cell AND b.pos = dq.pos
-         |)
-         |SELECT cell,
-         |  CAST(MAX(n) AS BIGINT) AS n_base,
-         |  CAST(MAX(nd) AS BIGINT) AS n_new,
-         |  CAST(MAX(CASE WHEN n > 0 THEN ABS(qc_upd - qc_base) ELSE 0 END) AS BIGINT) AS max_drift_mu,
-         |  CASE WHEN MAX(CASE WHEN n > 0 THEN ABS(qc_upd - qc_base) ELSE 0 END) > 1000
-         |       THEN 1 ELSE 0 END AS retrain_flag
-         |FROM merged GROUP BY cell""".stripMargin
-    })
-
-  /** The full-rebuild ground truth for [[annIvfDelta]]: assign EVERY
-    * vector (base and delta alike) to the base centroids in one pass
-    * and aggregate the per-cell statistics directly — no staged
-    * sufficient statistics, no merge. Rendered for DuckDB as
-    * q_ann_ivf_delta's oracle; never run on the Spark side. */
-  val annIvfDeltaFull: StagedOp = StagedOp(
-    stages = Seq("ivfd_cent" -> ivfdCentStage _),
-    body = { d =>
-      val allSrc = s"SELECT vec_id, embedding FROM embeddings WHERE ${d.size("embedding")} = 64"
-      s"""WITH ${ivfdAssignCtes(d, allSrc)},
-         |stats AS (
-         |  SELECT a.cell, e.pos,
-         |    CAST(SUM(CASE WHEN e.vec_id % $NewVecMod <> $NewVecRem THEN e.qv ELSE 0 END) AS BIGINT) AS s_base,
-         |    CAST(SUM(CASE WHEN e.vec_id % $NewVecMod <> $NewVecRem THEN 1 ELSE 0 END) AS BIGINT) AS n,
-         |    CAST(SUM(CASE WHEN e.vec_id % $NewVecMod = $NewVecRem THEN 1 ELSE 0 END) AS BIGINT) AS nd,
-         |    CAST(SUM(e.qv) AS BIGINT) AS s_all,
-         |    CAST(COUNT(*) AS BIGINT) AS n_all
-         |  FROM asgn a JOIN eq e ON a.vec_id = e.vec_id
-         |  GROUP BY a.cell, e.pos
-         |),
-         |merged AS (
-         |  SELECT cell, n, nd,
-         |    CASE WHEN n > 0
-         |         THEN CAST(FLOOR(CAST(s_base AS DOUBLE) / n + 5.0e-1) AS BIGINT) END AS qc_base,
-         |    CAST(FLOOR(CAST(s_all AS DOUBLE) / n_all + 5.0e-1) AS BIGINT) AS qc_upd
-         |  FROM stats
-         |)
-         |SELECT cell,
-         |  CAST(MAX(n) AS BIGINT) AS n_base,
-         |  CAST(MAX(nd) AS BIGINT) AS n_new,
-         |  CAST(MAX(CASE WHEN n > 0 THEN ABS(qc_upd - qc_base) ELSE 0 END) AS BIGINT) AS max_drift_mu,
-         |  CASE WHEN MAX(CASE WHEN n > 0 THEN ABS(qc_upd - qc_base) ELSE 0 END) > 1000
-         |       THEN 1 ELSE 0 END AS retrain_flag
-         |FROM merged GROUP BY cell""".stripMargin
-    })
-
-  /** One k-means (Lloyd) iteration over the embeddings: assignment to
-    * the nearest current centroid (the staged IVF working set — on the
-    * Spark side a broadcast-packed codegen'd argmin, zero vector
-    * shuffle), then the centroid UPDATE step: per-cell quantized
-    * component means plus member counts. The update is one map-side-
-    * combinable groupBy over (cell, pos) — the canonical distributed
-    * k-means step. All arithmetic is the same µ-quantized int64 path
-    * as the assignment ([[annIvf]]), so the new centroids are exact
-    * and engine-identical; iterating = feeding qc_new back as the next
-    * round's cent table. */
-  val kmeansStep: StagedOp = StagedOp(
-    stages = annIvf.stages,
-    body = { d =>
-      val exp = d.explodeWithPos(
-        "SELECT cell, embedding FROM ivf_nvc", "cell", "embedding", "pos", "v")
-      s"""WITH easg AS ($exp)
-         |SELECT cell, pos,
-         |  CAST(FLOOR(CAST(SUM(${qvExpr("v")}) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc_new,
-         |  COUNT(*) AS n_members
-         |FROM easg GROUP BY cell, pos""".stripMargin
-    })
-
-  /** Lloyd rounds for [[kmeansLoop]]. */
-  private val KmRounds = 3
-
-  /** The FULL Lloyd loop — [[kmeansStep]] iterated to (near)
-    * convergence as staged rounds: round r assigns every vector to its
-    * nearest round-(r−1) centroid ([[Dialect.ivfAssign]]: Spark packs
-    * the broadcast-sized centroid table into one array value and runs
-    * the codegen'd argmin — a narrow projection, ZERO shuffle of the
-    * vectors; the only shuffle per round is the (cell, pos) centroid
-    * re-aggregation, cells×dims cardinality) and re-estimates the
-    * means in exact µ-quantized int64. Readout per round: how many
-    * vectors changed cells, the surviving-centroid L1 shift, and the
-    * live cell count — the convergence trajectory a clustering job
-    * monitors. A cell that loses all members drops out (the
-    * [[kmeansStep]] rule); the shift join therefore covers surviving
-    * labels only. The round stages are the query's own computation —
-    * deliberately NOT prewarmed, like the CC/peel/pagerank loops. */
-  val kmeansLoop: StagedOp = {
-    val roundStages: Seq[(String, Dialect => String)] = (1 to KmRounds).flatMap { r =>
-      val prevCent = if (r == 1) "ivf_cent" else s"km_c${r - 1}"
-      Seq(
-        s"km_a$r" -> { (d: Dialect) =>
-          d.ivfAssign(s"cent AS (SELECT label, pos, qc FROM $prevCent)")
-        },
-        s"km_c$r" -> { (d: Dialect) =>
-          val exp = d.explodeWithPos(
-            s"SELECT cell, embedding FROM km_a$r", "cell", "embedding", "pos", "v")
-          s"""WITH ea AS ($exp)
-             |SELECT cell AS label, pos,
-             |  CAST(FLOOR(CAST(SUM(${qvExpr("v")}) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
-             |FROM ea GROUP BY cell, pos""".stripMargin
-        })
-    }
-    StagedOp(
-      stages = Seq[(String, Dialect => String)](
-        "emb_nv" -> (nvStage(_)),
-        "ivf_cent" -> { (d: Dialect) =>
-          s"WITH ${ivfCentCtes(d)} SELECT label, pos, qc FROM cent"
-        }) ++ roundStages,
-      body = { _ =>
-        val rows = (1 to KmRounds).map { r =>
-          val prevCent = if (r == 1) "ivf_cent" else s"km_c${r - 1}"
-          val prevAsgn =
-            if (r == 1)
-              // the initial "assignment" is the label column, restricted
-              // to emb_nv's vector set (zero-norm exclusions) so round 1
-              // counts over the same population as every later round
-              "(SELECT n.vec_id, e.label AS cell FROM emb_nv n JOIN embeddings e ON n.vec_id = e.vec_id)"
-            else s"(SELECT vec_id, cell FROM km_a${r - 1})"
-          // three tiny single-row aggregates per round; the cross joins
-          // broadcast one-row scalars (the q_above_avg pattern)
-          s"""SELECT $r AS round, ra.n_reassigned, sh.shift_l1, nc.n_cells
-             |FROM (
-             |  SELECT COUNT(*) AS n_reassigned
-             |  FROM km_a$r a JOIN $prevAsgn p ON a.vec_id = p.vec_id AND a.cell <> p.cell
-             |) ra
-             |CROSS JOIN (
-             |  SELECT CAST(SUM(ABS(c.qc - pc.qc)) AS BIGINT) AS shift_l1
-             |  FROM km_c$r c JOIN $prevCent pc ON c.label = pc.label AND c.pos = pc.pos
-             |) sh
-             |CROSS JOIN (
-             |  SELECT COUNT(DISTINCT cell) AS n_cells FROM km_a$r
-             |) nc""".stripMargin
-        }.mkString("\nUNION ALL\n")
-        s"$rows\nORDER BY round"
-      })
-  }
-
-  /** EXTERNAL cluster validation for the trained Lloyd model —
-    * purity and normalized mutual information of the final-round
-    * assignment against the embeddings' ground-truth labels (the
-    * readout that says whether the clusters recover the labeling, as
-    * the internal silhouette cannot). All counting rides ONE
-    * cells×labels contingency table (k·|labels| rows — broadcast-
-    * trivial at any corpus scale; the only corpus-sized work is the
-    * assignment join, one shuffle). Entropies and MI are µ-quantized-
-    * log2 int64 sums (the [[mutualInfo]] arithmetic — quantize each
-    * term BEFORE summation, so cross-engine float sums never
-    * diverge); the final NMI = MI/√(H(cell)·H(label)) touches doubles
-    * only in a fixed sequence of correctly-rounded ops and is NULL
-    * when either marginal entropy is zero (a single-cell or
-    * single-label degenerate run must read as "undefined", not 0 or
-    * ∞). Reads the FINAL round's assignment ([[kmeansLoop]] stages —
-    * shared chain, billed to q_kmeans_loop by name order). */
-  val kmeansPurity: StagedOp = StagedOp(
-    stages = kmeansLoop.stages,
-    body = { _ =>
-      val finA = s"km_a$KmRounds"
-      s"""WITH ct AS (
-         |  SELECT a.cell, e.label, CAST(COUNT(*) AS BIGINT) AS nij
-         |  FROM $finA a JOIN embeddings e ON a.vec_id = e.vec_id
-         |  GROUP BY a.cell, e.label
-         |),
-         |tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM ct),
-         |cm AS (SELECT cell, CAST(SUM(nij) AS BIGINT) AS ni FROM ct GROUP BY cell),
-         |lm AS (SELECT label, CAST(SUM(nij) AS BIGINT) AS nj FROM ct GROUP BY label),
-         |pur AS (
-         |  SELECT CAST(SUM(mx) AS BIGINT) AS pure, COUNT(*) AS n_cells
-         |  FROM (SELECT cell, MAX(nij) AS mx FROM ct GROUP BY cell)
-         |),
-         |qmi AS (
-         |  SELECT CAST(SUM(CAST(FLOOR(x.nij * log2(CAST(x.nij AS DOUBLE) * t.n
-         |      / (CAST(c.ni AS DOUBLE) * l.nj)) * 1.0e6 + 5.0e-1) AS BIGINT)) AS BIGINT) AS q
-         |  FROM ct x JOIN cm c ON x.cell = c.cell
-         |  JOIN lm l ON x.label = l.label CROSS JOIN tot t
-         |),
-         |qhc AS (SELECT CAST(SUM(CAST(FLOOR(ni * log2(CAST(ni AS DOUBLE)) * 1.0e6 + 5.0e-1) AS BIGINT)) AS BIGINT) AS q,
-         |               COUNT(*) AS k FROM cm),
-         |qhl AS (SELECT CAST(SUM(CAST(FLOOR(nj * log2(CAST(nj AS DOUBLE)) * 1.0e6 + 5.0e-1) AS BIGINT)) AS BIGINT) AS q,
-         |               COUNT(*) AS k FROM lm),
-         |f AS (
-         |  SELECT t.n, pur.pure, pur.n_cells, qhl.k AS n_labels,
-         |    CAST(qmi.q AS DOUBLE) / 1.0e6 / t.n AS mi,
-         |    ${qlog2("t.n")} / 1.0e6 - CAST(qhc.q AS DOUBLE) / 1.0e6 / t.n AS hc,
-         |    ${qlog2("t.n")} / 1.0e6 - CAST(qhl.q AS DOUBLE) / 1.0e6 / t.n AS hl
-         |  FROM tot t CROSS JOIN pur CROSS JOIN qmi CROSS JOIN qhc CROSS JOIN qhl
-         |)
-         |SELECT n AS n_vectors, n_cells, n_labels,
-         |  ${r6("CAST(pure AS DOUBLE) / n")} AS purity,
-         |  ${r6("mi")} AS mi_bits,
-         |  CASE WHEN hc <= 0.0e0 OR hl <= 0.0e0 THEN NULL
-         |       ELSE ${r6("mi / SQRT(hc * hl)")} END AS nmi
-         |FROM f""".stripMargin
-    })
-
-  /** Cluster-quality readout for the trained Lloyd model — the
-    * SIMPLIFIED silhouette (centroid-based: a(i) = distance to own
-    * centroid, b(i) = distance to the nearest OTHER centroid,
-    * s = (b−a)/max(a,b)), the variant that scales: vectors×k centroid
-    * distances instead of the classic all-pairs O(n²) — at 100 TB the
-    * full silhouette is not computable, this one is a corpus pass
-    * plus a k-row broadcast. Distances are exact int64 L2 over the
-    * µ-quantized grid (the [[qvExpr]] quantizer, same grid the
-    * trainer itself aggregates on); only the final sqrt/ratio touch
-    * doubles — a fixed sequence of correctly-rounded ops, µ-quantized
-    * back to int64 BEFORE the per-cell mean sum (the float-sum
-    * parity rule). Degenerate cases are explicit: a singleton-k model
-    * (no other centroid) emits NULL, coincident zero distances score
-    * 0. Reads the FINAL round's assignment and means ([[kmeansLoop]]
-    * stages — shared chain, billed to q_kmeans_loop by name order). */
-  val kmeansSilhouette: StagedOp = StagedOp(
-    stages = kmeansLoop.stages,
-    body = { d =>
-      val finA = s"km_a$KmRounds"
-      val finC = s"km_c$KmRounds"
-      val exp = d.explodeWithPos(
-        "SELECT vec_id, embedding FROM emb_nv", "vec_id", "embedding", "pos", "v")
-      s"""WITH ea AS ($exp),
-         |ed AS (SELECT vec_id, pos, ${qvExpr("v")} AS qv FROM ea),
-         |dd AS (
-         |  SELECT e.vec_id, c.label,
-         |    CAST(SUM((e.qv - c.qc) * (e.qv - c.qc)) AS BIGINT) AS d2
-         |  FROM ed e JOIN $finC c ON c.pos = e.pos
-         |  GROUP BY e.vec_id, c.label
-         |),
-         |ab AS (
-         |  SELECT d.vec_id, a.cell,
-         |    MAX(CASE WHEN d.label = a.cell THEN d.d2 END) AS a2,
-         |    MIN(CASE WHEN d.label <> a.cell THEN d.d2 END) AS b2
-         |  FROM dd d JOIN $finA a ON a.vec_id = d.vec_id
-         |  GROUP BY d.vec_id, a.cell
-         |),
-         |sv AS (
-         |  SELECT cell,
-         |    CASE
-         |      WHEN b2 IS NULL THEN NULL
-         |      WHEN a2 = 0 AND b2 = 0 THEN CAST(0 AS BIGINT)
-         |      ELSE ${qvExpr(
-                 """(sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
-                   | / GREATEST(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE)))""".stripMargin)}
-         |    END AS sq
-         |  FROM ab
-         |)
-         |SELECT cell,
-         |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
-         |  CASE WHEN COUNT(sq) = 0 THEN NULL
-         |       ELSE ${r6("CAST(SUM(sq) AS DOUBLE) / (COUNT(sq) * 1.0e6)")} END
-         |    AS mean_silhouette
-         |FROM sv GROUP BY cell
-         |ORDER BY cell""".stripMargin
-    })
-
-  /** Embedding near-dup pairs above a cosine threshold, LSH-gated with
-    * [[SignBands]] OR'd 8-bit sign bands (the minhash banding pattern
-    * applied to sign LSH): a pair is a candidate iff ALL 8 signs of
-    * SOME band agree. Per-band candidates are ~N²/256 (vs N²/16 for
-    * the old single 4-bit gate) and the band union recovers recall —
-    * measured on this corpus the 8-band gate examines HALF the pairs
-    * of the old gate at higher recall — so the self-join stays bounded
-    * at 100× the data. Cosine is computed once per distinct candidate
-    * pair. */
-  val dedupEmbeddingCosine: StagedOp = StagedOp(
-    // the verified pair set is a STAGE, not the body: it has two
-    // consumers (this query and the embedding-clusters CC
-    // composition) — the mh_cand rule; staged once per JVM, both
-    // read the parquet, and the clusters query's timed cost is the
-    // CC it owns, not a re-run of the band self-join
-    stages = Seq(
-      "emb_nv" -> nvStage,
-      "embc_pairs" -> { (d: Dialect) =>
-        val bandRows = (1 to SignBands).map { b =>
-          s"SELECT vec_id, $b AS band, sb$b AS bkey FROM emb_nv"
-        }.mkString("\n  UNION ALL\n  ")
-        s"""WITH sbands AS (
-           |  $bandRows
-           |),
-           |cand AS (
-           |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-           |  FROM sbands x JOIN sbands y
-           |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
-           |)
-           |SELECT vec_a, vec_b, cosine FROM (
-           |  SELECT c.vec_a, c.vec_b,
-           |    ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine
-           |  FROM cand c
-           |  JOIN emb_nv a ON a.vec_id = c.vec_a
-           |  JOIN emb_nv b ON b.vec_id = c.vec_b
-           |) WHERE cosine >= 0.35""".stripMargin
-      }),
-    body = { _ => "SELECT vec_a, vec_b, cosine FROM embc_pairs" })
-
-  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
-    * arXiv:2303.09540): duplicates whose surface forms differ
-    * (paraphrases, re-renders, translations) share no shingles, so the
-    * minhash family is structurally blind to them — but their
-    * embeddings are close. The scale shape is the IVF search trick
-    * applied to dedup: cluster first, compare only WITHIN cells, so
-    * the pairwise cosine work is cell-bounded, never corpus-wide (at
-    * 100 TB the cell count grows with N and cells stay bounded).
-    *
-    * Inside a cell every pair with cosine ≥ 0.35 is duplicate
-    * evidence; of each such pair the member ranked earlier in the
-    * cell's keep-order survives. Keep-order is distance-to-centroid
-    * DESCENDING — SemDeDup's published rule: keep the LOW-similarity-
-    * to-centroid example, because prototypical near-centroid text is
-    * exactly what the corpus over-represents — with ties to the
-    * smaller vec_id. The drop rule is the non-sequential dominance
-    * variant (x is dropped if ANY earlier-ranked in-cell neighbor
-    * exceeds τ, whether or not that neighbor itself survives): the
-    * same shape as the skyline dominance test — deterministic and
-    * join-parallel, no sequential sweep over the cell. The pair join
-    * is canonical (vec_id <, each unordered pair's 64-dim cosine
-    * computed ONCE); per-cell ranks are distinct, so the CASE in
-    * `drops` always finds a strictly later-ranked member to drop.
-    *
-    * All three inputs are already-staged shared artifacts (emb_nv,
-    * ivf_nvc, ivf_cent); centroid distances reuse the IVF family's
-    * exact int64 µ-quantized arithmetic, so both engines rank
-    * identically. No dimension guard needed in `cd`: a vector's cell
-    * was assigned under ivfAssign's full-dimension-match rule, so its
-    * own-cell centroid matches every position. */
-  val dedupSemantic: StagedOp = StagedOp(
-    stages = Seq(
-      "emb_nv" -> nvStage,
-      "ivf_nvc" -> { d => d.ivfAssign(ivfCentCtes(d)) },
-      "ivf_cent" -> { d =>
-        s"WITH ${ivfCentCtes(d)} SELECT label, pos, qc FROM cent"
-      },
-      // the per-cell keep-order is consumed THREE times in the body
-      // (both sides of the dominance test + the survivor projection) —
-      // the two-consumer rule: staged, or CTE inlining re-runs the
-      // explode+centroid join per reference
-      "sem_rank" -> { d =>
-        val expV = d.explodeWithPos(
-          "SELECT vec_id, cell, embedding FROM ivf_nvc",
-          "vec_id, cell", "embedding", "pos", "v")
-        val qv = qvExpr("e.v")
-        s"""WITH ev AS ($expV),
-           |cd AS (
-           |  SELECT e.vec_id, e.cell,
-           |    SUM(($qv - c.qc) * ($qv - c.qc)) AS d2
-           |  FROM ev e JOIN ivf_cent c ON c.label = e.cell AND c.pos = e.pos
-           |  GROUP BY e.vec_id, e.cell
-           |)
-           |SELECT vec_id, cell,
-           |  ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d2 DESC, vec_id) AS rk
-           |FROM cd""".stripMargin
-      }),
-    body = { d =>
-      s"""WITH dup AS (
-         |  SELECT a.vec_id AS va, b.vec_id AS vb
-         |  FROM ivf_nvc a JOIN ivf_nvc b
-         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  WHERE ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} >= 0.35
-         |),
-         |drops AS (
-         |  SELECT DISTINCT
-         |    CASE WHEN x.rk > y.rk THEN x.vec_id ELSE y.vec_id END AS vec_id
-         |  FROM dup p
-         |  JOIN sem_rank x ON x.vec_id = p.va
-         |  JOIN sem_rank y ON y.vec_id = p.vb
-         |)
-         |SELECT r.vec_id, r.cell, r.rk
-         |FROM sem_rank r LEFT JOIN drops dr ON dr.vec_id = r.vec_id
-         |WHERE dr.vec_id IS NULL""".stripMargin
-    })
-
-  /** Margin-based nearest-neighbor pair mining — the CCMatrix/LASER
-    * bitext-mining criterion (Artetxe & Schwenk 2019): a candidate
-    * pair (x, y) across two corpora scores not by raw cosine but by
-    * cosine NORMALIZED by both endpoints' neighborhood densities,
-    *   margin(x,y) = cos(x,y) / ((avgₖNN(x) + avgₖNN(y)) / 2),
-    * which suppresses hub vectors that are "close to everything".
-    * The two corpora here are the embedding table's parity slices
-    * (stand-ins for two languages' sentence embeddings).
-    *
-    * Cost shape (the eval-scoping rule): the query side is the bounded
-    * vec_id % 50 slice, its top-k search is |Q|·N; the REVERSE
-    * neighborhood penalty is computed only for the ≤ |Q|·k distinct
-    * shortlist partners, each one pass against the other side — never
-    * all-pairs on the big sides. At 100 TB both passes ride the IVF/
-    * sign-LSH indexes instead of brute force; the margin algebra is
-    * unchanged. The denominator uses each endpoint's ACTUAL
-    * neighborhood size (a side with fewer than k members must average
-    * over what it has, not divide a k-scaled numerator by an
-    * under-filled sum): margin = 2·cos·ca·cb / (Σa·cb + Σb·ca), the
-    * cross-multiplied form of cos / ((Σa/ca + Σb/cb)/2), kept in int64
-    * until the final ratio. All cosines are µ-quantized to int64
-    * before any SUM
-    * (6-decimal doubles do NOT sum associatively; integers do), so
-    * both engines rank identically; the one float op is the final
-    * ratio, r6-rounded. The shortlist is staged under the
-    * two-consumer rule (read for the reverse-penalty seed AND the
-    * final margin join). */
-  val annMargin: StagedOp = {
-    val k = 4
-    def qcos(d: Dialect, a: String, b: String, na: String, nb: String) =
-      s"CAST(FLOOR((${dotExpr(d, a, b)} / ($na * $nb)) * 1.0e6 + 5.0e-1) AS BIGINT)"
-    StagedOp(
-      stages = Seq(
-        "emb_nv" -> nvStage,
-        "mgn_top" -> { d =>
-          s"""WITH qs AS (
-             |  SELECT * FROM emb_nv WHERE vec_id % 50 = 0 AND vec_id % 2 = 0
-             |),
-             |p AS (
-             |  SELECT qs.vec_id AS qa, t.vec_id AS qb,
-             |    ${qcos(d, "qs.embedding", "t.embedding", "qs.nrm", "t.nrm")} AS qc
-             |  FROM qs JOIN emb_nv t ON t.vec_id % 2 = 1
-             |)
-             |SELECT qa, qb, qc FROM (
-             |  SELECT *, ROW_NUMBER() OVER (
-             |    PARTITION BY qa ORDER BY qc DESC, qb) AS rk
-             |  FROM p
-             |) WHERE rk <= $k""".stripMargin
-        }),
-      body = { d =>
-        s"""WITH bq AS (SELECT DISTINCT qb FROM mgn_top),
-           |bp AS (
-           |  SELECT b.vec_id AS qb, a.vec_id AS qa2,
-           |    ${qcos(d, "b.embedding", "a.embedding", "b.nrm", "a.nrm")} AS qc
-           |  FROM emb_nv b JOIN bq ON b.vec_id = bq.qb
-           |  JOIN emb_nv a ON a.vec_id % 2 = 0
-           |),
-           |btop AS (
-           |  SELECT qb, qc FROM (
-           |    SELECT *, ROW_NUMBER() OVER (
-           |      PARTITION BY qb ORDER BY qc DESC, qa2) AS rk
-           |    FROM bp
-           |  ) WHERE rk <= $k
-           |),
-           |bavg AS (
-           |  SELECT qb, CAST(SUM(qc) AS BIGINT) AS bs, COUNT(*) AS cb
-           |  FROM btop GROUP BY qb
-           |),
-           |aavg AS (
-           |  SELECT qa, CAST(SUM(qc) AS BIGINT) AS as_, COUNT(*) AS ca
-           |  FROM mgn_top GROUP BY qa
-           |),
-           |m AS (
-           |  SELECT t.qa, t.qb, t.qc,
-           |    CASE WHEN av.as_ * bv.cb + bv.bs * av.ca > 0
-           |         THEN ${r6("CAST(2 * t.qc * av.ca * bv.cb AS DOUBLE) / CAST(av.as_ * bv.cb + bv.bs * av.ca AS DOUBLE)")}
-           |    END AS margin
-           |  FROM mgn_top t
-           |  JOIN aavg av ON av.qa = t.qa
-           |  JOIN bavg bv ON bv.qb = t.qb
-           |)
-           |SELECT qa AS query_id, qb AS pair_id, qc AS qcos, margin, rk FROM (
-           |  SELECT *, ROW_NUMBER() OVER (
-           |    PARTITION BY qa ORDER BY margin DESC, qb) AS rk
-           |  FROM m WHERE margin IS NOT NULL
-           |) WHERE rk <= 2""".stripMargin
-      })
-  }
-
-  /** Product-quantization codes (the compressed representation behind
-    * [[embeddingQuantize]]'s scalar codes in a real ANN index): each
-    * 64-dim vector becomes 4 codebook ids, one per 16-dim block, where
-    * block b's codebook is the per-label component means restricted to
-    * that block (the [[annIvf]] centroid table sliced — PQ and IVF
-    * share their training statistics, as in a production IVF-PQ
-    * index). Assignment arithmetic is the IVF argmin per block: exact
-    * int64 L2 over µ-quantized components, ties to the smallest label.
-    * The codebook is broadcast-sized (labels × dims); at 100 TB the
-    * Spark path is a narrow zero-shuffle projection per vector. */
-  /** Per-(label, pos) µ-quantized block-codebook centroids — the one
-    * stage [[annPq]] (encode) and [[annPqSearch]] (ADC decode) share. */
-  private def pqCentStage(d: Dialect): String = {
-    val expC = d.explodeWithPos(
-      "SELECT vec_id, label, embedding FROM embeddings",
-      "vec_id, label", "embedding", "pos", "v")
-    s"""WITH evc AS ($expC)
-       |SELECT label, pos,
-       |  CAST(FLOOR(CAST(SUM(${qvExpr("v")}) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
-       |FROM evc GROUP BY label, pos""".stripMargin
-  }
-
-  val annPq: StagedOp = StagedOp(
-    stages = Seq("pq_cent" -> pqCentStage _),
-    body = d => d.pqAssign(m = 4, bs = 16))
-
-  /** PQ search by asymmetric distance computation (ADC) — the read
-    * path that makes PQ codes useful: per query, a lookup table of
-    * squared distances from each query BLOCK slice to every codebook
-    * centroid slice (|Q| × 4 blocks × labels rows — broadcast-sized),
-    * then every database vector is scored by summing 4 table lookups
-    * keyed by its stored codes. No vector arithmetic per (query,
-    * vector) pair and no scan of the embeddings themselves: the scored
-    * relation is the narrow staged code table (1 short row per
-    * vector), which is the entire storage/compute win of PQ at 100 TB
-    * (codes ≈ 1/64th the bytes of the raw vectors here). All distance
-    * math is exact int64 over µ-quantized components (same proof as
-    * IVF), so both engines rank identically; ties break to the
-    * smaller neighbor id. */
-  val annPqSearch: StagedOp = {
-    val (m, bs) = (4, 16)
-    StagedOp(
-      stages = Seq(
-        "pq_cent" -> pqCentStage _,
-        // the encoded corpus: same rendering the q_ann_pq body emits,
-        // staged because search consumes it as the database
-        "pq_codes" -> { d => d.pqAssign(m, bs) }),
-      body = { d =>
-        val expQ = d.explodeWithPos(
-          s"SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5 AND ${d.size("embedding")} = ${m * bs}",
-          "vec_id", "embedding", "pos", "v")
-        val codeArms = (0 until m).map { b =>
-          s"SELECT vec_id, $b AS block, code$b AS code FROM pq_codes"
-        }.mkString("\n  UNION ALL\n  ")
-        s"""WITH qv AS ($expQ),
-           |qq AS (
-           |  SELECT vec_id AS qid, CAST(FLOOR(pos / $bs) AS INT) AS block, pos % $bs AS bpos,
-           |    ${qvExpr("v")} AS qv
-           |  FROM qv
-           |),
-           |cb AS (
-           |  SELECT label, CAST(FLOOR(pos / $bs) AS INT) AS block, pos % $bs AS bpos, qc
-           |  FROM pq_cent
-           |),
-           |lut AS (
-           |  SELECT q.qid, c.block, c.label,
-           |    CAST(SUM((q.qv - c.qc) * (q.qv - c.qc)) AS BIGINT) AS d2
-           |  FROM qq q JOIN cb c ON q.block = c.block AND q.bpos = c.bpos
-           |  GROUP BY q.qid, c.block, c.label
-           |),
-           |codes AS (
-           |  $codeArms
-           |),
-           |adc AS (
-           |  SELECT l.qid AS query_id, c.vec_id AS neighbor_id,
-           |    CAST(SUM(l.d2) AS BIGINT) AS adc_d2
-           |  FROM codes c JOIN lut l ON l.block = c.block AND l.label = c.code
-           |  WHERE c.vec_id <> l.qid
-           |  GROUP BY l.qid, c.vec_id
-           |)
-           |SELECT query_id, neighbor_id, adc_d2, rk FROM (
-           |  SELECT *, ROW_NUMBER() OVER (
-           |    PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rk
-           |  FROM adc
-           |) WHERE rk <= 10""".stripMargin
-      })
-  }
-
-  // ---- text analysis ----
-
-  /** Token counting: whitespace tokens, regex words, BPE-ish subtokens. */
-  def textTokens(d: Dialect): String =
-    s"""SELECT doc_id,
-       |  ${d.size(toks(d))} AS n_ws_tokens,
-       |  ${d.reCount("text", "\\S+")} AS n_words,
-       |  ${d.reCount("text", "[a-z]+|[0-9]+|[^a-z0-9\\s]")} AS n_subtokens
-       |FROM documents""".stripMargin
-
-  /** Stopword-hit counts over a `toks` column and the lang-guess rule —
-    * single-sourced so [[textLangId]] and [[corpusFilter]] cannot
-    * drift (the per-query oracle gate is structurally blind to drift
-    * between two queries that each stay self-consistent). */
-  private def langHitExprs(d: Dialect): (String, String) = (
-    d.size(d.filter("toks", s"t -> ${d.arrayContains(d.arrayLit(STOP_EN), "t")}")),
-    d.size(d.filter("toks", s"t -> ${d.arrayContains(d.arrayLit(STOP_ID), "t")}")))
-  private def langGuessCase(en: String, id: String): String =
-    s"""CASE WHEN $en > $id THEN 'en'
-       |       WHEN $id > $en THEN 'id'
-       |       ELSE 'und' END""".stripMargin
-  /** The quality score over its three components (weights/caps live
-    * here, once) — shared by [[textQuality]] and [[corpusFilter]]. */
-  private def qualityFormula(nWords: String, stopRatio: String, avgWlen: String): String =
-    s"""LEAST(CAST($nWords AS DOUBLE) / 1.0e2, 1.0e0) * 5.0e-1
-       |      + (1.0e0 - $stopRatio) * 3.0e-1
-       |      + LEAST(($avgWlen) / 8.0e0, 1.0e0) * 2.0e-1""".stripMargin
-  private def stopHitsExpr(d: Dialect): String =
-    d.size(d.filter("toks", s"t -> ${d.arrayContains(d.arrayLit(STOP_EN ++ STOP_ID), "t")}"))
-
-  /** The Spark renderings of the language-guess and quality formulas,
-    * as expressions over `text` + `toks` columns — the streaming
-    * corpus gate ([[graft.streaming.StreamingOps.corpusGate]]) scores
-    * arriving documents with the SAME single-sourced formulas the
-    * batch queries use, so batch and stream cannot drift (a parity
-    * test asserts identical survivor sets). */
-  def sparkScoreExprs: (String, String) = {
-    val d: Dialect = SparkDialect
-    val (en, id) = langHitExprs(d)
-    val quality = qualityFormula(
-      nWords = d.size("toks"),
-      stopRatio = s"CAST(${stopHitsExpr(d)} AS DOUBLE) / ${d.size("toks")}",
-      avgWlen = s"CAST(length(replace(text, ' ', '')) AS DOUBLE) / ${d.size("toks")}")
-    (langGuessCase(en, id), quality)
-  }
-
-  /** N-gram/stopword language id heuristic (en vs id markers). */
-  def textLangId(d: Dialect): String = {
-    val (en, id) = langHitExprs(d)
-    s"""WITH ltoks AS (SELECT doc_id, lang, ${toks(d)} AS toks FROM documents)
-       |SELECT doc_id, lang, en_hits, id_hits,
-       |  ${langGuessCase("en_hits", "id_hits")} AS lang_guess
-       |FROM (SELECT doc_id, lang, $en AS en_hits, $id AS id_hits FROM ltoks)""".stripMargin
-  }
-
-  /** Quality scoring: length, stopword ratio, mean word length. */
-  def textQuality(d: Dialect): String =
-    s"""WITH qtoks AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
-       |m AS (
-       |  SELECT doc_id,
-       |    ${d.size("toks")} AS n_words,
-       |    CAST(${stopHitsExpr(d)} AS DOUBLE) / ${d.size("toks")} AS stop_ratio,
-       |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / ${d.size("toks")} AS avg_wlen
-       |  FROM qtoks
-       |)
-       |SELECT doc_id, n_words, stop_ratio, avg_wlen,
-       |  ${qualityFormula("n_words", "stop_ratio", "avg_wlen")} AS quality
-       |FROM m""".stripMargin
-
-  /** Ordered funnel analysis (view → click → purchase): per user, the
-    * first view, the first click strictly after it, the first purchase
-    * strictly after that — then one row per stage with how many users
-    * got there. Each stage is a groupBy-min over an equi-join against
-    * the (user-cardinality) previous stage: three shuffles on user_id,
-    * each candidate set smaller than the last, broadcast-joinable
-    * whenever a stage's survivors fit. Timestamps are compared as
-    * microsecond epochs (exact integers in both engines). */
-  def eventsFunnel(d: Dialect): String =
-    s"""WITH s1 AS (
-       |  SELECT user_id, MIN(${d.epochMicros("ts")}) AS t1
-       |  FROM events WHERE event_type = 'view' GROUP BY user_id
-       |),
-       |s2 AS (
-       |  SELECT e.user_id, MIN(${d.epochMicros("ts")}) AS t2
-       |  FROM events e JOIN s1 ON e.user_id = s1.user_id
-       |  WHERE e.event_type = 'click' AND ${d.epochMicros("ts")} > s1.t1
-       |  GROUP BY e.user_id
-       |),
-       |s3 AS (
-       |  SELECT e.user_id, MIN(${d.epochMicros("ts")}) AS t3
-       |  FROM events e JOIN s2 ON e.user_id = s2.user_id
-       |  WHERE e.event_type = 'purchase' AND ${d.epochMicros("ts")} > s2.t2
-       |  GROUP BY e.user_id
-       |)
-       |SELECT 1 AS stage, 'view' AS name, COUNT(*) AS n_users FROM s1
-       |UNION ALL
-       |SELECT 2 AS stage, 'click' AS name, COUNT(*) AS n_users FROM s2
-       |UNION ALL
-       |SELECT 3 AS stage, 'purchase' AS name, COUNT(*) AS n_users FROM s3""".stripMargin
-
-  /** Cohort retention matrix: customers grouped by first-order month,
-    * counted again in each later month they order in. All-integer
-    * month keys (y·12+m) make the offsets engine-exact — no interval /
-    * months_between semantics to disagree on. Two shuffles: the
-    * per-customer first-order aggregate, then the (cohort, offset)
-    * count; the join is customer-cardinality and broadcastable when
-    * the cohort map fits, else a co-partitioned shuffle on the key
-    * both sides already grouped by. */
-  def ordersRetention(d: Dialect): String = {
-    val mkey = "CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) * 12 + " +
-      "CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) - 1"
-    s"""WITH om AS (SELECT o_custkey, $mkey AS mk FROM orders),
-       |cohort AS (SELECT o_custkey, MIN(mk) AS c0 FROM om GROUP BY o_custkey)
-       |SELECT CAST(FLOOR(c.c0 / 12) AS INT) AS cohort_year,
-       |  CAST(c.c0 % 12 + 1 AS INT) AS cohort_month,
-       |  CAST(o.mk - c.c0 AS INT) AS months_later,
-       |  COUNT(DISTINCT o.o_custkey) AS n_customers
-       |FROM om o JOIN cohort c ON o.o_custkey = c.o_custkey
-       |GROUP BY 1, 2, 3""".stripMargin
-  }
-
-  /** Per-source corpus health report — the one-page rollup a corpus
-    * owner reads before a training run: volume, exact-dup rate,
-    * language mix, mean quality, per source. Reuses the single-sourced
-    * language-guess and quality formulas (drift between the report and
-    * the filters it summarizes would be invisible to per-query
-    * oracles). Mean quality is micro-quantized per doc and summed as
-    * integers (order-independent); the dup/lang fractions are single
-    * exact IEEE divisions. One scan, narrow scoring, one groupBy
-    * shuffle on source (20 groups here; a skewed source at 100 TB
-    * rides the same partial-agg path as every count). */
-  def corpusReport(d: Dialect): String = {
-    val (en, id) = langHitExprs(d)
-    val quality = qualityFormula(
-      nWords = d.size("toks"),
-      stopRatio = s"CAST(${stopHitsExpr(d)} AS DOUBLE) / ${d.size("toks")}",
-      avgWlen = s"CAST(length(replace(text, ' ', '')) AS DOUBLE) / ${d.size("toks")}")
-    s"""WITH ptoks AS (SELECT doc_id, source, text, ${toks(d)} AS toks FROM documents),
-       |scored AS (
-       |  SELECT source, md5(text) AS ch,
-       |    ${langGuessCase(en, id)} AS lang_guess,
-       |    $quality AS quality
-       |  FROM ptoks
-       |)
-       |SELECT source, COUNT(*) AS n_docs,
-       |  COUNT(DISTINCT ch) AS n_unique,
-       |  CAST(COUNT(*) - COUNT(DISTINCT ch) AS DOUBLE) / COUNT(*) AS dup_frac,
-       |  CAST(SUM(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-       |  CAST(SUM(CAST(FLOOR(quality * 1.0e6 + 5.0e-1) AS BIGINT)) AS DOUBLE)
-       |    / COUNT(*) / 1.0e6 AS avg_quality
-       |FROM scored GROUP BY source""".stripMargin
-  }
-
-  /** Repetition quality rule (Gopher-style): the frequency share of the
-    * most repeated token per document. The ratio is one exact IEEE
-    * division of two ints — bit-identical across engines. */
-  def textRepetition(d: Dialect): String =
-    s"""WITH rtoks AS (SELECT doc_id, ${toks(d)} AS toks FROM documents),
-       |tok AS (${d.explode("SELECT doc_id, toks FROM rtoks", "doc_id", "toks", "t")}),
-       |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
-       |agg AS (SELECT doc_id, MAX(tf) AS top_tf,
-       |  CAST(SUM(tf) AS BIGINT) AS n_toks FROM tf GROUP BY doc_id)
-       |SELECT doc_id, top_tf, n_toks,
-       |  CAST(top_tf AS DOUBLE) / n_toks AS rep_ratio
-       |FROM agg""".stripMargin
-
-  /** The composed cleaning pipeline as ONE query: language-ID gate +
-    * quality gate + exact-dedup survivor selection — the "clean corpus
-    * manifest" a training-data pipeline actually emits. Each stage is
-    * the same logic as its standalone query; composing them keeps all
-    * three in a single distributed pass (scan → narrow scoring →
-    * two window/group shuffles). */
-  /** The per-doc scoring prefix (tokenize → lang guess + quality),
-    * ending in `scored(doc_id, text, lang_guess, quality)` — ONE copy
-    * shared by [[corpusFilter]] (which gates at the shipped 0.4
-    * threshold) and [[qualitySweep]] (which sweeps the threshold), so
-    * the sweep can never score differently from the gate it tunes. */
-  private def scoredCtes(d: Dialect, from: String): String = {
-    val (en, id) = langHitExprs(d)
-    val quality = qualityFormula(
-      nWords = d.size("toks"),
-      stopRatio = s"CAST(${stopHitsExpr(d)} AS DOUBLE) / ${d.size("toks")}",
-      avgWlen = s"CAST(length(replace(text, ' ', '')) AS DOUBLE) / ${d.size("toks")}")
-    s"""ftoks AS (SELECT doc_id, text, ${toks(d)} AS toks FROM $from),
-       |scored AS (
-       |  SELECT doc_id, text, toks,
-       |    ${langGuessCase(en, id)} AS lang_guess,
-       |    $quality AS quality
-       |  FROM ftoks
-       |)""".stripMargin
-  }
-
-  /** The shipped survivor predicate over (rn, lang_guess, quality) —
-    * ONE copy of the gate DECISION (not just the scores) shared by
-    * [[corpusFilter]] and [[datasetCard]]'s quality_pass_docs row, so
-    * a card can never report a different survivor count than the
-    * filter ships. [[qualitySweep]] sweeps the quality term of this
-    * predicate; its thr=40 row uses the double literal 40.0e-2, which
-    * parses to the identical double as this 4.0e-1 (both are the
-    * correctly-rounded decimal 0.4), so the sweep's shipped-threshold
-    * row equals the filter's survivor count EXACTLY — a scaled
-    * integer compare (quality·100 ≥ 40) would not: ×100 can round a
-    * one-ulp-below-0.4 quality up to exactly 40.0. */
-  private val SurvivorGate =
-    "rn = 1 AND lang_guess <> 'und' AND quality >= 4.0e-1"
-
-  def corpusFilter(d: Dialect, from: String = "documents"): String = {
-    s"""WITH ${scoredCtes(d, from)},
-       |survivors AS (
-       |  SELECT doc_id, lang_guess, quality,
-       |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-       |  FROM scored
-       |)
-       |SELECT doc_id, lang_guess, quality FROM survivors
-       |WHERE $SurvivorGate""".stripMargin
-  }
-
-  /** Quality-threshold sensitivity sweep — the tuning table behind
-    * [[corpusFilter]]'s shipped 0.4 cutoff: for thresholds
-    * 0.30/0.35/…/0.55, how many docs pass (lang-gated, exact-dedup'd
-    * exactly like the filter), their language mix, and the corpus
-    * pass share in exact ppm. Scores come from the SAME
-    * [[scoredCtes]] the filter reads (one copy), computed ONCE — the
-    * sweep is one corpus scoring pass joined to a 6-row threshold
-    * domain, never six filter runs (the dedup-threshold-sweep rule).
-    * Each threshold is carried as the DOUBLE literal t·e-2 and the
-    * compare is quality ≥ thr_q — at thr=40 that literal is the
-    * identical double as [[SurvivorGate]]'s 4.0e-1, so the
-    * shipped-threshold row equals the filter's survivor count
-    * EXACTLY (a scaled quality·100 ≥ thr compare would not: the ×100
-    * can round a one-ulp-below-0.4 quality up to exactly 40.0 and
-    * overcount the row that exists to calibrate the gate). */
-  def qualitySweep(d: Dialect): String = {
-    val dom = (30 to 55 by 5)
-      .map(t => s"SELECT $t AS thr, ${t}.0e-2 AS thr_q").mkString(" UNION ALL ")
-    s"""WITH ${scoredCtes(d, "documents")},
-       |first_of_dup AS (
-       |  SELECT doc_id, lang_guess, quality FROM (
-       |    SELECT doc_id, lang_guess, quality,
-       |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-       |    FROM scored
-       |  ) WHERE rn = 1 AND lang_guess <> 'und'
-       |),
-       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM scored),
-       |dom AS ($dom)
-       |SELECT dom.thr,
-       |  CAST(SUM(CASE WHEN f.quality >= dom.thr_q THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-       |  CAST(SUM(CASE WHEN f.quality >= dom.thr_q AND f.lang_guess = 'en'
-       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-       |  CAST(SUM(CASE WHEN f.quality >= dom.thr_q AND f.lang_guess = 'id'
-       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_id,
-       |  -- ppm is NULL (not ÷0) on an empty corpus: zero evidence,
-       |  -- not a zero rate
-       |  CASE WHEN MAX(n.total) = 0 THEN NULL ELSE ${d.idiv(
-             "1000000 * CAST(SUM(CASE WHEN f.quality >= dom.thr_q THEN 1 ELSE 0 END) AS BIGINT)",
-             "MAX(n.total)")} END AS pass_ppm
-       |-- dom-driven LEFT JOIN (the acfRevenue absent-row rule): an
-       |-- empty/fully-'und' corpus must emit all six threshold rows
-       |-- with zero counts, not zero rows — a consumer iterating the
-       |-- sweep reads absence as a parse error, zeros as evidence
-       |FROM dom CROSS JOIN n LEFT JOIN first_of_dup f ON 1 = 1
-       |GROUP BY dom.thr""".stripMargin
-  }
-
-  /** Autocorrelation of daily revenue at lags 1–7 — the
-    * pre-forecasting diagnostic (is there weekly structure worth a
-    * seasonal model, or is [[ewmaForecast]]'s level-only smoothing
-    * right?): r_k over the day-indexed revenue series, computed from
-    * EXACT integer-dollar moments (per-day cents floored to dollars —
-    * both engines floor identically — keeps Σy² for a decade of days
-    * inside int64 under the y ≤ 5e7 guard below (~3,650 days · 2.5e15
-    * ≈ 9.1e18; a century would reach ~9.1e19 and wrap); cents would
-    * wrap at ~2,400 days) and
-    * assembled in one fixed double sequence, 6dp-quantized. The lag
-    * join is an equi-join through a 7-row lag domain (days × 7 rows
-    * — never a days² range join, the ewma rule); day cardinality is
-    * calendar-bounded at any corpus scale. NULL when the series is
-    * shorter than the lag or variance is zero. */
-  def acfRevenue(d: Dialect): String = {
-    val day = s"CAST(FLOOR(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} / 86400.0e0) AS BIGINT)"
-    val dom = (1 to 7).map(k => s"SELECT $k AS k").mkString(" UNION ALL ")
-    s"""WITH daily0 AS (
-       |  SELECT $day AS day,
-       |    ${d.idiv(
-             "CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT)",
-             "100")} AS y
-       |  FROM orders GROUP BY $day
-       |),
-       |daily AS (
-       |  -- int64 envelope, loud (the ewma rescale-wq pattern): Σy²
-       |  -- over a decade of days stays inside int64 only while the
-       |  -- daily total is ≤ 5e7 dollars — beyond that, rescale y
-       |  SELECT day, CASE WHEN y > 50000000
-       |    THEN CAST('acf: daily revenue exceeds the int64 moment envelope — rescale y' AS BIGINT)
-       |    ELSE y END AS y
-       |  FROM daily0
-       |),
-       |mn AS (SELECT MIN(day) AS d0 FROM daily),
-       |idx AS (
-       |  -- CALENDAR index (day − first day), not ROW_NUMBER over
-       |  -- days-with-orders: on a gappy series a row-number lag-7
-       |  -- pair spans >7 calendar days and rotates through the week,
-       |  -- smearing exactly the weekly structure this diagnostic
-       |  -- exists to find; with the calendar index an absent day
-       |  -- simply yields no pair at that lag
-       |  SELECT day - d0 + 1 AS t, y FROM daily CROSS JOIN mn
-       |),
-       |m AS (
-       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-       |    CAST(SUM(y) AS BIGINT) AS sy,
-       |    CAST(SUM(y * y) AS BIGINT) AS syy
-       |  FROM idx
-       |),
-       |dom AS ($dom),
-       |lagm AS (
-       |  SELECT dm.k,
-       |    CAST(COUNT(*) AS BIGINT) AS nk,
-       |    CAST(SUM(a.y * b.y) AS BIGINT) AS sxy,
-       |    CAST(SUM(a.y) AS BIGINT) AS sh,
-       |    CAST(SUM(b.y) AS BIGINT) AS st
-       |  FROM dom dm
-       |  JOIN idx a ON a.t > dm.k
-       |  JOIN idx b ON b.t = a.t - dm.k
-       |  GROUP BY dm.k
-       |)
-       |-- dom LEFT JOIN lagm: a lag longer than the series (or with
-       |-- every pair straddling a gap) must emit (lag, 0, NULL), not
-       |-- silently vanish — a consumer iterating lags 1..7 reads
-       |-- absence as a parse error, NULL as "no evidence"
-       |SELECT dm.k AS lag, CAST(COALESCE(l.nk, 0) AS BIGINT) AS n_pairs,
-       |  -- the variance guard runs in DOUBLE: n·syy and sy² each wrap
-       |  -- int64 at fixture scale already (n·syy ≈ 9e20 at sf0.1)
-       |  CASE WHEN CAST(m.syy AS DOUBLE) - CAST(m.sy AS DOUBLE) * m.sy / m.n <= 0.0e0
-       |            OR l.nk IS NULL THEN NULL
-       |       ELSE ${r6(
-                 "(CAST(l.sxy AS DOUBLE) - CAST(m.sy AS DOUBLE) * (l.sh + l.st) / m.n " +
-                 "+ CAST(l.nk AS DOUBLE) * m.sy * m.sy / (CAST(m.n AS DOUBLE) * m.n)) " +
-                 "/ (CAST(m.syy AS DOUBLE) - CAST(m.sy AS DOUBLE) * m.sy / m.n)")}
-       |  END AS acf
-       |FROM dom dm LEFT JOIN lagm l ON l.k = dm.k CROSS JOIN m
-       |ORDER BY lag""".stripMargin
-  }
-
-  /** Herfindahl–Hirschman concentration of revenue by nation — the
-    * market-concentration screen (and, re-keyed on `source`, the
-    * single-supplier-risk readout a data-mix policy watches): HHI =
-    * Σ shareᵢ² over the per-nation revenue shares, plus the top
-    * share. Shares derive from exact integer cents; each share² term
-    * is quantized to an int64 picodecimal BEFORE the sum (Σ over
-    * groups of raw doubles is order-dependent across engines — the
-    * float-sum parity rule), so both engines add identical integers.
-    * One fact-side aggregate, then nation-cardinality arithmetic. */
-  def revenueHhi(d: Dialect): String =
-    s"""WITH r AS (
-       |  SELECT n_name,
-       |    CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT) AS rev
-       |  FROM orders
-       |  JOIN customer ON o_custkey = c_custkey
-       |  JOIN nation ON c_nationkey = n_nationkey
-       |  GROUP BY n_name
-       |),
-       |t AS (SELECT n_name, rev, CAST(SUM(rev) OVER () AS BIGINT) AS tot FROM r),
-       |q AS (
-       |  SELECT rev, tot,
-       |    CAST(FLOOR(CAST(rev AS DOUBLE) * rev / (CAST(tot AS DOUBLE) * tot)
-       |      * 1.0e12 + 5.0e-1) AS BIGINT) AS qs
-       |  FROM t
-       |)
-       |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
-       |  ${r6("CAST(SUM(qs) AS DOUBLE) / 1.0e12")} AS hhi,
-       |  ${r6("CAST(MAX(rev) AS DOUBLE) / MAX(tot)")} AS top_share
-       |FROM q""".stripMargin
-
-  /** 7-day rolling MEDIAN of daily revenue — the robust trend line a
-    * volume monitor plots next to the EWMA (a single spiked day moves
-    * the mean for a week; the median shrugs it off). Same exact
-    * integer-dollar day series as [[acfRevenue]]; the window is the
-    * lag-domain equi-join (days × 7 rows, never a range self-join)
-    * with the interpolated median per day — warm-up days report their
-    * actual present count, so a consumer can gate on n_present = 7.
-    * Day cardinality is calendar-bounded at any corpus scale. */
-  def rollingMedianRevenue(d: Dialect): String = {
-    val day = s"CAST(FLOOR(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} / 86400.0e0) AS BIGINT)"
-    val dom = (0 to 6).map(k => s"SELECT $k AS k").mkString(" UNION ALL ")
-    s"""WITH daily AS (
-       |  SELECT $day AS day,
-       |    ${d.idiv(
-             "CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT)",
-             "100")} AS y
-       |  FROM orders GROUP BY $day
-       |),
-       |mn AS (SELECT MIN(day) AS d0 FROM daily),
-       |idx AS (SELECT day - d0 + 1 AS t, y FROM daily CROSS JOIN mn),
-       |dom AS ($dom),
-       |w AS (
-       |  SELECT a.t, b.y
-       |  FROM idx a CROSS JOIN dom dm
-       |  JOIN idx b ON b.t = a.t - dm.k
-       |)
-       |SELECT t AS day_index, CAST(COUNT(*) AS BIGINT) AS n_present,
-       |  ${r6(d.percentileCont("y", "5.0e-1"))} AS rolling_median
-       |FROM w GROUP BY t""".stripMargin
-  }
-
-  /** Gini coefficient of per-customer revenue — the inequality
-    * readout (identically useful re-keyed as tokens-per-source for a
-    * training-mix skew audit): G = (2·Σrᵢxᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ)
-    * with rᵢ the ascending value rank. The rank is computed WITHOUT a
-    * global sort — the [[globalRowNumber]] decomposition applied to a
-    * VALUE ordering: floor-log2 revenue buckets (≤ ~47, the
-    * length(bin()) trick), per-bucket local ranks (parallel windows),
-    * prefix offsets over the tiny bucket histogram, global rank =
-    * offset + local rank. Ties share a value, so Σr·x is invariant
-    * to intra-tie rank assignment and the (cents, custkey) tie-break
-    * only pins determinism. Σr·x accumulates in DECIMAL(38,0) —
-    * rank×cents sums reach n²·x̄/2, past int64 at real customer
-    * counts (the labelSum precedent); the oracle runs the single
-    * global-window form, proving the decomposition exact. */
-  def revenueGini(d: Dialect): String =
-    s"""WITH cust AS (
-       |  SELECT o_custkey,
-       |    CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT) AS cents
-       |  FROM orders GROUP BY o_custkey
-       |),
-       |b AS (
-       |  SELECT o_custkey, cents,
-       |    CAST(length(bin(GREATEST(cents, 1))) AS BIGINT) AS bkt
-       |  FROM cust
-       |),
-       |r AS (
-       |  SELECT cents, bkt,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY cents, o_custkey) AS BIGINT) AS lr
-       |  FROM b
-       |),
-       |h AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY bkt),
-       |osets AS (
-       |  SELECT bkt,
-       |    CAST(COALESCE(SUM(c) OVER (ORDER BY bkt
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off0
-       |  FROM h
-       |),
-       |s AS (
-       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-       |    CAST(SUM(cents) AS BIGINT) AS t,
-       |    SUM(CAST(r.lr + osets.off0 AS DECIMAL(38,0)) * cents) AS rx
-       |  FROM r JOIN osets ON r.bkt = osets.bkt
-       |)
-       |SELECT n AS n_customers,
-       |  CASE WHEN n = 0 OR t = 0 THEN NULL
-       |       ELSE ${r6(
-                 "(2.0e0 * CAST(rx AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0e0) * t) " +
-                 "/ (CAST(n AS DOUBLE) * t)")}
-       |  END AS gini
-       |FROM s""".stripMargin
-
-  /** Degree assortativity of the minhash candidate graph — Pearson
-    * correlation of endpoint degrees over the directed edge list
-    * (both orientations, the standard Newman 2002 form): do heavily-
-    * duplicated docs collide with other heavy hubs (assortative,
-    * r > 0 — dup FARMS) or with leaves (dissortative, r < 0 — one
-    * template fanning out)? All base moments are exact int64 sums
-    * over the symmetric edge list; every DERIVED product (the
-    * variance guard and the ratio) runs in DOUBLE, because the
-    * binding envelope is Σdeg² squared — sx·sx wraps int64 once
-    * Σdeg² exceeds ~3.04e9, which one ~55k-degree hub reaches while
-    * sxx is still 9 orders inside int64; by symmetry the two
-    * endpoint marginals coincide, so the readout also emits them
-    * once. NULL when the degree variance is zero (a perfectly
-    * regular graph has no assortativity to measure). */
-  val graphAssortativity: StagedOp = StagedOp(
-    stages = dedupMinhash.stages,
-    body = { _ =>
-      s"""WITH sym AS (
-         |  SELECT doc_a AS u, doc_b AS v FROM mh_cand
-         |  UNION ALL
-         |  SELECT doc_b AS u, doc_a AS v FROM mh_cand
-         |),
-         |deg AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS dg FROM sym GROUP BY u),
-         |ed AS (
-         |  SELECT da.dg AS x, db.dg AS y
-         |  FROM sym s JOIN deg da ON s.u = da.id JOIN deg db ON s.v = db.id
-         |),
-         |m AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         |    CAST(SUM(x) AS BIGINT) AS sx,
-         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
-         |    CAST(SUM(x * y) AS BIGINT) AS sxy
-         |  FROM ed
-         |)
-         |SELECT n AS n_directed_edges, sx AS sum_degree,
-         |  -- the variance guard runs in DOUBLE (the acfRevenue rule):
-         |  -- sx = Σdeg² over directed edges, so the int64 form sx·sx
-         |  -- wraps once Σdeg² exceeds ~3.04e9 — a single ~55k-degree
-         |  -- hub gets there long before sxx is anywhere near int64
-         |  CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n <= 0.0e0 THEN NULL
-         |       ELSE ${r6(
-                   "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) " +
-                   "/ (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)")}
-         |  END AS assortativity
-         |FROM m""".stripMargin
-    })
-
-  /** The DATASET CARD — the one-page datasheet (Gebru et al. 2021)
-    * a release ships next to [[releaseManifest]]: corpus size in
-    * docs/tokens/chars, source spread and the hottest source's share,
-    * language mix and quality-gate pass count (the [[corpusFilter]]
-    * body nested VERBATIM — one copy of the gate), exact-duplicate
-    * group/doc counts, near-dup candidate pairs (the staged mh_cand —
-    * over the two-snapshot corpus, the dedup family's input
-    * convention), and total PII CANDIDATE matches (the staged pii_o
-    * pre-validation occurrence rows, named `pii_candidate_matches` so
-    * they can't be read as Luhn/octet-confirmed PII — with the
-    * two-snapshot doc count emitted as its OWN row,
-    * so the pair count's denominator is in the card, not only in the
-    * Scala source). One (metric, value) row per fact, all exact
-    * int64. Spark INLINES CTEs (the StagedOp premise), so every
-    * scored fact — size, language mix, quality pass, exact-dup
-    * counts — folds into ONE aggregate over ONE scoring pass (an
-    * earlier draft referenced the scoring subtree three times and
-    * nested corpusFilter whole, tokenizing the corpus 3×); the
-    * quality_pass_docs row applies [[SurvivorGate]] verbatim, the
-    * exact-dup counts read off the same dedup window (groups = rn 2
-    * rows, member docs = rn≥2 rows + their rn=1 representatives).
-    * Only the column-pruned source histogram and the two staged
-    * artifact counts scan anything else. (lazy: declared before
-    * [[piiScan]] in source order — a strict val would NPE at object
-    * init, the annDegreeHist precedent.) */
-  lazy val datasetCard: StagedOp = StagedOp(
-    stages = dedupMinhash.stages ++ piiScan.stages,
-    body = { d =>
-      s"""WITH ${scoredCtes(d, "documents")},
-         |sx AS (
-         |  SELECT text, CAST(${d.size("toks")} AS BIGINT) AS ntok,
-         |    lang_guess, quality,
-         |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-         |  FROM scored
-         |),
-         |agg AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |    CAST(SUM(ntok) AS BIGINT) AS n_tokens,
-         |    CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars,
-         |    CAST(SUM(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-         |    CAST(SUM(CASE WHEN lang_guess = 'id' THEN 1 ELSE 0 END) AS BIGINT) AS n_id,
-         |    CAST(SUM(CASE WHEN lang_guess = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und,
-         |    CAST(SUM(CASE WHEN $SurvivorGate THEN 1 ELSE 0 END) AS BIGINT) AS q_pass,
-         |    CAST(SUM(CASE WHEN rn = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
-         |    CAST(SUM(CASE WHEN rn >= 2 THEN 1 ELSE 0 END)
-         |       + SUM(CASE WHEN rn = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
-         |  FROM sx
-         |),
-         |src AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
-         |    CAST(MAX(c) AS BIGINT) AS max_c, CAST(SUM(c) AS BIGINT) AS tot
-         |  FROM (SELECT source, COUNT(*) AS c FROM documents GROUP BY source)
-         |),
-         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM mh_cand),
-         |pii AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pii_o)
-         |SELECT 'docs' AS metric, n_docs AS value FROM agg
-         |UNION ALL SELECT 'tokens', n_tokens FROM agg
-         |UNION ALL SELECT 'chars', n_chars FROM agg
-         |UNION ALL SELECT 'sources', n_sources FROM src
-         |UNION ALL SELECT 'max_source_share_ppm', ${d.idiv("1000000 * max_c", "tot")} FROM src
-         |UNION ALL SELECT 'lang_en_docs', n_en FROM agg
-         |UNION ALL SELECT 'lang_id_docs', n_id FROM agg
-         |UNION ALL SELECT 'lang_und_docs', n_und FROM agg
-         |UNION ALL SELECT 'quality_pass_docs', q_pass FROM agg
-         |UNION ALL SELECT 'exact_dup_groups', dup_groups FROM agg
-         |UNION ALL SELECT 'exact_dup_docs', dup_docs FROM agg
-         |UNION ALL SELECT 'neardup_candidate_pairs', n FROM nd
-         |-- the pair count's own denominator: mh_cand is built over
-         |-- the two-snapshot corpus (every doc appears twice), so a
-         |-- rate computed against 'docs' would be inflated — the card
-         |-- carries the correct denominator itself
-         |UNION ALL SELECT 'neardup_corpus_docs', 2 * n_docs FROM agg
-         |-- CANDIDATE matches: pii_o is the raw regex-occurrence set
-         |-- (pre-validation — includes Luhn-invalid card candidates and
-         |-- out-of-range octet runs); piiScan's n_valid column is the
-         |-- confirmed count. Named so a card consumer cannot read the
-         |-- scan's widest net as confirmed PII.
-         |UNION ALL SELECT 'pii_candidate_matches', n FROM pii""".stripMargin
-    })
-
-  /** The RELEASE MANIFEST — the artifact a curation pipeline actually
-    * ships: every [[corpusFilter]] survivor (its body nested VERBATIM,
-    * one copy of the gate logic) with the columns a consumer needs to
-    * load, verify and reproduce the release: language and quality
-    * score, token count, a deterministic md5-ring shard (the
-    * shuffleShards rule — every re-run and engine assigns the same
-    * doc to the same output file), and the content hash of the
-    * PII-REDACTED text ([[piiRedactExpr]] — the checksum certifies
-    * what ships, not what was scraped; a post-release redaction
-    * change is visible as a hash change). One join back to the
-    * narrow text column; everything else rides the single filter
-    * pass. */
-  def releaseManifest(d: Dialect, from: String = "documents"): String =
-    s"""WITH cf AS (SELECT * FROM (
-       |${corpusFilter(d, from)}
-       |)),
-       |dt AS (SELECT doc_id, text, ${toks(d)} AS toks FROM $from)
-       |SELECT cf.doc_id, cf.lang_guess,
-       |  ${r6("cf.quality")} AS quality,
-       |  CAST(${d.size("dt.toks")} AS BIGINT) AS n_tokens,
-       |  ${md5Bucket("CAST(cf.doc_id AS STRING) || ':release'")} % 16 AS shard,
-       |  md5(${piiRedactExpr("dt.text", d)}) AS content_hash
-       |FROM cf JOIN dt ON dt.doc_id = cf.doc_id""".stripMargin
-
-  /** The held-out "benchmark" slice of the documents table (by source)
-    * and the shared decontamination fragments — single-sourced by
-    * [[contamination]] and [[contaminationBloom]] so the two gates
-    * cannot drift. */
-  private val BenchSrcs = "('src0', 'src1', 'src2', 'src3', 'src4')"
-  private def contaminationShingleCtes(d: Dialect): String =
-    s"""${shinglesCtes(d, n = 3, from = "documents")},
-       |srcd AS (SELECT sh.doc_id, documents.source, sh.s
-       |         FROM sh JOIN documents ON sh.doc_id = documents.doc_id)""".stripMargin
-  private def contaminationTail(cshView: String, bshView: String): String =
-    s"""hits AS (
-       |  SELECT c.doc_id, COUNT(*) AS shared
-       |  FROM $cshView c JOIN $bshView b ON c.s = b.s
-       |  GROUP BY c.doc_id
-       |)
-       |SELECT d.doc_id, COALESCE(h.shared, 0) AS shared_ngrams,
-       |  COALESCE(h.shared, 0) >= 10 AS contaminated
-       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-       |WHERE d.source NOT IN $BenchSrcs""".stripMargin
-
-  /** N-gram NOVELTY of a held-out split against its training split —
-    * the memorization-side sibling of decontamination (how much of
-    * the eval text is literally present in training n-grams; the
-    * audit behind "is the model reciting or generalizing" readouts):
-    * corpus split into deterministic md5 halves, each test doc's
-    * DISTINCT 4-grams probed against the train side's distinct 4-gram
-    * index, rolled up per source as exact ppm novelty. Shape at
-    * 100 TB: grams join on the 64-bit shingle fingerprint (Spark
-    * side; DuckDB keeps strings — the count-equivalence the
-    * shingleId contract proves), the train index is the one big
-    * DISTINCT, and the probe is the same inverted-index equi-join as
-    * the dedup family — with a bloom gate on the train side when the
-    * index outgrows a shuffle (the contaminationBloom pattern,
-    * result-invisible). Docs under 4 words have no 4-grams and drop
-    * from both engines identically. The split is the deterministic
-    * md5 half, NOT doc_id parity — the fixture assigns source =
-    * f(doc_id mod), so a parity split would test only cross-source
-    * novelty; the hash split puts every source on both sides. */
-  def ngramNovelty(d: Dialect): String =
-    s"""WITH ${shinglesCtes(d, n = 4, from = "documents")},
-       |ids AS (SELECT doc_id, ${d.shingleId("s")} AS sid,
-       |          ${md5Bucket("CAST(doc_id AS STRING)")} % 2 AS half
-       |        FROM sh),
-       |tr AS (SELECT DISTINCT sid FROM ids WHERE half = 0),
-       |ted AS (SELECT DISTINCT doc_id, sid FROM ids WHERE half = 1),
-       |pd AS (
-       |  SELECT t.doc_id,
-       |    CAST(COUNT(*) AS BIGINT) AS n_grams,
-       |    CAST(SUM(CASE WHEN tr.sid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
-       |  FROM ted t LEFT JOIN tr ON t.sid = tr.sid
-       |  GROUP BY t.doc_id
-       |)
-       |SELECT dd.source,
-       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |  CAST(SUM(pd.n_grams) AS BIGINT) AS n_grams,
-       |  CAST(SUM(pd.n_novel) AS BIGINT) AS n_novel,
-       |  ${d.idiv("1000000 * CAST(SUM(pd.n_novel) AS BIGINT)",
-                   "CAST(SUM(pd.n_grams) AS BIGINT)")} AS novelty_ppm
-       |FROM pd JOIN documents dd ON pd.doc_id = dd.doc_id
-       |GROUP BY dd.source""".stripMargin
-
-  /** Benchmark decontamination: 3-gram overlap of each corpus document
-    * against a held-out "benchmark" slice (sources src0-src4), via the
-    * same inverted-index shape as the jaccard dedup — the benchmark
-    * shingle set is DISTINCT'd (broadcast-sized at any realistic
-    * benchmark size) and the corpus only ever joins against it. */
-  def contamination(d: Dialect): String =
-    s"""WITH ${contaminationShingleCtes(d)},
-       |bsh AS (SELECT DISTINCT s FROM srcd WHERE source IN $BenchSrcs),
-       |csh AS (SELECT DISTINCT doc_id, s FROM srcd WHERE source NOT IN $BenchSrcs),
-       |${contaminationTail("csh", "bsh")}""".stripMargin
-
-  /** Bloom-gated decontamination — the 100 TB shape of
-    * [[contamination]]: the benchmark shingle set is folded into ONE
-    * bloom-filter value (bloom_filter_agg, Spark's runtime-filter
-    * sketch) and the corpus shingle index is prefiltered with
-    * might_contain BEFORE the exact equi-join, so the shuffle carries
-    * only probable hits (~fpp of the corpus index instead of all of
-    * it). Bloom false positives are eliminated by the exact join that
-    * follows — the gate is result-invisible, which is exactly what the
-    * oracle asserts (DuckDB renders the ungated exact form; identical
-    * rows prove it). Both index stages are materialized once, like the
-    * other shared indexes. */
-  val contaminationBloom: StagedOp = StagedOp(
-    // the (doc, source, shingle) index is built ONCE and both slices
-    // derive from the materialized stage — the 3-gram explode is the
-    // expensive pass, and the old two-stage shape re-ran it per slice
-    stages = Seq(
-      "ctm_srcd" -> { d =>
-        s"""WITH ${contaminationShingleCtes(d)}
-           |SELECT doc_id, source, s FROM srcd""".stripMargin
-      },
-      "ctm_bsh" -> { _ =>
-        s"SELECT DISTINCT s FROM ctm_srcd WHERE source IN $BenchSrcs"
-      },
-      "ctm_csh" -> { _ =>
-        s"SELECT DISTINCT doc_id, s FROM ctm_srcd WHERE source NOT IN $BenchSrcs"
-      }),
-    body = { d =>
-      s"""WITH ${d.bloomPrefilter("cshb", "ctm_csh", "ctm_bsh", "s")},
-         |${contaminationTail("cshb", "ctm_bsh")}""".stripMargin
-    })
-
-  /** Per-source contamination rollup — WHICH upstream sources leak
-    * the benchmark, not just which docs: the [[contamination]] tail
-    * run over the SAME staged indexes ([[contaminationBloom]]'s
-    * ctm_* artifacts — the 3-gram explode never re-runs), then one
-    * groupBy on provenance. The table a pipeline acts on: a source
-    * with a high contamination rate gets quarantined wholesale, not
-    * filtered doc-by-doc. Rates are exact integer ratios. */
-  val contaminationBySource: StagedOp = StagedOp(
-    stages = contaminationBloom.stages,
-    body = { d =>
-      s"""WITH c AS (SELECT * FROM (
-         |  WITH ${contaminationTail("ctm_csh", "ctm_bsh")}
-         |)),
-         |r AS (
-         |  SELECT dd.source,
-         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |    CAST(SUM(CASE WHEN c.contaminated THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_contaminated,
-         |    CAST(SUM(c.shared_ngrams) AS BIGINT) AS shared_total
-         |  FROM c JOIN documents dd ON dd.doc_id = c.doc_id
-         |  GROUP BY dd.source
-         |)
-         |SELECT source, n_docs, n_contaminated,
-         |  ${r6("CAST(n_contaminated AS DOUBLE) / n_docs")} AS contamination_rate,
-         |  shared_total
-         |FROM r ORDER BY source""".stripMargin
-    })
-
-  /** Explicit grouping sets (beyond rollup/cube): status-only,
-    * priority-only, and grand-total groups in one pass. Identical
-    * syntax in both dialects. */
-  def groupingSets(d: Dialect): String =
-    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-      |FROM orders
-      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
-
-  /** Exact percentiles per event type. Interpolation is done over
-    * integer cents so the midpoint arithmetic is exact in both engines
-    * (double interpolation formulas differ in the last ulp). */
-  def eventPercentiles(d: Dialect): String = {
-    val cents = "CAST(FLOOR(value * 100 + 5.0e-1) AS BIGINT)"
-    s"""SELECT event_type,
-       |  ${d.percentileCont(cents, "5.0e-1")} / 1.0e2 AS p50,
-       |  ${d.percentileCont(cents, "9.0e-1")} / 1.0e2 AS p90,
-       |  COUNT(*) AS n
-       |FROM events GROUP BY event_type""".stripMargin
-  }
-
-  // ---- event-time analytics ----
-
-  /** Tumbling 5-minute window aggregation (batch form; the streaming
-    * form with watermarks lives in graft.streaming). */
-  def eventsTumbling(d: Dialect): String =
-    s"""WITH e AS (SELECT ${d.epochSeconds("ts")} AS es, event_type, value FROM events)
-       |SELECT es - es % 300 AS window_start, event_type,
-       |  COUNT(*) AS n_events,
-       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-       |FROM e GROUP BY es - es % 300, event_type""".stripMargin
-
-  /** Time-weighted average of an irregular series — the telemetry
-    * integral (∫value·dt / ∫dt) a plain AVG gets wrong whenever
-    * sampling is uneven: each observation holds its value until the
-    * NEXT one (step interpolation), so it is weighted by its gap.
-    * One LEAD window per (user, day) shard + one aggregate — no
-    * self-join, same shuffle count as sessionize. Exactness: gaps in
-    * whole seconds (≤ 86 400) × µ-quantized values keeps every product
-    * and sum in int64 (≤ ~4.3e13 per term); the single final division
-    * runs on exact integers in both engines, and a day whose events
-    * all share one timestamp (zero total span) falls back to the
-    * plain mean, exactly. LEAD order is (t, event_id) — the repo's
-    * deterministic event order under timestamp ties. */
-  def eventsTimeWeightedAvg(d: Dialect): String =
-    s"""WITH e AS (
-       |  SELECT user_id, event_id,
-       |    CAST(FLOOR(${d.epochSeconds("ts")} / 86400.0e0) AS BIGINT) AS day,
-       |    ${d.epochSeconds("ts")} AS t,
-       |    CAST(FLOOR(value * 1.0e6 + 5.0e-1) AS BIGINT) AS qv
-       |  FROM events
-       |),
-       |g AS (
-       |  SELECT user_id, day, qv, t,
-       |    LEAD(t) OVER (PARTITION BY user_id, day ORDER BY t, event_id) AS tn
-       |  FROM e
-       |),
-       |a AS (
-       |  SELECT user_id, day, COUNT(*) AS n_events,
-       |    CAST(SUM(CASE WHEN tn IS NULL THEN 0 ELSE qv * (tn - t) END) AS BIGINT) AS num,
-       |    CAST(SUM(CASE WHEN tn IS NULL THEN 0 ELSE tn - t END) AS BIGINT) AS den,
-       |    CAST(SUM(qv) AS BIGINT) AS sq
-       |  FROM g GROUP BY user_id, day
-       |)
-       |SELECT user_id, day, n_events,
-       |  CASE WHEN den = 0
-       |    THEN ${r6("CAST(sq AS DOUBLE) / n_events / 1.0e6")}
-       |    ELSE ${r6("CAST(num AS DOUBLE) / den / 1.0e6")} END AS twa
-       |FROM a""".stripMargin
-
-  /** Kaplan-Meier survival curve for time-to-first-purchase, with
-    * right censoring at each user's last observed activity — the
-    * survival-analysis staple (retention, churn, time-to-convert
-    * under incomplete observation). S(t) = Π(1 − dᵤ/nᵤ) is computed
-    * as a µ-quantized log2 cumulative sum in int64 (the exact-sum
-    * discipline; the product itself would underflow and double
-    * products don't associate across engines) exponentiated once per
-    * output row; a day where everyone remaining events drives S to
-    * exactly 0 from there on (the log is undefined — handled by a
-    * zero-flag window, not a sentinel). Scale shape: one user-level
-    * groupBy (the only corpus-sized shuffle), then all windows run on
-    * the day-cardinality aggregate — the changepoint rule. */
-  def survivalKm(d: Dialect): String = {
-    val qlogRatio =
-      """CAST(FLOOR(log2(CAST(n_t - d_t AS DOUBLE) / CAST(n_t AS DOUBLE))
-        |     * 1.0e6 + 5.0e-1) AS BIGINT)""".stripMargin
-    s"""WITH e AS (
-       |  SELECT user_id, ${d.idiv(d.epochSeconds("ts"), "86400")} AS day, event_type
-       |  FROM events
-       |),
-       |u AS (
-       |  SELECT user_id, MIN(day) AS d0, MAX(day) AS dlast,
-       |    MIN(CASE WHEN event_type = 'purchase' THEN day END) AS dpur
-       |  FROM e GROUP BY user_id
-       |),
-       |tu AS (
-       |  SELECT CASE WHEN dpur IS NOT NULL THEN dpur - d0 ELSE dlast - d0 END AS t,
-       |    CASE WHEN dpur IS NOT NULL THEN 1 ELSE 0 END AS ev
-       |  FROM u
-       |),
-       |agg AS (
-       |  SELECT t, CAST(SUM(ev) AS BIGINT) AS d_t,
-       |    CAST(COUNT(*) AS BIGINT) AS leave_t
-       |  FROM tu GROUP BY t
-       |),
-       |n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM tu),
-       |risk AS (
-       |  SELECT t, d_t, leave_t,
-       |    n0 - COALESCE(CAST(SUM(leave_t) OVER (ORDER BY t
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_t
-       |  FROM agg CROSS JOIN n0
-       |),
-       |terms AS (
-       |  SELECT t, d_t, n_t,
-       |    CASE WHEN d_t = 0 THEN 0
-       |         WHEN n_t > d_t THEN $qlogRatio
-       |         ELSE NULL END AS ql,
-       |    CASE WHEN n_t = d_t AND d_t > 0 THEN 1 ELSE 0 END AS zero_here
-       |  FROM risk
-       |),
-       |curve AS (
-       |  SELECT t, d_t, n_t,
-       |    CAST(SUM(ql) OVER (ORDER BY t) AS BIGINT) AS cum_ql,
-       |    CAST(SUM(zero_here) OVER (ORDER BY t) AS BIGINT) AS zeroed
-       |  FROM terms
-       |)
-       |SELECT t AS day_offset, n_t AS n_risk, d_t AS n_events,
-       |  CASE WHEN zeroed > 0 THEN 0.0e0
-       |       ELSE ${r6("pow(2.0e0, CAST(cum_ql AS DOUBLE) / 1.0e6)")}
-       |  END AS survival
-       |FROM curve""".stripMargin
-  }
-
-  /** Sessionization: 30-minute inactivity gap via lag + running sum. */
-  def eventsSessionize(d: Dialect): String =
-    s"""WITH e AS (SELECT user_id, event_id, ${d.epochMicros("ts")} AS us FROM events),
-       |lagd AS (
-       |  SELECT user_id, event_id, us,
-       |    LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
-       |  FROM e
-       |),
-       |flags AS (
-       |  SELECT user_id, event_id, us,
-       |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
-       |  FROM lagd
-       |),
-       |sess AS (
-       |  SELECT user_id, us,
-       |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
-       |  FROM flags
-       |)
-       |SELECT user_id, session_no, COUNT(*) AS n_events,
-       |  MIN(us) AS start_us, MAX(us) AS end_us
-       |FROM sess GROUP BY user_id, session_no""".stripMargin
-
-  /** Hopping (sliding) window counts: 10-minute windows every 5
-    * minutes. Each event lands in exactly size/hop = 2 windows,
-    * emitted by ONE scan + a 2-element explode (the union-of-shifted-
-    * grids form scanned the fact table twice), then one
-    * map-side-combinable groupBy. The 2× row duplication before the
-    * partial aggregate is the textbook cost of hopping windows
-    * (Flink/Structured Streaming pay exactly the same); the streaming
-    * twin is [[graft.streaming.StreamingOps.hoppingCounts]]. */
-  def eventsHopping(d: Dialect): String = {
-    val e = s"SELECT ${d.epochSeconds("ts")} AS es, event_type, " +
-      s"${d.seqArray("0", "1")} AS ks FROM events"
-    s"""WITH w AS (${d.explode(e, "es, event_type", "ks", "k")})
-       |SELECT es - es % 300 - k * 300 AS window_start, event_type,
-       |  COUNT(*) AS n_events
-       |FROM w GROUP BY es - es % 300 - k * 300, event_type""".stripMargin
-  }
-
-  /** URL canonicalization + dedup — the crawl-frontier normalization
-    * every web-scale corpus runs BEFORE content dedup (the reference
-    * scrapes listing URLs; a real frontier sees the same page under
-    * scheme-case, www, trailing-slash, tracking-param-order and
-    * fragment variants). Deterministic messy variants are synthesized
-    * from `part` (no RNG), then canonicalized relationally: drop the
-    * fragment, lowercase scheme+host, strip `www.`, strip the
-    * trailing slash (except a bare "/"), drop `utm_*` tracking params
-    * (substr-prefix test — `_` is a LIKE wildcard), and SORT the surviving
-    * params — the canonical form groups all variants of a page. Every
-    * step is a narrow string projection (codegen'd, no UDF); the one
-    * shuffle is the final groupBy on the canonical key, exactly the
-    * exact-dedup shape. Survivor = min id (keep-first). */
-  def urlCanonical(d: Dialect): String = {
-    // substr-prefix test, not LIKE: `_` is a LIKE wildcard and the
-    // ESCAPE clause doesn't parse inside Spark's lambda bodies.
-    // COALESCE: joining the EMPTY filtered list is '' in Spark but
-    // NULL in DuckDB (the documented empty-array divergence class —
-    // it silently nulled every no-query canonical URL).
-    val params = s"COALESCE(${d.arrayJoin(
-      d.arraySort(d.filter(d.split("qs", "&"),
-        "x -> substr(x, 1, 4) <> 'utm_' AND x <> ''")), "&")}, '')"
-    s"""WITH raw AS (
-       |  SELECT p_partkey AS id,
-       |    CASE WHEN p_partkey % 4 = 0 THEN 'https://'
-       |         WHEN p_partkey % 4 = 1 THEN 'HTTPS://'
-       |         WHEN p_partkey % 4 = 2 THEN 'https://WWW.'
-       |         ELSE 'https://www.' END
-       |    || 'rumah123.com/properti/p' || CAST(p_partkey % 571 AS VARCHAR(8))
-       |    || CASE WHEN p_partkey % 5 = 0 THEN '/' ELSE '' END
-       |    || CASE WHEN p_partkey % 3 = 0 THEN '?utm_source=mail&b=2&a=1'
-       |            WHEN p_partkey % 3 = 1 THEN '?a=1&utm_campaign=x&b=2'
-       |            ELSE '' END
-       |    || CASE WHEN p_partkey % 7 = 0 THEN '#section' ELSE '' END AS url
-       |  FROM part
-       |),
-       |nofrag AS (
-       |  SELECT id, url,
-       |    CASE WHEN instr(url, '#') > 0 THEN substr(url, 1, instr(url, '#') - 1)
-       |         ELSE url END AS u1
-       |  FROM raw
-       |),
-       |sp AS (
-       |  SELECT id, url, lower(substr(u1, 1, instr(u1, '://') + 2)) AS sch,
-       |    substr(u1, instr(u1, '://') + 3) AS rest
-       |  FROM nofrag
-       |),
-       |hp AS (
-       |  SELECT id, url, sch,
-       |    lower(CASE WHEN instr(rest, '/') > 0
-       |               THEN substr(rest, 1, instr(rest, '/') - 1) ELSE rest END) AS host,
-       |    CASE WHEN instr(rest, '/') > 0 THEN substr(rest, instr(rest, '/')) ELSE '' END AS pathq
-       |  FROM sp
-       |),
-       |h2 AS (
-       |  SELECT id, url, sch,
-       |    CASE WHEN host LIKE 'www.%' THEN substr(host, 5) ELSE host END AS host, pathq
-       |  FROM hp
-       |),
-       |pq AS (
-       |  SELECT id, url, sch, host,
-       |    CASE WHEN instr(pathq, '?') > 0 THEN substr(pathq, 1, instr(pathq, '?') - 1)
-       |         ELSE pathq END AS path,
-       |    CASE WHEN instr(pathq, '?') > 0 THEN substr(pathq, instr(pathq, '?') + 1)
-       |         ELSE '' END AS qs
-       |  FROM h2
-       |),
-       |p2 AS (
-       |  SELECT id, url, sch, host,
-       |    CASE WHEN path <> '/' AND path LIKE '%/'
-       |         THEN substr(path, 1, length(path) - 1) ELSE path END AS path, qs
-       |  FROM pq
-       |),
-       |qp AS (
-       |  SELECT id, url,
-       |    sch || host || path ||
-       |      CASE WHEN $params = '' THEN '' ELSE '?' || $params END AS canonical_url
-       |  FROM p2
-       |)
-       |SELECT canonical_url,
-       |  CAST(COUNT(*) AS BIGINT) AS n_raw,
-       |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
-       |  MIN(id) AS keep_id
-       |FROM qp GROUP BY canonical_url""".stripMargin
-  }
-
-  /** CDC apply: collapse an insert/update/delete change stream to the
-    * final table state — the Debezium/change-data-feed materialization
-    * step. The change stream is derived deterministically from orders
-    * (every key gets an I; every 3rd an U; every 5th a D), the apply is
-    * keep-latest-by-sequence then drop-deletes: ONE window over the
-    * change stream partitioned by key (the SCD2/keep-first shape — at
-    * 100 TB this is a single shuffle on the key, no iteration). Values
-    * stay exact (DECIMAL arithmetic only). */
-  def cdcApply(d: Dialect): String =
-    s"""WITH changes AS (
-       |  SELECT o_orderkey AS key, 1 AS seq, 'I' AS op, CAST(o_totalprice AS DECIMAL(18,2)) AS val FROM orders
-       |  UNION ALL
-       |  SELECT o_orderkey, 2, 'U', CAST(o_totalprice AS DECIMAL(18,2)) * 2 FROM orders WHERE o_orderkey % 3 = 0
-       |  UNION ALL
-       |  SELECT o_orderkey, 3, 'D', CAST(NULL AS DECIMAL(18,2)) FROM orders WHERE o_orderkey % 5 = 0
-       |),
-       |latest AS (
-       |  SELECT key, seq, op, val,
-       |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
-       |  FROM changes
-       |)
-       |SELECT key, CAST(val AS DOUBLE) AS val, seq AS last_seq
-       |FROM latest WHERE rn = 1 AND op <> 'D'""".stripMargin
-
-  /** Retraction-maintained aggregate — incremental view maintenance
-    * over a before/after change feed (the Flink-retract / DBSP /
-    * materialized-view delta shape, and [[cdcApply]]'s aggregate-level
-    * sibling): every change row carries its before- and after-image
-    * (Debezium's envelope), contributes signed deltas
-    * (Δcount = [after≠NULL] − [before≠NULL], Δsum = after − before),
-    * and the per-group aggregate is ONE map-side-combinable SUM of
-    * deltas — no per-key window, no state lookup, exactly how a
-    * streaming materialized view folds a 100 TB change log. The query
-    * also computes the ground truth the long way (keep-latest per key,
-    * then aggregate the live state) and asserts the maintenance
-    * identity IN-ROW per group, so the oracle gate proves the
-    * decomposition itself (the joinSizeAudit pattern). All money stays
-    * DECIMAL until the output cast. */
-  def aggRetract(d: Dialect): String = {
-    val p = "CAST(o_totalprice AS DECIMAL(18,2))"
-    s"""WITH changes AS (
-       |  SELECT o_orderkey AS key, 1 AS seq,
-       |    CAST(NULL AS DECIMAL(18,2)) AS before_val, $p AS after_val
-       |  FROM orders
-       |  UNION ALL
-       |  SELECT o_orderkey, 2, $p, CAST($p * 2 AS DECIMAL(18,2))
-       |  FROM orders WHERE o_orderkey % 3 = 0
-       |  UNION ALL
-       |  SELECT o_orderkey, 3,
-       |    CASE WHEN o_orderkey % 3 = 0 THEN CAST($p * 2 AS DECIMAL(18,2)) ELSE $p END,
-       |    CAST(NULL AS DECIMAL(18,2))
-       |  FROM orders WHERE o_orderkey % 5 = 0
-       |),
-       |deltas AS (
-       |  SELECT key % 100 AS grp,
-       |    (CASE WHEN after_val IS NOT NULL THEN 1 ELSE 0 END)
-       |      - (CASE WHEN before_val IS NOT NULL THEN 1 ELSE 0 END) AS dc,
-       |    COALESCE(after_val, CAST(0 AS DECIMAL(18,2)))
-       |      - COALESCE(before_val, CAST(0 AS DECIMAL(18,2))) AS ds
-       |  FROM changes
-       |),
-       |maintained AS (
-       |  SELECT grp, CAST(SUM(dc) AS BIGINT) AS n_live,
-       |    CAST(SUM(ds) AS DECIMAL(28,2)) AS sum_live
-       |  FROM deltas GROUP BY grp
-       |),
-       |latest AS (
-       |  SELECT key, after_val AS val FROM (
-       |    SELECT key, after_val,
-       |      ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
-       |    FROM changes
-       |  ) WHERE rn = 1
-       |),
-       |direct AS (
-       |  SELECT key % 100 AS grp, CAST(COUNT(val) AS BIGINT) AS n_direct,
-       |    CAST(COALESCE(SUM(val), CAST(0 AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_direct
-       |  FROM latest GROUP BY key % 100
-       |)
-       |SELECT m.grp, m.n_live, CAST(m.sum_live AS DOUBLE) AS sum_live,
-       |  m.n_live = d.n_direct AS count_matches,
-       |  m.sum_live = d.sum_direct AS sum_matches
-       |FROM maintained m JOIN direct d ON m.grp = d.grp""".stripMargin
-  }
-
-  /** Per-user union of overlapping time intervals (total covered
-    * seconds + merged-interval count) — the classic gaps-and-islands
-    * reduction, the watch-time/dwell-time operator. Interval length is
-    * a deterministic function of the event value (no RNG). One window
-    * pass per user (running MAX of interval end over strictly preceding
-    * rows marks island starts; a running SUM numbers islands), then two
-    * grouped aggregates. At scale this is one shuffle on user_id and
-    * in-partition sorts — no self-join, no per-second explode. The
-    * window ORDER BY carries a full tiebreak (start, end, event_id) so
-    * the result is deterministic under equal timestamps. */
-  def intervalCoverage(d: Dialect): String =
-    s"""WITH iv AS (
-       |  SELECT user_id, event_id, ${d.epochSeconds("ts")} AS s,
-       |    ${d.epochSeconds("ts")} + abs(CAST(FLOOR(value) AS BIGINT)) % 120 + 60 AS e
-       |  FROM events
-       |),
-       |m AS (
-       |  SELECT user_id, event_id, s, e,
-       |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
-       |  FROM iv
-       |),
-       |isl AS (
-       |  SELECT user_id, s, e,
-       |    CAST(SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
-       |      OVER (PARTITION BY user_id ORDER BY s, e, event_id
-       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
-       |  FROM m
-       |),
-       |g AS (SELECT user_id, island, MIN(s) AS st, MAX(e) AS en
-       |      FROM isl GROUP BY user_id, island)
-       |SELECT user_id, CAST(SUM(en - st) AS BIGINT) AS covered_seconds,
-       |  COUNT(*) AS n_intervals
-       |FROM g GROUP BY user_id""".stripMargin
-
-  /** Interval-OVERLAP join (two interval SETS, not point-in-interval
-    * like the range join): per-day user activity spans joined against
-    * per-day event-type spans, keeping overlapping pairs with their
-    * exact overlap length. The scale shape is the equi-join on the
-    * BUCKET key (day) with the overlap inequality applied after — a
-    * hash join whose fan-out is bounded by per-bucket cardinality,
-    * never a nested loop over the cross product; at finer granularity
-    * the same plan uses multiple covering buckets per interval +
-    * DISTINCT. Both span tables are aggregate-cardinality (users×days,
-    * types×days) from one map-side-combined pass each; all arithmetic
-    * is epoch-second int64. */
-  def intervalOverlapJoin(d: Dialect): String = {
-    val day = s"CAST(FLOOR(${d.epochSeconds("ts")} / 86400.0e0) AS BIGINT)"
-    s"""WITH ua AS (
-       |  SELECT user_id, $day AS day,
-       |    MIN(${d.epochSeconds("ts")}) AS us, MAX(${d.epochSeconds("ts")}) AS ue
-       |  FROM events GROUP BY user_id, $day
-       |),
-       |ta AS (
-       |  SELECT event_type, $day AS day,
-       |    MIN(${d.epochSeconds("ts")}) AS ts_s, MAX(${d.epochSeconds("ts")}) AS ts_e
-       |  FROM events GROUP BY event_type, $day
-       |)
-       |SELECT u.user_id, t.event_type, u.day,
-       |  CAST(LEAST(u.ue, t.ts_e) - GREATEST(u.us, t.ts_s) AS BIGINT) AS overlap_seconds
-       |FROM ua u JOIN ta t
-       |  ON u.day = t.day AND u.us <= t.ts_e AND t.ts_s <= u.ue
-       |WHERE u.user_id % 20 = 0""".stripMargin
-  }
-
-  /** Changepoint detection by single binary segmentation over the
-    * daily revenue series: for every candidate split day, score the
-    * separation of left vs right segment means; report the argmax
-    * split. Scored on the day-cardinality aggregate (the corpus is
-    * touched once for the daily rollup), with running-sum windows
-    * providing every candidate's left/right sums in one pass — no
-    * per-candidate rescan. The score is the pooled-variance-free
-    * |meanL − meanR| · sqrt(harmonic n) form (sufficient for argmax);
-    * computed in doubles from exact integer cents, rounded to 6dp
-    * BEFORE ranking and id-tiebroken, so both engines pick the same
-    * day. */
-  /** EWMA revenue forecast with one-step-ahead error — exponential
-    * smoothing S_t = α·y_t + (1−α)·S_{t−1} expressed in CLOSED FORM
-    * (the CUSUM rule: a per-row recursion can't window, its unrolled
-    * sum can): S_t = Σ α(1−α)^(t−j)·y_j over a 60-lag horizon. The
-    * dropped tail's weight (1−α)^61 ≈ 3.6e-10 is NOT sub-µ against a
-    * large daily revenue (3e7 $ · 3.6e-10 ≈ $0.01) — the truncation
-    * is safe because it IS the op's definition, shared identically by
-    * both engines and the Scala oracle, not because it vanishes. The
-    * 61 weights α(1−α)^k are FINITE DECIMALS (3·7^k/10^(k+1)) —
-    * precomputed exactly in Scala as pico-scaled int64 literals and
-    * inlined as a 61-row table, so NO transcendental ever runs in
-    * either engine (a first attempt used pow(0.7, k): Java's and
-    * DuckDB's pow differ in the last ulp, and after scaling by daily
-    * revenue the µ-quantization straddled — transcendentals are NOT
-    * IEEE-pinned across engines, unlike +·−·/·sqrt). The series is
-    * whole-dollar daily revenue; each term is y·wqₖ/1e6 in pure int64
-    * (headroom: y < 3e7 $/day at wq ≤ 3e11 — beyond that, drop a
-    * digit of weight precision), and each day's sum is NORMALIZED by
-    * its window's exact weight sum (an un-normalized truncated EWMA
-    * under-forecasts for the first ~horizon days — the warm-up bias
-    * flagged every early day in the anomaly gate's first test run;
-    * normalizing makes S_t a true convex combination from day 1).
-    * The int-ratio normalization runs in doubles on exact int64
-    * operands — deterministic IEEE, no transcendental. The forecast
-    * for day t is S_{t−1}
-    * (one LAG over the day-cardinality curve); abs_err scores it
-    * against the actual. Past the envelope both engines must fail the
-    * SAME way — Spark would silently wrap where DuckDB errors — so a
-    * guard CAST throws loudly in both. Scale shape: the daily rollup
-    * is the one corpus-sized shuffle; the window is a pure EQUI-join
-    * through the 61-row weight table (b.t = a.t − w.k — a range
-    * self-join here plans a days×days nested loop before the lag
-    * filter), days × 61 rows regardless of corpus size. */
-  /** The EWMA chain's CTE prefix (daily rollup → weight table →
-    * closed-form curve → LAG forecast, ending in
-    * `f(day, y, ewma_q, fc_q)`) — ONE copy shared by
-    * [[ewmaForecast]] (the curve readout) and [[anomalyEwma]] (the
-    * residual gate), so the forecaster and its monitor cannot
-    * drift. */
-  private def ewmaCtes(d: Dialect): String = {
-    val day = s"CAST(FLOOR(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} / 86400.0e0) AS BIGINT)"
-    // wq_k = round(α·(1−α)^k · 1e12), exact via BigDecimal; α and the
-    // lookback are single-sourced in [[EwmaParams]] (shared with the
-    // streaming admission gate)
-    val wq = (0 to EwmaParams.Lookback).map { k =>
-      (EwmaParams.Alpha * (BigDecimal(1) - EwmaParams.Alpha).pow(k)
-        * BigDecimal(1000000000000L))
-        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
-    }
-    val wtRows = wq.zipWithIndex
-      .map { case (w, k) => s"SELECT $k AS k, CAST($w AS BIGINT) AS wq" }
-      .mkString("\n       |  UNION ALL ")
-    s"""daily AS (
-       |  SELECT $day AS day,
-       |    ${d.idiv("CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT)", "100")} AS y
-       |  FROM orders GROUP BY $day
-       |),
-       |idx AS (
-       |  SELECT day, y, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
-       |  FROM daily
-       |),
-       |wt AS (
-       |  $wtRows
-       |),
-       |terms AS (
-       |  SELECT a.t, a.day, a.y,
-       |    ${d.idiv("b.yg * w.wq", "1000000")} AS q, w.wq
-       |  FROM idx a
-       |  JOIN wt w ON w.k <= ${EwmaParams.Lookback}
-       |  JOIN (SELECT t, CASE WHEN y > 30000000
-       |                       THEN CAST('ewma: daily revenue exceeds the int64 weight envelope — rescale wq' AS BIGINT)
-       |                       ELSE y END AS yg
-       |        FROM idx) b ON b.t = a.t - w.k
-       |),
-       |curve AS (
-       |  SELECT t, day, y,
-       |    CAST(FLOOR(CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) * 1.0e12
-       |               / CAST(CAST(SUM(wq) AS BIGINT) AS DOUBLE) + 5.0e-1) AS BIGINT) AS ewma_q
-       |  FROM terms GROUP BY t, day, y
-       |),
-       |f AS (
-       |  SELECT day, y, ewma_q,
-       |    LAG(ewma_q) OVER (ORDER BY t) AS fc_q
-       |  FROM curve
-       |)""".stripMargin
-  }
-
-  def ewmaForecast(d: Dialect): String =
-    s"""WITH ${ewmaCtes(d)}
-       |SELECT day, y AS actual,
-       |  ${r6("CAST(ewma_q AS DOUBLE) / 1.0e6")} AS ewma,
-       |  ${r6("CAST(fc_q AS DOUBLE) / 1.0e6")} AS forecast,
-       |  CASE WHEN fc_q IS NULL THEN NULL
-       |       ELSE ${r6("CAST(ABS(y * 1000000 - fc_q) AS DOUBLE) / 1.0e6")}
-       |  END AS abs_err
-       |FROM f""".stripMargin
-
-  /** Forecast-residual anomaly gate — the monitoring op the EWMA
-    * exists for: flag days whose one-step-ahead residual deviates
-    * from the residual MEDIAN by more than 3 robust sigmas
-    * (1.4826·MAD — both robust statistics are exact interpolated
-    * percentiles over int64 µ-residuals, so a genuine anomaly cannot
-    * drag its own threshold the way a mean/stddev gate would; the
-    * anomalyMad pattern applied to the forecast residual instead of
-    * the raw value, which makes it trend- and season-aware to the
-    * extent the smoother tracks them). Residuals are SIGNED — a
-    * revenue collapse flags exactly like a spike. The MAD is floored
-    * at 1 µ-unit: a perfectly regular series has MAD = 0, and an
-    * unfloored threshold would then flag EVERY day whose residual
-    * differs at all from the median. The residual table
-    * is STAGED (three consumers: median, MAD, and the flag pass —
-    * inlined CTEs would re-run the whole EWMA chain, orders scan
-    * included, per reference); the two threshold scalars broadcast
-    * back over the day-cardinality stage. */
-  val anomalyEwma: StagedOp = StagedOp(
-    stages = Seq("ewma_res" -> { (d: Dialect) =>
-      s"""WITH ${ewmaCtes(d)}
-         |SELECT day, y, fc_q, y * 1000000 - fc_q AS r
-         |FROM f WHERE fc_q IS NOT NULL""".stripMargin
-    }),
-    body = { d =>
-      s"""WITH med AS (SELECT ${d.percentileCont("r", "5.0e-1")} AS med FROM ewma_res),
-         |mad AS (
-         |  SELECT ${d.percentileCont("ABS(r - med)", "5.0e-1")} AS mad
-         |  FROM ewma_res CROSS JOIN med
-         |)
-         |SELECT day, y AS actual,
-         |  ${r6("CAST(fc_q AS DOUBLE) / 1.0e6")} AS forecast,
-         |  ${r6("CAST(r AS DOUBLE) / 1.0e6")} AS residual,
-         |  CASE WHEN ABS(r - med) > ${EwmaParams.thresholdSql} THEN 1 ELSE 0 END AS is_anomaly
-         |FROM ewma_res CROSS JOIN med CROSS JOIN mad""".stripMargin
-    })
-
-  def changepointRevenue(d: Dialect): String = {
-    val day = s"CAST(FLOOR(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} / 86400.0e0) AS BIGINT)"
-    s"""WITH daily AS (
-       |  SELECT $day AS day,
-       |    CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT) AS cents
-       |  FROM orders GROUP BY $day
-       |),
-       |w AS (
-       |  SELECT day, cents,
-       |    CAST(SUM(cents) OVER (ORDER BY day
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS lsum,
-       |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS ln,
-       |    CAST(SUM(cents) OVER () AS BIGINT) AS tsum,
-       |    CAST(COUNT(*) OVER () AS BIGINT) AS tn
-       |  FROM daily
-       |),
-       |scored AS (
-       |  SELECT day,
-       |    ${r6("""ABS(CAST(lsum AS DOUBLE) / ln - CAST(tsum - lsum AS DOUBLE) / (tn - ln))
-       |      * sqrt(CAST(ln AS DOUBLE) * (tn - ln) / tn) / 1.0e2""")} AS score
-       |  FROM w WHERE ln < tn
-       |)
-       |SELECT day AS split_day, score FROM scored
-       |ORDER BY score DESC, day LIMIT 1""".stripMargin
-  }
-
-  /** User growth curve: first-seen day per user → daily new users →
-    * running cumulative — the cumulative-distinct-over-time query,
-    * computed without any distinct-over-window: one shuffle on user_id
-    * (map-side-combinable MIN), one tiny day-cardinality aggregate,
-    * and a running sum over the day table (window input is bounded by
-    * the calendar, not the event volume). */
-  def userGrowth(d: Dialect): String =
-    s"""WITH e AS (
-       |  SELECT user_id,
-       |    CAST(FLOOR(${d.epochSeconds("ts")} / 86400.0) AS BIGINT) AS day
-       |  FROM events
-       |),
-       |fs AS (SELECT user_id, MIN(day) AS first_day FROM e GROUP BY user_id),
-       |dd AS (SELECT first_day AS day, COUNT(*) AS new_users FROM fs GROUP BY first_day)
-       |SELECT day, new_users,
-       |  CAST(SUM(new_users) OVER (ORDER BY day
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
-       |FROM dd""".stripMargin
-
-  /** Snapshot diff: classify every doc across two corpus snapshots as
-    * added / removed / changed / unchanged — the ingest-audit step
-    * between crawl generations. Old = docs surviving `% 7`, new = docs
-    * surviving `% 5` with every 3rd's text perturbed (all
-    * deterministic). ONE full outer join on the key comparing content
-    * hashes — at 100 TB a single co-partitioned shuffle join; the md5
-    * comparison means text never crosses the wire twice. */
-  def snapshotDiff(d: Dialect): String =
-    s"""WITH old_s AS (
-       |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0
-       |),
-       |new_s AS (
-       |  SELECT doc_id, md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS h
-       |  FROM documents WHERE doc_id % 5 <> 0
-       |),
-       |cl AS (
-       |  SELECT CASE
-       |    WHEN o.doc_id IS NULL THEN 'added'
-       |    WHEN n.doc_id IS NULL THEN 'removed'
-       |    WHEN o.h <> n.h THEN 'changed'
-       |    ELSE 'unchanged' END AS status
-       |  FROM old_s o FULL JOIN new_s n ON o.doc_id = n.doc_id
-       |)
-       |SELECT status, COUNT(*) AS n_docs FROM cl GROUP BY status""".stripMargin
-
-  /** Merkle-style range reconciliation between two corpus snapshots —
-    * the anti-entropy shape (rsync, Cassandra repair, lakehouse
-    * snapshot diff at fleet scale): each side collapses to 64 range
-    * summaries (row count + order-independent content digest), and
-    * only ranges whose summaries disagree are reported for descent /
-    * re-sync. At 100 TB the exchange is 2×64 tiny rows instead of two
-    * table scans' worth of hashes — the full-outer content compare
-    * ([[snapshotDiff]]) then runs ONLY inside dirty ranges. The
-    * digest is BIT_XOR of the 48-bit md5 prefix: commutative,
-    * map-side combinable, no overflow at any cardinality. Snapshot B
-    * deletes every 191st doc and perturbs every 193rd (~1% — sparse,
-    * so clean ranges actually occur and the dirty set discriminates).
-    * A count collision with differing content is caught by the
-    * digest; a digest collision needs an adversarial 2⁻⁴⁸ xor
-    * cancellation. */
-  def merkleRanges(d: Dialect): String =
-    s"""WITH a AS (
-       |  SELECT doc_id, md5(text) AS h FROM documents
-       |),
-       |b AS (
-       |  SELECT doc_id,
-       |    md5(CASE WHEN doc_id % 193 = 0 THEN text || ' v2' ELSE text END) AS h
-       |  FROM documents WHERE doc_id % 191 <> 0
-       |),
-       |da AS (
-       |  SELECT doc_id % 64 AS rng, COUNT(*) AS c,
-       |    BIT_XOR(${md5U48("h")}) AS dg
-       |  FROM a GROUP BY doc_id % 64
-       |),
-       |db AS (
-       |  SELECT doc_id % 64 AS rng, COUNT(*) AS c,
-       |    BIT_XOR(${md5U48("h")}) AS dg
-       |  FROM b GROUP BY doc_id % 64
-       |)
-       |SELECT COALESCE(da.rng, db.rng) AS rng,
-       |  CAST(COALESCE(da.c, 0) AS BIGINT) AS n_old,
-       |  CAST(COALESCE(db.c, 0) AS BIGINT) AS n_new
-       |FROM da FULL JOIN db ON da.rng = db.rng
-       |WHERE da.rng IS NULL OR db.rng IS NULL
-       |   OR da.c <> db.c OR da.dg <> db.dg""".stripMargin
-
-  /** Per-column data-quality profile of orders (row count, null count,
-    * distinct count, min/max) — the Deequ/dbt-test profiling operator a
-    * pipeline runs before trusting an ingest. One aggregate per column,
-    * unioned: each is a map-side-combinable global aggregate (the
-    * distinct counts are the only shuffles, one per column — at 100 TB
-    * swap COUNT(DISTINCT) for approx_count_distinct per column when
-    * exactness isn't required; [[Relational.approxDistinctParts]] is
-    * that operator). Min/max are rendered to strings through
-    * type-stable casts (DECIMAL for doubles, epoch seconds for
-    * timestamps) so one schema fits every column.
-    *
-    * Two stages over one scan each, NOT one mixed aggregate: a string
-    * MIN/MAX makes the aggregation buffer immutable, which knocks the
-    * whole operator down from HashAggregate to SortAggregate — and in a
-    * mixed plan that sorts the Expand-multiplied multi-distinct input
-    * (rows × (columns+1), by a 7-column key, twice) instead of the raw
-    * rows. Splitting keeps the distinct-count pass (long buffers) in
-    * HashAggregate over the Expand, and the min/max pass (no Expand,
-    * no grouping key → nothing to sort) over plain rows. Measured at
-    * sf0.1: 4.7 s mixed → ~0.6 s split. */
-  val profileOrders: StagedOp = {
-    val asStr = (x: String) => s"CAST($x AS STRING)"
-    val decStr = (x: String) => s"CAST(CAST($x AS DECIMAL(18,2)) AS STRING)"
-    val cols: Seq[(String, Dialect => String => String)] = Seq(
-      "o_orderkey" -> (_ => asStr), "o_custkey" -> (_ => asStr),
-      "o_orderstatus" -> (_ => asStr), "o_totalprice" -> (_ => decStr),
-      "o_orderdate" -> ((d: Dialect) => (x: String) =>
-        s"CAST(${d.epochSeconds(s"CAST($x AS TIMESTAMP)")} AS STRING)"),
-      "o_orderpriority" -> (_ => asStr))
-    StagedOp(
-      stages = Seq(
-        // scan 1: row count, null counts, min/max — global aggregate,
-        // no distinct → no Expand, no grouping key → no sort
-        "prof_mm" -> { d =>
-          val metrics = cols.map { case (c, mm) =>
-            s"""  COUNT(*) - COUNT($c) AS nn_$c,
-               |  ${mm(d)(s"MIN($c)")} AS mn_$c, ${mm(d)(s"MAX($c)")} AS mx_$c""".stripMargin
-          }.mkString(",\n")
-          s"SELECT COUNT(*) AS n_rows,\n$metrics\nFROM orders"
-        },
-        // scan 2: the distinct counts alone — Expand ×columns, but the
-        // dedup level has an empty buffer and the count level a long
-        // buffer, so both stay HashAggregate
-        "prof_nd" -> { _ =>
-          val metrics = cols.map { case (c, _) =>
-            s"  COUNT(DISTINCT $c) AS nd_$c" }.mkString(",\n")
-          s"SELECT\n$metrics\nFROM orders"
-        }),
-      body = { _ =>
-        cols.map { case (c, _) =>
-          s"""SELECT '$c' AS col, n_rows, nn_$c AS n_null, nd_$c AS n_distinct,
-             |  mn_$c AS min_val, mx_$c AS max_val FROM prof_mm CROSS JOIN prof_nd""".stripMargin
-        }.mkString("\nUNION ALL\n")
-      })
-  }
-
-  /** The 100 TB profiling shape: per-column NDV WITHOUT the Expand
-    * that [[profileOrders]]'s multi-distinct plans (Expand multiplies
-    * the scan rows by the column count before aggregating — the one
-    * operator shape the round-4 verdict flagged as not runnable at
-    * scale). Each column gets its own column-pruned pass:
-    *   - exact NDV as a two-phase distinct (partial map-side dedup →
-    *     shuffle on the value → final count), the plan that scales
-    *     linearly with ONE column's data, and
-    *   - approx_count_distinct (HLL) next to it, the estimator a real
-    *     profiler ships — per the q_hll_merge precedent only the
-    *     in-query CONTRACT (|approx − exact| ≤ 10 %) crosses the
-    *     comparator, never the engine-specific estimate itself. */
-  def profileOrdersApprox(d: Dialect): String = {
-    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-      "o_totalprice", "o_orderdate", "o_orderpriority")
-    cols.map { c =>
-      s"""SELECT '$c' AS col, ex.n_distinct,
-         |  ABS(CAST(ap.approx_nd AS DOUBLE) - ex.n_distinct)
-         |    <= 1.0e-1 * ex.n_distinct AS approx_ok
-         |FROM (SELECT COUNT(*) AS n_distinct
-         |      FROM (SELECT $c FROM orders GROUP BY $c) t) ex
-         |CROSS JOIN (SELECT approx_count_distinct($c) AS approx_nd
-         |            FROM orders) ap""".stripMargin
-    }.mkString("\nUNION ALL\n")
-  }
-
-  // ---- multimodal column plumbing ----
-
-  /** The canonical near-dup pipeline end-to-end: minhash LSH bands for
-    * candidate RECALL, exact jaccard on the df-capped shingle index for
-    * PRECISION (≥ 0.6), in one query. Both indexes are the same staged
-    * tables the standalone queries use (memoized per JVM), so this
-    * composes rather than recomputes. At 100 TB this is the shape that
-    * ships: bands bound the candidate set, exact verification touches
-    * only candidate pairs. */
-  val dedupVerified: StagedOp = StagedOp(
-    stages = dedupMinhash.stages ++ dedupNgramJaccard.stages,
-    body = { _ =>
-      s"""WITH cand AS (SELECT doc_a, doc_b FROM mh_cand),
-         |$szCte,
-         |$interGatedCte
-         |$jaccardSelect""".stripMargin
-    })
-
-  /** Dedup-threshold sensitivity sweep — the tuning table for the
-    * Jaccard cutoff the verified-dedup gate hardcodes at 0.6: for
-    * each candidate threshold 0.50/0.55/…/0.90, how many candidate
-    * pairs the verifier would keep, how many distinct docs those
-    * pairs touch, and the corpus fraction affected. One scan of the
-    * gated intersections (the staged mh_cand candidates scored
-    * against the staged shingle index — the [[dedupVerified]] CTEs
-    * verbatim, minus its fixed WHERE), so the sweep costs ONE
-    * verification pass, not nine: each pair collapses to its MAXIMAL
-    * passing bar ⌊100·inter/union⌋ (integer-exact — j ≥ bar/100 ⟺
-    * that floor ≥ bar), each doc to the max bar over its pairs, and
-    * the per-threshold counts are sums over the tiny bar-bucket
-    * tables joined to the 9-row threshold domain. The first draft
-    * re-ran the gated intersection join once per consumer (ScanAudit:
-    * 16 scans); this shape runs it once. */
-  val dedupThresholdSweep: StagedOp = StagedOp(
-    stages = dedupMinhash.stages ++ dedupNgramJaccard.stages :+
-      // each pair's maximal passing bar — MATERIALIZED: three
-      // consumers below (pair buckets + both endpoint arms) would
-      // re-run the gated intersection join per reference as a CTE
-      ("dts_pb" -> { (d: Dialect) =>
-        s"""WITH cand AS (SELECT doc_a, doc_b FROM mh_cand),
-           |$szCte,
-           |$interGatedCte
-           |SELECT i.doc_a, i.doc_b,
-           |  -- snapshot twins (2d, 2d+1) are corpus-construction
-           |  -- artifacts every threshold keeps; flagged so the doc
-           |  -- count can show the DISCRIMINATING membership too
-           |  CASE WHEN ${d.idiv("i.doc_a", "2")} = ${d.idiv("i.doc_b", "2")}
-           |       THEN 1 ELSE 0 END AS twin,
-           |  CAST(${d.idiv("100 * i.inter", "sa.n + sb.n - i.inter")} AS BIGINT) AS pmax
-           |FROM inter i
-           |JOIN sz sa ON i.doc_a = sa.doc_id
-           |JOIN sz sb ON i.doc_b = sb.doc_id""".stripMargin
-      }),
-    body = { d =>
-      val bars = Seq(50, 55, 60, 65, 70, 75, 80, 85, 90)
-      val dom = bars.map(b => s"SELECT $b AS bar").mkString(" UNION ALL ")
-      s"""WITH dom AS ($dom),
-         |pb AS (SELECT doc_a, doc_b, twin, pmax FROM dts_pb),
-         |pcnt AS (SELECT pmax, CAST(COUNT(*) AS BIGINT) AS c FROM pb GROUP BY pmax),
-         |-- each doc's maximal bar over all its pairs / its non-twin pairs
-         |db AS (
-         |  SELECT doc_id,
-         |    CAST(MAX(pmax) AS BIGINT) AS dmax,
-         |    CAST(MAX(CASE WHEN twin = 0 THEN pmax END) AS BIGINT) AS dmax_nt
-         |  FROM (
-         |    SELECT doc_a AS doc_id, twin, pmax FROM pb
-         |    UNION ALL SELECT doc_b AS doc_id, twin, pmax FROM pb
-         |  ) GROUP BY doc_id
-         |),
-         |dcnt AS (
-         |  SELECT dmax, CAST(COUNT(*) AS BIGINT) AS c FROM db GROUP BY dmax
-         |),
-         |dcntn AS (
-         |  SELECT dmax_nt, CAST(COUNT(*) AS BIGINT) AS c FROM db
-         |  WHERE dmax_nt IS NOT NULL GROUP BY dmax_nt
-         |),
-         |-- corpus size = 2 × documents (the corpusCte snapshot pairing)
-         |nc AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS n FROM documents),
-         |pairs AS (
-         |  SELECT dom.bar, CAST(COALESCE(SUM(p.c), 0) AS BIGINT) AS n_pairs
-         |  FROM dom LEFT JOIN pcnt p ON p.pmax >= dom.bar GROUP BY dom.bar
-         |),
-         |docs AS (
-         |  SELECT dom.bar, CAST(COALESCE(SUM(dc.c), 0) AS BIGINT) AS n_docs
-         |  FROM dom LEFT JOIN dcnt dc ON dc.dmax >= dom.bar GROUP BY dom.bar
-         |),
-         |docsn AS (
-         |  SELECT dom.bar, CAST(COALESCE(SUM(dn.c), 0) AS BIGINT) AS n_docs_nontwin
-         |  FROM dom LEFT JOIN dcntn dn ON dn.dmax_nt >= dom.bar GROUP BY dom.bar
-         |)
-         |SELECT ${r6("CAST(p.bar AS DOUBLE) / 100")} AS threshold,
-         |  p.n_pairs, dc.n_docs, dn.n_docs_nontwin,
-         |  ${r6("CAST(dn.n_docs_nontwin AS DOUBLE) / nc.n")} AS nontwin_frac
-         |FROM pairs p
-         |JOIN docs dc ON dc.bar = p.bar
-         |JOIN docsn dn ON dn.bar = p.bar
-         |CROSS JOIN nc
-         |ORDER BY threshold""".stripMargin
-    })
-
-  /** LSH quality evaluation: recall/precision of the minhash band
-    * candidates against exact-jaccard (≥ 0.6) ground truth — the
-    * metrics row a pipeline publishes when tuning band/row counts.
-    *
-    * The truth side is all-pairs exact jaccard, which no 100 TB corpus
-    * can afford — so BOTH sides of the estimator are restricted to the
-    * deterministic ~12.5% content-hash sample ([[sampleHash]]'s bucket
-    * predicate): truth = exact pairs with both endpoints sampled,
-    * candidates likewise, recall = hits/truth and precision =
-    * hits/candidates over that subset. Content-hash sampling keeps or
-    * drops both members of an exact-duplicate pair together and is
-    * independent of near-dup structure, so the sampled ratios are
-    * consistent estimators of the full-corpus ones while the exact
-    * self-join shrinks by the sample rate squared (~64×). Counts are
-    * exact on the sample; the ratios are single IEEE divisions. */
-  val dedupLshEval: StagedOp = StagedOp(
-    stages = dedupMinhash.stages ++ dedupNgramJaccard.stages,
-    body = { d =>
-      s"""WITH ${corpusCte(d)},
-         |${lshSampCte},
-         |cands AS (
-         |  SELECT c.doc_a, c.doc_b
-         |  FROM mh_cand c
-         |  JOIN samp pa ON c.doc_a = pa.doc_id
-         |  JOIN samp pb ON c.doc_b = pb.doc_id
-         |),
-         |$szCte,
-         |$interSampledCte,
-         |truth AS (
-         |  SELECT i.doc_a, i.doc_b FROM inter i
-         |  JOIN sz sa ON i.doc_a = sa.doc_id
-         |  JOIN sz sb ON i.doc_b = sb.doc_id
-         |  WHERE $jaccardExpr >= 0.6
-         |),
-         |m AS (
-         |  SELECT
-         |    (SELECT COUNT(*) FROM truth) AS n_true,
-         |    (SELECT COUNT(*) FROM cands) AS n_cand,
-         |    (SELECT COUNT(*) FROM truth t JOIN cands c
-         |       ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit
-         |)
-         |SELECT n_true, n_cand, n_hit,
-         |  CASE WHEN n_true = 0 THEN NULL
-         |       ELSE CAST(n_hit AS DOUBLE) / n_true END AS recall,
-         |  CASE WHEN n_cand = 0 THEN NULL
-         |       ELSE CAST(n_hit AS DOUBLE) / n_cand END AS precision_
-         |FROM m""".stripMargin
-    })
-
-  /** LSH design audit — the S-curve tuning readout for the SHIPPED
-    * [[MhBands]]×[[MhRows]] minhash geometry: per exact-Jaccard decile
-    * (over the deterministic content-hash sample, the [[dedupLshEval]]
-    * truth pattern), the EMPIRICAL candidate rate (fraction of sampled
-    * pairs the band join actually surfaced) next to the THEORETICAL
-    * collision probability 1 − (1 − sʳ)ᵇ at the decile midpoint —
-    * the curve a pipeline inspects before changing band geometry
-    * (more bands → the S shifts left, more recall, more candidates).
-    * The theory column renders from [[scurveDetectPpm]] — the SAME
-    * host-exact ppm table [[lshParamOpt]] scores every factorization
-    * with, instantiated at the shipped constants, so this audit
-    * re-curves automatically with any future re-band.
-    * Only pairs sharing ≥1 shingle appear (the inter join's own
-    * grain — disjoint pairs are the flat left tail of the curve);
-    * the decile domain is a literal list left-joined so empty deciles
-    * emit their zero row. Scale shape: everything is sample² bounded;
-    * the full-corpus band join is read from the staged mh_cand. */
-  /** Sampled pair-similarity decile buckets (true Jaccard → bucket
-    * ⌊10j⌋ capped at 9, over the deterministic md5 sample) — ONE copy
-    * shared by [[lshScurve]] (the empirical-vs-theoretical audit) and
-    * [[lshParamOpt]] (the banding optimizer), so the two can never
-    * disagree about the histogram they both claim to read. */
-  private def lshPairBucketCte(d: Dialect): String =
-    s"""pairs AS (
-       |  SELECT i.doc_a, i.doc_b,
-       |    LEAST(${d.idiv("10 * i.inter", "sa.n + sb.n - i.inter")}, 9) AS bkt
-       |  FROM inter i
-       |  JOIN sz sa ON i.doc_a = sa.doc_id
-       |  JOIN sz sb ON i.doc_b = sb.doc_id
-       |)""".stripMargin
-
-  val lshScurve: StagedOp = StagedOp(
-    stages = dedupMinhash.stages ++ dedupNgramJaccard.stages,
-    body = { d =>
-      // the shipped geometry's detection curve as host-exact ppm
-      // literals — the same scurveDetectPpm table lshParamOpt scores
-      // every (b, r) with, so audit and optimizer share one curve
-      val th = (0 to 9).map { k =>
-        s"SELECT $k AS bkt, CAST(${scurveDetectPpm(MhBands, MhRows, k)} AS BIGINT) AS p_ppm"
-      }.mkString(" UNION ALL ")
-      s"""WITH ${corpusCte(d)},
-         |${lshSampCte},
-         |$szCte,
-         |$interSampledCte,
-         |${lshPairBucketCte(d)},
-         |h AS (
-         |  SELECT p.bkt, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-         |    CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cand
-         |  FROM pairs p
-         |  LEFT JOIN mh_cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
-         |  GROUP BY p.bkt
-         |),
-         |th AS ($th)
-         |SELECT th.bkt AS bucket,
-         |  CAST(COALESCE(h.n_pairs, 0) AS BIGINT) AS n_pairs,
-         |  CAST(COALESCE(h.n_cand, 0) AS BIGINT) AS n_candidates,
-         |  CASE WHEN COALESCE(h.n_pairs, 0) = 0 THEN NULL
-         |       ELSE ${r6("CAST(h.n_cand AS DOUBLE) / h.n_pairs")} END AS empirical_rate,
-         |  ${r6("CAST(th.p_ppm AS DOUBLE) / 1.0e6")} AS theoretical_rate
-         |FROM th LEFT JOIN h ON h.bkt = th.bkt
-         |ORDER BY bucket""".stripMargin
-    })
-
-  /** LSH banding-parameter optimizer — which (bands, rows) split of
-    * the 8-slice minhash signature minimizes expected dedup error on
-    * THIS corpus? For every factorization b·r = 8, the expected
-    * false-negative mass (true dups — Jaccard ≥ 0.6, the verified
-    * gate's bar — the banding would MISS) and false-positive mass
-    * (non-dups it would surface to the verifier) under the S-curve
-    * P(s) = 1 − (1 − sʳ)ᵇ, evaluated against the corpus's OWN
-    * sampled pair-similarity histogram (the [[lshScurve]] decile
-    * buckets, same stages, same deterministic sample). Detection
-    * probabilities are computed HOST-SIDE with BigDecimal at the
-    * decile midpoints and inlined as exact ppm integer literals (the
-    * EXPQ rule: no transcendental ever crosses an engine boundary),
-    * so the whole query is integer arithmetic until the final
-    * 6dp-quantized ratios. The engine ACTS on this readout: round 11
-    * re-banded [[mhBandRows]] to the argmin (b=2, r=4) this table
-    * identified — the previously-shipped (4, 2) was FP-heavy on this
-    * corpus (see the measured candidate/precision delta at
-    * [[MhBands]]). At 100 TB the same table re-runs per corpus before
-    * each re-index, and the band constants are the one knob to turn. */
-  val lshParamOpt: StagedOp = {
-    val configs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
-    val pTable = for ((b, r) <- configs; k <- 0 to 9) yield
-      s"SELECT $b AS b, $r AS r, $k AS bkt, " +
-        s"CAST(${scurveDetectPpm(b, r, k)} AS BIGINT) AS p_ppm"
-    StagedOp(
-      stages = dedupMinhash.stages ++ dedupNgramJaccard.stages,
-      body = { d =>
-        s"""WITH ${corpusCte(d)},
-           |${lshSampCte},
-           |$szCte,
-           |$interSampledCte,
-           |${lshPairBucketCte(d)},
-           |h AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs GROUP BY bkt),
-           |pt AS (${pTable.mkString("\n           |  UNION ALL ")}),
-           |e AS (
-           |  SELECT pt.b, pt.r,
-           |    CAST(SUM(CASE WHEN pt.bkt >= 6
-           |             THEN COALESCE(h.n_pairs, 0) * (1000000 - pt.p_ppm)
-           |             ELSE 0 END) AS BIGINT) AS fn_mass,
-           |    CAST(SUM(CASE WHEN pt.bkt < 6
-           |             THEN COALESCE(h.n_pairs, 0) * pt.p_ppm
-           |             ELSE 0 END) AS BIGINT) AS fp_mass
-           |  FROM pt LEFT JOIN h ON h.bkt = pt.bkt
-           |  GROUP BY pt.b, pt.r
-           |)
-           |SELECT b, r,
-           |  ${r6("CAST(fn_mass AS DOUBLE) / 1.0e6")} AS exp_false_neg,
-           |  ${r6("CAST(fp_mass AS DOUBLE) / 1.0e6")} AS exp_false_pos,
-           |  ${r6("CAST(fn_mass + fp_mass AS DOUBLE) / 1.0e6")} AS exp_cost
-           |FROM e ORDER BY b, r""".stripMargin
-      })
-  }
-
-  // ---- sampling / canonical selection / corpus statistics ----
-
-  /** Deterministic content-hash sampling: bucket = first byte of
-    * md5(text) (0-255), keep buckets < 32 → a reproducible ~12.5%
-    * sample. The scale pattern for training-data subsetting: no RNG
-    * state, independent of partitioning and row order, re-runnable on
-    * any engine. */
-  def sampleHash(d: Dialect): String =
-    s"""SELECT doc_id, lang, n_chars FROM documents
-       |WHERE ${md5Bucket("text")} < 32""".stripMargin
-
-  /** Per-source document cap — the C4-style per-domain quota that
-    * stops any single source from dominating a training mix: keep at
-    * most 30 docs per source, chosen by content-hash priority
-    * (deterministic, position-unbiased, RNG-free — re-runnable on any
-    * engine and any partitioning). One window shuffle on the source
-    * key; at 100 TB each source's rows rank independently, and a
-    * pre-aggregated count gate could skip the window entirely for
-    * sources already under quota. */
-  def capPerSource(d: Dialect): String =
-    s"""SELECT doc_id, source, rn FROM (
-       |  SELECT doc_id, source,
-       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
-       |  FROM documents
-       |) WHERE rn <= 30""".stripMargin
-
-  /** Globally consecutive row ids WITHOUT a global sort — the
-    * technique that replaces `ROW_NUMBER() OVER (ORDER BY …)` (a
-    * single-partition window, the classic 100 TB deadend) with a
-    * two-phase decomposition: per-shard local ranks (parallel windows
-    * over 16 hash shards), per-shard counts (a 16-row table), prefix
-    * offsets over that tiny table, and one broadcast join adding
-    * offset + local rank. The oracle runs the single global window —
-    * proving the decomposition emits byte-identical ids. Total order
-    * is (shard, md5(text), doc_id): deterministic, engine-portable,
-    * no RNG. */
-  def globalRowNumber(d: Dialect): String =
-    s"""WITH sh AS (
-       |  SELECT doc_id, ${md5Bucket("text")} % 16 AS shard, md5(text) AS h
-       |  FROM documents
-       |),
-       |r AS (
-       |  SELECT doc_id, shard, h,
-       |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS lr
-       |  FROM sh
-       |),
-       |cnt AS (SELECT shard, COUNT(*) AS n FROM sh GROUP BY shard),
-       |osets AS (
-       |  SELECT shard,
-       |    SUM(n) OVER (ORDER BY shard
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off0
-       |  FROM cnt
-       |)
-       |SELECT r.doc_id, CAST(r.lr + COALESCE(o.off0, 0) AS BIGINT) AS global_id
-       |FROM r JOIN osets o ON r.shard = o.shard""".stripMargin
-
-  /** Stratified sampling: exactly 50 docs per language, chosen by
-    * content-hash order (deterministic, unbiased w.r.t. position).
-    * One window shuffle on the stratum key; at 100 TB strata are
-    * processed independently per partition group. */
-  def sampleStratified(d: Dialect): String =
-    s"""SELECT doc_id, lang FROM (
-       |  SELECT doc_id, lang,
-       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
-       |  FROM documents
-       |) WHERE rn <= 50""".stripMargin
-
-  /** Context-length sizing audit — the padding-waste table a pipeline
-    * reads before choosing max_len and deciding whether packing is
-    * worth it: for each candidate length, the NAIVE per-doc regime
-    * (every doc padded to ⌈n/L⌉ full sequences — the no-packing
-    * baseline) against the concat-packing LOWER BOUND (one global
-    * token stream, ⌈Σn/L⌉ sequences — what perfect packing achieves;
-    * [[packSequences]]' shard-greedy lands between the two). All
-    * closed-form integer arithmetic off one scan of per-doc token
-    * counts: ⌈n/L⌉ = (n + L − 1) DIV L, waste = padded − tokens,
-    * fractions are single exact divisions. Scale shape: one narrow
-    * aggregate per candidate length over the doc-cardinality token
-    * counts read off the STAGED tf index (a 4-armed UNION over an
-    * inline corpus CTE would re-tokenize the corpus per arm under
-    * CTE inlining) — no packing simulation, no window, no shuffle
-    * beyond the aggregates. */
-  val packEfficiency: StagedOp = StagedOp(
-    stages = textUnigramLm.stages,
-    body = { d =>
-      val lens = Seq(64, 128, 256, 512)
-      val rows = lens.map { l =>
-        def ceilDoc = d.idiv(s"n + ${l - 1}", l.toString)
-        def ceilAll = d.idiv(s"SUM(n) + ${l - 1}", l.toString)
-        s"""SELECT $l AS max_len,
-           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-           |  CAST(SUM(n) AS BIGINT) AS n_tokens,
-           |  CAST(SUM($ceilDoc) AS BIGINT) AS naive_seqs,
-           |  CAST(SUM($ceilDoc) * $l AS BIGINT) AS naive_padded,
-           |  ${r6(s"CAST(SUM($ceilDoc) * $l - SUM(n) AS DOUBLE)" +
-                  s" / (SUM($ceilDoc) * $l)")} AS naive_waste,
-           |  CAST($ceilAll AS BIGINT) AS packed_seqs,
-           |  ${r6(s"CAST($ceilAll * $l - SUM(n) AS DOUBLE)" +
-                  s" / ($ceilAll * $l)")} AS packed_waste
-           |FROM tn""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH tn AS (
-         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n FROM ulm_tf GROUP BY doc_id
-         |)
-         |$rows
-         |ORDER BY max_len""".stripMargin
-    })
-
-  /** Shard-parallel sequence packing: assign documents to fixed
-    * token-budget training sequences. Global greedy packing is
-    * inherently sequential, so the scale shape is the one real
-    * pipelines use — pack WITHIN deterministic shards: shard = content
-    * hash (8 here; one per output worker in production), order within
-    * the shard by content hash (the reproducible shuffle), running
-    * token total via a shard-partitioned window, and
-    * seq = ⌊(cum − n_tokens)/budget⌋ (first-fit in hash order; a
-    * sequence may overflow the budget by at most one document — the
-    * drop-or-split of the overhang is a downstream choice). The window
-    * partitions on shard, so there is NO single-partition exchange:
-    * shards pack independently, exactly like per-worker packing at
-    * 100 TB. All sums are integer; the only division is exact. */
-  def packSequences(d: Dialect): String = {
-    val budget = 512
-    s"""WITH t AS (
-       |  SELECT doc_id,
-       |    ${md5Bucket("text")} % 8 AS shard,
-       |    CAST(${d.size(toks(d))} AS BIGINT) AS n_tokens,
-       |    md5(text) AS mh
-       |  FROM documents
-       |),
-       |cumt AS (
-       |  SELECT doc_id, shard, n_tokens,
-       |    CAST(SUM(n_tokens) OVER (
-       |      PARTITION BY shard ORDER BY mh, doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-       |  FROM t
-       |)
-       |SELECT doc_id, shard, n_tokens, cum_tokens,
-       |  CAST(FLOOR(CAST(cum_tokens - n_tokens AS DOUBLE) / $budget.0e0) AS BIGINT) AS seq_id
-       |FROM cumt""".stripMargin
-  }
-
-  /** Source-weighted corpus mixing: replicate each document
-    * epochs(source) times — the "data mixing weights" op that turns
-    * per-source sampling ratios into a physical training corpus.
-    * Epochs here derive deterministically from the source id (1-3);
-    * production feeds a weights table. The replication is
-    * explode(sequence(1, epochs)) — a NARROW per-row generator, no
-    * join, no shuffle; output volume is Σ epochs by construction,
-    * which is the budgeted size of the training mix. */
-  def mixEpochs(d: Dialect): String = {
-    val base =
-      s"""SELECT doc_id, source,
-         |    1 + (CAST(substr(source, 4) AS INT) % 3) AS epochs,
-         |    ${d.seqArray("1", "1 + (CAST(substr(source, 4) AS INT) % 3)")} AS eps
-         |  FROM documents""".stripMargin
-    s"""WITH reps AS (
-       |  ${d.explode(s"$base", "doc_id, source, epochs", "eps", "ep")}
-       |)
-       |SELECT doc_id, source, CAST(epochs AS BIGINT) AS epochs,
-       |  CAST(ep AS BIGINT) AS copy_idx
-       |FROM reps""".stripMargin
-  }
-
-  /** Vocabulary cumulative-coverage cutoff — the tokenizer-building
-    * profile: global token counts ordered by frequency, cumulative
-    * corpus share, and the 95%-coverage vocabulary flag. The groupBy
-    * shuffle is bounded by VOCAB cardinality (map-side partial
-    * counts), and the ordered-cumsum window runs over the vocab-sized
-    * aggregate — at 100 TB the token scan is the only full pass; the
-    * window input is ~1M rows regardless of corpus size (the one
-    * place a global window is the right plan). The coverage test is
-    * all-integer ((cum−n)·100 < 95·total — no FP boundary); the
-    * reported share is one exact IEEE division. */
-  def vocabCoverage(d: Dialect): String =
-    s"""WITH dtoks AS (SELECT doc_id, ${toks(d)} AS toks FROM documents),
-       |tok AS (${d.explode("SELECT doc_id, toks FROM dtoks", "doc_id", "toks", "t")}),
-       |vc AS (SELECT t AS token, COUNT(*) AS n FROM tok GROUP BY t),
-       |cum AS (
-       |  SELECT token, n,
-       |    CAST(SUM(n) OVER (ORDER BY n DESC, token
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
-       |    CAST(SUM(n) OVER () AS BIGINT) AS total_n
-       |  FROM vc
-       |)
-       |SELECT token, n, cum_n,
-       |  CAST(cum_n AS DOUBLE) / total_n AS cum_share,
-       |  (cum_n - n) * 100 < 95 * total_n AS in_vocab95
-       |FROM cum""".stripMargin
-
-  /** Source×source near-duplicate overlap matrix: which sources copy
-    * from which — the provenance view of dedup, aggregated from the
-    * SAME staged minhash band candidates the dedup family uses (no new
-    * pairwise work; the matrix is a rollup of an index that already
-    * exists). Pair sources are normalized LEAST/GREATEST so the matrix
-    * is upper-triangular regardless of id order. Output is
-    * |sources|² at most — driver-sized at any corpus scale. */
-  val dedupSourceOverlap: StagedOp = StagedOp(
-    stages = dedupMinhash.stages,
-    body = { d =>
-      // the snapshot-id → source map comes from the SHARED corpusCte
-      // (projecting source), never a hand-forked copy of the id scheme
-      // — a desynced fork would silently empty the join while the
-      // oracle (sharing the same SQL) stayed green
-      s"""WITH ${corpusCte(d, "source")}
-         |SELECT LEAST(sa.source, sb.source) AS source_a,
-         |  GREATEST(sa.source, sb.source) AS source_b,
-         |  COUNT(*) AS n_pairs
-         |FROM mh_cand c
-         |JOIN corpus sa ON c.doc_a = sa.doc_id
-         |JOIN corpus sb ON c.doc_b = sb.doc_id
-         |GROUP BY LEAST(sa.source, sb.source), GREATEST(sa.source, sb.source)""".stripMargin
-    })
-
-  /** Canonical-survivor selection: within each exact-duplicate group
-    * (content hash over the two-snapshot corpus), keep the best
-    * representative — longest text first, ties to the smallest id (the
-    * quality-aware flavor of dedup survivor choice; here length is the
-    * quality proxy). */
-  def dedupCanonical(d: Dialect): String =
-    s"""WITH ${corpusCte(d)},
-       |h AS (SELECT doc_id, text, md5(text) AS ch FROM corpus)
-       |SELECT ch AS content_hash, doc_id AS survivor_id, n_members FROM (
-       |  SELECT ch, doc_id,
-       |    ROW_NUMBER() OVER (PARTITION BY ch ORDER BY length(text) DESC, doc_id) AS rn,
-       |    COUNT(*) OVER (PARTITION BY ch) AS n_members
-       |  FROM h
-       |) WHERE rn = 1""".stripMargin
-
-  /** Global top-20 word bigrams over the documents table — corpus
-    * n-gram statistics (the LM-data profiling primitive). Spark side
-    * reuses the codegen'd word_shingles expression with n=2; ordering
-    * ties break on the bigram string. */
-  def textBigrams(d: Dialect): String =
-    s"""WITH ${shinglesCtes(d, n = 2, from = "documents")}
-       |SELECT s AS bigram, COUNT(*) AS n
-       |FROM sh GROUP BY s
-       |ORDER BY n DESC, s LIMIT 20""".stripMargin
-
-  /** Per-source top-3 bigrams: the grouped flavor of [[textBigrams]]
-    * (which corpus slice says what) — a per-group top-k over text
-    * aggregates: bigram counts shuffle once on (source, bigram) with
-    * map-side partials, then the rank window runs per source. Ties
-    * break on the bigram string, so the top-3 set is deterministic. */
-  def topBigramsPerSource(d: Dialect): String =
-    s"""WITH ${shinglesCtes(d, n = 2, from = "documents")},
-       |bs AS (
-       |  SELECT doc.source, sh.s, COUNT(*) AS n
-       |  FROM sh JOIN documents doc ON sh.doc_id = doc.doc_id
-       |  GROUP BY doc.source, sh.s
-       |)
-       |SELECT source, s AS bigram, n, rk FROM (
-       |  SELECT source, s, n,
-       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, s) AS rk
-       |  FROM bs
-       |) WHERE rk <= 3""".stripMargin
-
-  /** Per-type p99 outlier events: exact integer-cent percentile per
-    * event type (same cross-engine-exact interpolation as
-    * [[eventPercentiles]]) joined back against the stream — the
-    * analytic-join shape of quality filtering (compute per-group
-    * thresholds once, broadcast them against the fact table). */
-  def valueOutliers(d: Dialect): String = {
-    val cents = "CAST(FLOOR(value * 100 + 5.0e-1) AS BIGINT)"
-    s"""WITH p AS (
-       |  SELECT event_type, ${d.percentileCont(cents, "9.9e-1")} / 1.0e2 AS p99
-       |  FROM events GROUP BY event_type
-       |)
-       |SELECT e.event_id, e.event_type, e.value, p.p99
-       |FROM events e JOIN p ON e.event_type = p.event_type
-       |WHERE e.value > p.p99""".stripMargin
-  }
-
-  /** Range classification into UNIFORM 50-unit value bands. Uniform
-    * contiguous intervals need no join at all: the band is a closed-form
-    * projection (`floor(value/50)`), so the whole operator is one
-    * codegen'd map + one map-side-combinable groupBy — zero row
-    * amplification, zero nested-loop, the shape that survives 100 TB.
-    * (Round-4 verdict: the previous theta-join against a 10-interval
-    * band table BroadcastNestedLoop'd every event row 10×.) The WHERE
-    * reproduces the old inner join's drop of out-of-range values, and
-    * both engines run the identical IEEE divide + floor, so boundary
-    * rounding is cross-engine-exact. */
-  def rangeJoinBands(d: Dialect): String =
-    s"""SELECT CAST(FLOOR(value / 5.0e1) AS INT) AS band, COUNT(*) AS n_events,
-       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-       |FROM events
-       |WHERE value >= 0.0e0 AND value < 5.0e2
-       |GROUP BY CAST(FLOOR(value / 5.0e1) AS INT)""".stripMargin
-
-  /** Range join proper: IRREGULAR value bands (no closed form — width
-    * varies per band), the case that genuinely needs an interval
-    * condition. The band table is literal/broadcast-sized, so the join
-    * is a broadcast nested-loop over 6 intervals — the right plan for
-    * small interval tables; with large interval sets this becomes
-    * interval-tree bucketize-then-equi-join. */
-  def rangeJoinIrregular(d: Dialect): String = {
-    val edges = Seq(0, 10, 25, 70, 160, 310, 500)
-    val bands = edges.init.zip(edges.tail).zipWithIndex.map { case ((lo, hi), i) =>
-      s"SELECT $i AS band, $lo.0e0 AS lo, $hi.0e0 AS hi"
-    }.mkString("\n  UNION ALL\n  ")
-    s"""WITH bands AS (
-       |  $bands
-       |)
-       |SELECT b.band, b.lo, b.hi, COUNT(*) AS n_events,
-       |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-       |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
-       |GROUP BY b.band, b.lo, b.hi""".stripMargin
-  }
-
-  /** Binary-column metadata extraction: documents.text treated as an
-    * opaque binary payload (this container has no image/audio codecs —
-    * the "decode" is a deterministic fake; the schema/partition/batch
-    * plumbing is the real part, see graft.ops.Multimodal). */
-  def multimodalMeta(d: Dialect): String =
-    s"""WITH b AS (SELECT doc_id, ${d.toBinary("text")} AS bin FROM documents)
-       |SELECT doc_id,
-       |  octet_length(bin) AS n_bytes,
-       |  CAST(octet_length(bin) % 317 + 16 AS INT) AS fake_width,
-       |  CAST(octet_length(bin) % 211 + 16 AS INT) AS fake_height,
-       |  CAST(octet_length(bin) % 3 + 1 AS INT) AS fake_channels
-       |FROM b""".stripMargin
-
-  /** Overlapping audio analysis windows over the opaque payload bytes
-    * (the doc_id%3==1 slice plays the audio modality, as %3==2 plays
-    * video in [[SparkEntry]]'s frame query): window = 256 bytes,
-    * hop = 192 (25% overlap), last window ends at the payload's final
-    * byte — the STFT/feature-extraction geometry. Pure integer window
-    * math + one explode, no shuffle; the sample decode itself would
-    * live in the batched mapPartitions decoder (codec-free container,
-    * like the image path). */
-  def multimodalAudioWindows(d: Dialect): String =
-    s"""WITH a AS (
-       |  SELECT doc_id, octet_length(${d.toBinary("text")}) AS nb FROM documents
-       |  WHERE doc_id % 3 = 1
-       |),
-       |spans AS (
-       |  SELECT doc_id, nb,
-       |    ${d.seqArray("0",
-           "CASE WHEN nb <= 256 THEN 0 ELSE CAST(FLOOR((nb - 65) / 1.92e2) AS BIGINT) END")} AS wins
-       |  FROM a
-       |),
-       |w AS (${d.explode("SELECT doc_id, nb, wins FROM spans", "doc_id, nb", "wins", "win_no")})
-       |SELECT doc_id, CAST(win_no AS INT) AS win_no,
-       |  CAST(win_no * 192 AS INT) AS start_byte,
-       |  CAST(LEAST(nb - win_no * 192, 256) AS INT) AS win_len
-       |FROM w""".stripMargin
-
-  /** Aspect-preserving resize planning over the (fake) decoded
-    * dimensions: fit into a 64×64 box. The geometry arithmetic is the
-    * real pipeline stage (pure integer math, exact in both engines);
-    * the pixel resampling itself would live in the batched
-    * mapPartitions decoder (graft.ops.Multimodal), stubbed in this
-    * codec-free container. */
-  def multimodalResize(d: Dialect): String =
-    s"""WITH b AS (SELECT doc_id, octet_length(${d.toBinary("text")}) AS nb FROM documents),
-       |dims AS (SELECT doc_id,
-       |    CAST(nb % 317 + 16 AS INT) AS w,
-       |    CAST(nb % 211 + 16 AS INT) AS h
-       |  FROM b)
-       |SELECT doc_id, w, h,
-       |  CAST(FLOOR(CAST(w * 64 AS DOUBLE) / GREATEST(w, h)) AS INT) AS new_w,
-       |  CAST(FLOOR(CAST(h * 64 AS DOUBLE) / GREATEST(w, h)) AS INT) AS new_h
-       |FROM dims""".stripMargin
-
-  /** Shared market-basket stages: distinct (order, brand) incidence,
-    * per-item basket supports, and apriori-gated pair supports —
-    * consumed by [[assocRules]] and [[itemSimilarity]], built once per
-    * JVM. `ar_isup` is a stage (not a CTE) because every consumer
-    * references it 2-3 times and Spark CTE inlining would recompute
-    * the groupBy per reference. The self-join inside `ar_pairs` is
-    * the one pairwise step, gated by the minsup-40 frequent-item
-    * filter (apriori monotonicity: an infrequent item cannot appear
-    * in a frequent pair, so the prune is lossless for the HAVING-10
-    * pair floor). */
-  private val basketStages: Seq[(String, Dialect => String)] = Seq(
-    // distinct (basket, item): an order may hold a brand many times —
-    // support counts baskets, not line items
-    "ar_baskets" -> { _ =>
-      s"""SELECT DISTINCT l_orderkey AS basket, p_brand AS item
-         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
-    },
-    "ar_isup" -> { _ =>
-      "SELECT item, COUNT(*) AS supp FROM ar_baskets GROUP BY item"
-    },
-    "ar_pairs" -> { _ =>
-      s"""WITH fb AS (
-         |  SELECT b.basket, b.item FROM ar_baskets b
-         |  JOIN ar_isup s ON b.item = s.item AND s.supp >= 40
-         |)
-         |SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS supp_ab
-         |FROM fb a JOIN fb b ON a.basket = b.basket AND a.item < b.item
-         |GROUP BY a.item, b.item
-         |HAVING COUNT(*) >= 10""".stripMargin
-    })
-
-  /** Market-basket association rules (Agrawal & Srikant, "Fast
-    * Algorithms for Mining Association Rules", VLDB 1994): baskets are
-    * orders, items are part brands, rules are brand→brand with
-    * support / confidence / lift. The apriori monotonicity gate is the
-    * scale design: only items whose own basket support clears minsup
-    * enter the pairwise self-join, so the join fan-out per basket is
-    * bounded by the frequent-item count, never the raw item count — at
-    * 100 TB the freq gate is what keeps the candidate space from
-    * exploding on long-tail items. Shapes: the staged basket table is
-    * one broadcast dim join off lineitem; item support is a map-side-
-    * combined groupBy; the pair join shuffles both (pre-filtered) sides
-    * on basket id; the rule join back to item supports broadcasts the
-    * tiny support table. All stats are integer counts; confidence and
-    * lift divide exact-integer doubles and quantize to 6dp, so both
-    * engines run identical IEEE ops. */
-  val assocRules: StagedOp = StagedOp(
-    stages = basketStages,
-    body = { _ =>
-      s"""WITH n AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM ar_baskets),
-         |rules AS (
-         |  SELECT item_a AS antecedent, item_b AS consequent, supp_ab FROM ar_pairs
-         |  UNION ALL
-         |  SELECT item_b AS antecedent, item_a AS consequent, supp_ab FROM ar_pairs
-         |)
-         |SELECT r.antecedent, r.consequent, r.supp_ab,
-         |  ${r6("CAST(r.supp_ab AS DOUBLE) / sa.supp")} AS confidence,
-         |  ${r6("CAST(r.supp_ab AS DOUBLE) * n.n_baskets / (CAST(sa.supp AS DOUBLE) * sc.supp)")} AS lift
-         |FROM rules r
-         |JOIN ar_isup sa ON r.antecedent = sa.item
-         |JOIN ar_isup sc ON r.consequent = sc.item
-         |CROSS JOIN n""".stripMargin
-    })
-
-  /** k-anonymity audit over the quasi-identifier (nation, segment):
-    * the privacy gate a dataset passes before release — any
-    * quasi-identifier combination observed fewer than k=5 times
-    * re-identifies its members and is flagged. One map-side-combined
-    * groupBy at quasi-identifier cardinality (bounded domain, never
-    * row count); exact integer counts, the flag is integer CASE. The
-    * release decision reads `SUM(at_risk)` = 0; the per-group rows
-    * are the remediation worklist (generalize or suppress those
-    * cells). */
-  def kAnonymity(d: Dialect): String =
-    s"""SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size,
-       |  CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS at_risk
-       |FROM customer
-       |GROUP BY c_nationkey, c_mktsegment""".stripMargin
-
-  /** l-diversity audit — [[kAnonymity]]'s stronger sibling: a
-    * quasi-identifier group can be large (k-anonymous) yet still leak
-    * if everyone in it shares one sensitive value, so each (nation,
-    * segment) cell must also contain at least l = 3 DISTINCT sensitive
-    * values (here the account-balance sign bucket: negative / low /
-    * high — a bounded categorical derived with exact integer
-    * thresholds). Same shape and cost as the k-anonymity gate: one
-    * groupBy at quasi-identifier cardinality with a distinct-count,
-    * release decision = SUM(below_l) = 0. */
-  def lDiversity(d: Dialect): String =
-    s"""WITH s AS (
-       |  SELECT c_nationkey, c_mktsegment,
-       |    CASE WHEN c_acctbal < 0 THEN 'neg'
-       |         WHEN c_acctbal < 5000 THEN 'low'
-       |         ELSE 'high' END AS bal_class
-       |  FROM customer
-       |)
-       |SELECT c_nationkey, c_mktsegment,
-       |  COUNT(*) AS group_size,
-       |  COUNT(DISTINCT bal_class) AS n_sensitive,
-       |  CASE WHEN COUNT(DISTINCT bal_class) < 3 THEN 1 ELSE 0 END AS below_l
-       |FROM s GROUP BY c_nationkey, c_mktsegment""".stripMargin
-
-  /** t-closeness audit — the privacy triad's third gate after
-    * [[kAnonymity]] and [[lDiversity]]: a cell can be large AND
-    * diverse yet still leak if its sensitive DISTRIBUTION deviates
-    * from the table-wide one (e.g. a cell that is 95% 'neg' when the
-    * population is 10%). Distance is the ordered-category Earth
-    * Mover's Distance — mean |cumulative difference| over the ordered
-    * classes — computed as exact integer cross-products over one
-    * common denominator (|cumᶜ·G − cumᵍ·nᶜ|; the only float op is the
-    * final division, r6'd), so the audit is engine-identical. A
-    * category spine LEFT-joins so absent classes count as zero mass
-    * rather than silently shrinking a cell's distribution. Cost: two
-    * groupBys at cell×3 cardinality — same shape as the siblings. */
-  def tCloseness(d: Dialect): String =
-    s"""WITH s AS (
-       |  SELECT c_nationkey, c_mktsegment,
-       |    CASE WHEN c_acctbal < 0 THEN 1
-       |         WHEN c_acctbal < 5000 THEN 2
-       |         ELSE 3 END AS ord
-       |  FROM customer
-       |),
-       |cellcat AS (
-       |  SELECT c_nationkey, c_mktsegment, ord, CAST(COUNT(*) AS BIGINT) AS n
-       |  FROM s GROUP BY c_nationkey, c_mktsegment, ord
-       |),
-       |cats AS (SELECT 1 AS ord UNION ALL SELECT 2 UNION ALL SELECT 3),
-       |cells AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM s),
-       |cc AS (
-       |  SELECT sp.c_nationkey, sp.c_mktsegment, sp.ord, COALESCE(x.n, 0) AS n
-       |  FROM (SELECT * FROM cells CROSS JOIN cats) sp
-       |  LEFT JOIN cellcat x
-       |    ON sp.c_nationkey = x.c_nationkey
-       |   AND sp.c_mktsegment = x.c_mktsegment AND sp.ord = x.ord
-       |),
-       |g AS (
-       |  SELECT ord, CAST(COUNT(*) AS BIGINT) AS gn FROM s GROUP BY ord
-       |),
-       |gc AS (
-       |  SELECT c.ord, CAST(SUM(COALESCE(g.gn, 0)) AS BIGINT) AS gcum
-       |  FROM cats c LEFT JOIN g ON g.ord <= c.ord GROUP BY c.ord
-       |),
-       |cum AS (
-       |  SELECT c_nationkey, c_mktsegment, ord,
-       |    CAST(SUM(n) OVER (PARTITION BY c_nationkey, c_mktsegment
-       |                      ORDER BY ord) AS BIGINT) AS ccum,
-       |    CAST(SUM(n) OVER (PARTITION BY c_nationkey, c_mktsegment) AS BIGINT) AS nc
-       |  FROM cc
-       |),
-       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS gt FROM s),
-       |emd AS (
-       |  SELECT c_nationkey, c_mktsegment, MIN(nc) AS group_size,
-       |    CAST(SUM(ABS(ccum * gt - gcum * nc)) AS BIGINT) AS num,
-       |    MIN(nc) * MIN(gt) AS den
-       |  FROM cum JOIN gc ON cum.ord = gc.ord CROSS JOIN tot
-       |  GROUP BY c_nationkey, c_mktsegment
-       |)
-       |SELECT c_nationkey, c_mktsegment, group_size,
-       |  ${r6("CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 2.0e0")} AS t_distance,
-       |  CASE WHEN num * 2 > den THEN 1 ELSE 0 END AS above_t
-       |FROM emd""".stripMargin
-
-  /** Correlated LATERAL top-1 join: each customer's single most
-    * expensive order via a per-row dependent subquery — the form an
-    * analyst writes when the "top-k per group" intent is one row per
-    * outer row. Catalyst decorrelates the lateral subquery into a
-    * ranked join (same physical family as the window form in
-    * q_topk_per_group), so the declarative per-row loop costs one
-    * shuffle, not N subqueries — the reason LATERAL is safe to expose
-    * at scale. Deterministic tie-break on (price DESC, orderkey);
-    * customers with no orders drop (inner lateral semantics, the
-    * intent of a "best order" readout). */
-  def lateralLatest(d: Dialect): String =
-    s"""SELECT c.c_custkey, l.o_orderkey AS best_orderkey,
-       |  CAST(FLOOR(l.o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT) AS best_cents
-       |FROM customer c,
-       |LATERAL (
-       |  SELECT o_orderkey, o_totalprice FROM orders o
-       |  WHERE o.o_custkey = c.c_custkey
-       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
-       |) l""".stripMargin
-
-  /** Two-proportion z-test between experiment arms (the A/B readout):
-    * users split by id parity (the deterministic stand-in for an
-    * assignment column), conversion = ever purchased, and the
-    * statistic is (p0−p1)/√(p̂(1−p̂)(1/n0+1/n1)) with the pooled p̂ —
-    * the standard large-sample test an experimentation platform
-    * computes per metric. Shape: one per-user conditional aggregate
-    * (map-side combined), one 2-group rollup, then scalar arithmetic
-    * on a single row — nothing after the first aggregate touches more
-    * than two rows at any scale. Counts are exact int64; the z value
-    * is one fixed IEEE sequence, 6dp-quantized, with a NULL guard on
-    * the degenerate all-convert/none-convert pool. */
-  def abTest(d: Dialect): String = {
-    val p0 = "(CAST(c0 AS DOUBLE) / n0)"
-    val p1 = "(CAST(c1 AS DOUBLE) / n1)"
-    val pp = "(CAST(c0 + c1 AS DOUBLE) / (n0 + n1))"
-    val se = s"SQRT($pp * (1.0e0 - $pp) * (1.0e0 / n0 + 1.0e0 / n1))"
-    s"""WITH u AS (
-       |  SELECT user_id, user_id % 2 AS arm,
-       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
-       |  FROM events GROUP BY user_id
-       |),
-       |a AS (
-       |  SELECT arm, COUNT(*) AS n,
-       |    COUNT(CASE WHEN converted = 1 THEN 1 END) AS conv
-       |  FROM u GROUP BY arm
-       |),
-       |s AS (
-       |  SELECT
-       |    MAX(CASE WHEN arm = 0 THEN n END) AS n0,
-       |    MAX(CASE WHEN arm = 0 THEN conv END) AS c0,
-       |    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
-       |    MAX(CASE WHEN arm = 1 THEN conv END) AS c1
-       |  FROM a
-       |)
-       |SELECT n0, c0, n1, c1,
-       |  ${r6(p0)} AS rate_a, ${r6(p1)} AS rate_b,
-       |  CASE WHEN $se = 0.0e0 THEN NULL
-       |       ELSE ${r6(s"($p0 - $p1) / $se")} END AS z_score
-       |FROM s""".stripMargin
-  }
-
-  /** Order fulfillment cycle time: per order, days between the first
-    * and last line shipment, rolled up per order priority — the ops
-    * latency metric behind shipping SLAs. Ship dates are midnight UTC
-    * so the /86400 quotient is an exact integer; the mean is one
-    * exact-sum division, 6dp-quantized. Shape: a map-side-combined
-    * per-order aggregate, one join to the order dim on its key, a
-    * 5-group rollup. */
-  def orderCycleTime(d: Dialect): String = {
-    val es = (x: String) => d.epochSeconds(s"CAST($x AS TIMESTAMP)")
-    s"""WITH per AS (
-       |  SELECT l_orderkey AS okey,
-       |    CAST((MAX(${es("l_shipdate")}) - MIN(${es("l_shipdate")})) / 86400 AS BIGINT) AS span_days
-       |  FROM lineitem GROUP BY l_orderkey
-       |)
-       |SELECT o_orderpriority, COUNT(*) AS n_orders,
-       |  CAST(MAX(span_days) AS BIGINT) AS max_span_days,
-       |  ${r6("CAST(SUM(span_days) AS DOUBLE) / COUNT(*)")} AS mean_span_days
-       |FROM per JOIN orders ON okey = o_orderkey
-       |GROUP BY o_orderpriority""".stripMargin
-  }
-
-  /** Event-time disorder profile: per event type, how far event
-    * timestamps run BEHIND the maximum already seen in arrival order
-    * (event_id) within each user's stream — the empirical
-    * out-of-orderness distribution that sizes a streaming watermark
-    * (a "10 minutes" horizon is exactly a claim about max_delta_s,
-    * and this query is how you check it against data instead of
-    * guessing). delta = running-MAX(ts) − ts is 0 for in-order
-    * arrivals, positive for late ones. The running MAX shards by
-    * user (no global order, the per-key watermark shape); integer
-    * epoch-second arithmetic throughout, the mean is one exact-sum
-    * division 6dp-quantized. */
-  def disorderProfile(d: Dialect): String = {
-    val es = d.epochSeconds("CAST(ts AS TIMESTAMP)")
-    s"""WITH x AS (
-       |  SELECT event_type, $es AS s,
-       |    MAX($es) OVER (PARTITION BY user_id ORDER BY event_id) AS mx
-       |  FROM events
-       |),
-       |del AS (SELECT event_type, mx - s AS delta_s FROM x)
-       |SELECT event_type, COUNT(*) AS n,
-       |  COUNT(CASE WHEN delta_s > 0 THEN 1 END) AS n_late,
-       |  CAST(MAX(delta_s) AS BIGINT) AS max_delta_s,
-       |  ${r6("CAST(SUM(delta_s) AS DOUBLE) / COUNT(*)")} AS mean_delta_s
-       |FROM del GROUP BY event_type""".stripMargin
-  }
-
-  /** Deterministic negative sampling for contrastive training pairs:
-    * each document draws 2 negatives by hash-ring rotation — its
-    * content bucket b (md5 head, 0-255) points at buckets b+64 and
-    * b+128 (mod 256), and the negative is that bucket's smallest
-    * doc_id. RNG-free (re-runnable at any scale, stable across
-    * engines), and self-pairing is impossible by construction: the
-    * rotation offsets are nonzero mod 256, so the negative's bucket
-    * never equals the anchor's. Shape at 100 TB: the representative
-    * table is ≤256 rows (a broadcast), the rotation is a narrow
-    * projection — the whole op is one scan + one map-side-combined
-    * 256-group aggregate + one broadcast join, no shuffle of the fact
-    * rows. The hash ring is the same negatives-from-other-shards
-    * heuristic contrastive pipelines use: content-hash distance is
-    * uncorrelated with semantic similarity, which is exactly what a
-    * random negative wants. */
-  def negativePairs(d: Dialect): String =
-    s"""WITH b AS (SELECT doc_id, ${md5Bucket("text")} AS bkt FROM documents),
-       |rep AS (SELECT bkt, MIN(doc_id) AS rep_id FROM b GROUP BY bkt),
-       |wj AS (
-       |  ${d.explode("SELECT doc_id, bkt, " + d.seqArray("1", "2") + " AS js FROM b",
-                      "doc_id, bkt", "js", "j")}
-       |)
-       |SELECT w.doc_id, CAST(w.j AS BIGINT) AS neg_rank, r.rep_id AS neg_id
-       |FROM wj w JOIN rep r ON (w.bkt + 64 * w.j) % 256 = r.bkt""".stripMargin
-
-  /** Calendar gap-fill of the daily order series: a generated day
-    * spine (min..max epoch day) LEFT-joined to the per-day aggregate,
-    * zero-filling silent days and carrying the last active day
-    * forward — days_since_activity is the gap-age monitor a freshness
-    * SLA reads. The forward fill is a running MAX over a CASE-nulled
-    * monotone day key, which skips NULLs portably in both engines (the
-    * IGNORE NULLS dialect split the attribution op also avoids). All
-    * keys are integer epoch days (dates are midnight UTC so /86400 is
-    * exact). Scale shape: the per-day aggregate is map-side combined
-    * to date-domain cardinality, the spine is date-domain too (a few
-    * thousand rows from one generate), so the join and the ordered
-    * window both run on day-grain data — never on raw facts. */
-  def gapFill(d: Dialect): String = {
-    val es = (x: String) => d.epochSeconds(s"CAST($x AS TIMESTAMP)")
-    s"""WITH daily AS (
-       |  SELECT CAST(${es("o_orderdate")} / 86400 AS BIGINT) AS day,
-       |    COUNT(*) AS n_orders,
-       |    CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT) AS cents
-       |  FROM orders GROUP BY 1
-       |),
-       |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
-       |spine AS (
-       |  ${d.explode("SELECT lo, " + d.seqArray("lo", "hi") + " AS ds FROM bounds",
-                      "lo", "ds", "day")}
-       |),
-       |joined AS (
-       |  SELECT s.day, COALESCE(dl.n_orders, 0) AS n_orders,
-       |    COALESCE(dl.cents, 0) AS cents,
-       |    CASE WHEN dl.day IS NOT NULL THEN s.day END AS active_day
-       |  FROM spine s LEFT JOIN daily dl ON s.day = dl.day
-       |)
-       |SELECT day, n_orders, cents,
-       |  day - MAX(active_day) OVER (ORDER BY day) AS days_since_activity
-       |FROM joined""".stripMargin
-  }
-
-  /** Conversion latency: per user, seconds from first signup to first
-    * purchase, for the clean-converter cohort (users whose first-ever
-    * purchase comes at or after their first signup — a
-    * purchase-before-signup history disqualifies, by definition, not
-    * as an approximation). One map-side-combinable conditional
-    * aggregate per user (no self-join, no window): MIN(ts) over each
-    * event class, then an integer-seconds difference on int64 epochs. */
-  def timeToConvert(d: Dialect): String = {
-    val es = (x: String) => d.epochSeconds(s"CAST($x AS TIMESTAMP)")
-    s"""WITH per AS (
-       |  SELECT user_id,
-       |    MIN(CASE WHEN event_type = 'signup' THEN ${es("ts")} END) AS s0,
-       |    MIN(CASE WHEN event_type = 'purchase' THEN ${es("ts")} END) AS p0
-       |  FROM events GROUP BY user_id
-       |)
-       |SELECT user_id, p0 - s0 AS latency_s
-       |FROM per WHERE s0 IS NOT NULL AND p0 IS NOT NULL AND p0 >= s0""".stripMargin
-  }
-
-  /** Data-quality audit: declarative expectations over the fact tables
-    * — range rules, null rules, and referential integrity — emitted as
-    * one (rule, n_violations, n_checked) row each, the contract report
-    * a pipeline gate reads before publishing a snapshot. The fixture
-    * makes some rules fire (quantity > 45, discount > 5%) and others
-    * hold (negative totals, orphan keys), so the report exercises both
-    * outcomes. Shape: ONE wide counting aggregate per table (each a
-    * 1-row staged artifact — the naive per-rule form scans the table
-    * once per rule), plus one LEFT-JOIN-null count per foreign key;
-    * every counter is COUNT (int64), never SUM(int), so the DuckDB
-    * side stays out of hugeint. */
-  val dqAudit: StagedOp = StagedOp(
-    stages = Seq(
-      "dq_li" -> { _ =>
-        s"""SELECT COUNT(*) AS n,
-           |  COUNT(CASE WHEN l_quantity > 45 THEN 1 END) AS qty_gt_45,
-           |  COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS disc_gt_5pct,
-           |  COUNT(CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1 END) AS tax_out_of_range,
-           |  COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS null_orderkey
-           |FROM lineitem""".stripMargin
-      },
-      "dq_ord" -> { _ =>
-        s"""SELECT COUNT(*) AS n,
-           |  COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS nonpositive_total,
-           |  COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_custkey
-           |FROM orders""".stripMargin
-      },
-      "dq_ref" -> { _ =>
-        s"""SELECT
-           |  (SELECT COUNT(*) FROM orders o
-           |   LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-           |   WHERE c.c_custkey IS NULL) AS orphan_orders,
-           |  (SELECT COUNT(*) FROM orders) AS n_orders,
-           |  (SELECT COUNT(*) FROM lineitem l
-           |   LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
-           |   WHERE o.o_orderkey IS NULL) AS orphan_lineitems,
-           |  (SELECT COUNT(*) FROM lineitem) AS n_lineitems""".stripMargin
-      }),
-    body = { _ =>
-      s"""SELECT 'lineitem_qty_gt_45' AS rule, qty_gt_45 AS n_violations, n AS n_checked FROM dq_li
-         |UNION ALL SELECT 'lineitem_discount_gt_5pct', disc_gt_5pct, n FROM dq_li
-         |UNION ALL SELECT 'lineitem_tax_out_of_range', tax_out_of_range, n FROM dq_li
-         |UNION ALL SELECT 'lineitem_null_orderkey', null_orderkey, n FROM dq_li
-         |UNION ALL SELECT 'orders_nonpositive_total', nonpositive_total, n FROM dq_ord
-         |UNION ALL SELECT 'orders_null_custkey', null_custkey, n FROM dq_ord
-         |UNION ALL SELECT 'orders_orphan_custkey', orphan_orders, n_orders FROM dq_ref
-         |UNION ALL SELECT 'lineitem_orphan_orderkey', orphan_lineitems, n_lineitems FROM dq_ref""".stripMargin
-    })
-
-  /** Synchronous label-propagation communities (Raghavan et al., "Near
-    * linear time algorithm to detect community structures in
-    * large-scale networks", Phys. Rev. E 2007) on the minhash
-    * candidate graph, three rounds: every node adopts the most
-    * frequent label among its neighbors, ties to the smallest label —
-    * the deterministic sync variant (the async/random classic is not
-    * reproducible across engines or runs). Labels start as node ids;
-    * communities after a fixed depth separate template families the
-    * pairwise candidate view can't show. Each round is one stage (a
-    * round reads its predecessor once, but materialization keeps the
-    * plan depth flat and matches the re-plan-per-round driver shape);
-    * per round: edges ⋈ labels (shuffle on src), a (node, label)
-    * count aggregate, and a per-node argmax window over the few
-    * distinct neighbor labels — all integer-exact with total
-    * tie-break, so both engines land identical fixpoints. */
-  /** Undirected edge list of the minhash candidate graph (both
-    * orientations of each candidate pair) — the shared adjacency
-    * artifact under label propagation and BFS landmark distances.
-    * Named stage: one parquet per JVM, shared by every consumer. */
-  private val lpEdgeStage: (String, Dialect => String) =
-    "lp_edges" -> { (_: Dialect) =>
-      s"""SELECT doc_a AS src, doc_b AS dst FROM mh_cand
-         |UNION ALL
-         |SELECT doc_b AS src, doc_a AS dst FROM mh_cand""".stripMargin
-    }
-
-  val labelProp: StagedOp = {
-    val nRounds = 3
-    val roundStages = (1 to nRounds).map { i =>
-      s"lp_l$i" -> { (_: Dialect) =>
-        s"""WITH cnt AS (
-           |  SELECT e.dst AS id, l.lbl, COUNT(*) AS c
-           |  FROM lp_edges e JOIN lp_l${i - 1} l ON e.src = l.id
-           |  GROUP BY e.dst, l.lbl
-           |)
-           |SELECT id, lbl FROM (
-           |  SELECT id, lbl,
-           |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
-           |  FROM cnt
-           |) WHERE rn = 1""".stripMargin
-      }
-    }
-    StagedOp(
-      stages = dedupMinhash.stages ++ Seq(
-        lpEdgeStage,
-        "lp_l0" -> { (_: Dialect) =>
-          "SELECT DISTINCT src AS id, src AS lbl FROM lp_edges"
-        }) ++ roundStages,
-      body = { _ =>
-        s"""SELECT lbl AS community, COUNT(*) AS n_members,
-           |  MIN(id) AS min_member
-           |FROM lp_l$nRounds GROUP BY lbl""".stripMargin
-      })
-  }
-
-  /** Per-user ordered event paths (3-step click-stream sequences) with
-    * a global top-20: the sequential-pattern profile of an event
-    * stream. The path is built by two LEADs inside each user's
-    * timeline — ordered by (ts, event_id) because a bare timestamp
-    * order is non-deterministic under ties (the cross-engine
-    * determinism rule every window here follows). One scan, one
-    * user-partitioned window, one count aggregate, one bounded top-k:
-    * at 100 TB the window shuffles on user_id (no global sort), and
-    * the final TOP 20 is a TakeOrdered, not a full ordering. */
-  def eventPaths(d: Dialect): String =
-    s"""WITH seq AS (
-       |  SELECT user_id, event_type AS e0,
-       |    LEAD(event_type, 1) OVER w AS e1,
-       |    LEAD(event_type, 2) OVER w AS e2
-       |  FROM events
-       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-       |),
-       |paths AS (
-       |  SELECT e0 || '>' || e1 || '>' || e2 AS path
-       |  FROM seq WHERE e1 IS NOT NULL AND e2 IS NOT NULL
-       |)
-       |SELECT path, COUNT(*) AS cnt FROM paths GROUP BY path
-       |ORDER BY cnt DESC, path LIMIT 20""".stripMargin
-
-  /** Top talkers via a count-min-sketch candidate gate: users
-    * contributing ≥ 0.08% of the event stream, the canonical CMS use
-    * (frequent-flow detection over an unbounded key space). Shape at
-    * 100 TB: the sketch is one O(d·w)-state mergeable aggregate over
-    * the stream (map-side combined, 64 KiB regardless of user
-    * cardinality), the estimate runs once per DISTINCT key, and only
-    * the gated slice pays the exact count. CMS never undercounts, so
-    * the gate is a lossless superset of the truly-frequent keys and
-    * the integer-exact cnt·1250 ≥ N verify makes it result-invisible —
-    * proved by the oracle running the ungated exact form (the
-    * bloom-decontamination pattern, third sketch class after bloom
-    * membership and Misra-Gries top-k). The 1/1250 share is chosen so
-    * the fixture has survivors at EVERY oracle SF (15/150/104 rows at
-    * sf0.001/0.01/0.1 — at sf0.1 the max user share is ~0.099%, so any
-    * gate ≥ 0.1% is vacuously empty and proves nothing; the gate still
-    * rejects ~93% of sf0.1 users, so the estimate→candidate→exact-
-    * verify positive path is genuinely exercised). On this fixture
-    * user cardinality is far below the 2048-bucket width, so collision
-    * paths are exercised adversarially in ExpressionSpec with w=2. */
-  def cmsTopUsers(d: Dialect): String =
-    s"""WITH ev AS (SELECT user_id FROM events),
-       |${d.cmsGate("cms_gated", "ev", "user_id", 1250)},
-       |ex AS (SELECT user_id, COUNT(*) AS cnt FROM cms_gated GROUP BY user_id),
-       |n AS (SELECT COUNT(*) AS nn FROM ev)
-       |SELECT user_id, cnt FROM ex CROSS JOIN n WHERE cnt * 1250 >= nn""".stripMargin
-
-  /** Salt-audit readout: does salting the shuffle key actually buy
-    * anything on THIS data? For each audited key domain, the hottest
-    * of 32 hash partitions' row share (ppm), unsalted vs salted —
-    * the number a skew mitigation must move. Two domains on purpose:
-    *  - `l_orderkey`: high-cardinality and uniform on this fixture,
-    *    so the salt CANNOT win — kept as the uniform-key
-    *    counterexample. (The pre-r11 q_join_salted demo salted this
-    *    key and paid a 4× build-side explode for nothing; this row is
-    *    exactly why r11 re-keyed the demo.)
-    *  - `event_type` (the q_join_salted key since r11): 5 distinct
-    *    values, so whole keys pin partitions at ≥ 200,000 ppm
-    *    regardless of per-key balance — THE case where a salt (or AQE
-    *    skew split) rescues the stage; salting ×8 spreads each key
-    *    across 8 reducers.
-    * The partition function is the portable md5 bucket (mod 32 — the
-    * engine's shuffle-partition count), so both engines compute the
-    * identical assignment; shares are exact integer ppm. One scan per
-    * domain, two tiny aggregates: scale-trivial, and at 100 TB this
-    * readout is exactly the pre-flight a pipeline runs before
-    * choosing salt factors. An independent Scala micro-oracle checks
-    * the salted-max-share contraction on a synthetic power-law key. */
-  def joinSaltAudit(d: Dialect): String =
-    s"""WITH le AS (
-       |  SELECT CAST(l_orderkey AS STRING) AS k,
-       |    CAST(l_linenumber % 4 AS STRING) AS s
-       |  FROM lineitem
-       |),
-       |ev AS (
-       |  SELECT event_type AS k, CAST(event_id % 8 AS STRING) AS s
-       |  FROM events
-       |),
-       |u AS (
-       |  SELECT 'l_orderkey' AS key_domain, 'unsalted' AS variant,
-       |    ${md5Bucket("k")} % 32 AS p FROM le
-       |  UNION ALL
-       |  SELECT 'l_orderkey', 'salted', ${md5Bucket("k || '#' || s")} % 32 FROM le
-       |  UNION ALL
-       |  SELECT 'event_type', 'unsalted', ${md5Bucket("k")} % 32 FROM ev
-       |  UNION ALL
-       |  SELECT 'event_type', 'salted', ${md5Bucket("k || '#' || s")} % 32 FROM ev
-       |),
-       |pc AS (
-       |  SELECT key_domain, variant, p, COUNT(*) AS c
-       |  FROM u GROUP BY key_domain, variant, p
-       |)
-       |SELECT key_domain, variant,
-       |  COUNT(*) AS n_parts_hit,
-       |  ${d.idiv("CAST(MAX(c) AS BIGINT) * 1000000", "CAST(SUM(c) AS BIGINT)")} AS max_share_ppm
-       |FROM pc GROUP BY key_domain, variant
-       |ORDER BY key_domain, variant""".stripMargin
-
-  /** Benford first-digit audit of order totals (Newcomb 1881 / Benford
-    * 1938; the classic fraud/corruption screen for financial columns):
-    * observed leading-digit counts against the Benford expectation
-    * P(d) = log10(1 + 1/d), with the per-digit chi-square contribution
-    * (obs − exp)²/exp. The leading digit comes from the exact integer
-    * cents value via one string head — scale-invariant (×100 never
-    * changes the leading digit) and engine-portable, no float log on
-    * data. The expectations are baked parts-per-million integer
-    * constants (math, not data), so the only floating-point the data
-    * touches is the final 3-op chi-square contribution, 6dp-quantized
-    * — identical IEEE sequences in both engines. One scan, one
-    * 9-group aggregate: trivially scale-safe. */
-  def benfordProfile(d: Dialect): String =
-    s"""WITH t AS (
-       |  SELECT SUBSTRING(CAST(
-       |    CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT) AS STRING),
-       |    1, 1) AS digit
-       |  FROM orders
-       |),
-       |obs AS (
-       |  SELECT digit, COUNT(*) AS n_obs,
-       |    CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n,
-       |    CASE digit
-       |      WHEN '1' THEN 301030 WHEN '2' THEN 176091 WHEN '3' THEN 124939
-       |      WHEN '4' THEN 96910 WHEN '5' THEN 79181 WHEN '6' THEN 66947
-       |      WHEN '7' THEN 57992 WHEN '8' THEN 51153 ELSE 45757
-       |    END AS p_ppm
-       |  FROM t GROUP BY digit
-       |)
-       |SELECT digit, n_obs, p_ppm,
-       |  ${r6("CAST(n AS DOUBLE) * p_ppm / 1.0e6")} AS n_exp,
-       |  ${r6(
-             "(n_obs - CAST(n AS DOUBLE) * p_ppm / 1.0e6) " +
-             "* (n_obs - CAST(n AS DOUBLE) * p_ppm / 1.0e6) " +
-             "/ (CAST(n AS DOUBLE) * p_ppm / 1.0e6)")} AS chi2_part
-       |FROM obs""".stripMargin
-
-  /** Quantity-weighted median line price per return flag: the smallest
-    * price whose cumulative weight reaches half the group's total
-    * (2·cum ≥ tot — the integer form of cum ≥ tot/2, no division).
-    * Prices are exact integer cents and weights exact integer
-    * quantities, so every comparison is int64 — no percentile
-    * interpolation, no float boundary.
-    *
-    * Scale shape: the single-histogram form degenerates when the
-    * price domain is near-unique (at sf0.1 the "(group, price)
-    * histogram" was ~the row count, so its running-sum window sorted
-    * 600k rows inside 3 partitions). This is the two-phase
-    * BOUNDARY-BUCKET form (the Pareto-cutoff idea, exact): phase 1
-    * aggregates to $1000 buckets — a map-side-combined groupBy whose
-    * window input is ~100 rows per group — and finds each group's
-    * boundary bucket (the first whose cumulative reaches half) plus
-    * the cumulative weight BEFORE it; phase 2 scans only the boundary
-    * bucket's rows for the exact in-bucket running sum. Global
-    * cumulative at a price = cum_before(bucket) + in-bucket cum, so
-    * the answer is identical to the single-pass form while every
-    * window input is bounded by the bucket count or one bucket's
-    * contents. */
-  def weightedMedian(d: Dialect): String = {
-    val bkt = d.idiv("cents", "100000")
-    s"""WITH x AS (
-       |  SELECT l_returnflag AS grp,
-       |    CAST(FLOOR(l_extendedprice * 1.0e2 + 5.0e-1) AS BIGINT) AS cents,
-       |    CAST(l_quantity AS BIGINT) AS w
-       |  FROM lineitem
-       |),
-       |b AS (SELECT grp, $bkt AS bkt, CAST(SUM(w) AS BIGINT) AS w
-       |      FROM x GROUP BY grp, $bkt),
-       |cb AS (
-       |  SELECT grp, bkt, w,
-       |    CAST(SUM(w) OVER (PARTITION BY grp ORDER BY bkt) AS BIGINT) AS cum,
-       |    CAST(SUM(w) OVER (PARTITION BY grp) AS BIGINT) AS tot
-       |  FROM b
-       |),
-       |sel AS (
-       |  SELECT grp, MIN(bkt) AS bkt,
-       |    MIN(tot) AS tot, MIN(cum - w) AS cum_before
-       |  FROM cb WHERE 2 * cum >= tot GROUP BY grp
-       |),
-       |inb AS (
-       |  SELECT x.grp, x.cents, CAST(SUM(x.w) AS BIGINT) AS w,
-       |    MIN(s.tot) AS tot, MIN(s.cum_before) AS cum_before
-       |  FROM x JOIN sel s ON x.grp = s.grp AND $bkt = s.bkt
-       |  GROUP BY x.grp, x.cents
-       |),
-       |c2 AS (
-       |  SELECT grp, cents, tot,
-       |    cum_before + CAST(SUM(w) OVER (PARTITION BY grp ORDER BY cents) AS BIGINT) AS cum
-       |  FROM inb
-       |)
-       |SELECT grp AS l_returnflag,
-       |  CAST(MIN(cents) AS BIGINT) AS wmedian_cents,
-       |  CAST(MIN(tot) AS BIGINT) AS total_qty
-       |FROM c2 WHERE 2 * cum >= tot GROUP BY grp""".stripMargin
-  }
-
-  /** 2-core of the minhash candidate-pair graph by depth-bounded
-    * peeling (Seidman, "Network structure and minimum degree", Social
-    * Networks 1983): delete degree-<2 nodes and their edges, four
-    * rounds, then report each survivor's in-core degree — on the dedup
-    * graph the 2-core separates densely duplicated clusters from
-    * incidental pairwise collisions (chain ends peel away). Each round
-    * is its OWN materialized stage, not a CTE: a round references the
-    * previous round's edge set three times (degree count + both
-    * endpoint filters), so CTE inlining would re-expand the whole
-    * prefix chain ~3^depth times — the staged form re-reads one small
-    * parquet instead, and the edge set only shrinks. That is also the
-    * production shape: at 100 TB each peel round is one map-side-
-    * combined degree aggregate plus two semi-join filters on a
-    * monotonically shrinking edge list. Depth 4 covers this corpus's
-    * fixpoint (asserted in the spec); the loop-until-convergence form
-    * is [[graft.ops.Graph.kcore]], gated against this same oracle. */
-  val kcoreIter: StagedOp = {
-    val k = 2
-    val nRounds = 4
-    val roundStages = (1 to nRounds).map { i =>
-      s"kc_e$i" -> { (_: Dialect) =>
-        s"""WITH d AS (SELECT src, COUNT(*) AS deg FROM kc_e${i - 1} GROUP BY src),
-           |a AS (SELECT src AS id FROM d WHERE deg >= $k)
-           |SELECT e.src, e.dst FROM kc_e${i - 1} e
-           |JOIN a x ON e.src = x.id
-           |JOIN a y ON e.dst = y.id""".stripMargin
-      }
-    }
-    StagedOp(
-      stages = dedupMinhash.stages ++ Seq(
-        "kc_e0" -> { (_: Dialect) =>
-          s"""WITH $graphCtes,
-             |alive AS (SELECT src AS id FROM deg WHERE deg >= $k)
-             |SELECT e.src, e.dst FROM edges e
-             |JOIN alive x ON e.src = x.id
-             |JOIN alive y ON e.dst = y.id""".stripMargin
-        }) ++ roundStages,
-      body = { _ =>
-        s"""SELECT src AS doc_id, COUNT(*) AS core_deg
-           |FROM kc_e$nRounds GROUP BY src""".stripMargin
-      })
-  }
-
-  /** Item-item collaborative-filtering neighborhoods (Sarwar et al.,
-    * "Item-Based Collaborative Filtering Recommendation Algorithms",
-    * WWW 2001) over the same basket incidence: similarity between two
-    * brands is the cosine of their basket-membership indicator
-    * vectors, supp_ab / √(supp_a·supp_b), and the output is each
-    * item's top-5 most-similar neighbors. Reuses the staged apriori
-    * pair table — the similarity join touches only frequent-gated
-    * pairs, which is exactly the neighborhood-model prune used at
-    * scale (rare items have no stable neighborhood). All inputs are
-    * exact int64 counts; cosine is the same 3-op IEEE sequence
-    * (multiply, √, divide) in both engines, then 6dp-quantized, and
-    * the top-5 window breaks cosine ties on the neighbor name, so
-    * ranking is cross-engine deterministic. */
-  val itemSimilarity: StagedOp = StagedOp(
-    stages = basketStages,
-    body = { _ =>
-      s"""WITH sym AS (
-         |  SELECT item_a AS item, item_b AS neighbor, supp_ab FROM ar_pairs
-         |  UNION ALL
-         |  SELECT item_b AS item, item_a AS neighbor, supp_ab FROM ar_pairs
-         |),
-         |scored AS (
-         |  SELECT s.item, s.neighbor, s.supp_ab,
-         |    ${r6("CAST(s.supp_ab AS DOUBLE) / SQRT(CAST(sa.supp * sb.supp AS DOUBLE))")} AS cosine
-         |  FROM sym s
-         |  JOIN ar_isup sa ON s.item = sa.item
-         |  JOIN ar_isup sb ON s.neighbor = sb.item
-         |)
-         |SELECT item, neighbor, supp_ab, cosine, CAST(rk AS BIGINT) AS rk FROM (
-         |  SELECT *, ROW_NUMBER() OVER (
-         |    PARTITION BY item ORDER BY cosine DESC, neighbor) AS rk
-         |  FROM scored
-         |) WHERE rk <= 5""".stripMargin
-    })
-
-  /** TPC-H Q20's "excess availability" shape adapted to this schema
-    * (the fixture has no partsupp/availqty): suppliers whose shipped
-    * quantity of a name-filtered part family exceeds 1.5× that part's
-    * per-supplier average — the nested-aggregate-threshold semi-join
-    * an inventory planner runs to find over-concentrated supply.
-    * The threshold compares each (supplier, part) aggregate against a
-    * window over its part (2·qty·n_suppliers > 3·total keeps the test
-    * integer-exact, no division), then the qualifying supplier set
-    * joins the two dims. Shape at 100 TB: the fact collapses to
-    * (supplier × part) grain map-side first, the window runs over
-    * partkey on that aggregate (never raw rows), and the dim joins
-    * broadcast — the only fact-sized shuffle is the first groupBy.
-    * l_quantity is a whole-number double, so CAST to BIGINT is exact
-    * in both engines (DuckDB rounds, Spark truncates — equal on
-    * integers). */
-  def excessSuppliers(d: Dialect): String =
-    s"""WITH sp AS (
-       |  SELECT l_suppkey AS sk, l_partkey AS pk,
-       |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
-       |  FROM lineitem JOIN part ON p_partkey = l_partkey
-       |  WHERE p_name LIKE 'small %' OR p_name LIKE 'large %'
-       |  GROUP BY l_suppkey, l_partkey
-       |),
-       |w AS (
-       |  SELECT sk, pk, qty,
-       |    CAST(SUM(qty) OVER (PARTITION BY pk) AS BIGINT) AS tot,
-       |    CAST(COUNT(*) OVER (PARTITION BY pk) AS BIGINT) AS ns
-       |  FROM sp
-       |),
-       |ex AS (SELECT sk, pk FROM w WHERE 2 * qty * ns > 3 * tot)
-       |SELECT s_name, n_name, COUNT(*) AS n_excess_parts
-       |FROM ex
-       |JOIN supplier ON sk = s_suppkey
-       |JOIN nation ON s_nationkey = n_nationkey
-       |GROUP BY s_name, n_name""".stripMargin
-
-  /** Winsorized summary of order totals: exact 5th/95th-percentile
-    * boundaries and the mean after clipping to them — the robust-mean
-    * readout a metrics pipeline uses against fat-tailed spend columns.
-    * The k-th order statistic comes from a (cents, count) HISTOGRAM
-    * with a cumulative window over the price domain (the
-    * weighted-median pattern): `lo` is the smallest cents value whose
-    * cumulative count reaches ⌈0.05n⌉ — stated integer-only as
-    * 20·cum ≥ n (no division, no float percentile). Shape at 100 TB:
-    * the histogram is one map-side-combined aggregate to price-domain
-    * cardinality, the window orders the DOMAIN (never raw rows), the
-    * 1-row boundary table broadcasts back for the clipped re-aggregate
-    * — two fact scans, zero fact-row sorts. Clipped sum stays int64
-    * (n·max_cents ≪ 2⁶³ here; DECIMAL(38) is the headroom swap at
-    * extreme scale). */
-  def winsorize(d: Dialect): String =
-    s"""WITH c AS (
-       |  SELECT CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT) AS cents
-       |  FROM orders
-       |),
-       |h AS (SELECT cents, COUNT(*) AS cnt FROM c GROUP BY cents),
-       |cum AS (
-       |  SELECT cents,
-       |    CAST(SUM(cnt) OVER (ORDER BY cents
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm,
-       |    CAST(SUM(cnt) OVER () AS BIGINT) AS n
-       |  FROM h
-       |),
-       |b AS (
-       |  SELECT MIN(CASE WHEN cm * 20 >= n THEN cents END) AS lo,
-       |         MIN(CASE WHEN cm * 20 >= 19 * n THEN cents END) AS hi,
-       |         MAX(n) AS n
-       |  FROM cum
-       |)
-       |SELECT b.lo AS lo_cents, b.hi AS hi_cents, b.n AS n_rows,
-       |  COUNT(CASE WHEN c.cents < b.lo THEN 1 END) AS n_clip_lo,
-       |  COUNT(CASE WHEN c.cents > b.hi THEN 1 END) AS n_clip_hi,
-       |  ${r6("CAST(SUM(LEAST(GREATEST(c.cents, b.lo), b.hi)) AS DOUBLE) / b.n / 1.0e2")} AS win_mean
-       |FROM c CROSS JOIN b
-       |GROUP BY b.lo, b.hi, b.n""".stripMargin
-
-  /** Shared 30-minute-gap session spans with the conversion flag:
-    * (user, session) → event count, purchase indicator, first/last
-    * event micros. Same gap logic as [[eventsSessionize]] (lag +
-    * running flag sum inside each user's timeline), with event_type
-    * carried through for the conversion readout. Emitted as a CTE
-    * chain consumed ONCE by each caller (linear — safe under Spark
-    * CTE inlining). */
-  private def sessionSpanCtes(d: Dialect): String =
-    s"""e AS (SELECT user_id, event_id, event_type, ${d.epochMicros("ts")} AS us FROM events),
-       |lagd AS (
-       |  SELECT user_id, event_id, event_type, us,
-       |    LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
-       |  FROM e
-       |),
-       |flags AS (
-       |  SELECT user_id, event_id, event_type, us,
-       |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
-       |  FROM lagd
-       |),
-       |sess AS (
-       |  SELECT user_id, event_type, us,
-       |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
-       |  FROM flags
-       |),
-       |sess_per AS (
-       |  SELECT user_id, session_no, COUNT(*) AS n_events,
-       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
-       |    MIN(us) AS start_us, MAX(us) AS end_us
-       |  FROM sess GROUP BY user_id, session_no
-       |)""".stripMargin
-
-  /** Session conversion by session size: sessions bucketed by
-    * ⌊log2(n_events)⌋ (the exact `length(bin(n))−1` integer form both
-    * engines share), conversion = the session contains a purchase —
-    * the engagement-vs-conversion curve a funnel owner reads. Shape:
-    * the sessionize window (one shuffle on user_id), a per-session
-    * aggregate, then a ≤⌊log2 max⌋-group rollup — nothing after the
-    * session grain touches raw events. */
-  def sessionConversion(d: Dialect): String =
-    s"""WITH ${sessionSpanCtes(d)}
-       |SELECT CAST(length(bin(n_events)) - 1 AS BIGINT) AS size_bucket,
-       |  COUNT(*) AS n_sessions,
-       |  CAST(COUNT(CASE WHEN conv = 1 THEN 1 END) AS BIGINT) AS n_converted,
-       |  ${r6("CAST(COUNT(CASE WHEN conv = 1 THEN 1 END) AS DOUBLE) / COUNT(*)")} AS conv_rate
-       |FROM sess_per
-       |GROUP BY length(bin(n_events)) - 1""".stripMargin
-
-  /** Per-day peak concurrent sessions — the capacity-planning metric
-    * (max simultaneous actives) computed WITHOUT a global ordered
-    * sweep. Classic formulations sort every start/end event into one
-    * timeline (a single-partition window at scale); this one shards
-    * by day: each day's peak = (sessions already active at midnight,
-    * a count) + the max of a running ±1 sweep over only that day's
-    * own start/end events. A session active range is [start_us,
-    * end_us] inclusive; the −1 lands at end_us+1 (and is dropped when
-    * that instant falls past the session's last covered day — the
-    * next day's midnight carry-in already excludes the session).
-    * Start events order before end events at the same microsecond
-    * (delta DESC), so touching sessions count as overlapping;
-    * permuting equal (us, delta) rows cannot change any prefix sum,
-    * so the peak is cross-engine deterministic. The day-span explode
-    * is bounded by session length (gap-bounded sessions span few
-    * days). The session-interval stage is materialized because the
-    * sweep references it three times (covered days, +1s, −1s) —
-    * Spark CTE inlining would re-run the sessionize pipeline per
-    * reference. */
-  val concurrencyPeak: StagedOp = {
-    val D = "86400000000"
-    StagedOp(
-      stages = Seq(
-        "cp_iv" -> { (d: Dialect) =>
-          s"""WITH ${sessionSpanCtes(d)}
-             |SELECT start_us, end_us,
-             |  ${d.idiv("start_us", D)} AS sd, ${d.idiv("end_us", D)} AS ed
-             |FROM sess_per""".stripMargin
-        }),
-      body = { d =>
-        s"""WITH cov AS (
-           |  ${d.explode("SELECT sd, " + d.seqArray("sd", "ed") + " AS ds FROM cp_iv",
-                          "sd", "ds", "day")}
-           |),
-           |ci AS (
-           |  SELECT day, CAST(COUNT(CASE WHEN day > sd THEN 1 END) AS BIGINT) AS base
-           |  FROM cov GROUP BY day
-           |),
-           |ev AS (
-           |  SELECT sd AS day, start_us AS us, 1 AS delta FROM cp_iv
-           |  UNION ALL
-           |  SELECT ed, end_us + 1, -1 FROM cp_iv
-           |  WHERE ${d.idiv("end_us + 1", D)} = ed
-           |),
-           |swept AS (
-           |  SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY us, delta DESC
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
-           |  FROM ev
-           |),
-           |pk AS (SELECT day, CAST(MAX(run) AS BIGINT) AS mx FROM swept GROUP BY day)
-           |SELECT c.day, c.base,
-           |  c.base + GREATEST(COALESCE(p.mx, 0), 0) AS peak
-           |FROM ci c LEFT JOIN pk p ON c.day = p.day""".stripMargin
-      })
-  }
-
-  /** Exponentially weighted moving average of daily revenue with a
-    * one-day half-life over an 8-day horizon — the trend smoother a
-    * revenue dashboard plots, computed integer-exactly: weights are
-    * powers of two (128·today + 64·yesterday + … + 1·(d−7), weight
-    * sum 255), applied as 8 LAG terms over the zero-filled day spine
-    * (silent days genuinely contribute 0 — the spine is the gap-fill
-    * pattern), so the weighted sum is one exact int64 per day and the
-    * only float is the final /255/100 display division, 6dp-quantized
-    * (an identical 3-op IEEE sequence in both engines). The ordered
-    * window runs over DAY-grain data (a few thousand rows from one
-    * aggregate) — the same never-on-raw-facts argument as gap_fill. */
-  def ewmaRevenue(d: Dialect): String = {
-    val es = (x: String) => d.epochSeconds(s"CAST($x AS TIMESTAMP)")
-    val wsum = (0 to 7).map { k =>
-      val w = 1L << (7 - k)
-      if (k == 0) s"cents * $w"
-      else s"COALESCE(LAG(cents, $k) OVER (ORDER BY day), 0) * $w"
-    }.mkString(" + ")
-    s"""WITH daily AS (
-       |  SELECT CAST(${es("o_orderdate")} / 86400 AS BIGINT) AS day,
-       |    CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT) AS cents
-       |  FROM orders GROUP BY 1
-       |),
-       |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
-       |spine AS (
-       |  ${d.explode("SELECT lo, " + d.seqArray("lo", "hi") + " AS ds FROM bounds",
-                      "lo", "ds", "day")}
-       |),
-       |filled AS (
-       |  SELECT s.day, COALESCE(dl.cents, 0) AS cents
-       |  FROM spine s LEFT JOIN daily dl ON s.day = dl.day
-       |),
-       |wtd AS (SELECT day, cents, CAST($wsum AS BIGINT) AS wsum FROM filled)
-       |SELECT day, cents, wsum,
-       |  ${r6("CAST(wsum AS DOUBLE) / 2.55e2 / 1.0e2")} AS ewma_value
-       |FROM wtd""".stripMargin
-  }
-
-  /** Multi-source BFS landmark distances on the minhash candidate
-    * graph: hop distance from the nearest seed (every 16th node id —
-    * the deterministic landmark set), four synchronous rounds, then a
-    * distance histogram. Each round relaxes dist' = min(dist,
-    * min(frontier neighbor)+1) propagating ONLY from the previous
-    * frontier (nodes first reached last round — with unit weights a
-    * node's first-reach distance is final, so the frontier restriction
-    * is lossless and keeps each round's join to frontier × adjacency).
-    * Rounds are materialized stages (each references its predecessor
-    * twice — carry + relax — and Spark CTE inlining would re-run the
-    * whole prefix per reference; the k-core lesson). At 100 TB this is
-    * the standard Pregel-as-joins shape: per round one shuffle on the
-    * edge src plus a min-combine groupBy, state bounded by the node
-    * set. Unreached nodes report distance −1. */
-  val bfsLevels: StagedOp = {
-    val nRounds = 4
-    val roundStages = (1 to nRounds).map { i =>
-      s"bfs_d$i" -> { (_: Dialect) =>
-        s"""SELECT id, MIN(dist) AS dist FROM (
-           |  SELECT id, dist FROM bfs_d${i - 1}
-           |  UNION ALL
-           |  SELECT e.dst AS id, l.dist + 1 AS dist
-           |  FROM lp_edges e JOIN bfs_d${i - 1} l ON e.src = l.id
-           |  WHERE l.dist = ${i - 1}
-           |) u GROUP BY id""".stripMargin
-      }
-    }
-    StagedOp(
-      stages = dedupMinhash.stages ++ Seq(
-        lpEdgeStage,
-        "bfs_d0" -> { (_: Dialect) =>
-          s"""SELECT id, CASE WHEN id % 16 = 0 THEN 0 END AS dist
-             |FROM (SELECT DISTINCT src AS id FROM lp_edges) n""".stripMargin
-        }) ++ roundStages,
-      body = { _ =>
-        s"""SELECT CAST(COALESCE(dist, -1) AS BIGINT) AS dist,
-           |  COUNT(*) AS n_nodes
-           |FROM bfs_d$nRounds GROUP BY COALESCE(dist, -1)""".stripMargin
-      })
-  }
-
-  /** Min-K%-prob memorization/contamination signal (Shi et al. 2023,
-    * "Detecting Pretraining Data"): per document, the mean surprisal
-    * of its k% LEAST-probable tokens — a doc whose rarest tokens are
-    * still corpus-common is template/duplicate-suspect (the signal
-    * that catches members a whole-doc mean would wash out). Unigram
-    * approximation over the staged tf index: per-(doc, distinct
-    * token) µ-bit surprisal ([[qlog2]]), rank per doc by surprisal
-    * DESCENDING (token string as the total tie-break), keep
-    * r ≤ ⌈m/5⌉ (k = 20%; the test is the exact integer 5r ≤ m+4),
-    * mean as one exact idiv. Scale shape: the rank is a per-doc
-    * window over (doc, distinct token) rows — the tf index's own
-    * grain — and the global counts ride the same token-partitioned
-    * window the tf-idf family uses. */
-  val minkProb: StagedOp = StagedOp(
-    stages = textUnigramLm.stages,
-    body = { d =>
-      s"""WITH c AS (
-         |  SELECT doc_id, s, tf,
-         |    CAST(SUM(tf) OVER (PARTITION BY s) AS BIGINT) AS cg
-         |  FROM ulm_tf
-         |),
-         |n AS (SELECT CAST(SUM(tf) AS BIGINT) AS nn FROM ulm_tf),
-         |sp AS (
-         |  SELECT doc_id, s, ${qlog2("nn")} - ${qlog2("cg")} AS q
-         |  FROM c CROSS JOIN n
-         |),
-         |rk AS (
-         |  SELECT doc_id, q,
-         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY q DESC, s) AS r,
-         |    CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS m
-         |  FROM sp
-         |)
-         |SELECT doc_id,
-         |  CAST(MAX(m) AS BIGINT) AS n_distinct,
-         |  CAST(COUNT(*) AS BIGINT) AS k_used,
-         |  ${r6(s"CAST(${d.idiv("CAST(SUM(q) AS BIGINT)", "COUNT(*)")} AS DOUBLE) / 1.0e6")}
-         |    AS mink_bits
-         |FROM rk WHERE 5 * r <= m + 4
-         |GROUP BY doc_id""".stripMargin
-    })
-
-  /** Curriculum data ordering — [[shuffleShards]]' difficulty-ordered
-    * complement: a curriculum trainer reads easy documents first, so
-    * every doc gets a difficulty (mean unigram surprisal in µ-bits —
-    * the [[qlog2]] quantizer, NOT [[textUnigramLm]]'s floor-log2
-    * bits: on this corpus the 1-bit granularity collapses 95% of
-    * docs onto one value and the quartiles degenerate to an
-    * empty-middle two-phase split, the CCNet-terciles lesson), a
-    * curriculum PHASE (difficulty quartile), and a deterministic
-    * shard within its phase (md5 ring — reproducible across re-runs
-    * and engines, the shuffleShards rule). Phases come from THREE
-    * percentile scalars
-    * riding a one-row broadcast cross join — boundaries-then-bucket,
-    * never an ntile global sort (the ordersRfm shape); interpolated
-    * midpoints of int64 µ-values are exact doubles, so the bucket
-    * comparisons are engine-portable. At 100 TB the exact percentile
-    * pass is the one shuffle — swap in approx_percentile and the rest
-    * of the plan is unchanged. Output: the (phase, shard) manifest
-    * with doc/token counts and the difficulty envelope per cell. */
-  val curriculumOrder: StagedOp = StagedOp(
-    stages = textUnigramLm.stages :+ ("cur_d" -> { (d: Dialect) =>
-      // per-token µ-bit surprisal summed tf-weighted in int64, one
-      // exact idiv to the per-doc mean (operands nonnegative: c ≤ nn)
-      s"""WITH c AS (SELECT doc_id, tf,
-         |    CAST(SUM(tf) OVER (PARTITION BY s) AS BIGINT) AS c FROM ulm_tf),
-         |n AS (SELECT CAST(SUM(tf) AS BIGINT) AS nn FROM ulm_tf)
-         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-         |  ${d.idiv(s"CAST(SUM(tf * (${qlog2("nn")} - ${qlog2("c")})) AS BIGINT)",
-                      "CAST(SUM(tf) AS BIGINT)")} AS diff_q
-         |FROM c CROSS JOIN n GROUP BY doc_id""".stripMargin
-    }),
-    body = { d =>
-      s"""WITH b AS (
-         |  SELECT ${d.percentileCont("diff_q", "0.25")} AS q1,
-         |         ${d.percentileCont("diff_q", "0.5")} AS q2,
-         |         ${d.percentileCont("diff_q", "0.75")} AS q3
-         |  FROM cur_d
-         |),
-         |ph AS (
-         |  SELECT doc_id, n_tokens, diff_q,
-         |    CASE WHEN diff_q <= b.q1 THEN 1
-         |         WHEN diff_q <= b.q2 THEN 2
-         |         WHEN diff_q <= b.q3 THEN 3
-         |         ELSE 4 END AS phase,
-         |    ${md5Bucket("CAST(doc_id AS STRING) || ':curriculum'")} % 8 AS shard
-         |  FROM cur_d CROSS JOIN b
-         |)
-         |SELECT phase, shard,
-         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-         |  ${r6("CAST(MIN(diff_q) AS DOUBLE) / 1.0e6")} AS d_lo,
-         |  ${r6("CAST(MAX(diff_q) AS DOUBLE) / 1.0e6")} AS d_hi
-         |FROM ph GROUP BY phase, shard""".stripMargin
-    })
-
-  /** Deterministic training-order shuffle: every document is assigned
-    * a shard (md5 ring, 32 shards) and a position within it (ordered
-    * by the full content-independent md5 of its id — the
-    * reproducible "random" permutation a training pipeline needs so
-    * every re-run, resumption, and engine reads the same order), then
-    * each shard reports its size, head document, and an
-    * order-sensitive checksum (Σ (id mod p)·(pos mod p) mod p in
-    * DECIMAL — overflow-free at any corpus size) that any consumer
-    * can re-verify cheaply. Shape at 100 TB: the permutation is a
-    * per-shard window (32-way shuffle, no global sort), the report is
-    * a 32-row aggregate. */
-  def shuffleShards(d: Dialect): String = {
-    val h = "md5(CAST(doc_id AS STRING) || ':shuffle')"
-    val P = "1000000007"
-    s"""WITH a AS (
-       |  SELECT doc_id, $h AS h, ${md5Bucket(s"CAST(doc_id AS STRING) || ':shuffle'")} % 32 AS shard
-       |  FROM documents
-       |),
-       |p AS (
-       |  SELECT doc_id, shard,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
-       |  FROM a
-       |)
-       |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
-       |  CAST(MIN(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS head_doc,
-       |  CAST(CAST(SUM(CAST((doc_id % $P) * (pos % $P) AS DECIMAL(38,0))) AS DECIMAL(38,0)) % $P AS BIGINT) AS checksum
-       |FROM p GROUP BY shard""".stripMargin
-  }
-
-  // ---- corpus curation: rule filters, LM bucketing, linear algebra ----
-
-  /** Non-negative remainder of int64 `a` modulo positive `b` — both
-    * engines' `%` keeps the dividend's sign, so this canonical form is
-    * identical across them for negative dividends too. */
-  private def pmodPos(a: String, b: String): String =
-    s"(((($a) % ($b)) + ($b)) % ($b))"
-
-  /** FLOOR division of a possibly-negative int64 `a` by positive `b`.
-    * Spark `DIV` truncates toward zero while DuckDB `//` floors, so
-    * they disagree on negative dividends with a remainder; subtracting
-    * the non-negative remainder first makes the dividend an exact
-    * multiple, where truncation and floor coincide — pure int64 ops,
-    * no double round-trip, exact at any magnitude. */
-  private def floorDiv(d: Dialect)(a: String, b: String): String =
-    d.idiv(s"(($a) - ${pmodPos(a, b)})", b)
-
-  /** The Gopher rule battery's per-doc counters (over `text` + `toks`
-    * columns) — ONE copy shared by [[gopherRules]] and the
-    * [[curationFunnel]] so the gates cannot drift. Every downstream
-    * rule is an INTEGER inequality over these counters
-    * (mean-word-length 3..10 becomes 3·words ≤ chars ≤ 10·words;
-    * ratios are cross-multiplied), so the flags are exact in both
-    * engines with no float compare. Alphabetic-word detection is the
-    * portable `lower(t) <> upper(t)` (true iff the token contains a
-    * cased letter — no regex-in-lambda, which the engines render
-    * differently). The rule set is parametric in its designated stop
-    * list; Gopher's own ({the,be,to,of,and,that,have,with}) intersects
-    * this fixture's vocabulary at exactly {the}, collapsing the rule
-    * to all-false — so the designated set is the corpus's English
-    * marker palette (STOP_EN, the same list langid keys on). */
-  private def gopherCounts(d: Dialect): String = {
-    val stops = d.arrayLit(STOP_EN)
-    s"""CAST(${d.size("toks")} AS BIGINT) AS n_words,
-       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
-       |    CAST(${d.reCount("text", "#|\\.\\.\\.")} AS BIGINT) AS n_sym,
-       |    CAST(${d.size(d.filter("toks", "t -> lower(t) <> upper(t)"))} AS BIGINT) AS n_alpha,
-       |    CAST(${d.size(d.arrayDistinct(d.filter("toks", s"t -> ${d.arrayContains(stops, "t")}")))} AS BIGINT) AS n_stop""".stripMargin
-  }
-  private val GopherRules: Seq[(String, String)] = Seq(
-    "r_wordcount" -> "n_words BETWEEN 50 AND 100000",
-    "r_wordlen" -> "(n_chars >= 3 * n_words AND n_chars <= 10 * n_words)",
-    "r_symbol" -> "n_sym * 10 < n_words",
-    "r_alpha" -> "n_alpha * 10 >= n_words * 8",
-    "r_stop" -> "n_stop >= 2")
-  private val GopherPass: String =
-    GopherRules.map(_._2).mkString("(", " AND ", ")")
-
-  /** Single-sourced PII detector patterns (kind → regex), written to
-    * the RE2 ∩ java.util.regex common subset (no lookaround, no
-    * multi-digit backrefs — the reReplaceAll rule): the scan query,
-    * the redaction projection and the spec replay all read THIS list,
-    * so adding a kind or tightening a pattern cannot drift between
-    * detection and redaction. */
-  val PiiPatterns: Seq[(String, String)] = Seq(
-    "card" -> "\\b\\d{4}[- ]?\\d{4}[- ]?\\d{4}[- ]?\\d{1,4}\\b",
-    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
-    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
-    "phone" -> "\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}")
-  private val ValidIpv4 =
-    "^(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)(\\.(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)){3}$"
-
-  /** Redact every PII pattern in `col` to its [KIND] tag — the
-    * projection a curation pipeline runs before release, same
-    * single-sourced [[PiiPatterns]] as the scan. Narrow and
-    * codegen'd; order follows the pattern list (card before phone,
-    * so a card number is never half-eaten by the phone rule). */
-  def piiRedactExpr(col: String, d: Dialect = SparkDialect): String =
-    PiiPatterns.foldLeft(col) { case (acc, (k, rx)) =>
-      d.reReplaceAll(acc, rx, s"[${k.toUpperCase}]")
-    }
-
-  /** PII scan — the release-gate audit a curation pipeline runs over
-    * every corpus: per kind (credit card, email, IPv4, phone) the
-    * match and matched-doc counts plus the VALIDATED count (Luhn
-    * checksum for cards, octet range for IPv4 — regex hits alone
-    * overcount random digit runs; email/phone have no checksum, so
-    * validated = matched). Scale shape: ONE corpus scan computes all
-    * extraction arrays ([[PiiPatterns]], codegen'd regex projections,
-    * stage `pii_m`); the per-occurrence table (`pii_o`) and everything
-    * after are match-cardinality. The Luhn sum is exact integer
-    * arithmetic over a digit-position explode at DISTINCT-candidate
-    * grain, joined back to occurrences. The kind domain is a literal
-    * list left-joined, so a PII-free corpus (this fixture — the
-    * cross-engine rows are the zero baseline, like the volume-stable
-    * cusum fixture) still emits every kind's zero row; the planted
-    * positive paths (valid/invalid Luhn, out-of-range octets,
-    * redaction round-trip) are covered by the independent replay in
-    * MicroOracleSpec. */
-  val piiScan: StagedOp = StagedOp(
-    stages = Seq(
-      "pii_m" -> { (d: Dialect) =>
-        val cols = PiiPatterns.map { case (k, rx) =>
-          s"${d.reExtractAll("text", rx)} AS m_$k" }
-        s"SELECT doc_id,\n  ${cols.mkString(",\n  ")}\nFROM documents"
-      },
-      // occurrence rows, staged: four consumers below (counts, two
-      // validator arms, the card candidates) would each re-explode
-      // the arrays under CTE inlining
-      "pii_o" -> { (d: Dialect) =>
-        PiiPatterns.map { case (k, _) =>
-          s"""SELECT doc_id, '$k' AS kind, m FROM (
-             |  ${d.explode(s"SELECT doc_id, m_$k FROM pii_m", "doc_id", s"m_$k", "m")}
-             |)""".stripMargin
-        }.mkString("\nUNION ALL\n")
-      }),
-    body = { d =>
-      val dom = PiiPatterns.map { case (k, _) => s"SELECT '$k' AS kind" }
-        .mkString(" UNION ALL ")
-      s"""WITH cnt AS (
-         |  SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_matches,
-         |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
-         |  FROM pii_o GROUP BY kind
-         |),
-         |cdist AS (
-         |  SELECT DISTINCT ${d.reReplaceAll("m", "[- ]", "")} AS ds
-         |  FROM pii_o WHERE kind = 'card'
-         |),
-         |cn AS (SELECT ds, length(ds) AS n FROM cdist
-         |       WHERE length(ds) BETWEEN 13 AND 16),
-         |cseq AS (SELECT ds, n, ${d.seqArray("1", "n")} AS ii FROM cn),
-         |cpos AS (${d.explode("SELECT ds, n, ii FROM cseq", "ds, n", "ii", "i")}),
-         |cl AS (
-         |  -- Luhn: from the right, double every second digit, subtract
-         |  -- 9 past 9, total divisible by 10 — all int64-exact
-         |  SELECT ds,
-         |    SUM(CASE WHEN (n - i) % 2 = 1
-         |             THEN CASE WHEN 2 * dg > 9 THEN 2 * dg - 9 ELSE 2 * dg END
-         |             ELSE dg END) % 10 AS r
-         |  FROM (SELECT ds, n, i, CAST(substr(ds, i, 1) AS INT) AS dg FROM cpos)
-         |  GROUP BY ds
-         |),
-         |vocc AS (
-         |  SELECT kind FROM pii_o WHERE kind IN ('email', 'phone')
-         |  UNION ALL
-         |  SELECT kind FROM pii_o
-         |  WHERE kind = 'ipv4' AND ${d.reCount("m", ValidIpv4)} > 0
-         |  UNION ALL
-         |  SELECT c.kind FROM (
-         |    SELECT kind, ${d.reReplaceAll("m", "[- ]", "")} AS ds
-         |    FROM pii_o WHERE kind = 'card'
-         |  ) c JOIN cl ON cl.ds = c.ds AND cl.r = 0
-         |),
-         |vc AS (SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_valid
-         |       FROM vocc GROUP BY kind),
-         |dom AS ($dom)
-         |SELECT dom.kind,
-         |  CAST(COALESCE(c.n_matches, 0) AS BIGINT) AS n_matches,
-         |  CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs,
-         |  CAST(COALESCE(v.n_valid, 0) AS BIGINT) AS n_valid
-         |FROM dom
-         |LEFT JOIN cnt c ON c.kind = dom.kind
-         |LEFT JOIN vc v ON v.kind = dom.kind
-         |ORDER BY dom.kind""".stripMargin
-    })
-
-  /** Unbiased pass@k estimator (Chen et al. 2021, "Evaluating LLMs
-    * Trained on Code", eq. 1) — the standard eval rollup for
-    * sampled generations: per task (source plays the task, docs its
-    * samples, the Gopher battery plays the checker), with n samples
-    * and c passes, pass@k = 1 − C(n−c,k)/C(n,k). Computed as the
-    * PRODUCT OF RATIOS Π (n−c−i)/(n−i), i < k — never a factorial:
-    * each ratio is one correctly-rounded IEEE division and the
-    * k-term product is a fixed sequence, so the estimate is
-    * bit-identical across engines at ANY n (the C(n,k) form
-    * overflows int64 past n ≈ 60). A zero factor (n−c < k) makes the
-    * product exactly 0 → pass@k = 1; tasks with n < k emit NULL
-    * (the estimator is undefined, not zero). One scan, one groupBy
-    * on task — sample-cardinality nowhere. */
-  def evalPassAtK(d: Dialect): String = {
-    def prodK(k: Int): String = (0 until k).map { i =>
-      s"(CAST(n - c - $i AS DOUBLE) / (n - $i))"
-    }.mkString(" * ")
-    s"""WITH g AS (SELECT doc_id, source, text, ${toks(d)} AS toks FROM documents),
-       |m AS (
-       |  SELECT doc_id, source, text,
-       |    ${gopherCounts(d)}
-       |  FROM g
-       |),
-       |t AS (
-       |  SELECT source,
-       |    CAST(COUNT(*) AS BIGINT) AS n,
-       |    CAST(SUM(CASE WHEN $GopherPass THEN 1 ELSE 0 END) AS BIGINT) AS c
-       |  FROM m GROUP BY source
-       |)
-       |SELECT source, n, c,
-       |  ${r6("CAST(c AS DOUBLE) / n")} AS pass_at_1,
-       |  CASE WHEN n < 4 THEN NULL
-       |       ELSE ${r6(s"1.0e0 - ${prodK(4)}")} END AS pass_at_4
-       |FROM t
-       |ORDER BY source""".stripMargin
-  }
-
-  /** Gopher-style quality rule battery (Rae et al. 2021, "Scaling
-    * Language Models", Appendix A1.1's MassiveWeb document filters) as
-    * ONE narrow scan — the standard rule filter a curation pipeline
-    * runs before any model-based scoring. Scale shape: scan →
-    * codegen'd projection, no shuffle at all. Counters and rules in
-    * [[gopherCounts]]/[[GopherRules]], shared with the funnel. */
-  def gopherRules(d: Dialect): String =
-    s"""WITH g AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
-       |m AS (
-       |  SELECT doc_id,
-       |    ${gopherCounts(d)}
-       |  FROM g
-       |)
-       |SELECT doc_id, n_words,
-       |  ${GopherRules.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")},
-       |  $GopherPass AS gopher_pass
-       |FROM m""".stripMargin
-
-  /** Curation FUNNEL — the observability sibling of [[corpusFilter]]:
-    * instead of emitting survivors, report per-stage attrition
-    * (docs + tokens surviving langid → Gopher rules → quality →
-    * exact dedup, cumulatively), the readout a pipeline owner watches
-    * to see WHERE the corpus is being lost. Single-sourced gates
-    * ([[langGuessCase]], [[gopherCounts]]/[[GopherPass]],
-    * [[qualityFormula]], the md5 keep-first rule). One corpus scan:
-    * each doc is assigned its DEEPEST passing stage, the 5-row stage
-    * aggregate is spine-joined, and the cumulative "reached stage s"
-    * counts are a descending window over that tiny table — never a
-    * per-stage rescan. */
-  def curationFunnel(d: Dialect): String = {
-    val (en, id) = langHitExprs(d)
-    val quality = qualityFormula(
-      nWords = d.size("toks"),
-      stopRatio = s"CAST(${stopHitsExpr(d)} AS DOUBLE) / ${d.size("toks")}",
-      avgWlen = s"CAST(length(replace(text, ' ', '')) AS DOUBLE) / ${d.size("toks")}")
-    s"""WITH g AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
-       |scored AS (
-       |  SELECT doc_id,
-       |    ${langGuessCase(en, id)} AS lang_guess,
-       |    $quality AS quality,
-       |    ${gopherCounts(d)},
-       |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-       |  FROM g
-       |),
-       |deep AS (
-       |  SELECT n_words AS n_tok,
-       |    CASE WHEN lang_guess = 'und' THEN 0
-       |         WHEN NOT $GopherPass THEN 1
-       |         WHEN quality < 4.0e-1 THEN 2
-       |         WHEN rn <> 1 THEN 3
-       |         ELSE 4 END AS deepest
-       |  FROM scored
-       |),
-       |agg AS (
-       |  SELECT deepest, CAST(COUNT(*) AS BIGINT) AS c,
-       |    CAST(SUM(n_tok) AS BIGINT) AS tk
-       |  FROM deep GROUP BY deepest
-       |),
-       |spine AS (${d.explode(s"SELECT ${d.seqArray("0", "4")} AS ss", "ss", "ss", "stage")}),
-       |filled AS (
-       |  SELECT sp.stage, COALESCE(a.c, 0) AS c, COALESCE(a.tk, 0) AS tk
-       |  FROM (SELECT stage FROM spine) sp LEFT JOIN agg a ON sp.stage = a.deepest
-       |),
-       |cum AS (
-       |  SELECT stage,
-       |    CAST(SUM(c) OVER (ORDER BY stage DESC) AS BIGINT) AS n_docs,
-       |    CAST(SUM(tk) OVER (ORDER BY stage DESC) AS BIGINT) AS n_tokens,
-       |    CAST(SUM(c) OVER () AS BIGINT) AS n_raw
-       |  FROM filled
-       |)
-       |SELECT CAST(stage AS BIGINT) AS stage,
-       |  CASE stage WHEN 0 THEN 'raw' WHEN 1 THEN 'langid'
-       |       WHEN 2 THEN 'gopher' WHEN 3 THEN 'quality'
-       |       ELSE 'dedup' END AS reached,
-       |  n_docs, n_tokens,
-       |  ${r6("CAST(n_docs AS DOUBLE) / n_raw")} AS doc_share
-       |FROM cum""".stripMargin
-  }
-
-  /** CCNet-style corpus bucketing (Wenzek et al. 2019): score every
-    * document by its per-token bits under the corpus unigram LM (the
-    * [[textUnigramLm]] arithmetic, off the same staged term-frequency
-    * index) and split the corpus at the global terciles into
-    * head / middle / tail — head is the most-LM-likely slice CCNet
-    * feeds to training first. Per-token bits are the µ-quantized log2
-    * ([[qlog2]] — [[textUnigramLm]]'s floor-log2 integer bits collapse
-    * to ONE value on a near-uniform vocabulary and the terciles
-    * degenerate, the exact failure mode dsirWeights hit), the per-doc
-    * score is µ-bit int64 (integer floor division — exact), the two
-    * thresholds are ONE 2-column aggregate row broadcast back over the
-    * corpus, and an int-vs-double threshold compare is exact, so
-    * bucket assignment is engine-identical. Scale shape: staged index
-    * scan → doc groupBy → tiny aggregate → broadcast tag; no global
-    * sort anywhere. */
-  val ccnetBuckets: StagedOp = StagedOp(
-    // the per-doc score table is read twice (threshold aggregate +
-    // final tag) — two-consumer rule: staged, so the LM scoring pass
-    // over the term-frequency index runs once, not per reference
-    stages = textUnigramLm.stages :+ ("ccn_sc" -> { (d: Dialect) =>
-      s"""WITH c AS (SELECT doc_id, tf,
-         |    CAST(SUM(tf) OVER (PARTITION BY s) AS BIGINT) AS c FROM ulm_tf),
-         |n AS (SELECT CAST(SUM(tf) AS BIGINT) AS nn FROM ulm_tf),
-         |ds AS (
-         |  SELECT doc_id,
-         |    CAST(SUM(tf * (${qlog2("nn")} - ${qlog2("c")})) AS BIGINT) AS total_bits,
-         |    CAST(SUM(tf) AS BIGINT) AS n_tokens
-         |  FROM c CROSS JOIN n GROUP BY doc_id
-         |)
-         |SELECT doc_id, ${d.idiv("total_bits", "n_tokens")} AS q FROM ds""".stripMargin
-    }),
-    body = { d =>
-      s"""WITH th AS (SELECT ${d.percentileCont("q", "3.3e-1")} AS t33,
-         |              ${d.percentileCont("q", "6.7e-1")} AS t67 FROM ccn_sc)
-         |SELECT doc_id, ${r6("CAST(q AS DOUBLE) / 1.0e6")} AS mean_bits,
-         |  CASE WHEN q <= t33 THEN 'head'
-         |       WHEN q <= t67 THEN 'middle'
-         |       ELSE 'tail' END AS bucket
-         |FROM ccn_sc CROSS JOIN th""".stripMargin
-    })
-
-  /** Inter-filter reliability — Cohen's kappa between the RULE-based
-    * judge (the Gopher battery) and the MODEL-based judge (CCNet
-    * LM-score terciles; keep = head/middle, i.e. q ≤ t67): the 2×2
-    * contingency, observed agreement p_o, chance agreement p_e from
-    * the marginals, κ = (p_o − p_e)/(1 − p_e). This is the
-    * calibration question a curation pipeline asks before chaining
-    * filters: κ ≈ 0 means the model filter adds an independent signal,
-    * κ ≈ 1 means it is redundant with the rules. Cells are exact int64
-    * counts off ONE corpus scan (judge A) joined to the staged score
-    * table (judge B); p_o/p_e/κ are fixed expression trees on those
-    * exact ints — deterministic IEEE in both engines; κ is NULL when
-    * p_e = 1 (both judges constant — division blow-up guarded like
-    * idcg). */
-  /** The paired-gate 2×2 contingency cells (Gopher rule vs CCNet
-    * bottom-two-terciles, per doc) — ONE copy shared by
-    * [[filterKappa]] (agreement) and [[filterMcnemar]] (paired
-    * significance), so the two readouts can never disagree about
-    * which gates they compare or how the cells are counted. */
-  private def gateCellsCtes(d: Dialect): String =
-    s"""g AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),
-       |m AS (
-       |  SELECT doc_id,
-       |    ${gopherCounts(d)}
-       |  FROM g
-       |),
-       |ga AS (SELECT doc_id, CASE WHEN $GopherPass THEN 1 ELSE 0 END AS a FROM m),
-       |th AS (SELECT ${d.percentileCont("q", "6.7e-1")} AS t67 FROM ccn_sc),
-       |jb AS (
-       |  SELECT doc_id, CASE WHEN q <= t67 THEN 1 ELSE 0 END AS b
-       |  FROM ccn_sc CROSS JOIN th
-       |),
-       |j AS (SELECT ga.a, jb.b FROM ga JOIN jb ON ga.doc_id = jb.doc_id),
-       |cells AS (
-       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-       |    CAST(SUM(a * b) AS BIGINT) AS n11,
-       |    CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
-       |    CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
-       |    CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
-       |  FROM j
-       |)""".stripMargin
-
-  val filterKappa: StagedOp = StagedOp(
-    stages = ccnetBuckets.stages,
-    body = { d =>
-      s"""WITH ${gateCellsCtes(d)},
-         |k AS (
-         |  SELECT n, n11, n10, n01, n00,
-         |    CAST(n11 + n00 AS DOUBLE) / n AS po,
-         |    (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
-         |      + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
-         |      / (CAST(n AS DOUBLE) * n) AS pe
-         |  FROM cells
-         |)
-         |SELECT n, n11, n10, n01, n00,
-         |  ${r6("po")} AS observed_agreement,
-         |  ${r6("pe")} AS chance_agreement,
-         |  CASE WHEN pe >= 1.0e0 THEN NULL
-         |       ELSE ${r6("(po - pe) / (1.0e0 - pe)")} END AS kappa
-         |FROM k""".stripMargin
-    })
-
-  /** McNemar's paired test over the SAME two quality gates
-    * [[filterKappa]] agrees on ([[gateCellsCtes]] — one copy of the
-    * cell counting): does gate A pass docs gate B rejects
-    * SIGNIFICANTLY more often than vice versa? The test reads only
-    * the discordant cells — χ² = (max(|n10−n01|−1, 0))²/(n10+n01)
-    * with continuity correction — which is exactly the question a
-    * curation pipeline asks before swapping one filter for another
-    * (κ says how often they agree; McNemar says whether their
-    * DISAGREEMENT is directional or coin-flip noise). The
-    * significance decision is integer-exact: num·10⁶ > 3841459·den
-    * compares against the χ²₁ 95th percentile (3.841459, a baked
-    * constant — math, not data) with no float in the verdict; the
-    * reported chi2 is the 6dp-quantized ratio of two exact int64s.
-    * One row; all inputs ride the staged CCNet chain. */
-  val filterMcnemar: StagedOp = StagedOp(
-    stages = ccnetBuckets.stages,
-    body = { d =>
-      s"""WITH ${gateCellsCtes(d)},
-         |mc AS (
-         |  SELECT n10, n01,
-         |    -- int64 envelope, loud (the ewma rescale-wq pattern): the
-         |    -- verdict multiplies num·10⁶ and 3841459·den, so the
-         |    -- discordant GAP must stay ≤ 3,036,999 (√(2⁶³/10⁶)) and
-         |    -- the discordant TOTAL ≤ 2,401,007,543,450 — beyond either,
-         |    -- both engines would abort on overflow anyway (ANSI), but
-         |    -- with this guard they abort with the fix in the message
-         |    CASE WHEN GREATEST(ABS(n10 - n01) - 1, 0) > 3036999
-         |         THEN CAST('mcnemar: discordant gap exceeds the int64 verdict envelope — compare in DECIMAL' AS BIGINT)
-         |         ELSE GREATEST(ABS(n10 - n01) - 1, 0) * GREATEST(ABS(n10 - n01) - 1, 0) END AS num,
-         |    CASE WHEN n10 + n01 > 2401007543450
-         |         THEN CAST('mcnemar: discordant total exceeds the int64 verdict envelope — compare in DECIMAL' AS BIGINT)
-         |         ELSE n10 + n01 END AS den
-         |  FROM cells
-         |)
-         |SELECT n10 AS a_only, n01 AS b_only,
-         |  CASE WHEN den = 0 THEN NULL
-         |       ELSE ${r6("CAST(num AS DOUBLE) / den")} END AS chi2,
-         |  CASE WHEN den = 0 THEN NULL
-         |       WHEN num * 1000000 > 3841459 * den THEN 1 ELSE 0 END AS significant
-         |FROM mc""".stripMargin
-    })
-
-  /** Tokenizer fertility by language: average subtokens per
-    * whitespace token under the trained BPE merges ([[bpeMerges]] —
-    * its final vocabulary table IS the encoder), grouped by the
-    * [[textLangId]] language guess. The number a multilingual
-    * pipeline watches per corpus slice: fertility creeping up on one
-    * language means the learned merges are under-serving it. All
-    * inputs are shared staged artifacts; the per-language rollup is
-    * one broadcast-sized join + groupBy. */
-  val tokenizerFertility: StagedOp = StagedOp(
-    stages = bpeMerges.stages,
-    body = { d =>
-      val (en, id) = langHitExprs(d)
-      // the per-doc encode is [[bpeEncode]]'s body nested verbatim —
-      // ONE copy of the encoder semantics (its docstring's own rule);
-      // a nested WITH inside a derived table parses in both engines
-      s"""WITH enc AS (SELECT * FROM (
-         |${bpeEncode.body(d)}
-         |)),
-         |lt AS (SELECT doc_id, ${toks(d)} AS toks FROM documents),
-         |lg AS (SELECT doc_id, ${langGuessCase(en, id)} AS lang_guess FROM lt)
-         |SELECT lg.lang_guess, COUNT(*) AS n_docs,
-         |  CAST(SUM(enc.n_tokens) AS BIGINT) AS n_tokens,
-         |  CAST(SUM(enc.n_subtokens) AS BIGINT) AS n_subtokens,
-         |  ${r6("CAST(SUM(enc.n_subtokens) AS DOUBLE) / CAST(SUM(enc.n_tokens) AS DOUBLE)")} AS fertility
-         |FROM enc JOIN lg ON enc.doc_id = lg.doc_id
-         |GROUP BY lg.lang_guess""".stripMargin
-    })
-
-  /** Mergeable fixed-bin histogram → interpolated quantile estimates
-    * per event type — the constant-state quantile sketch pattern: the
-    * (event_type, bin, cnt) table is the artifact shards emit, and
-    * GROUP BY IS the merge (associative, any tree shape), unlike an
-    * exact percentile whose state is the whole value multiset. 32
-    * equi-width bins over the observed integer-cent range; bin
-    * assignment, cumulative counts, and the p50/p95/p99 bin picks are
-    * all int64-exact, and only the final midpoint estimate touches
-    * doubles (identical IEEE sequence in both engines). Estimates are
-    * within half a bin of truth by construction — the contract a
-    * sketch consumer signs. */
-  def histogramQuantiles(d: Dialect): String = {
-    def est(bin: String): String =
-      s"(mn + ($bin + 5.0e-1) * (mx - mn + 1) / 32.0e0) / 1.0e2"
-    s"""WITH e AS (
-       |  SELECT event_type, CAST(FLOOR(value * 100 + 5.0e-1) AS BIGINT) AS c FROM events
-       |),
-       |b AS (SELECT event_type, MIN(c) AS mn, MAX(c) AS mx FROM e GROUP BY event_type),
-       |h AS (
-       |  SELECT e.event_type,
-       |    LEAST(31, ${d.idiv("(e.c - b.mn) * 32", "b.mx - b.mn + 1")}) AS bin,
-       |    COUNT(*) AS cnt, MIN(b.mn) AS mn, MIN(b.mx) AS mx
-       |  FROM e JOIN b ON e.event_type = b.event_type
-       |  GROUP BY e.event_type, LEAST(31, ${d.idiv("(e.c - b.mn) * 32", "b.mx - b.mn + 1")})
-       |),
-       |cum AS (
-       |  SELECT event_type, bin, cnt, mn, mx,
-       |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cm,
-       |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS tot
-       |  FROM h
-       |)
-       |SELECT event_type, tot AS n,
-       |  ${r6(est("MIN(CASE WHEN cm * 2 >= tot THEN bin END)"))} AS p50_est,
-       |  ${r6(est("MIN(CASE WHEN cm * 20 >= tot * 19 THEN bin END)"))} AS p95_est,
-       |  ${r6(est("MIN(CASE WHEN cm * 100 >= tot * 99 THEN bin END)"))} AS p99_est
-       |FROM cum GROUP BY event_type, tot, mn, mx""".stripMargin
-  }
-
-  /** Banded hamming near-dup join over perceptual image hashes — the
-    * simhash banding pattern applied to the aHash bit strings: each
-    * 64-bit hash splits into 4 × 16-bit bands, candidates share at
-    * least one exact band (equi-join, never all-pairs), and the exact
-    * hamming distance verifies ≤ 6 over the bounded candidate set.
-    * Like minhash/simhash banding this is recall-approximate (6 flips
-    * CAN straddle all 4 bands); the guarantee is one-sided — every
-    * emitted pair is exact-verified. Expects a `phash_tbl(doc_id,
-    * phash)` relation (Spark: the [[graft.ops.Multimodal.aHash]]
-    * output registered as a view; oracle: the same hash re-derived in
-    * pure SQL). Scale shape: band explode is ×4 narrow, the join is
-    * hash-equi on (band, key), the 64-position hamming explode runs
-    * only on candidates. */
-  def phashNear(d: Dialect): String =
-    s"""WITH bnd AS (
-       |  SELECT doc_id, phash, b, substr(phash, 1 + b * 16, 16) AS key
-       |  FROM (${d.explode("SELECT doc_id, phash, " + d.seqArray("0", "3") +
-                            " AS bs FROM phash_tbl", "doc_id, phash", "bs", "b")})
-       |),
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-       |    x.phash AS pa, y.phash AS pb
-       |  FROM bnd x JOIN bnd y
-       |    ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
-       |),
-       |pe AS (
-       |  SELECT doc_a, doc_b, pa, pb, i
-       |  FROM (${d.explode("SELECT doc_a, doc_b, pa, pb, " + d.seqArray("1", "64") +
-                            " AS ii FROM cand", "doc_a, doc_b, pa, pb", "ii", "i")}
-       |  )
-       |),
-       |hm AS (
-       |  SELECT doc_a, doc_b,
-       |    CAST(SUM(CASE WHEN substr(pa, i, 1) <> substr(pb, i, 1)
-       |             THEN 1 ELSE 0 END) AS BIGINT) AS hamming
-       |  FROM pe GROUP BY doc_a, doc_b
-       |)
-       |SELECT doc_a, doc_b, hamming FROM hm WHERE hamming <= 6""".stripMargin
-
-  /** Dedup-cluster quality eval: pairwise precision/recall/F1 of the
-    * minhash cluster map's co-membership against the EXACT-duplicate
-    * ground truth (same content hash in the two-snapshot corpus —
-    * known by construction: every document appears twice). Pair
-    * counts are closed-form (Σ C(n,2) per group — never an O(n²)
-    * pair explode): true pairs per content hash, predicted pairs per
-    * cluster, true positives per (cluster, hash) cell. A near-dup
-    * edge joining two DISTINCT texts scores as a false positive under
-    * this exact-text truth — that is the honest reading: the metric
-    * measures how much beyond exact duplication the near-dup gate
-    * reaches. Expects a `clusters(doc_id, cluster_id)` relation (the
-    * [[splitLeakageSafe]] convention); integers throughout, r6'd
-    * ratios at the end. */
-  def dedupClusterEval(d: Dialect): String = {
-    def c2(n: String): String = d.idiv(s"($n) * (($n) - 1)", "2")
-    s"""WITH ${corpusCte(d)},
-       |ch AS (SELECT doc_id, md5(text) AS h FROM corpus),
-       |tp_h AS (
-       |  SELECT CAST(SUM(${c2("n")}) AS BIGINT) AS true_pairs
-       |  FROM (SELECT h, CAST(COUNT(*) AS BIGINT) AS n FROM ch GROUP BY h)
-       |),
-       |pp AS (
-       |  SELECT CAST(SUM(${c2("n")}) AS BIGINT) AS pred_pairs
-       |  FROM (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n
-       |        FROM clusters GROUP BY cluster_id)
-       |),
-       |tp AS (
-       |  SELECT CAST(SUM(${c2("n")}) AS BIGINT) AS tp
-       |  FROM (
-       |    SELECT k.cluster_id, c.h, CAST(COUNT(*) AS BIGINT) AS n
-       |    FROM clusters k JOIN ch c ON k.doc_id = c.doc_id
-       |    GROUP BY k.cluster_id, c.h
-       |  )
-       |)
-       |SELECT true_pairs, pred_pairs, tp,
-       |  ${r6("CAST(tp AS DOUBLE) / pred_pairs")} AS precision_pairs,
-       |  ${r6("CAST(tp AS DOUBLE) / true_pairs")} AS recall_pairs,
-       |  ${r6("2.0e0 * tp / (pred_pairs + true_pairs)")} AS f1_pairs
-       |FROM tp_h CROSS JOIN pp CROSS JOIN tp""".stripMargin
-  }
-
-  /** Leakage-safe corpus split: assign every near-dup CLUSTER — not
-    * every document — to train/val/test by hashing its cluster
-    * representative (singletons hash their own id), so duplicate
-    * documents can never straddle a split boundary and leak eval
-    * content into training. Expects a `clusters(doc_id, cluster_id)`
-    * relation (the staged dedup cluster map; the oracle re-derives it
-    * with the recursive-CTE closure). The audit column counts the
-    * clusters that WOULD have straddled under the naive per-document
-    * hash ([[corpusSplit]]'s rule) — the leakage this op exists to
-    * prevent, measured on the same corpus. Scale shape: one broadcast
-    * of nothing — a left join on doc_id, a hash projection, and two
-    * group-bys; the 80/10/10 bucket split matches [[corpusSplit]]. */
-  /** Quality × duplication cross-check — the corpus-insight readout
-    * behind "dedup improves data quality" claims: the HIGH-quality
-    * rate (score ≥ 0.6 — the corpus-median region, deliberately
-    * stricter than the 0.4 release gate which passes ~99.7% of this
-    * fixture and would carry no signal) among genuinely duplicated
-    * docs (cluster containing a SECOND base document — snapshot
-    * twins don't count, the threshold-sweep rule) against the unique
-    * docs, with a pooled
-    * two-proportion z (the [[abTest]] arithmetic: exact integer
-    * counts, one fixed correctly-rounded IEEE sequence, NULL on a
-    * degenerate pool). A strongly negative z says duplicates skew
-    * low-quality (dedup doubles as a quality filter); ~0 says the
-    * two axes are independent and must both run. Consumes the staged
-    * cluster map through the `clusters` view (the splitLeakageSafe
-    * wiring; oracle prepends the recursive-CTE closure). */
-  def qualityVsDup(d: Dialect): String = {
-    val quality = qualityFormula(
-      nWords = d.size("toks"),
-      stopRatio = s"CAST(${stopHitsExpr(d)} AS DOUBLE) / ${d.size("toks")}",
-      avgWlen = s"CAST(length(replace(text, ' ', '')) AS DOUBLE) / ${d.size("toks")}")
-    s"""WITH ${corpusCte(d)},
-       |g AS (
-       |  SELECT c.doc_id, COALESCE(k.cluster_id, c.doc_id) AS grp
-       |  FROM corpus c LEFT JOIN clusters k ON c.doc_id = k.doc_id
-       |),
-       |gb AS (
-       |  SELECT grp, COUNT(DISTINCT ${d.idiv("doc_id", "2")}) AS nb
-       |  FROM g GROUP BY grp
-       |),
-       |qt AS (SELECT doc_id, text, ${toks(d)} AS toks FROM corpus),
-       |q AS (
-       |  SELECT doc_id,
-       |    CASE WHEN $quality >= 6.0e-1 THEN 1 ELSE 0 END AS pass
-       |  FROM qt
-       |),
-       |agg AS (
-       |  SELECT
-       |    CAST(SUM(CASE WHEN gb.nb >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-       |    CAST(SUM(CASE WHEN gb.nb >= 2 THEN q.pass ELSE 0 END) AS BIGINT) AS x1,
-       |    CAST(SUM(CASE WHEN gb.nb >= 2 THEN 0 ELSE 1 END) AS BIGINT) AS n2,
-       |    CAST(SUM(CASE WHEN gb.nb >= 2 THEN 0 ELSE q.pass END) AS BIGINT) AS x2
-       |  FROM g
-       |  JOIN gb ON gb.grp = g.grp
-       |  JOIN q ON q.doc_id = g.doc_id
-       |)
-       |SELECT n1 AS n_dup, n2 AS n_unique, x1 AS pass_dup, x2 AS pass_unique,
-       |  CASE WHEN n1 = 0 THEN NULL ELSE ${r6("CAST(x1 AS DOUBLE) / n1")} END
-       |    AS dup_pass_rate,
-       |  CASE WHEN n2 = 0 THEN NULL ELSE ${r6("CAST(x2 AS DOUBLE) / n2")} END
-       |    AS unique_pass_rate,
-       |  CASE WHEN n1 = 0 OR n2 = 0 OR x1 + x2 = 0 OR x1 + x2 = n1 + n2 THEN NULL
-       |       ELSE ${r6(
-                 """(CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
-                   | / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
-                   |        * (1.0e0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
-                   |        * (1.0e0 / n1 + 1.0e0 / n2))""".stripMargin)}
-       |  END AS z_score
-       |FROM agg""".stripMargin
-  }
-
-  def splitLeakageSafe(d: Dialect): String = {
-    def bucketOf(x: String): String =
-      s"""CASE WHEN ${md5Bucket(x)} < 205 THEN 'train'
-         |         WHEN ${md5Bucket(x)} < 230 THEN 'val'
-         |         ELSE 'test' END""".stripMargin
-    s"""WITH ${corpusCte(d)},
-       |g AS (
-       |  SELECT c.doc_id, COALESCE(k.cluster_id, c.doc_id) AS grp
-       |  FROM corpus c LEFT JOIN clusters k ON c.doc_id = k.doc_id
-       |)
-       |SELECT doc_id, grp,
-       |  ${bucketOf("CAST(grp AS STRING)")} AS split,
-       |  ${bucketOf("CAST(doc_id AS STRING)")} AS naive_split
-       |FROM g""".stripMargin
-  }
-
-  /** Per-duplicate-cluster SOURCE diversity — the provenance monitor a
-    * dedup pipeline reads before deleting: a multi-doc cluster whose
-    * members span many sources is syndication/boilerplate (safe to
-    * collapse to one copy), one concentrated in a single source is a
-    * crawler loop or a template farm (worth excluding wholesale).
-    * Shannon entropy over member sources in the exact µ-bit arithmetic
-    * of [[textEntropy]] (H = log2(n) − (Σ c·log2 c)/n; each c·log2 c
-    * term quantized to int64 micro-bits BEFORE the order-independent
-    * sum), computed off the staged cluster map (`clusters` view)
-    * joined to the snapshot corpus — both snapshot copies inherit the
-    * original's source. Multi-doc clusters only, biggest first,
-    * top 20; at 100 TB this is one map-side-combinable rollup over the
-    * cluster map plus a TakeOrdered. */
-  def clusterSourceEntropy(d: Dialect): String =
-    s"""WITH ${corpusCte(d, "source")},
-       |m AS (
-       |  SELECT k.cluster_id, c.source
-       |  FROM clusters k JOIN corpus c ON k.doc_id = c.doc_id
-       |),
-       |cs AS (SELECT cluster_id, source, COUNT(*) AS c FROM m GROUP BY cluster_id, source),
-       |agg AS (
-       |  SELECT cluster_id, CAST(SUM(c) AS BIGINT) AS n,
-       |    CAST(COUNT(*) AS BIGINT) AS n_sources,
-       |    SUM(CAST(FLOOR(c * log2(CAST(c AS DOUBLE)) * 1.0e6 + 5.0e-1) AS BIGINT)) AS sq
-       |  FROM cs GROUP BY cluster_id
-       |)
-       |SELECT cluster_id, n AS n_docs, n_sources,
-       |  ${r6("log2(CAST(n AS DOUBLE)) - CAST(sq AS DOUBLE) / 1.0e6 / n")} AS source_entropy_bits
-       |FROM agg
-       |WHERE n >= 2
-       |ORDER BY n DESC, cluster_id LIMIT 20""".stripMargin
-
-  /** Temporal train/test split with a TIME-TRAVEL leakage audit — the
-    * evaluation-hygiene sibling of the cluster-aware content split:
-    * compares the two standard strategies over the event stream in
-    * one query.
-    *  - `per_user_holdout` (the recsys default: each user's LAST
-    *    event is test) leaks future GLOBAL information — a user's
-    *    held-out event can precede other users' training events, so a
-    *    model with any cross-user signal trains on the future of its
-    *    own test set. The audit COUNTS those events (test es <
-    *    global train max).
-    *  - `global_cutoff` (train = events AT-OR-BEFORE the
-    *    80th-percentile timestamp, test strictly after) is
-    *    leakage-free BY CONSTRUCTION, and the audit proving 0 here is
-    *    the gate's self-check.
-    * One user-sharded window for the holdout rank, one percentile
-    * scalar for the cutoff, map-side-combinable counting aggregates;
-    * each strategy scans its labeled events twice (once for the
-    * broadcast single-row train-max, once for the counts) — the
-    * two-pass shape that avoids a single-partition global window. */
-  def splitTemporal(d: Dialect): String = {
-    val es = d.epochSeconds("ts")
-    def strat(name: String, part: String, from: String): String =
-      s"""SELECT '$name' AS strategy,
-         |  CAST(SUM(CASE WHEN $part = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
-         |  CAST(SUM(CASE WHEN $part = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
-         |  CAST(SUM(CASE WHEN $part = 'test' AND es < mx THEN 1 ELSE 0 END) AS BIGINT) AS leaky_test_events
-         |FROM $from CROSS JOIN (SELECT MAX(es) AS mx FROM $from WHERE $part = 'train')""".stripMargin
-    s"""WITH e AS (SELECT user_id, event_id, $es AS es FROM events),
-       |r AS (
-       |  SELECT user_id, event_id, es,
-       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY es DESC, event_id DESC) AS rk
-       |  FROM e
-       |),
-       |pu AS (SELECT es, CASE WHEN rk = 1 THEN 'test' ELSE 'train' END AS part FROM r),
-       |cut AS (SELECT ${d.percentileCont("es", "8.0e-1")} AS c80 FROM e),
-       |g AS (
-       |  SELECT es, CASE WHEN es <= c80 THEN 'train' ELSE 'test' END AS part
-       |  FROM e CROSS JOIN cut
-       |)
-       |${strat("per_user_holdout", "part", "pu")}
-       |UNION ALL
-       |${strat("global_cutoff", "part", "g")}""".stripMargin
-  }
-
-  /** The split report over a materialized `split_a` assignment (the
-    * [[splitLeakageSafe]] output — two consumers: the straddle audit
-    * and the per-split rollup; inlined, each reference would re-run
-    * the corpus⋈clusters join). */
-  def splitReport(d: Dialect): String =
-    s"""WITH straddle AS (
-       |  SELECT CAST(COUNT(*) AS BIGINT) AS naive_straddling_groups
-       |  FROM (SELECT grp FROM split_a GROUP BY grp HAVING COUNT(DISTINCT naive_split) > 1)
-       |)
-       |SELECT split, COUNT(*) AS n_docs,
-       |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
-       |  MIN(naive_straddling_groups) AS naive_straddling_groups
-       |FROM split_a CROSS JOIN straddle
-       |GROUP BY split""".stripMargin
-
-  /** Cluster-safe K-fold assignment for [[splitKfoldReport]]: every
-    * near-dup CLUSTER (singletons = their own id) hashes to one of
-    * [[KfoldK]] folds, so duplicates can never straddle a CV fold
-    * boundary — the cross-validation sibling of [[splitLeakageSafe]].
-    * The naive per-document fold rides along for the straddle audit.
-    * Same scale shape: a left join, a hash projection, group-bys. */
-  def splitKfoldAssign(d: Dialect): String =
-    s"""WITH ${corpusCte(d)},
-       |g AS (
-       |  SELECT c.doc_id, COALESCE(k.cluster_id, c.doc_id) AS grp
-       |  FROM corpus c LEFT JOIN clusters k ON c.doc_id = k.doc_id
-       |)
-       |SELECT doc_id, grp,
-       |  ${md5Bucket("CAST(grp AS STRING)")} % $KfoldK AS fold,
-       |  ${md5Bucket("CAST(doc_id AS STRING)")} % $KfoldK AS naive_fold
-       |FROM g""".stripMargin
-
-  private val KfoldK = 5
-
-  /** K-fold readout off the materialized assignment (`kfold_a` view):
-    * per fold the doc/group counts and the train-side size (each fold
-    * serves as validation once), plus two corpus scalars — the groups
-    * the NAIVE per-doc hash would have split across folds (the
-    * leakage this op prevents) and the max/min fold balance ratio.
-    * Single-row scalars broadcast through cross joins. The fold
-    * domain is the LITERAL 0..K−1 list, left-joined: a fold that
-    * received zero docs still emits its row (n_docs = 0) and drives
-    * the balance ratio to NULL — a GROUP BY over the assignment
-    * would silently omit it and the MIN would read healthy, the
-    * exact pathology this audit exists to flag. */
-  def splitKfoldReport(d: Dialect): String = {
-    val dom = (0 until KfoldK).map(k => s"SELECT $k AS fold").mkString(" UNION ALL ")
-    s"""WITH straddle AS (
-       |  SELECT CAST(COUNT(*) AS BIGINT) AS naive_straddling_groups
-       |  FROM (SELECT grp FROM kfold_a GROUP BY grp HAVING COUNT(DISTINCT naive_fold) > 1)
-       |),
-       |dom AS ($dom),
-       |f0 AS (
-       |  SELECT fold, COUNT(*) AS n_docs,
-       |    CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups
-       |  FROM kfold_a GROUP BY fold
-       |),
-       |f AS (
-       |  SELECT dom.fold,
-       |    CAST(COALESCE(f0.n_docs, 0) AS BIGINT) AS n_docs,
-       |    CAST(COALESCE(f0.n_groups, 0) AS BIGINT) AS n_groups
-       |  FROM dom LEFT JOIN f0 ON f0.fold = dom.fold
-       |),
-       |tot AS (
-       |  SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
-       |    CAST(MAX(n_docs) AS BIGINT) AS mx, CAST(MIN(n_docs) AS BIGINT) AS mn
-       |  FROM f
-       |)
-       |SELECT CAST(f.fold AS BIGINT) AS fold, f.n_docs, f.n_groups,
-       |  t.total - f.n_docs AS train_docs,
-       |  s.naive_straddling_groups,
-       |  CASE WHEN t.mn = 0 THEN NULL
-       |       ELSE ${r6("CAST(t.mx AS DOUBLE) / t.mn")} END AS balance_ratio
-       |FROM f CROSS JOIN tot t CROSS JOIN straddle s
-       |ORDER BY fold""".stripMargin
-  }
-
-  /** Runtime-filter (semi-join reduction) on a big⋈big join — the
-    * 100 TB staple Spark's own runtime filters automate for simple
-    * cases, expressed explicitly: the FILTERED orders slice folds its
-    * join keys into ONE bloom value (bloom_filter_agg), and the
-    * lineitem side is prefiltered with might_contain BEFORE the
-    * shuffle join, so the exchange carries only probable matches
-    * (slice selectivity + fpp of the fact table) instead of every
-    * row. Bloom false positives are eliminated by the exact equi-join
-    * that follows — the gate is result-invisible, which the oracle
-    * proves by running the ungated exact form (the
-    * contamination-bloom pattern applied to a fact⋈fact join).
-    * Revenue stays in DECIMAL until the final cast. */
-  def joinBloomGate(d: Dialect): String =
-    s"""WITH ords AS (
-       |  SELECT o_orderkey AS l_orderkey, o_orderpriority FROM orders
-       |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
-       |    AND year(o_orderdate) * 100 + month(o_orderdate) BETWEEN 199501 AND 199503
-       |),
-       |${d.bloomPrefilter("lgate", "lineitem", "ords", "l_orderkey")}
-       |SELECT o.o_orderpriority, COUNT(*) AS n_items,
-       |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-       |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
-       |FROM lgate l JOIN ords o ON l.l_orderkey = o.l_orderkey
-       |GROUP BY o.o_orderpriority""".stripMargin
-
-  /** First principal component of the embedding matrix by POWER
-    * ITERATION — distributed PCA with nothing but joins and groupBys:
-    * center the µ-quantized matrix once (staged), then each iteration
-    * is matvec s = Xv (corpus pass, 64-row broadcast join on pos) and
-    * vecmat w = Xᵀs (corpus pass, join on vec_id), with s and w
-    * rescaled between passes via exact int64 floor division
-    * ([[floorDiv]] — dividend made an exact multiple first, so Spark
-    * DIV ≡ DuckDB //). Three iterations from the all-ones start;
-    * every sum is int64 with the headroom COMPUTED from the staged
-    * envelope (`<p>_env`: cardinalities + matrix magnitude): the
-    * rescale target is the largest T ≤ 1e6 with terms·mxcv·T ≤
-    * 9.2e18 ([[pcaTargetCte]]), so a 100× scale-up in rows trades
-    * per-round precision digits automatically instead of silently
-    * wrapping (the old manual "drop a decade per 10× rows" rule,
-    * now arithmetic). Each N-row intermediate is a
-    * STAGE, not a CTE, because Spark inlines CTEs — the s table is
-    * read by both its max and the vecmat, and as a CTE the corpus
-    * pass would run twice per reference chain, compounding per round.
-    * The iterative stages ARE the computation (pagerankIter rule:
-    * never prewarmed). */
-  /** The power-iteration stage chain over a centered matrix table
-    * `cvTbl(vec_id, pos, cv)`: per round, matvec `<p>_s$r` then vecmat
-    * `<p>_w$r` — THE one copy of the iteration, shared by the first
-    * component ([[pcaPower]], prefix `pca`) and the deflated second
-    * component ([[pcaDeflate]], prefix `pcb`). */
-  /** Power-iteration round count, shared by the trainer and every
-    * consumer of its final stage (`pca_w$PcaRounds`) — hardcoding the
-    * stage name in a reader would silently pin it to a stale iterate
-    * if the round count ever changed. */
-  private val PcaRounds = 3
-
-  private def powerIterStages(prefix: String, cvTbl: String, rounds: Int)
-      : Seq[(String, Dialect => String)] =
-    (s"${prefix}_env" -> { (_: Dialect) =>
-      // the overflow envelope's inputs, ONE matrix pass staged up
-      // front: row/column cardinalities and the matrix magnitude.
-      // Every interior rescale derives its target from these instead
-      // of a fixed 1e6 — the manual "drop a decade per 10× rows"
-      // rule, computed (see pcaScaled)
-      s"""SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vec,
-         |  CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_pos,
-         |  GREATEST(COALESCE(CAST(MAX(ABS(cv)) AS BIGINT), 1), 1) AS mxcv
-         |FROM $cvTbl""".stripMargin
-    }) +: (1 to rounds).flatMap { r =>
-      Seq(
-        s"${prefix}_s$r" -> { (d: Dialect) =>
-          val v =
-            if (r == 1)
-              // the all-ones start at the ENVELOPE target, not a fixed
-              // 1e6 — the very first matvec must respect the same
-              // headroom as every later round
-              s"""${pcaTargetCte(d, s"${prefix}_env", "n_pos")},
-                 |v AS (SELECT DISTINCT c.pos, t.tq AS vq
-                 |      FROM $cvTbl c CROSS JOIN tgt t)""".stripMargin
-            else
-              s"""${pcaScaled(d, s"${prefix}_w${r - 1}", "pos", "w", "vq",
-                              Some((s"${prefix}_env", "n_pos")))},
-                 |v AS (SELECT pos, vq FROM sc)""".stripMargin
-          s"""WITH $v
-             |SELECT c.vec_id, CAST(SUM(c.cv * v.vq) AS BIGINT) AS sv
-             |FROM $cvTbl c JOIN v ON c.pos = v.pos
-             |GROUP BY c.vec_id""".stripMargin
-        },
-        s"${prefix}_w$r" -> { (d: Dialect) =>
-          s"""WITH ${pcaScaled(d, s"${prefix}_s$r", "vec_id", "sv", "sn",
-                               Some((s"${prefix}_env", "n_vec")))}
-             |SELECT c.pos, CAST(SUM(c.cv * s.sn) AS BIGINT) AS w
-             |FROM $cvTbl c JOIN sc s ON c.vec_id = s.vec_id
-             |GROUP BY c.pos""".stripMargin
-        })
-    }
-
-  /** The centered µ-quantized matrix — the input every PCA op shares
-    * (trainer, projector, deflation, and the timed-alias iteration). */
-  private val pcaMatrixStages: Seq[(String, Dialect => String)] = Seq(
-    // (vec_id, pos, qv): the matrix in µ-units — ONE explode pass
-    "pca_q" -> { (d: Dialect) =>
-      s"""SELECT vec_id, pos, ${qvExpr("ev")} AS qv
-         |FROM (${d.explodeWithPos("SELECT vec_id, embedding FROM embeddings",
-                                   "vec_id", "embedding", "pos", "ev")})""".stripMargin
-    },
-    // centered matrix: per-pos floor-mean subtracted (floor keeps
-    // the centering exact in int64; the constant sub-µ offset per
-    // pos is irrelevant to the dominant direction)
-    "pca_cv" -> { (d: Dialect) =>
-      s"""WITH mu AS (
-         |  SELECT pos, ${floorDiv(d)("CAST(SUM(qv) AS BIGINT)", "COUNT(*)")} AS mu
-         |  FROM pca_q GROUP BY pos
-         |)
-         |SELECT q.vec_id, q.pos, q.qv - mu.mu AS cv
-         |FROM pca_q q JOIN mu ON q.pos = mu.pos""".stripMargin
-    })
-
-  val pcaPower: StagedOp = StagedOp(
-    stages = pcaMatrixStages ++ powerIterStages("pca", "pca_cv", PcaRounds),
-    body = { d =>
-      s"""WITH ${pcaScaled(d, s"pca_w$PcaRounds", "pos", "w", "vq")}
-         |SELECT CAST(pos AS BIGINT) AS pos,
-         |  ${r6("CAST(vq AS DOUBLE) / 1.0e6")} AS component
-         |FROM sc""".stripMargin
-    })
-
-  /** The SAME power iteration under alias stage names (`pci_*`) — the
-    * variant q_pca_power_iter times. The canonical `pca_*` chain has
-    * THREE consumers (trainer output, projection read path, deflation
-    * input) and is therefore prewarmed like every multi-consumer
-    * artifact; but the iteration itself IS this query's computation,
-    * so it re-runs the rounds under names no other query reads —
-    * first-consumer billing stops depending on bench name order.
-    * Identical int64 arithmetic on the same prewarmed centered matrix
-    * → identical result to reading `pca_w3`, and the oracle proves
-    * that every run. */
-  val pcaPowerTimed: StagedOp = StagedOp(
-    stages = pcaMatrixStages ++ powerIterStages("pci", "pca_cv", PcaRounds),
-    body = { d =>
-      s"""WITH ${pcaScaled(d, s"pci_w$PcaRounds", "pos", "w", "vq")}
-         |SELECT CAST(pos AS BIGINT) AS pos,
-         |  ${r6("CAST(vq AS DOUBLE) / 1.0e6")} AS component
-         |FROM sc""".stripMargin
-    })
-
-  /** The PCA read path: project every (centered) vector onto the
-    * learned first component ([[pcaPower]]'s staged iteration output)
-    * and report its signed projection length plus its squared
-    * alignment (cos² between the centered vector and the component) —
-    * the residual outlier score an embedding-quality monitor tracks:
-    * align2 → 1 means the vector is explained by the dominant
-    * direction, → 0 an off-axis outlier. One pass over the staged
-    * centered matrix joined with the broadcast 64-row component; all
-    * sums are int64 (the pcaPower overflow bounds), and the only
-    * float ops are the final sqrt/divisions on exact integer operands
-    * — identical IEEE sequences in both engines. */
-  val pcaProject: StagedOp = StagedOp(
-    stages = pcaPower.stages,
-    body = { d =>
-      // ENVELOPE-target rescale, not the fixed 1e6: this vq feeds the
-      // int64 projection sums below (Σ cv·vq over n_pos terms), which
-      // would silently wrap in Spark at the matrix magnitudes the
-      // adaptive envelope exists for. proj/align2 are RATIOS of t and
-      // √nv2, so the vq scale cancels — at test magnitudes the clamp
-      // makes this byte-identical to the fixed target
-      s"""WITH ${pcaScaled(d, s"pca_w$PcaRounds", "pos", "w", "vq",
-                           Some(("pca_env", "n_pos")))},
-         |vs AS (SELECT CAST(SUM(vq * vq) AS BIGINT) AS nv2 FROM sc),
-         |p AS (
-         |  SELECT c.vec_id,
-         |    CAST(SUM(c.cv * v.vq) AS BIGINT) AS t,
-         |    CAST(SUM(c.cv * c.cv) AS BIGINT) AS ss
-         |  FROM pca_cv c JOIN sc v ON c.pos = v.pos
-         |  GROUP BY c.vec_id
-         |)
-         |SELECT vec_id,
-         |  ${r6("CAST(t AS DOUBLE) / 1.0e6 / sqrt(CAST(nv2 AS DOUBLE)) ")} AS proj,
-         |  CASE WHEN ss = 0 THEN NULL
-         |       ELSE ${r6("CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / (CAST(ss AS DOUBLE) * CAST(nv2 AS DOUBLE))")}
-         |  END AS align2
-         |FROM p CROSS JOIN vs""".stripMargin
-    })
-
-  /** SECOND principal component by DEFLATION: subtract each vector's
-    * projection onto the learned first component from the centered
-    * matrix (rank-one update, one staged pass), then run the same
-    * power iteration on the deflated matrix — Hotelling deflation,
-    * the standard route to top-k components one at a time. The
-    * projection coefficient t·vqₚ/nv2 is computed in doubles (the
-    * int64 product would overflow; doubles on exact integer operands
-    * round identically in both engines) and half-up re-quantized to
-    * µ-units, so the deflated matrix is int64 again and every
-    * iteration sum stays exact. Orthogonality to component 1 is not
-    * assumed — the micro-oracle asserts it (|cos| ≈ 0) against an
-    * independent implementation. */
-  val pcaDeflate: StagedOp = StagedOp(
-    stages = (pcaPower.stages :+ ("pcb_cv" -> { (d: Dialect) =>
-      // envelope-target rescale — the same silent-wrap reasoning as
-      // pcaProject's body; the rank-one coefficient t·vq/nv2 is
-      // scale-invariant in vq
-      s"""WITH ${pcaScaled(d, s"pca_w$PcaRounds", "pos", "w", "vq",
-                           Some(("pca_env", "n_pos")))},
-         |vs AS (SELECT CAST(SUM(vq * vq) AS BIGINT) AS nv2 FROM sc),
-         |t AS (
-         |  SELECT c.vec_id, CAST(SUM(c.cv * v.vq) AS BIGINT) AS t
-         |  FROM pca_cv c JOIN sc v ON c.pos = v.pos
-         |  GROUP BY c.vec_id
-         |)
-         |SELECT c.vec_id, c.pos,
-         |  c.cv - CAST(FLOOR(CAST(t.t AS DOUBLE) * CAST(v.vq AS DOUBLE)
-         |                    / CAST(vs.nv2 AS DOUBLE) + 5.0e-1) AS BIGINT) AS cv
-         |FROM pca_cv c
-         |JOIN t ON c.vec_id = t.vec_id
-         |JOIN sc v ON c.pos = v.pos
-         |CROSS JOIN vs""".stripMargin
-    })) ++ powerIterStages("pcb", "pcb_cv", PcaRounds),
-    body = { d =>
-      s"""WITH ${pcaScaled(d, s"pcb_w$PcaRounds", "pos", "w", "vq")}
-         |SELECT CAST(pos AS BIGINT) AS pos,
-         |  ${r6("CAST(vq AS DOUBLE) / 1.0e6")} AS component2
-         |FROM sc""".stripMargin
-    })
-
-  /** The adaptive rescale target: the largest T ≤ 1e6 with
-    * terms · mxcv · T ≤ 9.2e18 (int64 headroom), so the NEXT stage's
-    * sum of `terms` products of a ≤ mxcv matrix entry and a ≤ T
-    * rescaled component can never wrap — Spark wraps int64 silently
-    * where DuckDB raises, so an overflow here would be a silent wrong
-    * answer, not a crash. Division twice (9.2e18 ÷ mxcv ÷ terms)
-    * keeps every intermediate in range at ANY cardinality; at the
-    * test scales the clamp at 1e6 makes this the identity of the old
-    * fixed target. Floor-of-floor is ≤ the true quotient, so the
-    * bound errs conservative. */
-  private def pcaTargetCte(d: Dialect, envTbl: String, termsCol: String): String =
-    s"""tgt AS (SELECT GREATEST(1, LEAST(1000000,
-       |  ${d.idiv(d.idiv("9200000000000000000", "mxcv"), termsCol)})) AS tq
-       |  FROM $envTbl)""".stripMargin
-
-  /** Rescale a (key, col) table's int64 column to ≤ the envelope
-    * target (≤1e6 µ-units): divisor is ceil(max|x| / target),
-    * computed and applied in pure int64 — THE one copy of the
-    * power-iteration rescale, shared by [[pcaPower]]'s iterations and
-    * [[pcaProject]]'s read path so the projection cannot drift from
-    * the trainer's scaling. `env = Some((envTbl, termsCol))` derives
-    * the target from the staged envelope ([[pcaTargetCte]] — interior
-    * iteration rescales, whose output feeds another int64 sum); None
-    * keeps the fixed 1e6 — ONLY for final component outputs, whose
-    * µ-unit scale is the published contract and whose values feed
-    * nothing but the /1e6 double conversion; every rescale whose
-    * output enters another int64 sum must pass the envelope. Emits a
-    * CTE chain ending in sc(key, out). */
-  private def pcaScaled(d: Dialect, tbl: String, key: String, col: String, out: String,
-                        env: Option[(String, String)] = None): String = {
-    val tgt = env match {
-      case Some((envTbl, termsCol)) => pcaTargetCte(d, envTbl, termsCol)
-      case None => "tgt AS (SELECT CAST(1000000 AS BIGINT) AS tq)"
-    }
-    s"""mxt AS (SELECT GREATEST(COALESCE(CAST(MAX(ABS($col)) AS BIGINT), 1), 1) AS mx
-       |        FROM $tbl),
-       |$tgt,
-       |dvt AS (SELECT 1 + ${d.idiv("mx - 1", "tq")} AS dm FROM mxt CROSS JOIN tgt),
-       |sc AS (SELECT $key, ${floorDiv(d)(col, "dm")} AS $out
-       |       FROM $tbl CROSS JOIN dvt)""".stripMargin
-  }
 }

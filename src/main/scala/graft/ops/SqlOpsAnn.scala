@@ -1,0 +1,1514 @@
+package graft.ops
+
+/** Similarity search over embeddings: brute-force kNN, sign-LSH, IVF (+multi-probe/delta), PQ/ADC, IVF-PQ shortlist, SemDeDup, margin mining, attribution.
+  *
+  * Split out of the single-file SqlOps (r11) as a PURE MOVE: member
+  * order across the [[SqlOpsAll]] linearization equals the pre-split
+  * declaration order, so val-initialization semantics are unchanged.
+  * The self-type keeps every cross-domain reference compiling against
+  * the same single [[SqlOps]] instance.
+  */
+trait SqlOpsAnn { this: SqlOpsAll =>
+
+  // ---- similarity search over embeddings ----
+
+  private[ops] def normExpr(d: Dialect, e: String): String =
+    s"sqrt(${d.dot(e, e)})"
+
+  private[ops] def dotExpr(d: Dialect, a: String, b: String): String = d.dot(a, b)
+
+  /** Number of 8-bit sign-LSH bands (dims 1-8, 9-16, … — one band per
+    * 8 dims, 256 cells each, all 64 dims used). Shared by the nv stage
+    * and the cosine near-dup gate so the geometry changes in exactly
+    * one place. */
+  private[ops] val SignBands = 8
+
+  /** Normalized-vector stage shared by the similarity ops: L2 norm plus
+    * the 8-bit sign-LSH band keys. One pass over the embeddings,
+    * materialized before any self-join. Band 1 doubles as the single
+    * sign-LSH ANN bucket; the cosine near-dup gate ORs all bands
+    * (minhash-style banding: small per-band candidate sets, recall
+    * recovered by the union — measured on this corpus: 8 OR'd bands
+    * see 3.1% of all pairs at BETTER recall than the old single 4-bit
+    * bucket's 6.2%). */
+  private[ops] def nvStage(d: Dialect): String = {
+    def bkt(lo: Int, hi: Int) = (lo to hi).map { i =>
+      s"(CASE WHEN ${d.elem("embedding", i.toString)} > 0 THEN '1' ELSE '0' END)"
+    }.mkString("concat(", ", ", ")")
+    val bandCols = (0 until SignBands)
+      .map(b => s"${bkt(8 * b + 1, 8 * b + 8)} AS sb${b + 1}").mkString(",\n  ")
+    // zero-norm vectors are excluded at the stage: cosine against them
+    // is 0/0, where the engines diverge (Spark NULL vs DuckDB NaN, with
+    // different sort positions) — a vector with no direction has no
+    // meaningful neighbors in any of the downstream ops
+    s"""SELECT vec_id, embedding, nrm,
+       |  $bandCols
+       |FROM (SELECT vec_id, embedding, ${normExpr(d, "embedding")} AS nrm FROM embeddings)
+       |WHERE nrm > 0""".stripMargin
+  }
+
+  /** Brute-force cosine top-10 for a bounded query set (vec_id < 5).
+    * The correctness baseline: exact, O(|Q|·N). */
+  val knnBruteForce: StagedOp = StagedOp(
+    stages = Seq("emb_nv" -> nvStage),
+    body = { d =>
+      s"""WITH qs AS (SELECT * FROM emb_nv WHERE vec_id < 5),
+         |pairs AS (
+         |  SELECT qs.vec_id AS query_id, t.vec_id AS neighbor_id,
+         |    ${r6(dotExpr(d, "qs.embedding", "t.embedding") + " / (qs.nrm * t.nrm)")} AS cosine
+         |  FROM qs JOIN emb_nv t ON t.vec_id <> qs.vec_id
+         |)
+         |SELECT query_id, neighbor_id, cosine, rk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         |  FROM pairs
+         |) WHERE rk <= 10""".stripMargin
+    })
+
+  /** Training-data attribution by influence concentration: split the
+    * embedding corpus into an eval slice (vec_id % 10 = 0) and its
+    * training remainder, take each eval vector's top-3 training
+    * neighbors, then INVERT the lists — which training examples
+    * appear in the most eval top-k lists, and how often their label
+    * agrees with the eval vector's. The heavy hitters of this table
+    * are what a leakage audit reads: one training doc influencing
+    * many eval docs signals a near-dup cluster straddling the split
+    * (the q_split_leakage_safe failure mode, observed from the
+    * embedding side), and a low label-match rate among top
+    * attributions says proximity is NOT semantic. Top-20 by
+    * (influence, id) — deterministic.
+    *
+    * Scale shape — the pair stage is the IVF SHORTLIST, not a
+    * cartesian (the r10 verdict's one scale-killer, closed): every
+    * eval vector 2-probes the shared IVF index (broadcast-sized
+    * centroid table, exact int64 L2 ranking — the [[annIvfProbe2]]
+    * probe verbatim) and scores exact cosine only against TRAIN
+    * members of its two probed cells, so the pair cost is
+    * |ev| × 2·E[cell] instead of |ev| × |tr| — at 100 TB the eval
+    * slice need not fit broadcast and nothing is all-pairs. The
+    * shortlist is its own staged artifact (`attr_sl`) with two
+    * consumers: this inversion and [[attrShortlistRecall]], the
+    * recall@3-vs-exact readout that bounds what the probe loses
+    * (the knnBruteForce rule: the exact form stays as the shortlist's
+    * truth check, over the bounded query sample). */
+  val trainAttribution: StagedOp = StagedOp(
+    stages = Seq(
+      "emb_nv" -> nvStage,
+      "ivf_nvc" -> { d => d.ivfAssign(ivfCentCtes(d)) },
+      "ivf_cent" -> { d =>
+        s"WITH ${ivfCentCtes(d)} SELECT label, pos, qc FROM cent"
+      },
+      // the attribution shortlist: 2-probe IVF, exact cosine within
+      // probed cells, train-side members only, top-3 per eval vector
+      "attr_sl" -> { (d: Dialect) =>
+        val expQ = d.explodeWithPos(
+          "SELECT vec_id, embedding FROM ev", "vec_id", "embedding", "pos", "v")
+        val qv = qvExpr("e.v")
+        s"""WITH ev AS (SELECT * FROM ivf_nvc WHERE vec_id % 10 = 0),
+           |qd AS (
+           |  SELECT e.vec_id, c.label,
+           |    SUM(($qv - c.qc) * ($qv - c.qc)) AS dist
+           |  FROM ($expQ) e JOIN ivf_cent c ON e.pos = c.pos
+           |  GROUP BY e.vec_id, c.label
+           |),
+           |probes AS (
+           |  SELECT vec_id, label FROM (
+           |    SELECT vec_id, label,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, label) AS prk
+           |    FROM qd) p
+           |  WHERE prk <= 2
+           |),
+           |pairs AS (
+           |  SELECT ev.vec_id AS eval_id, b.vec_id AS train_id,
+           |    ${r6(dotExpr(d, "ev.embedding", "b.embedding") + " / (ev.nrm * b.nrm)")} AS cosine
+           |  FROM ev
+           |  JOIN probes p ON ev.vec_id = p.vec_id
+           |  JOIN ivf_nvc b ON b.cell = p.label AND b.vec_id % 10 <> 0
+           |)
+           |SELECT eval_id, train_id, cosine FROM (
+           |  SELECT *, ROW_NUMBER() OVER (
+           |    PARTITION BY eval_id ORDER BY cosine DESC, train_id) AS rk
+           |  FROM pairs
+           |) WHERE rk <= 3""".stripMargin
+      }),
+    body = { d =>
+      s"""WITH inf AS (
+         |  SELECT t.train_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_influenced,
+         |    CAST(SUM(CASE WHEN le.label = lt.label THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_label_match
+         |  FROM attr_sl t
+         |  JOIN embeddings le ON le.vec_id = t.eval_id
+         |  JOIN embeddings lt ON lt.vec_id = t.train_id
+         |  GROUP BY t.train_id
+         |)
+         |SELECT train_id, n_influenced, n_label_match,
+         |  ${d.idiv("1000000 * n_label_match", "n_influenced")} AS match_ppm
+         |FROM inf
+         |ORDER BY n_influenced DESC, train_id LIMIT 20""".stripMargin
+    })
+
+  /** Recall@3 of the attribution shortlist against exact brute-force
+    * cosine over the bounded query sample (vec_id % 50 = 0, a subset
+    * of the eval slice since 50 | vec_id ⇒ 10 | vec_id) — the truth
+    * check that bounds what [[trainAttribution]]'s 2-probe IVF pair
+    * stage loses vs the cartesian it replaced (the [[annEval]]
+    * drift-check pattern; the exact side is O(|Q|·N) with |Q| the 2%
+    * sample, never the full eval slice). A shortlist neighbor missing
+    * from the probed cells counts as a miss via the LEFT JOIN.
+    * MicroOracleSpec pins the measured recall floor on the fixture. */
+  val attrShortlistRecall: StagedOp = StagedOp(
+    stages = trainAttribution.stages,
+    body = { d =>
+      s"""WITH qs AS (SELECT * FROM emb_nv WHERE vec_id % 50 = 0),
+         |ep AS (
+         |  SELECT qs.vec_id AS query_id, t.vec_id AS neighbor_id,
+         |    ${r6(dotExpr(d, "qs.embedding", "t.embedding") + " / (qs.nrm * t.nrm)")} AS cosine
+         |  FROM qs JOIN emb_nv t ON t.vec_id % 10 <> 0
+         |),
+         |ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         |    FROM ep
+         |  ) WHERE rk <= 3
+         |)
+         |SELECT e.query_id, CAST(COUNT(l.train_id) AS BIGINT) AS n_hit,
+         |  ${r6("CAST(COUNT(l.train_id) AS DOUBLE) / 3")} AS recall_at_3
+         |FROM ex e LEFT JOIN attr_sl l
+         |  ON l.eval_id = e.query_id AND l.train_id = e.neighbor_id
+         |GROUP BY e.query_id""".stripMargin
+    })
+
+  /** Sign-LSH ANN: bucket by sign pattern of dims 1-8 (256 buckets),
+    * top-3 within bucket for every vector. The scale path: candidates
+    * per query drop from N to N/256 with a plain equi-join shuffle. */
+  val annSignLsh: StagedOp = StagedOp(
+    stages = Seq("emb_nv" -> nvStage),
+    body = { d =>
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine
+         |  FROM emb_nv a JOIN emb_nv b ON a.sb1 = b.sb1 AND a.vec_id <> b.vec_id
+         |)
+         |SELECT query_id, neighbor_id, cosine, rk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         |  FROM pairs
+         |) WHERE rk <= 3""".stripMargin
+    })
+
+  /** ANN quality eval: recall@3 of the sign-LSH index against exact
+    * brute-force cosine, per query, over the bounded query set
+    * (vec_id < 5 — the same evaluation-scoping rule as the sampled LSH
+    * eval: ground truth is O(|Q|·N), so |Q| must be bounded; the
+    * INDEX side stays the production bucket join). A missing bucket
+    * neighbor counts as a miss via the LEFT JOIN — recall is exactly
+    * |lsh∩exact|/3. This is the operator a 100 TB deployment runs
+    * nightly to catch index drift: both rankings read the one staged
+    * emb_nv artifact, nothing rebuilds. */
+  val annEval: StagedOp = StagedOp(
+    stages = Seq("emb_nv" -> nvStage),
+    body = { d =>
+      def top3(pairs: String, out: String) =
+        s"""$out AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, ROW_NUMBER() OVER (
+           |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+           |    FROM $pairs
+           |  ) WHERE rk <= 3
+           |)""".stripMargin
+      s"""WITH qs AS (SELECT * FROM emb_nv WHERE vec_id < 5),
+         |ep AS (
+         |  SELECT qs.vec_id AS query_id, t.vec_id AS neighbor_id,
+         |    ${r6(dotExpr(d, "qs.embedding", "t.embedding") + " / (qs.nrm * t.nrm)")} AS cosine
+         |  FROM qs JOIN emb_nv t ON t.vec_id <> qs.vec_id
+         |),
+         |${top3("ep", "ex")},
+         |lp AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine
+         |  FROM qs a JOIN emb_nv b ON a.sb1 = b.sb1 AND a.vec_id <> b.vec_id
+         |),
+         |${top3("lp", "ls")}
+         |SELECT e.query_id, COUNT(l.neighbor_id) AS n_hit,
+         |  CAST(COUNT(l.neighbor_id) AS DOUBLE) / 3 AS recall_at_3
+         |FROM ex e LEFT JOIN ls l
+         |  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+         |GROUP BY e.query_id""".stripMargin
+    })
+
+  /** IVF ANN: coarse quantizer = per-label centroids (computed, not
+    * assumed), assignment = nearest centroid by L2 over µ-quantized
+    * components, probe = cosine top-3 within the assigned cell.
+    *
+    * All assignment arithmetic is int64: components quantize to
+    * micro-units (⌊v·1e6 + ½⌋ — FLOOR, not SQL ROUND, so both engines
+    * run the same cheap IEEE ops with no BigDecimal in the hot path;
+    * the earlier DECIMAL(28,10) distance sums were the slowest part of
+    * the whole similarity family), centroids to the quantized integer
+    * mean, distances to Σ(qv−qc)² — exact, order-independent, identical
+    * across engines. Max magnitude: diff² ≤ ~1.6e15 × 64 dims ≈ 1e17
+    * < 2⁶³.
+    *
+    * The IVF structure at scale: the centroid table is broadcast-sized,
+    * assignment is one pass over the vectors, and search fans out only
+    * within cells. */
+  /** µ-quantized per-(label, pos) centroid CTE chain (ends in
+    * `cent(label, pos, qc)`) — shared by the IVF assignment stage and
+    * the staged centroid table the multi-probe search reads. */
+  private[ops] def ivfCentCtes(d: Dialect): String = {
+    val expC = d.explodeWithPos(
+      "SELECT vec_id, label, embedding FROM embeddings",
+      "vec_id, label", "embedding", "pos", "v")
+    s"""evc AS ($expC),
+       |cent AS (
+       |  SELECT label, pos,
+       |    CAST(FLOOR(CAST(SUM(${qvExpr("v")}) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
+       |  FROM evc GROUP BY label, pos
+       |)""".stripMargin
+  }
+
+  val annIvf: StagedOp = {
+    StagedOp(
+      stages = Seq(
+        "emb_nv" -> nvStage,
+        // centroids (broadcast-sized: labels × dims) and the
+        // (vector, cell) working set in one staged pass; how the
+        // assignment itself runs is per-dialect ([[Dialect.ivfAssign]]):
+        // Spark packs the centroids into one broadcast array value and
+        // argmins with the codegen'd graft_nearest_centroid — a narrow
+        // projection over the staged emb_nv, zero shuffle of the
+        // vectors; DuckDB keeps the relational explode + distance
+        // groupBy, and the oracle gate proves them identical.
+        "ivf_nvc" -> { d => d.ivfAssign(ivfCentCtes(d)) }),
+      body = { d =>
+        s"""WITH qs AS (SELECT * FROM ivf_nvc WHERE vec_id % 50 = 0),
+           |pairs AS (
+           |  SELECT qs.vec_id AS query_id, b.vec_id AS neighbor_id, qs.cell,
+           |    ${r6(dotExpr(d, "qs.embedding", "b.embedding") + " / (qs.nrm * b.nrm)")} AS cosine
+           |  FROM qs JOIN ivf_nvc b ON qs.cell = b.cell AND qs.vec_id <> b.vec_id
+           |)
+           |SELECT query_id, neighbor_id, cell, cosine, rk FROM (
+           |  SELECT *, ROW_NUMBER() OVER (
+           |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+           |  FROM pairs
+           |) WHERE rk <= 3""".stripMargin
+      })
+  }
+
+  /** IVF multi-probe search: same index as [[annIvf]], but each query
+    * probes its TWO nearest cells — the standard recall lever when the
+    * true neighbor falls just across a Voronoi boundary. The probe
+    * ranking is relational (query-embedding posexplode ⋈ the staged
+    * centroid table on pos, exact int64 L2, ROW_NUMBER ≤ 2) in BOTH
+    * engines: the query set is a 2% slice, so queries × labels × dims
+    * is tiny and needs no codegen'd argmin; the candidate fan-out is
+    * still bounded by cell sizes (2 cells per query instead of 1).
+    * Every query vector already carries a cell (so its dimensionality
+    * matched the centroids at assignment) — the probe join needs no
+    * dimension guard. */
+  val annIvfProbe2: StagedOp = StagedOp(
+    stages = Seq(
+      "emb_nv" -> nvStage,
+      "ivf_nvc" -> { d => d.ivfAssign(ivfCentCtes(d)) },
+      // the centroid table itself (labels × dims, broadcast-sized),
+      // staged so the probe ranking reads it as a plain relation
+      "ivf_cent" -> { d =>
+        s"WITH ${ivfCentCtes(d)} SELECT label, pos, qc FROM cent"
+      }),
+    body = { d =>
+      val expQ = d.explodeWithPos(
+        "SELECT vec_id, embedding FROM qs", "vec_id", "embedding", "pos", "v")
+      val qv = qvExpr("e.v")
+      s"""WITH qs AS (SELECT * FROM ivf_nvc WHERE vec_id % 50 = 0),
+         |qd AS (
+         |  SELECT e.vec_id, c.label,
+         |    SUM(($qv - c.qc) * ($qv - c.qc)) AS dist
+         |  FROM ($expQ) e JOIN ivf_cent c ON e.pos = c.pos
+         |  GROUP BY e.vec_id, c.label
+         |),
+         |probes AS (
+         |  SELECT vec_id, label FROM (
+         |    SELECT vec_id, label,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, label) AS prk
+         |    FROM qd) p
+         |  WHERE prk <= 2
+         |),
+         |pairs AS (
+         |  SELECT qs.vec_id AS query_id, b.vec_id AS neighbor_id, b.cell,
+         |    ${r6(dotExpr(d, "qs.embedding", "b.embedding") + " / (qs.nrm * b.nrm)")} AS cosine
+         |  FROM qs
+         |  JOIN probes p ON qs.vec_id = p.vec_id
+         |  JOIN ivf_nvc b ON b.cell = p.label AND qs.vec_id <> b.vec_id
+         |)
+         |SELECT query_id, neighbor_id, cell, cosine, rk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         |  FROM pairs
+         |) WHERE rk <= 3""".stripMargin
+    })
+
+  /** IVF nprobe tuning sweep — the recall-vs-cost curve a pipeline
+    * reads before fixing the probe depth (the [[lshScurve]] idea
+    * applied to the IVF family): for nprobe 1..4, recall@3 of the
+    * probed-cells search against the exact brute-force truth over the
+    * SAME deterministic query sample, next to the average candidate
+    * count per query (the cost axis — more probes buy recall with
+    * linearly more distance evaluations). The probed candidate pairs
+    * are computed ONCE into a stage carrying each neighbor's cell
+    * rank (`cellrank` — which probe depth first reaches it), so the
+    * sweep is windows over that table joined to a 4-row domain, never
+    * four re-probes; the brute-force truth side is the body's own
+    * honest cost, sample×corpus bounded exactly like [[annEval]]. */
+  val annNprobeSweep: StagedOp = {
+    val pairsStage = "anp_pr" -> { (d: Dialect) =>
+      val expQ = d.explodeWithPos(
+        "SELECT vec_id, embedding FROM qs", "vec_id", "embedding", "pos", "v")
+      val qv = qvExpr("e.v")
+      s"""WITH qs AS (SELECT * FROM ivf_nvc WHERE vec_id % 50 = 0),
+         |qd AS (
+         |  SELECT e.vec_id, c.label,
+         |    SUM(($qv - c.qc) * ($qv - c.qc)) AS dist
+         |  FROM ($expQ) e JOIN ivf_cent c ON e.pos = c.pos
+         |  GROUP BY e.vec_id, c.label
+         |),
+         |pr AS (
+         |  SELECT vec_id, label, prk FROM (
+         |    SELECT vec_id, label,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, label) AS prk
+         |    FROM qd) p
+         |  WHERE prk <= 4
+         |)
+         |SELECT qs.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  p.prk AS cellrank,
+         |  ${r6(dotExpr(d, "qs.embedding", "b.embedding") + " / (qs.nrm * b.nrm)")} AS cosine
+         |FROM qs
+         |JOIN pr p ON qs.vec_id = p.vec_id
+         |JOIN ivf_nvc b ON b.cell = p.label AND qs.vec_id <> b.vec_id""".stripMargin
+    }
+    StagedOp(
+      stages = annIvfProbe2.stages :+ pairsStage,
+      body = { d =>
+        s"""WITH qs AS (SELECT * FROM ivf_nvc WHERE vec_id % 50 = 0),
+           |ex AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, ROW_NUMBER() OVER (
+           |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+           |    FROM (
+           |      SELECT qs.vec_id AS query_id, t.vec_id AS neighbor_id,
+           |        ${r6(dotExpr(d, "qs.embedding", "t.embedding") + " / (qs.nrm * t.nrm)")} AS cosine
+           |      FROM qs JOIN emb_nv t ON t.vec_id <> qs.vec_id
+           |    )
+           |  ) WHERE rk <= 3
+           |),
+           |dom AS (SELECT 1 AS np UNION ALL SELECT 2 UNION ALL
+           |        SELECT 3 UNION ALL SELECT 4),
+           |ap AS (
+           |  SELECT np, query_id, neighbor_id FROM (
+           |    SELECT dom.np, p.query_id, p.neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY dom.np, p.query_id
+           |        ORDER BY p.cosine DESC, p.neighbor_id) AS rk
+           |    FROM anp_pr p JOIN dom ON p.cellrank <= dom.np
+           |  ) WHERE rk <= 3
+           |),
+           |cost AS (
+           |  SELECT dom.np, CAST(COUNT(*) AS BIGINT) AS n_cand
+           |  FROM anp_pr p JOIN dom ON p.cellrank <= dom.np GROUP BY dom.np
+           |),
+           |hit AS (
+           |  SELECT a.np, CAST(COUNT(*) AS BIGINT) AS n_hit
+           |  FROM ap a JOIN ex e
+           |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           |  GROUP BY a.np
+           |),
+           |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM qs)
+           |SELECT dom.np AS nprobe, nq.n AS n_queries,
+           |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           |  ${r6("CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / (3 * nq.n)")} AS recall_at_3,
+           |  CAST(${d.idiv("COALESCE(c.n_cand, 0)", "GREATEST(nq.n, 1)")} AS BIGINT)
+           |    AS avg_candidates
+           |FROM dom
+           |LEFT JOIN hit h ON h.np = dom.np
+           |LEFT JOIN cost c ON c.np = dom.np
+           |CROSS JOIN nq
+           |ORDER BY nprobe""".stripMargin
+      })
+  }
+
+  /** Near-dup graph degree histogram — the connectivity-health
+    * readout over the cosine near-dup graph ([[dedupEmbeddingCosine]]
+    * nested once): how many vectors are isolated (degree 0 — safe
+    * uniques), lightly linked, or hubs (template centers whose
+    * cluster will absorb everything they touch). Both endpoints are
+    * counted from ONE pass over the pair table (the seqArray(0,1)
+    * explode — a two-arm UNION would re-run the band self-join per
+    * arm under CTE inlining); isolated vectors come back through a
+    * LEFT JOIN against the staged vector table, so degree 0 is a
+    * row, not an absence. Histogram is degree-cardinality. (lazy:
+    * declared before [[dedupEmbeddingCosine]] in source order —
+    * a strict val would NPE at object init.) */
+  lazy val annDegreeHist: StagedOp = StagedOp(
+    stages = dedupEmbeddingCosine.stages,
+    body = { d =>
+      val pe = d.explode(
+        s"SELECT vec_a, vec_b, ${d.seqArray("0", "1")} AS ks FROM p",
+        "vec_a, vec_b", "ks", "k")
+      s"""WITH p AS (SELECT * FROM (
+         |${dedupEmbeddingCosine.body(d)}
+         |)),
+         |pe AS ($pe),
+         |en AS (SELECT CASE WHEN k = 0 THEN vec_a ELSE vec_b END AS vec_id FROM pe),
+         |dg AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS deg FROM en GROUP BY vec_id),
+         |ad AS (
+         |  SELECT n.vec_id, CAST(COALESCE(dg.deg, 0) AS BIGINT) AS deg
+         |  FROM emb_nv n LEFT JOIN dg ON dg.vec_id = n.vec_id
+         |)
+         |SELECT deg AS degree, CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |FROM ad GROUP BY deg ORDER BY degree""".stripMargin
+    })
+
+  /** The composed production ANN index — IVF-PQ with exact refine, the
+    * FAISS-style three-stage read path, every stage off already-staged
+    * artifacts:
+    *   1. PROBE: each query ranks the broadcast-sized centroid table
+    *      and keeps its 2 nearest cells (the [[annIvfProbe2]] shape);
+    *   2. ADC: candidates are only the probed cells' members, scored
+    *      by 4 integer lookups against the per-(query, probed cell)
+    *      block lookup table over the staged RESIDUAL codes — top-20
+    *      survive, and the raw vectors are never touched;
+    *   3. REFINE: the ≤20 survivors per query are re-ranked by exact
+    *      cosine (a bounded join back to emb_nv — per query a constant
+    *      number of full-width vector reads), emitting top-5.
+    * The PQ codes encode residuals to the coarse centroid (FAISS's
+    * by_residual default) rather than the raw vectors: the coarse
+    * quantizer already explains each cell's mean, so codewords spend
+    * their bits on the part it could not explain — measured on the
+    * sf0.01 fixtures this lifted recall@5 at the identical probe
+    * count and code width versus reusing the IVF centroid table as
+    * the codebook. This is how 100 TB vector search actually ships:
+    * the coarse index bounds the candidate set, the code table
+    * carries the cheap scan, and exact math touches only a per-query
+    * constant. All ranking before the final cosine is exact int64,
+    * ties to the smaller id. */
+  val annIvfPq: StagedOp = {
+    val (m, bs) = (4, 16)
+    val quant = qvExpr _
+    // residual PQ training pipeline, classic FAISS shape: codes encode
+    // v − centroid(cell(v)), not v itself. Residuals concentrate near
+    // zero (the coarse quantizer already explains the cell mean), so a
+    // codebook trained ON residuals spends its codewords on what the
+    // coarse index could NOT explain — better ADC fidelity at the same
+    // code width than reusing the IVF centroid table as the codebook.
+    //
+    // Training is one deterministic hash-seeded Lloyd pass, fully
+    // relational: bucket each block residual by the 6-bit sign pattern
+    // of its first 6 components (up to 64 codewords per block),
+    // codeword = per-bucket µ-quantized mean. Exact int64 end-to-end,
+    // so both engines learn the identical codebook.
+    val resStage = { d: Dialect =>
+      val exp = d.explodeWithPos(
+        "SELECT vec_id, cell, embedding FROM ivf_nvc",
+        "vec_id, cell", "embedding", "pos", "v")
+      s"""WITH env AS ($exp)
+         |SELECT e.vec_id, e.cell,
+         |  CAST(FLOOR(e.pos / $bs) AS INT) AS block, e.pos % $bs AS bpos,
+         |  (${quant("e.v")} - c.qc) AS qr
+         |FROM env e JOIN ivf_cent c ON c.label = e.cell AND c.pos = e.pos""".stripMargin
+    }
+    val centInitStage = { _: Dialect =>
+      s"""WITH bkt AS (
+         |  SELECT vec_id, block,
+         |    CAST(SUM(CASE WHEN qr >= 0 THEN
+         |      (CASE bpos WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+         |            WHEN 3 THEN 8 WHEN 4 THEN 16 ELSE 32 END)
+         |      ELSE 0 END) AS INT) AS cw
+         |  FROM rpq_res WHERE bpos < 6 GROUP BY vec_id, block
+         |)
+         |SELECT r.block, b.cw, r.bpos,
+         |  CAST(FLOOR(CAST(SUM(r.qr) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
+         |FROM rpq_res r JOIN bkt b ON b.vec_id = r.vec_id AND b.block = r.block
+         |GROUP BY r.block, b.cw, r.bpos""".stripMargin
+    }
+    // Lloyd ASSIGN step against codebook table `cent`: per (vector,
+    // block) argmin over that block's codewords, exact int64 L2 on
+    // residuals, ties to the smaller codeword id. The completeness
+    // guard keeps a codeword with missing bpos rows from winning on a
+    // prefix distance (the ivfAssign npos rule). The encode stage is
+    // this same step against the final codebook.
+    def assignSql(cent: String): String =
+      s"""WITH sc AS (
+         |  SELECT r.vec_id, r.block, c.cw,
+         |    CAST(SUM((r.qr - c.qc) * (r.qr - c.qc)) AS BIGINT) AS d2
+         |  FROM rpq_res r JOIN $cent c ON c.block = r.block AND c.bpos = r.bpos
+         |  GROUP BY r.vec_id, r.block, c.cw
+         |  HAVING COUNT(*) = $bs
+         |)
+         |SELECT vec_id, block, cw AS code FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id, block ORDER BY d2, cw) AS rk
+         |  FROM sc
+         |) WHERE rk = 1""".stripMargin
+    // Lloyd UPDATE step off assignment table `asg`: codeword = the
+    // µ-quantized mean of its members' residuals. Emptied codewords
+    // simply drop out, as in [[kmeansStep]].
+    def updateSql(asg: String): String =
+      s"""SELECT r.block, a.code AS cw, r.bpos,
+         |  CAST(FLOOR(CAST(SUM(r.qr) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
+         |FROM rpq_res r JOIN $asg a ON a.vec_id = r.vec_id AND a.block = r.block
+         |GROUP BY r.block, a.code, r.bpos""".stripMargin
+    StagedOp(
+      stages = Seq(
+        "emb_nv" -> nvStage,
+        "ivf_nvc" -> { d => d.ivfAssign(ivfCentCtes(d)) },
+        // the coarse centroid table as a relation (the annIvfProbe2
+        // artifact) — both the residual computation and the probe read it
+        "ivf_cent" -> { d => s"WITH ${ivfCentCtes(d)} SELECT label, pos, qc FROM cent" },
+        "rpq_res" -> resStage,
+        // codebook training: sign-hash seed, then two full Lloyd
+        // rounds (assign → update), every table vocabulary-sized and
+        // every pass one relational join over the staged residuals
+        "rpq_cent0" -> centInitStage,
+        "rpq_asg1" -> { _: Dialect => assignSql("rpq_cent0") },
+        "rpq_cent1" -> { _: Dialect => updateSql("rpq_asg1") },
+        "rpq_asg2" -> { _: Dialect => assignSql("rpq_cent1") },
+        "rpq_cent" -> { _: Dialect => updateSql("rpq_asg2") },
+        "rpq_codes" -> { _: Dialect => assignSql("rpq_cent") },
+        // The ADC shortlist as its own staged artifact: (1) PROBE —
+        // rank the broadcast-sized coarse centroids, keep 2 cells;
+        // (2) ADC — the query's residual LUT is PER PROBED CELL
+        // (residual encoding makes the LUT cell-dependent:
+        // q − centroid(cell)), |Q|×2×m×codewords rows (≤ 64 codewords
+        // per block), still broadcast-sized; candidates are the probed
+        // cells' members scored by m integer lookups off the staged
+        // code table, top-20 kept per query. HAVING guards at every
+        // aggregate: a short-trained label or codeword must not win an
+        // argmin on a prefix distance. Staged (not a body CTE) because
+        // the composed probe→ADC→refine megaplan's first-run
+        // analysis+codegen tripled between r5 and r6 as the residual
+        // codebooks grew — splitting here keeps each codegen unit
+        // small, and the shortlist has two consumers anyway (the
+        // refine body and the eval's ivfpq_top stage).
+        "ivfpq_sl" -> { (d: Dialect) =>
+          val expQ = d.explodeWithPos(
+            "SELECT vec_id, embedding FROM qs", "vec_id", "embedding", "pos", "v")
+          s"""WITH qs AS (SELECT vec_id, embedding FROM ivf_nvc WHERE vec_id % 50 = 0),
+             |qe AS ($expQ),
+             |qq AS (SELECT vec_id, pos, ${quant("v")} AS qv FROM qe),
+             |qd AS (
+             |  SELECT q.vec_id, c.label,
+             |    CAST(SUM((q.qv - c.qc) * (q.qv - c.qc)) AS BIGINT) AS dist
+             |  FROM qq q JOIN ivf_cent c ON c.pos = q.pos
+             |  GROUP BY q.vec_id, c.label
+             |  HAVING COUNT(*) = ${m * bs}
+             |),
+             |probes AS (
+             |  SELECT vec_id, label FROM (
+             |    SELECT vec_id, label,
+             |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, label) AS prk
+             |    FROM qd) p
+             |  WHERE prk <= 2
+             |),
+             |qres AS (
+             |  SELECT p.vec_id, p.label AS cell,
+             |    CAST(FLOOR(q.pos / $bs) AS INT) AS block, q.pos % $bs AS bpos,
+             |    (q.qv - c.qc) AS qr
+             |  FROM probes p
+             |  JOIN qq q ON q.vec_id = p.vec_id
+             |  JOIN ivf_cent c ON c.label = p.label AND c.pos = q.pos
+             |),
+             |qlut AS (
+             |  SELECT r.vec_id AS qid, r.cell, r.block, c.cw,
+             |    CAST(SUM((r.qr - c.qc) * (r.qr - c.qc)) AS BIGINT) AS d2
+             |  FROM qres r JOIN rpq_cent c ON c.block = r.block AND c.bpos = r.bpos
+             |  GROUP BY r.vec_id, r.cell, r.block, c.cw
+             |  HAVING COUNT(*) = $bs
+             |),
+             |adc AS (
+             |  SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |    CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+             |  FROM probes p
+             |  JOIN ivf_nvc b ON b.cell = p.label AND b.vec_id <> p.vec_id
+             |  JOIN rpq_codes k ON k.vec_id = b.vec_id
+             |  JOIN qlut l ON l.qid = p.vec_id AND l.cell = p.label
+             |    AND l.block = k.block AND l.cw = k.code
+             |  GROUP BY p.vec_id, b.vec_id
+             |  HAVING COUNT(*) = $m
+             |)
+             |SELECT query_id, neighbor_id FROM (
+             |  SELECT *, ROW_NUMBER() OVER (
+             |    PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS ark
+             |  FROM adc) s
+             |WHERE ark <= 20""".stripMargin
+        }),
+      body = { d =>
+        // (3) REFINE — exact cosine over the ≤20 staged survivors per
+        // query; the only non-broadcast table here is the 2-column
+        // shortlist itself.
+        s"""SELECT query_id, neighbor_id, cosine, rk FROM (
+           |  SELECT s.query_id, s.neighbor_id,
+           |    ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine,
+           |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+           |      ORDER BY ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} DESC,
+           |        s.neighbor_id) AS rk
+           |  FROM ivfpq_sl s
+           |  JOIN emb_nv a ON a.vec_id = s.query_id
+           |  JOIN emb_nv b ON b.vec_id = s.neighbor_id
+           |) WHERE rk <= 5""".stripMargin
+      })
+  }
+
+  /** Recall@5 of the composed IVF-PQ index against exact brute-force
+    * cosine on the bounded query set — [[annEval]]'s nightly
+    * drift-check pattern applied to the production index: the IVF-PQ
+    * top-5 is a staged artifact (built by the same pipeline
+    * q_ann_ivfpq times), the exact side is O(|Q|·N) and |Q| is the 2%
+    * slice, and a missing shortlist neighbor counts as a miss via the
+    * LEFT JOIN. Measures end-to-end loss: probe misses (wrong cell)
+    * AND ADC quantization error together. */
+  val annIvfPqEval: StagedOp = StagedOp(
+    stages = annIvfPq.stages :+ ("ivfpq_top" -> annIvfPq.body),
+    body = { d =>
+      s"""WITH qs AS (SELECT vec_id, embedding, nrm FROM ivf_nvc WHERE vec_id % 50 = 0),
+         |ep AS (
+         |  SELECT qs.vec_id AS query_id, t.vec_id AS neighbor_id,
+         |    ${r6(dotExpr(d, "qs.embedding", "t.embedding") + " / (qs.nrm * t.nrm)")} AS cosine
+         |  FROM qs JOIN emb_nv t ON t.vec_id <> qs.vec_id
+         |),
+         |ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         |    FROM ep
+         |  ) WHERE rk <= 5
+         |)
+         |SELECT e.query_id, COUNT(l.neighbor_id) AS n_hit,
+         |  CAST(COUNT(l.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+         |FROM ex e LEFT JOIN ivfpq_top l
+         |  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+         |GROUP BY e.query_id""".stripMargin
+    })
+
+  /** The embedding delta-slice convention (the [[NewDocMod]] pattern
+    * applied to vectors): vec_id % 16 = 3 is "today's ingest", the
+    * rest is the base corpus yesterday's index was built on. */
+  val NewVecMod = 16
+  val NewVecRem = 3
+
+  /** Two-sample Kolmogorov–Smirnov drift test — the CONTINUOUS-metric
+    * sibling of the categorical [[labelDrift]] chi-square: did the
+    * length distribution of one slice (en docs) shift against the
+    * rest? D = max over the merged value domain of |F₁(v) − F₂(v)|,
+    * computed EXACTLY in int64 as max |f₁·n₂ − f₂·n₁| over cumulative
+    * counts (products ≤ n² ≈ 10¹² at 10⁶ docs — no float CDF ever
+    * compared), divided once at the end. The α = 0.05 rejection bar
+    * is the asymptotic 1.358·√((n₁+n₂)/(n₁·n₂)) — two
+    * correctly-rounded IEEE ops on exact integers, deterministic in
+    * both engines. Scale shape: one narrow scan, a groupBy on the
+    * metric VALUE (the cumulative window runs over the bounded
+    * distinct-value domain — document lengths — never over docs), one
+    * single-row readout. Degenerate slices (either side empty) emit
+    * NULL instead of a fake zero statistic. */
+  def ksDrift(d: Dialect): String =
+    s"""WITH v AS (
+       |  SELECT n_chars AS x,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g
+       |  FROM documents
+       |),
+       |n AS (
+       |  SELECT CAST(SUM(g) AS BIGINT) AS n1,
+       |    CAST(SUM(1 - g) AS BIGINT) AS n2
+       |  FROM v
+       |),
+       |c AS (
+       |  SELECT x, CAST(SUM(g) AS BIGINT) AS c1,
+       |    CAST(SUM(1 - g) AS BIGINT) AS c2
+       |  FROM v GROUP BY x
+       |),
+       |cum AS (
+       |  SELECT x,
+       |    CAST(SUM(c1) OVER (ORDER BY x) AS BIGINT) AS f1,
+       |    CAST(SUM(c2) OVER (ORDER BY x) AS BIGINT) AS f2
+       |  FROM c
+       |),
+       |dm AS (
+       |  SELECT CAST(MAX(ABS(f1 * n.n2 - f2 * n.n1)) AS BIGINT) AS dmax
+       |  FROM cum CROSS JOIN n
+       |)
+       |SELECT n.n1, n.n2,
+       |  CASE WHEN n.n1 = 0 OR n.n2 = 0 THEN NULL
+       |       ELSE ${r6("CAST(dm.dmax AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2)")}
+       |  END AS d_stat,
+       |  CASE WHEN n.n1 = 0 OR n.n2 = 0 THEN NULL
+       |       ELSE ${r6("1.358e0 * sqrt(CAST(n.n1 + n.n2 AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2))")}
+       |  END AS reject_bar,
+       |  CASE WHEN n.n1 = 0 OR n.n2 = 0 THEN NULL
+       |       ELSE CAST(dm.dmax AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2)
+       |            > 1.358e0 * sqrt(CAST(n.n1 + n.n2 AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2))
+       |  END AS drifted
+       |FROM n CROSS JOIN dm""".stripMargin
+
+  /** Class-prior (label-mix) drift between the base corpus and
+    * today's ingest slice — the LABEL-level companion of
+    * [[embeddingDrift]], the [[chiSquare]] shape over the
+    * label × slice contingency: did the category mix of arriving
+    * vectors shift? Missing cells are spine-filled to 0 (a label
+    * absent from one slice is exactly the signal — dropping its cell
+    * would understate the statistic); marginals are windows over the
+    * labels×2 table; each (o−e)²/e term is µ-quantized int64 BEFORE
+    * any cross-row sum. Per-label rows carry both shares (exact ppm)
+    * and the label's chi-square contribution, so the report ranks the
+    * movers, not just the headline statistic. */
+  def labelDrift(d: Dialect): String = {
+    val term = chi2CellTerm
+    s"""WITH s AS (
+       |  SELECT label,
+       |    CASE WHEN vec_id % $NewVecMod = $NewVecRem THEN 1 ELSE 0 END AS sl
+       |  FROM embeddings
+       |),
+       |o AS (SELECT label, sl, COUNT(*) AS obs FROM s GROUP BY label, sl),
+       |lb AS (SELECT DISTINCT label FROM s),
+       |spine AS (
+       |  SELECT label, sl FROM lb
+       |  CROSS JOIN (SELECT 0 AS sl UNION ALL SELECT 1)
+       |),
+       |f AS (
+       |  SELECT sp.label, sp.sl, COALESCE(o.obs, 0) AS obs
+       |  FROM spine sp LEFT JOIN o ON o.label = sp.label AND o.sl = sp.sl
+       |),
+       |x AS (
+       |  SELECT label, sl, CAST(obs AS BIGINT) AS obs_i, CAST(obs AS DOUBLE) AS obs,
+       |    CAST(SUM(obs) OVER (PARTITION BY label) AS DOUBLE) AS rt,
+       |    CAST(SUM(obs) OVER (PARTITION BY sl) AS BIGINT) AS ct_i,
+       |    CAST(SUM(obs) OVER (PARTITION BY sl) AS DOUBLE) AS ct,
+       |    CAST(SUM(obs) OVER () AS DOUBLE) AS n
+       |  FROM f
+       |),
+       |t AS (
+       |  -- e = rt·ct/n is 0 exactly when a slice (or label) total is
+       |  -- 0 — "today's ingest is empty" is a state a drift monitor
+       |  -- must SURVIVE, not crash on (the spine-fill creates the
+       |  -- e = 0 cells chiSquare's observed-only contingency never
+       |  -- has; an unguarded term is 0/0 → NaN → ANSI CAST throw)
+       |  SELECT label, sl, obs_i, ct_i,
+       |    CASE WHEN rt * ct > 0.0e0
+       |         THEN CAST(FLOOR($term * 1.0e6 + 5.0e-1) AS BIGINT)
+       |         ELSE 0 END AS qt
+       |  FROM x
+       |)
+       |SELECT label,
+       |  CAST(MAX(CASE WHEN sl = 0 THEN obs_i END) AS BIGINT) AS n_base,
+       |  CAST(MAX(CASE WHEN sl = 1 THEN obs_i END) AS BIGINT) AS n_new,
+       |  CASE WHEN MAX(CASE WHEN sl = 0 THEN ct_i END) = 0 THEN NULL
+       |       ELSE ${d.idiv("MAX(CASE WHEN sl = 0 THEN obs_i END) * 1000000",
+                             "MAX(CASE WHEN sl = 0 THEN ct_i END)")} END AS share_base_ppm,
+       |  CASE WHEN MAX(CASE WHEN sl = 1 THEN ct_i END) = 0 THEN NULL
+       |       ELSE ${d.idiv("MAX(CASE WHEN sl = 1 THEN obs_i END) * 1000000",
+                             "MAX(CASE WHEN sl = 1 THEN ct_i END)")} END AS share_new_ppm,
+       |  ${r6("CAST(SUM(qt) AS DOUBLE) / 1.0e6")} AS chi2_part
+       |FROM t GROUP BY label""".stripMargin
+  }
+
+  /** Embedding-DISTRIBUTION drift between the base corpus and today's
+    * ingest slice (the [[NewVecMod]] convention) — the upstream
+    * monitor that tells you the embedding MODEL or the content mix
+    * changed before any index metric moves: per dimension, both
+    * slices' count/mean/variance and the standardized mean difference
+    * smd = (µ_new − µ_base) / √((σ²_base + σ²_new)/2) (Cohen's d with
+    * the pooled-spread denominator), flagged past |smd| > 0.1 (the
+    * conventional "small effect" bar). Sufficient statistics are
+    * exact int64 sums of µ-quantized components (one explode pass,
+    * map-side combinable, conditional aggregation instead of a
+    * self-join — the two slices never shuffle separately); the
+    * variance/smd arithmetic is fixed expression trees over those
+    * exact ints. Zero pooled spread yields smd = NULL (infinite
+    * effect size, not a division blow-up) — but the FLAG still fires
+    * when the two constant means differ, because a zeroed/re-scaled
+    * feature is the bluntest drift of all. */
+  def embeddingDrift(d: Dialect): String = {
+    val exp = d.explodeWithPos(
+      "SELECT vec_id, embedding FROM embeddings", "vec_id", "embedding", "pos", "v")
+    s"""WITH e AS ($exp),
+       |q AS (
+       |  SELECT CAST(pos AS BIGINT) AS pos,
+       |    CASE WHEN vec_id % $NewVecMod = $NewVecRem THEN 1 ELSE 0 END AS is_new,
+       |    ${qvExpr("v")} AS qv
+       |  FROM e
+       |),
+       |s AS (
+       |  SELECT pos,
+       |    CAST(SUM(1 - is_new) AS BIGINT) AS nb,
+       |    CAST(SUM((1 - is_new) * qv) AS BIGINT) AS sb,
+       |    CAST(SUM(is_new) AS BIGINT) AS nn,
+       |    CAST(SUM(is_new * qv) AS BIGINT) AS sn,
+       |    CAST(SUM((1 - is_new) * qv * qv) AS BIGINT) AS qb,
+       |    CAST(SUM(is_new * qv * qv) AS BIGINT) AS qn
+       |  FROM q GROUP BY pos
+       |),
+       |v AS (
+       |  -- under-sampled dimensions (a slice with < 2 samples) are
+       |  -- KEPT with NULL moments, not dropped: an empty ingest must
+       |  -- read as "no data" (status, NULL smd, NULL flag), never as
+       |  -- the silent empty report that looks like "no drift"
+       |  SELECT pos, nb, nn,
+       |    CASE WHEN nb > 0 THEN CAST(sb AS DOUBLE) / nb END AS mb,
+       |    CASE WHEN nn > 0 THEN CAST(sn AS DOUBLE) / nn END AS mn,
+       |    CASE WHEN nb > 1 THEN
+       |      (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) END AS vb,
+       |    CASE WHEN nn > 1 THEN
+       |      (CAST(qn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / nn) / (nn - 1) END AS vn
+       |  FROM s
+       |),
+       |sm AS (
+       |  SELECT pos, nb, nn, mb, mn, vb, vn,
+       |    CASE WHEN vb IS NULL OR vn IS NULL OR vb + vn <= 0.0e0 THEN NULL
+       |         ELSE (mn - mb) / sqrt((vb + vn) / 2.0e0) END AS smd_raw
+       |  FROM v
+       |)
+       |SELECT pos, nb AS n_base, nn AS n_new,
+       |  CASE WHEN nb > 1 AND nn > 1 THEN 'ok' ELSE 'no_data' END AS status,
+       |  ${r6("(mn - mb) / 1.0e6")} AS mean_diff,
+       |  ${r6("smd_raw")} AS smd,
+       |  CASE
+       |    WHEN nb < 2 OR nn < 2 THEN NULL
+       |    -- zero pooled spread with DIFFERENT means = infinite effect
+       |    -- size: the bluntest drift there is (the model zeroed or
+       |    -- re-scaled a feature) must flag, not mask as NULL
+       |    WHEN vb + vn <= 0.0e0 THEN (CASE WHEN mn <> mb THEN 1 ELSE 0 END)
+       |    WHEN ABS(smd_raw) > 1.0e-1 THEN 1
+       |    ELSE 0 END AS drift_flag
+       |FROM sm""".stripMargin
+  }
+
+  /** Base-slice centroid table — yesterday's trained coarse quantizer,
+    * shared by the incremental update and its full-rebuild oracle. */
+  private[ops] def ivfdCentStage(d: Dialect): String = {
+    val exp = d.explodeWithPos(
+      s"SELECT vec_id, label, embedding FROM embeddings " +
+        s"WHERE vec_id % $NewVecMod <> $NewVecRem AND ${d.size("embedding")} = 64",
+      "vec_id, label", "embedding", "pos", "v")
+    s"""WITH evc AS ($exp)
+       |SELECT label, pos,
+       |  CAST(FLOOR(CAST(SUM(${qvExpr("v")}) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
+       |FROM evc GROUP BY label, pos""".stripMargin
+  }
+
+  /** Relational CTE chain `eq` → `dist` → `asgn` assigning `src`'s
+    * (vec_id, embedding) rows to the `ivfd_cent` centroids: exact
+    * int64 L2 over µ-quantized components, completeness-guarded, ties
+    * to the smaller label — the one assignment rule, rendered once for
+    * the base stats stage, the delta body, and the full oracle. */
+  private[ops] def ivfdAssignCtes(d: Dialect, src: String): String = {
+    val exp = d.explodeWithPos(src, "vec_id", "embedding", "pos", "v")
+    s"""ev AS ($exp),
+       |eq AS (SELECT vec_id, pos, ${qvExpr("v")} AS qv FROM ev),
+       |dist AS (
+       |  SELECT e.vec_id, c.label,
+       |    CAST(SUM((e.qv - c.qc) * (e.qv - c.qc)) AS BIGINT) AS d2
+       |  FROM eq e JOIN ivfd_cent c ON e.pos = c.pos
+       |  GROUP BY e.vec_id, c.label
+       |  HAVING COUNT(*) = 64
+       |),
+       |asgn AS (
+       |  SELECT vec_id, label AS cell FROM (
+       |    SELECT vec_id, label, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY d2, label) AS rn
+       |    FROM dist) r
+       |  WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  private[ops] def ivfdBaseSrc(d: Dialect): String =
+    s"SELECT vec_id, embedding FROM embeddings " +
+      s"WHERE vec_id % $NewVecMod <> $NewVecRem AND ${d.size("embedding")} = 64"
+  private[ops] def ivfdDeltaSrc(d: Dialect): String =
+    s"SELECT vec_id, embedding FROM embeddings " +
+      s"WHERE vec_id % $NewVecMod = $NewVecRem AND ${d.size("embedding")} = 64"
+
+  /** Incremental IVF index maintenance — the daily-ingest path for the
+    * ANN index, mirroring [[Cluster.incrementalUpdate]]'s shape for
+    * dedup: yesterday's artifacts (centroid table + per-(cell, pos)
+    * sufficient statistics of the base assignment) are staged; the
+    * TIMED work assigns only today's delta slice to the existing
+    * centroids (cost ∝ delta — the centroid table is broadcast-sized
+    * and only delta vectors explode), merges the delta's component
+    * sums into the base statistics, and reports per cell: member
+    * counts, the maximum component drift of the updated mean in
+    * µ-units, and a retrain flag. The oracle is the handwritten
+    * FULL-REBUILD form ([[annIvfDeltaFull]] — assign everything from
+    * scratch, aggregate directly), so the hash gate proves the
+    * sufficient-statistics decomposition exact, the
+    * q_dedup_cluster_delta pattern. Drift is measured only where the
+    * base cell has members; a cell first populated today reports its
+    * fresh mean with zero drift. */
+  val annIvfDelta: StagedOp = StagedOp(
+    stages = Seq(
+      "ivfd_cent" -> ivfdCentStage _,
+      "ivfd_stats" -> { d =>
+        s"""WITH ${ivfdAssignCtes(d, ivfdBaseSrc(d))}
+           |SELECT a.cell, e.pos,
+           |  CAST(SUM(e.qv) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+           |FROM asgn a JOIN eq e ON a.vec_id = e.vec_id
+           |GROUP BY a.cell, e.pos""".stripMargin
+      }),
+    body = { d =>
+      s"""WITH ${ivfdAssignCtes(d, ivfdDeltaSrc(d))},
+         |dstats AS (
+         |  SELECT a.cell, e.pos,
+         |    CAST(SUM(e.qv) AS BIGINT) AS sd, CAST(COUNT(*) AS BIGINT) AS nd
+         |  FROM asgn a JOIN eq e ON a.vec_id = e.vec_id
+         |  GROUP BY a.cell, e.pos
+         |),
+         |merged AS (
+         |  SELECT
+         |    COALESCE(b.cell, dq.cell) AS cell,
+         |    COALESCE(b.n, 0) AS n, COALESCE(dq.nd, 0) AS nd,
+         |    CASE WHEN COALESCE(b.n, 0) > 0
+         |         THEN CAST(FLOOR(CAST(b.s AS DOUBLE) / b.n + 5.0e-1) AS BIGINT) END AS qc_base,
+         |    CAST(FLOOR(CAST(COALESCE(b.s, 0) + COALESCE(dq.sd, 0) AS DOUBLE)
+         |      / (COALESCE(b.n, 0) + COALESCE(dq.nd, 0)) + 5.0e-1) AS BIGINT) AS qc_upd
+         |  FROM ivfd_stats b
+         |  FULL OUTER JOIN dstats dq ON b.cell = dq.cell AND b.pos = dq.pos
+         |)
+         |SELECT cell,
+         |  CAST(MAX(n) AS BIGINT) AS n_base,
+         |  CAST(MAX(nd) AS BIGINT) AS n_new,
+         |  CAST(MAX(CASE WHEN n > 0 THEN ABS(qc_upd - qc_base) ELSE 0 END) AS BIGINT) AS max_drift_mu,
+         |  CASE WHEN MAX(CASE WHEN n > 0 THEN ABS(qc_upd - qc_base) ELSE 0 END) > 1000
+         |       THEN 1 ELSE 0 END AS retrain_flag
+         |FROM merged GROUP BY cell""".stripMargin
+    })
+
+  /** The full-rebuild ground truth for [[annIvfDelta]]: assign EVERY
+    * vector (base and delta alike) to the base centroids in one pass
+    * and aggregate the per-cell statistics directly — no staged
+    * sufficient statistics, no merge. Rendered for DuckDB as
+    * q_ann_ivf_delta's oracle; never run on the Spark side. */
+  val annIvfDeltaFull: StagedOp = StagedOp(
+    stages = Seq("ivfd_cent" -> ivfdCentStage _),
+    body = { d =>
+      val allSrc = s"SELECT vec_id, embedding FROM embeddings WHERE ${d.size("embedding")} = 64"
+      s"""WITH ${ivfdAssignCtes(d, allSrc)},
+         |stats AS (
+         |  SELECT a.cell, e.pos,
+         |    CAST(SUM(CASE WHEN e.vec_id % $NewVecMod <> $NewVecRem THEN e.qv ELSE 0 END) AS BIGINT) AS s_base,
+         |    CAST(SUM(CASE WHEN e.vec_id % $NewVecMod <> $NewVecRem THEN 1 ELSE 0 END) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN e.vec_id % $NewVecMod = $NewVecRem THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+         |    CAST(SUM(e.qv) AS BIGINT) AS s_all,
+         |    CAST(COUNT(*) AS BIGINT) AS n_all
+         |  FROM asgn a JOIN eq e ON a.vec_id = e.vec_id
+         |  GROUP BY a.cell, e.pos
+         |),
+         |merged AS (
+         |  SELECT cell, n, nd,
+         |    CASE WHEN n > 0
+         |         THEN CAST(FLOOR(CAST(s_base AS DOUBLE) / n + 5.0e-1) AS BIGINT) END AS qc_base,
+         |    CAST(FLOOR(CAST(s_all AS DOUBLE) / n_all + 5.0e-1) AS BIGINT) AS qc_upd
+         |  FROM stats
+         |)
+         |SELECT cell,
+         |  CAST(MAX(n) AS BIGINT) AS n_base,
+         |  CAST(MAX(nd) AS BIGINT) AS n_new,
+         |  CAST(MAX(CASE WHEN n > 0 THEN ABS(qc_upd - qc_base) ELSE 0 END) AS BIGINT) AS max_drift_mu,
+         |  CASE WHEN MAX(CASE WHEN n > 0 THEN ABS(qc_upd - qc_base) ELSE 0 END) > 1000
+         |       THEN 1 ELSE 0 END AS retrain_flag
+         |FROM merged GROUP BY cell""".stripMargin
+    })
+
+  /** One k-means (Lloyd) iteration over the embeddings: assignment to
+    * the nearest current centroid (the staged IVF working set — on the
+    * Spark side a broadcast-packed codegen'd argmin, zero vector
+    * shuffle), then the centroid UPDATE step: per-cell quantized
+    * component means plus member counts. The update is one map-side-
+    * combinable groupBy over (cell, pos) — the canonical distributed
+    * k-means step. All arithmetic is the same µ-quantized int64 path
+    * as the assignment ([[annIvf]]), so the new centroids are exact
+    * and engine-identical; iterating = feeding qc_new back as the next
+    * round's cent table. */
+  val kmeansStep: StagedOp = StagedOp(
+    stages = annIvf.stages,
+    body = { d =>
+      val exp = d.explodeWithPos(
+        "SELECT cell, embedding FROM ivf_nvc", "cell", "embedding", "pos", "v")
+      s"""WITH easg AS ($exp)
+         |SELECT cell, pos,
+         |  CAST(FLOOR(CAST(SUM(${qvExpr("v")}) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc_new,
+         |  COUNT(*) AS n_members
+         |FROM easg GROUP BY cell, pos""".stripMargin
+    })
+
+  /** Lloyd rounds for [[kmeansLoop]]. */
+  private[ops] val KmRounds = 3
+
+  /** The FULL Lloyd loop — [[kmeansStep]] iterated to (near)
+    * convergence as staged rounds: round r assigns every vector to its
+    * nearest round-(r−1) centroid ([[Dialect.ivfAssign]]: Spark packs
+    * the broadcast-sized centroid table into one array value and runs
+    * the codegen'd argmin — a narrow projection, ZERO shuffle of the
+    * vectors; the only shuffle per round is the (cell, pos) centroid
+    * re-aggregation, cells×dims cardinality) and re-estimates the
+    * means in exact µ-quantized int64. Readout per round: how many
+    * vectors changed cells, the surviving-centroid L1 shift, and the
+    * live cell count — the convergence trajectory a clustering job
+    * monitors. A cell that loses all members drops out (the
+    * [[kmeansStep]] rule); the shift join therefore covers surviving
+    * labels only. The round stages are the query's own computation —
+    * deliberately NOT prewarmed, like the CC/peel/pagerank loops. */
+  val kmeansLoop: StagedOp = {
+    val roundStages: Seq[(String, Dialect => String)] = (1 to KmRounds).flatMap { r =>
+      val prevCent = if (r == 1) "ivf_cent" else s"km_c${r - 1}"
+      Seq(
+        s"km_a$r" -> { (d: Dialect) =>
+          d.ivfAssign(s"cent AS (SELECT label, pos, qc FROM $prevCent)")
+        },
+        s"km_c$r" -> { (d: Dialect) =>
+          val exp = d.explodeWithPos(
+            s"SELECT cell, embedding FROM km_a$r", "cell", "embedding", "pos", "v")
+          s"""WITH ea AS ($exp)
+             |SELECT cell AS label, pos,
+             |  CAST(FLOOR(CAST(SUM(${qvExpr("v")}) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
+             |FROM ea GROUP BY cell, pos""".stripMargin
+        })
+    }
+    StagedOp(
+      stages = Seq[(String, Dialect => String)](
+        "emb_nv" -> (nvStage(_)),
+        "ivf_cent" -> { (d: Dialect) =>
+          s"WITH ${ivfCentCtes(d)} SELECT label, pos, qc FROM cent"
+        }) ++ roundStages,
+      body = { _ =>
+        val rows = (1 to KmRounds).map { r =>
+          val prevCent = if (r == 1) "ivf_cent" else s"km_c${r - 1}"
+          val prevAsgn =
+            if (r == 1)
+              // the initial "assignment" is the label column, restricted
+              // to emb_nv's vector set (zero-norm exclusions) so round 1
+              // counts over the same population as every later round
+              "(SELECT n.vec_id, e.label AS cell FROM emb_nv n JOIN embeddings e ON n.vec_id = e.vec_id)"
+            else s"(SELECT vec_id, cell FROM km_a${r - 1})"
+          // three tiny single-row aggregates per round; the cross joins
+          // broadcast one-row scalars (the q_above_avg pattern)
+          s"""SELECT $r AS round, ra.n_reassigned, sh.shift_l1, nc.n_cells
+             |FROM (
+             |  SELECT COUNT(*) AS n_reassigned
+             |  FROM km_a$r a JOIN $prevAsgn p ON a.vec_id = p.vec_id AND a.cell <> p.cell
+             |) ra
+             |CROSS JOIN (
+             |  SELECT CAST(SUM(ABS(c.qc - pc.qc)) AS BIGINT) AS shift_l1
+             |  FROM km_c$r c JOIN $prevCent pc ON c.label = pc.label AND c.pos = pc.pos
+             |) sh
+             |CROSS JOIN (
+             |  SELECT COUNT(DISTINCT cell) AS n_cells FROM km_a$r
+             |) nc""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"$rows\nORDER BY round"
+      })
+  }
+
+  /** EXTERNAL cluster validation for the trained Lloyd model —
+    * purity and normalized mutual information of the final-round
+    * assignment against the embeddings' ground-truth labels (the
+    * readout that says whether the clusters recover the labeling, as
+    * the internal silhouette cannot). All counting rides ONE
+    * cells×labels contingency table (k·|labels| rows — broadcast-
+    * trivial at any corpus scale; the only corpus-sized work is the
+    * assignment join, one shuffle). Entropies and MI are µ-quantized-
+    * log2 int64 sums (the [[mutualInfo]] arithmetic — quantize each
+    * term BEFORE summation, so cross-engine float sums never
+    * diverge); the final NMI = MI/√(H(cell)·H(label)) touches doubles
+    * only in a fixed sequence of correctly-rounded ops and is NULL
+    * when either marginal entropy is zero (a single-cell or
+    * single-label degenerate run must read as "undefined", not 0 or
+    * ∞). Reads the FINAL round's assignment ([[kmeansLoop]] stages —
+    * shared chain, billed to q_kmeans_loop by name order). */
+  val kmeansPurity: StagedOp = StagedOp(
+    stages = kmeansLoop.stages,
+    body = { _ =>
+      val finA = s"km_a$KmRounds"
+      s"""WITH ct AS (
+         |  SELECT a.cell, e.label, CAST(COUNT(*) AS BIGINT) AS nij
+         |  FROM $finA a JOIN embeddings e ON a.vec_id = e.vec_id
+         |  GROUP BY a.cell, e.label
+         |),
+         |tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM ct),
+         |cm AS (SELECT cell, CAST(SUM(nij) AS BIGINT) AS ni FROM ct GROUP BY cell),
+         |lm AS (SELECT label, CAST(SUM(nij) AS BIGINT) AS nj FROM ct GROUP BY label),
+         |pur AS (
+         |  SELECT CAST(SUM(mx) AS BIGINT) AS pure, COUNT(*) AS n_cells
+         |  FROM (SELECT cell, MAX(nij) AS mx FROM ct GROUP BY cell)
+         |),
+         |qmi AS (
+         |  SELECT CAST(SUM(CAST(FLOOR(x.nij * log2(CAST(x.nij AS DOUBLE) * t.n
+         |      / (CAST(c.ni AS DOUBLE) * l.nj)) * 1.0e6 + 5.0e-1) AS BIGINT)) AS BIGINT) AS q
+         |  FROM ct x JOIN cm c ON x.cell = c.cell
+         |  JOIN lm l ON x.label = l.label CROSS JOIN tot t
+         |),
+         |qhc AS (SELECT CAST(SUM(CAST(FLOOR(ni * log2(CAST(ni AS DOUBLE)) * 1.0e6 + 5.0e-1) AS BIGINT)) AS BIGINT) AS q,
+         |               COUNT(*) AS k FROM cm),
+         |qhl AS (SELECT CAST(SUM(CAST(FLOOR(nj * log2(CAST(nj AS DOUBLE)) * 1.0e6 + 5.0e-1) AS BIGINT)) AS BIGINT) AS q,
+         |               COUNT(*) AS k FROM lm),
+         |f AS (
+         |  SELECT t.n, pur.pure, pur.n_cells, qhl.k AS n_labels,
+         |    CAST(qmi.q AS DOUBLE) / 1.0e6 / t.n AS mi,
+         |    ${qlog2("t.n")} / 1.0e6 - CAST(qhc.q AS DOUBLE) / 1.0e6 / t.n AS hc,
+         |    ${qlog2("t.n")} / 1.0e6 - CAST(qhl.q AS DOUBLE) / 1.0e6 / t.n AS hl
+         |  FROM tot t CROSS JOIN pur CROSS JOIN qmi CROSS JOIN qhc CROSS JOIN qhl
+         |)
+         |SELECT n AS n_vectors, n_cells, n_labels,
+         |  ${r6("CAST(pure AS DOUBLE) / n")} AS purity,
+         |  ${r6("mi")} AS mi_bits,
+         |  CASE WHEN hc <= 0.0e0 OR hl <= 0.0e0 THEN NULL
+         |       ELSE ${r6("mi / SQRT(hc * hl)")} END AS nmi
+         |FROM f""".stripMargin
+    })
+
+  /** Cluster-quality readout for the trained Lloyd model — the
+    * SIMPLIFIED silhouette (centroid-based: a(i) = distance to own
+    * centroid, b(i) = distance to the nearest OTHER centroid,
+    * s = (b−a)/max(a,b)), the variant that scales: vectors×k centroid
+    * distances instead of the classic all-pairs O(n²) — at 100 TB the
+    * full silhouette is not computable, this one is a corpus pass
+    * plus a k-row broadcast. Distances are exact int64 L2 over the
+    * µ-quantized grid (the [[qvExpr]] quantizer, same grid the
+    * trainer itself aggregates on); only the final sqrt/ratio touch
+    * doubles — a fixed sequence of correctly-rounded ops, µ-quantized
+    * back to int64 BEFORE the per-cell mean sum (the float-sum
+    * parity rule). Degenerate cases are explicit: a singleton-k model
+    * (no other centroid) emits NULL, coincident zero distances score
+    * 0. Reads the FINAL round's assignment and means ([[kmeansLoop]]
+    * stages — shared chain, billed to q_kmeans_loop by name order). */
+  val kmeansSilhouette: StagedOp = StagedOp(
+    stages = kmeansLoop.stages,
+    body = { d =>
+      val finA = s"km_a$KmRounds"
+      val finC = s"km_c$KmRounds"
+      val exp = d.explodeWithPos(
+        "SELECT vec_id, embedding FROM emb_nv", "vec_id", "embedding", "pos", "v")
+      s"""WITH ea AS ($exp),
+         |ed AS (SELECT vec_id, pos, ${qvExpr("v")} AS qv FROM ea),
+         |dd AS (
+         |  SELECT e.vec_id, c.label,
+         |    CAST(SUM((e.qv - c.qc) * (e.qv - c.qc)) AS BIGINT) AS d2
+         |  FROM ed e JOIN $finC c ON c.pos = e.pos
+         |  GROUP BY e.vec_id, c.label
+         |),
+         |ab AS (
+         |  SELECT d.vec_id, a.cell,
+         |    MAX(CASE WHEN d.label = a.cell THEN d.d2 END) AS a2,
+         |    MIN(CASE WHEN d.label <> a.cell THEN d.d2 END) AS b2
+         |  FROM dd d JOIN $finA a ON a.vec_id = d.vec_id
+         |  GROUP BY d.vec_id, a.cell
+         |),
+         |sv AS (
+         |  SELECT cell,
+         |    CASE
+         |      WHEN b2 IS NULL THEN NULL
+         |      WHEN a2 = 0 AND b2 = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE ${qvExpr(
+                 """(sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+                   | / GREATEST(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE)))""".stripMargin)}
+         |    END AS sq
+         |  FROM ab
+         |)
+         |SELECT cell,
+         |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CASE WHEN COUNT(sq) = 0 THEN NULL
+         |       ELSE ${r6("CAST(SUM(sq) AS DOUBLE) / (COUNT(sq) * 1.0e6)")} END
+         |    AS mean_silhouette
+         |FROM sv GROUP BY cell
+         |ORDER BY cell""".stripMargin
+    })
+
+  /** Embedding near-dup pairs above a cosine threshold, LSH-gated with
+    * [[SignBands]] OR'd 8-bit sign bands (the minhash banding pattern
+    * applied to sign LSH): a pair is a candidate iff ALL 8 signs of
+    * SOME band agree. Per-band candidates are ~N²/256 (vs N²/16 for
+    * the old single 4-bit gate) and the band union recovers recall —
+    * measured on this corpus the 8-band gate examines HALF the pairs
+    * of the old gate at higher recall — so the self-join stays bounded
+    * at 100× the data. Cosine is computed once per distinct candidate
+    * pair. */
+  val dedupEmbeddingCosine: StagedOp = StagedOp(
+    // the verified pair set is a STAGE, not the body: it has two
+    // consumers (this query and the embedding-clusters CC
+    // composition) — the mh_cand rule; staged once per JVM, both
+    // read the parquet, and the clusters query's timed cost is the
+    // CC it owns, not a re-run of the band self-join
+    stages = Seq(
+      "emb_nv" -> nvStage,
+      "embc_pairs" -> { (d: Dialect) =>
+        val bandRows = (1 to SignBands).map { b =>
+          s"SELECT vec_id, $b AS band, sb$b AS bkey FROM emb_nv"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH sbands AS (
+           |  $bandRows
+           |),
+           |cand AS (
+           |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+           |  FROM sbands x JOIN sbands y
+           |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+           |)
+           |SELECT vec_a, vec_b, cosine FROM (
+           |  SELECT c.vec_a, c.vec_b,
+           |    ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine
+           |  FROM cand c
+           |  JOIN emb_nv a ON a.vec_id = c.vec_a
+           |  JOIN emb_nv b ON b.vec_id = c.vec_b
+           |) WHERE cosine >= 0.35""".stripMargin
+      }),
+    body = { _ => "SELECT vec_a, vec_b, cosine FROM embc_pairs" })
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): duplicates whose surface forms differ
+    * (paraphrases, re-renders, translations) share no shingles, so the
+    * minhash family is structurally blind to them — but their
+    * embeddings are close. The scale shape is the IVF search trick
+    * applied to dedup: cluster first, compare only WITHIN cells, so
+    * the pairwise cosine work is cell-bounded, never corpus-wide (at
+    * 100 TB the cell count grows with N and cells stay bounded).
+    *
+    * Inside a cell every pair with cosine ≥ 0.35 is duplicate
+    * evidence; of each such pair the member ranked earlier in the
+    * cell's keep-order survives. Keep-order is distance-to-centroid
+    * DESCENDING — SemDeDup's published rule: keep the LOW-similarity-
+    * to-centroid example, because prototypical near-centroid text is
+    * exactly what the corpus over-represents — with ties to the
+    * smaller vec_id. The drop rule is the non-sequential dominance
+    * variant (x is dropped if ANY earlier-ranked in-cell neighbor
+    * exceeds τ, whether or not that neighbor itself survives): the
+    * same shape as the skyline dominance test — deterministic and
+    * join-parallel, no sequential sweep over the cell. The pair join
+    * is canonical (vec_id <, each unordered pair's 64-dim cosine
+    * computed ONCE); per-cell ranks are distinct, so the CASE in
+    * `drops` always finds a strictly later-ranked member to drop.
+    *
+    * All three inputs are already-staged shared artifacts (emb_nv,
+    * ivf_nvc, ivf_cent); centroid distances reuse the IVF family's
+    * exact int64 µ-quantized arithmetic, so both engines rank
+    * identically. No dimension guard needed in `cd`: a vector's cell
+    * was assigned under ivfAssign's full-dimension-match rule, so its
+    * own-cell centroid matches every position. */
+  val dedupSemantic: StagedOp = StagedOp(
+    stages = Seq(
+      "emb_nv" -> nvStage,
+      "ivf_nvc" -> { d => d.ivfAssign(ivfCentCtes(d)) },
+      "ivf_cent" -> { d =>
+        s"WITH ${ivfCentCtes(d)} SELECT label, pos, qc FROM cent"
+      },
+      // the per-cell keep-order is consumed THREE times in the body
+      // (both sides of the dominance test + the survivor projection) —
+      // the two-consumer rule: staged, or CTE inlining re-runs the
+      // explode+centroid join per reference
+      "sem_rank" -> { d =>
+        val expV = d.explodeWithPos(
+          "SELECT vec_id, cell, embedding FROM ivf_nvc",
+          "vec_id, cell", "embedding", "pos", "v")
+        val qv = qvExpr("e.v")
+        s"""WITH ev AS ($expV),
+           |cd AS (
+           |  SELECT e.vec_id, e.cell,
+           |    SUM(($qv - c.qc) * ($qv - c.qc)) AS d2
+           |  FROM ev e JOIN ivf_cent c ON c.label = e.cell AND c.pos = e.pos
+           |  GROUP BY e.vec_id, e.cell
+           |)
+           |SELECT vec_id, cell,
+           |  ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d2 DESC, vec_id) AS rk
+           |FROM cd""".stripMargin
+      }),
+    body = { d =>
+      s"""WITH dup AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM ivf_nvc a JOIN ivf_nvc b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} >= 0.35
+         |),
+         |drops AS (
+         |  SELECT DISTINCT
+         |    CASE WHEN x.rk > y.rk THEN x.vec_id ELSE y.vec_id END AS vec_id
+         |  FROM dup p
+         |  JOIN sem_rank x ON x.vec_id = p.va
+         |  JOIN sem_rank y ON y.vec_id = p.vb
+         |)
+         |SELECT r.vec_id, r.cell, r.rk
+         |FROM sem_rank r LEFT JOIN drops dr ON dr.vec_id = r.vec_id
+         |WHERE dr.vec_id IS NULL""".stripMargin
+    })
+
+  /** Margin-based nearest-neighbor pair mining — the CCMatrix/LASER
+    * bitext-mining criterion (Artetxe & Schwenk 2019): a candidate
+    * pair (x, y) across two corpora scores not by raw cosine but by
+    * cosine NORMALIZED by both endpoints' neighborhood densities,
+    *   margin(x,y) = cos(x,y) / ((avgₖNN(x) + avgₖNN(y)) / 2),
+    * which suppresses hub vectors that are "close to everything".
+    * The two corpora here are the embedding table's parity slices
+    * (stand-ins for two languages' sentence embeddings).
+    *
+    * Cost shape (the eval-scoping rule): the query side is the bounded
+    * vec_id % 50 slice, its top-k search is |Q|·N; the REVERSE
+    * neighborhood penalty is computed only for the ≤ |Q|·k distinct
+    * shortlist partners, each one pass against the other side — never
+    * all-pairs on the big sides. At 100 TB both passes ride the IVF/
+    * sign-LSH indexes instead of brute force; the margin algebra is
+    * unchanged. The denominator uses each endpoint's ACTUAL
+    * neighborhood size (a side with fewer than k members must average
+    * over what it has, not divide a k-scaled numerator by an
+    * under-filled sum): margin = 2·cos·ca·cb / (Σa·cb + Σb·ca), the
+    * cross-multiplied form of cos / ((Σa/ca + Σb/cb)/2), kept in int64
+    * until the final ratio. All cosines are µ-quantized to int64
+    * before any SUM
+    * (6-decimal doubles do NOT sum associatively; integers do), so
+    * both engines rank identically; the one float op is the final
+    * ratio, r6-rounded. The shortlist is staged under the
+    * two-consumer rule (read for the reverse-penalty seed AND the
+    * final margin join). */
+  val annMargin: StagedOp = {
+    val k = 4
+    def qcos(d: Dialect, a: String, b: String, na: String, nb: String) =
+      s"CAST(FLOOR((${dotExpr(d, a, b)} / ($na * $nb)) * 1.0e6 + 5.0e-1) AS BIGINT)"
+    StagedOp(
+      stages = Seq(
+        "emb_nv" -> nvStage,
+        "mgn_top" -> { d =>
+          s"""WITH qs AS (
+             |  SELECT * FROM emb_nv WHERE vec_id % 50 = 0 AND vec_id % 2 = 0
+             |),
+             |p AS (
+             |  SELECT qs.vec_id AS qa, t.vec_id AS qb,
+             |    ${qcos(d, "qs.embedding", "t.embedding", "qs.nrm", "t.nrm")} AS qc
+             |  FROM qs JOIN emb_nv t ON t.vec_id % 2 = 1
+             |)
+             |SELECT qa, qb, qc FROM (
+             |  SELECT *, ROW_NUMBER() OVER (
+             |    PARTITION BY qa ORDER BY qc DESC, qb) AS rk
+             |  FROM p
+             |) WHERE rk <= $k""".stripMargin
+        }),
+      body = { d =>
+        s"""WITH bq AS (SELECT DISTINCT qb FROM mgn_top),
+           |bp AS (
+           |  SELECT b.vec_id AS qb, a.vec_id AS qa2,
+           |    ${qcos(d, "b.embedding", "a.embedding", "b.nrm", "a.nrm")} AS qc
+           |  FROM emb_nv b JOIN bq ON b.vec_id = bq.qb
+           |  JOIN emb_nv a ON a.vec_id % 2 = 0
+           |),
+           |btop AS (
+           |  SELECT qb, qc FROM (
+           |    SELECT *, ROW_NUMBER() OVER (
+           |      PARTITION BY qb ORDER BY qc DESC, qa2) AS rk
+           |    FROM bp
+           |  ) WHERE rk <= $k
+           |),
+           |bavg AS (
+           |  SELECT qb, CAST(SUM(qc) AS BIGINT) AS bs, COUNT(*) AS cb
+           |  FROM btop GROUP BY qb
+           |),
+           |aavg AS (
+           |  SELECT qa, CAST(SUM(qc) AS BIGINT) AS as_, COUNT(*) AS ca
+           |  FROM mgn_top GROUP BY qa
+           |),
+           |m AS (
+           |  SELECT t.qa, t.qb, t.qc,
+           |    CASE WHEN av.as_ * bv.cb + bv.bs * av.ca > 0
+           |         THEN ${r6("CAST(2 * t.qc * av.ca * bv.cb AS DOUBLE) / CAST(av.as_ * bv.cb + bv.bs * av.ca AS DOUBLE)")}
+           |    END AS margin
+           |  FROM mgn_top t
+           |  JOIN aavg av ON av.qa = t.qa
+           |  JOIN bavg bv ON bv.qb = t.qb
+           |)
+           |SELECT qa AS query_id, qb AS pair_id, qc AS qcos, margin, rk FROM (
+           |  SELECT *, ROW_NUMBER() OVER (
+           |    PARTITION BY qa ORDER BY margin DESC, qb) AS rk
+           |  FROM m WHERE margin IS NOT NULL
+           |) WHERE rk <= 2""".stripMargin
+      })
+  }
+
+  /** Product-quantization codes (the compressed representation behind
+    * [[embeddingQuantize]]'s scalar codes in a real ANN index): each
+    * 64-dim vector becomes 4 codebook ids, one per 16-dim block, where
+    * block b's codebook is the per-label component means restricted to
+    * that block (the [[annIvf]] centroid table sliced — PQ and IVF
+    * share their training statistics, as in a production IVF-PQ
+    * index). Assignment arithmetic is the IVF argmin per block: exact
+    * int64 L2 over µ-quantized components, ties to the smallest label.
+    * The codebook is broadcast-sized (labels × dims); at 100 TB the
+    * Spark path is a narrow zero-shuffle projection per vector. */
+  /** Per-(label, pos) µ-quantized block-codebook centroids — the one
+    * stage [[annPq]] (encode) and [[annPqSearch]] (ADC decode) share. */
+  private[ops] def pqCentStage(d: Dialect): String = {
+    val expC = d.explodeWithPos(
+      "SELECT vec_id, label, embedding FROM embeddings",
+      "vec_id, label", "embedding", "pos", "v")
+    s"""WITH evc AS ($expC)
+       |SELECT label, pos,
+       |  CAST(FLOOR(CAST(SUM(${qvExpr("v")}) AS DOUBLE) / COUNT(*) + 5.0e-1) AS BIGINT) AS qc
+       |FROM evc GROUP BY label, pos""".stripMargin
+  }
+
+  val annPq: StagedOp = StagedOp(
+    stages = Seq("pq_cent" -> pqCentStage _),
+    body = d => d.pqAssign(m = 4, bs = 16))
+
+  /** PQ search by asymmetric distance computation (ADC) — the read
+    * path that makes PQ codes useful: per query, a lookup table of
+    * squared distances from each query BLOCK slice to every codebook
+    * centroid slice (|Q| × 4 blocks × labels rows — broadcast-sized),
+    * then every database vector is scored by summing 4 table lookups
+    * keyed by its stored codes. No vector arithmetic per (query,
+    * vector) pair and no scan of the embeddings themselves: the scored
+    * relation is the narrow staged code table (1 short row per
+    * vector), which is the entire storage/compute win of PQ at 100 TB
+    * (codes ≈ 1/64th the bytes of the raw vectors here). All distance
+    * math is exact int64 over µ-quantized components (same proof as
+    * IVF), so both engines rank identically; ties break to the
+    * smaller neighbor id. */
+  val annPqSearch: StagedOp = {
+    val (m, bs) = (4, 16)
+    StagedOp(
+      stages = Seq(
+        "pq_cent" -> pqCentStage _,
+        // the encoded corpus: same rendering the q_ann_pq body emits,
+        // staged because search consumes it as the database
+        "pq_codes" -> { d => d.pqAssign(m, bs) }),
+      body = { d =>
+        val expQ = d.explodeWithPos(
+          s"SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5 AND ${d.size("embedding")} = ${m * bs}",
+          "vec_id", "embedding", "pos", "v")
+        val codeArms = (0 until m).map { b =>
+          s"SELECT vec_id, $b AS block, code$b AS code FROM pq_codes"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH qv AS ($expQ),
+           |qq AS (
+           |  SELECT vec_id AS qid, CAST(FLOOR(pos / $bs) AS INT) AS block, pos % $bs AS bpos,
+           |    ${qvExpr("v")} AS qv
+           |  FROM qv
+           |),
+           |cb AS (
+           |  SELECT label, CAST(FLOOR(pos / $bs) AS INT) AS block, pos % $bs AS bpos, qc
+           |  FROM pq_cent
+           |),
+           |lut AS (
+           |  SELECT q.qid, c.block, c.label,
+           |    CAST(SUM((q.qv - c.qc) * (q.qv - c.qc)) AS BIGINT) AS d2
+           |  FROM qq q JOIN cb c ON q.block = c.block AND q.bpos = c.bpos
+           |  GROUP BY q.qid, c.block, c.label
+           |),
+           |codes AS (
+           |  $codeArms
+           |),
+           |adc AS (
+           |  SELECT l.qid AS query_id, c.vec_id AS neighbor_id,
+           |    CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+           |  FROM codes c JOIN lut l ON l.block = c.block AND l.label = c.code
+           |  WHERE c.vec_id <> l.qid
+           |  GROUP BY l.qid, c.vec_id
+           |)
+           |SELECT query_id, neighbor_id, adc_d2, rk FROM (
+           |  SELECT *, ROW_NUMBER() OVER (
+           |    PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rk
+           |  FROM adc
+           |) WHERE rk <= 10""".stripMargin
+      })
+  }
+
+}
