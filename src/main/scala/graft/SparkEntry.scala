@@ -175,6 +175,15 @@ object SparkEntry {
   /** Dual-dialect op: register the needed tables as temp views, run the
     * Spark rendering of the shared SQL (spark.sql → same Catalyst
     * pipeline as the DataFrame API). */
+  /** Deterministic md5-half slice of `documents` standing in for "one
+    * ingest batch" in q_dataset_card_delta — ONE string rendered into
+    * both engines' SQL, so the Spark query and the DuckDB oracle see
+    * the identical subset (an md5 half, not doc_id parity: source is
+    * a function of doc_id mod in this fixture, and a parity slice
+    * would alias with it). */
+  private val CardDeltaSlice: String =
+    s"(SELECT doc_id, text FROM documents WHERE ${SqlOps.md5Bucket("CAST(doc_id AS STRING) || ':cardslice'")} % 2 = 0) cds"
+
   private def sqlq(views: Seq[String], build: Dialect => String): (SparkSession, String) => DataFrame =
     (s, d) => {
       graft.functions.GraftFunctions.registerAll(s)
@@ -854,6 +863,13 @@ object SparkEntry {
     // the one-page datasheet next to the manifest: size, mix, dup and
     // PII facts as (metric, value) rows off staged artifacts
     "q_dataset_card" -> sqlStaged(Seq("documents"), SqlOps.datasetCard),
+    // the card's ADDITIVE slice over a deterministic md5-half of the
+    // corpus — the exact per-batch SQL the streaming ingest card runs
+    // (DailyIngestSpec proves the rollup; this pins the fragment
+    // cross-engine on a proper subset, so a slice-insensitive bug —
+    // e.g. reading `documents` instead of `from` — cannot hide)
+    "q_dataset_card_delta" -> sqlq(Seq("documents"),
+      d => SqlOps.datasetCardAdditive(d, from = CardDeltaSlice)),
     "q_curation_funnel" -> sqlq(Seq("documents"), SqlOps.curationFunnel),
     "q_corpus_report" -> sqlq(Seq("documents"), SqlOps.corpusReport),
     "q_contamination" -> sqlq(Seq("documents"), SqlOps.contamination),
@@ -1788,6 +1804,8 @@ object SparkEntry {
     "q_quality_sweep" -> SqlOps.qualitySweep(DuckDialect),
     "q_release_manifest" -> SqlOps.releaseManifest(DuckDialect),
     "q_dataset_card" -> SqlOps.datasetCard.single(DuckDialect),
+    "q_dataset_card_delta" ->
+      SqlOps.datasetCardAdditive(DuckDialect, from = CardDeltaSlice),
     "q_curation_funnel" -> SqlOps.curationFunnel(DuckDialect),
     "q_corpus_report" -> SqlOps.corpusReport(DuckDialect),
     "q_contamination" -> SqlOps.contamination(DuckDialect),

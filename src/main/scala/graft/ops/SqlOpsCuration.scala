@@ -99,23 +99,35 @@ trait SqlOpsCuration { this: SqlOpsAll =>
     * positive paths (valid/invalid Luhn, out-of-range octets,
     * redaction round-trip) are covered by the independent replay in
     * MicroOracleSpec. */
+  /** The PII extraction-matrix projection (one regex-extract array per
+    * kind) over any (doc_id, text) relation — ONE copy of the
+    * extraction SQL, read by the staged [[piiScan]] (from =
+    * `documents`) and inlined by [[datasetCardAdditive]] for the
+    * per-batch ingest-card slice (a bounded slice doesn't warrant a
+    * staged artifact). */
+  private[ops] def piiMatrixSql(d: Dialect, from: String = "documents"): String = {
+    val cols = PiiPatterns.map { case (k, rx) =>
+      s"${d.reExtractAll("text", rx)} AS m_$k" }
+    s"SELECT doc_id,\n  ${cols.mkString(",\n  ")}\nFROM $from"
+  }
+
+  /** Per-occurrence rows (doc_id, kind, m) exploded from a
+    * [[piiMatrixSql]] projection — the other half of the shared
+    * extraction pair. */
+  private[ops] def piiOccSql(d: Dialect, matrixTbl: String = "pii_m"): String =
+    PiiPatterns.map { case (k, _) =>
+      s"""SELECT doc_id, '$k' AS kind, m FROM (
+         |  ${d.explode(s"SELECT doc_id, m_$k FROM $matrixTbl", "doc_id", s"m_$k", "m")}
+         |)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   val piiScan: StagedOp = StagedOp(
     stages = Seq(
-      "pii_m" -> { (d: Dialect) =>
-        val cols = PiiPatterns.map { case (k, rx) =>
-          s"${d.reExtractAll("text", rx)} AS m_$k" }
-        s"SELECT doc_id,\n  ${cols.mkString(",\n  ")}\nFROM documents"
-      },
+      "pii_m" -> { (d: Dialect) => piiMatrixSql(d) },
       // occurrence rows, staged: four consumers below (counts, two
       // validator arms, the card candidates) would each re-explode
       // the arrays under CTE inlining
-      "pii_o" -> { (d: Dialect) =>
-        PiiPatterns.map { case (k, _) =>
-          s"""SELECT doc_id, '$k' AS kind, m FROM (
-             |  ${d.explode(s"SELECT doc_id, m_$k FROM pii_m", "doc_id", s"m_$k", "m")}
-             |)""".stripMargin
-        }.mkString("\nUNION ALL\n")
-      }),
+      "pii_o" -> { (d: Dialect) => piiOccSql(d) }),
     body = { d =>
       val dom = PiiPatterns.map { case (k, _) => s"SELECT '$k' AS kind" }
         .mkString(" UNION ALL ")

@@ -512,6 +512,63 @@ trait SqlOpsText { this: SqlOpsAll =>
          |FROM m""".stripMargin
     })
 
+  /** The per-doc ADDITIVE metric expressions of the dataset card, over
+    * the card's sx(text, ntok, lang_guess, …) projection — ONE copy
+    * shared by [[datasetCard]]'s fused aggregate and
+    * [[datasetCardAdditive]] (the per-batch ingest-card delta), so the
+    * rollup the streaming card sums can never drift from the datasheet
+    * row it mirrors. Additive means: computed per doc and summed, so
+    * the metric over a union of doc-DISJOINT slices equals the sum of
+    * the per-slice values. Group-grain card rows (quality_pass_docs —
+    * its [[SurvivorGate]] rn term needs the cross-corpus exact-dup
+    * window —, dup counts, source spread, near-dup pairs) are NOT in
+    * this list by construction. */
+  private[ops] val CardAdditiveExprs: Seq[(String, String)] = Seq(
+    // COALESCE: an EMPTY slice (an ingest batch that re-delivers only
+    // already-counted docs) must emit zero rows' worth of zeros, not
+    // NULLs — the repo's absent-row convention; both engines agree on
+    // SUM-over-empty = NULL so the coalesce is cross-engine neutral
+    "docs" -> "CAST(COUNT(*) AS BIGINT)",
+    "tokens" -> "CAST(COALESCE(SUM(ntok), 0) AS BIGINT)",
+    "chars" -> "CAST(COALESCE(SUM(CAST(length(text) AS BIGINT)), 0) AS BIGINT)",
+    "lang_en_docs" -> "CAST(COALESCE(SUM(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END), 0) AS BIGINT)",
+    "lang_id_docs" -> "CAST(COALESCE(SUM(CASE WHEN lang_guess = 'id' THEN 1 ELSE 0 END), 0) AS BIGINT)",
+    "lang_und_docs" -> "CAST(COALESCE(SUM(CASE WHEN lang_guess = 'und' THEN 1 ELSE 0 END), 0) AS BIGINT)")
+
+  /** The ADDITIVE slice of [[datasetCard]]: the per-doc metric rows
+    * (docs, tokens, chars, language mix, PII candidate occurrences)
+    * over ANY (doc_id, text) relation. These are exactly the card rows
+    * that sum over doc-disjoint slices — the streaming ingest card
+    * ([[graft.streaming.StreamingOps]].ingestCard) runs this SQL
+    * VERBATIM over each batch's newly-counted docs, and DailyIngestSpec
+    * proves per-metric SUM over batches == this same SQL over the
+    * replayed corpus. The scoring CTEs are [[scoredCtes]] (the gate's
+    * one copy); PII occurrences come from the same
+    * [[piiMatrixSql]]/[[piiOccSql]] renderers the staged [[piiScan]]
+    * reads, inlined as CTEs because a bounded batch slice doesn't
+    * warrant a staged artifact (distinct CTE names so the batch card's
+    * staged pii_o view is never shadowed). */
+  def datasetCardAdditive(d: Dialect, from: String = "documents"): String = {
+    val adds = CardAdditiveExprs
+      .map { case (m, e) => s"$e AS a_$m" }.mkString(",\n    ")
+    val rows = CardAdditiveExprs.map(_._1).zipWithIndex.map { case (m, i) =>
+      if (i == 0) s"SELECT '$m' AS metric, a_$m AS value FROM agg"
+      else s"UNION ALL SELECT '$m', a_$m FROM agg"
+    }.mkString("\n")
+    s"""WITH ${scoredCtes(d, from)},
+       |sx AS (SELECT text, CAST(${d.size("toks")} AS BIGINT) AS ntok, lang_guess
+       |       FROM scored),
+       |agg AS (
+       |  SELECT $adds
+       |  FROM sx
+       |),
+       |pii_mx AS (${piiMatrixSql(d, from)}),
+       |pii_ox AS (${piiOccSql(d, "pii_mx")}),
+       |pii AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pii_ox)
+       |$rows
+       |UNION ALL SELECT 'pii_candidate_matches', n FROM pii""".stripMargin
+  }
+
   /** The DATASET CARD — the one-page datasheet (Gebru et al. 2021)
     * a release ships next to [[releaseManifest]]: corpus size in
     * docs/tokens/chars, source spread and the hottest source's share,
@@ -540,6 +597,8 @@ trait SqlOpsText { this: SqlOpsAll =>
   lazy val datasetCard: StagedOp = StagedOp(
     stages = dedupMinhash.stages ++ piiScan.stages,
     body = { d =>
+      val adds = CardAdditiveExprs
+        .map { case (m, e) => s"$e AS a_$m" }.mkString(",\n    ")
       s"""WITH ${scoredCtes(d, "documents")},
          |sx AS (
          |  SELECT text, CAST(${d.size("toks")} AS BIGINT) AS ntok,
@@ -548,12 +607,7 @@ trait SqlOpsText { this: SqlOpsAll =>
          |  FROM scored
          |),
          |agg AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |    CAST(SUM(ntok) AS BIGINT) AS n_tokens,
-         |    CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars,
-         |    CAST(SUM(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-         |    CAST(SUM(CASE WHEN lang_guess = 'id' THEN 1 ELSE 0 END) AS BIGINT) AS n_id,
-         |    CAST(SUM(CASE WHEN lang_guess = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und,
+         |  SELECT $adds,
          |    CAST(SUM(CASE WHEN $SurvivorGate THEN 1 ELSE 0 END) AS BIGINT) AS q_pass,
          |    CAST(SUM(CASE WHEN rn = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
          |    CAST(SUM(CASE WHEN rn >= 2 THEN 1 ELSE 0 END)
@@ -567,14 +621,14 @@ trait SqlOpsText { this: SqlOpsAll =>
          |),
          |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM mh_cand),
          |pii AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pii_o)
-         |SELECT 'docs' AS metric, n_docs AS value FROM agg
-         |UNION ALL SELECT 'tokens', n_tokens FROM agg
-         |UNION ALL SELECT 'chars', n_chars FROM agg
+         |SELECT 'docs' AS metric, a_docs AS value FROM agg
+         |UNION ALL SELECT 'tokens', a_tokens FROM agg
+         |UNION ALL SELECT 'chars', a_chars FROM agg
          |UNION ALL SELECT 'sources', n_sources FROM src
          |UNION ALL SELECT 'max_source_share_ppm', ${d.idiv("1000000 * max_c", "tot")} FROM src
-         |UNION ALL SELECT 'lang_en_docs', n_en FROM agg
-         |UNION ALL SELECT 'lang_id_docs', n_id FROM agg
-         |UNION ALL SELECT 'lang_und_docs', n_und FROM agg
+         |UNION ALL SELECT 'lang_en_docs', a_lang_en_docs FROM agg
+         |UNION ALL SELECT 'lang_id_docs', a_lang_id_docs FROM agg
+         |UNION ALL SELECT 'lang_und_docs', a_lang_und_docs FROM agg
          |UNION ALL SELECT 'quality_pass_docs', q_pass FROM agg
          |UNION ALL SELECT 'exact_dup_groups', dup_groups FROM agg
          |UNION ALL SELECT 'exact_dup_docs', dup_docs FROM agg
@@ -583,7 +637,7 @@ trait SqlOpsText { this: SqlOpsAll =>
          |-- the two-snapshot corpus (every doc appears twice), so a
          |-- rate computed against 'docs' would be inflated — the card
          |-- carries the correct denominator itself
-         |UNION ALL SELECT 'neardup_corpus_docs', 2 * n_docs FROM agg
+         |UNION ALL SELECT 'neardup_corpus_docs', 2 * a_docs FROM agg
          |-- CANDIDATE matches: pii_o is the raw regex-occurrence set
          |-- (pre-validation — includes Luhn-invalid card candidates and
          |-- out-of-range octet runs); piiScan's n_valid column is the

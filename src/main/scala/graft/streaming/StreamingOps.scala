@@ -1242,6 +1242,120 @@ object StreamingOps {
     }
   }
 
+  /** Stage 12 — the DATASET CARD rollup (`<root>/card`): the release
+    * datasheet maintained incrementally next to the manifest. ONE
+    * discriminated-row artifact (the annMaintenance precedent — a
+    * metric row and the membership set it was computed from can never
+    * be observed out of step) holding two row kinds:
+    *
+    *  - kind='doc' (doc_id, text_md5): every doc ever counted into an
+    *    additive delta — the membership set that makes the deltas
+    *    exact under any crash/redelivery interleaving (the card has
+    *    no doc-grain output of its own to anti-join, unlike
+    *    manifest/bands, so it carries its membership explicitly);
+    *  - kind='metric' (batch_seq, metric, value, additive):
+    *    additive=true rows run the batch card's OWN additive SQL
+    *    ([[graft.ops.SqlOps.datasetCardAdditive]], one copy) over
+    *    this batch's newly-counted docs — current value = SUM over
+    *    batches, proven == the batch card over the replayed corpus
+    *    in DailyIngestSpec; additive=false rows are group-grain card
+    *    metrics a per-slice delta cannot carry, RECOMPUTED per batch
+    *    from published artifacts — quality_pass_docs = manifest rows
+    *    (the corpus-filter survivor count, already proven equal to
+    *    the batch gate), exact_dup_groups/docs from this artifact's
+    *    own text_md5 membership (cross-batch groups included),
+    *    sources/max_source_share_ppm from the admitted artifact —
+    *    so the LATEST batch_seq row is current.
+    *
+    * Replay-idempotent twice over: the membership anti-join makes a
+    * redelivered doc contribute zero to every additive delta, and
+    * metric rows are keyed by batch_seq (first-write-wins), so a
+    * replayed batch cannot append a second zero-delta row set.
+    * Scale: compute ∝ batch slice + one count/aggregate per artifact
+    * read; the swap write is ∝ artifact like every stage here. */
+  private[streaming] def ingestCard(spark: SparkSession, batch: DataFrame,
+                                    batchSeq: Long, root: String): Unit = {
+    val admitted = readState(spark, s"$root/admitted")
+      .getOrElse(sys.error(s"daily-ingest: $root/admitted missing (stage order violated)"))
+    val manifest = readState(spark, s"$root/manifest")
+      .getOrElse(sys.error(s"daily-ingest: $root/manifest missing (stage order violated)"))
+    val nQualityPass = manifest.count()
+    val srcRow = admitted.groupBy("source").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_sources"), coalesce(max(col("c")), lit(0L)).as("max_c"),
+        coalesce(sum(col("c")), lit(0L)).as("tot"))
+      .head()
+    val nSources = srcRow.getAs[Long]("n_sources")
+    // exact int64 ppm (the batch card's idiv): 10^6·max_c wraps int64
+    // only past ~9.2e12 admitted docs of one source — loud, not silent
+    val maxShare =
+      if (srcRow.getAs[Long]("tot") == 0L) 0L
+      else {
+        val maxC = srcRow.getAs[Long]("max_c")
+        require(maxC <= Long.MaxValue / 1000000L,
+          s"daily-ingest card: max per-source count $maxC overflows the ppm envelope")
+        1000000L * maxC / srcRow.getAs[Long]("tot")
+      }
+    publishParquet(spark, s"$root/card") { current =>
+      val cand = batch.select(col("doc_id"), col("text"))
+        .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+        .dropDuplicates("doc_id")
+      val counted = current.map(_.filter(col("kind") === "doc").select("doc_id"))
+      val fresh = counted
+        .map(c => cand.join(c, Seq("doc_id"), "left_anti")).getOrElse(cand)
+        .localCheckpoint(eager = false) // read 3×: delta SQL, doc rows, dup agg
+      // additive deltas: the batch card's additive SQL, verbatim, over
+      // the slice (view + sql through the slice's OWN session — the
+      // ingestManifest session-clone rule)
+      val ss = fresh.sparkSession
+      fresh.createOrReplaceTempView("__ingest_card_slice")
+      val additive = ss.sql(graft.ops.SqlOps.datasetCardAdditive(
+          graft.ops.SparkDialect, from = "__ingest_card_slice"))
+        .select(col("metric"), col("value"), lit(true).as("additive"))
+      ss.catalog.dropTempView("__ingest_card_slice")
+      // group-grain recomputes: dup groups over the FULL membership
+      // (prior doc rows ∪ this slice) — cross-batch exact-dup groups
+      // are exactly what a per-slice delta cannot see
+      val allMd5 = {
+        val freshMd5 = fresh.select(md5(col("text")).as("text_md5"))
+        current.map(_.filter(col("kind") === "doc").select("text_md5")
+          .unionByName(freshMd5)).getOrElse(freshMd5)
+      }
+      val dupRow = allMd5.groupBy("text_md5").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(when(col("c") >= 2, 1L).otherwise(0L)), lit(0L)).as("dup_groups"),
+          coalesce(sum(when(col("c") >= 2, col("c")).otherwise(0L)), lit(0L)).as("dup_docs"))
+        .head()
+      val recomputed = {
+        import ss.implicits._
+        Seq(("quality_pass_docs", nQualityPass, false),
+          ("exact_dup_groups", dupRow.getAs[Long]("dup_groups"), false),
+          ("exact_dup_docs", dupRow.getAs[Long]("dup_docs"), false),
+          ("sources", nSources, false),
+          ("max_source_share_ppm", maxShare, false))
+          .toDF("metric", "value", "additive")
+      }
+      val metricRows = additive.unionByName(recomputed)
+        .select(lit("metric").as("kind"), lit(batchSeq).as("batch_seq"),
+          col("metric"), col("value"), col("additive"),
+          lit(null).cast("long").as("doc_id"),
+          lit(null).cast("string").as("text_md5"))
+      val docRows = fresh
+        .select(lit("doc").as("kind"), lit(null).cast("long").as("batch_seq"),
+          lit(null).cast("string").as("metric"), lit(null).cast("long").as("value"),
+          lit(null).cast("boolean").as("additive"),
+          col("doc_id"), md5(col("text")).as("text_md5"))
+      val fresh2 = current match {
+        // metric rows first-write-wins on batch_seq (the history rule);
+        // doc rows are membership-gated above, so both kinds append-only
+        case Some(cur) =>
+          val seen = cur.filter(col("kind") === "metric").select("batch_seq").distinct()
+          val newMetrics = metricRows.join(seen, Seq("batch_seq"), "left_anti")
+          cur.unionByName(newMetrics.unionByName(docRows))
+        case None => metricRows.unionByName(docRows)
+      }
+      fresh2
+    }
+  }
+
   /** One micro-batch of the composed daily-ingest pipeline. Exposed so
     * a scheduled batch job (the reference's cron shape) can call it on
     * a day's drain directly; [[dailyIngest]] wraps it for Structured
@@ -1604,6 +1718,7 @@ object StreamingOps {
     dailyIngestBatch(spark, batch, quota, root)
     ingestManifest(spark, batch, root)
     ingestRelease(spark, root)
+    ingestCard(spark, batch, batchSeq, root)
     ingestIndex(spark, batch, centroids, root)
     ingestHistory(spark, batchSeq, batchSig, nSig, root)
     ingestReport(spark, centroids, root)

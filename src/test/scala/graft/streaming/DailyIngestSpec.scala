@@ -183,7 +183,7 @@ class DailyIngestSpec extends SparkSpec {
 
   private def artifacts(root: String): Map[String, Set[Seq[Any]]] =
     Seq("admitted", "bands", "clusters", "survivors", "manifest", "release",
-        "ivf", "history", "drift", "ewma", "metrics", "pii")
+        "card", "ivf", "history", "drift", "ewma", "metrics", "pii")
       .map(a => a -> spark.read.parquet(s"$root/$a").collect().map(_.toSeq).toSet)
       .toMap
 
@@ -370,6 +370,85 @@ class DailyIngestSpec extends SparkSpec {
     assert(artifacts(root) === before)
   }
 
+  test("monitored ingest: card additive rollup == batch card over the replayed " +
+    "corpus; group-grain rows recomputed per batch") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val root = tmp("graft_mingest_card")
+    // the manifest test's fixture shape: an in-batch exact dup (31/32),
+    // a CROSS-batch dup (36 of 31 — the group a per-slice delta cannot
+    // see), a quality-gate failure (34), two sources
+    val e1 = "the quantum processor executed seventeen benchmark workloads and " +
+      "delivered consistent throughput across distributed clusters while " +
+      "maintaining thermal stability under sustained production traffic in " +
+      "the experimental datacenter during extended validation periods"
+    val e2 = "the research consortium published comprehensive findings about " +
+      "glacier dynamics and sediment transport in mountainous watersheds " +
+      "demonstrating measurable correlations between seasonal temperature " +
+      "gradients and downstream aquifer recharge patterns across decades"
+    val e3 = "the orchestra rehearsed intricate passages from contemporary " +
+      "compositions and refined ensemble balance through deliberate " +
+      "sectional practice while guest conductors introduced interpretive " +
+      "approaches rooted in historical performance scholarship"
+    val junk = "zzz qqq xxx www vvv"
+    val dayA = Seq((31L, "A", e1), (32L, "A", e1), (33L, "A", e2), (34L, "A", junk))
+    val dayB = Seq((35L, "B", e3), (36L, "B", e1))
+    val b1 = withEmb(dayA).toDF("doc_id", "source", "text", "embedding")
+    val b2 = withEmb(dayB).toDF("doc_id", "source", "text", "embedding")
+    StreamingOps.dailyIngestMonitoredBatch(spark, b1, 0L, quota, centroids, root)
+    StreamingOps.dailyIngestMonitoredBatch(spark, b2, 1L, quota, centroids, root)
+
+    val card = spark.read.parquet(s"$root/card")
+    val metricRows = card.filter(col("kind") === "metric").collect()
+      .map(r => (r.getAs[Long]("batch_seq"), r.getAs[String]("metric"),
+        r.getAs[Long]("value"), r.getAs[Boolean]("additive")))
+
+    // ADDITIVE rollup: per-metric SUM over batches == the SAME rendered
+    // SQL over the corpus the ingest admitted, in one batch (the
+    // manifest test's replay rule, applied to the card)
+    val admittedIds = readIds(s"$root/admitted")
+    assert(admittedIds === Set(31L, 32L, 33L, 34L, 35L, 36L))
+    (dayA ++ dayB).filter(d => admittedIds(d._1))
+      .toDF("doc_id", "source", "text")
+      .createOrReplaceTempView("__card_replay")
+    val want = spark.sql(graft.ops.SqlOps.datasetCardAdditive(
+        graft.ops.SparkDialect, from = "__card_replay"))
+      .collect().map(r => r.getAs[String]("metric") -> r.getAs[Long]("value")).toMap
+    spark.catalog.dropTempView("__card_replay")
+    val gotAdd = metricRows.filter(_._4).groupBy(_._2)
+      .map { case (m, rs) => m -> rs.map(_._3).sum }
+    assert(gotAdd === want)
+    assert(want("docs") === 6L && want("lang_en_docs") >= 3L,
+      "fixture must make the additive rows non-vacuous")
+
+    // GROUP-GRAIN rows recomputed per batch: the latest batch_seq row
+    // is current, and the cross-batch dup (36 joins 31/32's md5 group)
+    // is visible ONLY in the batch-1 recompute — the exact information
+    // a per-slice delta cannot carry
+    val latest = metricRows.filter(r => !r._4 && r._1 == 1L)
+      .map(r => r._2 -> r._3).toMap
+    assert(latest("quality_pass_docs") ===
+      spark.read.parquet(s"$root/manifest").count())
+    assert(latest("exact_dup_groups") === 1L && latest("exact_dup_docs") === 3L)
+    val after0 = metricRows.filter(r => !r._4 && r._1 == 0L)
+      .map(r => r._2 -> r._3).toMap
+    assert(after0("exact_dup_docs") === 2L,
+      "day A alone sees only the in-batch dup pair")
+    assert(latest("sources") === 2L &&
+      latest("max_source_share_ppm") === 1000000L * 4L / 6L)
+
+    // doc-kind membership rows cover exactly the admitted set
+    val docRows = card.filter(col("kind") === "doc")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(docRows === admittedIds)
+
+    // full replay of day B: every card row unchanged (membership makes
+    // the additive delta empty; first-write-wins keeps batch 1's rows)
+    val before = spark.read.parquet(s"$root/card").collect().map(_.toSeq).toSet
+    StreamingOps.dailyIngestMonitoredBatch(spark, b2, 1L, quota, centroids, root)
+    assert(spark.read.parquet(s"$root/card").collect().map(_.toSeq).toSet === before)
+  }
+
   test("monitored ingest: a late-delivered exact-dup group minimum fails loudly; " +
     "a late lower id with new text does not") {
     import spark.implicits._
@@ -413,7 +492,7 @@ class DailyIngestSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSet === Set(39L, 41L, 43L))
   }
 
-  test("monitored ingest: mid-pipeline crash and full replay leave all twelve artifacts unchanged") {
+  test("monitored ingest: mid-pipeline crash and full replay leave all thirteen artifacts unchanged") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
     val cleanRoot = tmp("graft_mingest_clean")
