@@ -3048,4 +3048,44 @@ class MicroOracleSpec extends SparkSpec {
       (if (g * g * 1000000L > 3841459L * (n10 + n01)) 1 else 0))
     spark.catalog.dropTempView("documents"); spark.catalog.dropTempView("ccn_sc")
   }
+
+  test("CMS gate: a planted >2% heavy user survives, overcounted candidates " +
+    "are pruned by the exact verify (candidate set STRICTLY exceeds survivors)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    graft.functions.GraftFunctions.registerAll(spark)
+    // 1250 noise users × 16 events sit JUST under the 1/1250 share gate
+    // (N = 20,500 → exact survivor needs cnt·1250 ≥ N, i.e. cnt ≥ 17),
+    // plus one heavy user at 500 events (2.44% — the planted >2% user).
+    // est(noise) = 16 + min-row collision mass, so ONE same-bucket
+    // collider in every one of the 4 sketch rows pushes a noise user
+    // over the candidate gate (P ≈ (1−(1−1/2048)^1250)^4 ≈ 4% per
+    // user, deterministic for this fixed key set) — the estimate-
+    // overshoot → exact-verify REJECTION branch, which the parquet
+    // fixture never exercises (its survivors all genuinely pass).
+    // user_id is LONG, the events fixture's type (the sketch hashes
+    // int64 keys); the heavy user gets an id outside the noise range.
+    val heavyId = 9999999L
+    val noise = spark.range(1250L * 16L).select((col("id") % 1250L).as("user_id"))
+    val heavy = spark.range(500L).select(lit(heavyId).as("user_id"))
+    noise.union(heavy).createOrReplaceTempView("events")
+    // the query output must equal the EXACT survivor set: only the
+    // heavy user reaches cnt ≥ 17 — every noise user has exactly 16
+    val out = spark.sql(SqlOps.cmsTopUsers(SparkDialect)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((heavyId, 500L)))
+    // the sketch's candidate set must be a STRICT superset: CMS never
+    // undercounts (the heavy user is always a candidate), and on this
+    // key set some noise users provably overshoot — if this ever fires
+    // the fixture needs a denser key set, not a weaker assertion
+    val cand = spark.sql(
+        s"""WITH ev AS (SELECT user_id FROM events),
+           |${SparkDialect.cmsGate("cms_gated", "ev", "user_id", 1250)}
+           |SELECT DISTINCT user_id FROM cms_keep""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(cand.contains(heavyId), "CMS must never undercount the heavy user")
+    assert((cand - heavyId).nonEmpty,
+      s"no overcounted candidate on ${cand.size} candidates — the exact-verify " +
+        "rejection branch was not exercised")
+    spark.catalog.dropTempView("events")
+  }
 }
