@@ -704,6 +704,9 @@ object SparkEntry {
     // duplicate clusters vs incidental collisions), and the
     // loop-until-fixpoint driver form gated against the same oracle
     "q_kcore" -> sqlStaged(Seq("documents"), SqlOps.kcoreIter),
+    // edge-grain cohesion: the 4-truss peel (every edge in ≥2
+    // triangles at the fixpoint) — the sharper sibling of the k-core
+    "q_graph_truss" -> sqlStaged(Seq("documents"), SqlOps.trussIter),
     "q_kcore_loop" -> ((s, d) => {
       val pairs = sqlStaged(Seq("documents"), SqlOps.dedupMinhash)(s, d)
       graft.ops.Graph.kcore(
@@ -858,6 +861,13 @@ object SparkEntry {
     // threshold sensitivity of the shipped 0.4 quality gate, one
     // scoring pass against a 6-row threshold domain
     "q_quality_sweep" -> sqlq(Seq("documents"), SqlOps.qualitySweep),
+    // does the quality score ORDER docs correctly? Mann-Whitney AUC
+    // (en vs und labels), exact integer midranks, ppm readout
+    "q_quality_auc" -> sqlq(Seq("documents"), SqlOps.qualityAuc),
+    // data valuation: per-source leave-one-out effect on corpus mean
+    // quality and per-doc gate pass rate (additive decomposition —
+    // one scoring pass, never |sources| re-scores)
+    "q_source_loo" -> sqlq(Seq("documents"), SqlOps.sourceLoo),
     // the shippable artifact: survivors + redacted-content hash + shard
     "q_release_manifest" -> sqlq(Seq("documents"), d => SqlOps.releaseManifest(d)),
     // the one-page datasheet next to the manifest: size, mix, dup and
@@ -1004,6 +1014,9 @@ object SparkEntry {
     // weekly-structure diagnostic: daily-revenue autocorrelation at
     // lags 1..7 from exact integer moments
     "q_acf_revenue" -> sqlq(Seq("orders"), SqlOps.acfRevenue),
+    // robust trend: median of pairwise day slopes (calendar-bounded
+    // pair set) + median-residual intercept
+    "q_theilsen_revenue" -> sqlq(Seq("orders"), SqlOps.theilSenRevenue),
     // concentration + robust trend + inequality over the same
     // exact-cents revenue facts
     "q_revenue_hhi" -> sqlq(Seq("orders", "customer", "nation"), SqlOps.revenueHhi),
@@ -1682,6 +1695,7 @@ object SparkEntry {
     "q_pagerank_iter" -> SqlOps.pagerankIter.single(DuckDialect),
     "q_pagerank_loop" -> SqlOps.pagerankIter.single(DuckDialect),
     "q_kcore" -> SqlOps.kcoreIter.single(DuckDialect),
+    "q_graph_truss" -> SqlOps.trussIter.single(DuckDialect),
     "q_kcore_loop" -> SqlOps.kcoreIter.single(DuckDialect),
     "q_label_prop" -> SqlOps.labelProp.single(DuckDialect),
     "q_dedup_prefix" -> SqlOps.dedupPrefix.single(DuckDialect),
@@ -1802,6 +1816,8 @@ object SparkEntry {
     "q_text_repetition" -> SqlOps.textRepetition(DuckDialect),
     "q_corpus_filter" -> SqlOps.corpusFilter(DuckDialect),
     "q_quality_sweep" -> SqlOps.qualitySweep(DuckDialect),
+    "q_quality_auc" -> SqlOps.qualityAuc(DuckDialect),
+    "q_source_loo" -> SqlOps.sourceLoo(DuckDialect),
     "q_release_manifest" -> SqlOps.releaseManifest(DuckDialect),
     "q_dataset_card" -> SqlOps.datasetCard.single(DuckDialect),
     "q_dataset_card_delta" ->
@@ -1909,6 +1925,7 @@ object SparkEntry {
         |GROUP BY o_orderpriority""".stripMargin,
     "q_source_kl" -> SqlOps.sourceKl(DuckDialect),
     "q_acf_revenue" -> SqlOps.acfRevenue(DuckDialect),
+    "q_theilsen_revenue" -> SqlOps.theilSenRevenue(DuckDialect),
     "q_revenue_hhi" -> SqlOps.revenueHhi(DuckDialect),
     "q_rolling_median_revenue" -> SqlOps.rollingMedianRevenue(DuckDialect),
     // the single global-window form: equality proves the

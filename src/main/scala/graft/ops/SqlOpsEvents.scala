@@ -734,4 +734,60 @@ trait SqlOpsEvents { this: SqlOpsAll =>
     }.mkString("\nUNION ALL\n")
   }
 
+  /** Theil–Sen robust trend of daily revenue: the median over all day
+    * pairs of (Δcents / Δdays), plus the matching median-residual
+    * intercept — the outlier-proof alternative to [[trendByBrand]]'s
+    * OLS (a single flash-sale day drags an OLS slope; the pairwise
+    * median shrugs it off, the property MicroOracleSpec pins with a
+    * planted outlier). Arithmetic is cross-engine exact end to end:
+    * slopes are int64-cents / int64-days single IEEE divisions
+    * (correctly rounded in both engines), the median picks VALUES at
+    * ranks ⌊(n+1)/2⌋ / ⌈(n+1)/2⌉ (ties in ROW_NUMBER are harmless —
+    * tied rows carry the same value), and the even-n average is one
+    * addition + one halving. Scale shape: the pair set is CALENDAR-
+    * bounded — d days make d(d−1)/2 pairs regardless of corpus size
+    * (a decade ≈ 6.7M rows), so the global rank window runs over a
+    * constant-bounded input, and the daily rollup is the only
+    * corpus-scale pass. Empty/one-day series: scalar subqueries over
+    * an empty median CTE yield NULL slope/intercept on the always-
+    * emitted stats row (the absent-row convention). */
+  def theilSenRevenue(d: Dialect): String = {
+    val day = s"CAST(FLOOR(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} / 86400.0e0) AS BIGINT)"
+    s"""WITH daily AS (
+       |  SELECT $day AS day,
+       |    CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY $day
+       |),
+       |pr AS (
+       |  SELECT CAST(b.cents - a.cents AS DOUBLE) / (b.day - a.day) AS slope
+       |  FROM daily a JOIN daily b ON b.day > a.day
+       |),
+       |rk AS (
+       |  SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+       |    COUNT(*) OVER () AS n
+       |  FROM pr
+       |),
+       |med AS (
+       |  SELECT SUM(slope) / COUNT(*) AS m FROM rk
+       |  WHERE rn = ${d.idiv("n + 1", "2")} OR rn = ${d.idiv("n + 2", "2")}
+       |),
+       |resid AS (
+       |  SELECT CAST(dd.cents AS DOUBLE) - md.m * dd.day AS r
+       |  FROM daily dd CROSS JOIN med md
+       |),
+       |rr AS (
+       |  SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn, COUNT(*) OVER () AS n
+       |  FROM resid
+       |),
+       |icp AS (
+       |  SELECT SUM(r) / COUNT(*) AS b FROM rr
+       |  WHERE rn = ${d.idiv("n + 1", "2")} OR rn = ${d.idiv("n + 2", "2")}
+       |)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       |  ${d.idiv("CAST(COUNT(*) AS BIGINT) * (CAST(COUNT(*) AS BIGINT) - 1)", "2")} AS n_pairs,
+       |  ${r6("(SELECT m FROM med)")} AS slope_cents_per_day,
+       |  ${r6("(SELECT b FROM icp)")} AS intercept_cents
+       |FROM daily""".stripMargin
+  }
+
 }

@@ -1069,6 +1069,67 @@ trait SqlOpsSampling { this: SqlOpsAll =>
       })
   }
 
+  /** 4-TRUSS of the minhash candidate-pair graph by depth-bounded
+    * support peeling (Cohen, "Trusses: cohesive subgraphs for social
+    * network analysis", NSA tech report 2008): repeatedly delete every
+    * edge in fewer than k−2 = 2 triangles. Where [[kcoreIter]] peels
+    * NODES by degree, the truss peels EDGES by triangle support — the
+    * sharper cohesion test on a dedup graph: an isolated snapshot-twin
+    * edge (a doc with no near-dup partner) and chain-shaped incidental
+    * band collisions peel away, while any genuine multi-doc duplicate
+    * community (whose two-snapshot image is a ≥4-clique, every edge in
+    * ≥2 triangles) survives intact. Each round is its OWN materialized
+    * stage (the kcore rule — a round reads its predecessor three
+    * times: the edge list and both sides of the common-neighbor join;
+    * CTE inlining would re-expand the prefix ~3^depth). Support is one
+    * common-neighbor equi-join: edges ⋈ sym ⋈ sym grouped per edge,
+    * Σ_e deg work on a monotonically shrinking edge list — the
+    * standard distributed-truss round at 100 TB. Depth 3 covers this
+    * corpus's fixpoint (OpsSpec runs a fourth round and asserts it
+    * changes nothing); an independent Scala truss peeler is the
+    * micro-oracle. */
+  val trussIter: StagedOp = {
+    val nRounds = 3
+    val support = 2 // k − 2 for the 4-truss
+    val roundStages = (1 to nRounds).map { i =>
+      s"tt_e$i" -> { (_: Dialect) =>
+        s"""WITH sym AS (
+           |  SELECT src AS x, dst AS y FROM tt_e${i - 1}
+           |  UNION ALL
+           |  SELECT dst AS x, src AS y FROM tt_e${i - 1}
+           |),
+           |sup AS (
+           |  SELECT e.src, e.dst, COUNT(*) AS sup
+           |  FROM tt_e${i - 1} e
+           |  JOIN sym s1 ON s1.x = e.src
+           |  JOIN sym s2 ON s2.x = e.dst AND s2.y = s1.y
+           |  GROUP BY e.src, e.dst
+           |)
+           |SELECT e.src, e.dst FROM tt_e${i - 1} e
+           |JOIN sup s ON s.src = e.src AND s.dst = e.dst AND s.sup >= $support""".stripMargin
+      }
+    }
+    StagedOp(
+      stages = dedupMinhash.stages ++ Seq(
+        "tt_e0" -> { (_: Dialect) =>
+          "SELECT doc_a AS src, doc_b AS dst FROM mh_cand" }) ++ roundStages,
+      body = { _ =>
+        // final support recount on the surviving edge set: the peel
+        // guarantees ≥ 2 only against the PREVIOUS round's edges, so
+        // the reported number must be recomputed at the fixpoint
+        s"""WITH sym AS (
+           |  SELECT src AS x, dst AS y FROM tt_e$nRounds
+           |  UNION ALL
+           |  SELECT dst AS x, src AS y FROM tt_e$nRounds
+           |)
+           |SELECT e.src AS doc_a, e.dst AS doc_b, CAST(COUNT(*) AS BIGINT) AS support
+           |FROM tt_e$nRounds e
+           |JOIN sym s1 ON s1.x = e.src
+           |JOIN sym s2 ON s2.x = e.dst AND s2.y = s1.y
+           |GROUP BY e.src, e.dst""".stripMargin
+      })
+  }
+
   /** Item-item collaborative-filtering neighborhoods (Sarwar et al.,
     * "Item-Based Collaborative Filtering Recommendation Algorithms",
     * WWW 2001) over the same basket incidence: similarity between two
@@ -1486,5 +1547,54 @@ trait SqlOpsSampling { this: SqlOpsAll =>
        |  CAST(CAST(SUM(CAST((doc_id % $P) * (pos % $P) AS DECIMAL(38,0))) AS DECIMAL(38,0)) % $P AS BIGINT) AS checksum
        |FROM p GROUP BY shard""".stripMargin
   }
+
+  /** Leave-one-out SOURCE VALUATION — the data-valuation table behind
+    * "which source, if dropped, most lifts the corpus": per source,
+    * the corpus mean quality and PER-DOC gate pass rate recomputed
+    * WITHOUT that source, from one scoring pass and additive group
+    * sums — leave-one-out over an additive metric is subtraction, so
+    * the full LOO table costs one [[graft.ops.SqlOpsText.scoredCtes]]
+    * pass plus a source-cardinality aggregate, never |sources|
+    * re-scores. The gate here is deliberately the PER-DOC predicate
+    * (lang ≠ 'und' AND quality ≥ 0.4) without [[SurvivorGate]]'s rn
+    * term: the exact-dedup rank is a cross-corpus group property that
+    * does not decompose additively by source, and the single-snapshot
+    * `documents` table has no exact dups (the dataset card's
+    * exact_dup_groups row is its proof), so per-doc == gate here
+    * while staying decomposable everywhere. All integer-exact:
+    * µ-quantized quality sums, ppm/µ readouts via integer division;
+    * LOO columns NULL for a source owning the whole corpus. */
+  def sourceLoo(d: Dialect): String =
+    s"""WITH ${scoredCtes(d, "documents")},
+       |sq AS (
+       |  SELECT s.doc_id, dd.source, ${qvExpr("s.quality")} AS q,
+       |    CASE WHEN s.lang_guess <> 'und' AND s.quality >= 4.0e-1
+       |         THEN 1 ELSE 0 END AS pass,
+       |    CAST(${d.size("s.toks")} AS BIGINT) AS ntok
+       |  FROM scored s JOIN documents dd ON dd.doc_id = s.doc_id
+       |),
+       |tot AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(q) AS BIGINT) AS t,
+       |    CAST(SUM(pass) AS BIGINT) AS p, CAST(SUM(ntok) AS BIGINT) AS tk
+       |  FROM sq
+       |),
+       |bys AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS ns,
+       |    CAST(SUM(q) AS BIGINT) AS ts, CAST(SUM(pass) AS BIGINT) AS ps,
+       |    CAST(SUM(ntok) AS BIGINT) AS tks
+       |  FROM sq GROUP BY source
+       |)
+       |SELECT b.source, b.ns AS n_docs,
+       |  ${d.idiv("1000000 * b.tks", "t.tk")} AS token_share_ppm,
+       |  ${d.idiv("t.t", "t.n")} AS mean_quality_mu,
+       |  CASE WHEN t.n = b.ns THEN NULL
+       |       ELSE ${d.idiv("t.t - b.ts", "t.n - b.ns")} END AS loo_mean_quality_mu,
+       |  CASE WHEN t.n = b.ns THEN NULL
+       |       ELSE ${d.idiv("t.t - b.ts", "t.n - b.ns")} - ${d.idiv("t.t", "t.n")}
+       |  END AS loo_quality_delta_mu,
+       |  CASE WHEN t.n = b.ns THEN NULL
+       |       ELSE ${d.idiv("1000000 * (t.p - b.ps)", "t.n - b.ns")}
+       |  END AS loo_pass_ppm
+       |FROM bys b CROSS JOIN tot t""".stripMargin
 
 }

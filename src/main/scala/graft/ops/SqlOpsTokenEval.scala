@@ -2479,4 +2479,52 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
        |SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
        |FROM fp GROUP BY fingerprint""".stripMargin
 
+  /** AUC (Mann-Whitney) of the quality score as a separator of English
+    * vs unknown-language docs — the ranking-quality readout behind
+    * "does the gate's score actually order good docs above bad ones",
+    * reported as exact integer ppm. The standard rank-sum identity
+    * AUC = (Σ ranks⁺ − n₁(n₁+1)/2) / (n₁·n₀) with MIDRANKS for ties is
+    * computed entirely in int64 by carrying 2·midrank (for a tied
+    * score group with `cb` items below and `c` members, every member's
+    * doubled midrank is 2·cb + c + 1 — an integer), so no float rank
+    * arithmetic crosses the engines. Scale shape: one scoring pass,
+    * then all rank algebra runs at SCORE cardinality (the µ-quantized
+    * quality domain — the grouped-rank form, not a per-doc global
+    * sort); the one window is over that bounded domain. Loud int64
+    * envelope: 10⁶·2U reaches 2·10⁶·n², wrapping past ~2.1e6 labeled
+    * docs — the guard throws in both engines instead of wrapping.
+    * Labels ride [[scoredCtes]] (the gate's one scoring copy).
+    * Independent Scala midrank AUC in MicroOracleSpec. */
+  def qualityAuc(d: Dialect): String =
+    s"""WITH ${scoredCtes(d, "documents")},
+       |lab AS (
+       |  SELECT ${qvExpr("quality")} AS q,
+       |    CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM scored WHERE lang_guess IN ('en', 'und')
+       |),
+       |g AS (
+       |  SELECT q, CAST(COUNT(*) AS BIGINT) AS c,
+       |    CAST(SUM(pos) AS BIGINT) AS cp
+       |  FROM lab GROUP BY q
+       |),
+       |r AS (
+       |  SELECT q, c, cp,
+       |    CAST(COALESCE(SUM(c) OVER (ORDER BY q
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+       |  FROM g
+       |),
+       |u AS (
+       |  SELECT CAST(SUM(cp * (2 * cb + c + 1)) AS BIGINT) AS r2,
+       |    CAST(SUM(cp) AS BIGINT) AS n1,
+       |    CAST(SUM(c - cp) AS BIGINT) AS n0
+       |  FROM r
+       |)
+       |SELECT n1 AS n_pos, n0 AS n_neg,
+       |  CASE WHEN n1 + n0 > 2000000
+       |         THEN CAST('quality-auc: labeled-doc count exceeds the int64 ppm envelope' AS BIGINT)
+       |       WHEN n1 = 0 OR n0 = 0 THEN NULL
+       |       ELSE ${d.idiv("1000000 * (r2 - n1 * (n1 + 1))", "2 * n1 * n0")}
+       |  END AS auc_ppm
+       |FROM u""".stripMargin
+
 }

@@ -3088,4 +3088,145 @@ class MicroOracleSpec extends SparkSpec {
         "rejection branch was not exercised")
     spark.catalog.dropTempView("events")
   }
+
+  test("quality AUC: integer midrank identity equals an independent Scala AUC, " +
+    "sharp on a planted CROSS-class quality tie") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // the tie pair: both score exactly 0.37 after µ-quantization —
+    // en: 4 words, one 'the' (stopRatio 1/4), 20 chars (avgWlen 5);
+    // und: 4 words, no stops, 8 chars (avgWlen 2). 0.02 + 0.225 +
+    // 0.125 == 0.02 + 0.3 + 0.05. A row_number (non-midrank) rank
+    // would mis-handle exactly this group; within-class ties cannot
+    // distinguish the two, so the cross-class tie is load-bearing.
+    val docs = Seq(
+      (1L, "the zzzzzz zzzzzz zzzzz"),                    // en, q = .37 (tie)
+      (2L, "zz zz zz zz"),                                 // und, q = .37 (tie)
+      (3L, "z z z z"),                                     // und, q = .345
+      (4L, "the the xx yy"),                               // en, q = .2325
+      (5L, "the quantum processors executed numerous benchmark workloads " +
+        "delivering consistent throughput across distributed clusters"), // en, high
+      (6L, "yang dan xx yy"))                              // id — excluded
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.qualityAuc(SparkDialect)).head
+
+    // ---- independent implementation (scores, labels, midrank AUC) ----
+    val stopEn = Set("the", "and", "of", "to", "in", "is", "a")
+    val stopId = Set("yang", "dan", "di", "ke", "itu", "untuk")
+    val scored = docs.map { case (_, t) =>
+      val toks = t.split(" ").toSeq
+      val n = toks.size
+      val en = toks.count(stopEn); val id = toks.count(stopId)
+      val lang = if (en > id) "en" else if (id > en) "id" else "und"
+      val stopRatio = toks.count(w => stopEn(w) || stopId(w)).toDouble / n
+      val avgW = t.replace(" ", "").length.toDouble / n
+      val q = math.min(n / 100.0, 1.0) * 0.5 + (1.0 - stopRatio) * 0.3 +
+        math.min(avgW / 8.0, 1.0) * 0.2
+      (lang, math.floor(q * 1.0e6 + 0.5).toLong)
+    }.filter(s => s._1 == "en" || s._1 == "und")
+    // guard the fixture: the cross-class tie must actually exist
+    val enScores = scored.filter(_._1 == "en").map(_._2).toSet
+    val undScores = scored.filter(_._1 == "und").map(_._2).toSet
+    assert(enScores.intersect(undScores) === Set(370000L),
+      "fixture must plant exactly one cross-class tied score")
+    val sorted = scored.sortBy(_._2)
+    // midranks: per tied group, rank = mean position (1-based)
+    // .toSeq before flatMap: mapping a groupBy Map to (lang, mid)
+    // tuples would re-key BY LANG and collapse every class to one rank
+    val ranks = sorted.zipWithIndex.groupBy(_._1._2).toSeq.flatMap { case (_, g) =>
+      val mid = g.map(_._2 + 1).sum.toDouble / g.size
+      g.map { case ((lang, _), _) => (lang, mid) }
+    }
+    val n1 = scored.count(_._1 == "en").toLong
+    val n0 = scored.count(_._1 == "und").toLong
+    val u = ranks.filter(_._1 == "en").map(_._2).sum - n1 * (n1 + 1) / 2.0
+    val wantPpm = math.floor(1.0e6 * u / (n1 * n0)).toLong
+    assert(got.getAs[Long]("n_pos") === n1 && got.getAs[Long]("n_neg") === n0)
+    assert(got.getAs[Long]("auc_ppm") === wantPpm)
+    spark.catalog.dropTempView("documents")
+  }
+
+  test("Theil-Sen: SQL median-of-slopes equals an independent Scala computation " +
+    "and shrugs off a planted outlier day that would drag OLS") {
+    import spark.implicits._
+    import java.sql.Date
+    graft.functions.GraftFunctions.registerAll(spark)
+    val base = java.time.LocalDate.of(1995, 3, 1)
+    // 15 days on an exact 250-cents/day trend, two orders per day (the
+    // rollup must aggregate before pairing), plus a single huge
+    // flash-sale outlier on day 7
+    val rows = (0 until 15).flatMap { d =>
+      val daily = 10.0 + 2.5 * d // dollars; cents = 1000 + 250·d
+      val parts = Seq(daily * 0.25, daily * 0.75)
+      val outlier = if (d == 7) Seq(50000.0) else Seq.empty
+      (parts ++ outlier).map(p => (Date.valueOf(base.plusDays(d.toLong)), p))
+    }
+    rows.toDF("o_orderdate", "o_totalprice").createOrReplaceTempView("orders")
+    val got = spark.sql(SqlOps.theilSenRevenue(SparkDialect)).head
+
+    // ---- independent implementation ----
+    val epochDay = (d: Date) => d.toLocalDate.toEpochDay
+    val daily = rows.groupBy(r => epochDay(r._1)).toSeq.map { case (day, rs) =>
+      (day, rs.map(r => math.floor(r._2 * 100.0 + 0.5).toLong).sum)
+    }.sortBy(_._1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.size
+      (s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)) / 2.0
+    }
+    val slopes = for {
+      i <- daily.indices; j <- daily.indices if j > i
+    } yield (daily(j)._2 - daily(i)._2).toDouble / (daily(j)._1 - daily(i)._1)
+    val m = median(slopes)
+    val b = median(daily.map { case (day, c) => c.toDouble - m * day })
+    def r6d(x: Double): Double = math.floor(x * 1.0e6 + 0.5) / 1.0e6
+    assert(got.getAs[Long]("n_days") === 15L)
+    assert(got.getAs[Long]("n_pairs") === 105L)
+    assert(got.getAs[Double]("slope_cents_per_day") === r6d(m))
+    assert(got.getAs[Double]("intercept_cents") === r6d(b))
+    // robustness: the median slope IS the clean 250 cents/day — the
+    // outlier day taints only 14 of 105 pairs (an OLS fit would move)
+    assert(got.getAs[Double]("slope_cents_per_day") === 250.0)
+    spark.catalog.dropTempView("orders")
+  }
+
+  test("4-truss: staged peel equals an independent support peeler; a fourth " +
+    "round changes nothing (depth covers the fixpoint)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // 4-clique {1,2,3,4} (every edge in 2 triangles — survives),
+    // triangle {5,6,7} (support 1 — peels), pendant (1,10) and
+    // isolated (8,9) (support 0 — peel)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (6L, 7L), (1L, 10L), (8L, 9L))
+    edges.toDF("doc_a", "doc_b").createOrReplaceTempView("mh_cand")
+    val trussStages = SqlOps.trussIter.stages.filter(_._1.startsWith("tt_"))
+    trussStages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.trussIter.body(SparkDialect)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // ---- independent peeler: iterate to the true fixpoint ----
+    def support(es: Set[(Long, Long)]): Map[(Long, Long), Int] = {
+      val adj = (es.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      es.map(e => e -> (adj(e._1) intersect adj(e._2)).size).toMap
+    }
+    var cur = edges.toSet
+    var done = false
+    while (!done) {
+      val keep = support(cur).filter(_._2 >= 2).keySet
+      done = keep == cur; cur = keep
+    }
+    val want = support(cur).map { case ((a, b), s) => (a, b, s.toLong) }.toSet
+    assert(got === want)
+    assert(got.map(e => Set(e._1, e._2)).flatten === Set(1L, 2L, 3L, 4L))
+    // fixpoint coverage: a FOURTH peel round over tt_e3 must be a no-op
+    val round4 = spark.sql(trussStages.last._2(SparkDialect)
+      .replace("tt_e2", "tt_e3")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(round4 === got.map(e => (e._1, e._2)))
+    Seq("mh_cand", "tt_e0", "tt_e1", "tt_e2", "tt_e3")
+      .foreach(spark.catalog.dropTempView)
+  }
 }
