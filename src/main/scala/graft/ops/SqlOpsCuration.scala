@@ -584,6 +584,74 @@ trait SqlOpsCuration { this: SqlOpsAll =>
        |FROM tp_h CROSS JOIN pp CROSS JOIN tp""".stripMargin
   }
 
+  /** Newman MODULARITY of three partitions of the candidate-pair
+    * graph — Q = Σ_c (e_c/m − (d_c/2m)²), the standard "is this
+    * clustering better than chance" readout (Newman & Girvan 2004),
+    * computed for (a) the dedup cluster map (its connected components
+    * — every edge intra by construction, so Q_cc = 1 − Σd_c²/4m², the
+    * ceiling any partition of this graph can reach), (b) the SOURCE
+    * partition (how much duplicate structure aligns with provenance),
+    * and (c) singletons (the floor, always ≤ 0) — three rows, one
+    * graph pass each. Expects `clusters(doc_id, cluster_id)` (the
+    * [[splitLeakageSafe]] convention) and the staged `mh_cand` pairs;
+    * corpus ids are two-snapshot (doc_id·2 / ·2+1), so the source
+    * label joins through ⌊doc_id/2⌋. All counts exact int64
+    * (d_c ≤ 2m — squares are nowhere near the envelope at any
+    * realistic pair count: Σd_c² wraps past m ≈ 1.5e9 edges); the
+    * final ratio is the 3-op correctly-rounded IEEE sequence, r6'd.
+    * Scale shape: degree/label joins are edge- and node-cardinality
+    * equi-joins; nothing quadratic. */
+  def clusterModularity(d: Dialect): String =
+    s"""WITH e AS (SELECT doc_a AS a, doc_b AS b FROM mh_cand),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+       |nodes AS (
+       |  SELECT DISTINCT x AS doc_id
+       |  FROM (SELECT a AS x FROM e UNION ALL SELECT b AS x FROM e)
+       |),
+       |lab AS (
+       |  SELECT 'components' AS part, n.doc_id, CAST(k.cluster_id AS STRING) AS grp
+       |  FROM nodes n JOIN clusters k ON k.doc_id = n.doc_id
+       |  UNION ALL
+       |  SELECT 'source', n.doc_id, dd.source
+       |  FROM nodes n JOIN documents dd ON dd.doc_id = ${d.idiv("n.doc_id", "2")}
+       |  UNION ALL
+       |  SELECT 'singletons', doc_id, CAST(doc_id AS STRING) FROM nodes
+       |),
+       |intra AS (
+       |  SELECT l1.part, CAST(COUNT(*) AS BIGINT) AS se
+       |  FROM e
+       |  JOIN lab l1 ON l1.doc_id = e.a
+       |  JOIN lab l2 ON l2.doc_id = e.b AND l2.part = l1.part
+       |  WHERE l1.grp = l2.grp
+       |  GROUP BY l1.part
+       |),
+       |deg AS (
+       |  SELECT x, CAST(COUNT(*) AS BIGINT) AS dg
+       |  FROM (SELECT a AS x FROM e UNION ALL SELECT b AS x FROM e)
+       |  GROUP BY x
+       |),
+       |dc AS (
+       |  SELECT l.part, l.grp, CAST(SUM(dg.dg) AS BIGINT) AS dsum
+       |  FROM deg dg JOIN lab l ON l.doc_id = dg.x
+       |  GROUP BY l.part, l.grp
+       |),
+       |sdd AS (SELECT part, CAST(SUM(dsum * dsum) AS BIGINT) AS sdd FROM dc GROUP BY part),
+       |parts AS (
+       |  SELECT 'components' AS part UNION ALL SELECT 'source'
+       |  UNION ALL SELECT 'singletons'
+       |)
+       |-- parts LEFT JOIN: a partition with zero intra edges (or an
+       |-- empty graph) still emits its row (the absent-row convention)
+       |SELECT p.part, m.m AS n_edges,
+       |  CAST(COALESCE(i.se, 0) AS BIGINT) AS intra_edges,
+       |  CASE WHEN m.m = 0 OR s.sdd IS NULL THEN NULL
+       |       ELSE ${r6(
+                 "(4.0e0 * m.m * COALESCE(i.se, 0) - s.sdd) / (4.0e0 * m.m * m.m)")}
+       |  END AS modularity
+       |FROM parts p CROSS JOIN m
+       |LEFT JOIN intra i ON i.part = p.part
+       |LEFT JOIN sdd s ON s.part = p.part""".stripMargin
+
   /** Leakage-safe corpus split: assign every near-dup CLUSTER — not
     * every document — to train/val/test by hashing its cluster
     * representative (singletons hash their own id), so duplicate

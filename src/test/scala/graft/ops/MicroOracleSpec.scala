@@ -3189,6 +3189,53 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("orders")
   }
 
+  test("modularity: SQL three-partition Q equals an independent Newman computation") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // two-snapshot ids: base docs 0..4, corpus nodes 2b/2b+1. Edges:
+    // a triangle {0,1,2}, a pendant (2,6) CROSSING a cluster boundary,
+    // and an isolated edge (8,9) — the components partition is NOT all
+    // of Q=ceiling-by-construction here because cluster map below
+    // deliberately splits the pendant off (testing intra<total)
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 6L), (8L, 9L))
+    edges.toDF("doc_a", "doc_b").createOrReplaceTempView("mh_cand")
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (6L, 6L), (8L, 8L), (9L, 8L))
+    clusters.toDF("doc_id", "cluster_id").createOrReplaceTempView("clusters")
+    val sources = Seq((0L, "A"), (1L, "A"), (3L, "B"), (4L, "B"))
+    sources.map { case (id, s) => (id, s, s"text$id") }
+      .toDF("doc_id", "source", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.clusterModularity(SparkDialect)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+
+    // ---- independent Newman Q ----
+    def q(label: Long => String): (Long, Double) = {
+      val m = edges.size.toDouble
+      val intra = edges.count(e => label(e._1) == label(e._2))
+      // group degree sums = per-label endpoint occurrence counts
+      val dsum = edges.flatMap(e => Seq(e._1, e._2)).map(n => (label(n), 1))
+        .groupBy(_._1).map { case (_, xs) => xs.size.toLong }
+      val sdd = dsum.map(d => d * d).sum.toDouble
+      (intra.toLong, (4.0 * m * intra - sdd) / (4.0 * m * m))
+    }
+    val cmap = clusters.toMap
+    val smap = sources.toMap
+    def r6d(x: Double): Double = math.floor(x * 1.0e6 + 0.5) / 1.0e6
+    val byPart = Map[String, Long => String](
+      "components" -> (n => cmap(n).toString),
+      "source" -> (n => smap(n / 2)),
+      "singletons" -> (n => n.toString))
+    byPart.foreach { case (part, lbl) =>
+      val (intra, qq) = q(lbl)
+      assert(got(part)._1 === 5L, s"$part n_edges")
+      assert(got(part)._2 === intra, s"$part intra")
+      assert(got(part)._3.get === r6d(qq), s"$part Q")
+    }
+    // the deliberately-split pendant makes components' intra < total
+    assert(got("components")._2 === 4L)
+    Seq("mh_cand", "clusters", "documents").foreach(spark.catalog.dropTempView)
+  }
+
   test("4-truss: staged peel equals an independent support peeler; a fourth " +
     "round changes nothing (depth covers the fixpoint)") {
     import spark.implicits._
