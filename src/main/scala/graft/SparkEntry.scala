@@ -872,6 +872,10 @@ object SparkEntry {
     "q_source_loo" -> sqlq(Seq("documents"), SqlOps.sourceLoo),
     // the shippable artifact: survivors + redacted-content hash + shard
     "q_release_manifest" -> sqlq(Seq("documents"), d => SqlOps.releaseManifest(d)),
+    // writer-side skew audit of the manifest's md5 shard ring
+    "q_shard_skew" -> sqlq(Seq("documents"), SqlOps.shardSkew),
+    // score-vs-language reliability deciles + expected calibration error
+    "q_quality_calibration" -> sqlq(Seq("documents"), SqlOps.qualityCalibration),
     // the one-page datasheet next to the manifest: size, mix, dup and
     // PII facts as (metric, value) rows off staged artifacts
     "q_dataset_card" -> sqlStaged(Seq("documents"), SqlOps.datasetCard),
@@ -1026,6 +1030,9 @@ object SparkEntry {
     // robust trend: median of pairwise day slopes (calendar-bounded
     // pair set) + median-residual intercept
     "q_theilsen_revenue" -> sqlq(Seq("orders"), SqlOps.theilSenRevenue),
+    // fourth approx-sketch contract: engine percentile sketch vs the
+    // exact value-cardinality rank, only the bound boolean compared
+    "q_price_percentile_approx" -> sqlq(Seq("orders"), SqlOps.pricePercentileApprox),
     // concentration + robust trend + inequality over the same
     // exact-cents revenue facts
     "q_revenue_hhi" -> sqlq(Seq("orders", "customer", "nation"), SqlOps.revenueHhi),
@@ -1828,6 +1835,8 @@ object SparkEntry {
     "q_quality_auc" -> SqlOps.qualityAuc(DuckDialect),
     "q_source_loo" -> SqlOps.sourceLoo(DuckDialect),
     "q_release_manifest" -> SqlOps.releaseManifest(DuckDialect),
+    "q_shard_skew" -> SqlOps.shardSkew(DuckDialect),
+    "q_quality_calibration" -> SqlOps.qualityCalibration(DuckDialect),
     "q_dataset_card" -> SqlOps.datasetCard.single(DuckDialect),
     "q_dataset_card_delta" ->
       SqlOps.datasetCardAdditive(DuckDialect, from = CardDeltaSlice),
@@ -1948,6 +1957,7 @@ object SparkEntry {
     "q_source_kl" -> SqlOps.sourceKl(DuckDialect),
     "q_acf_revenue" -> SqlOps.acfRevenue(DuckDialect),
     "q_theilsen_revenue" -> SqlOps.theilSenRevenue(DuckDialect),
+    "q_price_percentile_approx" -> SqlOps.pricePercentileApprox(DuckDialect),
     "q_revenue_hhi" -> SqlOps.revenueHhi(DuckDialect),
     "q_rolling_median_revenue" -> SqlOps.rollingMedianRevenue(DuckDialect),
     // the single global-window form: equality proves the

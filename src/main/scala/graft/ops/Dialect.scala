@@ -71,6 +71,13 @@ trait Dialect {
   /** Integer (floor) division — for the NONNEGATIVE operands the
     * callers use, where Spark `DIV` and DuckDB `//` agree. */
   def idiv(a: String, b: String): String
+  /** Approximate percentile sketch — Spark's percentile_approx
+    * (Greenwald-Khanna at accuracy 10000) vs DuckDB's approx_quantile
+    * (t-digest). The two SKETCHES differ, so only a boolean
+    * |approx − exact| ≤ bound contract may cross the oracle
+    * comparator (the approx_count_distinct rule); `p` is a fraction
+    * literal like `0.5`. */
+  def approxPercentile(col: String, p: String): String
   /** Inclusive integer sequence [lo..hi] as an array value (hi < lo →
     * empty array in both engines). */
   def seqArray(lo: String, hi: String): String
@@ -201,6 +208,8 @@ object SparkDialect extends Dialect {
       s"collect_list(struct($order AS o, $value AS v))), s -> s.v))"
   def bitXor(a: String, b: String): String = s"($a ^ $b)"
   def idiv(a: String, b: String): String = s"(($a) DIV ($b))"
+  def approxPercentile(col: String, p: String): String =
+    s"percentile_approx($col, $p, 10000)"
   // bare sequence(lo, hi) with hi < lo defaults to step -1 and returns
   // a DESCENDING array where DuckDB's generate_series returns [] — the
   // CASE guard makes the trait's empty-on-inverted contract actually
@@ -345,6 +354,8 @@ object DuckDialect extends Dialect {
     s"string_agg($value, '${q(sep)}' ORDER BY $order)"
   def bitXor(a: String, b: String): String = s"xor($a, $b)"
   def idiv(a: String, b: String): String = s"(($a) // ($b))"
+  def approxPercentile(col: String, p: String): String =
+    s"approx_quantile($col, $p)"
   // expression-context generate_series returns a LIST, inclusive of hi
   def seqArray(lo: String, hi: String): String = s"generate_series($lo, $hi)"
   def explode(fromSql: String, keyCol: String, arrCol: String, alias: String): String =

@@ -734,6 +734,51 @@ trait SqlOpsEvents { this: SqlOpsAll =>
     }.mkString("\nUNION ALL\n")
   }
 
+  /** Approximate-percentile CONTRACT check over order totals — the
+    * fourth approx-sketch class after HLL distinct, CMS frequency and
+    * Misra-Gries top-k: exact P50/P90/P99 of integer cents via the
+    * value-cardinality cumulative window (percentile_disc lower
+    * semantics, no per-row global sort), next to each engine's own
+    * percentile sketch ([[Dialect.approxPercentile]] — Greenwald-
+    * Khanna on Spark, t-digest in DuckDB; DIFFERENT sketches, so only
+    * the |approx − exact| ≤ max(5%, $1) boolean crosses the oracle
+    * comparator, the approx_count_distinct rule). The exact rank test
+    * cum·100 ≥ p·n is integer-only (ceil(p·n/100) without division).
+    * Scale shape: one groupBy on cents (price cardinality), one
+    * bounded window, one sketch aggregate. */
+  def pricePercentileApprox(d: Dialect): String = {
+    val ps = Seq(50, 90, 99)
+    val apCols = ps.map(p =>
+      s"${d.approxPercentile("cents", s"0.${if (p == 50) "5" else p}")} AS a$p")
+      .mkString(",\n    ")
+    val apCase = s"CASE ex.p ${ps.map(p => s"WHEN $p THEN a$p").mkString(" ")} END"
+    s"""WITH oc AS (
+       |  SELECT CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT) AS cents
+       |  FROM orders
+       |),
+       |cw AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM oc GROUP BY cents),
+       |cc AS (
+       |  SELECT cents, c,
+       |    CAST(SUM(c) OVER (ORDER BY cents) AS BIGINT) AS cum,
+       |    CAST(SUM(c) OVER () AS BIGINT) AS n
+       |  FROM cw
+       |),
+       |dom AS (${ps.map(p => s"SELECT $p AS p").mkString(" UNION ALL ")}),
+       |ex AS (
+       |  SELECT dm.p, CAST(MIN(cents) AS BIGINT) AS exact_cents
+       |  FROM dom dm JOIN cc ON cc.cum * 100 >= dm.p * cc.n
+       |  GROUP BY dm.p
+       |),
+       |ap AS (
+       |  SELECT $apCols
+       |  FROM oc
+       |)
+       |SELECT ex.p, ex.exact_cents,
+       |  ABS(CAST($apCase AS DOUBLE) - exact_cents)
+       |    <= GREATEST(5.0e-2 * exact_cents, 1.0e2) AS approx_ok
+       |FROM ex CROSS JOIN ap""".stripMargin
+  }
+
   /** Theil–Sen robust trend of daily revenue: the median over all day
     * pairs of (Δcents / Δdays), plus the matching median-residual
     * intercept — the outlier-proof alternative to [[trendByBrand]]'s

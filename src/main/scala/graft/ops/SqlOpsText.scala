@@ -670,6 +670,38 @@ trait SqlOpsText { this: SqlOpsAll =>
        |  md5(${piiRedactExpr("dt.text", d)}) AS content_hash
        |FROM cf JOIN dt ON dt.doc_id = cf.doc_id""".stripMargin
 
+  /** Release-shard balance audit — the writer-side skew check a
+    * release pipeline runs before shipping: per md5-ring shard of the
+    * [[releaseManifest]] (its SQL nested verbatim — one copy), doc and
+    * token counts with exact ppm shares. A hot shard here means the
+    * hash ring is mis-keyed (or the corpus has degenerate content) and
+    * one output file will dominate the write; the 16-shard literal
+    * domain is LEFT JOINed so an EMPTY shard — the other failure —
+    * emits its zero row instead of vanishing (the absent-row
+    * convention). */
+  def shardSkew(d: Dialect): String =
+    s"""WITH rm AS (SELECT * FROM (
+       |${releaseManifest(d)}
+       |)),
+       |per AS (
+       |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM rm GROUP BY shard
+       |),
+       |t AS (
+       |  SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS tt
+       |  FROM per
+       |),
+       |dom AS (${(0 to 15).map(i => s"SELECT $i AS shard").mkString(" UNION ALL ")})
+       |SELECT dom.shard,
+       |  CAST(COALESCE(p.n_docs, 0) AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  ${d.idiv("1000000 * COALESCE(p.n_docs, 0)", "t.td")} AS doc_share_ppm,
+       |  ${d.idiv("1000000 * COALESCE(p.n_tokens, 0)", "t.tt")} AS token_share_ppm
+       |FROM dom LEFT JOIN per p ON p.shard = dom.shard
+       |CROSS JOIN t""".stripMargin
+
   /** The held-out "benchmark" slice of the documents table (by source)
     * and the shared decontamination fragments — single-sourced by
     * [[contamination]] and [[contaminationBloom]] so the two gates

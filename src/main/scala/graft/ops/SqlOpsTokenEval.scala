@@ -2479,6 +2479,70 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
        |SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
        |FROM fp GROUP BY fingerprint""".stripMargin
 
+  /** Calibration/reliability table of the quality score read as
+    * P(doc is English) — the SCORE-side sibling of
+    * [[filterCalibration]] (which calibrates the Gopher GATE's rule
+    * confidence in fixed-width bins; this one calibrates the
+    * continuous quality score against the language label in
+    * data-driven deciles, the two ends a release report shows side by
+    * side): docs bucketed into score deciles, each decile
+    * reporting its mean score ("confidence", already in ppm — the
+    * µ-quantized quality lives on 0..10⁶) against its observed
+    * English rate ("accuracy", exact ppm), plus the expected
+    * calibration error ECE = Σ (n_d/n)·|acc_d − conf_d| carried
+    * in-row (the metric-contribution share-of-total pattern). Decile
+    * assignment happens at SCORE-GROUP grain — a tied score group
+    * lands wholly in the decile where its cumulative range starts
+    * (1 + ⌊10·cum_before/n⌋) — because splitting a tie across deciles
+    * would need an arbitrary per-row order that no engine pair agrees
+    * on; consequence: deciles are ragged on tie-heavy corpora, which
+    * the n column makes visible. All integer-exact (idiv ppm, int64
+    * sums); the decile domain is a literal 1..10 LEFT JOIN so empty
+    * deciles emit zero rows rather than vanish. One scoring pass, one
+    * score-cardinality window — no per-doc global sort. */
+  def qualityCalibration(d: Dialect): String =
+    s"""WITH ${scoredCtes(d, "documents")},
+       |lab AS (
+       |  SELECT ${qvExpr("quality")} AS q,
+       |    CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM scored
+       |),
+       |g AS (
+       |  SELECT q, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(pos) AS BIGINT) AS cp
+       |  FROM lab GROUP BY q
+       |),
+       |r AS (
+       |  SELECT q, c, cp,
+       |    CAST(COALESCE(SUM(c) OVER (ORDER BY q
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb,
+       |    CAST(SUM(c) OVER () AS BIGINT) AS n
+       |  FROM g
+       |),
+       |dd AS (
+       |  SELECT 1 + ${d.idiv("10 * cb", "n")} AS decile, q, c, cp FROM r
+       |),
+       |per AS (
+       |  -- CAST AS BIGINT: DuckDB SUM(int) is HUGEINT and // keeps it
+       |  SELECT decile, CAST(SUM(c) AS BIGINT) AS n_docs,
+       |    CAST(${d.idiv("SUM(q * c)", "SUM(c)")} AS BIGINT) AS conf_ppm,
+       |    CAST(${d.idiv("1000000 * SUM(cp)", "SUM(c)")} AS BIGINT) AS acc_ppm
+       |  FROM dd GROUP BY decile
+       |),
+       |tot AS (
+       |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+       |    CAST(SUM(n_docs * ABS(acc_ppm - conf_ppm)) AS BIGINT) AS w
+       |  FROM per
+       |),
+       |dom AS (${(1 to 10).map(i => s"SELECT $i AS decile").mkString(" UNION ALL ")})
+       |SELECT dom.decile,
+       |  CAST(COALESCE(p.n_docs, 0) AS BIGINT) AS n_docs,
+       |  p.conf_ppm, p.acc_ppm,
+       |  CASE WHEN p.decile IS NULL THEN NULL
+       |       ELSE CAST(ABS(p.acc_ppm - p.conf_ppm) AS BIGINT) END AS gap_ppm,
+       |  CAST(${d.idiv("t.w", "t.n")} AS BIGINT) AS ece_ppm_total
+       |FROM dom LEFT JOIN per p ON p.decile = dom.decile
+       |CROSS JOIN tot t""".stripMargin
+
   /** AUC (Mann-Whitney) of the quality score as a separator of English
     * vs unknown-language docs — the ranking-quality readout behind
     * "does the gate's score actually order good docs above bad ones",

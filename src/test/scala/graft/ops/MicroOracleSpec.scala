@@ -3189,6 +3189,89 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("orders")
   }
 
+  test("calibration: group-grain deciles + ECE equal an independent computation, " +
+    "tie group straddling a boundary stays whole") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // 8 docs: doc 1/2 tie exactly (q=.37, one en one und — the AUC
+    // fixture's planted tie), so with n=8 the tied group's cumulative
+    // range straddles a decile boundary and must land WHOLE in the
+    // decile where it starts
+    val docs = Seq(
+      (1L, "the zzzzzz zzzzzz zzzzz"),
+      (2L, "zz zz zz zz"),
+      (3L, "z z z z"),
+      (4L, "the the xx yy"),
+      (5L, "the quantum processors executed numerous benchmark workloads " +
+        "delivering consistent throughput across distributed clusters"),
+      (6L, "yang dan xx yy"),
+      (7L, "the alpha beta gamma delta"),
+      (8L, "qq ww ee rr tt yy"))
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.qualityCalibration(SparkDialect)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+
+    // ---- independent: score every doc, group-grain decile, ECE ----
+    val stopEn = Set("the", "and", "of", "to", "in", "is", "a")
+    val stopId = Set("yang", "dan", "di", "ke", "itu", "untuk")
+    val scoredAll = docs.map { case (_, t) =>
+      val toks = t.split(" ").toSeq; val n = toks.size
+      val en = toks.count(stopEn); val id = toks.count(stopId)
+      val pos = if (en > id) 1L else 0L
+      val sr = toks.count(w => stopEn(w) || stopId(w)).toDouble / n
+      val aw = t.replace(" ", "").length.toDouble / n
+      val q = math.min(n / 100.0, 1.0) * 0.5 + (1.0 - sr) * 0.3 +
+        math.min(aw / 8.0, 1.0) * 0.2
+      (math.floor(q * 1.0e6 + 0.5).toLong, pos)
+    }
+    val n = scoredAll.size.toLong
+    val groups = scoredAll.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (q, xs) => (q, xs.size.toLong, xs.map(_._2).sum) }
+    val withCb = groups.scanLeft((0L, 0L, 0L, 0L)) { case ((cb, _, _, _), (q, c, cp)) =>
+      (cb + c, q, c, cp) }.tail.map { case (cbAfter, q, c, cp) => (cbAfter - c, q, c, cp) }
+    val perDecile = withCb.groupBy { case (cb, _, _, _) => 1 + 10 * cb / n }
+      .toSeq.map { case (dec, xs) =>
+        val nd = xs.map(_._3).sum; val np = xs.map(_._4).sum
+        val conf = xs.map(x => x._2 * x._3).sum / nd
+        val acc = 1000000L * np / nd
+        (dec, nd, conf, acc)
+      }
+    // the tie group q=370000 (2 docs) must be in ONE decile
+    perDecile.foreach { case (dec, nd, conf, acc) =>
+      assert(got(dec.toInt) === ((nd, Some(conf), Some(acc))), s"decile $dec")
+    }
+    val ece = perDecile.map { case (_, nd, conf, acc) => nd * math.abs(acc - conf) }.sum / n
+    val gotEce = spark.sql(SqlOps.qualityCalibration(SparkDialect))
+      .collect().head.getAs[Long]("ece_ppm_total")
+    assert(gotEce === ece)
+    // empty deciles emit zero rows, present ones match the domain
+    assert(got.keySet === (1 to 10).toSet)
+    spark.catalog.dropTempView("documents")
+  }
+
+  test("exact percentile rank: SQL value-cardinality form equals a sorted-array " +
+    "percentile_disc on crafted cents") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    import java.sql.Date
+    // 7 orders with repeated prices — ties exercise the cum >= rank MIN
+    val prices = Seq(10.00, 10.00, 12.50, 13.75, 13.75, 13.75, 99.99)
+    prices.zipWithIndex.map { case (p, i) =>
+      (Date.valueOf(java.time.LocalDate.of(1995, 1, 1).plusDays(i.toLong)), p) }
+      .toDF("o_orderdate", "o_totalprice").createOrReplaceTempView("orders")
+    val got = spark.sql(SqlOps.pricePercentileApprox(SparkDialect)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val cents = prices.map(p => math.floor(p * 100 + 0.5).toLong).sorted
+    def disc(p: Int): Long = cents((p * cents.size + 99) / 100 - 1) // ceil(p·n/100), 1-based
+    Seq(50, 90, 99).foreach { p =>
+      assert(got(p)._1 === disc(p), s"P$p")
+      assert(got(p)._2, s"P$p approx sketch outside its contract bound")
+    }
+    spark.catalog.dropTempView("orders")
+  }
+
   test("modularity: SQL three-partition Q equals an independent Newman computation") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
