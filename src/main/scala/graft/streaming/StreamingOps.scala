@@ -1356,6 +1356,83 @@ object StreamingOps {
     }
   }
 
+  /** Stage 13 — the REJECTS dead-letter channel (`<root>/rejects`,
+    * cols batch_seq, doc_id, source, reason): every document the
+    * pipeline dropped, recorded WITH its reason — the quarantine
+    * audit trail a production ingest owes its operators (today a
+    * dropped doc simply never appears in any artifact; "why isn't doc
+    * X in the release" is unanswerable without replaying the gates).
+    * Reasons, each recomputed deterministically from the batch plus
+    * published artifacts (never from transient state):
+    *  - 'invalid'      — NULL source (admission can't even quota it);
+    *                     rows with NULL doc_id have no recordable
+    *                     identity and are deliberately not rowed —
+    *                     the pii/volume monitors see them in counts
+    *  - 'quota'        — valid but absent from the admitted artifact
+    *                     (the per-source cap); stable across replays
+    *                     because a source's lifetime count only grows
+    *  - 'quality_gate' — admitted, not manifested, and its text_md5
+    *                     appears NOWHERE in the manifest: the gate
+    *                     dropped its whole identical-text group
+    *                     (identical text scores identically, so md5
+    *                     absence ⟺ gate failure — the classification
+    *                     never re-derives the gate, it reads the
+    *                     manifest the real gate already wrote)
+    *  - 'exact_dup'    — admitted, not manifested, but its text_md5
+    *                     group IS manifested under another doc
+    *                     (first-write-wins, in-batch or cross-batch);
+    *                     stable because the manifest only grows
+    * Doc-grain membership (first rejection wins — every reason above
+    * is monotone, so a later batch can never legitimately flip one)
+    * plus batch_seq provenance on each row. Replay-idempotent by the
+    * same anti-join-on-own-artifact rule as bands/manifest. */
+  private[streaming] def ingestRejects(spark: SparkSession, batch: DataFrame,
+                                       batchSeq: Long, root: String): Unit = {
+    val admitted = readState(spark, s"$root/admitted")
+      .getOrElse(sys.error(s"daily-ingest: $root/admitted missing (stage order violated)"))
+    val manifest = readState(spark, s"$root/manifest")
+      .getOrElse(sys.error(s"daily-ingest: $root/manifest missing (stage order violated)"))
+    publishParquet(spark, s"$root/rejects") { current =>
+      val rows = batch.filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"), col("text"))
+        .dropDuplicates("doc_id")
+      val known = current.map(_.select("doc_id").distinct())
+      val fresh = known.map(k => rows.join(k, Seq("doc_id"), "left_anti"))
+        .getOrElse(rows)
+        .localCheckpoint(eager = false) // read by all four reason arms
+      val invalid = fresh.filter(col("source").isNull)
+        .select(col("doc_id"), col("source"), lit("invalid").as("reason"))
+      val valid = fresh.filter(col("source").isNotNull)
+      val quotaRej = valid.join(admitted.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), lit("quota").as("reason"))
+      // gate/dup classification WITHOUT re-deriving the gate: after
+      // ingestManifest ran (stage order), the manifest holds the
+      // minimum of every gate-PASSING md5 group — so an admitted,
+      // non-manifested doc whose md5 IS manifested was dropped as an
+      // exact dup (in-batch or cross-batch), and one whose md5 is NOT
+      // manifested failed the quality gate (its whole identical-text
+      // group shares that fate — identical text scores identically).
+      // Deliberately not corpusFilter-over-the-slice: its SurvivorGate
+      // rn term is a within-slice dedup that would misfile an
+      // in-batch dup as a gate failure.
+      val admRej = valid
+        .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(manifest.select("doc_id"), Seq("doc_id"), "left_anti")
+        .withColumn("__md5", md5(col("text")))
+        .localCheckpoint(eager = false) // read by both reason arms
+      val manifestMd5 = manifest.select(col("text_md5").as("__md5")).distinct()
+      val dupRej = admRej.join(manifestMd5, Seq("__md5"), "left_semi")
+        .select(col("doc_id"), col("source"), lit("exact_dup").as("reason"))
+      val gateRej = admRej.join(manifestMd5, Seq("__md5"), "left_anti")
+        .select(col("doc_id"), col("source"), lit("quality_gate").as("reason"))
+      val newRows = invalid.unionByName(quotaRej).unionByName(gateRej)
+        .unionByName(dupRej)
+        .select(lit(batchSeq).as("batch_seq"), col("doc_id"), col("source"),
+          col("reason"))
+      current.map(_.unionByName(newRows)).getOrElse(newRows)
+    }
+  }
+
   /** One micro-batch of the composed daily-ingest pipeline. Exposed so
     * a scheduled batch job (the reference's cron shape) can call it on
     * a day's drain directly; [[dailyIngest]] wraps it for Structured
@@ -1719,6 +1796,7 @@ object StreamingOps {
     ingestManifest(spark, batch, root)
     ingestRelease(spark, root)
     ingestCard(spark, batch, batchSeq, root)
+    ingestRejects(spark, batch, batchSeq, root)
     ingestIndex(spark, batch, centroids, root)
     ingestHistory(spark, batchSeq, batchSig, nSig, root)
     ingestReport(spark, centroids, root)

@@ -183,7 +183,7 @@ class DailyIngestSpec extends SparkSpec {
 
   private def artifacts(root: String): Map[String, Set[Seq[Any]]] =
     Seq("admitted", "bands", "clusters", "survivors", "manifest", "release",
-        "card", "ivf", "history", "drift", "ewma", "metrics", "pii")
+        "card", "rejects", "ivf", "history", "drift", "ewma", "metrics", "pii")
       .map(a => a -> spark.read.parquet(s"$root/$a").collect().map(_.toSeq).toSet)
       .toMap
 
@@ -449,6 +449,57 @@ class DailyIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/card").collect().map(_.toSeq).toSet === before)
   }
 
+  test("monitored ingest: rejects dead-letter records every dropped doc with " +
+    "its reason; replay adds nothing") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val root = tmp("graft_mingest_rejects")
+    val e1 = "the quantum processor executed seventeen benchmark workloads and " +
+      "delivered consistent throughput across distributed clusters while " +
+      "maintaining thermal stability under sustained production traffic in " +
+      "the experimental datacenter during extended validation periods"
+    val e2 = "the research consortium published comprehensive findings about " +
+      "glacier dynamics and sediment transport in mountainous watersheds " +
+      "demonstrating measurable correlations between seasonal temperature " +
+      "gradients and downstream aquifer recharge patterns across decades"
+    val e3 = "the orchestra rehearsed intricate passages from contemporary " +
+      "compositions and refined ensemble balance through deliberate " +
+      "sectional practice while guest conductors introduced interpretive " +
+      "approaches rooted in historical performance scholarship"
+    val junk = "zzz qqq xxx www vvv"
+    // day A fills source A's quota (4): 32 is an in-batch exact dup,
+    // 34 fails the gate. Day B: 36 is a CROSS-batch dup of 31, 37
+    // arrives after A's quota is exhausted, 38 has a NULL source.
+    val dayA = Seq((31L, "A", e1), (32L, "A", e1), (33L, "A", e2), (34L, "A", junk))
+    val dayB = Seq((35L, "B", e3), (36L, "B", e1), (37L, "A", e3),
+      (38L, null.asInstanceOf[String], e2))
+    val b1 = withEmb(dayA).toDF("doc_id", "source", "text", "embedding")
+    val b2 = withEmb(dayB).toDF("doc_id", "source", "text", "embedding")
+    StreamingOps.dailyIngestMonitoredBatch(spark, b1, 0L, quota, centroids, root)
+    StreamingOps.dailyIngestMonitoredBatch(spark, b2, 1L, quota, centroids, root)
+
+    def rejects() = spark.read.parquet(s"$root/rejects").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("batch_seq"), r.getAs[String]("reason")))).toMap
+    val got = rejects()
+    assert(got === Map(
+      32L -> ((0L, "exact_dup")),      // in-batch dup of 31
+      34L -> ((0L, "quality_gate")),   // junk text, whole group gated
+      36L -> ((1L, "exact_dup")),      // cross-batch dup of 31
+      37L -> ((1L, "quota")),          // source A already at 4
+      38L -> ((1L, "invalid"))))       // NULL source
+    // accounting closes: every valid batch doc is manifested XOR rejected
+    val manifested = spark.read.parquet(s"$root/manifest").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(manifested === Set(31L, 33L, 35L))
+    assert((manifested ++ got.keySet) ===
+      (dayA ++ dayB).map(_._1).toSet)
+    // full replays (in order and out of order): no new rows
+    StreamingOps.dailyIngestMonitoredBatch(spark, b2, 1L, quota, centroids, root)
+    StreamingOps.dailyIngestMonitoredBatch(spark, b1, 0L, quota, centroids, root)
+    assert(rejects() === got)
+  }
+
   test("monitored ingest: a late-delivered exact-dup group minimum fails loudly; " +
     "a late lower id with new text does not") {
     import spark.implicits._
@@ -492,7 +543,7 @@ class DailyIngestSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSet === Set(39L, 41L, 43L))
   }
 
-  test("monitored ingest: mid-pipeline crash and full replay leave all thirteen artifacts unchanged") {
+  test("monitored ingest: mid-pipeline crash and full replay leave all fourteen artifacts unchanged") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
     val cleanRoot = tmp("graft_mingest_clean")
