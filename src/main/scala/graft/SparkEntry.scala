@@ -172,9 +172,6 @@ object SparkEntry {
     t.filter(col("ingest_order") % 3 === 0)
       .withColumn("price_rp", col("price_rp") + 1000000L)
 
-  /** Dual-dialect op: register the needed tables as temp views, run the
-    * Spark rendering of the shared SQL (spark.sql → same Catalyst
-    * pipeline as the DataFrame API). */
   /** Deterministic md5-half slice of `documents` standing in for "one
     * ingest batch" in q_dataset_card_delta — ONE string rendered into
     * both engines' SQL, so the Spark query and the DuckDB oracle see
@@ -184,6 +181,9 @@ object SparkEntry {
   private val CardDeltaSlice: String =
     s"(SELECT doc_id, text FROM documents WHERE ${SqlOps.md5Bucket("CAST(doc_id AS STRING) || ':cardslice'")} % 2 = 0) cds"
 
+  /** Dual-dialect op: register the needed tables as temp views, run the
+    * Spark rendering of the shared SQL (spark.sql → same Catalyst
+    * pipeline as the DataFrame API). */
   private def sqlq(views: Seq[String], build: Dialect => String): (SparkSession, String) => DataFrame =
     (s, d) => {
       graft.functions.GraftFunctions.registerAll(s)

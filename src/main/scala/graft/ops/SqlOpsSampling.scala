@@ -1085,9 +1085,12 @@ trait SqlOpsSampling { this: SqlOpsAll =>
     * common-neighbor equi-join: edges ⋈ sym ⋈ sym grouped per edge,
     * Σ_e deg work on a monotonically shrinking edge list — the
     * standard distributed-truss round at 100 TB. Depth 3 covers this
-    * corpus's fixpoint (OpsSpec runs a fourth round and asserts it
-    * changes nothing); an independent Scala truss peeler is the
-    * micro-oracle. */
+    * corpus's fixpoint — OpsSpec peels the REAL sf0.001 candidate
+    * graph to its true fixpoint independently and fails if that needs
+    * more than 3 rounds (the kcore depth rule: under-iteration would
+    * otherwise be identical in both engines and invisible to the
+    * oracle); MicroOracleSpec additionally pins a synthetic graph and
+    * a fourth-round no-op. */
   val trussIter: StagedOp = {
     val nRounds = 3
     val support = 2 // k − 2 for the 4-truss

@@ -1382,10 +1382,21 @@ object StreamingOps {
     *                     group IS manifested under another doc
     *                     (first-write-wins, in-batch or cross-batch);
     *                     stable because the manifest only grows
-    * Doc-grain membership (first rejection wins — every reason above
-    * is monotone, so a later batch can never legitimately flip one)
-    * plus batch_seq provenance on each row. Replay-idempotent by the
-    * same anti-join-on-own-artifact rule as bands/manifest. */
+    * Doc-grain membership, first standing reason wins, and a row is
+    * HEALED (dropped) the batch its doc enters the manifest: 'quota'
+    * and 'invalid' are properties of a delivery, not of the doc_id —
+    * a later redelivery with a corrected source (or after a quota
+    * widening) can legitimately be admitted and released, and an
+    * audit that still calls a RELEASED doc rejected is wrong. So the
+    * artifact's contract is "why is doc X not in the release NOW":
+    * carried rows are anti-joined against the manifest each batch,
+    * which keeps the manifested-XOR-rejected accounting an invariant
+    * (gate/dup docs never enter the manifest, so those rows are
+    * simply permanent). A still-unreleased doc keeps its FIRST
+    * standing reason even if a redelivery would reclassify it (e.g.
+    * corrected-source doc whose text is a dup: 'invalid' stands until
+    * release). Deterministic: the retained set is a pure function of
+    * (deliveries so far, manifest), so replay converges. */
   private[streaming] def ingestRejects(spark: SparkSession, batch: DataFrame,
                                        batchSeq: Long, root: String): Unit = {
     val admitted = readState(spark, s"$root/admitted")
@@ -1393,10 +1404,15 @@ object StreamingOps {
     val manifest = readState(spark, s"$root/manifest")
       .getOrElse(sys.error(s"daily-ingest: $root/manifest missing (stage order violated)"))
     publishParquet(spark, s"$root/rejects") { current =>
+      // heal first: carried rows whose doc is NOW manifested drop out
+      // (a released doc must not stay marked rejected — see docstring)
+      val carried = current.map(
+        _.join(manifest.select("doc_id"), Seq("doc_id"), "left_anti")
+          .localCheckpoint(eager = false)) // read twice: known + output
       val rows = batch.filter(col("doc_id").isNotNull)
         .select(col("doc_id"), col("source"), col("text"))
         .dropDuplicates("doc_id")
-      val known = current.map(_.select("doc_id").distinct())
+      val known = carried.map(_.select("doc_id").distinct())
       val fresh = known.map(k => rows.join(k, Seq("doc_id"), "left_anti"))
         .getOrElse(rows)
         .localCheckpoint(eager = false) // read by all four reason arms
@@ -1429,7 +1445,7 @@ object StreamingOps {
         .unionByName(dupRej)
         .select(lit(batchSeq).as("batch_seq"), col("doc_id"), col("source"),
           col("reason"))
-      current.map(_.unionByName(newRows)).getOrElse(newRows)
+      carried.map(_.unionByName(newRows)).getOrElse(newRows)
     }
   }
 

@@ -1667,6 +1667,39 @@ class OpsSpec extends SparkSpec {
     assert(collect("q_kcore_loop") === expected)
   }
 
+  test("4-truss peel reaches the corpus fixpoint within its depth and matches " +
+    "an independent Scala peeler") {
+    // the kcore rule applied to the edge peel: iterate an independent
+    // support peeler to the TRUE fixpoint, require it to get there in
+    // <= 3 rounds (q_graph_truss's unroll depth — if the fixture ever
+    // needs more, this fails instead of the query silently
+    // under-iterating identically in both engines), then require the
+    // SQL result row-equal at the fixpoint support counts
+    val pairs = run("q_dedup_minhash").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    def support(es: Set[(Long, Long)]): Map[(Long, Long), Int] = {
+      val adj = es.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      es.map(e => e -> (adj(e._1) intersect adj(e._2)).size).toMap
+    }
+    var cur = pairs.toSet
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val keep = support(cur).filter(_._2 >= 2).keySet
+      changed = keep != cur
+      if (changed) rounds += 1
+      cur = keep
+    }
+    assert(rounds <= 3, s"fixture needs $rounds peel rounds; raise trussIter depth")
+    val expected = support(cur).map { case ((a, b), s) => (a, b, s.toLong) }.toSet
+    val got = run("q_graph_truss").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("support"))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture must keep at least one 4-truss community")
+  }
+
   test("item-item cosine neighborhoods match an independent Scala sweep") {
     val part = graft.Tables.part(spark, sf001)
       .selectExpr("p_partkey", "p_brand").collect()

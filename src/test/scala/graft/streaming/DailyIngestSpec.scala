@@ -467,12 +467,17 @@ class DailyIngestSpec extends SparkSpec {
       "sectional practice while guest conductors introduced interpretive " +
       "approaches rooted in historical performance scholarship"
     val junk = "zzz qqq xxx www vvv"
+    val e4 = "the astronomical survey catalogued thousands of variable stars " +
+      "and confirmed periodic luminosity fluctuations across overlapping " +
+      "observation windows while automated telescopes maintained continuous " +
+      "coverage during consecutive observation seasons throughout the decade"
     // day A fills source A's quota (4): 32 is an in-batch exact dup,
     // 34 fails the gate. Day B: 36 is a CROSS-batch dup of 31, 37
-    // arrives after A's quota is exhausted, 38 has a NULL source.
+    // arrives after A's quota is exhausted, 38 has a NULL source
+    // (unique gate-passing text — the heal fixture for day C).
     val dayA = Seq((31L, "A", e1), (32L, "A", e1), (33L, "A", e2), (34L, "A", junk))
     val dayB = Seq((35L, "B", e3), (36L, "B", e1), (37L, "A", e3),
-      (38L, null.asInstanceOf[String], e2))
+      (38L, null.asInstanceOf[String], e4))
     val b1 = withEmb(dayA).toDF("doc_id", "source", "text", "embedding")
     val b2 = withEmb(dayB).toDF("doc_id", "source", "text", "embedding")
     StreamingOps.dailyIngestMonitoredBatch(spark, b1, 0L, quota, centroids, root)
@@ -498,6 +503,21 @@ class DailyIngestSpec extends SparkSpec {
     StreamingOps.dailyIngestMonitoredBatch(spark, b2, 1L, quota, centroids, root)
     StreamingOps.dailyIngestMonitoredBatch(spark, b1, 0L, quota, centroids, root)
     assert(rejects() === got)
+
+    // HEAL: day C redelivers doc 38 with a corrected source; it is
+    // admitted, gate-passes, and enters the release — its 'invalid'
+    // row must drop (a released doc cannot stay marked rejected),
+    // while the genuinely-dropped docs keep theirs
+    val b3 = withEmb(Seq((38L, "B", e4))).toDF("doc_id", "source", "text", "embedding")
+    StreamingOps.dailyIngestMonitoredBatch(spark, b3, 2L, quota, centroids, root)
+    val healed = rejects()
+    assert(!healed.contains(38L))
+    assert(healed === got - 38L)
+    val manifested2 = spark.read.parquet(s"$root/manifest").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(manifested2.contains(38L))
+    // the accounting identity survives the heal
+    assert((manifested2 ++ healed.keySet) === (dayA ++ dayB).map(_._1).toSet)
   }
 
   test("monitored ingest: a late-delivered exact-dup group minimum fails loudly; " +
