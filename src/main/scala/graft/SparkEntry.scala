@@ -714,6 +714,12 @@ object SparkEntry {
       graft.ops.Graph.kcore(
         pairs.select(col("doc_a").as("a"), col("doc_b").as("b")), k = 2)
     }),
+    // loop-until-convergence twin of q_graph_truss, same oracle
+    "q_graph_truss_loop" -> ((s, d) => {
+      val pairs = sqlStaged(Seq("documents"), SqlOps.dedupMinhash)(s, d)
+      graft.ops.Graph.truss(
+        pairs.select(col("doc_a").as("a"), col("doc_b").as("b")), k = 4)
+    }),
     // PPJoin-style prefix-filtered similarity self-join off the
     // uncapped shingle index (the signature-free bounded-candidate path)
     "q_dedup_prefix" -> sqlStaged(Seq("documents"), SqlOps.dedupPrefix),
@@ -1713,6 +1719,7 @@ object SparkEntry {
     "q_kcore" -> SqlOps.kcoreIter.single(DuckDialect),
     "q_graph_truss" -> SqlOps.trussIter.single(DuckDialect),
     "q_kcore_loop" -> SqlOps.kcoreIter.single(DuckDialect),
+    "q_graph_truss_loop" -> SqlOps.trussIter.single(DuckDialect),
     "q_label_prop" -> SqlOps.labelProp.single(DuckDialect),
     "q_dedup_prefix" -> SqlOps.dedupPrefix.single(DuckDialect),
     "q_embedding_whiten" -> SqlOps.embeddingWhiten(DuckDialect),

@@ -82,4 +82,45 @@ object Graph {
     edges.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("doc_id"), col("core_deg"))
   }
+
+  /** k-truss peeling over a CANONICAL pair list (columns `a` < `b`):
+    * repeatedly delete every edge in fewer than k−2 triangles until
+    * the edge set stops shrinking, then report each surviving edge
+    * with its fixpoint support. The loop-until-convergence twin of the
+    * depth-bounded [[SqlOps.trussIter]] (the kcore/kcoreIter pairing
+    * applied to EDGE peeling) — gated against the same oracle, so the
+    * two must produce identical rows whenever the unrolled depth
+    * covers the fixpoint. Per round: one symmetric view, one
+    * common-neighbor equi-join grouped per edge (Σ_e deg work on a
+    * monotonically shrinking edge list — the distributed-truss round),
+    * and an O(1)-row convergence count on checkpointed data. */
+  def truss(pairs: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (edges in >= k-2 triangles), got $k")
+    def supported(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("x"), col("b").as("y"))
+        .union(e.select(col("b").as("x"), col("a").as("y")))
+        .localCheckpoint() // consumed by both sides of the wedge join
+      e.join(sym.select(col("x").as("a"), col("y").as("w")), Seq("a"))
+        .join(sym.select(col("x").as("b"), col("y").as("w")), Seq("b", "w"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+    var edges = pairs.select(col("a"), col("b")).localCheckpoint()
+    var nEdges = edges.count()
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < maxRounds) {
+      val kept = supported(edges).filter(col("support") >= k - 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val n = kept.count()
+      changed = n != nEdges
+      edges = kept
+      nEdges = n
+      rounds += 1
+    }
+    // fixpoint support recount (the trussIter body rule: the peel only
+    // guarantees >= k-2 against the PREVIOUS round's edge set)
+    supported(edges)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("support"))
+  }
 }

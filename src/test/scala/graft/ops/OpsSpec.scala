@@ -1693,11 +1693,14 @@ class OpsSpec extends SparkSpec {
     }
     assert(rounds <= 3, s"fixture needs $rounds peel rounds; raise trussIter depth")
     val expected = support(cur).map { case ((a, b), s) => (a, b, s.toLong) }.toSet
-    val got = run("q_graph_truss").collect()
+    def collect(q: String) = run(q).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
         r.getAs[Long]("support"))).toSet
+    val got = collect("q_graph_truss")
     assert(got === expected)
     assert(got.nonEmpty, "fixture must keep at least one 4-truss community")
+    // the loop-until-convergence driver twin must agree exactly
+    assert(collect("q_graph_truss_loop") === expected)
   }
 
   test("item-item cosine neighborhoods match an independent Scala sweep") {
