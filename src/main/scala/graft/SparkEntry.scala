@@ -792,6 +792,9 @@ object SparkEntry {
     "q_orders_rfm" -> sqlStaged(Seq("orders"), SqlOps.ordersRfm),
     "q_heavy_hitters" -> sqlStaged(Seq("documents"), SqlOps.heavyHitters),
     "q_ann_ivf_probe2" -> sqlStaged(Seq("embeddings"), SqlOps.annIvfProbe2),
+    // vector-quality gate: per-cell members farther than 4x the cell's
+    // median squared distance from their OWN centroid
+    "q_embedding_outliers" -> sqlStaged(Seq("embeddings"), SqlOps.embeddingOutliers),
     // recall-vs-cost curve per probe depth (staged pair table)
     "q_ann_nprobe_sweep" -> sqlStaged(Seq("embeddings"), SqlOps.annNprobeSweep),
     // near-dup graph degree histogram (isolates / hubs)
@@ -1789,6 +1792,7 @@ object SparkEntry {
     "q_orders_rfm" -> SqlOps.ordersRfm.single(DuckDialect),
     "q_heavy_hitters" -> SqlOps.heavyHitters.single(DuckDialect),
     "q_ann_ivf_probe2" -> SqlOps.annIvfProbe2.single(DuckDialect),
+    "q_embedding_outliers" -> SqlOps.embeddingOutliers.single(DuckDialect),
     "q_ann_nprobe_sweep" -> SqlOps.annNprobeSweep.single(DuckDialect),
     "q_ann_degree_hist" -> SqlOps.annDegreeHist.single(DuckDialect),
     "q_text_unigram_lm" -> SqlOps.textUnigramLm.single(DuckDialect),

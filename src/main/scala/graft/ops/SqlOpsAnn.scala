@@ -349,6 +349,62 @@ trait SqlOpsAnn { this: SqlOpsAll =>
          |) WHERE rk <= 3""".stripMargin
     })
 
+  /** Embedding OUTLIER audit over the IVF cells — the vector-quality
+    * gate an embedding pipeline runs before trusting its index:
+    * per-cell, how many member vectors sit farther than 4× the cell's
+    * median squared distance from their OWN centroid (a truncated
+    * encode, a wrong-modality vector, or a genuine novelty — all
+    * surface as assigned-but-far members that poison both the cell's
+    * statistics and any SemDeDup decision read off it). All exact
+    * int64: µ-quantized coordinates ([[qvExpr]], the one copy), the
+    * per-cell median via the two-middle-ranks window (cell-cardinality
+    * partitions — no global sort), and the 4×-median gate as
+    * dist > 2·(mid₁+mid₂) so no division ever happens. Sum-of-two-
+    * middles keeps the even-count median exact where a /2 would
+    * truncate. A 1-vector cell can never flag itself (dist > 4·dist is
+    * false for dist ≥ 0... except dist > 0 = 4·0 when the median is 0 —
+    * a degenerate all-identical cell DOES flag a diverging member,
+    * which is the point). Scale shape: one corpus×dims distance pass
+    * (the ivfAssign cost), then cell-cardinality windows; centroids
+    * are the broadcast-sized staged table. */
+  val embeddingOutliers: StagedOp = StagedOp(
+    stages = annIvfProbe2.stages, // emb_nv + ivf_nvc + ivf_cent
+    body = { d =>
+      val expV = d.explodeWithPos(
+        "SELECT vec_id, cell, embedding FROM ivf_nvc",
+        "vec_id, cell", "embedding", "pos", "v")
+      val qv = qvExpr("e.v")
+      s"""WITH vd AS (
+         |  SELECT e.vec_id, e.cell,
+         |    CAST(SUM(($qv - c.qc) * ($qv - c.qc)) AS BIGINT) AS dist
+         |  FROM ($expV) e
+         |  JOIN ivf_cent c ON c.label = e.cell AND c.pos = e.pos
+         |  GROUP BY e.vec_id, e.cell
+         |),
+         |rk AS (
+         |  SELECT vec_id, cell, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY dist, vec_id) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS n
+         |  FROM vd
+         |),
+         |med AS (
+         |  -- odd counts select ONE middle row ((n+1)/2 == (n+2)/2):
+         |  -- double it so m2 is uniformly (mid1 + mid2)
+         |  SELECT cell,
+         |    CASE WHEN MAX(n) % 2 = 1 THEN 2 * CAST(SUM(dist) AS BIGINT)
+         |         ELSE CAST(SUM(dist) AS BIGINT) END AS m2
+         |  FROM rk
+         |  WHERE rn = ${d.idiv("n + 1", "2")} OR rn = ${d.idiv("n + 2", "2")}
+         |  GROUP BY cell
+         |)
+         |SELECT r.cell, CAST(MAX(r.n) AS BIGINT) AS n_vecs,
+         |  CAST(MAX(f.m2) AS BIGINT) AS median2_dist,
+         |  CAST(SUM(CASE WHEN r.dist > 2 * f.m2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  CAST(MAX(CASE WHEN r.dist > 2 * f.m2 THEN r.dist ELSE NULL END) AS BIGINT) AS worst_dist
+         |FROM rk r JOIN med f ON f.cell = r.cell
+         |GROUP BY r.cell""".stripMargin
+    })
+
   /** IVF nprobe tuning sweep — the recall-vs-cost curve a pipeline
     * reads before fixing the probe depth (the [[lshScurve]] idea
     * applied to the IVF family): for nprobe 1..4, recall@3 of the

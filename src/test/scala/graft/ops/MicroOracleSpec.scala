@@ -3272,6 +3272,53 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("orders")
   }
 
+  test("embedding outliers: planted far vector and degenerate zero-median cell " +
+    "flag; an independent Scala recompute agrees") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // cell 0: four tight vectors around the centroid plus ONE far
+    // vector (the planted outlier the parquet fixture's uniform cloud
+    // never produces — its zero rows are the healthy baseline);
+    // cell 1: three vectors EXACTLY on the centroid (median 0) plus a
+    // diverging member — the degenerate case where any dist > 0 flags
+    val cent = Seq((0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)))
+    val vecs = Seq(
+      (100L, 0L, Seq(0.1f, 0.0f)), (101L, 0L, Seq(-0.1f, 0.1f)),
+      (102L, 0L, Seq(0.0f, -0.1f)), (103L, 0L, Seq(0.1f, 0.1f)),
+      (104L, 0L, Seq(3.0f, 3.0f)),   // far: dist >> 4x median
+      (200L, 1L, Seq(10f, 10f)), (201L, 1L, Seq(10f, 10f)),
+      (202L, 1L, Seq(10f, 10f)),
+      (203L, 1L, Seq(10.5f, 10f)))   // any positive dist beats median 0
+    vecs.map { case (id, cell, e) => (id, cell, e, 1.0) }
+      .toDF("vec_id", "cell", "embedding", "nrm")
+      .createOrReplaceTempView("ivf_nvc")
+    cent.flatMap { case (l, cs) => cs.zipWithIndex.map { case (c, p) =>
+      (l, p.toLong, math.floor(c * 1.0e6 + 0.5).toLong) } }
+      .toDF("label", "pos", "qc").createOrReplaceTempView("ivf_cent")
+    val got = spark.sql(SqlOps.embeddingOutliers.body(SparkDialect)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+
+    // ---- independent recompute ----
+    def q(x: Float): Long = math.floor(x.toDouble * 1.0e6 + 0.5).toLong
+    val centMap = cent.map { case (l, cs) => l -> cs.map(q) }.toMap
+    val dists = vecs.map { case (id, cell, e) =>
+      (id, cell, e.map(q).zip(centMap(cell)).map { case (a, b) =>
+        (a - b) * (a - b) }.sum)
+    }
+    dists.groupBy(_._2).foreach { case (cell, xs) =>
+      val ds = xs.map(_._3).sorted
+      val n = ds.size
+      val m2 = ds((n + 1) / 2 - 1) + ds((n + 2) / 2 - 1)
+      val out = xs.filter(_._3 > 2 * m2)
+      val worst = if (out.isEmpty) None else Some(out.map(_._3).max)
+      assert(got(cell) === ((n.toLong, m2, out.size.toLong, worst)), s"cell $cell")
+    }
+    assert(got(0L)._3 === 1L && got(1L)._3 === 1L,
+      "both planted outliers must flag")
+    Seq("ivf_nvc", "ivf_cent").foreach(spark.catalog.dropTempView)
+  }
+
   test("modularity: SQL three-partition Q equals an independent Newman computation") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
