@@ -57,27 +57,49 @@ object Graph {
     * bounded shuffles on a monotonically shrinking edge list, the same
     * re-plan-per-round shape as [[Cluster]]; the convergence probe is
     * an O(1)-row driver action on checkpointed data. */
-  def kcore(pairs: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    var edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+  /** Shared fixpoint driver for the peel loops ([[kcore]] node-degree,
+    * [[truss]] edge-support): iterate `step` — which maps the current
+    * edge set to (next edge set, a round byproduct) — until the edge
+    * COUNT stops changing, checkpointing once per round with an
+    * O(1)-row convergence action. The loop FAILS LOUDLY on maxRounds
+    * exhaustion instead of returning a mid-peel edge set that
+    * silently violates the caller's fixpoint contract (the only
+    * symptom would be an oracle hash mismatch with no hint the cap
+    * was the cause). Returns the fixpoint edges and the byproduct of
+    * the CONVERGING round — computed against an edge set the fixpoint
+    * proves unchanged, so callers never pay a post-loop recount. */
+  private def peelToFixpoint[S](init: DataFrame, maxRounds: Int, what: String)(
+      step: DataFrame => (DataFrame, S)): (DataFrame, Option[S]) = {
+    var edges = init.localCheckpoint()
     var nEdges = edges.count()
+    var last: Option[S] = None
     var changed = true
     var rounds = 0
     while (changed && rounds < maxRounds) {
-      val alive = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src").as("id"))
-        .localCheckpoint() // consumed by BOTH semi joins — build once
-      val pruned = edges
-        .join(alive, edges("src") === alive("id"), "left_semi")
-        .join(alive, edges("dst") === alive("id"), "left_semi")
-        .localCheckpoint()
-      val n = pruned.count()
+      val (next, s) = step(edges)
+      val kept = next.localCheckpoint()
+      val n = kept.count()
       changed = n != nEdges
-      edges = pruned
+      last = Some(s)
+      edges = kept
       nEdges = n
       rounds += 1
+    }
+    require(!changed,
+      s"$what: no fixpoint within $maxRounds rounds — raise maxRounds")
+    (edges, last)
+  }
+
+  def kcore(pairs: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val init = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val (edges, _) = peelToFixpoint(init, maxRounds, "kcore") { e =>
+      val alive = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("id"))
+        .localCheckpoint() // consumed by BOTH semi joins — build once
+      (e.join(alive, e("src") === alive("id"), "left_semi")
+        .join(alive, e("dst") === alive("id"), "left_semi"), ())
     }
     edges.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("doc_id"), col("core_deg"))
@@ -92,8 +114,10 @@ object Graph {
     * two must produce identical rows whenever the unrolled depth
     * covers the fixpoint. Per round: one symmetric view, one
     * common-neighbor equi-join grouped per edge (Σ_e deg work on a
-    * monotonically shrinking edge list — the distributed-truss round),
-    * and an O(1)-row convergence count on checkpointed data. */
+    * monotonically shrinking edge list — the distributed-truss round).
+    * The converging round's support table IS the fixpoint support
+    * (it was computed against an edge set the fixpoint test proves
+    * unchanged), so the reported counts cost no extra pass. */
   def truss(pairs: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
     require(k >= 3, s"k must be >= 3 (edges in >= k-2 triangles), got $k")
     def supported(e: DataFrame): DataFrame = {
@@ -104,23 +128,18 @@ object Graph {
         .join(sym.select(col("x").as("b"), col("y").as("w")), Seq("b", "w"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
     }
-    var edges = pairs.select(col("a"), col("b")).localCheckpoint()
-    var nEdges = edges.count()
-    var changed = true
-    var rounds = 0
-    while (changed && rounds < maxRounds) {
-      val kept = supported(edges).filter(col("support") >= k - 2)
-        .select(col("a"), col("b"))
-        .localCheckpoint()
-      val n = kept.count()
-      changed = n != nEdges
-      edges = kept
-      nEdges = n
-      rounds += 1
+    val (edges, lastSup) = peelToFixpoint(
+        pairs.select(col("a"), col("b")), maxRounds, "truss") { e =>
+      // checkpointed: read twice — the filter below AND the byproduct
+      // the converged loop returns as the fixpoint support table
+      val sup = supported(e).localCheckpoint()
+      (sup.filter(col("support") >= k - 2).select(col("a"), col("b")), sup)
     }
-    // fixpoint support recount (the trussIter body rule: the peel only
-    // guarantees >= k-2 against the PREVIOUS round's edge set)
-    supported(edges)
+    // a 0-round loop is impossible (changed starts true), but an EMPTY
+    // initial edge set converges in one round with an empty sup — both
+    // paths read the byproduct
+    lastSup.getOrElse(supported(edges))
+      .filter(col("support") >= k - 2)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("support"))
   }
 }
