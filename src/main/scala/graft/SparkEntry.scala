@@ -850,6 +850,8 @@ object SparkEntry {
     // external validation: purity + NMI of the final assignment
     // against ground-truth labels (same Lloyd chain)
     "q_kmeans_purity" -> sqlStaged(Seq("embeddings"), SqlOps.kmeansPurity),
+    // chance-corrected pair-counting validation next to purity/NMI
+    "q_kmeans_ari" -> sqlStaged(Seq("embeddings"), SqlOps.kmeansAri),
     // DoReMi-style excess-loss domain reweighting
     "q_mix_doremi" -> sqlStaged(Seq("documents"), SqlOps.mixDoremiOp),
     // water-filling token-budget allocation across domains
@@ -1039,6 +1041,9 @@ object SparkEntry {
     // robust trend: median of pairwise day slopes (calendar-bounded
     // pair set) + median-residual intercept
     "q_theilsen_revenue" -> sqlq(Seq("orders"), SqlOps.theilSenRevenue),
+    // the trend TEST next to the trend estimator: tie-corrected
+    // Mann-Kendall with an exact-integer 5% verdict
+    "q_mannkendall_revenue" -> sqlq(Seq("orders"), SqlOps.mannKendallRevenue),
     // fourth approx-sketch contract: engine percentile sketch vs the
     // exact value-cardinality rank, only the bound boolean compared
     "q_price_percentile_approx" -> sqlq(Seq("orders"), SqlOps.pricePercentileApprox),
@@ -1827,6 +1832,7 @@ object SparkEntry {
     "q_kmeans_loop" -> SqlOps.kmeansLoop.single(DuckDialect),
     "q_kmeans_silhouette" -> SqlOps.kmeansSilhouette.single(DuckDialect),
     "q_kmeans_purity" -> SqlOps.kmeansPurity.single(DuckDialect),
+    "q_kmeans_ari" -> SqlOps.kmeansAri.single(DuckDialect),
     "q_mix_doremi" -> SqlOps.mixDoremiOp.single(DuckDialect),
     "q_mix_waterfill" -> SqlOps.mixWaterfill(DuckDialect),
     "q_filter_conformal" -> SqlOps.filterConformal.single(DuckDialect),
@@ -1968,6 +1974,7 @@ object SparkEntry {
     "q_source_kl" -> SqlOps.sourceKl(DuckDialect),
     "q_acf_revenue" -> SqlOps.acfRevenue(DuckDialect),
     "q_theilsen_revenue" -> SqlOps.theilSenRevenue(DuckDialect),
+    "q_mannkendall_revenue" -> SqlOps.mannKendallRevenue(DuckDialect),
     "q_price_percentile_approx" -> SqlOps.pricePercentileApprox(DuckDialect),
     "q_revenue_hhi" -> SqlOps.revenueHhi(DuckDialect),
     "q_rolling_median_revenue" -> SqlOps.rollingMedianRevenue(DuckDialect),

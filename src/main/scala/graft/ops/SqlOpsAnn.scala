@@ -1218,6 +1218,57 @@ trait SqlOpsAnn { this: SqlOpsAll =>
          |FROM f""".stripMargin
     })
 
+  /** ADJUSTED Rand index of the trained Lloyd assignment against the
+    * ground-truth labels — the chance-corrected pair-counting
+    * companion to [[kmeansPurity]]'s purity/NMI (purity rewards
+    * shattering, NMI is information-theoretic; ARI asks "of all
+    * C(n,2) pairs, how much better than chance does co-membership
+    * agree", and is 0 in expectation for a random assignment). All
+    * pair counts are CLOSED-FORM integers off the same cells×labels
+    * contingency table (Σ C(nij,2) etc. — never a pair explode, the
+    * dedupClusterEval rule), and the index is carried as the
+    * multiplied-through exact rational
+    * (2·P·Sij − 2·Sa·Sb) / (P·(Sa+Sb) − 2·Sa·Sb) with P = C(n,2):
+    * int64-exact while P² < 2^63, i.e. n ≤ ~70k vectors — the loud
+    * envelope guard throws beyond (rescale to DOUBLE components
+    * there). NULL when the denominator is zero (single cluster AND
+    * single label — agreement is undefined, not perfect). */
+  val kmeansAri: StagedOp = StagedOp(
+    stages = kmeansLoop.stages,
+    body = { d =>
+      val finA = s"km_a$KmRounds"
+      def c2(x: String): String = d.idiv(s"($x) * (($x) - 1)", "2")
+      s"""WITH ct AS (
+         |  SELECT a.cell, e.label, CAST(COUNT(*) AS BIGINT) AS nij
+         |  FROM $finA a JOIN embeddings e ON a.vec_id = e.vec_id
+         |  GROUP BY a.cell, e.label
+         |),
+         |tot AS (
+         |  SELECT CAST(SUM(nij) AS BIGINT) AS n,
+         |    CAST(SUM(${c2("nij")}) AS BIGINT) AS sij
+         |  FROM ct
+         |),
+         |sa AS (SELECT CAST(SUM(${c2("ni")}) AS BIGINT) AS v, COUNT(*) AS k
+         |       FROM (SELECT cell, CAST(SUM(nij) AS BIGINT) AS ni FROM ct GROUP BY cell)),
+         |sb AS (SELECT CAST(SUM(${c2("nj")}) AS BIGINT) AS v, COUNT(*) AS k
+         |       FROM (SELECT label, CAST(SUM(nij) AS BIGINT) AS nj FROM ct GROUP BY label)),
+         |f AS (
+         |  SELECT t.n, sa.k AS n_cells, sb.k AS n_labels,
+         |    CASE WHEN t.n > 70000
+         |      THEN CAST('kmeans-ari: P^2 exceeds the int64 envelope past ~70k vectors — rescale' AS BIGINT)
+         |      ELSE ${c2("t.n")} END AS p,
+         |    t.sij, sa.v AS sav, sb.v AS sbv
+         |  FROM tot t CROSS JOIN sa CROSS JOIN sb
+         |)
+         |SELECT n AS n_vectors, n_cells, n_labels,
+         |  CASE WHEN p * (sav + sbv) - 2 * sav * sbv = 0 THEN NULL
+         |       ELSE ${r6(
+                 "CAST(2 * p * sij - 2 * sav * sbv AS DOUBLE) " +
+                 "/ (p * (sav + sbv) - 2 * sav * sbv)")}
+         |  END AS ari
+         |FROM f""".stripMargin
+    })
+
   /** Cluster-quality readout for the trained Lloyd model — the
     * SIMPLIFIED silhouette (centroid-based: a(i) = distance to own
     * centroid, b(i) = distance to the nearest OTHER centroid,

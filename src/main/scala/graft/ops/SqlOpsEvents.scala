@@ -734,6 +734,52 @@ trait SqlOpsEvents { this: SqlOpsAll =>
     }.mkString("\nUNION ALL\n")
   }
 
+  /** Mann-Kendall trend TEST over daily revenue — the significance
+    * companion to [[theilSenRevenue]]'s slope (the classic pairing:
+    * Theil-Sen estimates the trend, Mann-Kendall decides whether one
+    * exists): S = Σ_{i<j} sign(yⱼ − yᵢ) over the same day pairs, the
+    * tie-corrected variance Var(S) = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18
+    * carried UN-divided as var18 (18 rarely divides it), and the
+    * continuity-corrected z. The 5% verdict is an EXACT integer test:
+    * z² > 1.96² ⟺ 180000·(|S|−1)² > 38416·var18 (10⁴·18 and 38416 are
+    * the exact scalings of 1.96² = 38416/10⁴) — no float crosses the
+    * decision. Int64 envelope: (|S|−1)² ≤ n⁴/4 meets the 180000 factor
+    * at ~3500 days — the loud guard throws beyond (a decade fits with
+    * margin). Pairs are calendar-bounded like the slope's. */
+  def mannKendallRevenue(d: Dialect): String =
+    s"""WITH ${dailyCentsCte(d)},
+       |s AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN b.cents > a.cents THEN 1
+       |                                WHEN b.cents < a.cents THEN -1
+       |                                ELSE 0 END), 0) AS BIGINT) AS s
+       |  FROM daily a JOIN daily b ON b.day > a.day
+       |),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+       |ties AS (
+       |  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tt
+       |  FROM (SELECT cents, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY cents)
+       |),
+       |f AS (
+       |  SELECT nn.n, s.s,
+       |    CASE WHEN nn.n > 3500
+       |      THEN CAST('mann-kendall: day count exceeds the int64 verdict envelope — rescale' AS BIGINT)
+       |      ELSE nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tt END AS var18
+       |  FROM nn CROSS JOIN s CROSS JOIN ties
+       |)
+       |SELECT n AS n_days, CAST(s AS BIGINT) AS s_stat,
+       |  CAST(var18 AS BIGINT) AS var18,
+       |  CASE WHEN var18 <= 0 THEN NULL
+       |       ELSE ${r6(
+                 "(CAST(s AS DOUBLE) - CASE WHEN s > 0 THEN 1.0e0 WHEN s < 0 THEN -1.0e0 ELSE 0.0e0 END) " +
+                 "/ SQRT(CAST(var18 AS DOUBLE) / 18.0e0)")}
+       |  END AS z,
+       |  CASE WHEN var18 <= 0 OR ABS(s) <= 1 THEN 0
+       |       WHEN 180000 * (ABS(s) - 1) * (ABS(s) - 1) > 38416 * var18 THEN 1
+       |       ELSE 0 END AS significant,
+       |  CASE WHEN s > 0 THEN 'increasing' WHEN s < 0 THEN 'decreasing'
+       |       ELSE 'none' END AS trend
+       |FROM f""".stripMargin
+
   /** Approximate-percentile CONTRACT check over order totals — the
     * fourth approx-sketch class after HLL distinct, CMS frequency and
     * Misra-Gries top-k: exact P50/P90/P99 of integer cents via the
@@ -796,13 +842,22 @@ trait SqlOpsEvents { this: SqlOpsAll =>
     * corpus-scale pass. Empty/one-day series: scalar subqueries over
     * an empty median CTE yield NULL slope/intercept on the always-
     * emitted stats row (the absent-row convention). */
-  def theilSenRevenue(d: Dialect): String = {
+  /** Daily revenue in integer cents, keyed by the calendar day index —
+    * ONE copy of the rollup shared by [[theilSenRevenue]] (the robust
+    * slope) and [[mannKendallRevenue]] (the trend significance test),
+    * so the estimator and its test can never disagree on the series
+    * they describe. */
+  private[ops] def dailyCentsCte(d: Dialect): String = {
     val day = s"CAST(FLOOR(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} / 86400.0e0) AS BIGINT)"
-    s"""WITH daily AS (
+    s"""daily AS (
        |  SELECT $day AS day,
        |    CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT) AS cents
        |  FROM orders GROUP BY $day
-       |),
+       |)""".stripMargin
+  }
+
+  def theilSenRevenue(d: Dialect): String = {
+    s"""WITH ${dailyCentsCte(d)},
        |pr AS (
        |  SELECT CAST(b.cents - a.cents AS DOUBLE) / (b.day - a.day) AS slope
        |  FROM daily a JOIN daily b ON b.day > a.day

@@ -3319,6 +3319,86 @@ class MicroOracleSpec extends SparkSpec {
     Seq("ivf_nvc", "ivf_cent").foreach(spark.catalog.dropTempView)
   }
 
+  test("Mann-Kendall: SQL S/var/z/verdict equal an independent computation; " +
+    "planted monotone trend flags, tie-heavy flat series does not") {
+    import spark.implicits._
+    import java.sql.Date
+    graft.functions.GraftFunctions.registerAll(spark)
+    val base = java.time.LocalDate.of(1995, 6, 1)
+    def run(prices: Seq[Double]): (Long, Long, Option[Double], Int, String) = {
+      prices.zipWithIndex.map { case (p, i) =>
+        (Date.valueOf(base.plusDays(i.toLong)), p) }
+        .toDF("o_orderdate", "o_totalprice").createOrReplaceTempView("orders")
+      val r = spark.sql(SqlOps.mannKendallRevenue(SparkDialect)).head
+      val out = (r.getAs[Long]("s_stat"), r.getAs[Long]("var18"),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getAs[Int]("significant"), r.getAs[String]("trend"))
+      spark.catalog.dropTempView("orders")
+      out
+    }
+    def ref(prices: Seq[Double]): (Long, Long, Double, Int) = {
+      val y = prices.map(p => math.floor(p * 100 + 0.5).toLong)
+      val n = y.size.toLong
+      val s = (for { i <- y.indices; j <- y.indices if j > i }
+        yield java.lang.Long.signum(y(j) - y(i)).toLong).sum
+      val tt = y.groupBy(identity).values.map(_.size.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tt
+      val z = (s - java.lang.Long.signum(s)) / math.sqrt(var18 / 18.0)
+      val sig = if (math.abs(s) > 1 &&
+        180000L * (math.abs(s) - 1) * (math.abs(s) - 1) > 38416L * var18) 1 else 0
+      (s, var18, math.floor(z * 1e6 + 0.5) / 1e6, sig)
+    }
+    // strictly increasing with one tie pair: must flag 'increasing'
+    val up = (0 until 20).map(i => 10.0 + i) :+ 29.0 // tie with the max
+    val gu = run(up); val ru = ref(up)
+    assert((gu._1, gu._2, gu._3.get, gu._4) === ((ru._1, ru._2, ru._3, ru._4)))
+    assert(gu._4 === 1 && gu._5 === "increasing")
+    // tie-heavy alternating flat series: S near 0, must NOT flag
+    val flat = (0 until 20).map(i => if (i % 2 == 0) 10.0 else 11.0)
+    val gf = run(flat); val rf = ref(flat)
+    assert((gf._1, gf._2, gf._4) === ((rf._1, rf._2, rf._4)))
+    assert(gf._4 === 0)
+  }
+
+  test("adjusted Rand index: SQL pair-counting equals an independent computation " +
+    "on a crafted contingency; random-like assignment scores ~0") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // 12 vectors, 3 cells vs 2 labels: cell A pure-x, cell B pure-y,
+    // cell C mixed — ARI must land strictly between 0 and 1
+    val asg = Seq(
+      (1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B"), (7L, "B"),
+      (8L, "C"), (9L, "C"), (10L, "C"), (11L, "C"), (12L, "C"))
+    val lab = Seq(1L -> "x", 2L -> "x", 3L -> "x",
+      4L -> "y", 5L -> "y", 6L -> "y", 7L -> "y",
+      8L -> "x", 9L -> "x", 10L -> "y", 11L -> "y", 12L -> "y")
+    asg.toDF("vec_id", "cell")
+      .createOrReplaceTempView(s"km_a${graft.ops.SqlOps.KmRounds}")
+    lab.map { case (id, l) => (id, l) }.toDF("vec_id", "label")
+      .createOrReplaceTempView("embeddings")
+    val got = spark.sql(SqlOps.kmeansAri.body(SparkDialect)).head
+
+    // ---- independent pair-counting ARI ----
+    val labMap = lab.toMap
+    def c2(x: Long) = x * (x - 1) / 2
+    val ct = asg.map { case (id, c) => (c, labMap(id)) }
+      .groupBy(identity).map { case (_, xs) => xs.size.toLong }
+    val sij = ct.map(c2).sum
+    val sa = asg.groupBy(_._2).map { case (_, xs) => c2(xs.size.toLong) }.sum
+    val sb = lab.groupBy(_._2).map { case (_, xs) => c2(xs.size.toLong) }.sum
+    val p = c2(asg.size.toLong)
+    val ari = (2.0 * p * sij - 2.0 * sa * sb) / (p * (sa + sb) - 2.0 * sa * sb)
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got.getAs[Long]("n_vectors") === 12L)
+    assert(got.getAs[Long]("n_cells") === 3L && got.getAs[Long]("n_labels") === 2L)
+    assert(got.getAs[Double]("ari") === r6d(ari))
+    assert(ari > 0.0 && ari < 1.0, s"fixture must be imperfect but better than chance: $ari")
+    Seq(s"km_a${graft.ops.SqlOps.KmRounds}", "embeddings")
+      .foreach(spark.catalog.dropTempView)
+  }
+
   test("modularity: SQL three-partition Q equals an independent Newman computation") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
