@@ -877,6 +877,9 @@ object SparkEntry {
     // does the quality score ORDER docs correctly? Mann-Whitney AUC
     // (en vs und labels), exact integer midranks, ppm readout
     "q_quality_auc" -> sqlq(Seq("documents"), SqlOps.qualityAuc),
+    // is the quality score just a length detector? Spearman rank
+    // correlation vs token count, exact doubled midranks
+    "q_quality_spearman" -> sqlq(Seq("documents"), SqlOps.qualitySpearman),
     // data valuation: per-source leave-one-out effect on corpus mean
     // quality and per-doc gate pass rate (additive decomposition —
     // one scoring pass, never |sources| re-scores)
@@ -1850,6 +1853,7 @@ object SparkEntry {
     "q_corpus_filter" -> SqlOps.corpusFilter(DuckDialect),
     "q_quality_sweep" -> SqlOps.qualitySweep(DuckDialect),
     "q_quality_auc" -> SqlOps.qualityAuc(DuckDialect),
+    "q_quality_spearman" -> SqlOps.qualitySpearman(DuckDialect),
     "q_source_loo" -> SqlOps.sourceLoo(DuckDialect),
     "q_release_manifest" -> SqlOps.releaseManifest(DuckDialect),
     "q_shard_skew" -> SqlOps.shardSkew(DuckDialect),

@@ -2543,6 +2543,66 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
        |FROM dom LEFT JOIN per p ON p.decile = dom.decile
        |CROSS JOIN tot t""".stripMargin
 
+  /** Spearman rank correlation between the quality score and document
+    * length (token count) — "is the gate just a length detector?" is
+    * the first question asked of any quality score, and the rank
+    * correlation answers it robustly (Pearson would be dragged by the
+    * length tail). Midranks for ties on BOTH variables via the
+    * doubled-midrank trick (u = 2·rank is an integer: 2·cb + c + 1
+    * per tied group — the [[qualityAuc]] identity), computed at
+    * VALUE-group grain and joined back per doc, so no per-doc global
+    * sort exists; ρ = Pearson over (u, v) — the ×2 scaling cancels in
+    * the ratio. Moments are exact int64 sums with a loud envelope:
+    * n·Σuv ≤ 4n⁴ wraps past ~35k docs (the guard throws; at scale the
+    * moments move to DECIMAL(38,0), the Gini rule). The final ρ is
+    * the fixed correctly-rounded IEEE sequence, r6'd; NULL when
+    * either variable is constant. */
+  def qualitySpearman(d: Dialect): String = {
+    def rankCte(g: String, col: String, out: String): String =
+      s"""$g AS (
+         |  SELECT $col, CAST(COUNT(*) AS BIGINT) AS c FROM xy GROUP BY $col
+         |),
+         |$out AS (
+         |  SELECT $col,
+         |    2 * CAST(COALESCE(SUM(c) OVER (ORDER BY $col
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      + c + 1 AS r2
+         |  FROM $g
+         |)""".stripMargin
+    s"""WITH ${scoredCtes(d, "documents")},
+       |xy AS (
+       |  SELECT doc_id, ${qvExpr("quality")} AS x,
+       |    CAST(${d.size("toks")} AS BIGINT) AS y
+       |  FROM scored
+       |),
+       |${rankCte("gx", "x", "rx")},
+       |${rankCte("gy", "y", "ry")},
+       |j AS (
+       |  SELECT rx.r2 AS u, ry.r2 AS v
+       |  FROM xy JOIN rx ON xy.x = rx.x JOIN ry ON xy.y = ry.y
+       |),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(u) AS BIGINT) AS su, CAST(SUM(v) AS BIGINT) AS sv,
+       |    CAST(SUM(u * u) AS BIGINT) AS suu, CAST(SUM(v * v) AS BIGINT) AS svv,
+       |    CAST(SUM(u * v) AS BIGINT) AS suv
+       |  FROM j
+       |),
+       |g AS (
+       |  SELECT CASE WHEN n > 35000
+       |    THEN CAST('spearman: n*suv exceeds the int64 moment envelope past ~35k docs — move to DECIMAL' AS BIGINT)
+       |    ELSE n END AS n, su, sv, suu, svv, suv
+       |  FROM m
+       |)
+       |SELECT n AS n_docs,
+       |  CASE WHEN n * suu - su * su <= 0 OR n * svv - sv * sv <= 0 THEN NULL
+       |       ELSE ${r6(
+                 "CAST(n * suv - su * sv AS DOUBLE) " +
+                 "/ SQRT(CAST(n * suu - su * su AS DOUBLE) * (n * svv - sv * sv))")}
+       |  END AS spearman_rho
+       |FROM g""".stripMargin
+  }
+
   /** AUC (Mann-Whitney) of the quality score as a separator of English
     * vs unknown-language docs — the ranking-quality readout behind
     * "does the gate's score actually order good docs above bad ones",

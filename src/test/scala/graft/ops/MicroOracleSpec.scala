@@ -3319,6 +3319,54 @@ class MicroOracleSpec extends SparkSpec {
     Seq("ivf_nvc", "ivf_cent").foreach(spark.catalog.dropTempView)
   }
 
+  test("Spearman: SQL doubled-midrank rho equals an independent computation " +
+    "with ties on BOTH variables") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // the AUC fixture's planted quality tie (docs 1/2 both 0.37) plus
+    // token-count ties (docs 2,4 at 4 tokens; 3 also 4 tokens) — ties
+    // on both rank variables exercise the midrank algebra end to end
+    val docs = Seq(
+      (1L, "the zzzzzz zzzzzz zzzzz"),
+      (2L, "zz zz zz zz"),
+      (3L, "z z z z"),
+      (4L, "the the xx yy"),
+      (5L, "the quantum processors executed numerous benchmark workloads " +
+        "delivering consistent throughput across distributed clusters"),
+      (6L, "yang dan xx yy"))
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.qualitySpearman(SparkDialect)).head
+
+    // ---- independent: score, midrank both variables, Pearson ----
+    val stopEn = Set("the", "and", "of", "to", "in", "is", "a")
+    val stopId = Set("yang", "dan", "di", "ke", "itu", "untuk")
+    val xy = docs.map { case (_, t) =>
+      val toks = t.split(" ").toSeq; val n = toks.size
+      val sr = toks.count(w => stopEn(w) || stopId(w)).toDouble / n
+      val aw = t.replace(" ", "").length.toDouble / n
+      val q = math.min(n / 100.0, 1.0) * 0.5 + (1.0 - sr) * 0.3 +
+        math.min(aw / 8.0, 1.0) * 0.2
+      (math.floor(q * 1.0e6 + 0.5).toLong, n.toLong)
+    }
+    def midranks(vs: Seq[Long]): Seq[Double] = {
+      val pos = vs.sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, g) => v -> g.map(_._2 + 1).sum.toDouble / g.size }
+      vs.map(pos)
+    }
+    val u = midranks(xy.map(_._1)); val v = midranks(xy.map(_._2))
+    val n = xy.size.toDouble
+    val (su, sv) = (u.sum, v.sum)
+    val num = n * u.zip(v).map { case (a, b) => a * b }.sum - su * sv
+    val den = math.sqrt((n * u.map(a => a * a).sum - su * su) *
+      (n * v.map(b => b * b).sum - sv * sv))
+    val want = math.floor(num / den * 1e6 + 0.5) / 1e6
+    assert(got.getAs[Long]("n_docs") === 6L)
+    assert(got.getAs[Double]("spearman_rho") === want)
+    // fixture guard: ties exist on both variables
+    assert(xy.map(_._1).distinct.size < 6 && xy.map(_._2).distinct.size < 6)
+    spark.catalog.dropTempView("documents")
+  }
+
   test("Mann-Kendall: SQL S/var/z/verdict equal an independent computation; " +
     "planted monotone trend flags, tie-heavy flat series does not") {
     import spark.implicits._
