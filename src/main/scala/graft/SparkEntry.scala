@@ -692,6 +692,8 @@ object SparkEntry {
     "q_graph_assortativity" -> sqlStaged(Seq("documents"), SqlOps.graphAssortativity),
     "q_pagerank_step" -> sqlStaged(Seq("documents"), SqlOps.pagerankStep),
     "q_pagerank_iter" -> sqlStaged(Seq("documents"), SqlOps.pagerankIter),
+    "q_textrank_keywords" -> sqlStaged(Seq("documents"), SqlOps.textrankKeywords),
+    "q_linkage_fs" -> sqlStaged(Seq("documents"), SqlOps.linkageFs),
     // the driver-loop form of the same 3 iterations, gated against the
     // SAME oracle as the SQL-unrolled tree (like CC vs CC-star)
     "q_pagerank_loop" -> ((s, d) => {
@@ -880,6 +882,7 @@ object SparkEntry {
     // is the quality score just a length detector? Spearman rank
     // correlation vs token count, exact doubled midranks
     "q_quality_spearman" -> sqlq(Seq("documents"), SqlOps.qualitySpearman),
+    "q_quality_kendall" -> sqlq(Seq("documents"), SqlOps.qualityKendall),
     // data valuation: per-source leave-one-out effect on corpus mean
     // quality and per-doc gate pass rate (additive decomposition —
     // one scoring pass, never |sources| re-scores)
@@ -966,6 +969,10 @@ object SparkEntry {
     "q_attribution" -> sqlq(Seq("events"), SqlOps.attributionLastTouch),
     "q_user_growth" -> sqlq(Seq("events"), SqlOps.userGrowth),
     "q_zipf_fit" -> sqlStaged(Seq("documents"), SqlOps.zipfFit),
+    "q_good_turing" -> sqlStaged(Seq("documents"), SqlOps.goodTuring),
+    "q_simpson_diversity" -> sqlStaged(Seq("documents"), SqlOps.simpsonDiversity),
+    "q_search_phrase" -> sqlStaged(Seq("documents"), SqlOps.searchPhrase),
+    "q_shard_rebalance" -> sqlq(Seq("documents"), SqlOps.shardRebalance),
     "q_heaps_fit" -> sqlStaged(Seq("documents"), SqlOps.heapsFit),
     // Gopher rule battery, CCNet LM-bucketing, tokenizer fertility,
     // histogram-sketch quantiles, and full power-iteration PCA
@@ -1044,6 +1051,8 @@ object SparkEntry {
     // robust trend: median of pairwise day slopes (calendar-bounded
     // pair set) + median-residual intercept
     "q_theilsen_revenue" -> sqlq(Seq("orders"), SqlOps.theilSenRevenue),
+    "q_seasonality_dow" -> sqlq(Seq("orders"), SqlOps.seasonalityDow),
+    "q_ols_revenue" -> sqlq(Seq("orders"), SqlOps.olsRevenue),
     // the trend TEST next to the trend estimator: tie-corrected
     // Mann-Kendall with an exact-integer 5% verdict
     "q_mannkendall_revenue" -> sqlq(Seq("orders"), SqlOps.mannKendallRevenue),
@@ -1726,6 +1735,8 @@ object SparkEntry {
     "q_item_similarity" -> SqlOps.itemSimilarity.single(DuckDialect),
     "q_pagerank_step" -> SqlOps.pagerankStep.single(DuckDialect),
     "q_pagerank_iter" -> SqlOps.pagerankIter.single(DuckDialect),
+    "q_textrank_keywords" -> SqlOps.textrankKeywords.single(DuckDialect),
+    "q_linkage_fs" -> SqlOps.linkageFs.single(DuckDialect),
     "q_pagerank_loop" -> SqlOps.pagerankIter.single(DuckDialect),
     "q_kcore" -> SqlOps.kcoreIter.single(DuckDialect),
     "q_graph_truss" -> SqlOps.trussIter.single(DuckDialect),
@@ -1854,6 +1865,7 @@ object SparkEntry {
     "q_quality_sweep" -> SqlOps.qualitySweep(DuckDialect),
     "q_quality_auc" -> SqlOps.qualityAuc(DuckDialect),
     "q_quality_spearman" -> SqlOps.qualitySpearman(DuckDialect),
+    "q_quality_kendall" -> SqlOps.qualityKendall(DuckDialect),
     "q_source_loo" -> SqlOps.sourceLoo(DuckDialect),
     "q_release_manifest" -> SqlOps.releaseManifest(DuckDialect),
     "q_shard_skew" -> SqlOps.shardSkew(DuckDialect),
@@ -1909,6 +1921,10 @@ object SparkEntry {
         |  TRUE AS merge_equals_direct, TRUE AS est_within_5pct
         |FROM events GROUP BY CAST(FLOOR(epoch(ts) / 604800.0) AS BIGINT)""".stripMargin,
     "q_zipf_fit" -> SqlOps.zipfFit.single(DuckDialect),
+    "q_good_turing" -> SqlOps.goodTuring.single(DuckDialect),
+    "q_simpson_diversity" -> SqlOps.simpsonDiversity.single(DuckDialect),
+    "q_search_phrase" -> SqlOps.searchPhrase.single(DuckDialect),
+    "q_shard_rebalance" -> SqlOps.shardRebalance(DuckDialect),
     "q_heaps_fit" -> SqlOps.heapsFit.single(DuckDialect),
     "q_gopher_rules" -> SqlOps.gopherRules(DuckDialect),
     "q_pii_scan" -> SqlOps.piiScan.single(DuckDialect),
@@ -1978,6 +1994,8 @@ object SparkEntry {
     "q_source_kl" -> SqlOps.sourceKl(DuckDialect),
     "q_acf_revenue" -> SqlOps.acfRevenue(DuckDialect),
     "q_theilsen_revenue" -> SqlOps.theilSenRevenue(DuckDialect),
+    "q_seasonality_dow" -> SqlOps.seasonalityDow(DuckDialect),
+    "q_ols_revenue" -> SqlOps.olsRevenue(DuckDialect),
     "q_mannkendall_revenue" -> SqlOps.mannKendallRevenue(DuckDialect),
     "q_price_percentile_approx" -> SqlOps.pricePercentileApprox(DuckDialect),
     "q_revenue_hhi" -> SqlOps.revenueHhi(DuckDialect),

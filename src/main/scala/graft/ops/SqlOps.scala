@@ -141,6 +141,21 @@ trait SqlOpsCore { this: SqlOpsAll =>
     s"""((instr('0123456789abcdef', substr(md5($col), 1, 1)) - 1) * 16
        |    + (instr('0123456789abcdef', substr(md5($col), 2, 1)) - 1))""".stripMargin
 
+  /** First 8 hex digits of md5(col) as a 32-bit nonnegative int64 —
+    * the ring-position hash behind [[shardRebalance]]'s consistent
+    * ring ([[md5Bucket]]'s one byte collides far too often to place
+    * ring positions). Same engine-portable hex-digit arithmetic, no
+    * engine-specific hash or RNG; every term is BIGINT from the first
+    * digit so the 2³² magnitudes never touch int32. */
+  private[ops] def md5Hex32(col: String): String = {
+    val terms = (1 to 8).map { k =>
+      val digit = s"(CAST(instr('0123456789abcdef', substr(md5($col), $k, 1)) AS BIGINT) - 1)"
+      val shift = (8 - k) * 4
+      if (shift == 0) digit else s"$digit * ${1L << shift}"
+    }
+    s"(${terms.mkString("\n      + ")})"
+  }
+
   private[ops] def toks(d: Dialect): String = d.split("text", " ")
 
   /** Two "crawl snapshots": every doc appears twice under different ids

@@ -916,6 +916,133 @@ trait SqlOpsDedup { this: SqlOpsAll =>
          |FROM m""".stripMargin
     })
 
+  /** Good-Turing frequency re-estimation over the corpus unigram
+    * distribution (Good 1953; the Katz-backoff discount and the
+    * standard answer to "how much probability mass belongs to tokens
+    * we have never seen") — the vocabulary-growth companion to
+    * [[heapsFit]] and the smoothing step under any n-gram LM built on
+    * these counts: per count class r, the frequency-of-frequencies
+    * N_r, the Turing-discounted count r* = (r+1)·N_{r+1}/N_r, its
+    * probability p = r* / N, and the corpus-constant unseen mass
+    * P₀ = N₁/N. Every input is an exact int64 count off the staged
+    * [[textUnigramLm]] term frequencies; the class table is COUNT-
+    * cardinality (≤ distinct token counts, ≪ vocab) and the r ∈ 1..8
+    * readout domain is LEFT-JOIN-driven (the acfRevenue absent-row
+    * convention: an empty class emits (r, 0, 0, NULL, NULL), never
+    * vanishes — and r* is NULL exactly when the estimator is
+    * undefined, N_r = 0). The only float ops are the final two
+    * divisions per row on exact integers, r6'd. Scale shape: one
+    * vocab-cardinality aggregate over the staged index, then all
+    * arithmetic at count-class cardinality (dozens of rows at any
+    * corpus size). */
+  val goodTuring: StagedOp = StagedOp(
+    stages = textUnigramLm.stages,
+    body = { _ =>
+      val dom = (1 to 8).map(k => s"SELECT $k AS r").mkString(" UNION ALL ")
+      s"""WITH vc AS (SELECT s, CAST(SUM(tf) AS BIGINT) AS c FROM ulm_tf GROUP BY s),
+         |ff AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS nr FROM vc GROUP BY c),
+         |tot AS (
+         |  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n,
+         |    CAST(COUNT(*) AS BIGINT) AS v
+         |  FROM vc
+         |),
+         |dom AS ($dom)
+         |SELECT dm.r,
+         |  CAST(COALESCE(f0.nr, 0) AS BIGINT) AS n_r,
+         |  CAST(COALESCE(f1.nr, 0) AS BIGINT) AS n_r_next,
+         |  CASE WHEN COALESCE(f0.nr, 0) = 0 THEN NULL
+         |       ELSE ${r6("CAST((dm.r + 1) * COALESCE(f1.nr, 0) AS DOUBLE) / f0.nr")}
+         |  END AS r_star,
+         |  CASE WHEN COALESCE(f0.nr, 0) = 0 OR t.n = 0 THEN NULL
+         |       ELSE ${r6(
+                   "CAST((dm.r + 1) * COALESCE(f1.nr, 0) AS DOUBLE) / f0.nr " +
+                   "/ CAST(t.n AS DOUBLE)")}
+         |  END AS p_gt,
+         |  t.n AS n_tokens, t.v AS vocab,
+         |  CASE WHEN t.n = 0 THEN NULL
+         |       ELSE ${r6("CAST((SELECT COALESCE(MAX(f9.nr), 0) FROM ff f9 WHERE f9.r = 1) AS DOUBLE) / t.n")}
+         |  END AS p_unseen
+         |FROM dom dm
+         |LEFT JOIN ff f0 ON f0.r = dm.r
+         |LEFT JOIN ff f1 ON f1.r = dm.r + 1
+         |CROSS JOIN tot t
+         |ORDER BY dm.r""".stripMargin
+    })
+
+  /** Fellegi-Sunter record-linkage weights (Fellegi & Sunter 1969 —
+    * the probabilistic-matching standard behind every production
+    * entity-resolution stack): for each comparison field, the
+    * agreement probability among MATCHED pairs (m) vs among RANDOM
+    * pairs (u), whose ratio is the field's match weight. Matches are
+    * the engine's own near-dup candidate pairs (the staged minhash
+    * mh_cand — the labeled set a dedup pipeline already owns);
+    * attributes join back through the snapshot id (doc_id DIV 2, the
+    * corpusCte contract). u needs NO pair sampling: under the random-
+    * pairing model, P(two random docs agree on field F) is exactly
+    * Σ_g n_g(n_g−1) / (N(N−1)) over F's value marginals — closed-form
+    * integer arithmetic at field-cardinality, replacing the usual
+    * sampled-nonmatch estimate (and its RNG nondeterminism) with the
+    * exact expectation. Fields: source, lang, and the 32-char length
+    * bucket. All probabilities are exact integer ppm ([[qualityAuc]]'s
+    * idiv discipline; loud int64 guard past 2M docs where 10⁶·N²
+    * approaches the envelope); the weight ratio is the one r6'd float
+    * division. Scale shape: one bounded pair-table aggregate + three
+    * marginal aggregates — nothing all-pairs anywhere. */
+  val linkageFs: StagedOp = StagedOp(
+    stages = dedupMinhash.stages,
+    body = { d =>
+      val pairAgg = Seq(
+        ("source", "a.source = b.source"),
+        ("lang", "a.lang = b.lang"),
+        ("len_bucket", "a.lb = b.lb")).map { case (f, cond) =>
+        s"CAST(SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS ag_$f"
+      }.mkString(",\n    ")
+      def marg(f: String, col: String) =
+        s"""u_$f AS (
+           |  SELECT CAST(COALESCE(SUM(g.n * (g.n - 1)), 0) AS BIGINT) AS a
+           |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM att GROUP BY $col) g
+           |)""".stripMargin
+      def row(f: String) =
+        s"""SELECT '$f' AS field,
+           |  CASE WHEN mp.n = 0 THEN NULL
+           |       ELSE ${d.idiv("1000000 * mp.ag_" + f, "mp.n")} END AS m_ppm,
+           |  CASE WHEN nn.n < 2 THEN NULL
+           |       ELSE ${d.idiv(s"1000000 * u_$f.a", "nn.n * (nn.n - 1)")} END AS u_ppm,
+           |  CASE WHEN mp.n = 0 OR nn.n < 2 OR u_$f.a = 0 THEN NULL
+           |       ELSE ${r6(
+                 s"(CAST(${d.idiv("1000000 * mp.ag_" + f, "mp.n")} AS DOUBLE)) " +
+                 s"/ ${d.idiv(s"1000000 * u_$f.a", "nn.n * (nn.n - 1)")}")}
+           |  END AS weight_ratio
+           |FROM mp CROSS JOIN nn CROSS JOIN u_$f""".stripMargin
+      s"""WITH att AS (
+         |  SELECT doc_id, source, lang, ${d.idiv("n_chars", "32")} AS lb
+         |  FROM documents
+         |),
+         |mp AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    $pairAgg
+         |  FROM mh_cand c
+         |  JOIN att a ON a.doc_id = ${d.idiv("c.doc_a", "2")}
+         |  JOIN att b ON b.doc_id = ${d.idiv("c.doc_b", "2")}
+         |),
+         |nn0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM att),
+         |nn AS (
+         |  SELECT CASE WHEN n > 2000000
+         |    THEN CAST('linkage-fs: doc count exceeds the int64 ppm envelope' AS BIGINT)
+         |    ELSE n END AS n
+         |  FROM nn0
+         |),
+         |${marg("source", "source")},
+         |${marg("lang", "lang")},
+         |${marg("len_bucket", "lb")}
+         |${row("source")}
+         |UNION ALL
+         |${row("lang")}
+         |UNION ALL
+         |${row("len_bucket")}
+         |ORDER BY field""".stripMargin
+    })
+
   /** DSIR-style importance weighting (Xie et al. 2023,
     * arXiv:2302.03169): score every document by how much more likely
     * its tokens are under a TARGET distribution (here the corpus's
@@ -1456,6 +1583,56 @@ trait SqlOpsDedup { this: SqlOpsAll =>
          |SELECT doc_id, CAST(SUM(s_term) AS BIGINT) AS bm25_micro
          |FROM sc GROUP BY doc_id
          |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin
+    })
+
+  /** PHRASE search over a positional inverted index — the capability
+    * [[searchBm25]]'s bag-of-words index cannot express: "these words
+    * ADJACENT, in order". The positional postings (doc, pos, token)
+    * are the staged artifact (at 100 TB: the standard
+    * position-augmented inverted index, partitioned by token); the
+    * phrase match is the classic postings intersection — join the
+    * first word's postings with the second's on (doc, pos+1) — which
+    * shuffles only the two terms' postings, never the corpus. The
+    * evaluation phrase is self-calibrating: the corpus's most frequent
+    * bigram (deterministic ORDER BY count DESC, w1, w2 LIMIT 1 — a
+    * TakeOrdered over the staged bigram-count index, which is built
+    * as a narrow 2-gram shingle pass + one aggregate, NO join: the
+    * adjacent-pair count and the 2-shingle count are the same number
+    * by construction). Integer counts end to end; top-10 docs by hit
+    * count with a doc_id tiebreak. */
+  val searchPhrase: StagedOp = StagedOp(
+    stages = Seq(
+      "sp_pos" -> { (d: Dialect) =>
+        s"""WITH docs AS (SELECT doc_id, text FROM documents),
+           |${d.shingleRowsPos("docs", 1)}
+           |SELECT doc_id, pos, s FROM shp""".stripMargin
+      },
+      "sp_big" -> { (d: Dialect) =>
+        s"""WITH docs2 AS (SELECT doc_id, text FROM documents),
+           |${d.shingleRows("docs2", 2)}
+           |SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY s""".stripMargin
+      }),
+    body = { d =>
+      val sToks = d.split("s", " ")
+      s"""WITH top AS (
+         |  SELECT ${d.elem(sToks, "1")} AS w1, ${d.elem(sToks, "2")} AS w2, n
+         |  FROM sp_big ORDER BY n DESC, s LIMIT 1
+         |),
+         |hits AS (
+         |  -- term-selective scan first: only the two phrase terms'
+         |  -- postings survive into the positional join
+         |  SELECT a.doc_id, a.pos
+         |  FROM top t
+         |  JOIN sp_pos a ON a.s = t.w1
+         |  JOIN sp_pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |                AND b.s = t.w2
+         |)
+         |SELECT h.doc_id, t.w1, t.w2,
+         |  CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  CAST(MIN(h.pos) AS BIGINT) AS first_pos
+         |FROM hits h CROSS JOIN top t
+         |GROUP BY h.doc_id, t.w1, t.w2
+         |ORDER BY n_hits DESC, doc_id LIMIT 10""".stripMargin
     })
 
   /** The BM25 top-10 as a ranked staged artifact — shared by the nDCG

@@ -856,6 +856,137 @@ trait SqlOpsEvents { this: SqlOpsAll =>
        |)""".stripMargin
   }
 
+  /** Day-of-week seasonal decomposition of revenue — the multiplicative
+    * seasonal index (mean revenue on weekday w ÷ grand mean daily
+    * revenue) a forecast pipeline divides out before trend fitting,
+    * and the first diagnostic read when [[acfRevenue]] spikes at lag
+    * 7. Rides [[dailyCentsCte]] (THE daily rollup — the index and the
+    * ACF it explains can never disagree on the series). Weekday from
+    * the epoch-day index by pure integer arithmetic ((day + 4) % 7,
+    * 0 = Sunday — epoch day 0 was a Thursday), so no engine date
+    * function is trusted for the mapping. The 7-row weekday domain is
+    * LEFT-JOIN-driven (the acfRevenue absent-row convention: a weekday
+    * with no trading days emits (dow, 0, 0, NULL), never vanishes).
+    * Scale shape: one corpus-scale aggregate (the daily rollup), then
+    * all arithmetic at day/weekday cardinality. The index is a ratio
+    * of two exact int64-derived means — a fixed 4-op IEEE sequence,
+    * identical in both engines. */
+  def seasonalityDow(d: Dialect): String = {
+    val dom = (0 to 6).map(k => s"SELECT $k AS dow").mkString(" UNION ALL ")
+    s"""WITH ${dailyCentsCte(d)},
+       |dw AS (SELECT (day + 4) % 7 AS dow, cents FROM daily),
+       |ag AS (
+       |  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    CAST(SUM(cents) AS BIGINT) AS cents
+       |  FROM dw GROUP BY dow
+       |),
+       |tot AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS td,
+       |    CAST(SUM(cents) AS BIGINT) AS tc
+       |  FROM daily
+       |),
+       |dom AS ($dom)
+       |SELECT dm.dow,
+       |  CASE dm.dow WHEN 0 THEN 'sun' WHEN 1 THEN 'mon' WHEN 2 THEN 'tue'
+       |    WHEN 3 THEN 'wed' WHEN 4 THEN 'thu' WHEN 5 THEN 'fri'
+       |    ELSE 'sat' END AS day_name,
+       |  CAST(COALESCE(a.n_days, 0) AS BIGINT) AS n_days,
+       |  CAST(COALESCE(a.cents, 0) AS BIGINT) AS cents,
+       |  CASE WHEN a.n_days IS NULL OR t.tc = 0 THEN NULL
+       |       ELSE ${r6(
+                 "(CAST(a.cents AS DOUBLE) / a.n_days) " +
+                 "/ (CAST(t.tc AS DOUBLE) / t.td)")}
+       |  END AS seasonal_index
+       |FROM dom dm LEFT JOIN ag a ON a.dow = dm.dow CROSS JOIN tot t
+       |ORDER BY dm.dow""".stripMargin
+  }
+
+  /** Two-factor OLS of daily revenue on (calendar trend, weekend flag)
+    * — closed-form multiple regression by the normal equations, the
+    * step past [[theilSenRevenue]]'s univariate slope when the weekly
+    * seasonality [[seasonalityDow]] quantifies must be controlled for
+    * (otherwise the weekend mix of the observed days biases the
+    * trend). Design: y = β₀ + β₁·(day − d₀) + β₂·weekend. Moments are
+    * exact int64 sums with [[acfRevenue]]'s loud y ≤ 5e7-dollar
+    * envelope (Σy² over a decade then stays inside int64); the 3×3
+    * Cramer solve runs in DOUBLE on those exact integers — a fixed
+    * literal expression tree, so both engines execute the identical
+    * correctly-rounded sequence. Degeneracy is decided on INTEGER
+    * structure (x₂ constant, or fewer than 4 days), never on a
+    * float-zero determinant test. R² comes from the moment identity
+    * SSE = Σy² − β·(Xᵀy) — no residual pass, so no order-dependent
+    * float sum. Scale shape: one corpus-scale rollup, then all
+    * algebra on one 1-row moment tuple. */
+  def olsRevenue(d: Dialect): String = {
+    val day = s"CAST(FLOOR(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} / 86400.0e0) AS BIGINT)"
+    // Cramer cofactors over the symmetric moment matrix
+    // [[n,s1,s2],[s1,s11,s12],[s2,s12,s2]] (x2 is 0/1 so s22 = s2)
+    val det = "(CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s2 - CAST(s12 AS DOUBLE) * s12)" +
+      " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2 - CAST(s12 AS DOUBLE) * s2)" +
+      " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2))"
+    val det0 = "(CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * s2 - CAST(s12 AS DOUBLE) * s12)" +
+      " - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s2 - CAST(s12 AS DOUBLE) * s2y)" +
+      " + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2y))"
+    val det1 = "(CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * s2 - CAST(s12 AS DOUBLE) * s2y)" +
+      " - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2 - CAST(s12 AS DOUBLE) * s2)" +
+      " + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2))"
+    val det2 = "(CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s12)" +
+      " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2)" +
+      " + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2))"
+    val sing = "m.n < 4 OR m.s2 = 0 OR m.s2 = m.n"
+    s"""WITH daily0 AS (
+       |  SELECT $day AS day,
+       |    ${d.idiv(
+             "CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT)",
+             "100")} AS y
+       |  FROM orders GROUP BY $day
+       |),
+       |daily AS (
+       |  SELECT day, CASE WHEN y > 50000000
+       |    THEN CAST('ols: daily revenue exceeds the int64 moment envelope — rescale y' AS BIGINT)
+       |    ELSE y END AS y
+       |  FROM daily0
+       |),
+       |mn AS (SELECT MIN(day) AS d0 FROM daily),
+       |x AS (
+       |  SELECT day - d0 AS x1,
+       |    CASE WHEN (day + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END AS x2,
+       |    y
+       |  FROM daily CROSS JOIN mn
+       |),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+       |    CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+       |    CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+       |    CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+       |    CAST(SUM(x2 * y) AS BIGINT) AS s2y,
+       |    CAST(SUM(y * y) AS BIGINT) AS syy
+       |  FROM x
+       |),
+       |b AS (
+       |  SELECT n, s2,
+       |    CASE WHEN $sing THEN NULL ELSE $det0 / $det END AS b0,
+       |    CASE WHEN $sing THEN NULL ELSE $det1 / $det END AS b1,
+       |    CASE WHEN $sing THEN NULL ELSE $det2 / $det END AS b2,
+       |    sy, s1y, s2y, syy
+       |  FROM m
+       |)
+       |SELECT n AS n_days, s2 AS n_weekend_days,
+       |  ${r6("b0")} AS beta0,
+       |  ${r6("b1")} AS beta1_per_day,
+       |  ${r6("b2")} AS beta2_weekend,
+       |  CASE WHEN b0 IS NULL
+       |            OR CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n <= 0.0e0
+       |       THEN NULL
+       |       ELSE ${r6(
+                 "1.0e0 - (CAST(syy AS DOUBLE) - b0 * sy - b1 * s1y - b2 * s2y) " +
+                 "/ (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)")}
+       |  END AS r2
+       |FROM b""".stripMargin
+  }
+
   def theilSenRevenue(d: Dialect): String = {
     s"""WITH ${dailyCentsCte(d)},
        |pr AS (

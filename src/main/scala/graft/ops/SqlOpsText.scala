@@ -702,6 +702,63 @@ trait SqlOpsText { this: SqlOpsAll =>
        |FROM dom LEFT JOIN per p ON p.shard = dom.shard
        |CROSS JOIN t""".stripMargin
 
+  /** Shard-count change audit: how many documents MOVE when the
+    * release ring grows 16 → 17 shards, under (a) modulo assignment
+    * and (b) a consistent-hash ring (Karger et al. 1997) with 4
+    * virtual nodes per shard — the capacity-planning question behind
+    * every resharding decision, and the reason consistent hashing
+    * exists: mod-N reassigns an expected (N−1)/N ≈ 94% of keys, the
+    * ring only ~1/(N+1) ≈ 6%. Both strategies hash the SAME doc key
+    * ([[md5Hex32]] — engine-portable hex arithmetic, no RNG); ring
+    * lookup is "first vnode position ≥ key, wrapping", expressed as
+    * ONE map-side-combinable aggregate over the doc × 68-vnode cross
+    * join — the argmin is MIN(wrap-key·32 + shard) with the shard
+    * decoded by % 32 (key < 2³³ so the encoding sits far inside
+    * int64; ties at equal position resolve to the smaller shard,
+    * deterministically), and both rings come out of the SAME pass
+    * (the 16-shard ring is the 17-shard ring's shard < 16 slice —
+    * MIN(CASE...) — so the shared vnodes provably keep their
+    * positions). No window, no per-doc sort: one hash aggregate with
+    * partial combine, which is the shape that survives 100 TB.
+    * Expected-move ppm columns carry the closed-form prediction next
+    * to the measurement. */
+  def shardRebalance(d: Dialect): String = {
+    val shardDom = (0 to 16).map(s => s"SELECT $s AS shard").mkString(" UNION ALL ")
+    val vnodeDom = (0 until 4).map(v => s"SELECT $v AS v").mkString(" UNION ALL ")
+    val wrapKey = "CASE WHEN r.pos >= d.p THEN r.pos ELSE r.pos + 4294967296 END"
+    s"""WITH ring AS (
+       |  SELECT s.shard, ${md5Hex32(
+            "CONCAT('shard:', CAST(s.shard AS STRING), ':', CAST(v.v AS STRING))")} AS pos
+       |  FROM ($shardDom) s CROSS JOIN ($vnodeDom) v
+       |),
+       |dpos AS (
+       |  SELECT doc_id, ${md5Hex32("CAST(doc_id AS STRING)")} AS p FROM documents
+       |),
+       |asg AS (
+       |  SELECT d.doc_id, d.p,
+       |    MIN(CASE WHEN r.shard < 16 THEN ($wrapKey) * 32 + r.shard END) % 32 AS s16,
+       |    MIN(($wrapKey) * 32 + r.shard) % 32 AS s17
+       |  FROM dpos d CROSS JOIN ring r
+       |  GROUP BY d.doc_id, d.p
+       |),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+       |    CAST(SUM(CASE WHEN p % 16 <> p % 17 THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved,
+       |    CAST(SUM(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END) AS BIGINT) AS ring_moved
+       |  FROM asg
+       |)
+       |SELECT 'mod' AS strategy, total AS total_docs, mod_moved AS moved_docs,
+       |  ${d.idiv("1000000 * mod_moved", "total")} AS moved_ppm,
+       |  ${d.idiv("1000000 * 16", "17")} AS expected_moved_ppm
+       |FROM agg
+       |UNION ALL
+       |SELECT 'ring' AS strategy, total AS total_docs, ring_moved AS moved_docs,
+       |  ${d.idiv("1000000 * ring_moved", "total")} AS moved_ppm,
+       |  ${d.idiv("1000000", "17")} AS expected_moved_ppm
+       |FROM agg
+       |ORDER BY strategy""".stripMargin
+  }
+
   /** The held-out "benchmark" slice of the documents table (by source)
     * and the shared decontamination fragments — single-sourced by
     * [[contamination]] and [[contaminationBloom]] so the two gates

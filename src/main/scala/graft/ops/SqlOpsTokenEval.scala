@@ -1920,6 +1920,65 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
       })
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    * over the WORD CO-OCCURRENCE graph — nodes are corpus tokens,
+    * edges weighted by adjacent-position co-occurrence counts — and
+    * the top-ranked tokens are the corpus keywords. The graph build is
+    * one positional-shingle pass + a pos+1 self-join (linear in corpus
+    * tokens, shuffled on (doc_id, pos) — never all-pairs), staged
+    * because the iteration reads it 2·rounds times. The iteration is
+    * [[pagerankIter]]'s integer-exact discipline generalized to
+    * WEIGHTED edges: contributions ⌊r·w/strength⌋ (rank mass is
+    * conserved, so Σr stays ≈ vocab·10⁶ and the int64 product r·w has
+    * headroom while rank-mass·max-weight < 9.2e18 — at larger corpora
+    * quantize w down), damped sums ⌊85·Σ/100⌋, three unrolled rounds,
+    * every value int64 in both engines. Top-20 by final rank with a
+    * token tiebreak — ORDER BY+LIMIT, which Spark plans as
+    * TakeOrderedAndProject, never a global sort. */
+  val textrankKeywords: StagedOp = StagedOp(
+    stages = Seq(
+      "trk_edges" -> { (d: Dialect) =>
+        s"""WITH docs AS (SELECT doc_id, text FROM documents),
+           |${d.shingleRowsPos("docs", 1)},
+           |adj AS (
+           |  SELECT a.s AS src, b.s AS dst, CAST(COUNT(*) AS BIGINT) AS w
+           |  FROM shp a JOIN shp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           |  WHERE a.s <> b.s
+           |  GROUP BY a.s, b.s
+           |)
+           |SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+           |  SELECT src, dst, w FROM adj
+           |  UNION ALL
+           |  SELECT dst AS src, src AS dst, w FROM adj
+           |) u GROUP BY src, dst""".stripMargin
+      }),
+    body = { _ =>
+      val nSteps = 3
+      val steps = (1 to nSteps).map { k =>
+        s"""c$k AS (
+           |  SELECT e.dst AS id,
+           |    SUM(CAST(FLOOR(CAST(r.r * e.w AS DOUBLE) / s.str) AS BIGINT)) AS s
+           |  FROM trk_edges e
+           |  JOIN r${k - 1} r ON e.src = r.id
+           |  JOIN str s ON e.src = s.src
+           |  GROUP BY e.dst
+           |),
+           |r$k AS (
+           |  SELECT id,
+           |    150000 + CAST(FLOOR(CAST(85 * s AS DOUBLE) / 1.0e2) AS BIGINT) AS r
+           |  FROM c$k
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH str AS (
+         |  SELECT src, CAST(SUM(w) AS BIGINT) AS str FROM trk_edges GROUP BY src
+         |),
+         |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM str),
+         |$steps
+         |SELECT r.id AS token, s.str AS strength, r.r AS rank_ppm
+         |FROM r$nSteps r JOIN str s ON r.id = s.src
+         |ORDER BY rank_ppm DESC, token LIMIT 20""".stripMargin
+    })
+
   /** Prefix-filtering set-similarity self-join (the PPJoin candidate
     * rule): order each document's distinct 5-grams by ascending global
     * document frequency (rarest first), index only the PREFIX of
@@ -2055,6 +2114,57 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
          |       ELSE ${r6(s"1.0e0 - CAST(sqj AS DOUBLE) / 1.0e6 / ${d.idiv("n * (n - 1)", "2")}")}
          |  END AS diversity
          |FROM nd CROSS JOIN tot""".stripMargin
+    })
+
+  /** Simpson concentration of the token distribution, per source and
+    * corpus-wide — [[corpusDiversity]]'s EXACT-integer sibling (that
+    * one estimates mean pairwise doc similarity off a sample; this one
+    * is the closed-form probability that two random TOKENS coincide):
+    * unbiased Simpson λ = Σ c(c−1) / (N(N−1)) over the token-count
+    * marginals, plus the inverse-Simpson effective vocabulary 1/λ —
+    * the "how template-collapsed is this source" number a mixing
+    * policy compares across sources. The numerator and denominator
+    * are pure int64 (the linkageFs marginal identity — no pair ever
+    * materializes); Σc(c−1) ≤ N² wraps past ~3e9 tokens per group,
+    * guarded loud (at larger corpora the sums move to DECIMAL(38,0),
+    * the Gini rule). One join of the staged term frequencies to the
+    * doc→source map, one vocab-cardinality aggregate per group; the
+    * two final divisions are the only float ops, r6'd. */
+  val simpsonDiversity: StagedOp = StagedOp(
+    stages = textUnigramLm.stages,
+    body = { _ =>
+      s"""WITH st AS (
+         |  SELECT dm.source, t.s, CAST(SUM(t.tf) AS BIGINT) AS c
+         |  FROM ulm_tf t JOIN documents dm ON t.doc_id = dm.doc_id
+         |  GROUP BY dm.source, t.s
+         |),
+         |both_g AS (
+         |  SELECT source, s, c FROM st
+         |  UNION ALL
+         |  SELECT '__all__' AS source, s, CAST(SUM(c) AS BIGINT) AS c
+         |  FROM st GROUP BY s
+         |),
+         |g0 AS (
+         |  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(SUM(c * (c - 1)) AS BIGINT) AS num,
+         |    CAST(COUNT(*) AS BIGINT) AS v
+         |  FROM both_g GROUP BY source
+         |),
+         |g AS (
+         |  SELECT source, CASE WHEN n > 3000000000
+         |    THEN CAST('simpson: token count exceeds the int64 moment envelope — move to DECIMAL' AS BIGINT)
+         |    ELSE n END AS n, num, v
+         |  FROM g0
+         |)
+         |SELECT source, n AS n_tokens, v AS vocab,
+         |  CASE WHEN n < 2 THEN NULL
+         |       ELSE ${r6("CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))")}
+         |  END AS simpson_lambda,
+         |  CASE WHEN n < 2 OR num = 0 THEN NULL
+         |       ELSE ${r6("(CAST(n AS DOUBLE) * (n - 1)) / num")}
+         |  END AS effective_vocab
+         |FROM g
+         |ORDER BY source""".stripMargin
     })
 
   /** Sliding-window document chunking (chunk = 16 tokens, stride = 12,
@@ -2602,6 +2712,71 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
        |  END AS spearman_rho
        |FROM g""".stripMargin
   }
+
+  /** Kendall τ-b between the quality score and document length —
+    * [[qualitySpearman]]'s companion rank test (τ weights every
+    * discordant pair equally where ρ squares rank gaps, so the two
+    * disagreeing flags a cluster of locally-inverted pairs). Both
+    * variables are COARSENED to a fixed grid first (quality → 20
+    * fixed-width buckets over [0,1], length → 64 token-count buckets
+    * of width 16 capped at the top), and τ-b is computed exactly ON
+    * THAT GRID: concordant/discordant mass comes from the joint-cell
+    * contingency table (≤ 1,280 cells regardless of corpus size), so
+    * the all-pairs O(n²) a naive τ needs collapses to a constant-
+    * bounded cell-pair join — the Gini/AUC bucket-decomposition rule
+    * applied to pair counting. Every count is exact int64 (C, D ≤ n²
+    * wraps only past ~3e9 docs); the c2/d2 sums count ordered pairs
+    * (each unordered pair twice), and the /2 cancels against the
+    * doubled tie terms: τ-b = (c2 − d2) / √(A2·B2) with
+    * A2 = n(n−1) − Σtₓ(tₓ−1). The one float op is that final
+    * division (operands exact-int-to-double), r6'd; NULL when either
+    * variable is grid-constant. Independent Scala τ-b in
+    * MicroOracleSpec. */
+  def qualityKendall(d: Dialect): String =
+    s"""WITH ${scoredCtes(d, "documents")},
+       |xy AS (
+       |  SELECT LEAST(CAST(FLOOR(quality * 2.0e1) AS BIGINT), 19) AS qb,
+       |    LEAST(${d.idiv(s"CAST(${d.size("toks")} AS BIGINT)", "16")}, 63) AS lb
+       |  FROM scored
+       |),
+       |cells AS (
+       |  SELECT qb, lb, CAST(COUNT(*) AS BIGINT) AS n FROM xy GROUP BY qb, lb
+       |),
+       |cd AS (
+       |  SELECT
+       |    CAST(COALESCE(SUM(CASE WHEN (a.qb < b.qb AND a.lb < b.lb)
+       |                             OR (a.qb > b.qb AND a.lb > b.lb)
+       |                           THEN a.n * b.n END), 0) AS BIGINT) AS c2,
+       |    CAST(COALESCE(SUM(CASE WHEN (a.qb < b.qb AND a.lb > b.lb)
+       |                             OR (a.qb > b.qb AND a.lb < b.lb)
+       |                           THEN a.n * b.n END), 0) AS BIGINT) AS d2
+       |  FROM cells a JOIN cells b
+       |    ON NOT (a.qb = b.qb AND a.lb = b.lb)
+       |),
+       |tx AS (
+       |  SELECT CAST(COALESCE(SUM(g.n * (g.n - 1)), 0) AS BIGINT) AS t2
+       |  FROM (SELECT qb, CAST(SUM(n) AS BIGINT) AS n FROM cells GROUP BY qb) g
+       |),
+       |ty AS (
+       |  SELECT CAST(COALESCE(SUM(g.n * (g.n - 1)), 0) AS BIGINT) AS t2
+       |  FROM (SELECT lb, CAST(SUM(n) AS BIGINT) AS n FROM cells GROUP BY lb) g
+       |),
+       |nn AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n FROM cells),
+       |f AS (
+       |  SELECT nn.n, cd.c2, cd.d2,
+       |    nn.n * (nn.n - 1) - tx.t2 AS a2,
+       |    nn.n * (nn.n - 1) - ty.t2 AS b2
+       |  FROM nn CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty
+       |)
+       |SELECT n AS n_docs,
+       |  ${d.idiv("c2", "2")} AS concordant,
+       |  ${d.idiv("d2", "2")} AS discordant,
+       |  CASE WHEN a2 <= 0 OR b2 <= 0 THEN NULL
+       |       ELSE ${r6(
+                 "CAST(c2 - d2 AS DOUBLE) " +
+                 "/ SQRT(CAST(a2 AS DOUBLE) * b2)")}
+       |  END AS kendall_tau_b
+       |FROM f""".stripMargin
 
   /** AUC (Mann-Whitney) of the quality score as a separator of English
     * vs unknown-language docs — the ranking-quality readout behind

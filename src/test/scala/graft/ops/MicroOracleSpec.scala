@@ -3534,4 +3534,270 @@ class MicroOracleSpec extends SparkSpec {
     Seq("mh_cand", "tt_e0", "tt_e1", "tt_e2", "tt_e3")
       .foreach(spark.catalog.dropTempView)
   }
+
+  test("good-turing: SQL count-class table equals an independent frequency-of-frequencies pass") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // planted global token counts: a×5 b×3 f×2 g×2 c,d,e×1
+    // → N=15, V=7, N1=3, N2=2, N3=1, N5=1 (N4 empty → NULL r*)
+    val docs = Seq(
+      (0L, "a a a b c"),
+      (1L, "a b f g d"),
+      (2L, "a b f g e"))
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.goodTuring.single(SparkDialect)).collect()
+
+    // ---- independent implementation ----
+    val toks = docs.flatMap(_._2.split(" ", -1))
+    val cnt = toks.groupBy(identity).map { case (_, xs) => xs.size.toLong }
+    val nn = toks.size.toLong
+    val ff = cnt.groupBy(identity).map { case (r, xs) => r -> xs.size.toLong }
+    val pUnseen = r6(ff(1L).toDouble / nn)
+    assert(got.length === 8)
+    got.foreach { row =>
+      val r = row.getAs[Int]("r").toLong
+      val n_r = ff.getOrElse(r, 0L)
+      val n_r1 = ff.getOrElse(r + 1, 0L)
+      assert(row.getAs[Long]("n_r") === n_r, s"n_r at r=$r")
+      assert(row.getAs[Long]("n_r_next") === n_r1, s"n_r_next at r=$r")
+      if (n_r == 0L) {
+        assert(row.isNullAt(row.fieldIndex("r_star")), s"r_star at empty class r=$r")
+        assert(row.isNullAt(row.fieldIndex("p_gt")), s"p_gt at empty class r=$r")
+      } else {
+        val rStar = ((r + 1) * n_r1).toDouble / n_r
+        assert(row.getAs[Double]("r_star") === r6(rStar), s"r_star at r=$r")
+        assert(row.getAs[Double]("p_gt") === r6(rStar / nn.toDouble), s"p_gt at r=$r")
+      }
+      assert(row.getAs[Long]("n_tokens") === nn)
+      assert(row.getAs[Long]("vocab") === cnt.size.toLong)
+      assert(row.getAs[Double]("p_unseen") === pUnseen)
+    }
+    // sanity: the singleton mass is the classic 3/15
+    assert(pUnseen === 0.2)
+    spark.catalog.dropTempView("documents")
+  }
+
+  test("kendall tau-b: SQL grid statistic equals an independent all-pairs pass") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // crafted docs varying token count AND word length out of lockstep,
+    // with stopwords on some docs so the quality components all move
+    val stop = Set("the", "and", "of", "to", "in", "is", "a",
+      "yang", "dan", "di", "ke", "itu", "untuk")
+    val docs = (0 until 40).map { i =>
+      val n = 3 + (i * 7) % 37
+      val w = "abcdefgh".take(1 + (i * 3) % 8)
+      val words = Seq.tabulate(n)(k =>
+        if (i % 4 == 0 && k % 5 == 0) "the" else w)
+      (i.toLong, words.mkString(" "))
+    }
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.qualityKendall(SparkDialect)).collect()
+    assert(got.length === 1)
+
+    // ---- independent implementation ----
+    def buckets(text: String): (Long, Long) = {
+      val toks = text.split(" ", -1)
+      val nW = toks.length
+      val sr = toks.count(stop).toDouble / nW
+      val avgW = text.replace(" ", "").length.toDouble / nW
+      val q = math.min(nW / 100.0, 1.0) * 0.5 + (1.0 - sr) * 0.3 +
+        math.min(avgW / 8.0, 1.0) * 0.2
+      (math.min(math.floor(q * 20.0).toLong, 19L), math.min(nW.toLong / 16L, 63L))
+    }
+    val bs = docs.map { case (_, t) => buckets(t) }
+    var c = 0L; var dd = 0L
+    for (i <- bs.indices; j <- (i + 1) until bs.size) {
+      val ((x1, y1), (x2, y2)) = (bs(i), bs(j))
+      if (x1 != x2 && y1 != y2) {
+        if ((x1 < x2) == (y1 < y2)) c += 1 else dd += 1
+      }
+    }
+    val n = bs.size.toLong
+    def tie(key: ((Long, Long)) => Long): Long =
+      bs.groupBy(key).values.map(g => g.size.toLong * (g.size - 1)).sum
+    val a2 = n * (n - 1) - tie(_._1)
+    val b2 = n * (n - 1) - tie(_._2)
+    val tau = r6((2L * c - 2L * dd).toDouble / math.sqrt(a2.toDouble * b2))
+    val row = got(0)
+    assert(row.getAs[Long]("n_docs") === n)
+    assert(row.getAs[Long]("concordant") === c)
+    assert(row.getAs[Long]("discordant") === dd)
+    assert(row.getAs[Double]("kendall_tau_b") === tau)
+    // sanity: the fixture must exercise both concordant and discordant
+    // mass and real ties, else the tie-correction terms prove nothing
+    assert(c > 0 && dd > 0 && tie(_._1) > 0 && tie(_._2) > 0)
+    spark.catalog.dropTempView("documents")
+  }
+
+  test("two-factor OLS: exact planted fit is recovered; noisy fit matches Gaussian elimination") {
+    import spark.implicits._
+    import java.sql.Date
+    graft.functions.GraftFunctions.registerAll(spark)
+    val base = java.time.LocalDate.of(1995, 1, 2)
+    def wk(d: java.time.LocalDate): Boolean = {
+      val dow = (d.toEpochDay + 4) % 7; dow == 0 || dow == 6
+    }
+    // exact plant: y = 1000 + 3·x1 + 50·weekend, one order per day
+    val rows = (0 until 120).map { i =>
+      val dt = base.plusDays(i.toLong)
+      val y = 1000 + 3 * i + (if (wk(dt)) 50 else 0)
+      (Date.valueOf(dt), y.toDouble)
+    }
+    rows.toDF("o_orderdate", "o_totalprice").createOrReplaceTempView("orders")
+    val got = spark.sql(SqlOps.olsRevenue(SparkDialect)).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getAs[Long]("n_days") === 120L)
+    assert(r.getAs[Long]("n_weekend_days") === rows.count { case (d, _) => wk(d.toLocalDate) }.toLong)
+    assert(r.getAs[Double]("beta0") === 1000.0)
+    assert(r.getAs[Double]("beta1_per_day") === 3.0)
+    assert(r.getAs[Double]("beta2_weekend") === 50.0)
+    assert(r.getAs[Double]("r2") === 1.0)
+
+    // noisy plant: independent Gaussian-elimination solve must agree
+    val noisy = (0 until 90).map { i =>
+      val dt = base.plusDays(i.toLong)
+      val y = 2000 + 5 * i + (if (wk(dt)) -40 else 0) + (i * 13) % 23
+      (Date.valueOf(dt), y.toDouble)
+    }
+    noisy.toDF("o_orderdate", "o_totalprice").createOrReplaceTempView("orders")
+    val got2 = spark.sql(SqlOps.olsRevenue(SparkDialect)).collect()(0)
+    val xy = noisy.map { case (d, p) =>
+      val ld = d.toLocalDate
+      (ld.toEpochDay - base.toEpochDay, if (wk(ld)) 1L else 0L, p.toLong)
+    }
+    // Gaussian elimination on the 3×3 normal equations
+    val n = xy.size.toDouble
+    val s1 = xy.map(_._1).sum.toDouble; val s2 = xy.map(_._2).sum.toDouble
+    val s11 = xy.map(t => t._1 * t._1).sum.toDouble
+    val s12 = xy.map(t => t._1 * t._2).sum.toDouble
+    val sy = xy.map(_._3).sum.toDouble
+    val s1y = xy.map(t => t._1 * t._3).sum.toDouble
+    val s2y = xy.map(t => t._2 * t._3).sum.toDouble
+    val m = Array(
+      Array(n, s1, s2, sy),
+      Array(s1, s11, s12, s1y),
+      Array(s2, s12, s2, s2y))
+    for (p <- 0 until 3; q <- 0 until 3; if q != p) {
+      val f = m(q)(p) / m(p)(p)
+      for (k <- p to 3) m(q)(k) -= f * m(p)(k)
+    }
+    val beta = (0 until 3).map(i => m(i)(3) / m(i)(i))
+    assert(math.abs(got2.getAs[Double]("beta0") - beta(0)) < 1e-4)
+    assert(math.abs(got2.getAs[Double]("beta1_per_day") - beta(1)) < 1e-6)
+    assert(math.abs(got2.getAs[Double]("beta2_weekend") - beta(2)) < 1e-5)
+    assert(got2.getAs[Double]("r2") > 0.9)
+    spark.catalog.dropTempView("orders")
+  }
+
+  test("day-of-week seasonality: SQL index equals an independent per-weekday pass") {
+    import spark.implicits._
+    import java.sql.Date
+    graft.functions.GraftFunctions.registerAll(spark)
+    val base = java.time.LocalDate.of(1996, 6, 3)
+    // 4 full weeks, revenue a pure function of weekday plus a ramp so
+    // per-weekday means differ from a single day's value
+    val rows = (0 until 28).map { i =>
+      val dt = base.plusDays(i.toLong)
+      val dow = ((dt.toEpochDay + 4) % 7).toInt
+      (Date.valueOf(dt), (100.0 * (dow + 1)) + i)
+    }
+    rows.toDF("o_orderdate", "o_totalprice").createOrReplaceTempView("orders")
+    val got = spark.sql(SqlOps.seasonalityDow(SparkDialect)).collect()
+    assert(got.length === 7)
+
+    // ---- independent implementation ----
+    val daily = rows.map { case (d, p) =>
+      val ld = d.toLocalDate
+      (((ld.toEpochDay + 4) % 7).toInt, math.floor(p * 100.0 + 0.5).toLong)
+    }
+    val byDow = daily.groupBy(_._1).map { case (k, v) =>
+      k -> (v.size.toLong, v.map(_._2).sum)
+    }
+    val tc = daily.map(_._2).sum; val td = daily.size.toLong
+    got.foreach { row =>
+      val dow = row.getAs[Int]("dow")
+      val (nd, cents) = byDow(dow)
+      assert(row.getAs[Long]("n_days") === nd)
+      assert(row.getAs[Long]("cents") === cents)
+      val idx = r6((cents.toDouble / nd) / (tc.toDouble / td))
+      assert(row.getAs[Double]("seasonal_index") === idx, s"index at dow=$dow")
+    }
+    // sanity: Sunday (highest planted level ... dow 0 = 100/day base)
+    // and Saturday differ — the index is not vacuously flat
+    assert(got.map(_.getAs[Double]("seasonal_index")).distinct.length > 1)
+    spark.catalog.dropTempView("orders")
+  }
+
+  test("fellegi-sunter: SQL m/u/weights equal an independent pair-and-marginal pass") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // 8 docs over 2 sources, 2 langs, 3 length buckets
+    val docs = Seq(
+      (0L, "s0", "en", 10L), (1L, "s0", "en", 40L),
+      (2L, "s1", "en", 70L), (3L, "s1", "id", 10L),
+      (4L, "s0", "id", 40L), (5L, "s1", "en", 12L),
+      (6L, "s0", "en", 64L), (7L, "s1", "id", 90L))
+    docs.toDF("doc_id", "source", "lang", "n_chars")
+      .createOrReplaceTempView("documents")
+    // candidate pairs in SNAPSHOT ids (underlying = id DIV 2):
+    // (0,1)→(0,0) self-pair, (4,5)→(2,2) self-pair, (2,10)→(1,5),
+    // (6,14)→(3,7) — a mix of trivially-agreeing and cross-doc pairs
+    val cand = Seq((0L, 1L), (4L, 5L), (2L, 10L), (6L, 14L))
+    cand.toDF("doc_a", "doc_b").createOrReplaceTempView("mh_cand")
+    val got = spark.sql(SqlOps.linkageFs.body(SparkDialect)).collect()
+      .map(r => r.getAs[String]("field") -> r).toMap
+    assert(got.keySet === Set("source", "lang", "len_bucket"))
+
+    // ---- independent implementation ----
+    val att = docs.map { case (id, s, l, nc) => id -> ((s, l, nc / 32)) }.toMap
+    val pairs = cand.map { case (a, b) => (att(a / 2), att(b / 2)) }
+    def mPpm(f: (((String, String, Long)), ((String, String, Long))) => Boolean): Long =
+      1000000L * pairs.count { case (a, b) => f(a, b) } / pairs.size
+    def uPpm(key: ((String, String, Long)) => Any): Long = {
+      val groups = docs.map { case (id, _, _, _) => key(att(id)) }
+        .groupBy(identity).values.map(_.size.toLong)
+      val nDocs = docs.size.toLong
+      1000000L * groups.map(g => g * (g - 1)).sum / (nDocs * (nDocs - 1))
+    }
+    val expect = Seq(
+      ("source", mPpm((a, b) => a._1 == b._1), uPpm(_._1)),
+      ("lang", mPpm((a, b) => a._2 == b._2), uPpm(_._2)),
+      ("len_bucket", mPpm((a, b) => a._3 == b._3), uPpm(_._3)))
+    expect.foreach { case (f, m, u) =>
+      val row = got(f)
+      assert(row.getAs[Long]("m_ppm") === m, s"m at $f")
+      assert(row.getAs[Long]("u_ppm") === u, s"u at $f")
+      assert(row.getAs[Double]("weight_ratio") === r6(m.toDouble / u), s"w at $f")
+      // sanity: every field must discriminate (m > u), else the
+      // fixture exercises nothing
+      assert(m > u, s"fixture sanity at $f")
+    }
+    Seq("documents", "mh_cand").foreach(spark.catalog.dropTempView)
+  }
+
+  test("textrank: symmetric cycle ranks equal; star corpus ranks the hub first") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // 3-cycle with equalized adjacency counts (p q r p q r p → each
+    // ordered pair appears exactly twice) — by symmetry all ranks equal
+    Seq((0L, "p q r p q r p q r p"))
+      .toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val cyc = spark.sql(SqlOps.textrankKeywords.single(SparkDialect)).collect()
+    assert(cyc.length === 3)
+    assert(cyc.map(_.getAs[Long]("rank_ppm")).distinct.length === 1,
+      "symmetric cycle must produce identical ranks")
+
+    // star: the hub co-occurs with every leaf; leaves only with the hub
+    Seq((0L, "hub aa hub bb hub cc hub dd hub ee"))
+      .toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val star = spark.sql(SqlOps.textrankKeywords.single(SparkDialect)).collect()
+    assert(star.head.getAs[String]("token") === "hub")
+    assert(star.length === 6)
+    // hub strength = sum of all leaf strengths (every edge touches it)
+    assert(star.head.getAs[Long]("strength") ===
+      star.tail.map(_.getAs[Long]("strength")).sum)
+    spark.catalog.dropTempView("documents")
+  }
 }
