@@ -882,7 +882,7 @@ object SparkEntry {
     // is the quality score just a length detector? Spearman rank
     // correlation vs token count, exact doubled midranks
     "q_quality_spearman" -> sqlq(Seq("documents"), SqlOps.qualitySpearman),
-    "q_quality_kendall" -> sqlq(Seq("documents"), SqlOps.qualityKendall),
+    "q_quality_kendall" -> sqlStaged(Seq("documents"), SqlOps.qualityKendall),
     // data valuation: per-source leave-one-out effect on corpus mean
     // quality and per-doc gate pass rate (additive decomposition —
     // one scoring pass, never |sources| re-scores)
@@ -1865,7 +1865,7 @@ object SparkEntry {
     "q_quality_sweep" -> SqlOps.qualitySweep(DuckDialect),
     "q_quality_auc" -> SqlOps.qualityAuc(DuckDialect),
     "q_quality_spearman" -> SqlOps.qualitySpearman(DuckDialect),
-    "q_quality_kendall" -> SqlOps.qualityKendall(DuckDialect),
+    "q_quality_kendall" -> SqlOps.qualityKendall.single(DuckDialect),
     "q_source_loo" -> SqlOps.sourceLoo(DuckDialect),
     "q_release_manifest" -> SqlOps.releaseManifest(DuckDialect),
     "q_shard_skew" -> SqlOps.shardSkew(DuckDialect),

@@ -936,10 +936,15 @@ trait SqlOpsDedup { this: SqlOpsAll =>
     * arithmetic at count-class cardinality (dozens of rows at any
     * corpus size). */
   val goodTuring: StagedOp = StagedOp(
-    stages = textUnigramLm.stages,
+    // the vocab-count table is a STAGE, not a CTE: the body reads it
+    // three times (class table, totals, N₁ subquery), and Spark's CTE
+    // inlining would re-run the corpus-scale aggregate per reference
+    stages = textUnigramLm.stages :+ ("gt_vc" -> { (_: Dialect) =>
+      "SELECT s, CAST(SUM(tf) AS BIGINT) AS c FROM ulm_tf GROUP BY s"
+    }),
     body = { _ =>
       val dom = (1 to 8).map(k => s"SELECT $k AS r").mkString(" UNION ALL ")
-      s"""WITH vc AS (SELECT s, CAST(SUM(tf) AS BIGINT) AS c FROM ulm_tf GROUP BY s),
+      s"""WITH vc AS (SELECT s, c FROM gt_vc),
          |ff AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS nr FROM vc GROUP BY c),
          |tot AS (
          |  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n,
@@ -986,8 +991,12 @@ trait SqlOpsDedup { this: SqlOpsAll =>
     * bucket. All probabilities are exact integer ppm ([[qualityAuc]]'s
     * idiv discipline; loud int64 guard past 2M docs where 10⁶·N²
     * approaches the envelope); the weight ratio is the one r6'd float
-    * division. Scale shape: one bounded pair-table aggregate + three
-    * marginal aggregates — nothing all-pairs anywhere. */
+    * division. Scale shape: one bounded pair-table aggregate + ONE
+    * GROUPING SETS pass for all three marginals and the doc count
+    * (three separate per-field aggregates would each re-scan the
+    * corpus under CTE inlining) — nothing all-pairs anywhere. Att
+    * columns are COALESCE'd to a sentinel so the grouping-set NULLs
+    * are unambiguous set tags even if a raw attribute were NULL. */
   val linkageFs: StagedOp = StagedOp(
     stages = dedupMinhash.stages,
     body = { d =>
@@ -997,25 +1006,22 @@ trait SqlOpsDedup { this: SqlOpsAll =>
         ("len_bucket", "a.lb = b.lb")).map { case (f, cond) =>
         s"CAST(SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS ag_$f"
       }.mkString(",\n    ")
-      def marg(f: String, col: String) =
-        s"""u_$f AS (
-           |  SELECT CAST(COALESCE(SUM(g.n * (g.n - 1)), 0) AS BIGINT) AS a
-           |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM att GROUP BY $col) g
-           |)""".stripMargin
       def row(f: String) =
         s"""SELECT '$f' AS field,
            |  CASE WHEN mp.n = 0 THEN NULL
            |       ELSE ${d.idiv("1000000 * mp.ag_" + f, "mp.n")} END AS m_ppm,
            |  CASE WHEN nn.n < 2 THEN NULL
-           |       ELSE ${d.idiv(s"1000000 * u_$f.a", "nn.n * (nn.n - 1)")} END AS u_ppm,
-           |  CASE WHEN mp.n = 0 OR nn.n < 2 OR u_$f.a = 0 THEN NULL
+           |       ELSE ${d.idiv(s"1000000 * um.a_$f", "nn.n * (nn.n - 1)")} END AS u_ppm,
+           |  CASE WHEN mp.n = 0 OR nn.n < 2 OR um.a_$f = 0 THEN NULL
            |       ELSE ${r6(
                  s"(CAST(${d.idiv("1000000 * mp.ag_" + f, "mp.n")} AS DOUBLE)) " +
-                 s"/ ${d.idiv(s"1000000 * u_$f.a", "nn.n * (nn.n - 1)")}")}
+                 s"/ ${d.idiv(s"1000000 * um.a_$f", "nn.n * (nn.n - 1)")}")}
            |  END AS weight_ratio
-           |FROM mp CROSS JOIN nn CROSS JOIN u_$f""".stripMargin
+           |FROM mp CROSS JOIN nn CROSS JOIN um""".stripMargin
       s"""WITH att AS (
-         |  SELECT doc_id, source, lang, ${d.idiv("n_chars", "32")} AS lb
+         |  SELECT doc_id, COALESCE(source, CHR(1)) AS source,
+         |    COALESCE(lang, CHR(1)) AS lang,
+         |    COALESCE(${d.idiv("n_chars", "32")}, -1) AS lb
          |  FROM documents
          |),
          |mp AS (
@@ -1025,16 +1031,24 @@ trait SqlOpsDedup { this: SqlOpsAll =>
          |  JOIN att a ON a.doc_id = ${d.idiv("c.doc_a", "2")}
          |  JOIN att b ON b.doc_id = ${d.idiv("c.doc_b", "2")}
          |),
-         |nn0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM att),
-         |nn AS (
-         |  SELECT CASE WHEN n > 2000000
-         |    THEN CAST('linkage-fs: doc count exceeds the int64 ppm envelope' AS BIGINT)
-         |    ELSE n END AS n
-         |  FROM nn0
+         |mg AS (
+         |  SELECT source, lang, lb, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM att GROUP BY GROUPING SETS ((source), (lang), (lb))
          |),
-         |${marg("source", "source")},
-         |${marg("lang", "lang")},
-         |${marg("len_bucket", "lb")}
+         |um AS (
+         |  SELECT
+         |    CAST(COALESCE(SUM(CASE WHEN source IS NOT NULL THEN n * (n - 1) END), 0) AS BIGINT) AS a_source,
+         |    CAST(COALESCE(SUM(CASE WHEN lang IS NOT NULL THEN n * (n - 1) END), 0) AS BIGINT) AS a_lang,
+         |    CAST(COALESCE(SUM(CASE WHEN lb IS NOT NULL THEN n * (n - 1) END), 0) AS BIGINT) AS a_len_bucket,
+         |    CAST(COALESCE(SUM(CASE WHEN source IS NOT NULL THEN n END), 0) AS BIGINT) AS nd
+         |  FROM mg
+         |),
+         |nn AS (
+         |  SELECT CASE WHEN nd > 2000000
+         |    THEN CAST('linkage-fs: doc count exceeds the int64 ppm envelope' AS BIGINT)
+         |    ELSE nd END AS n
+         |  FROM um
+         |)
          |${row("source")}
          |UNION ALL
          |${row("lang")}

@@ -1951,6 +1951,11 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
            |  UNION ALL
            |  SELECT dst AS src, src AS dst, w FROM adj
            |) u GROUP BY src, dst""".stripMargin
+      },
+      // node strength has FOUR consumers in the body (r0 + one per
+      // round) — the mh_cand rule: stage it, never a CTE
+      "trk_str" -> { (_: Dialect) =>
+        "SELECT src, CAST(SUM(w) AS BIGINT) AS str FROM trk_edges GROUP BY src"
       }),
     body = { _ =>
       val nSteps = 3
@@ -1960,7 +1965,7 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
            |    SUM(CAST(FLOOR(CAST(r.r * e.w AS DOUBLE) / s.str) AS BIGINT)) AS s
            |  FROM trk_edges e
            |  JOIN r${k - 1} r ON e.src = r.id
-           |  JOIN str s ON e.src = s.src
+           |  JOIN trk_str s ON e.src = s.src
            |  GROUP BY e.dst
            |),
            |r$k AS (
@@ -1969,13 +1974,10 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
            |  FROM c$k
            |)""".stripMargin
       }.mkString(",\n")
-      s"""WITH str AS (
-         |  SELECT src, CAST(SUM(w) AS BIGINT) AS str FROM trk_edges GROUP BY src
-         |),
-         |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM str),
+      s"""WITH r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM trk_str),
          |$steps
          |SELECT r.id AS token, s.str AS strength, r.r AS rank_ppm
-         |FROM r$nSteps r JOIN str s ON r.id = s.src
+         |FROM r$nSteps r JOIN trk_str s ON r.id = s.src
          |ORDER BY rank_ppm DESC, token LIMIT 20""".stripMargin
     })
 
@@ -2131,13 +2133,16 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
     * doc→source map, one vocab-cardinality aggregate per group; the
     * two final divisions are the only float ops, r6'd. */
   val simpsonDiversity: StagedOp = StagedOp(
-    stages = textUnigramLm.stages,
+    // per-(source, token) counts are a STAGE: the union body reads
+    // them twice, and inlined CTEs would run the corpus join+aggregate
+    // per reference
+    stages = textUnigramLm.stages :+ ("sd_st" -> { (_: Dialect) =>
+      s"""SELECT dm.source, t.s, CAST(SUM(t.tf) AS BIGINT) AS c
+         |FROM ulm_tf t JOIN documents dm ON t.doc_id = dm.doc_id
+         |GROUP BY dm.source, t.s""".stripMargin
+    }),
     body = { _ =>
-      s"""WITH st AS (
-         |  SELECT dm.source, t.s, CAST(SUM(t.tf) AS BIGINT) AS c
-         |  FROM ulm_tf t JOIN documents dm ON t.doc_id = dm.doc_id
-         |  GROUP BY dm.source, t.s
-         |),
+      s"""WITH st AS (SELECT source, s, c FROM sd_st),
          |both_g AS (
          |  SELECT source, s, c FROM st
          |  UNION ALL
@@ -2731,17 +2736,23 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
     * A2 = n(n−1) − Σtₓ(tₓ−1). The one float op is that final
     * division (operands exact-int-to-double), r6'd; NULL when either
     * variable is grid-constant. Independent Scala τ-b in
-    * MicroOracleSpec. */
-  def qualityKendall(d: Dialect): String =
-    s"""WITH ${scoredCtes(d, "documents")},
-       |xy AS (
-       |  SELECT LEAST(CAST(FLOOR(quality * 2.0e1) AS BIGINT), 19) AS qb,
-       |    LEAST(${d.idiv(s"CAST(${d.size("toks")} AS BIGINT)", "16")}, 63) AS lb
-       |  FROM scored
-       |),
-       |cells AS (
-       |  SELECT qb, lb, CAST(COUNT(*) AS BIGINT) AS n FROM xy GROUP BY qb, lb
-       |),
+    * MicroOracleSpec. The cell table is a STAGE (five body references
+    * — cd's self-join twice + both tie marginals + n — would each
+    * re-run the corpus scoring pass under CTE inlining; the staged
+    * grid is ≤ 1,280 rows). */
+  val qualityKendall: StagedOp = StagedOp(
+    stages = Seq(
+      "qk_cells" -> { (d: Dialect) =>
+        s"""WITH ${scoredCtes(d, "documents")},
+           |xy AS (
+           |  SELECT LEAST(CAST(FLOOR(quality * 2.0e1) AS BIGINT), 19) AS qb,
+           |    LEAST(${d.idiv(s"CAST(${d.size("toks")} AS BIGINT)", "16")}, 63) AS lb
+           |  FROM scored
+           |)
+           |SELECT qb, lb, CAST(COUNT(*) AS BIGINT) AS n FROM xy GROUP BY qb, lb""".stripMargin
+      }),
+    body = { d =>
+    s"""WITH cells AS (SELECT qb, lb, n FROM qk_cells),
        |cd AS (
        |  SELECT
        |    CAST(COALESCE(SUM(CASE WHEN (a.qb < b.qb AND a.lb < b.lb)
@@ -2777,6 +2788,7 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
                  "/ SQRT(CAST(a2 AS DOUBLE) * b2)")}
        |  END AS kendall_tau_b
        |FROM f""".stripMargin
+    })
 
   /** AUC (Mann-Whitney) of the quality score as a separator of English
     * vs unknown-language docs — the ranking-quality readout behind

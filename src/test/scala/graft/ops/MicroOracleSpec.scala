@@ -3592,7 +3592,7 @@ class MicroOracleSpec extends SparkSpec {
       (i.toLong, words.mkString(" "))
     }
     docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
-    val got = spark.sql(SqlOps.qualityKendall(SparkDialect)).collect()
+    val got = spark.sql(SqlOps.qualityKendall.single(SparkDialect)).collect()
     assert(got.length === 1)
 
     // ---- independent implementation ----
