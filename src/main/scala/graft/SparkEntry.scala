@@ -694,6 +694,9 @@ object SparkEntry {
     "q_pagerank_iter" -> sqlStaged(Seq("documents"), SqlOps.pagerankIter),
     "q_textrank_keywords" -> sqlStaged(Seq("documents"), SqlOps.textrankKeywords),
     "q_linkage_fs" -> sqlStaged(Seq("documents"), SqlOps.linkageFs),
+    "q_link_prediction" -> sqlStaged(Seq("lineitem"), SqlOps.linkPrediction),
+    "q_markov_stationary" -> sqlStaged(Seq("events"), SqlOps.markovStationary),
+    "q_cohort_ltv" -> sqlq(Seq("orders"), SqlOps.cohortLtv),
     // the driver-loop form of the same 3 iterations, gated against the
     // SAME oracle as the SQL-unrolled tree (like CC vs CC-star)
     "q_pagerank_loop" -> ((s, d) => {
@@ -1737,6 +1740,9 @@ object SparkEntry {
     "q_pagerank_iter" -> SqlOps.pagerankIter.single(DuckDialect),
     "q_textrank_keywords" -> SqlOps.textrankKeywords.single(DuckDialect),
     "q_linkage_fs" -> SqlOps.linkageFs.single(DuckDialect),
+    "q_link_prediction" -> SqlOps.linkPrediction.single(DuckDialect),
+    "q_markov_stationary" -> SqlOps.markovStationary.single(DuckDialect),
+    "q_cohort_ltv" -> SqlOps.cohortLtv(DuckDialect),
     "q_pagerank_loop" -> SqlOps.pagerankIter.single(DuckDialect),
     "q_kcore" -> SqlOps.kcoreIter.single(DuckDialect),
     "q_graph_truss" -> SqlOps.trussIter.single(DuckDialect),

@@ -856,6 +856,60 @@ trait SqlOpsEvents { this: SqlOpsAll =>
        |)""".stripMargin
   }
 
+  /** Stationary distribution of the session-transition Markov chain —
+    * eventTransitions gives the per-step matrix; this gives where the
+    * chain SETTLES (the long-run share of attention per event type, a
+    * product-analytics staple). Three power iterations π ← πP over
+    * the STAGED transition counts (the matrix build is the corpus
+    * pass; the iteration runs at event-type² cardinality, so staging
+    * keeps CTE inlining from re-running the corpus window per round —
+    * the pagerankIter discipline without damping): contributions
+    * ⌊π(i)·n(i,j) / rowsum(i)⌋ are exact int64 with the FLOOR sitting
+    * ≥ 1/rowsum from the next integer, so both engines produce
+    * bit-identical ppm vectors at every depth. Mass leaks at most
+    * #states µ per round to the floors — a readout bias, never an
+    * engine divergence. States are prev ∪ next so a sink type still
+    * emits its row (receiving mass, sending none). */
+  val markovStationary: StagedOp = StagedOp(
+    stages = Seq(
+      "mkv_tc" -> { (_: Dialect) =>
+        s"""WITH s AS (
+           |  SELECT user_id, event_type,
+           |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           |  FROM events
+           |)
+           |SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS n
+           |FROM s WHERE prev IS NOT NULL GROUP BY prev, event_type""".stripMargin
+      }),
+    body = { _ =>
+      val nSteps = 3
+      val steps = (1 to nSteps).map { k =>
+        s"""p$k AS (
+           |  SELECT t.next AS state,
+           |    CAST(SUM(CAST(FLOOR(CAST(r.pi * t.n AS DOUBLE) / rs.tot) AS BIGINT)) AS BIGINT) AS pi
+           |  FROM mkv_tc t
+           |  JOIN p${k - 1} r ON r.state = t.prev
+           |  JOIN rs ON rs.prev = t.prev
+           |  GROUP BY t.next
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH rs AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS tot FROM mkv_tc GROUP BY prev),
+         |states AS (
+         |  SELECT prev AS state FROM mkv_tc
+         |  UNION
+         |  SELECT next AS state FROM mkv_tc
+         |),
+         |p0 AS (SELECT state, CAST(1000000 AS BIGINT) AS pi FROM states),
+         |$steps
+         |SELECT s.state AS event_type,
+         |  CAST(COALESCE(r.tot, 0) AS BIGINT) AS n_outgoing,
+         |  CAST(COALESCE(p.pi, 0) AS BIGINT) AS pi_ppm
+         |FROM states s
+         |LEFT JOIN p$nSteps p ON p.state = s.state
+         |LEFT JOIN rs r ON r.prev = s.state
+         |ORDER BY event_type""".stripMargin
+    })
+
   /** Day-of-week seasonal decomposition of revenue — the multiplicative
     * seasonal index (mean revenue on weekday w ÷ grand mean daily
     * revenue) a forecast pipeline divides out before trend fitting,

@@ -131,6 +131,51 @@ trait SqlOpsText { this: SqlOpsAll =>
        |GROUP BY 1, 2, 3""".stripMargin
   }
 
+  /** Cohort lifetime value — [[ordersRetention]]'s revenue companion:
+    * for each acquisition cohort (first-order month) and each month
+    * offset k = 0..5, the cumulative revenue per acquired customer
+    * through month k — the LTV curve a growth model reads. The
+    * (cohort × k) grid is CROSS-JOIN-driven so a cohort with a quiet
+    * month still emits its row with the cumulative carried forward
+    * (the absent-row convention applied to a running series: a LEFT
+    * JOIN hole would silently freeze the curve). Integer month keys
+    * (year·12+month — no months_between float divergence), exact int64
+    * cents; the one window runs per cohort over ≤ 6 rows (grid grain,
+    * never per order). Scale shape: one corpus-scale rollup to
+    * (cohort, k), everything after at cohort-month cardinality. */
+  def cohortLtv(d: Dialect): String = {
+    val mkey = "CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) * 12 + " +
+      "CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) - 1"
+    val dom = (0 to 5).map(k => s"SELECT $k AS k").mkString(" UNION ALL ")
+    s"""WITH om AS (
+       |  SELECT o_custkey, $mkey AS mk,
+       |    CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT) AS cents
+       |  FROM orders
+       |),
+       |cohort AS (SELECT o_custkey, MIN(mk) AS c0 FROM om GROUP BY o_custkey),
+       |sz AS (SELECT c0, CAST(COUNT(*) AS BIGINT) AS n_customers
+       |       FROM cohort GROUP BY c0),
+       |rev AS (
+       |  SELECT c.c0, o.mk - c.c0 AS k, CAST(SUM(o.cents) AS BIGINT) AS cents
+       |  FROM om o JOIN cohort c ON o.o_custkey = c.o_custkey
+       |  WHERE o.mk - c.c0 <= 5
+       |  GROUP BY c.c0, o.mk - c.c0
+       |),
+       |grid AS (SELECT s.c0, dm.k, s.n_customers FROM sz s CROSS JOIN ($dom) dm),
+       |cum AS (
+       |  SELECT g.c0, g.k, g.n_customers,
+       |    CAST(SUM(COALESCE(r.cents, 0)) OVER (
+       |      PARTITION BY g.c0 ORDER BY g.k) AS BIGINT) AS cum_cents
+       |  FROM grid g LEFT JOIN rev r ON r.c0 = g.c0 AND r.k = g.k
+       |)
+       |SELECT CAST(${d.idiv("c0", "12")} AS INT) AS cohort_year,
+       |  CAST(c0 % 12 + 1 AS INT) AS cohort_month,
+       |  CAST(k AS INT) AS months_since_first,
+       |  n_customers, cum_cents,
+       |  ${d.idiv("cum_cents", "n_customers")} AS ltv_cents
+       |FROM cum""".stripMargin
+  }
+
   /** Per-source corpus health report — the one-page rollup a corpus
     * owner reads before a training run: volume, exact-dup rate,
     * language mix, mean quality, per source. Reuses the single-sourced

@@ -3777,6 +3777,134 @@ class MicroOracleSpec extends SparkSpec {
     Seq("documents", "mh_cand").foreach(spark.catalog.dropTempView)
   }
 
+  test("cohort LTV: SQL curve equals an independent per-cohort cumulative pass") {
+    import spark.implicits._
+    import java.sql.Date
+    graft.functions.GraftFunctions.registerAll(spark)
+    // two cohorts; customer 1 buys in months 0,1,3 (gap at 2 must
+    // carry the cumulative), customer 2 only at 0; customer 3 joins a
+    // month later
+    val rows = Seq(
+      (1L, "1995-01-05", 100.0), (1L, "1995-02-10", 50.0), (1L, "1995-04-20", 25.0),
+      (2L, "1995-01-15", 10.0),
+      (3L, "1995-02-02", 40.0), (3L, "1995-03-03", 40.0))
+      .map { case (c, d, p) => (c, Date.valueOf(d), p) }
+    rows.toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .createOrReplaceTempView("orders")
+    val got = spark.sql(SqlOps.cohortLtv(SparkDialect)).collect()
+      .map(r => ((r.getAs[Int]("cohort_year"), r.getAs[Int]("cohort_month"),
+        r.getAs[Int]("months_since_first")),
+        (r.getAs[Long]("n_customers"), r.getAs[Long]("cum_cents"),
+          r.getAs[Long]("ltv_cents")))).toMap
+
+    // ---- independent implementation ----
+    val om = rows.map { case (c, d, p) =>
+      val ld = d.toLocalDate
+      (c, ld.getYear * 12 + ld.getMonthValue - 1, math.floor(p * 100.0 + 0.5).toLong)
+    }
+    val cohort = om.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).min }
+    val want = cohort.values.toSeq.distinct.flatMap { c0 =>
+      val members = cohort.count(_._2 == c0).toLong
+      (0 to 5).map { k =>
+        val cum = om.filter { case (c, mk, _) =>
+          cohort(c) == c0 && mk - cohort(c) <= k }.map(_._3).sum
+        ((c0 / 12, c0 % 12 + 1, k), (members, cum, cum / members))
+      }
+    }.toMap
+    assert(got.size === want.size)
+    want.foreach { case (k, v) => assert(got(k) === v, s"at $k") }
+    // fixture sanity: the month-2 gap row must exist and carry month 1's cum
+    assert(got((1995, 1, 2)) === got((1995, 1, 1)))
+    spark.catalog.dropTempView("orders")
+  }
+
+  test("markov stationary: SQL power iteration equals an independent exact-rational pass") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    graft.functions.GraftFunctions.registerAll(spark)
+    // one user walks a planted sequence; counts give P(a->a)=3/4,
+    // P(a->b)=1/4, P(b->a)=1 — rowsums are powers of two so the
+    // per-term floors are exact at every depth
+    val walk = "a a a b a a a b a".split(" ").toSeq
+    val rows = walk.zipWithIndex.map { case (s, i) =>
+      (i.toLong, Timestamp.valueOf(s"1995-01-01 00:00:${10 + i}"), 7L, s)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .createOrReplaceTempView("events")
+    val got = spark.sql(SqlOps.markovStationary.single(SparkDialect)).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_outgoing"), r.getAs[Long]("pi_ppm"))).toMap
+
+    // ---- independent implementation (BigInt floor arithmetic) ----
+    val trans = walk.zip(walk.drop(1)).groupBy(identity)
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val states = walk.distinct.sorted
+    val outTot = states.map(s => s -> trans.collect {
+      case ((p, _), n) if p == s => n }.sum).toMap
+    var pi = states.map(_ -> BigInt(1000000)).toMap
+    (1 to 3).foreach { _ =>
+      pi = states.map { j =>
+        j -> states.map { i =>
+          val n = trans.getOrElse((i, j), 0L)
+          if (n == 0 || outTot(i) == 0) BigInt(0)
+          else pi(i) * n / outTot(i)
+        }.sum
+      }.toMap
+    }
+    states.foreach { s =>
+      assert(got(s) === ((outTot(s), pi(s).toLong)), s"state $s")
+    }
+    // sanity: the chain spends most time in 'a'
+    assert(got("a")._2 > got("b")._2)
+    spark.catalog.dropTempView("events")
+  }
+
+  test("link prediction: SQL Adamic-Adar top list equals an independent 2-hop pass") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // co-purchase fixture: orders as baskets, support >= 2 required —
+    // pairs (1,2),(1,3),(2,3),(3,4) each co-ordered twice; (1,4),(2,4)
+    // never co-ordered -> predicted through middles with degree 2 or 4
+    // (powers of two keep log2 exact in both implementations)
+    val baskets = Seq(
+      Seq(1L, 2L, 3L), Seq(1L, 2L, 3L),  // clique support 2
+      Seq(3L, 4L), Seq(3L, 4L),          // edge (3,4) support 2
+      Seq(2L, 5L), Seq(2L, 5L), Seq(1L, 5L), Seq(1L, 5L),
+      Seq(4L, 5L), Seq(4L, 5L))
+    val rows = baskets.zipWithIndex.flatMap { case (ps, o) =>
+      ps.map(p => (o.toLong, p))
+    }
+    rows.toDF("l_orderkey", "l_partkey").createOrReplaceTempView("lineitem")
+    val got = spark.sql(SqlOps.linkPrediction.single(SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+        r.getAs[Long]("common_neighbors"), r.getAs[Long]("aa_micro")))
+
+    // ---- independent implementation ----
+    val cnt = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    baskets.foreach { ps =>
+      val s = ps.distinct.sorted
+      for (i <- s.indices; j <- (i + 1) until s.size)
+        cnt((s(i), s(j))) = cnt.getOrElse((s(i), s(j)), 0) + 1
+    }
+    val pairs = cnt.filter(_._2 >= 2).keySet.toSet
+    val adj = pairs.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = adj.keySet.toSeq.sorted
+    val want = (for {
+      a <- nodes; b <- nodes; if a < b && !pairs((a, b))
+      common = (adj(a) intersect adj(b)); if common.nonEmpty
+    } yield {
+      val aa = common.toSeq.map { m =>
+        val q = math.floor(math.log(adj(m).size.toDouble) / math.log(2.0) * 1e6 + 0.5).toLong
+        1000000000000L / math.max(q, 1000000L)
+      }.sum
+      (a, b, common.size.toLong, aa)
+    }).sortBy { case (a, b, _, aa) => (-aa, a, b) }.take(20)
+    assert(got.toSeq === want)
+    assert(want.nonEmpty, "fixture must produce predictions")
+    spark.catalog.dropTempView("lineitem")
+  }
+
   test("textrank: symmetric cycle ranks equal; star corpus ranks the hub first") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
