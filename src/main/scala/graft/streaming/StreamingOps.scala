@@ -1773,10 +1773,76 @@ object StreamingOps {
     }
   }
 
+  /** Stage 10 — Good-Turing NOVELTY monitor (`<root>/oov`, one row per
+    * drained batch, first-write-wins) + the per-batch vocabulary
+    * ledger it reads (`<root>/vocab`, rows (batch_seq, w, tf), also
+    * first-write-wins by batch_seq): the distribution-shift signal no
+    * volume or embedding monitor can see — "this batch's TOKENS are
+    * new". The monitor compares
+    *  - `observed_new_mu` — the µ-fraction of this batch's token
+    *    occurrences whose TYPE never appeared in any PRIOR batch,
+    *    against
+    *  - `predicted_new_mu` — the unseen mass Good-Turing predicts from
+    *    the history alone, P₀ = N₁/N over the prior batches' counts
+    *    (the [[graft.ops.SqlOps.goodTuring]] estimator's headline
+    *    number, recomputed here over the ledger),
+    * and flags when observed > `noveltyFactor`× predicted: a healthy
+    * stationary feed keeps the two close (that is Good-Turing's whole
+    * claim), so a large gap means the SOURCE changed, not just the
+    * volume. Replay-stable by construction: history is the ledger
+    * restricted to batch_seq < current — a redelivered batch whose own
+    * rows are already folded still scores against the same history —
+    * and both artifacts append first-write-wins. First batch (empty
+    * history) records NULL rates and no flag, the tokdrift convention.
+    * The ledger is type-cardinality per batch (vocabulary-bounded,
+    * never corpus-bounded). */
+  private[streaming] def ingestNovelty(spark: SparkSession, batch: DataFrame,
+                                       batchSeq: Long, root: String,
+                                       noveltyFactor: Long = 3L): Unit = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val btf = batch.filter(col("text").isNotNull)
+      .selectExpr("explode(word_shingles(text, 1)) AS w")
+      .groupBy("w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // read by the readout AND the ledger fold
+    val histCounts = readState(spark, s"$root/vocab")
+      .map(_.filter(col("batch_seq") < batchSeq)
+        .groupBy("w").agg(sum(col("tf")).as("c"))
+        .localCheckpoint(eager = false)) // read by P0 aggregate + anti-join
+    val bstats = btf.agg(coalesce(sum(col("tf")), lit(0L)).as("n")).head()
+    val n = bstats.getAs[Long]("n")
+    val hstats = histCounts.map(_.agg(
+      coalesce(sum(col("c")), lit(0L)).as("nh"),
+      coalesce(sum(when(col("c") === 1L, 1L).otherwise(0L)), lit(0L)).as("n1")).head())
+    val nh = hstats.map(_.getAs[Long]("nh")).getOrElse(0L)
+    val (obsMu, predMu) =
+      if (n == 0L || nh == 0L) (None, None)
+      else {
+        val newTf = histCounts.map(h =>
+          btf.join(h, Seq("w"), "left_anti")
+            .agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)).getOrElse(0L)
+        (Some(newTf * 1000000L / n),
+          Some(hstats.map(_.getAs[Long]("n1")).getOrElse(0L) * 1000000L / nh))
+      }
+    val flag = obsMu.zip(predMu).exists { case (o, p) => o > noveltyFactor * p }
+    publishParquet(spark, s"$root/oov") { current =>
+      val row = spark.range(1).select(
+        lit(batchSeq).as("batch_seq"), lit(n).as("n_tokens"),
+        obsMu.map(lit(_)).getOrElse(lit(null)).cast("long").as("observed_new_mu"),
+        predMu.map(lit(_)).getOrElse(lit(null)).cast("long").as("predicted_new_mu"),
+        lit(if (flag) 1 else 0).as("flag"))
+      firstWriteWins(row, current)
+    }
+    publishParquet(spark, s"$root/vocab") { current =>
+      val rows = btf.select(lit(batchSeq).as("batch_seq"), col("w"), col("tf"))
+      firstWriteWins(rows, current)
+    }
+  }
+
   /** One micro-batch of the MONITORED pipeline: the recycled-batch-id
     * precheck, then the dedup chain ([[dailyIngestBatch]]), index
     * maintenance, volume history, the monitor readouts, the PII leak
-    * monitor, and (when a trained vocabulary is supplied) the
+    * monitor, the Good-Turing novelty monitor,
+    * and (when a trained vocabulary is supplied) the
     * tokenizer drift report. Same
     * layered-membership crash safety — each stage derives its work
     * set from the batch plus the published artifacts, so any
@@ -1817,6 +1883,7 @@ object StreamingOps {
     ingestHistory(spark, batchSeq, batchSig, nSig, root)
     ingestReport(spark, centroids, root)
     piiReportBatch(spark, batch, batchSeq, root)
+    ingestNovelty(spark, batch, batchSeq, root)
     tokVocab.foreach(v => tokenizerDriftBatch(spark, batch, batchSeq, v, root))
   }
 

@@ -183,7 +183,8 @@ class DailyIngestSpec extends SparkSpec {
 
   private def artifacts(root: String): Map[String, Set[Seq[Any]]] =
     Seq("admitted", "bands", "clusters", "survivors", "manifest", "release",
-        "card", "rejects", "ivf", "history", "drift", "ewma", "metrics", "pii")
+        "card", "rejects", "ivf", "history", "drift", "ewma", "metrics", "pii",
+        "oov", "vocab")
       .map(a => a -> spark.read.parquet(s"$root/$a").collect().map(_.toSeq).toSet)
       .toMap
 
@@ -563,7 +564,60 @@ class DailyIngestSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSet === Set(39L, 41L, 43L))
   }
 
-  test("monitored ingest: mid-pipeline crash and full replay leave all fourteen artifacts unchanged") {
+  test("monitored ingest: novelty monitor — observed new-token mass vs Good-Turing " +
+    "prediction, replay-stable, flags an all-new batch") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val root = tmp("graft_mingest_oov")
+    val b1docs = Seq(
+      (41L, "A", "alpha beta alpha"),
+      (42L, "A", "gamma alpha delta delta"))
+    val b2docs = Seq((43L, "B", "alpha newone newtwo newtwo delta"))
+    val b3docs = Seq((44L, "B", "zz qq ww ee rr tt yy uu")) // every type new
+    def df(d: Seq[(Long, String, String)]) =
+      withEmb(d).toDF("doc_id", "source", "text", "embedding")
+    def oovRows() = spark.read.parquet(s"$root/oov").collect()
+      .map(r => r.getAs[Long]("batch_seq") ->
+        (r.getAs[Long]("n_tokens"),
+          Option(r.getAs[java.lang.Long]("observed_new_mu")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("predicted_new_mu")).map(_.toLong),
+          r.getAs[Int]("flag"))).toMap
+
+    // ---- independent expectation from the raw doc seqs ----
+    def toks(d: Seq[(Long, String, String)]) = d.flatMap(_._3.split(" ", -1))
+    def expect(hist: Seq[(Long, String, String)], cur: Seq[(Long, String, String)])
+        : (Long, Option[Long], Option[Long], Int) = {
+      val h = toks(hist).groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+      val c = toks(cur).groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+      val n = c.values.sum
+      if (h.isEmpty || n == 0) (n, None, None, 0)
+      else {
+        val obs = c.collect { case (w, tf) if !h.contains(w) => tf }.sum * 1000000L / n
+        val pred = h.values.count(_ == 1L).toLong * 1000000L / h.values.sum
+        (n, Some(obs), Some(pred), if (obs > 3L * pred) 1 else 0)
+      }
+    }
+    StreamingOps.dailyIngestMonitoredBatch(spark, df(b1docs), 0L, quota, centroids, root)
+    assert(oovRows() === Map(0L -> expect(Nil, b1docs)))
+    assert(oovRows()(0L)._2.isEmpty, "first batch has no history: NULL rates")
+    StreamingOps.dailyIngestMonitoredBatch(spark, df(b2docs), 1L, quota, centroids, root)
+    val after2 = oovRows()
+    assert(after2 === Map(0L -> expect(Nil, b1docs), 1L -> expect(b1docs, b2docs)))
+    assert(after2(1L)._4 === 0, "a mostly-familiar batch must not flag")
+    // replay of batch 2: first write wins on BOTH the readout and the ledger
+    val vocabBefore = spark.read.parquet(s"$root/vocab").collect().map(_.toSeq).toSet
+    StreamingOps.dailyIngestMonitoredBatch(spark, df(b2docs), 1L, quota, centroids, root)
+    assert(oovRows() === after2)
+    assert(spark.read.parquet(s"$root/vocab").collect().map(_.toSeq).toSet === vocabBefore)
+    // an all-new batch must trip the flag (observed 10^6 vs small P0)
+    StreamingOps.dailyIngestMonitoredBatch(spark, df(b3docs), 2L, quota, centroids, root)
+    val row3 = oovRows()(2L)
+    assert(row3 === expect(b1docs ++ b2docs, b3docs))
+    assert(row3._2 === Some(1000000L) && row3._4 === 1)
+    spark.catalog.clearCache()
+  }
+
+  test("monitored ingest: mid-pipeline crash and full replay leave all sixteen artifacts unchanged") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
     val cleanRoot = tmp("graft_mingest_clean")
