@@ -1056,6 +1056,9 @@ object SparkEntry {
     "q_theilsen_revenue" -> sqlq(Seq("orders"), SqlOps.theilSenRevenue),
     "q_seasonality_dow" -> sqlq(Seq("orders"), SqlOps.seasonalityDow),
     "q_ols_revenue" -> sqlq(Seq("orders"), SqlOps.olsRevenue),
+    "q_forecast_skill" -> sqlq(Seq("orders"), SqlOps.forecastSkill),
+    "q_anomaly_deseasonal" -> sqlq(Seq("orders"), SqlOps.anomalyDeseasonal),
+    "q_pmi_spectral" -> sqlStaged(Seq("documents"), SqlOps.pmiSpectral),
     // the trend TEST next to the trend estimator: tie-corrected
     // Mann-Kendall with an exact-integer 5% verdict
     "q_mannkendall_revenue" -> sqlq(Seq("orders"), SqlOps.mannKendallRevenue),
@@ -2002,6 +2005,9 @@ object SparkEntry {
     "q_theilsen_revenue" -> SqlOps.theilSenRevenue(DuckDialect),
     "q_seasonality_dow" -> SqlOps.seasonalityDow(DuckDialect),
     "q_ols_revenue" -> SqlOps.olsRevenue(DuckDialect),
+    "q_forecast_skill" -> SqlOps.forecastSkill(DuckDialect),
+    "q_anomaly_deseasonal" -> SqlOps.anomalyDeseasonal(DuckDialect),
+    "q_pmi_spectral" -> SqlOps.pmiSpectral.single(DuckDialect),
     "q_mannkendall_revenue" -> SqlOps.mannKendallRevenue(DuckDialect),
     "q_price_percentile_approx" -> SqlOps.pricePercentileApprox(DuckDialect),
     "q_revenue_hhi" -> SqlOps.revenueHhi(DuckDialect),

@@ -505,6 +505,95 @@ trait SqlOpsEvents { this: SqlOpsAll =>
        |  END AS abs_err
        |FROM f""".stripMargin
 
+  /** Forecast BACKTEST (rolling-origin skill score): every day's
+    * one-step-ahead EWMA forecast in [[ewmaForecast]] already uses
+    * only strictly-prior data (the lagged smoother), so the per-day
+    * errors ARE an honest backtest — this readout aggregates them
+    * against the naive lag-1 baseline every forecast evaluation
+    * starts from: MAE(ewma), MAE(naive), and the skill score
+    * 1 − MAE_ewma/MAE_naive (positive ⇔ the smoother beats
+    * persistence; Hyndman's MASE idea with the same-series naive
+    * denominator). Errors are exact int64 µ-sums over the shared
+    * [[ewmaCtes]] chain — the estimator and its evaluation read ONE
+    * rollup — and only the two final divisions are float, r6'd. Days
+    * without both forecasts (the first) drop from both sums
+    * symmetrically. */
+  def forecastSkill(d: Dialect): String =
+    s"""WITH ${ewmaCtes(d)},
+       |e AS (
+       |  SELECT y, fc_q,
+       |    LAG(y) OVER (ORDER BY day) AS y_prev
+       |  FROM f
+       |),
+       |s AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(ABS(y * 1000000 - fc_q)) AS BIGINT) AS ae_ewma,
+       |    CAST(SUM(ABS(y - y_prev) * 1000000) AS BIGINT) AS ae_naive
+       |  FROM e WHERE fc_q IS NOT NULL AND y_prev IS NOT NULL
+       |)
+       |SELECT n AS n_days,
+       |  CASE WHEN n = 0 THEN NULL
+       |       ELSE ${r6("CAST(ae_ewma AS DOUBLE) / 1.0e6 / n")} END AS mae_ewma,
+       |  CASE WHEN n = 0 THEN NULL
+       |       ELSE ${r6("CAST(ae_naive AS DOUBLE) / 1.0e6 / n")} END AS mae_naive,
+       |  CASE WHEN n = 0 OR ae_naive = 0 THEN NULL
+       |       ELSE ${r6("1.0e0 - CAST(ae_ewma AS DOUBLE) / ae_naive")} END AS skill
+       |FROM s""".stripMargin
+
+  /** DESEASONALIZED anomaly gate — [[anomalyEwma]]'s calendar-aware
+    * sibling: divide each day's revenue by its weekday's seasonal
+    * index ([[seasonalityDow]]'s ratio, inlined as integer
+    * arithmetic: y*µ = ⌊10⁶·y·n_dow / cents_dow⌋, the uniform tc/td
+    * factor dropped because a constant scale cancels in the
+    * |r − med| > k·MAD comparison), then flag days whose
+    * deseasonalized value deviates from the median by > 3 robust
+    * sigmas. A raw-value MAD gate flags every Saturday of a weekly
+    * business; this one flags only days abnormal FOR THEIR WEEKDAY.
+    * Envelope: 10⁶·y·n_dow ≤ 10⁶·5e7·522 ≈ 2.6e16 over a decade of
+    * weekdays — three orders inside int64 at the same y ≤ 5e7 guard
+    * acfRevenue uses (a century still fits). Robust statistics are
+    * exact interpolated percentiles over int64 µ-values (the
+    * anomalyMad discipline); day-cardinality input. */
+  def anomalyDeseasonal(d: Dialect): String = {
+    val day = s"CAST(FLOOR(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} / 86400.0e0) AS BIGINT)"
+    s"""WITH daily0 AS (
+       |  SELECT $day AS day,
+       |    ${d.idiv(
+             "CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT)",
+             "100")} AS y
+       |  FROM orders GROUP BY $day
+       |),
+       |daily AS (
+       |  SELECT day, CASE WHEN y > 50000000
+       |    THEN CAST('deseasonal: daily revenue exceeds the int64 index envelope — rescale y' AS BIGINT)
+       |    ELSE y END AS y
+       |  FROM daily0
+       |),
+       |dw AS (SELECT day, (day + 4) % 7 AS dow, y FROM daily),
+       |ix AS (
+       |  SELECT dow, CAST(COUNT(*) AS BIGINT) AS nd,
+       |    CAST(SUM(y) AS BIGINT) AS yd
+       |  FROM dw GROUP BY dow
+       |),
+       |ds AS (
+       |  SELECT w.day, w.y,
+       |    CASE WHEN i.yd = 0 THEN NULL
+       |         ELSE ${d.idiv("1000000 * w.y * i.nd", "i.yd")} END AS ymu
+       |  FROM dw w JOIN ix i ON i.dow = w.dow
+       |),
+       |med AS (SELECT ${d.percentileCont("ymu", "5.0e-1")} AS med FROM ds),
+       |mad AS (
+       |  SELECT ${d.percentileCont("ABS(ymu - med)", "5.0e-1")} AS mad
+       |  FROM ds CROSS JOIN med
+       |)
+       |SELECT day, y AS actual,
+       |  ${r6("CAST(ymu AS DOUBLE) / 1.0e6")} AS deseasonalized,
+       |  CASE WHEN ymu IS NULL THEN 0
+       |       WHEN ABS(ymu - med) > ${graft.ops.EwmaParams.thresholdSql} THEN 1
+       |       ELSE 0 END AS is_anomaly
+       |FROM ds CROSS JOIN med CROSS JOIN mad""".stripMargin
+  }
+
   /** Forecast-residual anomaly gate — the monitoring op the EWMA
     * exists for: flag days whose one-step-ahead residual deviates
     * from the residual MEDIAN by more than 3 robust sigmas

@@ -2040,6 +2040,40 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
          |ORDER BY rank_ppm DESC, token LIMIT 20""".stripMargin
     })
 
+  /** 1-D SPECTRAL WORD EMBEDDING off the PPMI matrix (Levy & Goldberg
+    * 2014's observation that word2vec factorizes shifted PMI, done
+    * honestly: build positive pointwise mutual information over the
+    * co-occurrence graph, power-iterate its dominant eigenvector):
+    * reuses [[textrankKeywords]]'s staged co-occurrence counts AND
+    * [[graft.ops.SqlOpsCuration]]'s ONE power-iteration chain
+    * (powerIterStages — the pcaPower machinery pointed at a token
+    * matrix instead of the embedding matrix; key columns are token
+    * strings, which the iteration's equi-joins carry unchanged). PPMI
+    * cell = max(0, qlog2(w·T / (s_a·s_b))) in µ-log2 int64 (µ-log2,
+    * not floor-bits: near-uniform ratios collapse to 0 bits — the
+    * dsirWeights lesson), so the matrix is symmetric int64 and every
+    * iteration sum is exact under the staged adaptive envelope. The
+    * component orders tokens along the corpus's dominant
+    * distributional axis — the 1-D embedding a mixing/clustering
+    * heuristic can consume without a vector pipeline. */
+  lazy val pmiSpectral: StagedOp = StagedOp(
+    stages = textrankKeywords.stages ++ (("pmi_cv" -> { (_: Dialect) =>
+      s"""WITH t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM trk_edges)
+         |SELECT e.src AS vec_id, e.dst AS pos,
+         |  GREATEST(0, ${qlog2(
+              "CAST(e.w AS DOUBLE) * t.tw / (CAST(sa.str AS DOUBLE) * sb.str)")}) AS cv
+         |FROM trk_edges e
+         |JOIN trk_str sa ON sa.src = e.src
+         |JOIN trk_str sb ON sb.src = e.dst
+         |CROSS JOIN t""".stripMargin
+    }) +: powerIterStages("pms", "pmi_cv", PcaRounds)),
+    body = { d =>
+      s"""WITH ${pcaScaled(d, s"pms_w$PcaRounds", "pos", "w", "vq")}
+         |SELECT pos AS token,
+         |  ${r6("CAST(vq AS DOUBLE) / 1.0e6")} AS component
+         |FROM sc""".stripMargin
+    })
+
   /** Prefix-filtering set-similarity self-join (the PPJoin candidate
     * rule): order each document's distinct 5-grams by ascending global
     * document frequency (rarest first), index only the PREFIX of

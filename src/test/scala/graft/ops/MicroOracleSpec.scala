@@ -3905,6 +3905,109 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("lineitem")
   }
 
+  test("forecast skill: SQL MAEs equal an independent weight-table backtest") {
+    import spark.implicits._
+    import java.sql.Date
+    graft.functions.GraftFunctions.registerAll(spark)
+    val base = java.time.LocalDate.of(1995, 5, 1)
+    // a noisy-but-mean-reverting series: EWMA should beat persistence
+    val ys = Seq(100L, 140L, 95L, 150L, 105L, 138L, 99L, 148L, 102L, 141L,
+      97L, 152L, 104L, 139L)
+    val rows = ys.zipWithIndex.map { case (y, i) =>
+      (Date.valueOf(base.plusDays(i.toLong)), y.toDouble)
+    }
+    rows.toDF("o_orderdate", "o_totalprice").createOrReplaceTempView("orders")
+    val got = spark.sql(SqlOps.forecastSkill(SparkDialect)).collect()(0)
+
+    // ---- independent implementation of the truncated normalized EWMA ----
+    val alpha = BigDecimal("0.3")
+    val wq = (0 to 60).map(k =>
+      (alpha * (BigDecimal(1) - alpha).pow(k) * BigDecimal(1000000000000L))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact)
+    def ewmaQ(t: Int): Long = {
+      val terms = (0 to math.min(t, 60)).map(k => (ys(t - k) * wq(k)) / 1000000L)
+      val sw = (0 to math.min(t, 60)).map(wq).sum
+      math.floor(terms.sum.toDouble * 1.0e12 / sw.toDouble + 0.5).toLong
+    }
+    val idx = ys.indices
+    val pairs = idx.drop(1) // days with both a forecast (lag ewma) and y_prev
+    val aeEwma = pairs.map(t => math.abs(ys(t) * 1000000L - ewmaQ(t - 1))).sum
+    val aeNaive = pairs.map(t => math.abs(ys(t) - ys(t - 1)) * 1000000L).sum
+    val n = pairs.size.toLong
+    assert(got.getAs[Long]("n_days") === n)
+    assert(got.getAs[Double]("mae_ewma") === r6(aeEwma.toDouble / 1.0e6 / n))
+    assert(got.getAs[Double]("mae_naive") === r6(aeNaive.toDouble / 1.0e6 / n))
+    assert(got.getAs[Double]("skill") === r6(1.0 - aeEwma.toDouble / aeNaive))
+    // sanity: on an oscillating series the smoother must beat persistence
+    assert(got.getAs[Double]("skill") > 0.0)
+    spark.catalog.dropTempView("orders")
+  }
+
+  test("deseasonalized anomaly gate: a day abnormal FOR ITS WEEKDAY flags; " +
+    "ordinary weekend peaks do not") {
+    import spark.implicits._
+    import java.sql.Date
+    graft.functions.GraftFunctions.registerAll(spark)
+    val base = java.time.LocalDate.of(1996, 9, 2) // a Monday
+    def dow(d: java.time.LocalDate): Int = ((d.toEpochDay + 4) % 7).toInt
+    // 16 weeks of 3x-Saturday seasonality with small deterministic
+    // noise (the noise keeps MAD realistically nonzero — a noiseless
+    // fixture has MAD = 0 and the floored threshold flags EVERY
+    // deviation, including the index contamination the spike itself
+    // causes on its weekday siblings), plus one mid-week spike in
+    // week 5 — 1.5x its weekday level, abnormal FOR A WEDNESDAY but
+    // far below an ordinary Saturday
+    val rows = (0 until 112).map { i =>
+      val dt = base.plusDays(i.toLong)
+      val noise = (i * 3) % 9 - 4 // deterministic, range -4..4
+      val lvl = (if (dow(dt) == 6) 300 else 100) + noise
+      val y = if (i == 30) 150.0 else lvl.toDouble // day 30 is a Wednesday
+      (Date.valueOf(dt), y)
+    }
+    assert(dow(base.plusDays(30L)) === 3, "fixture: day 30 must be a Wednesday")
+    rows.toDF("o_orderdate", "o_totalprice").createOrReplaceTempView("orders")
+    val got = spark.sql(SqlOps.anomalyDeseasonal(SparkDialect)).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Int]("is_anomaly")).toMap
+    val flagged = got.filter(_._2 == 1).keySet
+    assert(flagged === Set(base.plusDays(30L).toEpochDay),
+      "exactly the planted mid-week spike must flag")
+    // raw Saturdays (3x level) stay quiet — the whole point of the gate
+    val saturdays = (0 until 112).map(i => base.plusDays(i.toLong))
+      .filter(dow(_) == 6).map(_.toEpochDay)
+    assert(saturdays.forall(got(_) == 0))
+    spark.catalog.dropTempView("orders")
+  }
+
+  test("PMI spectral embedding: the dominant component concentrates on the " +
+    "tightly-ASSOCIATED rare pair, not the frequent block") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // two disjoint token communities: {p,q,r} is FREQUENT (high
+    // marginals → low PMI: their co-occurrence is what frequency
+    // alone predicts), {x,y} is rare but perfectly associated (every
+    // occurrence is together → PMI ≈ log2 of the corpus mass). PPMI
+    // measures association, not volume — the dominant eigenvector
+    // must live on the rare tight pair. This is exactly the property
+    // that makes PMI the collocation statistic (the bigramPmi test's
+    // "new york beats the cat" assertion, at the spectral level).
+    val docs = Seq(
+      (0L, "p q r p q r p q r p q r p q r p"),
+      (1L, "q p r q p r q p r q p r q"),
+      (2L, "x y x"))
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.pmiSpectral.single(SparkDialect)).collect()
+      .map(r => r.getAs[String]("token") -> math.abs(r.getAs[Double]("component")))
+      .toMap
+    assert(got.keySet === Set("p", "q", "r", "x", "y"))
+    val associated = Seq("x", "y").map(got)
+    val frequent = Seq("p", "q", "r").map(got)
+    assert(associated.min > 0.1,
+      s"the associated pair must carry the component: $associated")
+    assert(frequent.max < associated.min / 10.0,
+      s"the frequent block must be near zero: $frequent")
+    spark.catalog.dropTempView("documents")
+  }
+
   test("textrank: symmetric cycle ranks equal; star corpus ranks the hub first") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
