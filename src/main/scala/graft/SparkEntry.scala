@@ -1057,6 +1057,9 @@ object SparkEntry {
     "q_seasonality_dow" -> sqlq(Seq("orders"), SqlOps.seasonalityDow),
     "q_ols_revenue" -> sqlq(Seq("orders"), SqlOps.olsRevenue),
     "q_forecast_skill" -> sqlq(Seq("orders"), SqlOps.forecastSkill),
+    "q_dau_mau" -> sqlq(Seq("events"), SqlOps.dauMauStickiness),
+    "q_power_analysis" -> sqlq(Seq("events"), SqlOps.powerAnalysis),
+    "q_label_noise" -> sqlq(Seq("documents"), SqlOps.labelNoise),
     "q_anomaly_deseasonal" -> sqlq(Seq("orders"), SqlOps.anomalyDeseasonal),
     "q_pmi_spectral" -> sqlStaged(Seq("documents"), SqlOps.pmiSpectral),
     // the trend TEST next to the trend estimator: tie-corrected
@@ -2006,6 +2009,9 @@ object SparkEntry {
     "q_seasonality_dow" -> SqlOps.seasonalityDow(DuckDialect),
     "q_ols_revenue" -> SqlOps.olsRevenue(DuckDialect),
     "q_forecast_skill" -> SqlOps.forecastSkill(DuckDialect),
+    "q_dau_mau" -> SqlOps.dauMauStickiness(DuckDialect),
+    "q_power_analysis" -> SqlOps.powerAnalysis(DuckDialect),
+    "q_label_noise" -> SqlOps.labelNoise(DuckDialect),
     "q_anomaly_deseasonal" -> SqlOps.anomalyDeseasonal(DuckDialect),
     "q_pmi_spectral" -> SqlOps.pmiSpectral.single(DuckDialect),
     "q_mannkendall_revenue" -> SqlOps.mannKendallRevenue(DuckDialect),

@@ -999,6 +999,75 @@ trait SqlOpsEvents { this: SqlOpsAll =>
          |ORDER BY event_type""".stripMargin
     })
 
+  /** WAU/MAU engagement stickiness — the product-analytics ratio
+    * "what fraction of the month's users show up in any given week":
+    * per ISO-ish week (epoch-day DIV 7 — a pure integer week key, no
+    * engine week-of-year semantics), the distinct weekly actives over
+    * the distinct actives of the week's surrounding calendar MONTH.
+    * Both distincts are two-phase (map-side dedup on (period, user) →
+    * count — never a distinct-over-window), joined at period grain.
+    * Exact integer ppm ratio. Scale shape: two user-keyed dedup
+    * aggregates + a week-cardinality join. */
+  def dauMauStickiness(d: Dialect): String = {
+    val day = s"CAST(FLOOR(${d.epochSeconds("ts")} / 86400.0e0) AS BIGINT)"
+    val month = "CAST(EXTRACT(YEAR FROM ts) AS INT) * 12 + CAST(EXTRACT(MONTH FROM ts) AS INT) - 1"
+    s"""WITH e AS (
+       |  SELECT user_id, ${d.idiv(day, "7")} AS wk, $month AS mth FROM events
+       |),
+       |wau AS (
+       |  SELECT wk, MIN(mth) AS mth, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+       |  FROM e GROUP BY wk
+       |),
+       |mau AS (
+       |  SELECT mth, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+       |  FROM e GROUP BY mth
+       |)
+       |SELECT w.wk AS week, w.wau, m.mau,
+       |  ${d.idiv("1000000 * w.wau", "m.mau")} AS stickiness_ppm
+       |FROM wau w JOIN mau m ON m.mth = w.mth
+       |ORDER BY week""".stripMargin
+  }
+
+  /** A/B test POWER ANALYSIS — the planning companion to the ab-test
+    * readout: given the corpus's observed view→purchase conversion as
+    * the baseline p₁ and a 10% relative minimum detectable effect,
+    * the required per-arm sample size for a two-proportion z-test at
+    * α = 5% (two-sided), power = 80%:
+    * n = (z_{α/2}·√(2p̄q̄) + z_β·√(p₁q₁ + p₂q₂))² / (p₁−p₂)².
+    * The z constants are exact decimal literals (1.96, 0.8416 — the
+    * textbook values, not a normal-quantile evaluation: inverse-CDF
+    * is engine-specific); every other operand derives from exact
+    * integer counts, so the float sequence is fixed and identical in
+    * both engines (+·−·/·√ only), r6'd/CEIL'd at the end. Baseline
+    * p₁ is the purchase SHARE of all events (this fixture's event
+    * types are independent streams, not a per-user funnel — a
+    * purchases/views "conversion" exceeds 1 here); a degenerate
+    * p₂ ≥ 1 yields a NULL sample size on the always-emitted stats
+    * row (the absent-row convention), never a √(negative). One
+    * narrow conditional aggregate over events. */
+  def powerAnalysis(d: Dialect): String = {
+    val nTerm =
+      """(1.96e0 * SQRT(2.0e0 * ((p1 + p2) / 2.0e0) * (1.0e0 - (p1 + p2) / 2.0e0))
+        |     + 8.416e-1 * SQRT(p1 * (1.0e0 - p1) + p2 * (1.0e0 - p2)))""".stripMargin
+    s"""WITH c AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS buys
+       |  FROM events
+       |),
+       |p AS (
+       |  SELECT total, buys,
+       |    CAST(buys AS DOUBLE) / total AS p1,
+       |    CAST(buys AS DOUBLE) / total * 1.1e0 AS p2
+       |  FROM c WHERE total > 0
+       |)
+       |SELECT total AS n_events, buys AS n_purchases,
+       |  ${d.idiv("1000000 * buys", "total")} AS p1_ppm,
+       |  CASE WHEN buys = 0 OR p2 >= 1.0e0 THEN NULL
+       |       ELSE CAST(CEIL($nTerm * $nTerm / ((p2 - p1) * (p2 - p1))) AS BIGINT)
+       |  END AS n_per_arm
+       |FROM p""".stripMargin
+  }
+
   /** Day-of-week seasonal decomposition of revenue — the multiplicative
     * seasonal index (mean revenue on weekday w ÷ grand mean daily
     * revenue) a forecast pipeline divides out before trend fitting,

@@ -65,6 +65,50 @@ trait SqlOpsText { this: SqlOpsAll =>
        |FROM (SELECT doc_id, lang, $en AS en_hits, $id AS id_hits FROM ltoks)""".stripMargin
   }
 
+  /** Confident-learning-style LABEL NOISE estimate (Northcutt et al.
+    * 2021, simplified to the binary en/non-en slice this corpus's
+    * heuristic scorer can judge): a doc labeled non-en whose
+    * en-stopword rate is at or above the MEAN rate of docs labeled en
+    * "looks confidently English" — a suspected mislabel — and vice
+    * versa. The class thresholds are the CL self-confidence means,
+    * here the per-class mean en-hit rate in exact integer ppm (idiv
+    * of int64 sums), so every comparison is integer-exact. Output is
+    * the per-class audit a labeling pipeline reads: suspect count and
+    * rate next to the threshold used. One scoring pass (the langid
+    * token arithmetic), one class-grain aggregate, one broadcast-back
+    * comparison — no per-doc state. */
+  def labelNoise(d: Dialect): String = {
+    val (en, _) = langHitExprs(d)
+    s"""WITH ltoks AS (
+       |  SELECT doc_id, lang, ${toks(d)} AS toks FROM documents
+       |),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CASE WHEN lang = 'en' THEN 'en' ELSE 'non_en' END AS label,
+       |    ${d.idiv(s"1000000 * CAST($en AS BIGINT)",
+                 s"GREATEST(CAST(${d.size("toks")} AS BIGINT), 1)")} AS s_mu
+       |  FROM ltoks
+       |),
+       |thr AS (
+       |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       |    ${d.idiv("CAST(SUM(s_mu) AS BIGINT)", "COUNT(*)")} AS t_mu
+       |  FROM sc GROUP BY label
+       |),
+       |sus AS (
+       |  SELECT s.label, CAST(COUNT(*) AS BIGINT) AS n_suspect
+       |  FROM sc s
+       |  JOIN thr o ON o.label <> s.label
+       |  WHERE (s.label = 'non_en' AND s.s_mu >= o.t_mu)
+       |     OR (s.label = 'en' AND s.s_mu <= o.t_mu)
+       |  GROUP BY s.label
+       |)
+       |SELECT t.label, t.n AS n_docs, t.t_mu AS own_mean_mu,
+       |  CAST(COALESCE(u.n_suspect, 0) AS BIGINT) AS n_suspect,
+       |  ${d.idiv("1000000 * COALESCE(u.n_suspect, 0)", "t.n")} AS suspect_ppm
+       |FROM thr t LEFT JOIN sus u ON u.label = t.label
+       |ORDER BY t.label""".stripMargin
+  }
+
   /** Quality scoring: length, stopword ratio, mean word length. */
   def textQuality(d: Dialect): String =
     s"""WITH qtoks AS (SELECT doc_id, text, ${toks(d)} AS toks FROM documents),

@@ -4008,6 +4008,108 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("documents")
   }
 
+  test("WAU/MAU stickiness: SQL ratio equals an independent distinct-count pass") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    graft.functions.GraftFunctions.registerAll(spark)
+    // two weeks inside one calendar month; users overlap partially
+    val rows = Seq(
+      (1L, "2024-03-04", 10L), (2L, "2024-03-05", 11L), (3L, "2024-03-06", 12L),
+      (4L, "2024-03-11", 10L), (5L, "2024-03-12", 13L),
+      (6L, "2024-03-13", 10L)) // dup user in week 2
+      .map { case (id, d, u) => (id, Timestamp.valueOf(s"$d 12:00:00"), u, "view") }
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .createOrReplaceTempView("events")
+    val got = spark.sql(SqlOps.dauMauStickiness(SparkDialect)).collect()
+      .map(r => r.getAs[Long]("week") ->
+        (r.getAs[Long]("wau"), r.getAs[Long]("mau"),
+          r.getAs[Long]("stickiness_ppm"))).toMap
+
+    // ---- independent implementation ----
+    val ev = rows.map { case (_, ts, u, _) =>
+      val ld = ts.toLocalDateTime.toLocalDate
+      (ld.toEpochDay / 7, ld.getYear * 12 + ld.getMonthValue - 1, u)
+    }
+    val mau = ev.groupBy(_._2).map { case (m, xs) => m -> xs.map(_._3).distinct.size.toLong }
+    val want = ev.groupBy(_._1).map { case (wk, xs) =>
+      val wau = xs.map(_._3).distinct.size.toLong
+      val m = mau(xs.map(_._2).min)
+      wk -> (wau, m, 1000000L * wau / m)
+    }
+    assert(got === want)
+    // fixture sanity: the two weeks differ and neither is the full month
+    assert(got.size === 2 && got.values.map(_._3).toSet.size === 2)
+    spark.catalog.dropTempView("events")
+  }
+
+  test("power analysis: SQL sample size equals the independent two-proportion formula") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    graft.functions.GraftFunctions.registerAll(spark)
+    // 1000 events, 200 purchases -> p1 = 0.2
+    val rows = (0 until 1000).map { i =>
+      (i.toLong, Timestamp.valueOf("2024-01-05 09:00:00"), (i % 50).toLong,
+        if (i % 5 == 0) "purchase" else "view")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .createOrReplaceTempView("events")
+    val got = spark.sql(SqlOps.powerAnalysis(SparkDialect)).collect()(0)
+    assert(got.getAs[Long]("n_events") === 1000L)
+    assert(got.getAs[Long]("p1_ppm") === 200000L)
+    // ---- independent implementation ----
+    val p1 = 0.2; val p2 = p1 * 1.1; val pbar = (p1 + p2) / 2
+    val num = 1.96 * math.sqrt(2 * pbar * (1 - pbar)) +
+      0.8416 * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
+    val n = math.ceil(num * num / ((p2 - p1) * (p2 - p1))).toLong
+    assert(got.getAs[Long]("n_per_arm") === n)
+    // textbook ballpark for p=0.2, 10% relative MDE, 80% power
+    assert(n > 5000 && n < 9000, s"sanity: $n")
+    spark.catalog.dropTempView("events")
+  }
+
+  test("label noise: confidently-English non-en docs (and vice versa) are the suspects") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // en-labeled docs rich in en stopwords except one (suspect #1);
+    // de-labeled docs free of them except one drenched in 'the'
+    // (suspect #2)
+    val docs = Seq(
+      (0L, "en", "the cat is in the house and the dog is of note"),
+      (1L, "en", "the sun and the moon is to rise in a sky"),
+      (2L, "en", "blauer himmel ohne worte"), // mislabeled: no en signal
+      (3L, "de", "der schnelle braune fuchs springt"),
+      (4L, "de", "ein stiller morgen im wald"),
+      (5L, "de", "the the the the the the")) // mislabeled: pure en signal
+    docs.toDF("doc_id", "lang", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.labelNoise(SparkDialect)).collect()
+      .map(r => r.getAs[String]("label") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_suspect"),
+          r.getAs[Long]("suspect_ppm"))).toMap
+
+    // ---- independent implementation ----
+    val stopEn = Set("the", "and", "of", "to", "in", "is", "a")
+    def sMu(text: String): Long = {
+      val t = text.split(" ", -1)
+      1000000L * t.count(stopEn) / math.max(t.length, 1)
+    }
+    val sc = docs.map { case (_, l, t) =>
+      (if (l == "en") "en" else "non_en", sMu(t))
+    }
+    val mean = sc.groupBy(_._1).map { case (l, xs) =>
+      l -> xs.map(_._2).sum / xs.size
+    }
+    val wantSus = Map(
+      "en" -> sc.count { case (l, s) => l == "en" && s <= mean("non_en") }.toLong,
+      "non_en" -> sc.count { case (l, s) => l == "non_en" && s >= mean("en") }.toLong)
+    Seq("en", "non_en").foreach { l =>
+      val n = sc.count(_._1 == l).toLong
+      assert(got(l) === ((n, wantSus(l), 1000000L * wantSus(l) / n)), s"class $l")
+    }
+    // the two planted mislabels are exactly the suspects
+    assert(wantSus("en") === 1L && wantSus("non_en") === 1L)
+    spark.catalog.dropTempView("documents")
+  }
+
   test("textrank: symmetric cycle ranks equal; star corpus ranks the hub first") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
