@@ -1060,6 +1060,8 @@ object SparkEntry {
     "q_dau_mau" -> sqlq(Seq("events"), SqlOps.dauMauStickiness),
     "q_power_analysis" -> sqlq(Seq("events"), SqlOps.powerAnalysis),
     "q_label_noise" -> sqlq(Seq("documents"), SqlOps.labelNoise),
+    "q_cramers_v" -> sqlq(Seq("documents"), SqlOps.cramersV),
+    "q_dedup_winnow" -> sqlStaged(Seq("documents"), SqlOps.dedupWinnow),
     "q_anomaly_deseasonal" -> sqlq(Seq("orders"), SqlOps.anomalyDeseasonal),
     "q_pmi_spectral" -> sqlStaged(Seq("documents"), SqlOps.pmiSpectral),
     // the trend TEST next to the trend estimator: tie-corrected
@@ -2012,6 +2014,8 @@ object SparkEntry {
     "q_dau_mau" -> SqlOps.dauMauStickiness(DuckDialect),
     "q_power_analysis" -> SqlOps.powerAnalysis(DuckDialect),
     "q_label_noise" -> SqlOps.labelNoise(DuckDialect),
+    "q_cramers_v" -> SqlOps.cramersV(DuckDialect),
+    "q_dedup_winnow" -> SqlOps.dedupWinnow.single(DuckDialect),
     "q_anomaly_deseasonal" -> SqlOps.anomalyDeseasonal(DuckDialect),
     "q_pmi_spectral" -> SqlOps.pmiSpectral.single(DuckDialect),
     "q_mannkendall_revenue" -> SqlOps.mannKendallRevenue(DuckDialect),

@@ -1599,6 +1599,53 @@ trait SqlOpsDedup { this: SqlOpsAll =>
          |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin
     })
 
+  /** WINNOWING fingerprint dedup (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every k-gram (k = 5),
+    * slide a w = 4 window over the hash sequence and keep each
+    * window's MINIMUM — the selected fingerprints carry the paper's
+    * guarantee that any shared run of ≥ w+k−1 = 8 tokens yields at
+    * least one shared fingerprint, while storing only ~2/(w+1) of the
+    * k-grams. This is the third LOCAL near-dup candidate family next
+    * to minhash bands (whole-doc Jaccard) and [[dedupSubstring]]'s
+    * exact window index (which stores EVERY window: winnowing is its
+    * scale path — same guarantee class at a fraction of the index).
+    * The window min is a bounded 4-row frame per doc (never a global
+    * sort); the fingerprint index is staged and DISTINCT at
+    * (doc, fingerprint) grain; candidate pairs join ON the
+    * fingerprint value and a pair's evidence is its shared-fingerprint
+    * count. Top-50 by evidence with a pair tiebreak — TakeOrdered.
+    * Two-snapshot corpus (guaranteed positives). Hashes are
+    * [[md5Bucket]]'s 32-bit sibling ([[md5Hex32]]), NOT the usual
+    * [[Dialect.shingleId]]: winnowing's window MIN picks a k-gram BY
+    * ITS HASH ORDER, so engine-specific hashes (xxhash64 ints vs
+    * DuckDB strings) would select different fingerprints and the two
+    * candidate sets would legitimately diverge — the one shingle
+    * consumer where count-equivalence is not enough and the hash
+    * itself must be engine-portable. */
+  val dedupWinnow: StagedOp = StagedOp(
+    stages = Seq(
+      "wf_idx" -> { (d: Dialect) =>
+        s"""WITH ${corpusCte(d)},
+           |${d.shingleRowsPos("corpus", 5)},
+           |h AS (SELECT doc_id, pos, ${md5Hex32("s")} AS h FROM shp),
+           |wm AS (
+           |  SELECT doc_id,
+           |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+           |  FROM h
+           |)
+           |SELECT DISTINCT doc_id, fp FROM wm""".stripMargin
+      }),
+    body = { _ =>
+      s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM wf_idx a JOIN wf_idx b
+         |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING COUNT(*) >= 2
+         |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 50""".stripMargin
+    })
+
   /** PHRASE search over a positional inverted index — the capability
     * [[searchBm25]]'s bag-of-words index cannot express: "these words
     * ADJACENT, in order". The positional postings (doc, pos, token)
@@ -1633,13 +1680,15 @@ trait SqlOpsDedup { this: SqlOpsAll =>
          |  FROM sp_big ORDER BY n DESC, s LIMIT 1
          |),
          |hits AS (
-         |  -- term-selective scan first: only the two phrase terms'
-         |  -- postings survive into the positional join
+         |  -- BOTH sides term-filtered against the broadcast 1-row top
+         |  -- BEFORE the positional equi-join: leaving b's term filter
+         |  -- in the join condition lets the planner shuffle the whole
+         |  -- postings table on the b side (review-caught) — filtered
+         |  -- first, the join carries only the two terms' postings
          |  SELECT a.doc_id, a.pos
-         |  FROM top t
-         |  JOIN sp_pos a ON a.s = t.w1
-         |  JOIN sp_pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-         |                AND b.s = t.w2
+         |  FROM (SELECT p.doc_id, p.pos FROM top t JOIN sp_pos p ON p.s = t.w1) a
+         |  JOIN (SELECT p.doc_id, p.pos FROM top t JOIN sp_pos p ON p.s = t.w2) b
+         |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
          |)
          |SELECT h.doc_id, t.w1, t.w2,
          |  CAST(COUNT(*) AS BIGINT) AS n_hits,

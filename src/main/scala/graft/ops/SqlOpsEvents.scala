@@ -555,20 +555,7 @@ trait SqlOpsEvents { this: SqlOpsAll =>
     * exact interpolated percentiles over int64 µ-values (the
     * anomalyMad discipline); day-cardinality input. */
   def anomalyDeseasonal(d: Dialect): String = {
-    val day = s"CAST(FLOOR(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} / 86400.0e0) AS BIGINT)"
-    s"""WITH daily0 AS (
-       |  SELECT $day AS day,
-       |    ${d.idiv(
-             "CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT)",
-             "100")} AS y
-       |  FROM orders GROUP BY $day
-       |),
-       |daily AS (
-       |  SELECT day, CASE WHEN y > 50000000
-       |    THEN CAST('deseasonal: daily revenue exceeds the int64 index envelope — rescale y' AS BIGINT)
-       |    ELSE y END AS y
-       |  FROM daily0
-       |),
+    s"""WITH ${dailyDollarsCtes(d, "deseasonal")},
        |dw AS (SELECT day, (day + 4) % 7 AS dow, y FROM daily),
        |ix AS (
        |  SELECT dow, CAST(COUNT(*) AS BIGINT) AS nd,
@@ -931,6 +918,32 @@ trait SqlOpsEvents { this: SqlOpsAll =>
     * corpus-scale pass. Empty/one-day series: scalar subqueries over
     * an empty median CTE yield NULL slope/intercept on the always-
     * emitted stats row (the absent-row convention). */
+  /** Daily revenue in integer DOLLARS under the shared loud y ≤ 5e7
+    * int64-moment envelope — ONE copy of the guarded rollup
+    * (review-caught: acfRevenue, olsRevenue and anomalyDeseasonal
+    * each carried a verbatim daily0/guard block whose envelope or
+    * rounding could silently drift apart; now they all read THIS
+    * series). Emits `daily0`/`daily`, ending in daily(day, y); `op`
+    * names the thrower in the guard message. [[ewmaCtes]] keeps its
+    * own tighter 3e7 guard — its envelope protects the 10¹²-scaled
+    * weight products, a different bound. */
+  private[ops] def dailyDollarsCtes(d: Dialect, op: String): String = {
+    val day = s"CAST(FLOOR(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} / 86400.0e0) AS BIGINT)"
+    s"""daily0 AS (
+       |  SELECT $day AS day,
+       |    ${d.idiv(
+             "CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT)",
+             "100")} AS y
+       |  FROM orders GROUP BY $day
+       |),
+       |daily AS (
+       |  SELECT day, CASE WHEN y > 50000000
+       |    THEN CAST('$op: daily revenue exceeds the int64 moment envelope — rescale y' AS BIGINT)
+       |    ELSE y END AS y
+       |  FROM daily0
+       |)""".stripMargin
+  }
+
   /** Daily revenue in integer cents, keyed by the calendar day index —
     * ONE copy of the rollup shared by [[theilSenRevenue]] (the robust
     * slope) and [[mannKendallRevenue]] (the trend significance test),
@@ -955,10 +968,15 @@ trait SqlOpsEvents { this: SqlOpsAll =>
     * the pagerankIter discipline without damping): contributions
     * ⌊π(i)·n(i,j) / rowsum(i)⌋ are exact int64 with the FLOOR sitting
     * ≥ 1/rowsum from the next integer, so both engines produce
-    * bit-identical ppm vectors at every depth. Mass leaks at most
-    * #states µ per round to the floors — a readout bias, never an
-    * engine divergence. States are prev ∪ next so a sink type still
-    * emits its row (receiving mass, sending none). */
+    * bit-identical ppm vectors at every depth. π is seeded UNIFORM at
+    * ⌊10⁶/#states⌋ so the vector is an honest ppm distribution (sums
+    * to ≤ 10⁶; review-caught — the old per-state 10⁶ seed summed to
+    * #states·10⁶ while the docstring sold a share). Mass leaks at
+    * most #states µ per round to the floors — a readout bias, never
+    * an engine divergence. Total mass ≤ 10⁶ keeps π·n ≤ 10⁶·max(n),
+    * loud-guarded at 9.2e12 transitions per cell (the CASE-throw
+    * envelope discipline). States are prev ∪ next so a sink type
+    * still emits its row (receiving mass, sending none). */
   val markovStationary: StagedOp = StagedOp(
     stages = Seq(
       "mkv_tc" -> { (_: Dialect) =>
@@ -970,7 +988,7 @@ trait SqlOpsEvents { this: SqlOpsAll =>
            |SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS n
            |FROM s WHERE prev IS NOT NULL GROUP BY prev, event_type""".stripMargin
       }),
-    body = { _ =>
+    body = { dd =>
       val nSteps = 3
       val steps = (1 to nSteps).map { k =>
         s"""p$k AS (
@@ -988,7 +1006,14 @@ trait SqlOpsEvents { this: SqlOpsAll =>
          |  UNION
          |  SELECT next AS state FROM mkv_tc
          |),
-         |p0 AS (SELECT state, CAST(1000000 AS BIGINT) AS pi FROM states),
+         |p0 AS (
+         |  SELECT state,
+         |    CASE WHEN (SELECT MAX(n) FROM mkv_tc) > 9200000000000
+         |      THEN CAST('markov: transition count exceeds the int64 pi*n envelope' AS BIGINT)
+         |      ELSE ${dd.idiv("1000000", "(SELECT COUNT(*) FROM states)")}
+         |    END AS pi
+         |  FROM states
+         |),
          |$steps
          |SELECT s.state AS event_type,
          |  CAST(COALESCE(r.tot, 0) AS BIGINT) AS n_outgoing,
@@ -1001,13 +1026,18 @@ trait SqlOpsEvents { this: SqlOpsAll =>
 
   /** WAU/MAU engagement stickiness — the product-analytics ratio
     * "what fraction of the month's users show up in any given week":
-    * per ISO-ish week (epoch-day DIV 7 — a pure integer week key, no
-    * engine week-of-year semantics), the distinct weekly actives over
-    * the distinct actives of the week's surrounding calendar MONTH.
-    * Both distincts are two-phase (map-side dedup on (period, user) →
-    * count — never a distinct-over-window), joined at period grain.
-    * Exact integer ppm ratio. Scale shape: two user-keyed dedup
-    * aggregates + a week-cardinality join. */
+    * per (week, month) CELL (epoch-day DIV 7 week keys — pure integer,
+    * no engine week-of-year semantics), the distinct in-month weekly
+    * actives over the distinct actives of that calendar month. The
+    * grain is the cell, not the week: a month-straddling week
+    * contributes one row per month it touches, each ratio'd against
+    * its OWN month's MAU — attributing the whole week to one month
+    * would count users the denominator month never saw and push the
+    * ratio past 10⁶ (review-caught; the micro-oracle now plants a
+    * straddling week). Cell actives ⊆ month actives by construction,
+    * so stickiness_ppm ≤ 10⁶ always. Both distincts are two-phase
+    * (map-side dedup on (period, user) → count — never a
+    * distinct-over-window), joined at cell grain. */
   def dauMauStickiness(d: Dialect): String = {
     val day = s"CAST(FLOOR(${d.epochSeconds("ts")} / 86400.0e0) AS BIGINT)"
     val month = "CAST(EXTRACT(YEAR FROM ts) AS INT) * 12 + CAST(EXTRACT(MONTH FROM ts) AS INT) - 1"
@@ -1015,17 +1045,17 @@ trait SqlOpsEvents { this: SqlOpsAll =>
        |  SELECT user_id, ${d.idiv(day, "7")} AS wk, $month AS mth FROM events
        |),
        |wau AS (
-       |  SELECT wk, MIN(mth) AS mth, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
-       |  FROM e GROUP BY wk
+       |  SELECT wk, mth, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+       |  FROM e GROUP BY wk, mth
        |),
        |mau AS (
        |  SELECT mth, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
        |  FROM e GROUP BY mth
        |)
-       |SELECT w.wk AS week, w.wau, m.mau,
+       |SELECT w.wk AS week, CAST(w.mth AS INT) AS month_key, w.wau, m.mau,
        |  ${d.idiv("1000000 * w.wau", "m.mau")} AS stickiness_ppm
        |FROM wau w JOIN mau m ON m.mth = w.mth
-       |ORDER BY week""".stripMargin
+       |ORDER BY week, month_key""".stripMargin
   }
 
   /** A/B test POWER ANALYSIS — the planning companion to the ab-test
@@ -1055,14 +1085,21 @@ trait SqlOpsEvents { this: SqlOpsAll =>
        |  FROM events
        |),
        |p AS (
+       |  -- the aggregate emits one row even on an empty table, and the
+       |  -- stats row must always be emitted (absent-row convention) —
+       |  -- a WHERE here would contradict it (review-caught); the
+       |  -- degenerate cases carry NULLs instead
        |  SELECT total, buys,
-       |    CAST(buys AS DOUBLE) / total AS p1,
-       |    CAST(buys AS DOUBLE) / total * 1.1e0 AS p2
-       |  FROM c WHERE total > 0
+       |    CASE WHEN total = 0 THEN NULL
+       |         ELSE CAST(buys AS DOUBLE) / total END AS p1,
+       |    CASE WHEN total = 0 THEN NULL
+       |         ELSE CAST(buys AS DOUBLE) / total * 1.1e0 END AS p2
+       |  FROM c
        |)
        |SELECT total AS n_events, buys AS n_purchases,
-       |  ${d.idiv("1000000 * buys", "total")} AS p1_ppm,
-       |  CASE WHEN buys = 0 OR p2 >= 1.0e0 THEN NULL
+       |  CASE WHEN total = 0 THEN NULL
+       |       ELSE ${d.idiv("1000000 * buys", "total")} END AS p1_ppm,
+       |  CASE WHEN total = 0 OR buys = 0 OR p2 >= 1.0e0 THEN NULL
        |       ELSE CAST(CEIL($nTerm * $nTerm / ((p2 - p1) * (p2 - p1))) AS BIGINT)
        |  END AS n_per_arm
        |FROM p""".stripMargin
@@ -1130,7 +1167,6 @@ trait SqlOpsEvents { this: SqlOpsAll =>
     * float sum. Scale shape: one corpus-scale rollup, then all
     * algebra on one 1-row moment tuple. */
   def olsRevenue(d: Dialect): String = {
-    val day = s"CAST(FLOOR(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} / 86400.0e0) AS BIGINT)"
     // Cramer cofactors over the symmetric moment matrix
     // [[n,s1,s2],[s1,s11,s12],[s2,s12,s2]] (x2 is 0/1 so s22 = s2)
     val det = "(CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s2 - CAST(s12 AS DOUBLE) * s12)" +
@@ -1146,19 +1182,7 @@ trait SqlOpsEvents { this: SqlOpsAll =>
       " - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2)" +
       " + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2))"
     val sing = "m.n < 4 OR m.s2 = 0 OR m.s2 = m.n"
-    s"""WITH daily0 AS (
-       |  SELECT $day AS day,
-       |    ${d.idiv(
-             "CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT)",
-             "100")} AS y
-       |  FROM orders GROUP BY $day
-       |),
-       |daily AS (
-       |  SELECT day, CASE WHEN y > 50000000
-       |    THEN CAST('ols: daily revenue exceeds the int64 moment envelope — rescale y' AS BIGINT)
-       |    ELSE y END AS y
-       |  FROM daily0
-       |),
+    s"""WITH ${dailyDollarsCtes(d, "ols")},
        |mn AS (SELECT MIN(day) AS d0 FROM daily),
        |x AS (
        |  SELECT day - d0 AS x1,

@@ -378,24 +378,8 @@ trait SqlOpsText { this: SqlOpsAll =>
     * calendar-bounded at any corpus scale. NULL when the series is
     * shorter than the lag or variance is zero. */
   def acfRevenue(d: Dialect): String = {
-    val day = s"CAST(FLOOR(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} / 86400.0e0) AS BIGINT)"
     val dom = (1 to 7).map(k => s"SELECT $k AS k").mkString(" UNION ALL ")
-    s"""WITH daily0 AS (
-       |  SELECT $day AS day,
-       |    ${d.idiv(
-             "CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT)",
-             "100")} AS y
-       |  FROM orders GROUP BY $day
-       |),
-       |daily AS (
-       |  -- int64 envelope, loud (the ewma rescale-wq pattern): Σy²
-       |  -- over a decade of days stays inside int64 only while the
-       |  -- daily total is ≤ 5e7 dollars — beyond that, rescale y
-       |  SELECT day, CASE WHEN y > 50000000
-       |    THEN CAST('acf: daily revenue exceeds the int64 moment envelope — rescale y' AS BIGINT)
-       |    ELSE y END AS y
-       |  FROM daily0
-       |),
+    s"""WITH ${dailyDollarsCtes(d, "acf")},
        |mn AS (SELECT MIN(day) AS d0 FROM daily),
        |idx AS (
        |  -- CALENDAR index (day − first day), not ROW_NUMBER over

@@ -2016,7 +2016,7 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
       "trk_str" -> { (_: Dialect) =>
         "SELECT src, CAST(SUM(w) AS BIGINT) AS str FROM trk_edges GROUP BY src"
       }),
-    body = { _ =>
+    body = { dd =>
       val nSteps = 3
       val steps = (1 to nSteps).map { k =>
         s"""c$k AS (
@@ -2033,7 +2033,22 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
            |  FROM c$k
            |)""".stripMargin
       }.mkString(",\n")
-      s"""WITH r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM trk_str),
+      // loud int64 envelope for the r·w products: rank mass is
+      // conserved (Σr ≤ #nodes·10⁶ under the damped update), so a
+      // single rank can reach #nodes·10⁶ and the guard is
+      // max(w) ≤ 9.2e18 / (#nodes·10⁶) — checked by division so the
+      // guard itself cannot overflow (the CASE-throw discipline;
+      // Spark would silently wrap where DuckDB errors)
+      s"""WITH r0 AS (
+         |  SELECT src AS id,
+         |    CASE WHEN (SELECT MAX(w) FROM trk_edges) >
+         |           ${dd.idiv("9200000000000",
+                  "GREATEST((SELECT COUNT(*) FROM trk_str), 1)")}
+         |      THEN CAST('textrank: rank-mass x edge-weight exceeds the int64 envelope — quantize w' AS BIGINT)
+         |      ELSE CAST(1000000 AS BIGINT)
+         |    END AS r
+         |  FROM trk_str
+         |),
          |$steps
          |SELECT r.id AS token, s.str AS strength, r.r AS rank_ppm
          |FROM r$nSteps r JOIN trk_str s ON r.id = s.src
@@ -2235,7 +2250,16 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
          |GROUP BY dm.source, t.s""".stripMargin
     }),
     body = { _ =>
-      s"""WITH st AS (SELECT source, s, c FROM sd_st),
+      s"""WITH st AS (
+         |  -- the '__all__' rollup label is IN-BAND: a real source by
+         |  -- that name would silently merge into the corpus row and
+         |  -- lose its own (review-caught) — guard loudly instead
+         |  SELECT source, s,
+         |    CASE WHEN source = '__all__'
+         |      THEN CAST('simpson: source name __all__ collides with the rollup label' AS BIGINT)
+         |      ELSE c END AS c
+         |  FROM sd_st
+         |),
          |both_g AS (
          |  SELECT source, s, c FROM st
          |  UNION ALL
@@ -2669,6 +2693,60 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
       |  CAST(NTILE(10) OVER (PARTITION BY o_orderstatus
       |    ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
       |FROM orders""".stripMargin
+
+  /** Cramér's V association between source and language — the
+    * EFFECT-SIZE companion to the chi-square tests (χ² grows with n
+    * even for a fixed weak association; V = √(χ² / (n·min(r−1,c−1)))
+    * is the 0..1 strength a mixing policy actually wants: "are my
+    * sources language-silos?"). Cell terms reuse the single-sourced
+    * [[chi2CellTerm]] and are µ-quantized to int64 BEFORE the sum
+    * (order-independent across engines — the float-sum parity rule);
+    * dims/n are exact integers; the two final ops (÷, √) are the
+    * fixed IEEE sequence, r6'd. NULL on a degenerate 1×k table. One
+    * (source, lang)-cardinality aggregate — bounded domain. */
+  def cramersV(d: Dialect): String = {
+    val term = chi2CellTerm
+    s"""WITH o AS (
+       |  SELECT source, lang, COUNT(*) AS obs FROM documents
+       |  GROUP BY source, lang
+       |),
+       |grid AS (
+       |  -- the FULL r x c grid, zero cells included: a GROUP BY emits
+       |  -- only observed cells, and dropping the zero cells of a
+       |  -- near-diagonal table understates chi-square — V for a
+       |  -- perfect association would read 0.82, not 1 (caught by the
+       |  -- micro-oracle's perfect-association sanity, in BOTH the SQL
+       |  -- and the first independent implementation: shared-wrong
+       |  -- semantics the cross-engine oracle cannot see)
+       |  SELECT s.source, l.lang, CAST(COALESCE(o.obs, 0) AS BIGINT) AS obs
+       |  FROM (SELECT DISTINCT source FROM documents) s
+       |  CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+       |  LEFT JOIN o ON o.source = s.source AND o.lang = l.lang
+       |),
+       |x AS (
+       |  SELECT source, lang, CAST(obs AS DOUBLE) AS obs,
+       |    CAST(SUM(obs) OVER (PARTITION BY source) AS DOUBLE) AS rt,
+       |    CAST(SUM(obs) OVER (PARTITION BY lang) AS DOUBLE) AS ct,
+       |    CAST(SUM(obs) OVER () AS DOUBLE) AS n
+       |  FROM grid
+       |),
+       |q AS (SELECT CAST(FLOOR($term * 1.0e6 + 5.0e-1) AS BIGINT) AS qt FROM x),
+       |dims AS (
+       |  SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS r,
+       |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS c,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM documents
+       |),
+       |s AS (SELECT CAST(COALESCE(SUM(qt), 0) AS BIGINT) AS chi2q FROM q)
+       |SELECT dm.r AS n_sources, dm.c AS n_langs, dm.n AS n_docs,
+       |  ${r6("CAST(chi2q AS DOUBLE) / 1.0e6")} AS chi2,
+       |  CASE WHEN dm.n = 0 OR LEAST(dm.r - 1, dm.c - 1) <= 0 THEN NULL
+       |       ELSE ${r6(
+                 "SQRT(CAST(chi2q AS DOUBLE) / 1.0e6 " +
+                 "/ (CAST(dm.n AS DOUBLE) * LEAST(dm.r - 1, dm.c - 1)))")}
+       |  END AS cramers_v
+       |FROM dims dm CROSS JOIN s""".stripMargin
+  }
 
   /** Canonical-token-set fingerprint (sorted distinct tokens → md5). */
   def textFingerprint(d: Dialect): String =

@@ -3841,7 +3841,7 @@ class MicroOracleSpec extends SparkSpec {
     val states = walk.distinct.sorted
     val outTot = states.map(s => s -> trans.collect {
       case ((p, _), n) if p == s => n }.sum).toMap
-    var pi = states.map(_ -> BigInt(1000000)).toMap
+    var pi = states.map(_ -> BigInt(1000000L / states.size)).toMap
     (1 to 3).foreach { _ =>
       pi = states.map { j =>
         j -> states.map { i =>
@@ -4012,16 +4012,21 @@ class MicroOracleSpec extends SparkSpec {
     import spark.implicits._
     import java.sql.Timestamp
     graft.functions.GraftFunctions.registerAll(spark)
-    // two weeks inside one calendar month; users overlap partially
+    // two weeks inside March, plus a MONTH-STRADDLING week (Mar 31 is
+    // a Sunday; Apr 1-2 land in the same epoch-day-DIV-7 week) — the
+    // review-caught case: each month slice of that week must be
+    // ratio'd against its OWN month's MAU, never the other's
     val rows = Seq(
       (1L, "2024-03-04", 10L), (2L, "2024-03-05", 11L), (3L, "2024-03-06", 12L),
       (4L, "2024-03-11", 10L), (5L, "2024-03-12", 13L),
-      (6L, "2024-03-13", 10L)) // dup user in week 2
+      (6L, "2024-03-13", 10L), // dup user in week 2
+      (7L, "2024-03-31", 10L), // straddling week, March side
+      (8L, "2024-04-01", 20L), (9L, "2024-04-02", 21L)) // April side
       .map { case (id, d, u) => (id, Timestamp.valueOf(s"$d 12:00:00"), u, "view") }
     rows.toDF("event_id", "ts", "user_id", "event_type")
       .createOrReplaceTempView("events")
     val got = spark.sql(SqlOps.dauMauStickiness(SparkDialect)).collect()
-      .map(r => r.getAs[Long]("week") ->
+      .map(r => (r.getAs[Long]("week"), r.getAs[Int]("month_key")) ->
         (r.getAs[Long]("wau"), r.getAs[Long]("mau"),
           r.getAs[Long]("stickiness_ppm"))).toMap
 
@@ -4031,14 +4036,16 @@ class MicroOracleSpec extends SparkSpec {
       (ld.toEpochDay / 7, ld.getYear * 12 + ld.getMonthValue - 1, u)
     }
     val mau = ev.groupBy(_._2).map { case (m, xs) => m -> xs.map(_._3).distinct.size.toLong }
-    val want = ev.groupBy(_._1).map { case (wk, xs) =>
+    val want = ev.groupBy(e => (e._1, e._2)).map { case ((wk, m), xs) =>
       val wau = xs.map(_._3).distinct.size.toLong
-      val m = mau(xs.map(_._2).min)
-      wk -> (wau, m, 1000000L * wau / m)
+      (wk, m.toInt) -> (wau, mau(m), 1000000L * wau / mau(m))
     }
     assert(got === want)
-    // fixture sanity: the two weeks differ and neither is the full month
-    assert(got.size === 2 && got.values.map(_._3).toSet.size === 2)
+    // the straddling week yields one row per month, and every ratio
+    // stays a genuine fraction
+    val straddleWk = java.time.LocalDate.of(2024, 3, 31).toEpochDay / 7
+    assert(got.keys.count(_._1 == straddleWk) === 2)
+    assert(got.values.forall(_._3 <= 1000000L))
     spark.catalog.dropTempView("events")
   }
 
@@ -4107,6 +4114,89 @@ class MicroOracleSpec extends SparkSpec {
     }
     // the two planted mislabels are exactly the suspects
     assert(wantSus("en") === 1L && wantSus("non_en") === 1L)
+    spark.catalog.dropTempView("documents")
+  }
+
+  test("winnowing: SQL fingerprint pairs equal an independent MOSS pass; " +
+    "the w+k-1 guarantee holds on a planted shared run") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // docs 0 and 1 share an 8-token run (= w+k-1 with k=5, w=4: the
+    // guarantee threshold); doc 2 is disjoint
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, s"one two $shared three four"),
+      (1L, s"nine ten $shared eleven"),
+      (2L, "red green blue yellow purple orange pink brown black white"))
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.dedupWinnow.single(SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_shared")))
+
+    // ---- independent implementation ----
+    def hex32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    // the SQL runs over the two-snapshot corpus (ids 2d, 2d+1)
+    val corpus = docs.flatMap { case (id, t) => Seq((id * 2, t), (id * 2 + 1, t)) }
+    val fps = corpus.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val hs = toks.sliding(5).map(w => hex32(w.mkString(" "))).toVector
+      id -> hs.indices.map(i => hs.slice(i, math.min(i + 4, hs.size)).min).toSet
+    }.toMap
+    val want = (for {
+      a <- corpus.map(_._1); b <- corpus.map(_._1); if a < b
+      n = (fps(a) intersect fps(b)).size; if n >= 2
+    } yield (a, b, n.toLong))
+      .sortBy { case (a, b, n) => (-n, a, b) }.take(50)
+    assert(got.toSeq === want)
+    // the guarantee: the planted 8-token run forces a shared
+    // fingerprint between docs 0 and 1 (snapshot ids 0/2)
+    assert((fps(0L) intersect fps(2L)).nonEmpty)
+    // disjoint docs share nothing with anyone
+    assert(got.forall { case (a, b, _) => a / 2 != 2L || b / 2 != 2L ||
+      (a / 2 == 2L && b / 2 == 2L) })
+    spark.catalog.dropTempView("documents")
+  }
+
+  test("cramers V: SQL equals an independent chi-square pass; perfect association scores 1") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // mixed association: sources lean on different langs but overlap
+    val docs = Seq.fill(8)(("s0", "en")) ++ Seq.fill(2)(("s0", "de")) ++
+      Seq.fill(3)(("s1", "en")) ++ Seq.fill(7)(("s1", "de")) ++
+      Seq.fill(5)(("s2", "zh"))
+    docs.zipWithIndex.map { case ((s, l), i) => (i.toLong, s, l) }
+      .toDF("doc_id", "source", "lang").createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.cramersV(SparkDialect)).collect()(0)
+
+    // ---- independent implementation (FULL grid — zero cells count) ----
+    val cells = docs.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val rt = docs.groupBy(_._1).map { case (k, xs) => k -> xs.size.toLong }
+    val ct = docs.groupBy(_._2).map { case (k, xs) => k -> xs.size.toLong }
+    val n = docs.size.toLong
+    // keys.toSeq, NOT keys: a for-comprehension over key SETS yields a
+    // Set and silently dedups equal cell terms (two identical
+    // zero-cell contributions collapsed to one — the groupBy-Map
+    // re-keying gotcha in its for-comprehension costume)
+    val chi2q = (for (s <- rt.keys.toSeq; l <- ct.keys.toSeq) yield {
+      val o = cells.getOrElse((s, l), 0L)
+      val e = rt(s).toDouble * ct(l) / n
+      math.floor((o - e) * (o - e) / e * 1e6 + 0.5).toLong
+    }).sum
+    val chi2 = chi2q.toDouble / 1e6
+    val v = math.sqrt(chi2 / (n.toDouble * math.min(rt.size - 1, ct.size - 1)))
+    assert(got.getAs[Long]("n_docs") === n)
+    assert(got.getAs[Double]("chi2") === r6(chi2))
+    assert(got.getAs[Double]("cramers_v") === r6(v))
+
+    // perfect association: every source has exactly one language
+    Seq.tabulate(9)(i => (i.toLong, s"s${i % 3}", s"l${i % 3}"))
+      .toDF("doc_id", "source", "lang").createOrReplaceTempView("documents")
+    val perfect = spark.sql(SqlOps.cramersV(SparkDialect)).collect()(0)
+    assert(perfect.getAs[Double]("cramers_v") === 1.0)
     spark.catalog.dropTempView("documents")
   }
 
