@@ -1063,6 +1063,8 @@ object SparkEntry {
     "q_cramers_v" -> sqlq(Seq("documents"), SqlOps.cramersV),
     "q_dedup_winnow" -> sqlStaged(Seq("documents"), SqlOps.dedupWinnow),
     "q_anomaly_deseasonal" -> sqlq(Seq("orders"), SqlOps.anomalyDeseasonal),
+    "q_seasonal_strength" -> sqlq(Seq("orders"), SqlOps.seasonalStrength),
+    "q_ljung_box" -> sqlq(Seq("orders"), SqlOps.ljungBox),
     "q_pmi_spectral" -> sqlStaged(Seq("documents"), SqlOps.pmiSpectral),
     // the trend TEST next to the trend estimator: tie-corrected
     // Mann-Kendall with an exact-integer 5% verdict
@@ -2017,6 +2019,8 @@ object SparkEntry {
     "q_cramers_v" -> SqlOps.cramersV(DuckDialect),
     "q_dedup_winnow" -> SqlOps.dedupWinnow.single(DuckDialect),
     "q_anomaly_deseasonal" -> SqlOps.anomalyDeseasonal(DuckDialect),
+    "q_seasonal_strength" -> SqlOps.seasonalStrength(DuckDialect),
+    "q_ljung_box" -> SqlOps.ljungBox(DuckDialect),
     "q_pmi_spectral" -> SqlOps.pmiSpectral.single(DuckDialect),
     "q_mannkendall_revenue" -> SqlOps.mannKendallRevenue(DuckDialect),
     "q_price_percentile_approx" -> SqlOps.pricePercentileApprox(DuckDialect),

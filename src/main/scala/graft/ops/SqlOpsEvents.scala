@@ -1058,6 +1058,86 @@ trait SqlOpsEvents { this: SqlOpsAll =>
        |ORDER BY week, month_key""".stripMargin
   }
 
+  /** SEASONAL STRENGTH (Hyndman's F_s = max(0, 1 − Var(remainder) /
+    * Var(raw))) of the weekly pattern in daily revenue — the one
+    * number that says whether [[seasonalityDow]]'s index is worth
+    * applying and [[anomalyDeseasonal]]'s gate is worth running:
+    * F_s → 0 means the weekday means explain nothing, → 1 a pure
+    * weekly series. The remainder is the day's deviation from its
+    * weekday MEAN (the within-group variance — decomposition
+    * identity: Var(raw) = Var(weekday means) + Var(remainder), so
+    * this is also the R² of the weekday-dummies regression).
+    * Integer-exact: both variances come from int64 moments over the
+    * shared [[dailyDollarsCtes]] series (Σy² rides the same decade
+    * envelope as the OLS), with the within-group sum decomposed as
+    * Σy² − Σ_g (Σ_g y)²/n_g — the per-group term computed in DOUBLE
+    * on exact int64 group sums (7 groups, fixed sequence). Final
+    * ratio r6'd; NULL when the series is constant. */
+  def seasonalStrength(d: Dialect): String =
+    s"""WITH ${dailyDollarsCtes(d, "seasonal-strength")},
+       |dw AS (SELECT (day + 4) % 7 AS dow, y FROM daily),
+       |g AS (
+       |  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(y) AS BIGINT) AS sy
+       |  FROM dw GROUP BY dow
+       |),
+       |t AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(y * y) AS BIGINT) AS syy
+       |  FROM dw
+       |),
+       |b AS (
+       |  SELECT CAST(COALESCE(SUM(CAST(g.sy AS DOUBLE) * g.sy / g.n), 0.0e0) AS DOUBLE) AS bg
+       |  FROM g
+       |)
+       |SELECT t.n AS n_days,
+       |  CASE WHEN t.n < 2 OR CAST(t.syy AS DOUBLE) - CAST(t.sy AS DOUBLE) * t.sy / t.n <= 0.0e0
+       |       THEN NULL
+       |       ELSE ${r6(
+                 "GREATEST(0.0e0, 1.0e0 - " +
+                 "(CAST(t.syy AS DOUBLE) - b.bg) " +
+                 "/ (CAST(t.syy AS DOUBLE) - CAST(t.sy AS DOUBLE) * t.sy / t.n))")}
+       |  END AS seasonal_strength
+       |FROM t CROSS JOIN b""".stripMargin
+
+  /** Ljung-Box whiteness test over the first 7 revenue
+    * autocorrelations — "is there ANY serial structure left?", the
+    * portmanteau companion to [[graft.ops.SqlOpsText]]'s per-lag ACF:
+    * Q = n(n+2)·Σ_{k≤7} r_k²/(n−k), compared against the χ²₇ 5%
+    * critical value 14.067 (an exact literal — inverse-χ² is
+    * engine-specific, the power-analysis z rule). The r_k are the
+    * ACF query's OWN rows, its SQL nested verbatim (the shardSkew
+    * one-copy precedent) — the test and the diagnostic it summarizes
+    * cannot disagree. r_k arrive r6-quantized; each term
+    * r_k²/(n−k) is p12-quantized to int64 BEFORE the sum (a 7-term
+    * double SUM is order-dependent across engines — the float-sum
+    * parity rule), so Q is exact integer arithmetic finished by one
+    * fixed double sequence, r6'd. Lags with NULL acf (longer than
+    * the series) drop from the sum — n_lags_used makes that
+    * visible. */
+  def ljungBox(d: Dialect): String =
+    s"""WITH acf AS (SELECT * FROM (
+       |${graft.ops.SqlOps.acfRevenue(d)}
+       |)),
+       |${dailyDollarsCtes(d, "ljung-box")},
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+       |q AS (
+       |  SELECT CAST(COUNT(acf) AS BIGINT) AS n_lags_used,
+       |    CAST(COALESCE(SUM(
+       |      CAST(FLOOR(acf * acf / (nn.n - lag) * 1.0e12 + 5.0e-1) AS BIGINT)
+       |    ), 0) AS BIGINT) AS sq
+       |  FROM acf CROSS JOIN nn
+       |  GROUP BY nn.n
+       |)
+       |SELECT nn.n AS n_days, q.n_lags_used,
+       |  CASE WHEN nn.n < 9 THEN NULL
+       |       ELSE ${r6("CAST(nn.n AS DOUBLE) * (nn.n + 2) * q.sq / 1.0e12")} END AS lb_q,
+       |  CASE WHEN nn.n < 9 THEN 0
+       |       WHEN CAST(nn.n AS DOUBLE) * (nn.n + 2) * q.sq / 1.0e12 > 1.4067e1 THEN 1
+       |       ELSE 0 END AS reject_white_noise
+       |FROM q CROSS JOIN nn""".stripMargin
+
   /** A/B test POWER ANALYSIS — the planning companion to the ab-test
     * readout: given the corpus's observed view→purchase conversion as
     * the baseline p₁ and a 10% relative minimum detectable effect,

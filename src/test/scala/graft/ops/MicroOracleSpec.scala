@@ -2877,6 +2877,75 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("orders")
   }
 
+  test("seasonal strength: pure weekly pattern scores ~1, flat noise ~0, " +
+    "and the mixed case equals the independent variance decomposition") {
+    import spark.implicits._
+    import java.sql.Date
+    graft.functions.GraftFunctions.registerAll(spark)
+    val base = java.time.LocalDate.of(1996, 9, 2)
+    def dow(i: Int): Long = (base.plusDays(i.toLong).toEpochDay + 4) % 7
+    def run(f: Int => Double): Double = {
+      (0 until 56).map(i => (Date.valueOf(base.plusDays(i.toLong)), f(i)))
+        .toDF("o_orderdate", "o_totalprice").createOrReplaceTempView("orders")
+      val r = spark.sql(SqlOps.seasonalStrength(SparkDialect)).collect()(0)
+      r.getAs[Double]("seasonal_strength")
+    }
+    // pure function of weekday → remainder variance 0 → strength 1
+    assert(run(i => 100.0 * (dow(i) + 1)) === 1.0)
+    // noise orthogonal to the week (period 9) → strength near 0
+    assert(run(i => 100.0 + (i * 5) % 9) < 0.1)
+    // mixed: weekly level + drift; independent within-group decomposition
+    val mixed = (0 until 56).map(i =>
+      (if (dow(i) == 6) 300L else 100L) + (i * 5) % 9)
+    val got = run(i => mixed(i).toDouble)
+    val groups = mixed.zipWithIndex.groupBy { case (_, i) => dow(i) }
+    val syy = mixed.map(v => v * v).sum
+    val sy = mixed.sum; val n = mixed.size
+    val bg = groups.values.map { g =>
+      val s = g.map(_._1).sum; s.toDouble * s / g.size
+    }.sum
+    val sst = syy.toDouble - sy.toDouble * sy / n
+    assert(got === r6(math.max(0.0, 1.0 - (syy - bg) / sst)))
+    assert(got > 0.5, s"weekly signal should dominate: $got")
+    spark.catalog.dropTempView("orders")
+  }
+
+  test("ljung-box: Q equals an independent ACF-and-sum pass and rejects on a weekly series") {
+    import spark.implicits._
+    import java.sql.Date
+    graft.functions.GraftFunctions.registerAll(spark)
+    val base = java.time.LocalDate.of(1995, 3, 1)
+    val rows = (0 until 40).map { i =>
+      (Date.valueOf(base.plusDays(i.toLong)),
+        (if (i % 7 < 3) 1000.0 else 3000.0) + i * 7.0)
+    }
+    rows.toDF("o_orderdate", "o_totalprice").createOrReplaceTempView("orders")
+    val got = spark.sql(SqlOps.ljungBox(SparkDialect)).collect()(0)
+
+    // ---- independent implementation: daily dollars → ACF → Q ----
+    val y = rows.map { case (d, p) =>
+      (d.toLocalDate.toEpochDay, math.floor(p * 100.0 + 0.5).toLong / 100)
+    }.toMap
+    val t0 = y.keys.min
+    val idx = y.map { case (ed, v) => (ed - t0 + 1) -> v }
+    val n = idx.size
+    val sy = idx.values.sum; val syy = idx.values.map(v => v * v).sum
+    val mean = sy.toDouble / n
+    val denom = syy.toDouble - sy.toDouble * sy / n
+    val sq = (1 to 7).map { k =>
+      val pairs = idx.keys.toSeq.filter(t => idx.contains(t - k))
+      val acf = r6(pairs.map(t => (idx(t) - mean) * (idx(t - k) - mean)).sum / denom)
+      math.floor(acf * acf / (n - k) * 1e12 + 0.5).toLong
+    }.sum
+    val q = r6(n.toDouble * (n + 2) * sq / 1e12)
+    assert(got.getAs[Long]("n_days") === n.toLong)
+    assert(got.getAs[Long]("n_lags_used") === 7L)
+    assert(got.getAs[Double]("lb_q") === q)
+    assert(got.getAs[Int]("reject_white_noise") === 1,
+      "a planted period-7 series must reject white noise")
+    spark.catalog.dropTempView("orders")
+  }
+
   test("assortativity: SQL Pearson over endpoint degrees equals an " +
     "independent Scala computation on a star + clique graph") {
     import spark.implicits._
