@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share ONE SparkSession (SharedSpark) and therefore one global
+// temp-view namespace plus the /tmp/graft_stage artifact cache —
+// concurrent suites re-registering `documents`/`orders` under a suite
+// mid-staged-rebuild produce wrong-corpus artifacts (bit the graph
+// tests: a MicroOracleSpec fixture view swapped under OpsSpec's
+// q_label_prop rebuild). Suite-serial execution removes the race class.
+Test / parallelExecution := false
 run / fork := true
 // Forked run output goes straight to this process's stdout, WITHOUT the
 // sbt logger's "[info] " prefix — four rounds of the driver failing to

@@ -1942,7 +1942,7 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
     * middles. Top-20 by score, (a, b) tiebreak — TakeOrdered. */
   val linkPrediction: StagedOp = StagedOp(
     stages = Seq(
-      "lp_edges" -> { (_: Dialect) =>
+      "lpr_edges" -> { (_: Dialect) =>
         s"""WITH inc AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
            |e0 AS (
            |  SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS supp
@@ -1956,15 +1956,15 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
       }),
     body = { d =>
       s"""WITH deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
-         |             FROM lp_edges GROUP BY src),
+         |             FROM lpr_edges GROUP BY src),
          |paths AS (
          |  SELECT e1.src AS a, e2.dst AS b, e1.dst AS m
-         |  FROM lp_edges e1 JOIN lp_edges e2 ON e1.dst = e2.src
+         |  FROM lpr_edges e1 JOIN lpr_edges e2 ON e1.dst = e2.src
          |  WHERE e1.src < e2.dst
          |),
          |cand AS (
          |  SELECT p.a, p.b, p.m FROM paths p
-         |  LEFT JOIN lp_edges x ON x.src = p.a AND x.dst = p.b
+         |  LEFT JOIN lpr_edges x ON x.src = p.a AND x.dst = p.b
          |  WHERE x.src IS NULL
          |),
          |sc AS (

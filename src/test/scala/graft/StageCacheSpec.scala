@@ -37,4 +37,29 @@ class StageCacheSpec extends SparkSpec {
     }
     assert(rewritten === markers.size, "rebuild must recommit every stage")
   }
+
+  test("stage names are globally unique per builder: no two ops may claim one name") {
+    // The stage cache is keyed by (dataset, NAME) alone — two StagedOps
+    // publishing different SQL under one name silently serve whichever
+    // built first to the other's consumers (bit q_label_prop when
+    // linkPrediction reused labelProp's 'lp_edges' for a different
+    // graph: the LPA tests read the part co-purchase edges). Every
+    // StagedOp member of SqlOps is enumerated by reflection; a name may
+    // recur ONLY with the byte-identical builder rendering.
+    val ops = graft.ops.SqlOps.getClass.getMethods.toSeq
+      .filter(m => m.getReturnType == classOf[graft.ops.StagedOp] &&
+        m.getParameterCount == 0)
+      .map(m => m.getName -> m.invoke(graft.ops.SqlOps).asInstanceOf[graft.ops.StagedOp])
+    assert(ops.size > 30, s"reflection must see the StagedOp surface, got ${ops.size}")
+    val byName = ops.flatMap { case (op, s) =>
+      s.stages.map { case (name, build) =>
+        (name, build(graft.ops.SparkDialect), op)
+      }
+    }.groupBy(_._1)
+    val clashes = byName.collect {
+      case (name, defs) if defs.map(_._2).distinct.size > 1 =>
+        s"$name claimed with different SQL by: ${defs.map(_._3).distinct.mkString(", ")}"
+    }
+    assert(clashes.isEmpty, clashes.mkString("\n"))
+  }
 }
