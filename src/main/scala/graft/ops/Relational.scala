@@ -18,9 +18,22 @@ import graft.Tables
   *    total order).
   *
   * Scale notes: group-bys here are partial-aggregated map-side by Spark
-  * automatically; dimension joins (region/nation/supplier/part) are
-  * explicitly `broadcast` — at 100 TB lineitem those stay shuffle-free;
-  * only fact-fact joins (lineitem⋈orders) shuffle, on their join key.
+  * automatically. Dimension-join policy distinguishes two classes:
+  *  - BOUNDED-BY-CONSTRUCTION sides keep an explicit `broadcast` hint:
+  *    nation (25 rows) and region (5 rows) in the TPC-H data model,
+  *    slices derived from them, and single-row scalar aggregates.
+  *    These are constant-size at ANY scale factor, so the hint is safe
+  *    and saves the optimizer a size estimate.
+  *  - SF-SCALING sides (customer, supplier, part, and filtered slices
+  *    of them) carry NO hint: they grow linearly with scale factor
+  *    (customer is ~15 B rows at 100 TB), and a hard hint would
+  *    override Spark's size threshold and force-OOM the build side at
+  *    100×. Un-hinted, Catalyst's size estimate (and AQE's runtime
+  *    re-plan) picks BroadcastHashJoin while the side is genuinely
+  *    under the threshold — which it is at every test SF, asserted in
+  *    PlanSpec — and degrades gracefully to a shuffled join at scales
+  *    where broadcasting would be wrong.
+  * Only fact-fact joins (lineitem⋈orders) shuffle, on their join key.
   */
 object Relational {
 
@@ -62,12 +75,15 @@ object Relational {
   }
 
   /** Broadcast dimension join: revenue by part brand.
-    * `part` is tiny relative to lineitem → broadcast hash join, no
-    * shuffle of the fact side beyond the final aggregation. */
+    * `part` is small relative to lineitem but SF-scaling, so it is
+    * un-hinted — Catalyst's size gate plans a broadcast hash join at
+    * every test SF (PlanSpec-asserted), with no shuffle of the fact
+    * side beyond the final aggregation, and would fall back to a
+    * shuffled join at scales where part outgrows the threshold. */
   def revenueByBrand(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val p  = Tables.part(spark, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         sum(discounted(col("l_extendedprice"), col("l_discount")))
@@ -85,7 +101,7 @@ object Relational {
     val n  = Tables.nation(spark, dir)
     val r  = Tables.region(spark, dir)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -462,7 +478,7 @@ object Relational {
 
   /** TPC-H Q3 shape (shipping priority): top-10 unshipped orders by
     * revenue for one market segment. The segment restriction is a
-    * LEFT SEMI join of orders against the (filtered, broadcast)
+    * LEFT SEMI join of orders against the (filtered, size-gated)
     * customer side — order rows are reduced ~5× before the fact-fact
     * shuffle with lineitem, and both date filters push into the
     * parquet scans. Top-10 over (revenue DESC, orderkey) plans as
@@ -472,7 +488,7 @@ object Relational {
     val c  = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val o  = Tables.orders(spark, dir).filter(col("o_orderdate") < cut)
     val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cut)
-    val oSeg = o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+    val oSeg = o.join(c, o("o_custkey") === c("c_custkey"), "left_semi")
     li.join(oSeg, li("l_orderkey") === oSeg("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
@@ -498,7 +514,7 @@ object Relational {
     val c  = Tables.customer(spark, dir)
     val n  = Tables.nation(spark, dir)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(sum(discounted(col("l_extendedprice"), col("l_discount")))
@@ -520,7 +536,7 @@ object Relational {
       .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
               col("l_shipdate") <  lit("1998-02-01").cast("timestamp"))
     val p = Tables.part(spark, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .agg(
         sum(when(col("p_type") === "PROMO",
           discounted(col("l_extendedprice"), col("l_discount"))))
@@ -554,8 +570,9 @@ object Relational {
     * The quantity aggregate runs FIRST (one shuffle on orderkey, heavy
     * reduction), the filter keeps a sliver, and orders + customer
     * attach to that sliver — orders via an orderkey join that AQE can
-    * broadcast (the survivor side is tiny), customer as an explicit
-    * broadcast. Decimal-exact quantity sums. */
+    * broadcast (the survivor side is tiny), customer size-gated
+    * (un-hinted; the optimizer broadcasts it at fixture scale).
+    * Decimal-exact quantity sums. */
   def largeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
     val big = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
@@ -564,7 +581,7 @@ object Relational {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     big.join(o, big("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("total_qty"))
       .orderBy(col("o_orderkey"))
   }
@@ -585,7 +602,7 @@ object Relational {
         .cast("double").as("total_revenue"))
     rev.withColumn("mx", max(col("total_revenue")).over(Window.partitionBy()))
       .filter(col("total_revenue") === col("mx"))
-      .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+      .join(sup, col("l_suppkey") === sup("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
   }
 
@@ -610,7 +627,7 @@ object Relational {
       .select(col("n_nationkey"), col("n_name"))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
-      .join(broadcast(s),
+      .join(s,
         li("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
       .join(broadcast(asiaNations), c("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
@@ -653,9 +670,9 @@ object Relational {
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
     val li = Tables.lineitem(spark, dir)
     val o  = Tables.orders(spark, dir)
-    li.join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+    li.join(s, li("l_suppkey") === s("s_suppkey"))
       .join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
               (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
       .groupBy(col("supp_nation"), col("cust_nation"),
@@ -688,10 +705,10 @@ object Relational {
       .select(col("s_suppkey"), col("supp_nation"))
     val li = Tables.lineitem(spark, dir)
     val o  = Tables.orders(spark, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
-      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
       .join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
         sum(when(col("supp_nation") === "NATION_3",
@@ -722,8 +739,8 @@ object Relational {
     val o  = Tables.orders(spark, dir)
     val cost = col("p_retailprice").cast("decimal(12,2)") *
       lit(0.5).cast("decimal(2,1)") * col("l_quantity").cast("decimal(12,2)")
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
-      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
       .join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
@@ -765,7 +782,7 @@ object Relational {
       .select(col("p_partkey"))
     val li = Tables.lineitem(spark, dir)
     val w  = Window.partitionBy(col("l_partkey"))
-    li.join(broadcast(pB), li("l_partkey") === pB("p_partkey"), "left_semi")
+    li.join(pB, li("l_partkey") === pB("p_partkey"), "left_semi")
       .withColumn("qty_cut",
         lit(0.2) * (sum(dec(col("l_quantity"))).over(w).cast("double") /
           count(lit(1)).over(w)))
@@ -788,7 +805,7 @@ object Relational {
     val p = Tables.part(spark, dir).filter(box1 || box2 || box3)
       .select(col("p_partkey"), col("p_brand"), col("p_size"))
     val li = Tables.lineitem(spark, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .filter((box1 && col("l_quantity").between(1, 11)) ||
               (box2 && col("l_quantity").between(10, 20)) ||
               (box3 && col("l_quantity").between(20, 30)))
@@ -825,7 +842,7 @@ object Relational {
       .withColumn("n_late", sum((col("late_rows") > 0).cast("int")).over(w))
       .filter(col("late_rows") > 0 && col("n_supp") >= 2 && col("n_late") === 1)
       .groupBy(col("l_suppkey")).agg(sum(col("late_rows")).as("numwait"))
-      .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+      .join(sup, col("l_suppkey") === sup("s_suppkey"))
       .orderBy(desc("numwait"), col("s_name"))
       .limit(20)
       .select(col("s_name"), col("numwait"))
@@ -879,16 +896,16 @@ object Relational {
     // (semi-)joins to ~2% BEFORE the (partkey, suppkey) shuffle,
     // instead of aggregating the full offer book and discarding 98%
     val offers = Tables.lineitem(spark, dir)
-      .join(broadcast(p.select(col("p_partkey"))),
+      .join(p.select(col("p_partkey")),
         col("l_partkey") === col("p_partkey"), "left_semi")
-      .join(broadcast(euSup), col("l_suppkey") === euSup("s_suppkey"))
+      .join(euSup, col("l_suppkey") === euSup("s_suppkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"), col("s_name"), col("n_name"))
       .agg(min(unitCents).as("unit_cents"))
     val w = Window.partitionBy(col("l_partkey"))
     offers
       .withColumn("mn", min(col("unit_cents")).over(w))
       .filter(col("unit_cents") === col("mn"))
-      .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+      .join(p, col("l_partkey") === p("p_partkey"))
       .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
         col("unit_cents"))
       .orderBy(col("p_partkey"), col("s_name"))
@@ -905,7 +922,7 @@ object Relational {
     val s = Tables.supplier(spark, dir)
       .filter(col("s_nationkey").isin(1, 2, 3)).select(col("s_suppkey"))
     val vals = Tables.lineitem(spark, dir)
-      .join(broadcast(s), col("l_suppkey") === s("s_suppkey"), "left_semi")
+      .join(s, col("l_suppkey") === s("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"))
       .agg(sum(cents(col("l_extendedprice")) * col("l_quantity").cast("long"))
         .as("part_value"))
@@ -930,8 +947,8 @@ object Relational {
     val bad = Tables.supplier(spark, dir)
       .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(p), col("l_partkey") === p("p_partkey"))
-      .join(broadcast(bad), col("l_suppkey") === bad("s_suppkey"), "left_anti")
+      .join(p, col("l_partkey") === p("p_partkey"))
+      .join(bad, col("l_suppkey") === bad("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))

@@ -310,6 +310,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("SF-scaling dimension sides are un-hinted; broadcast is the size gate's choice") {
+    // customer/supplier/part grow linearly with scale factor, so a hard
+    // broadcast() hint would force-OOM the build side at 100×. The rule
+    // (Relational.scala header): only bounded-by-construction sides
+    // (nation, region, their derived slices, single-row scalars) may
+    // carry a hint. Assert (a) no analyzed-plan hint subtree reads an
+    // SF-scaling table, and (b) the fixture-scale physical plan STILL
+    // broadcasts those dims — the optimizer's size-gated choice.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val gated = Seq("q_revenue_by_nation", "q_returned_items", "q_volume_shipping",
+      "q_local_supplier_volume", "q_min_cost_supplier", "q_market_share",
+      "q_revenue_by_brand", "q_large_volume_customer", "q_product_profit")
+    val scaling = Seq("customer", "supplier", "part.parquet")
+    gated.foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf001)
+      val hintedLeaves = df.queryExecution.analyzed.collect {
+        case h: ResolvedHint => h.child.collectLeaves().map(_.toString)
+      }.flatten
+      hintedLeaves.foreach { leaf =>
+        scaling.foreach { t =>
+          assert(!leaf.contains(t),
+            s"$q hints an SF-scaling side ($t) — unsafe at 100×:\n$leaf")
+        }
+      }
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: size gate should still broadcast the dims at fixture scale:\n$plan")
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).length <= 1,
+        s"$q: only the fact-fact join may shuffle at fixture scale:\n$plan")
+    }
+  }
+
   test("no accidental cartesian products outside the literal-band irregular range join") {
     SparkEntry.queries.keys.filterNot(_ == "q_range_join_irregular").foreach { q =>
       val plan =
