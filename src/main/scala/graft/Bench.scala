@@ -99,7 +99,23 @@ object Bench {
     // exact conflation the first/steady split exists to prevent)
     case class R(name: String, first: Double, steady: Double,
                  err1: Option[String], err2: Option[String], rounds: Int,
-                 load: Double)
+                 load: Double, firstCpu: Double, steadyCpu: Double)
+    // Process CPU time (all JVM threads) — the interference evidence
+    // the 1-minute loadavg can't see: r11 proved two steady samples
+    // can AGREE while both are polluted (q_pca_project 12.7 s at load
+    // 1.46 — the load conjunct alone missed it). When external load
+    // starves this JVM, wall-time inflates while the process's own
+    // CPU-time barely moves; on a quiet local[N] run every batch
+    // query keeps cpu/wall ≥ ~1 (the driver thread alone is busy the
+    // whole wall window). cpu/wall < 0.6 on a >0.3 s sample is
+    // machine-flagged below as suspect. −1 where the platform bean is
+    // unavailable (flag suppressed, never false-fired).
+    val procCpu: () => Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean =>
+          () => b.getProcessCpuTime / 1e9
+        case _ => () => -1.0
+      }
     // min-of-N steady: a SINGLE steady sample was the artifact's last
     // untrustworthy column — the r8 quiet-START gate could not stop
     // mid-run ambient load from inflating 8 steady entries up to 4.8×
@@ -150,32 +166,41 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot { case (n, _) => owners.contains(n) }
     val results0 = ordered.map { case (name, fn) =>
-      def once(): (Double, Option[String]) = {
+      // each sample carries its own CPU-time delta so min-of-N can
+      // keep the CHOSEN sample's wall/cpu pair together (flagging the
+      // min sample on another sample's utilization would misfire)
+      def once(): (Double, Double, Option[String]) = {
+        val c0 = procCpu()
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
                   catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-        ((System.nanoTime() - t0) / 1e9, err)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = if (c0 < 0) -1.0 else procCpu() - c0
+        (wall, cpu, err)
       }
       // an errored steady sample reports immediately (a steady failure
       // must stay visible, not be retried away as if it were noise)
-      def steadyMinOfN(): (Double, Option[String]) = {
-        val (a, ea) = once()
-        if (ea.isDefined) (a, ea)
+      def steadyMinOfN(): (Double, Double, Option[String]) = {
+        def minS(x: (Double, Double, Option[String]),
+                 y: (Double, Double, Option[String])) =
+          if (x._1 <= y._1) x else y
+        val a = once()
+        if (a._3.isDefined) a
         else {
-          val (b, eb) = once()
-          if (eb.isDefined) (b, eb)
-          else if (math.max(a, b) <= math.min(a, b) * 1.2 + 0.05)
-            (math.min(a, b), None)
+          val b = once()
+          if (b._3.isDefined) b
+          else if (math.max(a._1, b._1) <= math.min(a._1, b._1) * 1.2 + 0.05)
+            minS(a, b)
           else {
             steadyThirdRuns += 1
-            val (c, ec) = once()
-            if (ec.isDefined) (c, ec) else (math.min(math.min(a, b), c), None)
+            val c = once()
+            if (c._3.isDefined) c else minS(minS(a, b), c)
           }
         }
       }
       graft.ops.Cluster.resetRounds()
       midrunQuietGate()
-      val (t1, e1) = once()
+      val (t1, cpu1, e1) = once()
       // the load sample bracketing this query's first run (the
       // 1-minute average moves slowly, so one post-run sample is the
       // per-query evidence column — coarse, but enough to adjudicate
@@ -185,8 +210,9 @@ object Bench {
       // otherwise invisible in a wall-clock number — a round-count
       // change and a per-round regression read identically)
       val rounds = graft.ops.Cluster.lastRounds
-      val (t2, e2) = if (e1.isDefined) (-1.0, e1) else steadyMinOfN()
-      R(name, t1, t2, e1, e2, rounds, qLoad)
+      val (t2, cpu2, e2) =
+        if (e1.isDefined) (-1.0, -1.0, e1) else steadyMinOfN()
+      R(name, t1, t2, e1, e2, rounds, qLoad, cpu1, cpu2)
     }
     // name-sorted for the output maps (stable cross-round comparison
     // regardless of the owner-first run order above)
@@ -219,9 +245,26 @@ object Bench {
     // conjunct) while the bracketing load sample was above the quiet
     // threshold. A cross-round comparator should treat these
     // first-run cells as load noise, not regressions.
+    // the wall≫cpu starvation test (see procCpu above): suspect when
+    // the sample is non-trivial (>0.3 s) and the process earned less
+    // than 60% of one core over its wall window — a quiet local[N]
+    // batch query can't do that (the driver thread alone keeps
+    // cpu/wall near 1), only an externally-starved JVM can
+    def cpuStarved(wall: Double, cpu: Double): Boolean =
+      wall > 0.3 && cpu >= 0 && cpu < 0.6 * wall
     val firstSuspect = results.filter { r =>
       r.err1.isEmpty && r.err2.isEmpty &&
-        r.first > 3.0 * math.max(r.steady, 0.0) + 0.3 && r.load >= quietBelow
+        r.first > 3.0 * math.max(r.steady, 0.0) + 0.3 &&
+        // load above threshold OR the cpu-gap evidence — r11 proved
+        // the load conjunct alone can miss polluted cells
+        (r.load >= quietBelow || cpuStarved(r.first, r.firstCpu))
+    }.map(r => "\"" + r.name + "\"").mkString("[", ",", "]")
+    // steady cells have no "3× its own steady" reference — the CHOSEN
+    // min sample's own wall/cpu gap is the whole test. A flagged cell
+    // means: treat this steady number as interference, reproduce on a
+    // quiet machine before calling it a regression.
+    val steadySuspect = results.filter { r =>
+      r.err1.isEmpty && r.err2.isEmpty && cpuStarved(r.steady, r.steadyCpu)
     }.map(r => "\"" + r.name + "\"").mkString("[", ",", "]")
     val maxLoad = results.map(_.load).foldLeft(-1.0)(math.max)
     val loadMap = results
@@ -232,9 +275,10 @@ object Bench {
     // legitimate-looking negative load
     def loadJson(v: Double) = if (v < 0) "null" else num("%.2f", v)
     val nSuspect = firstSuspect.count(_ == '"') / 2
-    val cond = s""""load_avg_before":${loadJson(loadBefore)},"load_avg_1m":${loadJson(loadAvg)},"max_load_1m":${loadJson(maxLoad)},"quiet_waits":$quietWaits,"midrun_waits":$midrunWaits,"n_first_suspect":$nSuspect,"steady_third_runs":$steadyThirdRuns,"cpus":${cpus.trim.toIntOption.getOrElse(-1)}"""
+    val nSteadySuspect = steadySuspect.count(_ == '"') / 2
+    val cond = s""""load_avg_before":${loadJson(loadBefore)},"load_avg_1m":${loadJson(loadAvg)},"max_load_1m":${loadJson(maxLoad)},"quiet_waits":$quietWaits,"midrun_waits":$midrunWaits,"n_first_suspect":$nSuspect,"n_steady_suspect":$nSteadySuspect,"steady_third_runs":$steadyThirdRuns,"cpus":${cpus.trim.toIntOption.getOrElse(-1)}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_steady":$totalSteady,"queries":${qfirst(results)},"queries_steady":${qsteady(results)},"queries_load":$loadMap,"first_suspect":$firstSuspect,"cc_rounds":$roundsMap,"errors":$errs,"prewarm_failed":$prewarm,$cond,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_steady":$totalSteady,"queries":${qfirst(results)},"queries_steady":${qsteady(results)},"queries_load":$loadMap,"first_suspect":$firstSuspect,"steady_suspect":$steadySuspect,"cc_rounds":$roundsMap,"errors":$errs,"prewarm_failed":$prewarm,$cond,"sf":"$sfDir"}"""
     // full per-query map: first as a log line (for a reader of the whole
     // log), then as a file next to the repo (survives log truncation)
     println(full)
@@ -250,7 +294,10 @@ object Bench {
       headline.contains(r.name) || r.err1.isDefined || r.err2.isDefined)
     val compactSteady = results.filter(r =>
       steadyWatch.contains(r.name) && r.err1.isEmpty && r.err2.isEmpty)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"total_steady":$totalSteady,"queries":${qfirst(compact)},"queries_steady":${qsteady(compactSteady)},"errors":$errs,"prewarm_failed":$prewarm,$cond,"detail":"bench_full.json","sf":"$sfDir"}""")
+    // steady_suspect rides the compact line too: normally empty (a
+    // quiet run), and when non-empty it is exactly the evidence a
+    // log-tail reader needs to not chase flagged cells as regressions
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"total_steady":$totalSteady,"queries":${qfirst(compact)},"queries_steady":${qsteady(compactSteady)},"steady_suspect":$steadySuspect,"errors":$errs,"prewarm_failed":$prewarm,$cond,"detail":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -554,9 +554,15 @@ object SparkEntry {
     // empirical out-of-orderness per event type (running-MAX lag in
     // arrival order, per-user shards) — the watermark-sizing metric
     "q_disorder_profile" -> sqlq(Seq("events"), SqlOps.disorderProfile),
-    // two-proportion z-test between id-parity arms (conversion = ever
-    // purchased) — the experimentation readout
+    // two-proportion z-test between id-parity arms (conversion = a
+    // large purchase, value > 150) — the experimentation readout
     "q_ab_test" -> sqlq(Seq("events"), SqlOps.abTest),
+    // A/A null-split calibration of the same two-proportion protocol
+    // (md5-bucket arms): z-squared must sit under the chi2_1 5% bar
+    "q_aa_calibration" -> sqlq(Seq("events"), SqlOps.aaCalibration),
+    // Wald-Wolfowitz runs test of label arrangement along doc_id —
+    // the storage-order shuffle-quality audit
+    "q_runs_test" -> sqlq(Seq("documents"), SqlOps.runsTest),
     // correlated LATERAL top-1 (decorrelated by Catalyst into a
     // ranked join — the per-row subquery form of top-k per group)
     "q_lateral_latest" -> sqlq(Seq("customer", "orders"), SqlOps.lateralLatest),
@@ -696,6 +702,8 @@ object SparkEntry {
     "q_linkage_fs" -> sqlStaged(Seq("documents"), SqlOps.linkageFs),
     "q_link_prediction" -> sqlStaged(Seq("lineitem"), SqlOps.linkPrediction),
     "q_markov_stationary" -> sqlStaged(Seq("events"), SqlOps.markovStationary),
+    // entropy rate of the same chain, weighted by the shared pi chain
+    "q_markov_entropy" -> sqlStaged(Seq("events"), SqlOps.markovEntropyRate),
     "q_cohort_ltv" -> sqlq(Seq("orders"), SqlOps.cohortLtv),
     // the driver-loop form of the same 3 iterations, gated against the
     // SAME oracle as the SQL-unrolled tree (like CC vs CC-star)
@@ -771,7 +779,13 @@ object SparkEntry {
     // recall@3 of the sign-LSH index vs exact brute force on the
     // bounded query set — the nightly index-drift check
     "q_ann_eval" -> sqlStaged(Seq("embeddings"), SqlOps.annEval),
+    // k-occurrence (hubness) audit of the sign-LSH kNN lists
+    "q_ann_hubness" -> sqlStaged(Seq("embeddings"), SqlOps.annHubness),
     "q_ann_ivf" -> sqlStaged(Seq("embeddings"), SqlOps.annIvf),
+    // posting-list balance audit over the shared IVF assignment
+    "q_ivf_balance" -> sqlStaged(Seq("embeddings"), SqlOps.ivfBalance),
+    // does int8 quantization change who the top-3 neighbors are?
+    "q_ann_quant_recall" -> sqlStaged(Seq("embeddings"), SqlOps.annQuantRecall),
     // IVF-PQ's storage half: 4 codebook ids per vector off the shared
     // per-label component means
     "q_ann_pq" -> sqlStaged(Seq("embeddings"), SqlOps.annPq),
@@ -896,6 +910,8 @@ object SparkEntry {
     "q_shard_skew" -> sqlq(Seq("documents"), SqlOps.shardSkew),
     // score-vs-language reliability deciles + expected calibration error
     "q_quality_calibration" -> sqlq(Seq("documents"), SqlOps.qualityCalibration),
+    // Murphy decomposition of the decile-binned Brier score
+    "q_quality_brier" -> sqlq(Seq("documents"), SqlOps.qualityBrier),
     // the one-page datasheet next to the manifest: size, mix, dup and
     // PII facts as (metric, value) rows off staged artifacts
     "q_dataset_card" -> sqlStaged(Seq("documents"), SqlOps.datasetCard),
@@ -1100,6 +1116,8 @@ object SparkEntry {
     "q_multimodal_meta" -> sqlq(Seq("documents"), SqlOps.multimodalMeta),
     "q_multimodal_resize" -> sqlq(Seq("documents"), SqlOps.multimodalResize),
     "q_multimodal_audio" -> sqlq(Seq("documents"), SqlOps.multimodalAudioWindows),
+    // 8-point DFT band energies over the same windows (host-exact twiddles)
+    "q_multimodal_spectrum" -> sqlq(Seq("documents"), SqlOps.multimodalSpectrum),
     // batched mapPartitions decode; dims are SQL-checkable, features not
     "q_multimodal_decode" -> ((s, d) => {
       import s.implicits._
@@ -1661,6 +1679,8 @@ object SparkEntry {
     "q_negative_pairs" -> SqlOps.negativePairs(DuckDialect),
     "q_disorder_profile" -> SqlOps.disorderProfile(DuckDialect),
     "q_ab_test" -> SqlOps.abTest(DuckDialect),
+    "q_aa_calibration" -> SqlOps.aaCalibration(DuckDialect),
+    "q_runs_test" -> SqlOps.runsTest(DuckDialect),
     "q_lateral_latest" -> SqlOps.lateralLatest(DuckDialect),
     "q_k_anonymity" -> SqlOps.kAnonymity(DuckDialect),
     "q_l_diversity" -> SqlOps.lDiversity(DuckDialect),
@@ -1752,6 +1772,7 @@ object SparkEntry {
     "q_linkage_fs" -> SqlOps.linkageFs.single(DuckDialect),
     "q_link_prediction" -> SqlOps.linkPrediction.single(DuckDialect),
     "q_markov_stationary" -> SqlOps.markovStationary.single(DuckDialect),
+    "q_markov_entropy" -> SqlOps.markovEntropyRate.single(DuckDialect),
     "q_cohort_ltv" -> SqlOps.cohortLtv(DuckDialect),
     "q_pagerank_loop" -> SqlOps.pagerankIter.single(DuckDialect),
     "q_kcore" -> SqlOps.kcoreIter.single(DuckDialect),
@@ -1767,6 +1788,7 @@ object SparkEntry {
          |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY cluster_id)
          |SELECT cluster_size, COUNT(*) AS n_clusters FROM cs GROUP BY cluster_size""".stripMargin,
     "q_ann_eval" -> SqlOps.annEval.single(DuckDialect),
+    "q_ann_hubness" -> SqlOps.annHubness.single(DuckDialect),
     "q_length_histogram" -> SqlOps.lengthHistogram(DuckDialect),
     "q_skew_profile" -> SqlOps.skewProfile(DuckDialect),
     "q_window_dense_cume" -> SqlOps.windowDenseCume(DuckDialect),
@@ -1813,6 +1835,8 @@ object SparkEntry {
     "q_attr_shortlist_recall" -> SqlOps.attrShortlistRecall.single(DuckDialect),
     "q_ann_sign_lsh" -> SqlOps.annSignLsh.single(DuckDialect),
     "q_ann_ivf" -> SqlOps.annIvf.single(DuckDialect),
+    "q_ivf_balance" -> SqlOps.ivfBalance.single(DuckDialect),
+    "q_ann_quant_recall" -> SqlOps.annQuantRecall.single(DuckDialect),
     "q_ann_pq" -> SqlOps.annPq.single(DuckDialect),
     "q_ann_pq_search" -> SqlOps.annPqSearch.single(DuckDialect),
     "q_ann_ivfpq" -> SqlOps.annIvfPq.single(DuckDialect),
@@ -1886,6 +1910,7 @@ object SparkEntry {
     "q_release_manifest" -> SqlOps.releaseManifest(DuckDialect),
     "q_shard_skew" -> SqlOps.shardSkew(DuckDialect),
     "q_quality_calibration" -> SqlOps.qualityCalibration(DuckDialect),
+    "q_quality_brier" -> SqlOps.qualityBrier(DuckDialect),
     "q_dataset_card" -> SqlOps.datasetCard.single(DuckDialect),
     "q_dataset_card_delta" ->
       SqlOps.datasetCardAdditive(DuckDialect, from = CardDeltaSlice),
@@ -2076,6 +2101,7 @@ object SparkEntry {
     "q_multimodal_meta" -> SqlOps.multimodalMeta(DuckDialect),
     "q_multimodal_resize" -> SqlOps.multimodalResize(DuckDialect),
     "q_multimodal_audio" -> SqlOps.multimodalAudioWindows(DuckDialect),
+    "q_multimodal_spectrum" -> SqlOps.multimodalSpectrum(DuckDialect),
     "q_multimodal_frames" ->
       """SELECT doc_id,
         |  CAST(unnest(range(0,

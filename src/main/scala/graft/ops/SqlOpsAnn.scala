@@ -149,18 +149,20 @@ trait SqlOpsAnn { this: SqlOpsAll =>
     })
 
   /** Recall@3 of the attribution shortlist against exact brute-force
-    * cosine over the bounded query sample (vec_id % 50 = 0, a subset
-    * of the eval slice since 50 | vec_id ⇒ 10 | vec_id) — the truth
-    * check that bounds what [[trainAttribution]]'s 2-probe IVF pair
-    * stage loses vs the cartesian it replaced (the [[annEval]]
-    * drift-check pattern; the exact side is O(|Q|·N) with |Q| the 2%
-    * sample, never the full eval slice). A shortlist neighbor missing
-    * from the probed cells counts as a miss via the LEFT JOIN.
-    * MicroOracleSpec pins the measured recall floor on the fixture. */
+    * cosine over a CONSTANT-size query set (vec_id % 10 = 0 AND
+    * vec_id < 320: the first 32 eval-slice members — the
+    * [[knnBruteForce]] `vec_id < K` rule, not a proportional sample)
+    * — the truth check that bounds what [[trainAttribution]]'s
+    * 2-probe IVF pair stage loses vs the cartesian it replaced (the
+    * [[annEval]] drift-check pattern; the exact side is O(K·N) with
+    * K = 32 at ANY corpus scale, never the full eval slice). A
+    * shortlist neighbor missing from the probed cells counts as a
+    * miss via the LEFT JOIN. MicroOracleSpec pins the measured
+    * recall floor on the fixture. */
   val attrShortlistRecall: StagedOp = StagedOp(
     stages = trainAttribution.stages,
     body = { d =>
-      s"""WITH qs AS (SELECT * FROM emb_nv WHERE vec_id % 50 = 0),
+      s"""WITH qs AS (SELECT * FROM emb_nv WHERE vec_id % 10 = 0 AND vec_id < 320),
          |ep AS (
          |  SELECT qs.vec_id AS query_id, t.vec_id AS neighbor_id,
          |    ${r6(dotExpr(d, "qs.embedding", "t.embedding") + " / (qs.nrm * t.nrm)")} AS cosine
@@ -196,6 +198,178 @@ trait SqlOpsAnn { this: SqlOpsAll =>
          |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
          |  FROM pairs
          |) WHERE rk <= 3""".stripMargin
+    })
+
+  /** IVF cell-BALANCE audit over the shared index ([[annIvf]]'s staged
+    * assignment): posting-list imbalance is the tail-latency knob of
+    * an IVF deployment — a query probing the fattest cell pays
+    * max_n distance evaluations while the mean query pays E[n], and
+    * rebalancing (re-training centroids, splitting fat cells) is
+    * triggered off exactly these numbers. Reports cell count,
+    * min/max posting sizes, max/mean ratio (ppm), and the
+    * density-weighted expected probe cost E[candidates] =
+    * Σ n_c²/N (a random query lands in cell c with probability
+    * n_c/N and then scans n_c) — exact integer arithmetic off one
+    * cell-cardinality aggregate; Σn² is loud-guarded against the
+    * int64 envelope (n_c ≤ 3e9). Everything after the one groupBy is
+    * cell-cardinality. */
+  val ivfBalance: StagedOp = StagedOp(
+    stages = Seq(
+      "emb_nv" -> nvStage,
+      "ivf_nvc" -> { d => d.ivfAssign(ivfCentCtes(d)) }),
+    body = { d =>
+      s"""WITH c AS (
+         |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM ivf_nvc GROUP BY cell
+         |),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |    CAST(SUM(n) AS BIGINT) AS total,
+         |    CASE WHEN MAX(n) > 3000000000
+         |      THEN CAST('ivf-balance: cell size exceeds the n^2 int64 envelope' AS BIGINT)
+         |      ELSE CAST(MAX(n) AS BIGINT) END AS max_n,
+         |    CAST(MIN(n) AS BIGINT) AS min_n,
+         |    CAST(SUM(n * n) AS BIGINT) AS s2
+         |  FROM c
+         |)
+         |SELECT n_cells, total AS n_vectors, max_n, min_n,
+         |  ${d.idiv("1000000 * max_n * n_cells", "total")} AS max_over_mean_ppm,
+         |  ${d.idiv("1000000 * s2", "total")} AS expected_probe_mu
+         |FROM m""".stripMargin
+    })
+
+  /** Quantization-recall audit of the int8 vector compression: does
+    * [[graft.ops.SqlOpsTokenEval]]'s `embeddingQuantize` rule
+    * (symmetric per-vector scale, codes = round(v·127/maxabs)) change
+    * WHO the neighbors are? Top-3 by exact float cosine vs top-3 by
+    * cosine over the int8 codes, per query, over the constant
+    * `vec_id < 32` query set (the [[knnBruteForce]] rule — both sides
+    * are O(K·N·dim) audits at any scale; the 32·64-row query code
+    * table broadcasts against the corpus codes, so nothing but the
+    * final per-query aggregate shuffles). Code dot products and
+    * squared norms are EXACT int64 (codes ∈ [−127,127], 64 dims ⇒
+    * |dot| ≤ 2⁲⁰); the quantized cosine ranking divides once in
+    * double and r6-quantizes with a neighbor-id tiebreak, the same
+    * comparator discipline as every other ranking here. The
+    * HAVING = 64 completeness guard keeps prefix dots from winning
+    * argmins (the ivfd rule). A quantized neighbor missing from the
+    * exact top-3 counts as a miss via the LEFT JOIN. */
+  val annQuantRecall: StagedOp = StagedOp(
+    stages = Seq("emb_nv" -> nvStage),
+    body = { d =>
+      val expAll = d.explodeWithPos(
+        "SELECT vec_id, embedding FROM emb_nv", "vec_id", "embedding", "pos", "v")
+      s"""WITH qs AS (SELECT * FROM emb_nv WHERE vec_id < 32),
+         |ep AS (
+         |  SELECT qs.vec_id AS query_id, t.vec_id AS neighbor_id,
+         |    ${r6(dotExpr(d, "qs.embedding", "t.embedding") + " / (qs.nrm * t.nrm)")} AS cosine
+         |  FROM qs JOIN emb_nv t ON t.vec_id <> qs.vec_id
+         |),
+         |ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         |    FROM ep) e
+         |  WHERE rk <= 3
+         |),
+         |ev AS ($expAll),
+         |mxa AS (
+         |  SELECT vec_id, pos, CAST(v AS DOUBLE) AS v,
+         |    MAX(ABS(CAST(v AS DOUBLE))) OVER (PARTITION BY vec_id) AS mx
+         |  FROM ev
+         |),
+         |codes AS (
+         |  SELECT vec_id, pos,
+         |    CAST(FLOOR(v * 1.27e2 / mx + 5.0e-1) AS BIGINT) AS cq
+         |  FROM mxa WHERE mx > 0
+         |),
+         |cn AS (SELECT vec_id, CAST(SUM(cq * cq) AS BIGINT) AS n2 FROM codes GROUP BY vec_id),
+         |qd AS (
+         |  SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+         |    CAST(SUM(q.cq * t.cq) AS BIGINT) AS dq
+         |  FROM (SELECT * FROM codes WHERE vec_id < 32) q
+         |  JOIN codes t ON t.pos = q.pos AND t.vec_id <> q.vec_id
+         |  GROUP BY q.vec_id, t.vec_id
+         |  HAVING COUNT(*) = 64
+         |),
+         |qx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT qd.query_id, qd.neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qd.query_id ORDER BY
+         |        ${r6("CAST(qd.dq AS DOUBLE) / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE)))")} DESC,
+         |        qd.neighbor_id) AS rk
+         |    FROM qd
+         |    JOIN cn a ON a.vec_id = qd.query_id
+         |    JOIN cn b ON b.vec_id = qd.neighbor_id
+         |  ) x WHERE rk <= 3
+         |)
+         |SELECT e.query_id,
+         |  CAST(COUNT(x.neighbor_id) AS BIGINT) AS n_hit,
+         |  ${r6("CAST(COUNT(x.neighbor_id) AS DOUBLE) / 3")} AS recall_at_3
+         |FROM ex e LEFT JOIN qx x
+         |  ON x.query_id = e.query_id AND x.neighbor_id = e.neighbor_id
+         |GROUP BY e.query_id""".stripMargin
+    })
+
+  /** HUBNESS audit of the embedding space (Radovanović et al., JMLR
+    * 2010): the k-occurrence distribution — how many OTHER vectors'
+    * top-3 lists each vector appears in. High-dimensional embedding
+    * spaces grow "hubs" (points that are everyone's neighbor — they
+    * dominate retrieval results and poison near-dup clustering) and
+    * "antihubs" (never retrieved, invisible to ANN consumers); the
+    * headline number is the SKEWNESS of the in-degree distribution,
+    * near 0 for a healthy space and strongly positive when hubs
+    * emerge. Shares [[annSignLsh]]'s production bucket join (the
+    * kNN lists are the index's own, so the audit measures what
+    * retrieval actually serves, not an idealized exact kNN); zero
+    * in-degrees come back through a LEFT JOIN against the staged
+    * vector table — an antihub is a ROW, not an absence. Skewness is
+    * computed from the exact int64 raw moments (n, Σd, Σd², Σd³ —
+    * in-degree is a small integer, the moment sums are exact) via
+    * the n²-scaled central moments M2 = n·Σd² − (Σd)² and
+    * M3 = n²·Σd³ − 3n·Σd·Σd² + 2(Σd)³, combined in DOUBLE (products
+    * past the int64 envelope at corpus scale; every factor is an
+    * exact int64 so the IEEE products are deterministic) as
+    * g1 = M3 / (M2·√M2) — no POWER, the one non-rational op is the
+    * correctly-rounded SQRT. NULL skewness on a constant in-degree
+    * distribution (M2 = 0). One readout row. */
+  val annHubness: StagedOp = StagedOp(
+    stages = Seq("emb_nv" -> nvStage),
+    body = { d =>
+      val m2 = "(CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
+      val m3 = ("(CAST(n AS DOUBLE) * n * s3 - 3.0e0 * CAST(n AS DOUBLE) * s1 * s2" +
+        " + 2.0e0 * CAST(s1 AS DOUBLE) * s1 * s1)")
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine
+         |  FROM emb_nv a JOIN emb_nv b ON a.sb1 = b.sb1 AND a.vec_id <> b.vec_id
+         |),
+         |knn AS (
+         |  SELECT neighbor_id FROM (
+         |    SELECT neighbor_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         |    FROM pairs) q
+         |  WHERE rk <= 3
+         |),
+         |deg AS (
+         |  SELECT e.vec_id, CAST(COUNT(k.neighbor_id) AS BIGINT) AS indeg
+         |  FROM emb_nv e LEFT JOIN knn k ON k.neighbor_id = e.vec_id
+         |  GROUP BY e.vec_id
+         |),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(indeg) AS BIGINT) AS s1,
+         |    CAST(SUM(indeg * indeg) AS BIGINT) AS s2,
+         |    CAST(SUM(indeg * indeg * indeg) AS BIGINT) AS s3,
+         |    CAST(MAX(indeg) AS BIGINT) AS mx,
+         |    CAST(SUM(CASE WHEN indeg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS antihubs,
+         |    CAST(SUM(CASE WHEN indeg >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS hubs
+         |  FROM deg
+         |)
+         |SELECT n AS n_vectors, s1 AS total_edges, mx AS max_indegree,
+         |  antihubs AS antihub_count, hubs AS hub_count,
+         |  CASE WHEN n < 2 OR $m2 <= 0.0e0 THEN NULL
+         |       ELSE ${r6(s"$m3 / ($m2 * SQRT($m2))")} END AS indegree_skewness
+         |FROM m""".stripMargin
     })
 
   /** ANN quality eval: recall@3 of the sign-LSH index against exact
@@ -416,13 +590,17 @@ trait SqlOpsAnn { this: SqlOpsAll =>
     * rank (`cellrank` — which probe depth first reaches it), so the
     * sweep is windows over that table joined to a 4-row domain, never
     * four re-probes; the brute-force truth side is the body's own
-    * honest cost, sample×corpus bounded exactly like [[annEval]]. */
+    * honest cost, bounded by a CONSTANT query set (vec_id % 50 = 0
+    * AND vec_id < 1600 — at most 32 queries at any corpus scale, the
+    * [[knnBruteForce]] rule) so the exact side stays O(K·N), never
+    * proportional. The pairs stage uses the SAME set so queries,
+    * hits, and candidate costs are measured over one population. */
   val annNprobeSweep: StagedOp = {
     val pairsStage = "anp_pr" -> { (d: Dialect) =>
       val expQ = d.explodeWithPos(
         "SELECT vec_id, embedding FROM qs", "vec_id", "embedding", "pos", "v")
       val qv = qvExpr("e.v")
-      s"""WITH qs AS (SELECT * FROM ivf_nvc WHERE vec_id % 50 = 0),
+      s"""WITH qs AS (SELECT * FROM ivf_nvc WHERE vec_id % 50 = 0 AND vec_id < 1600),
          |qd AS (
          |  SELECT e.vec_id, c.label,
          |    SUM(($qv - c.qc) * ($qv - c.qc)) AS dist
@@ -446,7 +624,7 @@ trait SqlOpsAnn { this: SqlOpsAll =>
     StagedOp(
       stages = annIvfProbe2.stages :+ pairsStage,
       body = { d =>
-        s"""WITH qs AS (SELECT * FROM ivf_nvc WHERE vec_id % 50 = 0),
+        s"""WITH qs AS (SELECT * FROM ivf_nvc WHERE vec_id % 50 = 0 AND vec_id < 1600),
            |ex AS (
            |  SELECT query_id, neighbor_id FROM (
            |    SELECT *, ROW_NUMBER() OVER (

@@ -1610,10 +1610,21 @@ trait SqlOpsDedup { this: SqlOpsAll =>
     * exact window index (which stores EVERY window: winnowing is its
     * scale path — same guarantee class at a fraction of the index).
     * The window min is a bounded 4-row frame per doc (never a global
-    * sort); the fingerprint index is staged and DISTINCT at
+    * sort), restricted to FULL w-length frames (COUNT over the same
+    * frame = w): the trailing <w frames a bare sliding min would also
+    * emit select k-grams canonical winnowing does not (the last hash
+    * of every doc would always be a fingerprint) — the cost is that
+    * docs shorter than w+k−1 tokens emit no fingerprints, exactly the
+    * below-noise-threshold region the paper's guarantee excludes
+    * anyway. The fingerprint index is staged and DISTINCT at
     * (doc, fingerprint) grain; candidate pairs join ON the
     * fingerprint value and a pair's evidence is its shared-fingerprint
-    * count. Top-50 by evidence with a pair tiebreak — TakeOrdered.
+    * count — kept at the ≥ 1 floor, because ONE shared fingerprint is
+    * the minimum a shared 8-token run is guaranteed to produce (a ≥ 2
+    * gate would buy precision by silently voiding the guarantee the
+    * operator exists for; downstream exact verification is the
+    * precision stage, the minhash-candidate rule). Top-50 by evidence
+    * with a pair tiebreak — TakeOrdered.
     * Two-snapshot corpus (guaranteed positives). Hashes are
     * [[md5Bucket]]'s 32-bit sibling ([[md5Hex32]]), NOT the usual
     * [[Dialect.shingleId]]: winnowing's window MIN picks a k-gram BY
@@ -1631,10 +1642,12 @@ trait SqlOpsDedup { this: SqlOpsAll =>
            |wm AS (
            |  SELECT doc_id,
            |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-           |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+           |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+           |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wlen
            |  FROM h
            |)
-           |SELECT DISTINCT doc_id, fp FROM wm""".stripMargin
+           |SELECT DISTINCT doc_id, fp FROM wm WHERE wlen = 4""".stripMargin
       }),
     body = { _ =>
       s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1642,7 +1655,6 @@ trait SqlOpsDedup { this: SqlOpsAll =>
          |FROM wf_idx a JOIN wf_idx b
          |  ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id
-         |HAVING COUNT(*) >= 2
          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 50""".stripMargin
     })
 

@@ -976,7 +976,15 @@ trait SqlOpsEvents { this: SqlOpsAll =>
     * an engine divergence. Total mass ≤ 10⁶ keeps π·n ≤ 10⁶·max(n),
     * loud-guarded at 9.2e12 transitions per cell (the CASE-throw
     * envelope discipline). States are prev ∪ next so a sink type
-    * still emits its row (receiving mass, sending none). */
+    * still emits its row. SINK states (types with no outgoing
+    * transitions) are completed with a SELF-LOOP: each round, mass
+    * sitting on a state with no rs row carries forward unchanged (the
+    * standard absorbing completion — without it the transition JOIN
+    * silently DISCARDS a sink's accumulated mass and the vector
+    * decays toward whatever escapes the sinks, which is not the
+    * stationary distribution of any completion of the chain). π is
+    * therefore the power-iterate of the self-loop-completed stochastic
+    * matrix, an honest ppm distribution at every depth. */
   val markovStationary: StagedOp = StagedOp(
     stages = Seq(
       "mkv_tc" -> { (_: Dialect) =>
@@ -989,38 +997,110 @@ trait SqlOpsEvents { this: SqlOpsAll =>
            |FROM s WHERE prev IS NOT NULL GROUP BY prev, event_type""".stripMargin
       }),
     body = { dd =>
-      val nSteps = 3
-      val steps = (1 to nSteps).map { k =>
-        s"""p$k AS (
-           |  SELECT t.next AS state,
-           |    CAST(SUM(CAST(FLOOR(CAST(r.pi * t.n AS DOUBLE) / rs.tot) AS BIGINT)) AS BIGINT) AS pi
-           |  FROM mkv_tc t
-           |  JOIN p${k - 1} r ON r.state = t.prev
-           |  JOIN rs ON rs.prev = t.prev
-           |  GROUP BY t.next
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH rs AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS tot FROM mkv_tc GROUP BY prev),
-         |states AS (
-         |  SELECT prev AS state FROM mkv_tc
-         |  UNION
-         |  SELECT next AS state FROM mkv_tc
-         |),
-         |p0 AS (
-         |  SELECT state,
-         |    CASE WHEN (SELECT MAX(n) FROM mkv_tc) > 9200000000000
-         |      THEN CAST('markov: transition count exceeds the int64 pi*n envelope' AS BIGINT)
-         |      ELSE ${dd.idiv("1000000", "(SELECT COUNT(*) FROM states)")}
-         |    END AS pi
-         |  FROM states
-         |),
-         |$steps
+      s"""WITH ${markovPiCtes(dd)}
          |SELECT s.state AS event_type,
          |  CAST(COALESCE(r.tot, 0) AS BIGINT) AS n_outgoing,
          |  CAST(COALESCE(p.pi, 0) AS BIGINT) AS pi_ppm
          |FROM states s
-         |LEFT JOIN p$nSteps p ON p.state = s.state
+         |LEFT JOIN p$MarkovSteps p ON p.state = s.state
          |LEFT JOIN rs r ON r.prev = s.state
+         |ORDER BY event_type""".stripMargin
+    })
+
+  private[ops] val MarkovSteps = 3
+
+  /** The π power-iteration CTE chain (rs → states → p0 … p3) shared
+    * by [[markovStationary]] and [[markovEntropyRate]] — ONE copy of
+    * the seed, the envelope guard, the per-round floor arithmetic,
+    * and the self-loop sink completion, so the stationary readout and
+    * the entropy rate weighted by it can never disagree on what π
+    * is. Ends at p$MarkovSteps. */
+  private[ops] def markovPiCtes(dd: Dialect): String = {
+    val steps = (1 to MarkovSteps).map { k =>
+      // two arms per round: mass flowing along transitions, plus the
+      // self-loop arm holding a sink state's mass in place (a state
+      // with no rs row has nowhere to send — dropping it, as the
+      // plain JOIN would, leaks its whole accumulated pi)
+      s"""p$k AS (
+         |  SELECT state, CAST(SUM(pi) AS BIGINT) AS pi FROM (
+         |    SELECT t.next AS state,
+         |      CAST(FLOOR(CAST(r.pi * t.n AS DOUBLE) / rs.tot) AS BIGINT) AS pi
+         |    FROM mkv_tc t
+         |    JOIN p${k - 1} r ON r.state = t.prev
+         |    JOIN rs ON rs.prev = t.prev
+         |    UNION ALL
+         |    SELECT r.state, r.pi
+         |    FROM p${k - 1} r LEFT JOIN rs ON rs.prev = r.state
+         |    WHERE rs.prev IS NULL
+         |  ) u GROUP BY state
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""rs AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS tot FROM mkv_tc GROUP BY prev),
+       |states AS (
+       |  SELECT prev AS state FROM mkv_tc
+       |  UNION
+       |  SELECT next AS state FROM mkv_tc
+       |),
+       |p0 AS (
+       |  SELECT state,
+       |    CASE WHEN (SELECT MAX(n) FROM mkv_tc) > 9200000000000
+       |      THEN CAST('markov: transition count exceeds the int64 pi*n envelope' AS BIGINT)
+       |      ELSE ${dd.idiv("1000000", "(SELECT COUNT(*) FROM states)")}
+       |    END AS pi
+       |  FROM states
+       |),
+       |$steps""".stripMargin
+  }
+
+  /** ENTROPY RATE of the session-transition chain — how many bits of
+    * surprise each user step carries once the chain has settled:
+    * H = Σᵢ πᵢ·Hᵢ with Hᵢ = Σⱼ pᵢⱼ·log2(1/pᵢⱼ) the per-state
+    * conditional entropy, π the [[markovStationary]] vector (the one
+    * shared [[markovPiCtes]] chain — the estimator and its weights
+    * cannot drift). The engagement-diversity readout next to the
+    * stationary SHARE: a corpus can concentrate its mass on one event
+    * type (π) yet still be unpredictable step-to-step (H), and this
+    * is the number that says which. Arithmetic: log2 terms are the
+    * µ-quantized [[qlog2]] int64s (log2 pᵢⱼ = qlog2(n) − qlog2(tot));
+    * each (prev,next) term nᵢⱼ·(qlog2 tot − qlog2 n)/tot is FLOOR'd
+    * to int64 µ-bits before the per-state sum, and each πᵢ·Hᵢ/10⁶
+    * likewise before the final sum — every cross-row SUM is int64
+    * (the float-sum parity rule), with ≤ (#cells + #states) µ of
+    * floor bias, the markov readout convention. Sink states (no rs
+    * row) contribute exactly 0 — their self-loop completion is
+    * deterministic, H_sink = 0 — which the inner JOIN encodes by
+    * omission. Per-state rows emitted (cond_entropy ranks the
+    * unpredictable states); the rate itself rides every row (the
+    * single-readout-per-row convention for multi-grain reports). */
+  val markovEntropyRate: StagedOp = StagedOp(
+    stages = markovStationary.stages,
+    body = { dd =>
+      s"""WITH ${markovPiCtes(dd)},
+         |hrow AS (
+         |  SELECT t.prev AS state,
+         |    CAST(SUM(CAST(FLOOR(
+         |      CAST(t.n AS DOUBLE) * (${qlog2("rs.tot")} - ${qlog2("t.n")}) / rs.tot
+         |    ) AS BIGINT)) AS BIGINT) AS h_mu
+         |  FROM mkv_tc t JOIN rs ON rs.prev = t.prev
+         |  GROUP BY t.prev
+         |),
+         |j AS (
+         |  -- p$MarkovSteps consumed ONCE: a second reference (a
+         |  -- separate scalar hr CTE) re-ran the whole $MarkovSteps-round
+         |  -- chain under Spark CTE inlining; the rate is instead an
+         |  -- unpartitioned window over the state-cardinality rows
+         |  -- (bounded by the event-type domain at any corpus scale)
+         |  SELECT h.state, CAST(COALESCE(p.pi, 0) AS BIGINT) AS pi,
+         |    h.h_mu,
+         |    CAST(FLOOR(CAST(COALESCE(p.pi, 0) AS DOUBLE) * h.h_mu / 1000000) AS BIGINT) AS contrib
+         |  FROM hrow h LEFT JOIN p$MarkovSteps p ON p.state = h.state
+         |)
+         |SELECT state AS event_type,
+         |  CAST(pi AS BIGINT) AS pi_ppm,
+         |  CAST(h_mu AS BIGINT) AS cond_entropy_mu,
+         |  CAST(SUM(contrib) OVER () AS BIGINT) AS entropy_rate_mu,
+         |  ${r6("CAST(SUM(contrib) OVER () AS DOUBLE) / 1.0e6")} AS entropy_rate_bits
+         |FROM j
          |ORDER BY event_type""".stripMargin
     })
 
@@ -1070,8 +1150,14 @@ trait SqlOpsEvents { this: SqlOpsAll =>
     * Integer-exact: both variances come from int64 moments over the
     * shared [[dailyDollarsCtes]] series (Σy² rides the same decade
     * envelope as the OLS), with the within-group sum decomposed as
-    * Σy² − Σ_g (Σ_g y)²/n_g — the per-group term computed in DOUBLE
-    * on exact int64 group sums (7 groups, fixed sequence). Final
+    * Σy² − Σ_g (Σ_g y)²/n_g. Each per-group term (Σ_g y)²/n_g is two
+    * correctly-rounded IEEE ops on exact int64 inputs (deterministic
+    * per row), then ROUNDED TO INT64 before the 7-term SUM — a plain
+    * double SUM's order is not guaranteed across partitions/engines
+    * (the float-sum parity rule ljungBox follows); the int64 sum is
+    * exact and order-free. Unit quantization is ample: the term is
+    * bounded by (Σy)²/n ≪ 2⁶³ under the dailyDollars envelope and the
+    * ≤ 7-unit rounding slack is 1e-17 relative against it. Final
     * ratio r6'd; NULL when the series is constant. */
   def seasonalStrength(d: Dialect): String =
     s"""WITH ${dailyDollarsCtes(d, "seasonal-strength")},
@@ -1088,7 +1174,9 @@ trait SqlOpsEvents { this: SqlOpsAll =>
        |  FROM dw
        |),
        |b AS (
-       |  SELECT CAST(COALESCE(SUM(CAST(g.sy AS DOUBLE) * g.sy / g.n), 0.0e0) AS DOUBLE) AS bg
+       |  SELECT CAST(COALESCE(SUM(
+       |    CAST(FLOOR(CAST(g.sy AS DOUBLE) * g.sy / g.n + 5.0e-1) AS BIGINT)
+       |  ), 0) AS BIGINT) AS bg
        |  FROM g
        |)
        |SELECT t.n AS n_days,
@@ -1096,7 +1184,7 @@ trait SqlOpsEvents { this: SqlOpsAll =>
        |       THEN NULL
        |       ELSE ${r6(
                  "GREATEST(0.0e0, 1.0e0 - " +
-                 "(CAST(t.syy AS DOUBLE) - b.bg) " +
+                 "(CAST(t.syy AS DOUBLE) - CAST(b.bg AS DOUBLE)) " +
                  "/ (CAST(t.syy AS DOUBLE) - CAST(t.sy AS DOUBLE) * t.sy / t.n))")}
        |  END AS seasonal_strength
        |FROM t CROSS JOIN b""".stripMargin

@@ -358,6 +358,61 @@ trait SqlOpsSampling { this: SqlOpsAll =>
        |  CAST(LEAST(nb - win_no * 192, 256) AS INT) AS win_len
        |FROM w""".stripMargin
 
+  /** 8-point DFT band energies over the audio windows — the spectral
+    * feature-extraction step after [[multimodalAudioWindows]]'s STFT
+    * geometry: per full 256-byte window, 8 samples at stride 32, and
+    * for bins k = 0..4 (real input ⇒ the upper bins mirror) the power
+    * |X_k|² = (Σx·cos)² + (Σx·sin)². Twiddle factors cos/sin(2πkj/8)
+    * take only the values {0, ±1, ±√2/2}; they are PRECOMPUTED
+    * host-side as µ-quantized int64 literals (the EWMA
+    * transcendental-pinning rule — engine cos() is not IEEE-pinned),
+    * so every product and sum is exact int64: |x| ≤ 255 ⇒ |Σx·c| ≤
+    * 8·255·10⁶ ≈ 2.04e9 and the power ≤ 8.3e18, inside int64. The
+    * byte read is the deterministic stub rule (ASCII corpus ⇒
+    * ascii(substr) = payload byte — the aHash path's identity); a
+    * real audio deployment swaps in the batched mapPartitions PCM
+    * decoder (graft.ops.Multimodal) upstream of the SAME window/DFT
+    * SQL. Shape: one narrow explode, a 40-row broadcast twiddle
+    * spine, one (doc, window, k) aggregate — no corpus self-join. */
+  def multimodalSpectrum(d: Dialect): String = {
+    val cosT = Map(0 -> 1000000L, 1 -> 707107L, 2 -> 0L, 3 -> -707107L,
+      4 -> -1000000L, 5 -> -707107L, 6 -> 0L, 7 -> 707107L)
+    val sinT = Map(0 -> 0L, 1 -> 707107L, 2 -> 1000000L, 3 -> 707107L,
+      4 -> 0L, 5 -> -707107L, 6 -> -1000000L, 7 -> -707107L)
+    val tw = (for (k <- 0 to 4; j <- 0 to 7) yield {
+      val a = (k * j) % 8
+      s"SELECT $k AS k, $j AS j, CAST(${cosT(a)} AS BIGINT) AS cq, CAST(${sinT(a)} AS BIGINT) AS sq"
+    }).mkString("\n  UNION ALL ")
+    s"""WITH aa AS (
+       |  SELECT doc_id, text, octet_length(${d.toBinary("text")}) AS nb FROM documents
+       |  WHERE doc_id % 3 = 1 AND octet_length(${d.toBinary("text")}) >= 256
+       |),
+       |spans AS (
+       |  SELECT doc_id, text, nb,
+       |    ${d.seqArray("0", "CAST(FLOOR((nb - 256) / 1.92e2) AS BIGINT)")} AS wins
+       |  FROM aa
+       |),
+       |w AS (${d.explode("SELECT doc_id, text, nb, wins FROM spans",
+                          "doc_id, text, nb", "wins", "win_no")}),
+       |tw AS (
+       |  $tw
+       |),
+       |samp AS (
+       |  SELECT w.doc_id, w.win_no, t.k, t.cq, t.sq,
+       |    ascii(substr(w.text, CAST(w.win_no * 192 + 1 + 32 * t.j AS INT), 1)) AS x
+       |  FROM w CROSS JOIN tw t
+       |),
+       |sp AS (
+       |  SELECT doc_id, win_no, k,
+       |    CAST(SUM(x * cq) AS BIGINT) AS xr,
+       |    CAST(SUM(x * sq) AS BIGINT) AS xi
+       |  FROM samp GROUP BY doc_id, win_no, k
+       |)
+       |SELECT doc_id, CAST(win_no AS INT) AS win_no, CAST(k AS INT) AS k,
+       |  CAST(xr * xr + xi * xi AS BIGINT) AS power_mu2
+       |FROM sp""".stripMargin
+  }
+
   /** Aspect-preserving resize planning over the (fake) decoded
     * dimensions: fit into a 64×64 box. The geometry arithmetic is the
     * real pipeline stage (pure integer math, exact in both engines);
@@ -559,7 +614,8 @@ trait SqlOpsSampling { this: SqlOpsAll =>
 
   /** Two-proportion z-test between experiment arms (the A/B readout):
     * users split by id parity (the deterministic stand-in for an
-    * assignment column), conversion = ever purchased, and the
+    * assignment column), conversion = ever made a LARGE purchase
+    * (value > 150 — the shared [[twoPropCtes]] rule), and the
     * statistic is (p0−p1)/√(p̂(1−p̂)(1/n0+1/n1)) with the pooled p̂ —
     * the standard large-sample test an experimentation platform
     * computes per metric. Shape: one per-user conditional aggregate
@@ -573,9 +629,30 @@ trait SqlOpsSampling { this: SqlOpsAll =>
     val p1 = "(CAST(c1 AS DOUBLE) / n1)"
     val pp = "(CAST(c0 + c1 AS DOUBLE) / (n0 + n1))"
     val se = s"SQRT($pp * (1.0e0 - $pp) * (1.0e0 / n0 + 1.0e0 / n1))"
-    s"""WITH u AS (
-       |  SELECT user_id, user_id % 2 AS arm,
-       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+    s"""WITH ${twoPropCtes("user_id % 2")}
+       |SELECT n0, c0, n1, c1,
+       |  ${r6(p0)} AS rate_a, ${r6(p1)} AS rate_b,
+       |  CASE WHEN $se = 0.0e0 THEN NULL
+       |       ELSE ${r6(s"($p0 - $p1) / $se")} END AS z_score
+       |FROM s""".stripMargin
+  }
+
+  /** The two-proportion protocol (arm split → per-user conversion →
+    * 2-arm rollup → one wide row) shared by [[abTest]] and
+    * [[aaCalibration]] — ONE copy, so the real test and its null
+    * calibration can never drift apart on what "converted" or an arm
+    * count means (the dailyDollarsCtes single-sourcing rule).
+    * Conversion is a LARGE purchase (value > 150), not "ever
+    * purchased": on a mature product every user eventually purchases
+    * — the binary saturates at p̂ = 1, the pooled variance collapses
+    * to 0, and the z readout degenerates to NULL (eyeball-caught:
+    * the fixture converts 100% of users under the old rule at every
+    * SF, ~45% under this one — an interior rate the test can actually
+    * move). */
+  private[ops] def twoPropCtes(armExpr: String): String =
+    s"""u AS (
+       |  SELECT user_id, $armExpr AS arm,
+       |    MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted
        |  FROM events GROUP BY user_id
        |),
        |a AS (
@@ -590,12 +667,90 @@ trait SqlOpsSampling { this: SqlOpsAll =>
        |    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
        |    MAX(CASE WHEN arm = 1 THEN conv END) AS c1
        |  FROM a
-       |)
+       |)""".stripMargin
+
+  /** A/A calibration of the experimentation readout — the null-split
+    * sanity every A/B platform runs before trusting its p-values:
+    * the SAME two-proportion protocol as [[abTest]] (one shared CTE
+    * copy) over a split that is KNOWN to be null — the md5 bucket of
+    * the user id, an assignment orthogonal to the id-parity "arms"
+    * the real test uses and to any id-correlated behavior. A
+    * calibrated pipeline sees z² below the χ²₁ 5% critical value
+    * 3.8416 (the exact literal the power/Mann-Kendall family uses);
+    * a failure means the unit of randomization leaks (per-user
+    * correlation, interference, a broken split) and every "real" A/B
+    * readout from the same pipeline is suspect. z² is one fixed IEEE
+    * expression on exact int64 counts; NULL on the degenerate
+    * all/none-convert pool. */
+  def aaCalibration(d: Dialect): String = {
+    val p0 = "(CAST(c0 AS DOUBLE) / n0)"
+    val p1 = "(CAST(c1 AS DOUBLE) / n1)"
+    val pp = "(CAST(c0 + c1 AS DOUBLE) / (n0 + n1))"
+    val se2 = s"($pp * (1.0e0 - $pp) * (1.0e0 / n0 + 1.0e0 / n1))"
+    val z2 = s"(($p0 - $p1) * ($p0 - $p1) / $se2)"
+    s"""WITH ${twoPropCtes(s"${md5Bucket("CAST(user_id AS STRING)")} % 2")}
        |SELECT n0, c0, n1, c1,
-       |  ${r6(p0)} AS rate_a, ${r6(p1)} AS rate_b,
-       |  CASE WHEN $se = 0.0e0 THEN NULL
-       |       ELSE ${r6(s"($p0 - $p1) / $se")} END AS z_score
+       |  CASE WHEN $se2 = 0.0e0 THEN NULL ELSE ${r6(z2)} END AS z_squared,
+       |  CASE WHEN $se2 = 0.0e0 THEN NULL
+       |       WHEN $z2 < 3.8416e0 THEN 1 ELSE 0 END AS calibrated
        |FROM s""".stripMargin
+  }
+
+  /** Wald–Wolfowitz RUNS TEST of the corpus's STORAGE ORDER — the
+    * shuffle-quality audit a training pipeline runs before pointing a
+    * sequential data loader at the table: are the 'en' docs arranged
+    * randomly along doc_id, or clustered (a bad shuffle — consecutive
+    * same-language training batches) / alternating (a suspiciously
+    * regular interleave)? R = 1 + #(adjacent label flips); under the
+    * null E[R] = 1 + 2n₁n₀/n and Var[R] = 2n₁n₀(2n₁n₀−n)/(n²(n−1)),
+    * so z² = A²(n−1)/(2n₁n₀(2n₁n₀−n)) with the EXACT int64 numerator
+    * A = R·n − n − 2n₁n₀, compared against the χ²₁ 5% literal 3.8416
+    * as one fixed IEEE expression (A² and the denominator product run
+    * in DOUBLE — each factor is an exact int64, the products would
+    * overflow int64 near the envelope). Adjacency is an equi-join on
+    * doc_id + 1 (the fixture's ids are dense — the storage-position
+    * contract; at scale the loader's order column plays this role),
+    * so the flip count shuffles on the id key and needs NO global
+    * window. Envelope: R·n and 2n₁n₀ must fit int64 ⇒ n ≤ 3e9 rows,
+    * loud-guarded (the CASE-throw discipline). Direction is the SIGN
+    * of A: negative = fewer runs than chance = clustered (the
+    * bad-shuffle verdict), positive = alternating. NULL verdict on
+    * one-class or 2n₁n₀ = n degenerate inputs. */
+  def runsTest(d: Dialect): String = {
+    val a = "(runs * n - n - 2 * n1 * n0)"
+    val den = "(CAST(2 * n1 * n0 AS DOUBLE) * (2 * n1 * n0 - n))"
+    val z2 = s"(CAST($a AS DOUBLE) * $a * (n - 1) / $den)"
+    s"""WITH sx AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS x
+       |  FROM documents
+       |),
+       |t AS (
+       |  SELECT
+       |    CASE WHEN COUNT(*) > 3000000000
+       |      THEN CAST('runs-test: n exceeds the R*n int64 envelope' AS BIGINT)
+       |      ELSE CAST(COUNT(*) AS BIGINT) END AS n,
+       |    CAST(SUM(x) AS BIGINT) AS n1
+       |  FROM sx
+       |),
+       |fl AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS flips
+       |  FROM sx a JOIN sx b ON b.doc_id = a.doc_id + 1 AND a.x <> b.x
+       |),
+       |r AS (
+       |  SELECT t.n, t.n1, t.n - t.n1 AS n0, fl.flips + 1 AS runs
+       |  FROM t CROSS JOIN fl
+       |)
+       |SELECT n, n1, n0, CAST(runs AS BIGINT) AS runs,
+       |  CASE WHEN n1 = 0 OR n0 = 0 THEN NULL
+       |       ELSE CAST(FLOOR(CAST(n + 2 * n1 * n0 AS DOUBLE) * 1000000 / n) AS BIGINT)
+       |  END AS expected_runs_mu,
+       |  CASE WHEN n1 = 0 OR n0 = 0 OR 2 * n1 * n0 = n OR n < 2 THEN NULL
+       |       ELSE ${r6(z2)} END AS z_squared,
+       |  CASE WHEN n1 = 0 OR n0 = 0 OR 2 * n1 * n0 = n OR n < 2 THEN NULL
+       |       WHEN $z2 <= 3.8416e0 THEN 'random'
+       |       WHEN $a < 0 THEN 'clustered'
+       |       ELSE 'alternating' END AS verdict
+       |FROM r""".stripMargin
   }
 
   /** Order fulfillment cycle time: per order, days between the first

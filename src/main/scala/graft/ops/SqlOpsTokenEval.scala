@@ -2786,9 +2786,14 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
     * sums); the decile domain is a literal 1..10 LEFT JOIN so empty
     * deciles emit zero rows rather than vanish. One scoring pass, one
     * score-cardinality window — no per-doc global sort. */
-  def qualityCalibration(d: Dialect): String =
-    s"""WITH ${scoredCtes(d, "documents")},
-       |lab AS (
+  /** The score-decile reliability chain (scored docs → µ-quantized
+    * score groups → tie-safe decile assignment → per-decile n/conf/acc)
+    * shared by [[qualityCalibration]] and [[qualityBrier]] — ONE copy,
+    * so the reliability diagram and the Brier decomposition built on
+    * it can never disagree about what a decile is. Ends at
+    * `per(decile, n_docs, conf_ppm, acc_ppm)`. */
+  private[ops] def calibPerCtes(d: Dialect): String =
+    s"""lab AS (
        |  SELECT ${qvExpr("quality")} AS q,
        |    CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END AS pos
        |  FROM scored
@@ -2813,7 +2818,11 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
        |    CAST(${d.idiv("SUM(q * c)", "SUM(c)")} AS BIGINT) AS conf_ppm,
        |    CAST(${d.idiv("1000000 * SUM(cp)", "SUM(c)")} AS BIGINT) AS acc_ppm
        |  FROM dd GROUP BY decile
-       |),
+       |)""".stripMargin
+
+  def qualityCalibration(d: Dialect): String =
+    s"""WITH ${scoredCtes(d, "documents")},
+       |${calibPerCtes(d)},
        |tot AS (
        |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
        |    CAST(SUM(n_docs * ABS(acc_ppm - conf_ppm)) AS BIGINT) AS w
@@ -2828,6 +2837,49 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
        |  CAST(${d.idiv("t.w", "t.n")} AS BIGINT) AS ece_ppm_total
        |FROM dom LEFT JOIN per p ON p.decile = dom.decile
        |CROSS JOIN tot t""".stripMargin
+
+  /** Murphy decomposition of the (decile-binned) Brier score of the
+    * quality-as-P(English) forecaster — the three-way answer to "is
+    * this score USEFUL, not just calibrated": BS = UNC − RES + REL
+    * with UNC = ȳ(1−ȳ) the task's irreducible uncertainty, RES =
+    * Σ nₖ(ȳₖ−ȳ)²/N the resolution (how far the bins pull outcomes
+    * apart — the part a useful score maximizes), REL =
+    * Σ nₖ(p̄ₖ−ȳₖ)²/N the reliability penalty ([[qualityCalibration]]'s
+    * ECE squared-ified). Decomposes the DECILE-QUANTIZED forecaster
+    * (forecast = the bin's mean score), over the SAME shared
+    * [[calibPerCtes]] bins as the reliability diagram — the two
+    * reports cannot disagree about binning. Arithmetic: ȳ is an exact
+    * floor-ppm from the lab counts; each bin term nₖ·(gap ppm)² is
+    * exact int64 under a loud ≤9.2e6-doc envelope (ppm² ≤ 1e12 —
+    * past it, move the terms to DECIMAL, the Gini rule); the final
+    * three ratios and their sum are one fixed IEEE sequence, r6'd. */
+  def qualityBrier(d: Dialect): String =
+    s"""WITH ${scoredCtes(d, "documents")},
+       |${calibPerCtes(d)},
+       |t0 AS (
+       |  SELECT
+       |    CASE WHEN COUNT(*) > 9200000
+       |      THEN CAST('brier: n*(ppm gap)^2 exceeds int64 past ~9.2M docs — move to DECIMAL' AS BIGINT)
+       |      ELSE CAST(COUNT(*) AS BIGINT) END AS n,
+       |    CAST(SUM(pos) AS BIGINT) AS p
+       |  FROM lab
+       |),
+       |yb AS (SELECT n, ${d.idiv("1000000 * p", "n")} AS ybar FROM t0),
+       |terms AS (
+       |  SELECT
+       |    CAST(SUM(per.n_docs * (per.conf_ppm - per.acc_ppm)
+       |             * (per.conf_ppm - per.acc_ppm)) AS BIGINT) AS rel_num,
+       |    CAST(SUM(per.n_docs * (per.acc_ppm - yb.ybar)
+       |             * (per.acc_ppm - yb.ybar)) AS BIGINT) AS res_num
+       |  FROM per CROSS JOIN yb
+       |)
+       |SELECT yb.n AS n_docs, CAST(yb.ybar AS BIGINT) AS base_rate_ppm,
+       |  ${r6("CAST(rel_num AS DOUBLE) / yb.n / 1.0e12")} AS reliability,
+       |  ${r6("CAST(res_num AS DOUBLE) / yb.n / 1.0e12")} AS resolution,
+       |  ${r6("CAST(yb.ybar AS DOUBLE) * (1000000 - yb.ybar) / 1.0e12")} AS uncertainty,
+       |  ${r6("(CAST(rel_num AS DOUBLE) / yb.n - CAST(res_num AS DOUBLE) / yb.n" +
+             " + CAST(yb.ybar AS DOUBLE) * (1000000 - yb.ybar)) / 1.0e12")} AS brier_score
+       |FROM yb CROSS JOIN terms""".stripMargin
 
   /** Spearman rank correlation between the quality score and document
     * length (token count) — "is the gate just a length detector?" is

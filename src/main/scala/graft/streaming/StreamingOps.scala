@@ -1838,6 +1838,48 @@ object StreamingOps {
     }
   }
 
+  /** Stage 12 — the release DECISION log (`<root>/release_log`, one
+    * row per drained batch, first-write-wins by batch_seq): the
+    * composition of the Good-Turing novelty monitor into the release
+    * decision. POLICY (deliberate, recorded per batch rather than
+    * enforced as a gate): a novelty-flagged batch STILL RELEASES, and
+    * this artifact records that decision with its rationale —
+    *  - released membership must stay a pure function of the
+    *    delivered DOC SET: quarantining on a batch-level statistic
+    *    would make the released set depend on how docs happened to be
+    *    grouped into micro-batches, breaking the crash/replay and
+    *    batch-boundary invariance DailyIngestSpec pins (replay with
+    *    different boundaries must converge to the same artifacts);
+    *  - novelty is a SHIFT signal, not a quality verdict: the gates
+    *    that hold individually-bad docs out (quality, PII, exact/near
+    *    dup, quota) have already run per doc — a 3× out-of-vocabulary
+    *    batch is evidence the SOURCE changed and a human should look,
+    *    which is exactly what an auditable flagged-release row is for.
+    * Reads the published oov artifact (stage order: after
+    * [[ingestNovelty]]); decision is 'release' under the current
+    * policy, rationale 'novelty_flagged_release_pending_review' when
+    * the batch's oov row flagged, else 'normal'. A gate variant would
+    * write decision 'hold' here and filter the release join — the
+    * schema is the contract, the policy is one row-literal. */
+  private[streaming] def ingestReleaseDecision(spark: SparkSession,
+                                               batchSeq: Long,
+                                               root: String): Unit = {
+    val oov = readState(spark, s"$root/oov")
+      .getOrElse(sys.error(s"daily-ingest: $root/oov missing (stage order violated)"))
+    val flagged = oov.filter(col("batch_seq") === batchSeq)
+      .select("flag").limit(1).collect()
+      .headOption.exists(_.getInt(0) == 1)
+    publishParquet(spark, s"$root/release_log") { current =>
+      val row = spark.range(1).select(
+        lit(batchSeq).as("batch_seq"),
+        lit(if (flagged) 1 else 0).as("novelty_flag"),
+        lit("release").as("decision"),
+        lit(if (flagged) "novelty_flagged_release_pending_review"
+            else "normal").as("rationale"))
+      firstWriteWins(row, current)
+    }
+  }
+
   /** One micro-batch of the MONITORED pipeline: the recycled-batch-id
     * precheck, then the dedup chain ([[dailyIngestBatch]]), index
     * maintenance, volume history, the monitor readouts, the PII leak
@@ -1884,6 +1926,7 @@ object StreamingOps {
     ingestReport(spark, centroids, root)
     piiReportBatch(spark, batch, batchSeq, root)
     ingestNovelty(spark, batch, batchSeq, root)
+    ingestReleaseDecision(spark, batchSeq, root)
     tokVocab.foreach(v => tokenizerDriftBatch(spark, batch, batchSeq, v, root))
   }
 

@@ -2418,7 +2418,7 @@ class MicroOracleSpec extends SparkSpec {
     // ---- the recall readout ----
     val gotRec = spark.sql(SqlOps.attrShortlistRecall.body(SparkDialect)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
-    val wantRec = evalIds.filter(_ % 50 == 0).map { q =>
+    val wantRec = evalIds.filter(q => q % 10 == 0 && q < 320).map { q =>
       val exact = trainIds.map(t => (t, cosine(byId(q), byId(t))))
         .sortBy { case (t, c) => (-c, t) }.take(3).map(_._1).toSet
       val hit = (exact intersect wantSl(q).toSet).size.toLong
@@ -3891,33 +3891,39 @@ class MicroOracleSpec extends SparkSpec {
     import spark.implicits._
     import java.sql.Timestamp
     graft.functions.GraftFunctions.registerAll(spark)
-    // one user walks a planted sequence; counts give P(a->a)=3/4,
-    // P(a->b)=1/4, P(b->a)=1 — rowsums are powers of two so the
-    // per-term floors are exact at every depth
+    // user 7 walks a planted recurrent sequence over {a, b}; user 8
+    // walks "x y" planting a SINK: y receives mass and has no outgoing
+    // transitions — the self-loop completion must HOLD y's mass (the
+    // old transition-join-only iteration silently dropped it)
     val walk = "a a a b a a a b a".split(" ").toSeq
     val rows = walk.zipWithIndex.map { case (s, i) =>
       (i.toLong, Timestamp.valueOf(s"1995-01-01 00:00:${10 + i}"), 7L, s)
-    }
+    } ++ Seq(
+      (100L, Timestamp.valueOf("1995-01-01 00:01:00"), 8L, "x"),
+      (101L, Timestamp.valueOf("1995-01-01 00:01:01"), 8L, "y"))
     rows.toDF("event_id", "ts", "user_id", "event_type")
       .createOrReplaceTempView("events")
     val got = spark.sql(SqlOps.markovStationary.single(SparkDialect)).collect()
       .map(r => r.getAs[String]("event_type") ->
         (r.getAs[Long]("n_outgoing"), r.getAs[Long]("pi_ppm"))).toMap
 
-    // ---- independent implementation (BigInt floor arithmetic) ----
-    val trans = walk.zip(walk.drop(1)).groupBy(identity)
+    // ---- independent implementation (BigInt floor arithmetic, sink
+    // states self-loop: their mass carries forward unchanged) ----
+    val trans = (walk.zip(walk.drop(1)) ++ Seq(("x", "y"))).groupBy(identity)
       .map { case (k, xs) => k -> xs.size.toLong }
-    val states = walk.distinct.sorted
+    val states = (walk :+ "x" :+ "y").distinct.sorted
     val outTot = states.map(s => s -> trans.collect {
       case ((p, _), n) if p == s => n }.sum).toMap
     var pi = states.map(_ -> BigInt(1000000L / states.size)).toMap
     (1 to 3).foreach { _ =>
       pi = states.map { j =>
-        j -> states.map { i =>
+        val flow = states.map { i =>
           val n = trans.getOrElse((i, j), 0L)
           if (n == 0 || outTot(i) == 0) BigInt(0)
           else pi(i) * n / outTot(i)
         }.sum
+        val hold = if (outTot(j) == 0) pi(j) else BigInt(0)
+        j -> (flow + hold)
       }.toMap
     }
     states.foreach { s =>
@@ -3925,7 +3931,244 @@ class MicroOracleSpec extends SparkSpec {
     }
     // sanity: the chain spends most time in 'a'
     assert(got("a")._2 > got("b")._2)
+    // the sink path: y drained x's seed in round 1 and must still hold
+    // the combined mass at depth 3 (the old iteration decayed it to 0);
+    // x sent everything away and receives nothing back
+    assert(got("y") === ((0L, 500000L)), "sink must hold its accumulated mass")
+    assert(got("x")._2 === 0L)
     spark.catalog.dropTempView("events")
+  }
+
+  test("markov entropy rate: SQL equals an independent floor-exact pass; sinks contribute zero") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    graft.functions.GraftFunctions.registerAll(spark)
+    // same chain as the stationary test: recurrent {a,b} walk plus the
+    // planted sink y (x -> y, y emits nothing) — y must be ABSENT from
+    // the per-state rows (its self-loop completion is deterministic,
+    // H_y = 0) and must not disturb the rate
+    val walk = "a a a b a a a b a".split(" ").toSeq
+    val rows = walk.zipWithIndex.map { case (s, i) =>
+      (i.toLong, Timestamp.valueOf(s"1995-01-01 00:00:${10 + i}"), 7L, s)
+    } ++ Seq(
+      (100L, Timestamp.valueOf("1995-01-01 00:01:00"), 8L, "x"),
+      (101L, Timestamp.valueOf("1995-01-01 00:01:01"), 8L, "y"))
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .createOrReplaceTempView("events")
+    val got = spark.sql(SqlOps.markovEntropyRate.single(SparkDialect)).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("pi_ppm"), r.getAs[Long]("cond_entropy_mu"),
+          r.getAs[Long]("entropy_rate_mu"), r.getAs[Double]("entropy_rate_bits"))).toMap
+
+    // ---- independent implementation ----
+    def ql(x: Long): Long =
+      math.floor(math.log(x.toDouble) / math.log(2.0) * 1e6 + 0.5).toLong
+    val trans = (walk.zip(walk.drop(1)) ++ Seq(("x", "y"))).groupBy(identity)
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val states = (walk :+ "x" :+ "y").distinct.sorted
+    val outTot = states.map(s => s -> trans.collect {
+      case ((p, _), n) if p == s => n }.sum).toMap
+    var pi = states.map(_ -> BigInt(1000000L / states.size)).toMap
+    (1 to 3).foreach { _ =>
+      pi = states.map { j =>
+        val flow = states.map { i =>
+          val n = trans.getOrElse((i, j), 0L)
+          if (n == 0 || outTot(i) == 0) BigInt(0)
+          else pi(i) * n / outTot(i)
+        }.sum
+        j -> (flow + (if (outTot(j) == 0) pi(j) else BigInt(0)))
+      }.toMap
+    }
+    val outStates = states.filter(outTot(_) > 0)
+    val hmu = outStates.map { s =>
+      s -> trans.toSeq.collect { case ((p, _), n) if p == s =>
+        math.floor(n.toDouble * (ql(outTot(s)) - ql(n)) / outTot(s)).toLong
+      }.sum
+    }.toMap
+    val rate = outStates.map(s =>
+      math.floor(pi(s).toDouble * hmu(s) / 1000000).toLong).sum
+    assert(got.keySet === outStates.toSet, "sink states must emit no row")
+    outStates.foreach { s =>
+      assert(got(s) === ((pi(s).toLong, hmu(s), rate, r6(rate.toDouble / 1e6))),
+        s"state $s")
+    }
+    // the deterministic rows: b and x always transition to one state
+    assert(hmu("b") === 0L && hmu("x") === 0L)
+    // and the rate is carried by 'a' alone, strictly positive
+    assert(rate > 0L)
+    spark.catalog.dropTempView("events")
+  }
+
+  test("runs test: clustered and alternating arrangements flag with exact z2; " +
+    "a balanced arrangement reads random") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    def runQ(langs: Seq[String]) = {
+      langs.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+        .toDF("doc_id", "lang").createOrReplaceTempView("documents")
+      val r = spark.sql(SqlOps.runsTest(SparkDialect)).collect()(0)
+      (r.getAs[Long]("n"), r.getAs[Long]("n1"), r.getAs[Long]("n0"),
+        r.getAs[Long]("runs"), r.getAs[Long]("expected_runs_mu"),
+        r.getAs[Double]("z_squared"), r.getAs[String]("verdict"))
+    }
+    def replay(langs: Seq[String]) = {
+      val x = langs.map(l => if (l == "en") 1L else 0L)
+      val n = x.size.toLong
+      val n1 = x.sum; val n0 = n - n1
+      val runs = 1L + x.zip(x.drop(1)).count { case (a, b) => a != b }
+      val a = runs * n - n - 2 * n1 * n0
+      val expMu = math.floor((n + 2 * n1 * n0).toDouble * 1000000 / n).toLong
+      val z2 = a.toDouble * a * (n - 1) / ((2 * n1 * n0).toDouble * (2 * n1 * n0 - n))
+      val verdict =
+        if (z2 <= 3.8416) "random" else if (a < 0) "clustered" else "alternating"
+      (n, n1, n0, runs, expMu, r6(z2), verdict)
+    }
+    // sorted-by-label storage: 2 runs where chance expects 11 — the
+    // bad-shuffle case a sequential loader must not be pointed at
+    val clustered = Seq.fill(10)("en") ++ Seq.fill(10)("fr")
+    // perfectly interleaved: 20 runs — "too regular" is also not random
+    val alternating = Seq.tabulate(20)(i => if (i % 2 == 0) "en" else "fr")
+    // a balanced arrangement with runs near the expectation
+    val shuffled = Seq("en", "fr", "fr", "en", "en", "en", "fr", "en", "fr", "fr",
+      "fr", "en", "en", "fr", "en", "fr", "fr", "en", "fr", "en")
+    Seq(clustered -> "clustered", alternating -> "alternating",
+        shuffled -> "random").foreach { case (arr, want) =>
+      val got = runQ(arr)
+      assert(got === replay(arr), s"arrangement $want")
+      assert(got._7 === want, s"verdict for $want arrangement")
+    }
+    spark.catalog.dropTempView("documents")
+  }
+
+  test("hubness: SQL skewness equals an independent kNN + moments pass on a planted hub") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val dim = 64 // nvStage's sign bands read dims 1-64
+    // one central vector (all 0.5) plus satellites each bumped on one
+    // of 7 rotating dims — every vector is all-positive (one sign-LSH
+    // band, so the bucket join sees all pairs) and the center is most
+    // satellites' nearest neighbor: a planted hub with positive skew
+    val vecs = (0L until 12L).map { i =>
+      val v = Array.fill(dim)(0.5f)
+      if (i > 0) v((i % 7).toInt + 8) = 0.9f
+      (i, v.toSeq)
+    }
+    vecs.toDF("vec_id", "embedding").createOrReplaceTempView("embeddings")
+    val got = spark.sql(SqlOps.annHubness.single(SparkDialect)).collect()(0)
+
+    // ---- independent implementation ----
+    val byId = vecs.toMap
+    def r6d(x: Double) = r6(x)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = (0 until dim).map(i => a(i).toDouble * b(i).toDouble).sum
+      def nrm(v: Seq[Float]) = math.sqrt((0 until dim).map(i => v(i).toDouble * v(i).toDouble).sum)
+      r6d(dot / (nrm(a) * nrm(b)))
+    }
+    val ids = vecs.map(_._1)
+    val top3 = ids.flatMap { q =>
+      ids.filter(_ != q).map(t => (t, cos(byId(q), byId(t))))
+        .sortBy { case (t, c) => (-c, t) }.take(3).map(_._1)
+    }
+    val indeg = ids.map(v => v -> top3.count(_ == v).toLong).toMap
+    val n = ids.size.toLong
+    val s1 = indeg.values.sum
+    val s2 = indeg.values.map(d => d * d).sum
+    val s3 = indeg.values.map(d => d * d * d).sum
+    val m2 = n.toDouble * s2 - s1.toDouble * s1
+    val m3 = n.toDouble * n * s3 - 3.0 * n.toDouble * s1 * s2 +
+      2.0 * s1.toDouble * s1 * s1
+    assert(got.getAs[Long]("n_vectors") === n)
+    assert(got.getAs[Long]("total_edges") === s1)
+    assert(got.getAs[Long]("max_indegree") === indeg.values.max)
+    assert(got.getAs[Long]("antihub_count") === indeg.values.count(_ == 0).toLong)
+    assert(got.getAs[Long]("hub_count") === indeg.values.count(_ >= 6).toLong)
+    assert(got.getAs[Double]("indegree_skewness") === r6d(m3 / (m2 * math.sqrt(m2))))
+    // the plant worked: the center is a hub and skew is decisively positive
+    assert(indeg(0L) >= 6L)
+    assert(got.getAs[Double]("indegree_skewness") > 0.5)
+    spark.catalog.dropTempView("embeddings")
+  }
+
+  test("quantization recall: SQL int8 ranking equals an independent codes + cosine replay") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val got = graft.SparkEntry.queries("q_ann_quant_recall")(spark, sf001).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_hit"), r.getAs[Double]("recall_at_3"))).toMap
+
+    // ---- independent implementation over the real fixture ----
+    val rows = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding").toArray))
+    def nrm(v: Array[Float]) =
+      math.sqrt(v.indices.map(i => v(i).toDouble * v(i).toDouble).sum)
+    val live = rows.filter { case (_, v) => nrm(v) > 0 }
+    val byId = live.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      r6(a.indices.map(i => a(i).toDouble * b(i).toDouble).sum / (nrm(a) * nrm(b)))
+    def codes(v: Array[Float]): Array[Long] = {
+      val mx = v.map(x => math.abs(x.toDouble)).max
+      v.map(x => math.floor(x.toDouble * 127.0 / mx + 0.5).toLong)
+    }
+    val qcodes = live.map { case (id, v) => id -> codes(v) }.toMap
+    def qcos(a: Array[Long], b: Array[Long]): Double = {
+      val dq = a.indices.map(i => a(i) * b(i)).sum
+      dq.toDouble / (math.sqrt(s2(a).toDouble) * math.sqrt(s2(b).toDouble))
+    }
+    def s2(a: Array[Long]): Long = a.map(c => c * c).sum
+    val qids = live.map(_._1).filter(_ < 32)
+    val want = qids.map { q =>
+      def top3(score: Long => Double) = live.map(_._1).filter(_ != q)
+        .map(t => (t, r6(score(t))))
+        .sortBy { case (t, c) => (-c, t) }.take(3).map(_._1).toSet
+      val ex = top3(t => cos(byId(q), byId(t)))
+      val qx = top3(t => qcos(qcodes(q), qcodes(t)))
+      val hit = (ex intersect qx).size.toLong
+      q -> ((hit, r6(hit.toDouble / 3)))
+    }.toMap
+    assert(got === want)
+    // non-vacuity: the quantizer is good but not perfect everywhere —
+    // recall must average high while the audit stays able to see loss
+    assert(want.values.map(_._1).sum >= 2 * want.size,
+      "int8 quantization should preserve most top-3 neighbors")
+  }
+
+  test("multimodal spectrum: 8-point DFT powers equal an independent twiddle replay") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // ASCII payloads: doc 1 (audio slice, 2 full windows at 500 B),
+    // doc 4 (audio, exactly one window at 300 B), doc 7 (audio but
+    // under 256 B — excluded), doc 2 (not on the audio slice)
+    def payload(n: Int, seed: Int): String =
+      (0 until n).map(i => ('A' + ((i * 7 + seed) % 58)).toChar).mkString
+    val docs = Seq((1L, payload(500, 3)), (4L, payload(300, 11)),
+      (7L, payload(200, 5)), (2L, payload(400, 1)))
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.multimodalSpectrum(SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("win_no"), r.getAs[Int]("k")) ->
+        r.getAs[Long]("power_mu2")).toMap
+
+    // ---- independent implementation ----
+    val cosT = Map(0 -> 1000000L, 1 -> 707107L, 2 -> 0L, 3 -> -707107L,
+      4 -> -1000000L, 5 -> -707107L, 6 -> 0L, 7 -> 707107L)
+    val sinT = Map(0 -> 0L, 1 -> 707107L, 2 -> 1000000L, 3 -> 707107L,
+      4 -> 0L, 5 -> -707107L, 6 -> -1000000L, 7 -> -707107L)
+    val want = (for {
+      (id, t) <- docs; if id % 3 == 1 && t.length >= 256
+      win <- 0 to (t.length - 256) / 192
+      k <- 0 to 4
+    } yield {
+      val xs = (0 to 7).map(j => t.charAt(win * 192 + 32 * j).toLong)
+      val xr = (0 to 7).map(j => xs(j) * cosT((k * j) % 8)).sum
+      val xi = (0 to 7).map(j => xs(j) * sinT((k * j) % 8)).sum
+      (id, win, k) -> (xr * xr + xi * xi)
+    }).toMap
+    assert(got === want)
+    // fixture sanity: doc 1 has two full windows, doc 4 one, 7/2 none
+    assert(got.keys.map(_._1).toSet === Set(1L, 4L))
+    assert(got.keys.count(_._1 == 1L) === 10 && got.keys.count(_._1 == 4L) === 5)
+    // DC bin (k = 0) is (Σx·1e6)² — strictly positive on ASCII payloads
+    assert(got((1L, 0, 0)) > 0L)
+    spark.catalog.dropTempView("documents")
   }
 
   test("link prediction: SQL Adamic-Adar top list equals an independent 2-hop pass") {
@@ -4213,11 +4456,16 @@ class MicroOracleSpec extends SparkSpec {
     val fps = corpus.map { case (id, t) =>
       val toks = t.split(" ", -1)
       val hs = toks.sliding(5).map(w => hex32(w.mkString(" "))).toVector
-      id -> hs.indices.map(i => hs.slice(i, math.min(i + 4, hs.size)).min).toSet
+      // FULL w-length windows only — canonical winnowing never selects
+      // from a truncated trailing frame (docs with < w k-grams emit
+      // nothing: the below-guarantee region)
+      id -> (0 to hs.size - 4).map(i => hs.slice(i, i + 4).min).toSet
     }.toMap
     val want = (for {
       a <- corpus.map(_._1); b <- corpus.map(_._1); if a < b
-      n = (fps(a) intersect fps(b)).size; if n >= 2
+      // evidence floor ≥ 1: one shared fingerprint is the minimum the
+      // w+k−1 guarantee produces for a threshold-length shared run
+      n = (fps(a) intersect fps(b)).size; if n >= 1
     } yield (a, b, n.toLong))
       .sortBy { case (a, b, n) => (-n, a, b) }.take(50)
     assert(got.toSeq === want)

@@ -333,6 +333,79 @@ class OpsSpec extends SparkSpec {
         "exactly the full candidate pairs that touch a new doc")
   }
 
+  test("incremental IVF delta: new-slice assignment against the staged " +
+    "centroids equals a from-scratch rebuild's assignment") {
+    // the frozen-centroid contract of the ANN index's incremental twin
+    // (q_ann_ivf_delta): the staged ivfd_cent artifact must yield the
+    // SAME per-vector cell for today's delta slice as centroids
+    // recomputed from the base corpus right now — a stale or truncated
+    // staged centroid table would pass the statistics-level oracle's
+    // per-cell rollup while silently mis-assigning individual vectors
+    run("q_ann_ivf_delta").collect() // builds ivfd_cent/ivfd_stats + embeddings view
+    val d = SparkDialect
+    def assignWith(centView: String): Map[Long, Long] = {
+      val sql = (s"WITH ${SqlOps.ivfdAssignCtes(d, SqlOps.ivfdDeltaSrc(d))} " +
+        "SELECT vec_id, cell FROM asgn").replace("ivfd_cent", centView)
+      // the cell label arrives as INT (ROW_NUMBER-derived label domain)
+      spark.sql(sql).collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toMap
+    }
+    val viaStaged = assignWith("ivfd_cent")
+    spark.sql(SqlOps.ivfdCentStage(d)).createOrReplaceTempView("ivfd_cent_fresh")
+    val viaFresh = assignWith("ivfd_cent_fresh")
+    assert(viaStaged.nonEmpty, "the delta slice must assign at least one vector")
+    // completeness: every well-formed delta vector gets a cell
+    val deltaIds = spark.sql(SqlOps.ivfdDeltaSrc(d))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaStaged.keySet === deltaIds,
+      "every 64-dim delta vector must be assigned (completeness guard)")
+    assert(viaStaged === viaFresh,
+      "staged-centroid delta assignment diverged from a fresh rebuild")
+    spark.catalog.dropTempView("ivfd_cent_fresh")
+  }
+
+  test("brier decomposition: Murphy identity against a directly-computed binned Brier") {
+    def q6(x: Double) = math.floor(x * 1.0e6 + 0.5) / 1.0e6
+    val cal = run("q_quality_calibration").collect()
+      .filter(_.getAs[Long]("n_docs") > 0)
+      .map(r => (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("conf_ppm"), r.getAs[Long]("acc_ppm")))
+    val br = run("q_quality_brier").collect().head
+    val n = cal.map(_._1).sum
+    assert(br.getAs[Long]("n_docs") === n)
+    // direct binned Brier: within a bin the forecast is p̄ and the
+    // outcome is 1 w.p. ȳ — E[(p̄−y)²] = ȳ(1−p̄)² + (1−ȳ)p̄²; the
+    // Murphy decomposition (REL − RES + UNC) must equal this up to the
+    // ppm rounding of the bin means (≤ a few µ per term)
+    val direct = cal.map { case (nk, confPpm, accPpm) =>
+      val p = confPpm / 1e6; val y = accPpm / 1e6
+      nk * (y * (1 - p) * (1 - p) + (1 - y) * p * p)
+    }.sum / n
+    assert(math.abs(br.getAs[Double]("brier_score") - direct) < 1e-4,
+      s"identity violated: decomposition=${br.getAs[Double]("brier_score")} direct=$direct")
+    // uncertainty is exactly ȳ(1−ȳ) off the emitted base rate
+    val yb = br.getAs[Long]("base_rate_ppm")
+    assert(br.getAs[Double]("uncertainty") === q6(yb.toDouble * (1000000 - yb) / 1e12))
+    // the score must buy something on this corpus: resolution > 0
+    assert(br.getAs[Double]("resolution") > 0.0)
+  }
+
+  test("ivf balance: audit equals a recount over the staged assignment") {
+    val got = run("q_ivf_balance").collect().head
+    // the run staged ivf_nvc as a temp view — recount it directly
+    val sizes = spark.sql("SELECT cell, COUNT(*) AS n FROM ivf_nvc GROUP BY cell")
+      .collect().map(r => r.getAs[Long]("n"))
+    val total = sizes.sum
+    assert(got.getAs[Long]("n_cells") === sizes.length.toLong)
+    assert(got.getAs[Long]("n_vectors") === total)
+    assert(got.getAs[Long]("max_n") === sizes.max)
+    assert(got.getAs[Long]("min_n") === sizes.min)
+    assert(got.getAs[Long]("max_over_mean_ppm") ===
+      1000000L * sizes.max * sizes.length / total)
+    assert(got.getAs[Long]("expected_probe_mu") ===
+      1000000L * sizes.map(x => x * x).sum / total)
+  }
+
   test("incremental CC merges delta edges into a base map (all merge shapes)") {
     import spark.implicits._
     // base: components {1,2,3}, {10,11}, {20,21} (labels 1, 10, 20)
@@ -1352,11 +1425,14 @@ class OpsSpec extends SparkSpec {
 
   test("ab test matches an independent Scala two-proportion computation") {
     val ev = graft.Tables.events(spark, sf001)
-      .selectExpr("user_id", "event_type").collect()
-      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+      .selectExpr("user_id", "event_type", "value").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
     def q6(x: Double) = math.floor(x * 1.0e6 + 0.5) / 1.0e6
+    // conversion = a LARGE purchase (value > 150), the shared
+    // twoPropCtes rule — "ever purchased" saturates at 100%
     val byUser = ev.groupBy(_._1).toSeq.map { case (u, rows) =>
-      (u % 2, rows.exists(_._2 == "purchase"))
+      (u % 2, rows.exists(r => r._2 == "purchase" && r._3 > 150))
     }
     def arm(a: Long) = {
       val rows = byUser.filter(_._1 == a)

@@ -184,7 +184,7 @@ class DailyIngestSpec extends SparkSpec {
   private def artifacts(root: String): Map[String, Set[Seq[Any]]] =
     Seq("admitted", "bands", "clusters", "survivors", "manifest", "release",
         "card", "rejects", "ivf", "history", "drift", "ewma", "metrics", "pii",
-        "oov", "vocab")
+        "oov", "vocab", "release_log")
       .map(a => a -> spark.read.parquet(s"$root/$a").collect().map(_.toSeq).toSet)
       .toMap
 
@@ -614,10 +614,36 @@ class DailyIngestSpec extends SparkSpec {
     val row3 = oovRows()(2L)
     assert(row3 === expect(b1docs ++ b2docs, b3docs))
     assert(row3._2 === Some(1000000L) && row3._4 === 1)
+
+    // ---- the release DECISION log: the novelty flag is composed into
+    // the release decision as an auditable per-batch row ----
+    def releaseLog() = spark.read.parquet(s"$root/release_log").collect()
+      .map(r => r.getAs[Long]("batch_seq") ->
+        (r.getAs[Int]("novelty_flag"), r.getAs[String]("decision"),
+          r.getAs[String]("rationale"))).toMap
+    assert(releaseLog() === Map(
+      0L -> (0, "release", "normal"),
+      1L -> (0, "release", "normal"),
+      2L -> (1, "release", "novelty_flagged_release_pending_review")),
+      "a flagged batch must release WITH the recorded review rationale; " +
+        "unflagged batches record 'normal'")
+    // the policy's substance: release membership stays the pure
+    // manifest ⋈ survivors composition — the flag changes the decision
+    // RECORD, never the released doc set (batch-boundary invariance)
+    val wantRelease = spark.read.parquet(s"$root/manifest").select("doc_id")
+      .join(spark.read.parquet(s"$root/survivors").select("doc_id"), Seq("doc_id"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    val gotRelease = spark.read.parquet(s"$root/release")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(gotRelease === wantRelease,
+      "flagged-batch docs must not be quarantined out of the released set")
+    // replay of the flagged batch: first write wins on the decision too
+    StreamingOps.dailyIngestMonitoredBatch(spark, df(b3docs), 2L, quota, centroids, root)
+    assert(releaseLog()(2L) === ((1, "release", "novelty_flagged_release_pending_review")))
     spark.catalog.clearCache()
   }
 
-  test("monitored ingest: mid-pipeline crash and full replay leave all sixteen artifacts unchanged") {
+  test("monitored ingest: mid-pipeline crash and full replay leave all seventeen artifacts unchanged") {
     import spark.implicits._
     graft.functions.GraftFunctions.registerAll(spark)
     val cleanRoot = tmp("graft_mingest_clean")
