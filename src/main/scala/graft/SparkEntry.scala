@@ -557,6 +557,8 @@ object SparkEntry {
     // two-proportion z-test between id-parity arms (conversion = a
     // large purchase, value > 150) — the experimentation readout
     "q_ab_test" -> sqlq(Seq("events"), SqlOps.abTest),
+    // difference-in-differences across the arm split and a fixed pivot date
+    "q_did_estimator" -> sqlq(Seq("events"), SqlOps.didEstimator),
     // A/A null-split calibration of the same two-proportion protocol
     // (md5-bucket arms): z-squared must sit under the chi2_1 5% bar
     "q_aa_calibration" -> sqlq(Seq("events"), SqlOps.aaCalibration),
@@ -989,6 +991,10 @@ object SparkEntry {
     "q_user_growth" -> sqlq(Seq("events"), SqlOps.userGrowth),
     "q_zipf_fit" -> sqlStaged(Seq("documents"), SqlOps.zipfFit),
     "q_good_turing" -> sqlStaged(Seq("documents"), SqlOps.goodTuring),
+    // Chao1 unseen-vocabulary richness + Good coverage off the same counts
+    "q_chao1_richness" -> sqlStaged(Seq("documents"), SqlOps.chao1Richness),
+    // Hill tail-index of the token-frequency distribution (top-k order stats)
+    "q_hill_tail" -> sqlStaged(Seq("documents"), SqlOps.hillTail),
     "q_simpson_diversity" -> sqlStaged(Seq("documents"), SqlOps.simpsonDiversity),
     "q_search_phrase" -> sqlStaged(Seq("documents"), SqlOps.searchPhrase),
     "q_shard_rebalance" -> sqlq(Seq("documents"), SqlOps.shardRebalance),
@@ -1679,6 +1685,7 @@ object SparkEntry {
     "q_negative_pairs" -> SqlOps.negativePairs(DuckDialect),
     "q_disorder_profile" -> SqlOps.disorderProfile(DuckDialect),
     "q_ab_test" -> SqlOps.abTest(DuckDialect),
+    "q_did_estimator" -> SqlOps.didEstimator(DuckDialect),
     "q_aa_calibration" -> SqlOps.aaCalibration(DuckDialect),
     "q_runs_test" -> SqlOps.runsTest(DuckDialect),
     "q_lateral_latest" -> SqlOps.lateralLatest(DuckDialect),
@@ -1963,6 +1970,8 @@ object SparkEntry {
         |FROM events GROUP BY CAST(FLOOR(epoch(ts) / 604800.0) AS BIGINT)""".stripMargin,
     "q_zipf_fit" -> SqlOps.zipfFit.single(DuckDialect),
     "q_good_turing" -> SqlOps.goodTuring.single(DuckDialect),
+    "q_chao1_richness" -> SqlOps.chao1Richness.single(DuckDialect),
+    "q_hill_tail" -> SqlOps.hillTail.single(DuckDialect),
     "q_simpson_diversity" -> SqlOps.simpsonDiversity.single(DuckDialect),
     "q_search_phrase" -> SqlOps.searchPhrase.single(DuckDialect),
     "q_shard_rebalance" -> SqlOps.shardRebalance(DuckDialect),

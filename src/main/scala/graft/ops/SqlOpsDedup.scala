@@ -974,6 +974,72 @@ trait SqlOpsDedup { this: SqlOpsAll =>
          |ORDER BY dm.r""".stripMargin
     })
 
+  /** Chao1 species-richness estimate of the vocabulary (Chao 1984,
+    * bias-corrected form) — "how many word types does this corpus'
+    * SOURCE have, including the ones we haven't seen yet": V̂ = V +
+    * N₁(N₁−1)/(2(N₂+1)) from the same frequency-of-frequencies the
+    * Good-Turing readout uses (one shared staged gt_vc — the
+    * estimator and the smoother cannot disagree on the counts), plus
+    * Good's sample-coverage Ĉ = 1 − N₁/N (the fraction of the source
+    * distribution's mass the corpus has already observed — the
+    * "diminishing returns" number a crawl-more decision reads). All
+    * inputs are exact int64 class counts at count-class cardinality;
+    * the correction term is one fixed IEEE expression (N₂ = 0 is
+    * well-defined in the bias-corrected form), coverage is an exact
+    * idiv ppm. */
+  val chao1Richness: StagedOp = StagedOp(
+    stages = goodTuring.stages,
+    body = { d =>
+      s"""WITH ff AS (
+         |  SELECT
+         |    CAST(COUNT(*) AS BIGINT) AS v,
+         |    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n,
+         |    CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n1,
+         |    CAST(COALESCE(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n2
+         |  FROM gt_vc
+         |)
+         |SELECT v AS vocab, n AS n_tokens, n1 AS singletons, n2 AS doubletons,
+         |  ${r6("CAST(v AS DOUBLE) + CAST(n1 AS DOUBLE) * (n1 - 1) / (2.0e0 * (n2 + 1))")} AS chao1,
+         |  CASE WHEN n = 0 THEN NULL
+         |       ELSE ${d.idiv("1000000 * (n - n1)", "n")} END AS coverage_ppm
+         |FROM ff""".stripMargin
+    })
+
+  /** Hill tail-index estimator over the token-frequency distribution
+    * (Hill 1975) — the heavy-tail companion to [[zipfFit]]'s log-log
+    * OLS: the OLS says "roughly a power law", the Hill estimator
+    * measures the tail exponent α from the top-k order statistics
+    * alone, 1/α̂ = (1/k)·Σ_{i≤k} ln(c_(i)/c_(k+1)). k = 16 (the
+    * fixture vocabulary is 31 types; k+1 ranks must exist or the
+    * readout is NULL — the degenerate-input convention). The rank
+    * window runs over the staged vocab-count table (vocab-cardinality,
+    * the zipfFit precedent — never over tokens); each log term is an
+    * exact int64 µ-log2 difference ([[qlog2]]), summed exactly, and
+    * the single ln(2) factor to convert log2→ln is one literal
+    * multiply (a CONSTANT literal both engines share — the
+    * transcendental-pinning rule; only the per-row logs must avoid
+    * engine pow/ln divergence, and qlog2 does). */
+  val hillTail: StagedOp = StagedOp(
+    stages = goodTuring.stages,
+    body = { _ =>
+      val k = 16
+      s"""WITH rk AS (
+         |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, s) AS r FROM gt_vc
+         |),
+         |kth AS (SELECT c AS ck FROM rk WHERE r = ${k + 1}),
+         |s AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_top,
+         |    CAST(COALESCE(SUM(${qlog2("rk.c")} - ${qlog2("kth.ck")}), 0) AS BIGINT) AS slog2
+         |  FROM rk CROSS JOIN kth WHERE rk.r <= $k
+         |)
+         |SELECT $k AS k, n_top, slog2 AS sum_log2_mu,
+         |  CASE WHEN n_top < $k THEN NULL
+         |       ELSE ${r6(s"6.93147180559945e-1 * slog2 / (1.0e6 * $k)")} END AS hill_inv,
+         |  CASE WHEN n_top < $k OR slog2 = 0 THEN NULL
+         |       ELSE ${r6(s"1.0e6 * $k / (6.93147180559945e-1 * slog2)")} END AS tail_index
+         |FROM s""".stripMargin
+    })
+
   /** Fellegi-Sunter record-linkage weights (Fellegi & Sunter 1969 —
     * the probabilistic-matching standard behind every production
     * entity-resolution stack): for each comparison field, the

@@ -624,18 +624,55 @@ trait SqlOpsSampling { this: SqlOpsAll =>
     * than two rows at any scale. Counts are exact int64; the z value
     * is one fixed IEEE sequence, 6dp-quantized, with a NULL guard on
     * the degenerate all-convert/none-convert pool. */
-  def abTest(d: Dialect): String = {
+  def abTest(d: Dialect): String =
+    s"""WITH ${twoPropCtes("user_id % 2")}
+       |$twoPropZSelect""".stripMargin
+
+  /** The z-readout SELECT over the pivoted `s(n0,c0,n1,c1)` row —
+    * the third shared piece of the two-proportion protocol, consumed
+    * by [[abTest]] and by the STREAMING experiment monitor
+    * ([[graft.streaming.StreamingOps]]`.abMonitorBatch` via
+    * [[abTestFromUsers]]), so the batch readout and the per-batch
+    * stream log compute the identical statistic. */
+  private[graft] def twoPropZSelect: String = {
     val p0 = "(CAST(c0 AS DOUBLE) / n0)"
     val p1 = "(CAST(c1 AS DOUBLE) / n1)"
     val pp = "(CAST(c0 + c1 AS DOUBLE) / (n0 + n1))"
     val se = s"SQRT($pp * (1.0e0 - $pp) * (1.0e0 / n0 + 1.0e0 / n1))"
-    s"""WITH ${twoPropCtes("user_id % 2")}
-       |SELECT n0, c0, n1, c1,
+    s"""SELECT n0, c0, n1, c1,
        |  ${r6(p0)} AS rate_a, ${r6(p1)} AS rate_b,
        |  CASE WHEN $se = 0.0e0 THEN NULL
        |       ELSE ${r6(s"($p0 - $p1) / $se")} END AS z_score
        |FROM s""".stripMargin
   }
+
+  /** The arm-rollup + pivot CTEs from a (arm, converted) user relation
+    * — shared by [[twoPropCtes]] (which derives the users from the
+    * events table) and [[abTestFromUsers]] (which reads an
+    * already-maintained user-state view). */
+  private[graft] def twoPropAggCtes(from: String): String =
+    s"""a AS (
+       |  SELECT arm, COUNT(*) AS n,
+       |    COUNT(CASE WHEN converted = 1 THEN 1 END) AS conv
+       |  FROM $from GROUP BY arm
+       |),
+       |s AS (
+       |  SELECT
+       |    MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+       |    MAX(CASE WHEN arm = 0 THEN conv END) AS c0,
+       |    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+       |    MAX(CASE WHEN arm = 1 THEN conv END) AS c1
+       |  FROM a
+       |)""".stripMargin
+
+  /** The full two-proportion readout over a user-grain view/table
+    * with (arm, converted) columns — the entry point the streaming
+    * experiment monitor runs per batch against its merged user
+    * state. Identical arithmetic to [[abTest]] by construction (the
+    * same [[twoPropAggCtes]] + [[twoPropZSelect]] pieces). */
+  def abTestFromUsers(usersView: String): String =
+    s"""WITH ${twoPropAggCtes(usersView)}
+       |$twoPropZSelect""".stripMargin
 
   /** The two-proportion protocol (arm split → per-user conversion →
     * 2-arm rollup → one wide row) shared by [[abTest]] and
@@ -655,19 +692,7 @@ trait SqlOpsSampling { this: SqlOpsAll =>
        |    MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted
        |  FROM events GROUP BY user_id
        |),
-       |a AS (
-       |  SELECT arm, COUNT(*) AS n,
-       |    COUNT(CASE WHEN converted = 1 THEN 1 END) AS conv
-       |  FROM u GROUP BY arm
-       |),
-       |s AS (
-       |  SELECT
-       |    MAX(CASE WHEN arm = 0 THEN n END) AS n0,
-       |    MAX(CASE WHEN arm = 0 THEN conv END) AS c0,
-       |    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
-       |    MAX(CASE WHEN arm = 1 THEN conv END) AS c1
-       |  FROM a
-       |)""".stripMargin
+       |${twoPropAggCtes("u")}""".stripMargin
 
   /** A/A calibration of the experimentation readout — the null-split
     * sanity every A/B platform runs before trusting its p-values:
@@ -694,6 +719,53 @@ trait SqlOpsSampling { this: SqlOpsAll =>
        |  CASE WHEN $se2 = 0.0e0 THEN NULL
        |       WHEN $z2 < 3.8416e0 THEN 1 ELSE 0 END AS calibrated
        |FROM s""".stripMargin
+  }
+
+  /** Difference-in-differences estimator over the event stream — the
+    * panel-data causal readout next to [[abTest]]'s cross-sectional z:
+    * with arms as groups (the id-parity assignment) and a fixed
+    * intervention date as the period split, DiD = (ȳ_T,post −
+    * ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) nets out both the stable
+    * group difference and the common time trend — the estimate an
+    * experimentation platform reports when assignment predates the
+    * launch. Cell sums are DECIMAL-exact (order-independent); the
+    * four means and their double difference are one fixed IEEE
+    * expression on exact operands, r6'd; NULL when any cell is empty
+    * (a DiD with a missing cell is undefined, not zero). Shape: one
+    * narrow scan (the NULL guard pushes; the period split is a
+    * projected CASE), one map-side-combined 4-group aggregate, scalar
+    * arithmetic — nothing after the groupBy touches more than 4 rows
+    * at any scale. */
+  def didEstimator(d: Dialect): String = {
+    def mean(g: Int, p: Int) =
+      s"(CAST(s$g$p AS DOUBLE) / n$g$p)"
+    val cells = (for (g <- 0 to 1; p <- 0 to 1) yield {
+      s"""CAST(SUM(CASE WHEN arm = $g AND post = $p THEN 1 ELSE 0 END) AS BIGINT) AS n$g$p,
+         |    CAST(SUM(CASE WHEN arm = $g AND post = $p THEN vq ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS s$g$p"""
+        .stripMargin
+    }).mkString(",\n    ")
+    s"""WITH e AS (
+       |  SELECT user_id % 2 AS arm,
+       |    CASE WHEN ts >= CAST('2024-01-16' AS TIMESTAMP) THEN 1 ELSE 0 END AS post,
+       |    CAST(value AS DECIMAL(18,2)) AS vq
+       |  FROM events
+       |  -- a NULL value must not enter n while being skipped by the sum
+       |  WHERE value IS NOT NULL
+       |),
+       |c AS (
+       |  SELECT
+       |    $cells
+       |  FROM e
+       |)
+       |SELECT n00, n01, n10, n11,
+       |  CASE WHEN n00 = 0 THEN NULL ELSE ${r6(mean(0, 0))} END AS mean_ctrl_pre,
+       |  CASE WHEN n01 = 0 THEN NULL ELSE ${r6(mean(0, 1))} END AS mean_ctrl_post,
+       |  CASE WHEN n10 = 0 THEN NULL ELSE ${r6(mean(1, 0))} END AS mean_treat_pre,
+       |  CASE WHEN n11 = 0 THEN NULL ELSE ${r6(mean(1, 1))} END AS mean_treat_post,
+       |  CASE WHEN n00 = 0 OR n01 = 0 OR n10 = 0 OR n11 = 0 THEN NULL
+       |       ELSE ${r6(s"(${mean(1, 1)} - ${mean(1, 0)}) - (${mean(0, 1)} - ${mean(0, 0)})")}
+       |  END AS did_estimate
+       |FROM c""".stripMargin
   }
 
   /** Wald–Wolfowitz RUNS TEST of the corpus's STORAGE ORDER — the

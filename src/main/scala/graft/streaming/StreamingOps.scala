@@ -1949,6 +1949,66 @@ object StreamingOps {
       }
   }
 
+  /** Streaming EXPERIMENT monitor — the per-batch twin of the batch
+    * two-proportion readout ([[graft.ops.SqlOps.abTest]]): arriving
+    * events fold into a user-grain conversion state
+    * (`<root>/ab_users`, cols user_id, arm, converted) merged by MAX
+    * — a user who ever made a value>150 purchase stays converted, so
+    * at-least-once redelivery is a no-op by construction — and each
+    * drained batch appends its cumulative z readout to
+    * `<root>/ab_log` (first-write-wins by batch_seq, the history
+    * convention: a replayed batch's row is whatever the ORIGINAL
+    * drain saw, even if the state has since advanced). The statistic
+    * itself is the SAME rendered SQL as the batch test
+    * ([[graft.ops.SqlOps.abTestFromUsers]] — shared twoPropAggCtes +
+    * twoPropZSelect pieces), so stream and batch cannot drift; the
+    * parity spec asserts the final log row equals q_ab_test over the
+    * union of all delivered events. Scale: the state is
+    * user-cardinality, the per-batch work is one batch-grain
+    * aggregate plus a user-grain MAX merge — cost ∝ batch + state,
+    * the ingest-artifact discipline. */
+  def abMonitorBatch(spark: SparkSession, batch: DataFrame,
+                     batchSeq: Long, root: String): Unit = {
+    val delta = batch
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1)
+        .otherwise(0)).cast("int").as("converted"))
+      .withColumn("arm", col("user_id") % 2)
+      .select("user_id", "arm", "converted")
+    publishParquet(spark, s"$root/ab_users") { current =>
+      val all = current match {
+        case Some(cur) => cur.unionByName(delta)
+        case None => delta
+      }
+      all.groupBy("user_id", "arm")
+        .agg(max(col("converted")).cast("int").as("converted"))
+    }
+    val st = readState(spark, s"$root/ab_users")
+      .getOrElse(sys.error(s"ab-monitor: $root/ab_users missing after publish"))
+    // foreachBatch gotcha: register the view on the DataFrame's OWN
+    // session (a micro-batch clone) and run the SQL there too
+    val ss = st.sparkSession
+    st.createOrReplaceTempView("__ab_users")
+    val z = ss.sql(graft.ops.SqlOps.abTestFromUsers("__ab_users"))
+      .withColumn("batch_seq", lit(batchSeq))
+      .select("batch_seq", "n0", "c0", "n1", "c1", "rate_a", "rate_b", "z_score")
+    publishParquet(spark, s"$root/ab_log") { current =>
+      firstWriteWins(z, current)
+    }
+    ss.catalog.dropTempView("__ab_users")
+  }
+
+  /** The streaming wrapper: each micro-batch of raw events folds into
+    * the conversion state and appends its z row. */
+  def abMonitor(events: DataFrame, stateRoot: String, checkpointDir: String) = {
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        abMonitorBatch(batch.sparkSession, batch, batchId, stateRoot)
+      }
+  }
+
   // --------------------------------------------------------------------
   // Exactly-once JDBC sink: the reference's staging-table merge
   // (etl.Load.jdbcUpsert) made redelivery-safe for foreachBatch.

@@ -2901,11 +2901,14 @@ class MicroOracleSpec extends SparkSpec {
     val groups = mixed.zipWithIndex.groupBy { case (_, i) => dow(i) }
     val syy = mixed.map(v => v * v).sum
     val sy = mixed.sum; val n = mixed.size
+    // each group term is FLOOR'd to int64 before the sum (the SQL's
+    // float-sum parity rule — a plain double sum is order-dependent)
     val bg = groups.values.map { g =>
-      val s = g.map(_._1).sum; s.toDouble * s / g.size
+      val s = g.map(_._1).sum
+      math.floor(s.toDouble * s / g.size + 0.5).toLong
     }.sum
     val sst = syy.toDouble - sy.toDouble * sy / n
-    assert(got === r6(math.max(0.0, 1.0 - (syy - bg) / sst)))
+    assert(got === r6(math.max(0.0, 1.0 - (syy - bg.toDouble) / sst)))
     assert(got > 0.5, s"weekly signal should dominate: $got")
     spark.catalog.dropTempView("orders")
   }
@@ -4168,6 +4171,27 @@ class MicroOracleSpec extends SparkSpec {
     assert(got.keys.count(_._1 == 1L) === 10 && got.keys.count(_._1 == 4L) === 5)
     // DC bin (k = 0) is (Σx·1e6)² — strictly positive on ASCII payloads
     assert(got((1L, 0, 0)) > 0L)
+    spark.catalog.dropTempView("documents")
+  }
+
+  test("chao1 on planted singletons: the correction term and coverage follow the closed form") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // the shared fixture has NO singletons (31 types, all frequent) —
+    // plant some: 'rare1'..'rare3' once each, 'pair1'/'pair2' twice,
+    // 'common' fills the mass. V=6, N1=3, N2=2.
+    val docs = Seq(
+      (0L, "common common common rare1 pair1"),
+      (1L, "common common rare2 pair2 pair1"),
+      (2L, "common common rare3 pair2 common"))
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val r = spark.sql(SqlOps.chao1Richness.single(SparkDialect)).collect()(0)
+    val (v, n, n1, n2) = (6L, 15L, 3L, 2L)
+    assert(r.getAs[Long]("vocab") === v && r.getAs[Long]("n_tokens") === n)
+    assert(r.getAs[Long]("singletons") === n1 && r.getAs[Long]("doubletons") === n2)
+    // V + N1(N1−1)/(2(N2+1)) = 6 + 3·2/6 = 7
+    assert(r.getAs[Double]("chao1") === 7.0)
+    assert(r.getAs[Long]("coverage_ppm") === 1000000L * (n - n1) / n)
     spark.catalog.dropTempView("documents")
   }
 

@@ -364,6 +364,70 @@ class OpsSpec extends SparkSpec {
     spark.catalog.dropTempView("ivfd_cent_fresh")
   }
 
+  test("chao1 richness is consistent with the Good-Turing table and its own closed form") {
+    def q6(x: Double) = math.floor(x * 1.0e6 + 0.5) / 1.0e6
+    val gt = run("q_good_turing").collect()
+      .map(r => r.getAs[Long]("r") -> r).toMap
+    val ch = run("q_chao1_richness").collect().head
+    // the two ops read ONE staged gt_vc — their class counts must agree
+    assert(ch.getAs[Long]("singletons") === gt(1L).getAs[Long]("n_r"))
+    assert(ch.getAs[Long]("doubletons") === gt(2L).getAs[Long]("n_r"))
+    assert(ch.getAs[Long]("vocab") === gt(1L).getAs[Long]("vocab"))
+    assert(ch.getAs[Long]("n_tokens") === gt(1L).getAs[Long]("n_tokens"))
+    val (v, n, n1, n2) = (ch.getAs[Long]("vocab"), ch.getAs[Long]("n_tokens"),
+      ch.getAs[Long]("singletons"), ch.getAs[Long]("doubletons"))
+    assert(ch.getAs[Double]("chao1") ===
+      q6(v.toDouble + n1.toDouble * (n1 - 1) / (2.0 * (n2 + 1))))
+    assert(ch.getAs[Long]("coverage_ppm") === 1000000L * (n - n1) / n)
+    // richness can never undercut the observed vocabulary
+    assert(ch.getAs[Double]("chao1") >= v.toDouble)
+  }
+
+  test("hill tail index equals an independent top-k order-statistics replay") {
+    def q6(x: Double) = math.floor(x * 1.0e6 + 0.5) / 1.0e6
+    val got = run("q_hill_tail").collect().head
+    // the run staged gt_vc as a temp view — replay the estimator off it
+    val counts = spark.sql("SELECT s, c FROM gt_vc").collect()
+      .map(r => (r.getAs[String]("s"), r.getAs[Long]("c")))
+      .sortBy { case (s, c) => (-c, s) }
+    def ql(x: Long): Long =
+      math.floor(math.log(x.toDouble) / math.log(2.0) * 1e6 + 0.5).toLong
+    val k = 16
+    assert(counts.size >= k + 1, "fixture vocabulary must cover k+1 ranks")
+    val ck = counts(k)._2 // rank k+1, 0-indexed
+    val slog2 = counts.take(k).map { case (_, c) => ql(c) - ql(ck) }.sum
+    assert(got.getAs[Long]("sum_log2_mu") === slog2)
+    assert(got.getAs[Double]("hill_inv") === q6(0.693147180559945 * slog2 / (1.0e6 * k)))
+    assert(got.getAs[Double]("tail_index") === q6(1.0e6 * k / (0.693147180559945 * slog2)))
+  }
+
+  test("difference-in-differences equals an independent four-cell replay") {
+    def q6(x: Double) = math.floor(x * 1.0e6 + 0.5) / 1.0e6
+    val got = run("q_did_estimator").collect().head
+    val pivot = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val ev = graft.Tables.events(spark, sf001)
+      .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value").collect()
+      .map(r => (r.getAs[Long]("user_id") % 2,
+        if (!r.getAs[java.sql.Timestamp]("ts").before(pivot)) 1 else 0,
+        // valueOf (Double.toString repr), not the exact-binary ctor —
+        // Spark's double→DECIMAL cast goes through valueOf semantics
+        BigDecimal.valueOf(r.getAs[Double]("value")).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    def cell(g: Long, p: Int) = {
+      val rows = ev.filter(e => e._1 == g && e._2 == p)
+      (rows.size.toLong, rows.map(_._3).sum)
+    }
+    val m = Map(
+      (0, 0) -> cell(0, 0), (0, 1) -> cell(0, 1),
+      (1, 0) -> cell(1, 0), (1, 1) -> cell(1, 1))
+    def mean(g: Int, p: Int) = m((g, p))._2.toDouble / m((g, p))._1
+    assert(got.getAs[Long]("n00") === m((0, 0))._1)
+    assert(got.getAs[Long]("n11") === m((1, 1))._1)
+    assert(got.getAs[Double]("mean_ctrl_pre") === q6(mean(0, 0)))
+    assert(got.getAs[Double]("mean_treat_post") === q6(mean(1, 1)))
+    assert(got.getAs[Double]("did_estimate") ===
+      q6((mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))))
+  }
+
   test("brier decomposition: Murphy identity against a directly-computed binned Brier") {
     def q6(x: Double) = math.floor(x * 1.0e6 + 0.5) / 1.0e6
     val cal = run("q_quality_calibration").collect()

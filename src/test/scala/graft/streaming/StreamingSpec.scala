@@ -381,6 +381,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch.filter(_._2 > 0))
   }
 
+  test("streaming experiment monitor: cumulative z equals the batch two-proportion " +
+    "test; replay is a no-op; late conversions flip the state") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_abmon").toString
+    // 8 users (4 per arm); the value>150 conversion rule straddled on
+    // purpose (u5 purchases 149 — never converts); u7 and u6 convert
+    // only in batch 2, so the state must FLIP, not re-derive
+    def ev(id: Long, u: Long, t: String, v: Double) = (id, u, t, v)
+    val b1 = Seq(
+      ev(1, 0, "purchase", 200.0), ev(2, 1, "view", 10.0),
+      ev(3, 2, "purchase", 100.0), ev(4, 3, "purchase", 160.0),
+      ev(5, 4, "click", 5.0), ev(6, 5, "purchase", 149.0),
+      ev(7, 6, "view", 1.0), ev(8, 7, "purchase", 10.0))
+    val b2 = Seq(
+      ev(9, 7, "purchase", 400.0), ev(10, 6, "purchase", 155.0),
+      ev(11, 2, "view", 2.0))
+    def df(rows: Seq[(Long, Long, String, Double)]) =
+      rows.toDF("event_id", "user_id", "event_type", "value")
+    StreamingOps.abMonitorBatch(spark, df(b1), 0L, root)
+    StreamingOps.abMonitorBatch(spark, df(b2), 1L, root)
+    // replay batch 0 wholesale: MAX-merge state and the first-write-wins
+    // log must both be unchanged (u7's replayed converted=0 must NOT
+    // regress the state)
+    val usersBefore = spark.read.parquet(s"$root/ab_users").collect().map(_.toSeq).toSet
+    val logBefore = spark.read.parquet(s"$root/ab_log").collect().map(_.toSeq).toSet
+    StreamingOps.abMonitorBatch(spark, df(b1), 0L, root)
+    assert(spark.read.parquet(s"$root/ab_users").collect().map(_.toSeq).toSet === usersBefore)
+    assert(spark.read.parquet(s"$root/ab_log").collect().map(_.toSeq).toSet === logBefore)
+    // parity: the cumulative batch-1 row equals the batch q_ab_test SQL
+    // over the union of everything delivered — identical columns, same
+    // rendered z arithmetic
+    df(b1 ++ b2).createOrReplaceTempView("events")
+    val want = spark.sql(graft.ops.SqlOps.abTest(graft.ops.SparkDialect))
+      .collect().head.toSeq
+    val got = spark.read.parquet(s"$root/ab_log")
+      .filter(col("batch_seq") === 1L)
+      .select("n0", "c0", "n1", "c1", "rate_a", "rate_b", "z_score")
+      .collect().head.toSeq
+    assert(got === want)
+    val conv = spark.read.parquet(s"$root/ab_users").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("converted")).toMap
+    assert(conv(7L) === 1 && conv(6L) === 1 && conv(5L) === 0)
+    spark.catalog.dropTempView("events")
+  }
+
   test("streaming conformal gate admits exactly the batch conf >= tau set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
