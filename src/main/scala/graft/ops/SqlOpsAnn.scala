@@ -222,10 +222,14 @@ trait SqlOpsAnn { this: SqlOpsAll =>
          |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM ivf_nvc GROUP BY cell
          |),
          |m AS (
+         |  -- the guard bounds the PRODUCTS the readout forms, not the
+         |  -- raw cell size: 1e6*s2 and 1e6*max_n*n_cells must fit
+         |  -- int64, and the double-evaluated bound cannot itself wrap
          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
          |    CAST(SUM(n) AS BIGINT) AS total,
-         |    CASE WHEN MAX(n) > 3000000000
-         |      THEN CAST('ivf-balance: cell size exceeds the n^2 int64 envelope' AS BIGINT)
+         |    CASE WHEN 1.0e6 * CAST(SUM(n * n) AS DOUBLE) > 9.0e18
+         |           OR 1.0e6 * CAST(MAX(n) AS DOUBLE) * COUNT(*) > 9.0e18
+         |      THEN CAST('ivf-balance: ppm products exceed the int64 envelope — rescale' AS BIGINT)
          |      ELSE CAST(MAX(n) AS BIGINT) END AS max_n,
          |    CAST(MIN(n) AS BIGINT) AS min_n,
          |    CAST(SUM(n * n) AS BIGINT) AS s2
@@ -365,7 +369,14 @@ trait SqlOpsAnn { this: SqlOpsAll =>
          |    CAST(SUM(CASE WHEN indeg >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS hubs
          |  FROM deg
          |)
-         |SELECT n AS n_vectors, s1 AS total_edges, mx AS max_indegree,
+         |SELECT n AS n_vectors, s1 AS total_edges,
+         |  -- loud envelope: the cube sum is bounded by n*mx^3 (and by
+         |  -- s1*mx^2); evaluated in DOUBLE so the GUARD cannot wrap
+         |  -- even where the int64 moment already would have — the row
+         |  -- errors before a silently-wrapped skewness can be read
+         |  CASE WHEN CAST(n AS DOUBLE) * mx * mx * mx > 9.0e18
+         |    THEN CAST('hubness: indeg^3 moment exceeds the int64 envelope — move moments to DECIMAL' AS BIGINT)
+         |    ELSE mx END AS max_indegree,
          |  antihubs AS antihub_count, hubs AS hub_count,
          |  CASE WHEN n < 2 OR $m2 <= 0.0e0 THEN NULL
          |       ELSE ${r6(s"$m3 / ($m2 * SQRT($m2))")} END AS indegree_skewness

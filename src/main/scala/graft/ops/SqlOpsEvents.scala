@@ -1183,9 +1183,12 @@ trait SqlOpsEvents { this: SqlOpsAll =>
        |  CASE WHEN t.n < 2 OR CAST(t.syy AS DOUBLE) - CAST(t.sy AS DOUBLE) * t.sy / t.n <= 0.0e0
        |       THEN NULL
        |       ELSE ${r6(
-                 "GREATEST(0.0e0, 1.0e0 - " +
+                 // LEAST: the half-up per-group rounding of bg can
+                 // overshoot SSW=0 by up to 3.5 units and push the
+                 // variance fraction marginally past 1 on tiny SST
+                 "LEAST(1.0e0, GREATEST(0.0e0, 1.0e0 - " +
                  "(CAST(t.syy AS DOUBLE) - CAST(b.bg AS DOUBLE)) " +
-                 "/ (CAST(t.syy AS DOUBLE) - CAST(t.sy AS DOUBLE) * t.sy / t.n))")}
+                 "/ (CAST(t.syy AS DOUBLE) - CAST(t.sy AS DOUBLE) * t.sy / t.n)))")}
        |  END AS seasonal_strength
        |FROM t CROSS JOIN b""".stripMargin
 

@@ -397,16 +397,21 @@ trait SqlOpsSampling { this: SqlOpsAll =>
        |tw AS (
        |  $tw
        |),
+       |js AS (${(0 to 7).map(j => s"SELECT $j AS j").mkString(" UNION ALL ")}),
        |samp AS (
-       |  SELECT w.doc_id, w.win_no, t.k, t.cq, t.sq,
-       |    ascii(substr(w.text, CAST(w.win_no * 192 + 1 + 32 * t.j AS INT), 1)) AS x
-       |  FROM w CROSS JOIN tw t
+       |  -- bytes extracted ONCE per (window, j) on the 8-row j spine;
+       |  -- the 5 k rows join the already-read byte (reading inside the
+       |  -- 40-row spine evaluated every substr/ascii five times)
+       |  SELECT w.doc_id, w.win_no, js.j,
+       |    ascii(substr(w.text, CAST(w.win_no * 192 + 1 + 32 * js.j AS INT), 1)) AS x
+       |  FROM w CROSS JOIN js
        |),
        |sp AS (
-       |  SELECT doc_id, win_no, k,
-       |    CAST(SUM(x * cq) AS BIGINT) AS xr,
-       |    CAST(SUM(x * sq) AS BIGINT) AS xi
-       |  FROM samp GROUP BY doc_id, win_no, k
+       |  SELECT s.doc_id, s.win_no, t.k,
+       |    CAST(SUM(s.x * t.cq) AS BIGINT) AS xr,
+       |    CAST(SUM(s.x * t.sq) AS BIGINT) AS xi
+       |  FROM samp s JOIN tw t ON t.j = s.j
+       |  GROUP BY s.doc_id, s.win_no, t.k
        |)
        |SELECT doc_id, CAST(win_no AS INT) AS win_no, CAST(k AS INT) AS k,
        |  CAST(xr * xr + xi * xi AS BIGINT) AS power_mu2
@@ -634,15 +639,21 @@ trait SqlOpsSampling { this: SqlOpsAll =>
     * ([[graft.streaming.StreamingOps]]`.abMonitorBatch` via
     * [[abTestFromUsers]]), so the batch readout and the per-batch
     * stream log compute the identical statistic. */
+  // the two-proportion expression strings — ONE copy consumed by the
+  // z readout AND the A/A calibration, so the pooled-variance formula
+  // cannot fork between the real test and its null check
+  private[ops] val TwoPropP0 = "(CAST(c0 AS DOUBLE) / n0)"
+  private[ops] val TwoPropP1 = "(CAST(c1 AS DOUBLE) / n1)"
+  private[ops] val TwoPropPooled = "(CAST(c0 + c1 AS DOUBLE) / (n0 + n1))"
+  private[ops] val TwoPropSe2 =
+    s"($TwoPropPooled * (1.0e0 - $TwoPropPooled) * (1.0e0 / n0 + 1.0e0 / n1))"
+
   private[graft] def twoPropZSelect: String = {
-    val p0 = "(CAST(c0 AS DOUBLE) / n0)"
-    val p1 = "(CAST(c1 AS DOUBLE) / n1)"
-    val pp = "(CAST(c0 + c1 AS DOUBLE) / (n0 + n1))"
-    val se = s"SQRT($pp * (1.0e0 - $pp) * (1.0e0 / n0 + 1.0e0 / n1))"
+    val se = s"SQRT($TwoPropSe2)"
     s"""SELECT n0, c0, n1, c1,
-       |  ${r6(p0)} AS rate_a, ${r6(p1)} AS rate_b,
+       |  ${r6(TwoPropP0)} AS rate_a, ${r6(TwoPropP1)} AS rate_b,
        |  CASE WHEN $se = 0.0e0 THEN NULL
-       |       ELSE ${r6(s"($p0 - $p1) / $se")} END AS z_score
+       |       ELSE ${r6(s"($TwoPropP0 - $TwoPropP1) / $se")} END AS z_score
        |FROM s""".stripMargin
   }
 
@@ -708,15 +719,15 @@ trait SqlOpsSampling { this: SqlOpsAll =>
     * expression on exact int64 counts; NULL on the degenerate
     * all/none-convert pool. */
   def aaCalibration(d: Dialect): String = {
-    val p0 = "(CAST(c0 AS DOUBLE) / n0)"
-    val p1 = "(CAST(c1 AS DOUBLE) / n1)"
-    val pp = "(CAST(c0 + c1 AS DOUBLE) / (n0 + n1))"
-    val se2 = s"($pp * (1.0e0 - $pp) * (1.0e0 / n0 + 1.0e0 / n1))"
-    val z2 = s"(($p0 - $p1) * ($p0 - $p1) / $se2)"
+    val z2 = s"(($TwoPropP0 - $TwoPropP1) * ($TwoPropP0 - $TwoPropP1) / $TwoPropSe2)"
+    // IS NULL first: an empty arm leaves se2 NULL, and `se2 = 0` is
+    // then NULL too — without the explicit guard both WHENs skip and
+    // ELSE 0 falsely reports a FAILED calibration on degenerate input
     s"""WITH ${twoPropCtes(s"${md5Bucket("CAST(user_id AS STRING)")} % 2")}
        |SELECT n0, c0, n1, c1,
-       |  CASE WHEN $se2 = 0.0e0 THEN NULL ELSE ${r6(z2)} END AS z_squared,
-       |  CASE WHEN $se2 = 0.0e0 THEN NULL
+       |  CASE WHEN $TwoPropSe2 IS NULL OR $TwoPropSe2 = 0.0e0 THEN NULL
+       |       ELSE ${r6(z2)} END AS z_squared,
+       |  CASE WHEN $TwoPropSe2 IS NULL OR $TwoPropSe2 = 0.0e0 THEN NULL
        |       WHEN $z2 < 3.8416e0 THEN 1 ELSE 0 END AS calibrated
        |FROM s""".stripMargin
   }

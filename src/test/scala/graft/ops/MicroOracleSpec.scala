@@ -2908,7 +2908,7 @@ class MicroOracleSpec extends SparkSpec {
       math.floor(s.toDouble * s / g.size + 0.5).toLong
     }.sum
     val sst = syy.toDouble - sy.toDouble * sy / n
-    assert(got === r6(math.max(0.0, 1.0 - (syy - bg.toDouble) / sst)))
+    assert(got === r6(math.min(1.0, math.max(0.0, 1.0 - (syy - bg.toDouble) / sst))))
     assert(got > 0.5, s"weekly signal should dominate: $got")
     spark.catalog.dropTempView("orders")
   }

@@ -321,7 +321,10 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val gated = Seq("q_revenue_by_nation", "q_returned_items", "q_volume_shipping",
       "q_local_supplier_volume", "q_min_cost_supplier", "q_market_share",
-      "q_revenue_by_brand", "q_large_volume_customer", "q_product_profit")
+      "q_revenue_by_brand", "q_large_volume_customer", "q_product_profit",
+      "q_shipping_priority", "q_promo_revenue", "q_top_supplier",
+      "q_small_qty_revenue", "q_disjunctive_revenue", "q_waiting_orders",
+      "q_important_parts", "q_parts_supplier_count", "q_dormant_customers")
     val scaling = Seq("customer", "supplier", "part.parquet")
     gated.foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf001)
