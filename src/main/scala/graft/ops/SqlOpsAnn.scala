@@ -157,8 +157,10 @@ trait SqlOpsAnn { this: SqlOpsAll =>
     * [[annEval]] drift-check pattern; the exact side is O(K·N) with
     * K = 32 at ANY corpus scale, never the full eval slice). A
     * shortlist neighbor missing from the probed cells counts as a
-    * miss via the LEFT JOIN. MicroOracleSpec pins the measured
-    * recall floor on the fixture. */
+    * miss via the LEFT JOIN; the denominator is the query's own
+    * exact-side row count (the [[annQuantRecall]] rule — a sub-3-row
+    * exact list must not read as understated recall). MicroOracleSpec
+    * pins the measured recall floor on the fixture. */
   val attrShortlistRecall: StagedOp = StagedOp(
     stages = trainAttribution.stages,
     body = { d =>
@@ -176,7 +178,7 @@ trait SqlOpsAnn { this: SqlOpsAll =>
          |  ) WHERE rk <= 3
          |)
          |SELECT e.query_id, CAST(COUNT(l.train_id) AS BIGINT) AS n_hit,
-         |  ${r6("CAST(COUNT(l.train_id) AS DOUBLE) / 3")} AS recall_at_3
+         |  ${r6("CAST(COUNT(l.train_id) AS DOUBLE) / COUNT(*)")} AS recall_at_3
          |FROM ex e LEFT JOIN attr_sl l
          |  ON l.eval_id = e.query_id AND l.train_id = e.neighbor_id
          |GROUP BY e.query_id""".stripMargin
@@ -212,14 +214,29 @@ trait SqlOpsAnn { this: SqlOpsAll =>
     * n_c/N and then scans n_c) — exact integer arithmetic off one
     * cell-cardinality aggregate; Σn² is loud-guarded against the
     * int64 envelope (n_c ≤ 3e9). Everything after the one groupBy is
-    * cell-cardinality. */
+    * cell-cardinality.
+    *
+    * The cell domain is the staged CENTROID table, not the
+    * assignment's GROUP BY: a centroid that attracted zero vectors is
+    * exactly the worst imbalance (dead index capacity), and a
+    * groupBy over assignments can never see it — n_cells would
+    * undercount, min_n could never report 0, and max_over_mean_ppm
+    * would understate in precisely the case the audit exists for.
+    * Empty cells come back through the LEFT JOIN as n = 0 rows (the
+    * [[annHubness]] "an antihub is a ROW" rule). */
   val ivfBalance: StagedOp = StagedOp(
     stages = Seq(
       "emb_nv" -> nvStage,
-      "ivf_nvc" -> { d => d.ivfAssign(ivfCentCtes(d)) }),
+      "ivf_nvc" -> { d => d.ivfAssign(ivfCentCtes(d)) },
+      "ivf_cent" -> { d =>
+        s"WITH ${ivfCentCtes(d)} SELECT label, pos, qc FROM cent"
+      }),
     body = { d =>
       s"""WITH c AS (
-         |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM ivf_nvc GROUP BY cell
+         |  SELECT l.label AS cell, CAST(COUNT(a.vec_id) AS BIGINT) AS n
+         |  FROM (SELECT DISTINCT label FROM ivf_cent) l
+         |  LEFT JOIN ivf_nvc a ON a.cell = l.label
+         |  GROUP BY l.label
          |),
          |m AS (
          |  -- the guard bounds the PRODUCTS the readout forms, not the
@@ -256,7 +273,16 @@ trait SqlOpsAnn { this: SqlOpsAll =>
     * comparator discipline as every other ranking here. The
     * HAVING = 64 completeness guard keeps prefix dots from winning
     * argmins (the ivfd rule). A quantized neighbor missing from the
-    * exact top-3 counts as a miss via the LEFT JOIN. */
+    * exact top-3 counts as a miss via the LEFT JOIN. The recall
+    * denominator is the query's OWN exact-side row count (COUNT(*)
+    * of the group), not the literal 3: a corpus so small that a
+    * query's exact top-3 has fewer than 3 rows must not read as
+    * understated recall. Rounding convention here and throughout:
+    * r6 is FLOOR(x·10⁶ + 0.5)/10⁶ — HALF-UP, which for negative
+    * halves rounds toward +inf (−0.0000005 → 0), not banker's or
+    * half-away; both engines evaluate the same IEEE expression so
+    * the convention is bit-identical cross-engine. Recall is in
+    * [0,1] so no negative operand reaches it. */
   val annQuantRecall: StagedOp = StagedOp(
     stages = Seq("emb_nv" -> nvStage),
     body = { d =>
@@ -308,7 +334,7 @@ trait SqlOpsAnn { this: SqlOpsAll =>
          |)
          |SELECT e.query_id,
          |  CAST(COUNT(x.neighbor_id) AS BIGINT) AS n_hit,
-         |  ${r6("CAST(COUNT(x.neighbor_id) AS DOUBLE) / 3")} AS recall_at_3
+         |  ${r6("CAST(COUNT(x.neighbor_id) AS DOUBLE) / COUNT(*)")} AS recall_at_3
          |FROM ex e LEFT JOIN qx x
          |  ON x.query_id = e.query_id AND x.neighbor_id = e.neighbor_id
          |GROUP BY e.query_id""".stripMargin

@@ -798,7 +798,15 @@ trait SqlOpsSampling { this: SqlOpsAll =>
     * loud-guarded (the CASE-throw discipline). Direction is the SIGN
     * of A: negative = fewer runs than chance = clustered (the
     * bad-shuffle verdict), positive = alternating. NULL verdict on
-    * one-class or 2n₁n₀ = n degenerate inputs. */
+    * one-class or 2n₁n₀ = n degenerate inputs.
+    *
+    * The dense-id contract is ENFORCED, not assumed: with gaps in
+    * doc_id (filtering/deletes upstream) the +1 adjacency join
+    * silently undercounts flips while n/n₁ still count every row —
+    * a bias toward 'clustered' that reads like a real bad shuffle.
+    * The guard is one cheap check off the same aggregate
+    * (MAX − MIN + 1 = COUNT(*)): when it fails, z is NULL and the
+    * verdict is the loud 'ids_not_dense' instead of a biased answer. */
   def runsTest(d: Dialect): String = {
     val a = "(runs * n - n - 2 * n1 * n0)"
     val den = "(CAST(2 * n1 * n0 AS DOUBLE) * (2 * n1 * n0 - n))"
@@ -812,7 +820,9 @@ trait SqlOpsSampling { this: SqlOpsAll =>
        |    CASE WHEN COUNT(*) > 3000000000
        |      THEN CAST('runs-test: n exceeds the R*n int64 envelope' AS BIGINT)
        |      ELSE CAST(COUNT(*) AS BIGINT) END AS n,
-       |    CAST(SUM(x) AS BIGINT) AS n1
+       |    CAST(SUM(x) AS BIGINT) AS n1,
+       |    CAST(MIN(doc_id) AS BIGINT) AS mn,
+       |    CAST(MAX(doc_id) AS BIGINT) AS mx
        |  FROM sx
        |),
        |fl AS (
@@ -820,16 +830,19 @@ trait SqlOpsSampling { this: SqlOpsAll =>
        |  FROM sx a JOIN sx b ON b.doc_id = a.doc_id + 1 AND a.x <> b.x
        |),
        |r AS (
-       |  SELECT t.n, t.n1, t.n - t.n1 AS n0, fl.flips + 1 AS runs
+       |  SELECT t.n, t.n1, t.n - t.n1 AS n0, fl.flips + 1 AS runs,
+       |    CASE WHEN t.mx - t.mn + 1 = t.n THEN 1 ELSE 0 END AS dense
        |  FROM t CROSS JOIN fl
        |)
        |SELECT n, n1, n0, CAST(runs AS BIGINT) AS runs,
        |  CASE WHEN n1 = 0 OR n0 = 0 THEN NULL
        |       ELSE CAST(FLOOR(CAST(n + 2 * n1 * n0 AS DOUBLE) * 1000000 / n) AS BIGINT)
        |  END AS expected_runs_mu,
-       |  CASE WHEN n1 = 0 OR n0 = 0 OR 2 * n1 * n0 = n OR n < 2 THEN NULL
+       |  CASE WHEN n1 = 0 OR n0 = 0 OR dense = 0 OR 2 * n1 * n0 = n OR n < 2 THEN NULL
        |       ELSE ${r6(z2)} END AS z_squared,
-       |  CASE WHEN n1 = 0 OR n0 = 0 OR 2 * n1 * n0 = n OR n < 2 THEN NULL
+       |  CASE WHEN n1 = 0 OR n0 = 0 THEN NULL
+       |       WHEN dense = 0 THEN 'ids_not_dense'
+       |       WHEN 2 * n1 * n0 = n OR n < 2 THEN NULL
        |       WHEN $z2 <= 3.8416e0 THEN 'random'
        |       WHEN $a < 0 THEN 'clustered'
        |       ELSE 'alternating' END AS verdict

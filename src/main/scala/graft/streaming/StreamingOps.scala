@@ -1986,16 +1986,26 @@ object StreamingOps {
     val st = readState(spark, s"$root/ab_users")
       .getOrElse(sys.error(s"ab-monitor: $root/ab_users missing after publish"))
     // foreachBatch gotcha: register the view on the DataFrame's OWN
-    // session (a micro-batch clone) and run the SQL there too
+    // session (a micro-batch clone) and run the SQL there too.
+    // The view name carries (root, batchSeq) so two abMonitor streams
+    // sharing one session can't race on a fixed name, and the drop is
+    // try/finally so a failing SQL or publish can't leak the view for
+    // the session's lifetime (unsigned hex of root.hashCode keeps the
+    // identifier valid for any root path).
     val ss = st.sparkSession
-    st.createOrReplaceTempView("__ab_users")
-    val z = ss.sql(graft.ops.SqlOps.abTestFromUsers("__ab_users"))
-      .withColumn("batch_seq", lit(batchSeq))
-      .select("batch_seq", "n0", "c0", "n1", "c1", "rate_a", "rate_b", "z_score")
-    publishParquet(spark, s"$root/ab_log") { current =>
-      firstWriteWins(z, current)
+    val view =
+      s"__ab_users_${java.lang.Integer.toHexString(root.hashCode)}_$batchSeq"
+    st.createOrReplaceTempView(view)
+    try {
+      val z = ss.sql(graft.ops.SqlOps.abTestFromUsers(view))
+        .withColumn("batch_seq", lit(batchSeq))
+        .select("batch_seq", "n0", "c0", "n1", "c1", "rate_a", "rate_b", "z_score")
+      publishParquet(spark, s"$root/ab_log") { current =>
+        firstWriteWins(z, current)
+      }
+    } finally {
+      ss.catalog.dropTempView(view); ()
     }
-    ss.catalog.dropTempView("__ab_users")
   }
 
   /** The streaming wrapper: each micro-batch of raw events folds into

@@ -4040,7 +4040,42 @@ class MicroOracleSpec extends SparkSpec {
       assert(got === replay(arr), s"arrangement $want")
       assert(got._7 === want, s"verdict for $want arrangement")
     }
+    // gapped ids: the +1 adjacency join undercounts flips (here it sees
+    // ZERO of them), which without the density guard would read as the
+    // maximally-clustered arrangement — the guard must refuse to answer
+    Seq.tabulate(20)(i => (i.toLong * 2, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang").createOrReplaceTempView("documents")
+    val gapped = spark.sql(SqlOps.runsTest(SparkDialect)).collect()(0)
+    assert(gapped.getAs[String]("verdict") === "ids_not_dense")
+    assert(gapped.isNullAt(gapped.fieldIndex("z_squared")))
     spark.catalog.dropTempView("documents")
+  }
+
+  test("ivf balance: a centroid that attracts zero vectors is a ROW (n=0), " +
+    "not an absence") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val dim = 64
+    def vec(hot: Int): Seq[Float] =
+      Seq.tabulate(dim)(i => if (i == hot) 1.0f else 0.0f)
+    // labels 0 and 1 are tight unit clusters on axes 0 and 1; label 2's
+    // two members sit ON those clusters, so its centroid lands at the
+    // midpoint (0.5, 0.5, 0, …) and attracts NOBODY — the dead-capacity
+    // cell the groupBy-over-assignments rendering could never see
+    val vecs =
+      (0L until 10L).map(i => (i, 0, vec(0))) ++
+      (10L until 20L).map(i => (i, 1, vec(1))) ++
+      Seq((20L, 2, vec(0)), (21L, 2, vec(1)))
+    vecs.toDF("vec_id", "label", "embedding").createOrReplaceTempView("embeddings")
+    val r = spark.sql(SqlOps.ivfBalance.single(SparkDialect)).collect()(0)
+    assert(r.getAs[Long]("n_cells") === 3L, "empty cell must count")
+    assert(r.getAs[Long]("n_vectors") === 22L)
+    assert(r.getAs[Long]("min_n") === 0L, "empty cell must report n=0")
+    assert(r.getAs[Long]("max_n") === 11L)
+    // max/mean with the empty cell in the denominator's cell count:
+    // 11 / (22/3) = 1.5 → 1_500_000 ppm
+    assert(r.getAs[Long]("max_over_mean_ppm") === 1500000L)
+    spark.catalog.dropTempView("embeddings")
   }
 
   test("hubness: SQL skewness equals an independent kNN + moments pass on a planted hub") {
