@@ -165,6 +165,28 @@ object SparkEntry {
     readStage(s, path)
   }
 
+  /** q_pca_deflate's execution path: stage the deflated matrix + its
+    * envelope ([[SqlOps.pcaDeflatePrep]]), run the power-iteration
+    * rounds DRIVER-SIDE (graft.ops.PcaLoop — one matvec job, a 1-row
+    * max, and a dim-bounded 64-row vecmat collect per round, rescale
+    * divisors as SQL literals), and stage only the 64-row result.
+    * This replaces six per-round parquet stages whose ONLY consumer
+    * was this query — each was a full job + parquet roundtrip forced
+    * by the rescale's double reference under CTE inlining. The oracle
+    * still runs the staged-CTE SQL rendering (pcaDeflate.single), so
+    * every Verify run proves the loop equal to the relational form;
+    * MicroOracleSpec additionally pins loop == staged Spark SQL ==
+    * an independent Scala replay. */
+  private def pcaDeflateStaged(s: SparkSession, d: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_stage/${d.hashCode.toHexString}/pcb_out"
+    writeStageOnce(path) {
+      buildStages(Seq("embeddings"), SqlOps.pcaDeflatePrep)(s, d)
+      graft.ops.PcaLoop.deflateComponent2(s).coalesce(1)
+        .write.mode("overwrite").parquet(path)
+    }
+    readStage(s, path)
+  }
+
   private def mergeMain(t: DataFrame): DataFrame =
     t.filter(col("ingest_order") % 2 === 0)
 
@@ -1016,7 +1038,7 @@ object SparkEntry {
     "q_hist_quantiles" -> sqlq(Seq("events"), SqlOps.histogramQuantiles),
     "q_pca_power_iter" -> sqlStaged(Seq("embeddings"), SqlOps.pcaPowerTimed),
     "q_pca_project" -> sqlStaged(Seq("embeddings"), SqlOps.pcaProject),
-    "q_pca_deflate" -> sqlStaged(Seq("embeddings"), SqlOps.pcaDeflate),
+    "q_pca_deflate" -> ((s: SparkSession, d: String) => pcaDeflateStaged(s, d)),
     "q_join_bloom_gate" -> sqlq(Seq("orders", "lineitem"), SqlOps.joinBloomGate),
     // leakage-safe split: the staged cluster map feeds the `clusters`
     // view; the oracle re-derives it via the recursive-CTE closure

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Spark-side driver-loop execution of the Hotelling-deflation power
+  * iteration ([[SqlOpsCuration.pcaDeflate]]'s `pcb_*` round chain),
+  * byte-identical in arithmetic to the staged-SQL rendering the
+  * DuckDB oracle runs.
+  *
+  * WHY a driver loop here: the staged chain materializes SIX
+  * per-round parquet stages (s/w × 3 rounds) purely because the
+  * rescale's MAX(ABS(col)) references its input twice and Spark
+  * inlines CTEs — each stage is a full job + parquet roundtrip, and
+  * the whole chain has exactly ONE consumer (this query), so the
+  * cross-query reuse that justifies the stage cache never applies.
+  * The loop replaces each round with: one matvec job over the staged
+  * deflated matrix (`pcb_cv`, which STAYS a parquet stage — it is
+  * matrix-sized and multiply-referenced), a 1-row max collect, and a
+  * vecmat collect of the POS-CARDINALITY iterate (64 rows — bounded
+  * by the embedding dimension, never by corpus size, so the collect
+  * is the knnBruteForce constant-bounded discipline, not a
+  * driver-side scale-killer). Rescale divisors become SQL literals,
+  * which removes the double-reference that forced materialization.
+  *
+  * Arithmetic parity with the SQL chain, term by term:
+  *  - round-1 start: the envelope target `tq0` multiplies every cv in
+  *    the matvec — the staged `v AS (SELECT DISTINCT pos, tq …)` join
+  *    assigns the same constant to every pos, so SUM(cv·tq0) is the
+  *    identical product set;
+  *  - interior rescales: dm = 1 + (mx−1) DIV tq on positive int64 is
+  *    plain Long division; floorDiv of the possibly-negative iterate
+  *    by the positive dm is Math.floorDiv on the driver and the
+  *    pmod-subtract [[SqlOpsCuration.floorDiv]] rendering in SQL —
+  *    equal by definition for positive divisors;
+  *  - all sums stay CAST(SUM(int64·int64) AS BIGINT) inside Spark SQL
+  *    over the same staged matrix, so overflow semantics and values
+  *    match the staged rendering exactly;
+  *  - the final µ-component conversion runs as ONE Spark SQL over a
+  *    VALUES literal with the shared r6 rendering, so the IEEE
+  *    double sequence is the same expression the oracle evaluates.
+  *
+  * The oracle gate (q_pca_deflate vs pcaDeflate.single in DuckDB)
+  * proves loop == staged-CTE rendering on every Verify run, and the
+  * MicroOracleSpec deflation test additionally pins loop == staged
+  * Spark SQL == the independent Scala replay on the planted fixture. */
+object PcaLoop {
+
+  /** Largest T ≤ 1e6 with terms·mxcv·T ≤ 9.2e18 — the driver twin of
+    * [[SqlOpsCuration.pcaTargetCte]] (double-idiv, floor-of-floor
+    * conservative; all operands positive so DIV == `/`). */
+  private def target(mxcv: Long, terms: Long): Long =
+    math.max(1L, math.min(1000000L, 9200000000000000000L / mxcv / terms))
+
+  /** dm = 1 + (mx−1) DIV tq — positive operands, Long division. */
+  private def divisor(mx: Long, tq: Long): Long = 1L + (mx - 1L) / tq
+
+  /** Second principal component off the staged deflated matrix: the
+    * views `pcb_cv(vec_id, pos, cv)` and `pcb_env(n_vec, n_pos,
+    * mxcv)` must already be registered (SparkEntry.buildStages does).
+    * Returns the 64-row (pos BIGINT, component2 DOUBLE) frame —
+    * identical rows to `SELECT … FROM sc` over the staged pcb_w3. */
+  def deflateComponent2(spark: SparkSession): DataFrame = {
+    // the envelope is a 1-row aggregate with exactly one consumer (the
+    // driver targets below) — collect it directly instead of paying a
+    // parquet stage roundtrip for one row. The deflation is an inner
+    // join of pca_cv with its OWN per-vec_id and per-pos aggregates,
+    // so it preserves the (vec_id, pos) key domain exactly: n_vec and
+    // n_pos come free from the prewarmed pca_env, and only mxcv (which
+    // deflation changes) needs a scan — a plain MAX, no distinct-count
+    // Expand over the matrix
+    val card = spark.sql("SELECT n_vec, n_pos FROM pca_env").collect()(0)
+    val (nVec, nPos) = (card.getLong(0), card.getLong(1))
+    val mxcv = spark.sql(
+      """SELECT GREATEST(COALESCE(CAST(MAX(ABS(cv)) AS BIGINT), 1), 1)
+        |FROM pcb_cv""".stripMargin).collect()(0).getLong(0)
+    val tqS = target(mxcv, math.max(nVec, 1L))
+    val tqW = target(mxcv, math.max(nPos, 1L))
+    val rounds = SqlOps.PcaRounds
+    // v: the current pos-grain iterate as (pos, vq) literals; None =
+    // the all-ones start at tqW (round 1 multiplies by the constant)
+    var v: Option[Array[(Long, Long)]] = None
+    var w: Array[(Long, Long)] = Array.empty
+    def fd(a: String, b: String): String = SqlOps.floorDiv(SparkDialect)(a, b)
+    for (r <- 1 to rounds) {
+      val matvec = v match {
+        case None =>
+          s"""SELECT c.vec_id, CAST(SUM(c.cv * $tqW) AS BIGINT) AS sv
+             |FROM pcb_cv c GROUP BY c.vec_id""".stripMargin
+        case Some(vs) =>
+          val lits = vs.map { case (p, q) => s"($p, $q)" }.mkString(", ")
+          s"""SELECT c.vec_id, CAST(SUM(c.cv * v.vq) AS BIGINT) AS sv
+             |FROM pcb_cv c JOIN (VALUES $lits) v(pos, vq) ON c.pos = v.pos
+             |GROUP BY c.vec_id""".stripMargin
+      }
+      // the N-row matvec is consumed twice (max, then vecmat) —
+      // persist the (tiny: vec-grain, two int64 cols) result instead
+      // of recomputing the matrix join, and drop it before the next
+      // round so the loop's memory footprint stays one iterate
+      // ONE view name across rounds and the round-varying rescale
+      // divisor as a 1-row VALUES (LocalRelation DATA, not an inline
+      // literal): the per-round SQL strings stay byte-identical, so
+      // whole-stage codegen compiles each shape ONCE instead of three
+      // times (a literal dm in the source forces a recompile per round)
+      val sDf = spark.sql(matvec).persist()
+      val sView = "__pcb_s"
+      sDf.createOrReplaceTempView(sView)
+      def t0 = System.nanoTime()
+      val tm = sys.env.contains("SPARK_GRAFT_STAGE_TIMING")
+      def lap(tag: String, from: Long): Unit = if (tm)
+        System.err.println(f"[pcaloop] r$r $tag%-8s ${(System.nanoTime() - from) / 1e9}%6.2fs")
+      try {
+        val tMax = t0
+        val mxS = spark.sql(
+          s"""SELECT GREATEST(COALESCE(CAST(MAX(ABS(sv)) AS BIGINT), 1), 1)
+             |FROM $sView""".stripMargin).collect()(0).getLong(0)
+        lap("max", tMax)
+        val dmS = divisor(mxS, tqS)
+        val tVm = t0
+        w = spark.sql(
+          s"""SELECT CAST(c.pos AS BIGINT) AS pos,
+             |  CAST(SUM(c.cv * ${fd("s.sv", "d.dm")}) AS BIGINT) AS w
+             |FROM pcb_cv c JOIN $sView s ON c.vec_id = s.vec_id
+             |CROSS JOIN (VALUES (CAST($dmS AS BIGINT))) d(dm)
+             |GROUP BY c.pos""".stripMargin)
+          .collect().map(row => (row.getLong(0), row.getLong(1)))
+        lap("vecmat", tVm)
+      } finally {
+        spark.catalog.dropTempView(sView)
+        sDf.unpersist()
+        ()
+      }
+      if (r < rounds) {
+        val mxW = math.max(w.map(x => math.abs(x._2)).foldLeft(1L)(math.max), 1L)
+        val dmW = divisor(mxW, tqW)
+        v = Some(w.map { case (p, x) => (p, Math.floorDiv(x, dmW)) })
+      }
+    }
+    // final µ-component: fixed 1e6 target (the published contract),
+    // r6 evaluated BY Spark SQL over a VALUES literal so the IEEE
+    // double sequence is the exact body expression
+    if (w.isEmpty)
+      return spark.sql(
+        "SELECT CAST(pos AS BIGINT) AS pos, CAST(c2 AS DOUBLE) AS component2 " +
+          "FROM (VALUES (0, 0.0)) t(pos, c2) WHERE 1 = 0")
+    val mxF = math.max(w.map(x => math.abs(x._2)).max, 1L)
+    val dmF = divisor(mxF, 1000000L)
+    val lits = w
+      .map { case (p, x) => s"($p, ${Math.floorDiv(x, dmF)})" }.mkString(", ")
+    spark.sql(
+      s"""SELECT CAST(pos AS BIGINT) AS pos,
+         |  ${SqlOps.r6("CAST(vq AS DOUBLE) / 1.0e6")} AS component2
+         |FROM (VALUES $lits) t(pos, vq)""".stripMargin)
+  }
+}

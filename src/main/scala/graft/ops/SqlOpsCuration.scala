@@ -1117,6 +1117,19 @@ trait SqlOpsCuration { this: SqlOpsAll =>
          |FROM sc""".stripMargin
     })
 
+  /** The deflate chain's PREP only — the staged deflated matrix
+    * (`pcb_cv`) and its overflow envelope (`pcb_env`), WITHOUT the
+    * six per-round s/w stages: the Spark execution path
+    * ([[graft.ops.PcaLoop.deflateComponent2]]) runs the rounds
+    * driver-side with literal rescale divisors, so only the
+    * multiply-referenced matrix-sized artifacts need parquet. The
+    * full [[pcaDeflate]] stays the oracle rendering (and the staged
+    * Spark twin the micro-oracle compares the loop against). */
+  lazy val pcaDeflatePrep: StagedOp = StagedOp(
+    stages = pcaDeflate.stages.filter { case (n, _) =>
+      !(n.startsWith("pcb_s") || n.startsWith("pcb_w") || n == "pcb_env") },
+    body = { _ => "SELECT COUNT(*) AS n FROM pcb_cv" })
+
   /** The adaptive rescale target: the largest T ≤ 1e6 with
     * terms · mxcv · T ≤ 9.2e18 (int64 headroom), so the NEXT stage's
     * sum of `terms` products of a ≤ mxcv matrix entry and a ≤ T

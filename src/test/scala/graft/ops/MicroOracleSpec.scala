@@ -514,6 +514,11 @@ class MicroOracleSpec extends SparkSpec {
     }
     val expD = (0 until dim).map(p => (p.toLong, r6(v2(p).toDouble / 1e6)))
     assert(gotD.toSeq === expD)
+    // the driver-loop execution path (the one q_pca_deflate ships) must
+    // replay the same integers: loop == staged SQL == independent Scala
+    val gotL = graft.ops.PcaLoop.deflateComponent2(spark).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Double]("component2"))).sortBy(_._1)
+    assert(gotL.toSeq === expD)
     // the second component aligns with the planted minor direction w
     // (after orthogonalizing w against u) and is orthogonal to v1
     val nw = math.sqrt(w.map(x => x * x).sum)
