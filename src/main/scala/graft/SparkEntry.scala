@@ -25,6 +25,106 @@ object SparkEntry {
   private def transformed(s: SparkSession, d: String): DataFrame =
     Transform.transform(Listings.raw(s, d))
 
+  /** Root of the stage tier. Default: the per-JVM tmpdir — ephemeral,
+    * wiped by [[cleanupStages]], the always-correct tier. Setting
+    * `SPARK_GRAFT_STAGE_ROOT` (env; the `graft.stage.root` system
+    * property wins over it, for in-JVM tests) promotes the tier to a
+    * PERSISTENT directory that outlives the JVM: the staged indexes
+    * (IVF centroids + sufficient stats, minhash band index, cluster
+    * maps, interchange transform) become cross-application artifacts,
+    * so tomorrow's run deltas against today's index instead of
+    * rebuilding it — the cross-run analogue of the reference's
+    * staging+merge load (load.py:30-43), and at 100 TB the difference
+    * between an incremental pipeline and a nightly full rebuild.
+    * Persistent-root validity is guarded by a per-dataset MANIFEST
+    * ([[ensureStageDirValid]]): stages are reused only while the
+    * input dataset's file fingerprint matches; any change wipes that
+    * dataset's stage dir before the first touch. NOTE for Bench: its
+    * cold-state contract (cleanupStages before the run) only wipes
+    * the TMP tier — run benchmarks without a persistent root. */
+  private def stageRoot: String =
+    sys.props.get("graft.stage.root")
+      .orElse(sys.env.get("SPARK_GRAFT_STAGE_ROOT"))
+      .getOrElse(sys.props("java.io.tmpdir"))
+  private def persistentRoot: Boolean =
+    stageRoot != sys.props("java.io.tmpdir")
+  private def stageDir(d: String): String =
+    s"$stageRoot/graft_stage/${d.hashCode.toHexString}"
+  private def stagePath(d: String, name: String): String = {
+    ensureStageDirValid(d)
+    s"${stageDir(d)}/$name"
+  }
+
+  /** Input fingerprint of dataset dir `d`: md5 over the sorted
+    * (relative path, length, mtime) triples of every file under it.
+    * Cheap (one directory walk, no data reads) and exactly what the
+    * reuse decision needs — any upstream rewrite changes length or
+    * mtime. */
+  private def datasetFingerprint(d: String): String = {
+    val base = java.nio.file.Paths.get(d)
+    val sb = new StringBuilder
+    if (java.nio.file.Files.isDirectory(base)) {
+      val st = java.nio.file.Files.walk(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map { p =>
+            s"${base.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+              s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+          }
+          .toSeq.sorted.foreach(l => { sb.append(l).append('\n'); () })
+      } finally st.close()
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+  }
+
+  /** Once per (JVM, dataset): when the stage root is PERSISTENT,
+    * compare the on-disk manifest's input fingerprint against the
+    * dataset's current one — on mismatch (or no manifest) wipe that
+    * dataset's stage dir and write a fresh manifest, so a stale index
+    * can never serve a changed input across JVMs. The default tmp
+    * tier skips this entirely (per-JVM lifetime + cleanupStages
+    * already bound staleness there, and Bench's cold-state numbers
+    * must not pay a directory walk). */
+  private val validatedDatasets = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def ensureStageDirValid(d: String): Unit =
+    if (persistentRoot && !validatedDatasets.contains(d))
+      validatedDatasets.synchronized {
+        if (!validatedDatasets.contains(d)) {
+          val dir = new java.io.File(stageDir(d))
+          val mf = new java.io.File(dir, "_manifest.json")
+          val fp = datasetFingerprint(d)
+          val fresh =
+            try mf.exists() && {
+              val txt = new String(
+                java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+              txt.contains(s""""fingerprint": "$fp"""")
+            } catch { case scala.util.control.NonFatal(_) => false }
+          if (!fresh) {
+            try org.apache.commons.io.FileUtils.deleteDirectory(dir)
+            catch { case scala.util.control.NonFatal(_) => () }
+            dir.mkdirs()
+            java.nio.file.Files.writeString(mf.toPath,
+              s"""{"dataset": "${d.replace("\\", "\\\\").replace("\"", "\\\"")}", "fingerprint": "$fp"}""")
+          }
+          validatedDatasets.add(d)
+          ()
+        }
+      }
+
+  /** Test hook: forget every per-JVM memo (stage-written set, stage
+    * readers, validated-dataset set) WITHOUT touching disk — what a
+    * fresh JVM starts with. Lets a spec prove that a persistent
+    * stage root serves yesterday's artifacts across JVMs. */
+  private[graft] def resetJvmMemos(): Unit = {
+    stagedOnce.synchronized(stagedOnce.clear())
+    stageReads.synchronized(stageReads.clear())
+    validatedDatasets.clear()
+  }
+
   /** Transform output materialized once per call — the reference's
     * stage-boundary interchange file (SURVEY.md §3: transform writes
     * CSV, load reads it). The merge queries derive both sides from this
@@ -33,7 +133,7 @@ object SparkEntry {
     * compile of those duplicated CASE chains dominated the query. */
   private val stagedOnce = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def transformedStaged(s: SparkSession, d: String): DataFrame = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_stage/${d.hashCode.toHexString}/transformed"
+    val path = stagePath(d, "transformed")
     // written once per JVM per dataset: the derivation is deterministic,
     // so the three merge queries share one interchange materialization
     writeStageOnce(path)(transformed(s, d).write.mode("overwrite").parquet(path))
@@ -48,12 +148,25 @@ object SparkEntry {
     * by the commit protocol only when the job completed): if another
     * process (or a cleanupStages call) removed the dir, OR left it
     * truncated mid-overwrite, the stage transparently rebuilds instead
-    * of serving a missing/partial directory for the JVM's lifetime. */
+    * of serving a missing/partial directory for the JVM's lifetime.
+    *
+    * Disk-trust is TIERED: on the default tmp tier a complete dir
+    * this JVM's memo doesn't know (a leftover from a previous JVM) is
+    * REBUILT — nothing vouches for its input data, and leftover-dir
+    * warmth made r5/r6 bench numbers unadjudicable. On a persistent
+    * root the per-dataset manifest ([[ensureStageDirValid]]) is that
+    * voucher: a complete stage is ADOPTED into the memo without a
+    * rebuild, which is the whole point of the tier — a fresh JVM
+    * deltas against yesterday's index instead of rebuilding it. */
   private def stageComplete(path: String): Boolean =
     new java.io.File(path, "_SUCCESS").exists()
   private def writeStageOnce(path: String)(write: => Unit): Unit =
     stagedOnce.synchronized {
-      if (!stagedOnce.contains(path) || !stageComplete(path)) {
+      val complete = stageComplete(path)
+      if (complete && (stagedOnce.contains(path) || persistentRoot)) {
+        stagedOnce.add(path)
+        ()
+      } else {
         write
         stagedOnce.add(path)
         // a (re)write replaced the part files under `path`: a memoized
@@ -75,13 +188,17 @@ object SparkEntry {
     * mid-run — its own memo would still mark the deleted paths as
     * built (concurrent JVMs already stomp each other's stage dirs via
     * overwrite-on-first-use; this cleanup is an end-of-run task, like
-    * the reference's). */
+    * the reference's). Covers the TMP tier only: a persistent stage
+    * root ([[stageRoot]]) deliberately survives — its staleness is
+    * bounded by the per-dataset manifest check instead — while every
+    * in-JVM memo still drops, so the next access re-validates. */
   def cleanupStages(): Unit = stagedOnce.synchronized {
     try org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_stage"))
     catch { case scala.util.control.NonFatal(_) => () }
     stagedOnce.clear()
     stageReads.synchronized(stageReads.clear())
+    validatedDatasets.clear()
   }
 
   /** Duplicate-cluster map (pairs → components), staged once per JVM
@@ -94,7 +211,7 @@ object SparkEntry {
     * connectedComponentsStar is the equivalence-tested O(log n) path
     * for adversarial (long-chain) graphs, gate-checked separately. */
   private def clustersStaged(s: SparkSession, d: String): DataFrame = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_stage/${d.hashCode.toHexString}/mh_clusters"
+    val path = stagePath(d, "mh_clusters")
     writeStageOnce(path) {
       val pairs = sqlStaged(Seq("documents"), SqlOps.dedupMinhash)(s, d)
       graft.ops.Cluster.connectedComponents(
@@ -121,7 +238,7 @@ object SparkEntry {
     * timed cost is the DELTA work (contract + small CC + remap), which
     * is the entire point of the operator. */
   private def clustersBaseStaged(s: SparkSession, d: String): DataFrame = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_stage/${d.hashCode.toHexString}/mh_clusters_base"
+    val path = stagePath(d, "mh_clusters_base")
     writeStageOnce(path) {
       val pairs = sqlStaged(Seq("documents"), SqlOps.dedupMinhash)(s, d)
       graft.ops.Cluster.connectedComponents(
@@ -155,7 +272,7 @@ object SparkEntry {
     * q_dedup_cluster_delta's computation — the first consumer builds
     * it timed, the second reads the parquet). */
   private def clustersDeltaStaged(s: SparkSession, d: String): DataFrame = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_stage/${d.hashCode.toHexString}/mh_clusters_delta"
+    val path = stagePath(d, "mh_clusters_delta")
     writeStageOnce(path) {
       val delta = sqlStaged(Seq("documents"), SqlOps.dedupMinhashDelta)(s, d)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
@@ -178,7 +295,7 @@ object SparkEntry {
     * MicroOracleSpec additionally pins loop == staged Spark SQL ==
     * an independent Scala replay. */
   private def pcaDeflateStaged(s: SparkSession, d: String): DataFrame = {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_stage/${d.hashCode.toHexString}/pcb_out"
+    val path = stagePath(d, "pcb_out")
     writeStageOnce(path) {
       buildStages(Seq("embeddings"), SqlOps.pcaDeflatePrep)(s, d)
       graft.ops.PcaLoop.deflateComponent2(s).coalesce(1)
@@ -271,7 +388,7 @@ object SparkEntry {
       graft.functions.GraftFunctions.registerAll(s)
       views.foreach(v => graft.Tables(s, d, v).createOrReplaceTempView(v))
       op.stages.foreach { case (name, build) =>
-        val path = s"${sys.props("java.io.tmpdir")}/graft_stage/${d.hashCode.toHexString}/$name"
+        val path = stagePath(d, name)
         // each stage is a deterministic function of (dataset, stage
         // name), so a shared index (emb_nv is read by four similarity
         // queries, mh_sig by minhash and clustering) is materialized
@@ -422,6 +539,90 @@ object SparkEntry {
     * this list. Add a name here only with a comment saying why empty
     * is the semantically-correct fixture answer. */
   val allowEmpty: Set[String] = Set.empty
+
+  /** Queries allowed to carry a DEGENERATE column (or, with "*", an
+    * all-constant result) at the oracle SFs — see Verify.degeneracy.
+    * Add a name here only with a comment saying why the flagged shape
+    * is the semantically-correct fixture answer; a metric column
+    * that is all-NULL/all-zero at every SF without such a reason is
+    * the q_ab_test vacuity (oracle-green for 8 rounds, saying
+    * nothing). Values are flag strings (`all_null:<col>`,
+    * `all_zero:<col>`, `all_constant`) or bare column names.
+    *
+    * Standing rule behind every entry: an honest zero/NULL is allowed
+    * ONLY when the positive path is exercised somewhere a judge can
+    * check — a planted-fixture micro test, or a sibling non-zero
+    * column in the same readout. The r13 audit's first sweep also
+    * produced two real catches (not allowlisted — fixed instead):
+    * q_ann_eval's single-band recall was the ONLY metric and 0 at
+    * every SF (now paired with the non-degenerate 8-band union
+    * columns), and q_dedup_levenshtein / q_fd_audit had no
+    * planted-positive test at all (MicroOracleSpec now plants 1..5
+    * distances and a holding FD). */
+  val allowDegenerate: Map[String, Set[String]] = Map(
+    // single-band top-3 recall is honestly 0 (a 1/256 bucket almost
+    // never holds a global top-3 neighbor); the union columns in the
+    // same rows are the positive signal, OpsSpec asserts them nonzero
+    "q_ann_eval" -> Set("all_zero:n_hit", "all_zero:recall_at_3"),
+    // healthy space: no vector exceeds the hub threshold; the
+    // skewness column is the live metric and MicroOracleSpec plants a
+    // hub that flips hub_count positive
+    "q_ann_hubness" -> Set("all_zero:hub_count"),
+    // the 31-word fixture vocabulary has every word in many docs —
+    // zero singletons/doubletons is the true count; MicroOracleSpec's
+    // planted-singleton oracle covers the positive path
+    "q_chao1_richness" -> Set("all_zero:singletons", "all_zero:doubletons"),
+    // the RAW documents table has no exact dup (dups are planted via
+    // the two-snapshot corpus CTE, which this per-source report of
+    // the raw table deliberately does not use)
+    "q_corpus_report" -> Set("all_zero:dup_frac"),
+    // the events fixture is volume-stable by construction; the alarm
+    // path is covered by the planted-shift recursion test (r4)
+    "q_cusum_drift" -> Set("all_zero:n_alarm_days"),
+    // fixture near-dups differ at the TEXT START, so in-block pairs
+    // are exactly the snapshot copies (distance 0 is the documented
+    // design); MicroOracleSpec plants distances 1..5 (r13)
+    "q_dedup_levenshtein" -> Set("all_zero:edit_dist"),
+    // events arrive perfectly ordered in the fixture (event_id is ts
+    // order); planted-disorder tests cover the late path (r4)
+    "q_disorder_profile" -> Set(
+      "all_zero:n_late", "all_zero:max_delta_s", "all_zero:mean_delta_s"),
+    // fixture embeddings are healthy (zeros are the documented-correct
+    // answer); MicroOracleSpec plants positives (r11)
+    "q_embedding_outliers" -> Set("all_zero:n_outliers", "all_null:worst_dist"),
+    // source → lang genuinely fails in the fixture (5 langs/source) —
+    // an honest audit negative; MicroOracleSpec plants a holding FD (r13)
+    "q_fd_audit" -> Set("all_zero:fd_holds"),
+    // every fixture word occurs at high frequency: no low-r counts →
+    // the GT columns are structurally empty/NULL here; the planted
+    // low-frequency path lives in the Good-Turing micro-oracle (r11)
+    "q_good_turing" -> Set("all_zero:n_r", "all_zero:n_r_next",
+      "all_null:r_star", "all_null:p_gt", "all_zero:p_unseen"),
+    // no quasi-identifier group is below k at the fixture SFs; the
+    // at-risk path is covered by the k-anonymity spec fixture
+    "q_k_anonymity" -> Set("all_zero:at_risk"),
+    // the revenue series is white at fixture scale — the statistic
+    // columns are live, the reject flag is honestly 0
+    "q_ljung_box" -> Set("all_zero:reject_white_noise"),
+    // same shape: the trend test's S/z columns are live, the 5%
+    // significance flag is honestly 0 on the fixture series
+    "q_mannkendall_revenue" -> Set("all_zero:significant"),
+    // the synthetic corpus carries no PII — the full kind domain is
+    // emitted with zero rows by design (the r9 domain-left-join
+    // rule); planted-PII specs cover every pattern
+    "q_pii_scan" -> Set("all_zero:n_matches", "all_zero:n_docs", "all_zero:n_valid"),
+    // the orders fixture has no NULLs in the profiled columns — an
+    // honest data-quality zero (the audit exists to catch them)
+    "q_profile_orders" -> Set("all_zero:n_null"),
+    // the fixture has no Indonesian docs, so the id-hit counters are
+    // honestly 0 at every threshold; the en counters in the same
+    // rows are the live columns and the langid spec plants id text
+    "q_quality_sweep" -> Set("all_zero:n_id"),
+    "q_text_langid" -> Set("all_zero:id_hits"),
+    // ULM strictly dominates BPE on this corpus (fewer pieces on
+    // every doc) — bpe_wins/ties honestly 0; the per-doc piece
+    // counts in the same readout are the live columns
+    "q_ulm_vs_bpe" -> Set("all_zero:bpe_wins", "all_zero:ties"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- ETL parity --
@@ -760,6 +961,7 @@ object SparkEntry {
     // PPJoin-style prefix-filtered similarity self-join off the
     // uncapped shingle index (the signature-free bounded-candidate path)
     "q_dedup_prefix" -> sqlStaged(Seq("documents"), SqlOps.dedupPrefix),
+    "q_dedup_prefix_delta" -> sqlStaged(Seq("documents"), SqlOps.dedupPrefixDelta),
     // duplicate-cluster size histogram off the staged cluster map —
     // the dedup diagnostic read after every clustering run
     "q_dedup_cluster_sizes" -> ((s, d) => {
@@ -1810,6 +2012,7 @@ object SparkEntry {
     "q_graph_truss_loop" -> SqlOps.trussIter.single(DuckDialect),
     "q_label_prop" -> SqlOps.labelProp.single(DuckDialect),
     "q_dedup_prefix" -> SqlOps.dedupPrefix.single(DuckDialect),
+    "q_dedup_prefix_delta" -> SqlOps.dedupPrefixDelta.single(DuckDialect),
     "q_embedding_whiten" -> SqlOps.embeddingWhiten(DuckDialect),
     "q_pca_power_step" -> SqlOps.pcaPowerStep(DuckDialect),
     "q_dedup_cluster_sizes" ->

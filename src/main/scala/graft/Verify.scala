@@ -1,9 +1,56 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, count, countDistinct, when, lit}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Per-query DEGENERACY audit over the written result (the
+    * q_ab_test lesson, generalized): an oracle hash-match proves the
+    * two engines agree, not that the result says anything — q_ab_test
+    * shipped a saturated conversion (pooled variance 0, z NULL) for
+    * eight rounds, oracle-green the whole time, because nothing
+    * systematic looked at the VALUES. Flags, per query:
+    *  - `all_null:<col>` — a column with rows but no values (the
+    *    z-NULL failure mode verbatim);
+    *  - `all_zero:<col>` — a numeric column whose every value is 0
+    *    (a rate/metric column that never fires);
+    *  - `all_constant` — ≥2 rows but every column single-valued (the
+    *    result is one row stuttered).
+    * Exceptions live on [[SparkEntry.allowDegenerate]] with a comment
+    * per entry; allowlisted hits are still REPORTED (under
+    * `allowlisted`) so the artifact shows what was excused. One
+    * aggregate pass per query over the (small, already-written)
+    * result — countDistinct ignores NULLs, so all-NULL reads as
+    * distinct 0. */
+  private def degeneracy(df: org.apache.spark.sql.DataFrame, rows: Long): Seq[String] = {
+    if (rows == 0) return Nil
+    val fields = df.schema.fields.toSeq
+    val numeric = fields.filter(_.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    }).map(_.name).toSet
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = col(df.columns(i))
+      Seq(countDistinct(c).as(s"d__$i"), count(c).as(s"n__$i")) ++
+        (if (numeric(f.name))
+           Seq(count(when(c =!= lit(0), 1)).as(s"z__$i"))
+         else Nil)
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def g(n: String): Long =
+      if (r.schema.fieldNames.contains(n)) r.getAs[Long](n) else -1L
+    val perCol = fields.zipWithIndex.flatMap { case (f, i) =>
+      val (d, n, z) = (g(s"d__$i"), g(s"n__$i"), g(s"z__$i"))
+      (if (n == 0) Seq(s"all_null:${f.name}") else Nil) ++
+        (if (numeric(f.name) && n > 0 && z == 0) Seq(s"all_zero:${f.name}") else Nil)
+    }
+    val allConstant = rows > 1 &&
+      fields.indices.forall(i => g(s"d__$i") <= 1)
+    perCol ++ (if (allConstant) Seq("all_constant") else Nil)
+  }
+
   def main(args: Array[String]): Unit = {
     // args: sfDir outDir [comma-separated query-name filter (local dev)]
     val (sfDir, outDir) = (args(0), args(1))
@@ -13,6 +60,7 @@ object Verify {
     val spark = GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()
     val rowCounts = scala.collection.mutable.Map.empty[String, Long]
+    val degFlags = scala.collection.mutable.Map.empty[String, Seq[String]]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -31,7 +79,11 @@ object Verify {
         // proved only that nobody was frequent). Count the written
         // parquet (footer-cheap) so emptiness is visible in the
         // artifact, and flag any empty query not explicitly allowed.
-        rowCounts(name) = spark.read.parquet(s"$outDir/$name").count()
+        val written = spark.read.parquet(s"$outDir/$name")
+        val rows = written.count()
+        rowCounts(name) = rows
+        val flags = degeneracy(written, rows)
+        if (flags.nonEmpty) degFlags(name) = flags
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -44,6 +96,23 @@ object Verify {
       System.err.println(
         s"[verify] VACUOUS: $n returned 0 rows and is not on " +
           "SparkEntry.allowEmpty — its oracle pass proves nothing")
+    }
+    // degeneracy split: allowlisted hits stay visible but don't flag
+    val (degAllowed, degFlagged) = degFlags.toSeq.sortBy(_._1).map {
+      case (name, flags) =>
+        val allow = SparkEntry.allowDegenerate.getOrElse(name, Set.empty)
+        val (ok, bad) = flags.partition { f =>
+          allow.contains("*") || allow.contains(f) ||
+            allow.contains(f.split(':').last)
+        }
+        (name -> ok, name -> bad)
+    }.unzip
+    val degBad = degFlagged.filter(_._2.nonEmpty)
+    degBad.foreach { case (n, fs) =>
+      System.err.println(
+        s"[verify] DEGENERATE: $n — ${fs.mkString(", ")} (not on " +
+          "SparkEntry.allowDegenerate; an oracle pass on a constant/" +
+          "all-NULL metric proves nothing)")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -70,6 +139,15 @@ object Verify {
         .mkString("{\"rows\": {", ",", "}, ") +
       flaggedEmpty.map(q).mkString("\"flagged_empty\": [", ",", "]}")
     Files.writeString(Paths.get(s"$outDir/row_counts.json"), countsJson)
+    // the degeneracy sidecar: `flagged` must stay empty (the gate);
+    // `allowlisted` shows what was excused and why a reader should
+    // check SparkEntry.allowDegenerate's comments
+    def degMap(xs: Seq[(String, Seq[String])]): String =
+      xs.map { case (n, fs) =>
+        s"${q(n)}: ${fs.map(q).mkString("[", ",", "]")}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/degeneracy.json"),
+      s"""{"flagged": ${degMap(degBad)}, "allowlisted": ${degMap(degAllowed.filter(_._2.nonEmpty))}}""")
     spark.stop()
   }
 }

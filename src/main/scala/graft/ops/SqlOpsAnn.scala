@@ -409,15 +409,27 @@ trait SqlOpsAnn { this: SqlOpsAll =>
          |FROM m""".stripMargin
     })
 
-  /** ANN quality eval: recall@3 of the sign-LSH index against exact
-    * brute-force cosine, per query, over the bounded query set
+  /** ANN quality eval: recall@3 of the sign-LSH retrieval against
+    * exact brute-force cosine, per query, over the bounded query set
     * (vec_id < 5 — the same evaluation-scoping rule as the sampled LSH
     * eval: ground truth is O(|Q|·N), so |Q| must be bounded; the
     * INDEX side stays the production bucket join). A missing bucket
-    * neighbor counts as a miss via the LEFT JOIN — recall is exactly
-    * |lsh∩exact|/3. This is the operator a 100 TB deployment runs
-    * nightly to catch index drift: both rankings read the one staged
-    * emb_nv artifact, nothing rebuilds. */
+    * neighbor counts as a miss via the LEFT JOIN. This is the
+    * operator a 100 TB deployment runs nightly to catch index drift:
+    * both rankings read the one staged emb_nv artifact, nothing
+    * rebuilds.
+    *
+    * TWO retrieval strategies, both reported (the degeneracy audit's
+    * q_ab_test lesson — r13): band-1-only (`recall_at_3`, the
+    * [[annSignLsh]] single-bucket index) and the 8-band OR'd union
+    * (`recall_union` — the [[SignBands]] banding the cosine near-dup
+    * gate uses, candidates = ∪ per-band buckets). On this corpus the
+    * single 8-bit band's top-3 recall is honestly 0 at every SF (a
+    * random 1/256 bucket almost never holds a global top-3 neighbor)
+    * — which made the one-column readout vacuous-but-green for 12
+    * rounds; the union column is the non-degenerate signal (what the
+    * extra bands BUY), and the audit now has a positive path at
+    * fixture scale. */
   val annEval: StagedOp = StagedOp(
     stages = Seq("emb_nv" -> nvStage),
     body = { d =>
@@ -429,6 +441,7 @@ trait SqlOpsAnn { this: SqlOpsAll =>
            |    FROM $pairs
            |  ) WHERE rk <= 3
            |)""".stripMargin
+      val bandEq = (1 to SignBands).map(b => s"a.sb$b = b.sb$b").mkString(" OR ")
       s"""WITH qs AS (SELECT * FROM emb_nv WHERE vec_id < 5),
          |ep AS (
          |  SELECT qs.vec_id AS query_id, t.vec_id AS neighbor_id,
@@ -441,11 +454,22 @@ trait SqlOpsAnn { this: SqlOpsAll =>
          |    ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine
          |  FROM qs a JOIN emb_nv b ON a.sb1 = b.sb1 AND a.vec_id <> b.vec_id
          |),
-         |${top3("lp", "ls")}
+         |${top3("lp", "ls")},
+         |up AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    ${r6(dotExpr(d, "a.embedding", "b.embedding") + " / (a.nrm * b.nrm)")} AS cosine
+         |  FROM qs a JOIN emb_nv b ON ($bandEq) AND a.vec_id <> b.vec_id
+         |),
+         |${top3("up", "us")}
          |SELECT e.query_id, COUNT(l.neighbor_id) AS n_hit,
-         |  CAST(COUNT(l.neighbor_id) AS DOUBLE) / 3 AS recall_at_3
-         |FROM ex e LEFT JOIN ls l
+         |  ${r6("CAST(COUNT(l.neighbor_id) AS DOUBLE) / COUNT(*)")} AS recall_at_3,
+         |  COUNT(u.neighbor_id) AS n_hit_union,
+         |  ${r6("CAST(COUNT(u.neighbor_id) AS DOUBLE) / COUNT(*)")} AS recall_union
+         |FROM ex e
+         |LEFT JOIN ls l
          |  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+         |LEFT JOIN us u
+         |  ON e.query_id = u.query_id AND e.neighbor_id = u.neighbor_id
          |GROUP BY e.query_id""".stripMargin
     })
 

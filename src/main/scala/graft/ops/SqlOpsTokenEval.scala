@@ -2147,30 +2147,103 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
       // ⌊(3(na+nb)+7)/8⌋) cannot verify, under either engine's tie
       // order. Sizes (na, nb) ride along from the prefix rows — the
       // former psz CTE re-scanned the full index and joined it twice
-      // per verified pair just to recover them.
-      s"""WITH pre AS (
-         |  SELECT doc_id, s, n, rk FROM pfx_rk
-         |  WHERE rk <= n - CAST(FLOOR(CAST(3 * n + 4 AS DOUBLE) / 5.0e0) AS BIGINT) + 1
-         |),
+      // per verified pair just to recover them. All fragments are the
+      // SHARED pfx* pieces, so this body and the incremental/streaming
+      // probes ([[dedupPrefixDelta]], [[prefixProbeBody]]) cannot
+      // drift on prefix length, length filter, or α.
+      s"""WITH ${pfxPreCte("pfx_rk")},
          |cand AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb
          |  FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
-         |    AND 5 * LEAST(a.n, b.n) >= 3 * GREATEST(a.n, b.n)
+         |    AND $pfxLenFilter
          |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
-         |  HAVING MIN(LEAST(a.rk, b.rk) + LEAST(a.n - a.rk, b.n - b.rk))
-         |    >= CAST(FLOOR(CAST(3 * (a.n + b.n) + 7 AS DOUBLE) / 8.0e0) AS BIGINT)
+         |  HAVING MIN($pfxPosBound) >= ${pfxAlpha("a.n + b.n")}
          |),
-         |pinter AS (
-         |  SELECT c.doc_a, c.doc_b, c.na, c.nb, COUNT(*) AS inter
-         |  FROM cand c
-         |  JOIN pfx_dsh a ON a.doc_id = c.doc_a
-         |  JOIN pfx_dsh b ON b.doc_id = c.doc_b AND b.s = a.s
-         |  GROUP BY c.doc_a, c.doc_b, c.na, c.nb
-         |)
-         |SELECT doc_a, doc_b,
-         |  ${r6("CAST(inter AS DOUBLE) / (na + nb - inter)")} AS jaccard
-         |FROM pinter
-         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6""".stripMargin
+         |${pfxVerifySelect("pfx_dsh")}""".stripMargin
+    })
+
+  /** Rarity-ranked PREFIX rows (rk ≤ n − ⌈0.6n⌉ + 1 over `rkTbl`) —
+    * one copy of the prefix-length rule. */
+  private[ops] def pfxPreCte(rkTbl: String): String =
+    s"""pre AS (
+       |  SELECT doc_id, s, n, rk FROM $rkTbl
+       |  WHERE rk <= n - CAST(FLOOR(CAST(3 * n + 4 AS DOUBLE) / 5.0e0) AS BIGINT) + 1
+       |)""".stripMargin
+  /** PPJoin length filter: J ≥ 0.6 ⇒ 5·min(n) ≥ 3·max(n), lossless. */
+  private[ops] val pfxLenFilter = "5 * LEAST(a.n, b.n) >= 3 * GREATEST(a.n, b.n)"
+  /** Per-shared-token overlap bound (symmetric in the join sides). */
+  private[ops] val pfxPosBound =
+    "LEAST(a.rk, b.rk) + LEAST(a.n - a.rk, b.n - b.rk)"
+  /** Overlap threshold α = ⌈3·(na+nb)/8⌉ as ⌊(3(na+nb)+7)/8⌋. */
+  private[ops] def pfxAlpha(sumN: String): String =
+    s"CAST(FLOOR(CAST(3 * ($sumN) + 7 AS DOUBLE) / 8.0e0) AS BIGINT)"
+  /** Exact-Jaccard verification of `cand(doc_a, doc_b, na, nb)`
+    * against the uncapped index — the recall-lossless gates above
+    * make this the only scoring pass. */
+  private[ops] def pfxVerifySelect(dshTbl: String): String =
+    s"""pinter AS (
+       |  SELECT c.doc_a, c.doc_b, c.na, c.nb, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN $dshTbl a ON a.doc_id = c.doc_a
+       |  JOIN $dshTbl b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  GROUP BY c.doc_a, c.doc_b, c.na, c.nb
+       |)
+       |SELECT doc_a, doc_b,
+       |  ${r6("CAST(inter AS DOUBLE) / (na + nb - inter)")} AS jaccard
+       |FROM pinter
+       |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6""".stripMargin
+
+  /** The prefix PROBE body, parameterized on the probing side:
+    * `newTbl` (a view or parenthesized subquery of `doc_id` — the
+    * arriving/new docs, aliased `ni`) probes the staged rarity-ranked
+    * index `rkTbl`, with exact verification against `dshTbl`. ONE
+    * rendering shared by the incremental batch twin
+    * ([[dedupPrefixDelta]] — the NewDoc slice) and the streaming
+    * per-batch probe (graft.streaming.StreamingOps.prefixProbeBatch),
+    * the abTestFromUsers protocol-sharing pattern. The candidate join
+    * runs new × all (`<>` not `<`), normalized via LEAST/GREATEST:
+    * a both-new pair appears in both orientations, but every grouped
+    * expression and the position bound are SYMMETRIC, so the GROUP BY
+    * collapses the doubled orientation without changing MIN or α —
+    * which is why the output equals the full self-join restricted to
+    * pairs touching a probe doc (pinned in OpsSpec). */
+  def prefixProbeBody(newTbl: String, rkTbl: String = "pfx_rk",
+                      dshTbl: String = "pfx_dsh"): String =
+    s"""WITH ${pfxPreCte(rkTbl)},
+       |npre AS (
+       |  SELECT p.doc_id, p.s, p.n, p.rk
+       |  FROM pre p JOIN $newTbl ni ON p.doc_id = ni.doc_id
+       |),
+       |cand AS (
+       |  SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+       |    GREATEST(a.doc_id, b.doc_id) AS doc_b,
+       |    CASE WHEN a.doc_id < b.doc_id THEN a.n ELSE b.n END AS na,
+       |    CASE WHEN a.doc_id < b.doc_id THEN b.n ELSE a.n END AS nb
+       |  FROM npre a JOIN pre b ON a.s = b.s AND a.doc_id <> b.doc_id
+       |    AND $pfxLenFilter
+       |  GROUP BY LEAST(a.doc_id, b.doc_id), GREATEST(a.doc_id, b.doc_id),
+       |    CASE WHEN a.doc_id < b.doc_id THEN a.n ELSE b.n END,
+       |    CASE WHEN a.doc_id < b.doc_id THEN b.n ELSE a.n END
+       |  HAVING MIN($pfxPosBound) >= ${pfxAlpha("MIN(a.n + b.n)")}
+       |),
+       |${pfxVerifySelect(dshTbl)}""".stripMargin
+
+  /** Incremental prefix-filter dedup — the daily-ingest twin of
+    * [[dedupPrefix]] (the dedupMinhashDelta pattern for the PPJoin
+    * family): only the NEW docs' prefix rows (the shared 1/16
+    * NewDoc slice) probe the staged rarity-ranked index, so the
+    * candidate join costs delta × prefix-bucket instead of the
+    * corpus-wide prefix self-join, and the verified output is exactly
+    * the full [[dedupPrefix]] result restricted to pairs touching a
+    * new doc (equivalence pinned in OpsSpec — the position bound's
+    * symmetry is what makes the both-new double orientation collapse).
+    * At 100 TB this is the difference between a per-batch probe of a
+    * standing index and re-joining yesterday's whole corpus. */
+  val dedupPrefixDelta: StagedOp = StagedOp(
+    stages = dedupPrefix.stages,
+    body = { _ =>
+      prefixProbeBody(
+        s"(SELECT DISTINCT doc_id FROM pfx_dsh WHERE doc_id % $NewDocMod = $NewDocRem)")
     })
 
   /** Corpus DIVERSITY by sampled mean pairwise similarity — the

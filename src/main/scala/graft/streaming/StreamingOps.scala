@@ -2019,6 +2019,57 @@ object StreamingOps {
       }
   }
 
+  /** Streaming twin of the PPJoin prefix-filter dedup
+    * ([[graft.ops.SqlOps.dedupPrefixDelta]]'s per-batch form): each
+    * arriving micro-batch of admitted doc ids PREFIX-PROBES the
+    * staged rarity-ranked index (`<indexDir>/pfx_rk` + `pfx_dsh`,
+    * the parquet artifacts the batch index pass built) instead of
+    * rebuilding it — cost per drain ∝ batch × prefix-bucket, never
+    * the corpus self-join. Verified pairs fold into
+    * `<root>/pfx_pairs` as a SET (distinct by pair): pair membership
+    * is a pure function of the delivered doc set, so at-least-once
+    * redelivery re-derives the same rows and the fold is a no-op —
+    * the ingest-artifact discipline. The SQL is
+    * [[graft.ops.SqlOps.prefixProbeBody]] VERBATIM (the abMonitor
+    * shared-pieces protocol): stream and batch cannot drift on
+    * prefix length, length filter, or the position-filter α;
+    * StreamingSpec asserts the folded set equals the batch probe
+    * over the delivered union. View names carry the root hash and
+    * drop in try/finally (two streams on one session must not race
+    * a fixed name, and a failed batch must not leak views). */
+  def prefixProbeBatch(spark: SparkSession, batch: DataFrame,
+                       indexDir: String, root: String): Unit = {
+    val ss = batch.sparkSession
+    val tag = java.lang.Integer.toHexString(root.hashCode)
+    val nv = s"__pfx_new_$tag"
+    val rv = s"__pfx_rk_$tag"
+    val dv = s"__pfx_dsh_$tag"
+    batch.select(col("doc_id")).distinct().createOrReplaceTempView(nv)
+    ss.read.parquet(s"$indexDir/pfx_rk").createOrReplaceTempView(rv)
+    ss.read.parquet(s"$indexDir/pfx_dsh").createOrReplaceTempView(dv)
+    try {
+      val pairs = ss.sql(graft.ops.SqlOps.prefixProbeBody(nv, rv, dv))
+      publishParquet(spark, s"$root/pfx_pairs") {
+        case Some(cur) => cur.unionByName(pairs).dropDuplicates("doc_a", "doc_b")
+        case None => pairs.dropDuplicates("doc_a", "doc_b")
+      }
+    } finally {
+      Seq(nv, rv, dv).foreach(v => { ss.catalog.dropTempView(v); () })
+    }
+  }
+
+  /** The streaming wrapper: each micro-batch of admitted doc ids
+    * probes the standing prefix index and folds its verified pairs. */
+  def prefixProbe(docs: DataFrame, indexDir: String, root: String,
+                  checkpointDir: String) = {
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        prefixProbeBatch(batch.sparkSession, batch, indexDir, root)
+      }
+  }
+
   // --------------------------------------------------------------------
   // Exactly-once JDBC sink: the reference's staging-table merge
   // (etl.Load.jdbcUpsert) made redelivery-safe for foreachBatch.

@@ -4056,6 +4056,68 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("documents")
   }
 
+  test("levenshtein dedup: planted near-identical prefixes surface with " +
+    "exact small distances; past-threshold and cross-block pairs drop") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // the corpus fixture only ever exercises distance 0 (snapshot
+    // copies; its near-dups differ at the TEXT START, past the ≤5
+    // gate) — this plants the 1..5 path the shipped artifact can't
+    // show. Same source + same length bucket + same first-3 chars
+    // keeps all four docs in one block; texts are padded to one
+    // 50-char bucket.
+    val pad = " " + ("x" * 30)
+    val docs = Seq(
+      (0L, "alpha beta gamma" + pad, "s0", "en"),   // base
+      (1L, "alpha beta gamma" + pad, "s0", "en"),   // exact copy → 0
+      (2L, "alpha beta gamme" + pad, "s0", "en"),   // 1 substitution → 1
+      (3L, "alpha bXtY gamZa" + pad, "s0", "en"),   // 3 substitutions → 3
+      (4L, "alpha zzzz zzzzz" + pad, "s0", "en"),   // 9 subs: same block, gated out
+      (5L, "alpha beta gamma" + pad, "s1", "en"))   // other source: other block
+    docs.toDF("doc_id", "text", "source", "lang")
+      .createOrReplaceTempView("documents")
+    // edit_dist arrives as INT (levenshtein's return type) — go
+    // through Number, the registry-wide getAs[Long] gotcha
+    val got = spark.sql(SqlOps.dedupLevenshtein(SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Number]("edit_dist").longValue).toMap
+    // two-snapshot ids: original d → copies 2d, 2d+1. All originals
+    // share one 50-char length bucket and first-3-chars "alp"; s0 is
+    // one block, s1 another. Original 4 is in-block but every cross
+    // pair exceeds the ≤5 gate, so only its own copy pair (distance
+    // 0) survives; original 5's copy pair lives in the s1 block.
+    val copies = Map(0L -> Seq(0L, 1L), 1L -> Seq(2L, 3L),
+      2L -> Seq(4L, 5L), 3L -> Seq(6L, 7L))
+    val wantDist = Map((0L, 0L) -> 0L, (0L, 1L) -> 0L, (1L, 1L) -> 0L,
+      (0L, 2L) -> 1L, (1L, 2L) -> 1L, (2L, 2L) -> 0L,
+      (0L, 3L) -> 3L, (1L, 3L) -> 3L, (2L, 3L) -> 4L, (3L, 3L) -> 0L)
+    val expect = (for {
+      ((oa, ob), dd) <- wantDist.toSeq
+      a <- copies(oa); b <- copies(ob); if a < b
+    } yield (a, b) -> dd).toMap ++ Map((8L, 9L) -> 0L, (10L, 11L) -> 0L)
+    assert(got === expect)
+    assert(got.values.exists(_ > 0), "the nonzero path must be exercised")
+    spark.catalog.dropTempView("documents")
+  }
+
+  test("fd audit: a source with one language reads fd_holds=1 — the positive " +
+    "path the fixture (where source → lang genuinely fails) never shows") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val docs = Seq(
+      (0L, "a", "mono", "en"), (1L, "b", "mono", "en"), (2L, "c", "mono", "en"),
+      (3L, "d", "mixed", "en"), (4L, "e", "mixed", "fr"), (5L, "f", "mixed", "en"))
+    docs.toDF("doc_id", "text", "source", "lang")
+      .createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.fdAudit(SparkDialect)).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_langs"), r.getAs[String]("majority_lang"),
+          r.getAs[Long]("majority_ppm"), r.getAs[Long]("fd_holds")))).toMap
+    assert(got("mono") === ((1L, "en", 1000000L, 1L)))
+    assert(got("mixed") === ((2L, "en", 666666L, 0L)))
+    spark.catalog.dropTempView("documents")
+  }
+
   test("ivf balance: a centroid that attracts zero vectors is a ROW (n=0), " +
     "not an absence") {
     import spark.implicits._

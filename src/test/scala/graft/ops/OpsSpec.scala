@@ -333,6 +333,22 @@ class OpsSpec extends SparkSpec {
         "exactly the full candidate pairs that touch a new doc")
   }
 
+  test("delta prefix probe equals the full verified pair set restricted to new docs") {
+    def rows(q: String) = run(q).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val full = rows("q_dedup_prefix")
+    val delta = rows("q_dedup_prefix_delta")
+    def isNew(x: Long) = x % SqlOps.NewDocMod == SqlOps.NewDocRem
+    assert(delta === full.filter { case (a, b, _) => isNew(a) || isNew(b) },
+      "probing the rarity-ranked prefix index with only new docs' prefix " +
+        "rows must recover exactly the full verified pairs that touch a " +
+        "new doc — the position bound is symmetric, so the new×all join's " +
+        "double orientation must collapse in the GROUP BY")
+    assert(delta.nonEmpty,
+      "vacuous fixture: no verified near-dup pair touches the NewDoc slice")
+  }
+
   test("incremental IVF delta: new-slice assignment against the staged " +
     "centroids equals a from-scratch rebuild's assignment") {
     // the frozen-centroid contract of the ANN index's incremental twin
@@ -1135,13 +1151,26 @@ class OpsSpec extends SparkSpec {
       .filter(r => r.getAs[Long]("query_id") < 5 && r.getAs[Int]("rk") <= 3)
       .groupBy(_.getAs[Long]("query_id"))
       .map { case (q, rs) => (q, rs.map(_.getAs[Long]("neighbor_id")).toSet) }
-    val actual = run("q_ann_eval").collect()
+    val rows = run("q_ann_eval").collect()
+    val actual = rows
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_hit"))).toMap
     assert(actual.keySet === exact.keySet)
     actual.foreach { case (q, nHit) =>
       val expected = exact(q).intersect(lsh.getOrElse(q, Set.empty)).size.toLong
       assert(nHit === expected, s"query $q: eval says $nHit, cross-check says $expected")
     }
+    // the 8-band union retrieval dominates the single band (its
+    // candidate set is a superset) and must be NON-degenerate at
+    // fixture scale — the single-band recall is honestly 0 here (a
+    // 1/256 bucket almost never holds a global top-3 neighbor), and a
+    // readout whose every metric column is 0 at every SF proves
+    // nothing (the q_ab_test vacuity lesson)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hit_union") >= r.getAs[Long]("n_hit"),
+        s"union retrieval lost a single-band hit for query ${r.getAs[Long]("query_id")}")
+    }
+    assert(rows.map(_.getAs[Long]("n_hit_union")).sum > 0,
+      "the 8-band union recall must have a positive path at fixture scale")
   }
 
   test("cluster size histogram accounts for every clustered doc") {

@@ -426,6 +426,46 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.dropTempView("events")
   }
 
+  test("streaming prefix probe: folded pair set equals the batch delta probe " +
+    "over the delivered union; replay is a no-op") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_pfx").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft_pfx_idx").toString
+    graft.functions.GraftFunctions.registerAll(spark)
+    graft.Tables(spark, sf001, "documents").createOrReplaceTempView("documents")
+    // the staged index as parquet artifacts (what the batch index pass
+    // ships): pfx_dsh, then pfx_rk which reads the pfx_dsh view
+    graft.ops.SqlOps.dedupPrefix.stages.foreach { case (name, build) =>
+      spark.sql(build(graft.ops.SparkDialect))
+        .write.mode("overwrite").parquet(s"$idx/$name")
+      spark.read.parquet(s"$idx/$name").createOrReplaceTempView(name)
+    }
+    // delivered union = the NewDoc slice, split across two batches so
+    // cross-batch pairs must come from the index probe, not the batch
+    val newIds = spark.sql(
+      s"""SELECT DISTINCT doc_id FROM pfx_dsh
+         |WHERE doc_id % ${graft.ops.SqlOps.NewDocMod} = ${graft.ops.SqlOps.NewDocRem}""".stripMargin)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(newIds.size >= 2, "fixture must have multiple new docs")
+    val (b1, b2) = newIds.splitAt(newIds.size / 2)
+    def df(ids: Seq[Long]) = ids.toDF("doc_id")
+    StreamingOps.prefixProbeBatch(spark, df(b1), idx, root)
+    StreamingOps.prefixProbeBatch(spark, df(b2), idx, root)
+    val folded = spark.read.parquet(s"$root/pfx_pairs").collect().map(_.toSeq).toSet
+    // replay batch 1 wholesale: membership is a pure function of the
+    // delivered doc set, so the fold must be a no-op
+    StreamingOps.prefixProbeBatch(spark, df(b1), idx, root)
+    assert(spark.read.parquet(s"$root/pfx_pairs").collect().map(_.toSeq).toSet === folded)
+    // parity: the delivered union IS the NewDoc slice, so the folded
+    // set must equal the batch delta probe's verified pairs
+    val want = spark.sql(
+      graft.ops.SqlOps.dedupPrefixDelta.body(graft.ops.SparkDialect))
+      .collect().map(_.toSeq).toSet
+    assert(folded === want)
+    assert(want.nonEmpty, "vacuous fixture: the delta probe found no pair")
+    spark.catalog.dropTempView("documents")
+  }
+
   test("streaming conformal gate admits exactly the batch conf >= tau set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
