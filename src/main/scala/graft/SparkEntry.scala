@@ -785,6 +785,12 @@ object SparkEntry {
     // A/A null-split calibration of the same two-proportion protocol
     // (md5-bucket arms): z-squared must sit under the chi2_1 5% bar
     "q_aa_calibration" -> sqlq(Seq("events"), SqlOps.aaCalibration),
+    "q_ab_sprt" -> sqlq(Seq("events"), SqlOps.abSprt),
+    "q_js_shrinkage" -> sqlq(Seq("documents"), SqlOps.jsShrinkage),
+    "q_capture_recapture" -> sqlq(Seq("documents"), SqlOps.captureRecapture),
+    "q_langid_f1" -> sqlq(Seq("documents"), SqlOps.langidF1),
+    "q_token_burstiness" -> sqlStaged(Seq("documents"), SqlOps.tokenBurstiness),
+    "q_dedup_cascade_cost" -> sqlStaged(Seq("documents"), SqlOps.dedupCascadeCost),
     // Wald-Wolfowitz runs test of label arrangement along doc_id —
     // the storage-order shuffle-quality audit
     "q_runs_test" -> sqlq(Seq("documents"), SqlOps.runsTest),
@@ -1911,6 +1917,12 @@ object SparkEntry {
     "q_ab_test" -> SqlOps.abTest(DuckDialect),
     "q_did_estimator" -> SqlOps.didEstimator(DuckDialect),
     "q_aa_calibration" -> SqlOps.aaCalibration(DuckDialect),
+    "q_ab_sprt" -> SqlOps.abSprt(DuckDialect),
+    "q_js_shrinkage" -> SqlOps.jsShrinkage(DuckDialect),
+    "q_capture_recapture" -> SqlOps.captureRecapture(DuckDialect),
+    "q_langid_f1" -> SqlOps.langidF1(DuckDialect),
+    "q_token_burstiness" -> SqlOps.tokenBurstiness.single(DuckDialect),
+    "q_dedup_cascade_cost" -> SqlOps.dedupCascadeCost.single(DuckDialect),
     "q_runs_test" -> SqlOps.runsTest(DuckDialect),
     "q_lateral_latest" -> SqlOps.lateralLatest(DuckDialect),
     "q_k_anonymity" -> SqlOps.kAnonymity(DuckDialect),

@@ -1130,6 +1130,78 @@ trait SqlOpsCuration { this: SqlOpsAll =>
       !(n.startsWith("pcb_s") || n.startsWith("pcb_w") || n == "pcb_env") },
     body = { _ => "SELECT COUNT(*) AS n FROM pcb_cv" })
 
+  /** JAMES-STEIN shrinkage of per-source mean quality — the
+    * winner's-curse correction a data-valuation readout needs before
+    * ranking sources by observed mean: with k ≥ 4 noisy group means,
+    * shrinking each toward the grand mean by c = max(0, 1 −
+    * (k−3)·v̄/S) (v̄ = mean sampling variance of the group means, S =
+    * Σ(x̄ᵢ−m)²) strictly dominates the raw means in total squared
+    * error (Stein), so the top-ranked source stops being the
+    * luckiest small one. Cross-engine exactness follows the
+    * repo-wide parity rule: every cross-row SUM is int64 — per-doc
+    * quality µ-quantized before the group sums; the between-group
+    * spread as Σ(k·x̄q − Σx̄q)² = k²·S (each term an exact int64 under
+    * the loud guard); the per-source sampling variance µ²-quantized
+    * before its k-row sum — and the remaining scalar arithmetic is
+    * single divisions on one row. c and the shrunk means are
+    * 6dp-quantized. k ≤ 3 ⇒ c = 1 (no shrinkage is defined); S = 0 ⇒
+    * c = 0 (identical means shrink completely — the limit of the
+    * positive-part estimator). */
+  def jsShrinkage(d: Dialect): String =
+    s"""WITH ${scoredCtes(d, "documents")},
+       |sq AS (
+       |  SELECT dd.source, ${qvExpr("s.quality")} AS q
+       |  FROM scored s JOIN documents dd ON s.doc_id = dd.doc_id
+       |),
+       |g AS (
+       |  SELECT source,
+       |    CASE WHEN COUNT(*) > 9000000
+       |      THEN CAST('js-shrinkage: q2 sum exceeds the int64 envelope — rescale' AS BIGINT)
+       |      ELSE CAST(COUNT(*) AS BIGINT) END AS n,
+       |    CAST(SUM(q) AS BIGINT) AS sq1,
+       |    CAST(SUM(q * q) AS BIGINT) AS sq2
+       |  FROM sq GROUP BY source
+       |),
+       |st AS (
+       |  SELECT source, n,
+       |    CAST(FLOOR(CAST(sq1 AS DOUBLE) / n + 5.0e-1) AS BIGINT) AS xbq,
+       |    CASE WHEN n < 2 THEN 0
+       |         ELSE CAST(FLOOR(
+       |           (CAST(n AS DOUBLE) * sq2 - CAST(sq1 AS DOUBLE) * sq1)
+       |             / (CAST(n AS DOUBLE) * (n - 1) * n) + 5.0e-1) AS BIGINT)
+       |    END AS vmq
+       |  FROM g
+       |),
+       |gl AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       |    CAST(SUM(xbq) AS BIGINT) AS sxb,
+       |    CAST(SUM(vmq) AS BIGINT) AS svm
+       |  FROM st
+       |),
+       |dev AS (
+       |  SELECT CAST(SUM(
+       |    CASE WHEN ABS(CAST(gl.k AS DOUBLE) * st.xbq - gl.sxb) > 3.0e9
+       |      THEN CAST('js-shrinkage: spread term exceeds the int64 envelope' AS BIGINT)
+       |      ELSE (gl.k * st.xbq - gl.sxb) * (gl.k * st.xbq - gl.sxb) END
+       |  ) AS BIGINT) AS ss2
+       |  FROM st CROSS JOIN gl
+       |),
+       |cf AS (
+       |  SELECT gl.k, gl.sxb,
+       |    CASE WHEN gl.k <= 3 THEN 1.0e0
+       |         WHEN dev.ss2 = 0 THEN 0.0e0
+       |         ELSE GREATEST(0.0e0, 1.0e0 -
+       |           (gl.k - 3) * (CAST(gl.svm AS DOUBLE) / gl.k)
+       |             / (CAST(dev.ss2 AS DOUBLE) / gl.k / gl.k))
+       |    END AS c
+       |  FROM gl CROSS JOIN dev
+       |)
+       |SELECT st.source, st.n,
+       |  ${r6("CAST(st.xbq AS DOUBLE) / 1.0e6")} AS mean_q,
+       |  ${r6("(CAST(cf.sxb AS DOUBLE) / cf.k + cf.c * (st.xbq - CAST(cf.sxb AS DOUBLE) / cf.k)) / 1.0e6")} AS js_mean_q,
+       |  ${r6("cf.c")} AS shrink_c
+       |FROM st CROSS JOIN cf""".stripMargin
+
   /** The adaptive rescale target: the largest T ≤ 1e6 with
     * terms · mxcv · T ≤ 9.2e18 (int64 headroom), so the NEXT stage's
     * sum of `terms` products of a ≤ mxcv matrix entry and a ≤ T

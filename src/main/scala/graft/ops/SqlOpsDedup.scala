@@ -242,6 +242,123 @@ trait SqlOpsDedup { this: SqlOpsAll =>
          |$jaccardSelect""".stripMargin
     })
 
+  /** CAPTURE-RECAPTURE estimate of the corpus's shingle universe
+    * (Lincoln-Petersen with Chapman's bias correction): two
+    * deterministic 25% document samples (md5 content buckets — the
+    * RNG-free sampling rule) each "capture" a set of distinct
+    * 3-gram shingles; the overlap m between captures estimates the
+    * UNSEEN remainder, N̂ = (n1+1)(n2+1)/(m+1) − 1 — how a pipeline
+    * sizes a vocabulary / shingle index for capacity planning
+    * WITHOUT a full-corpus distinct pass at 100 TB (here the exact
+    * distinct count rides along as the audit column, the
+    * approx-distinct contract pattern). One shingle pass → one
+    * per-shingle presence aggregate (map-side combined) → a 1-row
+    * exact-integer readout; the (n1+1)(n2+1) product is
+    * loud-guarded. Shingle identity is the engine-portable
+    * [[Dialect.shingleId]] fingerprint (the nj_dshf rule — the
+    * oracle's string side proves count-equivalence every run). */
+  def captureRecapture(d: Dialect): String = {
+    val sid = d.shingleId("s")
+    s"""WITH ${shinglesCtes(d, n = 3, from = "documents")},
+       |db AS (SELECT doc_id, ${md5Bucket("text")} AS b FROM documents),
+       |pres AS (
+       |  SELECT $sid AS sf,
+       |    MAX(CASE WHEN db.b < 64 THEN 1 ELSE 0 END) AS ina,
+       |    MAX(CASE WHEN db.b >= 64 AND db.b < 128 THEN 1 ELSE 0 END) AS inb
+       |  FROM sh JOIN db ON sh.doc_id = db.doc_id
+       |  GROUP BY $sid
+       |),
+       |cnt AS (
+       |  SELECT CAST(SUM(ina) AS BIGINT) AS n1, CAST(SUM(inb) AS BIGINT) AS n2,
+       |    CAST(SUM(ina * inb) AS BIGINT) AS m,
+       |    CAST(COUNT(*) AS BIGINT) AS truth
+       |  FROM pres
+       |),
+       |est AS (
+       |  SELECT n1, n2, m, truth,
+       |    CASE WHEN (CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1) > 9.0e18
+       |      THEN CAST('capture-recapture: chapman product exceeds int64' AS BIGINT)
+       |      ELSE ${d.idiv("(n1 + 1) * (n2 + 1)", "m + 1")} - 1 END AS est_universe
+       |  FROM cnt
+       |)
+       |SELECT n1, n2, m, CAST(est_universe AS BIGINT) AS est_universe,
+       |  truth AS true_universe,
+       |  CASE WHEN truth = 0 THEN NULL
+       |       ELSE ${d.idiv("1000000 * ABS(est_universe - truth)", "truth")}
+       |  END AS err_ppm
+       |FROM est""".stripMargin
+  }
+
+  /** Dedup-cascade ECONOMICS: one table comparing the three banded
+    * near-dup candidate generators (minhash bands, simhash bands
+    * pre-Hamming, PPJoin prefix filter) on candidate volume,
+    * true-pair yield, precision and recall against the corpus's ONE
+    * ground truth (exact df-capped 3-gram Jaccard ≥ 0.6 — the house
+    * standard every verify stage uses). This is the readout a
+    * pipeline owner reads to pick (or stack) techniques at 100 TB:
+    * candidate volume IS the shuffle bill, and precision·recall
+    * says what the bill buys. All sides read the already-staged
+    * artifacts (mh_cand, sh_sim, pfx_rk/pfx_dsh, nj_dshf) — the
+    * body is counts and joins over index-sized tables, nothing
+    * rescans text. Simhash is counted at its BAND-COLLISION stage
+    * (before the Hamming verify) deliberately: the cascade question
+    * is what each CANDIDATE generator admits; every family's exact
+    * verify is the same Jaccard pass. lazy: references vals across
+    * the SqlOps trait split (the datasetCard init-order rule). */
+  lazy val dedupCascadeCost: StagedOp = StagedOp(
+    stages = (dedupMinhash.stages ++ dedupSimhashPairs.stages ++
+      dedupPrefix.stages ++ dedupNgramJaccard.stages).distinctBy(_._1),
+    body = { d =>
+      s"""WITH cm AS (SELECT doc_a, doc_b FROM mh_cand),
+         |sbands AS (
+         |  ${simhashBandRows("sh_sim")}
+         |),
+         |cs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sbands a JOIN sbands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |),
+         |${pfxPreCte("pfx_rk")},
+         |cp AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |    FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id
+         |      AND $pfxLenFilter
+         |    GROUP BY a.doc_id, b.doc_id, a.n, b.n
+         |    HAVING MIN($pfxPosBound) >= ${pfxAlpha("a.n + b.n")}
+         |  ) x
+         |),
+         |$szCte,
+         |$interFullCte,
+         |tr AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    $jaccardSelect
+         |  ) jj
+         |),
+         |tagged AS (
+         |  SELECT 'minhash' AS technique, doc_a, doc_b FROM cm
+         |  UNION ALL SELECT 'simhash_bands', doc_a, doc_b FROM cs
+         |  UNION ALL SELECT 'prefix', doc_a, doc_b FROM cp
+         |  UNION ALL SELECT 'truth', doc_a, doc_b FROM tr
+         |),
+         |j AS (
+         |  SELECT t.technique, CAST(COUNT(*) AS BIGINT) AS cand_pairs,
+         |    CAST(COUNT(v.doc_a) AS BIGINT) AS true_pairs
+         |  FROM tagged t LEFT JOIN tr v
+         |    ON v.doc_a = t.doc_a AND v.doc_b = t.doc_b
+         |  GROUP BY t.technique
+         |),
+         |tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM tr)
+         |SELECT technique, cand_pairs, true_pairs,
+         |  CASE WHEN cand_pairs = 0 THEN NULL
+         |       ELSE ${d.idiv("1000000 * true_pairs", "cand_pairs")}
+         |  END AS precision_ppm,
+         |  CASE WHEN n_truth = 0 THEN NULL
+         |       ELSE ${d.idiv("1000000 * true_pairs", "n_truth")}
+         |  END AS recall_ppm
+         |FROM j CROSS JOIN tc""".stripMargin
+    })
+
   /** Deterministic train/val/test corpus split (80/10/10 by content
     * hash): the dataset-assembly step every training pipeline runs.
     * Assignment is the md5 first-byte bucket (0-255: <205 train,

@@ -697,13 +697,64 @@ trait SqlOpsSampling { this: SqlOpsAll =>
     * the fixture converts 100% of users under the old rule at every
     * SF, ~45% under this one — an interior rate the test can actually
     * move). */
+  /** The LARGE-purchase value floor — ONE copy of the conversion
+    * threshold shared by the user-grain rule here and the per-trial
+    * SPRT ([[abSprt]]), so the sequential and fixed-horizon readouts
+    * cannot drift on what counts as a conversion. */
+  private[ops] val ConvValueFloor = "150"
   private[ops] def twoPropCtes(armExpr: String): String =
     s"""u AS (
        |  SELECT user_id, $armExpr AS arm,
-       |    MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted
+       |    MAX(CASE WHEN event_type = 'purchase' AND value > $ConvValueFloor THEN 1 ELSE 0 END) AS converted
        |  FROM events GROUP BY user_id
        |),
        |${twoPropAggCtes("u")}""".stripMargin
+
+  /** Wald's SEQUENTIAL probability ratio test over the treatment
+    * arm's daily large-purchase rate — the always-valid sequential
+    * companion to the fixed-horizon [[abTest]]: a monitor that peeks
+    * every day needs boundaries that survive optional stopping, which
+    * is exactly the SPRT's log-likelihood-ratio walk with
+    * ±log₂((1−β)/α) boundaries (α = β = 0.05). Hypotheses are
+    * per-purchase success rates H0: p = 0.10 vs H1: p = 0.03,
+    * bracketing the fixture's ~4% so the walk drifts decisively
+    * toward H1 at the larger SFs while the smallest SF honestly reads
+    * 'continue' — the sequential answer when the evidence hasn't
+    * accumulated. ALL arithmetic is exact int64: the per-trial
+    * µ-scaled log2 increments (L1 = ⌊log₂(p1/p0)·10⁶⌉ = −1736966,
+    * L0 = ⌊log₂((1−p1)/(1−p0))·10⁶⌉ = 108060) and the boundary
+    * ±4247928 are HOST-EXACT literals (the EWMA weight-table rule —
+    * transcendentals are not IEEE-pinned across engines, so the
+    * finite constant set is precomputed), the daily increment is
+    * succ·L1 + (trials−succ)·L0, and the cumulative walk is a
+    * day-cardinality window (30 rows — the calendar-chain
+    * convention, never a per-event sort). Trials envelope: |L1| ≈
+    * 1.74e6 ⇒ ~5e12 lifetime trials fit int64; loud-guarded. */
+  def abSprt(d: Dialect): String = {
+    val (l1, l0, bound) = (-1736966L, 108060L, 4247928L)
+    val llrDay = s"(succ * $l1 + (trials - succ) * $l0)"
+    s"""WITH t AS (
+       |  SELECT ${d.idiv(d.epochSeconds("ts"), "86400")} AS day,
+       |    CASE WHEN COUNT(*) > 1000000000000
+       |      THEN CAST('ab-sprt: daily trials exceed the LLR int64 envelope' AS BIGINT)
+       |      ELSE CAST(COUNT(*) AS BIGINT) END AS trials,
+       |    CAST(COUNT(CASE WHEN value > $ConvValueFloor THEN 1 END) AS BIGINT) AS succ
+       |  FROM events
+       |  WHERE user_id % 2 = 1 AND event_type = 'purchase'
+       |  GROUP BY 1
+       |),
+       |c AS (
+       |  SELECT day, trials, succ, $llrDay AS llr_day_mu,
+       |    CAST(SUM($llrDay) OVER (ORDER BY day) AS BIGINT) AS cum_llr_mu
+       |  FROM t
+       |)
+       |SELECT CAST(day AS BIGINT) AS day, trials, succ AS successes,
+       |  CAST(llr_day_mu AS BIGINT) AS llr_day_mu, cum_llr_mu,
+       |  CASE WHEN cum_llr_mu >= $bound THEN 'accept_h1'
+       |       WHEN cum_llr_mu <= -$bound THEN 'accept_h0'
+       |       ELSE 'continue' END AS decision
+       |FROM c""".stripMargin
+  }
 
   /** A/A calibration of the experimentation readout — the null-split
     * sanity every A/B platform runs before trusting its p-values:

@@ -1568,10 +1568,18 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
 
   /** SimHash near-dup pairs: byte-band candidates, hamming ≤ 3. The
     * digest table (1 row/doc) is staged; only the band join re-reads it. */
-  val dedupSimhashPairs: StagedOp = {
-    val bands = (0 until 4).map { b =>
-      s"SELECT doc_id, simhash, $b AS band, CAST(FLOOR(simhash / ${1L << (8 * b)}) AS BIGINT) % 256 AS bkey FROM sh_sim"
+  /** The 4×8-bit simhash band projection over a `(doc_id, simhash)`
+    * relation — ONE copy of the band geometry, shared by
+    * [[dedupSimhashPairs]]' candidate join and the cascade economics
+    * readout ([[SqlOpsDedup.dedupCascadeCost]]), so a band-width
+    * change moves both. */
+  private[ops] def simhashBandRows(from: String): String =
+    (0 until 4).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, CAST(FLOOR(simhash / ${1L << (8 * b)}) AS BIGINT) % 256 AS bkey FROM $from"
     }.mkString("\n  UNION ALL\n  ")
+
+  val dedupSimhashPairs: StagedOp = {
+    val bands = simhashBandRows("sh_sim")
     StagedOp(
       stages = Seq("sh_sim" -> { d =>
         s"WITH ${simhashCtes(d)} SELECT doc_id, simhash FROM sim"
@@ -2245,6 +2253,86 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
       prefixProbeBody(
         s"(SELECT DISTINCT doc_id FROM pfx_dsh WHERE doc_id % $NewDocMod = $NewDocRem)")
     })
+
+  /** Token BURSTINESS (Church & Gale's observation, as the Fano
+    * factor): a content word's occurrences CLUSTER in few documents
+    * while a function word's spread evenly — the dispersion
+    * variance/mean of per-doc counts (zeros included) is ~1 for
+    * Poisson-spread tokens and ≫1 for bursty ones. This is the
+    * signal a stopword-list builder and a keyword extractor read
+    * (TextRank's window statistics approximate it); over a training
+    * corpus it flags template/boilerplate tokens (extreme burst =
+    * one doc stamps the token thousands of times). Exact integer
+    * arithmetic off the SHARED ulm_tf index: with T = Σc and
+    * Σc² over all N docs (zero rows contribute zero to both),
+    * Fano = (N·Σc² − T²)/(N·T), reported in ppm via one idiv; the
+    * 10⁶·N·Σc² product is loud-guarded in double (the CASE-throw
+    * discipline). Top-20 by (fano, token) over df ≥ 5 tokens —
+    * deterministic, domain-bounded output. */
+  val tokenBurstiness: StagedOp = StagedOp(
+    stages = textUnigramLm.stages,
+    body = { d =>
+      s"""WITH m AS (
+         |  SELECT s, CAST(SUM(tf) AS BIGINT) AS t,
+         |    CAST(SUM(tf * tf) AS BIGINT) AS sc2,
+         |    CAST(COUNT(*) AS BIGINT) AS df
+         |  FROM ulm_tf GROUP BY s
+         |),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+         |f AS (
+         |  SELECT s, df, t,
+         |    CASE WHEN 1.0e6 * CAST(nd AS DOUBLE) * sc2 > 9.0e18
+         |           OR CAST(t AS DOUBLE) * t > 9.0e18
+         |      THEN CAST('burstiness: ppm products exceed the int64 envelope — rescale' AS BIGINT)
+         |      ELSE ${d.idiv("1000000 * (nd * sc2 - t * t)", "nd * t")}
+         |    END AS fano_ppm
+         |  FROM m CROSS JOIN n WHERE df >= 5
+         |)
+         |SELECT s AS token, df, t AS total_tf, CAST(fano_ppm AS BIGINT) AS fano_ppm
+         |FROM f ORDER BY fano_ppm DESC, token LIMIT 20""".stripMargin
+    })
+
+  /** Per-language precision/recall/F1 off the language-ID confusion
+    * matrix ([[textLangIdEval]]'s cells, re-aggregated) — the
+    * one-row-per-class eval readout a model dashboard renders next to
+    * the raw confusion counts. The class domain is the LABEL domain
+    * (every lang present in the table, via the domain-join rule — a
+    * language the guesser never predicts must still show its row with
+    * precision NULL, not vanish); 'und' is a guess value only, never
+    * a label, so it contributes to false negatives through the guess
+    * cells. Counts are exact int64; the ratios are single divisions
+    * on exact operands, NULL-guarded on empty denominators,
+    * 6dp-quantized. */
+  def langidF1(d: Dialect): String = {
+    val (en, id) = langHitExprs(d)
+    s"""WITH ltoks AS (SELECT doc_id, lang, ${toks(d)} AS toks FROM documents),
+       |guessed AS (
+       |  SELECT lang, ${langGuessCase(en, id)} AS lang_guess FROM ltoks
+       |),
+       |conf AS (
+       |  SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM guessed GROUP BY lang, lang_guess
+       |),
+       |dom AS (SELECT DISTINCT lang FROM documents),
+       |per AS (
+       |  SELECT d.lang,
+       |    COALESCE(SUM(CASE WHEN c.lang = d.lang AND c.lang_guess = d.lang THEN c.n END), 0) AS tp,
+       |    COALESCE(SUM(CASE WHEN c.lang <> d.lang AND c.lang_guess = d.lang THEN c.n END), 0) AS fp,
+       |    COALESCE(SUM(CASE WHEN c.lang = d.lang AND c.lang_guess <> d.lang THEN c.n END), 0) AS fn
+       |  FROM dom d LEFT JOIN conf c
+       |    ON c.lang = d.lang OR c.lang_guess = d.lang
+       |  GROUP BY d.lang
+       |)
+       |SELECT lang, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(fn AS BIGINT) AS fn,
+       |  CASE WHEN tp + fp = 0 THEN NULL
+       |       ELSE ${r6("CAST(tp AS DOUBLE) / (tp + fp)")} END AS precision_6,
+       |  CASE WHEN tp + fn = 0 THEN NULL
+       |       ELSE ${r6("CAST(tp AS DOUBLE) / (tp + fn)")} END AS recall_6,
+       |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+       |       ELSE ${r6("2.0e0 * tp / (2 * tp + fp + fn)")} END AS f1_6
+       |FROM per""".stripMargin
+  }
 
   /** Corpus DIVERSITY by sampled mean pairwise similarity — the
     * self-BLEU-shaped health metric a data-mixing pipeline tracks per

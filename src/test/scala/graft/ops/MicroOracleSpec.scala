@@ -4056,6 +4056,171 @@ class MicroOracleSpec extends SparkSpec {
     spark.catalog.dropTempView("documents")
   }
 
+  test("ab sprt: planted daily conversions replay the exact integer LLR walk, " +
+    "boundary crossings flip the decision, control arm and non-purchases don't count") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    def t(day: Int, s: Long) = new java.sql.Timestamp((day * 86400L + s) * 1000L)
+    // treatment arm = odd user ids; conversions are value > 150.
+    // day 0: 1/2 large → LLR day = L1 + L0; day 1: 0/3 → 3·L0;
+    // day 2: 52 small purchases → 52·L0 pushes cum past +A (accept_h1:
+    // 52·108060 − 1628906 + 324180 = 4314394 ≥ 4247928) — plus
+    // control-arm and view noise that must not count
+    val rows =
+      Seq((1L, 1L, t(0, 10), "purchase", 200.0),
+        (2L, 3L, t(0, 20), "purchase", 100.0),
+        (3L, 2L, t(0, 30), "purchase", 999.0),   // control arm: ignored
+        (4L, 1L, t(0, 40), "view", 999.0)) ++    // not a purchase: ignored
+      (0 until 3).map(i => (10L + i, 5L, t(1, i * 7L), "purchase", 10.0 + i)) ++
+      (0 until 52).map(i => (50L + i, 7L, t(2, i * 5L), "purchase", 20.0))
+    rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+      .createOrReplaceTempView("events")
+    val got = spark.sql(SqlOps.abSprt(SparkDialect)).collect()
+      .map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Long]("trials"), r.getAs[Long]("successes"),
+          r.getAs[Long]("llr_day_mu"), r.getAs[Long]("cum_llr_mu"),
+          r.getAs[String]("decision")))).toMap
+    // independent replay with the documented host-exact literals
+    val (l1, l0, bound) = (-1736966L, 108060L, 4247928L)
+    def dec(c: Long) =
+      if (c >= bound) "accept_h1" else if (c <= -bound) "accept_h0" else "continue"
+    val d0 = 1 * l1 + 1 * l0
+    val d1 = 3 * l0
+    val d2 = 52 * l0
+    assert(got === Map(
+      0L -> ((2L, 1L, d0, d0, dec(d0))),
+      1L -> ((3L, 0L, d1, d0 + d1, dec(d0 + d1))),
+      2L -> ((52L, 0L, d2, d0 + d1 + d2, dec(d0 + d1 + d2)))))
+    assert(dec(d0 + d1 + d2) === "accept_h1", "fixture must cross the H1 boundary")
+    assert(dec(d0) === "continue")
+    spark.catalog.dropTempView("events")
+  }
+
+  test("james-stein shrinkage: four planted sources replay the closed-form " +
+    "positive-part estimator with the exact quantization sequence") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // quality formula inputs are (n_words, stop ratio, avg word len) —
+    // instead of reverse-engineering it, replay it: read back the
+    // per-doc quality Spark computes and push it through an
+    // INDEPENDENT Scala implementation of the JS arithmetic,
+    // mirroring each documented int64 quantization step.
+    val texts = (0 until 4).flatMap { srcI =>
+      (0 until 5).map { j =>
+        val words = Seq.fill(8 + srcI + j % 2)("word") ++ Seq("the", "and")
+        (srcI.toLong * 5 + j, words.mkString(" "), s"s$srcI", "en")
+      }
+    }
+    texts.toDF("doc_id", "text", "source", "lang").createOrReplaceTempView("documents")
+    val got = spark.sql(SqlOps.jsShrinkage(SparkDialect)).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mean_q"),
+          r.getAs[Double]("js_mean_q"), r.getAs[Double]("shrink_c")))).toMap
+    // per-doc µ-quality from the engine's own scored CTE (the shared
+    // formula), then an independent JS replay
+    val q = spark.sql(
+      s"WITH ${SqlOps.scoredCtes(SparkDialect, "documents")} " +
+        "SELECT doc_id, CAST(FLOOR(quality * 1.0e6 + 5.0e-1) AS BIGINT) AS q FROM scored")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bySrc = texts.groupBy(_._3).view
+      .mapValues(_.map(d => q(d._1))).toMap
+    def fl(x: Double) = math.floor(x + 0.5).toLong
+    val st = bySrc.toSeq.map { case (s, qs) =>
+      val n = qs.size.toLong
+      val s1 = qs.sum; val s2 = qs.map(x => x * x).sum
+      val xbq = fl(s1.toDouble / n)
+      val vmq = if (n < 2) 0L
+        else fl((n.toDouble * s2 - s1.toDouble * s1) / (n.toDouble * (n - 1) * n))
+      (s, n, xbq, vmq)
+    }
+    val k = st.size.toLong
+    val sxb = st.map(_._3).sum; val svm = st.map(_._4).sum
+    val ss2 = st.map(t => (k * t._3 - sxb) * (k * t._3 - sxb)).sum
+    val c = if (k <= 3) 1.0 else if (ss2 == 0) 0.0
+      else math.max(0.0,
+        1.0 - (k - 3) * (svm.toDouble / k) / (ss2.toDouble / k / k))
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    st.foreach { case (s, n, xbq, _) =>
+      val (gn, gm, gj, gc) = got(s)
+      assert(gn === n)
+      assert(gm === r6d(xbq.toDouble / 1e6), s"mean for $s")
+      val m = sxb.toDouble / k
+      assert(gj === r6d((m + c * (xbq - m)) / 1e6), s"js mean for $s")
+      assert(gc === r6d(c))
+    }
+    // shrinkage must be ACTIVE (interior c), not a degenerate 0/1
+    assert(c > 0.0 && c < 1.0,
+      s"fixture must exercise an interior shrink factor, got c=$c")
+    spark.catalog.dropTempView("documents")
+  }
+
+  test("token burstiness: hand-planted burst and uniform tokens give exact " +
+    "fano ppm; below-df tokens drop") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    // 6 docs. 'puffin' bursts: 6 occurrences in doc0 + 1 in docs 1-4
+    // (df 5, t 10, Σc² 40) → fano = (6·40 − 100)/(6·10) = 7/3.
+    // 'the' is uniform: once everywhere (df 6, t 6, Σc² 6) → fano 0.
+    // 'rare' has df 2 < 5 → must not appear.
+    val docs = (0 until 6).map { i =>
+      val words =
+        (if (i == 0) Seq.fill(6)("puffin") else if (i <= 4) Seq("puffin") else Nil) ++
+        Seq("the") ++ (if (i < 2) Seq("rare") else Nil) ++
+        Seq("w" + i) // distinct filler, df 1
+      (i.toLong, words.mkString(" "), "s0", "en")
+    }
+    docs.toDF("doc_id", "text", "source", "lang").createOrReplaceTempView("documents")
+    // build the ulm_tf stage as a view (the sqlStaged test shape)
+    SqlOps.tokenBurstiness.stages.foreach { case (name, build) =>
+      spark.sql(build(SparkDialect)).localCheckpoint().createOrReplaceTempView(name)
+    }
+    val got = spark.sql(SqlOps.tokenBurstiness.body(SparkDialect)).collect()
+      .map(r => r.getAs[String]("token") ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("total_tf"), r.getAs[Long]("fano_ppm"))))
+      .toMap
+    assert(got.keySet === Set("puffin", "the"))
+    assert(got("puffin") === ((5L, 10L, (1000000L * (6 * 40 - 100)) / (6 * 10))))
+    assert(got("the") === ((6L, 6L, 0L)))
+    spark.catalog.dropTempView("documents")
+  }
+
+  test("capture-recapture: an independent md5+shingle replay reproduces the " +
+    "chapman estimate on the fixture corpus") {
+    // fully independent: java MD5 for the content buckets, a plain
+    // split-based 3-gram shingler, set arithmetic for the captures,
+    // BigInt for chapman — nothing shared with the SQL rendering
+    // except the fixture itself (sf0.001 documents)
+    val docs = graft.Tables.documents(spark, sf001)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    def bucket(text: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8"))
+      ((md(0) & 0xff))
+    }
+    def shingles(text: String): Set[String] = {
+      val w = text.split(" ").filter(_.nonEmpty)
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val all = docs.map { case (_, t) => (bucket(t), shingles(t)) }
+    val sa = all.filter(_._1 < 64).flatMap(_._2).toSet
+    val sb = all.filter(x => x._1 >= 64 && x._1 < 128).flatMap(_._2).toSet
+    val truth = all.flatMap(_._2).toSet.size.toLong
+    val (n1, n2, m) = (sa.size.toLong, sb.size.toLong, sa.intersect(sb).size.toLong)
+    val est = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    val errPpm = 1000000L * math.abs(est - truth) / truth
+    graft.functions.GraftFunctions.registerAll(spark)
+    graft.Tables.documents(spark, sf001).createOrReplaceTempView("documents")
+    val r = spark.sql(SqlOps.captureRecapture(SparkDialect)).collect()(0)
+    assert((r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Long]("m")) ===
+      ((n1, n2, m)))
+    assert(r.getAs[Long]("est_universe") === est)
+    assert(r.getAs[Long]("true_universe") === truth)
+    assert(r.getAs[Long]("err_ppm") === errPpm)
+    spark.catalog.dropTempView("documents")
+  }
+
   test("levenshtein dedup: planted near-identical prefixes surface with " +
     "exact small distances; past-threshold and cross-block pairs drop") {
     import spark.implicits._

@@ -333,6 +333,42 @@ class OpsSpec extends SparkSpec {
         "exactly the full candidate pairs that touch a new doc")
   }
 
+  test("dedup cascade economics agree with the family queries it summarizes") {
+    val rows = run("q_dedup_cascade_cost").collect()
+      .map(r => r.getAs[String]("technique") ->
+        ((r.getAs[Long]("cand_pairs"), r.getAs[Long]("true_pairs")))).toMap
+    assert(rows.keySet === Set("minhash", "simhash_bands", "prefix", "truth"))
+    // cross-checks against the standalone family queries: the cascade
+    // must not recount — minhash candidates are the staged mh_cand,
+    // truth is the exact jaccard query's own row count
+    assert(rows("minhash")._1 === run("q_dedup_minhash").count())
+    val truth = run("q_dedup_ngram_jaccard").count()
+    assert(rows("truth") === ((truth, truth)))
+    rows.values.foreach { case (cand, verified) =>
+      assert(verified <= cand, "a technique cannot verify more than it admits")
+      assert(verified <= truth)
+    }
+    assert(rows("simhash_bands")._1 > rows("minhash")._1,
+      "band-collision counting (pre-Hamming) must be visibly coarser")
+  }
+
+  test("langid F1 rows recompute exactly from the confusion matrix") {
+    val conf = run("q_text_langid_eval").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("lang_guess")) ->
+        r.getAs[Long]("n")).toMap
+    val labels = conf.keys.map(_._1).toSet
+    val got = run("q_langid_f1").collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn")))).toMap
+    assert(got.keySet === labels)
+    labels.foreach { l =>
+      val tp = conf.getOrElse((l, l), 0L)
+      val fp = conf.collect { case ((a, g), n) if g == l && a != l => n }.sum
+      val fn = conf.collect { case ((a, g), n) if a == l && g != l => n }.sum
+      assert(got(l) === ((tp, fp, fn)), s"lang $l")
+    }
+  }
+
   test("delta prefix probe equals the full verified pair set restricted to new docs") {
     def rows(q: String) = run(q).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
