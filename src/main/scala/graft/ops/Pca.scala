@@ -73,6 +73,29 @@ object PcaLoop {
     val mxcv = spark.sql(
       """SELECT GREATEST(COALESCE(CAST(MAX(ABS(cv)) AS BIGINT), 1), 1)
         |FROM pcb_cv""".stripMargin).collect()(0).getLong(0)
+    component(spark, "pcb_cv", nVec, nPos, mxcv, "component2")
+  }
+
+  /** FIRST principal component by the same driver loop over the
+    * canonical centered matrix (`pca_cv` + its prewarmed `pca_env`)
+    * — the execution path q_pca_power_iter ships: identical integer
+    * arithmetic to the staged `pci_*` alias chain it replaces (which
+    * re-ran seven per-round parquet stages per JVM purely for
+    * first-consumer billing), proven equal by the unchanged
+    * pcaPowerTimed oracle every Verify run. */
+  def powerComponent1(spark: SparkSession): DataFrame = {
+    val env = spark.sql("SELECT n_vec, n_pos, mxcv FROM pca_env").collect()(0)
+    component(spark, "pca_cv", env.getLong(0), env.getLong(1), env.getLong(2),
+      "component")
+  }
+
+  /** The shared power-iteration driver loop over a centered matrix
+    * view `cvTbl(vec_id, pos, cv)` with the given envelope values;
+    * `outCol` names the µ-component column (the two consumers'
+    * published schemas differ only there). */
+  private def component(spark: SparkSession, cvTbl: String,
+                        nVec: Long, nPos: Long, mxcv: Long,
+                        outCol: String): DataFrame = {
     val tqS = target(mxcv, math.max(nVec, 1L))
     val tqW = target(mxcv, math.max(nPos, 1L))
     val rounds = SqlOps.PcaRounds
@@ -85,11 +108,11 @@ object PcaLoop {
       val matvec = v match {
         case None =>
           s"""SELECT c.vec_id, CAST(SUM(c.cv * $tqW) AS BIGINT) AS sv
-             |FROM pcb_cv c GROUP BY c.vec_id""".stripMargin
+             |FROM $cvTbl c GROUP BY c.vec_id""".stripMargin
         case Some(vs) =>
           val lits = vs.map { case (p, q) => s"($p, $q)" }.mkString(", ")
           s"""SELECT c.vec_id, CAST(SUM(c.cv * v.vq) AS BIGINT) AS sv
-             |FROM pcb_cv c JOIN (VALUES $lits) v(pos, vq) ON c.pos = v.pos
+             |FROM $cvTbl c JOIN (VALUES $lits) v(pos, vq) ON c.pos = v.pos
              |GROUP BY c.vec_id""".stripMargin
       }
       // the N-row matvec is consumed twice (max, then vecmat) —
@@ -102,7 +125,7 @@ object PcaLoop {
       // whole-stage codegen compiles each shape ONCE instead of three
       // times (a literal dm in the source forces a recompile per round)
       val sDf = spark.sql(matvec).persist()
-      val sView = "__pcb_s"
+      val sView = s"__pca_loop_s_$cvTbl"
       sDf.createOrReplaceTempView(sView)
       def t0 = System.nanoTime()
       val tm = sys.env.contains("SPARK_GRAFT_STAGE_TIMING")
@@ -119,7 +142,7 @@ object PcaLoop {
         w = spark.sql(
           s"""SELECT CAST(c.pos AS BIGINT) AS pos,
              |  CAST(SUM(c.cv * ${fd("s.sv", "d.dm")}) AS BIGINT) AS w
-             |FROM pcb_cv c JOIN $sView s ON c.vec_id = s.vec_id
+             |FROM $cvTbl c JOIN $sView s ON c.vec_id = s.vec_id
              |CROSS JOIN (VALUES (CAST($dmS AS BIGINT))) d(dm)
              |GROUP BY c.pos""".stripMargin)
           .collect().map(row => (row.getLong(0), row.getLong(1)))
@@ -140,7 +163,7 @@ object PcaLoop {
     // double sequence is the exact body expression
     if (w.isEmpty)
       return spark.sql(
-        "SELECT CAST(pos AS BIGINT) AS pos, CAST(c2 AS DOUBLE) AS component2 " +
+        s"SELECT CAST(pos AS BIGINT) AS pos, CAST(c2 AS DOUBLE) AS $outCol " +
           "FROM (VALUES (0, 0.0)) t(pos, c2) WHERE 1 = 0")
     val mxF = math.max(w.map(x => math.abs(x._2)).max, 1L)
     val dmF = divisor(mxF, 1000000L)
@@ -148,7 +171,7 @@ object PcaLoop {
       .map { case (p, x) => s"($p, ${Math.floorDiv(x, dmF)})" }.mkString(", ")
     spark.sql(
       s"""SELECT CAST(pos AS BIGINT) AS pos,
-         |  ${SqlOps.r6("CAST(vq AS DOUBLE) / 1.0e6")} AS component2
+         |  ${SqlOps.r6("CAST(vq AS DOUBLE) / 1.0e6")} AS $outCol
          |FROM (VALUES $lits) t(pos, vq)""".stripMargin)
   }
 }

@@ -464,6 +464,11 @@ class MicroOracleSpec extends SparkSpec {
     }
     val expected = (0 until dim).map(p => (p.toLong, r6(v(p).toDouble / 1e6)))
     assert(got.toSeq === expected)
+    // the driver-loop execution path (q_pca_power_iter's) must replay
+    // the same integers off the same staged matrix + envelope views
+    val gotPL = graft.ops.PcaLoop.powerComponent1(spark).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Double]("component"))).sortBy(_._1)
+    assert(gotPL.toSeq === expected)
     // convergence sanity: the learned direction aligns with u
     val nv = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
     val nu = math.sqrt(u.map(x => x * x).sum)
@@ -609,6 +614,12 @@ class MicroOracleSpec extends SparkSpec {
     val vOut = rescaleTo(wv.toSeq, 1000000L)
     val expected = (0 until dim).map(p => (p.toLong, r6(vOut(p).toDouble / 1e6)))
     assert(got.toSeq === expected)
+    // the driver loop derives its targets from the same envelope —
+    // the overflow boundary is exactly where its host-side target()
+    // twin would silently diverge from pcaTargetCte, so pin it here
+    val gotPL = graft.ops.PcaLoop.powerComponent1(spark).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Double]("component"))).sortBy(_._1)
+    assert(gotPL.toSeq === expected)
     // and it still converges to the planted direction
     val nv = math.sqrt(vOut.map(x => x.toDouble * x.toDouble).sum)
     val nu = math.sqrt(u.map(x => x * x).sum)
