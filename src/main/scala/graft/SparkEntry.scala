@@ -48,6 +48,10 @@ object SparkEntry {
       .getOrElse(sys.props("java.io.tmpdir"))
   private def persistentRoot: Boolean =
     stageRoot != sys.props("java.io.tmpdir")
+  /** Bench records this in its artifact: a persistent root makes
+    * "cold" first-run numbers warm-stage reads, and the artifact must
+    * say so rather than let a reader assume the tmp-tier contract. */
+  private[graft] def stageRootIsPersistent: Boolean = persistentRoot
   private def stageDir(d: String): String =
     s"$stageRoot/graft_stage/${d.hashCode.toHexString}"
   private def stagePath(d: String, name: String): String = {

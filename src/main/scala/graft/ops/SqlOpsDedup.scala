@@ -284,6 +284,8 @@ trait SqlOpsDedup { this: SqlOpsAll =>
        |SELECT n1, n2, m, CAST(est_universe AS BIGINT) AS est_universe,
        |  truth AS true_universe,
        |  CASE WHEN truth = 0 THEN NULL
+       |       WHEN ABS(CAST(est_universe AS DOUBLE) - truth) > 9.0e12
+       |       THEN CAST('capture-recapture: err ppm product exceeds int64' AS BIGINT)
        |       ELSE ${d.idiv("1000000 * ABS(est_universe - truth)", "truth")}
        |  END AS err_ppm
        |FROM est""".stripMargin

@@ -2283,6 +2283,7 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
          |  SELECT s, df, t,
          |    CASE WHEN 1.0e6 * CAST(nd AS DOUBLE) * sc2 > 9.0e18
          |           OR CAST(t AS DOUBLE) * t > 9.0e18
+         |           OR CAST(nd AS DOUBLE) * t > 9.0e18
          |      THEN CAST('burstiness: ppm products exceed the int64 envelope — rescale' AS BIGINT)
          |      ELSE ${d.idiv("1000000 * (nd * sc2 - t * t)", "nd * t")}
          |    END AS fano_ppm
