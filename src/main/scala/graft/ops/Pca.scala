@@ -104,7 +104,12 @@ object PcaLoop {
     var v: Option[Array[(Long, Long)]] = None
     var w: Array[(Long, Long)] = Array.empty
     def fd(a: String, b: String): String = SqlOps.floorDiv(SparkDialect)(a, b)
-    for (r <- 1 to rounds) {
+    // an empty matrix yields an empty round-1 matvec: stop iterating
+    // (a later round would otherwise render an empty VALUES list — a
+    // parse error where the staged rendering returns an empty frame)
+    var r = 0
+    while (r < rounds && (r == 0 || w.nonEmpty)) {
+      r += 1
       val matvec = v match {
         case None =>
           s"""SELECT c.vec_id, CAST(SUM(c.cv * $tqW) AS BIGINT) AS sv
@@ -118,12 +123,15 @@ object PcaLoop {
       // the N-row matvec is consumed twice (max, then vecmat) —
       // persist the (tiny: vec-grain, two int64 cols) result instead
       // of recomputing the matrix join, and drop it before the next
-      // round so the loop's memory footprint stays one iterate
-      // ONE view name across rounds and the round-varying rescale
-      // divisor as a 1-row VALUES (LocalRelation DATA, not an inline
-      // literal): the per-round SQL strings stay byte-identical, so
-      // whole-stage codegen compiles each shape ONCE instead of three
-      // times (a literal dm in the source forces a recompile per round)
+      // round so the loop's memory footprint stays one iterate.
+      // ONE view name across rounds, and the round-varying rescale
+      // divisor rides as a 1-row VALUES: the SQL TEXT still differs
+      // per round (the literal is interpolated), but constant folding
+      // lands the value in LocalRelation DATA, not in the generated
+      // code — so the whole-stage codegen SOURCE for the join shape
+      // is identical across rounds and the compile is reused (an
+      // inline `/ $dm` literal lands in the source and forces a
+      // recompile per round; measured ~0.1 s/round here)
       val sDf = spark.sql(matvec).persist()
       val sView = s"__pca_loop_s_$cvTbl"
       sDf.createOrReplaceTempView(sView)

@@ -1179,8 +1179,13 @@ trait SqlOpsCuration { this: SqlOpsAll =>
        |  FROM st
        |),
        |dev AS (
+       |  -- the bound is per-term but sized for the k-term SUM:
+       |  -- |term| ≤ √(9e18/k) keeps Σterm² ≤ 9e18 exactly when every
+       |  -- term passes (a flat 3e9 per-term cap would let the SUM
+       |  -- wrap from ~2100 wide-spread sources without any single
+       |  -- term tripping)
        |  SELECT CAST(SUM(
-       |    CASE WHEN ABS(CAST(gl.k AS DOUBLE) * st.xbq - gl.sxb) > 3.0e9
+       |    CASE WHEN ABS(CAST(gl.k AS DOUBLE) * st.xbq - gl.sxb) > SQRT(9.0e18 / gl.k)
        |      THEN CAST('js-shrinkage: spread term exceeds the int64 envelope' AS BIGINT)
        |      ELSE (gl.k * st.xbq - gl.sxb) * (gl.k * st.xbq - gl.sxb) END
        |  ) AS BIGINT) AS ss2

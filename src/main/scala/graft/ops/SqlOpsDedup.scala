@@ -350,15 +350,27 @@ trait SqlOpsDedup { this: SqlOpsAll =>
          |    ON v.doc_a = t.doc_a AND v.doc_b = t.doc_b
          |  GROUP BY t.technique
          |),
+         |-- the technique DOMAIN is literal (the langidF1 / pii-kind
+         |-- domain-join rule): a generator that admits zero pairs at
+         |-- some slice must still show its cand_pairs=0 row — that row
+         |-- IS the finding a reader needs, and a GROUP BY over tagged
+         |-- rows alone would silently drop it
+         |dom AS (
+         |  SELECT 'minhash' AS technique UNION ALL SELECT 'simhash_bands'
+         |  UNION ALL SELECT 'prefix' UNION ALL SELECT 'truth'
+         |),
          |tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM tr)
-         |SELECT technique, cand_pairs, true_pairs,
-         |  CASE WHEN cand_pairs = 0 THEN NULL
-         |       ELSE ${d.idiv("1000000 * true_pairs", "cand_pairs")}
+         |SELECT dom.technique,
+         |  COALESCE(j.cand_pairs, 0) AS cand_pairs,
+         |  COALESCE(j.true_pairs, 0) AS true_pairs,
+         |  CASE WHEN COALESCE(j.cand_pairs, 0) = 0 THEN NULL
+         |       ELSE ${d.idiv("1000000 * j.true_pairs", "j.cand_pairs")}
          |  END AS precision_ppm,
          |  CASE WHEN n_truth = 0 THEN NULL
-         |       ELSE ${d.idiv("1000000 * true_pairs", "n_truth")}
+         |       ELSE ${d.idiv("1000000 * COALESCE(j.true_pairs, 0)", "n_truth")}
          |  END AS recall_ppm
-         |FROM j CROSS JOIN tc""".stripMargin
+         |FROM dom LEFT JOIN j ON j.technique = dom.technique
+         |CROSS JOIN tc""".stripMargin
     })
 
   /** Deterministic train/val/test corpus split (80/10/10 by content

@@ -733,6 +733,17 @@ trait SqlOpsSampling { this: SqlOpsAll =>
   def abSprt(d: Dialect): String = {
     val (l1, l0, bound) = (-1736966L, 108060L, 4247928L)
     val llrDay = s"(succ * $l1 + (trials - succ) * $l0)"
+    // the CUMULATIVE walk needs its own guard: the per-day trials cap
+    // alone admits |llr_day| up to ~1.7e18, so a handful of same-sign
+    // heavy days could wrap the int64 window sum without any single
+    // day tripping. A CASE around the window cannot gate it (the
+    // WindowExec computes every window function before the
+    // projection), so the guard is STRUCTURAL: a scalar Σ|llr| bound
+    // (double on exact addends — ulp error ≪ the 1.2e18 margin)
+    // joined UNDER the window input, so it materializes (and throws
+    // its loud message) before the exact sum can overflow; its 0
+    // rides into the sum to keep the dependency visible to both
+    // planners.
     s"""WITH t AS (
        |  SELECT ${d.idiv(d.epochSeconds("ts"), "86400")} AS day,
        |    CASE WHEN COUNT(*) > 1000000000000
@@ -743,10 +754,16 @@ trait SqlOpsSampling { this: SqlOpsAll =>
        |  WHERE user_id % 2 = 1 AND event_type = 'purchase'
        |  GROUP BY 1
        |),
+       |chk AS (
+       |  SELECT CASE WHEN SUM(ABS(CAST($llrDay AS DOUBLE))) > 8.0e18
+       |    THEN CAST('ab-sprt: cumulative LLR exceeds the int64 envelope' AS BIGINT)
+       |    ELSE 0 END AS ok
+       |  FROM t
+       |),
        |c AS (
        |  SELECT day, trials, succ, $llrDay AS llr_day_mu,
-       |    CAST(SUM($llrDay) OVER (ORDER BY day) AS BIGINT) AS cum_llr_mu
-       |  FROM t
+       |    CAST(SUM($llrDay + chk.ok) OVER (ORDER BY day) AS BIGINT) AS cum_llr_mu
+       |  FROM t CROSS JOIN chk
        |)
        |SELECT CAST(day AS BIGINT) AS day, trials, succ AS successes,
        |  CAST(llr_day_mu AS BIGINT) AS llr_day_mu, cum_llr_mu,
