@@ -96,6 +96,23 @@ object PcaLoop {
   private def component(spark: SparkSession, cvTbl: String,
                         nVec: Long, nPos: Long, mxcv: Long,
                         outCol: String): DataFrame = {
+    // AQE off for the loop's jobs only (restored in finally): every
+    // job here has a KNOWN tiny shape — a matvec groupBy whose build
+    // side is ≤64 rows and aggregates that end in ≤64 rows — so AQE's
+    // per-shuffle stage materialization and re-plan buy nothing and
+    // bill ~0.1 s on each of the ~8 jobs. Values are unaffected
+    // (scheduling only); a cluster deployment can leave AQE on — the
+    // toggle scopes to this session between these two lines.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = try spark.conf.get(aqeKey) catch { case _: Throwable => "true" }
+    spark.conf.set(aqeKey, "false")
+    try componentLoop(spark, cvTbl, nVec, nPos, mxcv, outCol)
+    finally spark.conf.set(aqeKey, aqePrev)
+  }
+
+  private def componentLoop(spark: SparkSession, cvTbl: String,
+                            nVec: Long, nPos: Long, mxcv: Long,
+                            outCol: String): DataFrame = {
     val tqS = target(mxcv, math.max(nVec, 1L))
     val tqW = target(mxcv, math.max(nPos, 1L))
     val rounds = SqlOps.PcaRounds
