@@ -292,12 +292,15 @@ class PlanSpec extends SparkSpec {
 
   test("power-iteration PCA body reads only the final 64-row stage — never the embeddings") {
     val plan = planOf("q_pca_power_iter")
-    // pci_*: the timed alias chain (the canonical pca_* chain is
-    // prewarmed; q_pca_power_iter re-runs the iteration under alias
-    // stage names so the timed number is the iteration, not a read)
-    assert(plan.contains("pci_w3"), s"expected the final iteration stage:\n$plan")
+    // pci_out: the driver loop's staged 64-row result (r13 — the loop
+    // replaced the pci_* alias parquet chain; the iteration itself
+    // runs as driver-issued jobs, so the QUERY's read path must be
+    // exactly the one tiny result scan)
+    assert(plan.contains("pci_out"), s"expected the staged loop result:\n$plan")
     assert(!plan.contains("embeddings.parquet"),
-      s"the corpus passes live in the stages; the body is stage-only:\n$plan")
+      s"the corpus passes live in the stages/loop; the body is stage-only:\n$plan")
+    assert("FileScan".r.findAllIn(plan).length == 1,
+      s"the read path is ONE 64-row scan:\n$plan")
   }
 
   test("tf-index consumers are stage-only — the corpus is never re-scanned") {
