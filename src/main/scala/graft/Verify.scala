@@ -100,10 +100,13 @@ object Verify {
     // degeneracy split: allowlisted hits stay visible but don't flag
     val (degAllowed, degFlagged) = degFlags.toSeq.sortBy(_._1).map {
       case (name, flags) =>
+        // exact-match only: a bare column name in the allowlist would
+        // excuse EVERY flag kind for that column (an all_zero excuse
+        // silently covering a later all_NULL regression), so entries
+        // must be fully-qualified flag strings (`all_zero:col`) or "*"
         val allow = SparkEntry.allowDegenerate.getOrElse(name, Set.empty)
         val (ok, bad) = flags.partition { f =>
-          allow.contains("*") || allow.contains(f) ||
-            allow.contains(f.split(':').last)
+          allow.contains("*") || allow.contains(f)
         }
         (name -> ok, name -> bad)
     }.unzip

@@ -89,28 +89,63 @@ object PcaLoop {
       "component")
   }
 
+  /** Per-invocation token: salts the global-temp-view and scratch-view
+    * names so two concurrent invocations over the same matrix table on
+    * one SparkContext cannot race on create/drop (the abMonitor
+    * view-salting rule, applied here after the r13 advice). */
+  private val invocations = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** The shared power-iteration driver loop over a centered matrix
     * view `cvTbl(vec_id, pos, cv)` with the given envelope values;
     * `outCol` names the µ-component column (the two consumers'
-    * published schemas differ only there). */
+    * published schemas differ only there).
+    *
+    * The loop's jobs run with AQE OFF on an ISOLATED child session
+    * (`spark.newSession()` — shares the SparkContext and cache, owns
+    * its SQL conf): every job here has a KNOWN tiny shape — a matvec
+    * groupBy whose build side is ≤64 rows and aggregates that end in
+    * ≤64 rows — so AQE's per-shuffle stage materialization and
+    * re-plan buy nothing and bill ~0.1 s on each of the ~8 jobs.
+    * Values are unaffected (scheduling only). The child session makes
+    * the scoping STRUCTURAL: the caller's session conf is never
+    * mutated, so a concurrent consumer of the shared session can
+    * never observe AQE off mid-flight (the r13 verdict's concern with
+    * the previous set/restore-on-the-shared-session version). The
+    * matrix view crosses sessions via a salted GLOBAL temp view (the
+    * catalog of analyzed plans is SparkContext-shared; the stored
+    * plan embeds the already-resolved parquet relation, no
+    * session-local references), dropped in finally. */
   private def component(spark: SparkSession, cvTbl: String,
                         nVec: Long, nPos: Long, mxcv: Long,
                         outCol: String): DataFrame = {
-    // AQE off for the loop's jobs only (restored in finally): every
-    // job here has a KNOWN tiny shape — a matvec groupBy whose build
-    // side is ≤64 rows and aggregates that end in ≤64 rows — so AQE's
-    // per-shuffle stage materialization and re-plan buy nothing and
-    // bill ~0.1 s on each of the ~8 jobs. Values are unaffected
-    // (scheduling only); a cluster deployment can leave AQE on — the
-    // toggle scopes to this session between these two lines.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = try spark.conf.get(aqeKey) catch { case _: Throwable => "true" }
-    spark.conf.set(aqeKey, "false")
-    try componentLoop(spark, cvTbl, nVec, nPos, mxcv, outCol)
-    finally spark.conf.set(aqeKey, aqePrev)
+    val token = invocations.incrementAndGet()
+    val gv = s"graft_pcaloop_${cvTbl}_$token"
+    spark.table(cvTbl).createOrReplaceGlobalTempView(gv)
+    try {
+      val child = spark.newSession()
+      // newSession starts from the context defaults, NOT the parent's
+      // runtime conf — copy it so the loop executes under the same
+      // shuffle-partition/timezone settings the oracle gate verified
+      // (static/immutable entries just refuse the set; skip them)
+      spark.conf.getAll.foreach { case (k, v) =>
+        try child.conf.set(k, v) catch { case _: Throwable => () }
+      }
+      child.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.functions.GraftFunctions.registerAll(child)
+      componentLoop(child, s"global_temp.$gv", s"${cvTbl}_$token",
+        nVec, nPos, mxcv, outCol)
+    } finally {
+      spark.catalog.dropGlobalTempView(gv)
+      ()
+    }
   }
 
+  /** `cvTbl` is the (possibly `global_temp.`-qualified) matrix view to
+    * read; `scratchTag` salts the per-round scratch-view name (a
+    * qualified name cannot be embedded in a view identifier, and the
+    * salt keeps concurrent invocations apart). */
   private def componentLoop(spark: SparkSession, cvTbl: String,
+                            scratchTag: String,
                             nVec: Long, nPos: Long, mxcv: Long,
                             outCol: String): DataFrame = {
     val tqS = target(mxcv, math.max(nVec, 1L))
@@ -150,7 +185,7 @@ object PcaLoop {
       // inline `/ $dm` literal lands in the source and forces a
       // recompile per round; measured ~0.1 s/round here)
       val sDf = spark.sql(matvec).persist()
-      val sView = s"__pca_loop_s_$cvTbl"
+      val sView = s"__pca_loop_s_$scratchTag"
       sDf.createOrReplaceTempView(sView)
       def t0 = System.nanoTime()
       val tm = sys.env.contains("SPARK_GRAFT_STAGE_TIMING")
