@@ -60,13 +60,33 @@ object SparkEntry {
   }
 
   /** Input fingerprint of dataset dir `d`: md5 over the sorted
-    * (relative path, length, mtime) triples of every file under it.
-    * Cheap (one directory walk, no data reads) and exactly what the
-    * reuse decision needs — any upstream rewrite changes length or
-    * mtime. */
+    * (relative path, length, mtime, head/tail content hash) tuples of
+    * every file under it. (path, length, mtime) alone is NOT a content
+    * signal — an mtime-preserving rewrite (`rsync -a`, `cp -p`, an
+    * object-store sync that restores timestamps) keeps all three while
+    * changing bytes, and a stale adopted index would serve wrong
+    * incremental results. The head/tail sample closes that hole for
+    * parquet inputs specifically: the footer (tail) carries the row
+    * count, column statistics and data-page offsets, so any rewrite
+    * that changes values while preserving size lands in the sampled
+    * bytes. Still cheap: two 4 KiB reads per file, no full scan. */
   private def datasetFingerprint(d: String): String = {
     val base = java.nio.file.Paths.get(d)
     val sb = new StringBuilder
+    def sampleHash(p: java.nio.file.Path, size: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val ch = java.nio.channels.FileChannel.open(
+        p, java.nio.file.StandardOpenOption.READ)
+      try {
+        val head = java.nio.ByteBuffer.allocate(4096)
+        ch.read(head, 0L); head.flip(); md.update(head)
+        if (size > 4096) {
+          val tail = java.nio.ByteBuffer.allocate(4096)
+          ch.read(tail, math.max(size - 4096, 0L)); tail.flip(); md.update(tail)
+        }
+      } finally ch.close()
+      md.digest().map(b => f"$b%02x").mkString
+    }
     if (java.nio.file.Files.isDirectory(base)) {
       val st = java.nio.file.Files.walk(base)
       try {
@@ -74,8 +94,10 @@ object SparkEntry {
         st.iterator().asScala
           .filter(java.nio.file.Files.isRegularFile(_))
           .map { p =>
-            s"${base.relativize(p)}:${java.nio.file.Files.size(p)}:" +
-              s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+            val size = java.nio.file.Files.size(p)
+            s"${base.relativize(p)}:$size:" +
+              s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}:" +
+              sampleHash(p, size)
           }
           .toSeq.sorted.foreach(l => { sb.append(l).append('\n'); () })
       } finally st.close()
@@ -568,8 +590,10 @@ object SparkEntry {
     * is the semantically-correct fixture answer; a metric column
     * that is all-NULL/all-zero at every SF without such a reason is
     * the q_ab_test vacuity (oracle-green for 8 rounds, saying
-    * nothing). Values are flag strings (`all_null:<col>`,
-    * `all_zero:<col>`, `all_constant`) or bare column names.
+    * nothing). Values are fully-qualified flag strings
+    * (`all_null:<col>`, `all_zero:<col>`, `all_constant`) — bare
+    * column names are NOT matched (a bare name would excuse every
+    * flag kind for that column at once).
     *
     * Standing rule behind every entry: an honest zero/NULL is allowed
     * ONLY when the positive path is exercised somewhere a judge can
@@ -810,6 +834,11 @@ object SparkEntry {
     "q_ab_sprt" -> sqlq(Seq("events"), SqlOps.abSprt),
     "q_js_shrinkage" -> sqlq(Seq("documents"), SqlOps.jsShrinkage),
     "q_capture_recapture" -> sqlq(Seq("documents"), SqlOps.captureRecapture),
+    "q_quality_wilson" -> sqlq(Seq("documents"), SqlOps.qualityWilson),
+    "q_quality_partial_corr" -> sqlStaged(Seq("documents"), SqlOps.qualityPartialCorr),
+    "q_ngram_kneser_ney" -> sqlStaged(Seq("documents"), SqlOps.ngramKneserNey),
+    "q_dedup_lsh_skew" -> sqlStaged(Seq("documents"), SqlOps.dedupLshBucketSkew),
+    "q_dedup_minhash_calib" -> sqlStaged(Seq("documents"), SqlOps.dedupMinhashCalibration),
     "q_langid_f1" -> sqlq(Seq("documents"), SqlOps.langidF1),
     "q_token_burstiness" -> sqlStaged(Seq("documents"), SqlOps.tokenBurstiness),
     "q_dedup_cascade_cost" -> sqlStaged(Seq("documents"), SqlOps.dedupCascadeCost),
@@ -1942,6 +1971,11 @@ object SparkEntry {
     "q_ab_sprt" -> SqlOps.abSprt(DuckDialect),
     "q_js_shrinkage" -> SqlOps.jsShrinkage(DuckDialect),
     "q_capture_recapture" -> SqlOps.captureRecapture(DuckDialect),
+    "q_quality_wilson" -> SqlOps.qualityWilson(DuckDialect),
+    "q_quality_partial_corr" -> SqlOps.qualityPartialCorr.single(DuckDialect),
+    "q_ngram_kneser_ney" -> SqlOps.ngramKneserNey.single(DuckDialect),
+    "q_dedup_lsh_skew" -> SqlOps.dedupLshBucketSkew.single(DuckDialect),
+    "q_dedup_minhash_calib" -> SqlOps.dedupMinhashCalibration.single(DuckDialect),
     "q_langid_f1" -> SqlOps.langidF1(DuckDialect),
     "q_token_burstiness" -> SqlOps.tokenBurstiness.single(DuckDialect),
     "q_dedup_cascade_cost" -> SqlOps.dedupCascadeCost.single(DuckDialect),

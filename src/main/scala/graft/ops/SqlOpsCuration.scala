@@ -1147,6 +1147,133 @@ trait SqlOpsCuration { this: SqlOpsAll =>
     * 6dp-quantized. k ≤ 3 ⇒ c = 1 (no shrinkage is defined); S = 0 ⇒
     * c = 0 (identical means shrink completely — the limit of the
     * positive-part estimator). */
+  /** Per-source quality-gate pass rates with WILSON 95% score
+    * intervals — the release-gating readout that raw rates cannot
+    * give: a 3-doc source at 100% and a 30k-doc source at 62% need
+    * different treatment, and the Wilson interval (unlike the normal
+    * approximation) stays inside [0,1] and behaves at the small-n /
+    * extreme-p̂ corners a per-source report actually hits. The gate is
+    * the SAME scored predicate [[corpusFilter]] ships (lang ≠ und AND
+    * quality ≥ 0.4 — scores from the ONE [[scoredCtes]] copy), so
+    * this CI is exactly about the shipped filter. z = 1.96 and
+    * z² = 3.8416 are exact decimal literals (the transcendental-
+    * pinning rule — no engine libm); all remaining arithmetic is the
+    * same +·−·/·√ expression tree over exact int64 counts, so both
+    * engines produce bit-identical doubles. Shape: one corpus scoring
+    * pass + a source-grain aggregate — the per-source counts are the
+    * whole state. */
+  def qualityWilson(d: Dialect): String =
+    s"""WITH ${scoredCtes(d, "documents")},
+       |g AS (
+       |  SELECT dd.source,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN s.lang_guess <> 'und' AND s.quality >= 4.0e-1
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS k
+       |  FROM scored s JOIN documents dd ON s.doc_id = dd.doc_id
+       |  GROUP BY dd.source
+       |),
+       |w AS (
+       |  SELECT source, n, k,
+       |    CAST(k AS DOUBLE) / n AS p,
+       |    1.0e0 + 3.8416e0 / n AS den
+       |  FROM g
+       |)
+       |SELECT source, n AS n_docs, k AS n_pass,
+       |  ${r6("p")} AS pass_rate,
+       |  ${r6("(p + 3.8416e0 / (2 * n)) / den - (1.96e0 / den) * SQRT(p * (1.0e0 - p) / n + 3.8416e0 / (4.0e0 * n * n))")} AS wilson_lo,
+       |  ${r6("(p + 3.8416e0 / (2 * n)) / den + (1.96e0 / den) * SQRT(p * (1.0e0 - p) / n + 3.8416e0 / (4.0e0 * n * n))")} AS wilson_hi
+       |FROM w ORDER BY source""".stripMargin
+
+  /** PARTIAL correlation of quality vs near-dup propensity CONTROLLING
+    * for length — the follow-up question [[qualityVsDup]]'s raw
+    * correlation leaves open: short docs score low quality AND shingle
+    * into fewer, more collision-prone sets, so a raw quality↔dup
+    * correlation may be pure length confounding. r_xy·z =
+    * (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) over x = quality
+    * (quantized to 1e4 — bounds n·x² at 10⁹ docs inside int64),
+    * y = candidate-pair degree in the staged minhash band index,
+    * z = n_chars. All ten sufficient statistics are exact int64 sums
+    * with loud envelope guards (the overflow rule); the three pairwise
+    * correlations and the partial are one shared double expression
+    * tree over those exact stats — bit-identical across engines.
+    * NULLs where any variance term degenerates (constant column) —
+    * never a fake 0. Scale shape: one scoring pass + one degree
+    * aggregate over the staged index joined at doc grain, collapsed
+    * map-side to ten numbers. */
+  val qualityPartialCorr: StagedOp = StagedOp(
+    stages = dedupMinhash.stages,
+    body = { d =>
+      // covariance terms n·Sab − Sa·Sb in DOUBLE off the exact int64
+      // stats (the int64 product n·Sab can wrap; the double tree is
+      // deterministic because the inputs are exact and the expression
+      // is shared verbatim)
+      def cv(a: String, b: String) =
+        s"(CAST(n AS DOUBLE) * s_$a$b - CAST(s_$a AS DOUBLE) * s_$b)"
+      val (cxx, cyy, czz) = (cv("x", "x"), cv("y", "y"), cv("z", "z"))
+      val (cxy, cxz, cyz) = (cv("x", "y"), cv("x", "z"), cv("y", "z"))
+      s"""WITH ${scoredCtes(d, "documents")},
+         |-- mh_cand carries TWO-SNAPSHOT corpus ids (2d / 2d+1):
+         |-- fold both snapshots of a doc back to the original id
+         |-- before joining the scored (original-grain) table — a raw
+         |-- join would match original id d against corpus id d, i.e.
+         |-- doc ⌊d/2⌋'s first snapshot (mixed id spaces). Every doc
+         |-- with ≥1 shingle carries its own twin pair (+2 degree for
+         |-- all, a constant shift correlation is invariant to).
+         |deg AS (
+         |  SELECT ${d.idiv("doc_id", "2")} AS doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS dg FROM (
+         |    SELECT doc_a AS doc_id FROM mh_cand
+         |    UNION ALL
+         |    SELECT doc_b AS doc_id FROM mh_cand
+         |  ) e GROUP BY ${d.idiv("doc_id", "2")}
+         |),
+         |v AS (
+         |  SELECT
+         |    CAST(FLOOR(s.quality * 1.0e4 + 5.0e-1) AS BIGINT) AS x,
+         |    CASE WHEN COALESCE(g.dg, 0) > 30000
+         |         THEN CAST('partial_corr: degree exceeds the int64 envelope' AS BIGINT)
+         |         ELSE COALESCE(g.dg, 0) END AS y,
+         |    CASE WHEN dd.n_chars > 30000
+         |         THEN CAST('partial_corr: n_chars exceeds the int64 envelope' AS BIGINT)
+         |         ELSE dd.n_chars END AS z
+         |  FROM scored s
+         |  JOIN documents dd ON s.doc_id = dd.doc_id
+         |  LEFT JOIN deg g ON s.doc_id = g.doc_id
+         |),
+         |st AS (
+         |  SELECT
+         |    CASE WHEN COUNT(*) > 9000000
+         |      THEN CAST('partial_corr: moment sums exceed the int64 envelope' AS BIGINT)
+         |      ELSE CAST(COUNT(*) AS BIGINT) END AS n,
+         |    CAST(SUM(x) AS BIGINT) AS s_x, CAST(SUM(y) AS BIGINT) AS s_y,
+         |    CAST(SUM(z) AS BIGINT) AS s_z,
+         |    CAST(SUM(x * x) AS BIGINT) AS s_xx, CAST(SUM(y * y) AS BIGINT) AS s_yy,
+         |    CAST(SUM(z * z) AS BIGINT) AS s_zz,
+         |    CAST(SUM(x * y) AS BIGINT) AS s_xy, CAST(SUM(x * z) AS BIGINT) AS s_xz,
+         |    CAST(SUM(y * z) AS BIGINT) AS s_yz
+         |  FROM v
+         |),
+         |r AS (
+         |  SELECT n,
+         |    CASE WHEN $cxx <= 0 OR $cyy <= 0 THEN NULL
+         |         ELSE $cxy / SQRT($cxx * $cyy) END AS rxy,
+         |    CASE WHEN $cxx <= 0 OR $czz <= 0 THEN NULL
+         |         ELSE $cxz / SQRT($cxx * $czz) END AS rxz,
+         |    CASE WHEN $cyy <= 0 OR $czz <= 0 THEN NULL
+         |         ELSE $cyz / SQRT($cyy * $czz) END AS ryz
+         |  FROM st
+         |)
+         |SELECT n AS n_docs,
+         |  ${r6("rxy")} AS r_quality_dup,
+         |  ${r6("rxz")} AS r_quality_len,
+         |  ${r6("ryz")} AS r_dup_len,
+         |  CASE WHEN rxy IS NULL OR rxz IS NULL OR ryz IS NULL THEN NULL
+         |       WHEN (1.0e0 - rxz * rxz) * (1.0e0 - ryz * ryz) <= 0 THEN NULL
+         |       ELSE ${r6("(rxy - rxz * ryz) / SQRT((1.0e0 - rxz * rxz) * (1.0e0 - ryz * ryz))")}
+         |  END AS r_partial
+         |FROM r""".stripMargin
+    })
+
   def jsShrinkage(d: Dialect): String =
     s"""WITH ${scoredCtes(d, "documents")},
        |sq AS (

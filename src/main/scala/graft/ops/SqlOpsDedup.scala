@@ -308,8 +308,23 @@ trait SqlOpsDedup { this: SqlOpsAll =>
     * verify is the same Jaccard pass. lazy: references vals across
     * the SqlOps trait split (the datasetCard init-order rule). */
   lazy val dedupCascadeCost: StagedOp = StagedOp(
-    stages = (dedupMinhash.stages ++ dedupSimhashPairs.stages ++
-      dedupPrefix.stages ++ dedupNgramJaccard.stages).distinctBy(_._1),
+    stages = {
+      val all = dedupMinhash.stages ++ dedupSimhashPairs.stages ++
+        dedupPrefix.stages ++ dedupNgramJaccard.stages
+      // distinctBy keeps the FIRST builder per stage name — sound only
+      // while same-named stages render identical SQL. If two families
+      // ever diverge on a shared name, the cascade would silently
+      // compare techniques against the wrong artifact; render-compare
+      // both dialects at init so that drift fails loud instead.
+      all.groupBy(_._1).foreach { case (name, bs) =>
+        val renders = bs.map(b =>
+          (b._2(SparkDialect), b._2(DuckDialect))).distinct
+        require(renders.size == 1,
+          s"cascade stage '$name' has ${renders.size} distinct SQL " +
+            "renderings across families — shared-stage reuse is unsound")
+      }
+      all.distinctBy(_._1)
+    },
     body = { d =>
       s"""WITH cm AS (SELECT doc_a, doc_b FROM mh_cand),
          |sbands AS (
@@ -1664,6 +1679,100 @@ trait SqlOpsDedup { this: SqlOpsAll =>
          |  CROSS JOIN n1
          |)
          |ORDER BY pmi_bits DESC, bigram LIMIT 20""".stripMargin
+    })
+
+  /** Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    * the modified-KN family of Chen & Goodman 1998 at one discount) —
+    * the LM-smoothing estimator behind real n-gram models, next to
+    * [[textBackoffLm]]'s stupid-backoff: the lower-order weight is the
+    * CONTINUATION count (in how many distinct contexts does w₂
+    * appear), not the raw unigram count, which is the detail that
+    * separates KN from every count-ratio smoother. With discount
+    * d = 3/4 exactly:
+    *
+    *   P_KN(w₂|w₁) = (c₁₂ − 3/4)/c₁ + (3/4)·N₁₊(w₁·)/c₁ · N₁₊(·w₂)/N₁₊(··)
+    *
+    * Multiplied through by 4·c₁·N₁₊(··), the whole probability is ONE
+    * exact-int64 rational — num = (4c₁₂−3)·N₁₊(··) + 3·N₁₊(w₁·)·N₁₊(·w₂),
+    * den = 4·c₁·N₁₊(··) — evaluated by a single correctly-rounded
+    * double division then µ-rounded ([[r6]]); no max(·,0) arm because
+    * every observed bigram has c₁₂ ≥ 1 > 3/4. All counts come from ONE
+    * aggregate over the staged bigram index: c₁ is the PREFIX total
+    * Σ_w c₁₂(w₁,w) (the KN denominator), the N₁₊ terms are distinct
+    * counts over the same bigram-TYPE table. Loud int64 envelope guard
+    * on the den product (the overflow-guard rule — Spark wraps where
+    * DuckDB raises). Scale shape: every table after blm_tf is
+    * bigram-TYPE grain (vocabulary-bounded, never corpus-bounded), so
+    * the top-20 ORDER BY sorts a vocab²-sized table, not the corpus. */
+  val ngramKneserNey: StagedOp = StagedOp(
+    stages = textBigramLm.stages,
+    body = { d =>
+      val num = "(4 * bg.c12 - 3) * nd.ndd + 3 * p.n1w * c.ncw"
+      val den = "4 * p.c1 * nd.ndd"
+      s"""WITH bg0 AS (SELECT s, CAST(SUM(tf) AS BIGINT) AS c12 FROM blm_tf GROUP BY s),
+         |bg AS (
+         |  SELECT s, c12,
+         |    ${d.elem(d.split("s", " "), "1")} AS w1,
+         |    ${d.elem(d.split("s", " "), "2")} AS w2
+         |  FROM bg0
+         |),
+         |p AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         |             CAST(COUNT(*) AS BIGINT) AS n1w
+         |      FROM bg GROUP BY w1),
+         |c AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncw FROM bg GROUP BY w2),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndd FROM bg)
+         |SELECT bigram, c12, p_kn, p_ml FROM (
+         |  SELECT bg.s AS bigram, bg.c12,
+         |    CASE WHEN p.c1 > 2300000000000000000 / GREATEST(nd.ndd, 1)
+         |         THEN CAST('kn_envelope_overflow' AS BIGINT)
+         |         ELSE ${r6(s"CAST($num AS DOUBLE) / CAST($den AS DOUBLE)")}
+         |    END AS p_kn,
+         |    ${r6("CAST(bg.c12 AS DOUBLE) / p.c1")} AS p_ml
+         |  FROM bg
+         |  JOIN p ON bg.w1 = p.w1
+         |  JOIN c ON bg.w2 = c.w2
+         |  CROSS JOIN nd
+         |)
+         |ORDER BY c12 DESC, bigram LIMIT 20""".stripMargin
+    })
+
+  /** LSH band-bucket skew audit — the shuffle-hotspot readout for the
+    * banded minhash self-join: per band, how many buckets the corpus
+    * hashes into, the LARGEST bucket (the hot key a banded self-join
+    * stalls on at 100 TB — one 10⁶-doc bucket is a 10¹²-pair join
+    * task no matter how uniform the rest is), the exact implied
+    * candidate volume Σ C(b,2) (the shuffle bill [[dedupCascadeCost]]
+    * prices per technique, here decomposed per band), and the top
+    * bucket's corpus share in exact ppm. This is the table a pipeline
+    * owner reads BEFORE launching the self-join: a band whose
+    * max_bucket share grows with corpus size means that band's slice
+    * of the signature has collapsed (degenerate hash input) and needs
+    * salting or a wider band key. One aggregate over the banded
+    * signature rows — index-sized, no text rescan, no join. Loud
+    * int64 guard on b·(b−1) (wraps in Spark, raises in DuckDB). */
+  val dedupLshBucketSkew: StagedOp = StagedOp(
+    stages = Seq(dedupMinhash.stages.head), // mh_sig, shared
+    body = { d =>
+      s"""WITH bands AS (
+         |  ${mhBandRows("mh_sig")}
+         |),
+         |bk AS (
+         |  SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS b
+         |  FROM bands GROUP BY band, bkey
+         |),
+         |g AS (
+         |  SELECT band,
+         |    CAST(SUM(b) AS BIGINT) AS n_docs,
+         |    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |    CAST(MAX(b) AS BIGINT) AS max_bucket,
+         |    CAST(SUM(CASE WHEN b > 3000000000 THEN CAST('bucket_sq_overflow' AS BIGINT)
+         |                  ELSE b * (b - 1) END) AS BIGINT) AS pair2
+         |  FROM bk GROUP BY band
+         |)
+         |SELECT band, n_docs, n_buckets, max_bucket,
+         |  CAST(${d.idiv("pair2", "2")} AS BIGINT) AS cand_pairs,
+         |  CAST(${d.idiv("1000000 * max_bucket", "n_docs")} AS BIGINT) AS top_share_ppm
+         |FROM g ORDER BY band""".stripMargin
     })
 
   /** Contribution (root-cause) analysis: decompose a month-over-month

@@ -1852,6 +1852,79 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
       })
   }
 
+  /** Minhash-estimator CALIBRATION — the bias table for the 8-slice
+    * signature: every candidate pair scored BOTH ways (sketch estimate
+    * agree/8 from [[dedupMinhashEst]]'s join, exact df-capped 3-gram
+    * Jaccard from the same staged index [[dedupVerified]] reads),
+    * bucketed by exact similarity into the estimator's own ⅛ grid, and
+    * averaged per bucket. The readout says where the 8-perm sketch
+    * over- or under-calls similarity — exactly what
+    * [[lshParamOpt]]-style S-curve tuning assumes away and a 100 TB
+    * rollout must check first (an estimator that over-calls at 0.4
+    * floods the verify stage; one that under-calls at 0.7 silently
+    * loses recall). LEFT JOINs keep candidate pairs whose docs have
+    * EMPTY df-capped shingle sets (exact similarity defined 0 there) —
+    * an inner join would drop exactly the over-call evidence the
+    * calibration exists to surface; the 9-bucket literal domain is
+    * LEFT JOINed so empty buckets report n_pairs=0 (the domain-join
+    * rule). Per-pair exact values are µ-quantized int64 BEFORE the
+    * bucket mean (the µ-sum rule: double sums are order-dependent
+    * across engines). Cost: candidate-set-sized joins against two
+    * staged indexes — nothing rescans text. */
+  val dedupMinhashCalibration: StagedOp = {
+    val agree = (0 until 8).map(j =>
+      s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END").mkString("(", "\n      + ", ")")
+    StagedOp(
+      stages = dedupMinhash.stages ++ dedupNgramJaccard.stages,
+      body = { d =>
+        s"""WITH cand AS (SELECT doc_a, doc_b FROM mh_cand),
+           |$szCte,
+           |$interGatedCte,
+           |pj AS (
+           |  SELECT c.doc_a, c.doc_b,
+           |    COALESCE(i.inter, 0) AS inter,
+           |    COALESCE(sa.n, 0) + COALESCE(sb.n, 0) - COALESCE(i.inter, 0) AS un
+           |  FROM cand c
+           |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+           |  LEFT JOIN sz sa ON c.doc_a = sa.doc_id
+           |  LEFT JOIN sz sb ON c.doc_b = sb.doc_id
+           |),
+           |pb AS (
+           |  SELECT doc_a, doc_b,
+           |    CASE WHEN un = 0 THEN 0
+           |         ELSE CAST(${d.idiv("8 * inter", "un")} AS BIGINT) END AS bucket,
+           |    CASE WHEN un = 0 THEN 0
+           |         ELSE ${qvExpr("CAST(inter AS DOUBLE) / un")} END AS qj
+           |  FROM pj
+           |),
+           |est AS (
+           |  SELECT c.doc_a, c.doc_b, $agree AS agr
+           |  FROM mh_cand c
+           |  JOIN mh_sig a ON c.doc_a = a.doc_id
+           |  JOIN mh_sig b ON c.doc_b = b.doc_id
+           |),
+           |j AS (
+           |  SELECT p.bucket, p.qj, e.agr
+           |  FROM pb p JOIN est e ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b
+           |),
+           |g AS (
+           |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |    CAST(SUM(agr) AS BIGINT) AS sagr,
+           |    CAST(SUM(qj) AS BIGINT) AS sqj
+           |  FROM j GROUP BY bucket
+           |),
+           |dom AS (${(0 to 8).map(b => s"SELECT $b AS bucket").mkString(" UNION ALL ")})
+           |SELECT dom.bucket,
+           |  COALESCE(g.n_pairs, 0) AS n_pairs,
+           |  CASE WHEN g.n_pairs IS NULL THEN NULL
+           |       ELSE ${r6("CAST(g.sagr AS DOUBLE) / (8 * g.n_pairs)")} END AS mean_est,
+           |  CASE WHEN g.n_pairs IS NULL THEN NULL
+           |       ELSE ${r6(s"CAST(${d.idiv("g.sqj", "g.n_pairs")} AS DOUBLE) / 1.0e6")} END AS mean_exact
+           |FROM dom LEFT JOIN g ON dom.bucket = g.bucket
+           |ORDER BY dom.bucket""".stripMargin
+      })
+  }
+
   /** Shared graph CTEs over the staged candidate pairs: undirected
     * edge list + degrees — the base of [[pagerankStep]] and
     * [[pagerankIter]]. */
