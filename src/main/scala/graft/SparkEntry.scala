@@ -574,7 +574,7 @@ object SparkEntry {
     * — not to whichever consumer happens to sort first
     * (q_cluster_source_entropy carried the CC build in r9's artifact
     * purely because "c" < "d"). Listed in intended run order. */
-  val stageOwners: Seq[String] = Seq("q_dedup_cluster")
+  val stageOwners: Seq[String] = Seq("q_dedup_cluster", "q_ewma_forecast")
 
   /** Queries allowed to return 0 rows at the oracle SFs. An empty
     * result that hash-matches an empty oracle is a VACUOUS pass (it
@@ -1257,7 +1257,7 @@ object SparkEntry {
     "q_intervals_coverage" -> sqlq(Seq("events"), SqlOps.intervalCoverage),
     "q_interval_overlap" -> sqlq(Seq("events"), SqlOps.intervalOverlapJoin),
     "q_changepoint" -> sqlq(Seq("orders"), SqlOps.changepointRevenue),
-    "q_ewma_forecast" -> sqlq(Seq("orders"), SqlOps.ewmaForecast),
+    "q_ewma_forecast" -> sqlStaged(Seq("orders"), SqlOps.ewmaForecast),
     "q_anomaly_ewma" -> sqlStaged(Seq("orders"), SqlOps.anomalyEwma),
     "q_cdc_apply" -> sqlq(Seq("orders"), SqlOps.cdcApply),
     "q_agg_retract" -> sqlq(Seq("orders"), SqlOps.aggRetract),
@@ -1359,7 +1359,7 @@ object SparkEntry {
     "q_theilsen_revenue" -> sqlq(Seq("orders"), SqlOps.theilSenRevenue),
     "q_seasonality_dow" -> sqlq(Seq("orders"), SqlOps.seasonalityDow),
     "q_ols_revenue" -> sqlq(Seq("orders"), SqlOps.olsRevenue),
-    "q_forecast_skill" -> sqlq(Seq("orders"), SqlOps.forecastSkill),
+    "q_forecast_skill" -> sqlStaged(Seq("orders"), SqlOps.forecastSkill),
     "q_dau_mau" -> sqlq(Seq("events"), SqlOps.dauMauStickiness),
     "q_power_analysis" -> sqlq(Seq("events"), SqlOps.powerAnalysis),
     "q_label_noise" -> sqlq(Seq("documents"), SqlOps.labelNoise),
@@ -2241,7 +2241,7 @@ object SparkEntry {
     "q_intervals_coverage" -> SqlOps.intervalCoverage(DuckDialect),
     "q_interval_overlap" -> SqlOps.intervalOverlapJoin(DuckDialect),
     "q_changepoint" -> SqlOps.changepointRevenue(DuckDialect),
-    "q_ewma_forecast" -> SqlOps.ewmaForecast(DuckDialect),
+    "q_ewma_forecast" -> SqlOps.ewmaForecast.single(DuckDialect),
     "q_anomaly_ewma" -> SqlOps.anomalyEwma.single(DuckDialect),
     "q_cdc_apply" -> SqlOps.cdcApply(DuckDialect),
     "q_agg_retract" -> SqlOps.aggRetract(DuckDialect),
@@ -2339,7 +2339,7 @@ object SparkEntry {
     "q_theilsen_revenue" -> SqlOps.theilSenRevenue(DuckDialect),
     "q_seasonality_dow" -> SqlOps.seasonalityDow(DuckDialect),
     "q_ols_revenue" -> SqlOps.olsRevenue(DuckDialect),
-    "q_forecast_skill" -> SqlOps.forecastSkill(DuckDialect),
+    "q_forecast_skill" -> SqlOps.forecastSkill.single(DuckDialect),
     "q_dau_mau" -> SqlOps.dauMauStickiness(DuckDialect),
     "q_power_analysis" -> SqlOps.powerAnalysis(DuckDialect),
     "q_label_noise" -> SqlOps.labelNoise(DuckDialect),

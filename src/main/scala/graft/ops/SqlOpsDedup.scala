@@ -110,7 +110,17 @@ trait SqlOpsDedup { this: SqlOpsAll =>
     * doc sizes, pairwise intersections (full, or gated to `cand`), and
     * the ≥ 0.6 score expression — shared by [[dedupNgramJaccard]],
     * [[dedupVerified]], [[dedupLshEval]]. */
-  private[ops] val szCte = "sz AS (SELECT doc_id, COUNT(*) AS n FROM nj_dshf GROUP BY doc_id)"
+  /** sz/inter are ALIASES of the staged nj_sz / nj_inter artifacts
+    * (r14): the doc-size rollup and the full pairwise-intersection
+    * join were being re-planned and re-executed inside EVERY fragment
+    * consumer — q_dedup_cascade_cost's plan alone carried 54
+    * Exchanges because its 3 references to the truth CTE re-ran the
+    * nj_dshf self-join each time (guide §2.4: materialize the shared
+    * subtree once, like mh_cand). Single-reference aliases inline to
+    * plain parquet scans; the builders keep the names `sz`/`inter` so
+    * every existing body reads unchanged. Ops whose stage lists
+    * include [[dedupNgramJaccard.stages]] get both artifacts. */
+  private[ops] val szCte = "sz AS (SELECT doc_id, n FROM nj_sz)"
   /** The deterministic ~12.5% content-hash truth sample and the
     * sample-gated exact-intersection join — THE single source of the
     * sampled-truth pattern shared by [[dedupLshEval]] and
@@ -131,11 +141,7 @@ trait SqlOpsDedup { this: SqlOpsAll =>
       |  GROUP BY a.doc_id, b.doc_id
       |)""".stripMargin
   private[ops] val interFullCte =
-    """inter AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      |  FROM nj_dshf a JOIN nj_dshf b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY a.doc_id, b.doc_id
-      |)""".stripMargin
+    "inter AS (SELECT doc_a, doc_b, inter FROM nj_inter)"
   private[ops] val interGatedCte =
     """inter AS (
       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
@@ -235,6 +241,19 @@ trait SqlOpsDedup { this: SqlOpsAll =>
            |dsh AS (SELECT DISTINCT doc_id, $sid AS s FROM sh),
            |w AS (SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM dsh)
            |SELECT doc_id, s FROM w WHERE df <= 20""".stripMargin
+      },
+      // doc sizes + full pairwise intersections as their own staged
+      // artifacts (r14): SIX ops read these shapes (jaccard,
+      // containment, cascade, threshold sweep, LSH evals via the
+      // gated/sampled variants' sz side) — the mh_cand rule: generate
+      // once, consume many. Pair-grain, df-cap-bounded at any scale.
+      "nj_sz" -> { _ =>
+        "SELECT doc_id, COUNT(*) AS n FROM nj_dshf GROUP BY doc_id"
+      },
+      "nj_inter" -> { _ =>
+        s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           |FROM nj_dshf a JOIN nj_dshf b ON a.s = b.s AND a.doc_id < b.doc_id
+           |GROUP BY a.doc_id, b.doc_id""".stripMargin
       }),
     body = { _ =>
       s"""WITH $szCte,
@@ -1705,22 +1724,29 @@ trait SqlOpsDedup { this: SqlOpsAll =>
     * bigram-TYPE grain (vocabulary-bounded, never corpus-bounded), so
     * the top-20 ORDER BY sorts a vocab²-sized table, not the corpus. */
   val ngramKneserNey: StagedOp = StagedOp(
-    stages = textBigramLm.stages,
+    // the bigram-TYPE table is MATERIALIZED (kn_bg): the body reads it
+    // four times (the prefix rollup p, the continuation rollup c, the
+    // type total nd, and the per-bigram join), and as an inlined CTE
+    // Spark re-ran the blm_tf GROUP BY + split per reference — 20
+    // Exchanges in the r14-baseline plan, 4 redundant bigram rollups
+    // per run (guide §2.4: share one exchange; vocab²-bounded stage)
+    stages = textBigramLm.stages ++ Seq(
+      "kn_bg" -> { (d: Dialect) =>
+        s"""WITH bg0 AS (SELECT s, CAST(SUM(tf) AS BIGINT) AS c12 FROM blm_tf GROUP BY s)
+           |SELECT s, c12,
+           |  ${d.elem(d.split("s", " "), "1")} AS w1,
+           |  ${d.elem(d.split("s", " "), "2")} AS w2
+           |FROM bg0""".stripMargin
+      }),
     body = { d =>
       val num = "(4 * bg.c12 - 3) * nd.ndd + 3 * p.n1w * c.ncw"
       val den = "4 * p.c1 * nd.ndd"
-      s"""WITH bg0 AS (SELECT s, CAST(SUM(tf) AS BIGINT) AS c12 FROM blm_tf GROUP BY s),
-         |bg AS (
-         |  SELECT s, c12,
-         |    ${d.elem(d.split("s", " "), "1")} AS w1,
-         |    ${d.elem(d.split("s", " "), "2")} AS w2
-         |  FROM bg0
-         |),
+      s"""WITH bg AS (SELECT s, c12, w1, w2 FROM kn_bg),
          |p AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
          |             CAST(COUNT(*) AS BIGINT) AS n1w
-         |      FROM bg GROUP BY w1),
-         |c AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncw FROM bg GROUP BY w2),
-         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndd FROM bg)
+         |      FROM kn_bg GROUP BY w1),
+         |c AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncw FROM kn_bg GROUP BY w2),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndd FROM kn_bg)
          |SELECT bigram, c12, p_kn, p_ml FROM (
          |  SELECT bg.s AS bigram, bg.c12,
          |    CASE WHEN p.c1 > 2300000000000000000 / GREATEST(nd.ndd, 1)

@@ -457,9 +457,15 @@ trait SqlOpsEvents { this: SqlOpsAll =>
         * BigDecimal(1000000000000L))
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
     }
+    // one inline VALUES relation, not 61 UNION ALL one-row selects:
+    // the union form cost ~122 plan nodes (Project + OneRowRelation per
+    // weight) analyzed and optimized on EVERY run of every consumer —
+    // VALUES parses to a single LocalRelation in Spark and a single
+    // constant table in DuckDB (r14, guide §1.2 "per-task work" +
+    // plan-size note in §3.3)
     val wtRows = wq.zipWithIndex
-      .map { case (w, k) => s"SELECT $k AS k, CAST($w AS BIGINT) AS wq" }
-      .mkString("\n       |  UNION ALL ")
+      .map { case (w, k) => s"($k, CAST($w AS BIGINT))" }
+      .mkString(", ")
     s"""daily AS (
        |  SELECT $day AS day,
        |    ${d.idiv("CAST(SUM(CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT)) AS BIGINT)", "100")} AS y
@@ -469,14 +475,11 @@ trait SqlOpsEvents { this: SqlOpsAll =>
        |  SELECT day, y, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
        |  FROM daily
        |),
-       |wt AS (
-       |  $wtRows
-       |),
        |terms AS (
        |  SELECT a.t, a.day, a.y,
        |    ${d.idiv("b.yg * w.wq", "1000000")} AS q, w.wq
        |  FROM idx a
-       |  JOIN wt w ON w.k <= ${EwmaParams.Lookback}
+       |  CROSS JOIN (VALUES $wtRows) w(k, wq)
        |  JOIN (SELECT t, CASE WHEN y > 30000000
        |                       THEN CAST('ewma: daily revenue exceeds the int64 weight envelope — rescale wq' AS BIGINT)
        |                       ELSE y END AS yg
@@ -495,15 +498,36 @@ trait SqlOpsEvents { this: SqlOpsAll =>
        |)""".stripMargin
   }
 
-  def ewmaForecast(d: Dialect): String =
-    s"""WITH ${ewmaCtes(d)}
-       |SELECT day, y AS actual,
-       |  ${r6("CAST(ewma_q AS DOUBLE) / 1.0e6")} AS ewma,
-       |  ${r6("CAST(fc_q AS DOUBLE) / 1.0e6")} AS forecast,
-       |  CASE WHEN fc_q IS NULL THEN NULL
-       |       ELSE ${r6("CAST(ABS(y * 1000000 - fc_q) AS DOUBLE) / 1.0e6")}
-       |  END AS abs_err
-       |FROM f""".stripMargin
+  /** The finished smoother table `f` (day, y, ewma_q, fc_q — day
+    * grain, ~2.4k rows at sf0.1) materialized ONCE as a stage: it has
+    * THREE consumers (the curve readout below, [[forecastSkill]]'s
+    * backtest, [[anomalyEwma]]'s residual gate), and the inlined-CTE
+    * form re-ran the whole orders→daily→61-term chain — with `idx`
+    * referenced twice, so the orders scan and the global ROW_NUMBER
+    * ran TWICE — per consumer per run (~1.3 s steady each at sf0.1;
+    * 12 Exchanges in each consumer's plan). The stage build is the
+    * smoother's computation, so it is NOT prewarmed and
+    * q_ewma_forecast is its stage OWNER (SparkEntry.stageOwners): the
+    * build bills to the query that IS the smoother, the two monitors
+    * read the day-grain parquet (r14, guide §2.4 — share one
+    * exchange / materialize the common subtree). */
+  private[ops] val ewmaFStage: (String, Dialect => String) =
+    "ewma_f" -> { (d: Dialect) =>
+      s"""WITH ${ewmaCtes(d)}
+         |SELECT day, y, ewma_q, fc_q FROM f""".stripMargin
+    }
+
+  val ewmaForecast: StagedOp = StagedOp(
+    stages = Seq(ewmaFStage),
+    body = { d =>
+      s"""SELECT day, y AS actual,
+         |  ${r6("CAST(ewma_q AS DOUBLE) / 1.0e6")} AS ewma,
+         |  ${r6("CAST(fc_q AS DOUBLE) / 1.0e6")} AS forecast,
+         |  CASE WHEN fc_q IS NULL THEN NULL
+         |       ELSE ${r6("CAST(ABS(y * 1000000 - fc_q) AS DOUBLE) / 1.0e6")}
+         |  END AS abs_err
+         |FROM ewma_f""".stripMargin
+    })
 
   /** Forecast BACKTEST (rolling-origin skill score): every day's
     * one-step-ahead EWMA forecast in [[ewmaForecast]] already uses
@@ -518,12 +542,13 @@ trait SqlOpsEvents { this: SqlOpsAll =>
     * rollup — and only the two final divisions are float, r6'd. Days
     * without both forecasts (the first) drop from both sums
     * symmetrically. */
-  def forecastSkill(d: Dialect): String =
-    s"""WITH ${ewmaCtes(d)},
-       |e AS (
+  val forecastSkill: StagedOp = StagedOp(
+    stages = Seq(ewmaFStage),
+    body = { d =>
+    s"""WITH e AS (
        |  SELECT y, fc_q,
        |    LAG(y) OVER (ORDER BY day) AS y_prev
-       |  FROM f
+       |  FROM ewma_f
        |),
        |s AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -539,6 +564,7 @@ trait SqlOpsEvents { this: SqlOpsAll =>
        |  CASE WHEN n = 0 OR ae_naive = 0 THEN NULL
        |       ELSE ${r6("1.0e0 - CAST(ae_ewma AS DOUBLE) / ae_naive")} END AS skill
        |FROM s""".stripMargin
+    })
 
   /** DESEASONALIZED anomaly gate — [[anomalyEwma]]'s calendar-aware
     * sibling: divide each day's revenue by its weekday's seasonal
@@ -599,10 +625,12 @@ trait SqlOpsEvents { this: SqlOpsAll =>
     * included, per reference); the two threshold scalars broadcast
     * back over the day-cardinality stage. */
   val anomalyEwma: StagedOp = StagedOp(
-    stages = Seq("ewma_res" -> { (d: Dialect) =>
-      s"""WITH ${ewmaCtes(d)}
-         |SELECT day, y, fc_q, y * 1000000 - fc_q AS r
-         |FROM f WHERE fc_q IS NOT NULL""".stripMargin
+    // ewma_res now derives from the shared ewma_f stage (r14) instead
+    // of re-running the whole smoother chain inside its own build —
+    // with a warm ewma_f the residual table is a day-grain projection
+    stages = Seq(ewmaFStage, "ewma_res" -> { (d: Dialect) =>
+      s"""SELECT day, y, fc_q, y * 1000000 - fc_q AS r
+         |FROM ewma_f WHERE fc_q IS NOT NULL""".stripMargin
     }),
     body = { d =>
       s"""WITH med AS (SELECT ${d.percentileCont("r", "5.0e-1")} AS med FROM ewma_res),
