@@ -458,9 +458,12 @@ object SparkEntry {
     * merge family and the first similarity query alphabetically). */
   def prewarmStages(s: SparkSession, d: String): Unit = {
     transformedStaged(s, d)
-    // shared perceptual-hash signature index (two consumers — the
-    // image-dup rollup and the banded hamming near-dup join)
-    mediaPhashStaged(s, d)
+    // media_phash (the decode+hash pass) is deliberately NOT prewarmed
+    // (r15): its build IS q_image_phash's computation — the query body
+    // is only a window-count over the staged hashes — so the ewma_f
+    // doctrine applies: the stage is owner-billed (stageOwners below),
+    // and q_image_phash's first run carries the decode while
+    // q_dedup_phash_near reads the parquet artifact.
     // yesterday's base cluster map (NOT the full map — see below): the
     // incremental-CC query's precomputed input, never its computation
     clustersBaseStaged(s, d)
@@ -577,7 +580,8 @@ object SparkEntry {
     * — not to whichever consumer happens to sort first
     * (q_cluster_source_entropy carried the CC build in r9's artifact
     * purely because "c" < "d"). Listed in intended run order. */
-  val stageOwners: Seq[String] = Seq("q_dedup_cluster", "q_ewma_forecast")
+  val stageOwners: Seq[String] =
+    Seq("q_dedup_cluster", "q_ewma_forecast", "q_image_phash")
 
   /** Queries allowed to return 0 rows at the oracle SFs. An empty
     * result that hash-matches an empty oracle is a VACUOUS pass (it
@@ -1521,8 +1525,10 @@ object SparkEntry {
     * view re-ran the whole decode+hash on BOTH join sides every run
     * (steady 1.3 s, first 6.1 s at sf0.1). The mh_sig rule: a shared
     * signature index is materialized once and every consumer scans
-    * the columnar artifact. Prewarmed like the other shared
-    * indexes. */
+    * the columnar artifact. OWNER-BILLED to q_image_phash (r15), not
+    * prewarmed: the decode IS that query's computation (its body is
+    * only a window-count over the hashes), so the ewma_f doctrine
+    * applies — one timed cell carries the build. */
   private def mediaPhashStaged(s: SparkSession, d: String): DataFrame = {
     val path = stagePath(d, "media_phash")
     writeStageOnce(path)(

@@ -108,8 +108,10 @@ trait SqlOpsDedup { this: SqlOpsAll =>
 
   /** Jaccard verification fragments over the staged df-capped index —
     * doc sizes, pairwise intersections (full, or gated to `cand`), and
-    * the ≥ 0.6 score expression — shared by [[dedupNgramJaccard]],
-    * [[dedupVerified]], [[dedupLshEval]]. */
+    * the ≥ 0.6 score expression — szCte is shared by every fragment
+    * consumer (see the nj_sz stage comment for the r15 audit list);
+    * interFullCte only by [[dedupNgramJaccard]], [[dedupContainment]]
+    * and the cascade. */
   /** sz/inter are ALIASES of the staged nj_sz / nj_inter artifacts
     * (r14): the doc-size rollup and the full pairwise-intersection
     * join were being re-planned and re-executed inside EVERY fragment
@@ -243,10 +245,15 @@ trait SqlOpsDedup { this: SqlOpsAll =>
            |SELECT doc_id, s FROM w WHERE df <= 20""".stripMargin
       },
       // doc sizes + full pairwise intersections as their own staged
-      // artifacts (r14): SIX ops read these shapes (jaccard,
-      // containment, cascade, threshold sweep, LSH evals via the
-      // gated/sampled variants' sz side) — the mh_cand rule: generate
-      // once, consume many. Pair-grain, df-cap-bounded at any scale.
+      // artifacts (r14) — the mh_cand rule: generate once, consume
+      // many. Pair-grain, df-cap-bounded at any scale. Consumers
+      // (r15 audit): nj_sz via szCte is read by NINE ops (jaccard,
+      // containment, cascade, verified, threshold sweep, lsh eval,
+      // lsh s-curve, lsh param-opt, minhash calibration); nj_inter
+      // via interFullCte only by the three FULL-intersection bodies
+      // (jaccard, containment, cascade) — the gated/sampled variants
+      // recount intersections from nj_dshf against their own
+      // candidate sets and never read nj_inter.
       "nj_sz" -> { _ =>
         "SELECT doc_id, COUNT(*) AS n FROM nj_dshf GROUP BY doc_id"
       },

@@ -738,7 +738,7 @@ class MicroOracleSpec extends SparkSpec {
       (Date.valueOf(base.plusDays(t.toLong)), level / 2 + (t * 13 + k * 7) % 50 + 0.005 * (k % 2))
     }
     rows.toDF("o_orderdate", "o_totalprice").createOrReplaceTempView("orders")
-    val got = spark.sql(SqlOps.ewmaForecast(SparkDialect)).collect()
+    val got = spark.sql(SqlOps.ewmaForecast.single(SparkDialect)).collect()
       .map(r => (r.getAs[Long]("day"), r.getAs[Long]("actual"), r.getAs[Double]("ewma"),
         Option(r.getAs[Any]("forecast")).map(_.asInstanceOf[Double]),
         Option(r.getAs[Any]("abs_err")).map(_.asInstanceOf[Double])))
@@ -2309,6 +2309,11 @@ class MicroOracleSpec extends SparkSpec {
           4L -> Seq("m", "n", "o", "w"), 5L -> Seq("m", "n", "o", "w"))
         .flatMap { case (id, ss) => ss.map(id -> _) }
     shingles.toDF("doc_id", "s").createOrReplaceTempView("nj_dshf")
+    // the body's sz alias reads the staged nj_sz artifact (r14);
+    // derive it from the planted index via the op's OWN stage SQL so
+    // the fixture can't drift from the shipped rollup
+    spark.sql(SqlOps.lshScurve.stages.toMap.apply("nj_sz")(SparkDialect))
+      .createOrReplaceTempView("nj_sz")
     // the band join surfaced the twin pair and ONE of the overlapers
     Seq((4L, 5L), (0L, 1L)).toDF("doc_a", "doc_b")
       .createOrReplaceTempView("mh_cand")
@@ -2335,6 +2340,7 @@ class MicroOracleSpec extends SparkSpec {
     assert(got.map(_._1).toSeq === (0 to 9).toSeq, "full decile domain must be emitted")
     spark.catalog.dropTempView("documents")
     spark.catalog.dropTempView("nj_dshf"); spark.catalog.dropTempView("mh_cand")
+    spark.catalog.dropTempView("nj_sz")
   }
 
   test("attribution shortlist: the 2-probe IVF pair stage and its recall " +
@@ -4531,7 +4537,7 @@ class MicroOracleSpec extends SparkSpec {
       (Date.valueOf(base.plusDays(i.toLong)), y.toDouble)
     }
     rows.toDF("o_orderdate", "o_totalprice").createOrReplaceTempView("orders")
-    val got = spark.sql(SqlOps.forecastSkill(SparkDialect)).collect()(0)
+    val got = spark.sql(SqlOps.forecastSkill.single(SparkDialect)).collect()(0)
 
     // ---- independent implementation of the truncated normalized EWMA ----
     val alpha = BigDecimal("0.3")
