@@ -308,11 +308,11 @@ object SparkEntry {
     readStage(s, path)
   }
 
-  /** q_pca_deflate's execution path: stage the deflated matrix + its
-    * envelope ([[SqlOps.pcaDeflatePrep]]), run the power-iteration
-    * rounds DRIVER-SIDE (graft.ops.PcaLoop — one matvec job, a 1-row
-    * max, and a dim-bounded 64-row vecmat collect per round, rescale
-    * divisors as SQL literals), and stage only the 64-row result.
+  /** q_pca_deflate's execution path: stage the deflated matrix
+    * ([[SqlOps.pcaDeflatePrep]]), run the power-iteration rounds
+    * DRIVER-SIDE (graft.ops.PcaLoop — one fused matvec+rescale+vecmat
+    * action per round since r15, dim-bounded 64-row collects), and
+    * stage only the 64-row result.
     * This replaces six per-round parquet stages whose ONLY consumer
     * was this query — each was a full job + parquet roundtrip forced
     * by the rescale's double reference under CTE inlining. The oracle
@@ -323,6 +323,13 @@ object SparkEntry {
   private def pcaDeflateStaged(s: SparkSession, d: String): DataFrame = {
     val path = stagePath(d, "pcb_out")
     writeStageOnce(path) {
+      // NEGATIVE RESULT (r15): caching pcb_cv (persist + temp view)
+      // instead of the parquet stage was tried and MEASURED SLOWER —
+      // per-round matvec 0.76 → 0.95 s, first run 3.5 → 4.2 s quiet at
+      // sf0.1: the loop's six matrix scans run in the ISOLATED child
+      // session through a global-temp view, and the cached-relation
+      // read path there loses to a plain columnar parquet scan. The
+      // matrix stays a parquet stage (the r14 call was right).
       buildStages(Seq("embeddings"), SqlOps.pcaDeflatePrep)(s, d)
       graft.ops.PcaLoop.deflateComponent2(s).coalesce(1)
         .write.mode("overwrite").parquet(path)
@@ -1175,7 +1182,7 @@ object SparkEntry {
     "q_text_langid_eval" -> sqlq(Seq("documents"), SqlOps.textLangIdEval),
     "q_text_quality" -> sqlq(Seq("documents"), SqlOps.textQuality),
     "q_text_fingerprint" -> sqlq(Seq("documents"), SqlOps.textFingerprint),
-    "q_text_tfidf" -> sqlq(Seq("documents"), SqlOps.textTfIdf),
+    "q_text_tfidf" -> sqlStaged(Seq("documents"), SqlOps.textTfIdf),
     "q_text_bigrams" -> sqlq(Seq("documents"), SqlOps.textBigrams),
     "q_text_bigrams_source" -> sqlq(Seq("documents"), SqlOps.topBigramsPerSource),
     "q_text_repetition" -> sqlq(Seq("documents"), SqlOps.textRepetition),
@@ -2222,7 +2229,7 @@ object SparkEntry {
     "q_text_langid_eval" -> SqlOps.textLangIdEval(DuckDialect),
     "q_text_quality" -> SqlOps.textQuality(DuckDialect),
     "q_text_fingerprint" -> SqlOps.textFingerprint(DuckDialect),
-    "q_text_tfidf" -> SqlOps.textTfIdf(DuckDialect),
+    "q_text_tfidf" -> SqlOps.textTfIdf.single(DuckDialect),
     "q_text_bigrams" -> SqlOps.textBigrams(DuckDialect),
     "q_text_bigrams_source" -> SqlOps.topBigramsPerSource(DuckDialect),
     "q_text_repetition" -> SqlOps.textRepetition(DuckDialect),

@@ -117,6 +117,25 @@ trait Dialect {
     * counts w.h.p., ~4× smaller index and a fixed-width join key);
     * DuckDB keeps the string, proving count-equivalence every run. */
   def shingleId(s: String): String
+  /** Aggregate a column's group values into a SORTED array (native
+    * type, deterministic order — the array twin of
+    * [[arrayAggSortedStr]], for joins that consume the set itself
+    * rather than a hash-comparable rendering). */
+  def arrayAggSorted(x: String): String
+  /** |a ∩ b| for two array columns, distinct-element semantics (both
+    * engines dedup the intersection). Exact when the inputs are
+    * already distinct-element arrays — the pfx_arr contract. */
+  def arrayIntersectSize(a: String, b: String): String
+  /** Hamming distance between two 64-char '0'/'1' bit-string columns
+    * (the aHash signature encoding — packed int64 would overflow at
+    * bit 63, so hashes travel as strings). Each engine popcounts
+    * natively instead of exploding 64 positions per pair: Spark xors
+    * two 32-bit halves (conv(...,2,10) of a 32-char half is < 2³²,
+    * exactly representable in BIGINT) and sums the codegen'd
+    * bit_counts; DuckDB casts the whole string to BIT and popcounts
+    * one 64-bit xor. Integer-exact in both; the oracle gate proves
+    * the two renderings identical on every run. */
+  def hamming64(pa: String, pb: String): String
   /** Full IVF-assignment stage SQL: given `centCtes` (CTEs ending in
     * `cent(label, pos, qc)`, the µ-quantized centroid components) and
     * the `emb_nv`/`embeddings` views, produce
@@ -243,6 +262,16 @@ object SparkDialect extends Dialect {
        |  LATERAL VIEW posexplode(word_shingles(text, $n)) _t AS pos, s
        |)""".stripMargin
   def shingleId(s: String): String = s"xxhash64($s)"
+  def arrayAggSorted(x: String): String = s"sort_array(collect_list($x))"
+  def arrayIntersectSize(a: String, b: String): String =
+    s"size(array_intersect($a, $b))"
+  def hamming64(pa: String, pb: String): String = {
+    // per 32-char half: conv to < 2³² BIGINT (exact), xor, popcount
+    def half(off: Int): String = "bit_count(" + bitXor(
+      s"CAST(conv(substr($pa, $off, 32), 2, 10) AS BIGINT)",
+      s"CAST(conv(substr($pb, $off, 32), 2, 10) AS BIGINT)") + ")"
+    s"(${half(1)} + ${half(33)})"
+  }
   def ivfAssign(centCtes: String): String =
     s"""WITH $centCtes,
        |cent_arr AS (
@@ -400,6 +429,11 @@ object DuckDialect extends Dialect {
     }
   }
   def shingleId(s: String): String = s
+  def arrayAggSorted(x: String): String = s"list_sort(list($x))"
+  def arrayIntersectSize(a: String, b: String): String =
+    s"len(list_intersect($a, $b))"
+  def hamming64(pa: String, pb: String): String =
+    "bit_count(" + bitXor(s"CAST($pa AS BIT)", s"CAST($pb AS BIT)") + ")"
   def ivfAssign(centCtes: String): String = {
     val expA = explodeWithPos(
       "SELECT vec_id, embedding FROM embeddings", "vec_id", "embedding", "pos", "v")

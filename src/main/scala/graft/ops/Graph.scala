@@ -3,9 +3,12 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Iterative graph analytics over pair lists (the driver-loop pattern
-  * shared with [[Cluster]]: re-plan per round, cut lineage with
-  * localCheckpoint so round N's plan doesn't embed rounds 1..N-1).
+/** Iterative graph analytics over pair lists. The CONVERGENCE loops
+  * ([[kcore]], [[truss]]) use the [[Cluster]] driver pattern —
+  * re-plan per round, cut lineage with localCheckpoint, probe with an
+  * O(1)-row action — because their depth is data-dependent. The
+  * FIXED-depth [[pagerank]] does not: its rounds compose lazily into
+  * one plan and one job (r15; see the method comment).
   *
   * [[pagerank]] is the iterate-N-times twin of the SQL-unrolled
   * [[SqlOps.pagerankIter]] — same integer-exact step semantics (ranks
@@ -28,10 +31,19 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint() // materialize once; every round re-reads it
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, "src") // src, dst, deg — stable per run
-      .localCheckpoint()
+    // src, dst, deg — consumed by every round: ONE materialization
+    // (it also truncates what each round's plan embeds). The former
+    // version additionally checkpointed `edges` AND every round's
+    // rank — 2 + iters eager job barriers for a FIXED-depth loop
+    // whose per-round state is one bounded aggregate. A fixed small
+    // iteration count needs no per-round lineage cut: the rounds
+    // compose lazily into one plan (depth ∝ iters, fine for the
+    // 3-round contract; re-introduce a checkpoint cadence if iters
+    // ever grows past ~10), so the whole loop executes as ONE job —
+    // 6 jobs → 2 at any scale, and no per-round executor-storage
+    // write of the rank iterate (guide §2.4/§5).
+    val withDeg = edges.join(deg, "src").localCheckpoint()
     var rank = deg.select(col("src").as("id"), lit(1000000L).as("r"))
     (1 to iters).foreach { _ =>
       rank = withDeg.join(rank, withDeg("src") === rank("id"))
@@ -40,7 +52,6 @@ object Graph {
         .select(col("dst").as("id"),
           (lit(150000L) +
             floor((lit(85L) * col("s")).cast("double") / lit(1.0e2)).cast("long")).as("r"))
-        .localCheckpoint()
     }
     rank.select(col("id").as("doc_id"), col("r").as("rank_ppm"))
   }

@@ -13,13 +13,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * inlines CTEs — each stage is a full job + parquet roundtrip, and
   * the whole chain has exactly ONE consumer (this query), so the
   * cross-query reuse that justifies the stage cache never applies.
-  * The loop replaces each round with: one matvec job over the staged
-  * deflated matrix (`pcb_cv`, which STAYS a parquet stage — it is
-  * matrix-sized and multiply-referenced), a 1-row max collect, and a
-  * vecmat collect of the POS-CARDINALITY iterate (64 rows — bounded
+  * The loop replaces each round with ONE action (r15 — the 1-row max
+  * collect folded into the vecmat SQL as an aggregate subquery): a
+  * matvec over the staged deflated matrix (`pcb_cv`, which STAYS a
+  * parquet stage — it is matrix-sized and multiply-referenced, and a
+  * cached-relation replacement measured SLOWER through the child
+  * session's global-temp path; see pcaDeflateStaged) and
+  * a vecmat collect of the POS-CARDINALITY iterate (64 rows — bounded
   * by the embedding dimension, never by corpus size, so the collect
   * is the knnBruteForce constant-bounded discipline, not a
-  * driver-side scale-killer). Rescale divisors become SQL literals,
+  * driver-side scale-killer). Rescale divisors are computed in-query,
   * which removes the double-reference that forced materialization.
   *
   * Arithmetic parity with the SQL chain, term by term:
@@ -105,7 +108,9 @@ object PcaLoop {
     * its SQL conf): every job here has a KNOWN tiny shape — a matvec
     * groupBy whose build side is ≤64 rows and aggregates that end in
     * ≤64 rows — so AQE's per-shuffle stage materialization and
-    * re-plan buy nothing and bill ~0.1 s on each of the ~8 jobs.
+    * re-plan buy nothing and bill ~0.1 s on each of the ~8 jobs
+    * (re-measured r15 after the rounds collapsed to one action each:
+    * AQE ON is still slower, deflate first 3.32 s vs 3.07 s quiet).
     * Values are unaffected (scheduling only). The child session makes
     * the scoping STRUCTURAL: the caller's session conf is never
     * mutated, so a concurrent consumer of the shared session can
@@ -192,18 +197,26 @@ object PcaLoop {
       def lap(tag: String, from: Long): Unit = if (tm)
         System.err.println(f"[pcaloop] r$r $tag%-8s ${(System.nanoTime() - from) / 1e9}%6.2fs")
       try {
-        val tMax = t0
-        val mxS = spark.sql(
-          s"""SELECT GREATEST(COALESCE(CAST(MAX(ABS(sv)) AS BIGINT), 1), 1)
-             |FROM $sView""".stripMargin).collect()(0).getLong(0)
-        lap("max", tMax)
-        val dmS = divisor(mxS, tqS)
+        // the rescale divisor dm = 1 + (max|sv| − 1) DIV tqS rides as
+        // a 1-row aggregate SUBQUERY over the persisted matvec (r15)
+        // instead of a separate collect round trip: the max job +
+        // driver hop per round is gone (one action per round instead
+        // of two — ~0.1 s/round of scheduling on the 8-job loop), the
+        // arithmetic is identical (all operands positive, SQL DIV ==
+        // Long division == the old driver `divisor`), and tqS is a
+        // per-invocation constant so the SQL text — and therefore the
+        // whole-stage codegen source — is STILL identical across
+        // rounds (the property the VALUES form existed for).
         val tVm = t0
         w = spark.sql(
           s"""SELECT CAST(c.pos AS BIGINT) AS pos,
              |  CAST(SUM(c.cv * ${fd("s.sv", "d.dm")}) AS BIGINT) AS w
              |FROM $cvTbl c JOIN $sView s ON c.vec_id = s.vec_id
-             |CROSS JOIN (VALUES (CAST($dmS AS BIGINT))) d(dm)
+             |CROSS JOIN (
+             |  SELECT CAST(1 + (GREATEST(COALESCE(CAST(MAX(ABS(sv)) AS BIGINT), 1), 1) - 1)
+             |              DIV $tqS AS BIGINT) AS dm
+             |  FROM $sView
+             |) d
              |GROUP BY c.pos""".stripMargin)
           .collect().map(row => (row.getLong(0), row.getLong(1)))
         lap("vecmat", tVm)

@@ -158,6 +158,17 @@ trait SqlOpsCore { this: SqlOpsAll =>
 
   private[ops] def toks(d: Dialect): String = d.split("text", " ")
 
+  /** A literal DOMAIN relation as one inline VALUES table (the r14
+    * EWMA weight-table rule, generalized): `SELECT 0 AS k UNION ALL
+    * SELECT 1 …` parses to one Project+OneRowRelation pair per row
+    * plus a Union spine — ~2 plan nodes per domain row analyzed on
+    * EVERY run — while VALUES is a single LocalRelation in Spark and
+    * a single VALUES node in DuckDB. Rows are rendered verbatim
+    * (`Seq("0", "CAST(12 AS BIGINT)")`-style entries keep their
+    * types), one parenthesized tuple per row. Dialect-invariant. */
+  private[ops] def domainRel(cols: String, rows: Seq[String]): String =
+    s"SELECT * FROM (VALUES ${rows.map(r => s"($r)").mkString(", ")}) __dom($cols)"
+
   /** Two "crawl snapshots": every doc appears twice under different ids
     * → guaranteed duplicate pairs for the dedup operators. Snapshot ids
     * are doc_id·2 / doc_id·2+1 — disjoint BY CONSTRUCTION for any

@@ -129,8 +129,7 @@ trait SqlOpsCuration { this: SqlOpsAll =>
       // the arrays under CTE inlining
       "pii_o" -> { (d: Dialect) => piiOccSql(d) }),
     body = { d =>
-      val dom = PiiPatterns.map { case (k, _) => s"SELECT '$k' AS kind" }
-        .mkString(" UNION ALL ")
+      val dom = domainRel("kind", PiiPatterns.map { case (k, _) => s"'$k'" })
       s"""WITH cnt AS (
          |  SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_matches,
          |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
@@ -515,37 +514,40 @@ trait SqlOpsCuration { this: SqlOpsAll =>
     * phash)` relation (Spark: the [[graft.ops.Multimodal.aHash]]
     * output registered as a view; oracle: the same hash re-derived in
     * pure SQL). Scale shape: band explode is ×4 narrow, the join is
-    * hash-equi on (band, key), the 64-position hamming explode runs
-    * only on candidates. (A flat 64-term CASE projection was tried in
-    * r14 and MEASURED SLOWER — 5.7 s vs 1.3 s steady: the giant
-    * expression lands in both the Filter and the Project after CTE
-    * collapse and is evaluated twice per row with no codegen CSE
-    * across the boundary; the explode + partial-agg form stays.) */
+    * hash-equi on (band, key), and the exact hamming verify is ONE
+    * native popcount expression per candidate pair
+    * ([[Dialect.hamming64]], r15) — the former form exploded 64
+    * positions per pair and re-aggregated them (a ×64 row blowup +
+    * an extra hash aggregate just to count differing substr chars).
+    * (A flat 64-term CASE projection was tried in r14 and MEASURED
+    * SLOWER — 5.7 s vs 1.3 s steady: the giant expression lands in
+    * both the Filter and the Project after CTE collapse and is
+    * evaluated twice per row with no codegen CSE across the boundary.
+    * The popcount expression has no such problem: it is ~8 codegen'd
+    * calls, cheap even when evaluated twice.) The hamming gate sits
+    * INSIDE the candidate join, before the DISTINCT's exchange (guide
+    * §2.3 — filter before you shuffle): measured at sf0.1, 108 644
+    * collision rows collapse to 89 520 distinct pairs of which only
+    * 6 208 pass ≤ 6 — gating map-side shrinks the exchange ~13× by
+    * rows and ~80× by bytes (3 int64s instead of 2 ids + two 64-char
+    * strings). DISTINCT-after-filter equals filter-after-DISTINCT
+    * because hamming is a function of the pair. The outer WHERE is
+    * kept so the body reads as gate-then-report (it is a no-op). */
   def phashNear(d: Dialect): String =
     s"""WITH bnd AS (
        |  SELECT doc_id, phash, b, substr(phash, 1 + b * 16, 16) AS key
        |  FROM (${d.explode("SELECT doc_id, phash, " + d.seqArray("0", "3") +
                             " AS bs FROM phash_tbl", "doc_id, phash", "bs", "b")})
        |),
-       |cand AS (
+       |hm AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-       |    x.phash AS pa, y.phash AS pb
+       |    CAST(${d.hamming64("x.phash", "y.phash")} AS BIGINT) AS hamming
        |  FROM bnd x JOIN bnd y
        |    ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
-       |),
-       |pe AS (
-       |  SELECT doc_a, doc_b, pa, pb, i
-       |  FROM (${d.explode("SELECT doc_a, doc_b, pa, pb, " + d.seqArray("1", "64") +
-                            " AS ii FROM cand", "doc_a, doc_b, pa, pb", "ii", "i")}
-       |  )
-       |),
-       |hm AS (
-       |  SELECT doc_a, doc_b,
-       |    CAST(SUM(CASE WHEN substr(pa, i, 1) <> substr(pb, i, 1)
-       |             THEN 1 ELSE 0 END) AS BIGINT) AS hamming
-       |  FROM pe GROUP BY doc_a, doc_b
+       |  WHERE ${d.hamming64("x.phash", "y.phash")} <= 6
        |)
-       |SELECT doc_a, doc_b, hamming FROM hm WHERE hamming <= 6""".stripMargin
+       |SELECT doc_a, doc_b, hamming FROM hm
+       |WHERE hamming <= 6""".stripMargin
 
   /** Dedup-cluster quality eval: pairwise precision/recall/F1 of the
     * minhash cluster map's co-membership against the EXACT-duplicate
@@ -866,7 +868,7 @@ trait SqlOpsCuration { this: SqlOpsAll =>
     * would silently omit it and the MIN would read healthy, the
     * exact pathology this audit exists to flag. */
   def splitKfoldReport(d: Dialect): String = {
-    val dom = (0 until KfoldK).map(k => s"SELECT $k AS fold").mkString(" UNION ALL ")
+    val dom = domainRel("fold", (0 until KfoldK).map(_.toString))
     s"""WITH straddle AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS naive_straddling_groups
        |  FROM (SELECT grp FROM kfold_a GROUP BY grp HAVING COUNT(DISTINCT naive_fold) > 1)

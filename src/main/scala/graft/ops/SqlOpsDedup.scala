@@ -1115,7 +1115,7 @@ trait SqlOpsDedup { this: SqlOpsAll =>
       "SELECT s, CAST(SUM(tf) AS BIGINT) AS c FROM ulm_tf GROUP BY s"
     }),
     body = { _ =>
-      val dom = (1 to 8).map(k => s"SELECT $k AS r").mkString(" UNION ALL ")
+      val dom = domainRel("r", (1 to 8).map(_.toString))
       s"""WITH vc AS (SELECT s, c FROM gt_vc),
          |ff AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS nr FROM vc GROUP BY c),
          |tot AS (
@@ -2373,7 +2373,7 @@ trait SqlOpsDedup { this: SqlOpsAll =>
         // total is a window (not a scalar cross-join re-read)
         s"""WITH wi AS (SELECT w, c, ${d.seqArray("1", "length(w)")} AS ii FROM ulm_vocab),
            |pe AS (${d.explode("SELECT w, c, ii FROM wi", "w, c", "ii", "i")}),
-           |ll AS (${(1 to UlmMaxPiece).map(l => s"SELECT $l AS l").mkString(" UNION ALL ")}),
+           |ll AS (${domainRel("l", (1 to UlmMaxPiece).map(_.toString))}),
            |pc AS (
            |  SELECT substr(w, i, l) AS piece, CAST(SUM(c) AS BIGINT) AS cnt
            |  FROM pe JOIN ll ON i + l - 1 <= length(w)

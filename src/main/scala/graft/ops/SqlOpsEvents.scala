@@ -913,7 +913,7 @@ trait SqlOpsEvents { this: SqlOpsAll =>
        |    CAST(SUM(c) OVER () AS BIGINT) AS n
        |  FROM cw
        |),
-       |dom AS (${ps.map(p => s"SELECT $p AS p").mkString(" UNION ALL ")}),
+       |dom AS (${domainRel("p", ps.map(_.toString))}),
        |ex AS (
        |  SELECT dm.p, CAST(MIN(cents) AS BIGINT) AS exact_cents
        |  FROM dom dm JOIN cc ON cc.cum * 100 >= dm.p * cc.n
@@ -1320,7 +1320,7 @@ trait SqlOpsEvents { this: SqlOpsAll =>
     * of two exact int64-derived means — a fixed 4-op IEEE sequence,
     * identical in both engines. */
   def seasonalityDow(d: Dialect): String = {
-    val dom = (0 to 6).map(k => s"SELECT $k AS dow").mkString(" UNION ALL ")
+    val dom = domainRel("dow", (0 to 6).map(_.toString))
     s"""WITH ${dailyCentsCte(d)},
        |dw AS (SELECT (day + 4) % 7 AS dow, cents FROM daily),
        |ag AS (

@@ -65,7 +65,7 @@ trait SqlOpsMultimodal { this: SqlOpsAll =>
       }),
     body = { d =>
       val bars = Seq(50, 55, 60, 65, 70, 75, 80, 85, 90)
-      val dom = bars.map(b => s"SELECT $b AS bar").mkString(" UNION ALL ")
+      val dom = domainRel("bar", bars.map(_.toString))
       s"""WITH dom AS ($dom),
          |pb AS (SELECT doc_a, doc_b, twin, pmax FROM dts_pb),
          |pcnt AS (SELECT pmax, CAST(COUNT(*) AS BIGINT) AS c FROM pb GROUP BY pmax),
@@ -196,9 +196,9 @@ trait SqlOpsMultimodal { this: SqlOpsAll =>
       // the shipped geometry's detection curve as host-exact ppm
       // literals — the same scurveDetectPpm table lshParamOpt scores
       // every (b, r) with, so audit and optimizer share one curve
-      val th = (0 to 9).map { k =>
-        s"SELECT $k AS bkt, CAST(${scurveDetectPpm(MhBands, MhRows, k)} AS BIGINT) AS p_ppm"
-      }.mkString(" UNION ALL ")
+      val th = domainRel("bkt, p_ppm", (0 to 9).map { k =>
+        s"$k, CAST(${scurveDetectPpm(MhBands, MhRows, k)} AS BIGINT)"
+      })
       s"""WITH ${corpusCte(d)},
          |${lshSampCte},
          |$szCte,

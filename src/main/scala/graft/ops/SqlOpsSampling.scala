@@ -397,7 +397,7 @@ trait SqlOpsSampling { this: SqlOpsAll =>
        |tw AS (
        |  $tw
        |),
-       |js AS (${(0 to 7).map(j => s"SELECT $j AS j").mkString(" UNION ALL ")}),
+       |js AS (${domainRel("j", (0 to 7).map(_.toString))}),
        |samp AS (
        |  -- bytes extracted ONCE per (window, j) on the 8-row j spine;
        |  -- the 5 k rows join the already-read byte (reading inside the

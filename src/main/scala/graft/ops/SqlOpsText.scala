@@ -190,7 +190,7 @@ trait SqlOpsText { this: SqlOpsAll =>
   def cohortLtv(d: Dialect): String = {
     val mkey = "CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) * 12 + " +
       "CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) - 1"
-    val dom = (0 to 5).map(k => s"SELECT $k AS k").mkString(" UNION ALL ")
+    val dom = domainRel("k", (0 to 5).map(_.toString))
     s"""WITH om AS (
        |  SELECT o_custkey, $mkey AS mk,
        |    CAST(FLOOR(o_totalprice * 1.0e2 + 5.0e-1) AS BIGINT) AS cents
@@ -332,8 +332,7 @@ trait SqlOpsText { this: SqlOpsAll =>
     * can round a one-ulp-below-0.4 quality up to exactly 40.0 and
     * overcount the row that exists to calibrate the gate). */
   def qualitySweep(d: Dialect): String = {
-    val dom = (30 to 55 by 5)
-      .map(t => s"SELECT $t AS thr, ${t}.0e-2 AS thr_q").mkString(" UNION ALL ")
+    val dom = domainRel("thr, thr_q", (30 to 55 by 5).map(t => s"$t, ${t}.0e-2"))
     s"""WITH ${scoredCtes(d, "documents")},
        |first_of_dup AS (
        |  SELECT doc_id, lang_guess, quality FROM (
@@ -378,7 +377,7 @@ trait SqlOpsText { this: SqlOpsAll =>
     * calendar-bounded at any corpus scale. NULL when the series is
     * shorter than the lag or variance is zero. */
   def acfRevenue(d: Dialect): String = {
-    val dom = (1 to 7).map(k => s"SELECT $k AS k").mkString(" UNION ALL ")
+    val dom = domainRel("k", (1 to 7).map(_.toString))
     s"""WITH ${dailyDollarsCtes(d, "acf")},
        |mn AS (SELECT MIN(day) AS d0 FROM daily),
        |idx AS (
@@ -466,7 +465,7 @@ trait SqlOpsText { this: SqlOpsAll =>
     * Day cardinality is calendar-bounded at any corpus scale. */
   def rollingMedianRevenue(d: Dialect): String = {
     val day = s"CAST(FLOOR(${d.epochSeconds("CAST(o_orderdate AS TIMESTAMP)")} / 86400.0e0) AS BIGINT)"
-    val dom = (0 to 6).map(k => s"SELECT $k AS k").mkString(" UNION ALL ")
+    val dom = domainRel("k", (0 to 6).map(_.toString))
     s"""WITH daily AS (
        |  SELECT $day AS day,
        |    ${d.idiv(
@@ -766,7 +765,7 @@ trait SqlOpsText { this: SqlOpsAll =>
        |    CAST(SUM(n_tokens) AS BIGINT) AS tt
        |  FROM per
        |),
-       |dom AS (${(0 to 15).map(i => s"SELECT $i AS shard").mkString(" UNION ALL ")})
+       |dom AS (${domainRel("shard", (0 to 15).map(_.toString))})
        |SELECT dom.shard,
        |  CAST(COALESCE(p.n_docs, 0) AS BIGINT) AS n_docs,
        |  CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
@@ -796,8 +795,8 @@ trait SqlOpsText { this: SqlOpsAll =>
     * Expected-move ppm columns carry the closed-form prediction next
     * to the measurement. */
   def shardRebalance(d: Dialect): String = {
-    val shardDom = (0 to 16).map(s => s"SELECT $s AS shard").mkString(" UNION ALL ")
-    val vnodeDom = (0 until 4).map(v => s"SELECT $v AS v").mkString(" UNION ALL ")
+    val shardDom = domainRel("shard", (0 to 16).map(_.toString))
+    val vnodeDom = domainRel("v", (0 until 4).map(_.toString))
     val wrapKey = "CASE WHEN r.pos >= d.p THEN r.pos ELSE r.pos + 4294967296 END"
     s"""WITH ring AS (
        |  SELECT s.shard, ${md5Hex32(

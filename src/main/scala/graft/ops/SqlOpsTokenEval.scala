@@ -1913,7 +1913,7 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
            |    CAST(SUM(qj) AS BIGINT) AS sqj
            |  FROM j GROUP BY bucket
            |),
-           |dom AS (${(0 to 8).map(b => s"SELECT $b AS bucket").mkString(" UNION ALL ")})
+           |dom AS (${domainRel("bucket", (0 to 8).map(_.toString))})
            |SELECT dom.bucket,
            |  COALESCE(g.n_pairs, 0) AS n_pairs,
            |  CASE WHEN g.n_pairs IS NULL THEN NULL
@@ -2215,8 +2215,23 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
            |  ROW_NUMBER() OVER (PARTITION BY c.doc_id ORDER BY f.df, c.s) AS rk,
            |  COUNT(*) OVER (PARTITION BY c.doc_id) AS n
            |FROM pfx_dsh c JOIN df f ON c.s = f.s""".stripMargin
+      },
+      // the doc-grain ARRAY packing of the same index (r15): one row
+      // per doc with its sorted distinct shingle set. The batch
+      // verify used to join the 500 k-row pfx_dsh index onto the
+      // candidates TWICE (two 500 k-row broadcast hash relations per
+      // run, then a 300 k-row expansion re-aggregated to pair grain —
+      // measured at sf0.1); joining the 10 k-row array table instead
+      // moves the same bytes in 50× fewer rows and verifies each pair
+      // with ONE native set-intersection call (guide §2.3/§3). The
+      // delta/streaming probes keep the row-grain verify against
+      // pfx_dsh (their candidate sets are delta-sized, and the
+      // standing streaming index dir only carries pfx_rk/pfx_dsh).
+      "pfx_arr" -> { d =>
+        s"""SELECT doc_id, ${d.arrayAggSorted("s")} AS arr
+           |FROM pfx_dsh GROUP BY doc_id""".stripMargin
       }),
-    body = { _ =>
+    body = { d =>
       // The candidate step also applies the PPJoin POSITION filter: a
       // shared prefix token at (1-indexed, order-consistent) positions
       // (i, j) bounds the overlap by min(i,j) + min(na−i, nb−j) —
@@ -2228,10 +2243,17 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
       // ⌊(3(na+nb)+7)/8⌋) cannot verify, under either engine's tie
       // order. Sizes (na, nb) ride along from the prefix rows — the
       // former psz CTE re-scanned the full index and joined it twice
-      // per verified pair just to recover them. All fragments are the
-      // SHARED pfx* pieces, so this body and the incremental/streaming
-      // probes ([[dedupPrefixDelta]], [[prefixProbeBody]]) cannot
-      // drift on prefix length, length filter, or α.
+      // per verified pair just to recover them. The candidate
+      // fragments are the SHARED pfx* pieces, so this body and the
+      // incremental/streaming probes ([[dedupPrefixDelta]],
+      // [[prefixProbeBody]]) cannot drift on prefix length, length
+      // filter, or α; the verify step here is the r15 ARRAY form
+      // (pfx_arr — see the stage comment), equivalent to the probes'
+      // row-grain [[pfxVerifySelect]]: |a ∩ b| over distinct-element
+      // sets is the same count either way (a zero-intersection pair
+      // is absent from the join form and jaccard-0-filtered here; the
+      // output set is identical, and the oracle gate re-proves it
+      // every run).
       s"""WITH ${pfxPreCte("pfx_rk")},
          |cand AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb
@@ -2240,7 +2262,7 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
          |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
          |  HAVING MIN($pfxPosBound) >= ${pfxAlpha("a.n + b.n")}
          |),
-         |${pfxVerifySelect("pfx_dsh")}""".stripMargin
+         |${pfxVerifyArrSelect(d)}""".stripMargin
     })
 
   /** Rarity-ranked PREFIX rows (rk ≤ n − ⌈0.6n⌉ + 1 over `rkTbl`) —
@@ -2258,6 +2280,25 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
   /** Overlap threshold α = ⌈3·(na+nb)/8⌉ as ⌊(3(na+nb)+7)/8⌋. */
   private[ops] def pfxAlpha(sumN: String): String =
     s"CAST(FLOOR(CAST(3 * ($sumN) + 7 AS DOUBLE) / 8.0e0) AS BIGINT)"
+  /** Exact-Jaccard verification of `cand(doc_a, doc_b, na, nb)`
+    * against the doc-grain ARRAY index (r15): one native
+    * set-intersection per candidate pair instead of the double
+    * row-grain join + re-aggregation. Used by the batch self-join
+    * body; the probes keep [[pfxVerifySelect]] (see pfx_arr's stage
+    * comment for the measured trade). */
+  private[ops] def pfxVerifyArrSelect(d: Dialect, arrTbl: String = "pfx_arr"): String =
+    s"""pinter AS (
+       |  SELECT c.doc_a, c.doc_b, c.na, c.nb,
+       |    CAST(${d.arrayIntersectSize("a.arr", "b.arr")} AS BIGINT) AS inter
+       |  FROM cand c
+       |  JOIN $arrTbl a ON a.doc_id = c.doc_a
+       |  JOIN $arrTbl b ON b.doc_id = c.doc_b
+       |)
+       |SELECT doc_a, doc_b,
+       |  ${r6("CAST(inter AS DOUBLE) / (na + nb - inter)")} AS jaccard
+       |FROM pinter
+       |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.6""".stripMargin
+
   /** Exact-Jaccard verification of `cand(doc_a, doc_b, na, nb)`
     * against the uncapped index — the recall-lossless gates above
     * make this the only scoring pass. */
@@ -2703,25 +2744,36 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
     * (doc,term) aggregate) a second time just to count df. The window
     * form runs the heavy pipeline ONCE; the rank orders by tf/df,
     * which is score order (n_docs is a constant factor, attached from
-    * a count-only scan at the end). PlanSpec pins single-heavy-scan. */
-  def textTfIdf(d: Dialect): String =
-    s"""WITH ttoks AS (SELECT doc_id, ${toks(d)} AS toks FROM documents),
-       |tok AS (${d.explode("SELECT doc_id, toks FROM ttoks", "doc_id", "toks", "t")}),
-       |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
-       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
-       |scored AS (
-       |  SELECT doc_id, t, tf,
-       |    COUNT(*) OVER (PARTITION BY t) AS df
-       |  FROM tf
-       |),
-       |ranked AS (
-       |  SELECT *, ROW_NUMBER() OVER (
-       |    PARTITION BY doc_id ORDER BY CAST(tf AS DOUBLE) / df DESC, t) AS rn
-       |  FROM scored
-       |)
-       |SELECT doc_id, t AS top_term, tf, df,
-       |  CAST(tf * n.n_docs AS DOUBLE) / df AS score
-       |FROM ranked CROSS JOIN n WHERE rn = 1""".stripMargin
+    * a count-only scan at the end).
+    *
+    * r15: the (doc, term, tf) rollup IS the staged `ulm_tf` artifact
+    * (unigram shingles are exactly `split(text, ' ')` tokens —
+    * word_shingles(text, 1) and the oracle's n=1 explode both keep
+    * empty tokens, so the token multisets are identical), and ulm_tf
+    * already has five other consumers and is prewarmed. Reading it
+    * instead of re-tokenizing per run removes the scan+explode+
+    * GROUP BY pipeline from every execution (guide §2.4 — the
+    * mh_sig/ewma_f multi-consumer rule); the body keeps the window
+    * shape unchanged. PlanSpec pins the no-Generate read path. */
+  lazy val textTfIdf: StagedOp = StagedOp(
+    stages = textUnigramLm.stages,
+    body = { _ =>
+      s"""WITH tf AS (SELECT doc_id, s AS t, tf FROM ulm_tf),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, t, tf,
+         |    COUNT(*) OVER (PARTITION BY t) AS df
+         |  FROM tf
+         |),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY doc_id ORDER BY CAST(tf AS DOUBLE) / df DESC, t) AS rn
+         |  FROM scored
+         |)
+         |SELECT doc_id, t AS top_term, tf, df,
+         |  CAST(tf * n.n_docs AS DOUBLE) / df AS score
+         |FROM ranked CROSS JOIN n WHERE rn = 1""".stripMargin
+    })
 
   /** Per-label embedding statistics: count and mean L2 norm. Norms are
     * bit-identical doubles per row (fixed fold); rounding to 6dp and
@@ -3063,7 +3115,7 @@ trait SqlOpsTokenEval { this: SqlOpsAll =>
        |    CAST(SUM(n_docs * ABS(acc_ppm - conf_ppm)) AS BIGINT) AS w
        |  FROM per
        |),
-       |dom AS (${(1 to 10).map(i => s"SELECT $i AS decile").mkString(" UNION ALL ")})
+       |dom AS (${domainRel("decile", (1 to 10).map(_.toString))})
        |SELECT dom.decile,
        |  CAST(COALESCE(p.n_docs, 0) AS BIGINT) AS n_docs,
        |  p.conf_ppm, p.acc_ppm,

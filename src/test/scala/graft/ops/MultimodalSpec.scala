@@ -325,4 +325,35 @@ class MultimodalSpec extends SparkSpec {
     }.mkString
     assert(hashes(0L) === expectedRow * 8)
   }
+
+  test("phash banded near-dup: the native popcount hamming (r15) equals a " +
+    "per-char count on planted signatures, gate at <= 6 exact") {
+    import spark.implicits._
+    // planted 64-char bit strings; bands are substr(1+16b, 16), so
+    // differing only inside band 2 keeps bands 0/1/3 as exact-match
+    // candidates while the hamming distance is fully controlled
+    def bits(ones: Set[Int]): String =
+      (0 until 64).map(i => if (ones(i)) '1' else '0').mkString
+    val base = Set(1, 5, 62)
+    val h0 = bits(base)
+    val h1 = bits(base ++ Set(33, 34, 40, 41))            // hamming 4 from h0
+    val h2 = bits(base ++ Set(32, 35, 36, 37, 38, 39, 42, 43)) // hamming 8
+    Seq((0L, h0), (1L, h1), (2L, h2)).toDF("doc_id", "phash")
+      .createOrReplaceTempView("phash_tbl")
+    val got = spark.sql(SqlOps.phashNear(SparkDialect)).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))).toSet
+    // independent per-char count over every pair + the <= 6 gate
+    def ham(a: String, b: String): Long =
+      a.zip(b).count { case (x, y) => x != y }.toLong
+    val all = Seq((0L, h0), (1L, h1), (2L, h2))
+    val want = (for {
+      (ia, pa) <- all; (ib, pb) <- all if ia < ib
+      d = ham(pa, pb) if d <= 6
+    } yield (ia, ib, d)).toSet
+    assert(want === Set((0L, 1L, 4L)), "fixture self-check: exactly the near pair")
+    assert(got === want,
+      s"popcount hamming must equal the per-char count + gate: got $got")
+    spark.catalog.dropTempView("phash_tbl")
+  }
 }

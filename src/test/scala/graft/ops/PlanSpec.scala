@@ -120,11 +120,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count"), s"expected map-side partial agg:\n$plan")
   }
 
-  test("tfidf runs the token pipeline once — df is a window, not a re-derived join side") {
+  test("tfidf reads the staged ulm_tf rollup — no per-run token pipeline, df stays a window") {
     val plan = planOf("q_text_tfidf")
-    assert("Generate".r.findAllIn(plan).length == 1,
-      s"tfidf must explode tokens once (df join re-ran the pipeline):\n$plan")
+    // r15: the (doc, term, tf) rollup is the shared staged ulm_tf
+    // artifact — the per-run plan must contain NO token explode at
+    // all (a Generate means the pipeline is being re-derived)
+    assert(!plan.contains("Generate"),
+      s"tfidf must read the staged ulm_tf, not re-explode tokens:\n$plan")
     assert(plan.contains("Window"), s"df should come from a window over tf:\n$plan")
+    assert(plan.contains("ulm_tf"),
+      s"tfidf must scan the staged ulm_tf artifact:\n$plan")
   }
 
   test("shipping priority: pushed date filters, broadcast semi segment gate, TakeOrdered top-k") {
