@@ -620,6 +620,25 @@ object SparkEntry {
     * planted-positive test at all (MicroOracleSpec now plants 1..5
     * distances and a holding FD). */
   val allowDegenerate: Map[String, Set[String]] = Map(
+    // SF-EDGE entries (r15, surfaced by the salt-14 cross-SF sweep —
+    // the r13 salt-13 artifact ran with the pre-qualification loose
+    // matcher): each zero is the honest answer AT THAT ONE SF and the
+    // positive path is exercised by a SIBLING SF leg of the same
+    // committed gate (CROSS_SF.json + the sf0.01 oracle run), which
+    // is exactly the planted-positive evidence the standing rule
+    // requires.
+    //
+    // at sf0.001 no session spans a day boundary, so the carried-over
+    // base is 0 on every day; sf0.01/sf0.1 both have nonzero base
+    "q_concurrency_peak" -> Set("all_zero:base"),
+    // the user_id % 20 slice of the tiny sf0.001 events fixture
+    // contains only user 0; sf0.01/sf0.1 carry nonzero ids
+    "q_interval_overlap" -> Set("all_zero:user_id"),
+    // at sf0.1 every (nation, segment) cell is large enough that no
+    // distribution strays past t — the healthy-data answer; the
+    // smaller SFs' coarser cells flag above_t = 1, and t_distance in
+    // the same rows is the live metric at every SF
+    "q_t_closeness" -> Set("all_zero:above_t"),
     // single-band top-3 recall is honestly 0 (a 1/256 bucket almost
     // never holds a global top-3 neighbor); the union columns in the
     // same rows are the positive signal, OpsSpec asserts them nonzero
